@@ -1,0 +1,114 @@
+"""Aggregation operators (SURVEY.md §2.5 A1–A4, §2.6 W1, §2.7).
+
+All Catalyst-native (hash aggregate with map-side partials). The IDW
+weighted mean is the reference's core reduction (``IDW_interp``,
+``trackplot_hycom.py:28-37``; hardened notebook variant
+``TrackPlotter_Hycom.ipynb:37-47``) expressed as ``sum(w·v)/sum(w)``
+instead of a UDAF.
+
+Fixed-point note: where a query must hash-match a DuckDB oracle, sums of
+doubles are made order-independent by scaling to integers first (see
+``queries.py``); the operator APIs here return plain double expressions
+for engine use.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: HYCOM missing-data rule: fill values are strongly negative; anything
+#: ≤ -4 is missing (TrackPlotter_Hycom.ipynb:40, :324, :446 — P3).
+SENTINEL_THRESHOLD = -4.0
+
+
+def mask_sentinel(value: Column | str, threshold: float = SENTINEL_THRESHOLD) -> Column:
+    """P3: sentinel → NULL (``v if v > -4 else NaN`` in the notebook)."""
+    c = F.col(value) if isinstance(value, str) else value
+    return F.when(c > threshold, c)
+
+
+def idw_weighted_mean(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value: Column | str,
+    weight: Column | str,
+    out_name: str = "idw_value",
+) -> DataFrame:
+    """A2: inverse-distance-weighted mean per group.
+
+    **Normalizer decision (SURVEY.md §2.5 A2, frozen here):** the notebook
+    semantics are authoritative — sentinel values are masked *first* and
+    weights are normalized over the *valid* neighbors only
+    (TrackPlotter_Hycom.ipynb:40-47). The script variant
+    (trackplot_hycom.py:31-32) normalizes over all 9 weights before
+    masking, biasing profiles low near missing cells; we fix that bias.
+
+    ``value`` must already be sentinel-masked (see :func:`mask_sentinel`).
+    """
+    v = F.col(value) if isinstance(value, str) else value
+    w = F.col(weight) if isinstance(weight, str) else weight
+    valid_w = F.when(v.isNotNull(), w)
+    return df.groupBy(*group_cols).agg(
+        (F.sum(valid_w * v) / F.sum(valid_w)).alias(out_name)
+    )
+
+
+def weighted_mean(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value: Column | str,
+    weight: Column | str,
+    out_name: str = "wmean",
+) -> DataFrame:
+    """Generic Σwv/Σw (A2's shape over any weight column)."""
+    return idw_weighted_mean(df, group_cols, value, weight, out_name)
+
+
+def bounding_box(df: DataFrame, lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """A1: track bounding box (``trackplot_hycom.py:236-237``)."""
+    return df.agg(
+        F.min(lat).alias("lat_min"),
+        F.max(lat).alias("lat_max"),
+        F.min(lon).alias("lon_min"),
+        F.max(lon).alias("lon_max"),
+    )
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    order_cols: Sequence[Column],
+    k: int,
+    rank_name: str = "rnk",
+) -> DataFrame:
+    """W1/P5: per-group top-k via row_number (depth truncation
+    ``temps[:25]``, ``trackplot_hycom.py:148``, is the k=25 case).
+    ``order_cols`` must fully determine order for deterministic output.
+    """
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    return (
+        df.withColumn(rank_name, F.row_number().over(w))
+        .where(F.col(rank_name) <= k)
+    )
+
+
+def linear_fit(
+    df: DataFrame,
+    x: Column | str,
+    y: Column | str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """A4: least-squares slope/intercept (np.polyfit deg-1,
+    ``TrackPlotter_Hycom.ipynb:427``) via regr_slope/regr_intercept."""
+    xc = F.col(x) if isinstance(x, str) else x
+    yc = F.col(y) if isinstance(y, str) else y
+    aggs = [
+        F.regr_slope(yc, xc).alias("slope"),
+        F.regr_intercept(yc, xc).alias("intercept"),
+        F.regr_r2(yc, xc).alias("r2"),
+        F.count(F.lit(1)).alias("n"),
+    ]
+    return df.groupBy(*group_cols).agg(*aggs) if group_cols else df.agg(*aggs)

@@ -1,0 +1,263 @@
+"""Deduplication operators (extension surface; SURVEY.md §2.12).
+
+Four tiers, all shuffle-conscious:
+
+- exact: hash groupBy on a content fingerprint — one shuffle, scales
+  linearly; canonical row chosen by deterministic argmin.
+- n-gram Jaccard: token-set self-join restricted to a blocking key —
+  exact pairwise similarity without a full cross product.
+- MinHash + LSH: signature → band buckets → candidate pairs → verify.
+  The O(n²) cross product becomes O(candidates); this is the 100 TB path.
+- SimHash: 64-bit fingerprint whose Hamming distance approximates cosine
+  similarity of token sets; near-dup = small Hamming distance.
+
+Portability note: MinHash needs a hash per token. To stay deterministic
+*and* oracle-expressible, tokens are first mapped to dense integer ids
+(a join against a distinct-token dimension), then hashed with integer
+affine functions (a·id + b) mod p — exact in any engine. At 100 TB the
+token dimension is itself a broadcast-or-bucketed join, and xxhash64
+replaces the id join (same code path, weaker oracle).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from modeltracking_spark.functions.text import distinct_tokens
+
+# Mersenne prime 2^31-1: affine MinHash universe
+MINHASH_PRIME = 2147483647
+# deterministic per-permutation coefficients (public constants, seed-free)
+MINHASH_A = [2 * i + 1 for i in range(1, 65)]  # odd multipliers
+MINHASH_B = [7919 * (i + 1) % MINHASH_PRIME for i in range(64)]
+
+
+def exact_dedup(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+) -> DataFrame:
+    """Exact dedup: keep one deterministic canonical row per key group
+    (min ``order_col``), with the duplicate count — one hash shuffle.
+    """
+    return df.groupBy(*key_cols).agg(
+        F.min(order_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def token_set(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, token) long form with per-doc distinct tokens."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(distinct_tokens(text_col)).alias("token"),
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact pairwise Jaccard over distinct-token sets.
+
+    Pairs are generated through an inverted-index self-join on token
+    (optionally further blocked by ``block_col``), so only pairs sharing
+    ≥1 token materialize; pairs below ``threshold`` are dropped.
+    Output: (id_a, id_b, inter_n, union_n, jaccard), id_a < id_b.
+    Jaccard is a ratio of integers → engine-exact.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+        F.explode(distinct_tokens(text_col)).alias("token"),
+    )
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    cond = [F.col("a.token") == F.col("b.token"), F.col("a.id") < F.col("b.id")]
+    if block_col:
+        cond.append(F.col("a.blk") == F.col("b.blk"))
+    inter = (
+        a.join(b, cond)
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter_n"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn("union_n", F.col("sz_a") + F.col("sz_b") - F.col("inter_n"))
+        .withColumn(
+            "jaccard",
+            F.col("inter_n").cast("double") / F.col("union_n").cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "inter_n", "union_n", "jaccard")
+
+
+def token_ids(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, token_id) with dense, deterministic token ids.
+
+    ``token_id`` = dense_rank of the token over the distinct vocabulary —
+    fully reproducible in SQL. At 100 TB swap for ``xxhash64(token)``
+    (no vocabulary join; loses oracle-exactness only).
+    """
+    toks = token_set(df, id_col, text_col)
+    vocab = (
+        toks.select("token")
+        .distinct()
+        .withColumn(
+            "token_id",
+            F.dense_rank().over(Window.orderBy("token")).cast("long"),
+        )
+    )
+    return toks.join(vocab, "token").select("id", "token_id")
+
+
+def minhash_signatures(
+    doc_tokens: DataFrame,
+    n_hashes: int = 16,
+) -> DataFrame:
+    """MinHash signatures from (id, token_id) rows.
+
+    h_i(t) = (a_i·t + b_i) mod p, signature_i = min over the doc's tokens.
+    One explode (n_hashes×) + one groupBy — map-side combinable.
+    Output: (id, hash_idx, sig).
+    """
+    hashes = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("hash_idx"),
+                (
+                    (F.lit(MINHASH_A[i]) * F.col("token_id") + F.lit(MINHASH_B[i]))
+                    % F.lit(MINHASH_PRIME)
+                ).alias("h"),
+            )
+            for i in range(n_hashes)
+        ]
+    )
+    return (
+        doc_tokens.withColumn("__h", F.explode(hashes))
+        .groupBy("id", F.col("__h.hash_idx").alias("hash_idx"))
+        .agg(F.min("__h.h").alias("sig"))
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs sharing any band.
+
+    Band key = the concatenated signature slice; docs agreeing on all
+    ``rows_per_band`` hashes of a band land in one bucket. A self-join on
+    (band, band_key) replaces the O(n²) comparison. Output: distinct
+    (id_a, id_b), id_a < id_b.
+    """
+    banded = (
+        signatures.withColumn("band", (F.col("hash_idx") / F.lit(rows_per_band)).cast("int"))
+        .where(F.col("band") < bands)
+        .groupBy("id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("hash_idx", "sig"))
+                    ),
+                    lambda s: s["sig"].cast("string"),
+                ),
+                "_",
+            ).alias("band_key")
+        )
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """Full near-dup pipeline: tokens → MinHash → LSH buckets → candidate
+    pairs → exact-Jaccard verification ≥ threshold.
+
+    Output: (id_a, id_b, jaccard). Everything is integer/deterministic.
+    """
+    dt = token_ids(df, id_col, text_col)
+    sigs = minhash_signatures(dt, n_hashes=n_hashes)
+    cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rows_per_band)
+    sizes = dt.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    ta = dt.withColumnsRenamed({"id": "id_a"})
+    tb = dt.withColumnsRenamed({"id": "id_b"})
+    inter = (
+        cands.join(ta, "id_a")
+        .join(tb, ["id_b", "token_id"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter_n"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter_n").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter_n")).cast("double"),
+        )
+        .where(F.col("jaccard") >= verify_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(doc_tokens: DataFrame) -> DataFrame:
+    """SimHash: 64-bit fingerprint from (id, token_id) rows.
+
+    bit_j(doc) = 1 iff Σ_tokens sign_j(token) > 0, where sign_j(token)
+    = +1 if bit j of the token's integer hash is set else −1. Implemented
+    as one explode over 64 bit positions + groupBy — no UDFs. Near-dups
+    are pairs with small Hamming distance (use ``bit_count(a ^ b)``).
+    Output: (id, simhash) with simhash as bigint.
+    """
+    # affine-rehash the token id into 64 bits (two 32-bit halves)
+    h = (
+        (F.col("token_id") * F.lit(0x9E3779B1) + F.lit(0x85EBCA77))
+        % F.lit(MINHASH_PRIME)
+    )
+    h2 = (
+        (F.col("token_id") * F.lit(0xC2B2AE35) + F.lit(0x27D4EB2F))
+        % F.lit(MINHASH_PRIME)
+    )
+    hashed = doc_tokens.withColumn("__h64", (h.cast("bigint") * F.lit(2147483648)) + h2)
+    bits = F.sequence(F.lit(0), F.lit(62))  # 63 usable bits of the composed hash
+    exploded = hashed.withColumn("bit", F.explode(bits)).withColumn(
+        "sign",
+        F.when(F.expr("(shiftright(__h64, bit) & 1) = 1"), 1).otherwise(-1),
+    )
+    bit_votes = exploded.groupBy("id", "bit").agg(F.sum("sign").alias("vote"))
+    return bit_votes.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("vote") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        ).alias("simhash")
+    )

@@ -1,0 +1,228 @@
+"""Join operators (SURVEY.md §2.4, J1–J5).
+
+The reference implements all of these as per-point Python loops; here each
+is one distributed, Catalyst-planned join:
+
+- J1 nearest-grid-node (spatial KNN k=1): arithmetic snap on a uniform
+  grid → equi-join (preferred; exploits GLBu0.08 uniformity,
+  ``trackplot_hycom.py:176``), or broadcast KNN for small dims.
+- J2 3×3 neighborhood expansion: explode 9 offsets → equi-join
+  (``nearest_neighbors``, ``trackplot_hycom.py:59-65``).
+- J3 as-of (nearest-time) join: union-and-window technique — scales as a
+  single shuffle on (key, ts), no cross product
+  (``find_time_index``, ``trackplot_hycom.py:186-197``).
+- J4 interval-containment routing: broadcast range join
+  (``find_hycom_dir``, ``trackplot_hycom.py:173-184``).
+
+Scale notes: the snap join is shuffle-on-key only; the as-of join is one
+shuffle + one window scan per side; neighborhood expansion multiplies rows
+9× *before* the join so AQE can size partitions; broadcast is explicit for
+dimension-sized right sides.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def grid_snap_join(
+    points: DataFrame,
+    grid: DataFrame,
+    lat0: float,
+    lon0: float,
+    step: float,
+    point_lat: str = "lat",
+    point_lon: str = "lon",
+    grid_lat_idx: str = "lat_idx",
+    grid_lon_idx: str = "lon_idx",
+) -> DataFrame:
+    """J1 (uniform-grid route): snap each point to its nearest grid node by
+    arithmetic, then equi-join — O(n) instead of the reference's
+    O(n_points × n_lat × n_lon) scan (``location_to_index``,
+    ``trackplot_hycom.py:67-86``).
+
+    At 100 TB the grid side can be bucketed by (lat_idx, lon_idx) so this
+    join co-locates without a shuffle of the grid.
+    """
+    snapped = points.withColumn(
+        "__lat_idx", F.round((F.col(point_lat) - F.lit(lat0)) / F.lit(step)).cast("int")
+    ).withColumn(
+        "__lon_idx", F.round((F.col(point_lon) - F.lit(lon0)) / F.lit(step)).cast("int")
+    )
+    return snapped.join(
+        grid,
+        (F.col("__lat_idx") == F.col(grid_lat_idx))
+        & (F.col("__lon_idx") == F.col(grid_lon_idx)),
+        "inner",
+    ).drop("__lat_idx", "__lon_idx")
+
+
+def neighborhood_expand(
+    df: DataFrame,
+    lat_idx: str = "lat_idx",
+    lon_idx: str = "lon_idx",
+    radius: int = 1,
+) -> DataFrame:
+    """J2: expand each (lat_idx, lon_idx) to its (2r+1)² neighborhood via
+    explode — the relational form of ``nearest_neighbors``
+    (``trackplot_hycom.py:59-65``). Adds ``nb_lat_idx`` / ``nb_lon_idx``.
+    """
+    offsets = F.array(
+        *[
+            F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+            for di in range(-radius, radius + 1)
+            for dj in range(-radius, radius + 1)
+        ]
+    )
+    return (
+        df.withColumn("__off", F.explode(offsets))
+        .withColumn("nb_lat_idx", F.col(lat_idx) + F.col("__off.di"))
+        .withColumn("nb_lon_idx", F.col(lon_idx) + F.col("__off.dj"))
+        .drop("__off")
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_payload: Sequence[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """J3: distributed as-of join via the union-and-window technique.
+
+    For each left row, attach the payload of the right row with the
+    greatest ``right_ts`` ≤ ``left_ts`` (direction='backward'), the
+    smallest ≥ (``'forward'``), or the closer of the two
+    (``'nearest'`` — the reference's semantics: ``find_time_index``
+    argmin of |t_grid − t|, ``trackplot_hycom.py:193``).
+
+    Execution: one union, one shuffle on ``on`` keys, one ordered window
+    scan — no cross product, no per-row lookups. Ties on equal timestamps
+    take the right row (≤ / ≥ are inclusive).
+    """
+    if direction == "nearest":
+        back = asof_join(left, right, on, left_ts, right_ts, right_payload, "backward")
+        fwd = asof_join(left, right, on, left_ts, right_ts, right_payload, "forward")
+        fcols = {c: f"__fwd_{c}" for c in right_payload}
+        fwd = fwd.select(
+            *left.columns, *[F.col(c).alias(fcols[c]) for c in right_payload],
+            F.col("__matched_ts").alias("__fwd_ts"),
+        )
+        back = back.withColumnRenamed("__matched_ts", "__back_ts")
+        j = back.join(fwd, on=list(left.columns), how="inner")
+        lts = F.col(left_ts)
+        use_fwd = (
+            F.col("__back_ts").isNull()
+            | (
+                F.col("__fwd_ts").isNotNull()
+                & (
+                    F.abs(F.col("__fwd_ts").cast("double") - lts.cast("double"))
+                    < F.abs(lts.cast("double") - F.col("__back_ts").cast("double"))
+                )
+            )
+        )
+        out = j
+        for c in right_payload:
+            out = out.withColumn(
+                c, F.when(use_fwd, F.col(fcols[c])).otherwise(F.col(c))
+            )
+        out = out.withColumn(
+            "__matched_ts",
+            F.when(use_fwd, F.col("__fwd_ts")).otherwise(F.col("__back_ts")),
+        )
+        return out.drop("__back_ts", "__fwd_ts", *fcols.values())
+
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
+
+    on = list(on)
+    lcols = [c for c in left.columns]
+    tagged_left = left.select(
+        *[F.col(c) for c in lcols],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_payload],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__r_ts"),
+    )
+    tagged_right = right.select(
+        *[F.col(c) if c in on else F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_payload],
+        F.col(right_ts).alias("__r_ts"),
+    )
+    u = tagged_left.unionByName(tagged_right)
+
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("__ts").asc(), F.col("__is_left").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+    fill = F.last if direction == "backward" else F.first
+    filled = u.select(
+        *lcols,
+        F.col("__is_left"),
+        *[
+            fill(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(c)
+            for c in right_payload
+        ],
+        fill(F.col("__r_ts"), ignorenulls=True).over(w).alias("__matched_ts"),
+    )
+    return filled.where(F.col("__is_left") == 1).drop("__is_left")
+
+
+def interval_join(
+    facts: DataFrame,
+    ranges: DataFrame,
+    point: Column | str,
+    start: str,
+    end: str,
+) -> DataFrame:
+    """J4: route each fact row to the (small, broadcast) range containing
+    its point value — ``find_hycom_dir`` semantics
+    (``trackplot_hycom.py:173-184``): start ≤ point ≤ end.
+    """
+    p = F.col(point) if isinstance(point, str) else point
+    return facts.join(
+        F.broadcast(ranges), (p >= F.col(start)) & (p <= F.col(end)), "inner"
+    )
+
+
+def knn_join_brute(
+    left: DataFrame,
+    right: DataFrame,
+    dist: Column,
+    left_key: str,
+    right_order: Sequence[str],
+    k: int = 1,
+) -> DataFrame:
+    """J1 (general route): broadcast cross-join KNN for dimension-sized
+    right sides; ``dist`` is any expression over columns of both.
+
+    Tie-broken by ``right_order`` so results are deterministic. For a big
+    right side use LSH bucketing (operators.similarity) instead — a full
+    cross product does not survive 100 TB.
+    """
+    x = left.crossJoin(F.broadcast(right)).withColumn("__dist", dist)
+    w = Window.partitionBy(left_key).orderBy(
+        F.col("__dist").asc(), *[F.col(c).asc() for c in right_order]
+    )
+    return (
+        x.withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") <= k)
+        .withColumnRenamed("__dist", "dist")
+        .drop("__rank")
+    )

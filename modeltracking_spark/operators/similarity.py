@@ -1,0 +1,133 @@
+"""Embedding similarity search (extension surface; SURVEY.md §2.12).
+
+Two tiers:
+- brute-force top-k cosine: query set × corpus with the query side
+  small/broadcast — the correctness baseline.
+- LSH-bucketed (random hyperplane signs) top-k: corpus is bucketed by a
+  b-bit sign signature; candidates come from the query's bucket (plus
+  Hamming-1 probes), then exact re-rank. This is the 100 TB path: the
+  cross product shrinks by ~2^b.
+
+All vector math is JVM higher-order functions (functions.vector); the
+hyperplanes are deterministic pseudo-random signs derived from integer
+mixes so results are reproducible without a seed file.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from modeltracking_spark.functions.vector import cosine_similarity, l2_norm
+
+
+def cosine_topk_brute(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    q_vec: str = "q_vec",
+    c_vec: str = "c_vec",
+) -> DataFrame:
+    """Top-k by cosine for each query against the full corpus.
+
+    The query side is broadcast (small); the corpus streams — one pass,
+    no shuffle of the corpus until the per-query top-k aggregation.
+    Deterministic tie-break by candidate id.
+    Output: (q_id, c_id, cosine, rnk).
+    """
+    x = corpus.crossJoin(F.broadcast(queries)).where(F.col(q_id) != F.col(c_id))
+    x = x.withColumn("cosine", cosine_similarity(q_vec, c_vec))
+    w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id).asc())
+    return (
+        x.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(q_id, c_id, "cosine", "rnk")
+    )
+
+
+def hyperplane_signature(vec_col: str, n_planes: int = 8, dim: int = 64) -> F.Column:
+    """b-bit sign signature under deterministic pseudo-random hyperplanes.
+
+    plane_p[d] = ±1 from an integer mix of (p, d); signature bit p is the
+    sign of Σ_d plane_p[d]·vec[d]. Pure column expressions.
+    """
+    bits = []
+    for p in range(n_planes):
+        # deterministic ±1 pattern per (plane, dim) via xxhash64 parity
+        proj = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda x, d, p=p: x.cast("double")
+                * F.when(F.pmod(F.xxhash64(d, F.lit(p)), F.lit(2)) == 0, 1.0).otherwise(-1.0),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**p))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    q_vec: str = "q_vec",
+    c_vec: str = "c_vec",
+) -> DataFrame:
+    """Approximate top-k: bucket corpus by hyperplane signature, compare
+    each query only with its own bucket, exact re-rank inside.
+
+    Recall < 1 by construction (approximate); raise recall with multiple
+    tables or Hamming-distance probes. Scale: corpus shuffles once on the
+    signature; per-bucket work is |bucket| × |queries in bucket|.
+    """
+    csig = corpus.withColumn("sig", hyperplane_signature(c_vec, n_planes, dim))
+    qsig = queries.withColumn("sig", hyperplane_signature(q_vec, n_planes, dim))
+    x = csig.join(F.broadcast(qsig), "sig").where(F.col(q_id) != F.col(c_id))
+    x = x.withColumn("cosine", cosine_similarity(q_vec, c_vec))
+    w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id).asc())
+    return (
+        x.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(q_id, c_id, "cosine", "rnk")
+    )
+
+
+def centroid_per_label(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Element-wise mean vector per label via posexplode + group —
+    the relational form of a vector aggregate. Output:
+    (label, dim, centroid array<double>, centroid_norm).
+    """
+    longf = embeddings.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("pos", "val"),
+    )
+    per_dim = longf.groupBy("label", "pos").agg(
+        F.avg(F.col("val").cast("double")).alias("m")
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("__pm"),
+        )
+        .select(
+            "label",
+            F.transform("__pm", lambda s: s["m"]).alias("centroid"),
+        )
+        .withColumn("dim", F.size("centroid"))
+        .withColumn("centroid_norm", l2_norm("centroid"))
+    )

@@ -1,0 +1,87 @@
+"""Text analysis operators (extension surface; SURVEY.md §2.12).
+
+Language ID (n-gram/stopword heuristic), quality scoring, token counting,
+fingerprinting — all as JVM column expressions over the ``documents``
+table shape (doc_id, text, lang, source, n_chars).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from modeltracking_spark.functions.text import (
+    doc_fingerprint,
+    stopword_ratio,
+    token_count,
+    tokens,
+)
+
+#: tiny per-language marker-word lists for the heuristic language ID.
+#: (The container has no langdetect/fasttext; this is the n-gram-heuristic
+#: tier — swap for a real model via mapInPandas when available.)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "a"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "fr": ("le", "la", "et", "est", "les"),
+    "es": ("el", "la", "y", "es", "los"),
+}
+
+
+def text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach token/char/quality metric columns (all codegen-friendly)."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    avg_word_len = F.when(
+        n_tok > 0,
+        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast("double")
+        / n_tok.cast("double"),
+    ).otherwise(F.lit(0.0))
+    punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("n_distinct_tokens", F.size(F.array_distinct(toks)))
+        .withColumn("avg_word_len", avg_word_len)
+        .withColumn("punct_count", punct)
+        .withColumn("stop_ratio", stopword_ratio(text_col))
+        .withColumn("fingerprint", doc_fingerprint(text_col))
+    )
+
+
+def quality_score(text_col: str = "text") -> Column:
+    """Composite quality heuristic in [0,1]: rewards mid-length docs,
+    lexical diversity, and a sane stopword ratio. A batch stand-in for the
+    model-based scorers used in LLM data pipelines."""
+    toks = tokens(text_col)
+    n = F.size(toks).cast("double")
+    diversity = F.when(
+        n > 0, F.size(F.array_distinct(toks)).cast("double") / n
+    ).otherwise(F.lit(0.0))
+    length_score = F.least(n / F.lit(64.0), F.lit(1.0))
+    stop = stopword_ratio(text_col)
+    stop_score = F.lit(1.0) - F.abs(stop - F.lit(0.2))
+    return F.round((diversity + length_score + stop_score) / F.lit(3.0), 6)
+
+
+def lang_id_heuristic(text_col: str = "text") -> Column:
+    """Marker-word language ID: pick the language with the highest marker
+    hit count; ties and no-hits → 'und'. Pure column expressions."""
+    toks = F.array_distinct(tokens(text_col))
+    scores = []
+    for lang, markers in LANG_MARKERS.items():
+        hits = F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers])))
+        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def token_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus token frequency table: (token, freq, doc_freq) — the
+    classic one-shuffle word count plus document frequency."""
+    exploded = df.select(
+        F.col("doc_id"), F.explode(tokens(text_col)).alias("token")
+    )
+    return exploded.groupBy("token").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.count_distinct("doc_id").alias("doc_freq"),
+    )
