@@ -11,12 +11,13 @@ Four tiers, all shuffle-conscious:
 - SimHash: 64-bit fingerprint whose Hamming distance approximates cosine
   similarity of token sets; near-dup = small Hamming distance.
 
-Portability note: MinHash needs a hash per token. To stay deterministic
-*and* oracle-expressible, tokens are first mapped to dense integer ids
-(a join against a distinct-token dimension), then hashed with integer
-affine functions (a·id + b) mod p — exact in any engine. At 100 TB the
-token dimension is itself a broadcast-or-bucketed join, and xxhash64
-replaces the id join (same code path, weaker oracle).
+Portability note: MinHash needs a deterministic integer hash per token
+that both Spark and a SQL oracle can compute **without any global
+coordination**. We use the first 15 hex digits of ``md5(token)`` parsed
+as a 60-bit integer — ``conv(substr(md5(t),1,15),16,10)`` in Spark,
+``('0x'||substr(md5(t),1,15))::bigint`` in DuckDB — byte-identical across
+engines, fully distributed (no vocabulary join, no global window), then
+mixed through integer affine functions (a·id + b) mod p.
 """
 
 from __future__ import annotations
@@ -40,12 +41,33 @@ def exact_dedup(
     key_cols: Sequence[str],
     order_col: str,
 ) -> DataFrame:
-    """Exact dedup: keep one deterministic canonical row per key group
-    (min ``order_col``), with the duplicate count — one hash shuffle.
+    """Exact-dedup summary: one row per key group with the deterministic
+    canonical id (min ``order_col``) and the duplicate count — one hash
+    shuffle. For the surviving rows themselves use :func:`dedup_rows`.
     """
     return df.groupBy(*key_cols).agg(
         F.min(order_col).alias("canonical_id"),
         F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def dedup_rows(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+) -> DataFrame:
+    """Row-preserving exact dedup (``dropDuplicates`` with a *deterministic*
+    survivor): keep, per key group, the row with the minimum ``order_col``.
+
+    One window shuffle on ``key_cols``; all original columns survive.
+    ``order_col`` must be unique within a group (e.g. a primary key) for a
+    deterministic result.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
     )
 
 
@@ -63,6 +85,7 @@ def jaccard_pairs(
     text_col: str,
     block_col: str | None = None,
     threshold: float = 0.5,
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """Exact pairwise Jaccard over distinct-token sets.
 
@@ -71,6 +94,16 @@ def jaccard_pairs(
     ≥1 token materialize; pairs below ``threshold`` are dropped.
     Output: (id_a, id_b, inter_n, union_n, jaccard), id_a < id_b.
     Jaccard is a ratio of integers → engine-exact.
+
+    **Hot-token guard (100 TB):** tokens appearing in more than
+    ``max_doc_freq`` documents are excluded from *pair generation* (a
+    ubiquitous token like "the" would otherwise pair quadratically).
+    NOTE this changes semantics — intersections no longer count capped
+    tokens — so the default is a cap high enough to be inert at test
+    scale; at production scale choose the cap from the threshold (a pair
+    at Jaccard ≥ τ shares ≥ τ/(1+τ) of its tokens, so rare tokens still
+    connect it) or pass ``max_doc_freq=None`` for exact semantics with a
+    mandatory ``block_col``.
     """
     toks = df.select(
         F.col(id_col).alias("id"),
@@ -78,6 +111,14 @@ def jaccard_pairs(
         F.explode(distinct_tokens(text_col)).alias("token"),
     )
     sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    if max_doc_freq is not None:
+        hot = (
+            toks.groupBy("token")
+            .agg(F.count_distinct("id").alias("df"))
+            .where(F.col("df") > max_doc_freq)
+            .select("token")
+        )
+        toks = toks.join(F.broadcast(hot), "token", "left_anti")
     a = toks.alias("a")
     b = toks.alias("b")
     cond = [F.col("a.token") == F.col("b.token"), F.col("a.id") < F.col("b.id")]
@@ -101,23 +142,24 @@ def jaccard_pairs(
     return out.select("id_a", "id_b", "inter_n", "union_n", "jaccard")
 
 
-def token_ids(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, token_id) with dense, deterministic token ids.
+def token_hash60(token: F.Column | str) -> F.Column:
+    """Deterministic 60-bit integer token hash, identical across engines.
 
-    ``token_id`` = dense_rank of the token over the distinct vocabulary —
-    fully reproducible in SQL. At 100 TB swap for ``xxhash64(token)``
-    (no vocabulary join; loses oracle-exactness only).
+    First 15 hex digits of md5 parsed as an integer:
+    Spark ``conv(substr(md5(t),1,15),16,10)`` ≡ DuckDB
+    ``('0x'||substr(md5(t),1,15))::bigint``. Fully distributed — no
+    vocabulary join, no global window (the round-1 ``dense_rank`` over an
+    unpartitioned Window funneled the whole vocabulary through one task).
     """
+    c = F.col(token) if isinstance(token, str) else token
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def token_ids(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, token_id) rows with deterministic, engine-portable token ids
+    (:func:`token_hash60`) — one narrow projection, no shuffle."""
     toks = token_set(df, id_col, text_col)
-    vocab = (
-        toks.select("token")
-        .distinct()
-        .withColumn(
-            "token_id",
-            F.dense_rank().over(Window.orderBy("token")).cast("long"),
-        )
-    )
-    return toks.join(vocab, "token").select("id", "token_id")
+    return toks.select("id", token_hash60("token").alias("token_id"))
 
 
 def minhash_signatures(
@@ -126,16 +168,19 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signatures from (id, token_id) rows.
 
-    h_i(t) = (a_i·t + b_i) mod p, signature_i = min over the doc's tokens.
-    One explode (n_hashes×) + one groupBy — map-side combinable.
-    Output: (id, hash_idx, sig).
+    h_i(t) = (a_i·(t mod p) + b_i) mod p, signature_i = min over the doc's
+    tokens. The inner ``mod p`` keeps the affine product within int64 for
+    any 60-bit token id (a_i ≤ 129, so a_i·(p−1) < 2^39) — identical
+    arithmetic in Spark and ANSI SQL. One explode (n_hashes×) + one
+    groupBy — map-side combinable. Output: (id, hash_idx, sig).
     """
+    t = F.col("token_id") % F.lit(MINHASH_PRIME)
     hashes = F.array(
         *[
             F.struct(
                 F.lit(i).alias("hash_idx"),
                 (
-                    (F.lit(MINHASH_A[i]) * F.col("token_id") + F.lit(MINHASH_B[i]))
+                    (F.lit(MINHASH_A[i]) * t + F.lit(MINHASH_B[i]))
                     % F.lit(MINHASH_PRIME)
                 ).alias("h"),
             )
@@ -238,15 +283,11 @@ def simhash64(doc_tokens: DataFrame) -> DataFrame:
     are pairs with small Hamming distance (use ``bit_count(a ^ b)``).
     Output: (id, simhash) with simhash as bigint.
     """
-    # affine-rehash the token id into 64 bits (two 32-bit halves)
-    h = (
-        (F.col("token_id") * F.lit(0x9E3779B1) + F.lit(0x85EBCA77))
-        % F.lit(MINHASH_PRIME)
-    )
-    h2 = (
-        (F.col("token_id") * F.lit(0xC2B2AE35) + F.lit(0x27D4EB2F))
-        % F.lit(MINHASH_PRIME)
-    )
+    # affine-rehash the token id into 64 bits (two 31-bit halves);
+    # reduce mod p first so the products stay within int64 for 60-bit ids
+    t = F.col("token_id") % F.lit(MINHASH_PRIME)
+    h = (t * F.lit(0x9E3779B1) + F.lit(0x85EBCA77)) % F.lit(MINHASH_PRIME)
+    h2 = (t * F.lit(0xC2B2AE35) + F.lit(0x27D4EB2F)) % F.lit(MINHASH_PRIME)
     hashed = doc_tokens.withColumn("__h64", (h.cast("bigint") * F.lit(2147483648)) + h2)
     bits = F.sequence(F.lit(0), F.lit(62))  # 63 usable bits of the composed hash
     exploded = hashed.withColumn("bit", F.explode(bits)).withColumn(

@@ -107,15 +107,20 @@ def asof_join(
     take the right row (≤ / ≥ are inclusive).
     """
     if direction == "nearest":
-        back = asof_join(left, right, on, left_ts, right_ts, right_payload, "backward")
-        fwd = asof_join(left, right, on, left_ts, right_ts, right_payload, "forward")
+        # Surrogate-key the left side once, so the back/fwd recombination
+        # joins on a single non-null unique key: left rows with NULLs are
+        # never dropped (equi-join null semantics) and duplicate left rows
+        # never fan out. (find_time_index argmin, trackplot_hycom.py:193.)
+        keyed = left.withColumn("__row_id", F.monotonically_increasing_id())
+        back = asof_join(keyed, right, on, left_ts, right_ts, right_payload, "backward")
+        fwd = asof_join(keyed, right, on, left_ts, right_ts, right_payload, "forward")
         fcols = {c: f"__fwd_{c}" for c in right_payload}
         fwd = fwd.select(
-            *left.columns, *[F.col(c).alias(fcols[c]) for c in right_payload],
+            "__row_id", *[F.col(c).alias(fcols[c]) for c in right_payload],
             F.col("__matched_ts").alias("__fwd_ts"),
         )
         back = back.withColumnRenamed("__matched_ts", "__back_ts")
-        j = back.join(fwd, on=list(left.columns), how="inner")
+        j = back.join(fwd, on="__row_id", how="inner")
         lts = F.col(left_ts)
         use_fwd = (
             F.col("__back_ts").isNull()
@@ -136,7 +141,7 @@ def asof_join(
             "__matched_ts",
             F.when(use_fwd, F.col("__fwd_ts")).otherwise(F.col("__back_ts")),
         )
-        return out.drop("__back_ts", "__fwd_ts", *fcols.values())
+        return out.drop("__back_ts", "__fwd_ts", "__row_id", *fcols.values())
 
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown direction {direction!r}")
@@ -190,15 +195,24 @@ def interval_join(
     point: Column | str,
     start: str,
     end: str,
+    inclusive: bool = False,
 ) -> DataFrame:
     """J4: route each fact row to the (small, broadcast) range containing
     its point value — ``find_hycom_dir`` semantics
-    (``trackplot_hycom.py:173-184``): start ≤ point ≤ end.
+    (``trackplot_hycom.py:173-184``).
+
+    The reference tests **strict** bounds (``dtime[0] < t and dtime[-1] > t``,
+    trackplot_hycom.py:183), the default here. Pass ``inclusive=True`` for
+    the closed-interval BETWEEN convention (both axes are integer hours, so
+    exact-boundary rows route differently between the two).
     """
     p = F.col(point) if isinstance(point, str) else point
-    return facts.join(
-        F.broadcast(ranges), (p >= F.col(start)) & (p <= F.col(end)), "inner"
+    cond = (
+        (p >= F.col(start)) & (p <= F.col(end))
+        if inclusive
+        else (p > F.col(start)) & (p < F.col(end))
     )
+    return facts.join(F.broadcast(ranges), cond, "inner")
 
 
 def knn_join_brute(

@@ -29,6 +29,7 @@ def cosine_topk_brute(
     c_id: str = "c_id",
     q_vec: str = "q_vec",
     c_vec: str = "c_vec",
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Top-k by cosine for each query against the full corpus.
 
@@ -36,8 +37,15 @@ def cosine_topk_brute(
     no shuffle of the corpus until the per-query top-k aggregation.
     Deterministic tie-break by candidate id.
     Output: (q_id, c_id, cosine, rnk).
+
+    Parameter order is (queries, corpus) — same as :func:`cosine_topk_lsh`.
+    ``exclude_self`` drops rows where q_id == c_id; only enable when both
+    sides share one id space (otherwise coincident ids from different
+    spaces would wrongly be dropped).
     """
-    x = corpus.crossJoin(F.broadcast(queries)).where(F.col(q_id) != F.col(c_id))
+    x = corpus.crossJoin(F.broadcast(queries))
+    if exclude_self:
+        x = x.where(F.col(q_id) != F.col(c_id))
     x = x.withColumn("cosine", cosine_similarity(q_vec, c_vec))
     w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id).asc())
     return (
@@ -74,8 +82,8 @@ def hyperplane_signature(vec_col: str, n_planes: int = 8, dim: int = 64) -> F.Co
 
 
 def cosine_topk_lsh(
-    corpus: DataFrame,
     queries: DataFrame,
+    corpus: DataFrame,
     k: int = 5,
     n_planes: int = 8,
     dim: int = 64,
@@ -83,6 +91,7 @@ def cosine_topk_lsh(
     c_id: str = "c_id",
     q_vec: str = "q_vec",
     c_vec: str = "c_vec",
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Approximate top-k: bucket corpus by hyperplane signature, compare
     each query only with its own bucket, exact re-rank inside.
@@ -90,10 +99,15 @@ def cosine_topk_lsh(
     Recall < 1 by construction (approximate); raise recall with multiple
     tables or Hamming-distance probes. Scale: corpus shuffles once on the
     signature; per-bucket work is |bucket| × |queries in bucket|.
+
+    Parameter order is (queries, corpus) — same as
+    :func:`cosine_topk_brute`; ``exclude_self`` likewise.
     """
     csig = corpus.withColumn("sig", hyperplane_signature(c_vec, n_planes, dim))
     qsig = queries.withColumn("sig", hyperplane_signature(q_vec, n_planes, dim))
-    x = csig.join(F.broadcast(qsig), "sig").where(F.col(q_id) != F.col(c_id))
+    x = csig.join(F.broadcast(qsig), "sig")
+    if exclude_self:
+        x = x.where(F.col(q_id) != F.col(c_id))
     x = x.withColumn("cosine", cosine_similarity(q_vec, c_vec))
     w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id).asc())
     return (

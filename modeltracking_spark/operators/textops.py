@@ -65,12 +65,23 @@ def quality_score(text_col: str = "text") -> Column:
 
 def lang_id_heuristic(text_col: str = "text") -> Column:
     """Marker-word language ID: pick the language with the highest marker
-    hit count; ties and no-hits → 'und'. Pure column expressions."""
+    hit count; no-hits → 'und'. **Tie-break is explicit and documented:**
+    equal hit counts resolve to the language listed *first* in
+    ``LANG_MARKERS`` (en > de > fr > es), encoded as a priority field in
+    the max-struct so the choice is deterministic and oracle-expressible.
+    Pure column expressions."""
     toks = F.array_distinct(tokens(text_col))
+    n = len(LANG_MARKERS)
     scores = []
-    for lang, markers in LANG_MARKERS.items():
+    for i, (lang, markers) in enumerate(LANG_MARKERS.items()):
         hits = F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers])))
-        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+        scores.append(
+            F.struct(
+                hits.alias("hits"),
+                F.lit(n - i).alias("prio"),
+                F.lit(lang).alias("lang"),
+            )
+        )
     best = F.array_max(F.array(*scores))
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 

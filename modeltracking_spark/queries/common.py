@@ -1,0 +1,66 @@
+"""Shared infrastructure for the driver-facing query registry.
+
+Every query here is a pair: a PySpark DataFrame program and an ANSI-SQL
+oracle that DuckDB runs on the same parquet tables. The driver compares
+them by row count + schema + order-insensitive value hash, so the cardinal
+rule is **bit-identical values across engines**:
+
+- Sums of doubles are never hashed: monetary/measure columns are scaled to
+  exact integers (cents / 1e6 / 1e12 fixed point), summed as BIGINT
+  (order-independent), and only then divided/rounded — identical in any
+  engine.
+- Per-row double expressions (no aggregation) are deterministic IEEE-754
+  ops, identical in Spark and DuckDB; transcendental functions (sin/cos)
+  are last-ulp risky, so their outputs are rounded coarsely (2 decimals)
+  and never used as sort keys without an integer tie-break.
+- Temporal outputs are formatted to strings; the session time zone is
+  pinned to UTC at load time so rendering is engine-independent.
+- Every computed column is aliased identically in both dialects.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from modeltracking_spark.schemas import load_table
+
+# registries filled by the @query decorator across the queries modules
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a (spark, sf_dir) -> DataFrame callable, optionally with
+    its DuckDB oracle SQL. Queries without an oracle get the driver's
+    weaker rows-only check (reserved for genuinely non-SQL ops)."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = " ".join(oracle.split())
+        return fn
+
+    return deco
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a testdata table with the session pinned to UTC so timestamp
+    rendering matches the (tz-naive) DuckDB oracle."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return load_table(spark, sf_dir, name)
+
+
+def cents(col: Column | str) -> Column:
+    """Exact integer cents from a 2-decimal double — the fixed-point trick
+    that makes monetary sums order-independent and engine-exact."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).cast("long")
+
+
+def fxp(col: Column | str, scale: float) -> Column:
+    """round(col * scale) as BIGINT — generic fixed-point lift."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * F.lit(scale)).cast("long")

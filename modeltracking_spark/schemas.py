@@ -146,9 +146,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn(
-            "ts", F.expr("timestamp_micros(cast(ts / 1000 as long))")
-        )
+        # Integer division (div), not /1000 double division: nano epochs
+        # (~1.7e18) exceed double's 53-bit exact range, and DuckDB's parquet
+        # reader truncates nanos → micros exactly.
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
