@@ -73,10 +73,10 @@ def vincenty_km_udf():
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf(DoubleType())
-    def vincenty_km(
-        lat1: pd.Series, lon1: pd.Series, lat2: pd.Series, lon2: pd.Series
-    ) -> pd.Series:
+    # NB: this module uses `from __future__ import annotations`, which turns
+    # inline type hints into strings pandas_udf cannot resolve; set real
+    # annotation objects explicitly instead.
+    def vincenty_km(lat1, lon1, lat2, lon2):
         # WGS-84
         a, f = 6378137.0, 1 / 298.257223563
         b = (1 - f) * a
@@ -127,4 +127,11 @@ def vincenty_km_udf():
         dist_km = np.where(sin_sigma == 0, 0.0, dist_km)
         return pd.Series(dist_km)
 
-    return vincenty_km
+    vincenty_km.__annotations__ = {
+        "lat1": pd.Series,
+        "lon1": pd.Series,
+        "lat2": pd.Series,
+        "lon2": pd.Series,
+        "return": pd.Series,
+    }
+    return pandas_udf(DoubleType())(vincenty_km)

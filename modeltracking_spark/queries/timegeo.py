@@ -1,0 +1,239 @@
+"""Scalar-function demos: time-epoch conversions (F1/F2/F9), longitude
+normalization (F4), haversine track steps with lag (F6 + §2.6 analytic
+window), Euclidean-degree KNN (F7 + A3/J1 brute route), inverse-square
+weights (F8), Vincenty-vs-haversine delta (F6 exact, rows-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from modeltracking_spark.functions.geo import (
+    euclid_deg,
+    haversine_km,
+    normalize_lon_0_360,
+    vincenty_km_udf,
+)
+from modeltracking_spark.functions.timefn import (
+    format_ymdh,
+    hours_since_2000,
+    parse_ymdh,
+    ts_from_hours_since_2000,
+)
+from modeltracking_spark.operators.joins import knn_join_brute
+from modeltracking_spark.queries.common import T, fxp, query
+
+
+@query(
+    "hours_epoch_roundtrip",
+    oracle="""
+    SELECT o_orderkey,
+           datediff('hour', TIMESTAMP '2000-01-01', o_orderdate) AS hours2000,
+           strftime(TIMESTAMP '2000-01-01'
+                    + to_hours(datediff('hour', TIMESTAMP '2000-01-01', o_orderdate)),
+                    '%Y%m%d%H') AS ymdh,
+           (strptime(strftime(o_orderdate, '%Y%m%d%H'), '%Y%m%d%H')
+              = o_orderdate) AS roundtrip_ok
+    FROM orders
+    """,
+)
+def hours_epoch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2/F9: hurrtimeconv/ymdh round trip (``trackplot_hycom.py:45-50``,
+    ``:150-156``) — hours since 2000-01-01 and back, plus the yyyyMMddHH
+    parse/format identity on hour-aligned data."""
+    o = T(spark, sf_dir, "orders")
+    h = hours_since_2000("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        h.alias("hours2000"),
+        format_ymdh(ts_from_hours_since_2000(h)).alias("ymdh"),
+        (parse_ymdh(format_ymdh("o_orderdate")) == F.col("o_orderdate")).alias(
+            "roundtrip_ok"
+        ),
+    )
+
+
+@query(
+    "lon_normalize",
+    oracle="""
+    SELECT c_custkey,
+           (c_custkey % 3600) / 10.0 - 180.0 AS lon_raw,
+           CASE WHEN (c_custkey % 3600) / 10.0 - 180.0 < 0
+                THEN (c_custkey % 3600) / 10.0 - 180.0 + 360.0
+                ELSE (c_custkey % 3600) / 10.0 - 180.0 END AS lon_0_360
+    FROM customer
+    """,
+)
+def lon_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: [-180,180) -> [0,360) east-positive normalization, the track
+    loader's lon fix (``trackplot_hycom.py:166-170``: -19.4 -> 340.6)."""
+    c = T(spark, sf_dir, "customer")
+    lon_raw = (F.col("c_custkey") % 3600) / 10.0 - 180.0
+    return c.select(
+        "c_custkey",
+        lon_raw.alias("lon_raw"),
+        normalize_lon_0_360(lon_raw).alias("lon_0_360"),
+    )
+
+
+# deterministic 80-point synthetic track (hurricane-shaped ramp), the
+# al092016 stand-in used by the geo/window demos and the profile pipeline
+TRACK_SQL = """
+    SELECT i::BIGINT AS point_id,
+           15.0::DOUBLE + i * 0.25::DOUBLE AS lat,
+           CASE WHEN -80.0::DOUBLE + i * 0.6::DOUBLE < 0
+                THEN -80.0::DOUBLE + i * 0.6::DOUBLE + 360.0::DOUBLE
+                ELSE -80.0::DOUBLE + i * 0.6::DOUBLE END AS lon,
+           i::BIGINT * 1 AS t_hours
+    FROM range(80) t(i)
+"""
+
+
+def synthetic_track(spark: SparkSession) -> DataFrame:
+    """80-point deterministic track: lat ramps 15..34.75, lon -80..-32.6
+    (normalized to [0,360)), one point per hour."""
+    i = F.col("id")
+    return spark.range(80).select(
+        i.alias("point_id"),
+        (F.lit(15.0) + i * 0.25).alias("lat"),
+        normalize_lon_0_360(F.lit(-80.0) + i * 0.6).alias("lon"),
+        (i * 1).cast("long").alias("t_hours"),
+    )
+
+
+@query(
+    "track_step_haversine",
+    oracle=f"""
+    WITH track AS ({TRACK_SQL}),
+    stepped AS (
+      SELECT point_id, lat, lon,
+             lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
+      FROM track WINDOW w AS (ORDER BY point_id)
+    )
+    SELECT point_id, lat, lon,
+           round(2.0 * 6371.0 * asin(sqrt(
+             sin(radians(lat - plat) / 2) ^ 2
+             + cos(radians(plat)) * cos(radians(lat))
+               * sin(radians(lon - plon) / 2) ^ 2)), 2) AS step_km
+    FROM stepped
+    """,
+)
+def track_step_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 + §2.6 lag: consecutive point-to-point great-circle distance
+    along the track — the 'ahead of/behind the storm' step metric implied
+    by ``trackplot_hycom.py:7-8``. Transcendental output rounded to 2
+    decimals per the fixed-point doctrine."""
+    t = synthetic_track(spark)
+    w = Window.orderBy("point_id")
+    stepped = t.select(
+        "point_id",
+        "lat",
+        "lon",
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+    )
+    return stepped.select(
+        "point_id",
+        "lat",
+        "lon",
+        F.round(haversine_km("plat", "plon", "lat", "lon"), 2).alias("step_km"),
+    )
+
+
+@query(
+    "euclid_knn_suppliers",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey,
+             (c_custkey * 3 % 100) / 10.0 AS c_lat,
+             (c_custkey * 11 % 100) / 10.0 AS c_lon
+      FROM customer
+    ), sup AS (
+      SELECT s_suppkey,
+             (s_suppkey * 7 % 100) / 10.0 AS s_lat,
+             (s_suppkey * 13 % 100) / 10.0 AS s_lon
+      FROM supplier
+    )
+    SELECT c_custkey, s_suppkey,
+           round(sqrt((c_lat - s_lat) * (c_lat - s_lat)
+                    + (c_lon - s_lon) * (c_lon - s_lon)) * 1e9)::BIGINT AS dist_e9
+    FROM pts CROSS JOIN sup
+    QUALIFY row_number() OVER (
+      PARTITION BY c_custkey
+      ORDER BY sqrt((c_lat - s_lat) * (c_lat - s_lat)
+                  + (c_lon - s_lon) * (c_lon - s_lon)) ASC, s_suppkey ASC) = 1
+    """,
+)
+def euclid_knn_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 + A3 + J1 (brute route): nearest supplier per customer by
+    Euclidean-degree distance — ``location_to_index`` semantics
+    (``trackplot_hycom.py:67-86``) as a broadcast KNN with deterministic
+    tie-break. The snap route (the scale path) is demoed separately."""
+    c = T(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 3 % 100) / 10.0).alias("c_lat"),
+        ((F.col("c_custkey") * 11 % 100) / 10.0).alias("c_lon"),
+    )
+    s = T(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 7 % 100) / 10.0).alias("s_lat"),
+        ((F.col("s_suppkey") * 13 % 100) / 10.0).alias("s_lon"),
+    )
+    out = knn_join_brute(
+        c,
+        s,
+        euclid_deg("c_lat", "c_lon", "s_lat", "s_lon"),
+        left_key="c_custkey",
+        right_order=["s_suppkey"],
+        k=1,
+    )
+    return out.select("c_custkey", "s_suppkey", fxp("dist", 1e9).alias("dist_e9"))
+
+
+@query(
+    "inv_square_weights",
+    oracle="""
+    SELECT DISTINCT l_quantity AS d,
+           round(1.0 / ((l_quantity + 1e-6) * (l_quantity + 1e-6)) * 1e12)::BIGINT
+             AS weight_e12
+    FROM lineitem
+    """,
+)
+def inv_square_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: the notebook's epsilon-guarded inverse-square IDW weight
+    (``TrackPlotter_Hycom.ipynb:41``) over the distinct quantity values."""
+    li = T(spark, sf_dir, "lineitem")
+    d = F.col("l_quantity")
+    w = F.lit(1.0) / ((d + F.lit(1e-6)) * (d + F.lit(1e-6)))
+    return li.select(d.alias("d"), fxp(w, 1e12).alias("weight_e12")).distinct()
+
+
+@query("vincenty_vs_haversine")  # pandas UDF -> not SQL-expressible; rows-only
+def vincenty_vs_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 exact: Vincenty (WGS-84, vectorized pandas UDF) against the
+    haversine substitute over the track steps; SURVEY F6 documents the
+    sphere-vs-ellipsoid delta < 0.6%, asserted here as a count."""
+    t = synthetic_track(spark)
+    w = Window.orderBy("point_id")
+    stepped = t.select(
+        "point_id",
+        "lat",
+        "lon",
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+    ).where(F.col("plat").isNotNull())
+    vin = vincenty_km_udf()
+    d = stepped.select(
+        "point_id",
+        haversine_km("plat", "plon", "lat", "lon").alias("hav_km"),
+        vin("plat", "plon", "lat", "lon").alias("vin_km"),
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_steps"),
+        F.sum(
+            F.when(
+                F.abs(F.col("vin_km") - F.col("hav_km")) / F.col("vin_km") < 0.006, 1
+            ).otherwise(0)
+        ).alias("n_within_006pct"),
+    )
