@@ -32,9 +32,15 @@ def normalize_lon_0_360(lon: Column | str) -> Column:
 
 def euclid_deg(lat1, lon1, lat2, lon2) -> Column:
     """F7: Euclidean degree distance, the reference's nearest-node metric
-    (trackplot_hycom.py:79: sqrt(Δlon² + Δlat²))."""
+    (trackplot_hycom.py:79: sqrt(Δlon² + Δlat²)).
+
+    Squares are explicit products, not pow(x, 2): pow is a libm call with
+    no cross-engine ulp guarantee, while x*x and sqrt are correctly
+    rounded IEEE ops — required for oracle hash-matching.
+    """
     la1, lo1, la2, lo2 = (_col(c) for c in (lat1, lon1, lat2, lon2))
-    return F.sqrt(F.pow(lo1 - lo2, 2) + F.pow(la1 - la2, 2))
+    dlo, dla = lo1 - lo2, la1 - la2
+    return F.sqrt(dlo * dlo + dla * dla)
 
 
 def haversine_km(lat1, lon1, lat2, lon2) -> Column:
@@ -56,8 +62,10 @@ def haversine_km(lat1, lon1, lat2, lon2) -> Column:
 def inv_square_weight(dist: Column | str, eps: float = 1e-6) -> Column:
     """F8: inverse-square-distance IDW weight with the notebook's epsilon
     guard: w = 1 / (d + eps)² (TrackPlotter_Hycom.ipynb:41; the script
-    variant trackplot_hycom.py:31 omits eps and can divide by zero)."""
-    return F.lit(1.0) / F.pow(_col(dist) + F.lit(eps), 2)
+    variant trackplot_hycom.py:31 omits eps and can divide by zero).
+    Explicit product instead of pow(x, 2) for cross-engine exactness."""
+    de = _col(dist) + F.lit(eps)
+    return F.lit(1.0) / (de * de)
 
 
 def vincenty_km_udf():

@@ -1,0 +1,122 @@
+"""The track x grid depth-profile pipeline — the reference's raison
+d'etre (SURVEY.md §7.6), composed from the join/aggregate layers:
+
+snap (J1) -> 3x3 expand (J2) -> nearest-time bucket (J3 regular-axis
+route) -> sentinel mask (P3) -> IDW weights (F8) -> weighted mean (A2)
+-> depth truncation (P5).
+
+Reference: ``zip_variable3D`` + ``hycomScrubber`` + ``IDW_Slice_nc4``
+(``trackplot_hycom.py:199-223``, ``:135-148``, ``:88-115``). The
+reference re-opens the remote dataset and scans all grid nodes per track
+point (N+1 loops); here the whole track resolves in ONE broadcast join
+against the grid table:
+
+- the track side (n_points x 9 neighbor keys) is tiny -> broadcast;
+- the grid scan streams once; depth truncation and the time-bucket set
+  push down as filters on grid columns;
+- the IDW reduce is a map-side-combinable hash aggregate.
+
+At 100 TB: grid partitioned by time_hours -> the time-bucket semi-join
+prunes partitions; lat/lon bucketing co-locates the neighborhood join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from modeltracking_spark.functions.geo import euclid_deg, inv_square_weight
+from modeltracking_spark.operators.aggregates import mask_sentinel
+from modeltracking_spark.operators.joins import neighborhood_expand
+
+
+def nearest_time_bucket(t: F.Column, step: int) -> F.Column:
+    """J3 (regular-axis route): nearest multiple of ``step`` via integer
+    arithmetic — ``find_time_index`` (``trackplot_hycom.py:186-197``) for
+    the 3-hourly HYCOM axis, no join needed. Exact half-step ties round
+    forward (impossible for odd steps on integer inputs)."""
+    return (
+        F.floor((2 * t + F.lit(step)) / F.lit(2 * step)).cast("long") * step
+    )
+
+
+def profile_neighbors(
+    track: DataFrame,
+    grid: DataFrame,
+    variable: str = "water_temp",
+    k_depths: int = 25,
+    lat0: float = 14.95,
+    lat_step: float = 0.25,
+    lon0: float = 279.85,
+    lon_step: float = 0.6,
+    time_step: int = 3,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Per-neighbor rows for the IDW reduce: one row per (track point,
+    depth level, 3x3 neighbor) with the masked value and IDW weight.
+
+    ``track``: (point_id, lat, lon, t_hours); ``grid``: HYCOM long form.
+    Returns point_id, depth_idx, depth_m, dist, w, v (NULL if sentinel).
+    """
+    snapped = track.select(
+        "point_id",
+        "lat",
+        "lon",
+        nearest_time_bucket(F.col("t_hours"), time_step).alias("t_sel"),
+        F.round((F.col("lat") - F.lit(lat0)) / F.lit(lat_step))
+        .cast("int")
+        .alias("lat_idx"),
+        F.round((F.col("lon") - F.lit(lon0)) / F.lit(lon_step))
+        .cast("int")
+        .alias("lon_idx"),
+    )
+    nb = neighborhood_expand(snapped, radius=1).withColumnsRenamed(
+        {"lat": "p_lat", "lon": "p_lon"}
+    )
+    g = grid.where(F.col("depth_idx") < k_depths).select(
+        "time_hours",
+        "depth_idx",
+        "depth_m",
+        F.col("lat_idx").alias("g_lat_idx"),
+        F.col("lon_idx").alias("g_lon_idx"),
+        F.col("lat").alias("g_lat"),
+        F.col("lon").alias("g_lon"),
+        F.col(variable).alias("__var"),
+    )
+    j = g.join(
+        F.broadcast(nb),
+        (F.col("time_hours") == F.col("t_sel"))
+        & (F.col("g_lat_idx") == F.col("nb_lat_idx"))
+        & (F.col("g_lon_idx") == F.col("nb_lon_idx")),
+    )
+    d = euclid_deg("p_lat", "p_lon", "g_lat", "g_lon")
+    return j.select(
+        "point_id",
+        "depth_idx",
+        "depth_m",
+        d.alias("dist"),
+        inv_square_weight(d, eps=eps).alias("w"),
+        mask_sentinel("__var").alias("v"),
+    )
+
+
+def profile_along_track(
+    track: DataFrame,
+    grid: DataFrame,
+    variable: str = "water_temp",
+    k_depths: int = 25,
+    **geometry,
+) -> DataFrame:
+    """Full pipeline -> long profile (point_id, depth_idx, depth_m,
+    n_valid, idw_value): the engine twin of the reference's
+    ``(time, depth, value)`` triples (``trackplot_hycom.py:217-223``).
+
+    Plain double Σwv/Σw for engine use; the oracle-checked query variant
+    (``queries/track_q.py``) lifts the same rows to fixed point first.
+    """
+    rows = profile_neighbors(track, grid, variable, k_depths, **geometry)
+    valid_w = F.when(F.col("v").isNotNull(), F.col("w"))
+    return rows.groupBy("point_id", "depth_idx", "depth_m").agg(
+        F.count("v").alias("n_valid"),
+        (F.sum(valid_w * F.col("v")) / F.sum(valid_w)).alias("idw_value"),
+    )

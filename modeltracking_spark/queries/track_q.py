@@ -1,0 +1,215 @@
+"""The track x grid profile queries (SURVEY.md §7.6, §2.9) — the
+reference pipeline end to end, oracle-checked:
+
+- profile_along_track_temp: snap -> 3x3 -> nearest-time -> mask -> IDW
+  -> top-25 depths (``trackplot_hycom.py:199-223``), 80x25 = 2000 rows.
+- profile_multivariable_pivot: R3 — temp + salinity in one pass via
+  unpivot + pivot.
+- profile_flatten_roundtrip: R1 — per-point profile array
+  (collect -> array_sort) posexploded back to long rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from modeltracking_spark.fixtures import HYCOM_GRID_SQL, hycom_grid_fixture
+from modeltracking_spark.operators.profile import profile_neighbors
+from modeltracking_spark.queries.common import query
+from modeltracking_spark.queries.timegeo import TRACK_SQL, synthetic_track
+
+# shared oracle CTE prefix: track + grid + snap + 3x3 neighbor rows
+_NEIGHBOR_SQL = f"""
+    WITH track AS ({TRACK_SQL}),
+    grid AS ({HYCOM_GRID_SQL}),
+    snapped AS (
+      SELECT point_id, lat AS p_lat, lon AS p_lon,
+             ((2 * t_hours + 3) // 6) * 3 AS t_sel,
+             round((lat - 14.95::DOUBLE) / 0.25::DOUBLE)::INTEGER AS lat_idx,
+             round((lon - 279.85::DOUBLE) / 0.6::DOUBLE)::INTEGER AS lon_idx
+      FROM track
+    ),
+    offs AS (SELECT a.di::INTEGER AS di, b.dj::INTEGER AS dj
+             FROM range(-1, 2) a(di) CROSS JOIN range(-1, 2) b(dj)),
+    nbrows AS (
+      SELECT s.point_id, g.depth_idx, g.depth_m,
+             sqrt((s.p_lat - g.lat) * (s.p_lat - g.lat)
+                + (s.p_lon - g.lon) * (s.p_lon - g.lon)) AS d,
+             CASE WHEN g.water_temp > -4 THEN g.water_temp END AS v,
+             CASE WHEN g.salinity > -4 THEN g.salinity END AS sal
+      FROM snapped s
+      CROSS JOIN offs o
+      JOIN grid g ON g.time_hours = s.t_sel
+                 AND g.lat_idx = s.lat_idx + o.di
+                 AND g.lon_idx = s.lon_idx + o.dj
+      WHERE g.depth_idx < 25
+    )
+"""
+
+_W = "(1.0::DOUBLE / ((d + 1e-6) * (d + 1e-6)))"
+
+
+@query(
+    "profile_along_track_temp",
+    oracle=f"""
+    {_NEIGHBOR_SQL}
+    SELECT point_id, depth_idx, depth_m,
+           count(v) AS n_valid,
+           sum(CASE WHEN v IS NOT NULL THEN round({_W} * 1e9)::BIGINT END) AS w_e9,
+           sum(CASE WHEN v IS NOT NULL THEN round({_W} * v * 1e9)::BIGINT END) AS wv_e9,
+           sum(CASE WHEN v IS NOT NULL THEN round({_W} * v * 1e9)::BIGINT END)::DOUBLE
+             / sum(CASE WHEN v IS NOT NULL THEN round({_W} * 1e9)::BIGINT END)::DOUBLE
+             AS idw_temp
+    FROM nbrows
+    GROUP BY 1, 2, 3
+    """,
+)
+def profile_along_track_temp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§7.6 end to end: the 80-point track against the HYCOM grid fixture
+    -> 80 x 25 = 2000 IDW profile rows (SURVEY §5.4 golden shape).
+
+    The whole track resolves in ONE broadcast join + ONE hash aggregate —
+    vs the reference's 80 sequential remote re-opens
+    (``trackplot_hycom.py:144``). IDW sums are lifted to e9 fixed point so
+    the aggregate is order-independent and engine-exact."""
+    rows = profile_neighbors(
+        synthetic_track(spark), hycom_grid_fixture(spark), "water_temp", 25
+    )
+    w_e9 = F.when(
+        F.col("v").isNotNull(), F.round(F.col("w") * 1e9).cast("long")
+    )
+    wv_e9 = F.when(
+        F.col("v").isNotNull(), F.round(F.col("w") * F.col("v") * 1e9).cast("long")
+    )
+    agg = rows.groupBy("point_id", "depth_idx", "depth_m").agg(
+        F.count("v").alias("n_valid"),
+        F.sum(w_e9).alias("w_e9"),
+        F.sum(wv_e9).alias("wv_e9"),
+    )
+    return agg.withColumn(
+        "idw_temp", F.col("wv_e9").cast("double") / F.col("w_e9").cast("double")
+    )
+
+
+@query(
+    "profile_multivariable_pivot",
+    oracle=f"""
+    {_NEIGHBOR_SQL}
+    SELECT point_id, depth_idx,
+           sum(CASE WHEN v IS NOT NULL THEN round({_W} * v * 1e9)::BIGINT END)::DOUBLE
+             / sum(CASE WHEN v IS NOT NULL THEN round({_W} * 1e9)::BIGINT END)::DOUBLE
+             AS water_temp_idw,
+           sum(CASE WHEN sal IS NOT NULL THEN round({_W} * sal * 1e9)::BIGINT END)::DOUBLE
+             / sum(CASE WHEN sal IS NOT NULL THEN round({_W} * 1e9)::BIGINT END)::DOUBLE
+             AS salinity_idw
+    FROM nbrows
+    GROUP BY 1, 2
+    """,
+)
+def profile_multivariable_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 multi-variable widening: the grid's two physics variables
+    unpivoted to long form (variable, value), one shared snap/expand/IDW
+    pass, pivoted back to wide columns — the notebook's TEMP+SALINITY dual
+    run (``TrackPlotter_Hycom.ipynb`` cells 3-4) in a single job.
+
+    Joins the long grid explicitly (same geometry as profile_neighbors)
+    so the ``variable`` column survives into the pivot."""
+    from modeltracking_spark.functions.geo import euclid_deg, inv_square_weight
+    from modeltracking_spark.operators.aggregates import mask_sentinel
+    from modeltracking_spark.operators.joins import neighborhood_expand
+    from modeltracking_spark.operators.profile import nearest_time_bucket
+
+    track = synthetic_track(spark)
+    grid = hycom_grid_fixture(spark)
+    long_grid = grid.unpivot(
+        ["time_hours", "depth_idx", "lat_idx", "lon_idx", "lat", "lon"],
+        ["water_temp", "salinity"],
+        "variable",
+        "raw",
+    )
+    snapped = track.select(
+        "point_id",
+        F.col("lat").alias("p_lat"),
+        F.col("lon").alias("p_lon"),
+        nearest_time_bucket(F.col("t_hours"), 3).alias("t_sel"),
+        F.round((F.col("lat") - 14.95) / 0.25).cast("int").alias("lat_idx"),
+        F.round((F.col("lon") - 279.85) / 0.6).cast("int").alias("lon_idx"),
+    )
+    nb = neighborhood_expand(snapped, radius=1)
+    g = long_grid.where(F.col("depth_idx") < 25).withColumnsRenamed(
+        {"lat_idx": "g_lat_idx", "lon_idx": "g_lon_idx", "lat": "g_lat", "lon": "g_lon"}
+    )
+    j = g.join(
+        F.broadcast(nb),
+        (F.col("time_hours") == F.col("t_sel"))
+        & (F.col("g_lat_idx") == F.col("nb_lat_idx"))
+        & (F.col("g_lon_idx") == F.col("nb_lon_idx")),
+    )
+    d = euclid_deg("p_lat", "p_lon", "g_lat", "g_lon")
+    w = inv_square_weight(d)
+    v = mask_sentinel("raw")
+    rows = j.select(
+        "point_id",
+        "depth_idx",
+        "variable",
+        F.when(v.isNotNull(), F.round(w * 1e9).cast("long")).alias("w_e9"),
+        F.when(v.isNotNull(), F.round(w * v * 1e9).cast("long")).alias("wv_e9"),
+    )
+    wide = (
+        rows.groupBy("point_id", "depth_idx")
+        .pivot("variable", ["water_temp", "salinity"])
+        .agg(F.sum("w_e9").alias("w"), F.sum("wv_e9").alias("wv"))
+    )
+    return wide.select(
+        "point_id",
+        "depth_idx",
+        (F.col("water_temp_wv").cast("double") / F.col("water_temp_w").cast("double")).alias(
+            "water_temp_idw"
+        ),
+        (F.col("salinity_wv").cast("double") / F.col("salinity_w").cast("double")).alias(
+            "salinity_idw"
+        ),
+    )
+
+
+@query(
+    "profile_flatten_roundtrip",
+    oracle=f"""
+    {_NEIGHBOR_SQL},
+    prof AS (
+      SELECT point_id, depth_idx,
+             sum(CASE WHEN v IS NOT NULL THEN round({_W} * v * 1e9)::BIGINT END)::DOUBLE
+               / sum(CASE WHEN v IS NOT NULL THEN round({_W} * 1e9)::BIGINT END)::DOUBLE
+               AS idw_temp
+      FROM nbrows GROUP BY 1, 2
+    )
+    SELECT point_id,
+           (row_number() OVER (PARTITION BY point_id ORDER BY depth_idx ASC)
+              - 1)::INTEGER AS pos,
+           depth_idx, idw_temp
+    FROM prof
+    """,
+)
+def profile_flatten_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 reshape: the per-point depth profile collected into an ordered
+    array (``zip_variable3D``'s per-point block, ``trackplot_hycom.py:
+    199-223``) and posexploded back to long (point_id, pos, depth, value)
+    triples — array build + flatten both exercised, output equals the flat
+    profile."""
+    prof = profile_along_track_temp(spark, sf_dir).select(
+        "point_id", "depth_idx", "idw_temp"
+    )
+    arr = prof.groupBy("point_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("depth_idx", "idw_temp"))
+        ).alias("profile")
+    )
+    return arr.select(
+        "point_id", F.posexplode("profile").alias("pos", "pd")
+    ).select(
+        "point_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("pd.depth_idx").alias("depth_idx"),
+        F.col("pd.idw_temp").alias("idw_temp"),
+    )
