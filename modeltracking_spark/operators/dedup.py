@@ -96,12 +96,13 @@ def jaccard_pairs(
     Jaccard is a ratio of integers → engine-exact.
 
     **Hot-token guard (100 TB):** tokens appearing in more than
-    ``max_doc_freq`` documents are excluded from *pair generation* (a
-    ubiquitous token like "the" would otherwise pair quadratically).
-    NOTE this changes semantics — intersections no longer count capped
-    tokens — so the default is a cap high enough to be inert at test
-    scale; at production scale choose the cap from the threshold (a pair
-    at Jaccard ≥ τ shares ≥ τ/(1+τ) of its tokens, so rare tokens still
+    ``max_doc_freq`` documents are excluded entirely — "capped tokens
+    don't exist": they are removed from intersections AND from the
+    per-doc sizes (union denominator), so jaccard stays an unbiased
+    ratio over the surviving vocabulary. (Computing sizes before the
+    filter would bias jaccard low for stopword-heavy docs.) At
+    production scale choose the cap from the threshold (a pair at
+    Jaccard ≥ τ shares ≥ τ/(1+τ) of its tokens, so rare tokens still
     connect it) or pass ``max_doc_freq=None`` for exact semantics with a
     mandatory ``block_col``.
     """
@@ -110,7 +111,6 @@ def jaccard_pairs(
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
         F.explode(distinct_tokens(text_col)).alias("token"),
     )
-    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     if max_doc_freq is not None:
         hot = (
             toks.groupBy("token")
@@ -119,6 +119,8 @@ def jaccard_pairs(
             .select("token")
         )
         toks = toks.join(F.broadcast(hot), "token", "left_anti")
+    # sizes AFTER the hot-token filter: consistent "token removed" semantics
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = toks.alias("a")
     b = toks.alias("b")
     cond = [F.col("a.token") == F.col("b.token"), F.col("a.id") < F.col("b.id")]

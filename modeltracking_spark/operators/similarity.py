@@ -61,15 +61,25 @@ def hyperplane_signature(vec_col: str, n_planes: int = 8, dim: int = 64) -> F.Co
     plane_p[d] = ±1 from an integer mix of (p, d); signature bit p is the
     sign of Σ_d plane_p[d]·vec[d]. Pure column expressions.
     """
+    def _signed_term(plane: int):
+        # deterministic ±1 pattern per (plane, dim) via xxhash64 parity.
+        # NB: a plain 2-arg lambda — a `p=p` default would make PySpark
+        # build a 3-arg lambda and fail zip_with resolution.
+        def term(x, d):
+            sign = F.when(
+                F.pmod(F.xxhash64(d, F.lit(plane)), F.lit(2)) == 0, 1.0
+            ).otherwise(-1.0)
+            return x.cast("double") * sign
+
+        return term
+
     bits = []
     for p in range(n_planes):
-        # deterministic ±1 pattern per (plane, dim) via xxhash64 parity
         proj = F.aggregate(
             F.zip_with(
                 F.col(vec_col),
                 F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda x, d, p=p: x.cast("double")
-                * F.when(F.pmod(F.xxhash64(d, F.lit(p)), F.lit(2)) == 0, 1.0).otherwise(-1.0),
+                _signed_term(p),
             ),
             F.lit(0.0),
             lambda acc, v: acc + v,
@@ -93,18 +103,29 @@ def cosine_topk_lsh(
     c_vec: str = "c_vec",
     exclude_self: bool = False,
 ) -> DataFrame:
-    """Approximate top-k: bucket corpus by hyperplane signature, compare
-    each query only with its own bucket, exact re-rank inside.
+    """Approximate top-k: bucket corpus by hyperplane signature, probe
+    each query's bucket plus its full Hamming-1 neighborhood (n_planes+1
+    probe keys), exact re-rank inside the candidate set.
 
-    Recall < 1 by construction (approximate); raise recall with multiple
-    tables or Hamming-distance probes. Scale: corpus shuffles once on the
-    signature; per-bucket work is |bucket| × |queries in bucket|.
+    Multi-probe raises recall from a single-bucket lookup (which misses a
+    near-identical pair w.p. ~p·n_planes) to the Hamming-1 ball; a
+    corpus vector can match a query through at most one probe key (probe
+    values are distinct), so no dedup join is needed. Scale: corpus
+    shuffles once on the signature; the query side fans out
+    (n_planes+1)× before the broadcast — still tiny.
 
     Parameter order is (queries, corpus) — same as
     :func:`cosine_topk_brute`; ``exclude_self`` likewise.
     """
     csig = corpus.withColumn("sig", hyperplane_signature(c_vec, n_planes, dim))
-    qsig = queries.withColumn("sig", hyperplane_signature(q_vec, n_planes, dim))
+    qsig = queries.withColumn("__qsig", hyperplane_signature(q_vec, n_planes, dim))
+    probes = F.array(
+        F.col("__qsig"),
+        *[F.col("__qsig").bitwiseXOR(F.lit(2**p)) for p in range(n_planes)],
+    )
+    qsig = (
+        qsig.withColumn("sig", F.explode(probes)).drop("__qsig")
+    )
     x = csig.join(F.broadcast(qsig), "sig")
     if exclude_self:
         x = x.where(F.col(q_id) != F.col(c_id))

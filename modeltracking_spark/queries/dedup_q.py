@@ -1,0 +1,200 @@
+"""Deduplication queries (extension surface, SURVEY.md §2.12): exact
+dedup, capped exact Jaccard, MinHash+LSH near-dup, SimHash — each
+oracle-replicated in DuckDB SQL down to the hash arithmetic (the md5-
+derived 60-bit token ids and affine permutations are engine-portable by
+construction, see ``operators/dedup.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from modeltracking_spark.functions.text import doc_fingerprint
+from modeltracking_spark.operators.dedup import (
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_PRIME,
+    dedup_rows,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_dedup_pairs,
+    simhash64,
+    token_ids,
+)
+from modeltracking_spark.queries.common import T, query
+
+# (id, token) / (id, token_id) oracle CTEs shared by the dedup queries
+_TOKS_SQL = """
+    toks AS (
+      SELECT DISTINCT doc_id AS id, t.tok AS token
+      FROM documents,
+           unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t(tok)
+    )
+"""
+_IDS_SQL = (
+    _TOKS_SQL
+    + """,
+    ids AS (
+      SELECT id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS token_id
+      FROM toks
+    )
+"""
+)
+
+_FP_SQL = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
+
+
+@query(
+    "exact_dedup_docs",
+    oracle=f"""
+    SELECT {_FP_SQL} AS fingerprint,
+           min(doc_id) AS canonical_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup summary: md5 content fingerprint -> one hash shuffle,
+    deterministic canonical survivor (min doc_id)."""
+    d = T(spark, sf_dir, "documents").withColumn(
+        "fingerprint", doc_fingerprint("text")
+    )
+    return exact_dedup(d, ["fingerprint"], "doc_id")
+
+
+@query(
+    "dedup_survivor_rows",
+    oracle=f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM (SELECT *, {_FP_SQL} AS fp FROM documents)
+    QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) = 1
+    """,
+)
+def dedup_survivor_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-preserving exact dedup: keep the min-doc_id row per content
+    fingerprint (dropDuplicates with a *deterministic* survivor)."""
+    d = T(spark, sf_dir, "documents").withColumn("fp", doc_fingerprint("text"))
+    return dedup_rows(d, ["fp"], "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@query(
+    "jaccard_pairs_capped",
+    oracle=f"""
+    WITH {_TOKS_SQL},
+    hot AS (
+      SELECT token FROM toks GROUP BY token HAVING count(DISTINCT id) > 390
+    ),
+    kept AS (SELECT * FROM toks ANTI JOIN hot USING (token)),
+    sizes AS (SELECT id, count(*) AS sz FROM kept GROUP BY 1),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter_n
+      FROM kept a JOIN kept b ON a.token = b.token AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, inter_n,
+           (sa.sz + sb.sz - inter_n) AS union_n,
+           inter_n::DOUBLE / (sa.sz + sb.sz - inter_n)::DOUBLE AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE inter_n::DOUBLE / (sa.sz + sb.sz - inter_n)::DOUBLE >= 0.6
+    """,
+)
+def jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard with the hot-token cap BINDING (max_doc_freq=390
+    removes the 15 most ubiquitous of the ~31-token vocabulary): verifies the consistent 'capped tokens
+    don't exist' semantics — sizes and intersections both computed after
+    the filter (the pre-fix bias computed sizes before)."""
+    d = T(spark, sf_dir, "documents")
+    return jaccard_pairs(
+        d, "doc_id", "text", threshold=0.6, max_doc_freq=390
+    )
+
+
+def _minhash_params_sql(n_hashes: int = 16) -> str:
+    rows = ", ".join(
+        f"({i}, {MINHASH_A[i]}, {MINHASH_B[i]})" for i in range(n_hashes)
+    )
+    return f"params(hash_idx, a, b) AS (VALUES {rows})"
+
+
+@query(
+    "minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_IDS_SQL},
+    {_minhash_params_sql(16)},
+    sigs AS (
+      SELECT id, p.hash_idx,
+             min((p.a * (token_id % {MINHASH_PRIME}) + p.b) % {MINHASH_PRIME}) AS sig
+      FROM ids CROSS JOIN params p
+      GROUP BY 1, 2
+    ),
+    bands AS (
+      SELECT id, hash_idx // 4 AS band,
+             string_agg(sig::VARCHAR, '_' ORDER BY hash_idx) AS band_key
+      FROM sigs GROUP BY 1, 2
+    ),
+    cands AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+    ),
+    sizes AS (SELECT id, count(*) AS sz FROM ids GROUP BY 1),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS inter_n
+      FROM cands c
+      JOIN ids ta ON ta.id = c.id_a
+      JOIN ids tb ON tb.id = c.id_b AND tb.token_id = ta.token_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           inter_n::DOUBLE / (sa.sz + sb.sz - inter_n)::DOUBLE AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE inter_n::DOUBLE / (sa.sz + sb.sz - inter_n)::DOUBLE >= 0.5
+    """,
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) -> 4x4 LSH bands -> candidate pairs -> exact-Jaccard
+    verify ≥ 0.5 — the 100 TB near-dup path, oracle-replicated down to
+    the band keys (the whole pipeline is integer arithmetic on md5-derived
+    token ids, so DuckDB reproduces it bit for bit)."""
+    d = T(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(
+        d, "doc_id", "text", n_hashes=16, bands=4, rows_per_band=4,
+        verify_threshold=0.5,
+    )
+
+
+@query(
+    "simhash_docs",
+    oracle=f"""
+    WITH {_IDS_SQL},
+    h AS (
+      SELECT id,
+             ((token_id % {MINHASH_PRIME}) * {0x9E3779B1} + {0x85EBCA77})
+               % {MINHASH_PRIME} * 2147483648::BIGINT
+             + ((token_id % {MINHASH_PRIME}) * {0xC2B2AE35} + {0x27D4EB2F})
+               % {MINHASH_PRIME} AS h64
+      FROM ids
+    ),
+    votes AS (
+      SELECT id, b.bit,
+             sum(CASE WHEN (h64 >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM h CROSS JOIN range(63) b(bit)
+      GROUP BY 1, 2
+    )
+    SELECT id, sum(CASE WHEN vote > 0 THEN 1::BIGINT << bit ELSE 0 END) AS simhash
+    FROM votes GROUP BY 1
+    """,
+)
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 63-bit fingerprints per document (explode-bits + groupBy,
+    no UDF); near-dups are small-Hamming pairs via bit_count(a ^ b)."""
+    d = T(spark, sf_dir, "documents")
+    return simhash64(token_ids(d, "doc_id", "text"))

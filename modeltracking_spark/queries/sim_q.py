@@ -1,0 +1,125 @@
+"""Embedding similarity queries (extension surface, SURVEY.md §2.12):
+exact brute-force top-k cosine (oracled via fixed-point dot products),
+LSH multi-probe ANN (rows-only — the hyperplane hash is xxhash64-based,
+which DuckDB lacks), and per-label centroids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from modeltracking_spark.functions.vector import dot_product_fxp, sq_norm_fxp
+from modeltracking_spark.operators.similarity import cosine_topk_lsh
+from modeltracking_spark.queries.common import T, query
+
+_NORM = "list_sum(list_transform(embedding, x -> round(x::DOUBLE * x::DOUBLE * 1e12)::BIGINT))"
+
+
+@query(
+    "cosine_topk_brute",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+               WHERE vec_id < 10),
+    c AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings),
+    n AS (SELECT vec_id, {_NORM} AS nrm FROM embeddings),
+    x AS (
+      SELECT q_id, c_id,
+             list_sum(list_transform(list_zip(q_vec, c_vec),
+               s -> round(s[1]::DOUBLE * s[2]::DOUBLE * 1e12)::BIGINT)) AS dot
+      FROM q CROSS JOIN c
+      WHERE q_id <> c_id
+    )
+    SELECT q_id, c_id,
+           dot::DOUBLE / (sqrt(nq.nrm::DOUBLE) * sqrt(nc.nrm::DOUBLE)) AS cosine,
+           row_number() OVER (
+             PARTITION BY q_id
+             ORDER BY dot::DOUBLE / (sqrt(nq.nrm::DOUBLE) * sqrt(nc.nrm::DOUBLE)) DESC,
+                      c_id ASC)::BIGINT AS rnk
+    FROM x
+    JOIN n nq ON nq.vec_id = q_id
+    JOIN n nc ON nc.vec_id = c_id
+    QUALIFY rnk <= 5
+    """,
+)
+def cosine_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for 10 query vectors against the full
+    corpus: query side broadcast, corpus streams once. Dot products and
+    norms are e12 fixed-point integer folds (``functions/vector.py``), so
+    cosine is a deterministic double both engines reproduce bit-for-bit."""
+    e = T(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    c = e.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    x = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("q_id") != F.col("c_id"))
+        .withColumn(
+            "cosine",
+            dot_product_fxp("q_vec", "c_vec").cast("double")
+            / (
+                F.sqrt(sq_norm_fxp("q_vec").cast("double"))
+                * F.sqrt(sq_norm_fxp("c_vec").cast("double"))
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return (
+        x.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 5)
+        .select("q_id", "c_id", "cosine", "rnk")
+    )
+
+
+@query("cosine_topk_lsh_probe")  # xxhash64 hyperplanes -> not SQL-expressible
+def cosine_topk_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN tier: hyperplane-LSH bucketed top-5 with Hamming-1 multi-probe
+    (recall vs brute asserted ≥0.9 in tests/test_similarity.py). Rows-only
+    here: the deterministic hyperplanes derive from xxhash64, which DuckDB
+    cannot evaluate."""
+    e = T(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    c = e.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    return cosine_topk_lsh(q, c, k=5, n_planes=8, dim=64, exclude_self=True)
+
+
+@query(
+    "centroid_label_means",
+    oracle="""
+    SELECT label, p.pos::INTEGER AS pos,
+           sum(round(embedding[p.pos + 1]::DOUBLE * 1e9)::BIGINT)::DOUBLE
+             / count(*)::DOUBLE / 1e9 AS mean_val
+    FROM embeddings CROSS JOIN range(64) p(pos)
+    GROUP BY 1, 2
+    """,
+)
+def centroid_label_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid in long form (label, dim position, mean) via
+    posexplode + one hash aggregate, e9 fixed point for order-independent
+    sums — the relational vector aggregate behind
+    ``operators/similarity.centroid_per_label``."""
+    e = T(spark, sf_dir, "embeddings")
+    longf = e.select("label", F.posexplode("embedding").alias("pos", "val"))
+    return (
+        longf.groupBy("label", F.col("pos").cast("int").alias("pos"))
+        .agg(
+            F.sum(F.round(F.col("val").cast("double") * 1e9).cast("long")).alias(
+                "s_e9"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "label",
+            "pos",
+            (
+                F.col("s_e9").cast("double") / F.col("n").cast("double") / F.lit(1e9)
+            ).alias("mean_val"),
+        )
+    )
