@@ -254,19 +254,30 @@ def minhash_dedup_pairs(
     dt = token_ids(df, id_col, text_col)
     sigs = minhash_signatures(dt, n_hashes=n_hashes)
     cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rows_per_band)
-    sizes = dt.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    ta = dt.withColumnsRenamed({"id": "id_a"})
-    tb = dt.withColumnsRenamed({"id": "id_b"})
-    inter = (
-        cands.join(ta, "id_a")
-        .join(tb, ["id_b", "token_id"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter_n"))
+    # Verify via per-doc token ARRAYS (sorted token_id lists) instead of
+    # re-joining the exploded token table: the candidate set can be large
+    # (near-dup-heavy corpora), and |cands| x tokens-per-doc exploded rows
+    # dominated the job; array_intersect over two ~|doc| arrays is a
+    # columnar map with no extra shuffle. At 100 TB pair docs with
+    # thousands of tokens, cap shingle counts or fall back to the
+    # exploded join per partition-size budget.
+    arrs = dt.groupBy("id").agg(
+        F.array_sort(F.collect_list("token_id")).alias("toks"),
+        F.count(F.lit(1)).alias("sz"),
+    )
+    a = arrs.select(
+        F.col("id").alias("id_a"), F.col("toks").alias("toks_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    b = arrs.select(
+        F.col("id").alias("id_b"), F.col("toks").alias("toks_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    paired = cands.join(a, "id_a").join(b, "id_b").withColumn(
+        "inter_n", F.size(F.array_intersect("toks_a", "toks_b"))
     )
     return (
-        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
-        .withColumn(
+        paired.withColumn(
             "jaccard",
             F.col("inter_n").cast("double")
             / (F.col("sz_a") + F.col("sz_b") - F.col("inter_n")).cast("double"),

@@ -111,7 +111,22 @@ def asof_join(
         # joins on a single non-null unique key: left rows with NULLs are
         # never dropped (equi-join null semantics) and duplicate left rows
         # never fan out. (find_time_index argmin, trackplot_hycom.py:193.)
-        keyed = left.withColumn("__row_id", F.monotonically_increasing_id())
+        #
+        # The key is VALUE-deterministic — xxhash64 of the full row plus a
+        # row_number within each identical-hash group — not
+        # monotonically_increasing_id, which is partition-dependent: this
+        # plan evaluates `keyed` in two subtrees (back and fwd), and a
+        # nondeterministic id could differ between them after a shuffle
+        # or task retry, silently mis-pairing the directions. Rows that
+        # collide in the hash are bit-identical (or astronomically rare
+        # 64-bit collisions), so any rank assignment among them yields
+        # the same multiset of outputs.
+        row_hash = F.xxhash64(*[F.col(c) for c in left.columns])
+        rank_w = Window.partitionBy(row_hash).orderBy(F.lit(1))
+        keyed = left.withColumn(
+            "__row_id",
+            F.concat_ws("#", row_hash, F.row_number().over(rank_w)),
+        )
         back = asof_join(keyed, right, on, left_ts, right_ts, right_payload, "backward")
         fwd = asof_join(keyed, right, on, left_ts, right_ts, right_payload, "forward")
         fcols = {c: f"__fwd_{c}" for c in right_payload}

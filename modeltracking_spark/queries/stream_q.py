@@ -1,0 +1,67 @@
+"""Batch twins of the streaming window queries (SURVEY.md §2.11).
+
+The exact transformation objects from ``streaming/windows.py`` run here
+on the static events table (a watermark on a batch frame is a no-op), so
+the oracle checks the same logic the stream executes; the stream-vs-batch
+equivalence itself is asserted in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from modeltracking_spark.queries.common import T, query
+from modeltracking_spark.streaming.windows import sliding_counts, tumbling_counts
+
+
+@query(
+    "tumbling_window_counts",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           sum(round(value * 100)::BIGINT) AS sum_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per type — epoch-aligned, so
+    window.start ≡ date_trunc('hour')."""
+    out = tumbling_counts(T(spark, sf_dir, "events"))
+    return out.select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_cents",
+    )
+
+
+@query(
+    "sliding_window_counts",
+    oracle="""
+    WITH assigned AS (
+      SELECT date_trunc('hour', ts) AS ws, event_type, value FROM events
+      UNION ALL
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value FROM events
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           sum(round(value * 100)::BIGINT) AS sum_cents
+    FROM assigned
+    GROUP BY 1, 2
+    """,
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2h/1h windows: each event lands in exactly two windows
+    (starts at trunc(ts) and trunc(ts)-1h), reproduced in SQL by a
+    two-way unioned assignment."""
+    out = sliding_counts(T(spark, sf_dir, "events"))
+    return out.select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_cents",
+    )

@@ -1,0 +1,81 @@
+"""Structured Streaming windowed aggregations (SURVEY.md §2.11).
+
+The reference is batch-only; the engine adds watermarked tumbling /
+sliding window counts over the ``events`` stream. Every streaming query
+here has a batch twin in ``queries/stream_q.py`` — identical
+transformations on a static DataFrame — which is what the DuckDB oracle
+checks (streaming results are only testable via the memory sink,
+exercised in tests/test_streaming.py).
+
+Scale: windowed streaming aggregation state is keyed by (window,
+event_type); the watermark bounds state size, and late rows beyond it
+are dropped — the standard production posture for event-time aggs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from modeltracking_spark.schemas import TESTDATA_SCHEMAS
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (one file -> one
+    micro-batch via ``maxFilesPerTrigger``). The nanos timestamp is read
+    as long (Spark 4 rejects TIMESTAMP(NANOS) otherwise) and rebuilt as a
+    microsecond timestamp, matching the batch loader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    # file stream sources require a directory: stream the sf dir with a
+    # glob filter selecting only the events file
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window count/sum per event_type.
+
+    Works on a stream (state bounded by the watermark) or a static frame
+    (watermark is a no-op) — the batch twin IS this function on the
+    static loader."""
+    e = events.withWatermark("ts", watermark)
+    return e.groupBy(F.window("ts", width), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+    )
+
+
+def sliding_counts(events: DataFrame, width: str = "2 hours",
+                   slide: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Watermarked sliding-window count per event_type (each row lands in
+    width/slide windows)."""
+    e = events.withWatermark("ts", watermark)
+    return e.groupBy(F.window("ts", width, slide), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+    )
+
+
+def run_stream_once(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Drive a streaming aggregation to completion into a memory sink and
+    return the result as a static DataFrame (test/demo harness)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    spark = stream_df.sparkSession
+    return spark.table(query_name)

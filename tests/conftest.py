@@ -1,0 +1,21 @@
+import pytest
+from pyspark.sql import SparkSession
+
+SF0001 = "/root/testdata/sf0.001"
+SF001 = "/root/testdata/sf0.01"
+REF_DIR = "/root/reference"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "4g")
+        .appName("modeltracking-tests")
+        .getOrCreate()
+    )
+    yield s
+    s.stop()

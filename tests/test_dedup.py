@@ -1,0 +1,84 @@
+"""Dedup tier: exact-vs-brute Jaccard, MinHash verification soundness,
+SimHash invariance (SURVEY.md §5.3 property tests)."""
+
+from itertools import combinations
+
+import pyspark.sql.functions as F
+
+from modeltracking_spark.operators.dedup import (
+    dedup_rows,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_dedup_pairs,
+    simhash64,
+    token_ids,
+)
+
+DOCS = [
+    (1, "red green blue yellow"),
+    (2, "red green blue purple"),
+    (3, "red green blue yellow"),          # dup of 1
+    (4, "cyan magenta"),
+    (5, "red green blue yellow extra"),
+    (6, "unrelated words entirely here"),
+]
+
+
+def _brute_jaccard():
+    sets = {i: set(t.split()) for i, t in DOCS}
+    out = {}
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        out[(a, b)] = inter / union
+    return out
+
+
+def test_jaccard_matches_brute(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(df, "doc_id", "text", threshold=0.0,
+                               max_doc_freq=None).collect()
+    }
+    brute = {k: v for k, v in _brute_jaccard().items() if v > 0}
+    assert got == brute  # pairs sharing >= 1 token, exact ratios
+
+
+def test_minhash_pairs_are_sound(spark):
+    # every emitted pair's jaccard equals the exact jaccard and >= threshold
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = minhash_dedup_pairs(df, "doc_id", "text", verify_threshold=0.5).collect()
+    brute = _brute_jaccard()
+    assert len(got) > 0  # the planted dup (1,3) must surface
+    for r in got:
+        assert abs(r["jaccard"] - brute[(r["id_a"], r["id_b"])]) < 1e-12
+        assert r["jaccard"] >= 0.5
+    assert any((r["id_a"], r["id_b"]) == (1, 3) for r in got)
+
+
+def test_minhash_identical_docs_always_pair(spark):
+    # identical token sets share every band -> always candidates
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"])
+             for r in minhash_dedup_pairs(df, "doc_id", "text",
+                                          verify_threshold=0.99).collect()}
+    assert pairs == {(1, 3)}
+
+
+def test_simhash_identity_and_divergence(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    sh = {r["id"]: r["simhash"] for r in
+          simhash64(token_ids(df, "doc_id", "text")).collect()}
+    assert sh[1] == sh[3]                     # identical docs -> same hash
+    assert sh[1] != sh[6]                     # unrelated docs -> different
+    assert all(v >= 0 for v in sh.values())   # 63-bit => non-negative
+
+
+def test_exact_dedup_and_survivors(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    summary = exact_dedup(df, ["text"], "doc_id")
+    n = {r["canonical_id"]: r["n_copies"] for r in summary.collect()}
+    assert n[1] == 2 and sum(n.values()) == 6
+    survivors = dedup_rows(df, ["text"], "doc_id")
+    assert sorted(r["doc_id"] for r in survivors.collect()) == [1, 2, 4, 5, 6]

@@ -1,0 +1,74 @@
+"""A2 IDW semantics + the end-to-end profile pipeline (SURVEY.md §5.2,
+§5.4): at-node identity, bounds, sentinel masking, 80x25 golden shape."""
+
+import pyspark.sql.functions as F
+
+from modeltracking_spark.fixtures import hycom_grid_fixture
+from modeltracking_spark.operators.aggregates import idw_weighted_mean, mask_sentinel
+from modeltracking_spark.operators.profile import (
+    nearest_time_bucket,
+    profile_along_track,
+)
+from modeltracking_spark.queries.timegeo import synthetic_track
+
+
+def test_idw_at_node_identity(spark):
+    # point exactly on a grid node: w_center ~ 1e12 dominates -> IDW == node value
+    rows = [(1, 0.0, 25.0)] + [(1, 0.25, float(v)) for v in (5, 8, 30, 2)]
+    df = spark.createDataFrame(rows, "g int, d double, v double")
+    out = idw_weighted_mean(
+        df.withColumn("w", 1.0 / ((F.col("d") + 1e-6) * (F.col("d") + 1e-6))),
+        ["g"], "v", "w",
+    )
+    assert abs(out.first()["idw_value"] - 25.0) < 1e-6
+
+
+def test_idw_bounded_by_neighborhood(spark):
+    vals = [3.0, 7.0, 11.0, 19.0]
+    df = spark.createDataFrame(
+        [(1, 0.1 * (i + 1), v) for i, v in enumerate(vals)], "g int, d double, v double"
+    ).withColumn("w", 1.0 / ((F.col("d") + 1e-6) * (F.col("d") + 1e-6)))
+    got = idw_weighted_mean(df, ["g"], "v", "w").first()["idw_value"]
+    assert min(vals) <= got <= max(vals)
+
+
+def test_idw_normalizer_skips_masked(spark):
+    # notebook semantics (authoritative, ipynb:40-47): masked neighbors do
+    # not dilute the normalizer — vs the script's bias (trackplot:31-32)
+    df = spark.createDataFrame(
+        [(1, 1.0, 10.0), (1, 1.0, -30000.0)], "g int, d double, v double"
+    ).withColumn("w", 1.0 / ((F.col("d") + 1e-6) * (F.col("d") + 1e-6)))
+    out = idw_weighted_mean(df, ["g"], mask_sentinel("v"), "w")
+    assert abs(out.first()["idw_value"] - 10.0) < 1e-9
+
+
+def test_sentinel_threshold(spark):
+    df = spark.createDataFrame(
+        [(-30000.0,), (-4.0,), (-3.9,), (0.0,)], "v double"
+    ).select(mask_sentinel("v").alias("m"))
+    assert [r["m"] for r in df.collect()] == [None, None, -3.9, 0.0]
+
+
+def test_nearest_time_bucket(spark):
+    df = spark.createDataFrame([(t,) for t in range(10)], "t long").select(
+        "t", nearest_time_bucket(F.col("t"), 3).alias("b")
+    )
+    got = {r["t"]: r["b"] for r in df.collect()}
+    assert got == {0: 0, 1: 0, 2: 3, 3: 3, 4: 3, 5: 6, 6: 6, 7: 6, 8: 9, 9: 9}
+
+
+def test_profile_golden_shape(spark):
+    # SURVEY §5.4: 80 points x 25 depth levels = 2000 rows
+    prof = profile_along_track(
+        synthetic_track(spark), hycom_grid_fixture(spark), "water_temp", 25
+    )
+    rows = prof.collect()
+    assert len(rows) == 2000
+    by_point = {}
+    for r in rows:
+        by_point.setdefault(r["point_id"], []).append(r)
+        assert 0 <= r["n_valid"] <= 9
+        if r["idw_value"] is not None:
+            assert 0.0 <= r["idw_value"] <= 19.9  # grid temp range
+    assert len(by_point) == 80
+    assert all(len(v) == 25 for v in by_point.values())

@@ -1,0 +1,90 @@
+"""J1-J4 join operators: as-of argmin on irregular axes (with NULLs and
+duplicate left rows), strict interval bounds, snap and neighborhood
+geometry (SURVEY.md §5.3)."""
+
+import pyspark.sql.functions as F
+
+from modeltracking_spark.operators.joins import (
+    asof_join,
+    grid_snap_join,
+    interval_join,
+    neighborhood_expand,
+)
+
+
+def _mk_right(spark):
+    # irregular right axis per key (find_time_index operates on the grid's
+    # irregular time list, trackplot_hycom.py:186-197)
+    rows = [("a", t, f"p{t}") for t in [0, 7, 9, 30]] + [
+        ("b", t, f"q{t}") for t in [5, 6, 50]
+    ]
+    return spark.createDataFrame(rows, "k string, rts long, payload string")
+
+
+def test_asof_backward_forward(spark):
+    left = spark.createDataFrame(
+        [("a", 8), ("a", 31), ("b", 4), ("b", 6)], "k string, lts long"
+    )
+    right = _mk_right(spark)
+    back = asof_join(left, right, ["k"], "lts", "rts", ["payload"], "backward")
+    got = {(r["k"], r["lts"]): r["payload"] for r in back.collect()}
+    assert got == {("a", 8): "p7", ("a", 31): "p30", ("b", 4): None, ("b", 6): "q6"}
+    fwd = asof_join(left, right, ["k"], "lts", "rts", ["payload"], "forward")
+    got = {(r["k"], r["lts"]): r["payload"] for r in fwd.collect()}
+    assert got == {("a", 8): "p9", ("a", 31): None, ("b", 4): "q5", ("b", 6): "q6"}
+
+
+def test_asof_nearest_argmin(spark):
+    # true argmin of |t_r - t_l|; backward wins exact ties
+    left = spark.createDataFrame(
+        [("a", 8), ("a", 20), ("b", 5), ("b", 100)], "k string, lts long"
+    )
+    right = _mk_right(spark)
+    out = asof_join(left, right, ["k"], "lts", "rts", ["payload"], "nearest")
+    got = {(r["k"], r["lts"]): r["payload"] for r in out.collect()}
+    # a@8: |8-7|=1 vs |8-9|=1 -> tie -> backward p7; a@20: 9 (11) vs 30 (10) -> p30
+    assert got == {("a", 8): "p7", ("a", 20): "p30", ("b", 5): "q5", ("b", 100): "q50"}
+
+
+def test_asof_nearest_null_and_duplicate_left(spark):
+    # duplicate left rows must not fan out; NULL payload columns survive
+    left = spark.createDataFrame(
+        [("a", 8), ("a", 8), ("c", 1)], "k string, lts long"
+    )
+    right = _mk_right(spark)
+    out = asof_join(left, right, ["k"], "lts", "rts", ["payload"], "nearest")
+    rows = out.collect()
+    assert len(rows) == 3  # 2 duplicates + 1 unmatched key
+    a_rows = [r for r in rows if r["k"] == "a"]
+    assert len(a_rows) == 2 and all(r["payload"] == "p7" for r in a_rows)
+    c_row = [r for r in rows if r["k"] == "c"][0]
+    assert c_row["payload"] is None
+
+
+def test_interval_strict_vs_inclusive(spark):
+    facts = spark.createDataFrame([(0,), (5,), (10,)], "t long")
+    ranges = spark.createDataFrame([(0, 10, "r")], "s long, e long, lab string")
+    strict = interval_join(facts, ranges, "t", "s", "e")
+    assert [r["t"] for r in strict.collect()] == [5]  # bounds excluded
+    incl = interval_join(facts, ranges, "t", "s", "e", inclusive=True)
+    assert sorted(r["t"] for r in incl.collect()) == [0, 5, 10]
+
+
+def test_grid_snap_and_neighborhood(spark):
+    grid = spark.createDataFrame(
+        [(i, j, float(10 * i + j)) for i in range(5) for j in range(5)],
+        "lat_idx int, lon_idx int, val double",
+    )
+    pts = spark.createDataFrame(
+        [(1, 20.26, 30.49), (2, 20.99, 30.0)], "pid int, lat double, lon double"
+    )
+    out = grid_snap_join(pts, grid, lat0=20.0, lon0=30.0, step=0.25,
+                         point_lat="lat", point_lon="lon")
+    got = {r["pid"]: (r["lat_idx"], r["lon_idx"]) for r in out.collect()}
+    assert got == {1: (1, 2), 2: (4, 0)}
+
+    nb = neighborhood_expand(
+        spark.createDataFrame([(2, 2)], "lat_idx int, lon_idx int")
+    )
+    cells = {(r["nb_lat_idx"], r["nb_lon_idx"]) for r in nb.collect()}
+    assert cells == {(i, j) for i in (1, 2, 3) for j in (1, 2, 3)}
