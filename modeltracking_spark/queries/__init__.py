@@ -26,6 +26,7 @@ QUERY_MODULES = (
     "modeltracking_spark.queries.sim_q",
     "modeltracking_spark.queries.stream_q",
     "modeltracking_spark.queries.multimodal_q",
+    "modeltracking_spark.queries.extras_q",
 )
 
 

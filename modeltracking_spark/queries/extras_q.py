@@ -1,0 +1,150 @@
+"""Inventory-completion queries: F3 (parts -> hours offset), F5 (depth
+negation for display), P1 (positional projection), CUBE (§2.5), and
+session windows (§2.6/§2.11 — gaps-and-islands oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from modeltracking_spark.fixtures import HYCOM_GRID_SQL, hycom_grid_fixture
+from modeltracking_spark.functions.timefn import hours_since_2000
+from modeltracking_spark.queries.common import T, cents, query
+
+
+@query(
+    "hours_from_parts",
+    oracle="""
+    SELECT o_orderkey,
+           datediff('hour', TIMESTAMP '2000-01-01',
+                    make_timestamp(year(o_orderdate)::BIGINT,
+                                   month(o_orderdate)::BIGINT,
+                                   day(o_orderdate)::BIGINT, 12, 0, 0.0))
+             AS hours2000
+    FROM orders
+    """,
+)
+def hours_from_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 ``offset_hour_2000(y,m,d,h)`` (``trackplot_hycom.py:39-43``):
+    datetime parts -> make_timestamp -> hours offset (noon of each order
+    date, exercising the hour argument)."""
+    o = T(spark, sf_dir, "orders")
+    ts = F.make_timestamp(
+        F.year("o_orderdate"),
+        F.month("o_orderdate"),
+        F.dayofmonth("o_orderdate"),
+        F.lit(12),
+        F.lit(0),
+        F.lit(0),
+    )
+    return o.select("o_orderkey", hours_since_2000(ts).alias("hours2000"))
+
+
+@query(
+    "depth_display_axis",
+    oracle=f"""
+    SELECT DISTINCT depth_idx, depth_m, 0.0::DOUBLE - depth_m AS depth_display
+    FROM ({HYCOM_GRID_SQL})
+    """,
+)
+def depth_display_axis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: depth negation for display (``y = -1*point[1]``,
+    ``trackplot_hycom.py:254``) over the grid's distinct depth axis.
+    Written 0.0 - x (not unary minus) so depth 0 renders +0.0 in every
+    engine — IEEE negation of zero is -0.0 and engines disagree on it."""
+    g = hycom_grid_fixture(spark)
+    return g.select(
+        "depth_idx",
+        "depth_m",
+        (F.lit(0.0) - F.col("depth_m")).alias("depth_display"),
+    ).distinct()
+
+
+@query(
+    "positional_projection",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag
+    FROM lineitem
+    WHERE l_quantity >= 49.0
+    """,
+)
+def positional_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: keep 3 of 11 columns (the reference's cols-0/8/9 projection,
+    ``trackplot_hycom.py:165-170``) — the scan must prune to the 4
+    referenced columns (asserted in tests/test_scale_plans.py)."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.where(F.col("l_quantity") >= 49.0).select(
+        "l_orderkey", "l_linenumber", "l_returnflag"
+    )
+
+
+@query(
+    "cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority)::BIGINT AS gid,
+           count(*) AS n_orders,
+           sum(round(o_totalprice * 100)::BIGINT) AS sum_cents
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 CUBE: all 2^2 grouping sets over status x priority in one
+    aggregate pass."""
+    o = T(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents("o_totalprice")).alias("sum_cents"),
+    )
+
+
+@query(
+    "session_window_counts",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) >= 300
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    numbered AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts ASC
+               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           count(*) AS n_events,
+           sum(round(value * 100)::BIGINT) AS sum_cents
+    FROM numbered
+    GROUP BY user_id, sid
+    """,
+)
+def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6/§2.11 session windows (5-minute gap) per user — Spark's
+    ``session_window`` merges events whose interval [ts, ts+gap) overlaps
+    the session, i.e. a gap >= 300s starts a new session; the oracle
+    replays that as gaps-and-islands SQL. The same expression runs
+    streaming with a watermark."""
+    e = T(spark, sf_dir, "events")
+    out = e.groupBy(
+        F.session_window("ts", "5 minutes").alias("sw"), "user_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(cents("value")).alias("sum_cents"),
+    )
+    return out.select(
+        "user_id",
+        F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start"
+        ),
+        "n_events",
+        "sum_cents",
+    )
