@@ -230,6 +230,31 @@ def interval_join(
     return facts.join(F.broadcast(ranges), cond, "inner")
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-buster equi-join: salt the big side's key space ``n_salts``
+    ways and replicate the small side across every salt, so one hot key
+    spreads over ``n_salts`` tasks instead of stalling a single reducer.
+
+    AQE's skew-join split (enabled in session.py) handles most skew at
+    runtime; this explicit form is for the pathological keys AQE can't
+    split (a single key bigger than a task's memory) and for engines/
+    modes where AQE is off. Output columns = big's + small's minus the
+    duplicate key.
+    """
+    b = big.withColumn("__salt", (F.xxhash64(F.monotonically_increasing_id()) % n_salts + n_salts) % n_salts)
+    s = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = b.join(s, [on, "__salt"], how)
+    return out.drop("__salt")
+
+
 def knn_join_brute(
     left: DataFrame,
     right: DataFrame,

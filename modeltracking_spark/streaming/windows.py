@@ -66,13 +66,26 @@ def sliding_counts(events: DataFrame, width: str = "2 hours",
     )
 
 
-def run_stream_once(stream_df: DataFrame, query_name: str) -> DataFrame:
+def dedup_within_watermark(events: DataFrame, keys: list[str] | None = None,
+                           watermark: str = "2 hours") -> DataFrame:
+    """Streaming dedup: drop duplicate ``keys`` arriving within the
+    watermark horizon — state holds one entry per key and expires with
+    the watermark, so memory stays bounded on an infinite stream
+    (``dropDuplicatesWithinWatermark``, the §2.12 exact-dedup twin for
+    streams)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
+def run_stream_once(stream_df: DataFrame, query_name: str,
+                    output_mode: str = "complete") -> DataFrame:
     """Drive a streaming aggregation to completion into a memory sink and
     return the result as a static DataFrame (test/demo harness)."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
