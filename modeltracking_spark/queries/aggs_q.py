@@ -83,7 +83,7 @@ def linear_fit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "moving_frame_sums",
     oracle="""
     SELECT event_id, user_id,
-           sum(round(value * 100)::BIGINT) OVER w AS frame_sum_cents,
+           sum(round(value * 100)::BIGINT) OVER w::BIGINT AS frame_sum_cents,
            count(*) OVER w AS frame_n
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
@@ -114,8 +114,8 @@ def moving_frame_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT event_type,
              count(*)::BIGINT AS n,
-             sum(round(value * 100)::BIGINT) AS sum_cents,
-             sum(round(value * 100)::BIGINT * round(value * 100)::BIGINT) AS sumsq_cents
+             sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents,
+             sum(round(value * 100)::BIGINT * round(value * 100)::BIGINT)::BIGINT AS sumsq_cents
       FROM events GROUP BY 1
     )
     SELECT event_type, n, sum_cents, sumsq_cents,

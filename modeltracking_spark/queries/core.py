@@ -21,7 +21,7 @@ from modeltracking_spark.queries.common import T, cents, query
     SELECT (datediff('hour', TIMESTAMP '2000-01-01', ts) // 24) AS day_idx,
            event_type,
            count(*) AS n_events,
-           sum(round((CASE WHEN value > -4 THEN value END) * 100)::BIGINT) AS sum_cents,
+           sum(round((CASE WHEN value > -4 THEN value END) * 100)::BIGINT)::BIGINT AS sum_cents,
            min(round((CASE WHEN value > -4 THEN value END) * 100)::BIGINT) AS min_cents,
            max(round((CASE WHEN value > -4 THEN value END) * 100)::BIGINT) AS max_cents
     FROM events
@@ -55,9 +55,9 @@ def flagship_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            l_linestatus,
-           sum(round(l_quantity * 100)::BIGINT) AS sum_qty_cents,
-           sum(round(l_extendedprice * 100)::BIGINT) AS sum_price_cents,
-           sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT) AS sum_disc_price_e4,
+           sum(round(l_quantity * 100)::BIGINT)::BIGINT AS sum_qty_cents,
+           sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS sum_price_cents,
+           sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT)::BIGINT AS sum_disc_price_e4,
            count(*) AS n_rows
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -193,7 +193,7 @@ def customer_order_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT r_name, n_name,
            GROUPING(r_name, n_name)::BIGINT AS gid,
            count(*) AS n_cust,
-           sum(round(c_acctbal * 100)::BIGINT) AS acctbal_cents
+           sum(round(c_acctbal * 100)::BIGINT)::BIGINT AS acctbal_cents
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -220,7 +220,7 @@ def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_json_props",
     oracle="""
     SELECT event_type,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
            count(DISTINCT user_id) AS n_users,
            count(*) AS n_events
     FROM events

@@ -189,7 +189,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM h CROSS JOIN range(63) b(bit)
       GROUP BY 1, 2
     )
-    SELECT id, sum(CASE WHEN vote > 0 THEN 1::BIGINT << bit ELSE 0 END) AS simhash
+    SELECT id, sum(CASE WHEN vote > 0 THEN 1::BIGINT << bit ELSE 0 END)::BIGINT AS simhash
     FROM votes GROUP BY 1
     """,
 )

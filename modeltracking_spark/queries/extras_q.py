@@ -85,7 +85,7 @@ def positional_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus, o_orderpriority,
            GROUPING(o_orderstatus, o_orderpriority)::BIGINT AS gid,
            count(*) AS n_orders,
-           sum(round(o_totalprice * 100)::BIGINT) AS sum_cents
+           sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -122,7 +122,7 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
            count(*) AS n_events,
-           sum(round(value * 100)::BIGINT) AS sum_cents
+           sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents
     FROM numbered
     GROUP BY user_id, sid
     """,

@@ -108,7 +108,7 @@ def grid_snap_nearest_node(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM range(-1, 2) a(di) CROSS JOIN range(-1, 2) b(dj))
     SELECT s.c_custkey,
            count(*) AS n_neighbors,
-           sum(round(g.temp * 10)::BIGINT) AS sum_temp_e1
+           sum(round(g.temp * 10)::BIGINT)::BIGINT AS sum_temp_e1
     FROM snapped s
     CROSS JOIN offs o
     JOIN grid g ON g.lat_idx = s.lat_idx + o.di AND g.lon_idx = s.lon_idx + o.dj
@@ -268,7 +268,7 @@ RANGES = [
       ('era_01', TIMESTAMP '2001-01-01', TIMESTAMP '2002-07-01'))
     SELECT r.label,
            count(*) AS n_orders,
-           sum(round(o_totalprice * 100)::BIGINT) AS sum_cents
+           sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
     FROM orders o JOIN ranges r
       ON o.o_orderdate > r.t_start AND o.o_orderdate < r.t_end
     GROUP BY 1
@@ -347,7 +347,7 @@ def zip_positional_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT r_name,
            count(*) AS n_orders,
            count(DISTINCT c_custkey) AS n_cust,
-           sum(round(o_totalprice * 100)::BIGINT) AS revenue_cents
+           sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS revenue_cents
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
@@ -379,12 +379,12 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "semi_anti_customers",
     oracle="""
     SELECT 'with_orders' AS segment, count(*) AS n_cust,
-           sum(round(c_acctbal * 100)::BIGINT) AS acctbal_cents
+           sum(round(c_acctbal * 100)::BIGINT)::BIGINT AS acctbal_cents
     FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     UNION ALL
     SELECT 'without_orders', count(*),
-           sum(round(c_acctbal * 100)::BIGINT)
+           sum(round(c_acctbal * 100)::BIGINT)::BIGINT
     FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """,

@@ -21,7 +21,7 @@ from modeltracking_spark.streaming.windows import sliding_counts, tumbling_count
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            count(*) AS n_events,
-           sum(round(value * 100)::BIGINT) AS sum_cents
+           sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents
     FROM events
     GROUP BY 1, 2
     """,
@@ -49,7 +49,7 @@ def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            count(*) AS n_events,
-           sum(round(value * 100)::BIGINT) AS sum_cents
+           sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents
     FROM assigned
     GROUP BY 1, 2
     """,

@@ -56,8 +56,8 @@ _W = "(1.0::DOUBLE / ((d + 1e-6) * (d + 1e-6)))"
     {_NEIGHBOR_SQL}
     SELECT point_id, depth_idx, depth_m,
            count(v) AS n_valid,
-           sum(CASE WHEN v IS NOT NULL THEN round({_W} * 1e9)::BIGINT END) AS w_e9,
-           sum(CASE WHEN v IS NOT NULL THEN round({_W} * v * 1e9)::BIGINT END) AS wv_e9,
+           sum(CASE WHEN v IS NOT NULL THEN round({_W} * 1e9)::BIGINT END)::BIGINT AS w_e9,
+           sum(CASE WHEN v IS NOT NULL THEN round({_W} * v * 1e9)::BIGINT END)::BIGINT AS wv_e9,
            sum(CASE WHEN v IS NOT NULL THEN round({_W} * v * 1e9)::BIGINT END)::DOUBLE
              / sum(CASE WHEN v IS NOT NULL THEN round({_W} * 1e9)::BIGINT END)::DOUBLE
              AS idw_temp
