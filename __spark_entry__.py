@@ -12,9 +12,15 @@ the registries.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# the package lives next to this file; make the import robust to the
+# driver invoking us from any working directory
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from modeltracking_spark.queries import load_registries
 

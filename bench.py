@@ -49,6 +49,9 @@ def main() -> int:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
+    # JVM/codegen warmup so the first timed query isn't charged for
+    # session spin-up (results are NOT cached — only the JVM warms)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs.get(name)

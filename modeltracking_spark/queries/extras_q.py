@@ -14,6 +14,42 @@ from modeltracking_spark.queries.common import T, cents, query
 
 
 @query(
+    "grid_datasource_scan",
+    oracle=f"""
+    SELECT time_hours,
+           count(*) AS n_rows,
+           count(*) FILTER (WHERE water_temp <= -4) AS n_sentinel,
+           sum(CASE WHEN water_temp > -4
+                    THEN round(water_temp * 10)::BIGINT END)::BIGINT AS sum_temp_e1
+    FROM ({HYCOM_GRID_SQL})
+    GROUP BY 1
+    """,
+)
+def grid_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: scan the grid through the CUSTOM Python DataSource
+    (``sources/grid_source.py`` — one InputPartition per time step, Arrow
+    RecordBatch emission) and aggregate per time step. The oracle
+    recomputes the grid from the SQL formula, so a hash match proves the
+    DataSource emits the fixture byte-for-byte."""
+    from pyspark.errors import PySparkException
+    from modeltracking_spark.sources.grid_source import HycomGridDataSource
+
+    try:
+        spark.dataSource.register(HycomGridDataSource)
+    except PySparkException:
+        pass  # already registered in this session
+    g = spark.read.format("hycom_grid").load()
+    masked = F.when(
+        F.col("water_temp") > -4, F.round(F.col("water_temp") * 10).cast("long")
+    )
+    return g.groupBy("time_hours").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("water_temp") <= -4, 1).otherwise(0)).alias("n_sentinel"),
+        F.sum(masked).alias("sum_temp_e1"),
+    )
+
+
+@query(
     "hours_from_parts",
     oracle="""
     SELECT o_orderkey,
