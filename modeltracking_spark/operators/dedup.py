@@ -252,6 +252,25 @@ def minhash_dedup_pairs(
     Output: (id_a, id_b, jaccard). Everything is integer/deterministic.
     """
     dt = token_ids(df, id_col, text_col)
+    return minhash_pairs_from_token_ids(
+        dt,
+        n_hashes=n_hashes,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        verify_threshold=verify_threshold,
+    )
+
+
+def minhash_pairs_from_token_ids(
+    dt: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash -> LSH -> verify over pre-built (id, token_id) rows — the
+    shared tail of :func:`minhash_dedup_pairs` for any shingling scheme
+    (whitespace tokens, char n-grams, word n-grams)."""
     sigs = minhash_signatures(dt, n_hashes=n_hashes)
     cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rows_per_band)
     # Verify via per-doc token ARRAYS (sorted token_id lists) instead of

@@ -20,6 +20,7 @@ from modeltracking_spark.operators.dedup import (
     jaccard_pairs,
     minhash_dedup_pairs,
     simhash64,
+    token_hash60,
     token_ids,
 )
 from modeltracking_spark.queries.common import T, query
@@ -169,6 +170,76 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", n_hashes=16, bands=4, rows_per_band=4,
         verify_threshold=0.5,
     )
+
+
+def _minhash_tail_sql(threshold: float) -> str:
+    """sigs -> bands -> cands -> verify tail over an ``ids(id, token_id)``
+    CTE — shared by the token and char-shingle MinHash oracles."""
+    return f"""
+    {_minhash_params_sql(16)},
+    sigs AS (
+      SELECT id, p.hash_idx,
+             min((p.a * (token_id % {MINHASH_PRIME}) + p.b) % {MINHASH_PRIME}) AS sig
+      FROM ids CROSS JOIN params p
+      GROUP BY 1, 2
+    ),
+    bands AS (
+      SELECT id, hash_idx // 4 AS band,
+             string_agg(sig::VARCHAR, '_' ORDER BY hash_idx) AS band_key
+      FROM sigs GROUP BY 1, 2
+    ),
+    cands AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+    ),
+    sizes AS (SELECT id, count(*) AS sz FROM ids GROUP BY 1),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS inter_n
+      FROM cands c
+      JOIN ids ta ON ta.id = c.id_a
+      JOIN ids tb ON tb.id = c.id_b AND tb.token_id = ta.token_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           inter_n::DOUBLE / (sa.sz + sb.sz - inter_n)::DOUBLE AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE inter_n::DOUBLE / (sa.sz + sb.sz - inter_n)::DOUBLE >= {threshold}
+    """
+
+
+@query(
+    "minhash_shingle_pairs",
+    oracle=f"""
+    WITH d AS (SELECT doc_id,
+                      lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+               FROM documents),
+    sh AS (SELECT DISTINCT doc_id AS id, s.sg
+           FROM d, unnest(list_transform(
+                  range(1, greatest(length(norm) - 4, 1) + 1),
+                  i -> substr(norm, i::INTEGER, 5))) s(sg)),
+    ids AS (SELECT id, ('0x' || substr(md5(sg), 1, 15))::BIGINT AS token_id
+            FROM sh),
+    {_minhash_tail_sql(0.6)}
+    """,
+)
+def minhash_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-5-gram MinHash near-dup (the n-gram shingling tier of
+    §2.12): robust to whitespace/tokenization differences that defeat
+    word-level MinHash. Same signature/banding/verify tail, different
+    shingling — oracle replicated shingle-for-shingle."""
+    from modeltracking_spark.functions.text import char_shingles
+    from modeltracking_spark.operators.dedup import minhash_pairs_from_token_ids
+
+    d = T(spark, sf_dir, "documents")
+    sh = d.select(
+        F.col("doc_id").alias("id"),
+        F.explode(char_shingles("text", 5)).alias("token"),
+    )
+    dt = sh.select("id", token_hash60("token").alias("token_id"))
+    return minhash_pairs_from_token_ids(dt, verify_threshold=0.6)
 
 
 @query(

@@ -91,6 +91,41 @@ def cosine_topk_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_neardup_pairs",
+    oracle=f"""
+    WITH n AS (SELECT vec_id, embedding, {_NORM} AS nrm FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_sum(list_transform(list_zip(a.embedding, b.embedding),
+             s -> round(s[1]::DOUBLE * s[2]::DOUBLE * 1e12)::BIGINT))::DOUBLE
+             / (sqrt(a.nrm::DOUBLE) * sqrt(b.nrm::DOUBLE)) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id AND a.vec_id < 100
+    WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+            s -> round(s[1]::DOUBLE * s[2]::DOUBLE * 1e12)::BIGINT))::DOUBLE
+            / (sqrt(a.nrm::DOUBLE) * sqrt(b.nrm::DOUBLE)) >= 0.3
+    """,
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup tier (§2.12): all pairs above a cosine
+    threshold (probe set: id < 100 vs full corpus). Exact pairs here (correctness baseline the LSH path is
+    judged against); at 100 TB the identical threshold predicate runs
+    over LSH-bucketed candidates instead of the full self-join."""
+    e = T(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    x = a.join(
+        b, (F.col("id_a") < F.col("id_b")) & (F.col("id_a") < 100)
+    ).withColumn(
+        "cosine",
+        dot_product_fxp("va", "vb").cast("double")
+        / (
+            F.sqrt(sq_norm_fxp("va").cast("double"))
+            * F.sqrt(sq_norm_fxp("vb").cast("double"))
+        ),
+    )
+    return x.where(F.col("cosine") >= 0.3).select("id_a", "id_b", "cosine")
+
+
+@query(
     "centroid_label_means",
     oracle="""
     SELECT label, p.pos::INTEGER AS pos,
