@@ -1,3 +1,5 @@
+import tempfile
+
 import pytest
 from pyspark.sql import SparkSession
 
@@ -8,8 +10,10 @@ REF_DIR = "/root/reference"
 
 @pytest.fixture(scope="session")
 def spark():
+    warehouse = tempfile.mkdtemp(prefix="spark-warehouse-")
     s = (
         SparkSession.builder.master("local[4]")
+        .config("spark.sql.warehouse.dir", warehouse)
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

@@ -1,0 +1,64 @@
+"""Plan-level proof of the storage-layout claims: bucketed joins skip
+the shuffle; the partitioned grid store prunes time partitions."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from modeltracking_spark.fixtures import hycom_grid_fixture
+from modeltracking_spark.operators.layout import (
+    read_grid,
+    write_bucketed_table,
+    write_grid_partitioned,
+)
+from modeltracking_spark.plans import executed_plan
+from tests.conftest import SF0001
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path_factory):
+    o = spark.read.parquet(f"{SF0001}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = spark.read.parquet(f"{SF0001}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    write_bucketed_table(o, "t_orders_b", "o_custkey", 4)
+    write_bucketed_table(
+        c.withColumnRenamed("c_custkey", "o_custkey"), "t_customer_b", "o_custkey", 4
+    )
+    ob, cb = spark.table("t_orders_b"), spark.table("t_customer_b")
+    # disable broadcast so the join exercises the bucketed path (at real
+    # scale neither side fits a broadcast; here both would)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = ob.join(cb, "o_custkey")
+        plan = executed_plan(j)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # buckets already co-located: no shuffle exchange on the join key
+        assert "Exchange hashpartitioning" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # sanity: same result as the plain join
+    plain = (
+        spark.read.parquet(f"{SF0001}/orders.parquet")
+        .join(
+            spark.read.parquet(f"{SF0001}/customer.parquet"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .count()
+    )
+    assert j.count() == plain
+
+
+def test_partitioned_grid_prunes_time(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("gridstore"))
+    # small grid slice to keep the write fast
+    g = hycom_grid_fixture(spark).where(
+        (F.col("time_hours") <= 9) & (F.col("lat_idx") < 10) & (F.col("lon_idx") < 10)
+    )
+    write_grid_partitioned(g, path)
+    back = read_grid(spark, path)
+    q = back.where(F.col("time_hours") == 6)
+    plan = executed_plan(q)
+    assert "PartitionFilters" in plan and "time_hours" in plan
+    assert q.count() == g.where(F.col("time_hours") == 6).count() > 0
