@@ -46,10 +46,38 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+_SHIPPED_CONTEXTS: set[int] = set()
+
+
+def ensure_pkg_on_workers(spark: SparkSession) -> None:
+    """Ship modeltracking_spark to executor Python workers via addPyFile.
+
+    Queries that run Python on executors (the custom DataSource,
+    mapInPandas decode, pandas UDFs) cloudpickle functions BY REFERENCE
+    to this package — workers must be able to import it. When the
+    harness runs with a cwd outside the repo and no PYTHONPATH, they
+    can't; a one-time ~50 KB zip per SparkContext closes that hole."""
+    sc = spark.sparkContext
+    if id(sc) in _SHIPPED_CONTEXTS:
+        return
+    import pathlib
+    import tempfile
+    import zipfile
+
+    root = pathlib.Path(__file__).resolve().parents[1].parent
+    zpath = pathlib.Path(tempfile.mkdtemp(prefix="mtspark-")) / "modeltracking_spark.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for p in sorted((root / "modeltracking_spark").rglob("*.py")):
+            zf.write(p, p.relative_to(root))
+    sc.addPyFile(str(zpath))
+    _SHIPPED_CONTEXTS.add(id(sc))
+
+
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a testdata table with the session pinned to UTC so timestamp
     rendering matches the (tz-naive) DuckDB oracle."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ensure_pkg_on_workers(spark)
     return load_table(spark, sf_dir, name)
 
 

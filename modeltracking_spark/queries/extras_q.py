@@ -32,8 +32,12 @@ def grid_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the grid from the SQL formula, so a hash match proves the
     DataSource emits the fixture byte-for-byte."""
     from pyspark.errors import PySparkException
+    from modeltracking_spark.queries.common import ensure_pkg_on_workers
     from modeltracking_spark.sources.grid_source import HycomGridDataSource
 
+    # the DataSource class is cloudpickled to plan- and executor-side
+    # Python workers, which must be able to import this package
+    ensure_pkg_on_workers(spark)
     try:
         spark.dataSource.register(HycomGridDataSource)
     except PySparkException:
@@ -134,6 +138,57 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping_id().alias("gid"),
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(cents("o_totalprice")).alias("sum_cents"),
+    )
+
+
+@query(
+    "string_functions_demo",
+    oracle="""
+    SELECT c_custkey,
+           CAST(regexp_extract(c_name, '#0*([0-9]+)$', 1) AS BIGINT) AS name_num,
+           string_split(c_name, '#')[1] AS name_prefix,
+           printf('%s-%03d', c_mktsegment, c_nationkey) AS seg_code,
+           upper(substr(c_mktsegment, 1, 3)) AS seg3
+    FROM customer
+    """,
+)
+def string_functions_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.3 string surface (the reference's split/format at
+    ``kmz2csv.py:8-9,17``): regexp_extract, split, format_string, case
+    and substring — all codegen'd column expressions."""
+    c = T(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"#0*([0-9]+)$", 1).cast("long").alias("name_num"),
+        F.split("c_name", "#").getItem(0).alias("name_prefix"),
+        F.format_string("%s-%03d", F.col("c_mktsegment"), F.col("c_nationkey")).alias(
+            "seg_code"
+        ),
+        F.upper(F.substring("c_mktsegment", 1, 3)).alias("seg3"),
+    )
+
+
+@query(
+    "array_functions_demo",
+    oracle="""
+    SELECT user_id,
+           list_sort(list(DISTINCT event_type)) AS types,
+           len(list_sort(list(DISTINCT event_type))) AS n_types,
+           list_contains(list(DISTINCT event_type), 'error') AS saw_error
+    FROM events
+    GROUP BY 1
+    """,
+)
+def array_functions_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.3 array surface: collect_set -> array_sort -> size /
+    array_contains per user (deterministic because the set is sorted
+    before output)."""
+    e = T(spark, sf_dir, "events")
+    types = F.array_sort(F.collect_set("event_type"))
+    return e.groupBy("user_id").agg(
+        types.alias("types"),
+        F.size(types).cast("long").alias("n_types"),
+        F.array_contains(F.collect_set("event_type"), "error").alias("saw_error"),
     )
 
 
