@@ -213,14 +213,21 @@ def lsh_candidate_pairs(
         .where(F.col("band") < bands)
         .groupBy("id", "band")
         .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("hash_idx", "sig"))
+            # 64-bit hash of the ordered signature slice, not the string
+            # itself: the self-join shuffles 8-byte keys instead of long
+            # strings. A hash collision can only ADD a candidate pair,
+            # which the exact-Jaccard verify then prunes — the final
+            # result set is unchanged.
+            F.xxhash64(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("hash_idx", "sig"))
+                        ),
+                        lambda s: s["sig"].cast("string"),
                     ),
-                    lambda s: s["sig"].cast("string"),
-                ),
-                "_",
+                    "_",
+                )
             ).alias("band_key")
         )
     )

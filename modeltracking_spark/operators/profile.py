@@ -51,6 +51,7 @@ def profile_neighbors(
     lon_step: float = 0.6,
     time_step: int = 3,
     eps: float = 1e-6,
+    radius: int = 1,
 ) -> DataFrame:
     """Per-neighbor rows for the IDW reduce: one row per (track point,
     depth level, 3x3 neighbor) with the masked value and IDW weight.
@@ -70,7 +71,7 @@ def profile_neighbors(
         .cast("int")
         .alias("lon_idx"),
     )
-    nb = neighborhood_expand(snapped, radius=1).withColumnsRenamed(
+    nb = neighborhood_expand(snapped, radius=radius).withColumnsRenamed(
         {"lat": "p_lat", "lon": "p_lon"}
     )
     g = grid.where(F.col("depth_idx") < k_depths).select(
@@ -105,15 +106,31 @@ def profile_along_track(
     grid: DataFrame,
     variable: str = "water_temp",
     k_depths: int = 25,
+    interp: str = "idw",
     **geometry,
 ) -> DataFrame:
     """Full pipeline -> long profile (point_id, depth_idx, depth_m,
     n_valid, idw_value): the engine twin of the reference's
     ``(time, depth, value)`` triples (``trackplot_hycom.py:217-223``).
 
+    ``interp='idw'`` (default): 3x3 IDW — the reference's production
+    path. ``interp='nearest'``: center-node value only, the cheap mode
+    of the superseded ``tempcolumn_nc4`` (``trackplot_hycom.py:117-133``,
+    SURVEY §2.10) — 1/9th the join fanout, n_valid ∈ {0, 1}.
+
     Plain double Σwv/Σw for engine use; the oracle-checked query variant
     (``queries/track_q.py``) lifts the same rows to fixed point first.
     """
+    if interp == "nearest":
+        rows = profile_neighbors(
+            track, grid, variable, k_depths, radius=0, **geometry
+        )
+        return rows.groupBy("point_id", "depth_idx", "depth_m").agg(
+            F.count("v").alias("n_valid"),
+            F.first("v").alias("idw_value"),
+        )
+    if interp != "idw":
+        raise ValueError(f"unknown interp {interp!r}")
     rows = profile_neighbors(track, grid, variable, k_depths, **geometry)
     valid_w = F.when(F.col("v").isNotNull(), F.col("w"))
     return rows.groupBy("point_id", "depth_idx", "depth_m").agg(

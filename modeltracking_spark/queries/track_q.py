@@ -213,3 +213,36 @@ def profile_flatten_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pd.depth_idx").alias("depth_idx"),
         F.col("pd.idw_temp").alias("idw_temp"),
     )
+
+
+@query(
+    "profile_nearest_node",
+    oracle=f"""
+    WITH track AS ({TRACK_SQL}),
+    grid AS ({HYCOM_GRID_SQL}),
+    snapped AS (
+      SELECT point_id,
+             ((2 * t_hours + 3) // 6) * 3 AS t_sel,
+             round((lat - 14.95::DOUBLE) / 0.25::DOUBLE)::INTEGER AS lat_idx,
+             round((lon - 279.85::DOUBLE) / 0.6::DOUBLE)::INTEGER AS lon_idx
+      FROM track
+    )
+    SELECT s.point_id, g.depth_idx, g.depth_m,
+           CASE WHEN g.water_temp > -4 THEN 1 ELSE 0 END::BIGINT AS n_valid,
+           CASE WHEN g.water_temp > -4 THEN g.water_temp END AS idw_value
+    FROM snapped s
+    JOIN grid g ON g.time_hours = s.t_sel
+               AND g.lat_idx = s.lat_idx AND g.lon_idx = s.lon_idx
+    WHERE g.depth_idx < 25
+    """,
+)
+def profile_nearest_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 cheap mode: center-node value without IDW — the superseded
+    ``tempcolumn_nc4`` (``trackplot_hycom.py:117-133``) kept as
+    ``interp='nearest'``; 1/9th the join fanout of the IDW path."""
+    from modeltracking_spark.operators.profile import profile_along_track
+
+    return profile_along_track(
+        synthetic_track(spark), hycom_grid_fixture(spark), "water_temp", 25,
+        interp="nearest",
+    )
