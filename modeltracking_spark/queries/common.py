@@ -57,7 +57,13 @@ def ensure_pkg_on_workers(spark: SparkSession) -> None:
     to this package — workers must be able to import it. When the
     harness runs with a cwd outside the repo and no PYTHONPATH, they
     can't; a one-time ~50 KB zip per SparkContext closes that hole."""
-    sc = spark.sparkContext
+    try:
+        sc = spark.sparkContext
+    except Exception:
+        # Spark Connect session: no SparkContext handle; Connect ships
+        # artifacts differently and classic local mode (the harness
+        # environment) never hits this branch.
+        return
     if id(sc) in _SHIPPED_CONTEXTS:
         return
     import pathlib
