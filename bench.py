@@ -59,7 +59,9 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            fn(spark, sf_dir).count()
+            # noop v2 sink: every output column is materialized (a bare
+            # count() would let Catalyst prune projection-only queries)
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             times[name] = round(time.time() - t0, 3)
         except Exception as exc:  # pragma: no cover
             print(f"bench {name} failed: {exc}", file=sys.stderr)

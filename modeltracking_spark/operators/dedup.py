@@ -288,7 +288,9 @@ def minhash_pairs_from_token_ids(
     # thousands of tokens, cap shingle counts or fall back to the
     # exploded join per partition-size budget.
     arrs = dt.groupBy("id").agg(
-        F.array_sort(F.collect_list("token_id")).alias("toks"),
+        # no array_sort: array_intersect doesn't need sorted input and
+        # the arrays never leave this verify step
+        F.collect_list("token_id").alias("toks"),
         F.count(F.lit(1)).alias("sz"),
     )
     a = arrs.select(

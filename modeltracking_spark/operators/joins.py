@@ -246,7 +246,17 @@ def salted_join(
     split (a single key bigger than a task's memory) and for engines/
     modes where AQE is off. Output columns = big's + small's minus the
     duplicate key.
+
+    Only join types that never emit unmatched SMALL-side rows are
+    allowed: the small side is replicated n_salts times, so a
+    right/full outer join would duplicate its unmatched rows.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer", "leftsemi",
+                   "left_semi", "leftanti", "left_anti", "semi", "anti"):
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the replicated "
+            "small side would duplicate unmatched rows"
+        )
     b = big.withColumn("__salt", (F.xxhash64(F.monotonically_increasing_id()) % n_salts + n_salts) % n_salts)
     s = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

@@ -12,7 +12,7 @@ at the exact point a real decoder (PIL/ffmpeg) would plug in.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: magic prefixes for the cheap format sniff (hex, uppercase)
@@ -25,7 +25,7 @@ MAGIC_PREFIXES = {
 
 
 def attach_binary_payload(df: DataFrame, text_col: str = "text",
-                          out_col: str = "payload") -> Column | DataFrame:
+                          out_col: str = "payload") -> DataFrame:
     """Fixture builder: a deterministic binary column (PNG magic + UTF-8
     bytes of the text) standing in for real image payloads."""
     return df.withColumn(

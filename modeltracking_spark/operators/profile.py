@@ -22,6 +22,8 @@ prunes partitions; lat/lon bucketing co-locates the neighborhood join.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -52,12 +54,15 @@ def profile_neighbors(
     time_step: int = 3,
     eps: float = 1e-6,
     radius: int = 1,
+    carry_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Per-neighbor rows for the IDW reduce: one row per (track point,
     depth level, 3x3 neighbor) with the masked value and IDW weight.
 
     ``track``: (point_id, lat, lon, t_hours); ``grid``: HYCOM long form.
-    Returns point_id, depth_idx, depth_m, dist, w, v (NULL if sentinel).
+    Returns point_id, depth_idx, depth_m, dist, w, v (NULL if sentinel),
+    plus any ``carry_cols`` passed through from the grid (e.g. a
+    ``variable`` label when the grid is unpivoted long-form).
     """
     snapped = track.select(
         "point_id",
@@ -83,6 +88,7 @@ def profile_neighbors(
         F.col("lat").alias("g_lat"),
         F.col("lon").alias("g_lon"),
         F.col(variable).alias("__var"),
+        *carry_cols,
     )
     j = g.join(
         F.broadcast(nb),
@@ -98,6 +104,7 @@ def profile_neighbors(
         d.alias("dist"),
         inv_square_weight(d, eps=eps).alias("w"),
         mask_sentinel("__var").alias("v"),
+        *carry_cols,
     )
 
 

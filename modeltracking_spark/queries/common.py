@@ -46,7 +46,7 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-_SHIPPED_CONTEXTS: set[int] = set()
+_SHIPPED_CONTEXTS: set[str] = set()
 
 
 def ensure_pkg_on_workers(spark: SparkSession) -> None:
@@ -64,7 +64,8 @@ def ensure_pkg_on_workers(spark: SparkSession) -> None:
         # artifacts differently and classic local mode (the harness
         # environment) never hits this branch.
         return
-    if id(sc) in _SHIPPED_CONTEXTS:
+    app_id = sc.applicationId  # stable per context; id(sc) could be reused
+    if app_id in _SHIPPED_CONTEXTS:
         return
     import pathlib
     import tempfile
@@ -76,7 +77,7 @@ def ensure_pkg_on_workers(spark: SparkSession) -> None:
         for p in sorted((root / "modeltracking_spark").rglob("*.py")):
             zf.write(p, p.relative_to(root))
     sc.addPyFile(str(zpath))
-    _SHIPPED_CONTEXTS.add(id(sc))
+    _SHIPPED_CONTEXTS.add(app_id)
 
 
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

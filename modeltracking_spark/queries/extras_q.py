@@ -196,7 +196,7 @@ def array_functions_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_window_counts",
     oracle="""
     WITH marked AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR epoch(ts) - epoch(lag(ts) OVER w) >= 300
                   THEN 1 ELSE 0 END AS new_session
@@ -206,7 +206,7 @@ def array_functions_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     numbered AS (
       SELECT user_id, ts, value,
              sum(new_session) OVER (
-               PARTITION BY user_id ORDER BY ts ASC
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                ROWS UNBOUNDED PRECEDING) AS sid
       FROM marked
     )

@@ -113,43 +113,23 @@ def profile_multivariable_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass, pivoted back to wide columns — the notebook's TEMP+SALINITY dual
     run (``TrackPlotter_Hycom.ipynb`` cells 3-4) in a single job.
 
-    Joins the long grid explicitly (same geometry as profile_neighbors)
-    so the ``variable`` column survives into the pivot."""
-    from modeltracking_spark.functions.geo import euclid_deg, inv_square_weight
-    from modeltracking_spark.operators.aggregates import mask_sentinel
-    from modeltracking_spark.operators.joins import neighborhood_expand
-    from modeltracking_spark.operators.profile import nearest_time_bucket
-
+    The long grid goes through the SAME profile_neighbors geometry as the
+    single-variable query — the ``variable`` label rides along via
+    ``carry_cols``, so there is one snap/expand/join implementation to
+    maintain."""
     track = synthetic_track(spark)
     grid = hycom_grid_fixture(spark)
     long_grid = grid.unpivot(
-        ["time_hours", "depth_idx", "lat_idx", "lon_idx", "lat", "lon"],
+        ["time_hours", "depth_idx", "depth_m", "lat_idx", "lon_idx", "lat", "lon"],
         ["water_temp", "salinity"],
         "variable",
         "raw",
     )
-    snapped = track.select(
-        "point_id",
-        F.col("lat").alias("p_lat"),
-        F.col("lon").alias("p_lon"),
-        nearest_time_bucket(F.col("t_hours"), 3).alias("t_sel"),
-        F.round((F.col("lat") - 14.95) / 0.25).cast("int").alias("lat_idx"),
-        F.round((F.col("lon") - 279.85) / 0.6).cast("int").alias("lon_idx"),
+    nbrows = profile_neighbors(
+        track, long_grid, "raw", 25, carry_cols=["variable"]
     )
-    nb = neighborhood_expand(snapped, radius=1)
-    g = long_grid.where(F.col("depth_idx") < 25).withColumnsRenamed(
-        {"lat_idx": "g_lat_idx", "lon_idx": "g_lon_idx", "lat": "g_lat", "lon": "g_lon"}
-    )
-    j = g.join(
-        F.broadcast(nb),
-        (F.col("time_hours") == F.col("t_sel"))
-        & (F.col("g_lat_idx") == F.col("nb_lat_idx"))
-        & (F.col("g_lon_idx") == F.col("nb_lon_idx")),
-    )
-    d = euclid_deg("p_lat", "p_lon", "g_lat", "g_lon")
-    w = inv_square_weight(d)
-    v = mask_sentinel("raw")
-    rows = j.select(
+    w, v = F.col("w"), F.col("v")
+    rows = nbrows.select(
         "point_id",
         "depth_idx",
         "variable",

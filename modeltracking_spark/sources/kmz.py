@@ -45,24 +45,34 @@ def extract_kml_text(kmz_path: str) -> str:
 def placemarks_to_rows(spark: SparkSession, kml_text: str) -> DataFrame:
     """S3/S4: one row per ``<Placemark>`` with the 12 reference fields.
 
-    ``xpath`` with ``local-name()`` predicates, so a default KML
-    namespace cannot break matching; the twelve per-field arrays are
-    arrays_zip'd and exploded — pure JVM, no Python parsing.
+    The document is first split into one fragment PER placemark (regex
+    explode), then each field is xpath'd out of its own fragment — so a
+    placemark missing an optional tag yields NULL for that row only.
+    (Zipping 12 independently-collected document-level xpath arrays
+    would silently misalign every row after the first missing tag.)
+    ``local-name()`` predicates keep a default KML namespace from
+    breaking matching; everything is JVM expressions.
     """
     doc = spark.createDataFrame([(kml_text,)], "xml string")
-    arrays = [
-        F.xpath(
-            "xml",
-            F.lit(
-                f"//*[local-name()='Placemark']/*[local-name()='{tag}']/text()"
-            ),
-        ).alias(col)
-        for col, tag in PLACEMARK_FIELDS.items()
-    ]
-    zipped = doc.select(F.arrays_zip(*arrays).alias("pm"))
-    row = zipped.select(F.explode("pm").alias("r"))
-    return row.select(
-        *[F.trim(F.col(f"r.{c}")).alias(c) for c in PLACEMARK_FIELDS]
+    frags = doc.select(
+        F.explode(
+            F.regexp_extract_all(
+                "xml", F.lit(r"(?s)<Placemark.*?</Placemark>"), 0
+            )
+        ).alias("pm")
+    )
+    return frags.select(
+        *[
+            F.nullif(
+                F.trim(
+                    F.xpath_string(
+                        "pm", F.lit(f"//*[local-name()='{tag}']")
+                    )
+                ),
+                F.lit(""),
+            ).alias(col)
+            for col, tag in PLACEMARK_FIELDS.items()
+        ]
     )
 
 

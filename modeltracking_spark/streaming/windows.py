@@ -20,16 +20,23 @@ from pyspark.sql import functions as F
 from modeltracking_spark.schemas import TESTDATA_SCHEMAS
 
 
+def _events_stream_schema() -> str:
+    """The events schema with ts as raw nanos long (pre-conversion),
+    derived from the shared StructType so there is one source of truth."""
+    fields = []
+    for f in TESTDATA_SCHEMAS["events"].fields:
+        typ = "bigint" if f.name == "ts" else f.dataType.simpleString()
+        fields.append(f"{f.name} {typ}")
+    return ", ".join(fields)
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (one file -> one
     micro-batch via ``maxFilesPerTrigger``). The nanos timestamp is read
     as long (Spark 4 rejects TIMESTAMP(NANOS) otherwise) and rebuilt as a
     microsecond timestamp, matching the batch loader."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string, "
-        "value double, props string"
-    )
+    schema = _events_stream_schema()
     # file stream sources require a directory: stream the sf dir with a
     # glob filter selecting only the events file
     raw = (
@@ -89,6 +96,9 @@ def run_stream_once(stream_df: DataFrame, query_name: str,
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    finished = q.awaitTermination(600)
+    if not finished:
+        q.stop()
+        raise TimeoutError(f"stream {query_name!r} did not finish in 600s")
     spark = stream_df.sparkSession
     return spark.table(query_name)
