@@ -57,24 +57,55 @@ def doc_fingerprint(text: Column | str) -> Column:
     return F.md5(norm)
 
 
+def _let(bound: Column, body) -> Column:
+    """Evaluate ``bound`` once and pass it to ``body`` as a lambda variable.
+
+    A subexpression *captured* inside a higher-order-function lambda is
+    re-evaluated per element (Catalyst does not CSE across lambda
+    boundaries) — for an expensive bound expression over a long array
+    that is an O(n) blowup (measured 7× on char_shingles: the
+    regexp normalization re-ran per shingle). ``transform(array(x),
+    s -> body(s))[0]`` is the expression-level let binding.
+    """
+    return F.get(F.transform(F.array(bound), body), 0)
+
+
 def char_shingles(text: Column | str, n: int = 5) -> Column:
     """Character n-gram shingles (array<string>) for MinHash/SimHash.
 
     Built with sequence+transform (JVM-side UDTF-free expansion); the
-    reference has no text ops — this is §2.12 extension surface.
+    reference has no text ops — this is §2.12 extension surface. The
+    normalized string is let-bound so the regexp runs once per row,
+    not once per shingle.
     """
-    c = F.lower(F.trim(F.regexp_replace(_col(text), r"\s+", " ")))
-    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - F.lit(n - 1), F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: c.substr(i, F.lit(n))))
+    norm = F.lower(F.trim(F.regexp_replace(_col(text), r"\s+", " ")))
+    return _let(
+        norm,
+        lambda c: F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length(c) - F.lit(n - 1), F.lit(1))
+                ),
+                lambda i: c.substr(i, F.lit(n)),
+            )
+        ),
+    )
 
 
 def word_ngrams(text: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles joined with '\\x01' (array<string>)."""
-    toks = tokens(text)
-    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    return F.when(count == 0, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), count),
-            lambda i: F.array_join(F.slice(toks, i, n), "\x01"),
-        )
+    """Word n-gram shingles joined with '\\x01' (array<string>).
+
+    The token array is let-bound (see :func:`_let`) so tokenization
+    runs once per row, not once per n-gram.
+    """
+    return _let(
+        tokens(text),
+        lambda toks: F.when(
+            F.size(toks) - F.lit(n - 1) <= 0, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), "\x01"),
+            )
+        ),
     )

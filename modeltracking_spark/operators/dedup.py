@@ -277,42 +277,126 @@ def minhash_pairs_from_token_ids(
 ) -> DataFrame:
     """MinHash -> LSH -> verify over pre-built (id, token_id) rows — the
     shared tail of :func:`minhash_dedup_pairs` for any shingling scheme
-    (whitespace tokens, char n-grams, word n-grams)."""
-    sigs = minhash_signatures(dt, n_hashes=n_hashes)
-    cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rows_per_band)
-    # Verify via per-doc token ARRAYS (sorted token_id lists) instead of
-    # re-joining the exploded token table: the candidate set can be large
-    # (near-dup-heavy corpora), and |cands| x tokens-per-doc exploded rows
-    # dominated the job; array_intersect over two ~|doc| arrays is a
-    # columnar map with no extra shuffle. At 100 TB pair docs with
-    # thousands of tokens, cap shingle counts or fall back to the
-    # exploded join per partition-size budget.
-    arrs = dt.groupBy("id").agg(
-        # no array_sort: array_intersect doesn't need sorted input and
-        # the arrays never leave this verify step
-        F.collect_list("token_id").alias("toks"),
-        F.count(F.lit(1)).alias("sz"),
+    (whitespace tokens, char n-grams, word n-grams).
+
+    **Identical-set collapse (the scale lever):** a doc's signature,
+    band keys, and pairwise Jaccard depend only on its *distinct token
+    set*, so docs with equal sets are collapsed to one representative
+    before any signature work. Near-dup-heavy corpora (the target
+    workload) form large identical clusters; collapsing turns the
+    verify step from O(cluster²) array intersections into O(distinct
+    sets²) and the within-cluster output into a cheap member-pair
+    expansion with jaccard = 1 exactly. The emitted pair set is
+    byte-identical to the per-doc formulation (same candidates — equal
+    sets always share every band — and the same integer jaccard
+    arithmetic), so the DuckDB oracle is unchanged.
+
+    Signatures are computed per *set row* with transform+array_min —
+    no explode shuffle; the only shuffles are the set groupBy and the
+    band-bucket self-join. At 100 TB, persist the distinct-set table
+    to parquet instead of ``cache()``.
+    """
+    p = F.lit(MINHASH_PRIME)
+    sets_df = dt.groupBy("id").agg(
+        F.array_sort(F.collect_list("token_id")).alias("toks")
     )
-    a = arrs.select(
-        F.col("id").alias("id_a"), F.col("toks").alias("toks_a"),
-        F.col("sz").alias("sz_a"),
+    # group by the full sorted array (exact — no hash-collision risk)
+    groups = (
+        sets_df.groupBy("toks")
+        .agg(F.min("id").alias("rep"), F.collect_list("id").alias("members"))
+        .withColumn("sz", F.size("toks"))
+        .cache()
     )
-    b = arrs.select(
-        F.col("id").alias("id_b"), F.col("toks").alias("toks_b"),
-        F.col("sz").alias("sz_b"),
+
+    def _perm(i: int):
+        # closure factory: a 1-arg lambda (a 2-arg one would receive the
+        # array index from F.transform as its second argument)
+        return lambda t: (F.lit(MINHASH_A[i]) * (t % p) + F.lit(MINHASH_B[i])) % p
+
+    def _band_key(b: int) -> F.Column:
+        sigs = [
+            F.array_min(F.transform("toks", _perm(i))).cast("string")
+            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ]
+        return F.xxhash64(F.concat_ws("_", *sigs))
+
+    banded = groups.select(
+        "rep",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), _band_key(b).alias("band_key"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("rep", "bk.band", "bk.band_key")
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.rep") < F.col("b.rep")),
+        )
+        .select(F.col("a.rep").alias("rep_a"), F.col("b.rep").alias("rep_b"))
+        .distinct()
     )
-    paired = cands.join(a, "id_a").join(b, "id_b").withColumn(
-        "inter_n", F.size(F.array_intersect("toks_a", "toks_b"))
+    ga = groups.select(
+        F.col("rep").alias("rep_a"), F.col("toks").alias("toks_a"),
+        F.col("sz").alias("sz_a"), F.col("members").alias("members_a"),
     )
-    return (
-        paired.withColumn(
+    gb = groups.select(
+        F.col("rep").alias("rep_b"), F.col("toks").alias("toks_b"),
+        F.col("sz").alias("sz_b"), F.col("members").alias("members_b"),
+    )
+    verified = (
+        cands.join(ga, "rep_a")
+        .join(gb, "rep_b")
+        .withColumn("inter_n", F.size(F.array_intersect("toks_a", "toks_b")))
+        .withColumn(
             "jaccard",
             F.col("inter_n").cast("double")
             / (F.col("sz_a") + F.col("sz_b") - F.col("inter_n")).cast("double"),
         )
         .where(F.col("jaccard") >= verify_threshold)
-        .select("id_a", "id_b", "jaccard")
     )
+    # cross-set pairs: every member of set A × every member of set B
+    # shares the set-level jaccard; doc ids across distinct sets never
+    # coincide, so least/greatest restores the id_a < id_b convention
+    # a large identical cluster expands quadratically from ONE row —
+    # repartition between the two explodes so the second (big) explode
+    # is spread across cores instead of running in the single task that
+    # holds the cluster row
+    cross = (
+        verified.select("members_a", "members_b", "jaccard")
+        .withColumn("x", F.explode("members_a"))
+        .repartition("x")
+        .withColumn("y", F.explode("members_b"))
+        .select(
+            F.least("x", "y").alias("id_a"),
+            F.greatest("x", "y").alias("id_b"),
+            "jaccard",
+        )
+    )
+    # within-set pairs: identical sets are always candidates (equal
+    # signatures ⇒ equal band keys) with jaccard exactly 1
+    within = (
+        groups.where(
+            F.lit(verify_threshold <= 1.0) & (F.size("members") >= 2)
+        )
+        .select("members")
+        .withColumn("x", F.explode("members"))
+        .repartition("x")
+        .withColumn("y", F.explode("members"))
+        .where(F.col("x") < F.col("y"))
+        .select(
+            F.col("x").alias("id_a"),
+            F.col("y").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 def simhash64(doc_tokens: DataFrame) -> DataFrame:

@@ -11,6 +11,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from modeltracking_spark.functions.text import (
+    _let,
     doc_fingerprint,
     stopword_ratio,
     token_count,
@@ -84,6 +85,86 @@ def lang_id_heuristic(text_col: str = "text") -> Column:
         )
     best = F.array_max(F.array(*scores))
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+#: winnowing constants: polynomial rolling-hash base/modulus (public,
+#: engine-portable int64 arithmetic: acc < 2^31 so acc*257 + code < 2^40)
+WINNOW_BASE = 257
+WINNOW_PRIME = 2147483647
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 7,
+    window: int = 5,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, MOSS).
+
+    Per document: normalize → k-char-gram rolling hashes (polynomial
+    base-257 mod 2^31−1 over char codes — the same values an incremental
+    Rabin-Karp roll produces) → over every window of ``window``
+    consecutive hashes select the *rightmost minimum* → distinct
+    (position, hash) fingerprints. Guarantees: any shared substring of
+    length ≥ k + window − 1 yields a shared fingerprint.
+
+    Entirely array expressions inside one row (no explode until the
+    final flatten), so the 100 TB plan is a narrow map over the corpus —
+    no shuffle at all. Output: (id, pos, fp_hash) long rows.
+    """
+    p = F.lit(WINNOW_PRIME)
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+
+    def gram_hashes(c):
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(c) - F.lit(k - 1), F.lit(1))),
+            lambda i: c.substr(i, F.lit(k)),
+        )
+        return F.transform(
+            grams,
+            lambda g: F.aggregate(
+                F.transform(F.split(g, ""), lambda ch: F.ascii(ch).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: (acc * F.lit(WINNOW_BASE) + x) % p,
+            ),
+        )
+
+    def select_fps(h):
+        wins = F.sequence(
+            F.lit(1), F.greatest(F.size(h) - F.lit(window - 1), F.lit(1))
+        )
+        # composite fingerprint: pos·2^31 + hash (hash < 2^31) so
+        # array_distinct dedups (pos, hash) pairs as plain bigints
+        return F.array_distinct(
+            F.transform(
+                wins,
+                lambda j: _let(
+                    F.slice(h, j, window),
+                    lambda sl: _let(
+                        F.array_min(sl),
+                        lambda mn: F.shiftleft(
+                            (
+                                j
+                                + F.size(sl)
+                                - F.array_position(F.reverse(sl), mn)
+                            ).cast("long"),
+                            31,
+                        )
+                        + mn,
+                    ),
+                ),
+            )
+        )
+
+    fps = _let(norm, lambda c: _let(gram_hashes(c), select_fps))
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(fps).alias("__fp")
+    ).select(
+        "id",
+        F.shiftright("__fp", 31).alias("pos"),
+        F.col("__fp").bitwiseAND(F.lit(2147483647)).alias("fp_hash"),
+    )
 
 
 def token_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -135,6 +135,56 @@ def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WIN_SLICE = "list_slice(hs, j, j + 4)"
+_WIN_FP = (
+    f"((j + len({_WIN_SLICE}) - list_position(list_reverse({_WIN_SLICE}), "
+    f"list_min({_WIN_SLICE})))::BIGINT << 31) + list_min({_WIN_SLICE})"
+)
+
+
+@query(
+    "winnow_fingerprints_docs",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id,
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(
+               list_transform(
+                 range(1, greatest(length(norm) - 6, 1) + 1),
+                 i -> substr(norm, i::INTEGER, 7)),
+               gr -> list_reduce(
+                 list_prepend(0::BIGINT,
+                   list_transform(string_split(gr, ''), c -> ascii(c)::BIGINT)),
+                 (a, x) -> (a * 257 + x) % 2147483647)
+             ) AS hs
+      FROM g
+    ),
+    sel AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(hs) - 4, 1) + 1),
+               j -> {_WIN_FP})) AS fps
+      FROM h
+    )
+    SELECT doc_id AS id, fp >> 31 AS pos, fp & 2147483647 AS fp_hash
+    FROM sel, unnest(fps) AS u(fp)
+    """,
+)
+def winnow_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (MOSS): 7-gram polynomial
+    rolling hashes, rightmost-min over windows of 5, distinct
+    (pos, hash) — replicated in DuckDB down to the hash arithmetic.
+    A pure narrow map (no shuffle): the 100 TB fingerprint pass."""
+    from modeltracking_spark.operators.textops import winnow_fingerprints
+
+    d = T(spark, sf_dir, "documents")
+    return winnow_fingerprints(d, "text", "doc_id", k=7, window=5)
+
+
 @query(
     "token_frequencies_docs",
     oracle=f"""
