@@ -191,6 +191,131 @@ def cosine_topk_lsh(
     )
 
 
+def _nearest_centroids(vec_col: str, centroids: list[list[float]], n: int) -> F.Column:
+    """Array of the ``n`` nearest centroid ids (by cosine, tie-break to
+    the smaller id) for a vector column. Centroids are embedded as plan-
+    time literal arrays — scoring is one zip_with fold per centroid,
+    fully codegen'd, no join."""
+    scored = []
+    for cid, cent in enumerate(centroids):
+        import math
+
+        cnorm = math.sqrt(sum(v * v for v in cent)) or 1.0
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col), F.lit(cent), lambda x, c: x.cast("double") * c
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        cos = dot / (l2_norm(vec_col) * F.lit(cnorm))
+        scored.append(
+            F.struct(cos.alias("cos"), F.lit(-cid).alias("negid"))
+        )
+    ranked = F.reverse(F.array_sort(F.array(*scored)))
+    return F.transform(F.slice(ranked, 1, n), lambda s: -s["negid"])
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "c_vec",
+    id_col: str = "c_id",
+    n_centroids: int = 16,
+    iters: int = 3,
+) -> list[list[float]]:
+    """Deterministic Lloyd k-means for the IVF coarse quantizer.
+
+    Seeds = the ``n_centroids`` corpus vectors with the smallest ids;
+    each iteration assigns by max cosine against plan-time literal
+    centroids (no join) and recomputes element-wise means with e9
+    fixed-point sums (order-independent → bit-deterministic). The only
+    driver materialization is the (n_centroids × dim) centroid table per
+    iteration — the standard iterative-ML driver loop (MLlib does the
+    same); the corpus itself never leaves the cluster.
+    """
+    seeds = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+        .select(F.transform(vec_col, lambda x: x.cast("double")).alias("v"))
+        .collect()
+    )
+    cents = [list(r["v"]) for r in seeds]
+    for _ in range(iters):
+        assigned = corpus.withColumn(
+            "__cid", _nearest_centroids(vec_col, cents, 1)[0]
+        )
+        per_dim = (
+            assigned.select("__cid", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("__cid", "pos")
+            .agg(
+                F.sum(
+                    F.round(F.col("val").cast("double") * 1e9).cast("long")
+                ).alias("s_e9"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in per_dim:
+            by_cid.setdefault(r["__cid"], {})[r["pos"]] = (
+                float(r["s_e9"]) / r["n"] / 1e9
+            )
+        cents = [
+            [m[p] for p in sorted(m)] if (m := by_cid.get(cid)) else cents[cid]
+            for cid in range(len(cents))
+        ]
+    return cents
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 3,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    q_vec: str = "q_vec",
+    c_vec: str = "c_vec",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer → corpus bucketed
+    by nearest centroid → each query probes its ``nprobe`` nearest
+    centroid buckets → exact cosine re-rank within the probed buckets.
+
+    The 100 TB alternative to :func:`cosine_topk_lsh` when the corpus is
+    *clustered* (LSH is data-oblivious; IVF adapts its partitions to the
+    data): candidate work drops to ~nprobe/n_centroids of the corpus per
+    query. The corpus assignment is a narrow map (literal centroids, no
+    join) computed once; at production scale it would be written
+    partitioned by ``cid`` so probes prune partitions at scan time.
+    """
+    cents = kmeans_centroids(
+        corpus,
+        vec_col=c_vec,
+        id_col=c_id,
+        n_centroids=n_centroids,
+        iters=iters,
+    )
+    cassign = corpus.withColumn("cid", _nearest_centroids(c_vec, cents, 1)[0])
+    qprobe = queries.withColumn(
+        "cid", F.explode(_nearest_centroids(q_vec, cents, nprobe))
+    )
+    x = cassign.join(F.broadcast(qprobe), "cid")
+    if exclude_self:
+        x = x.where(F.col(q_id) != F.col(c_id))
+    cand = x.withColumn("cosine", cosine_similarity(q_vec, c_vec))
+    w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id).asc())
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(q_id, c_id, "cosine", "rnk")
+    )
+
+
 def centroid_per_label(
     embeddings: DataFrame,
     label_col: str = "label",

@@ -90,6 +90,28 @@ def cosine_topk_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_lsh(q, c, k=5, n_planes=8, dim=64, exclude_self=True)
 
 
+@query("cosine_topk_ivf_probe")  # iterative k-means -> not SQL-expressible
+def cosine_topk_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN tier: deterministic Lloyd k-means coarse quantizer (16
+    centroids, 3 iters), corpus bucketed by nearest centroid, queries
+    probe their 4 nearest buckets, exact re-rank inside. Rows-only: the
+    driver-loop k-means is genuinely iterative (recall vs brute asserted
+    in tests/test_similarity.py). The data-adaptive complement to the
+    data-oblivious hyperplane LSH path."""
+    from modeltracking_spark.operators.similarity import cosine_topk_ivf
+
+    e = T(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    c = e.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    return cosine_topk_ivf(
+        q, c, k=5, n_centroids=16, nprobe=4, exclude_self=True
+    )
+
+
 @query(
     "embedding_neardup_pairs",
     oracle=f"""

@@ -13,6 +13,7 @@ from modeltracking_spark.functions.vector import (
 from modeltracking_spark.operators.similarity import (
     centroid_per_label,
     cosine_topk_brute,
+    cosine_topk_ivf,
     cosine_topk_lsh,
 )
 from tests.conftest import SF001
@@ -70,6 +71,25 @@ def test_lsh_subset_of_corpus_and_exact_cosines(spark):
              cosine_topk_brute(q, c, k=500, exclude_self=True).collect()}
     for pair, cos in lsh.items():
         assert abs(brute[pair] - cos) < 1e-9  # re-rank is exact cosine
+
+
+def test_ivf_recall_and_exact_rerank(spark):
+    q, c = _qc(spark)
+    bset = {(r["q_id"], r["c_id"]) for r in
+            cosine_topk_brute(q, c, k=5, exclude_self=True).collect()}
+    # wide probe: recall >= 0.9; narrow probe (the queries() config) >= 0.75
+    for nprobe, bound in [(8, 0.9), (4, 0.75)]:
+        rows = cosine_topk_ivf(
+            q, c, k=5, n_centroids=16, nprobe=nprobe, exclude_self=True
+        ).collect()
+        iset = {(r["q_id"], r["c_id"]) for r in rows}
+        assert len(bset & iset) / len(bset) >= bound, f"nprobe={nprobe}"
+        per_q = {}
+        for r in rows:
+            per_q.setdefault(r["q_id"], []).append(r["rnk"])
+        for ranks in per_q.values():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+            assert len(ranks) <= 5
 
 
 def test_centroid_per_label(spark):
