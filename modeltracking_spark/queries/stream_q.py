@@ -12,7 +12,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from modeltracking_spark.queries.common import T, query
-from modeltracking_spark.streaming.windows import sliding_counts, tumbling_counts
+from modeltracking_spark.streaming.windows import (
+    read_events_stream,
+    run_stream_once,
+    sliding_counts,
+    stateful_user_totals,
+    tumbling_counts,
+)
 
 
 @query(
@@ -64,4 +70,31 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_events",
         "sum_cents",
+    )
+
+
+@query(
+    "stateful_user_totals_stream",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents,
+           min(floor(epoch(ts))::BIGINT) AS first_ts_s,
+           max(floor(epoch(ts))::BIGINT) AS last_ts_s
+    FROM events
+    GROUP BY 1
+    """,
+)
+def stateful_user_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) driven as a REAL
+    stream to completion: per-user running totals carried in group state.
+    The single-file source yields one micro-batch, so the emitted state
+    equals the batch aggregate — which is exactly what the oracle
+    computes. This is the §2.11 'custom stateful operator' tier, and the
+    one queries() entry that executes Structured Streaming itself rather
+    than a batch twin."""
+    stream = stateful_user_totals(read_events_stream(spark, sf_dir))
+    return run_stream_once(
+        stream, f"q_stateful_totals_{abs(hash(sf_dir)) % 10_000}",
+        output_mode="update",
     )

@@ -85,6 +85,62 @@ def dedup_within_watermark(events: DataFrame, keys: list[str] | None = None,
     )
 
 
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``
+    (§2.11 UDF surface): per-user running totals — event count, value
+    cents, first/last event time (epoch seconds) — carried in explicit
+    group state across micro-batches and re-emitted on every update.
+
+    The update function is a self-contained closure (cloudpickled by
+    value — no package import on workers); state is a flat tuple of
+    longs, the cheapest Arrow state codec shape. On a single-file source
+    (one micro-batch) the emitted totals equal the batch groupBy — the
+    oracle in ``queries/stream_q.py`` checks exactly that.
+
+    Scale: state is one 4-long tuple per user key, partitioned by the
+    groupBy hash — bounded by distinct users, not event volume; use a
+    TTL timeout for unbounded key spaces.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n = s = 0
+        f = l = None
+        if state.exists:
+            n, s, f, l = state.get
+        for pdf in pdfs:
+            n += len(pdf)
+            s += int(pdf["cents"].sum())
+            secs = pdf["ts"].astype("int64") // 1_000_000_000
+            mn, mx = int(secs.min()), int(secs.max())
+            f = mn if f is None or mn < f else f
+            l = mx if l is None or mx > l else l
+        state.update((n, s, f, l))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_cents": [s],
+                "first_ts_s": [f],
+                "last_ts_s": [l],
+            }
+        )
+
+    prepped = events.select(
+        "user_id", "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        update,
+        "user_id bigint, n_events bigint, sum_cents bigint, "
+        "first_ts_s bigint, last_ts_s bigint",
+        "n bigint, s bigint, f bigint, l bigint",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_once(stream_df: DataFrame, query_name: str,
                     output_mode: str = "complete") -> DataFrame:
     """Drive a streaming aggregation to completion into a memory sink and

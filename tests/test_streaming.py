@@ -8,6 +8,7 @@ from modeltracking_spark.streaming.windows import (
     read_events_stream,
     run_stream_once,
     sliding_counts,
+    stateful_user_totals,
     tumbling_counts,
 )
 from tests.conftest import SF0001
@@ -36,4 +37,28 @@ def test_stream_sliding_equals_batch(spark):
     stream = sliding_counts(read_events_stream(spark, SF0001))
     got = _norm(run_stream_once(stream, "t_sliding"))
     exp = _norm(sliding_counts(load_table(spark, SF0001, "events")))
+    assert got == exp and len(got) > 0
+
+
+def test_stateful_user_totals_equals_batch(spark):
+    # applyInPandasWithState: one micro-batch -> emitted state == batch agg
+    stream = stateful_user_totals(read_events_stream(spark, SF0001))
+    got = {
+        r["user_id"]: (r["n_events"], r["sum_cents"], r["first_ts_s"], r["last_ts_s"])
+        for r in run_stream_once(
+            stream, "t_stateful", output_mode="update"
+        ).collect()
+    }
+    e = load_table(spark, SF0001, "events")
+    exp = {
+        r["user_id"]: (r["n"], r["s"], r["f"], r["l"])
+        for r in e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("s"),
+            F.min(F.unix_timestamp("ts")).alias("f"),
+            F.max(F.unix_timestamp("ts")).alias("l"),
+        )
+        .collect()
+    }
     assert got == exp and len(got) > 0
