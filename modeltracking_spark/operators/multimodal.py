@@ -94,3 +94,53 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col, payload_col).mapInPandas(
         extract, schema=IMAGE_FEATURES_SCHEMA
     )
+
+
+#: output schema of the (stubbed) video frame sampler
+FRAME_SAMPLE_SCHEMA = (
+    "doc_id bigint, frame_idx bigint, t_offset_ms bigint, frame_md5 string"
+)
+
+
+def sample_frames(df: DataFrame, id_col: str = "doc_id",
+                  payload_col: str = "payload", every_ms: int = 1000,
+                  fake: bool = True) -> DataFrame:
+    """Video frame sampling over binary payloads via ``mapInPandas`` —
+    the 1-row → N-frame-rows expansion a real ffmpeg stage performs,
+    with the decode STUBBED (no av libs in this container).
+
+    ``fake=True`` derives a deterministic duration from the byte length
+    (duration_ms = n_bytes·7 mod 30000) and emits one row per sampled
+    frame at ``every_ms`` intervals, with an md5 frame fingerprint of
+    (payload hex, frame index). ``fake=False`` raises
+    ``NotImplementedError`` where ffmpeg would seek/decode. The Spark
+    plumbing — Arrow batches in, multi-row batches out, no driver
+    collect — is the real production shape.
+    """
+
+    def expand(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real frame decode requires ffmpeg; not in container"
+                )
+            out = {"doc_id": [], "frame_idx": [], "t_offset_ms": [], "frame_md5": []}
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                duration_ms = (len(payload) * 7) % 30000
+                hexed = payload.hex().upper()
+                for i, t in enumerate(range(0, duration_ms + 1, every_ms)):
+                    out["doc_id"].append(int(did))
+                    out["frame_idx"].append(i)
+                    out["t_offset_ms"].append(t)
+                    out["frame_md5"].append(
+                        hashlib.md5(f"{hexed}:{i}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        expand, schema=FRAME_SAMPLE_SCHEMA
+    )

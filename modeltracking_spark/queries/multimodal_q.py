@@ -13,6 +13,7 @@ from modeltracking_spark.operators.multimodal import (
     attach_binary_payload,
     binary_metadata,
     decode_image_features,
+    sample_frames,
 )
 from modeltracking_spark.queries.common import T, query
 
@@ -57,3 +58,27 @@ def image_features_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python-side stage is oracle-checkable."""
     d = attach_binary_payload(T(spark, sf_dir, "documents"))
     return decode_image_features(d, fake=True)
+
+
+@query(
+    "frame_sample_fake_decode",
+    oracle=f"""
+    WITH v AS (
+      SELECT doc_id,
+             upper(hex({_PAYLOAD})) AS hexed,
+             (octet_length({_PAYLOAD}) * 7) % 30000 AS duration_ms
+      FROM documents
+    )
+    SELECT doc_id,
+           i.i AS frame_idx,
+           i.i * 1000 AS t_offset_ms,
+           md5(hexed || ':' || i.i::VARCHAR) AS frame_md5
+    FROM v, unnest(range(0, duration_ms // 1000 + 1)) AS i(i)
+    """,
+)
+def frame_sample_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (1 row -> N frame rows) through mapInPandas —
+    the multi-row Arrow expansion a real ffmpeg stage performs, decode
+    stubbed deterministically so even the Python stage is oracled."""
+    d = attach_binary_payload(T(spark, sf_dir, "documents"))
+    return sample_frames(d, every_ms=1000, fake=True)

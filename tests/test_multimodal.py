@@ -43,3 +43,19 @@ def test_real_decode_is_explicit_stub(spark):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def test_frame_sample_expansion(spark):
+    from modeltracking_spark.operators.multimodal import sample_frames
+
+    d = attach_binary_payload(_docs(spark))
+    rows = sample_frames(d, every_ms=1000).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    n = 4 + len("hello world")
+    dur = (n * 7) % 30000
+    frames = sorted(by_doc[1], key=lambda r: r["frame_idx"])
+    assert len(frames) == dur // 1000 + 1
+    assert [f["t_offset_ms"] for f in frames] == list(range(0, dur + 1, 1000))
+    assert all(len(f["frame_md5"]) == 32 for f in frames)
