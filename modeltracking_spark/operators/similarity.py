@@ -18,7 +18,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from modeltracking_spark.functions.vector import cosine_similarity, l2_norm
+from modeltracking_spark.functions.vector import dot_product, l2_norm
+
+
+def _pairwise_cosine(q_vec: str, c_vec: str) -> F.Column:
+    """Cosine from pre-folded side norms ``__qn``/``__cn`` (zero-vector
+    guarded like functions.vector.cosine_similarity). Norms are per-row
+    quantities — folding them before a join avoids re-folding each
+    vector once per *pair*."""
+    denom = F.col("__qn") * F.col("__cn")
+    return F.when(denom == 0, F.lit(0.0)).otherwise(
+        dot_product(q_vec, c_vec) / denom
+    )
 
 
 def cosine_topk_brute(
@@ -44,10 +55,15 @@ def cosine_topk_brute(
     sides share one id space (otherwise coincident ids from different
     spaces would wrongly be dropped).
     """
-    x = corpus.crossJoin(F.broadcast(queries))
+    # norms are per-row, not per-pair: fold once on each side before the
+    # join (a per-pair cosine_similarity would re-fold the corpus norm
+    # |queries| times)
+    x = corpus.withColumn("__cn", l2_norm(c_vec)).crossJoin(
+        F.broadcast(queries.withColumn("__qn", l2_norm(q_vec)))
+    )
     if exclude_self:
         x = x.where(F.col(q_id) != F.col(c_id))
-    x = x.withColumn("cosine", cosine_similarity(q_vec, c_vec))
+    x = x.withColumn("cosine", _pairwise_cosine(q_vec, c_vec))
     w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id).asc())
     return (
         x.withColumn("rnk", F.row_number().over(w))
@@ -143,7 +159,8 @@ def cosine_topk_lsh(
         ]
     )
     csig = (
-        corpus.withColumn("__s", F.explode(csigs))
+        corpus.withColumn("__cn", l2_norm(c_vec))  # fold before the T× explode
+        .withColumn("__s", F.explode(csigs))
         .withColumn("tbl", F.col("__s.tbl"))
         .withColumn("sig", F.col("__s.sig"))
         .drop("__s")
@@ -177,12 +194,14 @@ def cosine_topk_lsh(
         )
         .drop("__b")
     )
-    x = csig.join(F.broadcast(qsig), ["tbl", "sig"])
+    x = csig.join(
+        F.broadcast(qsig.withColumn("__qn", l2_norm(q_vec))), ["tbl", "sig"]
+    )
     if exclude_self:
         x = x.where(F.col(q_id) != F.col(c_id))
     # a pair can match through several (table, probe) routes -> dedup
     cand = x.dropDuplicates([q_id, c_id])
-    cand = cand.withColumn("cosine", cosine_similarity(q_vec, c_vec))
+    cand = cand.withColumn("cosine", _pairwise_cosine(q_vec, c_vec))
     w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id).asc())
     return (
         cand.withColumn("rnk", F.row_number().over(w))
@@ -304,10 +323,12 @@ def cosine_topk_ivf(
     qprobe = queries.withColumn(
         "cid", F.explode(_nearest_centroids(q_vec, cents, nprobe))
     )
-    x = cassign.join(F.broadcast(qprobe), "cid")
+    x = cassign.withColumn("__cn", l2_norm(c_vec)).join(
+        F.broadcast(qprobe.withColumn("__qn", l2_norm(q_vec))), "cid"
+    )
     if exclude_self:
         x = x.where(F.col(q_id) != F.col(c_id))
-    cand = x.withColumn("cosine", cosine_similarity(q_vec, c_vec))
+    cand = x.withColumn("cosine", _pairwise_cosine(q_vec, c_vec))
     w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id).asc())
     return (
         cand.withColumn("rnk", F.row_number().over(w))

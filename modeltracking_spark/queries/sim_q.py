@@ -48,11 +48,17 @@ def cosine_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms are e12 fixed-point integer folds (``functions/vector.py``), so
     cosine is a deterministic double both engines reproduce bit-for-bit."""
     e = T(spark, sf_dir, "embeddings")
+    # norms folded per side BEFORE the join (identical doubles, ~|pairs|×
+    # fewer folds than a per-pair norm)
     q = e.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.sqrt(sq_norm_fxp("embedding").cast("double")).alias("__qn"),
     )
     c = e.select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_vec"),
+        F.sqrt(sq_norm_fxp("embedding").cast("double")).alias("__cn"),
     )
     x = (
         c.crossJoin(F.broadcast(q))
@@ -60,10 +66,7 @@ def cosine_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "cosine",
             dot_product_fxp("q_vec", "c_vec").cast("double")
-            / (
-                F.sqrt(sq_norm_fxp("q_vec").cast("double"))
-                * F.sqrt(sq_norm_fxp("c_vec").cast("double"))
-            ),
+            / (F.col("__qn") * F.col("__cn")),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
@@ -132,17 +135,22 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     judged against); at 100 TB the identical threshold predicate runs
     over LSH-bucketed candidates instead of the full self-join."""
     e = T(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        F.sqrt(sq_norm_fxp("embedding").cast("double")).alias("__na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        F.sqrt(sq_norm_fxp("embedding").cast("double")).alias("__nb"),
+    )
     x = a.join(
         b, (F.col("id_a") < F.col("id_b")) & (F.col("id_a") < 100)
     ).withColumn(
         "cosine",
         dot_product_fxp("va", "vb").cast("double")
-        / (
-            F.sqrt(sq_norm_fxp("va").cast("double"))
-            * F.sqrt(sq_norm_fxp("vb").cast("double"))
-        ),
+        / (F.col("__na") * F.col("__nb")),
     )
     return x.where(F.col("cosine") >= 0.3).select("id_a", "id_b", "cosine")
 
