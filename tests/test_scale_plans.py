@@ -47,6 +47,31 @@ def test_dim_join_broadcasts(spark):
     assert has_broadcast_join(j)
 
 
+def test_winnow_is_shuffle_free(spark):
+    # fingerprinting is a narrow map: no Exchange anywhere in the plan
+    from modeltracking_spark.operators.textops import winnow_fingerprints
+
+    d = spark.read.parquet(f"{SF001}/documents.parquet")
+    plan = executed_plan(winnow_fingerprints(d))
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the final explode only
+
+
+def test_minhash_expansion_partitions_clusters(spark):
+    # the set-collapse pipeline must keep the quadratic member expansion
+    # behind a repartition (no single-task mega-explode) and never fall
+    # back to a cartesian product
+    from modeltracking_spark.operators.dedup import (
+        minhash_dedup_pairs,
+    )
+
+    d = spark.read.parquet(f"{SF001}/documents.parquet")
+    q = minhash_dedup_pairs(d, "doc_id", "text")
+    assert_no_cartesian(q)
+    plan = executed_plan(q)
+    assert "hashpartitioning(x#" in plan or "hashpartitioning(x" in plan
+
+
 def test_window_stays_partitioned(spark):
     # per-key windows must not collapse to a single global partition
     from pyspark.sql import Window
