@@ -29,6 +29,10 @@ HEADLINE = [
     "cosine_topk_brute",
     "text_metrics_docs",
     "tumbling_window_counts",
+    # round-3 additions: rolling-hash fingerprints, IVF ANN, stateful stream
+    "winnow_fingerprints_docs",
+    "cosine_topk_ivf_probe",
+    "stateful_user_totals_stream",
 ]
 
 

@@ -96,7 +96,8 @@ def cosine_topk_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("cosine_topk_ivf_probe")  # iterative k-means -> not SQL-expressible
 def cosine_topk_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN tier: deterministic Lloyd k-means coarse quantizer (16
-    centroids, 3 iters), corpus bucketed by nearest centroid, queries
+    centroids, 2 iters — recall measured flat across 1-3 iters on this
+    data), corpus bucketed by nearest centroid, queries
     probe their 4 nearest buckets, exact re-rank inside. Rows-only: the
     driver-loop k-means is genuinely iterative (recall vs brute asserted
     in tests/test_similarity.py). The data-adaptive complement to the
@@ -111,7 +112,7 @@ def cosine_topk_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
     )
     return cosine_topk_ivf(
-        q, c, k=5, n_centroids=16, nprobe=4, exclude_self=True
+        q, c, k=5, n_centroids=16, nprobe=4, iters=2, exclude_self=True
     )
 
 
