@@ -269,3 +269,55 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     no UDF); near-dups are small-Hamming pairs via bit_count(a ^ b)."""
     d = T(spark, sf_dir, "documents")
     return simhash64(token_ids(d, "doc_id", "text"))
+
+
+@query(
+    "dedup_clusters_docs",
+    oracle=f"""
+    WITH RECURSIVE {_TOKS_SQL},
+    hot AS (
+      SELECT token FROM toks GROUP BY token HAVING count(DISTINCT id) > 390
+    ),
+    kept AS (SELECT * FROM toks ANTI JOIN hot USING (token)),
+    sizes AS (SELECT id, count(*) AS sz FROM kept GROUP BY 1),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter_n
+      FROM kept a JOIN kept b ON a.token = b.token AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    pair AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+      WHERE inter_n::DOUBLE / (sa.sz + sb.sz - inter_n)::DOUBLE >= 0.6
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pair
+      UNION
+      SELECT id_b, id_a FROM pair
+    ),
+    reach(u, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT reach.u, e.v FROM reach JOIN edges e ON e.u = reach.r
+    )
+    SELECT u AS id, min(r) AS cluster_id,
+           (u = min(r)) AS is_survivor
+    FROM reach GROUP BY u
+    """,
+)
+def dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the capped exact-Jaccard pair graph:
+    transitive near-dup evidence -> disjoint clusters (cluster_id = min
+    reachable doc_id) -> survivor flag. Spark side is iterative
+    min-label propagation with pointer jumping (O(log diameter) rounds,
+    (node,label) state only — `operators/dedup.py:dedup_clusters`);
+    the oracle computes the same components via a recursive-CTE
+    transitive closure, tractable at sf0.01."""
+    from modeltracking_spark.operators.dedup import dedup_clusters
+
+    d = T(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(d, "doc_id", "text", threshold=0.6, max_doc_freq=390)
+    cc = dedup_clusters(pairs)
+    return cc.withColumn("is_survivor", F.col("id") == F.col("cluster_id"))

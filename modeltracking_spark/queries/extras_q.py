@@ -239,3 +239,67 @@ def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_cents",
     )
+
+
+@query(
+    "hash_split_docs",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(doc_id::VARCHAR || 'r3'), 1, 8))::BIGINT
+               % 10000 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, bucket,
+           CASE WHEN bucket < 9800 THEN 'train'
+                WHEN bucket < 9900 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def hash_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test split (98/1/1) by md5 hash bucket
+    of the doc key — reproducible across runs, engines, and partition
+    layouts (no RNG, no coordination; a pure narrow projection at any
+    scale). md5 is bit-identical in Spark and DuckDB, so the per-row
+    assignment is fully oracle-checked."""
+    from modeltracking_spark.operators.sampling import hash_split
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "lang")
+    return hash_split(d, "doc_id", salt="r3")
+
+
+@query(
+    "stratified_hash_sample_docs",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lang, source, n_chars,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+               % 10000 AS bucket
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_kept,
+           sum(n_chars)::BIGINT AS chars_kept
+    FROM b
+    WHERE bucket < CASE lang WHEN 'en' THEN 2500
+                             WHEN 'de' THEN 5000
+                             ELSE 10000 END
+    GROUP BY lang
+    """,
+)
+def stratified_hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum downsampling (``sampleBy`` without RNG):
+    rebalance a training mix by language — keep 25% of 'en', 50% of
+    'de', all of everything else, by hash-bucket threshold. Summarized
+    per stratum so the oracle checks both membership and the kept
+    volume."""
+    from modeltracking_spark.operators.sampling import stratified_hash_sample
+
+    d = T(spark, sf_dir, "documents")
+    kept = stratified_hash_sample(
+        d, "doc_id", "lang", {"en": 0.25, "de": 0.5}, default_fraction=1.0
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("bigint").alias("chars_kept"),
+    )

@@ -23,3 +23,8 @@ def spark():
     )
     yield s
     s.stop()
+
+
+@pytest.fixture(scope="session")
+def docs_sf001(spark):
+    return spark.read.parquet(f"{SF0001}/documents.parquet").cache()

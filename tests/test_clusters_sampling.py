@@ -1,0 +1,119 @@
+"""Connected-components dedup clustering + deterministic hash sampling."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from modeltracking_spark.operators.dedup import dedup_clusters
+from modeltracking_spark.operators.sampling import (
+    N_BUCKETS,
+    hash_bucket,
+    hash_split,
+    stratified_hash_sample,
+)
+
+
+def _union_find_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Reference CC: min node id per component via union-find."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_clusters_simple_chain(spark):
+    # 1-2, 2-3, 5-6 : two components, transitive chain in the first
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"]
+    )
+    got = {
+        (r["id"], r["cluster_id"]) for r in dedup_clusters(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (5, 5), (6, 5)}
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),
+            st.integers(min_value=0, max_value=40),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_clusters_match_union_find(spark, edges):
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {(r["id"], r["cluster_id"]) for r in dedup_clusters(pairs).collect()}
+    want = set(_union_find_components(edges).items())
+    assert got == want
+
+
+def test_clusters_long_path_converges(spark):
+    # a 33-node path is the worst diameter for its size; pointer jumping
+    # must still converge inside max_rounds (log2(33) ≈ 5 rounds)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(32)], ["id_a", "id_b"]
+    )
+    rows = dedup_clusters(pairs).collect()
+    assert {r["cluster_id"] for r in rows} == {0}
+    assert len(rows) == 33
+
+
+def test_hash_split_partitions_completely(spark, docs_sf001):
+    out = hash_split(docs_sf001.select("doc_id"), "doc_id").cache()
+    n = docs_sf001.count()
+    assert out.count() == n  # no row lost or duplicated
+    by_split = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(by_split) <= {"train", "valid", "test"}
+    assert sum(by_split.values()) == n
+    # 98/1/1 within loose tolerance on 300 rows
+    assert by_split["train"] / n > 0.9
+
+
+def test_hash_split_stable_under_repartition(spark, docs_sf001):
+    a = hash_split(docs_sf001.select("doc_id"), "doc_id")
+    b = hash_split(docs_sf001.select("doc_id").repartition(13), "doc_id")
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_hash_bucket_range_and_salt(spark, docs_sf001):
+    d = docs_sf001.select("doc_id")
+    buckets = d.select(hash_bucket("doc_id").alias("b"))
+    lo, hi = buckets.agg(F.min("b"), F.max("b")).first()
+    assert 0 <= lo and hi < N_BUCKETS
+    # a different salt must produce a different assignment
+    salted = d.select(
+        hash_bucket("doc_id").alias("b0"),
+        hash_bucket("doc_id", salt="x").alias("b1"),
+    )
+    assert salted.where(F.col("b0") != F.col("b1")).count() > 0
+
+
+def test_stratified_sample_respects_thresholds(spark, docs_sf001):
+    kept = stratified_hash_sample(
+        docs_sf001, "doc_id", "lang", {"en": 0.0}, default_fraction=1.0
+    )
+    # en fully dropped, everything else fully kept
+    assert kept.where(F.col("lang") == "en").count() == 0
+    non_en = docs_sf001.where(F.col("lang") != "en").count()
+    assert kept.count() == non_en
