@@ -303,3 +303,60 @@ def stratified_hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("n_chars").cast("bigint").alias("chars_kept"),
     )
+
+
+@query(
+    "pack_sequences_chunk",
+    oracle="""
+    WITH t AS (
+      SELECT source, doc_id,
+             length(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, n_tok,
+             sum(n_tok) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tok AS start_off
+      FROM t
+    )
+    SELECT source, doc_id, n_tok, start_off,
+           (start_off // 512) AS pack_id,
+           (start_off % 512) AS pack_off
+    FROM c
+    """,
+)
+def pack_sequences_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: per source bucket,
+    docs are concatenated in doc_id order and cut every 512 tokens; a
+    doc's pack is decided by its start offset (exclusive prefix sum —
+    one window, one shuffle on the bucket key)."""
+    from modeltracking_spark.operators.packing import pack_chunk
+
+    d = T(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(F.expr("filter(split(text, ' '), x -> x != '')")).cast(
+            "long"
+        ).alias("n_tok"),
+    )
+    return pack_chunk(d, "doc_id", "n_tok", "source", 512)
+
+
+@query("pack_sequences_greedy")  # stateful per-bucket fold: not SQL-expressible
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit sequence packing (docs never straddle packs): stateful
+    scan per source bucket via applyInPandas. Rows-only check; the fold
+    is verified against a pure-Python reference in
+    tests/test_packing.py."""
+    from modeltracking_spark.operators.packing import pack_greedy
+
+    d = T(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(F.expr("filter(split(text, ' '), x -> x != '')")).cast(
+            "long"
+        ).alias("n_tok"),
+    )
+    return pack_greedy(d, "doc_id", "n_tok", "source", 512)

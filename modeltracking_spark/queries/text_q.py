@@ -198,3 +198,200 @@ def token_frequencies_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     count (map-side combinable)."""
     d = T(spark, sf_dir, "documents")
     return token_frequencies(d, "text")
+
+
+@query(
+    "length_quantiles_by_lang",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           round(quantile_cont(n_chars, 0.25), 6) AS p25,
+           round(quantile_cont(n_chars, 0.50), 6) AS p50,
+           round(quantile_cont(n_chars, 0.75), 6) AS p75,
+           round(quantile_cont(n_chars, 0.95), 6) AS p95
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def length_quantiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation quantiles of doc length per language —
+    the length-distribution profile a corpus-curation pass starts from.
+    Spark's `percentile` and DuckDB's `quantile_cont` share the
+    continuous-quantile definition, so values hash-match after the
+    rounding discipline. (At 100 TB swap in `approx_percentile`, which
+    trades the exact sort for a t-digest-style mergeable sketch — kept
+    exact here so the oracle stays bit-checkable.)"""
+    d = T(spark, sf_dir, "documents")
+    agg = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.round(
+                F.expr(f"percentile(n_chars, {q})"), 6
+            ).alias(f"p{int(q * 100)}")
+            for q in (0.25, 0.50, 0.75, 0.95)
+        ],
+    )
+    return agg
+
+
+@query(
+    "bpe_token_counts",
+    oracle="""
+    SELECT doc_id,
+           length(regexp_extract_all(lower(text),
+                  '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+           length(list_filter(string_split(text, ' '), x -> x <> ''))
+             AS n_ws_tokens
+    FROM documents
+    """,
+)
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split vs a BPE-ish regex
+    (letter runs | digit runs | single other-symbols — the GPT-2
+    pre-tokenizer's shape without its lookaheads, which RE2/Java both
+    lack). Pure JVM regexp; the count feeds packing budgets and
+    per-token pricing estimates."""
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(
+            F.expr(r"regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
+        ).alias("n_bpe_tokens"),
+        F.size(F.expr(f"filter(split(text, ' '), x -> x != '')")).alias(
+            "n_ws_tokens"
+        ),
+    )
+
+
+@query(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, g.i,
+             ('0x' || substr(md5(
+               t[g.i] || ' ' || t[g.i+1] || ' ' || t[g.i+2] || ' ' ||
+               t[g.i+3] || ' ' || t[g.i+4]), 1, 15))::BIGINT AS gram_h
+      FROM toks, unnest(range(1, len(t) - 3)) AS g(i)
+      WHERE len(t) >= 5
+    ),
+    bench AS (
+      SELECT DISTINCT gram_h FROM grams WHERE doc_id % 100 = 0
+    )
+    SELECT g.doc_id,
+           count(DISTINCT g.gram_h) AS n_grams,
+           count(DISTINCT CASE WHEN b.gram_h IS NOT NULL
+                               THEN g.gram_h END) AS n_contaminated
+    FROM grams g LEFT JOIN bench b USING (gram_h)
+    WHERE g.doc_id % 100 <> 0
+    GROUP BY g.doc_id
+    """,
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: hash every 5-gram of the training
+    split, broadcast-join against the benchmark set's distinct 5-gram
+    hashes (here: every 100th doc stands in for the eval set), report
+    per-doc contaminated-gram counts. The shape that scales: the
+    benchmark side is tiny (broadcast), the corpus side is a narrow
+    shingle explode — one join, no self-join."""
+    d = T(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.expr(f"filter(split(text, ' '), x -> x != '')").alias("t")
+    ).where(F.size("t") >= 5)
+    grams = t.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 5),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("t"), i + 1),
+                    F.element_at(F.col("t"), i + 2),
+                    F.element_at(F.col("t"), i + 3),
+                    F.element_at(F.col("t"), i + 4),
+                    F.element_at(F.col("t"), i + 5),
+                ),
+            )
+        ).alias("gram"),
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("gram_h"),
+    )
+    bench = (
+        grams.where(F.col("doc_id") % 100 == 0).select("gram_h").distinct()
+    )
+    train = grams.where(F.col("doc_id") % 100 != 0)
+    joined = train.join(
+        F.broadcast(bench.withColumn("__hit", F.lit(1))), "gram_h", "left"
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count_distinct("gram_h").alias("n_grams"),
+        F.count_distinct(
+            F.when(F.col("__hit").isNotNull(), F.col("gram_h"))
+        ).alias("n_contaminated"),
+    )
+
+
+@query(
+    "repetition_scores_docs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    g3 AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3 THEN
+               [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                FOR i IN range(1, len(t) - 1)]
+             ELSE [] END AS grams,
+             len(t) AS n_tok
+      FROM toks
+    )
+    SELECT doc_id, n_tok,
+           len(grams) AS n_3grams,
+           CASE WHEN len(grams) > 0
+                THEN round(1.0 - len(list_distinct(grams))::DOUBLE
+                           / len(grams)::DOUBLE, 6)
+                ELSE 0.0 END AS dup_3gram_ratio
+    FROM g3
+    """,
+)
+def repetition_scores_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signal (Gopher/RefinedWeb-style): fraction of
+    duplicated 3-grams per doc — high values flag boilerplate/spam for
+    the filtering pass. Narrow per-row array arithmetic, no shuffle."""
+    d = T(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.expr(f"filter(split(text, ' '), x -> x != '')").alias("t")
+    )
+    grams = F.when(
+        F.size("t") >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size("t") - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("t"), i + 1),
+                F.element_at(F.col("t"), i + 2),
+                F.element_at(F.col("t"), i + 3),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    out = t.withColumn("grams", grams).select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tok"),
+        F.size("grams").cast("long").alias("n_3grams"),
+        F.when(
+            F.size("grams") > 0,
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct("grams")).cast("double")
+                / F.size("grams").cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_3gram_ratio"),
+    )
+    return out

@@ -84,3 +84,25 @@ def test_window_stays_partitioned(spark):
     plan = executed_plan(q)
     assert "user_id" in plan
     assert "SinglePartition" not in plan
+
+
+def test_pack_chunk_single_shuffle_on_bucket(spark):
+    # packing shuffles exactly once, on the bucket key — never a global
+    # single-partition window (the serialize-at-100TB trap)
+    from modeltracking_spark.operators.packing import pack_chunk
+
+    d = spark.read.parquet(f"{SF001}/documents.parquet").select(
+        "source", "doc_id", F.col("n_chars").cast("long").alias("n_tok")
+    )
+    q = pack_chunk(d, "doc_id", "n_tok", "source", 512)
+    plan = executed_plan(q)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in plan
+
+
+def test_hash_split_is_shuffle_free(spark):
+    from modeltracking_spark.operators.sampling import hash_split
+
+    d = spark.read.parquet(f"{SF001}/documents.parquet").select("doc_id")
+    plan = executed_plan(hash_split(d, "doc_id"))
+    assert "Exchange" not in plan

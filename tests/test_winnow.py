@@ -65,3 +65,20 @@ def test_shared_substring_guarantee(spark):
     hashes_a = {h for _, h in got[0]}
     hashes_b = {h for _, h in got[1]}
     assert hashes_a & hashes_b
+
+
+def test_pandas_and_sql_impls_bit_identical(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick  brown fox JUMPS over the lazy dog  "),
+            (3, "ab"),  # shorter than k
+            (4, ""),  # empty
+            (5, "exactly7"),  # around the gram boundary
+            (6, "tiny doc with n_grams < window"),
+        ],
+        ["doc_id", "text"],
+    )
+    a = {tuple(r) for r in winnow_fingerprints(df, impl="sql").collect()}
+    b = {tuple(r) for r in winnow_fingerprints(df, impl="pandas").collect()}
+    assert a == b
