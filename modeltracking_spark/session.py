@@ -36,6 +36,7 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         # testdata events.parquet stores TIMESTAMP(NANOS); see schemas.py

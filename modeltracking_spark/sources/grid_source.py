@@ -15,7 +15,17 @@ partitioning, schema, and Arrow-batch emission stay identical.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
 
 from modeltracking_spark.fixtures import (
     GRID_DEPTH_STEP,
@@ -68,20 +78,80 @@ def _partition_arrays(ti: int):
     }
 
 
+#: comparison filters the reader can satisfy by time-step pruning
+_TIME_FILTERS = (
+    EqualTo,
+    In,
+    GreaterThan,
+    GreaterThanOrEqual,
+    LessThan,
+    LessThanOrEqual,
+)
+
+
+def _time_filter_match(f, th: int) -> bool:
+    if isinstance(f, EqualTo):
+        return th == f.value
+    if isinstance(f, In):
+        return th in f.values
+    if isinstance(f, GreaterThan):
+        return th > f.value
+    if isinstance(f, GreaterThanOrEqual):
+        return th >= f.value
+    if isinstance(f, LessThan):
+        return th < f.value
+    return th <= f.value  # LessThanOrEqual
+
+
 class HycomGridReader(DataSourceReader):
     def __init__(self, options):
         self.n_time = int(options.get("n_time", GRID_N_TIME))
+        self._time_filters: list = []
 
     def partitions(self):
         # one partition per time step: the remote-fetch unit AND the
-        # parallelism unit — 1000 executors each pull disjoint slices
-        return [InputPartition(t) for t in range(self.n_time)]
+        # parallelism unit — 1000 executors each pull disjoint slices;
+        # pushed time filters prune steps before any task launches
+        keep = [
+            t
+            for t in range(self.n_time)
+            if all(
+                _time_filter_match(f, t * GRID_TIME_STEP)
+                for f in self._time_filters
+            )
+        ]
+        return [InputPartition(t) for t in keep]
 
     def read(self, partition):
         import pyarrow as pa
 
         cols = _partition_arrays(partition.value)
         yield pa.RecordBatch.from_pydict(cols)
+
+
+class HycomGridPushdownReader(HycomGridReader):
+    """Reader variant with filter pushdown (``.option("pushdown",
+    "true")``; needs ``spark.sql.python.filterPushdown.enabled=true`` —
+    a Spark session config, which is why it is opt-in: a reader that
+    *declares* ``pushFilters`` fails outright in sessions without the
+    flag, and the correctness-tier query must run under the driver's
+    default session)."""
+
+    def pushFilters(self, filters):
+        """Partition pruning: comparison predicates on ``time_hours`` are
+        absorbed (every row of a partition shares one time step, so
+        pruning the step list satisfies them exactly); everything else is
+        handed back for Spark to evaluate. This is the Python-DataSource
+        analog of the reference's server-side DAP slicing
+        (``trackplot_hycom.py:110`` ships index ranges to the THREDDS
+        server) — at 100 TB it's the difference between scheduling
+        n_time tasks and scheduling the probed few.
+        """
+        for f in filters:
+            if isinstance(f, _TIME_FILTERS) and f.attribute == ("time_hours",):
+                self._time_filters.append(f)
+            else:
+                yield f
 
 
 class HycomGridDataSource(DataSource):
@@ -96,4 +166,6 @@ class HycomGridDataSource(DataSource):
         return GRID_SCHEMA_DDL
 
     def reader(self, schema):
+        if self.options.get("pushdown", "false").lower() == "true":
+            return HycomGridPushdownReader(self.options)
         return HycomGridReader(self.options)
