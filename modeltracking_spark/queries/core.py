@@ -260,3 +260,34 @@ def try_cast_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(bad, 1).otherwise(0)).alias("n_bad_double"),
         F.sum(F.when(good, 1).otherwise(0)).alias("n_good_k"),
     )
+
+
+@query(
+    "grouping_sets_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority)::BIGINT AS gid,
+           count(*) AS n_orders,
+           sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS total_cents
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 GROUPING SETS — the general form rollup/cube specialize:
+    per-status totals, per-priority totals, and the grand total in one
+    pass (Catalyst expands to a single Expand + hash aggregate, not
+    three scans)."""
+    T(spark, sf_dir, "orders").createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT)
+                 AS gid,
+               count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS total_cents
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )

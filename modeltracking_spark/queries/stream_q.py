@@ -98,3 +98,36 @@ def stateful_user_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, f"q_stateful_totals_{abs(hash(sf_dir)) % 10_000}",
         output_mode="update",
     )
+
+
+@query(
+    "stream_enrich_join",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey AS user_id,
+             CASE WHEN c_acctbal >= 5000 THEN 'high' ELSE 'base' END
+               AS segment
+      FROM customer
+    )
+    SELECT segment, event_type,
+           count(*) AS n_events,
+           sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents
+    FROM events JOIN dim USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment (batch twin): events joined to a static
+    user-segment dimension (broadcast — stateless per micro-batch) and
+    aggregated per (segment, type). The stream-vs-batch equivalence and
+    the foreachBatch sink route are asserted in tests/test_streaming.py."""
+    from modeltracking_spark.streaming.windows import enrich_with_static
+
+    e = T(spark, sf_dir, "events")
+    dim = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.when(F.col("c_acctbal") >= 5000, "high")
+        .otherwise("base")
+        .alias("segment"),
+    )
+    return enrich_with_static(e, dim)

@@ -158,3 +158,43 @@ def run_stream_once(stream_df: DataFrame, query_name: str,
         raise TimeoutError(f"stream {query_name!r} did not finish in 600s")
     spark = stream_df.sparkSession
     return spark.table(query_name)
+
+
+def enrich_with_static(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join + per-key aggregate.
+
+    The static side is broadcast per micro-batch (stateless — no
+    streaming state at all, unlike stream-stream joins), which is the
+    production shape for joining a firehose against a slowly-changing
+    dimension snapshot. Works identically on a static frame — the batch
+    twin is this same function (oracled in ``stream_enrich_join``).
+    """
+    j = events.join(F.broadcast(dim), "user_id")
+    return j.groupBy("segment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+    )
+
+
+def run_stream_foreach_batch(
+    stream_df: DataFrame, batch_fn, query_name: str
+) -> None:
+    """Drive a stream to completion through ``foreachBatch`` — the
+    arbitrary-sink escape hatch (upserts, multi-table writes, JDBC).
+    ``batch_fn(df, batch_id)`` runs on each micro-batch as a plain batch
+    DataFrame; availableNow drains all input then stops.
+    """
+    import tempfile
+
+    q = (
+        stream_df.writeStream.foreachBatch(batch_fn)
+        .queryName(query_name)
+        .outputMode("update")
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix=f"ckpt-{query_name}-"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)

@@ -62,3 +62,58 @@ def test_stateful_user_totals_equals_batch(spark):
         .collect()
     }
     assert got == exp and len(got) > 0
+
+
+def test_stream_static_enrich_equals_batch(spark):
+    from modeltracking_spark.streaming.windows import enrich_with_static
+
+    dim = load_table(spark, SF0001, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.when(F.col("c_acctbal") >= 5000, "high").otherwise("base").alias(
+            "segment"
+        ),
+    )
+    def norm(df):
+        return {
+            (r["segment"], r["event_type"]): (r["n_events"], r["sum_cents"])
+            for r in df.collect()
+        }
+
+    stream = enrich_with_static(read_events_stream(spark, SF0001), dim)
+    got = norm(run_stream_once(stream, "t_enrich", output_mode="complete"))
+    exp = norm(enrich_with_static(load_table(spark, SF0001, "events"), dim))
+    assert got == exp and len(got) > 0
+
+
+def test_foreach_batch_accumulates_to_batch_result(spark):
+    # the arbitrary-sink route: accumulate per-micro-batch updates into a
+    # dict keyed by group; final state must equal the batch aggregate
+    from modeltracking_spark.streaming.windows import (
+        enrich_with_static,
+        run_stream_foreach_batch,
+    )
+
+    dim = load_table(spark, SF0001, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.when(F.col("c_acctbal") >= 5000, "high").otherwise("base").alias(
+            "segment"
+        ),
+    )
+    state: dict = {}
+
+    def upsert(df, batch_id):
+        for r in df.collect():
+            state[(r["segment"], r["event_type"])] = (
+                r["n_events"],
+                r["sum_cents"],
+            )
+
+    stream = enrich_with_static(read_events_stream(spark, SF0001), dim)
+    run_stream_foreach_batch(stream, upsert, "t_foreach")
+    exp = {
+        (r["segment"], r["event_type"]): (r["n_events"], r["sum_cents"])
+        for r in enrich_with_static(
+            load_table(spark, SF0001, "events"), dim
+        ).collect()
+    }
+    assert state == exp and len(state) > 0
