@@ -395,3 +395,74 @@ def repetition_scores_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dup_3gram_ratio"),
     )
     return out
+
+
+@query(
+    "sentence_split_udtf",
+    oracle="""
+    WITH s AS (SELECT doc_id, string_split(text, '.') AS parts FROM documents)
+    SELECT doc_id, i AS sentence_idx,
+           trim(parts[i]) AS sentence,
+           length(trim(parts[i]))::BIGINT AS n_chars
+    FROM s, unnest(range(1, len(parts) + 1)) AS t(i)
+    WHERE trim(parts[i]) <> ''
+    """,
+)
+def sentence_split_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function, §2.11's UDTF analog): one
+    doc row → N sentence rows via SQL ``LATERAL``. Arrow-batched like a
+    pandas UDF; for this splitter the builtin posexplode(split()) would
+    do — the UDTF surface is demonstrated because real pipelines put
+    model-backed segmenters here, which no builtin expresses."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sentence_idx int, sentence string, n_chars bigint")
+    class SentenceSplit:
+        def eval(self, text: str):
+            # strip(' ') / 1-based index for DuckDB trim()/range parity
+            for i, part in enumerate((text or "").split("."), start=1):
+                s = part.strip(" ")
+                if s:
+                    yield i, s, len(s)
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    T(spark, sf_dir, "documents").createOrReplaceTempView("__docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sentence_idx, s.sentence, s.n_chars
+        FROM __docs_udtf d, LATERAL sentence_split(d.text) s
+        """
+    )
+
+
+@query(
+    "vocab_top_tokens",
+    oracle=f"""
+    WITH freq AS (
+      SELECT t.tok AS token, count(*) AS freq
+      FROM documents, unnest({_TOKS}) AS t(tok)
+      GROUP BY 1
+    )
+    SELECT token, freq,
+           row_number() OVER (ORDER BY freq DESC, token ASC) - 1 AS token_id
+    FROM freq
+    QUALIFY token_id < 32
+    """,
+)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary construction: top-32 tokens by corpus
+    frequency get dense ids (freq desc, token asc — fully deterministic).
+    The single global-order window runs over the already-aggregated
+    frequency table (vocab-sized, not corpus-sized), which is why it is
+    safe at 100 TB."""
+    freq = token_frequencies(T(spark, sf_dir, "documents"), "text").select(
+        "token", "freq"
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
+    return (
+        freq.withColumn("token_id", F.row_number().over(w) - 1)
+        .where(F.col("token_id") < 32)
+        .select("token", "freq", "token_id")
+    )
