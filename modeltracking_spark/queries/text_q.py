@@ -466,3 +466,41 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("token_id") < 32)
         .select("token", "freq", "token_id")
     )
+
+
+@query(
+    "clean_normalize_docs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, toks,
+             list_filter(toks, x -> NOT list_contains({_STOPS}, x)) AS k
+      FROM t
+    )
+    SELECT doc_id,
+           array_to_string(k, ' ') AS clean_text,
+           len(toks)::BIGINT AS n_tok_before,
+           len(k)::BIGINT AS n_tok_after,
+           md5(array_to_string(k, ' ')) AS clean_fingerprint
+    FROM kept
+    """,
+)
+def clean_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaning transform: tokenize, drop stopwords, reassemble with
+    single spaces, fingerprint the cleaned text — the normalize step
+    that runs before dedup/packing in a training pipeline. Narrow map,
+    no shuffle; the md5 of the rebuilt string proves byte-exact
+    cross-engine normalization."""
+    d = T(spark, sf_dir, "documents")
+    toks = tokens("text")
+    stops = F.array(*[F.lit(s) for s in STOPWORDS])
+    kept = F.filter(toks, lambda x: ~F.array_contains(stops, x))
+    return d.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size(toks).cast("long").alias("n_tok_before"),
+        F.size(kept).cast("long").alias("n_tok_after"),
+        F.md5(F.array_join(kept, " ")).alias("clean_fingerprint"),
+    )
