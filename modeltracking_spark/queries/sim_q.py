@@ -189,3 +189,72 @@ def centroid_label_means(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_val"),
         )
     )
+
+
+@query(
+    "cosine_topk_filtered",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+               WHERE vec_id < 10),
+    c AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings
+          WHERE label % 2 = 0),
+    n AS (SELECT vec_id, {_NORM} AS nrm FROM embeddings),
+    x AS (
+      SELECT q_id, c_id,
+             list_sum(list_transform(list_zip(q_vec, c_vec),
+               s -> round(s[1]::DOUBLE * s[2]::DOUBLE * 1e12)::BIGINT)) AS dot
+      FROM q CROSS JOIN c
+      WHERE q_id <> c_id
+    )
+    SELECT q_id, c_id,
+           dot::DOUBLE / (sqrt(nq.nrm::DOUBLE) * sqrt(nc.nrm::DOUBLE)) AS cosine,
+           row_number() OVER (
+             PARTITION BY q_id
+             ORDER BY dot::DOUBLE / (sqrt(nq.nrm::DOUBLE) * sqrt(nc.nrm::DOUBLE)) DESC,
+                      c_id ASC)::BIGINT AS rnk
+    FROM x
+    JOIN n nq ON nq.vec_id = q_id
+    JOIN n nc ON nc.vec_id = c_id
+    QUALIFY rnk <= 5
+    """,
+)
+def cosine_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: top-5 cosine among corpus vectors whose
+    metadata passes a predicate (label % 2 = 0 stands in for
+    quality-approved / license-cleared subsets). The filter lands on the
+    corpus scan BEFORE the join — pre-filtering, not post-filtering, is
+    what keeps filtered ANN cheap at scale (candidate work shrinks by
+    the filter's selectivity; post-filtering would under-fill k)."""
+    from modeltracking_spark.functions.vector import (
+        dot_product_fxp,
+        sq_norm_fxp,
+    )
+
+    e = T(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.sqrt(sq_norm_fxp("embedding").cast("double")).alias("__qn"),
+    )
+    c = e.where(F.col("label") % 2 == 0).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_vec"),
+        F.sqrt(sq_norm_fxp("embedding").cast("double")).alias("__cn"),
+    )
+    x = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("q_id") != F.col("c_id"))
+        .withColumn(
+            "cosine",
+            dot_product_fxp("q_vec", "c_vec").cast("double")
+            / (F.col("__qn") * F.col("__cn")),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("c_id").asc()
+    )
+    return (
+        x.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 5)
+        .select("q_id", "c_id", "cosine", "rnk")
+    )
