@@ -131,3 +131,71 @@ def stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("segment"),
     )
     return enrich_with_static(e, dim)
+
+
+@query(
+    "resample_ffill_events",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             count(*) AS n,
+             sum(round(value * 100)::BIGINT)::BIGINT AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM b),
+    spine AS (
+      SELECT t.event_type, g.h
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (
+        SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        FROM bounds
+      ) g
+    )
+    SELECT s.event_type,
+           strftime(s.h, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           coalesce(b.n, 0) AS n_events,
+           last_value(b.cents IGNORE NULLS)
+             OVER (PARTITION BY s.event_type ORDER BY s.h) AS filled_cents,
+           (b.h IS NULL) AS is_gap
+    FROM spine s LEFT JOIN b USING (event_type, h)
+    """,
+)
+def resample_ffill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling: hourly grid per event_type (spine built
+    from one sequence() explode over the global bounds — a tiny
+    broadcast, never a row-per-gap shuffle) left-joined to the observed
+    hourly aggregate, gaps forward-filled with last-observation-carried-
+    forward (``last(..., ignorenulls)`` over an ordered window). The
+    regular-grid + LOCF shape the reference's 3-hourly HYCOM time axis
+    implies (``trackplot_hycom.py:186-197`` snaps to it) and telemetry
+    pipelines run constantly."""
+    e = T(spark, sf_dir, "events")
+    b = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    bounds = b.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("interval 1 hour"))
+            ).alias("h"),
+        )
+    )
+    j = spine.join(b, ["event_type", "h"], "left")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("h")
+    return j.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.last("cents", ignorenulls=True).over(w).alias("filled_cents"),
+        F.col("n").isNull().alias("is_gap"),
+    )
