@@ -257,7 +257,15 @@ def salted_join(
             f"salted_join does not support how={how!r}: the replicated "
             "small side would duplicate unmatched rows"
         )
-    b = big.withColumn("__salt", (F.xxhash64(F.monotonically_increasing_id()) % n_salts + n_salts) % n_salts)
+    # value-derived salt (hash of the whole row, key included) — the
+    # row->salt assignment is identical across task retries and input
+    # partitionings, unlike monotonically_increasing_id; bit-exact rows
+    # share a salt, which only matters if a hot key is made of *copies*
+    # of one row (then pre-aggregate the copies instead)
+    b = big.withColumn(
+        "__salt",
+        (F.xxhash64(F.struct(*big.columns)) % n_salts + n_salts) % n_salts,
+    )
     s = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )

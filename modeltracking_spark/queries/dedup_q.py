@@ -242,10 +242,9 @@ def minhash_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs_from_token_ids(dt, verify_threshold=0.6)
 
 
-@query(
-    "simhash_docs",
-    oracle=f"""
-    WITH {_IDS_SQL},
+# (id, simhash) fingerprint CTE chain shared by the two simhash queries
+_SIMHASH_FP_SQL = f"""
+    {_IDS_SQL},
     h AS (
       SELECT id,
              ((token_id % {MINHASH_PRIME}) * {0x9E3779B1} + {0x85EBCA77})
@@ -259,16 +258,52 @@ def minhash_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(CASE WHEN (h64 >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
       FROM h CROSS JOIN range(63) b(bit)
       GROUP BY 1, 2
+    ),
+    fp AS (
+      SELECT id,
+             sum(CASE WHEN vote > 0 THEN 1::BIGINT << bit ELSE 0 END)::BIGINT
+               AS simhash
+      FROM votes GROUP BY 1
     )
-    SELECT id, sum(CASE WHEN vote > 0 THEN 1::BIGINT << bit ELSE 0 END)::BIGINT AS simhash
-    FROM votes GROUP BY 1
+"""
+
+
+@query(
+    "simhash_docs",
+    oracle=f"""
+    WITH {_SIMHASH_FP_SQL}
+    SELECT id, simhash FROM fp
     """,
 )
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash 63-bit fingerprints per document (explode-bits + groupBy,
-    no UDF); near-dups are small-Hamming pairs via bit_count(a ^ b)."""
+    """SimHash 63-bit fingerprints per document — narrow per-doc bit-vote
+    fold (one collect_list shuffle, no per-bit explode; see
+    ``operators/dedup.py:simhash64``); near-dups are small-Hamming pairs
+    via :func:`simhash_neardup_docs`."""
     d = T(spark, sf_dir, "documents")
     return simhash64(token_ids(d, "doc_id", "text"))
+
+
+@query(
+    "simhash_neardup_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_FP_SQL}
+    SELECT a.id AS id_a, b.id AS id_b,
+           bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+    FROM fp a JOIN fp b ON a.id < b.id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming radius 3: band-bucketed
+    candidates (4×~16-bit bands — exact by pigeonhole for r < 4, never
+    all-pairs) verified with ``bit_count(a ^ b)``. The oracle brute-forces
+    every pair, so a hash match proves the banding loses nothing."""
+    from modeltracking_spark.operators.dedup import simhash_neardup_pairs as snd
+
+    d = T(spark, sf_dir, "documents")
+    fps = simhash64(token_ids(d, "doc_id", "text"))
+    return snd(fps, max_hamming=3)
 
 
 @query(

@@ -106,3 +106,28 @@ def test_hash_split_is_shuffle_free(spark):
     d = spark.read.parquet(f"{SF001}/documents.parquet").select("doc_id")
     plan = executed_plan(hash_split(d, "doc_id"))
     assert "Exchange" not in plan
+
+
+def test_simhash_single_shuffle(spark):
+    # the narrow per-doc bit-vote fold: ONE Exchange (the collect_list
+    # groupBy), no 63x per-bit explode amplification (VERDICT r3 item 4)
+    from modeltracking_spark.operators.dedup import simhash64, token_ids
+
+    d = spark.read.parquet(f"{SF001}/documents.parquet")
+    plan = executed_plan(simhash64(token_ids(d, "doc_id", "text")))
+    # exactly the one groupBy Exchange; the only Generate is token_ids'
+    # narrow token explode, not a per-bit row blowup
+    assert plan.count("Exchange") == 1
+
+
+def test_simhash_neardup_no_cartesian(spark):
+    # band-bucketed candidate join — never an all-pairs cross product
+    from modeltracking_spark.operators.dedup import (
+        simhash64,
+        simhash_neardup_pairs,
+        token_ids,
+    )
+
+    d = spark.read.parquet(f"{SF001}/documents.parquet")
+    fps = simhash64(token_ids(d, "doc_id", "text"))
+    assert_no_cartesian(simhash_neardup_pairs(fps, max_hamming=3))

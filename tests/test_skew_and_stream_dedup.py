@@ -25,6 +25,21 @@ def test_salted_join_equals_plain_join(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+def test_salted_join_deterministic_across_partitionings(spark):
+    # value-derived salt: the full output (including per-row salt routing)
+    # is identical when the big side arrives in a different partitioning —
+    # the task-retry / speculative-execution determinism guarantee
+    big = spark.range(500).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("payload")
+    )
+    small = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(5)], "k long, attr string"
+    )
+    a = salted_join(big, small, "k").collect()
+    b = salted_join(big.repartition(13, "payload"), small, "k").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
 def test_salted_join_left_outer(spark):
     big = spark.createDataFrame([(1, "a"), (99, "b")], "k long, payload string")
     small = spark.createDataFrame([(1, "x")], "k long, attr string")

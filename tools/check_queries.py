@@ -122,5 +122,56 @@ def main(filters: list[str]) -> int:
     return 1 if n_fail else 0
 
 
+def window_audit() -> int:
+    """Registration-vs-scored diff (VERDICT r3 item 2).
+
+    The driver scores only the first SCORED_WINDOW registered queries.
+    This audit prints which registrations fall outside the window, diffs
+    the registry against the latest CORRECTNESS_r*.json, and fails if
+    more queries are registered than the window holds WITHOUT an explicit
+    PRIORITY ordering covering the whole window — the silent-unscored
+    trap that ate clean_normalize_docs in round 3.
+    """
+    import glob
+    import json
+
+    sys.path.insert(0, "/root/repo")
+    from modeltracking_spark.queries import PRIORITY, SCORED_WINDOW, load_registries
+
+    qs, oracles = load_registries()
+    names = list(qs)
+    window, outside = names[:SCORED_WINDOW], names[SCORED_WINDOW:]
+    print(f"registered: {len(names)}  window: {len(window)}  outside: {len(outside)}")
+    no_oracle_in_window = [n for n in window if n not in oracles]
+    if no_oracle_in_window:
+        print(f"window entries with rows-only checks: {no_oracle_in_window}")
+    if outside:
+        print("outside the scored window (pytest/r03-evidence only):")
+        for n in outside:
+            print(f"  {n}")
+
+    latest = sorted(glob.glob("/root/repo/CORRECTNESS_r*.json"))
+    if latest:
+        scored = set(json.load(open(latest[-1])))
+        unscored = [n for n in window if n not in scored]
+        print(f"\nvs {latest[-1].rsplit('/', 1)[-1]}:")
+        print(f"  window entries not in it (expected for newly promoted): {unscored}")
+
+    rc = 0
+    if len(names) > SCORED_WINDOW:
+        missing_priority = [n for n in window if n not in PRIORITY]
+        if missing_priority:
+            print(
+                f"\nERROR: {len(names)} registered > window {SCORED_WINDOW}, but the "
+                f"window is not fully pinned by PRIORITY — unpinned: {missing_priority}"
+            )
+            rc = 2
+        else:
+            print("\nwindow fully pinned by PRIORITY — ordering is explicit. OK")
+    return rc
+
+
 if __name__ == "__main__":
+    if "--window" in sys.argv:
+        raise SystemExit(window_audit())
     raise SystemExit(main(sys.argv[1:]))
