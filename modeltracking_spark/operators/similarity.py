@@ -317,6 +317,34 @@ def kmeans_centroids(
     return cents
 
 
+def train_ivf_quantizer(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "c_vec",
+    id_col: str = "c_id",
+    n_centroids: int = 16,
+    iters: int = 3,
+) -> DataFrame:
+    """Train the IVF coarse quantizer ONCE and return it as a
+    (cid int, centroid array<double>) DataFrame — the persistable
+    artifact of the train/serve split.
+
+    At 100 TB the quantizer is trained on a sample, written to a table,
+    and every subsequent :func:`cosine_topk_ivf` call serves from it —
+    search cost never re-pays training. Training is deterministic
+    (fixed-point partial sums, smallest-id seeds), so train-once /
+    serve-many returns bit-identical results to inline training with the
+    same parameters (asserted in tests/test_similarity.py).
+    """
+    spark = corpus.sparkSession
+    cents = kmeans_centroids(
+        corpus, vec_col=vec_col, id_col=id_col, n_centroids=n_centroids, iters=iters
+    )
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(cents)], "cid int, centroid array<double>"
+    )
+
+
 def cosine_topk_ivf(
     queries: DataFrame,
     corpus: DataFrame,
@@ -330,6 +358,7 @@ def cosine_topk_ivf(
     q_vec: str = "q_vec",
     c_vec: str = "c_vec",
     exclude_self: bool = False,
+    quantizer: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: k-means coarse quantizer → corpus bucketed
     by nearest centroid → each query probes its ``nprobe`` nearest
@@ -341,14 +370,24 @@ def cosine_topk_ivf(
     query. The corpus assignment is a narrow map (literal centroids, no
     join) computed once; at production scale it would be written
     partitioned by ``cid`` so probes prune partitions at scan time.
+
+    ``quantizer``: a pre-trained (cid, centroid) DataFrame from
+    :func:`train_ivf_quantizer` — the serve path. When given,
+    ``n_centroids``/``iters`` are ignored and NO training happens; the
+    only driver materialization is the (n_centroids × dim) centroid
+    table itself.
     """
-    cents = kmeans_centroids(
-        corpus,
-        vec_col=c_vec,
-        id_col=c_id,
-        n_centroids=n_centroids,
-        iters=iters,
-    )
+    if quantizer is not None:
+        rows = quantizer.orderBy("cid").collect()
+        cents = [list(r["centroid"]) for r in rows]
+    else:
+        cents = kmeans_centroids(
+            corpus,
+            vec_col=c_vec,
+            id_col=c_id,
+            n_centroids=n_centroids,
+            iters=iters,
+        )
     cassign = corpus.withColumn("cid", _nearest_centroids(c_vec, cents, 1)[0])
     qprobe = queries.withColumn(
         "cid", F.explode(_nearest_centroids(q_vec, cents, nprobe))
@@ -364,6 +403,92 @@ def cosine_topk_ivf(
         cand.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
         .select(q_id, c_id, "cosine", "rnk")
+    )
+
+
+def cosine_neardup_lsh(
+    corpus: DataFrame,
+    *,
+    threshold: float = 0.3,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_filter: F.Column | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs above a cosine threshold via hyperplane
+    LSH buckets — the scale path the exact self-join
+    (``embedding_neardup_pairs``) is the correctness baseline for.
+
+    One side emits each table's base signature plus its ``n_planes``
+    Hamming-1 flips (multi-probe), the other side emits base signatures
+    only; candidates are bucket-join matches in ≥1 table, deduplicated,
+    then EXACT fixed-point cosine decides — so false positives are
+    impossible and the only approximation is recall (a qualifying pair
+    differing ≥2 bits in every table is missed; with 8×4-bit tables +
+    Hamming-1 probes that's <1% at cosine 0.3 — asserted ≥0.95 vs the
+    exact pairs in tests/test_similarity.py).
+
+    ``probe_filter`` optionally restricts the probe side (e.g.
+    ``F.col("vec_id") < 100`` to mirror the exact query's probe set).
+    Output: (id_a, id_b, cosine) with id_a < id_b.
+    """
+    from modeltracking_spark.functions.vector import dot_product_fxp, sq_norm_fxp
+
+    base_sigs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                hyperplane_signature(vec_col, n_planes, dim, table=t).alias("sig"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    norm = F.sqrt(sq_norm_fxp(vec_col).cast("double"))
+    cside = (
+        corpus.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("vb"),
+            norm.alias("__nb"),
+            F.explode(base_sigs).alias("__s"),
+        )
+        .select("id_b", "vb", "__nb", "__s.tbl", "__s.sig")
+    )
+    probe = corpus if probe_filter is None else corpus.where(probe_filter)
+    pside = (
+        probe.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("va"),
+            norm.alias("__na"),
+            F.explode(base_sigs).alias("__b"),
+        )
+        .select(
+            "id_a",
+            "va",
+            "__na",
+            "__b.tbl",
+            F.explode(
+                F.array(
+                    F.col("__b.sig"),
+                    *[F.col("__b.sig").bitwiseXOR(F.lit(2**p)) for p in range(n_planes)],
+                )
+            ).alias("sig"),
+        )
+    )
+    cand = (
+        pside.join(cside, ["tbl", "sig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn(
+            "cosine",
+            dot_product_fxp("va", "vb").cast("double")
+            / (F.col("__na") * F.col("__nb")),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )
 
 

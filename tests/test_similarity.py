@@ -12,9 +12,11 @@ from modeltracking_spark.functions.vector import (
 )
 from modeltracking_spark.operators.similarity import (
     centroid_per_label,
+    cosine_neardup_lsh,
     cosine_topk_brute,
     cosine_topk_ivf,
     cosine_topk_lsh,
+    train_ivf_quantizer,
 )
 from tests.conftest import SF001
 
@@ -90,6 +92,62 @@ def test_ivf_recall_and_exact_rerank(spark):
         for ranks in per_q.values():
             assert sorted(ranks) == list(range(1, len(ranks) + 1))
             assert len(ranks) <= 5
+
+
+def test_ivf_train_once_serve_twice_deterministic(spark):
+    """VERDICT r3 #7: quantizer trained once, served many — serve-path
+    results are bit-identical across calls AND identical to inline
+    training with the same (n_centroids, iters)."""
+    q, c = _qc(spark)
+    quant = train_ivf_quantizer(c, n_centroids=16, iters=2)
+    # train determinism: two independent trainings agree exactly
+    t1 = [(r["cid"], r["centroid"]) for r in quant.orderBy("cid").collect()]
+    t2 = [(r["cid"], r["centroid"]) for r in
+          train_ivf_quantizer(c, n_centroids=16, iters=2).orderBy("cid").collect()]
+    assert t1 == t2
+    serve = lambda: sorted(
+        (r["q_id"], r["c_id"], r["rnk"]) for r in
+        cosine_topk_ivf(q, c, k=5, nprobe=4, exclude_self=True,
+                        quantizer=quant).collect()
+    )
+    s1, s2 = serve(), serve()
+    inline = sorted(
+        (r["q_id"], r["c_id"], r["rnk"]) for r in
+        cosine_topk_ivf(q, c, k=5, n_centroids=16, iters=2, nprobe=4,
+                        exclude_self=True).collect()
+    )
+    assert s1 == s2 == inline
+
+
+def test_neardup_lsh_recall_and_no_false_positives(spark):
+    """VERDICT r3 #8: LSH-bucketed near-dup pairs vs the exact
+    self-join — subset (exact cosine verifies every candidate) and
+    recall >= 0.95."""
+    e = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    from modeltracking_spark.functions.vector import dot_product_fxp, sq_norm_fxp
+
+    na = F.sqrt(sq_norm_fxp(F.col("a.embedding")).cast("double"))
+    nb = F.sqrt(sq_norm_fxp(F.col("b.embedding")).cast("double"))
+    exact = (
+        e.alias("a")
+        .join(e.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(F.col("a.vec_id") < 100)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            (dot_product_fxp(F.col("a.embedding"), F.col("b.embedding"))
+             .cast("double") / (na * nb)).alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.3)
+    )
+    eset = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    got = cosine_neardup_lsh(
+        e, threshold=0.3, n_planes=4, n_tables=8, dim=64,
+        probe_filter=F.col("vec_id") < 100,
+    ).collect()
+    gset = {(r["id_a"], r["id_b"]) for r in got}
+    assert gset <= eset  # exact verify => no false positives
+    assert len(gset) / len(eset) >= 0.95
 
 
 def test_centroid_per_label(spark):
