@@ -294,8 +294,16 @@ def minhash_pairs_from_token_ids(
     Signatures are computed per *set row* with transform+array_min —
     no explode shuffle; the only shuffles are the set groupBy and the
     band-bucket self-join. At 100 TB, persist the distinct-set table
-    to parquet instead of ``cache()``.
+    to parquet instead of ``cache()`` (the cache below lives until the
+    session ends or the executor evicts it — acceptable for job-scoped
+    sessions, which is the deployment shape here).
     """
+    if n_hashes != bands * rows_per_band:
+        raise ValueError(
+            f"n_hashes ({n_hashes}) must equal bands*rows_per_band "
+            f"({bands}*{rows_per_band}): band keys consume exactly "
+            "bands*rows_per_band permutations"
+        )
     p = F.lit(MINHASH_PRIME)
     sets_df = dt.groupBy("id").agg(
         F.array_sort(F.collect_list("token_id")).alias("toks")

@@ -75,13 +75,16 @@ def pack_greedy(
     """
     import pandas as pd
 
-    schema = ", ".join(
-        [
-            f"{bucket_col} string",
-            f"{id_col} long",
-            f"{len_col} long",
-            "pack_id long",
-            "pack_off long",
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # passthrough columns keep their input types (an int hash bucket from
+    # sampling.hash_bucket is as valid a bucket as a string source label)
+    in_fields = {f.name: f for f in df.schema.fields}
+    schema = StructType(
+        [in_fields[bucket_col], in_fields[id_col], in_fields[len_col]]
+        + [
+            StructField("pack_id", LongType()),
+            StructField("pack_off", LongType()),
         ]
     )
 

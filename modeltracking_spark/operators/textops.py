@@ -119,7 +119,14 @@ def winnow_fingerprints(
       are interpreted per element, outside whole-stage codegen), which
       is what survives a 100 TB corpus.
     - ``impl='sql'``: pure column expressions — no Python workers, and
-      the direct counterpart of the DuckDB oracle SQL.
+      the direct counterpart of the DuckDB oracle SQL. **BMP-only
+      guarantee:** Spark strings are UTF-16, so ``split(g, '')`` +
+      ``ascii`` iterate *code units* — astral-plane characters (emoji,
+      rare CJK) split into surrogate pairs and hash differently from
+      the pandas path / DuckDB oracle, which use UTF-32 codepoints.
+      For text containing non-BMP characters use ``impl='pandas'``
+      (codepoint-exact); parity across impls is tested for the full
+      BMP range in tests/test_winnow.py.
 
     Output: (id, pos, fp_hash) long rows.
     """

@@ -113,7 +113,10 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
         for pdf in pdfs:
             n += len(pdf)
             s += int(pdf["cents"].sum())
-            secs = pdf["ts"].astype("int64") // 1_000_000_000
+            # normalize to ns first: Arrow may hand pandas datetime64[us]
+            # depending on version, and a bare int64 view of that would
+            # be off by 1000x
+            secs = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000_000
             mn, mx = int(secs.min()), int(secs.max())
             f = mn if f is None or mn < f else f
             l = mx if l is None or mx > l else l

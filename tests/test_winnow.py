@@ -76,9 +76,21 @@ def test_pandas_and_sql_impls_bit_identical(spark):
             (4, ""),  # empty
             (5, "exactly7"),  # around the gram boundary
             (6, "tiny doc with n_grams < window"),
+            # non-ASCII BMP: é (U+00E9), ß (U+00DF), 中文 (CJK BMP) — one
+            # UTF-16 code unit each, so both impls see the same codepoints
+            (7, "café über München 中文处理 naïve résumé test"),
         ],
         ["doc_id", "text"],
     )
     a = {tuple(r) for r in winnow_fingerprints(df, impl="sql").collect()}
     b = {tuple(r) for r in winnow_fingerprints(df, impl="pandas").collect()}
     assert a == b
+
+
+def test_pandas_impl_handles_astral_plane(spark):
+    # impl='sql' is documented BMP-only (UTF-16 code units); the default
+    # pandas path must agree with the UTF-32-codepoint Python reference
+    # even for astral-plane text (emoji = surrogate pairs in UTF-16)
+    t = "emoji test \U0001f600\U0001f680 rocket faces and more text here"
+    got = _spark_winnow(spark, [t])
+    assert got[0] == py_winnow(t)
