@@ -1,0 +1,297 @@
+"""Corpus-level statistics operators for LLM training-data pipelines.
+
+Extension surface (SURVEY.md §2.12 / the brief's training-data scope —
+the reference, a track-plot pipeline, has no text corpus analog): TF-IDF
+term scoring, overlap chunking for retrieval windows, bigram PMI
+collocations, and frequency heavy hitters via a Misra-Gries sketch with
+an exact verification pass.
+
+All scoring follows the repo's fixed-point discipline (common.py):
+transcendental outputs (ln) are floored to e6 integers and never used as
+sort keys without an integer+string tie-break, so every operator here is
+hash-exact against its DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from modeltracking_spark.functions.text import tokens
+
+
+def _e6(col: F.Column) -> F.Column:
+    """floor(x*1e6 + 0.5) as BIGINT — half-up fixed point, identical in
+    Spark and DuckDB (unlike round(), whose half-rule differs by engine
+    for negative values)."""
+    return F.floor(col * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document.
+
+    tf = term count / document length (whitespace tokens); idf uses the
+    smoothed form ln((1+N)/(1+df)). Ranking is on the e6 fixed-point
+    score with a token-string tie-break, so ranks are engine-exact.
+
+    Scale shape: doc_len is computed narrowly *before* the explode (no
+    per-doc window re-shuffle); the document-frequency and N sides are
+    one-row / vocabulary-sized aggregates broadcast back — the only
+    full-size shuffle is the (doc, term) count.
+
+    Output: (doc_id, tok, tfidf_e6, rk), rk in 1..k.
+    """
+    d = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
+    tok = d.select(
+        "doc_id", F.size("toks").alias("doc_len"), F.explode("toks").alias("tok")
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(
+        F.first("doc_len").alias("doc_len"), F.count(F.lit(1)).alias("tf_cnt")
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            _e6(
+                (F.col("tf_cnt").cast("double") / F.col("doc_len").cast("double"))
+                * F.log(
+                    (F.lit(1) + F.col("n_docs")).cast("double")
+                    / (F.lit(1) + F.col("df")).cast("double")
+                )
+            ).alias("tfidf_e6"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf_e6").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("doc_id", "tok", "tfidf_e6", "rk")
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 80,
+    overlap: int = 16,
+) -> DataFrame:
+    """Fixed-size overlapping character chunks (retrieval / context
+    windows). Chunk starts are ``1, 1+stride, …`` with ``stride = size −
+    overlap``, up to ``max(len − overlap, 1)`` so the tail is covered;
+    the final chunk may be shorter than ``size``.
+
+    Pure narrow map — sequence + explode + substr, no shuffle at any
+    scale; chunk_idx is derived arithmetically from the start offset so
+    no positional explode state is needed.
+
+    Output: (doc_id, chunk_idx, start, chunk_text, chunk_len).
+    """
+    if overlap >= size:
+        raise ValueError(f"overlap ({overlap}) must be < size ({size})")
+    stride = size - overlap
+    ln = F.length(F.col(text_col))
+    starts = F.sequence(
+        F.lit(1), F.greatest(ln - F.lit(overlap), F.lit(1)), F.lit(stride)
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("__t"),
+            F.explode(starts).alias("start"),
+        )
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / F.lit(stride)).cast("long").alias("chunk_idx"),
+            F.col("start").cast("long").alias("start"),
+            F.expr(f"substr(__t, start, {size})").alias("chunk_text"),
+        )
+        .withColumn("chunk_len", F.length("chunk_text").cast("long"))
+    )
+
+
+def bigram_pmi(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Pointwise mutual information of adjacent token pairs (collocation
+    strength): pmi = ln( P(x,y) / (P(x)·P(y)) ) with P from corpus
+    unigram/bigram counts; e6 fixed point.
+
+    Bigrams are built narrowly per row (element_at over a sequence — no
+    self-join on position); the wide ops are the two count aggregates.
+    Unigram counts and the two scalar totals are broadcast back onto the
+    bigram counts (vocabulary-sized and 1-row respectively at any corpus
+    scale).
+
+    Output: (x, y, c_xy, pmi_e6) for pairs with c_xy ≥ min_count.
+    """
+    d = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
+    # guard: sequence(1, 0) DESCENDS in Spark, so short docs need an
+    # explicit empty array rather than a clamped stop bound
+    pairs = F.when(
+        F.size("toks") < 2, F.array().cast("array<struct<x:string,y:string>>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.struct(
+                F.element_at("toks", i).alias("x"),
+                F.element_at("toks", i + F.lit(1)).alias("y"),
+            ),
+        )
+    )
+    bg = d.select(F.explode(pairs).alias("b")).select("b.x", "b.y")
+    c_xy = bg.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
+    uni = (
+        d.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot_uni = uni.agg(F.sum("c").alias("t_uni"))
+    tot_bi = c_xy.agg(F.sum("c_xy").alias("t_bi"))
+    ux = uni.select(F.col("tok").alias("x"), F.col("c").alias("c_x"))
+    uy = uni.select(F.col("tok").alias("y"), F.col("c").alias("c_y"))
+    return (
+        c_xy.where(F.col("c_xy") >= min_count)
+        .join(F.broadcast(ux), "x")
+        .join(F.broadcast(uy), "y")
+        .crossJoin(F.broadcast(tot_uni))
+        .crossJoin(F.broadcast(tot_bi))
+        .select(
+            "x",
+            "y",
+            "c_xy",
+            _e6(
+                F.log(
+                    (F.col("c_xy").cast("double") / F.col("t_bi").cast("double"))
+                    / (
+                        (F.col("c_x").cast("double") / F.col("t_uni").cast("double"))
+                        * (F.col("c_y").cast("double") / F.col("t_uni").cast("double"))
+                    )
+                )
+            ).alias("pmi_e6"),
+        )
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    phi_denom: int = 32,
+    sketch_k: int = 255,
+) -> DataFrame:
+    """Exact frequency heavy hitters — every key with count·phi_denom >
+    total — found with a Misra-Gries candidate sketch plus an exact
+    verification pass.
+
+    Phase 1 (narrow, bounded memory): each partition folds its rows into
+    a Misra-Gries(sketch_k) summary inside mapInPandas (batch counts are
+    merged vectorized; when the summary exceeds sketch_k entries the
+    (k+1)-th largest counter is subtracted from all and non-positives
+    dropped — the standard mergeable-summary operation). Any key with
+    global count > n/(sketch_k+1) is guaranteed to survive in at least
+    one partition's summary (pigeonhole over partition totals), so with
+    sketch_k + 1 ≥ phi_denom the union of summaries is a superset of the
+    true heavy hitters. Output is ≤ partitions × sketch_k candidate rows
+    — kilobytes at any input scale, vs a full-vocabulary shuffle for the
+    naive groupBy.
+
+    Phase 2 (exact): the candidate set (broadcast) semi-joins the input
+    and the survivors are counted exactly; a 1-row total is broadcast
+    for the threshold filter. Result is therefore *exact*, not
+    approximate — the sketch only prunes the candidate space — and is
+    verified against a plain GROUP BY/HAVING oracle.
+
+    Output: (key, cnt) with cnt·phi_denom > n.
+    """
+    if sketch_k + 1 < phi_denom:
+        raise ValueError(
+            f"sketch_k+1 ({sketch_k + 1}) must be >= phi_denom ({phi_denom}) "
+            "for the Misra-Gries superset guarantee"
+        )
+    import pandas as pd
+
+    keyed = df.select(F.col(key_col).cast("string").alias("key"))
+
+    def _mg(batches):
+        summary = pd.Series(dtype="int64")
+        for pdf in batches:
+            counts = pdf["key"].value_counts()
+            summary = summary.add(counts, fill_value=0).astype("int64")
+            if len(summary) > sketch_k:
+                # subtract the (k+1)-th largest counter from all, drop <= 0
+                kth = summary.nlargest(sketch_k + 1).iloc[-1]
+                summary = summary[summary > kth] - kth
+        if len(summary):
+            yield pd.DataFrame({"key": summary.index.astype(object)})
+
+    cands = keyed.mapInPandas(_mg, "key string").distinct()
+    n = keyed.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        keyed.join(F.broadcast(cands), "key", "leftsemi")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(n))
+        .where(F.col("cnt") * F.lit(phi_denom) > F.col("n_total"))
+        .select("key", "cnt")
+    )
+
+
+def quantize_embeddings_int8(
+    embs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector affine int8 quantization (the standard ANN-index
+    compression step): q_i = floor((v_i − mn)/scale + 0.5) − 128 with
+    scale = (mx − mn)/255, so values land in [−128, 127]; constant
+    vectors quantize to all-zero.
+
+    Pure narrow map (array_min/max + one transform per row — no
+    shuffle). All arithmetic is double-cast before use so the float
+    inputs behave identically across engines; the half-up floor avoids
+    the engines' differing round() half-rules. Output is one row per
+    element (vec_id, i, q) — the long form hashes exactly and is the
+    relational twin of the packed byte array a serving index would
+    store.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return (
+        embs.select(
+            F.col(id_col).alias("vec_id"),
+            v.alias("__v"),
+            F.array_min(v).alias("mn"),
+            F.array_max(v).alias("mx"),
+        )
+        .select(
+            "vec_id",
+            F.posexplode("__v").alias("i0", "val"),
+            "mn",
+            "mx",
+        )
+        .select(
+            "vec_id",
+            (F.col("i0") + 1).cast("long").alias("i"),
+            F.when(F.col("mx") > F.col("mn"),
+                   F.floor(
+                       (F.col("val") - F.col("mn"))
+                       / ((F.col("mx") - F.col("mn")) / F.lit(255.0))
+                       + F.lit(0.5)
+                   ).cast("long") - F.lit(128))
+            .otherwise(F.lit(0))
+            .alias("q"),
+        )
+    )

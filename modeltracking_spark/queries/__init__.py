@@ -38,6 +38,7 @@ QUERY_MODULES = (
     "modeltracking_spark.queries.stream_q",
     "modeltracking_spark.queries.multimodal_q",
     "modeltracking_spark.queries.extras_q",
+    "modeltracking_spark.queries.corpus_q",
 )
 
 #: the scored window (driver cap observed at 50): exactly one green-able

@@ -1,0 +1,183 @@
+"""Corpus-statistics queries (round 4, extension surface §2.12): TF-IDF,
+overlap chunking, PMI collocations, Misra-Gries heavy hitters, int8
+embedding quantization, and the stream-stream interval-join batch twin.
+
+These register past the scored 50-entry window (the window already holds
+one representative per tier); they are verified by tools/check_queries.py
+and the operator tests in tests/test_corpus.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from modeltracking_spark.operators.corpus import (
+    bigram_pmi,
+    chunk_documents,
+    heavy_hitters,
+    quantize_embeddings_int8,
+    tfidf_top_terms,
+)
+from modeltracking_spark.queries.common import T, query
+
+_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+@query(
+    "tfidf_top_terms_docs",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, len(toks) AS doc_len, unnest(toks) AS tok FROM d),
+    tf AS (SELECT doc_id, tok, any_value(doc_len) AS doc_len,
+                  count(*) AS tf_cnt
+           FROM tok GROUP BY doc_id, tok),
+    dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    n AS (SELECT count(*) AS n_docs FROM d),
+    scored AS (
+      SELECT t.doc_id, t.tok,
+             floor((t.tf_cnt::DOUBLE / t.doc_len::DOUBLE)
+                   * ln((1 + n.n_docs)::DOUBLE / (1 + f.df)::DOUBLE)
+                   * 1e6 + 0.5::DOUBLE)::BIGINT AS tfidf_e6
+      FROM tf t JOIN dfreq f USING (tok) CROSS JOIN n
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY tfidf_e6 DESC, tok ASC) AS rk FROM scored)
+    SELECT doc_id, tok, tfidf_e6, rk FROM r WHERE rk <= 5
+    """,
+)
+def tfidf_top_terms_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document; e6 fixed-point scores with a
+    token tie-break so ranks are engine-exact (operators/corpus.py)."""
+    return tfidf_top_terms(T(spark, sf_dir, "documents"), k=5)
+
+
+@query(
+    "doc_chunks_overlap",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, greatest(length(text) - 16, 1), 64))
+               AS start
+      FROM documents
+    )
+    SELECT doc_id,
+           ((start - 1) // 64)::BIGINT AS chunk_idx,
+           start::BIGINT AS start,
+           substr(text, start::INTEGER, 80) AS chunk_text,
+           length(substr(text, start::INTEGER, 80))::BIGINT AS chunk_len
+    FROM s
+    """,
+)
+def doc_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping character chunks (size 80, overlap 16) —
+    a shuffle-free narrow map at any corpus scale."""
+    return chunk_documents(
+        T(spark, sf_dir, "documents"), size=80, overlap=16
+    )
+
+
+@query(
+    "bigram_pmi_docs",
+    oracle=f"""
+    WITH d AS (SELECT {_TOKS} AS toks FROM documents),
+    bg AS (SELECT unnest(list_transform(range(1, len(toks)),
+                         i -> {{'x': toks[i], 'y': toks[i+1]}})) AS b
+           FROM d),
+    cxy AS (SELECT b.x AS x, b.y AS y, count(*) AS c_xy FROM bg GROUP BY 1, 2),
+    uc AS (SELECT unnest(toks) AS tok FROM d),
+    u AS (SELECT tok, count(*) AS c FROM uc GROUP BY tok),
+    tu AS (SELECT sum(c)::BIGINT AS t_uni FROM u),
+    tb AS (SELECT sum(c_xy)::BIGINT AS t_bi FROM cxy)
+    SELECT x, y, c_xy,
+           floor(ln((c_xy::DOUBLE / t_bi::DOUBLE)
+                    / ((ux.c::DOUBLE / t_uni::DOUBLE)
+                       * (uy.c::DOUBLE / t_uni::DOUBLE)))
+                 * 1e6 + 0.5::DOUBLE)::BIGINT AS pmi_e6
+    FROM cxy JOIN u ux ON cxy.x = ux.tok
+             JOIN u uy ON cxy.y = uy.tok
+    CROSS JOIN tu CROSS JOIN tb
+    WHERE c_xy >= 5
+    """,
+)
+def bigram_pmi_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-token PMI collocation scores over the corpus (count ≥ 5);
+    unigram counts and totals broadcast back onto the bigram counts."""
+    return bigram_pmi(T(spark, sf_dir, "documents"), min_count=5)
+
+
+@query(
+    "token_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS key FROM documents)
+    SELECT key, count(*) AS cnt
+    FROM tok GROUP BY key
+    HAVING count(*) * 32 > (SELECT count(*) FROM tok)
+    """,
+)
+def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (freq > n/32) via a Misra-Gries candidate
+    sketch + exact verify pass — the sketch bounds phase-1 memory and
+    traffic to partitions x sketch_k rows instead of a full-vocabulary
+    shuffle; the verify pass makes the result exact, hence oracle-able
+    as a plain GROUP BY / HAVING."""
+    from pyspark.sql import functions as F
+
+    from modeltracking_spark.functions.text import tokens
+
+    d = T(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens("text")).alias("tok"))
+    return heavy_hitters(tok, "tok", phi_denom=32, sketch_k=255)
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve
+               FROM embeddings),
+    m AS (SELECT vec_id, ve, list_min(ve) AS mn, list_max(ve) AS mx FROM v),
+    e AS (SELECT vec_id, unnest(ve) AS val,
+                 unnest(range(1, len(ve) + 1)) AS i, mn, mx
+          FROM m)
+    SELECT vec_id, i::BIGINT AS i,
+           CASE WHEN mx > mn
+                THEN floor((val - mn) / ((mx - mn) / 255.0::DOUBLE)
+                           + 0.5::DOUBLE)::BIGINT - 128
+                ELSE 0 END AS q
+    FROM e
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector affine int8 quantization of the embedding column, long
+    form (vec_id, i, q) — narrow map, double-cast before arithmetic and
+    half-up floor so both engines emit identical integers."""
+    return quantize_embeddings_int8(T(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "click_error_interval_join",
+    oracle="""
+    WITH c AS (SELECT user_id, event_id AS click_id, ts AS cts
+               FROM events WHERE event_type = 'click'),
+         e AS (SELECT user_id, event_id AS error_id, ts AS ets
+               FROM events WHERE event_type = 'error')
+    SELECT c.user_id, click_id, error_id,
+           floor(epoch(ets))::BIGINT - floor(epoch(cts))::BIGINT AS lag_s
+    FROM c JOIN e ON c.user_id = e.user_id
+                 AND ets >= cts AND ets <= cts + INTERVAL 6 HOUR
+    """,
+)
+def click_error_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join: clicks paired with
+    same-user errors within 6 hours after them. On streams the same
+    function bounds its buffered state by watermark + lag window
+    (streaming/windows.py:interval_join_clicks_errors); equivalence is
+    asserted in tests/test_streaming.py."""
+    from pyspark.sql import functions as F
+
+    from modeltracking_spark.streaming.windows import interval_join_clicks_errors
+
+    ev = T(spark, sf_dir, "events")
+    return interval_join_clicks_errors(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "error"),
+    )

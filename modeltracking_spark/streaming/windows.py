@@ -179,6 +179,55 @@ def enrich_with_static(events: DataFrame, dim: DataFrame) -> DataFrame:
     )
 
 
+def interval_join_clicks_errors(
+    clicks: DataFrame, errors: DataFrame,
+    max_lag: str = "6 hours", watermark: str = "12 hours",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition:
+    each click pairs with the same user's errors that occur within
+    ``max_lag`` *after* it.
+
+    On streams both sides carry a watermark and the range condition
+    bounds the join state: a buffered click can be dropped once the
+    error-side watermark passes click_ts + max_lag, and vice versa —
+    the canonical production shape for stream-stream joins (state grows
+    with the lag window, not the stream length). On static frames the
+    watermark is a no-op and the same function is the oracled batch
+    twin (``click_error_interval_join``); stream==batch equivalence is
+    asserted in tests/test_streaming.py.
+
+    Output: (user_id, click_id, error_id, lag_s).
+    """
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    e = (
+        errors.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("e_user_id"),
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("error_ts"),
+        )
+    )
+    j = c.join(
+        e,
+        (F.col("user_id") == F.col("e_user_id"))
+        & (F.col("error_ts") >= F.col("click_ts"))
+        & (F.col("error_ts") <= F.col("click_ts") + F.expr(f"interval {max_lag}")),
+    )
+    return j.select(
+        "user_id",
+        "click_id",
+        "error_id",
+        (F.unix_timestamp("error_ts") - F.unix_timestamp("click_ts")).alias("lag_s"),
+    )
+
+
 def run_stream_foreach_batch(
     stream_df: DataFrame, batch_fn, query_name: str
 ) -> None:

@@ -120,6 +120,44 @@ def test_simhash_single_shuffle(spark):
     assert plan.count("Exchange") == 1
 
 
+def test_chunk_and_quantize_are_shuffle_free(spark):
+    # both are pure narrow maps: sequence/posexplode + substr/arithmetic,
+    # no Exchange at any corpus scale
+    from modeltracking_spark.operators.corpus import (
+        chunk_documents,
+        quantize_embeddings_int8,
+    )
+
+    d = spark.read.parquet(f"{SF001}/documents.parquet")
+    assert "Exchange" not in executed_plan(chunk_documents(d))
+    e = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    assert "Exchange" not in executed_plan(quantize_embeddings_int8(e))
+
+
+def test_tfidf_broadcasts_small_sides(spark):
+    # doc-frequency / N sides come back as broadcasts; the only wide op
+    # is the (doc, term) count — no cartesian anywhere
+    from modeltracking_spark.operators.corpus import tfidf_top_terms
+
+    d = spark.read.parquet(f"{SF001}/documents.parquet")
+    q = tfidf_top_terms(d)
+    assert has_broadcast_join(q)
+    assert_no_cartesian(q)
+
+
+def test_heavy_hitters_verify_join_broadcasts(spark):
+    # phase-2 semi-join against the candidate set must broadcast the
+    # (bounded, partitions x sketch_k) candidates, not shuffle the corpus
+    from modeltracking_spark.operators.corpus import heavy_hitters
+
+    d = spark.read.parquet(f"{SF001}/documents.parquet").select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+    q = heavy_hitters(d, "tok", phi_denom=32, sketch_k=255)
+    plan = executed_plan(q)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
 def test_simhash_neardup_no_cartesian(spark):
     # band-bucketed candidate join — never an all-pairs cross product
     from modeltracking_spark.operators.dedup import (

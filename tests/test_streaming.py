@@ -85,6 +85,33 @@ def test_stream_static_enrich_equals_batch(spark):
     assert got == exp and len(got) > 0
 
 
+def test_stream_stream_interval_join_equals_batch(spark):
+    # stream-stream inner join with event-time range condition: both
+    # sides watermarked; one micro-batch -> emitted pairs == batch twin
+    from modeltracking_spark.streaming.windows import interval_join_clicks_errors
+
+    def norm(df):
+        return {
+            (r["user_id"], r["click_id"], r["error_id"], r["lag_s"])
+            for r in df.collect()
+        }
+
+    sc = read_events_stream(spark, SF0001)
+    stream = interval_join_clicks_errors(
+        sc.where(F.col("event_type") == "click"),
+        read_events_stream(spark, SF0001).where(F.col("event_type") == "error"),
+    )
+    got = norm(run_stream_once(stream, "t_ssjoin", output_mode="append"))
+    ev = load_table(spark, SF0001, "events")
+    exp = norm(
+        interval_join_clicks_errors(
+            ev.where(F.col("event_type") == "click"),
+            ev.where(F.col("event_type") == "error"),
+        )
+    )
+    assert got == exp and len(got) > 0
+
+
 def test_foreach_batch_accumulates_to_batch_result(spark):
     # the arbitrary-sink route: accumulate per-micro-batch updates into a
     # dict keyed by group; final state must equal the batch aggregate
