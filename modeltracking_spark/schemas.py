@@ -135,20 +135,44 @@ TESTDATA_SCHEMAS: dict[str, StructType] = {
 }
 
 
+def events_ts_physical_type(sf_dir: str) -> str:
+    """Physical/logical type of events.ts straight from the parquet footer:
+    ``'timestamp'`` for TIMESTAMP(MICROS/MILLIS) files, ``'int64'`` for the
+    legacy TIMESTAMP(NANOS) encoding (which Spark 4 only reads via the
+    nanosAsLong escape hatch). A footer read is metadata-only — no data IO.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+    return "timestamp" if pa.types.is_timestamp(t) else "int64"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame.
 
-    ``events.parquet`` is written with parquet TIMESTAMP(NANOS), which
-    Spark 4 rejects by default; we flip the runtime conf to read nanos as
-    a long and rebuild a microsecond TIMESTAMP column (DuckDB's native
-    TIMESTAMP is microseconds, so the oracle sees the same instant).
+    ``events.parquet``'s ``ts`` encoding has drifted across testdata
+    generations (TIMESTAMP(NANOS) → timestamp[us]), so the loader probes
+    the parquet footer and branches:
+
+    - ``timestamp[us]`` (current): read with an explicit ``ts TIMESTAMP``
+      schema. Spark takes the stored naive micros verbatim as the
+      session-local instant's UTC micros (verified: ``unix_micros`` equals
+      the stored value even under a non-UTC session timezone), which is
+      exactly what DuckDB's naive TIMESTAMP sees — same instants, and all
+      downstream epoch math is timezone-independent.
+    - ``int64`` nanos (legacy): flip ``nanosAsLong`` and rebuild with
+      integer division (div, not /1000 double division: nano epochs
+      ~1.7e18 exceed double's 53-bit exact range; DuckDB truncates
+      nanos → micros exactly the same way).
     """
     if name == "events":
+        if events_ts_physical_type(sf_dir) == "timestamp":
+            return spark.read.schema(TESTDATA_SCHEMAS["events"]).parquet(
+                f"{sf_dir}/events.parquet"
+            )
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        # Integer division (div), not /1000 double division: nano epochs
-        # (~1.7e18) exceed double's 53-bit exact range, and DuckDB's parquet
-        # reader truncates nanos → micros exactly.
         return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

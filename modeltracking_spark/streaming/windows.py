@@ -17,26 +17,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from modeltracking_spark.schemas import TESTDATA_SCHEMAS
+from modeltracking_spark.schemas import TESTDATA_SCHEMAS, events_ts_physical_type
 
 
-def _events_stream_schema() -> str:
-    """The events schema with ts as raw nanos long (pre-conversion),
-    derived from the shared StructType so there is one source of truth."""
+def _events_stream_schema(ts_type: str) -> str:
+    """The events stream DDL schema, derived from the shared StructType so
+    there is one source of truth. ``ts_type`` is the parquet footer probe
+    result: ``'timestamp'`` (current micros files — declare TIMESTAMP and
+    Spark takes the stored micros verbatim) or ``'int64'`` (legacy nanos —
+    declare BIGINT and rebuild after)."""
+    ts_ddl = "timestamp" if ts_type == "timestamp" else "bigint"
     fields = []
     for f in TESTDATA_SCHEMAS["events"].fields:
-        typ = "bigint" if f.name == "ts" else f.dataType.simpleString()
+        typ = ts_ddl if f.name == "ts" else f.dataType.simpleString()
         fields.append(f"{f.name} {typ}")
     return ", ".join(fields)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (one file -> one
-    micro-batch via ``maxFilesPerTrigger``). The nanos timestamp is read
-    as long (Spark 4 rejects TIMESTAMP(NANOS) otherwise) and rebuilt as a
-    microsecond timestamp, matching the batch loader."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = _events_stream_schema()
+    micro-batch via ``maxFilesPerTrigger``). The ``ts`` physical type is
+    probed from the parquet footer (metadata-only) BEFORE declaring the
+    stream schema, mirroring the batch loader's dtype branch — the r4
+    failure mode (assuming legacy nanos, silently dividing micros by
+    1000) cannot recur because the probe reads what is actually on disk."""
+    ts_type = events_ts_physical_type(sf_dir)
+    if ts_type != "timestamp":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = _events_stream_schema(ts_type)
     # file stream sources require a directory: stream the sf dir with a
     # glob filter selecting only the events file
     raw = (
@@ -45,6 +53,8 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
+    if ts_type == "timestamp":
+        return raw
     return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
