@@ -72,18 +72,25 @@ def cosine_topk_brute(
     )
 
 
-def _plane_signs(table: int, plane: int, dim: int) -> list[float]:
+def _plane_signs(table: int, plane: int, dim: int) -> list[int]:
     """Deterministic ±1 hyperplane pattern from md5 parity of
     '(table:plane:dim)' — computed ONCE at plan time, so signatures cost
-    one literal-array fold per plane with zero per-row hashing."""
+    one literal-array fold per plane with zero per-row hashing. MD5 is a
+    public, engine-independent primitive: a DuckDB oracle derives the
+    identical planes from its own ``md5()`` (see queries/sim_q.py)."""
     import hashlib
 
     return [
-        1.0
-        if hashlib.md5(f"{table}:{plane}:{d}".encode()).digest()[0] & 1 == 0
-        else -1.0
+        1 if hashlib.md5(f"{table}:{plane}:{d}".encode()).digest()[0] & 1 == 0 else -1
         for d in range(dim)
     ]
+
+
+#: fixed-point scale for signature projections: element |x| ≲ 1 in the
+#: testdata, so 64 terms × 1e6 ≪ 2^63; integer sums are associative →
+#: sign bits are fold-order- and engine-independent (a double fold could
+#: flip a near-zero projection's sign between engines).
+SIG_SCALE = 10**6
 
 
 def hyperplane_signature(
@@ -92,9 +99,11 @@ def hyperplane_signature(
     """b-bit sign signature under deterministic pseudo-random hyperplanes.
 
     plane_p[d] = ±1 from md5(table:plane:d) parity, embedded as LITERAL
-    arrays (plan-time constants): signature bit p is the sign of
-    Σ_d plane_p[d]·vec[d] — one zip_with fold per plane, fully
-    codegen'd, reproducible without a seed file. ``table`` selects an
+    arrays (plan-time constants): signature bit p is the sign of the
+    e6 fixed-point projection Σ_d plane_p[d]·round(vec[d]·1e6) — one
+    zip_with integer fold per plane, fully codegen'd, reproducible
+    without a seed file AND bit-identical in any engine that sums
+    integers (the DuckDB oracle recomputes it). ``table`` selects an
     independent hyperplane family per LSH table.
     """
     bits = []
@@ -104,9 +113,12 @@ def hyperplane_signature(
             F.zip_with(
                 F.col(vec_col),
                 signs,
-                lambda x, s: x.cast("double") * s,
+                lambda x, s: F.round(x.cast("double") * F.lit(SIG_SCALE)).cast(
+                    "long"
+                )
+                * s.cast("long"),
             ),
-            F.lit(0.0),
+            F.lit(0).cast("long"),
             lambda acc, v: acc + v,
         )
         bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**p))
@@ -147,8 +159,12 @@ def cosine_topk_lsh(
     matching in several tables is deduplicated before the re-rank.
 
     Parameter order is (queries, corpus) — same as
-    :func:`cosine_topk_brute`; ``exclude_self`` likewise.
+    :func:`cosine_topk_brute`; ``exclude_self`` likewise. The re-rank
+    cosine is e12 fixed-point (like the brute baseline), so results are
+    engine-exact and the DuckDB oracle hash-matches.
     """
+    from modeltracking_spark.functions.vector import dot_product_fxp, sq_norm_fxp
+
     csigs = F.array(
         *[
             F.struct(
@@ -159,7 +175,9 @@ def cosine_topk_lsh(
         ]
     )
     csig = (
-        corpus.withColumn("__cn", l2_norm(c_vec))  # fold before the T× explode
+        corpus.withColumn(  # fold before the T× explode
+            "__cn", F.sqrt(sq_norm_fxp(c_vec).cast("double"))
+        )
         .withColumn("__s", F.explode(csigs))
         .withColumn("tbl", F.col("__s.tbl"))
         .withColumn("sig", F.col("__s.sig"))
@@ -195,13 +213,22 @@ def cosine_topk_lsh(
         .drop("__b")
     )
     x = csig.join(
-        F.broadcast(qsig.withColumn("__qn", l2_norm(q_vec))), ["tbl", "sig"]
+        F.broadcast(
+            qsig.withColumn("__qn", F.sqrt(sq_norm_fxp(q_vec).cast("double")))
+        ),
+        ["tbl", "sig"],
     )
     if exclude_self:
         x = x.where(F.col(q_id) != F.col(c_id))
     # a pair can match through several (table, probe) routes -> dedup
     cand = x.dropDuplicates([q_id, c_id])
-    cand = cand.withColumn("cosine", _pairwise_cosine(q_vec, c_vec))
+    cand = cand.withColumn(
+        "cosine",
+        F.when(F.col("__qn") * F.col("__cn") == 0, F.lit(0.0)).otherwise(
+            dot_product_fxp(q_vec, c_vec).cast("double")
+            / (F.col("__qn") * F.col("__cn"))
+        ),
+    )
     w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id).asc())
     return (
         cand.withColumn("rnk", F.row_number().over(w))

@@ -314,16 +314,18 @@ def stratified_hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     c AS (
+      /* DuckDB's windowed sum(BIGINT) yields HUGEINT; cast back to BIGINT
+         so the dtype matches Spark's long (values are identical) */
       SELECT source, doc_id, n_tok,
-             sum(n_tok) OVER (
+             (sum(n_tok) OVER (
                PARTITION BY source ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-             ) - n_tok AS start_off
+             ) - n_tok)::BIGINT AS start_off
       FROM t
     )
     SELECT source, doc_id, n_tok, start_off,
-           (start_off // 512) AS pack_id,
-           (start_off % 512) AS pack_off
+           (start_off // 512)::BIGINT AS pack_id,
+           (start_off % 512)::BIGINT AS pack_off
     FROM c
     """,
 )

@@ -77,12 +77,77 @@ def cosine_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("cosine_topk_lsh_probe")  # xxhash64 hyperplanes -> not SQL-expressible
+# The LSH oracle re-derives the ENTIRE ANN pipeline in SQL: the md5-parity
+# ±1 hyperplanes (DuckDB's md5() == hashlib.md5), e6 fixed-point projection
+# sign bits (integer sums — fold-order/engine independent), per-table base
+# signatures, the query side's Hamming-1 multi-probe expansion, the bucket
+# join, candidate dedup, and the e12 fixed-point cosine re-rank.
+_LSH_PLANES = 8
+_LSH_TABLES = 8
+_LSH_ORACLE = f"""
+    WITH plane AS (
+      SELECT t, p, d,
+             CASE WHEN (('0x' || substr(md5(t::VARCHAR || ':' || p::VARCHAR
+                                        || ':' || d::VARCHAR), 1, 2))::INTEGER
+                        & 1) = 0
+                  THEN 1::BIGINT ELSE (-1)::BIGINT END AS s
+      FROM range({_LSH_TABLES}) tt(t), range({_LSH_PLANES}) pp(p), range(64) dd(d)
+    ),
+    proj AS (
+      SELECT e.vec_id, pl.t, pl.p,
+             sum(round(e.embedding[pl.d + 1]::DOUBLE * 1e6)::BIGINT * pl.s) AS pr
+      FROM embeddings e JOIN plane pl ON TRUE
+      GROUP BY 1, 2, 3
+    ),
+    sig AS (
+      SELECT vec_id, t,
+             sum(CASE WHEN pr >= 0 THEN (1 << p)::BIGINT ELSE 0::BIGINT END)::BIGINT AS sig
+      FROM proj GROUP BY 1, 2
+    ),
+    qsig AS (
+      SELECT s.vec_id AS q_id, s.t,
+             CASE WHEN pr.probe = -1 THEN s.sig
+                  ELSE xor(s.sig, (1 << pr.probe)::BIGINT) END AS sig
+      FROM sig s
+      JOIN (SELECT unnest([{", ".join(str(x) for x in [-1, *range(_LSH_PLANES)])}]) AS probe) pr
+        ON TRUE
+      WHERE s.vec_id < 10
+    ),
+    cand AS (
+      SELECT DISTINCT q.q_id, c.vec_id AS c_id
+      FROM qsig q JOIN sig c ON q.t = c.t AND q.sig = c.sig
+      WHERE q.q_id <> c.vec_id
+    ),
+    n AS (SELECT vec_id, {{_NORM}} AS nrm FROM embeddings),
+    x AS (
+      SELECT cand.q_id, cand.c_id,
+             list_sum(list_transform(list_zip(qe.embedding, ce.embedding),
+               s -> round(s[1]::DOUBLE * s[2]::DOUBLE * 1e12)::BIGINT)) AS dot
+      FROM cand
+      JOIN embeddings qe ON qe.vec_id = cand.q_id
+      JOIN embeddings ce ON ce.vec_id = cand.c_id
+    )
+    SELECT q_id, c_id,
+           dot::DOUBLE / (sqrt(nq.nrm::DOUBLE) * sqrt(nc.nrm::DOUBLE)) AS cosine,
+           row_number() OVER (
+             PARTITION BY q_id
+             ORDER BY dot::DOUBLE / (sqrt(nq.nrm::DOUBLE) * sqrt(nc.nrm::DOUBLE)) DESC,
+                      c_id ASC)::BIGINT AS rnk
+    FROM x
+    JOIN n nq ON nq.vec_id = q_id
+    JOIN n nc ON nc.vec_id = c_id
+    QUALIFY rnk <= 5
+""".format(_NORM=_NORM)
+
+
+@query("cosine_topk_lsh_probe", oracle=_LSH_ORACLE)
 def cosine_topk_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN tier: hyperplane-LSH bucketed top-5 with Hamming-1 multi-probe
-    (recall vs brute asserted ≥0.9 in tests/test_similarity.py). Rows-only
-    here: the deterministic hyperplanes derive from xxhash64, which DuckDB
-    cannot evaluate."""
+    (recall vs brute asserted ≥0.9 in tests/test_similarity.py). Fully
+    oracled: the hyperplanes are md5-parity literals both engines derive
+    independently, the sign bits are e6 fixed-point integer sums, and the
+    re-rank cosine is the same e12 fixed-point fold as the brute baseline
+    — the oracle replays bucket selection, multi-probe, and re-rank."""
     e = T(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
@@ -90,7 +155,11 @@ def cosine_topk_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = e.select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
     )
-    return cosine_topk_lsh(q, c, k=5, n_planes=8, dim=64, exclude_self=True)
+    out = cosine_topk_lsh(
+        q, c, k=5, n_planes=_LSH_PLANES, n_tables=_LSH_TABLES, dim=64,
+        exclude_self=True,
+    )
+    return out.withColumn("rnk", F.col("rnk").cast("long"))
 
 
 # train-once / serve-many: the IVF quantizer per sf_dir, trained on first
@@ -285,7 +354,59 @@ def cosine_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("embedding_neardup_lsh_pairs")  # xxhash-free but hyperplane-LSH: rows-only
+_NEARDUP_PLANES = 4
+_NEARDUP_TABLES = 8
+_NEARDUP_ORACLE = f"""
+    WITH plane AS (
+      SELECT t, p, d,
+             CASE WHEN (('0x' || substr(md5(t::VARCHAR || ':' || p::VARCHAR
+                                        || ':' || d::VARCHAR), 1, 2))::INTEGER
+                        & 1) = 0
+                  THEN 1::BIGINT ELSE (-1)::BIGINT END AS s
+      FROM range({_NEARDUP_TABLES}) tt(t), range({_NEARDUP_PLANES}) pp(p), range(64) dd(d)
+    ),
+    proj AS (
+      SELECT e.vec_id, pl.t, pl.p,
+             sum(round(e.embedding[pl.d + 1]::DOUBLE * 1e6)::BIGINT * pl.s) AS pr
+      FROM embeddings e JOIN plane pl ON TRUE
+      GROUP BY 1, 2, 3
+    ),
+    sig AS (
+      SELECT vec_id, t,
+             sum(CASE WHEN pr >= 0 THEN (1 << p)::BIGINT ELSE 0::BIGINT END)::BIGINT AS sig
+      FROM proj GROUP BY 1, 2
+    ),
+    psig AS (
+      SELECT s.vec_id AS id_a, s.t,
+             CASE WHEN pr.probe = -1 THEN s.sig
+                  ELSE xor(s.sig, (1 << pr.probe)::BIGINT) END AS sig
+      FROM sig s
+      JOIN (SELECT unnest([{", ".join(str(x) for x in [-1, *range(_NEARDUP_PLANES)])}]) AS probe) pr
+        ON TRUE
+      WHERE s.vec_id < 100
+    ),
+    cand AS (
+      SELECT DISTINCT p.id_a, c.vec_id AS id_b
+      FROM psig p JOIN sig c ON p.t = c.t AND p.sig = c.sig
+      WHERE p.id_a < c.vec_id
+    ),
+    n AS (SELECT vec_id, {{_NORM}} AS nrm FROM embeddings)
+    SELECT cand.id_a, cand.id_b,
+           list_sum(list_transform(list_zip(ae.embedding, be.embedding),
+             s -> round(s[1]::DOUBLE * s[2]::DOUBLE * 1e12)::BIGINT))::DOUBLE
+             / (sqrt(na.nrm::DOUBLE) * sqrt(nb.nrm::DOUBLE)) AS cosine
+    FROM cand
+    JOIN embeddings ae ON ae.vec_id = cand.id_a
+    JOIN embeddings be ON be.vec_id = cand.id_b
+    JOIN n na ON na.vec_id = cand.id_a
+    JOIN n nb ON nb.vec_id = cand.id_b
+    WHERE list_sum(list_transform(list_zip(ae.embedding, be.embedding),
+            s -> round(s[1]::DOUBLE * s[2]::DOUBLE * 1e12)::BIGINT))::DOUBLE
+            / (sqrt(na.nrm::DOUBLE) * sqrt(nb.nrm::DOUBLE)) >= 0.3
+""".format(_NORM=_NORM)
+
+
+@query("embedding_neardup_lsh_pairs", oracle=_NEARDUP_ORACLE)
 def embedding_neardup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SCALE path for ``embedding_neardup_pairs``: identical cosine
     threshold (0.3) and probe set (id < 100), but candidates come from
@@ -293,8 +414,9 @@ def embedding_neardup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     full self-join — candidate work shrinks by ~2^planes per table.
     Exact fixed-point cosine verifies every candidate, so emitted pairs
     are a SUBSET of the exact query's (no false positives); recall vs
-    exact asserted ≥0.95 in tests/test_similarity.py. Rows-only: the
-    plan-time hyperplane folds have no DuckDB analog."""
+    exact asserted ≥0.95 in tests/test_similarity.py. Fully oracled: the
+    SQL replays the md5-parity planes, e6 fixed-point sign bits,
+    multi-probe bucket join, and fxp cosine verify."""
     from modeltracking_spark.operators.similarity import cosine_neardup_lsh
 
     e = T(spark, sf_dir, "embeddings")

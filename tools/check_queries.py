@@ -89,9 +89,14 @@ def main(filters: list[str]) -> int:
             n_rowsonly += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            # fetch via Arrow, not fetchall(): fetchall() collapses DuckDB's
+            # HUGEINT into plain int, hiding dtype drift the driver's value
+            # hash catches (r4: windowed sum -> HUGEINT -> Decimal cells)
+            tbl = con.execute(oracles[name]).arrow()
+            dcols = tbl.column_names
+            drows = [
+                tuple(d[c] for c in dcols) for d in tbl.to_pylist()
+            ]
         except Exception as exc:
             print(f"FAIL  {name}: duckdb error: {exc}")
             n_fail += 1
