@@ -54,6 +54,60 @@ def grid_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "grid_netcdf_scan",
+    oracle=f"""
+    SELECT time_hours,
+           count(*) AS n_rows,
+           count(*) FILTER (WHERE water_temp <= -4) AS n_sentinel,
+           sum(CASE WHEN water_temp > -4
+                    THEN round(water_temp * 10)::BIGINT END)::BIGINT AS sum_temp_e1
+    FROM ({HYCOM_GRID_SQL})
+    GROUP BY 1
+    """,
+)
+def grid_netcdf_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 live-source parity: the SAME aggregate as grid_datasource_scan,
+    but read from a REAL classic netCDF file through the pure-numpy
+    reader (``sources/netcdf_classic.py``) — closing the reference's one
+    capability without an executable twin (``trackplot_hycom.py:144``
+    ``netCDF4.Dataset(url)`` + server-side slicing ``:110``). Each of
+    the 28 partitions seeks to its timestep's record byte range and
+    reads only that slice. The fixture file is materialized once
+    (driver-side, streamed record-by-record) and holds the formula
+    grid, so the formula oracle checks the netCDF encode->decode->scan
+    pipeline end to end. In production the path is shared storage; in
+    local mode /tmp is shared between driver and executor workers."""
+    import os
+
+    from pyspark.errors import PySparkException
+
+    from modeltracking_spark.queries.common import ensure_pkg_on_workers
+    from modeltracking_spark.sources.grid_source import (
+        HycomGridDataSource,
+        write_grid_netcdf,
+    )
+
+    nc_path = "/tmp/modeltracking_grid_fixture.nc"
+    if not os.path.exists(nc_path):
+        write_grid_netcdf(nc_path + ".tmp")
+        os.replace(nc_path + ".tmp", nc_path)  # atomic vs concurrent tests
+    ensure_pkg_on_workers(spark)
+    try:
+        spark.dataSource.register(HycomGridDataSource)
+    except PySparkException:
+        pass  # already registered in this session
+    g = spark.read.format("hycom_grid").option("path", nc_path).load()
+    masked = F.when(
+        F.col("water_temp") > -4, F.round(F.col("water_temp") * 10).cast("long")
+    )
+    return g.groupBy("time_hours").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("water_temp") <= -4, 1).otherwise(0)).alias("n_sentinel"),
+        F.sum(masked).alias("sum_temp_e1"),
+    )
+
+
+@query(
     "hours_from_parts",
     oracle="""
     SELECT o_orderkey,

@@ -1,16 +1,23 @@
 """Custom Spark 4 Python DataSource for the HYCOM-style grid (S6).
 
 The reference reads the 4-D grid over OPeNDAP with server-side slicing
-(``netCDF4.Dataset(url)``, ``trackplot_hycom.py:144``, ``:110``). The
-engine's correctness tier uses the parquet-materialized/formula fixture;
-this DataSource is the LIVE-source shape: a ``pyspark.sql.datasource``
+(``netCDF4.Dataset(url)``, ``trackplot_hycom.py:144``, ``:110``). This
+DataSource is the LIVE-source shape: a ``pyspark.sql.datasource``
 implementation exposing the grid as a long DataFrame with one input
 partition per time step — the unit a remote reader would fetch per DAP
 request, and the unit Spark schedules across executors.
 
-A real deployment would swap ``_partition_arrays`` for a pydap/netCDF4
-slice fetch per partition (each task pulls ``var[t, :, :, :]``); the
-partitioning, schema, and Arrow-batch emission stay identical.
+Two backends, chosen by the ``path`` option:
+
+- no ``path`` (default): the deterministic formula fixture — the
+  correctness tier's in-memory twin of the parquet fixture.
+- ``.option("path", "/…/grid.nc")``: a REAL netCDF classic file read
+  via ``sources/netcdf_classic.py``. Each partition seeks to its
+  timestep's record byte range (``begin + t*recsize``) and reads ONLY
+  that slice — the local-file analog of the reference's server-side DAP
+  slicing (``trackplot_hycom.py:110`` ships index ranges to the THREDDS
+  server). Time-filter pushdown prunes partitions before any task
+  launches in both backends.
 """
 
 from __future__ import annotations
@@ -45,6 +52,99 @@ GRID_SCHEMA_DDL = (
     "time_hours bigint, depth_idx int, depth_m double, lat_idx int, "
     "lon_idx int, lat double, lon double, water_temp double, salinity double"
 )
+
+
+def _partition_from_netcdf(path: str, ti: int):
+    """One time step as numpy columns, read from a classic netCDF file —
+    slice reads only (never the whole variable). The lat/lon/depth
+    coordinate vectors are header-adjacent 1-D reads (KBs); the two
+    physics hypercube vars are one record-range read each."""
+    import numpy as np
+
+    from modeltracking_spark.sources.netcdf_classic import NcFile
+
+    nc = NcFile(path)
+    t_hours = int(nc.read_slice("time", ti))
+    depth_m = nc.read("depth")
+    lat_v = nc.read("lat")
+    lon_v = nc.read("lon")
+    temp = nc.read_slice("water_temp", ti)  # (depth, lat, lon)
+    sal = nc.read_slice("salinity", ti)
+    nd, nla, nlo = temp.shape
+    d, la, lo = np.meshgrid(
+        np.arange(nd, dtype=np.int64),
+        np.arange(nla, dtype=np.int64),
+        np.arange(nlo, dtype=np.int64),
+        indexing="ij",
+    )
+    d, la, lo = d.ravel(), la.ravel(), lo.ravel()
+    return {
+        "time_hours": np.full(d.shape, t_hours, dtype=np.int64),
+        "depth_idx": d.astype(np.int32),
+        "depth_m": depth_m[d],
+        "lat_idx": la.astype(np.int32),
+        "lon_idx": lo.astype(np.int32),
+        "lat": lat_v[la],
+        "lon": lon_v[lo],
+        "water_temp": temp.ravel(),
+        "salinity": sal.ravel(),
+    }
+
+
+def write_grid_netcdf(path: str, n_time: int = GRID_N_TIME) -> None:
+    """Materialize the formula grid as a REAL classic netCDF file
+    (time = unlimited record dim; per-record streaming write, so the
+    full hypercube never exists in memory). Reading it back through the
+    ``path`` backend reproduces the fixture byte-for-byte — which is how
+    the netCDF pipeline gets an exact DuckDB oracle."""
+    import numpy as np
+
+    from modeltracking_spark.sources.netcdf_classic import write_classic
+
+    def rec(var):
+        def f(r):
+            return (
+                _partition_arrays(r)[var]
+                .reshape(GRID_N_DEPTH, GRID_N_LAT, GRID_N_LON)
+            )
+
+        return f
+
+    write_classic(
+        path,
+        dims=[
+            ("time", 0),
+            ("depth", GRID_N_DEPTH),
+            ("lat", GRID_N_LAT),
+            ("lon", GRID_N_LON),
+        ],
+        variables=[
+            (
+                "time",
+                ("time",),
+                lambda r: np.array(r * GRID_TIME_STEP, dtype=np.int32),
+            ),
+            (
+                "depth",
+                ("depth",),
+                np.arange(GRID_N_DEPTH, dtype=np.float64) * GRID_DEPTH_STEP,
+            ),
+            (
+                "lat",
+                ("lat",),
+                GRID_LAT0 + np.arange(GRID_N_LAT, dtype=np.float64) * GRID_LAT_STEP,
+            ),
+            (
+                "lon",
+                ("lon",),
+                GRID_LON0 + np.arange(GRID_N_LON, dtype=np.float64) * GRID_LON_STEP,
+            ),
+            ("water_temp", ("time", "depth", "lat", "lon"), rec("water_temp")),
+            ("salinity", ("time", "depth", "lat", "lon"), rec("salinity")),
+        ],
+        record_dim="time",
+        n_records=n_time,
+    )
 
 
 def _partition_arrays(ti: int):
@@ -105,8 +205,26 @@ def _time_filter_match(f, th: int) -> bool:
 
 class HycomGridReader(DataSourceReader):
     def __init__(self, options):
-        self.n_time = int(options.get("n_time", GRID_N_TIME))
+        self.path = options.get("path")  # netCDF backend when set
+        if self.path:
+            from modeltracking_spark.sources.netcdf_classic import NcFile
+
+            nc = NcFile(self.path)
+            default_n = nc.dim_size("time")
+            # the coordinate var is KBs; reading it driver-side lets
+            # pushed filters prune against the FILE's time axis, not a
+            # formula assumption
+            self._time_values = [int(v) for v in nc.read("time")]
+        else:
+            default_n = GRID_N_TIME
+            self._time_values = None
+        self.n_time = int(options.get("n_time", default_n))
         self._time_filters: list = []
+
+    def _time_hours_of(self, t: int) -> int:
+        if self._time_values is not None:
+            return self._time_values[t]
+        return t * GRID_TIME_STEP
 
     def partitions(self):
         # one partition per time step: the remote-fetch unit AND the
@@ -116,7 +234,7 @@ class HycomGridReader(DataSourceReader):
             t
             for t in range(self.n_time)
             if all(
-                _time_filter_match(f, t * GRID_TIME_STEP)
+                _time_filter_match(f, self._time_hours_of(t))
                 for f in self._time_filters
             )
         ]
@@ -125,7 +243,11 @@ class HycomGridReader(DataSourceReader):
     def read(self, partition):
         import pyarrow as pa
 
-        cols = _partition_arrays(partition.value)
+        cols = (
+            _partition_from_netcdf(self.path, partition.value)
+            if self.path
+            else _partition_arrays(partition.value)
+        )
         yield pa.RecordBatch.from_pydict(cols)
 
 

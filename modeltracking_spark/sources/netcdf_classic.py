@@ -1,0 +1,373 @@
+"""Pure-numpy reader/writer for the classic NetCDF binary format.
+
+The reference's only real I/O is a netCDF/OPeNDAP grid read with
+server-side slicing (``trackplot_hycom.py:144`` ``netCDF4.Dataset(url)``;
+``:110`` / ``:132`` ship index ranges to the THREDDS server so only the
+requested ``var[t, :, :, :]`` block crosses the wire). This container has
+no ``netCDF4``/``h5py``, so the engine implements the classic format
+(CDF-1 magic ``CDF\\x01`` / CDF-2 ``CDF\\x02``) directly from the public
+spec (NetCDF Classic Format Specification, Unidata) — header parse plus
+**byte-range record slicing**: reading timestep ``t`` of a record
+variable seeks to ``begin + t * recsize`` and reads one record's bytes,
+never the whole variable. That per-slice read is the local-file analog
+of the reference's DAP slicing, and it is what
+``sources/grid_source.py`` partitions do per task when given a
+``path`` option.
+
+Scale posture: the reader holds only (a) the parsed header (KBs) and
+(b) one record slice per call. A 100 TB hypercube read through the grid
+DataSource schedules one task per timestep; each task opens the file
+(or object-store range-GET in a real deployment), reads its record's
+byte range, and emits one Arrow batch.
+
+Format notes (classic, from the public spec):
+- big-endian throughout; names/attr values/data blocks padded to 4 bytes
+- header: magic, numrecs, dim_list, gatt_list, var_list
+- tags: NC_DIMENSION=0x0A, NC_VARIABLE=0x0B, NC_ATTRIBUTE=0x0C; an
+  absent list is two zero int32s
+- types: byte=1 char=2 short=3 int=4 float=5 double=6
+- a dim of length 0 is the record (unlimited) dimension; record
+  variables store their per-record blocks interleaved: record ``r`` of
+  var ``v`` lives at ``v.begin + r * recsize`` where ``recsize`` is the
+  sum of all record vars' padded per-record sizes (padding is waived
+  when there is exactly one record variable)
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+NC_DIMENSION = 0x0A
+NC_VARIABLE = 0x0B
+NC_ATTRIBUTE = 0x0C
+
+#: nc_type -> (big-endian numpy dtype, size in bytes)
+NC_TYPES = {
+    1: (">i1", 1),
+    2: ("S1", 1),
+    3: (">i2", 2),
+    4: (">i4", 4),
+    5: (">f4", 4),
+    6: (">f8", 8),
+}
+#: numpy kind+itemsize -> nc_type (for the writer)
+_NP_TO_NC = {("i", 1): 1, ("i", 2): 3, ("i", 4): 4, ("f", 4): 5, ("f", 8): 6}
+
+
+def _pad4(n: int) -> int:
+    return (n + 3) & ~3
+
+
+@dataclass
+class NcVar:
+    name: str
+    dim_ids: list[int]
+    nc_type: int
+    vsize: int
+    begin: int
+    shape: tuple[int, ...]  # record dim (if any) first, with its length
+    is_record: bool
+    attrs: dict = field(default_factory=dict)
+
+    @property
+    def dtype(self) -> str:
+        return NC_TYPES[self.nc_type][0]
+
+    @property
+    def itemsize(self) -> int:
+        return NC_TYPES[self.nc_type][1]
+
+    def slice_nbytes(self) -> int:
+        """Unpadded byte size of one first-dimension slice."""
+        inner = 1
+        for s in self.shape[1:]:
+            inner *= s
+        return inner * self.itemsize
+
+
+class _Cursor:
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.off = 0
+
+    def u32(self) -> int:
+        (v,) = struct.unpack_from(">I", self.buf, self.off)
+        self.off += 4
+        return v
+
+    def i64(self) -> int:
+        (v,) = struct.unpack_from(">q", self.buf, self.off)
+        self.off += 8
+        return v
+
+    def name(self) -> str:
+        n = self.u32()
+        s = self.buf[self.off : self.off + n].decode("utf-8")
+        self.off += _pad4(n)
+        return s
+
+    def attr_values(self, nc_type: int, nelems: int):
+        dt, size = NC_TYPES[nc_type]
+        nbytes = nelems * size
+        raw = self.buf[self.off : self.off + nbytes]
+        self.off += _pad4(nbytes)
+        if nc_type == 2:
+            return raw.decode("utf-8", errors="replace")
+        import numpy as np
+
+        return np.frombuffer(raw, dtype=dt, count=nelems).tolist()
+
+    def attr_list(self) -> dict:
+        tag, nelems = self.u32(), self.u32()
+        out = {}
+        if tag == 0 and nelems == 0:
+            return out
+        if tag != NC_ATTRIBUTE:
+            raise ValueError(f"bad attribute list tag {tag:#x}")
+        for _ in range(nelems):
+            nm = self.name()
+            t = self.u32()
+            n = self.u32()
+            out[nm] = self.attr_values(t, n)
+        return out
+
+
+class NcFile:
+    """Parsed classic-netCDF header with sliced data access.
+
+    ``read(var)`` loads a whole variable; ``read_slice(var, i)`` reads
+    ONLY slice ``i`` along the first dimension (record or fixed) via a
+    seek + one contiguous read — the unit a grid partition fetches.
+    """
+
+    def __init__(self, path: str):
+        import os
+
+        self.path = path
+        # headers are small; 64 KiB covers dims+attrs+vars for any sane
+        # grid file, and we re-read if the var list overflows it
+        with open(path, "rb") as f:
+            head = f.read(64 * 1024)
+            if head[:3] != b"CDF" or head[3] not in (1, 2):
+                raise ValueError(f"{path}: not a classic netCDF file")
+            self.version = head[3]
+            try:
+                self._parse(head)
+            except (struct.error, IndexError):
+                f.seek(0)
+                self._parse(f.read(os.path.getsize(path)))
+
+    def _parse(self, buf: bytes) -> None:
+        c = _Cursor(buf)
+        c.off = 4
+        self.numrecs = c.u32()
+        # dim list
+        tag, ndims = c.u32(), c.u32()
+        if not (tag == NC_DIMENSION or (tag == 0 and ndims == 0)):
+            raise ValueError(f"bad dim list tag {tag:#x}")
+        self.dims: list[tuple[str, int]] = []
+        self.rec_dim_id: int | None = None
+        for i in range(ndims):
+            nm = c.name()
+            ln = c.u32()
+            if ln == 0:
+                self.rec_dim_id = i
+            self.dims.append((nm, ln))
+        self.attrs = c.attr_list()
+        # var list
+        tag, nvars = c.u32(), c.u32()
+        if not (tag == NC_VARIABLE or (tag == 0 and nvars == 0)):
+            raise ValueError(f"bad var list tag {tag:#x}")
+        self.vars: dict[str, NcVar] = {}
+        rec_vars: list[NcVar] = []
+        for _ in range(nvars):
+            nm = c.name()
+            nd = c.u32()
+            dim_ids = [c.u32() for _ in range(nd)]
+            vattrs = c.attr_list()
+            nc_type = c.u32()
+            vsize = c.u32()
+            begin = c.i64() if self.version == 2 else c.u32()
+            is_rec = bool(dim_ids) and dim_ids[0] == self.rec_dim_id
+            shape = tuple(
+                self.numrecs if (j == 0 and is_rec) else self.dims[d][1]
+                for j, d in enumerate(dim_ids)
+            )
+            v = NcVar(nm, dim_ids, nc_type, vsize, begin, shape, is_rec, vattrs)
+            self.vars[nm] = v
+            if is_rec:
+                rec_vars.append(v)
+        # recsize: padded per-record sizes, padding waived for a single
+        # record variable (spec quirk)
+        if len(rec_vars) == 1:
+            self.recsize = rec_vars[0].slice_nbytes()
+        else:
+            self.recsize = sum(_pad4(v.slice_nbytes()) for v in rec_vars)
+
+    def dim_size(self, name: str) -> int:
+        for nm, ln in self.dims:
+            if nm == name:
+                return self.numrecs if ln == 0 else ln
+        raise KeyError(name)
+
+    def read_slice(self, var: str, i: int):
+        """var[i, ...] as a little-endian numpy array, reading only that
+        slice's bytes (record vars: ``begin + i*recsize``; fixed vars:
+        ``begin + i*slice_bytes``)."""
+        import numpy as np
+
+        v = self.vars[var]
+        n = v.shape[0] if v.shape else 1
+        if not 0 <= i < n:
+            raise IndexError(f"{var}[{i}] out of range {n}")
+        nbytes = v.slice_nbytes()
+        off = v.begin + i * (self.recsize if v.is_record else nbytes)
+        with open(self.path, "rb") as f:
+            f.seek(off)
+            raw = f.read(nbytes)
+        arr = np.frombuffer(raw, dtype=v.dtype).astype(
+            np.dtype(v.dtype).newbyteorder("=")
+        )
+        # scalar-per-slice (1-D record var) -> 0-d so stacked reads give
+        # the natural (n,) shape
+        return arr.reshape(v.shape[1:])
+
+    def read(self, var: str):
+        """The whole variable (record vars: stacked slice reads)."""
+        import numpy as np
+
+        v = self.vars[var]
+        if v.is_record:
+            return np.stack([self.read_slice(var, r) for r in range(v.shape[0])])
+        with open(self.path, "rb") as f:
+            f.seek(v.begin)
+            raw = f.read(v.slice_nbytes() * (v.shape[0] if v.shape else 1))
+        arr = np.frombuffer(raw, dtype=v.dtype)
+        out = arr.reshape(v.shape) if v.shape else arr
+        return out.astype(out.dtype.newbyteorder("="))
+
+
+def write_classic(
+    path: str,
+    dims: list[tuple[str, int]],
+    variables: list[tuple[str, tuple[str, ...], object]],
+    record_dim: str | None = None,
+    n_records: int = 0,
+) -> None:
+    """Minimal classic (CDF-1) writer for fixtures and demo files.
+
+    ``dims``: (name, length) pairs; ``record_dim`` names the unlimited
+    one (stored with length 0). ``variables``: (name, dim names, value)
+    where value is a numpy array — or, for record variables, a callable
+    ``f(r) -> numpy array`` invoked per record so the full hypercube
+    never has to exist in memory (the writer streams record by record,
+    mirroring how the reader slices).
+    """
+    import numpy as np
+
+    dim_ix = {nm: i for i, (nm, _) in enumerate(dims)}
+    dim_len = dict(dims)
+
+    def nc_type_of(a) -> int:
+        k = (a.dtype.kind, a.dtype.itemsize)
+        if k not in _NP_TO_NC:
+            raise ValueError(f"unsupported dtype {a.dtype}")
+        return _NP_TO_NC[k]
+
+    # resolve per-var metadata
+    metas = []
+    for name, vdims, value in variables:
+        is_rec = record_dim is not None and vdims and vdims[0] == record_dim
+        inner_shape = tuple(
+            dim_len[d] for d in (vdims[1:] if is_rec else vdims)
+        )
+        probe = np.asarray(value(0) if callable(value) else value)
+        if is_rec and not callable(value):
+            probe = probe[0]
+        t = nc_type_of(probe)
+        inner = 1
+        for s in inner_shape:
+            inner *= s
+        nbytes = inner * NC_TYPES[t][1]
+        metas.append(
+            dict(
+                name=name, vdims=vdims, value=value, is_rec=is_rec,
+                inner_shape=inner_shape, nc_type=t, nbytes=nbytes,
+            )
+        )
+
+    n_rec_vars = sum(1 for m in metas if m["is_rec"])
+
+    def header_bytes(assign_begin: bool, begins: dict[str, int]) -> bytes:
+        out = bytearray()
+        out += b"CDF\x01"
+        out += struct.pack(">I", n_records)
+        out += struct.pack(">II", NC_DIMENSION, len(dims))
+        for nm, ln in dims:
+            b = nm.encode()
+            out += struct.pack(">I", len(b)) + b + b"\x00" * (_pad4(len(b)) - len(b))
+            out += struct.pack(">I", 0 if nm == record_dim else ln)
+        out += struct.pack(">II", 0, 0)  # no global attrs
+        out += struct.pack(">II", NC_VARIABLE, len(metas))
+        for m in metas:
+            b = m["name"].encode()
+            out += struct.pack(">I", len(b)) + b + b"\x00" * (_pad4(len(b)) - len(b))
+            out += struct.pack(">I", len(m["vdims"]))
+            for d in m["vdims"]:
+                out += struct.pack(">I", dim_ix[d])
+            out += struct.pack(">II", 0, 0)  # no var attrs
+            out += struct.pack(">I", m["nc_type"])
+            # vsize: padded (waived for a lone record var, per spec)
+            pad = (
+                m["nbytes"]
+                if (m["is_rec"] and n_rec_vars == 1)
+                else _pad4(m["nbytes"])
+            )
+            out += struct.pack(">I", min(pad, 2**32 - 4))
+            out += struct.pack(">I", begins.get(m["name"], 0) if assign_begin else 0)
+        return bytes(out)
+
+    hdr_len = len(header_bytes(False, {}))
+    begins: dict[str, int] = {}
+    off = _pad4(hdr_len)
+    for m in metas:  # fixed vars first, in declaration order
+        if not m["is_rec"]:
+            begins[m["name"]] = off
+            off += _pad4(m["nbytes"])
+    rec_start = off
+    for m in metas:
+        if m["is_rec"]:
+            begins[m["name"]] = off
+            step = m["nbytes"] if n_rec_vars == 1 else _pad4(m["nbytes"])
+            off += step
+    recsize = off - rec_start
+
+    def be(a):
+        return np.ascontiguousarray(a).astype(a.dtype.newbyteorder(">"))
+
+    with open(path, "wb") as f:
+        hdr = header_bytes(True, begins)
+        f.write(hdr)
+        f.write(b"\x00" * (_pad4(hdr_len) - hdr_len))
+        for m in metas:
+            if m["is_rec"]:
+                continue
+            f.seek(begins[m["name"]])
+            a = be(np.asarray(m["value"]))
+            f.write(a.tobytes())
+            f.write(b"\x00" * (_pad4(m["nbytes"]) - m["nbytes"]))
+        for r in range(n_records):
+            for m in metas:
+                if not m["is_rec"]:
+                    continue
+                f.seek(begins[m["name"]] + r * recsize)
+                v = m["value"]
+                a = np.asarray(v(r) if callable(v) else v[r])
+                f.write(be(a).tobytes())
+                pad = (
+                    0
+                    if n_rec_vars == 1
+                    else _pad4(m["nbytes"]) - m["nbytes"]
+                )
+                f.write(b"\x00" * pad)

@@ -1,0 +1,137 @@
+"""Pure-numpy classic-netCDF reader/writer + the grid DataSource's
+netCDF backend (the executable twin of the reference's OPeNDAP read,
+``trackplot_hycom.py:144``)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from modeltracking_spark.fixtures import GRID_TIME_STEP
+from modeltracking_spark.sources.grid_source import (
+    _partition_arrays,
+    _partition_from_netcdf,
+    write_grid_netcdf,
+)
+from modeltracking_spark.sources.netcdf_classic import NcFile, write_classic
+
+
+@pytest.fixture(scope="module")
+def tiny_nc(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("nc") / "tiny.nc")
+    write_classic(
+        path,
+        dims=[("time", 0), ("y", 2), ("x", 3)],
+        variables=[
+            ("t", ("time",), lambda r: np.array(r * 7, dtype=np.int32)),
+            ("yv", ("y",), np.array([1.5, 2.5])),
+            ("xv", ("x",), np.array([10, 20, 30], dtype=np.int32)),
+            (
+                "grid",
+                ("time", "y", "x"),
+                lambda r: np.arange(6, dtype=np.float64).reshape(2, 3) + 100 * r,
+            ),
+        ],
+        record_dim="time",
+        n_records=5,
+    )
+    return path
+
+
+def test_header_fields(tiny_nc):
+    raw = open(tiny_nc, "rb").read(8)
+    assert raw[:4] == b"CDF\x01"
+    assert struct.unpack(">I", raw[4:])[0] == 5  # numrecs
+    f = NcFile(tiny_nc)
+    assert f.dims == [("time", 0), ("y", 2), ("x", 3)]
+    assert f.numrecs == 5 and f.rec_dim_id == 0
+    assert f.vars["grid"].is_record and not f.vars["yv"].is_record
+    assert f.vars["grid"].shape == (5, 2, 3)
+
+
+def test_roundtrip_full_and_sliced(tiny_nc):
+    f = NcFile(tiny_nc)
+    assert f.read("t").tolist() == [0, 7, 14, 21, 28]
+    assert f.read("yv").tolist() == [1.5, 2.5]
+    assert f.read("xv").tolist() == [10, 20, 30]
+    full = f.read("grid")
+    assert full.shape == (5, 2, 3)
+    for r in range(5):
+        want = np.arange(6, dtype=np.float64).reshape(2, 3) + 100 * r
+        assert np.array_equal(f.read_slice("grid", r), want)
+        assert np.array_equal(full[r], want)
+    with pytest.raises(IndexError):
+        f.read_slice("grid", 5)
+
+
+def test_fixed_var_first_dim_slice(tiny_nc):
+    f = NcFile(tiny_nc)
+    assert f.read_slice("yv", 1) == 2.5
+    assert f.read_slice("xv", 2) == 30
+
+
+def test_mixed_dtypes_and_padding(tmp_path):
+    """int16 rows force real 4-byte padding in both fixed and record
+    sections; values must survive it."""
+    path = str(tmp_path / "pad.nc")
+    write_classic(
+        path,
+        dims=[("time", 0), ("k", 3)],
+        variables=[
+            ("sv", ("k",), np.array([1, -2, 3], dtype=np.int16)),  # 6B -> pad 8
+            ("rv", ("time", "k"), lambda r: np.array([r, r + 1, r + 2], np.int16)),
+            ("rd", ("time",), lambda r: np.array(r * 0.5, dtype=np.float64)),
+        ],
+        record_dim="time",
+        n_records=3,
+    )
+    f = NcFile(path)
+    assert f.read("sv").tolist() == [1, -2, 3]
+    assert f.read("rv").tolist() == [[0, 1, 2], [1, 2, 3], [2, 3, 4]]
+    assert f.read("rd").tolist() == [0.0, 0.5, 1.0]
+
+
+def test_grid_netcdf_matches_formula(tmp_path):
+    """The netCDF partition loader must reproduce the formula partition
+    byte-for-byte (same doubles, same sentinels) for every column."""
+    path = str(tmp_path / "grid.nc")
+    write_grid_netcdf(path, n_time=3)
+    for ti in (0, 2):
+        a = _partition_arrays(ti)
+        b = _partition_from_netcdf(path, ti)
+        assert set(a) == set(b)
+        for k in a:
+            assert np.array_equal(a[k], b[k]), (ti, k)
+
+
+def test_datasource_netcdf_backend_and_pruning(spark, tmp_path_factory):
+    from pyspark.errors import PySparkException
+
+    from modeltracking_spark.queries.common import ensure_pkg_on_workers
+    from modeltracking_spark.sources.grid_source import HycomGridDataSource
+
+    path = str(tmp_path_factory.mktemp("ncgrid") / "grid.nc")
+    write_grid_netcdf(path, n_time=4)
+    ensure_pkg_on_workers(spark)
+    try:
+        spark.dataSource.register(HycomGridDataSource)
+    except PySparkException:
+        pass
+    g = spark.read.format("hycom_grid").option("path", path).load()
+    import pyspark.sql.functions as F
+
+    rows = g.groupBy("time_hours").count().orderBy("time_hours").collect()
+    assert [r["time_hours"] for r in rows] == [
+        t * GRID_TIME_STEP for t in range(4)
+    ]
+    assert all(r["count"] == 30 * 81 * 81 for r in rows)
+    # pushdown backend prunes partitions against the FILE's time axis
+    gp = (
+        spark.read.format("hycom_grid")
+        .option("path", path)
+        .option("pushdown", "true")
+        .load()
+    )
+    one = gp.where(F.col("time_hours") == GRID_TIME_STEP * 2)
+    assert one.count() == 30 * 81 * 81
+    assert one.rdd.getNumPartitions() == 1  # 3 of 4 timesteps pruned
