@@ -237,6 +237,43 @@ def cosine_topk_lsh(
     )
 
 
+def _round_away(a, scale: float):
+    """round(a*scale) half-AWAY-from-zero as int64 — the rounding Spark's
+    ``F.round`` (HALF_UP) and DuckDB's ``round()`` both use; numpy's
+    ``rint`` is half-to-even and would diverge on exact .5 products."""
+    import numpy as np
+
+    return (np.sign(a) * np.floor(np.abs(a) * scale + 0.5)).astype(np.int64)
+
+
+def _unit_rows(C):
+    """Row-normalize a centroid matrix with an ENGINE-EXACT norm: the
+    squared norm is an integer sum of e6-rounded squares (associative),
+    so sqrt/divide produce identical doubles in any engine — a float
+    accumulation (np.linalg.norm's pairwise sum) could differ from a
+    sequential SQL fold at ulp level and flip a near-tie assignment."""
+    import numpy as np
+
+    q = _round_away(C, 1e6)
+    nrm = np.sqrt((q * q).sum(axis=1).astype(np.float64)) / 1e6
+    return C / np.maximum(nrm, 1e-300)[:, None]
+
+
+def _int_scores(X, Cn):
+    """Integer centroid-affinity scores: round(x*1e6) @ round(cn*1e9)^T.
+
+    int64 matmul is exact and order-independent, so the argmax (ties to
+    the smaller centroid id) is reproducible bit-for-bit by a DuckDB
+    fold — this is what makes the whole IVF pipeline oracle-checkable.
+    Ranking by dot against UNIT centroids equals ranking by cosine (the
+    query's own norm scales all its scores by the same positive
+    factor). Magnitudes: |x|≲40 → 4e7; |cn|≤1 → 1e9; 64-term dot ≤
+    2.6e18 < 2^63."""
+    import numpy as np
+
+    return _round_away(X, 1e6) @ _round_away(Cn, 1e9).T
+
+
 def _nearest_centroids(vec_col: str, centroids: list[list[float]], n: int) -> F.Column:
     """Array of the ``n`` nearest centroid ids (by cosine, tie-break to
     the smaller id) for a vector column.
@@ -252,14 +289,13 @@ def _nearest_centroids(vec_col: str, centroids: list[list[float]], n: int) -> F.
     from pyspark.sql.types import ArrayType, IntegerType
 
     C = np.asarray(centroids, dtype=np.float64)
-    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    Cn = _unit_rows(C)
 
     def _score_fn(vecs):
         X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        nrm = np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
-        cos = (X / nrm) @ Cn.T
-        # stable argsort on -cos == (cos desc, centroid id asc)
-        order = np.argsort(-cos, axis=1, kind="stable")[:, :n]
+        sc = _int_scores(X, Cn)
+        # stable argsort on -score == (score desc, centroid id asc)
+        order = np.argsort(-sc, axis=1, kind="stable")[:, :n]
         return pd.Series(list(order.astype("int32")))
 
     _score_fn.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
@@ -278,14 +314,17 @@ def kmeans_centroids(
     """Deterministic Lloyd k-means for the IVF coarse quantizer.
 
     Seeds = the ``n_centroids`` corpus vectors with the smallest ids;
-    each iteration is ONE mapInPandas pass that assigns by max cosine
-    (batch matmul against the broadcast centroid matrix) and emits
-    per-batch e9 fixed-point partial sums — integer adds are
-    associative, so the means are order- and partitioning-independent
-    (bit-deterministic). The per-iteration shuffle is ≤ n_centroids
-    rows per Arrow batch (MLlib's treeAggregate shape); the only driver
-    materialization is the (n_centroids × dim) centroid table — the
-    corpus itself never leaves the cluster.
+    each iteration is ONE mapInPandas pass that assigns by max
+    integer-scored affinity (exact int64 matmul against the broadcast
+    unit-centroid matrix — see :func:`_int_scores`) and emits per-batch
+    e9 fixed-point partial sums — integer adds are associative, so the
+    means are order- and partitioning-independent (bit-deterministic),
+    and the WHOLE training run is replayable by the DuckDB oracle
+    (queries/sim_q.py unrolls these iterations in SQL). The
+    per-iteration shuffle is ≤ n_centroids rows per Arrow batch
+    (MLlib's treeAggregate shape); the only driver materialization is
+    the (n_centroids × dim) centroid table — the corpus itself never
+    leaves the cluster.
     """
     import numpy as np
     import pandas as pd
@@ -300,7 +339,7 @@ def kmeans_centroids(
     vecs = corpus.select(F.col(vec_col).alias("v"))
     for _ in range(iters):
         C = np.asarray(cents, dtype=np.float64)
-        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+        Cn = _unit_rows(C)
 
         # one pass: assign + per-batch partial sums (e9 fixed point →
         # integer adds are associative, so the result is order- and
@@ -312,11 +351,8 @@ def kmeans_centroids(
                 X = np.stack(
                     [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
                 )
-                nrm = np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
-                cid = np.argsort(
-                    -((X / nrm) @ Cn.T), axis=1, kind="stable"
-                )[:, 0]
-                Xe9 = np.rint(X * 1e9).astype(np.int64)
+                cid = np.argsort(-_int_scores(X, Cn), axis=1, kind="stable")[:, 0]
+                Xe9 = _round_away(X, 1e9)
                 rows = []
                 for c in np.unique(cid):
                     sel = Xe9[cid == c]
@@ -404,6 +440,8 @@ def cosine_topk_ivf(
     only driver materialization is the (n_centroids × dim) centroid
     table itself.
     """
+    from modeltracking_spark.functions.vector import dot_product_fxp, sq_norm_fxp
+
     if quantizer is not None:
         rows = quantizer.orderBy("cid").collect()
         cents = [list(r["centroid"]) for r in rows]
@@ -419,12 +457,25 @@ def cosine_topk_ivf(
     qprobe = queries.withColumn(
         "cid", F.explode(_nearest_centroids(q_vec, cents, nprobe))
     )
-    x = cassign.withColumn("__cn", l2_norm(c_vec)).join(
-        F.broadcast(qprobe.withColumn("__qn", l2_norm(q_vec))), "cid"
+    # e12 fixed-point re-rank (like the brute/LSH paths) so results are
+    # engine-exact and the unrolled-Lloyd DuckDB oracle hash-matches
+    x = cassign.withColumn(
+        "__cn", F.sqrt(sq_norm_fxp(c_vec).cast("double"))
+    ).join(
+        F.broadcast(
+            qprobe.withColumn("__qn", F.sqrt(sq_norm_fxp(q_vec).cast("double")))
+        ),
+        "cid",
     )
     if exclude_self:
         x = x.where(F.col(q_id) != F.col(c_id))
-    cand = x.withColumn("cosine", _pairwise_cosine(q_vec, c_vec))
+    cand = x.withColumn(
+        "cosine",
+        F.when(F.col("__qn") * F.col("__cn") == 0, F.lit(0.0)).otherwise(
+            dot_product_fxp(q_vec, c_vec).cast("double")
+            / (F.col("__qn") * F.col("__cn"))
+        ),
+    )
     w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id).asc())
     return (
         cand.withColumn("rnk", F.row_number().over(w))

@@ -443,12 +443,55 @@ def pack_sequences_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_chunk(d, "doc_id", "n_tok", "source", 512)
 
 
-@query("pack_sequences_greedy")  # stateful per-bucket fold: not SQL-expressible
+@query(
+    "pack_sequences_greedy",
+    oracle="""
+    WITH RECURSIVE t AS (
+      SELECT source, doc_id, n_tok,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id)::BIGINT
+               AS rn
+      FROM (SELECT source, doc_id,
+                   length(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS n_tok
+            FROM documents)
+    ),
+    rec AS (
+      /* seed: first doc per bucket opens pack 0 at offset 0 */
+      SELECT source, rn, doc_id, n_tok,
+             0::BIGINT AS pack_id, 0::BIGINT AS pack_off,
+             CASE WHEN n_tok >= 512 THEN 1::BIGINT ELSE 0::BIGINT END
+               AS nxt_pack,
+             CASE WHEN n_tok >= 512 THEN 0::BIGINT ELSE n_tok::BIGINT END
+               AS nxt_fill
+      FROM t WHERE rn = 1
+      UNION ALL
+      /* step: first-fit — wrap before placing if the doc would overflow
+         a non-empty pack, wrap after placing if the pack is full.
+         Lateral aliases p_new/o_new are named to NOT collide with rec's
+         own columns (a bare pack_off here would bind to r.pack_off);
+         the recursive member maps to the seed's columns positionally */
+      SELECT t.source, t.rn, t.doc_id, t.n_tok,
+             CASE WHEN r.nxt_fill > 0 AND r.nxt_fill + t.n_tok > 512
+                  THEN r.nxt_pack + 1 ELSE r.nxt_pack END AS p_new,
+             CASE WHEN r.nxt_fill > 0 AND r.nxt_fill + t.n_tok > 512
+                  THEN 0::BIGINT ELSE r.nxt_fill END AS o_new,
+             CASE WHEN o_new + t.n_tok >= 512
+                  THEN p_new + 1 ELSE p_new END AS nxt_pack,
+             CASE WHEN o_new + t.n_tok >= 512
+                  THEN 0::BIGINT ELSE o_new + t.n_tok END AS nxt_fill
+      FROM rec r JOIN t ON t.source = r.source AND t.rn = r.rn + 1
+    )
+    SELECT source, doc_id, n_tok, pack_id, pack_off FROM rec
+    """,
+)
 def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-fit sequence packing (docs never straddle packs): stateful
-    scan per source bucket via applyInPandas. Rows-only check; the fold
-    is verified against a pure-Python reference in
-    tests/test_packing.py."""
+    scan per source bucket via applyInPandas — one shuffle on the bucket
+    key, each bucket folded in a single Arrow task. The DuckDB oracle
+    replays the fold as a recursive CTE that advances every bucket one
+    doc per iteration (the running-reset state machine no plain window
+    can express); the pure-Python reference in tests/test_packing.py
+    triangulates both."""
     from modeltracking_spark.operators.packing import pack_greedy
 
     d = T(spark, sf_dir, "documents").select(

@@ -184,17 +184,129 @@ def _ivf_quantizer_rows(spark: SparkSession, sf_dir: str) -> list:
     return _IVF_QUANTIZERS[sf_dir]
 
 
-@query("cosine_topk_ivf_probe")  # iterative k-means -> not SQL-expressible
+# ---- IVF oracle: the ENTIRE train+serve pipeline unrolled in SQL ----
+# Every arithmetic step of the deterministic Lloyd quantizer was designed
+# engine-exact (integer affinity scores, e9 fixed-point means, e6
+# fixed-point norms, half-away-from-zero rounding = DuckDB round()), so
+# the oracle replays training: seeds = 16 smallest-id vectors, then per
+# iteration normalize -> integer-score assign (ties to smaller cid) ->
+# e9 fixed-point means (empty clusters keep their previous centroid) —
+# and then the serve path: corpus bucketed by nearest centroid, queries
+# probe 4 buckets, e12 fixed-point cosine re-rank.
+
+
+def _ivf_normalize_sql(src: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT cid, list_transform(c, x -> x / nrm) AS cn
+      FROM (SELECT cid, c,
+                   greatest(sqrt(list_sum(list_transform(c,
+                     y -> round(y * 1e6)::BIGINT * round(y * 1e6)::BIGINT
+                   ))::DOUBLE) / 1e6, 1e-300) AS nrm
+            FROM {src})
+    )"""
+
+
+def _ivf_scores_sql(cn: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT e.vec_id, c.cid,
+             list_sum(list_transform(list_zip(e.embedding, c.cn),
+               s -> round(s[1]::DOUBLE * 1e6)::BIGINT
+                    * round(s[2] * 1e9)::BIGINT)) AS sc
+      FROM embeddings e CROSS JOIN {cn} c
+    )"""
+
+
+def _ivf_iter_sql(prev: str, i: int) -> str:
+    """One Lloyd iteration: {prev} (cid, c) -> c{i} (cid, c)."""
+    return f"""{_ivf_normalize_sql(prev, f"cn{i}")},
+    {_ivf_scores_sql(f"cn{i}", f"sc{i}")},
+    asg{i} AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sc DESC, cid ASC) AS rk
+        FROM sc{i}) WHERE rk = 1
+    ),
+    m{i} AS (
+      SELECT a.cid, p.pos,
+             sum(round(e.embedding[p.pos + 1]::DOUBLE * 1e9)::BIGINT) AS s,
+             count(*) AS n
+      FROM asg{i} a JOIN embeddings e USING (vec_id)
+      CROSS JOIN range(64) p(pos)
+      GROUP BY 1, 2
+    ),
+    c{i} AS (
+      SELECT p.cid, COALESCE(m.c, p.c) AS c
+      FROM {prev} p LEFT JOIN (
+        SELECT cid, list(s::DOUBLE / n::DOUBLE / 1e9 ORDER BY pos) AS c
+        FROM m{i} GROUP BY cid) m USING (cid)
+    )"""
+
+
+_IVF_ORACLE = f"""
+    WITH c0 AS (
+      SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INTEGER AS cid,
+             list_transform(embedding, x -> x::DOUBLE) AS c
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id LIMIT 16)
+    ),
+    {_ivf_iter_sql("c0", 1)},
+    {_ivf_iter_sql("c1", 2)},
+    {_ivf_normalize_sql("c2", "cnf")},
+    {_ivf_scores_sql("cnf", "scf")},
+    cbucket AS (
+      SELECT vec_id AS c_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sc DESC, cid ASC) AS rk
+        FROM scf) WHERE rk = 1
+    ),
+    qprobe AS (
+      SELECT vec_id AS q_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sc DESC, cid ASC) AS rk
+        FROM scf WHERE vec_id < 10) WHERE rk <= 4
+    ),
+    n AS (SELECT vec_id, {{_NORM}} AS nrm FROM embeddings),
+    x AS (
+      SELECT q.q_id, b.c_id,
+             list_sum(list_transform(list_zip(qe.embedding, ce.embedding),
+               s -> round(s[1]::DOUBLE * s[2]::DOUBLE * 1e12)::BIGINT)) AS dot
+      FROM qprobe q
+      JOIN cbucket b USING (cid)
+      JOIN embeddings qe ON qe.vec_id = q.q_id
+      JOIN embeddings ce ON ce.vec_id = b.c_id
+      WHERE q.q_id <> b.c_id
+    )
+    SELECT q_id, c_id,
+           dot::DOUBLE / (sqrt(nq.nrm::DOUBLE) * sqrt(nc.nrm::DOUBLE)) AS cosine,
+           row_number() OVER (
+             PARTITION BY q_id
+             ORDER BY dot::DOUBLE / (sqrt(nq.nrm::DOUBLE) * sqrt(nc.nrm::DOUBLE)) DESC,
+                      c_id ASC)::BIGINT AS rnk
+    FROM x
+    JOIN n nq ON nq.vec_id = q_id
+    JOIN n nc ON nc.vec_id = c_id
+    QUALIFY rnk <= 5
+""".format(_NORM=_NORM)
+
+
+@query("cosine_topk_ivf_probe", oracle=_IVF_ORACLE)
 def cosine_topk_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN tier, SERVE path: deterministic Lloyd k-means coarse
     quantizer (16 centroids, 2 iters — recall measured flat across 1-3
     iters on this data) trained once per sf_dir and reused
     (train/serve split — ``train_ivf_quantizer``); corpus bucketed by
     nearest centroid, queries probe their 4 nearest buckets, exact
-    re-rank inside. Rows-only: the driver-loop k-means is genuinely
-    iterative (recall vs brute + train-once determinism asserted in
-    tests/test_similarity.py). The data-adaptive complement to the
-    data-oblivious hyperplane LSH path."""
+    re-rank inside. FULLY oracled: training arithmetic is engine-exact
+    by construction (integer affinity scores, fixed-point means/norms),
+    so the DuckDB oracle unrolls both Lloyd iterations AND the serve
+    path in SQL — recall vs brute + train-once determinism additionally
+    asserted in tests/test_similarity.py. The data-adaptive complement
+    to the data-oblivious hyperplane LSH path."""
     from modeltracking_spark.operators.similarity import cosine_topk_ivf
 
     e = T(spark, sf_dir, "embeddings")
@@ -207,7 +319,8 @@ def cosine_topk_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     quant = spark.createDataFrame(
         _ivf_quantizer_rows(spark, sf_dir), "cid int, centroid array<double>"
     )
-    return cosine_topk_ivf(q, c, k=5, nprobe=4, exclude_self=True, quantizer=quant)
+    out = cosine_topk_ivf(q, c, k=5, nprobe=4, exclude_self=True, quantizer=quant)
+    return out.withColumn("rnk", F.col("rnk").cast("long"))
 
 
 @query(
