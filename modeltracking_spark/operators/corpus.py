@@ -295,3 +295,155 @@ def quantize_embeddings_int8(
             .alias("q"),
         )
     )
+
+
+def _word_5grams(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Distinct space-joined word 5-grams per doc with their md5 hex —
+    the shared shingle builder for decontamination variants. Narrow
+    explode, no shuffle until the caller aggregates."""
+    t = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"filter(split({text_col}, ' '), x -> x != '')").alias("t"),
+    ).where(F.size("t") >= 5)
+    gram = t.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 5),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at(F.col("t"), i + j) for j in range(1, 6)],
+                ),
+            )
+        ).alias("gram"),
+    ).dropDuplicates(["doc_id", "gram"])
+    return gram.withColumn("md5_hex", F.md5("gram"))
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    *,
+    bench_pred,
+    m_hex_chars: int = 5,
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination through a BLOOM membership test — the
+    100 TB shape of ``decontaminate_ngram_overlap``: instead of
+    broadcasting every benchmark 5-gram hash (GBs for a large eval
+    suite), broadcast only the SET BITS of an m=2^20 Bloom filter
+    (k=3 probes of 20 bits each from non-overlapping md5 hex slices;
+    ≤128 KiB as a bitset, and still small as the distinct-position
+    table used here, which is the filter's exact relational encoding:
+    a gram is flagged iff ALL k of its probe positions are set).
+
+    Bloom answers are one-sided — no false negatives, tunable false
+    positives — so the operator also computes the exact membership
+    verdict and emits both: ``n_false_pos`` quantifies the filter's
+    overcount, the number of docs a pipeline would needlessly re-check
+    (or over-drop) at this m/k. Output per non-benchmark doc:
+    (doc_id, n_grams, n_bloom_flagged, n_exact_hits, n_false_pos).
+    """
+    grams = _word_5grams(docs)
+    probes = [
+        F.conv(
+            F.substring("md5_hex", i * m_hex_chars + 1, m_hex_chars), 16, 10
+        ).cast("long").alias(f"p{i}")
+        for i in range(k)
+    ]
+    g = grams.select(
+        "doc_id",
+        "gram",
+        F.conv(F.substring("md5_hex", 1, 15), 16, 10).cast("long").alias("gram_h"),
+        *probes,
+    )
+    bench = g.where(bench_pred)
+    # the filter: distinct set bit positions across all k probe slots
+    bits = (
+        bench.select(
+            F.explode(F.array(*[F.col(f"p{i}") for i in range(k)])).alias("pos")
+        )
+        .distinct()
+    )
+    bench_hashes = bench.select("gram_h").distinct()
+    probe_side = g.where(~bench_pred)
+    long_probe = probe_side.select(
+        "doc_id",
+        "gram",
+        F.posexplode(F.array(*[F.col(f"p{i}") for i in range(k)])).alias(
+            "pi", "pos"
+        ),
+    )
+    # gram flagged iff every probe position is a set bit
+    flagged = (
+        long_probe.join(F.broadcast(bits), "pos")
+        .groupBy("doc_id", "gram")
+        .agg(F.count_distinct("pi").alias("n_hit"))
+        .where(F.col("n_hit") == k)
+        .select("doc_id", "gram")
+    )
+    exact = probe_side.join(
+        F.broadcast(bench_hashes), "gram_h"
+    ).select("doc_id", "gram")
+    per_doc = probe_side.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    fl = flagged.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_bloom_flagged"))
+    ex = exact.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_exact_hits"))
+    return (
+        per_doc.join(fl, "doc_id", "left")
+        .join(ex, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_bloom_flagged", F.lit(0)).alias("n_bloom_flagged"),
+            F.coalesce("n_exact_hits", F.lit(0)).alias("n_exact_hits"),
+            (
+                F.coalesce("n_bloom_flagged", F.lit(0))
+                - F.coalesce("n_exact_hits", F.lit(0))
+            ).alias("n_false_pos"),
+        )
+    )
+
+
+def unigram_logprob(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Perplexity-style quality score from a corpus-derived unigram LM —
+    the deterministic stand-in for the KenLM scoring CCNet-style
+    pipelines use to rank documents: token logprob = ln(freq/N) under
+    the corpus's own unigram distribution, summed per doc in e6 fixed
+    point (transcendental outputs floored to integers per the repo's
+    fixed-point discipline, so the aggregate is order-independent and
+    oracle-exact).
+
+    Scale: the LM is the vocabulary-sized (token, lp_e6) table —
+    broadcast; the corpus side is one explode + one broadcast join +
+    one aggregate. Output: (doc_id, n_tok, sum_lp_e6, avg_lp) with
+    avg_lp = sum/n in doubles (engine-exact division of exact ints).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("token")
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    total = freq.agg(F.sum("freq").alias("n_total"))
+    lm = freq.crossJoin(F.broadcast(total)).select(
+        "token",
+        _e6(
+            F.log(F.col("freq").cast("double") / F.col("n_total").cast("double"))
+        ).alias("lp_e6"),
+    )
+    scored = toks.join(F.broadcast(lm), "token")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("lp_e6").alias("sum_lp_e6"),
+        )
+        .withColumn(
+            "avg_lp",
+            F.col("sum_lp_e6").cast("double")
+            / F.col("n_tok").cast("double")
+            / F.lit(1e6),
+        )
+    )

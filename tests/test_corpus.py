@@ -128,3 +128,46 @@ def test_tfidf_ranks_rare_terms_first(spark):
     for doc in (1, 2, 3):
         rks = [r["rk"] for r in rows if r["doc_id"] == doc]
         assert rks == list(range(1, len(rks) + 1)) and len(rks) <= 2
+
+
+def test_bloom_no_false_negatives_and_detects_planted(spark):
+    """Bloom flags must be a SUPERSET of exact hits (one-sided error),
+    and a doc sharing a full 5-gram with a benchmark doc must be hit."""
+    from modeltracking_spark.operators.corpus import bloom_decontaminate
+
+    bench_text = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (0, bench_text),                                   # benchmark (id%100==0)
+        (1, "alpha beta gamma delta epsilon other words"),  # contaminated
+        (2, "totally different tokens with no overlap at all"),
+        (3, "x1 x2 x3 x4 x5 x6 x7"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bloom_decontaminate(d, bench_pred=F.col("doc_id") % 100 == 0)
+    got = {r["doc_id"]: r.asDict() for r in out.collect()}
+    assert set(got) == {1, 2, 3}  # benchmark doc excluded
+    for r in got.values():
+        assert r["n_bloom_flagged"] >= r["n_exact_hits"]  # no false negatives
+        assert r["n_false_pos"] == r["n_bloom_flagged"] - r["n_exact_hits"]
+    assert got[1]["n_exact_hits"] >= 1 and got[1]["n_bloom_flagged"] >= 1
+    assert got[2]["n_exact_hits"] == 0
+
+
+def test_unigram_logprob_hand_values(spark):
+    """3 docs, tiny vocab: lp(token) = ln(freq/N) e6-floored; per-doc
+    sums checked against a hand fold."""
+    from modeltracking_spark.operators.corpus import unigram_logprob
+
+    rows = [(0, "a a b"), (1, "a b"), (2, "c")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in unigram_logprob(d).collect()}
+    n = 6  # total tokens: a=3, b=2, c=1
+    lp = {t: math.floor(math.log(f / n) * 1e6 + 0.5) for t, f in
+          {"a": 3, "b": 2, "c": 1}.items()}
+    assert out[0]["n_tok"] == 3
+    assert out[0]["sum_lp_e6"] == 2 * lp["a"] + lp["b"]
+    assert out[1]["sum_lp_e6"] == lp["a"] + lp["b"]
+    assert out[2]["sum_lp_e6"] == lp["c"]
+    assert all(r["avg_lp"] < 0 for r in out.values())
+    # rarer-token docs score lower (c is rarest)
+    assert out[2]["avg_lp"] < out[1]["avg_lp"]
