@@ -44,6 +44,10 @@ HEADLINE = [
     "stateful_user_totals_stream",
     # round-4 addition: simhash fingerprint + Hamming band join end-to-end
     "simhash_neardup_pairs",
+    # round-5 additions: netCDF encode->sliced-decode->scan, Bloom
+    # membership decontamination
+    "grid_netcdf_scan",
+    "bloom_decontaminate_docs",
 ]
 
 # Regression anchor: BENCH_r03.json per-query seconds at sf0.1 on local[32]

@@ -365,43 +365,37 @@ def bloom_decontaminate(
         )
         .distinct()
     )
-    bench_hashes = bench.select("gram_h").distinct()
+    bench_hashes = bench.select(F.col("gram_h").alias("bh")).distinct()
+    # k row-preserving broadcast probes (the relational form of testing k
+    # bits of the bitset) + one exact-membership probe, then ONE per-doc
+    # aggregate — the probe side (the 100 TB side) stays single-pass and
+    # never explodes. The small bits relation is recomputed once per
+    # probe join here; at production scale it is trained once and
+    # persisted as a table (or a real broadcast bitset), like the IVF
+    # quantizer's train/serve split
     probe_side = g.where(~bench_pred)
-    long_probe = probe_side.select(
-        "doc_id",
-        "gram",
-        F.posexplode(F.array(*[F.col(f"p{i}") for i in range(k)])).alias(
-            "pi", "pos"
-        ),
+    for i in range(k):
+        bi = bits.select(F.col("pos").alias(f"__b{i}"))
+        probe_side = probe_side.join(
+            F.broadcast(bi), F.col(f"p{i}") == F.col(f"__b{i}"), "left"
+        )
+    probe_side = probe_side.join(
+        F.broadcast(bench_hashes), F.col("gram_h") == F.col("bh"), "left"
     )
-    # gram flagged iff every probe position is a set bit
-    flagged = (
-        long_probe.join(F.broadcast(bits), "pos")
-        .groupBy("doc_id", "gram")
-        .agg(F.count_distinct("pi").alias("n_hit"))
-        .where(F.col("n_hit") == k)
-        .select("doc_id", "gram")
-    )
-    exact = probe_side.join(
-        F.broadcast(bench_hashes), "gram_h"
-    ).select("doc_id", "gram")
-    per_doc = probe_side.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_grams")
-    )
-    fl = flagged.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_bloom_flagged"))
-    ex = exact.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_exact_hits"))
+    all_bits_set = F.col("__b0").isNotNull()
+    for i in range(1, k):
+        all_bits_set = all_bits_set & F.col(f"__b{i}").isNotNull()
+    bloom_hit = F.when(all_bits_set, 1).otherwise(0)
+    exact_hit = F.when(F.col("bh").isNotNull(), 1).otherwise(0)
     return (
-        per_doc.join(fl, "doc_id", "left")
-        .join(ex, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_grams",
-            F.coalesce("n_bloom_flagged", F.lit(0)).alias("n_bloom_flagged"),
-            F.coalesce("n_exact_hits", F.lit(0)).alias("n_exact_hits"),
-            (
-                F.coalesce("n_bloom_flagged", F.lit(0))
-                - F.coalesce("n_exact_hits", F.lit(0))
-            ).alias("n_false_pos"),
+        probe_side.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(bloom_hit).alias("n_bloom_flagged"),
+            F.sum(exact_hit).alias("n_exact_hits"),
+        )
+        .withColumn(
+            "n_false_pos", F.col("n_bloom_flagged") - F.col("n_exact_hits")
         )
     )
 

@@ -169,3 +169,29 @@ def test_simhash_neardup_no_cartesian(spark):
     d = spark.read.parquet(f"{SF001}/documents.parquet")
     fps = simhash64(token_ids(d, "doc_id", "text"))
     assert_no_cartesian(simhash_neardup_pairs(fps, max_hamming=3))
+
+
+def test_bloom_decontaminate_broadcasts_and_single_probe_shuffle(spark):
+    """The 100 TB side (probe grams) must stream through row-preserving
+    BROADCAST joins — no sort-merge, no cartesian — and shuffle only for
+    its own dedup + the final per-doc aggregate."""
+    from modeltracking_spark.operators.corpus import bloom_decontaminate
+
+    d = spark.read.parquet(f"{SF001}/documents.parquet")
+    out = bloom_decontaminate(d, bench_pred=F.col("doc_id") % 100 == 0)
+    plan = executed_plan(out)
+    assert "SortMergeJoin" not in plan
+    assert_no_cartesian(out)
+    assert has_broadcast_join(out)
+
+
+def test_unigram_logprob_broadcasts_lm(spark):
+    """The vocabulary-sized LM side must broadcast; the corpus side is
+    explode + join + one aggregate with no sort-merge join."""
+    from modeltracking_spark.operators.corpus import unigram_logprob
+
+    d = spark.read.parquet(f"{SF001}/documents.parquet")
+    out = unigram_logprob(d)
+    plan = executed_plan(out)
+    assert "SortMergeJoin" not in plan
+    assert has_broadcast_join(out)
