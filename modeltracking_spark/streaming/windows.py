@@ -101,6 +101,14 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     cents, first/last event time (epoch seconds) — carried in explicit
     group state across micro-batches and re-emitted on every update.
 
+    API note: Spark 4's successor API (``transformWithStateInPandas``,
+    ValueState/TimerValues on a RocksDB store) was evaluated and is
+    unusable in this environment — its streaming Python driver worker
+    requires the ``google.protobuf`` package, which is not installed
+    (verified: STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE /
+    ImportError). ``applyInPandasWithState`` covers the same custom-
+    stateful surface without that dependency.
+
     The update function is a self-contained closure (cloudpickled by
     value — no package import on workers); state is a flat tuple of
     longs, the cheapest Arrow state codec shape. On a single-file source

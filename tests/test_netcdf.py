@@ -135,3 +135,50 @@ def test_datasource_netcdf_backend_and_pruning(spark, tmp_path_factory):
     one = gp.where(F.col("time_hours") == GRID_TIME_STEP * 2)
     assert one.count() == 30 * 81 * 81
     assert one.rdd.getNumPartitions() == 1  # 3 of 4 timesteps pruned
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    n_rec=st.integers(min_value=1, max_value=5),
+    inner=st.lists(st.integers(min_value=1, max_value=4), min_size=0, max_size=3),
+    dtype=st.sampled_from(["int16", "int32", "float32", "float64"]),
+    data=st.data(),
+)
+def test_roundtrip_property(tmp_path_factory, n_rec, inner, dtype, data):
+    """Writer->reader roundtrip over arbitrary record-var shapes and
+    dtypes: full reads and every record slice must return the input
+    exactly (int16 exercises real padding; float32/64 exercise
+    byte-swapping)."""
+    import numpy as np
+
+    shape = (n_rec, *inner)
+    size = int(np.prod(shape))
+    if np.dtype(dtype).kind == "f":
+        vals = data.draw(st.lists(
+            st.floats(width=32, allow_nan=False, allow_infinity=False),
+            min_size=size, max_size=size))
+    else:
+        info = np.iinfo(dtype)
+        vals = data.draw(st.lists(
+            st.integers(min_value=int(info.min), max_value=int(info.max)),
+            min_size=size, max_size=size))
+    arr = np.array(vals, dtype=dtype).reshape(shape)
+    dims = [("time", 0)] + [(f"d{i}", s) for i, s in enumerate(inner)]
+    path = str(tmp_path_factory.mktemp("prop") / "p.nc")
+    write_classic(
+        path,
+        dims=dims,
+        variables=[("v", tuple(nm for nm, _ in dims), lambda r: arr[r])],
+        record_dim="time",
+        n_records=n_rec,
+    )
+    f = NcFile(path)
+    assert f.vars["v"].shape == shape
+    assert np.array_equal(f.read("v"), arr)
+    for r in range(n_rec):
+        assert np.array_equal(f.read_slice("v", r), arr[r])
