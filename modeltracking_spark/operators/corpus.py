@@ -303,8 +303,7 @@ def _word_5grams(docs: DataFrame, id_col: str = "doc_id",
     the shared shingle builder for decontamination variants. Narrow
     explode, no shuffle until the caller aggregates."""
     t = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.expr(f"filter(split({text_col}, ' '), x -> x != '')").alias("t"),
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("t")
     ).where(F.size("t") >= 5)
     gram = t.select(
         "doc_id",

@@ -81,16 +81,28 @@ def grid_netcdf_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.errors import PySparkException
 
+    from modeltracking_spark.fixtures import (
+        GRID_N_DEPTH,
+        GRID_N_LAT,
+        GRID_N_LON,
+        GRID_N_TIME,
+    )
     from modeltracking_spark.queries.common import ensure_pkg_on_workers
     from modeltracking_spark.sources.grid_source import (
         HycomGridDataSource,
         write_grid_netcdf,
     )
 
-    nc_path = "/tmp/modeltracking_grid_fixture.nc"
+    # version-keyed path: a formula/shape change gets a fresh file instead
+    # of silently reusing a stale fixture; pid-unique temp name + atomic
+    # rename makes concurrent writers (parallel test sessions, bench)
+    # race-safe — losers just re-publish identical bytes
+    key = f"v1_{GRID_N_TIME}x{GRID_N_DEPTH}x{GRID_N_LAT}x{GRID_N_LON}"
+    nc_path = f"/tmp/modeltracking_grid_fixture_{key}.nc"
     if not os.path.exists(nc_path):
-        write_grid_netcdf(nc_path + ".tmp")
-        os.replace(nc_path + ".tmp", nc_path)  # atomic vs concurrent tests
+        tmp = f"{nc_path}.{os.getpid()}.tmp"
+        write_grid_netcdf(tmp)
+        os.replace(tmp, nc_path)
     ensure_pkg_on_workers(spark)
     try:
         spark.dataSource.register(HycomGridDataSource)

@@ -248,13 +248,18 @@ def vincenty_vs_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("lon").over(w).alias("plon"),
     ).where(F.col("plat").isNotNull())
     vin = vincenty_km_udf()
-    return stepped.select(
+    # compute each distance ONCE in a prior projection — duplicating the
+    # UDF expression would risk running the iterative geodesic twice per
+    # row if the plan doesn't collapse common Python UDFs
+    d = stepped.select(
         "point_id",
-        F.round(haversine_km("plat", "plon", "lat", "lon"), 2).alias("hav_km"),
+        haversine_km("plat", "plon", "lat", "lon").alias("hav"),
+        vin("plat", "plon", "lat", "lon").alias("vin"),
+    )
+    return d.select(
+        "point_id",
+        F.round(F.col("hav"), 2).alias("hav_km"),
         (
-            F.abs(vin("plat", "plon", "lat", "lon")
-                  - haversine_km("plat", "plon", "lat", "lon"))
-            / vin("plat", "plon", "lat", "lon")
-            < 0.006
+            F.abs(F.col("vin") - F.col("hav")) / F.col("vin") < 0.006
         ).alias("vin_within_006pct"),
     )

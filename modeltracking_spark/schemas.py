@@ -139,13 +139,18 @@ def events_ts_physical_type(sf_dir: str) -> str:
     """Physical/logical type of events.ts straight from the parquet footer:
     ``'timestamp'`` for TIMESTAMP(MICROS/MILLIS) files, ``'int64'`` for the
     legacy TIMESTAMP(NANOS) encoding (which Spark 4 only reads via the
-    nanosAsLong escape hatch). A footer read is metadata-only — no data IO.
+    nanosAsLong escape hatch). NANOS surfaces in pyarrow as timestamp[ns]
+    — a timestamp type — so the probe must ALSO branch on the unit, or
+    legacy files would take the micros path and fail the read with
+    PARQUET_COLUMN_DATA_TYPE_MISMATCH. A footer read is metadata-only.
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     t = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
-    return "timestamp" if pa.types.is_timestamp(t) else "int64"
+    if pa.types.is_timestamp(t) and t.unit != "ns":
+        return "timestamp"
+    return "int64"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

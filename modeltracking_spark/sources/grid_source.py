@@ -101,11 +101,17 @@ def write_grid_netcdf(path: str, n_time: int = GRID_N_TIME) -> None:
 
     from modeltracking_spark.sources.netcdf_classic import write_classic
 
+    # _partition_arrays materializes BOTH physics variables per call;
+    # memoize the last record so the two record-var callbacks for the
+    # same r share one formula evaluation instead of recomputing it
+    last: dict = {}
+
     def rec(var):
         def f(r):
-            return (
-                _partition_arrays(r)[var]
-                .reshape(GRID_N_DEPTH, GRID_N_LAT, GRID_N_LON)
+            if last.get("r") != r:
+                last["r"], last["cols"] = r, _partition_arrays(r)
+            return last["cols"][var].reshape(
+                GRID_N_DEPTH, GRID_N_LAT, GRID_N_LON
             )
 
         return f

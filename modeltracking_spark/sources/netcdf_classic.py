@@ -145,8 +145,15 @@ class NcFile:
         import os
 
         self.path = path
+        size = os.path.getsize(path)
         # headers are small; 64 KiB covers dims+attrs+vars for any sane
-        # grid file, and we re-read if the var list overflows it
+        # grid file, and we re-parse from the full file if the header
+        # overflows it. The retry triggers on ANY parse failure (a cut
+        # inside an attribute value raises ValueError from np.frombuffer,
+        # a cut inside a name raises UnicodeDecodeError — not just the
+        # struct/Index errors of a cut between fields) AND on a parse
+        # that "succeeds" over truncated garbage but yields offsets
+        # outside the file.
         with open(path, "rb") as f:
             head = f.read(64 * 1024)
             if head[:3] != b"CDF" or head[3] not in (1, 2):
@@ -154,9 +161,22 @@ class NcFile:
             self.version = head[3]
             try:
                 self._parse(head)
-            except (struct.error, IndexError):
+                if len(head) == 64 * 1024 and not self._plausible(size):
+                    raise ValueError("implausible truncated-header parse")
+            except Exception:
+                if size <= len(head):
+                    raise
                 f.seek(0)
-                self._parse(f.read(os.path.getsize(path)))
+                self._parse(f.read(size))
+                if not self._plausible(size):
+                    raise ValueError(
+                        f"{path}: variable offsets outside the file"
+                    )
+
+    def _plausible(self, file_size: int) -> bool:
+        """Every variable's begin offset must land inside the file —
+        catches a truncated-header parse that happened to not raise."""
+        return all(0 < v.begin <= file_size for v in self.vars.values())
 
     def _parse(self, buf: bytes) -> None:
         c = _Cursor(buf)

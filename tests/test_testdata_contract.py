@@ -77,3 +77,48 @@ def test_events_stream_schema_matches_batch(spark, tmp_path):
 def test_date_columns_are_timestamps(spark, table, col):
     df = load_table(spark, SF0001, table)
     assert isinstance(df.schema[col].dataType, (TimestampType, TimestampNTZType))
+
+
+def test_legacy_nanos_file_takes_int64_branch(spark, tmp_path):
+    """A TIMESTAMP(NANOS) parquet surfaces in pyarrow as timestamp[ns] —
+    still a timestamp type — and MUST be classified as legacy int64 so
+    the nanosAsLong rebuild path runs (review finding: is_timestamp
+    alone routed nanos files to the micros branch, which Spark 4 fails
+    to read)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    df = pd.DataFrame(
+        {
+            "event_id": [0, 1],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:01.5", "2024-01-02 00:00:00.0"]
+            ),
+            "user_id": [1, 2],
+            "event_type": ["a", "b"],
+            "value": [1.0, 2.0],
+            "props": ["{}", "{}"],
+        }
+    )
+    schema = pa.schema(
+        [
+            pa.field("event_id", pa.int64()),
+            pa.field("ts", pa.timestamp("ns")),
+            pa.field("user_id", pa.int64()),
+            pa.field("event_type", pa.string()),
+            pa.field("value", pa.float64()),
+            pa.field("props", pa.string()),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False).cast(schema),
+        f"{d}/events.parquet",
+        store_schema=False,
+    )
+    assert events_ts_physical_type(d) == "int64"
+    got = load_table(spark, d, "events")
+    rows = {r["event_id"]: r["ts"] for r in got.select("event_id", "ts").collect()}
+    assert rows[0] == datetime.datetime(2024, 1, 1, 0, 0, 1, 500000)
+    assert rows[1] == datetime.datetime(2024, 1, 2)
