@@ -440,3 +440,52 @@ def unigram_logprob(
             / F.lit(1e6),
         )
     )
+
+
+def chunk_dup_ratio(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 64,
+) -> DataFrame:
+    """Exact-substring dedup signal at chunk granularity — the scalable
+    relational approximation of suffix-array substring dedup (Lee et
+    al., "Deduplicating Training Data Makes Language Models Better"):
+    split each doc into NON-overlapping ``size``-char chunks
+    (:func:`chunk_documents` with overlap=0), hash them, and measure per
+    doc what fraction of its chunks also occur in ANY other document.
+    Pipelines drop or trim docs above a dup-ratio threshold; doc-level
+    exact dedup misses these partial copies and this filter catches
+    them.
+
+    Scale: one narrow chunk explode, one aggregate over chunk hashes
+    (the dup-chunk side is corpus-wide but each group is tiny), one
+    broadcast-sized join back. Output: (doc_id, n_chunks, n_dup_chunks,
+    dup_ratio_e6).
+    """
+    chunks = chunk_documents(
+        docs, id_col=id_col, text_col=text_col, size=size, overlap=0
+    ).select("doc_id", F.md5("chunk_text").alias("h"))
+    # a chunk value is "duplicated" for doc d if it appears in >= 1 OTHER
+    # doc: count distinct docs per hash once, join back
+    docs_per_hash = chunks.dropDuplicates(["doc_id", "h"]).groupBy("h").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    per_doc = (
+        chunks.join(docs_per_hash, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias(
+                "n_dup_chunks"
+            ),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_chunks",
+        "n_dup_chunks",
+        _e6(
+            F.col("n_dup_chunks").cast("double") / F.col("n_chunks").cast("double")
+        ).alias("dup_ratio_e6"),
+    )

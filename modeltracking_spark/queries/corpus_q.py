@@ -279,3 +279,40 @@ def unigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from modeltracking_spark.operators.corpus import unigram_logprob
 
     return unigram_logprob(T(spark, sf_dir, "documents"))
+
+
+@query(
+    "chunk_dup_ratio_docs",
+    oracle="""
+    WITH chunks AS (
+      SELECT doc_id,
+             md5(substr(text, s.st::INTEGER, 64)) AS h
+      FROM documents,
+           unnest(range(1, greatest(length(text), 1) + 1, 64)) AS s(st)
+    ),
+    dph AS (
+      SELECT h, count(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY h
+    ),
+    per_doc AS (
+      SELECT c.doc_id,
+             count(*) AS n_chunks,
+             sum(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END)::BIGINT
+               AS n_dup_chunks
+      FROM chunks c JOIN dph d USING (h)
+      GROUP BY c.doc_id
+    )
+    SELECT doc_id, n_chunks, n_dup_chunks,
+           floor(n_dup_chunks::DOUBLE / n_chunks::DOUBLE * 1e6
+                 + 0.5::DOUBLE)::BIGINT AS dup_ratio_e6
+    FROM per_doc
+    """,
+)
+def chunk_dup_ratio_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup signal: fraction of each doc's
+    non-overlapping 64-char chunks that also occur in another document
+    (the filter-style complement to the pair-finding dedup tier; the
+    relational approximation of Lee et al.'s suffix-array ExactSubstr).
+    """
+    from modeltracking_spark.operators.corpus import chunk_dup_ratio
+
+    return chunk_dup_ratio(T(spark, sf_dir, "documents"), size=64)

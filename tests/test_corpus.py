@@ -171,3 +171,22 @@ def test_unigram_logprob_hand_values(spark):
     assert all(r["avg_lp"] < 0 for r in out.values())
     # rarer-token docs score lower (c is rarest)
     assert out[2]["avg_lp"] < out[1]["avg_lp"]
+
+
+def test_chunk_dup_ratio_detects_partial_copy(spark):
+    """A doc sharing an exact 64-char block with another doc must show a
+    positive dup ratio; fully unique docs must show zero."""
+    from modeltracking_spark.operators.corpus import chunk_dup_ratio
+
+    shared = "s" * 64  # one exact chunk shared between docs 1 and 2
+    rows = [
+        (1, shared + "a" * 64),
+        (2, shared + "b" * 64),
+        (3, "c" * 128),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in chunk_dup_ratio(d, size=64).collect()}
+    assert out[1]["n_chunks"] == 2 and out[1]["n_dup_chunks"] == 1
+    assert out[1]["dup_ratio_e6"] == 500000
+    assert out[2]["n_dup_chunks"] == 1
+    assert out[3]["n_dup_chunks"] == 0 and out[3]["dup_ratio_e6"] == 0
