@@ -476,6 +476,13 @@ def simhash_neardup_pairs(
             f"max_hamming={max_hamming} needs > {max_hamming} bands for an "
             f"exact pair guarantee; got {len(band_bits)}"
         )
+    # materialize the fingerprint table before the self-join: both join
+    # sides reference it, and without a cut Spark recomputes the ENTIRE
+    # upstream pipeline (tokenize -> collect -> 63-bit fold over every
+    # token) once per side — measured 2x the query's cost at sf0.1. The
+    # checkpoint is (id, simhash) = ~16 bytes/doc, negligible at any
+    # corpus scale next to recomputing the corpus scan.
+    fps = fps.localCheckpoint(eager=False)
     offs = [sum(band_bits[:i]) for i in range(len(band_bits))]
     banded = fps.select(
         "id",
