@@ -328,6 +328,11 @@ def minhash_pairs_from_token_ids(
         ]
         return F.xxhash64(F.concat_ws("_", *sigs))
 
+    # both self-join sides recompute the band keys from the CACHED
+    # `groups`, which measures faster than materializing `banded` with a
+    # localCheckpoint (tried: the checkpoint barrier cost more than the
+    # duplicated xxhash folds over cached arrays — unlike the simhash
+    # pairs join below, whose upstream was NOT cached)
     banded = groups.select(
         "rep",
         F.explode(
