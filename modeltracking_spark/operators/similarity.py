@@ -268,9 +268,20 @@ def _int_scores(X, Cn):
     Ranking by dot against UNIT centroids equals ranking by cosine (the
     query's own norm scales all its scores by the same positive
     factor). Magnitudes: |x|≲40 → 4e7; |cn|≤1 → 1e9; 64-term dot ≤
-    2.6e18 < 2^63."""
+    2.6e18 < 2^63. The guard below makes the closed-form bound loud:
+    |x|≤100 and |cn|≤1.1 keep a dim-64 integer dot ≤ 7.1e18 < 2^63, so
+    out-of-range embeddings raise instead of silently overflowing int64
+    and corrupting the argmax/sign determinism the oracles rely on."""
     import numpy as np
 
+    xmax = float(np.abs(X).max(initial=0.0))
+    cmax = float(np.abs(Cn).max(initial=0.0))
+    if xmax > 100.0 or cmax > 1.1 or X.shape[1] > 64:
+        raise ValueError(
+            "fixed-point affinity overflow risk: need |x|<=100 (got "
+            f"{xmax:g}), unit centroids |cn|<=1.1 (got {cmax:g}), dim<=64 "
+            f"(got {X.shape[1]}) — rescale embeddings or lower the scales"
+        )
     return _round_away(X, 1e6) @ _round_away(Cn, 1e9).T
 
 

@@ -86,6 +86,7 @@ def grid_netcdf_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         GRID_N_LAT,
         GRID_N_LON,
         GRID_N_TIME,
+        grid_fixture_fingerprint,
     )
     from modeltracking_spark.queries.common import ensure_pkg_on_workers
     from modeltracking_spark.sources.grid_source import (
@@ -93,11 +94,15 @@ def grid_netcdf_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_grid_netcdf,
     )
 
-    # version-keyed path: a formula/shape change gets a fresh file instead
+    # version-keyed path: the key embeds a hash of the formula TEXT (not
+    # just the shape), so a formula/shape change gets a fresh file instead
     # of silently reusing a stale fixture; pid-unique temp name + atomic
     # rename makes concurrent writers (parallel test sessions, bench)
     # race-safe — losers just re-publish identical bytes
-    key = f"v1_{GRID_N_TIME}x{GRID_N_DEPTH}x{GRID_N_LAT}x{GRID_N_LON}"
+    key = (
+        f"{grid_fixture_fingerprint()}_"
+        f"{GRID_N_TIME}x{GRID_N_DEPTH}x{GRID_N_LAT}x{GRID_N_LON}"
+    )
     nc_path = f"/tmp/modeltracking_grid_fixture_{key}.nc"
     if not os.path.exists(nc_path):
         tmp = f"{nc_path}.{os.getpid()}.tmp"

@@ -81,7 +81,12 @@ def cosine_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ±1 hyperplanes (DuckDB's md5() == hashlib.md5), e6 fixed-point projection
 # sign bits (integer sums — fold-order/engine independent), per-table base
 # signatures, the query side's Hamming-1 multi-probe expansion, the bucket
-# join, candidate dedup, and the e12 fixed-point cosine re-rank.
+# join, candidate dedup, and the e12 fixed-point cosine re-rank. The
+# CASE zero-norm guard in the final SELECT mirrors the Spark operator's
+# (cosine forced to 0.0 on a zero vector); without it the engines would
+# disagree (NaN vs 0.0) on degenerate inputs. No inline -- comments in
+# oracle strings: the registry collapses newlines, so a -- would swallow
+# the rest of the statement.
 _LSH_PLANES = 8
 _LSH_TABLES = 8
 _LSH_ORACLE = f"""
@@ -128,10 +133,12 @@ _LSH_ORACLE = f"""
       JOIN embeddings ce ON ce.vec_id = cand.c_id
     )
     SELECT q_id, c_id,
-           dot::DOUBLE / (sqrt(nq.nrm::DOUBLE) * sqrt(nc.nrm::DOUBLE)) AS cosine,
+           CASE WHEN nq.nrm = 0 OR nc.nrm = 0 THEN 0.0
+                ELSE dot::DOUBLE / (sqrt(nq.nrm::DOUBLE) * sqrt(nc.nrm::DOUBLE)) END AS cosine,
            row_number() OVER (
              PARTITION BY q_id
-             ORDER BY dot::DOUBLE / (sqrt(nq.nrm::DOUBLE) * sqrt(nc.nrm::DOUBLE)) DESC,
+             ORDER BY CASE WHEN nq.nrm = 0 OR nc.nrm = 0 THEN 0.0
+                           ELSE dot::DOUBLE / (sqrt(nq.nrm::DOUBLE) * sqrt(nc.nrm::DOUBLE)) END DESC,
                       c_id ASC)::BIGINT AS rnk
     FROM x
     JOIN n nq ON nq.vec_id = q_id
@@ -282,10 +289,12 @@ _IVF_ORACLE = f"""
       WHERE q.q_id <> b.c_id
     )
     SELECT q_id, c_id,
-           dot::DOUBLE / (sqrt(nq.nrm::DOUBLE) * sqrt(nc.nrm::DOUBLE)) AS cosine,
+           CASE WHEN nq.nrm = 0 OR nc.nrm = 0 THEN 0.0
+                ELSE dot::DOUBLE / (sqrt(nq.nrm::DOUBLE) * sqrt(nc.nrm::DOUBLE)) END AS cosine,
            row_number() OVER (
              PARTITION BY q_id
-             ORDER BY dot::DOUBLE / (sqrt(nq.nrm::DOUBLE) * sqrt(nc.nrm::DOUBLE)) DESC,
+             ORDER BY CASE WHEN nq.nrm = 0 OR nc.nrm = 0 THEN 0.0
+                           ELSE dot::DOUBLE / (sqrt(nq.nrm::DOUBLE) * sqrt(nc.nrm::DOUBLE)) END DESC,
                       c_id ASC)::BIGINT AS rnk
     FROM x
     JOIN n nq ON nq.vec_id = q_id

@@ -259,7 +259,9 @@ def vincenty_vs_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "point_id",
         F.round(F.col("hav"), 2).alias("hav_km"),
-        (
-            F.abs(F.col("vin") - F.col("hav")) / F.col("vin") < 0.006
-        ).alias("vin_within_006pct"),
+        # repeated track point -> vin == 0: the ratio would divide by
+        # zero, so define the bound as "both distances are zero" there
+        F.when(F.col("vin") == 0, F.col("hav") == 0)
+        .otherwise(F.abs(F.col("vin") - F.col("hav")) / F.col("vin") < 0.006)
+        .alias("vin_within_006pct"),
     )

@@ -38,6 +38,94 @@ from __future__ import annotations
 import struct
 from dataclasses import dataclass, field
 
+# ---------------------------------------------------------------------------
+# range readers — the local/remote seam
+#
+# The reference reads its grid REMOTELY (http://tds.hycom.org, DAP
+# constraint URLs ship the slice to the server). The honest local twin of
+# that protocol half is a byte-range interface: everything NcFile needs is
+# "give me nbytes at offset", which a local file serves via seek+read and
+# an HTTP server serves via a Range-GET (the object-store access path a
+# real deployment would use). NcFile accepts a plain path, file://, or
+# http(s):// and picks the backend; tests exercise the HTTP backend
+# against an in-process stdlib server with no external network.
+# ---------------------------------------------------------------------------
+
+
+class FileRangeReader:
+    """seek+read over ONE persistent handle (re-opening per record was the
+    old reader's N+1 quirk — the same anti-pattern the reference has at
+    ``trackplot_hycom.py:144``, re-opening the remote dataset per point)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._f = open(path, "rb")
+
+    def size(self) -> int:
+        import os
+
+        return os.fstat(self._f.fileno()).st_size
+
+    def read_range(self, off: int, nbytes: int) -> bytes:
+        self._f.seek(off)
+        return self._f.read(nbytes)
+
+    def close(self) -> None:
+        self._f.close()
+
+
+class HttpRangeReader:
+    """Range-GET reader: ``read_range`` sends ``Range: bytes=a-b`` and a
+    compliant server (206) returns exactly the slice — the classic-format
+    analog of the reference's DAP constraint URLs. A server that ignores
+    Range (plain 200) still yields correct results via local slicing, but
+    that downloads the whole file per call — fine for a header probe,
+    wrong at scale — so it is accepted but counted (``n_full_downloads``)
+    for tests to assert against."""
+
+    def __init__(self, url: str):
+        self.url = url
+        self._size: int | None = None
+        self.n_full_downloads = 0
+
+    def size(self) -> int:
+        import urllib.request
+
+        if self._size is None:
+            req = urllib.request.Request(self.url, method="HEAD")
+            with urllib.request.urlopen(req) as r:
+                self._size = int(r.headers["Content-Length"])
+        return self._size
+
+    def read_range(self, off: int, nbytes: int) -> bytes:
+        import urllib.request
+
+        if nbytes <= 0:
+            return b""
+        req = urllib.request.Request(
+            self.url, headers={"Range": f"bytes={off}-{off + nbytes - 1}"}
+        )
+        with urllib.request.urlopen(req) as r:
+            body = r.read()
+            if r.status == 206:
+                return body
+        self.n_full_downloads += 1
+        return body[off : off + nbytes]
+
+    def close(self) -> None:
+        pass
+
+
+def open_range_reader(path_or_url: str):
+    """file:// and bare paths -> :class:`FileRangeReader`; http(s):// ->
+    :class:`HttpRangeReader`."""
+    if path_or_url.startswith(("http://", "https://")):
+        return HttpRangeReader(path_or_url)
+    if path_or_url.startswith("file://"):
+        return FileRangeReader(path_or_url[len("file://") :])
+    return FileRangeReader(path_or_url)
+
+
 NC_DIMENSION = 0x0A
 NC_VARIABLE = 0x0B
 NC_ATTRIBUTE = 0x0C
@@ -137,15 +225,20 @@ class NcFile:
     """Parsed classic-netCDF header with sliced data access.
 
     ``read(var)`` loads a whole variable; ``read_slice(var, i)`` reads
-    ONLY slice ``i`` along the first dimension (record or fixed) via a
-    seek + one contiguous read — the unit a grid partition fetches.
+    ONLY slice ``i`` along the first dimension (record or fixed) via one
+    contiguous range read — the unit a grid partition fetches.
+
+    ``path`` may be a local path, ``file://…``, or ``http(s)://…`` — the
+    remote form reads via HTTP Range-GETs (:class:`HttpRangeReader`), the
+    local-file twin of the reference's OPeNDAP server-side slicing. All
+    reads in this object's lifetime share ONE reader (one file handle /
+    one connection pool) — nothing re-opens per record.
     """
 
     def __init__(self, path: str):
-        import os
-
         self.path = path
-        size = os.path.getsize(path)
+        self.reader = open_range_reader(path)
+        size = self.reader.size()
         # headers are small; 64 KiB covers dims+attrs+vars for any sane
         # grid file, and we re-parse from the full file if the header
         # overflows it. The retry triggers on ANY parse failure (a cut
@@ -154,24 +247,23 @@ class NcFile:
         # struct/Index errors of a cut between fields) AND on a parse
         # that "succeeds" over truncated garbage but yields offsets
         # outside the file.
-        with open(path, "rb") as f:
-            head = f.read(64 * 1024)
-            if head[:3] != b"CDF" or head[3] not in (1, 2):
-                raise ValueError(f"{path}: not a classic netCDF file")
-            self.version = head[3]
-            try:
-                self._parse(head)
-                if len(head) == 64 * 1024 and not self._plausible(size):
-                    raise ValueError("implausible truncated-header parse")
-            except Exception:
-                if size <= len(head):
-                    raise
-                f.seek(0)
-                self._parse(f.read(size))
-                if not self._plausible(size):
-                    raise ValueError(
-                        f"{path}: variable offsets outside the file"
-                    )
+        head = self.reader.read_range(0, min(64 * 1024, size))
+        if head[:3] != b"CDF" or head[3] not in (1, 2):
+            raise ValueError(f"{path}: not a classic netCDF file")
+        self.version = head[3]
+        try:
+            self._parse(head)
+            if len(head) == 64 * 1024 and not self._plausible(size):
+                raise ValueError("implausible truncated-header parse")
+        except Exception:
+            if size <= len(head):
+                raise
+            self._parse(self.reader.read_range(0, size))
+            if not self._plausible(size):
+                raise ValueError(f"{path}: variable offsets outside the file")
+
+    def close(self) -> None:
+        self.reader.close()
 
     def _plausible(self, file_size: int) -> bool:
         """Every variable's begin offset must land inside the file —
@@ -231,6 +323,17 @@ class NcFile:
                 return self.numrecs if ln == 0 else ln
         raise KeyError(name)
 
+    def _read_checked(self, off: int, nbytes: int, what: str) -> bytes:
+        """Range read that fails LOUDLY on truncation — without this a
+        short read surfaces as an opaque numpy reshape/frombuffer error."""
+        raw = self.reader.read_range(off, nbytes)
+        if len(raw) < nbytes:
+            raise ValueError(
+                f"{self.path}: truncated data section reading {what}: "
+                f"wanted {nbytes} bytes at offset {off}, got {len(raw)}"
+            )
+        return raw
+
     def read_slice(self, var: str, i: int):
         """var[i, ...] as a little-endian numpy array, reading only that
         slice's bytes (record vars: ``begin + i*recsize``; fixed vars:
@@ -243,9 +346,7 @@ class NcFile:
             raise IndexError(f"{var}[{i}] out of range {n}")
         nbytes = v.slice_nbytes()
         off = v.begin + i * (self.recsize if v.is_record else nbytes)
-        with open(self.path, "rb") as f:
-            f.seek(off)
-            raw = f.read(nbytes)
+        raw = self._read_checked(off, nbytes, f"{var}[{i}]")
         arr = np.frombuffer(raw, dtype=v.dtype).astype(
             np.dtype(v.dtype).newbyteorder("=")
         )
@@ -254,15 +355,15 @@ class NcFile:
         return arr.reshape(v.shape[1:])
 
     def read(self, var: str):
-        """The whole variable (record vars: stacked slice reads)."""
+        """The whole variable (record vars: stacked slice reads through
+        the shared reader — one handle, not one open per record)."""
         import numpy as np
 
         v = self.vars[var]
         if v.is_record:
             return np.stack([self.read_slice(var, r) for r in range(v.shape[0])])
-        with open(self.path, "rb") as f:
-            f.seek(v.begin)
-            raw = f.read(v.slice_nbytes() * (v.shape[0] if v.shape else 1))
+        nbytes = v.slice_nbytes() * (v.shape[0] if v.shape else 1)
+        raw = self._read_checked(v.begin, nbytes, var)
         arr = np.frombuffer(raw, dtype=v.dtype)
         out = arr.reshape(v.shape) if v.shape else arr
         return out.astype(out.dtype.newbyteorder("="))

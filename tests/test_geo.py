@@ -43,6 +43,28 @@ def test_inv_square_weight_guard(spark):
     assert w0 == 1.0 / (1e-6) ** 2 and abs(w2 - 0.25) < 1e-6
 
 
+def test_vincenty_pinned_published_geodesics(spark):
+    # Pinned against published WGS-84 geodesic lengths (independent of this
+    # implementation): 1 deg of longitude on the equator = 111.319491 km,
+    # 1 deg of meridian arc from the equator = 110.574389 km, and Vincenty's
+    # classic Flinders Peak -> Buninyong test line = 54.972271 km. A wrong
+    # ellipsoid / flattening / convergence bug shifts these by far more than
+    # the 1 m tolerance, which the oracle's 0.6% haversine envelope could
+    # otherwise absorb. Coincident points must be exactly 0 (no NaN).
+    vin = vincenty_km_udf()
+    df = spark.createDataFrame(
+        [
+            (0.0, 0.0, 0.0, 1.0, 111.319491),
+            (0.0, 0.0, 1.0, 0.0, 110.574389),
+            (-37.95103342, 144.42486789, -37.65282114, 143.92649553, 54.972271),
+            (12.5, -19.4, 12.5, -19.4, 0.0),
+        ],
+        "la1 double, lo1 double, la2 double, lo2 double, want double",
+    ).select("want", vin("la1", "lo1", "la2", "lo2").alias("v"))
+    for r in df.collect():
+        assert abs(r["v"] - r["want"]) < 1e-3, (r["want"], r["v"])
+
+
 def test_vincenty_close_to_haversine(spark):
     # sphere-vs-ellipsoid delta < 0.6% (SURVEY F6)
     vin = vincenty_km_udf()
