@@ -8,12 +8,16 @@ whole-stage-codegen compilation + C2 JIT of the generated classes cost
 ~10s on the largest expression trees and are per-session one-offs — at
 production scale they amortize to nothing), then the timed execution
 runs the full plan into the noop v2 sink (all output columns
-materialized; no driver-side collect) three times, reporting the best.
-Single-shot numbers on this box swing up to 3x on JIT/GC noise (and a
-2x fluke survived even best-of-2 in round 4); steady-state best-of-3 is
-reproducible round-over-round, which is what the 2x-of-recorded-baseline
-gate needs. At sf0.1 the run also emits ``anchor_ratio`` — per-query
-current/r3 ratios against the frozen anchor in BASELINE.md.
+materialized; no driver-side collect) FIVE times, reporting the MEDIAN
+(round 6; r3-r5 reported best-of-3). Single-shot numbers on this box
+swing up to 3x on JIT/GC noise; the median of five steady-state runs is
+robust to a single outlier in either direction, and the per-query
+``spread`` (max/min of the five) is emitted alongside so a future
+regression flag can be judged against the query's own measured variance
+instead of guessed host noise. At sf0.1 the run also emits
+``anchor_ratio`` — per-query current/r3 ratios against the frozen
+anchor in BASELINE.md (the anchor was best-of-3; medians read slightly
+higher by construction, so ratios are conservative).
 """
 
 from __future__ import annotations
@@ -48,6 +52,9 @@ HEADLINE = [
     # membership decontamination
     "grid_netcdf_scan",
     "bloom_decontaminate_docs",
+    # round-6 additions: salted skew join, real from-spec BMP decode
+    "skew_salted_join_events",
+    "bmp_decode_stats_docs",
 ]
 
 # Regression anchor: BENCH_r03.json per-query seconds at sf0.1 on local[32]
@@ -93,6 +100,7 @@ def main() -> int:
     # session spin-up (results are NOT cached — only the JVM warms)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     times: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs.get(name)
         if fn is None:
@@ -101,13 +109,14 @@ def main() -> int:
             # noop v2 sink: every output column is materialized (a bare
             # count() would let Catalyst prune projection-only queries)
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = None
-            for _ in range(3):
+            runs = []
+            for _ in range(5):
                 t0 = time.time()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
-            times[name] = round(best, 3)
+                runs.append(time.time() - t0)
+            runs.sort()
+            times[name] = round(runs[2], 3)  # median of 5
+            spreads[name] = round(runs[-1] / max(runs[0], 1e-9), 2)
         except Exception as exc:  # pragma: no cover
             print(f"bench {name} failed: {exc}", file=sys.stderr)
             times[name] = -1.0
@@ -117,8 +126,9 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "spread": spreads,
         "sf": sf,
-        "methodology": "warmup+best-of-3,noop-sink",
+        "methodology": "warmup+median-of-5,noop-sink",
     }
     if sf == ANCHOR_SF:
         # delta vs the frozen r3 anchor: ratio > 1 is slower than r3
@@ -129,7 +139,12 @@ def main() -> int:
         }
         for n, r in out["anchor_ratio"].items():
             if r > 1.5:
-                print(f"bench REGRESSION {n}: {r}x of r3 anchor", file=sys.stderr)
+                print(
+                    f"bench REGRESSION {n}: {r}x of r3 anchor "
+                    f"(query's own run-to-run spread this session: "
+                    f"{spreads.get(n)}x)",
+                    file=sys.stderr,
+                )
     print(json.dumps(out))
     return 0
 

@@ -2,15 +2,21 @@
 §2.12): images/audio/video as opaque ``binary`` columns with typed
 metadata, processed by Arrow-batched ``mapInPandas``.
 
-The container has no image/audio decode libraries, so the decode step is
-STUBBED: :func:`decode_image_features` with ``fake=True`` (default)
-derives deterministic pseudo-features from the payload bytes — the Spark
-plumbing (schema, batch shape, Arrow transfer, partition mapping) is
-real and tested; with ``fake=False`` it raises ``NotImplementedError``
-at the exact point a real decoder (PIL/ffmpeg) would plug in.
+The container has no image/audio decode libraries, so compressed-format
+decode is STUBBED: :func:`decode_image_features` with ``fake=True``
+(default) derives deterministic pseudo-features from the payload bytes —
+the Spark plumbing (schema, batch shape, Arrow transfer, partition
+mapping) is real and tested. With ``fake=False`` the engine decodes FOR
+REAL any payload in the uncompressed 24-bit BMP format via the
+pure-numpy codec below (written from the public Windows BITMAPINFOHEADER
+spec, the same from-spec playbook as ``sources/netcdf_classic.py``);
+other formats raise ``NotImplementedError`` at the exact point a
+PIL/ffmpeg decoder would plug in.
 """
 
 from __future__ import annotations
+
+import struct
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -21,7 +27,76 @@ MAGIC_PREFIXES = {
     "FFD8FF": "jpeg",
     "47494638": "gif",
     "52494646": "riff",
+    "424D": "bmp",
 }
+
+
+# ---------------------------------------------------------------------------
+# pure-numpy BMP codec (uncompressed 24-bit BI_RGB, bottom-up rows)
+#
+# Format, from the public spec: 14-byte BITMAPFILEHEADER ('BM', file
+# size, 2x reserved, pixel-data offset) + 40-byte BITMAPINFOHEADER
+# (header size 40, width, height — positive = bottom-up row order,
+# planes=1, bpp=24, compression=0/BI_RGB, image size, resolutions,
+# palette counts), then rows of BGR byte triples, each row zero-padded
+# to a 4-byte boundary. All integers little-endian.
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(pixels) -> bytes:
+    """(h, w, 3) uint8 RGB array -> uncompressed 24-bit BMP bytes."""
+    import numpy as np
+
+    a = np.asarray(pixels, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) RGB array, got {a.shape}")
+    h, w = a.shape[:2]
+    row_raw = w * 3
+    row_padded = (row_raw + 3) & ~3
+    img_size = row_padded * h
+    data_off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", data_off + img_size, 0, 0, data_off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = np.zeros((h, row_padded), dtype=np.uint8)
+    # bottom-up row order, BGR channel order
+    rows[:, :row_raw] = a[::-1, :, ::-1].reshape(h, row_raw)
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(data: bytes):
+    """Uncompressed 24-bit BMP bytes -> (h, w, 3) uint8 RGB array.
+
+    Raises ``ValueError`` with a descriptive message on any payload this
+    codec does not cover (other bit depths, compressed, truncated)."""
+    import numpy as np
+
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", data, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", data, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", data, 26)
+    if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP variant: hdr={hdr_size} planes={planes} "
+            f"bpp={bpp} compression={compression} (only uncompressed "
+            "24-bit BI_RGB is implemented)"
+        )
+    flip = h > 0  # positive height = bottom-up
+    h = abs(h)
+    row_raw = w * 3
+    row_padded = (row_raw + 3) & ~3
+    need = data_off + row_padded * h
+    if len(data) < need:
+        raise ValueError(
+            f"truncated BMP: need {need} bytes for {w}x{h}, got {len(data)}"
+        )
+    rows = np.frombuffer(
+        data, dtype=np.uint8, count=row_padded * h, offset=data_off
+    ).reshape(h, row_padded)
+    img = rows[:, :row_raw].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    return img[::-1] if flip else img
 
 
 def attach_binary_payload(df: DataFrame, text_col: str = "text",
@@ -54,9 +129,11 @@ def binary_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
-#: output schema of the (stubbed) image feature extractor
+#: output schema of the image feature extractor (pixel_sum only filled
+#: by the real decode path; NULL in fake mode)
 IMAGE_FEATURES_SCHEMA = (
-    "doc_id bigint, n_bytes bigint, width int, height int, n_channels int"
+    "doc_id bigint, n_bytes bigint, width int, height int, n_channels int, "
+    "pixel_sum bigint"
 )
 
 
@@ -67,20 +144,45 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id",
     ``mapInPandas`` — the shape a real image decode/resize/embed stage
     takes at scale (per-partition pandas batches, no driver collect).
 
-    ``fake=True``: deterministic pseudo-features from byte length (the
-    decode libraries are not in this container). ``fake=False``: raises
-    ``NotImplementedError`` where PIL/torchvision would decode.
+    ``fake=True``: deterministic pseudo-features from byte length (for
+    compressed formats whose decoders are not in this container).
+    ``fake=False``: REAL decode through the pure-numpy BMP codec above —
+    width/height/channels read from the actual header, ``pixel_sum`` the
+    sum of every decoded RGB byte (any header or pixel-layout bug shifts
+    it). Non-BMP payloads raise ``NotImplementedError`` where a
+    PIL/ffmpeg decoder would plug in.
     """
 
     def extract(batches):
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real image decode requires PIL/ffmpeg; not in container"
-                )
             n = pdf[payload_col].map(len).astype("int64")
+            if not fake:
+                w, h, c, s = [], [], [], []
+                for payload in pdf[payload_col]:
+                    if not payload.startswith(b"BM"):
+                        raise NotImplementedError(
+                            "real decode beyond uncompressed 24-bit BMP "
+                            "requires PIL/ffmpeg; not in container"
+                        )
+                    img = decode_bmp(bytes(payload))
+                    w.append(img.shape[1])
+                    h.append(img.shape[0])
+                    c.append(img.shape[2])
+                    s.append(int(img.sum(dtype=np.int64)))
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf[id_col].astype("int64"),
+                        "n_bytes": n,
+                        "width": pd.Series(w, dtype="int32"),
+                        "height": pd.Series(h, dtype="int32"),
+                        "n_channels": pd.Series(c, dtype="int32"),
+                        "pixel_sum": pd.Series(s, dtype="int64"),
+                    }
+                )
+                continue
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
@@ -88,11 +190,48 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id",
                     "width": (n % 64 + 1).astype("int32"),
                     "height": (n % 48 + 1).astype("int32"),
                     "n_channels": ((n % 2) * 2 + 1).astype("int32"),
+                    "pixel_sum": pd.Series([None] * len(pdf), dtype="Int64"),
                 }
             )
 
     return df.select(id_col, payload_col).mapInPandas(
         extract, schema=IMAGE_FEATURES_SCHEMA
+    )
+
+
+def attach_bmp_payload(df: DataFrame, id_col: str = "doc_id",
+                       out_col: str = "payload") -> DataFrame:
+    """Fixture builder for the REAL decode path: a deterministic
+    formula-generated BMP per row — width = id%16+4, height = id%12+4,
+    RGB = ((x*7 + y*11 + id) % 256, (x*5 + y*3 + id*2) % 256,
+    (x + y + id) % 256) — encoded through :func:`encode_bmp` inside
+    mapInPandas. The formula is replayable in SQL, so an oracle can
+    check decoded stats without ever seeing the bytes (the same
+    encode -> decode -> scan pattern as the netCDF grid fixture)."""
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                d = int(did)
+                w, h = d % 16 + 4, d % 12 + 4
+                y, x = np.mgrid[0:h, 0:w]
+                img = np.stack(
+                    [
+                        (x * 7 + y * 11 + d) % 256,
+                        (x * 5 + y * 3 + d * 2) % 256,
+                        (x + y + d) % 256,
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                payloads.append(encode_bmp(img))
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: payloads})
+
+    return df.select(id_col).mapInPandas(
+        build, schema=f"{id_col} bigint, {out_col} binary"
     )
 
 

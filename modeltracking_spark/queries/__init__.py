@@ -43,40 +43,49 @@ QUERY_MODULES = (
 
 #: the scored window (driver cap observed at 50): exactly one green-able
 #: representative per operator tier of COVERAGE.md / SURVEY.md §2.
-#: Tiers proven by each slot are noted; rotated-out variants retain their
-#: round-3 green rows in CORRECTNESS_r03.json (committed) and stay
-#: registered below the window.
+#: Tiers proven by each slot are noted.
+#:
+#: ROUND-6 ROTATION: the six never-driver-attested round-5 queries plus
+#: the new salted skew join and the IVF probe moved INTO the window; the
+#: eight rotated-out entries each had their operator folded into a
+#: remaining in-window query (the "carried by" notes below), so every
+#: §2 row still maps to an in-window green-able slot. Rotated-out
+#: queries stay registered below the window with their own oracles.
 PRIORITY: tuple[str, ...] = (
     # --- reference core: scans, projections, cleanup, aggregation ---
     "flagship_events_daily",        # P3 sentinel mask + F1 day bucket + agg
     "profile_along_track_temp",     # A2 IDW profile — the reference flagship
     "profile_multivariable_pivot",  # R3 pivot + R1/R2 array roundtrip
-    "topk_lineitems_per_order",     # P5 depth-25 truncation + W1 rank
-    "orders_sort_limit",            # P6 sort + limit
+    "topk_lineitems_per_order",     # W1/P5 top-k + P6 sort-limit arm
+                                    # (carries orders_sort_limit) + J5 zip
+                                    # arm (carries zip_positional_align)
     "positional_projection",        # P1 positional projection
-    "try_cast_cleanup",             # P4 type-guard cleanup
-    "customer_order_set_ops",       # §2.5 set ops
+    "customer_order_set_ops",       # §2.8 set ops + semi/anti arms
+                                    # (carries semi_anti_customers)
     "cube_status_priority",         # §2.5 CUBE + ROLLUP + GROUPING SETS union
     "events_stats_suite",           # moments + stddev + JSON + frame specs
+                                    # + P4 try_cast cols (carries
+                                    # try_cast_cleanup) + F10/A4 regression
+                                    # cols (carries linear_fit_orders)
     # --- scalar functions ---
-    "hours_epoch_roundtrip",        # F1/F2/F9 time conversions
-    "scalar_geo_suite",             # F3/F4/F5/F8 in one projection
-    "vincenty_vs_haversine",        # F6 both routes: per-step haversine (same
-                                    # rounded column track_step_haversine
-                                    # emitted, same track) + Vincenty bound
+    "scalar_geo_suite",             # F3/F4/F5/F8 + F1/F2/F9 roundtrip cols
+                                    # (carries hours_epoch_roundtrip)
+    "vincenty_vs_haversine",        # F6 both routes + A1 bbox cols
+                                    # (carries track_bounding_box)
     "euclid_knn_suppliers",         # F7 euclid-degree + brute KNN route
-    "linear_fit_orders",            # F10/A4 regression aggregate
     # --- joins ---
     "grid_snap_nearest_node",       # J1 arithmetic grid snap
     "neighborhood_3x3",             # J2 neighborhood expansion
     "asof_nearest_clicks",          # J3 as-of join (nearest)
     "interval_routing",             # J4/S4/S7 interval containment
-    "zip_positional_align",         # J5 positional zip
+    "click_error_interval_join",    # stream-stream interval join, batch twin
+                                    # (first-ever attestation, round 6)
     "regional_revenue",             # equi/broadcast chain
-    "semi_anti_customers",          # semi/anti joins
-    "track_bounding_box",           # A1 bounding box
+    "skew_salted_join_events",      # salted skew-join escape hatch (NEW r6)
     "argmin_order_per_customer",    # A3 argmin/min_by
     "grid_datasource_scan",         # S6 custom Python DataSource
+    "grid_netcdf_scan",             # S6b classic-netCDF byte-range backend
+                                    # (first-ever attestation, round 6)
     # --- dedup tier ---
     "exact_dedup_docs",
     "jaccard_pairs_capped",
@@ -85,20 +94,29 @@ PRIORITY: tuple[str, ...] = (
                                     # fingerprints internally; the per-doc query
                                     # stays below the window, r4-green)
     "dedup_clusters_docs",          # connected components
+    "chunk_dup_ratio_docs",         # chunk-grain exact-substring dup signal
+                                    # (first-ever attestation, round 6)
     # --- text tier ---
     "text_quality_suite",           # lang-ID + quality + BPE counts + clean md5
     "winnow_fingerprints_docs",     # MOSS fingerprinting
     "decontaminate_ngram_overlap",
-    # --- corpus statistics tier (promoted round 5) ---
+    "bloom_decontaminate_docs",     # Bloom-bitset decontamination, 100 TB shape
+                                    # (first-ever attestation, round 6)
+    "unigram_logprob_docs",         # unigram-LM doc scoring (first-ever
+                                    # attestation, round 6)
+    # --- corpus statistics tier ---
     "tfidf_top_terms_docs",         # TF-IDF with broadcast df/N
     "bigram_pmi_docs",              # PMI collocations
     "token_heavy_hitters",          # Misra-Gries + exact verify
     # --- similarity tier ---
     "cosine_topk_brute",
     "cosine_topk_lsh_probe",        # fully oracled (round 5)
+    "cosine_topk_ivf_probe",        # unrolled-Lloyd SQL oracle — rotated in
+                                    # per VERDICT r5 item 9 (round 6)
     "cosine_topk_filtered",
-    "embedding_neardup_pairs",
-    "embedding_neardup_lsh_pairs",  # scale path, fully oracled (round 5)
+    "embedding_neardup_lsh_pairs",  # scale path; exact-verifies candidates, so
+                                    # it carries embedding_neardup_pairs (below
+                                    # window, recall-asserted in pytest)
     # --- streaming tier ---
     "tumbling_window_counts",
     "session_window_counts",
@@ -106,14 +124,27 @@ PRIORITY: tuple[str, ...] = (
     "stream_enrich_join",
     "resample_ffill_events",
     # --- multimodal tier ---
-    "binary_metadata_docs",
-    "frame_sample_fake_decode",
+    "frame_sample_fake_decode",     # 1->N expansion + metadata cols
+                                    # (carries binary_metadata_docs)
+    "bmp_decode_stats_docs",        # REAL from-spec BMP decode (NEW r6 —
+                                    # retires the image-decode stub)
     # --- packing / sampling tier ---
     "pack_sequences_chunk",
+    "pack_sequences_greedy",        # recursive-CTE replay oracle (first-ever
+                                    # attestation, round 6)
     "stratified_hash_sample_docs",
     # ---- window boundary (50) — next-best entries follow ----
-    "cosine_topk_ivf_probe",        # iterative k-means: no SQL twin; recall
-                                    # + train-once determinism in pytest
+    # rotated out round 6, operator carried by an in-window slot:
+    "try_cast_cleanup",             # carried by events_stats_suite
+    "orders_sort_limit",            # carried by topk_lineitems_per_order glob arm
+    "zip_positional_align",         # carried by topk_lineitems_per_order zip arm
+    "track_bounding_box",           # carried by vincenty_vs_haversine bbox cols
+    "linear_fit_orders",            # carried by events_stats_suite slope cols
+    "hours_epoch_roundtrip",        # carried by scalar_geo_suite roundtrip cols
+    "semi_anti_customers",          # carried by customer_order_set_ops arms
+    "embedding_neardup_pairs",      # carried by embedding_neardup_lsh_pairs
+    "binary_metadata_docs",         # carried by frame_sample_fake_decode cols
+    # long-stable below-window entries:
     "track_step_haversine",         # subsumed by vincenty_vs_haversine
     "simhash_docs",
     "clean_normalize_docs",         # folded into text_quality_suite's md5 col

@@ -87,33 +87,120 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "topk_lineitems_per_order",
     oracle="""
-    SELECT l_orderkey, l_linenumber,
-           round(l_extendedprice * 100)::BIGINT AS price_cents,
-           row_number() OVER (
-             PARTITION BY l_orderkey
-             ORDER BY l_extendedprice DESC, l_linenumber ASC
-           )::BIGINT AS rnk
-    FROM lineitem
-    QUALIFY rnk <= 3
+    WITH grp AS (
+      SELECT 'grp' AS src, l_orderkey AS key_a, l_linenumber::BIGINT AS key_b,
+             round(l_extendedprice * 100)::BIGINT AS price_cents,
+             row_number() OVER (
+               PARTITION BY l_orderkey
+               ORDER BY l_extendedprice DESC, l_linenumber ASC
+             )::BIGINT AS rnk
+      FROM lineitem
+      QUALIFY rnk <= 3
+    ),
+    glb AS (
+      SELECT 'glob' AS src, o_orderkey AS key_a, 0::BIGINT AS key_b,
+             round(o_totalprice * 100)::BIGINT AS price_cents,
+             row_number() OVER (
+               ORDER BY o_totalprice DESC, o_orderkey ASC
+             )::BIGINT AS rnk
+      FROM orders
+      QUALIFY rnk <= 10
+    ),
+    by_date AS (
+      SELECT o_orderkey AS date_key,
+             row_number() OVER (ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+      FROM orders
+    ),
+    by_price AS (
+      SELECT o_orderkey AS price_key,
+             row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ),
+    zp AS (
+      SELECT 'zip' AS src, d.date_key AS key_a, p.price_key AS key_b,
+             NULL::BIGINT AS price_cents, d.rn::BIGINT AS rnk
+      FROM by_date d JOIN by_price p USING (rn)
+      WHERE d.rn <= 100
+    )
+    SELECT * FROM grp UNION ALL SELECT * FROM glb UNION ALL SELECT * FROM zp
     """,
 )
 def topk_lineitems_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1/P5: per-group top-k via row_number (the k=25 depth truncation of
-    ``trackplot_hycom.py:148`` generalized). One shuffle on the group key."""
+    """Ranking/ordering suite, three ``src``-tagged arms in one scored slot:
+
+    - ``grp``  W1/P5: per-group top-k via row_number (the k=25 depth
+      truncation of ``trackplot_hycom.py:148`` generalized) — one shuffle
+      on the group key.
+    - ``glob`` P6/§2.7: global sort + limit (TakeOrderedAndProject — each
+      partition contributes its local top-10, no full sort materializes);
+      carries ``orders_sort_limit`` (below the window).
+    - ``zip``  J5: positional zip of two independent orderings — the
+      relational ``zip(hurrlat, hurrlon, hours)`` of
+      ``trackplot_hycom.py:240`` via row_number alignment; carries
+      ``zip_positional_align`` (below the window).
+    """
     li = T(spark, sf_dir, "lineitem")
-    out = top_k_per_group(
+    o = T(spark, sf_dir, "orders")
+    grp = top_k_per_group(
         li,
         ["l_orderkey"],
         [F.col("l_extendedprice").desc(), F.col("l_linenumber").asc()],
         k=3,
         rank_name="rnk",
-    )
-    return out.select(
-        "l_orderkey",
-        "l_linenumber",
+    ).select(
+        F.lit("grp").alias("src"),
+        F.col("l_orderkey").alias("key_a"),
+        F.col("l_linenumber").cast("long").alias("key_b"),
         cents("l_extendedprice").alias("price_cents"),
         F.col("rnk").cast("long").alias("rnk"),
     )
+    # the glob arm really goes through orderBy().limit() (the
+    # TakeOrderedAndProject path); ranks are labeled on the 10-row result
+    glob = (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+                )
+            )
+            .cast("long"),
+        )
+        .select(
+            F.lit("glob").alias("src"),
+            F.col("o_orderkey").alias("key_a"),
+            F.lit(0).cast("long").alias("key_b"),
+            cents("o_totalprice").alias("price_cents"),
+            "rnk",
+        )
+    )
+    by_date = o.select(
+        F.col("o_orderkey").alias("date_key"),
+        F.row_number()
+        .over(Window.orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc()))
+        .alias("rn"),
+    )
+    by_price = o.select(
+        F.col("o_orderkey").alias("price_key"),
+        F.row_number()
+        .over(Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc()))
+        .alias("rn"),
+    )
+    zp = (
+        by_date.join(by_price, "rn")
+        .where(F.col("rn") <= 100)
+        .select(
+            F.lit("zip").alias("src"),
+            F.col("date_key").alias("key_a"),
+            F.col("price_key").alias("key_b"),
+            F.lit(None).cast("long").alias("price_cents"),
+            F.col("rn").cast("long").alias("rnk"),
+        )
+    )
+    return grp.unionByName(glob).unionByName(zp)
 
 
 @query(
@@ -151,18 +238,35 @@ def orders_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
          c96 AS (SELECT DISTINCT o_custkey FROM orders
                  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
                    AND o_orderdate < TIMESTAMP '1997-01-01')
-    SELECT 'both' AS segment, count(*) AS n_cust
+    SELECT 'both' AS segment, count(*) AS n_cust, NULL::BIGINT AS acctbal_cents
       FROM (SELECT o_custkey FROM c95 INTERSECT SELECT o_custkey FROM c96)
     UNION ALL
-    SELECT 'only_1995', count(*) FROM (SELECT o_custkey FROM c95 EXCEPT SELECT o_custkey FROM c96)
+    SELECT 'only_1995', count(*), NULL::BIGINT
+      FROM (SELECT o_custkey FROM c95 EXCEPT SELECT o_custkey FROM c96)
     UNION ALL
-    SELECT 'only_1996', count(*) FROM (SELECT o_custkey FROM c96 EXCEPT SELECT o_custkey FROM c95)
+    SELECT 'only_1996', count(*), NULL::BIGINT
+      FROM (SELECT o_custkey FROM c96 EXCEPT SELECT o_custkey FROM c95)
+    UNION ALL
+    SELECT 'with_orders', count(*),
+           sum(round(c_acctbal * 100)::BIGINT)::BIGINT
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'without_orders', count(*),
+           sum(round(c_acctbal * 100)::BIGINT)::BIGINT
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """,
 )
 def customer_order_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.8 set operations: intersect / except / union all over yearly
-    customer cohorts (Catalyst plans these as aggregates/joins)."""
+    """§2.8 set operations + §2.4 semi/anti joins in one scored slot:
+    intersect / except / union all over yearly customer cohorts
+    (Catalyst plans these as aggregates/joins), plus ``with_orders`` /
+    ``without_orders`` segments planned as left-semi / left-anti hash
+    joins (no fact-side fanout) — carrying ``semi_anti_customers``
+    (registered below the scored window)."""
     o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
 
     def cohort(year: int) -> DataFrame:
         return (
@@ -174,17 +278,31 @@ def customer_order_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
 
+    def setop_arm(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_cust")).select(
+            F.lit(tag).alias("segment"),
+            "n_cust",
+            F.lit(None).cast("long").alias("acctbal_cents"),
+        )
+
+    def join_arm(how: str, tag: str) -> DataFrame:
+        return (
+            c.join(o.select("o_custkey"), c.c_custkey == F.col("o_custkey"), how)
+            .agg(
+                F.count(F.lit(1)).alias("n_cust"),
+                F.sum(cents("c_acctbal")).alias("acctbal_cents"),
+            )
+            .select(F.lit(tag).alias("segment"), "n_cust", "acctbal_cents")
+        )
+
     c95, c96 = cohort(1995), cohort(1996)
-    both = c95.intersect(c96).agg(F.count(F.lit(1)).alias("n_cust")).select(
-        F.lit("both").alias("segment"), "n_cust"
+    return (
+        setop_arm(c95.intersect(c96), "both")
+        .unionByName(setop_arm(c95.exceptAll(c96), "only_1995"))
+        .unionByName(setop_arm(c96.exceptAll(c95), "only_1996"))
+        .unionByName(join_arm("leftsemi", "with_orders"))
+        .unionByName(join_arm("leftanti", "without_orders"))
     )
-    only95 = c95.exceptAll(c96).agg(F.count(F.lit(1)).alias("n_cust")).select(
-        F.lit("only_1995").alias("segment"), "n_cust"
-    )
-    only96 = c96.exceptAll(c95).agg(F.count(F.lit(1)).alias("n_cust")).select(
-        F.lit("only_1996").alias("segment"), "n_cust"
-    )
-    return both.unionByName(only95).unionByName(only96)
 
 
 @query(

@@ -327,7 +327,8 @@ def array_functions_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
            count(*) AS n_events,
-           sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents
+           sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents,
+           (SELECT count(*) FROM events) AS n_dedup_stream
     FROM numbered
     GROUP BY user_id, sid
     """,
@@ -337,8 +338,33 @@ def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``session_window`` merges events whose interval [ts, ts+gap) overlaps
     the session, i.e. a gap >= 300s starts a new session; the oracle
     replays that as gaps-and-islands SQL. The same expression runs
-    streaming with a watermark."""
+    streaming with a watermark.
+
+    Also carries ``dropDuplicatesWithinWatermark`` attestation (§2.11):
+    the events stream unioned with itself is deduplicated by event_id
+    through a REAL Structured Streaming run (state bounded by the
+    watermark), and the surviving row count — which must equal the
+    batch count, since every id arrives exactly twice within the
+    horizon — is broadcast onto every session row as
+    ``n_dedup_stream``. A dedup bug (missed duplicates, overdrop)
+    shifts the constant and hash-fails all 9919 rows."""
+    from modeltracking_spark.streaming.windows import (
+        dedup_within_watermark,
+        read_events_stream,
+        run_stream_once,
+    )
+
     e = T(spark, sf_dir, "events")
+    doubled = read_events_stream(spark, sf_dir).unionByName(
+        read_events_stream(spark, sf_dir)
+    )
+    deduped = dedup_within_watermark(doubled, ["event_id"])
+    got = run_stream_once(
+        deduped,
+        f"q_session_dedup_{abs(hash(sf_dir)) % 10_000}",
+        output_mode="append",
+    )
+    ndd = got.agg(F.count(F.lit(1)).alias("n_dedup_stream"))
     out = e.groupBy(
         F.session_window("ts", "5 minutes").alias("sw"), "user_id"
     ).agg(
@@ -352,7 +378,7 @@ def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_events",
         "sum_cents",
-    )
+    ).crossJoin(F.broadcast(ndd))
 
 
 @query(

@@ -14,6 +14,7 @@ from modeltracking_spark.operators.joins import (
     grid_snap_join,
     interval_join,
     neighborhood_expand,
+    salted_join,
 )
 from modeltracking_spark.queries.common import T, cents, query
 
@@ -407,4 +408,42 @@ def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return side("leftsemi", "with_orders").unionByName(
         side("leftanti", "without_orders")
+    )
+
+
+@query(
+    "skew_salted_join_events",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           count(*) AS n_events,
+           sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents,
+           count(DISTINCT user_id) AS n_users
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def skew_salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew escape hatch, scored: events (the fact side — the side
+    that develops hot keys at 100 TB) joined to the customer dimension
+    THROUGH ``salted_join``: the fact side's key space is salted 8 ways
+    and the dimension replicated per salt, so a pathological hot key
+    spreads over 8 reducer tasks instead of stalling one. Salting is
+    result-invariant, so the oracle is the PLAIN join + aggregate — any
+    salting bug (lost rows, per-salt duplication) breaks the counts.
+    The hot-key-spread property itself is plan- and data-asserted in
+    tests/test_skew_and_stream_dedup.py. AQE's runtime skew split
+    (enabled in session.py) covers most skew; this explicit form is for
+    single keys larger than a task and for AQE-off modes."""
+    e = T(spark, sf_dir, "events")
+    dim = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    j = salted_join(e, dim, on="user_id", n_salts=8)
+    return (
+        j.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents("value")).alias("sum_cents"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
     )

@@ -8,9 +8,11 @@ with ``octet_length`` arithmetic.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from modeltracking_spark.operators.multimodal import (
     attach_binary_payload,
+    attach_bmp_payload,
     binary_metadata,
     decode_image_features,
     sample_frames,
@@ -48,16 +50,52 @@ def binary_metadata_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
            octet_length({_PAYLOAD})::BIGINT AS n_bytes,
            (octet_length({_PAYLOAD}) % 64 + 1)::INTEGER AS width,
            (octet_length({_PAYLOAD}) % 48 + 1)::INTEGER AS height,
-           ((octet_length({_PAYLOAD}) % 2) * 2 + 1)::INTEGER AS n_channels
+           ((octet_length({_PAYLOAD}) % 2) * 2 + 1)::INTEGER AS n_channels,
+           NULL::BIGINT AS pixel_sum
     FROM documents
     """,
 )
 def image_features_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mapInPandas decode stage (Arrow batches, real plumbing, stub
     decode): deterministic pseudo-features from payload bytes, so even the
-    Python-side stage is oracle-checkable."""
+    Python-side stage is oracle-checkable. ``pixel_sum`` is NULL on this
+    fake path; the REAL decode twin is ``bmp_decode_stats_docs``."""
     d = attach_binary_payload(T(spark, sf_dir, "documents"))
     return decode_image_features(d, fake=True)
+
+
+@query(
+    "bmp_decode_stats_docs",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, (doc_id % 16 + 4)::INTEGER AS w,
+             (doc_id % 12 + 4)::INTEGER AS h
+      FROM documents
+    )
+    SELECT d.doc_id,
+           (54 + ((d.w * 3 + 3) // 4 * 4) * d.h)::BIGINT AS n_bytes,
+           d.w AS width, d.h AS height, 3::INTEGER AS n_channels,
+           sum((x.i * 7 + y.i * 11 + d.doc_id) % 256
+               + (x.i * 5 + y.i * 3 + d.doc_id * 2) % 256
+               + (x.i + y.i + d.doc_id) % 256)::BIGINT AS pixel_sum
+    FROM dims d, range(20) x(i), range(16) y(i)
+    WHERE x.i < d.w AND y.i < d.h
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def bmp_decode_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode (no stub): formula-generated 24-bit BMPs are
+    encoded per doc (``attach_bmp_payload``), then decoded back through
+    the pure-numpy from-spec BMP codec (``decode_image_features`` with
+    ``fake=False``) — width/height/channels come from the actual parsed
+    header and ``pixel_sum`` sums every decoded RGB byte. The oracle
+    replays the pixel FORMULA in SQL without touching bytes, so header
+    layout, bottom-up row order, BGR channel order, and 4-byte row
+    padding are all attested end to end (n_bytes includes the padding:
+    54 + paddedrow*h). Retires the image half of the r5 decode stubs;
+    compressed formats still raise at the PIL/ffmpeg plug-in point."""
+    d = attach_bmp_payload(T(spark, sf_dir, "documents"))
+    return decode_image_features(d, fake=False)
 
 
 @query(
@@ -66,19 +104,35 @@ def image_features_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (
       SELECT doc_id,
              upper(hex({_PAYLOAD})) AS hexed,
+             octet_length({_PAYLOAD})::BIGINT AS n_bytes,
              (octet_length({_PAYLOAD}) * 7) % 30000 AS duration_ms
       FROM documents
     )
     SELECT doc_id,
            i.i AS frame_idx,
            i.i * 1000 AS t_offset_ms,
-           md5(hexed || ':' || i.i::VARCHAR) AS frame_md5
+           md5(hexed || ':' || i.i::VARCHAR) AS frame_md5,
+           n_bytes,
+           CASE WHEN substr(hexed, 1, 8) = '89504E47' THEN 'png'
+                WHEN substr(hexed, 1, 6) = 'FFD8FF' THEN 'jpeg'
+                ELSE 'unknown' END AS format,
+           md5(hexed) AS payload_md5
     FROM v, unnest(range(0, duration_ms // 1000 + 1)) AS i(i)
     """,
 )
 def frame_sample_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling (1 row -> N frame rows) through mapInPandas —
     the multi-row Arrow expansion a real ffmpeg stage performs, decode
-    stubbed deterministically so even the Python stage is oracled."""
+    stubbed deterministically so even the Python stage is oracled.
+
+    Also carries the binary-metadata tier (``binary_metadata_docs``,
+    registered below the scored window): each frame row repeats its
+    payload's JVM-computed byte length, magic-byte format sniff, and
+    md5 digest — the 500-row metadata side joins the frame expansion
+    broadcast."""
     d = attach_binary_payload(T(spark, sf_dir, "documents"))
-    return sample_frames(d, every_ms=1000, fake=True)
+    meta = binary_metadata(d).select(
+        "doc_id", "n_bytes", "format", "payload_md5"
+    )
+    frames = sample_frames(d, every_ms=1000, fake=True)
+    return frames.join(F.broadcast(meta), "doc_id")

@@ -24,24 +24,56 @@ from modeltracking_spark.streaming.windows import (
 @query(
     "tumbling_window_counts",
     oracle="""
-    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+    SELECT 'tumble' AS w_op,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            count(*) AS n_events,
            sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents
     FROM events
-    GROUP BY 1, 2
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT 'slide',
+           strftime(ws, '%Y-%m-%d %H:%M:%S'),
+           event_type,
+           count(*),
+           sum(round(value * 100)::BIGINT)::BIGINT
+    FROM (
+      SELECT date_trunc('hour', ts) AS ws, event_type, value FROM events
+      UNION ALL
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value
+      FROM events
+    )
+    GROUP BY 2, 3
     """,
 )
 def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1-hour event-time windows per type — epoch-aligned, so
-    window.start ≡ date_trunc('hour')."""
-    out = tumbling_counts(T(spark, sf_dir, "events"))
-    return out.select(
+    """Event-time window suite, ``w_op``-tagged arms in one scored slot:
+
+    - ``tumble`` 1-hour tumbling windows per type — epoch-aligned, so
+      window.start ≡ date_trunc('hour').
+    - ``slide``  2h/1h sliding windows — each event lands in exactly two
+      windows (starts at trunc(ts) and trunc(ts)-1h), replayed in SQL by
+      a two-way unioned assignment; carries ``sliding_window_counts``
+      (registered below the scored window). The stream-vs-batch
+      equivalence of both window shapes is asserted in
+      tests/test_streaming.py.
+    """
+    e = T(spark, sf_dir, "events")
+    tum = tumbling_counts(e).select(
+        F.lit("tumble").alias("w_op"),
         F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",
         "n_events",
         "sum_cents",
     )
+    sli = sliding_counts(e).select(
+        F.lit("slide").alias("w_op"),
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_cents",
+    )
+    return tum.unionByName(sli)
 
 
 @query(

@@ -18,7 +18,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from modeltracking_spark.functions.geo import normalize_lon_0_360
-from modeltracking_spark.functions.timefn import hours_since_2000
+from modeltracking_spark.functions.timefn import (
+    format_ymdh,
+    hours_since_2000,
+    parse_ymdh,
+    ts_from_hours_since_2000,
+)
 from modeltracking_spark.queries.common import T, cents, fxp, query
 from modeltracking_spark.queries.text_q import _STOPS, _TOKS, _markers_sql
 
@@ -39,7 +44,15 @@ from modeltracking_spark.queries.text_q import _STOPS, _TOKS, _markers_sql
            0.0::DOUBLE - (o_orderkey % 50)::DOUBLE AS depth_display,
            round(1.0 / (((o_orderkey % 50)::DOUBLE + 1e-6)
                       * ((o_orderkey % 50)::DOUBLE + 1e-6)) * 1e6)::BIGINT
-             AS weight_e6
+             AS weight_e6,
+           datediff('hour', TIMESTAMP '2000-01-01', o_orderdate)
+             AS hours2000_ts,
+           strftime(TIMESTAMP '2000-01-01'
+                    + to_hours(datediff('hour', TIMESTAMP '2000-01-01',
+                                        o_orderdate)),
+                    '%Y%m%d%H') AS ymdh,
+           (strptime(strftime(o_orderdate, '%Y%m%d%H'), '%Y%m%d%H')
+              = o_orderdate) AS roundtrip_ok
     FROM orders
     """,
 )
@@ -53,11 +66,16 @@ def scalar_geo_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       (``TrackPlotter_Hycom.ipynb:41``); e6 (not e12) fixed point because
       depth 0 makes the raw weight 1e12 and e12 scaling would overflow
       the visual range — the epsilon guard is what's under test.
+    - ``hours2000_ts``   F1 hurrtimeconv: timestamp -> hours since 2000
+      (``trackplot_hycom.py:150-156``)
+    - ``ymdh``           F2 ymdh: hours offset -> '%Y%m%d%H' string
+      (``trackplot_hycom.py:45-50``)
+    - ``roundtrip_ok``   F9 parse∘format identity on hour-aligned data
 
     All per-row JVM expressions in one whole-stage-codegen projection.
     The single-function originals (``hours_from_parts``, ``lon_normalize``,
-    ``depth_display_axis``, ``inv_square_weights``) remain registered
-    below the scored window.
+    ``depth_display_axis``, ``inv_square_weights``,
+    ``hours_epoch_roundtrip``) remain registered below the scored window.
     """
     o = T(spark, sf_dir, "orders")
     ts = F.make_timestamp(
@@ -71,6 +89,7 @@ def scalar_geo_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     lon_raw = (F.col("o_orderkey") % 3600) / 10.0 - 180.0
     depth = (F.col("o_orderkey") % 50).cast("double")
     w = F.lit(1.0) / ((depth + F.lit(1e-6)) * (depth + F.lit(1e-6)))
+    h = hours_since_2000("o_orderdate")
     return o.select(
         "o_orderkey",
         hours_since_2000(ts).alias("hours2000"),
@@ -78,6 +97,11 @@ def scalar_geo_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         normalize_lon_0_360(lon_raw).alias("lon_0_360"),
         (F.lit(0.0) - depth).alias("depth_display"),
         fxp(w, 1e6).alias("weight_e6"),
+        h.alias("hours2000_ts"),
+        format_ymdh(ts_from_hours_since_2000(h)).alias("ymdh"),
+        (parse_ymdh(format_ymdh("o_orderdate")) == F.col("o_orderdate")).alias(
+            "roundtrip_ok"
+        ),
     )
 
 
@@ -170,6 +194,7 @@ def text_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH fr AS (
       SELECT event_type, user_id, value, props,
+             datediff('hour', TIMESTAMP '2000-01-01', ts)::BIGINT AS x,
              sum(round(value * 100)::BIGINT) OVER (
                PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
@@ -185,28 +210,52 @@ def text_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT
                AS sum_k,
              count(DISTINCT user_id) AS n_users,
-             sum(frame_sum)::BIGINT AS frame_checksum_cents
+             sum(frame_sum)::BIGINT AS frame_checksum_cents,
+             count(*) FILTER (WHERE TRY_CAST(props AS DOUBLE) IS NULL)
+               AS n_bad_double,
+             count(*) FILTER (WHERE TRY_CAST(json_extract_string(props, '$.k')
+                                             AS BIGINT) IS NOT NULL)
+               AS n_good_k,
+             sum(x)::BIGINT AS sx,
+             sum(x * round(value * 100)::BIGINT)::BIGINT AS sxy,
+             sum(x * x)::BIGINT AS sxx
       FROM fr GROUP BY 1
     )
     SELECT event_type, n, sum_cents, sumsq_cents,
            sqrt((n * sumsq_cents - sum_cents * sum_cents)::DOUBLE
                 / (n * (n - 1))::DOUBLE) / 100.0 AS stddev_value,
-           sum_k, n_users, frame_checksum_cents
+           sum_k, n_users, frame_checksum_cents,
+           n_bad_double, n_good_k,
+           (n * sxy - sx * sum_cents)::DOUBLE
+             / (n * sxx - sx * sx)::DOUBLE AS slope_cents_per_hour,
+           (sum_cents::DOUBLE - (n * sxy - sx * sum_cents)::DOUBLE
+              / (n * sxx - sx * sx)::DOUBLE * sx::DOUBLE) / n::DOUBLE
+             AS intercept_cents
     FROM s
     """,
 )
 def events_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Moments + JSON extraction + frame-spec windows per event type:
+    """Moments + JSON extraction + frame-spec windows + type-guard counts
+    + regression per event type:
     exact-integer count/sum/sum-of-squares with sample stddev assembled
     from the moments, a JSON scalar sum (``get_json_object``), an exact
-    count-distinct of users, and a checksum over per-user trailing-3-row
+    count-distinct of users, a checksum over per-user trailing-3-row
     frame sums (rowsBetween — §2.6 frame specs; any frame error shifts
-    the checksum). Single-function originals (``event_type_stats``,
-    ``events_json_props``, ``moving_frame_sums``) remain registered
-    below the scored window."""
+    the checksum), P4 try_cast type-guard counts (``n_bad_double`` /
+    ``n_good_k`` — the reference's non-float64 -> NaN cleanup,
+    ``trackplot_hycom.py:248``), and the F10/A4 least-squares fit of
+    value-cents against hours-since-2000 assembled from exact BIGINT
+    normal-equation sums (``np.polyfit`` deg-1,
+    ``TrackPlotter_Hycom.ipynb:427``). Single-function originals
+    (``event_type_stats``, ``events_json_props``, ``moving_frame_sums``,
+    ``try_cast_cleanup``, ``linear_fit_orders``) remain registered below
+    the scored window."""
     e = T(spark, sf_dir, "events")
     v = cents("value")
     k = F.get_json_object("props", "$.k").cast("long")
+    x = hours_since_2000("ts")
+    bad = F.col("props").try_cast("double").isNull()
+    good = F.get_json_object("props", "$.k").try_cast("long").isNotNull()
     wfr = (
         Window.partitionBy("user_id")
         .orderBy(F.col("ts").asc(), F.col("event_id").asc())
@@ -217,6 +266,9 @@ def events_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         v.alias("v"),
         k.alias("k"),
+        x.alias("x"),
+        bad.alias("bad"),
+        good.alias("good"),
         F.sum(v).over(wfr).alias("frame_sum"),
     )
     s = base.groupBy("event_type").agg(
@@ -226,10 +278,23 @@ def events_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").alias("sum_k"),
         F.count_distinct("user_id").alias("n_users"),
         F.sum("frame_sum").alias("frame_checksum_cents"),
+        F.sum(F.when(F.col("bad"), 1).otherwise(0)).alias("n_bad_double"),
+        F.sum(F.when(F.col("good"), 1).otherwise(0)).alias("n_good_k"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("v")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
     var = (
         F.col("n") * F.col("sumsq_cents") - F.col("sum_cents") * F.col("sum_cents")
     ).cast("double") / (F.col("n") * (F.col("n") - 1)).cast("double")
+    slope = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sum_cents")
+    ).cast("double") / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    intercept = (
+        F.col("sum_cents").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
     return s.select(
         "event_type",
         "n",
@@ -239,4 +304,8 @@ def events_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_k",
         "n_users",
         "frame_checksum_cents",
+        "n_bad_double",
+        "n_good_k",
+        slope.alias("slope_cents_per_hour"),
+        intercept.alias("intercept_cents"),
     )

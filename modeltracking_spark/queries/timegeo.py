@@ -223,8 +223,12 @@ def inv_square_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
              sin(radians(lat - plat) / 2) ^ 2
              + cos(radians(plat)) * cos(radians(lat))
                * sin(radians(lon - plon) / 2) ^ 2)), 2) AS hav_km,
-           TRUE AS vin_within_006pct
+           TRUE AS vin_within_006pct,
+           b.lat_min, b.lat_max, b.lon_min, b.lon_max
     FROM stepped
+    CROSS JOIN (SELECT min(lat) AS lat_min, max(lat) AS lat_max,
+                       min(lon) AS lon_min, max(lon) AS lon_max
+                FROM track) b
     WHERE plat IS NOT NULL
     """,
 )
@@ -237,7 +241,17 @@ def vincenty_vs_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
     boolean, the oracle emits literal TRUE. A broken Vincenty (wrong
     ellipsoid, bad convergence) flips rows to FALSE and hash-fails;
     haversine itself is checked exactly (2-decimal rounding absorbs
-    cross-engine libm ulps, same as track_step_haversine)."""
+    cross-engine libm ulps, same as track_step_haversine). A repeated
+    track point (vin == 0) counts as within-bound iff hav == 0 too.
+    Pinned published geodesics additionally guard Vincenty's absolute
+    values in tests/test_geo.py.
+
+    Also carries A1 (``trackplot_hycom.py:236-237``): the track's
+    bounding box — min/max lat/lon of the SAME track, broadcast onto
+    every step row — so ``track_bounding_box`` (registered below the
+    scored window) keeps in-window attestation."""
+    from modeltracking_spark.operators.aggregates import bounding_box
+
     t = synthetic_track(spark)
     w = Window.orderBy("point_id")
     stepped = t.select(
@@ -264,4 +278,4 @@ def vincenty_vs_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("vin") == 0, F.col("hav") == 0)
         .otherwise(F.abs(F.col("vin") - F.col("hav")) / F.col("vin") < 0.006)
         .alias("vin_within_006pct"),
-    )
+    ).crossJoin(F.broadcast(bounding_box(t)))

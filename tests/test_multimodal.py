@@ -59,3 +59,65 @@ def test_frame_sample_expansion(spark):
     assert len(frames) == dur // 1000 + 1
     assert [f["t_offset_ms"] for f in frames] == list(range(0, dur + 1, 1000))
     assert all(len(f["frame_md5"]) == 32 for f in frames)
+
+
+# ---------------------------------------------------------------------------
+# real BMP decode path (round 6): pure-numpy from-spec codec
+# ---------------------------------------------------------------------------
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from modeltracking_spark.operators.multimodal import (
+    attach_bmp_payload,
+    decode_bmp,
+    encode_bmp,
+)
+
+
+def test_bmp_roundtrip_basic():
+    img = np.arange(5 * 3 * 3, dtype=np.uint8).reshape(5, 3, 3)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=9),
+    h=st.integers(min_value=1, max_value=9),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_bmp_roundtrip_property(w, h, seed):
+    # widths not divisible by 4 exercise real row padding
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    data = encode_bmp(img)
+    row_padded = (w * 3 + 3) & ~3
+    assert len(data) == 54 + row_padded * h
+    assert np.array_equal(decode_bmp(data), img)
+
+
+def test_bmp_decode_rejects_unsupported():
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    data = bytearray(encode_bmp(img))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp(bytes(data[:-4]))
+    data[28] = 8  # bpp = 8
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_bmp(bytes(data))
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"PNG whatever")
+
+
+def test_bmp_real_decode_in_spark(spark):
+    d = attach_bmp_payload(_docs(spark))
+    rows = {r["doc_id"]: r for r in decode_image_features(d, fake=False).collect()}
+    for did, r in rows.items():
+        w, h = did % 16 + 4, did % 12 + 4
+        assert (r["width"], r["height"], r["n_channels"]) == (w, h, 3)
+        y, x = np.mgrid[0:h, 0:w]
+        want = int(
+            ((x * 7 + y * 11 + did) % 256).sum()
+            + ((x * 5 + y * 3 + did * 2) % 256).sum()
+            + ((x + y + did) % 256).sum()
+        )
+        assert r["pixel_sum"] == want

@@ -195,3 +195,31 @@ def test_unigram_logprob_broadcasts_lm(spark):
     plan = executed_plan(out)
     assert "SortMergeJoin" not in plan
     assert has_broadcast_join(out)
+
+
+def test_salted_join_query_plan(spark):
+    """The scored skew query: join keys must include the salt (hot-key
+    spread over n_salts reducer partitions) and nothing may fall back to
+    a cartesian product."""
+    from modeltracking_spark.queries import load_registries
+
+    qs, _ = load_registries()
+    out = qs["skew_salted_join_events"](spark, SF001)
+    plan = executed_plan(out)
+    assert "__salt" in plan
+    assert_no_cartesian(out)
+
+
+def test_bmp_decode_is_shuffle_free(spark):
+    """Encode + decode are narrow mapInPandas stages — a shuffle here
+    would mean the multimodal path re-partitions payloads for no reason."""
+    from modeltracking_spark.operators.multimodal import (
+        attach_bmp_payload,
+        decode_image_features,
+    )
+
+    d = spark.read.parquet(f"{SF001}/documents.parquet")
+    out = decode_image_features(attach_bmp_payload(d), fake=False)
+    plan = executed_plan(out)
+    assert "Exchange" not in plan
+    assert_no_cartesian(out)

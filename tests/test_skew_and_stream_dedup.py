@@ -47,6 +47,33 @@ def test_salted_join_left_outer(spark):
     assert out == {(1, "a", "x"), (99, "b", None)}
 
 
+def test_salted_join_spreads_hot_key(spark):
+    # one pathological key owns EVERY big-side row; after salting its rows
+    # must occupy several shuffle buckets (the whole point of the salt)
+    n_salts = 8
+    big = spark.range(4000).select(
+        F.lit(7).alias("k"), F.col("id").alias("payload")
+    )
+    small = spark.createDataFrame([(7, "hot")], "k long, attr string")
+    out = salted_join(big, small, "k", n_salts=n_salts)
+    assert out.count() == 4000
+    # plan: the join keys include the salt, so the shuffle hash-partitions
+    # on (k, __salt) — no single reducer owns the hot key
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan
+    # data: the value-derived salts of the hot key's rows really spread
+    # (re-derives the operator's salt formula as its published contract)
+    n_distinct_salts = (
+        big.select(
+            ((F.xxhash64(F.struct(*big.columns)) % n_salts + n_salts) % n_salts)
+            .alias("s")
+        )
+        .distinct()
+        .count()
+    )
+    assert n_distinct_salts > 1
+
+
 def test_stream_dedup_within_watermark(spark):
     # the same file delivered as a stream, unioned with itself -> every
     # event_id arrives twice within the watermark -> dedup halves it
