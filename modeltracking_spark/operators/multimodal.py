@@ -129,6 +129,85 @@ def binary_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# pure-numpy WAV codec (RIFF/WAVE, PCM 16-bit LE, interleaved)
+#
+# Format, from the public RIFF/WAVE spec: 'RIFF' + chunk size + 'WAVE',
+# then a 'fmt ' subchunk (size 16 for PCM: audio_format=1, n_channels,
+# sample_rate, byte_rate, block_align, bits_per_sample=16) and a 'data'
+# subchunk holding interleaved little-endian int16 frames. The decoder
+# walks subchunks (skipping unknown ones), so files with extra chunks
+# (LIST/INFO) still parse.
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples, sample_rate: int) -> bytes:
+    """(n_frames, n_channels) int16 array -> PCM16 WAV bytes."""
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.int16)
+    if a.ndim == 1:
+        a = a[:, None]
+    if a.ndim != 2:
+        raise ValueError(f"expected (n_frames, n_channels), got {a.shape}")
+    n_frames, n_ch = a.shape
+    data = a.astype("<i2").tobytes()
+    block_align = n_ch * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_ch, sample_rate, sample_rate * block_align,
+        block_align, 16,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes):
+    """PCM16 WAV bytes -> (sample_rate, (n_frames, n_channels) int16).
+
+    Raises ``ValueError`` with a descriptive message for non-RIFF/WAVE
+    payloads, non-PCM16 encodings, or truncated data chunks."""
+    import numpy as np
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    off, end = 12, min(len(data), 8 + struct.unpack_from("<I", data, 4)[0])
+    rate = n_ch = None
+    frames = None
+    while off + 8 <= end:
+        cid, csize = data[off : off + 4], struct.unpack_from("<I", data, off + 4)[0]
+        body_off = off + 8
+        if cid == b"fmt ":
+            if csize < 16:
+                raise ValueError(f"fmt chunk too small ({csize} bytes)")
+            audio_fmt, n_ch, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", data, body_off
+            )
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV encoding: format={audio_fmt} bits={bits} "
+                    "(only PCM 16-bit is implemented)"
+                )
+        elif cid == b"data":
+            if n_ch is None:
+                raise ValueError("data chunk before fmt chunk")
+            if body_off + csize > len(data):
+                raise ValueError(
+                    f"truncated WAV data chunk: need {csize} bytes at offset "
+                    f"{body_off}, file has {len(data) - body_off}"
+                )
+            frames = np.frombuffer(
+                data, dtype="<i2", count=csize // 2, offset=body_off
+            ).reshape(-1, n_ch)
+        off = body_off + csize + (csize & 1)  # chunks are word-aligned
+    if rate is None or frames is None:
+        raise ValueError("missing fmt or data chunk")
+    return rate, frames
+
+
 #: output schema of the image feature extractor (pixel_sum only filled
 #: by the real decode path; NULL in fake mode)
 IMAGE_FEATURES_SCHEMA = (
@@ -232,6 +311,80 @@ def attach_bmp_payload(df: DataFrame, id_col: str = "doc_id",
 
     return df.select(id_col).mapInPandas(
         build, schema=f"{id_col} bigint, {out_col} binary"
+    )
+
+
+def attach_wav_payload(df: DataFrame, id_col: str = "doc_id",
+                       out_col: str = "payload") -> DataFrame:
+    """Fixture builder for the REAL audio decode path: a deterministic
+    formula-generated PCM16 WAV per row — n_frames = id%500+100,
+    channels = id%2+1, rate 8000 Hz, sample[i, c] =
+    ((id*31 + i*7 + c*13) % 4096) − 2048 — encoded through
+    :func:`encode_wav` inside mapInPandas. SQL-replayable, like the BMP
+    and netCDF fixtures."""
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                d = int(did)
+                n, ch = d % 500 + 100, d % 2 + 1
+                i, c = np.mgrid[0:n, 0:ch]
+                a = ((d * 31 + i * 7 + c * 13) % 4096 - 2048).astype(np.int16)
+                payloads.append(encode_wav(a, 8000))
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: payloads})
+
+    return df.select(id_col).mapInPandas(
+        build, schema=f"{id_col} bigint, {out_col} binary"
+    )
+
+
+#: output schema of the real audio stats extractor
+AUDIO_STATS_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, sample_rate int, n_channels int, "
+    "n_frames bigint, amp_sum bigint, peak int"
+)
+
+
+def decode_audio_stats(df: DataFrame, id_col: str = "doc_id",
+                       payload_col: str = "payload") -> DataFrame:
+    """REAL audio decode via the pure-numpy WAV codec: sample rate,
+    channel count, and frame count come from the parsed header;
+    ``amp_sum`` (sum of every sample value) and ``peak`` (max |sample|)
+    attest the PCM payload bit-exactly. Non-WAV payloads raise
+    ``NotImplementedError`` at the codec plug-in point (compressed audio
+    would need ffmpeg)."""
+
+    def extract(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "n_bytes", "sample_rate", "n_channels",
+                "n_frames", "amp_sum", "peak",
+            )}
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                if not bytes(payload[:4]) == b"RIFF":
+                    raise NotImplementedError(
+                        "real decode beyond PCM16 WAV requires ffmpeg; "
+                        "not in container"
+                    )
+                rate, frames = decode_wav(bytes(payload))
+                rows["doc_id"].append(int(did))
+                rows["n_bytes"].append(len(payload))
+                rows["sample_rate"].append(rate)
+                rows["n_channels"].append(frames.shape[1])
+                rows["n_frames"].append(frames.shape[0])
+                rows["amp_sum"].append(int(frames.sum(dtype=np.int64)))
+                rows["peak"].append(int(np.abs(frames.astype(np.int32)).max()))
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        extract, schema=AUDIO_STATS_SCHEMA
     )
 
 

@@ -13,7 +13,9 @@ from pyspark.sql import functions as F
 from modeltracking_spark.operators.multimodal import (
     attach_binary_payload,
     attach_bmp_payload,
+    attach_wav_payload,
     binary_metadata,
+    decode_audio_stats,
     decode_image_features,
     sample_frames,
 )
@@ -96,6 +98,44 @@ def bmp_decode_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     compressed formats still raise at the PIL/ffmpeg plug-in point."""
     d = attach_bmp_payload(T(spark, sf_dir, "documents"))
     return decode_image_features(d, fake=False)
+
+
+@query(
+    "wav_decode_stats_docs",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, (doc_id % 500 + 100)::BIGINT AS n,
+             (doc_id % 2 + 1)::INTEGER AS ch
+      FROM documents
+    )
+    SELECT d.doc_id,
+           (44 + d.n * d.ch * 2)::BIGINT AS n_bytes,
+           8000::INTEGER AS sample_rate,
+           d.ch AS n_channels,
+           d.n AS n_frames,
+           sum((d.doc_id * 31 + i.i * 7 + c.i * 13) % 4096 - 2048)::BIGINT
+             AS amp_sum,
+           max(abs((d.doc_id * 31 + i.i * 7 + c.i * 13) % 4096 - 2048))::INTEGER
+             AS peak
+    FROM dims d, range(600) i(i), range(2) c(i)
+    WHERE i.i < d.n AND c.i < d.ch
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+)
+def wav_decode_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode (no stub): formula-generated PCM16 WAVs are
+    encoded per doc (``attach_wav_payload``), then decoded back through
+    the pure-numpy from-spec RIFF/WAVE codec (``decode_audio_stats``) —
+    sample rate/channels/frames from the parsed header, ``amp_sum`` and
+    ``peak`` over every decoded sample. The oracle replays the sample
+    FORMULA in SQL without touching bytes, so the chunk walk, PCM16
+    little-endian layout, and channel interleave are attested end to
+    end (n_bytes = 44-byte canonical header + frames*channels*2). With
+    BMP (image) and WAV (audio) decoded for real, the only remaining
+    decode stub is compressed video/audio — the genuine ffmpeg
+    plug-in point."""
+    d = attach_wav_payload(T(spark, sf_dir, "documents"))
+    return decode_audio_stats(d)
 
 
 @query(

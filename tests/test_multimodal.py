@@ -121,3 +121,76 @@ def test_bmp_real_decode_in_spark(spark):
             + ((x + y + did) % 256).sum()
         )
         assert r["pixel_sum"] == want
+
+
+# ---------------------------------------------------------------------------
+# real WAV decode path (round 6): pure-numpy RIFF/WAVE PCM16 codec
+# ---------------------------------------------------------------------------
+from modeltracking_spark.operators.multimodal import (
+    attach_wav_payload,
+    decode_audio_stats,
+    decode_wav,
+    encode_wav,
+)
+
+
+def test_wav_roundtrip_basic():
+    a = np.array([[100, -200], [300, -400], [32767, -32768]], dtype=np.int16)
+    rate, back = decode_wav(encode_wav(a, 44100))
+    assert rate == 44100
+    assert np.array_equal(back, a)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=200),
+    ch=st.integers(min_value=1, max_value=4),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_wav_roundtrip_property(n, ch, seed):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(-32768, 32768, size=(n, ch), dtype=np.int16)
+    data = encode_wav(a, 8000)
+    assert len(data) == 44 + n * ch * 2
+    rate, back = decode_wav(data)
+    assert rate == 8000 and np.array_equal(back, a)
+
+
+def test_wav_decoder_skips_unknown_chunks():
+    # a LIST chunk between fmt and data must be walked over, per spec
+    a = np.array([[1], [2], [3]], dtype=np.int16)
+    data = encode_wav(a, 8000)
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+    patched = bytearray(data[:fmt_end] + extra + data[fmt_end:])
+    # RIFF size grows by the inserted chunk
+    import struct as _s
+    _s.pack_into("<I", patched, 4, _s.unpack_from("<I", patched, 4)[0] + len(extra))
+    rate, back = decode_wav(bytes(patched))
+    assert rate == 8000 and np.array_equal(back, a)
+
+
+def test_wav_decode_rejects_unsupported():
+    a = np.zeros((4, 1), dtype=np.int16)
+    data = bytearray(encode_wav(a, 8000))
+    with pytest.raises(ValueError, match="not a RIFF"):
+        decode_wav(b"OggS junk")
+    data[20] = 3  # audio_format = IEEE float
+    with pytest.raises(ValueError, match="unsupported WAV encoding"):
+        decode_wav(bytes(data))
+    good = encode_wav(a, 8000)
+    with pytest.raises(ValueError, match="truncated WAV data"):
+        decode_wav(good[:-2])
+
+
+def test_wav_real_decode_in_spark(spark):
+    d = attach_wav_payload(_docs(spark))
+    rows = {r["doc_id"]: r for r in decode_audio_stats(d).collect()}
+    for did, r in rows.items():
+        n, ch = did % 500 + 100, did % 2 + 1
+        assert (r["sample_rate"], r["n_channels"], r["n_frames"]) == (8000, ch, n)
+        assert r["n_bytes"] == 44 + n * ch * 2
+        i, c = np.mgrid[0:n, 0:ch]
+        samples = (did * 31 + i * 7 + c * 13) % 4096 - 2048
+        assert r["amp_sum"] == int(samples.sum())
+        assert r["peak"] == int(np.abs(samples).max())
