@@ -18,6 +18,49 @@ from modeltracking_spark.functions.text import (
     tokens,
 )
 
+# PII patterns shared by the detector and the redactor. Only constructs
+# common to Java regex (Spark) and RE2 (DuckDB) are allowed — character
+# classes, bounded repetition, alternation; NO lookaround/backreferences,
+# so both engines match identical spans and the redacted bytes agree.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\d{3}-\d{3}-\d{4}",
+    "ipv4": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+}
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII detection + redaction (the scrub pass every training-data
+    pipeline runs before release — CCNet/RefinedWeb keep an explicit
+    regex tier even when an NER model follows): count matches per PII
+    class and rewrite each span to ``<CLASS>``. Redaction order is
+    email → phone → ipv4, so a phone-like fragment inside an already
+    redacted email cannot double-fire; counts are taken on the ORIGINAL
+    text. Pure narrow map (regexp only), shuffle-free at any scale.
+
+    Output: original columns + n_email/n_phone/n_ipv4 +
+    ``redacted_text`` + ``redacted_md5`` (byte-exact attestation).
+    """
+    out = df
+    for name, pat in PII_PATTERNS.items():
+        # Spark SQL string literals treat backslash as an escape, so the
+        # regex's \d must be doubled inside expr() (regexp_replace below
+        # takes the pattern as a Python value and needs no doubling)
+        sql_pat = pat.replace("\\", "\\\\")
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(
+                F.expr(f"regexp_extract_all({text_col}, '{sql_pat}', 0)")
+            ).cast("long"),
+        )
+    red = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return out.withColumn("redacted_text", red).withColumn(
+        "redacted_md5", F.md5(red)
+    )
+
+
 #: tiny per-language marker-word lists for the heuristic language ID.
 #: (The container has no langdetect/fasttext; this is the n-gram-heuristic
 #: tier — swap for a real model via mapInPandas when available.)

@@ -504,3 +504,63 @@ def clean_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(kept).cast("long").alias("n_tok_after"),
         F.md5(F.array_join(kept, " ")).alias("clean_fingerprint"),
     )
+
+
+@query(
+    "pii_redact_docs",
+    oracle=r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact u' || doc_id || '@example.com or 555-'
+                  || lpad(((doc_id * 7) % 1000)::VARCHAR, 3, '0') || '-'
+                  || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                  || ' ip 10.0.' || (doc_id % 256) || '.'
+                  || ((doc_id * 3) % 256) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+             AS n_email,
+           len(regexp_extract_all(t, '\d{3}-\d{3}-\d{4}'))::BIGINT AS n_phone,
+           len(regexp_extract_all(t,
+               '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}'))::BIGINT AS n_ipv4,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+               '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IPV4>', 'g'))
+             AS redacted_md5
+    FROM aug
+    """,
+)
+def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass (§2.12 curation tier): per-doc counts of emails /
+    phone numbers / IPv4 literals and the md5 of the fully redacted
+    text. The corpus text is AUGMENTED with deterministic synthetic PII
+    derived from doc_id (built identically in both engines), so every
+    row exercises all three patterns rather than attesting zeros. The
+    patterns use only Java-regex ∩ RE2 constructs (no lookaround), so
+    Spark and DuckDB match identical spans and the redacted bytes — and
+    their md5 — agree exactly. Redaction order email→phone→ipv4;
+    counts over the original text. Pure narrow map, shuffle-free."""
+    from modeltracking_spark.operators.textops import pii_scrub
+
+    d = T(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad(((F.col("doc_id") * 7) % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") * 3) % 256).cast("string"),
+        ).alias("t"),
+    )
+    out = pii_scrub(aug, text_col="t")
+    return out.select("doc_id", "n_email", "n_phone", "n_ipv4", "redacted_md5")

@@ -32,3 +32,23 @@ def test_approx_count_distinct_sanity(spark):
         F.approx_count_distinct("user_id").alias("approx"),
     ).first()
     assert abs(r["approx"] - r["exact"]) / r["exact"] < 0.05
+
+
+def test_pii_scrub_golden(spark):
+    from modeltracking_spark.operators.textops import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-1.co now, call 555-123-4567 from 10.0.0.1"),
+            (2, "no pii here"),
+            (3, "two mails x@y.io z@w.de and 1.2.3.4 5.6.7.8"),
+        ],
+        "id long, text string",
+    )
+    rows = {r["id"]: r for r in pii_scrub(df).collect()}
+    assert (rows[1]["n_email"], rows[1]["n_phone"], rows[1]["n_ipv4"]) == (1, 1, 1)
+    assert rows[1]["redacted_text"] == "mail <EMAIL> now, call <PHONE> from <IPV4>"
+    assert (rows[2]["n_email"], rows[2]["n_phone"], rows[2]["n_ipv4"]) == (0, 0, 0)
+    assert rows[2]["redacted_text"] == "no pii here"
+    assert (rows[3]["n_email"], rows[3]["n_ipv4"]) == (2, 2)
+    assert rows[3]["redacted_text"] == "two mails <EMAIL> <EMAIL> and <IPV4> <IPV4>"
