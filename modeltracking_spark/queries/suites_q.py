@@ -226,10 +226,13 @@ def text_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (n * (n - 1))::DOUBLE) / 100.0 AS stddev_value,
            sum_k, n_users, frame_checksum_cents,
            n_bad_double, n_good_k,
-           (n * sxy - sx * sum_cents)::DOUBLE
-             / (n * sxx - sx * sx)::DOUBLE AS slope_cents_per_hour,
-           (sum_cents::DOUBLE - (n * sxy - sx * sum_cents)::DOUBLE
-              / (n * sxx - sx * sx)::DOUBLE * sx::DOUBLE) / n::DOUBLE
+           (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sum_cents::DOUBLE)
+             / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+             AS slope_cents_per_hour,
+           (sum_cents::DOUBLE
+              - (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sum_cents::DOUBLE)
+                / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                * sx::DOUBLE) / n::DOUBLE
              AS intercept_cents
     FROM s
     """,
@@ -287,14 +290,18 @@ def events_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     var = (
         F.col("n") * F.col("sumsq_cents") - F.col("sum_cents") * F.col("sum_cents")
     ).cast("double") / (F.col("n") * (F.col("n") - 1)).cast("double")
-    slope = (
-        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sum_cents")
-    ).cast("double") / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    ).cast("double")
-    intercept = (
-        F.col("sum_cents").cast("double") - slope * F.col("sx").cast("double")
-    ) / F.col("n").cast("double")
+    # normal-equation SUMS stay exact int64 (shuffle-order-independent);
+    # the final products convert to double FIRST — n*sxx in int64
+    # overflows at sf0.1 (x is hours-since-2000, x^2 ~ 5e10/row), while
+    # IEEE double products of identical exact inputs are deterministic
+    # in both engines at any scale
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sum_cents").cast("double")
+    slope = (nd * F.col("sxy").cast("double") - sxd * syd) / (
+        nd * F.col("sxx").cast("double") - sxd * sxd
+    )
+    intercept = (syd - slope * sxd) / nd
     return s.select(
         "event_type",
         "n",
