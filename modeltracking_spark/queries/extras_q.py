@@ -545,3 +545,114 @@ def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_tok"),
     )
     return pack_greedy(d, "doc_id", "n_tok", "source", 512)
+
+
+@query(
+    "csv_roundtrip_scan",
+    oracle="""
+    SELECT i::BIGINT AS point_id,
+           i::BIGINT AS t_hours,
+           15.0::DOUBLE + i * 0.25::DOUBLE AS lat,
+           CASE WHEN -80.0::DOUBLE + i * 0.6::DOUBLE < 0
+                THEN -80.0::DOUBLE + i * 0.6::DOUBLE + 360.0::DOUBLE
+                ELSE -80.0::DOUBLE + i * 0.6::DOUBLE END AS lon
+    FROM range(80) t(i)
+    """,
+)
+def csv_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 + S1 + P2 + F4 across a REAL file boundary: the synthetic
+    track is written as an NHC-style CSV (header row, yyyyMMddHH
+    timestamp strings, WEST-NEGATIVE longitudes — the reference's
+    on-disk convention, ``Hurricanefiles/al092016_track.csv``), then
+    read back with an explicit schema + header skip, the timestamp
+    parsed (F1) and the longitude re-normalized to [0,360) (F4,
+    −19.4 → 340.6 semantics). The oracle computes the track from the
+    formula WITHOUT touching the file, so the CSV sink → scan loop —
+    including double → shortest-decimal → double round-tripping — is
+    attested end to end. Fixture dir is content-keyed and written
+    once (same race-safe pattern as the netCDF fixture)."""
+    import os
+    import shutil
+
+    from modeltracking_spark.functions.geo import normalize_lon_0_360
+    from modeltracking_spark.functions.timefn import (
+        format_ymdh,
+        hours_since_2000 as _h2000,
+        parse_ymdh,
+        ts_from_hours_since_2000,
+    )
+    from modeltracking_spark.queries.timegeo import synthetic_track
+    from modeltracking_spark.sources.tracks import write_track_csv
+
+    out_dir = "/tmp/modeltracking_track_csv_v1"
+    if not os.path.isdir(out_dir):
+        t = synthetic_track(spark)
+        west = F.when(F.col("lon") > 180, F.col("lon") - 360).otherwise(
+            F.col("lon")
+        )
+        as_file = t.select(
+            F.col("point_id"),
+            format_ymdh(ts_from_hours_since_2000("t_hours")).alias("atcfdtg"),
+            F.col("lat"),
+            west.alias("lon"),
+        )
+        tmp = f"{out_dir}.{os.getpid()}.tmp"
+        write_track_csv(as_file, tmp)
+        try:
+            os.rename(tmp, out_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # racer won; theirs is identical
+    raw = spark.read.csv(
+        out_dir,
+        header=True,
+        schema="point_id long, atcfdtg string, lat double, lon double",
+    )
+    return raw.select(
+        "point_id",
+        _h2000(parse_ymdh("atcfdtg")).alias("t_hours"),
+        "lat",
+        normalize_lon_0_360("lon").alias("lon"),
+    )
+
+
+@query(
+    "xpath_placemark_fields",
+    oracle="""
+    SELECT c_custkey,
+           c_name AS name_x,
+           c_mktsegment AS seg_x,
+           (c_custkey % 360 - 180)::BIGINT AS lon_i,
+           (c_custkey % 170 - 85)::BIGINT AS lat_i
+    FROM customer
+    """,
+)
+def xpath_placemark_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 XML field extraction, oracled: a KML-style ``<Placemark>``
+    fragment is BUILT per customer row (name, segment, and a nested
+    ``<Point><coordinates>lon,lat</coordinates></Point>``), then the
+    fields are xpath'd back out with the same ``local-name()``
+    expressions ``sources/kmz.py`` uses on the real NHC KMZ — the
+    oracle selects the source columns directly, so any xpath,
+    nesting, or coordinate-split bug surfaces as a mismatch. All JVM
+    expressions, narrow map. (The zip-extraction + 80-placemark
+    regex-explode path over the real binary KMZ stays pytest-attested
+    in tests/test_sources.py — no view can carry a zip.)"""
+    c = T(spark, sf_dir, "customer")
+    lon_i = (F.col("c_custkey") % 360 - 180).cast("long")
+    lat_i = (F.col("c_custkey") % 170 - 85).cast("long")
+    xml = F.concat(
+        F.lit("<Placemark><name>"), F.col("c_name"),
+        F.lit("</name><seg>"), F.col("c_mktsegment"),
+        F.lit("</seg><Point><coordinates>"),
+        lon_i.cast("string"), F.lit(","), lat_i.cast("string"),
+        F.lit("</coordinates></Point></Placemark>"),
+    )
+    withx = c.select("c_custkey", xml.alias("pm"))
+    coords = F.xpath_string("pm", F.lit("//*[local-name()='coordinates']"))
+    return withx.select(
+        "c_custkey",
+        F.xpath_string("pm", F.lit("//*[local-name()='name']")).alias("name_x"),
+        F.xpath_string("pm", F.lit("//*[local-name()='seg']")).alias("seg_x"),
+        F.split(coords, ",").getItem(0).cast("long").alias("lon_i"),
+        F.split(coords, ",").getItem(1).cast("long").alias("lat_i"),
+    )
