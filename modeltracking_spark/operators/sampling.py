@@ -98,3 +98,62 @@ def stratified_hash_sample(
     return df.withColumn("bucket", hash_bucket(key_col, salt)).where(
         F.col("bucket") < thr
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key_col: str,
+    salt: str = "",
+    shard_size: int = 1000,
+    bucket_hex: int = 3,
+) -> DataFrame:
+    """Reproducible global shuffle + fixed-size sharding — the step that
+    randomizes example order before packing/training and assigns each
+    row to an output shard, with NO RNG (md5 order) so the exact same
+    permutation falls out on any engine, any partitioning, any rerun.
+
+    The global rank is computed with the scalable TWO-PASS pattern, not
+    a single-partition window (which would serialize 100 TB through one
+    task): rows bucket by the first ``bucket_hex`` hex chars of their
+    md5; pass 1 counts rows per bucket and prefix-sums the counts into
+    bucket offsets (a bounded, 16^bucket_hex-row table — the only
+    single-partition step); pass 2 ranks within each bucket by (md5,
+    key) under a hash-partitioned window and adds the broadcast offset.
+    Because the bucket is a prefix of the ordering key, bucket-then-md5
+    order IS global md5 order.
+
+    Output: input columns + shuffle_rank (0-based global), shard_id,
+    idx_in_shard.
+    """
+    from pyspark.sql import Window
+
+    key = F.col(key_col)
+    h = F.md5(F.concat(key.cast("string"), F.lit(salt)))
+    b = df.withColumn("__h", h).withColumn(
+        "__bucket", F.conv(F.substring("__h", 1, bucket_hex), 16, 10).cast("long")
+    )
+    counts = b.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__n"))
+    # bounded table (<= 16^bucket_hex rows): the exclusive prefix sum may
+    # run in one task without ever touching full-data scale
+    w_off = (
+        Window.orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "__bucket",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_in = Window.partitionBy("__bucket").orderBy(F.col("__h").asc(), key.asc())
+    ranked = (
+        b.join(F.broadcast(offsets), "__bucket")
+        .withColumn(
+            "shuffle_rank",
+            (F.row_number().over(w_in) - 1 + F.col("__off")).cast("long"),
+        )
+        .drop("__h", "__bucket", "__off")
+    )
+    return ranked.withColumn(
+        "shard_id", (F.col("shuffle_rank") / shard_size).cast("long")
+    ).withColumn(
+        "idx_in_shard", (F.col("shuffle_rank") % shard_size).cast("long")
+    )

@@ -656,3 +656,35 @@ def xpath_placemark_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(coords, ",").getItem(0).cast("long").alias("lon_i"),
         F.split(coords, ",").getItem(1).cast("long").alias("lat_i"),
     )
+
+
+@query(
+    "deterministic_shuffle_docs",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             (row_number() OVER (
+                ORDER BY md5(doc_id::VARCHAR || 'shuf6'), doc_id) - 1)::BIGINT
+               AS shuffle_rank
+      FROM documents
+    )
+    SELECT doc_id, lang, shuffle_rank,
+           (shuffle_rank // 100)::BIGINT AS shard_id,
+           (shuffle_rank % 100)::BIGINT AS idx_in_shard
+    FROM ranked
+    """,
+)
+def deterministic_shuffle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible pre-training shuffle + sharding (§2.12): every doc
+    gets a deterministic md5-order global rank and a fixed-size shard
+    assignment — no RNG, so any engine/partitioning/rerun yields the
+    identical permutation. Spark computes the rank with the scalable
+    two-pass bucket-offset pattern (the only single-partition step is
+    the bounded 4096-row bucket-count prefix sum; the full data ranks
+    under a hash-partitioned window — plan-asserted); the oracle uses
+    DuckDB's plain global window, proving the decomposition equals the
+    naive global rank bit-for-bit."""
+    from modeltracking_spark.operators.sampling import deterministic_shuffle
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "lang")
+    return deterministic_shuffle(d, "doc_id", salt="shuf6", shard_size=100)

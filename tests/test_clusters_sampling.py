@@ -117,3 +117,50 @@ def test_stratified_sample_respects_thresholds(spark, docs_sf001):
     assert kept.where(F.col("lang") == "en").count() == 0
     non_en = docs_sf001.where(F.col("lang") != "en").count()
     assert kept.count() == non_en
+
+
+def test_deterministic_shuffle_two_pass_rank(spark):
+    """The two-pass bucket-offset rank must (a) produce exactly 0..n-1,
+    (b) equal the naive global md5 rank, (c) be stable under
+    repartitioning, and (d) keep the full-data window partitioned on
+    the bucket (no 100 TB single-partition sort)."""
+    import pyspark.sql.functions as F
+
+    from modeltracking_spark.operators.sampling import deterministic_shuffle
+    from tests.conftest import SF001
+
+    d = spark.read.parquet(f"{SF001}/documents.parquet").select("doc_id")
+    out = deterministic_shuffle(d, "doc_id", salt="t", shard_size=7)
+    rows = out.collect()
+    ranks = sorted(r["shuffle_rank"] for r in rows)
+    assert ranks == list(range(len(rows)))
+    # naive single-window reference
+    from pyspark.sql import Window
+
+    naive = d.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("t"))),
+                F.col("doc_id"),
+            )
+        )
+        - 1,
+    )
+    want = {r["doc_id"]: r["rk"] for r in naive.collect()}
+    got = {r["doc_id"]: r["shuffle_rank"] for r in rows}
+    assert got == want
+    # repartition-stable
+    out2 = deterministic_shuffle(
+        d.repartition(13), "doc_id", salt="t", shard_size=7
+    )
+    assert {(r["doc_id"], r["shuffle_rank"]) for r in out2.collect()} == set(
+        got.items()
+    )
+    # shard arithmetic
+    for r in rows:
+        assert r["shard_id"] == r["shuffle_rank"] // 7
+        assert r["idx_in_shard"] == r["shuffle_rank"] % 7
+    # plan: the full-data window partitions on the bucket column
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__bucket" in plan
