@@ -231,3 +231,51 @@ def resample_ffill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("cents", ignorenulls=True).over(w).alias("filled_cents"),
         F.col("n").isNull().alias("is_gap"),
     )
+
+
+@query(
+    "foreach_batch_sink_totals",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents
+    FROM events
+    GROUP BY 1
+    """,
+)
+def foreach_batch_sink_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The foreachBatch arbitrary-sink route, oracled end to end: a REAL
+    stream of the events file aggregates per event_type in update mode,
+    each micro-batch upserting its groups into a driver-side dict (the
+    stand-in for a JDBC/key-value upsert target — the canonical
+    foreachBatch use). After availableNow drains the source, the
+    accumulated sink state is returned as a DataFrame; the oracle is
+    the plain batch aggregate, so dropped batches, double-applied
+    upserts, or partial flushes all hash-fail. The dict is bounded by
+    the group-key cardinality (5 here), not the stream length."""
+    from modeltracking_spark.streaming.windows import (
+        read_events_stream,
+        run_stream_foreach_batch,
+    )
+
+    agg = (
+        read_events_stream(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        )
+    )
+    state: dict = {}
+
+    def upsert(df, batch_id):
+        for r in df.collect():
+            state[r["event_type"]] = (r["n_events"], r["sum_cents"])
+
+    run_stream_foreach_batch(
+        agg, upsert, f"q_foreach_totals_{abs(hash(sf_dir)) % 10_000}"
+    )
+    rows = [(k, int(v[0]), int(v[1])) for k, v in sorted(state.items())]
+    return spark.createDataFrame(
+        rows, "event_type string, n_events bigint, sum_cents bigint"
+    )
