@@ -368,7 +368,11 @@ def decode_audio_stats(df: DataFrame, id_col: str = "doc_id",
                 "n_frames", "amp_sum", "peak",
             )}
             for did, payload in zip(pdf[id_col], pdf[payload_col]):
-                if not bytes(payload[:4]) == b"RIFF":
+                # a RIFF container is only a WAV if bytes 8-12 say WAVE —
+                # WEBP/AVI also start with 'RIFF' and belong to the
+                # ffmpeg plug-in path, not a decode error
+                head = bytes(payload[:12])
+                if not (head[:4] == b"RIFF" and head[8:12] == b"WAVE"):
                     raise NotImplementedError(
                         "real decode beyond PCM16 WAV requires ffmpeg; "
                         "not in container"

@@ -99,3 +99,20 @@ def fxp(col: Column | str, scale: float) -> Column:
     """round(col * scale) as BIGINT — generic fixed-point lift."""
     c = F.col(col) if isinstance(col, str) else col
     return F.round(c * F.lit(scale)).cast("long")
+
+
+def semi_anti_arm(customer: DataFrame, orders: DataFrame, how: str,
+                  tag: str) -> DataFrame:
+    """One left-semi/left-anti customers-vs-orders aggregate arm
+    (segment, n_cust, acctbal_cents) — shared by ``semi_anti_customers``
+    and the ``customer_order_set_ops`` suite so the join logic and its
+    oracle semantics live in exactly one place."""
+    o = orders.select("o_custkey")
+    return (
+        customer.join(o, customer.c_custkey == o.o_custkey, how)
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(cents("c_acctbal")).alias("acctbal_cents"),
+        )
+        .select(F.lit(tag).alias("segment"), "n_cust", "acctbal_cents")
+    )

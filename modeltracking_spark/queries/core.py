@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from modeltracking_spark.functions.timefn import hours_since_2000
 from modeltracking_spark.operators.aggregates import mask_sentinel, top_k_per_group
-from modeltracking_spark.queries.common import T, cents, query
+from modeltracking_spark.queries.common import T, cents, query, semi_anti_arm
 
 
 @query(
@@ -285,23 +285,13 @@ def customer_order_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("long").alias("acctbal_cents"),
         )
 
-    def join_arm(how: str, tag: str) -> DataFrame:
-        return (
-            c.join(o.select("o_custkey"), c.c_custkey == F.col("o_custkey"), how)
-            .agg(
-                F.count(F.lit(1)).alias("n_cust"),
-                F.sum(cents("c_acctbal")).alias("acctbal_cents"),
-            )
-            .select(F.lit(tag).alias("segment"), "n_cust", "acctbal_cents")
-        )
-
     c95, c96 = cohort(1995), cohort(1996)
     return (
         setop_arm(c95.intersect(c96), "both")
         .unionByName(setop_arm(c95.exceptAll(c96), "only_1995"))
         .unionByName(setop_arm(c96.exceptAll(c95), "only_1996"))
-        .unionByName(join_arm("leftsemi", "with_orders"))
-        .unionByName(join_arm("leftanti", "without_orders"))
+        .unionByName(semi_anti_arm(c, o, "leftsemi", "with_orders"))
+        .unionByName(semi_anti_arm(c, o, "leftanti", "without_orders"))
     )
 
 

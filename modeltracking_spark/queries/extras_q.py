@@ -94,13 +94,27 @@ def grid_netcdf_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_grid_netcdf,
     )
 
-    # version-keyed path: the key embeds a hash of the formula TEXT (not
-    # just the shape), so a formula/shape change gets a fresh file instead
-    # of silently reusing a stale fixture; pid-unique temp name + atomic
-    # rename makes concurrent writers (parallel test sessions, bench)
-    # race-safe — losers just re-publish identical bytes
+    # version-keyed path: the key hashes the oracle formula TEXT plus the
+    # SOURCE of the Python generator/encoder chain that actually produces
+    # the bytes (_partition_arrays -> write_grid_netcdf -> write_classic),
+    # so a change to ANY of them gets a fresh file instead of silently
+    # reusing a stale fixture; pid-unique temp name + atomic rename makes
+    # concurrent writers (parallel test sessions, bench) race-safe —
+    # losers just re-publish identical bytes
+    import hashlib
+    import inspect
+
+    from modeltracking_spark.sources import grid_source as _gs
+    from modeltracking_spark.sources import netcdf_classic as _nc
+
+    gen_src = (
+        inspect.getsource(_gs._partition_arrays)
+        + inspect.getsource(_gs.write_grid_netcdf)
+        + inspect.getsource(_nc.write_classic)
+    )
     key = (
-        f"{grid_fixture_fingerprint()}_"
+        f"{grid_fixture_fingerprint()}"
+        f"{hashlib.md5(gen_src.encode()).hexdigest()[:8]}_"
         f"{GRID_N_TIME}x{GRID_N_DEPTH}x{GRID_N_LAT}x{GRID_N_LON}"
     )
     nc_path = f"/tmp/modeltracking_grid_fixture_{key}.nc"
@@ -569,8 +583,12 @@ def csv_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     −19.4 → 340.6 semantics). The oracle computes the track from the
     formula WITHOUT touching the file, so the CSV sink → scan loop —
     including double → shortest-decimal → double round-tripping — is
-    attested end to end. Fixture dir is content-keyed and written
-    once (same race-safe pattern as the netCDF fixture)."""
+    attested end to end. The fixture dir is keyed by a hash of the
+    track formula AND this function's own source, so editing either
+    invalidates the cache instead of presenting as a stale-file reader
+    bug (same race-safe pattern as the netCDF fixture)."""
+    import hashlib
+    import inspect
     import os
     import shutil
 
@@ -581,10 +599,17 @@ def csv_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         parse_ymdh,
         ts_from_hours_since_2000,
     )
-    from modeltracking_spark.queries.timegeo import synthetic_track
+    from modeltracking_spark.queries.timegeo import TRACK_SQL, synthetic_track
     from modeltracking_spark.sources.tracks import write_track_csv
 
-    out_dir = "/tmp/modeltracking_track_csv_v1"
+    fp = hashlib.md5(
+        (
+            TRACK_SQL
+            + inspect.getsource(synthetic_track)
+            + inspect.getsource(csv_roundtrip_scan)
+        ).encode()
+    ).hexdigest()[:10]
+    out_dir = f"/tmp/modeltracking_track_csv_{fp}"
     if not os.path.isdir(out_dir):
         t = synthetic_track(spark)
         west = F.when(F.col("lon") > 180, F.col("lon") - 360).otherwise(

@@ -392,22 +392,15 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi/anti join surface: customers with vs without orders — planned
-    as left-semi / left-anti hash joins (no fact-side fanout)."""
+    as left-semi / left-anti hash joins (no fact-side fanout). The arm
+    builder is shared with the in-window ``customer_order_set_ops``
+    suite (``common.semi_anti_arm``)."""
+    from modeltracking_spark.queries.common import semi_anti_arm
+
     c = T(spark, sf_dir, "customer")
-    o = T(spark, sf_dir, "orders").select("o_custkey")
-
-    def side(how: str, tag: str) -> DataFrame:
-        return (
-            c.join(o, c.c_custkey == o.o_custkey, how)
-            .agg(
-                F.count(F.lit(1)).alias("n_cust"),
-                F.sum(cents("c_acctbal")).alias("acctbal_cents"),
-            )
-            .select(F.lit(tag).alias("segment"), "n_cust", "acctbal_cents")
-        )
-
-    return side("leftsemi", "with_orders").unionByName(
-        side("leftanti", "without_orders")
+    o = T(spark, sf_dir, "orders")
+    return semi_anti_arm(c, o, "leftsemi", "with_orders").unionByName(
+        semi_anti_arm(c, o, "leftanti", "without_orders")
     )
 
 

@@ -194,7 +194,7 @@ def text_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH fr AS (
       SELECT event_type, user_id, value, props,
-             datediff('hour', TIMESTAMP '2000-01-01', ts)::BIGINT AS x,
+             datediff('hour', TIMESTAMP '2024-01-01', ts)::BIGINT AS x,
              sum(round(value * 100)::BIGINT) OVER (
                PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
@@ -247,8 +247,10 @@ def events_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     the checksum), P4 try_cast type-guard counts (``n_bad_double`` /
     ``n_good_k`` — the reference's non-float64 -> NaN cleanup,
     ``trackplot_hycom.py:248``), and the F10/A4 least-squares fit of
-    value-cents against hours-since-2000 assembled from exact BIGINT
-    normal-equation sums (``np.polyfit`` deg-1,
+    value-cents against hours since the 2024-01-01 near-data epoch
+    (slope is shift-invariant; the small |x| keeps the integer
+    normal-equation sums overflow-safe at any corpus scale) assembled
+    from exact BIGINT sums (``np.polyfit`` deg-1,
     ``TrackPlotter_Hycom.ipynb:427``). Single-function originals
     (``event_type_stats``, ``events_json_props``, ``moving_frame_sums``,
     ``try_cast_cleanup``, ``linear_fit_orders``) remain registered below
@@ -256,7 +258,12 @@ def events_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "events")
     v = cents("value")
     k = F.get_json_object("props", "$.k").cast("long")
-    x = hours_since_2000("ts")
+    # regression x is hours since a NEAR-DATA epoch (2024-01-01, the
+    # events corpus's own era), not 2000: slope is shift-invariant, and
+    # the small |x| keeps sum(x*x) exact int64 out to ~1e13 rows per
+    # group (hours-since-2000 magnitudes overflow the SUM itself around
+    # sf100); intercept_cents is the fitted value AT the 2024 epoch
+    x = F.timestamp_diff("HOUR", F.lit("2024-01-01").cast("timestamp"), F.col("ts"))
     bad = F.col("props").try_cast("double").isNull()
     good = F.get_json_object("props", "$.k").try_cast("long").isNotNull()
     wfr = (

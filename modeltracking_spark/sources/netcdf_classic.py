@@ -91,11 +91,33 @@ class HttpRangeReader:
     def size(self) -> int:
         import urllib.request
 
-        if self._size is None:
+        if self._size is not None:
+            return self._size
+        try:
             req = urllib.request.Request(self.url, method="HEAD")
             with urllib.request.urlopen(req) as r:
-                self._size = int(r.headers["Content-Length"])
-        return self._size
+                cl = r.headers["Content-Length"]
+                if cl is not None:
+                    self._size = int(cl)
+                    return self._size
+        except Exception:
+            pass  # HEAD rejected (common for presigned URLs) — fall through
+        # fallback: a 1-byte Range GET; Content-Range carries the total
+        # as 'bytes 0-0/TOTAL'
+        req = urllib.request.Request(self.url, headers={"Range": "bytes=0-0"})
+        with urllib.request.urlopen(req) as r:
+            cr = r.headers.get("Content-Range", "")
+            if "/" in cr and cr.rsplit("/", 1)[1].isdigit():
+                self._size = int(cr.rsplit("/", 1)[1])
+                return self._size
+            body = r.read()
+            if r.status == 200:  # server ignored Range: body IS the file
+                self._size = len(body)
+                return self._size
+        raise ValueError(
+            f"{self.url}: cannot determine size — no usable Content-Length "
+            "(HEAD) or Content-Range (Range GET) in the server's responses"
+        )
 
     def read_range(self, off: int, nbytes: int) -> bytes:
         import urllib.request

@@ -267,4 +267,9 @@ def run_stream_foreach_batch(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # an ignored timeout here would leave the query running and the
+    # caller reading a partially-filled sink — fail loudly instead
+    finished = q.awaitTermination(600)
+    if not finished:
+        q.stop()
+        raise TimeoutError(f"stream {query_name!r} did not finish in 600s")
