@@ -608,3 +608,37 @@ def dedup_clusters(
         if changed == 0:
             break
     return lbl.select(F.col("u").alias("id"), F.col("lbl").alias("cluster_id"))
+
+
+def incremental_dedup(
+    incoming: DataFrame,
+    existing: DataFrame,
+    key_expr,
+    order_col: str,
+) -> DataFrame:
+    """Incremental-ingestion dedup: admit only the ``incoming`` rows
+    whose content key appears neither in the ``existing`` corpus nor
+    earlier within the incoming batch itself — the daily-crawl shape
+    (dedup the delta against a mature corpus WITHOUT rescanning or
+    re-shuffling the corpus-with-itself).
+
+    ``key_expr`` maps a row to its content key (e.g. ``F.md5("text")``).
+    Plan: the existing side reduces to its DISTINCT keys (at production
+    scale a pre-materialized key table / Bloom index — the scan here is
+    the bootstrap), then one left-anti join keyed on the content hash
+    removes already-seen rows and one window pass keeps the minimum
+    ``order_col`` per surviving key. The incoming delta (small) is the
+    only side that shuffles twice; the corpus contributes one
+    distinct-key aggregate.
+
+    Output: surviving incoming rows + ``__key`` (the content key).
+    """
+    inc = incoming.withColumn("__key", key_expr)
+    seen = existing.select(key_expr.alias("__key")).distinct()
+    fresh = inc.join(seen, "__key", "left_anti")
+    w = Window.partitionBy("__key").orderBy(F.col(order_col).asc())
+    return (
+        fresh.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -7,7 +7,7 @@ construction, see ``operators/dedup.py``).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from modeltracking_spark.functions.text import doc_fingerprint
@@ -356,3 +356,69 @@ def dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = jaccard_pairs(d, "doc_id", "text", threshold=0.6, max_doc_freq=390)
     cc = dedup_clusters(pairs)
     return cc.withColumn("is_survivor", F.col("id") == F.col("cluster_id"))
+
+
+@query(
+    "incremental_dedup_docs",
+    oracle="""
+    WITH inc AS (
+      SELECT doc_id, md5(text) AS k FROM documents WHERE doc_id >= 400
+    ),
+    seen AS (
+      SELECT DISTINCT md5(text) AS k FROM documents WHERE doc_id < 400
+    )
+    SELECT i.doc_id, i.k AS content_md5
+    FROM inc i
+    WHERE i.k NOT IN (SELECT k FROM seen)
+    QUALIFY row_number() OVER (PARTITION BY i.k ORDER BY i.doc_id ASC) = 1
+    """,
+)
+def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion dedup (§2.12): docs with id >= 400 play the
+    incoming crawl delta, ids < 400 the mature corpus; the delta admits
+    only rows whose content md5 is new both against the corpus and
+    within the batch (deterministic min-id survivor). The corpus side
+    contributes ONE distinct-key aggregate + a left-anti join — it is
+    never self-joined or re-deduplicated, which is what makes daily
+    increments affordable at 100 TB (in production the key table is a
+    maintained index, not a rescan)."""
+    from modeltracking_spark.operators.dedup import incremental_dedup
+
+    d = T(spark, sf_dir, "documents")
+    out = incremental_dedup(
+        d.where(F.col("doc_id") >= 400).select("doc_id", "text"),
+        d.where(F.col("doc_id") < 400).select("text"),
+        F.md5("text"),
+        "doc_id",
+    )
+    return out.select("doc_id", F.col("__key").alias("content_md5"))
+
+
+@query(
+    "fixed_n_per_lang_docs",
+    oracle="""
+    SELECT doc_id, lang,
+           row_number() OVER (
+             PARTITION BY lang
+             ORDER BY md5(doc_id::VARCHAR || 'evalN'), doc_id
+           )::BIGINT AS pick_rank
+    FROM documents
+    QUALIFY pick_rank <= 20
+    """,
+)
+def fixed_n_per_lang_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-N-per-stratum sample (eval-set construction):
+    exactly 20 docs per language, chosen by md5 order — reproducible
+    across engines/partitionings with no RNG, unlike fraction-based
+    sampling which cannot guarantee exact per-stratum counts. One
+    window shuffle on the stratum key; at 100 TB the per-stratum
+    ordering prunes with a top-N window (no global sort)."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("evalN"))),
+        F.col("doc_id"),
+    )
+    return (
+        d.withColumn("pick_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("pick_rank") <= 20)
+    )

@@ -82,3 +82,27 @@ def test_exact_dedup_and_survivors(spark):
     assert n[1] == 2 and sum(n.values()) == 6
     survivors = dedup_rows(df, ["text"], "doc_id")
     assert sorted(r["doc_id"] for r in survivors.collect()) == [1, 2, 4, 5, 6]
+
+
+def test_incremental_dedup_admits_only_fresh(spark):
+    import pyspark.sql.functions as F
+
+    from modeltracking_spark.operators.dedup import incremental_dedup
+
+    existing = spark.createDataFrame(
+        [(1, "aa"), (2, "bb")], "id long, text string"
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, "aa"),   # already in corpus -> dropped
+            (11, "cc"),   # fresh -> kept
+            (12, "cc"),   # dup within batch -> dropped (11 survives)
+            (13, "dd"),   # fresh -> kept
+        ],
+        "id long, text string",
+    )
+    out = incremental_dedup(incoming, existing, F.md5("text"), "id")
+    assert sorted(r["id"] for r in out.collect()) == [11, 13]
+    # plan: the anti join keys on the content hash, no cartesian
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan and "Cartesian" not in plan
