@@ -2,16 +2,17 @@
 §2.12): images/audio/video as opaque ``binary`` columns with typed
 metadata, processed by Arrow-batched ``mapInPandas``.
 
-The container has no image/audio decode libraries, so compressed-format
-decode is STUBBED: :func:`decode_image_features` with ``fake=True``
-(default) derives deterministic pseudo-features from the payload bytes —
-the Spark plumbing (schema, batch shape, Arrow transfer, partition
-mapping) is real and tested. With ``fake=False`` the engine decodes FOR
-REAL any payload in the uncompressed 24-bit BMP format via the
-pure-numpy codec below (written from the public Windows BITMAPINFOHEADER
-spec, the same from-spec playbook as ``sources/netcdf_classic.py``);
-other formats raise ``NotImplementedError`` at the exact point a
-PIL/ffmpeg decoder would plug in.
+The container has no image/audio/video decode libraries, so
+compressed-format decode is STUBBED: the ``fake=True`` paths derive
+deterministic pseudo-features from the payload bytes — the Spark
+plumbing (schema, batch shape, Arrow transfer, partition mapping) is
+real and tested. Each modality also has a REAL from-spec pure-numpy
+codec for its uncompressed container (the same playbook as
+``sources/netcdf_classic.py``): 24-bit BMP for images (public Windows
+BITMAPINFOHEADER spec), PCM16 RIFF/WAVE for audio, and YUV4MPEG2 (Y4M)
+planar C420/C444 for video (public mjpegtools spec). Compressed formats
+raise ``NotImplementedError`` at the exact point a PIL/ffmpeg decoder
+would plug in.
 """
 
 from __future__ import annotations
@@ -392,7 +393,214 @@ def decode_audio_stats(df: DataFrame, id_col: str = "doc_id",
     )
 
 
-#: output schema of the (stubbed) video frame sampler
+# ---------------------------------------------------------------------------
+# pure-numpy Y4M codec (YUV4MPEG2, progressive, planar C420/C444)
+#
+# Format, from the public YUV4MPEG2 spec (mjpegtools): an ASCII stream
+# header line "YUV4MPEG2" followed by space-separated parameter tags
+# (W<width> H<height> F<fps_num>:<fps_den> I<interlace> A<aspect>
+# C<colourspace>) terminated by '\n'; then per frame an ASCII "FRAME"
+# marker line (optional parameters, '\n'-terminated) followed by raw
+# planar YCbCr bytes — Y (w*h), Cb, Cr. C444 chroma planes are full
+# size; C420 variants subsample both axes by 2 (w/2 * h/2 each).
+# ---------------------------------------------------------------------------
+
+Y4M_MAGIC = b"YUV4MPEG2 "
+
+
+def encode_y4m(y, cb, cr, fps=(25, 1), subsampling: str = "420") -> bytes:
+    """Planar frames -> YUV4MPEG2 bytes.
+
+    ``y`` is (n_frames, h, w) uint8; ``cb``/``cr`` are (n_frames, h, w)
+    for ``subsampling='444'`` or (n_frames, h//2, w//2) for ``'420'``
+    (even dims required)."""
+    import numpy as np
+
+    ya = np.asarray(y, dtype=np.uint8)
+    cba = np.asarray(cb, dtype=np.uint8)
+    cra = np.asarray(cr, dtype=np.uint8)
+    if ya.ndim != 3:
+        raise ValueError(f"expected (n_frames, h, w) luma array, got {ya.shape}")
+    nf, h, w = ya.shape
+    if subsampling == "444":
+        want = (nf, h, w)
+    elif subsampling == "420":
+        if h % 2 or w % 2:
+            raise ValueError(f"C420 needs even dims, got {w}x{h}")
+        want = (nf, h // 2, w // 2)
+    else:
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    if cba.shape != want or cra.shape != want:
+        raise ValueError(
+            f"chroma shape {cba.shape}/{cra.shape} != expected {want} for C{subsampling}"
+        )
+    head = (
+        f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C{subsampling}\n"
+    ).encode("ascii")
+    parts = [head]
+    for t in range(nf):
+        parts.append(b"FRAME\n")
+        parts.append(ya[t].tobytes())
+        parts.append(cba[t].tobytes())
+        parts.append(cra[t].tobytes())
+    return b"".join(parts)
+
+
+def decode_y4m(data: bytes):
+    """YUV4MPEG2 bytes -> (meta dict, list of (Y, Cb, Cr) uint8 arrays).
+
+    ``meta`` holds width/height/fps_num/fps_den/subsampling. Raises
+    ``ValueError`` with a descriptive message for bad magic, missing
+    W/H/F tags, unsupported colourspaces, bad FRAME markers, or a
+    truncated frame payload."""
+    import numpy as np
+
+    if not data.startswith(Y4M_MAGIC):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = data.find(b"\n")
+    if nl < 0:
+        raise ValueError("unterminated YUV4MPEG2 stream header")
+    w = h = None
+    fps_num, fps_den = 25, 1
+    sub = "420"
+    for tag in data[len(Y4M_MAGIC): nl].split(b" "):
+        if not tag:
+            continue
+        k, v = chr(tag[0]), tag[1:].decode("ascii")
+        if k == "W":
+            w = int(v)
+        elif k == "H":
+            h = int(v)
+        elif k == "F":
+            fps_num, fps_den = (int(x) for x in v.split(":"))
+        elif k == "C":
+            sub = v
+    if w is None or h is None:
+        raise ValueError("YUV4MPEG2 header missing W or H tag")
+    if sub.startswith("420"):
+        cw, ch = w // 2, h // 2
+    elif sub == "444":
+        cw, ch = w, h
+    else:
+        raise ValueError(
+            f"unsupported colourspace C{sub} (only C420*/C444 implemented)"
+        )
+    frame_bytes = w * h + 2 * cw * ch
+    frames = []
+    off = nl + 1
+    while off < len(data):
+        fnl = data.find(b"\n", off)
+        if not data.startswith(b"FRAME", off) or fnl < 0:
+            raise ValueError(
+                f"bad FRAME marker at offset {off} (frame {len(frames)})"
+            )
+        off = fnl + 1
+        if off + frame_bytes > len(data):
+            raise ValueError(
+                f"truncated frame {len(frames)}: need {frame_bytes} bytes at "
+                f"offset {off}, got {len(data) - off}"
+            )
+        y = np.frombuffer(data, np.uint8, w * h, off).reshape(h, w)
+        cb = np.frombuffer(data, np.uint8, cw * ch, off + w * h).reshape(ch, cw)
+        cr = np.frombuffer(
+            data, np.uint8, cw * ch, off + w * h + cw * ch
+        ).reshape(ch, cw)
+        frames.append((y, cb, cr))
+        off += frame_bytes
+    meta = {
+        "width": w, "height": h, "fps_num": fps_num, "fps_den": fps_den,
+        "subsampling": sub,
+    }
+    return meta, frames
+
+
+def attach_y4m_payload(df: DataFrame, id_col: str = "doc_id",
+                       out_col: str = "payload") -> DataFrame:
+    """Fixture builder for the REAL video decode path: a deterministic
+    formula-generated C420 Y4M clip per row — w = (id%8+2)*2,
+    h = (id%6+2)*2, n_frames = id%5+2 at 25:1 fps,
+    Y[t,y,x]  = (id*17 + t*29 + y*11 + x*7) % 256,
+    Cb[t,y,x] = (id + t*3 + y*5 + x) % 256      (half-res coords),
+    Cr[t,y,x] = (id*2 + t + y + x*3) % 256      (half-res coords) —
+    encoded through :func:`encode_y4m` inside mapInPandas.
+    SQL-replayable, like the BMP/WAV/netCDF fixtures."""
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                d = int(did)
+                w, h, nf = (d % 8 + 2) * 2, (d % 6 + 2) * 2, d % 5 + 2
+                t, yy, xx = np.mgrid[0:nf, 0:h, 0:w]
+                y = ((d * 17 + t * 29 + yy * 11 + xx * 7) % 256).astype(np.uint8)
+                t, yc, xc = np.mgrid[0:nf, 0: h // 2, 0: w // 2]
+                cb = ((d + t * 3 + yc * 5 + xc) % 256).astype(np.uint8)
+                cr = ((d * 2 + t + yc + xc * 3) % 256).astype(np.uint8)
+                payloads.append(encode_y4m(y, cb, cr, fps=(25, 1)))
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: payloads})
+
+    return df.select(id_col).mapInPandas(
+        build, schema=f"{id_col} bigint, {out_col} binary"
+    )
+
+
+#: output schema of the real video frame-stats extractor
+VIDEO_STATS_SCHEMA = (
+    "doc_id bigint, frame_idx bigint, t_offset_ms bigint, n_bytes bigint, "
+    "width int, height int, y_sum bigint, cb_sum bigint, cr_sum bigint"
+)
+
+
+def decode_video_stats(df: DataFrame, id_col: str = "doc_id",
+                       payload_col: str = "payload") -> DataFrame:
+    """REAL video decode via the pure-numpy Y4M codec: one row per
+    decoded frame with dims from the parsed stream header,
+    ``t_offset_ms`` from the header's fps fraction, and exact per-plane
+    byte sums (``y_sum``/``cb_sum``/``cr_sum``) attesting the planar
+    layout bit-exactly. Non-Y4M payloads raise ``NotImplementedError``
+    at the codec plug-in point (compressed video needs ffmpeg)."""
+
+    def extract(batches):
+        import numpy as np
+        import pandas as pd
+
+        cols = (
+            "doc_id", "frame_idx", "t_offset_ms", "n_bytes", "width",
+            "height", "y_sum", "cb_sum", "cr_sum",
+        )
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload)
+                if not data.startswith(Y4M_MAGIC):
+                    raise NotImplementedError(
+                        "real decode beyond YUV4MPEG2 requires ffmpeg; "
+                        "not in container"
+                    )
+                meta, frames = decode_y4m(data)
+                for i, (y, cb, cr) in enumerate(frames):
+                    rows["doc_id"].append(int(did))
+                    rows["frame_idx"].append(i)
+                    rows["t_offset_ms"].append(
+                        i * 1000 * meta["fps_den"] // meta["fps_num"]
+                    )
+                    rows["n_bytes"].append(len(data))
+                    rows["width"].append(meta["width"])
+                    rows["height"].append(meta["height"])
+                    rows["y_sum"].append(int(y.sum(dtype=np.int64)))
+                    rows["cb_sum"].append(int(cb.sum(dtype=np.int64)))
+                    rows["cr_sum"].append(int(cr.sum(dtype=np.int64)))
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        extract, schema=VIDEO_STATS_SCHEMA
+    )
+
+
+#: output schema of the video frame sampler
 FRAME_SAMPLE_SCHEMA = (
     "doc_id bigint, frame_idx bigint, t_offset_ms bigint, frame_md5 string"
 )
@@ -402,16 +610,21 @@ def sample_frames(df: DataFrame, id_col: str = "doc_id",
                   payload_col: str = "payload", every_ms: int = 1000,
                   fake: bool = True) -> DataFrame:
     """Video frame sampling over binary payloads via ``mapInPandas`` —
-    the 1-row → N-frame-rows expansion a real ffmpeg stage performs,
-    with the decode STUBBED (no av libs in this container).
+    the 1-row → N-frame-rows expansion an ffmpeg stage performs.
 
     ``fake=True`` derives a deterministic duration from the byte length
     (duration_ms = n_bytes·7 mod 30000) and emits one row per sampled
     frame at ``every_ms`` intervals, with an md5 frame fingerprint of
-    (payload hex, frame index). ``fake=False`` raises
-    ``NotImplementedError`` where ffmpeg would seek/decode. The Spark
+    (payload hex, frame index) — the oracle-friendly stand-in for
+    compressed formats whose decoders are not in this container.
+    ``fake=False`` decodes FOR REAL through the pure-numpy Y4M codec:
+    the clip's duration comes from the parsed frame count and fps, the
+    sampled ``frame_idx`` is the frame covering each ``every_ms`` tick,
+    and ``frame_md5`` fingerprints the frame's ACTUAL planar bytes
+    (Y+Cb+Cr hex) — any plane-layout bug changes it. Non-Y4M payloads
+    raise ``NotImplementedError`` at the ffmpeg plug-in point. The Spark
     plumbing — Arrow batches in, multi-row batches out, no driver
-    collect — is the real production shape.
+    collect — is the real production shape on both paths.
     """
 
     def expand(batches):
@@ -420,12 +633,29 @@ def sample_frames(df: DataFrame, id_col: str = "doc_id",
         import pandas as pd
 
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real frame decode requires ffmpeg; not in container"
-                )
             out = {"doc_id": [], "frame_idx": [], "t_offset_ms": [], "frame_md5": []}
             for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                if not fake:
+                    data = bytes(payload)
+                    if not data.startswith(Y4M_MAGIC):
+                        raise NotImplementedError(
+                            "real frame decode beyond YUV4MPEG2 requires "
+                            "ffmpeg; not in container"
+                        )
+                    meta, frames = decode_y4m(data)
+                    period_ms = 1000 * meta["fps_den"] / meta["fps_num"]
+                    duration_ms = int((len(frames) - 1) * period_ms)
+                    for t in range(0, duration_ms + 1, every_ms):
+                        idx = min(int(t / period_ms), len(frames) - 1)
+                        y, cb, cr = frames[idx]
+                        raw = y.tobytes() + cb.tobytes() + cr.tobytes()
+                        out["doc_id"].append(int(did))
+                        out["frame_idx"].append(idx)
+                        out["t_offset_ms"].append(t)
+                        out["frame_md5"].append(
+                            hashlib.md5(raw.hex().upper().encode()).hexdigest()
+                        )
+                    continue
                 duration_ms = (len(payload) * 7) % 30000
                 hexed = payload.hex().upper()
                 for i, t in enumerate(range(0, duration_ms + 1, every_ms)):

@@ -194,3 +194,135 @@ def test_wav_real_decode_in_spark(spark):
         samples = (did * 31 + i * 7 + c * 13) % 4096 - 2048
         assert r["amp_sum"] == int(samples.sum())
         assert r["peak"] == int(np.abs(samples).max())
+
+
+# ---------------------------------------------------------------------------
+# real video decode path (round 6): pure-numpy YUV4MPEG2 codec
+# ---------------------------------------------------------------------------
+from modeltracking_spark.operators.multimodal import (
+    attach_y4m_payload,
+    decode_video_stats,
+    decode_y4m,
+    encode_y4m,
+    sample_frames,
+)
+
+
+def _rand_clip(rng, nf, h, w, sub):
+    y = rng.integers(0, 256, size=(nf, h, w), dtype=np.uint8)
+    if sub == "420":
+        cs = (nf, h // 2, w // 2)
+    else:
+        cs = (nf, h, w)
+    cb = rng.integers(0, 256, size=cs, dtype=np.uint8)
+    cr = rng.integers(0, 256, size=cs, dtype=np.uint8)
+    return y, cb, cr
+
+
+def test_y4m_roundtrip_basic():
+    rng = np.random.default_rng(7)
+    y, cb, cr = _rand_clip(rng, 3, 4, 6, "420")
+    meta, frames = decode_y4m(encode_y4m(y, cb, cr, fps=(30, 1)))
+    assert (meta["width"], meta["height"]) == (6, 4)
+    assert (meta["fps_num"], meta["fps_den"]) == (30, 1)
+    assert len(frames) == 3
+    for t, (fy, fcb, fcr) in enumerate(frames):
+        assert np.array_equal(fy, y[t])
+        assert np.array_equal(fcb, cb[t])
+        assert np.array_equal(fcr, cr[t])
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    nf=st.integers(min_value=1, max_value=5),
+    h2=st.integers(min_value=1, max_value=6),
+    w2=st.integers(min_value=1, max_value=8),
+    sub=st.sampled_from(["420", "444"]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_y4m_roundtrip_property(nf, h2, w2, sub, seed):
+    rng = np.random.default_rng(seed)
+    h, w = h2 * 2, w2 * 2
+    y, cb, cr = _rand_clip(rng, nf, h, w, sub)
+    data = encode_y4m(y, cb, cr, fps=(24, 1), subsampling=sub)
+    cpix = (h // 2) * (w // 2) if sub == "420" else h * w
+    head = f"YUV4MPEG2 W{w} H{h} F24:1 Ip A1:1 C{sub}\n"
+    assert len(data) == len(head) + nf * (6 + h * w + 2 * cpix)
+    meta, frames = decode_y4m(data)
+    assert meta["subsampling"] == sub and len(frames) == nf
+    for t, (fy, fcb, fcr) in enumerate(frames):
+        assert np.array_equal(fy, y[t])
+        assert np.array_equal(fcb, cb[t])
+        assert np.array_equal(fcr, cr[t])
+
+
+def test_y4m_decode_rejects_unsupported():
+    rng = np.random.default_rng(1)
+    y, cb, cr = _rand_clip(rng, 2, 4, 4, "420")
+    data = encode_y4m(y, cb, cr)
+    with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        decode_y4m(b"RIFF not a video")
+    with pytest.raises(ValueError, match="truncated frame 1"):
+        decode_y4m(data[:-3])
+    with pytest.raises(ValueError, match="unsupported colourspace"):
+        decode_y4m(data.replace(b"C420", b"C422"))
+    with pytest.raises(ValueError, match="bad FRAME marker"):
+        decode_y4m(data.replace(b"FRAME\n", b"FRUME\n", 1))
+    with pytest.raises(ValueError, match="missing W or H"):
+        decode_y4m(b"YUV4MPEG2 F25:1\n")
+
+
+def test_y4m_real_decode_in_spark(spark):
+    d = attach_y4m_payload(_docs(spark))
+    rows = decode_video_stats(d).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["frame_idx"]] = r
+    for did, frames in by_doc.items():
+        w, h, nf = (did % 8 + 2) * 2, (did % 6 + 2) * 2, did % 5 + 2
+        assert sorted(frames) == list(range(nf))
+        for t, r in frames.items():
+            assert (r["width"], r["height"]) == (w, h)
+            assert r["t_offset_ms"] == t * 40  # 25 fps
+            yy, xx = np.mgrid[0:h, 0:w]
+            yc, xc = np.mgrid[0: h // 2, 0: w // 2]
+            assert r["y_sum"] == int(((did * 17 + t * 29 + yy * 11 + xx * 7) % 256).sum())
+            assert r["cb_sum"] == int(((did + t * 3 + yc * 5 + xc) % 256).sum())
+            assert r["cr_sum"] == int(((did * 2 + t + yc + xc * 3) % 256).sum())
+
+
+def test_real_frame_sampling_on_y4m(spark):
+    import hashlib
+
+    d = attach_y4m_payload(_docs(spark))
+    rows = sample_frames(d, every_ms=80, fake=False).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for did, rs in by_doc.items():
+        w, h, nf = (did % 8 + 2) * 2, (did % 6 + 2) * 2, did % 5 + 2
+        dur = (nf - 1) * 40
+        rs.sort(key=lambda r: r["t_offset_ms"])
+        assert [r["t_offset_ms"] for r in rs] == list(range(0, dur + 1, 80))
+        # every_ms=80 at a 40 ms frame period -> every second frame
+        assert [r["frame_idx"] for r in rs] == [t // 40 for t in range(0, dur + 1, 80)]
+        # fingerprint is over the ACTUAL planar bytes
+        t = rs[-1]["frame_idx"]
+        yy, xx = np.mgrid[0:h, 0:w]
+        yc, xc = np.mgrid[0: h // 2, 0: w // 2]
+        raw = (
+            ((did * 17 + t * 29 + yy * 11 + xx * 7) % 256).astype(np.uint8).tobytes()
+            + ((did + t * 3 + yc * 5 + xc) % 256).astype(np.uint8).tobytes()
+            + ((did * 2 + t + yc + xc * 3) % 256).astype(np.uint8).tobytes()
+        )
+        want = hashlib.md5(raw.hex().upper().encode()).hexdigest()
+        assert rs[-1]["frame_md5"] == want
+
+
+def test_real_frame_sampling_rejects_compressed(spark):
+    d = attach_binary_payload(_docs(spark))  # PNG-magic payloads
+    with pytest.raises(Exception) as ei:
+        sample_frames(d, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
