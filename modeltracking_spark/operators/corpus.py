@@ -493,3 +493,59 @@ def chunk_dup_ratio(
             F.col("n_dup_chunks").cast("double") / F.col("n_chunks").cast("double")
         ).alias("dup_ratio_e6"),
     )
+
+
+def segment_dedup_rewrite(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 64,
+) -> DataFrame:
+    """C4-style line dedup as a corpus-wide keep-first REWRITE: every
+    repeated segment is removed from every document except its globally
+    first occurrence (ordered by doc_id, then position), and each doc's
+    surviving segments are re-concatenated in original order. This is
+    the scrub C4 applies to duplicate lines and MassiveText/RefinedWeb
+    to exact duplicated spans — :func:`chunk_dup_ratio` only *scores*
+    partial duplication; this operator *removes* it. Segments are
+    fixed ``size``-char non-overlapping chunks (this corpus has no
+    newlines; with line-structured text pass the same frame split on
+    '\\n' instead — the dedup logic is segmentation-agnostic).
+
+    Scale: one narrow chunk explode; the keep-first decision is a
+    window rank over the segment hash (ONE hash-partitioned shuffle —
+    no groupBy+join-back pair, and no skew risk beyond a pathological
+    single segment value, which AQE splits); reconstruction is one
+    aggregate by doc_id. Docs that lose every segment still emit a row
+    (md5 of the empty string), via a join back to the doc spine —
+    row-preserving on doc_id at any scale.
+
+    Output: (doc_id, n_segs, n_kept, kept_chars, dedup_md5).
+    """
+    segs = chunk_documents(
+        docs, id_col=id_col, text_col=text_col, size=size, overlap=0
+    ).select("doc_id", "chunk_idx", "chunk_text", F.md5("chunk_text").alias("h"))
+    w = Window.partitionBy("h").orderBy(F.col("doc_id").asc(), F.col("chunk_idx").asc())
+    kept = segs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.length("chunk_text")).cast("long").alias("kept_chars"),
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_text"))),
+                lambda s: s["chunk_text"],
+            ),
+        ).alias("__dedup_text"),
+    )
+    spine = segs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segs"))
+    return (
+        spine.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_segs",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("kept_chars", F.lit(0)).cast("long").alias("kept_chars"),
+            F.md5(F.coalesce("__dedup_text", F.lit(""))).alias("dedup_md5"),
+        )
+    )

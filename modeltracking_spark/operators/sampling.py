@@ -100,6 +100,69 @@ def stratified_hash_sample(
     )
 
 
+def temperature_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    alpha: float = 0.5,
+    target_rows: int = 200,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-weighted mixture sampling — the multinomial-mix step
+    of multi-source/multi-lingual training recipes (e.g. the α-scaled
+    sampling of mBERT/XLM-R and data-mix papers): stratum ``s`` gets an
+    expected share ∝ ``n_s^alpha`` of ``target_rows``, flattening the
+    head and up-weighting the tail as ``alpha`` → 0. Selection is the
+    same deterministic md5 bucketing as :func:`hash_split` (no RNG), so
+    the sample is reproducible across engines and repartitions.
+
+    Per-stratum keep probability: ``p_s = target·w_s / (Σw·n_s)`` with
+    ``w_s = floor(n_s^alpha·1e6 + .5)`` held in exact fixed point so the
+    weight SUM is order-independent; the final ratio→threshold step runs
+    in double space (products of exact integers, then one division —
+    deterministic IEEE, same expression in the oracle). ``alpha=0.5``
+    uses sqrt, which IEEE requires to be correctly rounded, making the
+    fixed-point weights engine-exact; other alphas go through pow(),
+    whose last-ulp behavior is implementation-defined — fine in one
+    engine, but pin alpha=0.5 where cross-engine hash-exactness matters.
+
+    Scale: one stratum-sized aggregate broadcast back onto a narrow
+    filter — no full-data shuffle.
+
+    Output: input columns + bucket + thr (kept rows only).
+    """
+    if alpha == 0.5:
+        w_raw = F.sqrt(F.col("n_s").cast("double"))
+    else:
+        w_raw = F.pow(F.col("n_s").cast("double"), F.lit(alpha))
+    counts = (
+        df.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("n_s"))
+        .withColumn("w_e6", F.floor(w_raw * F.lit(1e6) + F.lit(0.5)).cast("long"))
+    )
+    tot = counts.agg(F.sum("w_e6").alias("sum_w"))
+    thr = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "thr",
+            F.least(
+                F.lit(N_BUCKETS).cast("long"),
+                F.floor(
+                    F.lit(float(target_rows)) * F.col("w_e6").cast("double")
+                    / (F.col("sum_w").cast("double") * F.col("n_s").cast("double"))
+                    * F.lit(float(N_BUCKETS))
+                ).cast("long"),
+            ),
+        )
+        .select(strata_col, "thr")
+    )
+    return (
+        df.withColumn("bucket", hash_bucket(key_col, salt))
+        .join(F.broadcast(thr), strata_col)
+        .where(F.col("bucket") < F.col("thr"))
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame,
     key_col: str,

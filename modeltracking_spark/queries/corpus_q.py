@@ -316,3 +316,54 @@ def chunk_dup_ratio_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from modeltracking_spark.operators.corpus import chunk_dup_ratio
 
     return chunk_dup_ratio(T(spark, sf_dir, "documents"), size=64)
+
+
+@query(
+    "line_dedup_rewrite_docs",
+    oracle="""
+    WITH segs AS (
+      SELECT doc_id,
+             ((s.st - 1) // 64)::BIGINT AS chunk_idx,
+             substr(text, s.st::INTEGER, 64) AS chunk_text
+      FROM documents,
+           unnest(range(1, greatest(length(text), 1) + 1, 64)) AS s(st)
+    ),
+    ranked AS (
+      SELECT doc_id, chunk_idx, chunk_text,
+             row_number() OVER (
+               PARTITION BY chunk_text ORDER BY doc_id, chunk_idx
+             ) AS rn
+      FROM segs
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             count(*)::BIGINT AS n_kept,
+             sum(length(chunk_text))::BIGINT AS kept_chars,
+             string_agg(chunk_text, '' ORDER BY chunk_idx) AS t
+      FROM ranked WHERE rn = 1
+      GROUP BY doc_id
+    ),
+    spine AS (
+      SELECT doc_id, count(*)::BIGINT AS n_segs FROM segs GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_segs,
+           coalesce(r.n_kept, 0)::BIGINT AS n_kept,
+           coalesce(r.kept_chars, 0)::BIGINT AS kept_chars,
+           md5(coalesce(r.t, '')) AS dedup_md5
+    FROM spine s LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def line_dedup_rewrite_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide keep-first duplicate-segment REMOVAL (the C4
+    line-dedup / MassiveText duplicated-span scrub, generalized to
+    64-char segments since this corpus has no newlines): every repeated
+    segment survives only at its globally first (doc_id, position)
+    occurrence, and each doc's survivors are re-concatenated in order.
+    The oracle rebuilds the scrubbed text independently and compares its
+    md5 byte-exactly, so the keep-first rule, in-doc self-dup removal,
+    ordering of the reconstruction, and the all-segments-lost empty-doc
+    edge are all attested. The keep decision is one window rank over the
+    segment hash — a single hash-partitioned shuffle at any scale."""
+    from modeltracking_spark.operators.corpus import segment_dedup_rewrite
+
+    return segment_dedup_rewrite(T(spark, sf_dir, "documents"), size=64)

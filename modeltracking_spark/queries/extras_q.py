@@ -460,6 +460,60 @@ def stratified_hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "temperature_mix_sample_docs",
+    oracle="""
+    WITH c AS (
+      SELECT source, count(*)::BIGINT AS n_s,
+             floor(sqrt(count(*)::DOUBLE) * 1e6 + 0.5::DOUBLE)::BIGINT AS w_e6
+      FROM documents GROUP BY source
+    ),
+    t AS (SELECT sum(w_e6)::BIGINT AS sum_w FROM c),
+    thr AS (
+      SELECT source, n_s,
+             least(10000::BIGINT,
+                   floor(200.0::DOUBLE * w_e6::DOUBLE
+                         / (sum_w::DOUBLE * n_s::DOUBLE)
+                         * 10000.0::DOUBLE)::BIGINT) AS thr
+      FROM c, t
+    ),
+    b AS (
+      SELECT d.doc_id, d.source, th.thr,
+             ('0x' || substr(md5(d.doc_id::VARCHAR || 'tmix'), 1, 8))::BIGINT
+               % 10000 AS bucket
+      FROM documents d JOIN thr th USING (source)
+    )
+    SELECT source, count(*)::BIGINT AS n_kept,
+           sum(doc_id)::BIGINT AS docid_sum,
+           min(thr)::BIGINT AS thr
+    FROM b WHERE bucket < thr
+    GROUP BY source
+    """,
+)
+def temperature_mix_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted mixture sampling (alpha=0.5): each source's
+    expected share of a 200-row sample is proportional to sqrt(n_s),
+    flattening the source-size head — the multinomial data-mix step of
+    multilingual/multi-source training recipes — with deterministic md5
+    selection instead of RNG. Weights are summed in exact e6 fixed
+    point (order-independent); the ratio-to-threshold step is a single
+    double-space expression replayed verbatim by the oracle; sqrt is
+    IEEE-correctly-rounded so the weights are engine-exact. Summarized
+    per source (kept count, doc_id checksum, threshold) so membership
+    and the thresholds themselves are attested."""
+    from modeltracking_spark.operators.sampling import temperature_sample
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "source")
+    kept = temperature_sample(
+        d, "doc_id", "source", alpha=0.5, target_rows=200, salt="tmix"
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").cast("bigint").alias("docid_sum"),
+        F.min("thr").cast("bigint").alias("thr"),
+    )
+
+
+@query(
     "pack_sequences_chunk",
     oracle="""
     WITH t AS (

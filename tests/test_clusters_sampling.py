@@ -164,3 +164,33 @@ def test_deterministic_shuffle_two_pass_rank(spark):
     # plan: the full-data window partitions on the bucket column
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "__bucket" in plan
+
+
+def test_temperature_sample_flattens_mix(spark):
+    """alpha=0.5 sampling: expected share ~ sqrt(n_s), so the tail
+    stratum's keep RATE must exceed the head's, thresholds must follow
+    the documented fixed-point formula, and selection is deterministic."""
+    import math
+
+    from modeltracking_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "head" if i < 900 else "tail") for i in range(1000)]
+    d = spark.createDataFrame(rows, "doc_id long, src string")
+    kept = temperature_sample(d, "doc_id", "src", alpha=0.5, target_rows=300)
+    got = {r["src"]: r for r in kept.groupBy("src").agg(
+        F.count(F.lit(1)).alias("n"), F.min("thr").alias("thr")).collect()}
+    w = {"head": math.floor(math.sqrt(900) * 1e6 + 0.5),
+         "tail": math.floor(math.sqrt(100) * 1e6 + 0.5)}
+    sw = sum(w.values())
+    n_s = {"head": 900, "tail": 100}
+    for s in ("head", "tail"):
+        want = min(N_BUCKETS, math.floor(300.0 * w[s] / (sw * n_s[s]) * N_BUCKETS))
+        assert got[s]["thr"] == want
+    # sqrt-weighting: tail keep-rate 3x head keep-rate (sqrt(900)/sqrt(100)
+    # vs 9x size ratio)
+    assert got["tail"]["thr"] == 3 * got["head"]["thr"]
+    # deterministic: same rows on a rerun
+    ids1 = sorted(r["doc_id"] for r in kept.collect())
+    ids2 = sorted(r["doc_id"] for r in temperature_sample(
+        d, "doc_id", "src", alpha=0.5, target_rows=300).collect())
+    assert ids1 == ids2

@@ -190,3 +190,45 @@ def test_chunk_dup_ratio_detects_partial_copy(spark):
     assert out[1]["dup_ratio_e6"] == 500000
     assert out[2]["n_dup_chunks"] == 1
     assert out[3]["n_dup_chunks"] == 0 and out[3]["dup_ratio_e6"] == 0
+
+
+def test_segment_dedup_rewrite_keep_first(spark):
+    """Keep-first scrub: a segment repeated across docs survives only at
+    its globally first (doc_id, position) occurrence; in-doc self-dups
+    collapse too; a fully-duplicated doc rewrites to the empty string."""
+    import hashlib
+
+    from modeltracking_spark.operators.corpus import segment_dedup_rewrite
+
+    dup, a, b = "s" * 64, "a" * 64, "b" * 64
+    rows = [
+        (1, dup + a + dup),  # owns first occurrence; self-dup at idx 2 dropped
+        (2, dup + b),        # loses the shared segment
+        (3, dup),            # loses everything
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in segment_dedup_rewrite(d, size=64).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert out[1] == {
+        "doc_id": 1, "n_segs": 3, "n_kept": 2, "kept_chars": 128,
+        "dedup_md5": md5(dup + a),
+    }
+    assert out[2]["n_kept"] == 1 and out[2]["dedup_md5"] == md5(b)
+    assert out[3] == {
+        "doc_id": 3, "n_segs": 1, "n_kept": 0, "kept_chars": 0,
+        "dedup_md5": md5(""),
+    }
+
+
+def test_segment_dedup_rewrite_preserves_order(spark):
+    """Reconstruction concatenates surviving segments in original
+    position order even when the groupBy scrambles arrival order."""
+    import hashlib
+
+    from modeltracking_spark.operators.corpus import segment_dedup_rewrite
+
+    segs = [chr(ord("a") + i) * 8 for i in range(9)]
+    d = spark.createDataFrame([(1, "".join(segs))], "doc_id long, text string")
+    (row,) = segment_dedup_rewrite(d, size=8).collect()
+    assert row["n_kept"] == 9
+    assert row["dedup_md5"] == hashlib.md5("".join(segs).encode()).hexdigest()
