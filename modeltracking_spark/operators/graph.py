@@ -1,0 +1,105 @@
+"""Iterative graph scoring for corpus curation (extension surface;
+SURVEY.md §2.12 scope — the reference has no graph analog).
+
+Web-scale curation pipelines rank pages by link centrality (PageRank
+over the hyperlink graph, per Brin & Page 1998) and use the score as a
+document-quality prior (e.g. seed lists and crawl frontiers à la
+OpenWebText/CCNet). This module implements PageRank as iterated
+relational passes — the standard SQL/DataFrame formulation: one
+edges⋈scores join plus one aggregate-by-destination per iteration —
+in **integer fixed point** so a fixed iteration count is bit-exact on
+any engine and the DuckDB oracle can replay it by unrolling the loop.
+
+Determinism discipline: scores live as BIGINT mass out of ``scale``
+(default 1e12); every divide is floor division on nonnegative ints
+(identical in Spark ``DIV`` and DuckDB ``//``); sums are integer sums
+(order-independent). Double arithmetic never appears, so there is no
+accumulation-order hazard at any parallelism.
+
+Scale posture: per iteration the score table is node-sized, edges are
+the big side; both shuffles (join on src, aggregate on dst) hash-
+partition on node keys — the exact shape GraphX/Pregel lowers to. The
+node count and per-iteration dangling mass are 1-row aggregates joined
+as broadcasts; nothing collects to the driver. Production would
+``localCheckpoint`` every ~5 iterations to cut lineage; with small
+fixed n_iter the plain loop is fine and keeps the plan inspectable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: total score mass in fixed point (1.0 == SCALE)
+SCALE = 1_000_000_000_000
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    n_iter: int = 3,
+    damping_pct: int = 85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-point PageRank over ``edges`` (src, dst) for exactly
+    ``n_iter`` iterations.
+
+    ``nodes`` (one ``node`` column) fixes the node universe; defaults to
+    the union of endpoints. Dangling nodes (no out-edges) redistribute
+    their mass uniformly, floor-divided — the standard correction, in
+    integer space. ``damping_pct`` is the damping factor in percent
+    (85 == the canonical 0.85) so the update rule stays integral:
+
+        new = ((100-d)*SCALE) DIV (100*N)
+            + (d * (contrib_sum + dang_sum DIV N)) DIV 100
+
+    with per-edge contribution ``score DIV outdeg``. Output: (node,
+    outdeg, pr_e12) — ``pr_e12`` the final fixed-point score.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if nodes is None:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+    nodes = nodes.select("node")
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    spine = nodes.join(F.broadcast(outdeg), "node", "left").select(
+        "node", F.coalesce("outdeg", F.lit(0)).cast("long").alias("outdeg")
+    )
+    n_row = nodes.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+
+    scores = spine.crossJoin(F.broadcast(n_row)).select(
+        "node", "outdeg", F.expr(f"{SCALE} DIV __n").alias("score")
+    )
+    for _ in range(n_iter):
+        per_src = scores.where(F.col("outdeg") > 0).select(
+            F.col("node").alias("src"), F.expr("score DIV outdeg").alias("give")
+        )
+        contrib = (
+            e.join(per_src, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("give").alias("contrib"))
+        )
+        dang = scores.where(F.col("outdeg") == 0).agg(
+            F.coalesce(F.sum("score"), F.lit(0)).cast("long").alias("__dang")
+        )
+        scores = (
+            scores.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .crossJoin(F.broadcast(n_row))
+            .select(
+                "node",
+                "outdeg",
+                F.expr(
+                    f"({100 - damping_pct} * {SCALE}) DIV (100 * __n) + "
+                    f"({damping_pct} * (coalesce(contrib, 0) + __dang DIV __n)) "
+                    "DIV 100"
+                ).alias("score"),
+            )
+        )
+    return scores.select("node", "outdeg", F.col("score").alias("pr_e12"))

@@ -11,6 +11,7 @@ and the operator tests in tests/test_corpus.py.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from modeltracking_spark.operators.corpus import (
     bigram_pmi,
@@ -367,3 +368,84 @@ def line_dedup_rewrite_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from modeltracking_spark.operators.corpus import segment_dedup_rewrite
 
     return segment_dedup_rewrite(T(spark, sf_dir, "documents"), size=64)
+
+
+@query(
+    "pagerank_link_graph_docs",
+    oracle="""
+    WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+    edges AS (
+      SELECT d.doc_id AS src,
+             CASE WHEN (d.doc_id * 7 + j.i * 13 + 1) % n.n = d.doc_id
+                  THEN ((d.doc_id * 7 + j.i * 13 + 1) % n.n + 1) % n.n
+                  ELSE (d.doc_id * 7 + j.i * 13 + 1) % n.n END AS dst
+      FROM documents d, nn n, range(3) j(i)
+      WHERE j.i <= d.doc_id % 3
+    ),
+    od AS (SELECT src AS node, count(*)::BIGINT AS outdeg
+           FROM edges GROUP BY src),
+    spine AS (
+      SELECT d.doc_id AS node, coalesce(o.outdeg, 0)::BIGINT AS outdeg
+      FROM documents d LEFT JOIN od o ON o.node = d.doc_id
+    ),
+    s0 AS (SELECT node, outdeg, 1000000000000 // n.n AS score
+           FROM spine, nn n),
+    c1 AS (SELECT e.dst AS node, sum(s.score // s.outdeg)::BIGINT AS contrib
+           FROM edges e JOIN s0 s ON s.node = e.src
+           WHERE s.outdeg > 0 GROUP BY e.dst),
+    s1 AS (SELECT s.node, s.outdeg,
+                  (15 * 1000000000000) // (100 * n.n)
+                  + (85 * coalesce(c.contrib, 0)) // 100 AS score
+           FROM s0 s LEFT JOIN c1 c ON c.node = s.node, nn n),
+    c2 AS (SELECT e.dst AS node, sum(s.score // s.outdeg)::BIGINT AS contrib
+           FROM edges e JOIN s1 s ON s.node = e.src
+           WHERE s.outdeg > 0 GROUP BY e.dst),
+    s2 AS (SELECT s.node, s.outdeg,
+                  (15 * 1000000000000) // (100 * n.n)
+                  + (85 * coalesce(c.contrib, 0)) // 100 AS score
+           FROM s1 s LEFT JOIN c2 c ON c.node = s.node, nn n),
+    c3 AS (SELECT e.dst AS node, sum(s.score // s.outdeg)::BIGINT AS contrib
+           FROM edges e JOIN s2 s ON s.node = e.src
+           WHERE s.outdeg > 0 GROUP BY e.dst),
+    s3 AS (SELECT s.node, s.outdeg,
+                  (15 * 1000000000000) // (100 * n.n)
+                  + (85 * coalesce(c.contrib, 0)) // 100 AS score
+           FROM s2 s LEFT JOIN c3 c ON c.node = s.node, nn n)
+    SELECT node AS doc_id, outdeg, score AS pr_e12 FROM s3
+    """,
+)
+def pagerank_link_graph_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph centrality as a document-quality prior (the PageRank
+    signal web-curation pipelines rank crawl/seed quality by): 3
+    fixed-point PageRank iterations over a deterministic formula link
+    graph (doc d emits d%3+1 out-links to (d*7+j*13+1) mod N, self-loop
+    redirected to the next node). Scores are integer mass out of 1e12
+    with floor division everywhere, so the oracle can UNROLL the three
+    iterations in SQL and match bit-exactly — no double accumulation
+    anywhere. The per-iteration plan is the standard relational
+    PageRank: edges⋈scores on src + aggregate on dst, both
+    hash-partitioned; node count broadcast. Dangling-mass handling
+    (absent from this all-emitting fixture) is pinned by pytest on a
+    hand graph."""
+    from modeltracking_spark.operators.graph import pagerank
+
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    nn = d.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    e = (
+        d.crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            "__n",
+            F.explode(
+                F.sequence(F.lit(0), (F.col("doc_id") % 3).cast("int"))
+            ).alias("j"),
+        )
+        .selectExpr(
+            "doc_id AS src",
+            "CASE WHEN (doc_id*7 + j*13 + 1) % __n = doc_id "
+            "THEN ((doc_id*7 + j*13 + 1) % __n + 1) % __n "
+            "ELSE (doc_id*7 + j*13 + 1) % __n END AS dst",
+        )
+    )
+    out = pagerank(e, nodes=d.select(F.col("doc_id").alias("node")), n_iter=3)
+    return out.select(F.col("node").alias("doc_id"), "outdeg", "pr_e12")

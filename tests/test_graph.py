@@ -1,0 +1,78 @@
+"""Fixed-point PageRank: hand-checkable values, dangling-node mass
+redistribution, mass conservation, and scale-plan posture."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from modeltracking_spark.operators.graph import SCALE, pagerank
+from modeltracking_spark.plans import assert_no_cartesian, executed_plan
+
+
+def _reference_pagerank(edges, nodes, n_iter=3, d_pct=85):
+    """Pure-python replay of the documented integer update rule."""
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    n = len(nodes)
+    score = {v: SCALE // n for v in nodes}
+    for _ in range(n_iter):
+        contrib = {v: 0 for v in nodes}
+        for s, t in edges:
+            contrib[t] += score[s] // outdeg[s]
+        dang = sum(score[v] for v in nodes if v not in outdeg)
+        score = {
+            v: ((100 - d_pct) * SCALE) // (100 * n)
+            + (d_pct * (contrib[v] + dang // n)) // 100
+            for v in nodes
+        }
+    return score
+
+
+def _run(spark, edges, nodes, n_iter=3):
+    e = spark.createDataFrame(edges, "src long, dst long")
+    nd = spark.createDataFrame([(v,) for v in nodes], "node long")
+    out = pagerank(e, nodes=nd, n_iter=n_iter)
+    return {r["node"]: r for r in out.collect()}
+
+
+def test_pagerank_matches_reference_simple_cycle(spark):
+    # 0 -> 1 -> 2 -> 0 : symmetric cycle, every node keeps 1/N
+    edges = [(0, 1), (1, 2), (2, 0)]
+    got = _run(spark, edges, [0, 1, 2])
+    want = _reference_pagerank(edges, [0, 1, 2])
+    assert {v: r["pr_e12"] for v, r in got.items()} == want
+    assert all(r["pr_e12"] == SCALE // 3 for r in got.values())
+
+
+def test_pagerank_hub_and_dangling(spark):
+    # 1 and 2 both point at 3; 3 has NO out-edges (dangling) — its mass
+    # must redistribute uniformly, not vanish
+    edges = [(1, 3), (2, 3), (1, 2)]
+    nodes = [1, 2, 3]
+    got = _run(spark, edges, nodes)
+    want = _reference_pagerank(edges, nodes)
+    assert {v: r["pr_e12"] for v, r in got.items()} == want
+    # the sink is the most central; outdegrees reported faithfully
+    assert got[3]["pr_e12"] > got[2]["pr_e12"] > got[1]["pr_e12"]
+    assert {v: r["outdeg"] for v, r in got.items()} == {1: 2, 2: 1, 3: 0}
+    # floor-division leakage only: total mass within N*n_iter ulps of SCALE
+    total = sum(r["pr_e12"] for r in got.values())
+    assert SCALE - 3 * 3 * 100 <= total <= SCALE
+
+
+def test_pagerank_plan_has_no_cartesian_and_partitions_by_node(spark):
+    edges = [(i, (i * 3 + 1) % 50) for i in range(50)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    out = pagerank(e, n_iter=2)
+    plan = executed_plan(out)
+    assert_no_cartesian(out)
+    # the per-iteration aggregate shuffles on the node key
+    assert "hashpartitioning(node" in plan or "hashpartitioning(dst" in plan
+
+
+def test_pagerank_iteration_count_is_exact(spark):
+    # n_iter=0 returns the uniform init untouched
+    edges = [(0, 1), (1, 0)]
+    got = _run(spark, edges, [0, 1], n_iter=0)
+    assert all(r["pr_e12"] == SCALE // 2 for r in got.values())

@@ -223,3 +223,43 @@ def test_bmp_decode_is_shuffle_free(spark):
     plan = executed_plan(out)
     assert "Exchange" not in plan
     assert_no_cartesian(out)
+
+
+def test_y4m_decode_is_shuffle_free(spark):
+    """Video encode + decode are narrow mapInPandas stages — same
+    no-repartition posture as the BMP path."""
+    from modeltracking_spark.operators.multimodal import (
+        attach_y4m_payload,
+        decode_video_stats,
+    )
+
+    d = spark.read.parquet(f"{SF001}/documents.parquet")
+    out = decode_video_stats(attach_y4m_payload(d))
+    plan = executed_plan(out)
+    assert "Exchange" not in plan
+    assert_no_cartesian(out)
+
+
+def test_segment_dedup_rewrite_plan(spark):
+    """Keep-first scrub: the window rank must hash-partition on the
+    segment hash (no single-partition window), and the doc spine join
+    must not become a cartesian product."""
+    from modeltracking_spark.operators.corpus import segment_dedup_rewrite
+
+    d = spark.read.parquet(f"{SF001}/documents.parquet")
+    out = segment_dedup_rewrite(d, size=64)
+    plan = executed_plan(out)
+    assert "hashpartitioning(h" in plan
+    assert "SinglePartition" not in plan
+    assert_no_cartesian(out)
+
+
+def test_temperature_sample_broadcasts_thresholds(spark):
+    """The stratum-threshold side is stratum-cardinality-sized — it must
+    broadcast onto the narrow filter, never shuffle the full corpus."""
+    from modeltracking_spark.operators.sampling import temperature_sample
+
+    d = spark.read.parquet(f"{SF001}/documents.parquet")
+    out = temperature_sample(d, "doc_id", "source", alpha=0.5, target_rows=100)
+    assert has_broadcast_join(out)
+    assert_no_cartesian(out)
