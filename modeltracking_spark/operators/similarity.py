@@ -609,3 +609,215 @@ def centroid_per_label(
         .withColumn("dim", F.size("centroid"))
         .withColumn("centroid_norm", l2_norm("centroid"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — Jégou et al., "Product Quantization for
+# Nearest Neighbor Search" (TPAMI 2011). The memory-compression ANN
+# path: each vector is stored as n_sub one-byte codes instead of dim
+# floats (64x compression at dim=64/n_sub=8), and search scores a query
+# against the COMPRESSED corpus through per-subspace lookup tables
+# (asymmetric distance computation, ADC) — the standard serving layout
+# when 100 TB of raw embeddings can't stay resident.
+#
+# Engine-exact discipline: all geometry lives in e6 fixed point
+# (round-half-away like _round_away / DuckDB round()), so subspace
+# assignments (argmin with ties to the smaller code) and ADC sums are
+# integer-exact and the DuckDB oracle replays codebook, encoding, and
+# search bit-for-bit. Codewords are the sub-vectors of the n_codes
+# smallest-id corpus rows (deterministic sampled codebook); production
+# would refine them with per-subspace Lloyd iterations — the
+# kmeans_centroids machinery above composes for that — at the cost of
+# an unrolled-training oracle like the IVF one.
+# ---------------------------------------------------------------------------
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "c_vec",
+    id_col: str = "c_id",
+    n_sub: int = 8,
+    n_codes: int = 16,
+):
+    """(n_sub, n_codes, sub_dim) int64 e6 codebook from the ``n_codes``
+    smallest-id corpus vectors — the persistable train artifact (the
+    only driver materialization, n_codes rows; the IVF train/serve
+    pattern)."""
+    import numpy as np
+
+    rows = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(n_codes)
+        .select(F.transform(vec_col, lambda x: x.cast("double")).alias("v"))
+        .collect()
+    )
+    C = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    dim = C.shape[1]
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    ce6 = _round_away(C, 1e6)
+    return ce6.reshape(n_codes, n_sub, dim // n_sub).transpose(1, 0, 2).copy()
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook,
+    *,
+    vec_col: str = "c_vec",
+    id_col: str = "c_id",
+) -> DataFrame:
+    """Compress each vector to ``n_sub`` codes: per subspace, the
+    codeword with the minimum integer squared L2 distance (first-min =
+    smallest code id on ties). One narrow Arrow-batched pass — at scale
+    this output (id + a few bytes) is what gets persisted; the raw
+    vectors leave the serving path. Output: (c_id, codes array<int>)."""
+    import numpy as np
+    import pandas as pd
+
+    cb = codebook
+    n_sub, _, sub_dim = cb.shape
+
+    def _enc(batches):
+        for pdf in batches:
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            Xe6 = _round_away(X, 1e6).reshape(len(pdf), n_sub, sub_dim)
+            codes = np.empty((len(pdf), n_sub), dtype=np.int32)
+            for m in range(n_sub):
+                # (batch, n_codes) integer distances; argmin -> first min
+                d = ((Xe6[:, m, None, :] - cb[m][None, :, :]) ** 2).sum(-1)
+                codes[:, m] = np.argmin(d, axis=1)
+            yield pd.DataFrame(
+                {"c_id": pdf[id_col].astype("int64"), "codes": list(codes)}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        _enc, "c_id bigint, codes array<int>"
+    )
+
+
+def pq_topk_l2(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 5,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    q_vec: str = "q_vec",
+    c_vec: str = "c_vec",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Top-k nearest (squared-L2, ascending) per query by PQ/ADC.
+
+    Serve plan is fully relational and JVM-side: the corpus codes
+    posexplode to (c_id, subspace, code); the query-side lookup tables
+    (|queries| x n_sub x n_codes rows — tiny) broadcast-join on
+    (subspace, code); one aggregate sums the per-subspace table entries
+    into the ADC distance. No UDF touches the big side after encoding,
+    and the only shuffle is the (q_id, c_id) aggregate.
+
+    Output: (q_id, c_id, adist, rnk) — ``adist`` the exact integer ADC
+    distance in e6^2 units, rnk by (adist asc, c_id asc).
+    """
+    import numpy as np
+    import pandas as pd
+
+    cb = pq_codebook(
+        corpus, vec_col=c_vec, id_col=c_id, n_sub=n_sub, n_codes=n_codes
+    )
+    _, _, sub_dim = cb.shape
+    codes = pq_encode(corpus, cb, vec_col=c_vec, id_col=c_id).select(
+        F.col("c_id").alias(c_id), F.posexplode("codes").alias("m", "code")
+    )
+
+    def _lut(batches):
+        for pdf in batches:
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[q_vec]])
+            Xe6 = _round_away(X, 1e6).reshape(len(pdf), n_sub, sub_dim)
+            out = {"q_id": [], "m": [], "j": [], "lut": []}
+            for i, qid in enumerate(pdf[q_id]):
+                for m in range(n_sub):
+                    d = ((Xe6[i, m][None, :] - cb[m]) ** 2).sum(-1)
+                    out["q_id"].extend([int(qid)] * len(d))
+                    out["m"].extend([m] * len(d))
+                    out["j"].extend(range(len(d)))
+                    out["lut"].extend(int(x) for x in d)
+            yield pd.DataFrame(out)
+
+    lut = queries.select(q_id, q_vec).mapInPandas(
+        _lut, f"{q_id} bigint, m int, j int, lut bigint"
+    )
+    ad = (
+        codes.join(F.broadcast(lut), (codes.m == lut.m) & (codes.code == lut.j))
+        .groupBy(q_id, c_id)
+        .agg(F.sum("lut").alias("adist"))
+    )
+    if exclude_self:
+        ad = ad.where(F.col(q_id) != F.col(c_id))
+    w = Window.partitionBy(q_id).orderBy(F.col("adist").asc(), F.col(c_id).asc())
+    return (
+        ad.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(q_id, c_id, "adist", "rnk")
+    )
+
+
+def pq_topk_refined(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 5,
+    shortlist: int = 100,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    q_vec: str = "q_vec",
+    c_vec: str = "c_vec",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """PQ/ADC shortlist + exact re-rank (the standard ADC+refine
+    serving pipeline): :func:`pq_topk_l2` ranks the compressed corpus
+    and keeps the top ``shortlist`` per query; only those |q|·shortlist
+    raw vectors are fetched for an exact integer squared-L2 re-rank —
+    at 100 TB the raw-vector store is touched for a few hundred rows
+    per query instead of the whole corpus. The re-rank distance is a
+    JVM zip_with fold over e6 integers (no UDF), so it is exactly the
+    quantity the oracle replays element-wise. Output: (q_id, c_id,
+    dist, rnk) with ``dist`` the exact e6^2 squared L2 distance."""
+    sl = pq_topk_l2(
+        queries,
+        corpus,
+        k=shortlist,
+        n_sub=n_sub,
+        n_codes=n_codes,
+        q_id=q_id,
+        c_id=c_id,
+        q_vec=q_vec,
+        c_vec=c_vec,
+        exclude_self=exclude_self,
+    ).select(q_id, c_id)
+
+    def _e6(col):
+        return F.round(col.cast("double") * F.lit(1e6)).cast("long")
+
+    dist = F.aggregate(
+        F.zip_with(
+            F.col(q_vec), F.col(c_vec), lambda a, b: (_e6(a) - _e6(b)) * (_e6(a) - _e6(b))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    x = (
+        sl.join(F.broadcast(queries.select(q_id, q_vec)), q_id)
+        .join(corpus.select(c_id, c_vec), c_id)
+        .withColumn("dist", dist)
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("dist").asc(), F.col(c_id).asc())
+    return (
+        x.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(q_id, c_id, "dist", "rnk")
+    )

@@ -159,3 +159,121 @@ def test_centroid_per_label(spark):
            centroid_per_label(df).collect()}
     assert got[0][0] == [2.0, 4.0] and got[0][1] == 2
     assert got[1][0] == [2.0, 2.0]
+
+
+# ---------------------------------------------------------------------------
+# product quantization (round 6): sampled codebook + ADC + exact refine
+# ---------------------------------------------------------------------------
+from modeltracking_spark.operators.similarity import (
+    _round_away,
+    pq_codebook,
+    pq_encode,
+    pq_topk_l2,
+    pq_topk_refined,
+)
+
+
+def _pq_sides(spark):
+    e = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    return q, c
+
+
+def _np_reference(spark):
+    e = spark.read.parquet(f"{SF001}/embeddings.parquet").orderBy("vec_id")
+    X = np.stack([np.asarray(r["embedding"], np.float64) for r in e.collect()])
+    Xe = _round_away(X, 1e6).reshape(len(X), 8, 8)
+    cb = Xe[:16].transpose(1, 0, 2)
+    codes = np.empty((len(X), 8), dtype=int)
+    for m in range(8):
+        d = ((Xe[:, m, None, :] - cb[m][None]) ** 2).sum(-1)
+        codes[:, m] = np.argmin(d, axis=1)
+    return X, Xe, cb, codes
+
+
+def test_pq_codebook_members_encode_to_themselves(spark):
+    """A vector that IS codeword j must get code j in every subspace
+    (distance 0, ties broken to the smaller id)."""
+    q, c = _pq_sides(spark)
+    cb = pq_codebook(c)
+    got = {
+        r["c_id"]: list(r["codes"])
+        for r in pq_encode(c.where(F.col("c_id") < 16), cb).collect()
+    }
+    assert got == {j: [j] * 8 for j in range(16)}
+
+
+def test_pq_encode_matches_numpy_reference(spark):
+    q, c = _pq_sides(spark)
+    cb = pq_codebook(c)
+    got = {r["c_id"]: list(r["codes"]) for r in pq_encode(c, cb).collect()}
+    _, _, _, codes = _np_reference(spark)
+    assert got == {i: list(codes[i]) for i in range(len(codes))}
+
+
+def test_pq_adc_distance_exact_for_codebook_members(spark):
+    """A codebook member encodes losslessly, so its ADC distance to any
+    query equals the exact integer squared L2 distance."""
+    q, c = _pq_sides(spark)
+    out = {
+        (r["q_id"], r["c_id"]): r["adist"]
+        for r in pq_topk_l2(q, c, k=500).collect()
+    }
+    _, Xe, _, _ = _np_reference(spark)
+    flat = Xe.reshape(len(Xe), 64)
+    for qid in range(10):
+        for cid in range(16):
+            if (qid, cid) in out:
+                want = int(((flat[qid] - flat[cid]) ** 2).sum())
+                assert out[(qid, cid)] == want
+
+
+def test_pq_refine_matches_reference_and_lifts_recall(spark):
+    q, c = _pq_sides(spark)
+    refined = pq_topk_refined(q, c, k=5, shortlist=100, exclude_self=True)
+    got = {}
+    for r in refined.collect():
+        got.setdefault(r["q_id"], []).append((r["rnk"], r["c_id"], r["dist"]))
+    X, Xe, cb, codes = _np_reference(spark)
+    flat = Xe.reshape(len(Xe), 64)
+    ids = np.arange(len(X))
+    rec_adc, rec_ref = [], []
+    for qid in range(10):
+        mask = ids != qid
+        cand = ids[mask]
+        exact = ((flat[qid][None] - flat[cand]) ** 2).sum(1)
+        lut = np.stack([((Xe[qid, m][None] - cb[m]) ** 2).sum(-1) for m in range(8)])
+        adist = lut[np.arange(8)[None, :], codes[cand]].sum(1)
+        short = cand[np.lexsort((cand, adist))[:100]]
+        d_short = ((flat[qid][None] - flat[short]) ** 2).sum(1)
+        want = short[np.lexsort((short, d_short))[:5]]
+        top_ex = set(cand[np.lexsort((cand, exact))[:5]])
+        # spark refined top-5 == numpy replay, same order, same distances
+        rows = sorted(got[qid])
+        assert [cid for _, cid, _ in rows] == list(want)
+        for (_, cid, dist), wid in zip(rows, want):
+            assert dist == int(((flat[qid] - flat[wid]) ** 2).sum())
+        rec_ref.append(len(set(want) & top_ex) / 5)
+        rec_adc.append(len(set(cand[np.lexsort((cand, adist))[:5]]) & top_ex) / 5)
+    # the refine stage must lift recall, and meaningfully so
+    assert np.mean(rec_ref) >= np.mean(rec_adc)
+    assert np.mean(rec_ref) >= 0.5
+
+
+def test_pq_serve_plan_broadcasts_lut_no_cartesian(spark):
+    from modeltracking_spark.plans import (
+        assert_no_cartesian,
+        executed_plan,
+        has_broadcast_join,
+    )
+
+    q, c = _pq_sides(spark)
+    out = pq_topk_l2(q, c, k=5, exclude_self=True)
+    assert has_broadcast_join(out)  # the query-side LUT
+    assert_no_cartesian(out)
+    # serve path is relational: no python evaluation on the corpus side
+    # after encoding (one mapInPandas for encode, one for the tiny LUT)
+    assert executed_plan(out).count("MapInPandas") == 2
