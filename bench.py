@@ -55,6 +55,11 @@ HEADLINE = [
     # round-6 additions: salted skew join, real from-spec BMP decode
     "skew_salted_join_events",
     "bmp_decode_stats_docs",
+    # round-6 late additions: PQ compressed-corpus ANN (ADC + refine),
+    # iterative PageRank, C4-style line-dedup rewrite
+    "pq_refine_topk_l2",
+    "pagerank_link_graph_docs",
+    "line_dedup_rewrite_docs",
 ]
 
 # Regression anchor: BENCH_r03.json per-query seconds at sf0.1 on local[32]
