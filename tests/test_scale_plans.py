@@ -263,3 +263,13 @@ def test_temperature_sample_broadcasts_thresholds(spark):
     out = temperature_sample(d, "doc_id", "source", alpha=0.5, target_rows=100)
     assert has_broadcast_join(out)
     assert_no_cartesian(out)
+
+
+def test_gopher_rules_is_shuffle_free(spark):
+    """The rule filter is a pure projection — verdict + bitmask must
+    compile to one codegen stage with zero exchanges."""
+    from modeltracking_spark.operators.textops import gopher_rules
+
+    d = spark.read.parquet(f"{SF001}/documents.parquet")
+    plan = executed_plan(gopher_rules(d))
+    assert "Exchange" not in plan
