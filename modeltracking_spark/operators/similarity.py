@@ -821,3 +821,69 @@ def pq_topk_refined(
         .where(F.col("rnk") <= k)
         .select(q_id, c_id, "dist", "rnk")
     )
+
+
+def pq_codebook_lloyd(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "c_vec",
+    id_col: str = "c_id",
+    n_sub: int = 8,
+    n_codes: int = 16,
+    iters: int = 2,
+) -> "object":
+    """Refine the sampled PQ codebook with per-subspace Lloyd k-means —
+    the production training step (Jégou et al. train each subquantizer
+    with k-means; the sampled codebook is its deterministic init).
+
+    Fully integer discipline, mirroring :func:`kmeans_centroids`: each
+    iteration is ONE mapInPandas pass emitting per-(subspace, code)
+    e6 partial sums and counts (≤ n_sub·n_codes rows per Arrow batch —
+    the treeAggregate shape; the corpus never leaves the cluster), and
+    the new codeword is the half-up rounded integer mean
+    ``sign(s)·((2|s|+n) // 2n)`` — order- and partitioning-independent,
+    so training is bit-deterministic and replayable by the pure-python
+    reference in tests. Empty cells keep their previous codeword.
+    Returns the refined (n_sub, n_codes, sub_dim) int64 e6 codebook,
+    drop-in for :func:`pq_encode` / :func:`pq_topk_l2`."""
+    import numpy as np
+    import pandas as pd
+
+    cb = pq_codebook(
+        corpus, vec_col=vec_col, id_col=id_col, n_sub=n_sub, n_codes=n_codes
+    )
+    _, _, sub_dim = cb.shape
+    vecs = corpus.select(F.col(vec_col).alias("v"))
+    for _ in range(iters):
+        cur = cb  # closure snapshot for this pass
+
+        def _partials(batches, cur=cur):
+            for pdf in batches:
+                X = np.stack([np.asarray(v, np.float64) for v in pdf["v"]])
+                Xe6 = _round_away(X, 1e6).reshape(len(pdf), n_sub, sub_dim)
+                rows = []
+                for m in range(n_sub):
+                    d = ((Xe6[:, m, None, :] - cur[m][None]) ** 2).sum(-1)
+                    code = np.argmin(d, axis=1)
+                    for j in np.unique(code):
+                        sel = Xe6[code == j, m, :]
+                        rows.append(
+                            (m, int(j), sel.sum(axis=0).tolist(), sel.shape[0])
+                        )
+                yield pd.DataFrame(rows, columns=["m", "j", "s_e6", "n"])
+
+        combined = (
+            vecs.mapInPandas(_partials, "m int, j int, s_e6 array<long>, n long")
+            .select("m", "j", "n", F.posexplode("s_e6").alias("d", "s"))
+            .groupBy("m", "j", "d")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()
+        )
+        nxt = cb.copy()
+        for r in combined:
+            s, n = int(r["s"]), int(r["n"])
+            nxt[r["m"], r["j"], r["d"]] = (
+                (1 if s >= 0 else -1) * ((2 * abs(s) + n) // (2 * n))
+            )
+        cb = nxt
+    return cb

@@ -277,3 +277,38 @@ def test_pq_serve_plan_broadcasts_lut_no_cartesian(spark):
     # serve path is relational: no python evaluation on the corpus side
     # after encoding (one mapInPandas for encode, one for the tiny LUT)
     assert executed_plan(out).count("MapInPandas") == 2
+
+
+def test_pq_lloyd_refinement_bit_deterministic_and_better(spark):
+    """One Lloyd pass must match a pure-python replay bit-for-bit
+    (integer partial sums + half-up integer means), and refinement must
+    strictly reduce total quantization error vs the sampled codebook."""
+    from modeltracking_spark.operators.similarity import pq_codebook_lloyd
+
+    q, c = _pq_sides(spark)
+    X, Xe, cb0, _ = _np_reference(spark)
+
+    def lloyd_once(cb):
+        nxt = cb.copy()
+        for m in range(8):
+            d = ((Xe[:, m, None, :] - cb[m][None]) ** 2).sum(-1)
+            code = np.argmin(d, axis=1)
+            for j in range(16):
+                sel = Xe[code == j, m, :]
+                if len(sel):
+                    s = sel.sum(axis=0)
+                    nxt[m, j] = np.sign(s) * ((2 * np.abs(s) + len(sel)) // (2 * len(sel)))
+        return nxt
+
+    def qerr(cb):
+        tot = 0
+        for m in range(8):
+            tot += ((Xe[:, m, None, :] - cb[m][None]) ** 2).sum(-1).min(axis=1).sum()
+        return int(tot)
+
+    got1 = pq_codebook_lloyd(c, iters=1)
+    want1 = lloyd_once(cb0)
+    assert np.array_equal(got1, want1)
+    got2 = pq_codebook_lloyd(c, iters=2)
+    assert np.array_equal(got2, lloyd_once(want1))
+    assert qerr(got2) < qerr(got1) < qerr(cb0)
