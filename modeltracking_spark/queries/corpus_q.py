@@ -449,3 +449,106 @@ def pagerank_link_graph_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = pagerank(e, nodes=d.select(F.col("doc_id").alias("node")), n_iter=3)
     return out.select(F.col("node").alias("doc_id"), "outdeg", "pr_e12")
+
+
+@query(
+    "curation_pipeline_docs",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
+               AS n,
+             list_sum(list_transform(list_filter(string_split(text, ' '),
+                 x -> x <> ''), t -> length(t)))::BIGINT AS sl,
+             len(list_distinct(list_filter(string_split(text, ' '),
+                 x -> x <> '')))::BIGINT AS nd,
+             len(list_distinct(list_filter(list_filter(string_split(text, ' '),
+                 x -> x <> ''),
+                 t -> list_contains(['the','a','of','and','to','in','is','on',
+                                     'for','it'], t))))::BIGINT AS nstop,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::BIGINT
+               AS punct
+      FROM documents
+    ),
+    surv AS (
+      SELECT d.doc_id, d.text
+      FROM documents d JOIN m USING (doc_id)
+      WHERE m.n >= 30 AND m.n <= 100000 AND 3 * m.n <= m.sl
+        AND m.sl <= 10 * m.n AND m.nstop >= 2 AND 10 * m.nd >= 3 * m.n
+        AND m.punct * 10 <= m.n
+    ),
+    segs AS (
+      SELECT doc_id,
+             ((s.st - 1) // 64)::BIGINT AS chunk_idx,
+             substr(text, s.st::INTEGER, 64) AS chunk_text
+      FROM surv,
+           unnest(range(1, greatest(length(text), 1) + 1, 64)) AS s(st)
+    ),
+    ranked AS (
+      SELECT doc_id, chunk_idx, chunk_text,
+             row_number() OVER (
+               PARTITION BY chunk_text ORDER BY doc_id, chunk_idx
+             ) AS rn
+      FROM segs
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             sum(length(chunk_text))::BIGINT AS kept_chars,
+             md5(string_agg(chunk_text, '' ORDER BY chunk_idx)) AS dedup_md5
+      FROM ranked WHERE rn = 1
+      GROUP BY doc_id
+    ),
+    uniq AS (
+      SELECT doc_id, kept_chars
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY dedup_md5 ORDER BY doc_id) AS rn
+            FROM rebuilt)
+      WHERE rn = 1
+    ),
+    split AS (
+      SELECT doc_id, kept_chars,
+             CASE WHEN b < 9800 THEN 'train'
+                  WHEN b < 9900 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id, kept_chars,
+                   ('0x' || substr(md5(doc_id::VARCHAR || 'cur'), 1, 8))::BIGINT
+                     % 10000 AS b
+            FROM uniq)
+    )
+    SELECT split, count(*)::BIGINT AS n_docs,
+           sum(kept_chars)::BIGINT AS chars_kept,
+           sum(doc_id)::BIGINT AS docid_sum
+    FROM split GROUP BY split
+    """,
+)
+def curation_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline — the operators composed the way a
+    real pre-training data job chains them, in ONE DataFrame program
+    planned by Catalyst as a single job: Gopher rule filter (keep only)
+    → corpus-wide keep-first segment-dedup rewrite over the survivors →
+    exact dedup of the rebuilt texts (first doc per content hash, empty
+    rewrites dropped) → deterministic train/valid/test hash split →
+    per-split volume summary. The oracle composes the same stages as
+    chained CTEs, so stage BOUNDARIES (filter-before-dedup ordering,
+    dedup over survivors only, split after dedup) are attested, not
+    just each operator alone. Scale shape is the union of the parts:
+    one narrow rule projection, one segment-hash window shuffle, one
+    content-hash dedup shuffle, a narrow split, one summary aggregate."""
+    from modeltracking_spark.operators.corpus import segment_dedup_rewrite
+    from modeltracking_spark.operators.dedup import dedup_rows
+    from modeltracking_spark.operators.sampling import hash_split
+    from modeltracking_spark.operators.textops import gopher_rules
+
+    docs = T(spark, sf_dir, "documents")
+    keep = gopher_rules(docs).where(F.col("keep")).select("doc_id")
+    surv = docs.join(keep, "doc_id").select("doc_id", "text")
+    rewritten = segment_dedup_rewrite(surv, size=64).where(F.col("n_kept") > 0)
+    uniq = dedup_rows(rewritten, ["dedup_md5"], "doc_id").select(
+        "doc_id", "kept_chars"
+    )
+    split = hash_split(uniq, "doc_id", salt="cur")
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("kept_chars").cast("bigint").alias("chars_kept"),
+        F.sum("doc_id").cast("bigint").alias("docid_sum"),
+    )

@@ -273,3 +273,19 @@ def test_gopher_rules_is_shuffle_free(spark):
     d = spark.read.parquet(f"{SF001}/documents.parquet")
     plan = executed_plan(gopher_rules(d))
     assert "Exchange" not in plan
+
+
+def test_curation_pipeline_plan(spark):
+    """The composed pipeline must stay the union of its parts: no
+    cartesian products, the rule filter fused into the scan side (no
+    extra shuffle before the survivor join), and the dedup stages
+    window-partitioned (no single-partition window)."""
+    from modeltracking_spark.queries import load_registries
+
+    qs, _ = load_registries()
+    out = qs["curation_pipeline_docs"](spark, SF001)
+    plan = executed_plan(out)
+    assert_no_cartesian(out)
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(chunk_text" in plan or "hashpartitioning(h" in plan
+    assert "hashpartitioning(dedup_md5" in plan
