@@ -516,9 +516,10 @@ def segment_dedup_rewrite(
     window rank over the segment hash (ONE hash-partitioned shuffle —
     no groupBy+join-back pair, and no skew risk beyond a pathological
     single segment value, which AQE splits); reconstruction is one
-    aggregate by doc_id. Docs that lose every segment still emit a row
-    (md5 of the empty string), via a join back to the doc spine —
-    row-preserving on doc_id at any scale.
+    conditional aggregate by doc_id over the SAME ranked rows — losers
+    contribute to n_segs but null out of the collect_list (which skips
+    nulls), so docs that lose every segment still emit a row (md5 of
+    the empty string) without a second corpus pass or a spine join.
 
     Output: (doc_id, n_segs, n_kept, kept_chars, dedup_md5).
     """
@@ -526,26 +527,27 @@ def segment_dedup_rewrite(
         docs, id_col=id_col, text_col=text_col, size=size, overlap=0
     ).select("doc_id", "chunk_idx", "chunk_text", F.md5("chunk_text").alias("h"))
     w = Window.partitionBy("h").orderBy(F.col("doc_id").asc(), F.col("chunk_idx").asc())
-    kept = segs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.sum(F.length("chunk_text")).cast("long").alias("kept_chars"),
-        F.concat_ws(
-            "",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_text"))),
-                lambda s: s["chunk_text"],
-            ),
-        ).alias("__dedup_text"),
-    )
-    spine = segs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segs"))
-    return (
-        spine.join(rebuilt, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_segs",
-            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
-            F.coalesce("kept_chars", F.lit(0)).cast("long").alias("kept_chars"),
-            F.md5(F.coalesce("__dedup_text", F.lit(""))).alias("dedup_md5"),
-        )
+    ranked = segs.withColumn("rn", F.row_number().over(w))
+    is_first = F.col("rn") == 1
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segs"),
+        F.sum(F.when(is_first, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(is_first, F.length("chunk_text")).otherwise(0))
+        .cast("long")
+        .alias("kept_chars"),
+        F.md5(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                is_first, F.struct("chunk_idx", "chunk_text")
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk_text"],
+                ),
+            )
+        ).alias("dedup_md5"),
     )

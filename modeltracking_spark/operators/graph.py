@@ -68,7 +68,9 @@ def pagerank(
     outdeg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("outdeg")
     )
-    spine = nodes.join(F.broadcast(outdeg), "node", "left").select(
+    # outdeg is NODE-sized — a plain hash join on the node key, never a
+    # broadcast (only the 1-row aggregates below are broadcast)
+    spine = nodes.join(outdeg, "node", "left").select(
         "node", F.coalesce("outdeg", F.lit(0)).cast("long").alias("outdeg")
     )
     n_row = nodes.agg(F.count(F.lit(1)).cast("long").alias("__n"))
@@ -77,6 +79,10 @@ def pagerank(
         "node", "outdeg", F.expr(f"{SCALE} DIV __n").alias("score")
     )
     for _ in range(n_iter):
+        # each iteration references `scores` three times (contrib, dangling,
+        # join); materialize the node-sized table so the lineage stays
+        # linear in n_iter instead of fanning ~3x per iteration
+        scores = scores.localCheckpoint(eager=True)
         per_src = scores.where(F.col("outdeg") > 0).select(
             F.col("node").alias("src"), F.expr("score DIV outdeg").alias("give")
         )

@@ -643,10 +643,13 @@ def sample_frames(df: DataFrame, id_col: str = "doc_id",
                             "ffmpeg; not in container"
                         )
                     meta, frames = decode_y4m(data)
-                    period_ms = 1000 * meta["fps_den"] / meta["fps_num"]
-                    duration_ms = int((len(frames) - 1) * period_ms)
+                    # exact integer arithmetic: float period math selects
+                    # the wrong frame at exact tick boundaries (e.g. F15:1
+                    # at t=1000 ms rounds to frame 14 instead of 15)
+                    num, den = meta["fps_num"], meta["fps_den"]
+                    duration_ms = (len(frames) - 1) * 1000 * den // num
                     for t in range(0, duration_ms + 1, every_ms):
-                        idx = min(int(t / period_ms), len(frames) - 1)
+                        idx = min(t * num // (1000 * den), len(frames) - 1)
                         y, cb, cr = frames[idx]
                         raw = y.tobytes() + cb.tobytes() + cr.tobytes()
                         out["doc_id"].append(int(did))

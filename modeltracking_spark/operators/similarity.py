@@ -736,11 +736,13 @@ def pq_topk_l2(
         for pdf in batches:
             X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[q_vec]])
             Xe6 = _round_away(X, 1e6).reshape(len(pdf), n_sub, sub_dim)
-            out = {"q_id": [], "m": [], "j": [], "lut": []}
+            # keyed by the PARAMETERIZED q_id name — mapInPandas matches
+            # returned columns to the schema string by name
+            out = {q_id: [], "m": [], "j": [], "lut": []}
             for i, qid in enumerate(pdf[q_id]):
                 for m in range(n_sub):
                     d = ((Xe6[i, m][None, :] - cb[m]) ** 2).sum(-1)
-                    out["q_id"].extend([int(qid)] * len(d))
+                    out[q_id].extend([int(qid)] * len(d))
                     out["m"].extend([m] * len(d))
                     out["j"].extend(range(len(d)))
                     out["lut"].extend(int(x) for x in d)

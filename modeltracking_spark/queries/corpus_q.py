@@ -458,8 +458,8 @@ def pagerank_link_graph_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
                AS n,
-             list_sum(list_transform(list_filter(string_split(text, ' '),
-                 x -> x <> ''), t -> length(t)))::BIGINT AS sl,
+             coalesce(list_sum(list_transform(list_filter(string_split(text, ' '),
+                 x -> x <> ''), t -> length(t))), 0)::BIGINT AS sl,
              len(list_distinct(list_filter(string_split(text, ' '),
                  x -> x <> '')))::BIGINT AS nd,
              len(list_distinct(list_filter(list_filter(string_split(text, ' '),

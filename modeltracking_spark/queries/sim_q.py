@@ -552,78 +552,6 @@ def embedding_neardup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "pq_adc_topk_l2",
-    oracle="""
-    WITH cb AS (
-      SELECT e.vec_id AS j, m.i AS m, d.i AS d,
-             round(e.embedding[(m.i * 8 + d.i + 1)::INTEGER]::DOUBLE
-                   * 1e6)::BIGINT AS v
-      FROM embeddings e, range(8) m(i), range(8) d(i)
-      WHERE e.vec_id < 16
-    ),
-    xe AS (
-      SELECT e.vec_id AS c_id, m.i AS m, d.i AS d,
-             round(e.embedding[(m.i * 8 + d.i + 1)::INTEGER]::DOUBLE
-                   * 1e6)::BIGINT AS v
-      FROM embeddings e, range(8) m(i), range(8) d(i)
-    ),
-    dist AS (
-      SELECT x.c_id, x.m, c.j,
-             sum((x.v - c.v) * (x.v - c.v))::BIGINT AS dd
-      FROM xe x JOIN cb c ON c.m = x.m AND c.d = x.d
-      GROUP BY 1, 2, 3
-    ),
-    codes AS (
-      SELECT c_id, m, j AS code
-      FROM (SELECT *, row_number() OVER (
-              PARTITION BY c_id, m ORDER BY dd ASC, j ASC) AS rn
-            FROM dist)
-      WHERE rn = 1
-    ),
-    lut AS (
-      SELECT q.c_id AS q_id, q.m, c.j,
-             sum((q.v - c.v) * (q.v - c.v))::BIGINT AS lut
-      FROM xe q JOIN cb c ON c.m = q.m AND c.d = q.d
-      WHERE q.c_id < 10
-      GROUP BY 1, 2, 3
-    ),
-    ad AS (
-      SELECT l.q_id, cd.c_id, sum(l.lut)::BIGINT AS adist
-      FROM codes cd JOIN lut l ON l.m = cd.m AND l.j = cd.code
-      GROUP BY 1, 2
-    )
-    SELECT q_id, c_id, adist,
-           row_number() OVER (
-             PARTITION BY q_id ORDER BY adist ASC, c_id ASC)::BIGINT AS rnk
-    FROM ad WHERE q_id <> c_id
-    QUALIFY rnk <= 5
-    """,
-)
-def pq_adc_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN (Jégou et al. 2011): the corpus is
-    compressed to 8 one-byte codes per vector (64x smaller than raw
-    floats — the layout that keeps a 100 TB embedding store servable),
-    and 10 queries rank the ENTIRE corpus through per-subspace ADC
-    lookup tables without ever touching raw corpus vectors at serve
-    time. All geometry is e6 integer fixed point, so the oracle replays
-    the sampled codebook, every subspace assignment (argmin, ties to
-    the smaller code), the LUT build, and the ADC sums bit-exactly.
-    Serve plan: codes posexplode + broadcast LUT join + one (q,c)
-    aggregate — JVM-side, single shuffle. Accuracy vs exact L2 ranking
-    is recall-asserted in tests/test_similarity.py."""
-    from modeltracking_spark.operators.similarity import pq_topk_l2
-
-    e = T(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
-    )
-    c = e.select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
-    )
-    return pq_topk_l2(q, c, k=5, n_sub=8, n_codes=16, exclude_self=True)
-
-
 _PQ_CORE = """
     cb AS (
       SELECT e.vec_id AS j, m.i AS m, d.i AS d,
@@ -663,6 +591,43 @@ _PQ_CORE = """
       FROM codes cd JOIN lut l ON l.m = cd.m AND l.j = cd.code
       GROUP BY 1, 2
     )"""
+
+
+@query(
+    "pq_adc_topk_l2",
+    oracle=f"""
+    WITH {_PQ_CORE},
+    final AS (
+      SELECT q_id, c_id, adist,
+             row_number() OVER (
+               PARTITION BY q_id ORDER BY adist ASC, c_id ASC)::BIGINT AS rnk
+      FROM ad WHERE q_id <> c_id
+    )
+    SELECT q_id, c_id, adist, rnk FROM final WHERE rnk <= 5
+    """,
+)
+def pq_adc_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): the corpus is
+    compressed to 8 one-byte codes per vector (64x smaller than raw
+    floats — the layout that keeps a 100 TB embedding store servable),
+    and 10 queries rank the ENTIRE corpus through per-subspace ADC
+    lookup tables without ever touching raw corpus vectors at serve
+    time. All geometry is e6 integer fixed point, so the oracle replays
+    the sampled codebook, every subspace assignment (argmin, ties to
+    the smaller code), the LUT build, and the ADC sums bit-exactly.
+    Serve plan: codes posexplode + broadcast LUT join + one (q,c)
+    aggregate — JVM-side, single shuffle. Accuracy vs exact L2 ranking
+    is recall-asserted in tests/test_similarity.py."""
+    from modeltracking_spark.operators.similarity import pq_topk_l2
+
+    e = T(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    c = e.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    return pq_topk_l2(q, c, k=5, n_sub=8, n_codes=16, exclude_self=True)
 
 
 @query(

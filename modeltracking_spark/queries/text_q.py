@@ -572,7 +572,7 @@ def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
       SELECT doc_id,
              len({_TOKS})::BIGINT AS n,
-             list_sum(list_transform({_TOKS}, t -> length(t)))::BIGINT AS sl,
+             coalesce(list_sum(list_transform({_TOKS}, t -> length(t))), 0)::BIGINT AS sl,
              len(list_distinct({_TOKS}))::BIGINT AS nd,
              len(list_distinct(list_filter({_TOKS},
                  t -> list_contains({_STOPS}, t))))::BIGINT AS nstop,

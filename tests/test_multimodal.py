@@ -326,3 +326,20 @@ def test_real_frame_sampling_rejects_compressed(spark):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def test_real_frame_sampling_exact_at_tick_boundaries(spark):
+    """fps whose period is a non-terminating decimal (F15:1 -> 66.67 ms)
+    must still select the exact frame at tick boundaries: t=1000 ms IS
+    the start of frame 15, not a float hair before it (regression for
+    the float-period off-by-one)."""
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    y, cb, cr = _rand_clip(rng, 20, 4, 4, "420")
+    data = encode_y4m(y, cb, cr, fps=(15, 1))
+    d = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "payload": [data]}))
+    rows = {r["t_offset_ms"]: r["frame_idx"]
+            for r in sample_frames(d, every_ms=1000, fake=False).collect()}
+    # duration = 19 frames * 1000/15 = 1266 ms -> ticks at 0 and 1000
+    assert rows == {0: 0, 1000: 15}
