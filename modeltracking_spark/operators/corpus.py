@@ -551,3 +551,78 @@ def segment_dedup_rewrite(
             )
         ).alias("dedup_md5"),
     )
+
+
+def bigram_logprob(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Interpolated bigram-LM document scoring — one order up from
+    :func:`unigram_logprob`, the next rung toward the KenLM n-gram
+    scoring CCNet-style pipelines rank documents with: each adjacent
+    pair (x, y) scores ln(0.7·P(y|x) + 0.3·P(y)) with P(y|x) from the
+    corpus bigram counts over the left-marginal and P(y) from the
+    unigram distribution (fixed 0.7/0.3 Jelinek-Mercer interpolation —
+    the unigram backoff keeps unseen-in-context pairs finite). Scores
+    floor to e6 integers per the fixed-point discipline, so per-doc
+    sums are order-independent and oracle-exact.
+
+    Scale: the bigram LM is VOCAB²-bounded, in practice corpus-sized —
+    it joins the (doc, x, y) pair grain by HASH join on (x, y), never
+    broadcast (the 100 TB mistake); the unigram table and the scalar
+    total are the only broadcast sides. One narrow pair build, two
+    count aggregates, one shuffle join, one per-doc aggregate.
+    Output: (doc_id, n_pairs, sum_lp_e6, avg_lp).
+    """
+    d = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
+    # sequence(1, 0) DESCENDS in Spark: short docs need an explicit empty
+    pair_arr = F.when(
+        F.size("toks") < 2, F.array().cast("array<struct<x:string,y:string>>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.struct(
+                F.element_at("toks", i).alias("x"),
+                F.element_at("toks", i + F.lit(1)).alias("y"),
+            ),
+        )
+    )
+    pairs = d.select("doc_id", F.explode(pair_arr).alias("b")).select(
+        "doc_id", "b.x", "b.y"
+    )
+    c_xy = pairs.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
+    c_x = c_xy.groupBy("x").agg(F.sum("c_xy").alias("c_x"))
+    uni = (
+        d.select(F.explode("toks").alias("y"))
+        .groupBy("y")
+        .agg(F.count(F.lit(1)).alias("c_y"))
+    )
+    tot = uni.agg(F.sum("c_y").alias("t_uni"))
+    lm = (
+        c_xy.join(F.broadcast(c_x), "x")
+        .join(F.broadcast(uni), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "x",
+            "y",
+            _e6(
+                F.log(
+                    F.lit(0.7) * (F.col("c_xy").cast("double") / F.col("c_x").cast("double"))
+                    + F.lit(0.3) * (F.col("c_y").cast("double") / F.col("t_uni").cast("double"))
+                )
+            ).alias("lp_e6"),
+        )
+    )
+    scored = pairs.join(lm, ["x", "y"])
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("lp_e6").alias("sum_lp_e6"),
+        )
+        .withColumn(
+            "avg_lp",
+            F.col("sum_lp_e6").cast("double")
+            / F.col("n_pairs").cast("double")
+            / F.lit(1e6),
+        )
+    )

@@ -552,3 +552,47 @@ def curation_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("kept_chars").cast("bigint").alias("chars_kept"),
         F.sum("doc_id").cast("bigint").alias("docid_sum"),
     )
+
+
+@query(
+    "bigram_logprob_docs",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    pairs AS (
+      SELECT doc_id, b['x'] AS x, b['y'] AS y
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks)),
+                          i -> {{'x': toks[i], 'y': toks[i+1]}})) AS b
+            FROM d)
+    ),
+    cxy AS (SELECT x, y, count(*)::BIGINT AS c_xy FROM pairs GROUP BY 1, 2),
+    cx AS (SELECT x, sum(c_xy)::BIGINT AS c_x FROM cxy GROUP BY x),
+    uni AS (SELECT unnest(toks) AS y FROM d),
+    cu AS (SELECT y, count(*)::BIGINT AS c_y FROM uni GROUP BY y),
+    t AS (SELECT sum(c_y)::BIGINT AS t_uni FROM cu),
+    lm AS (
+      SELECT b.x, b.y,
+             floor(ln(0.7::DOUBLE * (b.c_xy::DOUBLE / x.c_x::DOUBLE)
+                      + 0.3::DOUBLE * (u.c_y::DOUBLE / t.t_uni::DOUBLE))
+                   * 1e6 + 0.5::DOUBLE)::BIGINT AS lp_e6
+      FROM cxy b JOIN cx x USING (x) JOIN cu u USING (y), t
+    )
+    SELECT p.doc_id,
+           count(*)::BIGINT AS n_pairs,
+           sum(l.lp_e6)::BIGINT AS sum_lp_e6,
+           sum(l.lp_e6)::DOUBLE / count(*)::DOUBLE / 1e6 AS avg_lp
+    FROM pairs p JOIN lm l USING (x, y)
+    GROUP BY p.doc_id
+    """,
+)
+def bigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM document scoring (0.7·P(y|x) + 0.3·P(y)
+    Jelinek-Mercer): the next rung above the unigram KenLM stand-in for
+    CCNet-style quality ranking — context-sensitive, with unigram
+    backoff keeping every observed pair finite. e6 fixed-point logprobs
+    make per-doc sums order-independent; the bigram LM joins the pair
+    grain by HASH join (vocab²-bounded side — broadcasting it would be
+    the 100 TB bug), unigram/total sides broadcast."""
+    from modeltracking_spark.operators.corpus import bigram_logprob
+
+    return bigram_logprob(T(spark, sf_dir, "documents"))

@@ -767,3 +767,54 @@ def deterministic_shuffle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = T(spark, sf_dir, "documents").select("doc_id", "lang")
     return deterministic_shuffle(d, "doc_id", salt="shuf6", shard_size=100)
+
+
+@query(
+    "jsonl_roundtrip_scan",
+    oracle="""
+    SELECT doc_id, lang, source,
+           md5(text) AS text_md5,
+           length(text)::BIGINT AS n_chars_rt
+    FROM documents
+    """,
+)
+def jsonl_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink → explicit-schema FAILFAST scan across a REAL file
+    boundary — the corpus-interchange loop every LLM pipeline runs. The
+    documents table is written as JSON lines and read back with an
+    explicit schema; the output re-derives each text's md5 and length
+    AFTER the roundtrip while the oracle computes them from the parquet
+    view directly — so JSON string escaping, UTF-8 encoding, and the
+    writer/reader agreement are attested byte-exactly (any quoting or
+    escape bug shifts the md5). The fixture dir is keyed by the sf dir
+    and this function's own source (the csv/netCDF cache pattern), and
+    the read is FAILFAST: corrupt records fail loudly, never silent
+    nulls."""
+    import hashlib
+    import inspect
+    import os
+    import shutil
+
+    from modeltracking_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    fp = hashlib.md5(
+        (sf_dir + inspect.getsource(jsonl_roundtrip_scan)).encode()
+    ).hexdigest()[:10]
+    out_dir = f"/tmp/modeltracking_docs_jsonl_{fp}"
+    if not os.path.isdir(out_dir):
+        tmp = f"{out_dir}.{os.getpid()}.tmp"
+        write_jsonl(docs, tmp)
+        try:
+            os.rename(tmp, out_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race; reuse winner
+    back = read_jsonl(
+        spark, out_dir,
+        "doc_id bigint, text string, lang string, source string",
+    )
+    return back.select(
+        "doc_id", "lang", "source",
+        F.md5("text").alias("text_md5"),
+        F.length("text").cast("long").alias("n_chars_rt"),
+    )

@@ -232,3 +232,38 @@ def test_segment_dedup_rewrite_preserves_order(spark):
     (row,) = segment_dedup_rewrite(d, size=8).collect()
     assert row["n_kept"] == 9
     assert row["dedup_md5"] == hashlib.md5("".join(segs).encode()).hexdigest()
+
+
+def test_bigram_logprob_hand_values(spark):
+    """Hand-fold the interpolated bigram LM on a 2-doc corpus."""
+    import math
+
+    from modeltracking_spark.operators.corpus import bigram_logprob
+
+    rows = [(1, "a b a b"), (2, "a b c")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in bigram_logprob(d).collect()}
+    # corpus pairs: doc1: (a,b),(b,a),(a,b); doc2: (a,b),(b,c)
+    c_xy = {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1}
+    c_x = {"a": 3, "b": 2}
+    c_y = {"a": 3, "b": 3, "c": 1}
+    t_uni = 7
+
+    def lp(x, y):
+        v = 0.7 * (c_xy[(x, y)] / c_x[x]) + 0.3 * (c_y[y] / t_uni)
+        return math.floor(math.log(v) * 1e6 + 0.5)
+
+    assert got[1]["n_pairs"] == 3
+    assert got[1]["sum_lp_e6"] == 2 * lp("a", "b") + lp("b", "a")
+    assert got[2]["n_pairs"] == 2
+    assert got[2]["sum_lp_e6"] == lp("a", "b") + lp("b", "c")
+    # context sensitivity: (a,b) is likelier than (b,a) under this LM
+    assert lp("a", "b") > lp("b", "a")
+
+
+def test_bigram_logprob_single_token_doc_emits_no_row(spark):
+    from modeltracking_spark.operators.corpus import bigram_logprob
+
+    d = spark.createDataFrame([(1, "solo"), (2, "a b")], "doc_id long, text string")
+    got = {r["doc_id"] for r in bigram_logprob(d).collect()}
+    assert got == {2}  # no pairs -> no row, never a crash or descending sequence

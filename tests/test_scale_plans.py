@@ -289,3 +289,18 @@ def test_curation_pipeline_plan(spark):
     assert "SinglePartition" not in plan
     assert "hashpartitioning(chunk_text" in plan or "hashpartitioning(h" in plan
     assert "hashpartitioning(dedup_md5" in plan
+
+
+def test_bigram_logprob_lm_join_is_not_broadcast(spark):
+    """The bigram LM is vocab²-bounded (corpus-sized in practice) — the
+    pair-grain join on (x, y) must be a shuffle hash join; only the
+    unigram/total sides broadcast."""
+    from modeltracking_spark.operators.corpus import bigram_logprob
+
+    d = spark.read.parquet(f"{SF001}/documents.parquet")
+    out = bigram_logprob(d)
+    plan = executed_plan(out)
+    assert_no_cartesian(out)
+    assert has_broadcast_join(out)  # unigram + scalar sides
+    # the (x, y) scored join shuffles both sides on the pair key
+    assert "hashpartitioning(x" in plan
