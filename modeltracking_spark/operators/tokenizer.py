@@ -1,0 +1,132 @@
+"""BPE tokenizer training (extension surface §2.12 — tokenizer
+construction is a first-class step of an LLM data pipeline).
+
+The standard industrial split (HF tokenizers, SentencePiece): the
+CORPUS-scale pass is the word-frequency count — one Spark aggregate —
+and the merge-learning loop runs over the vocabulary-sized frequency
+table (Sennrich et al. 2016, "Neural Machine Translation of Rare Words
+with Subword Units"). The vocabulary table is the sanctioned driver
+materialization (the same train-artifact status as the IVF centroid
+table); at 100 TB it is millions of rows where the corpus is trillions.
+
+Determinism: integer pair counts with a total order on ties (max count,
+then lexicographically smallest pair), so the learned merge list is a
+pure function of the word-frequency table — reproducible across runs,
+partitionings, and engines. The first merge step is oracle-checked in
+SQL (queries/text_q.py); the full loop is pinned against the classic
+hand example and a monotonicity property in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from modeltracking_spark.functions.text import tokens
+
+#: end-of-word marker (Sennrich et al.'s </w>) — lets merges distinguish
+#: word-final subwords from word-internal ones
+EOW = "</w>"
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, n) frequency table — the one corpus-scale aggregate of
+    BPE training."""
+    return (
+        docs.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def bpe_train(
+    docs: DataFrame, n_merges: int = 20, text_col: str = "text"
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from the corpus.
+
+    Each word becomes its character sequence + ``EOW``; every round the
+    most frequent adjacent symbol pair (ties → lexicographically
+    smallest pair) merges into one symbol everywhere it occurs. Returns
+    the ordered merge list — the tokenizer artifact ``bpe_encode``
+    applies."""
+    vocab = {
+        tuple(r["word"]) + (EOW,): int(r["n"])
+        for r in word_counts(docs, text_col).collect()
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for syms, n in vocab.items():
+            for p in zip(syms, syms[1:]):
+                pair_counts[p] = pair_counts.get(p, 0) + n
+        if not pair_counts:
+            break
+        top = max(pair_counts.values())
+        best = min(p for p, c in pair_counts.items() if c == top)
+        merges.append(best)
+        vocab = {_merge_word(syms, best): n for syms, n in vocab.items()}
+    return merges
+
+
+def _merge_word(syms: tuple[str, ...], pair: tuple[str, str]) -> tuple[str, ...]:
+    """Replace every non-overlapping left-to-right occurrence of
+    ``pair`` in ``syms`` with the concatenated symbol."""
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and (syms[i], syms[i + 1]) == pair:
+            out.append(syms[i] + syms[i + 1])
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def encode_word(word: str, merges: list[tuple[str, str]]) -> tuple[str, ...]:
+    """Tokenize one word by applying the learned merges in order —
+    identical to how the training loop rewrote it, so any word seen in
+    training encodes to exactly its final training-time symbols."""
+    syms = tuple(word) + (EOW,)
+    for pair in merges:
+        syms = _merge_word(syms, pair)
+    return syms
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned merge list to every document — Arrow-batched
+    mapInPandas with the merge list as a closure constant (a narrow map;
+    at scale the merge table rides the closure exactly like a broadcast
+    dictionary). Output: (doc_id, n_words, n_bpe_tokens)."""
+
+    def _enc(batches):
+        import pandas as pd
+
+        cache: dict[str, int] = {}
+        for pdf in batches:
+            n_words, n_toks = [], []
+            for text in pdf[text_col]:
+                ws = [w for w in text.split(" ") if w]
+                total = 0
+                for w in ws:
+                    if w not in cache:
+                        cache[w] = len(encode_word(w, merges))
+                    total += cache[w]
+                n_words.append(len(ws))
+                n_toks.append(total)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_words": n_words,
+                    "n_bpe_tokens": n_toks,
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        _enc, "doc_id bigint, n_words bigint, n_bpe_tokens bigint"
+    )

@@ -604,3 +604,61 @@ def gopher_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from modeltracking_spark.operators.textops import gopher_rules
 
     return gopher_rules(T(spark, sf_dir, "documents"))
+
+
+@query(
+    "bpe_first_merge_pairs",
+    oracle=f"""
+    WITH w AS (SELECT unnest({_TOKS}) AS word FROM documents),
+    wc AS (SELECT word, count(*)::BIGINT AS n FROM w GROUP BY word),
+    pairs AS (
+      SELECT substr(word, i.i::INTEGER, 1) AS a,
+             CASE WHEN i.i < length(word)
+                  THEN substr(word, (i.i + 1)::INTEGER, 1)
+                  ELSE '</w>' END AS b,
+             n
+      FROM wc, unnest(range(1, length(word) + 1)) AS i(i)
+    ),
+    pc AS (SELECT a, b, sum(n)::BIGINT AS cnt FROM pairs GROUP BY 1, 2)
+    SELECT a, b, cnt,
+           row_number() OVER (ORDER BY cnt DESC, a ASC, b ASC)::BIGINT AS rk
+    FROM pc
+    QUALIFY rk <= 20
+    """,
+)
+def bpe_first_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first step of BPE tokenizer training, oracled: adjacent
+    character-pair frequencies (with the </w> end-of-word marker)
+    weighted by word counts, ranked by (count desc, pair asc) — exactly
+    the statistic whose argmax ``operators/tokenizer.py:bpe_train``
+    merges first (the equality is asserted in tests/test_tokenizer.py).
+    The corpus-scale work is the word-frequency aggregate; the pair
+    table is alphabet²-bounded, so the global ranking window runs on a
+    bounded input (the bucket-offset-table precedent, not a corpus-wide
+    single partition). The full merge LOOP is a driver-side artifact
+    build over the same word counts — deterministic, pinned in pytest —
+    because each merge rewrites symbol sequences, which no fixed SQL
+    can iterate."""
+    from pyspark.sql import Window
+
+    from modeltracking_spark.operators.tokenizer import EOW, word_counts
+
+    wc = word_counts(T(spark, sf_dir, "documents"))
+    pos = wc.select(
+        "word", "n",
+        F.explode(F.sequence(F.lit(1), F.length("word"))).alias("i"),
+    )
+    pairs = pos.select(
+        F.expr("substr(word, i, 1)").alias("a"),
+        F.when(
+            F.col("i") < F.length("word"), F.expr("substr(word, i + 1, 1)")
+        ).otherwise(F.lit(EOW)).alias("b"),
+        "n",
+    )
+    pc = pairs.groupBy("a", "b").agg(F.sum("n").cast("long").alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+    return (
+        pc.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 20)
+        .select("a", "b", "cnt", "rk")
+    )

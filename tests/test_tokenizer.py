@@ -1,0 +1,74 @@
+"""BPE tokenizer training: the classic hand example, determinism, the
+first-merge/oracle-query agreement, and encode consistency."""
+
+from __future__ import annotations
+
+from modeltracking_spark.operators.tokenizer import (
+    EOW,
+    bpe_encode,
+    bpe_train,
+    encode_word,
+)
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)], "doc_id long, text string"
+    )
+
+
+def test_bpe_classic_hand_example(spark):
+    """Sennrich et al.'s low/lower/newest/widest corpus: 'es' ('e','s')
+    then ('es','t') then ('est','</w>') are the famous first merges."""
+    d = _corpus(spark, [
+        "low low low low low",
+        "lower lower",
+        "newest newest newest newest newest newest",
+        "widest widest widest",
+    ])
+    merges = bpe_train(d, n_merges=3)
+    assert merges == [("e", "s"), ("es", "t"), ("est", EOW)]
+    # a trained word encodes to its training-time symbols
+    assert encode_word("newest", merges) == ("n", "e", "w", "est</w>")
+    assert encode_word("widest", merges) == ("w", "i", "d", "est</w>")
+
+
+def test_bpe_train_deterministic_and_tie_break(spark):
+    """Same corpus → same merges on rerun; equal-count pairs resolve to
+    the lexicographically smallest pair."""
+    d = _corpus(spark, ["ab cd ab cd"])  # ('a','b') and ('c','d') tie (2 each,
+    # as do ('b', EOW) and ('d', EOW)) — smallest pair must win round 1
+    m1 = bpe_train(d, n_merges=1)
+    m2 = bpe_train(d, n_merges=1)
+    assert m1 == m2 == [("a", "b")]
+
+
+def test_bpe_first_merge_matches_oracled_query(spark):
+    """bpe_train's first merge IS the rk=1 row of the oracled pair-count
+    query — the loop and the SQL-checked statistic agree."""
+    from modeltracking_spark.queries import load_registries
+    from tests.conftest import SF001
+
+    qs, _ = load_registries()
+    top = qs["bpe_first_merge_pairs"](spark, SF001).where("rk = 1").first()
+    d = spark.read.parquet(f"{SF001}/documents.parquet")
+    merges = bpe_train(d, n_merges=1)
+    assert merges[0] == (top["a"], top["b"])
+
+
+def test_bpe_encode_compresses_and_counts(spark):
+    """More merges never increase token counts, and n_bpe_tokens equals
+    the sum of per-word encode lengths."""
+    rows = ["the merge the merge merge", "the unseen word"]
+    d = _corpus(spark, rows)
+    m5 = bpe_train(d, n_merges=5)
+    m0: list = []
+    got5 = {r["doc_id"]: r for r in bpe_encode(d, m5).collect()}
+    got0 = {r["doc_id"]: r for r in bpe_encode(d, m0).collect()}
+    for i, text in enumerate(rows):
+        words = text.split(" ")
+        assert got5[i]["n_words"] == len(words)
+        assert got5[i]["n_bpe_tokens"] == sum(
+            len(encode_word(w, m5)) for w in words
+        )
+        assert got5[i]["n_bpe_tokens"] <= got0[i]["n_bpe_tokens"]
