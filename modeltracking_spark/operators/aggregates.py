@@ -112,3 +112,46 @@ def linear_fit(
         F.count(F.lit(1)).alias("n"),
     ]
     return df.groupBy(*group_cols).agg(*aggs) if group_cols else df.agg(*aggs)
+
+
+def exact_median_grouped(
+    df, group_col: str, value_col: str, out_col: str = "median"
+):
+    """Exact per-group integer median via a GROUPED_AGG pandas UDF —
+    the one Arrow UDF eval type the engine didn't exercise (scalar
+    pandas UDFs, mapInPandas, applyInPandas, and applyInPandasWithState
+    all appear elsewhere). Median of an even-sized group is the FLOOR
+    of the midpoint mean, so the result stays integer-exact and
+    oracle-replayable (engine median() functions disagree on the .5
+    case; this definition never produces one).
+
+    Scale note: a grouped-agg UDF ships each group's full value array
+    to Python — fine for bounded groups (per-flag, per-day); for exact
+    medians of corpus-sized groups prefer the two-pass rank arithmetic
+    the oracle uses. That trade-off is exactly why this op exists as
+    the UDF-surface demo rather than the default quantile path
+    (length-distribution profiling uses built-in percentile).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def _median(v: pd.Series) -> int:
+        import numpy as np
+
+        a = np.sort(v.to_numpy(dtype="int64"))
+        n = len(a)
+        return int((int(a[(n - 1) // 2]) + int(a[n // 2])) // 2)
+
+    def _count(v: pd.Series) -> int:
+        return int(len(v))
+
+    _median.__annotations__ = {"v": pd.Series, "return": int}
+    _count.__annotations__ = {"v": pd.Series, "return": int}
+    udf = F.pandas_udf(_median, "long")
+    # Spark rejects mixing a GROUPED_AGG pandas UDF with built-in
+    # aggregates in one agg(); the count rides as a second pandas UDF
+    cnt = F.pandas_udf(_count, "long")
+    return df.groupBy(group_col).agg(
+        udf(F.col(value_col)).alias(out_col),
+        cnt(F.col(value_col)).alias("n_rows"),
+    )

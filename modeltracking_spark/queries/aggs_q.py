@@ -168,3 +168,116 @@ def argmin_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by(F.col("o_orderkey"), pair).alias("cheapest_orderkey"),
         F.min_by(cents("o_totalprice"), pair).alias("price_cents"),
     )
+
+
+@query(
+    "grouped_agg_median_prices",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag AS flag,
+             round(l_extendedprice * 100)::BIGINT AS cents
+      FROM lineitem
+    ),
+    r AS (
+      SELECT flag, cents,
+             row_number() OVER (PARTITION BY flag
+                                ORDER BY cents, cents) AS rn,
+             count(*) OVER (PARTITION BY flag) AS n
+      FROM v
+    )
+    SELECT flag,
+           (sum(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2
+                     THEN cents END)
+            // count(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2
+                          THEN 1 END))::BIGINT AS median,
+           count(*)::BIGINT AS n_rows
+    FROM r
+    GROUP BY flag
+    """,
+)
+def grouped_agg_median_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-returnflag median price (integer cents) through a
+    GROUPED_AGG pandas UDF — completing the Arrow UDF surface (scalar /
+    mapInPandas / applyInPandas / WithState are covered elsewhere). The
+    even-group median is the floored midpoint mean, so the value is
+    integer-exact; the oracle replays it with two-pass rank arithmetic
+    (the formulation that scales past UDF-sized groups — the trade-off
+    is documented on the operator)."""
+    from modeltracking_spark.operators.aggregates import exact_median_grouped
+
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"), cents("l_extendedprice").alias("cents")
+    )
+    return exact_median_grouped(li, "flag", "cents")
+
+
+@query(
+    "profile_columns_lineitem",
+    oracle="""
+    SELECT 'l_quantity' AS col_name,
+           count(l_quantity)::BIGINT AS n_filled,
+           count(DISTINCT l_quantity)::BIGINT AS n_distinct,
+           min(l_quantity)::BIGINT::VARCHAR AS min_s,
+           max(l_quantity)::BIGINT::VARCHAR AS max_s
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice_cents',
+           count(l_extendedprice)::BIGINT,
+           count(DISTINCT round(l_extendedprice * 100)::BIGINT)::BIGINT,
+           min(round(l_extendedprice * 100)::BIGINT)::VARCHAR,
+           max(round(l_extendedprice * 100)::BIGINT)::VARCHAR
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag',
+           count(l_returnflag)::BIGINT,
+           count(DISTINCT l_returnflag)::BIGINT,
+           min(l_returnflag),
+           max(l_returnflag)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate',
+           count(l_shipdate)::BIGINT,
+           count(DISTINCT l_shipdate)::BIGINT,
+           min(l_shipdate)::VARCHAR,
+           max(l_shipdate)::VARCHAR
+    FROM lineitem
+    """,
+)
+def profile_columns_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling (the engine-side ``df.summary()``): per-column
+    filled-count / exact distinct / min / max for a mixed-type column
+    set, computed in ONE aggregate pass (all 16 measures in a single
+    agg — one scan, one shuffle) and unpivoted to long form with
+    ``stack``. Numeric extremes render through exact integers (cents /
+    bigint) because double→string shortest-decimal and scientific-
+    notation thresholds differ across engines — the same rule the rest
+    of the repo applies to double SUMS, applied here to RENDERING."""
+    li = T(spark, sf_dir, "lineitem")
+    price_c = cents("l_extendedprice")
+    qty_i = F.col("l_quantity").cast("long")
+    row = li.agg(
+        F.count("l_quantity").alias("q_n"),
+        F.count_distinct("l_quantity").alias("q_d"),
+        F.min(qty_i).cast("string").alias("q_min"),
+        F.max(qty_i).cast("string").alias("q_max"),
+        F.count("l_extendedprice").alias("p_n"),
+        F.count_distinct(price_c).alias("p_d"),
+        F.min(price_c).cast("string").alias("p_min"),
+        F.max(price_c).cast("string").alias("p_max"),
+        F.count("l_returnflag").alias("r_n"),
+        F.count_distinct("l_returnflag").alias("r_d"),
+        F.min("l_returnflag").alias("r_min"),
+        F.max("l_returnflag").alias("r_max"),
+        F.count("l_shipdate").alias("s_n"),
+        F.count_distinct("l_shipdate").alias("s_d"),
+        F.min("l_shipdate").cast("string").alias("s_min"),
+        F.max("l_shipdate").cast("string").alias("s_max"),
+    )
+    return row.selectExpr(
+        "stack(4, "
+        "'l_quantity', q_n, q_d, q_min, q_max, "
+        "'l_extendedprice_cents', p_n, p_d, p_min, p_max, "
+        "'l_returnflag', r_n, r_d, r_min, r_max, "
+        "'l_shipdate', s_n, s_d, s_min, s_max"
+        ") AS (col_name, n_filled, n_distinct, min_s, max_s)"
+    )

@@ -73,3 +73,16 @@ def test_gopher_rules_bitmask_and_keep(spark):
     assert got[2]["fail_mask"] == 8 and not got[2]["keep"]
     assert got[3]["fail_mask"] == 1 + 4 and not got[3]["keep"]
     assert got[4]["fail_mask"] == 16 and not got[4]["keep"]
+
+
+def test_exact_median_grouped_even_and_odd(spark):
+    """Odd group -> middle value; even group -> floored midpoint mean
+    (never a .5); matches the documented integer-exact definition."""
+    from modeltracking_spark.operators.aggregates import exact_median_grouped
+
+    rows = [("a", 1), ("a", 9), ("a", 5),            # odd: median 5
+            ("b", 2), ("b", 3), ("b", 10), ("b", 11)]  # even: (3+10)//2 = 6
+    d = spark.createDataFrame(rows, "g string, v long")
+    got = {r["g"]: r for r in exact_median_grouped(d, "g", "v").collect()}
+    assert (got["a"]["median"], got["a"]["n_rows"]) == (5, 3)
+    assert (got["b"]["median"], got["b"]["n_rows"]) == (6, 4)
