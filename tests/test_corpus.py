@@ -267,3 +267,47 @@ def test_bigram_logprob_single_token_doc_emits_no_row(spark):
     d = spark.createDataFrame([(1, "solo"), (2, "a b")], "doc_id long, text string")
     got = {r["doc_id"] for r in bigram_logprob(d).collect()}
     assert got == {2}  # no pairs -> no row, never a crash or descending sequence
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    data=st.lists(
+        st.lists(st.integers(min_value=0, max_value=5), min_size=1, max_size=6),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_segment_dedup_rewrite_matches_python_reference(spark, data):
+    """Random corpora of segment-id sequences (each id renders as a
+    4-char block, so segments align exactly): Spark's keep-first
+    rewrite must equal the obvious sequential python fold."""
+    import hashlib
+
+    from modeltracking_spark.operators.corpus import segment_dedup_rewrite
+
+    texts = ["".join(f"s{i:03d}" for i in seq) for seq in data]
+    rows = [(d, t) for d, t in enumerate(texts)]
+    seen: set[str] = set()
+    want = {}
+    for d, seq in enumerate(data):
+        kept = []
+        for sid in seq:
+            block = f"s{sid:03d}"
+            if block not in seen:
+                seen.add(block)
+                kept.append(block)
+        text = "".join(kept)
+        want[d] = (
+            len(seq), len(kept), len(text),
+            hashlib.md5(text.encode()).hexdigest(),
+        )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_segs"], r["n_kept"], r["kept_chars"], r["dedup_md5"])
+        for r in segment_dedup_rewrite(df, size=4).collect()
+    }
+    assert got == want

@@ -76,3 +76,26 @@ def test_pagerank_iteration_count_is_exact(spark):
     edges = [(0, 1), (1, 0)]
     got = _run(spark, edges, [0, 1], n_iter=0)
     assert all(r["pr_e12"] == SCALE // 2 for r in got.values())
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    ),
+    n_iter=st.integers(min_value=1, max_value=3),
+)
+def test_pagerank_matches_reference_on_random_graphs(spark, edges, n_iter):
+    """Random digraphs (self-loops, dangling nodes, multi-in-degree):
+    the Spark fixed-point scores must equal the python replay exactly."""
+    nodes = sorted({v for e in edges for v in e})
+    got = _run(spark, edges, nodes, n_iter=n_iter)
+    want = _reference_pagerank(edges, nodes, n_iter=n_iter)
+    assert {v: r["pr_e12"] for v, r in got.items()} == want
