@@ -673,3 +673,104 @@ def sample_frames(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col, payload_col).mapInPandas(
         expand, schema=FRAME_SAMPLE_SCHEMA
     )
+
+
+#: output schema of the real image resize stage
+RESIZE_STATS_SCHEMA = (
+    "doc_id bigint, src_w int, src_h int, out_w int, out_h int, "
+    "pixel_sum bigint"
+)
+
+
+def resize_image_features(df: DataFrame, out_w: int, out_h: int,
+                          id_col: str = "doc_id",
+                          payload_col: str = "payload") -> DataFrame:
+    """REAL image resize (nearest neighbor) over decoded BMP payloads —
+    the transform stage of an image pipeline (decode → resize →
+    featurize), Arrow-batched, no driver collect. Nearest-neighbor uses
+    the floor index map ``src = out_idx * src_dim // out_dim`` (pure
+    integers, so the oracle can replay WHICH source pixel each output
+    pixel takes and therefore the exact resized pixel sum). Non-BMP
+    payloads raise at the PIL plug-in point."""
+
+    def extract(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "src_w", "src_h", "out_w", "out_h", "pixel_sum",
+            )}
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload)
+                if not data.startswith(b"BM"):
+                    raise NotImplementedError(
+                        "real resize beyond uncompressed BMP requires PIL; "
+                        "not in container"
+                    )
+                img = decode_bmp(data)
+                h, w = img.shape[:2]
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                resized = img[ys][:, xs]
+                rows["doc_id"].append(int(did))
+                rows["src_w"].append(w)
+                rows["src_h"].append(h)
+                rows["out_w"].append(out_w)
+                rows["out_h"].append(out_h)
+                rows["pixel_sum"].append(int(resized.sum(dtype=np.int64)))
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        extract, schema=RESIZE_STATS_SCHEMA
+    )
+
+
+#: output schema of the real audio decimation stage
+DECIMATE_STATS_SCHEMA = (
+    "doc_id bigint, sample_rate int, out_rate int, n_frames bigint, "
+    "n_out_frames bigint, amp_sum bigint"
+)
+
+
+def decimate_audio_stats(df: DataFrame, factor: int,
+                         id_col: str = "doc_id",
+                         payload_col: str = "payload") -> DataFrame:
+    """REAL audio downsampling by integer decimation (keep every
+    ``factor``-th frame, starting at frame 0) over decoded PCM16 WAV —
+    the rate-reduction stage of an audio pipeline. Plain decimation
+    (no anti-alias filter: that is a DSP-library concern at the ffmpeg
+    plug-in point); frame selection is pure index arithmetic, so the
+    oracle replays the kept frames' exact sample sum. Output rate is
+    ``sample_rate // factor``."""
+
+    def extract(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "sample_rate", "out_rate", "n_frames",
+                "n_out_frames", "amp_sum",
+            )}
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload)
+                head = data[:12]
+                if not (head[:4] == b"RIFF" and head[8:12] == b"WAVE"):
+                    raise NotImplementedError(
+                        "real decimation beyond PCM16 WAV requires ffmpeg; "
+                        "not in container"
+                    )
+                rate, frames = decode_wav(data)
+                out = frames[::factor]
+                rows["doc_id"].append(int(did))
+                rows["sample_rate"].append(rate)
+                rows["out_rate"].append(rate // factor)
+                rows["n_frames"].append(frames.shape[0])
+                rows["n_out_frames"].append(out.shape[0])
+                rows["amp_sum"].append(int(out.sum(dtype=np.int64)))
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        extract, schema=DECIMATE_STATS_SCHEMA
+    )

@@ -241,3 +241,75 @@ def frame_sample_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     frames = sample_frames(d, every_ms=1000, fake=True)
     return frames.join(F.broadcast(meta), "doc_id")
+
+
+@query(
+    "bmp_resize_stats_docs",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, (doc_id % 16 + 4)::INTEGER AS w,
+             (doc_id % 12 + 4)::INTEGER AS h
+      FROM documents
+    )
+    SELECT d.doc_id, d.w AS src_w, d.h AS src_h,
+           8::INTEGER AS out_w, 6::INTEGER AS out_h,
+           sum(((x.i * d.w // 8) * 7 + (y.i * d.h // 6) * 11 + d.doc_id) % 256
+               + ((x.i * d.w // 8) * 5 + (y.i * d.h // 6) * 3 + d.doc_id * 2) % 256
+               + ((x.i * d.w // 8) + (y.i * d.h // 6) + d.doc_id) % 256
+           )::BIGINT AS pixel_sum
+    FROM dims d, range(8) x(i), range(6) y(i)
+    GROUP BY 1, 2, 3
+    """,
+)
+def bmp_resize_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize: the formula BMPs decode, then downscale to
+    8x6 by nearest neighbor with the integer floor index map
+    ``src = out_idx * src_dim // out_dim`` — so the oracle can replay
+    exactly WHICH source pixel each output pixel takes and therefore
+    the exact resized pixel sum (any off-by-one in the index map or a
+    row/column transpose shifts it). This is the transform stage of the
+    image pipeline (decode → resize → featurize); compressed formats
+    still raise at the PIL plug-in point."""
+    from modeltracking_spark.operators.multimodal import (
+        attach_bmp_payload,
+        resize_image_features,
+    )
+
+    d = attach_bmp_payload(T(spark, sf_dir, "documents"))
+    return resize_image_features(d, out_w=8, out_h=6)
+
+
+@query(
+    "wav_decimate_stats_docs",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, (doc_id % 500 + 100)::BIGINT AS n,
+             (doc_id % 2 + 1)::INTEGER AS ch
+      FROM documents
+    )
+    SELECT d.doc_id,
+           8000::INTEGER AS sample_rate,
+           2666::INTEGER AS out_rate,
+           d.n AS n_frames,
+           ((d.n + 2) // 3)::BIGINT AS n_out_frames,
+           sum((d.doc_id * 31 + i.i * 7 + c.i * 13) % 4096 - 2048)::BIGINT
+             AS amp_sum
+    FROM dims d, range(600) i(i), range(2) c(i)
+    WHERE i.i < d.n AND c.i < d.ch AND i.i % 3 = 0
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+)
+def wav_decimate_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio downsampling: the formula WAVs decode, then decimate
+    by 3 (keep frames 0, 3, 6, …) — output rate 8000//3 = 2666 Hz,
+    kept-frame count (n+2)//3, and the oracle replays the kept frames'
+    exact sample sum (any phase error in the frame selection shifts
+    it). Plain decimation; an anti-alias filter is the DSP-library
+    concern at the ffmpeg plug-in point."""
+    from modeltracking_spark.operators.multimodal import (
+        attach_wav_payload,
+        decimate_audio_stats,
+    )
+
+    d = attach_wav_payload(T(spark, sf_dir, "documents"))
+    return decimate_audio_stats(d, factor=3)

@@ -343,3 +343,41 @@ def test_real_frame_sampling_exact_at_tick_boundaries(spark):
             for r in sample_frames(d, every_ms=1000, fake=False).collect()}
     # duration = 19 frames * 1000/15 = 1266 ms -> ticks at 0 and 1000
     assert rows == {0: 0, 1000: 15}
+
+
+def test_resize_nearest_neighbor_matches_numpy(spark):
+    from modeltracking_spark.operators.multimodal import (
+        attach_bmp_payload,
+        resize_image_features,
+    )
+
+    d = attach_bmp_payload(_docs(spark))
+    rows = {r["doc_id"]: r for r in resize_image_features(d, 8, 6).collect()}
+    for did, r in rows.items():
+        w, h = did % 16 + 4, did % 12 + 4
+        assert (r["src_w"], r["src_h"], r["out_w"], r["out_h"]) == (w, h, 8, 6)
+        y, x = np.mgrid[0:h, 0:w]
+        img = np.stack([
+            (x * 7 + y * 11 + did) % 256,
+            (x * 5 + y * 3 + did * 2) % 256,
+            (x + y + did) % 256,
+        ], axis=2)
+        ys, xs = (np.arange(6) * h) // 6, (np.arange(8) * w) // 8
+        assert r["pixel_sum"] == int(img[ys][:, xs].sum())
+
+
+def test_decimate_keeps_every_kth_frame(spark):
+    from modeltracking_spark.operators.multimodal import (
+        attach_wav_payload,
+        decimate_audio_stats,
+    )
+
+    d = attach_wav_payload(_docs(spark))
+    rows = {r["doc_id"]: r for r in decimate_audio_stats(d, factor=3).collect()}
+    for did, r in rows.items():
+        n, ch = did % 500 + 100, did % 2 + 1
+        assert (r["sample_rate"], r["out_rate"]) == (8000, 2666)
+        assert (r["n_frames"], r["n_out_frames"]) == (n, (n + 2) // 3)
+        i, c = np.mgrid[0:n, 0:ch]
+        samples = (did * 31 + i * 7 + c * 13) % 4096 - 2048
+        assert r["amp_sum"] == int(samples[::3].sum())
