@@ -355,3 +355,26 @@ def gopher_rules(df: DataFrame, id_col: str = "doc_id",
         mask.alias("fail_mask"),
         keep.alias("keep"),
     )
+
+
+def html_extract_main_text(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """HTML → main-text extraction (the boilerplate-removal stage every
+    web-corpus ingest runs — the trafilatura/jusText job, reduced to
+    its relational core): isolate the content container, strip the
+    remaining tags, and normalize whitespace — chrome (nav, footer,
+    head) never reaches the output. All JVM regex (Java∩RE2 patterns,
+    the pii_scrub discipline) so the pass is a pure shuffle-free
+    projection and every step replays in the oracle engine.
+
+    Adds: ``title`` (the <title> text), ``main_text`` (content with
+    tags stripped, whitespace-normalized), ``main_chars``."""
+    h = F.col(html_col)
+    title = F.regexp_extract(h, "<title>(.*?)</title>", 1)
+    content = F.regexp_extract(h, '<div class="content">(.*?)</div>', 1)
+    stripped = F.regexp_replace(content, "<[^>]*>", " ")
+    main = F.trim(F.regexp_replace(stripped, "\\s+", " "))
+    return (
+        df.withColumn("title", title)
+        .withColumn("main_text", main)
+        .withColumn("main_chars", F.length("main_text").cast("long"))
+    )

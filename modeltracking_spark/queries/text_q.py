@@ -662,3 +662,43 @@ def bpe_first_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 20)
         .select("a", "b", "cnt", "rk")
     )
+
+
+@query(
+    "html_extract_main_text",
+    oracle="""
+    SELECT doc_id,
+           'Doc ' || doc_id AS title,
+           md5(text) AS main_md5,
+           length(text)::BIGINT AS main_chars
+    FROM documents
+    """,
+)
+def html_extract_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-ingest boilerplate removal, attested as an exact inverse:
+    each doc is wrapped into a full HTML page (head/title, nav chrome,
+    a content div, footer — built with JVM string concat, no UDF), then
+    ``html_extract_main_text`` recovers the main text by container
+    isolation + tag stripping + whitespace normalization. The oracle
+    states the recovered text IS the original (md5 + length straight
+    off the documents view), so the extraction provably drops every
+    byte of chrome and none of the content. Shuffle-free projection
+    end to end."""
+    from modeltracking_spark.operators.textops import (
+        html_extract_main_text as _extract,
+    )
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), F.col("doc_id"),
+        F.lit("</title></head><body><nav>home about contact</nav>"
+              '<div class="content"><p>'),
+        F.col("text"),
+        F.lit("</p></div><footer>(c) example site</footer></body></html>"),
+    )
+    out = _extract(d.withColumn("html", html))
+    return out.select(
+        "doc_id", "title",
+        F.md5("main_text").alias("main_md5"),
+        F.col("main_chars"),
+    )

@@ -86,3 +86,24 @@ def test_exact_median_grouped_even_and_odd(spark):
     got = {r["g"]: r for r in exact_median_grouped(d, "g", "v").collect()}
     assert (got["a"]["median"], got["a"]["n_rows"]) == (5, 3)
     assert (got["b"]["median"], got["b"]["n_rows"]) == (6, 4)
+
+
+def test_html_extract_drops_chrome_and_strips_tags(spark):
+    """Boilerplate (head/nav/footer) must never leak into main_text;
+    nested tags inside the content strip to whitespace-normalized text."""
+    from modeltracking_spark.operators.textops import html_extract_main_text
+
+    html = (
+        "<html><head><title>My Page</title></head><body>"
+        "<nav>home about</nav>"
+        '<div class="content"><p>hello <b>bold</b> world</p>'
+        "<p>second  para</p></div>"
+        "<footer>(c) chrome</footer></body></html>"
+    )
+    d = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    (r,) = html_extract_main_text(d).collect()
+    assert r["title"] == "My Page"
+    assert r["main_text"] == "hello bold world second para"
+    assert r["main_chars"] == len("hello bold world second para")
+    for chrome in ("home", "about", "chrome", "(c)", "My Page"):
+        assert chrome not in r["main_text"]
