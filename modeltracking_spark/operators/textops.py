@@ -378,3 +378,43 @@ def html_extract_main_text(df: DataFrame, html_col: str = "html") -> DataFrame:
         .withColumn("main_text", main)
         .withColumn("main_chars", F.length("main_text").cast("long"))
     )
+
+
+#: query parameters dropped during URL canonicalization (tracking junk)
+URL_TRACKING_PARAMS = ("utm_", "fbclid", "gclid")
+
+
+def canonicalize_url(url_col: str = "url") -> Column:
+    """URL canonicalization — the normalize-before-dedup step of web
+    curation (without it, the same page survives as dozens of tracking
+    variants): lowercase scheme and host, strip default ports (:80 for
+    http, :443 for https), drop the fragment, remove tracking query
+    params (utm_*, fbclid, gclid), and SORT the surviving params so
+    param order never splits a dedup key. Pure column expressions
+    (regexp groups + split/filter/sort/rejoin), shuffle-free, and every
+    step has a DuckDB list-function twin."""
+    u = F.col(url_col) if isinstance(url_col, str) else url_col
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(u, r"^[^:/]+://([^/:?#]+)", 1))
+    port = F.regexp_extract(u, r"^[^:/]+://[^/:?#]+:(\d+)", 1)
+    path = F.regexp_extract(u, r"^[^:/]+://[^/?#]+([^?#]*)", 1)
+    qs = F.regexp_extract(u, r"\?([^#]*)", 1)
+    keep = F.filter(
+        F.split(qs, "&"),
+        lambda p: (p != F.lit(""))
+        & ~p.startswith("utm_")
+        & ~p.startswith("fbclid")
+        & ~p.startswith("gclid"),
+    )
+    canon_q = F.concat_ws("&", F.array_sort(keep))
+    default = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    port_part = F.when(
+        (port == "") | default, F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+    path_part = F.when(path == "", F.lit("/")).otherwise(path)
+    return F.concat(
+        scheme, F.lit("://"), host, port_part, path_part,
+        F.when(canon_q == "", F.lit("")).otherwise(F.concat(F.lit("?"), canon_q)),
+    )

@@ -702,3 +702,72 @@ def html_extract_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("main_text").alias("main_md5"),
         F.col("main_chars"),
     )
+
+
+@query(
+    "url_canonicalize_docs",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'HTTP://Site' || (doc_id % 5) || '.Example.COM'
+             || CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':8080' END
+             || '/p' || (doc_id % 7)
+             || '?b=' || (doc_id % 3) || '&utm_source=feed&a=1&gclid=xyz'
+             || '#frag' AS url
+      FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+               AS scheme,
+             lower(regexp_extract(url, '^[^:/]+://([^/:?#]+)', 1)) AS host,
+             regexp_extract(url, '^[^:/]+://[^/:?#]+:([0-9]+)', 1) AS port,
+             regexp_extract(url, '^[^:/]+://[^/?#]+([^?#]*)', 1) AS path,
+             regexp_extract(url, '\\?([^#]*)', 1) AS qs
+      FROM u
+    ),
+    canon AS (
+      SELECT doc_id,
+             scheme || '://' || host
+             || CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                       OR (scheme = 'https' AND port = '443')
+                     THEN '' ELSE ':' || port END
+             || CASE WHEN path = '' THEN '/' ELSE path END
+             || CASE WHEN q = '' THEN '' ELSE '?' || q END AS canon_url
+      FROM (
+        SELECT *,
+               list_aggregate(
+                 list_sort(list_filter(string_split(qs, '&'),
+                   p -> p <> '' AND NOT starts_with(p, 'utm_')
+                        AND NOT starts_with(p, 'fbclid')
+                        AND NOT starts_with(p, 'gclid'))),
+                 'string_agg', '&') AS q
+        FROM parts
+      )
+    )
+    SELECT doc_id, coalesce(canon_url, '') AS canon_url FROM canon
+    """,
+)
+def url_canonicalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — normalize-before-dedup for web corpora:
+    formula-generated messy URLs (uppercase scheme/host, default and
+    non-default ports, tracking params, fragments) canonicalize to
+    lowercase host, stripped default port, dropped fragment, tracking
+    params removed, surviving params SORTED. The oracle replays every
+    step with DuckDB's list functions, so the full parse → filter →
+    sort → rebuild chain is attested string-for-string. Shuffle-free
+    projection; the canonical URL is the key URL-level exact dedup
+    would group on."""
+    from modeltracking_spark.operators.textops import canonicalize_url
+
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(
+        F.lit("HTTP://Site"), F.col("doc_id") % 5, F.lit(".Example.COM"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(":80")).otherwise(F.lit(":8080")),
+        F.lit("/p"), F.col("doc_id") % 7,
+        F.lit("?b="), F.col("doc_id") % 3,
+        F.lit("&utm_source=feed&a=1&gclid=xyz#frag"),
+    )
+    return d.withColumn("url", url).select(
+        "doc_id", canonicalize_url("url").alias("canon_url")
+    )

@@ -107,3 +107,23 @@ def test_html_extract_drops_chrome_and_strips_tags(spark):
     assert r["main_chars"] == len("hello bold world second para")
     for chrome in ("home", "about", "chrome", "(c)", "My Page"):
         assert chrome not in r["main_text"]
+
+
+def test_url_canonicalization_golden_cases(spark):
+    from modeltracking_spark.operators.textops import canonicalize_url
+
+    cases = [
+        # default port stripped, host lowered, fragment dropped, params sorted
+        ("HTTP://WWW.Ex.COM:80/a?z=1&a=2#frag", "http://www.ex.com/a?a=2&z=1"),
+        # https default port; tracking params removed entirely
+        ("https://Ex.com:443/p?utm_source=x&b=1&fbclid=f", "https://ex.com/p?b=1"),
+        # non-default port kept; empty path becomes /
+        ("http://ex.com:8080?a=1", "http://ex.com:8080/?a=1"),
+        # all params tracking -> no query string at all
+        ("http://ex.com/p?utm_a=1&gclid=2", "http://ex.com/p"),
+        ("https://ex.com", "https://ex.com/"),
+    ]
+    d = spark.createDataFrame(cases, "url string, want string")
+    rows = d.select("want", canonicalize_url("url").alias("got")).collect()
+    for r in rows:
+        assert r["got"] == r["want"], (r["got"], r["want"])
