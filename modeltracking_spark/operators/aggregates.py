@@ -138,12 +138,16 @@ def exact_median_grouped(
     def _median(v: pd.Series) -> int:
         import numpy as np
 
-        a = np.sort(v.to_numpy(dtype="int64"))
+        # SQL aggregate semantics: NULLs (NaN after Arrow transfer) are
+        # skipped, and an all-NULL group yields NULL, not a crash
+        a = np.sort(v.dropna().to_numpy(dtype="int64"))
         n = len(a)
+        if n == 0:
+            return None
         return int((int(a[(n - 1) // 2]) + int(a[n // 2])) // 2)
 
     def _count(v: pd.Series) -> int:
-        return int(len(v))
+        return int(v.count())  # non-null count, like SQL count(col)
 
     _median.__annotations__ = {"v": pd.Series, "return": int}
     _count.__annotations__ = {"v": pd.Series, "return": int}

@@ -589,6 +589,12 @@ def bigram_logprob(
     pairs = d.select("doc_id", F.explode(pair_arr).alias("b")).select(
         "doc_id", "b.x", "b.y"
     )
+    # pairs feeds BOTH the LM counts and the final scored join, whose
+    # physical subplans differ (no exchange reuse) — materialize once so
+    # the tokenize+explode pass doesn't run twice over the corpus (the
+    # unigram side still re-tokenizes once: one narrow extra pass,
+    # cheaper than materializing the token grain a second time)
+    pairs = pairs.localCheckpoint(eager=False)
     c_xy = pairs.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
     c_x = c_xy.groupBy("x").agg(F.sum("c_xy").alias("c_x"))
     uni = (

@@ -366,11 +366,18 @@ def html_extract_main_text(df: DataFrame, html_col: str = "html") -> DataFrame:
     the pii_scrub discipline) so the pass is a pure shuffle-free
     projection and every step replays in the oracle engine.
 
+    Patterns run in DOTALL mode, so multi-line pages extract correctly.
+    CONTRACT: the content container must not nest further <div>s (the
+    non-greedy match stops at the first closing tag) — regex extraction
+    is inherently non-nesting, and nested-DOM pages are the plug-in
+    point for a real HTML parser (lxml/trafilatura), exactly like the
+    compressed-codec seams in the multimodal tier.
+
     Adds: ``title`` (the <title> text), ``main_text`` (content with
     tags stripped, whitespace-normalized), ``main_chars``."""
     h = F.col(html_col)
-    title = F.regexp_extract(h, "<title>(.*?)</title>", 1)
-    content = F.regexp_extract(h, '<div class="content">(.*?)</div>', 1)
+    title = F.regexp_extract(h, "(?s)<title>(.*?)</title>", 1)
+    content = F.regexp_extract(h, '(?s)<div class="content">(.*?)</div>', 1)
     stripped = F.regexp_replace(content, "<[^>]*>", " ")
     main = F.trim(F.regexp_replace(stripped, "\\s+", " "))
     return (
@@ -398,14 +405,17 @@ def canonicalize_url(url_col: str = "url") -> Column:
     host = F.lower(F.regexp_extract(u, r"^[^:/]+://([^/:?#]+)", 1))
     port = F.regexp_extract(u, r"^[^:/]+://[^/:?#]+:(\d+)", 1)
     path = F.regexp_extract(u, r"^[^:/]+://[^/?#]+([^?#]*)", 1)
-    qs = F.regexp_extract(u, r"\?([^#]*)", 1)
-    keep = F.filter(
-        F.split(qs, "&"),
-        lambda p: (p != F.lit(""))
-        & ~p.startswith("utm_")
-        & ~p.startswith("fbclid")
-        & ~p.startswith("gclid"),
-    )
+    # anchored before any '#': a '?' inside the fragment must NOT be
+    # mistaken for a query string (fragments are dropped wholesale)
+    qs = F.regexp_extract(u, r"^[^#]*?\?([^#]*)", 1)
+
+    def _keep(p):
+        cond = p != F.lit("")
+        for t in URL_TRACKING_PARAMS:
+            cond = cond & ~p.startswith(t)
+        return cond
+
+    keep = F.filter(F.split(qs, "&"), _keep)
     canon_q = F.concat_ws("&", F.array_sort(keep))
     default = ((scheme == "http") & (port == "80")) | (
         (scheme == "https") & (port == "443")
@@ -414,7 +424,11 @@ def canonicalize_url(url_col: str = "url") -> Column:
         (port == "") | default, F.lit("")
     ).otherwise(F.concat(F.lit(":"), port))
     path_part = F.when(path == "", F.lit("/")).otherwise(path)
-    return F.concat(
+    canon = F.concat(
         scheme, F.lit("://"), host, port_part, path_part,
         F.when(canon_q == "", F.lit("")).otherwise(F.concat(F.lit("?"), canon_q)),
     )
+    # scheme-less/relative inputs would collapse onto shared ':///...'
+    # junk keys (merging DISTINCT pages in a downstream dedup) — pass
+    # them through unchanged instead
+    return F.when(host == "", u).otherwise(canon)

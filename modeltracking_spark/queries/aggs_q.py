@@ -180,8 +180,7 @@ def argmin_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     r AS (
       SELECT flag, cents,
-             row_number() OVER (PARTITION BY flag
-                                ORDER BY cents, cents) AS rn,
+             row_number() OVER (PARTITION BY flag ORDER BY cents) AS rn,
              count(*) OVER (PARTITION BY flag) AS n
       FROM v
     )

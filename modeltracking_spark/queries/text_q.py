@@ -723,7 +723,7 @@ def html_extract_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
              lower(regexp_extract(url, '^[^:/]+://([^/:?#]+)', 1)) AS host,
              regexp_extract(url, '^[^:/]+://[^/:?#]+:([0-9]+)', 1) AS port,
              regexp_extract(url, '^[^:/]+://[^/?#]+([^?#]*)', 1) AS path,
-             regexp_extract(url, '\\?([^#]*)', 1) AS qs
+             regexp_extract(url, '^[^#]*?\\?([^#]*)', 1) AS qs
       FROM u
     ),
     canon AS (

@@ -127,3 +127,48 @@ def test_url_canonicalization_golden_cases(spark):
     rows = d.select("want", canonicalize_url("url").alias("got")).collect()
     for r in rows:
         assert r["got"] == r["want"], (r["got"], r["want"])
+
+
+def test_url_canonicalization_fragment_and_schemeless_edges(spark):
+    """Review regressions: a '?' inside the fragment is NOT a query
+    string, and scheme-less inputs pass through unchanged instead of
+    collapsing onto shared junk keys."""
+    from modeltracking_spark.operators.textops import canonicalize_url
+
+    cases = [
+        ("http://ex.com/p#sec?x=1", "http://ex.com/p"),
+        ("example.com/a?x=1", "example.com/a?x=1"),
+        ("other.org/b?x=1", "other.org/b?x=1"),
+    ]
+    d = spark.createDataFrame(cases, "url string, want string")
+    for r in d.select("want", canonicalize_url("url").alias("got")).collect():
+        assert r["got"] == r["want"], (r["got"], r["want"])
+
+
+def test_html_extract_multiline_content(spark):
+    """Review regression: real pages are multi-line — DOTALL matching
+    must extract across newlines instead of silently emptying docs."""
+    from modeltracking_spark.operators.textops import html_extract_main_text
+
+    html = (
+        "<html><head><title>Two\nLines</title></head><body>\n"
+        '<div class="content"><p>line one\nline two</p>\n</div>\n'
+        "<footer>x</footer></body></html>"
+    )
+    d = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    (r,) = html_extract_main_text(d).collect()
+    assert r["main_text"] == "line one line two"
+    assert r["title"] == "Two\nLines"
+
+
+def test_exact_median_grouped_skips_nulls(spark):
+    """Review regression: NULL values follow SQL aggregate semantics —
+    skipped from the median, excluded from n_rows, all-NULL group
+    yields NULL instead of crashing the worker."""
+    from modeltracking_spark.operators.aggregates import exact_median_grouped
+
+    rows = [("a", 1), ("a", None), ("a", 3), ("b", None)]
+    d = spark.createDataFrame(rows, "g string, v long")
+    got = {r["g"]: r for r in exact_median_grouped(d, "g", "v").collect()}
+    assert (got["a"]["median"], got["a"]["n_rows"]) == (2, 2)
+    assert got["b"]["median"] is None and got["b"]["n_rows"] == 0
