@@ -42,6 +42,17 @@ NOTES = {
     "pagerank_link_graph_docs": "per iteration: edges-scores join + dst aggregate, both hash-partitioned on node keys; node count and dangling mass broadcast",
     "pq_adc_topk_l2": "narrow encode pass; serve = codes posexplode + BROADCAST query LUT join + one (q,c) aggregate — JVM-side after encoding",
     "pq_refine_topk_l2": "ADC shortlist feeds a raw-vector join bounded to |q| x shortlist rows; exact re-rank is a JVM zip_with integer fold",
+    "gopher_rules_docs": "verdict + fail bitmask in one shuffle-free codegen projection",
+    "curation_pipeline_docs": "filter fused into scan side; segment-hash window + content-hash dedup both hash-partitioned; one summary aggregate",
+    "bigram_logprob_docs": "pair table checkpointed once for its two consumers; LM joined by hash join on (x,y), unigram/total sides broadcast",
+    "bpe_first_merge_pairs": "corpus-scale word count; ranking window on the alphabet^2-bounded pair table",
+    "grouped_agg_median_prices": "GROUPED_AGG Arrow UDF: one hash-partitioned exchange on the group key",
+    "profile_columns_lineitem": "16 measures in a single aggregate pass; stack unpivot after",
+    "bmp_resize_stats_docs": "narrow mapInPandas encode+decode+resize, shuffle-free",
+    "wav_decimate_stats_docs": "narrow mapInPandas encode+decode+decimate, shuffle-free",
+    "html_extract_main_text": "regex container isolation + tag strip in one codegen projection, zero exchanges",
+    "url_canonicalize_docs": "parse/filter/sort/rebuild as pure column expressions, shuffle-free",
+    "jsonl_roundtrip_scan": "json file scan with explicit schema (no inference pass); FAILFAST parse",
 }
 
 
