@@ -642,3 +642,100 @@ def incremental_dedup(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def incremental_neardup_matches(
+    delta: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup matches of a fresh DELTA against a mature CORPUS — the
+    daily-crawl twin of :func:`incremental_dedup` at NEAR-dup
+    granularity: candidates are generated only across the delta×corpus
+    boundary (the corpus never self-joins, and at production scale its
+    band-key and token-set tables are precomputed indexes — the scans
+    here are the bootstrap, exactly the ``incremental_dedup`` note).
+
+    Plan: per-side (id, sorted token-id set) tables; band keys via the
+    same transform/array_min permutations as the self-join path (no
+    explode shuffle); candidates from the (band, band_key) equi-join
+    with the DELTA side broadcast (the delta is the small side by
+    construction); exact-Jaccard verify via array_intersect with the
+    delta's token sets broadcast onto the corpus candidates. Emitted
+    matches use identical integer arithmetic to the self-join pipeline,
+    so the DuckDB oracle restricts the standard banded SQL to
+    cross-boundary pairs. Output: (delta_id, corpus_id, jaccard).
+    """
+    if n_hashes != bands * rows_per_band:
+        raise ValueError(
+            f"n_hashes ({n_hashes}) != bands*rows_per_band "
+            f"({bands}*{rows_per_band})"
+        )
+    p = F.lit(MINHASH_PRIME)
+
+    def _perm(i: int):
+        return lambda t: (F.lit(MINHASH_A[i]) * (t % p) + F.lit(MINHASH_B[i])) % p
+
+    def _sets(df: DataFrame) -> DataFrame:
+        dt = token_ids(df, id_col, text_col)
+        return dt.groupBy("id").agg(
+            F.array_sort(F.collect_list("token_id")).alias("toks")
+        )
+
+    def _bands(sets_df: DataFrame) -> DataFrame:
+        def key(b: int) -> F.Column:
+            sigs = [
+                F.array_min(F.transform("toks", _perm(i))).cast("string")
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ]
+            return F.xxhash64(F.concat_ws("_", *sigs))
+
+        return sets_df.select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(b).alias("band"), key(b).alias("band_key"))
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select("id", "bk.band", "bk.band_key")
+
+    d_sets = _sets(delta).localCheckpoint(eager=False)
+    c_sets = _sets(corpus)
+    cands = (
+        _bands(c_sets)
+        .join(
+            F.broadcast(
+                _bands(d_sets).select(
+                    F.col("id").alias("delta_id"), "band", "band_key"
+                )
+            ),
+            ["band", "band_key"],
+        )
+        .select("delta_id", F.col("id").alias("corpus_id"))
+        .distinct()
+    )
+    dv = d_sets.select(F.col("id").alias("delta_id"), F.col("toks").alias("d_toks"))
+    cv = c_sets.select(F.col("id").alias("corpus_id"), F.col("toks").alias("c_toks"))
+    verified = (
+        cands.join(F.broadcast(dv), "delta_id")
+        .join(cv, "corpus_id")
+        .withColumn("inter_n", F.size(F.array_intersect("d_toks", "c_toks")))
+        .withColumn(
+            "jaccard",
+            F.col("inter_n").cast("double")
+            / (
+                F.size("d_toks") + F.size("c_toks") - F.col("inter_n")
+            ).cast("double"),
+        )
+    )
+    return verified.where(F.col("jaccard") >= verify_threshold).select(
+        "delta_id", "corpus_id", "jaccard"
+    )

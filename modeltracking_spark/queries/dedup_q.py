@@ -422,3 +422,61 @@ def fixed_n_per_lang_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.withColumn("pick_rank", F.row_number().over(w).cast("long"))
         .where(F.col("pick_rank") <= 20)
     )
+
+
+@query(
+    "incremental_neardup_docs",
+    oracle=f"""
+    WITH {_IDS_SQL},
+    {_minhash_params_sql(16)},
+    sigs AS (
+      SELECT id, p.hash_idx,
+             min((p.a * (token_id % {MINHASH_PRIME}) + p.b) % {MINHASH_PRIME}) AS sig
+      FROM ids CROSS JOIN params p
+      GROUP BY 1, 2
+    ),
+    bands AS (
+      SELECT id, hash_idx // 4 AS band,
+             string_agg(sig::VARCHAR, '_' ORDER BY hash_idx) AS band_key
+      FROM sigs GROUP BY 1, 2
+    ),
+    cands AS (
+      SELECT DISTINCT a.id AS delta_id, b.id AS corpus_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND a.id % 10 = 7 AND b.id % 10 <> 7
+    ),
+    sizes AS (SELECT id, count(*) AS sz FROM ids GROUP BY 1),
+    inter AS (
+      SELECT c.delta_id, c.corpus_id, count(*) AS inter_n
+      FROM cands c
+      JOIN ids ta ON ta.id = c.delta_id
+      JOIN ids tb ON tb.id = c.corpus_id AND tb.token_id = ta.token_id
+      GROUP BY 1, 2
+    )
+    SELECT delta_id, corpus_id,
+           inter_n::DOUBLE / (sa.sz + sb.sz - inter_n)::DOUBLE AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = delta_id
+    JOIN sizes sb ON sb.id = corpus_id
+    WHERE inter_n::DOUBLE / (sa.sz + sb.sz - inter_n)::DOUBLE >= 0.5
+    """,
+)
+def incremental_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup: a fresh delta (docs with doc_id % 10 = 7 —
+    a scale-proportional 10% slice) matched against the mature corpus
+    (the rest) through MinHash bands — candidates cross the boundary
+    only, the corpus never self-joins, and the delta's band keys and
+    token sets broadcast. Same integer band arithmetic as
+    ``minhash_lsh_pairs``, so the oracle is the standard banded SQL
+    restricted to cross-boundary pairs. The pipelines drop (or route to
+    human review) delta docs matching the corpus at jaccard ≥ 0.5."""
+    from modeltracking_spark.operators.dedup import incremental_neardup_matches
+
+    d = T(spark, sf_dir, "documents")
+    delta = d.where(F.col("doc_id") % 10 == 7)
+    corpus = d.where(F.col("doc_id") % 10 != 7)
+    return incremental_neardup_matches(
+        delta, corpus, "doc_id", "text",
+        n_hashes=16, bands=4, rows_per_band=4, verify_threshold=0.5,
+    )

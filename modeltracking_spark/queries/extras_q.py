@@ -818,3 +818,48 @@ def jsonl_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("text_md5"),
         F.length("text").cast("long").alias("n_chars_rt"),
     )
+
+
+@query(
+    "orc_roundtrip_scan",
+    oracle="""
+    SELECT doc_id, lang, source,
+           md5(text) AS text_md5,
+           length(text)::BIGINT AS n_chars_rt
+    FROM documents
+    """,
+)
+def orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink → scan across a real file boundary — the second
+    columnar format (after parquet) a lakehouse ingest meets; Spark's
+    ORC support is built in and this attests it end to end with the
+    same exact-inverse oracle as the JSONL loop: each text's md5 and
+    length re-derived AFTER the roundtrip must equal the parquet view's
+    (string/dictionary encoding and the reader path byte-attested).
+    Fixture dir keyed by sf dir + this function's source, race-safe
+    rename, like the csv/jsonl/netCDF fixtures."""
+    import hashlib
+    import inspect
+    import os
+    import shutil
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    fp = hashlib.md5(
+        (sf_dir + inspect.getsource(orc_roundtrip_scan)).encode()
+    ).hexdigest()[:10]
+    out_dir = f"/tmp/modeltracking_docs_orc_{fp}"
+    if not os.path.isdir(out_dir):
+        tmp = f"{out_dir}.{os.getpid()}.tmp"
+        docs.write.mode("overwrite").orc(tmp)
+        try:
+            os.rename(tmp, out_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race; reuse winner
+    back = spark.read.schema(
+        "doc_id bigint, text string, lang string, source string"
+    ).orc(out_dir)
+    return back.select(
+        "doc_id", "lang", "source",
+        F.md5("text").alias("text_md5"),
+        F.length("text").cast("long").alias("n_chars_rt"),
+    )

@@ -106,3 +106,32 @@ def test_incremental_dedup_admits_only_fresh(spark):
     # plan: the anti join keys on the content hash, no cartesian
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan and "Cartesian" not in plan
+
+
+def test_incremental_neardup_planted_and_boundary_only(spark):
+    """A delta doc near-identical to a corpus doc must match; two
+    near-identical CORPUS docs must NOT pair (no corpus self-join);
+    exact copies score jaccard 1.0."""
+    from modeltracking_spark.operators.dedup import incremental_neardup_matches
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " lambda"),      # near-dup of 1 INSIDE the corpus
+            (3, "totally different words here nothing shared at all"),
+        ],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [(101, base), (102, "unrelated fresh content nothing matches")],
+        "doc_id long, text string",
+    )
+    got = incremental_neardup_matches(
+        delta, corpus, "doc_id", "text", verify_threshold=0.5
+    ).collect()
+    pairs = {(r["delta_id"], r["corpus_id"]): r["jaccard"] for r in got}
+    assert pairs[(101, 1)] == 1.0          # exact copy found
+    assert (101, 2) in pairs               # near-dup found via shared bands
+    assert all(d == 101 for d, _ in pairs) # 102 matches nothing
+    assert (1, 2) not in pairs and (2, 1) not in pairs  # no corpus self-join

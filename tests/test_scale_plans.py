@@ -304,3 +304,15 @@ def test_bigram_logprob_lm_join_is_not_broadcast(spark):
     assert has_broadcast_join(out)  # unigram + scalar sides
     # the (x, y) scored join shuffles both sides on the pair key
     assert "hashpartitioning(x" in plan
+
+
+def test_incremental_neardup_broadcasts_delta_no_corpus_selfjoin(spark):
+    """The delta side (bands + token sets) must broadcast; nothing may
+    fall back to a cartesian product; the corpus appears on the streamed
+    side only (no corpus-bands self-join)."""
+    from modeltracking_spark.queries import load_registries
+
+    qs, _ = load_registries()
+    out = qs["incremental_neardup_docs"](spark, SF001)
+    assert has_broadcast_join(out)
+    assert_no_cartesian(out)
