@@ -268,6 +268,33 @@ def minhash_dedup_pairs(
     )
 
 
+def _minhash_perm(i: int):
+    """Affine permutation i as a 1-arg transform lambda — ONE definition
+    shared by the self-join and incremental near-dup paths, so the
+    "identical integer arithmetic" their oracles rely on is enforced by
+    construction, not by parallel copies."""
+    p = F.lit(MINHASH_PRIME)
+    return lambda t: (F.lit(MINHASH_A[i]) * (t % p) + F.lit(MINHASH_B[i])) % p
+
+
+def _minhash_band_key(b: int, rows_per_band: int) -> F.Column:
+    """xxhash64 of band b's ordered signature slice over a ``toks``
+    array column (shared band-key construction — see _minhash_perm)."""
+    sigs = [
+        F.array_min(F.transform("toks", _minhash_perm(i))).cast("string")
+        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+    ]
+    return F.xxhash64(F.concat_ws("_", *sigs))
+
+
+def _token_sets(dt: DataFrame) -> DataFrame:
+    """(id, token_id) rows -> (id, sorted distinct-token array) — the
+    shared set build both MinHash paths signature over."""
+    return dt.groupBy("id").agg(
+        F.array_sort(F.collect_list("token_id")).alias("toks")
+    )
+
+
 def minhash_pairs_from_token_ids(
     dt: DataFrame,
     n_hashes: int = 16,
@@ -304,10 +331,7 @@ def minhash_pairs_from_token_ids(
             f"({bands}*{rows_per_band}): band keys consume exactly "
             "bands*rows_per_band permutations"
         )
-    p = F.lit(MINHASH_PRIME)
-    sets_df = dt.groupBy("id").agg(
-        F.array_sort(F.collect_list("token_id")).alias("toks")
-    )
+    sets_df = _token_sets(dt)
     # group by the full sorted array (exact — no hash-collision risk)
     groups = (
         sets_df.groupBy("toks")
@@ -316,17 +340,8 @@ def minhash_pairs_from_token_ids(
         .cache()
     )
 
-    def _perm(i: int):
-        # closure factory: a 1-arg lambda (a 2-arg one would receive the
-        # array index from F.transform as its second argument)
-        return lambda t: (F.lit(MINHASH_A[i]) * (t % p) + F.lit(MINHASH_B[i])) % p
-
     def _band_key(b: int) -> F.Column:
-        sigs = [
-            F.array_min(F.transform("toks", _perm(i))).cast("string")
-            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-        ]
-        return F.xxhash64(F.concat_ws("_", *sigs))
+        return _minhash_band_key(b, rows_per_band)
 
     # both self-join sides recompute the band keys from the CACHED
     # `groups`, which measures faster than materializing `banded` with a
@@ -653,6 +668,7 @@ def incremental_neardup_matches(
     bands: int = 4,
     rows_per_band: int = 4,
     verify_threshold: float = 0.5,
+    broadcast_delta: bool = True,
 ) -> DataFrame:
     """Near-dup matches of a fresh DELTA against a mature CORPUS — the
     daily-crawl twin of :func:`incremental_dedup` at NEAR-dup
@@ -661,58 +677,63 @@ def incremental_neardup_matches(
     band-key and token-set tables are precomputed indexes — the scans
     here are the bootstrap, exactly the ``incremental_dedup`` note).
 
-    Plan: per-side (id, sorted token-id set) tables; band keys via the
-    same transform/array_min permutations as the self-join path (no
-    explode shuffle); candidates from the (band, band_key) equi-join
-    with the DELTA side broadcast (the delta is the small side by
-    construction); exact-Jaccard verify via array_intersect with the
-    delta's token sets broadcast onto the corpus candidates. Emitted
-    matches use identical integer arithmetic to the self-join pipeline,
-    so the DuckDB oracle restricts the standard banded SQL to
-    cross-boundary pairs. Output: (delta_id, corpus_id, jaccard).
+    SCOPE: cross-boundary only — two near-identical docs BOTH inside
+    the delta are each other's problem, not the corpus's; a full ingest
+    runs :func:`minhash_dedup_pairs` (the self-join path) over the
+    delta alone for that half, which is delta-sized and cheap. Exact
+    copies should already be gone via :func:`incremental_dedup` first
+    (the standard exact-then-near ordering), which also removes the
+    identical-set clusters the self-join path's collapse lever targets
+    — hence the per-doc formulation here.
+
+    Plan: per-side (id, sorted token-id set) tables (each materialized
+    once — both feed the band build AND the verify); band keys via the
+    SHARED :func:`_minhash_band_key` helpers (one definition with the
+    self-join path, so the oracles' "identical arithmetic" premise is
+    structural); candidates from the (band, band_key) equi-join.
+    ``broadcast_delta=True`` hints the delta's band/set tables onto the
+    corpus side — right whenever the delta fits the broadcast limit
+    (the daily-crawl shape); pass ``False`` for proportionally-large
+    deltas and the joins degrade gracefully to hash joins on the same
+    keys. Exact-Jaccard verify via array_intersect. Output:
+    (delta_id, corpus_id, jaccard).
     """
     if n_hashes != bands * rows_per_band:
         raise ValueError(
             f"n_hashes ({n_hashes}) != bands*rows_per_band "
             f"({bands}*{rows_per_band})"
         )
-    p = F.lit(MINHASH_PRIME)
-
-    def _perm(i: int):
-        return lambda t: (F.lit(MINHASH_A[i]) * (t % p) + F.lit(MINHASH_B[i])) % p
-
-    def _sets(df: DataFrame) -> DataFrame:
-        dt = token_ids(df, id_col, text_col)
-        return dt.groupBy("id").agg(
-            F.array_sort(F.collect_list("token_id")).alias("toks")
-        )
 
     def _bands(sets_df: DataFrame) -> DataFrame:
-        def key(b: int) -> F.Column:
-            sigs = [
-                F.array_min(F.transform("toks", _perm(i))).cast("string")
-                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-            ]
-            return F.xxhash64(F.concat_ws("_", *sigs))
-
         return sets_df.select(
             "id",
             F.explode(
                 F.array(
                     *[
-                        F.struct(F.lit(b).alias("band"), key(b).alias("band_key"))
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            _minhash_band_key(b, rows_per_band).alias("band_key"),
+                        )
                         for b in range(bands)
                     ]
                 )
             ).alias("bk"),
         ).select("id", "bk.band", "bk.band_key")
 
-    d_sets = _sets(delta).localCheckpoint(eager=False)
-    c_sets = _sets(corpus)
+    # both set tables feed two consumers (band build + verify), so each
+    # is materialized once — without this the corpus tokenize + set
+    # aggregation would run twice (the doubled-scan defect class)
+    d_sets = _token_sets(token_ids(delta, id_col, text_col)).localCheckpoint(
+        eager=False
+    )
+    c_sets = _token_sets(token_ids(corpus, id_col, text_col)).localCheckpoint(
+        eager=False
+    )
+    maybe_bc = F.broadcast if broadcast_delta else (lambda df: df)
     cands = (
         _bands(c_sets)
         .join(
-            F.broadcast(
+            maybe_bc(
                 _bands(d_sets).select(
                     F.col("id").alias("delta_id"), "band", "band_key"
                 )
@@ -725,7 +746,7 @@ def incremental_neardup_matches(
     dv = d_sets.select(F.col("id").alias("delta_id"), F.col("toks").alias("d_toks"))
     cv = c_sets.select(F.col("id").alias("corpus_id"), F.col("toks").alias("c_toks"))
     verified = (
-        cands.join(F.broadcast(dv), "delta_id")
+        cands.join(maybe_bc(dv), "delta_id")
         .join(cv, "corpus_id")
         .withColumn("inter_n", F.size(F.array_intersect("d_toks", "c_toks")))
         .withColumn(

@@ -53,6 +53,8 @@ NOTES = {
     "html_extract_main_text": "regex container isolation + tag strip in one codegen projection, zero exchanges",
     "url_canonicalize_docs": "parse/filter/sort/rebuild as pure column expressions, shuffle-free",
     "jsonl_roundtrip_scan": "json file scan with explicit schema (no inference pass); FAILFAST parse",
+    "orc_roundtrip_scan": "orc file scan with explicit schema; exact-inverse md5 attestation",
+    "incremental_neardup_docs": "delta band/set tables broadcast onto the corpus side; candidates cross the boundary only (no corpus self-join)",
 }
 
 
