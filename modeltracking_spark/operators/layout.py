@@ -47,3 +47,29 @@ def write_grid_partitioned(grid: DataFrame, path: str) -> None:
 def read_grid(spark: SparkSession, path: str) -> DataFrame:
     """Read the partitioned grid store (schema from the files)."""
     return spark.read.parquet(path)
+
+
+def morton_code(a, b, bits: int = 8):
+    """Z-order (Morton) code: interleave the low ``bits`` bits of two
+    non-negative ints — the multi-dimensional data-clustering key
+    lakehouse OPTIMIZE/ZORDER layouts sort by (Morton 1966): rows close
+    in BOTH dimensions land close in the one-dimensional sort order, so
+    a 2-D range predicate touches O(few) contiguous file ranges instead
+    of striding the whole table the way a row-major (a, then b) sort
+    makes it. Pure integer bit arithmetic (shift/and/or), plan-time
+    expression tree, shuffle-free — and bit-identical in any engine
+    with shifts."""
+    from pyspark.sql import functions as F
+
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out.bitwiseOR(
+            F.shiftleft(F.shiftright(ca.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(
+                F.shiftright(cb.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+            )
+        )
+    return out

@@ -863,3 +863,47 @@ def orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("text_md5"),
         F.length("text").cast("long").alias("n_chars_rt"),
     )
+
+
+def _morton_sql(a: str, b: str, bits: int = 8) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+@query(
+    "zorder_layout_grid",
+    oracle=f"""
+    WITH cells AS (
+      SELECT DISTINCT lat_idx, lon_idx FROM ({HYCOM_GRID_SQL})
+    ),
+    m AS (
+      SELECT lat_idx, lon_idx,
+             ({_morton_sql('lat_idx', 'lon_idx')})::BIGINT AS morton
+      FROM cells
+    )
+    SELECT lat_idx, lon_idx, morton,
+           row_number() OVER (ORDER BY morton)::BIGINT AS z_rank
+    FROM m
+    """,
+)
+def zorder_layout_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order data clustering (the OPTIMIZE/ZORDER layout step): the
+    grid's (lat_idx, lon_idx) cells get Morton interleaved-bit codes
+    and a global Z-rank — the write order under which a 2-D spatial
+    range scan (the track-neighborhood access pattern of the profile
+    pipeline) touches contiguous file ranges instead of striding the
+    whole table. The oracle replays the bit interleave with SQL shift
+    arithmetic, so every code and the full ordering are engine-exact;
+    the rank window runs on the bounded distinct-cell table (81x81),
+    not the full grid. Locality and bijectivity are property-tested in
+    tests/test_layout.py."""
+    from modeltracking_spark.operators.layout import morton_code
+    from pyspark.sql import Window
+
+    g = hycom_grid_fixture(spark).select("lat_idx", "lon_idx").distinct()
+    m = g.withColumn("morton", morton_code("lat_idx", "lon_idx", bits=8))
+    w = Window.orderBy("morton")
+    return m.withColumn("z_rank", F.row_number().over(w).cast("long"))

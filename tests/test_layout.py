@@ -62,3 +62,36 @@ def test_partitioned_grid_prunes_time(spark, tmp_path_factory):
     plan = executed_plan(q)
     assert "PartitionFilters" in plan and "time_hours" in plan
     assert q.count() == g.where(F.col("time_hours") == 6).count() > 0
+
+
+def test_morton_code_matches_python_reference_and_is_bijective(spark):
+    """Morton codes must equal the classic bit-interleave and be unique
+    over the domain; locality: the Z-order distance between horizontal
+    neighbors is far smaller on average than a row-major layout's."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from modeltracking_spark.operators.layout import morton_code
+
+    def ref(a, b, bits=8):
+        out = 0
+        for i in range(bits):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    n = 32
+    rows = [(a, b) for a, b in itertools.product(range(n), range(n))]
+    d = spark.createDataFrame(rows, "a int, b int")
+    got = {
+        (r["a"], r["b"]): r["m"]
+        for r in d.select("a", "b", morton_code("a", "b").alias("m")).collect()
+    }
+    assert got == {(a, b): ref(a, b) for a, b in rows}
+    assert len(set(got.values())) == n * n  # bijective on the domain
+    # locality: mean |code delta| to the (a+1, b) neighbor beats the
+    # row-major layout's constant stride-n gap
+    deltas = [abs(got[(a + 1, b)] - got[(a, b)]) for a in range(n - 1) for b in range(n)]
+    rowmajor = [abs(((a + 1) * n + b) - (a * n + b)) for a in range(n - 1) for b in range(n)]
+    assert sorted(deltas)[len(deltas) // 2] < sorted(rowmajor)[0]  # median 1 < n
