@@ -55,6 +55,7 @@ NOTES = {
     "jsonl_roundtrip_scan": "json file scan with explicit schema (no inference pass); FAILFAST parse",
     "orc_roundtrip_scan": "orc file scan with explicit schema; exact-inverse md5 attestation",
     "incremental_neardup_docs": "delta band/set tables broadcast onto the corpus side; candidates cross the boundary only (no corpus self-join)",
+    "zorder_layout_grid": "plan-time Morton bit interleave; rank window on the bounded distinct-cell table",
 }
 
 
