@@ -41,6 +41,7 @@ def pagerank(
     damping_pct: int = 85,
     src_col: str = "src",
     dst_col: str = "dst",
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-point PageRank over ``edges`` (src, dst) for exactly
     ``n_iter`` iterations.
@@ -54,8 +55,18 @@ def pagerank(
         new = ((100-d)*SCALE) DIV (100*N)
             + (d * (contrib_sum + dang_sum DIV N)) DIV 100
 
-    with per-edge contribution ``score DIV outdeg``. Output: (node,
-    outdeg, pr_e12) — ``pr_e12`` the final fixed-point score.
+    with per-edge contribution ``score DIV outdeg``.
+
+    ``seeds`` (one ``node`` column) switches to PERSONALIZED PageRank
+    (Haveliwala 2002): the restart mass — the (100-d) teleport term,
+    the initial distribution, and the dangling redistribution — flows
+    only to the |S| seed nodes instead of uniformly, so scores measure
+    proximity to a trusted seed set (the seed-based quality
+    propagation of curated-source pipelines). Same integral update
+    with N replaced by |S| on seed rows and a zero base elsewhere.
+
+    Output: (node, outdeg, pr_e12) — ``pr_e12`` the final fixed-point
+    score.
     """
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     if nodes is None:
@@ -73,10 +84,22 @@ def pagerank(
     spine = nodes.join(outdeg, "node", "left").select(
         "node", F.coalesce("outdeg", F.lit(0)).cast("long").alias("outdeg")
     )
-    n_row = nodes.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    if seeds is None:
+        # uniform restart: every node is a "seed"
+        spine = spine.withColumn("__seed", F.lit(True))
+        n_row = nodes.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    else:
+        sd = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+        spine = spine.join(
+            sd.withColumn("__seed", F.lit(True)), "node", "left"
+        ).withColumn("__seed", F.coalesce("__seed", F.lit(False)))
+        n_row = sd.agg(F.count(F.lit(1)).cast("long").alias("__n"))
 
     scores = spine.crossJoin(F.broadcast(n_row)).select(
-        "node", "outdeg", F.expr(f"{SCALE} DIV __n").alias("score")
+        "node",
+        "outdeg",
+        "__seed",
+        F.expr(f"IF(__seed, {SCALE} DIV __n, 0)").alias("score"),
     )
     for _ in range(n_iter):
         # each iteration references `scores` three times (contrib, dangling,
@@ -101,10 +124,12 @@ def pagerank(
             .select(
                 "node",
                 "outdeg",
+                "__seed",
                 F.expr(
-                    f"({100 - damping_pct} * {SCALE}) DIV (100 * __n) + "
-                    f"({damping_pct} * (coalesce(contrib, 0) + __dang DIV __n)) "
-                    "DIV 100"
+                    f"IF(__seed, ({100 - damping_pct} * {SCALE}) "
+                    f"DIV (100 * __n), 0) + "
+                    f"({damping_pct} * (coalesce(contrib, 0) + "
+                    f"IF(__seed, __dang DIV __n, 0))) DIV 100"
                 ).alias("score"),
             )
         )

@@ -596,3 +596,91 @@ def bigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from modeltracking_spark.operators.corpus import bigram_logprob
 
     return bigram_logprob(T(spark, sf_dir, "documents"))
+
+
+@query(
+    "personalized_pagerank_docs",
+    oracle="""
+    WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+    ns AS (SELECT count(*)::BIGINT AS s FROM documents WHERE doc_id % 25 = 0),
+    edges AS (
+      SELECT d.doc_id AS src,
+             CASE WHEN (d.doc_id * 7 + j.i * 13 + 1) % n.n = d.doc_id
+                  THEN ((d.doc_id * 7 + j.i * 13 + 1) % n.n + 1) % n.n
+                  ELSE (d.doc_id * 7 + j.i * 13 + 1) % n.n END AS dst
+      FROM documents d, nn n, range(3) j(i)
+      WHERE j.i <= d.doc_id % 3
+    ),
+    od AS (SELECT src AS node, count(*)::BIGINT AS outdeg
+           FROM edges GROUP BY src),
+    spine AS (
+      SELECT d.doc_id AS node, coalesce(o.outdeg, 0)::BIGINT AS outdeg,
+             d.doc_id % 25 = 0 AS seed
+      FROM documents d LEFT JOIN od o ON o.node = d.doc_id
+    ),
+    s0 AS (SELECT node, outdeg, seed,
+                  CASE WHEN seed THEN 1000000000000 // ns.s ELSE 0 END AS score
+           FROM spine, ns),
+    c1 AS (SELECT e.dst AS node, sum(s.score // s.outdeg)::BIGINT AS contrib
+           FROM edges e JOIN s0 s ON s.node = e.src
+           WHERE s.outdeg > 0 GROUP BY e.dst),
+    s1 AS (SELECT s.node, s.outdeg, s.seed,
+                  CASE WHEN s.seed
+                       THEN (15 * 1000000000000) // (100 * ns.s) ELSE 0 END
+                  + (85 * coalesce(c.contrib, 0)) // 100 AS score
+           FROM s0 s LEFT JOIN c1 c ON c.node = s.node, ns),
+    c2 AS (SELECT e.dst AS node, sum(s.score // s.outdeg)::BIGINT AS contrib
+           FROM edges e JOIN s1 s ON s.node = e.src
+           WHERE s.outdeg > 0 GROUP BY e.dst),
+    s2 AS (SELECT s.node, s.outdeg, s.seed,
+                  CASE WHEN s.seed
+                       THEN (15 * 1000000000000) // (100 * ns.s) ELSE 0 END
+                  + (85 * coalesce(c.contrib, 0)) // 100 AS score
+           FROM s1 s LEFT JOIN c2 c ON c.node = s.node, ns),
+    c3 AS (SELECT e.dst AS node, sum(s.score // s.outdeg)::BIGINT AS contrib
+           FROM edges e JOIN s2 s ON s.node = e.src
+           WHERE s.outdeg > 0 GROUP BY e.dst),
+    s3 AS (SELECT s.node, s.outdeg, s.seed,
+                  CASE WHEN s.seed
+                       THEN (15 * 1000000000000) // (100 * ns.s) ELSE 0 END
+                  + (85 * coalesce(c.contrib, 0)) // 100 AS score
+           FROM s2 s LEFT JOIN c3 c ON c.node = s.node, ns)
+    SELECT node AS doc_id, outdeg, score AS pr_e12 FROM s3
+    """,
+)
+def personalized_pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (Haveliwala 2002) as seed-based quality
+    propagation: restart mass flows only to the trusted seed set (every
+    25th doc — scale-proportional), so scores measure link-proximity to
+    curated sources, the trust signal seed-list pipelines rank crawl
+    frontiers by. Same formula link graph and integral update as
+    ``pagerank_link_graph_docs`` with N replaced by |S| on seed rows
+    and a zero teleport elsewhere; the oracle unrolls the three
+    iterations with the seed CASE, bit-exact."""
+    from modeltracking_spark.operators.graph import pagerank
+
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    nn = d.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    e = (
+        d.crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            "__n",
+            F.explode(
+                F.sequence(F.lit(0), (F.col("doc_id") % 3).cast("int"))
+            ).alias("j"),
+        )
+        .selectExpr(
+            "doc_id AS src",
+            "CASE WHEN (doc_id*7 + j*13 + 1) % __n = doc_id "
+            "THEN ((doc_id*7 + j*13 + 1) % __n + 1) % __n "
+            "ELSE (doc_id*7 + j*13 + 1) % __n END AS dst",
+        )
+    )
+    seeds = d.where(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("node")
+    )
+    out = pagerank(
+        e, nodes=d.select(F.col("doc_id").alias("node")), n_iter=3, seeds=seeds
+    )
+    return out.select(F.col("node").alias("doc_id"), "outdeg", "pr_e12")
