@@ -632,3 +632,125 @@ def bigram_logprob(
             / F.lit(1e6),
         )
     )
+
+
+def dsir_logratio(
+    docs: DataFrame,
+    target_pred,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    keep_frac_num: int = 1,
+    keep_frac_den: int = 4,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023)
+    adapted to the repo's deterministic discipline: score every raw
+    document by the log-likelihood ratio of its hashed unigram features
+    under a TARGET distribution (rows where ``target_pred`` holds, e.g.
+    an in-domain slice) vs the RAW corpus distribution, then keep the
+    top ``keep_frac`` deterministically (rank by score — the
+    reproducible stand-in for the paper's Gumbel resampling, which an
+    engine-portable pipeline cannot RNG).
+
+    Features are hashed token buckets (first 15 md5 hex digits mod
+    ``n_buckets`` — the portable 60-bit trick from operators/dedup.py),
+    with add-1 smoothing on both models:
+
+        r(h) = ln((c_t(h)+1)/(N_t+B)) − ln((c_r(h)+1)/(N_r+B))
+
+    floored to e6 per bucket; a doc's score is the BIGINT SUM of its
+    token occurrences' r_e6 — order-independent, oracle-exact.
+
+    Scale: both LMs are ``n_buckets``-row broadcast tables; the corpus
+    side is one explode + one broadcast join + one aggregate. The global
+    rank deliberately avoids a single-partition window (the
+    deterministic_shuffle two-pass pattern from operators/sampling.py):
+    docs coarse-bucket by ``floor(score / 2^20)``, bucket counts
+    prefix-sum into offsets on the tiny bucket table, and the in-bucket
+    window is hash-partitioned — the decomposition is exact because the
+    bucket is a monotone function of the ordering key.
+
+    Output: (doc_id, is_target, n_tok, dsir_e6, rk, keep) — zero-token
+    docs score 0 and still rank.
+    """
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        target_pred.cast("boolean").alias("is_target"),
+        tokens(text_col).alias("toks"),
+    )
+    tok = d.select(
+        "doc_id", "is_target", F.explode("toks").alias("token")
+    ).withColumn(
+        "h",
+        F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
+        % F.lit(n_buckets),
+    )
+    counts = tok.groupBy("h").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("c_t"),
+        F.count(F.lit(1)).alias("c_r"),
+    )
+    totals = counts.agg(
+        F.sum("c_t").alias("n_t"), F.sum("c_r").alias("n_r")
+    )
+    lm = counts.crossJoin(F.broadcast(totals)).select(
+        "h",
+        _e6(
+            F.log(
+                (F.col("c_t") + F.lit(1)).cast("double")
+                / (F.col("n_t") + F.lit(n_buckets)).cast("double")
+            )
+            - F.log(
+                (F.col("c_r") + F.lit(1)).cast("double")
+                / (F.col("n_r") + F.lit(n_buckets)).cast("double")
+            )
+        ).alias("r_e6"),
+    )
+    per_doc = (
+        tok.join(F.broadcast(lm), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("r_e6").alias("dsir_e6"),
+        )
+    )
+    # spine keeps zero-token docs (score 0) so selection covers the corpus
+    scored = (
+        d.select("doc_id", "is_target")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "is_target",
+            F.coalesce("n_tok", F.lit(0)).alias("n_tok"),
+            F.coalesce("dsir_e6", F.lit(0)).alias("dsir_e6"),
+        )
+    )
+    n_docs = scored.agg(F.count(F.lit(1)).alias("n_docs"))
+    # two-pass global rank by (score desc, doc_id asc): coarse score
+    # bucket -> bounded offset table -> hash-partitioned in-bucket window
+    bucket_w = 1 << 20
+    b = scored.withColumn(
+        "__b", F.floor(F.col("dsir_e6") / F.lit(bucket_w)).cast("long")
+    )
+    bcounts = b.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = Window.orderBy(F.col("__b").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = bcounts.select(
+        "__b", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off")
+    )
+    w_in = Window.partitionBy("__b").orderBy(
+        F.col("dsir_e6").desc(), F.col("doc_id").asc()
+    )
+    return (
+        b.join(F.broadcast(offsets), "__b")
+        .withColumn(
+            "rk", (F.row_number().over(w_in) + F.col("__off")).cast("long")
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "keep",
+            F.col("rk") * F.lit(keep_frac_den)
+            <= F.col("n_docs") * F.lit(keep_frac_num),
+        )
+        .select("doc_id", "is_target", "n_tok", "dsir_e6", "rk", "keep")
+    )

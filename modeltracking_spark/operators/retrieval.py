@@ -1,0 +1,137 @@
+"""Sparse retrieval scoring for corpus curation and RAG pipelines.
+
+Extension surface (SURVEY.md §2.12 — the reference, a track-plot
+pipeline at /root/reference/trackplot_hycom.py, has no retrieval
+analog): Okapi BM25 top-k document ranking, the standard lexical
+retriever behind dedup-aware eval-set mining, RAG context selection,
+and "quality by query relevance" corpus filters.
+
+Engine-exactness follows the repo discipline (queries/common.py): every
+per-term score is floored to an e6 BIGINT before the per-document SUM,
+so the aggregate is order-independent and hash-identical in DuckDB; the
+double-space formula is written with identical association order in
+both dialects.
+
+Scale shape: the only full-corpus shuffle is the (doc, term)-grain
+term-frequency aggregate; the query set, the query-term vocabulary, the
+document-frequency table, and the corpus stats are all broadcast-sized.
+Candidate scoring touches only tf rows whose term appears in some query
+(a semi-join against the broadcast query vocabulary), so the big side
+is never re-shuffled by query id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from modeltracking_spark.functions.text import tokens
+
+#: BM25 parameters as exact rationals (the SQL twin divides the same
+#: integers, so both engines start from the identical double).
+K1_NUM, K1_DEN = 12, 10     # k1 = 1.2
+B_NUM, B_DEN = 75, 100      # b = 0.75
+
+
+def _e6(col: F.Column) -> F.Column:
+    """floor(x*1e6 + 0.5) as BIGINT — half-up fixed point (engine-exact,
+    unlike round() on negatives)."""
+    return F.floor(col * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+
+def queries_from_docs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    modulus: int = 100,
+    residue: int = 7,
+    n_terms: int = 6,
+) -> DataFrame:
+    """Deterministic query set derived from the corpus itself: every
+    document with ``id % modulus == residue`` contributes a query whose
+    terms are the distinct tokens among its first ``n_terms`` tokens.
+
+    Returned as (q_id, term) ROWS (one per distinct pair) rather than a
+    term array so de-duplication is pure set semantics — no reliance on
+    array_distinct's (engine-specific) ordering.
+    """
+    return (
+        docs.where(F.col(id_col) % modulus == residue)
+        .select(
+            F.col(id_col).alias("q_id"),
+            F.explode(F.slice(tokens(text_col), 1, n_terms)).alias("term"),
+        )
+        .distinct()
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Okapi BM25 top-k documents per query.
+
+    ``queries`` is a broadcast-sized (q_id, term) pair table (distinct
+    rows). Per matched (query, doc, term):
+
+        idf  = ln(1 + (N − df + 0.5) / (df + 0.5))
+        norm = (1 − b) + b · ((dl · N) / Σdl)
+        s    = idf · (tf · (k1 + 1)) / (tf + k1 · norm)
+
+    with tf/df/dl/N exact integers, k1/b exact rationals, and s floored
+    to e6 before the per-(q_id, doc_id) SUM — order-independent,
+    hash-exact vs the DuckDB oracle. Ranking breaks ties on doc_id.
+
+    Output: (q_id, doc_id, n_terms_hit, bm25_e6, rk), rk in 1..k.
+    """
+    d = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
+    tok = d.select(
+        "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.first("dl").alias("dl"), F.count(F.lit(1)).alias("tf")
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("toks")).alias("sum_dl"),
+    )
+    vocab = queries.select("term").distinct()
+    # corpus-side rows for query terms only; df = #docs containing term
+    tfq = tf.join(F.broadcast(vocab), "term")
+    dfreq = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    k1 = F.lit(K1_NUM).cast("double") / F.lit(K1_DEN).cast("double")
+    b = F.lit(B_NUM).cast("double") / F.lit(B_DEN).cast("double")
+    n_d = F.col("n_docs").cast("double")
+    df_d = F.col("df").cast("double")
+    tf_d = F.col("tf").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (n_d - df_d + F.lit(0.5)) / (df_d + F.lit(0.5))
+    )
+    norm = (F.lit(1.0) - b) + b * (
+        (F.col("dl").cast("double") * n_d) / F.col("sum_dl").cast("double")
+    )
+    term_score = idf * (tf_d * (k1 + F.lit(1.0))) / (tf_d + k1 * norm)
+
+    scored = (
+        tfq.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(queries), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("q_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            F.sum(_e6(term_score)).alias("bm25_e6"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("bm25_e6").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("q_id", "doc_id", "n_terms_hit", "bm25_e6", "rk")
+    )

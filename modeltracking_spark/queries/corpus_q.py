@@ -16,10 +16,12 @@ from pyspark.sql import functions as F
 from modeltracking_spark.operators.corpus import (
     bigram_pmi,
     chunk_documents,
+    dsir_logratio,
     heavy_hitters,
     quantize_embeddings_int8,
     tfidf_top_terms,
 )
+from modeltracking_spark.operators.retrieval import bm25_topk, queries_from_docs
 from modeltracking_spark.queries.common import T, query
 
 _TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -684,3 +686,96 @@ def personalized_pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, nodes=d.select(F.col("doc_id").alias("node")), n_iter=3, seeds=seeds
     )
     return out.select(F.col("node").alias("doc_id"), "outdeg", "pr_e12")
+
+
+@query(
+    "bm25_topk_docs",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    q AS (SELECT DISTINCT doc_id AS q_id, unnest(toks[1:6]) AS term
+          FROM d WHERE doc_id % 100 = 7),
+    tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM d),
+    tf AS (SELECT doc_id, term, any_value(dl) AS dl, count(*) AS tf
+           FROM tok GROUP BY 1, 2),
+    stats AS (SELECT count(*) AS n_docs, sum(len(toks))::BIGINT AS sum_dl
+              FROM d),
+    vocab AS (SELECT DISTINCT term FROM q),
+    tfq AS (SELECT tf.* FROM tf JOIN vocab USING (term)),
+    dfreq AS (SELECT term, count(*) AS df FROM tfq GROUP BY term),
+    scored AS (
+      SELECT q.q_id, t.doc_id, count(*) AS n_terms_hit,
+             sum(floor(
+               ln(1.0::DOUBLE + (n_docs::DOUBLE - df::DOUBLE + 0.5::DOUBLE)
+                                / (df::DOUBLE + 0.5::DOUBLE))
+               * (tf::DOUBLE * ((12::DOUBLE / 10::DOUBLE) + 1.0::DOUBLE))
+               / (tf::DOUBLE + (12::DOUBLE / 10::DOUBLE)
+                  * ((1.0::DOUBLE - (75::DOUBLE / 100::DOUBLE))
+                     + (75::DOUBLE / 100::DOUBLE)
+                       * ((dl::DOUBLE * n_docs::DOUBLE) / sum_dl::DOUBLE)))
+               * 1e6 + 0.5::DOUBLE)::BIGINT)::BIGINT AS bm25_e6
+      FROM tfq t JOIN dfreq USING (term) JOIN q USING (term)
+      CROSS JOIN stats
+      GROUP BY 1, 2
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                    ORDER BY bm25_e6 DESC, doc_id ASC) AS rk FROM scored)
+    SELECT q_id, doc_id, n_terms_hit, bm25_e6, rk::BIGINT AS rk
+    FROM r WHERE rk <= 5
+    """,
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-5 per query over a corpus-derived deterministic
+    query set (every doc_id % 100 == 7 contributes its first 6 tokens) —
+    the lexical retriever behind RAG context selection and
+    relevance-based corpus filters. Per-term scores are e6-floored
+    before the per-doc BIGINT sum so ranking is engine-exact; the
+    oracle replays idf/length-norm with identical association order
+    (operators/retrieval.py)."""
+    docs = T(spark, sf_dir, "documents")
+    return bm25_topk(docs, queries_from_docs(docs), k=5)
+
+
+@query(
+    "dsir_select_docs",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, (lang = 'en') AS is_target, {_TOKS} AS toks
+               FROM documents),
+    tokh AS (SELECT doc_id, is_target,
+                    ('0x' || substr(md5(t.token), 1, 15))::BIGINT % 1024 AS h
+             FROM d, unnest(toks) AS t(token)),
+    counts AS (SELECT h,
+                      sum(CASE WHEN is_target THEN 1 ELSE 0 END)::BIGINT AS c_t,
+                      count(*) AS c_r
+               FROM tokh GROUP BY h),
+    totals AS (SELECT sum(c_t)::BIGINT AS n_t, sum(c_r)::BIGINT AS n_r
+               FROM counts),
+    lm AS (SELECT h,
+                  floor((ln((c_t + 1)::DOUBLE / (n_t + 1024)::DOUBLE)
+                         - ln((c_r + 1)::DOUBLE / (n_r + 1024)::DOUBLE))
+                        * 1e6 + 0.5::DOUBLE)::BIGINT AS r_e6
+           FROM counts CROSS JOIN totals),
+    per_doc AS (SELECT doc_id, count(*) AS n_tok, sum(r_e6)::BIGINT AS dsir_e6
+                FROM tokh JOIN lm USING (h) GROUP BY doc_id),
+    scored AS (SELECT d.doc_id, d.is_target,
+                      coalesce(p.n_tok, 0)::BIGINT AS n_tok,
+                      coalesce(p.dsir_e6, 0)::BIGINT AS dsir_e6
+               FROM d LEFT JOIN per_doc p USING (doc_id)),
+    n AS (SELECT count(*) AS n_docs FROM scored),
+    r AS (SELECT *, row_number() OVER (ORDER BY dsir_e6 DESC, doc_id ASC)
+                      AS rk FROM scored)
+    SELECT doc_id, is_target, n_tok, dsir_e6, rk::BIGINT AS rk,
+           (rk * 4 <= n_docs * 1) AS keep
+    FROM r CROSS JOIN n
+    """,
+)
+def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance selection toward the English slice: hashed-unigram
+    log-likelihood ratio (target = lang='en' docs, raw = full corpus,
+    add-1 smoothing over 1024 md5 buckets), deterministic top-25% keep.
+    The oracle replays both hashed LMs and the keep rank; the engine's
+    two-pass bucket-offset rank must land exactly on the naive global
+    row_number (operators/corpus.py:dsir_logratio)."""
+    docs = T(spark, sf_dir, "documents")
+    return dsir_logratio(
+        docs, F.col("lang") == "en", keep_frac_num=1, keep_frac_den=4
+    )

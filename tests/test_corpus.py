@@ -311,3 +311,57 @@ def test_segment_dedup_rewrite_matches_python_reference(spark, data):
         for r in segment_dedup_rewrite(df, size=4).collect()
     }
     assert got == want
+
+
+def test_bm25_hand_values(spark):
+    # 3 docs, query {rare, common}: per-term scores computed by hand with
+    # the exact engine formula (k1=1.2, b=0.75, e6 floor before the sum)
+    docs = spark.createDataFrame(
+        [
+            (1, "rare common x y"),
+            (2, "common x y z"),
+            (3, "x y z w"),
+        ],
+        ["doc_id", "text"],
+    )
+    from modeltracking_spark.operators.retrieval import bm25_topk
+
+    q = spark.createDataFrame([(0, "rare"), (0, "common")], ["q_id", "term"])
+    got = {r["doc_id"]: (r["bm25_e6"], r["n_terms_hit"], r["rk"])
+           for r in bm25_topk(docs, q, k=5).collect()}
+
+    def score(tf, df, dl, n=3, sum_dl=12):
+        k1, b = 12 / 10, 75 / 100
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        norm = (1.0 - b) + b * ((dl * n) / sum_dl)
+        s = idf * (tf * (k1 + 1.0)) / (tf + k1 * norm)
+        return math.floor(s * 1e6 + 0.5)
+
+    exp1 = score(1, 1, 4) + score(1, 2, 4)   # rare+common, dl=4
+    exp2 = score(1, 2, 4)                     # common only
+    assert got[1] == (exp1, 2, 1)
+    assert got[2] == (exp2, 1, 2)
+    assert 3 not in got                       # no query term -> no row
+    assert exp1 > exp2                        # rare-term doc outranks
+
+
+def test_dsir_rank_matches_python_and_keeps_quarter(spark):
+    # target (en-like) docs share vocab 'aa bb cc'; raw-only docs use
+    # 'xx yy zz' — the two-pass bucket-offset rank must equal the naive
+    # global rank and keep exactly floor(n/4) top docs, all target-like
+    rows = []
+    for i in range(8):
+        rows.append((i, "aa bb cc aa", True))
+    for i in range(8, 24):
+        rows.append((i, "xx yy zz xx", False))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "is_en"])
+    from modeltracking_spark.operators.corpus import dsir_logratio
+
+    out = dsir_logratio(docs, F.col("is_en")).collect()
+    assert len(out) == 24
+    naive = sorted(out, key=lambda r: (-r["dsir_e6"], r["doc_id"]))
+    for i, r in enumerate(naive):
+        assert r["rk"] == i + 1, f"two-pass rank diverges at {r}"
+    kept = {r["doc_id"] for r in out if r["keep"]}
+    assert len(kept) == 6                      # floor(24/4)
+    assert kept <= set(range(8))               # all target-vocab docs

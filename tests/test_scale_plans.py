@@ -316,3 +316,31 @@ def test_incremental_neardup_broadcasts_delta_no_corpus_selfjoin(spark):
     out = qs["incremental_neardup_docs"](spark, SF001)
     assert has_broadcast_join(out)
     assert_no_cartesian(out)
+
+
+def test_bm25_broadcasts_query_side(spark):
+    """BM25: the query set, query vocabulary, df table and corpus stats
+    are all broadcast-sized — the corpus tf side must never re-shuffle
+    by q_id, and the rank window partitions by q_id."""
+    from modeltracking_spark.operators.retrieval import bm25_topk, queries_from_docs
+
+    d = spark.read.parquet(f"{SF001}/documents.parquet")
+    out = bm25_topk(d, queries_from_docs(d))
+    plan = executed_plan(out)
+    assert has_broadcast_join(out)
+    assert "hashpartitioning(q_id" in plan       # rank window partitioned
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_score_window_stays_partitioned(spark):
+    """DSIR: the doc-score rank must run under the two-pass bucket
+    decomposition — the full-table window hash-partitions on the coarse
+    score bucket; only the bounded bucket-offset table may serialize."""
+    from modeltracking_spark.operators.corpus import dsir_logratio
+
+    d = spark.read.parquet(f"{SF001}/documents.parquet")
+    out = dsir_logratio(d, F.col("lang") == "en")
+    plan = executed_plan(out)
+    assert "hashpartitioning(__b" in plan
+    assert_no_cartesian(out)
+    assert has_broadcast_join(out)               # 1024-row LM broadcast
