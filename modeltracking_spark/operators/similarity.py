@@ -889,3 +889,82 @@ def pq_codebook_lloyd(
             )
         cb = nxt
     return cb
+
+
+def semdedup(
+    corpus: DataFrame,
+    quantizer: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps_e6: int = 950_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning by
+    clustering embeddings and comparing pairs only WITHIN each cluster —
+    the published recipe for bounding all-pairs cosine at corpus scale
+    (the paper runs 50k clusters over LAION; cluster count scales with
+    the corpus so per-cluster pair work stays constant).
+
+    Deterministic adaptation: assignment uses the pre-trained IVF
+    quantizer (train/serve split, integer affinity scores — identical
+    machinery to :func:`cosine_topk_ivf`, so the SAME unrolled-Lloyd SQL
+    replays it), and the kept representative is the smallest id of each
+    near-dup neighborhood (keep-first, like every dedup tier here)
+    rather than the paper's RNG-seeded choice. A row is dropped iff some
+    SMALLER-id row in its cluster has e6 fixed-point cosine ≥ eps_e6.
+
+    Scale: the (cluster-bucketed) self-join shuffles both sides on cid
+    once; the cluster assignment is localCheckpointed so the pandas-UDF
+    scoring pass runs once, not once per join side (the simhash r5
+    lesson). Cluster sizes and the drop list are cluster-count- /
+    dup-count-sized.
+
+    Output: (vec_id, cid, n_in_cluster, max_cos_e6 nullable, dropped).
+    """
+    from modeltracking_spark.functions.vector import dot_product_fxp, sq_norm_fxp
+
+    rows = quantizer.orderBy("cid").collect()
+    cents = [list(r["centroid"]) for r in rows]
+    asg = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        _nearest_centroids(vec_col, cents, 1)[0].alias("cid"),
+        F.sqrt(sq_norm_fxp(vec_col).cast("double")).alias("__n"),
+    ).localCheckpoint()
+    a = asg.select(
+        F.col("cid"),
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("a_v"),
+        F.col("__n").alias("a_n"),
+    )
+    b = asg.select(
+        F.col("cid"),
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("b_v"),
+        F.col("__n").alias("b_n"),
+    )
+    pairs = a.join(b, "cid").where(F.col("a_id") < F.col("b_id"))
+    cos = F.when(F.col("a_n") * F.col("b_n") == 0, F.lit(0.0)).otherwise(
+        dot_product_fxp("a_v", "b_v").cast("double")
+        / (F.col("a_n") * F.col("b_n"))
+    )
+    pair_e6 = F.floor(cos * F.lit(1e6) + F.lit(0.5)).cast("long")
+    drops = (
+        pairs.select("b_id", pair_e6.alias("cos_e6"))
+        .where(F.col("cos_e6") >= eps_e6)
+        .groupBy("b_id")
+        .agg(F.max("cos_e6").alias("max_cos_e6"))
+    )
+    sizes = asg.groupBy("cid").agg(F.count(F.lit(1)).alias("n_in_cluster"))
+    return (
+        asg.select("vec_id", "cid")
+        .join(F.broadcast(sizes), "cid")
+        .join(drops, asg.vec_id == drops.b_id, "left")
+        .select(
+            "vec_id",
+            "cid",
+            "n_in_cluster",
+            "max_cos_e6",
+            F.col("max_cos_e6").isNotNull().alias("dropped"),
+        )
+    )

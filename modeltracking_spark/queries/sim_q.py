@@ -680,3 +680,71 @@ def pq_refine_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk_refined(
         q, c, k=5, shortlist=100, n_sub=8, n_codes=16, exclude_self=True
     )
+
+
+# ---- SemDeDup oracle: Lloyd replay (same CTEs as the IVF oracle) + the
+# within-cluster pair scrub. cbucket is the cluster assignment; a row is
+# dropped iff a smaller-id row in its cluster reaches cos_e6 >= 950000.
+_SEMDEDUP_ORACLE = f"""
+    WITH c0 AS (
+      SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INTEGER AS cid,
+             list_transform(embedding, x -> x::DOUBLE) AS c
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id LIMIT 16)
+    ),
+    {_ivf_iter_sql("c0", 1)},
+    {_ivf_iter_sql("c1", 2)},
+    {_ivf_normalize_sql("c2", "cnf")},
+    {_ivf_scores_sql("cnf", "scf")},
+    cbucket AS (
+      SELECT vec_id AS c_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sc DESC, cid ASC) AS rk
+        FROM scf) WHERE rk = 1
+    ),
+    sizes AS (SELECT cid, count(*) AS n_in_cluster FROM cbucket GROUP BY cid),
+    n AS (SELECT vec_id, {_NORM} AS nrm FROM embeddings),
+    p AS (
+      SELECT a.c_id AS a_id, b.c_id AS b_id,
+             list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+               s -> round(s[1]::DOUBLE * s[2]::DOUBLE * 1e12)::BIGINT)) AS dot,
+             na.nrm AS a_nrm, nb.nrm AS b_nrm
+      FROM cbucket a JOIN cbucket b ON a.cid = b.cid AND a.c_id < b.c_id
+      JOIN embeddings ea ON ea.vec_id = a.c_id
+      JOIN embeddings eb ON eb.vec_id = b.c_id
+      JOIN n na ON na.vec_id = a.c_id
+      JOIN n nb ON nb.vec_id = b.c_id
+    ),
+    ce AS (
+      SELECT b_id,
+             floor((CASE WHEN a_nrm = 0 OR b_nrm = 0 THEN 0.0
+                    ELSE dot::DOUBLE
+                         / (sqrt(a_nrm::DOUBLE) * sqrt(b_nrm::DOUBLE)) END)
+                   * 1e6 + 0.5::DOUBLE)::BIGINT AS cos_e6
+      FROM p
+    ),
+    drops AS (SELECT b_id, max(cos_e6)::BIGINT AS max_cos_e6
+              FROM ce WHERE cos_e6 >= 950000 GROUP BY b_id)
+    SELECT cb.c_id AS vec_id, cb.cid, s.n_in_cluster, d.max_cos_e6,
+           (d.max_cos_e6 IS NOT NULL) AS dropped
+    FROM cbucket cb JOIN sizes s USING (cid)
+    LEFT JOIN drops d ON d.b_id = cb.c_id
+"""
+
+
+@query("semdedup_embeddings", oracle=_SEMDEDUP_ORACLE)
+def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic near-dup pruning: embeddings clustered by the
+    SAME pre-trained IVF quantizer as the ANN serve path (train/serve
+    split, cached per sf_dir), then keep-first scrubbed within each
+    cluster at cos_e6 >= 0.95. The oracle replays quantizer training
+    (both Lloyd iterations), the assignment, and the within-cluster
+    pair scrub entirely in SQL (operators/similarity.py:semdedup)."""
+    from modeltracking_spark.operators.similarity import semdedup
+
+    e = T(spark, sf_dir, "embeddings")
+    quant = spark.createDataFrame(
+        _ivf_quantizer_rows(spark, sf_dir), "cid int, centroid array<double>"
+    )
+    return semdedup(e, quant, eps_e6=950_000)

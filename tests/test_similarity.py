@@ -312,3 +312,47 @@ def test_pq_lloyd_refinement_bit_deterministic_and_better(spark):
     got2 = pq_codebook_lloyd(c, iters=2)
     assert np.array_equal(got2, lloyd_once(want1))
     assert qerr(got2) < qerr(got1) < qerr(cb0)
+
+
+def test_semdedup_drops_planted_near_dup_keep_first(spark):
+    # two clusters; id2 is a near-copy of id1 (same cluster) -> dropped;
+    # id3/id4 land in cluster 1 but are orthogonal -> both kept
+    from modeltracking_spark.operators.similarity import semdedup
+
+    quant = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "cid int, centroid array<double>",
+    )
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0, 0.0]),   # cos vs id1 ~ 0.99995
+            (3, [0.0, 1.0, 0.0, 0.0]),
+            (4, [0.0, 0.01, 1.0, 0.0]),     # cluster 1, cos vs id3 ~ 0.01
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in semdedup(vecs, quant).collect()}
+    assert len(out) == 4                    # spine preserved
+    assert [out[i]["dropped"] for i in (1, 2, 3, 4)] == [False, True, False, False]
+    assert out[2]["max_cos_e6"] >= 950_000
+    assert out[1]["max_cos_e6"] is None
+    assert out[1]["cid"] == out[2]["cid"] == 0
+    assert out[3]["cid"] == out[4]["cid"] == 1
+    assert out[3]["n_in_cluster"] == 2
+
+
+def test_semdedup_plan_joins_on_cluster_no_cartesian(spark):
+    # the pair scrub must equi-join on cid (cluster-bucketed), never
+    # degrade to a cartesian product over the corpus
+    from modeltracking_spark.operators.similarity import semdedup, train_ivf_quantizer
+    from modeltracking_spark.plans import assert_no_cartesian, executed_plan
+    from tests.conftest import SF001
+
+    e = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    quant = train_ivf_quantizer(c, n_centroids=16, iters=1)
+    out = semdedup(e, quant)
+    assert_no_cartesian(out)
+    plan = executed_plan(out)
+    assert "hashpartitioning(cid" in plan
