@@ -34,6 +34,63 @@ def write_bucketed_table(
     )
 
 
+def ensure_bucketed_table(
+    df: DataFrame,
+    fixture_key: str,
+    src: str,
+    key: str,
+    n_buckets: int = 8,
+) -> str:
+    """Materialize ``df`` ONCE as an external bucketed+sorted fixture
+    table under /tmp and return its catalog name — the cross-session
+    variant of :func:`write_bucketed_table` the scored queries need.
+
+    Bucketing metadata lives in the (session-scoped) catalog while the
+    files persist on disk, so three cases: table registered → reuse;
+    files exist but a fresh session lost the metadata → re-register with
+    DDL (CLUSTERED BY … INTO n BUCKETS LOCATION — the file naming
+    written by bucketBy is what makes this sound); neither → bucketed
+    write. The fixture fingerprint keys the name so parameter changes
+    never reuse a stale layout."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    # v2: one file per bucket (repartition before write) — multiple files
+    # per bucket would force a re-Sort under every sort-merge join
+    layout_version = "v2"
+    fp = hashlib.md5(
+        f"{layout_version}:{fixture_key}:{src}:{key}:{n_buckets}:"
+        f"{df.schema.simpleString()}".encode()
+    ).hexdigest()[:10]
+    tbl = f"mt_bucketed_{src}_{fp}"
+    if spark.catalog.tableExists(tbl):
+        return tbl
+    path = f"/tmp/modeltracking_bucketed_{src}_{fp}"
+    if os.path.isdir(path):
+        schema_ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        spark.sql(
+            f"CREATE TABLE {tbl} ({schema_ddl}) USING parquet "
+            f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {n_buckets} BUCKETS "
+            f"LOCATION '{path}'"
+        )
+        return tbl
+    (
+        # repartition on the key into n_buckets tasks: Spark's bucket id
+        # uses the same hash, so each task holds exactly one bucket and
+        # writes exactly one (sorted) file — the layout that lets the
+        # sort-merge join skip BOTH the shuffle and the sort
+        df.repartition(n_buckets, F.col(key))
+        .write.bucketBy(n_buckets, key).sortBy(key)
+        .option("path", path).saveAsTable(tbl)
+    )
+    return tbl
+
+
 def write_grid_partitioned(grid: DataFrame, path: str) -> None:
     """Persist the long grid partitioned by ``time_hours`` — the profile
     pipeline filters on a small set of time buckets, so partition pruning

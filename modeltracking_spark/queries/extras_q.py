@@ -907,3 +907,100 @@ def zorder_layout_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = g.withColumn("morton", morton_code("lat_idx", "lon_idx", bits=8))
     w = Window.orderBy("morton")
     return m.withColumn("z_rank", F.row_number().over(w).cast("long"))
+
+
+@query(
+    "partition_prune_events",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+           count(*) AS n,
+           sum(round(value * 100)::BIGINT)::BIGINT AS value_cents
+    FROM events
+    WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-10' AND '2024-01-12'
+    GROUP BY 1, 2
+    """,
+)
+def partition_prune_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout + partition pruning — THE 100 TB
+    scan mechanism: events are written once partitioned by day
+    (``day=yyyy-MM-dd/`` directories, the layout a production event lake
+    uses), and the query filters three days, so the scan must touch 3 of
+    ~30 partition directories (PartitionFilters — plan-asserted in
+    tests/test_layout.py) instead of reading everything and filtering.
+    The oracle computes the same aggregate from the unpartitioned
+    parquet, attesting the repartitioned copy is lossless. Fixture dir
+    keyed by sf dir + this function's source, race-safe rename like the
+    csv/jsonl/orc fixtures."""
+    import hashlib
+    import inspect
+    import os
+    import shutil
+
+    ev = T(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    fp = hashlib.md5(
+        (sf_dir + inspect.getsource(partition_prune_events)).encode()
+    ).hexdigest()[:10]
+    out_dir = f"/tmp/modeltracking_events_bydate_{fp}"
+    if not os.path.isdir(out_dir):
+        tmp = f"{out_dir}.{os.getpid()}.tmp"
+        ev.write.mode("overwrite").partitionBy("day").parquet(tmp)
+        try:
+            os.rename(tmp, out_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race; reuse winner
+    back = spark.read.schema(
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string, day string"
+    ).parquet(out_dir)
+    return (
+        back.where(F.col("day").between("2024-01-10", "2024-01-12"))
+        .groupBy("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents("value")).alias("value_cents"),
+        )
+    )
+
+
+@query(
+    "bucketed_join_revenue",
+    oracle="""
+    SELECT o.o_orderstatus, l.l_returnflag,
+           count(*) AS n,
+           sum(round(l.l_extendedprice * 100)::BIGINT)::BIGINT AS revenue_cents
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join — the shuffle-free big⋈big mechanism at
+    100 TB: orders and lineitem are materialized ONCE as bucketed+sorted
+    tables on the order key (8 buckets, one sorted file per bucket), so
+    the sort-merge join needs NO Exchange on either side — and NO Sort
+    either under the post-SPARK-28632 outputOrdering opt-in (both
+    plan-asserted in tests/test_layout.py; only the final aggregate
+    shuffles its 9-row group set). The oracle is the plain join:
+    bucketing is layout, never semantics."""
+    from modeltracking_spark.operators.layout import ensure_bucketed_table
+
+    lt = ensure_bucketed_table(
+        T(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_returnflag", "l_extendedprice"
+        ),
+        sf_dir, "lineitem", "l_orderkey",
+    )
+    ot = ensure_bucketed_table(
+        T(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus"),
+        sf_dir, "orders", "o_orderkey",
+    )
+    li, od = spark.table(lt), spark.table(ot)
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("o_orderstatus", "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents("l_extendedprice")).alias("revenue_cents"),
+        )
+    )

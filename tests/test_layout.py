@@ -95,3 +95,55 @@ def test_morton_code_matches_python_reference_and_is_bijective(spark):
     deltas = [abs(got[(a + 1, b)] - got[(a, b)]) for a in range(n - 1) for b in range(n)]
     rowmajor = [abs(((a + 1) * n + b) - (a * n + b)) for a in range(n - 1) for b in range(n)]
     assert sorted(deltas)[len(deltas) // 2] < sorted(rowmajor)[0]  # median 1 < n
+
+
+def test_partition_prune_events_query_prunes_day_partitions(spark):
+    """The scored partition_prune_events query must push the 3-day
+    predicate into PartitionFilters (directory pruning, zero row-level
+    work for other days) and prune the scan schema to the two referenced
+    data columns."""
+    from modeltracking_spark.queries import load_registries
+    from tests.conftest import SF001
+
+    qs, _ = load_registries()
+    out = qs["partition_prune_events"](spark, SF001)
+    plan = executed_plan(out)
+    scan = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "(day" in scan.split("PartitionFilters")[1].split("]")[0]
+    assert ">= 2024-01-10" in scan and "<= 2024-01-12" in scan
+    assert "struct<event_type:string,value:double>" in scan  # pruned read
+
+
+def test_bucketed_join_revenue_query_is_exchange_free_at_scale_shape(spark):
+    """With broadcast off (the 100 TB regime — neither fact side fits),
+    the scored bucketed_join_revenue join subtree must sort-merge over
+    the pre-bucketed, pre-sorted files: no Exchange and no Sort below
+    the join; the only shuffle in the whole plan is the final 9-group
+    aggregate."""
+    from modeltracking_spark.queries import load_registries
+    from tests.conftest import SF001
+
+    qs, _ = load_registries()
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = qs["bucketed_join_revenue"](spark, SF001)
+        plan = executed_plan(out)
+        assert "SortMergeJoin" in plan
+        join_sub = plan.split("SortMergeJoin", 1)[1]
+        assert "Exchange" not in join_sub      # bucketed: no join shuffle
+        assert plan.count("Exchange hashpartitioning") == 1  # the agg only
+        # sort elimination needs the one-file-per-bucket layout (the
+        # writer repartitions for it) PLUS the post-SPARK-28632 opt-in;
+        # with it the join is exchange-free AND sort-free
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+        )
+        plan2 = executed_plan(qs["bucketed_join_revenue"](spark, SF001))
+        join_sub2 = plan2.split("SortMergeJoin", 1)[1]
+        assert "Exchange" not in join_sub2 and "Sort " not in join_sub2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "false"
+        )
