@@ -1004,3 +1004,94 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents("l_extendedprice")).alias("revenue_cents"),
         )
     )
+
+
+@query(
+    "cms_user_counts",
+    oracle="""
+    WITH ev AS (SELECT user_id FROM events),
+    rb AS (SELECT user_id, d,
+                  ('0x' || substr(md5(user_id::VARCHAR || ':' || d::VARCHAR),
+                                  1, 15))::BIGINT % 256 AS bucket
+           FROM ev CROSS JOIN range(4) dd(d)),
+    sk AS (SELECT d, bucket, count(*) AS cnt FROM rb GROUP BY 1, 2),
+    tru AS (SELECT user_id, count(*) AS true_cnt FROM ev GROUP BY 1),
+    top AS (SELECT user_id, true_cnt,
+                   row_number() OVER (ORDER BY true_cnt DESC, user_id ASC)
+                     AS rk
+            FROM tru QUALIFY rk <= 20),
+    pb AS (SELECT t.user_id, t.true_cnt, t.rk, dd.d,
+                  ('0x' || substr(md5(t.user_id::VARCHAR || ':'
+                                      || dd.d::VARCHAR), 1, 15))::BIGINT % 256
+                    AS bucket
+           FROM top t CROSS JOIN range(4) dd(d))
+    SELECT user_id, true_cnt, rk::BIGINT AS rk,
+           min(coalesce(s.cnt, 0))::BIGINT AS est_cnt
+    FROM pb LEFT JOIN sk s USING (d, bucket)
+    GROUP BY 1, 2, 3
+    """,
+)
+def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency telemetry: the depth-4 × width-256
+    counter grid built over event user_ids in ONE bounded aggregate,
+    then probed for the top-20 users beside their exact counts — at
+    sf0.1 1500 users share 256 buckets, so est_cnt genuinely
+    overestimates and the CMS guarantee (est ≥ true, error ≤ εN) is
+    visible in the attested rows. md5-salted bucketing makes the whole
+    sketch SQL-replayable, unlike the opaque xxhash sketches behind
+    approx builtins (operators/sketches.py). The top-20 probe set is
+    TakeOrderedAndProject + a 20-row bounded rank window."""
+    from modeltracking_spark.operators.sketches import (
+        cms_estimate,
+        count_min_sketch,
+    )
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events").select("user_id")
+    sk = count_min_sketch(ev, "user_id", depth=4, width=256)
+    tru = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_cnt"))
+    top = (
+        tru.orderBy(F.col("true_cnt").desc(), F.col("user_id").asc())
+        .limit(20)
+        .withColumn(
+            "rk",
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.col("true_cnt").desc(), F.col("user_id").asc()
+                )
+            )
+            .cast("long"),
+        )
+    )
+    return cms_estimate(sk, top, "user_id", depth=4, width=256)
+
+
+@query(
+    "distinct_estimate_users",
+    oracle="""
+    WITH b AS (SELECT user_id AS k,
+                      ('0x' || substr(md5(user_id::VARCHAR || ':lc'),
+                                      1, 15))::BIGINT % 4096 AS b
+               FROM events)
+    SELECT count(DISTINCT k) AS n_exact,
+           count(DISTINCT b) AS n_occupied,
+           CASE WHEN count(DISTINCT b) >= 4096 THEN NULL
+                ELSE floor((0.0::DOUBLE - 4096.0::DOUBLE
+                            * ln((4096 - count(DISTINCT b))::DOUBLE
+                                 / 4096.0::DOUBLE)) * 1e6 + 0.5::DOUBLE)::BIGINT
+           END AS est_e6
+    FROM b
+    """,
+)
+def distinct_estimate_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear probabilistic counting beside the exact distinct: the
+    4096-bucket occupancy bitmap over event user_ids and the
+    −m·ln(empty/m) estimate, e6-floored; the oracle replays bitmap and
+    formula. The bitmap aggregate is bounded and OR-mergeable across
+    shards — the scale path when exact count_distinct's shuffle is the
+    bottleneck (operators/sketches.py)."""
+    from modeltracking_spark.operators.sketches import linear_distinct_estimate
+
+    ev = T(spark, sf_dir, "events").select("user_id")
+    return linear_distinct_estimate(ev, "user_id", m=4096)

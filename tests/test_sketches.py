@@ -1,0 +1,74 @@
+"""Sketch-tier tests (operators/sketches.py): Count-Min guarantees
+(overestimate-only, exactness without collisions, mergeability by
+addition) and linear-counting behavior incl. the full-bitmap guard."""
+
+import math
+
+import pyspark.sql.functions as F
+
+from modeltracking_spark.operators.sketches import (
+    cms_estimate,
+    count_min_sketch,
+    linear_distinct_estimate,
+)
+
+
+def _counts(spark, rows):
+    df = spark.createDataFrame([(k,) for k in rows], ["k"])
+    tru = df.groupBy("k").agg(F.count(F.lit(1)).alias("true_cnt"))
+    return df, tru
+
+
+def test_cms_never_underestimates_and_is_exact_without_collisions(spark):
+    # zipf-ish: 50 keys, width 8 -> collisions guaranteed; width 4096 ->
+    # effectively none, estimates must be EXACT
+    rows = [f"k{i:02d}" for i in range(50) for _ in range(max(200 // (i + 1), 1))]
+    df, tru = _counts(spark, rows)
+    for width, exact in ((8, False), (4096, True)):
+        sk = count_min_sketch(df, "k", depth=4, width=width)
+        est = {
+            r["k"]: (r["true_cnt"], r["est_cnt"])
+            for r in cms_estimate(sk, tru, "k", depth=4, width=width).collect()
+        }
+        assert len(est) == 50
+        assert all(e >= t for t, e in est.values())          # CMS guarantee
+        if exact:
+            assert all(e == t for t, e in est.values())
+    # width 8 must actually show a collision on this data, or the
+    # overestimate assertion above proved nothing
+    sk8 = count_min_sketch(df, "k", depth=4, width=8)
+    est8 = cms_estimate(sk8, tru, "k", depth=4, width=8)
+    assert est8.where(F.col("est_cnt") > F.col("true_cnt")).count() > 0
+
+
+def test_cms_sketch_is_bounded_and_mergeable(spark):
+    rows = [f"u{i}" for i in range(300) for _ in range(3)]
+    df, _ = _counts(spark, rows)
+    half1 = df.limit(450)
+    half2 = df.exceptAll(half1)
+    sk_all = count_min_sketch(df, "k", depth=4, width=32)
+    assert sk_all.count() <= 4 * 32                      # bounded grid
+    merged = (
+        count_min_sketch(half1, "k", depth=4, width=32)
+        .unionByName(count_min_sketch(half2, "k", depth=4, width=32))
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    a = {(r["d"], r["bucket"]): r["cnt"] for r in sk_all.collect()}
+    b = {(r["d"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    assert a == b                                        # merge == rebuild
+
+
+def test_linear_counting_formula_and_full_bitmap_guard(spark):
+    df = spark.createDataFrame([(f"x{i}",) for i in range(100)], ["k"])
+    r = linear_distinct_estimate(df, "k", m=1024).collect()[0]
+    assert r["n_exact"] == 100
+    v = r["n_occupied"]
+    assert 0 < v <= 100
+    expect = math.floor(-1024.0 * math.log((1024 - v) / 1024.0) * 1e6 + 0.5)
+    assert r["est_e6"] == expect
+    # estimate within 15% of truth at this low occupancy
+    assert abs(r["est_e6"] / 1e6 - 100) / 100 < 0.15
+    # m=1: every key lands in bucket 0 -> full bitmap -> NULL, loudly
+    r1 = linear_distinct_estimate(df, "k", m=1).collect()[0]
+    assert r1["est_e6"] is None
