@@ -779,3 +779,55 @@ def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_logratio(
         docs, F.col("lang") == "en", keep_frac_num=1, keep_frac_den=4
     )
+
+
+@query(
+    "merge_upsert_docs",
+    oracle="""
+    WITH upd AS (SELECT doc_id, 'UPD ' || text AS text, lang, source, n_chars
+                 FROM documents WHERE doc_id % 10 = 3),
+    ins AS (SELECT doc_id + 10000000 AS doc_id, 'NEW ' || text AS text,
+                   lang, source, n_chars
+            FROM documents WHERE doc_id % 25 = 0),
+    delta AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+    merged AS (
+      SELECT coalesce(d.doc_id, s.doc_id) AS doc_id,
+             coalesce(d.text, s.text) AS text,
+             coalesce(d.lang, s.lang) AS lang,
+             coalesce(d.source, s.source) AS source,
+             coalesce(d.n_chars, s.n_chars) AS n_chars,
+             CASE WHEN d.doc_id IS NOT NULL AND s.doc_id IS NOT NULL
+                    THEN 'updated'
+                  WHEN d.doc_id IS NOT NULL THEN 'inserted'
+                  ELSE 'kept' END AS merge_op
+      FROM documents s FULL OUTER JOIN delta d ON s.doc_id = d.doc_id
+    )
+    SELECT doc_id, lang, source, md5(text) AS text_md5, n_chars, merge_op
+    FROM merged
+    """,
+)
+def merge_upsert_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse MERGE INTO semantics over the corpus: a deterministic
+    daily delta (every doc_id%10==3 updated with an 'UPD ' prefix; every
+    doc_id%25==0 re-inserted under a shifted id) merged into the
+    snapshot via the single-shuffle union+window upsert
+    (operators/merge.py). The oracle derives the SAME result through an
+    INDEPENDENT formulation — a full-outer-join coalesce — so the hash
+    match proves the scalable decomposition implements MERGE exactly,
+    op tags included."""
+    from modeltracking_spark.operators.merge import merge_upsert
+
+    docs = T(spark, sf_dir, "documents")
+    upd = docs.where(F.col("doc_id") % 10 == 3).withColumn(
+        "text", F.concat(F.lit("UPD "), F.col("text"))
+    )
+    ins = docs.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"),
+        F.concat(F.lit("NEW "), F.col("text")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    merged = merge_upsert(docs, upd.unionByName(ins), "doc_id")
+    return merged.select(
+        "doc_id", "lang", "source",
+        F.md5("text").alias("text_md5"), "n_chars", "merge_op",
+    )

@@ -365,3 +365,29 @@ def test_dsir_rank_matches_python_and_keeps_quarter(spark):
     kept = {r["doc_id"] for r in out if r["keep"]}
     assert len(kept) == 6                      # floor(24/4)
     assert kept <= set(range(8))               # all target-vocab docs
+
+
+def test_merge_upsert_semantics_and_plan(spark):
+    from modeltracking_spark.operators.merge import merge_upsert
+    from modeltracking_spark.plans import executed_plan
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    delta = spark.createDataFrame([(2, "B"), (9, "Z")], ["k", "v"])
+    out = {r["k"]: (r["v"], r["merge_op"])
+           for r in merge_upsert(snap, delta, "k").collect()}
+    assert out == {
+        1: ("a", "kept"),
+        2: ("B", "updated"),      # delta wins
+        3: ("c", "kept"),
+        9: ("Z", "inserted"),
+    }
+    plan = executed_plan(merge_upsert(snap, delta, "k"))
+    assert "hashpartitioning(k" in plan       # per-key window, no global sort
+    assert "SinglePartition" not in plan
+    try:
+        merge_upsert(snap, delta.select("v", "k"), "k")
+        raise AssertionError("expected ValueError on schema mismatch")
+    except ValueError:
+        pass
