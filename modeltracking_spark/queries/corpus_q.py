@@ -831,3 +831,109 @@ def merge_upsert_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source",
         F.md5("text").alias("text_md5"), "n_chars", "merge_op",
     )
+
+
+# ---- quality-classifier oracle: 2 GD iterations unrolled in SQL ----
+# (the PageRank/Lloyd replay discipline: e6-floored per-row gradient
+# contributions -> BIGINT sums -> floored weight updates; z and sigmoid
+# written with the exact association order of operators/classifier.py)
+
+_LR_STOP_IN = "('the','a','of','and','to','in','is','on','for','it')"
+_LR_FEATS = f"""
+    f AS (
+      SELECT doc_id,
+             CASE WHEN floor(((CASE WHEN n > 0 THEN nd / n ELSE 0.0 END)
+                              + least(n / 64.0, 1.0)
+                              + (1.0 - abs(stop - 0.2))) / 3.0 * 1e6
+                            + 0.5)::BIGINT >= 720000
+                  THEN 1 ELSE 0 END AS y,
+             1.0::DOUBLE AS x0,
+             stop AS x1,
+             least(n / 64.0, 1.0) AS x2,
+             (length(replace(text, ' ', ''))::DOUBLE
+              / greatest(len(toks), 1)::DOUBLE) / 16.0 AS x3
+      FROM (SELECT doc_id, text, {_TOKS} AS toks,
+                   len({_TOKS})::DOUBLE AS n,
+                   len(list_distinct({_TOKS}))::DOUBLE AS nd,
+                   len(list_filter({_TOKS}, t -> t IN {_LR_STOP_IN}))::DOUBLE
+                     / greatest(len({_TOKS}), 1)::DOUBLE AS stop
+            FROM documents)
+    )"""
+_LR_Z = (
+    "((((w0::DOUBLE / 1e6) * x0 + (w1::DOUBLE / 1e6) * x1)"
+    " + (w2::DOUBLE / 1e6) * x2) + (w3::DOUBLE / 1e6) * x3)"
+)
+_LR_SIG = f"1.0::DOUBLE / (1.0::DOUBLE + exp(0.0::DOUBLE - {_LR_Z}))"
+
+
+def _lr_iter_sql(prev: str, i: int, lr_num: int = 4, lr_den: int = 1) -> str:
+    """One GD iteration: weights {prev} (w0..w3) -> lw{i} (w0..w3)."""
+    gsum = ", ".join(
+        f"sum(floor((sig - y::DOUBLE) * x{j} * 1e6 + 0.5::DOUBLE)::BIGINT)::BIGINT"
+        f" AS g{j}"
+        for j in range(4)
+    )
+    pw = ", ".join(f"any_value(w{j}) AS pw{j}" for j in range(4))
+    upd = ", ".join(
+        f"pw{j} - floor(({lr_num} * g{j})::DOUBLE / ({lr_den} * n)::DOUBLE)::BIGINT"
+        f" AS w{j}"
+        for j in range(4)
+    )
+    return f"""
+    s{i} AS (
+      SELECT f.*, w.w0, w.w1, w.w2, w.w3, {_LR_SIG} AS sig
+      FROM f CROSS JOIN {prev} w
+    ),
+    g{i} AS (SELECT count(*) AS n, {pw}, {gsum} FROM s{i}),
+    lw{i} AS (SELECT {upd} FROM g{i})"""
+
+
+_LR_ORACLE = f"""
+    WITH {_LR_FEATS},
+    lw0 AS (SELECT 0::BIGINT AS w0, 0::BIGINT AS w1,
+                   0::BIGINT AS w2, 0::BIGINT AS w3),
+    {_lr_iter_sql("lw0", 1)},
+    {_lr_iter_sql("lw1", 2)}
+    SELECT doc_id, y,
+           floor(({_LR_SIG}) * 1e6 + 0.5::DOUBLE)::BIGINT AS score_e6,
+           (floor(({_LR_SIG}) * 1e6 + 0.5::DOUBLE)::BIGINT >= 500000)::INTEGER
+             AS pred
+    FROM f CROSS JOIN lw2 w
+"""
+
+
+@query("quality_logreg_docs", oracle=_LR_ORACLE)
+def quality_logreg_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier DISTILLATION inside the engine: the label is
+    the rule-based quality heuristic thresholded at its corpus median
+    (quality_e6 >= 0.72 — the distill-an-expensive-scorer-into-a-cheap-
+    linear-model step real curation pipelines run), and two batch
+    gradient-descent iterations of logistic regression (features:
+    stopword ratio, capped length score, scaled mean token length) run
+    as pure DataFrame aggregates — weights live in a 1-row broadcast
+    relation, never on the driver — then one full-corpus scoring pass
+    (~80% agreement with the teacher heuristic, asserted in pytest).
+    The oracle unrolls BOTH iterations and the scoring in SQL
+    (e6-floored gradient contributions, BIGINT sums, floored updates),
+    so training is attested end to end, not just the final scores
+    (operators/classifier.py)."""
+    from modeltracking_spark.functions.text import tokens
+    from modeltracking_spark.operators.classifier import (
+        doc_features,
+        score_quality_logreg,
+        train_quality_logreg,
+    )
+    from modeltracking_spark.operators.textops import stopword_ratio
+
+    toks = tokens("text")
+    n = F.size(toks).cast("double")
+    q = (
+        F.when(n > 0, F.size(F.array_distinct(toks)).cast("double") / n)
+        .otherwise(F.lit(0.0))
+        + F.least(n / F.lit(64.0), F.lit(1.0))
+        + (F.lit(1.0) - F.abs(stopword_ratio("text") - F.lit(0.2)))
+    ) / F.lit(3.0)
+    label = F.floor(q * 1e6 + 0.5).cast("long") >= 720_000
+    feats = doc_features(T(spark, sf_dir, "documents"), label_pred=label)
+    w = train_quality_logreg(feats, iters=2)
+    return score_quality_logreg(feats, w)

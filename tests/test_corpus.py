@@ -391,3 +391,63 @@ def test_merge_upsert_semantics_and_plan(spark):
         raise AssertionError("expected ValueError on schema mismatch")
     except ValueError:
         pass
+
+
+def test_quality_logreg_matches_python_replay_and_learns(spark):
+    # bit-exact replay of the fixed-point GD on a separable toy set:
+    # y correlates with x1; trained scores must beat the 0.5 prior
+    import math
+
+    from modeltracking_spark.operators.classifier import (
+        score_quality_logreg,
+        train_quality_logreg,
+    )
+
+    rows = []
+    for i in range(40):
+        y = 1 if i % 2 == 0 else 0
+        x1 = 0.8 if y else 0.1
+        rows.append((i, y, 1.0, x1, 0.05 * (i % 5), 0.25 + 0.0625 * (i % 3)))
+    feats = spark.createDataFrame(
+        rows, "doc_id long, y int, x0 double, x1 double, x2 double, x3 double"
+    )
+    got_w = train_quality_logreg(feats, iters=2).collect()[0]
+
+    w = [0, 0, 0, 0]
+    for _ in range(2):
+        g = [0, 0, 0, 0]
+        for (_i, y, x0, x1, x2, x3) in rows:
+            z = (w[0] / 1e6) * x0
+            z = z + (w[1] / 1e6) * x1
+            z = z + (w[2] / 1e6) * x2
+            z = z + (w[3] / 1e6) * x3
+            sig = 1.0 / (1.0 + math.exp(0.0 - z))
+            for j, x in enumerate((x0, x1, x2, x3)):
+                g[j] += math.floor((sig - y) * x * 1e6 + 0.5)
+        for j in range(4):
+            w[j] = w[j] - math.floor((4 * g[j]) / (1 * len(rows)))
+    assert [got_w[f"w{j}"] for j in range(4)] == w
+
+    scored = score_quality_logreg(
+        feats, train_quality_logreg(feats, iters=2)
+    ).collect()
+    pos = [r["score_e6"] for r in scored if r["y"] == 1]
+    neg = [r["score_e6"] for r in scored if r["y"] == 0]
+    assert min(pos) > max(neg)            # separable data separated
+
+
+def test_quality_logreg_distills_heuristic_on_corpus(spark):
+    # the scored query's training must actually LEARN: >= 70% agreement
+    # with its teacher label on the real corpus (random = ~50%)
+    from modeltracking_spark.queries import load_registries
+    from tests.conftest import SF001
+
+    qs, _ = load_registries()
+    s = qs["quality_logreg_docs"](spark, SF001)
+    n = s.count()
+    acc = s.where(F.col("pred") == F.col("y")).count() / n
+    assert n > 0 and acc >= 0.70
+    # both classes present in the label (balanced threshold), both
+    # predicted classes used
+    assert s.select("y").distinct().count() == 2
+    assert s.select("pred").distinct().count() == 2
