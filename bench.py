@@ -60,6 +60,13 @@ HEADLINE = [
     "pq_refine_topk_l2",
     "pagerank_link_graph_docs",
     "line_dedup_rewrite_docs",
+    # round-6 closing additions: BM25 retrieval, SemDeDup clustered
+    # embedding scrub, in-engine logreg distillation, bucketed
+    # exchange-free join
+    "bm25_topk_docs",
+    "semdedup_embeddings",
+    "quality_logreg_docs",
+    "bucketed_join_revenue",
 ]
 
 # Regression anchor: BENCH_r03.json per-query seconds at sf0.1 on local[32]

@@ -27,14 +27,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from modeltracking_spark.functions.fixedpoint import e6_half_up
 from modeltracking_spark.functions.text import STOPWORDS, tokens
 
 #: feature column names, in z-sum order (bias first)
 FEATURES = ("x0", "x1", "x2", "x3")
 
 
-def _e6(col: Column) -> Column:
-    return F.floor(col * F.lit(1e6) + F.lit(0.5)).cast("long")
+_e6 = e6_half_up  # shared half-up e6 lift (functions/fixedpoint.py)
 
 
 def doc_features(

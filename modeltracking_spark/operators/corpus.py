@@ -17,14 +17,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from modeltracking_spark.functions.fixedpoint import e6_half_up
 from modeltracking_spark.functions.text import tokens
 
 
-def _e6(col: F.Column) -> F.Column:
-    """floor(x*1e6 + 0.5) as BIGINT — half-up fixed point, identical in
-    Spark and DuckDB (unlike round(), whose half-rule differs by engine
-    for negative values)."""
-    return F.floor(col * F.lit(1e6) + F.lit(0.5)).cast("long")
+#: the shared half-up e6 lift (functions/fixedpoint.py) — one source of
+#: truth for the engine-exactness primitive
+_e6 = e6_half_up
 
 
 def tfidf_top_terms(
@@ -678,13 +677,11 @@ def dsir_logratio(
         target_pred.cast("boolean").alias("is_target"),
         tokens(text_col).alias("toks"),
     )
+    from modeltracking_spark.operators.dedup import token_hash60
+
     tok = d.select(
         "doc_id", "is_target", F.explode("toks").alias("token")
-    ).withColumn(
-        "h",
-        F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
-        % F.lit(n_buckets),
-    )
+    ).withColumn("h", token_hash60("token") % F.lit(n_buckets))
     counts = tok.groupBy("h").agg(
         F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("c_t"),
         F.count(F.lit(1)).alias("c_r"),

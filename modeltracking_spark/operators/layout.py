@@ -46,14 +46,19 @@ def ensure_bucketed_table(
     variant of :func:`write_bucketed_table` the scored queries need.
 
     Bucketing metadata lives in the (session-scoped) catalog while the
-    files persist on disk, so three cases: table registered → reuse;
-    files exist but a fresh session lost the metadata → re-register with
-    DDL (CLUSTERED BY … INTO n BUCKETS LOCATION — the file naming
-    written by bucketBy is what makes this sound); neither → bucketed
-    write. The fixture fingerprint keys the name so parameter changes
+    files persist on disk: a registered table is reused; otherwise the
+    files are (re)built if absent and the final table is registered with
+    DDL (CLUSTERED BY … INTO n BUCKETS LOCATION — sound because bucketBy
+    encodes the bucket id in each file name). The build is crash- and
+    race-safe like every fixture writer here: files go to a pid-suffixed
+    temp dir through a throwaway table, then one atomic rename publishes
+    them — a killed or losing session can never leave a half-written
+    directory where the DDL branch would register it as truth. The
+    fixture fingerprint keys the name so parameter/schema/layout changes
     never reuse a stale layout."""
     import hashlib
     import os
+    import shutil
 
     from pyspark.sql import functions as F
 
@@ -69,24 +74,30 @@ def ensure_bucketed_table(
     if spark.catalog.tableExists(tbl):
         return tbl
     path = f"/tmp/modeltracking_bucketed_{src}_{fp}"
-    if os.path.isdir(path):
-        schema_ddl = ", ".join(
-            f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    if not os.path.isdir(path):
+        tmp = f"{path}.{os.getpid()}.tmp"
+        build_tbl = f"{tbl}_build_{os.getpid()}"
+        (
+            # repartition on the key into n_buckets tasks: Spark's bucket
+            # id uses the same hash, so each task holds exactly one
+            # bucket and writes exactly one (sorted) file — the layout
+            # that lets the sort-merge join skip BOTH shuffle and sort
+            df.repartition(n_buckets, F.col(key))
+            .write.mode("overwrite").bucketBy(n_buckets, key).sortBy(key)
+            .option("path", tmp).saveAsTable(build_tbl)
         )
-        spark.sql(
-            f"CREATE TABLE {tbl} ({schema_ddl}) USING parquet "
-            f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {n_buckets} BUCKETS "
-            f"LOCATION '{path}'"
-        )
-        return tbl
-    (
-        # repartition on the key into n_buckets tasks: Spark's bucket id
-        # uses the same hash, so each task holds exactly one bucket and
-        # writes exactly one (sorted) file — the layout that lets the
-        # sort-merge join skip BOTH the shuffle and the sort
-        df.repartition(n_buckets, F.col(key))
-        .write.bucketBy(n_buckets, key).sortBy(key)
-        .option("path", path).saveAsTable(tbl)
+        spark.sql(f"DROP TABLE IF EXISTS {build_tbl}")
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race; reuse winner
+    schema_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    spark.sql(
+        f"CREATE TABLE {tbl} ({schema_ddl}) USING parquet "
+        f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {n_buckets} BUCKETS "
+        f"LOCATION '{path}'"
     )
     return tbl
 

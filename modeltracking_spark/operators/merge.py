@@ -30,10 +30,11 @@ def merge_upsert(
 
     Both sides must share a schema. Output: the merged table plus
     ``merge_op`` ∈ ('updated', 'inserted', 'kept'):
-    updated = key in both (delta row wins), inserted = delta-only,
-    kept = snapshot-only. Duplicate keys WITHIN a side are an upstream
-    bug; the deterministic tie-break (delta first) still yields one row
-    per key, never a row explosion.
+    updated = key in BOTH sides (delta row wins), inserted = delta-only,
+    kept = snapshot-only — derived from min/max of the side tag, so a
+    side-internal duplicate can never masquerade as an update. Duplicate
+    keys WITHIN a side are an upstream bug and fail LOUDLY
+    (``raise_error``) instead of electing a nondeterministic survivor.
     """
     if snapshot.columns != delta.columns:
         raise ValueError(
@@ -42,18 +43,32 @@ def merge_upsert(
     tagged = snapshot.withColumn("__src", F.lit(0)).unionByName(
         delta.withColumn("__src", F.lit(1))
     )
-    w = Window.partitionBy(key_col).orderBy(F.col("__src").desc())
+    wk = Window.partitionBy(key_col)
+    w = wk.orderBy(F.col("__src").desc())
     return (
         tagged.withColumn("__rk", F.row_number().over(w))
-        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy(key_col)))
+        .withColumn("__both", F.max("__src").over(wk) > F.min("__src").over(wk))
+        .withColumn("__n", F.count(F.lit(1)).over(wk))
+        .where(
+            # a key holds at most one row per side: n == 1 + (1 if both)
+            F.when(
+                F.col("__n") > F.lit(1) + F.col("__both").cast("int"),
+                F.raise_error(
+                    F.concat(
+                        F.lit("merge_upsert: duplicate key within a side: "),
+                        F.col(key_col).cast("string"),
+                    )
+                ).cast("boolean"),
+            ).otherwise(F.lit(True))
+        )
         .where(F.col("__rk") == 1)
         .withColumn(
             "merge_op",
-            F.when(F.col("__n") > 1, F.lit("updated")).otherwise(
+            F.when(F.col("__both"), F.lit("updated")).otherwise(
                 F.when(F.col("__src") == 1, F.lit("inserted")).otherwise(
                     F.lit("kept")
                 )
             ),
         )
-        .drop("__src", "__rk", "__n")
+        .drop("__src", "__rk", "__both", "__n")
     )

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from modeltracking_spark.functions.fixedpoint import e6_half_up
 from modeltracking_spark.functions.text import tokens
 
 #: BM25 parameters as exact rationals (the SQL twin divides the same
@@ -33,10 +34,7 @@ K1_NUM, K1_DEN = 12, 10     # k1 = 1.2
 B_NUM, B_DEN = 75, 100      # b = 0.75
 
 
-def _e6(col: F.Column) -> F.Column:
-    """floor(x*1e6 + 0.5) as BIGINT — half-up fixed point (engine-exact,
-    unlike round() on negatives)."""
-    return F.floor(col * F.lit(1e6) + F.lit(0.5)).cast("long")
+_e6 = e6_half_up  # shared half-up e6 lift (functions/fixedpoint.py)
 
 
 def queries_from_docs(

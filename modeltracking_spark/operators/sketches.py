@@ -30,8 +30,13 @@ from pyspark.sql import functions as F
 
 def _bucket(key: Column, salt: str, width: int) -> Column:
     """Portable uniform bucket: first 15 md5 hex digits (60 bits) of
-    ``key || ':' || salt`` mod width — engine-identical."""
-    h = F.md5(F.concat(key.cast("string"), F.lit(":" + salt)))
+    ``key || ':' || salt`` mod width — engine-identical. NULL keys hash
+    as the sentinel string '__null__' (concat would otherwise propagate
+    NULL, the probe's bucket would never equi-join the sketch's, and a
+    NULL-keyed estimate would read 0 — an UNDERestimate, breaking the
+    CMS contract)."""
+    k = F.coalesce(key.cast("string"), F.lit("__null__"))
+    h = F.md5(F.concat(k, F.lit(":" + salt)))
     return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % F.lit(width)
 
 
@@ -66,6 +71,8 @@ def cms_estimate(
     broadcast; missing counters read as 0 (an empty bucket proves
     count 0). Output: probes' columns + est_cnt."""
     key = F.col(key_col)
+    # __-prefixed internals so a probe frame carrying its own d/bucket/cnt
+    # columns can never collide or bind ambiguously
     p = probes.select(
         "*",
         F.explode(
@@ -76,12 +83,17 @@ def cms_estimate(
                 )
                 for d in range(depth)
             ])
-        ).alias("rb"),
-    ).select("*", "rb.d", "rb.bucket").drop("rb")
-    joined = p.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        ).alias("__rb"),
+    ).select("*", F.col("__rb.d").alias("__d"), F.col("__rb.bucket").alias("__bucket")).drop("__rb")
+    sk = sketch.select(
+        F.col("d").alias("__d"),
+        F.col("bucket").alias("__bucket"),
+        F.col("cnt").alias("__cnt"),
+    )
+    joined = p.join(F.broadcast(sk), ["__d", "__bucket"], "left")
     return (
         joined.groupBy(*probes.columns)
-        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_cnt"))
+        .agg(F.min(F.coalesce("__cnt", F.lit(0))).alias("est_cnt"))
     )
 
 

@@ -934,6 +934,10 @@ def quality_logreg_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (F.lit(1.0) - F.abs(stopword_ratio("text") - F.lit(0.2)))
     ) / F.lit(3.0)
     label = F.floor(q * 1e6 + 0.5).cast("long") >= 720_000
-    feats = doc_features(T(spark, sf_dir, "documents"), label_pred=label)
+    # materialize the tokenize+feature pass ONCE (the bigram-LM lesson):
+    # both GD iterations and the scoring pass reuse the 5-double rows
+    feats = doc_features(
+        T(spark, sf_dir, "documents"), label_pred=label
+    ).localCheckpoint()
     w = train_quality_logreg(feats, iters=2)
     return score_quality_logreg(feats, w)

@@ -451,3 +451,20 @@ def test_quality_logreg_distills_heuristic_on_corpus(spark):
     # predicted classes used
     assert s.select("y").distinct().count() == 2
     assert s.select("pred").distinct().count() == 2
+
+
+def test_merge_upsert_duplicate_key_within_side_fails_loudly(spark):
+    from modeltracking_spark.operators.merge import merge_upsert
+
+    snap = spark.createDataFrame([(1, "a")], ["k", "v"])
+    dup_delta = spark.createDataFrame([(9, "x"), (9, "y")], ["k", "v"])
+    try:
+        merge_upsert(snap, dup_delta, "k").collect()
+        raise AssertionError("expected raise_error on side-internal dup key")
+    except Exception as exc:
+        assert "duplicate key within a side" in str(exc)
+    # delta-only key present twice must NOT be tagged 'updated' silently
+    ok = merge_upsert(snap, spark.createDataFrame([(9, "x")], ["k", "v"]), "k")
+    assert {r["k"]: r["merge_op"] for r in ok.collect()} == {
+        1: "kept", 9: "inserted"
+    }

@@ -44,8 +44,11 @@ def test_cms_never_underestimates_and_is_exact_without_collisions(spark):
 def test_cms_sketch_is_bounded_and_mergeable(spark):
     rows = [f"u{i}" for i in range(300) for _ in range(3)]
     df, _ = _counts(spark, rows)
-    half1 = df.limit(450)
-    half2 = df.exceptAll(half1)
+    # deterministic content split (limit() without ordering could pick
+    # different rows across its two evaluations)
+    parity = F.conv(F.substring(F.md5("k"), 1, 2), 16, 10).cast("long") % 2
+    half1 = df.where(parity == 0)
+    half2 = df.where(parity == 1)
     sk_all = count_min_sketch(df, "k", depth=4, width=32)
     assert sk_all.count() <= 4 * 32                      # bounded grid
     merged = (

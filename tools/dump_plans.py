@@ -56,6 +56,15 @@ NOTES = {
     "orc_roundtrip_scan": "orc file scan with explicit schema; exact-inverse md5 attestation",
     "incremental_neardup_docs": "delta band/set tables broadcast onto the corpus side; candidates cross the boundary only (no corpus self-join)",
     "zorder_layout_grid": "plan-time Morton bit interleave; rank window on the bounded distinct-cell table",
+    "bm25_topk_docs": "query set/vocab/df/stats all broadcast; (doc,term) tf aggregate is the only corpus shuffle; rank window partitioned by q_id",
+    "dsir_select_docs": "1024-row hashed LMs broadcast; two-pass bucket-offset global rank (full data windows under hashpartitioning(__b), only the bounded bucket table serializes)",
+    "semdedup_embeddings": "cluster assignment localCheckpointed once (pandas-UDF scoring runs once, not per join side); pair scrub equi-joins on cid; sizes broadcast",
+    "partition_prune_events": "PartitionFilters prune 3 of ~30 day directories; ReadSchema prunes to 2 data columns",
+    "bucketed_join_revenue": "pre-bucketed sort-merge join: zero exchanges below the join (sort-free under the SPARK-28632 opt-in); one aggregate exchange after",
+    "cms_user_counts": "depth x width bounded sketch aggregate broadcast back onto the 20-row probe set",
+    "distinct_estimate_users": "one bounded occupancy aggregate; no per-key state",
+    "merge_upsert_docs": "union + ONE per-key window (hash-partitioned on doc_id) — no wide full-outer coalesce",
+    "quality_logreg_docs": "per GD iteration: one map-side-combinable gradient aggregate + 1-row weight broadcast; scoring is a narrow map",
 }
 
 
