@@ -72,3 +72,78 @@ def merge_upsert(
         )
         .drop("__src", "__rk", "__both", "__n")
     )
+
+
+def scd2_apply(
+    history: DataFrame,
+    delta: DataFrame,
+    key_col: str,
+    attr_cols: list[str],
+    batch_date: str,
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2: apply a delta batch to a
+    versioned history table, KEEPING superseded versions — the
+    history-tracking complement of :func:`merge_upsert` (warehouse
+    dimension loads, corpus provenance tracking).
+
+    ``history`` columns: key + attrs + (valid_from string, valid_to
+    string NULL=open, is_current boolean). A delta row whose attr hash
+    differs from the key's CURRENT version closes that version
+    (valid_to = batch_date, is_current = false) and opens a new one
+    (valid_from = batch_date); an identical delta row is a no-op; a new
+    key opens its first version. Attr comparison hashes
+    unit-separator-joined attrs with a NULL sentinel, so NULL and
+    empty-string attrs cannot alias.
+
+    Scale: one hash-partitioned full-outer join of the CURRENT slice
+    against the delta (both sides needed for change detection — this is
+    inherent to SCD2), plus unions; closed history never re-shuffles.
+
+    Output: the new history table + ``scd_op`` ∈ ('history', 'closed',
+    'unchanged', 'opened').
+    """
+    meta = ["valid_from", "valid_to", "is_current"]
+    attrs_hash = F.md5(
+        F.concat_ws(
+            "\x1f", *[F.coalesce(F.col(a).cast("string"), F.lit("\x00"))
+                      for a in attr_cols]
+        )
+    )
+    old = history.where(~F.col("is_current")).select(
+        key_col, *attr_cols, *meta, F.lit("history").alias("scd_op")
+    )
+    cur = history.where(F.col("is_current")).withColumn("__h", attrs_hash)
+    d = delta.select(key_col, *attr_cols).withColumn("__dh", attrs_hash)
+    j = cur.alias("c").join(
+        d.alias("d"), F.col(f"c.{key_col}") == F.col(f"d.{key_col}"), "full_outer"
+    )
+    matched = F.col(f"c.{key_col}").isNotNull() & F.col(f"d.{key_col}").isNotNull()
+    changed = matched & (F.col("c.__h") != F.col("d.__dh"))
+    unchanged = (
+        j.where(
+            F.col(f"d.{key_col}").isNull() | (matched & (F.col("c.__h") == F.col("d.__dh")))
+        )
+        .select(
+            F.col(f"c.{key_col}").alias(key_col),
+            *[F.col(f"c.{a}").alias(a) for a in attr_cols],
+            *[F.col(f"c.{m}").alias(m) for m in meta],
+            F.lit("unchanged").alias("scd_op"),
+        )
+    )
+    closed = j.where(changed).select(
+        F.col(f"c.{key_col}").alias(key_col),
+        *[F.col(f"c.{a}").alias(a) for a in attr_cols],
+        F.col("c.valid_from").alias("valid_from"),
+        F.lit(batch_date).alias("valid_to"),
+        F.lit(False).alias("is_current"),
+        F.lit("closed").alias("scd_op"),
+    )
+    opened = j.where(changed | F.col(f"c.{key_col}").isNull()).select(
+        F.col(f"d.{key_col}").alias(key_col),
+        *[F.col(f"d.{a}").alias(a) for a in attr_cols],
+        F.lit(batch_date).alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+        F.lit("opened").alias("scd_op"),
+    )
+    return old.unionByName(unchanged).unionByName(closed).unionByName(opened)

@@ -126,3 +126,72 @@ def linear_distinct_estimate(
         .otherwise(F.floor(est * F.lit(1e6) + F.lit(0.5)).cast("long"))
         .alias("est_e6"),
     )
+
+
+def hist_quantiles(
+    df: DataFrame, val_col: str, qs_num: tuple[int, ...] = (25, 50, 75),
+    n_bins: int = 64,
+) -> DataFrame:
+    """Histogram-based approximate quantiles — the mergeable, bounded
+    stand-in for t-digest/approx_percentile that a 100 TB profiling pass
+    keeps beside exact percentiles (whose full sort/shuffle it avoids):
+    one 1-row min/max aggregate broadcast back, one bounded n_bins
+    count aggregate (mergeable by addition), then the quantile is the
+    LOWER EDGE of the first bin whose cumulative count reaches
+    ceil(q·n/100) — a deterministic integer rule, no interpolation, so
+    the whole estimate replays exactly in SQL. Error ≤ one bin width.
+
+    Output: one row per requested q: (q_pct, n, bin_idx, est_e6) with
+    est_e6 = e6-floored bin lower edge; an empty input yields no rows.
+    """
+    v = F.col(val_col).cast("double")
+    mm = df.agg(
+        F.min(v).alias("__mn"), F.max(v).alias("__mx"),
+        F.count(v).alias("__n"),
+    )
+    b = df.crossJoin(F.broadcast(mm)).select(
+        F.when(
+            F.col("__mx") > F.col("__mn"),
+            F.least(
+                F.lit(n_bins - 1),
+                F.floor(
+                    (v - F.col("__mn"))
+                    / ((F.col("__mx") - F.col("__mn")) / F.lit(float(n_bins)))
+                ).cast("int"),
+            ),
+        ).otherwise(F.lit(0)).alias("__bin")
+    )
+    counts = b.groupBy("__bin").agg(F.count(F.lit(1)).alias("__c"))
+    from pyspark.sql import Window
+
+    # bounded n_bins table: the cumulative window is the only serial step
+    cum = counts.withColumn(
+        "__cum",
+        F.sum("__c").over(
+            Window.orderBy("__bin").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    qrows = df.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in qs_num])).alias("q_pct")
+    )
+    hit = (
+        qrows.crossJoin(F.broadcast(cum))
+        .crossJoin(F.broadcast(mm))
+        .where(F.col("__cum") * 100 >= F.col("q_pct") * F.col("__n"))
+        .groupBy("q_pct")
+        .agg(
+            F.first("__n").alias("n"),
+            F.min("__bin").cast("long").alias("bin_idx"),
+            F.first("__mn").alias("__mn"),
+            F.first("__mx").alias("__mx"),
+        )
+    )
+    edge = F.col("__mn") + F.col("bin_idx").cast("double") * (
+        (F.col("__mx") - F.col("__mn")) / F.lit(float(n_bins))
+    )
+    return hit.select(
+        F.col("q_pct").cast("long").alias("q_pct"),
+        "n",
+        "bin_idx",
+        F.floor(edge * F.lit(1e6) + F.lit(0.5)).cast("long").alias("est_e6"),
+    )

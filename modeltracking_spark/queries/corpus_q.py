@@ -941,3 +941,78 @@ def quality_logreg_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     w = train_quality_logreg(feats, iters=2)
     return score_quality_logreg(feats, w)
+
+
+@query(
+    "scd2_history_docs",
+    oracle="""
+    WITH upd AS (SELECT doc_id, 'UPD ' || text AS text, lang
+                 FROM documents WHERE doc_id % 10 = 3),
+    noop AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 20 = 7),
+    ins AS (SELECT doc_id + 10000000 AS doc_id, 'NEW ' || text AS text, lang
+            FROM documents WHERE doc_id % 25 = 0),
+    delta AS (SELECT * FROM upd UNION ALL SELECT * FROM noop
+              UNION ALL SELECT * FROM ins),
+    j AS (SELECT h.doc_id AS ck, d.doc_id AS dk,
+                 h.text AS ct, h.lang AS cl, d.text AS dt, d.lang AS dl2
+          FROM documents h FULL OUTER JOIN delta d ON h.doc_id = d.doc_id),
+    unchanged AS (
+      SELECT ck AS doc_id, ct AS text, cl AS lang,
+             '2024-01-01' AS valid_from, NULL::VARCHAR AS valid_to,
+             TRUE AS is_current, 'unchanged' AS scd_op
+      FROM j WHERE ck IS NOT NULL
+               AND (dk IS NULL OR (ct = dt AND cl = dl2))),
+    closed AS (
+      SELECT ck AS doc_id, ct AS text, cl AS lang,
+             '2024-01-01' AS valid_from, '2024-02-01' AS valid_to,
+             FALSE AS is_current, 'closed' AS scd_op
+      FROM j WHERE ck IS NOT NULL AND dk IS NOT NULL
+               AND NOT (ct = dt AND cl = dl2)),
+    opened AS (
+      SELECT dk AS doc_id, dt AS text, dl2 AS lang,
+             '2024-02-01' AS valid_from, NULL::VARCHAR AS valid_to,
+             TRUE AS is_current, 'opened' AS scd_op
+      FROM j WHERE dk IS NOT NULL
+               AND (ck IS NULL OR NOT (ct = dt AND cl = dl2))),
+    hist2 AS (SELECT * FROM unchanged UNION ALL SELECT * FROM closed
+              UNION ALL SELECT * FROM opened)
+    SELECT doc_id, md5(text) AS text_md5, lang,
+           valid_from, valid_to, is_current, scd_op
+    FROM hist2
+    """,
+)
+def scd2_history_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 versioned history: the all-current corpus snapshot
+    takes a delta batch (updates at doc_id%10==3, no-op re-sends at
+    %20==7, inserts at %25==0 shifted) — changed keys close their
+    version and open a new one; no-op re-sends stay untouched. The
+    oracle derives the same table by direct attr comparison over an
+    independent full-outer formulation, so the md5-based change
+    detection in operators/merge.py:scd2_apply is cross-checked, tags
+    and both validity dates included."""
+    from modeltracking_spark.operators.merge import scd2_apply
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    history = docs.select(
+        "doc_id", "text", "lang",
+        F.lit("2024-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    upd = docs.where(F.col("doc_id") % 10 == 3).withColumn(
+        "text", F.concat(F.lit("UPD "), F.col("text"))
+    )
+    noop = docs.where(F.col("doc_id") % 20 == 7)
+    ins = docs.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"),
+        F.concat(F.lit("NEW "), F.col("text")).alias("text"),
+        "lang",
+    )
+    out = scd2_apply(
+        history, upd.unionByName(noop).unionByName(ins),
+        "doc_id", ["text", "lang"], "2024-02-01",
+    )
+    return out.select(
+        "doc_id", F.md5("text").alias("text_md5"), "lang",
+        "valid_from", "valid_to", "is_current", "scd_op",
+    )

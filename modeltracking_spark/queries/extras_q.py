@@ -1095,3 +1095,41 @@ def distinct_estimate_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = T(spark, sf_dir, "events").select("user_id")
     return linear_distinct_estimate(ev, "user_id", m=4096)
+
+
+@query(
+    "hist_quantiles_events",
+    oracle="""
+    WITH mm AS (SELECT min(value::DOUBLE) AS mn, max(value::DOUBLE) AS mx,
+                       count(value) AS n
+                FROM events),
+    b AS (SELECT CASE WHEN mx > mn
+                      THEN least(63, floor((value::DOUBLE - mn)
+                                           / ((mx - mn) / 64.0::DOUBLE))::INTEGER)
+                      ELSE 0 END AS bin
+          FROM events CROSS JOIN mm),
+    counts AS (SELECT bin, count(*) AS c FROM b GROUP BY bin),
+    cum AS (SELECT bin, sum(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+                          AS cum
+            FROM counts),
+    q AS (SELECT unnest([25, 50, 75]) AS q_pct),
+    hit AS (SELECT q_pct, min(bin) AS bin_idx
+            FROM q CROSS JOIN cum CROSS JOIN mm
+            WHERE cum * 100 >= q_pct * n GROUP BY q_pct)
+    SELECT q_pct::BIGINT AS q_pct, mm.n AS n, bin_idx::BIGINT AS bin_idx,
+           floor((mm.mn + bin_idx::DOUBLE * ((mm.mx - mm.mn) / 64.0::DOUBLE))
+                 * 1e6 + 0.5::DOUBLE)::BIGINT AS est_e6
+    FROM hit CROSS JOIN mm
+    """,
+)
+def hist_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-quantile sketch over event values: 64 equi-width bins,
+    quantile = lower edge of the first bin whose cumulative count
+    reaches q·n/100 — the mergeable approx-percentile a profiling pass
+    runs instead of a full sort. Deterministic integer rule, so the
+    oracle replays bins, cumulative counts, and edge arithmetic exactly;
+    accuracy vs the exact percentile is pytest-asserted
+    (operators/sketches.py:hist_quantiles)."""
+    from modeltracking_spark.operators.sketches import hist_quantiles
+
+    return hist_quantiles(T(spark, sf_dir, "events"), "value")

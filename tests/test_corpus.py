@@ -468,3 +468,37 @@ def test_merge_upsert_duplicate_key_within_side_fails_loudly(spark):
     assert {r["k"]: r["merge_op"] for r in ok.collect()} == {
         1: "kept", 9: "inserted"
     }
+
+
+def test_scd2_apply_semantics(spark):
+    from modeltracking_spark.operators.merge import scd2_apply
+
+    hist = spark.createDataFrame(
+        [
+            (1, "a", "2024-01-01", None, True),
+            (1, "old", "2023-01-01", "2024-01-01", False),  # closed history
+            (2, "b", "2024-01-01", None, True),
+            (3, "c", "2024-01-01", None, True),
+        ],
+        "k long, v string, valid_from string, valid_to string, is_current boolean",
+    )
+    delta = spark.createDataFrame(
+        [(1, "A"), (2, "b"), (9, "z")], "k long, v string"
+    )
+    out = scd2_apply(hist, delta, "k", ["v"], "2024-02-01")
+    rows = {(r["k"], r["scd_op"]): r for r in out.collect()}
+    assert set(rows) == {
+        (1, "history"), (1, "closed"), (1, "opened"),
+        (2, "unchanged"), (3, "unchanged"), (9, "opened"),
+    }
+    closed = rows[(1, "closed")]
+    assert (closed["valid_to"], closed["is_current"], closed["v"]) == (
+        "2024-02-01", False, "a",
+    )
+    opened = rows[(1, "opened")]
+    assert (opened["valid_from"], opened["valid_to"], opened["is_current"],
+            opened["v"]) == ("2024-02-01", None, True, "A")
+    assert rows[(1, "history")]["v"] == "old"       # untouched closed row
+    # invariant: exactly one current row per live key
+    cur = out.where(F.col("is_current")).groupBy("k").count().collect()
+    assert all(r["count"] == 1 for r in cur)

@@ -75,3 +75,27 @@ def test_linear_counting_formula_and_full_bitmap_guard(spark):
     # m=1: every key lands in bucket 0 -> full bitmap -> NULL, loudly
     r1 = linear_distinct_estimate(df, "k", m=1).collect()[0]
     assert r1["est_e6"] is None
+
+
+def test_hist_quantiles_accuracy_and_edges(spark):
+    import numpy as np
+
+    from modeltracking_spark.operators.sketches import hist_quantiles
+
+    vals = [float(x) for x in range(1000)]          # uniform 0..999
+    df = spark.createDataFrame([(v,) for v in vals], ["value"])
+    out = {r["q_pct"]: r for r in hist_quantiles(df, "value").collect()}
+    assert set(out) == {25, 50, 75}
+    bin_w = (999.0 - 0.0) / 64
+    for q in (25, 50, 75):
+        exact = float(np.percentile(vals, q))
+        est = out[q]["est_e6"] / 1e6
+        assert abs(est - exact) <= bin_w + 1e-6     # within one bin width
+        assert out[q]["n"] == 1000
+    # constant column: everything lands in bin 0, estimate == the value
+    cdf = spark.createDataFrame([(7.5,)] * 10, ["value"])
+    cout = hist_quantiles(cdf, "value").collect()
+    assert all(r["bin_idx"] == 0 and r["est_e6"] == 7500000 for r in cout)
+    # empty input: no rows, not a crash
+    edf = spark.createDataFrame([], "value double")
+    assert hist_quantiles(edf, "value").count() == 0
