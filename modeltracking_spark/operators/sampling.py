@@ -220,3 +220,47 @@ def deterministic_shuffle(
     ).withColumn(
         "idx_in_shard", (F.col("shuffle_rank") % shard_size).cast("long")
     )
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int = 50,
+    salt: str = "",
+) -> DataFrame:
+    """Weighted random sampling without replacement — and without RNG:
+    the Efraimidis-Spirakis A-Res scheme (priority = u^(1/w), keep the
+    top k) with the uniform u derived from md5(key||salt), so the
+    sample is reproducible across engines, partitionings, and reruns,
+    and inclusion probability still scales with weight.
+
+    u = (60-bit md5 int + 1) / 2^60  ∈ (0, 1]; the priority is computed
+    as exp(ln(u)/w) — written identically in the SQL oracle — and
+    e6-floored for the rank so ordering is engine-exact (ties break on
+    the key). Rows with weight <= 0 are excluded, loudly documented
+    rather than silently ranked (ln(u)/w would flip sign).
+
+    Scale: one narrow projection + a global top-k (orderBy+limit =
+    TakeOrderedAndProject — per-partition heaps, never a full sort) +
+    a k-row rank window. Output: key, weight, pri_e6, rk.
+    """
+    from pyspark.sql import Window
+
+    key = F.col(key_col)
+    w = F.col(weight_col).cast("double")
+    u = (
+        (F.conv(F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 15),
+                16, 10).cast("long") + F.lit(1)).cast("double")
+        / F.lit(float(1 << 60))
+    )
+    pri_e6 = F.floor(F.exp(F.log(u) / w) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    ranked = (
+        df.where(w > 0)
+        .select(key.alias("key"), w.alias("weight"), pri_e6.alias("pri_e6"))
+        .orderBy(F.col("pri_e6").desc(), F.col("key").asc())
+        .limit(k)
+    )
+    # rank window over the k-row result only (bounded)
+    wk = Window.orderBy(F.col("pri_e6").desc(), F.col("key").asc())
+    return ranked.withColumn("rk", F.row_number().over(wk).cast("long"))

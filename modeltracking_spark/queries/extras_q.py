@@ -1133,3 +1133,33 @@ def hist_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from modeltracking_spark.operators.sketches import hist_quantiles
 
     return hist_quantiles(T(spark, sf_dir, "events"), "value")
+
+
+@query(
+    "weighted_sample_docs",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id AS key, n_chars::DOUBLE AS weight,
+             floor(exp(ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                           + 1)::DOUBLE / 1152921504606846976.0::DOUBLE)
+                       / n_chars::DOUBLE) * 1e6 + 0.5::DOUBLE)::BIGINT AS pri_e6
+      FROM documents WHERE n_chars > 0
+    ),
+    r AS (SELECT *, row_number() OVER (ORDER BY pri_e6 DESC, key ASC) AS rk
+          FROM w)
+    SELECT key, weight, pri_e6, rk::BIGINT AS rk FROM r WHERE rk <= 50
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT RNG: Efraimidis-Spirakis A-Res
+    priorities (u^(1/w), u from md5, w = n_chars) keep the top 50 —
+    longer docs proportionally likelier, yet the sample is bit-
+    reproducible on any engine or partitioning. Spark's top-k is
+    TakeOrderedAndProject (per-partition heaps); the oracle replays the
+    priority formula and the global rank
+    (operators/sampling.py:weighted_priority_sample)."""
+    from modeltracking_spark.operators.sampling import weighted_priority_sample
+
+    return weighted_priority_sample(
+        T(spark, sf_dir, "documents"), "doc_id", "n_chars", k=50
+    )

@@ -194,3 +194,33 @@ def test_temperature_sample_flattens_mix(spark):
     ids2 = sorted(r["doc_id"] for r in temperature_sample(
         d, "doc_id", "src", alpha=0.5, target_rows=300).collect())
     assert ids1 == ids2
+
+
+def test_weighted_priority_sample_properties(spark):
+    """A-Res: deterministic across reruns/partitionings; heavier keys
+    sampled more often (aggregate over disjoint salt... here: weight-1
+    vs weight-100 population); zero/negative weights excluded; plan
+    uses TakeOrderedAndProject, not a global sort."""
+    import pyspark.sql.functions as F
+
+    from modeltracking_spark.operators.sampling import weighted_priority_sample
+    from modeltracking_spark.plans import executed_plan
+
+    rows = [(i, 100.0 if i < 50 else 1.0) for i in range(500)]
+    rows += [(900, 0.0), (901, -3.0)]           # must be excluded
+    df = spark.createDataFrame(rows, ["doc_id", "wt"])
+    got = weighted_priority_sample(df, "doc_id", "wt", k=40).collect()
+    keys = [r["key"] for r in got]
+    assert len(keys) == 40 and 900 not in keys and 901 not in keys
+    # heavy rows are 10% of the population but must dominate the sample
+    heavy = sum(1 for x in keys if x < 50)
+    assert heavy > 20
+    # determinism under repartitioning
+    again = weighted_priority_sample(
+        df.repartition(13), "doc_id", "wt", k=40
+    ).collect()
+    assert [(r["key"], r["rk"]) for r in got] == [
+        (r["key"], r["rk"]) for r in again
+    ]
+    plan = executed_plan(weighted_priority_sample(df, "doc_id", "wt", k=40))
+    assert "TakeOrderedAndProject" in plan
