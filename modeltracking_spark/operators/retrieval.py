@@ -133,3 +133,37 @@ def bm25_topk(
         .where(F.col("rk") <= k)
         .select("q_id", "doc_id", "n_terms_hit", "bm25_e6", "rk")
     )
+
+
+def inverted_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Materialize the inverted index as data: one row per term with its
+    document frequency and the SORTED posting list (csv of doc ids) —
+    the artifact BM25/boolean retrieval serves from. collect_list is
+    order-nondeterministic, so postings are sort_array'd before joining
+    into the canonical string; hence the output is engine-exact.
+
+    Scale: one (doc, term)-distinct shuffle + one per-term aggregate.
+    At 100 TB a head term's posting list is itself huge — production
+    shards postings by doc-id range and delta-encodes them; this
+    single-string form is the correctness-checkable core of that.
+
+    Output: (term, df, postings).
+    """
+    from modeltracking_spark.functions.text import tokens
+
+    pairs = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term"))
+        .distinct()
+    )
+    return pairs.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
+    )

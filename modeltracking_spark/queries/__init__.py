@@ -83,12 +83,25 @@ PRIORITY: tuple[str, ...] = (
     "regional_revenue",             # equi/broadcast chain
     "skew_salted_join_events",      # salted skew-join escape hatch (NEW r6)
     "argmin_order_per_customer",    # A3 argmin/min_by
-    "grid_datasource_scan",         # S6 custom Python DataSource
-    "grid_netcdf_scan",             # S6b classic-netCDF byte-range backend
-                                    # (first-ever attestation, round 6)
+    "bucketed_join_revenue",        # storage tier: exchange-free bucketed
+                                    # join (NEW late r6; S6 DataSource
+                                    # machinery carried by grid_netcdf_scan
+                                    # — same class, netCDF backend; the
+                                    # formula backend stays pytest-covered
+                                    # and grid_datasource_scan keeps its
+                                    # below-window oracle)
+    "grid_netcdf_scan",             # S6/S6b classic-netCDF byte-range
+                                    # backend through the custom Python
+                                    # DataSource (carries
+                                    # grid_datasource_scan)
     # --- dedup tier ---
     "exact_dedup_docs",
-    "jaccard_pairs_capped",
+    "quality_logreg_docs",          # in-engine logreg distillation (NEW
+                                    # late r6; exact-Jaccard machinery of
+                                    # jaccard_pairs_capped carried by
+                                    # minhash_lsh_pairs' array_intersect
+                                    # verify arm; jaccard keeps its
+                                    # below-window oracle + pytest)
     "minhash_lsh_pairs",
     "simhash_neardup_pairs",        # Hamming-band pairs (computes simhash_docs'
                                     # fingerprints internally; the per-doc query
@@ -113,7 +126,11 @@ PRIORITY: tuple[str, ...] = (
     "cosine_topk_lsh_probe",        # fully oracled (round 5)
     "cosine_topk_ivf_probe",        # unrolled-Lloyd SQL oracle — rotated in
                                     # per VERDICT r5 item 9 (round 6)
-    "cosine_topk_filtered",
+    "semdedup_embeddings",          # SemDeDup cluster-then-scrub (NEW late
+                                    # r6; cosine_topk_filtered's pre-filter
+                                    # predicate variant is carried by the
+                                    # in-window brute/LSH/IVF trio + its
+                                    # below-window oracle + pytest)
     "embedding_neardup_lsh_pairs",  # scale path; exact-verifies candidates, so
                                     # it carries embedding_neardup_pairs (below
                                     # window, recall-asserted in pytest)
@@ -134,6 +151,11 @@ PRIORITY: tuple[str, ...] = (
                                     # attestation, round 6)
     "stratified_hash_sample_docs",
     # ---- window boundary (50) — next-best entries follow ----
+    # rotated out late round 6, operator carried by an in-window slot:
+    "grid_datasource_scan",         # carried by grid_netcdf_scan (same
+                                    # DataSource, netCDF backend)
+    "jaccard_pairs_capped",         # carried by minhash_lsh_pairs verify arm
+    "cosine_topk_filtered",         # carried by brute/LSH/IVF trio
     # rotated out round 6, operator carried by an in-window slot:
     "try_cast_cleanup",             # carried by events_stats_suite
     "orders_sort_limit",            # carried by topk_lineitems_per_order glob arm

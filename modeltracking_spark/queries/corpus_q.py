@@ -1016,3 +1016,129 @@ def scd2_history_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.md5("text").alias("text_md5"), "lang",
         "valid_from", "valid_to", "is_current", "scd_op",
     )
+
+
+@query(
+    "triangle_counts_docs",
+    oracle="""
+    WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+    edges AS (
+      SELECT d.doc_id AS src,
+             CASE WHEN (d.doc_id * 7 + j.i * 13 + 1) % n.n = d.doc_id
+                  THEN ((d.doc_id * 7 + j.i * 13 + 1) % n.n + 1) % n.n
+                  ELSE (d.doc_id * 7 + j.i * 13 + 1) % n.n END AS dst
+      FROM documents d, nn n, range(3) j(i)
+      WHERE j.i <= d.doc_id % 3
+    ),
+    und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM edges WHERE src <> dst),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e3.v AS c
+      FROM und e1
+      JOIN und e2 ON e2.u = e1.v
+      JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    m AS (SELECT unnest([a, b, c]) AS node FROM tri)
+    SELECT node, count(*) AS n_tri FROM m GROUP BY node
+    """,
+)
+def triangle_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the SAME deterministic formula link
+    graph PageRank scores (doc d emits d%3+1 links to (d*7+j*13+1) mod
+    N) — the clustering-coefficient numerator web-curation uses beside
+    centrality. Canonical a<b<c orientation: each triangle found once
+    by two hash equi-joins, then every member credited
+    (operators/graph.py:triangle_count)."""
+    from modeltracking_spark.operators.graph import triangle_count
+
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    nn = d.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    raw = (
+        d.crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id", "__n",
+            F.explode(
+                F.sequence(F.lit(0), (F.col("doc_id") % 3).cast("int"))
+            ).alias("j"),
+        )
+        .withColumn("__t", (F.col("doc_id") * 7 + F.col("j") * 13 + 1) % F.col("__n"))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.when(F.col("__t") == F.col("doc_id"),
+                   (F.col("__t") + 1) % F.col("__n"))
+            .otherwise(F.col("__t")).alias("dst"),
+        )
+    )
+    return triangle_count(raw)
+
+
+@query(
+    "inverted_index_docs",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT doc_id, unnest({_TOKS}) AS term FROM documents
+    )
+    SELECT term, count(*) AS df,
+           array_to_string(list_sort(list(doc_id)), ',') AS postings
+    FROM pairs GROUP BY term
+    """,
+)
+def inverted_index_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverted index as a first-class artifact: term -> df +
+    SORTED posting list (canonical csv — collect_list order is
+    nondeterministic, sort_array makes it engine-exact). The structure
+    BM25 serves from, materialized and byte-attested
+    (operators/retrieval.py:inverted_index)."""
+    from modeltracking_spark.operators.retrieval import inverted_index
+
+    return inverted_index(T(spark, sf_dir, "documents"))
+
+
+@query(
+    "funnel_conversion_events",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS vts FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS cts
+          FROM events e JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.vts
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS pts
+          FROM events e JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.cts
+          GROUP BY e.user_id)
+    SELECT (SELECT count(DISTINCT user_id) FROM events) AS n_users,
+           (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_view_click,
+           (SELECT count(*) FROM p) AS n_full_funnel
+    """,
+)
+def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase): per user
+    the earliest view, the earliest click strictly AFTER it, the
+    earliest purchase strictly after that — the sequential-pattern
+    aggregate product analytics runs. Three per-user min aggregates
+    chained by hash joins on user_id; counts only in the output, so no
+    timestamp rendering crosses engines."""
+    ev = T(spark, sf_dir, "events")
+    v = (ev.where(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("vts")))
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("vts"))
+        .groupBy("user_id").agg(F.min("ts").alias("cts"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("cts"))
+        .groupBy("user_id").agg(F.min("ts").alias("pts"))
+    )
+    n_users = ev.agg(F.count_distinct("user_id").alias("n_users"))
+    return (
+        n_users
+        .crossJoin(F.broadcast(v.agg(F.count(F.lit(1)).alias("n_view"))))
+        .crossJoin(F.broadcast(c.agg(F.count(F.lit(1)).alias("n_view_click"))))
+        .crossJoin(F.broadcast(p.agg(F.count(F.lit(1)).alias("n_full_funnel"))))
+    )

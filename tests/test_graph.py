@@ -143,3 +143,22 @@ def test_personalized_pagerank_matches_reference_and_localizes(spark):
     assert got[4] == 0
     assert got[3] == max(v for k, v in got.items() if k != 0)
     assert got[0] > got[1] > got[2]
+
+
+def test_triangle_count_hand_graph(spark):
+    """K4 minus one edge: exactly 2 triangles; per-node credits checked
+    by hand. Directed duplicates and self-loops must be ignored."""
+    from modeltracking_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (2, 1),        # duplicate reversed edge
+            (2, 3), (1, 3),
+            (3, 4), (2, 4),        # K4 minus (1,4)
+            (4, 4),                # self-loop, ignored
+        ],
+        ["src", "dst"],
+    )
+    got = {r["node"]: r["n_tri"] for r in triangle_count(edges).collect()}
+    # triangles: (1,2,3) and (2,3,4)
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1}

@@ -65,6 +65,9 @@ NOTES = {
     "distinct_estimate_users": "one bounded occupancy aggregate; no per-key state",
     "merge_upsert_docs": "union + ONE per-key window (hash-partitioned on doc_id) — no wide full-outer coalesce",
     "quality_logreg_docs": "per GD iteration: one map-side-combinable gradient aggregate + 1-row weight broadcast; scoring is a narrow map",
+    "hist_quantiles_events": "1-row min/max broadcast; bounded 64-bin count aggregate; cumulative window only over the bin table",
+    "scd2_history_docs": "current slice full-outer-joins the delta on the key (hash-partitioned); closed history unions in without re-shuffling",
+    "weighted_sample_docs": "narrow priority projection + TakeOrderedAndProject top-k (per-partition heaps, no global sort); rank window over k rows",
 }
 
 
