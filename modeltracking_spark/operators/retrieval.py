@@ -167,3 +167,78 @@ def inverted_index(
             ",",
         ).alias("postings"),
     )
+
+
+def mmr_rerank(
+    cand: DataFrame, sim: DataFrame, k: int = 4,
+    lam_num: int = 7, lam_den: int = 10,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) — the diversity step after a relevance top-k: greedily pick
+    the candidate maximizing λ·rel − (1−λ)·max-sim-to-already-selected.
+    With e6 integer rel/sim and λ as the rational lam_num/lam_den, the
+    selection score is PURE INTEGER ((lam_num·rel − (lam_den−lam_num)·
+    maxsim) — no floats anywhere), so every greedy step is engine-exact
+    and the whole unrolled loop replays in SQL.
+
+    ``cand``: (q_id, c_id, rel_e6) — the bounded candidate table (top-N
+    per query, broadcast-sized). ``sim``: (q_id, a_id, b_id, sim_e6),
+    symmetric (both directions present). ``k`` is a compile-time unroll.
+
+    Scale: every step operates on the candidate table only — the corpus
+    never re-enters; at 100 TB the candidates per query are O(top-N),
+    so the greedy loop is driver-planned but executor-cheap.
+
+    Output: (q_id, c_id, rel_e6, step) with step = selection order 1..k.
+    """
+    lam_rest = lam_den - lam_num
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("__score").desc(), F.col("c_id").asc()
+    )
+    sel = (
+        cand.withColumn("__score", F.col("rel_e6") * lam_den)
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .select("q_id", "c_id", "rel_e6", F.lit(1).alias("step"))
+    )
+    sim2 = sim.select(
+        F.col("q_id").alias("__sq"), F.col("a_id"), F.col("b_id"),
+        F.col("sim_e6"),
+    )
+    for step in range(2, k + 1):
+        chosen = sel.select(
+            F.col("q_id").alias("__cq"), F.col("c_id").alias("__sid")
+        )
+        remaining = cand.join(
+            chosen,
+            (cand.q_id == chosen.__cq) & (cand.c_id == chosen.__sid),
+            "left_anti",
+        )
+        # max similarity of each remaining candidate to the selected set:
+        # candidate-side rows of the symmetric sim table, filtered to
+        # selected partners
+        maxsim = (
+            remaining.select("q_id", "c_id")
+            .join(
+                sim2,
+                (F.col("q_id") == F.col("__sq")) & (F.col("c_id") == F.col("a_id")),
+            )
+            .join(
+                chosen,
+                (F.col("__sq") == F.col("__cq")) & (F.col("b_id") == F.col("__sid")),
+            )
+            .groupBy("q_id", "c_id")
+            .agg(F.max("sim_e6").alias("__ms"))
+        )
+        scored = remaining.join(maxsim, ["q_id", "c_id"], "left").withColumn(
+            "__score",
+            F.col("rel_e6") * lam_num
+            - F.coalesce(F.col("__ms"), F.lit(0)) * lam_rest,
+        )
+        pick = (
+            scored.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") == 1)
+            .select("q_id", "c_id", "rel_e6", F.lit(step).alias("step"))
+        )
+        sel = sel.unionByName(pick)
+    return sel

@@ -748,3 +748,127 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ivf_quantizer_rows(spark, sf_dir), "cid int, centroid array<double>"
     )
     return semdedup(e, quant, eps_e6=950_000)
+
+
+# ---- MMR oracle: candidate top-8, symmetric candidate sims, then the
+# greedy loop UNROLLED — selection scores are pure integers
+# (7*rel_e6 - 3*maxsim_e6), so every pick replays exactly.
+_MMR_COS = """floor((CASE WHEN {na}.nrm = 0 OR {nb}.nrm = 0 THEN 0.0
+         ELSE list_sum(list_transform(list_zip({va}, {vb}),
+                s -> round(s[1]::DOUBLE * s[2]::DOUBLE * 1e12)::BIGINT))::DOUBLE
+              / (sqrt({na}.nrm::DOUBLE) * sqrt({nb}.nrm::DOUBLE)) END)
+       * 1e6 + 0.5::DOUBLE)::BIGINT"""
+
+
+def _mmr_step_sql(prev: str, i: int) -> str:
+    return f"""
+    rem{i} AS (SELECT c.* FROM cand c
+               LEFT JOIN {prev} s ON s.q_id = c.q_id AND s.c_id = c.c_id
+               WHERE s.c_id IS NULL),
+    ms{i} AS (SELECT r.q_id, r.c_id, max(sim.sim_e6) AS ms
+              FROM rem{i} r
+              JOIN sim ON sim.q_id = r.q_id AND sim.a_id = r.c_id
+              JOIN {prev} s ON s.q_id = sim.q_id AND s.c_id = sim.b_id
+              GROUP BY r.q_id, r.c_id),
+    p{i} AS (SELECT q_id, c_id, rel_e6, {i} AS step FROM (
+              SELECT r.q_id, r.c_id, r.rel_e6,
+                     row_number() OVER (PARTITION BY r.q_id
+                       ORDER BY (r.rel_e6 * 7 - coalesce(m.ms, 0) * 3) DESC,
+                                r.c_id ASC) AS rk
+              FROM rem{i} r LEFT JOIN ms{i} m
+                ON m.q_id = r.q_id AND m.c_id = r.c_id) WHERE rk = 1),
+    sel{i} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM p{i})"""
+
+
+_MMR_ORACLE = f"""
+    WITH n AS (SELECT vec_id, {_NORM} AS nrm FROM embeddings),
+    q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+          WHERE vec_id < 5),
+    x AS (SELECT q.q_id, e.vec_id AS c_id,
+                 {_MMR_COS.format(na="nq", nb="nc", va="q.qv", vb="e.embedding")}
+                   AS rel_e6
+          FROM q JOIN embeddings e ON e.vec_id <> q.q_id
+          JOIN n nq ON nq.vec_id = q.q_id
+          JOIN n nc ON nc.vec_id = e.vec_id),
+    cand AS (SELECT q_id, c_id, rel_e6 FROM (
+              SELECT *, row_number() OVER (PARTITION BY q_id
+                        ORDER BY rel_e6 DESC, c_id ASC) AS rk FROM x)
+             WHERE rk <= 8),
+    sim AS (SELECT a.q_id, a.c_id AS a_id, b.c_id AS b_id,
+                   {_MMR_COS.format(na="na", nb="nb", va="ea.embedding",
+                                    vb="eb.embedding")} AS sim_e6
+            FROM cand a JOIN cand b
+              ON a.q_id = b.q_id AND a.c_id <> b.c_id
+            JOIN embeddings ea ON ea.vec_id = a.c_id
+            JOIN embeddings eb ON eb.vec_id = b.c_id
+            JOIN n na ON na.vec_id = a.c_id
+            JOIN n nb ON nb.vec_id = b.c_id),
+    sel1 AS (SELECT q_id, c_id, rel_e6, 1 AS step FROM (
+              SELECT *, row_number() OVER (PARTITION BY q_id
+                        ORDER BY rel_e6 * 10 DESC, c_id ASC) AS rk FROM cand)
+             WHERE rk = 1),
+    {_mmr_step_sql("sel1", 2)},
+    {_mmr_step_sql("sel2", 3)},
+    {_mmr_step_sql("sel3", 4)}
+    SELECT q_id, c_id, rel_e6, step FROM sel4
+"""
+
+
+@query("mmr_diverse_topk", oracle=_MMR_ORACLE)
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-rank (λ=0.7): 5 query vectors take their
+    cosine top-8 candidates, then 4 greedy picks each maximize
+    7·rel_e6 − 3·maxsim_e6 against the already-selected set — pure
+    integer selection scores, so the oracle unrolls all three greedy
+    steps after the seed pick and matches exactly. The corpus never
+    re-enters after the candidate stage
+    (operators/retrieval.py:mmr_rerank)."""
+    from modeltracking_spark.operators.retrieval import mmr_rerank
+
+    e = T(spark, sf_dir, "embeddings")
+    nq = F.sqrt(sq_norm_fxp("qv").cast("double"))
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    ).withColumn("__qn", nq)
+    c = e.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv")
+    ).withColumn("__cn", F.sqrt(sq_norm_fxp("cv").cast("double")))
+
+    def cos_e6(va, vb, na, nb):
+        cosv = F.when(F.col(na) * F.col(nb) == 0, F.lit(0.0)).otherwise(
+            dot_product_fxp(va, vb).cast("double") / (F.col(na) * F.col(nb))
+        )
+        return F.floor(cosv * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+    x = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("q_id") != F.col("c_id"))
+        .withColumn("rel_e6", cos_e6("qv", "cv", "__qn", "__cn"))
+    )
+    wc = Window.partitionBy("q_id").orderBy(
+        F.col("rel_e6").desc(), F.col("c_id").asc()
+    )
+    cand = (
+        x.withColumn("__rk", F.row_number().over(wc))
+        .where(F.col("__rk") <= 8)
+        .select("q_id", "c_id", "rel_e6", "cv", "__cn")
+        .localCheckpoint()
+    )
+    a = cand.select(
+        "q_id", F.col("c_id").alias("a_id"),
+        F.col("cv").alias("av"), F.col("__cn").alias("__an"),
+    )
+    b = cand.select(
+        "q_id", F.col("c_id").alias("b_id"),
+        F.col("cv").alias("bv"), F.col("__cn").alias("__bn"),
+    )
+    sim = (
+        a.join(b, "q_id")
+        .where(F.col("a_id") != F.col("b_id"))
+        .withColumn("sim_e6", cos_e6("av", "bv", "__an", "__bn"))
+        .select("q_id", "a_id", "b_id", "sim_e6")
+    )
+    return mmr_rerank(
+        cand.select("q_id", "c_id", "rel_e6"), sim, k=4,
+        lam_num=7, lam_den=10,
+    )

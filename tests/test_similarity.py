@@ -356,3 +356,25 @@ def test_semdedup_plan_joins_on_cluster_no_cartesian(spark):
     assert_no_cartesian(out)
     plan = executed_plan(out)
     assert "hashpartitioning(cid" in plan
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    # candidates: A (rel .9), B near-copy of A (rel .85, sim .999 to A),
+    # C distinct (rel .5, sim .1). Pure relevance picks A,B; MMR must
+    # pick A then C: 7*850000 - 3*999000 = 2953000 < 7*500000 -
+    # 3*100000 = 3200000.
+    from modeltracking_spark.operators.retrieval import mmr_rerank
+
+    cand = spark.createDataFrame(
+        [(0, 10, 900000), (0, 11, 850000), (0, 12, 500000)],
+        "q_id long, c_id long, rel_e6 long",
+    )
+    sims = []
+    for x, y, s in [(10, 11, 999000), (10, 12, 100000), (11, 12, 100000)]:
+        sims += [(0, x, y, s), (0, y, x, s)]
+    sim = spark.createDataFrame(sims, "q_id long, a_id long, b_id long, sim_e6 long")
+    out = sorted(
+        mmr_rerank(cand, sim, k=3).collect(), key=lambda r: r["step"]
+    )
+    assert [r["c_id"] for r in out] == [10, 12, 11]
+    assert [r["step"] for r in out] == [1, 2, 3]
