@@ -68,6 +68,10 @@ NOTES = {
     "hist_quantiles_events": "1-row min/max broadcast; bounded 64-bin count aggregate; cumulative window only over the bin table",
     "scd2_history_docs": "current slice full-outer-joins the delta on the key (hash-partitioned); closed history unions in without re-shuffling",
     "weighted_sample_docs": "narrow priority projection + TakeOrderedAndProject top-k (per-partition heaps, no global sort); rank window over k rows",
+    "triangle_counts_docs": "canonical-orientation edge dedup, two hash equi-joins (never all-pairs), member-credit aggregate",
+    "inverted_index_docs": "one (doc,term)-distinct shuffle + per-term aggregate with sorted canonical postings",
+    "funnel_conversion_events": "three chained per-user min aggregates joined on user_id; 1-row count outputs",
+    "mmr_diverse_topk": "bounded candidate table localCheckpointed; greedy steps join candidate-sized tables only — the corpus never re-enters",
 }
 
 
