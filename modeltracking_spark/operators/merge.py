@@ -74,6 +74,28 @@ def merge_upsert(
     )
 
 
+def _one_row_per_key(df: DataFrame, key_col: str, side: str) -> DataFrame:
+    """Fail LOUDLY (raise_error) if ``df`` holds more than one row per
+    key — the same duplicate-key discipline as :func:`merge_upsert`; a
+    silent duplicate would fabricate extra versions downstream."""
+    wk = Window.partitionBy(key_col)
+    return (
+        df.withColumn("__nk", F.count(F.lit(1)).over(wk))
+        .where(
+            F.when(
+                F.col("__nk") > 1,
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"scd2_apply: duplicate key in {side}: "),
+                        F.col(key_col).cast("string"),
+                    )
+                ).cast("boolean"),
+            ).otherwise(F.lit(True))
+        )
+        .drop("__nk")
+    )
+
+
 def scd2_apply(
     history: DataFrame,
     delta: DataFrame,
@@ -91,9 +113,11 @@ def scd2_apply(
     differs from the key's CURRENT version closes that version
     (valid_to = batch_date, is_current = false) and opens a new one
     (valid_from = batch_date); an identical delta row is a no-op; a new
-    key opens its first version. Attr comparison hashes
-    unit-separator-joined attrs with a NULL sentinel, so NULL and
-    empty-string attrs cannot alias.
+    key opens its first version. Attr comparison concatenates a
+    fixed-width md5 PER attribute (NULL sentinel inside), so neither
+    NULLs nor separator-containing values can alias across attribute
+    boundaries. Duplicate keys within the delta or the current slice
+    fail loudly (:func:`_one_row_per_key`).
 
     Scale: one hash-partitioned full-outer join of the CURRENT slice
     against the delta (both sides needed for change detection — this is
@@ -103,17 +127,27 @@ def scd2_apply(
     'unchanged', 'opened').
     """
     meta = ["valid_from", "valid_to", "is_current"]
+    # per-attr inner md5 (fixed width) before the outer hash: a raw
+    # separator join would let values containing the separator alias
+    # across attribute boundaries ('a\\x1f'+'b' == 'a'+'\\x1fb') and
+    # silently swallow a change
     attrs_hash = F.md5(
-        F.concat_ws(
-            "\x1f", *[F.coalesce(F.col(a).cast("string"), F.lit("\x00"))
-                      for a in attr_cols]
+        F.concat(
+            *[F.md5(F.coalesce(F.col(a).cast("string"), F.lit("\x00")))
+              for a in attr_cols]
         )
     )
     old = history.where(~F.col("is_current")).select(
         key_col, *attr_cols, *meta, F.lit("history").alias("scd_op")
     )
-    cur = history.where(F.col("is_current")).withColumn("__h", attrs_hash)
-    d = delta.select(key_col, *attr_cols).withColumn("__dh", attrs_hash)
+    cur = _one_row_per_key(
+        history.where(F.col("is_current")).withColumn("__h", attrs_hash),
+        key_col, "current history slice",
+    )
+    d = _one_row_per_key(
+        delta.select(key_col, *attr_cols).withColumn("__dh", attrs_hash),
+        key_col, "delta",
+    )
     j = cur.alias("c").join(
         d.alias("d"), F.col(f"c.{key_col}") == F.col(f"d.{key_col}"), "full_outer"
     )

@@ -240,5 +240,8 @@ def mmr_rerank(
             .where(F.col("__rk") == 1)
             .select("q_id", "c_id", "rel_e6", F.lit(step).alias("step"))
         )
-        sel = sel.unionByName(pick)
+        # materialize per step: each iteration references sel ~3x, so an
+        # uncheckpointed lineage recomputes every earlier step and the
+        # plan grows exponentially in k
+        sel = sel.unionByName(pick).localCheckpoint()
     return sel

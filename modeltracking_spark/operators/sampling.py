@@ -249,10 +249,11 @@ def weighted_priority_sample(
 
     key = F.col(key_col)
     w = F.col(weight_col).cast("double")
+    from modeltracking_spark.operators.dedup import token_hash60
+
     u = (
-        (F.conv(F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 15),
-                16, 10).cast("long") + F.lit(1)).cast("double")
-        / F.lit(float(1 << 60))
+        (token_hash60(F.concat(key.cast("string"), F.lit(salt))) + F.lit(1))
+        .cast("double") / F.lit(float(1 << 60))
     )
     pri_e6 = F.floor(F.exp(F.log(u) / w) * F.lit(1e6) + F.lit(0.5)).cast("long")
     ranked = (

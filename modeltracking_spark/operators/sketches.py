@@ -145,6 +145,10 @@ def hist_quantiles(
     est_e6 = e6-floored bin lower edge; an empty input yields no rows.
     """
     v = F.col(val_col).cast("double")
+    # NULL measures carry no quantile information and would otherwise
+    # land in a bin (least() skips NULLs) — and an all-NULL input must
+    # yield no rows, not n=0 garbage rows
+    df = df.where(v.isNotNull())
     mm = df.agg(
         F.min(v).alias("__mn"), F.max(v).alias("__mx"),
         F.count(v).alias("__n"),

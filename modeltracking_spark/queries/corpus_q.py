@@ -961,19 +961,19 @@ def quality_logreg_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
              '2024-01-01' AS valid_from, NULL::VARCHAR AS valid_to,
              TRUE AS is_current, 'unchanged' AS scd_op
       FROM j WHERE ck IS NOT NULL
-               AND (dk IS NULL OR (ct = dt AND cl = dl2))),
+               AND (dk IS NULL OR (ct IS NOT DISTINCT FROM dt AND cl IS NOT DISTINCT FROM dl2))),
     closed AS (
       SELECT ck AS doc_id, ct AS text, cl AS lang,
              '2024-01-01' AS valid_from, '2024-02-01' AS valid_to,
              FALSE AS is_current, 'closed' AS scd_op
       FROM j WHERE ck IS NOT NULL AND dk IS NOT NULL
-               AND NOT (ct = dt AND cl = dl2)),
+               AND NOT (ct IS NOT DISTINCT FROM dt AND cl IS NOT DISTINCT FROM dl2)),
     opened AS (
       SELECT dk AS doc_id, dt AS text, dl2 AS lang,
              '2024-02-01' AS valid_from, NULL::VARCHAR AS valid_to,
              TRUE AS is_current, 'opened' AS scd_op
       FROM j WHERE dk IS NOT NULL
-               AND (ck IS NULL OR NOT (ct = dt AND cl = dl2))),
+               AND (ck IS NULL OR NOT (ct IS NOT DISTINCT FROM dt AND cl IS NOT DISTINCT FROM dl2))),
     hist2 AS (SELECT * FROM unchanged UNION ALL SELECT * FROM closed
               UNION ALL SELECT * FROM opened)
     SELECT doc_id, md5(text) AS text_md5, lang,

@@ -1100,14 +1100,15 @@ def distinct_estimate_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "hist_quantiles_events",
     oracle="""
-    WITH mm AS (SELECT min(value::DOUBLE) AS mn, max(value::DOUBLE) AS mx,
-                       count(value) AS n
-                FROM events),
+    WITH ev AS (SELECT value FROM events WHERE value IS NOT NULL),
+    mm AS (SELECT min(value::DOUBLE) AS mn, max(value::DOUBLE) AS mx,
+                  count(value) AS n
+           FROM ev),
     b AS (SELECT CASE WHEN mx > mn
                       THEN least(63, floor((value::DOUBLE - mn)
                                            / ((mx - mn) / 64.0::DOUBLE))::INTEGER)
                       ELSE 0 END AS bin
-          FROM events CROSS JOIN mm),
+          FROM ev CROSS JOIN mm),
     counts AS (SELECT bin, count(*) AS c FROM b GROUP BY bin),
     cum AS (SELECT bin, sum(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
                           AS cum

@@ -502,3 +502,35 @@ def test_scd2_apply_semantics(spark):
     # invariant: exactly one current row per live key
     cur = out.where(F.col("is_current")).groupBy("k").count().collect()
     assert all(r["count"] == 1 for r in cur)
+
+
+def test_scd2_duplicate_delta_key_fails_loudly(spark):
+    from modeltracking_spark.operators.merge import scd2_apply
+
+    hist = spark.createDataFrame(
+        [(1, "a", "2024-01-01", None, True)],
+        "k long, v string, valid_from string, valid_to string, is_current boolean",
+    )
+    dup = spark.createDataFrame([(1, "A"), (1, "B")], "k long, v string")
+    try:
+        scd2_apply(hist, dup, "k", ["v"], "2024-02-01").collect()
+        raise AssertionError("expected raise_error on duplicate delta key")
+    except Exception as exc:
+        assert "duplicate key in delta" in str(exc)
+
+
+def test_scd2_separator_values_cannot_alias(spark):
+    # attrs ('a\x1f', 'b') vs ('a', '\x1fb') must be detected as CHANGED
+    from modeltracking_spark.operators.merge import scd2_apply
+
+    hist = spark.createDataFrame(
+        [(1, "a\x1f", "b", "2024-01-01", None, True)],
+        "k long, v1 string, v2 string, valid_from string, valid_to string,"
+        " is_current boolean",
+    )
+    delta = spark.createDataFrame([(1, "a", "\x1fb")], "k long, v1 string, v2 string")
+    ops = sorted(
+        r["scd_op"]
+        for r in scd2_apply(hist, delta, "k", ["v1", "v2"], "2024-02-01").collect()
+    )
+    assert ops == ["closed", "opened"]

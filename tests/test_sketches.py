@@ -99,3 +99,17 @@ def test_hist_quantiles_accuracy_and_edges(spark):
     # empty input: no rows, not a crash
     edf = spark.createDataFrame([], "value double")
     assert hist_quantiles(edf, "value").count() == 0
+
+
+def test_hist_quantiles_ignores_nulls(spark):
+    from modeltracking_spark.operators.sketches import hist_quantiles
+
+    # all-NULL input -> no rows (not n=0 garbage)
+    nulls = spark.createDataFrame([(None,)] * 5, "value double")
+    assert hist_quantiles(nulls, "value").count() == 0
+    # mixed: NULLs excluded from n and from the top bin
+    mixed = spark.createDataFrame(
+        [(float(x),) for x in range(100)] + [(None,)] * 50, "value double"
+    )
+    out = hist_quantiles(mixed, "value").collect()
+    assert all(r["n"] == 100 for r in out)
