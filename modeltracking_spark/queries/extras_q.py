@@ -1164,3 +1164,80 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_priority_sample(
         T(spark, sf_dir, "documents"), "doc_id", "n_chars", k=50
     )
+
+
+@query(
+    "retention_cohorts_events",
+    oracle="""
+    WITH d AS (SELECT user_id, ts::DATE AS day FROM events),
+    cohort AS (SELECT user_id, min(day) AS c0 FROM d GROUP BY user_id),
+    act AS (SELECT DISTINCT d.user_id, c.c0,
+                   date_diff('day', c.c0, d.day) AS off
+            FROM d JOIN cohort c ON c.user_id = d.user_id)
+    SELECT strftime(c0, '%Y-%m-%d') AS cohort_day,
+           (off // 7)::BIGINT AS week_offset,
+           count(DISTINCT user_id) AS n_users
+    FROM act GROUP BY 1, 2
+    """,
+)
+def retention_cohorts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix — the product-analytics staple: users
+    cohorted by their FIRST event day; n distinct users of each cohort
+    active in each subsequent week (week_offset = floor(day-diff / 7)).
+    One per-user min aggregate broadcast back onto the (user, day)
+    activity pairs; day arithmetic via datediff so no timestamp
+    rendering crosses engines."""
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("day").alias("c0"))
+    act = (
+        ev.join(cohort, "user_id")
+        .select(
+            "user_id", "c0",
+            F.floor(F.datediff(F.col("day"), F.col("c0")) / 7).alias(
+                "week_offset"
+            ),
+        )
+        .distinct()
+    )
+    return act.groupBy(
+        F.date_format("c0", "yyyy-MM-dd").alias("cohort_day"),
+        F.col("week_offset").cast("long").alias("week_offset"),
+    ).agg(F.count_distinct("user_id").alias("n_users"))
+
+
+@query(
+    "rolling_active_users_events",
+    oracle="""
+    WITH pairs AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+    spine AS (SELECT DISTINCT day FROM pairs)
+    SELECT strftime(s.day, '%Y-%m-%d') AS day,
+           count(DISTINCT p.user_id) AS wau
+    FROM spine s JOIN pairs p
+      ON date_diff('day', p.day, s.day) BETWEEN 0 AND 6
+    GROUP BY 1
+    """,
+)
+def rolling_active_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct actives (WAU per day) — the sliding
+    DISTINCT aggregate windows can't express (distinct doesn't
+    decompose): day-grain (user, day) pairs self-join a distinct-day
+    spine over a 0..6 day lag and count distinct per spine day. The
+    (user, day) dedupe bounds the join input to actives-per-day rows —
+    at 100 TB this is the day-granular rollup the raw events NEVER
+    enter."""
+    pairs = (
+        T(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    spine = pairs.select(F.col("day").alias("sday")).distinct()
+    lagged = pairs.join(
+        spine,
+        (F.datediff(F.col("sday"), F.col("day")) >= 0)
+        & (F.datediff(F.col("sday"), F.col("day")) <= 6),
+    )
+    return lagged.groupBy(
+        F.date_format("sday", "yyyy-MM-dd").alias("day")
+    ).agg(F.count_distinct("user_id").alias("wau"))

@@ -344,3 +344,17 @@ def test_dsir_score_window_stays_partitioned(spark):
     assert "hashpartitioning(__b" in plan
     assert_no_cartesian(out)
     assert has_broadcast_join(out)               # 1024-row LM broadcast
+
+
+def test_rolling_wau_joins_bounded_spine(spark):
+    """The 7-day rolling-distinct join must pair the (user, day) rollup
+    with the BOUNDED day spine (broadcast nested-loop on the lag range
+    is right — the spine is day-cardinality), never a cartesian of raw
+    events."""
+    from modeltracking_spark.queries import load_registries
+
+    qs, _ = load_registries()
+    out = qs["rolling_active_users_events"](spark, SF001)
+    plan = executed_plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
