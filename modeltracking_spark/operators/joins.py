@@ -298,3 +298,58 @@ def knn_join_brute(
         .withColumnRenamed("__dist", "dist")
         .drop("__rank")
     )
+
+
+def point_in_polygon_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    px: str = "px",
+    py: str = "py",
+) -> DataFrame:
+    """Spatial containment join: which polygon contains each point —
+    the region-routing step of geo pipelines (the reference routes
+    tracks to datasets by REGION, trackplot_hycom.py's catalog probe;
+    this is the polygon-accurate version of that bounding-box routing).
+
+    Ray casting with a twist that makes it ORACLE-EXACT: coordinates
+    are INTEGERS (callers scale the grid, e.g. ×10), and the edge
+    crossing test replaces the usual division with a sign-aware
+    cross-multiplication, so containment is pure integer arithmetic —
+    no float boundary ulp can flip a verdict between engines:
+
+        cross = (yi > p) != (yj > p)
+        hit   = cross AND ((px−xi)·(yj−yi) <> (xj−xi)·(py−yi))
+                          (direction of <> follows sign(yj−yi))
+
+    ``polygons``: (poly_id, xs array<long>, ys array<long>) — vertex
+    lists in order, implicit closing edge. Broadcast-sized (a region
+    catalog is small); points stream through one narrow projection —
+    no shuffle of the point side at any scale.
+
+    Output: the (poly_id, point) pairs with inside = true.
+    """
+    n = F.size("xs")
+    i1 = lambda i: i + F.lit(1)                       # 1-based element_at
+    j1 = lambda i: ((i + F.lit(1)) % n) + F.lit(1)    # wrap to closing edge
+    pxc, pyc = F.col(px).cast("long"), F.col(py).cast("long")
+
+    def edge_hit(i):
+        xi, yi = F.element_at("xs", i1(i)), F.element_at("ys", i1(i))
+        xj, yj = F.element_at("xs", j1(i)), F.element_at("ys", j1(i))
+        cross = (yi > pyc) != (yj > pyc)
+        lhs = (pxc - xi) * (yj - yi)
+        rhs = (xj - xi) * (pyc - yi)
+        below = F.when(yj > yi, lhs < rhs).otherwise(lhs > rhs)
+        return F.when(cross & below, F.lit(1)).otherwise(F.lit(0))
+
+    hits = F.aggregate(
+        F.sequence(F.lit(0), n - F.lit(1)),
+        F.lit(0),
+        lambda acc, i: acc + edge_hit(i),
+    )
+    return (
+        points.crossJoin(F.broadcast(polygons))
+        .withColumn("__inside", hits % 2 == 1)
+        .where(F.col("__inside"))
+        .drop("__inside", "xs", "ys")
+    )

@@ -279,3 +279,67 @@ def vincenty_vs_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.abs(F.col("vin") - F.col("hav")) / F.col("vin") < 0.006)
         .alias("vin_within_006pct"),
     ).crossJoin(F.broadcast(bounding_box(t)))
+
+
+# ---- point-in-polygon oracle: the integer ray cast replayed in SQL.
+# xi/yi = edge start (1-based i+1), xj/yj = edge end (wrapping); the
+# division-free cross-multiplied crossing test keeps everything BIGINT.
+_PIP_XI, _PIP_YI = "g.xs[i+1]", "g.ys[i+1]"
+_PIP_XJ = "g.xs[((i+1) % len(g.xs)) + 1]"
+_PIP_YJ = "g.ys[((i+1) % len(g.xs)) + 1]"
+_PIP_EDGE = f"""CASE WHEN (({_PIP_YI} > p.py) <> ({_PIP_YJ} > p.py))
+     AND (CASE WHEN {_PIP_YJ} > {_PIP_YI}
+          THEN (p.px - {_PIP_XI}) * ({_PIP_YJ} - {_PIP_YI})
+             < ({_PIP_XJ} - {_PIP_XI}) * (p.py - {_PIP_YI})
+          ELSE (p.px - {_PIP_XI}) * ({_PIP_YJ} - {_PIP_YI})
+             > ({_PIP_XJ} - {_PIP_XI}) * (p.py - {_PIP_YI}) END)
+     THEN 1 ELSE 0 END"""
+
+#: (poly_id, xs, ys) — ×10 integer grid over the customers' [0,100) square
+_PIP_POLYGONS = [
+    (1, [0, 60, 0], [0, 0, 60]),
+    (2, [40, 95, 95, 40], [40, 40, 95, 95]),
+    (3, [10, 40, 50, 25, 5], [60, 65, 90, 98, 80]),
+]
+_PIP_VALUES = ", ".join(
+    f"({pid}, {xs}::BIGINT[], {ys}::BIGINT[])" for pid, xs, ys in _PIP_POLYGONS
+)
+
+
+@query(
+    "point_in_polygon_customers",
+    oracle=f"""
+    WITH pts AS (SELECT c_custkey,
+                        (c_custkey * 11 % 100)::BIGINT AS px,
+                        (c_custkey * 3 % 100)::BIGINT AS py
+                 FROM customer),
+    poly AS (SELECT * FROM (VALUES {_PIP_VALUES}) t(poly_id, xs, ys)),
+    hit AS (
+      SELECT p.c_custkey, p.px, p.py, g.poly_id,
+             list_sum(list_transform(range(len(g.xs)),
+                      i -> {_PIP_EDGE})) % 2 AS par
+      FROM pts p CROSS JOIN poly g
+    )
+    SELECT poly_id, c_custkey, px, py FROM hit WHERE par = 1
+    """,
+)
+def point_in_polygon_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial containment join: customers (formula ×10 integer grid
+    coords) routed to the region polygons containing them — the
+    polygon-accurate version of the reference's region routing. The
+    ray cast is division-free integer arithmetic (cross-multiplied
+    crossing test), so no float boundary can flip a verdict between
+    engines; the oracle replays every edge test
+    (operators/joins.py:point_in_polygon_join)."""
+    from modeltracking_spark.operators.joins import point_in_polygon_join
+
+    pts = T(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_custkey") * 11 % 100).cast("long").alias("px"),
+        (F.col("c_custkey") * 3 % 100).cast("long").alias("py"),
+    )
+    polys = spark.createDataFrame(
+        _PIP_POLYGONS, "poly_id int, xs array<long>, ys array<long>"
+    )
+    out = point_in_polygon_join(pts, polys)
+    return out.select("poly_id", "c_custkey", "px", "py")

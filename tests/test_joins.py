@@ -88,3 +88,37 @@ def test_grid_snap_and_neighborhood(spark):
     )
     cells = {(r["nb_lat_idx"], r["nb_lon_idx"]) for r in nb.collect()}
     assert cells == {(i, j) for i in (1, 2, 3) for j in (1, 2, 3)}
+
+
+def test_point_in_polygon_golden_and_edge_behavior(spark):
+    """Unit square polygon: strict interior in, far exterior out;
+    concave polygon handled (two crossings); winding direction
+    irrelevant."""
+    import pyspark.sql.functions as F
+
+    from modeltracking_spark.operators.joins import point_in_polygon_join
+
+    polys = spark.createDataFrame(
+        [
+            (1, [0, 10, 10, 0], [0, 0, 10, 10]),              # unit square x10
+            (2, [20, 30, 30, 26, 26, 20], [0, 0, 10, 10, 4, 4]),  # concave L
+            (3, [0, 0, 10, 10], [10, 0, 0, 10]),              # reversed winding
+        ],
+        "poly_id int, xs array<long>, ys array<long>",
+    )
+    pts = spark.createDataFrame(
+        [
+            (1, 5, 5),     # inside square (and its reversed twin)
+            (2, 15, 5),    # left of the L's vertical bar -> outside
+            (3, 28, 7),    # inside the L's vertical bar
+            (4, 22, 7),    # above the L's foot, left of the bar -> outside
+            (5, 28, 2),    # inside the L's foot
+            (6, 27, 5),    # inside the vertical bar
+        ],
+        "pt long, px long, py long",
+    )
+    got = {
+        (r["pt"], r["poly_id"])
+        for r in point_in_polygon_join(pts, polys).collect()
+    }
+    assert got == {(1, 1), (1, 3), (3, 2), (5, 2), (6, 2)}
