@@ -144,3 +144,70 @@ def profile_along_track(
         F.count("v").alias("n_valid"),
         (F.sum(valid_w * F.col("v")) / F.sum(valid_w)).alias("idw_value"),
     )
+
+
+def resample_track_arclength(track: DataFrame, step_deg: float = 0.5) -> DataFrame:
+    """Resample a track at EQUAL ARC-LENGTH intervals — the
+    regularization step before along-track profiling when input fixes
+    are unevenly spaced (the reference consumes fixed advisory points;
+    equal-arc resampling is what makes a distance axis honest).
+
+    Distance metric is Euclidean-degree (the reference's
+    location_to_index metric, functions/geo.py F7) ON PURPOSE: sqrt is
+    IEEE-correctly-rounded, so — unlike a haversine chain — the whole
+    cumulative-distance + linear-interpolation pipeline is
+    engine-deterministic double arithmetic and hash-oracle-able.
+
+    Pipeline: per-segment length (lag window) → running arc length
+    (ordered window sum = sequential fold, identical in both engines)
+    → target arcs k·step join onto their containing segment (range
+    join against the segment table — track-sized, broadcast) → linear
+    interpolation, e6-floored outputs.
+
+    Output: (k, s_deg_e6, lat_e6, lon_e6).
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy("point_id")
+    seg = (
+        track.select("point_id", "lat", "lon")
+        .withColumn("lat0", F.lag("lat").over(w))
+        .withColumn("lon0", F.lag("lon").over(w))
+        .withColumn(
+            "seg_len",
+            F.sqrt(
+                (F.col("lat") - F.col("lat0")) * (F.col("lat") - F.col("lat0"))
+                + (F.col("lon") - F.col("lon0")) * (F.col("lon") - F.col("lon0"))
+            ),
+        )
+        .withColumn(
+            "cum1", F.sum("seg_len").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .where(F.col("lat0").isNotNull())
+        .withColumn("cum0", F.col("cum1") - F.col("seg_len"))
+    )
+    total = seg.agg(F.max("cum1").alias("__total"))
+    targets = (
+        total.select(
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.floor(F.col("__total") / F.lit(step_deg)).cast("int"),
+                )
+            ).alias("k")
+        )
+        .withColumn("s", F.col("k").cast("double") * F.lit(step_deg))
+    )
+    # segment table is track-sized: broadcast the range join
+    hit = targets.join(
+        F.broadcast(seg),
+        (F.col("s") >= F.col("cum0")) & (F.col("s") < F.col("cum1")),
+    )
+    frac = (F.col("s") - F.col("cum0")) / F.col("seg_len")
+    e6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")
+    return hit.select(
+        F.col("k").cast("long").alias("k"),
+        e6(F.col("s")).alias("s_deg_e6"),
+        e6(F.col("lat0") + frac * (F.col("lat") - F.col("lat0"))).alias("lat_e6"),
+        e6(F.col("lon0") + frac * (F.col("lon") - F.col("lon0"))).alias("lon_e6"),
+    )

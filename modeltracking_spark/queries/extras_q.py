@@ -1241,3 +1241,51 @@ def rolling_active_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lagged.groupBy(
         F.date_format("sday", "yyyy-MM-dd").alias("day")
     ).agg(F.count_distinct("user_id").alias("wau"))
+
+
+@query(
+    "event_transitions_markov",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    c AS (SELECT prev_type, event_type AS next_type, count(*) AS cnt
+          FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+    t AS (SELECT prev_type, sum(cnt)::BIGINT AS tot FROM c GROUP BY 1)
+    SELECT c.prev_type, c.next_type, c.cnt,
+           floor(c.cnt::DOUBLE / t.tot::DOUBLE * 1e6 + 0.5::DOUBLE)::BIGINT
+             AS p_e6
+    FROM c JOIN t ON t.prev_type = c.prev_type
+    """,
+)
+def event_transitions_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-transition (Markov) matrix per user journey:
+    consecutive event pairs under the total (ts, event_id) order, with
+    e6 transition probabilities — the sequence-mining aggregate behind
+    next-action models and funnel discovery. One per-user window (lag)
+    + one 25-cell aggregate; the tie-broken ordering makes lag
+    engine-deterministic."""
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = pairs.groupBy("prev_type").agg(F.sum("cnt").alias("tot"))
+    return (
+        pairs.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type", "next_type", "cnt",
+            F.floor(
+                F.col("cnt").cast("double") / F.col("tot").cast("double")
+                * F.lit(1e6) + F.lit(0.5)
+            ).cast("long").alias("p_e6"),
+        )
+    )

@@ -343,3 +343,50 @@ def point_in_polygon_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = point_in_polygon_join(pts, polys)
     return out.select("poly_id", "c_custkey", "px", "py")
+
+
+@query(
+    "track_resample_arclength",
+    oracle=f"""
+    WITH track AS ({TRACK_SQL}),
+    seg AS (
+      SELECT point_id, lat, lon,
+             lag(lat) OVER (ORDER BY point_id) AS lat0,
+             lag(lon) OVER (ORDER BY point_id) AS lon0,
+             sqrt((lat - lag(lat) OVER (ORDER BY point_id))
+                  * (lat - lag(lat) OVER (ORDER BY point_id))
+                  + (lon - lag(lon) OVER (ORDER BY point_id))
+                  * (lon - lag(lon) OVER (ORDER BY point_id))) AS seg_len
+      FROM track
+    ),
+    segc AS (
+      SELECT *, sum(seg_len) OVER (ORDER BY point_id
+                 ROWS UNBOUNDED PRECEDING) AS cum1
+      FROM seg WHERE lat0 IS NOT NULL
+    ),
+    seg2 AS (SELECT *, cum1 - seg_len AS cum0 FROM segc),
+    tot AS (SELECT max(cum1) AS t FROM seg2),
+    targets AS (
+      SELECT k.k::BIGINT AS k, k.k::DOUBLE * 0.5::DOUBLE AS s
+      FROM range(0, 1000) k(k), tot
+      WHERE k.k <= floor(tot.t / 0.5::DOUBLE)::BIGINT
+    )
+    SELECT t.k,
+           floor(t.s * 1e6 + 0.5::DOUBLE)::BIGINT AS s_deg_e6,
+           floor((g.lat0 + ((t.s - g.cum0) / g.seg_len) * (g.lat - g.lat0))
+                 * 1e6 + 0.5::DOUBLE)::BIGINT AS lat_e6,
+           floor((g.lon0 + ((t.s - g.cum0) / g.seg_len) * (g.lon - g.lon0))
+                 * 1e6 + 0.5::DOUBLE)::BIGINT AS lon_e6
+    FROM targets t JOIN seg2 g ON t.s >= g.cum0 AND t.s < g.cum1
+    """,
+)
+def track_resample_arclength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-arc-length track resampling (0.5° steps) over the synthetic
+    advisory track — cumulative Euclidean-degree arc (sqrt is IEEE
+    correctly rounded, so the running fold is engine-exact), targets
+    joined onto their containing segment, linear interpolation e6-
+    floored. The oracle replays the lag/cumsum/interpolate chain
+    (operators/profile.py:resample_track_arclength)."""
+    from modeltracking_spark.operators.profile import resample_track_arclength
+
+    return resample_track_arclength(synthetic_track(spark), step_deg=0.5)

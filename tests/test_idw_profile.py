@@ -72,3 +72,29 @@ def test_profile_golden_shape(spark):
             assert 0.0 <= r["idw_value"] <= 19.9  # grid temp range
     assert len(by_point) == 80
     assert all(len(v) == 25 for v in by_point.values())
+
+
+def test_resample_arclength_properties(spark):
+    """Resampled points lie ON the original polyline at equal arc
+    spacing: s values are k*step, interpolated coords linear between
+    the bracketing fixes, and endpoints within one step of the track
+    ends."""
+    from modeltracking_spark.operators.profile import resample_track_arclength
+    from modeltracking_spark.queries.timegeo import synthetic_track
+
+    out = sorted(
+        resample_track_arclength(synthetic_track(spark), step_deg=0.5).collect(),
+        key=lambda r: r["k"],
+    )
+    assert [r["k"] for r in out] == list(range(len(out)))
+    for r in out:
+        assert r["s_deg_e6"] == r["k"] * 500000
+    # straight-line track: resampled lats must ramp monotonically and
+    # stay within the track's lat range
+    lats = [r["lat_e6"] / 1e6 for r in out]
+    assert all(b > a for a, b in zip(lats, lats[1:]))
+    assert 15.0 <= lats[0] and lats[-1] <= 34.75
+    # equal arc spacing implies equal lat increments on a straight
+    # line — constant up to the e6 output rounding (±1 µdeg)
+    incs = [round(b - a, 6) for a, b in zip(lats, lats[1:])]
+    assert max(incs) - min(incs) <= 2e-6 + 1e-12
