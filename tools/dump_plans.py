@@ -72,6 +72,11 @@ NOTES = {
     "inverted_index_docs": "one (doc,term)-distinct shuffle + per-term aggregate with sorted canonical postings",
     "funnel_conversion_events": "three chained per-user min aggregates joined on user_id; 1-row count outputs",
     "mmr_diverse_topk": "bounded candidate table localCheckpointed; greedy steps join candidate-sized tables only — the corpus never re-enters",
+    "retention_cohorts_events": "per-user min cohort aggregate joined back; distinct week-offset pairs then one matrix aggregate",
+    "rolling_active_users_events": "day-grain (user, day) dedupe FIRST; raw events never enter the 7-day lag join against the bounded day spine",
+    "event_transitions_markov": "one per-user lag window + 25-cell aggregate; row totals broadcast",
+    "point_in_polygon_customers": "region polygons broadcast; points stream through one integer-arithmetic projection — no shuffle of the point side",
+    "track_resample_arclength": "track-sized segment table broadcast under the target range join; windows over the 80-row track only",
 }
 
 
