@@ -312,7 +312,8 @@ def point_in_polygon_join(
     this is the polygon-accurate version of that bounding-box routing).
 
     Ray casting with a twist that makes it ORACLE-EXACT: coordinates
-    are INTEGERS (callers scale the grid, e.g. ×10), and the edge
+    are INTEGERS (already-integral units here; scale decimal grids,
+    e.g. ×10, BEFORE calling), and the edge
     crossing test replaces the usual division with a sign-aware
     cross-multiplication, so containment is pure integer arithmetic —
     no float boundary ulp can flip a verdict between engines:
@@ -347,8 +348,11 @@ def point_in_polygon_join(
         F.lit(0),
         lambda acc, i: acc + edge_hit(i),
     )
+    # degenerate polygons (< 3 vertices) contain nothing; dropping them
+    # here matches the parity-0/NULL verdict a SQL replay gives — and an
+    # EMPTY vertex list would otherwise crash (sequence(0, -1) descends)
     return (
-        points.crossJoin(F.broadcast(polygons))
+        points.crossJoin(F.broadcast(polygons.where(F.size("xs") >= 3)))
         .withColumn("__inside", hits % 2 == 1)
         .where(F.col("__inside"))
         .drop("__inside", "xs", "ys")

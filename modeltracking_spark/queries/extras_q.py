@@ -1199,7 +1199,6 @@ def retention_cohorts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "week_offset"
             ),
         )
-        .distinct()
     )
     return act.groupBy(
         F.date_format("c0", "yyyy-MM-dd").alias("cohort_day"),
@@ -1233,8 +1232,11 @@ def rolling_active_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     spine = pairs.select(F.col("day").alias("sday")).distinct()
+    # explicit broadcast: the spine is day-cardinality-bounded, but the
+    # planner estimates it from its events lineage — without the hint a
+    # large SF degrades this non-equi join to a cartesian product
     lagged = pairs.join(
-        spine,
+        F.broadcast(spine),
         (F.datediff(F.col("sday"), F.col("day")) >= 0)
         & (F.datediff(F.col("sday"), F.col("day")) <= 6),
     )

@@ -295,7 +295,7 @@ _PIP_EDGE = f"""CASE WHEN (({_PIP_YI} > p.py) <> ({_PIP_YJ} > p.py))
              > ({_PIP_XJ} - {_PIP_XI}) * (p.py - {_PIP_YI}) END)
      THEN 1 ELSE 0 END"""
 
-#: (poly_id, xs, ys) — ×10 integer grid over the customers' [0,100) square
+#: (poly_id, xs, ys) — vertices in the customers' raw [0,100) integer grid
 _PIP_POLYGONS = [
     (1, [0, 60, 0], [0, 0, 60]),
     (2, [40, 95, 95, 40], [40, 40, 95, 95]),
@@ -324,8 +324,8 @@ _PIP_VALUES = ", ".join(
     """,
 )
 def point_in_polygon_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spatial containment join: customers (formula ×10 integer grid
-    coords) routed to the region polygons containing them — the
+    """Spatial containment join: customers (formula integer-grid
+    coords, raw [0,100) units) routed to the region polygons containing them — the
     polygon-accurate version of the reference's region routing. The
     ray cast is division-free integer arithmetic (cross-multiplied
     crossing test), so no float boundary can flip a verdict between
@@ -386,7 +386,11 @@ def track_resample_arclength(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctly rounded, so the running fold is engine-exact), targets
     joined onto their containing segment, linear interpolation e6-
     floored. The oracle replays the lag/cumsum/interpolate chain
-    (operators/profile.py:resample_track_arclength)."""
+    (operators/profile.py:resample_track_arclength); its target
+    universe is a fixed range(0, 1000) (DuckDB range() cannot take
+    lateral bounds), valid while the track's total arc < 500 deg —
+    pinned by tests/test_idw_profile.py so a longer future track fails
+    the TEST, not the oracle compare."""
     from modeltracking_spark.operators.profile import resample_track_arclength
 
     return resample_track_arclength(synthetic_track(spark), step_deg=0.5)

@@ -98,3 +98,13 @@ def test_resample_arclength_properties(spark):
     # line — constant up to the e6 output rounding (±1 µdeg)
     incs = [round(b - a, 6) for a, b in zip(lats, lats[1:])]
     assert max(incs) - min(incs) <= 2e-6 + 1e-12
+
+
+def test_resample_oracle_target_bound_holds(spark):
+    # the SQL oracle enumerates targets from a fixed range(0, 1000);
+    # the synthetic track must stay well inside that bound
+    from modeltracking_spark.operators.profile import resample_track_arclength
+    from modeltracking_spark.queries.timegeo import synthetic_track
+
+    n = resample_track_arclength(synthetic_track(spark), step_deg=0.5).count()
+    assert n < 1000

@@ -122,3 +122,16 @@ def test_point_in_polygon_golden_and_edge_behavior(spark):
         for r in point_in_polygon_join(pts, polys).collect()
     }
     assert got == {(1, 1), (1, 3), (3, 2), (5, 2), (6, 2)}
+
+
+def test_point_in_polygon_degenerate_polygons_dropped(spark):
+    from modeltracking_spark.operators.joins import point_in_polygon_join
+
+    polys = spark.createDataFrame(
+        [(1, [], []), (2, [5], [5]), (3, [0, 10, 10, 0], [0, 0, 10, 10])],
+        "poly_id int, xs array<long>, ys array<long>",
+    )
+    pts = spark.createDataFrame([(1, 5, 5)], "pt long, px long, py long")
+    got = {(r["pt"], r["poly_id"])
+           for r in point_in_polygon_join(pts, polys).collect()}
+    assert got == {(1, 3)}     # empty/degenerate polygons match nothing
