@@ -1291,3 +1291,125 @@ def event_transitions_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("p_e6"),
         )
     )
+
+
+@query(
+    "zscore_standardize_events",
+    oracle="""
+    WITH v AS (SELECT event_id, event_type,
+                      round(value * 100)::BIGINT AS cents
+               FROM events),
+    s AS (SELECT event_type, count(*) AS n,
+                 sum(cents)::BIGINT AS sx,
+                 sum(cents * cents)::BIGINT AS sxx
+          FROM v GROUP BY event_type)
+    SELECT v.event_id, v.event_type,
+           CASE WHEN (s.n::DOUBLE * s.sxx::DOUBLE
+                      - s.sx::DOUBLE * s.sx::DOUBLE) <= 0 THEN NULL
+                ELSE floor((v.cents::DOUBLE - s.sx::DOUBLE / s.n::DOUBLE)
+                           / sqrt((s.n::DOUBLE * s.sxx::DOUBLE
+                                   - s.sx::DOUBLE * s.sx::DOUBLE)
+                                  / (s.n::DOUBLE * s.n::DOUBLE))
+                           * 1e6 + 0.5::DOUBLE)::BIGINT END AS z_e6
+    FROM v JOIN s ON s.event_type = v.event_type
+    """,
+)
+def zscore_standardize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score standardization — the feature-scaling transform
+    every training pipeline runs before numeric features meet a model.
+    Group moments are EXACT integer sums (cents, cents²; the r6
+    cross-engine rule: integer-exact SUMS, double-space FORMULAS —
+    population variance (n·Σx² − (Σx)²)/n² computed in doubles of those
+    exact sums), broadcast back onto a narrow per-row map; constant
+    groups yield NULL rather than a divide-by-zero. At extreme scale
+    Σx² in cents² needs a coarser fixed point — documented, not
+    hidden."""
+    ev = T(spark, sf_dir, "events").select(
+        "event_id", "event_type", cents("value").alias("cents")
+    )
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sx"),
+        F.sum(F.col("cents") * F.col("cents")).alias("sxx"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sxx_d = F.col("sxx").cast("double")
+    var_num = n_d * sxx_d - sx_d * sx_d
+    z = (
+        (F.col("cents").cast("double") - sx_d / n_d)
+        / F.sqrt(var_num / (n_d * n_d))
+    )
+    return ev.join(F.broadcast(s), "event_type").select(
+        "event_id", "event_type",
+        F.when(var_num <= 0, F.lit(None).cast("long"))
+        .otherwise(F.floor(z * F.lit(1e6) + F.lit(0.5)).cast("long"))
+        .alias("z_e6"),
+    )
+
+
+@query(
+    "mad_outliers_events",
+    oracle="""
+    WITH v AS (SELECT event_id, event_type,
+                      round(value * 100)::BIGINT AS cents
+               FROM events),
+    r AS (SELECT event_type, cents,
+                 row_number() OVER (PARTITION BY event_type ORDER BY cents)
+                   AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM v),
+    med AS (SELECT event_type,
+                   (sum(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2
+                             THEN cents END)
+                    // count(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2
+                                  THEN 1 END))::BIGINT AS med
+            FROM r GROUP BY event_type),
+    d AS (SELECT v.event_id, v.event_type, v.cents,
+                 abs(v.cents - m.med) AS dev
+          FROM v JOIN med m ON m.event_type = v.event_type),
+    dr AS (SELECT event_type, dev,
+                  row_number() OVER (PARTITION BY event_type ORDER BY dev)
+                    AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM d),
+    mad AS (SELECT event_type,
+                   (sum(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2
+                             THEN dev END)
+                    // count(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2
+                                  THEN 1 END))::BIGINT AS mad
+            FROM dr GROUP BY event_type)
+    SELECT d.event_id, d.event_type, d.cents, d.dev, a.mad AS mad_cents
+    FROM d JOIN mad a ON a.event_type = d.event_type
+    WHERE d.dev > 3 * a.mad
+    """,
+)
+def mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier detection — the scrub that survives
+    the very outliers a z-score threshold is skewed by: per-type exact
+    integer median (GROUPED_AGG pandas UDF), absolute deviations, MAD =
+    median of deviations, flag dev > 3·MAD — INTEGER arithmetic end to
+    end, so the verdict set is engine-exact; the oracle replays both
+    medians with the scalable two-pass rank arithmetic."""
+    from modeltracking_spark.operators.aggregates import exact_median_grouped
+
+    v = T(spark, sf_dir, "events").select(
+        "event_id", "event_type", cents("value").alias("cents")
+    )
+    med = exact_median_grouped(v, "event_type", "cents", "med").select(
+        "event_type", "med"
+    )
+    d = v.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("cents") - F.col("med"))
+    )
+    mad = exact_median_grouped(
+        d.select("event_type", "dev"), "event_type", "dev", "mad"
+    ).select("event_type", "mad")
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .where(F.col("dev") > 3 * F.col("mad"))
+        .select(
+            "event_id", "event_type", "cents", "dev",
+            F.col("mad").alias("mad_cents"),
+        )
+    )

@@ -172,3 +172,23 @@ def test_exact_median_grouped_skips_nulls(spark):
     got = {r["g"]: r for r in exact_median_grouped(d, "g", "v").collect()}
     assert (got["a"]["median"], got["a"]["n_rows"]) == (2, 2)
     assert got["b"]["median"] is None and got["b"]["n_rows"] == 0
+
+
+def test_zscore_and_mad_hand_values(spark):
+    import pyspark.sql.functions as F
+
+    from modeltracking_spark.operators.aggregates import exact_median_grouped
+
+    # z-score: group [10, 20, 30] cents -> mean 20, pop std sqrt(200/3)
+    # MAD: median 20, devs [10, 0, 10] -> MAD 10; no dev > 30 -> no outlier
+    v = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "a", 30), (4, "a", 2000)],
+        "event_id long, event_type string, cents long",
+    )
+    med = exact_median_grouped(v, "event_type", "cents", "med").collect()[0]
+    assert med["med"] == 25          # floor((20+30)/2)
+    d = v.withColumn("dev", F.abs(F.col("cents") - F.lit(med["med"])))
+    mad = exact_median_grouped(d, "event_type", "dev", "mad").collect()[0]
+    assert mad["mad"] == 10          # devs [15,5,5,1975] -> floor((5+15)/2)
+    outliers = [r["event_id"] for r in d.where(F.col("dev") > 3 * mad["mad"]).collect()]
+    assert outliers == [4]           # only the planted extreme survives
