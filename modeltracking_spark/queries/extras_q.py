@@ -1413,3 +1413,75 @@ def mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mad").alias("mad_cents"),
         )
     )
+
+
+@query(
+    "feature_hash_docs",
+    oracle="""
+    SELECT doc_id,
+           ('0x' || substr(md5('lang:' || lang), 1, 15))::BIGINT % 64
+             AS lang_idx,
+           ('0x' || substr(md5('source:' || source), 1, 15))::BIGINT % 64
+             AS source_idx
+    FROM documents
+    """,
+)
+def feature_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (feature hashing, Weinberger et al. 2009):
+    categorical columns map to fixed-dim hashed indices with NO
+    vocabulary pass — the unbounded-cardinality-safe encoder for
+    training pipelines. Column-name-salted md5 (the portable 60-bit
+    recipe) so distinct features cannot collide by value; pure narrow
+    map, shuffle-free at any scale."""
+    from modeltracking_spark.operators.dedup import token_hash60
+
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        (token_hash60(F.concat(F.lit("lang:"), F.col("lang"))) % 64)
+        .alias("lang_idx"),
+        (token_hash60(F.concat(F.lit("source:"), F.col("source"))) % 64)
+        .alias("source_idx"),
+    )
+
+
+@query(
+    "target_encode_events",
+    oracle="""
+    WITH v AS (SELECT event_id, event_type,
+                      round(value * 100)::BIGINT AS cents
+               FROM events),
+    s AS (SELECT event_type, count(*) AS n, sum(cents)::BIGINT AS sx
+          FROM v GROUP BY event_type)
+    SELECT v.event_id, v.event_type,
+           CASE WHEN s.n <= 1 THEN NULL
+                ELSE floor((s.sx - v.cents)::DOUBLE / (s.n - 1)::DOUBLE
+                           + 0.5::DOUBLE)::BIGINT END AS loo_mean_cents
+    FROM v JOIN s ON s.event_type = v.event_type
+    """,
+)
+def target_encode_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target (mean) encoding — the category encoder that
+    avoids self-leakage by excluding each row's own target from its
+    category mean: (Σ_g − x) / (n_g − 1), exact integer sums, one
+    double division mirrored in the oracle, half-up cents. Singleton
+    categories yield NULL (no peers to average). One bounded aggregate
+    broadcast back onto a narrow map."""
+    ev = T(spark, sf_dir, "events").select(
+        "event_id", "event_type", cents("value").alias("cents")
+    )
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sx")
+    )
+    return ev.join(F.broadcast(s), "event_type").select(
+        "event_id", "event_type",
+        F.when(F.col("n") <= 1, F.lit(None).cast("long"))
+        .otherwise(
+            F.floor(
+                (F.col("sx") - F.col("cents")).cast("double")
+                / (F.col("n") - 1).cast("double")
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .alias("loo_mean_cents"),
+    )
