@@ -81,3 +81,53 @@ def test_nearest_time_bucket_property(spark, ts, step):
         # exact half-step ties round forward
         if step % 2 == 0 and t % step == step // 2:
             assert b == t + step // 2
+
+
+@given(
+    snap=st.dictionaries(st.integers(0, 20), st.text("ab", max_size=3), max_size=10),
+    delta=st.dictionaries(st.integers(0, 20), st.text("ab", max_size=3), max_size=10),
+)
+@settings(**SETTINGS)
+def test_merge_upsert_matches_dict_semantics(spark, snap, delta):
+    from modeltracking_spark.operators.merge import merge_upsert
+
+    sdf = spark.createDataFrame(
+        [(k, v) for k, v in snap.items()] or [(None, None)], "k int, v string"
+    ).where(F.col("k").isNotNull())
+    ddf = spark.createDataFrame(
+        [(k, v) for k, v in delta.items()] or [(None, None)], "k int, v string"
+    ).where(F.col("k").isNotNull())
+    got = {r["k"]: (r["v"], r["merge_op"])
+           for r in merge_upsert(sdf, ddf, "k").collect()}
+    want = {}
+    for k, v in snap.items():
+        want[k] = (delta[k], "updated") if k in delta else (v, "kept")
+    for k, v in delta.items():
+        if k not in snap:
+            want[k] = (v, "inserted")
+    assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.integers(-1000, 1000).map(float), min_size=1, max_size=60
+    )
+)
+@settings(**SETTINGS)
+def test_hist_quantiles_error_bounded_by_bin_width(spark, vals):
+    import numpy as np
+
+    from modeltracking_spark.operators.sketches import hist_quantiles
+
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    out = {r["q_pct"]: r for r in hist_quantiles(df, "value", n_bins=16).collect()}
+    lo, hi = min(vals), max(vals)
+    bin_w = (hi - lo) / 16 if hi > lo else 0.0
+    for q in (25, 50, 75):
+        r = out[q]
+        assert r["n"] == len(vals)
+        est = r["est_e6"] / 1e6
+        exact = float(np.percentile(vals, q, method="inverted_cdf"))
+        # the bin lower edge is within one bin of any reasonable
+        # definition of the quantile
+        assert exact - bin_w - 1e-6 <= est <= exact + bin_w + 1e-6
