@@ -554,46 +554,52 @@ def pack_sequences_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_chunk(d, "doc_id", "n_tok", "source", 512)
 
 
-@query(
-    "pack_sequences_greedy",
-    oracle="""
+def _greedy_pack_sql(src_sql: str, bucket: str, idc: str, lenc: str,
+                     cap: int) -> str:
+    """Recursive-CTE replay of the first-fit fold (pack_greedy) — the
+    running-reset state machine no plain window expresses. Shared by
+    every greedy-packing oracle so the replay logic lives once; lateral
+    aliases p_new/o_new deliberately do NOT collide with rec's columns
+    (a bare pack_off would bind to r.pack_off)."""
+    return f"""
     WITH RECURSIVE t AS (
-      SELECT source, doc_id, n_tok,
-             row_number() OVER (PARTITION BY source ORDER BY doc_id)::BIGINT
+      SELECT {bucket}, {idc}, {lenc},
+             row_number() OVER (PARTITION BY {bucket} ORDER BY {idc})::BIGINT
                AS rn
-      FROM (SELECT source, doc_id,
-                   length(list_filter(string_split(text, ' '),
-                                      x -> x <> '')) AS n_tok
-            FROM documents)
+      FROM ({src_sql})
     ),
     rec AS (
-      /* seed: first doc per bucket opens pack 0 at offset 0 */
-      SELECT source, rn, doc_id, n_tok,
+      SELECT {bucket}, rn, {idc}, {lenc},
              0::BIGINT AS pack_id, 0::BIGINT AS pack_off,
-             CASE WHEN n_tok >= 512 THEN 1::BIGINT ELSE 0::BIGINT END
+             CASE WHEN {lenc} >= {cap} THEN 1::BIGINT ELSE 0::BIGINT END
                AS nxt_pack,
-             CASE WHEN n_tok >= 512 THEN 0::BIGINT ELSE n_tok::BIGINT END
+             CASE WHEN {lenc} >= {cap} THEN 0::BIGINT ELSE {lenc}::BIGINT END
                AS nxt_fill
       FROM t WHERE rn = 1
       UNION ALL
-      /* step: first-fit — wrap before placing if the doc would overflow
-         a non-empty pack, wrap after placing if the pack is full.
-         Lateral aliases p_new/o_new are named to NOT collide with rec's
-         own columns (a bare pack_off here would bind to r.pack_off);
-         the recursive member maps to the seed's columns positionally */
-      SELECT t.source, t.rn, t.doc_id, t.n_tok,
-             CASE WHEN r.nxt_fill > 0 AND r.nxt_fill + t.n_tok > 512
+      SELECT t.{bucket}, t.rn, t.{idc}, t.{lenc},
+             CASE WHEN r.nxt_fill > 0 AND r.nxt_fill + t.{lenc} > {cap}
                   THEN r.nxt_pack + 1 ELSE r.nxt_pack END AS p_new,
-             CASE WHEN r.nxt_fill > 0 AND r.nxt_fill + t.n_tok > 512
+             CASE WHEN r.nxt_fill > 0 AND r.nxt_fill + t.{lenc} > {cap}
                   THEN 0::BIGINT ELSE r.nxt_fill END AS o_new,
-             CASE WHEN o_new + t.n_tok >= 512
+             CASE WHEN o_new + t.{lenc} >= {cap}
                   THEN p_new + 1 ELSE p_new END AS nxt_pack,
-             CASE WHEN o_new + t.n_tok >= 512
-                  THEN 0::BIGINT ELSE o_new + t.n_tok END AS nxt_fill
-      FROM rec r JOIN t ON t.source = r.source AND t.rn = r.rn + 1
+             CASE WHEN o_new + t.{lenc} >= {cap}
+                  THEN 0::BIGINT ELSE o_new + t.{lenc} END AS nxt_fill
+      FROM rec r JOIN t ON t.{bucket} = r.{bucket} AND t.rn = r.rn + 1
     )
-    SELECT source, doc_id, n_tok, pack_id, pack_off FROM rec
-    """,
+    SELECT {bucket}, {idc}, {lenc}, pack_id, pack_off FROM rec"""
+
+
+@query(
+    "pack_sequences_greedy",
+    oracle=_greedy_pack_sql(
+        """SELECT source, doc_id,
+                  length(list_filter(string_split(text, ' '),
+                                     x -> x <> '')) AS n_tok
+           FROM documents""",
+        "source", "doc_id", "n_tok", 512,
+    ),
 )
 def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-fit sequence packing (docs never straddle packs): stateful
@@ -1485,3 +1491,129 @@ def target_encode_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("loo_mean_cents"),
     )
+
+
+@query(
+    "data_quality_events",
+    oracle="""
+    WITH base AS (SELECT * FROM events)
+    SELECT 'event_id_not_null' AS rule,
+           count(*) FILTER (WHERE event_id IS NULL)::BIGINT AS n_violations
+    FROM base
+    UNION ALL
+    SELECT 'event_id_unique',
+           (count(*) - count(DISTINCT event_id))::BIGINT
+    FROM base
+    UNION ALL
+    SELECT 'value_non_negative',
+           count(*) FILTER (WHERE value < 0)::BIGINT
+    FROM base
+    UNION ALL
+    SELECT 'event_type_in_domain',
+           count(*) FILTER (WHERE event_type NOT IN
+             ('view', 'click', 'purchase', 'signup', 'error'))::BIGINT
+    FROM base
+    UNION ALL
+    SELECT 'ts_in_expected_range',
+           count(*) FILTER (WHERE ts < TIMESTAMP '2024-01-01'
+                               OR ts >= TIMESTAMP '2024-03-01')::BIGINT
+    FROM base
+    UNION ALL
+    SELECT 'user_fk_resolves',
+           count(*) FILTER (WHERE c_custkey IS NULL)::BIGINT
+    FROM (SELECT e.user_id, c.c_custkey
+          FROM base e LEFT JOIN customer c ON c.c_custkey = e.user_id)
+    """,
+)
+def data_quality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations suite (the dbt-test / Great-Expectations
+    validation pass every ingest gate runs): not-null, uniqueness,
+    range, domain, freshness-window, and referential-integrity rules
+    over events, each one row (rule, n_violations). All six rules fold
+    into TWO jobs: one pass of conditional aggregates over the fact
+    scan plus one left join for the FK probe — the 100 TB shape
+    (expectations never rescan per rule)."""
+    ev = T(spark, sf_dir, "events")
+    cust = T(spark, sf_dir, "customer").select("c_custkey")
+    base = ev.agg(
+        F.sum(F.when(F.col("event_id").isNull(), 1).otherwise(0)).alias(
+            "event_id_not_null"
+        ),
+        (F.count(F.lit(1)) - F.count_distinct("event_id")).alias(
+            "event_id_unique"
+        ),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias(
+            "value_non_negative"
+        ),
+        F.sum(
+            F.when(
+                ~F.col("event_type").isin(
+                    "view", "click", "purchase", "signup", "error"
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("event_type_in_domain"),
+        F.sum(
+            F.when(
+                (F.col("ts") < F.lit("2024-01-01").cast("timestamp"))
+                | (F.col("ts") >= F.lit("2024-03-01").cast("timestamp")),
+                1,
+            ).otherwise(0)
+        ).alias("ts_in_expected_range"),
+    )
+    fk = (
+        ev.select("user_id")
+        .join(cust, ev.user_id == cust.c_custkey, "left")
+        .agg(
+            F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0)).alias(
+                "user_fk_resolves"
+            )
+        )
+    )
+    wide = base.crossJoin(F.broadcast(fk))
+    rules = [
+        "event_id_not_null", "event_id_unique", "value_non_negative",
+        "event_type_in_domain", "ts_in_expected_range", "user_fk_resolves",
+    ]
+    arms = [
+        wide.select(
+            F.lit(r).alias("rule"),
+            F.col(r).cast("long").alias("n_violations"),
+        )
+        for r in rules
+    ]
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out
+
+
+@query(
+    "compaction_plan_orders",
+    oracle=_greedy_pack_sql(
+        """SELECT strftime(o_orderdate, '%Y-%m') AS part_month,
+                  strftime(o_orderdate, '%Y-%m-%d') AS file_day,
+                  count(*)::BIGINT AS n_rows
+           FROM orders GROUP BY 1, 2""",
+        "part_month", "file_day", "n_rows", 64,
+    ),
+)
+def compaction_plan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning — the OPTIMIZE step of a
+    lakehouse maintenance job: daily ingest files (one per order date,
+    sized by row count) are first-fit packed into 64-row target files
+    WITHIN their month partition, reusing the pack_greedy operator —
+    the same fold, so the same shared recursive-CTE oracle replays it.
+    pack_id is the compacted file each input file lands in; files
+    bigger than the target keep a file of their own."""
+    from modeltracking_spark.operators.packing import pack_greedy
+
+    files = (
+        T(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("part_month"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("file_day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    return pack_greedy(files, "file_day", "n_rows", "part_month", 64)
