@@ -144,3 +144,36 @@ def test_foreach_batch_accumulates_to_batch_result(spark):
         ).collect()
     }
     assert state == exp and len(state) > 0
+
+
+def test_streaming_cms_merge_equals_batch_sketch(spark):
+    """Count-Min mergeability on a REAL stream: each micro-batch builds
+    its own grid, a foreachBatch sink merges them by plain counter
+    addition, and the final merged sketch must equal the one-shot batch
+    sketch — the property that makes the sketch shard-parallel at
+    100 TB, exercised through Structured Streaming rather than assumed."""
+    from modeltracking_spark.operators.sketches import count_min_sketch
+    from modeltracking_spark.streaming.windows import run_stream_foreach_batch
+
+    merged: dict = {}
+
+    def merge_sketch(df, batch_id):
+        for r in count_min_sketch(
+            df.select("user_id"), "user_id", depth=4, width=64
+        ).collect():
+            key = (r["d"], r["bucket"])
+            merged[key] = merged.get(key, 0) + r["cnt"]
+
+    run_stream_foreach_batch(
+        read_events_stream(spark, SF0001).select("user_id", "ts"),
+        merge_sketch,
+        "t_cms_stream",
+    )
+    batch = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in count_min_sketch(
+            load_table(spark, SF0001, "events").select("user_id"),
+            "user_id", depth=4, width=64,
+        ).collect()
+    }
+    assert merged == batch and len(batch) > 0
