@@ -81,6 +81,8 @@ NOTES = {
     "mad_outliers_events": "two GROUPED_AGG passes; median/MAD tables broadcast; integer verdict filter",
     "feature_hash_docs": "pure narrow projection, shuffle-free",
     "target_encode_events": "one bounded category aggregate broadcast onto a narrow map",
+    "data_quality_events": "six rules, TWO jobs: one conditional-aggregate pass over the fact scan + one FK-probe join",
+    "compaction_plan_orders": "file-metadata aggregate (partition-sized) into the per-month applyInPandas first-fit fold",
 }
 
 
