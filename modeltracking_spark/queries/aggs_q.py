@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from modeltracking_spark.operators.aggregates import bounding_box
-from modeltracking_spark.queries.common import T, cents, query
+from modeltracking_spark.queries.common import rank_median_sql, T, cents, query
 from modeltracking_spark.queries.timegeo import TRACK_SQL, synthetic_track
 
 
@@ -178,21 +178,13 @@ def argmin_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
              round(l_extendedprice * 100)::BIGINT AS cents
       FROM lineitem
     ),
-    r AS (
-      SELECT flag, cents,
-             row_number() OVER (PARTITION BY flag ORDER BY cents) AS rn,
-             count(*) OVER (PARTITION BY flag) AS n
-      FROM v
-    )
-    SELECT flag,
-           (sum(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2
-                     THEN cents END)
-            // count(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2
-                          THEN 1 END))::BIGINT AS median,
-           count(*)::BIGINT AS n_rows
-    FROM r
-    GROUP BY flag
-    """,
+    med AS (MED_SQL),
+    n AS (SELECT flag, count(*)::BIGINT AS n_rows FROM v GROUP BY flag)
+    SELECT m.flag, m.median, n.n_rows
+    FROM med m JOIN n ON n.flag = m.flag
+    """.replace("MED_SQL", rank_median_sql(
+        "SELECT flag, cents FROM v", "flag", "cents", "median"
+    )),
 )
 def grouped_agg_median_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-returnflag median price (integer cents) through a

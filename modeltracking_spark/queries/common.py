@@ -116,3 +116,51 @@ def semi_anti_arm(customer: DataFrame, orders: DataFrame, how: str,
         )
         .select(F.lit(tag).alias("segment"), "n_cust", "acctbal_cents")
     )
+
+
+def rank_median_sql(src_sql: str, group: str, col: str, out: str) -> str:
+    """Two-pass rank-arithmetic exact median of ``col`` per ``group``
+    over ``src_sql`` — the scalable median formulation every median
+    oracle shares (one source of truth, like the greedy-pack CTE).
+    The midpoint mean uses floor(a/b) on DOUBLES of exact integers
+    (exact to 2^53), NOT SQL ``//``: DuckDB's ``//`` truncates toward
+    zero while Python's floors, so a negative odd midpoint sum would
+    silently diverge from the engine's floored definition.
+    Emits: SELECT {group}, {out} FROM ... (one row per group)."""
+    return f"""
+      SELECT {group},
+             floor(sum(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2
+                            THEN {col} END)::DOUBLE
+                   / count(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2
+                                THEN 1 END)::DOUBLE)::BIGINT AS {out}
+      FROM (
+        SELECT {group}, {col},
+               row_number() OVER (PARTITION BY {group} ORDER BY {col}) AS rn,
+               count(*) OVER (PARTITION BY {group}) AS n
+        FROM ({src_sql})
+      ) GROUP BY {group}"""
+
+
+def rank_median_df(df, group_col: str, value_col: str, out_col: str):
+    """DataFrame twin of :func:`rank_median_sql`: exact per-group integer
+    median via hash-partitioned rank windows — the SCALE path (no group
+    ever ships to one Python worker, unlike the GROUPED_AGG UDF demo in
+    operators/aggregates.py). Floored midpoint mean, identical to the
+    UDF's definition."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    wc = Window.partitionBy(group_col)
+    mid = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wc))
+        .where(
+            (F.col("__rn") == F.floor((F.col("__n") + 1) / 2))
+            | (F.col("__rn") == F.floor((F.col("__n") + 2) / 2))
+        )
+    )
+    return mid.groupBy(group_col).agg(
+        F.floor(
+            F.sum(value_col).cast("double") / F.count(F.lit(1)).cast("double")
+        ).cast("long").alias(out_col)
+    )

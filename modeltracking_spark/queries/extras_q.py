@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from modeltracking_spark.fixtures import HYCOM_GRID_SQL, hycom_grid_fixture
 from modeltracking_spark.functions.timefn import hours_since_2000
-from modeltracking_spark.queries.common import T, cents, query
+from modeltracking_spark.queries.common import T, cents, query, rank_median_sql
 
 
 @query(
@@ -1360,57 +1360,42 @@ def zscore_standardize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (SELECT event_id, event_type,
                       round(value * 100)::BIGINT AS cents
                FROM events),
-    r AS (SELECT event_type, cents,
-                 row_number() OVER (PARTITION BY event_type ORDER BY cents)
-                   AS rn,
-                 count(*) OVER (PARTITION BY event_type) AS n
-          FROM v),
-    med AS (SELECT event_type,
-                   (sum(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2
-                             THEN cents END)
-                    // count(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2
-                                  THEN 1 END))::BIGINT AS med
-            FROM r GROUP BY event_type),
+    med AS (MED_SQL),
     d AS (SELECT v.event_id, v.event_type, v.cents,
                  abs(v.cents - m.med) AS dev
           FROM v JOIN med m ON m.event_type = v.event_type),
-    dr AS (SELECT event_type, dev,
-                  row_number() OVER (PARTITION BY event_type ORDER BY dev)
-                    AS rn,
-                  count(*) OVER (PARTITION BY event_type) AS n
-           FROM d),
-    mad AS (SELECT event_type,
-                   (sum(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2
-                             THEN dev END)
-                    // count(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2
-                                  THEN 1 END))::BIGINT AS mad
-            FROM dr GROUP BY event_type)
+    mad AS (MAD_SQL)
     SELECT d.event_id, d.event_type, d.cents, d.dev, a.mad AS mad_cents
     FROM d JOIN mad a ON a.event_type = d.event_type
     WHERE d.dev > 3 * a.mad
-    """,
+    """.replace("MED_SQL", rank_median_sql(
+        "SELECT event_type, cents FROM v", "event_type", "cents", "med"
+    )).replace("MAD_SQL", rank_median_sql(
+        "SELECT event_type, dev FROM d", "event_type", "dev", "mad"
+    )),
 )
 def mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust (median/MAD) outlier detection — the scrub that survives
     the very outliers a z-score threshold is skewed by: per-type exact
-    integer median (GROUPED_AGG pandas UDF), absolute deviations, MAD =
-    median of deviations, flag dev > 3·MAD — INTEGER arithmetic end to
-    end, so the verdict set is engine-exact; the oracle replays both
-    medians with the scalable two-pass rank arithmetic."""
-    from modeltracking_spark.operators.aggregates import exact_median_grouped
+    integer median, absolute deviations, MAD = median of deviations,
+    flag dev > 3·MAD — INTEGER verdicts, engine-exact. Both medians use
+    the SCALABLE two-pass rank arithmetic (queries/common.py:
+    rank_median_df — hash-partitioned windows, no group ever ships to
+    one Python worker; the GROUPED_AGG UDF median stays the bounded-
+    group demo in grouped_agg_median_prices), and the oracle replays
+    the same formulation through the shared rank_median_sql helper."""
+    from modeltracking_spark.queries.common import rank_median_df
 
     v = T(spark, sf_dir, "events").select(
         "event_id", "event_type", cents("value").alias("cents")
     )
-    med = exact_median_grouped(v, "event_type", "cents", "med").select(
-        "event_type", "med"
-    )
+    med = rank_median_df(v.select("event_type", "cents"),
+                         "event_type", "cents", "med")
     d = v.join(F.broadcast(med), "event_type").withColumn(
         "dev", F.abs(F.col("cents") - F.col("med"))
     )
-    mad = exact_median_grouped(
-        d.select("event_type", "dev"), "event_type", "dev", "mad"
-    ).select("event_type", "mad")
+    mad = rank_median_df(d.select("event_type", "dev"),
+                         "event_type", "dev", "mad")
     return (
         d.join(F.broadcast(mad), "event_type")
         .where(F.col("dev") > 3 * F.col("mad"))
@@ -1575,17 +1560,13 @@ def data_quality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id_not_null", "event_id_unique", "value_non_negative",
         "event_type_in_domain", "ts_in_expected_range", "user_fk_resolves",
     ]
-    arms = [
-        wide.select(
-            F.lit(r).alias("rule"),
-            F.col(r).cast("long").alias("n_violations"),
-        )
-        for r in rules
-    ]
-    out = arms[0]
-    for a in arms[1:]:
-        out = out.unionByName(a)
-    return out
+    # one stack() unpivot of the single wide row (the repo's standard
+    # wide-to-long idiom, see profile_columns_lineitem) instead of a
+    # 6-arm union plan
+    stack_args = ", ".join(f"'{r}', cast({r} as bigint)" for r in rules)
+    return wide.selectExpr(
+        f"stack({len(rules)}, {stack_args}) AS (rule, n_violations)"
+    )
 
 
 @query(

@@ -174,21 +174,56 @@ def test_exact_median_grouped_skips_nulls(spark):
     assert got["b"]["median"] is None and got["b"]["n_rows"] == 0
 
 
-def test_zscore_and_mad_hand_values(spark):
+def test_mad_hand_values_and_median_paths_agree(spark):
     import pyspark.sql.functions as F
 
     from modeltracking_spark.operators.aggregates import exact_median_grouped
+    from modeltracking_spark.queries.common import rank_median_df
 
-    # z-score: group [10, 20, 30] cents -> mean 20, pop std sqrt(200/3)
-    # MAD: median 20, devs [10, 0, 10] -> MAD 10; no dev > 30 -> no outlier
+    # group [10, 20, 30, 2000] cents: median floor((20+30)/2) = 25;
+    # devs [15, 5, 5, 1975] -> MAD floor((5+15)/2) = 10; only the
+    # planted 2000 has dev > 3*MAD. Negative-median group [-25//2
+    # midpoint] pins the FLOOR definition both paths must share.
     v = spark.createDataFrame(
-        [(1, "a", 10), (2, "a", 20), (3, "a", 30), (4, "a", 2000)],
+        [(1, "a", 10), (2, "a", 20), (3, "a", 30), (4, "a", 2000),
+         (5, "b", -11), (6, "b", -14)],
         "event_id long, event_type string, cents long",
     )
-    med = exact_median_grouped(v, "event_type", "cents", "med").collect()[0]
-    assert med["med"] == 25          # floor((20+30)/2)
-    d = v.withColumn("dev", F.abs(F.col("cents") - F.lit(med["med"])))
+    udf_med = {r["event_type"]: r["med"]
+               for r in exact_median_grouped(v, "event_type", "cents", "med").collect()}
+    rank_med = {r["event_type"]: r["med"]
+                for r in rank_median_df(v, "event_type", "cents", "med").collect()}
+    assert udf_med == rank_med == {"a": 25, "b": -13}   # floored, not truncated
+    d = v.where(F.col("event_type") == "a").withColumn(
+        "dev", F.abs(F.col("cents") - F.lit(udf_med["a"]))
+    )
     mad = exact_median_grouped(d, "event_type", "dev", "mad").collect()[0]
-    assert mad["mad"] == 10          # devs [15,5,5,1975] -> floor((5+15)/2)
+    assert mad["mad"] == 10
     outliers = [r["event_id"] for r in d.where(F.col("dev") > 3 * mad["mad"]).collect()]
-    assert outliers == [4]           # only the planted extreme survives
+    assert outliers == [4]
+
+
+def test_zscore_hand_values(spark):
+    import math
+
+    import pyspark.sql.functions as F
+
+    from modeltracking_spark.queries import load_registries
+    from tests.conftest import SF001
+
+    qs, _ = load_registries()
+    out = qs["zscore_standardize_events"](spark, SF001)
+    rows = out.collect()
+    assert len(rows) > 0 and all(r["z_e6"] is not None for r in rows)
+    # per group the z-scores must be centered: sum of (unfloored) z is 0,
+    # so the e6-floored sum stays within n/2 of 0
+    sums = (
+        out.groupBy("event_type")
+        .agg(F.sum("z_e6").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    for r in sums:
+        assert abs(r["s"]) <= r["n"]
+    # and unit-variance: mean of z^2 within 1% of 1
+    var = out.agg(F.avg((F.col("z_e6") / 1e6) ** 2).alias("v")).collect()[0]
+    assert math.isclose(var["v"], 1.0, rel_tol=0.02)

@@ -146,29 +146,39 @@ def test_foreach_batch_accumulates_to_batch_result(spark):
     assert state == exp and len(state) > 0
 
 
-def test_streaming_cms_merge_equals_batch_sketch(spark):
-    """Count-Min mergeability on a REAL stream: each micro-batch builds
-    its own grid, a foreachBatch sink merges them by plain counter
-    addition, and the final merged sketch must equal the one-shot batch
-    sketch — the property that makes the sketch shard-parallel at
-    100 TB, exercised through Structured Streaming rather than assumed."""
+def test_streaming_cms_merge_equals_batch_sketch(spark, tmp_path_factory):
+    """Count-Min mergeability on a REAL stream: the events are split
+    across THREE parquet files read one file per trigger, so at least
+    three micro-batches each build their own grid and a foreachBatch
+    sink merges them by plain counter addition — a merge that
+    overwrote instead of adding would fail. Final merged sketch ==
+    one-shot batch sketch: the property that makes the sketch
+    shard-parallel at 100 TB, exercised, not assumed."""
     from modeltracking_spark.operators.sketches import count_min_sketch
     from modeltracking_spark.streaming.windows import run_stream_foreach_batch
 
+    src = str(tmp_path_factory.mktemp("cms_stream_src"))
+    ev = load_table(spark, SF0001, "events").select("user_id", "ts")
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+
     merged: dict = {}
+    n_batches = [0]
 
     def merge_sketch(df, batch_id):
+        n_batches[0] += 1
         for r in count_min_sketch(
             df.select("user_id"), "user_id", depth=4, width=64
         ).collect():
             key = (r["d"], r["bucket"])
             merged[key] = merged.get(key, 0) + r["cnt"]
 
-    run_stream_foreach_batch(
-        read_events_stream(spark, SF0001).select("user_id", "ts"),
-        merge_sketch,
-        "t_cms_stream",
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
     )
+    run_stream_foreach_batch(stream, merge_sketch, "t_cms_stream")
+    assert n_batches[0] >= 3          # the merge path genuinely ran
     batch = {
         (r["d"], r["bucket"]): r["cnt"]
         for r in count_min_sketch(
