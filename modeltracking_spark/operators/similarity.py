@@ -968,3 +968,82 @@ def semdedup(
             F.col("max_cos_e6").isNotNull().alias("dropped"),
         )
     )
+
+
+def pca_top_component(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 3,
+) -> DataFrame:
+    """Top principal component by POWER ITERATION, trained in-engine —
+    the dimensionality-reduction step (whitening, PCA-based dedup
+    projections, spectral probes) expressed with the Lloyd/PageRank
+    determinism playbook so the WHOLE training replays in SQL:
+
+    - the covariance matrix C is a distributed aggregate of per-row
+      e6-floored centered products (BIGINT sums — order-independent;
+      means derive from exact e6 integer sums);
+    - each iteration is integer C·v (int64-exact: |C|≲2e10 · |v|≤1e6 ·
+      64 terms < 2^63), then a normalization whose norm uses
+      floor(w/2^32) integer squares (order-independent BIGINT sum)
+      and whose division runs in mirrored double expressions;
+    - v₀ = e6·e₀, so the sign convention is fixed and deterministic.
+
+    The only driver materialization is the dim×dim C (64×64 = 4096
+    ints — the IVF-centroid class of sanctioned collect); the corpus
+    never leaves the cluster. At 100 TB the pair explode (dim² rows per
+    vector) would move into a mapInPandas partial-sum pass like the
+    k-means trainer; the relational form here is what the oracle
+    replays term-for-term.
+
+    Output: (dim_idx, loading_e6) — the e6 fixed-point unit loadings.
+    """
+    import math
+
+    x = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(
+            F.transform(
+                vec_col, lambda v: F.round(v.cast("double") * 1e6).cast("long")
+            )
+        ).alias("i", "x_e6"),
+    )
+    means = x.groupBy("i").agg(
+        F.sum("x_e6").alias("sx"), F.count(F.lit(1)).alias("n")
+    )
+    mu = F.col("sx").cast("double") / F.col("n").cast("double") / F.lit(1e6)
+    mi = means.select(F.col("i"), mu.alias("mu_i"))
+    mj = means.select(F.col("i").alias("j"), mu.alias("mu_j"))
+    a = x.select("vid", F.col("i"), F.col("x_e6").alias("xi"))
+    b = x.select(F.col("vid").alias("vid2"), F.col("i").alias("j"),
+                 F.col("x_e6").alias("xj"))
+    term = F.floor(
+        (F.col("xi").cast("double") / F.lit(1e6) - F.col("mu_i"))
+        * (F.col("xj").cast("double") / F.lit(1e6) - F.col("mu_j"))
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    cov = (
+        a.join(b, a.vid == b.vid2)
+        .join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .groupBy("i", "j")
+        .agg(F.sum(term).alias("c"))
+    )
+    rows = cov.collect()
+    dim = max(r["i"] for r in rows) + 1
+    C = [[0] * dim for _ in range(dim)]
+    for r in rows:
+        C[r["i"]][r["j"]] = r["c"]
+    v = [1_000_000] + [0] * (dim - 1)
+    for _ in range(iters):
+        w = [sum(C[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        wd = [math.floor(float(wi) / 4294967296.0) for wi in w]
+        norm = math.sqrt(float(sum(d * d for d in wd))) * 4294967296.0
+        v = [math.floor(float(wi) / norm * 1e6 + 0.5) for wi in w]
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [(i, v[i]) for i in range(dim)], "dim_idx int, loading_e6 long"
+    )

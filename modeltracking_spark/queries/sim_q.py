@@ -872,3 +872,60 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select("q_id", "c_id", "rel_e6"), sim, k=4,
         lam_num=7, lam_den=10,
     )
+
+
+# ---- PCA oracle: covariance + power iterations unrolled in SQL ----
+def _pca_iter_sql(prev: str, t: int) -> str:
+    return f"""
+    w{t} AS (SELECT c.i, sum(c.c * v.v)::BIGINT AS w
+             FROM cv c JOIN {prev} v ON v.i = c.j GROUP BY c.i),
+    wd{t} AS (SELECT i, w,
+                     floor(w::DOUBLE / 4294967296.0::DOUBLE)::BIGINT AS wd
+              FROM w{t}),
+    nm{t} AS (SELECT sqrt(sum(wd * wd)::DOUBLE) * 4294967296.0::DOUBLE AS nm
+              FROM wd{t}),
+    v{t} AS (SELECT i, floor(w::DOUBLE / nm * 1e6 + 0.5::DOUBLE)::BIGINT AS v
+             FROM wd{t}, nm{t})"""
+
+
+_PCA_ORACLE = f"""
+    WITH x AS (
+      SELECT e.vec_id AS vid, p.i - 1 AS i,
+             round(e.embedding[p.i]::DOUBLE * 1e6)::BIGINT AS x_e6
+      FROM embeddings e, range(1, 65) p(i)
+    ),
+    m AS (SELECT i, sum(x_e6)::DOUBLE / count(*)::DOUBLE / 1e6 AS mu
+          FROM x GROUP BY i),
+    cv AS (
+      SELECT a.i, b.i AS j,
+             sum(floor((a.x_e6::DOUBLE / 1e6 - mi.mu)
+                       * (b.x_e6::DOUBLE / 1e6 - mj.mu)
+                       * 1e6 + 0.5::DOUBLE)::BIGINT)::BIGINT AS c
+      FROM x a JOIN x b ON b.vid = a.vid
+      JOIN m mi ON mi.i = a.i
+      JOIN m mj ON mj.i = b.i
+      GROUP BY 1, 2
+    ),
+    v0 AS (SELECT i, CASE WHEN i = 0 THEN 1000000::BIGINT
+                          ELSE 0::BIGINT END AS v
+           FROM range(64) t(i)),
+    {",".join(_pca_iter_sql(f"v{t - 1}", t) for t in range(1, 9))}
+    SELECT i::INTEGER AS dim_idx, v AS loading_e6 FROM v8
+"""
+
+
+@query("pca_top_component_embeddings", oracle=_PCA_ORACLE)
+def pca_top_component_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component trained IN the engine: distributed
+    e6-fixed-point covariance (BIGINT sums of floored centered
+    products) + three power iterations with integer C·v and a
+    shifted-integer norm — every arithmetic step mirrored, so the
+    oracle unrolls covariance AND all EIGHT iterations in SQL and
+    matches bit-exactly. Eight, not three: this corpus's spectrum is
+    near-degenerate (l1/l2 ~ 1.013), so the Rayleigh quotient needs
+    ~8 rounds to capture >= 96% of the top eigenvalue's variance
+    (pinned in pytest); each extra unrolled round is a 64-row CTE —
+    free (operators/similarity.py:pca_top_component)."""
+    from modeltracking_spark.operators.similarity import pca_top_component
+
+    return pca_top_component(T(spark, sf_dir, "embeddings"), iters=8)
