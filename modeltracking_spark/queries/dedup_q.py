@@ -480,3 +480,57 @@ def incremental_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         delta, corpus, "doc_id", "text",
         n_hashes=16, bands=4, rows_per_band=4, verify_threshold=0.5,
     )
+
+
+@query(
+    "edit_distance_pairs_docs",
+    oracle="""
+    WITH d AS (SELECT doc_id, lang,
+                      length(text) // 64 AS band,
+                      length(text) AS n,
+                      substr(text, 1, 80) AS pfx
+               FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(a.pfx, b.pfx)::BIGINT AS dist
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+    WHERE abs(a.n - b.n) <= 16
+      AND levenshtein(a.pfx, b.pfx) <= 16
+    """,
+)
+def edit_distance_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs — the string-edit modality beside
+    the token (MinHash/SimHash) and embedding dedup tiers, for typo-
+    grade copies token shingles miss. Candidates block on (lang,
+    length band) with a length-difference pre-filter (|Δn| ≤ 16, the
+    edit-distance lower bound), then Levenshtein over the 80-char
+    prefix window decides (engine-identical integer DP; production
+    swaps the window for banded Myers bit-vector distance — the
+    blocking, not the inner loop, is the 100 TB shape). Never an
+    all-pairs: both sides hash-partition on the block key."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        (F.length("text") / 64).cast("long").alias("band"),
+        F.length("text").alias("n"),
+        F.substring("text", 1, 80).alias("pfx"),
+    )
+    a = d.select(
+        F.col("lang"), F.col("band"),
+        F.col("doc_id").alias("id_a"), F.col("n").alias("na"),
+        F.col("pfx").alias("pa"),
+    )
+    b = d.select(
+        F.col("lang"), F.col("band"),
+        F.col("doc_id").alias("id_b"), F.col("n").alias("nb"),
+        F.col("pfx").alias("pb"),
+    )
+    return (
+        a.join(b, ["lang", "band"])
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("na") - F.col("nb")) <= 16)
+        )
+        .withColumn("dist", F.levenshtein("pa", "pb").cast("long"))
+        .where(F.col("dist") <= 16)
+        .select("id_a", "id_b", "dist")
+    )
