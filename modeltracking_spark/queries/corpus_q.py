@@ -3,9 +3,12 @@ chunking, PMI collocations, Misra-Gries heavy hitters, int8 embedding
 quantization, the stream-stream interval-join batch twin, Bloom-filter
 decontamination, and unigram-LM document scoring.
 
-TF-IDF / PMI / heavy hitters sit inside the scored window (round 5);
-the rest register past it and are verified by tools/check_queries.py
-and the operator tests in tests/test_corpus.py.
+Grown through round 6 with the LM ladder (unigram/bigram), DSIR/BM25
+retrieval-and-selection, PageRank/triangles over the formula link
+graph, MERGE/SCD2 incremental ingest, in-engine logreg distillation,
+and the curation-pipeline composition. Scored-window membership is
+pinned in queries/__init__.py; everything else is verified by
+tools/check_queries.py (both SFs) and tests/test_corpus.py.
 """
 
 from __future__ import annotations

@@ -1,7 +1,9 @@
 """Embedding similarity queries (extension surface, SURVEY.md §2.12):
-exact brute-force top-k cosine (oracled via fixed-point dot products),
-LSH multi-probe ANN (rows-only — the hyperplane hash is xxhash64-based,
-which DuckDB lacks), and per-label centroids.
+exact brute-force top-k cosine, hyperplane-LSH multi-probe ANN, IVF
+train/serve, SemDeDup cluster-scrub, MMR diversity re-rank, PCA power
+iteration, near-dup pairs, and per-label centroids — EVERY one fully
+oracled (fixed-point dot products; md5-parity planes; unrolled
+Lloyd/power iterations in SQL).
 """
 
 from __future__ import annotations
