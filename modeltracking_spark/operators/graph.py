@@ -27,7 +27,7 @@ fixed n_iter the plain loop is fine and keeps the plan inspectable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: total score mass in fixed point (1.0 == SCALE)
@@ -166,4 +166,111 @@ def triangle_count(edges: DataFrame, src_col: str = "src",
         )
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+
+
+def textrank_segments(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 10,
+    iters: int = 2,
+    k: int = 2,
+) -> DataFrame:
+    """TextRank extractive selection (Mihalcea & Tarau 2004) adapted to
+    the repo's determinism rules: each document's fixed-size token
+    segments form a within-doc graph weighted by DISTINCT-token overlap
+    (plain integer counts — the published log-length normalization is
+    transcendental and adds nothing to a ranking oracle), and ``iters``
+    damped PageRank rounds run in the same integer fixed point as
+    operators/graph.py:pagerank (floor division everywhere, mass out of
+    1e12 per doc). The top-``k`` segments per doc are the extractive
+    summary. Isolated segments keep teleport-only mass — per-doc
+    ranking is unaffected and no dangling redistribution is needed
+    inside a doc-local graph.
+
+    Scale: pairs join is doc-partitioned (segments per doc are bounded
+    by doc length / seg_tokens — never corpus-quadratic); every
+    iteration is one doc-partitioned join + aggregate.
+
+    Output: (doc_id, sid, score_e12, rk), rk in 1..k.
+    """
+    from modeltracking_spark.functions.text import tokens
+
+    toks = tokens(text_col)
+    n_seg = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
+    seg = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            toks.alias("__t"),
+            F.explode(F.sequence(F.lit(0), F.greatest(n_seg, F.lit(1)) - 1)).alias("sid"),
+        )
+        .select(
+            "doc_id",
+            "sid",
+            F.array_distinct(
+                F.slice(F.col("__t"), F.col("sid") * seg_tokens + 1, seg_tokens)
+            ).alias("st"),
+        )
+    )
+    a = seg.select("doc_id", F.col("sid").alias("sa"), F.col("st").alias("ta"))
+    b = seg.select("doc_id", F.col("sid").alias("sb"), F.col("st").alias("tb"))
+    w = (
+        a.join(b, "doc_id")
+        .where(F.col("sa") != F.col("sb"))
+        .select(
+            "doc_id", "sa", "sb",
+            F.size(F.array_intersect("ta", "tb")).cast("long").alias("w"),
+        )
+        .where(F.col("w") > 0)
+    )
+    strength = w.groupBy("doc_id", F.col("sb").alias("sid")).agg(
+        F.sum("w").alias("s_out")
+    )
+    counts = seg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_seg"))
+    # integer DIV everywhere (the pagerank idiom): double division +
+    # floor could slip an ulp at exact-quotient boundaries
+    score = (
+        seg.select("doc_id", "sid")
+        .join(F.broadcast(counts), "doc_id")
+        .select(
+            "doc_id", "sid",
+            F.expr("1000000000000 DIV n_seg").alias("s"),
+            "n_seg",
+        )
+    )
+    for _ in range(iters):
+        # each iteration references `score` once but builds a growing
+        # lineage; materialize per round like pagerank
+        score = score.localCheckpoint(eager=True)
+        contrib = (
+            w.join(
+                score.select(
+                    "doc_id", F.col("sid").alias("sb"), F.col("s").alias("s_b")
+                ),
+                ["doc_id", "sb"],
+            )
+            .join(strength.select(
+                "doc_id", F.col("sid").alias("sb"), "s_out"), ["doc_id", "sb"])
+            .where(F.col("s_out") > 0)
+            .groupBy("doc_id", F.col("sa").alias("sid"))
+            .agg(F.sum(F.expr("(s_b * w) DIV s_out")).alias("c"))
+        )
+        score = (
+            score.join(contrib, ["doc_id", "sid"], "left")
+            .withColumn("__c", F.coalesce(F.col("c"), F.lit(0)))
+            .select(
+                "doc_id", "sid",
+                (
+                    F.expr("15000000000000 DIV (100 * n_seg)")
+                    + F.expr("(85 * __c) DIV 100")
+                ).cast("long").alias("s"),
+                "n_seg",
+            )
+        )
+    wk = Window.partitionBy("doc_id").orderBy(F.col("s").desc(), F.col("sid").asc())
+    return (
+        score.withColumn("rk", F.row_number().over(wk))
+        .where(F.col("rk") <= k)
+        .select("doc_id", "sid", F.col("s").alias("score_e12"), "rk")
     )

@@ -771,3 +771,71 @@ def url_canonicalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.withColumn("url", url).select(
         "doc_id", canonicalize_url("url").alias("canon_url")
     )
+
+
+# ---- TextRank oracle: segment graph + damped iterations in integer
+# fixed point (positive masses, so // == floor on both engines).
+def _tr_iter_sql(prev: str, t: int) -> str:
+    return f"""
+    c{t} AS (SELECT w.doc_id, w.sa AS sid,
+                    sum((s.s * w.w) // st.s_out)::BIGINT AS c
+             FROM w
+             JOIN {prev} s ON s.doc_id = w.doc_id AND s.sid = w.sb
+             JOIN str st ON st.doc_id = w.doc_id AND st.sid = w.sb
+             WHERE st.s_out > 0
+             GROUP BY 1, 2),
+    s{t} AS (SELECT s.doc_id, s.sid,
+                    ((15000000000000 // (100 * s.n_seg))
+                     + ((85 * coalesce(c.c, 0)) // 100))::BIGINT AS s,
+                    s.n_seg
+             FROM {prev} s LEFT JOIN c{t} c
+               ON c.doc_id = s.doc_id AND c.sid = s.sid)"""
+
+
+_TEXTRANK_ORACLE = f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    seg AS (
+      SELECT doc_id, k.k AS sid,
+             list_distinct(t[(k.k * 10 + 1):(k.k * 10 + 10)]) AS st
+      FROM d, range(0, 64) k(k)
+      WHERE k.k < greatest(ceil(len(t) / 10), 1)::BIGINT
+    ),
+    w AS (
+      SELECT a.doc_id, a.sid AS sa, b.sid AS sb,
+             len(list_filter(a.st, x -> list_contains(b.st, x)))::BIGINT AS w
+      FROM seg a JOIN seg b
+        ON a.doc_id = b.doc_id AND a.sid <> b.sid
+      WHERE len(list_filter(a.st, x -> list_contains(b.st, x))) > 0
+    ),
+    str AS (SELECT doc_id, sb AS sid, sum(w)::BIGINT AS s_out
+            FROM w GROUP BY 1, 2),
+    cnt AS (SELECT doc_id, count(*)::BIGINT AS n_seg FROM seg GROUP BY 1),
+    s0 AS (SELECT seg.doc_id, seg.sid,
+                  (1000000000000 // cnt.n_seg)::BIGINT AS s, cnt.n_seg
+           FROM seg JOIN cnt ON cnt.doc_id = seg.doc_id),
+    {_tr_iter_sql("s0", 1)},
+    {_tr_iter_sql("s1", 2)}
+    SELECT doc_id, sid, s AS score_e12,
+           rk::BIGINT AS rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY s DESC, sid ASC) AS rk FROM s2)
+    WHERE rk <= 2
+"""
+
+
+@query("textrank_segments_docs", oracle=_TEXTRANK_ORACLE)
+def textrank_segments_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank extractive selection over 10-token document segments:
+    within-doc overlap graph (distinct-token counts — integer weights),
+    two damped PageRank rounds in the pagerank integer fixed point
+    (DIV everywhere, per-doc mass 1e12), top-2 segments per doc as the
+    extractive summary. The oracle replays the segment graph AND both
+    iterations (operators/graph.py:textrank_segments)."""
+    from modeltracking_spark.operators.graph import textrank_segments
+
+    out = textrank_segments(
+        T(spark, sf_dir, "documents"), seg_tokens=10, iters=2, k=2
+    )
+    return out.withColumn("sid", F.col("sid").cast("long")).withColumn(
+        "rk", F.col("rk").cast("long")
+    )

@@ -162,3 +162,34 @@ def test_triangle_count_hand_graph(spark):
     got = {r["node"]: r["n_tri"] for r in triangle_count(edges).collect()}
     # triangles: (1,2,3) and (2,3,4)
     assert got == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_textrank_central_segment_wins(spark):
+    """A doc whose middle segment shares vocabulary with BOTH others
+    (the others share nothing with each other) must rank it first; the
+    oracle's fixed range(0, 64) segment cap is pinned against the
+    corpus tokens-per-doc bound."""
+    import pyspark.sql.functions as F
+
+    from modeltracking_spark.operators.graph import textrank_segments
+    from tests.conftest import SF001
+
+    text = " ".join(
+        ["a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"]        # seg 0: links via a*
+        + ["a1 a2 a3 b1 b2 b3 b4 c1 c2 c3"]       # seg 1: hub (a* and c*)
+        + ["c1 c2 c3 d1 d2 d3 d4 d5 d6 d7"]       # seg 2: links via c*
+    )
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = sorted(
+        textrank_segments(docs, seg_tokens=10, iters=2, k=3).collect(),
+        key=lambda r: r["rk"],
+    )
+    assert out[0]["sid"] == 1                  # the hub is most central
+    assert [r["rk"] for r in out] == [1, 2, 3]
+    # oracle bound: no doc may exceed 64 segments of 10 tokens
+    mx = (
+        spark.read.parquet(f"{SF001}/documents.parquet")
+        .select(F.size(F.expr("filter(split(text, ' '), x -> x != '')")).alias("n"))
+        .agg(F.max("n")).collect()[0][0]
+    )
+    assert mx <= 640
