@@ -85,6 +85,7 @@ NOTES = {
     "compaction_plan_orders": "file-metadata aggregate (partition-sized) into the per-month applyInPandas first-fit fold",
     "pca_top_component_embeddings": "distributed dim^2-grain covariance aggregate; only the 64x64 matrix is collected; iterations are driver-planned over it",
     "edit_distance_pairs_docs": "both sides hash-partition on the (lang, band) block key; prefix-window Levenshtein only inside blocks",
+    "textrank_segments_docs": "doc-partitioned segment self-join (bounded by doc length); per-iteration score checkpointed; never corpus-quadratic",
 }
 
 
