@@ -1598,3 +1598,77 @@ def compaction_plan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
     return pack_greedy(files, "file_day", "n_rows", "part_month", 64)
+
+
+@query(
+    "winsorize_events",
+    oracle="""
+    WITH ev AS (SELECT event_id, value FROM events WHERE value IS NOT NULL),
+    mm AS (SELECT min(value::DOUBLE) AS mn, max(value::DOUBLE) AS mx,
+                  count(value) AS n
+           FROM ev),
+    b AS (SELECT CASE WHEN mx > mn
+                      THEN least(63, floor((value::DOUBLE - mn)
+                                           / ((mx - mn) / 64.0::DOUBLE))::INTEGER)
+                      ELSE 0 END AS bin
+          FROM ev CROSS JOIN mm),
+    counts AS (SELECT bin, count(*) AS c FROM b GROUP BY bin),
+    cum AS (SELECT bin, sum(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+                          AS cum
+            FROM counts),
+    q AS (SELECT unnest([5, 95]) AS q_pct),
+    hit AS (SELECT q_pct, min(bin) AS bin_idx
+            FROM q CROSS JOIN cum CROSS JOIN mm
+            WHERE cum * 100 >= q_pct * n GROUP BY q_pct),
+    caps AS (SELECT
+               max(CASE WHEN q_pct = 5 THEN
+                 floor((mm.mn + bin_idx::DOUBLE
+                        * ((mm.mx - mm.mn) / 64.0::DOUBLE))
+                       * 1e6 + 0.5::DOUBLE)::BIGINT::DOUBLE / 1e6
+               END) AS lo,
+               max(CASE WHEN q_pct = 95 THEN
+                 floor((mm.mn + bin_idx::DOUBLE
+                        * ((mm.mx - mm.mn) / 64.0::DOUBLE))
+                       * 1e6 + 0.5::DOUBLE)::BIGINT::DOUBLE / 1e6
+               END) AS hi
+             FROM hit CROSS JOIN mm)
+    SELECT ev.event_id,
+           floor(least(greatest(ev.value::DOUBLE, caps.lo), caps.hi)
+                 * 1e6 + 0.5::DOUBLE)::BIGINT AS winsorized_e6,
+           (ev.value::DOUBLE < caps.lo OR ev.value::DOUBLE > caps.hi)
+             AS clamped
+    FROM ev CROSS JOIN caps
+    """,
+)
+def winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — the robust-preprocessing transform that caps
+    extreme values at the (approximate) P5/P95 edges from the
+    histogram-quantile sketch: sketch once (bounded aggregate), clamp
+    in one narrow map, tag clamped rows. Chains hist_quantiles as a
+    consumer — approximate caps are the production norm (exact tail
+    quantiles would sort the world to cap 10% of it)."""
+    from modeltracking_spark.operators.sketches import hist_quantiles
+
+    ev = T(spark, sf_dir, "events").select("event_id", "value").where(
+        F.col("value").isNotNull()
+    )
+    qs = hist_quantiles(
+        T(spark, sf_dir, "events").select("value"), "value", qs_num=(5, 95)
+    )
+    caps = qs.agg(
+        F.max(F.when(F.col("q_pct") == 5, F.col("est_e6") / 1e6)).alias("lo"),
+        F.max(F.when(F.col("q_pct") == 95, F.col("est_e6") / 1e6)).alias("hi"),
+    )
+    clamped = F.least(
+        F.greatest(F.col("value").cast("double"), F.col("lo")), F.col("hi")
+    )
+    return ev.crossJoin(F.broadcast(caps)).select(
+        "event_id",
+        F.floor(clamped * F.lit(1e6) + F.lit(0.5)).cast("long").alias(
+            "winsorized_e6"
+        ),
+        (
+            (F.col("value").cast("double") < F.col("lo"))
+            | (F.col("value").cast("double") > F.col("hi"))
+        ).alias("clamped"),
+    )
