@@ -86,6 +86,7 @@ NOTES = {
     "pca_top_component_embeddings": "distributed dim^2-grain covariance aggregate; only the 64x64 matrix is collected; iterations are driver-planned over it",
     "edit_distance_pairs_docs": "both sides hash-partition on the (lang, band) block key; prefix-window Levenshtein only inside blocks",
     "textrank_segments_docs": "doc-partitioned segment self-join (bounded by doc length); per-iteration score checkpointed; never corpus-quadratic",
+    "winsorize_events": "bounded sketch aggregate -> 1-row caps broadcast -> narrow clamp",
 }
 
 
