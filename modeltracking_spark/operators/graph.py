@@ -198,16 +198,23 @@ def textrank_segments(
     from modeltracking_spark.functions.text import tokens
 
     toks = tokens(text_col)
-    n_seg = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
+    n_seg = F.greatest(
+        F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int"), F.lit(1)
+    )
+    # n_seg rides as a column from the start — a per-doc counts
+    # aggregate would be corpus-sized and must never broadcast (the
+    # pagerank rule: only 1-row aggregates broadcast)
     seg = (
         docs.select(
             F.col(id_col).alias("doc_id"),
             toks.alias("__t"),
-            F.explode(F.sequence(F.lit(0), F.greatest(n_seg, F.lit(1)) - 1)).alias("sid"),
+            n_seg.alias("n_seg"),
+            F.explode(F.sequence(F.lit(0), n_seg - 1)).alias("sid"),
         )
         .select(
             "doc_id",
             "sid",
+            "n_seg",
             F.array_distinct(
                 F.slice(F.col("__t"), F.col("sid") * seg_tokens + 1, seg_tokens)
             ).alias("st"),
@@ -215,6 +222,9 @@ def textrank_segments(
     )
     a = seg.select("doc_id", F.col("sid").alias("sa"), F.col("st").alias("ta"))
     b = seg.select("doc_id", F.col("sid").alias("sb"), F.col("st").alias("tb"))
+    # materialize the pair graph ONCE: both strength and every
+    # iteration's contrib consume it — lazy lineage would re-run the
+    # tokenize+segment+self-join pipeline per consumer
     w = (
         a.join(b, "doc_id")
         .where(F.col("sa") != F.col("sb"))
@@ -223,21 +233,17 @@ def textrank_segments(
             F.size(F.array_intersect("ta", "tb")).cast("long").alias("w"),
         )
         .where(F.col("w") > 0)
+        .localCheckpoint(eager=True)
     )
     strength = w.groupBy("doc_id", F.col("sb").alias("sid")).agg(
         F.sum("w").alias("s_out")
-    )
-    counts = seg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_seg"))
+    ).localCheckpoint(eager=True)
     # integer DIV everywhere (the pagerank idiom): double division +
     # floor could slip an ulp at exact-quotient boundaries
-    score = (
-        seg.select("doc_id", "sid")
-        .join(F.broadcast(counts), "doc_id")
-        .select(
-            "doc_id", "sid",
-            F.expr("1000000000000 DIV n_seg").alias("s"),
-            "n_seg",
-        )
+    score = seg.select(
+        "doc_id", "sid",
+        F.expr("1000000000000 DIV n_seg").alias("s"),
+        "n_seg",
     )
     for _ in range(iters):
         # each iteration references `score` once but builds a growing

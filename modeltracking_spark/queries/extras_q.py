@@ -1103,10 +1103,12 @@ def distinct_estimate_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linear_distinct_estimate(ev, "user_id", m=4096)
 
 
-@query(
-    "hist_quantiles_events",
-    oracle="""
-    WITH ev AS (SELECT value FROM events WHERE value IS NOT NULL),
+def _hist_sketch_sql(qs: str) -> str:
+    """Shared SQL replay of operators/sketches.py:hist_quantiles (the
+    NOT-NULL filter, 64 equi-width bins, cumulative counts, and the
+    first-bin-reaching-q rule) — parameterized by the probed q list so
+    the sketch arithmetic lives in ONE oracle fragment."""
+    return f"""ev AS (SELECT value FROM events WHERE value IS NOT NULL),
     mm AS (SELECT min(value::DOUBLE) AS mn, max(value::DOUBLE) AS mx,
                   count(value) AS n
            FROM ev),
@@ -1119,15 +1121,21 @@ def distinct_estimate_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum AS (SELECT bin, sum(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
                           AS cum
             FROM counts),
-    q AS (SELECT unnest([25, 50, 75]) AS q_pct),
+    q AS (SELECT unnest([{qs}]) AS q_pct),
     hit AS (SELECT q_pct, min(bin) AS bin_idx
             FROM q CROSS JOIN cum CROSS JOIN mm
-            WHERE cum * 100 >= q_pct * n GROUP BY q_pct)
+            WHERE cum * 100 >= q_pct * n GROUP BY q_pct)"""
+
+
+@query(
+    "hist_quantiles_events",
+    oracle="""
+    WITH SKETCH_SQL
     SELECT q_pct::BIGINT AS q_pct, mm.n AS n, bin_idx::BIGINT AS bin_idx,
            floor((mm.mn + bin_idx::DOUBLE * ((mm.mx - mm.mn) / 64.0::DOUBLE))
                  * 1e6 + 0.5::DOUBLE)::BIGINT AS est_e6
     FROM hit CROSS JOIN mm
-    """,
+    """.replace("SKETCH_SQL", _hist_sketch_sql("25, 50, 75")),
 )
 def hist_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Histogram-quantile sketch over event values: 64 equi-width bins,
@@ -1603,23 +1611,7 @@ def compaction_plan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "winsorize_events",
     oracle="""
-    WITH ev AS (SELECT event_id, value FROM events WHERE value IS NOT NULL),
-    mm AS (SELECT min(value::DOUBLE) AS mn, max(value::DOUBLE) AS mx,
-                  count(value) AS n
-           FROM ev),
-    b AS (SELECT CASE WHEN mx > mn
-                      THEN least(63, floor((value::DOUBLE - mn)
-                                           / ((mx - mn) / 64.0::DOUBLE))::INTEGER)
-                      ELSE 0 END AS bin
-          FROM ev CROSS JOIN mm),
-    counts AS (SELECT bin, count(*) AS c FROM b GROUP BY bin),
-    cum AS (SELECT bin, sum(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
-                          AS cum
-            FROM counts),
-    q AS (SELECT unnest([5, 95]) AS q_pct),
-    hit AS (SELECT q_pct, min(bin) AS bin_idx
-            FROM q CROSS JOIN cum CROSS JOIN mm
-            WHERE cum * 100 >= q_pct * n GROUP BY q_pct),
+    WITH SKETCH_SQL,
     caps AS (SELECT
                max(CASE WHEN q_pct = 5 THEN
                  floor((mm.mn + bin_idx::DOUBLE
@@ -1631,14 +1623,15 @@ def compaction_plan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                         * ((mm.mx - mm.mn) / 64.0::DOUBLE))
                        * 1e6 + 0.5::DOUBLE)::BIGINT::DOUBLE / 1e6
                END) AS hi
-             FROM hit CROSS JOIN mm)
-    SELECT ev.event_id,
-           floor(least(greatest(ev.value::DOUBLE, caps.lo), caps.hi)
+             FROM hit CROSS JOIN mm),
+    evid AS (SELECT event_id, value FROM events WHERE value IS NOT NULL)
+    SELECT evid.event_id,
+           floor(least(greatest(evid.value::DOUBLE, caps.lo), caps.hi)
                  * 1e6 + 0.5::DOUBLE)::BIGINT AS winsorized_e6,
-           (ev.value::DOUBLE < caps.lo OR ev.value::DOUBLE > caps.hi)
+           (evid.value::DOUBLE < caps.lo OR evid.value::DOUBLE > caps.hi)
              AS clamped
-    FROM ev CROSS JOIN caps
-    """,
+    FROM evid CROSS JOIN caps
+    """.replace("SKETCH_SQL", _hist_sketch_sql("5, 95")),
 )
 def winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorization — the robust-preprocessing transform that caps

@@ -186,10 +186,18 @@ def test_textrank_central_segment_wins(spark):
     )
     assert out[0]["sid"] == 1                  # the hub is most central
     assert [r["rk"] for r in out] == [1, 2, 3]
-    # oracle bound: no doc may exceed 64 segments of 10 tokens
-    mx = (
-        spark.read.parquet(f"{SF001}/documents.parquet")
-        .select(F.size(F.expr("filter(split(text, ' '), x -> x != '')")).alias("n"))
-        .agg(F.max("n")).collect()[0][0]
-    )
-    assert mx <= 640
+    # oracle bound: no doc in ANY shipped sf dir may exceed 64 segments
+    # of 10 tokens (the oracle's fixed range(0, 64) cap)
+    import os
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        mx = (
+            spark.read.parquet(path)
+            .select(F.size(F.expr("filter(split(text, ' '), x -> x != '')"))
+                    .alias("n"))
+            .agg(F.max("n")).collect()[0][0]
+        )
+        assert mx <= 640, f"{sf}: doc with {mx} tokens exceeds the oracle cap"
