@@ -187,3 +187,50 @@ def test_streaming_cms_merge_equals_batch_sketch(spark, tmp_path_factory):
         ).collect()
     }
     assert merged == batch and len(batch) > 0
+
+
+def test_streaming_cdc_apply_equals_batch_merge(spark, tmp_path_factory):
+    """CDC apply through a REAL stream: a change feed (unique keys,
+    split over 3 files -> >= 3 micro-batches) upserts into a snapshot
+    dict per batch; the final table must equal the one-shot batch
+    merge_upsert of the full delta — the foreachBatch MERGE loop every
+    lakehouse sink runs, exercised end to end."""
+    import pyspark.sql.functions as F
+
+    from modeltracking_spark.operators.merge import merge_upsert
+    from modeltracking_spark.streaming.windows import run_stream_foreach_batch
+
+    docs = load_table(spark, SF0001, "documents").select("doc_id", "text")
+    snap = {r["doc_id"]: r["text"] for r in docs.collect()}
+    delta = docs.where(F.col("doc_id") % 3 == 0).select(
+        "doc_id", F.concat(F.lit("UPD "), F.col("text")).alias("text")
+    ).unionByName(
+        docs.where(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.concat(F.lit("NEW "), F.col("text")).alias("text"),
+        )
+    )
+    src = str(tmp_path_factory.mktemp("cdc_src"))
+    delta.repartition(3).write.mode("overwrite").parquet(src)
+
+    state = dict(snap)
+    n_batches = [0]
+
+    def apply_batch(df, batch_id):
+        n_batches[0] += 1
+        for r in df.collect():
+            state[r["doc_id"]] = r["text"]
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_stream_foreach_batch(stream, apply_batch, "t_cdc_stream")
+    assert n_batches[0] >= 3
+
+    want = {
+        r["doc_id"]: r["text"]
+        for r in merge_upsert(docs, delta, "doc_id").select("doc_id", "text").collect()
+    }
+    assert state == want and len(want) > len(snap)
