@@ -1665,3 +1665,60 @@ def winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("value").cast("double") > F.col("hi"))
         ).alias("clamped"),
     )
+
+
+@query(
+    "pearson_corr_events",
+    oracle="""
+    WITH v AS (SELECT event_type,
+                      round(value * 100)::BIGINT AS x,
+                      hour(ts)::BIGINT AS y
+               FROM events WHERE value IS NOT NULL),
+    s AS (SELECT event_type, count(*) AS n,
+                 sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                 sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy,
+                 sum(x * y)::BIGINT AS sxy
+          FROM v GROUP BY event_type)
+    SELECT event_type, n,
+           CASE WHEN (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                     * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)
+                     <= 0 THEN NULL
+                ELSE floor((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                           / sqrt((n::DOUBLE * sxx::DOUBLE
+                                   - sx::DOUBLE * sx::DOUBLE)
+                                  * (n::DOUBLE * syy::DOUBLE
+                                     - sy::DOUBLE * sy::DOUBLE))
+                           * 1e6 + 0.5::DOUBLE)::BIGINT END AS corr_e6
+    FROM s
+    """,
+)
+def pearson_corr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation (event value vs hour of day) from
+    EXACT integer sums — the engine-portable replacement for corr():
+    n·Σxy − ΣxΣy over the root of the variance product, all in doubles
+    of exact BIGINT sums (the r6 rule: integer-exact SUMS, double-space
+    FORMULAS), e6-floored; degenerate variance yields NULL. One
+    map-side-combinable aggregate."""
+    v = T(spark, sf_dir, "events").where(F.col("value").isNotNull()).select(
+        "event_type",
+        cents("value").alias("x"),
+        F.hour("ts").cast("long").alias("y"),
+    )
+    s = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n_d, sx_d, sy_d = (F.col(c).cast("double") for c in ("n", "sx", "sy"))
+    sxx_d, syy_d, sxy_d = (F.col(c).cast("double") for c in ("sxx", "syy", "sxy"))
+    vx = n_d * sxx_d - sx_d * sx_d
+    vy = n_d * syy_d - sy_d * sy_d
+    corr = (n_d * sxy_d - sx_d * sy_d) / F.sqrt(vx * vy)
+    return s.select(
+        "event_type", "n",
+        F.when(vx * vy <= 0, F.lit(None).cast("long"))
+        .otherwise(F.floor(corr * F.lit(1e6) + F.lit(0.5)).cast("long"))
+        .alias("corr_e6"),
+    )

@@ -87,6 +87,7 @@ NOTES = {
     "edit_distance_pairs_docs": "both sides hash-partition on the (lang, band) block key; prefix-window Levenshtein only inside blocks",
     "textrank_segments_docs": "doc-partitioned segment self-join (bounded by doc length); per-iteration score checkpointed; never corpus-quadratic",
     "winsorize_events": "bounded sketch aggregate -> 1-row caps broadcast -> narrow clamp",
+    "pearson_corr_events": "one map-side-combinable moment aggregate per group",
 }
 
 
