@@ -1722,3 +1722,55 @@ def pearson_corr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.floor(corr * F.lit(1e6) + F.lit(0.5)).cast("long"))
         .alias("corr_e6"),
     )
+
+
+@query(
+    "chi2_type_vs_weekday_events",
+    oracle="""
+    WITH o AS (SELECT event_type, (dayofweek(ts) + 1)::BIGINT AS dow FROM events),
+    c AS (SELECT event_type, dow, count(*) AS obs FROM o GROUP BY 1, 2),
+    rt AS (SELECT event_type, sum(obs)::BIGINT AS r FROM c GROUP BY 1),
+    ct AS (SELECT dow, sum(obs)::BIGINT AS col_t FROM c GROUP BY 1),
+    n AS (SELECT count(*)::BIGINT AS n FROM o)
+    SELECT c.event_type, c.dow, c.obs,
+           floor((rt.r::DOUBLE * ct.col_t::DOUBLE / n.n::DOUBLE)
+                 * 1e6 + 0.5::DOUBLE)::BIGINT AS expected_e6,
+           floor(((c.obs::DOUBLE - rt.r::DOUBLE * ct.col_t::DOUBLE / n.n::DOUBLE)
+                  * (c.obs::DOUBLE - rt.r::DOUBLE * ct.col_t::DOUBLE / n.n::DOUBLE)
+                  / (rt.r::DOUBLE * ct.col_t::DOUBLE / n.n::DOUBLE))
+                 * 1e6 + 0.5::DOUBLE)::BIGINT AS chi2_term_e6
+    FROM c JOIN rt ON rt.event_type = c.event_type
+           JOIN ct ON ct.dow = c.dow
+    CROSS JOIN n
+    """,
+)
+def chi2_type_vs_weekday_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence cells (event type × weekday): observed
+    counts, expected = row·col/n, and the per-cell (o−e)²/e term — the
+    categorical drift/independence check a data-quality pass runs. All
+    from exact integer counts with one mirrored double formula per
+    cell; the statistic is the BIGINT-summable e6 term column."""
+    o = T(spark, sf_dir, "events").select(
+        "event_type", F.dayofweek("ts").cast("long").alias("dow")
+    )
+    c = o.groupBy("event_type", "dow").agg(F.count(F.lit(1)).alias("obs"))
+    rt = c.groupBy("event_type").agg(F.sum("obs").alias("r"))
+    ct = c.groupBy("dow").agg(F.sum("obs").alias("col_t"))
+    n = o.agg(F.count(F.lit(1)).alias("n"))
+    e = (
+        F.col("r").cast("double") * F.col("col_t").cast("double")
+        / F.col("n").cast("double")
+    )
+    term = (F.col("obs").cast("double") - e) * (F.col("obs").cast("double") - e) / e
+    return (
+        c.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type", "dow", "obs",
+            F.floor(e * F.lit(1e6) + F.lit(0.5)).cast("long").alias("expected_e6"),
+            F.floor(term * F.lit(1e6) + F.lit(0.5)).cast("long").alias(
+                "chi2_term_e6"
+            ),
+        )
+    )

@@ -88,6 +88,7 @@ NOTES = {
     "textrank_segments_docs": "doc-partitioned segment self-join (bounded by doc length); per-iteration score checkpointed; never corpus-quadratic",
     "winsorize_events": "bounded sketch aggregate -> 1-row caps broadcast -> narrow clamp",
     "pearson_corr_events": "one map-side-combinable moment aggregate per group",
+    "chi2_type_vs_weekday_events": "bounded contingency counts; row/col margins broadcast back onto the cells",
 }
 
 
