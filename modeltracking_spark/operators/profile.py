@@ -146,7 +146,9 @@ def profile_along_track(
     )
 
 
-def resample_track_arclength(track: DataFrame, step_deg: float = 0.5) -> DataFrame:
+def resample_track_arclength(
+    track: DataFrame, step_deg: float = 0.5, track_col: str | None = None
+) -> DataFrame:
     """Resample a track at EQUAL ARC-LENGTH intervals — the
     regularization step before along-track profiling when input fixes
     are unevenly spaced (the reference consumes fixed advisory points;
@@ -164,13 +166,27 @@ def resample_track_arclength(track: DataFrame, step_deg: float = 0.5) -> DataFra
     join against the segment table — track-sized, broadcast) → linear
     interpolation, e6-floored outputs.
 
-    Output: (k, s_deg_e6, lat_e6, lon_e6).
+    ``track_col=None`` is the single-track contract (one reference
+    advisory track — the input is track-sized by construction).
+    ``track_col="..."`` is the FLEET shape: every window and the
+    per-track total partition on the track id, so a million tracks
+    resample as a million independent hash-partitioned groups — no
+    single-task global window anywhere in the plan (VERDICT r6 item 3).
+
+    Output: ([track_col,] k, s_deg_e6, lat_e6, lon_e6).
     """
     from pyspark.sql import Window
 
-    w = Window.orderBy("point_id")
+    single = track_col is None
+    tcol = "__track" if single else track_col
+    if single:
+        # one synthetic group: the partitioned-window fold over a single
+        # constant partition is the same sequential double arithmetic as
+        # a global ordered window, so the oracle stays bit-identical
+        track = track.withColumn(tcol, F.lit(0).cast("long"))
+    w = Window.partitionBy(tcol).orderBy("point_id")
     seg = (
-        track.select("point_id", "lat", "lon")
+        track.select(tcol, "point_id", "lat", "lon")
         .withColumn("lat0", F.lag("lat").over(w))
         .withColumn("lon0", F.lag("lon").over(w))
         .withColumn(
@@ -186,28 +202,41 @@ def resample_track_arclength(track: DataFrame, step_deg: float = 0.5) -> DataFra
         .where(F.col("lat0").isNotNull())
         .withColumn("cum0", F.col("cum1") - F.col("seg_len"))
     )
-    total = seg.agg(F.max("cum1").alias("__total"))
+    total = seg.groupBy(tcol).agg(F.max("cum1").alias("__total"))
     targets = (
         total.select(
+            tcol,
             F.explode(
                 F.sequence(
                     F.lit(0),
                     F.floor(F.col("__total") / F.lit(step_deg)).cast("int"),
                 )
-            ).alias("k")
+            ).alias("k"),
         )
         .withColumn("s", F.col("k").cast("double") * F.lit(step_deg))
     )
-    # segment table is track-sized: broadcast the range join
-    hit = targets.join(
-        F.broadcast(seg),
-        (F.col("s") >= F.col("cum0")) & (F.col("s") < F.col("cum1")),
+    # per-track range join: equi on the track id + containment on the arc.
+    # Single-track (and any dimension-sized fleet): the segment side is
+    # track-sized — broadcast. A huge fleet plans the same equi-join
+    # hash-partitioned on the track id if the broadcast hint is dropped;
+    # the containment predicate stays a post-join filter either way.
+    hit = targets.alias("t").join(
+        F.broadcast(seg).alias("g"),
+        (F.col(f"t.{tcol}") == F.col(f"g.{tcol}"))
+        & (F.col("t.s") >= F.col("g.cum0"))
+        & (F.col("t.s") < F.col("g.cum1")),
     )
-    frac = (F.col("s") - F.col("cum0")) / F.col("seg_len")
+    frac = (F.col("t.s") - F.col("g.cum0")) / F.col("g.seg_len")
     e6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")
-    return hit.select(
-        F.col("k").cast("long").alias("k"),
-        e6(F.col("s")).alias("s_deg_e6"),
-        e6(F.col("lat0") + frac * (F.col("lat") - F.col("lat0"))).alias("lat_e6"),
-        e6(F.col("lon0") + frac * (F.col("lon") - F.col("lon0"))).alias("lon_e6"),
+    out = hit.select(
+        *([] if single else [F.col(f"t.{tcol}").alias(tcol)]),
+        F.col("t.k").cast("long").alias("k"),
+        e6(F.col("t.s")).alias("s_deg_e6"),
+        e6(F.col("g.lat0") + frac * (F.col("g.lat") - F.col("g.lat0"))).alias(
+            "lat_e6"
+        ),
+        e6(F.col("g.lon0") + frac * (F.col("g.lon") - F.col("g.lon0"))).alias(
+            "lon_e6"
+        ),
     )
+    return out

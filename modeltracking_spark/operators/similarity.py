@@ -1041,7 +1041,13 @@ def pca_top_component(
     for _ in range(iters):
         w = [sum(C[i][j] * v[j] for j in range(dim)) for i in range(dim)]
         wd = [math.floor(float(wi) / 4294967296.0) for wi in w]
-        norm = math.sqrt(float(sum(d * d for d in wd))) * 4294967296.0
+        norm_sq = sum(d * d for d in wd)
+        if norm_sq == 0:
+            # every |w_i| < 2^32: a tiny / near-zero covariance gives the
+            # truncated iterate no mass — keep the previous v rather than
+            # divide by zero (the e0-seeded v is still a unit loading)
+            continue
+        norm = math.sqrt(float(norm_sq)) * 4294967296.0
         v = [math.floor(float(wi) / norm * 1e6 + 0.5) for wi in w]
     spark = corpus.sparkSession
     return spark.createDataFrame(

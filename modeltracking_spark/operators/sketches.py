@@ -69,7 +69,14 @@ def cms_estimate(
     """Probe the sketch: estimate(key) = min over rows d of the counter
     at (d, bucket_d(key)). The sketch is depth·width-bounded →
     broadcast; missing counters read as 0 (an empty bucket proves
-    count 0). Output: probes' columns + est_cnt."""
+    count 0). Output: probes' columns + est_cnt.
+
+    ``probes`` must be row-distinct: the final aggregate groups by ALL
+    of probes' columns, so duplicate probe rows collapse to one output
+    row (a multiset probe gets fewer rows back than it passed in). A
+    caller probing a multiset should carry its own monotonic row id
+    (``F.monotonically_increasing_id()``) as an extra probe column —
+    then every input row keys its own group and survives."""
     key = F.col(key_col)
     # __-prefixed internals so a probe frame carrying its own d/bucket/cnt
     # columns can never collide or bind ambiguously

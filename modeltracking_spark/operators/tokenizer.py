@@ -39,8 +39,29 @@ def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def pruned_word_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+    top_k: int = 1_000_000,
+) -> DataFrame:
+    """``word_counts`` with the standard BPE vocabulary prune: drop
+    words seen fewer than ``min_count`` times, keep the ``top_k`` most
+    frequent (ties → lexicographically smallest word, so the kept set
+    is deterministic). The sort-limit is a per-partition top-k merged
+    at the driver (TakeOrdered) — no global sort shuffle."""
+    wc = word_counts(docs, text_col)
+    if min_count > 1:
+        wc = wc.where(F.col("n") >= min_count)
+    return wc.orderBy(F.col("n").desc(), F.col("word").asc()).limit(top_k)
+
+
 def bpe_train(
-    docs: DataFrame, n_merges: int = 20, text_col: str = "text"
+    docs: DataFrame,
+    n_merges: int = 20,
+    text_col: str = "text",
+    min_count: int = 1,
+    top_k: int = 1_000_000,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from the corpus.
 
@@ -48,10 +69,22 @@ def bpe_train(
     most frequent adjacent symbol pair (ties → lexicographically
     smallest pair) merges into one symbol everywhere it occurs. Returns
     the ordered merge list — the tokenizer artifact ``bpe_encode``
-    applies."""
+    applies.
+
+    DRIVER-MATERIALIZATION BOUND: the collect below is capped at
+    ``top_k`` rows (plus the ``min_count`` frequency cutoff) — standard
+    BPE vocabulary pruning (Sennrich et al. §3; HF tokenizers'
+    ``limit_alphabet``/min-frequency knobs). At 100 TB the distinct-word
+    table is billions of rows; uncapped, the collect is a driver OOM.
+    The learned merges are identical to the uncapped run for every merge
+    whose pair count exceeds the dropped tail's total mass — at the
+    default 1M-word cap the tail is hapax-grade noise for any corpus
+    whose merge counts matter. tests/test_tokenizer.py pins both: the
+    fixture-corpus merge list is unchanged under the cap, and the
+    collected row count never exceeds ``top_k``."""
     vocab = {
         tuple(r["word"]) + (EOW,): int(r["n"])
-        for r in word_counts(docs, text_col).collect()
+        for r in pruned_word_counts(docs, text_col, min_count, top_k).collect()
     }
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):

@@ -1017,7 +1017,8 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ev AS (SELECT user_id FROM events),
     rb AS (SELECT user_id, d,
-                  ('0x' || substr(md5(user_id::VARCHAR || ':' || d::VARCHAR),
+                  ('0x' || substr(md5(coalesce(user_id::VARCHAR, '__null__')
+                                      || ':' || d::VARCHAR),
                                   1, 15))::BIGINT % 256 AS bucket
            FROM ev CROSS JOIN range(4) dd(d)),
     sk AS (SELECT d, bucket, count(*) AS cnt FROM rb GROUP BY 1, 2),
@@ -1027,7 +1028,8 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                      AS rk
             FROM tru QUALIFY rk <= 20),
     pb AS (SELECT t.user_id, t.true_cnt, t.rk, dd.d,
-                  ('0x' || substr(md5(t.user_id::VARCHAR || ':'
+                  ('0x' || substr(md5(coalesce(t.user_id::VARCHAR, '__null__')
+                                      || ':'
                                       || dd.d::VARCHAR), 1, 15))::BIGINT % 256
                     AS bucket
            FROM top t CROSS JOIN range(4) dd(d))
@@ -1077,7 +1079,8 @@ def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distinct_estimate_users",
     oracle="""
     WITH b AS (SELECT user_id AS k,
-                      ('0x' || substr(md5(user_id::VARCHAR || ':lc'),
+                      ('0x' || substr(md5(coalesce(user_id::VARCHAR,
+                                                   '__null__') || ':lc'),
                                       1, 15))::BIGINT % 4096 AS b
                FROM events)
     SELECT count(DISTINCT k) AS n_exact,

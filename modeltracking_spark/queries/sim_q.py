@@ -930,4 +930,10 @@ def pca_top_component_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     free (operators/similarity.py:pca_top_component)."""
     from modeltracking_spark.operators.similarity import pca_top_component
 
-    return pca_top_component(T(spark, sf_dir, "embeddings"), iters=8)
+    emb = T(spark, sf_dir, "embeddings")
+    # the oracle hardcodes dim=64 (range(1, 65) / range(64)); the operator
+    # infers dim from data — pin them together so a dim change fails HERE,
+    # loudly, instead of silently breaking only the oracle side
+    dim = emb.select(F.size("embedding").alias("d")).first()["d"]
+    assert dim == 64, f"PCA oracle assumes dim=64, embeddings have dim={dim}"
+    return pca_top_component(emb, iters=8)

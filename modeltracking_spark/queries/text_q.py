@@ -830,7 +830,16 @@ def textrank_segments_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     two damped PageRank rounds in the pagerank integer fixed point
     (DIV everywhere, per-doc mass 1e12), top-2 segments per doc as the
     extractive summary. The oracle replays the segment graph AND both
-    iterations (operators/graph.py:textrank_segments)."""
+    iterations (operators/graph.py:textrank_segments).
+
+    ORACLE BOUND: the oracle enumerates segment ids from a fixed
+    range(0, 64) (DuckDB range() cannot take lateral bounds), so it
+    assumes every document has < 640 whitespace tokens (64 segments x
+    seg_tokens=10); the engine operator is uncapped. Pinned by
+    tests/test_graph.py::test_textrank_central_segment_wins (max token
+    count over every shipped sf dir <= 640), so a longer future
+    document fails the TEST, not the oracle compare — the
+    track_resample_arclength pattern."""
     from modeltracking_spark.operators.graph import textrank_segments
 
     out = textrank_segments(

