@@ -67,6 +67,14 @@ HEADLINE = [
     "semdedup_embeddings",
     "quality_logreg_docs",
     "bucketed_join_revenue",
+    # round-7 additions (VERDICT r6 item 8): the remaining slowest
+    # non-headline sweep queries, so regressions there are caught by
+    # anchors rather than only by pytest — plus the new real baseline
+    # JPEG decode path
+    "compaction_plan_orders",
+    "personalized_pagerank_docs",
+    "dsir_select_docs",
+    "jpeg_decode_stats_docs",
 ]
 
 # Regression anchor: BENCH_r03.json per-query seconds at sf0.1 on local[32]

@@ -226,10 +226,13 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id",
 
     ``fake=True``: deterministic pseudo-features from byte length (for
     compressed formats whose decoders are not in this container).
-    ``fake=False``: REAL decode through the pure-numpy BMP codec above —
-    width/height/channels read from the actual header, ``pixel_sum`` the
-    sum of every decoded RGB byte (any header or pixel-layout bug shifts
-    it). Non-BMP payloads raise ``NotImplementedError`` where a
+    ``fake=False``: REAL decode — uncompressed 24-bit BMP through the
+    pure-numpy codec above, and baseline greyscale JPEG through the
+    from-spec T.81 codec (``operators/jpeg.py``, round 7) —
+    width/height/channels read from the actual parsed stream,
+    ``pixel_sum`` the sum of every decoded byte (any header, Huffman,
+    or pixel-layout bug shifts it). Everything else (PNG, color or
+    progressive JPEG, ...) raises ``NotImplementedError`` where a
     PIL/ffmpeg decoder would plug in.
     """
 
@@ -237,17 +240,23 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id",
         import numpy as np
         import pandas as pd
 
+        from modeltracking_spark.operators.jpeg import decode_jpeg_gray
+
         for pdf in batches:
             n = pdf[payload_col].map(len).astype("int64")
             if not fake:
                 w, h, c, s = [], [], [], []
                 for payload in pdf[payload_col]:
-                    if not payload.startswith(b"BM"):
+                    if payload.startswith(b"BM"):
+                        img = decode_bmp(bytes(payload))
+                    elif payload.startswith(b"\xff\xd8"):
+                        img = decode_jpeg_gray(bytes(payload))[:, :, None]
+                    else:
                         raise NotImplementedError(
-                            "real decode beyond uncompressed 24-bit BMP "
-                            "requires PIL/ffmpeg; not in container"
+                            "real decode beyond 24-bit BMP and baseline "
+                            "greyscale JPEG requires PIL/ffmpeg; not in "
+                            "container"
                         )
-                    img = decode_bmp(bytes(payload))
                     w.append(img.shape[1])
                     h.append(img.shape[0])
                     c.append(img.shape[2])
@@ -308,6 +317,45 @@ def attach_bmp_payload(df: DataFrame, id_col: str = "doc_id",
                     axis=2,
                 ).astype(np.uint8)
                 payloads.append(encode_bmp(img))
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: payloads})
+
+    return df.select(id_col).mapInPandas(
+        build, schema=f"{id_col} bigint, {out_col} binary"
+    )
+
+
+def attach_jpeg_payload(df: DataFrame, id_col: str = "doc_id",
+                        out_col: str = "payload") -> DataFrame:
+    """Fixture builder for the REAL compressed-image decode path: a
+    deterministic BLOCK-CONSTANT greyscale image per row — width =
+    id%21+4, height = id%17+4 (non-multiples of 8, so partial edge MCUs
+    are exercised), every 8x8 block constant at
+    (id*13 + bx*17 + by*29) % 256 — encoded through the from-spec
+    baseline T.81 encoder (``operators/jpeg.py``) with the FLAT_Q8
+    quantization table. Block-constant + DC-divisible quant means the
+    full Huffman/DCT roundtrip is bit-exact (jpeg.py docstring), so the
+    pixel FORMULA is SQL-replayable and an oracle can attest the decoder
+    without ever seeing the bytes — the BMP/netCDF playbook, now through
+    a real entropy-coded compressed format."""
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        from modeltracking_spark.operators.jpeg import encode_jpeg_gray
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                d = int(did)
+                w, h = d % 21 + 4, d % 17 + 4
+                bw, bh = -(-w // 8), -(-h // 8)
+                by, bx = np.mgrid[0:bh, 0:bw]
+                bv = (d * 13 + bx * 17 + by * 29) % 256
+                img = np.kron(bv, np.ones((8, 8), dtype=np.int64))
+                payloads.append(
+                    encode_jpeg_gray(img[:h, :w].astype(np.uint8))
+                )
             yield pd.DataFrame({id_col: pdf[id_col], out_col: payloads})
 
     return df.select(id_col).mapInPandas(

@@ -41,146 +41,110 @@ QUERY_MODULES = (
     "modeltracking_spark.queries.corpus_q",
 )
 
-#: the scored window (driver cap observed at 50): exactly one green-able
-#: representative per operator tier of COVERAGE.md / SURVEY.md §2.
-#: Tiers proven by each slot are noted.
+#: the scored window (driver cap observed at 50).
 #:
-#: ROUND-6 ROTATION: the six never-driver-attested round-5 queries plus
-#: the new salted skew join and the IVF probe moved INTO the window; the
-#: eight rotated-out entries each had their operator folded into a
-#: remaining in-window query (the "carried by" notes below), so every
-#: §2 row still maps to an in-window green-able slot. Rotated-out
-#: queries stay registered below the window with their own oracles.
+#: ROUND-7 ROTATION (VERDICT r6 items 1+4): the whole window turns over
+#: to never-driver-attested queries — 156 registered, 88 attested
+#: through r6, 68 never; 49 of the 68 (all ten marquee r5/r6 operators
+#: first) fill this window, the remaining 19 are queued directly below
+#: the boundary as the round-8 rotation head. After r7 lands green,
+#: driver-attested-at-least-once reaches 137/156; round 8 finishes the
+#: sweep. Coverage invariant, restated for this rotation: every
+#: SURVEY.md §2 row is either (a) exercised by an in-window r7 slot
+#: (CSV/xpath scans, F3/F5 scalars, profile resample, grouped-agg
+#: median, foreachBatch stream sink, ...) or (b) green in
+#: CORRECTNESS_r06.json — one round old, the driver's own attestation —
+#: via the rotated-out carrier noted in round 6's layout (flagship/P3,
+#: IDW profile, as-of, interval, grid DataSource, tumbling/session/
+#: stateful streams, MinHash/SimHash/IVF, BMP decode, packing,
+#: stratified sampling). No row's only evidence is judge-sweep-only.
 PRIORITY: tuple[str, ...] = (
-    # --- reference core: scans, projections, cleanup, aggregation ---
-    "flagship_events_daily",        # P3 sentinel mask + F1 day bucket + agg
-    "profile_along_track_temp",     # A2 IDW profile — the reference flagship
-    "profile_multivariable_pivot",  # R3 pivot + R1/R2 array roundtrip
-    "topk_lineitems_per_order",     # W1/P5 top-k + P6 sort-limit arm
-                                    # (carries orders_sort_limit) + J5 zip
-                                    # arm (carries zip_positional_align)
-    "positional_projection",        # P1 positional projection
-    "customer_order_set_ops",       # §2.8 set ops + semi/anti arms
-                                    # (carries semi_anti_customers)
-    "cube_status_priority",         # §2.5 CUBE + ROLLUP + GROUPING SETS union
-    "events_stats_suite",           # moments + stddev + JSON + frame specs
-                                    # + P4 try_cast cols (carries
-                                    # try_cast_cleanup) + F10/A4 regression
-                                    # cols (carries linear_fit_orders)
-    # --- scalar functions ---
-    "scalar_geo_suite",             # F3/F4/F5/F8 + F1/F2/F9 roundtrip cols
-                                    # (carries hours_epoch_roundtrip)
-    "vincenty_vs_haversine",        # F6 both routes + A1 bbox cols
-                                    # (carries track_bounding_box)
-    "euclid_knn_suppliers",         # F7 euclid-degree + brute KNN route
-    # --- joins ---
-    "grid_snap_nearest_node",       # J1 arithmetic grid snap
-    "neighborhood_3x3",             # J2 neighborhood expansion
-    "asof_nearest_clicks",          # J3 as-of join (nearest)
-    "interval_routing",             # J4/S4/S7 interval containment
-    "click_error_interval_join",    # stream-stream interval join, batch twin
-                                    # (first-ever attestation, round 6)
-    "regional_revenue",             # equi/broadcast chain
-    "skew_salted_join_events",      # salted skew-join escape hatch (NEW r6)
-    "argmin_order_per_customer",    # A3 argmin/min_by
-    "bucketed_join_revenue",        # storage tier: exchange-free bucketed
-                                    # join (NEW late r6; S6 DataSource
-                                    # machinery carried by grid_netcdf_scan
-                                    # — same class, netCDF backend; the
-                                    # formula backend stays pytest-covered
-                                    # and grid_datasource_scan keeps its
-                                    # below-window oracle)
-    "grid_netcdf_scan",             # S6/S6b classic-netCDF byte-range
-                                    # backend through the custom Python
-                                    # DataSource (carries
-                                    # grid_datasource_scan)
-    # --- dedup tier ---
-    "exact_dedup_docs",
-    "quality_logreg_docs",          # in-engine logreg distillation (NEW
-                                    # late r6; exact-Jaccard machinery of
-                                    # jaccard_pairs_capped carried by
-                                    # minhash_lsh_pairs' array_intersect
-                                    # verify arm; jaccard keeps its
-                                    # below-window oracle + pytest)
-    "minhash_lsh_pairs",
-    "simhash_neardup_pairs",        # Hamming-band pairs (computes simhash_docs'
-                                    # fingerprints internally; the per-doc query
-                                    # stays below the window, r4-green)
-    "dedup_clusters_docs",          # connected components
-    "chunk_dup_ratio_docs",         # chunk-grain exact-substring dup signal
-                                    # (first-ever attestation, round 6)
-    # --- text tier ---
-    "text_quality_suite",           # lang-ID + quality + BPE counts + clean md5
-    "winnow_fingerprints_docs",     # MOSS fingerprinting
-    "decontaminate_ngram_overlap",
-    "bloom_decontaminate_docs",     # Bloom-bitset decontamination, 100 TB shape
-                                    # (first-ever attestation, round 6)
-    "unigram_logprob_docs",         # unigram-LM doc scoring (first-ever
-                                    # attestation, round 6)
-    # --- corpus statistics tier ---
-    "tfidf_top_terms_docs",         # TF-IDF with broadcast df/N
-    "bigram_pmi_docs",              # PMI collocations
-    "token_heavy_hitters",          # Misra-Gries + exact verify
-    # --- similarity tier ---
-    "cosine_topk_brute",
-    "cosine_topk_lsh_probe",        # fully oracled (round 5)
-    "cosine_topk_ivf_probe",        # unrolled-Lloyd SQL oracle — rotated in
-                                    # per VERDICT r5 item 9 (round 6)
-    "semdedup_embeddings",          # SemDeDup cluster-then-scrub (NEW late
-                                    # r6; cosine_topk_filtered's pre-filter
-                                    # predicate variant is carried by the
-                                    # in-window brute/LSH/IVF trio + its
-                                    # below-window oracle + pytest)
-    "embedding_neardup_lsh_pairs",  # scale path; exact-verifies candidates, so
-                                    # it carries embedding_neardup_pairs (below
-                                    # window, recall-asserted in pytest)
-    # --- streaming tier ---
-    "tumbling_window_counts",
-    "session_window_counts",
-    "stateful_user_totals_stream",
-    "stream_enrich_join",
-    "resample_ffill_events",
-    # --- multimodal tier ---
-    "frame_sample_fake_decode",     # 1->N expansion + metadata cols
-                                    # (carries binary_metadata_docs)
-    "bmp_decode_stats_docs",        # REAL from-spec BMP decode (NEW r6 —
-                                    # retires the image-decode stub)
-    # --- packing / sampling tier ---
-    "pack_sequences_chunk",
-    "pack_sequences_greedy",        # recursive-CTE replay oracle (first-ever
-                                    # attestation, round 6)
-    "stratified_hash_sample_docs",
-    # ---- window boundary (50) — next-best entries follow ----
-    # rotated out late round 6, operator carried by an in-window slot:
-    "grid_datasource_scan",         # carried by grid_netcdf_scan (same
-                                    # DataSource, netCDF backend)
-    "jaccard_pairs_capped",         # carried by minhash_lsh_pairs verify arm
-    "cosine_topk_filtered",         # carried by brute/LSH/IVF trio
-    # rotated out round 6, operator carried by an in-window slot:
-    "try_cast_cleanup",             # carried by events_stats_suite
-    "orders_sort_limit",            # carried by topk_lineitems_per_order glob arm
-    "zip_positional_align",         # carried by topk_lineitems_per_order zip arm
-    "track_bounding_box",           # carried by vincenty_vs_haversine bbox cols
-    "linear_fit_orders",            # carried by events_stats_suite slope cols
-    "hours_epoch_roundtrip",        # carried by scalar_geo_suite roundtrip cols
-    "semi_anti_customers",          # carried by customer_order_set_ops arms
-    "embedding_neardup_pairs",      # carried by embedding_neardup_lsh_pairs
-    "binary_metadata_docs",         # carried by frame_sample_fake_decode cols
-    # long-stable below-window entries:
-    "track_step_haversine",         # subsumed by vincenty_vs_haversine
-    "simhash_docs",
-    "clean_normalize_docs",         # folded into text_quality_suite's md5 col
-    "hash_split_docs",
-    "centroid_label_means",
-    "sliding_window_counts",
-    "image_features_fake_decode",
-    "pricing_summary",
-    "rollup_region_nation",
-    "grouping_sets_orders",
-    "moving_frame_sums",
-    "event_type_stats",
-    "events_json_props",
-    "profile_flatten_roundtrip",
+    # ---- marquee round-5/6 operators, first-ever driver attestation ----
+    "pagerank_link_graph_docs",     # iterative BSP PageRank, integer mass
+    "personalized_pagerank_docs",   # teleport-set variant
+    "bm25_topk_docs",               # BM25 retrieval, stats broadcast
+    "dsir_select_docs",             # DSIR importance resampling, 2-pass rank
+    "merge_upsert_docs",            # MERGE upsert (union + per-key window)
+    "scd2_history_docs",            # SCD2 history build
+    "pq_refine_topk_l2",            # PQ ANN + exact refine
+    "pq_adc_topk_l2",               # PQ ADC-only scan path
+    "pca_top_component_embeddings", # in-engine power iteration
+    "textrank_segments_docs",       # TextRank extractive selection
+    "line_dedup_rewrite_docs",      # C4-style line dedup rewrite
+    "curation_pipeline_docs",       # end-to-end curation composition
+    # ---- sources / scans ----
+    "csv_roundtrip_scan",           # S1/S5 CSV scan + sink
+    "jsonl_roundtrip_scan",         # JSONL source/sink
+    "orc_roundtrip_scan",           # ORC source/sink
+    "xpath_placemark_fields",       # S3 KML xpath parse
+    # ---- scalar functions / time-geo ----
+    "hours_from_parts",             # F3 parts -> hours offset
+    "depth_display_axis",           # F5 depth negation (-0.0-safe)
+    "track_resample_arclength",     # equal-arc resample (now fleet-shaped)
+    "point_in_polygon_customers",   # PIP broadcast-polygon join
+    # ---- profiling / data-quality / stats ----
+    "profile_columns_lineitem",     # per-column profiling pass
+    "data_quality_events",          # rule-based DQ (P4 try_cast family)
+    "grouped_agg_median_prices",    # GROUPED_AGG pandas UDF exact median
+    "chi2_type_vs_weekday_events",  # categorical drift chi-squared
+    "mad_outliers_events",          # rank-median MAD outliers
+    "funnel_conversion_events",     # funnel min-time chain
+    "retention_cohorts_events",     # cohort retention matrix
+    # ---- sketches ----
+    "cms_user_counts",              # Count-Min sketch build + probe
+    "distinct_estimate_users",      # linear counting occupancy
+    "hist_quantiles_events",        # mergeable histogram quantiles
+    # ---- storage layout ----
+    "compaction_plan_orders",       # small-file compaction planner
+    "partition_prune_events",       # Hive partition pruning
+    "zorder_layout_grid",           # Z-order interleave layout
+    # ---- streaming ----
+    "foreach_batch_sink_totals",    # foreachBatch sink (real stream)
+    # ---- text ----
+    "gopher_rules_docs",            # Gopher quality rules
+    "pii_redact_docs",              # PII redaction rewrite
+    "html_extract_main_text",       # HTML boilerplate strip
+    "url_canonicalize_docs",        # URL canonicalization
+    "bpe_first_merge_pairs",        # BPE pair-count statistic (capped
+                                    # vocab collect pinned in pytest)
+    # ---- dedup ----
+    "edit_distance_pairs_docs",     # (lang, length-band) blocked Levenshtein
+    "incremental_dedup_docs",       # delta-vs-corpus exact dedup
+    "incremental_neardup_docs",     # delta-vs-corpus banded near-dup
+    # ---- retrieval / graph ----
+    "inverted_index_docs",          # postings build
+    "mmr_diverse_topk",             # MMR rerank
+    "triangle_counts_docs",         # triangle counting
+    # ---- similarity ----
+    "embedding_quantize_int8",      # int8 quantization + error stats
+    # ---- sampling ----
+    "weighted_sample_docs",         # A-Res weighted sampling
+    "fixed_n_per_lang_docs",        # fixed-N per stratum
+    # ---- multimodal ----
+    "wav_decode_stats_docs",        # from-spec WAV decode
+    "jpeg_decode_stats_docs",       # from-spec baseline JPEG decode (NEW r7)
+    # ---- window boundary (50) — round-8 rotation head: the remaining
+    # 19 never-attested queries, each one's operator family already
+    # attested via an r6/r7 sibling (noted) ----
+    "y4m_frame_stats_docs",         # video codec path (frame_sample r6)
+    "wav_decimate_stats_docs",      # wav_decode r7
+    "bmp_resize_stats_docs",        # bmp_decode_stats r6
+    "image_features_fake_decode",   # frame_sample_fake_decode r6
+    "bigram_logprob_docs",          # unigram_logprob r6
+    "string_functions_demo",        # suite queries r6
+    "array_functions_demo",         # suite queries r6
+    "centroid_label_means",         # cosine_topk_ivf_probe r6 (Lloyd)
+    "temperature_mix_sample_docs",  # stratified_hash_sample r6
+    "deterministic_shuffle_docs",   # stratified_hash_sample r6
+    "zscore_standardize_events",    # events_stats_suite r6
+    "pearson_corr_events",          # events_stats_suite r6
+    "winsorize_events",             # hist_quantiles r7
+    "sliding_window_counts",        # tumbling_window_counts slide arm r6
+    "rolling_active_users_events",  # funnel/retention r7
+    "event_transitions_markov",     # lag-window family r6
+    "doc_chunks_overlap",           # pack_sequences_chunk r6
+    "feature_hash_docs",            # textops family r6/r7
+    "target_encode_events",         # aggregate-broadcast family r6
 )
 
 #: observed driver correctness cap (CORRECTNESS_r03 scored exactly 50)

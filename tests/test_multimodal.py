@@ -96,6 +96,45 @@ def test_bmp_roundtrip_property(w, h, seed):
     assert np.array_equal(decode_bmp(data), img)
 
 
+def test_bmp_decodes_public_spec_example():
+    """The classic 2x2 24-bit example from the public BMP documentation
+    (top row red, white; bottom row blue, green), written here as a raw
+    byte literal straight from the spec layout — file header, 40-byte
+    info header, bottom-up BGR rows padded to 4 bytes. Decoding it
+    breaks the oracle's replay symmetry: these bytes were laid out from
+    the SPEC, not by our encoder, so a shared encoder/decoder
+    misunderstanding of row order, channel order, or padding fails
+    here (VERDICT r6 item 5 hardening; see also tools/oracle_twins.py's
+    naive byte-walking reader over the fixture payloads)."""
+    data = bytes([
+        0x42, 0x4D,              # 'BM'
+        0x46, 0x00, 0x00, 0x00,  # file size 70
+        0x00, 0x00, 0x00, 0x00,  # reserved
+        0x36, 0x00, 0x00, 0x00,  # pixel data offset 54
+        0x28, 0x00, 0x00, 0x00,  # info header size 40
+        0x02, 0x00, 0x00, 0x00,  # width 2
+        0x02, 0x00, 0x00, 0x00,  # height 2 (positive: bottom-up)
+        0x01, 0x00,              # planes 1
+        0x18, 0x00,              # 24 bpp
+        0x00, 0x00, 0x00, 0x00,  # BI_RGB
+        0x10, 0x00, 0x00, 0x00,  # image size 16
+        0x13, 0x0B, 0x00, 0x00,  # 2835 ppm
+        0x13, 0x0B, 0x00, 0x00,
+        0x00, 0x00, 0x00, 0x00,  # palette counts
+        0x00, 0x00, 0x00, 0x00,
+        # stored FIRST = image BOTTOM row, BGR: blue, green + 2 pad bytes
+        0xFF, 0x00, 0x00, 0x00, 0xFF, 0x00, 0x00, 0x00,
+        # stored second = image TOP row, BGR: red, white + 2 pad bytes
+        0x00, 0x00, 0xFF, 0xFF, 0xFF, 0xFF, 0x00, 0x00,
+    ])
+    img = decode_bmp(data)
+    assert img.shape == (2, 2, 3)
+    assert tuple(img[0, 0]) == (255, 0, 0), "top-left is red"
+    assert tuple(img[0, 1]) == (255, 255, 255), "top-right is white"
+    assert tuple(img[1, 0]) == (0, 0, 255), "bottom-left is blue"
+    assert tuple(img[1, 1]) == (0, 255, 0), "bottom-right is green"
+
+
 def test_bmp_decode_rejects_unsupported():
     img = np.zeros((2, 2, 3), dtype=np.uint8)
     data = bytearray(encode_bmp(img))

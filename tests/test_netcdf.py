@@ -324,3 +324,162 @@ def test_roundtrip_property(tmp_path_factory, n_rec, inner, dtype, data):
     assert np.array_equal(f.read("v"), arr)
     for r in range(n_rec):
         assert np.array_equal(f.read_slice("v", r), arr[r])
+
+
+# ---------------------------------------------------------------------------
+# DAP 2.0 protocol (VERDICT r6 item 7): constraint-URL encoder + XDR
+# client against the in-process DAP server, parity vs the file backend
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dap_root(tmp_path_factory):
+    from modeltracking_spark.sources.dap import make_dap_handler
+
+    root = tmp_path_factory.mktemp("dapnc")
+    srv = http.server.ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_dap_handler(str(root))
+    )
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", str(root)
+    srv.shutdown()
+
+
+def test_dap_constraint_encoder():
+    from modeltracking_spark.sources.dap import encode_constraint
+
+    assert encode_constraint("water_temp", [(3, 3), (0, 39), (0, 24), (0, 24)]) \
+        == "water_temp[3:3][0:39][0:24][0:24]"
+    assert encode_constraint("time", []) == "time"
+    with pytest.raises(ValueError):
+        encode_constraint("bad name", [(0, 0)])
+    with pytest.raises(ValueError):
+        encode_constraint("v", [(4, 2)])
+
+
+def test_dap_parity_with_file_backend(tiny_nc, dap_root):
+    """Every variable and every record slice read through the DAP
+    protocol (DDS fetch + .dods hyperslab + XDR decode) equals the
+    direct classic-netCDF file read — the item-7 'done' criterion."""
+    import shutil
+
+    from modeltracking_spark.sources.dap import DapDataset
+
+    base, root = dap_root
+    shutil.copy(tiny_nc, os.path.join(root, "tiny.nc"))
+    local = NcFile(tiny_nc)
+    remote = DapDataset(f"dap+{base}/tiny.nc")
+    # DDS reports the record dim at its CURRENT length (DAP has no
+    # unlimited-dim notion); the classic header stores 0 + numrecs
+    want = {n: (local.numrecs if sz == 0 else sz) for n, sz in local.dims}
+    assert dict(remote.dims) == want
+    for var in ("t", "yv", "xv", "grid"):
+        assert np.array_equal(remote.read(var), local.read(var)), var
+        assert remote.vars[var][0] in (
+            "Int32", "Float64"
+        )  # DDS parsed, not assumed
+    for r in range(5):
+        assert np.array_equal(
+            remote.read_slice("grid", r), local.read_slice("grid", r)
+        )
+
+
+def test_dap_slices_ship_only_the_record(tiny_nc, dap_root):
+    """The scale property: one record slice must transfer ~record bytes,
+    not the whole variable (server-side hyperslab cut is real)."""
+    import shutil
+
+    from modeltracking_spark.sources.dap import DapDataset
+
+    base, root = dap_root
+    shutil.copy(tiny_nc, os.path.join(root, "big.nc"))
+    d = DapDataset(f"dap+{base}/big.nc")
+    before = d.n_bytes
+    one = d.read_slice("grid", 2)
+    rec_bytes = one.size * 8
+    # DDS echo + Data: + 8-byte counts + record payload, with headroom
+    assert d.n_bytes - before < rec_bytes + 400
+    assert one.shape == (2, 3)
+
+
+def test_dap_rejects_are_loud(tiny_nc, dap_root):
+    import shutil
+    import urllib.error
+    import urllib.request
+
+    from modeltracking_spark.sources.dap import DapDataset, parse_constraint
+
+    base, root = dap_root
+    shutil.copy(tiny_nc, os.path.join(root, "r.nc"))
+    # stride != 1 -> HTTP 400 from the server (NotImplementedError)
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(f"{base}/r.nc.dods?grid[0:2:4][0:1][0:2]")
+    assert ei.value.code == 400
+    # out-of-bounds constraint -> 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(f"{base}/r.nc.dods?grid[9:9]")
+    assert ei.value.code == 400
+    # missing dataset -> 404
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(f"{base}/nope.nc.dds")
+    assert ei.value.code == 404
+    # client-side: slicing a scalar-less unknown var
+    d = DapDataset(f"dap+{base}/r.nc")
+    with pytest.raises(KeyError):
+        d.read("no_such_var")
+    nc = NcFile(tiny_nc)
+    with pytest.raises(NotImplementedError, match="stride"):
+        parse_constraint(nc, "grid[0:2:4]")
+
+
+def test_open_nc_or_dap_routes(tiny_nc, dap_root):
+    """The grid seam: dap+http:// -> DapDataset, paths -> NcFile, and a
+    grid partition built through either backend is identical."""
+    import shutil
+
+    from modeltracking_spark.sources.dap import DapDataset, open_nc_or_dap
+
+    base, root = dap_root
+    shutil.copy(tiny_nc, os.path.join(root, "s.nc"))
+    a = open_nc_or_dap(tiny_nc)
+    b = open_nc_or_dap(f"dap+{base}/s.nc")
+    assert isinstance(a, NcFile) and isinstance(b, DapDataset)
+    assert np.array_equal(a.read_slice("grid", 1), b.read_slice("grid", 1))
+
+
+def test_grid_scan_dap_backend_matches_file(spark, dap_root):
+    """End-to-end: the grid DataSource over a dap+http:// URL — every
+    Spark task slices its timestep through DAP hyperslab requests — is
+    row-identical to the same file read directly (the reference's
+    THREDDS read pattern, trackplot_hycom.py:176, now protocol-real)."""
+    import pyspark.sql.functions as F
+    from pyspark.errors import PySparkException
+
+    from modeltracking_spark.queries.common import ensure_pkg_on_workers
+    from modeltracking_spark.sources.grid_source import HycomGridDataSource
+
+    base, root = dap_root
+    path = os.path.join(root, "grid_dap.nc")
+    write_grid_netcdf(path, n_time=2)
+    ensure_pkg_on_workers(spark)
+    try:
+        spark.dataSource.register(HycomGridDataSource)
+    except PySparkException:
+        pass
+    via_dap = (
+        spark.read.format("hycom_grid")
+        .option("path", f"dap+{base}/grid_dap.nc")
+        .load()
+    )
+    via_file = (
+        spark.read.format("hycom_grid").option("path", path).load()
+    )
+    assert via_dap.count() == via_file.count() == 2 * 30 * 81 * 81
+    agg = ["time_hours"], [
+        F.sum("water_temp").alias("st"), F.sum("salinity").alias("ss"),
+        F.count(F.lit(1)).alias("n"),
+    ]
+    a = {tuple(r) for r in via_dap.groupBy(*agg[0]).agg(*agg[1]).collect()}
+    b = {tuple(r) for r in via_file.groupBy(*agg[0]).agg(*agg[1]).collect()}
+    assert a == b
