@@ -1,0 +1,270 @@
+"""Pure-Python GIF codec (extension surface; SURVEY.md §2.12 multimodal
+tier) — the palette/LZW compressed-image path, from the public GIF87a
+specification (CompuServe, 1987; also W3C's GIF89a note), completing
+the image-codec set next to baseline JPEG (``operators/jpeg.py``) and
+PNG (``operators/png.py``).
+
+Scope: GIF87a/GIF89a single-image streams, global or local color
+table, non-interlaced, with REAL variable-width LZW on both sides —
+the encoder builds a growing dictionary (emitting Clear when the
+12-bit code space fills, per spec), the decoder reconstructs it
+including the K-omega-K "code not yet in table" case. 89a extension
+blocks (Graphic Control, comments, application) are skipped per the
+block grammar. Interlaced images and animations (a second image
+descriptor) raise ``NotImplementedError`` at the PIL plug-in point;
+malformed streams raise descriptive ``ValueError``.
+
+GIF is lossless over its palette, so any deterministic indexed fixture
+roundtrips bit-exactly — the LZW bitstream, sub-block framing, and
+palette expansion all sit on an exactly-SQL-oracle-able path
+(``gif_decode_stats_docs``).
+
+Scale posture: codec runs per payload inside Arrow-batched
+``mapInPandas`` — a narrow map, no shuffle.
+"""
+
+from __future__ import annotations
+
+import struct
+
+
+def _lzw_compress(indices, min_code_size: int) -> bytes:
+    """GIF variable-width LZW: emits Clear first, grows the dictionary
+    one entry per emitted code, widens at 2^width, re-Clears when the
+    4096-entry code space would overflow."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int, width: int):
+        nonlocal acc, nbits
+        acc |= code << nbits  # LSB-first bit packing, per spec
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code_size + 1
+    put(clear, width)
+    prefix: tuple[int, ...] = ()
+    for k in indices:
+        k = int(k)
+        cand = prefix + (k,)
+        if cand in table:
+            prefix = cand
+            continue
+        put(table[prefix], width)
+        table[cand] = next_code
+        next_code += 1
+        # "early change": widen as soon as the next assignable code
+        # needs more bits — the decoder mirrors this on its table size
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        elif next_code == 4096:  # 12-bit space full: re-Clear, in sync
+            put(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        prefix = (k,)
+    if prefix:
+        put(table[prefix], width)
+    put(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(data: bytes, min_code_size: int, n_expect: int):
+    """Inverse of :func:`_lzw_compress`, including the K-omega-K case
+    (a code referenced one step before it is defined)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    pos = 0
+    acc = 0
+    nbits = 0
+
+    def get(width: int) -> int:
+        nonlocal pos, acc, nbits
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        v = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return v
+
+    table: list[tuple[int, ...]] = [(i,) for i in range(clear)] + [(), ()]
+    width = min_code_size + 1
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    while True:
+        code = get(width)
+        if code == clear:
+            table = [(i,) for i in range(clear)] + [(), ()]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(f"GIF LZW: first code {code} undefined")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + (entry[0],))
+        elif code == len(table):  # K-omega-K
+            entry = prev + (prev[0],)
+            table.append(entry)
+        else:
+            raise ValueError(f"GIF LZW: code {code} beyond table")
+        out.extend(entry)
+        prev = entry
+        # "early change", decode side: the decoder's table trails the
+        # encoder's by ONE entry (the encoder assigns as it emits, the
+        # decoder appends on the NEXT code), so it widens when its size
+        # is one short of the boundary
+        if len(table) + 1 == (1 << width) and width < 12:
+            width += 1
+        if len(out) > n_expect:
+            raise ValueError(
+                f"GIF LZW produced {len(out)} > expected {n_expect} pixels"
+            )
+    if len(out) != n_expect:
+        raise ValueError(
+            f"GIF LZW produced {len(out)} of {n_expect} expected pixels"
+        )
+    return out
+
+
+def _sub_blocks(data: bytes) -> bytes:
+    """Wrap raw bytes into <=255-byte length-prefixed sub-blocks + a
+    zero terminator."""
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def encode_gif(indices, palette) -> bytes:
+    """(h, w) uint8 index array + (n, 3) uint8 palette -> GIF87a bytes
+    with a global color table (padded to a power-of-two size)."""
+    import numpy as np
+
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    if idx.ndim != 2 or pal.ndim != 2 or pal.shape[1] != 3:
+        raise ValueError(
+            f"expected (h, w) indices + (n, 3) palette, got {idx.shape} "
+            f"and {pal.shape}"
+        )
+    h, w = idx.shape
+    if h == 0 or w == 0:
+        raise ValueError(f"bad GIF dimensions {w}x{h}")
+    n_pal = pal.shape[0]
+    if n_pal < 1 or n_pal > 256 or int(idx.max(initial=0)) >= n_pal:
+        raise ValueError(f"palette size {n_pal} does not cover the indices")
+    bits = max(2, (n_pal - 1).bit_length())  # GCT size >= 4 entries
+    full = np.zeros((1 << bits, 3), dtype=np.uint8)
+    full[:n_pal] = pal
+    min_code = max(2, bits)
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | ((bits - 1) & 0x07), 0, 0])  # GCT flag + size
+    out += full.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out += bytes([min_code])
+    out += _sub_blocks(_lzw_compress(idx.reshape(-1), min_code))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif(data: bytes):
+    """GIF bytes -> (h, w, 3) uint8 RGB array (palette expanded).
+
+    Skips 89a extension blocks; interlaced images and multi-image
+    animations raise ``NotImplementedError`` (the PIL plug-in point)."""
+    import numpy as np
+
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload (bad header)")
+    sw, sh = struct.unpack_from("<HH", data, 6)
+    packed = data[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data, dtype=np.uint8, count=3 * n,
+                            offset=pos).reshape(n, 3)
+        pos += 3 * n
+    img = None
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02X} at {pos - 1}")
+        if img is not None:
+            raise NotImplementedError(
+                "animated GIF (multiple image descriptors) not implemented "
+                "— the PIL plug-in point"
+            )
+        left, top, w, h = struct.unpack_from("<HHHH", data, pos)
+        ipacked = data[pos + 8]
+        pos += 9
+        if ipacked & 0x40:
+            raise NotImplementedError(
+                "interlaced GIF not implemented — the PIL plug-in point"
+            )
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = np.frombuffer(data, dtype=np.uint8, count=3 * n,
+                                offset=pos).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF image without any color table")
+        if left or top or w != sw or h != sh:
+            raise ValueError(
+                f"sub-rectangle image ({left},{top},{w}x{h}) in a "
+                f"{sw}x{sh} screen unsupported (single full-frame only)"
+            )
+        min_code = data[pos]
+        pos += 1
+        if not 2 <= min_code <= 8:
+            raise ValueError(f"bad GIF LZW min code size {min_code}")
+        lzw = bytearray()
+        while pos < len(data) and data[pos] != 0:
+            ln = data[pos]
+            lzw += data[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        if pos >= len(data):
+            raise ValueError("truncated GIF sub-block stream")
+        pos += 1  # sub-block terminator
+        idx = np.array(
+            _lzw_decompress(bytes(lzw), min_code, w * h), dtype=np.int32
+        ).reshape(h, w)
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("GIF index out of palette range")
+        img = pal[idx]
+    if img is None:
+        raise ValueError("GIF without an image descriptor")
+    return img

@@ -2,17 +2,20 @@
 §2.12): images/audio/video as opaque ``binary`` columns with typed
 metadata, processed by Arrow-batched ``mapInPandas``.
 
-The container has no image/audio/video decode libraries, so
-compressed-format decode is STUBBED: the ``fake=True`` paths derive
-deterministic pseudo-features from the payload bytes — the Spark
-plumbing (schema, batch shape, Arrow transfer, partition mapping) is
-real and tested. Each modality also has a REAL from-spec pure-numpy
-codec for its uncompressed container (the same playbook as
-``sources/netcdf_classic.py``): 24-bit BMP for images (public Windows
-BITMAPINFOHEADER spec), PCM16 RIFF/WAVE for audio, and YUV4MPEG2 (Y4M)
-planar C420/C444 for video (public mjpegtools spec). Compressed formats
-raise ``NotImplementedError`` at the exact point a PIL/ffmpeg decoder
-would plug in.
+The container has no image/audio/video decode libraries, so every
+codec here is built from its public spec. Uncompressed containers
+(the round-5/6 playbook, same as ``sources/netcdf_classic.py``):
+24-bit BMP (Windows BITMAPINFOHEADER spec), PCM16 RIFF/WAVE, and
+YUV4MPEG2 planar C420/C444 video (mjpegtools spec). COMPRESSED formats
+(round 7): baseline JPEG — greyscale and 4:4:4/4:2:0 YCbCr color —
+via ``operators/jpeg.py`` (ITU T.81), PNG via ``operators/png.py``
+(RFC 2083 + stdlib zlib), and G.711 mu-law/A-law companded WAV audio
+(ITU G.711 segmented-log tables, below). What remains genuinely
+library-bound — MP3/AAC, H.264, progressive/arithmetic JPEG, ADPCM —
+raises ``NotImplementedError`` at the exact point a PIL/ffmpeg decoder
+would plug in, and the ``fake=True`` paths keep a deterministic
+pseudo-feature tier for exercising the Spark plumbing (schema, batch
+shape, Arrow transfer, partition mapping) format-independently.
 """
 
 from __future__ import annotations
@@ -167,16 +170,20 @@ def encode_wav(samples, sample_rate: int) -> bytes:
 
 
 def decode_wav(data: bytes):
-    """PCM16 WAV bytes -> (sample_rate, (n_frames, n_channels) int16).
+    """WAV bytes -> (sample_rate, (n_frames, n_channels) int16).
 
-    Raises ``ValueError`` with a descriptive message for non-RIFF/WAVE
-    payloads, non-PCM16 encodings, or truncated data chunks."""
+    PCM 16-bit (format 1) passes samples through; G.711 mu-law (format
+    7) and A-law (format 6) 8-bit streams are EXPANDED to int16 through
+    the spec companders below — the compressed-audio decode path. Other
+    encodings (ADPCM, float, MP3-in-WAV) raise ``ValueError`` naming
+    the ffmpeg plug-in point, as do truncated or non-RIFF payloads."""
     import numpy as np
 
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     off, end = 12, min(len(data), 8 + struct.unpack_from("<I", data, 4)[0])
     rate = n_ch = None
+    audio_fmt = None
     frames = None
     while off + 8 <= end:
         cid, csize = data[off : off + 4], struct.unpack_from("<I", data, off + 4)[0]
@@ -187,10 +194,15 @@ def decode_wav(data: bytes):
             audio_fmt, n_ch, rate, _, _, bits = struct.unpack_from(
                 "<HHIIHH", data, body_off
             )
-            if audio_fmt != 1 or bits != 16:
+            if not (
+                (audio_fmt == _WAV_FMT_PCM and bits == 16)
+                or (audio_fmt in (_WAV_FMT_ALAW, _WAV_FMT_MULAW) and bits == 8)
+            ):
                 raise ValueError(
                     f"unsupported WAV encoding: format={audio_fmt} bits={bits} "
-                    "(only PCM 16-bit is implemented)"
+                    "(PCM 16-bit and 8-bit G.711 mu-law/A-law are "
+                    "implemented; ADPCM/float/MP3-in-WAV are the ffmpeg "
+                    "plug-in point)"
                 )
         elif cid == b"data":
             if n_ch is None:
@@ -200,13 +212,129 @@ def decode_wav(data: bytes):
                     f"truncated WAV data chunk: need {csize} bytes at offset "
                     f"{body_off}, file has {len(data) - body_off}"
                 )
-            frames = np.frombuffer(
-                data, dtype="<i2", count=csize // 2, offset=body_off
-            ).reshape(-1, n_ch)
+            if audio_fmt == _WAV_FMT_PCM:
+                frames = np.frombuffer(
+                    data, dtype="<i2", count=csize // 2, offset=body_off
+                ).reshape(-1, n_ch)
+            else:
+                codes = np.frombuffer(
+                    data, dtype=np.uint8, count=csize, offset=body_off
+                )
+                expand = (
+                    ulaw_expand if audio_fmt == _WAV_FMT_MULAW else alaw_expand
+                )
+                frames = expand(codes).reshape(-1, n_ch)
         off = body_off + csize + (csize & 1)  # chunks are word-aligned
     if rate is None or frames is None:
         raise ValueError("missing fmt or data chunk")
     return rate, frames
+
+
+# ---------------------------------------------------------------------------
+# G.711 companded audio (ITU-T G.711 mu-law / A-law) — the COMPRESSED
+# audio path, from the public spec's segmented-logarithm tables: pure
+# integer compress/expand (8-bit code <-> 14-bit magnitude as int16).
+# Spec properties pinned in pytest: expand∘compress error <= half the
+# segment step (max 512 at the top segment), compress∘expand is the
+# identity on all 256 A-law codes and on all mu-law codes except the
+# dual zero 0x7F -> 0xFF. The expansion is branch-free integer
+# arithmetic, so a companded WAV's decode is SQL-oracle-able exactly.
+# ---------------------------------------------------------------------------
+
+_ULAW_BIAS, _ULAW_CLIP = 0x84, 32635
+
+
+def _msb_exp(mag):
+    """Segment number: position of the MSB above bit 7 (0..7), exact
+    via frexp (no float-log edge cases)."""
+    import numpy as np
+
+    return (np.frexp(mag.astype(np.float64))[1] - 8).clip(0).astype(np.int32)
+
+
+def ulaw_compress(samples):
+    """int16 PCM -> mu-law code bytes (G.711 encode)."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.where(x < 0, -x, x), _ULAW_CLIP) + _ULAW_BIAS
+    exp = _msb_exp(mag)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return ((~(sign | (exp << 4) | mant)) & 0xFF).astype(np.uint8)
+
+
+def ulaw_expand(codes):
+    """mu-law code bytes -> int16 PCM (G.711 decode; branch-free)."""
+    import numpy as np
+
+    u = (~np.asarray(codes, dtype=np.int32)) & 0xFF
+    exp = (u >> 4) & 7
+    mag = (((u & 0x0F) << 3) + _ULAW_BIAS << exp) - _ULAW_BIAS
+    return np.where(u & 0x80, -mag, mag).astype(np.int16)
+
+
+def alaw_compress(samples):
+    """int16 PCM -> A-law code bytes (G.711 encode, 0x55 toggle)."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.int32)
+    mask = np.where(x >= 0, 0xD5, 0x55)
+    mag = np.minimum(np.where(x >= 0, x, -x - 1), 32767)
+    exp = _msb_exp(np.maximum(mag, 1))
+    a = np.where(
+        mag < 256, mag >> 4, (exp << 4) | ((mag >> (exp + 3)) & 0x0F)
+    )
+    return ((a ^ mask) & 0xFF).astype(np.uint8)
+
+
+def alaw_expand(codes):
+    """A-law code bytes -> int16 PCM (G.711 decode; branch-free)."""
+    import numpy as np
+
+    a = (np.asarray(codes, dtype=np.int32) ^ 0x55) & 0xFF
+    t = (a & 0x0F) << 4
+    seg = (a >> 4) & 7
+    t = np.where(
+        seg == 0, t + 8,
+        np.where(seg == 1, t + 0x108,
+                 (t + 0x108) << np.maximum(seg - 1, 0)),
+    )
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+#: WAVE_FORMAT codes (public RIFF registry)
+_WAV_FMT_PCM, _WAV_FMT_ALAW, _WAV_FMT_MULAW = 1, 6, 7
+
+
+def encode_wav_g711(samples, sample_rate: int, law: str = "mu") -> bytes:
+    """(n_frames, n_channels) int16 -> companded 8-bit G.711 WAV bytes
+    (WAVE_FORMAT_MULAW=7 / WAVE_FORMAT_ALAW=6)."""
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.int16)
+    if a.ndim == 1:
+        a = a[:, None]
+    if a.ndim != 2:
+        raise ValueError(f"expected (n_frames, n_channels), got {a.shape}")
+    if law == "mu":
+        fmt_code, codes = _WAV_FMT_MULAW, ulaw_compress(a)
+    elif law == "a":
+        fmt_code, codes = _WAV_FMT_ALAW, alaw_compress(a)
+    else:
+        raise ValueError(f"unknown G.711 law {law!r} (mu or a)")
+    n_frames, n_ch = a.shape
+    data = codes.astype(np.uint8).tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", fmt_code, n_ch, sample_rate, sample_rate * n_ch, n_ch, 8
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 #: output schema of the image feature extractor (pixel_sum only filled
@@ -227,20 +355,23 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id",
     ``fake=True``: deterministic pseudo-features from byte length (for
     compressed formats whose decoders are not in this container).
     ``fake=False``: REAL decode — uncompressed 24-bit BMP through the
-    pure-numpy codec above, and baseline greyscale JPEG through the
-    from-spec T.81 codec (``operators/jpeg.py``, round 7) —
-    width/height/channels read from the actual parsed stream,
-    ``pixel_sum`` the sum of every decoded byte (any header, Huffman,
-    or pixel-layout bug shifts it). Everything else (PNG, color or
-    progressive JPEG, ...) raises ``NotImplementedError`` where a
-    PIL/ffmpeg decoder would plug in.
+    pure-numpy codec above, baseline greyscale JPEG through the
+    from-spec T.81 codec (``operators/jpeg.py``), and PNG (grey/RGB/
+    palette/RGBA, all five filters) through the from-spec codec
+    (``operators/png.py``) — width/height/channels read from the actual
+    parsed stream, ``pixel_sum`` the sum of every decoded byte (any
+    header, Huffman, DEFLATE, filter, or pixel-layout bug shifts it).
+    Everything else (GIF, color/progressive JPEG, ...) raises
+    ``NotImplementedError`` where a PIL/ffmpeg decoder would plug in.
     """
 
     def extract(batches):
         import numpy as np
         import pandas as pd
 
-        from modeltracking_spark.operators.jpeg import decode_jpeg_gray
+        from modeltracking_spark.operators.gif import decode_gif
+        from modeltracking_spark.operators.jpeg import decode_jpeg
+        from modeltracking_spark.operators.png import decode_png
 
         for pdf in batches:
             n = pdf[payload_col].map(len).astype("int64")
@@ -250,12 +381,19 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id",
                     if payload.startswith(b"BM"):
                         img = decode_bmp(bytes(payload))
                     elif payload.startswith(b"\xff\xd8"):
-                        img = decode_jpeg_gray(bytes(payload))[:, :, None]
+                        img = decode_jpeg(bytes(payload))
+                        if img.ndim == 2:
+                            img = img[:, :, None]
+                    elif payload.startswith(b"\x89PNG\r\n\x1a\n"):
+                        img = decode_png(bytes(payload))
+                        if img.ndim == 2:
+                            img = img[:, :, None]
+                    elif payload.startswith((b"GIF87a", b"GIF89a")):
+                        img = decode_gif(bytes(payload))
                     else:
                         raise NotImplementedError(
-                            "real decode beyond 24-bit BMP and baseline "
-                            "greyscale JPEG requires PIL/ffmpeg; not in "
-                            "container"
+                            "real decode beyond BMP, baseline JPEG, PNG, "
+                            "and GIF requires PIL/ffmpeg; not in container"
                         )
                     w.append(img.shape[1])
                     h.append(img.shape[0])
@@ -363,6 +501,116 @@ def attach_jpeg_payload(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def attach_jpeg_color_payload(df: DataFrame, id_col: str = "doc_id",
+                              out_col: str = "payload") -> DataFrame:
+    """Fixture builder for the 3-COMPONENT 4:2:0 JPEG decode path:
+    a deterministic GREY (R=G=B) block-constant image per row — width =
+    id%23+4, height = id%15+4, every 8x8 block at
+    (id*11 + bx*19 + by*23) % 256 — through ``encode_jpeg_color`` with
+    2x2 chroma subsampling. Grey content makes the chroma planes
+    exactly 128 (the JFIF transform rows sum to 0), so the full color
+    pipeline — interleaved 4Y+Cb+Cr MCUs, separate chroma quant/Huffman
+    tables, three DC predictor chains, subsample, upsample, inverse
+    transform — roundtrips bit-exactly and stays SQL-oracle-able
+    (operators/jpeg.py exactness contract). Colored content is
+    tolerance-pinned in tests/test_jpeg.py."""
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        from modeltracking_spark.operators.jpeg import encode_jpeg_color
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                d = int(did)
+                w, h = d % 23 + 4, d % 15 + 4
+                bw, bh = -(-w // 8), -(-h // 8)
+                by, bx = np.mgrid[0:bh, 0:bw]
+                bv = (d * 11 + bx * 19 + by * 23) % 256
+                gray = np.kron(bv, np.ones((8, 8), dtype=np.int64))[:h, :w]
+                img = np.stack([gray] * 3, axis=2).astype(np.uint8)
+                payloads.append(encode_jpeg_color(img, subsampling="420"))
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: payloads})
+
+    return df.select(id_col).mapInPandas(
+        build, schema=f"{id_col} bigint, {out_col} binary"
+    )
+
+
+def attach_gif_payload(df: DataFrame, id_col: str = "doc_id",
+                       out_col: str = "payload") -> DataFrame:
+    """Fixture builder for the palette/LZW compressed-image path: a
+    deterministic indexed image per row — width = id%18+4, height =
+    id%11+4, index = (x*5 + y*9 + id) % 256 over a 256-entry greyscale
+    ramp palette (pal[i] = (i, i, i)) — through the from-spec GIF87a
+    encoder (real variable-width LZW with early-change widening and
+    12-bit re-Clear, operators/gif.py). GIF is lossless over its
+    palette, so the arbitrary index formula is SQL-replayable exactly
+    (pixel_sum = 3x the index sum)."""
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        from modeltracking_spark.operators.gif import encode_gif
+
+        pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                d = int(did)
+                w, h = d % 18 + 4, d % 11 + 4
+                y, x = np.mgrid[0:h, 0:w]
+                idx = ((x * 5 + y * 9 + d) % 256).astype(np.uint8)
+                payloads.append(encode_gif(idx, pal))
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: payloads})
+
+    return df.select(id_col).mapInPandas(
+        build, schema=f"{id_col} bigint, {out_col} binary"
+    )
+
+
+def attach_png_payload(df: DataFrame, id_col: str = "doc_id",
+                       out_col: str = "payload") -> DataFrame:
+    """Fixture builder for the REAL lossless compressed-image path:
+    a deterministic RGB gradient per row — width = id%19+4, height =
+    id%13+4, RGB = ((x*3 + y*7 + id) % 256, (x*11 + y*5 + id*3) % 256,
+    (x*13 + y + id*7) % 256) — encoded through the from-spec PNG
+    encoder (``operators/png.py``), whose filter type cycles per row,
+    so decode exercises every unfilter path. PNG is lossless, so the
+    arbitrary per-pixel formula is SQL-replayable with no
+    block-constant restriction (contrast ``attach_jpeg_payload``)."""
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        from modeltracking_spark.operators.png import encode_png
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                d = int(did)
+                w, h = d % 19 + 4, d % 13 + 4
+                y, x = np.mgrid[0:h, 0:w]
+                img = np.stack(
+                    [
+                        (x * 3 + y * 7 + d) % 256,
+                        (x * 11 + y * 5 + d * 3) % 256,
+                        (x * 13 + y + d * 7) % 256,
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                payloads.append(encode_png(img))
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: payloads})
+
+    return df.select(id_col).mapInPandas(
+        build, schema=f"{id_col} bigint, {out_col} binary"
+    )
+
+
 def attach_wav_payload(df: DataFrame, id_col: str = "doc_id",
                        out_col: str = "payload") -> DataFrame:
     """Fixture builder for the REAL audio decode path: a deterministic
@@ -396,6 +644,44 @@ AUDIO_STATS_SCHEMA = (
     "doc_id bigint, n_bytes bigint, sample_rate int, n_channels int, "
     "n_frames bigint, amp_sum bigint, peak int"
 )
+
+
+def attach_g711_payload(df: DataFrame, id_col: str = "doc_id",
+                        out_col: str = "payload", law: str = "mu") -> DataFrame:
+    """Fixture builder for the COMPRESSED audio decode path: a mono
+    8 kHz G.711 WAV per row whose CODE bytes come straight from the
+    formula (doc_id*7 + i*13) % 256 over n = doc_id%400+80 frames — the
+    companded bytes are the ground truth (no compress step), so the
+    decoder's branch-free expansion is SQL-replayable exactly
+    (ulaw_expand/alaw_expand above)."""
+    fmt_code = {"mu": _WAV_FMT_MULAW, "a": _WAV_FMT_ALAW}[law]
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                d = int(did)
+                n = d % 400 + 80
+                codes = ((d * 7 + np.arange(n) * 13) % 256).astype(np.uint8)
+                data = codes.tobytes()
+                fmt = struct.pack("<HHIIHH", fmt_code, 1, 8000, 8000, 1, 8)
+                body = (
+                    b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data
+                    + (b"\x00" if len(data) & 1 else b"")
+                )
+                payloads.append(
+                    b"RIFF" + struct.pack("<I", len(body)) + body
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: payloads})
+
+    return df.select(id_col).mapInPandas(
+        build, schema=f"{id_col} bigint, {out_col} binary"
+    )
 
 
 def decode_audio_stats(df: DataFrame, id_col: str = "doc_id",

@@ -1,0 +1,219 @@
+"""Pure-Python/numpy PNG codec (extension surface; SURVEY.md §2.12
+multimodal tier) — the LOSSLESS compressed-image path, from the public
+PNG specification (RFC 2083 / ISO 15948), completing the compressed-
+codec story next to the baseline JPEG codec (``operators/jpeg.py``).
+
+Scope: 8-bit greyscale (color type 0), truecolor RGB (2), indexed
+palette (3, without tRNS), and RGBA (6); non-interlaced; all five
+scanline filters (None/Sub/Up/Average/Paeth) on both encode and decode
+— the encoder deliberately CYCLES the filter type per row so every
+roundtrip exercises every unfilter path. DEFLATE is the stdlib
+``zlib`` (the reference implementation of the very RFCs PNG cites);
+chunk CRC32s are verified on read and emitted on write.
+
+Loud rejects at the plug-in points: Adam7 interlacing, 16-bit depth,
+1/2/4-bit depths, palette+tRNS translucency, and missing/corrupt
+chunks all raise descriptive errors — nothing decodes approximately.
+
+Because PNG is lossless, ANY deterministic fixture image roundtrips
+bit-exactly — so the SQL oracle for ``png_decode_stats_docs`` replays
+an arbitrary per-pixel formula (no block-constant restriction like the
+JPEG oracle needs), while the filter chain, DEFLATE stream, and CRC
+plumbing are all on the attested path.
+
+Scale posture: codec runs per payload inside Arrow-batched
+``mapInPandas`` — a narrow map, no shuffle.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+#: color type -> samples per pixel
+_CHANNELS = {0: 1, 2: 3, 3: 1, 6: 4}
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(pixels) -> bytes:
+    """uint8 array -> PNG bytes. Shapes: (h, w) -> greyscale, (h, w, 3)
+    -> RGB, (h, w, 4) -> RGBA. Filter type cycles y % 5 per row, so a
+    multi-row image exercises every filter in one file."""
+    import numpy as np
+
+    a = np.asarray(pixels, dtype=np.uint8)
+    if a.ndim == 2:
+        ctype, ch = 0, 1
+        a = a[:, :, None]
+    elif a.ndim == 3 and a.shape[2] == 3:
+        ctype, ch = 2, 3
+    elif a.ndim == 3 and a.shape[2] == 4:
+        ctype, ch = 6, 4
+    else:
+        raise ValueError(f"expected (h,w)[,1|3|4] uint8 array, got {a.shape}")
+    h, w = a.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError(f"bad PNG dimensions {w}x{h}")
+    bpp = ch  # bytes per pixel at bit depth 8
+    raw = a.reshape(h, w * ch).astype(np.int16)
+    out = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int16)
+    for y in range(h):
+        row = raw[y]
+        ft = y % 5
+        if ft == 0:
+            filt = row
+        elif ft == 1:  # Sub
+            left = np.concatenate([np.zeros(bpp, np.int16), row[:-bpp]])
+            filt = (row - left) % 256
+        elif ft == 2:  # Up
+            filt = (row - prev) % 256
+        elif ft == 3:  # Average
+            left = np.concatenate([np.zeros(bpp, np.int16), row[:-bpp]])
+            filt = (row - (left + prev) // 2) % 256
+        else:  # Paeth
+            left = np.concatenate([np.zeros(bpp, np.int16), row[:-bpp]])
+            upleft = np.concatenate([np.zeros(bpp, np.int16), prev[:-bpp]])
+            pred = np.fromiter(
+                (_paeth(int(l), int(u), int(ul))
+                 for l, u, ul in zip(left, prev, upleft)),
+                dtype=np.int16, count=w * ch,
+            )
+            filt = (row - pred) % 256
+        out.append(ft)
+        out += filt.astype(np.uint8).tobytes()
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes):
+    """PNG bytes -> uint8 array ((h, w) for greyscale, (h, w, 3) RGB —
+    palette images are expanded through their PLTE — or (h, w, 4)
+    RGBA). CRCs verified; unsupported variants raise loudly."""
+    import numpy as np
+
+    if len(data) < 8 or data[:8] != _SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    saw_trns = False
+    while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("truncated PNG chunk header")
+        ln = struct.unpack_from(">I", data, pos)[0]
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + ln]
+        if len(payload) != ln or pos + 12 + ln > len(data):
+            raise ValueError(f"truncated PNG chunk {tag!r}")
+        crc = struct.unpack_from(">I", data, pos + 8 + ln)[0]
+        if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"PLTE":
+            plte = payload
+        elif tag == b"tRNS":
+            saw_trns = True
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None:
+        raise ValueError("PNG without IHDR")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if interlace != 0:
+        raise NotImplementedError(
+            "Adam7-interlaced PNG not implemented — the PIL plug-in point"
+        )
+    if depth != 8:
+        raise NotImplementedError(
+            f"PNG bit depth {depth} not implemented (8 only)"
+        )
+    if ctype not in _CHANNELS:
+        raise ValueError(f"unsupported PNG color type {ctype}")
+    if comp != 0 or filt != 0:
+        raise ValueError("nonstandard PNG compression/filter method")
+    if ctype == 3 and plte is None:
+        raise ValueError("palette PNG without PLTE")
+    if ctype == 3 and saw_trns:
+        raise NotImplementedError(
+            "palette tRNS translucency not implemented — the PIL plug-in point"
+        )
+    ch = _CHANNELS[ctype]
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG DEFLATE stream: {exc}") from exc
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"PNG data length {len(raw)} != expected {h * (stride + 1)}"
+        )
+    bpp = ch
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int16)
+        if ft == 0:
+            rec = row
+        elif ft == 2:  # Up
+            rec = (row + prev) % 256
+        elif ft in (1, 3, 4):  # Sub / Average / Paeth need left-to-right
+            rec = np.zeros(stride, dtype=np.int16)
+            for i in range(stride):
+                left = rec[i - bpp] if i >= bpp else 0
+                up = int(prev[i])
+                ul = int(prev[i - bpp]) if i >= bpp else 0
+                if ft == 1:
+                    rec[i] = (row[i] + left) % 256
+                elif ft == 3:
+                    rec[i] = (row[i] + (left + up) // 2) % 256
+                else:
+                    rec[i] = (row[i] + _paeth(int(left), up, ul)) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ft} on row {y}")
+        out[y] = rec.astype(np.uint8)
+        prev = out[y]
+    if ctype == 0:
+        return out.reshape(h, w)
+    if ctype == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8)
+        if len(pal) % 3:
+            raise ValueError("PLTE length not a multiple of 3")
+        pal = pal.reshape(-1, 3)
+        idx = out.reshape(h, w)
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("palette index out of range")
+        return pal[idx]
+    return out.reshape(h, w, ch)

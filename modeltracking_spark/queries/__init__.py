@@ -145,6 +145,12 @@ PRIORITY: tuple[str, ...] = (
     "doc_chunks_overlap",           # pack_sequences_chunk r6
     "feature_hash_docs",            # textops family r6/r7
     "target_encode_events",         # aggregate-broadcast family r6
+    # new in round 7 (registered after the rotation froze) — also
+    # round-8 rotation candidates, first attestation pending:
+    "jpeg_color_decode_stats_docs", # 3-component 4:2:0 JPEG pipeline
+    "png_decode_stats_docs",        # from-spec PNG (DEFLATE + filters)
+    "mulaw_decode_stats_docs",      # G.711 companded audio expansion
+    "gif_decode_stats_docs",        # GIF87a palette/LZW decode
 )
 
 #: observed driver correctness cap (CORRECTNESS_r03 scored exactly 50)

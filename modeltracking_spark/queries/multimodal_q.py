@@ -13,7 +13,11 @@ from pyspark.sql import functions as F
 from modeltracking_spark.operators.multimodal import (
     attach_binary_payload,
     attach_bmp_payload,
+    attach_g711_payload,
+    attach_gif_payload,
+    attach_jpeg_color_payload,
     attach_jpeg_payload,
+    attach_png_payload,
     attach_wav_payload,
     attach_y4m_payload,
     binary_metadata,
@@ -134,6 +138,145 @@ def jpeg_decode_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_jpeg.py); progressive/arithmetic/color variants raise
     at the libjpeg plug-in point."""
     d = attach_jpeg_payload(T(spark, sf_dir, "documents"))
+    return decode_image_features(d, fake=False).select(
+        "doc_id", "width", "height", "n_channels", "pixel_sum"
+    )
+
+
+@query(
+    "gif_decode_stats_docs",
+    oracle="""
+    SELECT doc_id,
+           (doc_id % 18 + 4)::INTEGER AS width,
+           (doc_id % 11 + 4)::INTEGER AS height,
+           3::INTEGER AS n_channels,
+           (3 * sum((x.i * 5 + y.i * 9 + doc_id) % 256))::BIGINT AS pixel_sum
+    FROM documents, range(21) x(i), range(14) y(i)
+    WHERE x.i < doc_id % 18 + 4 AND y.i < doc_id % 11 + 4
+    GROUP BY 1
+    """,
+)
+def gif_decode_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL palette/LZW compressed-image decode (round 7, GIF87a):
+    formula-indexed images over a greyscale ramp palette are
+    GIF-encoded per doc (REAL variable-width LZW — growing dictionary,
+    early-change widening, 12-bit re-Clear, sub-block framing) and
+    decoded back inside mapInPandas. GIF is lossless over its palette,
+    so the oracle replays the index formula in SQL exactly (pixel_sum
+    = 3x the index sum through the (i,i,i) palette) — header parse,
+    color-table read, LZW bitstream, and palette expansion all on the
+    attested path. Interlace/animation raise at the PIL plug-in point
+    (operators/gif.py; pinned in tests/test_gif.py)."""
+    d = attach_gif_payload(T(spark, sf_dir, "documents"))
+    return decode_image_features(d, fake=False).select(
+        "doc_id", "width", "height", "n_channels", "pixel_sum"
+    )
+
+
+@query(
+    "mulaw_decode_stats_docs",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, (doc_id % 400 + 80)::BIGINT AS n FROM documents
+    ),
+    s AS (
+      SELECT d.doc_id, d.n,
+             255 - ((d.doc_id * 7 + i.i * 13) % 256) AS v
+      FROM dims d, range(480) i(i)
+      WHERE i.i < d.n
+    ),
+    pcm AS (
+      SELECT doc_id, n,
+             CASE WHEN v >= 128 THEN 0 - m ELSE m END AS val
+      FROM (SELECT doc_id, n, v,
+                   ((v % 16) * 8 + 132) * (1 << ((v // 16) % 8)) - 132 AS m
+            FROM s)
+    )
+    SELECT doc_id,
+           (44 + n + n % 2)::BIGINT AS n_bytes,
+           8000::INTEGER AS sample_rate,
+           1::INTEGER AS n_channels,
+           n AS n_frames,
+           sum(val)::BIGINT AS amp_sum,
+           max(abs(val))::INTEGER AS peak
+    FROM pcm
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+)
+def mulaw_decode_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio decode (round 7, ITU-T G.711): mono 8 kHz
+    mu-law WAVs whose code bytes come straight from a formula are
+    decoded through the spec's segmented-logarithm expansion
+    (operators/multimodal.py:ulaw_expand — branch-free integer
+    arithmetic), so the oracle replays the EXPANSION ITSELF in SQL:
+    v = 255−code, magnitude = (8·mantissa+132)·2^segment − 132, sign
+    from the top bit — every decoded sample, the chunk walk, and the
+    odd-length pad byte are attested exactly. A-law and the
+    compress-direction properties (identity on codes, half-step error
+    bound) are pinned in tests/test_multimodal.py; ADPCM/float WAV
+    reject at the ffmpeg plug-in point."""
+    d = attach_g711_payload(T(spark, sf_dir, "documents"), law="mu")
+    return decode_audio_stats(d)
+
+
+@query(
+    "jpeg_color_decode_stats_docs",
+    oracle="""
+    SELECT doc_id,
+           (doc_id % 23 + 4)::INTEGER AS width,
+           (doc_id % 15 + 4)::INTEGER AS height,
+           3::INTEGER AS n_channels,
+           (3 * sum((doc_id * 11 + (x.i // 8) * 19 + (y.i // 8) * 23)
+                    % 256))::BIGINT AS pixel_sum
+    FROM documents, range(26) x(i), range(18) y(i)
+    WHERE x.i < doc_id % 23 + 4 AND y.i < doc_id % 15 + 4
+    GROUP BY 1
+    """,
+)
+def jpeg_color_decode_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 3-component 4:2:0 JPEG decode (round 7): grey block-constant
+    images through the FULL color pipeline — RGB->YCbCr, 2x2 chroma
+    downsample, interleaved 4Y+Cb+Cr MCUs, separate chroma quant and
+    Annex-K chrominance Huffman tables, three DC predictor chains,
+    nearest upsample, inverse transform — decoded back inside
+    mapInPandas. Grey content keeps chroma exactly 128, so the lossy
+    pipeline is bit-exact and the oracle replays the block-value
+    formula in SQL (pixel_sum = 3x the grey sum). Colored-content
+    tolerance and the 444/420 variants are pinned in tests/test_jpeg.py
+    (operators/jpeg.py:encode_jpeg_color/decode_jpeg)."""
+    d = attach_jpeg_color_payload(T(spark, sf_dir, "documents"))
+    return decode_image_features(d, fake=False).select(
+        "doc_id", "width", "height", "n_channels", "pixel_sum"
+    )
+
+
+@query(
+    "png_decode_stats_docs",
+    oracle="""
+    SELECT doc_id,
+           (doc_id % 19 + 4)::INTEGER AS width,
+           (doc_id % 13 + 4)::INTEGER AS height,
+           3::INTEGER AS n_channels,
+           sum((x.i * 3 + y.i * 7 + doc_id) % 256
+               + (x.i * 11 + y.i * 5 + doc_id * 3) % 256
+               + (x.i * 13 + y.i + doc_id * 7) % 256)::BIGINT AS pixel_sum
+    FROM documents, range(22) x(i), range(16) y(i)
+    WHERE x.i < doc_id % 19 + 4 AND y.i < doc_id % 13 + 4
+    GROUP BY 1
+    """,
+)
+def png_decode_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless compressed-image decode (round 7): deterministic
+    RGB gradients are PNG-encoded per doc (``attach_png_payload`` —
+    per-row cycling filter types, stdlib-zlib DEFLATE, CRC'd chunks)
+    and decoded back through the from-spec PNG codec inside
+    mapInPandas. PNG is lossless, so the ARBITRARY per-pixel gradient
+    formula is replayed exactly in SQL — signature, chunk walk + CRC
+    verify, DEFLATE, all five scanline unfilters (None/Sub/Up/Average/
+    Paeth), and channel layout are attested end to end. Adam7, 16-bit,
+    and palette-tRNS variants raise at the PIL plug-in point
+    (operators/png.py; pinned in tests/test_png.py)."""
+    d = attach_png_payload(T(spark, sf_dir, "documents"))
     return decode_image_features(d, fake=False).select(
         "doc_id", "width", "height", "n_channels", "pixel_sum"
     )

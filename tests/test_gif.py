@@ -1,0 +1,121 @@
+"""From-spec GIF codec (operators/gif.py): lossless LZW roundtrip,
+dictionary growth / early-change widening / 12-bit re-Clear, the
+K-omega-K decode case, 89a extension skipping, golden determinism, and
+loud rejects at the PIL plug-in points."""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from modeltracking_spark.operators.gif import (
+    _lzw_compress,
+    _lzw_decompress,
+    decode_gif,
+    encode_gif,
+)
+
+GRAY = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.data())
+def test_lossless_roundtrip(data):
+    h = data.draw(st.integers(1, 40), label="h")
+    w = data.draw(st.integers(1, 40), label="w")
+    n_pal = data.draw(st.sampled_from([2, 4, 16, 100, 256]), label="n_pal")
+    seed = data.draw(st.integers(0, 2**31 - 1), label="seed")
+    rng = np.random.RandomState(seed)
+    pal = rng.randint(0, 256, (n_pal, 3)).astype(np.uint8)
+    idx = rng.randint(0, n_pal, (h, w)).astype(np.uint8)
+    dec = decode_gif(encode_gif(idx, pal))
+    assert dec.shape == (h, w, 3)
+    assert np.array_equal(dec, pal[idx.astype(int)])
+
+
+def test_lzw_dictionary_growth_and_reclear():
+    """A 60k-pixel structured image grows the dictionary through every
+    width 9..12; a 22k-pixel noise image forces the 12-bit re-Clear.
+    Both must roundtrip exactly."""
+    big = (np.add.outer(np.arange(200), np.arange(300)) % 256).astype(np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(big, GRAY)),
+                          GRAY[big.astype(int)])
+    noisy = np.random.RandomState(0).randint(0, 256, (150, 150)).astype(
+        np.uint8
+    )
+    payload = encode_gif(noisy, GRAY)
+    assert np.array_equal(decode_gif(payload), GRAY[noisy.astype(int)])
+    # noise is incompressible: the LZW stream must be near input size,
+    # i.e. the re-Clear logic really ran over multiple table fills
+    assert len(payload) > 150 * 150
+
+
+def test_lzw_komega_k_case():
+    """A constant run encodes codes that reference the entry defined by
+    the immediately preceding step — the spec's 'code not yet in
+    table' case. Also covered directly at the LZW layer."""
+    const = np.full((30, 30), 7, dtype=np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(const, GRAY)),
+                          GRAY[const.astype(int)])
+    seq = [3, 3, 3, 3, 3, 3, 3]
+    assert _lzw_decompress(_lzw_compress(seq, 2), 2, len(seq)) == seq
+
+
+def test_89a_extensions_are_skipped():
+    payload = bytearray(encode_gif(np.zeros((3, 3), np.uint8), GRAY[:4]))
+    i = payload.index(0x2C, 13 + 3 * 4)
+    gce = bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])  # Graphic Control Ext
+    with_ext = b"GIF89a" + (bytes(payload[:i]) + gce + bytes(payload[i:]))[6:]
+    assert np.array_equal(decode_gif(with_ext), GRAY[np.zeros((3, 3), int)])
+
+
+def test_golden_bytes_deterministic():
+    idx = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    b1, b2 = encode_gif(idx, GRAY[:16]), encode_gif(idx, GRAY[:16])
+    assert b1 == b2
+    assert hashlib.md5(b1).hexdigest() == "49c74b2bfb76c47555569f3a56129466"
+    assert b1[:6] == b"GIF87a" and b1[-1:] == b"\x3b"
+    assert struct.unpack_from("<HH", b1, 6) == (4, 4)
+
+
+def test_rejects_are_loud():
+    ok = encode_gif(np.zeros((4, 4), np.uint8), GRAY[:4])
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"PNG nope")
+    # interlace flag set on the image descriptor
+    bad = bytearray(ok)
+    i = bad.index(0x2C, 13 + 12)
+    bad[i + 9] |= 0x40
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_gif(bytes(bad))
+    # a second image descriptor = animation
+    body = ok[: -1] + ok[13 + 12 : -1] + b"\x3b"
+    with pytest.raises(NotImplementedError, match="animated"):
+        decode_gif(body)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_gif(ok[:-6])
+    with pytest.raises(ValueError, match="palette size"):
+        encode_gif(np.full((2, 2), 9, np.uint8), GRAY[:4])
+
+
+def test_real_decode_in_spark(spark):
+    from modeltracking_spark.operators.multimodal import (
+        attach_gif_payload,
+        decode_image_features,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d = attach_gif_payload(docs.limit(30))
+    rows = {r["doc_id"]: r
+            for r in decode_image_features(d, fake=False).collect()}
+    assert len(rows) == 30
+    for did, r in list(rows.items())[:5]:
+        w, h = did % 18 + 4, did % 11 + 4
+        y, x = np.mgrid[0:h, 0:w]
+        assert (r["width"], r["height"], r["n_channels"]) == (w, h, 3)
+        assert r["pixel_sum"] == 3 * int(((x * 5 + y * 9 + did) % 256).sum())

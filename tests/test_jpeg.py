@@ -14,8 +14,12 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from modeltracking_spark.operators.jpeg import (
+    AC_BITS_C,
+    AC_VALS_C,
     FLAT_Q8,
+    decode_jpeg,
     decode_jpeg_gray,
+    encode_jpeg_color,
     encode_jpeg_gray,
 )
 
@@ -119,11 +123,17 @@ def test_rejects_are_loud_and_typed():
         decode_jpeg_gray(b"\xff\xd8\xff\xc9\x00\x0b" + bytes(9))
     with pytest.raises(NotImplementedError, match="restart"):
         decode_jpeg_gray(b"\xff\xd8\xff\xdd\x00\x04\x00\x10")
-    # color: a 3-component SOF0 must name the PIL plug-in point
-    sof3 = b"\x08\x00\x10\x00\x10\x03" + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
+    # the greyscale-contract wrapper refuses a (valid) color stream
+    color = encode_jpeg_color(np.zeros((8, 8, 3), np.uint8))
     with pytest.raises(ValueError, match="greyscale"):
-        decode_jpeg_gray(
-            b"\xff\xd8\xff\xc0" + (len(sof3) + 2).to_bytes(2, "big") + sof3
+        decode_jpeg_gray(color)
+    # CMYK (4-component) names the libjpeg plug-in point
+    sof4 = b"\x08\x00\x10\x00\x10\x04" + bytes(
+        [1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0, 4, 0x11, 0]
+    )
+    with pytest.raises(ValueError, match="component count 4"):
+        decode_jpeg(
+            b"\xff\xd8\xff\xc0" + (len(sof4) + 2).to_bytes(2, "big") + sof4
         )
     with pytest.raises(ValueError, match="truncated"):
         decode_jpeg_gray(encode_jpeg_gray(np.zeros((16, 16), np.uint8))[:-8])
@@ -144,3 +154,93 @@ def test_quant_table_is_read_from_stream_not_assumed():
     assert np.abs(d1.astype(int) - img.astype(int)).max() <= np.abs(
         d8.astype(int) - img.astype(int)
     ).max()
+
+
+# ---------------------------------------------------------------------------
+# 3-component color pipeline (round 7: encode_jpeg_color / decode_jpeg)
+# ---------------------------------------------------------------------------
+
+
+def test_chroma_huffman_table_is_complete():
+    """The Annex-K chrominance AC table must cover every symbol the
+    encoder can emit: EOB, ZRL, and all (run 0..15, size 1..10)."""
+    need = {0x00, 0xF0} | {(r << 4) | s for r in range(16)
+                           for s in range(1, 11)}
+    assert sum(AC_BITS_C) == len(AC_VALS_C) == 162
+    assert set(AC_VALS_C) == need
+    assert len(set(AC_VALS_C)) == 162  # no duplicate symbols
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.data())
+def test_grey_content_color_roundtrip_exact_both_subsamplings(data):
+    """R=G=B block-constant content is bit-exact through the FULL color
+    pipeline (chroma exactly 128): 4:4:4 with 8-grain blocks, 4:2:0
+    with 8-grain blocks (four distinct Y DC predictions per MCU)."""
+    sub = data.draw(st.sampled_from(["444", "420"]), label="subsampling")
+    h = data.draw(st.integers(1, 40), label="h")
+    w = data.draw(st.integers(1, 40), label="w")
+    bh, bw = -(-h // 8), -(-w // 8)
+    vals = data.draw(
+        st.lists(st.integers(0, 255), min_size=bh * bw, max_size=bh * bw)
+    )
+    gray = _block_constant(vals, h, w)
+    img = np.stack([gray] * 3, axis=2).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg_color(img, subsampling=sub))
+    assert dec.shape == (h, w, 3)
+    assert np.array_equal(dec, img)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.data())
+def test_colored_content_roundtrip_bounded_error(data):
+    """Actual colored content through 4:4:4 q=1: forward+inverse color
+    transform and coefficient rounding stay within a few counts."""
+    h = data.draw(st.integers(1, 32), label="h")
+    w = data.draw(st.integers(1, 32), label="w")
+    seed = data.draw(st.integers(0, 2**31 - 1), label="seed")
+    img = np.random.RandomState(seed).randint(
+        0, 256, (h, w, 3)
+    ).astype(np.uint8)
+    dec = decode_jpeg(
+        encode_jpeg_color(img, quant=[1] * 64, subsampling="444")
+    )
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 4
+
+
+def test_chroma_subsampling_smooths_not_breaks():
+    """4:2:0 on a smooth color ramp: chroma is 2x2-averaged + nearest
+    upsampled, so error stays small; the Y plane is untouched."""
+    y, x = np.mgrid[0:33, 0:47]
+    img = np.stack(
+        [(x * 2 + 40) % 256, (y * 2 + 10) % 256, (x + y) % 256], axis=2
+    ).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg_color(img, quant=[1] * 64,
+                                        subsampling="420"))
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 6
+
+
+def test_color_stream_structure():
+    """The emitted stream self-describes: two DQTs, four DHTs, a
+    3-component SOF0 with 2x2/1x1/1x1 sampling, 3-component SOS."""
+    payload = encode_jpeg_color(np.zeros((20, 20, 3), np.uint8),
+                                subsampling="420")
+    assert payload.count(b"\xff\xdb") == 2  # DQT luma + chroma
+    assert payload.count(b"\xff\xc4") == 4  # DC0 AC0 DC1 AC1
+    sof = payload.index(b"\xff\xc0")
+    body = payload[sof + 4 :]
+    assert body[5] == 3  # components
+    assert body[7] == 0x22 and body[10] == 0x11 and body[13] == 0x11
+    assert decode_jpeg(payload).shape == (20, 20, 3)
+
+
+def test_bad_sampling_factors_reject():
+    """A component whose sampling does not divide the frame maxima is a
+    malformed stream, not a crash."""
+    payload = bytearray(encode_jpeg_color(np.zeros((8, 8, 3), np.uint8),
+                                          subsampling="420"))
+    sof = payload.index(b"\xff\xc0")
+    payload[sof + 4 + 10] = 0x33  # Cb sampling 3x3 over maxima 2x2? no:
+    # 3 > 2 makes Cb the max and Y's 2 no longer divides 3
+    with pytest.raises(ValueError, match="does not divide"):
+        decode_jpeg(bytes(payload))

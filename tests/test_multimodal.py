@@ -420,3 +420,71 @@ def test_decimate_keeps_every_kth_frame(spark):
         i, c = np.mgrid[0:n, 0:ch]
         samples = (did * 31 + i * 7 + c * 13) % 4096 - 2048
         assert r["amp_sum"] == int(samples[::3].sum())
+
+
+# ---------------------------------------------------------------------------
+# G.711 companded audio (round 7): spec properties + WAV routing
+# ---------------------------------------------------------------------------
+
+
+def test_g711_code_roundtrip_identities():
+    """compress(expand(code)) is the identity on ALL 256 A-law codes,
+    and on all mu-law codes except the documented dual zero 0x7F (both
+    0x7F and 0xFF decode to 0, which re-encodes as 0xFF)."""
+    from modeltracking_spark.operators.multimodal import (
+        alaw_compress, alaw_expand, ulaw_compress, ulaw_expand,
+    )
+
+    codes = np.arange(256)
+    assert np.array_equal(alaw_compress(alaw_expand(codes)), codes)
+    rt = ulaw_compress(ulaw_expand(codes))
+    diff = codes[rt != codes]
+    assert diff.tolist() == [0x7F] and rt[0x7F] == 0xFF
+
+
+def test_g711_pcm_error_bounded_and_monotone():
+    """expand(compress(x)) error is at most half the segment step (512
+    at the top segment), and expansion is monotone in the magnitude
+    code within each segment — the G.711 quantization contract."""
+    from modeltracking_spark.operators.multimodal import (
+        alaw_compress, alaw_expand, ulaw_compress, ulaw_expand,
+    )
+
+    x = np.arange(-32768, 32768, 7, dtype=np.int32)
+    for comp, exp in ((ulaw_compress, ulaw_expand), (alaw_compress, alaw_expand)):
+        err = np.abs(exp(comp(x)).astype(np.int32) - np.clip(x, -32635, 32635))
+        assert err.max() <= 512
+    # monotone: decoded magnitudes for positive mu-law codes descend as
+    # the raw code ascends (mu-law complements, so order flips)
+    mags = ulaw_expand(np.arange(0x80, 0x100))
+    assert all(a >= b for a, b in zip(mags, mags[1:]))
+
+
+def test_g711_wav_roundtrip_through_decoder(spark):
+    """encode_wav_g711 -> decode_wav expands both laws; stats flow
+    through decode_audio_stats unchanged (format routing is internal)."""
+    from modeltracking_spark.operators.multimodal import (
+        decode_wav, encode_wav_g711, ulaw_compress, ulaw_expand,
+    )
+
+    t = np.arange(500)
+    pcm = (6000 * np.sin(t / 9)).astype(np.int16).reshape(-1, 2)
+    for law in ("mu", "a"):
+        rate, frames = decode_wav(encode_wav_g711(pcm, 8000, law=law))
+        assert rate == 8000 and frames.shape == pcm.shape
+        assert np.abs(frames.astype(int) - pcm.astype(int)).max() <= 512
+    # the mu path is exactly expand(compress(pcm))
+    _, fr = decode_wav(encode_wav_g711(pcm, 8000, law="mu"))
+    assert np.array_equal(fr, ulaw_expand(ulaw_compress(pcm)).reshape(-1, 2))
+
+
+def test_wav_unsupported_formats_still_loud():
+    from modeltracking_spark.operators.multimodal import decode_wav
+
+    import struct as st
+
+    fmt = st.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # IEEE float
+    body = (b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+            + b"data" + st.pack("<I", 4) + bytes(4))
+    with pytest.raises(ValueError, match="ffmpeg plug-in"):
+        decode_wav(b"RIFF" + st.pack("<I", len(body)) + body)

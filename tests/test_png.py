@@ -1,0 +1,146 @@
+"""From-spec PNG codec (operators/png.py): lossless roundtrip across
+color types and all five filters, palette expansion, CRC integrity,
+golden determinism, and loud rejects at the PIL plug-in points."""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+import zlib
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from modeltracking_spark.operators.png import decode_png, encode_png
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload)) + tag + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.data())
+def test_lossless_roundtrip_all_color_types(data):
+    h = data.draw(st.integers(1, 24), label="h")
+    w = data.draw(st.integers(1, 24), label="w")
+    ch = data.draw(st.sampled_from([0, 3, 4]), label="channels")
+    seed = data.draw(st.integers(0, 2**31 - 1), label="seed")
+    shape = (h, w) if ch == 0 else (h, w, ch)
+    img = np.random.RandomState(seed).randint(0, 256, shape).astype(np.uint8)
+    dec = decode_png(encode_png(img))
+    assert dec.shape == img.shape
+    assert np.array_equal(dec, img)
+
+
+def test_all_five_filters_are_exercised():
+    """The encoder cycles filter type y % 5; a 10-row image therefore
+    carries every filter twice — decode exactness proves every
+    unfilter path (incl. the Paeth predictor's three-way tie rules)."""
+    img = (np.arange(10 * 7 * 3, dtype=np.int64) * 37 % 256).reshape(
+        10, 7, 3
+    ).astype(np.uint8)
+    payload = encode_png(img)
+    raw = zlib.decompress(
+        payload[payload.index(b"IDAT") + 4 : payload.index(b"IEND") - 8]
+    )
+    stride = 7 * 3 + 1
+    fts = [raw[y * stride] for y in range(10)]
+    assert sorted(set(fts)) == [0, 1, 2, 3, 4]
+    assert np.array_equal(decode_png(payload), img)
+
+
+def test_palette_expansion():
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    rows = bytes([0, 0, 1]) + bytes([0, 2, 0])
+    png = (_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", plte)
+           + _chunk(b"IDAT", zlib.compress(rows)) + _chunk(b"IEND", b""))
+    dec = decode_png(png)
+    assert dec.shape == (2, 2, 3)
+    assert tuple(dec[0, 0]) == (255, 0, 0)
+    assert tuple(dec[0, 1]) == (0, 255, 0)
+    assert tuple(dec[1, 0]) == (0, 0, 255)
+    assert tuple(dec[1, 1]) == (255, 0, 0)
+    # out-of-range palette index is loud
+    bad = (_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", plte)
+           + _chunk(b"IDAT", zlib.compress(bytes([0, 7, 0, 0, 0, 0])))
+           + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(bad)
+
+
+def test_crc_and_truncation_are_loud():
+    img = np.zeros((4, 4), np.uint8)
+    good = encode_png(img)
+    bad = bytearray(good)
+    bad[20] ^= 0xFF  # flip an IHDR byte -> CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(good[:-6])
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"BM not a png")
+    # corrupt DEFLATE stream inside a re-CRC'd IDAT
+    sig_ihdr = good[: good.index(b"IDAT") - 4]
+    broken = (sig_ihdr + _chunk(b"IDAT", b"\x00garbage")
+              + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="DEFLATE|data length"):
+        decode_png(broken)
+
+
+def test_unsupported_variants_reject_at_plugin_point():
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    png16 = (_SIG + _chunk(b"IHDR", ihdr16)
+             + _chunk(b"IDAT", zlib.compress(bytes(10)))
+             + _chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="bit depth"):
+        decode_png(png16)
+    ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
+    png_i = (_SIG + _chunk(b"IHDR", ihdr_i)
+             + _chunk(b"IDAT", zlib.compress(bytes(6)))
+             + _chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="Adam7"):
+        decode_png(png_i)
+    with pytest.raises(ValueError):
+        encode_png(np.zeros((0, 4), np.uint8))
+    with pytest.raises(ValueError):
+        encode_png(np.zeros((2, 2, 2), np.uint8))
+
+
+def test_golden_bytes_deterministic():
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    b1, b2 = encode_png(img), encode_png(img)
+    assert b1 == b2
+    assert hashlib.md5(b1).hexdigest() == "563e750e00985d462f926fce59d08f23"
+    assert b1[:8] == _SIG and b1[-12:-8] == struct.pack(">I", 0)[:3] + b"\x00"
+
+
+def test_real_decode_in_spark(spark):
+    """decode_image_features routes \\x89PNG payloads through the real
+    codec inside mapInPandas; stats match a local numpy decode."""
+    from modeltracking_spark.operators.multimodal import (
+        attach_png_payload,
+        decode_image_features,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d = attach_png_payload(docs.limit(40))
+    rows = {r["doc_id"]: r for r in decode_image_features(d, fake=False).collect()}
+    assert len(rows) == 40
+    for did, r in list(rows.items())[:5]:
+        w, h = did % 19 + 4, did % 13 + 4
+        y, x = np.mgrid[0:h, 0:w]
+        img = np.stack(
+            [(x * 3 + y * 7 + did) % 256,
+             (x * 11 + y * 5 + did * 3) % 256,
+             (x * 13 + y + did * 7) % 256], axis=2)
+        assert (r["width"], r["height"], r["n_channels"]) == (w, h, 3)
+        assert r["pixel_sum"] == int(img.sum())

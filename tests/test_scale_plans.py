@@ -358,3 +358,30 @@ def test_rolling_wau_joins_bounded_spine(spark):
     plan = executed_plan(out)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_compressed_codec_paths_are_shuffle_free(spark):
+    """Round-7 compressed codecs (baseline JPEG grey + 4:2:0 color,
+    PNG, G.711 mu-law) all run as narrow mapInPandas encode+decode
+    chains — payload bytes never cross an Exchange."""
+    from modeltracking_spark.operators.multimodal import (
+        attach_g711_payload,
+        attach_gif_payload,
+        attach_jpeg_color_payload,
+        attach_jpeg_payload,
+        attach_png_payload,
+        decode_audio_stats,
+        decode_image_features,
+    )
+
+    d = spark.read.parquet(f"{SF001}/documents.parquet")
+    for out in (
+        decode_image_features(attach_jpeg_payload(d), fake=False),
+        decode_image_features(attach_jpeg_color_payload(d), fake=False),
+        decode_image_features(attach_png_payload(d), fake=False),
+        decode_image_features(attach_gif_payload(d), fake=False),
+        decode_audio_stats(attach_g711_payload(d)),
+    ):
+        plan = executed_plan(out)
+        assert "Exchange" not in plan
+        assert_no_cartesian(out)

@@ -34,6 +34,10 @@ NOTES = {
     "skew_salted_join_events": "fact side salted 8 ways (join keys include __salt — the hot-key spread), salt-replicated dimension broadcast; one aggregate exchange after",
     "bmp_decode_stats_docs": "two narrow ArrowEvalPython/mapInPandas stages (encode, decode) — shuffle-free end to end",
     "jpeg_decode_stats_docs": "narrow mapInPandas encode+decode of the entropy-coded baseline stream — shuffle-free end to end; payload bytes never leave the executor",
+    "jpeg_color_decode_stats_docs": "narrow mapInPandas encode+decode of the 3-component 4:2:0 interleaved-MCU stream — shuffle-free end to end",
+    "png_decode_stats_docs": "narrow mapInPandas encode+decode (DEFLATE + per-row filters + CRC) — shuffle-free end to end",
+    "mulaw_decode_stats_docs": "narrow mapInPandas G.711 container build + expansion — shuffle-free end to end",
+    "gif_decode_stats_docs": "narrow mapInPandas LZW encode+decode — shuffle-free end to end",
     "deterministic_shuffle_docs": "two-pass global rank: bounded bucket-offset table broadcast, full data ranks under a __bucket-partitioned window (no single-partition sort of the corpus)",
     "pii_redact_docs": "pure narrow map — regexp counts + chained redaction in one codegen projection, zero exchanges",
     "wav_decode_stats_docs": "narrow mapInPandas encode+decode, shuffle-free",
