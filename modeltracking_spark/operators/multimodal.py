@@ -191,17 +191,33 @@ def decode_wav(data: bytes):
         if cid == b"fmt ":
             if csize < 16:
                 raise ValueError(f"fmt chunk too small ({csize} bytes)")
-            audio_fmt, n_ch, rate, _, _, bits = struct.unpack_from(
+            audio_fmt, n_ch, rate, _, block_align, bits = struct.unpack_from(
                 "<HHIIHH", data, body_off
             )
-            if not (
+            if audio_fmt == _WAV_FMT_IMA_ADPCM:
+                if n_ch != 1:
+                    raise NotImplementedError(
+                        "multi-channel IMA ADPCM (4-byte channel "
+                        "interleave) not implemented — the ffmpeg "
+                        "plug-in point; mono only"
+                    )
+                if bits != 4 or csize < 20:
+                    raise ValueError(
+                        f"malformed IMA ADPCM fmt: bits={bits} csize={csize}"
+                    )
+                samples_per_block = struct.unpack_from(
+                    "<H", data, body_off + 18
+                )[0]
+                if samples_per_block < 1:
+                    raise ValueError("IMA ADPCM samples_per_block = 0")
+            elif not (
                 (audio_fmt == _WAV_FMT_PCM and bits == 16)
                 or (audio_fmt in (_WAV_FMT_ALAW, _WAV_FMT_MULAW) and bits == 8)
             ):
                 raise ValueError(
                     f"unsupported WAV encoding: format={audio_fmt} bits={bits} "
-                    "(PCM 16-bit and 8-bit G.711 mu-law/A-law are "
-                    "implemented; ADPCM/float/MP3-in-WAV are the ffmpeg "
+                    "(PCM 16-bit, 8-bit G.711 mu-law/A-law, and mono IMA "
+                    "ADPCM are implemented; float/MP3-in-WAV are the ffmpeg "
                     "plug-in point)"
                 )
         elif cid == b"data":
@@ -216,6 +232,18 @@ def decode_wav(data: bytes):
                 frames = np.frombuffer(
                     data, dtype="<i2", count=csize // 2, offset=body_off
                 ).reshape(-1, n_ch)
+            elif audio_fmt == _WAV_FMT_IMA_ADPCM:
+                samples = []
+                raw = data[body_off : body_off + csize]
+                for b0 in range(0, len(raw), block_align):
+                    block = raw[b0 : b0 + block_align]
+                    # a trailing short block decodes the samples its
+                    # nibble bytes actually cover
+                    n_here = min(
+                        samples_per_block, (len(block) - 4) * 2 + 1
+                    )
+                    samples.extend(ima_adpcm_decode_block(block, n_here))
+                frames = np.array(samples, dtype=np.int16).reshape(-1, 1)
             else:
                 codes = np.frombuffer(
                     data, dtype=np.uint8, count=csize, offset=body_off
@@ -303,8 +331,118 @@ def alaw_expand(codes):
     return np.where(a & 0x80, t, -t).astype(np.int16)
 
 
+# ---------------------------------------------------------------------------
+# IMA ADPCM (DVI4 / WAV format 0x11) — the STATEFUL predictive audio
+# codec, from the public IMA ADPCM spec: 4-bit nibbles drive a
+# (predictor, step-index) state machine — step table of 89 entries,
+# index deltas [-1,-1,-1,-1,2,4,6,8], diff = step/8 + bit-selected
+# step/4 + step/2 + step, predictor clamped to int16, index to 0..88.
+# Pure integer and SEQUENTIAL: sample t's value depends on all nibbles
+# before it — which is exactly what makes its SQL oracle interesting
+# (a recursive CTE replays the state machine, the pack_greedy pattern).
+# Mono only; multi-channel 4-byte interleave is the ffmpeg plug-in
+# point.
+# ---------------------------------------------------------------------------
+
+#: IMA step-size table (89 entries, public spec)
+IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+    19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+    50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+    130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+    337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+    876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+    5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+#: index adjustment per nibble magnitude (low 3 bits)
+IMA_INDEX_DELTA = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_step(pred: int, idx: int, nib: int) -> tuple[int, int]:
+    """One IMA ADPCM state transition: (predictor, index) + nibble ->
+    new (predictor, index). Integer-exact per the spec."""
+    step = IMA_STEPS[idx]
+    diff = step >> 3
+    if nib & 1:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 4:
+        diff += step
+    pred = pred - diff if nib & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + IMA_INDEX_DELTA[nib & 7]))
+    return pred, idx
+
+
+def ima_adpcm_decode_block(block: bytes, n_samples: int):
+    """One mono IMA block (4-byte header + low-nibble-first data) ->
+    list of ``n_samples`` int16 values (the header predictor is sample
+    0)."""
+    if len(block) < 4:
+        raise ValueError("IMA ADPCM block shorter than its 4-byte header")
+    pred = struct.unpack_from("<h", block, 0)[0]
+    idx = block[2]
+    if idx > 88:
+        raise ValueError(f"IMA ADPCM step index {idx} out of range 0..88")
+    out = [pred]
+    for t in range(1, n_samples):
+        j = t - 1
+        byte_i = 4 + (j >> 1)
+        if byte_i >= len(block):
+            raise ValueError(
+                f"truncated IMA ADPCM block: sample {t} of {n_samples} "
+                f"needs byte {byte_i}, block has {len(block)}"
+            )
+        nib = (block[byte_i] >> 4) if j & 1 else (block[byte_i] & 0x0F)
+        pred, idx = _ima_step(pred, idx, nib)
+        out.append(pred)
+    return out
+
+
+def ima_adpcm_encode_mono(samples, samples_per_block: int = 505) -> bytes:
+    """Mono int16 PCM -> IMA ADPCM block stream (the canonical greedy
+    encoder: nibble = best step-quantized approximation of the delta,
+    then the encoder runs its own decoder state so errors never
+    accumulate past one step)."""
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.int16).reshape(-1)
+    out = bytearray()
+    idx = 0
+    for b0 in range(0, len(a), samples_per_block):
+        blk = a[b0 : b0 + samples_per_block]
+        pred = int(blk[0])
+        out += struct.pack("<hBB", pred, idx, 0)
+        nibs = []
+        for x in blk[1:]:
+            step = IMA_STEPS[idx]
+            diff = int(x) - pred
+            nib = 8 if diff < 0 else 0
+            if diff < 0:
+                diff = -diff
+            if diff >= step:
+                nib |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nib |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nib |= 1
+            pred, idx = _ima_step(pred, idx, nib)
+            nibs.append(nib)
+        for i in range(0, len(nibs), 2):
+            lo = nibs[i]
+            hi = nibs[i + 1] if i + 1 < len(nibs) else 0
+            out.append(lo | (hi << 4))
+    return bytes(out)
+
+
 #: WAVE_FORMAT codes (public RIFF registry)
 _WAV_FMT_PCM, _WAV_FMT_ALAW, _WAV_FMT_MULAW = 1, 6, 7
+_WAV_FMT_IMA_ADPCM = 0x11
 
 
 def encode_wav_g711(samples, sample_rate: int, law: str = "mu") -> bytes:
@@ -644,6 +782,79 @@ AUDIO_STATS_SCHEMA = (
     "doc_id bigint, n_bytes bigint, sample_rate int, n_channels int, "
     "n_frames bigint, amp_sum bigint, peak int"
 )
+
+
+def _ima_fmt_body(sample_rate: int, block_align: int,
+                  samples_per_block: int) -> bytes:
+    byte_rate = max(1, sample_rate * block_align // max(samples_per_block, 1))
+    return struct.pack(
+        "<HHIIHHHH", _WAV_FMT_IMA_ADPCM, 1, sample_rate, byte_rate,
+        block_align, 4, 2, samples_per_block,
+    )
+
+
+def encode_wav_ima_adpcm(samples, sample_rate: int,
+                         samples_per_block: int = 505) -> bytes:
+    """Mono int16 PCM -> IMA ADPCM WAV bytes (format 0x11, mono,
+    cbSize=2 fmt extension carrying wSamplesPerBlock)."""
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.int16).reshape(-1)
+    data = ima_adpcm_encode_mono(a, samples_per_block)
+    block_align = 4 + (samples_per_block - 1 + 1) // 2
+    fmt = _ima_fmt_body(sample_rate, block_align, samples_per_block)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def attach_adpcm_payload(df: DataFrame, id_col: str = "doc_id",
+                         out_col: str = "payload") -> DataFrame:
+    """Fixture builder for the STATEFUL compressed-audio decode path:
+    a mono 8 kHz single-block IMA ADPCM WAV per row whose header state
+    and NIBBLES come straight from formulas — n = doc_id%220+40
+    samples, initial predictor (doc_id*97)%4001−2000, initial step
+    index doc_id%89, nibble j = (doc_id*3 + j*7)%16. The nibbles are
+    the ground truth (no encode step), so the decoder's sequential
+    state machine is replayable exactly by a recursive-CTE oracle —
+    the pack_greedy pattern applied to a codec."""
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                d = int(did)
+                n = d % 220 + 40
+                pred0 = (d * 97) % 4001 - 2000
+                idx0 = d % 89
+                nibs = [(d * 3 + j * 7) % 16 for j in range(n - 1)]
+                blk = bytearray(struct.pack("<hBB", pred0, idx0, 0))
+                for i in range(0, len(nibs), 2):
+                    lo = nibs[i]
+                    hi = nibs[i + 1] if i + 1 < len(nibs) else 0
+                    blk.append(lo | (hi << 4))
+                data = bytes(blk)
+                fmt = _ima_fmt_body(8000, len(data), n)
+                body = (
+                    b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data
+                    + (b"\x00" if len(data) & 1 else b"")
+                )
+                payloads.append(
+                    b"RIFF" + struct.pack("<I", len(body)) + body
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: payloads})
+
+    return df.select(id_col).mapInPandas(
+        build, schema=f"{id_col} bigint, {out_col} binary"
+    )
 
 
 def attach_g711_payload(df: DataFrame, id_col: str = "doc_id",

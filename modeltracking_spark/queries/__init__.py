@@ -151,6 +151,7 @@ PRIORITY: tuple[str, ...] = (
     "png_decode_stats_docs",        # from-spec PNG (DEFLATE + filters)
     "mulaw_decode_stats_docs",      # G.711 companded audio expansion
     "gif_decode_stats_docs",        # GIF87a palette/LZW decode
+    "adpcm_decode_stats_docs",      # IMA ADPCM stateful decode (recursive-CTE oracle)
 )
 
 #: observed driver correctness cap (CORRECTNESS_r03 scored exactly 50)

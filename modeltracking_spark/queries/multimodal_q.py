@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from modeltracking_spark.operators.multimodal import (
     attach_binary_payload,
     attach_bmp_payload,
+    attach_adpcm_payload,
     attach_g711_payload,
     attach_gif_payload,
     attach_jpeg_color_payload,
@@ -141,6 +142,78 @@ def jpeg_decode_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_features(d, fake=False).select(
         "doc_id", "width", "height", "n_channels", "pixel_sum"
     )
+
+
+# ---- IMA ADPCM oracle: the 89-entry public step table as a VALUES
+# relation + a recursive CTE replaying the (predictor, index) state
+# machine nibble by nibble — the pack_greedy recursive-replay pattern
+# applied to a stateful codec.
+from modeltracking_spark.operators.multimodal import IMA_STEPS as _IMA
+
+_IMA_STEPS_SQL = ", ".join(f"({i}, {s})" for i, s in enumerate(_IMA))
+_ADPCM_NIB = "((q.doc_id * 3 + q.t * 7) % 16)"
+
+_ADPCM_ORACLE = f"""
+    WITH RECURSIVE
+    steps(si, step) AS (VALUES {_IMA_STEPS_SQL}),
+    dims AS (
+      SELECT doc_id, (doc_id % 220 + 40)::INTEGER AS n,
+             ((doc_id * 97) % 4001 - 2000)::INTEGER AS p0,
+             (doc_id % 89)::INTEGER AS i0
+      FROM documents
+    ),
+    dec AS (
+      SELECT doc_id, n, 0 AS t, p0 AS pred, i0 AS idx FROM dims
+      UNION ALL
+      SELECT w.doc_id, w.n, w.t + 1,
+             greatest(-32768, least(32767,
+               CASE WHEN w.nib >= 8 THEN w.pred - w.diff
+                    ELSE w.pred + w.diff END))::INTEGER,
+             greatest(0, least(88, w.idx + CASE w.nib % 8
+               WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6 WHEN 7 THEN 8
+               ELSE -1 END))::INTEGER
+      FROM (
+        SELECT q.doc_id, q.n, q.t, q.pred, q.idx,
+               {_ADPCM_NIB}::INTEGER AS nib,
+               (s.step // 8
+                + CASE WHEN {_ADPCM_NIB} % 2 = 1 THEN s.step // 4 ELSE 0 END
+                + CASE WHEN ({_ADPCM_NIB} // 2) % 2 = 1
+                       THEN s.step // 2 ELSE 0 END
+                + CASE WHEN ({_ADPCM_NIB} // 4) % 2 = 1
+                       THEN s.step ELSE 0 END)::INTEGER AS diff
+        FROM dec q JOIN steps s ON s.si = q.idx
+        WHERE q.t + 1 < q.n
+      ) w
+    )
+    SELECT d.doc_id,
+           (12 + 28 + 8 + (4 + d.n // 2)
+            + (4 + d.n // 2) % 2)::BIGINT AS n_bytes,
+           8000::INTEGER AS sample_rate,
+           1::INTEGER AS n_channels,
+           d.n::BIGINT AS n_frames,
+           sum(x.pred)::BIGINT AS amp_sum,
+           max(abs(x.pred))::INTEGER AS peak
+    FROM dims d JOIN dec x ON x.doc_id = d.doc_id
+    GROUP BY 1, 2, 3, 4, 5
+"""
+
+
+@query("adpcm_decode_stats_docs", oracle=_ADPCM_ORACLE)
+def adpcm_decode_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stateful compressed-audio decode (round 7, IMA ADPCM / WAV
+    format 0x11): single-block mono streams whose header state and
+    nibbles come straight from formulas are decoded through the
+    (predictor, step-index) state machine inside mapInPandas. Every
+    output sample depends on ALL preceding nibbles, so the oracle
+    replays the ENTIRE state machine with a recursive CTE over the
+    public 89-entry step table (VALUES relation) — clamps, bit-selected
+    step fractions, index deltas, and the fmt-extension container
+    arithmetic all attested sample-exactly. Multi-channel interleave
+    rejects at the ffmpeg plug-in point; the encode direction's
+    tracking-error bound is pinned in tests/test_multimodal.py
+    (operators/multimodal.py:ima_adpcm_decode_block)."""
+    d = attach_adpcm_payload(T(spark, sf_dir, "documents"))
+    return decode_audio_stats(d)
 
 
 @query(

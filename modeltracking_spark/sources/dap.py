@@ -206,6 +206,42 @@ class DapDataset:
                 return sz
         raise KeyError(f"no DAP dimension {name!r}")
 
+    def das(self) -> dict:
+        """Fetch + parse the ``.das`` attribute structure ->
+        ``{container: {attr: value}}`` — containers are variable names
+        plus ``NC_GLOBAL``. Values: String -> str, integer types ->
+        list[int], float types -> list[float] (DAP attributes are
+        vectors, like netCDF's)."""
+        text = self._get(f"{self.url}.das").decode("utf-8")
+        m = re.fullmatch(r"\s*Attributes\s*\{(.*)\}\s*", text, re.S)
+        if not m:
+            raise ValueError(f"unparseable DAS: {text[:120]!r}")
+        out: dict[str, dict] = {}
+        for cm in re.finditer(
+            r"(\w+)\s*\{((?:[^{}])*)\}", m.group(1), re.S
+        ):
+            container, body = cm.group(1), cm.group(2)
+            attrs: dict = {}
+            for am in re.finditer(
+                r"(\w+)\s+(\w+)\s+((?:\"(?:[^\"\\]|\\.)*\")|[^;]+);", body
+            ):
+                typ, name, raw = am.groups()
+                raw = raw.strip()
+                if typ == "String":
+                    attrs[name] = (
+                        raw[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+                    )
+                elif typ in ("Byte", "Int16", "Int32", "UInt16", "UInt32"):
+                    attrs[name] = [int(x) for x in raw.split(",")]
+                elif typ in ("Float32", "Float64"):
+                    attrs[name] = [float(x) for x in raw.split(",")]
+                else:
+                    raise NotImplementedError(
+                        f"DAS attribute type {typ!r} not implemented"
+                    )
+            out[container] = attrs
+        return out
+
     def read(self, var: str):
         """Whole variable (use for header-adjacent coordinate vectors)."""
         ranges = [(0, sz - 1) for sz in self.shape(var)]
@@ -260,6 +296,39 @@ def _dds_text(nc, dataset_name: str, only: dict | None = None) -> str:
         lines.append(f"    {typ} {name}{''.join(dims)};")
     lines.append(f"}} {dataset_name};")
     return "\n".join(lines) + "\n"
+
+
+def _das_text(nc, dataset_name: str) -> str:
+    """DAS for an NcFile: one container per variable (its attrs) plus
+    NC_GLOBAL — the DAP 2.0 attribute-structure grammar."""
+
+    def render(attrs: dict) -> list[str]:
+        lines = []
+        for nm, val in attrs.items():
+            if isinstance(val, str):
+                esc = val.replace("\\", "\\\\").replace('"', '\\"')
+                lines.append(f'        String {nm} "{esc}";')
+            else:
+                vals = val if isinstance(val, list) else [val]
+                if all(isinstance(v, int) for v in vals):
+                    typ = "Int32"
+                    body = ", ".join(str(v) for v in vals)
+                else:
+                    typ = "Float64"
+                    body = ", ".join(repr(float(v)) for v in vals)
+                lines.append(f"        {typ} {nm} {body};")
+        return lines
+
+    out = ["Attributes {"]
+    for name, v in nc.vars.items():
+        out.append(f"    {name} {{")
+        out += render(v.attrs)
+        out.append("    }")
+    out.append("    NC_GLOBAL {")
+    out += render(nc.attrs)
+    out.append("    }")
+    out.append("}")
+    return "\n".join(out) + "\n"
 
 
 def parse_constraint(nc, query: str) -> dict:
@@ -328,6 +397,12 @@ def make_dap_handler(root_dir: str):
                     fn = os.path.join(root_dir, path[1:-len(".dds")])
                     nc = NcFile(fn)
                     body = _dds_text(nc, os.path.basename(fn)).encode()
+                    nc.close()
+                    self._reply(200, body, "text/plain")
+                elif path.endswith(".das"):
+                    fn = os.path.join(root_dir, path[1:-len(".das")])
+                    nc = NcFile(fn)
+                    body = _das_text(nc, os.path.basename(fn)).encode()
                     nc.close()
                     self._reply(200, body, "text/plain")
                 elif path.endswith(".dods"):

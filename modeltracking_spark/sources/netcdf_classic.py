@@ -356,10 +356,44 @@ class NcFile:
             )
         return raw
 
-    def read_slice(self, var: str, i: int):
+    def _cf_unpack(self, var: str, a):
+        """CF-convention unpacking (what the reference's netCDF4 stack
+        does automatically under ``set_auto_maskandscale``): values
+        equal to ``missing_value``/``_FillValue`` become NaN, then
+        ``packed * scale_factor + add_offset``. Only applied when the
+        variable carries any of those attributes; always returns
+        float64 when it does (a masked/scaled int has no exact int
+        representation)."""
+        import numpy as np
+
+        attrs = self.vars[var].attrs
+
+        def one(name):
+            val = attrs.get(name)
+            if isinstance(val, list):
+                return val[0] if val else None
+            return val
+
+        mv = one("missing_value")
+        if mv is None:
+            mv = one("_FillValue")
+        sf, ao = one("scale_factor"), one("add_offset")
+        if mv is None and sf is None and ao is None:
+            return a
+        out = np.asarray(a, dtype=np.float64)
+        if mv is not None:
+            out = np.where(np.asarray(a) == mv, np.nan, out)
+        if sf is not None:
+            out = out * float(sf)
+        if ao is not None:
+            out = out + float(ao)
+        return out
+
+    def read_slice(self, var: str, i: int, apply_cf: bool = False):
         """var[i, ...] as a little-endian numpy array, reading only that
         slice's bytes (record vars: ``begin + i*recsize``; fixed vars:
-        ``begin + i*slice_bytes``)."""
+        ``begin + i*slice_bytes``). ``apply_cf=True`` additionally
+        mask-and-scales per the variable's CF attributes."""
         import numpy as np
 
         v = self.vars[var]
@@ -374,38 +408,48 @@ class NcFile:
         )
         # scalar-per-slice (1-D record var) -> 0-d so stacked reads give
         # the natural (n,) shape
-        return arr.reshape(v.shape[1:])
+        out = arr.reshape(v.shape[1:])
+        return self._cf_unpack(var, out) if apply_cf else out
 
-    def read(self, var: str):
+    def read(self, var: str, apply_cf: bool = False):
         """The whole variable (record vars: stacked slice reads through
-        the shared reader — one handle, not one open per record)."""
+        the shared reader — one handle, not one open per record).
+        ``apply_cf=True`` mask-and-scales per the CF attributes."""
         import numpy as np
 
         v = self.vars[var]
         if v.is_record:
-            return np.stack([self.read_slice(var, r) for r in range(v.shape[0])])
-        nbytes = v.slice_nbytes() * (v.shape[0] if v.shape else 1)
-        raw = self._read_checked(v.begin, nbytes, var)
-        arr = np.frombuffer(raw, dtype=v.dtype)
-        out = arr.reshape(v.shape) if v.shape else arr
-        return out.astype(out.dtype.newbyteorder("="))
+            out = np.stack(
+                [self.read_slice(var, r) for r in range(v.shape[0])]
+            )
+        else:
+            nbytes = v.slice_nbytes() * (v.shape[0] if v.shape else 1)
+            raw = self._read_checked(v.begin, nbytes, var)
+            arr = np.frombuffer(raw, dtype=v.dtype)
+            out = arr.reshape(v.shape) if v.shape else arr
+            out = out.astype(out.dtype.newbyteorder("="))
+        return self._cf_unpack(var, out) if apply_cf else out
 
 
 def write_classic(
     path: str,
     dims: list[tuple[str, int]],
-    variables: list[tuple[str, tuple[str, ...], object]],
+    variables: list[tuple] ,
     record_dim: str | None = None,
     n_records: int = 0,
+    global_attrs: dict | None = None,
 ) -> None:
     """Minimal classic (CDF-1) writer for fixtures and demo files.
 
     ``dims``: (name, length) pairs; ``record_dim`` names the unlimited
     one (stored with length 0). ``variables``: (name, dim names, value)
-    where value is a numpy array — or, for record variables, a callable
-    ``f(r) -> numpy array`` invoked per record so the full hypercube
-    never has to exist in memory (the writer streams record by record,
-    mirroring how the reader slices).
+    — optionally (name, dim names, value, attrs) with an attribute dict
+    (str values become char attrs; numeric scalars/lists become typed
+    arrays) — where value is a numpy array or, for record variables, a
+    callable ``f(r) -> numpy array`` invoked per record so the full
+    hypercube never has to exist in memory (the writer streams record
+    by record, mirroring how the reader slices). ``global_attrs`` is
+    the NC_GLOBAL attribute dict.
     """
     import numpy as np
 
@@ -418,9 +462,37 @@ def write_classic(
             raise ValueError(f"unsupported dtype {a.dtype}")
         return _NP_TO_NC[k]
 
+    def name_bytes(nm: str) -> bytes:
+        b = nm.encode()
+        return struct.pack(">I", len(b)) + b + b"\x00" * (_pad4(len(b)) - len(b))
+
+    def attr_bytes(attrs: dict | None) -> bytes:
+        if not attrs:
+            return struct.pack(">II", 0, 0)
+        out = bytearray(struct.pack(">II", NC_ATTRIBUTE, len(attrs)))
+        for nm, val in attrs.items():
+            out += name_bytes(nm)
+            if isinstance(val, str):
+                raw = val.encode()
+                out += struct.pack(">II", 2, len(raw)) + raw
+                out += b"\x00" * (_pad4(len(raw)) - len(raw))
+            else:
+                a = np.asarray(val)
+                if a.dtype.kind == "i" and a.dtype.itemsize == 8:
+                    a = a.astype(np.int32)  # CDF-1 has no int64 attrs
+                t = nc_type_of(a)
+                raw = np.ascontiguousarray(
+                    a.reshape(-1), dtype=NC_TYPES[t][0]
+                ).tobytes()
+                out += struct.pack(">II", t, a.size) + raw
+                out += b"\x00" * (_pad4(len(raw)) - len(raw))
+        return bytes(out)
+
     # resolve per-var metadata
     metas = []
-    for name, vdims, value in variables:
+    for spec in variables:
+        name, vdims, value = spec[0], spec[1], spec[2]
+        var_attrs = spec[3] if len(spec) > 3 else None
         is_rec = record_dim is not None and vdims and vdims[0] == record_dim
         inner_shape = tuple(
             dim_len[d] for d in (vdims[1:] if is_rec else vdims)
@@ -437,6 +509,7 @@ def write_classic(
             dict(
                 name=name, vdims=vdims, value=value, is_rec=is_rec,
                 inner_shape=inner_shape, nc_type=t, nbytes=nbytes,
+                attrs=var_attrs,
             )
         )
 
@@ -451,7 +524,7 @@ def write_classic(
             b = nm.encode()
             out += struct.pack(">I", len(b)) + b + b"\x00" * (_pad4(len(b)) - len(b))
             out += struct.pack(">I", 0 if nm == record_dim else ln)
-        out += struct.pack(">II", 0, 0)  # no global attrs
+        out += attr_bytes(global_attrs)
         out += struct.pack(">II", NC_VARIABLE, len(metas))
         for m in metas:
             b = m["name"].encode()
@@ -459,7 +532,7 @@ def write_classic(
             out += struct.pack(">I", len(m["vdims"]))
             for d in m["vdims"]:
                 out += struct.pack(">I", dim_ix[d])
-            out += struct.pack(">II", 0, 0)  # no var attrs
+            out += attr_bytes(m["attrs"])
             out += struct.pack(">I", m["nc_type"])
             # vsize: padded (waived for a lone record var, per spec)
             pad = (

@@ -488,3 +488,70 @@ def test_wav_unsupported_formats_still_loud():
             + b"data" + st.pack("<I", 4) + bytes(4))
     with pytest.raises(ValueError, match="ffmpeg plug-in"):
         decode_wav(b"RIFF" + st.pack("<I", len(body)) + body)
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM (round 7): the stateful predictive codec
+# ---------------------------------------------------------------------------
+
+
+def test_adpcm_block_decode_matches_scalar_replay():
+    """Block decode == an explicit scalar replay of the spec state
+    machine, nibble by nibble (low nibble first)."""
+    import struct as st
+
+    from modeltracking_spark.operators.multimodal import (
+        _ima_step, ima_adpcm_decode_block,
+    )
+
+    pred, idx = -123, 30
+    nibs = [(j * 5 + 3) % 16 for j in range(77)]
+    blk = bytearray(st.pack("<hBB", pred, idx, 0))
+    for i in range(0, len(nibs), 2):
+        blk.append(nibs[i] | ((nibs[i + 1] if i + 1 < len(nibs) else 0) << 4))
+    got = ima_adpcm_decode_block(bytes(blk), 78)
+    p, ix = pred, idx
+    want = [p]
+    for nb in nibs:
+        p, ix = _ima_step(p, ix, nb)
+        want.append(p)
+    assert got == want
+
+
+def test_adpcm_encode_decode_tracks_signal():
+    """The greedy encoder runs its own decoder state, so error never
+    accumulates: a smooth signal decodes with small mean error, and
+    every block boundary (predictor restart) is sample-exact."""
+    from modeltracking_spark.operators.multimodal import (
+        decode_wav, encode_wav_ima_adpcm,
+    )
+
+    t = np.arange(2600)
+    pcm = (9000 * np.sin(t / 40)).astype(np.int16)
+    rate, frames = decode_wav(encode_wav_ima_adpcm(pcm, 8000,
+                                                   samples_per_block=505))
+    dec = frames.reshape(-1)
+    assert rate == 8000 and len(dec) == len(pcm)
+    err = np.abs(dec.astype(int) - pcm.astype(int))
+    assert err.mean() < 40 and err.max() < 2000
+    for b0 in range(0, len(pcm), 505):  # header carries the exact sample
+        assert dec[b0] == pcm[b0]
+
+
+def test_adpcm_rejects_and_bounds():
+    import struct as st
+
+    from modeltracking_spark.operators.multimodal import (
+        decode_wav, ima_adpcm_decode_block,
+    )
+
+    with pytest.raises(ValueError, match="step index"):
+        ima_adpcm_decode_block(st.pack("<hBB", 0, 99, 0), 1)
+    with pytest.raises(ValueError, match="truncated IMA"):
+        ima_adpcm_decode_block(st.pack("<hBB", 0, 0, 0), 10)
+    # stereo ADPCM names the ffmpeg plug-in point
+    fmt = st.pack("<HHIIHHHH", 0x11, 2, 8000, 8000, 256, 4, 2, 505)
+    body = (b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+            + b"data" + st.pack("<I", 0))
+    with pytest.raises(NotImplementedError, match="multi-channel IMA"):
+        decode_wav(b"RIFF" + st.pack("<I", len(body)) + body)

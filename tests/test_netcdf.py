@@ -483,3 +483,85 @@ def test_grid_scan_dap_backend_matches_file(spark, dap_root):
     a = {tuple(r) for r in via_dap.groupBy(*agg[0]).agg(*agg[1]).collect()}
     b = {tuple(r) for r in via_file.groupBy(*agg[0]).agg(*agg[1]).collect()}
     assert a == b
+
+
+def test_write_classic_attrs_roundtrip(tmp_path):
+    """Round-7 writer extension: global + per-var attributes survive a
+    write -> parse roundtrip (char, int, float, and vector attrs)."""
+    p = str(tmp_path / "attrs.nc")
+    write_classic(
+        p,
+        dims=[("time", 0), ("x", 3)],
+        variables=[
+            ("t", ("time",), lambda r: np.array(r, dtype=np.int32),
+             {"units": "hours since 2000-01-01"}),
+            ("xv", ("x",), np.array([1.0, 2.0, 3.0]),
+             {"units": "degrees_east", "valid_range": [0.0, 360.0],
+              "missing_value": -30000}),
+        ],
+        record_dim="time", n_records=2,
+        global_attrs={"title": "fixture", "version": 3},
+    )
+    f = NcFile(p)
+    assert f.attrs == {"title": "fixture", "version": [3]}
+    assert f.vars["t"].attrs == {"units": "hours since 2000-01-01"}
+    assert f.vars["xv"].attrs == {
+        "units": "degrees_east", "valid_range": [0.0, 360.0],
+        "missing_value": [-30000],
+    }
+    assert f.read("xv").tolist() == [1.0, 2.0, 3.0]  # data offsets intact
+
+
+def test_dap_das_attributes_parity(tmp_path, dap_root):
+    """The .das endpoint completes the DAP triple: attributes served
+    from the classic header parse back through the client identically
+    (units/missing_value metadata — what the reference reads off
+    THREDDS to label its plots)."""
+    from modeltracking_spark.sources.dap import DapDataset
+
+    base, root = dap_root
+    p = os.path.join(root, "attrs.nc")
+    write_classic(
+        p,
+        dims=[("x", 2)],
+        variables=[
+            ("xv", ("x",), np.array([1.5, 2.5]),
+             {"units": 'deg "true"', "scale_factor": 0.5,
+              "valid_range": [0, 360]}),
+        ],
+        global_attrs={"title": "das fixture"},
+    )
+    das = DapDataset(f"dap+{base}/attrs.nc").das()
+    assert das["NC_GLOBAL"] == {"title": "das fixture"}
+    assert das["xv"]["units"] == 'deg "true"'  # quote escaping survives
+    assert das["xv"]["scale_factor"] == [0.5]
+    assert das["xv"]["valid_range"] == [0, 360]
+
+
+def test_cf_mask_and_scale_unpacking(tmp_path):
+    """apply_cf=True reproduces netCDF4's auto mask-and-scale (the
+    behavior the reference's stack applies to HYCOM variables): packed
+    int16 + scale/offset -> float64, missing_value -> NaN; the default
+    read stays raw and exact."""
+    p = str(tmp_path / "cf.nc")
+    write_classic(
+        p,
+        dims=[("x", 4)],
+        variables=[
+            ("temp", ("x",), np.array([0, 100, -30000, 250], np.int16),
+             {"scale_factor": 0.001, "add_offset": 20.0,
+              "missing_value": -30000, "units": "degC"}),
+            ("plain", ("x",), np.array([1, 2, 3, 4], np.int16)),
+        ],
+    )
+    f = NcFile(p)
+    raw = f.read("temp")
+    assert raw.dtype == np.int16 and raw.tolist() == [0, 100, -30000, 250]
+    cf = f.read("temp", apply_cf=True)
+    assert cf.dtype == np.float64
+    assert cf[0] == 20.0 and abs(cf[1] - 20.1) < 1e-12
+    assert np.isnan(cf[2]) and abs(cf[3] - 20.25) < 1e-12
+    # attribute-free variable: apply_cf is the identity, dtype intact
+    assert f.read("plain", apply_cf=True).dtype == np.int16
+    # sliced reads unpack identically
+    assert np.isnan(f.read_slice("temp", 2, apply_cf=True))

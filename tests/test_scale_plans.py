@@ -365,6 +365,7 @@ def test_compressed_codec_paths_are_shuffle_free(spark):
     PNG, G.711 mu-law) all run as narrow mapInPandas encode+decode
     chains — payload bytes never cross an Exchange."""
     from modeltracking_spark.operators.multimodal import (
+        attach_adpcm_payload,
         attach_g711_payload,
         attach_gif_payload,
         attach_jpeg_color_payload,
@@ -381,6 +382,7 @@ def test_compressed_codec_paths_are_shuffle_free(spark):
         decode_image_features(attach_png_payload(d), fake=False),
         decode_image_features(attach_gif_payload(d), fake=False),
         decode_audio_stats(attach_g711_payload(d)),
+        decode_audio_stats(attach_adpcm_payload(d)),
     ):
         plan = executed_plan(out)
         assert "Exchange" not in plan

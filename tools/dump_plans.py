@@ -38,6 +38,7 @@ NOTES = {
     "png_decode_stats_docs": "narrow mapInPandas encode+decode (DEFLATE + per-row filters + CRC) — shuffle-free end to end",
     "mulaw_decode_stats_docs": "narrow mapInPandas G.711 container build + expansion — shuffle-free end to end",
     "gif_decode_stats_docs": "narrow mapInPandas LZW encode+decode — shuffle-free end to end",
+    "adpcm_decode_stats_docs": "narrow mapInPandas stateful nibble decode — shuffle-free; state is per-payload, never crosses rows",
     "deterministic_shuffle_docs": "two-pass global rank: bounded bucket-offset table broadcast, full data ranks under a __bucket-partitioned window (no single-partition sort of the corpus)",
     "pii_redact_docs": "pure narrow map — regexp counts + chained redaction in one codegen projection, zero exchanges",
     "wav_decode_stats_docs": "narrow mapInPandas encode+decode, shuffle-free",
