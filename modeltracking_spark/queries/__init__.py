@@ -152,6 +152,7 @@ PRIORITY: tuple[str, ...] = (
     "mulaw_decode_stats_docs",      # G.711 companded audio expansion
     "gif_decode_stats_docs",        # GIF87a palette/LZW decode
     "adpcm_decode_stats_docs",      # IMA ADPCM stateful decode (recursive-CTE oracle)
+    "txlog_snapshot_orders",        # transaction-log table format (snapshot/time-travel/checkpoint)
 )
 
 #: observed driver correctness cap (CORRECTNESS_r03 scored exactly 50)

@@ -1777,3 +1777,112 @@ def chi2_type_vs_weekday_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "txlog_snapshot_orders",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderkey % 6 AS bucket,
+             round(o_totalprice * 100)::BIGINT AS c
+      FROM orders
+    )
+    SELECT 'latest' AS ver, bucket::BIGINT AS bucket,
+           count(*)::BIGINT AS n_orders,
+           sum(CASE WHEN bucket = 5 THEN 2 * c ELSE c END)::BIGINT
+             AS revenue_cents
+    FROM b WHERE bucket <> 4
+    GROUP BY 2
+    UNION ALL
+    SELECT 'v1' AS ver, bucket::BIGINT, count(*)::BIGINT,
+           sum(c)::BIGINT
+    FROM b
+    GROUP BY 2
+    """,
+)
+def txlog_snapshot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction-log table format end to end (operators/txlog.py —
+    the Delta-protocol-shaped commit log): orders split into 6
+    key-bucket parquet files across two commits, then a COMPACTION
+    (remove one file, re-add its rows as two halves — semantically a
+    no-op), an UPDATE rewrite (bucket-5 file replaced with doubled
+    totals), and a DELETE (bucket 4 removed). checkpoint_interval=2, so
+    the latest snapshot resolves THROUGH a checkpoint, and the 'v1' arm
+    time-travels to the pre-mutation state. The oracle derives both
+    snapshots' contents INDEPENDENTLY from the orders view (bucket 5
+    doubled / bucket 4 absent vs the plain table) — log replay,
+    checkpointing, atomic publish, and snapshot isolation are attested
+    by value, not by replaying the log in SQL. Fixture build is
+    write-temp-then-rename race-safe and keyed by sf_dir."""
+    import hashlib
+    import os
+    import shutil
+
+    from modeltracking_spark.operators.txlog import (
+        latest_version,
+        read_snapshot,
+        write_files_commit,
+    )
+
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice",
+        (F.col("o_orderkey") % 6).alias("bucket"),
+    )
+    fp = hashlib.md5(f"txlog-v1:{sf_dir}".encode()).hexdigest()[:10]
+    table_dir = f"/tmp/modeltracking_txlog_{fp}"
+    if latest_version(os.path.join(table_dir, "_log")) != 4:
+        build = f"{table_dir}.{os.getpid()}.tmp"
+        shutil.rmtree(build, ignore_errors=True)
+        os.makedirs(build)
+        buck = lambda m: orders.where(F.col("bucket") == m)
+        write_files_commit(
+            {f"b{m}": buck(m) for m in (0, 1, 2)}, build, 0,
+            key_col="o_orderkey", checkpoint_interval=2,
+        )
+        write_files_commit(
+            {f"b{m}": buck(m) for m in (3, 4, 5)}, build, 1,
+            key_col="o_orderkey", checkpoint_interval=2,
+        )
+        # v2 (checkpointed): compact bucket 2 into two halves — no-op
+        write_files_commit(
+            {
+                "b2_even": buck(2).where(F.col("o_orderkey") % 12 == 2),
+                "b2_odd": buck(2).where(F.col("o_orderkey") % 12 == 8),
+            },
+            build, 2, removes=["b2.parquet"],
+            key_col="o_orderkey", checkpoint_interval=2,
+        )
+        # v3: UPDATE rewrite — bucket 5 totals doubled
+        write_files_commit(
+            {
+                "b5_upd": buck(5).withColumn(
+                    "o_totalprice", F.col("o_totalprice") * 2
+                )
+            },
+            build, 3, removes=["b5.parquet"],
+            key_col="o_orderkey", checkpoint_interval=2,
+        )
+        # v4 (checkpointed): DELETE bucket 4
+        write_files_commit(
+            {}, build, 4, removes=["b4.parquet"],
+            key_col="o_orderkey", checkpoint_interval=2,
+        )
+        try:
+            os.rename(build, table_dir)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)  # lost the race
+
+    def agg(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.groupBy((F.col("o_orderkey") % 6).alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(cents("o_totalprice")).alias("revenue_cents"),
+            )
+            .select(F.lit(tag).alias("ver"), "bucket", "n_orders",
+                    "revenue_cents")
+        )
+
+    latest = read_snapshot(spark, table_dir)
+    v1 = read_snapshot(spark, table_dir, as_of_version=1)
+    return agg(latest, "latest").unionByName(agg(v1, "v1"))

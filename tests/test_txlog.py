@@ -1,0 +1,124 @@
+"""Transaction-log table format (operators/txlog.py): linearized
+commits, optimistic-concurrency conflicts, checkpoint-vs-full-replay
+equivalence, time travel, stats-based file skipping, and snapshot
+isolation."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from modeltracking_spark.operators.txlog import (
+    commit,
+    latest_version,
+    prune_files,
+    read_snapshot,
+    snapshot,
+    write_files_commit,
+)
+
+
+def _add(path, mn=None, mx=None):
+    a = {"path": path}
+    if mn is not None:
+        a.update(min_key=mn, max_key=mx, n_rows=mx - mn + 1)
+    return {"add": a}
+
+
+def test_commit_replay_and_last_writer_wins(tmp_path):
+    log = str(tmp_path / "_log")
+    assert latest_version(log) == -1
+    commit(log, 0, [_add("a.parquet"), _add("b.parquet")])
+    commit(log, 1, [{"remove": {"path": "a.parquet"}}, _add("c.parquet")])
+    commit(log, 2, [_add("b.parquet", 10, 20)])  # re-add = replace stats
+    assert latest_version(log) == 2
+    live = snapshot(log)
+    assert set(live) == {"b.parquet", "c.parquet"}
+    assert live["b.parquet"]["min_key"] == 10  # last writer won
+
+
+def test_commit_conflicts_are_loud(tmp_path):
+    log = str(tmp_path / "_log")
+    commit(log, 0, [_add("a.parquet")])
+    with pytest.raises(ValueError, match="conflict"):
+        commit(log, 0, [_add("b.parquet")])  # version taken
+    with pytest.raises(ValueError, match="conflict"):
+        commit(log, 5, [_add("b.parquet")])  # gap
+    # removing an unknown action type fails replay loudly
+    commit(log, 1, [_add("b.parquet")])
+    bad = os.path.join(log, f"{2:020d}.json")
+    with open(bad, "w") as f:
+        f.write(json.dumps({"truncate": {}}) + "\n")
+    with pytest.raises(ValueError, match="unknown log action"):
+        snapshot(log)
+
+
+def test_checkpoint_equals_full_replay(tmp_path):
+    """A reader starting from the checkpoint sees exactly the state a
+    from-zero replay sees, at every version — and only O(interval)
+    commit files are needed after the newest checkpoint."""
+    log = str(tmp_path / "_log")
+    for v in range(13):
+        acts = [_add(f"f{v}.parquet", v * 10, v * 10 + 9)]
+        if v % 3 == 2:
+            acts.append({"remove": {"path": f"f{v - 2}.parquet"}})
+        commit(log, v, acts, checkpoint_interval=4)
+    # checkpoints exist at 4, 8, 12
+    for cv in (4, 8, 12):
+        assert os.path.exists(os.path.join(log, f"{cv:020d}.checkpoint.json"))
+    # replay equivalence at every historical version (time travel)
+    for v in range(13):
+        from_log = {}
+        for w in range(v + 1):
+            with open(os.path.join(log, f"{w:020d}.json")) as f:
+                for line in f:
+                    a = json.loads(line)
+                    if "add" in a:
+                        from_log[a["add"]["path"]] = a["add"]
+                    else:
+                        from_log.pop(a["remove"]["path"], None)
+        assert snapshot(log, as_of_version=v) == from_log, v
+
+
+def test_prune_files_stats_skipping(tmp_path):
+    state = {
+        "lo.parquet": {"path": "lo.parquet", "min_key": 0, "max_key": 9},
+        "mid.parquet": {"path": "mid.parquet", "min_key": 10, "max_key": 19},
+        "hi.parquet": {"path": "hi.parquet", "min_key": 20, "max_key": 29},
+        "nostats.parquet": {"path": "nostats.parquet"},
+    }
+    kept = prune_files(state, lo=12, hi=15)
+    assert set(kept) == {"mid.parquet", "nostats.parquet"}
+    assert set(prune_files(state, lo=None, hi=5)) == {
+        "lo.parquet", "nostats.parquet"
+    }
+    assert set(prune_files(state)) == set(state)
+
+
+def test_reader_snapshot_isolation_and_pruning(spark, tmp_path):
+    """Files on disk but not in the log are INVISIBLE; stats pruning
+    reaches the reader; time travel reads historical content."""
+    table = str(tmp_path / "tbl")
+    os.makedirs(table)
+    df = spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+    write_files_commit(
+        {"lo": df.where("k < 50"), "hi": df.where("k >= 50")},
+        table, 0, key_col="k",
+    )
+    # an orphan parquet file the log never saw
+    df.where("k < 5").coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(table, "_orphan_dir")
+    )
+    assert read_snapshot(spark, table).count() == 100
+    # v1: delete the low half
+    write_files_commit({}, table, 1, removes=["lo.parquet"], key_col="k")
+    assert read_snapshot(spark, table).count() == 50
+    assert read_snapshot(spark, table, as_of_version=0).count() == 100
+    # stats pruning: asking for k<=10 after the delete matches nothing
+    # in the live file ranges -> empty snapshot raises loudly
+    with pytest.raises(ValueError, match="empty snapshot"):
+        read_snapshot(spark, table, key_hi=10)
+    # and a satisfiable range reads only the one file
+    assert read_snapshot(spark, table, key_lo=60, key_hi=70).count() == 50
