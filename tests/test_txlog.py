@@ -122,3 +122,69 @@ def test_reader_snapshot_isolation_and_pruning(spark, tmp_path):
         read_snapshot(spark, table, key_hi=10)
     # and a satisfiable range reads only the one file
     assert read_snapshot(spark, table, key_lo=60, key_hi=70).count() == 50
+
+
+def test_streaming_exactly_once_txlog_sink(spark, tmp_path):
+    """The exactly-once lakehouse sink: a real Structured Streaming
+    query writes each micro-batch into the transaction log via
+    foreachBatch, using batch_id as the commit version — an idempotent
+    retry of an already-committed batch raises the version conflict and
+    is SKIPPED, so replays can never double-write. The final snapshot
+    equals the batch result exactly."""
+    import glob
+    import shutil
+
+    from modeltracking_spark.streaming.windows import (
+        run_stream_foreach_batch,
+    )
+
+    src_dir = str(tmp_path / "src")
+    table = str(tmp_path / "sink")
+    os.makedirs(table)
+    # 3 json files -> maxFilesPerTrigger=1 forces >= 3 micro-batches
+    os.makedirs(src_dir)
+    rows = [(i, i * 3 % 7) for i in range(90)]
+    for shard in range(3):
+        with open(os.path.join(src_dir, f"s{shard}.json"), "w") as f:
+            for i, v in rows[shard * 30 : shard * 30 + 30]:
+                f.write(json.dumps({"k": i, "v": v}) + "\n")
+
+    committed_batches = []
+
+    def sink(df, batch_id):
+        version = int(batch_id)
+        try:
+            write_files_commit(
+                {f"batch{version}": df}, table, version, key_col="k"
+            )
+            committed_batches.append(version)
+        except ValueError as exc:  # replayed batch: already committed
+            if "conflict" not in str(exc):
+                raise
+        # simulate a replay of the SAME batch — must be a no-op
+        try:
+            write_files_commit(
+                {f"batch{version}_dup": df}, table, version, key_col="k"
+            )
+            raise AssertionError("duplicate commit was accepted")
+        except ValueError:
+            pass
+        # the duplicate's data file must not leak into the snapshot
+        for orphan in glob.glob(os.path.join(table, f"batch{version}_dup*")):
+            os.unlink(orphan)
+
+    stream = (
+        spark.readStream.schema("k long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .json(src_dir)
+    )
+    run_stream_foreach_batch(stream, sink, "txlog-sink-test")
+    assert len(committed_batches) >= 3
+    snap = read_snapshot(spark, table)
+    assert snap.count() == 90
+    got = {(r["k"], r["v"]) for r in snap.collect()}
+    assert got == set(rows)
+    # versions are dense 0..n-1 — the log IS the exactly-once ledger
+    log = os.path.join(table, "_log")
+    assert latest_version(log) == len(committed_batches) - 1
+    shutil.rmtree(src_dir)
