@@ -1,0 +1,144 @@
+"""Binary-classification evaluation metrics (extension surface;
+SURVEY.md §2.12 ML tier) — the measurement half of the in-engine
+quality classifier (``operators/classifier.py``): a curation pipeline
+that trains filters must also SCORE them (Joulin et al.'s fastText
+quality filters, Gopher's classifier comparisons, every data-mixture
+ablation).
+
+All metrics are computed as DataFrame aggregates with the engine's
+fixed-point discipline so they hash-match a SQL oracle exactly:
+
+- confusion counts (tp/fp/tn/fn) at an e6 threshold — one conditional
+  aggregate;
+- accuracy/precision/recall/F1 as e6-floored ratios with mirrored
+  association order (F1 from the integer identity
+  ``2·tp / (2·tp + fp + fn)`` — no intermediate rounding of
+  precision/recall);
+- exact tie-aware ROC AUC by the rank formula: with rows ordered by
+  ascending score, ``AUC = (Σ_pos avgrank − P(P+1)/2) / (P·N)``, where
+  tied scores share the average of their occupied ranks. Computed from
+  the per-distinct-score aggregate (2·cum_before + cnt + 1), so the
+  whole numerator stays in BIGINT — order-independent and
+  engine-exact; only the final division runs in doubles.
+
+Scale posture: one groupBy(score) aggregate (bounded by distinct
+scores, ≤ 1e6+1 at e6 precision) + one cumulative window over that
+bounded table + 1-row final aggregates. The corpus is scanned once; no
+per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def binary_classification_report(
+    scored: DataFrame,
+    label_col: str = "y",
+    score_col: str = "score_e6",
+    threshold_e6: int = 500_000,
+) -> DataFrame:
+    """One-row report over (label ∈ {0,1}, integer e6 score) rows:
+    (n, n_pos, n_neg, tp, fp, tn, fn, acc_e6, prec_e6, rec_e6, f1_e6,
+    auc_e6). Degenerate inputs (single class) yield NULL auc/derived
+    ratios rather than a division error."""
+    y = F.col(label_col).cast("long")
+    s = F.col(score_col).cast("long")
+    pred = (s >= F.lit(threshold_e6)).cast("long")
+
+    conf = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(y).alias("n_pos"),
+        F.sum(1 - y).alias("n_neg"),
+        F.sum(y * pred).alias("tp"),
+        F.sum((1 - y) * pred).alias("fp"),
+        F.sum((1 - y) * (1 - pred)).alias("tn"),
+        F.sum(y * (1 - pred)).alias("fn"),
+    )
+
+    # tie-aware AUC: per distinct score, positives share the average of
+    # the ranks that score's block occupies (ascending order)
+    per_score = scored.groupBy(s.alias("__s")).agg(
+        F.count(F.lit(1)).alias("__c"), F.sum(y).alias("__p")
+    )
+    w = Window.orderBy("__s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = per_score.withColumn(
+        "__cum", F.sum("__c").over(w)
+    ).withColumn("__before", F.col("__cum") - F.col("__c"))
+    # 2·Σ_pos avgrank, kept integer: Σ p·(2·before + c + 1)
+    auc_parts = ranked.agg(
+        F.sum(
+            F.col("__p")
+            * (F.lit(2) * F.col("__before") + F.col("__c") + F.lit(1))
+        ).alias("__two_sum_ranks")
+    )
+
+    e6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")
+    num = F.col("__two_sum_ranks") - F.col("n_pos") * (F.col("n_pos") + 1)
+    den = F.lit(2) * F.col("n_pos") * F.col("n_neg")
+    out = conf.crossJoin(F.broadcast(auc_parts)).select(
+        "n", "n_pos", "n_neg", "tp", "fp", "tn", "fn",
+        e6((F.col("tp") + F.col("tn")).cast("double")
+           / F.col("n").cast("double")).alias("acc_e6"),
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            e6(F.col("tp").cast("double")
+               / (F.col("tp") + F.col("fp")).cast("double")),
+        ).alias("prec_e6"),
+        F.when(
+            F.col("n_pos") > 0,
+            e6(F.col("tp").cast("double") / F.col("n_pos").cast("double")),
+        ).alias("rec_e6"),
+        F.when(
+            F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+            e6((F.lit(2) * F.col("tp")).cast("double")
+               / (F.lit(2) * F.col("tp") + F.col("fp")
+                  + F.col("fn")).cast("double")),
+        ).alias("f1_e6"),
+        F.when(
+            den > 0, e6(num.cast("double") / den.cast("double"))
+        ).alias("auc_e6"),
+    )
+    return out
+
+
+def calibration_bins(
+    scored: DataFrame,
+    label_col: str = "y",
+    score_col: str = "score_e6",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram data: equal-width e6-score bins with count,
+    mean predicted score (e6-floored from exact integer sums) and
+    observed positive rate (e6) — the calibration check run before
+    trusting a quality filter's threshold. Bounded output (n_bins
+    rows); one aggregate."""
+    y = F.col(label_col).cast("long")
+    s = F.col(score_col).cast("long")
+    # explicit floor: a bare double->long cast truncates in Spark but
+    # ROUNDS in DuckDB — floor is the portable spelling
+    bin_id = F.least(
+        F.lit(n_bins - 1),
+        F.floor(s * n_bins / F.lit(1_000_001)).cast("long"),
+    )
+    e6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")
+    return (
+        scored.groupBy(bin_id.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(s).alias("__ssum"),
+            F.sum(y).alias("n_pos"),
+        )
+        .select(
+            "bin", "n", "n_pos",
+            F.floor(
+                F.col("__ssum").cast("double") / F.col("n").cast("double")
+                + F.lit(0.5)
+            ).cast("long").alias("mean_score_e6"),
+            e6(F.col("n_pos").cast("double") / F.col("n").cast("double"))
+            .alias("pos_rate_e6"),
+        )
+    )

@@ -153,6 +153,8 @@ PRIORITY: tuple[str, ...] = (
     "gif_decode_stats_docs",        # GIF87a palette/LZW decode
     "adpcm_decode_stats_docs",      # IMA ADPCM stateful decode (recursive-CTE oracle)
     "txlog_snapshot_orders",        # transaction-log table format (snapshot/time-travel/checkpoint)
+    "classifier_eval_suite",        # confusion/PRF/exact tie-aware AUC
+    "classifier_calibration_bins",  # reliability-diagram bins
 )
 
 #: observed driver correctness cap (CORRECTNESS_r03 scored exactly 50)

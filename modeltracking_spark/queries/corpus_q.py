@@ -1145,3 +1145,104 @@ def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(c.agg(F.count(F.lit(1)).alias("n_view_click"))))
         .crossJoin(F.broadcast(p.agg(F.count(F.lit(1)).alias("n_full_funnel"))))
     )
+
+
+# ---- evaluation-metrics oracles (round 7): the scored relation is the
+# full logreg-training oracle nested as a parenthesized subquery (DuckDB
+# allows a WITH chain inside a derived table), then confusion counts,
+# ratio metrics with mirrored association order, and the tie-aware rank
+# AUC whose numerator stays in BIGINT.
+_LR_SCORED = f"({_LR_ORACLE})"
+
+
+@query(
+    "classifier_eval_suite",
+    oracle=f"""
+    WITH scored AS (SELECT * FROM {_LR_SCORED} s0),
+    conf AS (
+      SELECT count(*)::BIGINT AS n,
+             sum(y)::BIGINT AS n_pos,
+             sum(1 - y)::BIGINT AS n_neg,
+             sum(y * (score_e6 >= 500000)::INTEGER)::BIGINT AS tp,
+             sum((1 - y) * (score_e6 >= 500000)::INTEGER)::BIGINT AS fp,
+             sum((1 - y) * (1 - (score_e6 >= 500000)::INTEGER))::BIGINT AS tn,
+             sum(y * (1 - (score_e6 >= 500000)::INTEGER))::BIGINT AS fn
+      FROM scored
+    ),
+    ps AS (SELECT score_e6 AS s, count(*)::BIGINT AS c,
+                  sum(y)::BIGINT AS p
+           FROM scored GROUP BY 1),
+    rk AS (SELECT *, sum(c) OVER (ORDER BY s
+                     ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+           FROM ps),
+    aucp AS (SELECT sum(p * (2 * (cum - c) + c + 1))::BIGINT AS two_sum
+             FROM rk)
+    SELECT n, n_pos, n_neg, tp, fp, tn, fn,
+           floor((tp + tn)::DOUBLE / n::DOUBLE * 1e6 + 0.5::DOUBLE)::BIGINT
+             AS acc_e6,
+           CASE WHEN tp + fp > 0
+                THEN floor(tp::DOUBLE / (tp + fp)::DOUBLE * 1e6
+                           + 0.5::DOUBLE)::BIGINT END AS prec_e6,
+           CASE WHEN n_pos > 0
+                THEN floor(tp::DOUBLE / n_pos::DOUBLE * 1e6
+                           + 0.5::DOUBLE)::BIGINT END AS rec_e6,
+           CASE WHEN 2 * tp + fp + fn > 0
+                THEN floor((2 * tp)::DOUBLE / (2 * tp + fp + fn)::DOUBLE
+                           * 1e6 + 0.5::DOUBLE)::BIGINT END AS f1_e6,
+           CASE WHEN 2 * n_pos * n_neg > 0
+                THEN floor((two_sum - n_pos * (n_pos + 1))::DOUBLE
+                           / (2 * n_pos * n_neg)::DOUBLE * 1e6
+                           + 0.5::DOUBLE)::BIGINT END AS auc_e6
+    FROM conf, aucp
+    """,
+)
+def classifier_eval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation metrics over the in-engine quality classifier
+    (operators/evalmetrics.py — the measurement half every curation
+    ablation needs): confusion counts at the 0.5 threshold, accuracy/
+    precision/recall/F1 as e6-floored mirrored-association ratios (F1
+    via the integer identity 2tp/(2tp+fp+fn)), and EXACT tie-aware ROC
+    AUC by the rank formula — the BIGINT numerator Σp·(2·before+c+1)
+    makes it order-independent, so the whole report hash-matches. The
+    oracle nests the full logreg training replay as the scored
+    relation, then derives every metric independently in SQL. Scale:
+    one corpus aggregate + one bounded per-score aggregate + a window
+    over the bounded score table."""
+    from modeltracking_spark.operators.evalmetrics import (
+        binary_classification_report,
+    )
+    from modeltracking_spark.queries.corpus_q import quality_logreg_docs
+
+    scored = quality_logreg_docs(spark, sf_dir)
+    return binary_classification_report(
+        scored, label_col="y", score_col="score_e6", threshold_e6=500_000
+    )
+
+
+@query(
+    "classifier_calibration_bins",
+    oracle=f"""
+    WITH scored AS (SELECT * FROM {_LR_SCORED} s0)
+    SELECT least(9, floor(score_e6 * 10 / 1000001)::BIGINT) AS bin,
+           count(*)::BIGINT AS n,
+           sum(y)::BIGINT AS n_pos,
+           floor(sum(score_e6)::DOUBLE / count(*)::DOUBLE
+                 + 0.5::DOUBLE)::BIGINT AS mean_score_e6,
+           floor(sum(y)::DOUBLE / count(*)::DOUBLE * 1e6
+                 + 0.5::DOUBLE)::BIGINT AS pos_rate_e6
+    FROM scored
+    GROUP BY 1
+    """,
+)
+def classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins for the quality classifier: 10
+    equal-width e6-score bins with count, exact-integer mean predicted
+    score, and observed positive rate — the calibration check run
+    before trusting a filter threshold (operators/evalmetrics.py:
+    calibration_bins). Bounded 10-row output from one aggregate; the
+    oracle re-derives the bins from the nested training replay."""
+    from modeltracking_spark.operators.evalmetrics import calibration_bins
+    from modeltracking_spark.queries.corpus_q import quality_logreg_docs
+
+    scored = quality_logreg_docs(spark, sf_dir)
+    return calibration_bins(scored, label_col="y", score_col="score_e6")
