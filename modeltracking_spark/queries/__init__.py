@@ -155,6 +155,7 @@ PRIORITY: tuple[str, ...] = (
     "txlog_snapshot_orders",        # transaction-log table format (snapshot/time-travel/checkpoint)
     "classifier_eval_suite",        # confusion/PRF/exact tie-aware AUC
     "classifier_calibration_bins",  # reliability-diagram bins
+    "key_skew_profile_events",      # skew diagnostic (max share + exact Gini)
 )
 
 #: observed driver correctness cap (CORRECTNESS_r03 scored exactly 50)

@@ -1886,3 +1886,66 @@ def txlog_snapshot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest = read_snapshot(spark, table_dir)
     v1 = read_snapshot(spark, table_dir, as_of_version=1)
     return agg(latest, "latest").unionByName(agg(v1, "v1"))
+
+
+@query(
+    "key_skew_profile_events",
+    oracle="""
+    WITH g AS (SELECT user_id, count(*)::BIGINT AS c
+               FROM events GROUP BY 1),
+    r AS (SELECT c, row_number() OVER (ORDER BY c, user_id)::BIGINT AS i
+          FROM g),
+    t AS (SELECT count(*)::BIGINT AS n_keys, sum(c)::BIGINT AS n_rows,
+                 max(c)::BIGINT AS max_count,
+                 sum(i * c)::BIGINT AS wsum
+          FROM r)
+    SELECT n_rows, n_keys, max_count,
+           floor(max_count::DOUBLE / n_rows::DOUBLE * 1e6
+                 + 0.5::DOUBLE)::BIGINT AS max_share_e6,
+           floor(((2 * wsum - (n_keys + 1) * n_rows)::DOUBLE
+                  / (n_keys * n_rows)::DOUBLE) * 1e6
+                 + 0.5::DOUBLE)::BIGINT AS gini_e6
+    FROM t
+    """,
+)
+def key_skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/aggregation-key skew diagnostic — the measurement that
+    decides between a plain hash join, a broadcast, and the salted
+    escape hatch (operators/joins.py:salted_join): per-key group sizes
+    for events.user_id reduced to (n_rows, n_keys, max_count,
+    max_share_e6, gini_e6). The Gini coefficient comes from the exact
+    rank-weighted integer identity G = (2·Σi·x_i − (n+1)·Σx)/(n·Σx)
+    over sizes sorted ascending (ties broken by key for a total order)
+    — no transcendentals, so the whole profile hash-matches. Scale: one
+    corpus aggregate, then windows over the BOUNDED per-key table
+    only."""
+    from pyspark.sql import Window
+
+    g = (
+        T(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    r = g.withColumn(
+        "i",
+        F.row_number().over(Window.orderBy(F.col("c"), F.col("user_id"))),
+    )
+    t = r.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("max_count"),
+        F.sum(F.col("i").cast("long") * F.col("c")).alias("wsum"),
+    )
+    e6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")
+    return t.select(
+        "n_rows", "n_keys", "max_count",
+        e6(F.col("max_count").cast("double") / F.col("n_rows").cast("double"))
+        .alias("max_share_e6"),
+        e6(
+            (
+                F.lit(2) * F.col("wsum")
+                - (F.col("n_keys") + 1) * F.col("n_rows")
+            ).cast("double")
+            / (F.col("n_keys") * F.col("n_rows")).cast("double")
+        ).alias("gini_e6"),
+    )

@@ -227,3 +227,35 @@ def test_zscore_hand_values(spark):
     # and unit-variance: mean of z^2 within 1% of 1
     var = out.agg(F.avg((F.col("z_e6") / 1e6) ** 2).alias("v")).collect()[0]
     assert math.isclose(var["v"], 1.0, rel_tol=0.02)
+
+
+def test_key_skew_profile_hand_values(spark):
+    """Gini identity on a hand distribution: sizes [1, 1, 2, 4] ->
+    G = (2*(1*1+2*1+3*2+4*4) - 5*8) / (4*8) = (2*25-40)/32 = 0.3125;
+    uniform sizes -> G = 0; max_share exact."""
+    from modeltracking_spark.queries import load_registries
+
+    qs, _ = load_registries()
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    def profile(sizes):
+        rows = [(f"u{i}", s) for i, s in enumerate(sizes)]
+        g = spark.createDataFrame(rows, "user_id string, c long")
+        r = g.withColumn(
+            "i", F.row_number().over(Window.orderBy("c", "user_id"))
+        )
+        t = r.agg(
+            F.count(F.lit(1)).alias("n_keys"), F.sum("c").alias("n_rows"),
+            F.max("c").alias("max_count"),
+            F.sum(F.col("i").cast("long") * F.col("c")).alias("wsum"),
+        ).first()
+        num = 2 * t["wsum"] - (t["n_keys"] + 1) * t["n_rows"]
+        return t, num / (t["n_keys"] * t["n_rows"])
+
+    t, gini = profile([1, 1, 2, 4])
+    assert t["max_count"] == 4 and abs(gini - 0.3125) < 1e-12
+    _, gini0 = profile([3, 3, 3, 3])
+    assert abs(gini0) < 1e-12
+    _, gini_max = profile([0, 0, 0, 100])  # all mass on one key
+    assert abs(gini_max - 0.75) < 1e-12  # (n-1)/n for n=4
