@@ -3,7 +3,9 @@ multimodal tier) — the real compressed-image decode path, from the
 public ITU-T T.81 spec (+ JFIF 1.02), same playbook as the BMP/WAV/Y4M
 codecs in :mod:`operators/multimodal` and the classic-netCDF reader.
 
-Scope: BASELINE sequential DCT (SOF0), 8-bit, restart-interval-free,
+Scope: BASELINE sequential DCT (SOF0), 8-bit, restart intervals
+(DRI/RSTn — the spec's unit of independently-decodable parallelism,
+with per-segment DC-predictor resets and sequence-number verification),
 with the standard zigzag order, differential DC + run-length AC Huffman
 entropy coding (Annex F), byte stuffing (FF 00), and Annex K's example
 luminance AND chrominance Huffman tables on the encode side (the
@@ -145,10 +147,19 @@ class _BitWriter:
             if b == 0xFF:  # byte stuffing (T.81 F.1.2.3)
                 self.out.append(0x00)
 
-    def flush(self) -> bytes:
+    def pad_to_byte(self):
         if self.n:
             pad = 8 - self.n
             self.put((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+    def marker(self, m: int):
+        """Emit a raw marker (byte-aligned, NOT byte-stuffed) — used for
+        RSTn between restart segments."""
+        self.pad_to_byte()
+        self.out += bytes([0xFF, m])
+
+    def flush(self) -> bytes:
+        self.pad_to_byte()
         return bytes(self.out)
 
 
@@ -172,9 +183,9 @@ class _BitReader:
                 if m == 0x00:
                     self.pos += 1  # stuffed byte
                 elif 0xD0 <= m <= 0xD7:
-                    raise NotImplementedError(
-                        "JPEG restart markers (DRI/RSTn) not implemented — "
-                        "restart-interval streams are a libjpeg plug-in point"
+                    raise ValueError(
+                        f"restart marker RST{m - 0xD0} inside an entropy "
+                        "segment (MCU count disagrees with the DRI interval)"
                     )
                 else:
                     raise ValueError(f"unexpected marker FF{m:02X} in scan")
@@ -182,6 +193,22 @@ class _BitReader:
             self.n = 8
         self.n -= 1
         return (self.acc >> self.n) & 1
+
+    def restart(self) -> int:
+        """Byte-align (discarding the pad bits), consume an RSTn marker,
+        and return n — the segment boundary of a DRI stream (T.81
+        E.2.4/F.2.2.5): every restart segment is independently
+        decodable, which is baseline JPEG's unit of parallel decode."""
+        self.n = 0  # drop pad bits
+        if self.pos + 2 > len(self.data):
+            raise ValueError("truncated JPEG at expected restart marker")
+        b0, b1 = self.data[self.pos], self.data[self.pos + 1]
+        if b0 != 0xFF or not 0xD0 <= b1 <= 0xD7:
+            raise ValueError(
+                f"expected RSTn marker, found {b0:02X}{b1:02X}"
+            )
+        self.pos += 2
+        return b1 - 0xD0
 
     def bits(self, k: int) -> int:
         v = 0
@@ -299,13 +326,16 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
 
 
-def encode_jpeg_gray(pixels, quant=None) -> bytes:
+def encode_jpeg_gray(pixels, quant=None, restart_interval: int = 0) -> bytes:
     """(h, w) uint8 greyscale array -> baseline JFIF bytes.
 
     ``quant``: 64 quantization values in zigzag order (default
     ``FLAT_Q8``). Partial edge blocks are padded by edge replication
     before the DCT (the standard encoder recommendation), so a
-    block-constant image stays block-constant through padding."""
+    block-constant image stays block-constant through padding.
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
+    (with DC-predictor reset) every that-many MCUs — the spec's unit of
+    independently-decodable parallelism and error containment."""
     import numpy as np
 
     a = np.asarray(pixels, dtype=np.uint8)
@@ -323,17 +353,26 @@ def encode_jpeg_gray(pixels, quant=None) -> bytes:
     bwr = _BitWriter()
     prev_dc = 0
     bh, bw = padded.shape[0] // 8, padded.shape[1] // 8
+    n_mcu = bh * bw  # single-component scan: 1 MCU = 1 block
+    mcu = 0
     for by in range(bh):
         for bx in range(bw):
             blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
             prev_dc = _encode_block(
                 bwr, blk, qmat, A, dc_codes, ac_codes, prev_dc
             )
+            mcu += 1
+            if restart_interval and mcu % restart_interval == 0 \
+                    and mcu < n_mcu:
+                bwr.marker(0xD0 + (mcu // restart_interval - 1) % 8)
+                prev_dc = 0
     entropy = bwr.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")  # APP0
     out += _seg(0xDB, bytes([0x00]) + bytes(int(x) for x in q))  # DQT, table 0
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))  # DRI
     # SOF0: 8-bit precision, 1 component (id 1, sampling 1x1, qtable 0)
     out += _seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
     out += _seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))  # DHT DC0
@@ -346,7 +385,8 @@ def encode_jpeg_gray(pixels, quant=None) -> bytes:
 
 
 def encode_jpeg_color(pixels, quant=None, quant_chroma=None,
-                      subsampling: str = "420") -> bytes:
+                      subsampling: str = "420",
+                      restart_interval: int = 0) -> bytes:
     """(h, w, 3) uint8 RGB array -> baseline YCbCr JFIF bytes.
 
     The full 3-component pipeline from the spec: JFIF RGB->YCbCr color
@@ -408,6 +448,7 @@ def encode_jpeg_color(pixels, quant=None, quant_chroma=None,
     bwr = _BitWriter()
     prev = [0, 0, 0]
     n_my, n_mx = yp.shape[0] // mcu, yp.shape[1] // mcu
+    mcu_i = 0
     for my in range(n_my):
         for mx in range(n_mx):
             for vy in range(vs):
@@ -426,6 +467,11 @@ def encode_jpeg_color(pixels, quant=None, quant_chroma=None,
                 bwr, crp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] - 128.0,
                 qmc, A, dcc, acc, prev[2],
             )
+            mcu_i += 1
+            if restart_interval and mcu_i % restart_interval == 0 \
+                    and mcu_i < n_my * n_mx:
+                bwr.marker(0xD0 + (mcu_i // restart_interval - 1) % 8)
+                prev = [0, 0, 0]
     entropy = bwr.flush()
 
     samp = (hs << 4) | vs
@@ -433,6 +479,8 @@ def encode_jpeg_color(pixels, quant=None, quant_chroma=None,
     out += _seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
     out += _seg(0xDB, bytes([0x00]) + bytes(int(x) for x in ql))
     out += _seg(0xDB, bytes([0x01]) + bytes(int(x) for x in qc))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))  # DRI
     out += _seg(
         0xC0,
         struct.pack(">BHHB", 8, h, w, 3)
@@ -467,6 +515,7 @@ def decode_jpeg(data: bytes):
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], tuple] = {}
     h = w = None
+    dri = 0
     comps: list[tuple[int, int, int, int]] = []  # (cid, hi, vi, tq)
     scan_tables: dict[int, tuple[int, int]] = {}  # cid -> (dc_id, ac_id)
     scan_order: list[int] = []
@@ -494,11 +543,9 @@ def decode_jpeg(data: bytes):
             )
         if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7):
             raise ValueError(f"unsupported JPEG frame type SOF{marker - 0xC0}")
-        if marker == 0xDD:
-            raise NotImplementedError(
-                "JPEG restart intervals (DRI) not implemented"
-            )
         if marker == 0xC0:
+            if comps:
+                raise ValueError("multiple SOF0 frame headers in one stream")
             prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec} (only 8)")
@@ -513,6 +560,8 @@ def decode_jpeg(data: bytes):
                 cid = body[6 + 3 * c]
                 samp = body[7 + 3 * c]
                 comps.append((cid, samp >> 4, samp & 0x0F, body[8 + 3 * c]))
+        elif marker == 0xDD:
+            dri = struct.unpack_from(">H", body, 0)[0]  # 0 = disabled
         elif marker == 0xDB:
             i = 0
             while i < len(body):
@@ -600,6 +649,7 @@ def decode_jpeg(data: bytes):
         blk = A.T @ (coef.reshape(8, 8) * qm[cid]) @ A
         return np.clip(np.round(blk) + 128, 0, 255).astype(np.uint8)
 
+    mcu_i = 0
     for my in range(n_my):
         for mx in range(n_mx):
             for cid in scan_order:
@@ -609,6 +659,17 @@ def decode_jpeg(data: bytes):
                         y0 = (my * vi + vy) * 8
                         x0 = (mx * hi + vx) * 8
                         planes[cid][y0 : y0 + 8, x0 : x0 + 8] = one_block(cid)
+            mcu_i += 1
+            if dri and mcu_i % dri == 0 and mcu_i < n_my * n_mx:
+                seq = rdr.restart()
+                want = (mcu_i // dri - 1) % 8
+                if seq != want:
+                    raise ValueError(
+                        f"restart sequence broken: RST{seq}, expected "
+                        f"RST{want} (a dropped or duplicated segment)"
+                    )
+                for cid in prev_dc:
+                    prev_dc[cid] = 0  # predictors reset per segment
 
     up = {}
     for cid, hi, vi, _ in comps:

@@ -79,14 +79,18 @@ def commit(log_dir: str, version: int, actions: list[dict],
     with open(tmp, "w") as f:
         for a in actions:
             f.write(json.dumps(a, sort_keys=True) + "\n")
-    if os.path.exists(final):
-        os.unlink(tmp)
-        raise ValueError(f"commit conflict: version {version} already exists")
+    # atomic CLAIM, not rename: os.rename silently REPLACES an existing
+    # target on POSIX (a racing loser would overwrite the winner's
+    # commit — a TOCTOU the exists-check above cannot close); os.link
+    # fails with EEXIST, so exactly one writer publishes each version
     try:
-        os.rename(tmp, final)
+        os.link(tmp, final)
     except OSError:
+        raise ValueError(
+            f"commit conflict: version {version} already published"
+        )
+    finally:
         os.unlink(tmp)
-        raise ValueError(f"commit conflict publishing version {version}")
     if version > 0 and version % checkpoint_interval == 0:
         state = snapshot(log_dir, as_of_version=version)
         cp_tmp = _checkpoint_path(log_dir, version) + f".{os.getpid()}.tmp"

@@ -121,7 +121,8 @@ def test_rejects_are_loud_and_typed():
         decode_jpeg_gray(b"\xff\xd8\xff\xc2\x00\x0b" + bytes(9))
     with pytest.raises(NotImplementedError, match="arithmetic"):
         decode_jpeg_gray(b"\xff\xd8\xff\xc9\x00\x0b" + bytes(9))
-    with pytest.raises(NotImplementedError, match="restart"):
+    # a DRI with no frame/scan after it is malformed, not unimplemented
+    with pytest.raises(ValueError, match="no SOS"):
         decode_jpeg_gray(b"\xff\xd8\xff\xdd\x00\x04\x00\x10")
     # the greyscale-contract wrapper refuses a (valid) color stream
     color = encode_jpeg_color(np.zeros((8, 8, 3), np.uint8))
@@ -244,3 +245,70 @@ def test_bad_sampling_factors_reject():
     # 3 > 2 makes Cb the max and Y's 2 no longer divides 3
     with pytest.raises(ValueError, match="does not divide"):
         decode_jpeg(bytes(payload))
+
+
+# ---------------------------------------------------------------------------
+# restart intervals (round 7 follow-up): DRI/RSTn — baseline JPEG's
+# parallel-decode / error-containment mechanism
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.data())
+def test_restart_interval_roundtrip_exact(data):
+    ri = data.draw(st.integers(1, 7), label="restart_interval")
+    h = data.draw(st.integers(1, 40), label="h")
+    w = data.draw(st.integers(1, 40), label="w")
+    bh, bw = -(-h // 8), -(-w // 8)
+    vals = data.draw(
+        st.lists(st.integers(0, 255), min_size=bh * bw, max_size=bh * bw)
+    )
+    img = _block_constant(vals, h, w)
+    payload = encode_jpeg_gray(img, restart_interval=ri)
+    assert np.array_equal(decode_jpeg(payload), img)
+    # DRI segment is present iff segments exist
+    assert (b"\xff\xdd" in payload)
+    cimg = np.stack([img] * 3, axis=2)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_color(cimg, subsampling="420",
+                                      restart_interval=ri)),
+        cimg,
+    )
+
+
+def test_restart_sequence_numbers_wrap_and_verify():
+    """36 single-MCU segments exercise the RST0..RST7 wrap; swapping
+    two RST markers must fail the sequence check (a dropped segment is
+    detected, not silently mis-assembled)."""
+    img = _block_constant(list(range(36)), 48, 48)
+    payload = bytearray(encode_jpeg_gray(img, restart_interval=1))
+    assert np.array_equal(decode_jpeg(bytes(payload)), img)
+    # find the first two RST markers and swap their sequence numbers
+    idx = []
+    for i in range(len(payload) - 1):
+        if payload[i] == 0xFF and 0xD0 <= payload[i + 1] <= 0xD7:
+            idx.append(i + 1)
+            if len(idx) == 2:
+                break
+    payload[idx[0]], payload[idx[1]] = payload[idx[1]], payload[idx[0]]
+    with pytest.raises(ValueError, match="restart sequence broken"):
+        decode_jpeg(bytes(payload))
+
+
+def test_restart_resets_dc_prediction():
+    """Each segment must re-predict DC from 0: decoding any segment
+    only needs its own bytes. Verify by checking the stream decodes
+    identically when the FIRST segment's blocks change (the second
+    segment's bytes are unchanged AND still decode to the same
+    pixels)."""
+    a = _block_constant([10, 20, 200, 210], 8, 32)
+    b = _block_constant([90, 80, 200, 210], 8, 32)
+    pa = encode_jpeg_gray(a, restart_interval=2)
+    pb = encode_jpeg_gray(b, restart_interval=2)
+    # the tail (second segment: blocks 3-4 + EOI) is byte-identical
+    # because its DC chain restarts at 0 — independence made visible
+    ra = pa[pa.index(b"\xff\xd0"):]
+    rb = pb[pb.index(b"\xff\xd0"):]
+    assert ra == rb
+    assert np.array_equal(decode_jpeg(pa), a)
+    assert np.array_equal(decode_jpeg(pb), b)

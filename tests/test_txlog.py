@@ -188,3 +188,21 @@ def test_streaming_exactly_once_txlog_sink(spark, tmp_path):
     log = os.path.join(table, "_log")
     assert latest_version(log) == len(committed_batches) - 1
     shutil.rmtree(src_dir)
+
+
+def test_commit_claim_is_link_atomic_not_rename(tmp_path):
+    """The publish step must be an os.link claim: a racing writer whose
+    version was taken between its check and its publish must FAIL, not
+    silently replace the winner's commit (rename semantics would)."""
+    log = str(tmp_path / "_log")
+    commit(log, 0, [_add("winner.parquet")])
+    # simulate the loser's interleaving: it validated version 1, then
+    # the winner published version 1 first
+    commit(log, 1, [_add("first.parquet")])
+    path1 = os.path.join(log, f"{1:020d}.json")
+    before = open(path1).read()
+    with pytest.raises(ValueError, match="conflict"):
+        commit(log, 1, [_add("second.parquet")])
+    assert open(path1).read() == before  # winner's bytes untouched
+    # and no temp files leak
+    assert not [f for f in os.listdir(log) if f.endswith(".tmp")]
