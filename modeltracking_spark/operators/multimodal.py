@@ -10,10 +10,12 @@ YUV4MPEG2 planar C420/C444 video (mjpegtools spec). COMPRESSED formats
 (round 7): baseline JPEG — greyscale and 4:4:4/4:2:0 YCbCr color —
 via ``operators/jpeg.py`` (ITU T.81), PNG via ``operators/png.py``
 (RFC 2083 + stdlib zlib), and G.711 mu-law/A-law companded WAV audio
-(ITU G.711 segmented-log tables, below). What remains genuinely
-library-bound — MP3/AAC, H.264, progressive/arithmetic JPEG, ADPCM —
-raises ``NotImplementedError`` at the exact point a PIL/ffmpeg decoder
-would plug in, and the ``fake=True`` paths keep a deterministic
+(ITU G.711 segmented-log tables, below), and IMA ADPCM (mono packed
+nibbles AND the multi-channel 4-byte-group interleave, with the spec's
+``fact`` chunk bounding padded tail blocks). What remains genuinely
+library-bound — MP3/AAC, H.264, progressive/arithmetic JPEG — raises
+``NotImplementedError`` at the exact point a PIL/ffmpeg decoder would
+plug in, and the ``fake=True`` paths keep a deterministic
 pseudo-feature tier for exercising the Spark plumbing (schema, batch
 shape, Arrow transfer, partition mapping) format-independently.
 """
@@ -185,6 +187,7 @@ def decode_wav(data: bytes):
     rate = n_ch = None
     audio_fmt = None
     frames = None
+    fact_n = None  # 'fact' chunk: total frames (required for non-PCM)
     while off + 8 <= end:
         cid, csize = data[off : off + 4], struct.unpack_from("<I", data, off + 4)[0]
         body_off = off + 8
@@ -195,11 +198,9 @@ def decode_wav(data: bytes):
                 "<HHIIHH", data, body_off
             )
             if audio_fmt == _WAV_FMT_IMA_ADPCM:
-                if n_ch != 1:
-                    raise NotImplementedError(
-                        "multi-channel IMA ADPCM (4-byte channel "
-                        "interleave) not implemented — the ffmpeg "
-                        "plug-in point; mono only"
+                if not 1 <= n_ch <= 8:
+                    raise ValueError(
+                        f"implausible IMA ADPCM channel count {n_ch}"
                     )
                 if bits != 4 or csize < 20:
                     raise ValueError(
@@ -220,6 +221,8 @@ def decode_wav(data: bytes):
                     "ADPCM are implemented; float/MP3-in-WAV are the ffmpeg "
                     "plug-in point)"
                 )
+        elif cid == b"fact":
+            fact_n = struct.unpack_from("<I", data, body_off)[0]
         elif cid == b"data":
             if n_ch is None:
                 raise ValueError("data chunk before fmt chunk")
@@ -240,10 +243,20 @@ def decode_wav(data: bytes):
                     # a trailing short block decodes the samples its
                     # nibble bytes actually cover
                     n_here = min(
-                        samples_per_block, (len(block) - 4) * 2 + 1
+                        samples_per_block,
+                        (len(block) - 4 * n_ch) * 2 // n_ch + 1,
                     )
-                    samples.extend(ima_adpcm_decode_block(block, n_here))
-                frames = np.array(samples, dtype=np.int16).reshape(-1, 1)
+                    if n_ch == 1:
+                        samples.extend(
+                            ima_adpcm_decode_block(block, n_here)
+                        )
+                    else:
+                        samples.extend(
+                            ima_adpcm_decode_block_stereo(
+                                block, n_here, n_ch
+                            )
+                        )
+                frames = np.array(samples, dtype=np.int16).reshape(-1, n_ch)
             else:
                 codes = np.frombuffer(
                     data, dtype=np.uint8, count=csize, offset=body_off
@@ -255,6 +268,9 @@ def decode_wav(data: bytes):
         off = body_off + csize + (csize & 1)  # chunks are word-aligned
     if rate is None or frames is None:
         raise ValueError("missing fmt or data chunk")
+    if fact_n is not None and len(frames) > fact_n:
+        # compressed blocks pad to group boundaries; fact is the truth
+        frames = frames[:fact_n]
     return rate, frames
 
 
@@ -402,6 +418,93 @@ def ima_adpcm_decode_block(block: bytes, n_samples: int):
     return out
 
 
+def ima_adpcm_decode_block_stereo(block: bytes, n_samples: int,
+                                  n_ch: int = 2):
+    """One INTERLEAVED IMA block (per-channel 4-byte headers, then
+    per-channel alternating 4-byte groups of 8 nibbles) -> list of
+    ``n_samples`` frames, each a tuple of ``n_ch`` int16 values (the
+    header predictors are frame 0) — the WAV 0x11 multi-channel layout
+    from the public spec."""
+    hdr = 4 * n_ch
+    if len(block) < hdr:
+        raise ValueError("IMA ADPCM block shorter than its channel headers")
+    preds, idxs = [], []
+    for c in range(n_ch):
+        p = struct.unpack_from("<h", block, 4 * c)[0]
+        ix = block[4 * c + 2]
+        if ix > 88:
+            raise ValueError(f"IMA ADPCM step index {ix} out of range 0..88")
+        preds.append(p)
+        idxs.append(ix)
+    out = [tuple(preds)]
+    data = block[hdr:]
+    # nibble j of channel c lives in 4-byte group (j // 8) of that
+    # channel; groups alternate ch0, ch1, ... within each group-row
+    for t in range(1, n_samples):
+        j = t - 1
+        frame = []
+        for c in range(n_ch):
+            grp_row, in_grp = j >> 3, j & 7
+            byte_i = (grp_row * n_ch + c) * 4 + (in_grp >> 1)
+            if byte_i >= len(data):
+                raise ValueError(
+                    f"truncated IMA ADPCM block: frame {t} of {n_samples} "
+                    f"channel {c} needs data byte {byte_i}, have {len(data)}"
+                )
+            b = data[byte_i]
+            nib = (b >> 4) if in_grp & 1 else (b & 0x0F)
+            preds[c], idxs[c] = _ima_step(preds[c], idxs[c], nib)
+            frame.append(preds[c])
+        out.append(tuple(frame))
+    return out
+
+
+def ima_adpcm_encode_stereo(samples, samples_per_block: int = 505,
+                            n_ch: int = 2) -> bytes:
+    """(n_frames, n_ch) int16 PCM -> interleaved IMA ADPCM block
+    stream (per-channel headers + alternating 4-byte nibble groups);
+    the greedy per-channel quantizer of :func:`ima_adpcm_encode_mono`,
+    with each channel's (predictor, index) state independent."""
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.int16)
+    if a.ndim != 2 or a.shape[1] != n_ch:
+        raise ValueError(f"expected (n_frames, {n_ch}), got {a.shape}")
+    out = bytearray()
+    idxs = [0] * n_ch
+    for b0 in range(0, len(a), samples_per_block):
+        blk = a[b0 : b0 + samples_per_block]
+        preds = [int(blk[0, c]) for c in range(n_ch)]
+        for c in range(n_ch):
+            out += struct.pack("<hBB", preds[c], idxs[c], 0)
+        nibs: list[list[int]] = [[] for _ in range(n_ch)]
+        for frame in blk[1:]:
+            for c in range(n_ch):
+                step = IMA_STEPS[idxs[c]]
+                diff = int(frame[c]) - preds[c]
+                nib = 8 if diff < 0 else 0
+                if diff < 0:
+                    diff = -diff
+                if diff >= step:
+                    nib |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    nib |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    nib |= 1
+                preds[c], idxs[c] = _ima_step(preds[c], idxs[c], nib)
+                nibs[c].append(nib)
+        n_grp_rows = -(-len(nibs[0]) // 8) if nibs[0] else 0
+        for g in range(n_grp_rows):
+            for c in range(n_ch):
+                chunk = nibs[c][g * 8 : g * 8 + 8]
+                chunk += [0] * (8 - len(chunk))
+                for i in range(0, 8, 2):
+                    out.append(chunk[i] | (chunk[i + 1] << 4))
+    return bytes(out)
+
+
 def ima_adpcm_encode_mono(samples, samples_per_block: int = 505) -> bytes:
     """Mono int16 PCM -> IMA ADPCM block stream (the canonical greedy
     encoder: nibble = best step-quantized approximation of the delta,
@@ -469,6 +572,7 @@ def encode_wav_g711(samples, sample_rate: int, law: str = "mu") -> bytes:
     body = (
         b"WAVE"
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n_frames)
         + b"data" + struct.pack("<I", len(data)) + data
         + (b"\x00" if len(data) & 1 else b"")
     )
@@ -785,27 +889,38 @@ AUDIO_STATS_SCHEMA = (
 
 
 def _ima_fmt_body(sample_rate: int, block_align: int,
-                  samples_per_block: int) -> bytes:
+                  samples_per_block: int, n_ch: int = 1) -> bytes:
     byte_rate = max(1, sample_rate * block_align // max(samples_per_block, 1))
     return struct.pack(
-        "<HHIIHHHH", _WAV_FMT_IMA_ADPCM, 1, sample_rate, byte_rate,
+        "<HHIIHHHH", _WAV_FMT_IMA_ADPCM, n_ch, sample_rate, byte_rate,
         block_align, 4, 2, samples_per_block,
     )
 
 
 def encode_wav_ima_adpcm(samples, sample_rate: int,
                          samples_per_block: int = 505) -> bytes:
-    """Mono int16 PCM -> IMA ADPCM WAV bytes (format 0x11, mono,
-    cbSize=2 fmt extension carrying wSamplesPerBlock)."""
+    """int16 PCM -> IMA ADPCM WAV bytes (format 0x11, cbSize=2 fmt
+    extension carrying wSamplesPerBlock). 1-D or (n, 1) input takes
+    the mono packed-nibble layout; (n, ch>=2) the interleaved 4-byte
+    group layout."""
     import numpy as np
 
-    a = np.asarray(samples, dtype=np.int16).reshape(-1)
-    data = ima_adpcm_encode_mono(a, samples_per_block)
-    block_align = 4 + (samples_per_block - 1 + 1) // 2
-    fmt = _ima_fmt_body(sample_rate, block_align, samples_per_block)
+    a = np.asarray(samples, dtype=np.int16)
+    if a.ndim == 1:
+        a = a[:, None]
+    n_ch = a.shape[1]
+    if n_ch == 1:
+        data = ima_adpcm_encode_mono(a.reshape(-1), samples_per_block)
+        block_align = 4 + (samples_per_block - 1 + 1) // 2
+    else:
+        data = ima_adpcm_encode_stereo(a, samples_per_block, n_ch)
+        block_align = 4 * n_ch + (-(-(samples_per_block - 1) // 8)) * 4 * n_ch
+    fmt = _ima_fmt_body(sample_rate, block_align, samples_per_block,
+                        n_ch=n_ch)
     body = (
         b"WAVE"
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, a.shape[0])
         + b"data" + struct.pack("<I", len(data)) + data
         + (b"\x00" if len(data) & 1 else b"")
     )

@@ -549,9 +549,44 @@ def test_adpcm_rejects_and_bounds():
         ima_adpcm_decode_block(st.pack("<hBB", 0, 99, 0), 1)
     with pytest.raises(ValueError, match="truncated IMA"):
         ima_adpcm_decode_block(st.pack("<hBB", 0, 0, 0), 10)
-    # stereo ADPCM names the ffmpeg plug-in point
-    fmt = st.pack("<HHIIHHHH", 0x11, 2, 8000, 8000, 256, 4, 2, 505)
+    # implausible channel counts are malformed, not a crash
+    fmt = st.pack("<HHIIHHHH", 0x11, 99, 8000, 8000, 256, 4, 2, 505)
     body = (b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
             + b"data" + st.pack("<I", 0))
-    with pytest.raises(NotImplementedError, match="multi-channel IMA"):
+    with pytest.raises(ValueError, match="channel count"):
         decode_wav(b"RIFF" + st.pack("<I", len(body)) + body)
+
+
+def test_adpcm_stereo_interleave_and_fact_chunk():
+    """Stereo IMA ADPCM: per-channel headers + alternating 4-byte
+    nibble groups; each channel is an INDEPENDENT state machine
+    (channel 0 of a stereo stream decodes exactly like a mono stream
+    of that channel); the fact chunk truncates the padded tail block
+    to the true frame count."""
+    from modeltracking_spark.operators.multimodal import (
+        decode_wav, encode_wav_ima_adpcm, ima_adpcm_decode_block,
+        ima_adpcm_decode_block_stereo, ima_adpcm_encode_mono,
+        ima_adpcm_encode_stereo,
+    )
+
+    t = np.arange(1300)
+    pcm = np.stack(
+        [(9000 * np.sin(t / 40)).astype(np.int16),
+         (5000 * np.sin(t / 23 + 1)).astype(np.int16)], axis=1)
+    rate, frames = decode_wav(
+        encode_wav_ima_adpcm(pcm, 8000, samples_per_block=505)
+    )
+    # 1300 = 2*505 + 290: the tail block's 8-nibble groups are padded,
+    # so WITHOUT fact the decode would overshoot — fact pins the shape
+    assert rate == 8000 and frames.shape == pcm.shape
+    err = np.abs(frames.astype(int) - pcm.astype(int))
+    assert err.mean() < 40 and err.max() < 2000
+    for b0 in range(0, len(pcm), 505):  # block headers exact, both ch
+        assert tuple(frames[b0]) == tuple(pcm[b0])
+    # channel independence: stereo ch0 == mono state machine replay
+    blk = ima_adpcm_encode_stereo(pcm[:505], 505)
+    dec = ima_adpcm_decode_block_stereo(blk, 505)
+    mono = ima_adpcm_decode_block(
+        ima_adpcm_encode_mono(pcm[:505, 0], 505), 505
+    )
+    assert [f[0] for f in dec] == mono
