@@ -4,16 +4,18 @@ PNG specification (RFC 2083 / ISO 15948), completing the compressed-
 codec story next to the baseline JPEG codec (``operators/jpeg.py``).
 
 Scope: 8-bit greyscale (color type 0), truecolor RGB (2), indexed
-palette (3, without tRNS), and RGBA (6); non-interlaced; all five
-scanline filters (None/Sub/Up/Average/Paeth) on both encode and decode
-— the encoder deliberately CYCLES the filter type per row so every
-roundtrip exercises every unfilter path. DEFLATE is the stdlib
+palette (3, without tRNS), and RGBA (6); straight AND Adam7-interlaced
+layouts on both encode and decode (seven independently-filtered
+sub-images scattered by (offset, stride), empty passes emitting no
+bytes per spec); all five scanline filters (None/Sub/Up/Average/Paeth)
+both directions — the encoder deliberately CYCLES the filter type per
+row so every roundtrip exercises every unfilter path. DEFLATE is the stdlib
 ``zlib`` (the reference implementation of the very RFCs PNG cites);
 chunk CRC32s are verified on read and emitted on write.
 
-Loud rejects at the plug-in points: Adam7 interlacing, 16-bit depth,
-1/2/4-bit depths, palette+tRNS translucency, and missing/corrupt
-chunks all raise descriptive errors — nothing decodes approximately.
+Loud rejects at the plug-in points: 16-bit depth, 1/2/4-bit depths,
+palette+tRNS translucency, and missing/corrupt chunks all raise
+descriptive errors — nothing decodes approximately.
 
 Because PNG is lossless, ANY deterministic fixture image roundtrips
 bit-exactly — so the SQL oracle for ``png_decode_stats_docs`` replays
@@ -54,30 +56,23 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def encode_png(pixels) -> bytes:
-    """uint8 array -> PNG bytes. Shapes: (h, w) -> greyscale, (h, w, 3)
-    -> RGB, (h, w, 4) -> RGBA. Filter type cycles y % 5 per row, so a
-    multi-row image exercises every filter in one file."""
+#: Adam7 pass layout (x0, y0, dx, dy) — RFC 2083 §2.6
+ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _filter_rows(raw, bpp: int) -> bytes:
+    """Filter a (rows, stride) int16 sub-image: per-row filter byte +
+    filtered bytes, filter type cycling y % 5 (exercises every filter
+    in any multi-row (sub-)image)."""
     import numpy as np
 
-    a = np.asarray(pixels, dtype=np.uint8)
-    if a.ndim == 2:
-        ctype, ch = 0, 1
-        a = a[:, :, None]
-    elif a.ndim == 3 and a.shape[2] == 3:
-        ctype, ch = 2, 3
-    elif a.ndim == 3 and a.shape[2] == 4:
-        ctype, ch = 6, 4
-    else:
-        raise ValueError(f"expected (h,w)[,1|3|4] uint8 array, got {a.shape}")
-    h, w = a.shape[:2]
-    if h == 0 or w == 0:
-        raise ValueError(f"bad PNG dimensions {w}x{h}")
-    bpp = ch  # bytes per pixel at bit depth 8
-    raw = a.reshape(h, w * ch).astype(np.int16)
     out = bytearray()
-    prev = np.zeros(w * ch, dtype=np.int16)
-    for y in range(h):
+    stride = raw.shape[1]
+    prev = np.zeros(stride, dtype=np.int16)
+    for y in range(raw.shape[0]):
         row = raw[y]
         ft = y % 5
         if ft == 0:
@@ -96,13 +91,92 @@ def encode_png(pixels) -> bytes:
             pred = np.fromiter(
                 (_paeth(int(l), int(u), int(ul))
                  for l, u, ul in zip(left, prev, upleft)),
-                dtype=np.int16, count=w * ch,
+                dtype=np.int16, count=stride,
             )
             filt = (row - pred) % 256
         out.append(ft)
         out += filt.astype(np.uint8).tobytes()
         prev = row
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return bytes(out)
+
+
+def _unfilter_rows(raw: bytes, off: int, n_rows: int, stride: int,
+                   bpp: int):
+    """Inverse of :func:`_filter_rows`: (filter byte + stride bytes) per
+    row starting at ``raw[off]`` -> ((n_rows, stride) uint8, next off)."""
+    import numpy as np
+
+    out = np.empty((n_rows, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    if off + n_rows * (stride + 1) > len(raw):
+        raise ValueError(
+            f"PNG data length {len(raw)} too short: need "
+            f"{n_rows} x {stride + 1} bytes from offset {off}"
+        )
+    for y in range(n_rows):
+        ft = raw[off]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=off + 1
+        ).astype(np.int16)
+        off += 1 + stride
+        if ft == 0:
+            rec = row
+        elif ft == 2:  # Up
+            rec = (row + prev) % 256
+        elif ft in (1, 3, 4):  # Sub / Average / Paeth need left-to-right
+            rec = np.zeros(stride, dtype=np.int16)
+            for i in range(stride):
+                left = rec[i - bpp] if i >= bpp else 0
+                up = int(prev[i])
+                ul = int(prev[i - bpp]) if i >= bpp else 0
+                if ft == 1:
+                    rec[i] = (row[i] + left) % 256
+                elif ft == 3:
+                    rec[i] = (row[i] + (left + up) // 2) % 256
+                else:
+                    rec[i] = (row[i] + _paeth(int(left), up, ul)) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ft} on row {y}")
+        out[y] = rec.astype(np.uint8)
+        prev = out[y]
+    return out, off
+
+
+def encode_png(pixels, interlace: bool = False) -> bytes:
+    """uint8 array -> PNG bytes. Shapes: (h, w) -> greyscale, (h, w, 3)
+    -> RGB, (h, w, 4) -> RGBA. Filter type cycles y % 5 per row (and
+    per pass), so a multi-row image exercises every filter in one file.
+    ``interlace=True`` emits Adam7: seven sub-images, each filtered
+    independently — progressive rendering at the cost of locality."""
+    import numpy as np
+
+    a = np.asarray(pixels, dtype=np.uint8)
+    if a.ndim == 2:
+        ctype, ch = 0, 1
+        a = a[:, :, None]
+    elif a.ndim == 3 and a.shape[2] == 3:
+        ctype, ch = 2, 3
+    elif a.ndim == 3 and a.shape[2] == 4:
+        ctype, ch = 6, 4
+    else:
+        raise ValueError(f"expected (h,w)[,1|3|4] uint8 array, got {a.shape}")
+    h, w = a.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError(f"bad PNG dimensions {w}x{h}")
+    bpp = ch  # bytes per pixel at bit depth 8
+    out = bytearray()
+    if interlace:
+        for x0, y0, dx, dy in ADAM7:
+            sub = a[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue  # empty pass: no bytes at all, per spec
+            raw = sub.reshape(
+                sub.shape[0], sub.shape[1] * ch
+            ).astype(np.int16)
+            out += _filter_rows(raw, bpp)
+    else:
+        out += _filter_rows(a.reshape(h, w * ch).astype(np.int16), bpp)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, int(interlace))
     return (
         _SIG
         + _chunk(b"IHDR", ihdr)
@@ -149,10 +223,8 @@ def decode_png(data: bytes):
     if ihdr is None:
         raise ValueError("PNG without IHDR")
     w, h, depth, ctype, comp, filt, interlace = ihdr
-    if interlace != 0:
-        raise NotImplementedError(
-            "Adam7-interlaced PNG not implemented — the PIL plug-in point"
-        )
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
     if depth != 8:
         raise NotImplementedError(
             f"PNG bit depth {depth} not implemented (8 only)"
@@ -172,39 +244,31 @@ def decode_png(data: bytes):
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
         raise ValueError(f"corrupt PNG DEFLATE stream: {exc}") from exc
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
-        raise ValueError(
-            f"PNG data length {len(raw)} != expected {h * (stride + 1)}"
-        )
     bpp = ch
-    out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        ft = raw[y * (stride + 1)]
-        row = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
-        ).astype(np.int16)
-        if ft == 0:
-            rec = row
-        elif ft == 2:  # Up
-            rec = (row + prev) % 256
-        elif ft in (1, 3, 4):  # Sub / Average / Paeth need left-to-right
-            rec = np.zeros(stride, dtype=np.int16)
-            for i in range(stride):
-                left = rec[i - bpp] if i >= bpp else 0
-                up = int(prev[i])
-                ul = int(prev[i - bpp]) if i >= bpp else 0
-                if ft == 1:
-                    rec[i] = (row[i] + left) % 256
-                elif ft == 3:
-                    rec[i] = (row[i] + (left + up) // 2) % 256
-                else:
-                    rec[i] = (row[i] + _paeth(int(left), up, ul)) % 256
-        else:
-            raise ValueError(f"bad PNG filter type {ft} on row {y}")
-        out[y] = rec.astype(np.uint8)
-        prev = out[y]
+    if interlace:
+        # Adam7: seven independently-filtered sub-images, scattered
+        # back onto the full grid by (offset, stride)
+        full = np.empty((h, w, ch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in ADAM7:
+            ph = len(range(y0, h, dy))
+            pw = len(range(x0, w, dx))
+            if ph == 0 or pw == 0:
+                continue
+            sub, off = _unfilter_rows(raw, off, ph, pw * ch, bpp)
+            full[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+        if off != len(raw):
+            raise ValueError(
+                f"PNG data length {len(raw)} != Adam7 expectation {off}"
+            )
+        out = full.reshape(h, w * ch)
+    else:
+        stride = w * ch
+        if len(raw) != h * (stride + 1):
+            raise ValueError(
+                f"PNG data length {len(raw)} != expected {h * (stride + 1)}"
+            )
+        out, _ = _unfilter_rows(raw, 0, h, stride, bpp)
     if ctype == 0:
         return out.reshape(h, w)
     if ctype == 3:

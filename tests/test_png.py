@@ -103,11 +103,11 @@ def test_unsupported_variants_reject_at_plugin_point():
              + _chunk(b"IEND", b""))
     with pytest.raises(NotImplementedError, match="bit depth"):
         decode_png(png16)
-    ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
+    ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 7)
     png_i = (_SIG + _chunk(b"IHDR", ihdr_i)
              + _chunk(b"IDAT", zlib.compress(bytes(6)))
              + _chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError, match="Adam7"):
+    with pytest.raises(ValueError, match="interlace method"):
         decode_png(png_i)
     with pytest.raises(ValueError):
         encode_png(np.zeros((0, 4), np.uint8))
@@ -144,3 +144,59 @@ def test_real_decode_in_spark(spark):
              (x * 13 + y + did * 7) % 256], axis=2)
         assert (r["width"], r["height"], r["n_channels"]) == (w, h, 3)
         assert r["pixel_sum"] == int(img.sum())
+
+
+# ---------------------------------------------------------------------------
+# Adam7 interlacing (round 7 follow-up)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.data())
+def test_adam7_roundtrip_all_color_types(data):
+    h = data.draw(st.integers(1, 24), label="h")
+    w = data.draw(st.integers(1, 24), label="w")
+    ch = data.draw(st.sampled_from([0, 3, 4]), label="channels")
+    seed = data.draw(st.integers(0, 2**31 - 1), label="seed")
+    shape = (h, w) if ch == 0 else (h, w, ch)
+    img = np.random.RandomState(seed).randint(0, 256, shape).astype(np.uint8)
+    payload = encode_png(img, interlace=True)
+    # IHDR carries interlace=1 at byte offset 8+8+4+12 = ihdr body [12]
+    assert payload[8 + 8 + 12] == 1
+    dec = decode_png(payload)
+    assert dec.shape == img.shape and np.array_equal(dec, img)
+
+
+def test_adam7_empty_passes_and_pass_structure():
+    """A 1x1 image has bytes in exactly ONE pass (the first); tiny
+    shapes with several empty passes still roundtrip — the spec's
+    empty-pass rule (no filter bytes at all) is honored."""
+    import zlib as _z
+
+    one = np.array([[123]], dtype=np.uint8)
+    payload = encode_png(one, interlace=True)
+    raw = _z.decompress(
+        payload[payload.index(b"IDAT") + 4 : payload.index(b"IEND") - 8]
+    )
+    assert len(raw) == 2  # one filter byte + one pixel byte
+    assert decode_png(payload)[0, 0] == 123
+    for shape in [(1, 9), (9, 1), (2, 2), (5, 3)]:
+        img = np.arange(shape[0] * shape[1], dtype=np.uint8).reshape(shape)
+        assert np.array_equal(decode_png(encode_png(img, interlace=True)),
+                              img)
+
+
+def test_adam7_data_length_mismatch_is_loud():
+    img = np.zeros((8, 8), dtype=np.uint8)
+    payload = bytearray(encode_png(img, interlace=True))
+    # truncate the DEFLATE payload: rebuild IDAT with fewer raw bytes
+    import zlib as _z
+
+    raw = _z.decompress(
+        bytes(payload)[payload.index(b"IDAT") + 4:payload.index(b"IEND") - 8]
+    )
+    head = bytes(payload)[: payload.index(b"IDAT") - 4]
+    broken = (head + _chunk(b"IDAT", _z.compress(raw[:-3]))
+              + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="Adam7 expectation|data length"):
+        decode_png(broken)
