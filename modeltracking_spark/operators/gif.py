@@ -5,7 +5,8 @@ the image-codec set next to baseline JPEG (``operators/jpeg.py``) and
 PNG (``operators/png.py``).
 
 Scope: GIF87a/GIF89a single-image streams, global or local color
-table, non-interlaced, with REAL variable-width LZW on both sides —
+table, straight or four-pass interlaced row order (both directions),
+with REAL variable-width LZW on both sides —
 the encoder builds a growing dictionary (emitting Clear when the
 12-bit code space fills, per spec), the decoder reconstructs it
 including the K-omega-K "code not yet in table" case. 89a extension
@@ -157,9 +158,20 @@ def _sub_blocks(data: bytes) -> bytes:
     return bytes(out)
 
 
-def encode_gif(indices, palette) -> bytes:
+#: GIF interlace row passes: (first row, step) — spec appendix E
+GIF_INTERLACE_PASSES = [(0, 8), (4, 8), (2, 4), (1, 2)]
+
+
+def _interlaced_row_order(h: int) -> list[int]:
+    return [y for start, step in GIF_INTERLACE_PASSES
+            for y in range(start, h, step)]
+
+
+def encode_gif(indices, palette, interlace: bool = False) -> bytes:
     """(h, w) uint8 index array + (n, 3) uint8 palette -> GIF87a bytes
-    with a global color table (padded to a power-of-two size)."""
+    with a global color table (padded to a power-of-two size).
+    ``interlace=True`` stores rows in the spec's four-pass order
+    (8-apart, then the 4/2/1 fills) and sets the descriptor flag."""
     import numpy as np
 
     idx = np.asarray(indices, dtype=np.uint8)
@@ -183,18 +195,21 @@ def encode_gif(indices, palette) -> bytes:
     out += struct.pack("<HH", w, h)
     out += bytes([0x80 | ((bits - 1) & 0x07), 0, 0])  # GCT flag + size
     out += full.tobytes()
-    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    ipacked = 0x40 if interlace else 0x00
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes([ipacked])
     out += bytes([min_code])
-    out += _sub_blocks(_lzw_compress(idx.reshape(-1), min_code))
+    rows = idx[_interlaced_row_order(h)] if interlace else idx
+    out += _sub_blocks(_lzw_compress(rows.reshape(-1), min_code))
     out += b"\x3b"
     return bytes(out)
 
 
 def decode_gif(data: bytes):
-    """GIF bytes -> (h, w, 3) uint8 RGB array (palette expanded).
+    """GIF bytes -> (h, w, 3) uint8 RGB array (palette expanded,
+    interlaced row order restored when the descriptor flag is set).
 
-    Skips 89a extension blocks; interlaced images and multi-image
-    animations raise ``NotImplementedError`` (the PIL plug-in point)."""
+    Skips 89a extension blocks; multi-image animations raise
+    ``NotImplementedError`` (the PIL plug-in point)."""
     import numpy as np
 
     if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
@@ -230,10 +245,6 @@ def decode_gif(data: bytes):
         left, top, w, h = struct.unpack_from("<HHHH", data, pos)
         ipacked = data[pos + 8]
         pos += 9
-        if ipacked & 0x40:
-            raise NotImplementedError(
-                "interlaced GIF not implemented — the PIL plug-in point"
-            )
         pal = gct
         if ipacked & 0x80:
             n = 2 << (ipacked & 0x07)
@@ -262,6 +273,10 @@ def decode_gif(data: bytes):
         idx = np.array(
             _lzw_decompress(bytes(lzw), min_code, w * h), dtype=np.int32
         ).reshape(h, w)
+        if ipacked & 0x40:  # interlaced: rows stored in 4-pass order
+            deinterlaced = np.empty_like(idx)
+            deinterlaced[_interlaced_row_order(h)] = idx
+            idx = deinterlaced
         if int(idx.max(initial=0)) >= pal.shape[0]:
             raise ValueError("GIF index out of palette range")
         img = pal[idx]

@@ -3,8 +3,8 @@ multimodal tier) — the LOSSLESS compressed-image path, from the public
 PNG specification (RFC 2083 / ISO 15948), completing the compressed-
 codec story next to the baseline JPEG codec (``operators/jpeg.py``).
 
-Scope: 8-bit greyscale (color type 0), truecolor RGB (2), indexed
-palette (3, without tRNS), and RGBA (6); straight AND Adam7-interlaced
+Scope: greyscale (color type 0), truecolor RGB (2), indexed
+palette (3, incl. tRNS translucency -> RGBA), and RGBA (6); straight AND Adam7-interlaced
 layouts on both encode and decode (seven independently-filtered
 sub-images scattered by (offset, stride), empty passes emitting no
 bytes per spec); all five scanline filters (None/Sub/Up/Average/Paeth)
@@ -13,9 +13,10 @@ row so every roundtrip exercises every unfilter path. DEFLATE is the stdlib
 ``zlib`` (the reference implementation of the very RFCs PNG cites);
 chunk CRC32s are verified on read and emitted on write.
 
-Loud rejects at the plug-in points: 16-bit depth, 1/2/4-bit depths,
-palette+tRNS translucency, and missing/corrupt chunks all raise
-descriptive errors — nothing decodes approximately.
+Bit depths 8 and 16 (big-endian samples) both directions; palette
+tRNS translucency expands to RGBA on decode. Loud rejects at the
+plug-in points: 1/2/4-bit packed depths and missing/corrupt chunks
+raise descriptive errors — nothing decodes approximately.
 
 Because PNG is lossless, ANY deterministic fixture image roundtrips
 bit-exactly — so the SQL oracle for ``png_decode_stats_docs`` replays
@@ -143,14 +144,21 @@ def _unfilter_rows(raw: bytes, off: int, n_rows: int, stride: int,
 
 
 def encode_png(pixels, interlace: bool = False) -> bytes:
-    """uint8 array -> PNG bytes. Shapes: (h, w) -> greyscale, (h, w, 3)
-    -> RGB, (h, w, 4) -> RGBA. Filter type cycles y % 5 per row (and
-    per pass), so a multi-row image exercises every filter in one file.
+    """uint8 (bit depth 8) or uint16 (bit depth 16, big-endian samples)
+    array -> PNG bytes. Shapes: (h, w) -> greyscale, (h, w, 3) -> RGB,
+    (h, w, 4) -> RGBA. Filter type cycles y % 5 per row (and per pass),
+    so a multi-row image exercises every filter in one file.
     ``interlace=True`` emits Adam7: seven sub-images, each filtered
     independently — progressive rendering at the cost of locality."""
     import numpy as np
 
-    a = np.asarray(pixels, dtype=np.uint8)
+    a = np.asarray(pixels)
+    if a.dtype == np.uint16:
+        depth = 16
+    elif a.dtype == np.uint8:
+        depth = 8
+    else:
+        raise ValueError(f"expected uint8 or uint16 pixels, got {a.dtype}")
     if a.ndim == 2:
         ctype, ch = 0, 1
         a = a[:, :, None]
@@ -159,24 +167,33 @@ def encode_png(pixels, interlace: bool = False) -> bytes:
     elif a.ndim == 3 and a.shape[2] == 4:
         ctype, ch = 6, 4
     else:
-        raise ValueError(f"expected (h,w)[,1|3|4] uint8 array, got {a.shape}")
+        raise ValueError(f"expected (h,w)[,1|3|4] array, got {a.shape}")
     h, w = a.shape[:2]
     if h == 0 or w == 0:
         raise ValueError(f"bad PNG dimensions {w}x{h}")
-    bpp = ch  # bytes per pixel at bit depth 8
+    bpp = ch * (depth // 8)  # filter unit: bytes per pixel
+
+    def rows_of(sub):
+        """(ph, pw, ch) samples -> (ph, pw*bpp) BYTE rows (16-bit
+        samples serialize big-endian, per spec)."""
+        ph, pw = sub.shape[:2]
+        if depth == 8:
+            return sub.reshape(ph, pw * ch).astype(np.int16)
+        return (
+            np.ascontiguousarray(sub, dtype=">u2")
+            .view(np.uint8).reshape(ph, pw * ch * 2).astype(np.int16)
+        )
+
     out = bytearray()
     if interlace:
         for x0, y0, dx, dy in ADAM7:
             sub = a[y0::dy, x0::dx]
             if sub.shape[0] == 0 or sub.shape[1] == 0:
                 continue  # empty pass: no bytes at all, per spec
-            raw = sub.reshape(
-                sub.shape[0], sub.shape[1] * ch
-            ).astype(np.int16)
-            out += _filter_rows(raw, bpp)
+            out += _filter_rows(rows_of(sub), bpp)
     else:
-        out += _filter_rows(a.reshape(h, w * ch).astype(np.int16), bpp)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, int(interlace))
+        out += _filter_rows(rows_of(a), bpp)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, int(interlace))
     return (
         _SIG
         + _chunk(b"IHDR", ihdr)
@@ -197,7 +214,7 @@ def decode_png(data: bytes):
     ihdr = None
     plte = None
     idat = bytearray()
-    saw_trns = False
+    trns = None
     while pos < len(data):
         if pos + 8 > len(data):
             raise ValueError("truncated PNG chunk header")
@@ -214,7 +231,7 @@ def decode_png(data: bytes):
         elif tag == b"PLTE":
             plte = payload
         elif tag == b"tRNS":
-            saw_trns = True
+            trns = payload
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
@@ -225,50 +242,55 @@ def decode_png(data: bytes):
     w, h, depth, ctype, comp, filt, interlace = ihdr
     if interlace not in (0, 1):
         raise ValueError(f"bad PNG interlace method {interlace}")
-    if depth != 8:
+    if depth not in (8, 16):
         raise NotImplementedError(
-            f"PNG bit depth {depth} not implemented (8 only)"
+            f"PNG bit depth {depth} not implemented (8 and 16 only) — "
+            "1/2/4-bit packed rows are the PIL plug-in point"
         )
+    if depth == 16 and ctype == 3:
+        raise ValueError("16-bit palette PNG is not a legal combination")
     if ctype not in _CHANNELS:
         raise ValueError(f"unsupported PNG color type {ctype}")
     if comp != 0 or filt != 0:
         raise ValueError("nonstandard PNG compression/filter method")
     if ctype == 3 and plte is None:
         raise ValueError("palette PNG without PLTE")
-    if ctype == 3 and saw_trns:
-        raise NotImplementedError(
-            "palette tRNS translucency not implemented — the PIL plug-in point"
-        )
     ch = _CHANNELS[ctype]
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
         raise ValueError(f"corrupt PNG DEFLATE stream: {exc}") from exc
-    bpp = ch
+    sample_bytes = depth // 8
+    bpp = ch * sample_bytes
     if interlace:
         # Adam7: seven independently-filtered sub-images, scattered
         # back onto the full grid by (offset, stride)
-        full = np.empty((h, w, ch), dtype=np.uint8)
+        full = np.empty((h, w * bpp), dtype=np.uint8).reshape(h, w, bpp)
         off = 0
         for x0, y0, dx, dy in ADAM7:
             ph = len(range(y0, h, dy))
             pw = len(range(x0, w, dx))
             if ph == 0 or pw == 0:
                 continue
-            sub, off = _unfilter_rows(raw, off, ph, pw * ch, bpp)
-            full[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+            sub, off = _unfilter_rows(raw, off, ph, pw * bpp, bpp)
+            full[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
         if off != len(raw):
             raise ValueError(
                 f"PNG data length {len(raw)} != Adam7 expectation {off}"
             )
-        out = full.reshape(h, w * ch)
+        out = full.reshape(h, w * bpp)
     else:
-        stride = w * ch
+        stride = w * bpp
         if len(raw) != h * (stride + 1):
             raise ValueError(
                 f"PNG data length {len(raw)} != expected {h * (stride + 1)}"
             )
         out, _ = _unfilter_rows(raw, 0, h, stride, bpp)
+    if depth == 16:
+        out = (
+            np.ascontiguousarray(out).view(">u2").astype(np.uint16)
+            .reshape(h, w * ch)
+        )
     if ctype == 0:
         return out.reshape(h, w)
     if ctype == 3:
@@ -279,5 +301,14 @@ def decode_png(data: bytes):
         idx = out.reshape(h, w)
         if int(idx.max(initial=0)) >= pal.shape[0]:
             raise ValueError("palette index out of range")
+        if trns is not None:
+            # tRNS: alpha for the first len(trns) palette entries,
+            # 255 for the rest -> expand to RGBA
+            alpha = np.full(pal.shape[0], 255, dtype=np.uint8)
+            if len(trns) > pal.shape[0]:
+                raise ValueError("tRNS longer than the palette")
+            alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+            rgba = np.concatenate([pal, alpha[:, None]], axis=1)
+            return rgba[idx]
         return pal[idx]
     return out.reshape(h, w, ch)

@@ -24,10 +24,11 @@ Float64 var[dim = n]...; } name;``), and the ``.dods`` response = the
 constrained DDS, the literal ``Data:`` separator line, then one XDR
 array per projected variable — two big-endian u32 element counts
 followed by the values, with Int16 widened to 4 bytes (XDR's smallest
-integer) and Byte arrays zero-padded to a 4-byte boundary. Stride
-constraints other than 1, String variables, and DAP constructor types
-(Grid/Sequence/Structure maps) are rejected loudly — the pydap plug-in
-point.
+integer) and Byte arrays zero-padded to a 4-byte boundary. Hyperslab
+STRIDES are supported end to end (``var[a:step:b]`` — the server
+subsamples, so an every-Nth-step scan ships 1/N of the data). String
+variables and DAP constructor types (Grid/Sequence/Structure maps) are
+rejected loudly — the pydap plug-in point.
 
 Scale posture: one ``.dods`` round-trip per (variable, record) — the
 server does the hyperslab cut, the client never downloads the
@@ -57,16 +58,19 @@ _DAP_TYPES = {
 }
 
 
-def encode_constraint(var: str, ranges: list[tuple[int, int]]) -> str:
+def encode_constraint(var: str, ranges: list[tuple]) -> str:
     """Hyperslab projection for ``var`` with INCLUSIVE index ranges —
-    ``[(0, 4), (2, 2)]`` -> ``var[0:4][2:2]`` (DAP 2.0 constraint
-    syntax; stride omitted = 1)."""
+    ``[(0, 4), (2, 2)]`` -> ``var[0:4][2:2]``; 3-tuples carry a stride:
+    ``[(0, 2, 8)]`` -> ``var[0:2:8]`` (DAP 2.0 constraint syntax)."""
     if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", var):
         raise ValueError(f"bad DAP variable name {var!r}")
-    for a, b in ranges:
-        if a < 0 or b < a:
-            raise ValueError(f"bad DAP index range [{a}:{b}]")
-    return var + "".join(f"[{a}:{b}]" for a, b in ranges)
+    parts = []
+    for r in ranges:
+        a, step, b = (r[0], 1, r[1]) if len(r) == 2 else r
+        if a < 0 or b < a or step < 1:
+            raise ValueError(f"bad DAP index range [{a}:{step}:{b}]")
+        parts.append(f"[{a}:{b}]" if step == 1 else f"[{a}:{step}:{b}]")
+    return var + "".join(parts)
 
 
 def _parse_dds(text: str):
@@ -180,7 +184,7 @@ class DapDataset:
         self.n_bytes += len(body)
         return body
 
-    def _fetch_array(self, var: str, ranges: list[tuple[int, int]]):
+    def _fetch_array(self, var: str, ranges: list[tuple]):
         typ, dims = self.vars[var]
         body = self._get(
             f"{self.url}.dods?{encode_constraint(var, ranges)}"
@@ -190,9 +194,11 @@ class DapDataset:
             raise ValueError("missing Data: separator in .dods response")
         n = 1
         shape = []
-        for a, b in ranges:
-            shape.append(b - a + 1)
-            n *= b - a + 1
+        for r in ranges:
+            a, step, b = (r[0], 1, r[1]) if len(r) == 2 else r
+            d = len(range(a, b + 1, step))
+            shape.append(d)
+            n *= d
         a, _ = _xdr_decode(body, sep + len(b"\nData:\n"), typ, n)
         return a.reshape(shape)
 
@@ -249,6 +255,13 @@ class DapDataset:
             return self._fetch_array(var, []).reshape(())
         return self._fetch_array(var, ranges)
 
+    def read_strided(self, var: str, ranges: list[tuple]):
+        """Arbitrary hyperslab with optional strides — 2-tuples (a, b)
+        inclusive, 3-tuples (a, step, b). The SERVER subsamples; only
+        the kept cells cross the wire (e.g. every 4th timestep of a
+        year-long axis ships n/4 records)."""
+        return self._fetch_array(var, list(ranges))
+
     def read_slice(self, var: str, i: int):
         """Record ``i`` of ``var`` along its first dimension, without the
         record axis — NcFile.read_slice semantics. The server performs
@@ -290,8 +303,8 @@ def _dds_text(nc, dataset_name: str, only: dict | None = None) -> str:
             dn = nc.dims[di][0]
             full = nc.numrecs if v.is_record and di == nc.rec_dim_id else sz
             if only is not None:
-                a, b = only[name][len(dims)]
-                full = b - a + 1
+                a, st_, b = only[name][len(dims)]
+                full = len(range(a, b + 1, st_))
             dims.append(f"[{dn} = {full}]")
         lines.append(f"    {typ} {name}{''.join(dims)};")
     lines.append(f"}} {dataset_name};")
@@ -348,19 +361,17 @@ def parse_constraint(nc, query: str) -> dict:
         for sm in _SLAB.finditer(m.group(2)):
             a, mid, last = sm.groups()
             if last is not None:  # var[a:stride:b]
-                if int(mid) != 1:
-                    raise NotImplementedError(
-                        f"DAP stride {mid} not implemented (stride 1 only)"
-                    )
-                a, b = int(a), int(last)
+                a, step, b = int(a), int(mid), int(last)
             elif mid is not None:
-                a, b = int(a), int(mid)
+                a, step, b = int(a), 1, int(mid)
             else:
-                a = b = int(a)
-            if not (0 <= a <= b < shape[len(ranges)]):
-                raise ValueError(f"constraint [{a}:{b}] out of bounds")
-            ranges.append((a, b))
-        ranges += [(0, sz - 1) for sz in shape[len(ranges):]]
+                a, step, b = int(a), 1, int(a)
+            if step < 1 or not (0 <= a <= b < shape[len(ranges)]):
+                raise ValueError(
+                    f"constraint [{a}:{step}:{b}] out of bounds"
+                )
+            ranges.append((a, step, b))
+        ranges += [(0, 1, sz - 1) for sz in shape[len(ranges):]]
         out[var] = ranges
     return out
 
@@ -410,8 +421,9 @@ def make_dap_handler(root_dir: str):
                     nc = NcFile(fn)
                     q = urllib.parse.unquote(parsed.query)
                     only = parse_constraint(nc, q) if q else {
-                        v: [(0, (nc.numrecs if nc.vars[v].is_record else s) - 1)
-                            if i == 0 else (0, s - 1)
+                        v: [(0, 1,
+                             (nc.numrecs if nc.vars[v].is_record else s) - 1)
+                            if i == 0 else (0, 1, s - 1)
                             for i, s in enumerate(nc.vars[v].shape)]
                         for v in nc.vars
                     }
@@ -422,18 +434,19 @@ def make_dap_handler(root_dir: str):
                     for var, ranges in only.items():
                         v = nc.vars[var]
                         if v.is_record and v.dim_ids:
-                            t0, t1 = ranges[0]
+                            t0, tstep, t1 = ranges[0]
                             recs = [
                                 nc.read_slice(var, t)[
-                                    tuple(slice(a, b + 1)
-                                          for a, b in ranges[1:])
+                                    tuple(slice(a, b + 1, st_)
+                                          for a, st_, b in ranges[1:])
                                 ]
-                                for t in range(t0, t1 + 1)
+                                for t in range(t0, t1 + 1, tstep)
                             ]
                             a = np.stack(recs) if recs else np.empty(0)
                         else:
                             a = nc.read(var)[
-                                tuple(slice(x, y + 1) for x, y in ranges)
+                                tuple(slice(x, y + 1, st_)
+                                      for x, st_, y in ranges)
                             ]
                         chunks.append(_xdr_encode(a))
                     nc.close()

@@ -87,12 +87,7 @@ def test_rejects_are_loud():
     ok = encode_gif(np.zeros((4, 4), np.uint8), GRAY[:4])
     with pytest.raises(ValueError, match="not a GIF"):
         decode_gif(b"PNG nope")
-    # interlace flag set on the image descriptor
-    bad = bytearray(ok)
-    i = bad.index(0x2C, 13 + 12)
-    bad[i + 9] |= 0x40
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        decode_gif(bytes(bad))
+
     # a second image descriptor = animation
     body = ok[: -1] + ok[13 + 12 : -1] + b"\x3b"
     with pytest.raises(NotImplementedError, match="animated"):
@@ -119,3 +114,21 @@ def test_real_decode_in_spark(spark):
         y, x = np.mgrid[0:h, 0:w]
         assert (r["width"], r["height"], r["n_channels"]) == (w, h, 3)
         assert r["pixel_sum"] == 3 * int(((x * 5 + y * 9 + did) % 256).sum())
+
+
+def test_interlaced_roundtrip_and_row_reorder():
+    """Four-pass interlace: storage order differs (first two stored
+    rows are image rows 0 and 8 for h>8), decode restores it exactly;
+    the descriptor flag drives the behavior."""
+    from modeltracking_spark.operators.gif import _interlaced_row_order
+
+    assert _interlaced_row_order(10) == [0, 8, 4, 2, 6, 1, 3, 5, 7, 9]
+    idx = (np.add.outer(np.arange(13), np.arange(5)) % 256).astype(np.uint8)
+    p_i = encode_gif(idx, GRAY, interlace=True)
+    p_s = encode_gif(idx, GRAY)
+    assert p_i != p_s
+    assert np.array_equal(decode_gif(p_i), GRAY[idx.astype(int)])
+    assert np.array_equal(decode_gif(p_i), decode_gif(p_s))
+    # flag position: image descriptor packed byte
+    i = p_i.index(0x2C, 13 + 3 * 256)
+    assert p_i[i + 9] & 0x40

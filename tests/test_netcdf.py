@@ -412,10 +412,6 @@ def test_dap_rejects_are_loud(tiny_nc, dap_root):
 
     base, root = dap_root
     shutil.copy(tiny_nc, os.path.join(root, "r.nc"))
-    # stride != 1 -> HTTP 400 from the server (NotImplementedError)
-    with pytest.raises(urllib.error.HTTPError) as ei:
-        urllib.request.urlopen(f"{base}/r.nc.dods?grid[0:2:4][0:1][0:2]")
-    assert ei.value.code == 400
     # out-of-bounds constraint -> 400
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(f"{base}/r.nc.dods?grid[9:9]")
@@ -429,8 +425,8 @@ def test_dap_rejects_are_loud(tiny_nc, dap_root):
     with pytest.raises(KeyError):
         d.read("no_such_var")
     nc = NcFile(tiny_nc)
-    with pytest.raises(NotImplementedError, match="stride"):
-        parse_constraint(nc, "grid[0:2:4]")
+    with pytest.raises(ValueError, match="out of bounds"):
+        parse_constraint(nc, "grid[0:0:4]")  # stride 0 is malformed
 
 
 def test_open_nc_or_dap_routes(tiny_nc, dap_root):
@@ -565,3 +561,29 @@ def test_cf_mask_and_scale_unpacking(tmp_path):
     assert f.read("plain", apply_cf=True).dtype == np.int16
     # sliced reads unpack identically
     assert np.isnan(f.read_slice("temp", 2, apply_cf=True))
+
+
+def test_dap_strided_hyperslab(tiny_nc, dap_root):
+    """var[a:step:b] subsamples SERVER-side: every-other record of the
+    5-record grid ships 3 records' bytes and equals the local strided
+    read."""
+    import shutil
+
+    from modeltracking_spark.sources.dap import DapDataset
+
+    base, root = dap_root
+    shutil.copy(tiny_nc, os.path.join(root, "strided.nc"))
+    local = NcFile(tiny_nc)
+    d = DapDataset(f"dap+{base}/strided.nc")
+    got = d.read_strided("grid", [(0, 2, 4), (0, 1), (0, 2)])
+    want = local.read("grid")[0:5:2, 0:2, 0:3]
+    assert got.shape == (3, 2, 3)
+    assert np.array_equal(got, want)
+    # a strided coordinate read too (non-record var)
+    assert np.array_equal(
+        d.read_strided("xv", [(0, 2, 2)]), local.read("xv")[0:3:2]
+    )
+    # bytes on the wire ~ kept cells, not the full variable
+    before = d.n_bytes
+    d.read_strided("grid", [(0, 4, 4), (0, 1), (0, 2)])  # 1 record kept
+    assert d.n_bytes - before < 6 * 8 + 400

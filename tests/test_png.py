@@ -97,12 +97,20 @@ def test_crc_and_truncation_are_loud():
 
 
 def test_unsupported_variants_reject_at_plugin_point():
-    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
-    png16 = (_SIG + _chunk(b"IHDR", ihdr16)
-             + _chunk(b"IDAT", zlib.compress(bytes(10)))
-             + _chunk(b"IEND", b""))
+    # 16-bit is now implemented; 4-bit packed rows are the plug-in point
+    ihdr4 = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
+    png4 = (_SIG + _chunk(b"IHDR", ihdr4)
+            + _chunk(b"IDAT", zlib.compress(bytes(10)))
+            + _chunk(b"IEND", b""))
     with pytest.raises(NotImplementedError, match="bit depth"):
-        decode_png(png16)
+        decode_png(png4)
+    # 16-bit palette is illegal per spec, not unimplemented
+    ihdr16p = struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
+    png16p = (_SIG + _chunk(b"IHDR", ihdr16p)
+              + _chunk(b"IDAT", zlib.compress(bytes(10)))
+              + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="not a legal combination"):
+        decode_png(png16p)
     ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 7)
     png_i = (_SIG + _chunk(b"IHDR", ihdr_i)
              + _chunk(b"IDAT", zlib.compress(bytes(6)))
@@ -200,3 +208,48 @@ def test_adam7_data_length_mismatch_is_loud():
               + _chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="Adam7 expectation|data length"):
         decode_png(broken)
+
+
+# ---------------------------------------------------------------------------
+# 16-bit depth + palette tRNS (round 7 follow-up)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_16bit_roundtrip(data):
+    """uint16 samples serialize big-endian with the filter unit at
+    2 bytes/sample — exact both straight and Adam7."""
+    h = data.draw(st.integers(1, 16), label="h")
+    w = data.draw(st.integers(1, 16), label="w")
+    ch = data.draw(st.sampled_from([0, 3, 4]), label="channels")
+    inter = data.draw(st.booleans(), label="interlace")
+    seed = data.draw(st.integers(0, 2**31 - 1), label="seed")
+    shape = (h, w) if ch == 0 else (h, w, ch)
+    img = np.random.RandomState(seed).randint(
+        0, 65536, shape
+    ).astype(np.uint16)
+    payload = encode_png(img, interlace=inter)
+    assert payload[8 + 8 + 8] == 16  # IHDR bit depth
+    dec = decode_png(payload)
+    assert dec.dtype == np.uint16 and np.array_equal(dec, img)
+
+
+def test_palette_trns_expands_to_rgba():
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
+    plte = bytes([255, 0, 0, 0, 255, 0])
+    png = (_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", plte)
+           + _chunk(b"tRNS", bytes([128]))
+           + _chunk(b"IDAT", zlib.compress(bytes([0, 0, 1])))
+           + _chunk(b"IEND", b""))
+    dec = decode_png(png)
+    assert dec.shape == (1, 2, 4)
+    assert tuple(dec[0, 0]) == (255, 0, 0, 128)  # tRNS alpha applied
+    assert tuple(dec[0, 1]) == (0, 255, 0, 255)  # default opaque
+    # tRNS longer than the palette is malformed
+    bad = (_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", plte)
+           + _chunk(b"tRNS", bytes([1, 2, 3]))
+           + _chunk(b"IDAT", zlib.compress(bytes([0, 0, 1])))
+           + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="tRNS longer"):
+        decode_png(bad)
