@@ -16,11 +16,18 @@ or 4:2:0 interleaved-MCU streams with separate luma/chroma quant and
 Huffman tables; ``decode_jpeg`` runs the generic interleaved-MCU loop
 for any sampling grid whose factors divide the frame maxima (4:4:4,
 4:2:0, 4:2:2, ...), nearest-neighbor chroma upsampling, and the JFIF
-(BT.601 full-range) color transforms. Everything this codec does not
-cover rejects LOUDLY at the exact point a PIL/libjpeg decoder would
-plug in: progressive (SOF2) and arithmetic-coded (SOF9+) scans raise
-``NotImplementedError``; CMYK (4-component), 12-bit, and malformed
-streams raise descriptive errors.
+(BT.601 full-range) color transforms. PROGRESSIVE (SOF2) frames
+encode and decode too — ``encode_jpeg_progressive`` emits a five-stage
+scan script (DC first with point transform, per-band AC first scans,
+DC refinement, AC refinement), and the decoder replays any scan script
+via the four T.81 G.1.2 scan kinds (EOB runs, correction bits, the
+BR/BE buffered-bit discipline), greyscale and color, converging to the
+SAME coefficients as a baseline encoding — progressive and baseline
+decodes of one image are bit-identical, which the tests assert.
+What this codec does not cover rejects LOUDLY at the exact point a
+PIL/libjpeg decoder would plug in: arithmetic-coded (SOF9+) scans
+raise ``NotImplementedError``; CMYK (4-component), 12-bit, and
+malformed streams raise descriptive errors.
 
 Exactness contract (what the SQL oracle leans on): for an image whose
 8x8 blocks are each CONSTANT, every AC coefficient is 0 and the DC
@@ -384,6 +391,32 @@ def encode_jpeg_gray(pixels, quant=None, restart_interval: int = 0) -> bytes:
     return bytes(out)
 
 
+def _color_planes(a, hs: int):
+    """(h, w, 3) uint8 RGB -> MCU-padded (Y, Cb, Cr) float planes with
+    the JFIF (BT.601 full-range) forward transform and, at hs=2, the
+    spec-recommended 2x2 mean chroma downsample."""
+    import numpy as np
+
+    r = a[:, :, 0].astype(np.float64)
+    g = a[:, :, 1].astype(np.float64)
+    b = a[:, :, 2].astype(np.float64)
+    yy = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    mcu = 8 * hs
+    yp = _pad_plane(yy, mcu)
+    cbp = _pad_plane(cb, mcu)
+    crp = _pad_plane(cr, mcu)
+    if hs == 2:
+        cbp = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean(
+            axis=(1, 3)
+        )
+        crp = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean(
+            axis=(1, 3)
+        )
+    return yp, cbp, crp
+
+
 def encode_jpeg_color(pixels, quant=None, quant_chroma=None,
                       subsampling: str = "420",
                       restart_interval: int = 0) -> bytes:
@@ -420,25 +453,8 @@ def encode_jpeg_color(pixels, quant=None, quant_chroma=None,
                          "(444 and 420 only)")
     ql = _check_quant(quant)
     qc = _check_quant(quant_chroma if quant_chroma is not None else quant)
-    r = a[:, :, 0].astype(np.float64)
-    g = a[:, :, 1].astype(np.float64)
-    b = a[:, :, 2].astype(np.float64)
-    # JFIF (BT.601 full-range) forward transform
-    yy = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
-    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    yp, cbp, crp = _color_planes(a, hs)
     mcu = 8 * hs
-    yp = _pad_plane(yy, mcu)
-    cbp = _pad_plane(cb, mcu)
-    crp = _pad_plane(cr, mcu)
-    if hs == 2:
-        # 2x2 mean downsample (the spec-recommended filter)
-        cbp = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean(
-            axis=(1, 3)
-        )
-        crp = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean(
-            axis=(1, 3)
-        )
     A = _dct_matrix()
     qml, qmc = _qmat(ql), _qmat(qc)
     dcl = _build_codes(DC_BITS, DC_VALS)
@@ -496,18 +512,348 @@ def encode_jpeg_color(pixels, quant=None, quant_chroma=None,
     return bytes(out)
 
 
-def decode_jpeg(data: bytes):
-    """Baseline JFIF bytes -> uint8 array: (h, w) for greyscale, or
-    (h, w, 3) RGB for 3-component YCbCr (any sampling-factor grid whose
-    factors divide the maxima — 4:4:4, 4:2:0, 4:2:2, ... — decoded via
-    the generic interleaved-MCU loop with per-component DC predictors,
-    nearest-neighbor chroma upsampling, and the JFIF inverse color
-    transform).
+# ---------------------------------------------------------------------------
+# progressive encoder (T.81 Annex G, Huffman): a fixed scan script that
+# exercises all four progressive scan kinds — DC first with point
+# transform Al=1, per-band AC first scans at Al=1 (EOB runs), DC
+# refinement bits, AC refinement scans to Al=0 (correction bits).
+# ---------------------------------------------------------------------------
 
-    Tables (DQT/DHT) are always read from the stream; progressive and
-    arithmetic-coded frames raise ``NotImplementedError`` (the libjpeg
-    plug-in point); 12-bit, CMYK (4-component), and malformed streams
-    raise ``ValueError`` with a descriptive message."""
+
+def _zz_blocks_of_plane(plane, qmat, A):
+    """(H8, W8) level-shifted float plane -> (bh, bw, 64) int32
+    quantized coefficients in zigzag order."""
+    import numpy as np
+
+    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+    out = np.empty((bh, bw, 64), dtype=np.int32)
+    for by in range(bh):
+        for bx in range(bw):
+            blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coef = np.round((A @ blk @ A.T) / qmat).astype(np.int64)
+            out[by, bx] = coef.reshape(64)[ZIGZAG]
+    return out
+
+
+#: progressive-scan AC Huffman table: EOBn symbols (run<<4, size 0) are
+#: legal in progressive scans but absent from Annex K's baseline table,
+#: so the progressive encoder carries its own canonical table — every
+#: (run 0..15, size 0..10) symbol at a flat 8-bit length (176 leaves in
+#: a 256-slot level: prefix-free, all-ones code unused). Suboptimal
+#: compression, maximal simplicity; the decoder always reads DHT anyway.
+PROG_AC_VALS = sorted((r << 4) | sz for r in range(16) for sz in range(11))
+PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(PROG_AC_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+class _ProgWriter(_BitWriter):
+    """_BitWriter + the AC-refinement bookkeeping (T.81 G.1.3.3 /
+    libjpeg's BR/BE split): ``block_bits`` holds the CURRENT block's
+    buffered correction bits (flushed right after this block's next
+    ZRL or significant-coefficient symbol); ``run_bits`` holds the
+    correction bits of blocks already folded into the pending EOB run
+    (flushed right after the EOBn symbol, in block order)."""
+
+    def __init__(self):
+        super().__init__()
+        self.block_bits: list[int] = []
+        self.run_bits: list[int] = []
+
+    def put_block_bits(self):
+        for b in self.block_bits:
+            self.put(b, 1)
+        self.block_bits = []
+
+    def put_run_bits(self):
+        for b in self.run_bits:
+            self.put(b, 1)
+        self.run_bits = []
+
+    def fold_block_into_run(self):
+        self.run_bits += self.block_bits
+        self.block_bits = []
+
+
+def _emit_eobrun(bwr, ac_codes, eobrun: int) -> int:
+    """Flush a pending EOB run: EOBn symbol + extra bits, then the
+    RUN's buffered correction bits (the bits of the blocks the run
+    covers, in block order — exactly where their decoders re-read
+    them); returns 0."""
+    if eobrun > 0:
+        n = eobrun.bit_length() - 1
+        code, ln = ac_codes[n << 4]
+        bwr.put(code, ln)
+        if n:
+            bwr.put(eobrun - (1 << n), n)
+        if isinstance(bwr, _ProgWriter):
+            bwr.put_run_bits()
+    return 0
+
+
+def _encode_ac_first(bwr, zz, ac_codes, ss, se, al, eobrun: int) -> int:
+    """One block of an AC first scan; returns the updated EOB run."""
+    run = 0
+    wrote = False
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        v = (v >> al) if v >= 0 else -((-v) >> al)
+        if v == 0:
+            run += 1
+            continue
+        eobrun = _emit_eobrun(bwr, ac_codes, eobrun)
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            bwr.put(code, ln)
+            run -= 16
+        scat, extra = _magnitude(v)
+        code, ln = ac_codes[(run << 4) | scat]
+        bwr.put(code, ln)
+        bwr.put(extra, scat)
+        run = 0
+        wrote = True
+    if run or not wrote:
+        eobrun += 1
+        if eobrun == 0x7FFF:
+            eobrun = _emit_eobrun(bwr, ac_codes, eobrun)
+    return eobrun
+
+
+def _encode_ac_refine(bwr, zz, ac_codes, ss, se, al, eobrun: int) -> int:
+    """One block of an AC refinement scan (Ah = al+1 -> Al = al), the
+    T.81 G.1.3.3 discipline: newly-significant coefficients emit
+    (zero-history-run, 1) + sign; previously-significant ones buffer a
+    correction bit that is flushed right after the NEXT symbol (so the
+    decoder reads it inline while passing that position); ZRLs are
+    emitted in place but only while the run lies before the block's
+    last newly-significant position — trailing zeros fold into the EOB
+    run, whose blocks carry the leftover correction bits."""
+    absv = [0] * (se + 1)
+    keob = ss - 1  # last newly-significant position (EOB boundary)
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        absv[k] = (v if v >= 0 else -v) >> al
+        if absv[k] == 1:
+            keob = k
+    run = 0
+    for k in range(ss, se + 1):
+        temp = absv[k]
+        if temp == 0:
+            run += 1
+            continue
+        while run > 15 and k <= keob:
+            eobrun = _emit_eobrun(bwr, ac_codes, eobrun)
+            code, ln = ac_codes[0xF0]
+            bwr.put(code, ln)
+            run -= 16
+            bwr.put_block_bits()
+        if temp > 1:  # history coefficient: buffer its correction bit
+            bwr.block_bits.append(temp & 1)
+            continue
+        # newly significant (magnitude bit arrives now)
+        eobrun = _emit_eobrun(bwr, ac_codes, eobrun)
+        code, ln = ac_codes[(run << 4) | 1]
+        bwr.put(code, ln)
+        bwr.put(1 if int(zz[k]) >= 0 else 0, 1)
+        bwr.put_block_bits()
+        run = 0
+    if run > 0 or bwr.block_bits:
+        eobrun += 1
+        bwr.fold_block_into_run()
+        if eobrun == 0x7FFF:
+            eobrun = _emit_eobrun(bwr, ac_codes, eobrun)
+    return eobrun
+
+
+def encode_jpeg_progressive(pixels, quant=None, quant_chroma=None,
+                            subsampling: str = "420") -> bytes:
+    """uint8 array -> PROGRESSIVE (SOF2) JFIF bytes. (h, w) encodes
+    greyscale; (h, w, 3) encodes YCbCr color (``subsampling`` 444/420,
+    separate chroma quant + DC tables, like :func:`encode_jpeg_color`).
+
+    Scan script (exercises all four progressive scan kinds):
+    1. DC first, point transform Al=1 (interleaved across components);
+    2. per component: AC band 1..5 first at Al=1;
+    3. per component: AC band 6..63 first at Al=1 (EOB runs);
+    4. DC refinement (Ah=1 -> Al=0, one bit per block);
+    5. per component: AC refinement 1..63 (correction bits).
+
+    Decoding the result equals decoding a BASELINE encoding of the same
+    image bit-exactly (same quantized coefficients, same IDCT) — the
+    cross-check the progressive tests lean on."""
+    import numpy as np
+
+    a = np.asarray(pixels, dtype=np.uint8)
+    color = a.ndim == 3
+    if color and a.shape[2] != 3:
+        raise ValueError(f"expected (h, w) or (h, w, 3), got {a.shape}")
+    if a.ndim not in (2, 3):
+        raise ValueError(f"expected (h, w) or (h, w, 3), got {a.shape}")
+    h, w = a.shape[:2]
+    if h == 0 or w == 0 or h > 65535 or w > 65535:
+        raise ValueError(f"bad JPEG dimensions {w}x{h}")
+    ql = _check_quant(quant)
+    A = _dct_matrix()
+    if color:
+        if subsampling == "444":
+            hs = vs = 1
+        elif subsampling == "420":
+            hs = vs = 2
+        else:
+            raise ValueError(f"subsampling {subsampling!r} not supported")
+        qc = _check_quant(quant_chroma if quant_chroma is not None else quant)
+        yp, cbp, crp = _color_planes(a, hs)
+        # (cid, sampling (hi, vi), zigzag blocks, dc table id)
+        comps = [
+            (1, (hs, vs), _zz_blocks_of_plane(yp, _qmat(ql), A), 0),
+            (2, (1, 1), _zz_blocks_of_plane(cbp, _qmat(qc), A), 1),
+            (3, (1, 1), _zz_blocks_of_plane(crp, _qmat(qc), A), 1),
+        ]
+        n_my, n_mx = yp.shape[0] // (8 * vs), yp.shape[1] // (8 * hs)
+    else:
+        hs = vs = 1
+        zzp = _zz_blocks_of_plane(
+            _pad_plane(a.astype(np.float64), 8), _qmat(ql), A
+        )
+        comps = [(1, (1, 1), zzp, 0)]
+        n_my, n_mx = zzp.shape[:2]
+    # non-interleaved AC-scan grids: ceil(ceil(comp_size)/8)
+    def _cdiv(x, y):
+        return -(-x // y)
+
+    nint = {
+        cid: (_cdiv(_cdiv(h * vi, vs), 8), _cdiv(_cdiv(w * hi, hs), 8))
+        for cid, (hi, vi), _, _ in comps
+    }
+    dc_codes = {0: _build_codes(DC_BITS, DC_VALS),
+                1: _build_codes(DC_BITS_C, DC_VALS_C)}
+    ac_codes = _build_codes(PROG_AC_BITS, PROG_AC_VALS)
+
+    def dc_first_scan(al):
+        bwr = _BitWriter()
+        prev = {cid: 0 for cid, *_ in comps}
+        for my in range(n_my):
+            for mx in range(n_mx):
+                for cid, (hi, vi), zz, dct in comps:
+                    if len(comps) == 1:
+                        blocks = [(my, mx)]
+                    else:
+                        blocks = [
+                            (my * vi + vy, mx * hi + vx)
+                            for vy in range(vi) for vx in range(hi)
+                        ]
+                    for by, bx in blocks:
+                        v = int(zz[by, bx, 0]) >> al
+                        sc, extra = _magnitude(v - prev[cid])
+                        prev[cid] = v
+                        code, ln = dc_codes[dct][sc]
+                        bwr.put(code, ln)
+                        if sc:
+                            bwr.put(extra, sc)
+        return bwr.flush()
+
+    def dc_refine_scan(al):
+        bwr = _BitWriter()
+        for my in range(n_my):
+            for mx in range(n_mx):
+                for cid, (hi, vi), zz, _ in comps:
+                    if len(comps) == 1:
+                        blocks = [(my, mx)]
+                    else:
+                        blocks = [
+                            (my * vi + vy, mx * hi + vx)
+                            for vy in range(vi) for vx in range(hi)
+                        ]
+                    for by, bx in blocks:
+                        bwr.put((int(zz[by, bx, 0]) >> al) & 1, 1)
+        return bwr.flush()
+
+    def ac_scan(zz, cid, ss, se, ah, al):
+        bwr = _ProgWriter()
+        eobrun = 0
+        bh, bw = nint[cid]
+        for by in range(bh):
+            for bx in range(bw):
+                if ah == 0:
+                    eobrun = _encode_ac_first(
+                        bwr, zz[by, bx], ac_codes, ss, se, al, eobrun
+                    )
+                else:
+                    eobrun = _encode_ac_refine(
+                        bwr, zz[by, bx], ac_codes, ss, se, al, eobrun
+                    )
+        _emit_eobrun(bwr, ac_codes, eobrun)
+        return bwr.flush()
+
+    def sos(comp_spec, ss, se, ah, al):
+        return _seg(
+            0xDA,
+            bytes([len(comp_spec)])
+            + b"".join(bytes([c, t]) for c, t in comp_spec)
+            + bytes([ss, se, (ah << 4) | al]),
+        )
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0x00]) + bytes(int(x) for x in ql))
+    if color:
+        out += _seg(0xDB, bytes([0x01]) + bytes(int(x) for x in qc))
+        sof = struct.pack(">BHHB", 8, h, w, 3) + bytes(
+            [1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1]
+        )
+    else:
+        sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    out += _seg(0xC2, sof)
+    out += _seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
+    if color:
+        out += _seg(0xC4, bytes([0x01]) + bytes(DC_BITS_C) + bytes(DC_VALS_C))
+    out += _seg(0xC4, bytes([0x10]) + bytes(PROG_AC_BITS) + bytes(PROG_AC_VALS))
+    all_spec = [(cid, dct << 4) for cid, _, _, dct in comps]
+    out += sos(all_spec, 0, 0, 0, 1) + dc_first_scan(1)
+    for cid, _, zz, _ in comps:
+        out += sos([(cid, 0x00)], 1, 5, 0, 1) + ac_scan(zz, cid, 1, 5, 0, 1)
+    for cid, _, zz, _ in comps:
+        out += sos([(cid, 0x00)], 6, 63, 0, 1) + ac_scan(zz, cid, 6, 63, 0, 1)
+    out += sos(all_spec, 0, 0, 1, 0) + dc_refine_scan(0)
+    for cid, _, zz, _ in comps:
+        out += sos([(cid, 0x00)], 1, 63, 1, 0) + ac_scan(zz, cid, 1, 63, 1, 0)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _find_entropy_end(data: bytes, pos: int) -> int:
+    """First offset at/after ``pos`` holding a marker that TERMINATES an
+    entropy segment (anything but stuffed FF00 and RSTn)."""
+    i = pos
+    while i + 1 < len(data):
+        if data[i] == 0xFF:
+            m = data[i + 1]
+            if m == 0x00 or 0xD0 <= m <= 0xD7:
+                i += 2
+                continue
+            return i
+        i += 1
+    raise ValueError("truncated JPEG: entropy stream hits end of data")
+
+
+def decode_jpeg(data: bytes):
+    """JFIF bytes -> uint8 array: (h, w) for greyscale, or (h, w, 3)
+    RGB for 3-component YCbCr (any sampling-factor grid whose factors
+    divide the maxima — 4:4:4, 4:2:0, 4:2:2, ...), with nearest-neighbor
+    chroma upsampling and the JFIF inverse color transform.
+
+    BASELINE (SOF0) and PROGRESSIVE (SOF2) frames both decode: the
+    marker walk collects every scan (tables snapshotted as of each SOS,
+    since DHT may be redefined between scans), each scan deposits into
+    per-component COEFFICIENT arrays — baseline in one interleaved
+    pass; progressive via the four T.81 G.1.2 scan kinds (DC first
+    with point transform, DC refinement bits, AC spectral-band first
+    with EOB runs, AC refinement with correction bits) — and one shared
+    reconstruction (dequant + IDCT + crop + upsample + transform)
+    renders the result. Restart intervals work in every scan kind.
+
+    Tables are always read from the stream; arithmetic-coded frames
+    raise ``NotImplementedError`` (the licensed-codec plug-in point);
+    12-bit, CMYK (4-component), and malformed streams raise
+    ``ValueError`` with a descriptive message."""
     import numpy as np
 
     if len(data) < 4 or data[:2] != b"\xff\xd8":
@@ -515,27 +861,24 @@ def decode_jpeg(data: bytes):
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], tuple] = {}
     h = w = None
+    progressive = False
     dri = 0
     comps: list[tuple[int, int, int, int]] = []  # (cid, hi, vi, tq)
-    scan_tables: dict[int, tuple[int, int]] = {}  # cid -> (dc_id, ac_id)
-    scan_order: list[int] = []
+    scans: list[dict] = []
     pos = 2
-    while True:
-        if pos + 4 > len(data):
-            raise ValueError("truncated JPEG: no SOS before end of data")
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at byte {pos}")
         marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
             pos += 2
             continue
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG marker segment")
         ln = struct.unpack_from(">H", data, pos + 2)[0]
         body = data[pos + 4 : pos + 2 + ln]
-        if marker == 0xC2:
-            raise NotImplementedError(
-                "progressive JPEG (SOF2) not implemented — plug in libjpeg/"
-                "PIL here; only baseline sequential (SOF0) is in scope"
-            )
         if marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"arithmetic-coded JPEG (SOF{marker - 0xC0}) not implemented "
@@ -543,9 +886,10 @@ def decode_jpeg(data: bytes):
             )
         if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7):
             raise ValueError(f"unsupported JPEG frame type SOF{marker - 0xC0}")
-        if marker == 0xC0:
+        if marker in (0xC0, 0xC2):
             if comps:
-                raise ValueError("multiple SOF0 frame headers in one stream")
+                raise ValueError("multiple SOF frame headers in one stream")
+            progressive = marker == 0xC2
             prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec} (only 8)")
@@ -580,22 +924,32 @@ def decode_jpeg(data: bytes):
                 htables[(tc, th)] = _build_decode(bits, vals)
                 i += 17 + n
         elif marker == 0xDA:
+            if not body or len(body) < 4 + 2 * body[0]:
+                raise ValueError("truncated JPEG scan header (SOS)")
             ns = body[0]
-            if ns != len(comps):
-                raise ValueError(
-                    f"scan components {ns} != frame components {len(comps)}"
-                )
-            for c in range(ns):
-                cid = body[1 + 2 * c]
-                scan_tables[cid] = (body[2 + 2 * c] >> 4, body[2 + 2 * c] & 0x0F)
-                scan_order.append(cid)
-            pos = pos + 2 + ln
-            break
+            sc = [
+                (body[1 + 2 * c], body[2 + 2 * c] >> 4, body[2 + 2 * c] & 0x0F)
+                for c in range(ns)
+            ]
+            ss, se, a = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            startp = pos + 2 + ln
+            endp = _find_entropy_end(data, startp)
+            scans.append(
+                dict(comps=sc, ss=ss, se=se, ah=a >> 4, al=a & 0x0F,
+                     start=startp, end=endp, dri=dri, ht=dict(htables))
+            )
+            pos = endp
+            continue
         pos = pos + 2 + ln
     if h is None:
-        raise ValueError("JPEG scan before frame header (no SOF0)")
+        raise ValueError("JPEG without a frame header (no SOF)")
+    if not scans:
+        raise ValueError("JPEG without any scan (no SOS)")
     hmax = max(hi for _, hi, _, _ in comps)
     vmax = max(vi for _, _, vi, _ in comps)
+    n_mx = -(-w // (8 * hmax))
+    n_my = -(-h // (8 * vmax))
+    byid = {cid: (hi, vi) for cid, hi, vi, _ in comps}
     for cid, hi, vi, tq in comps:
         if hi < 1 or vi < 1 or hmax % hi or vmax % vi:
             raise ValueError(
@@ -604,79 +958,49 @@ def decode_jpeg(data: bytes):
             )
         if tq not in qtables:
             raise ValueError(f"missing quantization table {tq}")
-        if cid not in scan_tables:
-            raise ValueError(f"scan does not cover component {cid}")
-        dcid, acid = scan_tables[cid]
-        if (0, dcid) not in htables or (1, acid) not in htables:
-            raise ValueError("missing Huffman table referenced by scan")
 
+    # per-component coefficient planes in ZIGZAG order, MCU-padded dims
+    coefs = {
+        cid: np.zeros((n_my * vi, n_mx * hi, 64), dtype=np.int32)
+        for cid, hi, vi, _ in comps
+    }
+    # non-interleaved scans cover only ceil(comp_size/8) blocks (the
+    # MCU-padded grid is wider for subsampled frames)
+    def _ceil_div(a, b):
+        return -(-a // b)
+
+    nint_dims = {
+        cid: (
+            _ceil_div(_ceil_div(h * vi, vmax), 8),
+            _ceil_div(_ceil_div(w * hi, hmax), 8),
+        )
+        for cid, hi, vi, _ in comps
+    }
+
+    for scan in scans:
+        _decode_scan(data, scan, coefs, byid, n_mx, n_my, nint_dims,
+                     progressive)
+
+    # shared reconstruction
     A = _dct_matrix()
-    n_mx = -(-w // (8 * hmax))
-    n_my = -(-h // (8 * vmax))
-    planes = {}
-    qm = {}
-    for cid, hi, vi, tq in comps:
-        planes[cid] = np.empty((n_my * vi * 8, n_mx * hi * 8), dtype=np.uint8)
-        qm[cid] = _qmat(qtables[tq])
-    byid = {cid: (hi, vi) for cid, hi, vi, _ in comps}
-    rdr = _BitReader(data, pos)
-    prev_dc = {cid: 0 for cid, *_ in comps}
-
-    def one_block(cid):
-        dct = htables[(0, scan_tables[cid][0])]
-        act = htables[(1, scan_tables[cid][1])]
-        zz = np.zeros(64, dtype=np.int64)
-        s = rdr.huff(dct)
-        diff = rdr.extend(rdr.bits(s), s) if s else 0
-        prev_dc[cid] += diff
-        zz[0] = prev_dc[cid]
-        i = 1
-        while i < 64:
-            rs = rdr.huff(act)
-            run, size = rs >> 4, rs & 0x0F
-            if size == 0:
-                if run == 15:
-                    i += 16  # ZRL
-                    continue
-                break  # EOB
-            i += run
-            if i > 63:
-                raise ValueError("AC run past end of block")
-            zz[i] = rdr.extend(rdr.bits(size), size)
-            i += 1
-        coef = np.empty(64)
-        coef[ZIGZAG] = zz
-        blk = A.T @ (coef.reshape(8, 8) * qm[cid]) @ A
-        return np.clip(np.round(blk) + 128, 0, 255).astype(np.uint8)
-
-    mcu_i = 0
-    for my in range(n_my):
-        for mx in range(n_mx):
-            for cid in scan_order:
-                hi, vi = byid[cid]
-                for vy in range(vi):
-                    for vx in range(hi):
-                        y0 = (my * vi + vy) * 8
-                        x0 = (mx * hi + vx) * 8
-                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = one_block(cid)
-            mcu_i += 1
-            if dri and mcu_i % dri == 0 and mcu_i < n_my * n_mx:
-                seq = rdr.restart()
-                want = (mcu_i // dri - 1) % 8
-                if seq != want:
-                    raise ValueError(
-                        f"restart sequence broken: RST{seq}, expected "
-                        f"RST{want} (a dropped or duplicated segment)"
-                    )
-                for cid in prev_dc:
-                    prev_dc[cid] = 0  # predictors reset per segment
-
     up = {}
-    for cid, hi, vi, _ in comps:
-        p = planes[cid]
+    for cid, hi, vi, tq in comps:
+        qm = _qmat(qtables[tq])
+        bh, bw = coefs[cid].shape[:2]
+        plane = np.empty((bh * 8, bw * 8), dtype=np.uint8)
+        for by in range(bh):
+            for bx in range(bw):
+                coef = np.empty(64)
+                coef[ZIGZAG] = coefs[cid][by, bx]
+                blk = A.T @ (coef.reshape(8, 8) * qm) @ A
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                    np.round(blk) + 128, 0, 255
+                ).astype(np.uint8)
         if hi != hmax or vi != vmax:  # nearest-neighbor upsample
-            p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
-        up[cid] = p[:h, :w].astype(np.float64)
+            plane = np.repeat(
+                np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1
+            )
+        up[cid] = plane[:h, :w].astype(np.float64)
     if len(comps) == 1:
         return up[comps[0][0]].astype(np.uint8)
     yy, cb, cr = (up[cid] for cid in (c[0] for c in comps))
@@ -686,6 +1010,205 @@ def decode_jpeg(data: bytes):
     b = yy + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_scan(data, scan, coefs, byid, n_mx, n_my, nint_dims,
+                 progressive):
+    """Deposit one scan's entropy data into the coefficient planes —
+    baseline interleaved, or one of the four progressive scan kinds."""
+    rdr = _BitReader(data, scan["start"])
+    ht = scan["ht"]
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    sc = scan["comps"]
+    dri = scan["dri"]
+    for cid, dcid, acid in sc:
+        if ss == 0 and (0, dcid) not in ht:
+            raise ValueError(f"missing DC Huffman table {dcid}")
+        if (se > 0 or not progressive) and (1, acid) not in ht:
+            raise ValueError(f"missing AC Huffman table {acid}")
+    prev_dc = {cid: 0 for cid, _, _ in sc}
+    state = {"eobrun": 0}
+
+    def check_restart(mcu_i, total):
+        if dri and mcu_i % dri == 0 and mcu_i < total:
+            seq = rdr.restart()
+            want = (mcu_i // dri - 1) % 8
+            if seq != want:
+                raise ValueError(
+                    f"restart sequence broken: RST{seq}, expected RST{want} "
+                    "(a dropped or duplicated segment)"
+                )
+            for cid in prev_dc:
+                prev_dc[cid] = 0
+            state["eobrun"] = 0
+
+    if not progressive:
+        # baseline: one interleaved full-band scan
+        if ss != 0 or se != 63 or ah or al:
+            raise ValueError("baseline scan must cover 0..63 at full precision")
+        mcu_i = 0
+        for my in range(n_my):
+            for mx in range(n_mx):
+                for cid, dcid, acid in sc:
+                    hi, vi = byid[cid]
+                    for vy in range(vi):
+                        for vx in range(hi):
+                            zz = coefs[cid][my * vi + vy, mx * hi + vx]
+                            _baseline_block(
+                                rdr, zz, ht[(0, dcid)], ht[(1, acid)],
+                                prev_dc, cid,
+                            )
+                mcu_i += 1
+                check_restart(mcu_i, n_my * n_mx)
+        return
+
+    if ss == 0:  # DC scan (se must be 0 per spec)
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        mcu_i = 0
+        for my in range(n_my):
+            for mx in range(n_mx):
+                for cid, dcid, _ in sc:
+                    hi, vi = byid[cid]
+                    # single-component DC scans are NON-interleaved:
+                    # block grid = ceil dims, not MCU-padded
+                    if len(sc) == 1:
+                        bh, bw = nint_dims[cid]
+                        if my >= bh or mx >= bw:
+                            continue
+                        blocks = [(my, mx)]
+                    else:
+                        blocks = [
+                            (my * vi + vy, mx * hi + vx)
+                            for vy in range(vi) for vx in range(hi)
+                        ]
+                    dcid_of = {c: d for c, d, _ in sc}
+                    for by, bx in blocks:
+                        zz = coefs[cid][by, bx]
+                        if ah == 0:  # DC first: diff of (value >> al)
+                            s = rdr.huff(ht[(0, dcid_of[cid])])
+                            diff = rdr.extend(rdr.bits(s), s) if s else 0
+                            prev_dc[cid] += diff
+                            zz[0] = prev_dc[cid] << al
+                        else:  # DC refinement: one bit
+                            if rdr.bits(1):
+                                zz[0] = int(zz[0]) | (1 << al)
+                mcu_i += 1
+                check_restart(mcu_i, n_my * n_mx)
+        return
+
+    # AC scan: spec requires exactly one component, non-interleaved
+    if len(sc) != 1:
+        raise ValueError("progressive AC scan with multiple components")
+    cid, _, acid = sc[0]
+    bh, bw = nint_dims[cid]
+    act = ht[(1, acid)]
+    total = bh * bw
+    mcu_i = 0
+    for by in range(bh):
+        for bx in range(bw):
+            zz = coefs[cid][by, bx]
+            if ah == 0:
+                _ac_first_block(rdr, zz, act, ss, se, al, state)
+            else:
+                _ac_refine_block(rdr, zz, act, ss, se, al, state)
+            mcu_i += 1
+            check_restart(mcu_i, total)
+
+
+def _baseline_block(rdr, zz, dct, act, prev_dc, cid):
+    s = rdr.huff(dct)
+    diff = rdr.extend(rdr.bits(s), s) if s else 0
+    prev_dc[cid] += diff
+    zz[0] = prev_dc[cid]
+    i = 1
+    while i < 64:
+        rs = rdr.huff(act)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:
+                i += 16  # ZRL
+                continue
+            break  # EOB
+        i += run
+        if i > 63:
+            raise ValueError("AC run past end of block")
+        zz[i] = rdr.extend(rdr.bits(size), size)
+        i += 1
+
+
+def _ac_first_block(rdr, zz, act, ss, se, al, state):
+    """T.81 G.1.2.2: AC coefficients' first scan for one band — EOB
+    runs span blocks; new coefficients arrive at magnitude << al."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = rdr.huff(act)
+        r, s = rs >> 4, rs & 0x0F
+        if s:
+            k += r
+            if k > se:
+                raise ValueError("AC band run past Se")
+            zz[k] = rdr.extend(rdr.bits(s), s) << al
+            k += 1
+        else:
+            if r < 15:
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += rdr.bits(r)
+                return
+            k += 16  # ZRL
+
+
+def _ac_refine_block(rdr, zz, act, ss, se, al, state):
+    """T.81 G.1.2.3: AC refinement — correction bits for history
+    coefficients, ±1<<al for newly significant ones, EOB runs carrying
+    correction bits through their blocks."""
+    p1, m1 = 1 << al, -1 << al
+
+    def correct(k):
+        if rdr.bits(1) and (int(zz[k]) & p1) == 0:
+            zz[k] = int(zz[k]) + (p1 if int(zz[k]) >= 0 else m1)
+
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = rdr.huff(act)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r < 15:
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += rdr.bits(r)
+                    break
+                # r == 15: pass over 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad AC refinement symbol size")
+                val = p1 if rdr.bits(1) else m1
+            while k <= se:
+                if int(zz[k]) != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        if s:
+                            zz[k] = val
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+            else:
+                if s:
+                    raise ValueError("AC refinement ran past Se")
+    if state["eobrun"] > 0:
+        while k <= se:
+            if int(zz[k]) != 0:
+                correct(k)
+            k += 1
+        state["eobrun"] -= 1
 
 
 def decode_jpeg_gray(data: bytes):

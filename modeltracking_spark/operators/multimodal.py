@@ -743,6 +743,42 @@ def attach_jpeg_payload(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def attach_jpeg_progressive_payload(df: DataFrame, id_col: str = "doc_id",
+                                    out_col: str = "payload") -> DataFrame:
+    """Fixture builder for the PROGRESSIVE (SOF2) decode path: grey
+    block-constant images — width = id%20+4, height = id%14+4, block
+    value (id*17 + bx*23 + by*31) % 256 — through the five-scan
+    progressive encoder (DC first at Al=1, banded AC first scans, DC
+    and AC refinement; operators/jpeg.py). Progressive and baseline
+    carry the same quantized coefficients, so block-constant content
+    stays bit-exact and the scan machinery (EOB runs, correction bits,
+    point transforms) is SQL-oracle-able."""
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        from modeltracking_spark.operators.jpeg import encode_jpeg_progressive
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                d = int(did)
+                w, h = d % 20 + 4, d % 14 + 4
+                bw, bh = -(-w // 8), -(-h // 8)
+                by, bx = np.mgrid[0:bh, 0:bw]
+                bv = (d * 17 + bx * 23 + by * 31) % 256
+                img = np.kron(bv, np.ones((8, 8), dtype=np.int64))
+                payloads.append(
+                    encode_jpeg_progressive(img[:h, :w].astype(np.uint8))
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: payloads})
+
+    return df.select(id_col).mapInPandas(
+        build, schema=f"{id_col} bigint, {out_col} binary"
+    )
+
+
 def attach_jpeg_color_payload(df: DataFrame, id_col: str = "doc_id",
                               out_col: str = "payload") -> DataFrame:
     """Fixture builder for the 3-COMPONENT 4:2:0 JPEG decode path:

@@ -156,6 +156,7 @@ PRIORITY: tuple[str, ...] = (
     "classifier_eval_suite",        # confusion/PRF/exact tie-aware AUC
     "classifier_calibration_bins",  # reliability-diagram bins
     "key_skew_profile_events",      # skew diagnostic (max share + exact Gini)
+    "jpeg_progressive_decode_stats_docs",  # SOF2 five-scan decode
 )
 
 #: observed driver correctness cap (CORRECTNESS_r03 scored exactly 50)

@@ -18,6 +18,7 @@ from modeltracking_spark.operators.multimodal import (
     attach_gif_payload,
     attach_jpeg_color_payload,
     attach_jpeg_payload,
+    attach_jpeg_progressive_payload,
     attach_png_payload,
     attach_wav_payload,
     attach_y4m_payload,
@@ -136,8 +137,9 @@ def jpeg_decode_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge-MCU crop — all attested end to end. n_bytes is entropy-coded
     (not SQL-replayable) and deliberately not emitted. The non-exact AC
     path is pinned by hypothesis roundtrip-tolerance tests
-    (tests/test_jpeg.py); progressive/arithmetic/color variants raise
-    at the libjpeg plug-in point."""
+    (tests/test_jpeg.py); color, progressive, and restart-interval
+    variants have their own queries/tests; arithmetic coding raises at
+    the licensed-codec plug-in point."""
     d = attach_jpeg_payload(T(spark, sf_dir, "documents"))
     return decode_image_features(d, fake=False).select(
         "doc_id", "width", "height", "n_channels", "pixel_sum"
@@ -290,6 +292,41 @@ def mulaw_decode_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     reject at the ffmpeg plug-in point."""
     d = attach_g711_payload(T(spark, sf_dir, "documents"), law="mu")
     return decode_audio_stats(d)
+
+
+@query(
+    "jpeg_progressive_decode_stats_docs",
+    oracle="""
+    SELECT doc_id,
+           (doc_id % 20 + 4)::INTEGER AS width,
+           (doc_id % 14 + 4)::INTEGER AS height,
+           1::INTEGER AS n_channels,
+           sum((doc_id * 17 + (x.i // 8) * 23 + (y.i // 8) * 31)
+               % 256)::BIGINT AS pixel_sum
+    FROM documents, range(23) x(i), range(17) y(i)
+    WHERE x.i < doc_id % 20 + 4 AND y.i < doc_id % 14 + 4
+    GROUP BY 1
+    """,
+)
+def jpeg_progressive_decode_stats_docs(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """REAL PROGRESSIVE JPEG decode (round 7, ITU T.81 Annex G): grey
+    block-constant images encoded with the five-scan SOF2 script —
+    DC-first with point transform Al=1, banded AC first scans with EOB
+    runs, DC refinement bits, AC refinement with the BR/BE buffered
+    correction-bit discipline — decoded back through the multi-scan
+    coefficient accumulator inside mapInPandas. Progressive carries
+    the SAME quantized coefficients as baseline, so block-constant
+    content is bit-exact and the oracle replays the pixel formula in
+    SQL: marker/scan-script parse, all four progressive scan kinds,
+    and the shared reconstruction are attested end to end
+    (operators/jpeg.py:encode_jpeg_progressive/decode_jpeg; the
+    progressive==baseline bit-identity is hypothesis-pinned in
+    tests/test_jpeg.py)."""
+    d = attach_jpeg_progressive_payload(T(spark, sf_dir, "documents"))
+    return decode_image_features(d, fake=False).select(
+        "doc_id", "width", "height", "n_channels", "pixel_sum"
+    )
 
 
 @query(

@@ -117,12 +117,13 @@ def test_dc_prediction_chain_matters():
 def test_rejects_are_loud_and_typed():
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg_gray(b"hello world")
-    with pytest.raises(NotImplementedError, match="progressive"):
+    # SOF2 now decodes; a zero-precision SOF2 stub is malformed instead
+    with pytest.raises(ValueError, match="precision"):
         decode_jpeg_gray(b"\xff\xd8\xff\xc2\x00\x0b" + bytes(9))
     with pytest.raises(NotImplementedError, match="arithmetic"):
         decode_jpeg_gray(b"\xff\xd8\xff\xc9\x00\x0b" + bytes(9))
     # a DRI with no frame/scan after it is malformed, not unimplemented
-    with pytest.raises(ValueError, match="no SOS"):
+    with pytest.raises(ValueError, match="no SOF|no SOS"):
         decode_jpeg_gray(b"\xff\xd8\xff\xdd\x00\x04\x00\x10")
     # the greyscale-contract wrapper refuses a (valid) color stream
     color = encode_jpeg_color(np.zeros((8, 8, 3), np.uint8))
@@ -138,6 +139,10 @@ def test_rejects_are_loud_and_typed():
         )
     with pytest.raises(ValueError, match="truncated"):
         decode_jpeg_gray(encode_jpeg_gray(np.zeros((16, 16), np.uint8))[:-8])
+    big = encode_jpeg_gray(np.random.RandomState(0).randint(
+        0, 256, (24, 24)).astype(np.uint8), quant=[1] * 64)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg_gray(big[:-8])  # cut inside real entropy data
     with pytest.raises(ValueError):
         encode_jpeg_gray(np.zeros((0, 8), np.uint8))
     with pytest.raises(ValueError):
@@ -312,3 +317,71 @@ def test_restart_resets_dc_prediction():
     assert ra == rb
     assert np.array_equal(decode_jpeg(pa), a)
     assert np.array_equal(decode_jpeg(pb), b)
+
+
+# ---------------------------------------------------------------------------
+# progressive JPEG (round 7 follow-up): SOF2 both directions
+# ---------------------------------------------------------------------------
+from modeltracking_spark.operators.jpeg import encode_jpeg_progressive
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_progressive_equals_baseline_bit_exact_gray(data):
+    """The same image encoded progressively (5-scan script: DC first at
+    Al=1, banded AC first scans, DC+AC refinement) and baseline decodes
+    to IDENTICAL pixels — the two streams carry the same quantized
+    coefficients, so any divergence is an entropy-layer bug."""
+    h = data.draw(st.integers(1, 40), label="h")
+    w = data.draw(st.integers(1, 40), label="w")
+    seed = data.draw(st.integers(0, 2**31 - 1), label="seed")
+    q = data.draw(st.sampled_from(["q1", "q8"]), label="quant")
+    quant = [1] * 64 if q == "q1" else None
+    img = np.random.RandomState(seed).randint(0, 256, (h, w)).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg_gray(img, quant=quant))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quant=quant))
+    assert np.array_equal(base, prog)
+
+
+@settings(max_examples=16, deadline=None)
+@given(st.data())
+def test_progressive_equals_baseline_bit_exact_color(data):
+    sub = data.draw(st.sampled_from(["444", "420"]), label="subsampling")
+    h = data.draw(st.integers(1, 32), label="h")
+    w = data.draw(st.integers(1, 32), label="w")
+    seed = data.draw(st.integers(0, 2**31 - 1), label="seed")
+    img = np.random.RandomState(seed).randint(0, 256, (h, w, 3)).astype(
+        np.uint8
+    )
+    base = decode_jpeg(encode_jpeg_color(img, quant=[1] * 64,
+                                         subsampling=sub))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quant=[1] * 64,
+                                               subsampling=sub))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_block_constant_exact_and_structure():
+    """Block-constant grey content is bit-exact end to end through the
+    progressive path (the oracle contract extends to SOF2), and the
+    stream self-describes: SOF2 marker, five+ SOS scans."""
+    img = _block_constant(list(range(12)), 24, 32)
+    payload = encode_jpeg_progressive(img)
+    assert payload.count(b"\xff\xc2") == 1  # SOF2, not SOF0
+    assert payload.count(b"\xff\xda") == 5  # the 5-scan grey script
+    assert np.array_equal(decode_jpeg(payload), img)
+    cimg = np.stack([img] * 3, axis=2)
+    cpayload = encode_jpeg_progressive(cimg, subsampling="420")
+    assert cpayload.count(b"\xff\xda") == 1 + 3 + 3 + 1 + 3  # color script
+    assert np.array_equal(decode_jpeg(cpayload), cimg)
+
+
+def test_progressive_truncated_scans_are_loud():
+    img = np.random.RandomState(5).randint(0, 256, (24, 24)).astype(np.uint8)
+    payload = encode_jpeg_progressive(img, quant=[1] * 64)
+    # cut inside the last scan: the AC refinement must hit a loud error
+    with pytest.raises(ValueError):
+        decode_jpeg(payload[:-40])
+    # dropping EVERYTHING after the 2nd scan leaves no EOI
+    second_sos = payload.index(b"\xff\xda", payload.index(b"\xff\xda") + 2)
+    with pytest.raises(ValueError):
+        decode_jpeg(payload[:second_sos])
