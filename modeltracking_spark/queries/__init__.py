@@ -157,6 +157,7 @@ PRIORITY: tuple[str, ...] = (
     "classifier_calibration_bins",  # reliability-diagram bins
     "key_skew_profile_events",      # skew diagnostic (max share + exact Gini)
     "jpeg_progressive_decode_stats_docs",  # SOF2 five-scan decode
+    "grid_netcdf_packed_scan",      # CF-packed int16 grid (real HYCOM wire format)
 )
 
 #: observed driver correctness cap (CORRECTNESS_r03 scored exactly 50)

@@ -139,6 +139,83 @@ def grid_netcdf_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "grid_netcdf_packed_scan",
+    oracle=f"""
+    SELECT time_hours,
+           count(*) AS n_rows,
+           count(*) FILTER (WHERE water_temp <= -4) AS n_sentinel,
+           sum(CASE WHEN water_temp > -4
+                    THEN round(water_temp * 10)::BIGINT END)::BIGINT AS sum_temp_e1
+    FROM ({HYCOM_GRID_SQL})
+    GROUP BY 1
+    """,
+)
+def grid_netcdf_packed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PACKED-int16 twin of ``grid_netcdf_scan`` — how real HYCOM
+    THREDDS actually serves its hypercubes: physics variables stored as
+    int16 with CF scale_factor/add_offset/missing_value attributes (¼
+    the bytes), unpacked transparently by the partition loader
+    (read_slice(apply_cf=True) + sentinel restore — netCDF4's auto
+    mask-and-scale, now in OUR reader). The fixture values are exact
+    multiples of 0.1, so packing is LOSSLESS and the SAME formula
+    oracle attests the packed encode -> CF-unpack -> scan pipeline
+    bit-exactly (sources/grid_source.py:write_grid_netcdf_packed /
+    _physics_slice; packed==formula parity pinned per-column in
+    tests/test_netcdf.py)."""
+    import hashlib
+    import inspect
+    import os
+
+    from pyspark.errors import PySparkException
+
+    from modeltracking_spark.fixtures import (
+        GRID_N_DEPTH,
+        GRID_N_LAT,
+        GRID_N_LON,
+        GRID_N_TIME,
+        grid_fixture_fingerprint,
+    )
+    from modeltracking_spark.queries.common import ensure_pkg_on_workers
+    from modeltracking_spark.sources import grid_source as _gs
+    from modeltracking_spark.sources import netcdf_classic as _nc
+    from modeltracking_spark.sources.grid_source import (
+        HycomGridDataSource,
+        write_grid_netcdf_packed,
+    )
+
+    gen_src = (
+        inspect.getsource(_gs._partition_arrays)
+        + inspect.getsource(_gs.write_grid_netcdf_packed)
+        + inspect.getsource(_gs._physics_slice)
+        + inspect.getsource(_nc.write_classic)
+    )
+    key = (
+        f"packed_{grid_fixture_fingerprint()}"
+        f"{hashlib.md5(gen_src.encode()).hexdigest()[:8]}_"
+        f"{GRID_N_TIME}x{GRID_N_DEPTH}x{GRID_N_LAT}x{GRID_N_LON}"
+    )
+    nc_path = f"/tmp/modeltracking_grid_fixture_{key}.nc"
+    if not os.path.exists(nc_path):
+        tmp = f"{nc_path}.{os.getpid()}.tmp"
+        write_grid_netcdf_packed(tmp)
+        os.replace(tmp, nc_path)
+    ensure_pkg_on_workers(spark)
+    try:
+        spark.dataSource.register(HycomGridDataSource)
+    except PySparkException:
+        pass
+    g = spark.read.format("hycom_grid").option("path", nc_path).load()
+    masked = F.when(
+        F.col("water_temp") > -4, F.round(F.col("water_temp") * 10).cast("long")
+    )
+    return g.groupBy("time_hours").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("water_temp") <= -4, 1).otherwise(0)).alias("n_sentinel"),
+        F.sum(masked).alias("sum_temp_e1"),
+    )
+
+
+@query(
     "hours_from_parts",
     oracle="""
     SELECT o_orderkey,

@@ -54,11 +54,29 @@ GRID_SCHEMA_DDL = (
 )
 
 
+def _physics_slice(nc, var: str, ti: int):
+    """One physics record, CF-unpacked when the variable is PACKED
+    (int16 + scale/offset/missing attrs — how real HYCOM serves its
+    hypercubes) and the reader supports it; missing values come back as
+    the pipeline's sentinel either way, so downstream code sees one
+    schema regardless of on-disk packing."""
+    import numpy as np
+
+    attrs = getattr(getattr(nc, "vars", {}).get(var, None), "attrs", None)
+    if attrs and ("scale_factor" in attrs or "missing_value" in attrs
+                  or "_FillValue" in attrs):
+        a = nc.read_slice(var, ti, apply_cf=True)
+        return np.where(np.isnan(a), GRID_SENTINEL, a)
+    return nc.read_slice(var, ti)
+
+
 def _partition_from_netcdf(path: str, ti: int):
     """One time step as numpy columns, read from a classic netCDF file —
     slice reads only (never the whole variable). The lat/lon/depth
     coordinate vectors are header-adjacent 1-D reads (KBs); the two
-    physics hypercube vars are one record-range read each."""
+    physics hypercube vars are one record-range read each, CF-unpacked
+    transparently when the file stores packed int16 (see
+    :func:`_physics_slice`)."""
     import numpy as np
 
     from modeltracking_spark.sources.dap import open_nc_or_dap
@@ -68,8 +86,8 @@ def _partition_from_netcdf(path: str, ti: int):
     depth_m = nc.read("depth")
     lat_v = nc.read("lat")
     lon_v = nc.read("lon")
-    temp = nc.read_slice("water_temp", ti)  # (depth, lat, lon)
-    sal = nc.read_slice("salinity", ti)
+    temp = _physics_slice(nc, "water_temp", ti)  # (depth, lat, lon)
+    sal = _physics_slice(nc, "salinity", ti)
     nd, nla, nlo = temp.shape
     d, la, lo = np.meshgrid(
         np.arange(nd, dtype=np.int64),
@@ -147,6 +165,66 @@ def write_grid_netcdf(path: str, n_time: int = GRID_N_TIME) -> None:
             ),
             ("water_temp", ("time", "depth", "lat", "lon"), rec("water_temp")),
             ("salinity", ("time", "depth", "lat", "lon"), rec("salinity")),
+        ],
+        record_dim="time",
+        n_records=n_time,
+    )
+
+
+def write_grid_netcdf_packed(path: str, n_time: int = GRID_N_TIME) -> None:
+    """The PACKED twin of :func:`write_grid_netcdf` — physics variables
+    stored as int16 with CF ``scale_factor``/``add_offset``/
+    ``missing_value`` attributes, which is how real HYCOM THREDDS serves
+    its hypercubes (¼ the bytes of float64). The fixture formulas are
+    exact multiples of 0.1, so packing is LOSSLESS here: unpacking
+    ``p * 0.1 (+ 30.0)`` reproduces the float64 fixture bit-for-bit
+    (IEEE multiply/add of the same operands), and the packed file scans
+    to the SAME oracle-checked rows as the unpacked one."""
+    import numpy as np
+
+    from modeltracking_spark.sources.netcdf_classic import write_classic
+
+    last: dict = {}
+
+    def packed(var, offset):
+        def f(r):
+            if last.get("r") != r:
+                last["r"], last["cols"] = r, _partition_arrays(r)
+            v = last["cols"][var].reshape(GRID_N_DEPTH, GRID_N_LAT, GRID_N_LON)
+            out = np.where(
+                v <= -4.0,
+                np.int16(-30000),
+                np.round((v - offset) * 10.0).astype(np.int16),
+            )
+            return out.astype(np.int16)
+
+        return f
+
+    write_classic(
+        path,
+        dims=[
+            ("time", 0),
+            ("depth", GRID_N_DEPTH),
+            ("lat", GRID_N_LAT),
+            ("lon", GRID_N_LON),
+        ],
+        variables=[
+            ("time", ("time",),
+             lambda r: np.array(r * GRID_TIME_STEP, dtype=np.int32)),
+            ("depth", ("depth",),
+             np.arange(GRID_N_DEPTH, dtype=np.float64) * GRID_DEPTH_STEP),
+            ("lat", ("lat",),
+             GRID_LAT0 + np.arange(GRID_N_LAT, dtype=np.float64) * GRID_LAT_STEP),
+            ("lon", ("lon",),
+             GRID_LON0 + np.arange(GRID_N_LON, dtype=np.float64) * GRID_LON_STEP),
+            ("water_temp", ("time", "depth", "lat", "lon"),
+             packed("water_temp", 0.0),
+             {"scale_factor": 0.1, "add_offset": 0.0,
+              "missing_value": [-30000], "units": "degC"}),
+            ("salinity", ("time", "depth", "lat", "lon"),
+             packed("salinity", 30.0),
+             {"scale_factor": 0.1, "add_offset": 30.0,
+              "missing_value": [-30000], "units": "psu"}),
         ],
         record_dim="time",
         n_records=n_time,

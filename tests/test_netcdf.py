@@ -587,3 +587,29 @@ def test_dap_strided_hyperslab(tiny_nc, dap_root):
     before = d.n_bytes
     d.read_strided("grid", [(0, 4, 4), (0, 1), (0, 2)])  # 1 record kept
     assert d.n_bytes - before < 6 * 8 + 400
+
+
+def test_packed_grid_scan_is_bit_exact(tmp_path):
+    """The packed-int16 grid (CF scale/offset/missing attrs — real
+    HYCOM's wire format, ~1/4 the float64 bytes) CF-unpacks to the
+    formula partition bit-for-bit in every column: the fixture values
+    are exact multiples of 0.1, p*0.1(+30.0) reproduces the doubles,
+    and missing comes back as the pipeline sentinel."""
+    from modeltracking_spark.sources.grid_source import (
+        _partition_arrays,
+        _partition_from_netcdf,
+        write_grid_netcdf_packed,
+    )
+
+    p = str(tmp_path / "packed.nc")
+    write_grid_netcdf_packed(p, n_time=3)
+    f = NcFile(p)
+    assert f.vars["water_temp"].attrs["scale_factor"] == [0.1]
+    assert f.vars["salinity"].attrs["add_offset"] == [30.0]
+    raw = f.read_slice("water_temp", 1)
+    assert raw.dtype == np.int16  # genuinely packed on disk
+    for ti in (0, 2):
+        a = _partition_arrays(ti)
+        b = _partition_from_netcdf(p, ti)
+        for k in a:
+            assert np.array_equal(a[k], b[k]), (ti, k)
