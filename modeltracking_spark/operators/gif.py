@@ -239,8 +239,9 @@ def decode_gif(data: bytes):
             raise ValueError(f"unknown GIF block 0x{block:02X} at {pos - 1}")
         if img is not None:
             raise NotImplementedError(
-                "animated GIF (multiple image descriptors) not implemented "
-                "— the PIL plug-in point"
+                "decode_gif is the single-image contract — use "
+                "decode_gif_frames for animations (multiple image "
+                "descriptors)"
             )
         left, top, w, h = struct.unpack_from("<HHHH", data, pos)
         ipacked = data[pos + 8]
@@ -283,3 +284,149 @@ def decode_gif(data: bytes):
     if img is None:
         raise ValueError("GIF without an image descriptor")
     return img
+
+
+# ---------------------------------------------------------------------------
+# GIF89a animation (multi-frame streams with Graphic Control Extensions)
+# ---------------------------------------------------------------------------
+
+
+def encode_gif_animation(frames, palette, delays_cs=None,
+                         transparent: int | None = None) -> bytes:
+    """List of (h, w) index arrays (+ shared palette) -> GIF89a
+    animation: per frame a Graphic Control Extension (delay in
+    centiseconds, disposal "do not dispose", optional transparent
+    index) followed by a full-frame image descriptor + LZW data. With a
+    transparent index, pixels holding it leave the previous canvas
+    visible — the standard delta-frame trick."""
+    import numpy as np
+
+    if not frames:
+        raise ValueError("animation needs at least one frame")
+    pal = np.asarray(palette, dtype=np.uint8)
+    h, w = np.asarray(frames[0]).shape
+    if delays_cs is None:
+        delays_cs = [10] * len(frames)
+    n_pal = pal.shape[0]
+    bits = max(2, (n_pal - 1).bit_length())
+    full = np.zeros((1 << bits, 3), dtype=np.uint8)
+    full[:n_pal] = pal
+    min_code = max(2, bits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | ((bits - 1) & 0x07), 0, 0])
+    out += full.tobytes()
+    for idx, delay in zip(frames, delays_cs):
+        idx = np.asarray(idx, dtype=np.uint8)
+        if idx.shape != (h, w):
+            raise ValueError(
+                f"frame shape {idx.shape} != canvas {(h, w)}"
+            )
+        if int(idx.max(initial=0)) >= n_pal:
+            raise ValueError("frame index outside the palette")
+        # GCE: disposal=1 (leave), transparency flag + index if given
+        flags = 0x04 | (0x01 if transparent is not None else 0x00)
+        out += bytes([0x21, 0xF9, 4, flags]) + struct.pack("<H", delay)
+        out += bytes([transparent or 0, 0])
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out += bytes([min_code])
+        out += _sub_blocks(_lzw_compress(idx.reshape(-1), min_code))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(data: bytes):
+    """GIF bytes -> list of (delay_cs, (h, w, 3) uint8 RGB canvas) —
+    one COMPOSED canvas per image descriptor: sub-rectangle frames and
+    GCE-transparent pixels leave the prior canvas visible ("do not
+    dispose" semantics; restore-to-background/previous disposal modes
+    are approximated as leave, documented). Single-image files come
+    back as one frame with delay 0."""
+    import numpy as np
+
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload (bad header)")
+    sw, sh = struct.unpack_from("<HH", data, 6)
+    packed = data[10]
+    bg = data[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data, dtype=np.uint8, count=3 * n,
+                            offset=pos).reshape(n, 3)
+        pos += 3 * n
+    canvas_idx = np.full((sh, sw), bg, dtype=np.int32)
+    frames: list[tuple[int, object]] = []
+    delay = 0
+    transparent: int | None = None
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            label = data[pos]
+            pos += 1
+            subs = bytearray()
+            while pos < len(data) and data[pos] != 0:
+                ln = data[pos]
+                subs += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            if label == 0xF9 and len(subs) >= 4:  # Graphic Control Ext
+                delay = struct.unpack_from("<H", subs, 1)[0]
+                transparent = subs[3] if subs[0] & 0x01 else None
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02X} at {pos - 1}")
+        left, top, w, h = struct.unpack_from("<HHHH", data, pos)
+        ipacked = data[pos + 8]
+        pos += 9
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = np.frombuffer(data, dtype=np.uint8, count=3 * n,
+                                offset=pos).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF image without any color table")
+        if left + w > sw or top + h > sh:
+            raise ValueError(
+                f"frame rectangle ({left},{top},{w}x{h}) outside the "
+                f"{sw}x{sh} canvas"
+            )
+        min_code = data[pos]
+        pos += 1
+        if not 2 <= min_code <= 8:
+            raise ValueError(f"bad GIF LZW min code size {min_code}")
+        lzw = bytearray()
+        while pos < len(data) and data[pos] != 0:
+            ln = data[pos]
+            lzw += data[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        if pos >= len(data):
+            raise ValueError("truncated GIF sub-block stream")
+        pos += 1
+        idx = np.array(
+            _lzw_decompress(bytes(lzw), min_code, w * h), dtype=np.int32
+        ).reshape(h, w)
+        if ipacked & 0x40:
+            deinterlaced = np.empty_like(idx)
+            deinterlaced[_interlaced_row_order(h)] = idx
+            idx = deinterlaced
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("GIF index out of palette range")
+        region = canvas_idx[top : top + h, left : left + w]
+        if transparent is not None:
+            canvas_idx[top : top + h, left : left + w] = np.where(
+                idx == transparent, region, idx
+            )
+        else:
+            canvas_idx[top : top + h, left : left + w] = idx
+        frames.append((delay, pal[canvas_idx]))
+        delay = 0
+        transparent = None
+    if not frames:
+        raise ValueError("GIF without an image descriptor")
+    return frames

@@ -1008,6 +1008,83 @@ def attach_adpcm_payload(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def attach_gif_animation_payload(df: DataFrame, id_col: str = "doc_id",
+                                 out_col: str = "payload") -> DataFrame:
+    """Fixture builder for ANIMATED GIF decode: per row a GIF89a
+    animation over a greyscale ramp palette — canvas w = id%10+4, h =
+    id%8+4, n = id%3+2 frames with delays 4+j cs. Frame 0 is the base
+    (x*3 + y*5 + id) % 255; frames j>=1 are DELTA frames: pixels with
+    (x+y+j)%3 == 0 carry (x*2 + y*7 + j*31 + id) % 255, the rest are
+    the transparent index 255 — so the composed canvas at frame j is a
+    pure function of (x, y, j, id) and the GCE-transparency composition
+    is SQL-replayable exactly."""
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        from modeltracking_spark.operators.gif import encode_gif_animation
+
+        pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                d = int(did)
+                w, h = d % 10 + 4, d % 8 + 4
+                n = d % 3 + 2
+                y, x = np.mgrid[0:h, 0:w]
+                frames = [((x * 3 + y * 5 + d) % 255).astype(np.uint8)]
+                for j in range(1, n):
+                    delta = np.full((h, w), 255, dtype=np.uint8)
+                    hit = (x + y + j) % 3 == 0
+                    delta[hit] = ((x * 2 + y * 7 + j * 31 + d) % 255)[hit]
+                    frames.append(delta)
+                payloads.append(
+                    encode_gif_animation(
+                        frames, pal,
+                        delays_cs=[4 + j for j in range(n)],
+                        transparent=255,
+                    )
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: payloads})
+
+    return df.select(id_col).mapInPandas(
+        build, schema=f"{id_col} bigint, {out_col} binary"
+    )
+
+
+def gif_frame_stats(df: DataFrame, id_col: str = "doc_id",
+                    payload_col: str = "payload") -> DataFrame:
+    """1 -> n_frames expansion over animated GIFs: decode every frame's
+    COMPOSED canvas (delta frames + GCE transparency applied) inside
+    mapInPandas and emit (doc_id, frame_idx, delay_cs, pixel_sum) — the
+    animated-image twin of ``sample_frames``/``decode_video_stats``."""
+
+    def extract(batches):
+        import numpy as np
+        import pandas as pd
+
+        from modeltracking_spark.operators.gif import decode_gif_frames
+
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("doc_id", "frame_idx", "delay_cs", "pixel_sum")}
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                for j, (delay, canvas) in enumerate(
+                    decode_gif_frames(bytes(payload))
+                ):
+                    rows["doc_id"].append(int(did))
+                    rows["frame_idx"].append(j)
+                    rows["delay_cs"].append(int(delay))
+                    rows["pixel_sum"].append(int(canvas.sum(dtype=np.int64)))
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        extract,
+        schema="doc_id bigint, frame_idx int, delay_cs int, pixel_sum bigint",
+    )
+
+
 def attach_g711_payload(df: DataFrame, id_col: str = "doc_id",
                         out_col: str = "payload", law: str = "mu") -> DataFrame:
     """Fixture builder for the COMPRESSED audio decode path: a mono

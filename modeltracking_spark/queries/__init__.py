@@ -158,6 +158,7 @@ PRIORITY: tuple[str, ...] = (
     "key_skew_profile_events",      # skew diagnostic (max share + exact Gini)
     "jpeg_progressive_decode_stats_docs",  # SOF2 five-scan decode
     "grid_netcdf_packed_scan",      # CF-packed int16 grid (real HYCOM wire format)
+    "gif_frames_stats_docs",        # animated GIF frame composition (1->N)
 )
 
 #: observed driver correctness cap (CORRECTNESS_r03 scored exactly 50)

@@ -15,6 +15,7 @@ from modeltracking_spark.operators.multimodal import (
     attach_bmp_payload,
     attach_adpcm_payload,
     attach_g711_payload,
+    attach_gif_animation_payload,
     attach_gif_payload,
     attach_jpeg_color_payload,
     attach_jpeg_payload,
@@ -26,6 +27,7 @@ from modeltracking_spark.operators.multimodal import (
     decode_audio_stats,
     decode_image_features,
     decode_video_stats,
+    gif_frame_stats,
     sample_frames,
 )
 from modeltracking_spark.queries.common import T, query
@@ -246,6 +248,49 @@ def gif_decode_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_features(d, fake=False).select(
         "doc_id", "width", "height", "n_channels", "pixel_sum"
     )
+
+
+@query(
+    "gif_frames_stats_docs",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, (doc_id % 10 + 4)::INTEGER AS w,
+             (doc_id % 8 + 4)::INTEGER AS h,
+             (doc_id % 3 + 2)::INTEGER AS n
+      FROM documents
+    ),
+    px AS (
+      SELECT d.doc_id, d.w, d.h, j.j, x.i AS x, y.i AS y,
+             CASE WHEN j.j >= 1 AND j.j - ((x.i + y.i + j.j) % 3) >= 1
+                  THEN (x.i * 2 + y.i * 7
+                        + (j.j - ((x.i + y.i + j.j) % 3)) * 31
+                        + d.doc_id) % 255
+                  ELSE (x.i * 3 + y.i * 5 + d.doc_id) % 255
+             END AS v
+      FROM dims d, range(4) j(j), range(13) x(i), range(11) y(i)
+      WHERE j.j < d.n AND x.i < d.w AND y.i < d.h
+    )
+    SELECT doc_id, j::INTEGER AS frame_idx,
+           (4 + j)::INTEGER AS delay_cs,
+           (3 * sum(v))::BIGINT AS pixel_sum
+    FROM px
+    GROUP BY 1, 2, 3
+    """,
+)
+def gif_frames_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANIMATED GIF decode with frame composition (round 7): GIF89a
+    animations whose later frames are DELTA frames — most pixels carry
+    the GCE transparent index, so the composed canvas at frame j keeps
+    the last opaque value per pixel — are decoded frame by frame inside
+    mapInPandas (1 -> n_frames expansion). The delta-hit pattern
+    ((x+y+j)%3 == 0) makes the composed canvas a CLOSED-FORM function
+    of (x, y, j, doc_id), so the oracle replays composition itself in
+    SQL: multi-descriptor parse, per-frame GCE delay/transparency, LZW,
+    and last-writer-wins canvas state are all attested exactly
+    (operators/gif.py:decode_gif_frames; sub-rectangle + disposal
+    semantics pinned in tests/test_gif.py)."""
+    d = attach_gif_animation_payload(T(spark, sf_dir, "documents"))
+    return gif_frame_stats(d)
 
 
 @query(

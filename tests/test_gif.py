@@ -90,7 +90,7 @@ def test_rejects_are_loud():
 
     # a second image descriptor = animation
     body = ok[: -1] + ok[13 + 12 : -1] + b"\x3b"
-    with pytest.raises(NotImplementedError, match="animated"):
+    with pytest.raises(NotImplementedError, match="decode_gif_frames"):
         decode_gif(body)
     with pytest.raises(ValueError, match="truncated"):
         decode_gif(ok[:-6])
@@ -132,3 +132,78 @@ def test_interlaced_roundtrip_and_row_reorder():
     # flag position: image descriptor packed byte
     i = p_i.index(0x2C, 13 + 3 * 256)
     assert p_i[i + 9] & 0x40
+
+
+# ---------------------------------------------------------------------------
+# GIF89a animation (round 7 follow-up)
+# ---------------------------------------------------------------------------
+from modeltracking_spark.operators.gif import (
+    decode_gif_frames,
+    encode_gif_animation,
+)
+
+
+def test_animation_roundtrip_and_delays():
+    rng = np.random.RandomState(8)
+    frames = [rng.randint(0, 256, (9, 7)).astype(np.uint8) for _ in range(4)]
+    payload = encode_gif_animation(frames, GRAY, delays_cs=[5, 10, 15, 20])
+    out = decode_gif_frames(payload)
+    assert [d for d, _ in out] == [5, 10, 15, 20]
+    for (d, canvas), f in zip(out, frames):
+        assert np.array_equal(canvas, GRAY[f.astype(int)])
+
+
+def test_animation_transparency_composes_over_prior_canvas():
+    f0 = np.full((6, 6), 9, dtype=np.uint8)
+    f1 = np.full((6, 6), 255, dtype=np.uint8)  # 255 = transparent index
+    f1[2:4, 2:4] = 40
+    out = decode_gif_frames(
+        encode_gif_animation([f0, f1], GRAY, transparent=255)
+    )
+    want = GRAY[np.where(f1 == 255, f0, f1).astype(int)]
+    assert np.array_equal(out[1][1], want)
+    # and frame 0 is untouched by later deltas
+    assert np.array_equal(out[0][1], GRAY[f0.astype(int)])
+
+
+def test_animation_sub_rectangle_frames_compose():
+    """A hand-built second descriptor covering only a 2x2 region at
+    (1,1) leaves the rest of the canvas from frame 0 — the sub-rect
+    path the single-image decoder deliberately refuses."""
+    base = encode_gif_animation(
+        [np.full((4, 4), 3, dtype=np.uint8)], GRAY, delays_cs=[7]
+    )
+    patch = np.array([[30, 31], [32, 33]], dtype=np.uint8)
+    from modeltracking_spark.operators.gif import _lzw_compress, _sub_blocks
+
+    sub = (b"\x2c" + struct.pack("<HHHH", 1, 1, 2, 2) + b"\x00"
+           + bytes([8]) + _sub_blocks(_lzw_compress(patch.reshape(-1), 8)))
+    payload = base[:-1] + sub + b"\x3b"
+    out = decode_gif_frames(payload)
+    assert len(out) == 2
+    want = np.full((4, 4), 3, dtype=np.uint8)
+    want[1:3, 1:3] = patch
+    assert np.array_equal(out[1][1], GRAY[want.astype(int)])
+    # single-image decoder still refuses animations, naming the API
+    with pytest.raises(NotImplementedError, match="decode_gif_frames"):
+        decode_gif(payload)
+
+
+def test_animation_rejects():
+    with pytest.raises(ValueError, match="at least one frame"):
+        encode_gif_animation([], GRAY)
+    with pytest.raises(ValueError, match="canvas"):
+        encode_gif_animation(
+            [np.zeros((4, 4), np.uint8), np.zeros((3, 3), np.uint8)], GRAY
+        )
+    # out-of-canvas sub-rectangle is malformed
+    base = encode_gif_animation(
+        [np.zeros((4, 4), np.uint8)], GRAY, delays_cs=[1]
+    )
+    from modeltracking_spark.operators.gif import _lzw_compress, _sub_blocks
+
+    bad = (base[:-1] + b"\x2c" + struct.pack("<HHHH", 3, 3, 3, 3) + b"\x00"
+           + bytes([8])
+           + _sub_blocks(_lzw_compress([0] * 9, 8)) + b"\x3b")
+    with pytest.raises(ValueError, match="outside the"):
+        decode_gif_frames(bad)
