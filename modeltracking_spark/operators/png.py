@@ -13,10 +13,11 @@ row so every roundtrip exercises every unfilter path. DEFLATE is the stdlib
 ``zlib`` (the reference implementation of the very RFCs PNG cites);
 chunk CRC32s are verified on read and emitted on write.
 
-Bit depths 8 and 16 (big-endian samples) both directions; palette
-tRNS translucency expands to RGBA on decode. Loud rejects at the
-plug-in points: 1/2/4-bit packed depths and missing/corrupt chunks
-raise descriptive errors — nothing decodes approximately.
+Every legal bit depth decodes: 8 and 16 (big-endian samples) for all
+color types, and the sub-byte 1/2/4-bit packed rows (MSB-first, filters
+over packed bytes with bpp=1 per spec) for greyscale and palette;
+palette tRNS translucency expands to RGBA. Nothing decodes
+approximately — malformed/illegal streams raise descriptive errors.
 
 Because PNG is lossless, ANY deterministic fixture image roundtrips
 bit-exactly — so the SQL oracle for ``png_decode_stats_docs`` replays
@@ -143,16 +144,31 @@ def _unfilter_rows(raw: bytes, off: int, n_rows: int, stride: int,
     return out, off
 
 
-def encode_png(pixels, interlace: bool = False) -> bytes:
+def encode_png(pixels, interlace: bool = False, depth: int | None = None) -> bytes:
     """uint8 (bit depth 8) or uint16 (bit depth 16, big-endian samples)
     array -> PNG bytes. Shapes: (h, w) -> greyscale, (h, w, 3) -> RGB,
     (h, w, 4) -> RGBA. Filter type cycles y % 5 per row (and per pass),
     so a multi-row image exercises every filter in one file.
     ``interlace=True`` emits Adam7: seven sub-images, each filtered
-    independently — progressive rendering at the cost of locality."""
+    independently — progressive rendering at the cost of locality.
+    ``depth`` in (1, 2, 4) packs a GREYSCALE (h, w) image at a sub-byte
+    bit depth (samples must fit; rows bit-packed MSB-first per spec,
+    filters then operate on the packed bytes with bpp=1)."""
     import numpy as np
 
     a = np.asarray(pixels)
+    if depth in (1, 2, 4):
+        if a.ndim != 2 or a.dtype != np.uint8:
+            raise ValueError(
+                f"sub-byte depth {depth} needs a (h, w) uint8 array"
+            )
+        if int(a.max(initial=0)) >= (1 << depth):
+            raise ValueError(
+                f"samples exceed {depth}-bit range 0..{(1 << depth) - 1}"
+            )
+        return _encode_png_packed_gray(a, depth, interlace)
+    if depth is not None and depth not in (8, 16):
+        raise ValueError(f"unsupported bit depth {depth}")
     if a.dtype == np.uint16:
         depth = 16
     elif a.dtype == np.uint8:
@@ -202,6 +218,69 @@ def encode_png(pixels, interlace: bool = False) -> bytes:
     )
 
 
+def _pack_bits_row(row, depth: int) -> bytes:
+    """1-D sample array -> MSB-first bit-packed bytes (PNG packed-row
+    layout; trailing bits of the last byte are zero)."""
+    import numpy as np
+
+    per = 8 // depth
+    w = row.shape[0]
+    padded = np.zeros(-(-w // per) * per, dtype=np.uint8)
+    padded[:w] = row
+    out = np.zeros(len(padded) // per, dtype=np.uint8)
+    for i in range(per):
+        out |= padded[i::per] << (8 - depth * (i + 1))
+    return out.tobytes()
+
+
+def _unpack_bits_row(raw, w: int, depth: int):
+    """Inverse of :func:`_pack_bits_row` -> (w,) uint8 samples."""
+    import numpy as np
+
+    per = 8 // depth
+    b = np.frombuffer(raw, dtype=np.uint8)
+    mask = (1 << depth) - 1
+    cols = [
+        (b >> (8 - depth * (i + 1))) & mask for i in range(per)
+    ]
+    return np.stack(cols, axis=1).reshape(-1)[:w]
+
+
+def _encode_png_packed_gray(a, depth: int, interlace: bool) -> bytes:
+    """Greyscale at bit depth 1/2/4: rows bit-packed MSB-first, then
+    the standard per-row filters over the PACKED bytes with bpp=1 (the
+    spec's rule for sub-byte depths)."""
+    import numpy as np
+
+    h, w = a.shape
+    if h == 0 or w == 0:
+        raise ValueError(f"bad PNG dimensions {w}x{h}")
+
+    def packed_rows(sub):
+        ph, pw = sub.shape
+        rows = [_pack_bits_row(sub[y], depth) for y in range(ph)]
+        return np.frombuffer(
+            b"".join(rows), dtype=np.uint8
+        ).reshape(ph, -1).astype(np.int16)
+
+    out = bytearray()
+    if interlace:
+        for x0, y0, dx, dy in ADAM7:
+            sub = a[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            out += _filter_rows(packed_rows(sub), 1)
+    else:
+        out += _filter_rows(packed_rows(a), 1)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, int(interlace))
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
 def decode_png(data: bytes):
     """PNG bytes -> uint8 array ((h, w) for greyscale, (h, w, 3) RGB —
     palette images are expanded through their PLTE — or (h, w, 4)
@@ -242,13 +321,15 @@ def decode_png(data: bytes):
     w, h, depth, ctype, comp, filt, interlace = ihdr
     if interlace not in (0, 1):
         raise ValueError(f"bad PNG interlace method {interlace}")
-    if depth not in (8, 16):
-        raise NotImplementedError(
-            f"PNG bit depth {depth} not implemented (8 and 16 only) — "
-            "1/2/4-bit packed rows are the PIL plug-in point"
-        )
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"illegal PNG bit depth {depth}")
     if depth == 16 and ctype == 3:
         raise ValueError("16-bit palette PNG is not a legal combination")
+    if depth < 8 and ctype not in (0, 3):
+        raise ValueError(
+            f"bit depth {depth} is only legal for greyscale/palette, "
+            f"not color type {ctype}"
+        )
     if ctype not in _CHANNELS:
         raise ValueError(f"unsupported PNG color type {ctype}")
     if comp != 0 or filt != 0:
@@ -260,6 +341,57 @@ def decode_png(data: bytes):
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
         raise ValueError(f"corrupt PNG DEFLATE stream: {exc}") from exc
+    if depth < 8:
+        # sub-byte depths: rows are bit-packed MSB-first; filters ran
+        # over the PACKED bytes with bpp=1 (the spec's rule)
+        def row_stride(wpix):
+            return -(-wpix * depth // 8)
+
+        if interlace:
+            samples = np.zeros((h, w), dtype=np.uint8)
+            off = 0
+            for x0, y0, dx, dy in ADAM7:
+                ph = len(range(y0, h, dy))
+                pw = len(range(x0, w, dx))
+                if ph == 0 or pw == 0:
+                    continue
+                sub, off = _unfilter_rows(raw, off, ph, row_stride(pw), 1)
+                unpacked = np.stack(
+                    [_unpack_bits_row(sub[y].tobytes(), pw, depth)
+                     for y in range(ph)]
+                )
+                samples[y0::dy, x0::dx] = unpacked
+            if off != len(raw):
+                raise ValueError(
+                    f"PNG data length {len(raw)} != Adam7 expectation {off}"
+                )
+        else:
+            stride = row_stride(w)
+            if len(raw) != h * (stride + 1):
+                raise ValueError(
+                    f"PNG data length {len(raw)} != expected "
+                    f"{h * (stride + 1)}"
+                )
+            rows, _ = _unfilter_rows(raw, 0, h, stride, 1)
+            samples = np.stack(
+                [_unpack_bits_row(rows[y].tobytes(), w, depth)
+                 for y in range(h)]
+            )
+        if ctype == 0:
+            return samples  # raw sub-byte samples (apps scale as needed)
+        pal = np.frombuffer(plte, dtype=np.uint8)
+        if len(pal) % 3:
+            raise ValueError("PLTE length not a multiple of 3")
+        pal = pal.reshape(-1, 3)
+        if int(samples.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("palette index out of range")
+        if trns is not None:
+            alpha = np.full(pal.shape[0], 255, dtype=np.uint8)
+            if len(trns) > pal.shape[0]:
+                raise ValueError("tRNS longer than the palette")
+            alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+            return np.concatenate([pal, alpha[:, None]], axis=1)[samples]
+        return pal[samples]
     sample_bytes = depth // 8
     bpp = ch * sample_bytes
     if interlace:

@@ -97,13 +97,13 @@ def test_crc_and_truncation_are_loud():
 
 
 def test_unsupported_variants_reject_at_plugin_point():
-    # 16-bit is now implemented; 4-bit packed rows are the plug-in point
-    ihdr4 = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
-    png4 = (_SIG + _chunk(b"IHDR", ihdr4)
+    # every legal depth is implemented; an ILLEGAL one is malformed
+    ihdr3 = struct.pack(">IIBBBBB", 2, 2, 3, 0, 0, 0, 0)
+    png3 = (_SIG + _chunk(b"IHDR", ihdr3)
             + _chunk(b"IDAT", zlib.compress(bytes(10)))
             + _chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError, match="bit depth"):
-        decode_png(png4)
+    with pytest.raises(ValueError, match="illegal PNG bit depth"):
+        decode_png(png3)
     # 16-bit palette is illegal per spec, not unimplemented
     ihdr16p = struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
     png16p = (_SIG + _chunk(b"IHDR", ihdr16p)
@@ -252,4 +252,53 @@ def test_palette_trns_expands_to_rgba():
            + _chunk(b"IDAT", zlib.compress(bytes([0, 0, 1])))
            + _chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="tRNS longer"):
+        decode_png(bad)
+
+
+# ---------------------------------------------------------------------------
+# sub-byte bit depths 1/2/4 (round 7 follow-up)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.data())
+def test_subbyte_depth_roundtrip(data):
+    """Greyscale at 1/2/4 bits: rows bit-packed MSB-first, filters over
+    the packed bytes with bpp=1 (the spec's sub-byte rule) — exact both
+    straight and Adam7."""
+    depth = data.draw(st.sampled_from([1, 2, 4]), label="depth")
+    h = data.draw(st.integers(1, 24), label="h")
+    w = data.draw(st.integers(1, 24), label="w")
+    inter = data.draw(st.booleans(), label="interlace")
+    seed = data.draw(st.integers(0, 2**31 - 1), label="seed")
+    img = np.random.RandomState(seed).randint(
+        0, 1 << depth, (h, w)
+    ).astype(np.uint8)
+    payload = encode_png(img, interlace=inter, depth=depth)
+    assert payload[8 + 8 + 8] == depth
+    dec = decode_png(payload)
+    assert dec.shape == img.shape and np.array_equal(dec, img)
+
+
+def test_subbyte_palette_decode_and_guards():
+    ihdr = struct.pack(">IIBBBBB", 5, 2, 2, 3, 0, 0, 0)
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    r1 = bytes([0b00011011, 0b00000000])  # indices 0,1,2,3,0 at 2 bits
+    r2 = bytes([0b11100100, 0b11000000])  # indices 3,2,1,0,3
+    rows = bytes([0]) + r1 + bytes([0]) + r2
+    png = (_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", plte)
+           + _chunk(b"IDAT", zlib.compress(rows)) + _chunk(b"IEND", b""))
+    dec = decode_png(png)
+    assert dec.shape == (2, 5, 3)
+    assert tuple(dec[0, 0]) == (255, 0, 0) and tuple(dec[0, 3]) == (9, 9, 9)
+    assert tuple(dec[1, 4]) == (9, 9, 9)
+    # out-of-range samples at encode reject
+    with pytest.raises(ValueError, match="range"):
+        encode_png(np.full((2, 2), 4, np.uint8), depth=2)
+    # sub-byte color is illegal per spec
+    ihdr_bad = struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)
+    bad = (_SIG + _chunk(b"IHDR", ihdr_bad)
+           + _chunk(b"IDAT", zlib.compress(bytes(8)))
+           + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="only legal for greyscale"):
         decode_png(bad)
