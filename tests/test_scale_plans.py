@@ -367,12 +367,15 @@ def test_compressed_codec_paths_are_shuffle_free(spark):
     from modeltracking_spark.operators.multimodal import (
         attach_adpcm_payload,
         attach_g711_payload,
+        attach_gif_animation_payload,
         attach_gif_payload,
         attach_jpeg_color_payload,
         attach_jpeg_payload,
+        attach_jpeg_progressive_payload,
         attach_png_payload,
         decode_audio_stats,
         decode_image_features,
+        gif_frame_stats,
     )
 
     d = spark.read.parquet(f"{SF001}/documents.parquet")
@@ -381,6 +384,8 @@ def test_compressed_codec_paths_are_shuffle_free(spark):
         decode_image_features(attach_jpeg_color_payload(d), fake=False),
         decode_image_features(attach_png_payload(d), fake=False),
         decode_image_features(attach_gif_payload(d), fake=False),
+        decode_image_features(attach_jpeg_progressive_payload(d), fake=False),
+        gif_frame_stats(attach_gif_animation_payload(d)),
         decode_audio_stats(attach_g711_payload(d)),
         decode_audio_stats(attach_adpcm_payload(d)),
     ):
