@@ -206,3 +206,72 @@ def hist_quantiles(
         "bin_idx",
         F.floor(edge * F.lit(1e6) + F.lit(0.5)).cast("long").alias("est_e6"),
     )
+
+
+def hll_distinct_estimate(df: DataFrame, key_col: str) -> DataFrame:
+    """HyperLogLog distinct estimate (Flajolet et al. 2007) beside the
+    exact count — the log-space big sibling of
+    :func:`linear_distinct_estimate`: m = 4096 registers, register j =
+    max over keys in bucket j of (leading zero BITS of the hash suffix
+    + 1), estimate = alpha_m * m^2 / sum(2^-reg) with the small-range
+    linear-counting correction.
+
+    Engine-exactness discipline: the bucket is the first 3 md5 hex
+    digits; rho comes from STRING arithmetic on the next 13 hex digits
+    (leading-zero hex digits x4 + a 16-way CASE for the first nonzero
+    digit) — no float log2 whose last-ulp could flip a floor; the
+    harmonic sum is EXACT (2^(64-reg) summed as DECIMAL(38,0) — every
+    term a power of two, max 4096 * 2^64 < 10^38) and only the final
+    division runs in mirrored doubles. The registers merge across
+    shards by max — the standard mergeable-sketch contract. Output:
+    1 row (n_exact, n_occupied, est_e6)."""
+    m = 4096
+    key = F.col(key_col)
+    k = F.coalesce(key.cast("string"), F.lit("__null__"))
+    h = F.md5(F.concat(k, F.lit(":hll")))
+    bucket = F.conv(F.substring(h, 1, 3), 16, 10).cast("long")
+    sub = F.substring(h, 4, 13)
+    lz = F.length(F.regexp_extract(sub, "^(0*)", 1))
+    first = F.expr("substr(md5(concat(coalesce(cast({k} as string), "
+                   "'__null__'), ':hll')), 4 + "
+                   "length(regexp_extract(substr(md5(concat(coalesce("
+                   "cast({k} as string), '__null__'), ':hll')), 4, 13), "
+                   "'^(0*)', 1)), 1)".format(k=key_col))
+    in_first = (
+        F.when(first.isin("8", "9", "a", "b", "c", "d", "e", "f"), 0)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .when(first.isin("2", "3"), 2)
+        .otherwise(3)
+    )
+    rho = F.when(lz == 13, F.lit(53)).otherwise(lz * 4 + in_first + 1)
+    regs = (
+        df.select(bucket.alias("b"), rho.alias("rho"), key.alias("k"))
+        .groupBy("b")
+        .agg(F.max("rho").alias("reg"))
+    )
+    spine = df.sparkSession.range(m).select(F.col("id").alias("b"))
+    full = spine.join(regs, "b", "left").select(
+        F.coalesce("reg", F.lit(0)).alias("reg")
+    )
+    agg = full.agg(
+        F.sum(
+            F.pow(F.lit(2.0), (F.lit(64) - F.col("reg")).cast("double"))
+            .cast("decimal(38,0)")
+        ).alias("S"),
+        F.sum((F.col("reg") == 0).cast("long")).alias("V"),
+    )
+    exact = df.agg(F.count_distinct(key).alias("n_exact"))
+    est_raw = (
+        F.lit(0.7213 / (1.0 + 1.079 / 4096.0))
+        * F.lit(4096.0) * F.lit(4096.0) * F.lit(18446744073709551616.0)
+        / F.col("S").cast("double")
+    )
+    est = F.when(
+        (est_raw <= F.lit(2.5 * m)) & (F.col("V") > 0),
+        F.lit(4096.0) * F.log(F.lit(4096.0) / F.col("V").cast("double")),
+    ).otherwise(est_raw)
+    return exact.crossJoin(F.broadcast(agg)).select(
+        "n_exact",
+        (F.lit(m) - F.col("V")).cast("long").alias("n_occupied"),
+        F.floor(est * F.lit(1e6) + F.lit(0.5)).cast("long").alias("est_e6"),
+    )

@@ -159,6 +159,7 @@ PRIORITY: tuple[str, ...] = (
     "jpeg_progressive_decode_stats_docs",  # SOF2 five-scan decode
     "grid_netcdf_packed_scan",      # CF-packed int16 grid (real HYCOM wire format)
     "gif_frames_stats_docs",        # animated GIF frame composition (1->N)
+    "hll_distinct_users",           # HyperLogLog (string-arith registers, exact harmonic sum)
 )
 
 #: observed driver correctness cap (CORRECTNESS_r03 scored exactly 50)

@@ -1183,6 +1183,67 @@ def distinct_estimate_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linear_distinct_estimate(ev, "user_id", m=4096)
 
 
+@query(
+    "hll_distinct_users",
+    oracle="""
+    WITH h AS (SELECT md5(coalesce(user_id::VARCHAR, '__null__') || ':hll')
+                 AS h
+               FROM events),
+    r AS (SELECT ('0x' || substr(h, 1, 3))::BIGINT AS b,
+                 substr(h, 4, 13) AS sub
+          FROM h),
+    rho AS (SELECT b,
+                   CASE WHEN length(regexp_extract(sub, '^(0*)', 1)) = 13
+                        THEN 53
+                        ELSE length(regexp_extract(sub, '^(0*)', 1)) * 4
+                             + CASE substr(sub,
+                                     length(regexp_extract(sub, '^(0*)', 1))
+                                     + 1, 1)
+                                 WHEN '1' THEN 3
+                                 WHEN '2' THEN 2 WHEN '3' THEN 2
+                                 WHEN '4' THEN 1 WHEN '5' THEN 1
+                                 WHEN '6' THEN 1 WHEN '7' THEN 1
+                                 ELSE 0 END + 1
+                   END AS rho
+            FROM r),
+    regs AS (SELECT b, max(rho) AS reg FROM rho GROUP BY 1),
+    fullr AS (SELECT coalesce(regs.reg, 0) AS reg
+              FROM range(4096) s(b) LEFT JOIN regs ON regs.b = s.b),
+    agg AS (SELECT sum((2.0 ** (64 - reg))::HUGEINT)::HUGEINT AS S,
+                   sum((reg = 0)::INT)::BIGINT AS V
+            FROM fullr),
+    ex AS (SELECT count(DISTINCT user_id)::BIGINT AS n_exact FROM events)
+    SELECT n_exact,
+           (4096 - V)::BIGINT AS n_occupied,
+           floor(CASE WHEN (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0
+                           * 4096.0 * 18446744073709551616.0 / S::DOUBLE
+                           <= 10240.0 AND V > 0
+                      THEN 4096.0 * ln(4096.0 / V::DOUBLE)
+                      ELSE (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0
+                           * 4096.0 * 18446744073709551616.0 / S::DOUBLE
+                 END * 1e6 + 0.5)::BIGINT AS est_e6
+    FROM ex, agg
+    """,
+)
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct estimate over event user_ids, beside the
+    exact distinct — completing the cardinality-sketch pair (linear
+    counting is the small-range tool, HLL the log-space one; this
+    corpus sits in HLL's small-range regime, so the linear-counting
+    correction branch fires and BOTH formulas are computed/compared by
+    the oracle). Everything replays in SQL exactly: the md5-derived
+    registers use STRING leading-zero arithmetic (no float log2), the
+    harmonic sum is exact integer (powers of two in DECIMAL/HUGEINT),
+    and only the final mirrored double division/ln runs in floats
+    (operators/sketches.py:hll_distinct_estimate; register-merge and
+    accuracy properties in tests/test_sketches.py)."""
+    from modeltracking_spark.operators.sketches import hll_distinct_estimate
+
+    return hll_distinct_estimate(
+        T(spark, sf_dir, "events").select("user_id"), "user_id"
+    )
+
+
 def _hist_sketch_sql(qs: str) -> str:
     """Shared SQL replay of operators/sketches.py:hist_quantiles (the
     NOT-NULL filter, 64 equi-width bins, cumulative counts, and the

@@ -113,3 +113,42 @@ def test_hist_quantiles_ignores_nulls(spark):
     )
     out = hist_quantiles(mixed, "value").collect()
     assert all(r["n"] == 100 for r in out)
+
+
+def test_hll_accuracy_and_correction_regimes(spark):
+    """HLL relative error ~ 1.04/sqrt(4096) ≈ 1.6%: assert < 5% in the
+    raw-estimate regime (n >> 2.5m threshold is not hit here since
+    2.5m = 10240 — use n large enough to leave the correction) and
+    < 5% in the small-range linear-counting regime."""
+    from modeltracking_spark.operators.sketches import hll_distinct_estimate
+
+    big = spark.range(60000).selectExpr(
+        "concat('u', cast(id % 17000 as string)) AS k"
+    )
+    r = hll_distinct_estimate(big, "k").first()
+    assert abs(r["est_e6"] / 1e6 - 17000) / 17000 < 0.05
+    small = spark.range(300).selectExpr("cast(id as string) AS k")
+    r2 = hll_distinct_estimate(small, "k").first()
+    assert r2["n_exact"] == 300
+    assert abs(r2["est_e6"] / 1e6 - 300) / 300 < 0.05
+
+
+def test_hll_registers_merge_by_max(spark):
+    """The mergeable-sketch contract: estimating the union equals
+    estimating over max-merged registers — here proven end to end by
+    the estimate over A ∪ B being identical to the estimate over the
+    concatenated input (registers are max-aggregated either way), and
+    insensitive to duplication."""
+    from modeltracking_spark.operators.sketches import hll_distinct_estimate
+
+    a = spark.range(5000).selectExpr("concat('a', cast(id as string)) AS k")
+    b = spark.range(5000).selectExpr(
+        "concat('a', cast((id + 2500) as string)) AS k"
+    )  # overlaps a by half
+    union = a.unionByName(b)
+    doubled = union.unionByName(union)  # duplicates change nothing
+    r1 = hll_distinct_estimate(union, "k").first()
+    r2 = hll_distinct_estimate(doubled, "k").first()
+    assert r1["est_e6"] == r2["est_e6"]
+    assert r1["n_exact"] == 7500
+    assert abs(r1["est_e6"] / 1e6 - 7500) / 7500 < 0.05
