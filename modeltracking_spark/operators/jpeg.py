@@ -11,8 +11,8 @@ entropy coding (Annex F), byte stuffing (FF 00), and Annex K's example
 luminance AND chrominance Huffman tables on the encode side (the
 decoder always builds its tables from the file's DHT segments, never
 from assumptions). Greyscale (1 component) and YCbCr color (3
-components) both encode and decode: ``encode_jpeg_color`` emits 4:4:4
-or 4:2:0 interleaved-MCU streams with separate luma/chroma quant and
+components) both encode and decode: ``encode_jpeg_color`` emits 4:4:4,
+4:2:2, or 4:2:0 interleaved-MCU streams with separate luma/chroma quant and
 Huffman tables; ``decode_jpeg`` runs the generic interleaved-MCU loop
 for any sampling grid whose factors divide the frame maxima (4:4:4,
 4:2:0, 4:2:2, ...), nearest-neighbor chroma upsampling, and the JFIF
@@ -391,29 +391,38 @@ def encode_jpeg_gray(pixels, quant=None, restart_interval: int = 0) -> bytes:
     return bytes(out)
 
 
-def _color_planes(a, hs: int):
-    """(h, w, 3) uint8 RGB -> MCU-padded (Y, Cb, Cr) float planes with
-    the JFIF (BT.601 full-range) forward transform and, at hs=2, the
-    spec-recommended 2x2 mean chroma downsample."""
+def _color_planes(a, hs: int, vs: int | None = None):
+    """(h, w, 3) uint8 RGB -> padded (Y, Cb, Cr) float planes with the
+    JFIF (BT.601 full-range) forward transform and the spec-recommended
+    mean chroma downsample by (hs, vs) — (2, 2) for 4:2:0, (2, 1) for
+    4:2:2, (1, 1) for 4:4:4. Planes are edge-replicated to the MCU grid
+    (8*hs wide, 8*vs tall), so the downsampled chroma planes land on
+    whole 8x8 blocks."""
     import numpy as np
 
+    if vs is None:
+        vs = hs
     r = a[:, :, 0].astype(np.float64)
     g = a[:, :, 1].astype(np.float64)
     b = a[:, :, 2].astype(np.float64)
     yy = 0.299 * r + 0.587 * g + 0.114 * b
     cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
     cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
-    mcu = 8 * hs
-    yp = _pad_plane(yy, mcu)
-    cbp = _pad_plane(cb, mcu)
-    crp = _pad_plane(cr, mcu)
-    if hs == 2:
-        cbp = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean(
-            axis=(1, 3)
-        )
-        crp = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean(
-            axis=(1, 3)
-        )
+    H = -(-a.shape[0] // (8 * vs)) * 8 * vs
+    W = -(-a.shape[1] // (8 * hs)) * 8 * hs
+
+    def pad_to(p):
+        out = np.empty((H, W), dtype=np.float64)
+        h0, w0 = p.shape
+        out[:h0, :w0] = p
+        out[h0:, :w0] = p[h0 - 1 : h0, :]
+        out[:, w0:] = out[:, w0 - 1 : w0]
+        return out
+
+    yp, cbp, crp = pad_to(yy), pad_to(cb), pad_to(cr)
+    if hs != 1 or vs != 1:
+        cbp = cbp.reshape(H // vs, vs, W // hs, hs).mean(axis=(1, 3))
+        crp = crp.reshape(H // vs, vs, W // hs, hs).mean(axis=(1, 3))
     return yp, cbp, crp
 
 
@@ -423,9 +432,9 @@ def encode_jpeg_color(pixels, quant=None, quant_chroma=None,
     """(h, w, 3) uint8 RGB array -> baseline YCbCr JFIF bytes.
 
     The full 3-component pipeline from the spec: JFIF RGB->YCbCr color
-    transform, optional 2x2 chroma downsampling (``subsampling="420"``;
-    ``"444"`` keeps chroma full-res), interleaved MCUs (4 Y + Cb + Cr
-    blocks per MCU at 4:2:0), separate luma/chroma quantization tables
+    transform, chroma downsampling (``subsampling`` = "420" 2x2, "422"
+    2x1, "444" full-res), interleaved MCUs (4 Y + Cb + Cr blocks per
+    MCU at 4:2:0; 2 Y at 4:2:2), separate luma/chroma quantization tables
     (DQT 0/1) and Huffman tables (Annex K luminance + chrominance),
     per-component DC predictors.
 
@@ -448,13 +457,14 @@ def encode_jpeg_color(pixels, quant=None, quant_chroma=None,
         hs = vs = 1
     elif subsampling == "420":
         hs = vs = 2
+    elif subsampling == "422":
+        hs, vs = 2, 1
     else:
         raise ValueError(f"subsampling {subsampling!r} not supported "
-                         "(444 and 420 only)")
+                         "(444, 422, and 420 only)")
     ql = _check_quant(quant)
     qc = _check_quant(quant_chroma if quant_chroma is not None else quant)
-    yp, cbp, crp = _color_planes(a, hs)
-    mcu = 8 * hs
+    yp, cbp, crp = _color_planes(a, hs, vs)
     A = _dct_matrix()
     qml, qmc = _qmat(ql), _qmat(qc)
     dcl = _build_codes(DC_BITS, DC_VALS)
@@ -463,14 +473,15 @@ def encode_jpeg_color(pixels, quant=None, quant_chroma=None,
     acc = _build_codes(AC_BITS_C, AC_VALS_C)
     bwr = _BitWriter()
     prev = [0, 0, 0]
-    n_my, n_mx = yp.shape[0] // mcu, yp.shape[1] // mcu
+    mcux, mcuy = 8 * hs, 8 * vs
+    n_my, n_mx = yp.shape[0] // mcuy, yp.shape[1] // mcux
     mcu_i = 0
     for my in range(n_my):
         for mx in range(n_mx):
             for vy in range(vs):
                 for vx in range(hs):
-                    y0 = my * mcu + vy * 8
-                    x0 = mx * mcu + vx * 8
+                    y0 = my * mcuy + vy * 8
+                    x0 = mx * mcux + vx * 8
                     prev[0] = _encode_block(
                         bwr, yp[y0 : y0 + 8, x0 : x0 + 8] - 128.0,
                         qml, A, dcl, acl, prev[0],

@@ -385,3 +385,21 @@ def test_progressive_truncated_scans_are_loud():
     second_sos = payload.index(b"\xff\xda", payload.index(b"\xff\xda") + 2)
     with pytest.raises(ValueError):
         decode_jpeg(payload[:second_sos])
+
+
+def test_422_subsampling_both_paths():
+    """4:2:2 (chroma halved horizontally only): 2-Y MCUs encode, the
+    generic decoder reconstructs; grey block-constant content stays
+    exact, colored content stays within tolerance."""
+    img = _block_constant(list(range(24)), 31, 42)
+    cimg = np.stack([img] * 3, axis=2).astype(np.uint8)
+    payload = encode_jpeg_color(cimg, subsampling="422")
+    sof = payload.index(b"\xff\xc0")
+    assert payload[sof + 4 + 7] == 0x21  # Y sampling 2x1
+    assert np.array_equal(decode_jpeg(payload), cimg)
+    y, x = np.mgrid[0:25, 0:37]
+    col = np.stack([(x * 2) % 256, (y * 3) % 256, (x + y) % 256],
+                   axis=2).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg_color(col, quant=[1] * 64,
+                                        subsampling="422"))
+    assert np.abs(dec.astype(int) - col.astype(int)).max() <= 4
