@@ -281,10 +281,13 @@ def _encode_png_packed_gray(a, depth: int, interlace: bool) -> bytes:
     )
 
 
-def decode_png(data: bytes):
+def decode_png(data: bytes, pure_inflate: bool = False):
     """PNG bytes -> uint8 array ((h, w) for greyscale, (h, w, 3) RGB —
     palette images are expanded through their PLTE — or (h, w, 4)
-    RGBA). CRCs verified; unsupported variants raise loudly."""
+    RGBA). CRCs verified; unsupported variants raise loudly.
+    ``pure_inflate=True`` decompresses IDAT through the from-spec
+    RFC 1951 decoder (``operators/inflate.py``) instead of stdlib
+    zlib — bit-identical output, proven in tests."""
     import numpy as np
 
     if len(data) < 8 or data[:8] != _SIG:
@@ -338,7 +341,12 @@ def decode_png(data: bytes):
         raise ValueError("palette PNG without PLTE")
     ch = _CHANNELS[ctype]
     try:
-        raw = zlib.decompress(bytes(idat))
+        if pure_inflate:
+            from modeltracking_spark.operators.inflate import zlib_decompress
+
+            raw = zlib_decompress(bytes(idat))
+        else:
+            raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
         raise ValueError(f"corrupt PNG DEFLATE stream: {exc}") from exc
     if depth < 8:
