@@ -206,3 +206,58 @@ def test_commit_claim_is_link_atomic_not_rename(tmp_path):
     assert open(path1).read() == before  # winner's bytes untouched
     # and no temp files leak
     assert not [f for f in os.listdir(log) if f.endswith(".tmp")]
+
+
+def test_streaming_weighted_reservoir_equals_batch_sample(spark, tmp_path):
+    """Deterministic streaming reservoir: because A-Res priorities are
+    RNG-free (md5-derived), maintaining a k-row reservoir across
+    micro-batches via foreachBatch (merge batch candidates with the
+    carried reservoir, keep top-k) converges to EXACTLY the batch
+    weighted sample over all data — order-of-arrival-invariant, the
+    property an RNG reservoir can't give you. Run on a REAL stream."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from modeltracking_spark.operators.sampling import (
+        weighted_priority_sample,
+    )
+    from modeltracking_spark.streaming.windows import (
+        run_stream_foreach_batch,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows = [(f"k{i}", (i * 7) % 19 + 1) for i in range(600)]
+    for shard in range(3):
+        with open(os.path.join(src, f"s{shard}.json"), "w") as f:
+            for kk, w in rows[shard * 200 : shard * 200 + 200]:
+                f.write(_json.dumps({"k": kk, "w": w}) + "\n")
+
+    state = {"reservoir": None}
+
+    def sink(df, batch_id):
+        cand = df.select("k", "w")
+        if state["reservoir"] is not None:
+            prev = spark.createDataFrame(
+                state["reservoir"], "k string, w long"
+            )
+            cand = cand.unionByName(prev)
+        top = weighted_priority_sample(cand, "k", "w", k=25)
+        state["reservoir"] = [
+            (r["key"], int(r["weight"])) for r in top.collect()
+        ]
+
+    stream = (
+        spark.readStream.schema("k string, w long")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    run_stream_foreach_batch(stream, sink, "reservoir-test")
+    batch_df = spark.createDataFrame(rows, "k string, w long")
+    want = [
+        (r["key"], int(r["weight"]))
+        for r in weighted_priority_sample(batch_df, "k", "w", k=25).collect()
+    ]
+    assert sorted(state["reservoir"]) == sorted(want)
+    assert len(want) == 25
