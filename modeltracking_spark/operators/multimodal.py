@@ -579,6 +579,38 @@ def encode_wav_g711(samples, sample_rate: int, law: str = "mu") -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def _decode_any_image(payload: bytes):
+    """Dispatch a binary image payload to the right from-spec codec ->
+    (h, w, c) uint8 array. BMP, JPEG (baseline grey/color/progressive,
+    restart intervals), PNG (all legal depths, Adam7, tRNS), and GIF
+    (incl. interlace; first frame of animations via decode_gif_frames)
+    are REAL; anything else names the PIL/ffmpeg plug-in point."""
+    from modeltracking_spark.operators.gif import (
+        decode_gif,
+        decode_gif_frames,
+    )
+    from modeltracking_spark.operators.jpeg import decode_jpeg
+    from modeltracking_spark.operators.png import decode_png
+
+    if payload.startswith(b"BM"):
+        return decode_bmp(payload)
+    if payload.startswith(b"\xff\xd8"):
+        img = decode_jpeg(payload)
+        return img[:, :, None] if img.ndim == 2 else img
+    if payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        img = decode_png(payload)
+        return img[:, :, None] if img.ndim == 2 else img
+    if payload.startswith((b"GIF87a", b"GIF89a")):
+        try:
+            return decode_gif(payload)
+        except NotImplementedError:  # animation: first composed frame
+            return decode_gif_frames(payload)[0][1]
+    raise NotImplementedError(
+        "real decode beyond BMP / JPEG (baseline + progressive) / PNG / "
+        "GIF requires PIL or ffmpeg; not in container"
+    )
+
+
 #: output schema of the image feature extractor (pixel_sum only filled
 #: by the real decode path; NULL in fake mode)
 IMAGE_FEATURES_SCHEMA = (
@@ -611,32 +643,12 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id",
         import numpy as np
         import pandas as pd
 
-        from modeltracking_spark.operators.gif import decode_gif
-        from modeltracking_spark.operators.jpeg import decode_jpeg
-        from modeltracking_spark.operators.png import decode_png
-
         for pdf in batches:
             n = pdf[payload_col].map(len).astype("int64")
             if not fake:
                 w, h, c, s = [], [], [], []
                 for payload in pdf[payload_col]:
-                    if payload.startswith(b"BM"):
-                        img = decode_bmp(bytes(payload))
-                    elif payload.startswith(b"\xff\xd8"):
-                        img = decode_jpeg(bytes(payload))
-                        if img.ndim == 2:
-                            img = img[:, :, None]
-                    elif payload.startswith(b"\x89PNG\r\n\x1a\n"):
-                        img = decode_png(bytes(payload))
-                        if img.ndim == 2:
-                            img = img[:, :, None]
-                    elif payload.startswith((b"GIF87a", b"GIF89a")):
-                        img = decode_gif(bytes(payload))
-                    else:
-                        raise NotImplementedError(
-                            "real decode beyond BMP, baseline JPEG, PNG, "
-                            "and GIF requires PIL/ffmpeg; not in container"
-                        )
+                    img = _decode_any_image(bytes(payload))
                     w.append(img.shape[1])
                     h.append(img.shape[0])
                     c.append(img.shape[2])
@@ -1148,8 +1160,8 @@ def decode_audio_stats(df: DataFrame, id_col: str = "doc_id",
                 head = bytes(payload[:12])
                 if not (head[:4] == b"RIFF" and head[8:12] == b"WAVE"):
                     raise NotImplementedError(
-                        "real decode beyond PCM16 WAV requires ffmpeg; "
-                        "not in container"
+                        "real decode beyond WAV (PCM16 / G.711 / IMA "
+                        "ADPCM) requires ffmpeg; not in container"
                     )
                 rate, frames = decode_wav(bytes(payload))
                 rows["doc_id"].append(int(did))
@@ -1475,13 +1487,7 @@ def resize_image_features(df: DataFrame, out_w: int, out_h: int,
                 "doc_id", "src_w", "src_h", "out_w", "out_h", "pixel_sum",
             )}
             for did, payload in zip(pdf[id_col], pdf[payload_col]):
-                data = bytes(payload)
-                if not data.startswith(b"BM"):
-                    raise NotImplementedError(
-                        "real resize beyond uncompressed BMP requires PIL; "
-                        "not in container"
-                    )
-                img = decode_bmp(data)
+                img = _decode_any_image(bytes(payload))
                 h, w = img.shape[:2]
                 ys = (np.arange(out_h) * h) // out_h
                 xs = (np.arange(out_w) * w) // out_w
@@ -1531,8 +1537,8 @@ def decimate_audio_stats(df: DataFrame, factor: int,
                 head = data[:12]
                 if not (head[:4] == b"RIFF" and head[8:12] == b"WAVE"):
                     raise NotImplementedError(
-                        "real decimation beyond PCM16 WAV requires ffmpeg; "
-                        "not in container"
+                        "real decimation beyond WAV (PCM16 / G.711 / IMA "
+                        "ADPCM) requires ffmpeg; not in container"
                     )
                 rate, frames = decode_wav(data)
                 out = frames[::factor]

@@ -590,3 +590,35 @@ def test_adpcm_stereo_interleave_and_fact_chunk():
         ima_adpcm_encode_mono(pcm[:505, 0], 505), 505
     )
     assert [f[0] for f in dec] == mono
+
+
+def test_resize_works_on_every_real_image_format():
+    """resize_image_features now routes through the shared image
+    dispatch: JPEG/PNG/GIF payloads resize like BMP (nearest-neighbor
+    index map over the decoded pixels)."""
+    import numpy as np
+
+    from modeltracking_spark.operators.gif import encode_gif
+    from modeltracking_spark.operators.jpeg import encode_jpeg_color
+    from modeltracking_spark.operators.multimodal import _decode_any_image
+    from modeltracking_spark.operators.png import encode_png
+
+    y, x = np.mgrid[0:12, 0:10]
+    rgb = np.stack([(x * 9) % 256, (y * 5) % 256, (x + y) % 256],
+                   axis=2).astype(np.uint8)
+    pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+    payloads = {
+        "bmp": encode_bmp(rgb),
+        "png": encode_png(rgb),
+        "gif": encode_gif(((x + y) % 256).astype(np.uint8), pal),
+        "jpeg": encode_jpeg_color(rgb, subsampling="444"),
+    }
+    for name, p in payloads.items():
+        img = _decode_any_image(p)
+        assert img.shape[2] == 3 and img.shape[:2] == (12, 10), name
+    # lossless formats decode exactly
+    assert np.array_equal(_decode_any_image(payloads["png"]), rgb)
+    assert np.array_equal(_decode_any_image(payloads["bmp"]), rgb)
+    # unknown magic names the plug-in point
+    with pytest.raises(NotImplementedError, match="PIL or ffmpeg"):
+        _decode_any_image(b"II*\x00 tiff-ish")
