@@ -29,6 +29,33 @@ from __future__ import annotations
 import struct
 
 
+
+
+def _malformed_guard(kind):
+    """Decorator: low-level parse crashes on corrupt bytes (struct
+    under-reads, index overruns, absurd header values) surface as ONE
+    descriptive ValueError instead of leaking IndexError/KeyError/
+    OverflowError internals — the loud-reject contract, fuzz-enforced
+    in tests/test_fuzz_codecs.py."""
+    import functools
+    import struct as _struct
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapped(*a, **kw):
+            try:
+                return fn(*a, **kw)
+            except (ValueError, NotImplementedError):
+                raise
+            except (_struct.error, IndexError, KeyError, OverflowError,
+                    ZeroDivisionError, MemoryError) as exc:
+                raise ValueError(
+                    f"malformed {kind} stream: "
+                    f"{type(exc).__name__}: {exc}"
+                ) from exc
+        return wrapped
+    return deco
+
 def _lzw_compress(indices, min_code_size: int) -> bytes:
     """GIF variable-width LZW: emits Clear first, grows the dictionary
     one entry per emitted code, widens at 2^width, re-Clears when the
@@ -204,6 +231,7 @@ def encode_gif(indices, palette, interlace: bool = False) -> bytes:
     return bytes(out)
 
 
+@_malformed_guard("GIF")
 def decode_gif(data: bytes):
     """GIF bytes -> (h, w, 3) uint8 RGB array (palette expanded,
     interlaced row order restored when the descriptor flag is set).
@@ -215,6 +243,11 @@ def decode_gif(data: bytes):
     if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload (bad header)")
     sw, sh = struct.unpack_from("<HH", data, 6)
+    if sw * sh > max(5000 * len(data), 1 << 26):
+        raise ValueError(
+            f"implausible GIF canvas {sw}x{sh} for a {len(data)}-byte "
+            "stream (decompression-bomb guard)"
+        )
     packed = data[10]
     pos = 13
     gct = None
@@ -335,6 +368,7 @@ def encode_gif_animation(frames, palette, delays_cs=None,
     return bytes(out)
 
 
+@_malformed_guard("GIF")
 def decode_gif_frames(data: bytes):
     """GIF bytes -> list of (delay_cs, (h, w, 3) uint8 RGB canvas) —
     one COMPOSED canvas per image descriptor: sub-rectangle frames and
@@ -347,6 +381,11 @@ def decode_gif_frames(data: bytes):
     if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload (bad header)")
     sw, sh = struct.unpack_from("<HH", data, 6)
+    if sw * sh > max(5000 * len(data), 1 << 26):
+        raise ValueError(
+            f"implausible GIF canvas {sw}x{sh} for a {len(data)}-byte "
+            "stream (decompression-bomb guard)"
+        )
     packed = data[10]
     bg = data[11]
     pos = 13

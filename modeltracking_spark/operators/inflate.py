@@ -42,6 +42,33 @@ _CLC_ORDER = [16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3, 13, 2,
               14, 1, 15]
 
 
+
+
+def _malformed_guard(kind):
+    """Decorator: low-level parse crashes on corrupt bytes (struct
+    under-reads, index overruns, absurd header values) surface as ONE
+    descriptive ValueError instead of leaking IndexError/KeyError/
+    OverflowError internals — the loud-reject contract, fuzz-enforced
+    in tests/test_fuzz_codecs.py."""
+    import functools
+    import struct as _struct
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapped(*a, **kw):
+            try:
+                return fn(*a, **kw)
+            except (ValueError, NotImplementedError):
+                raise
+            except (_struct.error, IndexError, KeyError, OverflowError,
+                    ZeroDivisionError, MemoryError) as exc:
+                raise ValueError(
+                    f"malformed {kind} stream: "
+                    f"{type(exc).__name__}: {exc}"
+                ) from exc
+        return wrapped
+    return deco
+
 class _Bits:
     """LSB-first bit reader (DEFLATE's bit order — opposite of JPEG)."""
 
@@ -199,6 +226,7 @@ def _adler32(data: bytes) -> int:
     return (b << 16) | a
 
 
+@_malformed_guard("zlib")
 def zlib_decompress(data: bytes) -> bytes:
     """RFC 1950 wrapper: CMF/FLG header checks, raw inflate, Adler-32
     verify. The drop-in twin of ``zlib.decompress`` for the streams this

@@ -85,6 +85,33 @@ AC_VALS = [
 FLAT_Q8 = [8] * 64
 
 
+
+
+def _malformed_guard(kind):
+    """Decorator: low-level parse crashes on corrupt bytes (struct
+    under-reads, index overruns, absurd header values) surface as ONE
+    descriptive ValueError instead of leaking IndexError/KeyError/
+    OverflowError internals — the loud-reject contract, fuzz-enforced
+    in tests/test_fuzz_codecs.py."""
+    import functools
+    import struct as _struct
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapped(*a, **kw):
+            try:
+                return fn(*a, **kw)
+            except (ValueError, NotImplementedError):
+                raise
+            except (_struct.error, IndexError, KeyError, OverflowError,
+                    ZeroDivisionError, MemoryError) as exc:
+                raise ValueError(
+                    f"malformed {kind} stream: "
+                    f"{type(exc).__name__}: {exc}"
+                ) from exc
+        return wrapped
+    return deco
+
 def _dct_matrix():
     """Orthonormal 8x8 DCT-II basis A: A[i,j] = 0.5·c(i)·cos((2j+1)iπ/16),
     c(0)=1/√2 — forward F = A·f·Aᵀ, inverse f = Aᵀ·F·A (T.81 A.3.3)."""
@@ -845,6 +872,7 @@ def _find_entropy_end(data: bytes, pos: int) -> int:
     raise ValueError("truncated JPEG: entropy stream hits end of data")
 
 
+@_malformed_guard("JPEG")
 def decode_jpeg(data: bytes):
     """JFIF bytes -> uint8 array: (h, w) for greyscale, or (h, w, 3)
     RGB for 3-component YCbCr (any sampling-factor grid whose factors
@@ -911,6 +939,11 @@ def decode_jpeg(data: bytes):
                     "are the PIL/libjpeg plug-in point"
                 )
             h, w = fh, fw
+            if h * w > max(3000 * len(data), 1 << 26):
+                raise ValueError(
+                    f"implausible JPEG dimensions {w}x{h} for a "
+                    f"{len(data)}-byte stream (decompression-bomb guard)"
+                )
             for c in range(nc):
                 cid = body[6 + 3 * c]
                 samp = body[7 + 3 * c]
@@ -943,6 +976,10 @@ def decode_jpeg(data: bytes):
                 for c in range(ns)
             ]
             ss, se, a = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            if not (ss <= se <= 63 and (a >> 4) <= 13 and (a & 0x0F) <= 13):
+                raise ValueError(
+                    f"implausible scan header Ss={ss} Se={se} A={a:#04x}"
+                )
             startp = pos + 2 + ln
             endp = _find_entropy_end(data, startp)
             scans.append(
@@ -958,6 +995,8 @@ def decode_jpeg(data: bytes):
         raise ValueError("JPEG without any scan (no SOS)")
     hmax = max(hi for _, hi, _, _ in comps)
     vmax = max(vi for _, _, vi, _ in comps)
+    if not (1 <= hmax <= 4 and 1 <= vmax <= 4):
+        raise ValueError(f"implausible sampling maxima {hmax}x{vmax}")
     n_mx = -(-w // (8 * hmax))
     n_my = -(-h // (8 * vmax))
     byid = {cid: (hi, vi) for cid, hi, vi, _ in comps}

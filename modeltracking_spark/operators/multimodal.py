@@ -49,6 +49,33 @@ MAGIC_PREFIXES = {
 # ---------------------------------------------------------------------------
 
 
+
+
+def _malformed_guard(kind):
+    """Decorator: low-level parse crashes on corrupt bytes (struct
+    under-reads, index overruns, absurd header values) surface as ONE
+    descriptive ValueError instead of leaking IndexError/KeyError/
+    OverflowError internals — the loud-reject contract, fuzz-enforced
+    in tests/test_fuzz_codecs.py."""
+    import functools
+    import struct as _struct
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapped(*a, **kw):
+            try:
+                return fn(*a, **kw)
+            except (ValueError, NotImplementedError):
+                raise
+            except (_struct.error, IndexError, KeyError, OverflowError,
+                    ZeroDivisionError, MemoryError) as exc:
+                raise ValueError(
+                    f"malformed {kind} stream: "
+                    f"{type(exc).__name__}: {exc}"
+                ) from exc
+        return wrapped
+    return deco
+
 def encode_bmp(pixels) -> bytes:
     """(h, w, 3) uint8 RGB array -> uncompressed 24-bit BMP bytes."""
     import numpy as np
@@ -71,6 +98,7 @@ def encode_bmp(pixels) -> bytes:
     return header + info + rows.tobytes()
 
 
+@_malformed_guard("BMP")
 def decode_bmp(data: bytes):
     """Uncompressed 24-bit BMP bytes -> (h, w, 3) uint8 RGB array.
 
@@ -171,6 +199,7 @@ def encode_wav(samples, sample_rate: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+@_malformed_guard("WAV")
 def decode_wav(data: bytes):
     """WAV bytes -> (sample_rate, (n_frames, n_channels) int16).
 
@@ -194,6 +223,8 @@ def decode_wav(data: bytes):
         if cid == b"fmt ":
             if csize < 16:
                 raise ValueError(f"fmt chunk too small ({csize} bytes)")
+            if body_off + min(csize, 20) > len(data):
+                raise ValueError("truncated WAV fmt chunk")
             audio_fmt, n_ch, rate, _, block_align, bits = struct.unpack_from(
                 "<HHIIHH", data, body_off
             )
@@ -1231,6 +1262,7 @@ def encode_y4m(y, cb, cr, fps=(25, 1), subsampling: str = "420") -> bytes:
     return b"".join(parts)
 
 
+@_malformed_guard("Y4M")
 def decode_y4m(data: bytes):
     """YUV4MPEG2 bytes -> (meta dict, list of (Y, Cb, Cr) uint8 arrays).
 

@@ -39,6 +39,33 @@ _SIG = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 3: 1, 6: 4}
 
 
+
+
+def _malformed_guard(kind):
+    """Decorator: low-level parse crashes on corrupt bytes (struct
+    under-reads, index overruns, absurd header values) surface as ONE
+    descriptive ValueError instead of leaking IndexError/KeyError/
+    OverflowError internals — the loud-reject contract, fuzz-enforced
+    in tests/test_fuzz_codecs.py."""
+    import functools
+    import struct as _struct
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapped(*a, **kw):
+            try:
+                return fn(*a, **kw)
+            except (ValueError, NotImplementedError):
+                raise
+            except (_struct.error, IndexError, KeyError, OverflowError,
+                    ZeroDivisionError, MemoryError) as exc:
+                raise ValueError(
+                    f"malformed {kind} stream: "
+                    f"{type(exc).__name__}: {exc}"
+                ) from exc
+        return wrapped
+    return deco
+
 def _chunk(tag: bytes, payload: bytes) -> bytes:
     return (
         struct.pack(">I", len(payload))
@@ -281,6 +308,7 @@ def _encode_png_packed_gray(a, depth: int, interlace: bool) -> bytes:
     )
 
 
+@_malformed_guard("PNG")
 def decode_png(data: bytes, pure_inflate: bool = False):
     """PNG bytes -> uint8 array ((h, w) for greyscale, (h, w, 3) RGB —
     palette images are expanded through their PLTE — or (h, w, 4)
@@ -322,6 +350,15 @@ def decode_png(data: bytes, pure_inflate: bool = False):
     if ihdr is None:
         raise ValueError("PNG without IHDR")
     w, h, depth, ctype, comp, filt, interlace = ihdr
+    # decompression-bomb cap: DEFLATE expands at most ~1032x, so claimed
+    # pixel bytes beyond that bound (or an absolute 256 MiB) are a bomb
+    # or corruption, rejected BEFORE any allocation
+    claimed = max(w, 1) * max(h, 1) * 4 * (2 if depth == 16 else 1)
+    if claimed > max(1100 * len(data), 1 << 28):
+        raise ValueError(
+            f"implausible PNG dimensions {w}x{h} for a "
+            f"{len(data)}-byte stream (decompression-bomb guard)"
+        )
     if interlace not in (0, 1):
         raise ValueError(f"bad PNG interlace method {interlace}")
     if depth not in (1, 2, 4, 8, 16):

@@ -1,0 +1,113 @@
+"""Corruption fuzz over every from-spec codec: byte flips, truncations,
+garbage splices, and chunk duplications against valid payloads must
+ONLY ever raise the typed loud rejects (ValueError /
+NotImplementedError) or succeed — never IndexError / KeyError /
+struct.error / OverflowError / hangs. Decompression-bomb guards reject
+absurd claimed dimensions before any allocation."""
+
+from __future__ import annotations
+
+import random
+import zlib
+
+import numpy as np
+import pytest
+
+from modeltracking_spark.operators import gif as G
+from modeltracking_spark.operators import jpeg as J
+from modeltracking_spark.operators import png as P
+from modeltracking_spark.operators.inflate import zlib_decompress
+from modeltracking_spark.operators.multimodal import (
+    decode_bmp,
+    decode_wav,
+    decode_y4m,
+    encode_bmp,
+    encode_wav,
+    encode_wav_g711,
+    encode_wav_ima_adpcm,
+    encode_y4m,
+)
+
+
+def _fixtures():
+    npr = np.random.RandomState(0)
+    img = npr.randint(0, 256, (17, 13)).astype(np.uint8)
+    rgb = npr.randint(0, 256, (17, 13, 3)).astype(np.uint8)
+    pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+    pcm = (3000 * np.sin(np.arange(700) / 9)).astype(np.int16).reshape(-1, 2)
+    y = npr.randint(0, 256, (3, 8, 8)).astype(np.uint8)
+    return {
+        "jpeg": (J.encode_jpeg_gray(img), J.decode_jpeg),
+        "jpeg_prog": (J.encode_jpeg_progressive(img), J.decode_jpeg),
+        "jpeg_color": (J.encode_jpeg_color(rgb), J.decode_jpeg),
+        "png": (P.encode_png(rgb), P.decode_png),
+        "png_adam7": (P.encode_png(img, interlace=True), P.decode_png),
+        "gif": (G.encode_gif(img, pal), G.decode_gif),
+        "gif_anim": (
+            G.encode_gif_animation([img, img], pal), G.decode_gif_frames,
+        ),
+        "bmp": (encode_bmp(rgb), decode_bmp),
+        "wav": (encode_wav(pcm, 8000), decode_wav),
+        "g711": (encode_wav_g711(pcm, 8000, law="mu"), decode_wav),
+        "adpcm": (encode_wav_ima_adpcm(pcm[:, 0], 8000), decode_wav),
+        "y4m": (encode_y4m(y, y[:, :4, :4], y[:, :4, :4]), decode_y4m),
+        "zlib": (
+            zlib.compress(b"hello compression world" * 40, 6),
+            zlib_decompress,
+        ),
+    }
+
+
+def _mutate(rng: random.Random, base: bytes) -> bytes:
+    b = bytearray(base)
+    op = rng.randrange(4)
+    if op == 0 and len(b) > 1:  # flip random bytes
+        for _ in range(rng.randrange(1, 4)):
+            b[rng.randrange(len(b))] ^= rng.randrange(1, 256)
+    elif op == 1:  # truncate
+        b = b[: rng.randrange(len(b))]
+    elif op == 2:  # splice garbage
+        i = rng.randrange(len(b))
+        b = (b[:i]
+             + bytes(rng.randrange(256) for _ in range(rng.randrange(1, 20)))
+             + b[i:])
+    else:  # duplicate a run
+        i = rng.randrange(len(b))
+        jn = rng.randrange(i, len(b) + 1)
+        b = b[:jn] + b[i:jn] + b[jn:]
+    return bytes(b)
+
+
+@pytest.mark.parametrize("name", sorted(_fixtures()))
+def test_corruption_only_raises_typed_errors(name):
+    base, dec = _fixtures()[name]
+    rng = random.Random(hash(name) & 0xFFFF)
+    for trial in range(800):
+        payload = _mutate(rng, base)
+        try:
+            dec(payload)
+        except (ValueError, NotImplementedError):
+            pass  # the loud-reject contract
+        # anything else (IndexError, KeyError, struct.error, Overflow,
+        # ZeroDivision, MemoryError) fails the test by propagating
+
+
+def test_decompression_bomb_guards():
+    """Absurd claimed dimensions reject BEFORE allocation."""
+    import struct
+
+    ihdr = struct.pack(">IIBBBBB", 60000, 60000, 8, 2, 0, 0, 0)
+    bomb = (P._SIG + P._chunk(b"IHDR", ihdr)
+            + P._chunk(b"IDAT", zlib.compress(bytes(10)))
+            + P._chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="bomb"):
+        P.decode_png(bomb)
+    gif_bomb = bytearray(_fixtures()["gif"][0])
+    gif_bomb[6:10] = struct.pack("<HH", 60000, 60000)
+    with pytest.raises(ValueError, match="bomb"):
+        G.decode_gif(bytes(gif_bomb))
+    jb = bytearray(_fixtures()["jpeg"][0])
+    sof = jb.index(b"\xff\xc0")
+    jb[sof + 5 : sof + 9] = struct.pack(">HH", 60000, 60000)
+    with pytest.raises(ValueError, match="bomb"):
+        J.decode_jpeg(bytes(jb))
