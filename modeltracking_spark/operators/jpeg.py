@@ -26,8 +26,10 @@ SAME coefficients as a baseline encoding — progressive and baseline
 decodes of one image are bit-identical, which the tests assert.
 What this codec does not cover rejects LOUDLY at the exact point a
 PIL/libjpeg decoder would plug in: arithmetic-coded (SOF9+) scans
-raise ``NotImplementedError``; CMYK (4-component), 12-bit, and
-malformed streams raise descriptive errors.
+raise ``NotImplementedError``; CMYK (4-component) and malformed
+streams raise descriptive errors. Precision 12 (greyscale, level
+shift 2048, extended flat Huffman tables) encodes and decodes as
+uint16.
 
 Exactness contract (what the SQL oracle leans on): for an image whose
 8x8 blocks are each CONSTANT, every AC coefficient is 0 and the DC
@@ -360,8 +362,12 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
 
 
-def encode_jpeg_gray(pixels, quant=None, restart_interval: int = 0) -> bytes:
+def encode_jpeg_gray(pixels, quant=None, restart_interval: int = 0,
+                     precision: int = 8) -> bytes:
     """(h, w) uint8 greyscale array -> baseline JFIF bytes.
+    ``precision=12`` encodes a uint16 array of 0..4095 samples (level
+    shift 2048; DC diff categories reach 15, so the extended flat DC
+    table below is emitted instead of Annex K's 8-bit one).
 
     ``quant``: 64 quantization values in zigzag order (default
     ``FLAT_Q8``). Partial edge blocks are padded by edge replication
@@ -372,18 +378,30 @@ def encode_jpeg_gray(pixels, quant=None, restart_interval: int = 0) -> bytes:
     independently-decodable parallelism and error containment."""
     import numpy as np
 
-    a = np.asarray(pixels, dtype=np.uint8)
+    if precision not in (8, 12):
+        raise ValueError(f"precision {precision} unsupported (8 or 12)")
+    a = np.asarray(pixels, dtype=np.uint8 if precision == 8 else np.uint16)
     if a.ndim != 2:
         raise ValueError(f"expected (h, w) greyscale array, got {a.shape}")
+    if precision == 12 and int(a.max(initial=0)) > 4095:
+        raise ValueError("12-bit samples must be 0..4095")
     h, w = a.shape
     if h == 0 or w == 0 or h > 65535 or w > 65535:
         raise ValueError(f"bad JPEG dimensions {w}x{h}")
+    level = 1 << (precision - 1)
     q = _check_quant(quant)
     padded = _pad_plane(a.astype(np.float64), 8)
     A = _dct_matrix()
     qmat = _qmat(q)
-    dc_codes = _build_codes(DC_BITS, DC_VALS)
-    ac_codes = _build_codes(AC_BITS, AC_VALS)
+    if precision == 8:
+        dc_bits, dc_vals = DC_BITS, DC_VALS
+        ac_bits, ac_vals = AC_BITS, AC_VALS
+    else:
+        # 12-bit: DC categories reach 15 and AC sizes 14 — flat tables
+        dc_bits, dc_vals = DC12_BITS, DC12_VALS
+        ac_bits, ac_vals = AC12_BITS, AC12_VALS
+    dc_codes = _build_codes(dc_bits, dc_vals)
+    ac_codes = _build_codes(ac_bits, ac_vals)
     bwr = _BitWriter()
     prev_dc = 0
     bh, bw = padded.shape[0] // 8, padded.shape[1] // 8
@@ -391,7 +409,9 @@ def encode_jpeg_gray(pixels, quant=None, restart_interval: int = 0) -> bytes:
     mcu = 0
     for by in range(bh):
         for bx in range(bw):
-            blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - float(
+                level
+            )
             prev_dc = _encode_block(
                 bwr, blk, qmat, A, dc_codes, ac_codes, prev_dc
             )
@@ -407,10 +427,12 @@ def encode_jpeg_gray(pixels, quant=None, restart_interval: int = 0) -> bytes:
     out += _seg(0xDB, bytes([0x00]) + bytes(int(x) for x in q))  # DQT, table 0
     if restart_interval:
         out += _seg(0xDD, struct.pack(">H", restart_interval))  # DRI
-    # SOF0: 8-bit precision, 1 component (id 1, sampling 1x1, qtable 0)
-    out += _seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
-    out += _seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))  # DHT DC0
-    out += _seg(0xC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))  # DHT AC0
+    # SOF0: precision, 1 component (id 1, sampling 1x1, qtable 0)
+    out += _seg(
+        0xC0, struct.pack(">BHHB", precision, h, w, 1) + bytes([1, 0x11, 0])
+    )
+    out += _seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    out += _seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
     # SOS: 1 component (id 1, DC table 0 / AC table 0), spectral 0..63
     out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
     out += entropy
@@ -581,6 +603,16 @@ def _zz_blocks_of_plane(plane, qmat, A):
 #: compression, maximal simplicity; the decoder always reads DHT anyway.
 PROG_AC_VALS = sorted((r << 4) | sz for r in range(16) for sz in range(11))
 PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(PROG_AC_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+
+#: 12-bit DC table: diff categories reach 15 — a flat 5-bit canonical
+#: table over 0..15 (Annex K only ships 8-bit examples)
+DC12_VALS = list(range(16))
+DC12_BITS = [0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+
+#: 12-bit AC table: coefficient sizes reach 14 — every (run, size<=14)
+#: symbol at a flat 9-bit length (240 leaves in a 512-slot level)
+AC12_VALS = sorted((r << 4) | sz for r in range(16) for sz in range(15))
+AC12_BITS = [0, 0, 0, 0, 0, 0, 0, 0, len(AC12_VALS), 0, 0, 0, 0, 0, 0, 0]
 
 
 class _ProgWriter(_BitWriter):
@@ -930,8 +962,14 @@ def decode_jpeg(data: bytes):
                 raise ValueError("multiple SOF frame headers in one stream")
             progressive = marker == 0xC2
             prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8:
-                raise ValueError(f"unsupported JPEG precision {prec} (only 8)")
+            if prec not in (8, 12):
+                raise ValueError(
+                    f"unsupported JPEG precision {prec} (8 and 12)"
+                )
+            if prec == 12 and nc != 1:
+                raise ValueError(
+                    "12-bit JPEG is implemented for greyscale only"
+                )
             if nc not in (1, 3):
                 raise ValueError(
                     f"unsupported JPEG component count {nc}: greyscale (1) "
@@ -993,6 +1031,9 @@ def decode_jpeg(data: bytes):
         raise ValueError("JPEG without a frame header (no SOF)")
     if not scans:
         raise ValueError("JPEG without any scan (no SOS)")
+    level = 1 << (prec - 1)
+    maxv = (1 << prec) - 1
+    sample_dtype = np.uint8 if prec == 8 else np.uint16
     hmax = max(hi for _, hi, _, _ in comps)
     vmax = max(vi for _, _, vi, _ in comps)
     if not (1 <= hmax <= 4 and 1 <= vmax <= 4):
@@ -1037,22 +1078,22 @@ def decode_jpeg(data: bytes):
     for cid, hi, vi, tq in comps:
         qm = _qmat(qtables[tq])
         bh, bw = coefs[cid].shape[:2]
-        plane = np.empty((bh * 8, bw * 8), dtype=np.uint8)
+        plane = np.empty((bh * 8, bw * 8), dtype=sample_dtype)
         for by in range(bh):
             for bx in range(bw):
                 coef = np.empty(64)
                 coef[ZIGZAG] = coefs[cid][by, bx]
                 blk = A.T @ (coef.reshape(8, 8) * qm) @ A
                 plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                    np.round(blk) + 128, 0, 255
-                ).astype(np.uint8)
+                    np.round(blk) + level, 0, maxv
+                ).astype(sample_dtype)
         if hi != hmax or vi != vmax:  # nearest-neighbor upsample
             plane = np.repeat(
                 np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1
             )
         up[cid] = plane[:h, :w].astype(np.float64)
     if len(comps) == 1:
-        return up[comps[0][0]].astype(np.uint8)
+        return up[comps[0][0]].astype(sample_dtype)
     yy, cb, cr = (up[cid] for cid in (c[0] for c in comps))
     # JFIF (BT.601 full-range) inverse transform
     r = yy + 1.402 * (cr - 128.0)

@@ -403,3 +403,33 @@ def test_422_subsampling_both_paths():
     dec = decode_jpeg(encode_jpeg_color(col, quant=[1] * 64,
                                         subsampling="422"))
     assert np.abs(dec.astype(int) - col.astype(int)).max() <= 4
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.data())
+def test_12bit_precision_roundtrips(data):
+    """12-bit greyscale (level shift 2048, extended flat DC/AC tables —
+    Annex K only ships 8-bit examples): block-constant content exact,
+    random content within one count at q=1; uint16 in, uint16 out."""
+    h = data.draw(st.integers(1, 32), label="h")
+    w = data.draw(st.integers(1, 32), label="w")
+    seed = data.draw(st.integers(0, 2**31 - 1), label="seed")
+    rng = np.random.RandomState(seed)
+    bh, bw = -(-h // 8), -(-w // 8)
+    bv = rng.randint(0, 4096, (bh, bw))
+    img = np.kron(bv, np.ones((8, 8), dtype=int))[:h, :w].astype(np.uint16)
+    payload = encode_jpeg_gray(img, precision=12)
+    sof = payload.index(b"\xff\xc0")
+    assert payload[sof + 4] == 12  # SOF precision byte
+    dec = decode_jpeg(payload)
+    assert dec.dtype == np.uint16 and np.array_equal(dec, img)
+    noisy = rng.randint(0, 4096, (h, w)).astype(np.uint16)
+    dec = decode_jpeg(encode_jpeg_gray(noisy, quant=[1] * 64, precision=12))
+    assert np.abs(dec.astype(int) - noisy.astype(int)).max() <= 2
+
+
+def test_12bit_rejects():
+    with pytest.raises(ValueError, match="0..4095"):
+        encode_jpeg_gray(np.full((8, 8), 5000, np.uint16), precision=12)
+    with pytest.raises(ValueError, match="precision 10"):
+        encode_jpeg_gray(np.zeros((8, 8), np.uint8), precision=10)
