@@ -252,3 +252,75 @@ def zlib_decompress(data: bytes) -> bytes:
             f"Adler-32 mismatch: computed {got:#010x}, trailer {want:#010x}"
         )
     return out
+
+
+def _crc32(data: bytes) -> int:
+    """CRC-32 (IEEE 802.3, reflected 0xEDB88320) — computed from the
+    polynomial rather than a baked table, so the constant IS the spec."""
+    crc = 0xFFFFFFFF
+    for byte in data:
+        crc ^= byte
+        for _ in range(8):
+            crc = (crc >> 1) ^ (0xEDB88320 if crc & 1 else 0)
+    return crc ^ 0xFFFFFFFF
+
+
+def gzip_decompress(data: bytes) -> bytes:
+    """RFC 1952 gzip wrapper over :func:`inflate`: magic/method checks,
+    the optional FEXTRA/FNAME/FCOMMENT/FHCRC header fields walked per
+    spec, then raw DEFLATE and the CRC-32 + ISIZE trailer verified —
+    the `.jsonl.gz` / WARC corpus-interchange format, decodable without
+    any library. Multi-member files raise ``NotImplementedError``."""
+    if len(data) < 18:
+        raise ValueError("gzip stream shorter than header + trailer")
+    if data[:2] != b"\x1f\x8b":
+        raise ValueError("not a gzip stream (bad magic)")
+    if data[2] != 8:
+        raise ValueError(f"gzip compression method {data[2]} != deflate")
+    flg = data[3]
+    if flg & 0xE0:
+        raise ValueError(f"reserved gzip FLG bits set ({flg:#04x})")
+    pos = 10
+    if flg & 0x04:  # FEXTRA
+        if pos + 2 > len(data):
+            raise ValueError("truncated gzip FEXTRA length")
+        xlen = data[pos] | (data[pos + 1] << 8)
+        pos += 2 + xlen
+    if flg & 0x08:  # FNAME (zero-terminated)
+        end = data.find(b"\x00", pos)
+        if end < 0:
+            raise ValueError("unterminated gzip FNAME")
+        pos = end + 1
+    if flg & 0x10:  # FCOMMENT
+        end = data.find(b"\x00", pos)
+        if end < 0:
+            raise ValueError("unterminated gzip FCOMMENT")
+        pos = end + 1
+    if flg & 0x02:  # FHCRC: CRC-16 of the header so far
+        if pos + 2 > len(data):
+            raise ValueError("truncated gzip FHCRC")
+        want = data[pos] | (data[pos + 1] << 8)
+        if (_crc32(data[:pos]) & 0xFFFF) != want:
+            raise ValueError("gzip header CRC-16 mismatch")
+        pos += 2
+    out, end = inflate(data, pos)
+    if end + 8 > len(data):
+        raise ValueError("gzip stream missing CRC-32/ISIZE trailer")
+    if end + 8 < len(data):
+        raise NotImplementedError(
+            "multi-member gzip not implemented — concatenated members are "
+            "the gzip-CLI plug-in point"
+        )
+    want_crc = int.from_bytes(data[end : end + 4], "little")
+    got_crc = _crc32(out)
+    if got_crc != want_crc:
+        raise ValueError(
+            f"gzip CRC-32 mismatch: computed {got_crc:#010x}, "
+            f"trailer {want_crc:#010x}"
+        )
+    want_n = int.from_bytes(data[end + 4 : end + 8], "little")
+    if want_n != len(out) % (1 << 32):
+        raise ValueError(
+            f"gzip ISIZE mismatch: {len(out)} bytes vs trailer {want_n}"
+        )
+    return out

@@ -82,3 +82,49 @@ def test_png_decodes_through_pure_inflate():
         a = decode_png(payload)
         b = decode_png(payload, pure_inflate=True)
         assert np.array_equal(a, b) and np.array_equal(a, img)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.data())
+def test_gzip_matches_stdlib(data):
+    import gzip as _gzip
+
+    n = data.draw(st.integers(0, 3000), label="n")
+    seed = data.draw(st.integers(0, 2**31 - 1), label="seed")
+    level = data.draw(st.sampled_from([0, 1, 6, 9]), label="level")
+    rep = data.draw(st.booleans(), label="repetitive")
+    from modeltracking_spark.operators.inflate import gzip_decompress
+
+    rng = np.random.RandomState(seed)
+    payload = ((b"warc record " * 300)[:n] if rep
+               else rng.randint(0, 256, n).astype(np.uint8).tobytes())
+    assert gzip_decompress(_gzip.compress(payload, level)) == payload
+
+
+def test_gzip_headers_trailers_and_rejects():
+    import gzip as _gzip
+    import io
+
+    from modeltracking_spark.operators.inflate import (
+        _crc32,
+        gzip_decompress,
+    )
+
+    assert _crc32(b"123456789") == 0xCBF43926  # canonical check value
+    buf = io.BytesIO()
+    with _gzip.GzipFile(fileobj=buf, mode="wb", filename="docs.jsonl") as f:
+        f.write(b'{"doc": 1}\n' * 50)
+    good = buf.getvalue()
+    assert gzip_decompress(good) == b'{"doc": 1}\n' * 50
+    bad = bytearray(good)
+    bad[-1] ^= 0xFF  # ISIZE corruption
+    with pytest.raises(ValueError, match="ISIZE"):
+        gzip_decompress(bytes(bad))
+    bad = bytearray(good)
+    bad[-6] ^= 0xFF  # CRC-32 corruption
+    with pytest.raises(ValueError, match="CRC-32"):
+        gzip_decompress(bytes(bad))
+    with pytest.raises(ValueError, match="magic"):
+        gzip_decompress(b"PK\x03\x04" + good)
+    with pytest.raises(NotImplementedError, match="multi-member"):
+        gzip_decompress(good + good)
