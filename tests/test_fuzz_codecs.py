@@ -16,7 +16,10 @@ import pytest
 from modeltracking_spark.operators import gif as G
 from modeltracking_spark.operators import jpeg as J
 from modeltracking_spark.operators import png as P
-from modeltracking_spark.operators.inflate import zlib_decompress
+from modeltracking_spark.operators.inflate import (
+    gzip_decompress,
+    zlib_decompress,
+)
 from modeltracking_spark.operators.multimodal import (
     decode_bmp,
     decode_wav,
@@ -55,6 +58,15 @@ def _fixtures():
             zlib.compress(b"hello compression world" * 40, 6),
             zlib_decompress,
         ),
+        "jpeg12": (
+            J.encode_jpeg_gray(
+                (npr.randint(0, 4096, (17, 13))).astype(np.uint16),
+                precision=12,
+            ),
+            J.decode_jpeg,
+        ),
+        "gzip": (__import__("gzip").compress(b"warc record " * 120, 6),
+                 gzip_decompress),
     }
 
 
