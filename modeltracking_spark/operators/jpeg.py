@@ -1051,8 +1051,10 @@ def decode_jpeg(data: bytes):
             raise ValueError(f"missing quantization table {tq}")
 
     # per-component coefficient planes in ZIGZAG order, MCU-padded dims
+    # (int64: a corrupt stream can accumulate DC diffs far past int32
+    # before a later check fires — found by the corruption fuzzer)
     coefs = {
-        cid: np.zeros((n_my * vi, n_mx * hi, 64), dtype=np.int32)
+        cid: np.zeros((n_my * vi, n_mx * hi, 64), dtype=np.int64)
         for cid, hi, vi, _ in comps
     }
     # non-interleaved scans cover only ceil(comp_size/8) blocks (the
@@ -1180,6 +1182,11 @@ def _decode_scan(data, scan, coefs, byid, n_mx, n_my, nint_dims,
                             s = rdr.huff(ht[(0, dcid_of[cid])])
                             diff = rdr.extend(rdr.bits(s), s) if s else 0
                             prev_dc[cid] += diff
+                            if abs(prev_dc[cid]) > (1 << 24):
+                                raise ValueError(
+                                    "implausible DC accumulation "
+                                    "(corrupt stream)"
+                                )
                             zz[0] = prev_dc[cid] << al
                         else:  # DC refinement: one bit
                             if rdr.bits(1):
@@ -1211,6 +1218,8 @@ def _baseline_block(rdr, zz, dct, act, prev_dc, cid):
     s = rdr.huff(dct)
     diff = rdr.extend(rdr.bits(s), s) if s else 0
     prev_dc[cid] += diff
+    if abs(prev_dc[cid]) > (1 << 24):
+        raise ValueError("implausible DC accumulation (corrupt stream)")
     zz[0] = prev_dc[cid]
     i = 1
     while i < 64:
