@@ -163,3 +163,108 @@ def bpe_encode(
     return docs.select(id_col, text_col).mapInPandas(
         _enc, "doc_id bigint, n_words bigint, n_bpe_tokens bigint"
     )
+
+
+def ngram_piece_vocab(docs: DataFrame, text_col: str = "text",
+                      max_len: int = 4, min_count: int = 2) -> DataFrame:
+    """Unigram-LM piece vocabulary (the SentencePiece-style sibling of
+    the BPE path): every character n-gram of length 1..max_len drawn
+    from corpus words, single characters kept unconditionally (so any
+    word stays segmentable), longer pieces kept at count >= min_count.
+    Log-probabilities are e6-floored ln(count/total) — one corpus-scale
+    aggregate, vocabulary-bounded output. Columns: (piece, n,
+    logp_e6)."""
+    words = docs.select(F.explode(tokens(text_col)).alias("w"))
+    grams = (
+        words.select(
+            F.explode(F.sequence(F.lit(1), F.lit(max_len))).alias("L"), "w"
+        )
+        .select(
+            F.explode(
+                # sequence(1, 0) would be the DESCENDING [1, 0] in Spark
+                # — guard short words with an empty array instead
+                F.expr(
+                    "CASE WHEN length(w) >= L THEN "
+                    "transform(sequence(1, length(w) - L + 1),"
+                    " i -> substr(w, i, L)) ELSE array() END"
+                )
+            ).alias("piece")
+        )
+    )
+    counts = grams.groupBy("piece").agg(F.count(F.lit(1)).alias("n"))
+    kept = counts.where(
+        (F.length("piece") == 1) | (F.col("n") >= min_count)
+    )
+    total = kept.agg(F.sum("n").alias("__t"))
+    return kept.crossJoin(F.broadcast(total)).select(
+        "piece", "n",
+        F.floor(
+            F.log(F.col("n").cast("double") / F.col("__t").cast("double"))
+            * F.lit(1e6)
+        ).cast("long").alias("logp_e6"),
+    )
+
+
+def unigram_viterbi_segments(docs: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id", max_len: int = 4,
+                             min_count: int = 2) -> DataFrame:
+    """SentencePiece-style unigram-LM Viterbi INFERENCE: segment every
+    word into the maximum-likelihood piece sequence under the
+    :func:`ngram_piece_vocab` log-probs — the dynamic program BPE's
+    greedy merge application is usually compared against.
+
+    Determinism discipline: the DP state is the PACKED integer
+    ``score_e6 * 1024 - n_pieces`` (scores are integers, n_pieces <
+    1024), so "max score, then fewest pieces" is a single max over
+    int64 — identical in both engines, no tie ambiguity. Scale: the DP
+    runs per DISTINCT word (vocabulary-scale, like SentencePiece's
+    word-frequency table, never per occurrence) inside mapInPandas with
+    the bounded vocab broadcast as a closure dict; docs join the
+    word-level results back by hash join. Output: (doc_id, n_words,
+    n_pieces, score_e6)."""
+    import pandas as pd
+
+    vocab_rows = ngram_piece_vocab(
+        docs, text_col, max_len, min_count
+    ).collect()
+    vocab = {r["piece"]: int(r["logp_e6"]) for r in vocab_rows}
+
+    def segment(batches):
+        for pdf in batches:
+            packed_out = []
+            for wrd in pdf["w"]:
+                best = [None] * (len(wrd) + 1)
+                best[0] = 0
+                for i in range(1, len(wrd) + 1):
+                    b = None
+                    for j in range(max(0, i - max_len), i):
+                        if best[j] is None:
+                            continue
+                        lp = vocab.get(wrd[j:i])
+                        if lp is None:
+                            continue
+                        cand = best[j] + lp * 1024 - 1
+                        if b is None or cand > b:
+                            b = cand
+                    best[i] = b
+                packed_out.append(best[len(wrd)])
+            yield pd.DataFrame({"w": pdf["w"], "packed": packed_out})
+
+    distinct_words = docs.select(
+        F.explode(tokens(text_col)).alias("w")
+    ).distinct()
+    seg = distinct_words.mapInPandas(segment, "w string, packed bigint")
+    doc_words = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("w")
+    )
+    joined = doc_words.join(seg, "w")
+    n_pieces = (-F.col("packed")) % 1024
+    score = (F.col("packed") + n_pieces) / F.lit(1024)
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(n_pieces).cast("long").alias("n_pieces"),
+            F.sum(score).cast("long").alias("score_e6"),
+        )
+    )

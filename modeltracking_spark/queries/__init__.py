@@ -160,6 +160,7 @@ PRIORITY: tuple[str, ...] = (
     "grid_netcdf_packed_scan",      # CF-packed int16 grid (real HYCOM wire format)
     "gif_frames_stats_docs",        # animated GIF frame composition (1->N)
     "hll_distinct_users",           # HyperLogLog (string-arith registers, exact harmonic sum)
+    "unigram_viterbi_docs",         # SentencePiece-style unigram Viterbi segmentation
 )
 
 #: observed driver correctness cap (CORRECTNESS_r03 scored exactly 50)

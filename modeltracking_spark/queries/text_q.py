@@ -848,3 +848,84 @@ def textrank_segments_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("sid", F.col("sid").cast("long")).withColumn(
         "rk", F.col("rk").cast("long")
     )
+
+
+# ---- unigram-Viterbi oracle: vocabulary CTE + the word-level dynamic
+# program UNROLLED over character positions (the PCA/logreg replay
+# discipline; positions bounded by the max word length, pinned in
+# pytest like textrank's segment cap).
+_VIT_MAXLEN = 16
+
+
+def _vit_step_sql(i: int, max_piece: int = 4) -> str:
+    prevs = " UNION ALL ".join(
+        f"SELECT w, {j} AS j, packed FROM s{j}"
+        for j in range(max(0, i - max_piece), i)
+    )
+    return f"""
+    s{i} AS MATERIALIZED (
+      SELECT d.w, max(p.packed + v.lp * 1024 - 1)::BIGINT AS packed
+      FROM dwords d
+      JOIN ({prevs}) p ON p.w = d.w
+      JOIN vocab v ON v.piece = substr(d.w, p.j + 1, {i} - p.j)
+      WHERE length(d.w) >= {i}
+      GROUP BY d.w
+    )"""
+
+
+_VITERBI_ORACLE = f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, unnest({_TOKS}) AS w FROM documents
+    ),
+    grams AS (
+      SELECT substr(t.w, i.i, L.L) AS piece
+      FROM toks t, range(1, 5) L(L), range(1, {_VIT_MAXLEN + 1}) i(i)
+      WHERE i.i <= length(t.w) - L.L + 1
+    ),
+    counts AS (SELECT piece, count(*)::BIGINT AS n FROM grams GROUP BY 1),
+    kept AS (SELECT piece, n FROM counts
+             WHERE length(piece) = 1 OR n >= 2),
+    tot AS (SELECT sum(n)::BIGINT AS t FROM kept),
+    vocab AS MATERIALIZED (
+        SELECT piece,
+               floor(ln(n::DOUBLE / t::DOUBLE) * 1e6)::BIGINT AS lp
+        FROM kept, tot),
+    dwords AS MATERIALIZED (SELECT DISTINCT w FROM toks),
+    s0 AS MATERIALIZED (SELECT w, 0::BIGINT AS packed FROM dwords),
+    {",".join(_vit_step_sql(i) for i in range(1, _VIT_MAXLEN + 1))},
+    finals AS (
+      {" UNION ALL ".join(
+          f"SELECT w, packed FROM s{k} WHERE length(w) = {k}"
+          for k in range(1, _VIT_MAXLEN + 1)
+      )}
+    )
+    SELECT t.doc_id,
+           count(*)::BIGINT AS n_words,
+           sum((0 - f.packed) % 1024)::BIGINT AS n_pieces,
+           sum((f.packed + ((0 - f.packed) % 1024)) / 1024)::BIGINT
+             AS score_e6
+    FROM toks t JOIN finals f ON f.w = t.w
+    GROUP BY 1
+"""
+
+
+@query("unigram_viterbi_docs", oracle=_VITERBI_ORACLE)
+def unigram_viterbi_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-style unigram-LM Viterbi segmentation
+    (operators/tokenizer.py:unigram_viterbi_segments): a piece
+    vocabulary of character 1-4-grams with e6 ln-probabilities trained
+    in ONE corpus aggregate, then the maximum-likelihood segmentation
+    of every DISTINCT word by dynamic programming — the state is the
+    PACKED integer score_e6*1024 − n_pieces, so "max score, fewest
+    pieces" ties resolve identically in both engines. The oracle
+    replays vocabulary training AND the whole DP, unrolled over
+    character positions (bounded by the max word length — < 16, pinned
+    in tests/test_tokenizer.py like textrank's segment cap). Scale: DP
+    per distinct word (vocabulary-scale) in mapInPandas with the
+    bounded vocab as a broadcast closure; occurrences join back by
+    hash. Output: (doc_id, n_words, n_pieces, score_e6)."""
+    from modeltracking_spark.operators.tokenizer import (
+        unigram_viterbi_segments,
+    )
+
+    return unigram_viterbi_segments(T(spark, sf_dir, "documents"))

@@ -99,3 +99,73 @@ def test_bpe_vocab_collect_is_capped_and_result_identical(spark):
     # tail must not change the learned merges either (their pair counts
     # dominate the dropped mass)
     assert bpe_train(d, n_merges=5, min_count=2) == wide
+
+
+def test_unigram_viterbi_properties(spark):
+    """The Viterbi segmentation: (a) never worse than the per-char
+    segmentation (it can always fall back to single chars); (b) the
+    packed-state decode recovers a consistent (score, n_pieces) pair;
+    (c) whole-vocabulary words segment to few pieces; (d) the oracle's
+    16-position unroll bound holds over every shipped sf dir (the
+    textrank cap pattern)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from modeltracking_spark.operators.tokenizer import (
+        ngram_piece_vocab,
+        unigram_viterbi_segments,
+    )
+    from tests.conftest import SF0001
+
+    d = spark.read.parquet(f"{SF0001}/documents.parquet")
+    out = unigram_viterbi_segments(d)
+    rows = out.collect()
+    assert len(rows) == d.count()
+    vocab = {
+        r["piece"]: int(r["logp_e6"])
+        for r in ngram_piece_vocab(d).collect()
+    }
+    # replicate one doc by hand
+    doc = d.orderBy("doc_id").first()
+    words = [w for w in doc["text"].split(" ") if w]
+
+    def seg(w):
+        best = [None] * (len(w) + 1)
+        best[0] = 0
+        for i in range(1, len(w) + 1):
+            b = None
+            for j in range(max(0, i - 4), i):
+                if best[j] is None or w[j:i] not in vocab:
+                    continue
+                c = best[j] + vocab[w[j:i]] * 1024 - 1
+                if b is None or c > b:
+                    b = c
+            best[i] = b
+        p = best[len(w)]
+        n = (-p) % 1024
+        return (p + n) // 1024, n
+
+    want_score = sum(seg(w)[0] for w in words)
+    want_pieces = sum(seg(w)[1] for w in words)
+    got = {r["doc_id"]: r for r in rows}[doc["doc_id"]]
+    assert got["n_words"] == len(words)
+    assert got["n_pieces"] == want_pieces
+    assert got["score_e6"] == want_score
+    # (a) DP beats chars: per-char score is a valid segmentation
+    for w in ["table", "window", "partition"]:
+        char_score = sum(vocab[c] for c in w)
+        assert seg(w)[0] >= char_score
+        assert seg(w)[1] <= len(w)
+    # (d) the SQL unroll covers every word length in every sf dir
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        mx = (
+            spark.read.parquet(path)
+            .select(F.explode(F.expr(
+                "filter(split(text, ' '), x -> x != '')")).alias("w"))
+            .agg(F.max(F.length("w"))).collect()[0][0]
+        )
+        assert mx <= 16, f"{sf}: word of length {mx} exceeds the unroll"

@@ -40,6 +40,7 @@ NOTES = {
     "gif_decode_stats_docs": "narrow mapInPandas LZW encode+decode — shuffle-free end to end",
     "adpcm_decode_stats_docs": "narrow mapInPandas stateful nibble decode — shuffle-free; state is per-payload, never crosses rows",
     "txlog_snapshot_orders": "log replay is driver-side METADATA (bounded by checkpoint interval); the data path is one parquet scan over exactly the live files + one aggregate exchange per arm",
+    "unigram_viterbi_docs": "one corpus n-gram aggregate (bounded vocab broadcast as closure); DP per DISTINCT word in mapInPandas; occurrences hash-join back",
     "hll_distinct_users": "bounded 4096-register aggregate joined to a constant spine; exact integer harmonic sum; 1-row output",
     "gif_frames_stats_docs": "narrow mapInPandas animation decode, 1 row -> n_frames rows — shuffle-free",
     "grid_netcdf_packed_scan": "one InputPartition per timestep record range over the 1/4-size packed file; CF unpack is a narrow numpy map inside the partition read",
