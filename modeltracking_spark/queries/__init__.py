@@ -161,6 +161,7 @@ PRIORITY: tuple[str, ...] = (
     "gif_frames_stats_docs",        # animated GIF frame composition (1->N)
     "hll_distinct_users",           # HyperLogLog (string-arith registers, exact harmonic sum)
     "unigram_viterbi_docs",         # SentencePiece-style unigram Viterbi segmentation
+    "jsonl_gz_roundtrip_scan",      # gzip-compressed JSONL interchange
 )
 
 #: observed driver correctness cap (CORRECTNESS_r03 scored exactly 50)

@@ -904,6 +904,64 @@ def jsonl_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "jsonl_gz_roundtrip_scan",
+    oracle="""
+    SELECT doc_id, lang, source,
+           md5(text) AS text_md5,
+           length(text)::BIGINT AS n_chars_rt
+    FROM documents
+    """,
+)
+def jsonl_gz_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GZIP-COMPRESSED JSONL interchange (`.jsonl.gz` — the format web
+    corpora actually ship in): the documents table is written as
+    gzip-compressed JSON lines DISTRIBUTED through Spark's native
+    codec, and read back FAILFAST with an explicit schema through the
+    same codec path. The oracle is
+    the same exact-inverse md5/length check as the plain JSONL loop, so
+    compression adds zero tolerated corruption. A pytest additionally
+    decodes one of the SAME .gz part files through the from-spec
+    RFC 1952 decoder (operators/inflate.py:gzip_decompress), tying the
+    engine's codec path and our spec implementation to identical
+    bytes."""
+    import hashlib
+    import inspect
+    import os
+    import shutil
+
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    fp = hashlib.md5(
+        (sf_dir + inspect.getsource(jsonl_gz_roundtrip_scan)).encode()
+    ).hexdigest()[:10]
+    out_dir = f"/tmp/modeltracking_docs_jsonlgz_{fp}"
+    if not os.path.isdir(out_dir):
+        tmp = f"{out_dir}.{os.getpid()}.tmp"
+        (
+            docs.write.mode("overwrite")
+            .option("compression", "gzip")
+            .json(tmp)
+        )
+        try:
+            os.rename(tmp, out_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    back = (
+        spark.read.schema(
+            "doc_id bigint, text string, lang string, source string"
+        )
+        .option("mode", "FAILFAST")
+        .json(out_dir)
+    )
+    return back.select(
+        "doc_id", "lang", "source",
+        F.md5("text").alias("text_md5"),
+        F.length("text").cast("long").alias("n_chars_rt"),
+    )
+
+
+@query(
     "orc_roundtrip_scan",
     oracle="""
     SELECT doc_id, lang, source,

@@ -128,3 +128,34 @@ def test_gzip_headers_trailers_and_rejects():
         gzip_decompress(b"PK\x03\x04" + good)
     with pytest.raises(NotImplementedError, match="multi-member"):
         gzip_decompress(good + good)
+
+
+def test_spark_jsonl_gz_parts_decode_with_from_spec_gzip(spark):
+    """The engine's .jsonl.gz interchange files (written by Spark's
+    native gzip codec) decode through OUR RFC 1952 implementation to
+    the same JSON lines Spark reads back — the spec decoder and the
+    production codec path tied to identical bytes."""
+    import glob
+    import json as _json
+    import os
+
+    from modeltracking_spark.operators.inflate import gzip_decompress
+
+    d = spark.createDataFrame(
+        [(i, f"text {i} with escapes \" and \\ ") for i in range(50)],
+        "doc_id long, text string",
+    )
+    out = "/tmp/modeltracking_gz_spec_test"
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    d.coalesce(1).write.mode("overwrite").option(
+        "compression", "gzip"
+    ).json(out)
+    part = glob.glob(os.path.join(out, "part-*.json.gz"))[0]
+    raw = gzip_decompress(open(part, "rb").read())
+    rows = [_json.loads(line) for line in raw.decode().splitlines()]
+    assert {(r["doc_id"], r["text"]) for r in rows} == {
+        (i, f"text {i} with escapes \" and \\ ") for i in range(50)
+    }
+    shutil.rmtree(out, ignore_errors=True)
