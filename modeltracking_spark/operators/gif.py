@@ -101,6 +101,16 @@ def _lzw_compress(indices, min_code_size: int) -> bytes:
         prefix = (k,)
     if prefix:
         put(table[prefix], width)
+        # End-of-stream "early change" sync: the decoder appends a table
+        # entry for EVERY data code it receives — including this final
+        # flush — and widens when its table lands one short of 2^width.
+        # Mirror that phantom growth here or END is emitted at the old
+        # width while the decoder reads it at the new one (bit desync
+        # whenever the flush lands exactly on a 2^width boundary,
+        # ~1/2^width of streams).
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
     put(end, width)
     if nbits:
         out.append(acc & 0xFF)
