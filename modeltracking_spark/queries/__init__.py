@@ -43,125 +43,74 @@ QUERY_MODULES = (
 
 #: the scored window (driver cap observed at 50).
 #:
-#: ROUND-7 ROTATION (VERDICT r6 items 1+4): the whole window turns over
-#: to never-driver-attested queries — 156 registered, 88 attested
-#: through r6, 68 never; 49 of the 68 (all ten marquee r5/r6 operators
-#: first) fill this window, the remaining 19 are queued directly below
-#: the boundary as the round-8 rotation head. After r7 lands green,
-#: driver-attested-at-least-once reaches 137/156; round 8 finishes the
-#: sweep. Coverage invariant, restated for this rotation: every
-#: SURVEY.md §2 row is either (a) exercised by an in-window r7 slot
-#: (CSV/xpath scans, F3/F5 scalars, profile resample, grouped-agg
-#: median, foreachBatch stream sink, ...) or (b) green in
-#: CORRECTNESS_r06.json — one round old, the driver's own attestation —
-#: via the rotated-out carrier noted in round 6's layout (flagship/P3,
-#: IDW profile, as-of, interval, grid DataSource, tumbling/session/
-#: stateful streams, MinHash/SimHash/IVF, BMP decode, packing,
-#: stratified sampling). No row's only evidence is judge-sweep-only.
+#: ROUND-8 ROTATION (VERDICT r7 item 3): finish the attestation sweep.
+#: 172 registered, 138 driver-attested through r7, 34 never — all 34
+#: fill the window head (they were the "round-8 rotation head" queued in
+#: r7's layout). The 16 spare slots hold the LONGEST-unattested §2-core
+#: carriers (last green in CORRECTNESS_r03, five rounds ago): flagship
+#: P-tier, ROLLUP/GROUPING SETS, F4/F8 scalars, as-of (J3), frame
+#: windows (W+), profile flatten/nearest (R1/J1), exact+MinHash dedup,
+#: and the text-metrics family. After r8 lands green, every registered
+#: query has been driver-attested at least once and nothing in the
+#: registry is more than ~4 rounds stale. Coverage invariant holds: all
+#: rotated-out r7 slots are green in CORRECTNESS_r07.json (one round
+#: old, the driver's own attestation).
 PRIORITY: tuple[str, ...] = (
-    # ---- marquee round-5/6 operators, first-ever driver attestation ----
-    "pagerank_link_graph_docs",     # iterative BSP PageRank, integer mass
-    "personalized_pagerank_docs",   # teleport-set variant
-    "bm25_topk_docs",               # BM25 retrieval, stats broadcast
-    "dsir_select_docs",             # DSIR importance resampling, 2-pass rank
-    "merge_upsert_docs",            # MERGE upsert (union + per-key window)
-    "scd2_history_docs",            # SCD2 history build
-    "pq_refine_topk_l2",            # PQ ANN + exact refine
-    "pq_adc_topk_l2",               # PQ ADC-only scan path
-    "pca_top_component_embeddings", # in-engine power iteration
-    "textrank_segments_docs",       # TextRank extractive selection
-    "line_dedup_rewrite_docs",      # C4-style line dedup rewrite
-    "curation_pipeline_docs",       # end-to-end curation composition
-    # ---- sources / scans ----
-    "csv_roundtrip_scan",           # S1/S5 CSV scan + sink
-    "jsonl_roundtrip_scan",         # JSONL source/sink
-    "orc_roundtrip_scan",           # ORC source/sink
-    "xpath_placemark_fields",       # S3 KML xpath parse
-    # ---- scalar functions / time-geo ----
-    "hours_from_parts",             # F3 parts -> hours offset
-    "depth_display_axis",           # F5 depth negation (-0.0-safe)
-    "track_resample_arclength",     # equal-arc resample (now fleet-shaped)
-    "point_in_polygon_customers",   # PIP broadcast-polygon join
-    # ---- profiling / data-quality / stats ----
-    "profile_columns_lineitem",     # per-column profiling pass
-    "data_quality_events",          # rule-based DQ (P4 try_cast family)
-    "grouped_agg_median_prices",    # GROUPED_AGG pandas UDF exact median
-    "chi2_type_vs_weekday_events",  # categorical drift chi-squared
-    "mad_outliers_events",          # rank-median MAD outliers
-    "funnel_conversion_events",     # funnel min-time chain
-    "retention_cohorts_events",     # cohort retention matrix
-    # ---- sketches ----
-    "cms_user_counts",              # Count-Min sketch build + probe
-    "distinct_estimate_users",      # linear counting occupancy
-    "hist_quantiles_events",        # mergeable histogram quantiles
-    # ---- storage layout ----
-    "compaction_plan_orders",       # small-file compaction planner
-    "partition_prune_events",       # Hive partition pruning
-    "zorder_layout_grid",           # Z-order interleave layout
-    # ---- streaming ----
-    "foreach_batch_sink_totals",    # foreachBatch sink (real stream)
-    # ---- text ----
-    "gopher_rules_docs",            # Gopher quality rules
-    "pii_redact_docs",              # PII redaction rewrite
-    "html_extract_main_text",       # HTML boilerplate strip
-    "url_canonicalize_docs",        # URL canonicalization
-    "bpe_first_merge_pairs",        # BPE pair-count statistic (capped
-                                    # vocab collect pinned in pytest)
-    # ---- dedup ----
-    "edit_distance_pairs_docs",     # (lang, length-band) blocked Levenshtein
-    "incremental_dedup_docs",       # delta-vs-corpus exact dedup
-    "incremental_neardup_docs",     # delta-vs-corpus banded near-dup
-    # ---- retrieval / graph ----
-    "inverted_index_docs",          # postings build
-    "mmr_diverse_topk",             # MMR rerank
-    "triangle_counts_docs",         # triangle counting
-    # ---- similarity ----
-    "embedding_quantize_int8",      # int8 quantization + error stats
-    # ---- sampling ----
-    "weighted_sample_docs",         # A-Res weighted sampling
-    "fixed_n_per_lang_docs",        # fixed-N per stratum
-    # ---- multimodal ----
-    "wav_decode_stats_docs",        # from-spec WAV decode
-    "jpeg_decode_stats_docs",       # from-spec baseline JPEG decode (NEW r7)
-    # ---- window boundary (50) — round-8 rotation head: the remaining
-    # 19 never-attested queries, each one's operator family already
-    # attested via an r6/r7 sibling (noted) ----
+    # ---- the 34 never-attested (r7 rotation head + post-freeze r7) ----
     "y4m_frame_stats_docs",         # video codec path (frame_sample r6)
     "wav_decimate_stats_docs",      # wav_decode r7
     "bmp_resize_stats_docs",        # bmp_decode_stats r6
     "image_features_fake_decode",   # frame_sample_fake_decode r6
     "bigram_logprob_docs",          # unigram_logprob r6
-    "string_functions_demo",        # suite queries r6
-    "array_functions_demo",         # suite queries r6
-    "centroid_label_means",         # cosine_topk_ivf_probe r6 (Lloyd)
-    "temperature_mix_sample_docs",  # stratified_hash_sample r6
-    "deterministic_shuffle_docs",   # stratified_hash_sample r6
-    "zscore_standardize_events",    # events_stats_suite r6
-    "pearson_corr_events",          # events_stats_suite r6
-    "winsorize_events",             # hist_quantiles r7
-    "sliding_window_counts",        # tumbling_window_counts slide arm r6
-    "rolling_active_users_events",  # funnel/retention r7
-    "event_transitions_markov",     # lag-window family r6
-    "doc_chunks_overlap",           # pack_sequences_chunk r6
-    "feature_hash_docs",            # textops family r6/r7
-    "target_encode_events",         # aggregate-broadcast family r6
-    # new in round 7 (registered after the rotation froze) — also
-    # round-8 rotation candidates, first attestation pending:
+    "string_functions_demo",        # string scalar battery
+    "array_functions_demo",         # array/higher-order scalar battery
+    "centroid_label_means",         # Lloyd-step centroid means
+    "temperature_mix_sample_docs",  # temperature-scaled mixture sampling
+    "deterministic_shuffle_docs",   # RNG-free deterministic shuffle
+    "zscore_standardize_events",    # z-score standardization
+    "pearson_corr_events",          # Pearson correlation suite
+    "winsorize_events",             # quantile winsorization
+    "sliding_window_counts",        # sliding-window counts
+    "rolling_active_users_events",  # rolling-window active users
+    "event_transitions_markov",     # lag-window Markov transitions
+    "doc_chunks_overlap",           # overlapping chunker (1->N)
+    "feature_hash_docs",            # feature hashing
+    "target_encode_events",         # leakage-safe target encoding
     "jpeg_color_decode_stats_docs", # 3-component 4:2:0 JPEG pipeline
     "png_decode_stats_docs",        # from-spec PNG (DEFLATE + filters)
     "mulaw_decode_stats_docs",      # G.711 companded audio expansion
-    "gif_decode_stats_docs",        # GIF87a palette/LZW decode
-    "adpcm_decode_stats_docs",      # IMA ADPCM stateful decode (recursive-CTE oracle)
-    "txlog_snapshot_orders",        # transaction-log table format (snapshot/time-travel/checkpoint)
+    "gif_decode_stats_docs",        # GIF87a palette/LZW decode (r8 LZW
+                                    # boundary fix + boundary fixture)
+    "adpcm_decode_stats_docs",      # IMA ADPCM stateful decode
+    "txlog_snapshot_orders",        # transaction-log table format
     "classifier_eval_suite",        # confusion/PRF/exact tie-aware AUC
     "classifier_calibration_bins",  # reliability-diagram bins
-    "key_skew_profile_events",      # skew diagnostic (max share + exact Gini)
+    "key_skew_profile_events",      # skew diagnostic (max share + Gini)
     "jpeg_progressive_decode_stats_docs",  # SOF2 five-scan decode
-    "grid_netcdf_packed_scan",      # CF-packed int16 grid (real HYCOM wire format)
-    "gif_frames_stats_docs",        # animated GIF frame composition (1->N)
-    "hll_distinct_users",           # HyperLogLog (string-arith registers, exact harmonic sum)
-    "unigram_viterbi_docs",         # SentencePiece-style unigram Viterbi segmentation
+    "grid_netcdf_packed_scan",      # CF-packed int16 grid
+    "gif_frames_stats_docs",        # animated GIF frame composition
+    "hll_distinct_users",           # HyperLogLog registers
+    "unigram_viterbi_docs",         # unigram-LM Viterbi segmentation
+                                    # (piece vocab top_k-capped in r8)
     "jsonl_gz_roundtrip_scan",      # gzip-compressed JSONL interchange
+    # ---- 16 longest-unattested §2-core carriers (last green r3) ----
+    "pricing_summary",              # flagship P3 sentinel + agg battery
+    "rollup_region_nation",         # ROLLUP
+    "grouping_sets_orders",         # GROUPING SETS
+    "events_json_props",            # JSON props + approx_distinct
+    "lon_normalize",                # F4 lon wrap [0,360)
+    "inv_square_weights",           # F8 IDW weight (eps guard)
+    "asof_backward_clicks",         # J3 as-of join backward arm
+    "moving_frame_sums",            # W+ rowsBetween frames
+    "event_type_stats",             # A+ moments/distinct
+    "profile_flatten_roundtrip",    # R1 array<->long flatten
+    "profile_nearest_node",         # J1 nearest-grid-node snap
+    "dedup_survivor_rows",          # exact dedup survivor pick
+    "minhash_shingle_pairs",        # MinHash shingle pair stats
+    "text_metrics_docs",            # token/length/punct metrics
+    "quality_scores_docs",          # quality scoring
+    "lang_id_docs",                 # n-gram/stopword lang-ID
+    # ---- window boundary (50) ----
 )
 
 #: observed driver correctness cap (CORRECTNESS_r03 scored exactly 50)

@@ -164,6 +164,7 @@ class DapDataset:
         self.url = url
         self.n_fetches = 0
         self.n_bytes = 0
+        self._das_cache: dict | None = None
         self.name, self.vars = _parse_dds(
             self._get(f"{url}.dds").decode("ascii")
         )
@@ -248,12 +249,34 @@ class DapDataset:
             out[container] = attrs
         return out
 
-    def read(self, var: str):
-        """Whole variable (use for header-adjacent coordinate vectors)."""
+    def var_attrs(self, var: str) -> dict:
+        """Attributes of one variable, from the ``.das`` response
+        (fetched once per dataset handle and cached — one extra
+        round-trip total, not one per record). NcFile surface parity:
+        ``nc.vars[v].attrs`` there, ``nc.var_attrs(v)`` here; grid
+        readers use :func:`modeltracking_spark.sources.grid_source._var_cf_attrs`
+        to see both uniformly."""
+        if self._das_cache is None:
+            self._das_cache = self.das()
+        return self._das_cache.get(var, {})
+
+    def _cf_unpack(self, var: str, a):
+        from modeltracking_spark.sources.netcdf_classic import cf_unpack
+
+        return cf_unpack(a, self.var_attrs(var))
+
+    def read(self, var: str, apply_cf: bool = False):
+        """Whole variable (use for header-adjacent coordinate vectors).
+        ``apply_cf=True`` mask-and-scales per the DAS CF attributes,
+        exactly like ``NcFile.read`` — a packed int16 dataset served
+        over ``dap+http://`` decodes to the same physics values as the
+        same file read by path."""
         ranges = [(0, sz - 1) for sz in self.shape(var)]
         if not ranges:  # scalar
-            return self._fetch_array(var, []).reshape(())
-        return self._fetch_array(var, ranges)
+            out = self._fetch_array(var, []).reshape(())
+        else:
+            out = self._fetch_array(var, ranges)
+        return self._cf_unpack(var, out) if apply_cf else out
 
     def read_strided(self, var: str, ranges: list[tuple]):
         """Arbitrary hyperslab with optional strides — 2-tuples (a, b)
@@ -262,17 +285,19 @@ class DapDataset:
         year-long axis ships n/4 records)."""
         return self._fetch_array(var, list(ranges))
 
-    def read_slice(self, var: str, i: int):
+    def read_slice(self, var: str, i: int, apply_cf: bool = False):
         """Record ``i`` of ``var`` along its first dimension, without the
-        record axis — NcFile.read_slice semantics. The server performs
-        the hyperslab cut; only this record crosses the wire."""
+        record axis — NcFile.read_slice semantics (including
+        ``apply_cf``). The server performs the hyperslab cut; only this
+        record crosses the wire."""
         shape = self.shape(var)
         if not shape:
             raise ValueError(f"cannot slice scalar DAP variable {var!r}")
         if not 0 <= i < shape[0]:
             raise IndexError(f"{var}[{i}] out of range {shape[0]}")
         ranges = [(i, i)] + [(0, sz - 1) for sz in shape[1:]]
-        return self._fetch_array(var, ranges)[0]
+        out = self._fetch_array(var, ranges)[0]
+        return self._cf_unpack(var, out) if apply_cf else out
 
     def close(self) -> None:
         pass

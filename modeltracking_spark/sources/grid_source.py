@@ -54,15 +54,30 @@ GRID_SCHEMA_DDL = (
 )
 
 
+def _var_cf_attrs(nc, var: str) -> dict:
+    """CF attributes of ``var`` from either reader: ``NcFile`` exposes
+    ``nc.vars[v].attrs`` (an object attribute), ``DapDataset.vars[v]``
+    is a (type, dims) tuple so its attrs come from the cached ``.das``
+    fetch via ``var_attrs``. Before r8 the DAP arm was missing: a
+    packed int16 dataset served over ``dap+http://`` silently decoded
+    to raw packed values (ADVICE r7 #2)."""
+    v = getattr(nc, "vars", {}).get(var)
+    attrs = getattr(v, "attrs", None)
+    if attrs is not None:
+        return attrs
+    getter = getattr(nc, "var_attrs", None)
+    return getter(var) if getter is not None else {}
+
+
 def _physics_slice(nc, var: str, ti: int):
     """One physics record, CF-unpacked when the variable is PACKED
     (int16 + scale/offset/missing attrs — how real HYCOM serves its
-    hypercubes) and the reader supports it; missing values come back as
-    the pipeline's sentinel either way, so downstream code sees one
-    schema regardless of on-disk packing."""
+    hypercubes), over BOTH the file and the DAP reader; missing values
+    come back as the pipeline's sentinel either way, so downstream code
+    sees one schema regardless of on-disk packing or transport."""
     import numpy as np
 
-    attrs = getattr(getattr(nc, "vars", {}).get(var, None), "attrs", None)
+    attrs = _var_cf_attrs(nc, var)
     if attrs and ("scale_factor" in attrs or "missing_value" in attrs
                   or "_FillValue" in attrs):
         a = nc.read_slice(var, ti, apply_cf=True)

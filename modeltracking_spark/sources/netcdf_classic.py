@@ -169,6 +169,40 @@ def _pad4(n: int) -> int:
     return (n + 3) & ~3
 
 
+def cf_unpack(a, attrs: dict):
+    """CF-convention mask-and-scale (what the reference's netCDF4 stack
+    does automatically under ``set_auto_maskandscale``): values equal to
+    ``missing_value``/``_FillValue`` become NaN, then
+    ``packed * scale_factor + add_offset``. Only applied when ``attrs``
+    carries any of those; always returns float64 when it does (a
+    masked/scaled int has no exact int representation). Shared by the
+    file reader (:class:`NcFile`) and the DAP client
+    (:class:`modeltracking_spark.sources.dap.DapDataset`) so both wire
+    formats decode packed int16 grids to identical physics values."""
+    import numpy as np
+
+    def one(name):
+        val = attrs.get(name)
+        if isinstance(val, list):
+            return val[0] if val else None
+        return val
+
+    mv = one("missing_value")
+    if mv is None:
+        mv = one("_FillValue")
+    sf, ao = one("scale_factor"), one("add_offset")
+    if mv is None and sf is None and ao is None:
+        return a
+    out = np.asarray(a, dtype=np.float64)
+    if mv is not None:
+        out = np.where(np.asarray(a) == mv, np.nan, out)
+    if sf is not None:
+        out = out * float(sf)
+    if ao is not None:
+        out = out + float(ao)
+    return out
+
+
 @dataclass
 class NcVar:
     name: str
@@ -357,37 +391,7 @@ class NcFile:
         return raw
 
     def _cf_unpack(self, var: str, a):
-        """CF-convention unpacking (what the reference's netCDF4 stack
-        does automatically under ``set_auto_maskandscale``): values
-        equal to ``missing_value``/``_FillValue`` become NaN, then
-        ``packed * scale_factor + add_offset``. Only applied when the
-        variable carries any of those attributes; always returns
-        float64 when it does (a masked/scaled int has no exact int
-        representation)."""
-        import numpy as np
-
-        attrs = self.vars[var].attrs
-
-        def one(name):
-            val = attrs.get(name)
-            if isinstance(val, list):
-                return val[0] if val else None
-            return val
-
-        mv = one("missing_value")
-        if mv is None:
-            mv = one("_FillValue")
-        sf, ao = one("scale_factor"), one("add_offset")
-        if mv is None and sf is None and ao is None:
-            return a
-        out = np.asarray(a, dtype=np.float64)
-        if mv is not None:
-            out = np.where(np.asarray(a) == mv, np.nan, out)
-        if sf is not None:
-            out = out * float(sf)
-        if ao is not None:
-            out = out + float(ao)
-        return out
+        return cf_unpack(a, self.vars[var].attrs)
 
     def read_slice(self, var: str, i: int, apply_cf: bool = False):
         """var[i, ...] as a little-endian numpy array, reading only that

@@ -613,3 +613,48 @@ def test_packed_grid_scan_is_bit_exact(tmp_path):
         b = _partition_from_netcdf(p, ti)
         for k in a:
             assert np.array_equal(a[k], b[k]), (ti, k)
+
+
+def test_dap_packed_grid_parity_with_file(tmp_path, dap_root):
+    """ADVICE r7 #2 regression: a CF-PACKED int16 grid served over
+    dap+http:// must decode to the SAME physics values as the same file
+    read by path — exactly how real HYCOM THREDDS ships data. Before
+    the fix, DapDataset.vars[v] being a (type, dims) tuple made
+    _physics_slice skip the apply_cf branch silently (raw x10 values,
+    -30000 sentinel passed through)."""
+    import shutil
+
+    from modeltracking_spark.sources.dap import DapDataset
+    from modeltracking_spark.sources.grid_source import (
+        _partition_from_netcdf,
+        write_grid_netcdf_packed,
+    )
+
+    base, root = dap_root
+    p = str(tmp_path / "packed_dap.nc")
+    write_grid_netcdf_packed(p, n_time=3)
+    shutil.copy(p, os.path.join(root, "packed_dap.nc"))
+
+    # reader-level parity: read_slice(apply_cf=True) over both transports
+    f = NcFile(p)
+    d = DapDataset(f"dap+{base}/packed_dap.nc")
+    assert d.var_attrs("water_temp")["scale_factor"] == [0.1]
+    for var in ("water_temp", "salinity"):
+        a = f.read_slice(var, 1, apply_cf=True)
+        b = d.read_slice(var, 1, apply_cf=True)
+        assert b.dtype == np.float64
+        assert np.array_equal(a, b, equal_nan=True), var
+    # raw reads stay raw over DAP too
+    assert d.read_slice("water_temp", 0).dtype == np.int16
+
+    # partition-level parity: the grid partition builder resolves CF
+    # attrs through _var_cf_attrs on both reader kinds
+    pa = _partition_from_netcdf(p, 2)
+    pb = _partition_from_netcdf(f"dap+{base}/packed_dap.nc", 2)
+    for k in pa:
+        assert np.array_equal(pa[k], pb[k]), k
+    # the DAS fetch is cached: attrs for both vars cost one .das trip
+    fetches_before = d.n_fetches
+    d.var_attrs("salinity")
+    d.var_attrs("water_temp")
+    assert d.n_fetches == fetches_before

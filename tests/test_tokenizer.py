@@ -169,3 +169,58 @@ def test_unigram_viterbi_properties(spark):
             .agg(F.max(F.length("w"))).collect()[0][0]
         )
         assert mx <= 16, f"{sf}: word of length {mx} exceeds the unroll"
+
+
+def test_ngram_piece_vocab_collect_is_capped_and_result_identical(spark):
+    """VERDICT r7 item 4 — the Viterbi piece-vocab cap, mirrored from
+    bpe_train's pruned_word_counts fix: (a) the multi-char piece table
+    never exceeds top_k rows (singles stay exempt so every word remains
+    segmentable); (b) on the fixture corpus the default cap keeps the
+    vocabulary — and therefore the full Viterbi segmentation — IDENTICAL
+    to a generous-cap run; (c) a tight cap keeps exactly the most
+    frequent pieces under the deterministic (n desc, piece asc) rule."""
+    from modeltracking_spark.operators.tokenizer import (
+        ngram_piece_vocab,
+        unigram_viterbi_segments,
+    )
+    from tests.conftest import SF0001
+
+    d = spark.read.parquet(f"{SF0001}/documents.parquet")
+
+    # (a) hard row bound
+    k = 50
+    capped = ngram_piece_vocab(d, top_k=k).collect()
+    n_multi = sum(1 for r in capped if len(r["piece"]) > 1)
+    n_single_corpus = (
+        ngram_piece_vocab(d, max_len=1, min_count=1).count()
+    )
+    assert n_multi <= k
+    assert len(capped) <= k + n_single_corpus
+
+    # (b) default cap is identity on the fixture (1M >> fixture vocab)
+    default_rows = sorted(
+        (r["piece"], r["n"], r["logp_e6"])
+        for r in ngram_piece_vocab(d).collect()
+    )
+    wide_rows = sorted(
+        (r["piece"], r["n"], r["logp_e6"])
+        for r in ngram_piece_vocab(d, top_k=10_000_000).collect()
+    )
+    assert default_rows == wide_rows
+    seg_default = sorted(
+        map(tuple, unigram_viterbi_segments(d).collect())
+    )
+    seg_wide = sorted(
+        map(tuple, unigram_viterbi_segments(d, top_k=10_000_000).collect())
+    )
+    assert seg_default == seg_wide
+
+    # (c) tight cap keeps the top-k by (n desc, piece asc)
+    uncapped_multi = sorted(
+        ((r["piece"], r["n"]) for r in ngram_piece_vocab(d).collect()
+         if len(r["piece"]) > 1),
+        key=lambda t: (-t[1], t[0]),
+    )
+    want = {p for p, _ in uncapped_multi[:k]}
+    got = {r["piece"] for r in capped if len(r["piece"]) > 1}
+    assert got == want
