@@ -232,11 +232,11 @@ def hll_distinct_estimate(df: DataFrame, key_col: str) -> DataFrame:
     bucket = F.conv(F.substring(h, 1, 3), 16, 10).cast("long")
     sub = F.substring(h, 4, 13)
     lz = F.length(F.regexp_extract(sub, "^(0*)", 1))
-    first = F.expr("substr(md5(concat(coalesce(cast({k} as string), "
-                   "'__null__'), ':hll')), 4 + "
-                   "length(regexp_extract(substr(md5(concat(coalesce("
-                   "cast({k} as string), '__null__'), ':hll')), 4, 13), "
-                   "'^(0*)', 1)), 1)".format(k=key_col))
+    # first nonzero hex digit after the zeros — derived from the SAME
+    # Column expressions as h/sub/lz (ADVICE r7 #4: the old F.expr
+    # rebuild string-formatted the raw column name into SQL, breaking on
+    # non-bare identifiers and duplicating the hash definition)
+    first = F.substr(sub, lz + F.lit(1), F.lit(1))
     in_first = (
         F.when(first.isin("8", "9", "a", "b", "c", "d", "e", "f"), 0)
         .when(first.isin("4", "5", "6", "7"), 1)

@@ -172,21 +172,69 @@ def write_files_commit(df_by_name: dict[str, DataFrame], table_dir: str,
     """Write each DataFrame as ONE parquet file under ``table_dir`` and
     publish a commit adding them (plus ``removes``). Files are written
     to temp names and only referenced by the log once fully on disk —
-    the snapshot-isolation contract."""
+    the snapshot-isolation contract.
+
+    IMMUTABLE DATA FILES (ADVICE r7 #3): physical names embed the
+    commit version (``{name}-v{version:020d}.parquet``), so a caller
+    reusing a logical name across versions — the natural spelling of an
+    UPDATE — can never overwrite bytes referenced by committed
+    snapshots, and historical ``as_of_version`` reads stay valid. Data
+    is only moved into place after a pre-flight version-conflict check
+    (a lost optimistic-concurrency race leaves the table untouched, not
+    clobbered), and landing onto an existing final path is refused
+    loudly — the real protocol's immutable-object-store invariant.
+
+    ``removes`` entries may be either exact physical paths from a prior
+    snapshot or a logical name's file (``{name}.parquet``), which
+    resolves to every live ``{name}-v*.parquet``."""
     import glob
     import shutil
 
     from pyspark.sql import functions as F
 
-    actions: list[dict] = [{"remove": {"path": p}} for p in removes]
+    log_dir = os.path.join(table_dir, "_log")
+    # pre-flight: the authoritative EEXIST check still happens inside
+    # commit(); this early check keeps a doomed writer from publishing
+    # any bytes at all (a racing duplicate leaves zero orphans)
+    expected = latest_version(log_dir) + 1
+    if version != expected:
+        raise ValueError(
+            f"commit conflict: version {version} but log is at "
+            f"{expected - 1}"
+        )
+    live = set(snapshot(log_dir)) if expected > 0 else set()
+
+    resolved_removes: list[str] = []
+    for r in removes:
+        if r in live:
+            resolved_removes.append(r)
+            continue
+        stem = r[:-len(".parquet")] if r.endswith(".parquet") else r
+        matches = [p for p in live
+                   if p.startswith(f"{stem}-v") and p.endswith(".parquet")]
+        if not matches:
+            raise ValueError(
+                f"remove {r!r} matches no live file (live: {sorted(live)})"
+            )
+        resolved_removes.extend(sorted(matches))
+
+    actions: list[dict] = [{"remove": {"path": p}}
+                           for p in resolved_removes]
     for name, df in df_by_name.items():
         tmp = os.path.join(table_dir, f"_tmp_{name}_{os.getpid()}")
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
         part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        final = os.path.join(table_dir, f"{name}.parquet")
+        rel = f"{name}-v{version:020d}.parquet"
+        final = os.path.join(table_dir, rel)
+        if os.path.exists(final):
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise ValueError(
+                f"refusing to overwrite existing data file {rel!r} "
+                "(data files are immutable once published)"
+            )
         os.replace(part, final)
         shutil.rmtree(tmp, ignore_errors=True)
-        add = {"path": f"{name}.parquet"}
+        add = {"path": rel}
         if key_col is not None:
             stats = df.agg(
                 F.min(key_col).alias("mn"), F.max(key_col).alias("mx"),
@@ -197,5 +245,4 @@ def write_files_commit(df_by_name: dict[str, DataFrame], table_dir: str,
                 n_rows=int(stats["n"]),
             )
         actions.append({"add": add})
-    commit(os.path.join(table_dir, "_log"), version, actions,
-           checkpoint_interval)
+    commit(log_dir, version, actions, checkpoint_interval)

@@ -152,3 +152,16 @@ def test_hll_registers_merge_by_max(spark):
     assert r1["est_e6"] == r2["est_e6"]
     assert r1["n_exact"] == 7500
     assert abs(r1["est_e6"] / 1e6 - 7500) / 7500 < 0.05
+
+
+def test_hll_accepts_non_bare_column_names(spark):
+    """ADVICE r7 #4 regression: the register expression is pure Column
+    API now, so a column name that is not a bare SQL identifier (spaces,
+    reserved word) estimates identically to its renamed twin."""
+    from modeltracking_spark.operators.sketches import hll_distinct_estimate
+
+    df = spark.range(500).selectExpr("cast(id % 137 as string) AS plain")
+    want = hll_distinct_estimate(df, "plain").first()
+    weird = df.withColumnRenamed("plain", "user id")
+    got = hll_distinct_estimate(weird, "user id").first()
+    assert tuple(got) == tuple(want)

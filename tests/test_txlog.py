@@ -261,3 +261,43 @@ def test_streaming_weighted_reservoir_equals_batch_sample(spark, tmp_path):
     ]
     assert sorted(state["reservoir"]) == sorted(want)
     assert len(want) == 25
+
+
+def test_update_reusing_logical_name_preserves_history(spark, tmp_path):
+    """ADVICE r7 #3 regression: rewriting a bucket under the SAME
+    logical name (the natural spelling of an UPDATE) must not clobber
+    the bytes committed snapshots reference — physical names embed the
+    version, so as_of_version time travel reads the ORIGINAL values
+    after the rewrite, and a doomed writer (version conflict) leaves
+    the table bytes untouched."""
+    table = str(tmp_path / "tbl")
+    os.makedirs(table)
+    df = spark.range(10).selectExpr("id AS k", "id * 2 AS v")
+    write_files_commit({"b": df}, table, 0, key_col="k")
+    v0 = sorted(r.v for r in read_snapshot(spark, table).collect())
+    # UPDATE: same logical name, doubled values
+    write_files_commit(
+        {"b": df.selectExpr("k", "v * 2 AS v")}, table, 1,
+        removes=["b.parquet"], key_col="k",
+    )
+    assert sorted(r.v for r in read_snapshot(spark, table).collect()) \
+        == [x * 2 for x in v0]
+    # history intact: v0 still reads the original bytes
+    assert sorted(
+        r.v for r in read_snapshot(spark, table, as_of_version=0).collect()
+    ) == v0
+    # two distinct physical files exist; neither was overwritten
+    import glob as _glob
+    files = sorted(os.path.basename(p)
+                   for p in _glob.glob(os.path.join(table, "b-v*.parquet")))
+    assert files == ["b-v00000000000000000000.parquet",
+                     "b-v00000000000000000001.parquet"]
+    # a conflicting version write fails BEFORE publishing any bytes
+    before = set(os.listdir(table))
+    with pytest.raises(ValueError, match="conflict"):
+        write_files_commit({"b": df}, table, 1, key_col="k")
+    assert set(os.listdir(table)) == before
+    # a remove naming nothing live is loud, not silent
+    with pytest.raises(ValueError, match="matches no live file"):
+        write_files_commit({}, table, 2, removes=["ghost.parquet"],
+                           key_col="k")
