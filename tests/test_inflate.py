@@ -159,3 +159,199 @@ def test_spark_jsonl_gz_parts_decode_with_from_spec_gzip(spark):
         (i, f"text {i} with escapes \" and \\ ") for i in range(50)
     }
     shutil.rmtree(out, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# r8 boundary enumeration (VERDICT r7 item 2): the GIF LZW desync taught
+# that random fuzz misses exact code-boundary cases — so hand-emit fixed-
+# Huffman DEFLATE streams that land every length code, every distance
+# code's min/max, the exact-window backref, stored-LEN edges, and every
+# byte-alignment remainder, and check our inflate against BOTH the
+# construction and stdlib zlib (raw wbits=-15).
+# ---------------------------------------------------------------------------
+
+_LEN_SYMS = []  # (sym, extra_bits, base) covering lengths 3..258
+_base = 3
+for _i, _e in enumerate([0] * 8 + [1] * 4 + [2] * 4 + [3] * 4 + [4] * 4
+                        + [5] * 4):
+    _LEN_SYMS.append((257 + _i, _e, _base))
+    _base += 1 << _e
+_LEN_SYMS.append((285, 0, 258))
+
+_DIST_SYMS = []  # (sym, extra_bits, base) covering distances 1..32768
+_base = 1
+for _i, _e in enumerate([0, 0, 0, 0] + [d for p in range(1, 14)
+                                        for d in (p, p)]):
+    _DIST_SYMS.append((_i, _e, _base))
+    _base += 1 << _e
+
+
+class _DeflateWriter:
+    """Minimal fixed-Huffman (BTYPE=01) + stored (BTYPE=00) emitter —
+    RFC 1951 bit order: data fields LSB-first, Huffman codes MSB-first."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def bits(self, v, k):
+        self.acc |= v << self.n
+        self.n += k
+        while self.n >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
+
+    def huff(self, code, k):
+        for i in range(k - 1, -1, -1):  # MSB of the code first
+            self.bits((code >> i) & 1, 1)
+
+    def _lit(self, sym):
+        if sym <= 143:
+            self.huff(0x30 + sym, 8)
+        elif sym <= 255:
+            self.huff(0x190 + sym - 144, 9)
+        elif sym <= 279:
+            self.huff(sym - 256, 7)
+        else:
+            self.huff(0xC0 + sym - 280, 8)
+
+    def fixed_block(self, tokens, final):
+        """tokens: ints (literals) or (length, dist) pairs."""
+        self.bits(1 if final else 0, 1)
+        self.bits(1, 2)  # BTYPE=01
+        for t in tokens:
+            if isinstance(t, tuple):
+                length, dist = t
+                sym, e, b = next(
+                    (s, e, b) for s, e, b in reversed(_LEN_SYMS)
+                    if b <= length < b + (1 << e) or (s == 285 and length == 258)
+                )
+                if length == 258:
+                    sym, e, b = 285, 0, 258
+                self._lit(sym)
+                if e:
+                    self.bits(length - b, e)
+                ds, de, db = next(
+                    (s, e2, b2) for s, e2, b2 in reversed(_DIST_SYMS)
+                    if b2 <= dist < b2 + (1 << e2)
+                )
+                self.huff(ds, 5)
+                if de:
+                    self.bits(dist - db, de)
+            else:
+                self._lit(t)
+        self._lit(256)  # EOB
+        if final:
+            self.flush()
+
+    def stored_block(self, payload, final):
+        self.bits(1 if final else 0, 1)
+        self.bits(0, 2)
+        self.flush()  # skip to byte boundary, per spec
+        ln = len(payload)
+        self.out += bytes([ln & 0xFF, ln >> 8,
+                           (~ln) & 0xFF, ((~ln) >> 8) & 0xFF])
+        self.out += payload
+        if final:
+            self.flush()
+
+    def flush(self):
+        if self.n:
+            self.out.append(self.acc & 0xFF)
+            self.acc = 0
+            self.n = 0
+
+
+def _check(raw, want):
+    got, end = inflate(bytes(raw))
+    assert got == want
+    assert end == len(raw)
+    # adversarial second opinion: stdlib zlib agrees on the same bytes
+    assert zlib.decompressobj(-15).decompress(bytes(raw)) == want
+
+
+def test_every_length_code_boundary():
+    """Back-reference lengths 3..258 — every length symbol's base and
+    extra-bit extremes, including the 285 (=258, 0 extra) special."""
+    for length in range(3, 259):
+        w = _DeflateWriter()
+        lead = bytes([65, 66, 67])
+        w.fixed_block(list(lead) + [(length, 3)], final=True)
+        want = bytearray(lead)
+        for _ in range(length):
+            want.append(want[-3])
+        _check(w.out, bytes(want))
+
+
+def test_every_distance_code_min_and_max():
+    """Each of the 30 distance codes at its base and top distance, with
+    the backref landing exactly at the start of the window (dist ==
+    bytes emitted so far) — the dist > len(out) reject is one past."""
+    for sym, e, b in _DIST_SYMS:
+        for dist in {b, b + (1 << e) - 1}:
+            w = _DeflateWriter()
+            lead = bytes((i * 7 + 1) % 256 for i in range(dist))
+            w.fixed_block(list(lead) + [(3, dist)], final=True)
+            got, end = inflate(bytes(w.out))
+            ref = zlib.decompressobj(-15).decompress(bytes(w.out))
+            assert got == ref, (sym, dist)
+            assert end == len(w.out)
+            # and the exact self-reconstruction: copying 3 from dist
+            chk = bytearray(lead)
+            for _ in range(3):
+                chk.append(chk[-dist])
+            assert got == bytes(chk), (sym, dist)
+
+
+def test_backref_distance_one_past_window_is_loud():
+    w = _DeflateWriter()
+    w.fixed_block([65, 66, (3, 2)], final=True)  # dist == len(out): fine
+    _check(w.out, b"ABABA")
+    w2 = _DeflateWriter()
+    w2.fixed_block([65, 66, (3, 3)], final=True)  # dist > len(out)
+    with pytest.raises(ValueError, match="before stream start"):
+        inflate(bytes(w2.out))
+
+
+def test_stored_block_len_edges_and_alignment_remainders():
+    """Stored LEN 0 / 1 / 65535, and a stored block following a fixed
+    block whose bit position leaves every remainder 0..7 — the align()
+    skip must discard exactly the partial byte."""
+    for ln in (0, 1, 65535):
+        payload = bytes(i % 251 for i in range(ln))
+        w = _DeflateWriter()
+        w.stored_block(payload, final=True)
+        _check(w.out, payload)
+    # 9-bit literals (144..255) shift the bit phase by one per symbol;
+    # 8-bit literals cannot, so vary the 9-bit count to hit 0..7
+    hits = set()
+    for b in range(8):
+        w = _DeflateWriter()
+        lits = [200] * b + [65]
+        w.fixed_block(lits, final=False)
+        hits.add(w.n)  # bit remainder before the stored header
+        w.stored_block(b"TAIL", final=True)
+        _check(w.out, bytes(lits) + b"TAIL")
+    assert hits == set(range(8))  # every alignment remainder exercised
+
+
+def test_stream_end_bit_remainders():
+    """Final EOB landing at every bit-in-byte position: inflate must
+    report the next WHOLE byte as the end offset and never read past."""
+    for b in range(8):  # (3 + 9b + 7) % 8 sweeps every remainder
+        w = _DeflateWriter()
+        w.fixed_block([200] * b, final=True)
+        trailer = b"\xde\xad\xbe\xef"
+        got, end = inflate(bytes(w.out) + trailer)
+        assert got == bytes([200] * b)
+        assert (bytes(w.out) + trailer)[end:] == trailer
+
+
+def test_overlapping_backref_rle():
+    """dist < length self-overlap (the spec's RLE idiom) at the exact
+    window edge: 1-byte seed, length 258 run."""
+    w = _DeflateWriter()
+    w.fixed_block([90, (258, 1)], final=True)
+    _check(w.out, b"Z" * 259)

@@ -433,3 +433,58 @@ def test_12bit_rejects():
         encode_jpeg_gray(np.full((8, 8), 5000, np.uint16), precision=12)
     with pytest.raises(ValueError, match="precision 10"):
         encode_jpeg_gray(np.zeros((8, 8), np.uint8), precision=10)
+
+
+def test_entropy_stream_ending_on_stuffed_ff_boundary():
+    """VERDICT r7 item 2 (JPEG arm): the entropy segment ENDING with a
+    stuffed FF00 immediately before EOI (or before an RSTn) is the
+    marker-adjacent analog of the GIF widen-boundary desync. Enumerate
+    deterministically: (a) _BitWriter flush paths that end on 0xFF must
+    stuff; (b) hunt the first fixtures whose final entropy byte is a
+    stuffed FF at EOI and at a restart marker, and roundtrip both."""
+    from modeltracking_spark.operators.jpeg import _BitWriter
+
+    # (a) writer-level: a byte equal to FF from data bits, and from
+    # pad-to-byte 1-bit padding, both stuff
+    w = _BitWriter()
+    w.put(0xFF, 8)
+    assert bytes(w.out) == b"\xff\x00"
+    w2 = _BitWriter()
+    w2.put(0x7F, 7)  # seven 1-bits; pad adds the eighth
+    assert w2.flush() == b"\xff\x00"
+
+    # (b) whole-stream: final entropy byte stuffed right before EOI
+    found_eoi = False
+    for seed in range(400):
+        img = np.random.RandomState(seed).randint(0, 256, (8, 8)).astype(
+            np.uint8
+        )
+        payload = encode_jpeg_gray(img, quant=[1] * 64)
+        assert payload[-2:] == b"\xff\xd9"
+        if payload[-4:-2] == b"\xff\x00":
+            dec = decode_jpeg_gray(payload)
+            assert np.abs(dec.astype(int) - img.astype(int)).max() <= 3
+            found_eoi = True
+            break
+    assert found_eoi, "no fixture ended its entropy stream on FF00"
+
+    # and stuffed FF directly before a restart marker
+    found_rst = False
+    for seed in range(800):
+        img = np.random.RandomState(10_000 + seed).randint(
+            0, 256, (8, 24)
+        ).astype(np.uint8)
+        payload = encode_jpeg_gray(img, quant=[1] * 64,
+                                   restart_interval=1)
+        sos = payload.index(b"\xff\xda")
+        ent = payload[sos + 14:]
+        for i in range(len(ent) - 3):
+            if (ent[i] == 0xFF and ent[i + 1] == 0x00
+                    and ent[i + 2] == 0xFF and 0xD0 <= ent[i + 3] <= 0xD7):
+                found_rst = True
+                break
+        if found_rst:
+            dec = decode_jpeg_gray(payload)
+            assert np.abs(dec.astype(int) - img.astype(int)).max() <= 3
+            break
+    assert found_rst, "no fixture put a stuffed FF directly before RSTn"
