@@ -753,13 +753,20 @@ def attach_jpeg_payload(df: DataFrame, id_col: str = "doc_id",
     deterministic BLOCK-CONSTANT greyscale image per row — width =
     id%21+4, height = id%17+4 (non-multiples of 8, so partial edge MCUs
     are exercised), every 8x8 block constant at
-    (id*13 + bx*17 + by*29) % 256 — encoded through the from-spec
+    (id*13 + bx*127 + by*199) % 256 — encoded through the from-spec
     baseline T.81 encoder (``operators/jpeg.py``) with the FLAT_Q8
     quantization table. Block-constant + DC-divisible quant means the
     full Huffman/DCT roundtrip is bit-exact (jpeg.py docstring), so the
     pixel FORMULA is SQL-replayable and an oracle can attest the decoder
     without ever seeing the bytes — the BMP/netCDF playbook, now through
-    a real entropy-coded compressed format."""
+    a real entropy-coded compressed format.
+
+    BOUNDARY-HITTING FAMILY (VERDICT r7 item 6): the 127/199 block
+    multipliers produce large alternating DC diffs, so doc_ids 10, 49,
+    186, 207, 245, 247, 265, 266, 267, 305 of the standard 0..499
+    family carry a stuffed FF00 inside their entropy segment — the
+    driver's CORRECTNESS gate itself exercises byte-stuffing removal
+    (pinned in tests/test_jpeg.py)."""
 
     def build(batches):
         import numpy as np
@@ -774,7 +781,7 @@ def attach_jpeg_payload(df: DataFrame, id_col: str = "doc_id",
                 w, h = d % 21 + 4, d % 17 + 4
                 bw, bh = -(-w // 8), -(-h // 8)
                 by, bx = np.mgrid[0:bh, 0:bw]
-                bv = (d * 13 + bx * 17 + by * 29) % 256
+                bv = (d * 13 + bx * 127 + by * 199) % 256
                 img = np.kron(bv, np.ones((8, 8), dtype=np.int64))
                 payloads.append(
                     encode_jpeg_gray(img[:h, :w].astype(np.uint8))
@@ -864,12 +871,20 @@ def attach_gif_payload(df: DataFrame, id_col: str = "doc_id",
                        out_col: str = "payload") -> DataFrame:
     """Fixture builder for the palette/LZW compressed-image path: a
     deterministic indexed image per row — width = id%18+4, height =
-    id%11+4, index = (x*5 + y*9 + id) % 256 over a 256-entry greyscale
-    ramp palette (pal[i] = (i, i, i)) — through the from-spec GIF87a
-    encoder (real variable-width LZW with early-change widening and
-    12-bit re-Clear, operators/gif.py). GIF is lossless over its
+    id%11+4, index = (x*5 + y*9 + id) % 16 over a 16-entry greyscale
+    ramp palette (pal[i] = (17i, 17i, 17i)) — through the from-spec
+    GIF87a encoder (real variable-width LZW with early-change widening
+    and 12-bit re-Clear, operators/gif.py). GIF is lossless over its
     palette, so the arbitrary index formula is SQL-replayable exactly
-    (pixel_sum = 3x the index sum)."""
+    (pixel_sum = 3*17x the index sum).
+
+    BOUNDARY-HITTING FAMILY (VERDICT r7 item 6): the 16-entry palette
+    (min_code_size 4) makes LZW widen boundaries dense enough that
+    doc_ids 94, 114, 292, 312, 490 of the standard 0..499 family land
+    their FINAL prefix flush exactly on a 2^width table boundary — the
+    exact stream shape of the r7 end-of-stream width-desync bug — so
+    the driver's CORRECTNESS gate itself, not just pytest, fails if
+    that fix regresses (pinned in tests/test_gif.py)."""
 
     def build(batches):
         import numpy as np
@@ -877,14 +892,14 @@ def attach_gif_payload(df: DataFrame, id_col: str = "doc_id",
 
         from modeltracking_spark.operators.gif import encode_gif
 
-        pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+        pal = (np.stack([np.arange(16)] * 3, axis=1) * 17).astype(np.uint8)
         for pdf in batches:
             payloads = []
             for did in pdf[id_col]:
                 d = int(did)
                 w, h = d % 18 + 4, d % 11 + 4
                 y, x = np.mgrid[0:h, 0:w]
-                idx = ((x * 5 + y * 9 + d) % 256).astype(np.uint8)
+                idx = ((x * 5 + y * 9 + d) % 16).astype(np.uint8)
                 payloads.append(encode_gif(idx, pal))
             yield pd.DataFrame({id_col: pdf[id_col], out_col: payloads})
 

@@ -118,7 +118,7 @@ def bmp_decode_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
            (doc_id % 21 + 4)::INTEGER AS width,
            (doc_id % 17 + 4)::INTEGER AS height,
            1::INTEGER AS n_channels,
-           sum((doc_id * 13 + (x.i // 8) * 17 + (y.i // 8) * 29)
+           sum((doc_id * 13 + (x.i // 8) * 127 + (y.i // 8) * 199)
                % 256)::BIGINT AS pixel_sum
     FROM documents, range(24) x(i), range(20) y(i)
     WHERE x.i < doc_id % 21 + 4 AND y.i < doc_id % 17 + 4
@@ -227,7 +227,7 @@ def adpcm_decode_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
            (doc_id % 18 + 4)::INTEGER AS width,
            (doc_id % 11 + 4)::INTEGER AS height,
            3::INTEGER AS n_channels,
-           (3 * sum((x.i * 5 + y.i * 9 + doc_id) % 256))::BIGINT AS pixel_sum
+           (51 * sum((x.i * 5 + y.i * 9 + doc_id) % 16))::BIGINT AS pixel_sum
     FROM documents, range(21) x(i), range(14) y(i)
     WHERE x.i < doc_id % 18 + 4 AND y.i < doc_id % 11 + 4
     GROUP BY 1
@@ -240,10 +240,13 @@ def gif_decode_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     early-change widening, 12-bit re-Clear, sub-block framing) and
     decoded back inside mapInPandas. GIF is lossless over its palette,
     so the oracle replays the index formula in SQL exactly (pixel_sum
-    = 3x the index sum through the (i,i,i) palette) — header parse,
-    color-table read, LZW bitstream, and palette expansion all on the
-    attested path. Interlace/animation raise at the PIL plug-in point
-    (operators/gif.py; pinned in tests/test_gif.py)."""
+    = 51x the index sum through the (17i,17i,17i) 16-entry palette) —
+    header parse, color-table read, LZW bitstream, and palette
+    expansion all on the attested path. The 16-entry palette makes
+    doc_ids 94/114/292/312/490 land their final LZW flush exactly on a
+    widen boundary (the r7 desync shape), so THIS oracle catches that
+    regression class. Interlace/animation raise at the PIL plug-in
+    point (operators/gif.py; pinned in tests/test_gif.py)."""
     d = attach_gif_payload(T(spark, sf_dir, "documents"))
     return decode_image_features(d, fake=False).select(
         "doc_id", "width", "height", "n_channels", "pixel_sum"

@@ -113,7 +113,7 @@ def test_real_decode_in_spark(spark):
         w, h = did % 18 + 4, did % 11 + 4
         y, x = np.mgrid[0:h, 0:w]
         assert (r["width"], r["height"], r["n_channels"]) == (w, h, 3)
-        assert r["pixel_sum"] == 3 * int(((x * 5 + y * 9 + did) % 256).sum())
+        assert r["pixel_sum"] == 51 * int(((x * 5 + y * 9 + did) % 16).sum())
 
 
 def test_interlaced_roundtrip_and_row_reorder():
@@ -329,3 +329,46 @@ def test_gif_full_path_boundary_widths():
                     assert np.array_equal(img, pal[frame.astype(int)]), (
                         f"anim n={n}"
                     )
+
+
+def test_oracled_fixture_family_hits_widen_boundary():
+    """VERDICT r7 item 6: the gif_decode_stats_docs fixture family
+    (16-entry palette, index (x*5+y*9+d)%16, dims d%18+4 x d%11+4) must
+    contain doc_ids whose FINAL LZW flush lands exactly on a 2^width
+    boundary, so the driver's CORRECTNESS gate — not just pytest —
+    would catch an end-of-stream width-desync regression. Verified by
+    simulating the encoder's table bookkeeping; the boundary docs must
+    also decode losslessly."""
+    def final_flush_on_boundary(indices, min_code_size):
+        clear = 1 << min_code_size
+        table = {(i,): i for i in range(clear)}
+        next_code = clear + 2
+        width = min_code_size + 1
+        prefix = ()
+        for k in indices:
+            cand = prefix + (int(k),)
+            if cand in table:
+                prefix = cand
+                continue
+            table[cand] = next_code
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            elif next_code == 4096:
+                table = {(i,): i for i in range(clear)}
+                next_code = clear + 2
+                width = min_code_size + 1
+            prefix = (int(k),)
+        return bool(prefix) and (next_code + 1) == (1 << width) and width < 12
+
+    pal = (np.stack([np.arange(16)] * 3, axis=1) * 17).astype(np.uint8)
+    hits = []
+    for d in range(500):  # the sf0.001/sf0.01 documents id range
+        w, h = d % 18 + 4, d % 11 + 4
+        y, x = np.mgrid[0:h, 0:w]
+        idx = ((x * 5 + y * 9 + d) % 16).astype(np.uint8)
+        if final_flush_on_boundary(idx.ravel(), 4):
+            hits.append(d)
+            dec = decode_gif(encode_gif(idx, pal))
+            assert np.array_equal(dec, pal[idx.astype(int)]), f"doc {d}"
+    assert hits == [94, 114, 292, 312, 490], hits

@@ -488,3 +488,27 @@ def test_entropy_stream_ending_on_stuffed_ff_boundary():
             assert np.abs(dec.astype(int) - img.astype(int)).max() <= 3
             break
     assert found_rst, "no fixture put a stuffed FF directly before RSTn"
+
+
+def test_oracled_fixture_family_contains_stuffed_bytes():
+    """VERDICT r7 item 6 (JPEG arm): the jpeg_decode_stats_docs fixture
+    family (block value (d*13 + bx*127 + by*199) % 256) must contain
+    doc_ids whose entropy segment carries a stuffed FF00, so the
+    driver's CORRECTNESS gate — not just pytest — exercises
+    byte-stuffing removal. Each such doc must still decode bit-exactly
+    (the block-constant exactness contract)."""
+    hits = []
+    for d in range(500):
+        w, h = d % 21 + 4, d % 17 + 4
+        bw, bh = -(-w // 8), -(-h // 8)
+        by, bx = np.mgrid[0:bh, 0:bw]
+        bv = (d * 13 + bx * 127 + by * 199) % 256
+        img = np.kron(bv, np.ones((8, 8), dtype=np.int64))[:h, :w].astype(
+            np.uint8
+        )
+        p = encode_jpeg_gray(img)
+        sos = p.index(b"\xff\xda")
+        if b"\xff\x00" in p[sos + 14:-2]:
+            hits.append(d)
+            assert np.array_equal(decode_jpeg_gray(p), img), f"doc {d}"
+    assert hits == [10, 49, 186, 207, 245, 247, 265, 266, 267, 305], hits
