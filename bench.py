@@ -75,6 +75,11 @@ HEADLINE = [
     "personalized_pagerank_docs",
     "dsir_select_docs",
     "jpeg_decode_stats_docs",
+    # round-8 additions (VERDICT r7 item 7): anchor-track the rest of
+    # the from-spec codec tier, not just JPEG
+    "png_decode_stats_docs",
+    "gif_frames_stats_docs",
+    "adpcm_decode_stats_docs",
 ]
 
 # Regression anchor: BENCH_r03.json per-query seconds at sf0.1 on local[32]

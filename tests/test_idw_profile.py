@@ -144,3 +144,54 @@ def test_resample_multi_track_partitions_and_matches_single(spark):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             assert "track_id" in line, f"unpartitioned window: {line}"
+
+
+def test_profile_multi_track_fleet_matches_single(spark):
+    """VERDICT r7 item 8: the composed profile pipeline's fleet shape.
+    Two storms profiled in one call (track_col) give per-track results
+    identical to two single-track calls; the plan stays one broadcast
+    join + one hash aggregate — no window operator, no extra shuffle,
+    and the track id never induces a per-track loop."""
+    t1 = synthetic_track(spark)
+    t2 = t1.withColumn("lat", F.col("lat") + F.lit(0.5)).withColumn(
+        "lon", F.col("lon") - F.lit(1.2)
+    )
+    fleet = t1.withColumn("storm_id", F.lit(9)).unionByName(
+        t2.withColumn("storm_id", F.lit(16))
+    )
+    grid = hycom_grid_fixture(spark)
+    both = profile_along_track(
+        fleet, grid, "water_temp", 25, track_col="storm_id"
+    )
+    got = {}
+    for r in both.collect():
+        got[(r["storm_id"], r["point_id"], r["depth_idx"])] = (
+            r["depth_m"], r["n_valid"], r["idw_value"]
+        )
+    n_solo = 0
+    for sid, t in ((9, t1), (16, t2)):
+        solo = profile_along_track(t, grid, "water_temp", 25)
+        want = {
+            (sid, r["point_id"], r["depth_idx"]): (
+                r["depth_m"], r["n_valid"], r["idw_value"]
+            )
+            for r in solo.collect()
+        }
+        n_solo += len(want)
+        mine = {k: v for k, v in got.items() if k[0] == sid}
+        assert mine == want, f"storm {sid} diverges from its solo run"
+    # the fleet run is exactly the union of the solo runs (the shifted
+    # storm drops its off-grid tail point — same in both shapes); the
+    # unshifted storm keeps the full 80x25 golden shape
+    assert len(got) == n_solo
+    assert sum(1 for k in got if k[0] == 9) == 2000
+    # plan audit: exactly one broadcast join, one shuffle (the hash
+    # aggregate exchange), and no window operator
+    plan = both._jdf.queryExecution().executedPlan().toString()
+    # AQE's toString prints the final plan then repeats the initial one;
+    # audit only the final section
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final
+    assert "Window" not in final
+    assert final.count("Exchange hashpartitioning") <= 1
+    assert "SortMergeJoin" not in final and "CartesianProduct" not in final

@@ -1,6 +1,11 @@
-"""Independent SECOND oracles for the three formula-replay queries the
-round-6 verdict flagged (item 5): ``bmp_decode_stats_docs``,
-``quality_logreg_docs``, ``pagerank_link_graph_docs``.
+"""Independent SECOND oracles for formula-replay queries: the three the
+round-6 verdict flagged (``bmp_decode_stats_docs``,
+``quality_logreg_docs``, ``pagerank_link_graph_docs``) plus the r7
+verdict's codec-tier ask (item 5): ``gif_decode_stats_docs``,
+``png_decode_stats_docs``, ``adpcm_decode_stats_docs`` — each a
+from-scratch naive byte-walking reader over the ACTUAL payload bytes
+(the GIF LZW desync showed formula-replay oracles cannot see byte-level
+boundary defects).
 
 The registered DuckDB oracles for these replay the engine's own formula
 in SQL — strong evidence of cross-engine determinism, weaker evidence
@@ -207,6 +212,270 @@ def twin_bmp(spark, sf_dir, spark_rows) -> tuple[bool, str]:
     return True, f"{len(payloads)} payloads byte-walked exact"
 
 
+# ---------------------------------------------------------------------------
+# twin 4 (r8): GIF via an independent byte-walking LZW reader
+# ---------------------------------------------------------------------------
+
+def _naive_gif(data: bytes):
+    """From-scratch GIF87a reader: whole-stream big-int bit extraction
+    and a bytes-string dictionary — no code or representation shared
+    with operators/gif.py (streaming accumulator + tuple table)."""
+    assert data[:6] in (b"GIF87a", b"GIF89a")
+    packed = data[10]
+    assert packed & 0x80
+    ncol = 2 << (packed & 0x07)
+    pos = 13
+    pal = [tuple(data[pos + 3 * i: pos + 3 * i + 3]) for i in range(ncol)]
+    pos += 3 * ncol
+    while data[pos] == 0x21:  # skip 89a extensions
+        pos += 2
+        while data[pos]:
+            pos += 1 + data[pos]
+        pos += 1
+    assert data[pos] == 0x2C
+    iw, ih = struct.unpack_from("<HH", data, pos + 5)
+    assert not (data[pos + 9] & 0x80), "fixture uses the global table"
+    pos += 10
+    mcs = data[pos]
+    pos += 1
+    stream = bytearray()
+    while data[pos]:
+        n = data[pos]
+        stream += data[pos + 1: pos + 1 + n]
+        pos += 1 + n
+    assert data[pos + 1] == 0x3B  # trailer right after the zero block
+    big = int.from_bytes(bytes(stream), "little")
+    nbits = 8 * len(stream)
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    bitpos, width = 0, mcs + 1
+    book = None
+    prev = None
+    out = bytearray()
+    while True:
+        assert bitpos + width <= nbits, "ran off the LZW stream"
+        code = (big >> bitpos) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            book = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = book[code]
+        elif code < len(book):
+            entry = book[code]
+            book.append(prev + entry[:1])
+        else:
+            assert code == len(book), "code beyond dictionary"
+            entry = prev + prev[:1]
+            book.append(entry)
+        out += entry
+        prev = entry
+        # spec early change: widen when the NEXT appended code would not
+        # fit (dictionary one short of the boundary)
+        if len(book) == (1 << width) - 1 and width < 12:
+            width += 1
+    assert len(out) == iw * ih
+    total = 0
+    for i in out:
+        r, g, b = pal[i]
+        total += r + g + b
+    return iw, ih, 3, total
+
+
+def twin_gif(spark, sf_dir, spark_rows) -> tuple[bool, str]:
+    from modeltracking_spark.operators.multimodal import attach_gif_payload
+    from modeltracking_spark.queries.common import T
+
+    payloads = {
+        int(r["doc_id"]): bytes(r["payload"])
+        for r in attach_gif_payload(T(spark, sf_dir, "documents")).collect()
+    }
+    got = {
+        int(r["doc_id"]): (int(r["width"]), int(r["height"]),
+                           int(r["n_channels"]), int(r["pixel_sum"]))
+        for r in spark_rows
+    }
+    for doc_id, data in payloads.items():
+        want = _naive_gif(data)
+        if got.get(doc_id) != want:
+            return False, f"doc {doc_id}: got {got.get(doc_id)} want {want}"
+    return True, f"{len(payloads)} payloads byte-walked exact"
+
+
+# ---------------------------------------------------------------------------
+# twin 5 (r8): PNG via stdlib zlib + per-pixel unfilter loops
+# ---------------------------------------------------------------------------
+
+def _naive_png(data: bytes):
+    """From-scratch 8-bit RGB PNG reader: chunk walk with struct, IDAT
+    through STDLIB zlib (independent of operators/inflate.py), filters
+    undone with plain per-byte loops."""
+    import zlib as _z
+
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    pos = 8
+    w = h = None
+    idat = bytearray()
+    while pos < len(data):
+        ln = struct.unpack_from(">I", data, pos)[0]
+        typ = data[pos + 4: pos + 8]
+        body = data[pos + 8: pos + 8 + ln]
+        if typ == b"IHDR":
+            w, h, depth, ctype = struct.unpack_from(">IIBB", body, 0)
+            assert depth == 8 and ctype == 2, "fixture is 8-bit RGB"
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    raw = _z.decompress(bytes(idat))
+    stride = 3 * w
+    assert len(raw) == h * (stride + 1)
+    prior = [0] * stride
+    total = 0
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = list(raw[y * (stride + 1) + 1: (y + 1) * (stride + 1)])
+        cur = [0] * stride
+        for i in range(stride):
+            a = cur[i - 3] if i >= 3 else 0       # left
+            b = prior[i]                          # up
+            c = prior[i - 3] if i >= 3 else 0     # upper-left
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            elif ftype == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            else:
+                raise AssertionError(f"filter {ftype}")
+            cur[i] = (line[i] + pred) & 0xFF
+        total += sum(cur)
+        prior = cur
+    return w, h, 3, total
+
+
+def twin_png(spark, sf_dir, spark_rows) -> tuple[bool, str]:
+    from modeltracking_spark.operators.multimodal import attach_png_payload
+    from modeltracking_spark.queries.common import T
+
+    payloads = {
+        int(r["doc_id"]): bytes(r["payload"])
+        for r in attach_png_payload(T(spark, sf_dir, "documents")).collect()
+    }
+    got = {
+        int(r["doc_id"]): (int(r["width"]), int(r["height"]),
+                           int(r["n_channels"]), int(r["pixel_sum"]))
+        for r in spark_rows
+    }
+    for doc_id, data in payloads.items():
+        want = _naive_png(data)
+        if got.get(doc_id) != want:
+            return False, f"doc {doc_id}: got {got.get(doc_id)} want {want}"
+    return True, f"{len(payloads)} payloads byte-walked exact"
+
+
+# ---------------------------------------------------------------------------
+# twin 6 (r8): IMA ADPCM via an independent nibble walker
+# ---------------------------------------------------------------------------
+
+#: the public IMA/DVI step table (spec constants, re-typed from the
+#: published table rather than imported from the engine)
+_IMA_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_IDX_DELTA = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _naive_adpcm(data: bytes):
+    """From-scratch WAV(0x11) + IMA nibble walker: chunk scan with
+    struct, state machine in plain ints, low nibble first."""
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+    pos = 12
+    rate = channels = block_align = None
+    n_frames = None
+    block = None
+    while pos + 8 <= len(data):
+        cid = data[pos: pos + 4]
+        ln = struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8: pos + 8 + ln]
+        if cid == b"fmt ":
+            fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            block_align = struct.unpack_from("<H", body, 12)[0]
+            assert fmt == 0x11, "IMA ADPCM format tag"
+            bits, cb, n_frames = struct.unpack_from("<HHH", body, 14)
+            assert bits == 4 and cb == 2  # wSamplesPerBlock extension
+        elif cid == b"data":
+            block = body
+        pos += 8 + ln + (ln & 1)
+    assert channels == 1 and block is not None and n_frames is not None
+    assert len(block) + (len(block) & 1) == block_align + (block_align & 1)
+    pred = struct.unpack_from("<h", block, 0)[0]
+    idx = block[2]
+    assert block[3] == 0
+    samples = [pred]
+    for byte in block[4:]:
+        for nib in (byte & 0x0F, byte >> 4):
+            if len(samples) >= n_frames:
+                break
+            step = _IMA_TABLE[idx]
+            delta = (step >> 3)
+            if nib & 1:
+                delta += step >> 2
+            if nib & 2:
+                delta += step >> 1
+            if nib & 4:
+                delta += step
+            pred = pred - delta if nib & 8 else pred + delta
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + _IMA_IDX_DELTA[nib & 7]))
+            samples.append(pred)
+    assert len(samples) == n_frames
+    return (len(data), rate, 1, n_frames, sum(samples),
+            max(abs(s) for s in samples))
+
+
+def twin_adpcm(spark, sf_dir, spark_rows) -> tuple[bool, str]:
+    from modeltracking_spark.operators.multimodal import (
+        attach_adpcm_payload,
+    )
+    from modeltracking_spark.queries.common import T
+
+    payloads = {
+        int(r["doc_id"]): bytes(r["payload"])
+        for r in attach_adpcm_payload(
+            T(spark, sf_dir, "documents")
+        ).collect()
+    }
+    got = {
+        int(r["doc_id"]): (
+            int(r["n_bytes"]), int(r["sample_rate"]), int(r["n_channels"]),
+            int(r["n_frames"]), int(r["amp_sum"]), int(r["peak"]),
+        )
+        for r in spark_rows
+    }
+    for doc_id, data in payloads.items():
+        want = _naive_adpcm(data)
+        if got.get(doc_id) != want:
+            return False, f"doc {doc_id}: got {got.get(doc_id)} want {want}"
+    return True, f"{len(payloads)} payloads nibble-walked exact"
+
+
 def main(sf_dirs: list[str]) -> int:
     import duckdb
     from pyspark.sql import SparkSession
@@ -238,6 +507,12 @@ def main(sf_dirs: list[str]) -> int:
             ("quality_logreg_docs", lambda rows: twin_logreg(con, rows)),
             ("bmp_decode_stats_docs",
              lambda rows: twin_bmp(spark, sf_dir, rows)),
+            ("gif_decode_stats_docs",
+             lambda rows: twin_gif(spark, sf_dir, rows)),
+            ("png_decode_stats_docs",
+             lambda rows: twin_png(spark, sf_dir, rows)),
+            ("adpcm_decode_stats_docs",
+             lambda rows: twin_adpcm(spark, sf_dir, rows)),
         ):
             rows = qs[name](spark, sf_dir).collect()
             ok, msg = fn(rows)
