@@ -751,3 +751,116 @@ def dsir_logratio(
         )
         .select("doc_id", "is_target", "n_tok", "dsir_e6", "rk", "keep")
     )
+
+
+def dup_span_scrub(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Duplicated-SUBSTRING span removal at token-k-gram granularity —
+    the alignment-free half of Lee et al.'s ExactSubstr that the fixed
+    64-char chunk tier (:func:`chunk_dup_ratio` /
+    :func:`segment_dedup_rewrite`) cannot see: a copied passage that
+    starts mid-chunk shifts every subsequent chunk boundary and evades
+    chunk hashing entirely, while its OVERLAPPING k-grams collide at
+    any alignment.
+
+    Semantics: a token position is dirty iff it lies inside any k-token
+    window whose k-gram occurs >= 2 times corpus-wide (including
+    within-doc repeats — self-plagiarized spans are duplication too).
+    Overlapping dirty windows merge into MAXIMAL spans; every dirty
+    token is removed and the survivors re-join in order (the
+    MassiveText/RefinedWeb exact-span scrub, k tokens instead of suffix
+    arrays).
+
+    Plan shape (the dedup-tier discipline): one gram explode, ONE
+    corpus-scale hash aggregate on the gram hash, one join back — no
+    broadcast is FORCED anywhere, so at 100 TB (gram_counts
+    corpus-sized) the planner shuffles both sides on the gram hash,
+    while tiny inputs may legitimately broadcast the small aggregate;
+    both shapes are plan-asserted in tests/test_scale_plans.py. Then
+    pure per-doc ARRAY arithmetic: the sorted dup-start list folds once
+    via ``F.aggregate`` into (span count, removed-token count) —
+    interval union without a window or second shuffle — and the
+    rewrite filters token positions against the same starts with
+    ``F.exists``. Docs with no duplicated gram short-circuit through
+    the left join with zero spans.
+
+    Output: (doc_id, n_tokens, n_dup_spans, n_removed, clean_md5).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks")
+    ).localCheckpoint(eager=False)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.size("__toks") - k, F.lit(-1)),
+                ),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(
+                        F.concat_ws(
+                            "\x1f", F.slice("__toks", i + 1, k)
+                        )
+                    ).alias("h"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    gram_counts = grams.groupBy("h").agg(F.count(F.lit(1)).alias("n_occ"))
+    dup_starts = (
+        grams.join(gram_counts.where(F.col("n_occ") >= 2), "h")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("pos")).alias("starts"))
+    )
+    j = toks.join(dup_starts, "doc_id", "left").select(
+        "doc_id",
+        "__toks",
+        F.coalesce("starts", F.array().cast("array<int>")).alias("starts"),
+    )
+    # fold the sorted starts into a union of [s, s+k-1] intervals:
+    # acc = (n_spans, removed, cur_end); new span iff s > cur_end
+    folded = F.aggregate(
+        "starts",
+        F.struct(
+            F.lit(0).cast("long").alias("n_spans"),
+            F.lit(0).cast("long").alias("removed"),
+            F.lit(-1).cast("long").alias("cur_end"),
+        ),
+        lambda acc, s: F.struct(
+            (acc["n_spans"]
+             + F.when(s.cast("long") > acc["cur_end"], 1).otherwise(0)
+             ).alias("n_spans"),
+            (acc["removed"]
+             + F.least(
+                 F.lit(k).cast("long"),
+                 s.cast("long") + k - 1 - acc["cur_end"],
+             )).alias("removed"),
+            F.greatest(acc["cur_end"], s.cast("long") + k - 1).alias(
+                "cur_end"
+            ),
+        ),
+    )
+    dirty = lambda p: F.exists(
+        F.col("starts"),
+        lambda s: (p >= s) & (p <= s + k - 1),
+    )
+    clean = F.filter(
+        F.transform(
+            F.col("__toks"),
+            lambda t, i: F.when(~dirty(i), t),
+        ),
+        lambda t: t.isNotNull(),
+    )
+    return j.select(
+        "doc_id",
+        F.size("__toks").cast("long").alias("n_tokens"),
+        folded["n_spans"].alias("n_dup_spans"),
+        folded["removed"].alias("n_removed"),
+        F.md5(F.array_join(clean, " ")).alias("clean_md5"),
+    )

@@ -1246,3 +1246,80 @@ def classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scored = quality_logreg_docs(spark, sf_dir)
     return calibration_bins(scored, label_col="y", score_col="score_e6")
+
+
+@query(
+    "dup_span_scrub_docs",
+    oracle="""
+    WITH docs_l AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS l
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, p.i::BIGINT AS pos, l[p.i::INTEGER + 1] AS tok
+      FROM docs_l, range(128) p(i) WHERE p.i < len(l)
+    ),
+    grams AS (
+      SELECT doc_id, p.i::BIGINT AS pos,
+             array_to_string(l[p.i::INTEGER + 1 : p.i::INTEGER + 8],
+                             chr(31)) AS g
+      FROM docs_l, range(128) p(i) WHERE p.i <= len(l) - 8
+    ),
+    dupg AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+    dstarts AS (
+      SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dupg)
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL
+                       OR pos > lag(pos) OVER w + 7
+                  THEN 1 ELSE 0 END AS brk
+      FROM dstarts
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id, pos + o.i AS cpos
+      FROM dstarts, range(8) o(i)
+    ),
+    stats AS (
+      SELECT i.doc_id, sum(i.brk)::BIGINT AS n_dup_spans,
+             (SELECT count(*) FROM covered c
+              WHERE c.doc_id = i.doc_id)::BIGINT AS n_removed
+      FROM isl i GROUP BY i.doc_id
+    ),
+    rebuilt AS (
+      SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.pos) AS clean
+      FROM toks t
+      LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.cpos = t.pos
+      WHERE c.cpos IS NULL
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id, len(d.l)::BIGINT AS n_tokens,
+           coalesce(s.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+           coalesce(s.n_removed, 0)::BIGINT AS n_removed,
+           md5(coalesce(r.clean, '')) AS clean_md5
+    FROM docs_l d
+    LEFT JOIN stats s USING (doc_id)
+    LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def dup_span_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alignment-free duplicated-substring SPAN scrub (round 8): token
+    8-grams occurring >= 2 times corpus-wide mark every covered token
+    dirty; overlapping dirty windows merge into maximal spans; the
+    rewrite drops dirty tokens and re-joins survivors — Lee et al.'s
+    ExactSubstr semantics at k-gram granularity, catching the
+    shifted-alignment copies the fixed-chunk tier
+    (``line_dedup_rewrite_docs``) structurally cannot see. The oracle
+    recomputes spans through a DIFFERENT shape — gaps-and-islands lag
+    window + a distinct covered-position join vs the engine's
+    ``F.aggregate`` interval fold + ``F.exists`` filter — and compares
+    the rebuilt text md5 byte-exactly, so the span merge, per-token
+    coverage, and reconstruction order are attested independently, not
+    formula-replayed (operators/corpus.py:dup_span_scrub; the 128-token
+    unroll bound over every shipped sf dir is pinned in
+    tests/test_corpus.py)."""
+    from modeltracking_spark.operators.corpus import dup_span_scrub
+
+    return dup_span_scrub(T(spark, sf_dir, "documents"), k=8)

@@ -534,3 +534,57 @@ def test_scd2_separator_values_cannot_alias(spark):
         for r in scd2_apply(hist, delta, "k", ["v1", "v2"], "2024-02-01").collect()
     )
     assert ops == ["closed", "opened"]
+
+
+def test_dup_span_scrub_catches_shifted_alignment_copies(spark):
+    """The r8 ExactSubstr-style span scrub: a passage copied at a
+    DIFFERENT offset (which shifts every fixed-chunk boundary, so the
+    64-char chunk tier misses it) is caught by overlapping token
+    8-grams; overlapping windows merge into ONE maximal span; within-doc
+    repeats count as duplication; a doc that is entirely duplicated
+    scrubs to the empty string."""
+    import hashlib
+
+    from modeltracking_spark.operators.corpus import dup_span_scrub
+
+    df = spark.createDataFrame(
+        [
+            (0, "p q r s t u v w x y unique0 tail0"),
+            (1, "PAD a p q r s t u v w x y end1 m1"),  # copy at offset 2
+            (2, "all fresh tokens nothing shared with anything else here"),
+            (3, "rep rep rep rep rep rep rep rep rep rep"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dup_span_scrub(df, k=8).collect()}
+    # docs 0/1 share the 10-token run p..y: 3 overlapping 8-grams merge
+    # to one span covering exactly those 10 positions
+    assert (got[0]["n_dup_spans"], got[0]["n_removed"]) == (1, 10)
+    assert (got[1]["n_dup_spans"], got[1]["n_removed"]) == (1, 10)
+    assert got[0]["clean_md5"] == hashlib.md5(b"unique0 tail0").hexdigest()
+    assert got[1]["clean_md5"] == hashlib.md5(b"PAD a end1 m1").hexdigest()
+    # untouched doc
+    assert got[2]["n_dup_spans"] == 0
+    assert got[2]["clean_md5"] == hashlib.md5(
+        b"all fresh tokens nothing shared with anything else here"
+    ).hexdigest()
+    # self-repetition: every 8-gram occurs 3x -> whole doc removed
+    assert (got[3]["n_dup_spans"], got[3]["n_removed"]) == (1, 10)
+    assert got[3]["clean_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_dup_span_scrub_oracle_unroll_bound_holds(spark):
+    """The SQL oracle enumerates positions from range(128); every
+    shipped sf dir must stay inside that bound."""
+    import pyspark.sql.functions as F
+
+    from modeltracking_spark.functions.text import tokens
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+               "/root/testdata/sf0.1"):
+        mx = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .select(F.max(F.size(tokens("text"))).alias("m"))
+            .first()["m"]
+        )
+        assert mx < 128, (sf, mx)

@@ -392,3 +392,30 @@ def test_compressed_codec_paths_are_shuffle_free(spark):
         plan = executed_plan(out)
         assert "Exchange" not in plan
         assert_no_cartesian(out)
+
+
+def test_dup_span_scrub_plan_scales(spark):
+    """r8 ExactSubstr-style span scrub: no cartesian/nested-loop join
+    and no window operator — the interval fold and rewrite are pure
+    array expressions after the joins. The operator never FORCES a
+    broadcast: with the broadcast threshold disabled (the at-scale
+    situation, where the gram-count table is corpus-sized) the whole
+    plan degrades to shuffled joins and still executes; at tiny SF the
+    planner is free to broadcast the small aggregate."""
+    from modeltracking_spark.operators.corpus import dup_span_scrub
+
+    d = spark.read.parquet(f"{SF001}/documents.parquet")
+    plan = executed_plan(dup_span_scrub(d, k=8))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        big = executed_plan(dup_span_scrub(d, k=8))
+        assert "BroadcastHashJoin" not in big
+        assert "CartesianProduct" not in big
+        # the corpus-scale gram aggregate shuffles on the gram hash
+        assert "hashpartitioning(h" in big
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
