@@ -80,6 +80,8 @@ HEADLINE = [
     "png_decode_stats_docs",
     "gif_frames_stats_docs",
     "adpcm_decode_stats_docs",
+    # round-8 new operator: ExactSubstr-style duplicated-span scrub
+    "dup_span_scrub_docs",
 ]
 
 # Regression anchor: BENCH_r03.json per-query seconds at sf0.1 on local[32]
