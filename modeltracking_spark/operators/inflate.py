@@ -90,18 +90,49 @@ class _Bits:
         self.n -= k
         return v
 
+    def peek(self, k: int) -> int:
+        """Up to ``k`` bits WITHOUT consuming, zero-padded past the end
+        of the stream (the flat-table decode peeks max_len bits even
+        when the final code is shorter; :meth:`drop` still raises if a
+        decode tries to consume phantom bits)."""
+        while self.n < k and self.pos < len(self.data):
+            self.acc |= self.data[self.pos] << self.n
+            self.pos += 1
+            self.n += 8
+        return self.acc & ((1 << k) - 1)
+
+    def drop(self, k: int):
+        if k > self.n:
+            raise ValueError("truncated DEFLATE stream")
+        self.acc >>= k
+        self.n -= k
+
+    def byte_pos(self) -> int:
+        """Offset of the next unconsumed WHOLE byte — ``pos`` minus the
+        full bytes sitting in the peek buffer (a peek may buffer past
+        the last consumed bit)."""
+        return self.pos - self.n // 8
+
     def align(self):
+        """Skip to the next byte boundary: give back fully-buffered
+        bytes, discard the partial-bit remainder."""
+        self.pos -= self.n // 8
         self.acc = 0
         self.n = 0
 
 
 def _build_huffman(lengths):
-    """Canonical Huffman per RFC 1951 3.2.2: code lengths -> decode dict
-    {(code, length): symbol} with codes assigned in symbol order within
-    each length; returns (table, max_length)."""
+    """Canonical Huffman per RFC 1951 3.2.2, compiled to a FLAT decode
+    table: ``flat[v]`` for every ``max_len``-bit LSB-first window ``v``
+    holds ``(symbol << 4) | code_length`` when the window begins with
+    that symbol's (bit-reversed) code, ``-1`` for unassigned prefixes.
+    One peek + one list index + one drop per symbol replaces the old
+    bit-by-bit dict probe — the standard zlib-style decode shape (total
+    build cost is exactly 2^max_len slot fills, shared across the whole
+    block). Returns (flat, max_len)."""
     max_len = max(lengths, default=0)
     if max_len == 0:
-        return {}, 0
+        return [], 0
     bl_count = [0] * (max_len + 1)
     for ln in lengths:
         if ln:
@@ -113,30 +144,46 @@ def _build_huffman(lengths):
         next_code[ln] = code
     if any(bl_count[ln] > (1 << ln) for ln in range(1, max_len + 1)):
         raise ValueError("oversubscribed Huffman code lengths")
-    table = {}
+    size = 1 << max_len
+    flat = [-1] * size
     for sym, ln in enumerate(lengths):
         if ln:
-            table[(next_code[ln], ln)] = sym
+            c = next_code[ln]
             next_code[ln] += 1
-    return table, max_len
+            # codes arrive MSB-first in an LSB-first stream: the peeked
+            # window shows the code bit-reversed
+            r = 0
+            cc = c
+            for _ in range(ln):
+                r = (r << 1) | (cc & 1)
+                cc >>= 1
+            packed = (sym << 4) | ln
+            step = 1 << ln
+            for i in range(r, size, step):
+                flat[i] = packed
+    return flat, max_len
 
 
-def _read_symbol(br: _Bits, table, max_len: int) -> int:
-    """DEFLATE Huffman codes are packed MSB-of-code-first but the
-    stream is LSB-first, so accumulate bit by bit."""
-    code = 0
-    for length in range(1, max_len + 1):
-        code = (code << 1) | br.bits(1)
-        sym = table.get((code, length))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid DEFLATE Huffman code")
+def _read_symbol(br: _Bits, flat, max_len: int) -> int:
+    e = flat[br.peek(max_len)]
+    if e < 0:
+        raise ValueError("invalid DEFLATE Huffman code")
+    br.drop(e & 0x0F)
+    return e >> 4
+
+
+#: fixed-Huffman tables are static (RFC 1951 3.2.6) — build once
+_FIXED_CACHE: list = []
 
 
 def _fixed_tables():
-    lit_lengths = [8] * 144 + [9] * 112 + [7] * 24 + [8] * 8
-    dist_lengths = [5] * 30
-    return _build_huffman(lit_lengths), _build_huffman(dist_lengths)
+    if not _FIXED_CACHE:
+        lit_lengths = [8] * 144 + [9] * 112 + [7] * 24 + [8] * 8
+        dist_lengths = [5] * 30
+        _FIXED_CACHE.append(
+            (_build_huffman(lit_lengths), _build_huffman(dist_lengths))
+        )
+    return _FIXED_CACHE[0]
 
 
 def inflate(data: bytes, start: int = 0) -> tuple[bytes, int]:
@@ -210,12 +257,19 @@ def inflate(data: bytes, start: int = 0) -> tuple[bytes, int]:
                     raise ValueError(
                         f"back-reference distance {dist} before stream start"
                     )
-                for _ in range(length):  # may overlap itself, per spec
-                    out.append(out[-dist])
+                start = len(out) - dist
+                if dist >= length:  # disjoint copy: one slice
+                    out += out[start : start + length]
+                else:  # self-overlap = periodic repeat of the last
+                    # ``dist`` bytes (RFC 3.2.3 note); double the chunk
+                    chunk = bytes(out[start:])
+                    while len(chunk) < length:
+                        chunk += chunk
+                    out += chunk[:length]
         if bfinal:
             break
     # next whole-byte offset (any partial byte of the last block is done)
-    return bytes(out), br.pos
+    return bytes(out), br.byte_pos()
 
 
 def _adler32(data: bytes) -> int:
