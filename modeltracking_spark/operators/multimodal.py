@@ -874,13 +874,17 @@ def attach_gif_payload(df: DataFrame, id_col: str = "doc_id",
     id%11+4, index = (x*5 + y*9 + id) % 16 over a 16-entry greyscale
     ramp palette (pal[i] = (17i, 17i, 17i)) — through the from-spec
     GIF87a encoder (real variable-width LZW with early-change widening
-    and 12-bit re-Clear, operators/gif.py). GIF is lossless over its
+    and 12-bit re-Clear, operators/gif.py). Docs with id % 10 == 6 (50
+    of the standard 0..499 family) store rows in the four-pass
+    INTERLACED order — the decode output (and so the SQL oracle) is
+    identical, but the driver's gate then attests the Adam-style
+    reorder path too, not just pytest. GIF is lossless over its
     palette, so the arbitrary index formula is SQL-replayable exactly
     (pixel_sum = 3*17x the index sum).
 
     BOUNDARY-HITTING FAMILY (VERDICT r7 item 6): the 16-entry palette
     (min_code_size 4) makes LZW widen boundaries dense enough that
-    doc_ids 94, 114, 292, 312, 490 of the standard 0..499 family land
+    doc_ids 94, 114, 292, 312, 490 (raster) plus 46 (interlaced) land
     their FINAL prefix flush exactly on a 2^width table boundary — the
     exact stream shape of the r7 end-of-stream width-desync bug — so
     the driver's CORRECTNESS gate itself, not just pytest, fails if
@@ -900,7 +904,9 @@ def attach_gif_payload(df: DataFrame, id_col: str = "doc_id",
                 w, h = d % 18 + 4, d % 11 + 4
                 y, x = np.mgrid[0:h, 0:w]
                 idx = ((x * 5 + y * 9 + d) % 16).astype(np.uint8)
-                payloads.append(encode_gif(idx, pal))
+                payloads.append(
+                    encode_gif(idx, pal, interlace=(d % 10 == 6))
+                )
             yield pd.DataFrame({id_col: pdf[id_col], out_col: payloads})
 
     return df.select(id_col).mapInPandas(

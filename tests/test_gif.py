@@ -333,12 +333,15 @@ def test_gif_full_path_boundary_widths():
 
 def test_oracled_fixture_family_hits_widen_boundary():
     """VERDICT r7 item 6: the gif_decode_stats_docs fixture family
-    (16-entry palette, index (x*5+y*9+d)%16, dims d%18+4 x d%11+4) must
-    contain doc_ids whose FINAL LZW flush lands exactly on a 2^width
-    boundary, so the driver's CORRECTNESS gate — not just pytest —
-    would catch an end-of-stream width-desync regression. Verified by
-    simulating the encoder's table bookkeeping; the boundary docs must
-    also decode losslessly."""
+    (16-entry palette, index (x*5+y*9+d)%16, dims d%18+4 x d%11+4,
+    interlaced storage for d%10==6) must contain doc_ids whose FINAL
+    LZW flush lands exactly on a 2^width boundary, so the driver's
+    CORRECTNESS gate — not just pytest — would catch an end-of-stream
+    width-desync regression. Verified by simulating the encoder's table
+    bookkeeping over the STORED pixel order (raster or four-pass
+    interlaced); the boundary docs must also decode losslessly."""
+    from modeltracking_spark.operators.gif import _interlaced_row_order
+
     def final_flush_on_boundary(indices, min_code_size):
         clear = 1 << min_code_size
         table = {(i,): i for i in range(clear)}
@@ -367,8 +370,11 @@ def test_oracled_fixture_family_hits_widen_boundary():
         w, h = d % 18 + 4, d % 11 + 4
         y, x = np.mgrid[0:h, 0:w]
         idx = ((x * 5 + y * 9 + d) % 16).astype(np.uint8)
-        if final_flush_on_boundary(idx.ravel(), 4):
+        interlace = d % 10 == 6
+        stored = idx[_interlaced_row_order(h), :] if interlace else idx
+        if final_flush_on_boundary(stored.ravel(), 4):
             hits.append(d)
-            dec = decode_gif(encode_gif(idx, pal))
+            dec = decode_gif(encode_gif(idx, pal, interlace=interlace))
             assert np.array_equal(dec, pal[idx.astype(int)]), f"doc {d}"
-    assert hits == [94, 114, 292, 312, 490], hits
+    # 46 is the INTERLACED boundary hit; the rest are raster
+    assert hits == [46, 94, 114, 292, 312, 490], hits

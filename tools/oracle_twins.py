@@ -5,7 +5,11 @@ verdict's codec-tier ask (item 5): ``gif_decode_stats_docs``,
 ``png_decode_stats_docs``, ``adpcm_decode_stats_docs`` — each a
 from-scratch naive byte-walking reader over the ACTUAL payload bytes
 (the GIF LZW desync showed formula-replay oracles cannot see byte-level
-boundary defects).
+boundary defects) — plus, beyond the ask, the rest of the audio/video
+tier the same way: ``wav_decode_stats_docs`` (PCM16 sample walk),
+``mulaw_decode_stats_docs`` (G.711 expansion from the published
+segmented-log formula), ``y4m_frame_stats_docs`` (YUV4MPEG2 header
+split + per-plane sums).
 
 The registered DuckDB oracles for these replay the engine's own formula
 in SQL — strong evidence of cross-engine determinism, weaker evidence
@@ -476,6 +480,153 @@ def twin_adpcm(spark, sf_dir, spark_rows) -> tuple[bool, str]:
     return True, f"{len(payloads)} payloads nibble-walked exact"
 
 
+# ---------------------------------------------------------------------------
+# twins 7-9 (r8, beyond-ask): the rest of the audio/video tier byte-walked
+# ---------------------------------------------------------------------------
+
+def _walk_wav_chunks(data: bytes):
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+    pos = 12
+    out = {}
+    while pos + 8 <= len(data):
+        cid = data[pos: pos + 4]
+        ln = struct.unpack_from("<I", data, pos + 4)[0]
+        out[cid] = data[pos + 8: pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)
+    return out
+
+
+def _naive_wav_pcm16(data: bytes):
+    """Plain struct + int loops over a PCM16 WAV — no numpy."""
+    ch = _walk_wav_chunks(data)
+    fmt, nch, rate = struct.unpack_from("<HHI", ch[b"fmt "], 0)
+    bits = struct.unpack_from("<H", ch[b"fmt "], 14)[0]
+    assert fmt == 1 and bits == 16
+    body = ch[b"data"]
+    n_samp = len(body) // 2
+    vals = struct.unpack(f"<{n_samp}h", body[: 2 * n_samp])
+    return (len(data), rate, nch, n_samp // nch,
+            sum(vals), max(abs(v) for v in vals))
+
+
+def twin_wav(spark, sf_dir, spark_rows) -> tuple[bool, str]:
+    from modeltracking_spark.operators.multimodal import attach_wav_payload
+    from modeltracking_spark.queries.common import T
+
+    payloads = {
+        int(r["doc_id"]): bytes(r["payload"])
+        for r in attach_wav_payload(T(spark, sf_dir, "documents")).collect()
+    }
+    got = {
+        int(r["doc_id"]): (
+            int(r["n_bytes"]), int(r["sample_rate"]), int(r["n_channels"]),
+            int(r["n_frames"]), int(r["amp_sum"]), int(r["peak"]),
+        )
+        for r in spark_rows
+    }
+    for doc_id, data in payloads.items():
+        want = _naive_wav_pcm16(data)
+        if got.get(doc_id) != want:
+            return False, f"doc {doc_id}: got {got.get(doc_id)} want {want}"
+    return True, f"{len(payloads)} payloads sample-walked exact"
+
+
+def _naive_mulaw(data: bytes):
+    """G.711 mu-law expansion from the published segmented-log formula,
+    one plain-int expression per code byte (format tag 7)."""
+    ch = _walk_wav_chunks(data)
+    fmt, nch, rate = struct.unpack_from("<HHI", ch[b"fmt "], 0)
+    assert fmt == 7 and nch == 1
+    vals = []
+    for b in ch[b"data"]:
+        u = b ^ 0xFF
+        mag = ((u & 0x0F) * 8 + 0x84) * (1 << ((u >> 4) & 0x07)) - 0x84
+        vals.append(-mag if u & 0x80 else mag)
+    return (len(data), rate, 1, len(vals),
+            sum(vals), max(abs(v) for v in vals))
+
+
+def twin_mulaw(spark, sf_dir, spark_rows) -> tuple[bool, str]:
+    from modeltracking_spark.operators.multimodal import attach_g711_payload
+    from modeltracking_spark.queries.common import T
+
+    payloads = {
+        int(r["doc_id"]): bytes(r["payload"])
+        for r in attach_g711_payload(T(spark, sf_dir, "documents")).collect()
+    }
+    got = {
+        int(r["doc_id"]): (
+            int(r["n_bytes"]), int(r["sample_rate"]), int(r["n_channels"]),
+            int(r["n_frames"]), int(r["amp_sum"]), int(r["peak"]),
+        )
+        for r in spark_rows
+    }
+    for doc_id, data in payloads.items():
+        want = _naive_mulaw(data)
+        if got.get(doc_id) != want:
+            return False, f"doc {doc_id}: got {got.get(doc_id)} want {want}"
+    return True, f"{len(payloads)} payloads code-walked exact"
+
+
+def _naive_y4m(data: bytes):
+    """YUV4MPEG2 C420 reader: header split + per-plane byte sums with
+    plain slicing; one result row per frame."""
+    nl = data.index(b"\n")
+    header = data[:nl].decode("ascii").split(" ")
+    assert header[0] == "YUV4MPEG2"
+    w = h = num = den = None
+    for tok in header[1:]:
+        if tok.startswith("W"):
+            w = int(tok[1:])
+        elif tok.startswith("H"):
+            h = int(tok[1:])
+        elif tok.startswith("F"):
+            num, den = (int(x) for x in tok[1:].split(":"))
+        elif tok.startswith("C"):
+            assert tok[1:].startswith("420"), tok
+    pos = nl + 1
+    ylen, clen = w * h, (w // 2) * (h // 2)
+    rows = []
+    idx = 0
+    while pos < len(data):
+        fnl = data.index(b"\n", pos)
+        assert data[pos:fnl].split(b" ")[0] == b"FRAME"
+        pos = fnl + 1
+        yp = data[pos: pos + ylen]
+        cb = data[pos + ylen: pos + ylen + clen]
+        cr = data[pos + ylen + clen: pos + ylen + 2 * clen]
+        pos += ylen + 2 * clen
+        rows.append((idx, idx * 1000 * den // num, len(data), w, h,
+                     sum(yp), sum(cb), sum(cr)))
+        idx += 1
+    return rows
+
+
+def twin_y4m(spark, sf_dir, spark_rows) -> tuple[bool, str]:
+    from modeltracking_spark.operators.multimodal import attach_y4m_payload
+    from modeltracking_spark.queries.common import T
+
+    payloads = {
+        int(r["doc_id"]): bytes(r["payload"])
+        for r in attach_y4m_payload(T(spark, sf_dir, "documents")).collect()
+    }
+    got = {}
+    for r in spark_rows:
+        got.setdefault(int(r["doc_id"]), []).append(
+            (int(r["frame_idx"]), int(r["t_offset_ms"]), int(r["n_bytes"]),
+             int(r["width"]), int(r["height"]), int(r["y_sum"]),
+             int(r["cb_sum"]), int(r["cr_sum"]))
+        )
+    n_frames = 0
+    for doc_id, data in payloads.items():
+        want = _naive_y4m(data)
+        n_frames += len(want)
+        if sorted(got.get(doc_id, [])) != want:
+            return False, (f"doc {doc_id}: got {sorted(got.get(doc_id, []))[:2]}"
+                           f" want {want[:2]}")
+    return True, f"{len(payloads)} clips / {n_frames} frames byte-walked exact"
+
+
 def main(sf_dirs: list[str]) -> int:
     import duckdb
     from pyspark.sql import SparkSession
@@ -513,6 +664,12 @@ def main(sf_dirs: list[str]) -> int:
              lambda rows: twin_png(spark, sf_dir, rows)),
             ("adpcm_decode_stats_docs",
              lambda rows: twin_adpcm(spark, sf_dir, rows)),
+            ("wav_decode_stats_docs",
+             lambda rows: twin_wav(spark, sf_dir, rows)),
+            ("mulaw_decode_stats_docs",
+             lambda rows: twin_mulaw(spark, sf_dir, rows)),
+            ("y4m_frame_stats_docs",
+             lambda rows: twin_y4m(spark, sf_dir, rows)),
         ):
             rows = qs[name](spark, sf_dir).collect()
             ok, msg = fn(rows)
