@@ -111,6 +111,10 @@ PRIORITY: tuple[str, ...] = (
     "quality_scores_docs",          # quality scoring
     "lang_id_docs",                 # n-gram/stopword lang-ID
     # ---- window boundary (50) ----
+    # round-9 rotation head: registered after this rotation froze,
+    # first attestation pending (green in the judge-sweep + its
+    # independent-shape oracle + bench since r8):
+    #   dup_span_scrub_docs  (ExactSubstr-style span scrub, new in r8)
 )
 
 #: observed driver correctness cap (CORRECTNESS_r03 scored exactly 50)

@@ -9,7 +9,12 @@ boundary defects) — plus, beyond the ask, the rest of the audio/video
 tier the same way: ``wav_decode_stats_docs`` (PCM16 sample walk),
 ``mulaw_decode_stats_docs`` (G.711 expansion from the published
 segmented-log formula), ``y4m_frame_stats_docs`` (YUV4MPEG2 header
-split + per-plane sums).
+split + per-plane sums), and ``jpeg_decode_stats_docs`` (an
+independent DC-walking baseline-JPEG reader — valid because the
+fixture's block-constant images under FLAT_Q8 produce DC-only entropy
+streams; it parses DQT/DHT/SOF0 itself, builds the Huffman tables from
+the stream's own counts/symbols, de-stuffs FF00, and replays the
+differential-DC chain block by block).
 
 The registered DuckDB oracles for these replay the engine's own formula
 in SQL — strong evidence of cross-engine determinism, weaker evidence
@@ -627,6 +632,146 @@ def twin_y4m(spark, sf_dir, spark_rows) -> tuple[bool, str]:
     return True, f"{len(payloads)} clips / {n_frames} frames byte-walked exact"
 
 
+# ---------------------------------------------------------------------------
+# twin 10 (r8, beyond-ask): baseline JPEG via an independent DC-walking
+# reader — valid for the oracled fixture family, whose block-constant
+# images under FLAT_Q8 produce DC-only entropy streams (every AC
+# quantizes to zero and q=8 cancels the 8x DCT gain exactly, the
+# codec's documented bit-exactness contract)
+# ---------------------------------------------------------------------------
+
+def _naive_jpeg_dc(data: bytes):
+    """From-scratch baseline-JPEG reader for DC-only greyscale streams:
+    marker walk with struct, Huffman tables built straight from the DHT
+    counts/symbols lists (T.81 canonical order), MSB-first bit reads
+    with FF00 de-stuffing, differential DC + EOB per block, pixel value
+    = clamp(dc + 128) replicated over the block, edge-cropped."""
+    assert data[:2] == b"\xff\xd8"
+    pos = 2
+    huff = {}   # (class, id) -> {(code, length): symbol}
+    q0 = None
+    w = h = None
+    dc_table_id = ac_table_id = None
+    while pos < len(data):
+        assert data[pos] == 0xFF
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        seg_len = struct.unpack_from(">H", data, pos + 2)[0]
+        body = data[pos + 4: pos + 2 + seg_len]
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                assert pq == 0
+                if tq == 0:
+                    q0 = body[i + 1]  # zigzag 0 = DC quant step
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                counts = list(body[i + 1: i + 17])
+                syms = body[i + 17: i + 17 + sum(counts)]
+                code = 0
+                k = 0
+                tab = {}
+                for ln in range(1, 17):
+                    for _ in range(counts[ln - 1]):
+                        tab[(code, ln)] = syms[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(tc, th)] = tab
+                i += 17 + sum(counts)
+        elif marker == 0xC0:
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            assert prec == 8 and ncomp == 1
+        elif marker == 0xDA:
+            ncomp = body[0]
+            assert ncomp == 1
+            dc_table_id = body[2] >> 4
+            ac_table_id = body[2] & 0x0F
+            scan_start = pos + 2 + seg_len
+            break
+        pos += 2 + seg_len
+    assert None not in (q0, w, h, dc_table_id, ac_table_id)
+
+    dc_tab = huff[(0, dc_table_id)]
+    ac_tab = huff[(1, ac_table_id)]
+    bits = []
+
+    def fill_bits(upto):
+        nonlocal scan_start
+        while len(bits) < upto:
+            b = data[scan_start]
+            scan_start += 1
+            if b == 0xFF:
+                assert data[scan_start] == 0x00, "marker inside scan"
+                scan_start += 1
+            for i in range(7, -1, -1):
+                bits.append((b >> i) & 1)
+
+    bit_pos = 0
+
+    def read_code(tab):
+        nonlocal bit_pos
+        code = 0
+        for ln in range(1, 17):
+            fill_bits(bit_pos + 1)
+            code = (code << 1) | bits[bit_pos]
+            bit_pos += 1
+            if (code, ln) in tab:
+                return tab[(code, ln)]
+        raise AssertionError("bad Huffman code")
+
+    def read_extend(n):
+        nonlocal bit_pos
+        if n == 0:
+            return 0
+        fill_bits(bit_pos + n)
+        v = 0
+        for i in range(n):
+            v = (v << 1) | bits[bit_pos + i]
+        bit_pos += n
+        return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
+    bw, bh = -(-w // 8), -(-h // 8)
+    dc = 0
+    total = 0
+    for by in range(bh):
+        for bx in range(bw):
+            cat = read_code(dc_tab)
+            dc += read_extend(cat)
+            eob = read_code(ac_tab)
+            assert eob == 0x00, "fixture blocks must be DC-only"
+            # FLAT_Q8: dequant 8*dc cancels the IDCT 1/8 exactly
+            val = min(255, max(0, dc + 128))
+            n_x = min(8, w - bx * 8)
+            n_y = min(8, h - by * 8)
+            total += val * n_x * n_y
+    return w, h, 1, total
+
+
+def twin_jpeg(spark, sf_dir, spark_rows) -> tuple[bool, str]:
+    from modeltracking_spark.operators.multimodal import attach_jpeg_payload
+    from modeltracking_spark.queries.common import T
+
+    payloads = {
+        int(r["doc_id"]): bytes(r["payload"])
+        for r in attach_jpeg_payload(T(spark, sf_dir, "documents")).collect()
+    }
+    got = {
+        int(r["doc_id"]): (int(r["width"]), int(r["height"]),
+                           int(r["n_channels"]), int(r["pixel_sum"]))
+        for r in spark_rows
+    }
+    for doc_id, data in payloads.items():
+        want = _naive_jpeg_dc(data)
+        if got.get(doc_id) != want:
+            return False, f"doc {doc_id}: got {got.get(doc_id)} want {want}"
+    return True, f"{len(payloads)} payloads DC-walked exact"
+
+
 def main(sf_dirs: list[str]) -> int:
     import duckdb
     from pyspark.sql import SparkSession
@@ -670,6 +815,8 @@ def main(sf_dirs: list[str]) -> int:
              lambda rows: twin_mulaw(spark, sf_dir, rows)),
             ("y4m_frame_stats_docs",
              lambda rows: twin_y4m(spark, sf_dir, rows)),
+            ("jpeg_decode_stats_docs",
+             lambda rows: twin_jpeg(spark, sf_dir, rows)),
         ):
             rows = qs[name](spark, sf_dir).collect()
             ok, msg = fn(rows)
