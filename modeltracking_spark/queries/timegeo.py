@@ -125,6 +125,11 @@ def track_step_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
     by ``trackplot_hycom.py:7-8``. Transcendental output rounded to 2
     decimals per the fixed-point doctrine."""
     t = synthetic_track(spark)
+    # single-track contract: this window is track-sized by construction
+    # (80 reference advisory points), so the all-to-one-partition
+    # WindowExec note is the DECLARED bound, not a scale hazard; a
+    # literal partition key would be constant-folded away anyway. The
+    # fleet-scale variant is resample_track_arclength(track_col=...).
     w = Window.orderBy("point_id")
     stepped = t.select(
         "point_id",
@@ -253,6 +258,7 @@ def vincenty_vs_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from modeltracking_spark.operators.aggregates import bounding_box
 
     t = synthetic_track(spark)
+    # single-track contract — see track_step_haversine's window note
     w = Window.orderBy("point_id")
     stepped = t.select(
         "point_id",
