@@ -772,6 +772,87 @@ def twin_jpeg(spark, sf_dir, spark_rows) -> tuple[bool, str]:
     return True, f"{len(payloads)} payloads DC-walked exact"
 
 
+# ---------------------------------------------------------------------------
+# twins 11-12 (r8): the transform stages byte-walked too — resize and
+# decimate read the REAL container bytes, then replay the index maps
+# with plain loops
+# ---------------------------------------------------------------------------
+
+def _naive_bmp_pixels(data: bytes):
+    """(w, h, {(x, y): (b, g, r)}) from a 24-bit BMP, top-left origin."""
+    assert data[0:2] == b"BM"
+    off = struct.unpack_from("<I", data, 10)[0]
+    w = struct.unpack_from("<i", data, 18)[0]
+    h = struct.unpack_from("<i", data, 22)[0]
+    row = (w * 3 + 3) // 4 * 4
+    px = {}
+    for fy in range(h):  # file rows are bottom-up
+        base = off + fy * row
+        y = h - 1 - fy
+        for x in range(w):
+            px[(x, y)] = tuple(data[base + 3 * x: base + 3 * x + 3])
+    return w, h, px
+
+
+def twin_bmp_resize(spark, sf_dir, spark_rows) -> tuple[bool, str]:
+    from modeltracking_spark.operators.multimodal import attach_bmp_payload
+    from modeltracking_spark.queries.common import T
+
+    payloads = {
+        int(r["doc_id"]): bytes(r["payload"])
+        for r in attach_bmp_payload(T(spark, sf_dir, "documents")).collect()
+    }
+    got = {
+        int(r["doc_id"]): (int(r["src_w"]), int(r["src_h"]),
+                           int(r["out_w"]), int(r["out_h"]),
+                           int(r["pixel_sum"]))
+        for r in spark_rows
+    }
+    OW, OH = 8, 6
+    for doc_id, data in payloads.items():
+        w, h, px = _naive_bmp_pixels(data)
+        total = 0
+        for oy in range(OH):
+            for ox in range(OW):
+                sx, sy = ox * w // OW, oy * h // OH
+                total += sum(px[(sx, sy)])
+        want = (w, h, OW, OH, total)
+        if got.get(doc_id) != want:
+            return False, f"doc {doc_id}: got {got.get(doc_id)} want {want}"
+    return True, f"{len(payloads)} payloads resize-walked exact"
+
+
+def twin_wav_decimate(spark, sf_dir, spark_rows) -> tuple[bool, str]:
+    from modeltracking_spark.operators.multimodal import attach_wav_payload
+    from modeltracking_spark.queries.common import T
+
+    payloads = {
+        int(r["doc_id"]): bytes(r["payload"])
+        for r in attach_wav_payload(T(spark, sf_dir, "documents")).collect()
+    }
+    got = {
+        int(r["doc_id"]): (
+            int(r["sample_rate"]), int(r["out_rate"]), int(r["n_frames"]),
+            int(r["n_out_frames"]), int(r["amp_sum"]),
+        )
+        for r in spark_rows
+    }
+    for doc_id, data in payloads.items():
+        ch = _walk_wav_chunks(data)
+        fmt, nch, rate = struct.unpack_from("<HHI", ch[b"fmt "], 0)
+        assert fmt == 1
+        body = ch[b"data"]
+        n_samp = len(body) // 2
+        vals = struct.unpack(f"<{n_samp}h", body[: 2 * n_samp])
+        n_frames = n_samp // nch
+        kept = [vals[f * nch + c]
+                for f in range(0, n_frames, 3) for c in range(nch)]
+        want = (rate, rate // 3, n_frames, (n_frames + 2) // 3, sum(kept))
+        if got.get(doc_id) != want:
+            return False, f"doc {doc_id}: got {got.get(doc_id)} want {want}"
+    return True, f"{len(payloads)} payloads decimate-walked exact"
+
+
 def main(sf_dirs: list[str]) -> int:
     import duckdb
     from pyspark.sql import SparkSession
@@ -817,6 +898,10 @@ def main(sf_dirs: list[str]) -> int:
              lambda rows: twin_y4m(spark, sf_dir, rows)),
             ("jpeg_decode_stats_docs",
              lambda rows: twin_jpeg(spark, sf_dir, rows)),
+            ("bmp_resize_stats_docs",
+             lambda rows: twin_bmp_resize(spark, sf_dir, rows)),
+            ("wav_decimate_stats_docs",
+             lambda rows: twin_wav_decimate(spark, sf_dir, rows)),
         ):
             rows = qs[name](spark, sf_dir).collect()
             ok, msg = fn(rows)
