@@ -253,7 +253,20 @@ def _naive_gif(data: bytes):
         stream += data[pos + 1: pos + 1 + n]
         pos += 1 + n
     assert data[pos + 1] == 0x3B  # trailer right after the zero block
-    big = int.from_bytes(bytes(stream), "little")
+    out = _naive_lzw(bytes(stream), mcs)
+    assert len(out) == iw * ih
+    total = 0
+    for i in out:
+        r, g, b = pal[i]
+        total += r + g + b
+    return iw, ih, 3, total
+
+
+def _naive_lzw(stream: bytes, mcs: int) -> bytearray:
+    """Independent GIF LZW decode: whole-stream big-int bit extraction
+    + bytes-string dictionary (vs the engine's streaming accumulator +
+    tuple table)."""
+    big = int.from_bytes(stream, "little")
     nbits = 8 * len(stream)
     clear, end = 1 << mcs, (1 << mcs) + 1
     bitpos, width = 0, mcs + 1
@@ -286,12 +299,7 @@ def _naive_gif(data: bytes):
         # fit (dictionary one short of the boundary)
         if len(book) == (1 << width) - 1 and width < 12:
             width += 1
-    assert len(out) == iw * ih
-    total = 0
-    for i in out:
-        r, g, b = pal[i]
-        total += r + g + b
-    return iw, ih, 3, total
+    return out
 
 
 def twin_gif(spark, sf_dir, spark_rows) -> tuple[bool, str]:
@@ -853,6 +861,108 @@ def twin_wav_decimate(spark, sf_dir, spark_rows) -> tuple[bool, str]:
     return True, f"{len(payloads)} payloads decimate-walked exact"
 
 
+# ---------------------------------------------------------------------------
+# twin 13 (r8): animated GIF frame COMPOSITION byte-walked — the same
+# compressor that carried the r7 end-of-stream bug, now second-opinioned
+# through the multi-descriptor + GCE-transparency grammar
+# ---------------------------------------------------------------------------
+
+def _naive_gif_frames(data: bytes):
+    """GIF89a animation reader: block walk with struct, per-frame GCE
+    (delay, transparent index), independent LZW, last-writer-wins
+    composition over a persistent canvas. Returns
+    [(frame_idx, delay_cs, composed pixel sum through the palette)]."""
+    assert data[:6] in (b"GIF87a", b"GIF89a")
+    sw, sh = struct.unpack_from("<HH", data, 6)
+    packed = data[10]
+    assert packed & 0x80
+    ncol = 2 << (packed & 0x07)
+    pos = 13
+    pal = [tuple(data[pos + 3 * i: pos + 3 * i + 3]) for i in range(ncol)]
+    pos += 3 * ncol
+    canvas = [[data[11]] * sw for _ in range(sh)]  # background index
+    delay = 0
+    transparent = None
+    rows = []
+    idx = 0
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            label = data[pos]
+            pos += 1
+            subs = bytearray()
+            while data[pos]:
+                n = data[pos]
+                subs += data[pos + 1: pos + 1 + n]
+                pos += 1 + n
+            pos += 1
+            if label == 0xF9:
+                flags = subs[0]
+                delay = subs[1] | (subs[2] << 8)
+                transparent = subs[3] if flags & 0x01 else None
+            continue
+        assert block == 0x2C
+        x0, y0, iw, ih = struct.unpack_from("<HHHH", data, pos)
+        assert not (data[pos + 8] & 0x80)  # no local table in fixture
+        pos += 9
+        mcs = data[pos]
+        pos += 1
+        stream = bytearray()
+        while data[pos]:
+            n = data[pos]
+            stream += data[pos + 1: pos + 1 + n]
+            pos += 1 + n
+        pos += 1
+        out = _naive_lzw(bytes(stream), mcs)
+        assert len(out) == iw * ih
+        for yy in range(ih):
+            for xx in range(iw):
+                v = out[yy * iw + xx]
+                if transparent is not None and v == transparent:
+                    continue
+                canvas[y0 + yy][x0 + xx] = v
+        total = 0
+        for row in canvas:
+            for v in row:
+                r, g, b = pal[v]
+                total += r + g + b
+        rows.append((idx, delay, total))
+        idx += 1
+        delay = 0
+        transparent = None
+    return rows
+
+
+def twin_gif_frames(spark, sf_dir, spark_rows) -> tuple[bool, str]:
+    from modeltracking_spark.operators.multimodal import (
+        attach_gif_animation_payload,
+    )
+    from modeltracking_spark.queries.common import T
+
+    payloads = {
+        int(r["doc_id"]): bytes(r["payload"])
+        for r in attach_gif_animation_payload(
+            T(spark, sf_dir, "documents")
+        ).collect()
+    }
+    got = {}
+    for r in spark_rows:
+        got.setdefault(int(r["doc_id"]), []).append(
+            (int(r["frame_idx"]), int(r["delay_cs"]), int(r["pixel_sum"]))
+        )
+    n_frames = 0
+    for doc_id, data in payloads.items():
+        want = _naive_gif_frames(data)
+        n_frames += len(want)
+        if sorted(got.get(doc_id, [])) != want:
+            return False, (f"doc {doc_id}: got {sorted(got.get(doc_id, []))}"
+                           f" want {want}")
+    return True, f"{len(payloads)} animations / {n_frames} frames composed exact"
+
+
 def main(sf_dirs: list[str]) -> int:
     import duckdb
     from pyspark.sql import SparkSession
@@ -902,6 +1012,8 @@ def main(sf_dirs: list[str]) -> int:
              lambda rows: twin_bmp_resize(spark, sf_dir, rows)),
             ("wav_decimate_stats_docs",
              lambda rows: twin_wav_decimate(spark, sf_dir, rows)),
+            ("gif_frames_stats_docs",
+             lambda rows: twin_gif_frames(spark, sf_dir, rows)),
         ):
             rows = qs[name](spark, sf_dir).collect()
             ok, msg = fn(rows)
