@@ -648,23 +648,20 @@ def twin_y4m(spark, sf_dir, spark_rows) -> tuple[bool, str]:
 # codec's documented bit-exactness contract)
 # ---------------------------------------------------------------------------
 
-def _naive_jpeg_dc(data: bytes):
-    """From-scratch baseline-JPEG reader for DC-only greyscale streams:
-    marker walk with struct, Huffman tables built straight from the DHT
-    counts/symbols lists (T.81 canonical order), MSB-first bit reads
-    with FF00 de-stuffing, differential DC + EOB per block, pixel value
-    = clamp(dc + 128) replicated over the block, edge-cropped."""
+def _jpeg_headers(data: bytes):
+    """Marker walk -> (huff {(class,id): table}, quant {id: 64 bytes},
+    sof {comp_id: (h_samp, v_samp, quant_id), 'w','h'}, scan
+    [(comp_id, dc_id, ac_id)], entropy stream offset)."""
     assert data[:2] == b"\xff\xd8"
     pos = 2
-    huff = {}   # (class, id) -> {(code, length): symbol}
-    q0 = None
-    w = h = None
-    dc_table_id = ac_table_id = None
+    huff = {}
+    quant = {}
+    sof = {}
+    scan = []
     while pos < len(data):
         assert data[pos] == 0xFF
         marker = data[pos + 1]
-        if marker == 0xD9:
-            break
+        assert marker != 0xD9, "no scan found"
         seg_len = struct.unpack_from(">H", data, pos + 2)[0]
         body = data[pos + 4: pos + 2 + seg_len]
         if marker == 0xDB:
@@ -672,8 +669,7 @@ def _naive_jpeg_dc(data: bytes):
             while i < len(body):
                 pq, tq = body[i] >> 4, body[i] & 0x0F
                 assert pq == 0
-                if tq == 0:
-                    q0 = body[i + 1]  # zigzag 0 = DC quant step
+                quant[tq] = body[i + 1: i + 65]
                 i += 65
         elif marker == 0xC4:
             i = 0
@@ -694,70 +690,127 @@ def _naive_jpeg_dc(data: bytes):
                 i += 17 + sum(counts)
         elif marker == 0xC0:
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
-            assert prec == 8 and ncomp == 1
+            assert prec == 8
+            sof["w"], sof["h"] = w, h
+            for c in range(ncomp):
+                cid, samp, tq = body[6 + 3 * c: 9 + 3 * c]
+                sof[cid] = (samp >> 4, samp & 0x0F, tq)
         elif marker == 0xDA:
             ncomp = body[0]
-            assert ncomp == 1
-            dc_table_id = body[2] >> 4
-            ac_table_id = body[2] & 0x0F
-            scan_start = pos + 2 + seg_len
-            break
+            for c in range(ncomp):
+                cid, tabs = body[1 + 2 * c: 3 + 2 * c]
+                scan.append((cid, tabs >> 4, tabs & 0x0F))
+            return huff, quant, sof, scan, pos + 2 + seg_len
         pos += 2 + seg_len
-    assert None not in (q0, w, h, dc_table_id, ac_table_id)
+    raise AssertionError("no SOS")
 
-    dc_tab = huff[(0, dc_table_id)]
-    ac_tab = huff[(1, ac_table_id)]
-    bits = []
 
-    def fill_bits(upto):
-        nonlocal scan_start
-        while len(bits) < upto:
-            b = data[scan_start]
-            scan_start += 1
+class _JpegBits:
+    """MSB-first entropy-segment bit reader with FF00 de-stuffing."""
+
+    def __init__(self, data, pos):
+        self.data = data
+        self.pos = pos
+        self.bits = []
+        self.bit_pos = 0
+
+    def _fill(self, upto):
+        while len(self.bits) < upto:
+            b = self.data[self.pos]
+            self.pos += 1
             if b == 0xFF:
-                assert data[scan_start] == 0x00, "marker inside scan"
-                scan_start += 1
+                assert self.data[self.pos] == 0x00, "marker inside scan"
+                self.pos += 1
             for i in range(7, -1, -1):
-                bits.append((b >> i) & 1)
+                self.bits.append((b >> i) & 1)
 
-    bit_pos = 0
-
-    def read_code(tab):
-        nonlocal bit_pos
+    def code(self, tab):
         code = 0
         for ln in range(1, 17):
-            fill_bits(bit_pos + 1)
-            code = (code << 1) | bits[bit_pos]
-            bit_pos += 1
+            self._fill(self.bit_pos + 1)
+            code = (code << 1) | self.bits[self.bit_pos]
+            self.bit_pos += 1
             if (code, ln) in tab:
                 return tab[(code, ln)]
         raise AssertionError("bad Huffman code")
 
-    def read_extend(n):
-        nonlocal bit_pos
+    def extend(self, n):
         if n == 0:
             return 0
-        fill_bits(bit_pos + n)
+        self._fill(self.bit_pos + n)
         v = 0
         for i in range(n):
-            v = (v << 1) | bits[bit_pos + i]
-        bit_pos += n
+            v = (v << 1) | self.bits[self.bit_pos + i]
+        self.bit_pos += n
         return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+
+def _naive_jpeg_dc(data: bytes):
+    """From-scratch baseline-JPEG reader for DC-only greyscale streams:
+    differential DC + EOB per block, pixel value = clamp(dc + 128)
+    replicated over the block, edge-cropped (FLAT_Q8 dequant cancels
+    the IDCT 1/8 exactly — the codec's bit-exactness contract)."""
+    huff, quant, sof, scan, scan_start = _jpeg_headers(data)
+    w, h = sof["w"], sof["h"]
+    assert len(scan) == 1
+    cid, dc_id, ac_id = scan[0]
+    assert quant[sof[cid][2]][0] == 8
+    br = _JpegBits(data, scan_start)
+    dc_tab, ac_tab = huff[(0, dc_id)], huff[(1, ac_id)]
     bw, bh = -(-w // 8), -(-h // 8)
     dc = 0
     total = 0
     for by in range(bh):
         for bx in range(bw):
-            cat = read_code(dc_tab)
-            dc += read_extend(cat)
-            eob = read_code(ac_tab)
-            assert eob == 0x00, "fixture blocks must be DC-only"
-            # FLAT_Q8: dequant 8*dc cancels the IDCT 1/8 exactly
+            dc += br.extend(br.code(dc_tab))
+            assert br.code(ac_tab) == 0x00, "fixture blocks must be DC-only"
             val = min(255, max(0, dc + 128))
-            n_x = min(8, w - bx * 8)
-            n_y = min(8, h - by * 8)
-            total += val * n_x * n_y
+            total += val * min(8, w - bx * 8) * min(8, h - by * 8)
     return w, h, 1, total
+
+
+def _naive_jpeg_color_dc(data: bytes):
+    """From-scratch 4:2:0 color reader for the GREY block-constant
+    fixture family: interleaved 4Y+Cb+Cr MCUs, three independent DC
+    prediction chains, chroma diffs asserted zero (grey content ->
+    Cb=Cr=128 -> chroma DC-and-AC-free), pixel value = clamp(dcY+128)
+    and pixel_sum = 3x its crop-weighted sum (R=G=B at neutral
+    chroma)."""
+    huff, quant, sof, scan, scan_start = _jpeg_headers(data)
+    w, h = sof["w"], sof["h"]
+    assert len(scan) == 3
+    y_cid, y_dc, y_ac = scan[0]
+    assert sof[y_cid][:2] == (2, 2), "fixture is 4:2:0"
+    for cid, _, _ in scan[1:]:
+        assert sof[cid][:2] == (1, 1)
+    assert quant[sof[y_cid][2]][0] == 8
+    br = _JpegBits(data, scan_start)
+    mw, mh = -(-w // 16), -(-h // 16)
+    bw, bh = -(-w // 8), -(-h // 8)
+    dc_y = 0
+    chroma_dc = {1: 0, 2: 0}
+    block_val = {}
+    for my in range(mh):
+        for mx in range(mw):
+            for r in range(2):
+                for c in range(2):
+                    dc_y += br.extend(br.code(huff[(0, y_dc)]))
+                    assert br.code(huff[(1, y_ac)]) == 0x00
+                    block_val[(2 * my + r, 2 * mx + c)] = min(
+                        255, max(0, dc_y + 128)
+                    )
+            for k, (cid, dc_id, ac_id) in enumerate(scan[1:], start=1):
+                diff = br.extend(br.code(huff[(0, dc_id)]))
+                chroma_dc[k] += diff
+                assert chroma_dc[k] == 0, "grey fixture: neutral chroma"
+                assert br.code(huff[(1, ac_id)]) == 0x00
+    total = 0
+    for by in range(bh):
+        for bx in range(bw):
+            n_x = max(0, min(8, w - bx * 8))
+            n_y = max(0, min(8, h - by * 8))
+            total += 3 * block_val[(by, bx)] * n_x * n_y
+    return w, h, 3, total
 
 
 def twin_jpeg(spark, sf_dir, spark_rows) -> tuple[bool, str]:
@@ -963,6 +1016,30 @@ def twin_gif_frames(spark, sf_dir, spark_rows) -> tuple[bool, str]:
     return True, f"{len(payloads)} animations / {n_frames} frames composed exact"
 
 
+def twin_jpeg_color(spark, sf_dir, spark_rows) -> tuple[bool, str]:
+    from modeltracking_spark.operators.multimodal import (
+        attach_jpeg_color_payload,
+    )
+    from modeltracking_spark.queries.common import T
+
+    payloads = {
+        int(r["doc_id"]): bytes(r["payload"])
+        for r in attach_jpeg_color_payload(
+            T(spark, sf_dir, "documents")
+        ).collect()
+    }
+    got = {
+        int(r["doc_id"]): (int(r["width"]), int(r["height"]),
+                           int(r["n_channels"]), int(r["pixel_sum"]))
+        for r in spark_rows
+    }
+    for doc_id, data in payloads.items():
+        want = _naive_jpeg_color_dc(data)
+        if got.get(doc_id) != want:
+            return False, f"doc {doc_id}: got {got.get(doc_id)} want {want}"
+    return True, f"{len(payloads)} payloads MCU-walked exact"
+
+
 def main(sf_dirs: list[str]) -> int:
     import duckdb
     from pyspark.sql import SparkSession
@@ -1014,6 +1091,8 @@ def main(sf_dirs: list[str]) -> int:
              lambda rows: twin_wav_decimate(spark, sf_dir, rows)),
             ("gif_frames_stats_docs",
              lambda rows: twin_gif_frames(spark, sf_dir, rows)),
+            ("jpeg_color_decode_stats_docs",
+             lambda rows: twin_jpeg_color(spark, sf_dir, rows)),
         ):
             rows = qs[name](spark, sf_dir).collect()
             ok, msg = fn(rows)
