@@ -1040,6 +1040,152 @@ def twin_jpeg_color(spark, sf_dir, spark_rows) -> tuple[bool, str]:
     return True, f"{len(payloads)} payloads MCU-walked exact"
 
 
+# ---------------------------------------------------------------------------
+# twin 15 (r8): PROGRESSIVE (SOF2) greyscale walked scan by scan — the
+# grey block-constant fixture makes every AC scan a pure EOB-run
+# stream, so the whole five-scan script is independently replayable:
+# DC-first at Al=1, two banded AC-first scans, the one-bit-per-block DC
+# refinement, and the AC refinement
+# ---------------------------------------------------------------------------
+
+def _jpeg_scan_walk(data: bytes):
+    """SOF2 marker walk -> (huff, quant, (w, h), scans) where each scan
+    is (comps, Ss, Se, Ah, Al, entropy_bytes)."""
+    assert data[:2] == b"\xff\xd8"
+    pos = 2
+    huff = {}
+    quant = {}
+    dims = None
+    scans = []
+    while pos < len(data):
+        assert data[pos] == 0xFF
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        seg_len = struct.unpack_from(">H", data, pos + 2)[0]
+        body = data[pos + 4: pos + 2 + seg_len]
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                quant[body[i] & 0x0F] = body[i + 1: i + 65]
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                counts = list(body[i + 1: i + 17])
+                syms = body[i + 17: i + 17 + sum(counts)]
+                code = 0
+                k = 0
+                tab = {}
+                for ln in range(1, 17):
+                    for _ in range(counts[ln - 1]):
+                        tab[(code, ln)] = syms[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(tc, th)] = tab
+                i += 17 + sum(counts)
+        elif marker == 0xC2:
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            assert prec == 8 and ncomp == 1, "greyscale fixture"
+            dims = (w, h)
+        elif marker == 0xDA:
+            ncomp = body[0]
+            comps = [(body[1 + 2 * c], body[2 + 2 * c] >> 4,
+                      body[2 + 2 * c] & 0x0F) for c in range(ncomp)]
+            ss, se, ahal = body[1 + 2 * ncomp: 4 + 2 * ncomp]
+            ent_start = pos + 2 + seg_len
+            i = ent_start
+            while True:
+                if data[i] == 0xFF and data[i + 1] != 0x00:
+                    assert not (0xD0 <= data[i + 1] <= 0xD7), "RST in fixture"
+                    break
+                i += 1
+            scans.append((comps, ss, se, ahal >> 4, ahal & 0x0F,
+                          data[ent_start:i]))
+            pos = i
+            continue
+        pos += 2 + seg_len
+    return huff, quant, dims, scans
+
+
+def _naive_jpeg_progressive_dc(data: bytes):
+    huff, quant, (w, h), scans = _jpeg_scan_walk(data)
+    assert quant[0][0] == 8
+    bw, bh = -(-w // 8), -(-h // 8)
+    n_blocks = bw * bh
+    dc = [0] * n_blocks
+    saw = {"dc_first": 0, "dc_ref": 0, "ac_first": 0, "ac_ref": 0}
+    for comps, ss, se, ah, al, ent in scans:
+        (cid, dc_id, ac_id) = comps[0]
+        br = _JpegBits(ent + b"\x00\x00\x00\x00", 0)  # zero tail: the
+        # final partial byte is 1-padded inside ent; spare zeros keep
+        # _fill in bounds for the last peek
+        if ss == 0 and ah == 0:          # DC first, point transform al
+            saw["dc_first"] += 1
+            assert al == 1
+            pred = 0
+            for b in range(n_blocks):
+                pred += br.extend(br.code(huff[(0, dc_id)]))
+                dc[b] = pred << al
+        elif ss == 0:                     # DC refinement
+            saw["dc_ref"] += 1
+            assert ah == 1 and al == 0
+            for b in range(n_blocks):
+                br._fill(br.bit_pos + 1)
+                dc[b] |= br.bits[br.bit_pos]
+                br.bit_pos += 1
+        else:                             # AC scan: EOB runs only
+            saw["ac_first" if ah == 0 else "ac_ref"] += 1
+            remaining = n_blocks
+            while remaining > 0:
+                sym = br.code(huff[(1, ac_id)])
+                r, s = sym >> 4, sym & 0x0F
+                assert s == 0 and r != 15, "fixture bands are all zero"
+                # T.81 G.1.2.2: EOBn run = (1<<n) + n RAW (unsigned)
+                # bits — not the signed DC-style extend
+                raw = 0
+                if r:
+                    br._fill(br.bit_pos + r)
+                    for i in range(r):
+                        raw = (raw << 1) | br.bits[br.bit_pos + i]
+                    br.bit_pos += r
+                remaining -= (1 << r) + raw if r else 1
+            assert remaining == 0, "EOB runs must tile the blocks"
+    assert saw == {"dc_first": 1, "dc_ref": 1, "ac_first": 2, "ac_ref": 1}
+    total = 0
+    for by in range(bh):
+        for bx in range(bw):
+            val = min(255, max(0, dc[by * bw + bx] + 128))
+            total += val * min(8, w - bx * 8) * min(8, h - by * 8)
+    return w, h, 1, total
+
+
+def twin_jpeg_progressive(spark, sf_dir, spark_rows) -> tuple[bool, str]:
+    from modeltracking_spark.operators.multimodal import (
+        attach_jpeg_progressive_payload,
+    )
+    from modeltracking_spark.queries.common import T
+
+    payloads = {
+        int(r["doc_id"]): bytes(r["payload"])
+        for r in attach_jpeg_progressive_payload(
+            T(spark, sf_dir, "documents")
+        ).collect()
+    }
+    got = {
+        int(r["doc_id"]): (int(r["width"]), int(r["height"]),
+                           int(r["n_channels"]), int(r["pixel_sum"]))
+        for r in spark_rows
+    }
+    for doc_id, data in payloads.items():
+        want = _naive_jpeg_progressive_dc(data)
+        if got.get(doc_id) != want:
+            return False, f"doc {doc_id}: got {got.get(doc_id)} want {want}"
+    return True, f"{len(payloads)} payloads scan-walked exact"
+
+
 def main(sf_dirs: list[str]) -> int:
     import duckdb
     from pyspark.sql import SparkSession
@@ -1093,6 +1239,8 @@ def main(sf_dirs: list[str]) -> int:
              lambda rows: twin_gif_frames(spark, sf_dir, rows)),
             ("jpeg_color_decode_stats_docs",
              lambda rows: twin_jpeg_color(spark, sf_dir, rows)),
+            ("jpeg_progressive_decode_stats_docs",
+             lambda rows: twin_jpeg_progressive(spark, sf_dir, rows)),
         ):
             rows = qs[name](spark, sf_dir).collect()
             ok, msg = fn(rows)
