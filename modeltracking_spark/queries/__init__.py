@@ -112,9 +112,10 @@ PRIORITY: tuple[str, ...] = (
     "lang_id_docs",                 # n-gram/stopword lang-ID
     # ---- window boundary (50) ----
     # round-9 rotation head: registered after this rotation froze,
-    # first attestation pending (green in the judge-sweep + its
-    # independent-shape oracle + bench since r8):
+    # first attestation pending (green in the judge-sweep + their
+    # oracles at both SFs since r8):
     #   dup_span_scrub_docs  (ExactSubstr-style span scrub, new in r8)
+    #   cluster_balanced_sample_embeddings  (cluster-then-balance, r8)
 )
 
 #: observed driver correctness cap (CORRECTNESS_r03 scored exactly 50)

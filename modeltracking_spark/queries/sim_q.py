@@ -937,3 +937,74 @@ def pca_top_component_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = emb.select(F.size("embedding").alias("d")).first()["d"]
     assert dim == 64, f"PCA oracle assumes dim=64, embeddings have dim={dim}"
     return pca_top_component(emb, iters=8)
+
+
+_CBS_ORACLE = f"""
+    WITH c0 AS (
+      SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INTEGER AS cid,
+             list_transform(embedding, x -> x::DOUBLE) AS c
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id LIMIT 8)
+    ),
+    {_ivf_normalize_sql("c0", "cbn")},
+    {_ivf_scores_sql("cbn", "cbsc")},
+    asg AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sc DESC, cid ASC) AS rk
+        FROM cbsc) WHERE rk = 1
+    ),
+    sz AS (SELECT cid, count(*)::BIGINT AS n_members FROM asg GROUP BY cid),
+    rkd AS (
+      SELECT vec_id, cid,
+             row_number() OVER (
+               PARTITION BY cid
+               ORDER BY md5(vec_id::VARCHAR || ':cbs'), vec_id
+             )::BIGINT AS rk
+      FROM asg
+    )
+    SELECT r.vec_id, r.cid, r.rk, s.n_members
+    FROM rkd r JOIN sz s USING (cid) WHERE r.rk <= 25
+"""
+
+
+@query("cluster_balanced_sample_embeddings", oracle=_CBS_ORACLE)
+def cluster_balanced_sample_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced corpus sampling (round 8) — the curation move
+    behind cluster-then-sample pipelines (SemDeDup-style clustering
+    reused for BALANCE rather than dedup): assign every embedding to
+    its nearest of 8 seed centroids (the 8 smallest vec_ids — the
+    kmeans_centroids seed convention; integer affinity scores, ties to
+    the smaller cid), then keep a fixed 25 per cluster by the RNG-free
+    md5 priority (the deterministic_shuffle/fixed_n convention), so
+    over-represented regions of embedding space stop dominating the
+    sample. Scale: centroids are a bounded 8-row collect broadcast via
+    the scoring closure (one narrow Arrow map, no join); the balance
+    rank is a window PARTITIONED BY cluster; one hash aggregate for
+    sizes. Oracle replays the exact integer-affinity argmax through the
+    shared IVF SQL builders plus the md5 rank independently."""
+    from pyspark.sql import Window
+
+    from modeltracking_spark.operators.similarity import _nearest_centroids
+
+    e = T(spark, sf_dir, "embeddings")
+    seeds = [
+        [float(v) for v in r["embedding"]]
+        for r in e.orderBy("vec_id").limit(8).collect()
+    ]
+    assigned = e.select(
+        "vec_id",
+        F.element_at(_nearest_centroids("embedding", seeds, 1), 1)
+        .cast("int")
+        .alias("cid"),
+    )
+    pri = F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":cbs")))
+    w = Window.partitionBy("cid").orderBy(pri.asc(), F.col("vec_id").asc())
+    ranked = assigned.withColumn("rk", F.row_number().over(w).cast("long"))
+    sizes = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        ranked.where(F.col("rk") <= 25)
+        .join(sizes, "cid")
+        .select("vec_id", "cid", "rk", "n_members")
+    )
