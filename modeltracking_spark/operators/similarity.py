@@ -931,29 +931,54 @@ def semdedup(
         _nearest_centroids(vec_col, cents, 1)[0].alias("cid"),
         F.sqrt(sq_norm_fxp(vec_col).cast("double")).alias("__n"),
     ).localCheckpoint()
-    a = asg.select(
-        F.col("cid"),
-        F.col("vec_id").alias("a_id"),
-        F.col("v").alias("a_v"),
-        F.col("__n").alias("a_n"),
-    )
-    b = asg.select(
-        F.col("cid"),
-        F.col("vec_id").alias("b_id"),
-        F.col("v").alias("b_v"),
-        F.col("__n").alias("b_n"),
-    )
-    pairs = a.join(b, "cid").where(F.col("a_id") < F.col("b_id"))
-    cos = F.when(F.col("a_n") * F.col("b_n") == 0, F.lit(0.0)).otherwise(
-        dot_product_fxp("a_v", "b_v").cast("double")
-        / (F.col("a_n") * F.col("b_n"))
-    )
-    pair_e6 = F.floor(cos * F.lit(1e6) + F.lit(0.5)).cast("long")
+    # Per-cluster pair scoring as ONE Arrow kernel (r8): the former
+    # cid-self-join scored each pair through zip_with/aggregate lambdas
+    # — higher-order expressions run interpreted, outside whole-stage
+    # codegen, and dominated the bench (5.2 s at sf0.1). The kernel
+    # replays the IDENTICAL integer arithmetic (per-term half-away
+    # rounding at 1e12, fxp sqrt norms, floor(cos*1e6+0.5)) in blocked
+    # numpy, so the oracle's SQL replay still matches bit-for-bit —
+    # pinned by the unchanged semdedup_embeddings hash at both SFs.
+    # Same shuffle shape as before: one hash partition on cid.
+    def _drops_fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"b_id": np.array([], dtype=np.int64),
+                                 "max_cos_e6": np.array([], dtype=np.int64)})
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        X = np.stack([
+            np.asarray(v, dtype=np.float64)
+            for v in pdf["v"].iloc[order]
+        ])
+        nrm = np.sqrt(_round_away(X * X, 1e12).sum(axis=1).astype(np.float64))
+        best = np.full(m, np.iinfo(np.int64).min, dtype=np.int64)
+        for lo in range(0, m, 64):  # block the a-side: O(64*m*d) temp
+            hi = min(lo + 64, m)
+            prods = X[lo:hi, None, :] * X[None, :, :]
+            dots = _round_away(prods, 1e12).sum(axis=2)
+            denom = nrm[lo:hi, None] * nrm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom == 0, 0.0, dots / np.where(denom == 0, 1.0, denom))
+            e6 = np.floor(cos * 1e6 + 0.5).astype(np.int64)
+            for ai in range(lo, hi):
+                js = np.arange(ai + 1, m)
+                if len(js):
+                    row = e6[ai - lo, js]
+                    np.maximum.at(best, js, row)
+        keep = best >= eps_e6
+        return pd.DataFrame({
+            "b_id": ids[keep].astype(np.int64),
+            "max_cos_e6": best[keep],
+        })
+
     drops = (
-        pairs.select("b_id", pair_e6.alias("cos_e6"))
-        .where(F.col("cos_e6") >= eps_e6)
-        .groupBy("b_id")
-        .agg(F.max("cos_e6").alias("max_cos_e6"))
+        asg.select("cid", "vec_id", "v")
+        .groupBy("cid")
+        .applyInPandas(_drops_fn, "b_id bigint, max_cos_e6 bigint")
     )
     sizes = asg.groupBy("cid").agg(F.count(F.lit(1)).alias("n_in_cluster"))
     return (
