@@ -268,20 +268,51 @@ def minhash_dedup_pairs(
     )
 
 
-def _minhash_perm(i: int):
-    """Affine permutation i as a 1-arg transform lambda — ONE definition
-    shared by the self-join and incremental near-dup paths, so the
-    "identical integer arithmetic" their oracles rely on is enforced by
-    construction, not by parallel copies."""
-    p = F.lit(MINHASH_PRIME)
-    return lambda t: (F.lit(MINHASH_A[i]) * (t % p) + F.lit(MINHASH_B[i])) % p
+def with_minhash_sigs(df: DataFrame, n_hashes: int,
+                      toks_col: str = "toks",
+                      out_col: str = "__sigs") -> DataFrame:
+    """Add the ``n_hashes`` MinHash signature mins as ONE array column,
+    computed in an Arrow kernel (r8): the former per-band
+    ``transform`` + ``array_min`` lambdas ran interpreted outside
+    whole-stage codegen and were recomputed on both self-join sides.
+    The kernel replays the IDENTICAL integer arithmetic —
+    ``(A_i * (t mod p) + B_i) mod p`` in int64 (A_i <= 129, t mod p <
+    2^39: products < 2^46, exact) — so signatures, band keys, and the
+    oracles' "identical arithmetic" premise are unchanged. One
+    definition shared by the self-join and incremental paths, like
+    the lambda-based ``_minhash_perm`` it replaces."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType
+
+    A = np.asarray(MINHASH_A[:n_hashes], dtype=np.int64)
+    B = np.asarray(MINHASH_B[:n_hashes], dtype=np.int64)
+    p = MINHASH_PRIME
+
+    def _fn(s):
+        out = []
+        for toks in s:
+            t = np.asarray(toks, dtype=np.int64) % p
+            if t.size == 0:  # _token_sets never emits empty sets; the
+                out.append(None)  # NULL array mirrors array_min(empty)
+                continue
+            h = (A[:, None] * t[None, :] + B[:, None]) % p
+            out.append(h.min(axis=1))
+        return pd.Series(out)
+
+    _fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    udf = F.pandas_udf(_fn, ArrayType(LongType()))
+    return df.withColumn(out_col, udf(F.col(toks_col)))
 
 
-def _minhash_band_key(b: int, rows_per_band: int) -> F.Column:
-    """xxhash64 of band b's ordered signature slice over a ``toks``
-    array column (shared band-key construction — see _minhash_perm)."""
+def _minhash_band_key(b: int, rows_per_band: int,
+                      sigs_col: str = "__sigs") -> F.Column:
+    """xxhash64 of band b's ordered signature slice over the
+    :func:`with_minhash_sigs` array column (shared band-key
+    construction; the string-join input is byte-identical to the old
+    per-band lambda build, so band buckets are unchanged)."""
     sigs = [
-        F.array_min(F.transform("toks", _minhash_perm(i))).cast("string")
+        F.element_at(F.col(sigs_col), i + 1).cast("string")
         for i in range(b * rows_per_band, (b + 1) * rows_per_band)
     ]
     return F.xxhash64(F.concat_ws("_", *sigs))
@@ -332,13 +363,15 @@ def minhash_pairs_from_token_ids(
             "bands*rows_per_band permutations"
         )
     sets_df = _token_sets(dt)
-    # group by the full sorted array (exact — no hash-collision risk)
+    # group by the full sorted array (exact — no hash-collision risk);
+    # signatures ride the cached frame so the two self-join sides reuse
+    # them instead of re-running the permutations
     groups = (
         sets_df.groupBy("toks")
         .agg(F.min("id").alias("rep"), F.collect_list("id").alias("members"))
         .withColumn("sz", F.size("toks"))
-        .cache()
     )
+    groups = with_minhash_sigs(groups, n_hashes).cache()
 
     def _band_key(b: int) -> F.Column:
         return _minhash_band_key(b, rows_per_band)
@@ -705,7 +738,7 @@ def incremental_neardup_matches(
         )
 
     def _bands(sets_df: DataFrame) -> DataFrame:
-        return sets_df.select(
+        return with_minhash_sigs(sets_df, n_hashes).select(
             "id",
             F.explode(
                 F.array(
