@@ -116,6 +116,7 @@ PRIORITY: tuple[str, ...] = (
     # oracles at both SFs since r8):
     #   dup_span_scrub_docs  (ExactSubstr-style span scrub, new in r8)
     #   cluster_balanced_sample_embeddings  (cluster-then-balance, r8)
+    #   click_error_interval_left_join  (outer stream-stream arm, r8)
 )
 
 #: observed driver correctness cap (CORRECTNESS_r03 scored exactly 50)

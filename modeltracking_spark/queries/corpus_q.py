@@ -1323,3 +1323,41 @@ def dup_span_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from modeltracking_spark.operators.corpus import dup_span_scrub
 
     return dup_span_scrub(T(spark, sf_dir, "documents"), k=8)
+
+
+@query(
+    "click_error_interval_left_join",
+    oracle="""
+    WITH c AS (SELECT user_id, event_id AS click_id, ts AS cts
+               FROM events WHERE event_type = 'click'),
+         e AS (SELECT user_id AS e_user_id, event_id AS error_id,
+                      ts AS ets
+               FROM events WHERE event_type = 'error')
+    SELECT c.user_id, click_id, error_id,
+           CASE WHEN error_id IS NULL THEN NULL
+                ELSE floor(epoch(ets))::BIGINT - floor(epoch(cts))::BIGINT
+           END AS lag_s,
+           error_id IS NOT NULL AS matched
+    FROM c LEFT JOIN e ON c.user_id = e.e_user_id
+                      AND ets >= cts AND ets <= cts + INTERVAL 6 HOUR
+    """,
+)
+def click_error_interval_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the LEFT-OUTER stream-stream interval join (r8):
+    every click, paired with its in-window errors or emitted once with
+    NULL error/lag — the error-free-click detector. On a stream the
+    unmatched rows emit only after the error-side watermark proves the
+    lag window closed (state-eviction-driven nulls, the documented
+    outer stream-stream contract); the REAL-stream flush is driven by a
+    far-future sentinel in tests/test_streaming.py
+    (streaming/windows.py:interval_join_clicks_errors, how='leftOuter')."""
+    from pyspark.sql import functions as F
+
+    from modeltracking_spark.streaming.windows import interval_join_clicks_errors
+
+    ev = T(spark, sf_dir, "events")
+    return interval_join_clicks_errors(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "error"),
+        how="leftOuter",
+    )

@@ -200,9 +200,10 @@ def enrich_with_static(events: DataFrame, dim: DataFrame) -> DataFrame:
 def interval_join_clicks_errors(
     clicks: DataFrame, errors: DataFrame,
     max_lag: str = "6 hours", watermark: str = "12 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join with an event-time interval condition:
-    each click pairs with the same user's errors that occur within
+    """Stream-stream join with an event-time interval condition: each
+    click pairs with the same user's errors that occur within
     ``max_lag`` *after* it.
 
     On streams both sides carry a watermark and the range condition
@@ -211,11 +212,22 @@ def interval_join_clicks_errors(
     the canonical production shape for stream-stream joins (state grows
     with the lag window, not the stream length). On static frames the
     watermark is a no-op and the same function is the oracled batch
-    twin (``click_error_interval_join``); stream==batch equivalence is
+    twin (``click_error_interval_join`` /
+    ``click_error_interval_left_join``); stream==batch equivalence is
     asserted in tests/test_streaming.py.
 
-    Output: (user_id, click_id, error_id, lag_s).
+    ``how="leftOuter"`` (r8) is the error-free-click detector: clicks
+    with NO error inside the lag window emit a null-padded row — on a
+    stream only once the error-side watermark proves the window closed
+    (the result is therefore watermark-delayed, the documented outer
+    stream-stream contract; the test drives the flush with a
+    far-future sentinel).
+
+    Output: (user_id, click_id, error_id, lag_s) — leftOuter adds a
+    ``matched`` boolean, with error_id/lag_s NULL on unmatched rows.
     """
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(f"unsupported join type {how!r}")
     c = (
         clicks.withWatermark("ts", watermark)
         .select(
@@ -237,13 +249,19 @@ def interval_join_clicks_errors(
         (F.col("user_id") == F.col("e_user_id"))
         & (F.col("error_ts") >= F.col("click_ts"))
         & (F.col("error_ts") <= F.col("click_ts") + F.expr(f"interval {max_lag}")),
+        how,
     )
-    return j.select(
-        "user_id",
-        "click_id",
-        "error_id",
-        (F.unix_timestamp("error_ts") - F.unix_timestamp("click_ts")).alias("lag_s"),
-    )
+    cols = [
+        F.col("user_id"),
+        F.col("click_id"),
+        F.col("error_id"),
+        (F.unix_timestamp("error_ts") - F.unix_timestamp("click_ts")).alias(
+            "lag_s"
+        ),
+    ]
+    if how == "leftOuter":
+        cols.append(F.col("error_id").isNotNull().alias("matched"))
+    return j.select(*cols)
 
 
 def run_stream_foreach_batch(

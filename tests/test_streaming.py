@@ -234,3 +234,88 @@ def test_streaming_cdc_apply_equals_batch_merge(spark, tmp_path_factory):
         for r in merge_upsert(docs, delta, "doc_id").select("doc_id", "text").collect()
     }
     assert state == want and len(want) > len(snap)
+
+
+def test_stream_stream_left_outer_interval_join_flushes_on_watermark(
+    spark, tmp_path
+):
+    """r8 LEFT-OUTER stream-stream interval join: unmatched clicks can
+    only emit once the error-side watermark PROVES their lag window
+    closed, so a second micro-batch carrying a far-future sentinel
+    error drives the flush — after it, the appended stream result
+    (minus nothing; the sentinel matches no click) equals the batch
+    left join over the original events exactly, null rows included."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    from modeltracking_spark.streaming.windows import (
+        interval_join_clicks_errors,
+        run_stream_once,
+    )
+
+    ev = load_table(spark, SF0001, "events")
+    src = tmp_path / "src"
+    os.makedirs(src)
+
+    def _write_one(df, name, mtime):
+        stage = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = str(src / name)
+        shutil.move(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    now = _time.time()
+    _write_one(ev, "0_events.parquet", now - 120)
+    max_ts = ev.agg(F.max("ts")).first()[0]
+
+    # each watermark node sits AFTER its event-type filter, so BOTH
+    # sides need a far-future sentinel or the click-side watermark
+    # stalls at the last real click and the final 18 h of outer rows
+    # never flush; the sentinels use negative user_ids and are excluded
+    # from the comparison. Watermarks advance at the END of a batch and
+    # evict on the NEXT, hence two sentinel batches.
+    def _sentinels(days):
+        one = ev.limit(1).withColumn(
+            "ts", F.lit(max_ts) + F.expr(f"interval {days} days")
+        )
+        return one.withColumn("event_type", F.lit("error")).withColumn(
+            "user_id", F.lit(-1).cast("long")
+        ).unionByName(
+            one.withColumn("event_type", F.lit("click")).withColumn(
+                "user_id", F.lit(-2).cast("long")
+            )
+        )
+
+    _write_one(_sentinels(30), "1_sentinel.parquet", now - 60)
+    _write_one(_sentinels(60), "2_sentinel.parquet", now - 30)
+
+    stream_src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = interval_join_clicks_errors(
+        stream_src.where(F.col("event_type") == "click"),
+        stream_src.where(F.col("event_type") == "error"),
+        how="leftOuter",
+    )
+    got = {
+        (r["user_id"], r["click_id"], r["error_id"], r["lag_s"], r["matched"])
+        for r in run_stream_once(out, "t_ssleft", output_mode="append").collect()
+        if r["user_id"] >= 0  # drop the sentinels' own rows
+    }
+    exp = {
+        (r["user_id"], r["click_id"], r["error_id"], r["lag_s"], r["matched"])
+        for r in interval_join_clicks_errors(
+            ev.where(F.col("event_type") == "click"),
+            ev.where(F.col("event_type") == "error"),
+            how="leftOuter",
+        ).collect()
+    }
+    assert got == exp
+    # the outer rows are the point: some clicks must be unmatched
+    assert any(not m for (_, _, _, _, m) in got)
+    assert any(m for (_, _, _, _, m) in got)
