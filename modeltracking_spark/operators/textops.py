@@ -432,3 +432,99 @@ def canonicalize_url(url_col: str = "url") -> Column:
     # junk keys (merging DISTINCT pages in a downstream dedup) — pass
     # them through unchanged instead
     return F.when(host == "", u).otherwise(canon)
+
+
+def blocklist_match_counts(
+    docs: DataFrame,
+    keywords: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Multi-pattern SUBSTRING blocklist matching via a from-scratch
+    Aho-Corasick automaton (Aho & Corasick 1975) — the corpus-curation
+    blocklist stage (bad-phrase lists, contamination markers) where a
+    per-keyword scan or regex alternation is O(n_keywords · text) and
+    the automaton is ONE pass per document regardless of list size.
+
+    Semantics: every occurrence counts, overlapping ones included (the
+    automaton's output links report each keyword ending at each
+    position), and matches are raw substrings — NOT token-aligned, so
+    phrases spanning word boundaries are found; token-level scrubbing
+    is the ``pii_redact``/``gopher_rules`` tier.
+
+    Scale posture: the automaton is built once on the driver from the
+    (bounded, human-curated) keyword list and rides the mapInPandas
+    closure like a broadcast dictionary — a narrow shuffle-free map;
+    real blocklists are 10k-1M phrases, far under closure limits.
+
+    Output: (doc_id, kw_id, keyword, n_occ) with n_occ >= 1 only.
+    """
+    if not keywords or any(not k for k in keywords):
+        raise ValueError("keywords must be non-empty strings")
+    kws = list(keywords)
+
+    def _build():
+        from collections import deque
+
+        nxt: list[dict] = [{}]
+        fail = [0]
+        out: list[list[int]] = [[]]
+        for ki, kw in enumerate(kws):
+            s = 0
+            for ch in kw:
+                if ch not in nxt[s]:
+                    nxt.append({})
+                    fail.append(0)
+                    out.append([])
+                    nxt[s][ch] = len(nxt) - 1
+                s = nxt[s][ch]
+            out[s].append(ki)
+        q = deque()
+        for s in nxt[0].values():
+            q.append(s)
+        while q:
+            r = q.popleft()
+            for ch, u in nxt[r].items():
+                q.append(u)
+                v = fail[r]
+                while v and ch not in nxt[v]:
+                    v = fail[v]
+                f = nxt[v].get(ch, 0)
+                fail[u] = 0 if f == u else f
+                out[u] = out[u] + out[fail[u]]
+        return nxt, fail, out
+
+    def _scan(batches):
+        import pandas as pd
+
+        nxt, fail, out = _build()
+        for pdf in batches:
+            ids, kids, noccs = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                counts: dict[int, int] = {}
+                s = 0
+                for ch in text:
+                    while s and ch not in nxt[s]:
+                        s = fail[s]
+                    s = nxt[s].get(ch, 0)
+                    for ki in out[s]:
+                        counts[ki] = counts.get(ki, 0) + 1
+                for ki in sorted(counts):
+                    ids.append(int(did))
+                    kids.append(ki)
+                    noccs.append(counts[ki])
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "kw_id": pd.Series(kids, dtype="int32"),
+                 "n_occ": pd.Series(noccs, dtype="int64")}
+            )
+
+    hits = docs.select(id_col, text_col).mapInPandas(
+        _scan, "doc_id bigint, kw_id int, n_occ bigint"
+    )
+    kw_rows = docs.sparkSession.createDataFrame(
+        [(i, k) for i, k in enumerate(kws)], "kw_id int, keyword string"
+    )
+    return hits.join(F.broadcast(kw_rows), "kw_id").select(
+        "doc_id", "kw_id", "keyword", "n_occ"
+    )

@@ -929,3 +929,49 @@ def unigram_viterbi_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return unigram_viterbi_segments(T(spark, sf_dir, "documents"))
+
+
+#: fixed blocklist for the oracled query — two-word phrases that cross
+#: token boundaries (substring matching, NOT token-aligned) plus one
+#: self-overlapping single-token case ("a a" in "a a a" counts twice)
+BLOCKLIST_KWS = [
+    "table table", "fast key", "scan slow", "value table",
+    "agg row", "the line", "a a", "join small",
+]
+
+_BL_KW_SQL = ", ".join(
+    f"({i}, '{k}')" for i, k in enumerate(BLOCKLIST_KWS)
+)
+
+
+@query(
+    "blocklist_match_docs",
+    oracle=f"""
+    WITH kws(kw_id, keyword) AS (VALUES {_BL_KW_SQL}),
+    hits AS (
+      SELECT d.doc_id, k.kw_id, k.keyword,
+             count(*)::BIGINT AS n_occ
+      FROM documents d, kws k, range(640) p(i)
+      WHERE p.i + length(k.keyword) <= length(d.text)
+        AND substr(d.text, p.i::INTEGER + 1,
+                   length(k.keyword)::INTEGER) = k.keyword
+      GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, kw_id::INTEGER AS kw_id, keyword, n_occ FROM hits
+    """,
+)
+def blocklist_match_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aho-Corasick multi-pattern blocklist matching (round 8): one
+    automaton pass per document finds every occurrence — overlapping
+    and word-boundary-crossing included — of the 8 fixed phrases. The
+    oracle is STRUCTURALLY independent: it enumerates every start
+    position (bounded 640-char unroll, pinned in tests/test_misc_coverage.py
+    like the dup_span 128-token bound) and string-compares substrings,
+    so the automaton's goto/fail/output construction is attested
+    against brute force, not replayed
+    (operators/textops.py:blocklist_match_counts)."""
+    from modeltracking_spark.operators.textops import blocklist_match_counts
+
+    return blocklist_match_counts(
+        T(spark, sf_dir, "documents"), BLOCKLIST_KWS
+    )

@@ -259,3 +259,60 @@ def test_key_skew_profile_hand_values(spark):
     assert abs(gini0) < 1e-12
     _, gini_max = profile([0, 0, 0, 100])  # all mass on one key
     assert abs(gini_max - 0.75) < 1e-12  # (n-1)/n for n=4
+
+
+def test_blocklist_ac_matches_bruteforce(spark):
+    """r8 Aho-Corasick blocklist: automaton counts equal brute-force
+    position enumeration on adversarial cases — self-overlap ('aaaa'
+    holds 'aa' x3), shared prefixes, keyword-inside-keyword, matches
+    crossing token boundaries — and on 40 random haystacks."""
+    import random
+
+    from modeltracking_spark.operators.textops import blocklist_match_counts
+
+    kws = ["aa", "aab", "ab", "ba", "b", "ab ab"]
+
+    def brute(text):
+        c = {}
+        for ki, kw in enumerate(kws):
+            n = sum(
+                1
+                for i in range(len(text) - len(kw) + 1)
+                if text[i : i + len(kw)] == kw
+            )
+            if n:
+                c[ki] = n
+        return c
+
+    rng = random.Random(8)
+    rows = [
+        (0, "aaaa"),
+        (1, "aab ab ab ba"),
+        (2, ""),
+        (3, "xyz"),
+    ] + [
+        (10 + i, "".join(rng.choice("ab x") for _ in range(rng.randint(0, 60))))
+        for i in range(40)
+    ]
+    rows = [(i, t) for i, t in rows if t != ""] + [(2, "x")]  # empty text
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in blocklist_match_counts(df, kws).collect():
+        got.setdefault(r["doc_id"], {})[r["kw_id"]] = r["n_occ"]
+    for did, text in rows:
+        assert got.get(did, {}) == brute(text), (did, text)
+
+
+def test_blocklist_oracle_unroll_bound_holds(spark):
+    """The SQL oracle enumerates start positions from range(640); every
+    shipped sf dir's text length must stay inside that bound."""
+    import pyspark.sql.functions as F
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+               "/root/testdata/sf0.1"):
+        mx = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .select(F.max(F.length("text")).alias("m"))
+            .first()["m"]
+        )
+        assert mx < 640, (sf, mx)
