@@ -159,3 +159,68 @@ def exact_median_grouped(
         udf(F.col(value_col)).alias(out_col),
         cnt(F.col(value_col)).alias("n_rows"),
     )
+
+
+def ewma_by_key(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    id_col: str,
+    cents_col,
+    alpha_den: int = 4,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average as a DETERMINISTIC
+    integer fold — the streaming-feature decay statistic (user activity
+    decay, rate smoothing) that windowed sums can't express because
+    every output depends on the whole prefix.
+
+    Recurrence (alpha = 1/alpha_den): s_0 = v_0,
+    s_t = (v_t + (alpha_den-1)·s_{t-1}) div alpha_den — pure integer
+    arithmetic, so a recursive-CTE oracle replays it exactly (the
+    adpcm/pack_greedy pattern for sequential state). Requires a unique
+    ``order_col`` per key (pinned for events in the query's test).
+
+    Scale: one hash shuffle groups each key; the fold runs as an ARRAY
+    expression over the key's collected prefix — keys are bounded
+    (events-per-user), the corpus never sees a global window. Output:
+    (key, id, ewma_cents).
+    """
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(order_col).alias("o"),
+                F.col(id_col).alias("i"),
+                cents_col.alias("v"),
+            )
+        )
+    )
+    step = lambda acc, x: F.concat(
+        acc,
+        F.array(
+            F.struct(
+                x["i"].alias("i"),
+                F.when(F.size(acc) == 0, x["v"])
+                .otherwise(
+                    F.floor(
+                        (x["v"] + (alpha_den - 1) * F.element_at(acc, -1)["e"])
+                        / F.lit(float(alpha_den))
+                    ).cast("long")
+                )
+                .alias("e"),
+            )
+        ),
+    )
+    folded = df.groupBy(key_col).agg(
+        F.aggregate(
+            arr,
+            F.array().cast("array<struct<i:bigint,e:bigint>>"),
+            step,
+        ).alias("st")
+    )
+    return folded.select(
+        key_col, F.explode("st").alias("x")
+    ).select(
+        F.col(key_col),
+        F.col("x.i").alias(id_col),
+        F.col("x.e").alias("ewma_cents"),
+    )

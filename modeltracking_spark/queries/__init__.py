@@ -117,6 +117,8 @@ PRIORITY: tuple[str, ...] = (
     #   dup_span_scrub_docs  (ExactSubstr-style span scrub, new in r8)
     #   cluster_balanced_sample_embeddings  (cluster-then-balance, r8)
     #   click_error_interval_left_join  (outer stream-stream arm, r8)
+    #   blocklist_match_docs  (Aho-Corasick multi-pattern scan, r8)
+    #   ewma_user_values_events  (deterministic integer EWMA fold, r8)
 )
 
 #: observed driver correctness cap (CORRECTNESS_r03 scored exactly 50)

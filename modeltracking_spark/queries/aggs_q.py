@@ -272,3 +272,40 @@ def profile_columns_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'l_shipdate', s_n, s_d, s_min, s_max"
         ") AS (col_name, n_filled, n_distinct, min_s, max_s)"
     )
+
+
+@query(
+    "ewma_user_values_events",
+    oracle="""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, event_id, round(value * 100)::BIGINT AS cents,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+      FROM events
+    ),
+    f AS (
+      SELECT user_id, event_id, rn, cents, cents AS ewma
+      FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.event_id, e.rn, e.cents,
+             (e.cents + 3 * f.ewma) // 4
+      FROM ev e JOIN f ON e.user_id = f.user_id AND e.rn = f.rn + 1
+    )
+    SELECT user_id, event_id, ewma AS ewma_cents FROM f
+    """,
+)
+def ewma_user_values_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values (alpha = 1/4) as the deterministic
+    integer fold — every row's smoothed value depends on the user's
+    whole prefix, which windowed aggregates cannot express; the oracle
+    replays the recurrence with a recursive CTE (the adpcm sequential-
+    state pattern). (user_id, ts) is unique in the events data, so the
+    fold order is well-defined (pinned in tests/test_misc_coverage.py).
+    One hash shuffle on user_id; the fold is an array expression over
+    each user's bounded history (operators/aggregates.py:ewma_by_key)."""
+    from modeltracking_spark.operators.aggregates import ewma_by_key
+
+    ev = T(spark, sf_dir, "events")
+    return ewma_by_key(
+        ev, "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("long"),
+    )

@@ -316,3 +316,38 @@ def test_blocklist_oracle_unroll_bound_holds(spark):
             .first()["m"]
         )
         assert mx < 640, (sf, mx)
+
+
+def test_ewma_fold_properties(spark):
+    """r8 integer EWMA: hand recurrence on a tiny fixture; smoothing
+    bounds (min <= ewma <= max of the prefix); first value passthrough;
+    the (user_id, ts) uniqueness the fold order relies on holds in
+    every shipped sf dir."""
+    import pyspark.sql.functions as F
+
+    from modeltracking_spark.operators.aggregates import ewma_by_key
+
+    rows = [
+        (1, 10, 100, 400),   # s0 = 400
+        (1, 20, 101, 0),     # s1 = (0 + 3*400) div 4 = 300
+        (1, 30, 102, 100),   # s2 = (100 + 900) div 4 = 250
+        (2, 10, 200, 7),     # independent key, s0 = 7
+        (2, 20, 201, 9),     # s1 = (9 + 21) div 4 = 7
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts long, event_id long, cents long"
+    )
+    got = {
+        r["event_id"]: r["ewma_cents"]
+        for r in ewma_by_key(
+            df, "user_id", "ts", "event_id", F.col("cents")
+        ).collect()
+    }
+    assert got == {100: 400, 101: 300, 102: 250, 200: 7, 201: 7}
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+               "/root/testdata/sf0.1"):
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        dup = (
+            ev.groupBy("user_id", "ts").count().where(F.col("count") > 1)
+        ).count()
+        assert dup == 0, f"(user_id, ts) ties in {sf} break the order"
