@@ -80,8 +80,11 @@ HEADLINE = [
     "png_decode_stats_docs",
     "gif_frames_stats_docs",
     "adpcm_decode_stats_docs",
-    # round-8 new operator: ExactSubstr-style duplicated-span scrub
+    # round-8 new operators: ExactSubstr-style duplicated-span scrub,
+    # Aho-Corasick blocklist scan, per-key integer EWMA fold
     "dup_span_scrub_docs",
+    "blocklist_match_docs",
+    "ewma_user_values_events",
 ]
 
 # Regression anchor: BENCH_r03.json per-query seconds at sf0.1 on local[32]
