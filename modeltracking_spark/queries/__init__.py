@@ -119,6 +119,7 @@ PRIORITY: tuple[str, ...] = (
     #   click_error_interval_left_join  (outer stream-stream arm, r8)
     #   blocklist_match_docs  (Aho-Corasick multi-pattern scan, r8)
     #   ewma_user_values_events  (deterministic integer EWMA fold, r8)
+    #   leakage_safe_split_docs  (cluster-keyed split-contamination guard, r8)
 )
 
 #: observed driver correctness cap (CORRECTNESS_r03 scored exactly 50)

@@ -534,3 +534,95 @@ def edit_distance_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("dist") <= 16)
         .select("id_a", "id_b", "dist")
     )
+
+
+@query(
+    "leakage_safe_split_docs",
+    oracle=f"""
+    WITH RECURSIVE {_TOKS_SQL},
+    hot AS (
+      SELECT token FROM toks GROUP BY token HAVING count(DISTINCT id) > 390
+    ),
+    kept AS (SELECT * FROM toks ANTI JOIN hot USING (token)),
+    sizes AS (SELECT id, count(*) AS sz FROM kept GROUP BY 1),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter_n
+      FROM kept a JOIN kept b ON a.token = b.token AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    pair AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+      WHERE inter_n::DOUBLE / (sa.sz + sb.sz - inter_n)::DOUBLE >= 0.6
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pair
+      UNION
+      SELECT id_b, id_a FROM pair
+    ),
+    reach(u, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT reach.u, e.v FROM reach JOIN edges e ON e.u = reach.r
+    ),
+    cc AS (SELECT u AS id, min(r) AS cluster_id FROM reach GROUP BY u),
+    spine AS (
+      SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN cc c ON c.id = d.doc_id
+    ),
+    assigned AS (
+      SELECT doc_id, cluster_id,
+             ('0x' || substr(md5(cluster_id::VARCHAR || ':split'), 1, 8))
+               ::BIGINT % 10000 AS bucket
+      FROM spine
+    )
+    SELECT doc_id, cluster_id, bucket,
+           CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM assigned
+    """,
+)
+def leakage_safe_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split (round 8): the hash split is
+    keyed on the NEAR-DUP CLUSTER id, not the doc id, so a document and
+    its near-duplicates land in the same split BY CONSTRUCTION — the
+    split-contamination guard every eval pipeline needs (a test doc
+    whose near-copy sits in train silently inflates benchmarks; plain
+    ``hash_split_docs`` has exactly that hole, exhibited in
+    tests/test_dedup.py). Clusters come from the same capped
+    exact-Jaccard pair graph as ``dedup_clusters_docs`` (pointer-jump
+    CC); docs in no pair are their own singleton cluster via one left
+    join against the doc spine; the 80/10/10 cut reuses the RNG-free
+    md5-bucket arithmetic of the hash-split family. One extra shuffle
+    over plain splitting (the CC rounds); assignment itself is a narrow
+    map."""
+    from modeltracking_spark.operators.dedup import dedup_clusters
+
+    d = T(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(d, "doc_id", "text", threshold=0.6, max_doc_freq=390)
+    cc = dedup_clusters(pairs)
+    spine = d.select("doc_id").join(
+        cc.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("cluster_id").cast("string"),
+                               F.lit(":split"))), 1, 8
+            ),
+            16, 10,
+        ).cast("long") % 10000
+    )
+    assigned = spine.withColumn("bucket", bucket)
+    return assigned.withColumn(
+        "split",
+        F.when(F.col("bucket") < 8000, "train")
+        .when(F.col("bucket") < 9000, "val")
+        .otherwise("test"),
+    )
