@@ -419,3 +419,32 @@ def test_dup_span_scrub_plan_scales(spark):
         assert "hashpartitioning(h" in big
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+
+
+def test_blocklist_scan_is_narrow_and_ewma_single_shuffle(spark):
+    """r8 additions' plan posture: the Aho-Corasick scan is a
+    shuffle-free narrow map until the (broadcast) keyword join; the
+    EWMA fold carries exactly one hash exchange (the per-key groupBy) —
+    no window operator, no global sort."""
+    import pyspark.sql.functions as F
+
+    from modeltracking_spark.operators.aggregates import ewma_by_key
+    from modeltracking_spark.operators.textops import blocklist_match_counts
+
+    d = spark.read.parquet(f"{SF001}/documents.parquet")
+    plan_bl = executed_plan(
+        blocklist_match_counts(d, ["table table", "fast key"])
+    )
+    final_bl = plan_bl.split("== Initial Plan ==")[0]
+    assert "Exchange hashpartitioning" not in final_bl
+    assert "BroadcastHashJoin" in final_bl  # the tiny keyword table
+
+    ev = spark.read.parquet(f"{SF001}/events.parquet")
+    plan_ew = executed_plan(
+        ewma_by_key(ev, "user_id", "ts", "event_id",
+                    F.round(F.col("value") * 100).cast("long"))
+    )
+    final_ew = plan_ew.split("== Initial Plan ==")[0]
+    assert final_ew.count("Exchange hashpartitioning") == 1
+    assert "Window" not in final_ew
+    assert "CartesianProduct" not in final_ew
