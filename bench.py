@@ -85,6 +85,8 @@ HEADLINE = [
     "dup_span_scrub_docs",
     "blocklist_match_docs",
     "ewma_user_values_events",
+    # round-8 new codec: from-spec TIFF (none/LZW, multi-strip)
+    "tiff_decode_stats_docs",
 ]
 
 # Regression anchor: BENCH_r03.json per-query seconds at sf0.1 on local[32]

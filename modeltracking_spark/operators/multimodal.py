@@ -613,9 +613,10 @@ def encode_wav_g711(samples, sample_rate: int, law: str = "mu") -> bytes:
 def _decode_any_image(payload: bytes):
     """Dispatch a binary image payload to the right from-spec codec ->
     (h, w, c) uint8 array. BMP, JPEG (baseline grey/color/progressive,
-    restart intervals), PNG (all legal depths, Adam7, tRNS), and GIF
-    (incl. interlace; first frame of animations via decode_gif_frames)
-    are REAL; anything else names the PIL/ffmpeg plug-in point."""
+    restart intervals), PNG (all legal depths, Adam7, tRNS), GIF
+    (incl. interlace; first frame of animations via decode_gif_frames),
+    and TIFF (none/LZW, grey/RGB, multi-strip) are REAL; anything else
+    names the PIL/ffmpeg plug-in point."""
     from modeltracking_spark.operators.gif import (
         decode_gif,
         decode_gif_frames,
@@ -636,9 +637,14 @@ def _decode_any_image(payload: bytes):
             return decode_gif(payload)
         except NotImplementedError:  # animation: first composed frame
             return decode_gif_frames(payload)[0][1]
+    if payload.startswith((b"II*\x00", b"MM\x00*")):
+        from modeltracking_spark.operators.tiff import decode_tiff
+
+        img = decode_tiff(payload)
+        return img[:, :, None] if img.ndim == 2 else img
     raise NotImplementedError(
         "real decode beyond BMP / JPEG (baseline + progressive) / PNG / "
-        "GIF requires PIL or ffmpeg; not in container"
+        "GIF / TIFF requires PIL or ffmpeg; not in container"
     )
 
 
@@ -1064,6 +1070,60 @@ def attach_adpcm_payload(df: DataFrame, id_col: str = "doc_id",
                 )
                 payloads.append(
                     b"RIFF" + struct.pack("<I", len(body)) + body
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: payloads})
+
+    return df.select(id_col).mapInPandas(
+        build, schema=f"{id_col} bigint, {out_col} binary"
+    )
+
+
+def attach_tiff_payload(df: DataFrame, id_col: str = "doc_id",
+                        out_col: str = "payload") -> DataFrame:
+    """Fixture builder for the TIFF decode path: a deterministic
+    greyscale image per row — width = id%17+4, height = id%13+4,
+    pixel = (x*7 + y*13 + id) % 256 — through the from-spec TIFF 6.0
+    encoder (operators/tiff.py). Ids with id%2==0 store LZW
+    (Compression 5: MSB-first codes, early change at 2^w-1); odd ids
+    store uncompressed; ids with id%3==0 additionally split into
+    4-row strips, so the driver gate attests the IFD offset/count
+    arrays and per-strip decompression, not just the single-strip
+    fast path. Lossless either way, so the pixel formula is
+    SQL-replayable exactly.
+
+    BOUNDARY-HITTING FAMILY: docs with id % 100 == 46 (46/146/246/346/
+    446) are 11x23 DESCENDING-byte images — every adjacent byte pair is
+    distinct, so the 253-byte LZW stream lands its FINAL prefix flush
+    exactly on the 2^width-1 early-change boundary (the TIFF analog of
+    the r7 GIF desync shape; the structured formula images never land
+    there because cross-row pair reuse slows table growth). Pinned in
+    tests/test_tiff.py so the driver gate itself catches an
+    end-of-stream width regression."""
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        from modeltracking_spark.operators.tiff import encode_tiff
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                d = int(did)
+                if d % 100 == 46:
+                    w, h = 23, 11
+                    y, x = np.mgrid[0:h, 0:w]
+                    img = ((255 - (y * 23 + x)) % 256).astype(np.uint8)
+                else:
+                    w, h = d % 17 + 4, d % 13 + 4
+                    y, x = np.mgrid[0:h, 0:w]
+                    img = ((x * 7 + y * 13 + d) % 256).astype(np.uint8)
+                payloads.append(
+                    encode_tiff(
+                        img,
+                        compression=5 if d % 2 == 0 else 1,
+                        rows_per_strip=4 if d % 3 == 0 else None,
+                    )
                 )
             yield pd.DataFrame({id_col: pdf[id_col], out_col: payloads})
 

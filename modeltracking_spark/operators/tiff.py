@@ -1,0 +1,374 @@
+"""Pure-Python TIFF codec (extension surface; SURVEY.md §2.12
+multimodal tier) — the scanned-document image format, from the public
+TIFF 6.0 specification (Adobe, 1992), completing the image-codec set
+next to BMP/GIF/PNG/JPEG.
+
+Scope: little-endian ("II") baseline TIFF, greyscale (1 sample) and
+RGB (3 samples) at 8 bits per sample, Compression 1 (none) and 5
+(TIFF-LZW, spec Section 13), single or multiple strips. Other
+byte orders, bit depths, palettes, tiles, and predictors raise
+``NotImplementedError`` at the PIL plug-in point; malformed streams
+raise descriptive ``ValueError``.
+
+TIFF-LZW vs GIF-LZW — the two are SPEC-LEVEL different and mixing
+their conventions is the classic codec bug (the same family as the
+round-7 GIF end-of-stream desync):
+
+- codes are packed **MSB-first** (GIF packs LSB-first);
+- the symbol alphabet is always 8-bit: Clear = 256, EOI = 257, first
+  dynamic code 258, initial width 9;
+- **early change one EARLIER than GIF**: the width bumps when the
+  next code to be ASSIGNED equals 2^width − 1 (511/1023/2047), per
+  spec Section 13 ("because of the early-change convention");
+- the encoder must emit Clear when the table reaches 4094 so code
+  4095 is never assigned;
+- every stream begins with Clear and ends with EOI.
+
+TIFF is lossless, so deterministic fixtures roundtrip bit-exactly and
+the whole container (IFD walk, strip offsets/counts, LZW bitstream)
+sits on an exactly-SQL-oracle-able path (``tiff_decode_stats_docs``).
+
+Scale posture: codec runs per payload inside Arrow-batched
+``mapInPandas`` — a narrow map, no shuffle.
+"""
+
+from __future__ import annotations
+
+import struct
+
+
+def _malformed_guard(kind):
+    """Decorator: low-level parse crashes on corrupt bytes surface as
+    ONE descriptive ValueError — the loud-reject contract,
+    fuzz-enforced in tests/test_fuzz_codecs.py."""
+    import functools
+    import struct as _struct
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapped(*a, **kw):
+            try:
+                return fn(*a, **kw)
+            except (ValueError, NotImplementedError):
+                raise
+            except (_struct.error, IndexError, KeyError, OverflowError,
+                    ZeroDivisionError, MemoryError) as exc:
+                raise ValueError(
+                    f"malformed {kind} stream: "
+                    f"{type(exc).__name__}: {exc}"
+                ) from exc
+        return wrapped
+    return deco
+
+
+_CLEAR = 256
+_EOI = 257
+
+
+def tiff_lzw_compress(data: bytes) -> bytes:
+    """TIFF-LZW (spec Section 13): MSB-first variable-width codes,
+    Clear first, width bump when the next ASSIGNABLE code would be
+    2^width − 1 (the early-change convention — one earlier than GIF),
+    re-Clear at table size 4094 so code 4095 is never used, EOI last."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int, width: int):
+        nonlocal acc, nbits
+        acc = (acc << width) | code  # MSB-first packing
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    put(_CLEAR, width)
+    prefix = b""
+    for byte in data:
+        cand = prefix + bytes([byte])
+        if cand in table:
+            prefix = cand
+            continue
+        put(table[prefix], width)
+        table[cand] = next_code
+        next_code += 1
+        # early change: bump while the NEXT code to assign is 2^w - 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        elif next_code == 4094:  # spec: emit Clear before 4095 exists
+            put(_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        prefix = bytes([byte])
+    if prefix:
+        put(table[prefix], width)
+        # end-of-stream early-change sync: the decoder grows its table
+        # on EVERY data code including this final flush and bumps at
+        # the same 2^w - 1 boundary — mirror it before EOI (the exact
+        # bug class fixed in GIF in round 8, at TIFF's earlier edge)
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+    put(_EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def tiff_lzw_decompress(data: bytes, n_expect: int) -> bytes:
+    """Inverse of :func:`tiff_lzw_compress`, including the
+    code-not-yet-in-table (K-omega-K) case."""
+    pos = 0
+    acc = 0
+    nbits = 0
+
+    def get(width: int) -> int:
+        nonlocal pos, acc, nbits
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated TIFF LZW stream")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        v = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        return v
+
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    out = bytearray()
+    prev: bytes | None = None
+    while True:
+        code = get(width)
+        if code == _CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if code == _EOI:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(f"TIFF LZW: first code {code} undefined")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # K-omega-K
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"TIFF LZW: code {code} beyond table")
+        out += entry
+        prev = entry
+        # decoder trails the encoder by one entry, so its early change
+        # fires when the table is one short of 2^w - 1
+        if len(table) + 1 == (1 << width) - 1 and width < 12:
+            width += 1
+        if len(out) > n_expect:
+            raise ValueError(
+                f"TIFF LZW produced {len(out)} > expected {n_expect} bytes"
+            )
+    if len(out) != n_expect:
+        raise ValueError(
+            f"TIFF LZW produced {len(out)} of {n_expect} expected bytes"
+        )
+    return bytes(out)
+
+
+def _ifd_entry(tag: int, typ: int, count: int, value: int) -> bytes:
+    return struct.pack("<HHII", tag, typ, count, value)
+
+
+def encode_tiff(pixels, compression: int = 1,
+                rows_per_strip: int | None = None) -> bytes:
+    """uint8 array -> little-endian baseline TIFF bytes. (h, w) encodes
+    greyscale, (h, w, 3) RGB. ``compression``: 1 = none, 5 = TIFF-LZW
+    (each strip compressed independently, per spec).
+    ``rows_per_strip=None`` writes one strip; smaller values exercise
+    the multi-strip offset/count bookkeeping."""
+    import numpy as np
+
+    a = np.asarray(pixels, dtype=np.uint8)
+    if a.ndim == 2:
+        spp = 1
+        photometric = 1  # BlackIsZero
+    elif a.ndim == 3 and a.shape[2] == 3:
+        spp = 3
+        photometric = 2  # RGB
+    else:
+        raise ValueError(f"expected (h, w) or (h, w, 3), got {a.shape}")
+    if compression not in (1, 5):
+        raise NotImplementedError(
+            f"TIFF compression {compression} not implemented (1=none, "
+            "5=LZW; others are the PIL plug-in point)"
+        )
+    h, w = a.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError(f"bad TIFF dimensions {w}x{h}")
+    rps = h if rows_per_strip is None else max(1, rows_per_strip)
+    raw = a.reshape(h, w * spp)
+    strips = []
+    for y0 in range(0, h, rps):
+        chunk = raw[y0: y0 + rps].tobytes()
+        strips.append(
+            tiff_lzw_compress(chunk) if compression == 5 else chunk
+        )
+    n_strips = len(strips)
+
+    # layout: header(8) | strip data | [bits array if spp==3]
+    #         | [offsets/counts arrays if n_strips > 2] | IFD
+    pos = 8
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+    extra = bytearray()
+    if spp == 3:
+        bits_off = pos + 0
+        extra += struct.pack("<HHH", 8, 8, 8)
+    arrays_off = pos + len(extra)
+    if n_strips > 1:  # >1 LONG never fits the 4-byte value field
+        off_arr_off = arrays_off
+        extra += b"".join(struct.pack("<I", o) for o in strip_offsets)
+        cnt_arr_off = arrays_off + 4 * n_strips
+        extra += b"".join(struct.pack("<I", len(s)) for s in strips)
+    ifd_off = pos + len(extra)
+
+    entries = []
+    entries.append(_ifd_entry(256, 3, 1, w))             # ImageWidth
+    entries.append(_ifd_entry(257, 3, 1, h))             # ImageLength
+    if spp == 1:
+        entries.append(_ifd_entry(258, 3, 1, 8))         # BitsPerSample
+    else:
+        entries.append(_ifd_entry(258, 3, 3, bits_off))
+    entries.append(_ifd_entry(259, 3, 1, compression))   # Compression
+    entries.append(_ifd_entry(262, 3, 1, photometric))   # Photometric
+    if n_strips == 1:
+        entries.append(_ifd_entry(273, 4, 1, strip_offsets[0]))
+    else:
+        entries.append(_ifd_entry(273, 4, n_strips, off_arr_off))
+    entries.append(_ifd_entry(277, 3, 1, spp))           # SamplesPerPixel
+    entries.append(_ifd_entry(278, 3, 1, rps))           # RowsPerStrip
+    if n_strips == 1:
+        entries.append(_ifd_entry(279, 4, 1, len(strips[0])))
+    else:
+        entries.append(_ifd_entry(279, 4, n_strips, cnt_arr_off))
+    entries.sort(key=lambda e: struct.unpack_from("<H", e, 0)[0])
+
+    out = bytearray()
+    out += b"II" + struct.pack("<HI", 42, ifd_off)
+    for s in strips:
+        out += s
+    out += extra
+    out += struct.pack("<H", len(entries))
+    for e in entries:
+        out += e
+    out += struct.pack("<I", 0)  # no next IFD
+    return bytes(out)
+
+
+@_malformed_guard("TIFF")
+def decode_tiff(data: bytes):
+    """TIFF bytes -> (h, w) or (h, w, 3) uint8 array (scope per module
+    docstring)."""
+    import numpy as np
+
+    if len(data) < 8 or data[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF payload (bad byte-order mark)")
+    if data[:2] == b"MM":
+        raise NotImplementedError(
+            "big-endian TIFF not implemented (PIL plug-in point)"
+        )
+    magic, ifd_off = struct.unpack_from("<HI", data, 2)
+    if magic != 42:
+        raise ValueError(f"bad TIFF magic {magic}")
+    n_entries = struct.unpack_from("<H", data, ifd_off)[0]
+    if n_entries == 0 or n_entries > 64:
+        raise ValueError(f"implausible IFD entry count {n_entries}")
+    tags: dict[int, tuple[int, int, int]] = {}
+    for i in range(n_entries):
+        tag, typ, count, value = struct.unpack_from(
+            "<HHII", data, ifd_off + 2 + 12 * i
+        )
+        tags[tag] = (typ, count, value)
+
+    def scalar(tag, default=None):
+        if tag not in tags:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        typ, count, value = tags[tag]
+        if count != 1:
+            raise ValueError(f"tag {tag}: expected scalar, count {count}")
+        if typ == 3:  # SHORT packed in the low bytes of the value field
+            return value & 0xFFFF
+        if typ == 4:
+            return value
+        raise NotImplementedError(f"tag {tag} type {typ} not implemented")
+
+    def longs(tag):
+        typ, count, value = tags[tag]
+        if count > 65535:  # decompression-bomb / fuzz guard: a corrupt
+            # count would otherwise drive a multi-GB unpack format
+            raise ValueError(f"implausible tag {tag} count {count}")
+        if count == 1:
+            return [value & 0xFFFF if typ == 3 else value]
+        fmt = "<" + ("H" if typ == 3 else "I") * count
+        sz = 2 if typ == 3 else 4
+        return list(struct.unpack_from(fmt, data, value))[:count] \
+            if count * sz > 4 else list(
+                struct.unpack_from(fmt, struct.pack("<I", value))
+            )
+
+    w = scalar(256)
+    h = scalar(257)
+    comp = scalar(259, 1)
+    spp = scalar(277, 1)
+    rps = scalar(278, h)
+    if w * h * max(spp, 1) > max(5000 * len(data), 1 << 26):
+        raise ValueError(
+            f"implausible TIFF raster {w}x{h}x{spp} for a "
+            f"{len(data)}-byte stream (decompression-bomb guard)"
+        )
+    if comp not in (1, 5):
+        raise NotImplementedError(
+            f"TIFF compression {comp} not implemented (PIL plug-in point)"
+        )
+    if spp not in (1, 3):
+        raise NotImplementedError(f"{spp} samples/pixel not implemented")
+    if 258 in tags:
+        bits = longs(258)
+        if any(b != 8 for b in bits):
+            raise NotImplementedError(
+                f"bits per sample {bits} not implemented (8-bit only)"
+            )
+    if 317 in tags and scalar(317) != 1:
+        raise NotImplementedError("TIFF predictor not implemented")
+    offsets = longs(273)
+    counts = longs(279)
+    if len(offsets) != len(counts):
+        raise ValueError("StripOffsets/StripByteCounts length mismatch")
+    raw = bytearray()
+    remaining_rows = h
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        if off + cnt > len(data):
+            raise ValueError(f"strip {si} out of bounds")
+        strip_rows = min(rps, remaining_rows)
+        remaining_rows -= strip_rows
+        expect = strip_rows * w * spp
+        chunk = data[off: off + cnt]
+        raw += (tiff_lzw_decompress(chunk, expect)
+                if comp == 5 else chunk[:expect])
+        if comp == 1 and cnt < expect:
+            raise ValueError(f"strip {si} shorter than its rows")
+    if len(raw) != h * w * spp:
+        raise ValueError(
+            f"TIFF strips produced {len(raw)} of {h * w * spp} bytes"
+        )
+    a = np.frombuffer(bytes(raw), dtype=np.uint8)
+    return a.reshape(h, w) if spp == 1 else a.reshape(h, w, 3)

@@ -120,6 +120,7 @@ PRIORITY: tuple[str, ...] = (
     #   blocklist_match_docs  (Aho-Corasick multi-pattern scan, r8)
     #   ewma_user_values_events  (deterministic integer EWMA fold, r8)
     #   leakage_safe_split_docs  (cluster-keyed split-contamination guard, r8)
+    #   tiff_decode_stats_docs  (from-spec TIFF 6.0 none/LZW/multi-strip, r8)
 )
 
 #: observed driver correctness cap (CORRECTNESS_r03 scored exactly 50)

@@ -651,3 +651,47 @@ def wav_decimate_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = attach_wav_payload(T(spark, sf_dir, "documents"))
     return decimate_audio_stats(d, factor=3)
+
+
+@query(
+    "tiff_decode_stats_docs",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 100 = 46 THEN 23
+                  ELSE doc_id % 17 + 4 END::INTEGER AS w,
+             CASE WHEN doc_id % 100 = 46 THEN 11
+                  ELSE doc_id % 13 + 4 END::INTEGER AS h
+      FROM documents
+    )
+    SELECT d.doc_id, d.w AS width, d.h AS height,
+           1::INTEGER AS n_channels,
+           sum(CASE WHEN d.doc_id % 100 = 46
+                    THEN (255 - (y.i * 23 + x.i)) % 256
+                    ELSE (x.i * 7 + y.i * 13 + d.doc_id) % 256
+               END)::BIGINT AS pixel_sum
+    FROM dims d, range(23) x(i), range(16) y(i)
+    WHERE x.i < d.w AND y.i < d.h
+    GROUP BY 1, 2, 3
+    """,
+)
+def tiff_decode_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF decode (round 8): formula greyscale images through the
+    from-spec TIFF 6.0 encoder — even ids store LZW Compression 5
+    (MSB-first codes, early change at 2^w-1: the convention that
+    differs from GIF in exactly the ways that breed codec bugs), odd
+    ids uncompressed, ids % 3 == 0 split into 4-row strips (IFD
+    offset/count arrays + per-strip decompression on the attested
+    path), and ids % 100 == 46 land their final LZW flush exactly on
+    the early-change boundary. TIFF is lossless, so the oracle replays
+    the pixel formula in SQL exactly (operators/tiff.py; boundary
+    enumeration + K-omega-K + re-Clear pinned in tests/test_tiff.py)."""
+    from modeltracking_spark.operators.multimodal import (
+        attach_tiff_payload,
+        decode_image_features,
+    )
+
+    d = attach_tiff_payload(T(spark, sf_dir, "documents"))
+    return decode_image_features(d, fake=False).select(
+        "doc_id", "width", "height", "n_channels", "pixel_sum"
+    )

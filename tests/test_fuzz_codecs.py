@@ -16,6 +16,7 @@ import pytest
 from modeltracking_spark.operators import gif as G
 from modeltracking_spark.operators import jpeg as J
 from modeltracking_spark.operators import png as P
+from modeltracking_spark.operators import tiff as T
 from modeltracking_spark.operators.inflate import (
     gzip_decompress,
     zlib_decompress,
@@ -67,6 +68,11 @@ def _fixtures():
         ),
         "gzip": (__import__("gzip").compress(b"warc record " * 120, 6),
                  gzip_decompress),
+        "tiff": (T.encode_tiff(img, compression=5), T.decode_tiff),
+        "tiff_strips": (
+            T.encode_tiff(rgb, compression=5, rows_per_strip=4),
+            T.decode_tiff,
+        ),
     }
 
 

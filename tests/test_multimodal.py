@@ -607,11 +607,14 @@ def test_resize_works_on_every_real_image_format():
     rgb = np.stack([(x * 9) % 256, (y * 5) % 256, (x + y) % 256],
                    axis=2).astype(np.uint8)
     pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+    from modeltracking_spark.operators.tiff import encode_tiff
+
     payloads = {
         "bmp": encode_bmp(rgb),
         "png": encode_png(rgb),
         "gif": encode_gif(((x + y) % 256).astype(np.uint8), pal),
         "jpeg": encode_jpeg_color(rgb, subsampling="444"),
+        "tiff": encode_tiff(rgb, compression=5),
     }
     for name, p in payloads.items():
         img = _decode_any_image(p)
@@ -619,6 +622,7 @@ def test_resize_works_on_every_real_image_format():
     # lossless formats decode exactly
     assert np.array_equal(_decode_any_image(payloads["png"]), rgb)
     assert np.array_equal(_decode_any_image(payloads["bmp"]), rgb)
-    # unknown magic names the plug-in point
+    assert np.array_equal(_decode_any_image(payloads["tiff"]), rgb)
+    # unknown magic names the plug-in point (TIFF is real since r8)
     with pytest.raises(NotImplementedError, match="PIL or ffmpeg"):
-        _decode_any_image(b"II*\x00 tiff-ish")
+        _decode_any_image(b"RIFFxxxxWEBPVP8 ")

@@ -1,0 +1,188 @@
+"""From-spec TIFF codec (operators/tiff.py): container roundtrips
+(grey/RGB x none/LZW x strip layouts), TIFF-LZW boundary enumeration at
+its 2^w-1 early-change edges (one EARLIER than GIF — the convention
+difference that breeds codec bugs), K-omega-K, the 4094 re-Clear,
+golden determinism, loud rejects, and the Spark decode path."""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from modeltracking_spark.operators.tiff import (
+    decode_tiff,
+    encode_tiff,
+    tiff_lzw_compress,
+    tiff_lzw_decompress,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.data())
+def test_lossless_roundtrip(data):
+    h = data.draw(st.integers(1, 40), label="h")
+    w = data.draw(st.integers(1, 40), label="w")
+    ch = data.draw(st.sampled_from([1, 3]), label="ch")
+    comp = data.draw(st.sampled_from([1, 5]), label="comp")
+    rps = data.draw(st.sampled_from([None, 1, 3, 8]), label="rps")
+    seed = data.draw(st.integers(0, 2**31 - 1), label="seed")
+    rng = np.random.RandomState(seed)
+    shape = (h, w) if ch == 1 else (h, w, 3)
+    img = rng.randint(0, 256, shape).astype(np.uint8)
+    dec = decode_tiff(encode_tiff(img, compression=comp, rows_per_strip=rps))
+    assert np.array_equal(dec, img)
+
+
+def test_lzw_width_growth_reclear_and_komega():
+    """A large random stream drives widths 9..12 and the 4094 re-Clear;
+    a constant run exercises the code-not-yet-in-table case."""
+    big = np.random.RandomState(0).randint(0, 256, 40000).astype(
+        np.uint8
+    ).tobytes()
+    assert tiff_lzw_decompress(tiff_lzw_compress(big), len(big)) == big
+    # random bytes are incompressible -> multiple table fills really ran
+    assert len(tiff_lzw_compress(big)) > len(big)
+    run = b"\x07" * 500
+    assert tiff_lzw_decompress(tiff_lzw_compress(run), 500) == run
+
+
+def _de_bruijn_bytes(k: int = 256) -> bytes:
+    """Linear byte sequence containing every ordered byte pair once —
+    every LZW step is a fresh 2-gram, so table growth position is an
+    exact function of length (the GIF boundary-suite construction)."""
+    a = [0] * (2 * k)
+    seq: list[int] = []
+
+    def db(t, p):
+        if t > 2:
+            if 2 % p == 0:
+                seq.extend(a[1:p + 1])
+        else:
+            a[t] = a[t - p]
+            db(t + 1, p)
+            for j in range(a[t - p] + 1, k):
+                a[t] = j
+                db(t + 1, t)
+
+    db(1, 1)
+    return bytes(seq + seq[:1])
+
+
+def test_lzw_every_early_change_boundary_exact():
+    """Streams whose FINAL flush lands exactly at, one before, and one
+    after every 2^w-1 early-change boundary (511/1023/2047) and around
+    the 4094 re-Clear — the r7 GIF desync class at TIFF's earlier edge.
+    With all-distinct pairs the post-flush next_code is 258 + n, so the
+    boundary fires at the flush iff 258 + n + 1 == 2^w - 1."""
+    seq = _de_bruijn_bytes()
+    pairs = list(zip(seq, seq[1:]))
+    assert len(set(pairs)) == len(pairs)
+    boundaries = [511, 1023, 2047]
+    targets = [b - 259 for b in boundaries] + [4094 - 258]
+    for n_at in targets:
+        for n in (n_at - 1, n_at, n_at + 1):
+            if 1 <= n <= len(seq):
+                sub = seq[:n]
+                got = tiff_lzw_decompress(tiff_lzw_compress(sub), n)
+                assert got == sub, f"n={n}"
+
+
+def test_boundary_family_docs_pinned():
+    """The tiff_decode_stats_docs fixture family: docs id%100==46 are
+    253-byte descending-byte images whose final LZW flush lands exactly
+    on the 511 early-change boundary, so the driver gate — not just
+    pytest — catches an end-of-stream width regression."""
+    def final_flush_on_boundary(data):
+        table = {bytes([i]): i for i in range(256)}
+        next_code, width = 258, 9
+        prefix = b""
+        for byte in data:
+            cand = prefix + bytes([byte])
+            if cand in table:
+                prefix = cand
+                continue
+            table[cand] = next_code
+            next_code += 1
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1
+            elif next_code == 4094:
+                table = {bytes([i]): i for i in range(256)}
+                next_code, width = 258, 9
+            prefix = bytes([byte])
+        return (bool(prefix) and (next_code + 1) == (1 << width) - 1
+                and width < 12)
+
+    y, x = np.mgrid[0:11, 0:23]
+    img = ((255 - (y * 23 + x)) % 256).astype(np.uint8)
+    assert final_flush_on_boundary(img.tobytes())
+    assert np.array_equal(
+        decode_tiff(encode_tiff(img, compression=5)), img
+    )
+
+
+def test_golden_bytes_deterministic():
+    img = np.arange(24, dtype=np.uint8).reshape(4, 6)
+    b1 = encode_tiff(img, compression=5)
+    b2 = encode_tiff(img, compression=5)
+    assert b1 == b2
+    assert b1[:4] == b"II\x2a\x00"
+    assert hashlib.md5(b1).hexdigest() == hashlib.md5(b2).hexdigest()
+
+
+def test_multi_strip_layout_and_offsets():
+    """4-row strips of a 10-row image: three strips, offset/count
+    arrays in the IFD, each strip independently LZW-compressed."""
+    img = (np.add.outer(np.arange(10), np.arange(7)) % 256).astype(np.uint8)
+    p = encode_tiff(img, compression=5, rows_per_strip=4)
+    assert np.array_equal(decode_tiff(p), img)
+    # uncompressed twin decodes identically
+    assert np.array_equal(
+        decode_tiff(encode_tiff(img, rows_per_strip=4)), img
+    )
+
+
+def test_rejects_are_loud():
+    with pytest.raises(ValueError, match="byte-order"):
+        decode_tiff(b"PK\x03\x04 not a tiff")
+    with pytest.raises(NotImplementedError, match="big-endian"):
+        decode_tiff(b"MM\x00\x2a" + bytes(8))
+    ok = encode_tiff(np.zeros((4, 4), np.uint8), compression=5)
+    # the IFD sits at the END of the layout: a mid-file cut removes it
+    with pytest.raises(ValueError, match="malformed|truncated|bounds"):
+        decode_tiff(ok[:20])
+    # a deleted byte mid-file shifts the IFD walk onto garbage — loud
+    with pytest.raises(ValueError, match="malformed|missing required"):
+        decode_tiff(ok[: len(ok) // 2] + ok[len(ok) // 2 + 1:])
+    with pytest.raises(NotImplementedError, match="compression"):
+        encode_tiff(np.zeros((2, 2), np.uint8), compression=7)
+
+
+def test_real_decode_in_spark(spark):
+    from modeltracking_spark.operators.multimodal import (
+        attach_tiff_payload,
+        decode_image_features,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d = attach_tiff_payload(docs.limit(50))
+    rows = {r["doc_id"]: r
+            for r in decode_image_features(d, fake=False).collect()}
+    assert len(rows) == 50
+    assert 46 in rows  # the boundary doc decodes through the full path
+    for did in (0, 1, 3, 6, 46):
+        r = rows[did]
+        if did % 100 == 46:
+            w, h = 23, 11
+            y, x = np.mgrid[0:h, 0:w]
+            want = int(((255 - (y * 23 + x)) % 256).sum())
+        else:
+            w, h = did % 17 + 4, did % 13 + 4
+            y, x = np.mgrid[0:h, 0:w]
+            want = int(((x * 7 + y * 13 + did) % 256).sum())
+        assert (r["width"], r["height"], r["n_channels"]) == (w, h, 1)
+        assert r["pixel_sum"] == want

@@ -1186,6 +1186,111 @@ def twin_jpeg_progressive(spark, sf_dir, spark_rows) -> tuple[bool, str]:
     return True, f"{len(payloads)} payloads scan-walked exact"
 
 
+# ---------------------------------------------------------------------------
+# twin 16 (r8): TIFF via an independent IFD walker + big-int MSB LZW
+# ---------------------------------------------------------------------------
+
+def _naive_tiff_lzw(stream: bytes, n_expect: int) -> bytes:
+    """Independent TIFF-LZW: whole-stream big-int with MSB-first slice
+    extraction (vs the engine's streaming accumulator); early change
+    when the table is one short of 2^w - 1."""
+    total_bits = 8 * len(stream)
+    big = int.from_bytes(stream, "big")
+    bitpos = 0
+    width = 9
+    book = None
+    prev = None
+    out = bytearray()
+    while True:
+        assert bitpos + width <= total_bits, "ran off the LZW stream"
+        shift = total_bits - bitpos - width
+        code = (big >> shift) & ((1 << width) - 1)
+        bitpos += width
+        if code == 256:
+            book = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if code == 257:
+            break
+        if prev is None:
+            entry = book[code]
+        elif code < len(book):
+            entry = book[code]
+            book.append(prev + entry[:1])
+        else:
+            assert code == len(book)
+            entry = prev + prev[:1]
+            book.append(entry)
+        out += entry
+        prev = entry
+        if len(book) + 1 == (1 << width) - 1 and width < 12:
+            width += 1
+    assert len(out) == n_expect
+    return bytes(out)
+
+
+def _naive_tiff(data: bytes):
+    """From-scratch little-endian TIFF reader: IFD entry walk with
+    struct, strip reassembly, per-byte sum."""
+    assert data[:4] == b"II\x2a\x00"
+    ifd = struct.unpack_from("<I", data, 4)[0]
+    n = struct.unpack_from("<H", data, ifd)[0]
+    tags = {}
+    for i in range(n):
+        tag, typ, cnt, val = struct.unpack_from("<HHII", data, ifd + 2 + 12 * i)
+        tags[tag] = (typ, cnt, val)
+
+    def vals(tag):
+        typ, cnt, val = tags[tag]
+        size = 2 if typ == 3 else 4
+        if cnt * size <= 4:
+            packed = struct.pack("<I", val)
+            return list(struct.unpack_from(
+                "<" + ("H" if typ == 3 else "I") * cnt, packed))
+        return list(struct.unpack_from(
+            "<" + ("H" if typ == 3 else "I") * cnt, data, val))
+
+    w = vals(256)[0]
+    h = vals(257)[0]
+    comp = vals(259)[0]
+    spp = vals(277)[0] if 277 in tags else 1
+    rps = vals(278)[0] if 278 in tags else h
+    offs = vals(273)
+    cnts = vals(279)
+    assert comp in (1, 5) and spp in (1, 3)
+    raw = bytearray()
+    rows_left = h
+    for off, cnt in zip(offs, cnts):
+        rows = min(rps, rows_left)
+        rows_left -= rows
+        expect = rows * w * spp
+        chunk = data[off: off + cnt]
+        raw += _naive_tiff_lzw(chunk, expect) if comp == 5 else chunk[:expect]
+    assert len(raw) == h * w * spp
+    return w, h, spp, sum(raw)
+
+
+def twin_tiff(spark, sf_dir, spark_rows) -> tuple[bool, str]:
+    from modeltracking_spark.operators.multimodal import attach_tiff_payload
+    from modeltracking_spark.queries.common import T
+
+    payloads = {
+        int(r["doc_id"]): bytes(r["payload"])
+        for r in attach_tiff_payload(T(spark, sf_dir, "documents")).collect()
+    }
+    got = {
+        int(r["doc_id"]): (int(r["width"]), int(r["height"]),
+                           int(r["n_channels"]), int(r["pixel_sum"]))
+        for r in spark_rows
+    }
+    for doc_id, data in payloads.items():
+        want = _naive_tiff(data)
+        if got.get(doc_id) != want:
+            return False, f"doc {doc_id}: got {got.get(doc_id)} want {want}"
+    return True, f"{len(payloads)} payloads IFD-walked exact"
+
+
 def main(sf_dirs: list[str]) -> int:
     import duckdb
     from pyspark.sql import SparkSession
@@ -1241,6 +1346,8 @@ def main(sf_dirs: list[str]) -> int:
              lambda rows: twin_jpeg_color(spark, sf_dir, rows)),
             ("jpeg_progressive_decode_stats_docs",
              lambda rows: twin_jpeg_progressive(spark, sf_dir, rows)),
+            ("tiff_decode_stats_docs",
+             lambda rows: twin_tiff(spark, sf_dir, rows)),
         ):
             rows = qs[name](spark, sf_dir).collect()
             ok, msg = fn(rows)
