@@ -753,6 +753,50 @@ def attach_bmp_payload(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def attach_bmp_neardup_payload(df: DataFrame, id_col: str = "doc_id",
+                               out_col: str = "payload") -> DataFrame:
+    """Fixture builder for the perceptual-hash near-dup tier
+    (:mod:`modeltracking_spark.operators.imagehash`): groups of four
+    NEAR-IDENTICAL images. ``base = doc_id - doc_id % 4`` drives the
+    whole image — width ``base % 17 + 16``, height ``base % 13 + 16``
+    (>= 16 on both axes so every 9x8 dHash box is non-empty), RGB =
+    ((x*7 + y*11 + base) % 256, (x*5 + y*3 + base*2) % 256,
+    (x + y + base) % 256) — and the group variant ``v = doc_id % 4``
+    perturbs ONLY the red channel of the 2x2 top-left corner
+    (``+ v*9`` inside the mod), a change small enough that group
+    members stay within Hamming distance <= 3 of each other while
+    unrelated groups differ in content and dimensions. The formula is
+    SQL-replayable, so the banded near-dup join is oracle-checkable
+    end to end (the BMP/netCDF playbook applied to image dedup)."""
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                d = int(did)
+                base, v = d - d % 4, d % 4
+                w, h = base % 17 + 16, base % 13 + 16
+                y, x = np.mgrid[0:h, 0:w]
+                corner = ((x < 2) & (y < 2)).astype(np.int64)
+                img = np.stack(
+                    [
+                        (x * 7 + y * 11 + base + corner * v * 9) % 256,
+                        (x * 5 + y * 3 + base * 2) % 256,
+                        (x + y + base) % 256,
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                payloads.append(encode_bmp(img))
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: payloads})
+
+    return df.select(id_col).mapInPandas(
+        build, schema=f"{id_col} bigint, {out_col} binary"
+    )
+
+
 def attach_jpeg_payload(df: DataFrame, id_col: str = "doc_id",
                         out_col: str = "payload") -> DataFrame:
     """Fixture builder for the REAL compressed-image decode path: a

@@ -695,3 +695,128 @@ def tiff_decode_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_features(d, fake=False).select(
         "doc_id", "width", "height", "n_channels", "pixel_sum"
     )
+
+
+# ---- perceptual image hashing (dHash) + Hamming near-dup ------------
+# Shared oracle CTE chain: replay the near-dup fixture's pixel formula
+# (operators/multimodal.py attach_bmp_neardup_payload) into per-box
+# luma sums, adjacent-column comparison bits, and the 8 dHash row
+# bytes — all integer arithmetic, never touching the BMP bytes (the
+# engine side decodes the real payload through the from-spec codec).
+_DHASH_ROWBYTES = """
+    g AS (
+      SELECT doc_id, (doc_id - doc_id % 4)::BIGINT AS base,
+             (doc_id % 4)::BIGINT AS v
+      FROM documents
+    ),
+    dims AS (
+      SELECT doc_id, base, v,
+             (base % 17 + 16)::BIGINT AS w,
+             (base % 13 + 16)::BIGINT AS h
+      FROM g
+    ),
+    cells AS (
+      SELECT d.doc_id, d.w, d.h,
+             (x.i * 9) // d.w AS ci, (y.i * 8) // d.h AS cj,
+             sum(((x.i * 7 + y.i * 11 + d.base
+                   + CASE WHEN x.i < 2 AND y.i < 2
+                          THEN d.v * 9 ELSE 0 END) % 256) * 299
+                 + ((x.i * 5 + y.i * 3 + d.base * 2) % 256) * 587
+                 + ((x.i + y.i + d.base) % 256) * 114)::BIGINT AS s,
+             count(*)::BIGINT AS c
+      FROM dims d, range(33) x(i), range(29) y(i)
+      WHERE x.i < d.w AND y.i < d.h
+      GROUP BY 1, 2, 3, 4, 5
+    ),
+    bits AS (
+      SELECT l.doc_id, l.cj, l.ci,
+             CASE WHEN l.s * r.c > r.s * l.c THEN 1 ELSE 0 END AS bit
+      FROM cells l
+      JOIN cells r ON r.doc_id = l.doc_id AND r.cj = l.cj
+                  AND r.ci = l.ci + 1
+    ),
+    rowbytes AS (
+      SELECT doc_id, cj, sum(bit * (1 << (7 - ci)))::BIGINT AS byte
+      FROM bits GROUP BY 1, 2
+    )
+"""
+
+
+@query(
+    "image_dhash_docs",
+    oracle=f"""
+    WITH {_DHASH_ROWBYTES},
+    hashes AS (
+      SELECT doc_id,
+             string_agg(printf('%02x', byte), '' ORDER BY cj) AS hash_hex
+      FROM rowbytes GROUP BY 1
+    )
+    SELECT d.doc_id, d.w::INTEGER AS width, d.h::INTEGER AS height,
+           h.hash_hex
+    FROM dims d JOIN hashes h USING (doc_id)
+    """,
+)
+def image_dhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual 64-bit dHash per image: the near-dup BMP fixture
+    family decodes through the REAL from-spec codec inside one
+    shuffle-free mapInPandas, then integer luma -> 9x8 destination-
+    partition box sums -> division-free adjacent-column comparisons
+    (operators/imagehash.py). The oracle replays the pixel FORMULA into
+    the same 16 hex chars without seeing a byte, so decode, box
+    geometry, comparison strictness, and bit packing are all attested
+    end to end."""
+    from modeltracking_spark.operators.imagehash import dhash_features
+    from modeltracking_spark.operators.multimodal import (
+        attach_bmp_neardup_payload,
+    )
+
+    d = attach_bmp_neardup_payload(T(spark, sf_dir, "documents"))
+    return dhash_features(d).select("doc_id", "width", "height", "hash_hex")
+
+
+@query(
+    "image_neardup_pairs_docs",
+    oracle=f"""
+    WITH {_DHASH_ROWBYTES},
+    bands AS (
+      SELECT doc_id,
+             max(CASE WHEN cj = 0 THEN byte END) * 256
+               + max(CASE WHEN cj = 1 THEN byte END) AS b0,
+             max(CASE WHEN cj = 2 THEN byte END) * 256
+               + max(CASE WHEN cj = 3 THEN byte END) AS b1,
+             max(CASE WHEN cj = 4 THEN byte END) * 256
+               + max(CASE WHEN cj = 5 THEN byte END) AS b2,
+             max(CASE WHEN cj = 6 THEN byte END) * 256
+               + max(CASE WHEN cj = 7 THEN byte END) AS b3
+      FROM rowbytes GROUP BY doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             (bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2))
+              + bit_count(xor(a.b3, b.b3)))::BIGINT AS hamming
+      FROM bands a JOIN bands b ON a.doc_id < b.doc_id
+    ) WHERE hamming <= 3
+    """,
+)
+def image_neardup_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE pairs via Hamming-banded dHash blocking:
+    4 x 16-bit bands posexploded, self-joined on (band_pos, band_val),
+    candidates verified with 4 xor/bit_count JVM expressions. The
+    pigeonhole guarantee (imagehash.py docstring) makes banding EXACT
+    at max_hamming=3, so the oracle states the QUADRATIC definition —
+    all pairs at distance <= 3 — and the engine's banded plan must
+    reproduce it pair for pair: an independent-formulation oracle (the
+    blocked plan vs the brute definition). The fixture plants groups of
+    4 near-identical images (2x2-corner red perturbation), so real
+    within-group pairs exist at every SF."""
+    from modeltracking_spark.operators.imagehash import (
+        dhash_features,
+        dhash_neardup_pairs,
+    )
+    from modeltracking_spark.operators.multimodal import (
+        attach_bmp_neardup_payload,
+    )
+
+    d = attach_bmp_neardup_payload(T(spark, sf_dir, "documents"))
+    return dhash_neardup_pairs(dhash_features(d), max_hamming=3)

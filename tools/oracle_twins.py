@@ -1291,6 +1291,63 @@ def twin_tiff(spark, sf_dir, spark_rows) -> tuple[bool, str]:
     return True, f"{len(payloads)} payloads IFD-walked exact"
 
 
+# ---------------------------------------------------------------------------
+# twin 17 (r8): perceptual dHash via an independent per-pixel walker
+# ---------------------------------------------------------------------------
+
+def _naive_dhash(data: bytes) -> tuple[int, int, str]:
+    """Independent dHash from actual BMP bytes: plain struct offsets and
+    per-pixel Python loops (no numpy, no shared code with
+    operators/imagehash.dhash_row_bytes). Returns (w, h, hash_hex)."""
+    assert data[0:2] == b"BM"
+    off = struct.unpack_from("<I", data, 10)[0]
+    w = struct.unpack_from("<i", data, 18)[0]
+    h = struct.unpack_from("<i", data, 22)[0]
+    assert struct.unpack_from("<H", data, 28)[0] == 24 and h > 0
+    rowsz = (w * 3 + 3) // 4 * 4
+    sums = [[0] * 9 for _ in range(8)]
+    cnts = [[0] * 9 for _ in range(8)]
+    for y in range(h):  # image row y lives at file row h-1-y (bottom-up)
+        base = off + (h - 1 - y) * rowsz
+        cj = y * 8 // h
+        for x in range(w):
+            b, g, r = data[base + 3 * x : base + 3 * x + 3]
+            ci = x * 9 // w
+            sums[cj][ci] += r * 299 + g * 587 + b * 114
+            cnts[cj][ci] += 1
+    out = []
+    for j in range(8):
+        byte = 0
+        for i in range(8):
+            if sums[j][i] * cnts[j][i + 1] > sums[j][i + 1] * cnts[j][i]:
+                byte |= 1 << (7 - i)
+        out.append(byte)
+    return w, h, "".join(f"{b:02x}" for b in out)
+
+
+def twin_dhash(spark, sf_dir, spark_rows) -> tuple[bool, str]:
+    from modeltracking_spark.operators.multimodal import (
+        attach_bmp_neardup_payload,
+    )
+    from modeltracking_spark.queries.common import T
+
+    payloads = {
+        int(r["doc_id"]): bytes(r["payload"])
+        for r in attach_bmp_neardup_payload(
+            T(spark, sf_dir, "documents")
+        ).collect()
+    }
+    got = {
+        int(r["doc_id"]): (int(r["width"]), int(r["height"]), r["hash_hex"])
+        for r in spark_rows
+    }
+    for doc_id, data in payloads.items():
+        want = _naive_dhash(data)
+        if got.get(doc_id) != want:
+            return False, f"doc {doc_id}: got {got.get(doc_id)} want {want}"
+    return True, f"{len(payloads)} payloads pixel-walked exact"
+
+
 def main(sf_dirs: list[str]) -> int:
     import duckdb
     from pyspark.sql import SparkSession
@@ -1348,6 +1405,8 @@ def main(sf_dirs: list[str]) -> int:
              lambda rows: twin_jpeg_progressive(spark, sf_dir, rows)),
             ("tiff_decode_stats_docs",
              lambda rows: twin_tiff(spark, sf_dir, rows)),
+            ("image_dhash_docs",
+             lambda rows: twin_dhash(spark, sf_dir, rows)),
         ):
             rows = qs[name](spark, sf_dir).collect()
             ok, msg = fn(rows)
