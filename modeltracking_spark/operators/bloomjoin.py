@@ -1,0 +1,113 @@
+"""Bloom-filter semi-join pruning — shuffle reduction for selective
+joins at 100 TB.
+
+The classic distributed-join optimization: when the dim side of a join
+is selective (a filtered dimension, a small allowlist), build a Bloom
+filter over its join keys, broadcast the BITS (not the rows), and
+prefilter the fact side BEFORE its shuffle — rows that cannot match
+never leave the scan stage. False positives are removed by the join
+itself, so the result is IDENTICAL to the plain join; the win is the
+shuffle volume. Spark's AQE has a runtime variant
+(``spark.sql.optimizer.runtime.bloomFilter.enabled``); this operator is
+the explicit, deterministic form — the filter is plan-visible, sized by
+the caller, and reusable across queries.
+
+Determinism: the k probe positions come from
+``conv(substr(md5(key || ':' || i), 1, 15), 16, 10) % m_bits`` — pure
+JVM built-ins (whole-stage codegen), no RNG, so the same dim set always
+builds the same bits. The filter is a BOUNDED driver artifact
+(``m_bits/64`` int64 words — 8 KiB at the default 64 Ki bits), the same
+sanctioned class as IVF centroids and PQ codebooks.
+
+Bit tests avoid the literal-only ``shiftleft`` by indexing a 64-entry
+power-of-two literal array (bit 63 is Long.MIN_VALUE), keeping both the
+build aggregate (``bit_or``) and the probe conjunction in codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: 2^b as a signed 64-bit literal table (bit 63 wraps to Long.MIN_VALUE)
+_POW2 = [1 << b for b in range(63)] + [-(1 << 63)]
+
+
+def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
+    """The k deterministic probe positions of a key."""
+    return [
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(key.cast("string"), F.lit(f":{i}"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m_bits
+        )
+        for i in range(k)
+    ]
+
+
+def bloom_build(dim: DataFrame, key_col: str, m_bits: int = 1 << 16,
+                k: int = 4) -> list[int]:
+    """Aggregate the dim side's keys into Bloom filter words.
+
+    One narrow pass over dim: explode each key's k positions, OR the
+    per-word bit values with ``bit_or``, and collect the <= m_bits/64
+    word rows (the bounded artifact). Returns the dense word list.
+    """
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    pow2 = F.array(*[F.lit(v) for v in _POW2])
+    pos = F.explode(
+        F.array(*_positions(F.col(key_col), m_bits, k))
+    ).alias("pos")
+    rows = (
+        dim.select(pos)
+        .select(
+            (F.col("pos") / 64).cast("long").alias("word"),
+            F.element_at(pow2, (F.col("pos") % 64).cast("int") + 1)
+            .alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for r in rows:
+        words[int(r["word"])] = int(r["bits"])
+    return words
+
+
+def bloom_might_contain(key: Column, words: list[int], k: int = 4) -> Column:
+    """Boolean Column: all k probe bits of ``key`` are set in ``words``.
+
+    No false negatives; false-positive rate ~ (set_bits/m)^k.
+    """
+    m_bits = len(words) * 64
+    arr = F.array(*[F.lit(w) for w in words])
+    pow2 = F.array(*[F.lit(v) for v in _POW2])
+    cond = F.lit(True)
+    for pos in _positions(key, m_bits, k):
+        word = F.element_at(arr, (pos / 64).cast("int") + 1)
+        bit = F.element_at(pow2, (pos % 64).cast("int") + 1)
+        cond = cond & (word.bitwiseAND(bit) != 0)
+    return cond
+
+
+def bloom_prune_join(fact: DataFrame, dim: DataFrame, fact_key: str,
+                     dim_key: str, m_bits: int = 1 << 16, k: int = 4,
+                     how: str = "inner") -> DataFrame:
+    """``fact JOIN dim`` with a Bloom prefilter on the fact side.
+
+    Result is row-identical to the plain join (the join removes the
+    Bloom's false positives); the prefilter just keeps non-matching
+    fact rows out of the shuffle/broadcast probe. At 100 TB this is the
+    difference between shuffling the whole fact table and shuffling the
+    matching fraction.
+    """
+    words = bloom_build(dim, dim_key, m_bits=m_bits, k=k)
+    pruned = fact.where(bloom_might_contain(F.col(fact_key), words, k=k))
+    return pruned.join(dim, pruned[fact_key] == dim[dim_key], how)

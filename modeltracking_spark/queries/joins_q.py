@@ -440,3 +440,37 @@ def skew_salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("user_id").alias("n_users"),
         )
     )
+
+
+@query(
+    "bloom_prune_join_orders",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*)::BIGINT AS n_orders,
+           sum(round(o.o_totalprice * 100)::BIGINT)::BIGINT AS total_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY 1
+    """,
+)
+def bloom_prune_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning (operators/bloomjoin.py): the
+    BUILDING-segment customers build a deterministic 64 Ki-bit Bloom
+    filter (md5/conv probes, bit_or aggregate — a bounded 8 KiB driver
+    artifact), orders are prefiltered on the broadcast BITS before the
+    join, and the join itself removes the false positives — so the
+    oracle states the PLAIN join, which the pruned plan must reproduce
+    row-for-row. At 100 TB the prefilter keeps non-matching fact rows
+    out of the shuffle entirely; here the filter shows up as a codegen
+    Filter under the scan (plan-asserted in tests/test_bloomjoin.py)."""
+    from modeltracking_spark.operators.bloomjoin import bloom_prune_join
+
+    orders = T(spark, sf_dir, "orders")
+    dim = T(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    j = bloom_prune_join(orders, dim, "o_custkey", "c_custkey")
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents("o_totalprice")).alias("total_cents"),
+    )
