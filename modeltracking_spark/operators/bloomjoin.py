@@ -107,7 +107,21 @@ def bloom_prune_join(fact: DataFrame, dim: DataFrame, fact_key: str,
     fact rows out of the shuffle/broadcast probe. At 100 TB this is the
     difference between shuffling the whole fact table and shuffling the
     matching fraction.
+
+    Only join types where dropping NON-matching fact rows up front is
+    sound are accepted: inner and the fact-side semi. For
+    left/right/full OUTER joins the (probabilistic) prefilter would
+    silently drop unmatched fact rows that a plain outer join keeps as
+    null-padded output — a correctness bug, not a speedup — so those
+    raise (ADVICE r8 medium).
     """
+    allowed = {"inner", "semi", "leftsemi", "left_semi", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"bloom_prune_join: how={how!r} is not prefilter-sound; "
+            f"use one of {sorted(allowed)} (outer joins would lose "
+            "unmatched fact rows to the Bloom prefilter)"
+        )
     words = bloom_build(dim, dim_key, m_bits=m_bits, k=k)
     pruned = fact.where(bloom_might_contain(F.col(fact_key), words, k=k))
     return pruned.join(dim, pruned[fact_key] == dim[dim_key], how)

@@ -781,15 +781,24 @@ def dup_span_scrub(
     corpus-sized) the planner shuffles both sides on the gram hash,
     while tiny inputs may legitimately broadcast the small aggregate;
     both shapes are plan-asserted in tests/test_scale_plans.py. Then
-    pure per-doc ARRAY arithmetic: the sorted dup-start list folds once
-    via ``F.aggregate`` into (span count, removed-token count) —
-    interval union without a window or second shuffle — and the
-    rewrite filters token positions against the same starts with
-    ``F.exists``. Docs with no duplicated gram short-circuit through
-    the left join with zero spans.
+    the per-doc tail is a LINEAR Arrow kernel (``mapInPandas``): one
+    two-pointer sweep over the sorted dup-start list merges the
+    overlapping [s, s+k-1] windows into maximal spans, counts removed
+    tokens, and rebuilds the cleaned text from the inter-span slices —
+    O(tokens + starts) per doc. (The r8 shape tested every token
+    position with ``F.exists`` over the start list — O(tokens × spans)
+    interpreted, quadratic on a fully-duplicated doc; VERDICT r8
+    "What's wrong #3".) Docs with no duplicated gram short-circuit
+    through the left join with zero spans, and docs SHORTER than k
+    tokens contribute no grams at all — the unguarded
+    ``F.sequence(0, size-k)`` used to emit a descending [0, -1] for a
+    short doc and abort the job inside ``F.slice`` (ADVICE r8 high;
+    short/empty docs now pinned in tests/test_corpus.py).
 
     Output: (doc_id, n_tokens, n_dup_spans, n_removed, clean_md5).
     """
+    import pandas as pd  # noqa: F401  (arrow kernel below)
+
     toks = docs.select(
         F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks")
     ).localCheckpoint(eager=False)
@@ -797,10 +806,10 @@ def dup_span_scrub(
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(
-                    F.lit(0),
-                    F.greatest(F.size("__toks") - k, F.lit(-1)),
-                ),
+                F.when(
+                    F.size("__toks") >= k,
+                    F.sequence(F.lit(0), F.size("__toks") - k),
+                ).otherwise(F.array().cast("array<int>")),
                 lambda i: F.struct(
                     i.alias("pos"),
                     F.md5(
@@ -823,44 +832,48 @@ def dup_span_scrub(
         "__toks",
         F.coalesce("starts", F.array().cast("array<int>")).alias("starts"),
     )
-    # fold the sorted starts into a union of [s, s+k-1] intervals:
-    # acc = (n_spans, removed, cur_end); new span iff s > cur_end
-    folded = F.aggregate(
-        "starts",
-        F.struct(
-            F.lit(0).cast("long").alias("n_spans"),
-            F.lit(0).cast("long").alias("removed"),
-            F.lit(-1).cast("long").alias("cur_end"),
-        ),
-        lambda acc, s: F.struct(
-            (acc["n_spans"]
-             + F.when(s.cast("long") > acc["cur_end"], 1).otherwise(0)
-             ).alias("n_spans"),
-            (acc["removed"]
-             + F.least(
-                 F.lit(k).cast("long"),
-                 s.cast("long") + k - 1 - acc["cur_end"],
-             )).alias("removed"),
-            F.greatest(acc["cur_end"], s.cast("long") + k - 1).alias(
-                "cur_end"
-            ),
-        ),
+    id_t = j.schema["doc_id"].dataType.simpleString()
+    out_schema = (
+        f"doc_id {id_t}, n_tokens long, n_dup_spans long, "
+        "n_removed long, clean_md5 string"
     )
-    dirty = lambda p: F.exists(
-        F.col("starts"),
-        lambda s: (p >= s) & (p <= s + k - 1),
-    )
-    clean = F.filter(
-        F.transform(
-            F.col("__toks"),
-            lambda t, i: F.when(~dirty(i), t),
-        ),
-        lambda t: t.isNotNull(),
-    )
-    return j.select(
-        "doc_id",
-        F.size("__toks").cast("long").alias("n_tokens"),
-        folded["n_spans"].alias("n_dup_spans"),
-        folded["removed"].alias("n_removed"),
-        F.md5(F.array_join(clean, " ")).alias("clean_md5"),
-    )
+
+    def _scrub(batches):
+        import hashlib
+
+        for pdf in batches:
+            n_tok, n_spans, n_rm, md5s = [], [], [], []
+            for tk, st in zip(pdf["__toks"], pdf["starts"]):
+                tk = list(tk)
+                # two-pointer merge of sorted starts into maximal spans
+                spans = []
+                for s in st:
+                    s = int(s)
+                    e = s + k - 1
+                    if spans and s <= spans[-1][1]:
+                        if e > spans[-1][1]:
+                            spans[-1][1] = e
+                    else:
+                        spans.append([s, e])
+                clean, prev = [], 0
+                for s, e in spans:
+                    clean.extend(tk[prev:s])
+                    prev = e + 1
+                clean.extend(tk[prev:])
+                n_tok.append(len(tk))
+                n_spans.append(len(spans))
+                n_rm.append(sum(e - s + 1 for s, e in spans))
+                md5s.append(
+                    hashlib.md5(" ".join(clean).encode("utf-8")).hexdigest()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tokens": n_tok,
+                    "n_dup_spans": n_spans,
+                    "n_removed": n_rm,
+                    "clean_md5": md5s,
+                }
+            )
+
+    return j.mapInPandas(_scrub, out_schema)

@@ -165,6 +165,12 @@ def _build_huffman(lengths):
 
 
 def _read_symbol(br: _Bits, flat, max_len: int) -> int:
+    # an all-zero length set builds an EMPTY table (e.g. a dynamic
+    # block whose single HDIST length is 0); a stream that then
+    # references it must fail with the documented ValueError, not leak
+    # an IndexError from flat[] (ADVICE r8 low)
+    if max_len == 0:
+        raise ValueError("invalid DEFLATE Huffman code")
     e = flat[br.peek(max_len)]
     if e < 0:
         raise ValueError("invalid DEFLATE Huffman code")
@@ -257,12 +263,12 @@ def inflate(data: bytes, start: int = 0) -> tuple[bytes, int]:
                     raise ValueError(
                         f"back-reference distance {dist} before stream start"
                     )
-                start = len(out) - dist
+                ref = len(out) - dist
                 if dist >= length:  # disjoint copy: one slice
-                    out += out[start : start + length]
+                    out += out[ref : ref + length]
                 else:  # self-overlap = periodic repeat of the last
                     # ``dist`` bytes (RFC 3.2.3 note); double the chunk
-                    chunk = bytes(out[start:])
+                    chunk = bytes(out[ref:])
                     while len(chunk) < length:
                         chunk += chunk
                     out += chunk[:length]

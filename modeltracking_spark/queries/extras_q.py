@@ -377,7 +377,7 @@ def string_functions_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_functions_demo",
     oracle="""
     SELECT user_id,
-           list_sort(list(DISTINCT event_type)) AS types,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
            len(list_sort(list(DISTINCT event_type))) AS n_types,
            list_contains(list(DISTINCT event_type), 'error') AS saw_error
     FROM events
@@ -385,13 +385,20 @@ def string_functions_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def array_functions_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.3 array surface: collect_set -> array_sort -> size /
-    array_contains per user (deterministic because the set is sorted
-    before output)."""
+    """§2.3 array surface: collect_set -> array_sort -> array_join /
+    size / array_contains per user (deterministic because the set is
+    sorted before output).
+
+    The array ops stay in the plan, but the TOP-LEVEL output column is
+    a joined string: the driver's canonicalizer pandas-sorts the frame
+    and crashes on unhashable list cells (CORRECTNESS_r08's one red
+    row), so every registered query emits atomic columns only —
+    ``tests/test_misc_coverage.py`` pins that invariant registry-wide.
+    """
     e = T(spark, sf_dir, "events")
     types = F.array_sort(F.collect_set("event_type"))
     return e.groupBy("user_id").agg(
-        types.alias("types"),
+        F.array_join(types, ",").alias("types"),
         F.size(types).cast("long").alias("n_types"),
         F.array_contains(F.collect_set("event_type"), "error").alias("saw_error"),
     )

@@ -573,6 +573,43 @@ def test_dup_span_scrub_catches_shifted_alignment_copies(spark):
     assert got[3]["clean_md5"] == hashlib.md5(b"").hexdigest()
 
 
+def test_dup_span_scrub_short_and_empty_docs(spark):
+    """ADVICE r8 high: a doc with fewer than k tokens must contribute
+    no grams and pass through untouched — the unguarded
+    ``F.sequence(0, size-k)`` emitted a descending [0, -1] and aborted
+    the whole job inside ``F.slice``. Pins 0/1/3/k-1/k-token docs plus
+    empty text, and that a short doc equal to a long doc's PREFIX still
+    doesn't collide (no full k-gram exists in it)."""
+    import hashlib
+
+    from modeltracking_spark.operators.corpus import dup_span_scrub
+
+    df = spark.createDataFrame(
+        [
+            (0, ""),
+            (1, "one"),
+            (2, "a b c"),
+            (3, "t1 t2 t3 t4 t5 t6 t7"),            # k-1 tokens
+            (4, "t1 t2 t3 t4 t5 t6 t7 t8"),         # exactly k: 1 gram
+            (5, "t1 t2 t3 t4 t5 t6 t7 t8"),         # its duplicate
+            (6, "t1 t2 t3 t4"),                      # prefix of 4/5
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dup_span_scrub(df, k=8).collect()}
+    for did, txt in ((0, ""), (1, "one"), (2, "a b c"),
+                     (3, "t1 t2 t3 t4 t5 t6 t7"), (6, "t1 t2 t3 t4")):
+        assert (got[did]["n_dup_spans"], got[did]["n_removed"]) == (0, 0)
+        assert got[did]["clean_md5"] == hashlib.md5(
+            txt.encode()
+        ).hexdigest(), did
+    assert got[0]["n_tokens"] == 0
+    # the two exactly-k twins scrub to empty; the prefix doc survives
+    for did in (4, 5):
+        assert (got[did]["n_dup_spans"], got[did]["n_removed"]) == (1, 8)
+        assert got[did]["clean_md5"] == hashlib.md5(b"").hexdigest()
+
+
 def test_dup_span_scrub_oracle_unroll_bound_holds(spark):
     """The SQL oracle enumerates positions from range(128); every
     shipped sf dir must stay inside that bound."""

@@ -355,3 +355,23 @@ def test_overlapping_backref_rle():
     w = _DeflateWriter()
     w.fixed_block([90, (258, 1)], final=True)
     _check(w.out, b"Z" * 259)
+
+
+def test_empty_huffman_table_raises_valueerror_not_indexerror():
+    """ADVICE r8 low: a dynamic block may declare an all-zero length
+    set (e.g. HDIST's single length is 0) — ``_build_huffman`` returns
+    an EMPTY flat table, and a stream that then references the code
+    must fail with the documented ``ValueError``, not leak an
+    ``IndexError`` from the flat-table probe."""
+    import pytest
+
+    from modeltracking_spark.operators.inflate import (
+        _Bits,
+        _build_huffman,
+        _read_symbol,
+    )
+
+    flat, max_len = _build_huffman([0, 0, 0])
+    assert (flat, max_len) == ([], 0)
+    with pytest.raises(ValueError, match="invalid DEFLATE Huffman code"):
+        _read_symbol(_Bits(b"\xff\xff"), flat, max_len)

@@ -135,3 +135,35 @@ def test_point_in_polygon_degenerate_polygons_dropped(spark):
     got = {(r["pt"], r["poly_id"])
            for r in point_in_polygon_join(pts, polys).collect()}
     assert got == {(1, 3)}     # empty/degenerate polygons match nothing
+
+
+def test_bloom_prune_join_rejects_outer_join_types(spark):
+    """ADVICE r8 medium: the Bloom prefilter drops non-matching FACT
+    rows before the join, which is only sound for inner/semi semantics
+    — an outer join would have kept those rows null-padded. The
+    operator must refuse outer types loudly, and inner/semi must stay
+    row-identical to the plain join."""
+    import pytest
+
+    from modeltracking_spark.operators.bloomjoin import bloom_prune_join
+
+    fact = spark.createDataFrame(
+        [(i, i % 7) for i in range(200)], "f_id long, f_key long"
+    )
+    dim = spark.createDataFrame(
+        [(2, "a"), (5, "b")], "d_key long, d_val string"
+    )
+    for how in ("left", "leftouter", "left_outer", "right", "full",
+                "fullouter", "leftanti", "anti"):
+        with pytest.raises(ValueError, match="not prefilter-sound"):
+            bloom_prune_join(fact, dim, "f_key", "d_key", how=how)
+    inner = bloom_prune_join(fact, dim, "f_key", "d_key", how="inner")
+    plain = fact.join(dim, fact["f_key"] == dim["d_key"], "inner")
+    assert sorted(map(tuple, inner.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    semi = bloom_prune_join(fact, dim, "f_key", "d_key", how="leftsemi")
+    plain_semi = fact.join(dim, fact["f_key"] == dim["d_key"], "leftsemi")
+    assert sorted(map(tuple, semi.collect())) == sorted(
+        map(tuple, plain_semi.collect())
+    )
