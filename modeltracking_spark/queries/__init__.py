@@ -43,84 +43,82 @@ QUERY_MODULES = (
 
 #: the scored window (driver cap observed at 50).
 #:
-#: ROUND-8 ROTATION (VERDICT r7 item 3): finish the attestation sweep.
-#: 172 registered, 138 driver-attested through r7, 34 never — all 34
-#: fill the window head (they were the "round-8 rotation head" queued in
-#: r7's layout). The 16 spare slots hold the LONGEST-unattested §2-core
-#: carriers (last green in CORRECTNESS_r03, five rounds ago): flagship
-#: P-tier, ROLLUP/GROUPING SETS, F4/F8 scalars, as-of (J3), frame
-#: windows (W+), profile flatten/nearest (R1/J1), exact+MinHash dedup,
-#: and the text-metrics family. After r8 lands green, every registered
-#: query has been driver-attested at least once and nothing in the
-#: registry is more than ~4 rounds stale. Coverage invariant holds: all
-#: rotated-out r7 slots are green in CORRECTNESS_r07.json (one round
-#: old, the driver's own attestation).
+#: ROUND-9 ROTATION (VERDICT r8 item 2): close the attestation sweep.
+#: 182 registered, 171 driver-attested through r8, 11 never — ALL 11
+#: head the window (the r8 layout's pending list undercounted them at
+#: 7; this is the corrected full set, VERDICT r8 "What's wrong #4").
+#: ``array_functions_demo`` is the retry of r8's one red row — its
+#: raw-array output column is now ``array_join``ed to a string (the
+#: driver canonicalizer can't sort list cells), and
+#: tests/test_misc_coverage.py pins atomic-only output schemas
+#: registry-wide. The 39 spare slots re-attest the LONGEST-stale
+#: cohort: everything last green in r3 (6), r4 (4), r5 (12), plus the
+#: 17 highest-leverage §2-core carriers from the r6 cohort (flagship
+#: P-tier, join/agg/window/profile/streaming representatives). After
+#: r9 lands green, every registered query is driver-attested and
+#: nothing is more than ~3 rounds stale. Coverage invariant holds:
+#: every rotated-out r8 slot is green in CORRECTNESS_r08.json.
 PRIORITY: tuple[str, ...] = (
-    # ---- the 34 never-attested (r7 rotation head + post-freeze r7) ----
-    "y4m_frame_stats_docs",         # video codec path (frame_sample r6)
-    "wav_decimate_stats_docs",      # wav_decode r7
-    "bmp_resize_stats_docs",        # bmp_decode_stats r6
-    "image_features_fake_decode",   # frame_sample_fake_decode r6
-    "bigram_logprob_docs",          # unigram_logprob r6
-    "string_functions_demo",        # string scalar battery
-    "array_functions_demo",         # array/higher-order scalar battery
-    "centroid_label_means",         # Lloyd-step centroid means
-    "temperature_mix_sample_docs",  # temperature-scaled mixture sampling
-    "deterministic_shuffle_docs",   # RNG-free deterministic shuffle
-    "zscore_standardize_events",    # z-score standardization
-    "pearson_corr_events",          # Pearson correlation suite
-    "winsorize_events",             # quantile winsorization
-    "sliding_window_counts",        # sliding-window counts
-    "rolling_active_users_events",  # rolling-window active users
-    "event_transitions_markov",     # lag-window Markov transitions
-    "doc_chunks_overlap",           # overlapping chunker (1->N)
-    "feature_hash_docs",            # feature hashing
-    "target_encode_events",         # leakage-safe target encoding
-    "jpeg_color_decode_stats_docs", # 3-component 4:2:0 JPEG pipeline
-    "png_decode_stats_docs",        # from-spec PNG (DEFLATE + filters)
-    "mulaw_decode_stats_docs",      # G.711 companded audio expansion
-    "gif_decode_stats_docs",        # GIF87a palette/LZW decode (r8 LZW
-                                    # boundary fix + boundary fixture)
-    "adpcm_decode_stats_docs",      # IMA ADPCM stateful decode
-    "txlog_snapshot_orders",        # transaction-log table format
-    "classifier_eval_suite",        # confusion/PRF/exact tie-aware AUC
-    "classifier_calibration_bins",  # reliability-diagram bins
-    "key_skew_profile_events",      # skew diagnostic (max share + Gini)
-    "jpeg_progressive_decode_stats_docs",  # SOF2 five-scan decode
-    "grid_netcdf_packed_scan",      # CF-packed int16 grid
-    "gif_frames_stats_docs",        # animated GIF frame composition
-    "hll_distinct_users",           # HyperLogLog registers
-    "unigram_viterbi_docs",         # unigram-LM Viterbi segmentation
-                                    # (piece vocab top_k-capped in r8)
-    "jsonl_gz_roundtrip_scan",      # gzip-compressed JSONL interchange
-    # ---- 16 longest-unattested §2-core carriers (last green r3) ----
-    "pricing_summary",              # flagship P3 sentinel + agg battery
-    "rollup_region_nation",         # ROLLUP
-    "grouping_sets_orders",         # GROUPING SETS
-    "events_json_props",            # JSON props + approx_distinct
-    "lon_normalize",                # F4 lon wrap [0,360)
-    "inv_square_weights",           # F8 IDW weight (eps guard)
-    "asof_backward_clicks",         # J3 as-of join backward arm
-    "moving_frame_sums",            # W+ rowsBetween frames
-    "event_type_stats",             # A+ moments/distinct
-    "profile_flatten_roundtrip",    # R1 array<->long flatten
-    "profile_nearest_node",         # J1 nearest-grid-node snap
-    "dedup_survivor_rows",          # exact dedup survivor pick
-    "minhash_shingle_pairs",        # MinHash shingle pair stats
-    "text_metrics_docs",            # token/length/punct metrics
-    "quality_scores_docs",          # quality scoring
-    "lang_id_docs",                 # n-gram/stopword lang-ID
+    # ---- the 11 never-attested (r8 post-freeze + the r8 err retry) ----
+    "array_functions_demo",         # r8 err: raw array output, now joined
+    "dup_span_scrub_docs",          # ExactSubstr-style span scrub (r9:
+                                    # linear kernel + short-doc guard)
+    "cluster_balanced_sample_embeddings",  # cluster-then-balance sampling
+    "click_error_interval_left_join",      # outer stream-stream arm
+    "blocklist_match_docs",         # Aho-Corasick multi-pattern scan
+    "ewma_user_values_events",      # integer EWMA (r9: linear kernel)
+    "leakage_safe_split_docs",      # cluster-keyed split-contamination
+    "tiff_decode_stats_docs",       # from-spec TIFF 6.0 none/LZW
+    "bloom_prune_join_orders",      # Bloom-prefiltered join
+    "image_dhash_docs",             # perceptual dHash
+    "image_neardup_pairs_docs",     # Hamming-banded image near-dup
+    # ---- 6 stalest re-attestations (last green r3) ----
+    "bpe_token_counts",
+    "length_quantiles_by_lang",
+    "repetition_scores_docs",
+    "sentence_split_udtf",          # UDTF 1->N lateral
+    "token_frequencies_docs",
+    "vocab_top_tokens",
+    # ---- 4 last green r4 ----
+    "clean_normalize_docs",
+    "hash_split_docs",
+    "simhash_docs",
+    "track_step_haversine",         # W+ lag analytic over tracks
+    # ---- 12 last green r5 ----
+    "binary_metadata_docs",         # multimodal binary metadata
+    "cosine_topk_filtered",         # ANN with predicate
+    "embedding_neardup_pairs",      # embedding-cosine near-dup
+    "grid_datasource_scan",         # S6 Python DataSource (pushdown)
+    "hours_epoch_roundtrip",        # F1/F2 time codecs
+    "jaccard_pairs_capped",         # n-gram Jaccard pairs
+    "linear_fit_orders",            # F10 regression fit
+    "orders_sort_limit",            # §2.7 sort+limit
+    "semi_anti_customers",          # J+ semi/anti
+    "track_bounding_box",           # A1 bounding box
+    "try_cast_cleanup",             # P4 type guard
+    "zip_positional_align",         # J5 positional zip
+    # ---- 17 §2-core carriers last green r6 ----
+    "flagship_events_daily",        # flagship P3 pipeline
+    "regional_revenue",             # J+ broadcast chain
+    "topk_lineitems_per_order",     # W1 per-group top-k
+    "customer_order_set_ops",       # §2.8 union/intersect/except
+    "cube_status_priority",         # A+ CUBE
+    "events_stats_suite",           # A4/P4 stats battery
+    "argmin_order_per_customer",    # A3 argmin/min_by
+    "asof_nearest_clicks",          # J3 as-of nearest arm
+    "interval_routing",             # J4/S7 interval containment
+    "neighborhood_3x3",             # J2 neighborhood expansion
+    "grid_netcdf_scan",             # S6b netCDF byte-range reader
+    "profile_along_track_temp",     # A2 IDW along-track profile
+    "profile_multivariable_pivot",  # R3 multi-variable pivot
+    "positional_projection",        # P1 positional projection
+    "session_window_counts",        # §2.11 session windows
+    "tumbling_window_counts",       # §2.11 tumbling windows
+    "minhash_lsh_pairs",            # MinHash+LSH banded pairs
     # ---- window boundary (50) ----
-    # round-9 rotation head: registered after this rotation froze,
-    # first attestation pending (green in the judge-sweep + their
-    # oracles at both SFs since r8):
-    #   dup_span_scrub_docs  (ExactSubstr-style span scrub, new in r8)
-    #   cluster_balanced_sample_embeddings  (cluster-then-balance, r8)
-    #   click_error_interval_left_join  (outer stream-stream arm, r8)
-    #   blocklist_match_docs  (Aho-Corasick multi-pattern scan, r8)
-    #   ewma_user_values_events  (deterministic integer EWMA fold, r8)
-    #   leakage_safe_split_docs  (cluster-keyed split-contamination guard, r8)
-    #   tiff_decode_stats_docs  (from-spec TIFF 6.0 none/LZW/multi-strip, r8)
+    # round-10 rotation head: queries registered after this rotation
+    # froze (r9 additions) go here next round, then continue the
+    # stale-cohort sweep (the r6 remainder, then r7).
 )
 
 #: observed driver correctness cap (CORRECTNESS_r03 scored exactly 50)

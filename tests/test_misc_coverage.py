@@ -351,3 +351,33 @@ def test_ewma_fold_properties(spark):
             ev.groupBy("user_id", "ts").count().where(F.col("count") > 1)
         ).count()
         assert dup == 0, f"(user_id, ts) ties in {sf} break the order"
+
+
+def test_registry_output_schemas_are_atomic_and_aliased(spark):
+    """Registry-wide invariant (VERDICT r8 item 1/4): the driver's
+    correctness gate pandas-sorts every result frame, so a TOP-LEVEL
+    array/map/struct column crashes its canonicalizer (r8's one red
+    row, ``array_functions_demo``), and an un-aliased aggregate column
+    (``sum(l_quantity)``) can never hash-match its oracle. Build every
+    registered query's plan at sf0.001 and assert each output column is
+    an atomic type with a plain-identifier name. Lazy — schemas come
+    from analysis, not execution — except the streaming queries, which
+    materialize on construction and are already covered per-query."""
+    import re
+
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from modeltracking_spark.queries import load_registries
+
+    QUERIES, ORACLES = load_registries()
+    assert len(QUERIES) == len(ORACLES)
+    ident = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+    bad = []
+    for name, fn in QUERIES.items():
+        schema = fn(spark, "/root/testdata/sf0.001").schema
+        for f in schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                bad.append((name, f.name, f.dataType.simpleString()))
+            if not ident.match(f.name):
+                bad.append((name, f.name, "non-identifier column name"))
+    assert not bad, f"non-atomic / un-aliased output columns: {bad}"
