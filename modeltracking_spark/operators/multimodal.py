@@ -1127,13 +1127,16 @@ def attach_tiff_payload(df: DataFrame, id_col: str = "doc_id",
     """Fixture builder for the TIFF decode path: a deterministic
     greyscale image per row — width = id%17+4, height = id%13+4,
     pixel = (x*7 + y*13 + id) % 256 — through the from-spec TIFF 6.0
-    encoder (operators/tiff.py). Ids with id%2==0 store LZW
-    (Compression 5: MSB-first codes, early change at 2^w-1); odd ids
-    store uncompressed; ids with id%3==0 additionally split into
-    4-row strips, so the driver gate attests the IFD offset/count
-    arrays and per-strip decompression, not just the single-strip
-    fast path. Lossless either way, so the pixel formula is
-    SQL-replayable exactly.
+    encoder (operators/tiff.py). Storage mode rotates on id%6 so the
+    driver gate attests EVERY codec arm, not just one: 0 = LZW
+    (Compression 5: MSB-first codes, early change at 2^w-1), 1 =
+    uncompressed, 2 = PackBits (32773, rows packed separately), 3 =
+    LZW + horizontal-differencing Predictor 2 (big-endian "MM" when
+    id%12==9, so predictor+MM compose on an attested doc), 4 =
+    uncompressed big-endian "MM", 5 = PackBits big-endian. Ids with
+    id%3==0 additionally split into 4-row strips, attesting the IFD
+    offset/count arrays and per-strip decompression. Lossless in every
+    mode, so the pixel formula is SQL-replayable exactly.
 
     BOUNDARY-HITTING FAMILY: docs with id % 100 == 46 (46/146/246/346/
     446) are 11x23 DESCENDING-byte images — every adjacent byte pair is
@@ -1162,11 +1165,24 @@ def attach_tiff_payload(df: DataFrame, id_col: str = "doc_id",
                     w, h = d % 17 + 4, d % 13 + 4
                     y, x = np.mgrid[0:h, 0:w]
                     img = ((x * 7 + y * 13 + d) % 256).astype(np.uint8)
+                if d % 100 == 46:  # boundary family stays on plain LZW
+                    comp, pred, be = 5, 1, False
+                else:
+                    comp, pred, be = {
+                        0: (5, 1, False),
+                        1: (1, 1, False),
+                        2: (32773, 1, False),
+                        3: (5, 2, d % 12 == 9),
+                        4: (1, 1, True),
+                        5: (32773, 1, True),
+                    }[d % 6]
                 payloads.append(
                     encode_tiff(
                         img,
-                        compression=5 if d % 2 == 0 else 1,
+                        compression=comp,
                         rows_per_strip=4 if d % 3 == 0 else None,
+                        predictor=pred,
+                        big_endian=be,
                     )
                 )
             yield pd.DataFrame({id_col: pdf[id_col], out_col: payloads})

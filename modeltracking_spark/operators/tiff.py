@@ -3,12 +3,15 @@ multimodal tier) — the scanned-document image format, from the public
 TIFF 6.0 specification (Adobe, 1992), completing the image-codec set
 next to BMP/GIF/PNG/JPEG.
 
-Scope: little-endian ("II") baseline TIFF, greyscale (1 sample) and
-RGB (3 samples) at 8 bits per sample, Compression 1 (none) and 5
-(TIFF-LZW, spec Section 13), single or multiple strips. Other
-byte orders, bit depths, palettes, tiles, and predictors raise
-``NotImplementedError`` at the PIL plug-in point; malformed streams
-raise descriptive ``ValueError``.
+Scope: little-endian ("II") AND big-endian ("MM") baseline TIFF,
+greyscale (1 sample) and RGB (3 samples) at 8 bits per sample,
+Compression 1 (none), 5 (TIFF-LZW, spec Section 13) and 32773
+(PackBits, spec Section 9 — each row compressed separately), and the
+horizontal-differencing Predictor 2 (spec Section 14, the common LZW
+companion in scanned corpora). Bit depths other than 8, palettes,
+tiles, and the floating-point predictor raise ``NotImplementedError``
+at the PIL plug-in point; malformed streams raise descriptive
+``ValueError``.
 
 TIFF-LZW vs GIF-LZW — the two are SPEC-LEVEL different and mixing
 their conventions is the classic codec bug (the same family as the
@@ -180,15 +183,90 @@ def tiff_lzw_decompress(data: bytes, n_expect: int) -> bytes:
     return bytes(out)
 
 
-def _ifd_entry(tag: int, typ: int, count: int, value: int) -> bytes:
-    return struct.pack("<HHII", tag, typ, count, value)
+def packbits_compress(row: bytes) -> bytes:
+    """PackBits (TIFF 6.0 Section 9) for ONE row: control byte n in
+    [0, 127] copies n+1 literals; n in [-127, -1] (two's complement)
+    repeats the next byte 1-n times; -128 is a no-op (never emitted).
+    Runs of >= 3 (or >= 2 at a literal boundary) become replicate
+    packets, capped at 128 per packet."""
+    out = bytearray()
+    i = 0
+    n = len(row)
+    while i < n:
+        # measure the run starting at i
+        j = i + 1
+        while j < n and j - i < 128 and row[j] == row[i]:
+            j += 1
+        run = j - i
+        if run >= 2:
+            out.append((257 - run) & 0xFF)  # -(run-1) two's complement
+            out.append(row[i])
+            i = j
+            continue
+        # literal stretch: until the next run of >= 3 or 128 bytes
+        lit0 = i
+        i += 1
+        while i < n and i - lit0 < 128:
+            if i + 2 < n and row[i] == row[i + 1] == row[i + 2]:
+                break
+            i += 1
+        out.append(i - lit0 - 1)
+        out += row[lit0:i]
+    return bytes(out)
+
+
+def packbits_decompress(data: bytes, n_expect: int) -> bytes:
+    """Inverse of :func:`packbits_compress` over a whole strip (rows
+    are packed separately but abut, so one sequential walk to the
+    expected byte count decodes them all)."""
+    out = bytearray()
+    pos = 0
+    while len(out) < n_expect:
+        if pos >= len(data):
+            raise ValueError(
+                f"truncated PackBits stream: {len(out)} of "
+                f"{n_expect} bytes"
+            )
+        n = data[pos]
+        pos += 1
+        if n < 128:  # n+1 literals
+            if pos + n + 1 > len(data):
+                raise ValueError("truncated PackBits literal packet")
+            out += data[pos: pos + n + 1]
+            pos += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            if pos >= len(data):
+                raise ValueError("truncated PackBits replicate packet")
+            out += bytes([data[pos]]) * (257 - n)
+            pos += 1
+        # n == 128: no-op
+    if len(out) > n_expect:
+        raise ValueError(
+            f"PackBits produced {len(out)} > expected {n_expect} bytes"
+        )
+    return bytes(out)
+
+
+def _ifd_entry(tag: int, typ: int, count: int, value: int,
+               endian: str = "<") -> bytes:
+    """One 12-byte IFD entry. A SHORT scalar occupies the FIRST two
+    bytes of the value field in FILE byte order (TIFF 6.0 p.15), which
+    ``HHIHH`` packing expresses uniformly for both endians."""
+    if typ == 3 and count == 1:
+        return struct.pack(endian + "HHIHH", tag, typ, count, value, 0)
+    return struct.pack(endian + "HHII", tag, typ, count, value)
 
 
 def encode_tiff(pixels, compression: int = 1,
-                rows_per_strip: int | None = None) -> bytes:
-    """uint8 array -> little-endian baseline TIFF bytes. (h, w) encodes
-    greyscale, (h, w, 3) RGB. ``compression``: 1 = none, 5 = TIFF-LZW
-    (each strip compressed independently, per spec).
+                rows_per_strip: int | None = None,
+                predictor: int = 1,
+                big_endian: bool = False) -> bytes:
+    """uint8 array -> baseline TIFF bytes ("II" little-endian by
+    default, "MM" with ``big_endian=True``). (h, w) encodes greyscale,
+    (h, w, 3) RGB. ``compression``: 1 = none, 5 = TIFF-LZW, 32773 =
+    PackBits (each strip — and within it each row — compressed
+    independently, per spec). ``predictor=2`` applies horizontal
+    differencing per sample channel before compression (Section 14).
     ``rows_per_strip=None`` writes one strip; smaller values exercise
     the multi-strip offset/count bookkeeping."""
     import numpy as np
@@ -202,22 +280,37 @@ def encode_tiff(pixels, compression: int = 1,
         photometric = 2  # RGB
     else:
         raise ValueError(f"expected (h, w) or (h, w, 3), got {a.shape}")
-    if compression not in (1, 5):
+    if compression not in (1, 5, 32773):
         raise NotImplementedError(
             f"TIFF compression {compression} not implemented (1=none, "
-            "5=LZW; others are the PIL plug-in point)"
+            "5=LZW, 32773=PackBits; others are the PIL plug-in point)"
         )
+    if predictor not in (1, 2):
+        raise NotImplementedError(
+            f"TIFF predictor {predictor} not implemented (1=none, "
+            "2=horizontal differencing)"
+        )
+    E = ">" if big_endian else "<"
     h, w = a.shape[:2]
     if h == 0 or w == 0:
         raise ValueError(f"bad TIFF dimensions {w}x{h}")
     rps = h if rows_per_strip is None else max(1, rows_per_strip)
     raw = a.reshape(h, w * spp)
+    if predictor == 2:  # per-row, per-channel difference (uint8 wrap)
+        d = raw.copy()
+        d[:, spp:] = raw[:, spp:] - raw[:, :-spp]
+        raw = d
     strips = []
     for y0 in range(0, h, rps):
-        chunk = raw[y0: y0 + rps].tobytes()
-        strips.append(
-            tiff_lzw_compress(chunk) if compression == 5 else chunk
-        )
+        block = raw[y0: y0 + rps]
+        if compression == 5:
+            strips.append(tiff_lzw_compress(block.tobytes()))
+        elif compression == 32773:  # PackBits: each ROW separately
+            strips.append(
+                b"".join(packbits_compress(bytes(r)) for r in block)
+            )
+        else:
+            strips.append(block.tobytes())
     n_strips = len(strips)
 
     # layout: header(8) | strip data | [bits array if spp==3]
@@ -230,45 +323,48 @@ def encode_tiff(pixels, compression: int = 1,
     extra = bytearray()
     if spp == 3:
         bits_off = pos + 0
-        extra += struct.pack("<HHH", 8, 8, 8)
+        extra += struct.pack(E + "HHH", 8, 8, 8)
     arrays_off = pos + len(extra)
     if n_strips > 1:  # >1 LONG never fits the 4-byte value field
         off_arr_off = arrays_off
-        extra += b"".join(struct.pack("<I", o) for o in strip_offsets)
+        extra += b"".join(struct.pack(E + "I", o) for o in strip_offsets)
         cnt_arr_off = arrays_off + 4 * n_strips
-        extra += b"".join(struct.pack("<I", len(s)) for s in strips)
+        extra += b"".join(struct.pack(E + "I", len(s)) for s in strips)
     ifd_off = pos + len(extra)
 
     entries = []
-    entries.append(_ifd_entry(256, 3, 1, w))             # ImageWidth
-    entries.append(_ifd_entry(257, 3, 1, h))             # ImageLength
+    entries.append(_ifd_entry(256, 3, 1, w, E))           # ImageWidth
+    entries.append(_ifd_entry(257, 3, 1, h, E))           # ImageLength
     if spp == 1:
-        entries.append(_ifd_entry(258, 3, 1, 8))         # BitsPerSample
+        entries.append(_ifd_entry(258, 3, 1, 8, E))       # BitsPerSample
     else:
-        entries.append(_ifd_entry(258, 3, 3, bits_off))
-    entries.append(_ifd_entry(259, 3, 1, compression))   # Compression
-    entries.append(_ifd_entry(262, 3, 1, photometric))   # Photometric
+        entries.append(_ifd_entry(258, 3, 3, bits_off, E))
+    entries.append(_ifd_entry(259, 3, 1, compression, E))  # Compression
+    entries.append(_ifd_entry(262, 3, 1, photometric, E))  # Photometric
     if n_strips == 1:
-        entries.append(_ifd_entry(273, 4, 1, strip_offsets[0]))
+        entries.append(_ifd_entry(273, 4, 1, strip_offsets[0], E))
     else:
-        entries.append(_ifd_entry(273, 4, n_strips, off_arr_off))
-    entries.append(_ifd_entry(277, 3, 1, spp))           # SamplesPerPixel
-    entries.append(_ifd_entry(278, 3, 1, rps))           # RowsPerStrip
+        entries.append(_ifd_entry(273, 4, n_strips, off_arr_off, E))
+    entries.append(_ifd_entry(277, 3, 1, spp, E))        # SamplesPerPixel
+    entries.append(_ifd_entry(278, 3, 1, rps, E))        # RowsPerStrip
     if n_strips == 1:
-        entries.append(_ifd_entry(279, 4, 1, len(strips[0])))
+        entries.append(_ifd_entry(279, 4, 1, len(strips[0]), E))
     else:
-        entries.append(_ifd_entry(279, 4, n_strips, cnt_arr_off))
-    entries.sort(key=lambda e: struct.unpack_from("<H", e, 0)[0])
+        entries.append(_ifd_entry(279, 4, n_strips, cnt_arr_off, E))
+    if predictor == 2:
+        entries.append(_ifd_entry(317, 3, 1, 2, E))      # Predictor
+    entries.sort(key=lambda e: struct.unpack_from(E + "H", e, 0)[0])
 
     out = bytearray()
-    out += b"II" + struct.pack("<HI", 42, ifd_off)
+    out += (b"MM" if big_endian else b"II") + struct.pack(E + "HI", 42,
+                                                          ifd_off)
     for s in strips:
         out += s
     out += extra
-    out += struct.pack("<H", len(entries))
+    out += struct.pack(E + "H", len(entries))
     for e in entries:
         out += e
-    out += struct.pack("<I", 0)  # no next IFD
+    out += struct.pack(E + "I", 0)  # no next IFD
     return bytes(out)
 
 
@@ -280,50 +376,48 @@ def decode_tiff(data: bytes):
 
     if len(data) < 8 or data[:2] not in (b"II", b"MM"):
         raise ValueError("not a TIFF payload (bad byte-order mark)")
-    if data[:2] == b"MM":
-        raise NotImplementedError(
-            "big-endian TIFF not implemented (PIL plug-in point)"
-        )
-    magic, ifd_off = struct.unpack_from("<HI", data, 2)
+    E = ">" if data[:2] == b"MM" else "<"
+    magic, ifd_off = struct.unpack_from(E + "HI", data, 2)
     if magic != 42:
         raise ValueError(f"bad TIFF magic {magic}")
-    n_entries = struct.unpack_from("<H", data, ifd_off)[0]
+    n_entries = struct.unpack_from(E + "H", data, ifd_off)[0]
     if n_entries == 0 or n_entries > 64:
         raise ValueError(f"implausible IFD entry count {n_entries}")
-    tags: dict[int, tuple[int, int, int]] = {}
+    # keep the raw 4 value-field bytes: inline values live in their
+    # FIRST count*size bytes in file order, both endians (spec p.15)
+    tags: dict[int, tuple[int, int, bytes]] = {}
     for i in range(n_entries):
-        tag, typ, count, value = struct.unpack_from(
-            "<HHII", data, ifd_off + 2 + 12 * i
-        )
-        tags[tag] = (typ, count, value)
+        base = ifd_off + 2 + 12 * i
+        tag, typ, count = struct.unpack_from(E + "HHI", data, base)
+        if base + 12 > len(data):
+            raise ValueError(f"IFD entry {i} out of bounds")
+        tags[tag] = (typ, count, bytes(data[base + 8: base + 12]))
 
     def scalar(tag, default=None):
         if tag not in tags:
             if default is None:
                 raise ValueError(f"TIFF missing required tag {tag}")
             return default
-        typ, count, value = tags[tag]
+        typ, count, vb = tags[tag]
         if count != 1:
             raise ValueError(f"tag {tag}: expected scalar, count {count}")
-        if typ == 3:  # SHORT packed in the low bytes of the value field
-            return value & 0xFFFF
+        if typ == 3:  # SHORT: first two bytes of the value field
+            return struct.unpack_from(E + "H", vb)[0]
         if typ == 4:
-            return value
+            return struct.unpack_from(E + "I", vb)[0]
         raise NotImplementedError(f"tag {tag} type {typ} not implemented")
 
     def longs(tag):
-        typ, count, value = tags[tag]
+        typ, count, vb = tags[tag]
         if count > 65535:  # decompression-bomb / fuzz guard: a corrupt
             # count would otherwise drive a multi-GB unpack format
             raise ValueError(f"implausible tag {tag} count {count}")
-        if count == 1:
-            return [value & 0xFFFF if typ == 3 else value]
-        fmt = "<" + ("H" if typ == 3 else "I") * count
+        fmt = E + ("H" if typ == 3 else "I") * count
         sz = 2 if typ == 3 else 4
-        return list(struct.unpack_from(fmt, data, value))[:count] \
-            if count * sz > 4 else list(
-                struct.unpack_from(fmt, struct.pack("<I", value))
-            )
+        if count * sz <= 4:
+            return list(struct.unpack_from(fmt, vb))
+        off = struct.unpack_from(E + "I", vb)[0]
+        return list(struct.unpack_from(fmt, data, off))
 
     w = scalar(256)
     h = scalar(257)
@@ -335,7 +429,7 @@ def decode_tiff(data: bytes):
             f"implausible TIFF raster {w}x{h}x{spp} for a "
             f"{len(data)}-byte stream (decompression-bomb guard)"
         )
-    if comp not in (1, 5):
+    if comp not in (1, 5, 32773):
         raise NotImplementedError(
             f"TIFF compression {comp} not implemented (PIL plug-in point)"
         )
@@ -347,8 +441,12 @@ def decode_tiff(data: bytes):
             raise NotImplementedError(
                 f"bits per sample {bits} not implemented (8-bit only)"
             )
-    if 317 in tags and scalar(317) != 1:
-        raise NotImplementedError("TIFF predictor not implemented")
+    predictor = scalar(317, 1)
+    if predictor not in (1, 2):
+        raise NotImplementedError(
+            f"TIFF predictor {predictor} not implemented (1=none, "
+            "2=horizontal differencing)"
+        )
     offsets = longs(273)
     counts = longs(279)
     if len(offsets) != len(counts):
@@ -362,13 +460,22 @@ def decode_tiff(data: bytes):
         remaining_rows -= strip_rows
         expect = strip_rows * w * spp
         chunk = data[off: off + cnt]
-        raw += (tiff_lzw_decompress(chunk, expect)
-                if comp == 5 else chunk[:expect])
-        if comp == 1 and cnt < expect:
-            raise ValueError(f"strip {si} shorter than its rows")
+        if comp == 5:
+            raw += tiff_lzw_decompress(chunk, expect)
+        elif comp == 32773:
+            raw += packbits_decompress(chunk, expect)
+        else:
+            raw += chunk[:expect]
+            if cnt < expect:
+                raise ValueError(f"strip {si} shorter than its rows")
     if len(raw) != h * w * spp:
         raise ValueError(
             f"TIFF strips produced {len(raw)} of {h * w * spp} bytes"
         )
     a = np.frombuffer(bytes(raw), dtype=np.uint8)
-    return a.reshape(h, w) if spp == 1 else a.reshape(h, w, 3)
+    a = a.reshape(h, w) if spp == 1 else a.reshape(h, w, 3)
+    if predictor == 2:  # undo per-row horizontal differencing
+        flat = a.reshape(h, w, spp) if spp == 3 else a.reshape(h, w, 1)
+        a = np.add.accumulate(flat, axis=1, dtype=np.uint8)
+        a = a.reshape(h, w) if spp == 1 else a
+    return a

@@ -676,16 +676,21 @@ def wav_decimate_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tiff_decode_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL TIFF decode (round 8): formula greyscale images through the
-    from-spec TIFF 6.0 encoder — even ids store LZW Compression 5
-    (MSB-first codes, early change at 2^w-1: the convention that
-    differs from GIF in exactly the ways that breed codec bugs), odd
-    ids uncompressed, ids % 3 == 0 split into 4-row strips (IFD
-    offset/count arrays + per-strip decompression on the attested
-    path), and ids % 100 == 46 land their final LZW flush exactly on
-    the early-change boundary. TIFF is lossless, so the oracle replays
-    the pixel formula in SQL exactly (operators/tiff.py; boundary
-    enumeration + K-omega-K + re-Clear pinned in tests/test_tiff.py)."""
+    """REAL TIFF decode (round 8; modes widened round 9): formula
+    greyscale images through the from-spec TIFF 6.0 encoder, storage
+    mode rotating on id%6 across LZW Compression 5 (MSB-first codes,
+    early change at 2^w-1: the convention that differs from GIF in
+    exactly the ways that breed codec bugs), uncompressed, PackBits
+    (32773, §9 row-wise packets), LZW + horizontal-differencing
+    Predictor 2 (§14), and big-endian "MM" containers; ids % 3 == 0
+    split into 4-row strips (IFD offset/count arrays + per-strip
+    decompression on the attested path), and ids % 100 == 46 land
+    their final LZW flush exactly on the early-change boundary. TIFF
+    is lossless in every mode, so the oracle replays the pixel formula
+    in SQL exactly (operators/tiff.py; boundary enumeration for LZW
+    early-change AND PackBits packet edges + K-omega-K + re-Clear
+    pinned in tests/test_tiff.py; independent IFD-walking twin in
+    tools/oracle_twins.py)."""
     from modeltracking_spark.operators.multimodal import (
         attach_tiff_payload,
         decode_image_features,

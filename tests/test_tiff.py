@@ -22,19 +22,22 @@ from modeltracking_spark.operators.tiff import (
 )
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=60, deadline=None)
 @given(st.data())
 def test_lossless_roundtrip(data):
     h = data.draw(st.integers(1, 40), label="h")
     w = data.draw(st.integers(1, 40), label="w")
     ch = data.draw(st.sampled_from([1, 3]), label="ch")
-    comp = data.draw(st.sampled_from([1, 5]), label="comp")
+    comp = data.draw(st.sampled_from([1, 5, 32773]), label="comp")
+    pred = data.draw(st.sampled_from([1, 2]), label="pred")
+    be = data.draw(st.booleans(), label="big_endian")
     rps = data.draw(st.sampled_from([None, 1, 3, 8]), label="rps")
     seed = data.draw(st.integers(0, 2**31 - 1), label="seed")
     rng = np.random.RandomState(seed)
     shape = (h, w) if ch == 1 else (h, w, 3)
     img = rng.randint(0, 256, shape).astype(np.uint8)
-    dec = decode_tiff(encode_tiff(img, compression=comp, rows_per_strip=rps))
+    dec = decode_tiff(encode_tiff(img, compression=comp, rows_per_strip=rps,
+                                  predictor=pred, big_endian=be))
     assert np.array_equal(dec, img)
 
 
@@ -149,8 +152,12 @@ def test_multi_strip_layout_and_offsets():
 def test_rejects_are_loud():
     with pytest.raises(ValueError, match="byte-order"):
         decode_tiff(b"PK\x03\x04 not a tiff")
-    with pytest.raises(NotImplementedError, match="big-endian"):
+    # MM is SUPPORTED since r9 — an MM header whose IFD offset points
+    # at garbage must still die loudly, as ValueError not a crash
+    with pytest.raises(ValueError, match="implausible|malformed"):
         decode_tiff(b"MM\x00\x2a" + bytes(8))
+    with pytest.raises(NotImplementedError, match="predictor"):
+        encode_tiff(np.zeros((2, 2), np.uint8), predictor=3)
     ok = encode_tiff(np.zeros((4, 4), np.uint8), compression=5)
     # the IFD sits at the END of the layout: a mid-file cut removes it
     with pytest.raises(ValueError, match="malformed|truncated|bounds"):
@@ -186,3 +193,62 @@ def test_real_decode_in_spark(spark):
             want = int(((x * 7 + y * 13 + did) % 256).sum())
         assert (r["width"], r["height"], r["n_channels"]) == (w, h, 1)
         assert r["pixel_sum"] == want
+
+
+def test_packbits_every_packet_boundary():
+    """Deterministic boundary enumeration for PackBits (TIFF 6.0 §9):
+    run lengths that straddle every packet edge (1, 2, 3, 127, 128,
+    129, 255, 256, 257), literal stretches at the 128-byte cap, and
+    run/literal transitions at both ends of a row — each must
+    roundtrip AND decode to the exact byte count."""
+    from modeltracking_spark.operators.tiff import (
+        packbits_compress,
+        packbits_decompress,
+    )
+
+    rows = []
+    for n in (1, 2, 3, 127, 128, 129, 255, 256, 257):
+        rows.append(b"\x55" * n)                    # pure run
+        rows.append(b"ab" + b"\x55" * n)            # literal then run
+        rows.append(b"\x55" * n + b"ab")            # run then literal
+    for n in (1, 2, 127, 128, 129, 255, 256):
+        rows.append(bytes(i & 0xFF for i in range(n)))  # pure literal
+    rows.append(b"")                                # empty row
+    rows.append(b"aaabbbcccd" * 30)                 # mixed short runs
+    for row in rows:
+        enc = packbits_compress(row)
+        assert packbits_decompress(enc, len(row)) == row, row[:16]
+    # decoder rejects: truncated literal, truncated replicate, overrun
+    with pytest.raises(ValueError, match="truncated PackBits"):
+        packbits_decompress(b"\x05ab", 6)
+    with pytest.raises(ValueError, match="truncated PackBits"):
+        packbits_decompress(b"\xfe", 3)
+    with pytest.raises(ValueError, match="> expected"):
+        packbits_decompress(b"\xfd\x55", 2)  # replicate 4 into expect 2
+    # the -128 control byte is a documented no-op
+    assert packbits_decompress(b"\x80\x00a", 1) == b"a"
+
+
+def test_predictor_bytes_are_differenced_and_mm_header_golden():
+    """Predictor 2 must actually WRITE differenced bytes (not just tag
+    them): a horizontal ramp becomes constant-1 deltas, which LZW then
+    collapses — the encoded stream is smaller than the un-predicted
+    one. MM output starts with the big-endian BOM and roundtrips
+    bit-identically decoded."""
+    from modeltracking_spark.operators.tiff import decode_tiff, encode_tiff
+
+    img = np.tile(np.arange(64, dtype=np.uint8), (8, 1))  # ramp rows
+    flat = encode_tiff(img, compression=5)
+    pred = encode_tiff(img, compression=5, predictor=2)
+    assert len(pred) < len(flat)
+    assert np.array_equal(decode_tiff(pred), img)
+    # RGB predictor differences PER CHANNEL, not per byte
+    rgb = np.stack([img, img[:, ::-1], img // 2], axis=2)
+    p3 = encode_tiff(rgb, compression=5, predictor=2, rows_per_strip=3)
+    assert np.array_equal(decode_tiff(p3), rgb)
+    mm = encode_tiff(img, compression=32773, big_endian=True)
+    assert mm[:4] == b"MM\x00\x2a"
+    assert np.array_equal(decode_tiff(mm), img)
+    # II and MM encodings of the same image decode identically
+    ii = encode_tiff(img, compression=32773)
+    assert np.array_equal(decode_tiff(ii), decode_tiff(mm))

@@ -1230,35 +1230,62 @@ def _naive_tiff_lzw(stream: bytes, n_expect: int) -> bytes:
     return bytes(out)
 
 
+def _naive_packbits(stream: bytes, n_expect: int) -> bytes:
+    """Independent PackBits walker (TIFF 6.0 §9): recursion-free
+    cursor loop, no shared code with operators/tiff.py."""
+    out = bytearray()
+    i = 0
+    while len(out) < n_expect:
+        c = stream[i]
+        i += 1
+        if c == 128:
+            continue
+        if c < 128:
+            out += stream[i: i + c + 1]
+            assert i + c + 1 <= len(stream), "short literal"
+            i += c + 1
+        else:
+            out += stream[i: i + 1] * (257 - c)
+            i += 1
+    assert len(out) == n_expect
+    return bytes(out)
+
+
 def _naive_tiff(data: bytes):
-    """From-scratch little-endian TIFF reader: IFD entry walk with
-    struct, strip reassembly, per-byte sum."""
-    assert data[:4] == b"II\x2a\x00"
-    ifd = struct.unpack_from("<I", data, 4)[0]
-    n = struct.unpack_from("<H", data, ifd)[0]
+    """From-scratch TIFF reader, both byte orders: IFD entry walk with
+    struct (raw value-field bytes, first-bytes inline rule), strip
+    reassembly across none/LZW/PackBits, per-row un-differencing for
+    Predictor 2 via a plain Python prefix sum, per-byte sum."""
+    bom = data[:2]
+    assert bom in (b"II", b"MM")
+    E = "<" if bom == b"II" else ">"
+    assert struct.unpack_from(E + "H", data, 2)[0] == 42
+    ifd = struct.unpack_from(E + "I", data, 4)[0]
+    n = struct.unpack_from(E + "H", data, ifd)[0]
     tags = {}
     for i in range(n):
-        tag, typ, cnt, val = struct.unpack_from("<HHII", data, ifd + 2 + 12 * i)
-        tags[tag] = (typ, cnt, val)
+        base = ifd + 2 + 12 * i
+        tag, typ, cnt = struct.unpack_from(E + "HHI", data, base)
+        tags[tag] = (typ, cnt, data[base + 8: base + 12])
 
     def vals(tag):
-        typ, cnt, val = tags[tag]
+        typ, cnt, vb = tags[tag]
         size = 2 if typ == 3 else 4
+        fmt = E + ("H" if typ == 3 else "I") * cnt
         if cnt * size <= 4:
-            packed = struct.pack("<I", val)
-            return list(struct.unpack_from(
-                "<" + ("H" if typ == 3 else "I") * cnt, packed))
+            return list(struct.unpack_from(fmt, vb))
         return list(struct.unpack_from(
-            "<" + ("H" if typ == 3 else "I") * cnt, data, val))
+            fmt, data, struct.unpack_from(E + "I", vb)[0]))
 
     w = vals(256)[0]
     h = vals(257)[0]
     comp = vals(259)[0]
     spp = vals(277)[0] if 277 in tags else 1
     rps = vals(278)[0] if 278 in tags else h
+    pred = vals(317)[0] if 317 in tags else 1
     offs = vals(273)
     cnts = vals(279)
-    assert comp in (1, 5) and spp in (1, 3)
+    assert comp in (1, 5, 32773) and spp in (1, 3) and pred in (1, 2)
     raw = bytearray()
     rows_left = h
     for off, cnt in zip(offs, cnts):
@@ -1266,8 +1293,20 @@ def _naive_tiff(data: bytes):
         rows_left -= rows
         expect = rows * w * spp
         chunk = data[off: off + cnt]
-        raw += _naive_tiff_lzw(chunk, expect) if comp == 5 else chunk[:expect]
+        if comp == 5:
+            raw += _naive_tiff_lzw(chunk, expect)
+        elif comp == 32773:
+            raw += _naive_packbits(chunk, expect)
+        else:
+            raw += chunk[:expect]
     assert len(raw) == h * w * spp
+    if pred == 2:
+        stride = w * spp
+        for y in range(h):
+            row = raw[y * stride: (y + 1) * stride]
+            for i in range(spp, stride):
+                row[i] = (row[i] + row[i - spp]) & 0xFF
+            raw[y * stride: (y + 1) * stride] = row
     return w, h, spp, sum(raw)
 
 
