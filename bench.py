@@ -85,8 +85,15 @@ HEADLINE = [
     "dup_span_scrub_docs",
     "blocklist_match_docs",
     "ewma_user_values_events",
-    # round-8 new codec: from-spec TIFF (none/LZW, multi-strip)
+    # round-8 new codec: from-spec TIFF (none/LZW, multi-strip; r9 adds
+    # PackBits/Predictor-2/big-endian arms to the same fixture family)
     "tiff_decode_stats_docs",
+    # round-9 additions (VERDICT r8 item 7): anchor the CC-keyed
+    # leakage-safe split and the Hamming-banded image near-dup tiers,
+    # plus the new delta×corpus incremental image arm
+    "leakage_safe_split_docs",
+    "image_neardup_pairs_docs",
+    "image_incremental_neardup_docs",
 ]
 
 # Regression anchor: BENCH_r03.json per-query seconds at sf0.1 on local[32]

@@ -183,3 +183,78 @@ def dhash_neardup_pairs(hashed: DataFrame, max_hamming: int = 3,
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def dhash_incremental_neardup_matches(
+    delta_hashed: DataFrame,
+    corpus_hashed: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    broadcast_delta: bool = True,
+) -> DataFrame:
+    """Near-dup matches of a fresh DELTA of image hashes against a
+    mature CORPUS — the image twin of the text tier's
+    ``incremental_neardup_matches`` (operators/dedup.py): a daily image
+    batch scrubs against an existing corpus by generating candidates
+    only across the delta×corpus boundary. The corpus never self-joins
+    and never recomputes anything per ingest — at production scale its
+    (band_pos, band_val → id) table is a precomputed index, so per
+    batch the work is delta-bands × matching corpus buckets, not
+    corpus × corpus (the scan here is the bootstrap, exactly the
+    ``incremental_dedup`` note).
+
+    SCOPE: cross-boundary only — two near-identical images both inside
+    the delta are the delta's own problem;
+    :func:`dhash_neardup_pairs` over the (small) delta covers that
+    half. The pigeonhole guarantee is unchanged: at
+    ``max_hamming <= 3`` at least one of the 4 16-bit bands matches
+    exactly, so cross-boundary candidate generation has no false
+    negatives and the exact Hamming verify (4 xor/bit_count JVM ops)
+    removes the false positives — banded output ≡ the quadratic
+    cross-boundary definition, which is what the oracle states.
+
+    ``broadcast_delta=True`` hints the delta's exploded band table onto
+    the corpus side — right whenever the delta fits the broadcast limit
+    (the daily-crawl shape); ``False`` degrades gracefully to a hash
+    join on the same (band_pos, band_val) keys for
+    proportionally-large deltas.
+
+    Output: (delta_id, corpus_id, hamming).
+    """
+    if max_hamming > 3:
+        raise ValueError(
+            "4 x 16-bit bands guarantee exactness only for "
+            f"max_hamming <= 3, got {max_hamming}"
+        )
+
+    def sides(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(name),
+            F.col("bands").alias(f"{name}_bands"),
+            F.posexplode("bands").alias("band_pos", "band_val"),
+        )
+
+    d = sides(delta_hashed, "delta_id")
+    if broadcast_delta:
+        d = F.broadcast(d)
+    c = sides(corpus_hashed, "corpus_id")
+    cand = (
+        d.join(c, ["band_pos", "band_val"])
+        .select("delta_id", "corpus_id", "delta_id_bands",
+                "corpus_id_bands")
+        .distinct()  # a pair may collide in several bands
+    )
+    hamming = F.aggregate(
+        F.zip_with(
+            "delta_id_bands",
+            "corpus_id_bands",
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("long")
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("delta_id", "corpus_id", "hamming")
+    )

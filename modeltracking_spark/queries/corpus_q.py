@@ -1361,3 +1361,39 @@ def click_error_interval_left_join(spark: SparkSession, sf_dir: str) -> DataFram
         ev.where(F.col("event_type") == "error"),
         how="leftOuter",
     )
+
+
+@query(
+    "click_error_interval_stallproof",
+    oracle="""
+    WITH c AS (SELECT user_id, event_id AS click_id, ts AS cts
+               FROM events WHERE event_type = 'click'),
+         e AS (SELECT user_id AS e_user_id, event_id AS error_id,
+                      ts AS ets
+               FROM events WHERE event_type = 'error')
+    SELECT c.user_id, click_id, error_id,
+           CASE WHEN error_id IS NULL THEN NULL
+                ELSE floor(epoch(ets))::BIGINT - floor(epoch(cts))::BIGINT
+           END AS lag_s,
+           error_id IS NOT NULL AS matched
+    FROM c LEFT JOIN e ON c.user_id = e.e_user_id
+                      AND ets >= cts AND ets <= cts + INTERVAL 6 HOUR
+    """,
+)
+def click_error_interval_stallproof(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Batch twin of the watermark-STALL-PROOF outer interval join
+    (r9): identical join semantics to click_error_interval_left_join —
+    the oracle is deliberately the same SQL — but the watermark sits
+    UPSTREAM of the per-type filters, so on a real stream a silent
+    error side cannot stall the global watermark and buffer the outer
+    rows forever (the r8 production pitfall promoted into the operator;
+    silent-side flush + legacy-shape stall both pinned in
+    tests/test_streaming.py). streaming/windows.py:
+    interval_join_from_events."""
+    from modeltracking_spark.streaming.windows import (
+        interval_join_from_events,
+    )
+
+    ev = T(spark, sf_dir, "events")
+    return interval_join_from_events(ev, how="leftOuter")

@@ -825,3 +825,58 @@ def image_neardup_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = attach_bmp_neardup_payload(T(spark, sf_dir, "documents"))
     return dhash_neardup_pairs(dhash_features(d), max_hamming=3)
+
+
+@query(
+    "image_incremental_neardup_docs",
+    oracle=f"""
+    WITH {_DHASH_ROWBYTES},
+    bands AS (
+      SELECT doc_id,
+             max(CASE WHEN cj = 0 THEN byte END) * 256
+               + max(CASE WHEN cj = 1 THEN byte END) AS b0,
+             max(CASE WHEN cj = 2 THEN byte END) * 256
+               + max(CASE WHEN cj = 3 THEN byte END) AS b1,
+             max(CASE WHEN cj = 4 THEN byte END) * 256
+               + max(CASE WHEN cj = 5 THEN byte END) AS b2,
+             max(CASE WHEN cj = 6 THEN byte END) * 256
+               + max(CASE WHEN cj = 7 THEN byte END) AS b3
+      FROM rowbytes GROUP BY doc_id
+    )
+    SELECT delta_id, corpus_id, hamming FROM (
+      SELECT a.doc_id AS delta_id, b.doc_id AS corpus_id,
+             (bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2))
+              + bit_count(xor(a.b3, b.b3)))::BIGINT AS hamming
+      FROM bands a JOIN bands b
+        ON a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7
+    ) WHERE hamming <= 3
+    """,
+)
+def image_incremental_neardup_docs(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Incremental IMAGE near-dup (round 9): a fresh delta (doc_id %
+    10 = 7, a scale-proportional 10% batch) scrubs against the mature
+    corpus (the rest) through Hamming-banded dHash — candidates cross
+    the boundary only, the corpus never self-joins, the delta's
+    exploded band table broadcasts (operators/imagehash.py:
+    dhash_incremental_neardup_matches). Pigeonhole keeps banding EXACT
+    at max_hamming=3, so the oracle states the quadratic
+    cross-boundary definition and the banded plan must reproduce it
+    pair for pair. The fixture's groups of 4 near-identical images
+    straddle the %10 boundary (e.g. delta doc 7 vs corpus docs 4/5/6),
+    so real matches exist at every SF."""
+    from modeltracking_spark.operators.imagehash import (
+        dhash_features,
+        dhash_incremental_neardup_matches,
+    )
+    from modeltracking_spark.operators.multimodal import (
+        attach_bmp_neardup_payload,
+    )
+
+    d = attach_bmp_neardup_payload(T(spark, sf_dir, "documents"))
+    delta = d.where(F.col("doc_id") % 10 == 7)
+    corpus = d.where(F.col("doc_id") % 10 != 7)
+    return dhash_incremental_neardup_matches(
+        dhash_features(delta), dhash_features(corpus), max_hamming=3
+    )

@@ -199,7 +199,7 @@ def enrich_with_static(events: DataFrame, dim: DataFrame) -> DataFrame:
 
 def interval_join_clicks_errors(
     clicks: DataFrame, errors: DataFrame,
-    max_lag: str = "6 hours", watermark: str = "12 hours",
+    max_lag: str = "6 hours", watermark: str | None = "12 hours",
     how: str = "inner",
 ) -> DataFrame:
     """Stream-stream join with an event-time interval condition: each
@@ -225,24 +225,25 @@ def interval_join_clicks_errors(
 
     Output: (user_id, click_id, error_id, lag_s) — leftOuter adds a
     ``matched`` boolean, with error_id/lag_s NULL on unmatched rows.
+
+    ``watermark=None`` skips the per-side ``withWatermark`` — for
+    callers that watermarked UPSTREAM of their per-type filters (see
+    :func:`interval_join_from_events`, the stall-proof shape).
     """
     if how not in ("inner", "leftOuter"):
         raise ValueError(f"unsupported join type {how!r}")
-    c = (
-        clicks.withWatermark("ts", watermark)
-        .select(
-            "user_id",
-            F.col("event_id").alias("click_id"),
-            F.col("ts").alias("click_ts"),
-        )
+    if watermark is not None:
+        clicks = clicks.withWatermark("ts", watermark)
+        errors = errors.withWatermark("ts", watermark)
+    c = clicks.select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
     )
-    e = (
-        errors.withWatermark("ts", watermark)
-        .select(
-            F.col("user_id").alias("e_user_id"),
-            F.col("event_id").alias("error_id"),
-            F.col("ts").alias("error_ts"),
-        )
+    e = errors.select(
+        F.col("user_id").alias("e_user_id"),
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("error_ts"),
     )
     j = c.join(
         e,
@@ -262,6 +263,43 @@ def interval_join_clicks_errors(
     if how == "leftOuter":
         cols.append(F.col("error_id").isNotNull().alias("matched"))
     return j.select(*cols)
+
+
+def interval_join_from_events(
+    events: DataFrame,
+    click_type: str = "click",
+    error_type: str = "error",
+    max_lag: str = "6 hours",
+    watermark: str = "12 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermark-STALL-PROOF interval join over one typed event stream
+    — the production guard the r8 left-outer test uncovered
+    (RESPONSES_r8.md): when each side's ``withWatermark`` sits AFTER
+    its event-type filter, a side whose type goes quiet (errors during
+    a healthy period — exactly when the error-free-click detector
+    matters most) stops advancing its watermark, the query's global
+    watermark (the minimum across nodes) stalls with it, and every
+    pending outer row buffers forever.
+
+    The fix is a SHAPE, not a knob: apply the watermark UPSTREAM of
+    the per-type filters. Both join branches then carry a watermark
+    node that observes the FULL event stream — any event of any type
+    advances both sides — so a silent error side cannot stall
+    eviction, and unmatched clicks flush as soon as real traffic (of
+    any type) passes their lag window. Same join, same output contract
+    as :func:`interval_join_clicks_errors`; equivalence on static
+    frames and the silent-side flush on a REAL stream are pinned in
+    tests/test_streaming.py.
+    """
+    wm = events.withWatermark("ts", watermark)
+    return interval_join_clicks_errors(
+        wm.where(F.col("event_type") == click_type),
+        wm.where(F.col("event_type") == error_type),
+        max_lag=max_lag,
+        watermark=None,
+        how=how,
+    )
 
 
 def run_stream_foreach_batch(

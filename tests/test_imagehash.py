@@ -158,3 +158,54 @@ def test_max_hamming_above_band_guarantee_rejected(spark):
     hashed = dhash_features(attach_bmp_neardup_payload(docs))
     with pytest.raises(ValueError, match="max_hamming"):
         dhash_neardup_pairs(hashed, max_hamming=4)
+
+
+def test_incremental_matches_equal_quadratic_cross_boundary(spark):
+    """r9 delta×corpus arm: banded cross-boundary matches must equal
+    the quadratic cross-boundary definition (pigeonhole exactness at
+    max_hamming=3), with the broadcast and non-broadcast shapes
+    row-identical; delta pairs and corpus self-pairs never appear."""
+    from modeltracking_spark.operators.imagehash import (
+        dhash_incremental_neardup_matches,
+    )
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet").limit(80)
+    hashed = dhash_features(attach_bmp_neardup_payload(docs)).cache()
+    delta = hashed.where(F.col("doc_id") % 10 == 7)
+    corpus = hashed.where(F.col("doc_id") % 10 != 7)
+    got = {
+        (r["delta_id"], r["corpus_id"]): r["hamming"]
+        for r in dhash_incremental_neardup_matches(
+            delta, corpus, max_hamming=3
+        ).collect()
+    }
+    rows = hashed.select("doc_id", "bands").collect()
+    want = {}
+    for a in rows:
+        if a["doc_id"] % 10 != 7:
+            continue
+        for b in rows:
+            if b["doc_id"] % 10 == 7:
+                continue
+            d = sum(
+                bin(x ^ y).count("1")
+                for x, y in zip(a["bands"], b["bands"])
+            )
+            if d <= 3:
+                want[(a["doc_id"], b["doc_id"])] = d
+    assert got == want and len(want) > 0
+    # both ids of every match sit on their own side of the boundary
+    assert all(a % 10 == 7 and b % 10 != 7 for a, b in got)
+    no_bcast = {
+        (r["delta_id"], r["corpus_id"]): r["hamming"]
+        for r in dhash_incremental_neardup_matches(
+            delta, corpus, max_hamming=3, broadcast_delta=False
+        ).collect()
+    }
+    assert no_bcast == want
+    with pytest.raises(ValueError, match="max_hamming"):
+        dhash_incremental_neardup_matches(delta, corpus, max_hamming=4)
+    assert_no_cartesian(
+        dhash_incremental_neardup_matches(delta, corpus)
+    )
+    hashed.unpersist()
