@@ -6,9 +6,9 @@ the distributed plan: the engine's contract is the small, plot-ready
 result table; these helpers are the only sanctioned ``toPandas()`` in
 the repo (driver-side, result-sized data only).
 
-matplotlib is not in this container: ``render_profile_png`` gates the
-import and raises with a clear message, while the frame feeders are
-fully functional and tested.
+The render step needs NO plotting library: the plot-ready frames are
+rasterized by :mod:`modeltracking_spark.figure` and written through the
+repo's own from-spec PNG encoder — S8 is a full component, not a stub.
 """
 
 from __future__ import annotations
@@ -56,21 +56,90 @@ def track_map_frame(track: DataFrame):
 
 
 def render_profile_png(profile: DataFrame, track: DataFrame, out_path: str) -> str:
-    """Render the profile scatter panel to PNG (the ``fig_test.png``
-    twin). Requires matplotlib — not in this container, so this raises
-    ``NotImplementedError`` at the exact plug-in point."""
-    try:
-        import matplotlib  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - env without matplotlib
-        raise NotImplementedError(
-            "matplotlib not available in this container; "
-            "profile_plot_frame() provides the plot-ready pandas frame"
-        ) from exc
-    import matplotlib.pyplot as plt  # pragma: no cover
+    """Render the profile panel to a real PNG (the ``fig_test.png``
+    twin, ``trackplot_hycom.py:266-279``) — NO plotting library: the
+    plot-ready frame is rasterized by :mod:`modeltracking_spark.figure`
+    (colormapped cells + labelled colorbar) and encoded by the repo's
+    own from-spec PNG encoder. Deterministic: same inputs, same bytes.
+    """
+    from modeltracking_spark import figure
 
-    pdf = profile_plot_frame(profile, track)  # pragma: no cover
-    fig, ax = plt.subplots(figsize=(10, 5))  # pragma: no cover
-    sc = ax.scatter(pdf["plot_time"], pdf["plot_depth"], c=pdf["value"])  # pragma: no cover
-    fig.colorbar(sc, ax=ax)  # pragma: no cover
-    fig.savefig(out_path)  # pragma: no cover
-    return out_path  # pragma: no cover
+    pdf = profile_plot_frame(profile, track)
+    img = figure.render_profile_panel(figure.profile_matrix(pdf))
+    return figure.write_png(img, out_path)
+
+
+def render_track_map_png(
+    track: DataFrame,
+    grid: DataFrame,
+    out_path: str,
+    variable: str = "water_temp",
+) -> str:
+    """Render the track-over-field map panel (``trackplot_hycom.py:
+    281-303``): surface slice of the grid at its first time step as the
+    colormapped background, the track as a polyline + markers. The
+    ONLY driver-sized collects are the surface slice (n_lat x n_lon)
+    and the track itself."""
+    import numpy as np
+
+    from modeltracking_spark import figure
+    from modeltracking_spark.sources.grid_source import (
+        GRID_LAT0,
+        GRID_LAT_STEP,
+        GRID_LON0,
+        GRID_LON_STEP,
+        GRID_N_LAT,
+        GRID_N_LON,
+        GRID_SENTINEL,
+    )
+
+    t0 = grid.agg(F.min("time_hours")).collect()[0][0]
+    surface = (
+        grid.filter((F.col("time_hours") == t0) & (F.col("depth_idx") == 0))
+        .select("lat_idx", "lon_idx", variable)
+        .toPandas()
+    )
+    field = np.full((GRID_N_LAT, GRID_N_LON), np.nan)
+    vals = surface[variable].to_numpy(dtype=float)
+    vals[vals <= GRID_SENTINEL + 1.0] = np.nan
+    field[surface["lat_idx"].to_numpy(), surface["lon_idx"].to_numpy()] = vals
+
+    pdf, _bbox = track_map_frame(track)
+    track_rc = np.column_stack(
+        [
+            (pdf["lat"].to_numpy() - GRID_LAT0) / GRID_LAT_STEP,
+            (pdf["lon"].to_numpy() - GRID_LON0) / GRID_LON_STEP,
+        ]
+    )
+    img = figure.render_track_map_panel(field, track_rc)
+    return figure.write_png(img, out_path)
+
+
+def render_figure_png(
+    profile: DataFrame, track: DataFrame, grid: DataFrame, out_path: str
+) -> str:
+    """The full two-panel ``fig_test.png`` twin (``trackplot_hycom.py:
+    266-305``): profile panel stacked over the track map, one PNG."""
+    import numpy as np
+
+    from modeltracking_spark import figure
+
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        p1 = render_profile_png(profile, track, os.path.join(td, "p.png"))
+        p2 = render_track_map_png(track, grid, os.path.join(td, "m.png"))
+        from modeltracking_spark.operators.png import decode_png
+
+        imgs = []
+        for p in (p1, p2):
+            with open(p, "rb") as fh:
+                imgs.append(decode_png(fh.read()))
+    w = max(i.shape[1] for i in imgs)
+    padded = []
+    for i in imgs:
+        pad = np.full((i.shape[0], w, 3), 255, dtype=np.uint8)
+        pad[:, : i.shape[1]] = i
+        padded.append(pad)
+    return figure.write_png(np.concatenate(padded, axis=0), out_path)

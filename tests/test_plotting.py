@@ -1,5 +1,6 @@
 """S8 figure-feeder: plot-ready frames are driver-sized and correctly
-shaped; the render step is an explicit gated stub without matplotlib."""
+shaped; the render step writes real PNG bytes via the from-spec
+rasterizer + encoder (deep pixel checks in tests/test_figure.py)."""
 
 import pytest
 
@@ -37,12 +38,11 @@ def test_track_map_frame_bbox(spark):
     assert lon_min < lon_max
 
 
-def test_render_is_gated_without_matplotlib(spark, profile, tmp_path):
-    try:
-        import matplotlib  # noqa: F401
-
-        pytest.skip("matplotlib present; render would run for real")
-    except ImportError:
-        pass
-    with pytest.raises(NotImplementedError):
-        render_profile_png(profile, synthetic_track(spark), str(tmp_path / "f.png"))
+def test_render_writes_real_png(spark, profile, tmp_path):
+    """S8 is a full sink now: render needs no plotting library and the
+    bytes are a valid PNG (deep checks live in tests/test_figure.py)."""
+    path = render_profile_png(
+        profile, synthetic_track(spark), str(tmp_path / "f.png")
+    )
+    with open(path, "rb") as fh:
+        assert fh.read(8) == b"\x89PNG\r\n\x1a\n"
