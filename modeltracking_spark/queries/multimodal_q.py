@@ -880,3 +880,52 @@ def image_incremental_neardup_docs(spark: SparkSession,
     return dhash_incremental_neardup_matches(
         dhash_features(delta), dhash_features(corpus), max_hamming=3
     )
+
+
+_LZ4_PAYLOAD_SQL = (
+    "repeat(text || '|', (doc_id % 5 + 2)::INTEGER)"
+    " || reverse(substr(text, 1, 13)) || '|'"
+    " || repeat(substr(text, 5, 21), (doc_id % 7 + 2)::INTEGER)"
+)
+
+
+@query(
+    "lz4_roundtrip_docs",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, {_LZ4_PAYLOAD_SQL} AS payload FROM documents
+    )
+    SELECT doc_id,
+           octet_length(encode(payload))::BIGINT AS orig_len,
+           ((octet_length(encode(payload)) + 1023) // 1024)::BIGINT
+             AS n_blocks,
+           md5(payload) AS dec_md5,
+           TRUE AS ok
+    FROM p
+    """,
+)
+def lz4_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL from-spec LZ4 FRAME codec (round 9, operators/lz4.py —
+    public lz4_Block/Frame_format.md + xxHash32 spec): a per-doc
+    compressible payload (text repeats + a reversed slice, 150 B–3.5 KB
+    so frames span 1–4 blocks at max_block=1024) is frame-compressed
+    (greedy from-spec block encoder, xxh32 header/block/content
+    checksums) and decompressed back inside ONE Arrow mapInPandas
+    kernel — checksums all verified on the decode path, so any stream
+    corruption fails loudly instead of hashing wrong. LZ4 is lossless,
+    so the oracle replays the payload formula and md5 exactly; n_blocks
+    attests the multi-block loop arithmetic in SQL. Boundary battery
+    (nibble saturation, extra-byte rollovers, 65535-offset, overlap
+    periods, end rules) in tests/test_lz4.py; independent byte-walking
+    twin in tools/oracle_twins.py."""
+    from modeltracking_spark.operators.lz4 import lz4_roundtrip_stats
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "repeat(text || '|', cast(doc_id % 5 + 2 as int))"
+            " || reverse(substring(text, 1, 13)) || '|'"
+            " || repeat(substring(text, 5, 21), cast(doc_id % 7 + 2 as int))"
+        ).alias("payload"),
+    )
+    return lz4_roundtrip_stats(d)

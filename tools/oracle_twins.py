@@ -1387,6 +1387,155 @@ def twin_dhash(spark, sf_dir, spark_rows) -> tuple[bool, str]:
     return True, f"{len(payloads)} payloads pixel-walked exact"
 
 
+# ---------------------------------------------------------------------------
+# twin 18 (r9): LZ4 frame/block via an independent byte-walking decoder
+# (struct-unpacked header, byte-at-a-time match copies — no slice
+# doubling or table structure shared with operators/lz4.py) plus a
+# second xxh32 written struct-first. The engine ENCODER's output must
+# decode exactly under this independent reading of the public spec.
+
+
+def _twin_xxh32(data: bytes, seed: int = 0) -> int:
+    P1, P2, P3, P4, P5 = (
+        2654435761, 2246822519, 3266489917, 668265263, 374761393
+    )
+    M = 0xFFFFFFFF
+
+    def rot(x, r):
+        x &= M
+        return ((x << r) & M) | (x >> (32 - r))
+
+    n, p = len(data), 0
+    if n >= 16:
+        acc = [
+            (seed + P1 + P2) & M, (seed + P2) & M, seed & M, (seed - P1) & M
+        ]
+        while n - p >= 16:
+            lanes = struct.unpack_from("<4I", data, p)
+            for k in range(4):
+                acc[k] = (rot(acc[k] + lanes[k] * P2, 13) * P1) & M
+            p += 16
+        h = (rot(acc[0], 1) + rot(acc[1], 7) + rot(acc[2], 12) + rot(acc[3], 18)) & M
+    else:
+        h = (seed + P5) & M
+    h = (h + n) & M
+    while n - p >= 4:
+        (lane,) = struct.unpack_from("<I", data, p)
+        h = (rot(h + lane * P3, 17) * P4) & M
+        p += 4
+    while p < n:
+        h = (rot(h + data[p] * P5, 11) * P1) & M
+        p += 1
+    h ^= h >> 15
+    h = (h * P2) & M
+    h ^= h >> 13
+    h = (h * P3) & M
+    h ^= h >> 16
+    return h
+
+
+def _naive_lz4_block(data: bytes) -> bytes:
+    out = []
+    p, n = 0, len(data)
+    while p < n:
+        tok = data[p]
+        p += 1
+        ll = tok >> 4
+        if ll == 15:
+            while True:
+                ll += data[p]
+                p += 1
+                if data[p - 1] != 255:
+                    break
+        for _ in range(ll):
+            out.append(data[p])
+            p += 1
+        if p == n:
+            break
+        (off,) = struct.unpack_from("<H", data, p)
+        p += 2
+        assert off != 0 and off <= len(out)
+        ml = tok & 0xF
+        if ml == 15:
+            while True:
+                ml += data[p]
+                p += 1
+                if data[p - 1] != 255:
+                    break
+        ml += 4
+        base = len(out) - off
+        for k in range(ml):  # byte-at-a-time: overlap falls out naturally
+            out.append(out[base + k])
+    return bytes(out)
+
+
+def _naive_lz4_frame(data: bytes) -> bytes:
+    assert struct.unpack_from("<I", data, 0)[0] == 0x184D2204
+    flg, bd = data[4], data[5]
+    assert flg >> 6 == 1
+    p = 6
+    declared = None
+    if flg & 0x08:
+        (declared,) = struct.unpack_from("<Q", data, p)
+        p += 8
+    assert data[p] == (_twin_xxh32(data[4:p]) >> 8) & 0xFF
+    p += 1
+    out = b""
+    while True:
+        (word,) = struct.unpack_from("<I", data, p)
+        p += 4
+        if word == 0:
+            break
+        size = word & 0x7FFFFFFF
+        body = data[p : p + size]
+        p += size
+        if flg & 0x10:
+            assert struct.unpack_from("<I", data, p)[0] == _twin_xxh32(body)
+            p += 4
+        out += body if word & 0x80000000 else _naive_lz4_block(body)
+    if flg & 0x04:
+        assert struct.unpack_from("<I", data, p)[0] == _twin_xxh32(out)
+    if declared is not None:
+        assert declared == len(out)
+    return out
+
+
+def twin_lz4(spark, sf_dir, spark_rows) -> tuple[bool, str]:
+    import hashlib
+
+    import duckdb as _duck
+
+    from modeltracking_spark.operators.lz4 import lz4_frame_compress
+
+    rows = _duck.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    got = {
+        int(r["doc_id"]): (
+            int(r["orig_len"]), int(r["n_blocks"]), r["dec_md5"], bool(r["ok"])
+        )
+        for r in spark_rows
+    }
+    for doc_id, text in rows:
+        # formula replay with plain str ops (no SQL, no Spark)
+        payload = (
+            (text + "|") * (doc_id % 5 + 2)
+            + text[:13][::-1] + "|"
+            + text[4:25] * (doc_id % 7 + 2)
+        ).encode("utf-8")
+        frame = lz4_frame_compress(payload, max_block=1024)
+        dec = _naive_lz4_frame(frame)
+        want = (
+            len(payload),
+            (len(payload) + 1023) // 1024,
+            hashlib.md5(dec).hexdigest(),
+            dec == payload,
+        )
+        if got.get(int(doc_id)) != want:
+            return False, f"doc {doc_id}: got {got.get(int(doc_id))} want {want}"
+    return True, f"{len(rows)} frames byte-walked exact"
+
+
 def main(sf_dirs: list[str]) -> int:
     import duckdb
     from pyspark.sql import SparkSession
@@ -1446,6 +1595,8 @@ def main(sf_dirs: list[str]) -> int:
              lambda rows: twin_tiff(spark, sf_dir, rows)),
             ("image_dhash_docs",
              lambda rows: twin_dhash(spark, sf_dir, rows)),
+            ("lz4_roundtrip_docs",
+             lambda rows: twin_lz4(spark, sf_dir, rows)),
         ):
             rows = qs[name](spark, sf_dir).collect()
             ok, msg = fn(rows)
