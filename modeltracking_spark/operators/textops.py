@@ -528,3 +528,39 @@ def blocklist_match_counts(
     return hits.join(F.broadcast(kw_rows), "kw_id").select(
         "doc_id", "kw_id", "keyword", "n_occ"
     )
+
+
+# --------------------------------------------------------------------- NFC
+
+#: decomposed/ordering/Hangul exercise string appended by the oracled
+#: query's fixture arm: e+COMBINING ACUTE (composes to U+00E9),
+#: precomposed U+00E9 (stays), A+COMBINING RING (-> U+00C5), q + dot
+#: above + dot below (canonical REORDERING: ccc 230 after ccc 220),
+#: Hangul jamo L+V (-> syllable U+AC00).
+NFC_EXERCISE_SUFFIX = (
+    " e\u0301 \u00e9 A\u030a q\u0307\u0323 \u1100\u1161 fin"
+)
+
+
+def nfc_normalize_col(df: DataFrame, text_col: str = "text",
+                      out_col: str = "nfc_text") -> DataFrame:
+    """Unicode NFC canonical normalization as an Arrow-batched pandas
+    UDF (``unicodedata.normalize`` is the Python reference
+    implementation of UAX #15; DuckDB's utf8proc-backed
+    ``nfc_normalize`` is the independent oracle). Narrow per-row map —
+    no shuffle, scale-free. The normalize-before-hash step every
+    text-dedup pipeline needs: byte-distinct but canonically-equal
+    docs (decomposed accents, unordered combining marks, Hangul jamo)
+    must hash identically or exact-dedup silently under-merges."""
+    import pandas as pd
+
+    def _nfc_fn(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: None if x is None else unicodedata.normalize("NFC", x)
+        )
+
+    _nfc_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _nfc = F.pandas_udf(_nfc_fn, "string")
+    return df.withColumn(out_col, _nfc(F.col(text_col)))

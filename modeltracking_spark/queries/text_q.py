@@ -975,3 +975,60 @@ def blocklist_match_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocklist_match_counts(
         T(spark, sf_dir, "documents"), BLOCKLIST_KWS
     )
+
+
+from modeltracking_spark.operators.textops import (  # noqa: E402
+    NFC_EXERCISE_SUFFIX,
+    nfc_normalize_col,
+)
+
+# the suffix is pure-SQL-embeddable (no quotes); docs with id % 3 != 0
+# get the decomposed/reordering/Hangul exercise appended in BOTH
+# engines, the rest stay ASCII (changed=false path attested too)
+_NFC_RAW = (
+    f"CASE WHEN doc_id % 3 <> 0 THEN text || '{NFC_EXERCISE_SUFFIX}' "
+    "ELSE text END"
+)
+
+
+@query(
+    "nfc_normalize_docs",
+    oracle=f"""
+    WITH p AS (SELECT doc_id, {_NFC_RAW} AS raw FROM documents)
+    SELECT doc_id,
+           length(raw)::BIGINT AS n_orig_cp,
+           length(nfc_normalize(raw))::BIGINT AS n_nfc_cp,
+           (nfc_normalize(raw) <> raw) AS changed,
+           md5(nfc_normalize(raw)) AS nfc_md5
+    FROM p
+    """,
+)
+def nfc_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonical normalization (round 9) — the
+    normalize-before-hash step exact dedup needs: decomposed accents
+    (e+U+0301), unordered combining marks (dot-above/dot-below
+    REORDER under canonical ordering), and Hangul jamo all compose, so
+    byte-distinct but canonically-equal docs hash identically. The
+    engine runs UAX #15 via unicodedata in ONE Arrow pandas UDF
+    (operators/textops.py:nfc_normalize_col — narrow map, no shuffle);
+    the oracle is DuckDB's independent utf8proc implementation, md5
+    byte-exact on the composed text, so the two UAX #15
+    implementations must agree character for character. Docs with
+    id % 3 == 0 stay pure-ASCII (identity path + changed=false)."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 != 0,
+            F.concat(F.col("text"), F.lit(NFC_EXERCISE_SUFFIX)),
+        )
+        .otherwise(F.col("text"))
+        .alias("raw"),
+    )
+    n = nfc_normalize_col(d, "raw", "nfc")
+    return n.select(
+        "doc_id",
+        F.length("raw").alias("n_orig_cp"),
+        F.length("nfc").alias("n_nfc_cp"),
+        (F.col("nfc") != F.col("raw")).alias("changed"),
+        F.md5(F.encode("nfc", "UTF-8")).alias("nfc_md5"),
+    )

@@ -381,3 +381,47 @@ def test_registry_output_schemas_are_atomic_and_aliased(spark):
             if not ident.match(f.name):
                 bad.append((name, f.name, "non-identifier column name"))
     assert not bad, f"non-atomic / un-aliased output columns: {bad}"
+
+
+def test_nfc_normalize_composition_cases(spark):
+    """UAX #15 composition pinned: decomposed accent, canonical
+    REORDERING of combining marks, Hangul jamo -> syllable; composed
+    input is a fixed point (idempotence)."""
+    import unicodedata
+
+    from modeltracking_spark.operators.textops import (
+        NFC_EXERCISE_SUFFIX,
+        nfc_normalize_col,
+    )
+
+    rows = [
+        (0, "plain ascii"),
+        (1, "é"),                 # -> U+00E9
+        (2, "q̣̇"),           # reorders to q U+0323 U+0307
+        (3, "가"),            # -> U+AC00
+        (4, "é"),                  # already composed: unchanged
+        (5, NFC_EXERCISE_SUFFIX),
+        (6, None),                      # null passthrough
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["nfc"]
+        for r in nfc_normalize_col(df, "text", "nfc").collect()
+    }
+    assert got[1] == "é"
+    assert got[2] == "q̣̇"
+    assert got[3] == "가"
+    assert got[4] == "é"
+    assert got[0] == "plain ascii"
+    assert got[6] is None
+    assert got[5] == unicodedata.normalize("NFC", NFC_EXERCISE_SUFFIX)
+    # idempotence: NFC(NFC(x)) == NFC(x)
+    df2 = spark.createDataFrame(
+        [(k, v) for k, v in got.items() if v is not None],
+        "doc_id long, text string",
+    )
+    got2 = {
+        r["doc_id"]: r["nfc"]
+        for r in nfc_normalize_col(df2, "text", "nfc").collect()
+    }
+    assert got2 == {k: v for k, v in got.items() if v is not None}
