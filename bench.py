@@ -94,6 +94,10 @@ HEADLINE = [
     "leakage_safe_split_docs",
     "image_neardup_pairs_docs",
     "image_incremental_neardup_docs",
+    # round-9 new operators: from-spec LZ4 frame codec, UAX #15 NFC
+    # normalization
+    "lz4_roundtrip_docs",
+    "nfc_normalize_docs",
 ]
 
 # Regression anchor: BENCH_r03.json per-query seconds at sf0.1 on local[32]
