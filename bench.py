@@ -94,9 +94,10 @@ HEADLINE = [
     "leakage_safe_split_docs",
     "image_neardup_pairs_docs",
     "image_incremental_neardup_docs",
-    # round-9 new operators: from-spec LZ4 frame codec, UAX #15 NFC
-    # normalization
+    # round-9 new operators: from-spec LZ4 + Snappy frame codecs,
+    # UAX #15 NFC normalization
     "lz4_roundtrip_docs",
+    "snappy_roundtrip_docs",
     "nfc_normalize_docs",
 ]
 

@@ -929,3 +929,47 @@ def lz4_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("payload"),
     )
     return lz4_roundtrip_stats(d)
+
+
+@query(
+    "snappy_roundtrip_docs",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             substr(text, 1, 29) || repeat(text, (doc_id % 4 + 1)::INTEGER)
+               || '#' || substr(reverse(text), 1, 17) AS payload
+      FROM documents
+    )
+    SELECT doc_id,
+           octet_length(encode(payload))::BIGINT AS orig_len,
+           ((octet_length(encode(payload)) + 1023) // 1024)::BIGINT
+             AS n_chunks,
+           md5(payload) AS dec_md5,
+           TRUE AS ok
+    FROM p
+    """,
+)
+def snappy_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL from-spec Snappy FRAMING codec (round 9,
+    operators/snappy.py — public format_description.txt +
+    framing_format.txt + RFC 3720 CRC-32C): a per-doc compressible
+    payload (prefix + text repeats + reversed suffix, spanning 1-3
+    chunks at max_chunk=1024) is frame-compressed (greedy from-spec
+    block encoder, per-chunk MASKED CRC-32C) and decompressed back
+    inside ONE Arrow mapInPandas kernel — stream identifier, chunk
+    CRCs, and the declared block length all verified on the decode
+    path. Snappy is lossless, so the oracle replays the payload
+    formula and md5 exactly; n_chunks attests the chunk-loop
+    arithmetic in SQL. Tag/length boundary battery + RFC CRC check
+    values in tests/test_snappy.py; independent byte-walking twin in
+    tools/oracle_twins.py."""
+    from modeltracking_spark.operators.snappy import snappy_roundtrip_stats
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "substring(text, 1, 29) || repeat(text, cast(doc_id % 4 + 1 as int))"
+            " || '#' || substring(reverse(text), 1, 17)"
+        ).alias("payload"),
+    )
+    return snappy_roundtrip_stats(d)

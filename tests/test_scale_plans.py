@@ -448,3 +448,42 @@ def test_blocklist_scan_is_narrow_and_ewma_single_shuffle(spark):
     assert final_ew.count("Exchange hashpartitioning") == 1
     assert "Window" not in final_ew
     assert "CartesianProduct" not in final_ew
+
+
+def test_lz4_and_nfc_are_shuffle_free_narrow_maps(spark):
+    """r9 additions' plan posture: the LZ4 roundtrip kernel and the NFC
+    normalize UDF are pure narrow maps — no exchange, no join, no
+    window; the parquet scan reads only (doc_id, text)."""
+    import pyspark.sql.functions as F
+
+    from modeltracking_spark.operators.lz4 import lz4_roundtrip_stats
+    from modeltracking_spark.operators.textops import nfc_normalize_col
+
+    d = spark.read.parquet(f"{SF001}/documents.parquet")
+    plan_lz = executed_plan(
+        lz4_roundtrip_stats(
+            d.select("doc_id", F.col("text").alias("payload"))
+        )
+    )
+    final_lz = plan_lz.split("== Initial Plan ==")[0]
+    assert "Exchange" not in final_lz
+    assert "Join" not in final_lz and "Window" not in final_lz
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in final_lz
+
+    plan_nfc = executed_plan(
+        nfc_normalize_col(d.select("doc_id", "text"))
+    )
+    final_nfc = plan_nfc.split("== Initial Plan ==")[0]
+    assert "Exchange" not in final_nfc
+    assert "ArrowEvalPython" in final_nfc  # Arrow-batched, not per-row
+
+    from modeltracking_spark.operators.snappy import snappy_roundtrip_stats
+
+    plan_sn = executed_plan(
+        snappy_roundtrip_stats(
+            d.select("doc_id", F.col("text").alias("payload"))
+        )
+    )
+    final_sn = plan_sn.split("== Initial Plan ==")[0]
+    assert "Exchange" not in final_sn
+    assert "Join" not in final_sn and "Window" not in final_sn

@@ -1500,6 +1500,122 @@ def _naive_lz4_frame(data: bytes) -> bytes:
     return out
 
 
+# ---------------------------------------------------------------------------
+# twin 19 (r9): Snappy framing/block via an independent byte-walking
+# decoder plus a second CRC-32C computed BITWISE (no table shared with
+# operators/snappy.py). The engine ENCODER's frames must decode exactly
+# under this independent reading of the public specs.
+
+
+def _twin_crc32c(data: bytes) -> int:
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = (crc >> 1) ^ (0x82F63B78 if crc & 1 else 0)
+    return crc ^ 0xFFFFFFFF
+
+
+def _naive_snappy_block(data: bytes) -> bytes:
+    # varint preamble
+    declared, shift, p = 0, 0, 0
+    while True:
+        declared |= (data[p] & 0x7F) << shift
+        p += 1
+        if not data[p - 1] & 0x80:
+            break
+        shift += 7
+    out = []
+    n = len(data)
+    while p < n:
+        tag = data[p]
+        p += 1
+        if tag & 3 == 0:
+            ln = tag >> 2
+            if ln >= 60:
+                k = ln - 59
+                ln = int.from_bytes(data[p : p + k], "little")
+                p += k
+            ln += 1
+            for _ in range(ln):
+                out.append(data[p])
+                p += 1
+            continue
+        if tag & 3 == 1:
+            ln = ((tag >> 2) & 7) + 4
+            off = ((tag >> 5) << 8) | data[p]
+            p += 1
+        elif tag & 3 == 2:
+            ln = (tag >> 2) + 1
+            (off,) = struct.unpack_from("<H", data, p)
+            p += 2
+        else:
+            ln = (tag >> 2) + 1
+            (off,) = struct.unpack_from("<I", data, p)
+            p += 4
+        assert 1 <= off <= len(out)
+        base = len(out) - off
+        for k in range(ln):  # byte-at-a-time: overlap falls out naturally
+            out.append(out[base + k])
+    assert len(out) == declared
+    return bytes(out)
+
+
+def _naive_snappy_frame(data: bytes) -> bytes:
+    assert data[:10] == b"\xff\x06\x00\x00sNaPpY"
+    p, out = 10, b""
+    while p < len(data):
+        ctype = data[p]
+        ln = int.from_bytes(data[p + 1 : p + 4], "little")
+        body = data[p + 4 : p + 4 + ln]
+        p += 4 + ln
+        if ctype in (0x00, 0x01):
+            (want,) = struct.unpack_from("<I", body, 0)
+            plain = _naive_snappy_block(body[4:]) if ctype == 0 else body[4:]
+            crc = _twin_crc32c(plain)
+            masked = (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+            assert masked == want
+            out += plain
+        elif ctype == 0xFF:
+            assert body == b"sNaPpY"
+        else:
+            assert ctype >= 0x80  # skippable
+    return out
+
+
+def twin_snappy(spark, sf_dir, spark_rows) -> tuple[bool, str]:
+    import hashlib
+
+    import duckdb as _duck
+
+    from modeltracking_spark.operators.snappy import snappy_frame_compress
+
+    rows = _duck.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    got = {
+        int(r["doc_id"]): (
+            int(r["orig_len"]), int(r["n_chunks"]), r["dec_md5"], bool(r["ok"])
+        )
+        for r in spark_rows
+    }
+    for doc_id, text in rows:
+        payload = (
+            text[:29] + text * (doc_id % 4 + 1) + "#" + text[::-1][:17]
+        ).encode("utf-8")
+        frame = snappy_frame_compress(payload, max_chunk=1024)
+        dec = _naive_snappy_frame(frame)
+        want = (
+            len(payload),
+            (len(payload) + 1023) // 1024,
+            hashlib.md5(dec).hexdigest(),
+            dec == payload,
+        )
+        if got.get(int(doc_id)) != want:
+            return False, f"doc {doc_id}: got {got.get(int(doc_id))} want {want}"
+    return True, f"{len(rows)} frames byte-walked exact"
+
+
 def twin_lz4(spark, sf_dir, spark_rows) -> tuple[bool, str]:
     import hashlib
 
@@ -1597,6 +1713,8 @@ def main(sf_dirs: list[str]) -> int:
              lambda rows: twin_dhash(spark, sf_dir, rows)),
             ("lz4_roundtrip_docs",
              lambda rows: twin_lz4(spark, sf_dir, rows)),
+            ("snappy_roundtrip_docs",
+             lambda rows: twin_snappy(spark, sf_dir, rows)),
         ):
             rows = qs[name](spark, sf_dir).collect()
             ok, msg = fn(rows)
