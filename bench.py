@@ -95,9 +95,11 @@ HEADLINE = [
     "image_neardup_pairs_docs",
     "image_incremental_neardup_docs",
     # round-9 new operators: from-spec LZ4 + Snappy frame codecs,
+    # from-spec bzip2 decode (stdlib-encoder cross-validation),
     # UAX #15 NFC normalization
     "lz4_roundtrip_docs",
     "snappy_roundtrip_docs",
+    "bz2_roundtrip_docs",
     "nfc_normalize_docs",
 ]
 

@@ -973,3 +973,44 @@ def snappy_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("payload"),
     )
     return snappy_roundtrip_stats(d)
+
+
+@query(
+    "bz2_roundtrip_docs",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             repeat(text || ' ', (doc_id % 6 + 1)::INTEGER)
+               || upper(substr(text, 1, 23)) AS payload
+      FROM documents
+    )
+    SELECT doc_id,
+           octet_length(encode(payload))::BIGINT AS orig_len,
+           md5(payload) AS dec_md5,
+           TRUE AS ok
+    FROM p
+    """,
+)
+def bz2_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL from-spec bzip2 DECODE (round 9, operators/bzip2.py —
+    public format: RLE1 -> BWT -> MTF+RLE2 -> multi-table Huffman,
+    per-block + combined CRC-32): each doc's payload is encoded by
+    Python's stdlib bz2 (an INDEPENDENT third-party implementation)
+    and decoded by the from-spec decoder inside ONE Arrow mapInPandas
+    kernel — every row cross-validates the two implementations
+    (the jsonl_gz stdlib-vs-from-spec pattern), with block CRC,
+    stream CRC, and size bounds verified on the decode path. The
+    classic public corpora (Wikipedia dumps) ship exactly this way.
+    Lossless, so the oracle replays the payload formula md5 exactly.
+    Multi-block streams, RLE1 run boundaries, and tamper/truncation
+    rejects pinned in tests/test_bzip2.py."""
+    from modeltracking_spark.operators.bzip2 import bz2_roundtrip_stats
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "repeat(text || ' ', cast(doc_id % 6 + 1 as int))"
+            " || upper(substring(text, 1, 23))"
+        ).alias("payload"),
+    )
+    return bz2_roundtrip_stats(d)
