@@ -168,7 +168,8 @@ def read_snapshot(spark: SparkSession, table_dir: str,
 def write_files_commit(df_by_name: dict[str, DataFrame], table_dir: str,
                        version: int, removes: list[str] = (),
                        key_col: str | None = None,
-                       checkpoint_interval: int = 10) -> None:
+                       checkpoint_interval: int = 10,
+                       extra_actions: list[dict] = ()) -> None:
     """Write each DataFrame as ONE parquet file under ``table_dir`` and
     publish a commit adding them (plus ``removes``). Files are written
     to temp names and only referenced by the log once fully on disk —
@@ -245,4 +246,7 @@ def write_files_commit(df_by_name: dict[str, DataFrame], table_dir: str,
                 n_rows=int(stats["n"]),
             )
         actions.append({"add": add})
+    # e.g. {"meta": {...}} txn markers — published ATOMICALLY with the
+    # adds (exactly-once ingest depends on add+txn landing together)
+    actions.extend(extra_actions)
     commit(log_dir, version, actions, checkpoint_interval)

@@ -279,3 +279,61 @@ def foreach_batch_sink_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "event_type string, n_events bigint, sum_cents bigint"
     )
+
+
+@query(
+    "exactly_once_ingest_events",
+    oracle="""
+    SELECT event_type,
+           count(*)::BIGINT AS n_events,
+           sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents
+    FROM events
+    GROUP BY 1
+    """,
+)
+def exactly_once_ingest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE streaming ingest (round 9): a REAL stream drains
+    through the idempotent foreachBatch txlog sink
+    (streaming/windows.py:exactly_once_batch_sink — add + txn marker in
+    ONE atomic commit), then the final micro-batch is DELIBERATELY
+    REPLAYED (the post-failure redelivery Structured Streaming
+    performs) before the table is read back and aggregated. The oracle
+    is the plain batch aggregate over events — it matches ONLY if the
+    replay was a true no-op, so at-least-once double-counting fails the
+    gate by construction, not just in pytest
+    (tests/test_streaming.py::test_exactly_once_ingest_replay_is_noop
+    additionally pins versions/files/stale-batch behavior)."""
+    import os
+    import tempfile
+
+    from modeltracking_spark.operators.txlog import read_snapshot
+    from modeltracking_spark.streaming.windows import (
+        exactly_once_batch_sink,
+        last_committed_batch,
+        run_stream_foreach_batch,
+    )
+
+    table_dir = tempfile.mkdtemp(prefix="e1-ingest-")
+    sink = exactly_once_batch_sink(table_dir, app_id="q-e1")
+    ev = read_events_stream(spark, sf_dir).select(
+        "user_id", "event_type", "value"
+    )
+    run_stream_foreach_batch(
+        ev, sink, f"q_e1_ingest_{abs(hash(sf_dir)) % 10_000}"
+    )
+    # deliberate post-failure replay of the committed head batch
+    replay = T(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    head = last_committed_batch(os.path.join(table_dir, "_log"), "q-e1")
+    sink(replay, head)
+    return (
+        read_snapshot(spark, table_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "sum_cents"
+            ),
+        )
+    )

@@ -329,3 +329,65 @@ def run_stream_foreach_batch(
     if not finished:
         q.stop()
         raise TimeoutError(f"stream {query_name!r} did not finish in 600s")
+
+
+def last_committed_batch(log_dir: str, app_id: str) -> int:
+    """Highest micro-batch id this app has durably committed to the
+    txlog (−1 if none): walks the commit files newest-first and returns
+    on the first txn marker — O(commits-since-last-txn), not O(history).
+    """
+    import json
+    import os
+
+    from modeltracking_spark.operators.txlog import latest_version
+
+    for v in range(latest_version(log_dir), -1, -1):
+        with open(os.path.join(log_dir, f"{v:020d}.json")) as f:
+            for line in f:
+                a = json.loads(line)
+                meta = a.get("meta")
+                if meta and meta.get("txn_app") == app_id:
+                    return int(meta["txn_batch"])
+    return -1
+
+
+def exactly_once_batch_sink(table_dir: str, app_id: str = "stream-ingest",
+                            key_col: str | None = None):
+    """EXACTLY-ONCE streaming ingest into the engine's txlog table
+    format: a ``foreachBatch`` function that writes each micro-batch as
+    an immutable parquet file and publishes the add TOGETHER with a
+    ``{"meta": {"txn_app", "txn_batch"}}`` marker in ONE atomic commit
+    — the Delta/Iceberg idempotent-writer pattern. After a failure
+    between sink write and checkpoint advance, Structured Streaming
+    REPLAYS the last micro-batch with the SAME batch_id; the marker
+    walk sees it already committed and the replay is a no-op, so the
+    table never double-counts. At 100 TB this is the difference
+    between at-least-once and exactly-once ingest: dedup happens on one
+    integer compare against the log head, not by rescanning data.
+
+    Returns ``batch_fn(df, batch_id)`` for
+    :func:`run_stream_foreach_batch` (or any writeStream.foreachBatch).
+    """
+    import os
+
+    from modeltracking_spark.operators.txlog import (
+        latest_version,
+        write_files_commit,
+    )
+
+    log_dir = os.path.join(table_dir, "_log")
+
+    def batch_fn(df, batch_id: int) -> None:
+        if batch_id <= last_committed_batch(log_dir, app_id):
+            return  # replayed micro-batch: exactly-once no-op
+        write_files_commit(
+            {f"batch-{batch_id:010d}": df},
+            table_dir,
+            latest_version(log_dir) + 1,
+            key_col=key_col,
+            extra_actions=[
+                {"meta": {"txn_app": app_id, "txn_batch": int(batch_id)}}
+            ],
+        )
+
+    return batch_fn

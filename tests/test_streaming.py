@@ -409,3 +409,56 @@ def test_interval_join_outer_rows_flush_with_silent_error_side(
     assert sorted(map(tuple, batch_a.collect())) == sorted(
         map(tuple, batch_b.collect())
     )
+
+
+def test_exactly_once_ingest_replay_is_noop(spark, tmp_path):
+    """Exactly-once txlog ingest: a REAL stream drains through the
+    idempotent foreachBatch sink; re-invoking the sink with an
+    already-committed batch_id (the post-failure micro-batch replay)
+    changes NOTHING — same row count, same snapshot version, same
+    files — while a fresh batch_id appends atomically."""
+    import os
+
+    from modeltracking_spark.operators.txlog import (
+        latest_version,
+        read_snapshot,
+    )
+    from modeltracking_spark.streaming.windows import (
+        exactly_once_batch_sink,
+        last_committed_batch,
+        run_stream_foreach_batch,
+    )
+
+    table_dir = str(tmp_path / "ingest")
+    os.makedirs(table_dir)
+    sink = exactly_once_batch_sink(table_dir, app_id="t-e1", key_col="user_id")
+    stream = read_events_stream(spark, SF0001).select(
+        "user_id", "event_type", "value"
+    )
+    run_stream_foreach_batch(stream, sink, "t_exactly_once")
+
+    log_dir = os.path.join(table_dir, "_log")
+    v0 = latest_version(log_dir)
+    b0 = last_committed_batch(log_dir, "t-e1")
+    assert v0 >= 0 and b0 >= 0
+    n_expected = load_table(spark, SF0001, "events").count()
+    got = read_snapshot(spark, table_dir)
+    assert got.count() == n_expected
+
+    # post-failure replay: same batch_id redelivered -> exactly-once no-op
+    replay_df = load_table(spark, SF0001, "events").select(
+        "user_id", "event_type", "value"
+    )
+    sink(replay_df, b0)
+    assert latest_version(log_dir) == v0
+    assert read_snapshot(spark, table_dir).count() == n_expected
+
+    # stale batch ids (anything <= head) are no-ops too
+    sink(replay_df, max(b0 - 1, 0))
+    assert latest_version(log_dir) == v0
+
+    # a FRESH batch id appends atomically and advances the txn head
+    sink(replay_df.limit(7), b0 + 1)
+    assert latest_version(log_dir) == v0 + 1
+    assert last_committed_batch(log_dir, "t-e1") == b0 + 1
+    assert read_snapshot(spark, table_dir).count() == n_expected + 7
