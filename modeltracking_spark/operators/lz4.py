@@ -301,6 +301,8 @@ def lz4_frame_decompress(data: bytes) -> bytes:
             raise ValueError("truncated LZ4 content size")
         declared = int.from_bytes(data[pos : pos + 8], "little")
         pos += 8
+    if len(data) <= pos:
+        raise ValueError("truncated LZ4 frame header")
     hc = data[pos]
     pos += 1
     if ((xxh32(data[4 : pos - 1]) >> 8) & 0xFF) != hc:

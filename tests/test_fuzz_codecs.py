@@ -73,6 +73,58 @@ def _fixtures():
             T.encode_tiff(rgb, compression=5, rows_per_strip=4),
             T.decode_tiff,
         ),
+        "tiff_tiled": (
+            T.encode_tiff(
+                npr.randint(0, 256, (20, 40)).astype(np.uint8),
+                compression=5, predictor=2, tile=(16, 16),
+            ),
+            T.decode_tiff,
+        ),
+        "tiff_palette": (
+            T.encode_tiff(
+                (img % 16).astype(np.uint8),
+                compression=32773, palette=pal[:16],
+            ),
+            T.decode_tiff,
+        ),
+        "lz4_block": (
+            __import__(
+                "modeltracking_spark.operators.lz4", fromlist=["x"]
+            ).lz4_block_compress(b"fuzz me gently " * 30),
+            __import__(
+                "modeltracking_spark.operators.lz4", fromlist=["x"]
+            ).lz4_block_decompress,
+        ),
+        "lz4_frame": (
+            __import__(
+                "modeltracking_spark.operators.lz4", fromlist=["x"]
+            ).lz4_frame_compress(b"framed fuzz target " * 60),
+            __import__(
+                "modeltracking_spark.operators.lz4", fromlist=["x"]
+            ).lz4_frame_decompress,
+        ),
+        "snappy_block": (
+            __import__(
+                "modeltracking_spark.operators.snappy", fromlist=["x"]
+            ).snappy_block_compress(b"snappy fuzz corpus " * 40),
+            __import__(
+                "modeltracking_spark.operators.snappy", fromlist=["x"]
+            ).snappy_block_decompress,
+        ),
+        "snappy_frame": (
+            __import__(
+                "modeltracking_spark.operators.snappy", fromlist=["x"]
+            ).snappy_frame_compress(b"framed snappy fuzz " * 80),
+            __import__(
+                "modeltracking_spark.operators.snappy", fromlist=["x"]
+            ).snappy_frame_decompress,
+        ),
+        "bzip2": (
+            __import__("bz2").compress(b"bzip2 fuzz target line\n" * 50, 1),
+            __import__(
+                "modeltracking_spark.operators.bzip2", fromlist=["x"]
+            ).bz2_decompress,
+        ),
     }
 
 
