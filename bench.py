@@ -101,6 +101,10 @@ HEADLINE = [
     "snappy_roundtrip_docs",
     "bz2_roundtrip_docs",
     "nfc_normalize_docs",
+    # round-9 closing additions: TIFF tile/palette arms, exactly-once
+    # streaming ingest (real stream + deliberate replay)
+    "tiff_tiled_palette_stats_docs",
+    "exactly_once_ingest_events",
 ]
 
 # Regression anchor: BENCH_r03.json per-query seconds at sf0.1 on local[32]
