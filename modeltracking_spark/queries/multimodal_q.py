@@ -1062,3 +1062,50 @@ def tiff_tiled_palette_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame
     return decode_image_features(d, fake=False).select(
         "doc_id", "width", "height", "n_channels", "pixel_sum"
     )
+
+
+@query(
+    "lzma_roundtrip_docs",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             repeat(substr(text, 1, 37) || '~', (doc_id % 5 + 1)::INTEGER)
+               || text || upper(substr(reverse(text), 1, 19)) AS payload
+      FROM documents
+    )
+    SELECT doc_id,
+           octet_length(encode(payload))::BIGINT AS orig_len,
+           (CASE doc_id % 6
+              WHEN 0 THEN 93 WHEN 1 THEN 0 WHEN 2 THEN 55
+              WHEN 3 THEN 94 WHEN 4 THEN 18 ELSE 47
+            END)::BIGINT AS lclppb,
+           md5(payload) AS dec_md5,
+           TRUE AS ok
+    FROM p
+    """,
+)
+def lzma_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL from-spec LZMA DECODE (round 9, operators/lzma_alone.py —
+    public lzma-specification.txt: 11-bit adaptive range coder,
+    12-state literal/match/rep machine, position-slot distance model,
+    .lzma alone container): each doc's payload is encoded by Python's
+    stdlib lzma / liblzma (an INDEPENDENT third-party implementation,
+    FORMAT_ALONE) with the lc/lp/pb model parameters cycled by doc_id,
+    and decoded by the from-spec decoder inside ONE Arrow mapInPandas
+    kernel — every row cross-validates the two implementations across
+    literal-context / position-mask settings (the bzip2 pattern).
+    Lossless, so the oracle replays the payload formula md5 exactly;
+    lclppb attests the (pb*5+lp)*9+lc header arithmetic in SQL.
+    Property-matrix roundtrips, rep-distance rotation, matched-literal
+    paths, known-size headers, and tamper/truncation rejects pinned in
+    tests/test_lzma.py; stdlib-decoder twin in tools/oracle_twins.py."""
+    from modeltracking_spark.operators.lzma_alone import lzma_roundtrip_stats
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "repeat(substring(text, 1, 37) || '~', cast(doc_id % 5 + 1 as int))"
+            " || text || upper(substring(reverse(text), 1, 19))"
+        ).alias("payload"),
+    )
+    return lzma_roundtrip_stats(d)

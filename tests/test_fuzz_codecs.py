@@ -125,6 +125,17 @@ def _fixtures():
                 "modeltracking_spark.operators.bzip2", fromlist=["x"]
             ).bz2_decompress,
         ),
+        "lzma": (
+            __import__("lzma").compress(
+                b"lzma fuzz target record\n" * 60,
+                format=__import__("lzma").FORMAT_ALONE,
+            ),
+            # bound max_output: corrupt streams carry no checksum, so a
+            # flipped bit may decode junk — the guard keeps junk finite
+            lambda b: __import__(
+                "modeltracking_spark.operators.lzma_alone", fromlist=["x"]
+            ).lzma_alone_decompress(b, max_output=1 << 16),
+        ),
     }
 
 

@@ -1652,6 +1652,51 @@ def twin_lz4(spark, sf_dir, spark_rows) -> tuple[bool, str]:
     return True, f"{len(rows)} frames byte-walked exact"
 
 
+def twin_lzma(spark, sf_dir, spark_rows) -> tuple[bool, str]:
+    """Second INDEPENDENT decoder for the lzma query: the spark kernel
+    decodes with the from-spec decoder; this twin re-encodes the same
+    payload with identical liblzma parameters and decodes with
+    liblzma's own decoder — the md5s agree only if the two decoder
+    implementations agree byte-for-byte on every stream."""
+    import hashlib
+    import lzma as _lzma
+
+    import duckdb as _duck
+
+    _props = [(3, 0, 2), (0, 0, 0), (1, 1, 1), (4, 0, 2), (0, 2, 0),
+              (2, 0, 1)]
+    rows = _duck.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    got = {
+        int(r["doc_id"]): (
+            int(r["orig_len"]), int(r["lclppb"]), r["dec_md5"], bool(r["ok"])
+        )
+        for r in spark_rows
+    }
+    for doc_id, text in rows:
+        payload = (
+            (text[:37] + "~") * (doc_id % 5 + 1)
+            + text + text[::-1][:19].upper()
+        ).encode("utf-8")
+        lc, lp, pb = _props[doc_id % len(_props)]
+        enc = _lzma.compress(
+            payload, format=_lzma.FORMAT_ALONE,
+            filters=[{"id": _lzma.FILTER_LZMA1, "preset": 6,
+                      "lc": lc, "lp": lp, "pb": pb}],
+        )
+        dec = _lzma.decompress(enc, format=_lzma.FORMAT_ALONE)
+        want = (
+            len(payload),
+            (pb * 5 + lp) * 9 + lc,
+            hashlib.md5(dec).hexdigest(),
+            dec == payload,
+        )
+        if got.get(int(doc_id)) != want:
+            return False, f"doc {doc_id}: got {got.get(int(doc_id))} want {want}"
+    return True, f"{len(rows)} streams decoded exact by both decoders"
+
+
 def main(sf_dirs: list[str]) -> int:
     import duckdb
     from pyspark.sql import SparkSession
@@ -1715,6 +1760,8 @@ def main(sf_dirs: list[str]) -> int:
              lambda rows: twin_lz4(spark, sf_dir, rows)),
             ("snappy_roundtrip_docs",
              lambda rows: twin_snappy(spark, sf_dir, rows)),
+            ("lzma_roundtrip_docs",
+             lambda rows: twin_lzma(spark, sf_dir, rows)),
         ):
             rows = qs[name](spark, sf_dir).collect()
             ok, msg = fn(rows)
