@@ -105,6 +105,9 @@ HEADLINE = [
     # streaming ingest (real stream + deliberate replay)
     "tiff_tiled_palette_stats_docs",
     "exactly_once_ingest_events",
+    # round-9 session-2 codec: from-spec LZMA decode (liblzma-encoder
+    # cross-validation, lc/lp/pb matrix)
+    "lzma_roundtrip_docs",
 ]
 
 # Regression anchor: BENCH_r03.json per-query seconds at sf0.1 on local[32]

@@ -275,3 +275,122 @@ def hll_distinct_estimate(df: DataFrame, key_col: str) -> DataFrame:
         (F.lit(m) - F.col("V")).cast("long").alias("n_occupied"),
         F.floor(est * F.lit(1e6) + F.lit(0.5)).cast("long").alias("est_e6"),
     )
+
+
+# --------------------------------------------------------- KMV / theta
+
+
+_KMV_MAX_H = 1 << 60  # hashes live in [0, 2^60); "theta = 2^60" = exact mode
+
+
+def kmv_sketch(
+    df: DataFrame, key_col: str, group_col: str, k: int = 64
+) -> DataFrame:
+    """KMV / bottom-k theta sketch per group (Bar-Yossef et al. 2002;
+    the k-minimum-values form of the theta sketch family): keep the k
+    SMALLEST distinct 60-bit hashes of the keys in each group.
+
+    Unlike HLL, KMV sketches support SET OPERATIONS — union AND
+    intersection estimates between groups (:func:`kmv_pair_estimates`)
+    — because each sketch is a uniform hash SAMPLE of its set below a
+    per-sketch threshold theta, not a lossy register array.
+
+    Scale shape: one ``distinct`` shuffle at (group, hash) grain, then
+    a per-group sort-rank that keeps only k rows per group BEFORE any
+    ``collect_list`` — the collected arrays are bounded at k elements
+    regardless of input size, and sketches merge across shards by
+    "k smallest of the union" (attested by the union estimator).
+    Portable md5 hashing keeps every estimate bit-replayable in SQL
+    (the sketches.py discipline).
+
+    Output: (group, hs array<long> ascending ≤ k, n_sk, theta) where
+    theta = k-th smallest hash in estimation mode, 2^60 when the group
+    held fewer than k distinct keys (exact mode)."""
+    from pyspark.sql import Window
+
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit("__null__"))
+    h = F.conv(
+        F.substring(F.md5(F.concat(key, F.lit(":kmv"))), 1, 15), 16, 10
+    ).cast("long")
+    d = df.select(F.col(group_col).alias("g"), h.alias("h")).distinct()
+    w = Window.partitionBy("g").orderBy("h")
+    topk = d.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    return topk.groupBy("g").agg(
+        F.array_sort(F.collect_list("h")).alias("hs"),
+        F.count("*").alias("n_sk"),
+        F.coalesce(
+            F.max(F.when(F.col("rn") == k, F.col("h"))),
+            F.lit(_KMV_MAX_H),
+        ).alias("theta"),
+    )
+
+
+def kmv_pair_estimates(sk: DataFrame, k: int = 64) -> DataFrame:
+    """Distinct / union / intersection estimates for every group pair
+    from :func:`kmv_sketch` output.
+
+    Standard theta-sketch combinators, all on the bounded per-group
+    arrays (the pair table is |groups|² rows of ≤ k-element arrays —
+    tiny by construction; at scale you broadcast the sketch table and
+    request only the pairs you need):
+
+    - per-set:      est = (k-1) / (theta / 2^60); exact n when n < k
+    - union:        k smallest of the merged arrays, same estimator
+    - intersection: theta* = min(theta_a, theta_b); count common
+                    hashes below theta*, scale by 2^60 / theta*
+
+    Estimates are emitted as e6-scaled integers via mirrored double
+    arithmetic (the chi2 FLOOR(x*1e6+0.5) discipline) so the oracle —
+    a pure window-function SQL replay with NO list functions, a fully
+    independent relational path — hash-matches bit for bit."""
+    a = sk.select(
+        F.col("g").alias("g_a"), F.col("hs").alias("hs_a"),
+        F.col("n_sk").alias("n_a"), F.col("theta").alias("th_a"),
+    )
+    b = sk.select(
+        F.col("g").alias("g_b"), F.col("hs").alias("hs_b"),
+        F.col("n_sk").alias("n_b"), F.col("theta").alias("th_b"),
+    )
+    pairs = F.broadcast(a).join(F.broadcast(b), F.col("g_a") < F.col("g_b"))
+
+    def est_e6(n, theta, kk):
+        # exact below k; (k-1)/theta-normalized above — mirrored doubles
+        return F.when(
+            theta == _KMV_MAX_H, n.cast("long") * F.lit(1_000_000)
+        ).otherwise(
+            F.floor(
+                (F.lit(float(kk - 1)) * F.lit(float(_KMV_MAX_H))
+                 / theta.cast("double")) * F.lit(1e6) + F.lit(0.5)
+            ).cast("long")
+        )
+
+    merged = F.slice(
+        F.array_sort(F.array_union("hs_a", "hs_b")), 1, k
+    )
+    n_u = F.size(merged)
+    th_u = F.when(
+        n_u == k, F.element_at(merged, k)
+    ).otherwise(F.lit(_KMV_MAX_H))
+    th_min = F.least("th_a", "th_b")
+    n_common = F.size(
+        F.filter(
+            F.array_intersect("hs_a", "hs_b"),
+            lambda x: x < th_min,
+        )
+    )
+    inter_e6 = F.when(
+        th_min == _KMV_MAX_H, n_common.cast("long") * F.lit(1_000_000)
+    ).otherwise(
+        F.floor(
+            (n_common.cast("double") * F.lit(float(_KMV_MAX_H))
+             / th_min.cast("double")) * F.lit(1e6) + F.lit(0.5)
+        ).cast("long")
+    )
+    return pairs.select(
+        "g_a", "g_b",
+        est_e6(F.col("n_a"), F.col("th_a"), k).alias("est_a_e6"),
+        est_e6(F.col("n_b"), F.col("th_b"), k).alias("est_b_e6"),
+        est_e6(n_u, th_u, k).alias("est_union_e6"),
+        inter_e6.alias("est_inter_e6"),
+        n_common.cast("long").alias("n_common_below_theta"),
+    )

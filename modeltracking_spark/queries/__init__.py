@@ -116,13 +116,14 @@ PRIORITY: tuple[str, ...] = (
     "tumbling_window_counts",       # §2.11 tumbling windows
     "minhash_lsh_pairs",            # MinHash+LSH banded pairs
     # ---- window boundary (50) ----
-    # round-10 rotation head: the 8 queries registered after this
+    # round-10 rotation head: the queries registered after this
     # rotation froze (never driver-attested as of r9; count them, the
-    # r8 comment undercounted and the verdict flagged it):
+    # r8 comment undercounted and the verdict flagged it) — 9 so far:
     #   image_incremental_neardup_docs, click_error_interval_stallproof,
     #   lz4_roundtrip_docs, nfc_normalize_docs, snappy_roundtrip_docs,
     #   bz2_roundtrip_docs, exactly_once_ingest_events,
-    #   tiff_tiled_palette_stats_docs
+    #   tiff_tiled_palette_stats_docs, lzma_roundtrip_docs
+    # (any further round-9 session-2 registrations join this head too)
     # — then continue the stale-cohort sweep (the r6 remainder, then r7).
 )
 

@@ -2152,3 +2152,100 @@ def key_skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_keys") * F.col("n_rows")).cast("double")
         ).alias("gini_e6"),
     )
+
+
+@query(
+    "kmv_set_ops_users",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT event_type AS g,
+             ('0x' || substr(md5(coalesce(user_id::VARCHAR, '__null__')
+                                 || ':kmv'), 1, 15))::BIGINT AS h
+      FROM events
+    ),
+    r AS (
+      SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+      FROM h
+    ),
+    sk AS (SELECT g, h, rn FROM r WHERE rn <= 64),
+    meta AS (
+      SELECT g, count(*)::BIGINT AS n,
+             coalesce(max(CASE WHEN rn = 64 THEN h END),
+                      1152921504606846976) AS theta
+      FROM sk GROUP BY g
+    ),
+    pairs AS (
+      SELECT a.g AS g_a, b.g AS g_b, a.n AS n_a, a.theta AS th_a,
+             b.n AS n_b, b.theta AS th_b
+      FROM meta a JOIN meta b ON a.g < b.g
+    ),
+    uni_h AS (
+      SELECT DISTINCT p.g_a, p.g_b, u.h
+      FROM pairs p JOIN sk u ON u.g = p.g_a OR u.g = p.g_b
+    ),
+    uni_r AS (
+      SELECT g_a, g_b, h,
+             row_number() OVER (PARTITION BY g_a, g_b ORDER BY h) AS rn
+      FROM uni_h
+    ),
+    uni_m AS (
+      SELECT g_a, g_b, count(*)::BIGINT AS n_u,
+             coalesce(max(CASE WHEN rn = 64 THEN h END),
+                      1152921504606846976) AS th_u
+      FROM uni_r WHERE rn <= 64 GROUP BY g_a, g_b
+    ),
+    common AS (
+      SELECT p.g_a, p.g_b, count(*)::BIGINT AS c
+      FROM pairs p
+      JOIN sk sa ON sa.g = p.g_a
+      JOIN sk sb ON sb.g = p.g_b AND sb.h = sa.h
+      WHERE sa.h < least(p.th_a, p.th_b)
+      GROUP BY p.g_a, p.g_b
+    )
+    SELECT p.g_a, p.g_b,
+           (CASE WHEN p.th_a = 1152921504606846976 THEN p.n_a * 1000000
+                 ELSE floor((63.0 * 1152921504606846976.0
+                             / p.th_a::DOUBLE) * 1000000.0 + 0.5)::BIGINT
+            END) AS est_a_e6,
+           (CASE WHEN p.th_b = 1152921504606846976 THEN p.n_b * 1000000
+                 ELSE floor((63.0 * 1152921504606846976.0
+                             / p.th_b::DOUBLE) * 1000000.0 + 0.5)::BIGINT
+            END) AS est_b_e6,
+           (CASE WHEN u.th_u = 1152921504606846976 THEN u.n_u * 1000000
+                 ELSE floor((63.0 * 1152921504606846976.0
+                             / u.th_u::DOUBLE) * 1000000.0 + 0.5)::BIGINT
+            END) AS est_union_e6,
+           (CASE WHEN least(p.th_a, p.th_b) = 1152921504606846976
+                 THEN coalesce(c.c, 0) * 1000000
+                 ELSE floor((coalesce(c.c, 0)::DOUBLE
+                             * 1152921504606846976.0
+                             / least(p.th_a, p.th_b)::DOUBLE)
+                            * 1000000.0 + 0.5)::BIGINT
+            END) AS est_inter_e6,
+           coalesce(c.c, 0)::BIGINT AS n_common_below_theta
+    FROM pairs p
+    JOIN uni_m u ON u.g_a = p.g_a AND u.g_b = p.g_b
+    LEFT JOIN common c ON c.g_a = p.g_a AND c.g_b = p.g_b
+    """,
+)
+def kmv_set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / bottom-k theta sketches with SET OPERATIONS (round 9,
+    operators/sketches.py:kmv_sketch — Bar-Yossef et al. 2002): the
+    k=64 smallest distinct md5-derived 60-bit hashes of user_id per
+    event_type, then per-pair distinct / union / INTERSECTION
+    estimates — the capability HLL lacks (registers can union but
+    never intersect; a uniform below-theta hash sample can do both).
+    Spark builds sketches via distinct -> per-group rank<=k ->
+    bounded collect_list, and combines pairs with array expressions;
+    the oracle replays the IDENTICAL estimates through a pure
+    window-function relational path (row_number / joins, no list
+    functions) — two independent formulations of the same sketch
+    math, bit-equal through the mirrored-double e6 discipline."""
+    from modeltracking_spark.operators.sketches import (
+        kmv_pair_estimates,
+        kmv_sketch,
+    )
+
+    ev = T(spark, sf_dir, "events")
+    sk = kmv_sketch(ev, "user_id", "event_type", k=64)
+    return kmv_pair_estimates(sk, k=64)

@@ -165,3 +165,70 @@ def test_hll_accepts_non_bare_column_names(spark):
     weird = df.withColumnRenamed("plain", "user id")
     got = hll_distinct_estimate(weird, "user id").first()
     assert tuple(got) == tuple(want)
+
+
+def test_kmv_estimates_within_theory_error(spark):
+    """KMV with k=64 has relative std error ~ 1/sqrt(k-2) ≈ 12.7%:
+    three overlapping synthetic sets (known exact distinct / union /
+    intersection counts) must estimate within 4 sigma, and the sketch
+    arrays must be bounded at k."""
+    from modeltracking_spark.operators.sketches import (
+        kmv_pair_estimates,
+        kmv_sketch,
+    )
+
+    rows = (
+        [("a", i) for i in range(1000)]            # A = [0, 1000)
+        + [("b", i) for i in range(600, 1800)]     # B = [600, 1800)
+        + [("c", i) for i in range(5000, 5030)]    # C tiny: exact mode
+    )
+    df = spark.createDataFrame(rows, "g string, uid long")
+    sk = kmv_sketch(df, "uid", "g", k=64)
+    bounded = {r["g"]: (len(r["hs"]), r["n_sk"]) for r in sk.collect()}
+    assert bounded["a"] == (64, 64) and bounded["b"] == (64, 64)
+    assert bounded["c"] == (30, 30)  # exact mode keeps all 30
+
+    est = {
+        (r["g_a"], r["g_b"]): r
+        for r in kmv_pair_estimates(sk, k=64).collect()
+    }
+    ab = est[("a", "b")]
+    tol = 4 / math.sqrt(62)  # 4 sigma
+    assert abs(ab["est_a_e6"] / 1e6 - 1000) <= 1000 * tol
+    assert abs(ab["est_b_e6"] / 1e6 - 1200) <= 1200 * tol
+    assert abs(ab["est_union_e6"] / 1e6 - 1800) <= 1800 * tol
+    # intersection error scales with the UNION size under theta-min
+    assert abs(ab["est_inter_e6"] / 1e6 - 400) <= 1800 * tol
+    # exact-mode pair: C disjoint from A -> intersection exactly 0,
+    # and A-C union estimate = est(A) + 30 exactly (theta_min picks
+    # A's threshold; C's 30 hashes are a complete set)
+    ac = est[("a", "c")]
+    assert ac["n_common_below_theta"] == 0 and ac["est_inter_e6"] == 0
+    assert ac["est_b_e6"] == 30 * 1_000_000
+
+
+def test_kmv_union_estimate_equals_sketch_of_union(spark):
+    """Mergeability: the union estimator over two sketches must equal
+    the estimate from sketching the concatenated input directly —
+    'k smallest of union of k-smallest' == 'k smallest of union'."""
+    from modeltracking_spark.operators.sketches import (
+        kmv_pair_estimates,
+        kmv_sketch,
+    )
+
+    rows_a = [("a", i * 7 + 1) for i in range(900)]
+    rows_b = [("b", i * 11 + 3) for i in range(700)]
+    df = spark.createDataFrame(rows_a + rows_b, "g string, uid long")
+    merged = spark.createDataFrame(
+        [("m", uid) for _, uid in rows_a + rows_b], "g string, uid long"
+    )
+    pair = kmv_pair_estimates(kmv_sketch(df, "uid", "g", k=64), k=64)
+    direct = kmv_sketch(merged, "uid", "g", k=64)
+    got = pair.collect()[0]["est_union_e6"]
+    r = direct.collect()[0]
+    want_theta = r["theta"]
+    want = (
+        r["n_sk"] * 1_000_000 if want_theta == 1 << 60
+        else math.floor((63.0 * float(1 << 60) / want_theta) * 1e6 + 0.5)
+    )
+    assert got == want
