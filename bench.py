@@ -108,6 +108,10 @@ HEADLINE = [
     # round-9 session-2 codec: from-spec LZMA decode (liblzma-encoder
     # cross-validation, lc/lp/pb matrix)
     "lzma_roundtrip_docs",
+    # round-9 session-2 operators: content-defined chunking dedup and
+    # KMV theta-sketch set operations
+    "cdc_chunk_dedup_docs",
+    "kmv_set_ops_users",
 ]
 
 # Regression anchor: BENCH_r03.json per-query seconds at sf0.1 on local[32]

@@ -626,3 +626,98 @@ def leakage_safe_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("bucket") < 9000, "val")
         .otherwise("test"),
     )
+
+
+@query(
+    "cdc_chunk_dedup_docs",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 3 = 0
+                   THEN 'COMMON LICENSE BOILERPLATE: redistribution permitted with attribution; see corpus manifest for terms. '
+                   ELSE '' END)
+             || repeat(text || ' ', (doc_id % 4 + 2)::INTEGER) AS payload
+      FROM documents
+    ),
+    cps AS (
+      SELECT doc_id, payload, length(payload) AS n,
+             list_transform(range(1, length(payload) + 1),
+                            i -> unicode(payload[i])) AS cp
+      FROM p
+    ),
+    cands AS (
+      SELECT doc_id, payload, n,
+             CASE WHEN n >= 8 THEN
+               list_filter(range(8, n + 1),
+                           i -> (cp[i-7]::BIGINT*588580609 + cp[i-6]::BIGINT*336528897 + cp[i-5]::BIGINT*168428801 + cp[i-4]::BIGINT*67503105 + cp[i-3]::BIGINT*16974593 + cp[i-2]::BIGINT*66049 + cp[i-1]::BIGINT*257 + cp[i-0]::BIGINT*1)
+                                % 2147483648 % 101 = 13)
+             ELSE [] END AS cand
+      FROM cps
+    ),
+    walk AS (
+      WITH RECURSIVE w(doc_id, b, e, forced) AS (
+        SELECT doc_id, 0, 0, FALSE FROM cands WHERE n > 0
+        UNION ALL
+        SELECT c.doc_id, w.e,
+               coalesce(
+                 (SELECT min(x) FROM unnest(c.cand) AS t(x)
+                   WHERE x >= w.e + 32 AND x <= w.e + 256),
+                 CASE WHEN c.n - w.e > 256 THEN w.e + 256 ELSE c.n END),
+               coalesce(
+                 (SELECT min(x) FROM unnest(c.cand) AS t(x)
+                   WHERE x >= w.e + 32 AND x <= w.e + 256), -1) = -1
+               AND c.n - w.e > 256
+        FROM w JOIN cands c USING (doc_id)
+        WHERE w.e < c.n
+      )
+      SELECT * FROM w WHERE e > 0
+    ),
+    chunks AS (
+      SELECT w.doc_id, w.b, w.e, w.forced,
+             md5(substr(c.payload, w.b + 1, w.e - w.b)) AS chunk_md5
+      FROM walk w JOIN cands c USING (doc_id)
+    ),
+    shared AS (
+      SELECT chunk_md5 FROM chunks
+      GROUP BY chunk_md5 HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT c.doc_id,
+           count(*)::BIGINT AS n_chunks,
+           sum(c.forced::INTEGER)::BIGINT AS n_forced,
+           max(c.e - c.b)::BIGINT AS max_chunk_len,
+           sum(CASE WHEN s.chunk_md5 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_shared_chunks,
+           sum(CASE WHEN s.chunk_md5 IS NOT NULL THEN c.e - c.b
+                    ELSE 0 END)::BIGINT AS shared_chars
+    FROM chunks c LEFT JOIN shared s USING (chunk_md5)
+    GROUP BY c.doc_id
+    """,
+)
+def cdc_chunk_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking for corpus shared-content detection
+    (round 9, operators/cdc.py — LBFS SOSP'01 / FastCDC ATC'16): a
+    rolling polynomial hash (w=8, base 257 mod 2^31) cuts each payload
+    where the hash residue hits 13 mod 101, clamped to [32, 256] chars
+    with forced max-length cuts — boundaries re-synchronize after
+    local edits, so identical passages (here: a deliberate license
+    boilerplate on every 3rd doc, plus the corpus's natural near-dups)
+    chunk identically wherever they sit. ONE narrow mapInPandas kernel
+    chunks (numpy rolling hash + linear two-pointer clamp walk), ONE
+    chunk-md5-grain aggregate discovers cross-doc sharing — nothing
+    all-pairs, the 100 TB storage-dedup shape. The oracle replays the
+    IDENTICAL walk relationally: list-transform code-point hashing and
+    a RECURSIVE CTE for the clamped boundary recursion, byte-equal on
+    every chunk md5 (pinned per-chunk in tests/test_cdc.py)."""
+    from modeltracking_spark.operators.cdc import cdc_shared_chunk_stats
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "(CASE WHEN doc_id % 3 = 0"
+            " THEN 'COMMON LICENSE BOILERPLATE: redistribution permitted"
+            " with attribution; see corpus manifest for terms. '"
+            " ELSE '' END)"
+            " || repeat(text || ' ', cast(doc_id % 4 + 2 as int))"
+        ).alias("payload"),
+    )
+    return cdc_shared_chunk_stats(d, text_col="payload", id_col="doc_id")

@@ -1070,7 +1070,8 @@ def tiff_tiled_palette_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame
     WITH p AS (
       SELECT doc_id,
              repeat(substr(text, 1, 37) || '~', (doc_id % 5 + 1)::INTEGER)
-               || text || upper(substr(reverse(text), 1, 19)) AS payload
+               || substr(text, 1, 180)
+               || upper(substr(reverse(text), 1, 19)) AS payload
       FROM documents
     )
     SELECT doc_id,
@@ -1105,7 +1106,8 @@ def lzma_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr(
             "repeat(substring(text, 1, 37) || '~', cast(doc_id % 5 + 1 as int))"
-            " || text || upper(substring(reverse(text), 1, 19))"
+            " || substring(text, 1, 180)"
+            " || upper(substring(reverse(text), 1, 19))"
         ).alias("payload"),
     )
     return lzma_roundtrip_stats(d)
