@@ -297,9 +297,12 @@ def kmv_sketch(
 
     Scale shape: one ``distinct`` shuffle at (group, hash) grain, then
     a per-group sort-rank that keeps only k rows per group BEFORE any
-    ``collect_list`` — the collected arrays are bounded at k elements
-    regardless of input size, and sketches merge across shards by
-    "k smallest of the union" (attested by the union estimator).
+    ``collect_list`` — Catalyst turns the rank filter into a
+    WindowGroupLimit, discarding beyond-k rows per PARTITION before
+    the group exchange (plan-asserted in test_scale_plans.py), so the
+    collected arrays are bounded at k elements regardless of input
+    size, and sketches merge across shards by "k smallest of the
+    union" (attested by the union estimator).
     Portable md5 hashing keeps every estimate bit-replayable in SQL
     (the sketches.py discipline).
 

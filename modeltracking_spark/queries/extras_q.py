@@ -2249,3 +2249,68 @@ def kmv_set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = T(spark, sf_dir, "events")
     sk = kmv_sketch(ev, "user_id", "event_type", k=64)
     return kmv_pair_estimates(sk, k=64)
+
+
+@query(
+    "orc_roundtrip_scan",
+    oracle="""
+    SELECT year(o_orderdate)::BIGINT AS yr,
+           count(*)::BIGINT AS n_orders,
+           sum(floor(o_totalprice * 100.0 + 0.5)::BIGINT)::BIGINT
+             AS total_cents,
+           min(o_orderkey)::BIGINT AS min_key,
+           max(o_orderkey)::BIGINT AS max_key
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY year(o_orderdate)
+    """,
+)
+def orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink -> partitioned scan across a REAL file boundary
+    (source-format coverage beside parquet/CSV/jsonl.gz/netCDF): the
+    orders table is written as ORC PARTITIONED BY o_orderstatus (so
+    the status filter on read-back is answered by DIRECTORY pruning,
+    not row filtering — the same partition-elimination contract the
+    engine's parquet layout queries assert), read back through
+    Spark's native ORC reader, and aggregated per order-year. Dollar
+    sums are per-row integer cents (floor(x*100+0.5)) so the
+    aggregate is associative and exact regardless of partition merge
+    order. The oracle computes from the parquet table WITHOUT
+    touching the ORC files, attesting the whole sink -> scan loop
+    (timestamps, doubles, partition-column reconstruction from
+    directory names). Fixture dir keyed by sf_dir + row count + this
+    function's source (the csv_roundtrip race-safe tmp-rename
+    pattern)."""
+    import hashlib
+    import inspect
+    import os
+    import shutil
+
+    orders = T(spark, sf_dir, "orders")
+    fp = hashlib.md5(
+        (sf_dir + ":" + str(orders.count()) + ":"
+         + inspect.getsource(orc_roundtrip_scan)).encode()
+    ).hexdigest()[:10]
+    out_dir = f"/tmp/modeltracking_orders_orc_{fp}"
+    if not os.path.isdir(out_dir):
+        tmp = f"{out_dir}.{os.getpid()}.tmp"
+        (orders.write.mode("overwrite")
+               .partitionBy("o_orderstatus").orc(tmp))
+        try:
+            os.rename(tmp, out_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    back = spark.read.orc(out_dir)
+    return (
+        back.where(F.col("o_orderstatus") == "F")
+        .groupBy(F.year("o_orderdate").cast("long").alias("yr"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+                .cast("long")
+            ).alias("total_cents"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )

@@ -487,3 +487,44 @@ def test_lz4_and_nfc_are_shuffle_free_narrow_maps(spark):
     final_sn = plan_sn.split("== Initial Plan ==")[0]
     assert "Exchange" not in final_sn
     assert "Join" not in final_sn and "Window" not in final_sn
+
+
+def test_orc_readback_prunes_partitions_and_cdc_kmv_shapes(spark):
+    """ORC partitioned sink: the status filter on read-back must be a
+    PartitionFilter (directory elimination), never a row filter over
+    all partitions. CDC: chunking is a narrow map; sharing is ONE
+    chunk-grain aggregate + join-back, no cartesian. KMV: the pair
+    combinator broadcasts the bounded sketch table."""
+    import os
+    import tempfile
+
+    from modeltracking_spark.operators.cdc import cdc_shared_chunk_stats
+    from modeltracking_spark.operators.sketches import (
+        kmv_pair_estimates,
+        kmv_sketch,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "orc")
+        orders = spark.read.parquet(f"{SF001}/orders.parquet")
+        orders.write.partitionBy("o_orderstatus").orc(path)
+        q = spark.read.orc(path).where(F.col("o_orderstatus") == "F")
+        plan = executed_plan(q)
+        assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+        assert "(o_orderstatus" in plan.split("PartitionFilters")[1][:120]
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    stats = cdc_shared_chunk_stats(docs, text_col="text")
+    assert_no_cartesian(stats)
+    plan = executed_plan(stats)
+    assert "HashAggregate" in plan  # chunk-grain partial agg combines
+
+    sk = kmv_sketch(spark.read.parquet(f"{SF001}/events.parquet"),
+                    "user_id", "event_type", k=64)
+    pairs = kmv_pair_estimates(sk, k=64)
+    plan = executed_plan(pairs)
+    # inequality pair condition can't hash-join: the right shape is a
+    # BROADCAST nested-loop over the bounded sketch table, and the
+    # rank<=k prunes partially BEFORE the group exchange
+    assert "BroadcastNestedLoopJoin" in plan and "BroadcastExchange" in plan
+    assert "WindowGroupLimit" in plan
