@@ -21,6 +21,8 @@ out-of-range selectors/origPtr, CRC mismatches, truncation.
 
 from __future__ import annotations
 
+from modeltracking_spark.operators.kernel import widen_for_kernel
+
 _MASK32 = 0xFFFFFFFF
 
 
@@ -356,4 +358,4 @@ def bz2_roundtrip_stats(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(kernel, schema)
+    return widen_for_kernel(df.select(id_col, payload_col)).mapInPandas(kernel, schema)

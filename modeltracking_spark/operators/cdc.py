@@ -31,6 +31,8 @@ hash is w vectorized numpy passes.  All integer arithmetic stays under
 
 from __future__ import annotations
 
+from modeltracking_spark.operators.kernel import widen_for_kernel
+
 from pyspark.sql import DataFrame
 
 CDC_W = 8
@@ -137,7 +139,7 @@ def cdc_chunks(
                 }
             )
 
-    return df.select(id_col, text_col).mapInPandas(kernel, schema)
+    return widen_for_kernel(df.select(id_col, text_col)).mapInPandas(kernel, schema)
 
 
 def cdc_shared_chunk_stats(

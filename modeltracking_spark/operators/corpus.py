@@ -799,8 +799,12 @@ def dup_span_scrub(
     """
     import pandas as pd  # noqa: F401  (arrow kernel below)
 
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks")
+    from modeltracking_spark.operators.kernel import widen_for_kernel
+
+    toks = widen_for_kernel(
+        docs.select(F.col(id_col).alias("doc_id"), text_col)
+    ).select(
+        F.col("doc_id"), tokens(text_col).alias("__toks")
     ).localCheckpoint(eager=False)
     grams = toks.select(
         "doc_id",

@@ -40,6 +40,8 @@ columns, SURVEY.md §2.12/§6).
 
 from __future__ import annotations
 
+from modeltracking_spark.operators.kernel import widen_for_kernel
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -123,7 +125,7 @@ def dhash_features(df: DataFrame, id_col: str = "doc_id",
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(
+    return widen_for_kernel(df.select(id_col, payload_col)).mapInPandas(
         extract, schema=DHASH_SCHEMA
     )
 

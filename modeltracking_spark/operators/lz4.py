@@ -28,6 +28,8 @@ rows; 100 TB of shards decode embarrassingly parallel.
 
 from __future__ import annotations
 
+from modeltracking_spark.operators.kernel import widen_for_kernel
+
 _MASK32 = 0xFFFFFFFF
 
 # ------------------------------------------------------------------ xxh32
@@ -408,4 +410,4 @@ def lz4_roundtrip_stats(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(kernel, schema)
+    return widen_for_kernel(df.select(id_col, payload_col)).mapInPandas(kernel, schema)

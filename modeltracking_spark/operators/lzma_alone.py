@@ -26,6 +26,8 @@ beyond the produced output, truncation, missing terminator.
 
 from __future__ import annotations
 
+from modeltracking_spark.operators.kernel import widen_for_kernel
+
 _MASK32 = 0xFFFFFFFF
 _TOP = 1 << 24          # range-coder normalization bound
 _BIT_MODEL_TOTAL = 1 << 11
@@ -351,4 +353,4 @@ def lzma_roundtrip_stats(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(kernel, schema)
+    return widen_for_kernel(df.select(id_col, payload_col)).mapInPandas(kernel, schema)

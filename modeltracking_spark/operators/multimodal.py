@@ -22,6 +22,8 @@ shape, Arrow transfer, partition mapping) format-independently.
 
 from __future__ import annotations
 
+from modeltracking_spark.operators.kernel import widen_for_kernel
+
 import struct
 
 from pyspark.sql import DataFrame
@@ -712,7 +714,7 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id",
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(
+    return widen_for_kernel(df.select(id_col, payload_col)).mapInPandas(
         extract, schema=IMAGE_FEATURES_SCHEMA
     )
 
@@ -748,7 +750,7 @@ def attach_bmp_payload(df: DataFrame, id_col: str = "doc_id",
                 payloads.append(encode_bmp(img))
             yield pd.DataFrame({id_col: pdf[id_col], out_col: payloads})
 
-    return df.select(id_col).mapInPandas(
+    return widen_for_kernel(df.select(id_col)).mapInPandas(
         build, schema=f"{id_col} bigint, {out_col} binary"
     )
 
@@ -792,7 +794,7 @@ def attach_bmp_neardup_payload(df: DataFrame, id_col: str = "doc_id",
                 payloads.append(encode_bmp(img))
             yield pd.DataFrame({id_col: pdf[id_col], out_col: payloads})
 
-    return df.select(id_col).mapInPandas(
+    return widen_for_kernel(df.select(id_col)).mapInPandas(
         build, schema=f"{id_col} bigint, {out_col} binary"
     )
 
@@ -838,7 +840,7 @@ def attach_jpeg_payload(df: DataFrame, id_col: str = "doc_id",
                 )
             yield pd.DataFrame({id_col: pdf[id_col], out_col: payloads})
 
-    return df.select(id_col).mapInPandas(
+    return widen_for_kernel(df.select(id_col)).mapInPandas(
         build, schema=f"{id_col} bigint, {out_col} binary"
     )
 
@@ -874,7 +876,7 @@ def attach_jpeg_progressive_payload(df: DataFrame, id_col: str = "doc_id",
                 )
             yield pd.DataFrame({id_col: pdf[id_col], out_col: payloads})
 
-    return df.select(id_col).mapInPandas(
+    return widen_for_kernel(df.select(id_col)).mapInPandas(
         build, schema=f"{id_col} bigint, {out_col} binary"
     )
 
@@ -912,7 +914,7 @@ def attach_jpeg_color_payload(df: DataFrame, id_col: str = "doc_id",
                 payloads.append(encode_jpeg_color(img, subsampling="420"))
             yield pd.DataFrame({id_col: pdf[id_col], out_col: payloads})
 
-    return df.select(id_col).mapInPandas(
+    return widen_for_kernel(df.select(id_col)).mapInPandas(
         build, schema=f"{id_col} bigint, {out_col} binary"
     )
 
@@ -959,7 +961,7 @@ def attach_gif_payload(df: DataFrame, id_col: str = "doc_id",
                 )
             yield pd.DataFrame({id_col: pdf[id_col], out_col: payloads})
 
-    return df.select(id_col).mapInPandas(
+    return widen_for_kernel(df.select(id_col)).mapInPandas(
         build, schema=f"{id_col} bigint, {out_col} binary"
     )
 
@@ -998,7 +1000,7 @@ def attach_png_payload(df: DataFrame, id_col: str = "doc_id",
                 payloads.append(encode_png(img))
             yield pd.DataFrame({id_col: pdf[id_col], out_col: payloads})
 
-    return df.select(id_col).mapInPandas(
+    return widen_for_kernel(df.select(id_col)).mapInPandas(
         build, schema=f"{id_col} bigint, {out_col} binary"
     )
 
@@ -1026,7 +1028,7 @@ def attach_wav_payload(df: DataFrame, id_col: str = "doc_id",
                 payloads.append(encode_wav(a, 8000))
             yield pd.DataFrame({id_col: pdf[id_col], out_col: payloads})
 
-    return df.select(id_col).mapInPandas(
+    return widen_for_kernel(df.select(id_col)).mapInPandas(
         build, schema=f"{id_col} bigint, {out_col} binary"
     )
 
@@ -1117,7 +1119,7 @@ def attach_adpcm_payload(df: DataFrame, id_col: str = "doc_id",
                 )
             yield pd.DataFrame({id_col: pdf[id_col], out_col: payloads})
 
-    return df.select(id_col).mapInPandas(
+    return widen_for_kernel(df.select(id_col)).mapInPandas(
         build, schema=f"{id_col} bigint, {out_col} binary"
     )
 
@@ -1187,7 +1189,7 @@ def attach_tiff_payload(df: DataFrame, id_col: str = "doc_id",
                 )
             yield pd.DataFrame({id_col: pdf[id_col], out_col: payloads})
 
-    return df.select(id_col).mapInPandas(
+    return widen_for_kernel(df.select(id_col)).mapInPandas(
         build, schema=f"{id_col} bigint, {out_col} binary"
     )
 
@@ -1232,7 +1234,7 @@ def attach_gif_animation_payload(df: DataFrame, id_col: str = "doc_id",
                 )
             yield pd.DataFrame({id_col: pdf[id_col], out_col: payloads})
 
-    return df.select(id_col).mapInPandas(
+    return widen_for_kernel(df.select(id_col)).mapInPandas(
         build, schema=f"{id_col} bigint, {out_col} binary"
     )
 
@@ -1263,7 +1265,7 @@ def gif_frame_stats(df: DataFrame, id_col: str = "doc_id",
                     rows["pixel_sum"].append(int(canvas.sum(dtype=np.int64)))
             yield pd.DataFrame(rows)
 
-    return df.select(id_col, payload_col).mapInPandas(
+    return widen_for_kernel(df.select(id_col, payload_col)).mapInPandas(
         extract,
         schema="doc_id bigint, frame_idx int, delay_cs int, pixel_sum bigint",
     )
@@ -1302,7 +1304,7 @@ def attach_g711_payload(df: DataFrame, id_col: str = "doc_id",
                 )
             yield pd.DataFrame({id_col: pdf[id_col], out_col: payloads})
 
-    return df.select(id_col).mapInPandas(
+    return widen_for_kernel(df.select(id_col)).mapInPandas(
         build, schema=f"{id_col} bigint, {out_col} binary"
     )
 
@@ -1345,7 +1347,7 @@ def decode_audio_stats(df: DataFrame, id_col: str = "doc_id",
                 rows["peak"].append(int(np.abs(frames.astype(np.int32)).max()))
             yield pd.DataFrame(rows)
 
-    return df.select(id_col, payload_col).mapInPandas(
+    return widen_for_kernel(df.select(id_col, payload_col)).mapInPandas(
         extract, schema=AUDIO_STATS_SCHEMA
     )
 
@@ -1500,7 +1502,7 @@ def attach_y4m_payload(df: DataFrame, id_col: str = "doc_id",
                 payloads.append(encode_y4m(y, cb, cr, fps=(25, 1)))
             yield pd.DataFrame({id_col: pdf[id_col], out_col: payloads})
 
-    return df.select(id_col).mapInPandas(
+    return widen_for_kernel(df.select(id_col)).mapInPandas(
         build, schema=f"{id_col} bigint, {out_col} binary"
     )
 
@@ -1553,7 +1555,7 @@ def decode_video_stats(df: DataFrame, id_col: str = "doc_id",
                     rows["cr_sum"].append(int(cr.sum(dtype=np.int64)))
             yield pd.DataFrame(rows)
 
-    return df.select(id_col, payload_col).mapInPandas(
+    return widen_for_kernel(df.select(id_col, payload_col)).mapInPandas(
         extract, schema=VIDEO_STATS_SCHEMA
     )
 
@@ -1628,7 +1630,7 @@ def sample_frames(df: DataFrame, id_col: str = "doc_id",
                     )
             yield pd.DataFrame(out)
 
-    return df.select(id_col, payload_col).mapInPandas(
+    return widen_for_kernel(df.select(id_col, payload_col)).mapInPandas(
         expand, schema=FRAME_SAMPLE_SCHEMA
     )
 
@@ -1673,7 +1675,7 @@ def resize_image_features(df: DataFrame, out_w: int, out_h: int,
                 rows["pixel_sum"].append(int(resized.sum(dtype=np.int64)))
             yield pd.DataFrame(rows)
 
-    return df.select(id_col, payload_col).mapInPandas(
+    return widen_for_kernel(df.select(id_col, payload_col)).mapInPandas(
         extract, schema=RESIZE_STATS_SCHEMA
     )
 
@@ -1723,7 +1725,7 @@ def decimate_audio_stats(df: DataFrame, factor: int,
                 rows["amp_sum"].append(int(out.sum(dtype=np.int64)))
             yield pd.DataFrame(rows)
 
-    return df.select(id_col, payload_col).mapInPandas(
+    return widen_for_kernel(df.select(id_col, payload_col)).mapInPandas(
         extract, schema=DECIMATE_STATS_SCHEMA
     )
 
@@ -1785,6 +1787,6 @@ def attach_tiff_tiled_palette_payload(df: DataFrame, id_col: str = "doc_id",
                 payloads.append(b)
             yield pd.DataFrame({id_col: pdf[id_col], out_col: payloads})
 
-    return df.select(id_col).mapInPandas(
+    return widen_for_kernel(df.select(id_col)).mapInPandas(
         build, schema=f"{id_col} bigint, {out_col} binary"
     )

@@ -30,6 +30,8 @@ shuffle, no cross-row state; shards decode embarrassingly parallel.
 
 from __future__ import annotations
 
+from modeltracking_spark.operators.kernel import widen_for_kernel
+
 _MASK32 = 0xFFFFFFFF
 
 # ----------------------------------------------------------------- crc32c
@@ -349,4 +351,4 @@ def snappy_roundtrip_stats(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(kernel, schema)
+    return widen_for_kernel(df.select(id_col, payload_col)).mapInPandas(kernel, schema)

@@ -7,6 +7,8 @@ table shape (doc_id, text, lang, source, n_chars).
 
 from __future__ import annotations
 
+from modeltracking_spark.operators.kernel import widen_for_kernel
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -519,7 +521,7 @@ def blocklist_match_counts(
                  "n_occ": pd.Series(noccs, dtype="int64")}
             )
 
-    hits = docs.select(id_col, text_col).mapInPandas(
+    hits = widen_for_kernel(docs.select(id_col, text_col)).mapInPandas(
         _scan, "doc_id bigint, kw_id int, n_occ bigint"
     )
     kw_rows = docs.sparkSession.createDataFrame(

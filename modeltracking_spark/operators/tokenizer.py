@@ -19,6 +19,8 @@ hand example and a monotonicity property in tests.
 
 from __future__ import annotations
 
+from modeltracking_spark.operators.kernel import widen_for_kernel
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -160,7 +162,7 @@ def bpe_encode(
                 }
             )
 
-    return docs.select(id_col, text_col).mapInPandas(
+    return widen_for_kernel(docs.select(id_col, text_col)).mapInPandas(
         _enc, "doc_id bigint, n_words bigint, n_bpe_tokens bigint"
     )
 

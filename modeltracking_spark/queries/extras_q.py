@@ -2252,7 +2252,7 @@ def kmv_set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "orc_roundtrip_scan",
+    "orc_partitioned_orders_scan",
     oracle="""
     SELECT year(o_orderdate)::BIGINT AS yr,
            count(*)::BIGINT AS n_orders,
@@ -2265,9 +2265,9 @@ def kmv_set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY year(o_orderdate)
     """,
 )
-def orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORC sink -> partitioned scan across a REAL file boundary
-    (source-format coverage beside parquet/CSV/jsonl.gz/netCDF): the
+def orc_partitioned_orders_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink -> PARTITIONED scan (the pruning companion to the
+    plain-format `orc_roundtrip_scan` above): the
     orders table is written as ORC PARTITIONED BY o_orderstatus (so
     the status filter on read-back is answered by DIRECTORY pruning,
     not row filtering — the same partition-elimination contract the
@@ -2289,7 +2289,7 @@ def orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = T(spark, sf_dir, "orders")
     fp = hashlib.md5(
         (sf_dir + ":" + str(orders.count()) + ":"
-         + inspect.getsource(orc_roundtrip_scan)).encode()
+         + inspect.getsource(orc_partitioned_orders_scan)).encode()
     ).hexdigest()[:10]
     out_dir = f"/tmp/modeltracking_orders_orc_{fp}"
     if not os.path.isdir(out_dir):

@@ -132,7 +132,11 @@ def test_banded_pairs_equal_quadratic_definition(spark):
 def test_feature_stage_is_shuffle_free_and_pairs_no_cartesian(spark):
     docs = spark.read.parquet(f"{SF0001}/documents.parquet")
     hashed = dhash_features(attach_bmp_neardup_payload(docs))
-    assert "Exchange" not in executed_plan(hashed)
+    plan = executed_plan(hashed)
+    # no hash exchange; the only exchange is widen_for_kernel's single
+    # round-robin on the under-split local scan (no-op at scale)
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("RoundRobinPartitioning") == 1
     assert_no_cartesian(dhash_neardup_pairs(hashed))
 
 

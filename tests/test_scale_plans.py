@@ -211,8 +211,10 @@ def test_salted_join_query_plan(spark):
 
 
 def test_bmp_decode_is_shuffle_free(spark):
-    """Encode + decode are narrow mapInPandas stages — a shuffle here
-    would mean the multimodal path re-partitions payloads for no reason."""
+    """Encode + decode are narrow mapInPandas stages — no HASH exchange
+    ever; the only exchange allowed is widen_for_kernel's single
+    round-robin on under-split local inputs (no-op at scale, see
+    test_compressed_codec_paths_are_shuffle_free)."""
     from modeltracking_spark.operators.multimodal import (
         attach_bmp_payload,
         decode_image_features,
@@ -221,7 +223,8 @@ def test_bmp_decode_is_shuffle_free(spark):
     d = spark.read.parquet(f"{SF001}/documents.parquet")
     out = decode_image_features(attach_bmp_payload(d), fake=False)
     plan = executed_plan(out)
-    assert "Exchange" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("RoundRobinPartitioning") == 1
     assert_no_cartesian(out)
 
 
@@ -236,7 +239,8 @@ def test_y4m_decode_is_shuffle_free(spark):
     d = spark.read.parquet(f"{SF001}/documents.parquet")
     out = decode_video_stats(attach_y4m_payload(d))
     plan = executed_plan(out)
-    assert "Exchange" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("RoundRobinPartitioning") == 1
     assert_no_cartesian(out)
 
 
@@ -363,7 +367,11 @@ def test_rolling_wau_joins_bounded_spine(spark):
 def test_compressed_codec_paths_are_shuffle_free(spark):
     """Round-7 compressed codecs (baseline JPEG grey + 4:2:0 color,
     PNG, G.711 mu-law) all run as narrow mapInPandas encode+decode
-    chains — payload bytes never cross an Exchange."""
+    chains — payload bytes never cross a HASH exchange. The only
+    exchange ever allowed is widen_for_kernel's single ROUND-ROBIN
+    repartition on under-split inputs (one local parquet file); on an
+    already-wide scan the widen is a no-op and the plan carries NO
+    exchange at all (the 100 TB case)."""
     from modeltracking_spark.operators.multimodal import (
         attach_adpcm_payload,
         attach_g711_payload,
@@ -378,20 +386,45 @@ def test_compressed_codec_paths_are_shuffle_free(spark):
         gif_frame_stats,
     )
 
+    def chains(d):
+        return (
+            decode_image_features(attach_jpeg_payload(d), fake=False),
+            decode_image_features(attach_jpeg_color_payload(d), fake=False),
+            decode_image_features(attach_png_payload(d), fake=False),
+            decode_image_features(attach_gif_payload(d), fake=False),
+            decode_image_features(
+                attach_jpeg_progressive_payload(d), fake=False
+            ),
+            gif_frame_stats(attach_gif_animation_payload(d)),
+            decode_audio_stats(attach_g711_payload(d)),
+            decode_audio_stats(attach_adpcm_payload(d)),
+        )
+
     d = spark.read.parquet(f"{SF001}/documents.parquet")
-    for out in (
-        decode_image_features(attach_jpeg_payload(d), fake=False),
-        decode_image_features(attach_jpeg_color_payload(d), fake=False),
-        decode_image_features(attach_png_payload(d), fake=False),
-        decode_image_features(attach_gif_payload(d), fake=False),
-        decode_image_features(attach_jpeg_progressive_payload(d), fake=False),
-        gif_frame_stats(attach_gif_animation_payload(d)),
-        decode_audio_stats(attach_g711_payload(d)),
-        decode_audio_stats(attach_adpcm_payload(d)),
-    ):
+    assert d.rdd.getNumPartitions() == 1  # the under-split local case
+    for out in chains(d):
         plan = executed_plan(out)
-        assert "Exchange" not in plan
+        assert "Exchange hashpartitioning" not in plan
+        # exactly ONE widen: the attach widens, the decode's is a no-op
+        assert plan.count("RoundRobinPartitioning") == 1
         assert_no_cartesian(out)
+
+    # already-wide scan (the at-scale shape): widen is a no-op — the
+    # whole chain is exchange-free
+    mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "8192")
+        wide = spark.read.parquet(f"{SF001}/documents.parquet")
+        assert (
+            wide.rdd.getNumPartitions()
+            >= spark.sparkContext.defaultParallelism
+        )
+        plan = executed_plan(
+            decode_image_features(attach_png_payload(wide), fake=False)
+        )
+        assert "Exchange" not in plan
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
 
 
 def test_dup_span_scrub_plan_scales(spark):
@@ -466,7 +499,8 @@ def test_lz4_and_nfc_are_shuffle_free_narrow_maps(spark):
         )
     )
     final_lz = plan_lz.split("== Initial Plan ==")[0]
-    assert "Exchange" not in final_lz
+    assert "Exchange hashpartitioning" not in final_lz
+    assert final_lz.count("RoundRobinPartitioning") <= 1  # widen only
     assert "Join" not in final_lz and "Window" not in final_lz
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in final_lz
 
@@ -485,7 +519,8 @@ def test_lz4_and_nfc_are_shuffle_free_narrow_maps(spark):
         )
     )
     final_sn = plan_sn.split("== Initial Plan ==")[0]
-    assert "Exchange" not in final_sn
+    assert "Exchange hashpartitioning" not in final_sn
+    assert final_sn.count("RoundRobinPartitioning") <= 1  # widen only
     assert "Join" not in final_sn and "Window" not in final_sn
 
 
