@@ -280,3 +280,66 @@ def textrank_segments(
         .where(F.col("rk") <= k)
         .select("doc_id", "sid", F.col("s").alias("score_e12"), "rk")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    n_iter: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """SYNCHRONOUS label propagation community detection (Raghavan,
+    Albert & Kumara 2007), made fully deterministic: labels start as
+    node ids; each round every node adopts the MOST FREQUENT label
+    among its undirected neighbors' previous-round labels, ties broken
+    by the SMALLEST label; isolated nodes keep their label. Exactly
+    ``n_iter`` rounds (no asynchronous/random-order arm — the classic
+    paper randomizes update order, which no oracle could replay; the
+    synchronous min-tie variant is the standard deterministic choice
+    for distributed LPA).
+
+    Plan shape per round (the pagerank discipline): edges ⋈ labels on
+    src + ONE (node, label) count aggregate + ONE deterministic argmax
+    via ``min(struct(-cnt, label))`` — no window operator, both sides
+    hash-partitioned on the node key; per-round localCheckpoint keeps
+    the lineage linear in ``n_iter``. Community sizes come from one
+    final label-grain aggregate joined back (node-sized).
+
+    Output: (node, community, comm_size)."""
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).where(F.col("src") != F.col("dst")).distinct()
+    if nodes is None:
+        nodes = (
+            sym.select(F.col("src").alias("node"))
+            .union(sym.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(n_iter):
+        labels = labels.localCheckpoint(eager=True)
+        votes = (
+            sym.join(labels.select(F.col("node").alias("src"), "label"),
+                     "src")
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        pick = votes.groupBy("node").agg(
+            F.min(F.struct((-F.col("cnt")).alias("neg"),
+                           F.col("label").alias("label"))).alias("p")
+        ).select("node", F.col("p.label").alias("new_label"))
+        labels = (
+            labels.join(pick, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+        )
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("comm_size")
+    )
+    return labels.join(sizes, "label").select(
+        "node", F.col("label").alias("community"), "comm_size"
+    )

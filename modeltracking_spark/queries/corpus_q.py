@@ -1397,3 +1397,104 @@ def click_error_interval_stallproof(spark: SparkSession,
 
     ev = T(spark, sf_dir, "events")
     return interval_join_from_events(ev, how="leftOuter")
+
+
+@query(
+    "label_propagation_docs",
+    oracle="""
+    WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+    raw AS (
+      SELECT d.doc_id AS src,
+             CASE WHEN (d.doc_id * 7 + j.i * 13 + 1) % n.n = d.doc_id
+                  THEN ((d.doc_id * 7 + j.i * 13 + 1) % n.n + 1) % n.n
+                  ELSE (d.doc_id * 7 + j.i * 13 + 1) % n.n END AS dst
+      FROM documents d, nn n, range(3) j(i)
+      WHERE j.i <= d.doc_id % 3
+    ),
+    sym AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw
+      ) WHERE src != dst
+    ),
+    l0 AS (SELECT doc_id AS node, doc_id AS label FROM documents),
+    v1 AS (SELECT s.dst AS node, l.label, count(*)::BIGINT AS cnt
+           FROM sym s JOIN l0 l ON l.node = s.src GROUP BY s.dst, l.label),
+    p1 AS (SELECT node, label FROM (
+             SELECT node, label,
+                    row_number() OVER (PARTITION BY node
+                                       ORDER BY cnt DESC, label) AS rn
+             FROM v1) WHERE rn = 1),
+    l1 AS (SELECT l.node, coalesce(p.label, l.label) AS label
+           FROM l0 l LEFT JOIN p1 p USING (node)),
+    v2 AS (SELECT s.dst AS node, l.label, count(*)::BIGINT AS cnt
+           FROM sym s JOIN l1 l ON l.node = s.src GROUP BY s.dst, l.label),
+    p2 AS (SELECT node, label FROM (
+             SELECT node, label,
+                    row_number() OVER (PARTITION BY node
+                                       ORDER BY cnt DESC, label) AS rn
+             FROM v2) WHERE rn = 1),
+    l2 AS (SELECT l.node, coalesce(p.label, l.label) AS label
+           FROM l1 l LEFT JOIN p2 p USING (node)),
+    v3 AS (SELECT s.dst AS node, l.label, count(*)::BIGINT AS cnt
+           FROM sym s JOIN l2 l ON l.node = s.src GROUP BY s.dst, l.label),
+    p3 AS (SELECT node, label FROM (
+             SELECT node, label,
+                    row_number() OVER (PARTITION BY node
+                                       ORDER BY cnt DESC, label) AS rn
+             FROM v3) WHERE rn = 1),
+    l3 AS (SELECT l.node, coalesce(p.label, l.label) AS label
+           FROM l2 l LEFT JOIN p3 p USING (node)),
+    v4 AS (SELECT s.dst AS node, l.label, count(*)::BIGINT AS cnt
+           FROM sym s JOIN l3 l ON l.node = s.src GROUP BY s.dst, l.label),
+    p4 AS (SELECT node, label FROM (
+             SELECT node, label,
+                    row_number() OVER (PARTITION BY node
+                                       ORDER BY cnt DESC, label) AS rn
+             FROM v4) WHERE rn = 1),
+    l4 AS (SELECT l.node, coalesce(p.label, l.label) AS label
+           FROM l3 l LEFT JOIN p4 p USING (node)),
+    sizes AS (SELECT label, count(*)::BIGINT AS comm_size
+              FROM l4 GROUP BY label)
+    SELECT l.node AS doc_id, l.label AS community, s.comm_size
+    FROM l4 l JOIN sizes s USING (label)
+    """,
+)
+def label_propagation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the link graph by SYNCHRONOUS label
+    propagation (round 9, operators/graph.py:label_propagation —
+    Raghavan/Albert/Kumara 2007, deterministic min-tie variant): 4
+    rounds of adopt-the-most-frequent-neighbor-label over the same
+    deterministic formula link graph the PageRank query uses,
+    symmetrized and deduped. Every round is edges-join-labels + ONE
+    (node, label) count + ONE argmax via min(struct(-cnt, label)) —
+    no window operator, per-round checkpoint, the pagerank iteration
+    discipline — so the oracle UNROLLS all four rounds relationally
+    (row_number argmax) and matches label-for-label. Communities are
+    web-curation's cheap crawl-cluster signal (link farms, mirror
+    families) beside the centrality prior."""
+    from modeltracking_spark.operators.graph import label_propagation
+
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    nn = d.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    e = (
+        d.crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            "__n",
+            F.explode(
+                F.sequence(F.lit(0), (F.col("doc_id") % 3).cast("int"))
+            ).alias("j"),
+        )
+        .selectExpr(
+            "doc_id AS src",
+            "CASE WHEN (doc_id*7 + j*13 + 1) % __n = doc_id "
+            "THEN ((doc_id*7 + j*13 + 1) % __n + 1) % __n "
+            "ELSE (doc_id*7 + j*13 + 1) % __n END AS dst",
+        )
+    )
+    out = label_propagation(
+        e, nodes=d.select(F.col("doc_id").alias("node")), n_iter=4
+    )
+    return out.select(
+        F.col("node").alias("doc_id"), "community", "comm_size"
+    )

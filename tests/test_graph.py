@@ -201,3 +201,77 @@ def test_textrank_central_segment_wins(spark):
             .agg(F.max("n")).collect()[0][0]
         )
         assert mx <= 640, f"{sf}: doc with {mx} tokens exceeds the oracle cap"
+
+
+def _lpa_reference(edges, nodes, n_iter):
+    """Independent pure-Python synchronous LPA: most-frequent neighbor
+    label, min-label ties, isolated nodes keep their label."""
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    labels = {n: n for n in nodes}
+    for _ in range(n_iter):
+        new = {}
+        for n in nodes:
+            if not adj[n]:
+                new[n] = labels[n]
+                continue
+            cnt = Counter(labels[m] for m in adj[n])
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[n] = best[0]
+        labels = new
+    return labels
+
+
+def test_label_propagation_hand_and_random_graphs(spark):
+    from modeltracking_spark.operators.graph import label_propagation
+
+    # two triangles joined by a bridge + one isolated node: LPA must
+    # keep the triangle communities distinct and leave the isolate as
+    # its own singleton
+    edges = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10), (2, 10)]
+    nodes = [0, 1, 2, 10, 11, 12, 99]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    nd = spark.createDataFrame([(n,) for n in nodes], "node long")
+    for n_iter in (1, 2, 4):
+        got = {
+            r["node"]: r["community"]
+            for r in label_propagation(e, nd, n_iter=n_iter).collect()
+        }
+        assert got == _lpa_reference(edges, nodes, n_iter), n_iter
+    out = {r["node"]: r for r in label_propagation(e, nd, n_iter=4).collect()}
+    assert out[99]["community"] == 99 and out[99]["comm_size"] == 1
+    assert out[0]["community"] == out[1]["community"] == out[2]["community"]
+
+    # random graphs: spark == reference label-for-label
+    import random
+
+    rng = random.Random(23)
+    for trial in range(3):
+        n = 40
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(90)]
+        nodes = list(range(n))
+        e = spark.createDataFrame(edges, "src long, dst long")
+        nd = spark.createDataFrame([(x,) for x in nodes], "node long")
+        got = {
+            r["node"]: r["community"]
+            for r in label_propagation(e, nd, n_iter=3).collect()
+        }
+        assert got == _lpa_reference(edges, nodes, 3), trial
+
+
+def test_label_propagation_plan_shape(spark):
+    from modeltracking_spark.operators.graph import label_propagation
+    from modeltracking_spark.plans import assert_no_cartesian, executed_plan
+
+    e = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 30) for i in range(30)], "src long, dst long"
+    )
+    out = label_propagation(e, n_iter=2)
+    assert_no_cartesian(out)
+    plan = executed_plan(out)
+    assert "Window" not in plan  # argmax is min(struct), never a window
