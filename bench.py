@@ -108,10 +108,12 @@ HEADLINE = [
     # round-9 session-2 codec: from-spec LZMA decode (liblzma-encoder
     # cross-validation, lc/lp/pb matrix)
     "lzma_roundtrip_docs",
-    # round-9 session-2 operators: content-defined chunking dedup and
-    # KMV theta-sketch set operations
+    # round-9 session-2 operators: content-defined chunking dedup,
+    # KMV theta-sketch set operations, LPA communities, WARC scan
     "cdc_chunk_dedup_docs",
     "kmv_set_ops_users",
+    "label_propagation_docs",
+    "warc_gz_scan_docs",
 ]
 
 # Regression anchor: BENCH_r03.json per-query seconds at sf0.1 on local[32]

@@ -325,22 +325,25 @@ def _crc32(data: bytes) -> int:
     return crc ^ 0xFFFFFFFF
 
 
-def gzip_decompress(data: bytes) -> bytes:
-    """RFC 1952 gzip wrapper over :func:`inflate`: magic/method checks,
-    the optional FEXTRA/FNAME/FCOMMENT/FHCRC header fields walked per
-    spec, then raw DEFLATE and the CRC-32 + ISIZE trailer verified —
-    the `.jsonl.gz` / WARC corpus-interchange format, decodable without
-    any library. Multi-member files raise ``NotImplementedError``."""
-    if len(data) < 18:
+def gzip_member(data: bytes, start: int = 0) -> tuple[bytes, int]:
+    """Decode ONE gzip member beginning at ``start``: RFC 1952 header
+    (magic/method checks, the optional FEXTRA/FNAME/FCOMMENT/FHCRC
+    fields walked per spec), raw DEFLATE, CRC-32 + ISIZE trailer
+    verified. Returns (payload, end-offset just past the trailer) —
+    the walk primitive multi-member files and WARC record-per-member
+    containers (operators/warc.py) are built on."""
+    if start + 18 > len(data):
         raise ValueError("gzip stream shorter than header + trailer")
-    if data[:2] != b"\x1f\x8b":
+    if data[start:start + 2] != b"\x1f\x8b":
         raise ValueError("not a gzip stream (bad magic)")
-    if data[2] != 8:
-        raise ValueError(f"gzip compression method {data[2]} != deflate")
-    flg = data[3]
+    if data[start + 2] != 8:
+        raise ValueError(
+            f"gzip compression method {data[start + 2]} != deflate"
+        )
+    flg = data[start + 3]
     if flg & 0xE0:
         raise ValueError(f"reserved gzip FLG bits set ({flg:#04x})")
-    pos = 10
+    pos = start + 10
     if flg & 0x04:  # FEXTRA
         if pos + 2 > len(data):
             raise ValueError("truncated gzip FEXTRA length")
@@ -360,17 +363,12 @@ def gzip_decompress(data: bytes) -> bytes:
         if pos + 2 > len(data):
             raise ValueError("truncated gzip FHCRC")
         want = data[pos] | (data[pos + 1] << 8)
-        if (_crc32(data[:pos]) & 0xFFFF) != want:
+        if (_crc32(data[start:pos]) & 0xFFFF) != want:
             raise ValueError("gzip header CRC-16 mismatch")
         pos += 2
     out, end = inflate(data, pos)
     if end + 8 > len(data):
         raise ValueError("gzip stream missing CRC-32/ISIZE trailer")
-    if end + 8 < len(data):
-        raise NotImplementedError(
-            "multi-member gzip not implemented — concatenated members are "
-            "the gzip-CLI plug-in point"
-        )
     want_crc = int.from_bytes(data[end : end + 4], "little")
     got_crc = _crc32(out)
     if got_crc != want_crc:
@@ -383,4 +381,24 @@ def gzip_decompress(data: bytes) -> bytes:
         raise ValueError(
             f"gzip ISIZE mismatch: {len(out)} bytes vs trailer {want_n}"
         )
-    return out
+    return out, end + 8
+
+
+def gzip_members(data: bytes):
+    """Iterate (payload, member_start, member_end) over a SERIES of
+    gzip members (RFC 1952 §2.2: 'a gzip file consists of a series of
+    members' — the Common Crawl WARC layout compresses one record per
+    member precisely so readers can split on member boundaries)."""
+    pos = 0
+    while pos < len(data):
+        payload, end = gzip_member(data, pos)
+        yield payload, pos, end
+        pos = end
+
+
+def gzip_decompress(data: bytes) -> bytes:
+    """RFC 1952 gzip stream -> bytes. Multi-member files decode to the
+    CONCATENATION of member payloads (§2.2), each member's CRC-32 and
+    ISIZE verified — the `.jsonl.gz` / WARC corpus-interchange format,
+    decodable without any library."""
+    return b"".join(p for p, _, _ in gzip_members(data))

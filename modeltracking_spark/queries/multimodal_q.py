@@ -1111,3 +1111,65 @@ def lzma_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("payload"),
     )
     return lzma_roundtrip_stats(d)
+
+
+@query(
+    "warc_gz_scan_docs",
+    oracle="""
+    SELECT doc_id,
+           3::BIGINT AS n_records,
+           3::BIGINT AS n_members,
+           octet_length(encode(text || ' #' || doc_id::VARCHAR))::BIGINT
+             AS response_len,
+           md5(text || ' #' || doc_id::VARCHAR) AS body_md5,
+           TRUE AS uri_ok
+    FROM documents
+    """,
+)
+def warc_gz_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC 1.0 crawl-archive scan (round 9, operators/warc.py — ISO
+    28500 / the public warc-specifications): each doc becomes a mini
+    crawl archive (warcinfo + request + response records, ONE stdlib
+    gzip member per record — the Common Crawl layout), then the
+    from-spec reader splits members with the RFC 1952 walk
+    (inflate.py:gzip_members, multi-member support landed with this
+    operator), parses header blocks case-insensitively, and frames
+    bodies by Content-Length — all inside ONE Arrow mapInPandas
+    kernel. Every row cross-validates stdlib gzip (encoder) against
+    the from-spec decoder ON TOP of the WARC framing; the oracle
+    replays record/member counts and the response body md5 in SQL.
+    Record/terminator/field rejects pinned in tests/test_warc.py."""
+    from modeltracking_spark.operators.warc import (
+        build_warc_gz_fixture,
+        warc_scan_stats,
+    )
+
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" #"),
+                 F.col("doc_id").cast("string")).alias("body"),
+    )
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+    ])
+
+    def attach(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": [
+                    build_warc_gz_fixture(int(i), t)
+                    for i, t in zip(pdf["doc_id"], pdf["body"])
+                ],
+            })
+
+    from modeltracking_spark.operators.kernel import widen_for_kernel
+
+    with_payload = widen_for_kernel(d).mapInPandas(attach, schema)
+    return warc_scan_stats(with_payload)

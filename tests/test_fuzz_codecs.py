@@ -125,6 +125,14 @@ def _fixtures():
                 "modeltracking_spark.operators.bzip2", fromlist=["x"]
             ).bz2_decompress,
         ),
+        "warc_gz": (
+            __import__(
+                "modeltracking_spark.operators.warc", fromlist=["x"]
+            ).build_warc_gz_fixture(3, "warc fuzz target body " * 20),
+            lambda b: __import__(
+                "modeltracking_spark.operators.warc", fromlist=["x"]
+            ).parse_warc_gz(b),
+        ),
         "lzma": (
             __import__("lzma").compress(
                 b"lzma fuzz target record\n" * 60,

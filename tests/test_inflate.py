@@ -126,8 +126,22 @@ def test_gzip_headers_trailers_and_rejects():
         gzip_decompress(bytes(bad))
     with pytest.raises(ValueError, match="magic"):
         gzip_decompress(b"PK\x03\x04" + good)
-    with pytest.raises(NotImplementedError, match="multi-member"):
-        gzip_decompress(good + good)
+    # RFC 1952 2.2: a gzip FILE is a SERIES of members; decompression
+    # concatenates (the WARC record-per-member layout depends on this)
+    assert gzip_decompress(good + good) == b'{"doc": 1}\n' * 100
+    from modeltracking_spark.operators.inflate import gzip_members
+
+    ms = list(gzip_members(good + good))
+    assert len(ms) == 2 and ms[0][2] == ms[1][1] == len(good)
+    # a corrupt SECOND member still fails loudly
+    twobad = bytearray(good + good)
+    twobad[-6] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC-32"):
+        gzip_decompress(bytes(twobad))
+    # trailing garbage after the last member is a bad-magic reject, not
+    # silent acceptance
+    with pytest.raises(ValueError, match="magic|shorter"):
+        gzip_decompress(good + b"trailing junk beyond the last member")
 
 
 def test_spark_jsonl_gz_parts_decode_with_from_spec_gzip(spark):
