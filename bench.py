@@ -114,6 +114,7 @@ HEADLINE = [
     "kmv_set_ops_users",
     "label_propagation_docs",
     "warc_gz_scan_docs",
+    "warc_source_scan_docs",
 ]
 
 # Regression anchor: BENCH_r03.json per-query seconds at sf0.1 on local[32]

@@ -1173,3 +1173,83 @@ def warc_gz_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with_payload = widen_for_kernel(d).mapInPandas(attach, schema)
     return warc_scan_stats(with_payload)
+
+
+@query(
+    "warc_source_scan_docs",
+    oracle="""
+    SELECT doc_id,
+           md5(text || ' @' || doc_id::VARCHAR) AS body_md5,
+           octet_length(encode(text || ' @' || doc_id::VARCHAR))::BIGINT
+             AS content_length,
+           (doc_id % 4)::BIGINT AS shard
+    FROM documents
+    """,
+)
+def warc_source_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC shards through a REAL Spark Python DataSource (round 9,
+    sources/warc_source.py): the docs are written as FOUR .warc.gz
+    shard files (one gzip member per record, warcinfo + request +
+    response per doc — the Common Crawl layout), then read back with
+    ``spark.read.format("warc")`` — one InputPartition per shard, the
+    crawl-archive parallelism unit — with reader-side record_type
+    pruning so only response records reach the Arrow batches. doc_id
+    is recovered from WARC-Target-URI; the oracle replays body md5 /
+    length / shard assignment from the documents table without
+    touching the files, attesting the whole sink -> member-split ->
+    header-parse -> DataSource loop. Fixture dir keyed by sf_dir +
+    this function's source (race-safe tmp rename)."""
+    import hashlib
+    import inspect
+    import os
+    import shutil
+
+    from pyspark.errors import PySparkException
+
+    from modeltracking_spark.queries.common import ensure_pkg_on_workers
+    from modeltracking_spark.sources.warc_source import WarcDataSource
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = hashlib.md5(
+        (sf_dir + ":" + inspect.getsource(warc_source_scan_docs)).encode()
+    ).hexdigest()[:10]
+    out_dir = f"/tmp/modeltracking_warc_shards_{fp}"
+    if not os.path.isdir(out_dir):
+        from modeltracking_spark.operators.warc import build_warc_gz_fixture
+
+        rows = docs.collect()  # fixture build only: sf0.1 is 5000 docs
+        tmp = f"{out_dir}.{os.getpid()}.tmp"
+        os.makedirs(tmp, exist_ok=True)
+        shards: dict[int, list[bytes]] = {0: [], 1: [], 2: [], 3: []}
+        for r in sorted(rows, key=lambda r: r["doc_id"]):
+            did = int(r["doc_id"])
+            shards[did % 4].append(
+                build_warc_gz_fixture(did, r["text"] + f" @{did}")
+            )
+        for s, blobs in shards.items():
+            with open(os.path.join(tmp, f"shard-{s}.warc.gz"), "wb") as fh:
+                fh.write(b"".join(blobs))
+        try:
+            os.rename(tmp, out_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+
+    ensure_pkg_on_workers(spark)
+    try:
+        spark.dataSource.register(WarcDataSource)
+    except PySparkException:
+        pass  # already registered in this session
+    back = (
+        spark.read.format("warc")
+        .option("path", out_dir)
+        .option("record_type", "response")
+        .load()
+    )
+    return back.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long").alias("doc_id"),
+        F.md5("body").alias("body_md5"),
+        "content_length",
+        F.regexp_extract("path", r"shard-(\d+)\.warc\.gz$", 1)
+        .cast("long").alias("shard"),
+    )

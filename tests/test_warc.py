@@ -122,3 +122,48 @@ def test_spark_scan_kernel(spark):
         assert r["response_len"] == len(body)
         assert r["body_md5"] == hashlib.md5(body).hexdigest()
         assert r["uri_ok"]
+
+
+def test_warc_datasource_partitions_and_pruning(spark, tmp_path):
+    """One InputPartition per shard file; record_type option prunes
+    inside the reader; bodies survive byte-exact."""
+    import hashlib
+
+    from pyspark.errors import PySparkException
+
+    from modeltracking_spark.sources.warc_source import WarcDataSource
+
+    for s in range(3):
+        blobs = [
+            build_warc_gz_fixture(s * 10 + i, f"shard {s} doc {i} " * 5)
+            for i in range(4)
+        ]
+        (tmp_path / f"shard-{s}.warc.gz").write_bytes(b"".join(blobs))
+    try:
+        spark.dataSource.register(WarcDataSource)
+    except PySparkException:
+        pass
+    back = (
+        spark.read.format("warc")
+        .option("path", str(tmp_path))
+        .option("record_type", "response")
+        .load()
+    )
+    rows = back.collect()
+    assert len(rows) == 12  # 3 shards x 4 docs, responses only
+    assert {r["warc_type"] for r in rows} == {"response"}
+    assert back.rdd.getNumPartitions() == 3  # one per shard file
+    for r in rows:
+        s, i = divmod(int(r["target_uri"].rsplit("/", 1)[1]), 10)
+        body = (f"shard {s} doc {i} " * 5).encode()
+        assert bytes(r["body"]) == body
+        assert r["content_length"] == len(body)
+    # without pruning every record type appears
+    all_types = (
+        spark.read.format("warc").option("path", str(tmp_path)).load()
+    )
+    assert all_types.count() == 36
+    got_types = {
+        r["warc_type"] for r in all_types.select("warc_type").collect()
+    }
+    assert got_types == {"warcinfo", "request", "response"}
