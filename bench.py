@@ -115,6 +115,9 @@ HEADLINE = [
     "label_propagation_docs",
     "warc_gz_scan_docs",
     "warc_source_scan_docs",
+    # round-9 session-2 flagship codec: from-spec zstd (RFC 8878),
+    # cross-validated both directions against libzstd
+    "zstd_roundtrip_docs",
 ]
 
 # Regression anchor: BENCH_r03.json per-query seconds at sf0.1 on local[32]

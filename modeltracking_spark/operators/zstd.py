@@ -1,0 +1,1020 @@
+"""From-spec Zstandard codec (RFC 8878) — full decoder, subset encoder.
+
+zstd is THE modern corpus codec (parquet's preferred page codec, the
+current Common Crawl distribution format, HuggingFace dataset shards).
+This module implements the format from RFC 8878 alone: frame/block
+grammar, backward bitstreams, FSE (tANS) table construction + the
+normalized-count header, Huffman literals (direct and FSE-compressed
+weights, 1- and 4-stream), the three interleaved sequence states with
+predefined/RLE/FSE/repeat table modes, repeat-offset history incl. the
+literals_length==0 rotation, and xxHash64 content checksums.
+
+Validation stack (tests/test_zstd.py): the sandbox ships the REFERENCE
+implementation (libzstd via ctypes + the zstd CLI), so fixtures are
+encoded by libzstd across a level matrix and decoded from spec — and
+OUR encoder's frames are decoded back by libzstd — cross-validating
+both directions against Yann Collet's implementation, the strongest
+form of the repo's stdlib-encodes/spec-decodes pattern.  The Spark
+query kernel prefers libzstd as the fixture encoder and falls back to
+the from-spec encoder when the library is absent (import-try gate).
+
+Malformed streams raise descriptive ``ValueError`` (the codec-tier
+discipline); dictionaries raise ``NotImplementedError`` at the
+documented plug-in point.
+"""
+
+from __future__ import annotations
+
+from modeltracking_spark.operators.kernel import widen_for_kernel
+
+_MAGIC = 0xFD2FB528
+
+# ------------------------------------------------------------- xxHash64
+
+_P1 = 11400714785074694791
+_P2 = 14029467366897019727
+_P3 = 1609587929392839161
+_P4 = 9650029242287828579
+_P5 = 2870177450012600261
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _round(acc: int, lane: int) -> int:
+    return (_rotl((acc + lane * _P2) & _M64, 31) * _P1) & _M64
+
+
+def _merge(acc: int, val: int) -> int:
+    acc ^= _round(0, val)
+    return (acc * _P1 + _P4) & _M64
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    """xxHash64 per the published spec (the zstd content checksum)."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed
+        v4 = (seed - _P1) & _M64
+        while i + 32 <= n:
+            v1 = _round(v1, int.from_bytes(data[i:i + 8], "little"))
+            v2 = _round(v2, int.from_bytes(data[i + 8:i + 16], "little"))
+            v3 = _round(v3, int.from_bytes(data[i + 16:i + 24], "little"))
+            v4 = _round(v4, int.from_bytes(data[i + 24:i + 32], "little"))
+            i += 32
+        acc = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12)
+               + _rotl(v4, 18)) & _M64
+        acc = _merge(acc, v1)
+        acc = _merge(acc, v2)
+        acc = _merge(acc, v3)
+        acc = _merge(acc, v4)
+    else:
+        acc = (seed + _P5) & _M64
+    acc = (acc + n) & _M64
+    while i + 8 <= n:
+        acc ^= _round(0, int.from_bytes(data[i:i + 8], "little"))
+        acc = (_rotl(acc, 27) * _P1 + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        acc ^= (int.from_bytes(data[i:i + 4], "little") * _P1) & _M64
+        acc = (_rotl(acc, 23) * _P2 + _P3) & _M64
+        i += 4
+    while i < n:
+        acc ^= (data[i] * _P5) & _M64
+        acc = (_rotl(acc, 11) * _P1) & _M64
+        i += 1
+    acc ^= acc >> 33
+    acc = (acc * _P2) & _M64
+    acc ^= acc >> 29
+    acc = (acc * _P3) & _M64
+    acc ^= acc >> 32
+    return acc
+
+
+# -------------------------------------------------- backward bitstream
+
+class _BackBits:
+    """RFC 8878 4.1 backward bitstream: written forward LSB-first into
+    a little-endian container, closed with a single '1' sentinel bit;
+    read starting just below the sentinel, each n-bit field taken from
+    the top of what remains. Reads past the end zero-pad and keep
+    counting (the reference's overflow accounting); ``overflowed``
+    reports whether total consumption passed the stream end."""
+
+    def __init__(self, data: bytes):
+        if not data:
+            raise ValueError("empty zstd bitstream")
+        n = int.from_bytes(data, "little")
+        if n == 0:
+            raise ValueError("zstd bitstream has no sentinel bit")
+        self.val = n
+        self.remaining = n.bit_length() - 1  # strip the sentinel
+        self.past_end = 0
+
+    def read(self, nbits: int) -> int:
+        if nbits == 0:
+            return 0
+        if nbits <= self.remaining:
+            self.remaining -= nbits
+            return (self.val >> self.remaining) & ((1 << nbits) - 1)
+        # zero-padded tail read (weights streams / final huffman codes)
+        avail = max(self.remaining, 0)
+        v = (self.val & ((1 << avail) - 1)) << (nbits - avail)
+        self.past_end += nbits - avail
+        self.remaining = 0
+        return v
+
+    def peek(self, nbits: int) -> int:
+        if nbits <= self.remaining:
+            return (self.val >> (self.remaining - nbits)) & ((1 << nbits) - 1)
+        avail = max(self.remaining, 0)
+        return (self.val & ((1 << avail) - 1)) << (nbits - avail)
+
+    @property
+    def overflowed(self) -> bool:
+        return self.past_end > 0
+
+
+class _FwdBits:
+    """Forward LSB-first bitstream (the FSE normalized-count header)."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.bitpos = pos * 8
+
+    def read(self, nbits: int) -> int:
+        end = self.bitpos + nbits
+        if (end + 7) // 8 > len(self.data):
+            raise ValueError("truncated FSE table header")
+        chunk = int.from_bytes(
+            self.data[self.bitpos // 8:(end + 7) // 8], "little"
+        )
+        v = (chunk >> (self.bitpos % 8)) & ((1 << nbits) - 1)
+        self.bitpos = end
+        return v
+
+    def byte_pos(self) -> int:
+        return (self.bitpos + 7) // 8
+
+
+# ----------------------------------------------------------------- FSE
+
+def fse_build_decode_table(norm: list[int], accuracy_log: int):
+    """Normalized counts -> decode table [(symbol, nbits, baseline)]
+    per RFC 8878 4.1.1: 'less than 1' (-1) symbols fill cells from the
+    top; positive counts spread with step (S/2 + S/8 + 3) mod S."""
+    size = 1 << accuracy_log
+    if sum(abs(c) for c in norm if c != 0) > size:
+        raise ValueError("FSE normalized counts exceed table size")
+    symbols = [0] * size
+    high = size - 1
+    for s, c in enumerate(norm):
+        if c == -1:
+            symbols[high] = s
+            high -= 1
+    step = (size >> 1) + (size >> 3) + 3
+    pos = 0
+    filled = [False] * size
+    for s, c in enumerate(norm):
+        if c > 0:
+            for _ in range(c):
+                if filled[pos]:  # pragma: no cover — legal ALs (>=5)
+                    raise ValueError("FSE spread revisited a cell")
+                filled[pos] = True
+                symbols[pos] = s
+                pos = (pos + step) & (size - 1)
+                while pos > high:
+                    pos = (pos + step) & (size - 1)
+    if pos != 0:
+        raise ValueError("FSE table spread did not close")
+    nxt = [1 if c == -1 else c for c in norm]
+    table = []
+    for i in range(size):
+        s = symbols[i]
+        ns = nxt[s]
+        nxt[s] += 1
+        nbits = accuracy_log - (ns.bit_length() - 1)
+        baseline = (ns << nbits) - size
+        table.append((s, nbits, baseline))
+    return table
+
+
+def fse_read_ncount(data: bytes, pos: int, max_symbol: int,
+                    max_accuracy: int):
+    """Read an FSE table description (RFC 8878 4.1.1) starting at byte
+    ``pos``: returns (norm list, accuracy_log, next byte position)."""
+    br = _FwdBits(data, pos)
+    accuracy_log = br.read(4) + 5
+    if accuracy_log > max_accuracy:
+        raise ValueError(
+            f"FSE accuracy log {accuracy_log} > max {max_accuracy}"
+        )
+    size = 1 << accuracy_log
+    remaining = size + 1
+    threshold = size
+    nbits = accuracy_log + 1
+    norm: list[int] = []
+    prev_zero = False
+    while remaining > 1:
+        if len(norm) > max_symbol + 1:
+            raise ValueError("FSE table has too many symbols")
+        if prev_zero:
+            rep = br.read(2)
+            norm.extend([0] * rep)
+            if rep == 3:
+                continue
+            prev_zero = False
+            if len(norm) > max_symbol + 1:
+                raise ValueError("FSE table has too many symbols")
+        # small-value optimization: values below `max` fit in nbits-1
+        maxv = 2 * threshold - 1 - remaining
+        v = br.read(nbits - 1)
+        if v < maxv:
+            value = v
+        else:
+            extra = br.read(1)
+            value = v | (extra << (nbits - 1))
+            if value >= threshold:
+                value -= maxv
+        count = value - 1  # -1 encodes "less than 1"
+        norm.append(count)
+        remaining -= count if count > 0 else -count if count < 0 else 0
+        if count == 0:
+            prev_zero = True
+        while remaining > 1 and remaining < threshold:
+            threshold >>= 1
+            nbits -= 1
+    if remaining != 1:
+        raise ValueError("FSE normalized counts do not sum to table size")
+    return norm, accuracy_log, br.byte_pos()
+
+
+# ------------------------------------------------------------- Huffman
+
+def huf_read_weights(data: bytes, pos: int):
+    """Huffman tree description -> (weights list incl. the implied
+    last one, tableLog, next byte position). headerByte >= 128: direct
+    4-bit weights; < 128: FSE-compressed weights (two interleaved
+    states, accuracy <= 6)."""
+    if pos >= len(data):
+        raise ValueError("missing Huffman tree description")
+    hb = data[pos]
+    pos += 1
+    if hb >= 128:
+        n = hb - 127
+        nbytes = (n + 1) // 2
+        if pos + nbytes > len(data):
+            raise ValueError("truncated direct Huffman weights")
+        weights = []
+        for i in range(n):
+            b = data[pos + i // 2]
+            weights.append((b >> 4) if i % 2 == 0 else (b & 0xF))
+        pos += nbytes
+    else:
+        if pos + hb > len(data):
+            raise ValueError("truncated FSE-compressed Huffman weights")
+        blob = data[pos:pos + hb]
+        pos += hb
+        norm, al, off = fse_read_ncount(blob, 0, 255, 6)
+        table = fse_build_decode_table(norm, al)
+        bb = _BackBits(blob[off:])
+        s1 = bb.read(al)
+        s2 = bb.read(al)
+        weights = []
+        while True:
+            if len(weights) > 254:
+                raise ValueError("Huffman weights stream does not end")
+            sym, nb, base = table[s1]
+            weights.append(sym)
+            s1 = base + bb.read(nb)
+            if bb.overflowed:
+                weights.append(table[s2][0])
+                break
+            sym, nb, base = table[s2]
+            weights.append(sym)
+            s2 = base + bb.read(nb)
+            if bb.overflowed:
+                weights.append(table[s1][0])
+                break
+    # the LAST weight is implied: tableLog = highbit(sum)+1, and the
+    # remainder up to 2^tableLog must be a power of two (RFC 4.2.1.1)
+    total = sum((1 << (w - 1)) for w in weights if w > 0)
+    if total == 0:
+        raise ValueError("Huffman weights are all zero")
+    table_log = total.bit_length()
+    left = (1 << table_log) - total
+    if left & (left - 1):
+        raise ValueError("Huffman weights do not complete a power of two")
+    weights.append(left.bit_length())  # log2(left) + 1
+    if table_log > 11:
+        raise ValueError("Huffman table log exceeds 11")
+    return weights, table_log, pos
+
+
+def huf_build_decode_table(weights: list[int], table_log: int):
+    """Canonical table: symbols in natural order, each weight-w symbol
+    owning 2^(w-1) consecutive cells, lower weights (longer codes)
+    first. Cell = (symbol, nbits = tableLog + 1 - w)."""
+    size = 1 << table_log
+    rank_count = [0] * (table_log + 2)
+    for w in weights:
+        if w > table_log + 1:
+            raise ValueError("Huffman weight exceeds table log")
+        rank_count[w] += 1
+    rank_start = [0] * (table_log + 2)
+    start = 0
+    for w in range(1, table_log + 2):
+        rank_start[w] = start
+        start += rank_count[w] << (w - 1)
+    if start != size:
+        raise ValueError("Huffman weights do not fill the table")
+    table = [(0, 0)] * size
+    for sym, w in enumerate(weights):
+        if w == 0:
+            continue
+        length = 1 << (w - 1)
+        base = rank_start[w]
+        nb = table_log + 1 - w
+        for i in range(base, base + length):
+            table[i] = (sym, nb)
+        rank_start[w] += length
+    return table
+
+
+def _huf_decode_stream(blob: bytes, table, table_log: int,
+                       n_out: int) -> bytearray:
+    bb = _BackBits(blob)
+    out = bytearray()
+    for _ in range(n_out):
+        idx = bb.peek(table_log)
+        sym, nb = table[idx]
+        if nb == 0:
+            raise ValueError("invalid Huffman code cell")
+        bb.read(nb)
+        out.append(sym)
+    if bb.remaining != 0 or bb.past_end > 0:
+        raise ValueError("Huffman literal stream not fully consumed")
+    return out
+
+
+# -------------------------------------------------- sequence code tables
+
+_LL_BASE = (
+    [(i, 0) for i in range(16)]
+    + [(16, 1), (18, 1), (20, 1), (22, 1), (24, 2), (28, 2), (32, 3),
+       (40, 3), (48, 4), (64, 6), (128, 7), (256, 8), (512, 9),
+       (1024, 10), (2048, 11), (4096, 12), (8192, 13), (16384, 14),
+       (32768, 15), (65536, 16)]
+)
+_ML_BASE = (
+    [(i + 3, 0) for i in range(32)]
+    + [(35, 1), (37, 1), (39, 1), (41, 1), (43, 2), (47, 2), (51, 3),
+       (59, 3), (67, 4), (83, 4), (99, 5), (131, 7), (259, 8), (515, 9),
+       (1027, 10), (2051, 11), (4099, 12), (8195, 13), (16387, 14),
+       (32771, 15), (65539, 16)]
+)
+
+# RFC 8878 predefined distributions
+_LL_DEFAULT = ([4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1,
+                2, 2, 2, 2, 2, 2, 2, 2, 2, 3, 2, 1, 1, 1, 1, 1,
+                -1, -1, -1, -1], 6)
+_ML_DEFAULT = ([1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+                1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+                1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+                -1, -1, -1, -1, -1, -1, -1], 6)
+_OF_DEFAULT = ([1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+                1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1], 5)
+
+_MAX_AL = {"ll": 9, "of": 8, "ml": 9}
+_MAX_SYM = {"ll": 35, "of": 31, "ml": 52}
+_DEFAULTS = {"ll": _LL_DEFAULT, "of": _OF_DEFAULT, "ml": _ML_DEFAULT}
+
+
+def _read_seq_table(kind: str, mode: int, data: bytes, pos: int, prev):
+    """One of the three sequence tables per the compression-modes byte:
+    returns ((decode_table, accuracy_log) or RLE symbol, new pos)."""
+    if mode == 0:  # Predefined_Mode
+        norm, al = _DEFAULTS[kind]
+        return ("fse", fse_build_decode_table(norm, al), al), pos
+    if mode == 1:  # RLE_Mode: 1 byte = the symbol every sequence uses
+        if pos >= len(data):
+            raise ValueError("truncated RLE sequence table")
+        sym = data[pos]
+        if sym > _MAX_SYM[kind]:
+            raise ValueError(f"RLE {kind} symbol out of range")
+        return ("rle", sym, 0), pos + 1
+    if mode == 2:  # FSE_Compressed_Mode
+        norm, al, pos = fse_read_ncount(data, pos, _MAX_SYM[kind],
+                                        _MAX_AL[kind])
+        return ("fse", fse_build_decode_table(norm, al), al), pos
+    # Repeat_Mode
+    if prev is None:
+        raise ValueError(f"Repeat_Mode {kind} table with no previous table")
+    return prev, pos
+
+
+# ------------------------------------------------------- block decoding
+
+class _FrameCtx:
+    def __init__(self):
+        self.huf_table = None     # (table, table_log) for Treeless reuse
+        self.seq_tables = {"ll": None, "of": None, "ml": None}
+        self.rep = [1, 4, 8]
+
+
+def _decode_literals(block: bytes, pos: int, ctx: _FrameCtx):
+    """Literals section -> (literal bytes, next position)."""
+    if pos >= len(block):
+        raise ValueError("missing literals section")
+    b0 = block[pos]
+    lit_type = b0 & 3
+    size_fmt = (b0 >> 2) & 3
+    if lit_type in (0, 1):  # Raw / RLE
+        if size_fmt in (0, 2):
+            regen = b0 >> 3
+            pos += 1
+        elif size_fmt == 1:
+            regen = (b0 >> 4) + (block[pos + 1] << 4)
+            pos += 2
+        else:
+            regen = ((b0 >> 4) + (block[pos + 1] << 4)
+                     + (block[pos + 2] << 12))
+            pos += 3
+        if lit_type == 0:
+            if pos + regen > len(block):
+                raise ValueError("raw literals overrun the block")
+            return block[pos:pos + regen], pos + regen
+        if pos >= len(block):
+            raise ValueError("missing RLE literal byte")
+        return bytes([block[pos]]) * regen, pos + 1
+    # Compressed / Treeless
+    if size_fmt == 0:
+        regen = (b0 >> 4) + ((block[pos + 1] & 0x3F) << 4)
+        comp = (block[pos + 1] >> 6) + (block[pos + 2] << 2)
+        streams, pos = 1, pos + 3
+    elif size_fmt == 1:
+        regen = (b0 >> 4) + ((block[pos + 1] & 0x3F) << 4)
+        comp = (block[pos + 1] >> 6) + (block[pos + 2] << 2)
+        streams, pos = 4, pos + 3
+    elif size_fmt == 2:
+        regen = ((b0 >> 4) + (block[pos + 1] << 4)
+                 + ((block[pos + 2] & 3) << 12))
+        comp = (block[pos + 2] >> 2) + (block[pos + 3] << 6)
+        streams, pos = 4, pos + 4
+    else:
+        regen = ((b0 >> 4) + (block[pos + 1] << 4)
+                 + ((block[pos + 2] & 0x3F) << 12))
+        comp = ((block[pos + 2] >> 6) + (block[pos + 3] << 2)
+                + (block[pos + 4] << 10))
+        streams, pos = 4, pos + 5
+    end = pos + comp
+    if end > len(block):
+        raise ValueError("compressed literals overrun the block")
+    if lit_type == 2:  # new Huffman table
+        weights, tlog, pos = huf_read_weights(block, pos)
+        ctx.huf_table = (huf_build_decode_table(weights, tlog), tlog)
+    elif ctx.huf_table is None:
+        raise ValueError("treeless literals with no previous Huffman table")
+    table, tlog = ctx.huf_table
+    if streams == 1:
+        out = _huf_decode_stream(block[pos:end], table, tlog, regen)
+        return bytes(out), end
+    if end - pos < 6:
+        raise ValueError("4-stream literals missing jump table")
+    s1 = int.from_bytes(block[pos:pos + 2], "little")
+    s2 = int.from_bytes(block[pos + 2:pos + 4], "little")
+    s3 = int.from_bytes(block[pos + 4:pos + 6], "little")
+    body = block[pos + 6:end]
+    if s1 + s2 + s3 > len(body):
+        raise ValueError("4-stream jump table overruns the section")
+    per = (regen + 3) // 4
+    last = regen - 3 * per
+    if last < 0:
+        raise ValueError("regenerated size too small for 4 streams")
+    parts = [body[:s1], body[s1:s1 + s2], body[s1 + s2:s1 + s2 + s3],
+             body[s1 + s2 + s3:]]
+    out = bytearray()
+    for i, part in enumerate(parts):
+        out += _huf_decode_stream(
+            part, table, tlog, per if i < 3 else last
+        )
+    return bytes(out), end
+
+
+def _decode_sequences(block: bytes, pos: int, ctx: _FrameCtx):
+    """Sequences section -> list of (ll, ml, offset_value)."""
+    if pos >= len(block):
+        raise ValueError("missing sequences section")
+    b0 = block[pos]
+    if b0 < 128:
+        n_seq = b0
+        pos += 1
+    elif b0 < 255:
+        n_seq = ((b0 - 128) << 8) + block[pos + 1]
+        pos += 2
+    else:
+        n_seq = block[pos + 1] + (block[pos + 2] << 8) + 0x7F00
+        pos += 3
+    if n_seq == 0:
+        return [], pos
+    modes = block[pos]
+    pos += 1
+    if modes & 3:
+        raise ValueError("reserved sequence-modes bits set")
+    tables = {}
+    for kind, shift in (("ll", 6), ("of", 4), ("ml", 2)):
+        tables[kind], pos = _read_seq_table(
+            kind, (modes >> shift) & 3, block, pos,
+            ctx.seq_tables[kind],
+        )
+        ctx.seq_tables[kind] = tables[kind]
+    bb = _BackBits(block[pos:])
+
+    def init_state(t):
+        return bb.read(t[2]) if t[0] == "fse" else 0
+
+    def symbol(t, state):
+        return t[1][state][0] if t[0] == "fse" else t[1]
+
+    def update(t, state):
+        if t[0] == "fse":
+            _s, nb, base = t[1][state]
+            return base + bb.read(nb)
+        return 0
+
+    ll_s = init_state(tables["ll"])
+    of_s = init_state(tables["of"])
+    ml_s = init_state(tables["ml"])
+    seqs = []
+    for i in range(n_seq):
+        of_code = symbol(tables["of"], of_s)
+        ml_code = symbol(tables["ml"], ml_s)
+        ll_code = symbol(tables["ll"], ll_s)
+        if of_code > 31:
+            raise ValueError("offset code out of range")
+        if ll_code > 35 or ml_code > 52:
+            raise ValueError("length code out of range")
+        offset_value = (1 << of_code) + bb.read(of_code)
+        ml_base, ml_bits = _ML_BASE[ml_code]
+        ml = ml_base + bb.read(ml_bits)
+        ll_base, ll_bits = _LL_BASE[ll_code]
+        ll = ll_base + bb.read(ll_bits)
+        if bb.overflowed:
+            raise ValueError("sequence bitstream overran")
+        seqs.append((ll, ml, offset_value))
+        if i + 1 < n_seq:
+            ll_s = update(tables["ll"], ll_s)
+            ml_s = update(tables["ml"], ml_s)
+            of_s = update(tables["of"], of_s)
+            if bb.overflowed:
+                raise ValueError("sequence state update overran")
+    if bb.remaining != 0:
+        raise ValueError("sequence bitstream not fully consumed")
+    return seqs, pos
+
+
+def _execute(literals: bytes, seqs, ctx: _FrameCtx, out: bytearray,
+             max_output: int):
+    lit_pos = 0
+    for ll, ml, ov in seqs:
+        if lit_pos + ll > len(literals):
+            raise ValueError("sequence literal run overruns literals")
+        out += literals[lit_pos:lit_pos + ll]
+        lit_pos += ll
+        rep = ctx.rep
+        if ov > 3:
+            offset = ov - 3
+            ctx.rep = [offset, rep[0], rep[1]]
+        else:
+            idx = ov if ll != 0 else ov + 1
+            if idx == 1:
+                offset = rep[0]
+            elif idx == 2:
+                offset = rep[1]
+                ctx.rep = [rep[1], rep[0], rep[2]]
+            elif idx == 3:
+                offset = rep[2]
+                ctx.rep = [rep[2], rep[0], rep[1]]
+            else:  # idx == 4: literals_length 0, offset_value 3
+                offset = rep[0] - 1
+                if offset == 0:
+                    raise ValueError("repeat offset underflow")
+                ctx.rep = [offset, rep[0], rep[1]]
+        if offset > len(out):
+            raise ValueError("match offset beyond decoded output")
+        if len(out) + ml > max_output:
+            raise ValueError("zstd output exceeds max_output bound")
+        if offset >= ml:
+            start = len(out) - offset
+            out += out[start:start + ml]
+        else:
+            for _ in range(ml):
+                out.append(out[-offset])
+    out += literals[lit_pos:]
+
+
+def zstd_decompress(data: bytes, max_output: int = 1 << 28) -> bytes:
+    """RFC 8878 frame(s) -> bytes, verifying the content checksum when
+    present. Skippable frames are skipped; dictionaries raise at the
+    documented plug-in point."""
+    out_all = bytearray()
+    pos = 0
+    while pos < len(data):
+        if pos + 4 > len(data):
+            raise ValueError("truncated zstd magic")
+        magic = int.from_bytes(data[pos:pos + 4], "little")
+        if (magic & 0xFFFFFFF0) == 0x184D2A50:  # skippable frame
+            if pos + 8 > len(data):
+                raise ValueError("truncated skippable frame")
+            n = int.from_bytes(data[pos + 4:pos + 8], "little")
+            pos += 8 + n
+            continue
+        if magic != _MAGIC:
+            raise ValueError("bad zstd magic")
+        pos += 4
+        if pos >= len(data):
+            raise ValueError("missing frame header descriptor")
+        fhd = data[pos]
+        pos += 1
+        if fhd & 0x08:
+            raise ValueError("reserved frame-header bit set")
+        single = bool(fhd & 0x20)
+        checksum = bool(fhd & 0x04)
+        did_size = (0, 1, 2, 4)[fhd & 3]
+        fcs_flag = fhd >> 6
+        fcs_size = (1 if single else 0, 2, 4, 8)[fcs_flag]
+        if not single:
+            if pos >= len(data):
+                raise ValueError("missing window descriptor")
+            wd = data[pos]
+            pos += 1
+            window = (1 << (10 + (wd >> 3)))
+            window += (window >> 3) * (wd & 7)
+        if did_size:
+            if int.from_bytes(data[pos:pos + did_size], "little"):
+                raise NotImplementedError(
+                    "zstd dictionaries not implemented — the dictionary "
+                    "plug-in point"
+                )
+            pos += did_size
+        fcs = None
+        if fcs_size:
+            if pos + fcs_size > len(data):
+                raise ValueError("truncated frame content size")
+            fcs = int.from_bytes(data[pos:pos + fcs_size], "little")
+            if fcs_size == 2:
+                fcs += 256
+            pos += fcs_size
+        if single:
+            window = fcs if fcs is not None else 0
+        block_max = min(window if window else (1 << 17), 1 << 17)
+
+        ctx = _FrameCtx()
+        frame_out = bytearray()
+        while True:
+            if pos + 3 > len(data):
+                raise ValueError("truncated block header")
+            bh = int.from_bytes(data[pos:pos + 3], "little")
+            pos += 3
+            last = bh & 1
+            btype = (bh >> 1) & 3
+            bsize = bh >> 3
+            if btype == 3:
+                raise ValueError("reserved block type")
+            if btype == 0:  # raw
+                if pos + bsize > len(data):
+                    raise ValueError("raw block overruns the frame")
+                frame_out += data[pos:pos + bsize]
+                pos += bsize
+            elif btype == 1:  # RLE
+                if pos >= len(data):
+                    raise ValueError("missing RLE block byte")
+                if len(frame_out) + bsize > max_output:
+                    raise ValueError("zstd output exceeds max_output bound")
+                frame_out += bytes([data[pos]]) * bsize
+                pos += 1
+            else:  # compressed
+                if bsize > (1 << 17):
+                    raise ValueError("block exceeds maximum block size")
+                if pos + bsize > len(data):
+                    raise ValueError("compressed block overruns the frame")
+                block = data[pos:pos + bsize]
+                pos += bsize
+                literals, bpos = _decode_literals(block, 0, ctx)
+                seqs, bpos = _decode_sequences(block, bpos, ctx)
+                _execute(literals, seqs, ctx, frame_out, max_output)
+            if len(frame_out) > max_output:
+                raise ValueError("zstd output exceeds max_output bound")
+            if last:
+                break
+        if fcs is not None and len(frame_out) != fcs:
+            raise ValueError(
+                f"frame content size mismatch: {len(frame_out)} != {fcs}"
+            )
+        if checksum:
+            if pos + 4 > len(data):
+                raise ValueError("truncated content checksum")
+            want = int.from_bytes(data[pos:pos + 4], "little")
+            got = xxh64(bytes(frame_out)) & 0xFFFFFFFF
+            if got != want:
+                raise ValueError(
+                    f"content checksum mismatch: {got:#010x} != {want:#010x}"
+                )
+            pos += 4
+        out_all += frame_out
+    return bytes(out_all)
+
+
+# ------------------------------------------------------------- encoder
+
+class _BitWriter:
+    """Forward writer for RFC 8878 backward bitstreams: fields are
+    appended LSB-first; the decoder pops them in reverse append order
+    from under the closing '1' sentinel."""
+
+    def __init__(self):
+        self.val = 0
+        self.nbits = 0
+
+    def add(self, value: int, nbits: int):
+        if nbits == 0:
+            return
+        self.val |= (value & ((1 << nbits) - 1)) << self.nbits
+        self.nbits += nbits
+
+    def close(self) -> bytes:
+        self.val |= 1 << self.nbits  # sentinel
+        self.nbits += 1
+        return self.val.to_bytes((self.nbits + 7) // 8, "little")
+
+
+def fse_build_encode_table(norm: list[int], accuracy_log: int):
+    """Encode-side tANS tables (state table + per-symbol transforms),
+    built over the SAME spread as the decode table."""
+    size = 1 << accuracy_log
+    symbols = [s for s, _n, _b in fse_build_decode_table(norm, accuracy_log)]
+    cumul = [0] * (len(norm) + 1)
+    for s, c in enumerate(norm):
+        cumul[s + 1] = cumul[s] + (1 if c == -1 else max(c, 0))
+    ctr = cumul[:-1]
+    state_table = [0] * size
+    for pos in range(size):
+        s = symbols[pos]
+        state_table[ctr[s]] = size + pos
+        ctr[s] += 1
+    transforms = {}
+    for s, c in enumerate(norm):
+        if c == 0:
+            continue
+        if c in (-1, 1):
+            delta_nb = (accuracy_log << 16) - (1 << accuracy_log)
+            delta_fs = cumul[s] - 1
+        else:
+            # highbit(c-1) = bit_length-1 (the reference's BIT_highbit32)
+            max_bits = accuracy_log - ((c - 1).bit_length() - 1)
+            delta_nb = (max_bits << 16) - (c << max_bits)
+            delta_fs = cumul[s] - c
+        transforms[s] = (delta_nb, delta_fs)
+    return state_table, transforms
+
+
+class _FseCState:
+    def __init__(self, table, transforms, first_symbol):
+        self.table = table
+        self.tt = transforms
+        delta_nb, delta_fs = transforms[first_symbol]
+        nb = (delta_nb + (1 << 15)) >> 16
+        v = (nb << 16) - delta_nb
+        self.state = table[(v >> nb) + delta_fs]
+
+    def encode(self, bw: _BitWriter, symbol: int):
+        delta_nb, delta_fs = self.tt[symbol]
+        nb = (self.state + delta_nb) >> 16
+        bw.add(self.state, nb)
+        self.state = self.table[(self.state >> nb) + delta_fs]
+
+    def flush(self, bw: _BitWriter, accuracy_log: int):
+        bw.add(self.state, accuracy_log)
+
+
+def _ll_code(ll: int) -> int:
+    if ll < 16:
+        return ll
+    for code in range(35, 15, -1):
+        if ll >= _LL_BASE[code][0]:
+            return code
+    raise ValueError("unreachable")
+
+
+def _ml_code(ml: int) -> int:
+    if ml - 3 < 32:
+        return ml - 3
+    for code in range(52, 31, -1):
+        if ml >= _ML_BASE[code][0]:
+            return code
+    raise ValueError("unreachable")
+
+
+def _find_sequences(chunk: bytes):
+    """Greedy hash-chain LZ: (sequences [(ll, ml, offset)], literals)."""
+    n = len(chunk)
+    seqs = []
+    lits = bytearray()
+    table: dict[bytes, int] = {}
+    i = 0
+    anchor = 0
+    while i + 4 <= n:
+        key = chunk[i:i + 4]
+        j = table.get(key)
+        table[key] = i
+        if j is not None and chunk[j:j + 4] == key:
+            ml = 4
+            while i + ml < n and chunk[j + ml] == chunk[i + ml]:
+                ml += 1
+            ll = i - anchor
+            if ll > 65535:  # LL code ceiling: flush as pure literals
+                i += 1
+                continue
+            lits += chunk[anchor:i]
+            seqs.append((ll, ml, i - j))
+            i += ml
+            anchor = i
+        else:
+            i += 1
+    lits += chunk[anchor:]
+    return seqs, lits
+
+
+def _raw_literals_section(lits: bytes) -> bytes:
+    n = len(lits)
+    if n < 32:
+        head = bytes([n << 3])
+    elif n < 4096:
+        head = bytes([0 | (1 << 2) | ((n & 0xF) << 4), n >> 4])
+    else:
+        head = bytes([0 | (3 << 2) | ((n & 0xF) << 4),
+                      (n >> 4) & 0xFF, n >> 12])
+    return head + lits
+
+
+def _encode_block(chunk: bytes) -> tuple[int, bytes]:
+    """One block of <= 64 KB input -> (block_type, content)."""
+    if len(set(chunk)) == 1 and len(chunk) > 3:
+        return 1, chunk[:1]  # RLE block
+    seqs, lits = _find_sequences(chunk)
+    if not seqs:
+        return 0, chunk  # raw block
+    body = bytearray(_raw_literals_section(bytes(lits)))
+    n_seq = len(seqs)
+    if n_seq < 128:
+        body.append(n_seq)
+    else:
+        body += bytes([128 + (n_seq >> 8), n_seq & 0xFF])
+    body.append(0)  # all three tables Predefined_Mode
+    ll_enc = fse_build_encode_table(*_LL_DEFAULT)
+    of_enc = fse_build_encode_table(*_OF_DEFAULT)
+    ml_enc = fse_build_encode_table(*_ML_DEFAULT)
+    codes = []
+    for ll, ml, off in seqs:
+        ov = off + 3
+        of_code = ov.bit_length() - 1
+        if of_code > 28:
+            return 0, chunk  # outside the predefined OF alphabet
+        codes.append((ll, _ll_code(ll), ml, _ml_code(ml), ov, of_code))
+    bw = _BitWriter()
+    last = codes[-1]
+    ml_st = _FseCState(*ml_enc, last[3])
+    of_st = _FseCState(*of_enc, last[5])
+    ll_st = _FseCState(*ll_enc, last[1])
+    bw.add(last[0] - _LL_BASE[last[1]][0], _LL_BASE[last[1]][1])
+    bw.add(last[2] - _ML_BASE[last[3]][0], _ML_BASE[last[3]][1])
+    bw.add(last[4] - (1 << last[5]), last[5])
+    for ll, llc, ml, mlc, ov, ofc in reversed(codes[:-1]):
+        of_st.encode(bw, ofc)
+        ml_st.encode(bw, mlc)
+        ll_st.encode(bw, llc)
+        bw.add(ll - _LL_BASE[llc][0], _LL_BASE[llc][1])
+        bw.add(ml - _ML_BASE[mlc][0], _ML_BASE[mlc][1])
+        bw.add(ov - (1 << ofc), ofc)
+    ml_st.flush(bw, _ML_DEFAULT[1])
+    of_st.flush(bw, _OF_DEFAULT[1])
+    ll_st.flush(bw, _LL_DEFAULT[1])
+    body += bw.close()
+    if len(body) >= len(chunk):
+        return 0, chunk  # compression did not pay: raw block
+    return 2, bytes(body)
+
+
+def zstd_compress(data: bytes, checksum: bool = True) -> bytes:
+    """From-spec SUBSET encoder: single-segment frame, explicit frame
+    content size, raw/RLE/compressed blocks, raw literals, greedy LZ
+    sequences over the PREDEFINED FSE tables (always-valid per RFC
+    3.1.1.3.2.1.1), optional xxh64 content checksum. Conformant by
+    construction — tests decode its frames with libzstd when present."""
+    out = bytearray(_MAGIC.to_bytes(4, "little"))
+    n = len(data)
+    fcs_flag, fcs_size = (0, 1) if n < 256 else (1, 2) if n < 65792 \
+        else (2, 4)
+    fhd = (fcs_flag << 6) | 0x20 | (0x04 if checksum else 0)
+    out.append(fhd)
+    out += (n - 256 if fcs_size == 2 else n).to_bytes(fcs_size, "little")
+    blocks = [data[i:i + 65536] for i in range(0, n, 65536)] or [b""]
+    for bi, chunk in enumerate(blocks):
+        btype, content = _encode_block(chunk) if chunk else (0, b"")
+        size = len(chunk) if btype == 1 else len(content)
+        bh = (1 if bi == len(blocks) - 1 else 0) | (btype << 1) | (size << 3)
+        out += bh.to_bytes(3, "little")
+        out += content
+    if checksum:
+        out += (xxh64(data) & 0xFFFFFFFF).to_bytes(4, "little")
+    return bytes(out)
+
+
+# ------------------------------------------------------------ spark kernel
+
+
+def zstd_roundtrip_stats(
+    df,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+):
+    """Per-row zstd ENCODE -> from-spec DECODE -> stats, Arrow-batched.
+    The encoder is libzstd via ctypes when the library is present (the
+    REFERENCE implementation — every row then cross-validates it
+    against the from-spec decoder, the strongest form of the repo's
+    stdlib-encodes/spec-decodes pattern; the compression level cycles
+    by doc_id to vary table/stream shapes) and the from-spec subset
+    encoder otherwise. Output md5 is encoder-independent (lossless).
+    Narrow map, no shuffle. Output: (id, orig_len, dec_md5, ok)."""
+    import hashlib as _hashlib
+
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("orig_len", LongType()),
+            StructField("dec_md5", StringType()),
+            StructField("ok", BooleanType()),
+        ]
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        enc = None
+        try:
+            import ctypes
+            import ctypes.util
+
+            _lib = ctypes.CDLL(ctypes.util.find_library("zstd"))
+            _lib.ZSTD_compressBound.restype = ctypes.c_size_t
+            _lib.ZSTD_compress.restype = ctypes.c_size_t
+            _lib.ZSTD_isError.restype = ctypes.c_uint
+
+            def enc(raw, level):
+                bound = _lib.ZSTD_compressBound(len(raw))
+                buf = ctypes.create_string_buffer(bound)
+                m = _lib.ZSTD_compress(buf, bound, raw, len(raw), level)
+                if _lib.ZSTD_isError(m):
+                    raise ValueError("libzstd compress failed")
+                return buf.raw[:m]
+        except Exception:
+            enc = None
+        for pdf in batches:
+            ids, lens, md5s, oks = [], [], [], []
+            for did, text in zip(pdf[id_col], pdf[payload_col]):
+                raw = (text.encode("utf-8") if isinstance(text, str)
+                       else bytes(text))
+                if enc is not None:
+                    blob = enc(raw, [1, 3, 6, 9][int(did) % 4])
+                else:
+                    blob = zstd_compress(raw)
+                dec = zstd_decompress(blob)
+                ids.append(int(did))
+                lens.append(len(raw))
+                md5s.append(_hashlib.md5(dec).hexdigest())
+                oks.append(dec == raw)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "orig_len": lens,
+                    "dec_md5": md5s,
+                    "ok": oks,
+                }
+            )
+
+    return widen_for_kernel(df.select(id_col, payload_col)).mapInPandas(
+        kernel, schema
+    )

@@ -1253,3 +1253,51 @@ def warc_source_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("path", r"shard-(\d+)\.warc\.gz$", 1)
         .cast("long").alias("shard"),
     )
+
+
+@query(
+    "zstd_roundtrip_docs",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             text || '|' || repeat(substr(text, 7, 31) || '~',
+                                   (doc_id % 6 + 1)::INTEGER)
+               || upper(substr(reverse(text), 1, 23)) AS payload
+      FROM documents
+    )
+    SELECT doc_id,
+           octet_length(encode(payload))::BIGINT AS orig_len,
+           md5(payload) AS dec_md5,
+           TRUE AS ok
+    FROM p
+    """,
+)
+def zstd_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL from-spec Zstandard DECODE (round 9, operators/zstd.py —
+    RFC 8878: frame/block grammar, backward bitstreams, FSE/tANS
+    tables + normalized-count headers, Huffman literals incl.
+    FSE-compressed weights and 4-stream mode, three interleaved
+    sequence states, repeat offsets, xxh64 checksums): each doc's
+    payload is encoded by libzstd via ctypes when present — the
+    REFERENCE implementation, compression level cycled by doc_id so
+    table/stream shapes vary — and by the from-spec subset encoder
+    otherwise, then decoded by the from-spec decoder inside ONE Arrow
+    mapInPandas kernel. zstd is THE modern corpus codec (parquet
+    pages, current Common Crawl, HF dataset shards). Lossless, so the
+    oracle replays the payload formula md5 exactly regardless of which
+    encoder ran. Level-matrix cross-validation BOTH directions
+    (libzstd decodes OUR frames too), golden shipped .tar.zst, CLI
+    streaming/ultra/long-window modes, FSE state-machine roundtrips,
+    repeat-offset pins, and tamper/bomb rejects in
+    tests/test_zstd.py."""
+    from modeltracking_spark.operators.zstd import zstd_roundtrip_stats
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "text || '|' || repeat(substring(text, 7, 31) || '~',"
+            " cast(doc_id % 6 + 1 as int))"
+            " || upper(substring(reverse(text), 1, 23))"
+        ).alias("payload"),
+    )
+    return zstd_roundtrip_stats(d)

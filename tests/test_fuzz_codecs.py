@@ -33,6 +33,29 @@ from modeltracking_spark.operators.multimodal import (
 )
 
 
+def _zstd_ref_fixture() -> bytes:
+    payload = (b"reference zstd fuzz base: varied text 0123456789 " * 60
+               + bytes(range(256)))
+    try:
+        import ctypes
+        import ctypes.util
+
+        lib = ctypes.CDLL(ctypes.util.find_library("zstd"))
+        lib.ZSTD_compressBound.restype = ctypes.c_size_t
+        lib.ZSTD_compress.restype = ctypes.c_size_t
+        lib.ZSTD_isError.restype = ctypes.c_uint
+        bound = lib.ZSTD_compressBound(len(payload))
+        buf = ctypes.create_string_buffer(bound)
+        n = lib.ZSTD_compress(buf, bound, payload, len(payload), 19)
+        if not lib.ZSTD_isError(n):
+            return buf.raw[:n]
+    except Exception:
+        pass
+    from modeltracking_spark.operators.zstd import zstd_compress
+
+    return zstd_compress(payload)
+
+
 def _fixtures():
     npr = np.random.RandomState(0)
     img = npr.randint(0, 256, (17, 13)).astype(np.uint8)
@@ -124,6 +147,23 @@ def _fixtures():
             __import__(
                 "modeltracking_spark.operators.bzip2", fromlist=["x"]
             ).bz2_decompress,
+        ),
+        "zstd": (
+            __import__(
+                "modeltracking_spark.operators.zstd", fromlist=["x"]
+            ).zstd_compress(b"zstd fuzz target record " * 40),
+            lambda b: __import__(
+                "modeltracking_spark.operators.zstd", fromlist=["x"]
+            ).zstd_decompress(b, max_output=1 << 16),
+        ),
+        "zstd_ref": (
+            # reference-encoded base when libzstd is present: mutations
+            # then land inside REAL FSE table headers / Huffman weight
+            # sections / 4-stream literals, not just our subset shapes
+            _zstd_ref_fixture(),
+            lambda b: __import__(
+                "modeltracking_spark.operators.zstd", fromlist=["x"]
+            ).zstd_decompress(b, max_output=1 << 16),
         ),
         "warc_gz": (
             __import__(
