@@ -116,14 +116,18 @@ PRIORITY: tuple[str, ...] = (
     "tumbling_window_counts",       # §2.11 tumbling windows
     "minhash_lsh_pairs",            # MinHash+LSH banded pairs
     # ---- window boundary (50) ----
-    # round-10 rotation head: the queries registered after this
-    # rotation froze (never driver-attested as of r9; count them, the
-    # r8 comment undercounted and the verdict flagged it) — 9 so far:
+    # round-10 rotation head: the 16 queries registered after this
+    # rotation froze (never driver-attested as of r9 — computed from
+    # the CORRECTNESS_r0* hash-match union, not hand-counted; the 11
+    # never-attested queries HEADING this window are attested by the
+    # r9 gate itself):
     #   image_incremental_neardup_docs, click_error_interval_stallproof,
     #   lz4_roundtrip_docs, nfc_normalize_docs, snappy_roundtrip_docs,
     #   bz2_roundtrip_docs, exactly_once_ingest_events,
-    #   tiff_tiled_palette_stats_docs, lzma_roundtrip_docs
-    # (any further round-9 session-2 registrations join this head too)
+    #   tiff_tiled_palette_stats_docs, lzma_roundtrip_docs,
+    #   kmv_set_ops_users, cdc_chunk_dedup_docs,
+    #   orc_partitioned_orders_scan, label_propagation_docs,
+    #   warc_gz_scan_docs, warc_source_scan_docs, zstd_roundtrip_docs
     # — then continue the stale-cohort sweep (the r6 remainder, then r7).
 )
 
