@@ -118,6 +118,7 @@ HEADLINE = [
     # round-9 session-2 flagship codec: from-spec zstd (RFC 8878),
     # cross-validated both directions against libzstd
     "zstd_roundtrip_docs",
+    "tar_zst_bundle_scan_docs",
 ]
 
 # Regression anchor: BENCH_r03.json per-query seconds at sf0.1 on local[32]

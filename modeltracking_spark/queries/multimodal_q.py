@@ -1301,3 +1301,75 @@ def zstd_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("payload"),
     )
     return zstd_roundtrip_stats(d)
+
+
+@query(
+    "tar_zst_bundle_scan_docs",
+    oracle="""
+    SELECT doc_id,
+           3::BIGINT AS n_members,
+           (octet_length(encode(text)) + 9
+            + length(doc_id::VARCHAR))::BIGINT AS total_bytes,
+           md5(text) AS text_md5,
+           TRUE AS names_ok
+    FROM documents
+    """,
+)
+def tar_zst_bundle_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """.tar.zst corpus-bundle ingest with NO library anywhere (round 9,
+    operators/tar.py + operators/zstd.py): each doc becomes a ustar
+    bundle (two .txt parts splitting the text + a meta.json member),
+    zstd-compressed by the from-spec subset encoder, then decompressed
+    by the from-spec RFC 8878 decoder and walked by the from-spec
+    ustar parser (header checksums verified on every member) inside
+    ONE Arrow mapInPandas kernel — the standard archive stack
+    (`.tar.zst`) end to end from spec. The oracle replays member
+    counts / byte totals / the reassembled-text md5 from the documents
+    table. The walker is cross-validated against stdlib tarfile (both
+    directions, GNU long names) and the shipped golden
+    hello_world.tar.zst in tests/test_tar.py."""
+    import hashlib
+
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from modeltracking_spark.operators.kernel import widen_for_kernel
+    from modeltracking_spark.operators.tar import (
+        build_tar,
+        tar_zst_scan_stats,
+    )
+    from modeltracking_spark.operators.zstd import zstd_compress
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+    ])
+
+    def attach(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                body = text.encode("utf-8")
+                half = len(body) // 2
+                meta = b'{"doc": ' + str(did).encode() + b"}"  # 9+len chars
+                payloads.append(zstd_compress(build_tar([
+                    (f"bundle-{did}/part0.txt", body[:half], 1700000000),
+                    (f"bundle-{did}/part1.txt", body[half:], 1700000000),
+                    (f"bundle-{did}/meta.json", meta, 1700000000),
+                ])))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": payloads,
+            })
+
+    with_payload = widen_for_kernel(d).mapInPandas(attach, schema)
+    return tar_zst_scan_stats(with_payload)

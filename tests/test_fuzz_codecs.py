@@ -165,6 +165,22 @@ def _fixtures():
                 "modeltracking_spark.operators.zstd", fromlist=["x"]
             ).zstd_decompress(b, max_output=1 << 16),
         ),
+        "tar_zst": (
+            __import__(
+                "modeltracking_spark.operators.zstd", fromlist=["x"]
+            ).zstd_compress(
+                __import__(
+                    "modeltracking_spark.operators.tar", fromlist=["x"]
+                ).build_tar([("b/f.txt", b"tar fuzz body " * 25, 0)])
+            ),
+            lambda b: __import__(
+                "modeltracking_spark.operators.tar", fromlist=["x"]
+            ).parse_tar(
+                __import__(
+                    "modeltracking_spark.operators.zstd", fromlist=["x"]
+                ).zstd_decompress(b, max_output=1 << 16)
+            ),
+        ),
         "warc_gz": (
             __import__(
                 "modeltracking_spark.operators.warc", fromlist=["x"]
