@@ -119,6 +119,7 @@ HEADLINE = [
     # cross-validated both directions against libzstd
     "zstd_roundtrip_docs",
     "tar_zst_bundle_scan_docs",
+    "xz_roundtrip_docs",
 ]
 
 # Regression anchor: BENCH_r03.json per-query seconds at sf0.1 on local[32]

@@ -1,0 +1,401 @@
+"""From-spec .xz container + LZMA2 DECODER — decode side only.
+
+Both layers are publicly specified: the xz file format
+(xz-file-format.txt: stream header/footer with CRC32-protected flags,
+size-prefixed CRC32-protected block headers with a filter list,
+4-byte-aligned compressed data, per-block integrity check of the
+UNCOMPRESSED bytes — none/CRC32/CRC64/SHA-256 — and a CRC32-protected
+index the footer points back at) and LZMA2 (the chunked LZMA layer:
+control-byte framing with explicit chunk sizes, independent range
+coders per chunk, and three orthogonal reset axes — machine state,
+properties, dictionary — while matches keep reaching into earlier
+chunks' window).  The LZMA machine itself is shared with the .lzma
+alone decoder (:class:`operators.lzma_alone.LzmaDecoder`).
+
+Fixtures are encoded with Python's stdlib ``lzma`` (liblzma) and the
+shipped ``xz`` CLI, so every roundtrip cross-validates two independent
+implementations across check types, presets, lc/lp/pb settings,
+multi-block (``--block-size``) and concatenated-stream layouts —
+.xz is how the canonical Wikipedia history dumps ship.
+
+CRC64 is ECMA-182 reflected (the xz default check); VLIs are the
+format's 7-bit little-endian varints.  Malformed streams raise
+descriptive ``ValueError``; non-LZMA2 filters (BCJ/delta) raise
+``NotImplementedError`` at the documented plug-in point.
+"""
+
+from __future__ import annotations
+
+from modeltracking_spark.operators.kernel import widen_for_kernel
+from modeltracking_spark.operators.lzma_alone import LzmaDecoder, split_props
+
+_MAGIC = b"\xfd7zXZ\x00"
+_FOOTER_MAGIC = b"YZ"
+_CHECK_SIZES = {0x00: 0, 0x01: 4, 0x04: 8, 0x0A: 32}
+
+
+def _build_crc64_table():
+    poly = 0xC96C5795D7870F42
+    table = []
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = (c >> 1) ^ (poly if c & 1 else 0)
+        table.append(c)
+    return table
+
+
+_CRC64_TABLE = _build_crc64_table()
+
+
+def crc64_xz(data: bytes, crc: int = 0) -> int:
+    """CRC-64/XZ (ECMA-182 polynomial, reflected, init/xorout ~0)."""
+    c = (~crc) & 0xFFFFFFFFFFFFFFFF
+    for b in data:
+        c = (c >> 8) ^ _CRC64_TABLE[(c ^ b) & 0xFF]
+    return (~c) & 0xFFFFFFFFFFFFFFFF
+
+
+def _crc32(data: bytes) -> int:
+    import zlib
+
+    return zlib.crc32(data) & 0xFFFFFFFF
+
+
+def _read_vli(data: bytes, pos: int) -> tuple[int, int]:
+    v = 0
+    for i in range(9):
+        if pos + i >= len(data):
+            raise ValueError("truncated xz varint")
+        b = data[pos + i]
+        v |= (b & 0x7F) << (7 * i)
+        if not b & 0x80:
+            if b == 0 and i:
+                raise ValueError("non-minimal xz varint")
+            return v, pos + i + 1
+    raise ValueError("xz varint longer than 9 bytes")
+
+
+def lzma2_decompress(
+    data: bytes,
+    pos: int = 0,
+    end: int | None = None,
+    max_output: int = 1 << 28,
+) -> tuple[bytes, int]:
+    """LZMA2 chunk sequence -> (bytes, position past the 0x00 end
+    marker). Enforces the spec's reset grammar: the first chunk must
+    reset the dictionary, properties must be set before the first
+    LZMA chunk, and an uncompressed chunk invalidates machine state
+    (the next LZMA chunk must reset it)."""
+    if end is None:
+        end = len(data)
+    out = bytearray()
+    dec: LzmaDecoder | None = None
+    dict_start = 0
+    need_dict_reset = True
+    need_state_reset = True
+    while True:
+        if pos >= end:
+            raise ValueError("truncated LZMA2 stream")
+        c = data[pos]
+        pos += 1
+        if c == 0x00:  # end of LZMA2
+            return bytes(out), pos
+        if c in (0x01, 0x02):  # uncompressed chunk
+            if c == 0x01:
+                dict_start = len(out)
+                need_dict_reset = False
+            elif need_dict_reset:
+                raise ValueError("LZMA2 first chunk must reset dictionary")
+            if pos + 2 > end:
+                raise ValueError("truncated LZMA2 chunk header")
+            n = int.from_bytes(data[pos:pos + 2], "big") + 1
+            pos += 2
+            if pos + n > end:
+                raise ValueError("LZMA2 uncompressed chunk overruns")
+            if len(out) + n - dict_start > max_output or len(out) + n \
+                    > max_output:
+                raise ValueError("LZMA2 output exceeds max_output bound")
+            out += data[pos:pos + n]
+            pos += n
+            need_state_reset = True  # machine state is now stale
+            continue
+        if c < 0x80:
+            raise ValueError(f"invalid LZMA2 control byte {c:#04x}")
+        reset = (c >> 5) & 3
+        if pos + 4 > end:
+            raise ValueError("truncated LZMA2 chunk header")
+        unpacked = ((c & 0x1F) << 16) \
+            + int.from_bytes(data[pos:pos + 2], "big") + 1
+        comp = int.from_bytes(data[pos + 2:pos + 4], "big") + 1
+        pos += 4
+        if reset == 3:
+            dict_start = len(out)
+            need_dict_reset = False
+        elif need_dict_reset:
+            raise ValueError("LZMA2 first chunk must reset dictionary")
+        if reset >= 2:
+            if pos >= end:
+                raise ValueError("truncated LZMA2 props byte")
+            lc, lp, pb = split_props(data[pos])
+            pos += 1
+            if dec is None:
+                dec = LzmaDecoder(lc, lp, pb)
+            else:
+                dec.set_props(lc, lp, pb)
+            need_state_reset = False
+        elif reset == 1:
+            if dec is None:
+                raise ValueError("LZMA2 state reset before properties")
+            dec.reset_state()
+            need_state_reset = False
+        elif dec is None:
+            raise ValueError("LZMA2 chunk before properties")
+        elif need_state_reset:
+            raise ValueError(
+                "LZMA2 chunk after uncompressed data must reset state"
+            )
+        if pos + comp > end:
+            raise ValueError("LZMA2 compressed chunk overruns")
+        if len(out) + unpacked > max_output:
+            raise ValueError("LZMA2 output exceeds max_output bound")
+        chunk_end, _ = dec.decode_chunk(
+            data[:pos + comp], pos, out,
+            dict_start=dict_start,
+            n_out=unpacked,
+            allow_end_marker=False,
+            max_output=max_output,
+        )
+        if chunk_end != pos + comp:
+            raise ValueError(
+                "LZMA2 chunk did not consume its declared size"
+            )
+        pos += comp
+
+
+def xz_decompress(data: bytes, max_output: int = 1 << 28) -> bytes:
+    """.xz stream(s) -> bytes: stream/block/index/footer framing with
+    every CRC verified, per-block integrity checks over the
+    uncompressed bytes (CRC32/CRC64/SHA-256), concatenated streams
+    and 4-byte stream padding per the spec."""
+    import hashlib
+
+    out_all = bytearray()
+    pos = 0
+    while pos < len(data):
+        if data[pos:pos + 4] == b"\x00\x00\x00\x00":  # stream padding
+            pos += 4
+            continue
+        if data[pos:pos + 6] != _MAGIC:
+            raise ValueError("bad xz stream magic")
+        pos += 6
+        flags = data[pos:pos + 2]
+        if len(flags) < 2 or flags[0] != 0 or flags[1] not in _CHECK_SIZES:
+            raise ValueError("unsupported xz stream flags")
+        check_type = flags[1]
+        check_size = _CHECK_SIZES[check_type]
+        want = int.from_bytes(data[pos + 2:pos + 6], "little")
+        if _crc32(flags) != want:
+            raise ValueError("xz stream header CRC mismatch")
+        pos += 6
+
+        records = []  # (unpadded_size, uncompressed_size)
+        while True:
+            if pos >= len(data):
+                raise ValueError("truncated xz stream")
+            first = data[pos]
+            if first == 0x00:  # index indicator
+                break
+            header_size = (first + 1) * 4
+            hdr = data[pos:pos + header_size]
+            if len(hdr) < header_size:
+                raise ValueError("truncated xz block header")
+            want = int.from_bytes(hdr[header_size - 4:], "little")
+            if _crc32(hdr[:header_size - 4]) != want:
+                raise ValueError("xz block header CRC mismatch")
+            bflags = hdr[1]
+            if bflags & 0x3C:
+                raise ValueError("reserved xz block flag bits set")
+            n_filters = (bflags & 3) + 1
+            hp = 2
+            comp_size = unc_size = None
+            if bflags & 0x40:
+                comp_size, hp = _read_vli(hdr, hp)
+            if bflags & 0x80:
+                unc_size, hp = _read_vli(hdr, hp)
+            lzma2_props = None
+            for _ in range(n_filters):
+                fid, hp = _read_vli(hdr, hp)
+                psize, hp = _read_vli(hdr, hp)
+                props = hdr[hp:hp + psize]
+                hp += psize
+                if fid == 0x21:
+                    if psize != 1:
+                        raise ValueError("bad LZMA2 props size")
+                    lzma2_props = props[0]
+                else:
+                    raise NotImplementedError(
+                        f"xz filter {fid:#x} not implemented — the "
+                        "BCJ/delta plug-in point"
+                    )
+            if lzma2_props is None:
+                raise ValueError("xz block has no LZMA2 filter")
+            if lzma2_props & 0xC0:
+                raise ValueError("reserved LZMA2 dict-size bits set")
+            if any(hdr[hp:header_size - 4]):
+                raise ValueError("nonzero xz block header padding")
+
+            body_start = pos + header_size
+            block_out, after = lzma2_decompress(
+                data, body_start,
+                end=None if comp_size is None else body_start + comp_size,
+                max_output=max_output - len(out_all),
+            )
+            if unc_size is not None and len(block_out) != unc_size:
+                raise ValueError("xz block uncompressed size mismatch")
+            comp_actual = after - body_start
+            if comp_size is not None and comp_actual != comp_size:
+                raise ValueError("xz block compressed size mismatch")
+            pad = (-comp_actual) % 4
+            if any(data[after:after + pad]):
+                raise ValueError("nonzero xz block padding")
+            after += pad
+            check = data[after:after + check_size]
+            if len(check) < check_size:
+                raise ValueError("truncated xz block check")
+            if check_type == 0x01:
+                ok = _crc32(block_out) == int.from_bytes(check, "little")
+            elif check_type == 0x04:
+                ok = crc64_xz(block_out) == int.from_bytes(check, "little")
+            elif check_type == 0x0A:
+                ok = hashlib.sha256(block_out).digest() == check
+            else:
+                ok = True
+            if not ok:
+                raise ValueError("xz block check mismatch")
+            after += check_size
+            unpadded = header_size + comp_actual + check_size
+            records.append((unpadded, len(block_out)))
+            out_all += block_out
+            pos = after
+
+        # ---- index
+        index_start = pos
+        pos += 1  # the 0x00 indicator
+        n_rec, pos = _read_vli(data, pos)
+        if n_rec != len(records):
+            raise ValueError("xz index record count mismatch")
+        for unpadded, unc in records:
+            got_unp, pos = _read_vli(data, pos)
+            got_unc, pos = _read_vli(data, pos)
+            if (got_unp, got_unc) != (unpadded, unc):
+                raise ValueError("xz index record mismatch")
+        pad = (-(pos - index_start)) % 4
+        if any(data[pos:pos + pad]):
+            raise ValueError("nonzero xz index padding")
+        pos += pad
+        want = int.from_bytes(data[pos:pos + 4], "little")
+        if _crc32(data[index_start:pos]) != want:
+            raise ValueError("xz index CRC mismatch")
+        pos += 4
+        index_size = pos - index_start
+
+        # ---- stream footer
+        footer = data[pos:pos + 12]
+        if len(footer) < 12:
+            raise ValueError("truncated xz stream footer")
+        want = int.from_bytes(footer[0:4], "little")
+        if _crc32(footer[4:10]) != want:
+            raise ValueError("xz stream footer CRC mismatch")
+        backward = int.from_bytes(footer[4:8], "little")
+        if (backward + 1) * 4 != index_size:
+            raise ValueError("xz footer backward size mismatch")
+        if footer[8:10] != flags:
+            raise ValueError("xz footer flags disagree with header")
+        if footer[10:12] != _FOOTER_MAGIC:
+            raise ValueError("bad xz footer magic")
+        pos += 12
+    return bytes(out_all)
+
+
+# ------------------------------------------------------------ spark kernel
+
+
+def xz_roundtrip_stats(
+    df,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    preset: int = 6,
+):
+    """Per-row stdlib-liblzma ENCODE (FORMAT_XZ, check type and
+    lc/lp/pb cycled by doc_id) -> from-spec xz/LZMA2 DECODE -> stats,
+    Arrow-batched — every row cross-validates two independent
+    implementations of the container AND the chunk layer. Narrow map,
+    no shuffle. Output: (id, orig_len, check_id, dec_md5, ok)."""
+    import hashlib as _hashlib
+    import lzma as _lzma
+
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("orig_len", LongType()),
+            StructField("check_id", LongType()),
+            StructField("dec_md5", StringType()),
+            StructField("ok", BooleanType()),
+        ]
+    )
+
+    _CHECKS = [_lzma.CHECK_CRC64, _lzma.CHECK_CRC32, _lzma.CHECK_SHA256,
+               _lzma.CHECK_NONE]
+    _PROPS = [(3, 0, 2), (0, 0, 0), (2, 1, 1), (1, 2, 0)]
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, lens, checks, md5s, oks = [], [], [], [], []
+            for did, text in zip(pdf[id_col], pdf[payload_col]):
+                raw = (
+                    text.encode("utf-8") if isinstance(text, str)
+                    else bytes(text)
+                )
+                did = int(did)
+                check = _CHECKS[did % 4]
+                lc, lp, pb = _PROPS[did % len(_PROPS)]
+                enc = _lzma.compress(
+                    raw,
+                    format=_lzma.FORMAT_XZ,
+                    check=check,
+                    filters=[{
+                        "id": _lzma.FILTER_LZMA2,
+                        "preset": preset,
+                        "lc": lc, "lp": lp, "pb": pb,
+                    }],
+                )
+                dec = xz_decompress(enc)
+                ids.append(did)
+                lens.append(len(raw))
+                checks.append(int(check))
+                md5s.append(_hashlib.md5(dec).hexdigest())
+                oks.append(dec == raw)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "orig_len": lens,
+                    "check_id": checks,
+                    "dec_md5": md5s,
+                    "ok": oks,
+                }
+            )
+
+    return widen_for_kernel(df.select(id_col, payload_col)).mapInPandas(
+        kernel, schema
+    )

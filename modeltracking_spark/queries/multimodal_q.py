@@ -1373,3 +1373,50 @@ def tar_zst_bundle_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with_payload = widen_for_kernel(d).mapInPandas(attach, schema)
     return tar_zst_scan_stats(with_payload)
+
+
+@query(
+    "xz_roundtrip_docs",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             repeat(substr(text, 3, 41) || '^', (doc_id % 4 + 1)::INTEGER)
+               || substr(text, 1, 170)
+               || lower(substr(reverse(text), 1, 17)) AS payload
+      FROM documents
+    )
+    SELECT doc_id,
+           octet_length(encode(payload))::BIGINT AS orig_len,
+           (CASE doc_id % 4 WHEN 0 THEN 4 WHEN 1 THEN 1
+                            WHEN 2 THEN 10 ELSE 0 END)::BIGINT AS check_id,
+           md5(payload) AS dec_md5,
+           TRUE AS ok
+    FROM p
+    """,
+)
+def xz_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL from-spec .xz / LZMA2 DECODE (round 9, operators/xz.py —
+    the public xz-file-format spec + LZMA2 chunk layer over the shared
+    lzma_alone.LzmaDecoder machine): each doc's payload is encoded by
+    stdlib liblzma (FORMAT_XZ) with the integrity-check type
+    (CRC64/CRC32/SHA-256/none) AND the lc/lp/pb model parameters
+    cycled by doc_id, then decoded by the from-spec decoder — stream
+    header/footer CRCs, block-header CRC, per-block uncompressed-data
+    check, and the trailing index all verified — inside ONE Arrow
+    mapInPandas kernel. .xz is how the canonical Wikipedia history
+    dumps ship. The oracle replays the payload md5 and the check-type
+    arithmetic; check_id attests which verification path ran on each
+    row. Multi-chunk LZMA2 (incl. uncompressed chunks + dictionary
+    continuity), CLI multi-block, concatenated streams, and per-layer
+    tamper rejects pinned in tests/test_xz.py."""
+    from modeltracking_spark.operators.xz import xz_roundtrip_stats
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "repeat(substring(text, 3, 41) || '^', cast(doc_id % 4 + 1 as int))"
+            " || substring(text, 1, 170)"
+            " || lower(substring(reverse(text), 1, 17))"
+        ).alias("payload"),
+    )
+    return xz_roundtrip_stats(d)

@@ -189,6 +189,15 @@ def _fixtures():
                 "modeltracking_spark.operators.warc", fromlist=["x"]
             ).parse_warc_gz(b),
         ),
+        "xz": (
+            __import__("lzma").compress(
+                b"xz fuzz target record\n" * 50,
+                format=__import__("lzma").FORMAT_XZ,
+            ),
+            lambda b: __import__(
+                "modeltracking_spark.operators.xz", fromlist=["x"]
+            ).xz_decompress(b, max_output=1 << 16),
+        ),
         "lzma": (
             __import__("lzma").compress(
                 b"lzma fuzz target record\n" * 60,
