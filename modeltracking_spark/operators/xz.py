@@ -113,8 +113,7 @@ def lzma2_decompress(
             pos += 2
             if pos + n > end:
                 raise ValueError("LZMA2 uncompressed chunk overruns")
-            if len(out) + n - dict_start > max_output or len(out) + n \
-                    > max_output:
+            if len(out) + n > max_output:
                 raise ValueError("LZMA2 output exceeds max_output bound")
             out += data[pos:pos + n]
             pos += n

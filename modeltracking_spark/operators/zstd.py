@@ -521,6 +521,8 @@ def _decode_sequences(block: bytes, pos: int, ctx: _FrameCtx):
         n_seq = block[pos + 1] + (block[pos + 2] << 8) + 0x7F00
         pos += 3
     if n_seq == 0:
+        if pos != len(block):
+            raise ValueError("trailing bytes after empty sequences section")
         return [], pos
     modes = block[pos]
     pos += 1
