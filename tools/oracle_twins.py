@@ -1677,7 +1677,7 @@ def twin_lzma(spark, sf_dir, spark_rows) -> tuple[bool, str]:
     for doc_id, text in rows:
         payload = (
             (text[:37] + "~") * (doc_id % 5 + 1)
-            + text + text[::-1][:19].upper()
+            + text[:180] + text[::-1][:19].upper()
         ).encode("utf-8")
         lc, lp, pb = _props[doc_id % len(_props)]
         enc = _lzma.compress(
@@ -1695,6 +1695,235 @@ def twin_lzma(spark, sf_dir, spark_rows) -> tuple[bool, str]:
         if got.get(int(doc_id)) != want:
             return False, f"doc {doc_id}: got {got.get(int(doc_id))} want {want}"
     return True, f"{len(rows)} streams decoded exact by both decoders"
+
+
+def twin_zstd(spark, sf_dir, spark_rows) -> tuple[bool, str]:
+    """Second INDEPENDENT decoder for the zstd query: the spark kernel
+    decodes with the from-spec decoder; this twin re-encodes the same
+    payload with identical libzstd parameters and decodes with libzstd
+    itself — the REFERENCE implementation — so the md5s agree only if
+    the two decoders agree byte-for-byte on every stream. Skips (as
+    pass) when libzstd is absent, since then the kernel used the
+    from-spec encoder and there is no second implementation to pit."""
+    import ctypes
+    import ctypes.util
+    import hashlib
+
+    import duckdb as _duck
+
+    name = ctypes.util.find_library("zstd")
+    if not name:
+        return True, "libzstd absent — no reference to pit (skipped)"
+    lib = ctypes.CDLL(name)
+    lib.ZSTD_compressBound.restype = ctypes.c_size_t
+    lib.ZSTD_compress.restype = ctypes.c_size_t
+    lib.ZSTD_decompress.restype = ctypes.c_size_t
+    lib.ZSTD_isError.restype = ctypes.c_uint
+
+    rows = _duck.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    got = {
+        int(r["doc_id"]): (int(r["orig_len"]), r["dec_md5"], bool(r["ok"]))
+        for r in spark_rows
+    }
+    for doc_id, text in rows:
+        payload = (
+            text + "|" + (text[6:37] + "~") * (doc_id % 6 + 1)
+            + text[::-1][:23].upper()
+        ).encode("utf-8")
+        bound = lib.ZSTD_compressBound(len(payload))
+        buf = ctypes.create_string_buffer(bound)
+        n = lib.ZSTD_compress(buf, bound, payload, len(payload),
+                              [1, 3, 6, 9][doc_id % 4])
+        if lib.ZSTD_isError(n):
+            return False, f"doc {doc_id}: libzstd compress failed"
+        out = ctypes.create_string_buffer(max(len(payload), 1))
+        m = lib.ZSTD_decompress(out, len(payload), buf.raw[:n], n)
+        if lib.ZSTD_isError(m):
+            return False, f"doc {doc_id}: libzstd rejected the frame"
+        dec = out.raw[:m]
+        want = (len(payload), hashlib.md5(dec).hexdigest(), dec == payload)
+        if got.get(int(doc_id)) != want:
+            return False, f"doc {doc_id}: got {got.get(int(doc_id))} want {want}"
+    return True, f"{len(rows)} frames decoded exact by both decoders"
+
+
+def twin_xz(spark, sf_dir, spark_rows) -> tuple[bool, str]:
+    """Second INDEPENDENT decoder for the xz query: stdlib liblzma
+    decodes the same stream the from-spec decoder consumed."""
+    import hashlib
+    import lzma as _lzma
+
+    import duckdb as _duck
+
+    _checks = [_lzma.CHECK_CRC64, _lzma.CHECK_CRC32, _lzma.CHECK_SHA256,
+               _lzma.CHECK_NONE]
+    _props = [(3, 0, 2), (0, 0, 0), (2, 1, 1), (1, 2, 0)]
+    rows = _duck.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    got = {
+        int(r["doc_id"]): (int(r["orig_len"]), int(r["check_id"]),
+                           r["dec_md5"], bool(r["ok"]))
+        for r in spark_rows
+    }
+    for doc_id, text in rows:
+        payload = (
+            (text[2:43] + "^") * (doc_id % 4 + 1)
+            + text[:170] + text[::-1][:17].lower()
+        ).encode("utf-8")
+        lc, lp, pb = _props[doc_id % 4]
+        enc = _lzma.compress(
+            payload, format=_lzma.FORMAT_XZ, check=_checks[doc_id % 4],
+            filters=[{"id": _lzma.FILTER_LZMA2, "preset": 6,
+                      "lc": lc, "lp": lp, "pb": pb}],
+        )
+        dec = _lzma.decompress(enc)
+        want = (len(payload), int(_checks[doc_id % 4]),
+                hashlib.md5(dec).hexdigest(), dec == payload)
+        if got.get(int(doc_id)) != want:
+            return False, f"doc {doc_id}: got {got.get(int(doc_id))} want {want}"
+    return True, f"{len(rows)} streams decoded exact by both decoders"
+
+
+def twin_tar_zst(spark, sf_dir, spark_rows) -> tuple[bool, str]:
+    """Independent re-walk of the tar.zst bundles: rebuild each bundle
+    with the SAME fixture builder, then decode with the zstd CLI (or
+    libzstd) and walk members with STDLIB tarfile — two independent
+    implementations of both layers."""
+    import hashlib
+    import io
+    import tarfile
+
+    import duckdb as _duck
+
+    from modeltracking_spark.operators.tar import build_tar
+    from modeltracking_spark.operators.zstd import zstd_compress
+
+    try:
+        import ctypes
+        import ctypes.util
+
+        lib = ctypes.CDLL(ctypes.util.find_library("zstd"))
+        lib.ZSTD_decompress.restype = ctypes.c_size_t
+        lib.ZSTD_isError.restype = ctypes.c_uint
+
+        def zd(blob, n):
+            out = ctypes.create_string_buffer(max(n, 1))
+            m = lib.ZSTD_decompress(out, n, blob, len(blob))
+            if lib.ZSTD_isError(m):
+                raise ValueError("libzstd reject")
+            return out.raw[:m]
+    except Exception:
+        return True, "libzstd absent — no reference to pit (skipped)"
+
+    rows = _duck.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    got = {
+        int(r["doc_id"]): (int(r["n_members"]), int(r["total_bytes"]),
+                           r["text_md5"], bool(r["names_ok"]))
+        for r in spark_rows
+    }
+    for doc_id, text in rows:
+        body = text.encode("utf-8")
+        half = len(body) // 2
+        meta = b'{"doc": ' + str(doc_id).encode() + b"}"
+        blob = zstd_compress(build_tar([
+            (f"bundle-{doc_id}/part0.txt", body[:half], 1700000000),
+            (f"bundle-{doc_id}/part1.txt", body[half:], 1700000000),
+            (f"bundle-{doc_id}/meta.json", meta, 1700000000),
+        ]))
+        raw_len = 512 * 3 + sum(
+            ((len(b) + 511) // 512) * 512 for b in (body[:half], body[half:], meta)
+        ) + 1024
+        raw = zd(blob, raw_len + 1024)
+        with tarfile.open(fileobj=io.BytesIO(raw)) as tf:
+            members = tf.getmembers()
+            text_bytes = b"".join(
+                tf.extractfile(m).read() for m in members
+                if m.name.endswith(".txt")
+            )
+            want = (
+                len(members),
+                sum(m.size for m in members),
+                hashlib.md5(text_bytes).hexdigest(),
+                all(m.name.startswith(f"bundle-{doc_id}/") for m in members),
+            )
+        if got.get(int(doc_id)) != want:
+            return False, f"doc {doc_id}: got {got.get(int(doc_id))} want {want}"
+    return True, f"{len(rows)} bundles walked exact by stdlib tarfile + libzstd"
+
+
+def twin_warc(spark, sf_dir, spark_rows) -> tuple[bool, str]:
+    """Independent WARC re-walk: split members with STDLIB gzip
+    (streaming member boundaries via zlib) and parse records with a
+    minimal independent header walker — no shared code with
+    operators/warc.py's parser."""
+    import gzip as _gzip
+    import hashlib
+    import io
+    import zlib
+
+    import duckdb as _duck
+
+    from modeltracking_spark.operators.warc import build_warc_gz_fixture
+
+    def members_stdlib(blob):
+        out = []
+        pos = 0
+        while pos < len(blob):
+            d = zlib.decompressobj(wbits=31)
+            out.append(d.decompress(blob[pos:]))
+            consumed = len(blob) - pos - len(d.unused_data)
+            pos += consumed
+        return out
+
+    def parse_records_naive(payload):
+        recs = []
+        pos = 0
+        while pos < len(payload):
+            head_end = payload.index(b"\r\n\r\n", pos)
+            lines = payload[pos:head_end].decode().split("\r\n")
+            assert lines[0] == "WARC/1.0"
+            fields = dict(
+                (k.strip().lower(), v.strip())
+                for k, v in (ln.split(":", 1) for ln in lines[1:])
+            )
+            n = int(fields["content-length"])
+            body = payload[head_end + 4:head_end + 4 + n]
+            assert payload[head_end + 4 + n:head_end + 4 + n + 4] \
+                == b"\r\n\r\n"
+            fields["body"] = body
+            recs.append(fields)
+            pos = head_end + 4 + n + 4
+        return recs
+
+    rows = _duck.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    got = {
+        int(r["doc_id"]): (int(r["n_records"]), int(r["n_members"]),
+                           int(r["response_len"]), r["body_md5"],
+                           bool(r["uri_ok"]))
+        for r in spark_rows
+    }
+    for doc_id, text in rows:
+        blob = build_warc_gz_fixture(doc_id, text + f" #{doc_id}")
+        ms = members_stdlib(blob)
+        recs = [r for m in ms for r in parse_records_naive(m)]
+        resp = [r for r in recs if r["warc-type"] == "response"]
+        assert len(resp) == 1
+        want = (
+            len(recs), len(ms), len(resp[0]["body"]),
+            hashlib.md5(resp[0]["body"]).hexdigest(),
+            resp[0]["warc-target-uri"]
+            == f"http://corpus.example/doc/{doc_id}",
+        )
+        if got.get(int(doc_id)) != want:
+            return False, f"doc {doc_id}: got {got.get(int(doc_id))} want {want}"
+    return True, f"{len(rows)} archives re-walked exact (stdlib gzip + naive parser)"
 
 
 def main(sf_dirs: list[str]) -> int:
@@ -1762,6 +1991,14 @@ def main(sf_dirs: list[str]) -> int:
              lambda rows: twin_snappy(spark, sf_dir, rows)),
             ("lzma_roundtrip_docs",
              lambda rows: twin_lzma(spark, sf_dir, rows)),
+            ("zstd_roundtrip_docs",
+             lambda rows: twin_zstd(spark, sf_dir, rows)),
+            ("xz_roundtrip_docs",
+             lambda rows: twin_xz(spark, sf_dir, rows)),
+            ("tar_zst_bundle_scan_docs",
+             lambda rows: twin_tar_zst(spark, sf_dir, rows)),
+            ("warc_gz_scan_docs",
+             lambda rows: twin_warc(spark, sf_dir, rows)),
         ):
             rows = qs[name](spark, sf_dir).collect()
             ok, msg = fn(rows)
