@@ -852,6 +852,122 @@ def _find_sequences(chunk: bytes):
     return seqs, lits
 
 
+def _huffman_literals_section(lits: bytes) -> bytes | None:
+    """Huffman-compress the literals with a DIRECT-weights tree
+    description (headerByte >= 128): plain Huffman code lengths
+    saturate the Kraft sum exactly, which is precisely the decoder's
+    full-table requirement. Returns None when the shape doesn't fit
+    the direct-weights format (last symbol > 128, depth > 11, < 2
+    distinct bytes) or doesn't pay vs raw."""
+    import heapq
+
+    n = len(lits)
+    if n < 32:
+        return None
+    freq = {}
+    for b in lits:
+        freq[b] = freq.get(b, 0) + 1
+    if len(freq) < 2 or max(freq) > 128:
+        return None
+    # plain Huffman lengths (full tree => Kraft sum saturates)
+    heap = [(c, s, None, None) for s, c in freq.items()]
+    heapq.heapify(heap)
+    tick = 256
+    while len(heap) > 1:
+        a = heapq.heappop(heap)
+        b = heapq.heappop(heap)
+        heapq.heappush(heap, (a[0] + b[0], tick, a, b))
+        tick += 1
+    lengths = {}
+
+    def walk(node, depth):
+        if node[2] is None:
+            lengths[node[1]] = max(depth, 1)
+            return
+        walk(node[2], depth + 1)
+        walk(node[3], depth + 1)
+
+    walk(heap[0], 0)
+    table_log = max(lengths.values())
+    if table_log > 11:
+        return None
+    weights = {s: table_log + 1 - ln for s, ln in lengths.items()}
+    last_sym = max(weights)
+    # tree description: weights for symbols 0..last_sym-1, last implied
+    n_weights = last_sym
+    header = bytearray([127 + n_weights])
+    for i in range(0, n_weights, 2):
+        hi = weights.get(i, 0)
+        lo = weights.get(i + 1, 0) if i + 1 < n_weights else 0
+        header.append((hi << 4) | lo)
+    # canonical codes exactly as the decoder builds its table
+    table = huf_build_decode_table(
+        [weights.get(s, 0) for s in range(last_sym + 1)], table_log
+    )
+    first_cell = {}
+    for idx, (sym, nb) in enumerate(table):
+        if nb and sym not in first_cell:
+            first_cell[sym] = (idx >> (table_log - nb), nb)
+
+    def enc_stream(part: bytes) -> bytes:
+        bw = _BitWriter()
+        for b in reversed(part):
+            code, nb = first_cell[b]
+            bw.add(code, nb)
+        return bw.close()
+
+    if n < 1024:
+        body = enc_stream(lits)
+        comp = len(header) + len(body)
+        if comp >= n or comp > 1023:
+            return None
+        b0 = 2 | (0 << 2) | ((n & 0xF) << 4)
+        head = bytes([b0, ((n >> 4) & 0x3F) | ((comp & 3) << 6), comp >> 2])
+        return head + bytes(header) + body
+    per = (n + 3) // 4
+    parts = [lits[i * per:(i + 1) * per] for i in range(4)]
+    bodies = [enc_stream(p) for p in parts]
+    if any(len(b) > 0xFFFF for b in bodies[:3]):
+        return None
+    jump = b"".join(len(b).to_bytes(2, "little") for b in bodies[:3])
+    comp = len(header) + 6 + sum(len(b) for b in bodies)
+    if comp >= n or n >= (1 << 18) or comp >= (1 << 18):
+        return None
+    b0 = 2 | (3 << 2) | ((n & 0xF) << 4)
+    head = bytes([
+        b0,
+        (n >> 4) & 0xFF,
+        ((n >> 12) & 0x3F) | ((comp & 3) << 6),
+        (comp >> 2) & 0xFF,
+        comp >> 10,
+    ])
+    return head + bytes(header) + jump + b"".join(bodies)
+
+
+def _rle_literals_section(lits: bytes) -> bytes | None:
+    if len(lits) < 2 or len(set(lits)) != 1:
+        return None
+    n = len(lits)
+    if n < 32:
+        head = bytes([1 | (n << 3)])
+    elif n < 4096:
+        head = bytes([1 | (1 << 2) | ((n & 0xF) << 4), n >> 4])
+    else:
+        head = bytes([1 | (3 << 2) | ((n & 0xF) << 4),
+                      (n >> 4) & 0xFF, n >> 12])
+    return head + lits[:1]
+
+
+def _literals_section(lits: bytes) -> bytes:
+    rle = _rle_literals_section(lits)
+    if rle is not None:
+        return rle
+    huf = _huffman_literals_section(lits)
+    if huf is not None:
+        return huf
+    return _raw_literals_section(lits)
+
+
 def _raw_literals_section(lits: bytes) -> bytes:
     n = len(lits)
     if n < 32:
@@ -871,7 +987,7 @@ def _encode_block(chunk: bytes) -> tuple[int, bytes]:
     seqs, lits = _find_sequences(chunk)
     if not seqs:
         return 0, chunk  # raw block
-    body = bytearray(_raw_literals_section(bytes(lits)))
+    body = bytearray(_literals_section(bytes(lits)))
     n_seq = len(seqs)
     if n_seq < 128:
         body.append(n_seq)

@@ -252,3 +252,30 @@ def test_frame_content_size_mismatch_rejects():
     blob[5] = 99  # declared FCS != actual
     with pytest.raises(ValueError, match="content size"):
         zstd_decompress(bytes(blob))
+
+
+@needs_lib
+def test_our_huffman_and_rle_literal_arms_accepted_by_reference():
+    """The encoder's Huffman-literals (direct weights, 1- and
+    4-stream) and RLE-literals arms must fire on shaped payloads AND
+    decode identically under libzstd — reference validation of OUR
+    entropy-coded sections."""
+    from modeltracking_spark.operators.zstd import (
+        _huffman_literals_section,
+        _rle_literals_section,
+    )
+
+    rng = random.Random(1)
+    skewed_small = bytes(rng.choice(b"abcdef") for _ in range(500))
+    skewed_big = bytes(rng.choice(b"etaoin shrdlu") for _ in range(8000))
+    assert _huffman_literals_section(skewed_small) is not None  # 1-stream
+    assert _huffman_literals_section(skewed_big) is not None    # 4-stream
+    assert _rle_literals_section(b"Q" * 400) is not None
+    # >128 byte values cannot use direct weights: must fall back, not crash
+    assert _huffman_literals_section(bytes(range(256)) * 4) is None
+    for raw in (skewed_small, skewed_big,
+                b"QQ" + b"Q" * 4000 + b"tail",
+                skewed_big + bytes(range(128)) * 8):
+        blob = zstd_compress(raw)
+        assert zstd_decompress(blob, max_output=1 << 20) == raw
+        assert _ref_decompress(blob, len(raw)) == raw
