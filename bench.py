@@ -120,6 +120,7 @@ HEADLINE = [
     "zstd_roundtrip_docs",
     "tar_zst_bundle_scan_docs",
     "xz_roundtrip_docs",
+    "sobel_edge_stats_docs",
 ]
 
 # Regression anchor: BENCH_r03.json per-query seconds at sf0.1 on local[32]

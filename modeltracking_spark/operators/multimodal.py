@@ -1790,3 +1790,80 @@ def attach_tiff_tiled_palette_payload(df: DataFrame, id_col: str = "doc_id",
     return widen_for_kernel(df.select(id_col)).mapInPandas(
         build, schema=f"{id_col} bigint, {out_col} binary"
     )
+
+
+def sobel_edge_stats(df: DataFrame, id_col: str = "doc_id",
+                     payload_col: str = "payload") -> DataFrame:
+    """Sobel edge statistics over decoded images — the edge-density
+    signal multimodal curation pipelines use to drop blank/flat
+    frames: decode the BMP payload, grey = (R+G+B) DIV 3, convolve
+    the 3x3 Sobel pair over INTERIOR pixels (all integer arithmetic),
+    emit sum(|gx|+|gy|) and the e6-scaled per-pixel density. One
+    Arrow mapInPandas kernel, shuffle-free (widened when under-split).
+    Output: (id, width, height, edge_sum, n_interior, edge_density_e6).
+    """
+    import numpy as np
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from modeltracking_spark.operators.kernel import widen_for_kernel
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+            StructField("edge_sum", LongType()),
+            StructField("n_interior", LongType()),
+            StructField("edge_density_e6", LongType()),
+        ]
+    )
+
+    def kernel(batches):
+        import math
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, ws, hs, sums, nins, dens = [], [], [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                img = decode_bmp(bytes(payload)).astype(np.int64)
+                h, w = img.shape[:2]
+                g = img.sum(axis=2) // 3  # (R+G+B) DIV 3, exact ints
+                if h >= 3 and w >= 3:
+                    # Sobel via shifted slices — weights dx*(2-|dy|)
+                    gx = (
+                        (g[0:-2, 2:] + 2 * g[1:-1, 2:] + g[2:, 2:])
+                        - (g[0:-2, 0:-2] + 2 * g[1:-1, 0:-2] + g[2:, 0:-2])
+                    )
+                    gy = (
+                        (g[2:, 0:-2] + 2 * g[2:, 1:-1] + g[2:, 2:])
+                        - (g[0:-2, 0:-2] + 2 * g[0:-2, 1:-1] + g[0:-2, 2:])
+                    )
+                    edge = int(np.abs(gx).sum() + np.abs(gy).sum())
+                    n_int = (h - 2) * (w - 2)
+                else:
+                    edge, n_int = 0, 0
+                ids.append(int(did))
+                ws.append(w)
+                hs.append(h)
+                sums.append(edge)
+                nins.append(n_int)
+                dens.append(
+                    math.floor(float(edge) / float(n_int) * 1e6 + 0.5)
+                    if n_int else 0
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "width": ws,
+                    "height": hs,
+                    "edge_sum": sums,
+                    "n_interior": nins,
+                    "edge_density_e6": dens,
+                }
+            )
+
+    return widen_for_kernel(df.select(id_col, payload_col)).mapInPandas(
+        kernel, schema
+    )

@@ -1420,3 +1420,62 @@ def xz_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("payload"),
     )
     return xz_roundtrip_stats(d)
+
+
+@query(
+    "sobel_edge_stats_docs",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, (doc_id % 16 + 4)::INTEGER AS w,
+             (doc_id % 12 + 4)::INTEGER AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT d.doc_id, x.i AS x, y.i AS y,
+             (((x.i*7 + y.i*11 + d.doc_id) % 256
+               + (x.i*5 + y.i*3 + d.doc_id*2) % 256
+               + (x.i + y.i + d.doc_id) % 256) // 3)::BIGINT AS g
+      FROM dims d, range(20) x(i), range(16) y(i)
+      WHERE x.i < d.w AND y.i < d.h
+    ),
+    edges AS (
+      SELECT p.doc_id, p.x, p.y,
+             sum(n.g * (n.x - p.x) * (2 - abs(n.y - p.y)))::BIGINT AS gx,
+             sum(n.g * (n.y - p.y) * (2 - abs(n.x - p.x)))::BIGINT AS gy
+      FROM px p
+      JOIN px n ON n.doc_id = p.doc_id
+              AND abs(n.x - p.x) <= 1 AND abs(n.y - p.y) <= 1
+      JOIN dims d ON d.doc_id = p.doc_id
+      WHERE p.x BETWEEN 1 AND d.w - 2 AND p.y BETWEEN 1 AND d.h - 2
+      GROUP BY p.doc_id, p.x, p.y
+    )
+    SELECT e.doc_id, d.w::BIGINT AS width, d.h::BIGINT AS height,
+           sum(abs(e.gx) + abs(e.gy))::BIGINT AS edge_sum,
+           ((d.w - 2) * (d.h - 2))::BIGINT AS n_interior,
+           floor(sum(abs(e.gx) + abs(e.gy))::DOUBLE
+                 / ((d.w - 2) * (d.h - 2))::DOUBLE
+                 * 1000000.0 + 0.5)::BIGINT AS edge_density_e6
+    FROM edges e JOIN dims d USING (doc_id)
+    GROUP BY e.doc_id, d.w, d.h
+    """,
+)
+def sobel_edge_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sobel edge density over REAL decoded images (round 9,
+    operators/multimodal.py:sobel_edge_stats): the blank/flat-frame
+    filter multimodal curation uses — formula BMPs are encoded and
+    decoded through the from-spec codec, grey = (R+G+B) DIV 3, and the
+    3x3 Sobel pair runs over interior pixels in pure integers. The
+    oracle replays decode-free: the Sobel weights collapse to the
+    relational form gx-weight = dx*(2-|dy|), so a 3x3 self-join over
+    the formula pixels computes the identical integer gradients — two
+    structurally different formulations (numpy shifted slices vs a
+    neighbor join), bit-equal; the density is mirrored-double e6.
+    Kernel-vs-relational equality is also pinned in pytest on a hand
+    image."""
+    from modeltracking_spark.operators.multimodal import (
+        attach_bmp_payload,
+        sobel_edge_stats,
+    )
+
+    d = attach_bmp_payload(T(spark, sf_dir, "documents"))
+    return sobel_edge_stats(d)

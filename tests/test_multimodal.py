@@ -626,3 +626,38 @@ def test_resize_works_on_every_real_image_format():
     # unknown magic names the plug-in point (TIFF is real since r8)
     with pytest.raises(NotImplementedError, match="PIL or ffmpeg"):
         _decode_any_image(b"RIFFxxxxWEBPVP8 ")
+
+
+def test_sobel_edge_stats_matches_relational_definition(spark):
+    """numpy shifted-slice Sobel == the dx*(2-|dy|) neighbor-join
+    definition the oracle uses, on a hand image; flat frames score 0;
+    sub-3x3 frames short-circuit."""
+    import numpy as np
+
+    from modeltracking_spark.operators.multimodal import (
+        encode_bmp,
+        sobel_edge_stats,
+    )
+
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, size=(9, 11, 3), dtype=np.uint8)
+    flat = np.full((6, 7, 3), 99, np.uint8)
+    tiny = rng.integers(0, 256, size=(2, 5, 3), dtype=np.uint8)
+    rows = [(0, bytearray(encode_bmp(img))),
+            (1, bytearray(encode_bmp(flat))),
+            (2, bytearray(encode_bmp(tiny)))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in sobel_edge_stats(df).collect()}
+
+    g = img.astype(np.int64).sum(axis=2) // 3
+    want = 0
+    for y in range(1, 8):
+        for x in range(1, 10):
+            gx = sum(int(g[y + dy, x + dx]) * dx * (2 - abs(dy))
+                     for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+            gy = sum(int(g[y + dy, x + dx]) * dy * (2 - abs(dx))
+                     for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+            want += abs(gx) + abs(gy)
+    assert got[0]["edge_sum"] == want and got[0]["n_interior"] == 63
+    assert got[1]["edge_sum"] == 0 and got[1]["edge_density_e6"] == 0
+    assert got[2]["edge_sum"] == 0 and got[2]["n_interior"] == 0
