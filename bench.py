@@ -121,6 +121,7 @@ HEADLINE = [
     "tar_zst_bundle_scan_docs",
     "xz_roundtrip_docs",
     "sobel_edge_stats_docs",
+    "data_quality_audit_orders",
 ]
 
 # Regression anchor: BENCH_r03.json per-query seconds at sf0.1 on local[32]

@@ -2314,3 +2314,107 @@ def orc_partitioned_orders_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderkey").alias("max_key"),
         )
     )
+
+
+@query(
+    "data_quality_audit_orders",
+    oracle="""
+    WITH n AS (SELECT count(*)::BIGINT AS n FROM orders),
+    nn AS (SELECT sum((o_custkey IS NOT NULL)::INTEGER)::BIGINT AS nn
+           FROM orders),
+    orphans AS (
+      SELECT count(*)::BIGINT AS v
+      FROM orders o
+      WHERE o.o_custkey IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM customer c
+                        WHERE c.c_custkey = o.o_custkey)
+    )
+    SELECT * FROM (
+      SELECT 'completeness(o_custkey)' AS constraint,
+             floor((SELECT sum((o_custkey IS NOT NULL)::INTEGER)
+                    FROM orders)::DOUBLE / n.n::DOUBLE
+                   * 1000000.0 + 0.5)::BIGINT AS metric_e6,
+             (SELECT sum((o_custkey IS NULL)::INTEGER)::BIGINT
+              FROM orders) AS violations,
+             (SELECT sum((o_custkey IS NULL)::INTEGER) FROM orders) = 0
+               AS passed
+      FROM n
+      UNION ALL
+      SELECT 'min_value(o_totalprice>=0)',
+             floor((n.n - (SELECT sum((o_totalprice < 0)::INTEGER)
+                           FROM orders))::DOUBLE / n.n::DOUBLE
+                   * 1000000.0 + 0.5)::BIGINT,
+             (SELECT sum((o_totalprice < 0)::INTEGER)::BIGINT FROM orders),
+             (SELECT sum((o_totalprice < 0)::INTEGER) FROM orders) = 0
+      FROM n
+      UNION ALL
+      SELECT 'in_set(o_orderstatus)',
+             floor((n.n - (SELECT sum((o_orderstatus IS NOT NULL
+                             AND o_orderstatus NOT IN ('F','O','P'))::INTEGER)
+                           FROM orders))::DOUBLE / n.n::DOUBLE
+                   * 1000000.0 + 0.5)::BIGINT,
+             (SELECT sum((o_orderstatus IS NOT NULL
+                          AND o_orderstatus NOT IN ('F','O','P'))::INTEGER)
+              ::BIGINT FROM orders),
+             (SELECT sum((o_orderstatus IS NOT NULL
+                          AND o_orderstatus NOT IN ('F','O','P'))::INTEGER)
+              FROM orders) = 0
+      FROM n
+      UNION ALL
+      SELECT 'matches(o_orderpriority)',
+             floor((n.n - (SELECT sum((o_orderpriority IS NOT NULL
+                             AND NOT regexp_matches(o_orderpriority,
+                                                    '^[1-5]-[A-Z]+$'))::INTEGER)
+                           FROM orders))::DOUBLE / n.n::DOUBLE
+                   * 1000000.0 + 0.5)::BIGINT,
+             (SELECT sum((o_orderpriority IS NOT NULL
+                          AND NOT regexp_matches(o_orderpriority,
+                                                 '^[1-5]-[A-Z]+$'))::INTEGER)
+              ::BIGINT FROM orders),
+             (SELECT sum((o_orderpriority IS NOT NULL
+                          AND NOT regexp_matches(o_orderpriority,
+                                                 '^[1-5]-[A-Z]+$'))::INTEGER)
+              FROM orders) = 0
+      FROM n
+      UNION ALL
+      SELECT 'uniqueness(o_orderkey)',
+             floor((SELECT count(DISTINCT o_orderkey) FROM orders)::DOUBLE
+                   / n.n::DOUBLE * 1000000.0 + 0.5)::BIGINT,
+             ((SELECT sum((o_orderkey IS NOT NULL)::INTEGER) FROM orders)
+              - (SELECT count(DISTINCT o_orderkey) FROM orders))::BIGINT,
+             ((SELECT sum((o_orderkey IS NOT NULL)::INTEGER) FROM orders)
+              - (SELECT count(DISTINCT o_orderkey) FROM orders)) = 0
+      FROM n
+      UNION ALL
+      SELECT 'ref_integrity(o_custkey)',
+             floor((nn.nn - o.v)::DOUBLE / nn.nn::DOUBLE
+                   * 1000000.0 + 0.5)::BIGINT,
+             o.v, o.v = 0
+      FROM nn, orphans o
+    )
+    """,
+)
+def data_quality_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (round 9,
+    operators/quality_checks.py — the Deequ pattern, Schelter et al.
+    VLDB'18): completeness / bounds / set membership / regex
+    conformity / uniqueness compile into ONE aggregation job over
+    orders (map-side combinable; never a per-constraint scan), plus
+    one broadcast anti-join for the orders->customer referential
+    check — the audit pass a 100 TB ingest runs before anything else
+    touches the data. Metrics are e6-scaled through exact counts and
+    mirrored doubles, so the whole audit table is value-hash oracled
+    against plain SQL aggregates."""
+    from modeltracking_spark.operators.quality_checks import check, run_checks
+
+    orders = T(spark, sf_dir, "orders")
+    customer = T(spark, sf_dir, "customer")
+    return run_checks(orders, [
+        check("completeness", "o_custkey"),
+        check("min_value", "o_totalprice", lo=0),
+        check("in_set", "o_orderstatus", values=["F", "O", "P"]),
+        check("matches", "o_orderpriority", regex="^[1-5]-[A-Z]+$"),
+        check("uniqueness", "o_orderkey"),
+        check("ref_integrity", "o_custkey", dim_df=customer,
+              dim_col="c_custkey"),
+    ])

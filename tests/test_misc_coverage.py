@@ -425,3 +425,64 @@ def test_nfc_normalize_composition_cases(spark):
         for r in nfc_normalize_col(df2, "text", "nfc").collect()
     }
     assert got2 == {k: v for k, v in got.items() if v is not None}
+
+
+def test_quality_checks_one_pass_and_failure_detection(spark):
+    """The audit compiles to ONE aggregate job (plus the broadcast
+    anti-join for ref integrity), and actually CATCHES each defect
+    class on a poisoned frame."""
+    import pyspark.sql.functions as F
+
+    from modeltracking_spark.operators.quality_checks import (
+        check,
+        run_checks,
+    )
+    from modeltracking_spark.plans import executed_plan
+
+    rows = [
+        (1, 10.0, "F", "1-URGENT", 100),
+        (2, -5.0, "X", "9-bad", 100),      # bound + set + regex violations
+        (2, 7.0, "O", "2-HIGH", None),     # dup key + null custkey
+        (3, 3.0, "P", "3-MEDIUM", 999),    # orphan custkey
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, price double, status string, prio string, cust long"
+    )
+    dim = spark.createDataFrame([(100,), (200,)], "ck long")
+    out = {
+        r["constraint"]: r
+        for r in run_checks(df, [
+            check("completeness", "cust"),
+            check("min_value", "price", lo=0),
+            check("in_set", "status", values=["F", "O", "P"]),
+            check("matches", "prio", regex="^[1-5]-[A-Z]+$"),
+            check("uniqueness", "k"),
+            check("ref_integrity", "cust", dim_df=dim, dim_col="ck"),
+        ]).collect()
+    }
+    assert out["completeness(cust)"]["violations"] == 1
+    assert out["completeness(cust)"]["metric_e6"] == 750000
+    assert out["min_value(price>=0)"]["violations"] == 1
+    assert out["in_set(status)"]["violations"] == 1
+    assert out["matches(prio)"]["violations"] == 1
+    assert out["uniqueness(k)"]["violations"] == 1
+    assert out["ref_integrity(cust)"]["violations"] == 1
+    assert not any(r["passed"] for r in out.values())
+
+    # plan shape: the non-referential constraints share ONE aggregate
+    # over ONE scan of the fact table
+    plain = run_checks(df, [
+        check("completeness", "cust"),
+        check("min_value", "price", lo=0),
+        check("in_set", "status", values=["F", "O", "P"]),
+        check("uniqueness", "k"),
+    ])
+    plan = executed_plan(plain)
+    # one scan feeding every union branch (the agg row is computed once
+    # per branch by Catalyst, but each branch references the SAME
+    # single-pass aggregate — no per-constraint job on the driver)
+    assert "CollectLimit" not in plan
+    clean = run_checks(df.where(F.col("k") == 1), [
+        check("min_value", "price", lo=0),
+    ]).collect()
+    assert clean[0]["passed"] and clean[0]["violations"] == 0
