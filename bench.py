@@ -122,6 +122,7 @@ HEADLINE = [
     "xz_roundtrip_docs",
     "sobel_edge_stats_docs",
     "data_quality_audit_orders",
+    "avro_ocf_scan_docs",
 ]
 
 # Regression anchor: BENCH_r03.json per-query seconds at sf0.1 on local[32]

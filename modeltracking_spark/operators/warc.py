@@ -76,6 +76,8 @@ def parse_warc_record(data: bytes, start: int = 0) -> tuple[dict, int]:
         if req not in headers:
             raise ValueError(f"WARC record missing {req}")
     n = int(headers["content-length"])
+    if n < 0:
+        raise ValueError("negative WARC Content-Length")
     body_start = head_end + 4
     if body_start + n + 4 > len(data):
         raise ValueError("WARC body shorter than Content-Length")

@@ -2418,3 +2418,88 @@ def data_quality_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         check("ref_integrity", "o_custkey", dim_df=customer,
               dim_col="c_custkey"),
     ])
+
+
+@query(
+    "avro_ocf_scan_docs",
+    oracle="""
+    SELECT doc_id, lang,
+           length(text)::BIGINT AS n_chars_rt,
+           md5(text) AS text_md5,
+           (doc_id % 3)::BIGINT AS shard
+    FROM documents
+    """,
+)
+def avro_ocf_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro OCF shards through a REAL Spark Python DataSource (round
+    9, operators/avro_ocf.py + sources/avro_source.py — the public
+    Avro 1.11 binary encoding and Object Container File layout,
+    written AND read from spec because Spark's avro jar is absent in
+    this environment): docs are written as THREE .avro shard files
+    (deflate codec — RAW RFC 1951 blocks decoded by the repo's
+    from-spec inflate, tying the two specs), then read back with
+    ``spark.read.format("avro_ocf")`` — one InputPartition per shard.
+    The oracle replays lengths/md5/shard assignment from the parquet
+    table without touching the files, attesting zigzag varints,
+    string framing, block/sync structure, and the codec layer end to
+    end. Spec zigzag vectors and reject batteries in
+    tests/test_avro.py. Fixture dir keyed by sf_dir + this function's
+    source (race-safe tmp rename)."""
+    import hashlib
+    import inspect
+    import os
+    import shutil
+
+    from pyspark.errors import PySparkException
+
+    from modeltracking_spark.queries.common import ensure_pkg_on_workers
+    from modeltracking_spark.sources.avro_source import AvroOcfDataSource
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    fp = hashlib.md5(
+        (sf_dir + ":" + inspect.getsource(avro_ocf_scan_docs)).encode()
+    ).hexdigest()[:10]
+    out_dir = f"/tmp/modeltracking_avro_shards_{fp}"
+    if not os.path.isdir(out_dir):
+        from modeltracking_spark.operators.avro_ocf import avro_ocf_write
+
+        rows = docs.collect()  # fixture build only: sf0.1 is 5000 docs
+        tmp = f"{out_dir}.{os.getpid()}.tmp"
+        os.makedirs(tmp, exist_ok=True)
+        fields = [("doc_id", "long"), ("lang", ["null", "string"]),
+                  ("n_chars", "long"), ("text", "string")]
+        shards: dict[int, list[dict]] = {0: [], 1: [], 2: []}
+        for r in sorted(rows, key=lambda r: r["doc_id"]):
+            shards[int(r["doc_id"]) % 3].append({
+                "doc_id": int(r["doc_id"]),
+                "lang": r["lang"],
+                "n_chars": len(r["text"]),
+                "text": r["text"],
+            })
+        for s, recs in shards.items():
+            with open(os.path.join(tmp, f"part-{s}.avro"), "wb") as fh:
+                fh.write(avro_ocf_write(recs, fields, codec="deflate",
+                                        block_records=256))
+        try:
+            os.rename(tmp, out_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+
+    ensure_pkg_on_workers(spark)
+    try:
+        spark.dataSource.register(AvroOcfDataSource)
+    except PySparkException:
+        pass  # already registered in this session
+    back = (
+        spark.read.format("avro_ocf")
+        .option("path", out_dir)
+        .option("ddl", "doc_id bigint, lang string, n_chars bigint,"
+                       " text string")
+        .load()
+    )
+    return back.select(
+        "doc_id", "lang",
+        F.col("n_chars").alias("n_chars_rt"),
+        F.md5("text").alias("text_md5"),
+        (F.col("doc_id") % 3).alias("shard"),
+    )
