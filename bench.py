@@ -123,6 +123,7 @@ HEADLINE = [
     "sobel_edge_stats_docs",
     "data_quality_audit_orders",
     "avro_ocf_scan_docs",
+    "robust_outliers_events",
 ]
 
 # Regression anchor: BENCH_r03.json per-query seconds at sf0.1 on local[32]

@@ -239,3 +239,89 @@ def ewma_by_key(
         F.col("__i").alias(id_col),
         "ewma_cents",
     )
+
+
+def robust_outlier_stats(df, group_col: str, value_col,
+                         z_threshold_e1: int = 35):
+    """Grouped robust outlier statistics — median / MAD / modified
+    z-score (Iglewicz & Hoaglin 1993), the outlier filter that
+    survives the outliers themselves (mean/stddev do not): per group,
+    the exact integer median (floor-of-midpoint definition), the MAD
+    (median of |v - median|, same definition), and the count of rows
+    whose modified z-score 0.6745*|v - med|/MAD exceeds the threshold
+    — evaluated in PURE INTEGERS (6745*dev > thr*1929... no: compare
+    6745*dev > z_threshold_e1*1000*MAD / ... see below) so the oracle
+    hash-matches. MAD == 0 (constant-majority group) degenerates to
+    counting any nonzero deviation, documented and pinned.
+
+    Outlier predicate in integers: 0.6745*dev/MAD > thr/10
+    <=> 67450*dev > thr*10000*MAD.
+
+    Scale shape: two rank passes (window row_number + group count
+    picks the two middle ranks — no per-group value collection, unlike
+    the grouped-agg-UDF median demo), one join back per pass, one
+    final aggregate; every step hash-partitioned on the group key.
+
+    Output: (group, n_rows, median_v, mad_v, n_outliers,
+    outlier_rate_e6)."""
+    from pyspark.sql import Window
+
+    g = F.col(group_col)
+    v = value_col if not isinstance(value_col, str) else F.col(value_col)
+    base = df.select(g.alias("g"), v.cast("long").alias("v")) \
+             .where(F.col("v").isNotNull())
+
+    def rank_median(d, col):
+        # ties order arbitrarily under row_number, but the VALUES at
+        # the two middle ranks are rank statistics of the sorted
+        # multiset — identical under any tie order, so the median is
+        # deterministic without a tiebreaker column
+        w = Window.partitionBy("g").orderBy(F.col(col))
+        ranked = (
+            d.withColumn("__rn", F.row_number().over(w))
+            .withColumn("__n", F.count(F.lit(1)).over(
+                Window.partitionBy("g")))
+        )
+        return (
+            ranked.where(
+                (F.col("__rn") == F.expr("(__n - 1) DIV 2 + 1"))
+                | (F.col("__rn") == F.expr("__n DIV 2 + 1"))
+            )
+            .groupBy("g")
+            .agg(F.floor(F.avg(col)).cast("long").alias(f"med_{col}"))
+        )
+
+    med = rank_median(base, "v")
+    devs = base.join(med, "g").select(
+        "g", "v", F.abs(F.col("v") - F.col("med_v")).alias("d")
+    )
+    mad = rank_median(devs.select("g", F.col("d").alias("v")), "v") \
+        .select("g", F.col("med_v").alias("mad_v"))
+    joined = devs.join(mad, "g")
+    return (
+        joined.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.first("mad_v").alias("mad_v"),
+            F.sum(
+                F.when(
+                    F.col("mad_v") > 0,
+                    (F.lit(67450) * F.col("d")
+                     > F.lit(z_threshold_e1) * F.lit(10000)
+                     * F.col("mad_v")).cast("long"),
+                ).otherwise((F.col("d") > 0).cast("long"))
+            ).alias("n_outliers"),
+        )
+        .join(med, "g")
+        .select(
+            F.col("g").alias(group_col),
+            "n_rows",
+            F.col("med_v").alias("median_v"),
+            "mad_v",
+            "n_outliers",
+            F.floor(
+                F.col("n_outliers").cast("double")
+                / F.col("n_rows").cast("double") * F.lit(1e6) + F.lit(0.5)
+            ).cast("long").alias("outlier_rate_e6"),
+        )
+    )

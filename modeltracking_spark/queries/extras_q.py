@@ -2503,3 +2503,75 @@ def avro_ocf_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("text_md5"),
         (F.col("doc_id") % 3).alias("shard"),
     )
+
+
+@query(
+    "robust_outliers_events",
+    oracle="""
+    WITH v AS (
+      SELECT event_type AS g,
+             floor(value * 100.0 + 0.5)::BIGINT AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT g, v,
+             row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY g) AS n
+      FROM v
+    ),
+    med AS (
+      SELECT g, floor(avg(v))::BIGINT AS med_v
+      FROM r
+      WHERE rn = (n - 1) // 2 + 1 OR rn = n // 2 + 1
+      GROUP BY g
+    ),
+    d AS (
+      SELECT v.g, abs(v.v - m.med_v)::BIGINT AS d
+      FROM v JOIN med m ON m.g = v.g
+    ),
+    rd AS (
+      SELECT g, d,
+             row_number() OVER (PARTITION BY g ORDER BY d) AS rn,
+             count(*) OVER (PARTITION BY g) AS n
+      FROM d
+    ),
+    mad AS (
+      SELECT g, floor(avg(d))::BIGINT AS mad_v
+      FROM rd
+      WHERE rn = (n - 1) // 2 + 1 OR rn = n // 2 + 1
+      GROUP BY g
+    ),
+    agg AS (
+      SELECT d.g, count(*)::BIGINT AS n_rows,
+             sum(CASE WHEN m.mad_v > 0
+                      THEN (67450 * d.d > 35 * 10000 * m.mad_v)::INTEGER
+                      ELSE (d.d > 0)::INTEGER END)::BIGINT AS n_outliers
+      FROM d JOIN mad m ON m.g = d.g
+      GROUP BY d.g
+    )
+    SELECT a.g AS event_type, a.n_rows, me.med_v AS median_v,
+           m.mad_v, a.n_outliers,
+           floor(a.n_outliers::DOUBLE / a.n_rows::DOUBLE
+                 * 1000000.0 + 0.5)::BIGINT AS outlier_rate_e6
+    FROM agg a JOIN mad m ON m.g = a.g JOIN med me ON me.g = a.g
+    """,
+)
+def robust_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped robust outlier detection (round 9,
+    operators/aggregates.py:robust_outlier_stats — Iglewicz & Hoaglin
+    modified z-score): exact integer median and MAD per event_type via
+    TWO RANK PASSES (window row_number + group count picking the two
+    middle ranks — no per-group value collection, the scale-honest
+    exact-median shape the grouped-agg-UDF demo's docstring points
+    to), then a pure-integer outlier predicate 67450*|v-med| >
+    35*10^4*MAD. The filter that survives the outliers it hunts —
+    mean/stddev z-scores (zscore_standardize_events) do not. Oracle
+    replays both rank passes and the integer predicate; the MAD==0
+    degenerate arm counts nonzero deviations (documented + pinned)."""
+    from modeltracking_spark.operators.aggregates import robust_outlier_stats
+
+    ev = T(spark, sf_dir, "events")
+    return robust_outlier_stats(
+        ev, "event_type",
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)),
+    )

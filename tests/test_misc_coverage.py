@@ -486,3 +486,30 @@ def test_quality_checks_one_pass_and_failure_detection(spark):
         check("min_value", "price", lo=0),
     ]).collect()
     assert clean[0]["passed"] and clean[0]["violations"] == 0
+
+
+def test_robust_outlier_stats_hand_case(spark):
+    """Median/MAD/modified-z on a hand group incl. the MAD==0
+    degenerate arm and the floor-of-midpoint even-size median."""
+    import pyspark.sql.functions as F
+
+    from modeltracking_spark.operators.aggregates import (
+        robust_outlier_stats,
+    )
+
+    rows = (
+        [("a", v) for v in [1, 2, 3, 4, 5, 1000]]   # even n, one outlier
+        + [("b", 7)] * 5 + [("b", 9)]               # MAD==0 degenerate
+    )
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r["g"]: r for r in
+           robust_outlier_stats(df, "g", "v").collect()}
+    a = out["a"]
+    # sorted [1,2,3,4,5,1000]: median = (3+4)//2 = 3; devs sorted
+    # [1,2,2,1,0,997] -> [0,1,1,2,2,997]: MAD = (1+2)//2 = 1
+    assert (a["median_v"], a["mad_v"], a["n_rows"]) == (3, 1, 6)
+    # modified z: 67450*dev > 350000*1 -> dev > 5.19: only 997
+    assert a["n_outliers"] == 1
+    b = out["b"]
+    assert (b["median_v"], b["mad_v"]) == (7, 0)
+    assert b["n_outliers"] == 1  # degenerate arm: any nonzero deviation
