@@ -124,6 +124,7 @@ HEADLINE = [
     "data_quality_audit_orders",
     "avro_ocf_scan_docs",
     "robust_outliers_events",
+    "tfrecord_example_scan_docs",
 ]
 
 # Regression anchor: BENCH_r03.json per-query seconds at sf0.1 on local[32]

@@ -1479,3 +1479,77 @@ def sobel_edge_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = attach_bmp_payload(T(spark, sf_dir, "documents"))
     return sobel_edge_stats(d)
+
+
+@query(
+    "tfrecord_example_scan_docs",
+    oracle="""
+    SELECT doc_id,
+           2::BIGINT AS n_records,
+           md5(text) AS text_md5,
+           3::BIGINT AS n_tokens,
+           ((doc_id % 100) * 0.25 + 1.5 + (doc_id % 10) * 0.5)::DOUBLE
+             AS score_sum,
+           TRUE AS kinds_ok
+    FROM documents
+    """,
+)
+def tfrecord_example_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TFRecord + tf.train.Example shards from spec (round 9,
+    operators/tfrecord.py — the TensorFlow training-data stack: the
+    documented record framing with BOTH masked CRC-32Cs verified, and
+    the protobuf wire format over the published Example/Features/
+    Feature schema): each doc becomes a 2-record TFRecord stream (the
+    text split across records as BytesList, a packed Int64List of
+    token ids, packed FloatLists of quarter-step scores — exact in
+    float32, so the double oracle matches bit-for-bit), built AND
+    parsed by the from-spec codec inside ONE Arrow mapInPandas
+    kernel. The oracle replays record counts / reassembled-text md5 /
+    token counts / score sums from the documents table. Protobuf
+    varint spec vectors, hand-built GOLDEN Example bytes, packed-vs-
+    unpacked list parity, and CRC tamper rejects in
+    tests/test_tfrecord.py."""
+    from pyspark.sql.types import BinaryType, LongType, StructField, \
+        StructType
+
+    from modeltracking_spark.operators.kernel import widen_for_kernel
+    from modeltracking_spark.operators.tfrecord import (
+        encode_example,
+        tfrecord_example_stats,
+        tfrecord_write,
+    )
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+    ])
+
+    def attach(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for did, text, n_chars in zip(pdf["doc_id"], pdf["text"],
+                                          pdf["n_chars"]):
+                did = int(did)
+                body = text.encode("utf-8")
+                half = len(body) // 2
+                r1 = encode_example({
+                    "text": body[:half],
+                    "tokens": [did, did % 7, int(n_chars)],
+                    "scores": [(did % 100) * 0.25, 1.5],
+                })
+                r2 = encode_example({
+                    "text": body[half:],
+                    "scores": [(did % 10) * 0.5],
+                })
+                payloads.append(tfrecord_write([r1, r2]))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": payloads,
+            })
+
+    with_payload = widen_for_kernel(d).mapInPandas(attach, schema)
+    return tfrecord_example_stats(with_payload)
