@@ -104,18 +104,24 @@ def run_checks(df: DataFrame, constraints: list[dict]) -> DataFrame:
         names.append(f"uniqueness({c['col']})")
         cols.append(metric.alias(f"m{len(names)}"))
         cols.append(viol.alias(f"v{len(names)}"))
-    agg_row = df.agg(n.alias("__n"), *cols)
-
     spark = df.sparkSession
     rows_df = None
-    for i, name in enumerate(names, start=1):
-        one = agg_row.select(
-            F.lit(name).alias("constraint"),
-            F.col(f"m{i}").alias("metric_e6"),
-            F.col(f"v{i}").alias("violations"),
-            (F.col(f"v{i}") == 0).alias("passed"),
+    if names:
+        # execute the compiled aggregate EXACTLY ONCE (unioning per-
+        # constraint projections of the lazy agg row would re-run the
+        # scan per branch — plan-asserted in tests); the result is ONE
+        # bounded row, the sanctioned collect shape
+        agg = df.agg(n.alias("__n"), *cols).first()
+        audit_rows = [
+            (name, int(agg[f"m{i}"]), int(agg[f"v{i}"]),
+             int(agg[f"v{i}"]) == 0)
+            for i, name in enumerate(names, start=1)
+        ]
+        rows_df = spark.createDataFrame(
+            audit_rows,
+            "constraint string, metric_e6 long, violations long,"
+            " passed boolean",
         )
-        rows_df = one if rows_df is None else rows_df.unionAll(one)
 
     for c in refs:
         dim = c["dim_df"].select(
