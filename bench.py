@@ -125,6 +125,7 @@ HEADLINE = [
     "avro_ocf_scan_docs",
     "robust_outliers_events",
     "tfrecord_example_scan_docs",
+    "audio_activity_stats_docs",
 ]
 
 # Regression anchor: BENCH_r03.json per-query seconds at sf0.1 on local[32]

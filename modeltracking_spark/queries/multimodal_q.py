@@ -1553,3 +1553,66 @@ def tfrecord_example_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with_payload = widen_for_kernel(d).mapInPandas(attach, schema)
     return tfrecord_example_stats(with_payload)
+
+
+@query(
+    "audio_activity_stats_docs",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, (doc_id % 500 + 100)::BIGINT AS n,
+             (doc_id % 2 + 1)::INTEGER AS ch
+      FROM documents
+    ),
+    zc AS (
+      SELECT d.doc_id, count(*)::BIGINT AS n_zero_cross
+      FROM dims d, range(600) i(i)
+      WHERE i.i BETWEEN 1 AND d.n - 1
+        AND ((d.doc_id * 31 + (i.i - 1) * 7) % 4096 - 2048)
+          * ((d.doc_id * 31 + i.i * 7) % 4096 - 2048) < 0
+      GROUP BY d.doc_id
+    ),
+    frames AS (
+      SELECT d.doc_id, i.i,
+             greatest(
+               abs((d.doc_id * 31 + i.i * 7) % 4096 - 2048),
+               CASE WHEN d.ch = 2
+                    THEN abs((d.doc_id * 31 + i.i * 7 + 13) % 4096 - 2048)
+                    ELSE 0 END) AS amax,
+             ((d.doc_id * 31 + i.i * 7) % 4096 - 2048)
+               * ((d.doc_id * 31 + i.i * 7) % 4096 - 2048)
+             + CASE WHEN d.ch = 2
+                    THEN ((d.doc_id * 31 + i.i * 7 + 13) % 4096 - 2048)
+                       * ((d.doc_id * 31 + i.i * 7 + 13) % 4096 - 2048)
+                    ELSE 0 END AS e
+      FROM dims d, range(600) i(i)
+      WHERE i.i < d.n
+    ),
+    agg AS (
+      SELECT doc_id, count(*)::BIGINT AS n_frames,
+             sum((amax < 512)::INTEGER)::BIGINT AS n_quiet,
+             sum(e)::BIGINT AS energy_sum
+      FROM frames GROUP BY doc_id
+    )
+    SELECT a.doc_id, a.n_frames,
+           coalesce(z.n_zero_cross, 0)::BIGINT AS n_zero_cross,
+           a.n_quiet, a.energy_sum
+    FROM agg a LEFT JOIN zc z USING (doc_id)
+    """,
+)
+def audio_activity_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio silence/voicing stats over REAL decoded WAV (round 9,
+    operators/multimodal.py:audio_activity_stats): zero-crossing rate
+    on channel 0 (strict sign-flip product, integer-exact), quiet
+    frames (per-frame max |amplitude| across channels under 512), and
+    total int64 energy — the dead-air filter audio curation runs. The
+    oracle replays the sample FORMULA decode-free: sign products and
+    channel maxima in SQL, zero crossings via an (i-1, i) pair scan.
+    Channel-0 sample c=0 makes the ZCR expression channel-exact for
+    both mono and stereo fixtures."""
+    from modeltracking_spark.operators.multimodal import (
+        attach_wav_payload,
+        audio_activity_stats,
+    )
+
+    d = attach_wav_payload(T(spark, sf_dir, "documents"))
+    return audio_activity_stats(d)

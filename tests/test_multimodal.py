@@ -661,3 +661,30 @@ def test_sobel_edge_stats_matches_relational_definition(spark):
     assert got[0]["edge_sum"] == want and got[0]["n_interior"] == 63
     assert got[1]["edge_sum"] == 0 and got[1]["edge_density_e6"] == 0
     assert got[2]["edge_sum"] == 0 and got[2]["n_interior"] == 0
+
+
+def test_audio_activity_stats_hand_case(spark):
+    """ZCR strict sign-flip semantics (zeros break runs without
+    counting), quiet-frame channel max, and int64 energy on a hand
+    signal."""
+    import numpy as np
+
+    from modeltracking_spark.operators.multimodal import (
+        audio_activity_stats,
+        encode_wav,
+    )
+
+    c0 = np.array([5, -3, 0, -2, 2, 600, -600, 0, 0, 1], np.int16)
+    c1 = np.array([0, 0, 0, 0, 0, 0, 0, 0, 0, 0], np.int16)
+    pcm = np.stack([c0, c1], axis=1)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(pcm, 8000)))], "doc_id long, payload binary"
+    )
+    r = audio_activity_stats(df).collect()[0]
+    # sign flips: 5/-3 yes; -3/0 no; 0/-2 no; -2/2 yes; 2/600 no;
+    # 600/-600 yes; -600/0 no; 0/0 no; 0/1 no -> 3
+    assert r["n_zero_cross"] == 3
+    # quiet frames: max(|c0|,|c1|) < 512 for all but the two 600s -> 8
+    assert r["n_quiet"] == 8
+    assert r["n_frames"] == 10
+    assert r["energy_sum"] == int((c0.astype(np.int64) ** 2).sum())
