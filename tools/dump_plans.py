@@ -73,6 +73,23 @@ NOTES = {
     "dsir_select_docs": "1024-row hashed LMs broadcast; two-pass bucket-offset global rank (full data windows under hashpartitioning(__b), only the bounded bucket table serializes)",
     "semdedup_embeddings": "cluster assignment localCheckpointed once (pandas-UDF scoring runs once, not per join side); pair scrub equi-joins on cid; sizes broadcast",
     "partition_prune_events": "PartitionFilters prune 3 of ~30 day directories; ReadSchema prunes to 2 data columns",
+    # ---- round-9 session-2 additions ----
+    "lzma_roundtrip_docs": "narrow mapInPandas encode(liblzma)+from-spec-decode, widened when under-split, shuffle-free",
+    "zstd_roundtrip_docs": "narrow mapInPandas reference-encode + from-spec RFC 8878 decode, shuffle-free",
+    "xz_roundtrip_docs": "narrow mapInPandas liblzma-encode + from-spec xz/LZMA2 decode (all container CRCs verified), shuffle-free",
+    "tar_zst_bundle_scan_docs": "two chained narrow maps (bundle build, zstd+tar walk) — zero exchanges",
+    "warc_gz_scan_docs": "two chained narrow maps (archive build, member-split+parse), zero exchanges",
+    "warc_source_scan_docs": "Python DataSource: one InputPartition per .warc.gz shard, record_type pruned inside the reader",
+    "avro_ocf_scan_docs": "Python DataSource: one InputPartition per .avro shard; deflate blocks decode via from-spec inflate",
+    "tfrecord_example_scan_docs": "two chained narrow maps (Example build, TFRecord parse with both masked CRCs), zero exchanges",
+    "cdc_chunk_dedup_docs": "narrow chunk kernel (widened), ONE chunk-md5-grain aggregate discovers sharing, join-back + per-doc aggregate — never all-pairs",
+    "kmv_set_ops_users": "distinct + WindowGroupLimit rank<=k (partial top-k BEFORE the group exchange); pair combinator is a broadcast nested-loop over the bounded sketch table",
+    "label_propagation_docs": "per round: edges-labels join + (node,label) count + min(struct) argmax, all hash-partitioned on node keys; no window operator",
+    "orc_partitioned_orders_scan": "ORC read-back answers the status filter via PartitionFilters (directory pruning)",
+    "sobel_edge_stats_docs": "narrow mapInPandas decode+integer-convolution, shuffle-free",
+    "audio_activity_stats_docs": "narrow mapInPandas decode+ZCR/energy, shuffle-free",
+    "data_quality_audit_orders": "ALL scalar constraints compiled into ONE aggregate executed once (bounded 1-row collect); referential check = broadcast anti-join",
+    "robust_outliers_events": "two rank passes (row_number + group count) pick exact medians without collecting group values; joins and final aggregate hash-partitioned on the group key",
     "bucketed_join_revenue": "pre-bucketed sort-merge join: zero exchanges below the join (sort-free under the SPARK-28632 opt-in); one aggregate exchange after",
     "cms_user_counts": "depth x width bounded sketch aggregate broadcast back onto the 20-row probe set",
     "distinct_estimate_users": "one bounded occupancy aggregate; no per-key state",

@@ -1926,6 +1926,84 @@ def twin_warc(spark, sf_dir, spark_rows) -> tuple[bool, str]:
     return True, f"{len(rows)} archives re-walked exact (stdlib gzip + naive parser)"
 
 
+def twin_cdc(spark, sf_dir, spark_rows) -> tuple[bool, str]:
+    """Independent re-chunk of the CDC corpus: the naive O(n*w)
+    per-position window hash (no numpy, no rolling reuse, no shared
+    code with the kernel's vectorized pass) re-derives every chunk,
+    then sharing is recounted with plain dict math."""
+    import hashlib
+    from collections import defaultdict
+
+    import duckdb as _duck
+
+    from modeltracking_spark.operators.cdc import (
+        CDC_D, CDC_MAX, CDC_MIN, CDC_MOD, CDC_POWS, CDC_R, CDC_W,
+    )
+
+    def naive_chunks(text):
+        n = len(text)
+        if n == 0:
+            return []
+        cands = []
+        for end in range(CDC_W, n + 1):
+            h = 0
+            for j in range(CDC_W):
+                h = (h + CDC_POWS[j] * ord(text[end - CDC_W + j])) % CDC_MOD
+            if h % CDC_D == CDC_R:
+                cands.append(end)
+        out, b = [], 0
+        while b < n:
+            inside = [c for c in cands if b + CDC_MIN <= c <= b + CDC_MAX]
+            if inside:
+                out.append((b, inside[0], False))
+                b = inside[0]
+            elif n - b > CDC_MAX:
+                out.append((b, b + CDC_MAX, True))
+                b += CDC_MAX
+            else:
+                out.append((b, n, False))
+                b = n
+        return out
+
+    boiler = ("COMMON LICENSE BOILERPLATE: redistribution permitted "
+              "with attribution; see corpus manifest for terms. ")
+    rows = _duck.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    per_doc = {}
+    owners = defaultdict(set)
+    for doc_id, text in rows:
+        payload = ((boiler if doc_id % 3 == 0 else "")
+                   + (text + " ") * (doc_id % 4 + 2))
+        chunks = [
+            (b, e, f, hashlib.md5(payload[b:e].encode()).hexdigest())
+            for b, e, f in naive_chunks(payload)
+        ]
+        per_doc[doc_id] = chunks
+        for _b, _e, _f, h in chunks:
+            owners[h].add(doc_id)
+    got = {
+        int(r["doc_id"]): (int(r["n_chunks"]), int(r["n_forced"]),
+                           int(r["max_chunk_len"]),
+                           int(r["n_shared_chunks"]),
+                           int(r["shared_chars"]))
+        for r in spark_rows
+    }
+    for doc_id, chunks in per_doc.items():
+        shared = [(e - b) for b, e, _f, h in chunks
+                  if len(owners[h]) >= 2]
+        want = (
+            len(chunks),
+            sum(1 for _b, _e, f, _h in chunks if f),
+            max(e - b for b, e, _f, _h in chunks),
+            len(shared),
+            sum(shared),
+        )
+        if got.get(int(doc_id)) != want:
+            return False, f"doc {doc_id}: got {got.get(int(doc_id))} want {want}"
+    return True, f"{len(rows)} docs re-chunked exact by the naive walker"
+
+
 def main(sf_dirs: list[str]) -> int:
     import duckdb
     from pyspark.sql import SparkSession
@@ -1999,6 +2077,8 @@ def main(sf_dirs: list[str]) -> int:
              lambda rows: twin_tar_zst(spark, sf_dir, rows)),
             ("warc_gz_scan_docs",
              lambda rows: twin_warc(spark, sf_dir, rows)),
+            ("cdc_chunk_dedup_docs",
+             lambda rows: twin_cdc(spark, sf_dir, rows)),
         ):
             rows = qs[name](spark, sf_dir).collect()
             ok, msg = fn(rows)
