@@ -126,6 +126,7 @@ HEADLINE = [
     "robust_outliers_events",
     "tfrecord_example_scan_docs",
     "audio_activity_stats_docs",
+    "cbor_roundtrip_docs",
 ]
 
 # Regression anchor: BENCH_r03.json per-query seconds at sf0.1 on local[32]

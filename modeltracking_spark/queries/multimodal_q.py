@@ -1616,3 +1616,38 @@ def audio_activity_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = attach_wav_payload(T(spark, sf_dir, "documents"))
     return audio_activity_stats(d)
+
+
+@query(
+    "cbor_roundtrip_docs",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS text_md5,
+           (doc_id % 8)::BIGINT AS n_items,
+           (0 - doc_id - 1)::BIGINT AS neg_val,
+           TRUE AS pi_ok
+    FROM documents
+    """,
+)
+def cbor_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CBOR roundtrip (round 9, operators/cbor.py — RFC 8949, the
+    IETF's binary JSON): each doc builds a nested record (positive
+    and NEGATIVE integers, UTF-8 text, raw bytes, an exact-binary
+    float, an int array, a nested map with null/bool), encodes it
+    with the shortest-form canonical encoder, decodes it with the
+    from-spec decoder (all float widths incl. half-precision,
+    indefinite forms, tags), and asserts structural equality INSIDE
+    the kernel before emitting the oracled scalars. The codec's
+    validation floor is the RFC's OWN Appendix A test vectors —
+    dozens pinned byte-for-byte in tests/test_cbor.py, both
+    directions where the form is canonical. n_bytes is
+    length-prefix-arithmetic-dependent and deliberately not oracled;
+    text md5 / token count / negative-int mapping / float exactness
+    are."""
+    from modeltracking_spark.operators.cbor import cbor_roundtrip_stats
+
+    d = T(spark, sf_dir, "documents").select("doc_id",
+                                             F.col("text").alias("payload"))
+    return cbor_roundtrip_stats(d).select(
+        "doc_id", "text_md5", "n_items", "neg_val", "pi_ok"
+    )
