@@ -127,6 +127,7 @@ HEADLINE = [
     "tfrecord_example_scan_docs",
     "audio_activity_stats_docs",
     "cbor_roundtrip_docs",
+    "idn_host_normalize_docs",
 ]
 
 # Regression anchor: BENCH_r03.json per-query seconds at sf0.1 on local[32]

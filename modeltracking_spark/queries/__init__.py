@@ -116,7 +116,7 @@ PRIORITY: tuple[str, ...] = (
     "tumbling_window_counts",       # §2.11 tumbling windows
     "minhash_lsh_pairs",            # MinHash+LSH banded pairs
     # ---- window boundary (50) ----
-    # round-10 rotation head: the 25 queries registered after this
+    # round-10 rotation head: the 26 queries registered after this
     # rotation froze (never driver-attested as of r9 — computed from
     # the CORRECTNESS_r0* hash-match union, not hand-counted; the 11
     # never-attested queries HEADING this window are attested by the
@@ -132,7 +132,7 @@ PRIORITY: tuple[str, ...] = (
     #   sobel_edge_stats_docs, data_quality_audit_orders,
     #   avro_ocf_scan_docs, robust_outliers_events,
     #   tfrecord_example_scan_docs, audio_activity_stats_docs,
-    #   cbor_roundtrip_docs (25 total)
+    #   cbor_roundtrip_docs, idn_host_normalize_docs (26 total)
     # — then continue the stale-cohort sweep (the r6 remainder, then r7).
 )
 

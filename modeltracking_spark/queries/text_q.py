@@ -1032,3 +1032,83 @@ def nfc_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("nfc") != F.col("raw")).alias("changed"),
         F.md5(F.encode("nfc", "UTF-8")).alias("nfc_md5"),
     )
+
+
+@query(
+    "idn_host_normalize_docs",
+    oracle="""
+    SELECT doc_id,
+           md5((CASE doc_id % 3 WHEN 0 THEN 'bücher'
+                WHEN 1 THEN '中文网' ELSE 'пример' END)
+               || '-' || (doc_id % 100)::VARCHAR
+               || '.example.'
+               || CASE doc_id % 2 WHEN 0 THEN 'com' ELSE 'org' END)
+             AS display_md5,
+           1::BIGINT AS n_ace_labels,
+           TRUE AS ace_is_ascii,
+           TRUE AS roundtrip_ok
+    FROM documents
+    """,
+)
+def idn_host_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDN hostname normalization through from-spec Punycode (round 9,
+    operators/punycode.py — RFC 3492, the RFC's own 7.1 sample strings
+    pinned and the algorithm cross-validated against Python's
+    independent built-in codec): deterministic Unicode hostnames
+    (German/Chinese/Cyrillic label arms) are ACE-encoded (xn--) and
+    decoded back to the display/comparison form inside ONE Arrow
+    pandas kernel — the homograph-aware canonicalization a URL
+    deduplicator keys on. The oracle replays the display-host FORMULA
+    (the roundtrip is the identity exactly when both directions are
+    correct), plus the xn-- label count and ASCII-purity of the ACE
+    form."""
+    import hashlib
+
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from modeltracking_spark.operators.kernel import widen_for_kernel
+    from modeltracking_spark.operators.punycode import (
+        idna_decode_host,
+        idna_encode_host,
+    )
+
+    d = T(spark, sf_dir, "documents").select("doc_id")
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("display_md5", StringType()),
+        StructField("n_ace_labels", LongType()),
+        StructField("ace_is_ascii", BooleanType()),
+        StructField("roundtrip_ok", BooleanType()),
+    ])
+
+    def kernel(batches):
+        import pandas as pd
+
+        arms = ["bücher", "中文网", "пример"]
+        for pdf in batches:
+            ids, md5s, nls, asciis, oks = [], [], [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                host = (f"{arms[did % 3]}-{did % 100}.example."
+                        f"{'com' if did % 2 == 0 else 'org'}")
+                ace = idna_encode_host(host)
+                display = idna_decode_host(ace)
+                ids.append(did)
+                md5s.append(hashlib.md5(display.encode()).hexdigest())
+                nls.append(sum(1 for x in ace.split(".")
+                               if x.startswith("xn--")))
+                asciis.append(all(ord(c) < 128 for c in ace))
+                oks.append(display == host)
+            yield pd.DataFrame({
+                "doc_id": ids, "display_md5": md5s, "n_ace_labels": nls,
+                "ace_is_ascii": asciis, "roundtrip_ok": oks,
+            })
+
+    return widen_for_kernel(d).mapInPandas(kernel, schema)
