@@ -129,3 +129,30 @@ def test_corruption_fuzz_typed_rejects():
         except (ValueError, UnicodeDecodeError, OverflowError):
             pass  # typed rejects (Overflow: half->float never; 8-byte
             # args feed int.from_bytes — kept for struct-level safety)
+
+
+def test_roundtrip_hypothesis():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    scalars = st.one_of(
+        st.integers(min_value=-(2 ** 64) + 1, max_value=2 ** 64 - 1),
+        st.booleans(), st.none(), st.text(max_size=40),
+        st.binary(max_size=40),
+        st.floats(allow_nan=False, width=64),
+    )
+    values = st.recursive(
+        scalars,
+        lambda inner: st.one_of(
+            st.lists(inner, max_size=6),
+            st.dictionaries(st.text(max_size=8), inner, max_size=6),
+        ),
+        max_leaves=25,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(values)
+    def run(v):
+        assert cbor_decode(cbor_encode(v)) == v
+
+    run()
