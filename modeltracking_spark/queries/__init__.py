@@ -43,97 +43,89 @@ QUERY_MODULES = (
 
 #: the scored window (driver cap observed at 50).
 #:
-#: ROUND-9 ROTATION (VERDICT r8 item 2): close the attestation sweep.
-#: 182 registered, 171 driver-attested through r8, 11 never — ALL 11
-#: head the window (the r8 layout's pending list undercounted them at
-#: 7; this is the corrected full set, VERDICT r8 "What's wrong #4").
-#: ``array_functions_demo`` is the retry of r8's one red row — its
-#: raw-array output column is now ``array_join``ed to a string (the
-#: driver canonicalizer can't sort list cells), and
-#: tests/test_misc_coverage.py pins atomic-only output schemas
-#: registry-wide. The 39 spare slots re-attest the LONGEST-stale
-#: cohort: everything last green in r3 (6), r4 (4), r5 (12), plus the
-#: 17 highest-leverage §2-core carriers from the r6 cohort (flagship
-#: P-tier, join/agg/window/profile/streaming representatives). After
-#: r9 lands green, every registered query is driver-attested and
-#: nothing is more than ~3 rounds stale. Coverage invariant holds:
-#: every rotated-out r8 slot is green in CORRECTNESS_r08.json.
+#: ROUND-10 ROTATION (VERDICT r9 item 1): close the attestation sweep.
+#: 208 registered, 182 driver-attested through r9, 26 never (the r9
+#: session-2 post-freeze cohort) — ALL 26 head the window, in the
+#: order computed from the CORRECTNESS_r0* hash-match union by
+#: ``tools/check_queries.py --window``. New queries registered THIS
+#: round are inserted directly after the 26 (they are equally
+#: never-attested). The remaining slots re-attest the stalest cohort
+#: (last green r6), ordered highest-leverage first so that names past
+#: the 50-boundary (which slip to r11 alongside the r7 cohort) are the
+#: least-central variants. The stalest-first invariant is now LINTED:
+#: ``tools/check_queries.py --window`` errors if any query outside the
+#: proposed window is strictly staler than an already-attested query
+#: inside it. Coverage invariant holds: every rotated-out r9 slot is
+#: green in CORRECTNESS_r09.json (50/50).
 PRIORITY: tuple[str, ...] = (
-    # ---- the 11 never-attested (r8 post-freeze + the r8 err retry) ----
-    "array_functions_demo",         # r8 err: raw array output, now joined
-    "dup_span_scrub_docs",          # ExactSubstr-style span scrub (r9:
-                                    # linear kernel + short-doc guard)
-    "cluster_balanced_sample_embeddings",  # cluster-then-balance sampling
-    "click_error_interval_left_join",      # outer stream-stream arm
-    "blocklist_match_docs",         # Aho-Corasick multi-pattern scan
-    "ewma_user_values_events",      # integer EWMA (r9: linear kernel)
-    "leakage_safe_split_docs",      # cluster-keyed split-contamination
-    "tiff_decode_stats_docs",       # from-spec TIFF 6.0 none/LZW
-    "bloom_prune_join_orders",      # Bloom-prefiltered join
-    "image_dhash_docs",             # perceptual dHash
-    "image_neardup_pairs_docs",     # Hamming-banded image near-dup
-    # ---- 6 stalest re-attestations (last green r3) ----
-    "bpe_token_counts",
-    "length_quantiles_by_lang",
-    "repetition_scores_docs",
-    "sentence_split_udtf",          # UDTF 1->N lateral
-    "token_frequencies_docs",
-    "vocab_top_tokens",
-    # ---- 4 last green r4 ----
-    "clean_normalize_docs",
-    "hash_split_docs",
-    "simhash_docs",
-    "track_step_haversine",         # W+ lag analytic over tracks
-    # ---- 12 last green r5 ----
-    "binary_metadata_docs",         # multimodal binary metadata
-    "cosine_topk_filtered",         # ANN with predicate
-    "embedding_neardup_pairs",      # embedding-cosine near-dup
-    "grid_datasource_scan",         # S6 Python DataSource (pushdown)
-    "hours_epoch_roundtrip",        # F1/F2 time codecs
-    "jaccard_pairs_capped",         # n-gram Jaccard pairs
-    "linear_fit_orders",            # F10 regression fit
-    "orders_sort_limit",            # §2.7 sort+limit
-    "semi_anti_customers",          # J+ semi/anti
-    "track_bounding_box",           # A1 bounding box
-    "try_cast_cleanup",             # P4 type guard
-    "zip_positional_align",         # J5 positional zip
-    # ---- 17 §2-core carriers last green r6 ----
-    "flagship_events_daily",        # flagship P3 pipeline
-    "regional_revenue",             # J+ broadcast chain
-    "topk_lineitems_per_order",     # W1 per-group top-k
-    "customer_order_set_ops",       # §2.8 union/intersect/except
-    "cube_status_priority",         # A+ CUBE
-    "events_stats_suite",           # A4/P4 stats battery
-    "argmin_order_per_customer",    # A3 argmin/min_by
-    "asof_nearest_clicks",          # J3 as-of nearest arm
-    "interval_routing",             # J4/S7 interval containment
-    "neighborhood_3x3",             # J2 neighborhood expansion
-    "grid_netcdf_scan",             # S6b netCDF byte-range reader
-    "profile_along_track_temp",     # A2 IDW along-track profile
-    "profile_multivariable_pivot",  # R3 multi-variable pivot
-    "positional_projection",        # P1 positional projection
-    "session_window_counts",        # §2.11 session windows
-    "tumbling_window_counts",       # §2.11 tumbling windows
-    "minhash_lsh_pairs",            # MinHash+LSH banded pairs
-    # ---- window boundary (50) ----
-    # round-10 rotation head: the 26 queries registered after this
-    # rotation froze (never driver-attested as of r9 — computed from
-    # the CORRECTNESS_r0* hash-match union, not hand-counted; the 11
-    # never-attested queries HEADING this window are attested by the
-    # r9 gate itself):
-    #   image_incremental_neardup_docs, click_error_interval_stallproof,
-    #   lz4_roundtrip_docs, nfc_normalize_docs, snappy_roundtrip_docs,
-    #   bz2_roundtrip_docs, exactly_once_ingest_events,
-    #   tiff_tiled_palette_stats_docs, lzma_roundtrip_docs,
-    #   kmv_set_ops_users, cdc_chunk_dedup_docs,
-    #   orc_partitioned_orders_scan, label_propagation_docs,
-    #   warc_gz_scan_docs, warc_source_scan_docs, zstd_roundtrip_docs,
-    #   tar_zst_bundle_scan_docs, xz_roundtrip_docs,
-    #   sobel_edge_stats_docs, data_quality_audit_orders,
-    #   avro_ocf_scan_docs, robust_outliers_events,
-    #   tfrecord_example_scan_docs, audio_activity_stats_docs,
-    #   cbor_roundtrip_docs, idn_host_normalize_docs (26 total)
-    # — then continue the stale-cohort sweep (the r6 remainder, then r7).
+    # ---- the 26 never-attested (r9 session-2 post-freeze) ----
+    "image_incremental_neardup_docs",  # delta-bands-broadcast near-dup
+    "click_error_interval_stallproof", # upstream-watermark interval join
+    "lz4_roundtrip_docs",              # from-spec LZ4 frame + block
+    "nfc_normalize_docs",              # from-spec Unicode NFC
+    "snappy_roundtrip_docs",           # from-spec Snappy
+    "bz2_roundtrip_docs",              # from-spec bzip2 (r10: multi-stream)
+    "exactly_once_ingest_events",      # txlog exactly-once batch sink
+    "tiff_tiled_palette_stats_docs",   # TIFF tiles + palette arm
+    "lzma_roundtrip_docs",             # .lzma (LZMA1 alone) codec
+    "kmv_set_ops_users",               # KMV sketch set algebra
+    "cdc_chunk_dedup_docs",            # content-defined chunking dedup
+    "orc_partitioned_orders_scan",     # partitioned ORC scan + pruning
+    "label_propagation_docs",          # LPA community detection
+    "warc_gz_scan_docs",               # WARC/1.1 over member-gzip
+    "warc_source_scan_docs",           # WARC Python DataSource
+    "zstd_roundtrip_docs",             # RFC 8878 zstd decode
+    "tar_zst_bundle_scan_docs",        # tar-in-zstd bundle scan
+    "xz_roundtrip_docs",               # .xz / LZMA2 codec
+    "sobel_edge_stats_docs",           # Sobel edge density
+    "data_quality_audit_orders",       # Deequ-style audit (one pass)
+    "avro_ocf_scan_docs",              # Avro OCF reader + DataSource
+    "robust_outliers_events",          # grouped median/MAD outliers
+    "tfrecord_example_scan_docs",      # TFRecord + tf.train.Example
+    "audio_activity_stats_docs",       # ZCR/silence/energy activity
+    "cbor_roundtrip_docs",             # RFC 8949 CBOR codec
+    "idn_host_normalize_docs",         # Punycode/IDNA host normalize
+    # ---- new-in-r10 registrations (never-attested; insert here) ----
+    "zstd_dict_roundtrip_docs",        # RFC 8878 §5 dictionary decode
+    "avro_nested_scan_docs",           # Avro nested + reader-schema
+    "xz_bcj_roundtrip_docs",           # xz BCJ x86 filter chain
+    "tar_pax_bundle_scan_docs",        # tar pax extended headers
+    # ---- r6-stale cohort, highest-leverage first (stalest tier) ----
+    "semdedup_embeddings",             # r9 bench watch item — re-attest
+    "exact_dedup_docs",                # exact dedup + survivor rewrite
+    "simhash_neardup_pairs",           # SimHash banded near-dup
+    "dedup_clusters_docs",             # CC pointer-jumping clusters
+    "cosine_topk_brute",               # ANN brute baseline
+    "cosine_topk_lsh_probe",           # ANN LSH multi-table probes
+    "cosine_topk_ivf_probe",           # ANN IVF nprobe buckets
+    "skew_salted_join_events",         # J+ salted skew join
+    "stateful_user_totals_stream",     # §2.11 applyInPandasWithState
+    "stream_enrich_join",              # §2.11 stream-static enrich
+    "resample_ffill_events",           # §2.11 resample + ffill
+    "bucketed_join_revenue",           # bucketed co-located join
+    "pack_sequences_chunk",            # sequence packing (concat-chunk)
+    "stratified_hash_sample_docs",     # stratified hash sampling
+    "euclid_knn_suppliers",            # F7 Euclidean degree KNN
+    "grid_snap_nearest_node",          # J1 arithmetic grid snap
+    "scalar_geo_suite",                # F2/F4/F5/F8 scalar battery
+    "text_quality_suite",              # text quality scoring battery
+    "bloom_decontaminate_docs",        # Bloom-bitset decontamination
+    "tfidf_top_terms_docs",            # TF-IDF top terms
+    # ---- window boundary (50 incl. the 4 r10 insertions) ----
+    # r6 remainder past the boundary (slip to r11 with the r7 cohort):
+    "vincenty_vs_haversine",
+    "winnow_fingerprints_docs",
+    "decontaminate_ngram_overlap",
+    "embedding_neardup_lsh_pairs",
+    "bmp_decode_stats_docs",
+    "frame_sample_fake_decode",
+    "pack_sequences_greedy",
+    "bigram_pmi_docs",
+    "token_heavy_hitters",
+    "click_error_interval_join",
+    "unigram_logprob_docs",
+    "chunk_dup_ratio_docs",
+    "quality_logreg_docs",
 )
 
 #: observed driver correctness cap (CORRECTNESS_r03 scored exactly 50)

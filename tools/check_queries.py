@@ -175,6 +175,48 @@ def window_audit() -> int:
             rc = 2
         else:
             print("\nwindow fully pinned by PRIORITY — ordering is explicit. OK")
+
+    # --- stalest-first rotation invariant (VERDICT r9 item 8) ---------
+    # A query hash-matched in round R is "attested at R"; never-attested
+    # queries are infinitely stale. The proposed window must not leave a
+    # strictly-staler query outside while a fresher (already-attested)
+    # one sits inside — the manual-counting regression that let the r9
+    # post-freeze cohort pile up. Never-attested queries are exempt from
+    # the *inside* check (new registrations are allowed to take slots).
+    last_attested: dict[str, int] = {}
+    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        rnd = int("".join(ch for ch in path.rsplit("r", 1)[-1] if ch.isdigit()))
+        for q, res in json.load(open(path)).items():
+            if isinstance(res, dict) and res.get("hash_match"):
+                last_attested[q] = max(last_attested.get(q, 0), rnd)
+    never_outside = [n for n in outside if n not in last_attested]
+    if never_outside:
+        print(
+            f"\nERROR: never-attested queries OUTSIDE the scored window "
+            f"(they can never attest): {never_outside}"
+        )
+        rc = 2
+    inside_attested = [n for n in window if n in last_attested]
+    if inside_attested and outside:
+        freshest_in = max(last_attested[n] for n in inside_attested)
+        worst_out = min(
+            (last_attested[n] for n in outside if n in last_attested), default=None
+        )
+        if worst_out is not None and worst_out < freshest_in:
+            stale_out = sorted(
+                n for n in outside if last_attested.get(n, 99) == worst_out
+            )
+            fresh_in = sorted(
+                n for n in inside_attested if last_attested[n] == freshest_in
+            )
+            print(
+                f"\nERROR: stalest-first violated — r{worst_out}-stale outside "
+                f"the window ({stale_out[:5]}…) while r{freshest_in}-attested "
+                f"inside ({fresh_in[:5]}…). Rotate the staler cohort in."
+            )
+            rc = 2
+    if rc == 0:
+        print("stalest-first rotation invariant holds. OK")
     return rc
 
 
