@@ -202,8 +202,17 @@ def _un_rle1(data: bytes) -> bytes:
 
 
 def bz2_decompress(data: bytes) -> bytes:
-    """bzip2 stream -> bytes, verifying every block CRC and the
-    combined stream CRC."""
+    """bzip2 stream(s) -> bytes, verifying every block CRC and each
+    stream's combined CRC.
+
+    Concatenated multi-stream files (pbzip2 / lbzip2 output — the
+    Wikipedia-dump shape this module cites) are valid input: after a
+    stream footer the decoder re-aligns to the next byte boundary and,
+    if the remaining bytes begin with another ``BZh`` header, decodes
+    the next stream.  Any other nonzero trailing bytes raise, keeping
+    the loud-ValueError contract (stdlib ``bz2`` matches both
+    behaviours and cross-validates in tests).
+    """
     if len(data) < 4 or data[:3] != b"BZh" or not 0x31 <= data[3] <= 0x39:
         raise ValueError("bad bzip2 stream header")
     level = data[3] - 0x30
@@ -218,7 +227,26 @@ def bz2_decompress(data: bytes) -> bytes:
             want = br.read(32)
             if stream_crc != want:
                 raise ValueError("bzip2 stream CRC mismatch")
-            return bytes(out)
+            # streams are byte-aligned when concatenated; padding bits
+            # to the boundary are part of this stream and ignored
+            byte_off = (br.pos + 7) >> 3
+            rest = data[byte_off:]
+            if not rest:
+                return bytes(out)
+            if (
+                len(rest) >= 4
+                and rest[:3] == b"BZh"
+                and 0x31 <= rest[3] <= 0x39
+            ):
+                level = rest[3] - 0x30
+                max_block = level * 100_000
+                br.pos = byte_off * 8 + 32
+                stream_crc = 0
+                continue
+            raise ValueError(
+                "trailing bytes after bzip2 stream footer are not a "
+                "concatenated BZh stream"
+            )
         if magic != 0x314159265359:
             raise ValueError("bad bzip2 block magic")
         block_crc = br.read(32)

@@ -43,9 +43,12 @@ def _agg_exprs(c: dict, n: Column) -> tuple[str, Column, Column]:
     kind = c["kind"]
     nn = F.sum(col.isNotNull().cast("long"))
     if kind == "completeness":
-        viol = F.sum(col.isNull().cast("long"))
-        metric = F.floor(nn.cast("double") / n.cast("double")
-                         * F.lit(1e6) + F.lit(0.5)).cast("long")
+        viol = F.coalesce(F.sum(col.isNull().cast("long")), F.lit(0))
+        metric = F.when(
+            n > 0,
+            F.floor(nn.cast("double") / n.cast("double")
+                    * F.lit(1e6) + F.lit(0.5)).cast("long"),
+        )  # NULL metric on an empty table (ADVICE r9), violations 0
         return f"completeness({c['col']})", metric, viol
     if kind == "min_value":
         viol = F.sum((col < F.lit(c["lo"])).cast("long"))
@@ -64,10 +67,13 @@ def _agg_exprs(c: dict, n: Column) -> tuple[str, Column, Column]:
     else:
         raise ValueError(f"unknown constraint kind {kind!r}")
     viol = F.coalesce(viol, F.lit(0))
-    metric = F.floor(
-        (n.cast("double") - viol.cast("double")) / n.cast("double")
-        * F.lit(1e6) + F.lit(0.5)
-    ).cast("long")
+    metric = F.when(
+        n > 0,
+        F.floor(
+            (n.cast("double") - viol.cast("double")) / n.cast("double")
+            * F.lit(1e6) + F.lit(0.5)
+        ).cast("long"),
+    )
     label = {
         "min_value": f"min_value({c['col']}>={c.get('lo')})",
         "max_value": f"max_value({c['col']}<={c.get('hi')})",
@@ -98,9 +104,15 @@ def run_checks(df: DataFrame, constraints: list[dict]) -> DataFrame:
     for c in uniq:
         col = F.col(c["col"])
         d = F.count_distinct(col)
-        viol = (F.sum(col.isNotNull().cast("long")) - d).cast("long")
-        metric = F.floor(d.cast("double") / n.cast("double")
-                         * F.lit(1e6) + F.lit(0.5)).cast("long")
+        viol = F.coalesce(
+            (F.sum(col.isNotNull().cast("long")) - d).cast("long"),
+            F.lit(0),
+        )
+        metric = F.when(
+            n > 0,
+            F.floor(d.cast("double") / n.cast("double")
+                    * F.lit(1e6) + F.lit(0.5)).cast("long"),
+        )
         names.append(f"uniqueness({c['col']})")
         cols.append(metric.alias(f"m{len(names)}"))
         cols.append(viol.alias(f"v{len(names)}"))
@@ -113,8 +125,9 @@ def run_checks(df: DataFrame, constraints: list[dict]) -> DataFrame:
         # bounded row, the sanctioned collect shape
         agg = df.agg(n.alias("__n"), *cols).first()
         audit_rows = [
-            (name, int(agg[f"m{i}"]), int(agg[f"v{i}"]),
-             int(agg[f"v{i}"]) == 0)
+            (name,
+             None if agg[f"m{i}"] is None else int(agg[f"m{i}"]),
+             int(agg[f"v{i}"]), int(agg[f"v{i}"]) == 0)
             for i, name in enumerate(names, start=1)
         ]
         rows_df = spark.createDataFrame(
@@ -138,10 +151,15 @@ def run_checks(df: DataFrame, constraints: list[dict]) -> DataFrame:
         )
         one = orphans.crossJoin(F.broadcast(tot)).select(
             F.lit(f"ref_integrity({c['col']})").alias("constraint"),
-            F.floor(
-                (F.col("nn").cast("double") - F.col("v").cast("double"))
-                / F.col("nn").cast("double") * F.lit(1e6) + F.lit(0.5)
-            ).cast("long").alias("metric_e6"),
+            F.when(
+                F.col("nn") > 0,
+                F.floor(
+                    (F.col("nn").cast("double")
+                     - F.col("v").cast("double"))
+                    / F.col("nn").cast("double") * F.lit(1e6)
+                    + F.lit(0.5)
+                ).cast("long"),
+            ).alias("metric_e6"),
             F.col("v").cast("long").alias("violations"),
             (F.col("v") == 0).alias("passed"),
         )

@@ -434,6 +434,14 @@ def _decode_literals(block: bytes, pos: int, ctx: _FrameCtx):
     b0 = block[pos]
     lit_type = b0 & 3
     size_fmt = (b0 >> 2) & 3
+    # header length by (type, size_format) — RFC 8878 §3.1.1.3.1
+    hdr_len = (
+        (1 if size_fmt in (0, 2) else 2 if size_fmt == 1 else 3)
+        if lit_type in (0, 1)
+        else (3 if size_fmt in (0, 1) else 4 if size_fmt == 2 else 5)
+    )
+    if pos + hdr_len > len(block):
+        raise ValueError("truncated literals section header")
     if lit_type in (0, 1):  # Raw / RLE
         if size_fmt in (0, 2):
             regen = b0 >> 3

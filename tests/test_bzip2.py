@@ -117,3 +117,33 @@ def test_un_rle1_count_byte_equals_run_byte():
     for run in (69, 70, 65, 4 + 65, 8, 9):
         payload = b"pre" + b"A" * run + b"post" + b"\x04" * 8
         assert bz2_decompress(stdlib_bz2.compress(payload, 1)) == payload
+
+
+def test_multistream_concatenation_decodes_all():
+    """pbzip2/lbzip2 emit concatenated BZh streams; decode must span
+    them all (ADVICE r9: the first-footer return truncated 520->240
+    bytes silently), matching stdlib bz2."""
+    a, b, c = b"first stream " * 20, b"SECOND\x00stream" * 17, b"x"
+    blob = (
+        stdlib_bz2.compress(a, 1)
+        + stdlib_bz2.compress(b, 9)  # mixed levels across streams
+        + stdlib_bz2.compress(c, 2)
+    )
+    assert bz2_decompress(blob) == a + b + c == stdlib_bz2.decompress(blob)
+
+
+def test_multistream_trailing_garbage_rejects():
+    blob = stdlib_bz2.compress(b"payload" * 30, 1)
+    with pytest.raises(ValueError, match="trailing bytes"):
+        bz2_decompress(blob + b"\x01garbage")
+    # a truncated second header is also garbage, not silence
+    with pytest.raises(ValueError):
+        bz2_decompress(blob + b"BZh")
+
+
+def test_multistream_second_stream_tamper_rejects():
+    blob1 = stdlib_bz2.compress(b"ok" * 50, 1)
+    blob2 = bytearray(stdlib_bz2.compress(b"tamper me" * 40, 1))
+    blob2[-2] ^= 0xFF  # corrupt second stream's footer CRC
+    with pytest.raises(ValueError):
+        bz2_decompress(blob1 + bytes(blob2))

@@ -488,6 +488,38 @@ def test_quality_checks_one_pass_and_failure_detection(spark):
     assert clean[0]["passed"] and clean[0]["violations"] == 0
 
 
+def test_quality_checks_empty_table(spark):
+    """ADVICE r9: auditing an empty table aborted with an ANSI
+    DIVIDE_BY_ZERO. Contract now: metric_e6 NULL, violations 0,
+    passed True — an empty ingest audits clean, loudly NULL-metric."""
+    import pyspark.sql.functions as F
+
+    from modeltracking_spark.operators.quality_checks import (
+        check,
+        run_checks,
+    )
+
+    df = spark.createDataFrame(
+        [], "k long, price double, status string, cust long"
+    )
+    dim = spark.createDataFrame([(100,)], "ck long")
+    rows = {
+        r["constraint"]: r
+        for r in run_checks(df, [
+            check("completeness", "cust"),
+            check("min_value", "price", lo=0),
+            check("in_set", "status", values=["F"]),
+            check("uniqueness", "k"),
+            check("ref_integrity", "cust", dim_df=dim, dim_col="ck"),
+        ]).collect()
+    }
+    assert len(rows) == 5
+    for r in rows.values():
+        assert r["metric_e6"] is None
+        assert r["violations"] == 0
+        assert r["passed"] is True
+
+
 def test_robust_outlier_stats_hand_case(spark):
     """Median/MAD/modified-z on a hand group incl. the MAD==0
     degenerate arm and the floor-of-midpoint even-size median."""

@@ -279,3 +279,37 @@ def test_our_huffman_and_rle_literal_arms_accepted_by_reference():
         blob = zstd_compress(raw)
         assert zstd_decompress(blob, max_output=1 << 20) == raw
         assert _ref_decompress(blob, len(raw)) == raw
+
+
+def test_truncated_literals_header_raises_valueerror_not_indexerror():
+    """ADVICE r9: a block ending right after the first literals byte
+    leaked IndexError through zstd_decompress; the contract is a
+    descriptive ValueError for every malformed frame.
+
+    Build a minimal frame whose single compressed block is exactly one
+    byte long, for every (lit_type, size_format) pair that needs more
+    header bytes than the block holds."""
+    for lit_type in range(4):
+        for size_fmt in range(4):
+            b0 = lit_type | (size_fmt << 2)
+            # frame header: magic + FHD(single-segment, FCS 1 byte)=0x20
+            # + FCS=0 ... use window_descriptor form instead: FHD=0x00,
+            # window byte 0x00, then one block header.
+            block_hdr = (1 << 3) | (2 << 1) | 1  # size=1, Compressed, last
+            frame = (
+                b"\x28\xb5\x2f\xfd"  # magic
+                + b"\x00"                # FHD: window descriptor present
+                + b"\x00"                # smallest window
+                + block_hdr.to_bytes(3, "little")
+                + bytes([b0])
+            )
+            try:
+                zstd_decompress(frame)
+            except ValueError:
+                pass  # the contract
+            except IndexError as exc:  # pragma: no cover - the bug
+                raise AssertionError(
+                    f"IndexError leaked for lit_type={lit_type} "
+                    f"size_fmt={size_fmt}: {exc}"
+                )
+
