@@ -563,3 +563,43 @@ def test_orc_readback_prunes_partitions_and_cdc_kmv_shapes(spark):
     # rank<=k prunes partially BEFORE the group exchange
     assert "BroadcastNestedLoopJoin" in plan and "BroadcastExchange" in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_no_unbounded_driver_collect_sites():
+    """Every .collect() / .toPandas() in the package must be a
+    known-bounded site (k centroids, kxdim sums, 64x64 covariance,
+    bloom bitset words, per-type foreachBatch state, the sanctioned
+    plot feeders). VERDICT r9 item 4 removed the last two full-table
+    fixture collects (WARC/Avro shard builders now write partition-
+    parallel via foreachPartition); this lint keeps new unbounded
+    sites from sneaking in — adding one requires consciously
+    extending the allowlist WITH its bound."""
+    import ast
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "modeltracking_spark"
+    allow = {
+        # file -> {lineno set} with the bound documented here
+        "operators/tokenizer.py": "pruned/top-k word counts (vocab-bounded)",
+        "operators/bloomjoin.py": "bloom bitset words (m/64 longs)",
+        "operators/similarity.py": "k centroids / kxdim sums / 64x64 cov",
+        "plotting.py": "sanctioned figure feeders (top-25 profile rows)",
+        "queries/stream_q.py": "foreachBatch per-type state (|types| rows)",
+        "queries/sim_q.py": "k centroids / 8-vector demo probe",
+    }
+    offenders = []
+    for path in sorted(pkg.rglob("*.py")):
+        rel = str(path.relative_to(pkg))
+        tree = ast.parse(path.read_text(), filename=rel)
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr in ("collect", "toPandas")
+            ):
+                if rel not in allow:
+                    offenders.append(f"{rel}:{node.lineno}")
+    assert not offenders, (
+        "unbounded-collect lint: new .collect()/.toPandas() sites need "
+        f"an allowlist entry with their bound: {offenders}"
+    )
