@@ -19,8 +19,12 @@ query kernel prefers libzstd as the fixture encoder and falls back to
 the from-spec encoder when the library is absent (import-try gate).
 
 Malformed streams raise descriptive ``ValueError`` (the codec-tier
-discipline); dictionaries raise ``NotImplementedError`` at the
-documented plug-in point.
+discipline).  Dictionaries (RFC 8878 §5) are supported on decode —
+structured dictionaries (magic 0xEC30A437: dictionary-ID, entropy
+tables in Huffman/OF/ML/LL order, 3-entry offset history, content) and
+libzstd-style raw-content dictionaries — and the encoder can compress
+against a content prefix so both directions cross-validate with
+libzstd's ``*_usingDict`` APIs.
 """
 
 from __future__ import annotations
@@ -427,6 +431,66 @@ class _FrameCtx:
         self.rep = [1, 4, 8]
 
 
+# ----------------------------------------------------------- dictionaries
+
+_DICT_MAGIC = 0xEC30A437
+
+
+class ZstdDict:
+    """Parsed zstd dictionary (RFC 8878 §5), or a raw-content one.
+
+    A structured dictionary seeds a frame's entropy state (its Huffman
+    table serves Treeless literals, its FSE tables satisfy Repeat_Mode
+    in the first block), its offset history replaces [1, 4, 8], and its
+    content is virtually prepended to the decoded output for match
+    back-references.  A raw-content dictionary (any blob that does not
+    start with the magic — libzstd's fallback semantics) contributes
+    only the content prefix.
+    """
+
+    __slots__ = ("dict_id", "huf_table", "seq_tables", "rep", "content")
+
+    def __init__(self, dict_id, huf_table, seq_tables, rep, content):
+        self.dict_id = dict_id
+        self.huf_table = huf_table
+        self.seq_tables = seq_tables
+        self.rep = rep
+        self.content = content
+
+
+def zstd_parse_dictionary(blob: bytes) -> ZstdDict:
+    """Dictionary bytes -> :class:`ZstdDict` (RFC 8878 §5).
+
+    Layout: magic 0xEC30A437, 4-byte dictionary-ID, entropy tables in
+    the order Huffman-literals / FSE-offsets / FSE-match-lengths /
+    FSE-literal-lengths (each in its in-block description format),
+    three 4-byte little-endian repeat offsets, then the content.  A
+    blob without the magic is a raw-content dictionary.
+    """
+    if len(blob) < 8 or int.from_bytes(blob[:4], "little") != _DICT_MAGIC:
+        return ZstdDict(0, None, {"ll": None, "of": None, "ml": None},
+                        [1, 4, 8], bytes(blob))
+    dict_id = int.from_bytes(blob[4:8], "little")
+    pos = 8
+    weights, tlog, pos = huf_read_weights(blob, pos)
+    huf = (huf_build_decode_table(weights, tlog), tlog)
+    tables: dict[str, object] = {}
+    for kind in ("of", "ml", "ll"):  # spec order after the Huffman table
+        norm, al, pos = fse_read_ncount(blob, pos, _MAX_SYM[kind],
+                                        _MAX_AL[kind])
+        tables[kind] = ("fse", fse_build_decode_table(norm, al), al)
+    if pos + 12 > len(blob):
+        raise ValueError("truncated dictionary offset history")
+    rep = [int.from_bytes(blob[pos + 4 * i:pos + 4 * i + 4], "little")
+           for i in range(3)]
+    pos += 12
+    content = bytes(blob[pos:])
+    for r in rep:
+        if r == 0 or r > len(content):
+            raise ValueError("dictionary repeat offset out of range")
+    return ZstdDict(dict_id, huf, tables, rep, content)
+
+
 def _decode_literals(block: bytes, pos: int, ctx: _FrameCtx):
     """Literals section -> (literal bytes, next position)."""
     if pos >= len(block):
@@ -628,10 +692,15 @@ def _execute(literals: bytes, seqs, ctx: _FrameCtx, out: bytearray,
     out += literals[lit_pos:]
 
 
-def zstd_decompress(data: bytes, max_output: int = 1 << 28) -> bytes:
+def zstd_decompress(data: bytes, max_output: int = 1 << 28,
+                    dictionary: bytes | ZstdDict | None = None) -> bytes:
     """RFC 8878 frame(s) -> bytes, verifying the content checksum when
-    present. Skippable frames are skipped; dictionaries raise at the
-    documented plug-in point."""
+    present. Skippable frames are skipped. ``dictionary`` (raw bytes or
+    a parsed :class:`ZstdDict`) seeds every frame's entropy state,
+    offset history, and back-reference prefix per §5; a frame that
+    names a dictionary-ID raises unless a matching one is supplied."""
+    if dictionary is not None and not isinstance(dictionary, ZstdDict):
+        dictionary = zstd_parse_dictionary(bytes(dictionary))
     out_all = bytearray()
     pos = 0
     while pos < len(data):
@@ -666,11 +735,18 @@ def zstd_decompress(data: bytes, max_output: int = 1 << 28) -> bytes:
             window = (1 << (10 + (wd >> 3)))
             window += (window >> 3) * (wd & 7)
         if did_size:
-            if int.from_bytes(data[pos:pos + did_size], "little"):
-                raise NotImplementedError(
-                    "zstd dictionaries not implemented — the dictionary "
-                    "plug-in point"
-                )
+            did = int.from_bytes(data[pos:pos + did_size], "little")
+            if did:
+                if dictionary is None:
+                    raise ValueError(
+                        f"frame references dictionary {did} but no "
+                        f"dictionary was provided"
+                    )
+                if dictionary.dict_id and dictionary.dict_id != did:
+                    raise ValueError(
+                        f"frame references dictionary {did} but the "
+                        f"provided one has ID {dictionary.dict_id}"
+                    )
             pos += did_size
         fcs = None
         if fcs_size:
@@ -685,7 +761,19 @@ def zstd_decompress(data: bytes, max_output: int = 1 << 28) -> bytes:
         block_max = min(window if window else (1 << 17), 1 << 17)
 
         ctx = _FrameCtx()
-        frame_out = bytearray()
+        base = 0
+        if dictionary is not None:
+            # §5: the dictionary seeds every frame it is applied to —
+            # entropy tables for Treeless/Repeat_Mode, offset history,
+            # and its content as the back-reference prefix (emitted
+            # output is sliced off below the base).
+            ctx.huf_table = dictionary.huf_table
+            ctx.seq_tables = dict(dictionary.seq_tables)
+            ctx.rep = list(dictionary.rep)
+            frame_out = bytearray(dictionary.content)
+            base = len(frame_out)
+        else:
+            frame_out = bytearray()
         while True:
             if pos + 3 > len(data):
                 raise ValueError("truncated block header")
@@ -704,7 +792,7 @@ def zstd_decompress(data: bytes, max_output: int = 1 << 28) -> bytes:
             elif btype == 1:  # RLE
                 if pos >= len(data):
                     raise ValueError("missing RLE block byte")
-                if len(frame_out) + bsize > max_output:
+                if len(frame_out) - base + bsize > max_output:
                     raise ValueError("zstd output exceeds max_output bound")
                 frame_out += bytes([data[pos]]) * bsize
                 pos += 1
@@ -717,26 +805,28 @@ def zstd_decompress(data: bytes, max_output: int = 1 << 28) -> bytes:
                 pos += bsize
                 literals, bpos = _decode_literals(block, 0, ctx)
                 seqs, bpos = _decode_sequences(block, bpos, ctx)
-                _execute(literals, seqs, ctx, frame_out, max_output)
-            if len(frame_out) > max_output:
+                _execute(literals, seqs, ctx, frame_out,
+                         max_output + base)
+            if len(frame_out) - base > max_output:
                 raise ValueError("zstd output exceeds max_output bound")
             if last:
                 break
-        if fcs is not None and len(frame_out) != fcs:
+        if fcs is not None and len(frame_out) - base != fcs:
             raise ValueError(
-                f"frame content size mismatch: {len(frame_out)} != {fcs}"
+                f"frame content size mismatch: "
+                f"{len(frame_out) - base} != {fcs}"
             )
         if checksum:
             if pos + 4 > len(data):
                 raise ValueError("truncated content checksum")
             want = int.from_bytes(data[pos:pos + 4], "little")
-            got = xxh64(bytes(frame_out)) & 0xFFFFFFFF
+            got = xxh64(bytes(frame_out[base:])) & 0xFFFFFFFF
             if got != want:
                 raise ValueError(
                     f"content checksum mismatch: {got:#010x} != {want:#010x}"
                 )
             pos += 4
-        out_all += frame_out
+        out_all += frame_out[base:] if base else frame_out
     return bytes(out_all)
 
 
@@ -857,6 +947,40 @@ def _find_sequences(chunk: bytes):
         else:
             i += 1
     lits += chunk[anchor:]
+    return seqs, lits
+
+
+def _find_sequences_ranged(full: bytes, start: int, end: int,
+                           table: dict):
+    """Greedy LZ over ``full[start:end]`` with matches allowed to reach
+    ANY earlier position in ``full`` recorded in ``table`` — the
+    dictionary-prefix (and cross-block) form of :func:`_find_sequences`.
+    ``table`` carries 4-gram -> last position state across calls;
+    emitted offsets are ``i - j`` over ``full`` coordinates, exactly
+    what a decoder with the prefix in its window replays."""
+    seqs = []
+    lits = bytearray()
+    i = start
+    anchor = start
+    while i + 4 <= end:
+        key = full[i:i + 4]
+        j = table.get(key)
+        table[key] = i
+        if j is not None:
+            ml = 4
+            while i + ml < end and full[j + ml] == full[i + ml]:
+                ml += 1
+            ll = i - anchor
+            if ll > 65535:  # LL code ceiling: flush as pure literals
+                i += 1
+                continue
+            lits += full[anchor:i]
+            seqs.append((ll, ml, i - j))
+            i += ml
+            anchor = i
+        else:
+            i += 1
+    lits += full[anchor:]
     return seqs, lits
 
 
@@ -993,6 +1117,13 @@ def _encode_block(chunk: bytes) -> tuple[int, bytes]:
     if len(set(chunk)) == 1 and len(chunk) > 3:
         return 1, chunk[:1]  # RLE block
     seqs, lits = _find_sequences(chunk)
+    return _encode_block_body(chunk, seqs, lits)
+
+
+def _encode_block_body(chunk: bytes, seqs, lits) -> tuple[int, bytes]:
+    """Sequences + literals -> (block_type, content); falls back to a
+    raw block whenever the compressed form does not pay or an offset
+    leaves the predefined OF alphabet."""
     if not seqs:
         return 0, chunk  # raw block
     body = bytearray(_literals_section(bytes(lits)))
@@ -1036,28 +1167,77 @@ def _encode_block(chunk: bytes) -> tuple[int, bytes]:
     return 2, bytes(body)
 
 
-def zstd_compress(data: bytes, checksum: bool = True) -> bytes:
+def zstd_compress(data: bytes, checksum: bool = True,
+                  dictionary: bytes | ZstdDict | None = None) -> bytes:
     """From-spec SUBSET encoder: single-segment frame, explicit frame
     content size, raw/RLE/compressed blocks, raw literals, greedy LZ
     sequences over the PREDEFINED FSE tables (always-valid per RFC
     3.1.1.3.2.1.1), optional xxh64 content checksum. Conformant by
-    construction — tests decode its frames with libzstd when present."""
-    out = bytearray(_MAGIC.to_bytes(4, "little"))
+    construction — tests decode its frames with libzstd when present.
+
+    With ``dictionary``, the dictionary CONTENT is used as a match
+    prefix (§5 back-reference semantics): the greedy parser is seeded
+    with the prefix's 4-grams and emits offsets reaching into it, and
+    the hash table carries across blocks so later blocks match into
+    earlier ones too.  Entropy stays predefined (a frame is never
+    required to use the dictionary's tables), and the header carries
+    no dictionary-ID — raw-content semantics, decodable by
+    :func:`zstd_decompress` and libzstd's ``*_usingDict`` with the
+    same dictionary."""
+    if dictionary is None:
+        out = bytearray(_MAGIC.to_bytes(4, "little"))
+        n = len(data)
+        fcs_flag, fcs_size = (0, 1) if n < 256 else (1, 2) if n < 65792 \
+            else (2, 4)
+        fhd = (fcs_flag << 6) | 0x20 | (0x04 if checksum else 0)
+        out.append(fhd)
+        out += (n - 256 if fcs_size == 2 else n).to_bytes(fcs_size, "little")
+        blocks = [data[i:i + 65536] for i in range(0, n, 65536)] or [b""]
+        for bi, chunk in enumerate(blocks):
+            btype, content = _encode_block(chunk) if chunk else (0, b"")
+            size = len(chunk) if btype == 1 else len(content)
+            bh = (1 if bi == len(blocks) - 1 else 0) | (btype << 1) \
+                | (size << 3)
+            out += bh.to_bytes(3, "little")
+            out += content
+        if checksum:
+            out += (xxh64(data) & 0xFFFFFFFF).to_bytes(4, "little")
+        return bytes(out)
+
+    prefix = (dictionary.content if isinstance(dictionary, ZstdDict)
+              else bytes(dictionary))
+    full = prefix + bytes(data)
+    p0 = len(prefix)
     n = len(data)
+    out = bytearray(_MAGIC.to_bytes(4, "little"))
     fcs_flag, fcs_size = (0, 1) if n < 256 else (1, 2) if n < 65792 \
         else (2, 4)
     fhd = (fcs_flag << 6) | 0x20 | (0x04 if checksum else 0)
     out.append(fhd)
     out += (n - 256 if fcs_size == 2 else n).to_bytes(fcs_size, "little")
-    blocks = [data[i:i + 65536] for i in range(0, n, 65536)] or [b""]
-    for bi, chunk in enumerate(blocks):
-        btype, content = _encode_block(chunk) if chunk else (0, b"")
+    table: dict[bytes, int] = {}
+    for j in range(max(p0 - 3, 0)):  # seed the prefix 4-grams
+        table[full[j:j + 4]] = j
+    bounds = list(range(p0, p0 + n, 65536)) or [p0]
+    for bi, s_off in enumerate(bounds):
+        e_off = min(s_off + 65536, p0 + n)
+        chunk = full[s_off:e_off]
+        if chunk and len(set(chunk)) == 1 and len(chunk) > 3:
+            btype, content = 1, chunk[:1]
+            for j in range(s_off, max(e_off - 3, s_off)):
+                table[full[j:j + 4]] = j
+        elif chunk:
+            seqs, lits = _find_sequences_ranged(full, s_off, e_off, table)
+            btype, content = _encode_block_body(chunk, seqs, lits)
+        else:
+            btype, content = 0, b""
         size = len(chunk) if btype == 1 else len(content)
-        bh = (1 if bi == len(blocks) - 1 else 0) | (btype << 1) | (size << 3)
+        bh = (1 if bi == len(bounds) - 1 else 0) | (btype << 1) \
+            | (size << 3)
         out += bh.to_bytes(3, "little")
         out += content
     if checksum:
-        out += (xxh64(data) & 0xFFFFFFFF).to_bytes(4, "little")
+        out += (xxh64(bytes(data)) & 0xFFFFFFFF).to_bytes(4, "little")
     return bytes(out)
 
 
@@ -1128,6 +1308,104 @@ def zstd_roundtrip_stats(
                 else:
                     blob = zstd_compress(raw)
                 dec = zstd_decompress(blob)
+                ids.append(int(did))
+                lens.append(len(raw))
+                md5s.append(_hashlib.md5(dec).hexdigest())
+                oks.append(dec == raw)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "orig_len": lens,
+                    "dec_md5": md5s,
+                    "ok": oks,
+                }
+            )
+
+    return widen_for_kernel(df.select(id_col, payload_col)).mapInPandas(
+        kernel, schema
+    )
+
+
+def zstd_dict_roundtrip_stats(
+    df,
+    dictionary: bytes,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+):
+    """Per-row DICTIONARY zstd encode -> from-spec dict decode (RFC
+    8878 §5), Arrow-batched. The dictionary is a small shared artifact
+    captured by the kernel closure (the broadcast posture — at 100 TB a
+    trained dictionary is a few KB shipped once per executor, which is
+    exactly why dictionary compression exists for short documents).
+    The encoder is libzstd's ZSTD_compress_usingDict when the library
+    is present (level cycled by id so every frame shape meets the
+    from-spec decoder) and the from-spec prefix encoder otherwise; the
+    decoder is ALWAYS :func:`zstd_decompress` with the dictionary —
+    prefix back-references, dict entropy tables, offset history.
+    Narrow map, no shuffle. Output: (id, orig_len, dec_md5, ok)."""
+    import hashlib as _hashlib
+
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("orig_len", LongType()),
+            StructField("dec_md5", StringType()),
+            StructField("ok", BooleanType()),
+        ]
+    )
+    dict_blob = bytes(dictionary)
+
+    def kernel(batches):
+        import pandas as pd
+
+        parsed = zstd_parse_dictionary(dict_blob)
+        enc = None
+        try:
+            import ctypes
+            import ctypes.util
+
+            _lib = ctypes.CDLL(ctypes.util.find_library("zstd"))
+            _lib.ZSTD_compressBound.restype = ctypes.c_size_t
+            _lib.ZSTD_isError.restype = ctypes.c_uint
+            _lib.ZSTD_createCCtx.restype = ctypes.c_void_p
+            _lib.ZSTD_compress_usingDict.restype = ctypes.c_size_t
+            _lib.ZSTD_compress_usingDict.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
+                ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p,
+                ctypes.c_size_t, ctypes.c_int,
+            ]
+            _cctx = _lib.ZSTD_createCCtx()
+
+            def enc(raw, level):
+                bound = _lib.ZSTD_compressBound(len(raw))
+                buf = ctypes.create_string_buffer(bound)
+                m = _lib.ZSTD_compress_usingDict(
+                    _cctx, buf, bound, raw, len(raw),
+                    dict_blob, len(dict_blob), level,
+                )
+                if _lib.ZSTD_isError(m):
+                    raise ValueError("libzstd dict compress failed")
+                return buf.raw[:m]
+        except Exception:
+            enc = None
+        for pdf in batches:
+            ids, lens, md5s, oks = [], [], [], []
+            for did, text in zip(pdf[id_col], pdf[payload_col]):
+                raw = (text.encode("utf-8") if isinstance(text, str)
+                       else bytes(text))
+                if enc is not None:
+                    blob = enc(raw, [1, 3, 6, 9][int(did) % 4])
+                else:
+                    blob = zstd_compress(raw, dictionary=parsed)
+                dec = zstd_decompress(blob, dictionary=parsed)
                 ids.append(int(did))
                 lens.append(len(raw))
                 md5s.append(_hashlib.md5(dec).hexdigest())

@@ -240,8 +240,8 @@ def test_rejects_and_bomb_guard():
         zstd_decompress(bytes(hdr))
     with pytest.raises(ValueError, match="max_output"):
         zstd_decompress(zstd_compress(b"A" * 200000), max_output=1000)
-    with pytest.raises(NotImplementedError, match="dictionar"):
-        # frame with dictionary id flag set and nonzero id
+    with pytest.raises(ValueError, match="dictionary 7"):
+        # frame naming a dictionary-ID with no dictionary supplied
         frame = ((0xFD2FB528).to_bytes(4, "little")
                  + bytes([0x21, 0x07, 0x00]))  # single-seg, did=1 byte
         zstd_decompress(frame)
@@ -313,3 +313,178 @@ def test_truncated_literals_header_raises_valueerror_not_indexerror():
                     f"size_fmt={size_fmt}: {exc}"
                 )
 
+
+
+# ------------------------------------------------------- dictionaries
+
+_DICT_TEMPLATE = (
+    b"GET /api/v1/resource?id=%d HTTP/1.1\r\nHost: example.com\r\n"
+    b"Accept: application/json\r\n" * 4
+)
+_RAW_DICT = (
+    b"HTTP/1.1\r\nHost: example.com\r\nAccept: application/json\r\n"
+    b"GET /api/v1/resource?id="
+)
+
+
+def _dict_payloads():
+    rng = random.Random(7)
+    return [
+        _DICT_TEMPLATE
+        + bytes(rng.randrange(256) for _ in range(100))
+        + _DICT_TEMPLATE
+        for _ in range(5)
+    ] + [b"", b"x", _RAW_DICT * 3]
+
+
+def test_raw_dict_roundtrip_ours_both_ways():
+    """Raw-content dictionary (§5 back-reference prefix): our encoder
+    with the prefix -> our decoder with the prefix, and the dictionary
+    must actually pay vs the plain frame on template-heavy payloads."""
+    from modeltracking_spark.operators.zstd import zstd_parse_dictionary
+
+    for p in _dict_payloads():
+        blob = zstd_compress(p, dictionary=_RAW_DICT)
+        assert zstd_decompress(blob, dictionary=_RAW_DICT) == p
+        # parsed-form dictionary object works identically
+        d = zstd_parse_dictionary(_RAW_DICT)
+        assert d.dict_id == 0 and d.content == _RAW_DICT
+        assert zstd_decompress(blob, dictionary=d) == p
+    rich = _DICT_TEMPLATE + b"tail"
+    assert len(zstd_compress(rich, dictionary=_RAW_DICT)) < len(
+        zstd_compress(rich)
+    )
+
+
+@needs_lib
+def test_raw_dict_cross_validation_both_directions():
+    """our-dict-frames decoded by libzstd's *_usingDict, and
+    libzstd's raw-dict frames decoded by us."""
+    import ctypes
+
+    _LIB.ZSTD_createCCtx.restype = ctypes.c_void_p
+    _LIB.ZSTD_createDCtx.restype = ctypes.c_void_p
+    _LIB.ZSTD_compress_usingDict.restype = ctypes.c_size_t
+    _LIB.ZSTD_compress_usingDict.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p,
+        ctypes.c_size_t, ctypes.c_int,
+    ]
+    _LIB.ZSTD_decompress_usingDict.restype = ctypes.c_size_t
+    _LIB.ZSTD_decompress_usingDict.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p,
+        ctypes.c_size_t,
+    ]
+    for p in _dict_payloads():
+        ours = zstd_compress(p, dictionary=_RAW_DICT)
+        dctx = _LIB.ZSTD_createDCtx()
+        buf = ctypes.create_string_buffer(max(len(p), 1))
+        n = _LIB.ZSTD_decompress_usingDict(
+            dctx, buf, len(p), ours, len(ours), _RAW_DICT, len(_RAW_DICT)
+        )
+        assert not _LIB.ZSTD_isError(n), "libzstd rejected our dict frame"
+        assert buf.raw[:n] == p
+        cctx = _LIB.ZSTD_createCCtx()
+        bound = _LIB.ZSTD_compressBound(len(p))
+        cbuf = ctypes.create_string_buffer(bound)
+        m = _LIB.ZSTD_compress_usingDict(
+            cctx, cbuf, bound, p, len(p), _RAW_DICT, len(_RAW_DICT), 3
+        )
+        assert not _LIB.ZSTD_isError(m)
+        assert zstd_decompress(cbuf.raw[:m], dictionary=_RAW_DICT) == p
+
+
+@needs_cli
+def test_trained_structured_dict_decode_vs_libzstd(tmp_path):
+    """zstd --train builds a REAL structured dictionary (magic,
+    entropy tables, offset history, content); libzstd encodes with it
+    across levels incl. 19 (which reuses the dict entropy tables via
+    Treeless/Repeat_Mode) and the from-spec decoder must replay every
+    frame. Missing/mismatched dictionaries reject loudly."""
+    import ctypes
+
+    from modeltracking_spark.operators.zstd import zstd_parse_dictionary
+
+    rng = random.Random(13)
+    samples = []
+    for i in range(80):
+        sp = _DICT_TEMPLATE + (b"sample %d " % i) * rng.randrange(3, 30)
+        fn = tmp_path / f"s{i}"
+        fn.write_bytes(sp)
+        samples.append(str(fn))
+    dfile = tmp_path / "dict"
+    subprocess.run(
+        [_ZSTD_CLI, "--train", *samples, "-o", str(dfile),
+         "--maxdict=4096"],
+        check=True, capture_output=True,
+    )
+    dblob = dfile.read_bytes()
+    d = zstd_parse_dictionary(dblob)
+    assert d.dict_id != 0 and d.huf_table is not None and d.content
+
+    _LIB.ZSTD_createCCtx.restype = ctypes.c_void_p
+    _LIB.ZSTD_compress_usingDict.restype = ctypes.c_size_t
+    _LIB.ZSTD_compress_usingDict.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p,
+        ctypes.c_size_t, ctypes.c_int,
+    ]
+
+    def ref_c(raw, level):
+        cctx = _LIB.ZSTD_createCCtx()
+        bound = _LIB.ZSTD_compressBound(len(raw))
+        buf = ctypes.create_string_buffer(bound)
+        n = _LIB.ZSTD_compress_usingDict(
+            cctx, buf, bound, raw, len(raw), dblob, len(dblob), level
+        )
+        assert not _LIB.ZSTD_isError(n)
+        return buf.raw[:n]
+
+    for p in _dict_payloads():
+        for level in (1, 3, 19):
+            blob = ref_c(p, level)
+            assert zstd_decompress(blob, dictionary=dblob) == p
+            assert zstd_decompress(blob, dictionary=d) == p
+
+    blob = ref_c(_dict_payloads()[0], 3)
+    with pytest.raises(ValueError, match="no dictionary was provided"):
+        zstd_decompress(blob)
+    wrong = bytearray(dblob)
+    wrong[4] ^= 0xFF  # different dictionary-ID
+    with pytest.raises(ValueError, match="has ID"):
+        zstd_decompress(blob, dictionary=bytes(wrong))
+
+
+@needs_cli
+def test_dictionary_parser_mutation_fuzz(tmp_path):
+    """Bit-flip / truncation fuzz over a real trained dictionary: the
+    parser must answer ValueError (or parse successfully when the flip
+    lands in content), never IndexError/KeyError/crash."""
+    from modeltracking_spark.operators.zstd import zstd_parse_dictionary
+
+    rng = random.Random(31)
+    samples = []
+    for i in range(60):
+        fn = tmp_path / f"s{i}"
+        fn.write_bytes(_DICT_TEMPLATE + (b"tok%d " % i) * (5 + i % 20))
+        samples.append(str(fn))
+    dfile = tmp_path / "dict"
+    subprocess.run(
+        [_ZSTD_CLI, "--train", *samples, "-o", str(dfile),
+         "--maxdict=2048"],
+        check=True, capture_output=True,
+    )
+    dblob = dfile.read_bytes()
+    for _ in range(200):
+        m = bytearray(dblob)
+        m[rng.randrange(len(m))] ^= 1 << rng.randrange(8)
+        try:
+            zstd_parse_dictionary(bytes(m))
+        except ValueError:
+            pass
+    for cut in range(0, min(len(dblob), 64)):
+        try:
+            zstd_parse_dictionary(dblob[:cut])
+        except ValueError:
+            pass
