@@ -61,8 +61,10 @@ def test_rejects():
         avro_ocf_read(blob[:len(blob) // 2])
     with pytest.raises(NotImplementedError, match="codec"):
         avro_ocf_write(_recs(), _FIELDS, codec="snappy")
-    with pytest.raises(NotImplementedError, match="plug-in"):
-        avro_ocf_write([{"m": {}}], [("m", {"type": "map"})])
+    # the former nested plug-in point is implemented (round 10);
+    # unknown named types still reject loudly
+    with pytest.raises(ValueError, match="unresolved avro named type"):
+        avro_ocf_write([{"x": 1}], [("x", "uuidx")])
 
 
 def test_corruption_fuzz_typed_rejects():
