@@ -20,7 +20,10 @@ multi-block (``--block-size``) and concatenated-stream layouts —
 
 CRC64 is ECMA-182 reflected (the xz default check); VLIs are the
 format's 7-bit little-endian varints.  Malformed streams raise
-descriptive ``ValueError``; non-LZMA2 filters (BCJ/delta) raise
+descriptive ``ValueError``.  Filter chains are supported for Delta
+(0x03) and x86 BCJ (0x04) ahead of LZMA2 — the transforms live in
+:mod:`operators.bcj`, cross-validated byte-for-byte against liblzma —
+while the remaining per-architecture BCJ variants raise
 ``NotImplementedError`` at the documented plug-in point.
 """
 
@@ -223,7 +226,8 @@ def xz_decompress(data: bytes, max_output: int = 1 << 28) -> bytes:
             if bflags & 0x80:
                 unc_size, hp = _read_vli(hdr, hp)
             lzma2_props = None
-            for _ in range(n_filters):
+            pre_filters = []  # (fid, props) applied in reverse post-LZMA2
+            for fi in range(n_filters):
                 fid, hp = _read_vli(hdr, hp)
                 psize, hp = _read_vli(hdr, hp)
                 props = hdr[hp:hp + psize]
@@ -231,11 +235,25 @@ def xz_decompress(data: bytes, max_output: int = 1 << 28) -> bytes:
                 if fid == 0x21:
                     if psize != 1:
                         raise ValueError("bad LZMA2 props size")
+                    if fi != n_filters - 1:
+                        raise ValueError("LZMA2 must be the last filter")
                     lzma2_props = props[0]
+                elif fid == 0x03:  # Delta (spec §5.3.1)
+                    if psize != 1:
+                        raise ValueError("bad delta filter props size")
+                    pre_filters.append((fid, props[0] + 1))
+                elif fid == 0x04:  # x86 BCJ (spec §5.3.2)
+                    if psize == 0:
+                        start = 0
+                    elif psize == 4:
+                        start = int.from_bytes(props, "little")
+                    else:
+                        raise ValueError("bad x86 BCJ props size")
+                    pre_filters.append((fid, start))
                 else:
                     raise NotImplementedError(
                         f"xz filter {fid:#x} not implemented — the "
-                        "BCJ/delta plug-in point"
+                        "BCJ plug-in point (other architectures)"
                     )
             if lzma2_props is None:
                 raise ValueError("xz block has no LZMA2 filter")
@@ -250,6 +268,20 @@ def xz_decompress(data: bytes, max_output: int = 1 << 28) -> bytes:
                 end=None if comp_size is None else body_start + comp_size,
                 max_output=max_output - len(out_all),
             )
+            for fid, fprop in reversed(pre_filters):
+                from modeltracking_spark.operators.bcj import (
+                    delta_decode,
+                    x86_bcj_decode,
+                )
+
+                if fid == 0x03:
+                    block_out = bytearray(
+                        delta_decode(bytes(block_out), fprop)
+                    )
+                else:
+                    block_out = bytearray(
+                        x86_bcj_decode(bytes(block_out), fprop)
+                    )
             if unc_size is not None and len(block_out) != unc_size:
                 raise ValueError("xz block uncompressed size mismatch")
             comp_actual = after - body_start
@@ -390,6 +422,83 @@ def xz_roundtrip_stats(
                     id_col: ids,
                     "orig_len": lens,
                     "check_id": checks,
+                    "dec_md5": md5s,
+                    "ok": oks,
+                }
+            )
+
+    return widen_for_kernel(df.select(id_col, payload_col)).mapInPandas(
+        kernel, schema
+    )
+
+
+def xz_bcj_roundtrip_stats(
+    df,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+):
+    """Per-row stdlib-liblzma ENCODE with a BCJ/Delta FILTER CHAIN
+    (cycled by doc_id: [x86], [delta], [delta, x86] — all ahead of
+    LZMA2) -> from-spec chain decode (operators/bcj.py transforms
+    applied in reverse after LZMA2) -> stats, Arrow-batched. Narrow
+    map, no shuffle. Output: (id, orig_len, chain_id, dec_md5, ok)."""
+    import hashlib as _hashlib
+    import lzma as _lzma
+
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("orig_len", LongType()),
+            StructField("chain_id", LongType()),
+            StructField("dec_md5", StringType()),
+            StructField("ok", BooleanType()),
+        ]
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        chains = [
+            [{"id": _lzma.FILTER_X86}],
+            [{"id": _lzma.FILTER_DELTA, "dist": 3}],
+            [{"id": _lzma.FILTER_DELTA, "dist": 1},
+             {"id": _lzma.FILTER_X86}],
+        ]
+        for pdf in batches:
+            ids, lens, cids, md5s, oks = [], [], [], [], []
+            for did, text in zip(pdf[id_col], pdf[payload_col]):
+                raw = (
+                    text.encode("utf-8") if isinstance(text, str)
+                    else bytes(text)
+                )
+                did = int(did)
+                cid = did % len(chains)
+                enc = _lzma.compress(
+                    raw,
+                    format=_lzma.FORMAT_XZ,
+                    check=[_lzma.CHECK_CRC64, _lzma.CHECK_CRC32][did % 2],
+                    filters=chains[cid]
+                    + [{"id": _lzma.FILTER_LZMA2, "preset": 1}],
+                )
+                dec = xz_decompress(enc)
+                ids.append(did)
+                lens.append(len(raw))
+                cids.append(cid)
+                md5s.append(_hashlib.md5(dec).hexdigest())
+                oks.append(dec == raw)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "orig_len": lens,
+                    "chain_id": cids,
                     "dec_md5": md5s,
                     "ok": oks,
                 }
