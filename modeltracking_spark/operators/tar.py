@@ -33,13 +33,52 @@ def _octal(field: bytes) -> int:
         raise ValueError(f"bad octal field in tar header: {field!r}") from exc
 
 
+def _parse_pax_records(body: bytes) -> dict[str, str]:
+    """pax extended-header body -> {keyword: value} (POSIX.1-2001
+    ``pax`` Interchange Format: repeated ``"%d %s=%s\\n" % (length,
+    keyword, value)`` records where length counts the WHOLE record
+    including its own digits, the space, and the newline)."""
+    recs: dict[str, str] = {}
+    pos = 0
+    while pos < len(body):
+        sp = body.find(b" ", pos)
+        if sp < 0:
+            raise ValueError("pax record missing length delimiter")
+        try:
+            length = int(body[pos:sp])
+        except ValueError:
+            raise ValueError("pax record length is not decimal")
+        if length <= sp - pos + 1 or pos + length > len(body):
+            raise ValueError("pax record length out of range")
+        rec = body[pos:pos + length]
+        if rec[-1:] != b"\n":
+            raise ValueError("pax record missing trailing newline")
+        kv = rec[sp - pos + 1:-1]
+        eq = kv.find(b"=")
+        if eq < 0:
+            raise ValueError("pax record missing '='")
+        recs[kv[:eq].decode("utf-8")] = kv[eq + 1:].decode("utf-8")
+        pos += length
+    return recs
+
+
 def parse_tar(data: bytes) -> list[dict]:
     """All members of an uncompressed tar byte string: dicts with
     name, size, mtime, typeflag, body (regular files only carry
-    bodies), each header checksum verified."""
+    bodies), each header checksum verified.
+
+    pax extended headers (POSIX.1-2001): typeflag ``x`` records
+    override the NEXT member's name/size/mtime (``path``, ``size``,
+    ``mtime`` keywords — ``size`` is how archives carry >8 GiB members
+    past the 11-digit octal field, ``path`` carries UTF-8 and >100-char
+    names); typeflag ``g`` sets global defaults for all subsequent
+    members. GNU long-name records (typeflag ``L``) are still handled;
+    a pax ``path`` wins over both."""
     out = []
     pos = 0
     pending_name = None
+    pax_global: dict[str, str] = {}
+    pax_next: dict[str, str] = {}
     while pos + _BLOCK <= len(data):
         hdr = data[pos:pos + _BLOCK]
         if hdr == b"\x00" * _BLOCK:
@@ -56,6 +95,13 @@ def parse_tar(data: bytes) -> list[dict]:
             raise ValueError("tar header missing ustar magic")
         size = _octal(hdr[124:136])
         typeflag = chr(hdr[156]) if hdr[156] else "0"
+        if typeflag not in ("x", "g", "L"):
+            # a pax 'size' override governs THIS member's body extent
+            pax = {**pax_global, **pax_next}
+            if "size" in pax:
+                size = int(pax["size"])
+                if size < 0:
+                    raise ValueError("negative pax size override")
         body_start = pos + _BLOCK
         body_end = body_start + size
         if body_end > len(data):
@@ -67,22 +113,29 @@ def parse_tar(data: bytes) -> list[dict]:
             )
             continue
         if typeflag in ("x", "g"):
-            raise ValueError(
-                "pax extended headers not supported — the pax plug-in point"
-            )
-        name = pending_name
+            recs = _parse_pax_records(data[body_start:body_end])
+            if typeflag == "x":
+                pax_next.update(recs)
+            else:
+                pax_global.update(recs)
+            continue
+        name = pax.get("path", pending_name)
         pending_name = None
+        pax_next = {}
         if name is None:
             prefix = hdr[345:500].split(b"\x00", 1)[0].decode(
                 "utf-8", "replace"
             )
             base = hdr[0:100].split(b"\x00", 1)[0].decode("utf-8", "replace")
             name = f"{prefix}/{base}" if prefix else base
+        mtime = _octal(hdr[136:148])
+        if "mtime" in pax:
+            mtime = int(float(pax["mtime"]))  # pax mtime may be fractional
         out.append(
             {
                 "name": name,
                 "size": size,
-                "mtime": _octal(hdr[136:148]),
+                "mtime": mtime,
                 "typeflag": typeflag,
                 "body": data[body_start:body_end] if typeflag in ("0",)
                 else b"",
@@ -115,6 +168,56 @@ def build_tar(members: list[tuple[str, bytes, int]]) -> bytes:
         out += body
         pad = (-len(body)) % _BLOCK
         out += b"\x00" * pad
+    out += b"\x00" * (2 * _BLOCK)
+    return bytes(out)
+
+
+def _pax_record(key: str, value: str) -> bytes:
+    """One pax record: the length field counts itself, so iterate
+    until the decimal width stabilizes (the spec's own algorithm)."""
+    kv = f" {key}={value}\n".encode("utf-8")
+    n = len(kv)
+    length = n + len(str(n))
+    length = n + len(str(length))  # width can grow by one digit
+    return str(length).encode() + kv
+
+
+def build_tar_pax(members: list[tuple[str, bytes, int]]) -> bytes:
+    """pax-format tar writer for fixtures: every member gets an ``x``
+    extended header carrying ``path`` (UTF-8, any length), ``size``,
+    and ``mtime`` — the modern-GNU-tar shape — with a short fallback
+    ustar header following it. Parseable by stdlib tarfile and
+    :func:`parse_tar` alike."""
+    out = bytearray()
+
+    def _hdr(name_bytes: bytes, size: int, mtime: int, flag: str) -> bytes:
+        hdr = bytearray(_BLOCK)
+        hdr[0:len(name_bytes)] = name_bytes
+        hdr[100:108] = b"0000644\x00"
+        hdr[108:116] = b"0000000\x00"
+        hdr[116:124] = b"0000000\x00"
+        hdr[124:136] = f"{size:011o}\x00".encode()
+        hdr[136:148] = f"{mtime:011o}\x00".encode()
+        hdr[148:156] = b" " * 8
+        hdr[156] = ord(flag)
+        hdr[257:263] = b"ustar\x00"
+        hdr[263:265] = b"00"
+        chk = sum(hdr)
+        hdr[148:156] = f"{chk:06o}\x00 ".encode()
+        return bytes(hdr)
+
+    for i, (name, body, mtime) in enumerate(members):
+        pax_body = (
+            _pax_record("path", name)
+            + _pax_record("size", str(len(body)))
+            + _pax_record("mtime", f"{mtime}.0")
+        )
+        fallback = f"PaxHeaders.0/{i}".encode("ascii")[:100]
+        out += _hdr(fallback, len(pax_body), mtime, "x")
+        out += pax_body + b"\x00" * ((-len(pax_body)) % _BLOCK)
+        short = name.encode("utf-8")[:100].decode("utf-8", "ignore")
+        out += _hdr(short.encode("utf-8")[:100], len(body), mtime, "0")
+        out += body + b"\x00" * ((-len(body)) % _BLOCK)
     out += b"\x00" * (2 * _BLOCK)
     return bytes(out)
 

@@ -1443,6 +1443,83 @@ def tar_zst_bundle_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tar_pax_bundle_scan_docs",
+    oracle="""
+    SELECT doc_id,
+           3::BIGINT AS n_members,
+           (octet_length(encode(text)) + 9
+            + length(doc_id::VARCHAR))::BIGINT AS total_bytes,
+           md5(text) AS text_md5,
+           TRUE AS names_ok
+    FROM documents
+    """,
+)
+def tar_pax_bundle_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pax-format .tar.zst bundle ingest (round 10, VERDICT r9 item 7
+    — operators/tar.py pax extended headers): each doc becomes a tar
+    bundle whose member names are >100 bytes of UTF-8 (Japanese path
+    segments + padding), forcing every member behind a POSIX.1-2001
+    ``x`` extended header carrying path/size/mtime records — the shape
+    modern GNU tar emits for long and non-ASCII names and for >8 GiB
+    members. The bundle is zstd-compressed by the from-spec encoder,
+    decompressed by the from-spec RFC 8878 decoder, and walked by the
+    from-spec pax-aware tar parser inside ONE Arrow mapInPandas
+    kernel; names_ok attests the pax ``path`` records (the fallback
+    ustar headers hold only truncated names, so a parser that ignored
+    pax would fail the prefix check AND the md5). Cross-validation
+    against stdlib tarfile both directions, global-header semantics,
+    and malformed-record rejects live in tests/test_tar.py. Narrow
+    Arrow map, no shuffle."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from modeltracking_spark.operators.kernel import widen_for_kernel
+    from modeltracking_spark.operators.tar import (
+        build_tar_pax,
+        tar_zst_scan_stats,
+    )
+    from modeltracking_spark.operators.zstd import zstd_compress
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+    ])
+
+    long_seg = "セグメント" + "x" * 96  # >100 UTF-8 bytes per name
+
+    def attach(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                body = text.encode("utf-8")
+                half = len(body) // 2
+                meta = b'{"doc": ' + str(did).encode() + b"}"  # 9+len chars
+                payloads.append(zstd_compress(build_tar_pax([
+                    (f"bundle-{did}/{long_seg}-0.txt", body[:half],
+                     1700000000),
+                    (f"bundle-{did}/{long_seg}-1.txt", body[half:],
+                     1700000001),
+                    (f"bundle-{did}/meta.json", meta, 1700000002),
+                ])))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": payloads,
+            })
+
+    with_payload = widen_for_kernel(d).mapInPandas(attach, schema)
+    return tar_zst_scan_stats(with_payload)
+
+
+@query(
     "xz_roundtrip_docs",
     oracle="""
     WITH p AS (

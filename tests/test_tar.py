@@ -97,13 +97,11 @@ def test_rejects():
     bad[:512] = hdr
     with pytest.raises(ValueError, match="overruns"):
         parse_tar(bytes(bad))
-    # pax headers reject loudly at the plug-in point (a >100-char name
-    # forces stdlib PAX_FORMAT to emit a real 'x' extended header;
-    # short plain names stay ustar-compatible and parse fine)
+    # pax headers are implemented since round 10 (see the pax tests
+    # below); malformed pax record bodies still reject loudly
     blob = _stdlib_tar([("p" * 150 + ".txt", b"x")],
                        fmt=tarfile.PAX_FORMAT)
-    with pytest.raises(ValueError, match="pax"):
-        parse_tar(blob)
+    assert parse_tar(blob)[0]["name"] == "p" * 150 + ".txt"
 
 
 def test_spark_bundle_kernel(spark):
@@ -140,3 +138,70 @@ def test_spark_bundle_kernel(spark):
         assert r["total_bytes"] == len(text) + 2
         assert r["text_md5"] == hashlib.md5(text).hexdigest()
         assert r["names_ok"]
+
+
+def test_pax_extended_headers_cross_validated():
+    """POSIX.1-2001 pax interchange format (round 10, VERDICT r9 item
+    7): UTF-8 paths, >100-char names, size overrides, fractional
+    mtimes — cross-validated against stdlib tarfile BOTH directions."""
+    import io
+
+    from modeltracking_spark.operators.tar import build_tar_pax
+
+    members = [
+        ("short.txt", b"hello", 1700000000),
+        ("dir/" + "n" * 150 + ".txt", b"long name body", 1700000001),
+        ("unicode/日本語.txt", b"utf8 path", 1700000002),
+        ("big.txt", b"x" * 5000, 1700000003),
+    ]
+    # stdlib PAX_FORMAT emits -> we parse (incl. fractional mtime)
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w",
+                      format=tarfile.PAX_FORMAT) as tf:
+        for name, body, mt in members:
+            ti = tarfile.TarInfo(name)
+            ti.size = len(body)
+            ti.mtime = mt + 0.5
+            tf.addfile(ti, io.BytesIO(body))
+    got = parse_tar(buf.getvalue())
+    assert [(g["name"], g["body"], g["mtime"]) for g in got] == members
+    # our pax writer -> stdlib parses AND our parser roundtrips
+    blob = build_tar_pax(members)
+    with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
+        for (name, body, _mt), ti in zip(members, tf.getmembers()):
+            assert ti.name == name and ti.size == len(body)
+            assert tf.extractfile(ti).read() == body
+    got2 = parse_tar(blob)
+    assert [(g["name"], g["body"]) for g in got2] == [
+        (n, b) for n, b, _ in members
+    ]
+    # global 'g' header applies to subsequent members
+    buf3 = io.BytesIO()
+    with tarfile.open(fileobj=buf3, mode="w", format=tarfile.PAX_FORMAT,
+                      pax_headers={"comment": "global test"}) as tf:
+        ti = tarfile.TarInfo("g.txt")
+        ti.size = 2
+        tf.addfile(ti, io.BytesIO(b"gg"))
+    got3 = parse_tar(buf3.getvalue())
+    assert got3[0]["name"] == "g.txt" and got3[0]["body"] == b"gg"
+
+
+def test_pax_malformed_records_reject():
+    from modeltracking_spark.operators.tar import (
+        _parse_pax_records,
+        build_tar_pax,
+    )
+
+    with pytest.raises(ValueError, match="length delimiter"):
+        _parse_pax_records(b"nolengthhere")
+    with pytest.raises(ValueError, match="not decimal"):
+        _parse_pax_records(b"xx path=a\n")
+    with pytest.raises(ValueError, match="out of range"):
+        _parse_pax_records(b"99 path=a\n")
+    with pytest.raises(ValueError, match="trailing newline"):
+        _parse_pax_records(b"10 path=abc")
+    with pytest.raises(ValueError, match="missing '='"):
+        _parse_pax_records(b"9 pathab\n")
+    # record length arithmetic survives the digit-width boundary
+    blob = build_tar_pax([("n" * 95, b"q" * 3, 7)])
+    assert parse_tar(blob)[0]["name"] == "n" * 95
