@@ -2004,6 +2004,316 @@ def twin_cdc(spark, sf_dir, spark_rows) -> tuple[bool, str]:
     return True, f"{len(rows)} docs re-chunked exact by the naive walker"
 
 
+def twin_zstd_dict(spark, sf_dir, spark_rows) -> tuple[bool, str]:
+    """Second INDEPENDENT decoder for the dictionary-zstd query: the
+    spark kernel decodes with the from-spec dictionary-aware decoder;
+    this twin re-encodes with identical ZSTD_compress_usingDict
+    parameters and decodes with ZSTD_decompress_usingDict — libzstd
+    itself — so md5s agree only if both dictionary decoders agree on
+    every frame."""
+    import ctypes
+    import ctypes.util
+    import hashlib
+
+    import duckdb as _duck
+
+    from modeltracking_spark.queries.multimodal_q import _ZSTD_DOC_DICT
+
+    name = ctypes.util.find_library("zstd")
+    if not name:
+        return True, "libzstd absent — no reference to pit (skipped)"
+    lib = ctypes.CDLL(name)
+    lib.ZSTD_compressBound.restype = ctypes.c_size_t
+    lib.ZSTD_isError.restype = ctypes.c_uint
+    lib.ZSTD_createCCtx.restype = ctypes.c_void_p
+    lib.ZSTD_createDCtx.restype = ctypes.c_void_p
+    lib.ZSTD_compress_usingDict.restype = ctypes.c_size_t
+    lib.ZSTD_compress_usingDict.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p,
+        ctypes.c_size_t, ctypes.c_int,
+    ]
+    lib.ZSTD_decompress_usingDict.restype = ctypes.c_size_t
+    lib.ZSTD_decompress_usingDict.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p,
+        ctypes.c_size_t,
+    ]
+    cctx, dctx = lib.ZSTD_createCCtx(), lib.ZSTD_createDCtx()
+    d = _ZSTD_DOC_DICT
+
+    rows = _duck.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    got = {
+        int(r["doc_id"]): (int(r["orig_len"]), r["dec_md5"], bool(r["ok"]))
+        for r in spark_rows
+    }
+    for doc_id, text in rows:
+        raw = text.encode("utf-8")
+        bound = lib.ZSTD_compressBound(len(raw))
+        buf = ctypes.create_string_buffer(bound)
+        n = lib.ZSTD_compress_usingDict(
+            cctx, buf, bound, raw, len(raw), d, len(d),
+            [1, 3, 6, 9][doc_id % 4])
+        if lib.ZSTD_isError(n):
+            return False, f"doc {doc_id}: libzstd dict compress failed"
+        out = ctypes.create_string_buffer(max(len(raw), 1))
+        m = lib.ZSTD_decompress_usingDict(
+            dctx, out, len(raw), buf.raw[:n], n, d, len(d))
+        if lib.ZSTD_isError(m):
+            return False, f"doc {doc_id}: libzstd rejected the dict frame"
+        dec = out.raw[:m]
+        want = (len(raw), hashlib.md5(dec).hexdigest(), dec == raw)
+        if got.get(int(doc_id)) != want:
+            return False, f"doc {doc_id}: got {got.get(int(doc_id))} want {want}"
+    return True, f"{len(rows)} dict frames decoded exact by both decoders"
+
+
+def twin_xz_bcj(spark, sf_dir, spark_rows) -> tuple[bool, str]:
+    """Second INDEPENDENT decoder for the BCJ filter-chain query:
+    stdlib liblzma re-encodes with the same chain and decodes its own
+    stream (its own BCJ implementation) — agreement means the from-spec
+    x86/delta transforms match liblzma's on every payload."""
+    import hashlib
+    import lzma as _lzma
+
+    import duckdb as _duck
+
+    chains = [
+        [{"id": _lzma.FILTER_X86}],
+        [{"id": _lzma.FILTER_DELTA, "dist": 3}],
+        [{"id": _lzma.FILTER_DELTA, "dist": 1}, {"id": _lzma.FILTER_X86}],
+    ]
+    rows = _duck.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    got = {
+        int(r["doc_id"]): (int(r["orig_len"]), int(r["chain_id"]),
+                           r["dec_md5"], bool(r["ok"]))
+        for r in spark_rows
+    }
+    for doc_id, text in rows:
+        payload = (
+            text[:120]
+            + "老" * (doc_id % 5 + 1)
+            + "送" * (doc_id % 3 + 1)
+            + text[:60][::-1]
+        ).encode("utf-8")
+        cid = doc_id % 3
+        enc = _lzma.compress(
+            payload, format=_lzma.FORMAT_XZ,
+            check=[_lzma.CHECK_CRC64, _lzma.CHECK_CRC32][doc_id % 2],
+            filters=chains[cid] + [{"id": _lzma.FILTER_LZMA2, "preset": 1}],
+        )
+        dec = _lzma.decompress(enc)
+        want = (len(payload), cid, hashlib.md5(dec).hexdigest(),
+                dec == payload)
+        if got.get(int(doc_id)) != want:
+            return False, f"doc {doc_id}: got {got.get(int(doc_id))} want {want}"
+    return True, f"{len(rows)} BCJ chains decoded exact by both decoders"
+
+
+def twin_tar_pax(spark, sf_dir, spark_rows) -> tuple[bool, str]:
+    """Independent pax re-walk: rebuild each bundle's members, write
+    them with STDLIB tarfile in PAX_FORMAT, parse with stdlib tarfile,
+    and recompute the stats — a second implementation of BOTH the pax
+    writer and parser (the spark kernel used the repo's own pair)."""
+    import hashlib
+    import io
+    import tarfile
+
+    import duckdb as _duck
+
+    rows = _duck.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    got = {
+        int(r["doc_id"]): (int(r["n_members"]), int(r["total_bytes"]),
+                           r["text_md5"], bool(r["names_ok"]))
+        for r in spark_rows
+    }
+    long_seg = "セグメント" + "x" * 96
+    for doc_id, text in rows:
+        body = text.encode("utf-8")
+        half = len(body) // 2
+        meta = b'{"doc": ' + str(doc_id).encode() + b"}"
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w",
+                          format=tarfile.PAX_FORMAT) as tf:
+            for k, b in ((f"bundle-{doc_id}/{long_seg}-0.txt", body[:half]),
+                         (f"bundle-{doc_id}/{long_seg}-1.txt", body[half:]),
+                         (f"bundle-{doc_id}/meta.json", meta)):
+                ti = tarfile.TarInfo(k)
+                ti.size = len(b)
+                tf.addfile(ti, io.BytesIO(b))
+        with tarfile.open(fileobj=io.BytesIO(buf.getvalue())) as tf:
+            members = tf.getmembers()
+            text_bytes = b"".join(
+                tf.extractfile(m).read() for m in members
+                if m.name.endswith(".txt"))
+            want = (
+                len(members),
+                sum(m.size for m in members),
+                hashlib.md5(text_bytes).hexdigest(),
+                all(m.name.startswith(f"bundle-{doc_id}/")
+                    for m in members),
+            )
+        if got.get(int(doc_id)) != want:
+            return False, f"doc {doc_id}: got {got.get(int(doc_id))} want {want}"
+    return True, f"{len(rows)} pax bundles walked exact by stdlib tarfile"
+
+
+def twin_avro_nested(spark, sf_dir, spark_rows) -> tuple[bool, str]:
+    """Second INDEPENDENT Avro reader for the nested query: a
+    schema-SPECIALIZED byte walker (hard-coded field order, its own
+    varint loop, no generic schema interpretation, no resolution
+    machinery) re-decodes the writer-shape records from a freshly
+    encoded OCF and replays the reader-schema effects by hand."""
+    import hashlib
+    import struct
+    import zlib
+
+    import duckdb as _duck
+
+    from modeltracking_spark.operators.avro_ocf import avro_ocf_write
+
+    def vint(b, p):
+        zz, sh = 0, 0
+        while True:
+            c = b[p]
+            p += 1
+            zz |= (c & 0x7F) << sh
+            sh += 7
+            if not c & 0x80:
+                return (zz >> 1) ^ -(zz & 1), p
+
+    def vstr(b, p):
+        n, p = vint(b, p)
+        return b[p:p + n].decode("utf-8"), p + n
+
+    writer_schema = {
+        "type": "record", "name": "doc",
+        "fields": [
+            {"name": "doc_id", "type": "int"},
+            {"name": "meta", "type": {
+                "type": "record", "name": "meta_t",
+                "fields": [
+                    {"name": "lang", "type": "string"},
+                    {"name": "score", "type": "float"},
+                ]}},
+            {"name": "toks", "type": {"type": "array", "items": "string"}},
+            {"name": "counts", "type": {"type": "map", "values": "int"}},
+            {"name": "kind", "type": {
+                "type": "enum", "name": "kind_t",
+                "symbols": ["WEB", "BOOK", "CODE"]}},
+            {"name": "extra", "type": ["null", "long", "string"]},
+            {"name": "digest", "type": "bytes"},
+        ],
+    }
+    kinds = ["WEB", "BOOK", "CODE"]
+    rows = _duck.sql(
+        f"SELECT doc_id, lang, text "
+        f"FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    got = {
+        int(r["doc_id"]): (
+            r["lang_rt"], int(r["score_x4"]), int(r["n_toks"]),
+            r["toks_joined"], int(r["counts_total"]), r["kind_rt"],
+            r["extra_rt"], r["added_rt"], int(r["meta_quality"]))
+        for r in spark_rows
+    }
+    # rebuild the records exactly as the kernel does, encode with the
+    # repo writer, then WALK THE BYTES with this independent decoder
+    recs = []
+    for doc_id, lang, text in rows:
+        toks = text.split(" ")[:8]
+        counts = {}
+        for t in toks:
+            counts[t] = counts.get(t, 0) + 1
+        extra = (None if doc_id % 3 == 0
+                 else doc_id * 7 if doc_id % 3 == 1 else f"S:{doc_id}")
+        recs.append({
+            "doc_id": doc_id,
+            "meta": {"lang": lang, "score": (doc_id % 100) * 0.25},
+            "toks": toks, "counts": counts, "kind": kinds[doc_id % 3],
+            "extra": extra,
+            "digest": hashlib.md5(text.encode()).digest(),
+        })
+    blob = avro_ocf_write(recs, schema=writer_schema, codec="deflate",
+                          block_records=256)
+    # walk: magic, metadata map, sync, then blocks
+    assert blob[:4] == b"Obj\x01"
+    p = 4
+    npairs, p = vint(blob, p)
+    for _ in range(npairs):
+        _k, p = vstr(blob, p)
+        vl, p = vint(blob, p)
+        p += vl
+    zero, p = vint(blob, p)
+    assert zero == 0
+    sync = blob[p:p + 16]
+    p += 16
+    walked = []
+    while p < len(blob):
+        cnt, p = vint(blob, p)
+        size, p = vint(blob, p)
+        body = zlib.decompress(blob[p:p + size], -15)
+        p += size + 16  # skip trailing sync (compared below)
+        assert blob[p - 16:p] == sync
+        q = 0
+        for _ in range(cnt):
+            did, q = vint(body, q)
+            lang, q = vstr(body, q)
+            score = struct.unpack_from("<f", body, q)[0]
+            q += 4
+            toks = []
+            while True:
+                n, q = vint(body, q)
+                if n == 0:
+                    break
+                if n < 0:
+                    n = -n
+                    _sz, q = vint(body, q)
+                for _ in range(n):
+                    t, q = vstr(body, q)
+                    toks.append(t)
+            total = 0
+            while True:
+                n, q = vint(body, q)
+                if n == 0:
+                    break
+                if n < 0:
+                    n = -n
+                    _sz, q = vint(body, q)
+                for _ in range(n):
+                    _k2, q = vstr(body, q)
+                    v, q = vint(body, q)
+                    total += v
+            ki, q = vint(body, q)
+            branch, q = vint(body, q)
+            if branch == 0:
+                extra = None
+            elif branch == 1:
+                ev, q = vint(body, q)
+                extra = f"L{ev}"
+            else:
+                extra, q = vstr(body, q)
+            dl, q = vint(body, q)
+            q += dl  # the reader-schema drops the digest
+            walked.append((did, lang, score, toks, total, kinds[ki],
+                           extra))
+        assert q == len(body)
+    for did, lang, score, toks, total, kind, extra in walked:
+        want = (lang, int(score * 4), len(toks), " ".join(toks), total,
+                kind, extra, "dflt", -1)
+        if got.get(did) != want:
+            return False, f"doc {did}: got {got.get(did)} want {want}"
+    if len(walked) != len(rows):
+        return False, f"walked {len(walked)} of {len(rows)} records"
+    return True, f"{len(walked)} nested records byte-walked exact"
+
+
 def main(sf_dirs: list[str]) -> int:
     import duckdb
     from pyspark.sql import SparkSession
@@ -2079,6 +2389,14 @@ def main(sf_dirs: list[str]) -> int:
              lambda rows: twin_warc(spark, sf_dir, rows)),
             ("cdc_chunk_dedup_docs",
              lambda rows: twin_cdc(spark, sf_dir, rows)),
+            ("zstd_dict_roundtrip_docs",
+             lambda rows: twin_zstd_dict(spark, sf_dir, rows)),
+            ("xz_bcj_roundtrip_docs",
+             lambda rows: twin_xz_bcj(spark, sf_dir, rows)),
+            ("tar_pax_bundle_scan_docs",
+             lambda rows: twin_tar_pax(spark, sf_dir, rows)),
+            ("avro_nested_scan_docs",
+             lambda rows: twin_avro_nested(spark, sf_dir, rows)),
         ):
             rows = qs[name](spark, sf_dir).collect()
             ok, msg = fn(rows)
