@@ -90,6 +90,7 @@ PRIORITY: tuple[str, ...] = (
     "avro_nested_scan_docs",           # Avro nested + reader-schema
     "xz_bcj_roundtrip_docs",           # xz BCJ x86 filter chain
     "tar_pax_bundle_scan_docs",        # tar pax extended headers
+    "brotli_roundtrip_docs",           # RFC 7932 brotli decode
     # ---- r6-stale cohort, highest-leverage first (stalest tier) ----
     "semdedup_embeddings",             # r9 bench watch item — re-attest
     "exact_dedup_docs",                # exact dedup + survivor rewrite

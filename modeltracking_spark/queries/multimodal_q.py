@@ -1615,6 +1615,50 @@ def xz_bcj_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "brotli_roundtrip_docs",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text))::BIGINT AS orig_len,
+           (CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 5
+                 WHEN 2 THEN 9 ELSE 11 END)::BIGINT AS quality,
+           md5(text) AS dec_md5,
+           TRUE AS ok
+    FROM documents
+    """,
+)
+def brotli_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL from-spec Brotli DECODE (round 10 — operators/brotli_dec.py,
+    RFC 7932: LSB-first bitstream, meta-block grammar, simple+complex
+    canonical prefix codes with repeat/space accounting, block-type
+    switching, LSB6/MSB6/UTF8/Signed literal context modeling,
+    RLE+inverse-MTF context maps, the 704-symbol insert-and-copy code,
+    NPOSTFIX/NDIRECT distances with the 16 short codes over the
+    last-distance ring, and STATIC DICTIONARY references with the
+    spec's 121 word transforms): each doc's text is encoded by
+    libbrotlienc — the reference implementation, quality cycled
+    1/5/9/11 and generic/text mode cycled by doc_id, so streams range
+    from uncompressed blocks to dictionary+transform+context-modeled
+    commands (the testdata vocabulary words ARE dictionary words) —
+    and decoded from spec inside ONE Arrow mapInPandas kernel; the
+    from-spec store-mode encoder is the fallback when the library is
+    absent. Brotli completes the web-corpus codec set (HTTP
+    'Content-Encoding: br', WOFF2). The spec's three DATA appendices
+    (120 KB dictionary, context LUTs, transforms) load at runtime from
+    libbrotlicommon's public API rather than being vendored; the
+    algorithm is library-free. Quality matrix 0-11, window sizes,
+    modes, all 121 transforms vs BrotliTransformDictionaryWord, and
+    context-table formula agreement in tests/test_brotli.py; 800-case
+    corruption fuzz in test_fuzz_codecs.py. Narrow map, no shuffle."""
+    from modeltracking_spark.operators.brotli_dec import (
+        brotli_roundtrip_stats,
+    )
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("payload"))
+    return brotli_roundtrip_stats(d)
+
+
+@query(
     "sobel_edge_stats_docs",
     oracle="""
     WITH dims AS (

@@ -56,6 +56,31 @@ def _zstd_ref_fixture() -> bytes:
     return zstd_compress(payload)
 
 
+def _brotli_ref_fixture() -> bytes:
+    payload = (b"brotli fuzz base: the quick brown fox over HTML text "
+               * 40 + bytes(range(256)))
+    try:
+        import ctypes
+        import ctypes.util
+
+        enc = ctypes.CDLL(
+            ctypes.util.find_library("brotlienc") or "libbrotlienc.so.1")
+        enc.BrotliEncoderCompress.restype = ctypes.c_int
+        enc.BrotliEncoderCompress.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_size_t,
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_size_t),
+            ctypes.c_char_p]
+        bound = len(payload) + (len(payload) >> 1) + 1024
+        buf = ctypes.create_string_buffer(bound)
+        n = ctypes.c_size_t(bound)
+        if enc.BrotliEncoderCompress(11, 22, 0, len(payload), payload,
+                                     ctypes.byref(n), buf):
+            return buf.raw[:n.value]
+    except Exception:
+        pass
+    return b""  # library absent: empty stream still fuzzes the header
+
+
 def _fixtures():
     npr = np.random.RandomState(0)
     img = npr.randint(0, 256, (17, 13)).astype(np.uint8)
@@ -208,6 +233,14 @@ def _fixtures():
             lambda b: __import__(
                 "modeltracking_spark.operators.lzma_alone", fromlist=["x"]
             ).lzma_alone_decompress(b, max_output=1 << 16),
+        ),
+        "brotli": (
+            _brotli_ref_fixture(),
+            # no integrity check in the format: corrupt streams may
+            # decode junk — the guard keeps junk finite
+            lambda b: __import__(
+                "modeltracking_spark.operators.brotli_dec", fromlist=["x"]
+            ).brotli_decompress(b, max_output=1 << 16),
         ),
     }
 

@@ -2314,6 +2314,61 @@ def twin_avro_nested(spark, sf_dir, spark_rows) -> tuple[bool, str]:
     return True, f"{len(walked)} nested records byte-walked exact"
 
 
+def twin_brotli(spark, sf_dir, spark_rows) -> tuple[bool, str]:
+    """Second INDEPENDENT decoder for the brotli query: libbrotlidec
+    (the reference implementation) decodes the same streams the
+    from-spec decoder consumed — re-encoded with identical
+    libbrotlienc parameters."""
+    import ctypes
+    import ctypes.util
+    import hashlib
+
+    import duckdb as _duck
+
+    try:
+        enc = ctypes.CDLL(
+            ctypes.util.find_library("brotlienc") or "libbrotlienc.so.1")
+        dec = ctypes.CDLL(
+            ctypes.util.find_library("brotlidec") or "libbrotlidec.so.1")
+    except OSError:
+        return True, "libbrotli absent — no reference to pit (skipped)"
+    enc.BrotliEncoderCompress.restype = ctypes.c_int
+    enc.BrotliEncoderCompress.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_size_t,
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_size_t), ctypes.c_char_p]
+    dec.BrotliDecoderDecompress.restype = ctypes.c_int
+
+    rows = _duck.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    got = {
+        int(r["doc_id"]): (int(r["orig_len"]), int(r["quality"]),
+                           r["dec_md5"], bool(r["ok"]))
+        for r in spark_rows
+    }
+    for doc_id, text in rows:
+        raw = text.encode("utf-8")
+        q = [1, 5, 9, 11][doc_id % 4]
+        bound = len(raw) + (len(raw) >> 1) + 1024
+        buf = ctypes.create_string_buffer(bound)
+        n = ctypes.c_size_t(bound)
+        if not enc.BrotliEncoderCompress(q, 22, (doc_id >> 2) % 2,
+                                         len(raw), raw,
+                                         ctypes.byref(n), buf):
+            return False, f"doc {doc_id}: libbrotlienc failed"
+        out = ctypes.create_string_buffer(max(len(raw), 1))
+        m = ctypes.c_size_t(len(raw))
+        r = dec.BrotliDecoderDecompress(n.value, buf.raw[:n.value],
+                                        ctypes.byref(m), out)
+        if r != 1:
+            return False, f"doc {doc_id}: libbrotlidec rejected the stream"
+        dd = out.raw[:m.value]
+        want = (len(raw), q, hashlib.md5(dd).hexdigest(), dd == raw)
+        if got.get(int(doc_id)) != want:
+            return False, f"doc {doc_id}: got {got.get(int(doc_id))} want {want}"
+    return True, f"{len(rows)} brotli streams decoded exact by both decoders"
+
+
 def main(sf_dirs: list[str]) -> int:
     import duckdb
     from pyspark.sql import SparkSession
@@ -2397,6 +2452,8 @@ def main(sf_dirs: list[str]) -> int:
              lambda rows: twin_tar_pax(spark, sf_dir, rows)),
             ("avro_nested_scan_docs",
              lambda rows: twin_avro_nested(spark, sf_dir, rows)),
+            ("brotli_roundtrip_docs",
+             lambda rows: twin_brotli(spark, sf_dir, rows)),
         ):
             rows = qs[name](spark, sf_dir).collect()
             ok, msg = fn(rows)
