@@ -128,6 +128,14 @@ HEADLINE = [
     "audio_activity_stats_docs",
     "cbor_roundtrip_docs",
     "idn_host_normalize_docs",
+    # round-10 operators: zstd dictionaries (RFC 8878 §5), Avro nested
+    # + reader-schema resolution, xz BCJ x86/delta filter chains, tar
+    # pax extended headers, and the from-spec RFC 7932 brotli decoder
+    "zstd_dict_roundtrip_docs",
+    "avro_nested_scan_docs",
+    "xz_bcj_roundtrip_docs",
+    "tar_pax_bundle_scan_docs",
+    "brotli_roundtrip_docs",
 ]
 
 # Regression anchor: BENCH_r03.json per-query seconds at sf0.1 on local[32]
