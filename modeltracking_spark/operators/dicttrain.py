@@ -1,0 +1,193 @@
+"""Distributed content-dictionary training for zstd (RFC 8878 §5).
+
+Dictionary compression is how real pipelines store billions of SHORT
+documents (parquet page dicts, Common Crawl dedup shards, feature
+stores): a few-KB dictionary trained once on a corpus sample turns
+per-record compression from useless to strong.  libzstd ships COVER /
+fastcover trainers that run single-node over an in-memory sample; at
+100 TB the sampling and the substring statistics are the expensive
+part, and they are exactly what a cluster is good at.  This module
+implements the statistics side as a Spark-first pipeline:
+
+1. **Deterministic hash sample** of the corpus (no RNG, reproducible
+   across runs and cluster sizes) — the scale knob: the trainer's
+   shuffle only ever sees the sample.
+2. **k-gram mining**: every document contributes its length-``gram``
+   substrings at stride ``stride`` via pure column expressions
+   (``sequence`` + ``transform`` + ``explode`` — JVM-side, no Python).
+3. **Map-side-combinable count aggregation** (one hash shuffle over
+   the sample's grams), scored by ``count * gram`` (bytes a
+   back-reference to that gram would save).
+4. **Bounded top-k collect** (k rows — the sanctioned collect shape)
+   and deterministic assembly: ties broken lexicographically, grams
+   concatenated with the HIGHEST-scoring content at the END of the
+   dictionary, nearest to the window, where short zstd offsets are
+   cheapest (the convention libzstd's trainers follow).
+
+The output is a raw-content dictionary (any blob is a valid §5
+raw-content dictionary); pair it with ``zstd_compress(dictionary=...)``
+/ ``zstd_decompress(dictionary=...)`` or libzstd's ``*_usingDict``.
+Tests pin determinism, the scale plan shape (single shuffle, no
+cartesian), and that the trained dictionary actually BEATS both no
+dictionary and a naive head-sample dictionary on total compressed
+size over held-out documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def gram_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    gram: int = 12,
+    stride: int = 4,
+    sample_mod: int = 1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """k-gram frequency statistics over a deterministic hash sample.
+
+    Returns (gram string, count, score) — ``score = count * gram`` —
+    computed entirely with JVM column expressions: one explode, one
+    map-side-combinable groupBy. ``sample_mod = m`` keeps docs with
+    ``crc32(doc_id) % m == 0`` (m=1 keeps all)."""
+    d = docs
+    if sample_mod > 1:
+        d = d.where(
+            F.crc32(F.col(id_col).cast("string")) % sample_mod == 0
+        )
+    grams = d.select(
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(
+                        F.length(text_col) - F.lit(gram - 1), F.lit(0)
+                    ),
+                    F.lit(stride),
+                ),
+                lambda i: F.substring(F.col(text_col), i, gram),
+            )
+        ).alias("g")
+    ).where(F.length("g") == gram)
+    return grams.groupBy("g").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).select(
+        "g", "cnt", (F.col("cnt") * gram).alias("score")
+    )
+
+
+def train_content_dictionary(
+    docs: DataFrame,
+    text_col: str = "text",
+    gram: int = 8,
+    stride: int = 1,
+    segment: int = 64,
+    max_bytes: int = 4096,
+    sample_mod: int = 1,
+    id_col: str = "doc_id",
+    candidates: int = 512,
+) -> bytes:
+    """Corpus sample -> raw-content zstd dictionary bytes, COVER-style.
+
+    Real trainers (libzstd's COVER/fastcover, Cwalina & Collet) pick
+    CONTIGUOUS text segments that jointly cover the most frequent
+    k-grams — isolated high-frequency grams glued together lose the
+    phrase structure back-references need.  Distributed shape:
+
+    1. gram frequencies over the hash sample (one shuffle, map-side
+       combinable);
+    2. candidate segments (length ``segment``, stride ``segment/2``)
+       exploded from the sample, each segment exploded to its grams
+       and hash-joined to the frequencies — segment score = sum of its
+       gram counts (a second bounded shuffle, all over the sample);
+    3. top ``candidates`` segments collected (bounded), then a greedy
+       COVER sweep on the driver: walk candidates by score, skip a
+       segment when most of its grams are already covered by chosen
+       ones, stop at ``max_bytes``.
+
+    Deterministic: every ordering ties-breaks lexicographically. The
+    highest-scoring segment lands at the END of the dictionary
+    (closest to the window = shortest offsets)."""
+    d = docs
+    if sample_mod > 1:
+        d = d.where(
+            F.crc32(F.col(id_col).cast("string")) % sample_mod == 0
+        )
+    stats = gram_stats(d, text_col, gram, stride, 1, id_col)
+    segs = d.select(
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(
+                        F.length(text_col) - F.lit(segment - 1), F.lit(1)
+                    ),
+                    F.lit(max(segment // 2, 1)),
+                ),
+                lambda i: F.substring(F.col(text_col), i, segment),
+            )
+        ).alias("seg")
+    ).where(F.length("seg") >= gram).distinct()
+    seg_grams = segs.select(
+        "seg",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.length("seg") - F.lit(gram - 1),
+                    F.lit(1),
+                ),
+                lambda i: F.substring(F.col("seg"), i, gram),
+            )
+        ).alias("g"),
+    )
+    scored = (
+        seg_grams.join(stats, "g")
+        .groupBy("seg")
+        .agg(
+            F.sum("cnt").alias("score"),
+            F.collect_list(F.struct("g", "cnt")).alias("grams"),
+        )
+        .orderBy(F.desc("score"), F.asc("seg"))
+        .limit(candidates)
+    )
+    top = scored.collect()  # bounded: `candidates` rows
+
+    # greedy COVER sweep over the bounded candidate set: every pass
+    # picks the candidate with the best score over grams NOT yet
+    # covered by chosen content (the actual COVER objective), so later
+    # picks add new material instead of restating the first pick.
+    cand = [
+        (
+            r["seg"],
+            {g["g"]: g["cnt"] for g in r["grams"]},
+        )
+        for r in top
+    ]
+    covered: set[str] = set()
+    chosen: list[str] = []
+    used = 0
+    while cand and used < max_bytes:
+        best_i = -1
+        best_key = None
+        for i, (seg_text, gcnt) in enumerate(cand):
+            fresh = sum(c for g, c in gcnt.items() if g not in covered)
+            key = (fresh, seg_text)
+            if best_key is None or key > best_key:
+                best_key = key
+                best_i = i
+        fresh_score, _ = best_key
+        if fresh_score <= 0:
+            break
+        seg_text, gcnt = cand.pop(best_i)
+        blob = seg_text.encode("utf-8")
+        if used + len(blob) > max_bytes:
+            break
+        chosen.append(seg_text)
+        used += len(blob)
+        covered.update(gcnt)
+    # best content at the tail (shortest offsets from the window)
+    return "".join(reversed(chosen)).encode("utf-8")

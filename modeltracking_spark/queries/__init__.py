@@ -91,6 +91,7 @@ PRIORITY: tuple[str, ...] = (
     "xz_bcj_roundtrip_docs",           # xz BCJ x86 filter chain
     "tar_pax_bundle_scan_docs",        # tar pax extended headers
     "brotli_roundtrip_docs",           # RFC 7932 brotli decode
+    "zstd_trained_dict_docs",          # COVER-style dict training loop
     # ---- r6-stale cohort, highest-leverage first (stalest tier) ----
     "semdedup_embeddings",             # r9 bench watch item — re-attest
     "exact_dedup_docs",                # exact dedup + survivor rewrite

@@ -1615,6 +1615,48 @@ def xz_bcj_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "zstd_trained_dict_docs",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text))::BIGINT AS orig_len,
+           md5(text) AS dec_md5,
+           TRUE AS ok
+    FROM documents
+    """,
+)
+def zstd_trained_dict_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED dictionary TRAINING -> dictionary compression, the
+    full corpus loop (round 10, operators/dicttrain.py): a COVER-style
+    trainer mines k-gram frequencies over a deterministic hash sample
+    of the corpus (one map-side-combinable shuffle), scores contiguous
+    candidate segments by the gram mass they cover (a second bounded
+    shuffle), collects only the top candidates, and greedily picks
+    segments by their score over still-uncovered grams — the actual
+    COVER objective, so later picks add new material. The trained
+    raw-content dictionary (a §5 artifact, broadcast-sized) then
+    drives the same encode/decode kernel as zstd_dict_roundtrip_docs
+    over EVERY doc. This is the 100 TB story end to end: train once on
+    a sample with cluster-side statistics, compress billions of short
+    records with the shared artifact. Training determinism across
+    partitionings, the beats-none AND beats-naive-head-sample
+    compression claims (libzstd-measured on held-out docs), and the
+    single-exchange plan shape are pinned in tests/test_dicttrain.py.
+    The oracle replays the lossless roundtrip from the documents
+    table."""
+    from modeltracking_spark.operators.dicttrain import (
+        train_content_dictionary,
+    )
+    from modeltracking_spark.operators.zstd import zstd_dict_roundtrip_stats
+
+    docs = T(spark, sf_dir, "documents")
+    trained = train_content_dictionary(
+        docs, sample_mod=4, max_bytes=2048, candidates=256
+    )
+    d = docs.select("doc_id", F.col("text").alias("payload"))
+    return zstd_dict_roundtrip_stats(d, trained)
+
+
+@query(
     "brotli_roundtrip_docs",
     oracle="""
     SELECT doc_id,

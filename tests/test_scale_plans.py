@@ -586,6 +586,7 @@ def test_no_unbounded_driver_collect_sites():
         "plotting.py": "sanctioned figure feeders (top-25 profile rows)",
         "queries/stream_q.py": "foreachBatch per-type state (|types| rows)",
         "queries/sim_q.py": "k centroids / 8-vector demo probe",
+        "operators/dicttrain.py": "top-`candidates` segment rows (bounded)",
     }
     offenders = []
     for path in sorted(pkg.rglob("*.py")):
