@@ -752,8 +752,8 @@ def brotli_roundtrip_stats(
     REFERENCE implementation; quality cycled 1/5/9/11 and mode cycled
     generic/text by id so stream shapes vary from uncompressed blocks
     to dictionary+transform+context-modeled commands) and the from-spec
-    store-mode encoder otherwise. Lossless, so output md5 is encoder-
-    independent. Narrow map, no shuffle. Output: (id, orig_len,
+    literal-entropy encoder otherwise. Lossless, so output md5 is
+    encoder-independent. Narrow map, no shuffle. Output: (id, orig_len,
     quality, dec_md5, ok)."""
     import hashlib as _hashlib
 
@@ -816,8 +816,7 @@ def brotli_roundtrip_stats(
                 if enc is not None:
                     blob = enc(raw, q, (did >> 2) % 2)
                 else:
-                    blob = brotli_store(raw)
-                    q = 0
+                    blob = brotli_compress(raw)
                 dec = brotli_decompress(blob)
                 ids.append(did)
                 lens.append(len(raw))
@@ -837,3 +836,226 @@ def brotli_roundtrip_stats(
     return widen_for_kernel(df.select(id_col, payload_col)).mapInPandas(
         kernel, schema
     )
+
+
+# ------------------------------------------------------- subset encoder
+
+class _BitWriter:
+    """LSB-first bit writer (prefix-code words are emitted MSB-of-code
+    first, matching the decoder's bit-by-bit canonical walk)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, v: int, n: int):
+        self.acc |= (v & ((1 << n) - 1)) << self.nbits
+        self.nbits += n
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def put_code(self, code: int, length: int):
+        for i in range(length - 1, -1, -1):
+            self.put((code >> i) & 1, 1)
+
+    def align(self):
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+            self.acc = 0
+            self.nbits = 0
+
+    def bytes_(self) -> bytes:
+        self.align()
+        return bytes(self.out)
+
+
+def _canonical_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), canonical per the decoder's rule."""
+    codes = {}
+    code = 0
+    for l in range(1, 16):
+        for s in sorted(k for k, v in lengths.items() if v == l):
+            codes[s] = (code, l)
+            code += 1
+        code <<= 1
+    return codes
+
+
+def _limited_huffman(freq: dict[int, int], max_len: int = 15) -> dict:
+    """Length-limited Huffman code lengths. Plain Huffman over >= 2
+    symbols is always Kraft-complete (the decoder's 32768-space
+    accounting requires completeness); depth overflow is resolved by
+    the classic frequency-flattening iteration (halve and rebuild),
+    which terminates at the balanced code."""
+    import heapq
+
+    work = {s: f for s, f in freq.items() if f}
+    if len(work) < 2:
+        raise ValueError("need >= 2 symbols for a huffman code")
+    while True:
+        heap = [(f, i, (s,)) for i, (s, f) in enumerate(sorted(work.items()))]
+        heapq.heapify(heap)
+        tick = len(heap)
+        depth = {s: 0 for s in work}
+        while len(heap) > 1:
+            f1, _, g1 = heapq.heappop(heap)
+            f2, _, g2 = heapq.heappop(heap)
+            for s in g1 + g2:
+                depth[s] += 1
+            heapq.heappush(heap, (f1 + f2, tick, g1 + g2))
+            tick += 1
+        if max(depth.values()) <= max_len:
+            return depth
+        work = {s: (f + 1) // 2 for s, f in work.items()}
+
+
+_CLC_EMIT = {0: (0, 2), 1: (14, 4), 2: (6, 3), 3: (1, 2),
+             4: (2, 2), 5: (15, 4)}
+
+
+def _write_complex_prefix_code(bw: _BitWriter, lengths: dict[int, int],
+                               alphabet_size: int):
+    """Emit a complex-form prefix-code header, mirroring the reader's
+    two space-accounting loops exactly (the code-length-code entries
+    stop when THEIR space closes; trailing zero symbol lengths are
+    implicit because the symbol space closes at the last code word)."""
+    seq = [lengths.get(i, 0) for i in range(alphabet_size)]
+    while seq and seq[-1] == 0:
+        seq.pop()
+    clc_freq: dict[int, int] = {}
+    for v in seq:
+        clc_freq[v] = clc_freq.get(v, 0) + 1
+    if len(clc_freq) == 1:
+        # degenerate: ONE distinct symbol length (e.g. a flat code).
+        # The clc gets a single length-1 entry; the reader builds a
+        # 0-bit code and consumes nothing per symbol length.
+        only = next(iter(clc_freq))
+        clc_lengths = {only: 1}
+        clc_codes = {}
+    else:
+        clc_lengths = _limited_huffman(clc_freq, max_len=5)
+        clc_codes = _canonical_codes(clc_lengths)
+    bw.put(0, 2)  # HSKIP = 0
+    space = 32
+    for sym in _CLC_ORDER:
+        l = clc_lengths.get(sym, 0)
+        code, n = _CLC_EMIT[l]
+        bw.put_code(code, n)
+        if l:
+            space -= 32 >> l
+            if space <= 0:
+                break  # the reader stops here too
+    if clc_codes:  # non-degenerate: emit every length up to the close
+        for v in seq:
+            code, n = clc_codes[v]
+            bw.put_code(code, n)
+    # degenerate clc: 0 bits per symbol length — nothing to emit
+
+
+def brotli_compress(data: bytes) -> bytes:
+    """From-spec SUBSET brotli encoder: literal-entropy meta-blocks
+    (one insert-only command per meta-block, canonical Huffman literal
+    code in the complex header form, simple codes for the degenerate
+    cases), RFC-conformant by construction — libbrotlidec accepts its
+    streams (tests). Compresses text ~30-45%; no LZ matching."""
+    bw = _BitWriter()
+    bw.put(0, 1)  # WBITS = 16
+    n = len(data)
+    pos = 0
+    if n == 0:
+        bw.put(1, 1)  # ISLAST
+        bw.put(1, 1)  # ISLASTEMPTY
+        return bw.bytes_()
+    while pos < n:
+        chunk = data[pos:pos + (1 << 22)]
+        pos += len(chunk)
+        mlen = len(chunk)
+        bw.put(0, 1)  # ISLAST = 0 (an empty last block terminates)
+        nib = max(((mlen - 1).bit_length() + 3) // 4, 4)
+        if nib > 6:
+            raise ValueError("brotli meta-block too large")
+        bw.put(nib - 4, 2)
+        bw.put(mlen - 1, 4 * nib)
+        freq: dict[int, int] = {}
+        for b in chunk:
+            freq[b] = freq.get(b, 0) + 1
+        distinct = sorted(freq)
+        if len(distinct) > 4:
+            lit_lengths = _limited_huffman(freq)
+            lit_bits = sum(freq[s] * l for s, l in lit_lengths.items())
+            if lit_bits // 8 + 320 >= mlen:  # entropy does not pay
+                _store_block(bw, chunk)
+                continue
+        bw.put(0, 1)  # ISUNCOMPRESSED = 0
+        bw.put(0, 1)  # NBLTYPESL = 1
+        bw.put(0, 1)  # NBLTYPESI = 1
+        bw.put(0, 1)  # NBLTYPESD = 1
+        bw.put(0, 2)  # NPOSTFIX = 0
+        bw.put(0, 4)  # NDIRECT = 0
+        bw.put(0, 2)  # context mode LSB6 for the single L block type
+        bw.put(0, 1)  # NTREESL = 1
+        bw.put(0, 1)  # NTREESD = 1
+        # literal code
+        if len(distinct) == 1:
+            bw.put(1, 2)   # simple form
+            bw.put(0, 2)   # NSYM = 1
+            bw.put(distinct[0], 8)
+            lit_codes = {distinct[0]: (0, 0)}
+        elif len(distinct) <= 4:
+            bw.put(1, 2)
+            bw.put(len(distinct) - 1, 2)
+            for s in distinct:
+                bw.put(s, 8)
+            if len(distinct) == 2:
+                lens = {distinct[0]: 1, distinct[1]: 1}
+            elif len(distinct) == 3:
+                lens = {distinct[0]: 1, distinct[1]: 2, distinct[2]: 2}
+            else:
+                bw.put(0, 1)  # flat 2,2,2,2
+                lens = {s: 2 for s in distinct}
+            lit_codes = _canonical_codes(lens)
+        else:
+            _write_complex_prefix_code(bw, lit_lengths, 256)
+            lit_codes = _canonical_codes(lit_lengths)
+        # insert-and-copy code: ONE symbol (simple form, 0-bit code)
+        ins_code = 0
+        for c in range(23, -1, -1):
+            if mlen >= _INS_BASE[c]:
+                ins_code = c
+                break
+        if mlen - _INS_BASE[ins_code] >= (1 << _INS_EXTRA[ins_code]):
+            raise ValueError("insert length out of code range")
+        hi, lo = ins_code & ~7, ins_code & 7
+        range_idx = {0: 0, 8: 2, 16: 5}[hi]
+        cmd = ((range_idx + 2) << 6 if range_idx >= 2 else range_idx << 6)
+        cmd |= (lo << 3) | 0  # copy_low 0 -> copy code lut+0, 0 extra
+        bw.put(1, 2)   # simple form
+        bw.put(0, 2)   # NSYM = 1
+        bw.put(cmd, 10)
+        # distance code: one unused symbol (alphabet 16+0+48 = 64)
+        bw.put(1, 2)
+        bw.put(0, 2)
+        bw.put(0, 6)
+        # body: the single command
+        bw.put(mlen - _INS_BASE[ins_code], _INS_EXTRA[ins_code])
+        # copy extra bits: copy code = _CP_RANGE_LUT[range_idx] + 0
+        cp_code = _CP_RANGE_LUT[range_idx if range_idx >= 2 else range_idx]
+        bw.put(0, _CP_EXTRA[cp_code])
+        for b in chunk:
+            code, l = lit_codes[b]
+            bw.put_code(code, l)
+        # command's copy part is ignored: meta-block length reached
+    bw.put(1, 1)  # ISLAST
+    bw.put(1, 1)  # ISLASTEMPTY
+    return bw.bytes_()
+
+
+def _store_block(bw: _BitWriter, chunk: bytes):
+    """ISUNCOMPRESSED arm for incompressible chunks (header bits for
+    this meta-block were already written up to MLEN)."""
+    bw.put(1, 1)  # ISUNCOMPRESSED
+    bw.align()
+    bw.out += chunk

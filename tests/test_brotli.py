@@ -175,3 +175,50 @@ def test_metadata_and_empty_stream_shapes():
     raw = bytes(rng.randrange(256) for _ in range(70000))
     assert brotli_decompress(_ref_compress(raw, quality=0),
                              max_output=1 << 20) == raw
+
+
+def test_subset_encoder_accepted_by_reference_and_self():
+    """The from-spec literal-entropy encoder's streams decode exactly
+    by BOTH the from-spec decoder and libbrotlidec across degenerate
+    (1/2/3/4-symbol simple codes), entropy (complex header), store
+    (incompressible), flat-code (degenerate code-length code), and
+    multi-meta-block shapes."""
+    import random
+
+    from modeltracking_spark.operators.brotli_dec import (
+        brotli_compress,
+        brotli_store,
+    )
+
+    try:
+        libdec = ctypes.CDLL(
+            ctypes.util.find_library("brotlidec") or "libbrotlidec.so.1")
+        libdec.BrotliDecoderDecompress.restype = ctypes.c_int
+    except OSError:
+        libdec = None
+
+    def ref_dec(blob, cap):
+        buf = ctypes.create_string_buffer(max(cap, 1))
+        n = ctypes.c_size_t(cap)
+        assert libdec.BrotliDecoderDecompress(
+            len(blob), blob, ctypes.byref(n), buf) == 1
+        return buf.raw[:n.value]
+
+    rng = random.Random(3)
+    cases = [
+        b"", b"x", b"a" * 500, b"ab" * 300, b"abc" * 100 + b"d",
+        bytes(rng.choice(b"wxyz") for _ in range(999)),
+        b"The quick brown fox jumps over the lazy dog. " * 120,
+        bytes(rng.randrange(256) for _ in range(6000)),   # store arm
+        b"e" * 5000 + bytes(rng.randrange(256) for _ in range(50)),
+        bytes(range(256)) * 32,                           # flat code
+        b"structured log line level=INFO msg=hello \n" * 40000,
+    ]
+    for raw in cases:
+        for encode in (brotli_compress, brotli_store):
+            blob = encode(raw)
+            assert brotli_decompress(blob, max_output=1 << 24) == raw
+            if libdec is not None:
+                assert ref_dec(blob, len(raw) + 16) == raw
+    text = b"The quick brown fox jumps over the lazy dog. " * 120
+    assert len(brotli_compress(text)) < len(text) * 2 // 3  # entropy pays
