@@ -92,6 +92,7 @@ PRIORITY: tuple[str, ...] = (
     "tar_pax_bundle_scan_docs",        # tar pax extended headers
     "brotli_roundtrip_docs",           # RFC 7932 brotli decode
     "zstd_trained_dict_docs",          # COVER-style dict training loop
+    "zstd_seekable_scan_docs",         # seekable zstd: frame-parallel scan
     # ---- r6-stale cohort, highest-leverage first (stalest tier) ----
     "semdedup_embeddings",             # r9 bench watch item — re-attest
     "exact_dedup_docs",                # exact dedup + survivor rewrite

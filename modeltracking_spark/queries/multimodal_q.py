@@ -1615,6 +1615,109 @@ def xz_bcj_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "zstd_seekable_scan_docs",
+    oracle="""
+    SELECT doc_id,
+           length(text)::BIGINT AS n_chars,
+           md5(text) AS text_md5,
+           (doc_id % 4)::BIGINT AS shard,
+           ((row_number() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id)
+             - 1) // 25)::BIGINT AS frame_idx
+    FROM documents
+    """,
+)
+def zstd_seekable_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEEKABLE-zstd corpus scan — parallel decode INSIDE one
+    compressed file (round 10, operators/zstd_seekable.py +
+    sources/zstd_seekable_source.py, the publicly specified zstd
+    seekable format): docs are written as four .zst archives whose
+    payload is framed 25 records at a time with a skippable-frame seek
+    table (compressed/decompressed sizes + XXH64-low32 checksums),
+    then read back with ``spark.read.format("zstd_seekable")`` — ONE
+    InputPartition PER FRAME, so a single 100 TB archive scans on as
+    many cores as it has frames, which a plain .zst never can. The
+    fixture build is partition-parallel (shard colocated, frames
+    record-aligned, no driver collect). frame_idx in the output is
+    recomputed by the oracle from rank arithmetic, attesting the
+    record-aligned frame layout end to end; because the seek table
+    lives in a skippable frame the archives are ALSO plain zstd
+    streams — the stock zstd CLI decodes them whole, which is how
+    tests/test_zstd_seekable.py cross-validates the writer against the
+    reference implementation."""
+    import hashlib
+    import inspect
+    import os
+    import shutil
+
+    from pyspark.errors import PySparkException
+
+    from modeltracking_spark.queries.common import ensure_pkg_on_workers
+    from modeltracking_spark.sources.zstd_seekable_source import (
+        ZstdSeekableDataSource,
+    )
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = hashlib.md5(
+        (sf_dir + ":" + inspect.getsource(zstd_seekable_scan_docs)).encode()
+    ).hexdigest()[:10]
+    out_dir = f"/tmp/modeltracking_zseek_{fp}"
+    ensure_pkg_on_workers(spark)
+    if not os.path.isdir(out_dir):
+        tmp = f"{out_dir}.{os.getpid()}.tmp"
+        os.makedirs(tmp, exist_ok=True)
+
+        def _write_shards(rows_iter):
+            from modeltracking_spark.operators.zstd_seekable import (
+                zstd_seekable_write,
+            )
+
+            by_shard: dict[int, list[str]] = {}
+            for r in rows_iter:
+                by_shard.setdefault(int(r["shard"]), []).append(
+                    f"{int(r['doc_id'])}\t{r['text']}\n"
+                )
+            for s, lines in by_shard.items():
+                batches = [
+                    "".join(lines[i:i + 25]).encode("utf-8")
+                    for i in range(0, len(lines), 25)
+                ]
+                with open(os.path.join(tmp, f"shard-{s}.zst"), "wb") as fh:
+                    fh.write(zstd_seekable_write(batches))
+
+        (
+            docs.withColumn("shard", (F.col("doc_id") % 4).cast("int"))
+            .repartition(4, "shard")
+            .sortWithinPartitions("shard", "doc_id")
+            .foreachPartition(_write_shards)
+        )
+        try:
+            os.rename(tmp, out_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+
+    try:
+        spark.dataSource.register(ZstdSeekableDataSource)
+    except PySparkException:
+        pass  # already registered in this session
+    back = (
+        spark.read.format("zstd_seekable")
+        .option("path", out_dir)
+        .load()
+    )
+    tab = F.instr("line", "\t")
+    return back.select(
+        F.substring("line", F.lit(1), tab - 1).cast("long").alias("doc_id"),
+        F.length(F.expr("substring(line, instr(line, '\\t') + 1)"))
+        .cast("long").alias("n_chars"),
+        F.md5(F.expr("substring(line, instr(line, '\\t') + 1)"))
+        .alias("text_md5"),
+        F.regexp_extract("path", r"shard-(\d+)\.zst$", 1)
+        .cast("long").alias("shard"),
+        F.col("frame_index").cast("long").alias("frame_idx"),
+    )
+
+
+@query(
     "zstd_trained_dict_docs",
     oracle="""
     SELECT doc_id,

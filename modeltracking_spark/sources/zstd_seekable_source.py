@@ -1,0 +1,105 @@
+"""Spark Python DataSource for seekable-zstd line corpora —
+``spark.read.format("zstd_seekable").option("path", dir_or_file)``.
+
+The seekable format's point is parallelism INSIDE one compressed
+file: every zstd frame decodes independently, so the partition unit
+here is ``(file, frame_index)`` — a 1-file archive with 1000 frames
+scans on 1000 cores, which a plain ``.zst`` never can.  Frames are
+record-aligned by the writer (``operators/zstd_seekable.py``), so a
+partition never sees a split record.
+
+Each decoded frame is split on newlines; the source yields
+``(path, frame_index, line_no, line)`` with ``line_no`` global within
+the frame's decompressed offset order.  Reader-side pruning: the
+``frame_mod``/``frame_rem`` options let a caller scan a deterministic
+subset of frames without touching the others' bytes (only the seek
+table and the selected frames are read — partition pruning at the
+compressed-byte level).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+)
+
+
+def _archive_files(path: str) -> list[str]:
+    import os
+
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".zst")
+        )
+    return [path]
+
+
+class ZstdSeekableReader(DataSourceReader):
+    def __init__(self, options, schema):
+        path = options.get("path")
+        if not path:
+            raise ValueError(
+                "zstd_seekable source requires .option('path', ...)"
+            )
+        self.files = _archive_files(path)
+        self.frame_mod = int(options.get("frame_mod", "1"))
+        self.frame_rem = int(options.get("frame_rem", "0"))
+
+    def partitions(self):
+        from modeltracking_spark.operators.zstd_seekable import (
+            zstd_seekable_table,
+        )
+
+        parts = []
+        for f in self.files:
+            with open(f, "rb") as fh:
+                data = fh.read()
+            table = zstd_seekable_table(data)
+            for i in range(len(table)):
+                if i % self.frame_mod == self.frame_rem:
+                    parts.append(InputPartition((f, i)))
+        return parts
+
+    def read(self, partition):
+        import pyarrow as pa
+
+        from modeltracking_spark.operators.zstd_seekable import (
+            zstd_seekable_read_frame,
+            zstd_seekable_table,
+        )
+
+        path, idx = partition.value
+        with open(path, "rb") as fh:
+            data = fh.read()
+        table = zstd_seekable_table(data)
+        raw = zstd_seekable_read_frame(data, table, idx)
+        lines = raw.decode("utf-8").split("\n")
+        if lines and lines[-1] == "":
+            lines.pop()
+        yield pa.RecordBatch.from_pydict(
+            {
+                "path": [path] * len(lines),
+                "frame_index": [idx] * len(lines),
+                "line_no": list(range(len(lines))),
+                "line": lines,
+            }
+        )
+
+
+class ZstdSeekableDataSource(DataSource):
+    """``spark.read.format("zstd_seekable")`` after
+    ``spark.dataSource.register(ZstdSeekableDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "zstd_seekable"
+
+    def schema(self) -> str:
+        return "path string, frame_index bigint, line_no bigint, line string"
+
+    def reader(self, schema):
+        return ZstdSeekableReader(self.options, schema)
