@@ -2369,6 +2369,126 @@ def twin_brotli(spark, sf_dir, spark_rows) -> tuple[bool, str]:
     return True, f"{len(rows)} brotli streams decoded exact by both decoders"
 
 
+def twin_zstd_seekable(spark, sf_dir, spark_rows) -> tuple[bool, str]:
+    """Independent whole-archive replay: the stock zstd CLI (which
+    ignores the skippable seek table) decodes each shard END TO END;
+    the twin re-derives every output row from the concatenated plain
+    text — a completely different read path from the frame-isolated
+    DataSource scan."""
+    import glob
+    import hashlib
+    import subprocess
+
+    cli = "/root/miniconda/bin/zstd"
+    import os
+
+    if not os.path.exists(cli):
+        return True, "zstd CLI absent — no reference to pit (skipped)"
+    dirs = sorted(glob.glob("/tmp/modeltracking_zseek_*"))
+    if not dirs:
+        return False, "no seekable fixture dir found"
+    got = {
+        int(r["doc_id"]): (int(r["n_chars"]), r["text_md5"],
+                           int(r["shard"]), int(r["frame_idx"]))
+        for r in spark_rows
+    }
+    want_count = 0
+    for d in dirs:
+        shards = sorted(glob.glob(f"{d}/shard-*.zst"))
+        if len(shards) != 4:
+            continue
+        probe = {}
+        for sh in shards:
+            s_id = int(sh.rsplit("-", 1)[1].split(".")[0])
+            out = subprocess.run([cli, "-d", "-c", sh],
+                                 capture_output=True)
+            lines = out.stdout.decode("utf-8").split("\n")
+            if lines and lines[-1] == "":
+                lines.pop()
+            for i, line in enumerate(lines):
+                did, text = line.split("\t", 1)
+                probe[int(did)] = (
+                    len(text),
+                    hashlib.md5(text.encode()).hexdigest(),
+                    s_id, i // 25,
+                )
+        if set(probe) == set(got):
+            if probe != got:
+                k = next(k for k in probe if probe[k] != got[k])
+                return False, f"doc {k}: got {got[k]} want {probe[k]}"
+            want_count = len(probe)
+            break
+    if not want_count:
+        return False, "no fixture dir matched the scanned doc set"
+    return True, f"{want_count} docs replayed whole-file by the zstd CLI"
+
+
+def twin_zstd_trained_dict(spark, sf_dir, spark_rows) -> tuple[bool, str]:
+    """Independent replay of the trained-dictionary roundtrip: the
+    trainer is deterministic, so the twin retrains the dictionary from
+    the same corpus and runs the encode+decode ENTIRELY through
+    libzstd's *_usingDict (no from-spec code in the loop)."""
+    import ctypes
+    import ctypes.util
+    import hashlib
+
+    import duckdb as _duck
+
+    from modeltracking_spark.operators.dicttrain import (
+        train_content_dictionary,
+    )
+    from modeltracking_spark.schemas import load_table
+
+    name = ctypes.util.find_library("zstd")
+    if not name:
+        return True, "libzstd absent — no reference to pit (skipped)"
+    lib = ctypes.CDLL(name)
+    lib.ZSTD_compressBound.restype = ctypes.c_size_t
+    lib.ZSTD_isError.restype = ctypes.c_uint
+    lib.ZSTD_createCCtx.restype = ctypes.c_void_p
+    lib.ZSTD_createDCtx.restype = ctypes.c_void_p
+    lib.ZSTD_compress_usingDict.restype = ctypes.c_size_t
+    lib.ZSTD_compress_usingDict.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p,
+        ctypes.c_size_t, ctypes.c_int]
+    lib.ZSTD_decompress_usingDict.restype = ctypes.c_size_t
+    lib.ZSTD_decompress_usingDict.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p,
+        ctypes.c_size_t]
+    docs = load_table(spark, sf_dir, "documents")
+    d = train_content_dictionary(docs, sample_mod=4, max_bytes=2048,
+                                 candidates=256)
+    cctx, dctx = lib.ZSTD_createCCtx(), lib.ZSTD_createDCtx()
+    rows = _duck.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    got = {
+        int(r["doc_id"]): (int(r["orig_len"]), r["dec_md5"], bool(r["ok"]))
+        for r in spark_rows
+    }
+    for doc_id, text in rows:
+        raw = text.encode("utf-8")
+        bound = lib.ZSTD_compressBound(len(raw))
+        buf = ctypes.create_string_buffer(bound)
+        n = lib.ZSTD_compress_usingDict(
+            cctx, buf, bound, raw, len(raw), d, len(d),
+            [1, 3, 6, 9][doc_id % 4])
+        if lib.ZSTD_isError(n):
+            return False, f"doc {doc_id}: libzstd dict compress failed"
+        out = ctypes.create_string_buffer(max(len(raw), 1))
+        m = lib.ZSTD_decompress_usingDict(
+            dctx, out, len(raw), buf.raw[:n], n, d, len(d))
+        if lib.ZSTD_isError(m):
+            return False, f"doc {doc_id}: libzstd rejected the dict frame"
+        dd = out.raw[:m]
+        want = (len(raw), hashlib.md5(dd).hexdigest(), dd == raw)
+        if got.get(int(doc_id)) != want:
+            return False, f"doc {doc_id}: got {got.get(int(doc_id))} want {want}"
+    return True, f"{len(rows)} trained-dict frames replayed via libzstd"
+
+
 def main(sf_dirs: list[str]) -> int:
     import duckdb
     from pyspark.sql import SparkSession
@@ -2454,6 +2574,10 @@ def main(sf_dirs: list[str]) -> int:
              lambda rows: twin_avro_nested(spark, sf_dir, rows)),
             ("brotli_roundtrip_docs",
              lambda rows: twin_brotli(spark, sf_dir, rows)),
+            ("zstd_seekable_scan_docs",
+             lambda rows: twin_zstd_seekable(spark, sf_dir, rows)),
+            ("zstd_trained_dict_docs",
+             lambda rows: twin_zstd_trained_dict(spark, sf_dir, rows)),
         ):
             rows = qs[name](spark, sf_dir).collect()
             ok, msg = fn(rows)
