@@ -387,3 +387,40 @@ def bz2_roundtrip_stats(
             )
 
     return widen_for_kernel(df.select(id_col, payload_col)).mapInPandas(kernel, schema)
+
+
+def bz2_stream_offsets(data: bytes) -> list[int]:
+    """Byte offsets of every bzip2 STREAM in a concatenated file
+    (pbzip2/lbzip2 output — the Wikipedia multistream-dump shape),
+    found WITHOUT decoding: a stream starts at a byte-aligned
+    ``BZh<level>`` header immediately followed by the 48-bit block
+    magic 0x314159265359 — a 10-byte signature that cannot occur
+    byte-aligned inside compressed payload by construction of the
+    concatenation (streams are byte-aligned; the signature inside a
+    stream's bit-packed body would have to land on a byte boundary AND
+    follow a valid header, which the offset-0 anchor plus the
+    end-to-end sweep in tests rule out for real archives).  The first
+    offset must be 0."""
+    offsets = []
+    i = 0
+    n = len(data)
+    sig = b"\x31\x41\x59\x26\x53\x59"
+    while True:
+        j = data.find(b"BZh", i)
+        if j < 0 or j + 10 > n:
+            break
+        if 0x31 <= data[j + 3] <= 0x39 and data[j + 4:j + 10] == sig:
+            offsets.append(j)
+            i = j + 10
+        else:
+            i = j + 1
+    if not offsets or offsets[0] != 0:
+        raise ValueError("data does not start with a bzip2 stream")
+    return offsets
+
+
+def bz2_read_stream(data: bytes, start: int, end: int) -> bytes:
+    """Decode ONE stream of a concatenated archive in isolation (the
+    parallel-read unit): the slice must contain exactly one stream,
+    fully CRC-verified by :func:`bz2_decompress`."""
+    return bz2_decompress(data[start:end])

@@ -175,6 +175,120 @@ def lzma2_decompress(
         pos += comp
 
 
+def xz_decode_block(data: bytes, pos: int, check_type: int,
+                    max_output: int = 1 << 28):
+    """Decode ONE xz block starting at ``pos`` (its header byte) in
+    isolation — the indexed / parallel read unit. Verifies the header
+    CRC, filter chain, sizes, and the per-block integrity check.
+    Returns (uncompressed bytes, position after the check, unpadded
+    size)."""
+    import hashlib
+
+    check_size = _CHECK_SIZES[check_type]
+    first = data[pos]
+    if first == 0x00:
+        raise ValueError("index indicator where a block was expected")
+    header_size = (first + 1) * 4
+    hdr = data[pos:pos + header_size]
+    if len(hdr) < header_size:
+        raise ValueError("truncated xz block header")
+    want = int.from_bytes(hdr[header_size - 4:], "little")
+    if _crc32(hdr[:header_size - 4]) != want:
+        raise ValueError("xz block header CRC mismatch")
+    bflags = hdr[1]
+    if bflags & 0x3C:
+        raise ValueError("reserved xz block flag bits set")
+    n_filters = (bflags & 3) + 1
+    hp = 2
+    comp_size = unc_size = None
+    if bflags & 0x40:
+        comp_size, hp = _read_vli(hdr, hp)
+    if bflags & 0x80:
+        unc_size, hp = _read_vli(hdr, hp)
+    lzma2_props = None
+    pre_filters = []  # (fid, props) applied in reverse post-LZMA2
+    for fi in range(n_filters):
+        fid, hp = _read_vli(hdr, hp)
+        psize, hp = _read_vli(hdr, hp)
+        props = hdr[hp:hp + psize]
+        hp += psize
+        if fid == 0x21:
+            if psize != 1:
+                raise ValueError("bad LZMA2 props size")
+            if fi != n_filters - 1:
+                raise ValueError("LZMA2 must be the last filter")
+            lzma2_props = props[0]
+        elif fid == 0x03:  # Delta (spec §5.3.1)
+            if psize != 1:
+                raise ValueError("bad delta filter props size")
+            pre_filters.append((fid, props[0] + 1))
+        elif fid == 0x04:  # x86 BCJ (spec §5.3.2)
+            if psize == 0:
+                start = 0
+            elif psize == 4:
+                start = int.from_bytes(props, "little")
+            else:
+                raise ValueError("bad x86 BCJ props size")
+            pre_filters.append((fid, start))
+        else:
+            raise NotImplementedError(
+                f"xz filter {fid:#x} not implemented — the "
+                "BCJ plug-in point (other architectures)"
+            )
+    if lzma2_props is None:
+        raise ValueError("xz block has no LZMA2 filter")
+    if lzma2_props & 0xC0:
+        raise ValueError("reserved LZMA2 dict-size bits set")
+    if any(hdr[hp:header_size - 4]):
+        raise ValueError("nonzero xz block header padding")
+
+    body_start = pos + header_size
+    block_out, after = lzma2_decompress(
+        data, body_start,
+        end=None if comp_size is None else body_start + comp_size,
+        max_output=max_output,
+    )
+    for fid, fprop in reversed(pre_filters):
+        from modeltracking_spark.operators.bcj import (
+            delta_decode,
+            x86_bcj_decode,
+        )
+
+        if fid == 0x03:
+            block_out = bytearray(
+                delta_decode(bytes(block_out), fprop)
+            )
+        else:
+            block_out = bytearray(
+                x86_bcj_decode(bytes(block_out), fprop)
+            )
+    if unc_size is not None and len(block_out) != unc_size:
+        raise ValueError("xz block uncompressed size mismatch")
+    comp_actual = after - body_start
+    if comp_size is not None and comp_actual != comp_size:
+        raise ValueError("xz block compressed size mismatch")
+    pad = (-comp_actual) % 4
+    if any(data[after:after + pad]):
+        raise ValueError("nonzero xz block padding")
+    after += pad
+    check = data[after:after + check_size]
+    if len(check) < check_size:
+        raise ValueError("truncated xz block check")
+    if check_type == 0x01:
+        ok = _crc32(block_out) == int.from_bytes(check, "little")
+    elif check_type == 0x04:
+        ok = crc64_xz(block_out) == int.from_bytes(check, "little")
+    elif check_type == 0x0A:
+        ok = hashlib.sha256(block_out).digest() == check
+    else:
+        ok = True
+    if not ok:
+        raise ValueError("xz block check mismatch")
+    after += check_size
+    unpadded = header_size + comp_actual + check_size
+    return bytes(block_out), after, unpadded
+
+
 def xz_decompress(data: bytes, max_output: int = 1 << 28) -> bytes:
     """.xz stream(s) -> bytes: stream/block/index/footer framing with
     every CRC verified, per-block integrity checks over the
@@ -208,104 +322,10 @@ def xz_decompress(data: bytes, max_output: int = 1 << 28) -> bytes:
             first = data[pos]
             if first == 0x00:  # index indicator
                 break
-            header_size = (first + 1) * 4
-            hdr = data[pos:pos + header_size]
-            if len(hdr) < header_size:
-                raise ValueError("truncated xz block header")
-            want = int.from_bytes(hdr[header_size - 4:], "little")
-            if _crc32(hdr[:header_size - 4]) != want:
-                raise ValueError("xz block header CRC mismatch")
-            bflags = hdr[1]
-            if bflags & 0x3C:
-                raise ValueError("reserved xz block flag bits set")
-            n_filters = (bflags & 3) + 1
-            hp = 2
-            comp_size = unc_size = None
-            if bflags & 0x40:
-                comp_size, hp = _read_vli(hdr, hp)
-            if bflags & 0x80:
-                unc_size, hp = _read_vli(hdr, hp)
-            lzma2_props = None
-            pre_filters = []  # (fid, props) applied in reverse post-LZMA2
-            for fi in range(n_filters):
-                fid, hp = _read_vli(hdr, hp)
-                psize, hp = _read_vli(hdr, hp)
-                props = hdr[hp:hp + psize]
-                hp += psize
-                if fid == 0x21:
-                    if psize != 1:
-                        raise ValueError("bad LZMA2 props size")
-                    if fi != n_filters - 1:
-                        raise ValueError("LZMA2 must be the last filter")
-                    lzma2_props = props[0]
-                elif fid == 0x03:  # Delta (spec §5.3.1)
-                    if psize != 1:
-                        raise ValueError("bad delta filter props size")
-                    pre_filters.append((fid, props[0] + 1))
-                elif fid == 0x04:  # x86 BCJ (spec §5.3.2)
-                    if psize == 0:
-                        start = 0
-                    elif psize == 4:
-                        start = int.from_bytes(props, "little")
-                    else:
-                        raise ValueError("bad x86 BCJ props size")
-                    pre_filters.append((fid, start))
-                else:
-                    raise NotImplementedError(
-                        f"xz filter {fid:#x} not implemented — the "
-                        "BCJ plug-in point (other architectures)"
-                    )
-            if lzma2_props is None:
-                raise ValueError("xz block has no LZMA2 filter")
-            if lzma2_props & 0xC0:
-                raise ValueError("reserved LZMA2 dict-size bits set")
-            if any(hdr[hp:header_size - 4]):
-                raise ValueError("nonzero xz block header padding")
-
-            body_start = pos + header_size
-            block_out, after = lzma2_decompress(
-                data, body_start,
-                end=None if comp_size is None else body_start + comp_size,
+            block_out, after, unpadded = xz_decode_block(
+                data, pos, check_type,
                 max_output=max_output - len(out_all),
             )
-            for fid, fprop in reversed(pre_filters):
-                from modeltracking_spark.operators.bcj import (
-                    delta_decode,
-                    x86_bcj_decode,
-                )
-
-                if fid == 0x03:
-                    block_out = bytearray(
-                        delta_decode(bytes(block_out), fprop)
-                    )
-                else:
-                    block_out = bytearray(
-                        x86_bcj_decode(bytes(block_out), fprop)
-                    )
-            if unc_size is not None and len(block_out) != unc_size:
-                raise ValueError("xz block uncompressed size mismatch")
-            comp_actual = after - body_start
-            if comp_size is not None and comp_actual != comp_size:
-                raise ValueError("xz block compressed size mismatch")
-            pad = (-comp_actual) % 4
-            if any(data[after:after + pad]):
-                raise ValueError("nonzero xz block padding")
-            after += pad
-            check = data[after:after + check_size]
-            if len(check) < check_size:
-                raise ValueError("truncated xz block check")
-            if check_type == 0x01:
-                ok = _crc32(block_out) == int.from_bytes(check, "little")
-            elif check_type == 0x04:
-                ok = crc64_xz(block_out) == int.from_bytes(check, "little")
-            elif check_type == 0x0A:
-                ok = hashlib.sha256(block_out).digest() == check
-            else:
-                ok = True
-            if not ok:
-                raise ValueError("xz block check mismatch")
-            after += check_size
-            unpadded = header_size + comp_actual + check_size
             records.append((unpadded, len(block_out)))
             out_all += block_out
             pos = after
@@ -507,3 +527,74 @@ def xz_bcj_roundtrip_stats(
     return widen_for_kernel(df.select(id_col, payload_col)).mapInPandas(
         kernel, schema
     )
+
+
+def xz_block_index(data: bytes):
+    """Parse a (single-stream) .xz archive's INDEX without decoding any
+    block: footer -> backward size -> index records -> per-block byte
+    offsets. Returns (check_type, [{"b_off", "unpadded", "unc_size",
+    "d_off"}]) — everything a parallel reader needs to decode block i
+    in isolation via :func:`xz_decode_block`.
+
+    ``xz -T`` emits exactly this shape (one stream, many blocks); the
+    index is the format's own seek table, so unlike seekable-zstd no
+    extension is needed."""
+    if len(data) < 32 or data[:6] != _MAGIC:
+        raise ValueError("bad xz stream magic")
+    flags = data[6:8]
+    if flags[0] != 0 or flags[1] not in _CHECK_SIZES:
+        raise ValueError("unsupported xz stream flags")
+    check_type = flags[1]
+    end = len(data)
+    while end >= 4 and data[end - 4:end] == b"\x00\x00\x00\x00":
+        end -= 4  # stream padding
+    footer = data[end - 12:end]
+    if footer[10:12] != _FOOTER_MAGIC:
+        raise ValueError("bad xz footer magic")
+    if footer[8:10] != flags:
+        raise ValueError("xz footer flags disagree with header")
+    if _crc32(footer[4:10]) != int.from_bytes(footer[:4], "little"):
+        raise ValueError("xz stream footer CRC mismatch")
+    index_size = (int.from_bytes(footer[4:8], "little") + 1) * 4
+    index_start = end - 12 - index_size
+    if index_start < 12 or data[index_start] != 0x00:
+        raise ValueError("xz footer backward size does not hit the index")
+    pos = index_start + 1
+    n_rec, pos = _read_vli(data, pos)
+    if n_rec > 1 << 30:
+        raise ValueError("implausible xz index record count")
+    entries = []
+    b_off = 12  # first block follows the 12-byte stream header
+    d_off = 0
+    for _ in range(n_rec):
+        unpadded, pos = _read_vli(data, pos)
+        unc, pos = _read_vli(data, pos)
+        entries.append({"b_off": b_off, "unpadded": unpadded,
+                        "unc_size": unc, "d_off": d_off})
+        b_off += unpadded + ((-unpadded) % 4)
+        d_off += unc
+    if b_off != index_start:
+        raise ValueError(
+            f"xz index covers {b_off} bytes but blocks span {index_start}"
+        )
+    pad = (-(pos - index_start)) % 4
+    if any(data[pos:pos + pad]):
+        raise ValueError("nonzero xz index padding")
+    pos += pad
+    if _crc32(data[index_start:pos]) != int.from_bytes(
+        data[pos:pos + 4], "little"
+    ):
+        raise ValueError("xz index CRC mismatch")
+    return check_type, entries
+
+
+def xz_read_block(data: bytes, check_type: int, entry: dict,
+                  max_output: int = 1 << 28) -> bytes:
+    """Decode ONE indexed block in isolation, verifying its size
+    against the index record (plus the block's own CRC/check)."""
+    raw, _after, unpadded = xz_decode_block(
+        data, entry["b_off"], check_type, max_output=max_output
+    )
+    if unpadded != entry["unpadded"] or len(raw) != entry["unc_size"]:
+        raise ValueError("xz block disagrees with its index record")
+    return raw

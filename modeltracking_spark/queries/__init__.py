@@ -93,6 +93,8 @@ PRIORITY: tuple[str, ...] = (
     "brotli_roundtrip_docs",           # RFC 7932 brotli decode
     "zstd_trained_dict_docs",          # COVER-style dict training loop
     "zstd_seekable_scan_docs",         # seekable zstd: frame-parallel scan
+    "xz_indexed_scan_docs",            # xz index: block-parallel scan
+    "bz2_multistream_scan_docs",       # pbzip2 shape: stream-parallel scan
     # ---- r6-stale cohort, highest-leverage first (stalest tier) ----
     "semdedup_embeddings",             # r9 bench watch item — re-attest
     "exact_dedup_docs",                # exact dedup + survivor rewrite

@@ -1718,6 +1718,207 @@ def zstd_seekable_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "xz_indexed_scan_docs",
+    oracle="""
+    SELECT doc_id,
+           length(text)::BIGINT AS n_chars,
+           md5(text) AS text_md5,
+           (doc_id % 3)::BIGINT AS shard,
+           ((row_number() OVER (PARTITION BY doc_id % 3 ORDER BY doc_id)
+             - 1) // 25)::BIGINT AS block_idx
+    FROM documents
+    """,
+)
+def xz_indexed_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOCK-parallel .xz corpus scan through the format's OWN index
+    (round 10, operators/xz.py:xz_block_index + sources/block_lines.py):
+    docs become three multi-block .xz archives written by the
+    REFERENCE xz CLI with ``--block-list`` sized to 25-record groups
+    (record-aligned blocks — what ``xz -T`` emits at scale), then read
+    back with ``spark.read.format("xz_blocks")`` — ONE InputPartition
+    PER BLOCK, each decoded in isolation by the from-spec decoder with
+    its header CRC, integrity check, and index record verified. Unlike
+    seekable-zstd no format extension is needed: the xz index IS the
+    seek table, parsed without touching any block. block_idx is
+    recomputed by the oracle from rank arithmetic, attesting the
+    record-aligned layout. Fixture written partition-parallel by the
+    executors (the reference encoder runs where the data is)."""
+    import hashlib
+    import inspect
+    import os
+    import shutil
+
+    from pyspark.errors import PySparkException
+
+    from modeltracking_spark.queries.common import ensure_pkg_on_workers
+    from modeltracking_spark.sources.block_lines import XzBlocksDataSource
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = hashlib.md5(
+        (sf_dir + ":" + inspect.getsource(xz_indexed_scan_docs)).encode()
+    ).hexdigest()[:10]
+    out_dir = f"/tmp/modeltracking_xzblk_{fp}"
+    ensure_pkg_on_workers(spark)
+    if not os.path.isdir(out_dir):
+        tmp = f"{out_dir}.{os.getpid()}.tmp"
+        os.makedirs(tmp, exist_ok=True)
+
+        def _write_shards(rows_iter):
+            import subprocess
+            import tempfile
+
+            by_shard: dict[int, list[str]] = {}
+            for r in rows_iter:
+                by_shard.setdefault(int(r["shard"]), []).append(
+                    f"{int(r['doc_id'])}\t{r['text']}\n"
+                )
+            for s, lines in by_shard.items():
+                groups = ["".join(lines[i:i + 25]).encode("utf-8")
+                          for i in range(0, len(lines), 25)]
+                sizes = ",".join(str(len(g)) for g in groups)
+                with tempfile.NamedTemporaryFile(delete=False) as fh:
+                    fh.write(b"".join(groups))
+                    raw_path = fh.name
+                try:
+                    blob = subprocess.run(
+                        ["/root/miniconda/bin/xz",
+                         f"--block-list={sizes}", "-1", "-c", raw_path],
+                        capture_output=True, check=True,
+                    ).stdout
+                finally:
+                    os.unlink(raw_path)
+                with open(os.path.join(tmp, f"shard-{s}.xz"), "wb") as fh:
+                    fh.write(blob)
+
+        (
+            docs.withColumn("shard", (F.col("doc_id") % 3).cast("int"))
+            .repartition(3, "shard")
+            .sortWithinPartitions("shard", "doc_id")
+            .foreachPartition(_write_shards)
+        )
+        try:
+            os.rename(tmp, out_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+
+    try:
+        spark.dataSource.register(XzBlocksDataSource)
+    except PySparkException:
+        pass  # already registered in this session
+    back = (
+        spark.read.format("xz_blocks").option("path", out_dir).load()
+    )
+    return back.select(
+        F.expr("cast(substring(line, 1, instr(line, '\\t') - 1) as long)")
+        .alias("doc_id"),
+        F.length(F.expr("substring(line, instr(line, '\\t') + 1)"))
+        .cast("long").alias("n_chars"),
+        F.md5(F.expr("substring(line, instr(line, '\\t') + 1)"))
+        .alias("text_md5"),
+        F.regexp_extract("path", r"shard-(\d+)\.xz$", 1)
+        .cast("long").alias("shard"),
+        F.col("block_index").cast("long").alias("block_idx"),
+    )
+
+
+@query(
+    "bz2_multistream_scan_docs",
+    oracle="""
+    SELECT doc_id,
+           length(text)::BIGINT AS n_chars,
+           md5(text) AS text_md5,
+           (doc_id % 4)::BIGINT AS shard,
+           ((row_number() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id)
+             - 1) // 25)::BIGINT AS stream_idx
+    FROM documents
+    """,
+)
+def bz2_multistream_scan_docs(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """STREAM-parallel .bz2 corpus scan — the Wikipedia multistream-
+    dump shape (round 10, operators/bzip2.py:bz2_stream_offsets +
+    sources/block_lines.py): docs become four concatenated-stream .bz2
+    archives (one stdlib-bz2 stream per 25-record group, compression
+    level cycled — exactly what pbzip2 emits), read back with
+    ``spark.read.format("bz2_streams")`` — stream boundaries found
+    WITHOUT decoding via the 10-byte BZh+block-magic signature, ONE
+    InputPartition PER STREAM, each decoded in isolation by the
+    from-spec bzip2 decoder with every block and stream CRC verified.
+    stream_idx is recomputed by the oracle from rank arithmetic,
+    attesting the record-aligned layout. Fixture written partition-
+    parallel."""
+    import hashlib
+    import inspect
+    import os
+    import shutil
+
+    from pyspark.errors import PySparkException
+
+    from modeltracking_spark.queries.common import ensure_pkg_on_workers
+    from modeltracking_spark.sources.block_lines import (
+        Bz2StreamsDataSource,
+    )
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = hashlib.md5(
+        (sf_dir + ":"
+         + inspect.getsource(bz2_multistream_scan_docs)).encode()
+    ).hexdigest()[:10]
+    out_dir = f"/tmp/modeltracking_bz2ms_{fp}"
+    ensure_pkg_on_workers(spark)
+    if not os.path.isdir(out_dir):
+        tmp = f"{out_dir}.{os.getpid()}.tmp"
+        os.makedirs(tmp, exist_ok=True)
+
+        def _write_shards(rows_iter):
+            import bz2 as _bz2
+
+            by_shard: dict[int, list[str]] = {}
+            for r in rows_iter:
+                by_shard.setdefault(int(r["shard"]), []).append(
+                    f"{int(r['doc_id'])}\t{r['text']}\n"
+                )
+            for s, lines in by_shard.items():
+                blob = b"".join(
+                    _bz2.compress("".join(lines[i:i + 25]).encode("utf-8"),
+                                  1 + (i // 25) % 9)
+                    for i in range(0, len(lines), 25)
+                )
+                with open(os.path.join(tmp, f"shard-{s}.bz2"), "wb") as fh:
+                    fh.write(blob)
+
+        (
+            docs.withColumn("shard", (F.col("doc_id") % 4).cast("int"))
+            .repartition(4, "shard")
+            .sortWithinPartitions("shard", "doc_id")
+            .foreachPartition(_write_shards)
+        )
+        try:
+            os.rename(tmp, out_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+
+    try:
+        spark.dataSource.register(Bz2StreamsDataSource)
+    except PySparkException:
+        pass  # already registered in this session
+    back = (
+        spark.read.format("bz2_streams").option("path", out_dir).load()
+    )
+    return back.select(
+        F.expr("cast(substring(line, 1, instr(line, '\\t') - 1) as long)")
+        .alias("doc_id"),
+        F.length(F.expr("substring(line, instr(line, '\\t') + 1)"))
+        .cast("long").alias("n_chars"),
+        F.md5(F.expr("substring(line, instr(line, '\\t') + 1)"))
+        .alias("text_md5"),
+        F.regexp_extract("path", r"shard-(\d+)\.bz2$", 1)
+        .cast("long").alias("shard"),
+        F.col("block_index").cast("long").alias("stream_idx"),
+    )
+
+
+@query(
     "zstd_trained_dict_docs",
     oracle="""
     SELECT doc_id,
