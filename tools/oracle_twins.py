@@ -2489,6 +2489,66 @@ def twin_zstd_trained_dict(spark, sf_dir, spark_rows) -> tuple[bool, str]:
     return True, f"{len(rows)} trained-dict frames replayed via libzstd"
 
 
+def _replay_lines_twin(spark_rows, dirs_glob, suffix, decode_whole,
+                       group=25):
+    """Shared whole-archive replay for the block/stream-parallel
+    scans: decode each shard END TO END with an independent
+    implementation and re-derive every output row."""
+    import glob
+    import hashlib
+
+    got = {}
+    idx_col = None
+    for r in spark_rows:
+        d = r.asDict()
+        idx_col = [k for k in d if k.endswith("_idx")][0]
+        got[int(d["doc_id"])] = (int(d["n_chars"]), d["text_md5"],
+                                 int(d["shard"]), int(d[idx_col]))
+    for d in sorted(glob.glob(dirs_glob)):
+        shards = sorted(glob.glob(f"{d}/shard-*{suffix}"))
+        if not shards:
+            continue
+        probe = {}
+        for sh in shards:
+            s_id = int(sh.rsplit("-", 1)[1].split(".")[0])
+            raw = decode_whole(open(sh, "rb").read())
+            lines = raw.decode("utf-8").split("\n")
+            if lines and lines[-1] == "":
+                lines.pop()
+            for i, line in enumerate(lines):
+                did, text = line.split("\t", 1)
+                probe[int(did)] = (
+                    len(text), hashlib.md5(text.encode()).hexdigest(),
+                    s_id, i // group)
+        if set(probe) == set(got):
+            if probe != got:
+                k = next(k for k in probe if probe[k] != got[k])
+                return False, f"doc {k}: got {got[k]} want {probe[k]}"
+            return True, f"{len(probe)} docs replayed whole-archive"
+    return False, "no fixture dir matched the scanned doc set"
+
+
+def twin_xz_indexed(spark, sf_dir, spark_rows) -> tuple[bool, str]:
+    """stdlib liblzma decodes each multi-block shard END TO END —
+    a different implementation AND a different read path from the
+    index-seeking per-block DataSource scan."""
+    import lzma
+
+    return _replay_lines_twin(
+        spark_rows, "/tmp/modeltracking_xzblk_*", ".xz",
+        lambda blob: lzma.decompress(blob))
+
+
+def twin_bz2_multistream(spark, sf_dir, spark_rows) -> tuple[bool, str]:
+    """stdlib bz2 decodes each concatenated-stream shard END TO END
+    (stdlib handles multistream natively)."""
+    import bz2
+
+    return _replay_lines_twin(
+        spark_rows, "/tmp/modeltracking_bz2ms_*", ".bz2",
+        lambda blob: bz2.decompress(blob))
+
+
 def main(sf_dirs: list[str]) -> int:
     import duckdb
     from pyspark.sql import SparkSession
@@ -2578,6 +2638,10 @@ def main(sf_dirs: list[str]) -> int:
              lambda rows: twin_zstd_seekable(spark, sf_dir, rows)),
             ("zstd_trained_dict_docs",
              lambda rows: twin_zstd_trained_dict(spark, sf_dir, rows)),
+            ("xz_indexed_scan_docs",
+             lambda rows: twin_xz_indexed(spark, sf_dir, rows)),
+            ("bz2_multistream_scan_docs",
+             lambda rows: twin_bz2_multistream(spark, sf_dir, rows)),
         ):
             rows = qs[name](spark, sf_dir).collect()
             ok, msg = fn(rows)
