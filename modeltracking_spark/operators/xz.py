@@ -588,6 +588,74 @@ def xz_block_index(data: bytes):
     return check_type, entries
 
 
+def xz_block_index_from_file(fh):
+    """Index via TAIL reads only (footer -> backward size -> index
+    region) — no block bytes touched. The 100 TB partition-planning
+    shape."""
+    import os
+
+    fh.seek(0, os.SEEK_END)
+    size = fh.tell()
+    if size < 32:
+        raise ValueError("too short for an xz archive")
+    fh.seek(0)
+    head = fh.read(8)
+    if head[:6] != _MAGIC:
+        raise ValueError("bad xz stream magic")
+    flags = head[6:8]
+    if flags[0] != 0 or flags[1] not in _CHECK_SIZES:
+        raise ValueError("unsupported xz stream flags")
+    end = size
+    # stream padding is 4-byte zero words
+    fh.seek(end - 4)
+    while end >= 4 and fh.read(4) == b"\x00\x00\x00\x00":
+        end -= 4
+        if end >= 4:
+            fh.seek(end - 4)
+    fh.seek(end - 12)
+    footer = fh.read(12)
+    if footer[10:12] != _FOOTER_MAGIC:
+        raise ValueError("bad xz footer magic")
+    if footer[8:10] != flags:
+        raise ValueError("xz footer flags disagree with header")
+    if _crc32(footer[4:10]) != int.from_bytes(footer[:4], "little"):
+        raise ValueError("xz stream footer CRC mismatch")
+    index_size = (int.from_bytes(footer[4:8], "little") + 1) * 4
+    index_start = end - 12 - index_size
+    if index_start < 12:
+        raise ValueError("xz footer backward size does not hit the index")
+    fh.seek(index_start)
+    region = fh.read(index_size)
+    if region[0] != 0x00:
+        raise ValueError("xz footer backward size does not hit the index")
+    pos = 1
+    n_rec, pos = _read_vli(region, pos)
+    if n_rec > 1 << 30:
+        raise ValueError("implausible xz index record count")
+    entries = []
+    b_off = 12
+    d_off = 0
+    for _ in range(n_rec):
+        unpadded, pos = _read_vli(region, pos)
+        unc, pos = _read_vli(region, pos)
+        entries.append({"b_off": b_off, "unpadded": unpadded,
+                        "unc_size": unc, "d_off": d_off})
+        b_off += unpadded + ((-unpadded) % 4)
+        d_off += unc
+    if b_off != index_start:
+        raise ValueError(
+            f"xz index covers {b_off} bytes but blocks span {index_start}"
+        )
+    pad = (-pos) % 4
+    if any(region[pos:pos + pad]):
+        raise ValueError("nonzero xz index padding")
+    pos += pad
+    if _crc32(region[:pos]) != int.from_bytes(region[pos:pos + 4],
+                                              "little"):
+        raise ValueError("xz index CRC mismatch")
+    return flags[1], entries
+
+
 def xz_read_block(data: bytes, check_type: int, entry: dict,
                   max_output: int = 1 << 28) -> bytes:
     """Decode ONE indexed block in isolation, verifying its size

@@ -135,6 +135,58 @@ def zstd_seekable_table(data: bytes) -> list[dict]:
     return table
 
 
+def zstd_seekable_table_from_file(fh) -> list[dict]:
+    """Seek table via TAIL reads only — no payload bytes touched.
+    The scale shape: at 100 TB a driver building partitions reads the
+    last few KB of each archive, never the archive itself."""
+    import os
+
+    fh.seek(0, os.SEEK_END)
+    size = fh.tell()
+    if size < 17:
+        raise ValueError("too short for a seekable zstd archive")
+    fh.seek(size - 9)
+    foot = fh.read(9)
+    if int.from_bytes(foot[5:9], "little") != _SEEK_MAGIC:
+        raise ValueError("missing seekable footer magic")
+    n_frames = int.from_bytes(foot[0:4], "little")
+    desc = foot[4]
+    if desc & 0x7C:
+        raise ValueError("reserved seek-table descriptor bits set")
+    entry_size = 12 if desc & 0x80 else 8
+    table_size = n_frames * entry_size + 9
+    if table_size + 8 > size:
+        raise ValueError("seek table overruns the archive")
+    fh.seek(size - table_size - 8)
+    blob = fh.read(table_size + 8)
+    # delegate to the in-memory parser over a synthetic archive whose
+    # frame region is implied by the offsets it returns
+    if int.from_bytes(blob[0:4], "little") != _SKIP_MAGIC:
+        raise ValueError("seek table is not in a 0x184D2A5E skippable frame")
+    if int.from_bytes(blob[4:8], "little") != table_size:
+        raise ValueError("seek-table skippable size mismatch")
+    pos = 8
+    table = []
+    c_off = d_off = 0
+    has_ck = bool(desc & 0x80)
+    for _ in range(n_frames):
+        c_size = int.from_bytes(blob[pos:pos + 4], "little")
+        d_size = int.from_bytes(blob[pos + 4:pos + 8], "little")
+        ck = (int.from_bytes(blob[pos + 8:pos + 12], "little")
+              if has_ck else None)
+        pos += entry_size
+        table.append({"c_off": c_off, "c_size": c_size,
+                      "d_off": d_off, "d_size": d_size, "checksum": ck})
+        c_off += c_size
+        d_off += d_size
+    if c_off != size - table_size - 8:
+        raise ValueError(
+            f"seek table covers {c_off} bytes but frames span "
+            f"{size - table_size - 8}"
+        )
+    return table
+
+
 def zstd_seekable_read_frame(data: bytes, table: list[dict],
                              index: int,
                              dictionary: bytes | None = None) -> bytes:

@@ -63,27 +63,30 @@ class _XzBlocksReader(DataSourceReader):
         self.files = _files(path, ".xz")
 
     def partitions(self):
-        from modeltracking_spark.operators.xz import xz_block_index
+        from modeltracking_spark.operators.xz import (
+            xz_block_index_from_file,
+        )
 
         parts = []
         for f in self.files:
-            with open(f, "rb") as fh:
-                data = fh.read()
-            _ck, entries = xz_block_index(data)
-            parts.extend(InputPartition((f, i)) for i in range(len(entries)))
+            with open(f, "rb") as fh:  # head + tail reads only
+                ck, entries = xz_block_index_from_file(fh)
+            parts.extend(
+                InputPartition((f, i, ck, e))
+                for i, e in enumerate(entries)
+            )
         return parts
 
     def read(self, partition):
-        from modeltracking_spark.operators.xz import (
-            xz_block_index,
-            xz_read_block,
-        )
+        from modeltracking_spark.operators.xz import xz_read_block
 
-        path, idx = partition.value
-        with open(path, "rb") as fh:
-            data = fh.read()
-        ck, entries = xz_block_index(data)
-        yield _lines_batch(path, idx, xz_read_block(data, ck, entries[idx]))
+        path, idx, ck, e = partition.value
+        span = e["unpadded"] + ((-e["unpadded"]) % 4)
+        with open(path, "rb") as fh:  # RANGE read: this block only
+            fh.seek(e["b_off"])
+            chunk = fh.read(span)
+        local = dict(e, b_off=0)
+        yield _lines_batch(path, idx, xz_read_block(chunk, ck, local))
 
 
 class XzBlocksDataSource(DataSource):
@@ -129,9 +132,10 @@ class _Bz2StreamsReader(DataSourceReader):
         from modeltracking_spark.operators.bzip2 import bz2_read_stream
 
         path, idx, start, end = partition.value
-        with open(path, "rb") as fh:
-            data = fh.read()
-        yield _lines_batch(path, idx, bz2_read_stream(data, start, end))
+        with open(path, "rb") as fh:  # RANGE read: this stream only
+            fh.seek(start)
+            chunk = fh.read(end - start)
+        yield _lines_batch(path, idx, bz2_read_stream(chunk, 0, len(chunk)))
 
 
 class Bz2StreamsDataSource(DataSource):

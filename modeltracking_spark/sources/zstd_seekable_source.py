@@ -51,17 +51,16 @@ class ZstdSeekableReader(DataSourceReader):
 
     def partitions(self):
         from modeltracking_spark.operators.zstd_seekable import (
-            zstd_seekable_table,
+            zstd_seekable_table_from_file,
         )
 
         parts = []
         for f in self.files:
-            with open(f, "rb") as fh:
-                data = fh.read()
-            table = zstd_seekable_table(data)
-            for i in range(len(table)):
+            with open(f, "rb") as fh:  # TAIL reads only
+                table = zstd_seekable_table_from_file(fh)
+            for i, e in enumerate(table):
                 if i % self.frame_mod == self.frame_rem:
-                    parts.append(InputPartition((f, i)))
+                    parts.append(InputPartition((f, i, e)))
         return parts
 
     def read(self, partition):
@@ -69,14 +68,14 @@ class ZstdSeekableReader(DataSourceReader):
 
         from modeltracking_spark.operators.zstd_seekable import (
             zstd_seekable_read_frame,
-            zstd_seekable_table,
         )
 
-        path, idx = partition.value
-        with open(path, "rb") as fh:
-            data = fh.read()
-        table = zstd_seekable_table(data)
-        raw = zstd_seekable_read_frame(data, table, idx)
+        path, idx, e = partition.value
+        with open(path, "rb") as fh:  # RANGE read: this frame only
+            fh.seek(e["c_off"])
+            frame = fh.read(e["c_size"])
+        local = dict(e, c_off=0)
+        raw = zstd_seekable_read_frame(frame, [local], 0)
         lines = raw.decode("utf-8").split("\n")
         if lines and lines[-1] == "":
             lines.pop()
