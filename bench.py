@@ -136,6 +136,12 @@ HEADLINE = [
     "xz_bcj_roundtrip_docs",
     "tar_pax_bundle_scan_docs",
     "brotli_roundtrip_docs",
+    # round-10 scale tier: COVER-style dictionary training, and the
+    # frame/block/stream-parallel compressed-corpus scans
+    "zstd_trained_dict_docs",
+    "zstd_seekable_scan_docs",
+    "xz_indexed_scan_docs",
+    "bz2_multistream_scan_docs",
 ]
 
 # Regression anchor: BENCH_r03.json per-query seconds at sf0.1 on local[32]
