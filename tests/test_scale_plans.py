@@ -604,3 +604,45 @@ def test_no_unbounded_driver_collect_sites():
         "unbounded-collect lint: new .collect()/.toPandas() sites need "
         f"an allowlist entry with their bound: {offenders}"
     )
+
+
+def test_round10_codec_queries_are_shuffle_free_narrow_maps(spark):
+    """The r10 roundtrip kernels (dict-zstd, nested Avro, BCJ xz, pax
+    tar, brotli) must stay single-stage Arrow maps over the scan — no
+    exchange anywhere; at 100x data they scale linearly with input
+    splits."""
+    from modeltracking_spark.queries import load_registries
+
+    qs, _ = load_registries()
+    for name in ("zstd_dict_roundtrip_docs", "avro_nested_scan_docs",
+                 "xz_bcj_roundtrip_docs", "brotli_roundtrip_docs"):
+        plan = executed_plan(qs[name](spark, SF001))
+        # the only exchange allowed is widen_for_kernel's RoundRobin
+        # under-split guard (itself plan-asserted to no-op on wide
+        # scans); no hash/range shuffle may appear
+        assert "hashpartitioning" not in plan, name
+        assert "rangepartitioning" not in plan, name
+        for line in plan.splitlines():
+            if "Exchange" in line:
+                assert "RoundRobinPartitioning" in line, (name, line)
+        assert "ArrowEvalPython" in plan or "MapInPandas" in plan, name
+        assert_no_cartesian(qs[name](spark, SF001))
+
+
+def test_round10_parallel_scan_partitioning(spark):
+    """The frame/block/stream-parallel sources must expose one
+    partition per decode unit and plan as a pure BatchScan -> project
+    (no exchange): the single-archive parallelism claim, pinned."""
+    from modeltracking_spark.queries import load_registries
+
+    qs, _ = load_registries()
+    for name, units in (
+        ("zstd_seekable_scan_docs", 4 * 5),   # 4 shards x 5 frames
+        ("xz_indexed_scan_docs", 3 * 7),      # 3 shards x 7 blocks
+        ("bz2_multistream_scan_docs", 4 * 5),
+    ):
+        df = qs[name](spark, SF001)
+        assert df.rdd.getNumPartitions() == units, name
+        plan = executed_plan(df)
+        assert "Exchange" not in plan, name
+        assert "BatchScan" in plan, name
