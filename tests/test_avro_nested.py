@@ -219,3 +219,43 @@ def test_nested_mutation_fuzz_with_reader_schema():
         except (ValueError, NotImplementedError, UnicodeDecodeError,
                 KeyError, TypeError):
             pass  # typed rejects (schema-JSON corruption -> shape errors)
+
+
+def test_nested_roundtrip_hypothesis():
+    """Random values conforming to the nested schema roundtrip
+    byte-exactly (the CBOR recursive-tree pattern, schema-driven)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    meta = st.fixed_dictionaries({
+        "lang": st.text(max_size=12),
+        "score": st.floats(allow_nan=False, width=32),
+        "flags": st.lists(st.booleans(), max_size=5),
+    })
+    rec = st.fixed_dictionaries({
+        "id": st.integers(min_value=-(2 ** 63), max_value=2 ** 63 - 1),
+        "meta": meta,
+        "toks": st.lists(st.text(max_size=10), max_size=8),
+        "counts": st.dictionaries(st.text(max_size=6),
+                                  st.integers(-(2 ** 30), 2 ** 30),
+                                  max_size=6),
+        "kind": st.sampled_from(["WEB", "BOOK", "CODE"]),
+        "digest": st.binary(min_size=4, max_size=4),
+        "extra": st.one_of(
+            st.none(),
+            st.integers(-(2 ** 40), 2 ** 40),
+            st.text(max_size=12),
+        ),
+        "again": meta,
+    })
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.lists(rec, min_size=1, max_size=5),
+           st.sampled_from(["null", "deflate"]))
+    def rt(recs, codec):
+        blob = avro_ocf_write(recs, schema=_NESTED_SCHEMA, codec=codec,
+                              block_records=2)
+        _s, back = avro_ocf_read(blob)
+        assert back == recs
+
+    rt()

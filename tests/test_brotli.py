@@ -222,3 +222,34 @@ def test_subset_encoder_accepted_by_reference_and_self():
                 assert ref_dec(blob, len(raw) + 16) == raw
     text = b"The quick brown fox jumps over the lazy dog. " * 120
     assert len(brotli_compress(text)) < len(text) * 2 // 3  # entropy pays
+
+
+def test_subset_encoder_roundtrip_hypothesis():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from modeltracking_spark.operators.brotli_dec import brotli_compress
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.binary(max_size=4000))
+    def rt(raw):
+        assert brotli_decompress(
+            brotli_compress(raw), max_output=1 << 20
+        ) == raw
+
+    rt()
+
+
+@needs_enc
+def test_reference_encoder_roundtrip_hypothesis():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.binary(max_size=3000), st.integers(0, 11))
+    def rt(raw, q):
+        assert brotli_decompress(
+            _ref_compress(raw, quality=q), max_output=1 << 20
+        ) == raw
+
+    rt()
