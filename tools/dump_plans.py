@@ -119,6 +119,16 @@ NOTES = {
     "winsorize_events": "bounded sketch aggregate -> 1-row caps broadcast -> narrow clamp",
     "pearson_corr_events": "one map-side-combinable moment aggregate per group",
     "chi2_type_vs_weekday_events": "bounded contingency counts; row/col margins broadcast back onto the cells",
+    # round 10
+    "zstd_dict_roundtrip_docs": "narrow Arrow map (widen-guard RoundRobin only); dictionary is a closure-captured broadcast-sized artifact",
+    "avro_nested_scan_docs": "narrow Arrow map: per-batch OCF write -> reader-schema-resolved read, no shuffle",
+    "xz_bcj_roundtrip_docs": "narrow Arrow map; filter-chain decode per row, no shuffle",
+    "tar_pax_bundle_scan_docs": "two chained narrow Arrow maps (bundle build -> scan), no shuffle",
+    "brotli_roundtrip_docs": "narrow Arrow map; RFC 7932 decode per row, no shuffle",
+    "zstd_trained_dict_docs": "one map-side-combinable gram aggregate + one bounded segment-score shuffle over the SAMPLE; corpus pass is a narrow Arrow map",
+    "zstd_seekable_scan_docs": "BatchScan with one InputPartition per FRAME (range reads only) -> project; no exchange",
+    "xz_indexed_scan_docs": "BatchScan with one InputPartition per BLOCK via the format's own index -> project; no exchange",
+    "bz2_multistream_scan_docs": "BatchScan with one InputPartition per STREAM -> project; no exchange",
 }
 
 
