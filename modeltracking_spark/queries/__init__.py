@@ -116,7 +116,7 @@ PRIORITY: tuple[str, ...] = (
     "text_quality_suite",              # text quality scoring battery
     "bloom_decontaminate_docs",        # Bloom-bitset decontamination
     "tfidf_top_terms_docs",            # TF-IDF top terms
-    # ---- window boundary (50 incl. the 4 r10 insertions) ----
+    # ---- window boundary (50 incl. the 9 r10 insertions) ----
     # r6 remainder past the boundary (slip to r11 with the r7 cohort):
     "vincenty_vs_haversine",
     "winnow_fingerprints_docs",
