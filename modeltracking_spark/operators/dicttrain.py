@@ -191,3 +191,23 @@ def train_content_dictionary(
         covered.update(gcnt)
     # best content at the tail (shortest offsets from the window)
     return "".join(reversed(chosen)).encode("utf-8")
+
+
+def train_structured_dictionary(
+    docs: DataFrame,
+    text_col: str = "text",
+    **kwargs,
+) -> bytes:
+    """COVER-trained content wrapped as a STRUCTURED RFC 8878 §5
+    dictionary (magic, deterministic dict-ID from the content CRC,
+    Huffman literals table from the content's byte statistics, the
+    predefined FSE distributions, offset history) — the exact artifact
+    libzstd's ``*_usingDict`` and ``zstd -D`` consume, trained by the
+    cluster."""
+    import zlib
+
+    from modeltracking_spark.operators.zstd import zstd_build_dictionary
+
+    content = train_content_dictionary(docs, text_col, **kwargs)
+    dict_id = (zlib.crc32(content) & 0xFFFFFFFF) or 1
+    return zstd_build_dictionary(content, dict_id)

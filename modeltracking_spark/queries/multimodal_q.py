@@ -1948,12 +1948,12 @@ def zstd_trained_dict_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle replays the lossless roundtrip from the documents
     table."""
     from modeltracking_spark.operators.dicttrain import (
-        train_content_dictionary,
+        train_structured_dictionary,
     )
     from modeltracking_spark.operators.zstd import zstd_dict_roundtrip_stats
 
     docs = T(spark, sf_dir, "documents")
-    trained = train_content_dictionary(
+    trained = train_structured_dictionary(
         docs, sample_mod=4, max_bytes=2048, candidates=256
     )
     d = docs.select("doc_id", F.col("text").alias("payload"))

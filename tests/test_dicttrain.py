@@ -108,3 +108,66 @@ def test_training_plan_shape(spark):
     # levels around one exchange)
     assert plan.count("HashAggregate") >= 2
     assert plan.count("Exchange") == 1
+
+
+def test_structured_trained_dictionary_consumed_by_libzstd(spark):
+    """The full §5 loop: the cluster TRAINS the content, the engine
+    WRITES the structured dictionary (magic, CRC dict-ID, Huffman
+    table from content stats via FSE-compressed weights, explicit
+    predefined FSE descriptions, offset history), libzstd and the
+    zstd CLI CONSUME it, and both decoders roundtrip its frames."""
+    import ctypes
+    import subprocess
+
+    from modeltracking_spark.operators.dicttrain import (
+        train_structured_dictionary,
+    )
+    from modeltracking_spark.operators.zstd import (
+        zstd_decompress,
+        zstd_parse_dictionary,
+    )
+
+    lib = _libzstd()
+    if lib is None:
+        pytest.skip("libzstd absent")
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    d = train_structured_dictionary(docs, sample_mod=4, max_bytes=1024)
+    parsed = zstd_parse_dictionary(d)
+    assert parsed.dict_id != 0 and parsed.huf_table is not None
+    assert parsed.rep == [1, 4, 8] and len(parsed.content) >= 8
+    # identical retraining -> identical artifact
+    assert d == train_structured_dictionary(docs.repartition(5),
+                                            sample_mod=4, max_bytes=1024)
+
+    lib.ZSTD_createDCtx.restype = ctypes.c_void_p
+    lib.ZSTD_decompress_usingDict.restype = ctypes.c_size_t
+    lib.ZSTD_decompress_usingDict.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p,
+        ctypes.c_size_t]
+    cctx = lib.ZSTD_createCCtx()
+    dctx = lib.ZSTD_createDCtx()
+    payload = docs.orderBy("doc_id").limit(3).collect()[1]["text"].encode()
+    for level in (1, 3, 19):
+        bound = lib.ZSTD_compressBound(len(payload))
+        buf = ctypes.create_string_buffer(bound)
+        n = lib.ZSTD_compress_usingDict(
+            cctx, buf, bound, payload, len(payload), d, len(d), level)
+        assert not lib.ZSTD_isError(n), "libzstd rejected the trained dict"
+        out = ctypes.create_string_buffer(max(len(payload), 1))
+        m = lib.ZSTD_decompress_usingDict(
+            dctx, out, len(payload), buf.raw[:n], n, d, len(d))
+        assert not lib.ZSTD_isError(m) and out.raw[:m] == payload
+        assert zstd_decompress(buf.raw[:n], dictionary=d) == payload
+    # the CLI consumes it too
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        dp, pp = f"{td}/dict", f"{td}/p"
+        open(dp, "wb").write(d)
+        open(pp, "wb").write(payload)
+        enc = subprocess.run(
+            ["/root/miniconda/bin/zstd", "-D", dp, "-c", pp],
+            capture_output=True)
+        if enc.returncode == 0:
+            assert zstd_decompress(enc.stdout, dictionary=d) == payload

@@ -488,3 +488,44 @@ def test_dictionary_parser_mutation_fuzz(tmp_path):
             zstd_parse_dictionary(dblob[:cut])
         except ValueError:
             pass
+
+
+def test_fse_ncount_writer_roundtrips_and_weights_encoder():
+    """fse_write_ncount mirrors fse_read_ncount exactly (predefined
+    distributions + random normalizations), and the FSE-compressed
+    Huffman weights encoder roundtrips through huf_read_weights
+    including the implied last weight."""
+    import random
+
+    from modeltracking_spark.operators.zstd import (
+        fse_normalize,
+        fse_read_ncount,
+        fse_write_ncount,
+        huf_read_weights,
+        huf_weights_from_freq,
+        huf_write_weights_fse,
+    )
+
+    for norm, al in (_OF_DEFAULT, _ML_DEFAULT, _LL_DEFAULT):
+        blob = fse_write_ncount(norm, al)
+        norm2, al2, _end = fse_read_ncount(blob, 0, len(norm), al)
+        assert al2 == al
+        assert norm2 == norm[:len(norm2)]
+        assert all(c == 0 for c in norm[len(norm2):])
+    rng = random.Random(6)
+    for _ in range(40):
+        nsym = rng.randrange(2, 40)
+        freq = {s: rng.randrange(1, 500) for s in range(nsym)}
+        al = rng.choice([a for a in (5, 6, 7) if (1 << a) >= nsym])
+        norm = fse_normalize(freq, al, nsym - 1)
+        assert sum(norm) == 1 << al
+        blob = fse_write_ncount(norm, al)
+        norm2, al2, _ = fse_read_ncount(blob, 0, nsym - 1, al)
+        assert norm2 == norm[:len(norm2)]
+    for _ in range(30):
+        freq = {b: rng.randrange(0, 1000)
+                for b in range(rng.randrange(5, 256))}
+        w = huf_weights_from_freq(freq)
+        blob = huf_write_weights_fse(w)
+        got, _tlog, pos = huf_read_weights(blob, 0)
+        assert pos == len(blob) and got == w

@@ -2435,7 +2435,7 @@ def twin_zstd_trained_dict(spark, sf_dir, spark_rows) -> tuple[bool, str]:
     import duckdb as _duck
 
     from modeltracking_spark.operators.dicttrain import (
-        train_content_dictionary,
+        train_structured_dictionary,
     )
     from modeltracking_spark.schemas import load_table
 
@@ -2458,8 +2458,8 @@ def twin_zstd_trained_dict(spark, sf_dir, spark_rows) -> tuple[bool, str]:
         ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p,
         ctypes.c_size_t]
     docs = load_table(spark, sf_dir, "documents")
-    d = train_content_dictionary(docs, sample_mod=4, max_bytes=2048,
-                                 candidates=256)
+    d = train_structured_dictionary(docs, sample_mod=4, max_bytes=2048,
+                                    candidates=256)
     cctx, dctx = lib.ZSTD_createCCtx(), lib.ZSTD_createDCtx()
     rows = _duck.sql(
         f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
