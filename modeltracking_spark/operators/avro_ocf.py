@@ -10,8 +10,10 @@ OCF layout (magic ``Obj\\x01``, a metadata map carrying ``avro.schema``
 JSON and ``avro.codec``, a 16-byte sync marker, then data blocks of
 ``(record count, byte size, payload, sync)``).  The ``deflate`` codec
 is RAW DEFLATE (RFC 1951, no zlib wrapper) — decoded here with the
-repo's from-spec ``operators/inflate.py``, tying the two specs
-together; ``null`` codec is supported too.
+repo's from-spec ``operators/inflate.py`` — and the ``snappy`` codec
+(raw snappy block + 4-byte big-endian CRC32 of the uncompressed data)
+runs through the from-spec ``operators/snappy.py``, tying three specs
+together; ``null`` is supported too.
 
 Round 10 (VERDICT r9 item 3) extends the round-9 flat scope to the
 full recursive type system — nested records, arrays, maps, enums,
@@ -500,6 +502,17 @@ def avro_ocf_write(records: list[dict], fields: list[tuple[str, object]]
 
             co = zlib.compressobj(6, zlib.DEFLATED, -15)  # RAW deflate
             body = co.compress(body) + co.flush()
+        elif codec == "snappy":
+            # Avro snappy codec: raw snappy block + 4-byte BIG-ENDIAN
+            # CRC32 (zlib polynomial) of the UNCOMPRESSED data
+            import zlib
+
+            from modeltracking_spark.operators.snappy import (
+                snappy_block_compress,
+            )
+
+            body = (snappy_block_compress(body)
+                    + (zlib.crc32(body) & 0xFFFFFFFF).to_bytes(4, "big"))
         elif codec != "null":
             raise NotImplementedError(f"avro codec {codec!r}")
         out += zigzag_encode(len(block))
@@ -571,6 +584,19 @@ def avro_ocf_read(data: bytes,
             body, end = inflate(body, 0)
             if end != size:
                 raise ValueError("avro deflate block has trailing bytes")
+        elif codec == "snappy":
+            import zlib
+
+            from modeltracking_spark.operators.snappy import (
+                snappy_block_decompress,
+            )
+
+            if len(body) < 4:
+                raise ValueError("avro snappy block too short for its CRC")
+            want = int.from_bytes(body[-4:], "big")
+            body = snappy_block_decompress(body[:-4])
+            if zlib.crc32(body) & 0xFFFFFFFF != want:
+                raise ValueError("avro snappy block CRC mismatch")
         elif codec != "null":
             raise NotImplementedError(f"avro codec {codec!r}")
         bpos = 0

@@ -59,8 +59,10 @@ def test_rejects():
         avro_ocf_read(bytes(bad))
     with pytest.raises(ValueError):
         avro_ocf_read(blob[:len(blob) // 2])
+    # snappy is implemented since round 10 (test_avro_nested.py);
+    # unknown codecs still reject loudly
     with pytest.raises(NotImplementedError, match="codec"):
-        avro_ocf_write(_recs(), _FIELDS, codec="snappy")
+        avro_ocf_write(_recs(), _FIELDS, codec="lz77x")
     # the former nested plug-in point is implemented (round 10);
     # unknown named types still reject loudly
     with pytest.raises(ValueError, match="unresolved avro named type"):
