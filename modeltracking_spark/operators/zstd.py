@@ -1551,15 +1551,15 @@ def fse_normalize(freq: dict[int, int], accuracy_log: int,
         n = max(int(exact), 1)
         norm[s] = n
         assigned += n
-        rema.append((exact - n, -c, s))
+        rema.append((-(exact - n), -c, s))  # sort key: largest frac first
     # distribute the remainder to the largest fractional parts (or
     # shave the biggest counts when over-assigned)
     while assigned < size:
         rema.sort()
-        frac, negc, s = rema.pop(0)
+        negfrac, negc, s = rema.pop(0)
         norm[s] += 1
         assigned += 1
-        rema.append((frac - 1, negc, s))
+        rema.append((negfrac + 1, negc, s))
     while assigned > size:
         cand = max((s for s in range(len(norm)) if norm[s] > 1),
                    key=lambda s: (norm[s], s))
