@@ -95,6 +95,7 @@ PRIORITY: tuple[str, ...] = (
     "zstd_seekable_scan_docs",         # seekable zstd: frame-parallel scan
     "xz_indexed_scan_docs",            # xz index: block-parallel scan
     "bz2_multistream_scan_docs",       # pbzip2 shape: stream-parallel scan
+    "zstd_seekable_stream_scan_docs",  # STREAMING tail of growing archives
     # ---- r6-stale cohort, highest-leverage first (stalest tier) ----
     "semdedup_embeddings",             # r9 bench watch item — re-attest
     "exact_dedup_docs",                # exact dedup + survivor rewrite

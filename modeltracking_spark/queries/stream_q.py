@@ -337,3 +337,105 @@ def exactly_once_ingest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "zstd_seekable_stream_scan_docs",
+    oracle="""
+    SELECT doc_id,
+           length(text)::BIGINT AS n_chars,
+           md5(text) AS text_md5,
+           (doc_id % 4)::BIGINT AS shard
+    FROM documents
+    """,
+)
+def zstd_seekable_stream_scan_docs(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """STREAMING tail of a GROWING seekable-zstd archive directory
+    (round 10 — the DataSourceStreamReader arm of
+    sources/zstd_seekable_source.py): the docs corpus arrives in TWO
+    waves of shard archives; a Structured Streaming query with a
+    file-sink checkpoint drains wave 1 (trigger availableNow), the
+    second wave lands, and a RESTARTED run with the SAME checkpoint
+    catches up from the stored ``{path: frames_consumed}`` offsets —
+    one InputPartition per NEW frame, seek tables read tail-only,
+    frame payloads range-read. The oracle is the plain batch projection
+    of the documents table: it matches ONLY if every frame was
+    consumed exactly once across the restart (a duplicate or a skip
+    fails the hash by construction). The exactly-once/no-op-rerun/
+    duplicate-free properties are additionally pinned in
+    tests/test_zstd_seekable.py."""
+    import os
+    import tempfile
+
+    from pyspark.errors import PySparkException
+
+    from modeltracking_spark.operators.zstd_seekable import (
+        zstd_seekable_write,
+    )
+    from modeltracking_spark.queries.common import ensure_pkg_on_workers
+    from modeltracking_spark.sources.zstd_seekable_source import (
+        ZstdSeekableDataSource,
+    )
+
+    ensure_pkg_on_workers(spark)
+    try:
+        spark.dataSource.register(ZstdSeekableDataSource)
+    except PySparkException:
+        pass  # already registered in this session
+    td = tempfile.mkdtemp(prefix="zseek-stream-q-")
+    arch, out, ck = f"{td}/arch", f"{td}/out", f"{td}/ck"
+    os.makedirs(arch)
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def write_wave(shards: tuple[int, ...]):
+        def _write(rows_iter):
+            by_shard: dict[int, list[str]] = {}
+            for r in rows_iter:
+                by_shard.setdefault(int(r["shard"]), []).append(
+                    f"{int(r['doc_id'])}\t{r['text']}\n"
+                )
+            for s, lines in by_shard.items():
+                batches = ["".join(lines[i:i + 25]).encode("utf-8")
+                           for i in range(0, len(lines), 25)]
+                tmp = os.path.join(arch, f".shard-{s}.tmp")
+                with open(tmp, "wb") as fh:
+                    fh.write(zstd_seekable_write(batches))
+                os.rename(tmp, os.path.join(arch, f"shard-{s}.zst"))
+
+        (
+            docs.withColumn("shard", (F.col("doc_id") % 4).cast("int"))
+            .where(F.col("shard").isin(*shards))
+            .repartition(len(shards), "shard")
+            .sortWithinPartitions("shard", "doc_id")
+            .foreachPartition(_write)
+        )
+
+    def drain():
+        q = (
+            spark.readStream.format("zstd_seekable")
+            .option("path", arch).load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    write_wave((0, 1))   # wave 1 lands, stream drains it
+    drain()
+    write_wave((2, 3))   # the archive GROWS; restart catches up
+    drain()
+
+    back = spark.read.parquet(out)
+    return back.select(
+        F.expr("cast(substring(line, 1, instr(line, '\\t') - 1) as long)")
+        .alias("doc_id"),
+        F.length(F.expr("substring(line, instr(line, '\\t') + 1)"))
+        .cast("long").alias("n_chars"),
+        F.md5(F.expr("substring(line, instr(line, '\\t') + 1)"))
+        .alias("text_md5"),
+        F.regexp_extract("path", r"shard-(\d+)\.zst$", 1)
+        .cast("long").alias("shard"),
+    )

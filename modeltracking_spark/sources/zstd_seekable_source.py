@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
 )
 
@@ -102,3 +103,74 @@ class ZstdSeekableDataSource(DataSource):
 
     def reader(self, schema):
         return ZstdSeekableReader(self.options, schema)
+
+    def streamReader(self, schema):
+        return ZstdSeekableStreamReader(self.options, schema)
+
+
+class ZstdSeekableStreamReader(DataSourceStreamReader):
+    """Micro-batch TAILING of a growing seekable-zstd archive
+    directory: the offset is ``{path: frames_consumed}``, computed
+    from seek-table TAIL reads only, so a 100 TB archive directory is
+    planned without touching payload bytes. Each micro-batch gets one
+    InputPartition per NEW frame — exactly-once at frame grain,
+    replay-safe because offsets are deterministic positions in an
+    append-only layout (the shape every log-tailing connector uses,
+    here over compressed record-aligned frames)."""
+
+    def __init__(self, options, schema):
+        path = options.get("path")
+        if not path:
+            raise ValueError(
+                "zstd_seekable stream requires .option('path', ...)"
+            )
+        self.path = path
+
+    def initialOffset(self) -> dict:
+        return {}
+
+    def latestOffset(self) -> dict:
+        from modeltracking_spark.operators.zstd_seekable import (
+            zstd_seekable_table_from_file,
+        )
+
+        offset = {}
+        for f in _archive_files(self.path):
+            with open(f, "rb") as fh:  # tail reads only
+                offset[f] = len(zstd_seekable_table_from_file(fh))
+        return offset
+
+    def partitions(self, start: dict, end: dict):
+        from modeltracking_spark.operators.zstd_seekable import (
+            zstd_seekable_table_from_file,
+        )
+
+        parts = []
+        for f, n_end in sorted(end.items()):
+            n_start = int(start.get(f, 0))
+            if n_end <= n_start:
+                continue
+            with open(f, "rb") as fh:
+                table = zstd_seekable_table_from_file(fh)
+            for i in range(n_start, int(n_end)):
+                parts.append(InputPartition((f, i, table[i])))
+        return parts
+
+    def read(self, partition):
+        from modeltracking_spark.operators.zstd_seekable import (
+            zstd_seekable_read_frame,
+        )
+
+        path, idx, e = partition.value
+        with open(path, "rb") as fh:  # RANGE read: this frame only
+            fh.seek(e["c_off"])
+            frame = fh.read(e["c_size"])
+        raw = zstd_seekable_read_frame(frame, [dict(e, c_off=0)], 0)
+        lines = raw.decode("utf-8").split("\n")
+        if lines and lines[-1] == "":
+            lines.pop()
+        for i, line in enumerate(lines):
+            yield (path, idx, i, line)
+
+    def commit(self, end: dict):
+        pass  # offsets are positions in an append-only layout

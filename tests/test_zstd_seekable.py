@@ -117,3 +117,53 @@ def test_datasource_frame_per_partition(spark, tmp_path):
     assert sorted(set(
         int(r["frame_index"]) for r in half.collect()
     )) == [0, 2, 4, 6, 8]
+
+
+def test_stream_reader_tails_growing_archive_exactly_once(spark, tmp_path):
+    """The DataSourceStreamReader arm: offsets are {path: frames},
+    a restart with the same checkpoint consumes ONLY new frames, a
+    rerun with nothing new adds nothing, and no (path, frame, line)
+    ever duplicates."""
+    import os
+
+    from modeltracking_spark.queries.common import ensure_pkg_on_workers
+    from modeltracking_spark.sources.zstd_seekable_source import (
+        ZstdSeekableDataSource,
+    )
+
+    ensure_pkg_on_workers(spark)
+    try:
+        spark.dataSource.register(ZstdSeekableDataSource)
+    except Exception:
+        pass
+    arch = tmp_path / "arch"
+    arch.mkdir()
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def write_shard(name, lo, hi):
+        lines = [f"{i}\tv{i}\n" for i in range(lo, hi)]
+        batches = ["".join(lines[i:i + 10]).encode()
+                   for i in range(0, len(lines), 10)]
+        tmp = arch / f".{name}.tmp"
+        tmp.write_bytes(zstd_seekable_write(batches))
+        os.rename(tmp, arch / name)
+
+    def drain():
+        q = (spark.readStream.format("zstd_seekable")
+             .option("path", str(arch)).load()
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    write_shard("a.zst", 0, 50)
+    drain()
+    assert spark.read.parquet(out).count() == 50
+    write_shard("b.zst", 50, 120)
+    drain()
+    df = spark.read.parquet(out)
+    assert df.count() == 120
+    assert df.groupBy("path", "frame_index", "line_no").count() \
+        .where("count > 1").count() == 0
+    drain()  # nothing new: offsets hold
+    assert spark.read.parquet(out).count() == 120
