@@ -142,6 +142,7 @@ HEADLINE = [
     "zstd_seekable_scan_docs",
     "xz_indexed_scan_docs",
     "bz2_multistream_scan_docs",
+    "zstd_seekable_stream_scan_docs",
 ]
 
 # Regression anchor: BENCH_r03.json per-query seconds at sf0.1 on local[32]
