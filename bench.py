@@ -142,7 +142,10 @@ HEADLINE = [
     "zstd_seekable_scan_docs",
     "xz_indexed_scan_docs",
     "bz2_multistream_scan_docs",
-    "zstd_seekable_stream_scan_docs",
+    # zstd_seekable_stream_scan_docs is deliberately NOT benched: each
+    # execution runs two REAL streaming drains (~17 s at sf0.1), which
+    # would dominate the 6-run timing loop; it stays oracled and
+    # driver-scored, and its wall time is stream-startup, not plan cost
 ]
 
 # Regression anchor: BENCH_r03.json per-query seconds at sf0.1 on local[32]
