@@ -253,3 +253,51 @@ def test_reference_encoder_roundtrip_hypothesis():
         ) == raw
 
     rt()
+
+
+def test_metadata_meta_blocks_hand_built():
+    """Metadata meta-blocks (MNIBBLES code 3) are never emitted by the
+    reference encoder, so pin the path with hand-built bits: content
+    is skipped byte-aligned and contributes zero output, both empty
+    and length-coded forms, incl. a metadata + uncompressed sandwich."""
+
+    def bits_to_bytes(bits):
+        bits = list(bits)
+        while len(bits) % 8:
+            bits.append(0)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            out.append(sum(b << k for k, b in enumerate(bits[i:i + 8])))
+        return bytes(out)
+
+    term = bits_to_bytes([1, 1])  # ISLAST + ISLASTEMPTY
+
+    def meta_header(payload: bytes, with_wbits: bool) -> list:
+        bits = [0] if with_wbits else []  # WBITS = 16
+        bits += [0, 1, 1, 0]  # ISLAST=0, MNIBBLES code 3, reserved=0
+        nbytes = 1 if payload else 0
+        bits += [nbytes & 1, (nbytes >> 1) & 1]
+        if payload:
+            v = len(payload) - 1
+            bits += [(v >> k) & 1 for k in range(8)]
+        return bits
+
+    # empty metadata block, then the empty-last terminator
+    blob = bits_to_bytes(meta_header(b"", True)) + term
+    assert brotli_decompress(blob) == b""
+
+    # metadata WITH payload followed by an uncompressed block
+    payload = b"metadata!"
+    body = b"hello brotli!"
+    ub = [0, 0, 0]  # ISLAST=0, MNIBBLES=4
+    w = len(body) - 1
+    ub += [(w >> k) & 1 for k in range(16)]
+    ub += [1]  # ISUNCOMPRESSED (aligns before the raw bytes)
+    blob2 = (bits_to_bytes(meta_header(payload, True)) + payload
+             + bits_to_bytes(ub) + body + term)
+    assert brotli_decompress(blob2) == body
+    # nonzero reserved bit rejects
+    bad = meta_header(b"", True)
+    bad[4] = 1  # the reserved bit
+    with pytest.raises(ValueError, match="reserved"):
+        brotli_decompress(bits_to_bytes(bad) + term)
