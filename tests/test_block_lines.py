@@ -124,3 +124,31 @@ def test_datasources_partition_per_unit(spark, tmp_path):
         rows2 = sorted((int(r["block_index"]), int(r["line_no"]), r["line"])
                        for r in df2.collect())
         assert rows2 == rows
+
+
+@needs_xz
+def test_xz_indexed_blocks_with_bcj_chain(tmp_path):
+    """Isolated indexed-block decode composes with BCJ filter chains:
+    each block carries its own [x86, LZMA2] header and decodes alone."""
+    import random
+
+    rng = random.Random(3)
+    raw = bytearray(rng.randrange(256) for _ in range(50000))
+    for _ in range(12000):
+        raw[rng.randrange(50000)] = rng.choice([0xE8, 0xE9, 0x00, 0xFF])
+    raw = bytes(raw)
+    p = tmp_path / "p"
+    p.write_bytes(raw)
+    blob = subprocess.run(
+        [_XZ_CLI, "--x86", "--lzma2=preset=1", "--block-size=8192",
+         "-c", str(p)], capture_output=True).stdout
+    ck, entries = xz_block_index(blob)
+    assert len(entries) > 3
+    assert b"".join(
+        xz_read_block(blob, ck, e) for e in reversed(entries)
+    ) == b"".join(
+        raw[e["d_off"]:e["d_off"] + e["unc_size"]]
+        for e in reversed(entries)
+    )
+    got = b"".join(xz_read_block(blob, ck, e) for e in entries)
+    assert got == raw
