@@ -234,6 +234,18 @@ def _fixtures():
                 "modeltracking_spark.operators.lzma_alone", fromlist=["x"]
             ).lzma_alone_decompress(b, max_output=1 << 16),
         ),
+        "xz_bcj": (
+            __import__("lzma").compress(
+                b"xz bcj fuzz target \xe8\x80\x81 code " * 50,
+                format=__import__("lzma").FORMAT_XZ,
+                filters=[{"id": __import__("lzma").FILTER_X86},
+                         {"id": __import__("lzma").FILTER_LZMA2,
+                          "preset": 1}],
+            ),
+            lambda b: __import__(
+                "modeltracking_spark.operators.xz", fromlist=["x"]
+            ).xz_decompress(b, max_output=1 << 16),
+        ),
         "brotli": (
             _brotli_ref_fixture(),
             # no integrity check in the format: corrupt streams may

@@ -205,3 +205,45 @@ def test_pax_malformed_records_reject():
     # record length arithmetic survives the digit-width boundary
     blob = build_tar_pax([("n" * 95, b"q" * 3, 7)])
     assert parse_tar(blob)[0]["name"] == "n" * 95
+
+
+def test_pax_size_override_beyond_octal_field():
+    """The pax 'size' record is how archives carry members past the
+    11-digit octal field; pin the mechanism at small scale: a ustar
+    header whose size field says 0 while the pax record names the real
+    body length must yield the full body (and the next member must
+    still parse from the right offset)."""
+    from modeltracking_spark.operators.tar import _pax_record
+
+    body = b"B" * 1500
+    pax_body = _pax_record("size", str(len(body)))
+    blocks = bytearray()
+
+    def hdr(name, size, flag):
+        h = bytearray(512)
+        nb = name.encode()
+        h[0:len(nb)] = nb
+        h[100:108] = b"0000644\x00"
+        h[108:116] = b"0000000\x00"
+        h[116:124] = b"0000000\x00"
+        h[124:136] = f"{size:011o}\x00".encode()
+        h[136:148] = f"{0:011o}\x00".encode()
+        h[148:156] = b" " * 8
+        h[156] = ord(flag)
+        h[257:263] = b"ustar\x00"
+        h[263:265] = b"00"
+        chk = sum(h)
+        h[148:156] = f"{chk:06o}\x00 ".encode()
+        return bytes(h)
+
+    blocks += hdr("PaxHeaders.0/big", len(pax_body), "x")
+    blocks += pax_body + b"\x00" * ((-len(pax_body)) % 512)
+    blocks += hdr("big.bin", 0, "0")  # octal field LIES (says zero)
+    blocks += body + b"\x00" * ((-len(body)) % 512)
+    blocks += hdr("after.txt", 2, "0")
+    blocks += b"ok" + b"\x00" * 510
+    blocks += b"\x00" * 1024
+    members = parse_tar(bytes(blocks))
+    assert members[0]["name"] == "big.bin"
+    assert members[0]["size"] == 1500 and members[0]["body"] == body
+    assert members[1]["name"] == "after.txt" and members[1]["body"] == b"ok"
