@@ -129,6 +129,7 @@ NOTES = {
     "zstd_seekable_scan_docs": "BatchScan with one InputPartition per FRAME (range reads only) -> project; no exchange",
     "xz_indexed_scan_docs": "BatchScan with one InputPartition per BLOCK via the format's own index -> project; no exchange",
     "bz2_multistream_scan_docs": "BatchScan with one InputPartition per STREAM -> project; no exchange",
+    "zstd_seekable_stream_scan_docs": "two availableNow streaming drains (one partition per NEW frame, offsets from tail-only seek-table reads) land in an exactly-once file sink; the returned plan is the committed parquet scan",
 }
 
 
