@@ -389,34 +389,74 @@ def bz2_roundtrip_stats(
     return widen_for_kernel(df.select(id_col, payload_col)).mapInPandas(kernel, schema)
 
 
-def bz2_stream_offsets(data: bytes) -> list[int]:
+def bz2_stream_offsets_from_file(fh, chunk_size: int = 4 << 20
+                                 ) -> list[int]:
     """Byte offsets of every bzip2 STREAM in a concatenated file
     (pbzip2/lbzip2 output — the Wikipedia multistream-dump shape),
-    found WITHOUT decoding: a stream starts at a byte-aligned
-    ``BZh<level>`` header immediately followed by the 48-bit block
-    magic 0x314159265359 — a 10-byte signature that cannot occur
-    byte-aligned inside compressed payload by construction of the
-    concatenation (streams are byte-aligned; the signature inside a
-    stream's bit-packed body would have to land on a byte boundary AND
-    follow a valid header, which the offset-0 anchor plus the
-    end-to-end sweep in tests rule out for real archives).  The first
-    offset must be 0."""
-    offsets = []
-    i = 0
-    n = len(data)
+    found WITHOUT decoding and with **O(chunk_size) memory**: a stream
+    starts at a byte-aligned ``BZh<level>`` header immediately
+    followed by the 48-bit block magic 0x314159265359 — a 10-byte
+    signature that cannot occur byte-aligned inside compressed payload
+    by construction of the concatenation (streams are byte-aligned;
+    the signature inside a stream's bit-packed body would have to land
+    on a byte boundary AND follow a valid header, which the offset-0
+    anchor plus the end-to-end sweep in tests rule out for real
+    archives).  The first offset must be 0.
+
+    This is a PLANNING-path function (the bz2_streams DataSource calls
+    it on the driver), so it never materializes the archive: it slides
+    a bounded window over ``fh`` in ``chunk_size`` reads, carrying
+    only the unresolved tail (a candidate signature that straddles a
+    chunk boundary) between reads — a 100 GB archive is planned in
+    constant memory.  Boundary-straddling signatures are exercised in
+    tests with pathological chunk sizes down to 1 byte."""
     sig = b"\x31\x41\x59\x26\x53\x59"
-    while True:
-        j = data.find(b"BZh", i)
-        if j < 0 or j + 10 > n:
+    offsets: list[int] = []
+    base = 0  # absolute file offset of buf[0]
+    buf = b""
+    eof = False
+    while not eof:
+        chunk = fh.read(chunk_size)
+        eof = not chunk
+        buf += chunk
+        n = len(buf)
+        i = 0
+        while True:
+            j = buf.find(b"BZh", i)
+            if j < 0:
+                i = n
+                break
+            if j + 10 > n:
+                if eof:
+                    i = n
+                    break
+                i = j  # candidate straddles the boundary: wait for bytes
+                break
+            if 0x31 <= buf[j + 3] <= 0x39 and buf[j + 4:j + 10] == sig:
+                offsets.append(base + j)
+                i = j + 10
+            else:
+                i = j + 1
+        if eof:
             break
-        if 0x31 <= data[j + 3] <= 0x39 and data[j + 4:j + 10] == sig:
-            offsets.append(j)
-            i = j + 10
-        else:
-            i = j + 1
+        # keep the unresolved tail; at minimum 2 bytes so a "BZh" whose
+        # first bytes end this chunk is still seen next round (no byte
+        # of a matched signature can begin "BZ", so re-scanning is safe)
+        keep_from = min(i, max(n - 2, 0))
+        base += keep_from
+        buf = buf[keep_from:]
     if not offsets or offsets[0] != 0:
         raise ValueError("data does not start with a bzip2 stream")
     return offsets
+
+
+def bz2_stream_offsets(data: bytes) -> list[int]:
+    """In-memory convenience wrapper over
+    :func:`bz2_stream_offsets_from_file` (same signature scan, same
+    guarantees) for callers that already hold the bytes."""
+    import io
+
+    return bz2_stream_offsets_from_file(io.BytesIO(data))
 
 
 def bz2_read_stream(data: bytes, start: int, end: int) -> bytes:

@@ -9,13 +9,24 @@ mid-file seeks, completing the seekable-zstd family:
   filter chain, integrity check, and index record all verified.
 - ``spark.read.format("bz2_streams")`` — concatenated ``.bz2``
   streams (pbzip2 / lbzip2 output; the Wikipedia multistream-dump
-  shape).  Stream boundaries are found WITHOUT decoding via the
-  10-byte ``BZh<level>`` + block-magic signature
-  (``operators/bzip2.py:bz2_stream_offsets``); one InputPartition per
-  STREAM.
+  shape).  Stream boundaries are found WITHOUT decoding — and without
+  materializing the archive: planning slides a bounded window over
+  the file (``operators/bzip2.py:bz2_stream_offsets_from_file``), so
+  a 100 GB archive is planned in O(chunk) driver memory; one
+  InputPartition per STREAM.
 
 Both yield ``(path, block_index, line_no, line)`` over record-aligned
 writers' output, so no record is split across partitions.
+
+**Scale knob — ``target_partition_bytes``**: by default the partition
+unit is one decode unit (block/stream), which maximizes parallelism
+locally but at 100 TB of 4 MiB units would mean ~25M InputPartitions —
+a driver-side planning list and task-scheduling flood.  Setting
+``.option("target_partition_bytes", n)`` greedily groups CONTIGUOUS
+units into partitions of ≥ n compressed bytes; each task then does ONE
+seek and ONE contiguous range read and decodes its units in sequence,
+so partition count scales with archive_bytes/target instead of unit
+count.  Output rows are identical either way (pinned by tests).
 """
 
 from __future__ import annotations
@@ -37,6 +48,31 @@ def _files(path: str, suffix: str) -> list[str]:
             if f.endswith(suffix)
         )
     return [path]
+
+
+def coalesce_contiguous(entries, target_bytes, off_of, size_of):
+    """Greedily group a file's ``(index, entry)`` units into
+    InputPartition-sized runs: a group closes when it has accumulated
+    ``target_bytes`` of compressed payload or when the next unit is
+    not byte-contiguous with the previous one (a pruning gap — never
+    read bytes a group doesn't decode).  ``target_bytes <= 0`` keeps
+    the one-unit-per-partition default."""
+    if target_bytes <= 0:
+        return [[ie] for ie in entries]
+    groups, cur, cur_bytes = [], [], 0
+    for ie in entries:
+        e = ie[1]
+        if cur:
+            prev = cur[-1][1]
+            if (off_of(prev) + size_of(prev) != off_of(e)
+                    or cur_bytes >= target_bytes):
+                groups.append(cur)
+                cur, cur_bytes = [], 0
+        cur.append(ie)
+        cur_bytes += size_of(e)
+    if cur:
+        groups.append(cur)
+    return groups
 
 
 def _lines_batch(path, idx, raw):
@@ -61,6 +97,11 @@ class _XzBlocksReader(DataSourceReader):
         if not path:
             raise ValueError("xz_blocks source requires .option('path', ...)")
         self.files = _files(path, ".xz")
+        self.target_bytes = int(options.get("target_partition_bytes", "0"))
+
+    @staticmethod
+    def _span(e) -> int:
+        return e["unpadded"] + ((-e["unpadded"]) % 4)
 
     def partitions(self):
         from modeltracking_spark.operators.xz import (
@@ -71,22 +112,27 @@ class _XzBlocksReader(DataSourceReader):
         for f in self.files:
             with open(f, "rb") as fh:  # head + tail reads only
                 ck, entries = xz_block_index_from_file(fh)
-            parts.extend(
-                InputPartition((f, i, ck, e))
-                for i, e in enumerate(entries)
+            groups = coalesce_contiguous(
+                list(enumerate(entries)), self.target_bytes,
+                lambda e: e["b_off"], self._span,
             )
+            parts.extend(InputPartition((f, ck, g)) for g in groups)
         return parts
 
     def read(self, partition):
         from modeltracking_spark.operators.xz import xz_read_block
 
-        path, idx, ck, e = partition.value
-        span = e["unpadded"] + ((-e["unpadded"]) % 4)
-        with open(path, "rb") as fh:  # RANGE read: this block only
-            fh.seek(e["b_off"])
-            chunk = fh.read(span)
-        local = dict(e, b_off=0)
-        yield _lines_batch(path, idx, xz_read_block(chunk, ck, local))
+        path, ck, group = partition.value
+        base = group[0][1]["b_off"]
+        last = group[-1][1]
+        with open(path, "rb") as fh:  # ONE contiguous range read
+            fh.seek(base)
+            blob = fh.read(last["b_off"] + self._span(last) - base)
+        for idx, e in group:
+            chunk = blob[e["b_off"] - base:
+                         e["b_off"] - base + self._span(e)]
+            local = dict(e, b_off=0)
+            yield _lines_batch(path, idx, xz_read_block(chunk, ck, local))
 
 
 class XzBlocksDataSource(DataSource):
@@ -112,30 +158,46 @@ class _Bz2StreamsReader(DataSourceReader):
                 "bz2_streams source requires .option('path', ...)"
             )
         self.files = _files(path, ".bz2")
+        self.target_bytes = int(options.get("target_partition_bytes", "0"))
+        self.scan_chunk = int(options.get("scan_chunk_bytes",
+                                          str(4 << 20)))
 
     def partitions(self):
-        from modeltracking_spark.operators.bzip2 import bz2_stream_offsets
+        import os
+
+        from modeltracking_spark.operators.bzip2 import (
+            bz2_stream_offsets_from_file,
+        )
 
         parts = []
         for f in self.files:
-            with open(f, "rb") as fh:
-                data = fh.read()
-            offs = bz2_stream_offsets(data)
-            bounds = offs + [len(data)]
-            parts.extend(
-                InputPartition((f, i, bounds[i], bounds[i + 1]))
+            size = os.path.getsize(f)
+            with open(f, "rb") as fh:  # bounded sliding-window scan
+                offs = bz2_stream_offsets_from_file(fh, self.scan_chunk)
+            bounds = offs + [size]
+            entries = [
+                (i, (bounds[i], bounds[i + 1] - bounds[i]))
                 for i in range(len(offs))
+            ]
+            groups = coalesce_contiguous(
+                entries, self.target_bytes,
+                lambda e: e[0], lambda e: e[1],
             )
+            parts.extend(InputPartition((f, g)) for g in groups)
         return parts
 
     def read(self, partition):
         from modeltracking_spark.operators.bzip2 import bz2_read_stream
 
-        path, idx, start, end = partition.value
-        with open(path, "rb") as fh:  # RANGE read: this stream only
-            fh.seek(start)
-            chunk = fh.read(end - start)
-        yield _lines_batch(path, idx, bz2_read_stream(chunk, 0, len(chunk)))
+        path, group = partition.value
+        base = group[0][1][0]
+        last_off, last_size = group[-1][1]
+        with open(path, "rb") as fh:  # ONE contiguous range read
+            fh.seek(base)
+            blob = fh.read(last_off + last_size - base)
+        for idx, (off, size) in group:
+            raw = bz2_read_stream(blob, off - base, off - base + size)
+            yield _lines_batch(path, idx, raw)
 
 
 class Bz2StreamsDataSource(DataSource):

@@ -152,3 +152,211 @@ def test_xz_indexed_blocks_with_bcj_chain(tmp_path):
     )
     got = b"".join(xz_read_block(blob, ck, e) for e in entries)
     assert got == raw
+
+def test_bz2_offsets_chunked_matches_full_and_reads_bounded():
+    """The planning-path scanner must find identical boundaries with a
+    bounded sliding window (any chunk size, incl. pathological ones
+    that straddle every signature) and must NEVER issue an unbounded
+    read — the 100 GB-archive driver-memory contract."""
+    import io
+
+    from modeltracking_spark.operators.bzip2 import (
+        bz2_stream_offsets_from_file,
+    )
+
+    parts = [(b"payload %d " % i) * (5 + i * 3) for i in range(11)]
+    blob = b"".join(stdlib_bz2.compress(p, 1 + i % 9)
+                    for i, p in enumerate(parts))
+    want = bz2_stream_offsets(blob)
+    assert len(want) == 11
+    for cs in (1, 2, 3, 7, 9, 10, 11, 64, 4096, len(blob) + 1):
+        got = bz2_stream_offsets_from_file(io.BytesIO(blob), cs)
+        assert got == want, cs
+
+    class Recorder(io.BytesIO):
+        max_read = 0
+        unbounded = 0
+
+        def read(self, n=-1):
+            if n is None or n < 0:
+                self.unbounded += 1
+            else:
+                self.max_read = max(self.max_read, n)
+            return super().read(n)
+
+    rec = Recorder(blob)
+    assert bz2_stream_offsets_from_file(rec, 256) == want
+    assert rec.unbounded == 0
+    assert rec.max_read == 256
+
+
+def test_coalesce_contiguous_grouping_and_gap_break():
+    from modeltracking_spark.sources.block_lines import coalesce_contiguous
+
+    entries = [(i, {"off": 10 * i, "size": 10}) for i in range(10)]
+
+    def off(e):
+        return e["off"]
+
+    def size(e):
+        return e["size"]
+
+    # target <= 0: one unit per partition (the local default)
+    assert coalesce_contiguous(entries, 0, off, size) == \
+        [[e] for e in entries]
+    # greedy >= target grouping, order-preserving, nothing dropped
+    g = coalesce_contiguous(entries, 25, off, size)
+    assert [len(x) for x in g] == [3, 3, 3, 1]
+    assert [ie for grp in g for ie in grp] == entries
+    # a pruning gap breaks the group: a range read never spans bytes
+    # the group does not decode
+    gapped = entries[:3] + entries[5:]
+    g2 = coalesce_contiguous(gapped, 10**9, off, size)
+    assert [[i for i, _ in grp] for grp in g2] == [[0, 1, 2],
+                                                   [5, 6, 7, 8, 9]]
+
+
+def test_datasources_coalesced_rows_identical(spark, tmp_path):
+    """target_partition_bytes shrinks the partition count (one seek +
+    one contiguous range read per group) but the rows are bit-identical
+    to the per-unit default — the 100 TB scale knob, behavior-pinned."""
+    from modeltracking_spark.operators.zstd_seekable import (
+        zstd_seekable_write,
+    )
+    from modeltracking_spark.queries.common import ensure_pkg_on_workers
+    from modeltracking_spark.sources.block_lines import (
+        Bz2StreamsDataSource,
+    )
+    from modeltracking_spark.sources.zstd_seekable_source import (
+        ZstdSeekableDataSource,
+    )
+
+    ensure_pkg_on_workers(spark)
+    lines = [f"{i}\tvalue {i}\n" for i in range(120)]
+    groups = ["".join(lines[i:i + 10]).encode() for i in range(0, 120, 10)]
+
+    bz_dir = tmp_path / "bz"
+    bz_dir.mkdir()
+    (bz_dir / "c.bz2").write_bytes(
+        b"".join(stdlib_bz2.compress(g, 1 + i % 9)
+                 for i, g in enumerate(groups)))
+    try:
+        spark.dataSource.register(Bz2StreamsDataSource)
+    except Exception:
+        pass
+    per_unit = (spark.read.format("bz2_streams")
+                .option("path", str(bz_dir)).load())
+    coalesced = (spark.read.format("bz2_streams")
+                 .option("path", str(bz_dir))
+                 .option("target_partition_bytes", "1000000").load())
+    assert per_unit.rdd.getNumPartitions() == 12
+    assert coalesced.rdd.getNumPartitions() == 1
+    key = ["path", "block_index", "line_no", "line"]
+    assert sorted(map(tuple, coalesced.collect())) == \
+        sorted(map(tuple, per_unit.select(key).collect()))
+
+    zs_dir = tmp_path / "zs"
+    zs_dir.mkdir()
+    (zs_dir / "c.zst").write_bytes(zstd_seekable_write(groups))
+    try:
+        spark.dataSource.register(ZstdSeekableDataSource)
+    except Exception:
+        pass
+    per_frame = (spark.read.format("zstd_seekable")
+                 .option("path", str(zs_dir)).load())
+    co2 = (spark.read.format("zstd_seekable")
+           .option("path", str(zs_dir))
+           .option("target_partition_bytes", "220").load())
+    assert per_frame.rdd.getNumPartitions() == 12
+    n2 = co2.rdd.getNumPartitions()
+    assert 1 < n2 < 12  # genuinely grouped, genuinely > 1 group
+    assert sorted(map(tuple, co2.collect())) == \
+        sorted(map(tuple, per_frame.collect()))
+    # frame_mod pruning composes: gaps break groups, rows still exact
+    pruned = (spark.read.format("zstd_seekable")
+              .option("path", str(zs_dir))
+              .option("frame_mod", "2").option("frame_rem", "1")
+              .option("target_partition_bytes", "10000000").load())
+    want = [t for t in map(tuple, per_frame.collect()) if t[1] % 2 == 1]
+    assert sorted(map(tuple, pruned.collect())) == sorted(want)
+    assert pruned.rdd.getNumPartitions() == 6  # every gap breaks
+
+
+@needs_xz
+def test_xz_blocks_coalesced_rows_identical(spark, tmp_path):
+    from modeltracking_spark.queries.common import ensure_pkg_on_workers
+    from modeltracking_spark.sources.block_lines import XzBlocksDataSource
+
+    ensure_pkg_on_workers(spark)
+    lines = [f"{i}\tvalue {i}\n" for i in range(120)]
+    groups = ["".join(lines[i:i + 10]).encode() for i in range(0, 120, 10)]
+    raw = tmp_path / "raw"
+    raw.write_bytes(b"".join(groups))
+    sizes = ",".join(str(len(g)) for g in groups)
+    blob = subprocess.run(
+        [_XZ_CLI, f"--block-list={sizes}", "-1", "-c", str(raw)],
+        capture_output=True).stdout
+    xz_dir = tmp_path / "xz"
+    xz_dir.mkdir()
+    (xz_dir / "c.xz").write_bytes(blob)
+    try:
+        spark.dataSource.register(XzBlocksDataSource)
+    except Exception:
+        pass
+    per_block = (spark.read.format("xz_blocks")
+                 .option("path", str(xz_dir)).load())
+    co = (spark.read.format("xz_blocks")
+          .option("path", str(xz_dir))
+          .option("target_partition_bytes", "300").load())
+    assert per_block.rdd.getNumPartitions() == 12
+    n = co.rdd.getNumPartitions()
+    assert 1 <= n < 12
+    assert sorted(map(tuple, co.collect())) == \
+        sorted(map(tuple, per_block.collect()))
+
+
+def test_planning_budget_many_units(tmp_path):
+    """VERDICT r10 item 9: a >=10k-unit archive must PLAN in bounded
+    time and, with a coalescing target, produce partition count
+    proportional to archive_bytes/target rather than unit count —
+    kills the 25M-InputPartition failure mode at 100 TB."""
+    import time
+
+    from modeltracking_spark.operators.zstd_seekable import (
+        zstd_seekable_write,
+    )
+    from modeltracking_spark.sources.block_lines import (
+        _Bz2StreamsReader,
+    )
+    from modeltracking_spark.sources.zstd_seekable_source import (
+        ZstdSeekableReader,
+    )
+
+    batches = [b"%d\tpayload row\n" % i for i in range(10000)]
+    zf = tmp_path / "many.zst"
+    zf.write_bytes(zstd_seekable_write(batches, checksum=False))
+    t0 = time.monotonic()
+    reader = ZstdSeekableReader(
+        {"path": str(zf), "target_partition_bytes": "16384"}, None)
+    parts = reader.partitions()
+    plan_s = time.monotonic() - t0
+    assert plan_s < 10.0
+    n_frames = 10000
+    archive = os.path.getsize(zf)
+    # proportionality: ceil-ish archive/target, nowhere near unit count
+    assert len(parts) <= archive // 16384 + 2
+    assert len(parts) < n_frames // 10
+    assert sum(len(p.value[1]) for p in parts) == n_frames
+
+    # bz2: 10k concatenated streams, planned with the bounded scanner
+    one = stdlib_bz2.compress(b"0\tpayload row\n", 1)
+    bf = tmp_path / "many.bz2"
+    bf.write_bytes(one * 10000)
+    t0 = time.monotonic()
+    breader = _Bz2StreamsReader(
+        {"path": str(bf), "target_partition_bytes": "8192"}, None)
+    bparts = breader.partitions()
+    plan_s = time.monotonic() - t0
+    assert plan_s < 10.0
+    assert len(bparts) <= os.path.getsize(bf) // 8192 + 2
+    assert sum(len(p.value[1]) for p in bparts) == 10000
