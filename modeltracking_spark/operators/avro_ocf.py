@@ -13,7 +13,14 @@ is RAW DEFLATE (RFC 1951, no zlib wrapper) — decoded here with the
 repo's from-spec ``operators/inflate.py`` — and the ``snappy`` codec
 (raw snappy block + 4-byte big-endian CRC32 of the uncompressed data)
 runs through the from-spec ``operators/snappy.py``, tying three specs
-together; ``null`` is supported too.
+together; ``null`` is supported too.  Round 11 (VERDICT r10 item 5)
+closes the spec's remaining named codecs with the decoders the repo
+already carries: ``bzip2`` (standalone bzip2 stream →
+``operators/bzip2.py``), ``xz`` (standalone .xz stream →
+``operators/xz.py``), and ``zstandard`` (standalone zstd frame →
+``operators/zstd.py``; encode prefers libzstd, falls back to the
+from-spec subset encoder) — EVERY codec the Avro spec names now
+round-trips, each through an independent from-spec decode path.
 
 Round 10 (VERDICT r9 item 3) extends the round-9 flat scope to the
 full recursive type system — nested records, arrays, maps, enums,
@@ -465,6 +472,30 @@ def _dec_resolved(w, r, data: bytes, pos: int, wenv: dict, renv: dict):
 
 # ----------------------------------------------------------------- OCF
 
+def _zstd_encode(body: bytes) -> bytes:
+    """One standalone zstd frame for the ``zstandard`` codec: libzstd
+    when present (the reference encoder), the from-spec subset encoder
+    otherwise — both decode through ``operators/zstd.py``."""
+    try:
+        import ctypes
+        import ctypes.util
+
+        lib = ctypes.CDLL(ctypes.util.find_library("zstd"))
+        lib.ZSTD_compressBound.restype = ctypes.c_size_t
+        lib.ZSTD_compress.restype = ctypes.c_size_t
+        lib.ZSTD_isError.restype = ctypes.c_uint
+        bound = lib.ZSTD_compressBound(len(body))
+        buf = ctypes.create_string_buffer(bound)
+        n = lib.ZSTD_compress(buf, bound, body, len(body), 3)
+        if lib.ZSTD_isError(n):
+            raise ValueError("libzstd compress failed")
+        return buf.raw[:n]
+    except Exception:
+        from modeltracking_spark.operators.zstd import zstd_compress
+
+        return zstd_compress(body)
+
+
 def avro_ocf_write(records: list[dict], fields: list[tuple[str, object]]
                    | None = None, name: str = "row",
                    codec: str = "deflate", block_records: int = 1000,
@@ -513,6 +544,22 @@ def avro_ocf_write(records: list[dict], fields: list[tuple[str, object]]
 
             body = (snappy_block_compress(body)
                     + (zlib.crc32(body) & 0xFFFFFFFF).to_bytes(4, "big"))
+        elif codec == "bzip2":
+            # spec: block is a standalone bzip2 stream (reference
+            # encoder = stdlib; decode side is the from-spec decoder)
+            import bz2 as _bz2
+
+            body = _bz2.compress(body, 9)
+        elif codec == "xz":
+            # spec: block is a standalone .xz stream
+            import lzma as _lzma
+
+            body = _lzma.compress(body, format=_lzma.FORMAT_XZ,
+                                  check=_lzma.CHECK_CRC64)
+        elif codec == "zstandard":
+            # spec: block is a standalone zstd frame — libzstd when
+            # present (reference encoder), from-spec subset otherwise
+            body = _zstd_encode(body)
         elif codec != "null":
             raise NotImplementedError(f"avro codec {codec!r}")
         out += zigzag_encode(len(block))
@@ -597,6 +644,22 @@ def avro_ocf_read(data: bytes,
             body = snappy_block_decompress(body[:-4])
             if zlib.crc32(body) & 0xFFFFFFFF != want:
                 raise ValueError("avro snappy block CRC mismatch")
+        elif codec == "bzip2":
+            from modeltracking_spark.operators.bzip2 import (
+                bz2_decompress,
+            )
+
+            body = bz2_decompress(body)
+        elif codec == "xz":
+            from modeltracking_spark.operators.xz import xz_decompress
+
+            body = xz_decompress(body)
+        elif codec == "zstandard":
+            from modeltracking_spark.operators.zstd import (
+                zstd_decompress,
+            )
+
+            body = zstd_decompress(body)
         elif codec != "null":
             raise NotImplementedError(f"avro codec {codec!r}")
         bpos = 0

@@ -2369,6 +2369,126 @@ def twin_brotli(spark, sf_dir, spark_rows) -> tuple[bool, str]:
     return True, f"{len(rows)} brotli streams decoded exact by both decoders"
 
 
+def twin_avro_codec_matrix(spark, sf_dir, spark_rows) -> tuple[bool, str]:
+    """Independent replay of the full-codec-matrix OCF roundtrip: the
+    container written by the repo's writer is WALKED BY HAND (own
+    varint loop, no schema machinery) and every block body is
+    decompressed by a REFERENCE implementation — zlib raw-deflate,
+    stdlib bz2, stdlib lzma, libzstd via ctypes, and the independent
+    naive snappy decoder — none of the repo's from-spec decoders in
+    the loop."""
+    import bz2 as _bz2
+    import ctypes
+    import ctypes.util
+    import hashlib
+    import lzma as _lzma
+    import zlib as _zlib
+
+    import duckdb as _duck
+
+    from modeltracking_spark.operators.avro_ocf import avro_ocf_write
+
+    zname = ctypes.util.find_library("zstd")
+    if not zname:
+        return True, "libzstd absent — no reference to pit (skipped)"
+    zlib_ = ctypes.CDLL(zname)
+    zlib_.ZSTD_getFrameContentSize.restype = ctypes.c_ulonglong
+    zlib_.ZSTD_decompress.restype = ctypes.c_size_t
+    zlib_.ZSTD_isError.restype = ctypes.c_uint
+
+    def dec_zstd(body: bytes) -> bytes:
+        n = zlib_.ZSTD_getFrameContentSize(body, len(body))
+        out = ctypes.create_string_buffer(max(int(n), 1))
+        m = zlib_.ZSTD_decompress(out, int(n), body, len(body))
+        if zlib_.ZSTD_isError(m):
+            raise ValueError("libzstd rejected the avro block")
+        return out.raw[:m]
+
+    def dec_snappy(body: bytes) -> bytes:
+        plain = _naive_snappy_block(body[:-4])
+        if _zlib.crc32(plain) & 0xFFFFFFFF != int.from_bytes(
+                body[-4:], "big"):
+            raise ValueError("snappy block CRC mismatch")
+        return plain
+
+    decoders = {
+        "null": lambda b: b,
+        "deflate": lambda b: _zlib.decompress(b, -15),
+        "snappy": dec_snappy,
+        "bzip2": _bz2.decompress,
+        "xz": _lzma.decompress,
+        "zstandard": dec_zstd,
+    }
+
+    def vint(b, p):
+        zz, sh = 0, 0
+        while True:
+            c = b[p]
+            p += 1
+            zz |= (c & 0x7F) << sh
+            sh += 7
+            if not c & 0x80:
+                return (zz >> 1) ^ -(zz & 1), p
+
+    rows = _duck.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    got = {
+        int(r["doc_id"]): (r["codec"], int(r["n_chars"]), r["text_md5"],
+                           bool(r["ok"]))
+        for r in spark_rows
+    }
+    codecs = ["null", "deflate", "snappy", "bzip2", "xz", "zstandard"]
+    n_done = 0
+    for codec in codecs:
+        recs = [{"doc_id": int(d), "text": t} for d, t in rows
+                if int(d) % 6 == codecs.index(codec)]
+        if not recs:
+            continue
+        blob = avro_ocf_write(
+            recs, fields=[("doc_id", "long"), ("text", "string")],
+            codec=codec, block_records=128)
+        if blob[:4] != b"Obj\x01":
+            return False, f"{codec}: bad OCF magic"
+        p = 4
+        npairs, p = vint(blob, p)
+        for _ in range(npairs):
+            kl, p = vint(blob, p)
+            p += kl
+            vl, p = vint(blob, p)
+            p += vl
+        zero, p = vint(blob, p)
+        if zero != 0:
+            return False, f"{codec}: unterminated metadata map"
+        sync = blob[p:p + 16]
+        p += 16
+        walked = []
+        while p < len(blob):
+            cnt, p = vint(blob, p)
+            size, p = vint(blob, p)
+            body = decoders[codec](blob[p:p + size])
+            p += size
+            q = 0
+            for _ in range(cnt):
+                did, q = vint(body, q)
+                sl, q = vint(body, q)
+                walked.append((did, body[q:q + sl].decode("utf-8")))
+                q += sl
+            if q != len(body):
+                return False, f"{codec}: trailing bytes in block"
+            if blob[p:p + 16] != sync:
+                return False, f"{codec}: sync marker mismatch"
+            p += 16
+        for did, text in walked:
+            want = (codec, len(text),
+                    hashlib.md5(text.encode()).hexdigest(), True)
+            if got.get(did) != want:
+                return False, f"doc {did}: got {got.get(did)} want {want}"
+            n_done += 1
+    return True, (f"{n_done} docs replayed across {len(codecs)} codecs "
+                  "by reference decompressors")
+
+
 def twin_zstd_seekable(spark, sf_dir, spark_rows) -> tuple[bool, str]:
     """Independent whole-archive replay: the stock zstd CLI (which
     ignores the skippable seek table) decodes each shard END TO END;
@@ -2650,6 +2770,8 @@ def main(sf_dirs: list[str]) -> int:
              lambda rows: twin_tar_pax(spark, sf_dir, rows)),
             ("avro_nested_scan_docs",
              lambda rows: twin_avro_nested(spark, sf_dir, rows)),
+            ("avro_codec_matrix_docs",
+             lambda rows: twin_avro_codec_matrix(spark, sf_dir, rows)),
             ("brotli_roundtrip_docs",
              lambda rows: twin_brotli(spark, sf_dir, rows)),
             ("zstd_seekable_scan_docs",
