@@ -16,10 +16,22 @@ format documentation:
   identically in both directions.  Optional 4-byte little-endian
   start-offset property seeds the instruction pointer.
 
-Both filters are exact inverses of each other by construction and are
+Round 11 (VERDICT r10 item 6) adds the spec's remaining branch-filter
+family — **PowerPC** (0x05), **IA-64** (0x06), **ARM** (0x07),
+**ARM-Thumb** (0x08), **SPARC** (0x09), and **ARM64** (0x0A, BL +
+ADRP) — each a position-dependent relative↔absolute branch-address
+rewrite at that architecture's instruction alignment, implemented from
+the public xz file-format spec §5.3.2.  Only RISC-V (0x0B) remains a
+documented plug-in reject (its paired-AUIPC rewriting is a different
+shape).
+
+All filters are exact inverses of each other by construction and are
 cross-validated byte-for-byte against liblzma (stdlib ``lzma`` with
-``FILTER_X86`` / ``FILTER_DELTA``) over adversarial E8/E9-dense
-buffers in tests/test_xz_bcj.py.
+``FILTER_X86`` / ``FILTER_DELTA`` / ``FILTER_ARM`` /
+``FILTER_ARMTHUMB`` / ``FILTER_POWERPC`` / ``FILTER_SPARC`` /
+``FILTER_IA64``; the xz CLI's ``--arm64`` for ARM64, which stdlib
+3.11 does not expose) over adversarial opcode-dense buffers in
+tests/test_xz_bcj.py.
 """
 
 from __future__ import annotations
@@ -93,6 +105,184 @@ def x86_bcj_encode(data: bytes, start_offset: int = 0) -> bytes:
 def x86_bcj_decode(data: bytes, start_offset: int = 0) -> bytes:
     """BCJ-transformed bytes -> raw bytes (the decompression direction)."""
     return _x86_filter(data, start_offset, encode=False)
+
+
+def _arm64_filter(data: bytes, ip: int, encode: bool) -> bytes:
+    """ARM64 branch filter (xz filter ID 0x0A, spec §5.3.2): converts
+    the 26-bit immediate of BL (opcode 100101) between relative and
+    absolute word addresses, and the 21-bit ADRP page immediate when
+    it is within ±512 MiB (bits 20:18 of the stored value are sign
+    replicas by construction, so the decode-side range check always
+    re-accepts what encode produced — the invertibility hinge)."""
+    buf = bytearray(data)
+    n = len(buf)
+    for i in range(0, n - 3, 4):
+        pc = (ip + i) & 0xFFFFFFFF
+        instr = int.from_bytes(buf[i:i + 4], "little")
+        if (instr >> 26) == 0x25:  # BL
+            src = instr & 0x03FFFFFF
+            delta = pc >> 2
+            if not encode:
+                delta = -delta
+            instr = 0x94000000 | ((src + delta) & 0x03FFFFFF)
+        elif (instr & 0x9F000000) == 0x90000000:  # ADRP
+            src = ((instr >> 29) & 3) | ((instr >> 3) & 0x001FFFFC)
+            if (src + 0x00020000) & 0x001C0000:
+                continue  # outside ±512 MiB: left untouched
+            instr &= 0x9000001F
+            delta = pc >> 12
+            if not encode:
+                delta = -delta
+            dest = (src + delta) & 0xFFFFFFFF
+            instr |= (dest & 3) << 29
+            instr |= (dest & 0x0003FFFC) << 3
+            instr |= (-(dest & 0x00020000)) & 0x00E00000
+        else:
+            continue
+        buf[i:i + 4] = instr.to_bytes(4, "little")
+    return bytes(buf)
+
+
+def _arm_filter(data: bytes, ip: int, encode: bool) -> bytes:
+    """ARM (AArch32) BL filter (ID 0x07): 24-bit word immediate of the
+    0xEB-opcode branch, pc bias +8 (the architectural prefetch)."""
+    buf = bytearray(data)
+    for i in range(0, len(buf) - 3, 4):
+        if buf[i + 3] == 0xEB:
+            src = ((buf[i + 2] << 16) | (buf[i + 1] << 8) | buf[i]) << 2
+            pc = (ip + i + 8) & 0xFFFFFFFF
+            dest = ((src + pc) if encode else (src - pc)) & 0xFFFFFFFF
+            dest >>= 2
+            buf[i] = dest & 0xFF
+            buf[i + 1] = (dest >> 8) & 0xFF
+            buf[i + 2] = (dest >> 16) & 0xFF
+    return bytes(buf)
+
+
+def _armthumb_filter(data: bytes, ip: int, encode: bool) -> bytes:
+    """ARM-Thumb BL filter (ID 0x08): the 22-bit halfword immediate
+    split across a 0xF0/0xF8 instruction pair, pc bias +4; a converted
+    pair advances 4 bytes (both halves consumed)."""
+    buf = bytearray(data)
+    n = len(buf)
+    i = 0
+    while i + 4 <= n:
+        if (buf[i + 1] & 0xF8) == 0xF0 and (buf[i + 3] & 0xF8) == 0xF8:
+            src = (((buf[i + 1] & 7) << 19) | (buf[i] << 11)
+                   | ((buf[i + 3] & 7) << 8) | buf[i + 2]) << 1
+            pc = (ip + i + 4) & 0xFFFFFFFF
+            dest = ((src + pc) if encode else (src - pc)) & 0xFFFFFFFF
+            dest >>= 1
+            buf[i + 1] = 0xF0 | ((dest >> 19) & 7)
+            buf[i] = (dest >> 11) & 0xFF
+            buf[i + 3] = 0xF8 | ((dest >> 8) & 7)
+            buf[i + 2] = dest & 0xFF
+            i += 2
+        i += 2
+    return bytes(buf)
+
+
+def _ppc_filter(data: bytes, ip: int, encode: bool) -> bytes:
+    """PowerPC bl filter (ID 0x05): big-endian `b` with AA=0/LK=1
+    (opcode bits 0x48...01), 24-bit word displacement in bits 25:2."""
+    buf = bytearray(data)
+    for i in range(0, len(buf) - 3, 4):
+        if (buf[i] & 0xFC) == 0x48 and (buf[i + 3] & 3) == 1:
+            src = (((buf[i] & 3) << 24) | (buf[i + 1] << 16)
+                   | (buf[i + 2] << 8) | (buf[i + 3] & 0xFC))
+            pc = (ip + i) & 0xFFFFFFFF
+            dest = ((src + pc) if encode else (src - pc)) & 0xFFFFFFFF
+            buf[i] = 0x48 | ((dest >> 24) & 3)
+            buf[i + 1] = (dest >> 16) & 0xFF
+            buf[i + 2] = (dest >> 8) & 0xFF
+            buf[i + 3] = (buf[i + 3] & 3) | (dest & 0xFC)
+    return bytes(buf)
+
+
+def _sparc_filter(data: bytes, ip: int, encode: bool) -> bytes:
+    """SPARC call filter (ID 0x09): the two call shapes (0x40 with
+    clear top displacement bits, 0x7F with set ones); the stored word
+    re-packs bit 22 as a sign so both shapes regenerate on decode."""
+    buf = bytearray(data)
+    for i in range(0, len(buf) - 3, 4):
+        if ((buf[i] == 0x40 and (buf[i + 1] & 0xC0) == 0)
+                or (buf[i] == 0x7F and (buf[i + 1] & 0xC0) == 0xC0)):
+            src = (int.from_bytes(buf[i:i + 4], "big") << 2) & 0xFFFFFFFF
+            pc = (ip + i) & 0xFFFFFFFF
+            dest = ((src + pc) if encode else (src - pc)) & 0xFFFFFFFF
+            dest >>= 2
+            dest = ((0x40000000 - (dest & 0x400000))
+                    | 0x40000000 | (dest & 0x3FFFFF)) & 0xFFFFFFFF
+            buf[i:i + 4] = dest.to_bytes(4, "big")
+    return bytes(buf)
+
+
+#: IA-64 template -> 3-bit mask of slots holding a branch instruction
+_IA64_BRANCH_TABLE = (
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    4, 4, 6, 6, 0, 0, 7, 7, 4, 4, 0, 0, 4, 4, 0, 0,
+)
+
+
+def _ia64_filter(data: bytes, ip: int, encode: bool) -> bytes:
+    """IA-64 branch filter (ID 0x06): 16-byte bundles; for each slot
+    the template marks as a branch, the 41-bit instruction is
+    extracted at its bit offset and, when it is a long-branch opcode
+    (major op 5 with zero low qualifier), the 21-bit (sign, imm20)
+    bundle-address immediate is converted."""
+    buf = bytearray(data)
+    for i in range(0, len(buf) - 15, 16):
+        mask = _IA64_BRANCH_TABLE[buf[i] & 0x1F]
+        for slot in range(3):
+            if not (mask >> slot) & 1:
+                continue
+            bit_pos = 5 + slot * 41
+            byte_pos = bit_pos >> 3
+            bit_res = bit_pos & 7
+            instr = int.from_bytes(buf[i + byte_pos:i + byte_pos + 6],
+                                   "little")
+            norm = instr >> bit_res
+            if ((norm >> 37) & 0xF) != 5 or ((norm >> 9) & 0x7) != 0:
+                continue
+            src = ((norm >> 13) & 0xFFFFF) | (((norm >> 36) & 1) << 20)
+            src <<= 4
+            pc = (ip + i) & 0xFFFFFFFF
+            dest = ((src + pc) if encode else (src - pc)) & 0xFFFFFFFF
+            dest >>= 4
+            norm &= ~(0x8FFFFF << 13)
+            norm |= (dest & 0xFFFFF) << 13
+            norm |= (dest & 0x100000) << 16  # sign bit -> bit 36
+            instr &= (1 << bit_res) - 1
+            instr |= norm << bit_res
+            buf[i + byte_pos:i + byte_pos + 6] = \
+                instr.to_bytes(6, "little")
+    return bytes(buf)
+
+
+#: xz filter ID -> (transform, start-offset alignment).  RISC-V (0x0B)
+#: stays the documented plug-in reject in operators/xz.py — its paired
+#: AUIPC rewriting is a different shape from these single-instruction
+#: converters.
+BRANCH_FILTERS = {
+    0x05: (_ppc_filter, 4),
+    0x06: (_ia64_filter, 16),
+    0x07: (_arm_filter, 4),
+    0x08: (_armthumb_filter, 2),
+    0x09: (_sparc_filter, 4),
+    0x0A: (_arm64_filter, 4),
+}
+
+
+def branch_bcj_encode(fid: int, data: bytes, start_offset: int = 0
+                      ) -> bytes:
+    fn, _align = BRANCH_FILTERS[fid]
+    return fn(data, start_offset, encode=True)
+
+
+def branch_bcj_decode(fid: int, data: bytes, start_offset: int = 0
+                      ) -> bytes:
+    fn, _align = BRANCH_FILTERS[fid]
+    return fn(data, start_offset, encode=False)
 
 
 def delta_encode(data: bytes, dist: int) -> bytes:

@@ -222,18 +222,28 @@ def xz_decode_block(data: bytes, pos: int, check_type: int,
             if psize != 1:
                 raise ValueError("bad delta filter props size")
             pre_filters.append((fid, props[0] + 1))
-        elif fid == 0x04:  # x86 BCJ (spec §5.3.2)
+        elif fid == 0x04 or fid in (0x05, 0x06, 0x07, 0x08, 0x09, 0x0A):
+            # BCJ branch filters (spec §5.3.2): x86 + the full family
+            # (PPC/IA64/ARM/ARMThumb/SPARC/ARM64, round 11)
+            from modeltracking_spark.operators.bcj import BRANCH_FILTERS
+
+            align = 1 if fid == 0x04 else BRANCH_FILTERS[fid][1]
             if psize == 0:
                 start = 0
             elif psize == 4:
                 start = int.from_bytes(props, "little")
+                if start % align:
+                    raise ValueError(
+                        f"BCJ start offset {start} not a multiple of "
+                        f"the filter alignment {align}"
+                    )
             else:
-                raise ValueError("bad x86 BCJ props size")
+                raise ValueError("bad BCJ filter props size")
             pre_filters.append((fid, start))
         else:
             raise NotImplementedError(
                 f"xz filter {fid:#x} not implemented — the "
-                "BCJ plug-in point (other architectures)"
+                "BCJ plug-in point (RISC-V)"
             )
     if lzma2_props is None:
         raise ValueError("xz block has no LZMA2 filter")
@@ -250,6 +260,7 @@ def xz_decode_block(data: bytes, pos: int, check_type: int,
     )
     for fid, fprop in reversed(pre_filters):
         from modeltracking_spark.operators.bcj import (
+            branch_bcj_decode,
             delta_decode,
             x86_bcj_decode,
         )
@@ -258,9 +269,13 @@ def xz_decode_block(data: bytes, pos: int, check_type: int,
             block_out = bytearray(
                 delta_decode(bytes(block_out), fprop)
             )
-        else:
+        elif fid == 0x04:
             block_out = bytearray(
                 x86_bcj_decode(bytes(block_out), fprop)
+            )
+        else:
+            block_out = bytearray(
+                branch_bcj_decode(fid, bytes(block_out), fprop)
             )
     if unc_size is not None and len(block_out) != unc_size:
         raise ValueError("xz block uncompressed size mismatch")
@@ -457,11 +472,14 @@ def xz_bcj_roundtrip_stats(
     payload_col: str = "payload",
     id_col: str = "doc_id",
 ):
-    """Per-row stdlib-liblzma ENCODE with a BCJ/Delta FILTER CHAIN
-    (cycled by doc_id: [x86], [delta], [delta, x86] — all ahead of
-    LZMA2) -> from-spec chain decode (operators/bcj.py transforms
-    applied in reverse after LZMA2) -> stats, Arrow-batched. Narrow
-    map, no shuffle. Output: (id, orig_len, chain_id, dec_md5, ok)."""
+    """Per-row REFERENCE ENCODE with a BCJ/Delta FILTER CHAIN cycled
+    by doc_id — [x86], [delta], [delta, x86], then (round 11) the full
+    branch family [arm], [armthumb], [powerpc], [sparc], [ia64]
+    (stdlib liblzma) and [arm64] (the xz CLI: stdlib 3.11 exposes no
+    FILTER_ARM64 constant, liblzma 5.8 does) — all ahead of LZMA2 ->
+    from-spec chain decode (operators/bcj.py transforms applied in
+    reverse after LZMA2) -> stats, Arrow-batched. Narrow map, no
+    shuffle. Output: (id, orig_len, chain_id, dec_md5, ok)."""
     import hashlib as _hashlib
     import lzma as _lzma
 
@@ -484,6 +502,8 @@ def xz_bcj_roundtrip_stats(
     )
 
     def kernel(batches):
+        import subprocess
+
         import pandas as pd
 
         chains = [
@@ -491,6 +511,12 @@ def xz_bcj_roundtrip_stats(
             [{"id": _lzma.FILTER_DELTA, "dist": 3}],
             [{"id": _lzma.FILTER_DELTA, "dist": 1},
              {"id": _lzma.FILTER_X86}],
+            [{"id": _lzma.FILTER_ARM}],
+            [{"id": _lzma.FILTER_ARMTHUMB}],
+            [{"id": _lzma.FILTER_POWERPC}],
+            [{"id": _lzma.FILTER_SPARC}],
+            [{"id": _lzma.FILTER_IA64}],
+            "arm64-cli",  # xz CLI --arm64: no stdlib constant in 3.11
         ]
         for pdf in batches:
             ids, lens, cids, md5s, oks = [], [], [], [], []
@@ -501,13 +527,23 @@ def xz_bcj_roundtrip_stats(
                 )
                 did = int(did)
                 cid = did % len(chains)
-                enc = _lzma.compress(
-                    raw,
-                    format=_lzma.FORMAT_XZ,
-                    check=[_lzma.CHECK_CRC64, _lzma.CHECK_CRC32][did % 2],
-                    filters=chains[cid]
-                    + [{"id": _lzma.FILTER_LZMA2, "preset": 1}],
-                )
+                check = [_lzma.CHECK_CRC64, _lzma.CHECK_CRC32][did % 2]
+                if chains[cid] == "arm64-cli":
+                    enc = subprocess.run(
+                        ["/root/miniconda/bin/xz", "--arm64",
+                         "--lzma2=preset=1",
+                         "--check=" + ["crc64", "crc32"][did % 2],
+                         "-c"],
+                        input=raw, capture_output=True, check=True,
+                    ).stdout
+                else:
+                    enc = _lzma.compress(
+                        raw,
+                        format=_lzma.FORMAT_XZ,
+                        check=check,
+                        filters=chains[cid]
+                        + [{"id": _lzma.FILTER_LZMA2, "preset": 1}],
+                    )
                 dec = xz_decompress(enc)
                 ids.append(did)
                 lens.append(len(raw))

