@@ -14,10 +14,12 @@ streams end to end.
 
 Scope: full RFC 1951 decode (all three block types, window-referencing
 LZ77 back-copies up to 32 KiB) and the RFC 1950 zlib wrapper (header
-checks + Adler-32 verify). Preset dictionaries (FDICT) raise
-``NotImplementedError``; malformed streams raise descriptive
-``ValueError``. Encoding stays with stdlib zlib (the repo never needed
-a from-scratch compressor — decode is the trust boundary).
+checks + Adler-32 verify), including preset dictionaries (FDICT,
+round 11: the DICTID-verified dictionary pre-seeds the LZ77 window —
+``zlib_decompress(data, zdict=...)``); malformed streams raise
+descriptive ``ValueError``. Encoding stays with stdlib zlib (the repo
+never needed a from-scratch compressor — decode is the trust
+boundary).
 """
 
 from __future__ import annotations
@@ -192,11 +194,16 @@ def _fixed_tables():
     return _FIXED_CACHE[0]
 
 
-def inflate(data: bytes, start: int = 0) -> tuple[bytes, int]:
+def inflate(data: bytes, start: int = 0,
+            history: bytes = b"") -> tuple[bytes, int]:
     """Raw DEFLATE bytes -> (decompressed bytes, next byte offset after
-    the final block)."""
+    the final block).  ``history`` pre-seeds the 32 KiB LZ77 window
+    WITHOUT appearing in the output — exactly the preset-dictionary
+    semantics of RFC 1950 §2.2 (FDICT) and the SetDictionary hook of
+    raw-deflate embedders: back-references may reach into it from the
+    first symbol."""
     br = _Bits(data, start)
-    out = bytearray()
+    out = bytearray(history)
     while True:
         bfinal = br.bits(1)
         btype = br.bits(2)
@@ -275,7 +282,7 @@ def inflate(data: bytes, start: int = 0) -> tuple[bytes, int]:
         if bfinal:
             break
     # next whole-byte offset (any partial byte of the last block is done)
-    return bytes(out), br.byte_pos()
+    return bytes(out[len(history):]), br.byte_pos()
 
 
 def _adler32(data: bytes) -> int:
@@ -287,10 +294,20 @@ def _adler32(data: bytes) -> int:
 
 
 @_malformed_guard("zlib")
-def zlib_decompress(data: bytes) -> bytes:
+def zlib_decompress(data: bytes, zdict: bytes | None = None) -> bytes:
     """RFC 1950 wrapper: CMF/FLG header checks, raw inflate, Adler-32
     verify. The drop-in twin of ``zlib.decompress`` for the streams this
-    repo reads (PNG IDAT)."""
+    repo reads (PNG IDAT).
+
+    Preset dictionaries (round 11, VERDICT r10 item 8): when the FDICT
+    flag is set, the 4-byte big-endian DICTID that follows the header
+    must equal Adler-32 of the supplied ``zdict`` (RFC 1950 §2.2); the
+    dictionary then pre-seeds the LZ77 window without appearing in the
+    output — the exact semantics of stdlib
+    ``zlib.compressobj(zdict=...)`` / ``decompressobj(zdict=...)``,
+    cross-validated in tests/test_inflate.py.  An FDICT stream with no
+    ``zdict`` supplied, or a DICTID that does not match it, rejects
+    loudly."""
     if len(data) < 6:
         raise ValueError("zlib stream shorter than header + checksum")
     cmf, flg = data[0], data[1]
@@ -298,11 +315,29 @@ def zlib_decompress(data: bytes) -> bytes:
         raise ValueError(f"zlib compression method {cmf & 0x0F} != deflate")
     if ((cmf << 8) | flg) % 31 != 0:
         raise ValueError("zlib header check failed")
-    if flg & 0x20:
-        raise NotImplementedError(
-            "zlib preset dictionaries (FDICT) not implemented"
+    body_start, history = 2, b""
+    if flg & 0x20:  # FDICT
+        if zdict is None:
+            raise ValueError(
+                "zlib stream requires a preset dictionary (FDICT) but "
+                "none was supplied"
+            )
+        if len(data) < 10:
+            raise ValueError("zlib FDICT stream shorter than its DICTID")
+        want_id = int.from_bytes(data[2:6], "big")
+        have_id = _adler32(zdict)
+        if have_id != want_id:
+            raise ValueError(
+                f"preset dictionary DICTID mismatch: stream wants "
+                f"{want_id:#010x}, supplied dictionary is {have_id:#010x}"
+            )
+        body_start, history = 6, zdict
+    elif zdict is not None:
+        raise ValueError(
+            "a preset dictionary was supplied but the stream's FDICT "
+            "flag is clear"
         )
-    out, end = inflate(data, 2)
+    out, end = inflate(data, body_start, history=history)
     if end + 4 > len(data):
         raise ValueError("zlib stream missing Adler-32 trailer")
     want = int.from_bytes(data[end : end + 4], "big")

@@ -2250,3 +2250,92 @@ def cbor_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cbor_roundtrip_stats(d).select(
         "doc_id", "text_md5", "n_items", "neg_val", "pi_ok"
     )
+
+
+#: shared preset dictionary for the FDICT roundtrip — broadcast-sized
+#: common-prose material, the shape a real deployment trains once and
+#: ships to every encoder (cf. the zstd trained-dictionary tier)
+_FDICT_DICT = (
+    "the and of to in a is that for it as was with be by on not he "
+    "this are or his from at which but have an they you were her she "
+    "all would there been one their has will each about how up out "
+    "them then many some so these other into more two time could "
+    "first. The data the model the corpus document text token. "
+).encode("utf-8") * 3
+
+
+@query(
+    "zlib_fdict_roundtrip_docs",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text))::BIGINT AS orig_len,
+           md5(text) AS dec_md5,
+           TRUE AS fdict_set,
+           TRUE AS ok
+    FROM documents
+    """,
+)
+def zlib_fdict_roundtrip_docs(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """zlib PRESET-DICTIONARY (FDICT) roundtrip (round 11, VERDICT r10
+    item 8 — operators/inflate.py): each doc is compressed by stdlib
+    zlib with a shared preset dictionary (``compressobj(zdict=...)``,
+    RFC 1950 §2.2 — the FDICT flag plus a 4-byte Adler-32 DICTID),
+    then decoded by the from-spec RFC 1950/1951 implementation with
+    the dictionary pre-seeding the LZ77 window; ``fdict_set`` attests
+    the flag was genuinely present in every stream and ``ok`` the
+    lossless roundtrip. This closes the last dictionary-shaped codec
+    reject and mirrors the 100 TB posture of the zstd trained-
+    dictionary tier: one broadcast-sized artifact, billions of short
+    records. DICTID gating, misuse rejects, and corruption fuzz live
+    in tests/test_inflate.py + tests/test_fuzz_codecs.py. Narrow Arrow
+    map, no shuffle."""
+    import zlib as _check  # noqa: F401  (stdlib presence is the point)
+
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from modeltracking_spark.operators.kernel import widen_for_kernel
+
+    out_schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("orig_len", LongType()),
+        StructField("dec_md5", StringType()),
+        StructField("fdict_set", BooleanType()),
+        StructField("ok", BooleanType()),
+    ])
+
+    def kernel(batches):
+        import hashlib
+        import zlib
+
+        import pandas as pd
+
+        from modeltracking_spark.operators.inflate import zlib_decompress
+
+        for pdf in batches:
+            ids, lens, md5s, flags, oks = [], [], [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                did = int(did)
+                co = zlib.compressobj(1 + did % 9, zlib.DEFLATED, 15,
+                                      zdict=_FDICT_DICT)
+                blob = co.compress(raw) + co.flush()
+                dec = zlib_decompress(blob, zdict=_FDICT_DICT)
+                ids.append(did)
+                lens.append(len(raw))
+                md5s.append(hashlib.md5(dec).hexdigest())
+                flags.append(bool(blob[1] & 0x20))
+                oks.append(dec == raw)
+            yield pd.DataFrame({
+                "doc_id": ids, "orig_len": lens, "dec_md5": md5s,
+                "fdict_set": flags, "ok": oks,
+            })
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    return widen_for_kernel(docs).mapInPandas(kernel, out_schema)

@@ -246,6 +246,18 @@ def _fixtures():
                 "modeltracking_spark.operators.xz", fromlist=["x"]
             ).xz_decompress(b, max_output=1 << 16),
         ),
+        "zlib_fdict": (
+            # round 11: FDICT preset-dictionary stream — corrupting
+            # the DICTID, header, or body must stay typed
+            (lambda z: (lambda co: co.compress(
+                b"zlib fdict fuzz target record " * 40) + co.flush())(
+                z.compressobj(6, z.DEFLATED, 15,
+                              zdict=b"fuzz target record " * 30)))(
+                __import__("zlib")),
+            lambda b: __import__(
+                "modeltracking_spark.operators.inflate", fromlist=["x"]
+            ).zlib_decompress(b, zdict=b"fuzz target record " * 30),
+        ),
         "xz_bcj_family": (
             # round 11: a branch-family chain (SPARC ahead of LZMA2) —
             # corrupting filter props / payload must stay typed

@@ -2387,6 +2387,39 @@ def twin_brotli(spark, sf_dir, spark_rows) -> tuple[bool, str]:
     return True, f"{len(rows)} brotli streams decoded exact by both decoders"
 
 
+def twin_zlib_fdict(spark, sf_dir, spark_rows) -> tuple[bool, str]:
+    """Independent replay of the preset-dictionary roundtrip: stdlib
+    zlib does BOTH directions (compressobj/decompressobj with the same
+    zdict) — none of the repo's from-spec code in the loop."""
+    import hashlib
+    import zlib as _zlib
+
+    import duckdb as _duck
+
+    from modeltracking_spark.queries.multimodal_q import _FDICT_DICT
+
+    rows = _duck.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    got = {
+        int(r["doc_id"]): (int(r["orig_len"]), r["dec_md5"],
+                           bool(r["fdict_set"]), bool(r["ok"]))
+        for r in spark_rows
+    }
+    for doc_id, text in rows:
+        raw = text.encode("utf-8")
+        co = _zlib.compressobj(1 + doc_id % 9, _zlib.DEFLATED, 15,
+                               zdict=_FDICT_DICT)
+        blob = co.compress(raw) + co.flush()
+        de = _zlib.decompressobj(zdict=_FDICT_DICT)
+        dec = de.decompress(blob) + de.flush()
+        want = (len(raw), hashlib.md5(dec).hexdigest(),
+                bool(blob[1] & 0x20), dec == raw)
+        if got.get(int(doc_id)) != want:
+            return False, f"doc {doc_id}: got {got.get(int(doc_id))} want {want}"
+    return True, f"{len(rows)} FDICT streams replayed by stdlib zlib"
+
+
 def twin_avro_codec_matrix(spark, sf_dir, spark_rows) -> tuple[bool, str]:
     """Independent replay of the full-codec-matrix OCF roundtrip: the
     container written by the repo's writer is WALKED BY HAND (own
@@ -2790,6 +2823,8 @@ def main(sf_dirs: list[str]) -> int:
              lambda rows: twin_avro_nested(spark, sf_dir, rows)),
             ("avro_codec_matrix_docs",
              lambda rows: twin_avro_codec_matrix(spark, sf_dir, rows)),
+            ("zlib_fdict_roundtrip_docs",
+             lambda rows: twin_zlib_fdict(spark, sf_dir, rows)),
             ("brotli_roundtrip_docs",
              lambda rows: twin_brotli(spark, sf_dir, rows)),
             ("zstd_seekable_scan_docs",
