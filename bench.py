@@ -142,6 +142,12 @@ HEADLINE = [
     "zstd_seekable_scan_docs",
     "xz_indexed_scan_docs",
     "bz2_multistream_scan_docs",
+    # round-11 operators: the full Avro codec matrix, zlib FDICT
+    # preset dictionaries, and the coalesced-range scan-tier knob
+    # (xz_bcj_roundtrip_docs above now carries the 9-chain BCJ family)
+    "avro_codec_matrix_docs",
+    "zlib_fdict_roundtrip_docs",
+    "zstd_seekable_coalesced_scan_docs",
     # zstd_seekable_stream_scan_docs is deliberately NOT benched: each
     # execution runs two REAL streaming drains (~17 s at sf0.1), which
     # would dominate the 6-run timing loop; it stays oracled and

@@ -43,82 +43,34 @@ QUERY_MODULES = (
 
 #: the scored window (driver cap observed at 50).
 #:
-#: ROUND-10 ROTATION (VERDICT r9 item 1): close the attestation sweep.
-#: 208 registered, 182 driver-attested through r9, 26 never (the r9
-#: session-2 post-freeze cohort) — ALL 26 head the window, in the
-#: order computed from the CORRECTNESS_r0* hash-match union by
-#: ``tools/check_queries.py --window``. New queries registered THIS
-#: round are inserted directly after the 26 (they are equally
-#: never-attested). The remaining slots re-attest the stalest cohort
-#: (last green r6), ordered highest-leverage first so that names past
-#: the 50-boundary (which slip to r11 alongside the r7 cohort) are the
-#: least-central variants. The stalest-first invariant is now LINTED:
-#: ``tools/check_queries.py --window`` errors if any query outside the
-#: proposed window is strictly staler than an already-attested query
-#: inside it. Coverage invariant holds: every rotated-out r9 slot is
-#: green in CORRECTNESS_r09.json (50/50).
+#: ROUND-11 ROTATION (VERDICT r10 item 7): the attestation sweep closed
+#: in r10 (218/218), so this window is re-attestation — EXCEPT its
+#: head: 3 new r11 registrations (avro codec matrix, zlib FDICT,
+#: coalesced seekable scan) followed by the 4 queries whose BEHAVIOR
+#: changed this round (the 9-chain BCJ cycle; the three archive scans,
+#: now on content-addressed fixtures with bounded-memory bz2 planning)
+#: — listed in ``REATTEST`` below so the staleness lint treats them as
+#: never-attested. The rest is the stalest cohort: all 19 r6-attested
+#: queries, then 24 of the 50 r7-attested (highest-leverage first);
+#: the 26 r7 names left outside are age 4 at r11 close — the maximum
+#: the rotation tolerates — and head the r12 window next.
 PRIORITY: tuple[str, ...] = (
-    # ---- the 26 never-attested (r9 session-2 post-freeze) ----
-    "image_incremental_neardup_docs",  # delta-bands-broadcast near-dup
-    "click_error_interval_stallproof", # upstream-watermark interval join
-    "lz4_roundtrip_docs",              # from-spec LZ4 frame + block
-    "nfc_normalize_docs",              # from-spec Unicode NFC
-    "snappy_roundtrip_docs",           # from-spec Snappy
-    "bz2_roundtrip_docs",              # from-spec bzip2 (r10: multi-stream)
-    "exactly_once_ingest_events",      # txlog exactly-once batch sink
-    "tiff_tiled_palette_stats_docs",   # TIFF tiles + palette arm
-    "lzma_roundtrip_docs",             # .lzma (LZMA1 alone) codec
-    "kmv_set_ops_users",               # KMV sketch set algebra
-    "cdc_chunk_dedup_docs",            # content-defined chunking dedup
-    "orc_partitioned_orders_scan",     # partitioned ORC scan + pruning
-    "label_propagation_docs",          # LPA community detection
-    "warc_gz_scan_docs",               # WARC/1.1 over member-gzip
-    "warc_source_scan_docs",           # WARC Python DataSource
-    "zstd_roundtrip_docs",             # RFC 8878 zstd decode
-    "tar_zst_bundle_scan_docs",        # tar-in-zstd bundle scan
-    "xz_roundtrip_docs",               # .xz / LZMA2 codec
-    "sobel_edge_stats_docs",           # Sobel edge density
-    "data_quality_audit_orders",       # Deequ-style audit (one pass)
-    "avro_ocf_scan_docs",              # Avro OCF reader + DataSource
-    "robust_outliers_events",          # grouped median/MAD outliers
-    "tfrecord_example_scan_docs",      # TFRecord + tf.train.Example
-    "audio_activity_stats_docs",       # ZCR/silence/energy activity
-    "cbor_roundtrip_docs",             # RFC 8949 CBOR codec
-    "idn_host_normalize_docs",         # Punycode/IDNA host normalize
-    # ---- new-in-r10 registrations (never-attested; insert here) ----
-    "zstd_dict_roundtrip_docs",        # RFC 8878 §5 dictionary decode
-    "avro_nested_scan_docs",           # Avro nested + reader-schema
-    "xz_bcj_roundtrip_docs",           # xz BCJ x86 filter chain
-    "tar_pax_bundle_scan_docs",        # tar pax extended headers
-    "brotli_roundtrip_docs",           # RFC 7932 brotli decode
-    "zstd_trained_dict_docs",          # COVER-style dict training loop
-    "zstd_seekable_scan_docs",         # seekable zstd: frame-parallel scan
-    "xz_indexed_scan_docs",            # xz index: block-parallel scan
-    "bz2_multistream_scan_docs",       # pbzip2 shape: stream-parallel scan
-    "zstd_seekable_stream_scan_docs",  # STREAMING tail of growing archives
-    # ---- r6-stale cohort, highest-leverage first (stalest tier) ----
-    "semdedup_embeddings",             # r9 bench watch item — re-attest
-    "exact_dedup_docs",                # exact dedup + survivor rewrite
-    "simhash_neardup_pairs",           # SimHash banded near-dup
-    "dedup_clusters_docs",             # CC pointer-jumping clusters
-    "cosine_topk_brute",               # ANN brute baseline
-    "cosine_topk_lsh_probe",           # ANN LSH multi-table probes
-    "cosine_topk_ivf_probe",           # ANN IVF nprobe buckets
-    "skew_salted_join_events",         # J+ salted skew join
-    "stateful_user_totals_stream",     # §2.11 applyInPandasWithState
-    "stream_enrich_join",              # §2.11 stream-static enrich
-    "resample_ffill_events",           # §2.11 resample + ffill
-    "bucketed_join_revenue",           # bucketed co-located join
-    "pack_sequences_chunk",            # sequence packing (concat-chunk)
-    "stratified_hash_sample_docs",     # stratified hash sampling
-    "euclid_knn_suppliers",            # F7 Euclidean degree KNN
-    "grid_snap_nearest_node",          # J1 arithmetic grid snap
-    "scalar_geo_suite",                # F2/F4/F5/F8 scalar battery
-    "text_quality_suite",              # text quality scoring battery
-    "bloom_decontaminate_docs",        # Bloom-bitset decontamination
-    "tfidf_top_terms_docs",            # TF-IDF top terms
-    # ---- window boundary (50 incl. the 9 r10 insertions) ----
-    # r6 remainder past the boundary (slip to r11 with the r7 cohort):
+    # ---- new in r11 (never-attested) ----
+    "avro_codec_matrix_docs",          # all six Avro spec codecs
+    "zlib_fdict_roundtrip_docs",       # RFC 1950 FDICT preset dict
+    "zstd_seekable_coalesced_scan_docs",  # scan-tier scale knob
+    # ---- behavior changed in r11 (REATTEST; lint-exempt) ----
+    "xz_bcj_roundtrip_docs",           # now cycles the 9-chain family
+    "zstd_seekable_scan_docs",         # content-addressed fixture
+    "xz_indexed_scan_docs",            # content-addressed fixture
+    "bz2_multistream_scan_docs",       # bounded-memory planning
+    # ---- r6-stale cohort (19 = the whole tier) ----
+    "euclid_knn_suppliers",
+    "grid_snap_nearest_node",
+    "scalar_geo_suite",
+    "text_quality_suite",
+    "bloom_decontaminate_docs",
+    "tfidf_top_terms_docs",
     "vincenty_vs_haversine",
     "winnow_fingerprints_docs",
     "decontaminate_ngram_overlap",
@@ -132,6 +84,42 @@ PRIORITY: tuple[str, ...] = (
     "unigram_logprob_docs",
     "chunk_dup_ratio_docs",
     "quality_logreg_docs",
+    # ---- r7-stale cohort, highest-leverage 24 of 50 ----
+    "pagerank_link_graph_docs",        # fixed-point graph tier
+    "incremental_dedup_docs",          # incremental exact dedup
+    "incremental_neardup_docs",        # incremental MinHash bands
+    "bm25_topk_docs",                  # retrieval scoring
+    "inverted_index_docs",             # postings build
+    "merge_upsert_docs",               # MERGE INTO semantics
+    "scd2_history_docs",               # slowly-changing dim type 2
+    "compaction_plan_orders",          # small-file compaction plan
+    "zorder_layout_grid",              # Z-order clustering
+    "partition_prune_events",          # stats-pruned snapshot scan
+    "foreach_batch_sink_totals",       # §2.11 foreachBatch sink
+    "csv_roundtrip_scan",              # S1/S5 CSV scan + sink
+    "jsonl_roundtrip_scan",            # JSONL scan + sink
+    "orc_roundtrip_scan",              # ORC scan + sink
+    "xpath_placemark_fields",          # S3 KML xpath parse
+    "jpeg_decode_stats_docs",          # baseline JPEG decode
+    "wav_decode_stats_docs",           # WAV PCM decode
+    "gopher_rules_docs",               # Gopher quality rules
+    "dsir_select_docs",                # DSIR importance sampling
+    "curation_pipeline_docs",          # end-to-end curation chain
+    "pq_adc_topk_l2",                  # PQ ADC ANN serve path
+    "pca_top_component_embeddings",    # PCA power iteration
+    "triangle_counts_docs",            # graph triangle counting
+    "textrank_segments_docs",          # TextRank summarization
+)
+
+#: queries whose semantics/plan changed THIS round: the staleness lint
+#: in tools/check_queries.py --window treats them as never-attested so
+#: their head-of-window placement does not trip the stalest-first
+#: invariant (their old attestation predates the change).
+REATTEST: tuple[str, ...] = (
+    "xz_bcj_roundtrip_docs",
+    "zstd_seekable_scan_docs",
+    "xz_indexed_scan_docs",
+    "bz2_multistream_scan_docs",
 )
 
 #: observed driver correctness cap (CORRECTNESS_r03 scored exactly 50)

@@ -143,7 +143,12 @@ def window_audit() -> int:
     import json
 
     sys.path.insert(0, "/root/repo")
-    from modeltracking_spark.queries import PRIORITY, SCORED_WINDOW, load_registries
+    from modeltracking_spark.queries import (
+        PRIORITY,
+        REATTEST,
+        SCORED_WINDOW,
+        load_registries,
+    )
 
     qs, oracles = load_registries()
     names = list(qs)
@@ -189,6 +194,10 @@ def window_audit() -> int:
         for q, res in json.load(open(path)).items():
             if isinstance(res, dict) and res.get("hash_match"):
                 last_attested[q] = max(last_attested.get(q, 0), rnd)
+    # behavior-changed queries re-attest from scratch: their old green
+    # predates the change, so they count as never-attested here
+    for q in REATTEST:
+        last_attested.pop(q, None)
     never_outside = [n for n in outside if n not in last_attested]
     if never_outside:
         print(
