@@ -148,6 +148,11 @@ HEADLINE = [
     "avro_codec_matrix_docs",
     "zlib_fdict_roundtrip_docs",
     "zstd_seekable_coalesced_scan_docs",
+    # round-11 flagship: the from-spec parquet reader (footer-only
+    # planning, row-group partitions, byte-range column pruning,
+    # Dremel list assembly)
+    "parquet_native_scan_docs",
+    "parquet_native_scan_embeddings",
     # zstd_seekable_stream_scan_docs is deliberately NOT benched: each
     # execution runs two REAL streaming drains (~17 s at sf0.1), which
     # would dominate the 6-run timing loop; it stays oracled and

@@ -1,0 +1,692 @@
+"""From-spec Apache Parquet READER — footer, thrift compact metadata,
+page decode — for the flat-column subset the engine's tables use.
+
+Everything here is implemented from the public format documentation
+(the parquet-format specification and its ``parquet.thrift`` IDL, and
+the Thrift Compact Protocol spec THRIFT-110):
+
+- **Footer**: files end ``<metadata><4-byte LE len>PAR1``; planning
+  reads the TAIL only — magic, length word, and the FileMetaData
+  thrift blob — never payload bytes (the 100 TB posture: a driver
+  plans a directory of archives from footers alone).
+- **Thrift compact protocol**: LEB128 varints, zigzag i16/i32/i64,
+  delta-encoded field ids, short-form lists, nested structs; unknown
+  fields of every type (incl. nested structs/lists/maps) are skipped
+  structurally, so forward-compatible metadata parses cleanly.
+- **Pages**: DATA_PAGE (v1: one compressed body holding rep levels +
+  def levels + values; def levels are a 4-byte-length-prefixed
+  RLE/bit-packed hybrid), DATA_PAGE_V2 (levels stored uncompressed
+  ahead of the optionally-compressed values), DICTIONARY_PAGE (PLAIN
+  values).
+- **Encodings**: PLAIN (bit-packed booleans, LE int32/int64/float/
+  double, 4-byte-length byte arrays, fixed-len byte arrays) and
+  RLE_DICTIONARY / PLAIN_DICTIONARY (1-byte bit width + RLE/bit-packed
+  hybrid of dictionary indices).  DELTA_* / BYTE_STREAM_SPLIT are loud
+  typed rejects (plug-in points; the engine's writers never emit
+  them).
+- **Codecs**: every codec the format names that this repo already
+  decodes from spec — UNCOMPRESSED, SNAPPY (`operators/snappy.py`),
+  GZIP (`operators/inflate.py`), BROTLI (`operators/brotli_dec.py`),
+  ZSTD (`operators/zstd.py`), LZ4_RAW (`operators/lz4.py`); legacy
+  LZO/LZ4-hadoop reject loudly.
+
+Scope: flat schemas (max repetition level 0), REQUIRED or OPTIONAL
+columns (max definition level 0/1) — the shape of every table in
+``/root/testdata``.  Nested/repeated schemas and INT96 timestamps are
+documented loud rejects.  The reader is cross-validated column-for-
+column against pyarrow (the reference implementation) over a writer
+matrix — compressions × dictionary on/off × page versions × null
+densities × multi-row-group × multi-page — in
+tests/test_parquet_native.py, and against DuckDB's independent writer.
+
+Spark integration lives in ``sources/parquet_native_source.py`` (one
+InputPartition per row group, column pruning at the byte-range level).
+"""
+
+from __future__ import annotations
+
+import struct
+
+_MAGIC = b"PAR1"
+
+
+def _malformed_guard(kind):
+    """Decorator: low-level parse crashes on corrupt bytes (struct
+    under-reads, index overruns, absurd header values) surface as ONE
+    descriptive ValueError instead of leaking IndexError/KeyError/
+    struct.error internals — the loud-reject contract, fuzz-enforced
+    in tests/test_parquet_native.py."""
+    import functools
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapped(*a, **kw):
+            try:
+                return fn(*a, **kw)
+            except (ValueError, NotImplementedError):
+                raise
+            except (struct.error, IndexError, KeyError, TypeError,
+                    OverflowError, ZeroDivisionError,
+                    MemoryError) as exc:
+                raise ValueError(
+                    f"malformed {kind}: {type(exc).__name__}: {exc}"
+                ) from exc
+        return wrapped
+    return deco
+
+# ---------------------------------------------------------------------------
+# Thrift compact protocol (THRIFT-110)
+# ---------------------------------------------------------------------------
+
+_T_STOP = 0
+_T_TRUE = 1
+_T_FALSE = 2
+_T_BYTE = 3
+_T_I16 = 4
+_T_I32 = 5
+_T_I64 = 6
+_T_DOUBLE = 7
+_T_BINARY = 8
+_T_LIST = 9
+_T_SET = 10
+_T_MAP = 11
+_T_STRUCT = 12
+
+
+class _Thrift:
+    """Minimal compact-protocol reader: returns structs as
+    ``{field_id: value}`` dicts; bool fields surface as True/False,
+    integers are zigzag-decoded, binaries stay ``bytes``."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.d = data
+        self.p = pos
+
+    def _varint(self) -> int:
+        out = shift = 0
+        while True:
+            if self.p >= len(self.d):
+                raise ValueError("truncated thrift varint")
+            b = self.d[self.p]
+            self.p += 1
+            out |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return out
+            shift += 7
+            if shift > 70:
+                raise ValueError("thrift varint too long")
+
+    def _zigzag(self) -> int:
+        n = self._varint()
+        return (n >> 1) ^ -(n & 1)
+
+    def _value(self, tp: int):
+        if tp in (_T_TRUE, _T_FALSE):
+            # only reachable for list/map elements, where bools are a
+            # full byte: 1 = true, 2 = false (THRIFT-110)
+            b = self.d[self.p]
+            self.p += 1
+            return b == 1
+        if tp == _T_BYTE:
+            b = self.d[self.p]
+            self.p += 1
+            return b - 256 if b >= 128 else b
+        if tp in (_T_I16, _T_I32, _T_I64):
+            return self._zigzag()
+        if tp == _T_DOUBLE:
+            v = struct.unpack_from("<d", self.d, self.p)[0]
+            self.p += 8
+            return v
+        if tp == _T_BINARY:
+            n = self._varint()
+            if n < 0 or self.p + n > len(self.d):
+                raise ValueError("thrift binary overruns the buffer")
+            v = self.d[self.p:self.p + n]
+            self.p += n
+            return v
+        if tp in (_T_LIST, _T_SET):
+            head = self.d[self.p]
+            self.p += 1
+            size = head >> 4
+            etype = head & 0x0F
+            if size == 15:
+                size = self._varint()
+            if size > 1 << 24:
+                raise ValueError("implausible thrift list size")
+            return [self._value(etype) for _ in range(size)]
+        if tp == _T_MAP:
+            size = self._varint()
+            if size == 0:
+                return {}
+            kv = self.d[self.p]
+            self.p += 1
+            kt, vt = kv >> 4, kv & 0x0F
+            return {self._hashable(self._value(kt)): self._value(vt)
+                    for _ in range(size)}
+        if tp == _T_STRUCT:
+            return self.read_struct()
+        raise ValueError(f"unknown thrift compact type {tp}")
+
+    @staticmethod
+    def _hashable(v):
+        return bytes(v) if isinstance(v, bytearray) else v
+
+    def read_struct(self) -> dict:
+        fields: dict = {}
+        fid = 0
+        while True:
+            if self.p >= len(self.d):
+                raise ValueError("truncated thrift struct")
+            head = self.d[self.p]
+            self.p += 1
+            if head == _T_STOP:
+                return fields
+            delta = head >> 4
+            tp = head & 0x0F
+            if delta:
+                fid += delta
+            else:
+                fid = self._zigzag()
+            if tp == _T_TRUE:
+                fields[fid] = True
+            elif tp == _T_FALSE:
+                fields[fid] = False
+            else:
+                fields[fid] = self._value(tp)
+
+
+# ---------------------------------------------------------------------------
+# Metadata model (field ids per parquet.thrift)
+# ---------------------------------------------------------------------------
+
+#: physical types (parquet.thrift Type)
+PHYS = {0: "BOOLEAN", 1: "INT32", 2: "INT64", 3: "INT96", 4: "FLOAT",
+        5: "DOUBLE", 6: "BYTE_ARRAY", 7: "FIXED_LEN_BYTE_ARRAY"}
+#: compression codecs (parquet.thrift CompressionCodec)
+CODECS = {0: "UNCOMPRESSED", 1: "SNAPPY", 2: "GZIP", 3: "LZO",
+          4: "BROTLI", 5: "LZ4", 6: "ZSTD", 7: "LZ4_RAW"}
+_UTF8_CONVERTED = 0  # ConvertedType.UTF8
+
+
+@_malformed_guard("parquet")
+def parquet_footer(data_tail: bytes, file_size: int) -> dict:
+    """Parse FileMetaData from the file TAIL (any suffix that contains
+    the whole footer).  Returns ``{"num_rows", "columns": [{name,
+    physical, string, optional}], "row_groups": [{num_rows,
+    chunks: {name: chunk_meta}}]}``."""
+    if len(data_tail) < 8 or data_tail[-4:] != _MAGIC:
+        raise ValueError("missing PAR1 footer magic")
+    meta_len = int.from_bytes(data_tail[-8:-4], "little")
+    if meta_len + 8 > len(data_tail):
+        raise ValueError(
+            f"footer tail too short: need {meta_len + 8} bytes"
+        )
+    blob = data_tail[-(meta_len + 8):-8]
+    fmd = _Thrift(blob).read_struct()
+    schema = fmd.get(2) or []
+    if not schema:
+        raise ValueError("parquet file has no schema elements")
+    root = schema[0]
+    n_children = root.get(5, 0)
+    cols = []
+    i = 1
+    while i < len(schema):
+        el = schema[i]
+        name = el.get(4, b"?").decode("utf-8", "replace")
+        if el.get(5):  # group node
+            # the ONE nested shape supported: the standard 3-level
+            # LIST — optional/required group (LIST) > repeated group >
+            # single leaf (the array<float> embedding-column shape)
+            is_list = el.get(6) == 3 or 3 in (el.get(10) or {})
+            if not (is_list and el.get(5) == 1 and i + 2 < len(schema)):
+                raise NotImplementedError(
+                    "nested parquet schemas beyond one LIST level not "
+                    f"supported (group node {name!r})"
+                )
+            mid, leaf = schema[i + 1], schema[i + 2]
+            if mid.get(3) != 2 or mid.get(5) != 1 or leaf.get(5):
+                raise NotImplementedError(
+                    f"non-standard LIST structure under {name!r}"
+                )
+            phys = PHYS.get(leaf.get(1))
+            if phys is None:
+                raise ValueError(
+                    f"unknown parquet physical type {leaf.get(1)}")
+            outer_opt = el.get(3, 0) == 1
+            leaf_opt = leaf.get(3, 0) == 1
+            d1 = 1 if outer_opt else 0   # def >= d1: list present
+            d2 = d1 + 1                  # def >= d2: list non-empty
+            d3 = d2 + (1 if leaf_opt else 0)  # == max_def: element set
+            logical = leaf.get(10) or {}
+            cols.append({
+                "name": name,
+                "kind": "list",
+                "physical": phys,
+                "type_length": leaf.get(2, 0),
+                "string": leaf.get(6) == _UTF8_CONVERTED or 1 in logical,
+                "logical": logical,
+                "converted": leaf.get(6),
+                "optional": outer_opt,
+                "leaf_optional": leaf_opt,
+                "max_rep": 1,
+                "max_def": d3,
+                "d1": d1, "d2": d2,
+                "path": ".".join((
+                    name, mid[4].decode("utf-8"),
+                    leaf[4].decode("utf-8"))),
+            })
+            i += 3
+            continue
+        if el.get(3) == 2:  # REPEATED at top level (legacy 2-level)
+            raise NotImplementedError(
+                "repeated top-level parquet fields not supported"
+            )
+        phys = PHYS.get(el.get(1))
+        if phys is None:
+            raise ValueError(f"unknown parquet physical type {el.get(1)}")
+        logical = el.get(10) or {}
+        cols.append({
+            "name": name,
+            "kind": "flat",
+            "physical": phys,
+            "type_length": el.get(2, 0),
+            # UTF8 via converted type or LogicalType.STRING (field 1)
+            "string": el.get(6) == _UTF8_CONVERTED or 1 in logical,
+            "logical": logical,
+            "converted": el.get(6),
+            "optional": el.get(3, 0) == 1,
+            "max_rep": 0,
+            "max_def": 1 if el.get(3, 0) == 1 else 0,
+            "path": name,
+        })
+        i += 1
+    if len(cols) != n_children:
+        raise ValueError(
+            f"schema children mismatch: root says {n_children}, "
+            f"found {len(cols)}"
+        )
+    groups = []
+    for rg in fmd.get(4) or []:
+        chunks = {}
+        for cc in rg.get(1) or []:
+            md = cc.get(3)
+            if md is None:
+                raise NotImplementedError(
+                    "column chunk without inline metadata (external "
+                    "file_path refs not supported)"
+                )
+            path = b".".join(md[3]).decode("utf-8")
+            chunks[path] = {
+                "physical": PHYS.get(md[1]),
+                "codec": CODECS.get(md[4], f"codec#{md[4]}"),
+                "num_values": md[5],
+                "total_compressed_size": md[7],
+                "data_page_offset": md[9],
+                "dictionary_page_offset": md.get(11),
+            }
+        groups.append({"num_rows": rg.get(3, 0), "chunks": chunks})
+    return {
+        "num_rows": fmd.get(3, 0),
+        "created_by": (fmd.get(6) or b"").decode("utf-8", "replace"),
+        "columns": cols,
+        "row_groups": groups,
+    }
+
+
+@_malformed_guard("parquet")
+def parquet_footer_from_file(fh) -> dict:
+    """Footer via TAIL reads only: 64 KiB suffix first, widened once if
+    the metadata is larger — no payload byte is touched at planning
+    time."""
+    import os
+
+    fh.seek(0, os.SEEK_END)
+    size = fh.tell()
+    if size < 12:
+        raise ValueError("file too small to be parquet")
+    take = min(size, 65536)
+    fh.seek(size - take)
+    tail = fh.read(take)
+    if tail[-4:] != _MAGIC:
+        raise ValueError("missing PAR1 footer magic")
+    meta_len = int.from_bytes(tail[-8:-4], "little")
+    if meta_len + 8 > take:
+        take = min(size, meta_len + 8)
+        fh.seek(size - take)
+        tail = fh.read(take)
+    return parquet_footer(tail, size)
+
+
+# ---------------------------------------------------------------------------
+# Page-level decode
+# ---------------------------------------------------------------------------
+
+def _decompress(codec: str, body: bytes, uncompressed_size: int) -> bytes:
+    if codec == "UNCOMPRESSED":
+        return body
+    if codec == "SNAPPY":
+        from modeltracking_spark.operators.snappy import (
+            snappy_block_decompress,
+        )
+
+        out = snappy_block_decompress(body)
+    elif codec == "GZIP":
+        from modeltracking_spark.operators.inflate import gzip_member
+
+        out, _end = gzip_member(body, 0)
+    elif codec == "BROTLI":
+        from modeltracking_spark.operators.brotli_dec import (
+            brotli_decompress,
+        )
+
+        out = brotli_decompress(body, max_output=uncompressed_size)
+    elif codec == "ZSTD":
+        from modeltracking_spark.operators.zstd import zstd_decompress
+
+        out = zstd_decompress(body, max_output=uncompressed_size)
+    elif codec == "LZ4_RAW":
+        from modeltracking_spark.operators.lz4 import lz4_block_decompress
+
+        out = lz4_block_decompress(body, max_out=uncompressed_size)
+    else:
+        raise NotImplementedError(
+            f"parquet codec {codec} not supported (legacy hadoop "
+            "framings LZO/LZ4 are plug-in rejects)"
+        )
+    if len(out) != uncompressed_size:
+        raise ValueError(
+            f"parquet page decompressed to {len(out)} bytes, header "
+            f"says {uncompressed_size}"
+        )
+    return out
+
+
+def rle_bp_hybrid(data: bytes, pos: int, bit_width: int,
+                  count: int) -> tuple[list[int], int]:
+    """The RLE/bit-packed hybrid (format spec "Encodings" §RLE):
+    varint header — LSB 0 = RLE run (value in ceil(bw/8) LE bytes),
+    LSB 1 = (header>>1) groups of 8 bit-packed values, LSB-first."""
+    out: list[int] = []
+    mask = (1 << bit_width) - 1
+    width_bytes = (bit_width + 7) // 8
+    while len(out) < count:
+        header = 0
+        shift = 0
+        while True:
+            if pos >= len(data):
+                raise ValueError("truncated RLE hybrid header")
+            b = data[pos]
+            pos += 1
+            header |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        if header & 1:  # bit-packed groups
+            n = (header >> 1) * 8
+            nbytes = n * bit_width // 8
+            if pos + nbytes > len(data):
+                raise ValueError("truncated bit-packed run")
+            big = int.from_bytes(data[pos:pos + nbytes], "little")
+            pos += nbytes
+            out.extend((big >> (i * bit_width)) & mask for i in range(n))
+        else:  # RLE run
+            run = header >> 1
+            if run > (1 << 31):
+                raise ValueError("implausible RLE run length")
+            if pos + width_bytes > len(data):
+                raise ValueError("truncated RLE run value")
+            val = int.from_bytes(data[pos:pos + width_bytes], "little")
+            pos += width_bytes
+            if val > mask:
+                raise ValueError("RLE value wider than the bit width")
+            out.extend([val] * run)
+    del out[count:]
+    return out, pos
+
+
+def _plain_values(phys: str, data: bytes, pos: int, n: int,
+                  type_length: int = 0):
+    """PLAIN decode of ``n`` values starting at ``pos``; returns
+    (values, new_pos)."""
+    import numpy as np
+
+    if phys == "BOOLEAN":
+        nbytes = (n + 7) // 8
+        if pos + nbytes > len(data):
+            raise ValueError("truncated PLAIN boolean run")
+        bits = np.unpackbits(
+            np.frombuffer(data, np.uint8, nbytes, pos), bitorder="little"
+        )[:n]
+        return [bool(b) for b in bits], pos + nbytes
+    if phys in ("INT32", "INT64", "FLOAT", "DOUBLE"):
+        dt, w = {"INT32": ("<i4", 4), "INT64": ("<i8", 8),
+                 "FLOAT": ("<f4", 4), "DOUBLE": ("<f8", 8)}[phys]
+        if pos + n * w > len(data):
+            raise ValueError(f"truncated PLAIN {phys} run")
+        arr = np.frombuffer(data, dt, n, pos)
+        return arr.tolist(), pos + n * w
+    if phys == "BYTE_ARRAY":
+        vals = []
+        for _ in range(n):
+            if pos + 4 > len(data):
+                raise ValueError("truncated BYTE_ARRAY length")
+            ln = int.from_bytes(data[pos:pos + 4], "little")
+            pos += 4
+            if ln > len(data) - pos:
+                raise ValueError("BYTE_ARRAY overruns the page")
+            vals.append(data[pos:pos + ln])
+            pos += ln
+        return vals, pos
+    if phys == "FIXED_LEN_BYTE_ARRAY":
+        if type_length <= 0:
+            raise ValueError("FIXED_LEN_BYTE_ARRAY without type_length")
+        need = n * type_length
+        if pos + need > len(data):
+            raise ValueError("truncated FIXED_LEN_BYTE_ARRAY run")
+        vals = [data[pos + i * type_length:pos + (i + 1) * type_length]
+                for i in range(n)]
+        return vals, pos + need
+    raise NotImplementedError(
+        f"parquet physical type {phys} not supported (INT96 legacy "
+        "timestamps are a plug-in reject)"
+    )
+
+
+def _bits_for(n: int) -> int:
+    return n.bit_length()
+
+
+@_malformed_guard("parquet")
+def read_column_chunk(fh, chunk: dict, col: dict) -> list:
+    """Decode ONE column chunk (the parallel-read unit next to the row
+    group): seek to its byte range, walk dictionary + data pages, and
+    return the fully assembled value list — ``None`` for nulls; for a
+    LIST column, one Python list (or None/[]) per RECORD, assembled
+    from the (repetition, definition) level pairs per the Dremel
+    record-shredding rules the format defines."""
+    start = chunk["data_page_offset"]
+    if chunk.get("dictionary_page_offset") is not None:
+        start = min(start, chunk["dictionary_page_offset"])
+    fh.seek(start)
+    data = fh.read(chunk["total_compressed_size"])
+    phys = col["physical"]
+    codec = chunk["codec"]
+    want = chunk["num_values"]
+    max_def = col.get("max_def", 1 if col["optional"] else 0)
+    max_rep = col.get("max_rep", 0)
+    def_bw = _bits_for(max_def)
+    rep_bw = _bits_for(max_rep)
+    dictionary: list | None = None
+    out: list = []
+    cur: list | None = None  # list record under assembly (spans pages)
+    done = 0  # value slots (triplets) consumed, vs metadata num_values
+    pos = 0
+    while done < want:
+        if pos >= len(data):
+            raise ValueError("column chunk ended before all values")
+        th = _Thrift(data, pos)
+        ph = th.read_struct()
+        pos = th.p
+        ptype = ph.get(1)
+        unc = ph.get(2, 0)
+        comp = ph.get(3, 0)
+        if comp < 0 or pos + comp > len(data):
+            raise ValueError("parquet page body overruns the chunk")
+        body = data[pos:pos + comp]
+        pos += comp
+        if ptype == 2:  # DICTIONARY_PAGE
+            dph = ph.get(7) or {}
+            nvals = dph.get(1, 0)
+            if dph.get(2) not in (0, 2):  # PLAIN / PLAIN_DICTIONARY
+                raise ValueError("dictionary page must be PLAIN")
+            plain = _decompress(codec, body, unc)
+            dictionary, _ = _plain_values(
+                phys, plain, 0, nvals, col["type_length"])
+            continue
+        if ptype == 0:  # DATA_PAGE v1
+            dh = ph.get(5) or {}
+            nvals = dh.get(1, 0)
+            enc = dh.get(2)
+            plain = _decompress(codec, body, unc)
+            p = 0
+            reps = [0] * nvals
+            if max_rep:
+                if dh.get(4) != 3:  # repetition_level_encoding == RLE
+                    raise NotImplementedError(
+                        "v1 repetition levels must be RLE")
+                ln = int.from_bytes(plain[p:p + 4], "little")
+                p += 4
+                reps, _ = rle_bp_hybrid(plain, p, rep_bw, nvals)
+                p += ln
+            if max_def:
+                if dh.get(3) != 3:  # definition_level_encoding == RLE
+                    raise NotImplementedError(
+                        "v1 definition levels must be RLE (BIT_PACKED "
+                        "legacy is a plug-in reject)")
+                ln = int.from_bytes(plain[p:p + 4], "little")
+                p += 4
+                defs, _ = rle_bp_hybrid(plain, p, def_bw, nvals)
+                p += ln
+            else:
+                defs = [max_def] * nvals
+        elif ptype == 3:  # DATA_PAGE_V2
+            dh = ph.get(8) or {}
+            nvals = dh.get(1, 0)
+            enc = dh.get(4)
+            rep_len = dh.get(6, 0)
+            def_len = dh.get(5, 0)
+            reps = [0] * nvals
+            if max_rep:
+                reps, _ = rle_bp_hybrid(body[:rep_len], 0, rep_bw, nvals)
+            elif rep_len:
+                raise ValueError(
+                    "repetition bytes on a non-repeated column")
+            levels = body[rep_len:rep_len + def_len]
+            rest = body[rep_len + def_len:]
+            if max_def:
+                defs, _ = rle_bp_hybrid(levels, 0, def_bw, nvals)
+            else:
+                defs = [max_def] * nvals
+            if dh.get(7, True):
+                plain = _decompress(codec, rest, unc - def_len - rep_len)
+            else:
+                plain = rest
+            p = 0
+        elif ptype == 1:  # INDEX_PAGE: skip
+            continue
+        else:
+            raise ValueError(f"unknown parquet page type {ptype}")
+
+        n_present = sum(1 for d in defs if d == max_def)
+        if enc == 0:  # PLAIN
+            vals, _ = _plain_values(phys, plain, p, n_present,
+                                    col["type_length"])
+        elif enc in (2, 8):  # PLAIN_DICTIONARY / RLE_DICTIONARY
+            if dictionary is None:
+                raise ValueError(
+                    "dictionary-encoded page before any dictionary page")
+            if p >= len(plain):
+                raise ValueError("empty dictionary-index section")
+            bw = plain[p]
+            if bw > 32:
+                raise ValueError(f"implausible index bit width {bw}")
+            idx, _ = rle_bp_hybrid(plain, p + 1, bw, n_present) \
+                if bw else ([0] * n_present, p + 1)
+            try:
+                vals = [dictionary[i] for i in idx]
+            except IndexError:
+                raise ValueError("dictionary index out of range") from None
+        elif enc == 3:  # RLE: the spec allows it for BOOLEAN values
+            if phys != "BOOLEAN":
+                raise NotImplementedError(
+                    "RLE data encoding is only defined for booleans")
+            if p + 4 > len(plain):
+                raise ValueError("truncated RLE boolean section")
+            bits, _ = rle_bp_hybrid(plain, p + 4, 1, n_present)
+            vals = [bool(b) for b in bits]
+        else:
+            raise NotImplementedError(
+                f"parquet encoding #{enc} not supported (DELTA_* / "
+                "BYTE_STREAM_SPLIT are plug-in rejects)")
+        if max_rep == 0:
+            if max_def == 0:
+                out.extend(vals)
+            else:
+                it = iter(vals)
+                out.extend(next(it) if d == max_def else None
+                           for d in defs)
+        else:  # one-level LIST assembly (records may span v1 pages)
+            it = iter(vals)
+            d1, d2 = col["d1"], col["d2"]
+            for r, d in zip(reps, defs):
+                if r == 0:  # new record
+                    if d < d1:
+                        out.append(None)
+                        cur = None
+                        continue
+                    cur = []
+                    out.append(cur)
+                    if d < d2:
+                        continue  # empty list
+                elif cur is None:
+                    raise ValueError(
+                        "repetition level continues a null record")
+                cur.append(next(it) if d == max_def else None)
+        done += nvals
+    if done != want:
+        raise ValueError(
+            f"column chunk decoded {done} value slots, metadata says "
+            f"{want}")
+    return out
+
+
+@_malformed_guard("parquet")
+def read_row_group(fh, footer: dict, rg_index: int,
+                   columns: list[str] | None = None) -> dict:
+    """Decode one row group into ``{column_name: [values]}`` —
+    only the projected columns' byte ranges are read."""
+    rg = footer["row_groups"][rg_index]
+    by_name = {c["name"]: c for c in footer["columns"]}
+    names = columns or [c["name"] for c in footer["columns"]]
+    out = {}
+    for name in names:
+        col = by_name.get(name)
+        if col is None or col["path"] not in rg["chunks"]:
+            raise ValueError(f"column {name!r} not in this row group")
+        vals = read_column_chunk(fh, rg["chunks"][col["path"]], col)
+        if col["physical"] == "BYTE_ARRAY" and col["string"]:
+            conv = (lambda v: v.decode("utf-8"))
+        elif col["physical"] in ("BYTE_ARRAY", "FIXED_LEN_BYTE_ARRAY"):
+            conv = bytes
+        else:
+            conv = None
+        if conv is not None:
+            if col.get("kind") == "list":
+                vals = [None if rec is None else
+                        [conv(v) if v is not None else None for v in rec]
+                        for rec in vals]
+            else:
+                vals = [conv(v) if v is not None else None
+                        for v in vals]
+        out[name] = vals
+    return out

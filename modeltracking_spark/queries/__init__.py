@@ -56,6 +56,8 @@ QUERY_MODULES = (
 #: the rotation tolerates — and head the r12 window next.
 PRIORITY: tuple[str, ...] = (
     # ---- new in r11 (never-attested) ----
+    "parquet_native_scan_docs",        # from-spec parquet reader
+    "parquet_native_scan_embeddings",  # its Dremel list<float> arm
     "avro_codec_matrix_docs",          # all six Avro spec codecs
     "zlib_fdict_roundtrip_docs",       # RFC 1950 FDICT preset dict
     "zstd_seekable_coalesced_scan_docs",  # scan-tier scale knob
@@ -107,8 +109,9 @@ PRIORITY: tuple[str, ...] = (
     "curation_pipeline_docs",          # end-to-end curation chain
     "pq_adc_topk_l2",                  # PQ ADC ANN serve path
     "pca_top_component_embeddings",    # PCA power iteration
-    "triangle_counts_docs",            # graph triangle counting
-    "textrank_segments_docs",          # TextRank summarization
+    # (triangle_counts_docs / textrank_segments_docs slipped past the
+    # boundary when the two parquet_native queries landed; they rotate
+    # in with the rest of the r7 cohort at r12)
 )
 
 #: queries whose semantics/plan changed THIS round: the staleness lint

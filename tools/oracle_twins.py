@@ -2387,6 +2387,63 @@ def twin_brotli(spark, sf_dir, spark_rows) -> tuple[bool, str]:
     return True, f"{len(rows)} brotli streams decoded exact by both decoders"
 
 
+def twin_parquet_native_docs(spark, sf_dir, spark_rows) -> tuple[bool, str]:
+    """pyarrow — THE reference parquet implementation — replays the
+    from-spec scan of documents.parquet (same file, independent
+    reader)."""
+    import hashlib
+
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(f"{sf_dir}/documents.parquet",
+                       columns=["doc_id", "text", "lang"])
+    got = {
+        int(r["doc_id"]): (r["lang"], int(r["n_chars"]), r["text_md5"])
+        for r in spark_rows
+    }
+    n = 0
+    for did, text, lang in zip(t.column("doc_id").to_pylist(),
+                               t.column("text").to_pylist(),
+                               t.column("lang").to_pylist()):
+        want = (lang, len(text),
+                hashlib.md5(text.encode("utf-8")).hexdigest())
+        if got.get(int(did)) != want:
+            return False, f"doc {did}: got {got.get(int(did))} want {want}"
+        n += 1
+    if n != len(got):
+        return False, f"row count: pyarrow {n} vs engine {len(got)}"
+    return True, f"{n} docs replayed by pyarrow"
+
+
+def twin_parquet_native_embeddings(spark, sf_dir,
+                                   spark_rows) -> tuple[bool, str]:
+    """pyarrow replays the Dremel-assembled list<float> scan —
+    including the e6-scaled component sums computed from the same
+    float32 values."""
+    import math
+
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(f"{sf_dir}/embeddings.parquet")
+    got = {
+        int(r["vec_id"]): (int(r["label"]), int(r["dim"]),
+                           int(r["sum_e6"]))
+        for r in spark_rows
+    }
+    n = 0
+    for vid, emb, label in zip(t.column("vec_id").to_pylist(),
+                               t.column("embedding").to_pylist(),
+                               t.column("label").to_pylist()):
+        want = (int(label), len(emb),
+                sum(math.floor(float(x) * 1e6 + 0.5) for x in emb))
+        if got.get(int(vid)) != want:
+            return False, f"vec {vid}: got {got.get(int(vid))} want {want}"
+        n += 1
+    if n != len(got):
+        return False, f"row count: pyarrow {n} vs engine {len(got)}"
+    return True, f"{n} embeddings replayed by pyarrow"
+
+
 def twin_zlib_fdict(spark, sf_dir, spark_rows) -> tuple[bool, str]:
     """Independent replay of the preset-dictionary roundtrip: stdlib
     zlib does BOTH directions (compressobj/decompressobj with the same
@@ -2825,6 +2882,11 @@ def main(sf_dirs: list[str]) -> int:
              lambda rows: twin_avro_codec_matrix(spark, sf_dir, rows)),
             ("zlib_fdict_roundtrip_docs",
              lambda rows: twin_zlib_fdict(spark, sf_dir, rows)),
+            ("parquet_native_scan_docs",
+             lambda rows: twin_parquet_native_docs(spark, sf_dir, rows)),
+            ("parquet_native_scan_embeddings",
+             lambda rows: twin_parquet_native_embeddings(
+                 spark, sf_dir, rows)),
             ("brotli_roundtrip_docs",
              lambda rows: twin_brotli(spark, sf_dir, rows)),
             ("zstd_seekable_scan_docs",
