@@ -18,12 +18,15 @@ the Thrift Compact Protocol spec THRIFT-110):
   RLE/bit-packed hybrid), DATA_PAGE_V2 (levels stored uncompressed
   ahead of the optionally-compressed values), DICTIONARY_PAGE (PLAIN
   values).
-- **Encodings**: PLAIN (bit-packed booleans, LE int32/int64/float/
-  double, 4-byte-length byte arrays, fixed-len byte arrays) and
-  RLE_DICTIONARY / PLAIN_DICTIONARY (1-byte bit width + RLE/bit-packed
-  hybrid of dictionary indices).  DELTA_* / BYTE_STREAM_SPLIT are loud
-  typed rejects (plug-in points; the engine's writers never emit
-  them).
+- **Encodings — all of them**: PLAIN (bit-packed booleans, LE
+  int32/int64/float/double, 4-byte-length byte arrays, fixed-len byte
+  arrays), RLE_DICTIONARY / PLAIN_DICTIONARY (1-byte bit width +
+  RLE/bit-packed hybrid of dictionary indices), RLE booleans,
+  DELTA_BINARY_PACKED (block/miniblock zigzag-min-delta bit packing,
+  omitted trailing miniblocks, width-wrapped arithmetic),
+  DELTA_LENGTH_BYTE_ARRAY, DELTA_BYTE_ARRAY (incremental prefix
+  encoding), and BYTE_STREAM_SPLIT (byte-plane transpose).  Only the
+  deprecated BIT_PACKED level encoding remains a reject.
 - **Codecs**: every codec the format names that this repo already
   decodes from spec — UNCOMPRESSED, SNAPPY (`operators/snappy.py`),
   GZIP (`operators/inflate.py`), BROTLI (`operators/brotli_dec.py`),
@@ -208,6 +211,51 @@ CODECS = {0: "UNCOMPRESSED", 1: "SNAPPY", 2: "GZIP", 3: "LZO",
 _UTF8_CONVERTED = 0  # ConvertedType.UTF8
 
 
+def _stat_value(raw: bytes, phys: str):
+    """One PLAIN-encoded statistics bound -> a comparable Python
+    value.  BYTE_ARRAY bounds stay bytes (writers may TRUNCATE them —
+    still valid bounds per the spec's ordering contract, so pruning
+    with them is safe)."""
+    if raw is None:
+        return None
+    if phys == "INT32":
+        return int.from_bytes(raw[:4], "little", signed=True)
+    if phys == "INT64":
+        return int.from_bytes(raw[:8], "little", signed=True)
+    if phys == "FLOAT":
+        return struct.unpack("<f", raw[:4])[0]
+    if phys == "DOUBLE":
+        return struct.unpack("<d", raw[:8])[0]
+    if phys in ("BYTE_ARRAY", "FIXED_LEN_BYTE_ARRAY"):
+        return bytes(raw)
+    if phys == "BOOLEAN":
+        return bool(raw[0]) if raw else None
+    return None
+
+
+def _decode_stats(st: dict | None, phys: str | None) -> dict:
+    """ColumnMetaData.Statistics (field 12): prefer the modern
+    min_value/max_value (fields 6/5, signed comparison order); fall
+    back to the legacy min/max (2/1) only for types whose legacy
+    sort order was already correct (ints/doubles/bools — NOT byte
+    arrays, whose legacy order was unsigned-vs-signed ambiguous)."""
+    if not st or phys is None:
+        return {}
+    out = {}
+    if st.get(3) is not None:
+        out["null_count"] = st[3]
+    lo = st.get(6)
+    hi = st.get(5)
+    if lo is None and hi is None and phys not in (
+            "BYTE_ARRAY", "FIXED_LEN_BYTE_ARRAY"):
+        lo, hi = st.get(2), st.get(1)
+    if lo is not None:
+        out["min"] = _stat_value(lo, phys)
+    if hi is not None:
+        out["max"] = _stat_value(hi, phys)
+    return out
+
+
 @_malformed_guard("parquet")
 def parquet_footer(data_tail: bytes, file_size: int) -> dict:
     """Parse FileMetaData from the file TAIL (any suffix that contains
@@ -323,6 +371,7 @@ def parquet_footer(data_tail: bytes, file_size: int) -> dict:
                 "total_compressed_size": md[7],
                 "data_page_offset": md[9],
                 "dictionary_page_offset": md.get(11),
+                "stats": _decode_stats(md.get(12), PHYS.get(md[1])),
             }
         groups.append({"num_rows": rg.get(3, 0), "chunks": chunks})
     return {
@@ -442,6 +491,134 @@ def rle_bp_hybrid(data: bytes, pos: int, bit_width: int,
             out.extend([val] * run)
     del out[count:]
     return out, pos
+
+
+def _uleb(data: bytes, pos: int) -> tuple[int, int]:
+    out = shift = 0
+    while True:
+        if pos >= len(data):
+            raise ValueError("truncated ULEB128 varint")
+        b = data[pos]
+        pos += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, pos
+        shift += 7
+        if shift > 70:
+            raise ValueError("ULEB128 varint too long")
+
+
+def _zz(data: bytes, pos: int) -> tuple[int, int]:
+    n, pos = _uleb(data, pos)
+    return (n >> 1) ^ -(n & 1), pos
+
+
+def delta_binary_packed(data: bytes, pos: int, n: int,
+                        bit_limit: int = 64) -> tuple[list[int], int]:
+    """DELTA_BINARY_PACKED (format spec Encodings.md §Delta Encoding):
+    ULEB128 header (block size, miniblocks/block, total count, zigzag
+    first value); per block a zigzag min-delta, one bit-width byte per
+    miniblock, then LSB-first bit-packed (delta - min_delta) runs.
+    Trailing miniblocks that would hold no values are omitted by
+    writers; arithmetic wraps at the physical width (applied by the
+    caller)."""
+    block_size, pos = _uleb(data, pos)
+    n_mini, pos = _uleb(data, pos)
+    total, pos = _uleb(data, pos)
+    first, pos = _zz(data, pos)
+    if n_mini == 0 or block_size % (n_mini * 8):
+        raise ValueError("bad DELTA_BINARY_PACKED block geometry")
+    mini = block_size // n_mini
+    if total < n:
+        raise ValueError(
+            f"DELTA_BINARY_PACKED holds {total} values, page needs {n}")
+    out = [first]
+    while len(out) < total:
+        min_delta, pos = _zz(data, pos)
+        if pos + n_mini > len(data):
+            raise ValueError("truncated DELTA_BINARY_PACKED bit widths")
+        widths = data[pos:pos + n_mini]
+        pos += n_mini
+        for w in widths:
+            if len(out) >= total:
+                break  # trailing miniblocks are omitted
+            if w > bit_limit:
+                raise ValueError(
+                    f"DELTA_BINARY_PACKED bit width {w} too wide")
+            nbytes = mini * w // 8
+            if pos + nbytes > len(data):
+                raise ValueError("truncated DELTA_BINARY_PACKED block")
+            if w:
+                big = int.from_bytes(data[pos:pos + nbytes], "little")
+                mask = (1 << w) - 1
+                deltas = [(big >> (j * w)) & mask for j in range(mini)]
+            else:
+                deltas = [0] * mini
+            pos += nbytes
+            last = out[-1]
+            for d in deltas:
+                last += min_delta + d
+                out.append(last)
+            del out[total:]
+    return out[:n], pos
+
+
+def _wrap_signed(vals: list[int], bits: int) -> list[int]:
+    half, full = 1 << (bits - 1), 1 << bits
+    return [((v + half) % full) - half for v in vals]
+
+
+def delta_length_byte_array(data: bytes, pos: int,
+                            n: int) -> tuple[list[bytes], int]:
+    """DELTA_LENGTH_BYTE_ARRAY: DELTA_BINARY_PACKED lengths followed by
+    the concatenated value bytes."""
+    lens, pos = delta_binary_packed(data, pos, n, bit_limit=40)
+    if any(ln < 0 for ln in lens):
+        raise ValueError("negative DELTA_LENGTH_BYTE_ARRAY length")
+    out = []
+    for ln in lens:
+        if pos + ln > len(data):
+            raise ValueError("DELTA_LENGTH_BYTE_ARRAY overruns the page")
+        out.append(data[pos:pos + ln])
+        pos += ln
+    return out, pos
+
+
+def delta_byte_array(data: bytes, pos: int,
+                     n: int) -> tuple[list[bytes], int]:
+    """DELTA_BYTE_ARRAY (incremental encoding): DELTA_BINARY_PACKED
+    prefix lengths + DELTA_LENGTH_BYTE_ARRAY suffixes;
+    value[i] = value[i-1][:prefix[i]] + suffix[i]."""
+    prefixes, pos = delta_binary_packed(data, pos, n, bit_limit=40)
+    suffixes, pos = delta_length_byte_array(data, pos, n)
+    out: list[bytes] = []
+    prev = b""
+    for pl, suf in zip(prefixes, suffixes):
+        if pl < 0 or pl > len(prev):
+            raise ValueError("DELTA_BYTE_ARRAY prefix exceeds previous")
+        prev = prev[:pl] + suf
+        out.append(prev)
+    return out, pos
+
+
+def byte_stream_split(phys: str, data: bytes, n: int,
+                      type_length: int = 0) -> list:
+    """BYTE_STREAM_SPLIT: the page body is K byte-planes of N bytes
+    (plane j = byte j of every value); re-interleave and decode as
+    PLAIN."""
+    import numpy as np
+
+    width = {"FLOAT": 4, "DOUBLE": 8, "INT32": 4, "INT64": 8,
+             "FIXED_LEN_BYTE_ARRAY": type_length}.get(phys)
+    if not width:
+        raise NotImplementedError(
+            f"BYTE_STREAM_SPLIT undefined for {phys}")
+    if len(data) < n * width:
+        raise ValueError("truncated BYTE_STREAM_SPLIT page")
+    planes = np.frombuffer(data, np.uint8, n * width).reshape(width, n)
+    inter = planes.T.tobytes()
+    vals, _ = _plain_values(phys, inter, 0, n, type_length)
+    return vals
 
 
 def _plain_values(phys: str, data: bytes, pos: int, n: int,
@@ -624,10 +801,28 @@ def read_column_chunk(fh, chunk: dict, col: dict) -> list:
                 raise ValueError("truncated RLE boolean section")
             bits, _ = rle_bp_hybrid(plain, p + 4, 1, n_present)
             vals = [bool(b) for b in bits]
+        elif enc == 5:  # DELTA_BINARY_PACKED
+            if phys not in ("INT32", "INT64"):
+                raise NotImplementedError(
+                    "DELTA_BINARY_PACKED is only defined for ints")
+            vals, _ = delta_binary_packed(plain, p, n_present)
+            vals = _wrap_signed(vals, 32 if phys == "INT32" else 64)
+        elif enc == 6:  # DELTA_LENGTH_BYTE_ARRAY
+            if phys != "BYTE_ARRAY":
+                raise NotImplementedError(
+                    "DELTA_LENGTH_BYTE_ARRAY needs BYTE_ARRAY")
+            vals, _ = delta_length_byte_array(plain, p, n_present)
+        elif enc == 7:  # DELTA_BYTE_ARRAY (incremental strings)
+            if phys not in ("BYTE_ARRAY", "FIXED_LEN_BYTE_ARRAY"):
+                raise NotImplementedError(
+                    "DELTA_BYTE_ARRAY needs a byte-array type")
+            vals, _ = delta_byte_array(plain, p, n_present)
+        elif enc == 9:  # BYTE_STREAM_SPLIT
+            vals = byte_stream_split(phys, plain[p:], n_present,
+                                     col["type_length"])
         else:
             raise NotImplementedError(
-                f"parquet encoding #{enc} not supported (DELTA_* / "
-                "BYTE_STREAM_SPLIT are plug-in rejects)")
+                f"parquet encoding #{enc} not supported")
         if max_rep == 0:
             if max_def == 0:
                 out.extend(vals)

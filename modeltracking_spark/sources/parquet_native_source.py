@@ -62,6 +62,60 @@ def _spark_type(col: dict) -> str:
     return base
 
 
+def _rg_may_match(stats: dict, num_values: int, f) -> bool:
+    """Can a row group with these column statistics contain a row
+    satisfying filter ``f``?  Conservative: unknown stats / unusual
+    types / NaN bounds answer True (never prune on a guess).  Bounds
+    may be writer-truncated — still valid bounds per the spec, so
+    every prune here is sound."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        IsNotNull,
+        IsNull,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    if isinstance(f, IsNull):
+        return stats.get("null_count", 1) != 0
+    if isinstance(f, IsNotNull):
+        nc = stats.get("null_count")
+        return nc is None or nc < num_values
+    lo, hi = stats.get("min"), stats.get("max")
+    if lo is None or hi is None:
+        return True
+
+    def coerce(v):
+        if isinstance(v, str) and isinstance(lo, bytes):
+            return v.encode("utf-8")
+        return v
+
+    try:
+        if isinstance(f, In):
+            vs = [coerce(v) for v in f.value if v is not None]
+            return any(lo <= v <= hi for v in vs) or any(
+                v != v for v in vs)
+        v = coerce(f.value)
+        if v is None or v != v or lo != lo or hi != hi:  # NULL / NaN
+            return True
+        if isinstance(f, EqualTo):
+            return lo <= v <= hi
+        if isinstance(f, GreaterThan):
+            return hi > v
+        if isinstance(f, GreaterThanOrEqual):
+            return hi >= v
+        if isinstance(f, LessThan):
+            return lo < v
+        if isinstance(f, LessThanOrEqual):
+            return lo <= v
+    except TypeError:
+        return True  # incomparable types: never prune
+    return True
+
+
 class _ParquetNativeReader(DataSourceReader):
     def __init__(self, options, schema):
         path = options.get("path")
@@ -72,6 +126,7 @@ class _ParquetNativeReader(DataSourceReader):
         cols = options.get("columns")
         self.columns = ([c.strip() for c in cols.split(",") if c.strip()]
                         if cols else None)
+        self.pruning_filters = []
 
     def partitions(self):
         from modeltracking_spark.operators.parquet_native import (
@@ -82,8 +137,20 @@ class _ParquetNativeReader(DataSourceReader):
         for f in self.files:
             with open(f, "rb") as fh:  # TAIL reads only
                 footer = parquet_footer_from_file(fh)
-            for rg in range(len(footer["row_groups"])):
-                parts.append(InputPartition((f, rg, self.columns)))
+            paths = {c["name"]: c["path"] for c in footer["columns"]}
+            for rg, group in enumerate(footer["row_groups"]):
+                keep = True
+                for flt in self.pruning_filters:
+                    name = flt.attribute[0]
+                    chunk = group["chunks"].get(paths.get(name, name))
+                    if chunk is None:
+                        continue
+                    if not _rg_may_match(chunk.get("stats") or {},
+                                         chunk["num_values"], flt):
+                        keep = False
+                        break
+                if keep:
+                    parts.append(InputPartition((f, rg, self.columns)))
         return parts
 
     def read(self, partition):
@@ -118,9 +185,50 @@ class _ParquetNativeReader(DataSourceReader):
         yield pa.RecordBatch.from_arrays(arrays, schema=pa.schema(fields))
 
 
+class _ParquetNativePruningReader(_ParquetNativeReader):
+    """The filter-pushdown variant, selected by
+    ``.option("filter_pushdown", "true")`` — a separate class because
+    Spark asserts on ANY reader that implements ``pushFilters`` when
+    ``spark.sql.python.filterPushdown.enabled`` is false, so the
+    default reader must not carry the method at all."""
+
+    def pushFilters(self, filters):
+        """Row-group statistics pruning (the min/max zone-map pattern
+        every lakehouse scan uses): comparison/null filters on flat
+        top-level columns are REMEMBERED for partition pruning, and
+        EVERY filter is returned as still-needed — Spark re-evaluates
+        them row-level, so pruning can only skip row groups whose
+        statistics PROVE no row matches (double-filtering is the safe
+        contract; the win is unplanned row groups, exactly like native
+        parquet scans prune on footer zone maps)."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            IsNotNull,
+            IsNull,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        usable = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan,
+                  LessThanOrEqual, In, IsNull, IsNotNull)
+        kept = list(filters)
+        self.pruning_filters = [
+            f for f in kept
+            if isinstance(f, usable) and len(f.attribute) == 1
+        ]
+        return kept  # Spark still applies everything row-level
+
+
 class ParquetNativeDataSource(DataSource):
     """``spark.read.format("parquet_native")`` after
-    ``spark.dataSource.register(ParquetNativeDataSource)``."""
+    ``spark.dataSource.register(ParquetNativeDataSource)``.
+
+    ``.option("filter_pushdown", "true")`` (requires the session conf
+    ``spark.sql.python.filterPushdown.enabled=true``) activates
+    row-group statistics pruning via ``pushFilters``."""
 
     @classmethod
     def name(cls) -> str:
@@ -146,4 +254,6 @@ class ParquetNativeDataSource(DataSource):
         )
 
     def reader(self, schema):
+        if str(self.options.get("filter_pushdown", "")).lower() == "true":
+            return _ParquetNativePruningReader(self.options, schema)
         return _ParquetNativeReader(self.options, schema)

@@ -240,18 +240,46 @@ def test_typed_rejects():
     f = parquet_footer_from_file(buf)
     with pytest.raises(NotImplementedError, match="INT96"):
         read_row_group(buf, f, 0)
-    # DELTA encodings are plug-in rejects
-    t = pa.table({"a": list(range(1000))})
-    buf = io.BytesIO()
-    pq.write_table(t, buf, use_dictionary=False,
-                   column_encoding={"a": "DELTA_BINARY_PACKED"})
-    buf.seek(0)
-    f = parquet_footer_from_file(buf)
-    with pytest.raises(NotImplementedError, match="encoding"):
-        read_row_group(buf, f, 0)
     # footer damage
     with pytest.raises(ValueError, match="magic"):
         parquet_footer_from_file(io.BytesIO(b"\x00" * 64))
+
+
+@pytest.mark.parametrize("dpv", ["1.0", "2.0"])
+def test_delta_and_byte_stream_split_encodings(dpv):
+    """The non-dictionary encoding family vs pyarrow: DELTA_BINARY_
+    PACKED (incl. negative deltas, monotone runs, width wrap),
+    DELTA_LENGTH_BYTE_ARRAY, DELTA_BYTE_ARRAY (shared prefixes),
+    BYTE_STREAM_SPLIT floats/doubles — multi-page, multi-row-group,
+    compressed, and with nulls."""
+    rng = random.Random(3)
+    n = 4000
+    t = pa.table({
+        "i64": [rng.randrange(-2**62, 2**62) if rng.random() > 0.3
+                else rng.randrange(-5, 5) for _ in range(n)],
+        "i32": pa.array([rng.randrange(-2**31, 2**31 - 1)
+                         for _ in range(n)], pa.int32()),
+        "mono": list(range(n)),
+        "s": ["prefix-%06d-suffix%s" % (i, "x" * rng.randrange(0, 5))
+              for i in range(n)],
+        "f32": pa.array([rng.random() for _ in range(n)], pa.float32()),
+        "f64": [rng.random() * 1e18 for _ in range(n)],
+    })
+    enc = {"i64": "DELTA_BINARY_PACKED", "i32": "DELTA_BINARY_PACKED",
+           "mono": "DELTA_BINARY_PACKED",
+           "s": ("DELTA_LENGTH_BYTE_ARRAY" if dpv == "1.0"
+                 else "DELTA_BYTE_ARRAY"),
+           "f32": "BYTE_STREAM_SPLIT", "f64": "BYTE_STREAM_SPLIT"}
+    for comp in ("none", "snappy", "zstd"):
+        _check_table(t, use_dictionary=False, column_encoding=enc,
+                     compression=comp, data_page_version=dpv,
+                     row_group_size=1700, data_page_size=3000)
+    t2 = pa.table({"s": pa.array(
+        [None if rng.random() < 0.25 else "val-%d" % rng.randrange(99)
+         for _ in range(n)])})
+    _check_table(t2, use_dictionary=False,
+                 column_encoding={"s": "DELTA_BYTE_ARRAY"},
+                 data_page_version=dpv, data_page_size=2000)
 
 
 def test_corruption_fuzz_typed_rejects():
@@ -316,3 +344,77 @@ def test_datasource_partitions_pruning_and_rows(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchScan" in plan
+
+
+def test_rowgroup_stats_pruning_unit(tmp_path):
+    """pushFilters-driven zone-map pruning: partitions() must plan
+    ONLY row groups whose min/max/null statistics can match, and never
+    prune one that could (the conservative contract)."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        In,
+        IsNull,
+        LessThanOrEqual,
+    )
+
+    from modeltracking_spark.sources.parquet_native_source import (
+        _ParquetNativePruningReader,
+    )
+
+    t = pa.table({
+        "mono": list(range(10000)),
+        "s": ["key-%05d" % i for i in range(10000)],
+        "maybe": pa.array([None if i % 2 else i for i in range(10000)],
+                          pa.int64()),
+    })
+    path = str(tmp_path / "t.parquet")
+    pq.write_table(t, path, row_group_size=1000)
+
+    def nparts(filters):
+        r = _ParquetNativePruningReader({"path": path}, None)
+        r.pushFilters(filters)
+        return len(r.partitions())
+
+    assert nparts([]) == 10
+    assert nparts([GreaterThan(("mono",), 8999)]) == 1
+    assert nparts([EqualTo(("mono",), 4500)]) == 1
+    assert nparts([LessThanOrEqual(("mono",), 999)]) == 1
+    assert nparts([EqualTo(("s",), "key-02500")]) == 1  # bytewise utf8
+    assert nparts([In(("mono",), (100, 9900))]) == 2
+    assert nparts([EqualTo(("mono",), -5)]) == 0
+    assert nparts([IsNull(("mono",))]) == 0   # no nulls anywhere
+    assert nparts([IsNull(("maybe",))]) == 10  # nulls everywhere
+    # float NaN never prunes
+    assert nparts([EqualTo(("mono",), float("nan"))]) == 10
+
+
+def test_rowgroup_stats_pruning_end_to_end(spark, tmp_path):
+    """With .option('filter_pushdown','true') the pruned scan returns
+    exactly what Spark's own parquet reader returns (double-filtering
+    keeps row-level semantics); without the option the reader carries
+    no pushFilters at all, so sessions without the python-pushdown
+    conf stay safe."""
+    from modeltracking_spark.queries.common import ensure_pkg_on_workers
+    from modeltracking_spark.sources.parquet_native_source import (
+        ParquetNativeDataSource,
+        _ParquetNativeReader,
+    )
+
+    assert "pushFilters" not in _ParquetNativeReader.__dict__
+    ensure_pkg_on_workers(spark)
+    try:
+        spark.dataSource.register(ParquetNativeDataSource)
+    except Exception:
+        pass
+    t = pa.table({"mono": list(range(10000)),
+                  "s": ["key-%05d" % i for i in range(10000)]})
+    path = str(tmp_path / "t.parquet")
+    pq.write_table(t, path, row_group_size=1000)
+    df = (spark.read.format("parquet_native").option("path", path)
+          .option("filter_pushdown", "true").load())
+    got = df.filter("mono > 8995 AND s < 'key-09000'").collect()
+    ref = (spark.read.parquet(path)
+           .filter("mono > 8995 AND s < 'key-09000'").collect())
+    assert sorted(map(tuple, got)) == sorted(map(tuple, ref))
+    assert [r["mono"] for r in sorted(got)] == [8996, 8997, 8998, 8999]
