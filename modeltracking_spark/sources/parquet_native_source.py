@@ -126,6 +126,8 @@ class _ParquetNativeReader(DataSourceReader):
         cols = options.get("columns")
         self.columns = ([c.strip() for c in cols.split(",") if c.strip()]
                         if cols else None)
+        self.target_bytes = int(options.get("target_partition_bytes",
+                                            "0"))
         self.pruning_filters = []
 
     def partitions(self):
@@ -138,6 +140,8 @@ class _ParquetNativeReader(DataSourceReader):
             with open(f, "rb") as fh:  # TAIL reads only
                 footer = parquet_footer_from_file(fh)
             paths = {c["name"]: c["path"] for c in footer["columns"]}
+            proj = [paths[n] for n in (self.columns or paths)]
+            survivors = []  # (rg_index, projected compressed bytes)
             for rg, group in enumerate(footer["row_groups"]):
                 keep = True
                 for flt in self.pruning_filters:
@@ -150,7 +154,27 @@ class _ParquetNativeReader(DataSourceReader):
                         keep = False
                         break
                 if keep:
-                    parts.append(InputPartition((f, rg, self.columns)))
+                    survivors.append((rg, sum(
+                        group["chunks"][p]["total_compressed_size"]
+                        for p in proj if p in group["chunks"])))
+            # the same scale knob as the compressed-scan tier: at 100 TB
+            # of small row groups, one partition per row group floods
+            # the scheduler — group CONSECUTIVE survivors to >= target
+            if self.target_bytes <= 0:
+                groups = [[rg] for rg, _ in survivors]
+            else:
+                groups, cur, cur_b = [], [], 0
+                for rg, size in survivors:
+                    if cur and (cur_b >= self.target_bytes
+                                or rg != cur[-1] + 1):
+                        groups.append(cur)
+                        cur, cur_b = [], 0
+                    cur.append(rg)
+                    cur_b += size
+                if cur:
+                    groups.append(cur)
+            parts.extend(
+                InputPartition((f, g, self.columns)) for g in groups)
         return parts
 
     def read(self, partition):
@@ -161,28 +185,32 @@ class _ParquetNativeReader(DataSourceReader):
             read_row_group,
         )
 
-        path, rg, columns = partition.value
+        path, rgs, columns = partition.value
         with open(path, "rb") as fh:
             footer = parquet_footer_from_file(fh)
-            data = read_row_group(fh, footer, rg, columns)
-        by_name = {c["name"]: c for c in footer["columns"]}
-        names = columns or [c["name"] for c in footer["columns"]]
-        arrays, fields = [], []
-        for n in names:
-            col = by_name[n]
-            base = {
-                "BOOLEAN": pa.bool_(), "INT32": pa.int32(),
-                "INT64": pa.int64(), "FLOAT": pa.float32(),
-                "DOUBLE": pa.float64(),
-            }.get(col["physical"])
-            if col["physical"] == "BYTE_ARRAY":
-                base = pa.string() if col["string"] else pa.binary()
-            elif col["physical"] == "FIXED_LEN_BYTE_ARRAY":
-                base = pa.binary()
-            typ = pa.list_(base) if col.get("kind") == "list" else base
-            arrays.append(pa.array(data[n], typ))
-            fields.append(pa.field(n, typ))
-        yield pa.RecordBatch.from_arrays(arrays, schema=pa.schema(fields))
+            by_name = {c["name"]: c for c in footer["columns"]}
+            names = columns or [c["name"] for c in footer["columns"]]
+            for rg in rgs:
+                data = read_row_group(fh, footer, rg, columns)
+                arrays, fields = [], []
+                for n in names:
+                    col = by_name[n]
+                    base = {
+                        "BOOLEAN": pa.bool_(), "INT32": pa.int32(),
+                        "INT64": pa.int64(), "FLOAT": pa.float32(),
+                        "DOUBLE": pa.float64(),
+                    }.get(col["physical"])
+                    if col["physical"] == "BYTE_ARRAY":
+                        base = (pa.string() if col["string"]
+                                else pa.binary())
+                    elif col["physical"] == "FIXED_LEN_BYTE_ARRAY":
+                        base = pa.binary()
+                    typ = (pa.list_(base) if col.get("kind") == "list"
+                           else base)
+                    arrays.append(pa.array(data[n], typ))
+                    fields.append(pa.field(n, typ))
+                yield pa.RecordBatch.from_arrays(
+                    arrays, schema=pa.schema(fields))
 
 
 class _ParquetNativePruningReader(_ParquetNativeReader):

@@ -418,3 +418,41 @@ def test_rowgroup_stats_pruning_end_to_end(spark, tmp_path):
            .filter("mono > 8995 AND s < 'key-09000'").collect())
     assert sorted(map(tuple, got)) == sorted(map(tuple, ref))
     assert [r["mono"] for r in sorted(got)] == [8996, 8997, 8998, 8999]
+
+
+def test_rowgroup_coalescing_rows_identical(spark, tmp_path):
+    """target_partition_bytes groups CONSECUTIVE row groups (the same
+    scale knob as the compressed-scan tier — small row groups at 100 TB
+    would flood the scheduler); rows are bit-identical and pruning
+    composes (non-consecutive survivors never share a partition)."""
+    from modeltracking_spark.queries.common import ensure_pkg_on_workers
+    from modeltracking_spark.sources.parquet_native_source import (
+        ParquetNativeDataSource,
+        _ParquetNativeReader,
+    )
+
+    t = pa.table({"mono": list(range(8000)),
+                  "s": ["v-%05d" % i for i in range(8000)]})
+    path = str(tmp_path / "t.parquet")
+    pq.write_table(t, path, row_group_size=1000)
+    ensure_pkg_on_workers(spark)
+    try:
+        spark.dataSource.register(ParquetNativeDataSource)
+    except Exception:
+        pass
+    per_rg = (spark.read.format("parquet_native")
+              .option("path", path).load())
+    co = (spark.read.format("parquet_native").option("path", path)
+          .option("target_partition_bytes", str(1 << 30)).load())
+    assert per_rg.rdd.getNumPartitions() == 8
+    assert co.rdd.getNumPartitions() == 1
+    assert sorted(map(tuple, co.collect())) == \
+        sorted(map(tuple, per_rg.collect()))
+    # unit: pruning gaps break groups
+    from pyspark.sql.datasource import In
+
+    r = _ParquetNativeReader(
+        {"path": path, "target_partition_bytes": str(1 << 30)}, None)
+    r.pruning_filters = [In(("mono",), (500, 7500))]
+    parts = r.partitions()
+    assert [p.value[1] for p in parts] == [[0], [7]]
