@@ -148,11 +148,13 @@ HEADLINE = [
     "avro_codec_matrix_docs",
     "zlib_fdict_roundtrip_docs",
     "zstd_seekable_coalesced_scan_docs",
-    # round-11 flagship: the from-spec parquet reader (footer-only
-    # planning, row-group partitions, byte-range column pruning,
-    # Dremel list assembly)
+    # round-11 flagship: the from-spec parquet + ORC readers
+    # (footer-only planning, row-group/stripe partitions, byte-range
+    # column pruning, Dremel list assembly, RLEv2)
     "parquet_native_scan_docs",
     "parquet_native_scan_embeddings",
+    "orc_native_scan_docs",
+    "orc_native_scan_events",
     # zstd_seekable_stream_scan_docs is deliberately NOT benched: each
     # execution runs two REAL streaming drains (~17 s at sf0.1), which
     # would dominate the 6-run timing loop; it stays oracled and

@@ -1,0 +1,569 @@
+"""From-spec Apache ORC v1 READER — postscript/footer protobuf, stripe
+streams, RLEv1/RLEv2, dictionary strings — for flat columns.
+
+Implemented from the public ORC v1 specification
+(orc.apache.org/specification/ORCv1) like the parquet sibling:
+
+- **Tail layout**: ``...stripes...[metadata][footer][postscript]<1-byte
+  postscript length>``.  Planning reads the TAIL only.
+- **Protobuf**: ORC metadata is protobuf (wire types 0/1/2/5, LEB128
+  varints, packed repeated ints); a small generic walker parses
+  messages into ``{field: [raw]}`` and typed extractors interpret the
+  fields the spec defines (PostScript, Footer, StripeInformation,
+  Type, StripeFooter, Stream, ColumnEncoding).
+- **Compression framing**: every compressed entity is a chunk
+  sequence — 3-byte LE header ``(length << 1) | is_original`` — with
+  the payload decoded by THIS repo's from-spec codecs: ZLIB (raw
+  deflate, `operators/inflate.py`), SNAPPY, LZ4, ZSTD; NONE passes
+  through; legacy LZO rejects loudly.
+- **Run-length encodings**: byte RLE (tinyint + the bit-packed
+  MSB-first boolean/PRESENT streams), integer RLEv1 (run/literal
+  varints), and the four RLEv2 sub-encodings — SHORT_REPEAT, DIRECT,
+  PATCHED_BASE (sign-magnitude base, gap+patch list re-attaching high
+  bits), DELTA (signed base + delta-base direction, fixed or
+  bit-packed deltas) — with the 5-bit closest-fixed-bits width table.
+- **Columns**: boolean, tinyint, smallint/int/bigint, float, double,
+  string/varchar/char and binary in both DIRECT_V2 (lengths + bytes)
+  and DICTIONARY_V2 (RLEv2 indices into a sorted dictionary), date
+  (epoch days), each with an optional PRESENT stream.  Timestamps,
+  decimals, and nested types are documented loud rejects.
+
+Cross-validated row-for-row against pyarrow.orc (the reference ORC
+C++ writer) and Spark's own native ORC writer in
+tests/test_orc_native.py.  Spark integration:
+``sources/orc_native_source.py`` (one InputPartition per stripe —
+the format's parallel-read unit — footer-only planning).
+"""
+
+from __future__ import annotations
+
+import struct
+
+# ---------------------------------------------------------------------------
+# protobuf walker
+# ---------------------------------------------------------------------------
+
+
+def _pb_varint(data: bytes, pos: int) -> tuple[int, int]:
+    out = shift = 0
+    while True:
+        if pos >= len(data):
+            raise ValueError("truncated protobuf varint")
+        b = data[pos]
+        pos += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, pos
+        shift += 7
+        if shift > 70:
+            raise ValueError("protobuf varint too long")
+
+
+def pb_message(data: bytes) -> dict:
+    """Generic message -> {field_number: [raw values]} where varints
+    come back as ints, length-delimited as bytes, fixed as bytes."""
+    out: dict[int, list] = {}
+    pos = 0
+    while pos < len(data):
+        key, pos = _pb_varint(data, pos)
+        field, wt = key >> 3, key & 7
+        if wt == 0:
+            v, pos = _pb_varint(data, pos)
+        elif wt == 1:
+            v = data[pos:pos + 8]
+            if len(v) != 8:
+                raise ValueError("truncated fixed64")
+            pos += 8
+        elif wt == 2:
+            ln, pos = _pb_varint(data, pos)
+            if ln < 0 or pos + ln > len(data):
+                raise ValueError("protobuf bytes overrun the message")
+            v = data[pos:pos + ln]
+            pos += ln
+        elif wt == 5:
+            v = data[pos:pos + 4]
+            if len(v) != 4:
+                raise ValueError("truncated fixed32")
+            pos += 4
+        else:
+            raise ValueError(f"unsupported protobuf wire type {wt}")
+        out.setdefault(field, []).append(v)
+    return out
+
+
+def _pb_packed_uints(raws: list) -> list[int]:
+    """A repeated uint field may arrive packed (bytes) or unpacked
+    (ints) — normalize to a flat int list."""
+    out: list[int] = []
+    for r in raws:
+        if isinstance(r, int):
+            out.append(r)
+        else:
+            pos = 0
+            while pos < len(r):
+                v, pos = _pb_varint(r, pos)
+                out.append(v)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# metadata model
+# ---------------------------------------------------------------------------
+
+_COMP = {0: "NONE", 1: "ZLIB", 2: "SNAPPY", 3: "LZO", 4: "LZ4",
+         5: "ZSTD"}
+_KINDS = {0: "BOOLEAN", 1: "BYTE", 2: "SHORT", 3: "INT", 4: "LONG",
+          5: "FLOAT", 6: "DOUBLE", 7: "STRING", 8: "BINARY",
+          9: "TIMESTAMP", 10: "LIST", 11: "MAP", 12: "STRUCT",
+          13: "UNION", 14: "DECIMAL", 15: "DATE", 16: "VARCHAR",
+          17: "CHAR", 18: "TIMESTAMP_INSTANT"}
+_STREAM_KINDS = {0: "PRESENT", 1: "DATA", 2: "LENGTH",
+                 3: "DICTIONARY_DATA", 4: "DICTIONARY_COUNT",
+                 5: "SECONDARY", 6: "ROW_INDEX", 7: "BLOOM_FILTER",
+                 8: "BLOOM_FILTER_UTF8"}
+_ENCODINGS = {0: "DIRECT", 1: "DICTIONARY", 2: "DIRECT_V2",
+              3: "DICTIONARY_V2"}
+
+
+def _malformed_guard(fn):
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*a, **kw):
+        try:
+            return fn(*a, **kw)
+        except (ValueError, NotImplementedError):
+            raise
+        except (struct.error, IndexError, KeyError, TypeError,
+                OverflowError, ZeroDivisionError, MemoryError) as exc:
+            raise ValueError(
+                f"malformed ORC: {type(exc).__name__}: {exc}") from exc
+    return wrapped
+
+
+def decompress_entity(data: bytes, codec: str,
+                      block_size: int = 1 << 18) -> bytes:
+    """Un-frame one compressed entity: 3-byte LE chunk headers,
+    LSB = is_original (stored)."""
+    if codec == "NONE":
+        return data
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        if pos + 3 > len(data):
+            raise ValueError("truncated ORC chunk header")
+        h = int.from_bytes(data[pos:pos + 3], "little")
+        pos += 3
+        orig = h & 1
+        ln = h >> 1
+        if pos + ln > len(data):
+            raise ValueError("ORC chunk overruns the entity")
+        body = data[pos:pos + ln]
+        pos += ln
+        if orig:
+            out += body
+            continue
+        if codec == "ZLIB":  # raw deflate
+            from modeltracking_spark.operators.inflate import inflate
+
+            plain, _end = inflate(body, 0)
+        elif codec == "SNAPPY":
+            from modeltracking_spark.operators.snappy import (
+                snappy_block_decompress,
+            )
+
+            plain = snappy_block_decompress(body)
+        elif codec == "LZ4":
+            from modeltracking_spark.operators.lz4 import (
+                lz4_block_decompress,
+            )
+
+            plain = lz4_block_decompress(body, max_out=block_size)
+        elif codec == "ZSTD":
+            from modeltracking_spark.operators.zstd import (
+                zstd_decompress,
+            )
+
+            plain = zstd_decompress(body, max_output=block_size)
+        else:
+            raise NotImplementedError(
+                f"ORC compression {codec} not supported (legacy LZO is "
+                "a plug-in reject)")
+        out += plain
+    return bytes(out)
+
+
+@_malformed_guard
+def orc_footer_from_file(fh) -> dict:
+    """Postscript + footer via TAIL reads only (the planning path)."""
+    import os
+
+    fh.seek(0, os.SEEK_END)
+    size = fh.tell()
+    if size < 16:
+        raise ValueError("file too small to be ORC")
+    take = min(size, 65536)
+    fh.seek(size - take)
+    tail = fh.read(take)
+    ps_len = tail[-1]
+    if ps_len + 1 > len(tail):
+        raise ValueError("postscript overruns the tail")
+    ps = pb_message(tail[-(ps_len + 1):-1])
+    magic = (ps.get(8000) or [b""])[0]
+    if magic != b"ORC":
+        raise ValueError("missing ORC postscript magic")
+    footer_len = (ps.get(1) or [0])[0]
+    codec = _COMP.get((ps.get(2) or [0])[0])
+    if codec is None:
+        raise ValueError("unknown ORC compression kind")
+    block_size = (ps.get(3) or [1 << 18])[0]
+    meta_len = (ps.get(5) or [0])[0]
+    need = ps_len + 1 + footer_len + meta_len
+    if need > len(tail):
+        take = min(size, need)
+        fh.seek(size - take)
+        tail = fh.read(take)
+    fblob = tail[-(ps_len + 1 + footer_len):-(ps_len + 1)]
+    footer = pb_message(decompress_entity(fblob, codec, block_size))
+    types = [pb_message(t) for t in footer.get(4) or []]
+    if not types:
+        raise ValueError("ORC footer has no types")
+    root = types[0]
+    if _KINDS.get((root.get(1) or [0])[0]) != "STRUCT":
+        raise NotImplementedError("ORC root type must be a struct")
+    subtypes = _pb_packed_uints(root.get(2) or [])
+    names = [n.decode("utf-8") for n in root.get(3) or []]
+    cols = []
+    for name, tid in zip(names, subtypes):
+        t = types[tid]
+        kind = _KINDS.get((t.get(1) or [-1])[0], "?")
+        if kind in ("LIST", "MAP", "STRUCT", "UNION", "TIMESTAMP",
+                    "TIMESTAMP_INSTANT", "DECIMAL"):
+            raise NotImplementedError(
+                f"ORC column type {kind} not supported — flat-column "
+                "reader (timestamps/decimals/nested are plug-in "
+                "rejects)")
+        if kind == "?":
+            raise ValueError("unknown ORC type kind")
+        cols.append({"name": name, "kind": kind, "column": tid})
+    stripes = []
+    for s in footer.get(3) or []:
+        m = pb_message(s)
+        stripes.append({
+            "offset": (m.get(1) or [0])[0],
+            "index_length": (m.get(2) or [0])[0],
+            "data_length": (m.get(3) or [0])[0],
+            "footer_length": (m.get(4) or [0])[0],
+            "num_rows": (m.get(5) or [0])[0],
+        })
+    return {
+        "codec": codec,
+        "block_size": block_size,
+        "num_rows": (footer.get(6) or [0])[0],
+        "columns": cols,
+        "stripes": stripes,
+    }
+
+
+# ---------------------------------------------------------------------------
+# run-length decoders
+# ---------------------------------------------------------------------------
+
+
+def byte_rle(data: bytes, n: int) -> bytes:
+    """Byte-level RLE: header < 128 -> run of header+3 copies;
+    else 256-header literals."""
+    out = bytearray()
+    pos = 0
+    while len(out) < n:
+        if pos >= len(data):
+            raise ValueError("truncated ORC byte RLE")
+        h = data[pos]
+        pos += 1
+        if h < 128:
+            if pos >= len(data):
+                raise ValueError("truncated ORC byte-RLE run")
+            out += bytes([data[pos]]) * (h + 3)
+            pos += 1
+        else:
+            ln = 256 - h
+            if pos + ln > len(data):
+                raise ValueError("truncated ORC byte-RLE literals")
+            out += data[pos:pos + ln]
+            pos += ln
+    return bytes(out[:n])
+
+
+def bool_rle(data: bytes, n: int) -> list[bool]:
+    """Boolean streams: byte RLE over bit-packed bytes, MSB first."""
+    nbytes = (n + 7) // 8
+    raw = byte_rle(data, nbytes)
+    out = []
+    for b in raw:
+        for i in range(7, -1, -1):
+            out.append(bool((b >> i) & 1))
+    return out[:n]
+
+
+def _varint_u(data: bytes, pos: int) -> tuple[int, int]:
+    return _pb_varint(data, pos)
+
+
+def _varint_s(data: bytes, pos: int) -> tuple[int, int]:
+    n, pos = _pb_varint(data, pos)
+    return (n >> 1) ^ -(n & 1), pos
+
+
+#: RLEv2 5-bit encoded width -> real bit width ("closest fixed bits")
+def _decode_width(code: int) -> int:
+    if code <= 23:
+        return code + 1
+    return {24: 26, 25: 28, 26: 30, 27: 32, 28: 40, 29: 48, 30: 56,
+            31: 64}[code]
+
+
+def _unpack_msb(data: bytes, pos: int, width: int,
+                count: int) -> tuple[list[int], int]:
+    """MSB-first bit unpacking (ORC packs opposite to parquet)."""
+    nbits = width * count
+    nbytes = (nbits + 7) // 8
+    if pos + nbytes > len(data):
+        raise ValueError("truncated ORC bit-packed run")
+    big = int.from_bytes(data[pos:pos + nbytes], "big")
+    total = nbytes * 8
+    mask = (1 << width) - 1
+    out = [(big >> (total - (i + 1) * width)) & mask
+           for i in range(count)]
+    return out, pos + nbytes
+
+
+def int_rle_v1(data: bytes, n: int, signed: bool) -> list[int]:
+    """RLEv1: header < 128 -> run of header+3 with a signed byte
+    delta; else 256-header literal varints."""
+    out: list[int] = []
+    pos = 0
+    rd = _varint_s if signed else _varint_u
+    while len(out) < n:
+        if pos >= len(data):
+            raise ValueError("truncated ORC RLEv1")
+        h = data[pos]
+        pos += 1
+        if h < 128:
+            run = h + 3
+            delta = data[pos] - 256 if data[pos] >= 128 else data[pos]
+            pos += 1
+            base, pos = rd(data, pos)
+            out.extend(base + i * delta for i in range(run))
+        else:
+            for _ in range(256 - h):
+                v, pos = rd(data, pos)
+                out.append(v)
+    return out[:n]
+
+
+def int_rle_v2(data: bytes, n: int, signed: bool) -> list[int]:
+    """The four RLEv2 sub-encodings (spec "Integer Run Length
+    Encoding, version 2")."""
+    out: list[int] = []
+    pos = 0
+    while len(out) < n:
+        if pos >= len(data):
+            raise ValueError("truncated ORC RLEv2")
+        b0 = data[pos]
+        sub = b0 >> 6
+        if sub == 0:  # SHORT_REPEAT
+            width = ((b0 >> 3) & 7) + 1
+            run = (b0 & 7) + 3
+            pos += 1
+            if pos + width > len(data):
+                raise ValueError("truncated SHORT_REPEAT value")
+            v = int.from_bytes(data[pos:pos + width], "big")
+            pos += width
+            if signed:
+                v = (v >> 1) ^ -(v & 1)
+            out.extend([v] * run)
+        elif sub == 1:  # DIRECT
+            width = _decode_width((b0 >> 1) & 0x1F)
+            ln = (((b0 & 1) << 8) | data[pos + 1]) + 1
+            pos += 2
+            vals, pos = _unpack_msb(data, pos, width, ln)
+            if signed:
+                vals = [(v >> 1) ^ -(v & 1) for v in vals]
+            out.extend(vals)
+        elif sub == 2:  # PATCHED_BASE
+            width = _decode_width((b0 >> 1) & 0x1F)
+            ln = (((b0 & 1) << 8) | data[pos + 1]) + 1
+            b2, b3 = data[pos + 2], data[pos + 3]
+            bw = ((b2 >> 5) & 7) + 1           # base bytes
+            pw = _decode_width(b2 & 0x1F)      # patch bits
+            pgw = ((b3 >> 5) & 7) + 1          # gap bits
+            pll = b3 & 0x1F                    # patch list length
+            pos += 4
+            if pos + bw > len(data):
+                raise ValueError("truncated PATCHED_BASE base")
+            base = int.from_bytes(data[pos:pos + bw], "big")
+            sign_bit = 1 << (bw * 8 - 1)
+            if base & sign_bit:  # sign-magnitude
+                base = -(base & (sign_bit - 1))
+            pos += bw
+            vals, pos = _unpack_msb(data, pos, width, ln)
+            patch_bits = pgw + pw
+            # patch entries are packed at the closest legal width
+            cfb = patch_bits
+            if cfb > 24:
+                for legal in (26, 28, 30, 32, 40, 48, 56, 64):
+                    if cfb <= legal:
+                        cfb = legal
+                        break
+            patches, pos = _unpack_msb(data, pos, cfb, pll)
+            idx = 0
+            pmask = (1 << pw) - 1
+            for entry in patches:
+                gap = entry >> pw
+                patch = entry & pmask
+                idx += gap
+                if patch == 0:
+                    continue  # gap-extension entry (gap 255, patch 0)
+                if idx >= ln:
+                    raise ValueError("PATCHED_BASE patch out of range")
+                vals[idx] |= patch << width
+            out.extend(base + v for v in vals)
+        else:  # DELTA
+            wcode = (b0 >> 1) & 0x1F
+            width = _decode_width(wcode) if wcode else 0
+            ln = (((b0 & 1) << 8) | data[pos + 1]) + 1
+            pos += 2
+            base, pos = (_varint_s if signed else _varint_u)(data, pos)
+            delta0, pos = _varint_s(data, pos)
+            seq = [base]
+            if ln > 1:
+                seq.append(base + delta0)
+            if ln > 2:
+                if width:
+                    deltas, pos = _unpack_msb(data, pos, width, ln - 2)
+                else:
+                    deltas = [abs(delta0)] * (ln - 2)
+                sign = -1 if delta0 < 0 else 1
+                for d in deltas:
+                    seq.append(seq[-1] + sign * d)
+            out.extend(seq)
+    return out[:n]
+
+
+def int_rle(data: bytes, n: int, signed: bool, version: int) -> list:
+    return (int_rle_v2 if version == 2 else int_rle_v1)(data, n, signed)
+
+
+# ---------------------------------------------------------------------------
+# stripe decode
+# ---------------------------------------------------------------------------
+
+
+@_malformed_guard
+def read_stripe(fh, footer: dict, stripe_index: int,
+                columns: list[str] | None = None) -> dict:
+    """Decode ONE stripe (the parallel-read unit) into
+    ``{column_name: [values]}`` — None for nulls; only the projected
+    columns' streams are decompressed."""
+    st = footer["stripes"][stripe_index]
+    codec, bs = footer["codec"], footer["block_size"]
+    fh.seek(st["offset"])
+    blob = fh.read(st["index_length"] + st["data_length"]
+                   + st["footer_length"])
+    sfoot = pb_message(decompress_entity(
+        blob[st["index_length"] + st["data_length"]:], codec, bs))
+    streams = []
+    off = 0
+    for s in sfoot.get(1) or []:
+        m = pb_message(s)
+        kind = _STREAM_KINDS.get((m.get(1) or [0])[0], "?")
+        col = (m.get(2) or [0])[0]
+        ln = (m.get(3) or [0])[0]
+        streams.append({"kind": kind, "column": col, "length": ln,
+                        "offset": off})
+        off += ln
+    encodings = [
+        _ENCODINGS.get((pb_message(e).get(1) or [0])[0], "?")
+        for e in sfoot.get(2) or []
+    ]
+    dict_sizes = [
+        (pb_message(e).get(2) or [0])[0] for e in sfoot.get(2) or []
+    ]
+    n = st["num_rows"]
+    want = columns or [c["name"] for c in footer["columns"]]
+    by_name = {c["name"]: c for c in footer["columns"]}
+
+    def get_stream(col: int, kind: str) -> bytes | None:
+        for s in streams:
+            if s["column"] == col and s["kind"] == kind:
+                return decompress_entity(
+                    blob[s["offset"]:s["offset"] + s["length"]],
+                    codec, bs)
+        return None
+
+    out = {}
+    for name in want:
+        col = by_name.get(name)
+        if col is None:
+            raise ValueError(f"ORC column {name!r} not in the file")
+        cid = col["column"]
+        kind = col["kind"]
+        enc = encodings[cid] if cid < len(encodings) else "DIRECT"
+        ver = 2 if enc in ("DIRECT_V2", "DICTIONARY_V2") else 1
+        present = get_stream(cid, "PRESENT")
+        pres = bool_rle(present, n) if present is not None else [True] * n
+        nv = sum(pres)
+        data = get_stream(cid, "DATA")
+        if data is None and nv:
+            raise ValueError(f"ORC column {name!r} missing DATA stream")
+        if kind == "BOOLEAN":
+            vals = bool_rle(data or b"", nv)
+        elif kind == "BYTE":
+            raw = byte_rle(data or b"", nv)
+            vals = [b - 256 if b >= 128 else b for b in raw]
+        elif kind in ("SHORT", "INT", "LONG", "DATE"):
+            vals = int_rle(data or b"", nv, True, ver)
+        elif kind == "FLOAT":
+            if len(data or b"") < 4 * nv:
+                raise ValueError("truncated ORC float stream")
+            vals = list(struct.unpack_from(f"<{nv}f", data, 0))
+        elif kind == "DOUBLE":
+            if len(data or b"") < 8 * nv:
+                raise ValueError("truncated ORC double stream")
+            vals = list(struct.unpack_from(f"<{nv}d", data, 0))
+        elif kind in ("STRING", "VARCHAR", "CHAR", "BINARY"):
+            length_s = get_stream(cid, "LENGTH")
+            if enc in ("DICTIONARY", "DICTIONARY_V2"):
+                dsize = dict_sizes[cid]
+                dict_data = get_stream(cid, "DICTIONARY_DATA") or b""
+                lens = int_rle(length_s or b"", dsize, False, ver)
+                entries = []
+                p = 0
+                for ln2 in lens:
+                    entries.append(dict_data[p:p + ln2])
+                    p += ln2
+                idx = int_rle(data or b"", nv, False, ver)
+                if idx and max(idx) >= len(entries):
+                    raise ValueError("ORC dictionary index out of range")
+                vals = [entries[i] for i in idx]
+            else:
+                lens = int_rle(length_s or b"", nv, False, ver)
+                vals = []
+                p = 0
+                for ln2 in lens:
+                    if p + ln2 > len(data or b""):
+                        raise ValueError("ORC string data overrun")
+                    vals.append(data[p:p + ln2])
+                    p += ln2
+            if kind != "BINARY":
+                vals = [v.decode("utf-8") for v in vals]
+            else:
+                vals = [bytes(v) for v in vals]
+        else:
+            raise NotImplementedError(
+                f"ORC column type {kind} not supported")
+        if len(vals) < nv:
+            raise ValueError(f"ORC column {name!r} short of values")
+        it = iter(vals)
+        out[name] = [next(it) if p else None for p in pres]
+    return out

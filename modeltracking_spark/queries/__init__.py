@@ -58,6 +58,8 @@ PRIORITY: tuple[str, ...] = (
     # ---- new in r11 (never-attested) ----
     "parquet_native_scan_docs",        # from-spec parquet reader
     "parquet_native_scan_embeddings",  # its Dremel list<float> arm
+    "orc_native_scan_docs",            # from-spec ORC reader
+    "orc_native_scan_events",          # its null/double/zstd arm
     "avro_codec_matrix_docs",          # all six Avro spec codecs
     "zlib_fdict_roundtrip_docs",       # RFC 1950 FDICT preset dict
     "zstd_seekable_coalesced_scan_docs",  # scan-tier scale knob
@@ -107,11 +109,10 @@ PRIORITY: tuple[str, ...] = (
     "gopher_rules_docs",               # Gopher quality rules
     "dsir_select_docs",                # DSIR importance sampling
     "curation_pipeline_docs",          # end-to-end curation chain
-    "pq_adc_topk_l2",                  # PQ ADC ANN serve path
-    "pca_top_component_embeddings",    # PCA power iteration
-    # (triangle_counts_docs / textrank_segments_docs slipped past the
-    # boundary when the two parquet_native queries landed; they rotate
-    # in with the rest of the r7 cohort at r12)
+    # (triangle_counts_docs / textrank_segments_docs / pq_adc_topk_l2 /
+    # pca_top_component_embeddings slipped past the boundary when the
+    # four storage-format queries landed; they rotate in with the rest
+    # of the r7 cohort at r12)
 )
 
 #: queries whose semantics/plan changed THIS round: the staleness lint

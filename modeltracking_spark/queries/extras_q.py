@@ -2775,6 +2775,160 @@ def avro_codec_matrix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return widen_for_kernel(docs).mapInPandas(kernel, out_schema)
 
 
+def _orc_fixture_dir(spark, sf_dir: str, table: str, prefix: str,
+                     build_df, compression: str) -> str:
+    """Content-addressed ORC fixture written by SPARK'S OWN native
+    writer (the reference Java ORC implementation) — reference encode,
+    from-spec decode, the repo's standard trust structure; atomic
+    rename, lost-race cleanup."""
+    import hashlib
+    import inspect
+    import os
+    import shutil
+
+    from modeltracking_spark.queries.multimodal_q import (
+        corpus_fingerprint,
+    )
+
+    token = hashlib.md5(
+        (corpus_fingerprint(sf_dir, table) + ":" + compression + ":"
+         + inspect.getsource(build_df)).encode()
+    ).hexdigest()[:10]
+    out_dir = f"/tmp/modeltracking_{prefix}_{token}"
+    if not os.path.isdir(out_dir):
+        tmp = f"{out_dir}.{os.getpid()}.tmp"
+        (build_df(spark, sf_dir).repartition(3)
+         .write.mode("overwrite").option("compression", compression)
+         .orc(tmp))
+        try:
+            os.rename(tmp, out_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    return out_dir
+
+
+def _orc_docs_df(spark, sf_dir):
+    return T(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source")
+
+
+def _orc_events_df(spark, sf_dir):
+    return T(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value")
+
+
+def orcnat_fixture_dir(spark, sf_dir: str) -> str:
+    """Exported for tools/oracle_twins.py — exact-dir resolution."""
+    return _orc_fixture_dir(spark, sf_dir, "documents", "orcnat",
+                            _orc_docs_df, "zlib")
+
+
+def orcnatev_fixture_dir(spark, sf_dir: str) -> str:
+    """Exported for tools/oracle_twins.py — exact-dir resolution."""
+    return _orc_fixture_dir(spark, sf_dir, "events", "orcnatev",
+                            _orc_events_df, "zstd")
+
+
+@query(
+    "orc_native_scan_docs",
+    oracle="""
+    SELECT doc_id,
+           lang,
+           length(text)::BIGINT AS n_chars_text,
+           md5(text) AS text_md5
+    FROM documents
+    """,
+)
+def orc_native_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FROM-SPEC ORC SCAN (round 11 — operators/orc_native.py +
+    sources/orc_native_source.py): the corpus is written by SPARK'S
+    OWN native ORC writer (the reference Java implementation, zlib
+    chunked framing) into a content-addressed fixture, then read back
+    by the engine's from-spec implementation of the format —
+    postscript/footer protobuf via TAIL reads, stripe-footer stream
+    maps, integer RLEv2 (all four sub-encodings), dictionary AND
+    direct string encodings, boolean/byte RLE, PRESENT null streams,
+    and the chunked zlib framing through the repo's own RFC 1951
+    inflate — one InputPartition PER STRIPE (the format's parallel-
+    read unit) with column projection so unprojected streams are
+    never decompressed. The oracle replays from the parquet table
+    through DuckDB; tests/test_orc_native.py cross-validates the
+    decoder row-for-row against pyarrow.orc (ORC_CPP) AND Spark's
+    Java writer across codecs, RLEv2 stress shapes, and null
+    profiles."""
+    from pyspark.errors import PySparkException
+
+    from modeltracking_spark.queries.common import ensure_pkg_on_workers
+    from modeltracking_spark.sources.orc_native_source import (
+        OrcNativeDataSource,
+    )
+
+    ensure_pkg_on_workers(spark)
+    out_dir = orcnat_fixture_dir(spark, sf_dir)
+    try:
+        spark.dataSource.register(OrcNativeDataSource)
+    except PySparkException:
+        pass  # already registered in this session
+    df = (
+        spark.read.format("orc_native")
+        .option("path", out_dir)
+        .option("columns", "doc_id,text,lang")
+        .load()
+    )
+    return df.select(
+        F.col("doc_id"),
+        F.col("lang"),
+        F.length("text").cast("long").alias("n_chars_text"),
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+    )
+
+
+@query(
+    "orc_native_scan_events",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           event_type,
+           CASE WHEN value IS NULL THEN NULL
+                ELSE floor(value * 1000000 + 0.5)::BIGINT END
+             AS value_e6
+    FROM events
+    """,
+)
+def orc_native_scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The from-spec ORC reader's NULL + numeric arm: the events table
+    (nullable doubles, dictionary-encoded type strings, bigint ids)
+    written by Spark's native writer with ZSTD chunk framing, decoded
+    from spec — PRESENT boolean-RLE null streams drive value
+    assembly, doubles come off the raw IEEE754 stream, and the zstd
+    chunks decode through the repo's RFC 8878 implementation. Output
+    scaling uses floor(x*1e6 + 0.5) so Spark and DuckDB round
+    identically."""
+    from pyspark.errors import PySparkException
+
+    from modeltracking_spark.queries.common import ensure_pkg_on_workers
+    from modeltracking_spark.sources.orc_native_source import (
+        OrcNativeDataSource,
+    )
+
+    ensure_pkg_on_workers(spark)
+    out_dir = orcnatev_fixture_dir(spark, sf_dir)
+    try:
+        spark.dataSource.register(OrcNativeDataSource)
+    except PySparkException:
+        pass  # already registered in this session
+    df = (
+        spark.read.format("orc_native").option("path", out_dir).load()
+    )
+    return df.select(
+        F.col("event_id"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long").alias("value_e6"),
+    )
+
+
 @query(
     "parquet_native_scan_docs",
     oracle="""

@@ -1616,19 +1616,19 @@ def xz_bcj_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return xz_bcj_roundtrip_stats(d)
 
 
-def corpus_fingerprint(sf_dir: str) -> str:
-    """Content token for the documents table backing an archive
-    fixture: size + head bytes of the parquet file, plus the sf_dir
-    path itself.  Fixture-cache dirs are keyed on this, so a cache
-    built from a DIFFERENT corpus that happens to share doc-ids (a
-    pytest tmp corpus, regenerated testdata) can never shadow the
-    scored fixture — the VERDICT r10 false-FAIL mechanism (items 3-4).
-    Exported for tools/oracle_twins.py, which resolves the EXACT dir
-    instead of globbing."""
+def corpus_fingerprint(sf_dir: str, table: str = "documents") -> str:
+    """Content token for the table backing a fixture: size + head
+    bytes of the parquet file, plus the sf_dir path itself.
+    Fixture-cache dirs are keyed on this, so a cache built from a
+    DIFFERENT corpus that happens to share doc-ids (a pytest tmp
+    corpus, regenerated testdata) can never shadow the scored fixture
+    — the VERDICT r10 false-FAIL mechanism (items 3-4).  Exported for
+    tools/oracle_twins.py, which resolves the EXACT dir instead of
+    globbing."""
     import hashlib
     import os
 
-    doc = os.path.join(sf_dir, "documents.parquet")
+    doc = os.path.join(sf_dir, f"{table}.parquet")
     h = hashlib.md5()
     h.update(sf_dir.encode())
     h.update(str(os.path.getsize(doc)).encode())

@@ -2444,6 +2444,77 @@ def twin_parquet_native_embeddings(spark, sf_dir,
     return True, f"{n} embeddings replayed by pyarrow"
 
 
+def twin_orc_native_docs(spark, sf_dir, spark_rows) -> tuple[bool, str]:
+    """pyarrow.orc (ORC_CPP — an independent reference reader) replays
+    the EXACT Spark-written fixture the scored query scanned."""
+    import glob
+    import hashlib
+
+    import pyarrow.orc as _po
+
+    from modeltracking_spark.queries.extras_q import orcnat_fixture_dir
+
+    d = orcnat_fixture_dir(spark, sf_dir)
+    got = {
+        int(r["doc_id"]): (r["lang"], int(r["n_chars_text"]),
+                           r["text_md5"])
+        for r in spark_rows
+    }
+    n = 0
+    for part in sorted(glob.glob(f"{d}/*.orc")):
+        t = _po.ORCFile(part).read()
+        for did, text, lang in zip(t.column("doc_id").to_pylist(),
+                                   t.column("text").to_pylist(),
+                                   t.column("lang").to_pylist()):
+            want = (lang, len(text),
+                    hashlib.md5(text.encode("utf-8")).hexdigest())
+            if got.get(int(did)) != want:
+                return False, (f"doc {did}: got {got.get(int(did))} "
+                               f"want {want}")
+            n += 1
+    if n != len(got):
+        return False, f"row count: pyarrow.orc {n} vs engine {len(got)}"
+    return True, f"{n} docs replayed by pyarrow.orc"
+
+
+def twin_orc_native_events(spark, sf_dir,
+                           spark_rows) -> tuple[bool, str]:
+    """pyarrow.orc replays the zstd-framed events fixture, nulls and
+    the e6 scaling included."""
+    import glob
+    import math
+
+    import pyarrow.orc as _po
+
+    from modeltracking_spark.queries.extras_q import (
+        orcnatev_fixture_dir,
+    )
+
+    d = orcnatev_fixture_dir(spark, sf_dir)
+    got = {
+        int(r["event_id"]): (
+            int(r["user_id"]), r["event_type"],
+            None if r["value_e6"] is None else int(r["value_e6"]))
+        for r in spark_rows
+    }
+    n = 0
+    for part in sorted(glob.glob(f"{d}/*.orc")):
+        t = _po.ORCFile(part).read()
+        for eid, uid, et, v in zip(t.column("event_id").to_pylist(),
+                                   t.column("user_id").to_pylist(),
+                                   t.column("event_type").to_pylist(),
+                                   t.column("value").to_pylist()):
+            want = (int(uid), et,
+                    None if v is None else math.floor(v * 1e6 + 0.5))
+            if got.get(int(eid)) != want:
+                return False, (f"event {eid}: got {got.get(int(eid))} "
+                               f"want {want}")
+            n += 1
+    if n != len(got):
+        return False, f"row count: pyarrow.orc {n} vs engine {len(got)}"
+    return True, f"{n} events replayed by pyarrow.orc"
+
+
 def twin_zlib_fdict(spark, sf_dir, spark_rows) -> tuple[bool, str]:
     """Independent replay of the preset-dictionary roundtrip: stdlib
     zlib does BOTH directions (compressobj/decompressobj with the same
@@ -2887,6 +2958,10 @@ def main(sf_dirs: list[str]) -> int:
             ("parquet_native_scan_embeddings",
              lambda rows: twin_parquet_native_embeddings(
                  spark, sf_dir, rows)),
+            ("orc_native_scan_docs",
+             lambda rows: twin_orc_native_docs(spark, sf_dir, rows)),
+            ("orc_native_scan_events",
+             lambda rows: twin_orc_native_events(spark, sf_dir, rows)),
             ("brotli_roundtrip_docs",
              lambda rows: twin_brotli(spark, sf_dir, rows)),
             ("zstd_seekable_scan_docs",
