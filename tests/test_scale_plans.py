@@ -615,7 +615,8 @@ def test_round10_codec_queries_are_shuffle_free_narrow_maps(spark):
 
     qs, _ = load_registries()
     for name in ("zstd_dict_roundtrip_docs", "avro_nested_scan_docs",
-                 "xz_bcj_roundtrip_docs", "brotli_roundtrip_docs"):
+                 "xz_bcj_roundtrip_docs", "brotli_roundtrip_docs",
+                 "avro_codec_matrix_docs", "zlib_fdict_roundtrip_docs"):
         plan = executed_plan(qs[name](spark, SF001))
         # the only exchange allowed is widen_for_kernel's RoundRobin
         # under-split guard (itself plan-asserted to no-op on wide

@@ -130,6 +130,14 @@ NOTES = {
     "xz_indexed_scan_docs": "BatchScan with one InputPartition per BLOCK via the format's own index -> project; no exchange",
     "bz2_multistream_scan_docs": "BatchScan with one InputPartition per STREAM -> project; no exchange",
     "zstd_seekable_stream_scan_docs": "two availableNow streaming drains (one partition per NEW frame, offsets from tail-only seek-table reads) land in an exactly-once file sink; the returned plan is the committed parquet scan",
+    # round 11
+    "zstd_seekable_coalesced_scan_docs": "BatchScan with CONTIGUOUS frames coalesced into >=target_partition_bytes range partitions (one seek + one contiguous read each) -> project; no exchange — partition count scales with bytes/target, not frame count",
+    "avro_codec_matrix_docs": "narrow Arrow map: per-(codec, batch) OCF write -> from-spec decode across all six spec codecs, no shuffle",
+    "zlib_fdict_roundtrip_docs": "narrow Arrow map; FDICT preset-dictionary roundtrip per row, dictionary closure-broadcast, no shuffle",
+    "parquet_native_scan_docs": "BatchScan with one InputPartition per ROW GROUP, footer-only planning, byte-range column pruning (3 of 5 columns read) -> project; no exchange",
+    "parquet_native_scan_embeddings": "BatchScan (Dremel list assembly) -> JVM-side size/aggregate over array<float>; no Python after the scan, no exchange",
+    "orc_native_scan_docs": "BatchScan with one InputPartition per STRIPE, stream-level projection (3 of 4 columns) -> project; no exchange",
+    "orc_native_scan_events": "BatchScan per stripe; PRESENT-driven null assembly + zstd chunk framing decode inside the source; no exchange",
 }
 
 
