@@ -237,12 +237,10 @@ def orc_footer_from_file(fh) -> dict:
     for name, tid in zip(names, subtypes):
         t = types[tid]
         kind = _KINDS.get((t.get(1) or [-1])[0], "?")
-        if kind in ("LIST", "MAP", "STRUCT", "UNION", "TIMESTAMP",
-                    "TIMESTAMP_INSTANT", "DECIMAL"):
+        if kind in ("LIST", "MAP", "STRUCT", "UNION", "DECIMAL"):
             raise NotImplementedError(
                 f"ORC column type {kind} not supported — flat-column "
-                "reader (timestamps/decimals/nested are plug-in "
-                "rejects)")
+                "reader (decimals/nested are plug-in rejects)")
         if kind == "?":
             raise ValueError("unknown ORC type kind")
         cols.append({"name": name, "kind": kind, "column": tid})
@@ -531,6 +529,43 @@ def read_stripe(fh, footer: dict, stripe_index: int,
             if len(data or b"") < 8 * nv:
                 raise ValueError("truncated ORC double stream")
             vals = list(struct.unpack_from(f"<{nv}d", data, 0))
+        elif kind in ("TIMESTAMP", "TIMESTAMP_INSTANT"):
+            # spec: DATA = signed FLOOR seconds relative to the
+            # 2015-01-01 epoch; SECONDARY = the (always non-negative)
+            # sub-second nanos with the low 3 bits counting stripped
+            # trailing zeros (nanos = (v>>3) * 10^(zeros+1) when set).
+            # value = (base + s) seconds + nanos — floor semantics
+            # verified against raw pyarrow.orc stream dumps and pinned
+            # across the 2015 boundary and pre-1970 in tests.
+            secs = int_rle(data or b"", nv, True, ver)
+            sec_stream = get_stream(cid, "SECONDARY")
+            raw_nanos = int_rle(sec_stream or b"", nv, False, ver)
+            vals = []
+            for s, rn in zip(secs, raw_nanos):
+                # pre-1970 writers disagree: ORC_CPP stores NEGATIVE
+                # sub-second nanos as a two's-complement pattern in
+                # the unsigned stream; the Java writer truncates its
+                # milliseconds toward zero and keeps positive nanos,
+                # which the reference readers repair by borrowing one
+                # second exactly when abs-seconds < 0 AND nanos exceed
+                # the millisecond boundary (> 999999) — both
+                # conventions pinned against pyarrow.orc in tests
+                if rn >= 1 << 63:
+                    rn -= 1 << 64
+                nanos = rn >> 3  # arithmetic shift (floor)
+                zeros = rn & 7
+                if zeros:
+                    nanos *= 10 ** (zeros + 1)
+                if not -999_999_999 <= nanos <= 999_999_999:
+                    raise ValueError("ORC timestamp nanos out of range")
+                if nanos % 1000:
+                    raise NotImplementedError(
+                        "sub-microsecond ORC timestamps not supported "
+                        "(micros is the engine's timestamp grain)")
+                abs_s = 1420070400 + s
+                if abs_s < 0 and nanos > 999_999:
+                    abs_s -= 1
+                vals.append(abs_s * 1_000_000 + nanos // 1000)
         elif kind in ("STRING", "VARCHAR", "CHAR", "BINARY"):
             length_s = get_stream(cid, "LENGTH")
             if enc in ("DICTIONARY", "DICTIONARY_V2"):

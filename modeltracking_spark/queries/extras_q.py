@@ -2797,9 +2797,18 @@ def _orc_fixture_dir(spark, sf_dir: str, table: str, prefix: str,
     out_dir = f"/tmp/modeltracking_{prefix}_{token}"
     if not os.path.isdir(out_dir):
         tmp = f"{out_dir}.{os.getpid()}.tmp"
-        (build_df(spark, sf_dir).repartition(3)
-         .write.mode("overwrite").option("compression", compression)
-         .orc(tmp))
+        # ORC TIMESTAMP is wall-clock: pin the session tz to UTC for
+        # the write so the stored instants are tz-independent (the
+        # from-spec reader returns raw stored values; the oracle
+        # compares epoch micros)
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        try:
+            (build_df(spark, sf_dir).repartition(3)
+             .write.mode("overwrite").option("compression", compression)
+             .orc(tmp))
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", tz)
         try:
             os.rename(tmp, out_dir)
         except OSError:
@@ -2814,7 +2823,7 @@ def _orc_docs_df(spark, sf_dir):
 
 def _orc_events_df(spark, sf_dir):
     return T(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", "value")
+        "event_id", "user_id", "event_type", "value", "ts")
 
 
 def orcnat_fixture_dir(spark, sf_dir: str) -> str:
@@ -2891,19 +2900,24 @@ def orc_native_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type,
            CASE WHEN value IS NULL THEN NULL
                 ELSE floor(value * 1000000 + 0.5)::BIGINT END
-             AS value_e6
+             AS value_e6,
+           epoch_us(ts)::BIGINT AS ts_us
     FROM events
     """,
 )
 def orc_native_scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The from-spec ORC reader's NULL + numeric arm: the events table
-    (nullable doubles, dictionary-encoded type strings, bigint ids)
-    written by Spark's native writer with ZSTD chunk framing, decoded
-    from spec — PRESENT boolean-RLE null streams drive value
-    assembly, doubles come off the raw IEEE754 stream, and the zstd
-    chunks decode through the repo's RFC 8878 implementation. Output
-    scaling uses floor(x*1e6 + 0.5) so Spark and DuckDB round
-    identically."""
+    """The from-spec ORC reader's NULL + numeric + TIMESTAMP arm: the
+    events table (nullable doubles, dictionary-encoded type strings,
+    bigint ids, a real timestamp column) written by Spark's native
+    writer with ZSTD chunk framing, decoded from spec — PRESENT
+    boolean-RLE null streams drive value assembly, doubles come off
+    the raw IEEE754 stream, timestamps reconstruct from the
+    2015-epoch seconds + trailing-zero-packed nanos pair (both
+    writers' pre-1970 conventions pinned against pyarrow.orc in
+    tests), and the zstd chunks decode through the repo's RFC 8878
+    implementation. Output scaling uses floor(x*1e6 + 0.5) so Spark
+    and DuckDB round identically; ts surfaces as epoch micros on both
+    sides."""
     from pyspark.errors import PySparkException
 
     from modeltracking_spark.queries.common import ensure_pkg_on_workers
@@ -2926,6 +2940,7 @@ def orc_native_scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type"),
         F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5))
         .cast("long").alias("value_e6"),
+        F.col("ts").alias("ts_us"),  # already epoch micros (bigint)
     )
 
 

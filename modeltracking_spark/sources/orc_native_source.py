@@ -18,8 +18,10 @@ grain:
 
 Type mapping: LONG→bigint, INT→int, SHORT→smallint, BYTE→tinyint,
 FLOAT/DOUBLE, BOOLEAN, STRING/VARCHAR/CHAR→string, BINARY→binary,
-DATE→int (epoch days).  Timestamps/decimals/nested reject loudly
-upstream.
+DATE→int (epoch days), TIMESTAMP→bigint (epoch micros — round 11:
+both the ORC_CPP signed-nanos and the Java trunc-plus-borrow pre-1970
+conventions decode to the reference readers' canonical values).
+Decimals/nested reject loudly upstream.
 """
 
 from __future__ import annotations
@@ -48,6 +50,9 @@ _SPARK_TYPES = {
     "INT": "int", "LONG": "bigint", "FLOAT": "float",
     "DOUBLE": "double", "STRING": "string", "VARCHAR": "string",
     "CHAR": "string", "BINARY": "binary", "DATE": "int",
+    # timestamps surface as their physical epoch-micros (the same
+    # posture as the parquet_native reader)
+    "TIMESTAMP": "bigint", "TIMESTAMP_INSTANT": "bigint",
 }
 
 _PA_TYPES = {
@@ -55,6 +60,7 @@ _PA_TYPES = {
     "INT": "int32", "LONG": "int64", "FLOAT": "float32",
     "DOUBLE": "float64", "STRING": "string", "VARCHAR": "string",
     "CHAR": "string", "BINARY": "binary", "DATE": "int32",
+    "TIMESTAMP": "int64", "TIMESTAMP_INSTANT": "int64",
 }
 
 

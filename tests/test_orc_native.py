@@ -162,16 +162,73 @@ def test_spark_written_files_exact(spark, tmp_path):
             assert got["n_chars"][i] == r["n_chars"], (comp, did)
 
 
-def test_typed_rejects():
+def test_timestamps_both_writer_conventions(spark, tmp_path):
+    """TIMESTAMP decode across the 2015 epoch base and BOTH pre-1970
+    writer conventions — ORC_CPP's signed two's-complement nanos and
+    the Java writer's truncate-toward-zero + borrow-at-the-millisecond
+    repair — must equal the reference readers' canonical values (and
+    the original instants wherever the writer preserved them)."""
     import datetime
+    import glob
 
-    # timestamps are a documented plug-in reject
-    t = pa.table({"ts": pa.array([datetime.datetime(2020, 1, 1)],
-                                 pa.timestamp("us"))})
+    rng = random.Random(3)
+    n = 2000
+    vals = []
+    for _ in range(n):
+        r = rng.random()
+        if r < 0.25:
+            us = 1420070400_000000 + rng.randrange(-5_000_000, 5_000_000)
+        elif r < 0.45:
+            us = rng.randrange(0, 1420070400_000000)
+        elif r < 0.55:
+            us = rng.randrange(-2_000_000_000_000_000, 0)  # pre-1970
+        else:
+            us = rng.randrange(1420070400_000000, 1893456000_000000)
+        if rng.random() < 0.3:
+            us = (us // 1_000_000) * 1_000_000
+        if rng.random() < 0.3:
+            us = (us // 1000) * 1000
+        vals.append(None if rng.random() < 0.1 else us)
+
+    def ts(u):
+        return (datetime.datetime(1970, 1, 1)
+                + datetime.timedelta(microseconds=u))
+
+    t = pa.table({"ts": pa.array(
+        [None if v is None else ts(v) for v in vals],
+        pa.timestamp("us"))})
+    # ORC_CPP writer: canonical == originals
+    buf = io.BytesIO()
+    po.write_table(t, buf, compression="zlib", stripe_size=1 << 15)
+    _f, got = _read_all(buf)
+    assert got["ts"] == vals
+    # Java writer (Spark): must equal pyarrow's read of the same file
+    d = str(tmp_path / "java")
+    rows = [(i, ts(v)) for i, v in enumerate(vals) if v is not None]
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.createDataFrame(rows, "id long, ts timestamp") \
+            .coalesce(1).write.mode("overwrite").orc(d)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+    part = glob.glob(d + "/part-*.orc")[0]
+    with open(part, "rb") as fh:
+        _f, got = _read_all(fh)
+    ref = po.ORCFile(part).read()
+    canon = dict(zip(ref.column("id").to_pylist(),
+                     ref.column("ts").cast(pa.int64()).to_pylist()))
+    for i, g in zip(got["id"], got["ts"]):
+        assert g * 1000 == canon[i], i
+
+
+def test_typed_rejects():
+    # decimals are a documented plug-in reject
+    t = pa.table({"d": pa.array([1], pa.decimal128(10, 2))})
     buf = io.BytesIO()
     po.write_table(t, buf)
     buf.seek(0)
-    with pytest.raises(NotImplementedError, match="TIMESTAMP"):
+    with pytest.raises(NotImplementedError, match="DECIMAL"):
         orc_footer_from_file(buf)
     # nested lists too
     t = pa.table({"l": pa.array([[1, 2]], pa.list_(pa.int64()))})

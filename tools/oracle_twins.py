@@ -2490,22 +2490,29 @@ def twin_orc_native_events(spark, sf_dir,
         orcnatev_fixture_dir,
     )
 
+    import pyarrow as _pa
+
     d = orcnatev_fixture_dir(spark, sf_dir)
     got = {
         int(r["event_id"]): (
             int(r["user_id"]), r["event_type"],
-            None if r["value_e6"] is None else int(r["value_e6"]))
+            None if r["value_e6"] is None else int(r["value_e6"]),
+            int(r["ts_us"]))
         for r in spark_rows
     }
     n = 0
     for part in sorted(glob.glob(f"{d}/*.orc")):
         t = _po.ORCFile(part).read()
-        for eid, uid, et, v in zip(t.column("event_id").to_pylist(),
-                                   t.column("user_id").to_pylist(),
-                                   t.column("event_type").to_pylist(),
-                                   t.column("value").to_pylist()):
+        ts_us = t.column("ts").cast(_pa.timestamp("us")).cast(
+            _pa.int64()).to_pylist()
+        for eid, uid, et, v, tu in zip(
+                t.column("event_id").to_pylist(),
+                t.column("user_id").to_pylist(),
+                t.column("event_type").to_pylist(),
+                t.column("value").to_pylist(), ts_us):
             want = (int(uid), et,
-                    None if v is None else math.floor(v * 1e6 + 0.5))
+                    None if v is None else math.floor(v * 1e6 + 0.5),
+                    int(tu))
             if got.get(int(eid)) != want:
                 return False, (f"event {eid}: got {got.get(int(eid))} "
                                f"want {want}")
