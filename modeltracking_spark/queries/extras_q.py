@@ -2776,7 +2776,8 @@ def avro_codec_matrix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _orc_fixture_dir(spark, sf_dir: str, table: str, prefix: str,
-                     build_df, compression: str) -> str:
+                     build_df, compression: str,
+                     n_files: int = 3) -> str:
     """Content-addressed ORC fixture written by SPARK'S OWN native
     writer (the reference Java ORC implementation) — reference encode,
     from-spec decode, the repo's standard trust structure; atomic
@@ -2804,7 +2805,7 @@ def _orc_fixture_dir(spark, sf_dir: str, table: str, prefix: str,
         tz = spark.conf.get("spark.sql.session.timeZone")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         try:
-            (build_df(spark, sf_dir).repartition(3)
+            (build_df(spark, sf_dir).repartition(n_files)
              .write.mode("overwrite").option("compression", compression)
              .orc(tmp))
         finally:
@@ -2834,8 +2835,10 @@ def orcnat_fixture_dir(spark, sf_dir: str) -> str:
 
 def orcnatev_fixture_dir(spark, sf_dir: str) -> str:
     """Exported for tools/oracle_twins.py — exact-dir resolution."""
+    # 12 files -> 12 stripes: the decode is the honest from-spec
+    # cost, so give the scan the format's full parallel grain
     return _orc_fixture_dir(spark, sf_dir, "events", "orcnatev",
-                            _orc_events_df, "zstd")
+                            _orc_events_df, "zstd", n_files=12)
 
 
 @query(
