@@ -21,9 +21,22 @@ family — **PowerPC** (0x05), **IA-64** (0x06), **ARM** (0x07),
 **ARM-Thumb** (0x08), **SPARC** (0x09), and **ARM64** (0x0A, BL +
 ADRP) — each a position-dependent relative↔absolute branch-address
 rewrite at that architecture's instruction alignment, implemented from
-the public xz file-format spec §5.3.2.  Only RISC-V (0x0B) remains a
-documented plug-in reject (its paired-AUIPC rewriting is a different
-shape).
+the public xz file-format spec §5.3.2.
+
+**RISC-V** (0x0B, 2-byte alignment) closes the family.  The spec
+registers only the ID and alignment; the transform semantics were
+derived black-box against liblzma 5.8.2 (single-instruction probes of
+every branch condition through ``xz --format=raw --riscv`` with the
+LZMA2 layer stripped by this repo's own from-spec decoder — the same
+raw-dump methodology as the ORC timestamp conventions).  It rewrites
+two shapes: JAL with a link register (rd ∈ {x1, x5}), whose 21-bit
+relative offset becomes a byte-reversed absolute half-address; and
+AUIPC paired with any rs1-matching 12-bit-immediate instruction,
+packed into an ``rd=x2``-marked word plus the 32-bit absolute address
+big-endian.  Real x2-AUIPCs that would alias the pair marker are
+escaped into a third 8-byte form whose trigger is exactly "the
+reconstructed AUIPC would alias the marker again" — which is what
+makes all three rewrites mutually invertible.
 
 All filters are exact inverses of each other by construction and are
 cross-validated byte-for-byte against liblzma (stdlib ``lzma`` with
@@ -259,10 +272,130 @@ def _ia64_filter(data: bytes, ip: int, encode: bool) -> bytes:
     return bytes(buf)
 
 
-#: xz filter ID -> (transform, start-offset alignment).  RISC-V (0x0B)
-#: stays the documented plug-in reject in operators/xz.py — its paired
-#: AUIPC rewriting is a different shape from these single-instruction
-#: converters.
+def _riscv_filter(data: bytes, ip: int, encode: bool) -> bytes:
+    """RISC-V branch filter (ID 0x0B): three mutually-inverse 8-byte
+    rewrites scanned at 2-byte alignment (the C extension makes 16-bit
+    instruction slots possible, so every even offset is a candidate).
+
+    - **JAL** (byte0 == 0xEF, rd ∈ {x1, x5} — the ABI link registers,
+      checked as ``(byte1 & 0x0D) == 0``): the scrambled J-type 21-bit
+      offset becomes an absolute half-address stored byte-reversed
+      (high nibble in byte1, middle in byte2, low in byte3), which
+      lines up the compressible constant bytes.
+    - **AUIPC pair** (opcode 0x17, rd ∉ {x0, x2}, next word's rs1
+      field == rd and its lowest two bits == 3 — i.e. the follower is
+      a 32-bit instruction, so the packed form re-triggers on decode):
+      the pair collapses to ``inst2_low20 << 12 | 0x117`` (an x2-rd
+      marker) plus the combined 32-bit absolute address big-endian.
+    - **AUIPC escape**: a real x2-AUIPC whose bits alias the pair
+      marker (``(w1 >> 12) & 3 == 3`` and ``w1 >> 27 ∉ {0, 2}``) is
+      spread over both words — follower's top 20 bits into word1, its
+      low 12 plus the AUIPC immediate into word2 — with the immediate's
+      top five bits duplicated into the rd slot.  The decode trigger
+      (rd == follower[19:15], rd ∉ {0, 2}, follower & 3 == 3) is
+      precisely "the reconstructed AUIPC would alias the marker
+      again", which makes escape and pair mutually exclusive and both
+      invertible.
+
+    Scan advances (each pinned against liblzma with phantom-candidate
+    probes): a converted JAL consumes 4, a converted pair/escape 8; a
+    JAL whose rd fails advances 2; an AUIPC candidate that fails
+    before the second word is needed (rd == x0, or rd == x2 without
+    the marker-alias bits) advances 4, while one that fails after
+    reading it (rs1/low-2-bit mismatch) advances 6 — the follower's
+    own first half is skipped as a candidate.  The scan stops 8 bytes
+    before the end (even a bare JAL in the last 6 bytes stays
+    unconverted).  All arithmetic is mod 2^32; pc = start_offset + i.
+    """
+    buf = bytearray(data)
+    n = len(buf)
+    i = 0
+    while i + 8 <= n:
+        b0 = buf[i]
+        if b0 == 0xEF:
+            b1 = buf[i + 1]
+            if b1 & 0x0D:
+                i += 2
+                continue
+            b2 = buf[i + 2]
+            b3 = buf[i + 3]
+            pc = ip + i
+            if encode:
+                off = (((b3 >> 7) << 20) | ((b3 & 0x7F) << 4)
+                       | ((b2 >> 5) << 1) | (((b2 >> 4) & 1) << 11)
+                       | ((b2 & 0x0F) << 16) | ((b1 >> 4) << 12))
+                half = ((pc + off) >> 1) & 0xFFFFF
+                buf[i + 1] = (b1 & 0x0F) | ((half >> 12) & 0xF0)
+                buf[i + 2] = (half >> 8) & 0xFF
+                buf[i + 3] = half & 0xFF
+            else:
+                half = ((b1 >> 4) << 16) | (b2 << 8) | b3
+                off = ((half << 1) - pc) & 0x1FFFFF
+                buf[i + 1] = (b1 & 0x0F) | ((off >> 8) & 0xF0)
+                buf[i + 2] = ((((off >> 1) & 7) << 5)
+                              | (((off >> 11) & 1) << 4)
+                              | ((off >> 16) & 0x0F))
+                buf[i + 3] = (((off >> 20) & 1) << 7) | ((off >> 4) & 0x7F)
+            i += 4
+            continue
+        if (b0 & 0x7F) != 0x17:
+            i += 2
+            continue
+        w1 = int.from_bytes(buf[i:i + 4], "little")
+        rd = (w1 >> 7) & 0x1F
+        pc = ip + i
+        if encode:
+            w2 = int.from_bytes(buf[i + 4:i + 8], "little")
+            if (rd not in (0, 2) and ((w2 >> 15) & 0x1F) == rd
+                    and (w2 & 3) == 3):
+                imm12 = w2 >> 20
+                if imm12 >= 0x800:
+                    imm12 -= 0x1000
+                addr = (pc + (w1 & 0xFFFFF000) + imm12) & 0xFFFFFFFF
+                nw1 = ((w2 & 0xFFFFF) << 12) | 0x117
+                buf[i:i + 4] = nw1.to_bytes(4, "little")
+                buf[i + 4:i + 8] = addr.to_bytes(4, "big")
+                i += 8
+                continue
+            if (rd == 2 and ((w1 >> 12) & 3) == 3
+                    and (w1 >> 27) not in (0, 2)):
+                hi = w1 >> 12
+                nw1 = (w2 & 0xFFFFF000) | ((hi >> 15) << 7) | 0x17
+                nw2 = ((w2 & 0xFFF) << 20) | hi
+                buf[i:i + 4] = nw1.to_bytes(4, "little")
+                buf[i + 4:i + 8] = nw2.to_bytes(4, "little")
+                i += 8
+                continue
+            i += 4 if rd in (0, 2) else 6
+        else:
+            if rd == 0:
+                i += 4
+            elif rd == 2:
+                if ((w1 >> 12) & 3) == 3 and (w1 >> 27) not in (0, 2):
+                    addr = int.from_bytes(buf[i + 4:i + 8], "big")
+                    rel = (addr - pc) & 0xFFFFFFFF
+                    hi = ((rel + 0x800) >> 12) & 0xFFFFF
+                    nw1 = (hi << 12) | ((w1 >> 27) << 7) | 0x17
+                    nw2 = ((rel & 0xFFF) << 20) | (w1 >> 12)
+                    buf[i:i + 4] = nw1.to_bytes(4, "little")
+                    buf[i + 4:i + 8] = nw2.to_bytes(4, "little")
+                    i += 8
+                else:
+                    i += 4
+            else:
+                w2 = int.from_bytes(buf[i + 4:i + 8], "little")
+                if ((w2 >> 15) & 0x1F) == rd and (w2 & 3) == 3:
+                    nw1 = ((w2 & 0xFFFFF) << 12) | 0x117
+                    nw2 = (w1 & 0xFFFFF000) | ((w2 >> 20) & 0xFFF)
+                    buf[i:i + 4] = nw1.to_bytes(4, "little")
+                    buf[i + 4:i + 8] = nw2.to_bytes(4, "little")
+                    i += 8
+                else:
+                    i += 6
+    return bytes(buf)
+
+
+#: xz filter ID -> (transform, start-offset alignment).
 BRANCH_FILTERS = {
     0x05: (_ppc_filter, 4),
     0x06: (_ia64_filter, 16),
@@ -270,6 +403,7 @@ BRANCH_FILTERS = {
     0x08: (_armthumb_filter, 2),
     0x09: (_sparc_filter, 4),
     0x0A: (_arm64_filter, 4),
+    0x0B: (_riscv_filter, 2),
 }
 
 

@@ -92,6 +92,11 @@ def lzma2_decompress(
     (the next LZMA chunk must reset it)."""
     if end is None:
         end = len(data)
+    elif end > len(data):
+        # a corrupt container header can declare a compressed size
+        # past the input; every in-loop bound checks against `end`,
+        # so it must not exceed the real data
+        raise ValueError("LZMA2 region extends past the input")
     out = bytearray()
     dec: LzmaDecoder | None = None
     dict_start = 0
@@ -222,9 +227,12 @@ def xz_decode_block(data: bytes, pos: int, check_type: int,
             if psize != 1:
                 raise ValueError("bad delta filter props size")
             pre_filters.append((fid, props[0] + 1))
-        elif fid == 0x04 or fid in (0x05, 0x06, 0x07, 0x08, 0x09, 0x0A):
+        elif fid == 0x04 or fid in (0x05, 0x06, 0x07, 0x08, 0x09, 0x0A,
+                                    0x0B):
             # BCJ branch filters (spec §5.3.2): x86 + the full family
-            # (PPC/IA64/ARM/ARMThumb/SPARC/ARM64, round 11)
+            # (PPC/IA64/ARM/ARMThumb/SPARC/ARM64, round 11; RISC-V
+            # with its paired-AUIPC pack/escape rewrites closed the
+            # family later the same round)
             from modeltracking_spark.operators.bcj import BRANCH_FILTERS
 
             align = 1 if fid == 0x04 else BRANCH_FILTERS[fid][1]
@@ -242,8 +250,9 @@ def xz_decode_block(data: bytes, pos: int, check_type: int,
             pre_filters.append((fid, start))
         else:
             raise NotImplementedError(
-                f"xz filter {fid:#x} not implemented — the "
-                "BCJ plug-in point (RISC-V)"
+                f"xz filter {fid:#x} not implemented — not a filter "
+                "the xz file-format spec registers (delta, the eight "
+                "branch filters, and LZMA2 are all supported)"
             )
     if lzma2_props is None:
         raise ValueError("xz block has no LZMA2 filter")
@@ -475,11 +484,11 @@ def xz_bcj_roundtrip_stats(
     """Per-row REFERENCE ENCODE with a BCJ/Delta FILTER CHAIN cycled
     by doc_id — [x86], [delta], [delta, x86], then (round 11) the full
     branch family [arm], [armthumb], [powerpc], [sparc], [ia64]
-    (stdlib liblzma) and [arm64] (the xz CLI: stdlib 3.11 exposes no
-    FILTER_ARM64 constant, liblzma 5.8 does) — all ahead of LZMA2 ->
-    from-spec chain decode (operators/bcj.py transforms applied in
-    reverse after LZMA2) -> stats, Arrow-batched. Narrow map, no
-    shuffle. Output: (id, orig_len, chain_id, dec_md5, ok)."""
+    (stdlib liblzma) and [arm64] + [riscv] (the xz CLI: stdlib 3.11
+    exposes no constants for those two, liblzma 5.8 does) — all ahead
+    of LZMA2 -> from-spec chain decode (operators/bcj.py transforms
+    applied in reverse after LZMA2) -> stats, Arrow-batched. Narrow
+    map, no shuffle. Output: (id, orig_len, chain_id, dec_md5, ok)."""
     import hashlib as _hashlib
     import lzma as _lzma
 
@@ -516,7 +525,8 @@ def xz_bcj_roundtrip_stats(
             [{"id": _lzma.FILTER_POWERPC}],
             [{"id": _lzma.FILTER_SPARC}],
             [{"id": _lzma.FILTER_IA64}],
-            "arm64-cli",  # xz CLI --arm64: no stdlib constant in 3.11
+            "arm64",  # xz CLI: no stdlib constants for these in 3.11
+            "riscv",
         ]
         for pdf in batches:
             ids, lens, cids, md5s, oks = [], [], [], [], []
@@ -528,9 +538,9 @@ def xz_bcj_roundtrip_stats(
                 did = int(did)
                 cid = did % len(chains)
                 check = [_lzma.CHECK_CRC64, _lzma.CHECK_CRC32][did % 2]
-                if chains[cid] == "arm64-cli":
+                if isinstance(chains[cid], str):
                     enc = subprocess.run(
-                        ["/root/miniconda/bin/xz", "--arm64",
+                        ["/root/miniconda/bin/xz", "--" + chains[cid],
                          "--lzma2=preset=1",
                          "--check=" + ["crc64", "crc32"][did % 2],
                          "-c"],

@@ -47,8 +47,9 @@ QUERY_MODULES = (
 #: in r10 (218/218), so this window is re-attestation — EXCEPT its
 #: head: 3 new r11 registrations (avro codec matrix, zlib FDICT,
 #: coalesced seekable scan) followed by the 4 queries whose BEHAVIOR
-#: changed this round (the 9-chain BCJ cycle; the three archive scans,
-#: now on content-addressed fixtures with bounded-memory bz2 planning)
+#: changed this round (the BCJ cycle — 10 chains once RISC-V closed
+#: the branch family; the three archive scans, now on
+#: content-addressed fixtures with bounded-memory bz2 planning)
 #: — listed in ``REATTEST`` below so the staleness lint treats them as
 #: never-attested. The rest is the stalest cohort: all 19 r6-attested
 #: queries, then 24 of the 50 r7-attested (highest-leverage first);
@@ -64,7 +65,7 @@ PRIORITY: tuple[str, ...] = (
     "zlib_fdict_roundtrip_docs",       # RFC 1950 FDICT preset dict
     "zstd_seekable_coalesced_scan_docs",  # scan-tier scale knob
     # ---- behavior changed in r11 (REATTEST; lint-exempt) ----
-    "xz_bcj_roundtrip_docs",           # now cycles the 9-chain family
+    "xz_bcj_roundtrip_docs",           # now cycles 10 chains (+riscv)
     "zstd_seekable_scan_docs",         # content-addressed fixture
     "xz_indexed_scan_docs",            # content-addressed fixture
     "bz2_multistream_scan_docs",       # bounded-memory planning

@@ -1579,7 +1579,7 @@ def xz_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            octet_length(encode(payload))::BIGINT AS orig_len,
-           (doc_id % 9)::BIGINT AS chain_id,
+           (doc_id % 10)::BIGINT AS chain_id,
            md5(payload) AS dec_md5,
            TRUE AS ok
     FROM p
@@ -1592,8 +1592,10 @@ def xz_bcj_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     implementation with the filter chain cycled by doc_id — [x86],
     [delta dist=3], [delta, x86], and round 11's full branch family
     [arm], [armthumb], [powerpc], [sparc], [ia64] (stdlib liblzma) and
-    [arm64] (the xz CLI) — ahead of LZMA2, then decoded from spec with
-    the BCJ transforms applied in reverse after the LZMA2 stage. The
+    [arm64] + [riscv] (the xz CLI; RISC-V's paired-AUIPC pack/escape
+    rewrite closed the family) — ahead of LZMA2, then decoded from
+    spec with the BCJ transforms applied in reverse after the LZMA2
+    stage. The
     payload is salted with CJK characters whose UTF-8 bytes are
     0xE8/0xE9 (U+8001/U+9001), the x86 CALL/JMP opcodes, so at least
     the densest filter genuinely fires rather than passing through

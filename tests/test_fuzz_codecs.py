@@ -273,6 +273,21 @@ def _fixtures():
                 "modeltracking_spark.operators.xz", fromlist=["x"]
             ).xz_decompress(b, max_output=1 << 16),
         ),
+        "xz_bcj_riscv": (
+            # RISC-V chain (closed the branch family): the CLI encodes
+            # (stdlib has no FILTER_RISCV id); corrupting the packed
+            # AUIPC words / address bytes must stay typed
+            __import__("subprocess").run(
+                ["/root/miniconda/bin/xz", "--riscv=start=2",
+                 "--lzma2=preset=1", "-c"],
+                input=(b"\x97\x11\x00\x00\xe7\x80\x01\x00"  # auipc pair
+                       b"\x17\xf1\xff\xff"                   # escape bait
+                       b"\xef\x00\x00\x01riscv fuzz target ") * 40,
+                capture_output=True, check=True).stdout,
+            lambda b: __import__(
+                "modeltracking_spark.operators.xz", fromlist=["x"]
+            ).xz_decompress(b, max_output=1 << 16),
+        ),
         "brotli": (
             _brotli_ref_fixture(),
             # no integrity check in the format: corrupt streams may

@@ -239,15 +239,121 @@ def test_arm64_cli_streams_decode_from_spec():
         assert xz_decompress(blob) == raw
 
 
+def _riscv_adversarial(rng: random.Random, n: int) -> bytes:
+    """Instruction soup that exercises every RISC-V filter branch:
+    link-register and non-link JALs, rs1-matched AUIPC pairs (all rd
+    values incl. the excluded x0/x2), marker-aliasing x2-AUIPCs that
+    force the escape path, near-trigger duds for every advance rule,
+    and 2-byte compressed-instruction slop that shifts alignment."""
+    out = bytearray()
+    while len(out) < n:
+        c = rng.randrange(10)
+        if c == 0:  # JAL, every rd
+            out += ((rng.getrandbits(20) << 12)
+                    | (rng.randrange(32) << 7) | 0x6F).to_bytes(4, "little")
+        elif c in (1, 2):  # AUIPC + rs1-matching follower (a pair)
+            rd = rng.randrange(32)
+            out += ((rng.getrandbits(20) << 12)
+                    | (rd << 7) | 0x17).to_bytes(4, "little")
+            out += ((rng.getrandbits(12) << 20) | (rd << 15)
+                    | (rng.getrandbits(13) << 2)
+                    | rng.randrange(4)).to_bytes(4, "little")
+        elif c == 3:  # bare AUIPC-shaped word (escape / dud fodder)
+            out += ((rng.getrandbits(20) << 12)
+                    | (rng.randrange(32) << 7) | 0x17).to_bytes(4, "little")
+        elif c == 4:  # packed/escaped-looking bytes (decode triggers)
+            out += ((rng.getrandbits(20) << 12) | 0x117).to_bytes(4, "little")
+            out += rng.getrandbits(32).to_bytes(4, "big")
+        elif c == 5:
+            out += bytes([rng.choice([0xEF, 0x17, 0x97, 0x00, 0xFF])])
+        elif c == 6:  # 16-bit slot: shifts every later candidate by 2
+            out += rng.getrandbits(16).to_bytes(2, "little")
+        else:
+            out += bytes(rng.randrange(256)
+                         for _ in range(rng.randrange(1, 6)))
+    return bytes(out[:n])
+
+
+def _cli_riscv_raw(raw: bytes, start: int, decode: bool) -> bytes:
+    """liblzma's own RISC-V transform (stdlib 3.11 exposes no
+    FILTER_RISCV id, so the CLI is the reference): encode pipes raw
+    through ``xz --format=raw --riscv`` and peels the LZMA2 stage with
+    stdlib; decode wraps the bytes in stdlib raw-LZMA2 and lets the
+    CLI apply [LZMA2, riscv-decode]."""
+    chain = [f"--riscv=start={start}", "--lzma2=preset=0"]
+    if decode:
+        blob = lzma.compress(
+            raw, format=lzma.FORMAT_RAW,
+            filters=[{"id": lzma.FILTER_LZMA2, "preset": 0}])
+        return subprocess.run(
+            [_XZ_CLI, "-d", "--format=raw", *chain, "-c", "-q", "-q"],
+            input=blob, capture_output=True, check=True).stdout
+    blob = subprocess.run(
+        [_XZ_CLI, "--format=raw", *chain, "-c", "-q", "-q"],
+        input=raw, capture_output=True, check=True).stdout
+    return lzma.decompress(
+        blob, format=lzma.FORMAT_RAW,
+        filters=[{"id": lzma.FILTER_LZMA2, "preset": 0}])
+
+
 @needs_cli
-def test_riscv_bcj_still_rejects_loudly():
-    """RISC-V (0x0B) is the one remaining BCJ plug-in point — its
-    paired-AUIPC rewrite is a different shape; the reject stays loud."""
-    raw = b"riscv code here" * 200
-    run = subprocess.run(
-        [_XZ_CLI, "--riscv", "--lzma2=preset=0", "-c"],
-        input=raw, capture_output=True)
-    if run.returncode != 0:
-        pytest.skip("xz CLI lacks --riscv")
-    with pytest.raises(NotImplementedError, match="RISC-V"):
-        xz_decompress(run.stdout)
+def test_riscv_matches_liblzma_both_directions():
+    """The RISC-V transform (derived black-box from liblzma — the spec
+    registers only ID 0x0B and 2-byte alignment) matches liblzma
+    byte-for-byte in BOTH directions: every conversion shape (JAL,
+    AUIPC pack, x2 escape), every advance rule, and the 8-byte end
+    guard are covered by the adversarial generator."""
+    from modeltracking_spark.operators.bcj import (
+        branch_bcj_decode,
+        branch_bcj_encode,
+    )
+
+    rng = random.Random(47)
+    fired = 0
+    for trial in range(60):
+        n = rng.randrange(0, 3000)
+        raw = (_riscv_adversarial(rng, n) if trial % 2
+               else bytes(rng.randrange(256) for _ in range(n)))
+        start = rng.choice([0, 2, 4, 1024, 1 << 20, 1 << 31,
+                            (1 << 32) - 2])
+        ref_e = _cli_riscv_raw(raw, start, decode=False)
+        assert branch_bcj_encode(0x0B, raw, start) == ref_e
+        assert branch_bcj_decode(0x0B, ref_e, start) == raw
+        ref_d = _cli_riscv_raw(raw, start, decode=True)
+        assert branch_bcj_decode(0x0B, raw, start) == ref_d
+        fired += ref_e != raw
+    assert fired > 15
+
+
+def test_riscv_self_inverse_and_edge_shapes():
+    from modeltracking_spark.operators.bcj import (
+        branch_bcj_decode,
+        branch_bcj_encode,
+    )
+
+    rng = random.Random(53)
+    for _ in range(60):
+        raw = _riscv_adversarial(rng, rng.randrange(0, 2000))
+        for start in (0, 2, 4096):
+            enc = branch_bcj_encode(0x0B, raw, start)
+            assert branch_bcj_decode(0x0B, enc, start) == raw
+    # the scan's 8-byte end guard: a bare JAL in the last 6 bytes
+    # stays unconverted (pinned against liblzma during derivation)
+    jal = ((0x10 >> 1) << 21 | (1 << 7) | 0x6F).to_bytes(4, "little")
+    assert branch_bcj_encode(0x0B, jal) == jal
+    assert branch_bcj_encode(0x0B, jal + bytes(4)) != jal + bytes(4)
+
+
+@needs_cli
+def test_riscv_cli_streams_decode_from_spec():
+    """Full .xz containers built by the CLI with --riscv chains (alone
+    and stacked with delta) decode from spec through xz_decompress."""
+    rng = random.Random(59)
+    for args in (["--riscv", "--lzma2=preset=1"],
+                 ["--riscv=start=4", "--lzma2=preset=0"],
+                 ["--delta=dist=2", "--riscv", "--lzma2=preset=1"]):
+        raw = _riscv_adversarial(rng, 30000)
+        blob = subprocess.run(
+            [_XZ_CLI, *args, "-c"],
+            input=raw, capture_output=True, check=True).stdout
+        assert xz_decompress(blob) == raw, args

@@ -2074,10 +2074,10 @@ def twin_xz_bcj(spark, sf_dir, spark_rows) -> tuple[bool, str]:
     """Second INDEPENDENT decoder for the BCJ filter-chain query:
     stdlib liblzma re-encodes with the same chain and decodes its own
     stream (its own BCJ implementation) — agreement means the
-    from-spec x86/delta/arm/armthumb/ppc/sparc/ia64/arm64 transforms
-    match liblzma's on every payload.  The arm64 arm re-encodes via
-    the xz CLI (no stdlib constant in 3.11); liblzma still does the
-    twin DECODE."""
+    from-spec x86/delta/arm/armthumb/ppc/sparc/ia64/arm64/riscv
+    transforms match liblzma's on every payload.  The arm64 and riscv
+    arms re-encode via the xz CLI (no stdlib constants in 3.11);
+    liblzma still does the twin DECODE."""
     import hashlib
     import lzma as _lzma
     import subprocess
@@ -2093,7 +2093,8 @@ def twin_xz_bcj(spark, sf_dir, spark_rows) -> tuple[bool, str]:
         [{"id": _lzma.FILTER_POWERPC}],
         [{"id": _lzma.FILTER_SPARC}],
         [{"id": _lzma.FILTER_IA64}],
-        "arm64-cli",
+        "arm64",
+        "riscv",
     ]
     rows = _duck.sql(
         f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
@@ -2110,12 +2111,20 @@ def twin_xz_bcj(spark, sf_dir, spark_rows) -> tuple[bool, str]:
             + "送" * (doc_id % 3 + 1)
             + text[:60][::-1]
         ).encode("utf-8")
-        cid = doc_id % 9
-        if chains[cid] == "arm64-cli":
+        cid = doc_id % 10
+        if isinstance(chains[cid], str):
             enc = subprocess.run(
-                ["/root/miniconda/bin/xz", "--arm64", "--lzma2=preset=1",
+                ["/root/miniconda/bin/xz", "--" + chains[cid],
+                 "--lzma2=preset=1",
                  "--check=" + ["crc64", "crc32"][doc_id % 2], "-c"],
                 input=payload, capture_output=True, check=True,
+            ).stdout
+            # the riscv filter postdates the SYSTEM liblzma stdlib
+            # links (5.4.1 < 5.6); the CLI's bundled 5.8.2 is the
+            # reference decoder for the CLI-encoded chains
+            dec = subprocess.run(
+                ["/root/miniconda/bin/xz", "-d", "-c"],
+                input=enc, capture_output=True, check=True,
             ).stdout
         else:
             enc = _lzma.compress(
@@ -2124,7 +2133,7 @@ def twin_xz_bcj(spark, sf_dir, spark_rows) -> tuple[bool, str]:
                 filters=chains[cid]
                 + [{"id": _lzma.FILTER_LZMA2, "preset": 1}],
             )
-        dec = _lzma.decompress(enc)
+            dec = _lzma.decompress(enc)
         want = (len(payload), cid, hashlib.md5(dec).hexdigest(),
                 dec == payload)
         if got.get(int(doc_id)) != want:
