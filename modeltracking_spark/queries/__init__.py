@@ -64,6 +64,7 @@ PRIORITY: tuple[str, ...] = (
     "avro_codec_matrix_docs",          # all six Avro spec codecs
     "zlib_fdict_roundtrip_docs",       # RFC 1950 FDICT preset dict
     "zstd_seekable_coalesced_scan_docs",  # scan-tier scale knob
+    "parquet_native_write_docs",       # from-spec parquet WRITER
     # ---- behavior changed in r11 (REATTEST; lint-exempt) ----
     "xz_bcj_roundtrip_docs",           # now cycles 10 chains (+riscv)
     "zstd_seekable_scan_docs",         # content-addressed fixture
@@ -112,8 +113,9 @@ PRIORITY: tuple[str, ...] = (
     "curation_pipeline_docs",          # end-to-end curation chain
     # (triangle_counts_docs / textrank_segments_docs / pq_adc_topk_l2 /
     # pca_top_component_embeddings slipped past the boundary when the
-    # four storage-format queries landed; they rotate in with the rest
-    # of the r7 cohort at r12)
+    # four storage-format queries landed, and curation_pipeline_docs
+    # followed when the parquet WRITER query took the 8th head slot;
+    # they rotate in with the rest of the r7 cohort at r12)
 )
 
 #: queries whose semantics/plan changed THIS round: the staleness lint

@@ -2775,6 +2775,134 @@ def avro_codec_matrix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return widen_for_kernel(docs).mapInPandas(kernel, out_schema)
 
 
+@query(
+    "parquet_native_write_docs",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 'UNCOMPRESSED' WHEN 1 THEN
+                'SNAPPY' WHEN 2 THEN 'GZIP' ELSE 'ZSTD' END AS codec,
+           length(text)::BIGINT AS n_chars,
+           md5(text) AS text_md5,
+           (CASE doc_id % 7 WHEN 0 THEN -1 WHEN 1 THEN 0
+                 WHEN 2 THEN 3 ELSE 2 END)::BIGINT AS emb_n,
+           CASE WHEN doc_id % 7 IN (0, 1) THEN 0.0::DOUBLE
+                ELSE doc_id::FLOAT::DOUBLE
+                     + length(text)::FLOAT::DOUBLE END AS emb_sum,
+           TRUE AS ok
+    FROM documents
+    """,
+)
+def parquet_native_write_docs(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """From-spec parquet WRITER roundtrip (the encode direction of the
+    round-11 from-spec reader — operators/parquet_write.py): docs are
+    grouped by ``doc_id % 4`` onto the writer's codec matrix
+    (UNCOMPRESSED / SNAPPY / GZIP / ZSTD — the compressors are this
+    repo's own from-spec snappy/zstd, stdlib gzip), each group written
+    as a complete .parquet file with a synthesized ``list<float?>``
+    column cycling the null/empty/null-element record shapes by
+    ``doc_id % 7``, then read back by BOTH the REFERENCE reader
+    (pyarrow) and the repo's own from-spec reader.  ``ok`` asserts the
+    three-way agreement (source == pyarrow == own reader); the emitted
+    stats come from the PYARROW-read values, so the oracle's replay of
+    text md5/length and the emb arithmetic attests the writer's bytes
+    through a reference decode.  Narrow Arrow map, no shuffle —
+    files are per (codec, batch), embarrassingly parallel at any
+    scale (this is exactly the one-file-per-executor-partition shape
+    a 100 TB sink needs)."""
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from modeltracking_spark.operators.kernel import widen_for_kernel
+
+    out_schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("codec", StringType()),
+        StructField("n_chars", LongType()),
+        StructField("text_md5", StringType()),
+        StructField("emb_n", LongType()),
+        StructField("emb_sum", DoubleType()),
+        StructField("ok", BooleanType()),
+    ])
+    codecs = ["UNCOMPRESSED", "SNAPPY", "GZIP", "ZSTD"]
+
+    def kernel(batches):
+        import hashlib
+        import io
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from modeltracking_spark.operators.parquet_native import (
+            parquet_footer_from_file,
+            read_row_group,
+        )
+        from modeltracking_spark.operators.parquet_write import (
+            parquet_write_table,
+        )
+
+        schema = [("doc_id", "int64", False), ("text", "string", False),
+                  ("emb", "list<float?>", True)]
+
+        def emb_for(did: int, n_chars: int):
+            c = did % 7
+            if c == 0:
+                return None
+            if c == 1:
+                return []
+            if c == 2:
+                return [float(did), None, float(n_chars)]
+            return [float(did), float(n_chars)]
+
+        for pdf in batches:
+            by: dict[str, dict] = {}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                g = by.setdefault(codecs[did % 4],
+                                  {"doc_id": [], "text": [], "emb": []})
+                g["doc_id"].append(did)
+                g["text"].append(text)
+                g["emb"].append(emb_for(did, len(text)))
+            rows = {k: [] for k in ("doc_id", "codec", "n_chars",
+                                    "text_md5", "emb_n", "emb_sum",
+                                    "ok")}
+            for codec, cols in by.items():
+                blob = parquet_write_table(
+                    cols, schema, codec=codec,
+                    page_rows=64, row_group_rows=192)
+                back = pq.read_table(io.BytesIO(blob)).to_pydict()
+                fh = io.BytesIO(blob)
+                foot = parquet_footer_from_file(fh)
+                own = {"doc_id": [], "text": [], "emb": []}
+                for i in range(len(foot["row_groups"])):
+                    rg = read_row_group(fh, foot, i)
+                    for k in own:
+                        own[k] += rg[k]
+                ok = back == cols and own == cols
+                for did, text, emb in zip(back["doc_id"], back["text"],
+                                          back["emb"]):
+                    rows["doc_id"].append(did)
+                    rows["codec"].append(codec)
+                    rows["n_chars"].append(len(text))
+                    rows["text_md5"].append(
+                        hashlib.md5(text.encode()).hexdigest())
+                    rows["emb_n"].append(-1 if emb is None else len(emb))
+                    rows["emb_sum"].append(
+                        float(sum(v for v in emb if v is not None))
+                        if emb else 0.0)
+                    rows["ok"].append(ok)
+            yield pd.DataFrame(rows)
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    return widen_for_kernel(docs).mapInPandas(kernel, out_schema)
+
+
 def _orc_fixture_dir(spark, sf_dir: str, table: str, prefix: str,
                      build_df, compression: str,
                      n_files: int = 3) -> str:

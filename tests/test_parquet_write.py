@@ -1,0 +1,218 @@
+"""From-spec parquet WRITER (operators/parquet_write.py): validation
+is the reverse of the reader's — REFERENCE readers (pyarrow, DuckDB,
+Spark's JVM DataSource) consume files this module writes, and the
+repo's own from-spec reader closes the loop."""
+
+import io
+import random
+
+import pytest
+
+from modeltracking_spark.operators.parquet_native import (
+    parquet_footer_from_file,
+    read_row_group,
+)
+from modeltracking_spark.operators.parquet_write import (
+    parquet_write_table,
+    rle_bp_encode,
+)
+
+SCHEMA = [
+    ("id", "int64", False),
+    ("name", "string", True),
+    ("score", "double", True),
+    ("flag", "boolean", False),
+    ("emb", "list<float?>", True),
+    ("raw", "binary", True),
+    ("small", "int32", True),
+    ("f32", "float", False),
+]
+COLS = {
+    "id": list(range(10)),
+    "name": ["alpha", None, "béta", "alpha", "", None, "gamma",
+             "alpha", "delta", "epsilon"],
+    "score": [1.5, None, -2.25, 3.0, None, 0.0, -0.0, 1e300,
+              float("inf"), 42.0],
+    "flag": [True, False] * 5,
+    "emb": [[1.0, 2.5], None, [], [None, 4.0], [5.0], None,
+            [6.0, None, 7.0], [], [8.0], [9.0, 10.0, 11.0]],
+    "raw": [b"\x00\xff", None, b"", b"abc", b"\x01", None, b"xyz",
+            b"q", b"\xfe", b"end"],
+    "small": [5, None, -7, 100, None, 0, 2**31 - 1, -2**31, 1, 2],
+    "f32": [0.5, 1.25, -3.0, 2.0, 8.0, 16.0, -0.125, 4.0, 1.0, 0.0],
+}
+
+
+def _read_pyarrow(blob: bytes) -> dict:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(io.BytesIO(blob)).to_pydict()
+
+
+@pytest.mark.parametrize("codec",
+                         ["UNCOMPRESSED", "SNAPPY", "GZIP", "ZSTD"])
+@pytest.mark.parametrize("dic", [None, True, False])
+def test_pyarrow_reads_full_matrix(codec, dic):
+    """Every codec × dictionary mode × multi-page × multi-row-group
+    shape decodes exactly under pyarrow — null lists, empty lists,
+    null elements, empty strings, ±inf, INT32 extremes included."""
+    blob = parquet_write_table(COLS, SCHEMA, codec=codec,
+                               dictionary=dic, page_rows=3,
+                               row_group_rows=4)
+    got = _read_pyarrow(blob)
+    for name in COLS:
+        assert got[name] == COLS[name], (codec, dic, name)
+
+
+def test_duckdb_reads(tmp_path):
+    import duckdb
+
+    p = tmp_path / "t.parquet"
+    p.write_bytes(parquet_write_table(COLS, SCHEMA, codec="ZSTD",
+                                      page_rows=3, row_group_rows=4))
+    rows = duckdb.sql(
+        f"SELECT id, name, small, emb FROM read_parquet('{p}') "
+        "ORDER BY id").fetchall()
+    assert [r[0] for r in rows] == COLS["id"]
+    assert [r[1] for r in rows] == COLS["name"]
+    assert [r[2] for r in rows] == COLS["small"]
+    assert [r[3] for r in rows] == COLS["emb"]
+
+
+def test_spark_jvm_reads(spark, tmp_path):
+    """Spark's own JVM parquet DataSource reads a from-spec-written
+    file — schema, nulls, and the 3-level LIST all line up."""
+    p = tmp_path / "jvm.parquet"
+    p.write_bytes(parquet_write_table(COLS, SCHEMA, codec="SNAPPY",
+                                      page_rows=4, row_group_rows=5))
+    df = spark.read.parquet(str(p))
+    rows = {r["id"]: r for r in df.collect()}
+    assert sorted(rows) == COLS["id"]
+    for i in COLS["id"]:
+        assert rows[i]["name"] == COLS["name"][i]
+        assert rows[i]["emb"] == COLS["emb"][i]
+        assert rows[i]["flag"] == COLS["flag"][i]
+        assert rows[i]["small"] == COLS["small"][i]
+
+
+def test_own_reader_roundtrip_and_stats(tmp_path):
+    p = tmp_path / "own.parquet"
+    p.write_bytes(parquet_write_table(COLS, SCHEMA, codec="GZIP",
+                                      page_rows=3, row_group_rows=4))
+    with open(p, "rb") as fh:
+        foot = parquet_footer_from_file(fh)
+        assert foot["num_rows"] == 10
+        assert len(foot["row_groups"]) == 3  # 4+4+2
+        got = {n: [] for n in COLS}
+        for i in range(3):
+            rg = read_row_group(fh, foot, i)
+            for n in COLS:
+                got[n] += rg[n]
+    for n in COLS:
+        assert got[n] == COLS[n], n
+    # per-group min/max statistics are exact (the row-group pruning
+    # the round-11 reader does via pushFilters keys off these)
+    st0 = foot["row_groups"][0]["chunks"]["id"]["stats"]
+    st2 = foot["row_groups"][2]["chunks"]["id"]["stats"]
+    assert (st0["min"], st0["max"]) == (0, 3)
+    assert (st2["min"], st2["max"]) == (8, 9)
+    assert foot["row_groups"][0]["chunks"]["name"]["stats"][
+        "null_count"] == 1
+
+
+def test_rle_bp_encode_roundtrips_through_reader():
+    from modeltracking_spark.operators.parquet_native import (
+        rle_bp_hybrid,
+    )
+
+    rng = random.Random(7)
+    for bw in (1, 2, 3, 5, 8, 12, 20):
+        for _ in range(20):
+            n = rng.randrange(0, 400)
+            vals = []
+            while len(vals) < n:
+                if rng.random() < 0.5:  # run
+                    vals += [rng.getrandbits(bw)] * rng.randrange(1, 40)
+                else:
+                    vals += [rng.getrandbits(bw)
+                             for _ in range(rng.randrange(1, 10))]
+            vals = vals[:n]
+            enc = rle_bp_encode(vals, bw)
+            dec, _ = rle_bp_hybrid(enc, 0, bw, n)
+            assert dec == vals, (bw, n)
+
+
+def test_typed_rejects():
+    with pytest.raises(NotImplementedError, match="codec"):
+        parquet_write_table({"a": [1]}, [("a", "int64", False)],
+                            codec="LZO")
+    with pytest.raises(NotImplementedError, match="not supported"):
+        parquet_write_table({"a": [1]}, [("a", "uint128", False)])
+    with pytest.raises(ValueError, match="ragged"):
+        parquet_write_table({"a": [1], "b": [1, 2]},
+                            [("a", "int64", False),
+                             ("b", "int64", False)])
+    with pytest.raises(ValueError, match="null in required"):
+        parquet_write_table({"a": [1, None]}, [("a", "int64", False)])
+    with pytest.raises(ValueError, match="null element"):
+        parquet_write_table({"a": [[1.0, None]]},
+                            [("a", "list<float>", True)])
+    with pytest.raises(ValueError, match="missing"):
+        parquet_write_table({}, [("a", "int64", False)])
+
+
+def test_dictionary_edge_shapes():
+    # all-null column under dictionary=True falls back cleanly; a
+    # single-value dictionary uses the minimum 1-bit index width
+    blob = parquet_write_table(
+        {"s": [None] * 6, "t": ["same"] * 6, "u": list("abcdef")},
+        [("s", "string", True), ("t", "string", False),
+         ("u", "string", False)],
+        dictionary=True, codec="SNAPPY")
+    got = _read_pyarrow(blob)
+    assert got["s"] == [None] * 6
+    assert got["t"] == ["same"] * 6
+    assert got["u"] == list("abcdef")
+
+
+def test_empty_table():
+    blob = parquet_write_table({"id": [], "name": []},
+                               [("id", "int64", False),
+                                ("name", "string", True)])
+    got = _read_pyarrow(blob)
+    assert got == {"id": [], "name": []}
+
+
+def test_random_tables_roundtrip_pyarrow():
+    """Randomized battery: values, null placement, page/group splits,
+    codec, and dictionary mode all fuzzed; pyarrow is the oracle."""
+    rng = random.Random(31)
+    for trial in range(25):
+        n = rng.randrange(0, 120)
+        cols = {
+            "i": [rng.randrange(-2**62, 2**62) for _ in range(n)],
+            "s": [None if rng.random() < 0.3 else
+                  "".join(rng.choice("abλ字 xyz") for _ in
+                          range(rng.randrange(0, 12)))
+                  for _ in range(n)],
+            "d": [None if rng.random() < 0.2 else
+                  rng.random() * 10 ** rng.randrange(-3, 3)
+                  for _ in range(n)],
+            "L": [None if rng.random() < 0.2 else
+                  [None if rng.random() < 0.2 else
+                   float(rng.randrange(1000))
+                   for _ in range(rng.randrange(0, 5))]
+                  for _ in range(n)],
+        }
+        schema = [("i", "int64", False), ("s", "string", True),
+                  ("d", "double", True), ("L", "list<double?>", True)]
+        blob = parquet_write_table(
+            cols, schema,
+            codec=rng.choice(["UNCOMPRESSED", "SNAPPY", "GZIP",
+                              "ZSTD"]),
+            dictionary=rng.choice([None, True, False]),
+            page_rows=rng.choice([1, 2, 7, 100]),
+            row_group_rows=rng.choice([3, 50, 1000]))
+        got = _read_pyarrow(blob)
+        for name in cols:
+            assert got[name] == cols[name], (trial, name)

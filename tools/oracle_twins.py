@@ -2396,6 +2396,75 @@ def twin_brotli(spark, sf_dir, spark_rows) -> tuple[bool, str]:
     return True, f"{len(rows)} brotli streams decoded exact by both decoders"
 
 
+def twin_parquet_native_write(spark, sf_dir,
+                              spark_rows) -> tuple[bool, str]:
+    """Independent replay of the from-spec WRITER roundtrip with a
+    PURE-PYARROW pipeline: the same logical tables (codec grouping,
+    synthesized list<float?> column) are written by pyarrow's own
+    writer and read back by pyarrow — a second implementation of both
+    directions; agreement pins the engine's answers to what the
+    reference produces end to end."""
+    import hashlib
+    import io
+
+    import duckdb as _duck
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    codecs = ["NONE", "SNAPPY", "GZIP", "ZSTD"]  # pyarrow spellings
+    names = ["UNCOMPRESSED", "SNAPPY", "GZIP", "ZSTD"]
+    rows = _duck.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    got = {
+        int(r["doc_id"]): (r["codec"], int(r["n_chars"]), r["text_md5"],
+                           int(r["emb_n"]), float(r["emb_sum"]),
+                           bool(r["ok"]))
+        for r in spark_rows
+    }
+
+    def emb_for(did, n_chars):
+        c = did % 7
+        if c == 0:
+            return None
+        if c == 1:
+            return []
+        if c == 2:
+            return [float(did), None, float(n_chars)]
+        return [float(did), float(n_chars)]
+
+    by: dict[int, dict] = {}
+    for did, text in rows:
+        g = by.setdefault(did % 4, {"doc_id": [], "text": [], "emb": []})
+        g["doc_id"].append(did)
+        g["text"].append(text)
+        g["emb"].append(emb_for(did, len(text)))
+    n = 0
+    for cid, cols in by.items():
+        t = _pa.table({
+            "doc_id": _pa.array(cols["doc_id"], _pa.int64()),
+            "text": _pa.array(cols["text"], _pa.string()),
+            "emb": _pa.array(cols["emb"], _pa.list_(_pa.float32())),
+        })
+        buf = io.BytesIO()
+        _pq.write_table(t, buf, compression=codecs[cid])
+        back = _pq.read_table(io.BytesIO(buf.getvalue())).to_pydict()
+        for did, text, emb in zip(back["doc_id"], back["text"],
+                                  back["emb"]):
+            want = (names[cid], len(text),
+                    hashlib.md5(text.encode()).hexdigest(),
+                    -1 if emb is None else len(emb),
+                    float(sum(v for v in emb if v is not None))
+                    if emb else 0.0, True)
+            if got.get(int(did)) != want:
+                return False, (f"doc {did}: got {got.get(int(did))} "
+                               f"want {want}")
+            n += 1
+    if n != len(got):
+        return False, f"row count: pyarrow {n} vs engine {len(got)}"
+    return True, f"{n} docs written+read by both pipelines"
+
+
 def twin_parquet_native_docs(spark, sf_dir, spark_rows) -> tuple[bool, str]:
     """pyarrow — THE reference parquet implementation — replays the
     from-spec scan of documents.parquet (same file, independent
@@ -2971,6 +3040,9 @@ def main(sf_dirs: list[str]) -> int:
              lambda rows: twin_zlib_fdict(spark, sf_dir, rows)),
             ("parquet_native_scan_docs",
              lambda rows: twin_parquet_native_docs(spark, sf_dir, rows)),
+            ("parquet_native_write_docs",
+             lambda rows: twin_parquet_native_write(spark, sf_dir,
+                                                    rows)),
             ("parquet_native_scan_embeddings",
              lambda rows: twin_parquet_native_embeddings(
                  spark, sf_dir, rows)),
