@@ -65,6 +65,7 @@ PRIORITY: tuple[str, ...] = (
     "zlib_fdict_roundtrip_docs",       # RFC 1950 FDICT preset dict
     "zstd_seekable_coalesced_scan_docs",  # scan-tier scale knob
     "parquet_native_write_docs",       # from-spec parquet WRITER
+    "parquet_native_sink_docs",        # distributed sink, 2-phase commit
     # ---- behavior changed in r11 (REATTEST; lint-exempt) ----
     "xz_bcj_roundtrip_docs",           # now cycles 10 chains (+riscv)
     "zstd_seekable_scan_docs",         # content-addressed fixture
@@ -113,9 +114,10 @@ PRIORITY: tuple[str, ...] = (
     "curation_pipeline_docs",          # end-to-end curation chain
     # (triangle_counts_docs / textrank_segments_docs / pq_adc_topk_l2 /
     # pca_top_component_embeddings slipped past the boundary when the
-    # four storage-format queries landed, and curation_pipeline_docs
-    # followed when the parquet WRITER query took the 8th head slot;
-    # they rotate in with the rest of the r7 cohort at r12)
+    # four storage-format queries landed; curation_pipeline_docs and
+    # dsir_select_docs followed when the parquet WRITER and SINK
+    # queries took the 8th and 9th head slots; they rotate in with the
+    # rest of the r7 cohort at r12)
 )
 
 #: queries whose semantics/plan changed THIS round: the staleness lint

@@ -2903,6 +2903,86 @@ def parquet_native_write_docs(spark: SparkSession, sf_dir: str
     return widen_for_kernel(docs).mapInPandas(kernel, out_schema)
 
 
+@query(
+    "parquet_native_sink_docs",
+    oracle="""
+    SELECT doc_id,
+           length(text)::BIGINT AS n_chars,
+           md5(text) AS text_md5,
+           (CASE doc_id % 7 WHEN 0 THEN -1 WHEN 1 THEN 0
+                 WHEN 2 THEN 3 ELSE 2 END)::BIGINT AS emb_n,
+           CASE WHEN doc_id % 7 IN (0, 1) THEN 0.0::DOUBLE
+                ELSE doc_id::FLOAT::DOUBLE
+                     + length(text)::FLOAT::DOUBLE END AS emb_sum
+    FROM documents
+    """,
+)
+def parquet_native_sink_docs(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """DISTRIBUTED from-spec parquet SINK
+    (sources/parquet_native_source.py writer arm): the corpus plus a
+    synthesized ``array<float>`` column (null / empty / null-element
+    record shapes cycled by ``doc_id % 7``) is written with
+    ``df.write.format("parquet_native")`` — every partition encoded
+    EXECUTOR-SIDE by operators/parquet_write.py (zstd pages via the
+    repo's own encoder), committed through the temp-dir +
+    driver-rename two-phase protocol — then read back by SPARK'S OWN
+    JVM parquet DataSource (reference decode) and reduced to
+    md5/length/list-shape stats the oracle replays from the source
+    table.  The write runs fresh every execution (overwrite mode):
+    this query times the sink, not a cache.  One output file per
+    partition, no driver collection — the exact shape of a 100 TB
+    corpus export."""
+    import hashlib
+
+    from modeltracking_spark.queries.common import (
+        ensure_pkg_on_workers,
+    )
+    from modeltracking_spark.queries.multimodal_q import (
+        corpus_fingerprint,
+    )
+    from modeltracking_spark.sources.parquet_native_source import (
+        ParquetNativeDataSource,
+    )
+
+    ensure_pkg_on_workers(spark)
+    spark.dataSource.register(ParquetNativeDataSource)
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", "text",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(
+            F.when(F.col("doc_id") % 7 == 1,
+                   F.array().cast("array<float>")).otherwise(
+                F.when(
+                    F.col("doc_id") % 7 == 2,
+                    F.array(F.col("doc_id").cast("float"),
+                            F.lit(None).cast("float"),
+                            F.length("text").cast("float")),
+                ).otherwise(
+                    F.array(F.col("doc_id").cast("float"),
+                            F.length("text").cast("float"))))
+        ).alias("emb"),
+    ).repartition(4)
+    token = hashlib.md5(
+        corpus_fingerprint(sf_dir).encode()).hexdigest()[:10]
+    out_dir = f"/tmp/modeltracking_pnsink_{token}"
+    (docs.write.format("parquet_native").option("path", out_dir)
+     .option("codec", "ZSTD").mode("overwrite").save())
+    back = spark.read.parquet(out_dir)
+    return back.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.md5("text").alias("text_md5"),
+        F.when(F.col("emb").isNull(), F.lit(-1)).otherwise(
+            F.size("emb")).cast("long").alias("emb_n"),
+        F.coalesce(
+            F.aggregate(
+                "emb", F.lit(0.0),
+                lambda a, x: a + F.coalesce(x.cast("double"),
+                                            F.lit(0.0))),
+            F.lit(0.0)).alias("emb_sum"),
+    )
+
+
 def _orc_fixture_dir(spark, sf_dir: str, table: str, prefix: str,
                      build_df, compression: str,
                      n_files: int = 3) -> str:

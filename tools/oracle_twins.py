@@ -2465,6 +2465,68 @@ def twin_parquet_native_write(spark, sf_dir,
     return True, f"{n} docs written+read by both pipelines"
 
 
+def twin_parquet_native_sink(spark, sf_dir,
+                             spark_rows) -> tuple[bool, str]:
+    """Independent replay of the distributed-sink roundtrip: pyarrow
+    writes the same logical table (emb shape cycles included) to its
+    own file, DuckDB reads it back and computes the same reductions —
+    neither the repo's writer nor Spark touches the twin path."""
+    import hashlib
+    import os
+    import tempfile
+
+    import duckdb as _duck
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    rows = _duck.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    got = {
+        int(r["doc_id"]): (int(r["n_chars"]), r["text_md5"],
+                           int(r["emb_n"]), float(r["emb_sum"]))
+        for r in spark_rows
+    }
+
+    def emb_for(did, n_chars):
+        c = did % 7
+        if c == 0:
+            return None
+        if c == 1:
+            return []
+        if c == 2:
+            return [float(did), None, float(n_chars)]
+        return [float(did), float(n_chars)]
+
+    t = _pa.table({
+        "doc_id": _pa.array([r[0] for r in rows], _pa.int64()),
+        "text": _pa.array([r[1] for r in rows], _pa.string()),
+        "emb": _pa.array([emb_for(r[0], len(r[1])) for r in rows],
+                         _pa.list_(_pa.float32())),
+    })
+    fd, path = tempfile.mkstemp(suffix=".parquet")
+    os.close(fd)
+    try:
+        _pq.write_table(t, path)
+        back = _duck.sql(
+            f"SELECT doc_id, text, emb FROM read_parquet('{path}')"
+        ).fetchall()
+    finally:
+        os.unlink(path)
+    n = 0
+    for did, text, emb in back:
+        want = (len(text), hashlib.md5(text.encode()).hexdigest(),
+                -1 if emb is None else len(emb),
+                float(sum(v for v in emb if v is not None))
+                if emb else 0.0)
+        if got.get(int(did)) != want:
+            return False, f"doc {did}: got {got.get(int(did))} want {want}"
+        n += 1
+    if n != len(got):
+        return False, f"row count: twin {n} vs engine {len(got)}"
+    return True, f"{n} docs through the pyarrow+duckdb twin pipeline"
+
+
 def twin_parquet_native_docs(spark, sf_dir, spark_rows) -> tuple[bool, str]:
     """pyarrow — THE reference parquet implementation — replays the
     from-spec scan of documents.parquet (same file, independent
@@ -3043,6 +3105,9 @@ def main(sf_dirs: list[str]) -> int:
             ("parquet_native_write_docs",
              lambda rows: twin_parquet_native_write(spark, sf_dir,
                                                     rows)),
+            ("parquet_native_sink_docs",
+             lambda rows: twin_parquet_native_sink(spark, sf_dir,
+                                                   rows)),
             ("parquet_native_scan_embeddings",
              lambda rows: twin_parquet_native_embeddings(
                  spark, sf_dir, rows)),
