@@ -158,6 +158,7 @@ HEADLINE = [
     # the writer direction: from-spec parquet encode, reference decode
     "parquet_native_write_docs",
     "parquet_native_sink_docs",
+    "orc_native_write_docs",
     # zstd_seekable_stream_scan_docs is deliberately NOT benched: each
     # execution runs two REAL streaming drains (~17 s at sf0.1), which
     # would dominate the 6-run timing loop; it stays oracled and

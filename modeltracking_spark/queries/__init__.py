@@ -66,6 +66,7 @@ PRIORITY: tuple[str, ...] = (
     "zstd_seekable_coalesced_scan_docs",  # scan-tier scale knob
     "parquet_native_write_docs",       # from-spec parquet WRITER
     "parquet_native_sink_docs",        # distributed sink, 2-phase commit
+    "orc_native_write_docs",           # from-spec ORC WRITER
     # ---- behavior changed in r11 (REATTEST; lint-exempt) ----
     "xz_bcj_roundtrip_docs",           # now cycles 10 chains (+riscv)
     "zstd_seekable_scan_docs",         # content-addressed fixture
@@ -114,10 +115,10 @@ PRIORITY: tuple[str, ...] = (
     "curation_pipeline_docs",          # end-to-end curation chain
     # (triangle_counts_docs / textrank_segments_docs / pq_adc_topk_l2 /
     # pca_top_component_embeddings slipped past the boundary when the
-    # four storage-format queries landed; curation_pipeline_docs and
-    # dsir_select_docs followed when the parquet WRITER and SINK
-    # queries took the 8th and 9th head slots; they rotate in with the
-    # rest of the r7 cohort at r12)
+    # four storage-format queries landed; curation_pipeline_docs,
+    # dsir_select_docs, and gopher_rules_docs followed when the
+    # parquet WRITER/SINK and ORC WRITER queries took head slots 8-10;
+    # they rotate in with the rest of the r7 cohort at r12)
 )
 
 #: queries whose semantics/plan changed THIS round: the staleness lint

@@ -2904,6 +2904,125 @@ def parquet_native_write_docs(spark: SparkSession, sf_dir: str
 
 
 @query(
+    "orc_native_write_docs",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 'NONE' WHEN 1 THEN 'ZLIB'
+                WHEN 2 THEN 'SNAPPY' ELSE 'ZSTD' END AS codec,
+           length(text)::BIGINT AS n_chars,
+           md5(text) AS text_md5,
+           ((1500000000 + doc_id * 97) * 1000000
+            + (doc_id % 1000) * 1000)::BIGINT AS ts_us,
+           TRUE AS ok
+    FROM documents
+    """,
+)
+def orc_native_write_docs(spark: SparkSession, sf_dir: str
+                          ) -> DataFrame:
+    """From-spec ORC WRITER roundtrip (the encode direction of the
+    round-11 from-spec reader — operators/orc_write.py): docs are
+    grouped by ``doc_id % 4`` onto the writer's codec matrix (NONE /
+    ZLIB / SNAPPY / ZSTD — raw-deflate via stdlib, snappy/zstd via
+    this repo's own from-spec encoders, all under the format's 3-byte
+    chunked framing), each group written as a complete .orc file —
+    protobuf footers, RLEv1 streams, PRESENT nulls, and a real
+    TIMESTAMP column (seconds-from-2015 + trailing-zero-packed nanos)
+    synthesized from doc_id — then read back by BOTH the REFERENCE
+    reader (pyarrow.orc) and the repo's own from-spec reader.  ``ok``
+    asserts the three-way agreement; the emitted stats come from the
+    pyarrow-read values, so the oracle's replay attests the writer's
+    bytes through a reference decode.  Narrow Arrow map, no shuffle —
+    files are per (codec, batch), embarrassingly parallel."""
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from modeltracking_spark.operators.kernel import widen_for_kernel
+
+    out_schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("codec", StringType()),
+        StructField("n_chars", LongType()),
+        StructField("text_md5", StringType()),
+        StructField("ts_us", LongType()),
+        StructField("ok", BooleanType()),
+    ])
+    codecs = ["NONE", "ZLIB", "SNAPPY", "ZSTD"]
+
+    def kernel(batches):
+        import datetime as dt
+        import hashlib
+        import io
+
+        import pandas as pd
+        import pyarrow.orc as po
+
+        from modeltracking_spark.operators.orc_native import (
+            orc_footer_from_file,
+            read_stripe,
+        )
+        from modeltracking_spark.operators.orc_write import (
+            orc_write_table,
+        )
+
+        schema = [("doc_id", "int64", False), ("text", "string", False),
+                  ("ts", "timestamp", True)]
+
+        def ts_for(did: int) -> int:
+            return ((1500000000 + did * 97) * 1_000_000
+                    + (did % 1000) * 1000)
+
+        def to_us(v):
+            if v is None:
+                return None
+            return (int(v.replace(tzinfo=dt.timezone.utc).timestamp())
+                    * 1_000_000 + v.microsecond)
+
+        for pdf in batches:
+            by: dict[str, dict] = {}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                g = by.setdefault(codecs[did % 4],
+                                  {"doc_id": [], "text": [], "ts": []})
+                g["doc_id"].append(did)
+                g["text"].append(text)
+                g["ts"].append(ts_for(did))
+            rows = {k: [] for k in ("doc_id", "codec", "n_chars",
+                                    "text_md5", "ts_us", "ok")}
+            for codec, cols in by.items():
+                blob = orc_write_table(cols, schema, codec=codec,
+                                       stripe_rows=128)
+                d = po.read_table(io.BytesIO(blob)).to_pydict()
+                back = {"doc_id": d["doc_id"], "text": d["text"],
+                        "ts": [to_us(v) for v in d["ts"]]}
+                fh = io.BytesIO(blob)
+                foot = orc_footer_from_file(fh)
+                own = {"doc_id": [], "text": [], "ts": []}
+                for i in range(len(foot["stripes"])):
+                    st = read_stripe(fh, foot, i)
+                    for k in own:
+                        own[k] += st[k]
+                ok = back == cols and own == cols
+                for did, text, ts in zip(back["doc_id"], back["text"],
+                                         back["ts"]):
+                    rows["doc_id"].append(did)
+                    rows["codec"].append(codec)
+                    rows["n_chars"].append(len(text))
+                    rows["text_md5"].append(
+                        hashlib.md5(text.encode()).hexdigest())
+                    rows["ts_us"].append(ts)
+                    rows["ok"].append(ok)
+            yield pd.DataFrame(rows)
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    return widen_for_kernel(docs).mapInPandas(kernel, out_schema)
+
+
+@query(
     "parquet_native_sink_docs",
     oracle="""
     SELECT doc_id,

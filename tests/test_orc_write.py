@@ -1,0 +1,195 @@
+"""From-spec ORC WRITER (operators/orc_write.py): REFERENCE readers
+(pyarrow.orc, Spark's Java ORC DataSource) consume files this module
+writes, and the repo's own from-spec reader closes the loop."""
+
+import datetime as dt
+import io
+import random
+
+import pytest
+
+from modeltracking_spark.operators.orc_native import (
+    bool_rle,
+    byte_rle,
+    int_rle_v1,
+    orc_footer_from_file,
+    read_stripe,
+)
+from modeltracking_spark.operators.orc_write import (
+    bool_rle_encode,
+    byte_rle_encode,
+    int_rle_v1_encode,
+    orc_write_table,
+)
+
+SCHEMA = [
+    ("id", "int64", False),
+    ("name", "string", True),
+    ("score", "double", True),
+    ("flag", "boolean", False),
+    ("raw", "binary", True),
+    ("f32", "float", False),
+    ("ts", "timestamp", True),
+]
+COLS = {
+    "id": list(range(10)),
+    "name": ["alpha", None, "béta", "alpha", "", None, "gamma",
+             "alpha", "delta", "ε"],
+    "score": [1.5, None, -2.25, 3.0, None, 0.0, -0.0, 1e300,
+              float("inf"), 42.0],
+    "flag": [True, False] * 5,
+    "raw": [b"\x00\xff", None, b"", b"abc", b"\x01", None, b"xyz",
+            b"q", b"\xfe", b"end"],
+    "f32": [0.5, 1.25, -3.0, 2.0, 8.0, 16.0, -0.125, 4.0, 1.0, 0.0],
+    # micros: unix epoch, ORC's own 2015 epoch +/- 1 us, sub-second
+    # shapes, and a far future second
+    "ts": [0, None, 1420070400_000000, 1, 999999,
+           1700000000_123456, None, 86400_000000,
+           1420070399_999999, (1 << 33) * 1_000_000],
+}
+
+
+def _ts_us(v):
+    if v is None:
+        return None
+    return (int(v.replace(tzinfo=dt.timezone.utc).timestamp())
+            * 1_000_000 + v.microsecond)
+
+
+@pytest.mark.parametrize("codec", ["NONE", "ZLIB", "SNAPPY", "ZSTD"])
+def test_pyarrow_orc_reads_full_matrix(codec):
+    import pyarrow.orc as po
+
+    blob = orc_write_table(COLS, SCHEMA, codec=codec, stripe_rows=4)
+    d = po.read_table(io.BytesIO(blob)).to_pydict()
+    for k in ("id", "name", "score", "flag", "raw", "f32"):
+        assert d[k] == COLS[k], (codec, k)
+    assert [_ts_us(v) for v in d["ts"]] == COLS["ts"], codec
+
+
+def test_spark_jvm_reads(spark, tmp_path):
+    d = tmp_path / "orcw"
+    d.mkdir()
+    (d / "part-0.orc").write_bytes(
+        orc_write_table(COLS, SCHEMA, codec="ZLIB", stripe_rows=4))
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        rows = {r["id"]: r for r in spark.read.orc(str(d)).collect()}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+    assert sorted(rows) == COLS["id"]
+    for i in COLS["id"]:
+        assert rows[i]["name"] == COLS["name"][i]
+        assert rows[i]["raw"] == COLS["raw"][i]
+        assert rows[i]["flag"] == COLS["flag"][i]
+        assert _ts_us(rows[i]["ts"]) == COLS["ts"][i]
+
+
+def test_own_reader_roundtrip(tmp_path):
+    p = tmp_path / "own.orc"
+    p.write_bytes(orc_write_table(COLS, SCHEMA, codec="ZSTD",
+                                  stripe_rows=4))
+    with open(p, "rb") as fh:
+        foot = orc_footer_from_file(fh)
+        assert foot["num_rows"] == 10
+        assert len(foot["stripes"]) == 3  # 4+4+2
+        got = {c["name"]: [] for c in foot["columns"]}
+        for i in range(3):
+            st = read_stripe(fh, foot, i)
+            for k in got:
+                got[k] += st[k]
+    for k in COLS:
+        assert got[k] == COLS[k], k
+
+
+def test_rle_encoders_roundtrip_through_reader():
+    rng = random.Random(11)
+    for _ in range(40):
+        n = rng.randrange(0, 500)
+        raw = bytearray()
+        while len(raw) < n:
+            if rng.random() < 0.5:
+                raw += bytes([rng.randrange(256)]) * rng.randrange(1, 200)
+            else:
+                raw += bytes(rng.randrange(256)
+                             for _ in range(rng.randrange(1, 10)))
+        raw = bytes(raw[:n])
+        assert byte_rle(byte_rle_encode(raw), n) == raw
+        bools = [bool(b & 1) for b in raw]
+        assert bool_rle(bool_rle_encode(bools), n) == bools
+        for signed in (True, False):
+            vals = []
+            while len(vals) < n:
+                if rng.random() < 0.5:
+                    v = rng.randrange(-2**40, 2**40) if signed \
+                        else rng.randrange(2**40)
+                    vals += [v] * rng.randrange(1, 200)
+                else:
+                    vals += [rng.randrange(-2**62, 2**62) if signed
+                             else rng.randrange(2**62)
+                             for _ in range(rng.randrange(1, 8))]
+            vals = vals[:n]
+            enc = int_rle_v1_encode(vals, signed)
+            assert int_rle_v1(enc, n, signed) == vals
+
+
+def test_typed_rejects():
+    with pytest.raises(NotImplementedError, match="codec"):
+        orc_write_table({"a": [1]}, [("a", "int64", False)],
+                        codec="LZO")
+    with pytest.raises(NotImplementedError, match="not supported"):
+        orc_write_table({"a": [1]}, [("a", "decimal", False)])
+    with pytest.raises(ValueError, match="ragged"):
+        orc_write_table({"a": [1], "b": [1, 2]},
+                        [("a", "int64", False), ("b", "int64", False)])
+    with pytest.raises(ValueError, match="null in required"):
+        orc_write_table({"a": [1, None]}, [("a", "int64", False)])
+    with pytest.raises(NotImplementedError, match="pre-1970"):
+        orc_write_table({"t": [-1]}, [("t", "timestamp", False)])
+
+
+def test_empty_table_and_no_present_stream():
+    import pyarrow.orc as po
+
+    blob = orc_write_table({"a": [], "b": []},
+                           [("a", "int64", False), ("b", "string", True)])
+    t = po.read_table(io.BytesIO(blob))
+    assert t.num_rows == 0
+    # a nullable column with no actual nulls omits PRESENT (the
+    # reference writers' convention) and still reads back exactly
+    blob = orc_write_table({"b": ["x", "y"]}, [("b", "string", True)])
+    assert po.read_table(io.BytesIO(blob)).to_pydict() == {
+        "b": ["x", "y"]}
+
+
+def test_random_tables_roundtrip_pyarrow():
+    import pyarrow.orc as po
+
+    rng = random.Random(37)
+    for trial in range(20):
+        n = rng.randrange(0, 150)
+        cols = {
+            "i": [rng.randrange(-2**62, 2**62) for _ in range(n)],
+            "s": [None if rng.random() < 0.3 else
+                  "".join(rng.choice("abλ字 xyz")
+                          for _ in range(rng.randrange(0, 12)))
+                  for _ in range(n)],
+            "d": [None if rng.random() < 0.2 else
+                  rng.random() * 10 ** rng.randrange(-3, 3)
+                  for _ in range(n)],
+            "t": [None if rng.random() < 0.2 else
+                  rng.randrange(0, 4 * 10**15)
+                  for _ in range(n)],
+        }
+        schema = [("i", "int64", False), ("s", "string", True),
+                  ("d", "double", True), ("t", "timestamp", True)]
+        blob = orc_write_table(
+            cols, schema,
+            codec=rng.choice(["NONE", "ZLIB", "SNAPPY", "ZSTD"]),
+            stripe_rows=rng.choice([1, 7, 50, 1000]))
+        d = po.read_table(io.BytesIO(blob)).to_pydict()
+        assert d["i"] == cols["i"], trial
+        assert d["s"] == cols["s"], trial
+        assert d["d"] == cols["d"], trial
+        assert [_ts_us(v) for v in d["t"]] == cols["t"], trial

@@ -2465,6 +2465,68 @@ def twin_parquet_native_write(spark, sf_dir,
     return True, f"{n} docs written+read by both pipelines"
 
 
+def twin_orc_native_write(spark, sf_dir,
+                          spark_rows) -> tuple[bool, str]:
+    """Independent replay of the from-spec ORC WRITER roundtrip with a
+    pure-pyarrow pipeline: the same logical tables (codec grouping,
+    synthesized timestamp) written by pyarrow.orc's own writer and
+    read back by pyarrow.orc — a second implementation of both
+    directions."""
+    import datetime as _dt
+    import hashlib
+    import io
+
+    import duckdb as _duck
+    import pyarrow as _pa
+    import pyarrow.orc as _po
+
+    names = ["NONE", "ZLIB", "SNAPPY", "ZSTD"]
+    # pyarrow.orc compression spellings (NONE -> 'uncompressed')
+    pa_codec = {"NONE": "uncompressed", "ZLIB": "zlib",
+                "SNAPPY": "snappy", "ZSTD": "zstd"}
+    rows = _duck.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    got = {
+        int(r["doc_id"]): (r["codec"], int(r["n_chars"]), r["text_md5"],
+                           int(r["ts_us"]), bool(r["ok"]))
+        for r in spark_rows
+    }
+
+    def ts_for(did):
+        return (1500000000 + did * 97) * 1_000_000 + (did % 1000) * 1000
+
+    by: dict[int, dict] = {}
+    for did, text in rows:
+        g = by.setdefault(did % 4, {"doc_id": [], "text": [], "ts": []})
+        g["doc_id"].append(did)
+        g["text"].append(text)
+        g["ts"].append(ts_for(did))
+    n = 0
+    for cid, cols in by.items():
+        t = _pa.table({
+            "doc_id": _pa.array(cols["doc_id"], _pa.int64()),
+            "text": _pa.array(cols["text"], _pa.string()),
+            "ts": _pa.array(cols["ts"], _pa.timestamp("us")),
+        })
+        buf = io.BytesIO()
+        _po.write_table(t, buf, compression=pa_codec[names[cid]])
+        back = _po.read_table(io.BytesIO(buf.getvalue())).to_pydict()
+        for did, text, ts in zip(back["doc_id"], back["text"],
+                                 back["ts"]):
+            us = (int(ts.replace(tzinfo=_dt.timezone.utc).timestamp())
+                  * 1_000_000 + ts.microsecond)
+            want = (names[cid], len(text),
+                    hashlib.md5(text.encode()).hexdigest(), us, True)
+            if got.get(int(did)) != want:
+                return False, (f"doc {did}: got {got.get(int(did))} "
+                               f"want {want}")
+            n += 1
+    if n != len(got):
+        return False, f"row count: twin {n} vs engine {len(got)}"
+    return True, f"{n} docs through the pyarrow.orc twin pipeline"
+
+
 def twin_parquet_native_sink(spark, sf_dir,
                              spark_rows) -> tuple[bool, str]:
     """Independent replay of the distributed-sink roundtrip: pyarrow
@@ -3108,6 +3170,8 @@ def main(sf_dirs: list[str]) -> int:
             ("parquet_native_sink_docs",
              lambda rows: twin_parquet_native_sink(spark, sf_dir,
                                                    rows)),
+            ("orc_native_write_docs",
+             lambda rows: twin_orc_native_write(spark, sf_dir, rows)),
             ("parquet_native_scan_embeddings",
              lambda rows: twin_parquet_native_embeddings(
                  spark, sf_dir, rows)),
