@@ -34,8 +34,8 @@ _STREAM_NUM = {"PRESENT": 0, "DATA": 1, "LENGTH": 2,
                "DICTIONARY_DATA": 3, "SECONDARY": 5}
 
 #: logical writer type -> ORC type kind
-_LOGICAL = {"boolean": "BOOLEAN", "int64": "LONG", "float": "FLOAT",
-            "double": "DOUBLE", "string": "STRING",
+_LOGICAL = {"boolean": "BOOLEAN", "int32": "INT", "int64": "LONG",
+            "float": "FLOAT", "double": "DOUBLE", "string": "STRING",
             "binary": "BINARY", "timestamp": "TIMESTAMP"}
 
 _ORC_EPOCH = 1420070400  # 2015-01-01 UTC in unix seconds
@@ -220,7 +220,7 @@ def _encode_column(kind: str, present_vals: list) -> dict:
     """Non-null values -> {stream_kind: plain_bytes}."""
     if kind == "BOOLEAN":
         return {"DATA": bool_rle_encode([bool(v) for v in present_vals])}
-    if kind == "LONG":
+    if kind in ("INT", "LONG"):
         return {"DATA": int_rle_v1_encode(
             [int(v) for v in present_vals], signed=True)}
     if kind == "FLOAT":

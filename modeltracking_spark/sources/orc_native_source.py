@@ -32,6 +32,10 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
+from modeltracking_spark.sources.sink_common import (
+    TwoPhaseFileSinkWriter,
+)
+
 
 def _files(path: str) -> list[str]:
     import os
@@ -139,3 +143,70 @@ class OrcNativeDataSource(DataSource):
 
     def reader(self, schema):
         return _OrcNativeReader(self.options, schema)
+
+    def writer(self, schema, overwrite: bool):
+        import os
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError(
+                "orc_native sink requires .option('path', ...)")
+        os.makedirs(path, exist_ok=True)
+        return _OrcNativeSinkWriter(self.options, schema, overwrite)
+
+
+def _orc_sink_schema(schema) -> list[tuple]:
+    """Spark StructType -> the ORC writer's (name, type, nullable)."""
+    from pyspark.sql import types as t
+
+    base = {t.BooleanType: "boolean", t.IntegerType: "int32",
+            t.LongType: "int64", t.FloatType: "float",
+            t.DoubleType: "double", t.StringType: "string",
+            t.BinaryType: "binary", t.TimestampType: "timestamp"}
+    out = []
+    for f in schema.fields:
+        tp = base.get(type(f.dataType))
+        if tp is None:
+            raise NotImplementedError(
+                f"orc_native sink: type {f.dataType} not supported")
+        out.append((f.name, tp, f.nullable))
+    return out
+
+
+class _OrcNativeSinkWriter(TwoPhaseFileSinkWriter):
+    """``df.write.format("orc_native")``: executor-side from-spec ORC
+    encode (operators/orc_write.py) under the shared two-phase commit;
+    Spark TIMESTAMP values land as the format's seconds-from-2015 +
+    packed-nanos streams (pre-1970 rejects loudly, see the writer)."""
+
+    suffix = ".orc"
+
+    def __init__(self, options, schema, overwrite: bool):
+        super().__init__(options.get("path"), _orc_sink_schema(schema),
+                         overwrite)
+        self.codec = options.get("codec", "ZLIB").upper()
+        self.stripe_rows = int(options.get("stripe_rows",
+                                           str(1 << 18)))
+
+    def convert_value(self, typ: str, v):
+        if typ == "timestamp":
+            import datetime as dt
+
+            if isinstance(v, dt.datetime):
+                if v.tzinfo is None:
+                    v = v.replace(tzinfo=dt.timezone.utc)
+                # integer arithmetic — float .timestamp() can lose a
+                # microsecond at large epochs
+                epoch = dt.datetime(1970, 1, 1,
+                                    tzinfo=dt.timezone.utc)
+                return (v - epoch) // dt.timedelta(microseconds=1)
+            return int(v)
+        return v
+
+    def encode_partition(self, columns: dict) -> bytes:
+        from modeltracking_spark.operators.orc_write import (
+            orc_write_table,
+        )
+
+        return orc_write_table(columns, self.schema, codec=self.codec,
+                               stripe_rows=self.stripe_rows)

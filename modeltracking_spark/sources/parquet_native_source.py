@@ -26,14 +26,14 @@ LIST→array<elem>.  Nested structs / INT96 reject loudly upstream.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-
 from pyspark.sql.datasource import (
     DataSource,
-    DataSourceArrowWriter,
     DataSourceReader,
     InputPartition,
-    WriterCommitMessage,
+)
+
+from modeltracking_spark.sources.sink_common import (
+    TwoPhaseFileSinkWriter,
 )
 
 
@@ -281,33 +281,18 @@ def _sink_schema(schema) -> list[tuple]:
     return out
 
 
-@dataclass
-class _SinkCommit(WriterCommitMessage):
-    temp_path: str
-    final_name: str
-    rows: int
+class _ParquetNativeSinkWriter(TwoPhaseFileSinkWriter):
+    """Executor-side from-spec parquet encode, one file per task,
+    under the shared two-phase commit (sources/sink_common.py).  Each
+    task buffers its partition columnar (the same memory shape as any
+    row-group writer); at 100 TB the upstream partitioning sizes the
+    files."""
 
-
-class _ParquetNativeSinkWriter(DataSourceArrowWriter):
-    """Executor-side from-spec parquet encode, one file per task, with
-    the classic two-phase commit protocol: tasks write to a hidden
-    ``_temporary`` directory and return commit messages; only the
-    driver's ``commit()`` renames the temp files into place and stamps
-    ``_SUCCESS`` — a failed/aborted job never leaves partial output
-    visible.  Each task buffers its partition columnar (the same
-    memory shape as any row-group writer); at 100 TB the upstream
-    partitioning sizes the files, exactly one per partition, no
-    driver involvement in the data path."""
+    suffix = ".parquet"
 
     def __init__(self, options, schema, overwrite: bool):
-        import uuid
-
-        path = options.get("path")
-        if not path:
-            raise ValueError(
-                "parquet_native sink requires .option('path', ...)")
-        self.path = path
-        self.schema = _sink_schema(schema)
+        super().__init__(options.get("path"), _sink_schema(schema),
+                         overwrite)
         self.codec = options.get("codec", "ZSTD").upper()
         self.row_group_rows = int(options.get("row_group_rows",
                                               str(1 << 20)))
@@ -315,69 +300,16 @@ class _ParquetNativeSinkWriter(DataSourceArrowWriter):
         d = options.get("dictionary", "auto").lower()
         self.dictionary = {"auto": None, "true": True,
                            "false": False}[d]
-        self.overwrite = overwrite
-        self.run_id = uuid.uuid4().hex[:12]
 
-    # -- executors ---------------------------------------------------
-    def write(self, iterator):
-        import os
-
-        from pyspark import TaskContext
-
+    def encode_partition(self, columns: dict) -> bytes:
         from modeltracking_spark.operators.parquet_write import (
             parquet_write_table,
         )
 
-        ctx = TaskContext.get()
-        pid = ctx.partitionId() if ctx else 0
-        cols = {name: [] for name, _t, _n in self.schema}
-        n = 0
-        for batch in iterator:
-            d = batch.to_pydict()
-            for name in cols:
-                cols[name].extend(d[name])
-            n += batch.num_rows
-        blob = parquet_write_table(
-            cols, self.schema, codec=self.codec,
+        return parquet_write_table(
+            columns, self.schema, codec=self.codec,
             row_group_rows=self.row_group_rows,
             page_rows=self.page_rows, dictionary=self.dictionary)
-        tmp_dir = os.path.join(self.path, "_temporary", self.run_id)
-        os.makedirs(tmp_dir, exist_ok=True)
-        final = f"part-{pid:05d}-{self.run_id}.parquet"
-        attempt = ctx.taskAttemptId() if ctx else 0
-        tmp = os.path.join(tmp_dir, f"{final}.{attempt}.tmp")
-        with open(tmp, "wb") as fh:
-            fh.write(blob)
-        return _SinkCommit(temp_path=tmp, final_name=final, rows=n)
-
-    # -- driver ------------------------------------------------------
-    def commit(self, messages):
-        import os
-
-        if self.overwrite:
-            for f in os.listdir(self.path):
-                if f.endswith(".parquet") or f == "_SUCCESS":
-                    os.remove(os.path.join(self.path, f))
-        for m in messages:
-            os.replace(m.temp_path,
-                       os.path.join(self.path, m.final_name))
-        self._drop_temp()
-        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
-            fh.write(f"{sum(m.rows for m in messages)}\n")
-
-    def _drop_temp(self):
-        import contextlib
-        import os
-        import shutil
-
-        shutil.rmtree(os.path.join(self.path, "_temporary", self.run_id),
-                      ignore_errors=True)
-        with contextlib.suppress(OSError):  # other runs may be live
-            os.rmdir(os.path.join(self.path, "_temporary"))
-
-    def abort(self, messages):
-        # drop this run's temp dir; visible output is never touched
-        self._drop_temp()
 
 
 class ParquetNativeDataSource(DataSource):

@@ -1,0 +1,117 @@
+"""Shared two-phase-commit machinery for the from-spec file sinks
+(parquet_native / orc_native writer arms).
+
+The protocol is the classic Hadoop output-committer shape in
+miniature: every task encodes its partition with the repo's own
+from-spec writer and lands the file under
+``<path>/_temporary/<run-id>/`` keyed by task attempt; only the
+driver's ``commit()`` renames temp files into place and stamps
+``_SUCCESS``; ``abort()`` removes the temp dir and never touches
+visible output — a failed or speculative task can never expose
+partial bytes.  One output file per partition, zero driver
+involvement in the data path: the exact shape of a 100 TB export,
+where upstream partitioning (not the sink) sizes the files.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSourceArrowWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class SinkCommit(WriterCommitMessage):
+    temp_path: str
+    final_name: str
+    rows: int
+
+
+class TwoPhaseFileSinkWriter(DataSourceArrowWriter):
+    """Subclasses set ``suffix`` and implement
+    ``encode_partition(columns) -> bytes`` plus ``__init__`` fields
+    ``self.path`` / ``self.schema`` (the from-spec writer's
+    ``(name, type, nullable)`` list) / ``self.overwrite``."""
+
+    suffix = ".bin"
+
+    def __init__(self, path: str, schema: list[tuple],
+                 overwrite: bool):
+        import uuid
+
+        if not path:
+            raise ValueError("file sink requires .option('path', ...)")
+        self.path = path
+        self.schema = schema
+        self.overwrite = overwrite
+        self.run_id = uuid.uuid4().hex[:12]
+
+    def encode_partition(self, columns: dict) -> bytes:
+        raise NotImplementedError
+
+    def convert_value(self, typ: str, v):
+        """Hook for per-type Python-value conversion (e.g. datetime ->
+        epoch micros)."""
+        return v
+
+    # -- executors ---------------------------------------------------
+    def write(self, iterator):
+        import os
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        types = {name: t for name, t, _n in self.schema}
+        cols = {name: [] for name in types}
+        n = 0
+        for batch in iterator:
+            d = batch.to_pydict()
+            for name in cols:
+                vals = d[name]
+                conv = self.convert_value
+                cols[name].extend(
+                    None if v is None else conv(types[name], v)
+                    for v in vals)
+            n += batch.num_rows
+        blob = self.encode_partition(cols)
+        tmp_dir = os.path.join(self.path, "_temporary", self.run_id)
+        os.makedirs(tmp_dir, exist_ok=True)
+        final = f"part-{pid:05d}-{self.run_id}{self.suffix}"
+        attempt = ctx.taskAttemptId() if ctx else 0
+        tmp = os.path.join(tmp_dir, f"{final}.{attempt}.tmp")
+        with open(tmp, "wb") as fh:
+            fh.write(blob)
+        return SinkCommit(temp_path=tmp, final_name=final, rows=n)
+
+    # -- driver ------------------------------------------------------
+    def commit(self, messages):
+        import os
+
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.endswith(self.suffix) or f == "_SUCCESS":
+                    os.remove(os.path.join(self.path, f))
+        for m in messages:
+            os.replace(m.temp_path,
+                       os.path.join(self.path, m.final_name))
+        self._drop_temp()
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            fh.write(f"{sum(m.rows for m in messages)}\n")
+
+    def abort(self, messages):
+        # drop this run's temp dir; visible output is never touched
+        self._drop_temp()
+
+    def _drop_temp(self):
+        import contextlib
+        import os
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, "_temporary", self.run_id),
+                      ignore_errors=True)
+        with contextlib.suppress(OSError):  # other runs may be live
+            os.rmdir(os.path.join(self.path, "_temporary"))

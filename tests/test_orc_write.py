@@ -163,6 +163,62 @@ def test_empty_table_and_no_present_stream():
         "b": ["x", "y"]}
 
 
+def test_orc_sink_distributed_write(spark, tmp_path):
+    """df.write.format('orc_native'): the shared two-phase commit over
+    the from-spec ORC encoder; Spark's Java ORC reader consumes the
+    output including a real timestamp column."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from modeltracking_spark.queries.common import (
+        ensure_pkg_on_workers,
+    )
+    from modeltracking_spark.sources.orc_native_source import (
+        OrcNativeDataSource,
+    )
+
+    ensure_pkg_on_workers(spark)
+    spark.dataSource.register(OrcNativeDataSource)
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        d = str(tmp_path / "orcsink")
+        df = (spark.range(0, 300)
+              .select(F.col("id").alias("doc_id"),
+                      F.concat(F.lit("t-"), F.col("id")).alias("text"),
+                      F.timestamp_micros(
+                          F.col("id") * 1_000_003
+                          + F.lit(1_500_000_000_000_000)).alias("ts"))
+              .repartition(3))
+        (df.write.format("orc_native").option("path", d)
+         .option("codec", "ZSTD").mode("append").save())
+        names = sorted(os.listdir(d))
+        assert names.count("_SUCCESS") == 1
+        assert "_temporary" not in names
+        assert sum(n.endswith(".orc") for n in names) == 3
+        back = spark.read.orc(d)
+        assert back.count() == 300
+        rows = {r["doc_id"]: r for r in back.collect()}
+        for i in (0, 7, 299):
+            assert rows[i]["text"] == f"t-{i}"
+            assert _ts_us(rows[i]["ts"].replace(tzinfo=None)) == \
+                i * 1_000_003 + 1_500_000_000 * 1_000_000
+        # the files really are this repo's encoder
+        part = next(n for n in names if n.endswith(".orc"))
+        with open(os.path.join(d, part), "rb") as fh:
+            foot = orc_footer_from_file(fh)
+        assert foot["codec"] == "ZSTD"
+        # and the own DataSource reads them back (ts as epoch micros)
+        own = (spark.read.format("orc_native").option("path", d)
+               .load())
+        assert own.count() == 300
+        got = {r["doc_id"]: r["ts"] for r in own.collect()}
+        assert got[299] == 299 * 1_000_003 + 1_500_000_000 * 1_000_000
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+
+
 def test_random_tables_roundtrip_pyarrow():
     import pyarrow.orc as po
 
