@@ -269,57 +269,71 @@ def _encode_column(kind: str, present_vals: list) -> dict:
     raise NotImplementedError(f"cannot ORC-encode kind {kind}")
 
 
-def orc_write_table(
-    columns: dict,
-    schema: list[tuple],
-    codec: str = "ZLIB",
-    stripe_rows: int = 1 << 18,
-    block_size: int = 1 << 18,
-) -> bytes:
-    """Serialize columnar data to a complete .orc file (bytes).
+class OrcFileWriter:
+    """Incremental .orc writer over any binary file object: call
+    ``write_stripe(columns)`` per buffered slice, then ``finish()``
+    for footer + postscript.  This is the SINK's memory contract at
+    100 TB — a task holds one stripe, never its whole partition.
 
     ``schema`` is ``[(name, type, nullable), ...]`` with type one of
-    boolean/int64/float/double/string/binary/timestamp (timestamps
-    are epoch MICROS, the engine's grain; >= 1970 only).  ``columns``
-    maps name -> list of Python values (``None`` for null — emitted
-    as a PRESENT stream only when the column actually has nulls, the
-    reference writers' convention).  One stripe per ``stripe_rows``;
-    every entity framed with ``codec``."""
-    codec = codec.upper()
-    if codec not in _COMP_NUM:
-        raise NotImplementedError(f"ORC write codec {codec} "
-                                  "not supported")
-    kinds = []
-    for name, typ, nullable in schema:
-        k = _LOGICAL.get(typ)
-        if k is None:
-            raise NotImplementedError(
-                f"ORC write type {typ!r} not supported")
-        kinds.append((name, k, bool(nullable)))
-    if not kinds:
-        raise ValueError("ORC schema needs at least one column")
-    n_rows = None
-    for name, _k, _n in kinds:
-        if name not in columns:
-            raise ValueError(f"column {name!r} missing from data")
-        ln = len(columns[name])
-        if n_rows is None:
-            n_rows = ln
-        elif ln != n_rows:
-            raise ValueError("ragged columns: "
-                             f"{name!r} has {ln}, expected {n_rows}")
-    n_rows = n_rows or 0
+    boolean/int32/int64/float/double/string/binary/timestamp
+    (timestamps are epoch MICROS, the engine's grain; >= 1970 only).
+    ``None`` values emit a PRESENT stream only in stripes that
+    actually have nulls — the reference writers' convention.  Every
+    entity framed with ``codec``."""
 
-    out = bytearray(b"ORC")
-    stripe_infos = []  # (offset, data_len, footer_len, rows)
-    has_ts = any(k == "TIMESTAMP" for _n, k, _o in kinds)
+    def __init__(self, fh, schema: list[tuple], codec: str = "ZLIB",
+                 block_size: int = 1 << 18):
+        codec = codec.upper()
+        if codec not in _COMP_NUM:
+            raise NotImplementedError(f"ORC write codec {codec} "
+                                      "not supported")
+        kinds = []
+        for name, typ, nullable in schema:
+            k = _LOGICAL.get(typ)
+            if k is None:
+                raise NotImplementedError(
+                    f"ORC write type {typ!r} not supported")
+            kinds.append((name, k, bool(nullable)))
+        if not kinds:
+            raise ValueError("ORC schema needs at least one column")
+        self.fh = fh
+        self.kinds = kinds
+        self.codec = codec
+        self.block_size = block_size
+        self.n_rows = 0
+        self._stripe_infos: list[tuple] = []
+        self._nonnull = [0] * len(kinds)
+        fh.write(b"ORC")
+        self._pos = 3
 
-    for s0 in range(0, n_rows, stripe_rows):
-        s_n = min(stripe_rows, n_rows - s0)
-        offset = len(out)
+    def _emit(self, b: bytes):
+        self.fh.write(b)
+        self._pos += len(b)
+
+    def write_stripe(self, columns: dict) -> int:
+        """Encode ``columns`` (equal-length value lists) as ONE stripe
+        and stream it to the file.  Zero rows is a no-op."""
+        kinds = self.kinds
+        codec = self.codec
+        block_size = self.block_size
+        s_n = None
+        for name, _k, _n in kinds:
+            if name not in columns:
+                raise ValueError(f"column {name!r} missing from data")
+            ln = len(columns[name])
+            if s_n is None:
+                s_n = ln
+            elif ln != s_n:
+                raise ValueError("ragged columns: "
+                                 f"{name!r} has {ln}, expected {s_n}")
+        s_n = s_n or 0
+        if s_n == 0:
+            return 0
+        offset = self._pos
         streams = []  # (kind, column_id, framed_bytes)
         for cid, (name, kind, nullable) in enumerate(kinds, start=1):
-            records = columns[name][s0:s0 + s_n]
+            records = columns[name]
             nulls = [v is None for v in records]
             if any(nulls):
                 if not nullable:
@@ -329,13 +343,14 @@ def orc_write_table(
                     bool_rle_encode([not x for x in nulls]),
                     codec, block_size)))
             present_vals = [v for v in records if v is not None]
+            self._nonnull[cid - 1] += len(present_vals)
             for skind, plain in _encode_column(kind,
                                                present_vals).items():
                 streams.append((skind, cid, compress_entity(
                     plain, codec, block_size)))
         data_len = 0
         for _k, _c, framed in streams:
-            out += framed
+            self._emit(framed)
             data_len += len(framed)
         sf = _PBW()
         for skind, cid, framed in streams:
@@ -348,68 +363,106 @@ def orc_write_table(
             enc = _PBW()
             enc.varint_field(1, 0)  # ColumnEncoding.DIRECT (RLEv1)
             sf.msg_field(2, enc)
-        if has_ts:
+        if any(k == "TIMESTAMP" for _n, k, _o in kinds):
             sf.str_field(3, "UTC")  # writerTimezone
         sf_blob = compress_entity(sf.finish(), codec, block_size)
-        out += sf_blob
-        stripe_infos.append((offset, data_len, len(sf_blob), s_n))
+        self._emit(sf_blob)
+        self._stripe_infos.append((offset, data_len, len(sf_blob), s_n))
+        self.n_rows += s_n
+        return s_n
 
-    content_len = len(out)
+    def finish(self):
+        """Write footer + postscript; the file is complete after."""
+        kinds = self.kinds
+        codec = self.codec
+        content_len = self._pos
 
-    footer = _PBW()
-    footer.varint_field(1, 3)  # headerLength: the magic
-    footer.varint_field(2, content_len)
-    for offset, data_len, f_len, rows in stripe_infos:
-        si = _PBW()
-        si.varint_field(1, offset)
-        si.varint_field(2, 0)  # indexLength (rowIndexStride == 0)
-        si.varint_field(3, data_len)
-        si.varint_field(4, f_len)
-        si.varint_field(5, rows)
-        footer.msg_field(3, si)
-    root = _PBW()
-    root.varint_field(1, _KIND_NUM["STRUCT"])
-    root.packed_field(2, list(range(1, len(kinds) + 1)))
-    for name, _k, _n in kinds:
-        root.bytes_field(3, name.encode("utf-8"))
-    footer.msg_field(4, root)
-    for _name, kind, _n in kinds:
-        leaf = _PBW()
-        leaf.varint_field(1, _KIND_NUM[kind])
-        footer.msg_field(4, leaf)
-    footer.varint_field(6, n_rows)
-    # minimal ColumnStatistics (root + leaves): counts + hasNull —
-    # some readers expect the list to exist and be type-consistent
-    for i in range(len(kinds) + 1):
-        st = _PBW()
-        if i == 0:
-            st.varint_field(1, n_rows)
-            # protobuf bools are varints; field 10 = hasNull
-            st.varint_field(10, 1 if any(
-                any(v is None for v in columns[nm])
-                for nm, _k, _o in kinds) else 0)
-        else:
-            nm = kinds[i - 1][0]
-            nn = sum(1 for v in columns[nm] if v is not None)
-            st.varint_field(1, nn)
-            st.varint_field(10, 1 if nn != n_rows else 0)
-        footer.msg_field(7, st)
-    footer.varint_field(8, 0)  # rowIndexStride: no row indexes
-    f_blob = compress_entity(footer.finish(), codec, block_size)
-    out += f_blob
+        footer = _PBW()
+        footer.varint_field(1, 3)  # headerLength: the magic
+        footer.varint_field(2, content_len)
+        for offset, data_len, f_len, rows in self._stripe_infos:
+            si = _PBW()
+            si.varint_field(1, offset)
+            si.varint_field(2, 0)  # indexLength (rowIndexStride == 0)
+            si.varint_field(3, data_len)
+            si.varint_field(4, f_len)
+            si.varint_field(5, rows)
+            footer.msg_field(3, si)
+        root = _PBW()
+        root.varint_field(1, _KIND_NUM["STRUCT"])
+        root.packed_field(2, list(range(1, len(kinds) + 1)))
+        for name, _k, _n in kinds:
+            root.bytes_field(3, name.encode("utf-8"))
+        footer.msg_field(4, root)
+        for _name, kind, _n in kinds:
+            leaf = _PBW()
+            leaf.varint_field(1, _KIND_NUM[kind])
+            footer.msg_field(4, leaf)
+        footer.varint_field(6, self.n_rows)
+        # minimal ColumnStatistics (root + leaves): counts + hasNull —
+        # some readers expect the list to exist and be type-consistent
+        any_null = any(nn != self.n_rows for nn in self._nonnull)
+        for i in range(len(kinds) + 1):
+            st = _PBW()
+            if i == 0:
+                st.varint_field(1, self.n_rows)
+                # protobuf bools are varints; field 10 = hasNull
+                st.varint_field(10, 1 if any_null else 0)
+            else:
+                nn = self._nonnull[i - 1]
+                st.varint_field(1, nn)
+                st.varint_field(10, 1 if nn != self.n_rows else 0)
+            footer.msg_field(7, st)
+        footer.varint_field(8, 0)  # rowIndexStride: no row indexes
+        f_blob = compress_entity(footer.finish(), codec,
+                                 self.block_size)
+        self._emit(f_blob)
 
-    ps = _PBW()
-    ps.varint_field(1, len(f_blob))
-    ps.varint_field(2, _COMP_NUM[codec])
-    if codec != "NONE":
-        ps.varint_field(3, block_size)
-    ps.packed_field(4, [0, 12])  # file version 0.12
-    ps.varint_field(5, 0)  # metadataLength
-    ps.varint_field(6, 1)  # writerVersion
-    ps.bytes_field(8000, b"ORC")
-    ps_blob = ps.finish()
-    if len(ps_blob) > 255:
-        raise ValueError("ORC postscript overflow")
-    out += ps_blob
-    out.append(len(ps_blob))
-    return bytes(out)
+        ps = _PBW()
+        ps.varint_field(1, len(f_blob))
+        ps.varint_field(2, _COMP_NUM[codec])
+        if codec != "NONE":
+            ps.varint_field(3, self.block_size)
+        ps.packed_field(4, [0, 12])  # file version 0.12
+        ps.varint_field(5, 0)  # metadataLength
+        ps.varint_field(6, 1)  # writerVersion
+        ps.bytes_field(8000, b"ORC")
+        ps_blob = ps.finish()
+        if len(ps_blob) > 255:
+            raise ValueError("ORC postscript overflow")
+        self._emit(ps_blob)
+        self._emit(bytes([len(ps_blob)]))
+
+
+def orc_write_table(
+    columns: dict,
+    schema: list[tuple],
+    codec: str = "ZLIB",
+    stripe_rows: int = 1 << 18,
+    block_size: int = 1 << 18,
+) -> bytes:
+    """Serialize columnar data to a complete .orc file (bytes) — the
+    one-shot wrapper over :class:`OrcFileWriter`, slicing ``columns``
+    into stripes of ``stripe_rows``."""
+    import io
+
+    buf = io.BytesIO()
+    w = OrcFileWriter(buf, schema, codec=codec, block_size=block_size)
+    n_rows = None
+    for name, _t, _n in w.kinds:
+        if name not in columns:
+            raise ValueError(f"column {name!r} missing from data")
+        ln = len(columns[name])
+        if n_rows is None:
+            n_rows = ln
+        elif ln != n_rows:
+            raise ValueError("ragged columns: "
+                             f"{name!r} has {ln}, expected {n_rows}")
+    n_rows = n_rows or 0
+    for s0 in range(0, n_rows, stripe_rows):
+        w.write_stripe({
+            name: vals[s0:s0 + stripe_rows]
+            for name, vals in columns.items()
+        })
+    w.finish()
+    return buf.getvalue()

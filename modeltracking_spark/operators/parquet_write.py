@@ -368,56 +368,79 @@ def _record_spans(spec: _ColumnSpec, reps: list[int]):
     return spans
 
 
-def parquet_write_table(
-    columns: dict,
-    schema: list[tuple],
-    codec: str = "SNAPPY",
-    row_group_rows: int = 1 << 20,
-    page_rows: int = 1 << 16,
-    dictionary: bool | None = None,
-    created_by: str = "modeltracking-spark parquet_write (from-spec)",
-) -> bytes:
-    """Serialize columnar data to a complete .parquet file (bytes).
+class ParquetFileWriter:
+    """Incremental .parquet writer over any binary file object: call
+    ``write_row_group(columns)`` per buffered slice, then ``finish()``
+    for the footer.  This is the SINK's memory contract at 100 TB —
+    a task holds one row group, never its whole partition; pages
+    stream to the file as each group is encoded.
 
     ``schema`` is a list of ``(name, type, nullable)`` with type one
     of boolean/int32/int64/float/double/string/binary or
     ``list<element>`` (append ``?`` to the element for nullable
-    elements, e.g. ``list<float?>``).  ``columns`` maps name -> list
-    of Python values (``None`` for null; Python lists for LIST
-    columns).  ``dictionary`` True forces RLE_DICTIONARY data pages,
-    False forces PLAIN, None picks per column chunk (dictionary when
-    it shrinks the value bytes).  V1 data pages, RLE levels, per-chunk
-    min/max/null-count statistics; page bodies compressed with
-    ``codec`` (this repo's own snappy/zstd encoders, stdlib gzip).
-    """
-    codec = codec.upper()
-    if codec not in _CODEC_NUM:
-        raise NotImplementedError(
-            f"parquet write codec {codec} not supported")
-    specs = [_ColumnSpec(*s) for s in schema]
-    if not specs:
-        raise ValueError("parquet schema needs at least one column")
-    n_rows = None
-    for s in specs:
-        if s.name not in columns:
-            raise ValueError(f"column {s.name!r} missing from data")
-        ln = len(columns[s.name])
-        if n_rows is None:
-            n_rows = ln
-        elif ln != n_rows:
-            raise ValueError("ragged columns: "
-                             f"{s.name!r} has {ln}, expected {n_rows}")
-    n_rows = n_rows or 0
+    elements, e.g. ``list<float?>``).  ``dictionary`` True forces
+    RLE_DICTIONARY data pages, False forces PLAIN, None picks per
+    column chunk (dictionary when it shrinks the value bytes).  V1
+    data pages, RLE levels, per-chunk min/max/null-count statistics;
+    page bodies compressed with ``codec`` (this repo's own
+    snappy/zstd encoders, stdlib gzip)."""
 
-    out = bytearray(b"PAR1")
-    row_groups_meta = []
+    def __init__(
+        self,
+        fh,
+        schema: list[tuple],
+        codec: str = "SNAPPY",
+        page_rows: int = 1 << 16,
+        dictionary: bool | None = None,
+        created_by: str = ("modeltracking-spark parquet_write "
+                           "(from-spec)"),
+    ):
+        codec = codec.upper()
+        if codec not in _CODEC_NUM:
+            raise NotImplementedError(
+                f"parquet write codec {codec} not supported")
+        self.specs = [_ColumnSpec(*s) for s in schema]
+        if not self.specs:
+            raise ValueError("parquet schema needs at least one column")
+        self.fh = fh
+        self.codec = codec
+        self.page_rows = page_rows
+        self.dictionary = dictionary
+        self.created_by = created_by
+        self.n_rows = 0
+        self._groups_meta: list[tuple] = []
+        fh.write(b"PAR1")
+        self._pos = 4
 
-    for g0 in range(0, n_rows, row_group_rows):
-        g_n = min(row_group_rows, n_rows - g0)
+    def _emit(self, b: bytes):
+        self.fh.write(b)
+        self._pos += len(b)
+
+    def write_row_group(self, columns: dict) -> int:
+        """Encode ``columns`` (equal-length value lists) as ONE row
+        group and stream its pages to the file.  Zero rows is a
+        no-op (no empty groups are emitted)."""
+        specs = self.specs
+        codec = self.codec
+        page_rows = self.page_rows
+        dictionary = self.dictionary
+        g_n = None
+        for s in specs:
+            if s.name not in columns:
+                raise ValueError(f"column {s.name!r} missing from data")
+            ln = len(columns[s.name])
+            if g_n is None:
+                g_n = ln
+            elif ln != g_n:
+                raise ValueError("ragged columns: "
+                                 f"{s.name!r} has {ln}, expected {g_n}")
+        g_n = g_n or 0
+        if g_n == 0:
+            return 0
         chunks_meta = []
         total_bytes = 0
         for spec in specs:
-            records = columns[spec.name][g0:g0 + g_n]
+            records = columns[spec.name]
             reps, defs, vals = spec.shred(records)
             spans = _record_spans(spec, reps)
             nv = len(reps)
@@ -441,7 +464,7 @@ def parquet_write_table(
             unc_total = 0
             encodings = {_ENC_RLE}
             dict_page_off = None
-            chunk_start = len(out)
+            chunk_start = self._pos
 
             if use_dict:
                 dict_plain = _plain_encode(spec.physical, list(uniq))
@@ -516,7 +539,7 @@ def parquet_write_table(
                 if not spans:
                     break
 
-            out += pages
+            self._emit(bytes(pages))
             total_bytes += len(pages)
 
             # --- chunk statistics ----------------------------------
@@ -567,69 +590,111 @@ def parquet_write_table(
             cc.field_i64(2, chunk_start)  # file_offset (legacy)
             cc.field_struct(3, md)
             chunks_meta.append(cc.finish())
-        row_groups_meta.append((chunks_meta, total_bytes, g_n))
+        self._groups_meta.append((chunks_meta, total_bytes, g_n))
+        self.n_rows += g_n
+        return g_n
 
-    # ----- footer ------------------------------------------------------
-    def _logical(el: _ThriftW, inner_fid: int):
-        """LogicalType wrapper (field 10) holding one empty
-        inner struct (STRING = field 1, LIST = field 3)."""
-        el.begin_struct(10)
-        el.begin_struct(inner_fid)
-        el.end_struct()
-        el.end_struct()
+    def finish(self):
+        """Write the footer + magic; the file is complete after this."""
+        specs = self.specs
 
-    fmd = _ThriftW()
-    fmd.field_i32(1, 1)  # version
-    n_schema = 1 + sum(3 if s.kind == "list" else 1 for s in specs)
-    fmd.begin_list(2, 12, n_schema)
-    root = _ThriftW()
-    root.field_string(4, "schema")
-    root.field_i32(5, len(specs))
-    fmd.list_struct(root)
-    for s in specs:
-        if s.kind == "list":
-            el = _ThriftW()
-            el.field_i32(3, 1 if s.nullable else 0)
-            el.field_string(4, s.name)
-            el.field_i32(5, 1)
-            el.field_i32(6, 3)  # ConvertedType.LIST
-            _logical(el, 3)
-            fmd.list_struct(el)
-            mid = _ThriftW()
-            mid.field_i32(3, 2)  # REPEATED
-            mid.field_string(4, "list")
-            mid.field_i32(5, 1)
-            fmd.list_struct(mid)
-            leaf = _ThriftW()
-            leaf.field_i32(1, _PHYS_NUM[s.physical])
-            leaf.field_i32(3, 1 if s.leaf_optional else 0)
-            leaf.field_string(4, "element")
-            if s.string:
-                leaf.field_i32(6, 0)  # ConvertedType.UTF8
-                _logical(leaf, 1)
-            fmd.list_struct(leaf)
-        else:
-            el = _ThriftW()
-            el.field_i32(1, _PHYS_NUM[s.physical])
-            el.field_i32(3, 1 if s.nullable else 0)
-            el.field_string(4, s.name)
-            if s.string:
-                el.field_i32(6, 0)  # ConvertedType.UTF8
-                _logical(el, 1)
-            fmd.list_struct(el)
-    fmd.field_i64(3, n_rows)
-    fmd.begin_list(4, 12, len(row_groups_meta))
-    for chunks_meta, total_bytes, g_n in row_groups_meta:
-        rg = _ThriftW()
-        rg.begin_list(1, 12, len(chunks_meta))
-        for cm in chunks_meta:
-            rg.out += cm
-        rg.field_i64(2, total_bytes)
-        rg.field_i64(3, g_n)
-        fmd.list_struct(rg)
-    fmd.field_string(6, created_by)
-    blob = fmd.finish()
-    out += blob
-    out += len(blob).to_bytes(4, "little")
-    out += b"PAR1"
-    return bytes(out)
+        def _logical(el: _ThriftW, inner_fid: int):
+            # LogicalType wrapper (field 10) holding one empty inner
+            # struct (STRING = field 1, LIST = field 3)
+            el.begin_struct(10)
+            el.begin_struct(inner_fid)
+            el.end_struct()
+            el.end_struct()
+
+        fmd = _ThriftW()
+        fmd.field_i32(1, 1)  # version
+        n_schema = 1 + sum(3 if s.kind == "list" else 1 for s in specs)
+        fmd.begin_list(2, 12, n_schema)
+        root = _ThriftW()
+        root.field_string(4, "schema")
+        root.field_i32(5, len(specs))
+        fmd.list_struct(root)
+        for s in specs:
+            if s.kind == "list":
+                el = _ThriftW()
+                el.field_i32(3, 1 if s.nullable else 0)
+                el.field_string(4, s.name)
+                el.field_i32(5, 1)
+                el.field_i32(6, 3)  # ConvertedType.LIST
+                _logical(el, 3)
+                fmd.list_struct(el)
+                mid = _ThriftW()
+                mid.field_i32(3, 2)  # REPEATED
+                mid.field_string(4, "list")
+                mid.field_i32(5, 1)
+                fmd.list_struct(mid)
+                leaf = _ThriftW()
+                leaf.field_i32(1, _PHYS_NUM[s.physical])
+                leaf.field_i32(3, 1 if s.leaf_optional else 0)
+                leaf.field_string(4, "element")
+                if s.string:
+                    leaf.field_i32(6, 0)  # ConvertedType.UTF8
+                    _logical(leaf, 1)
+                fmd.list_struct(leaf)
+            else:
+                el = _ThriftW()
+                el.field_i32(1, _PHYS_NUM[s.physical])
+                el.field_i32(3, 1 if s.nullable else 0)
+                el.field_string(4, s.name)
+                if s.string:
+                    el.field_i32(6, 0)  # ConvertedType.UTF8
+                    _logical(el, 1)
+                fmd.list_struct(el)
+        fmd.field_i64(3, self.n_rows)
+        fmd.begin_list(4, 12, len(self._groups_meta))
+        for chunks_meta, total_bytes, g_n in self._groups_meta:
+            rg = _ThriftW()
+            rg.begin_list(1, 12, len(chunks_meta))
+            for cm in chunks_meta:
+                rg.out += cm
+            rg.field_i64(2, total_bytes)
+            rg.field_i64(3, g_n)
+            fmd.list_struct(rg)
+        fmd.field_string(6, self.created_by)
+        blob = fmd.finish()
+        self._emit(blob)
+        self._emit(len(blob).to_bytes(4, "little"))
+        self._emit(b"PAR1")
+
+
+def parquet_write_table(
+    columns: dict,
+    schema: list[tuple],
+    codec: str = "SNAPPY",
+    row_group_rows: int = 1 << 20,
+    page_rows: int = 1 << 16,
+    dictionary: bool | None = None,
+    created_by: str = "modeltracking-spark parquet_write (from-spec)",
+) -> bytes:
+    """Serialize columnar data to a complete .parquet file (bytes) —
+    the one-shot wrapper over :class:`ParquetFileWriter`, slicing
+    ``columns`` into row groups of ``row_group_rows``."""
+    import io
+
+    buf = io.BytesIO()
+    w = ParquetFileWriter(buf, schema, codec=codec,
+                          page_rows=page_rows, dictionary=dictionary,
+                          created_by=created_by)
+    n_rows = None
+    for s in w.specs:
+        if s.name not in columns:
+            raise ValueError(f"column {s.name!r} missing from data")
+        ln = len(columns[s.name])
+        if n_rows is None:
+            n_rows = ln
+        elif ln != n_rows:
+            raise ValueError("ragged columns: "
+                             f"{s.name!r} has {ln}, expected {n_rows}")
+    n_rows = n_rows or 0
+    for g0 in range(0, n_rows, row_group_rows):
+        w.write_row_group({
+            name: vals[g0:g0 + row_group_rows]
+            for name, vals in columns.items()
+        })
+    w.finish()
+    return buf.getvalue()

@@ -185,8 +185,8 @@ class _OrcNativeSinkWriter(TwoPhaseFileSinkWriter):
         super().__init__(options.get("path"), _orc_sink_schema(schema),
                          overwrite)
         self.codec = options.get("codec", "ZLIB").upper()
-        self.stripe_rows = int(options.get("stripe_rows",
-                                           str(1 << 18)))
+        self.flush_rows = int(options.get("stripe_rows",
+                                          str(1 << 18)))
 
     def convert_value(self, typ: str, v):
         if typ == "timestamp":
@@ -203,10 +203,15 @@ class _OrcNativeSinkWriter(TwoPhaseFileSinkWriter):
             return int(v)
         return v
 
-    def encode_partition(self, columns: dict) -> bytes:
+    def begin_file(self, fh):
         from modeltracking_spark.operators.orc_write import (
-            orc_write_table,
+            OrcFileWriter,
         )
 
-        return orc_write_table(columns, self.schema, codec=self.codec,
-                               stripe_rows=self.stripe_rows)
+        self._w = OrcFileWriter(fh, self.schema, codec=self.codec)
+
+    def append_rows(self, columns: dict):
+        self._w.write_stripe(columns)
+
+    def end_file(self):
+        self._w.finish()

@@ -283,10 +283,10 @@ def _sink_schema(schema) -> list[tuple]:
 
 class _ParquetNativeSinkWriter(TwoPhaseFileSinkWriter):
     """Executor-side from-spec parquet encode, one file per task,
-    under the shared two-phase commit (sources/sink_common.py).  Each
-    task buffers its partition columnar (the same memory shape as any
-    row-group writer); at 100 TB the upstream partitioning sizes the
-    files."""
+    under the shared two-phase commit (sources/sink_common.py).  A
+    task buffers at most ONE row group (``row_group_rows``, default
+    1M) before its pages stream to the temp file — the memory
+    contract that survives arbitrarily large partitions at 100 TB."""
 
     suffix = ".parquet"
 
@@ -294,22 +294,27 @@ class _ParquetNativeSinkWriter(TwoPhaseFileSinkWriter):
         super().__init__(options.get("path"), _sink_schema(schema),
                          overwrite)
         self.codec = options.get("codec", "ZSTD").upper()
-        self.row_group_rows = int(options.get("row_group_rows",
-                                              str(1 << 20)))
+        self.flush_rows = int(options.get("row_group_rows",
+                                          str(1 << 20)))
         self.page_rows = int(options.get("page_rows", str(1 << 16)))
         d = options.get("dictionary", "auto").lower()
         self.dictionary = {"auto": None, "true": True,
                            "false": False}[d]
 
-    def encode_partition(self, columns: dict) -> bytes:
+    def begin_file(self, fh):
         from modeltracking_spark.operators.parquet_write import (
-            parquet_write_table,
+            ParquetFileWriter,
         )
 
-        return parquet_write_table(
-            columns, self.schema, codec=self.codec,
-            row_group_rows=self.row_group_rows,
+        self._w = ParquetFileWriter(
+            fh, self.schema, codec=self.codec,
             page_rows=self.page_rows, dictionary=self.dictionary)
+
+    def append_rows(self, columns: dict):
+        self._w.write_row_group(columns)
+
+    def end_file(self):
+        self._w.finish()
 
 
 class ParquetNativeDataSource(DataSource):

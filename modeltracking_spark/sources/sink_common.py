@@ -31,12 +31,17 @@ class SinkCommit(WriterCommitMessage):
 
 
 class TwoPhaseFileSinkWriter(DataSourceArrowWriter):
-    """Subclasses set ``suffix`` and implement
-    ``encode_partition(columns) -> bytes`` plus ``__init__`` fields
-    ``self.path`` / ``self.schema`` (the from-spec writer's
-    ``(name, type, nullable)`` list) / ``self.overwrite``."""
+    """Subclasses set ``suffix`` and ``flush_rows`` and implement the
+    three incremental hooks — ``begin_file(fh)``,
+    ``append_rows(columns)`` (one row group / stripe), and
+    ``end_file()`` — plus ``__init__`` fields ``self.path`` /
+    ``self.schema`` (the from-spec writer's ``(name, type, nullable)``
+    list) / ``self.overwrite``.  A task's memory is bounded by ONE
+    flush unit, never its whole partition: rows stream to the temp
+    file as each unit fills."""
 
     suffix = ".bin"
+    flush_rows = 1 << 20
 
     def __init__(self, path: str, schema: list[tuple],
                  overwrite: bool):
@@ -49,7 +54,13 @@ class TwoPhaseFileSinkWriter(DataSourceArrowWriter):
         self.overwrite = overwrite
         self.run_id = uuid.uuid4().hex[:12]
 
-    def encode_partition(self, columns: dict) -> bytes:
+    def begin_file(self, fh):
+        raise NotImplementedError
+
+    def append_rows(self, columns: dict):
+        raise NotImplementedError
+
+    def end_file(self):
         raise NotImplementedError
 
     def convert_value(self, typ: str, v):
@@ -65,26 +76,35 @@ class TwoPhaseFileSinkWriter(DataSourceArrowWriter):
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx else 0
-        types = {name: t for name, t, _n in self.schema}
-        cols = {name: [] for name in types}
-        n = 0
-        for batch in iterator:
-            d = batch.to_pydict()
-            for name in cols:
-                vals = d[name]
-                conv = self.convert_value
-                cols[name].extend(
-                    None if v is None else conv(types[name], v)
-                    for v in vals)
-            n += batch.num_rows
-        blob = self.encode_partition(cols)
         tmp_dir = os.path.join(self.path, "_temporary", self.run_id)
         os.makedirs(tmp_dir, exist_ok=True)
         final = f"part-{pid:05d}-{self.run_id}{self.suffix}"
         attempt = ctx.taskAttemptId() if ctx else 0
         tmp = os.path.join(tmp_dir, f"{final}.{attempt}.tmp")
+        types = {name: t for name, t, _n in self.schema}
+        cols = {name: [] for name in types}
+        buffered = 0
+        n = 0
         with open(tmp, "wb") as fh:
-            fh.write(blob)
+            self.begin_file(fh)
+            for batch in iterator:
+                d = batch.to_pydict()
+                for name in cols:
+                    conv = self.convert_value
+                    cols[name].extend(
+                        None if v is None else conv(types[name], v)
+                        for v in d[name])
+                buffered += batch.num_rows
+                n += batch.num_rows
+                while buffered >= self.flush_rows:
+                    fr = self.flush_rows
+                    self.append_rows(
+                        {k: v[:fr] for k, v in cols.items()})
+                    cols = {k: v[fr:] for k, v in cols.items()}
+                    buffered -= fr
+            if buffered:
+                self.append_rows(cols)
+            self.end_file()
         return SinkCommit(temp_path=tmp, final_name=final, rows=n)
 
     # -- driver ------------------------------------------------------

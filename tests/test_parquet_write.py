@@ -236,6 +236,29 @@ def test_sink_distributed_write_two_phase_commit(spark, tmp_path):
                for g in foot["row_groups"] for c in g["chunks"].values())
 
 
+def test_sink_streams_row_groups_incrementally(spark, tmp_path):
+    """The sink's memory contract: a task flushes every
+    ``row_group_rows`` rows, so one partition yields one FILE with
+    many row groups — never a partition-sized buffer."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    _register_sink(spark)
+    d = str(tmp_path / "sink_rg")
+    df = (spark.range(0, 500)
+          .select(F.col("id").alias("a")).coalesce(1))
+    (df.write.format("parquet_native").option("path", d)
+     .option("row_group_rows", "100").mode("append").save())
+    parts = [n for n in os.listdir(d) if n.endswith(".parquet")]
+    assert len(parts) == 1
+    with open(os.path.join(d, parts[0]), "rb") as fh:
+        foot = parquet_footer_from_file(fh)
+    assert foot["num_rows"] == 500
+    assert [g["num_rows"] for g in foot["row_groups"]] == [100] * 5
+    assert spark.read.parquet(d).count() == 500
+
+
 def test_sink_overwrite_replaces_output(spark, tmp_path):
     import os
 
