@@ -159,10 +159,11 @@ HEADLINE = [
     "parquet_native_write_docs",
     "parquet_native_sink_docs",
     "orc_native_write_docs",
-    # zstd_seekable_stream_scan_docs is deliberately NOT benched: each
-    # execution runs two REAL streaming drains (~17 s at sf0.1), which
-    # would dominate the 6-run timing loop; it stays oracled and
-    # driver-scored, and its wall time is stream-startup, not plan cost
+    # zstd_seekable_stream_scan_docs and parquet_stream_sink_docs are
+    # deliberately NOT benched: each execution runs two REAL streaming
+    # drains (~17 s at sf0.1), which would dominate the 6-run timing
+    # loop; they stay oracled and driver-scored, and their wall time
+    # is stream-startup, not plan cost
 ]
 
 # Regression anchor: BENCH_r03.json per-query seconds at sf0.1 on local[32]

@@ -67,6 +67,7 @@ PRIORITY: tuple[str, ...] = (
     "parquet_native_write_docs",       # from-spec parquet WRITER
     "parquet_native_sink_docs",        # distributed sink, 2-phase commit
     "orc_native_write_docs",           # from-spec ORC WRITER
+    "parquet_stream_sink_docs",        # streaming sink, epoch log
     # ---- behavior changed in r11 (REATTEST; lint-exempt) ----
     "xz_bcj_roundtrip_docs",           # now cycles 10 chains (+riscv)
     "zstd_seekable_scan_docs",         # content-addressed fixture
@@ -116,9 +117,10 @@ PRIORITY: tuple[str, ...] = (
     # (triangle_counts_docs / textrank_segments_docs / pq_adc_topk_l2 /
     # pca_top_component_embeddings slipped past the boundary when the
     # four storage-format queries landed; curation_pipeline_docs,
-    # dsir_select_docs, and gopher_rules_docs followed when the
-    # parquet WRITER/SINK and ORC WRITER queries took head slots 8-10;
-    # they rotate in with the rest of the r7 cohort at r12)
+    # dsir_select_docs, gopher_rules_docs, and wav_decode_stats_docs
+    # followed when the parquet WRITER/SINK/STREAM-SINK and ORC WRITER
+    # queries took head slots 8-11; they rotate in with the rest of
+    # the r7 cohort at r12)
 )
 
 #: queries whose semantics/plan changed THIS round: the staleness lint

@@ -439,3 +439,77 @@ def zstd_seekable_stream_scan_docs(spark: SparkSession,
         F.regexp_extract("path", r"shard-(\d+)\.zst$", 1)
         .cast("long").alias("shard"),
     )
+
+
+@query(
+    "parquet_stream_sink_docs",
+    oracle="""
+    SELECT doc_id,
+           length(text)::BIGINT AS n_chars,
+           md5(text) AS text_md5
+    FROM documents
+    """,
+)
+def parquet_stream_sink_docs(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """STREAMING from-spec parquet SINK
+    (sources/parquet_native_source.py streamWriter arm — the write
+    side of r10's streaming DataSource reader): the docs corpus
+    arrives in TWO waves of source files; a Structured Streaming
+    query drains wave 1 through ``writeStream.format(
+    "parquet_native")`` (every micro-batch encoded executor-side by
+    operators/parquet_write.py and committed through the per-epoch
+    temp-dir + rename + ``_epochs``-log protocol), the second wave
+    lands, and a RESTARTED run with the SAME checkpoint catches up.
+    The result is read back by Spark's JVM parquet reader; the oracle
+    is the plain batch projection of the documents table, so it
+    matches ONLY if every row landed exactly once across the restart
+    — a replayed or skipped epoch fails the hash by construction.
+    The replayed-epoch no-op contract is additionally unit-pinned in
+    tests/test_parquet_write.py."""
+    import tempfile
+
+    from pyspark.errors import PySparkException
+
+    from modeltracking_spark.queries.common import ensure_pkg_on_workers
+    from modeltracking_spark.sources.parquet_native_source import (
+        ParquetNativeDataSource,
+    )
+
+    ensure_pkg_on_workers(spark)
+    try:
+        spark.dataSource.register(ParquetNativeDataSource)
+    except PySparkException:
+        pass  # already registered in this session
+    td = tempfile.mkdtemp(prefix="pnsink-stream-q-")
+    src, out, ck = f"{td}/src", f"{td}/out", f"{td}/ck"
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def write_wave(parity: int):
+        (docs.where(F.col("doc_id") % 2 == parity)
+         .repartition(2)
+         .write.mode("append").parquet(src))
+
+    def drain():
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 2).parquet(src)
+            .writeStream.format("parquet_native")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    write_wave(0)   # wave 1 lands, stream drains it through the sink
+    drain()
+    write_wave(1)   # the source GROWS; restart catches up
+    drain()
+
+    back = spark.read.parquet(out)
+    return back.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.md5("text").alias("text_md5"),
+    )

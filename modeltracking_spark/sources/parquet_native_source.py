@@ -34,6 +34,7 @@ from pyspark.sql.datasource import (
 
 from modeltracking_spark.sources.sink_common import (
     TwoPhaseFileSinkWriter,
+    TwoPhaseStreamFileSinkWriter,
 )
 
 
@@ -281,12 +282,12 @@ def _sink_schema(schema) -> list[tuple]:
     return out
 
 
-class _ParquetNativeSinkWriter(TwoPhaseFileSinkWriter):
-    """Executor-side from-spec parquet encode, one file per task,
-    under the shared two-phase commit (sources/sink_common.py).  A
-    task buffers at most ONE row group (``row_group_rows``, default
-    1M) before its pages stream to the temp file — the memory
-    contract that survives arbitrarily large partitions at 100 TB."""
+class _ParquetSinkHooks:
+    """Format half shared by the batch and streaming parquet sinks:
+    executor-side from-spec encode, one file per task, a task
+    buffering at most ONE row group (``row_group_rows``, default 1M)
+    before its pages stream to the temp file — the memory contract
+    that survives arbitrarily large partitions at 100 TB."""
 
     suffix = ".parquet"
 
@@ -315,6 +316,15 @@ class _ParquetNativeSinkWriter(TwoPhaseFileSinkWriter):
 
     def end_file(self):
         self._w.finish()
+
+
+class _ParquetNativeSinkWriter(_ParquetSinkHooks, TwoPhaseFileSinkWriter):
+    pass
+
+
+class _ParquetNativeStreamSinkWriter(_ParquetSinkHooks,
+                                     TwoPhaseStreamFileSinkWriter):
+    pass
 
 
 class ParquetNativeDataSource(DataSource):
@@ -367,3 +377,14 @@ class ParquetNativeDataSource(DataSource):
                 "parquet_native sink requires .option('path', ...)")
         os.makedirs(path, exist_ok=True)
         return _ParquetNativeSinkWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        import os
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError(
+                "parquet_native sink requires .option('path', ...)")
+        os.makedirs(path, exist_ok=True)
+        return _ParquetNativeStreamSinkWriter(self.options, schema,
+                                              overwrite)

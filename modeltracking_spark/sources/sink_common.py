@@ -19,6 +19,7 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
     WriterCommitMessage,
 )
 
@@ -30,15 +31,16 @@ class SinkCommit(WriterCommitMessage):
     rows: int
 
 
-class TwoPhaseFileSinkWriter(DataSourceArrowWriter):
-    """Subclasses set ``suffix`` and ``flush_rows`` and implement the
+class _FileSinkTask:
+    """Executor-side half shared by the batch and streaming sinks:
+    subclasses set ``suffix`` and ``flush_rows`` and implement the
     three incremental hooks — ``begin_file(fh)``,
     ``append_rows(columns)`` (one row group / stripe), and
     ``end_file()`` — plus ``__init__`` fields ``self.path`` /
     ``self.schema`` (the from-spec writer's ``(name, type, nullable)``
-    list) / ``self.overwrite``.  A task's memory is bounded by ONE
-    flush unit, never its whole partition: rows stream to the temp
-    file as each unit fills."""
+    list).  A task's memory is bounded by ONE flush unit, never its
+    whole partition: rows stream to the temp file as each unit
+    fills."""
 
     suffix = ".bin"
     flush_rows = 1 << 20
@@ -107,6 +109,21 @@ class TwoPhaseFileSinkWriter(DataSourceArrowWriter):
             self.end_file()
         return SinkCommit(temp_path=tmp, final_name=final, rows=n)
 
+    def _drop_temp(self):
+        import contextlib
+        import os
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, "_temporary", self.run_id),
+                      ignore_errors=True)
+        with contextlib.suppress(OSError):  # other runs may be live
+            os.rmdir(os.path.join(self.path, "_temporary"))
+
+
+class TwoPhaseFileSinkWriter(_FileSinkTask, DataSourceArrowWriter):
+    """Batch sink: the classic job-level two-phase commit — rename on
+    the driver, then stamp ``_SUCCESS``."""
+
     # -- driver ------------------------------------------------------
     def commit(self, messages):
         import os
@@ -126,12 +143,55 @@ class TwoPhaseFileSinkWriter(DataSourceArrowWriter):
         # drop this run's temp dir; visible output is never touched
         self._drop_temp()
 
-    def _drop_temp(self):
-        import contextlib
-        import os
-        import shutil
 
-        shutil.rmtree(os.path.join(self.path, "_temporary", self.run_id),
-                      ignore_errors=True)
-        with contextlib.suppress(OSError):  # other runs may be live
-            os.rmdir(os.path.join(self.path, "_temporary"))
+class TwoPhaseStreamFileSinkWriter(_FileSinkTask,
+                                   DataSourceStreamArrowWriter):
+    """Streaming sink: per-EPOCH two-phase commit with an idempotence
+    log.  Each micro-batch's task files land under the run temp dir;
+    ``commit(messages, batchId)`` renames them to deterministic
+    ``part-<batchId>-<i>`` names and appends the batchId to the
+    ``_epochs`` log ATOMICALLY (tmp + rename) — a REPLAYED epoch
+    (same batchId after a restart) is detected in the log and its
+    temp files are dropped without touching visible output, which is
+    what makes the sink exactly-once end to end (the same
+    idempotent-writer pattern as the repo's foreachBatch txlog
+    sink)."""
+
+    def _committed(self) -> set[int]:
+        import os
+
+        log = os.path.join(self.path, "_epochs")
+        if not os.path.exists(log):
+            return set()
+        with open(log) as fh:
+            return {int(x) for x in fh.read().split()}
+
+    def commit(self, messages, batchId: int):
+        import os
+
+        done = self._committed()
+        if batchId in done:
+            for m in messages:  # replay: drop temps, keep output
+                if m is not None and os.path.exists(m.temp_path):
+                    os.remove(m.temp_path)
+            return
+        i = 0
+        for m in messages:
+            if m is None:
+                continue
+            os.replace(m.temp_path, os.path.join(
+                self.path,
+                f"part-{batchId:08d}-{i:05d}{self.suffix}"))
+            i += 1
+        log = os.path.join(self.path, "_epochs")
+        tmp = f"{log}.{batchId}.{os.getpid()}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write(" ".join(str(b) for b in sorted(done | {batchId})))
+        os.replace(tmp, log)
+
+    def abort(self, messages, batchId: int):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.temp_path):
+                os.remove(m.temp_path)

@@ -287,6 +287,88 @@ def test_sink_unsupported_type_rejects(spark, tmp_path):
          .option("path", str(tmp_path / "bad")).mode("append").save())
 
 
+def test_stream_sink_end_to_end_and_epoch_log(spark, tmp_path):
+    """writeStream.format('parquet_native'): each micro-batch commits
+    through the per-epoch two-phase protocol; output is readable by
+    the JVM reader and the _epochs log records every committed
+    batch."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    _register_sink(spark)
+    src = str(tmp_path / "src")
+    for i in range(3):  # three input files -> three micro-batches
+        (spark.range(i * 100, (i + 1) * 100)
+         .select(F.col("id").alias("doc_id"))
+         .coalesce(1).write.mode("append").parquet(src))
+    out = str(tmp_path / "out")
+    q = (spark.readStream.schema("doc_id long")
+         .option("maxFilesPerTrigger", 1).parquet(src)
+         .writeStream.format("parquet_native")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    back = spark.read.parquet(out)
+    assert back.count() == 300
+    assert back.agg(F.sum("doc_id")).first()[0] == 299 * 300 // 2
+    epochs = sorted(int(x) for x in
+                    open(os.path.join(out, "_epochs")).read().split())
+    assert len(epochs) >= 3
+    parts = [n for n in os.listdir(out) if n.endswith(".parquet")]
+    assert all(n.startswith("part-") for n in parts)
+
+
+def test_stream_sink_replayed_epoch_is_noop(tmp_path):
+    """Exactly-once unit contract: committing the SAME batchId twice
+    must not duplicate output — the second commit drops its temp
+    files and leaves the log unchanged."""
+    import os
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from modeltracking_spark.sources.parquet_native_source import (
+        _ParquetNativeStreamSinkWriter,
+    )
+    from modeltracking_spark.sources.sink_common import SinkCommit
+
+    out = str(tmp_path / "replay")
+    os.makedirs(out)
+    schema = StructType([StructField("a", LongType(), False)])
+    w = _ParquetNativeStreamSinkWriter({"path": out}, schema, False)
+
+    def fake_msgs(tag):
+        tmp_dir = os.path.join(out, "_temporary", w.run_id)
+        os.makedirs(tmp_dir, exist_ok=True)
+        p = os.path.join(tmp_dir, f"{tag}.tmp")
+        with open(p, "wb") as fh:
+            fh.write(parquet_write_table({"a": [1, 2]},
+                                         [("a", "int64", False)]))
+        return [SinkCommit(temp_path=p, final_name="x", rows=2), None]
+
+    w.commit(fake_msgs("e7a"), 7)
+    files_after_first = sorted(
+        n for n in os.listdir(out) if n.endswith(".parquet"))
+    assert files_after_first == ["part-00000007-00000.parquet"]
+    # replay of epoch 7: temp dropped, no new visible file
+    w.commit(fake_msgs("e7b"), 7)
+    assert sorted(n for n in os.listdir(out)
+                  if n.endswith(".parquet")) == files_after_first
+    assert open(os.path.join(out, "_epochs")).read().strip() == "7"
+    # a fresh epoch appends
+    w.commit(fake_msgs("e8"), 8)
+    assert sorted(n for n in os.listdir(out)
+                  if n.endswith(".parquet")) == [
+        "part-00000007-00000.parquet", "part-00000008-00000.parquet"]
+    assert open(os.path.join(out, "_epochs")).read().split() == \
+        ["7", "8"]
+    # abort removes temps, never visible output
+    msgs = fake_msgs("e9")
+    w.abort(msgs, 9)
+    assert not os.path.exists(msgs[0].temp_path)
+
+
 def test_random_tables_roundtrip_pyarrow():
     """Randomized battery: values, null placement, page/group splits,
     codec, and dictionary mode all fuzzed; pyarrow is the oracle."""

@@ -138,6 +138,7 @@ NOTES = {
     "parquet_native_write_docs": "narrow Arrow map (from-spec parquet ENCODE per codec group -> pyarrow + own-reader decode), no shuffle; per-batch files = the one-file-per-partition sink shape",
     "parquet_native_sink_docs": "distributed write through the Python DataSource writer (executor-side from-spec encode, temp-dir + driver-rename 2-phase commit) -> JVM parquet scan of the output; one round-robin exchange sizes the output files",
     "orc_native_write_docs": "narrow Arrow map (from-spec ORC ENCODE per codec group -> pyarrow.orc + own-reader decode incl. TIMESTAMP streams), no shuffle",
+    "parquet_stream_sink_docs": "two REAL streaming drains through the per-epoch two-phase sink (executor-side from-spec encode, _epochs idempotence log) -> JVM parquet scan of the committed output",
     "parquet_native_scan_embeddings": "BatchScan (Dremel list assembly) -> JVM-side size/aggregate over array<float>; no Python after the scan, no exchange",
     "orc_native_scan_docs": "BatchScan with one InputPartition per STRIPE, stream-level projection (3 of 4 columns) -> project; no exchange",
     "orc_native_scan_events": "BatchScan per stripe; PRESENT-driven null assembly + zstd chunk framing decode inside the source; no exchange",
