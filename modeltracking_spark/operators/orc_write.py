@@ -11,9 +11,11 @@ Validation reverses the reader's: pyarrow.orc and Spark's own Java
 ORC reader consume files this module writes, and the repo's from-spec
 reader closes the loop (tests/test_orc_write.py).
 
-The writer declares RLEv1 (ColumnEncoding DIRECT) — spec-legal and
-universally readable; the reader side handles both v1 and all four
-RLEv2 sub-encodings.  Pre-1970 timestamps are a typed reject: the
+The writer emits RLEv1 (ColumnEncoding DIRECT) by default — spec-
+legal and universally readable — or, with ``rle_version=2``, modern
+RLEv2 streams (SHORT_REPEAT + DIRECT sub-encodings, ColumnEncoding
+DIRECT_V2); the reader side handles v1 and all four RLEv2
+sub-encodings.  Pre-1970 timestamps are a typed reject: the
 reference writers genuinely disagree on the sub-second convention
 below zero (see the reader's derivation notes), so refusing loudly
 beats emitting bytes that round-trip differently under different
@@ -175,6 +177,84 @@ def int_rle_v1_encode(vals, signed: bool) -> bytes:
     return bytes(out)
 
 
+#: legal "closest fixed bits" widths above 24, with their 5-bit codes
+_WIDE_CODES = {26: 24, 28: 25, 30: 26, 32: 27, 40: 28, 48: 29,
+               56: 30, 64: 31}
+
+
+def _closest_width(bits: int) -> tuple[int, int]:
+    """(legal width, 5-bit code) — widths 1..24 map to code w-1, then
+    the eight wide steps (the inverse of the reader's table)."""
+    bits = max(1, bits)
+    if bits <= 24:
+        return bits, bits - 1
+    for w, code in _WIDE_CODES.items():
+        if bits <= w:
+            return w, code
+    raise ValueError(f"RLEv2 width {bits} out of range")
+
+
+def _pack_msb(vals: list[int], width: int) -> bytes:
+    """MSB-first bit packing (ORC packs opposite to parquet)."""
+    total_bits = width * len(vals)
+    nbytes = (total_bits + 7) // 8
+    big = 0
+    for i, v in enumerate(vals):
+        big |= (v & ((1 << width) - 1)) << (
+            nbytes * 8 - (i + 1) * width)
+    return big.to_bytes(nbytes, "big")
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) if v >= 0 else ((-v) << 1) - 1
+
+
+def int_rle_v2_encode(vals, signed: bool) -> bytes:
+    """Integer RLEv2 using the SHORT_REPEAT and DIRECT sub-encodings
+    (a writer may emit any legal mix; PATCHED_BASE/DELTA are decode-
+    side only here): repeat runs of 3..10 become SHORT_REPEAT with the
+    minimal big-endian byte width; everything else is DIRECT — up to
+    512 zigzagged values bit-packed MSB-first at the closest legal
+    fixed width."""
+    out = bytearray()
+    zig = _zigzag if signed else (lambda v: v)
+    i, n = 0, len(vals)
+    while i < n:
+        j = i + 1
+        while j < n and vals[j] == vals[i] and j - i < 10:
+            j += 1
+        run = j - i
+        if run >= 3:
+            v = zig(vals[i])
+            wb = max(1, (v.bit_length() + 7) // 8)
+            if wb > 8:
+                raise ValueError("RLEv2 value exceeds 64 bits")
+            out.append((0 << 6) | ((wb - 1) << 3) | (run - 3))
+            out += v.to_bytes(wb, "big")
+            i = j
+            continue
+        # DIRECT chunk: values up to the next >=3 repeat run (max 512)
+        chunk = []
+        k = i
+        while k < n and len(chunk) < 512:
+            m = k + 1
+            while m < n and vals[m] == vals[k] and m - k < 10:
+                m += 1
+            if m - k >= 3:
+                break
+            take = min(m - k, 512 - len(chunk))
+            chunk.extend(zig(v) for v in vals[k:k + take])
+            k += take
+        width, code = _closest_width(max(v.bit_length()
+                                         for v in chunk))
+        ln = len(chunk) - 1
+        out.append((1 << 6) | (code << 1) | (ln >> 8))
+        out.append(ln & 0xFF)
+        out += _pack_msb(chunk, width)
+        i = k
+    return bytes(out)
+
+
 def compress_entity(plain: bytes, codec: str,
                     block_size: int = 1 << 18) -> bytes:
     """Frame one entity in the chunked compression format: 3-byte LE
@@ -216,12 +296,15 @@ def compress_entity(plain: bytes, codec: str,
 # column encode
 # ---------------------------------------------------------------------------
 
-def _encode_column(kind: str, present_vals: list) -> dict:
+def _encode_column(kind: str, present_vals: list,
+                   rle_version: int = 1) -> dict:
     """Non-null values -> {stream_kind: plain_bytes}."""
+    _int_rle = (int_rle_v2_encode if rle_version == 2
+                else int_rle_v1_encode)
     if kind == "BOOLEAN":
         return {"DATA": bool_rle_encode([bool(v) for v in present_vals])}
     if kind in ("INT", "LONG"):
-        return {"DATA": int_rle_v1_encode(
+        return {"DATA": _int_rle(
             [int(v) for v in present_vals], signed=True)}
     if kind == "FLOAT":
         return {"DATA": struct.pack(
@@ -234,8 +317,8 @@ def _encode_column(kind: str, present_vals: list) -> dict:
                  for v in present_vals]
         return {
             "DATA": b"".join(blobs),
-            "LENGTH": int_rle_v1_encode([len(b) for b in blobs],
-                                        signed=False),
+            "LENGTH": _int_rle([len(b) for b in blobs],
+                               signed=False),
         }
     if kind == "TIMESTAMP":
         secs, nanos = [], []
@@ -263,8 +346,8 @@ def _encode_column(kind: str, present_vals: list) -> dict:
                 else:
                     nanos.append((ns * 10 ** z) << 3)
         return {
-            "DATA": int_rle_v1_encode(secs, signed=True),
-            "SECONDARY": int_rle_v1_encode(nanos, signed=False),
+            "DATA": _int_rle(secs, signed=True),
+            "SECONDARY": _int_rle(nanos, signed=False),
         }
     raise NotImplementedError(f"cannot ORC-encode kind {kind}")
 
@@ -283,7 +366,9 @@ class OrcFileWriter:
     entity framed with ``codec``."""
 
     def __init__(self, fh, schema: list[tuple], codec: str = "ZLIB",
-                 block_size: int = 1 << 18):
+                 block_size: int = 1 << 18, rle_version: int = 1):
+        if rle_version not in (1, 2):
+            raise ValueError("rle_version must be 1 or 2")
         codec = codec.upper()
         if codec not in _COMP_NUM:
             raise NotImplementedError(f"ORC write codec {codec} "
@@ -301,6 +386,7 @@ class OrcFileWriter:
         self.kinds = kinds
         self.codec = codec
         self.block_size = block_size
+        self.rle_version = rle_version
         self.n_rows = 0
         self._stripe_infos: list[tuple] = []
         self._nonnull = [0] * len(kinds)
@@ -344,8 +430,9 @@ class OrcFileWriter:
                     codec, block_size)))
             present_vals = [v for v in records if v is not None]
             self._nonnull[cid - 1] += len(present_vals)
-            for skind, plain in _encode_column(kind,
-                                               present_vals).items():
+            enc_streams = _encode_column(kind, present_vals,
+                                         self.rle_version)
+            for skind, plain in enc_streams.items():
                 streams.append((skind, cid, compress_entity(
                     plain, codec, block_size)))
         data_len = 0
@@ -359,9 +446,17 @@ class OrcFileWriter:
             sm.varint_field(2, cid)
             sm.varint_field(3, len(framed))
             sf.msg_field(1, sm)
-        for _ in range(len(kinds) + 1):  # root + leaves: all DIRECT
+        # root struct is always DIRECT; a leaf whose streams carry
+        # integer RLE declares DIRECT_V2 when rle_version == 2
+        # (boolean/float/double streams are unversioned: DIRECT)
+        rle_kinds = ("INT", "LONG", "STRING", "BINARY", "TIMESTAMP")
+        col_encs = [0] + [
+            2 if (self.rle_version == 2 and k in rle_kinds) else 0
+            for _n, k, _o in kinds
+        ]
+        for ce in col_encs:
             enc = _PBW()
-            enc.varint_field(1, 0)  # ColumnEncoding.DIRECT (RLEv1)
+            enc.varint_field(1, ce)  # ColumnEncoding DIRECT/DIRECT_V2
             sf.msg_field(2, enc)
         if any(k == "TIMESTAMP" for _n, k, _o in kinds):
             sf.str_field(3, "UTC")  # writerTimezone
@@ -440,6 +535,7 @@ def orc_write_table(
     codec: str = "ZLIB",
     stripe_rows: int = 1 << 18,
     block_size: int = 1 << 18,
+    rle_version: int = 1,
 ) -> bytes:
     """Serialize columnar data to a complete .orc file (bytes) — the
     one-shot wrapper over :class:`OrcFileWriter`, slicing ``columns``
@@ -447,7 +543,8 @@ def orc_write_table(
     import io
 
     buf = io.BytesIO()
-    w = OrcFileWriter(buf, schema, codec=codec, block_size=block_size)
+    w = OrcFileWriter(buf, schema, codec=codec, block_size=block_size,
+                      rle_version=rle_version)
     n_rows = None
     for name, _t, _n in w.kinds:
         if name not in columns:

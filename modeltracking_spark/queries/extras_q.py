@@ -2909,6 +2909,7 @@ def parquet_native_write_docs(spark: SparkSession, sf_dir: str
     SELECT doc_id,
            CASE doc_id % 4 WHEN 0 THEN 'NONE' WHEN 1 THEN 'ZLIB'
                 WHEN 2 THEN 'SNAPPY' ELSE 'ZSTD' END AS codec,
+           (1 + (doc_id % 8) // 4)::BIGINT AS rle_v,
            length(text)::BIGINT AS n_chars,
            md5(text) AS text_md5,
            ((1500000000 + doc_id * 97) * 1000000
@@ -2928,7 +2929,10 @@ def orc_native_write_docs(spark: SparkSession, sf_dir: str
     protobuf footers, RLEv1 streams, PRESENT nulls, and a real
     TIMESTAMP column (seconds-from-2015 + trailing-zero-packed nanos)
     synthesized from doc_id — then read back by BOTH the REFERENCE
-    reader (pyarrow.orc) and the repo's own from-spec reader.  ``ok``
+    reader (pyarrow.orc) and the repo's own from-spec reader.  The
+    integer-RLE version cycles too (``doc_id % 8 // 4``): half the
+    files carry RLEv1 DIRECT streams, half modern RLEv2
+    SHORT_REPEAT/DIRECT runs under DIRECT_V2 column encodings.  ``ok``
     asserts the three-way agreement; the emitted stats come from the
     pyarrow-read values, so the oracle's replay attests the writer's
     bytes through a reference decode.  Narrow Arrow map, no shuffle —
@@ -2946,6 +2950,7 @@ def orc_native_write_docs(spark: SparkSession, sf_dir: str
     out_schema = StructType([
         StructField("doc_id", LongType()),
         StructField("codec", StringType()),
+        StructField("rle_v", LongType()),
         StructField("n_chars", LongType()),
         StructField("text_md5", StringType()),
         StructField("ts_us", LongType()),
@@ -2983,19 +2988,22 @@ def orc_native_write_docs(spark: SparkSession, sf_dir: str
                     * 1_000_000 + v.microsecond)
 
         for pdf in batches:
-            by: dict[str, dict] = {}
+            by: dict[tuple, dict] = {}
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 did = int(did)
-                g = by.setdefault(codecs[did % 4],
+                key = (codecs[did % 4], 1 + (did % 8) // 4)
+                g = by.setdefault(key,
                                   {"doc_id": [], "text": [], "ts": []})
                 g["doc_id"].append(did)
                 g["text"].append(text)
                 g["ts"].append(ts_for(did))
-            rows = {k: [] for k in ("doc_id", "codec", "n_chars",
-                                    "text_md5", "ts_us", "ok")}
-            for codec, cols in by.items():
+            rows = {k: [] for k in ("doc_id", "codec", "rle_v",
+                                    "n_chars", "text_md5", "ts_us",
+                                    "ok")}
+            for (codec, rle_v), cols in by.items():
                 blob = orc_write_table(cols, schema, codec=codec,
-                                       stripe_rows=128)
+                                       stripe_rows=128,
+                                       rle_version=rle_v)
                 d = po.read_table(io.BytesIO(blob)).to_pydict()
                 back = {"doc_id": d["doc_id"], "text": d["text"],
                         "ts": [to_us(v) for v in d["ts"]]}
@@ -3011,6 +3019,7 @@ def orc_native_write_docs(spark: SparkSession, sf_dir: str
                                          back["ts"]):
                     rows["doc_id"].append(did)
                     rows["codec"].append(codec)
+                    rows["rle_v"].append(rle_v)
                     rows["n_chars"].append(len(text))
                     rows["text_md5"].append(
                         hashlib.md5(text.encode()).hexdigest())

@@ -134,6 +134,73 @@ def test_rle_encoders_roundtrip_through_reader():
             assert int_rle_v1(enc, n, signed) == vals
 
 
+def test_rle_v2_encoder_roundtrips_through_reader():
+    from modeltracking_spark.operators.orc_native import int_rle_v2
+    from modeltracking_spark.operators.orc_write import (
+        int_rle_v2_encode,
+    )
+
+    rng = random.Random(13)
+    for signed in (True, False):
+        for _ in range(60):
+            n = rng.randrange(0, 1500)
+            vals = []
+            while len(vals) < n:
+                c = rng.randrange(4)
+                if c == 0:  # repeat run (SHORT_REPEAT fodder)
+                    v = rng.randrange(-2**40, 2**40) if signed \
+                        else rng.randrange(2**40)
+                    vals += [v] * rng.randrange(1, 40)
+                elif c == 1:  # wide literals (DIRECT, wide widths)
+                    vals += [rng.randrange(-2**63, 2**63 - 1) if signed
+                             else rng.randrange(2**64 - 1)
+                             for _ in range(rng.randrange(1, 8))]
+                else:  # small literals
+                    vals += [rng.randrange(-64, 64) if signed
+                             else rng.randrange(128)
+                             for _ in range(rng.randrange(1, 12))]
+            vals = vals[:n]
+            enc = int_rle_v2_encode(vals, signed)
+            assert int_rle_v2(enc, n, signed) == vals, (signed, n)
+
+
+@pytest.mark.parametrize("codec", ["NONE", "ZLIB"])
+def test_rle_v2_files_read_by_all_three_readers(spark, tmp_path,
+                                                codec):
+    """rle_version=2 files (DIRECT_V2 column encodings, SHORT_REPEAT +
+    DIRECT runs) decode exactly under pyarrow.orc, Spark's Java
+    reader, and the own reader."""
+    import pyarrow.orc as po
+
+    blob = orc_write_table(COLS, SCHEMA, codec=codec, stripe_rows=4,
+                           rle_version=2)
+    d = po.read_table(io.BytesIO(blob)).to_pydict()
+    for k in ("id", "name", "score", "flag", "raw", "f32"):
+        assert d[k] == COLS[k], k
+    assert [_ts_us(v) for v in d["ts"]] == COLS["ts"]
+    p = tmp_path / "v2.orc"
+    p.write_bytes(blob)
+    with open(p, "rb") as fh:
+        foot = orc_footer_from_file(fh)
+        got = {c["name"]: [] for c in foot["columns"]}
+        for i in range(len(foot["stripes"])):
+            st = read_stripe(fh, foot, i)
+            for k in got:
+                got[k] += st[k]
+    for k in COLS:
+        assert got[k] == COLS[k], k
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        rows = {r["id"]: r
+                for r in spark.read.orc(str(tmp_path)).collect()}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+    assert sorted(rows) == COLS["id"]
+    assert rows[2]["name"] == "béta"
+    assert _ts_us(rows[5]["ts"]) == COLS["ts"][5]
+
+
 def test_typed_rejects():
     with pytest.raises(NotImplementedError, match="codec"):
         orc_write_table({"a": [1]}, [("a", "int64", False)],

@@ -2488,7 +2488,8 @@ def twin_orc_native_write(spark, sf_dir,
         f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
     ).fetchall()
     got = {
-        int(r["doc_id"]): (r["codec"], int(r["n_chars"]), r["text_md5"],
+        int(r["doc_id"]): (r["codec"], int(r["rle_v"]),
+                           int(r["n_chars"]), r["text_md5"],
                            int(r["ts_us"]), bool(r["ok"]))
         for r in spark_rows
     }
@@ -2516,7 +2517,7 @@ def twin_orc_native_write(spark, sf_dir,
                                  back["ts"]):
             us = (int(ts.replace(tzinfo=_dt.timezone.utc).timestamp())
                   * 1_000_000 + ts.microsecond)
-            want = (names[cid], len(text),
+            want = (names[cid], 1 + (did % 8) // 4, len(text),
                     hashlib.md5(text.encode()).hexdigest(), us, True)
             if got.get(int(did)) != want:
                 return False, (f"doc {did}: got {got.get(int(did))} "
