@@ -199,6 +199,121 @@ def rle_bp_encode(vals, bit_width: int) -> bytes:
     return bytes(out)
 
 
+def _uleb(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zz_enc(v: int) -> bytes:
+    return _uleb((v << 1) if v >= 0 else ((-v) << 1) - 1)
+
+
+def delta_binary_packed_encode(vals: list[int],
+                               bits: int = 64) -> bytes:
+    """DELTA_BINARY_PACKED (format spec Encodings.md §Delta Encoding):
+    blocks of 128 deltas in 4 miniblocks of 32, zigzag header varints,
+    per-block min-delta + per-miniblock bit widths, LSB-first packing;
+    trailing value-less miniblocks omit their data (their width bytes
+    stay, per the spec).  Delta arithmetic wraps at the PHYSICAL type
+    width (``bits``: 32 for INT32, 64 for INT64) — the reader applies
+    the same wrap on decode."""
+    block, n_mini, mini = 128, 4, 32
+    half, full = 1 << (bits - 1), 1 << bits
+    out = bytearray()
+    out += _uleb(block)
+    out += _uleb(n_mini)
+    out += _uleb(len(vals))
+    out += _zz_enc(vals[0] if vals else 0)
+    deltas = []
+    for a, b in zip(vals, vals[1:]):
+        d = ((b - a + half) % full) - half  # physical-width wrap
+        deltas.append(d)
+    for b0 in range(0, len(deltas), block):
+        blk = deltas[b0:b0 + block]
+        min_d = min(blk)
+        out += _zz_enc(min_d)
+        adj = [d - min_d for d in blk]
+        widths = []
+        for m0 in range(0, block, mini):
+            mb = adj[m0:m0 + mini]
+            widths.append(max(v.bit_length() for v in mb) if mb else 0)
+        out += bytes(widths)
+        for m0 in range(0, block, mini):
+            mb = adj[m0:m0 + mini]
+            if not mb:
+                continue  # trailing miniblock with no values
+            w = widths[m0 // mini]
+            if w == 0:
+                continue
+            mb = mb + [0] * (mini - len(mb))
+            big = 0
+            for j, v in enumerate(mb):
+                big |= v << (j * w)
+            out += big.to_bytes(mini * w // 8, "little")
+    return bytes(out)
+
+
+def _delta_length_byte_array_encode(blobs: list[bytes]) -> bytes:
+    return (delta_binary_packed_encode([len(b) for b in blobs])
+            + b"".join(blobs))
+
+
+def _delta_byte_array_encode(blobs: list[bytes]) -> bytes:
+    """Incremental encoding: shared-prefix lengths + suffix DLBA."""
+    prefixes = []
+    suffixes = []
+    prev = b""
+    for b in blobs:
+        p = 0
+        lim = min(len(prev), len(b))
+        while p < lim and prev[p] == b[p]:
+            p += 1
+        prefixes.append(p)
+        suffixes.append(b[p:])
+        prev = b
+    return (delta_binary_packed_encode(prefixes)
+            + _delta_length_byte_array_encode(suffixes))
+
+
+def _byte_stream_split_encode(phys: str, vals) -> bytes:
+    import numpy as np
+
+    plain = _plain_encode(phys, vals)
+    width = {"FLOAT": 4, "DOUBLE": 8, "INT32": 4, "INT64": 8}[phys]
+    arr = np.frombuffer(plain, np.uint8).reshape(-1, width)
+    return arr.T.tobytes()
+
+
+#: value-encoding numbers (parquet.thrift Encoding)
+_ENC_DELTA_BP = 5
+_ENC_DELTA_LEN_BA = 6
+_ENC_DELTA_BA = 7
+_ENC_BSS = 9
+
+
+def _delta_encode_values(phys: str, string: bool, vals) -> tuple:
+    """(encoding number, encoded bytes) for value_encoding='delta'."""
+    if phys in ("INT32", "INT64"):
+        return _ENC_DELTA_BP, delta_binary_packed_encode(
+            [int(v) for v in vals], bits=32 if phys == "INT32" else 64)
+    if phys == "BYTE_ARRAY":
+        blobs = [v.encode("utf-8") if isinstance(v, str) else bytes(v)
+                 for v in vals]
+        if string:
+            return _ENC_DELTA_BA, _delta_byte_array_encode(blobs)
+        return _ENC_DELTA_LEN_BA, _delta_length_byte_array_encode(blobs)
+    if phys in ("FLOAT", "DOUBLE"):
+        return _ENC_BSS, _byte_stream_split_encode(phys, vals)
+    return _ENC_PLAIN, _plain_encode(phys, vals)  # boolean fallback
+
+
 def _plain_encode(phys: str, vals) -> bytes:
     """PLAIN encode present (non-null) values."""
     if phys == "BOOLEAN":
@@ -392,10 +507,17 @@ class ParquetFileWriter:
         codec: str = "SNAPPY",
         page_rows: int = 1 << 16,
         dictionary: bool | None = None,
+        page_version: int = 1,
+        value_encoding: str | None = None,
         created_by: str = ("modeltracking-spark parquet_write "
                            "(from-spec)"),
     ):
         codec = codec.upper()
+        if page_version not in (1, 2):
+            raise ValueError("page_version must be 1 or 2")
+        if value_encoding not in (None, "plain", "delta"):
+            raise NotImplementedError(
+                f"value_encoding {value_encoding!r} not supported")
         if codec not in _CODEC_NUM:
             raise NotImplementedError(
                 f"parquet write codec {codec} not supported")
@@ -406,6 +528,8 @@ class ParquetFileWriter:
         self.codec = codec
         self.page_rows = page_rows
         self.dictionary = dictionary
+        self.page_version = page_version
+        self.value_encoding = value_encoding
         self.created_by = created_by
         self.n_rows = 0
         self._groups_meta: list[tuple] = []
@@ -446,7 +570,8 @@ class ParquetFileWriter:
             nv = len(reps)
 
             # --- dictionary decision (per chunk) -------------------
-            use_dict = dictionary
+            use_dict = False if self.value_encoding == "delta" \
+                else dictionary
             uniq: dict = {}
             if use_dict is not False and spec.physical != "BOOLEAN":
                 for v in vals:
@@ -484,8 +609,6 @@ class ParquetFileWriter:
                 dict_page_off = chunk_start
                 encodings.add(_ENC_RLE_DICT)
                 idx_bw = max(1, (len(uniq) - 1).bit_length())
-            else:
-                encodings.add(_ENC_PLAIN)
 
             data_page_off = chunk_start + len(pages)
 
@@ -503,6 +626,54 @@ class ParquetFileWriter:
                 p_vals = vals[vpos:vpos + n_present]
                 vpos += n_present
 
+                if use_dict:
+                    idx = [uniq[_norm_key(v, spec.string)]
+                           for v in p_vals]
+                    enc_num = _ENC_RLE_DICT
+                    val_bytes = bytes([idx_bw]) + rle_bp_encode(
+                        idx, idx_bw)
+                elif self.value_encoding == "delta":
+                    enc_num, val_bytes = _delta_encode_values(
+                        spec.physical, spec.string, p_vals)
+                else:
+                    enc_num = _ENC_PLAIN
+                    val_bytes = _plain_encode(spec.physical, p_vals)
+                encodings.add(enc_num)
+
+                if self.page_version == 2:
+                    # v2: levels live OUTSIDE the compressed section,
+                    # without the v1 4-byte length prefixes
+                    rep_b = (rle_bp_encode(p_reps,
+                                           spec.max_rep.bit_length())
+                             if spec.max_rep else b"")
+                    def_b = (rle_bp_encode(p_defs,
+                                           spec.max_def.bit_length())
+                             if spec.max_def else b"")
+                    comp_vals = _compress(codec, val_bytes)
+                    body = rep_b + def_b + comp_vals
+                    unc_size = len(rep_b) + len(def_b) + len(val_bytes)
+                    th = _ThriftW()
+                    th.field_i32(1, 3)  # PageType.DATA_PAGE_V2
+                    th.field_i32(2, unc_size)
+                    th.field_i32(3, len(body))
+                    th.begin_struct(8)  # DataPageHeaderV2
+                    th.field_i32(1, len(p_reps))
+                    th.field_i32(2, len(p_reps) - n_present
+                                 if spec.max_def else 0)
+                    th.field_i32(3, len(pg))
+                    th.field_i32(4, enc_num)
+                    th.field_i32(5, len(def_b))
+                    th.field_i32(6, len(rep_b))
+                    th.field_bool(7, True)  # is_compressed
+                    th.end_struct()
+                    hdr = th.finish()
+                    pages += hdr
+                    pages += body
+                    unc_total += len(hdr) + unc_size
+                    if not spans:
+                        break
+                    continue
+
                 plain = bytearray()
                 if spec.max_rep:
                     lv = rle_bp_encode(p_reps, spec.max_rep.bit_length())
@@ -512,13 +683,7 @@ class ParquetFileWriter:
                     lv = rle_bp_encode(p_defs, spec.max_def.bit_length())
                     plain += len(lv).to_bytes(4, "little")
                     plain += lv
-                if use_dict:
-                    idx = [uniq[_norm_key(v, spec.string)]
-                           for v in p_vals]
-                    plain.append(idx_bw)
-                    plain += rle_bp_encode(idx, idx_bw)
-                else:
-                    plain += _plain_encode(spec.physical, p_vals)
+                plain += val_bytes
 
                 body = _compress(codec, bytes(plain))
                 th = _ThriftW()
@@ -527,8 +692,7 @@ class ParquetFileWriter:
                 th.field_i32(3, len(body))
                 th.begin_struct(5)  # DataPageHeader
                 th.field_i32(1, len(p_reps))
-                th.field_i32(2, _ENC_RLE_DICT if use_dict
-                             else _ENC_PLAIN)
+                th.field_i32(2, enc_num)
                 th.field_i32(3, _ENC_RLE)
                 th.field_i32(4, _ENC_RLE)
                 th.end_struct()
@@ -669,6 +833,8 @@ def parquet_write_table(
     row_group_rows: int = 1 << 20,
     page_rows: int = 1 << 16,
     dictionary: bool | None = None,
+    page_version: int = 1,
+    value_encoding: str | None = None,
     created_by: str = "modeltracking-spark parquet_write (from-spec)",
 ) -> bytes:
     """Serialize columnar data to a complete .parquet file (bytes) —
@@ -679,6 +845,8 @@ def parquet_write_table(
     buf = io.BytesIO()
     w = ParquetFileWriter(buf, schema, codec=codec,
                           page_rows=page_rows, dictionary=dictionary,
+                          page_version=page_version,
+                          value_encoding=value_encoding,
                           created_by=created_by)
     n_rows = None
     for s in w.specs:

@@ -2781,6 +2781,9 @@ def avro_codec_matrix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CASE doc_id % 4 WHEN 0 THEN 'UNCOMPRESSED' WHEN 1 THEN
                 'SNAPPY' WHEN 2 THEN 'GZIP' ELSE 'ZSTD' END AS codec,
+           (1 + (doc_id % 8) // 4)::BIGINT AS page_v,
+           CASE WHEN doc_id % 16 >= 8 THEN 'delta'
+                ELSE 'plain' END AS enc,
            length(text)::BIGINT AS n_chars,
            md5(text) AS text_md5,
            (CASE doc_id % 7 WHEN 0 THEN -1 WHEN 1 THEN 0
@@ -2824,6 +2827,8 @@ def parquet_native_write_docs(spark: SparkSession, sf_dir: str
     out_schema = StructType([
         StructField("doc_id", LongType()),
         StructField("codec", StringType()),
+        StructField("page_v", LongType()),
+        StructField("enc", StringType()),
         StructField("n_chars", LongType()),
         StructField("text_md5", StringType()),
         StructField("emb_n", LongType()),
@@ -2861,20 +2866,23 @@ def parquet_native_write_docs(spark: SparkSession, sf_dir: str
             return [float(did), float(n_chars)]
 
         for pdf in batches:
-            by: dict[str, dict] = {}
+            by: dict[tuple, dict] = {}
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 did = int(did)
-                g = by.setdefault(codecs[did % 4],
+                key = (codecs[did % 4], 1 + (did % 8) // 4,
+                       "delta" if did % 16 >= 8 else "plain")
+                g = by.setdefault(key,
                                   {"doc_id": [], "text": [], "emb": []})
                 g["doc_id"].append(did)
                 g["text"].append(text)
                 g["emb"].append(emb_for(did, len(text)))
-            rows = {k: [] for k in ("doc_id", "codec", "n_chars",
-                                    "text_md5", "emb_n", "emb_sum",
-                                    "ok")}
-            for codec, cols in by.items():
+            rows = {k: [] for k in ("doc_id", "codec", "page_v",
+                                    "enc", "n_chars", "text_md5",
+                                    "emb_n", "emb_sum", "ok")}
+            for (codec, pv, enc), cols in by.items():
                 blob = parquet_write_table(
-                    cols, schema, codec=codec,
+                    cols, schema, codec=codec, page_version=pv,
+                    value_encoding="delta" if enc == "delta" else None,
                     page_rows=64, row_group_rows=192)
                 back = pq.read_table(io.BytesIO(blob)).to_pydict()
                 fh = io.BytesIO(blob)
@@ -2889,6 +2897,8 @@ def parquet_native_write_docs(spark: SparkSession, sf_dir: str
                                           back["emb"]):
                     rows["doc_id"].append(did)
                     rows["codec"].append(codec)
+                    rows["page_v"].append(pv)
+                    rows["enc"].append(enc)
                     rows["n_chars"].append(len(text))
                     rows["text_md5"].append(
                         hashlib.md5(text.encode()).hexdigest())

@@ -142,6 +142,96 @@ def test_rle_bp_encode_roundtrips_through_reader():
             assert dec == vals, (bw, n)
 
 
+@pytest.mark.parametrize("codec", ["UNCOMPRESSED", "SNAPPY", "ZSTD"])
+@pytest.mark.parametrize("dic", [None, False])
+def test_v2_pages_read_by_pyarrow_and_own_reader(codec, dic):
+    """page_version=2: levels outside the compressed section, v2
+    headers (num_nulls/num_rows/is_compressed) — pyarrow and the
+    from-spec reader both decode the full matrix."""
+    import io as _io
+
+    blob = parquet_write_table(COLS, SCHEMA, codec=codec,
+                               dictionary=dic, page_version=2,
+                               page_rows=3, row_group_rows=4)
+    got = _read_pyarrow(blob)
+    for name in COLS:
+        assert got[name] == COLS[name], (codec, dic, name)
+    fh = _io.BytesIO(blob)
+    foot = parquet_footer_from_file(fh)
+    own = {n: [] for n in COLS}
+    for i in range(len(foot["row_groups"])):
+        rg = read_row_group(fh, foot, i)
+        for n in COLS:
+            own[n] += rg[n]
+    for n in COLS:
+        assert own[n] == COLS[n], (codec, dic, n)
+
+
+@pytest.mark.parametrize("pv", [1, 2])
+def test_delta_encodings_read_by_pyarrow_and_own_reader(pv):
+    """value_encoding='delta': DELTA_BINARY_PACKED ints,
+    DELTA_BYTE_ARRAY strings, DELTA_LENGTH_BYTE_ARRAY binaries,
+    BYTE_STREAM_SPLIT floats — under both page versions."""
+    import io as _io
+
+    cols = {
+        "i64": [0, -5, 2**62, -2**62, 1, 1, 1, 130, 129, 131],
+        "i32": [None, 3, -3, 2**31 - 1, -2**31, 0, None, 7, 8, 9],
+        "s": ["prefix-a", "prefix-ab", None, "prefix-ab", "", "x",
+              "prefix-abc", None, "prefix", "prefix-abcd"],
+        "b": [b"ab", b"abc", b"", None, b"\x00\xff", b"abc", b"q",
+              b"qq", None, b"end"],
+        "f": [0.5, -1.25, 3.5, 1e30, -1e-30, 0.0, 2.0, 4.0, 8.0, 16.0],
+    }
+    schema = [("i64", "int64", False), ("i32", "int32", True),
+              ("s", "string", True), ("b", "binary", True),
+              ("f", "double", False)]
+    blob = parquet_write_table(cols, schema, codec="SNAPPY",
+                               value_encoding="delta", page_version=pv,
+                               page_rows=4, row_group_rows=6)
+    got = _read_pyarrow(blob)
+    for name in cols:
+        assert got[name] == cols[name], (pv, name)
+    fh = _io.BytesIO(blob)
+    foot = parquet_footer_from_file(fh)
+    own = {n: [] for n in cols}
+    for i in range(len(foot["row_groups"])):
+        rg = read_row_group(fh, foot, i)
+        for n in cols:
+            own[n] += rg[n]
+    for n in cols:
+        assert own[n] == cols[n], (pv, n)
+
+
+def test_delta_binary_packed_encoder_fuzz():
+    from modeltracking_spark.operators.parquet_native import (
+        delta_binary_packed,
+    )
+    from modeltracking_spark.operators.parquet_write import (
+        delta_binary_packed_encode,
+    )
+
+    rng = random.Random(17)
+    for _ in range(60):
+        n = rng.randrange(1, 800)
+        c = rng.randrange(3)
+        if c == 0:
+            vals = [rng.randrange(-2**63, 2**63 - 1) for _ in range(n)]
+        elif c == 1:  # gentle ramps (small deltas)
+            vals = [0]
+            for _ in range(n - 1):
+                vals.append(vals[-1] + rng.randrange(-3, 4))
+        else:
+            vals = [rng.choice([0, 1, -1, 2**40])] * n
+        enc = delta_binary_packed_encode(vals)
+        dec, _ = delta_binary_packed(enc, 0, n)
+        from modeltracking_spark.operators.parquet_native import (
+            _wrap_signed,
+        )
+
+        assert _wrap_signed(dec, 64) == vals, (c, n)
+
+
 def test_typed_rejects():
     with pytest.raises(NotImplementedError, match="codec"):
         parquet_write_table({"a": [1]}, [("a", "int64", False)],

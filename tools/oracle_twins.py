@@ -2417,7 +2417,8 @@ def twin_parquet_native_write(spark, sf_dir,
         f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
     ).fetchall()
     got = {
-        int(r["doc_id"]): (r["codec"], int(r["n_chars"]), r["text_md5"],
+        int(r["doc_id"]): (r["codec"], int(r["page_v"]), r["enc"],
+                           int(r["n_chars"]), r["text_md5"],
                            int(r["emb_n"]), float(r["emb_sum"]),
                            bool(r["ok"]))
         for r in spark_rows
@@ -2451,7 +2452,9 @@ def twin_parquet_native_write(spark, sf_dir,
         back = _pq.read_table(io.BytesIO(buf.getvalue())).to_pydict()
         for did, text, emb in zip(back["doc_id"], back["text"],
                                   back["emb"]):
-            want = (names[cid], len(text),
+            did_i = int(did)
+            want = (names[cid], 1 + (did_i % 8) // 4,
+                    "delta" if did_i % 16 >= 8 else "plain", len(text),
                     hashlib.md5(text.encode()).hexdigest(),
                     -1 if emb is None else len(emb),
                     float(sum(v for v in emb if v is not None))
