@@ -78,6 +78,8 @@ class _OrcNativeReader(DataSourceReader):
         cols = options.get("columns")
         self.columns = ([c.strip() for c in cols.split(",") if c.strip()]
                         if cols else None)
+        self.target_bytes = int(options.get("target_partition_bytes",
+                                            "0"))
 
     def partitions(self):
         from modeltracking_spark.operators.orc_native import (
@@ -88,8 +90,29 @@ class _OrcNativeReader(DataSourceReader):
         for f in self.files:
             with open(f, "rb") as fh:  # TAIL reads only
                 footer = orc_footer_from_file(fh)
-            for s in range(len(footer["stripes"])):
-                parts.append(InputPartition((f, s, self.columns)))
+            sizes = [
+                st["index_length"] + st["data_length"]
+                + st["footer_length"]
+                for st in footer["stripes"]
+            ]
+            # the same scale knob as the parquet source and the
+            # compressed-scan tier: at 100 TB of small stripes, one
+            # partition per stripe floods the scheduler — group
+            # CONSECUTIVE stripes to >= target bytes
+            if self.target_bytes <= 0:
+                groups = [[s] for s in range(len(sizes))]
+            else:
+                groups, cur, cur_b = [], [], 0
+                for s, size in enumerate(sizes):
+                    if cur and cur_b >= self.target_bytes:
+                        groups.append(cur)
+                        cur, cur_b = [], 0
+                    cur.append(s)
+                    cur_b += size
+                if cur:
+                    groups.append(cur)
+            parts.extend(
+                InputPartition((f, g, self.columns)) for g in groups)
         return parts
 
     def read(self, partition):
@@ -100,18 +123,20 @@ class _OrcNativeReader(DataSourceReader):
             read_stripe,
         )
 
-        path, stripe, columns = partition.value
+        path, stripes, columns = partition.value
         with open(path, "rb") as fh:
             footer = orc_footer_from_file(fh)
-            data = read_stripe(fh, footer, stripe, columns)
-        by_name = {c["name"]: c for c in footer["columns"]}
-        names = columns or [c["name"] for c in footer["columns"]]
-        arrays, fields = [], []
-        for n in names:
-            typ = getattr(pa, _PA_TYPES[by_name[n]["kind"]])()
-            arrays.append(pa.array(data[n], typ))
-            fields.append(pa.field(n, typ))
-        yield pa.RecordBatch.from_arrays(arrays, schema=pa.schema(fields))
+            by_name = {c["name"]: c for c in footer["columns"]}
+            names = columns or [c["name"] for c in footer["columns"]]
+            for stripe in stripes:
+                data = read_stripe(fh, footer, stripe, columns)
+                arrays, fields = [], []
+                for n in names:
+                    typ = getattr(pa, _PA_TYPES[by_name[n]["kind"]])()
+                    arrays.append(pa.array(data[n], typ))
+                    fields.append(pa.field(n, typ))
+                yield pa.RecordBatch.from_arrays(
+                    arrays, schema=pa.schema(fields))
 
 
 class OrcNativeDataSource(DataSource):

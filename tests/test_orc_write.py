@@ -316,3 +316,36 @@ def test_random_tables_roundtrip_pyarrow():
         assert d["s"] == cols["s"], trial
         assert d["d"] == cols["d"], trial
         assert [_ts_us(v) for v in d["t"]] == cols["t"], trial
+
+
+def test_orc_source_stripe_coalescing(spark, tmp_path):
+    """target_partition_bytes groups CONSECUTIVE stripes into one
+    InputPartition (the same scale knob as the parquet source and the
+    compressed-scan tier) with rows identical to the per-stripe
+    default."""
+    import os
+
+    p = tmp_path / "many.orc"
+    cols = {"a": list(range(5000)),
+            "s": [f"row-{i}" for i in range(5000)]}
+    p.write_bytes(orc_write_table(
+        cols, [("a", "int64", False), ("s", "string", False)],
+        codec="ZLIB", stripe_rows=100))  # 50 stripes
+    from modeltracking_spark.queries.common import (
+        ensure_pkg_on_workers,
+    )
+    from modeltracking_spark.sources.orc_native_source import (
+        OrcNativeDataSource,
+    )
+
+    ensure_pkg_on_workers(spark)
+    spark.dataSource.register(OrcNativeDataSource)
+    base = (spark.read.format("orc_native")
+            .option("path", str(p)).load())
+    assert base.rdd.getNumPartitions() == 50
+    total = os.path.getsize(p)
+    co = (spark.read.format("orc_native").option("path", str(p))
+          .option("target_partition_bytes", str(total // 5)).load())
+    assert 3 <= co.rdd.getNumPartitions() <= 8
+    assert sorted(map(tuple, co.collect())) == \
+        sorted(map(tuple, base.collect()))
