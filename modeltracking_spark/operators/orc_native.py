@@ -237,10 +237,29 @@ def orc_footer_from_file(fh) -> dict:
     for name, tid in zip(names, subtypes):
         t = types[tid]
         kind = _KINDS.get((t.get(1) or [-1])[0], "?")
-        if kind in ("LIST", "MAP", "STRUCT", "UNION", "DECIMAL"):
+        if kind == "LIST":
+            # ONE nested level: LIST of a leaf type (the array<float>
+            # embedding shape); deeper nesting stays a loud reject
+            child_ids = _pb_packed_uints(t.get(2) or [])
+            if len(child_ids) != 1 or child_ids[0] >= len(types):
+                raise ValueError("malformed ORC LIST type node")
+            ct = types[child_ids[0]]
+            ck = _KINDS.get((ct.get(1) or [-1])[0], "?")
+            if ck in ("LIST", "MAP", "STRUCT", "UNION", "DECIMAL"):
+                raise NotImplementedError(
+                    f"nested ORC type LIST<{ck}> not supported (one "
+                    "LIST level of a leaf type is)")
+            if ck == "?":
+                raise ValueError("unknown ORC type kind")
+            cols.append({"name": name, "kind": "LIST", "column": tid,
+                         "child_kind": ck,
+                         "child_column": child_ids[0]})
+            continue
+        if kind in ("MAP", "STRUCT", "UNION", "DECIMAL"):
             raise NotImplementedError(
                 f"ORC column type {kind} not supported — flat-column "
-                "reader (decimals/nested are plug-in rejects)")
+                "reader plus one LIST level (maps/structs/decimals "
+                "are plug-in rejects)")
         if kind == "?":
             raise ValueError("unknown ORC type kind")
         cols.append({"name": name, "kind": kind, "column": tid})
@@ -500,20 +519,19 @@ def read_stripe(fh, footer: dict, stripe_index: int,
         return None
 
     out = {}
-    for name in want:
-        col = by_name.get(name)
-        if col is None:
-            raise ValueError(f"ORC column {name!r} not in the file")
-        cid = col["column"]
-        kind = col["kind"]
+
+    def decode_leaf(cid: int, kind: str, n_slots: int) -> list:
+        """One leaf column's ``n_slots`` value slots (None for nulls)
+        — shared by flat top-level columns and LIST elements."""
         enc = encodings[cid] if cid < len(encodings) else "DIRECT"
         ver = 2 if enc in ("DIRECT_V2", "DICTIONARY_V2") else 1
         present = get_stream(cid, "PRESENT")
-        pres = bool_rle(present, n) if present is not None else [True] * n
+        pres = (bool_rle(present, n_slots) if present is not None
+                else [True] * n_slots)
         nv = sum(pres)
         data = get_stream(cid, "DATA")
         if data is None and nv:
-            raise ValueError(f"ORC column {name!r} missing DATA stream")
+            raise ValueError(f"ORC column {cid} missing DATA stream")
         if kind == "BOOLEAN":
             vals = bool_rle(data or b"", nv)
         elif kind == "BYTE":
@@ -598,7 +616,39 @@ def read_stripe(fh, footer: dict, stripe_index: int,
             raise NotImplementedError(
                 f"ORC column type {kind} not supported")
         if len(vals) < nv:
-            raise ValueError(f"ORC column {name!r} short of values")
+            raise ValueError(f"ORC column {cid} short of values")
         it = iter(vals)
-        out[name] = [next(it) if p else None for p in pres]
+        return [next(it) if p else None for p in pres]
+
+    for name in want:
+        col = by_name.get(name)
+        if col is None:
+            raise ValueError(f"ORC column {name!r} not in the file")
+        cid = col["column"]
+        kind = col["kind"]
+        if kind == "LIST":
+            enc = encodings[cid] if cid < len(encodings) else "DIRECT"
+            ver = 2 if enc == "DIRECT_V2" else 1
+            present = get_stream(cid, "PRESENT")
+            pres = (bool_rle(present, n) if present is not None
+                    else [True] * n)
+            n_present = sum(pres)
+            length_s = get_stream(cid, "LENGTH")
+            lengths = int_rle(length_s or b"", n_present, False, ver)
+            total = sum(lengths)
+            elems = decode_leaf(col["child_column"],
+                                col["child_kind"], total)
+            recs: list = []
+            pos_e = 0
+            li = iter(lengths)
+            for p in pres:
+                if not p:
+                    recs.append(None)
+                    continue
+                ln2 = next(li)
+                recs.append(elems[pos_e:pos_e + ln2])
+                pos_e += ln2
+            out[name] = recs
+        else:
+            out[name] = decode_leaf(cid, kind, n)
     return out

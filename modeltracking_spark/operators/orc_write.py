@@ -31,7 +31,7 @@ _COMP_NUM = {"NONE": 0, "ZLIB": 1, "SNAPPY": 2, "ZSTD": 5}
 #: orc_proto Type.Kind
 _KIND_NUM = {"BOOLEAN": 0, "BYTE": 1, "SHORT": 2, "INT": 3, "LONG": 4,
              "FLOAT": 5, "DOUBLE": 6, "STRING": 7, "BINARY": 8,
-             "TIMESTAMP": 9, "STRUCT": 12}
+             "TIMESTAMP": 9, "LIST": 10, "STRUCT": 12}
 _STREAM_NUM = {"PRESENT": 0, "DATA": 1, "LENGTH": 2,
                "DICTIONARY_DATA": 3, "SECONDARY": 5}
 
@@ -360,10 +360,13 @@ class OrcFileWriter:
 
     ``schema`` is ``[(name, type, nullable), ...]`` with type one of
     boolean/int32/int64/float/double/string/binary/timestamp
-    (timestamps are epoch MICROS, the engine's grain; >= 1970 only).
-    ``None`` values emit a PRESENT stream only in stripes that
-    actually have nulls — the reference writers' convention.  Every
-    entity framed with ``codec``."""
+    (timestamps are epoch MICROS, the engine's grain; >= 1970 only)
+    or ``list<element>`` of any of those (append ``?`` for nullable
+    elements, e.g. ``list<float?>`` — the array<float> embedding
+    shape; one nested level, like the reader).  ``None`` values emit
+    a PRESENT stream only in stripes that actually have nulls — the
+    reference writers' convention.  Every entity framed with
+    ``codec``."""
 
     def __init__(self, fh, schema: list[tuple], codec: str = "ZLIB",
                  block_size: int = 1 << 18, rle_version: int = 1):
@@ -373,23 +376,46 @@ class OrcFileWriter:
         if codec not in _COMP_NUM:
             raise NotImplementedError(f"ORC write codec {codec} "
                                       "not supported")
-        kinds = []
+        fields = []
+        next_id = 1
         for name, typ, nullable in schema:
+            if typ.startswith("list<") and typ.endswith(">"):
+                inner = typ[5:-1].strip()
+                opt = inner.endswith("?")
+                if opt:
+                    inner = inner[:-1]
+                ck = _LOGICAL.get(inner)
+                if ck is None:
+                    raise NotImplementedError(
+                        f"ORC write list element type {inner!r} "
+                        "not supported")
+                fields.append({
+                    "name": name, "kind": "LIST",
+                    "nullable": bool(nullable), "cid": next_id,
+                    "child_kind": ck, "child_optional": opt,
+                    "child_cid": next_id + 1,
+                })
+                next_id += 2
+                continue
             k = _LOGICAL.get(typ)
             if k is None:
                 raise NotImplementedError(
                     f"ORC write type {typ!r} not supported")
-            kinds.append((name, k, bool(nullable)))
-        if not kinds:
+            fields.append({"name": name, "kind": k,
+                           "nullable": bool(nullable), "cid": next_id})
+            next_id += 1
+        if not fields:
             raise ValueError("ORC schema needs at least one column")
         self.fh = fh
-        self.kinds = kinds
+        self.fields = fields
+        self.n_cols = next_id  # incl. the root struct (id 0)
         self.codec = codec
         self.block_size = block_size
         self.rle_version = rle_version
         self.n_rows = 0
         self._stripe_infos: list[tuple] = []
-        self._nonnull = [0] * len(kinds)
+        self._nonnull = [0] * next_id
+        self._had_null = [False] * next_id
         fh.write(b"ORC")
         self._pos = 3
 
@@ -400,11 +426,11 @@ class OrcFileWriter:
     def write_stripe(self, columns: dict) -> int:
         """Encode ``columns`` (equal-length value lists) as ONE stripe
         and stream it to the file.  Zero rows is a no-op."""
-        kinds = self.kinds
         codec = self.codec
         block_size = self.block_size
         s_n = None
-        for name, _k, _n in kinds:
+        for f in self.fields:
+            name = f["name"]
             if name not in columns:
                 raise ValueError(f"column {name!r} missing from data")
             ln = len(columns[name])
@@ -418,23 +444,49 @@ class OrcFileWriter:
             return 0
         offset = self._pos
         streams = []  # (kind, column_id, framed_bytes)
-        for cid, (name, kind, nullable) in enumerate(kinds, start=1):
-            records = columns[name]
+        _int_rle = (int_rle_v2_encode if self.rle_version == 2
+                    else int_rle_v1_encode)
+
+        def add(skind, cid, plain):
+            streams.append((skind, cid, compress_entity(
+                plain, codec, block_size)))
+
+        def present_for(cid, records, nullable, what):
             nulls = [v is None for v in records]
             if any(nulls):
                 if not nullable:
-                    raise ValueError(
-                        f"null in required column {name!r}")
-                streams.append(("PRESENT", cid, compress_entity(
-                    bool_rle_encode([not x for x in nulls]),
-                    codec, block_size)))
-            present_vals = [v for v in records if v is not None]
-            self._nonnull[cid - 1] += len(present_vals)
-            enc_streams = _encode_column(kind, present_vals,
-                                         self.rle_version)
-            for skind, plain in enc_streams.items():
-                streams.append((skind, cid, compress_entity(
-                    plain, codec, block_size)))
+                    raise ValueError(f"null in required {what}")
+                self._had_null[cid] = True
+                add("PRESENT", cid,
+                    bool_rle_encode([not x for x in nulls]))
+            vals = [v for v in records if v is not None]
+            self._nonnull[cid] += len(vals)
+            return vals
+
+        for f in self.fields:
+            records = columns[f["name"]]
+            if f["kind"] == "LIST":
+                recs = present_for(f["cid"], records, f["nullable"],
+                                   f"column {f['name']!r}")
+                add("LENGTH", f["cid"],
+                    _int_rle([len(r) for r in recs], signed=False))
+                elems: list = []
+                for r in recs:
+                    elems.extend(r)
+                vals = present_for(
+                    f["child_cid"], elems, f["child_optional"],
+                    f"list element of {f['name']!r} (declare the "
+                    "element type with '?')")
+                for skind, plain in _encode_column(
+                        f["child_kind"], vals,
+                        self.rle_version).items():
+                    add(skind, f["child_cid"], plain)
+            else:
+                vals = present_for(f["cid"], records, f["nullable"],
+                                   f"column {f['name']!r}")
+                for skind, plain in _encode_column(
+                        f["kind"], vals, self.rle_version).items():
+                    add(skind, f["cid"], plain)
         data_len = 0
         for _k, _c, framed in streams:
             self._emit(framed)
@@ -446,19 +498,29 @@ class OrcFileWriter:
             sm.varint_field(2, cid)
             sm.varint_field(3, len(framed))
             sf.msg_field(1, sm)
-        # root struct is always DIRECT; a leaf whose streams carry
-        # integer RLE declares DIRECT_V2 when rle_version == 2
-        # (boolean/float/double streams are unversioned: DIRECT)
+        # root struct is always DIRECT; a column whose streams carry
+        # integer RLE (incl. the LIST column's LENGTH stream) declares
+        # DIRECT_V2 when rle_version == 2 (boolean/float/double
+        # streams are unversioned: DIRECT)
         rle_kinds = ("INT", "LONG", "STRING", "BINARY", "TIMESTAMP")
-        col_encs = [0] + [
-            2 if (self.rle_version == 2 and k in rle_kinds) else 0
-            for _n, k, _o in kinds
-        ]
+        col_encs = [0] * self.n_cols
+        ts_present = False
+        for f in self.fields:
+            if f["kind"] == "LIST":
+                if self.rle_version == 2:
+                    col_encs[f["cid"]] = 2
+                    if f["child_kind"] in rle_kinds:
+                        col_encs[f["child_cid"]] = 2
+                ts_present |= f["child_kind"] == "TIMESTAMP"
+            else:
+                if self.rle_version == 2 and f["kind"] in rle_kinds:
+                    col_encs[f["cid"]] = 2
+                ts_present |= f["kind"] == "TIMESTAMP"
         for ce in col_encs:
             enc = _PBW()
             enc.varint_field(1, ce)  # ColumnEncoding DIRECT/DIRECT_V2
             sf.msg_field(2, enc)
-        if any(k == "TIMESTAMP" for _n, k, _o in kinds):
+        if ts_present:
             sf.str_field(3, "UTC")  # writerTimezone
         sf_blob = compress_entity(sf.finish(), codec, block_size)
         self._emit(sf_blob)
@@ -468,7 +530,6 @@ class OrcFileWriter:
 
     def finish(self):
         """Write footer + postscript; the file is complete after."""
-        kinds = self.kinds
         codec = self.codec
         content_len = self._pos
 
@@ -485,28 +546,36 @@ class OrcFileWriter:
             footer.msg_field(3, si)
         root = _PBW()
         root.varint_field(1, _KIND_NUM["STRUCT"])
-        root.packed_field(2, list(range(1, len(kinds) + 1)))
-        for name, _k, _n in kinds:
-            root.bytes_field(3, name.encode("utf-8"))
+        root.packed_field(2, [f["cid"] for f in self.fields])
+        for f in self.fields:
+            root.bytes_field(3, f["name"].encode("utf-8"))
         footer.msg_field(4, root)
-        for _name, kind, _n in kinds:
-            leaf = _PBW()
-            leaf.varint_field(1, _KIND_NUM[kind])
-            footer.msg_field(4, leaf)
+        for f in self.fields:  # type nodes in column-id order
+            if f["kind"] == "LIST":
+                lst = _PBW()
+                lst.varint_field(1, _KIND_NUM["LIST"])
+                lst.packed_field(2, [f["child_cid"]])
+                footer.msg_field(4, lst)
+                leaf = _PBW()
+                leaf.varint_field(1, _KIND_NUM[f["child_kind"]])
+                footer.msg_field(4, leaf)
+            else:
+                leaf = _PBW()
+                leaf.varint_field(1, _KIND_NUM[f["kind"]])
+                footer.msg_field(4, leaf)
         footer.varint_field(6, self.n_rows)
-        # minimal ColumnStatistics (root + leaves): counts + hasNull —
-        # some readers expect the list to exist and be type-consistent
-        any_null = any(nn != self.n_rows for nn in self._nonnull)
-        for i in range(len(kinds) + 1):
+        # minimal ColumnStatistics (every column id): counts + hasNull
+        # — some readers expect the list to exist and be
+        # type-consistent
+        for cid in range(self.n_cols):
             st = _PBW()
-            if i == 0:
+            if cid == 0:
                 st.varint_field(1, self.n_rows)
                 # protobuf bools are varints; field 10 = hasNull
-                st.varint_field(10, 1 if any_null else 0)
+                st.varint_field(10, 1 if any(self._had_null) else 0)
             else:
-                nn = self._nonnull[i - 1]
-                st.varint_field(1, nn)
-                st.varint_field(10, 1 if nn != self.n_rows else 0)
+                st.varint_field(1, self._nonnull[cid])
+                st.varint_field(10, 1 if self._had_null[cid] else 0)
             footer.msg_field(7, st)
         footer.varint_field(8, 0)  # rowIndexStride: no row indexes
         f_blob = compress_entity(footer.finish(), codec,
@@ -546,7 +615,8 @@ def orc_write_table(
     w = OrcFileWriter(buf, schema, codec=codec, block_size=block_size,
                       rle_version=rle_version)
     n_rows = None
-    for name, _t, _n in w.kinds:
+    for f in w.fields:
+        name = f["name"]
         if name not in columns:
             raise ValueError(f"column {name!r} missing from data")
         ln = len(columns[name])

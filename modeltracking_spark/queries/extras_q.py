@@ -2924,6 +2924,11 @@ def parquet_native_write_docs(spark: SparkSession, sf_dir: str
            md5(text) AS text_md5,
            ((1500000000 + doc_id * 97) * 1000000
             + (doc_id % 1000) * 1000)::BIGINT AS ts_us,
+           (CASE doc_id % 7 WHEN 0 THEN -1 WHEN 1 THEN 0
+                 WHEN 2 THEN 3 ELSE 2 END)::BIGINT AS emb_n,
+           CASE WHEN doc_id % 7 IN (0, 1) THEN 0.0::DOUBLE
+                ELSE doc_id::FLOAT::DOUBLE
+                     + length(text)::FLOAT::DOUBLE END AS emb_sum,
            TRUE AS ok
     FROM documents
     """,
@@ -2942,13 +2947,17 @@ def orc_native_write_docs(spark: SparkSession, sf_dir: str
     reader (pyarrow.orc) and the repo's own from-spec reader.  The
     integer-RLE version cycles too (``doc_id % 8 // 4``): half the
     files carry RLEv1 DIRECT streams, half modern RLEv2
-    SHORT_REPEAT/DIRECT runs under DIRECT_V2 column encodings.  ``ok``
+    SHORT_REPEAT/DIRECT runs under DIRECT_V2 column encodings.  A
+    ``list<float?>`` column cycling the null/empty/null-element record
+    shapes rides along (LENGTH streams + element PRESENT — the ORC
+    Dremel analogue), mirroring the parquet writer query.  ``ok``
     asserts the three-way agreement; the emitted stats come from the
     pyarrow-read values, so the oracle's replay attests the writer's
     bytes through a reference decode.  Narrow Arrow map, no shuffle —
     files are per (codec, batch), embarrassingly parallel."""
     from pyspark.sql.types import (
         BooleanType,
+        DoubleType,
         LongType,
         StringType,
         StructField,
@@ -2964,6 +2973,8 @@ def orc_native_write_docs(spark: SparkSession, sf_dir: str
         StructField("n_chars", LongType()),
         StructField("text_md5", StringType()),
         StructField("ts_us", LongType()),
+        StructField("emb_n", LongType()),
+        StructField("emb_sum", DoubleType()),
         StructField("ok", BooleanType()),
     ])
     codecs = ["NONE", "ZLIB", "SNAPPY", "ZSTD"]
@@ -2985,7 +2996,18 @@ def orc_native_write_docs(spark: SparkSession, sf_dir: str
         )
 
         schema = [("doc_id", "int64", False), ("text", "string", False),
-                  ("ts", "timestamp", True)]
+                  ("ts", "timestamp", True),
+                  ("emb", "list<float?>", True)]
+
+        def emb_for(did: int, n_chars: int):
+            c = did % 7
+            if c == 0:
+                return None
+            if c == 1:
+                return []
+            if c == 2:
+                return [float(did), None, float(n_chars)]
+            return [float(did), float(n_chars)]
 
         def ts_for(did: int) -> int:
             return ((1500000000 + did * 97) * 1_000_000
@@ -3002,31 +3024,34 @@ def orc_native_write_docs(spark: SparkSession, sf_dir: str
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 did = int(did)
                 key = (codecs[did % 4], 1 + (did % 8) // 4)
-                g = by.setdefault(key,
-                                  {"doc_id": [], "text": [], "ts": []})
+                g = by.setdefault(key, {"doc_id": [], "text": [],
+                                        "ts": [], "emb": []})
                 g["doc_id"].append(did)
                 g["text"].append(text)
                 g["ts"].append(ts_for(did))
+                g["emb"].append(emb_for(did, len(text)))
             rows = {k: [] for k in ("doc_id", "codec", "rle_v",
                                     "n_chars", "text_md5", "ts_us",
-                                    "ok")}
+                                    "emb_n", "emb_sum", "ok")}
             for (codec, rle_v), cols in by.items():
                 blob = orc_write_table(cols, schema, codec=codec,
                                        stripe_rows=128,
                                        rle_version=rle_v)
                 d = po.read_table(io.BytesIO(blob)).to_pydict()
                 back = {"doc_id": d["doc_id"], "text": d["text"],
-                        "ts": [to_us(v) for v in d["ts"]]}
+                        "ts": [to_us(v) for v in d["ts"]],
+                        "emb": d["emb"]}
                 fh = io.BytesIO(blob)
                 foot = orc_footer_from_file(fh)
-                own = {"doc_id": [], "text": [], "ts": []}
+                own = {"doc_id": [], "text": [], "ts": [], "emb": []}
                 for i in range(len(foot["stripes"])):
                     st = read_stripe(fh, foot, i)
                     for k in own:
                         own[k] += st[k]
                 ok = back == cols and own == cols
-                for did, text, ts in zip(back["doc_id"], back["text"],
-                                         back["ts"]):
+                for did, text, ts, emb in zip(back["doc_id"],
+                                              back["text"],
+                                              back["ts"], back["emb"]):
                     rows["doc_id"].append(did)
                     rows["codec"].append(codec)
                     rows["rle_v"].append(rle_v)
@@ -3034,6 +3059,11 @@ def orc_native_write_docs(spark: SparkSession, sf_dir: str
                     rows["text_md5"].append(
                         hashlib.md5(text.encode()).hexdigest())
                     rows["ts_us"].append(ts)
+                    rows["emb_n"].append(-1 if emb is None
+                                         else len(emb))
+                    rows["emb_sum"].append(
+                        float(sum(v for v in emb if v is not None))
+                        if emb else 0.0)
                     rows["ok"].append(ok)
             yield pd.DataFrame(rows)
 

@@ -132,7 +132,12 @@ class _OrcNativeReader(DataSourceReader):
                 data = read_stripe(fh, footer, stripe, columns)
                 arrays, fields = [], []
                 for n in names:
-                    typ = getattr(pa, _PA_TYPES[by_name[n]["kind"]])()
+                    c = by_name[n]
+                    if c["kind"] == "LIST":
+                        typ = pa.list_(getattr(
+                            pa, _PA_TYPES[c["child_kind"]])())
+                    else:
+                        typ = getattr(pa, _PA_TYPES[c["kind"]])()
                     arrays.append(pa.array(data[n], typ))
                     fields.append(pa.field(n, typ))
                 yield pa.RecordBatch.from_arrays(
@@ -162,9 +167,13 @@ class OrcNativeDataSource(DataSource):
                  if cols else None)
         by_name = {c["name"]: c for c in footer["columns"]}
         sel = names or [c["name"] for c in footer["columns"]]
-        return ", ".join(
-            f"`{n}` {_SPARK_TYPES[by_name[n]['kind']]}" for n in sel
-        )
+
+        def _t(c):
+            if c["kind"] == "LIST":
+                return f"array<{_SPARK_TYPES[c['child_kind']]}>"
+            return _SPARK_TYPES[c["kind"]]
+
+        return ", ".join(f"`{n}` {_t(by_name[n])}" for n in sel)
 
     def reader(self, schema):
         return _OrcNativeReader(self.options, schema)
@@ -190,6 +199,15 @@ def _orc_sink_schema(schema) -> list[tuple]:
             t.BinaryType: "binary", t.TimestampType: "timestamp"}
     out = []
     for f in schema.fields:
+        if isinstance(f.dataType, t.ArrayType):
+            el = base.get(type(f.dataType.elementType))
+            if el is None or el == "timestamp":
+                raise NotImplementedError(
+                    f"orc_native sink: array element type "
+                    f"{f.dataType.elementType} not supported")
+            el += "?" if f.dataType.containsNull else ""
+            out.append((f.name, f"list<{el}>", f.nullable))
+            continue
         tp = base.get(type(f.dataType))
         if tp is None:
             raise NotImplementedError(

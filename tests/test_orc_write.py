@@ -388,3 +388,92 @@ def test_orc_writer_hypothesis_roundtrip():
         assert [_ts_us(v) for v in d["t"]] == cols["t"]
 
     rt()
+
+
+LIST_COLS = {
+    "id": list(range(10)),
+    "emb": [[1.0, 2.5], None, [], [None, 4.0], [5.0], None,
+            [6.0, None, 7.0], [], [8.0], [9.0, 10.0, 11.0]],
+    "tags": [["a", "b"], [], None, ["c"], ["dd", "ee", "ff"], ["g"],
+             None, [], ["h"], ["i", "j"]],
+}
+LIST_SCHEMA = [("id", "int64", False), ("emb", "list<float?>", True),
+               ("tags", "list<string>", True)]
+
+
+@pytest.mark.parametrize("rle_v", [1, 2])
+def test_list_columns_write_read_matrix(rle_v):
+    """ORC LIST columns (one nested level — the array<float> embedding
+    shape): null lists, empty lists, null elements, written from spec
+    and decoded by pyarrow.orc AND the own reader across codecs."""
+    import pyarrow.orc as po
+
+    for codec in ("NONE", "ZLIB", "SNAPPY", "ZSTD"):
+        blob = orc_write_table(LIST_COLS, LIST_SCHEMA, codec=codec,
+                               stripe_rows=4, rle_version=rle_v)
+        d = po.read_table(io.BytesIO(blob)).to_pydict()
+        for k in LIST_COLS:
+            assert d[k] == LIST_COLS[k], (codec, rle_v, k)
+    blob = orc_write_table(LIST_COLS, LIST_SCHEMA, codec="ZLIB",
+                           stripe_rows=4, rle_version=rle_v)
+    fh = io.BytesIO(blob)
+    foot = orc_footer_from_file(fh)
+    got = {c["name"]: [] for c in foot["columns"]}
+    for i in range(len(foot["stripes"])):
+        st = read_stripe(fh, foot, i)
+        for k in got:
+            got[k] += st[k]
+    assert got == LIST_COLS
+
+
+def test_list_columns_jvm_and_reference_writer(spark, tmp_path):
+    """Both directions against the JVM: Spark's Java ORC reader
+    consumes a from-spec-written LIST file, and a Spark-Java-WRITTEN
+    list file decodes exactly under the own reader + own DataSource."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from modeltracking_spark.queries.common import (
+        ensure_pkg_on_workers,
+    )
+    from modeltracking_spark.sources.orc_native_source import (
+        OrcNativeDataSource,
+    )
+
+    d = tmp_path / "lists"
+    d.mkdir()
+    (d / "part-0.orc").write_bytes(
+        orc_write_table(LIST_COLS, LIST_SCHEMA, codec="ZLIB",
+                        stripe_rows=4))
+    rows = {r["id"]: r for r in spark.read.orc(str(d)).collect()}
+    for i in LIST_COLS["id"]:
+        assert rows[i]["emb"] == LIST_COLS["emb"][i]
+        assert rows[i]["tags"] == LIST_COLS["tags"][i]
+
+    # reverse: the reference Java writer encodes, from-spec decodes
+    src = (spark.range(0, 50)
+           .select(F.col("id"),
+                   F.when(F.col("id") % 5 == 0, None).otherwise(
+                       F.array(F.col("id").cast("double"),
+                               (F.col("id") * 2).cast("double"))
+                   ).alias("vals")))
+    jdir = str(tmp_path / "jvm_lists")
+    src.coalesce(1).write.mode("overwrite").orc(jdir)
+    f = glob.glob(jdir + "/part-*.orc")[0]
+    with open(f, "rb") as fh:
+        foot = orc_footer_from_file(fh)
+        got = {c["name"]: [] for c in foot["columns"]}
+        for i in range(len(foot["stripes"])):
+            st = read_stripe(fh, foot, i)
+            for k in got:
+                got[k] += st[k]
+    want = {r["id"]: r["vals"] for r in src.collect()}
+    assert dict(zip(got["id"], got["vals"])) == want
+
+    # and through the own DataSource (array<double> schema mapping)
+    ensure_pkg_on_workers(spark)
+    spark.dataSource.register(OrcNativeDataSource)
+    own = spark.read.format("orc_native").option("path", jdir).load()
+    assert dict(own.dtypes)["vals"] == "array<double>"
+    assert {r["id"]: r["vals"] for r in own.collect()} == want

@@ -2493,35 +2493,52 @@ def twin_orc_native_write(spark, sf_dir,
     got = {
         int(r["doc_id"]): (r["codec"], int(r["rle_v"]),
                            int(r["n_chars"]), r["text_md5"],
-                           int(r["ts_us"]), bool(r["ok"]))
+                           int(r["ts_us"]), int(r["emb_n"]),
+                           float(r["emb_sum"]), bool(r["ok"]))
         for r in spark_rows
     }
 
     def ts_for(did):
         return (1500000000 + did * 97) * 1_000_000 + (did % 1000) * 1000
 
+    def emb_for(did, n_chars):
+        c = did % 7
+        if c == 0:
+            return None
+        if c == 1:
+            return []
+        if c == 2:
+            return [float(did), None, float(n_chars)]
+        return [float(did), float(n_chars)]
+
     by: dict[int, dict] = {}
     for did, text in rows:
-        g = by.setdefault(did % 4, {"doc_id": [], "text": [], "ts": []})
+        g = by.setdefault(did % 4, {"doc_id": [], "text": [],
+                                    "ts": [], "emb": []})
         g["doc_id"].append(did)
         g["text"].append(text)
         g["ts"].append(ts_for(did))
+        g["emb"].append(emb_for(did, len(text)))
     n = 0
     for cid, cols in by.items():
         t = _pa.table({
             "doc_id": _pa.array(cols["doc_id"], _pa.int64()),
             "text": _pa.array(cols["text"], _pa.string()),
             "ts": _pa.array(cols["ts"], _pa.timestamp("us")),
+            "emb": _pa.array(cols["emb"], _pa.list_(_pa.float32())),
         })
         buf = io.BytesIO()
         _po.write_table(t, buf, compression=pa_codec[names[cid]])
         back = _po.read_table(io.BytesIO(buf.getvalue())).to_pydict()
-        for did, text, ts in zip(back["doc_id"], back["text"],
-                                 back["ts"]):
+        for did, text, ts, emb in zip(back["doc_id"], back["text"],
+                                      back["ts"], back["emb"]):
             us = (int(ts.replace(tzinfo=_dt.timezone.utc).timestamp())
                   * 1_000_000 + ts.microsecond)
             want = (names[cid], 1 + (did % 8) // 4, len(text),
-                    hashlib.md5(text.encode()).hexdigest(), us, True)
+                    hashlib.md5(text.encode()).hexdigest(), us,
+                    -1 if emb is None else len(emb),
+                    float(sum(v for v in emb if v is not None))
+                    if emb else 0.0, True)
             if got.get(int(did)) != want:
                 return False, (f"doc {did}: got {got.get(int(did))} "
                                f"want {want}")
