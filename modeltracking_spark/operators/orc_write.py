@@ -297,8 +297,11 @@ def compress_entity(plain: bytes, codec: str,
 # ---------------------------------------------------------------------------
 
 def _encode_column(kind: str, present_vals: list,
-                   rle_version: int = 1) -> dict:
-    """Non-null values -> {stream_kind: plain_bytes}."""
+                   rle_version: int = 1,
+                   dictionary: bool = False) -> dict:
+    """Non-null values -> {stream_kind: plain_bytes}; a dictionary-
+    encoded STRING chunk also carries ``__dict_size__`` (not a
+    stream) for the ColumnEncoding."""
     _int_rle = (int_rle_v2_encode if rle_version == 2
                 else int_rle_v1_encode)
     if kind == "BOOLEAN":
@@ -315,6 +318,19 @@ def _encode_column(kind: str, present_vals: list,
     if kind in ("STRING", "BINARY"):
         blobs = [v.encode("utf-8") if isinstance(v, str) else bytes(v)
                  for v in present_vals]
+        if dictionary and kind == "STRING" and blobs:
+            # DICTIONARY(_V2): sorted unique entries (the reference
+            # writers' convention), DATA = indices into them
+            entries = sorted(set(blobs))
+            index = {b: i for i, b in enumerate(entries)}
+            return {
+                "DATA": _int_rle([index[b] for b in blobs],
+                                 signed=False),
+                "LENGTH": _int_rle([len(b) for b in entries],
+                                   signed=False),
+                "DICTIONARY_DATA": b"".join(entries),
+                "__dict_size__": len(entries),
+            }
         return {
             "DATA": b"".join(blobs),
             "LENGTH": _int_rle([len(b) for b in blobs],
@@ -369,7 +385,8 @@ class OrcFileWriter:
     ``codec``."""
 
     def __init__(self, fh, schema: list[tuple], codec: str = "ZLIB",
-                 block_size: int = 1 << 18, rle_version: int = 1):
+                 block_size: int = 1 << 18, rle_version: int = 1,
+                 string_dictionary: bool | None = None):
         if rle_version not in (1, 2):
             raise ValueError("rle_version must be 1 or 2")
         codec = codec.upper()
@@ -412,6 +429,7 @@ class OrcFileWriter:
         self.codec = codec
         self.block_size = block_size
         self.rle_version = rle_version
+        self.string_dictionary = string_dictionary
         self.n_rows = 0
         self._stripe_infos: list[tuple] = []
         self._nonnull = [0] * next_id
@@ -444,12 +462,30 @@ class OrcFileWriter:
             return 0
         offset = self._pos
         streams = []  # (kind, column_id, framed_bytes)
+        dict_sizes: dict[int, int] = {}  # cid -> dictionary size
         _int_rle = (int_rle_v2_encode if self.rle_version == 2
                     else int_rle_v1_encode)
 
         def add(skind, cid, plain):
             streams.append((skind, cid, compress_entity(
                 plain, codec, block_size)))
+
+        def use_dict(kind, vals):
+            if kind != "STRING" or not vals:
+                return False
+            if self.string_dictionary is not None:
+                return self.string_dictionary
+            return len(set(vals)) <= max(1, len(vals) // 2)
+
+        def add_leaf(cid, kind, vals):
+            enc_streams = _encode_column(
+                kind, vals, self.rle_version,
+                dictionary=use_dict(kind, vals))
+            dsize = enc_streams.pop("__dict_size__", None)
+            if dsize is not None:
+                dict_sizes[cid] = dsize
+            for skind, plain in enc_streams.items():
+                add(skind, cid, plain)
 
         def present_for(cid, records, nullable, what):
             nulls = [v is None for v in records]
@@ -477,16 +513,11 @@ class OrcFileWriter:
                     f["child_cid"], elems, f["child_optional"],
                     f"list element of {f['name']!r} (declare the "
                     "element type with '?')")
-                for skind, plain in _encode_column(
-                        f["child_kind"], vals,
-                        self.rle_version).items():
-                    add(skind, f["child_cid"], plain)
+                add_leaf(f["child_cid"], f["child_kind"], vals)
             else:
                 vals = present_for(f["cid"], records, f["nullable"],
                                    f"column {f['name']!r}")
-                for skind, plain in _encode_column(
-                        f["kind"], vals, self.rle_version).items():
-                    add(skind, f["cid"], plain)
+                add_leaf(f["cid"], f["kind"], vals)
         data_len = 0
         for _k, _c, framed in streams:
             self._emit(framed)
@@ -516,9 +547,14 @@ class OrcFileWriter:
                 if self.rle_version == 2 and f["kind"] in rle_kinds:
                     col_encs[f["cid"]] = 2
                 ts_present |= f["kind"] == "TIMESTAMP"
-        for ce in col_encs:
+        for cid, ce in enumerate(col_encs):
             enc = _PBW()
-            enc.varint_field(1, ce)  # ColumnEncoding DIRECT/DIRECT_V2
+            if cid in dict_sizes:
+                # DICTIONARY (v1) / DICTIONARY_V2
+                enc.varint_field(1, 3 if self.rle_version == 2 else 1)
+                enc.varint_field(2, dict_sizes[cid])
+            else:
+                enc.varint_field(1, ce)  # DIRECT / DIRECT_V2
             sf.msg_field(2, enc)
         if ts_present:
             sf.str_field(3, "UTC")  # writerTimezone

@@ -477,3 +477,61 @@ def test_list_columns_jvm_and_reference_writer(spark, tmp_path):
     own = spark.read.format("orc_native").option("path", jdir).load()
     assert dict(own.dtypes)["vals"] == "array<double>"
     assert {r["id"]: r["vals"] for r in own.collect()} == want
+
+
+@pytest.mark.parametrize("rle_v", [1, 2])
+def test_dictionary_strings_write(spark, tmp_path, rle_v):
+    """Dictionary-encoded STRING writes (sorted unique entries,
+    DICTIONARY/DICTIONARY_V2 column encodings with dictionarySize):
+    auto mode fires on repetitive chunks; pyarrow.orc, Spark's Java
+    reader, and the own reader all decode; string_dictionary=False
+    forces DIRECT."""
+    import pyarrow.orc as po
+
+    from modeltracking_spark.operators.orc_native import pb_message
+
+    cols = {"s": ["alpha", "beta", "alpha", None, "gamma", "alpha",
+                  "beta", "", "alpha", "beta"] * 5}
+    schema = [("s", "string", True)]
+    blob = orc_write_table(cols, schema, codec="ZLIB",
+                           stripe_rows=1000, rle_version=rle_v)
+    assert po.read_table(io.BytesIO(blob)).to_pydict()["s"] == cols["s"]
+    # the stripe footer really declares a dictionary encoding
+    fh = io.BytesIO(blob)
+    foot = orc_footer_from_file(fh)
+    from modeltracking_spark.operators.orc_native import (
+        decompress_entity,
+    )
+
+    st = foot["stripes"][0]
+    fh.seek(st["offset"] + st["index_length"] + st["data_length"])
+    sfoot = pb_message(decompress_entity(
+        fh.read(st["footer_length"]), foot["codec"],
+        foot["block_size"]))
+    encs = [pb_message(e) for e in sfoot.get(2) or []]
+    kind = (encs[1].get(1) or [0])[0]
+    assert kind == (3 if rle_v == 2 else 1)  # DICTIONARY(_V2)
+    assert (encs[1].get(2) or [0])[0] == 4   # alpha/beta/gamma/""
+    got = {"s": []}
+    for i in range(len(foot["stripes"])):
+        got["s"] += read_stripe(fh, foot, i)["s"]
+    assert got == cols
+    d = tmp_path / f"dict{rle_v}"
+    d.mkdir()
+    (d / "p.orc").write_bytes(blob)
+    rows = [r["s"] for r in spark.read.orc(str(d)).collect()]
+    assert sorted(x or "" for x in rows) == sorted(
+        x or "" for x in cols["s"])
+    # forced DIRECT keeps the old shape
+    blob2 = orc_write_table(cols, schema, codec="ZLIB",
+                            rle_version=rle_v)
+    import modeltracking_spark.operators.orc_write as ow
+    import io as _io
+
+    buf = _io.BytesIO()
+    w = ow.OrcFileWriter(buf, schema, codec="ZLIB",
+                         rle_version=rle_v, string_dictionary=False)
+    w.write_stripe(cols)
+    w.finish()
+    assert po.read_table(
+        _io.BytesIO(buf.getvalue())).to_pydict()["s"] == cols["s"]
