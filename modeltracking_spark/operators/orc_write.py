@@ -31,14 +31,15 @@ _COMP_NUM = {"NONE": 0, "ZLIB": 1, "SNAPPY": 2, "ZSTD": 5}
 #: orc_proto Type.Kind
 _KIND_NUM = {"BOOLEAN": 0, "BYTE": 1, "SHORT": 2, "INT": 3, "LONG": 4,
              "FLOAT": 5, "DOUBLE": 6, "STRING": 7, "BINARY": 8,
-             "TIMESTAMP": 9, "LIST": 10, "STRUCT": 12}
+             "TIMESTAMP": 9, "LIST": 10, "STRUCT": 12, "DATE": 15}
 _STREAM_NUM = {"PRESENT": 0, "DATA": 1, "LENGTH": 2,
                "DICTIONARY_DATA": 3, "SECONDARY": 5}
 
 #: logical writer type -> ORC type kind
 _LOGICAL = {"boolean": "BOOLEAN", "int32": "INT", "int64": "LONG",
             "float": "FLOAT", "double": "DOUBLE", "string": "STRING",
-            "binary": "BINARY", "timestamp": "TIMESTAMP"}
+            "binary": "BINARY", "timestamp": "TIMESTAMP",
+            "date": "DATE"}
 
 _ORC_EPOCH = 1420070400  # 2015-01-01 UTC in unix seconds
 
@@ -306,7 +307,7 @@ def _encode_column(kind: str, present_vals: list,
                 else int_rle_v1_encode)
     if kind == "BOOLEAN":
         return {"DATA": bool_rle_encode([bool(v) for v in present_vals])}
-    if kind in ("INT", "LONG"):
+    if kind in ("INT", "LONG", "DATE"):  # DATE = epoch days
         return {"DATA": _int_rle(
             [int(v) for v in present_vals], signed=True)}
     if kind == "FLOAT":
@@ -533,7 +534,8 @@ class OrcFileWriter:
         # integer RLE (incl. the LIST column's LENGTH stream) declares
         # DIRECT_V2 when rle_version == 2 (boolean/float/double
         # streams are unversioned: DIRECT)
-        rle_kinds = ("INT", "LONG", "STRING", "BINARY", "TIMESTAMP")
+        rle_kinds = ("INT", "LONG", "DATE", "STRING", "BINARY",
+                     "TIMESTAMP")
         col_encs = [0] * self.n_cols
         ts_present = False
         for f in self.fields:

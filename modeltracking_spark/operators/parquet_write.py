@@ -340,6 +340,17 @@ def _plain_encode(phys: str, vals) -> bytes:
     raise NotImplementedError(f"cannot PLAIN-encode {phys}")
 
 
+def _page_crc(body: bytes) -> int:
+    """PageHeader.crc (field 4): CRC-32 over the page's (compressed)
+    data, stored as a SIGNED i32 — readers that opt into verification
+    (pyarrow ``page_checksum_verification=True``) reject tampered
+    pages."""
+    import zlib
+
+    v = zlib.crc32(body) & 0xFFFFFFFF
+    return v - (1 << 32) if v >= (1 << 31) else v
+
+
 def _compress(codec: str, body: bytes) -> bytes:
     if codec == "UNCOMPRESSED":
         return body
@@ -598,6 +609,7 @@ class ParquetFileWriter:
                 th.field_i32(1, 2)  # PageType.DICTIONARY_PAGE
                 th.field_i32(2, len(dict_plain))
                 th.field_i32(3, len(body))
+                th.field_i32(4, _page_crc(body))
                 th.begin_struct(7)  # DictionaryPageHeader
                 th.field_i32(1, len(uniq))
                 th.field_i32(2, _ENC_PLAIN)
@@ -656,6 +668,7 @@ class ParquetFileWriter:
                     th.field_i32(1, 3)  # PageType.DATA_PAGE_V2
                     th.field_i32(2, unc_size)
                     th.field_i32(3, len(body))
+                    th.field_i32(4, _page_crc(body))
                     th.begin_struct(8)  # DataPageHeaderV2
                     th.field_i32(1, len(p_reps))
                     th.field_i32(2, len(p_reps) - n_present
@@ -690,6 +703,7 @@ class ParquetFileWriter:
                 th.field_i32(1, 0)  # PageType.DATA_PAGE
                 th.field_i32(2, len(plain))
                 th.field_i32(3, len(body))
+                th.field_i32(4, _page_crc(body))
                 th.begin_struct(5)  # DataPageHeader
                 th.field_i32(1, len(p_reps))
                 th.field_i32(2, enc_num)

@@ -196,7 +196,8 @@ def _orc_sink_schema(schema) -> list[tuple]:
     base = {t.BooleanType: "boolean", t.IntegerType: "int32",
             t.LongType: "int64", t.FloatType: "float",
             t.DoubleType: "double", t.StringType: "string",
-            t.BinaryType: "binary", t.TimestampType: "timestamp"}
+            t.BinaryType: "binary", t.TimestampType: "timestamp",
+            t.DateType: "date"}
     out = []
     for f in schema.fields:
         if isinstance(f.dataType, t.ArrayType):
@@ -232,6 +233,12 @@ class _OrcNativeSinkWriter(TwoPhaseFileSinkWriter):
                                           str(1 << 18)))
 
     def convert_value(self, typ: str, v):
+        if typ == "date":
+            import datetime as dt
+
+            if isinstance(v, dt.date):
+                return (v - dt.date(1970, 1, 1)).days
+            return int(v)
         if typ == "timestamp":
             import datetime as dt
 

@@ -535,3 +535,87 @@ def test_dictionary_strings_write(spark, tmp_path, rle_v):
     w.finish()
     assert po.read_table(
         _io.BytesIO(buf.getvalue())).to_pydict()["s"] == cols["s"]
+
+
+def test_date_columns_and_jvm(spark, tmp_path):
+    """DATE columns (epoch days, int RLE): pyarrow.orc, Spark's Java
+    reader, the own reader, and the sink's DateType mapping."""
+    import datetime as ddt
+
+    import pyarrow.orc as po
+    from pyspark.sql import functions as F
+
+    from modeltracking_spark.queries.common import (
+        ensure_pkg_on_workers,
+    )
+    from modeltracking_spark.sources.orc_native_source import (
+        OrcNativeDataSource,
+    )
+
+    cols = {"d": [0, None, 19000, -3650, 1, 365] * 4}
+    blob = orc_write_table(cols, [("d", "date", True)], codec="ZLIB",
+                           stripe_rows=7, rle_version=2)
+    got = po.read_table(io.BytesIO(blob)).to_pydict()["d"]
+    epoch = ddt.date(1970, 1, 1)
+    assert [None if v is None else (v - epoch).days for v in got] \
+        == cols["d"]
+    p = tmp_path / "dates"
+    p.mkdir()
+    (p / "d.orc").write_bytes(blob)
+    rows = [r["d"] for r in spark.read.orc(str(p)).collect()]
+    assert sorted((v - epoch).days for v in rows if v is not None) \
+        == sorted(v for v in cols["d"] if v is not None)
+    # sink roundtrip of Spark DateType
+    ensure_pkg_on_workers(spark)
+    spark.dataSource.register(OrcNativeDataSource)
+    d2 = str(tmp_path / "sinkdates")
+    (spark.range(0, 40)
+     .select(F.date_add(F.lit("2020-01-01").cast("date"),
+                        F.col("id").cast("int")).alias("day"))
+     .repartition(2)
+     .write.format("orc_native").option("path", d2)
+     .mode("append").save())
+    back = spark.read.orc(d2)
+    assert back.count() == 40
+    assert back.agg(F.min("day")).first()[0] == ddt.date(2020, 1, 1)
+    assert back.agg(F.max("day")).first()[0] == ddt.date(2020, 2, 9)
+
+
+def test_parquet_page_crc_verified_by_pyarrow(tmp_path):
+    """PageHeader.crc (field 4): pyarrow's opt-in verification accepts
+    our checksums across page versions and dictionary modes, and a
+    page-BODY bit flip is caught as a CRC failure."""
+    import io as _io
+
+    import pyarrow.parquet as _pq
+
+    from modeltracking_spark.operators.parquet_write import (
+        parquet_write_table,
+    )
+
+    cols = {"a": list(range(100)), "s": [f"v{i % 7}"
+                                         for i in range(100)]}
+    schema = [("a", "int64", False), ("s", "string", True)]
+    for pv in (1, 2):
+        for dic in (True, False):
+            blob = parquet_write_table(cols, schema, codec="SNAPPY",
+                                       page_version=pv, dictionary=dic,
+                                       page_rows=30)
+            t = _pq.ParquetFile(
+                _io.BytesIO(blob),
+                page_checksum_verification=True).read()
+            assert t.to_pydict() == cols, (pv, dic)
+    blob = parquet_write_table(cols, schema, codec="SNAPPY",
+                               page_rows=30, dictionary=False)
+    crc_seen = False
+    for off in range(4, 200):
+        bad = bytearray(blob)
+        bad[off] ^= 0x01
+        try:
+            _pq.ParquetFile(_io.BytesIO(bytes(bad)),
+                            page_checksum_verification=True).read()
+        except Exception as e:  # noqa: BLE001 — any reject is fine
+            if "CRC" in str(e):
+                crc_seen = True
+                break
+    assert crc_seen
