@@ -724,11 +724,24 @@ class ParquetFileWriter:
             null_count = (sum(1 for d in defs if d != spec.max_def)
                           if spec.max_def else 0)
             stat_lo = stat_hi = None
-            if vals:
+            stat_vals = vals
+            if spec.physical in ("FLOAT", "DOUBLE"):
+                # parquet-format Statistics doc: writers SHOULD omit
+                # min/max when NaN is present (readers may prune on
+                # these bounds), and SHOULD write -0.0 as min / +0.0
+                # as max so both zeros stay inside the bounds.
+                if any(v != v for v in vals):
+                    stat_vals = []
+            if stat_vals:
                 key = (lambda v: _norm_key(v, False)) \
                     if spec.physical == "BYTE_ARRAY" else (lambda v: v)
-                stat_lo = min(vals, key=key)
-                stat_hi = max(vals, key=key)
+                stat_lo = min(stat_vals, key=key)
+                stat_hi = max(stat_vals, key=key)
+                if spec.physical in ("FLOAT", "DOUBLE"):
+                    if stat_lo == 0.0:
+                        stat_lo = -0.0
+                    if stat_hi == 0.0:
+                        stat_hi = 0.0
 
             md = _ThriftW()
             md.field_i32(1, _PHYS_NUM[spec.physical])

@@ -65,6 +65,26 @@ def _crc32(data: bytes) -> int:
     return zlib.crc32(data) & 0xFFFFFFFF
 
 
+def xz_cli_path() -> str:
+    """Resolve the reference ``xz`` CLI for BCJ chains the stdlib
+    lacks (``--arm64``/``--riscv`` need xz >= 5.6; the system liblzma
+    linked by ``_lzma`` is often older).  Resolution order:
+    ``$SPARK_GRAFT_XZ`` override, the known bundled 5.8 binary, then
+    ``PATH`` — a loud, typed ``FileNotFoundError`` otherwise so the
+    query degrades portably instead of dying on one machine's path."""
+    import os
+    import shutil
+
+    for cand in (os.environ.get("SPARK_GRAFT_XZ"),
+                 "/root/miniconda/bin/xz",
+                 shutil.which("xz")):
+        if cand and os.path.exists(cand):
+            return cand
+    raise FileNotFoundError(
+        "xz CLI not found: set $SPARK_GRAFT_XZ or install xz >= 5.6 "
+        "(required for the --arm64/--riscv BCJ filter chains)")
+
+
 def _read_vli(data: bytes, pos: int) -> tuple[int, int]:
     v = 0
     for i in range(9):
@@ -540,7 +560,7 @@ def xz_bcj_roundtrip_stats(
                 check = [_lzma.CHECK_CRC64, _lzma.CHECK_CRC32][did % 2]
                 if isinstance(chains[cid], str):
                     enc = subprocess.run(
-                        ["/root/miniconda/bin/xz", "--" + chains[cid],
+                        [xz_cli_path(), "--" + chains[cid],
                          "--lzma2=preset=1",
                          "--check=" + ["crc64", "crc32"][did % 2],
                          "-c"],

@@ -177,21 +177,42 @@ def topk_lineitems_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
-    by_date = o.select(
-        F.col("o_orderkey").alias("date_key"),
-        F.row_number()
-        .over(Window.orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc()))
-        .alias("rn"),
+    # limit-FIRST, rank on the 100-row survivors (the glob arm's own
+    # TakeOrderedAndProject pattern): ranking the full table in a
+    # partition-less window then filtering rn<=100 is an
+    # all-rows-to-one-task sort at scale.  orderBy().limit(100) keeps
+    # the global top-k distributed (per-partition top-k + merge) and
+    # the window only ever sees 100 rows.
+    by_date = (
+        o.orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select(
+            F.col("o_orderkey").alias("date_key"),
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+                )
+            )
+            .alias("rn"),
+        )
     )
-    by_price = o.select(
-        F.col("o_orderkey").alias("price_key"),
-        F.row_number()
-        .over(Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc()))
-        .alias("rn"),
+    by_price = (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select(
+            F.col("o_orderkey").alias("price_key"),
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+                )
+            )
+            .alias("rn"),
+        )
     )
     zp = (
         by_date.join(by_price, "rn")
-        .where(F.col("rn") <= 100)
         .select(
             F.lit("zip").alias("src"),
             F.col("date_key").alias("key_a"),

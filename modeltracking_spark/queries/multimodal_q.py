@@ -1728,8 +1728,9 @@ def xzblk_fixture_dir(spark, sf_dir: str) -> str:
                 fh.write(b"".join(groups))
                 raw_path = fh.name
             try:
+                from modeltracking_spark.operators.xz import xz_cli_path
                 blob = subprocess.run(
-                    ["/root/miniconda/bin/xz",
+                    [xz_cli_path(),
                      f"--block-list={sizes}", "-1", "-c", raw_path],
                     capture_output=True, check=True,
                 ).stdout

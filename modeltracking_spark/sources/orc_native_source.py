@@ -87,9 +87,23 @@ class _OrcNativeReader(DataSourceReader):
         )
 
         parts = []
+        ref_sig = ref_file = None
         for f in self.files:
             with open(f, "rb") as fh:  # TAIL reads only
                 footer = orc_footer_from_file(fh)
+            # planning-time drift check (mirrors parquet_native): the
+            # declared schema came from the first file's footer, so
+            # any disagreeing file must reject at planning time
+            sig = [(c["name"], c["kind"], c.get("child_kind"))
+                   for c in footer["columns"]]
+            if ref_sig is None:
+                ref_sig, ref_file = sig, f
+            elif sig != ref_sig:
+                raise ValueError(
+                    f"orc_native: schema drift inside directory — "
+                    f"{f} declares columns {sig} but {ref_file} "
+                    f"declares {ref_sig}; all files under one path "
+                    f"must share name/kind layout")
             sizes = [
                 st["index_length"] + st["data_length"]
                 + st["footer_length"]

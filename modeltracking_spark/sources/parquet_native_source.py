@@ -141,9 +141,24 @@ class _ParquetNativeReader(DataSourceReader):
         )
 
         parts = []
+        ref_sig = ref_file = None
         for f in self.files:
             with open(f, "rb") as fh:  # TAIL reads only
                 footer = parquet_footer_from_file(fh)
+            # planning-time drift check: schema() declared the FIRST
+            # file's footer for the whole directory, so a file whose
+            # columns disagree must die HERE with a clear message, not
+            # as an executor-side Arrow type error mid-scan
+            sig = [(c["name"], c["physical"], c.get("kind"),
+                    c.get("string")) for c in footer["columns"]]
+            if ref_sig is None:
+                ref_sig, ref_file = sig, f
+            elif sig != ref_sig:
+                raise ValueError(
+                    f"parquet_native: schema drift inside directory — "
+                    f"{f} declares columns {sig} but {ref_file} "
+                    f"declares {ref_sig}; all files under one path "
+                    f"must share name/physical/logical layout")
             paths = {c["name"]: c["path"] for c in footer["columns"]}
             proj = [paths[n] for n in (self.columns or paths)]
             survivors = []  # (rg_index, projected compressed bytes)

@@ -128,16 +128,21 @@ class TwoPhaseFileSinkWriter(_FileSinkTask, DataSourceArrowWriter):
     def commit(self, messages):
         import os
 
+        # DataSourceWriter.commit is typed List[Optional[...]]: a
+        # failed task contributes None.  Filter BEFORE the overwrite
+        # delete so a None can never strand the directory with neither
+        # old data nor _SUCCESS.
+        msgs = [m for m in messages if m is not None]
         if self.overwrite:
             for f in os.listdir(self.path):
                 if f.endswith(self.suffix) or f == "_SUCCESS":
                     os.remove(os.path.join(self.path, f))
-        for m in messages:
+        for m in msgs:
             os.replace(m.temp_path,
                        os.path.join(self.path, m.final_name))
         self._drop_temp()
         with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
-            fh.write(f"{sum(m.rows for m in messages)}\n")
+            fh.write(f"{sum(m.rows for m in msgs)}\n")
 
     def abort(self, messages):
         # drop this run's temp dir; visible output is never touched

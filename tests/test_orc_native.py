@@ -308,3 +308,32 @@ def test_datasource_stripes_projection_and_rows(spark, tmp_path):
         map(tuple, src.select("o_orderkey", "o_totalprice").collect()))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "BatchScan" in plan
+
+
+def test_directory_schema_drift_rejects_at_planning(spark, tmp_path):
+    """Mixed-schema .orc directory must reject at planning time with a
+    descriptive error (ADVICE r11; mirrors the parquet sibling)."""
+    import pyarrow as pa
+    from pyarrow import orc as pa_orc
+
+    from modeltracking_spark.queries.common import ensure_pkg_on_workers
+    from modeltracking_spark.sources.orc_native_source import (
+        OrcNativeDataSource,
+    )
+
+    d = tmp_path / "drift"
+    d.mkdir()
+    pa_orc.write_table(pa.table({"a": pa.array([1, 2], pa.int64())}),
+                       str(d / "f0.orc"))
+    pa_orc.write_table(pa.table({"a": pa.array(["x"], pa.string())}),
+                       str(d / "f1.orc"))
+    ensure_pkg_on_workers(spark)
+    try:
+        spark.dataSource.register(OrcNativeDataSource)
+    except Exception:
+        pass
+    df = spark.read.format("orc_native").option("path", str(d)).load()
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="schema drift"):
+        df.collect()

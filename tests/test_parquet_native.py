@@ -456,3 +456,36 @@ def test_rowgroup_coalescing_rows_identical(spark, tmp_path):
     r.pruning_filters = [In(("mono",), (500, 7500))]
     parts = r.partitions()
     assert [p.value[1] for p in parts] == [[0], [7]]
+
+
+def test_directory_schema_drift_rejects_at_planning(spark, tmp_path):
+    """A directory mixing parquet files with disagreeing schemas must
+    die with a clear planning-time ValueError — never an executor-side
+    Arrow type error (ADVICE r11)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from modeltracking_spark.queries.common import ensure_pkg_on_workers
+    from modeltracking_spark.sources.parquet_native_source import (
+        ParquetNativeDataSource,
+    )
+
+    d = tmp_path / "drift"
+    d.mkdir()
+    pq.write_table(pa.table({"a": pa.array([1, 2], pa.int64()),
+                             "b": pa.array(["x", "y"])}),
+                   d / "f0.parquet")
+    pq.write_table(pa.table({"a": pa.array([1.5, 2.5], pa.float64()),
+                             "b": pa.array(["x", "y"])}),
+                   d / "f1.parquet")
+    ensure_pkg_on_workers(spark)
+    try:
+        spark.dataSource.register(ParquetNativeDataSource)
+    except Exception:
+        pass
+    df = (spark.read.format("parquet_native")
+          .option("path", str(d)).load())
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="schema drift"):
+        df.collect()

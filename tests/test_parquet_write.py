@@ -531,3 +531,64 @@ def test_parquet_writer_hypothesis_roundtrip():
         assert _read_pyarrow(blob) == cols
 
     rt()
+
+
+def test_nan_column_omits_min_max_stats():
+    """parquet-format Statistics: writers should OMIT min/max when a
+    FLOAT/DOUBLE chunk contains NaN (readers prune on these bounds),
+    keeping null_count; and ±0.0 bounds normalize to -0.0 min / +0.0
+    max (ADVICE r11)."""
+    import pyarrow.parquet as pq
+
+    schema = [("v", "double", True), ("z", "double", False)]
+    cols = {"v": [1.0, float("nan"), None, 2.0],
+            "z": [0.0, -0.0, 0.0, -0.0]}
+    blob = parquet_write_table(cols, schema, codec="UNCOMPRESSED")
+    md = pq.ParquetFile(io.BytesIO(blob)).metadata.row_group(0)
+    st_v = md.column(0).statistics
+    assert st_v.null_count == 1
+    assert not st_v.has_min_max, "NaN chunk must not carry min/max"
+    st_z = md.column(1).statistics
+    assert st_z.has_min_max
+    # -0.0 as min, +0.0 as max: both zeros stay inside the bounds
+    assert str(st_z.min) == "-0.0" and str(st_z.max) == "0.0"
+    # values themselves round-trip untouched
+    got = _read_pyarrow(blob)
+    assert got["v"][0] == 1.0 and got["v"][3] == 2.0
+    assert got["v"][1] != got["v"][1]  # NaN preserved
+
+
+def test_batch_commit_filters_none_messages(tmp_path):
+    """DataSourceWriter.commit receives List[Optional[...]] — a failed
+    task contributes None.  The batch 2PC must filter None BEFORE the
+    overwrite-delete loop so it can never strand the directory with
+    neither old data nor _SUCCESS (ADVICE r11)."""
+    from modeltracking_spark.sources.sink_common import (
+        SinkCommit,
+        TwoPhaseFileSinkWriter,
+    )
+
+    class W(TwoPhaseFileSinkWriter):
+        suffix = ".bin"
+
+        def begin_file(self, fh):
+            pass
+
+        def append_rows(self, columns):
+            pass
+
+        def end_file(self):
+            pass
+
+    w = W(str(tmp_path), [], overwrite=True)
+    (tmp_path / "old.bin").write_bytes(b"old")
+    tdir = tmp_path / "_temporary" / w.run_id
+    tdir.mkdir(parents=True)
+    t = tdir / "part-00000.bin.0.tmp"
+    t.write_bytes(b"x")
+    msg = SinkCommit(temp_path=str(t), final_name="part-00000.bin",
+                     rows=3)
+    w.commit([None, msg])  # must not raise on the None
+    assert (tmp_path / "part-00000.bin").read_bytes() == b"x"
+    assert (tmp_path / "_SUCCESS").read_text().strip() == "3"
+    assert not (tmp_path / "old.bin").exists()

@@ -647,3 +647,74 @@ def test_round10_parallel_scan_partitioning(spark):
         plan = executed_plan(df)
         assert "Exchange" not in plan, name
         assert "BatchScan" in plan, name
+
+
+# -- round 12: registry-wide partition-less window pin ---------------
+
+#: partition-less windows over tables whose cardinality is FIXED by the
+#: algorithm, not the data — each site carries a bound comment in its
+#: query source (VERDICT r11 adjudicated these acceptable):
+#:   classifier_eval_suite   — per-distinct-score table, <= 1e6+1 rows
+#:                             by e6 fixed-point construction
+#:   deterministic_shuffle_docs / dsir_select_docs — cumulative window
+#:                             over the BOUNDED bucket-offset table
+#:                             (sampling.py:195 two-pass rank)
+#:   zorder_layout_grid      — rank over the bounded distinct-cell set
+#:   hist_quantiles_events / winsorize_events — cumulative window over
+#:                             the fixed 64-bin histogram table
+#:   track_resample_arclength — windows over ONE 80-point track
+#:                             (single-track bound, profile.py:175 is
+#:                             the fleet-scale variant)
+BOUNDED_WINDOW_SITES = {
+    "classifier_eval_suite",
+    "deterministic_shuffle_docs",
+    "dsir_select_docs",
+    "zorder_layout_grid",
+    "hist_quantiles_events",
+    "winsorize_events",
+    "track_resample_arclength",
+}
+
+
+def test_no_partitionless_window_over_full_table_in_plans_corpus():
+    """VERDICT r11 item 1: sweep every plan in PLANS.md (the headline
+    corpus tools/dump_plans.py regenerates each round) for ``Window``
+    nodes that have no partition spec AND no limit operator below
+    them — the all-rows-to-one-task sort shape that killed the old
+    positional-zip arm.  Only the declared bounded-by-construction
+    sites may carry one."""
+    import os
+    import re
+
+    from modeltracking_spark.plans.audit import partitionless_full_windows
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "PLANS.md")
+    text = open(path, errors="replace").read()
+    offenders = {}
+    for section in re.split(r"^## ", text, flags=re.M)[1:]:
+        name = section.splitlines()[0].strip()
+        m = re.search(r"```\n(.*?)```", section, re.S)
+        if not m:
+            continue
+        bad = partitionless_full_windows(m.group(1))
+        if bad and name not in BOUNDED_WINDOW_SITES:
+            offenders[name] = bad
+    assert not offenders, (
+        "partition-less full-table Window nodes outside the declared "
+        f"bounded sites: {offenders}"
+    )
+
+
+def test_topk_zip_arm_windows_are_limit_bounded(spark):
+    """The positional-zip arm must rank AFTER orderBy().limit(100)
+    (TakeOrderedAndProject feeds the window), never window the full
+    orders table — live-plan pin of the r12 fix, independent of
+    PLANS.md freshness."""
+    from modeltracking_spark.plans.audit import partitionless_full_windows
+    from modeltracking_spark.queries import load_registries
+
+    qs, _ = load_registries()
+    plan = executed_plan(qs["topk_lineitems_per_order"](spark, SF001))
+    assert "TakeOrderedAndProject" in plan
+    assert partitionless_full_windows(plan) == [], plan
