@@ -33,10 +33,11 @@ the Thrift Compact Protocol spec THRIFT-110):
   ZSTD (`operators/zstd.py`), LZ4_RAW (`operators/lz4.py`); legacy
   LZO/LZ4-hadoop reject loudly.
 
-Scope: flat schemas (max repetition level 0), REQUIRED or OPTIONAL
-columns (max definition level 0/1) — the shape of every table in
-``/root/testdata``.  Nested/repeated schemas and INT96 timestamps are
-documented loud rejects.  The reader is cross-validated column-for-
+Scope: flat columns, one-level LIST, one-level STRUCT of primitives
+(round 12), DECIMAL on all three physical carriers (round 12), and
+INT96 legacy timestamps (round 12, signed nanos-of-day + Julian day →
+epoch micros).  Deeper nesting (struct-in-struct, MAP, list-in-list)
+stays a documented loud reject.  The reader is cross-validated column-for-
 column against pyarrow (the reference implementation) over a writer
 matrix — compressions × dictionary on/off × page versions × null
 densities × multi-row-group × multi-page — in
@@ -209,6 +210,26 @@ PHYS = {0: "BOOLEAN", 1: "INT32", 2: "INT64", 3: "INT96", 4: "FLOAT",
 CODECS = {0: "UNCOMPRESSED", 1: "SNAPPY", 2: "GZIP", 3: "LZO",
           4: "BROTLI", 5: "LZ4", 6: "ZSTD", 7: "LZ4_RAW"}
 _UTF8_CONVERTED = 0  # ConvertedType.UTF8
+_DECIMAL_CONVERTED = 5  # ConvertedType.DECIMAL
+#: 1970-01-01 as a Julian day number (INT96 timestamp epoch base)
+_JULIAN_UNIX_EPOCH = 2440588
+
+
+def _decimal_of(el: dict) -> tuple[int, int] | None:
+    """(precision, scale) when a SchemaElement carries the DECIMAL
+    logical/converted type (LogicalType.DECIMAL is union field 5 with
+    DecimalType{1: scale, 2: precision}; legacy scale/precision sit on
+    the element itself as fields 7/8)."""
+    logical = el.get(10) or {}
+    if el.get(6) != _DECIMAL_CONVERTED and 5 not in logical:
+        return None
+    dl = logical.get(5) or {}
+    scale = dl.get(1, el.get(7, 0)) or 0
+    precision = dl.get(2, el.get(8, 0)) or 0
+    if precision <= 0 or scale < 0 or scale > precision:
+        raise ValueError(
+            f"invalid DECIMAL(precision={precision}, scale={scale})")
+    return (precision, scale)
 
 
 def _stat_value(raw: bytes, phys: str):
@@ -282,14 +303,66 @@ def parquet_footer(data_tail: bytes, file_size: int) -> dict:
         el = schema[i]
         name = el.get(4, b"?").decode("utf-8", "replace")
         if el.get(5):  # group node
-            # the ONE nested shape supported: the standard 3-level
-            # LIST — optional/required group (LIST) > repeated group >
-            # single leaf (the array<float> embedding-column shape)
+            # TWO nested shapes supported: the standard 3-level LIST
+            # (optional/required group (LIST) > repeated group > single
+            # leaf — the array<float> embedding-column shape) and a
+            # one-level non-repeated STRUCT of primitive leaves
             is_list = el.get(6) == 3 or 3 in (el.get(10) or {})
+            nch = el.get(5, 0)
+            if (not is_list and el.get(3, 0) != 2
+                    and i + nch < len(schema)):
+                kids = schema[i + 1:i + 1 + nch]
+                if all(not k.get(5) and k.get(3, 0) != 2
+                       for k in kids):
+                    # one-level STRUCT: each leaf is its own column
+                    # chunk with path "<struct>.<leaf>"; with no
+                    # repetition anywhere the Dremel assembly is
+                    # definition levels only — def < d1 means the
+                    # struct itself is null at that record
+                    outer_opt = el.get(3, 0) == 1
+                    d1 = 1 if outer_opt else 0
+                    fields = []
+                    for k in kids:
+                        kphys = PHYS.get(k.get(1))
+                        if kphys is None:
+                            raise ValueError(
+                                "unknown parquet physical type "
+                                f"{k.get(1)}")
+                        kname = k.get(4, b"?").decode(
+                            "utf-8", "replace")
+                        klog = k.get(10) or {}
+                        kopt = k.get(3, 0) == 1
+                        fields.append({
+                            "name": kname,
+                            "kind": "flat",
+                            "physical": kphys,
+                            "type_length": k.get(2, 0),
+                            "string": (k.get(6) == _UTF8_CONVERTED
+                                       or 1 in klog),
+                            "decimal": _decimal_of(k),
+                            "logical": klog,
+                            "converted": k.get(6),
+                            "optional": kopt,
+                            "max_rep": 0,
+                            "max_def": d1 + (1 if kopt else 0),
+                            "d1": d1,
+                            "path": f"{name}.{kname}",
+                        })
+                    cols.append({
+                        "name": name,
+                        "kind": "struct",
+                        "physical": "GROUP",
+                        "optional": outer_opt,
+                        "fields": fields,
+                        "path": name,
+                    })
+                    i += 1 + nch
+                    continue
             if not (is_list and el.get(5) == 1 and i + 2 < len(schema)):
                 raise NotImplementedError(
-                    "nested parquet schemas beyond one LIST level not "
-                    f"supported (group node {name!r})"
+                    "nested parquet schemas beyond one LIST level or "
+                    f"one STRUCT of primitives not supported (group "
+                    f"node {name!r})"
                 )
             mid, leaf = schema[i + 1], schema[i + 2]
             if mid.get(3) != 2 or mid.get(5) != 1 or leaf.get(5):
@@ -312,6 +385,7 @@ def parquet_footer(data_tail: bytes, file_size: int) -> dict:
                 "physical": phys,
                 "type_length": leaf.get(2, 0),
                 "string": leaf.get(6) == _UTF8_CONVERTED or 1 in logical,
+                "decimal": _decimal_of(leaf),
                 "logical": logical,
                 "converted": leaf.get(6),
                 "optional": outer_opt,
@@ -340,6 +414,7 @@ def parquet_footer(data_tail: bytes, file_size: int) -> dict:
             "type_length": el.get(2, 0),
             # UTF8 via converted type or LogicalType.STRING (field 1)
             "string": el.get(6) == _UTF8_CONVERTED or 1 in logical,
+            "decimal": _decimal_of(el),
             "logical": logical,
             "converted": el.get(6),
             "optional": el.get(3, 0) == 1,
@@ -663,9 +738,28 @@ def _plain_values(phys: str, data: bytes, pos: int, n: int,
         vals = [data[pos + i * type_length:pos + (i + 1) * type_length]
                 for i in range(n)]
         return vals, pos + need
+    if phys == "INT96":
+        # legacy Spark/Hive timestamp: 12 bytes = LE uint64
+        # nanoseconds-of-day + LE uint32 Julian day number; decoded
+        # straight to epoch MICROSECONDS (the reader's timestamp
+        # posture — same as INT64 timestamp columns)
+        need = n * 12
+        if pos + need > len(data):
+            raise ValueError("truncated PLAIN INT96 run")
+        vals = []
+        for i in range(n):
+            off = pos + i * 12
+            # nanos is SIGNED: some writers (pyarrow among them) carry
+            # pre-1970 instants as a later Julian day + negative
+            # nanos-of-day rather than normalizing
+            nanos = int.from_bytes(data[off:off + 8], "little",
+                                   signed=True)
+            jday = int.from_bytes(data[off + 8:off + 12], "little")
+            vals.append((jday - _JULIAN_UNIX_EPOCH) * 86_400_000_000
+                        + nanos // 1000)
+        return vals, pos + need
     raise NotImplementedError(
-        f"parquet physical type {phys} not supported (INT96 legacy "
-        "timestamps are a plug-in reject)"
+        f"parquet physical type {phys} not supported"
     )
 
 
@@ -674,13 +768,19 @@ def _bits_for(n: int) -> int:
 
 
 @_malformed_guard("parquet")
-def read_column_chunk(fh, chunk: dict, col: dict) -> list:
+def read_column_chunk(fh, chunk: dict, col: dict,
+                      with_defs: bool = False):
     """Decode ONE column chunk (the parallel-read unit next to the row
     group): seek to its byte range, walk dictionary + data pages, and
     return the fully assembled value list — ``None`` for nulls; for a
     LIST column, one Python list (or None/[]) per RECORD, assembled
     from the (repetition, definition) level pairs per the Dremel
-    record-shredding rules the format defines."""
+    record-shredding rules the format defines.
+
+    ``with_defs=True`` (flat columns only) additionally returns the
+    per-record definition levels — the STRUCT assembly needs them to
+    tell a null struct (def < d1) from a present struct with a null
+    leaf (def == d1)."""
     start = chunk["data_page_offset"]
     if chunk.get("dictionary_page_offset") is not None:
         start = min(start, chunk["dictionary_page_offset"])
@@ -695,6 +795,7 @@ def read_column_chunk(fh, chunk: dict, col: dict) -> list:
     rep_bw = _bits_for(max_rep)
     dictionary: list | None = None
     out: list = []
+    all_defs: list = []  # per-record def levels (with_defs callers)
     cur: list | None = None  # list record under assembly (spans pages)
     done = 0  # value slots (triplets) consumed, vs metadata num_values
     pos = 0
@@ -824,6 +925,8 @@ def read_column_chunk(fh, chunk: dict, col: dict) -> list:
             raise NotImplementedError(
                 f"parquet encoding #{enc} not supported")
         if max_rep == 0:
+            if with_defs:
+                all_defs.extend(defs)
             if max_def == 0:
                 out.extend(vals)
             else:
@@ -852,29 +955,73 @@ def read_column_chunk(fh, chunk: dict, col: dict) -> list:
         raise ValueError(
             f"column chunk decoded {done} value slots, metadata says "
             f"{want}")
-    return out
+    return (out, all_defs) if with_defs else out
+
+
+def _value_conv(col: dict):
+    """Per-leaf Python-value converter (None when values pass
+    through): UTF8 bytes -> str, DECIMAL unscaled ints / big-endian
+    two's-complement byte arrays -> decimal.Decimal, raw byte views ->
+    bytes."""
+    dec = col.get("decimal")
+    if dec is not None:
+        from decimal import Context, Decimal
+
+        _p, s = dec
+        # default context precision (28) silently rounds 29+-digit
+        # unscaled values; the format allows up to 38
+        ctx = Context(prec=41)
+        if col["physical"] in ("INT32", "INT64"):
+            return lambda v: Decimal(v).scaleb(-s, ctx)
+        if col["physical"] in ("BYTE_ARRAY", "FIXED_LEN_BYTE_ARRAY"):
+            return lambda v: Decimal(
+                int.from_bytes(v, "big", signed=True)).scaleb(-s, ctx)
+        raise NotImplementedError(
+            f"DECIMAL on physical {col['physical']} not supported")
+    if col["physical"] == "BYTE_ARRAY" and col["string"]:
+        return lambda v: v.decode("utf-8")
+    if col["physical"] in ("BYTE_ARRAY", "FIXED_LEN_BYTE_ARRAY"):
+        return bytes
+    return None
 
 
 @_malformed_guard("parquet")
 def read_row_group(fh, footer: dict, rg_index: int,
                    columns: list[str] | None = None) -> dict:
     """Decode one row group into ``{column_name: [values]}`` —
-    only the projected columns' byte ranges are read."""
+    only the projected columns' byte ranges are read.  STRUCT columns
+    come back as one dict (or None) per record."""
     rg = footer["row_groups"][rg_index]
     by_name = {c["name"]: c for c in footer["columns"]}
     names = columns or [c["name"] for c in footer["columns"]]
     out = {}
     for name in names:
         col = by_name.get(name)
-        if col is None or col["path"] not in rg["chunks"]:
+        if col is None:
+            raise ValueError(f"column {name!r} not in this row group")
+        if col.get("kind") == "struct":
+            recs: list | None = None
+            for f_ in col["fields"]:
+                if f_["path"] not in rg["chunks"]:
+                    raise ValueError(
+                        f"column {f_['path']!r} not in this row group")
+                vals, defs = read_column_chunk(
+                    fh, rg["chunks"][f_["path"]], f_, with_defs=True)
+                conv = _value_conv(f_)
+                if recs is None:
+                    d1 = f_["d1"]
+                    recs = [None if d < d1 else {} for d in defs]
+                for rec, v in zip(recs, vals):
+                    if rec is not None:
+                        rec[f_["name"]] = (
+                            conv(v) if conv is not None and
+                            v is not None else v)
+            out[name] = recs if recs is not None else []
+            continue
+        if col["path"] not in rg["chunks"]:
             raise ValueError(f"column {name!r} not in this row group")
         vals = read_column_chunk(fh, rg["chunks"][col["path"]], col)
-        if col["physical"] == "BYTE_ARRAY" and col["string"]:
-            conv = (lambda v: v.decode("utf-8"))
-        elif col["physical"] in ("BYTE_ARRAY", "FIXED_LEN_BYTE_ARRAY"):
-            conv = bytes
-        else:
-            conv = None
+        conv = _value_conv(col)
         if conv is not None:
             if col.get("kind") == "list":
                 vals = [None if rec is None else

@@ -29,7 +29,8 @@ import struct
 
 # parquet.thrift Type / CompressionCodec / Encoding numbers
 _PHYS_NUM = {"BOOLEAN": 0, "INT32": 1, "INT64": 2, "FLOAT": 4,
-             "DOUBLE": 5, "BYTE_ARRAY": 6}
+             "DOUBLE": 5, "BYTE_ARRAY": 6,
+             "FIXED_LEN_BYTE_ARRAY": 7}
 _CODEC_NUM = {"UNCOMPRESSED": 0, "SNAPPY": 1, "GZIP": 2, "ZSTD": 6}
 _ENC_PLAIN = 0
 _ENC_RLE = 3
@@ -337,6 +338,8 @@ def _plain_encode(phys: str, vals) -> bytes:
             out += len(b).to_bytes(4, "little")
             out += b
         return bytes(out)
+    if phys == "FIXED_LEN_BYTE_ARRAY":
+        return b"".join(bytes(v) for v in vals)
     raise NotImplementedError(f"cannot PLAIN-encode {phys}")
 
 
@@ -398,10 +401,159 @@ def _stats_bytes(phys: str, v) -> bytes:
     return b
 
 
+def _decimal_spec(typ: str):
+    """Parse ``decimal(p,s)`` -> (precision, scale, physical,
+    type_length).  Physical per the format's recommendation: INT32 up
+    to 9 digits, INT64 up to 18, FIXED_LEN_BYTE_ARRAY (minimal
+    big-endian two's-complement width) beyond."""
+    import re
+
+    m = re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", typ)
+    if not m:
+        return None
+    p, s = int(m.group(1)), int(m.group(2))
+    if not (0 < p <= 38) or s < 0 or s > p:
+        raise ValueError(f"invalid decimal({p},{s})")
+    if p <= 9:
+        return p, s, "INT32", 0
+    if p <= 18:
+        return p, s, "INT64", 0
+    n = 1
+    while 256 ** n // 2 <= 10 ** p - 1:
+        n += 1
+    return p, s, "FIXED_LEN_BYTE_ARRAY", n
+
+
+def _decimal_convert(precision: int, scale: int, nbytes: int):
+    """Present-value converter: Decimal/int/str -> unscaled int (or
+    big-endian two's-complement bytes for FLBA), with loud overflow /
+    inexact-scale rejects."""
+    from decimal import Context, Decimal
+
+    ctx = Context(prec=41)  # default 28 rounds 29+-digit unscaled
+
+    def conv(v):
+        d = v if isinstance(v, Decimal) else Decimal(str(v))
+        u = d.scaleb(scale, ctx)
+        if u != u.to_integral_value():
+            raise ValueError(
+                f"decimal value {v} does not fit scale {scale}")
+        u = int(u)
+        if abs(u) >= 10 ** precision:
+            raise ValueError(
+                f"decimal value {v} overflows precision {precision}")
+        if nbytes:
+            return u.to_bytes(nbytes, "big", signed=True)
+        return u
+
+    return conv
+
+
+class _StructLeafSpec:
+    """One primitive leaf of a one-level STRUCT column: its own column
+    chunk with path ``[outer, leaf]``; no repetition anywhere, so
+    shredding is pure definition levels — 0 = struct null, d1 = leaf
+    null, max_def = value present."""
+
+    kind = "structleaf"
+    max_rep = 0
+
+    def __init__(self, outer: str, outer_nullable: bool, leaf: str,
+                 typ: str, leaf_nullable: bool):
+        self.source = outer
+        self.name = f"{outer}.{leaf}"
+        self.leaf_name = leaf
+        self.nullable = leaf_nullable or outer_nullable  # has def lvls
+        self.struct_nullable = bool(outer_nullable)
+        self.leaf_optional = bool(leaf_nullable)
+        self.d1 = 1 if outer_nullable else 0
+        self.max_def = self.d1 + (1 if leaf_nullable else 0)
+        self.path = [outer, leaf]
+        self.decimal = _decimal_spec(typ)
+        self.convert = None
+        self.type_length = 0
+        self.no_minmax = False
+        if self.decimal:
+            p, s, self.physical, self.type_length = self.decimal
+            self.decimal = (p, s)
+            self.string = False
+            self.convert = _decimal_convert(p, s, self.type_length)
+            self.no_minmax = self.physical == "FIXED_LEN_BYTE_ARRAY"
+        else:
+            if typ not in _LOGICAL:
+                raise NotImplementedError(
+                    f"struct field type {typ!r} not supported")
+            self.physical, self.string = _LOGICAL[typ]
+
+    def shred(self, records):
+        defs: list[int] = []
+        vals: list = []
+        d1, md = self.d1, self.max_def
+        for rec in records:
+            if rec is None:
+                if not self.struct_nullable:
+                    raise ValueError(
+                        f"null struct in required column "
+                        f"{self.source!r}")
+                defs.append(0)
+                continue
+            v = rec.get(self.leaf_name)
+            if v is None:
+                if not self.leaf_optional:
+                    raise ValueError(
+                        f"null in required struct field {self.name!r}")
+                defs.append(d1)
+            else:
+                defs.append(md)
+                vals.append(v)
+        if self.convert is not None:
+            vals = [self.convert(v) for v in vals]
+        return [0] * len(records), defs, vals
+
+
 class _ColumnSpec:
     def __init__(self, name: str, typ: str, nullable: bool):
         self.name = name
         self.nullable = bool(nullable)
+        self.decimal = None
+        self.convert = None
+        self.type_length = 0
+        self.no_minmax = False
+        dec = _decimal_spec(typ)
+        if dec is not None:
+            p, s, self.physical, self.type_length = dec
+            self.decimal = (p, s)
+            self.string = False
+            self.convert = _decimal_convert(p, s, self.type_length)
+            self.no_minmax = self.physical == "FIXED_LEN_BYTE_ARRAY"
+            self.kind = "flat"
+            self.leaf_optional = False
+            self.max_def = 1 if self.nullable else 0
+            self.max_rep = 0
+            self.path = [name]
+            return
+        if typ.startswith("struct<") and typ.endswith(">"):
+            self.kind = "struct"
+            self.physical = "GROUP"
+            self.string = False
+            self.max_rep = 0
+            self.path = [name]
+            self.children = []
+            for part in typ[7:-1].split(","):
+                part = part.strip()
+                if not part:
+                    continue
+                fname, _, ftyp = part.partition(":")
+                ftyp = ftyp.strip()
+                opt = ftyp.endswith("?")
+                if opt:
+                    ftyp = ftyp[:-1]
+                self.children.append(_StructLeafSpec(
+                    name, self.nullable, fname.strip(), ftyp, opt))
+            if not self.children:
+                raise ValueError(
+                    f"struct column {name!r} needs at least one field")
+            return
         if typ.startswith("list<") and typ.endswith(">"):
             inner = typ[5:-1].strip()
             opt = inner.endswith("?")
@@ -451,6 +603,8 @@ class _ColumnSpec:
                     vals.append(v)
                 defs = [0] * len(records)
             reps = [0] * len(records)
+            if self.convert is not None:
+                vals = [self.convert(v) for v in vals]
             return reps, defs, vals
         for rec in records:
             if rec is None:
@@ -478,10 +632,10 @@ class _ColumnSpec:
         return reps, defs, vals
 
 
-def _record_spans(spec: _ColumnSpec, reps: list[int]):
+def _record_spans(spec, reps: list[int]):
     """Triplet index ranges per record (page splits must respect
     record boundaries for repeated columns)."""
-    if spec.kind == "flat":
+    if spec.max_rep == 0:
         return [(i, i + 1) for i in range(len(reps))]
     spans = []
     start = 0
@@ -535,6 +689,14 @@ class ParquetFileWriter:
         self.specs = [_ColumnSpec(*s) for s in schema]
         if not self.specs:
             raise ValueError("parquet schema needs at least one column")
+        # column-CHUNK grain: a struct column contributes one chunk
+        # per leaf; everything else is 1:1
+        self.chunk_specs = []
+        for s in self.specs:
+            if s.kind == "struct":
+                self.chunk_specs.extend(s.children)
+            else:
+                self.chunk_specs.append(s)
         self.fh = fh
         self.codec = codec
         self.page_rows = page_rows
@@ -574,8 +736,8 @@ class ParquetFileWriter:
             return 0
         chunks_meta = []
         total_bytes = 0
-        for spec in specs:
-            records = columns[spec.name]
+        for spec in self.chunk_specs:
+            records = columns[getattr(spec, "source", spec.name)]
             reps, defs, vals = spec.shred(records)
             spans = _record_spans(spec, reps)
             nv = len(reps)
@@ -724,7 +886,7 @@ class ParquetFileWriter:
             null_count = (sum(1 for d in defs if d != spec.max_def)
                           if spec.max_def else 0)
             stat_lo = stat_hi = None
-            stat_vals = vals
+            stat_vals = [] if spec.no_minmax else vals
             if spec.physical in ("FLOAT", "DOUBLE"):
                 # parquet-format Statistics doc: writers SHOULD omit
                 # min/max when NaN is present (readers may prune on
@@ -797,15 +959,56 @@ class ParquetFileWriter:
             el.end_struct()
             el.end_struct()
 
+        def _decimal_fields(el: _ThriftW, s):
+            # ConvertedType.DECIMAL + legacy scale/precision + the
+            # LogicalType.DECIMAL struct {1: scale, 2: precision}
+            p, sc = s.decimal
+            el.field_i32(6, 5)
+            el.field_i32(7, sc)
+            el.field_i32(8, p)
+            el.begin_struct(10)
+            el.begin_struct(5)
+            el.field_i32(1, sc)
+            el.field_i32(2, p)
+            el.end_struct()
+            el.end_struct()
+
+        def _leaf_common(el: _ThriftW, s, name: str, optional: bool):
+            el.field_i32(1, _PHYS_NUM[s.physical])
+            if s.type_length:
+                el.field_i32(2, s.type_length)
+            el.field_i32(3, 1 if optional else 0)
+            el.field_string(4, name)
+            if s.decimal:
+                _decimal_fields(el, s)
+            elif s.string:
+                el.field_i32(6, 0)  # ConvertedType.UTF8
+                _logical(el, 1)
+
         fmd = _ThriftW()
         fmd.field_i32(1, 1)  # version
-        n_schema = 1 + sum(3 if s.kind == "list" else 1 for s in specs)
+        n_schema = 1 + sum(
+            3 if s.kind == "list"
+            else 1 + len(s.children) if s.kind == "struct"
+            else 1
+            for s in specs)
         fmd.begin_list(2, 12, n_schema)
         root = _ThriftW()
         root.field_string(4, "schema")
         root.field_i32(5, len(specs))
         fmd.list_struct(root)
         for s in specs:
+            if s.kind == "struct":
+                el = _ThriftW()
+                el.field_i32(3, 1 if s.nullable else 0)
+                el.field_string(4, s.name)
+                el.field_i32(5, len(s.children))
+                fmd.list_struct(el)
+                for c in s.children:
+                    leaf = _ThriftW()
+                    _leaf_common(leaf, c, c.leaf_name, c.leaf_optional)
+                    fmd.list_struct(leaf)
+                continue
             if s.kind == "list":
                 el = _ThriftW()
                 el.field_i32(3, 1 if s.nullable else 0)
@@ -829,12 +1032,7 @@ class ParquetFileWriter:
                 fmd.list_struct(leaf)
             else:
                 el = _ThriftW()
-                el.field_i32(1, _PHYS_NUM[s.physical])
-                el.field_i32(3, 1 if s.nullable else 0)
-                el.field_string(4, s.name)
-                if s.string:
-                    el.field_i32(6, 0)  # ConvertedType.UTF8
-                    _logical(el, 1)
+                _leaf_common(el, s, s.name, s.nullable)
                 fmd.list_struct(el)
         fmd.field_i64(3, self.n_rows)
         fmd.begin_list(4, 12, len(self._groups_meta))

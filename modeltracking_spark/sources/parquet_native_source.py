@@ -21,7 +21,9 @@ deployment needs —
 Type mapping: INT64→bigint (timestamps surface as their physical
 epoch-micros/millis), INT32→int (dates as epoch days), FLOAT/DOUBLE,
 BOOLEAN, UTF8 byte arrays→string, other byte arrays→binary, one-level
-LIST→array<elem>.  Nested structs / INT96 reject loudly upstream.
+LIST→array<elem>, one-level STRUCT→struct<...> (round 12), DECIMAL
+logical→decimal(p,s) (round 12), INT96 legacy timestamps→bigint epoch
+micros (round 12).  Deeper nesting / MAP reject loudly upstream.
 """
 
 from __future__ import annotations
@@ -51,9 +53,19 @@ def _files(path: str) -> list[str]:
 
 
 def _spark_type(col: dict) -> str:
+    if col.get("kind") == "struct":
+        inner = ", ".join(
+            f"`{f['name']}`: {_spark_type(f)}" for f in col["fields"])
+        return f"struct<{inner}>"
+    if col.get("decimal"):
+        p, s = col["decimal"]
+        return f"decimal({p},{s})"
     base = {
         "BOOLEAN": "boolean", "INT32": "int", "INT64": "bigint",
         "FLOAT": "float", "DOUBLE": "double",
+        # INT96 legacy timestamps surface as epoch micros, the same
+        # posture as INT64 timestamp columns
+        "INT96": "bigint",
     }.get(col["physical"])
     if col["physical"] == "BYTE_ARRAY":
         base = "string" if col["string"] else "binary"
@@ -65,6 +77,32 @@ def _spark_type(col: dict) -> str:
     if col.get("kind") == "list":
         return f"array<{base}>"
     return base
+
+
+def _pa_type(col: dict):
+    """pyarrow type for one footer column spec (mirrors
+    ``_spark_type``)."""
+    import pyarrow as pa
+
+    if col.get("kind") == "struct":
+        return pa.struct(
+            [pa.field(f["name"], _pa_type(f)) for f in col["fields"]])
+    if col.get("decimal"):
+        p, s = col["decimal"]
+        return pa.decimal128(p, s)
+    base = {
+        "BOOLEAN": pa.bool_(), "INT32": pa.int32(),
+        "INT64": pa.int64(), "INT96": pa.int64(),
+        "FLOAT": pa.float32(), "DOUBLE": pa.float64(),
+    }.get(col["physical"])
+    if col["physical"] == "BYTE_ARRAY":
+        base = pa.string() if col["string"] else pa.binary()
+    elif col["physical"] == "FIXED_LEN_BYTE_ARRAY":
+        base = pa.binary()
+    if base is None:
+        raise ValueError(
+            f"unmappable parquet physical type {col['physical']}")
+    return pa.list_(base) if col.get("kind") == "list" else base
 
 
 def _rg_may_match(stats: dict, num_values: int, f) -> bool:
@@ -162,10 +200,17 @@ class _ParquetNativeReader(DataSourceReader):
             paths = {c["name"]: c["path"] for c in footer["columns"]}
             proj = [paths[n] for n in (self.columns or paths)]
             survivors = []  # (rg_index, projected compressed bytes)
+            # DECIMAL stats are unscaled ints at the physical level —
+            # comparing them against Spark's Decimal filter values
+            # would prune wrongly, so those columns never prune
+            no_prune = {c["name"] for c in footer["columns"]
+                        if c.get("decimal") or c.get("kind") == "struct"}
             for rg, group in enumerate(footer["row_groups"]):
                 keep = True
                 for flt in self.pruning_filters:
                     name = flt.attribute[0]
+                    if name in no_prune:
+                        continue
                     chunk = group["chunks"].get(paths.get(name, name))
                     if chunk is None:
                         continue
@@ -214,19 +259,7 @@ class _ParquetNativeReader(DataSourceReader):
                 data = read_row_group(fh, footer, rg, columns)
                 arrays, fields = [], []
                 for n in names:
-                    col = by_name[n]
-                    base = {
-                        "BOOLEAN": pa.bool_(), "INT32": pa.int32(),
-                        "INT64": pa.int64(), "FLOAT": pa.float32(),
-                        "DOUBLE": pa.float64(),
-                    }.get(col["physical"])
-                    if col["physical"] == "BYTE_ARRAY":
-                        base = (pa.string() if col["string"]
-                                else pa.binary())
-                    elif col["physical"] == "FIXED_LEN_BYTE_ARRAY":
-                        base = pa.binary()
-                    typ = (pa.list_(base) if col.get("kind") == "list"
-                           else base)
+                    typ = _pa_type(by_name[n])
                     arrays.append(pa.array(data[n], typ))
                     fields.append(pa.field(n, typ))
                 yield pa.RecordBatch.from_arrays(
@@ -278,6 +311,12 @@ def _sink_schema(schema) -> list[tuple]:
             t.LongType: "int64", t.FloatType: "float",
             t.DoubleType: "double", t.StringType: "string",
             t.BinaryType: "binary"}
+
+    def _scalar(dt):
+        if isinstance(dt, t.DecimalType):
+            return f"decimal({dt.precision},{dt.scale})"
+        return base.get(type(dt))
+
     out = []
     for f in schema.fields:
         if isinstance(f.dataType, t.ArrayType):
@@ -289,7 +328,20 @@ def _sink_schema(schema) -> list[tuple]:
             el += "?" if f.dataType.containsNull else ""
             out.append((f.name, f"list<{el}>", f.nullable))
             continue
-        tp = base.get(type(f.dataType))
+        if isinstance(f.dataType, t.StructType):
+            parts = []
+            for sf in f.dataType.fields:
+                st = _scalar(sf.dataType)
+                if st is None:
+                    raise NotImplementedError(
+                        f"parquet_native sink: struct field type "
+                        f"{sf.dataType} not supported")
+                parts.append(
+                    f"{sf.name}:{st}{'?' if sf.nullable else ''}")
+            out.append((f.name, f"struct<{','.join(parts)}>",
+                        f.nullable))
+            continue
+        tp = _scalar(f.dataType)
         if tp is None:
             raise NotImplementedError(
                 f"parquet_native sink: type {f.dataType} not supported")

@@ -221,25 +221,33 @@ def test_column_pruning_reads_only_projected_ranges():
 
 
 def test_typed_rejects():
-    # nested struct schema
-    t = pa.table({"s": pa.array([{"a": 1}], pa.struct([("a",
-                                                        pa.int64())]))})
+    # struct nested DEEPER than one level of primitives (list inside
+    # struct) stays a loud reject
+    t = pa.table({"s": pa.array(
+        [{"a": [1, 2]}],
+        pa.struct([("a", pa.list_(pa.int64()))]))})
     buf = io.BytesIO()
     pq.write_table(t, buf)
     buf.seek(0)
     with pytest.raises(NotImplementedError, match="nested"):
         parquet_footer_from_file(buf)
-    # INT96 legacy timestamps
-    import datetime
-
-    t = pa.table({"ts": pa.array([datetime.datetime(2020, 1, 1)],
-                                 pa.timestamp("ns"))})
+    # struct inside struct
+    t = pa.table({"s": pa.array(
+        [{"a": {"b": 1}}],
+        pa.struct([("a", pa.struct([("b", pa.int64())]))]))})
     buf = io.BytesIO()
-    pq.write_table(t, buf, use_deprecated_int96_timestamps=True)
+    pq.write_table(t, buf)
     buf.seek(0)
-    f = parquet_footer_from_file(buf)
-    with pytest.raises(NotImplementedError, match="INT96"):
-        read_row_group(buf, f, 0)
+    with pytest.raises(NotImplementedError, match="nested"):
+        parquet_footer_from_file(buf)
+    # MAP type
+    t = pa.table({"m": pa.array([[("k", 1)]],
+                                pa.map_(pa.string(), pa.int64()))})
+    buf = io.BytesIO()
+    pq.write_table(t, buf)
+    buf.seek(0)
+    with pytest.raises(NotImplementedError):
+        parquet_footer_from_file(buf)
     # footer damage
     with pytest.raises(ValueError, match="magic"):
         parquet_footer_from_file(io.BytesIO(b"\x00" * 64))
@@ -489,3 +497,89 @@ def test_directory_schema_drift_rejects_at_planning(spark, tmp_path):
 
     with _pytest.raises(Exception, match="schema drift"):
         df.collect()
+
+
+def test_decimal_columns_vs_pyarrow():
+    """DECIMAL logical type across all three physical carriers (INT32
+    / INT64 / FIXED_LEN_BYTE_ARRAY big-endian two's complement), with
+    nulls, negatives, and full-precision extremes — exact
+    decimal.Decimal values vs pyarrow (VERDICT r11 item 2)."""
+    from decimal import Decimal as D
+
+    cols = {
+        "d32": pa.array([D("1.23"), None, D("-9999999.99"),
+                         D("0.00")], pa.decimal128(9, 2)),
+        "d64": pa.array([D("123456789.123"), D("-0.001"), None,
+                         D("999999999999999.999")],
+                        pa.decimal128(18, 3)),
+        "d128": pa.array(
+            [D("12345678901234567890.12345"), None,
+             D("-99999999999999999999999999999999.99999"),
+             D("0.00001")], pa.decimal128(37, 5)),
+        "dint": pa.array([D("5"), D("-7"), None, D("42")],
+                         pa.decimal128(5, 0)),
+    }
+    t = pa.table(cols)
+    for dic in (True, False):
+        buf = io.BytesIO()
+        pq.write_table(t, buf, use_dictionary=dic)
+        buf.seek(0)
+        foot = parquet_footer_from_file(buf)
+        by = {c["name"]: c for c in foot["columns"]}
+        assert by["d32"]["decimal"] == (9, 2)
+        assert by["d128"]["physical"] == "FIXED_LEN_BYTE_ARRAY"
+        got = read_row_group(buf, foot, 0)
+        for n in cols:
+            assert got[n] == cols[n].to_pylist(), n
+
+
+def test_int96_timestamps_vs_pyarrow():
+    """Legacy INT96 decode — epoch micros incl. pre-1970 (signed
+    nanos-of-day), the unix epoch itself, and far-future instants —
+    exact vs pyarrow's own reader (VERDICT r11 item 3)."""
+    import datetime as dt
+
+    ts = [dt.datetime(2001, 2, 3, 4, 5, 6, 789012), None,
+          dt.datetime(1960, 1, 1, 0, 0, 0, 123456),
+          dt.datetime(1899, 12, 31, 23, 59, 59, 999999),
+          dt.datetime(1970, 1, 1),
+          dt.datetime(2262, 4, 11, 23, 47, 16, 854775)]
+    t = pa.table({"ts": pa.array(ts, pa.timestamp("us"))})
+    buf = io.BytesIO()
+    pq.write_table(t, buf, use_deprecated_int96_timestamps=True)
+    buf.seek(0)
+    foot = parquet_footer_from_file(buf)
+    assert foot["columns"][0]["physical"] == "INT96"
+    got = read_row_group(buf, foot, 0)["ts"]
+    epoch = dt.datetime(1970, 1, 1)
+    exp = [None if v is None else
+           (v - epoch) // dt.timedelta(microseconds=1) for v in ts]
+    assert got == exp
+
+
+def test_struct_columns_vs_pyarrow():
+    """One-level STRUCT assembly (definition levels only): null
+    structs, null leaves, required leaves, string/decimal leaves,
+    multi-page splits — exact vs pyarrow (VERDICT r11 item 4)."""
+    from decimal import Decimal as D
+
+    recs = [{"a": 1, "b": "x", "c": D("1.50")},
+            None,
+            {"a": None, "b": "zz", "c": D("-2.25")},
+            {"a": 7, "b": None, "c": None},
+            {"a": 0, "b": "", "c": D("0.00")}] * 5
+    typ = pa.struct([("a", pa.int32()), ("b", pa.string()),
+                     ("c", pa.decimal128(9, 2))])
+    t = pa.table({"id": pa.array(range(25), pa.int64()),
+                  "props": pa.array(recs, typ)})
+    for dic in (True, False):
+        buf = io.BytesIO()
+        pq.write_table(t, buf, use_dictionary=dic,
+                       data_page_size=64)  # force multi-page
+        buf.seek(0)
+        foot = parquet_footer_from_file(buf)
+        by = {c["name"]: c for c in foot["columns"]}
+        assert by["props"]["kind"] == "struct"
+        got = read_row_group(buf, foot, 0)
+        assert got["props"] == recs
+        assert got["id"] == list(range(25))

@@ -371,10 +371,18 @@ def test_sink_unsupported_type_rejects(spark, tmp_path):
     from pyspark.sql import functions as F
 
     _register_sink(spark)
-    df = spark.range(3).select(F.struct(F.col("id")).alias("s"))
+    # MAP columns (and nested struct-in-struct) stay loud rejects;
+    # one-level structs are supported since round 12
+    df = spark.range(3).select(
+        F.create_map(F.lit("k"), F.col("id")).alias("m"))
     with pytest.raises(Exception, match="not supported"):
         (df.write.format("parquet_native")
          .option("path", str(tmp_path / "bad")).mode("append").save())
+    df2 = spark.range(3).select(
+        F.struct(F.struct(F.col("id")).alias("inner")).alias("s"))
+    with pytest.raises(Exception, match="not supported"):
+        (df2.write.format("parquet_native")
+         .option("path", str(tmp_path / "bad2")).mode("append").save())
 
 
 def test_stream_sink_end_to_end_and_epoch_log(spark, tmp_path):
@@ -592,3 +600,125 @@ def test_batch_commit_filters_none_messages(tmp_path):
     assert (tmp_path / "part-00000.bin").read_bytes() == b"x"
     assert (tmp_path / "_SUCCESS").read_text().strip() == "3"
     assert not (tmp_path / "old.bin").exists()
+
+
+def test_decimal_write_roundtrip_all_readers(tmp_path):
+    """Writer DECIMAL arm (VERDICT r11 item 2, write direction):
+    INT32/INT64/FLBA carriers, dictionary on/off, read back by
+    pyarrow, DuckDB, and the own from-spec reader; overflow and
+    inexact-scale values reject loudly."""
+    from decimal import Decimal as D
+
+    import duckdb
+
+    schema = [("id", "int64", False),
+              ("p9", "decimal(9,2)", True),
+              ("p18", "decimal(18,3)", True),
+              ("p25", "decimal(25,5)", True)]
+    cols = {"id": [1, 2, 3],
+            "p9": [D("1.23"), None, D("-9999999.99")],
+            "p18": [D("123456789.123"), D("-0.001"), None],
+            "p25": [D("12345678901234567890.12345"), None,
+                    D("-1.00000")]}
+    for dic in (None, True, False):
+        blob = parquet_write_table(cols, schema, codec="ZSTD",
+                                   dictionary=dic)
+        got = _read_pyarrow(blob)
+        for n in ("p9", "p18", "p25"):
+            assert got[n] == cols[n], (dic, n)
+    blob = parquet_write_table(cols, schema, codec="SNAPPY")
+    p = tmp_path / "dec.parquet"
+    p.write_bytes(blob)
+    rows = duckdb.sql(
+        f"SELECT p9, p18, p25 FROM read_parquet('{p}') ORDER BY id"
+    ).fetchall()
+    assert [r[0] for r in rows] == cols["p9"]
+    assert [r[2] for r in rows] == cols["p25"]
+    with open(p, "rb") as fh:
+        foot = parquet_footer_from_file(fh)
+        assert {c["name"]: c["decimal"] for c in foot["columns"]
+                }["p25"] == (25, 5)
+        got = read_row_group(fh, foot, 0)
+    assert got["p18"] == cols["p18"]
+    # FLBA decimal chunks must omit min/max (byte order != numeric
+    # order for signed values); INT carriers keep exact int stats
+    st = foot["row_groups"][0]["chunks"]
+    assert "min" not in st["p25"]["stats"]
+    assert st["p9"]["stats"]["min"] == -999999999  # unscaled
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overflow"):
+        parquet_write_table({"id": [1], "p9": [D("99999999.99")]},
+                            [("id", "int64", False),
+                             ("p9", "decimal(9,2)", True)])
+    with _pytest.raises(ValueError, match="scale"):
+        parquet_write_table({"id": [1], "p9": [D("1.234")]},
+                            [("id", "int64", False),
+                             ("p9", "decimal(9,2)", True)])
+
+
+def test_struct_write_roundtrip_all_readers(tmp_path):
+    """Writer STRUCT arm (VERDICT r11 item 4, write direction): null
+    structs / null leaves / required leaves, page splits inside a
+    struct chunk, dictionary on/off — pyarrow + DuckDB + own
+    reader."""
+    import duckdb
+
+    schema = [("id", "int64", False),
+              ("props", "struct<a:int32?, b:string?, c:double>", True)]
+    recs = [{"a": 1, "b": "x", "c": 1.5}, None,
+            {"a": None, "b": "zz", "c": -2.0},
+            {"a": 7, "b": None, "c": 0.25}] * 4
+    cols = {"id": list(range(16)), "props": recs}
+    for dic in (None, True, False):
+        blob = parquet_write_table(cols, schema, dictionary=dic,
+                                   page_rows=3)
+        assert _read_pyarrow(blob)["props"] == recs, dic
+    blob = parquet_write_table(cols, schema, codec="GZIP")
+    p = tmp_path / "st.parquet"
+    p.write_bytes(blob)
+    rows = duckdb.sql(
+        f"SELECT props.a, props.b, props.c FROM read_parquet('{p}') "
+        "ORDER BY id").fetchall()
+    assert rows[0] == (1, "x", 1.5) and rows[1] == (None, None, None)
+    with open(p, "rb") as fh:
+        foot = parquet_footer_from_file(fh)
+        got = read_row_group(fh, foot, 0)
+    assert got["props"] == recs
+    # null in a REQUIRED struct field rejects loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="required struct field"):
+        parquet_write_table(
+            {"id": [1], "props": [{"a": 1, "b": "x", "c": None}]},
+            schema)
+
+
+def test_sink_decimal_and_struct_end_to_end(spark, tmp_path):
+    """df.write.format('parquet_native') with DecimalType and
+    one-level StructType columns: the Arrow write path hands the
+    executor Decimals and dicts; output reads back exactly via the
+    JVM reader."""
+    from pyspark.sql import functions as F
+
+    _register_sink(spark)
+    df = (spark.range(20)
+          .select(
+              F.col("id"),
+              (F.col("id").cast("decimal(20,0)") / 100)
+              .cast("decimal(22,2)").alias("price"),
+              F.struct(
+                  F.concat(F.lit("u"), F.col("id")).alias("tag"),
+                  (F.col("id") * 2).alias("dbl"),
+              ).alias("props")))
+    out = str(tmp_path / "ds")
+    (df.write.format("parquet_native").option("path", out)
+     .mode("append").save())
+    back = spark.read.parquet(out)
+    assert back.schema["price"].dataType.simpleString() \
+        == "decimal(22,2)"
+    got = sorted(
+        (r["id"], str(r["price"]), r["props"]["tag"],
+         r["props"]["dbl"]) for r in back.collect())
+    exp = [(i, f"{i/100:.2f}", f"u{i}", 2 * i) for i in range(20)]
+    assert got == exp
