@@ -193,6 +193,49 @@ def decompress_entity(data: bytes, codec: str,
     return bytes(out)
 
 
+def _unzig(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def _decode_col_stats(cs: dict) -> dict:
+    """orc_proto ColumnStatistics -> {"n", "has_null", "min", "max"}.
+    IntegerStatistics/DateStatistics min/max are sint (zigzag),
+    DoubleStatistics are fixed64 doubles, StringStatistics are UTF-8
+    bytes (surfaced as str).  Unknown/absent stats simply omit
+    min/max — consumers must treat that as 'cannot prune'."""
+    out = {"n": (cs.get(1) or [0])[0],
+           "has_null": bool((cs.get(10) or [0])[0])}
+
+    def put(lo, hi):
+        if lo is not None:
+            out["min"] = lo
+        if hi is not None:
+            out["max"] = hi
+
+    if 2 in cs:  # IntegerStatistics
+        m = pb_message(cs[2][0])
+        put(_unzig(m[1][0]) if 1 in m else None,
+            _unzig(m[2][0]) if 2 in m else None)
+    elif 3 in cs:  # DoubleStatistics
+        m = pb_message(cs[3][0])
+        put(struct.unpack("<d", m[1][0])[0] if 1 in m else None,
+            struct.unpack("<d", m[2][0])[0] if 2 in m else None)
+    elif 4 in cs:  # StringStatistics
+        m = pb_message(cs[4][0])
+        put(m[1][0].decode("utf-8") if 1 in m else None,
+            m[2][0].decode("utf-8") if 2 in m else None)
+    elif 5 in cs:  # BucketStatistics: count of true
+        m = pb_message(cs[5][0])
+        trues = _pb_packed_uints(m.get(1) or [])
+        if trues:
+            out["true_count"] = trues[0]
+    elif 7 in cs:  # DateStatistics (sint32 epoch days)
+        m = pb_message(cs[7][0])
+        put(_unzig(m[1][0]) if 1 in m else None,
+            _unzig(m[2][0]) if 2 in m else None)
+    return out
+
+
 @_malformed_guard
 def orc_footer_from_file(fh) -> dict:
     """Postscript + footer via TAIL reads only (the planning path)."""
@@ -225,6 +268,16 @@ def orc_footer_from_file(fh) -> dict:
         tail = fh.read(take)
     fblob = tail[-(ps_len + 1 + footer_len):-(ps_len + 1)]
     footer = pb_message(decompress_entity(fblob, codec, block_size))
+    stripe_stats: list[list[dict]] = []
+    if meta_len:
+        mblob = tail[-(ps_len + 1 + footer_len + meta_len):
+                     -(ps_len + 1 + footer_len)]
+        meta = pb_message(decompress_entity(mblob, codec, block_size))
+        for ss_raw in meta.get(1) or []:  # StripeStatistics
+            ss = pb_message(ss_raw)
+            stripe_stats.append(
+                [_decode_col_stats(pb_message(cs))
+                 for cs in ss.get(1) or []])
     types = [pb_message(t) for t in footer.get(4) or []]
     if not types:
         raise ValueError("ORC footer has no types")
@@ -255,11 +308,35 @@ def orc_footer_from_file(fh) -> dict:
                          "child_kind": ck,
                          "child_column": child_ids[0]})
             continue
-        if kind in ("MAP", "STRUCT", "UNION", "DECIMAL"):
+        if kind == "STRUCT":
+            # ONE nested level: STRUCT of leaf types (round 12). Per
+            # the spec, a child column only records values for rows
+            # where the struct itself is non-null.
+            child_ids = _pb_packed_uints(t.get(2) or [])
+            child_names = [x.decode("utf-8") for x in t.get(3) or []]
+            if len(child_ids) != len(child_names) or not child_ids:
+                raise ValueError("malformed ORC STRUCT type node")
+            fields = []
+            for cn, cid2 in zip(child_names, child_ids):
+                if cid2 >= len(types):
+                    raise ValueError("ORC STRUCT child id out of range")
+                ck = _KINDS.get((types[cid2].get(1) or [-1])[0], "?")
+                if ck in ("LIST", "MAP", "STRUCT", "UNION", "DECIMAL"):
+                    raise NotImplementedError(
+                        f"nested ORC type STRUCT<{ck}> not supported "
+                        "(one STRUCT level of leaf types is)")
+                if ck == "?":
+                    raise ValueError("unknown ORC type kind")
+                fields.append({"name": cn, "kind": ck,
+                               "column": cid2})
+            cols.append({"name": name, "kind": "STRUCT",
+                         "column": tid, "fields": fields})
+            continue
+        if kind in ("MAP", "UNION", "DECIMAL"):
             raise NotImplementedError(
                 f"ORC column type {kind} not supported — flat-column "
-                "reader plus one LIST level (maps/structs/decimals "
-                "are plug-in rejects)")
+                "reader plus one LIST level and one STRUCT level "
+                "(maps/unions/decimals are plug-in rejects)")
         if kind == "?":
             raise ValueError("unknown ORC type kind")
         cols.append({"name": name, "kind": kind, "column": tid})
@@ -279,6 +356,9 @@ def orc_footer_from_file(fh) -> dict:
         "num_rows": (footer.get(6) or [0])[0],
         "columns": cols,
         "stripes": stripes,
+        # per-stripe, per-column-id zone maps from the Metadata
+        # section ([] when the writer emitted none)
+        "stripe_stats": stripe_stats,
     }
 
 
@@ -648,6 +728,27 @@ def read_stripe(fh, footer: dict, stripe_index: int,
                 ln2 = next(li)
                 recs.append(elems[pos_e:pos_e + ln2])
                 pos_e += ln2
+            out[name] = recs
+        elif kind == "STRUCT":
+            # child columns carry values only for rows where the
+            # struct is present (spec: "a child has a value only when
+            # its parent's value is non-null")
+            present = get_stream(cid, "PRESENT")
+            pres = (bool_rle(present, n) if present is not None
+                    else [True] * n)
+            npp = sum(pres)
+            fvals = {f_["name"]: decode_leaf(f_["column"], f_["kind"],
+                                             npp)
+                     for f_ in col["fields"]}
+            names_f = [f_["name"] for f_ in col["fields"]]
+            recs = []
+            j = 0
+            for p in pres:
+                if not p:
+                    recs.append(None)
+                    continue
+                recs.append({fn: fvals[fn][j] for fn in names_f})
+                j += 1
             out[name] = recs
         else:
             out[name] = decode_leaf(cid, kind, n)

@@ -81,6 +81,16 @@ class _PBW:
     def msg_field(self, fid: int, msg: "_PBW"):
         self.bytes_field(fid, bytes(msg.out))
 
+    def zigzag_field(self, fid: int, v: int):
+        """sint32/sint64 fields (statistics min/max are sint in
+        orc_proto)."""
+        self.varint_field(fid, (v << 1) ^ (v >> 63) if v < 0
+                          else v << 1)
+
+    def double_field(self, fid: int, v: float):
+        self._varint((fid << 3) | 1)  # wire type 1: fixed64
+        self.out += struct.pack("<d", v)
+
     def finish(self) -> bytes:
         return bytes(self.out)
 
@@ -397,6 +407,39 @@ class OrcFileWriter:
         fields = []
         next_id = 1
         for name, typ, nullable in schema:
+            if typ.startswith("struct<") and typ.endswith(">"):
+                # one-level STRUCT of leaf types: the struct gets its
+                # own column id (PRESENT stream only), each field the
+                # next id — children record values only for rows where
+                # the struct is non-null (the reader's convention)
+                children = []
+                cid = next_id
+                next_id += 1
+                for part in typ[7:-1].split(","):
+                    part = part.strip()
+                    if not part:
+                        continue
+                    fname, _, ftyp = part.partition(":")
+                    ftyp = ftyp.strip()
+                    opt = ftyp.endswith("?")
+                    if opt:
+                        ftyp = ftyp[:-1]
+                    ck = _LOGICAL.get(ftyp)
+                    if ck is None:
+                        raise NotImplementedError(
+                            f"ORC write struct field type {ftyp!r} "
+                            "not supported")
+                    children.append({"name": fname.strip(),
+                                     "kind": ck, "optional": opt,
+                                     "cid": next_id})
+                    next_id += 1
+                if not children:
+                    raise ValueError(
+                        f"struct column {name!r} needs >= 1 field")
+                fields.append({"name": name, "kind": "STRUCT",
+                               "nullable": bool(nullable),
+                               "cid": cid, "children": children})
+                continue
             if typ.startswith("list<") and typ.endswith(">"):
                 inner = typ[5:-1].strip()
                 opt = inner.endswith("?")
@@ -435,6 +478,12 @@ class OrcFileWriter:
         self._stripe_infos: list[tuple] = []
         self._nonnull = [0] * next_id
         self._had_null = [False] * next_id
+        #: per-stripe [{cid: (tag, lo, hi)}], feeding the Metadata
+        #: section (StripeStatistics) — the zone maps stripe pruning
+        #: keys off; plus the file-level merge for footer stats
+        self._stripe_mm: list[dict] = []
+        self._stripe_counts: list[tuple] = []
+        self._file_mm: dict[int, tuple] = {}
         fh.write(b"ORC")
         self._pos = 3
 
@@ -478,7 +527,34 @@ class OrcFileWriter:
                 return self.string_dictionary
             return len(set(vals)) <= max(1, len(vals) // 2)
 
+        st_nn = [0] * self.n_cols
+        st_null = [False] * self.n_cols
+        st_mm: dict[int, tuple] = {}
+
+        def leaf_stats(cid, kind, vals):
+            """(tag, lo, hi) for the stripe's zone map — conservative:
+            NaN doubles and non-ASCII strings (whose UTF-8 byte order
+            differs from code-point order across readers) omit
+            min/max rather than risk an unsound prune."""
+            if not vals:
+                return
+            if kind in ("BYTE", "SHORT", "INT", "LONG"):
+                st_mm[cid] = ("int", min(vals), max(vals))
+            elif kind == "DATE":
+                st_mm[cid] = ("date", min(vals), max(vals))
+            elif kind in ("FLOAT", "DOUBLE"):
+                fv = [float(v) for v in vals]
+                if not any(v != v for v in fv):
+                    st_mm[cid] = ("double", min(fv), max(fv))
+            elif kind == "STRING":
+                if all(isinstance(v, str) and v.isascii()
+                       for v in vals):
+                    st_mm[cid] = ("string", min(vals), max(vals))
+            elif kind == "BOOLEAN":
+                st_mm[cid] = ("bucket", sum(1 for v in vals if v), None)
+
         def add_leaf(cid, kind, vals):
+            leaf_stats(cid, kind, vals)
             enc_streams = _encode_column(
                 kind, vals, self.rle_version,
                 dictionary=use_dict(kind, vals))
@@ -494,14 +570,27 @@ class OrcFileWriter:
                 if not nullable:
                     raise ValueError(f"null in required {what}")
                 self._had_null[cid] = True
+                st_null[cid] = True
                 add("PRESENT", cid,
                     bool_rle_encode([not x for x in nulls]))
             vals = [v for v in records if v is not None]
             self._nonnull[cid] += len(vals)
+            st_nn[cid] += len(vals)
             return vals
 
         for f in self.fields:
             records = columns[f["name"]]
+            if f["kind"] == "STRUCT":
+                recs = present_for(f["cid"], records, f["nullable"],
+                                   f"column {f['name']!r}")
+                for c in f["children"]:
+                    child_records = [r.get(c["name"]) for r in recs]
+                    vals = present_for(
+                        c["cid"], child_records, c["optional"],
+                        f"struct field {f['name']}.{c['name']} "
+                        "(declare the field type with '?')")
+                    add_leaf(c["cid"], c["kind"], vals)
+                continue
             if f["kind"] == "LIST":
                 recs = present_for(f["cid"], records, f["nullable"],
                                    f"column {f['name']!r}")
@@ -545,6 +634,11 @@ class OrcFileWriter:
                     if f["child_kind"] in rle_kinds:
                         col_encs[f["child_cid"]] = 2
                 ts_present |= f["child_kind"] == "TIMESTAMP"
+            elif f["kind"] == "STRUCT":
+                for c in f["children"]:
+                    if self.rle_version == 2 and c["kind"] in rle_kinds:
+                        col_encs[c["cid"]] = 2
+                    ts_present |= c["kind"] == "TIMESTAMP"
             else:
                 if self.rle_version == 2 and f["kind"] in rle_kinds:
                     col_encs[f["cid"]] = 2
@@ -563,13 +657,81 @@ class OrcFileWriter:
         sf_blob = compress_entity(sf.finish(), codec, block_size)
         self._emit(sf_blob)
         self._stripe_infos.append((offset, data_len, len(sf_blob), s_n))
+        self._stripe_mm.append(st_mm)
+        self._stripe_counts.append((st_nn, st_null))
+        for cid, mm in st_mm.items():
+            prev = self._file_mm.get(cid)
+            if prev is None:
+                self._file_mm[cid] = mm
+            elif mm[0] == "bucket":
+                self._file_mm[cid] = ("bucket", prev[1] + mm[1], None)
+            else:
+                self._file_mm[cid] = (mm[0], min(prev[1], mm[1]),
+                                      max(prev[2], mm[2]))
+        # a stripe that omitted min/max (NaN / non-ASCII) poisons the
+        # file-level merge too
+        for cid in list(self._file_mm):
+            if cid not in st_mm and st_nn[cid]:
+                del self._file_mm[cid]
         self.n_rows += s_n
         return s_n
 
+    @staticmethod
+    def _stats_msg(n_values: int, has_null: bool,
+                   mm: tuple | None) -> "_PBW":
+        """One orc_proto ColumnStatistics message: numberOfValues +
+        the type-specific min/max submessage + hasNull."""
+        st = _PBW()
+        st.varint_field(1, n_values)
+        if mm is not None:
+            tag, lo, hi = mm
+            inner = _PBW()
+            if tag == "int":  # IntegerStatistics (sint64 min/max)
+                inner.zigzag_field(1, lo)
+                inner.zigzag_field(2, hi)
+                st.msg_field(2, inner)
+            elif tag == "double":  # DoubleStatistics (fixed64)
+                inner.double_field(1, lo)
+                inner.double_field(2, hi)
+                st.msg_field(3, inner)
+            elif tag == "string":  # StringStatistics
+                inner.bytes_field(1, lo.encode("utf-8"))
+                inner.bytes_field(2, hi.encode("utf-8"))
+                st.msg_field(4, inner)
+            elif tag == "bucket":  # BucketStatistics: count-of-true
+                inner.packed_field(1, [lo])
+                st.msg_field(5, inner)
+            elif tag == "date":  # DateStatistics (sint32 epoch days)
+                inner.zigzag_field(1, lo)
+                inner.zigzag_field(2, hi)
+                st.msg_field(7, inner)
+        st.varint_field(10, 1 if has_null else 0)
+        return st
+
     def finish(self):
-        """Write footer + postscript; the file is complete after."""
+        """Write metadata (per-stripe statistics) + footer +
+        postscript; the file is complete after."""
         codec = self.codec
-        content_len = self._pos
+        content_len = self._pos  # stripes only — metadata is after
+
+        # Metadata section: one StripeStatistics per stripe, one
+        # ColumnStatistics per column id — the zone maps the source's
+        # pushFilters stripe pruning reads at planning time
+        meta = _PBW()
+        for (st_nn, st_null), st_mm, info in zip(
+                self._stripe_counts, self._stripe_mm,
+                self._stripe_infos):
+            stripe_rows = info[3]
+            ss = _PBW()
+            for cid in range(self.n_cols):
+                n_v = stripe_rows if cid == 0 else st_nn[cid]
+                ss.msg_field(1, self._stats_msg(
+                    n_v, False if cid == 0 else st_null[cid],
+                    st_mm.get(cid)))
+            meta.msg_field(1, ss)
+        meta_blob = compress_entity(meta.finish(), codec,
+                                    self.block_size)
+        self._emit(meta_blob)
 
         footer = _PBW()
         footer.varint_field(1, 3)  # headerLength: the magic
@@ -597,23 +759,33 @@ class OrcFileWriter:
                 leaf = _PBW()
                 leaf.varint_field(1, _KIND_NUM[f["child_kind"]])
                 footer.msg_field(4, leaf)
+            elif f["kind"] == "STRUCT":
+                st_node = _PBW()
+                st_node.varint_field(1, _KIND_NUM["STRUCT"])
+                st_node.packed_field(
+                    2, [c["cid"] for c in f["children"]])
+                for c in f["children"]:
+                    st_node.bytes_field(3, c["name"].encode("utf-8"))
+                footer.msg_field(4, st_node)
+                for c in f["children"]:
+                    leaf = _PBW()
+                    leaf.varint_field(1, _KIND_NUM[c["kind"]])
+                    footer.msg_field(4, leaf)
             else:
                 leaf = _PBW()
                 leaf.varint_field(1, _KIND_NUM[f["kind"]])
                 footer.msg_field(4, leaf)
         footer.varint_field(6, self.n_rows)
-        # minimal ColumnStatistics (every column id): counts + hasNull
-        # — some readers expect the list to exist and be
-        # type-consistent
+        # file-level ColumnStatistics (every column id): counts +
+        # hasNull + the per-file min/max merge of the stripe stats
         for cid in range(self.n_cols):
-            st = _PBW()
             if cid == 0:
-                st.varint_field(1, self.n_rows)
-                # protobuf bools are varints; field 10 = hasNull
-                st.varint_field(10, 1 if any(self._had_null) else 0)
+                st = self._stats_msg(self.n_rows,
+                                     any(self._had_null), None)
             else:
-                st.varint_field(1, self._nonnull[cid])
-                st.varint_field(10, 1 if self._had_null[cid] else 0)
+                st = self._stats_msg(self._nonnull[cid],
+                                     self._had_null[cid],
+                                     self._file_mm.get(cid))
             footer.msg_field(7, st)
         footer.varint_field(8, 0)  # rowIndexStride: no row indexes
         f_blob = compress_entity(footer.finish(), codec,
@@ -626,7 +798,7 @@ class OrcFileWriter:
         if codec != "NONE":
             ps.varint_field(3, self.block_size)
         ps.packed_field(4, [0, 12])  # file version 0.12
-        ps.varint_field(5, 0)  # metadataLength
+        ps.varint_field(5, len(meta_blob))  # metadataLength
         ps.varint_field(6, 1)  # writerVersion
         ps.bytes_field(8000, b"ORC")
         ps_blob = ps.finish()

@@ -3710,3 +3710,70 @@ def parquet_struct_scan_events(spark: SparkSession,
                            + F.lit(0.5)).cast("long"))
         .alias("value_e6"),
     )
+
+
+def _orcstruct_df(spark, sf_dir):
+    return T(spark, sf_dir, "events").select(
+        "event_id",
+        F.struct(
+            F.col("event_type").alias("etype"),
+            F.col("value"),
+        ).alias("props"),
+    )
+
+
+def orcstruct_fixture_dir(spark, sf_dir: str) -> str:
+    """Exported for tools/oracle_twins.py — exact-dir resolution."""
+    return _orc_fixture_dir(spark, sf_dir, "events", "orcstruct",
+                            _orcstruct_df, "zlib")
+
+
+@query(
+    "orc_struct_scan_events",
+    oracle="""
+    SELECT event_id,
+           event_type AS etype,
+           CASE WHEN value IS NULL THEN NULL
+                ELSE floor(value * 1000000 + 0.5)::BIGINT END
+             AS value_e6
+    FROM events
+    """,
+)
+def orc_struct_scan_events(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Round-12 STRUCT arm of the from-spec ORC reader (VERDICT r11
+    item 7 — reject seam was operators/orc_native.py:249): an
+    events-derived ``props`` struct column written by SPARK'S OWN
+    Java ORC writer, decoded from spec — the struct column carries
+    only a PRESENT stream, and per the spec each child column records
+    values ONLY for rows where the struct is non-null, so assembly is
+    a per-child decode at the parent's present count. Surfaces as a
+    real Spark StructType dereferenced JVM-side (``props.etype`` /
+    ``props.value``); cross-validated against pyarrow.orc incl. null
+    structs/leaves in tests/test_orc_native.py; the write direction
+    (struct<...> sink schema, per-field streams + stats) is pinned in
+    tests/test_orc_write.py."""
+    from pyspark.errors import PySparkException
+
+    from modeltracking_spark.queries.common import ensure_pkg_on_workers
+    from modeltracking_spark.sources.orc_native_source import (
+        OrcNativeDataSource,
+    )
+
+    ensure_pkg_on_workers(spark)
+    out_dir = orcstruct_fixture_dir(spark, sf_dir)
+    try:
+        spark.dataSource.register(OrcNativeDataSource)
+    except PySparkException:
+        pass  # already registered in this session
+    df = (spark.read.format("orc_native")
+          .option("path", out_dir).load())
+    return df.select(
+        "event_id",
+        F.col("props.etype").alias("etype"),
+        F.when(F.col("props.value").isNull(),
+               F.lit(None).cast("long"))
+        .otherwise(F.floor(F.col("props.value") * 1000000
+                           + F.lit(0.5)).cast("long"))
+        .alias("value_e6"),
+    )

@@ -20,8 +20,15 @@ Type mapping: LONG→bigint, INT→int, SHORT→smallint, BYTE→tinyint,
 FLOAT/DOUBLE, BOOLEAN, STRING/VARCHAR/CHAR→string, BINARY→binary,
 DATE→int (epoch days), TIMESTAMP→bigint (epoch micros — round 11:
 both the ORC_CPP signed-nanos and the Java trunc-plus-borrow pre-1970
-conventions decode to the reference readers' canonical values).
-Decimals/nested reject loudly upstream.
+conventions decode to the reference readers' canonical values),
+one-level STRUCT→struct<...> (round 12).  Decimals/maps/deeper
+nesting reject loudly upstream.
+
+Round 12 adds the parquet sibling's two missing arms: pushFilters
+STRIPE-STATISTICS pruning (``.option("filter_pushdown","true")``,
+zone maps parsed from the file's Metadata section) and the streaming
+sink (``writeStream.format("orc_native")``, per-epoch 2PC with the
+``_epochs`` idempotence log).
 """
 
 from __future__ import annotations
@@ -34,6 +41,7 @@ from pyspark.sql.datasource import (
 
 from modeltracking_spark.sources.sink_common import (
     TwoPhaseFileSinkWriter,
+    TwoPhaseStreamFileSinkWriter,
 )
 
 
@@ -80,6 +88,45 @@ class _OrcNativeReader(DataSourceReader):
                         if cols else None)
         self.target_bytes = int(options.get("target_partition_bytes",
                                             "0"))
+        self.pruning_filters = []
+
+    def _stripe_survives(self, footer: dict, s: int) -> bool:
+        """Can stripe ``s`` contain a matching row, per the Metadata
+        section's per-stripe zone maps?  Conservative: absent stats,
+        struct columns, and non-ASCII string bounds (whose byte order
+        may disagree with a reference writer's comparator for
+        supplementary characters) never prune."""
+        from modeltracking_spark.sources.parquet_native_source import (
+            _rg_may_match,
+        )
+
+        stats_all = footer.get("stripe_stats") or []
+        if not self.pruning_filters or s >= len(stats_all):
+            return True
+        cid_of = {c["name"]: c["column"] for c in footer["columns"]
+                  if c["kind"] not in ("STRUCT",)}
+        srows = footer["stripes"][s]["num_rows"]
+        per_col = stats_all[s]
+        for flt in self.pruning_filters:
+            name = flt.attribute[0]
+            cid = cid_of.get(name)
+            if cid is None or cid >= len(per_col):
+                continue
+            cs = per_col[cid]
+            stats = {"null_count": (srows - cs["n"]
+                                    if cs["has_null"] else 0)}
+            lo, hi = cs.get("min"), cs.get("max")
+            if isinstance(lo, str) and not (
+                    lo.isascii() and isinstance(hi, str)
+                    and hi.isascii()):
+                lo = hi = None
+            if lo is not None:
+                stats["min"] = lo
+            if hi is not None:
+                stats["max"] = hi
+            if not _rg_may_match(stats, srows, flt):
+                return False
+        return True
 
     def partitions(self):
         from modeltracking_spark.operators.orc_native import (
@@ -94,7 +141,9 @@ class _OrcNativeReader(DataSourceReader):
             # planning-time drift check (mirrors parquet_native): the
             # declared schema came from the first file's footer, so
             # any disagreeing file must reject at planning time
-            sig = [(c["name"], c["kind"], c.get("child_kind"))
+            sig = [(c["name"], c["kind"], c.get("child_kind"),
+                    tuple((x["name"], x["kind"])
+                          for x in c.get("fields") or ()))
                    for c in footer["columns"]]
             if ref_sig is None:
                 ref_sig, ref_file = sig, f
@@ -104,21 +153,23 @@ class _OrcNativeReader(DataSourceReader):
                     f"{f} declares columns {sig} but {ref_file} "
                     f"declares {ref_sig}; all files under one path "
                     f"must share name/kind layout")
-            sizes = [
-                st["index_length"] + st["data_length"]
-                + st["footer_length"]
-                for st in footer["stripes"]
+            survivors = [
+                (s, st["index_length"] + st["data_length"]
+                 + st["footer_length"])
+                for s, st in enumerate(footer["stripes"])
+                if self._stripe_survives(footer, s)
             ]
             # the same scale knob as the parquet source and the
             # compressed-scan tier: at 100 TB of small stripes, one
             # partition per stripe floods the scheduler — group
             # CONSECUTIVE stripes to >= target bytes
             if self.target_bytes <= 0:
-                groups = [[s] for s in range(len(sizes))]
+                groups = [[s] for s, _ in survivors]
             else:
                 groups, cur, cur_b = [], [], 0
-                for s, size in enumerate(sizes):
-                    if cur and cur_b >= self.target_bytes:
+                for s, size in survivors:
+                    if cur and (cur_b >= self.target_bytes
+                                or s != cur[-1] + 1):
                         groups.append(cur)
                         cur, cur_b = [], 0
                     cur.append(s)
@@ -150,6 +201,11 @@ class _OrcNativeReader(DataSourceReader):
                     if c["kind"] == "LIST":
                         typ = pa.list_(getattr(
                             pa, _PA_TYPES[c["child_kind"]])())
+                    elif c["kind"] == "STRUCT":
+                        typ = pa.struct([
+                            pa.field(f_["name"], getattr(
+                                pa, _PA_TYPES[f_["kind"]])())
+                            for f_ in c["fields"]])
                     else:
                         typ = getattr(pa, _PA_TYPES[c["kind"]])()
                     arrays.append(pa.array(data[n], typ))
@@ -158,9 +214,54 @@ class _OrcNativeReader(DataSourceReader):
                     arrays, schema=pa.schema(fields))
 
 
+class _OrcNativePruningReader(_OrcNativeReader):
+    """The filter-pushdown variant, selected by
+    ``.option("filter_pushdown", "true")`` — a separate class because
+    Spark asserts on ANY reader that implements ``pushFilters`` when
+    ``spark.sql.python.filterPushdown.enabled`` is false (same seam
+    as the parquet sibling)."""
+
+    def pushFilters(self, filters):
+        """Stripe-statistics pruning off the Metadata section's zone
+        maps: comparison/null filters on flat columns are REMEMBERED
+        for planning, and EVERY filter is returned as still-needed —
+        Spark re-evaluates them row-level, so pruning can only skip
+        stripes whose statistics PROVE no row matches (the safe
+        double-filter contract, mirroring
+        parquet_native_source.pushFilters)."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            IsNotNull,
+            IsNull,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        usable = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan,
+                  LessThanOrEqual, In, IsNull, IsNotNull)
+        kept = list(filters)
+        self.pruning_filters = [
+            f for f in kept
+            if isinstance(f, usable) and len(f.attribute) == 1
+        ]
+        return kept  # Spark still applies everything row-level
+
+
 class OrcNativeDataSource(DataSource):
     """``spark.read.format("orc_native")`` after
-    ``spark.dataSource.register(OrcNativeDataSource)``."""
+    ``spark.dataSource.register(OrcNativeDataSource)``.
+
+    ``.option("filter_pushdown", "true")`` (requires the session conf
+    ``spark.sql.python.filterPushdown.enabled=true``) activates
+    stripe-statistics pruning via ``pushFilters``.
+
+    ``df.writeStream.format("orc_native")`` lands each micro-batch
+    through the shared per-epoch two-phase commit (exactly-once via
+    the ``_epochs`` idempotence log, same protocol as the parquet
+    streaming sink)."""
 
     @classmethod
     def name(cls) -> str:
@@ -185,11 +286,18 @@ class OrcNativeDataSource(DataSource):
         def _t(c):
             if c["kind"] == "LIST":
                 return f"array<{_SPARK_TYPES[c['child_kind']]}>"
+            if c["kind"] == "STRUCT":
+                inner = ", ".join(
+                    f"`{f_['name']}`: {_SPARK_TYPES[f_['kind']]}"
+                    for f_ in c["fields"])
+                return f"struct<{inner}>"
             return _SPARK_TYPES[c["kind"]]
 
         return ", ".join(f"`{n}` {_t(by_name[n])}" for n in sel)
 
     def reader(self, schema):
+        if str(self.options.get("filter_pushdown", "")).lower() == "true":
+            return _OrcNativePruningReader(self.options, schema)
         return _OrcNativeReader(self.options, schema)
 
     def writer(self, schema, overwrite: bool):
@@ -201,6 +309,17 @@ class OrcNativeDataSource(DataSource):
                 "orc_native sink requires .option('path', ...)")
         os.makedirs(path, exist_ok=True)
         return _OrcNativeSinkWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        import os
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError(
+                "orc_native sink requires .option('path', ...)")
+        os.makedirs(path, exist_ok=True)
+        return _OrcNativeStreamSinkWriter(self.options, schema,
+                                          overwrite)
 
 
 def _orc_sink_schema(schema) -> list[tuple]:
@@ -223,6 +342,21 @@ def _orc_sink_schema(schema) -> list[tuple]:
             el += "?" if f.dataType.containsNull else ""
             out.append((f.name, f"list<{el}>", f.nullable))
             continue
+        if isinstance(f.dataType, t.StructType):
+            parts = []
+            for sf in f.dataType.fields:
+                st = base.get(type(sf.dataType))
+                # timestamp struct fields would bypass the sink's
+                # epoch-micros convert_value hook — keep them loud
+                if st is None or st in ("timestamp", "date"):
+                    raise NotImplementedError(
+                        f"orc_native sink: struct field type "
+                        f"{sf.dataType} not supported")
+                parts.append(
+                    f"{sf.name}:{st}{'?' if sf.nullable else ''}")
+            out.append((f.name, f"struct<{','.join(parts)}>",
+                        f.nullable))
+            continue
         tp = base.get(type(f.dataType))
         if tp is None:
             raise NotImplementedError(
@@ -231,11 +365,13 @@ def _orc_sink_schema(schema) -> list[tuple]:
     return out
 
 
-class _OrcNativeSinkWriter(TwoPhaseFileSinkWriter):
-    """``df.write.format("orc_native")``: executor-side from-spec ORC
-    encode (operators/orc_write.py) under the shared two-phase commit;
-    Spark TIMESTAMP values land as the format's seconds-from-2015 +
-    packed-nanos streams (pre-1970 rejects loudly, see the writer)."""
+class _OrcSinkHooks:
+    """Format half shared by the batch and streaming ORC sinks:
+    executor-side from-spec encode, one file per task, a task
+    buffering at most ONE stripe before its bytes stream to the temp
+    file; Spark TIMESTAMP values land as the format's
+    seconds-from-2015 + packed-nanos streams (pre-1970 rejects
+    loudly, see the writer)."""
 
     suffix = ".orc"
 
@@ -279,3 +415,15 @@ class _OrcNativeSinkWriter(TwoPhaseFileSinkWriter):
 
     def end_file(self):
         self._w.finish()
+
+
+class _OrcNativeSinkWriter(_OrcSinkHooks, TwoPhaseFileSinkWriter):
+    """``df.write.format("orc_native")``: job-level two-phase commit
+    (driver rename + ``_SUCCESS``)."""
+
+
+class _OrcNativeStreamSinkWriter(_OrcSinkHooks,
+                                 TwoPhaseStreamFileSinkWriter):
+    """``df.writeStream.format("orc_native")``: per-epoch two-phase
+    commit with the ``_epochs`` idempotence log — exactly-once under
+    epoch replay, same protocol as the parquet streaming sink."""

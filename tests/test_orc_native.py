@@ -337,3 +337,112 @@ def test_directory_schema_drift_rejects_at_planning(spark, tmp_path):
 
     with _pytest.raises(Exception, match="schema drift"):
         df.collect()
+
+
+def test_struct_columns_vs_pyarrow():
+    """One-level STRUCT (round 12): null structs, null leaves,
+    required leaves, across codecs — exact vs pyarrow.orc (children
+    record values only where the struct is present)."""
+    import pyarrow as pa
+    from pyarrow import orc as pa_orc
+
+    recs = [{"a": 1, "b": "x"}, None, {"a": None, "b": "zz"},
+            {"a": 7, "b": None}, {"a": 0, "b": ""}] * 6
+    t = pa.table({
+        "id": pa.array(range(30), pa.int64()),
+        "props": pa.array(recs, pa.struct([("a", pa.int32()),
+                                           ("b", pa.string())])),
+    })
+    for comp in ("uncompressed", "zlib", "zstd"):
+        buf = io.BytesIO()
+        pa_orc.write_table(t, buf, compression=comp)
+        buf.seek(0)
+        foot = orc_footer_from_file(buf)
+        by = {c["name"]: c for c in foot["columns"]}
+        assert by["props"]["kind"] == "STRUCT"
+        assert [f["name"] for f in by["props"]["fields"]] == ["a", "b"]
+        got = {n: [] for n in ("id", "props")}
+        for s in range(len(foot["stripes"])):
+            st = read_stripe(buf, foot, s)
+            for n in got:
+                got[n] += st[n]
+        assert got["props"] == recs, comp
+        assert got["id"] == list(range(30))
+
+
+def test_stripe_stats_pruning_unit(tmp_path):
+    """pushFilters-driven stripe pruning off the Metadata section's
+    zone maps: partitions() plans ONLY stripes whose min/max/hasNull
+    statistics can match; absent stats never prune (VERDICT r11
+    item 5)."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        In,
+        IsNull,
+        LessThanOrEqual,
+    )
+
+    from modeltracking_spark.operators.orc_write import orc_write_table
+    from modeltracking_spark.sources.orc_native_source import (
+        _OrcNativePruningReader,
+    )
+
+    path = str(tmp_path / "t.orc")
+    cols = {
+        "mono": list(range(10000)),
+        "s": ["key-%05d" % i for i in range(10000)],
+        "maybe": [None if i % 2 else i for i in range(10000)],
+    }
+    with open(path, "wb") as fh:
+        fh.write(orc_write_table(
+            cols,
+            [("mono", "int64", False), ("s", "string", True),
+             ("maybe", "int64", True)],
+            codec="ZLIB", stripe_rows=1000))
+
+    def nparts(filters):
+        r = _OrcNativePruningReader({"path": path}, None)
+        r.pushFilters(filters)
+        return len(r.partitions())
+
+    assert nparts([]) == 10
+    assert nparts([GreaterThan(("mono",), 8999)]) == 1
+    assert nparts([EqualTo(("mono",), 4500)]) == 1
+    assert nparts([LessThanOrEqual(("mono",), 999)]) == 1
+    assert nparts([EqualTo(("s",), "key-02500")]) == 1
+    assert nparts([In(("mono",), (100, 9900))]) == 2
+    assert nparts([EqualTo(("mono",), -5)]) == 0
+    assert nparts([IsNull(("mono",))]) == 0    # no nulls anywhere
+    assert nparts([IsNull(("maybe",))]) == 10  # nulls everywhere
+    assert nparts([EqualTo(("mono",), float("nan"))]) == 10
+
+
+def test_stripe_stats_pruning_end_to_end(spark, tmp_path):
+    """.option('filter_pushdown','true') against a SPARK-JAVA-written
+    ORC file (independent stats writer): results identical to Spark's
+    own ORC reader (double-filtering keeps row-level semantics); the
+    default reader carries no pushFilters attribute at all."""
+    from modeltracking_spark.queries.common import ensure_pkg_on_workers
+    from modeltracking_spark.sources.orc_native_source import (
+        OrcNativeDataSource,
+        _OrcNativeReader,
+    )
+
+    assert "pushFilters" not in _OrcNativeReader.__dict__
+    ensure_pkg_on_workers(spark)
+    try:
+        spark.dataSource.register(OrcNativeDataSource)
+    except Exception:
+        pass
+    path = str(tmp_path / "t_orc")
+    (spark.range(10000).selectExpr(
+        "id AS mono", "format_string('key-%05d', id) AS s")
+     .repartition(8).write.orc(path))
+    df = (spark.read.format("orc_native").option("path", path)
+          .option("filter_pushdown", "true").load())
+    got = df.filter("mono > 9995 AND s < 'key-89999'").collect()
+    ref = (spark.read.orc(path)
+           .filter("mono > 9995 AND s < 'key-89999'").collect())
+    assert sorted(map(tuple, got)) == sorted(map(tuple, ref))
+    assert len(got) == 4
