@@ -18,6 +18,15 @@ instead of guessed host noise. At sf0.1 the run also emits
 ``anchor_ratio`` — per-query current/r3 ratios against the frozen
 anchor in BASELINE.md (the anchor was best-of-3; medians read slightly
 higher by construction, so ratios are conservative).
+
+``python bench.py --ab <git-ref>`` (round 12) runs the PAIRED A/B
+protocol instead: the current tree and a worktree of <ref> each get a
+live Spark JVM, timed executions strictly alternate between them, and
+the output reports per-query medians plus the median of per-pair
+cur/ref ratios — host-load drift hits both sides of every pair, so
+round-over-round comparisons no longer depend on this box being
+equally loaded on two different days.  ``SPARK_GRAFT_AB_ROUNDS`` and
+``SPARK_GRAFT_AB_QUERIES`` (comma substrings) narrow the run.
 """
 
 from __future__ import annotations
@@ -188,6 +197,168 @@ ANCHOR = {
 }
 
 
+def _runner() -> int:
+    """Child protocol for --ab mode: one tree, one Spark session;
+    reads ``WARM <q>`` / ``RUN <q>`` / ``EXIT`` lines on stdin and
+    answers ``OK <sec>`` / ``ERR <msg>``.  The tree root comes from
+    $SPARK_GRAFT_BENCH_TREE so the SAME runner source drives both
+    trees (an old ref's bench.py may predate this mode)."""
+    tree = os.environ["SPARK_GRAFT_BENCH_TREE"]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sys.path.insert(0, tree)
+    os.chdir(tree)
+
+    from modeltracking_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"modeltracking-ab-{os.path.basename(tree)}",
+        cpus=cpus,
+        extra_conf={
+            "spark.driver.memory": "12g",
+            # two driver JVMs live at once: keep stores separate
+            "spark.sql.warehouse.dir": f"/tmp/mt_ab_wh_{os.getpid()}",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(tree, "__spark_entry__.py"))
+    entrymod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entrymod)
+    qs = entrymod.queries()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    print("READY", flush=True)
+    for line in sys.stdin:
+        parts = line.split()
+        if not parts:
+            continue
+        if parts[0] == "EXIT":
+            break
+        cmd, name = parts[0], parts[1]
+        if cmd == "HAS":
+            print("OK 1" if name in qs else "OK 0", flush=True)
+            continue
+        try:
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop") \
+                .mode("overwrite").save()
+            dt = time.time() - t0
+            print(f"OK {dt:.4f}" if cmd == "RUN" else "OK 0",
+                  flush=True)
+        except Exception as exc:
+            print(f"ERR {type(exc).__name__}: {exc}".replace("\n", " ")
+                  [:300], flush=True)
+    return 0
+
+
+def _ab(ref: str) -> int:
+    """Paired A/B bench (VERDICT r11 item 6): the current tree vs a
+    pinned git ref, ONE timing session — two child Spark JVMs (one
+    per tree, both warm for the whole run) with STRICTLY ALTERNATING
+    timed executions, so any host-load drift hits both sides of every
+    pair at the same wall-clock window.  Two processes (not one
+    module-swapped session) because executor-side Python ships via
+    addPyFile once per SparkContext — a shared session would run both
+    trees' plans against ONE tree's executor code.  Reports per-query
+    medians and the MEDIAN OF PER-PAIR RATIOS (cur/ref), which is the
+    number regressions should be judged on."""
+    import statistics
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    sha = subprocess.run(["git", "rev-parse", "--short", ref],
+                         cwd=here, capture_output=True, text=True,
+                         check=True).stdout.strip()
+    wt = f"/tmp/modeltracking_ab_{sha}"
+    if not os.path.isdir(wt):
+        subprocess.run(["git", "worktree", "add", "--detach", wt, sha],
+                       cwd=here, check=True, capture_output=True)
+
+    def spawn(tree):
+        env = dict(os.environ, SPARK_GRAFT_BENCH_TREE=tree)
+        return subprocess.Popen(
+            [sys.executable, os.path.join(here, "bench.py"),
+             "--runner"],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            env=env, text=True, bufsize=1,
+            stderr=subprocess.DEVNULL)
+
+    procs = {"cur": spawn(here), "ref": spawn(wt)}
+
+    def wait_ready(p):
+        while True:
+            line = p.stdout.readline()
+            if not line:
+                raise RuntimeError("ab runner died before READY")
+            if line.strip() == "READY":
+                return
+
+    def ask(p, cmd, name):
+        p.stdin.write(f"{cmd} {name}\n")
+        p.stdin.flush()
+        line = p.stdout.readline().strip()
+        if line.startswith("OK"):
+            return float(line.split()[1])
+        raise RuntimeError(line)
+
+    for p in procs.values():
+        wait_ready(p)
+    results = {}
+    rounds = int(os.environ.get("SPARK_GRAFT_AB_ROUNDS", "5"))
+    only = os.environ.get("SPARK_GRAFT_AB_QUERIES")
+    todo = ([q for q in HEADLINE
+             if any(s in q for s in only.split(","))]
+            if only else HEADLINE)
+    for name in todo:
+        try:
+            if not (ask(procs["cur"], "HAS", name)
+                    and ask(procs["ref"], "HAS", name)):
+                continue  # only queries BOTH trees register pair up
+            ask(procs["cur"], "WARM", name)
+            ask(procs["ref"], "WARM", name)
+            pairs = []
+            for _ in range(rounds):
+                a = ask(procs["cur"], "RUN", name)
+                b = ask(procs["ref"], "RUN", name)
+                pairs.append((a, b))
+            results[name] = {
+                "cur": round(statistics.median(a for a, _ in pairs), 3),
+                "ref": round(statistics.median(b for _, b in pairs), 3),
+                "ratio": round(statistics.median(
+                    a / max(b, 1e-9) for a, b in pairs), 3),
+            }
+        except Exception as exc:
+            print(f"ab {name} failed: {exc}", file=sys.stderr)
+            results[name] = {"cur": -1.0, "ref": -1.0, "ratio": -1.0}
+    for p in procs.values():
+        try:
+            p.stdin.write("EXIT\n")
+            p.stdin.flush()
+            p.wait(timeout=60)
+        except Exception:
+            p.kill()
+    ok = {n: r for n, r in results.items() if r["ratio"] > 0}
+    ratios = sorted(r["ratio"] for r in ok.values())
+    out = {
+        "metric": "ab_paired_ratio",
+        "ref": sha,
+        "value": round(ratios[len(ratios) // 2], 3) if ratios else -1.0,
+        "unit": "cur/ref",
+        "cur_total": round(sum(r["cur"] for r in ok.values()), 3),
+        "ref_total": round(sum(r["ref"] for r in ok.values()), 3),
+        "queries": results,
+        "sf": float(os.environ.get(
+            "SPARK_GRAFT_SF_DIR",
+            "/root/testdata/sf0.1").rstrip("/").rsplit("sf", 1)[-1]),
+        "methodology": ("two-warm-JVM paired alternation, "
+                        f"median-of-{rounds} per-pair ratios"),
+    }
+    print(json.dumps(out))
+    return 0
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -259,4 +430,8 @@ def main() -> int:
 
 
 if __name__ == "__main__":
+    if "--runner" in sys.argv:
+        raise SystemExit(_runner())
+    if "--ab" in sys.argv:
+        raise SystemExit(_ab(sys.argv[sys.argv.index("--ab") + 1]))
     raise SystemExit(main())
