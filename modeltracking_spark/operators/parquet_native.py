@@ -447,6 +447,11 @@ def parquet_footer(data_tail: bytes, file_size: int) -> dict:
                 "data_page_offset": md[9],
                 "dictionary_page_offset": md.get(11),
                 "stats": _decode_stats(md.get(12), PHYS.get(md[1])),
+                # PageLocation/ColumnIndex ranges (ColumnChunk 4-7)
+                "offset_index": ((cc.get(4), cc.get(5))
+                                 if cc.get(4) is not None else None),
+                "column_index": ((cc.get(6), cc.get(7))
+                                 if cc.get(6) is not None else None),
             }
         groups.append({"num_rows": rg.get(3, 0), "chunks": chunks})
     return {
@@ -455,6 +460,40 @@ def parquet_footer(data_tail: bytes, file_size: int) -> dict:
         "columns": cols,
         "row_groups": groups,
     }
+
+
+@_malformed_guard("parquet")
+def read_page_index(fh, chunk: dict, col: dict) -> dict | None:
+    """Decode one chunk's ColumnIndex + OffsetIndex (the page-level
+    zone maps, parquet-format PageIndex.md) -> ``{"pages": [{offset,
+    size, first_row}], "null_pages", "mins", "maxs",
+    "boundary_order", "null_counts"}`` with min/max as comparable
+    Python values; None when the chunk carries no offset index.
+    This is what a page-granular scan prunes on: a page whose
+    [min, max] cannot satisfy the residual filter is a skip
+    candidate without reading a payload byte."""
+    oi_loc = chunk.get("offset_index")
+    if oi_loc is None:
+        return None
+    fh.seek(oi_loc[0])
+    oi = _Thrift(fh.read(oi_loc[1])).read_struct()
+    pages = [{"offset": p[1], "size": p[2], "first_row": p[3]}
+             for p in (oi.get(1) or [])]
+    out = {"pages": pages}
+    ci_loc = chunk.get("column_index")
+    if ci_loc is not None:
+        fh.seek(ci_loc[0])
+        ci = _Thrift(fh.read(ci_loc[1])).read_struct()
+        phys = col["physical"]
+        out["null_pages"] = ci.get(1) or []
+        out["mins"] = [None if not b else _stat_value(b, phys)
+                       for b in (ci.get(2) or [])]
+        out["maxs"] = [None if not b else _stat_value(b, phys)
+                       for b in (ci.get(3) or [])]
+        out["boundary_order"] = ci.get(4, 0)
+        if ci.get(5) is not None:
+            out["null_counts"] = ci[5]
+    return out
 
 
 @_malformed_guard("parquet")

@@ -116,6 +116,23 @@ class _ThriftW:
             self.out.append(0xF0 | etype)
             self._varint(size)
 
+    def list_bools(self, fid: int, vals):
+        # bool list elements are full bytes: 1 = true, 2 = false
+        self.begin_list(fid, 1, len(vals))
+        for v in vals:
+            self.out.append(1 if v else 2)
+
+    def list_i64(self, fid: int, vals):
+        self.begin_list(fid, 6, len(vals))
+        for v in vals:
+            self._zigzag(v)
+
+    def list_binary(self, fid: int, vals):
+        self.begin_list(fid, 8, len(vals))
+        for v in vals:
+            self._varint(len(v))
+            self.out += v
+
     def field_struct(self, fid: int, child: "_ThriftW"):
         """Splice a fully-built struct (its ``finish()`` bytes carry
         the terminating STOP) as field ``fid``."""
@@ -674,6 +691,7 @@ class ParquetFileWriter:
         dictionary: bool | None = None,
         page_version: int = 1,
         value_encoding: str | None = None,
+        page_index: bool = True,
         created_by: str = ("modeltracking-spark parquet_write "
                            "(from-spec)"),
     ):
@@ -703,6 +721,7 @@ class ParquetFileWriter:
         self.dictionary = dictionary
         self.page_version = page_version
         self.value_encoding = value_encoding
+        self.page_index = bool(page_index)
         self.created_by = created_by
         self.n_rows = 0
         self._groups_meta: list[tuple] = []
@@ -786,6 +805,37 @@ class ParquetFileWriter:
 
             data_page_off = chunk_start + len(pages)
 
+            # --- page-index collection (ColumnIndex/OffsetIndex) ----
+            pidx = {"locs": [], "null_pages": [], "null_counts": [],
+                    "los": [], "his": [], "ok": not spec.no_minmax}
+            _pk = ((lambda v: _norm_key(v, False))
+                   if spec.physical == "BYTE_ARRAY" else (lambda v: v))
+
+            def pidx_page(page_off, page_size, first_row, p_defs,
+                          n_present, p_vals):
+                pidx["locs"].append((page_off, page_size, first_row))
+                pidx["null_pages"].append(n_present == 0)
+                pidx["null_counts"].append(
+                    len(p_defs) - n_present if spec.max_def else 0)
+                if n_present == 0:
+                    pidx["los"].append(None)
+                    pidx["his"].append(None)
+                    return
+                if spec.physical in ("FLOAT", "DOUBLE") and any(
+                        v != v for v in p_vals):
+                    pidx["ok"] = False  # NaN page: no ColumnIndex
+                if not pidx["ok"]:
+                    return
+                lo_v = min(p_vals, key=_pk)
+                hi_v = max(p_vals, key=_pk)
+                if spec.physical in ("FLOAT", "DOUBLE"):
+                    if lo_v == 0.0:
+                        lo_v = -0.0
+                    if hi_v == 0.0:
+                        hi_v = 0.0
+                pidx["los"].append(lo_v)
+                pidx["his"].append(hi_v)
+
             # --- data pages (record-aligned splits) ----------------
             vpos = 0  # cursor into vals
             for p0 in range(0, max(len(spans), 1), page_rows):
@@ -842,6 +892,9 @@ class ParquetFileWriter:
                     th.field_bool(7, True)  # is_compressed
                     th.end_struct()
                     hdr = th.finish()
+                    pidx_page(chunk_start + len(pages),
+                              len(hdr) + len(body), p0, p_defs,
+                              n_present, p_vals)
                     pages += hdr
                     pages += body
                     unc_total += len(hdr) + unc_size
@@ -873,6 +926,9 @@ class ParquetFileWriter:
                 th.field_i32(4, _ENC_RLE)
                 th.end_struct()
                 hdr = th.finish()
+                pidx_page(chunk_start + len(pages),
+                          len(hdr) + len(body), p0, p_defs,
+                          n_present, p_vals)
                 pages += hdr
                 pages += body
                 unc_total += len(hdr) + len(plain)
@@ -939,17 +995,93 @@ class ParquetFileWriter:
             if any_stat:
                 md.field_struct(12, st)
 
+            # --- page index serialization (located + linked at
+            # finish() time; ColumnIndex omitted for chunks whose
+            # bounds would be unsound — NaN pages / FLBA decimals) ---
+            ci_blob = None
+            if (self.page_index and pidx["ok"]
+                    and any(v is not None for v in pidx["los"])):
+                nn = [(lo2, hi2) for lo2, hi2
+                      in zip(pidx["los"], pidx["his"])
+                      if lo2 is not None]
+                asc = all(_pk(a[0]) <= _pk(b[0])
+                          and _pk(a[1]) <= _pk(b[1])
+                          for a, b in zip(nn, nn[1:]))
+                desc = all(_pk(a[0]) >= _pk(b[0])
+                           and _pk(a[1]) >= _pk(b[1])
+                           for a, b in zip(nn, nn[1:]))
+                ci = _ThriftW()
+                ci.list_bools(1, pidx["null_pages"])
+                ci.list_binary(2, [
+                    b"" if v is None
+                    else _stats_bytes(spec.physical, v)
+                    for v in pidx["los"]])
+                ci.list_binary(3, [
+                    b"" if v is None
+                    else _stats_bytes(spec.physical, v)
+                    for v in pidx["his"]])
+                ci.field_i32(4, 1 if asc else 2 if desc else 0)
+                if spec.max_def:
+                    ci.list_i64(5, pidx["null_counts"])
+                ci_blob = ci.finish()
+            oi_blob = None
+            if self.page_index:
+                oi = _ThriftW()
+                oi.begin_list(1, 12, len(pidx["locs"]))
+                for off2, size2, frow2 in pidx["locs"]:
+                    pl = _ThriftW()
+                    pl.field_i64(1, off2)
+                    pl.field_i32(2, size2)
+                    pl.field_i64(3, frow2)
+                    oi.list_struct(pl)
+                oi_blob = oi.finish()
+
             cc = _ThriftW()
             cc.field_i64(2, chunk_start)  # file_offset (legacy)
             cc.field_struct(3, md)
-            chunks_meta.append(cc.finish())
+            # fields 4-7 (offset/column index locations) are appended
+            # at finish() time, once the indexes land in the file
+            chunks_meta.append((cc, ci_blob, oi_blob))
         self._groups_meta.append((chunks_meta, total_bytes, g_n))
         self.n_rows += g_n
         return g_n
 
     def finish(self):
-        """Write the footer + magic; the file is complete after this."""
+        """Write the page indexes, footer + magic; the file is
+        complete after this."""
         specs = self.specs
+
+        # --- page indexes: all ColumnIndexes, then all OffsetIndexes
+        # (parquet-mr's layout), locations linked into each
+        # ColumnChunk as fields 6/7 and 4/5 ------------------------
+        locations: dict[tuple, tuple] = {}
+        for gi, (chunks_meta, _tb, _gn) in enumerate(self._groups_meta):
+            for cj, (_cc, ci_blob, _oi) in enumerate(chunks_meta):
+                if ci_blob is not None:
+                    locations[(gi, cj, "ci")] = (self._pos,
+                                                 len(ci_blob))
+                    self._emit(ci_blob)
+        for gi, (chunks_meta, _tb, _gn) in enumerate(self._groups_meta):
+            for cj, (_cc, _ci, oi_blob) in enumerate(chunks_meta):
+                if oi_blob is not None:
+                    locations[(gi, cj, "oi")] = (self._pos,
+                                                 len(oi_blob))
+                    self._emit(oi_blob)
+        finished_groups = []
+        for gi, (chunks_meta, tb, gn) in enumerate(self._groups_meta):
+            done = []
+            for cj, (cc, _ci, _oi) in enumerate(chunks_meta):
+                oi_loc = locations.get((gi, cj, "oi"))
+                ci_loc = locations.get((gi, cj, "ci"))
+                if oi_loc is not None:
+                    cc.field_i64(4, oi_loc[0])
+                    cc.field_i32(5, oi_loc[1])
+                if ci_loc is not None:
+                    cc.field_i64(6, ci_loc[0])
+                    cc.field_i32(7, ci_loc[1])
+                done.append(cc.finish())
+            finished_groups.append((done, tb, gn))
+        self._groups_meta = finished_groups
 
         def _logical(el: _ThriftW, inner_fid: int):
             # LogicalType wrapper (field 10) holding one empty inner

@@ -722,3 +722,94 @@ def test_sink_decimal_and_struct_end_to_end(spark, tmp_path):
          r["props"]["dbl"]) for r in back.collect())
     exp = [(i, f"{i/100:.2f}", f"u{i}", 2 * i) for i in range(20)]
     assert got == exp
+
+
+def test_page_index_written_and_parsed(tmp_path):
+    """ColumnIndex/OffsetIndex emission (VERDICT r11 item 9): pyarrow
+    flags both indexes present; the own parser returns exact per-page
+    bounds/locations/null-counts; page-skip candidates are
+    identifiable from the index alone; the parser also decodes
+    pyarrow-WRITTEN indexes (reference-writer cross-validation); and
+    chunks whose bounds would be unsound (NaN pages, FLBA decimals)
+    omit the ColumnIndex but keep the OffsetIndex."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from modeltracking_spark.operators.parquet_native import (
+        read_page_index,
+    )
+
+    cols = {"mono": list(range(10000)),
+            "s": ["k-%05d" % i for i in range(10000)],
+            "maybe": [None if i % 3 == 0 else i * 0.5
+                      for i in range(10000)]}
+    schema = [("mono", "int64", False), ("s", "string", True),
+              ("maybe", "double", True)]
+    blob = parquet_write_table(cols, schema, codec="ZSTD",
+                               page_rows=1000, row_group_rows=5000)
+    md = pq_.ParquetFile(io.BytesIO(blob)).metadata
+    for rg in range(md.num_row_groups):
+        for c in range(md.num_columns):
+            assert md.row_group(rg).column(c).has_column_index
+            assert md.row_group(rg).column(c).has_offset_index
+    fh = io.BytesIO(blob)
+    foot = parquet_footer_from_file(fh)
+    by = {c["name"]: c for c in foot["columns"]}
+    pi = read_page_index(fh, foot["row_groups"][1]["chunks"]["mono"],
+                         by["mono"])
+    assert [p["first_row"] for p in pi["pages"]] == \
+        [0, 1000, 2000, 3000, 4000]
+    assert pi["mins"] == [5000, 6000, 7000, 8000, 9000]
+    assert pi["maxs"][-1] == 9999
+    assert pi["boundary_order"] == 1  # ASCENDING
+    # page-skip candidates from the index alone: mono > 8999 keeps
+    # exactly the last page of the second row group
+    keep = [i for i, hi in enumerate(pi["maxs"]) if hi > 8999]
+    assert keep == [4]
+    pim = read_page_index(fh, foot["row_groups"][1]["chunks"]["maybe"],
+                          by["maybe"])
+    assert sum(pim["null_counts"]) == sum(
+        1 for i in range(5000, 10000) if i % 3 == 0)
+    # reference-writer cross-validation: parse pyarrow-written indexes
+    buf = io.BytesIO()
+    pq_.write_table(pa.table(cols), buf, write_page_index=True,
+                    data_page_size=4096, row_group_size=5000,
+                    use_dictionary=False)
+    buf.seek(0)
+    f2 = parquet_footer_from_file(buf)
+    p2 = read_page_index(buf, f2["row_groups"][0]["chunks"]["mono"],
+                         {c["name"]: c for c in f2["columns"]}["mono"])
+    assert p2["mins"][0] == 0 and p2["boundary_order"] == 1
+    assert p2["pages"][0]["first_row"] == 0
+    # unsound-bounds chunks: NaN double page -> no ColumnIndex, but
+    # the OffsetIndex stays
+    blob2 = parquet_write_table(
+        {"f": [1.0, float("nan"), 2.0]}, [("f", "double", False)])
+    fh2 = io.BytesIO(blob2)
+    f3 = parquet_footer_from_file(fh2)
+    ch = f3["row_groups"][0]["chunks"]["f"]
+    assert ch["column_index"] is None
+    assert ch["offset_index"] is not None
+    assert len(read_page_index(
+        fh2, ch, f3["columns"][0])["pages"]) == 1
+
+
+def test_page_index_consumed_by_spark_jvm_reader(spark, tmp_path):
+    """Adversarial content check: Spark's vectorized parquet reader
+    USES the column index for page-level row filtering when a filter
+    is pushed (parquet.filter.columnindex.enabled defaults true) — a
+    wrong index silently drops or duplicates rows, so an exact result
+    on a selective filter over multi-page chunks proves the written
+    index is self-consistent."""
+    cols = {"mono": list(range(20000)),
+            "s": ["k-%05d" % i for i in range(20000)]}
+    schema = [("mono", "int64", False), ("s", "string", True)]
+    p = tmp_path / "pi.parquet"
+    p.write_bytes(parquet_write_table(cols, schema, codec="SNAPPY",
+                                      page_rows=500,
+                                      row_group_rows=20000))
+    df = spark.read.parquet(str(p)).filter(
+        "mono >= 7777 AND mono < 7790")
+    got = sorted(r["mono"] for r in df.collect())
+    assert got == list(range(7777, 7790))
+    assert df.count() == 13
