@@ -168,11 +168,19 @@ HEADLINE = [
     "parquet_native_write_docs",
     "parquet_native_sink_docs",
     "orc_native_write_docs",
-    # zstd_seekable_stream_scan_docs and parquet_stream_sink_docs are
-    # deliberately NOT benched: each execution runs two REAL streaming
-    # drains (~17 s at sf0.1), which would dominate the 6-run timing
-    # loop; they stay oracled and driver-scored, and their wall time
-    # is stream-startup, not plan cost
+    # round-12 operators: the parquet reader's DECIMAL / INT96 /
+    # one-level-STRUCT arms and the ORC STRUCT arm (Spark-Java-written
+    # fixtures, from-spec decode)
+    "parquet_decimal_scan_orders",
+    "parquet_int96_scan_events",
+    "parquet_struct_scan_events",
+    "orc_struct_scan_events",
+    # zstd_seekable_stream_scan_docs, parquet_stream_sink_docs, and
+    # orc_stream_sink_docs are deliberately NOT benched: each
+    # execution runs two REAL streaming drains (~17 s at sf0.1),
+    # which would dominate the 6-run timing loop; they stay oracled
+    # and driver-scored, and their wall time is stream-startup, not
+    # plan cost
 ]
 
 # Regression anchor: BENCH_r03.json per-query seconds at sf0.1 on local[32]

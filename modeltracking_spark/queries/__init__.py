@@ -43,84 +43,70 @@ QUERY_MODULES = (
 
 #: the scored window (driver cap observed at 50).
 #:
-#: ROUND-11 ROTATION (VERDICT r10 item 7): the attestation sweep closed
-#: in r10 (218/218), so this window is re-attestation — EXCEPT its
-#: head: 3 new r11 registrations (avro codec matrix, zlib FDICT,
-#: coalesced seekable scan) followed by the 4 queries whose BEHAVIOR
-#: changed this round (the BCJ cycle — 10 chains once RISC-V closed
-#: the branch family; the three archive scans, now on
-#: content-addressed fixtures with bounded-memory bz2 planning)
-#: — listed in ``REATTEST`` below so the staleness lint treats them as
-#: never-attested. The rest is the stalest cohort: all 19 r6-attested
-#: queries, then 24 of the 50 r7-attested (highest-leverage first);
-#: the 26 r7 names left outside are age 4 at r11 close — the maximum
-#: the rotation tolerates — and head the r12 window next.
+#: ROUND-12 ROTATION (VERDICT r11 item 8): head = the 5 new r12
+#: registrations (parquet decimal/INT96/struct scans, ORC struct
+#: scan, ORC streaming sink) plus ``topk_lineitems_per_order`` whose
+#: positional-zip arm was REWRITTEN this round (limit-first ranking —
+#: listed in ``REATTEST`` so the lint treats it as never-attested).
+#: Then the ENTIRE r7-stale cohort (34 names, age 5 — the r11 verdict
+#: mandated they lead) and the 10 highest-leverage r8-stale names to
+#: fill the window. Everything else follows in module registration
+#: order; the union of driver windows retains full-registry coverage.
 PRIORITY: tuple[str, ...] = (
-    # ---- new in r11 (never-attested) ----
-    "parquet_native_scan_docs",        # from-spec parquet reader
-    "parquet_native_scan_embeddings",  # its Dremel list<float> arm
-    "orc_native_scan_docs",            # from-spec ORC reader
-    "orc_native_scan_events",          # its null/double/zstd arm
-    "avro_codec_matrix_docs",          # all six Avro spec codecs
-    "zlib_fdict_roundtrip_docs",       # RFC 1950 FDICT preset dict
-    "zstd_seekable_coalesced_scan_docs",  # scan-tier scale knob
-    "parquet_native_write_docs",       # from-spec parquet WRITER
-    "parquet_native_sink_docs",        # distributed sink, 2-phase commit
-    "orc_native_write_docs",           # from-spec ORC WRITER
-    "parquet_stream_sink_docs",        # streaming sink, epoch log
-    # ---- behavior changed in r11 (REATTEST; lint-exempt) ----
-    "xz_bcj_roundtrip_docs",           # now cycles 10 chains (+riscv)
-    "zstd_seekable_scan_docs",         # content-addressed fixture
-    "xz_indexed_scan_docs",            # content-addressed fixture
-    "bz2_multistream_scan_docs",       # bounded-memory planning
-    # ---- r6-stale cohort (19 = the whole tier) ----
-    "euclid_knn_suppliers",
-    "grid_snap_nearest_node",
-    "scalar_geo_suite",
-    "text_quality_suite",
-    "bloom_decontaminate_docs",
-    "tfidf_top_terms_docs",
-    "vincenty_vs_haversine",
-    "winnow_fingerprints_docs",
-    "decontaminate_ngram_overlap",
-    "embedding_neardup_lsh_pairs",
-    "bmp_decode_stats_docs",
-    "frame_sample_fake_decode",
-    "pack_sequences_greedy",
-    "bigram_pmi_docs",
-    "token_heavy_hitters",
-    "click_error_interval_join",
-    "unigram_logprob_docs",
-    "chunk_dup_ratio_docs",
-    "quality_logreg_docs",
-    # ---- r7-stale cohort, highest-leverage 24 of 50 ----
-    "pagerank_link_graph_docs",        # fixed-point graph tier
-    "incremental_dedup_docs",          # incremental exact dedup
-    "incremental_neardup_docs",        # incremental MinHash bands
-    "bm25_topk_docs",                  # retrieval scoring
-    "inverted_index_docs",             # postings build
-    "merge_upsert_docs",               # MERGE INTO semantics
-    "scd2_history_docs",               # slowly-changing dim type 2
-    "compaction_plan_orders",          # small-file compaction plan
-    "zorder_layout_grid",              # Z-order clustering
-    "partition_prune_events",          # stats-pruned snapshot scan
-    "foreach_batch_sink_totals",       # §2.11 foreachBatch sink
-    "csv_roundtrip_scan",              # S1/S5 CSV scan + sink
-    "jsonl_roundtrip_scan",            # JSONL scan + sink
-    "orc_roundtrip_scan",              # ORC scan + sink
-    "xpath_placemark_fields",          # S3 KML xpath parse
-    "jpeg_decode_stats_docs",          # baseline JPEG decode
-    "wav_decode_stats_docs",           # WAV PCM decode
-    "gopher_rules_docs",               # Gopher quality rules
-    "dsir_select_docs",                # DSIR importance sampling
-    "curation_pipeline_docs",          # end-to-end curation chain
-    # (triangle_counts_docs / textrank_segments_docs / pq_adc_topk_l2 /
-    # pca_top_component_embeddings slipped past the boundary when the
-    # four storage-format queries landed; curation_pipeline_docs,
-    # dsir_select_docs, gopher_rules_docs, and wav_decode_stats_docs
-    # followed when the parquet WRITER/SINK/STREAM-SINK and ORC WRITER
-    # queries took head slots 8-11; they rotate in with the rest of
-    # the r7 cohort at r12)
+    # ---- new in r12 (never-attested) ----
+    "parquet_decimal_scan_orders",     # DECIMAL logical type, 3 carriers
+    "parquet_int96_scan_events",       # legacy INT96 timestamps
+    "parquet_struct_scan_events",      # one-level STRUCT (Dremel defs)
+    "orc_struct_scan_events",          # ORC one-level STRUCT
+    "orc_stream_sink_docs",            # ORC streaming sink, epoch 2PC
+    # ---- behavior changed in r12 (REATTEST; lint-exempt) ----
+    "topk_lineitems_per_order",        # zip arm now limit-first
+    # ---- r7-stale cohort (34 = the whole tier, age 5) ----
+    "bpe_first_merge_pairs",
+    "chi2_type_vs_weekday_events",
+    "cms_user_counts",
+    "curation_pipeline_docs",
+    "data_quality_events",
+    "depth_display_axis",
+    "distinct_estimate_users",
+    "dsir_select_docs",
+    "edit_distance_pairs_docs",
+    "embedding_quantize_int8",
+    "fixed_n_per_lang_docs",
+    "funnel_conversion_events",
+    "gopher_rules_docs",
+    "grouped_agg_median_prices",
+    "hist_quantiles_events",
+    "hours_from_parts",
+    "html_extract_main_text",
+    "line_dedup_rewrite_docs",
+    "mad_outliers_events",
+    "mmr_diverse_topk",
+    "pca_top_component_embeddings",
+    "personalized_pagerank_docs",
+    "pii_redact_docs",
+    "point_in_polygon_customers",
+    "pq_adc_topk_l2",
+    "pq_refine_topk_l2",
+    "profile_columns_lineitem",
+    "retention_cohorts_events",
+    "textrank_segments_docs",
+    "track_resample_arclength",
+    "triangle_counts_docs",
+    "url_canonicalize_docs",
+    "wav_decode_stats_docs",
+    "weighted_sample_docs",
+    # ---- r8-stale fillers (10 of 49, operator-diverse) ----
+    "asof_backward_clicks",            # second as-of direction
+    "bigram_logprob_docs",             # bigram LM scoring
+    "classifier_eval_suite",           # eval metrics suite
+    "deterministic_shuffle_docs",      # bucket-offset global shuffle
+    "grid_netcdf_packed_scan",         # CF-packed int16 grid arm
+    "hll_distinct_users",              # HLL sketch
+    "jpeg_progressive_decode_stats_docs",  # progressive JPEG
+    "txlog_snapshot_orders",           # transaction-log snapshot
+    "unigram_viterbi_docs",            # Viterbi segmentation
+    "rolling_active_users_events",     # 7-day rolling WAU
 )
 
 #: queries whose semantics/plan changed THIS round: the staleness lint
@@ -128,10 +114,7 @@ PRIORITY: tuple[str, ...] = (
 #: their head-of-window placement does not trip the stalest-first
 #: invariant (their old attestation predates the change).
 REATTEST: tuple[str, ...] = (
-    "xz_bcj_roundtrip_docs",
-    "zstd_seekable_scan_docs",
-    "xz_indexed_scan_docs",
-    "bz2_multistream_scan_docs",
+    "topk_lineitems_per_order",
 )
 
 #: observed driver correctness cap (CORRECTNESS_r03 scored exactly 50)

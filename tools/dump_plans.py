@@ -142,6 +142,12 @@ NOTES = {
     "parquet_native_scan_embeddings": "BatchScan (Dremel list assembly) -> JVM-side size/aggregate over array<float>; no Python after the scan, no exchange",
     "orc_native_scan_docs": "BatchScan with one InputPartition per STRIPE, stream-level projection (3 of 4 columns) -> project; no exchange",
     "orc_native_scan_events": "BatchScan per stripe; PRESENT-driven null assembly + zstd chunk framing decode inside the source; no exchange",
+    # round 12
+    "parquet_decimal_scan_orders": "BatchScan (footer-only planning) -> JVM-side exact decimal-to-integer projection; DECIMAL columns excluded from stats pruning by design; no exchange",
+    "parquet_int96_scan_events": "BatchScan per row group; INT96 12-byte pairs decode to epoch micros inside the source; pure project after, no exchange",
+    "parquet_struct_scan_events": "BatchScan per row group; per-leaf chunk reads + def-level struct assembly inside the source; JVM-side field dereference, no exchange",
+    "orc_struct_scan_events": "BatchScan per stripe; parent-presence child decode inside the source; JVM-side field dereference, no exchange",
+    "orc_stream_sink_docs": "two REAL streaming drains through the per-epoch two-phase ORC sink (executor-side from-spec encode incl. stripe statistics, _epochs idempotence log) -> JVM ORC scan of the committed output",
 }
 
 

@@ -2745,6 +2745,130 @@ def twin_orc_native_events(spark, sf_dir,
     return True, f"{n} events replayed by pyarrow.orc"
 
 
+def twin_parquet_decimal(spark, sf_dir, spark_rows) -> tuple[bool, str]:
+    """pyarrow replays the Spark-Java-written DECIMAL fixture with
+    exact decimal.Decimal arithmetic — none of the repo's from-spec
+    decode in the loop (round 12)."""
+    import glob
+    from decimal import Decimal
+
+    import pyarrow.parquet as _pq
+
+    from modeltracking_spark.queries.extras_q import pqdec_fixture_dir
+
+    d = pqdec_fixture_dir(spark, sf_dir)
+    got = {int(r["o_orderkey"]): (int(r["cents"]), int(r["big_u5"]))
+           for r in spark_rows}
+    n = 0
+    for part in sorted(glob.glob(f"{d}/*.parquet")):
+        t = _pq.read_table(part)
+        for ok, price, big in zip(t.column("o_orderkey").to_pylist(),
+                                  t.column("price").to_pylist(),
+                                  t.column("big").to_pylist()):
+            want = (int(price * 100), int(big * 100000))
+            assert isinstance(price, Decimal)
+            if got.get(int(ok)) != want:
+                return False, f"order {ok}: got {got.get(int(ok))} want {want}"
+            n += 1
+    if n != len(got):
+        return False, f"row count: pyarrow {n} vs engine {len(got)}"
+    return True, f"{n} decimal rows replayed by pyarrow"
+
+
+def twin_parquet_int96(spark, sf_dir, spark_rows) -> tuple[bool, str]:
+    """pyarrow replays the Spark-Java-written INT96 fixture (its own
+    Julian-day decode) to epoch micros (round 12)."""
+    import datetime as _dt
+    import glob
+
+    import pyarrow.parquet as _pq
+
+    from modeltracking_spark.queries.extras_q import pq96_fixture_dir
+
+    d = pq96_fixture_dir(spark, sf_dir)
+    got = {int(r["event_id"]): int(r["ts_us"]) for r in spark_rows}
+    epoch = _dt.datetime(1970, 1, 1)
+    n = 0
+    for part in sorted(glob.glob(f"{d}/*.parquet")):
+        t = _pq.read_table(part)
+        for eid, ts in zip(t.column("event_id").to_pylist(),
+                           t.column("ts").to_pylist()):
+            want = (ts.replace(tzinfo=None) - epoch) \
+                // _dt.timedelta(microseconds=1)
+            if got.get(int(eid)) != want:
+                return False, f"event {eid}: got {got.get(int(eid))} want {want}"
+            n += 1
+    if n != len(got):
+        return False, f"row count: pyarrow {n} vs engine {len(got)}"
+    return True, f"{n} INT96 instants replayed by pyarrow"
+
+
+def twin_parquet_struct(spark, sf_dir, spark_rows) -> tuple[bool, str]:
+    """pyarrow replays the Spark-Java-written one-level STRUCT fixture
+    field by field (round 12)."""
+    import glob
+    import math
+
+    import pyarrow.parquet as _pq
+
+    from modeltracking_spark.queries.extras_q import (
+        pqstruct_fixture_dir,
+    )
+
+    d = pqstruct_fixture_dir(spark, sf_dir)
+    got = {int(r["event_id"]): (
+        r["etype"],
+        None if r["value_e6"] is None else int(r["value_e6"]))
+        for r in spark_rows}
+    n = 0
+    for part in sorted(glob.glob(f"{d}/*.parquet")):
+        t = _pq.read_table(part)
+        for eid, props in zip(t.column("event_id").to_pylist(),
+                              t.column("props").to_pylist()):
+            v = props["value"]
+            want = (props["etype"],
+                    None if v is None else math.floor(v * 1e6 + 0.5))
+            if got.get(int(eid)) != want:
+                return False, f"event {eid}: got {got.get(int(eid))} want {want}"
+            n += 1
+    if n != len(got):
+        return False, f"row count: pyarrow {n} vs engine {len(got)}"
+    return True, f"{n} struct rows replayed by pyarrow"
+
+
+def twin_orc_struct(spark, sf_dir, spark_rows) -> tuple[bool, str]:
+    """pyarrow.orc (ORC_CPP) replays the Spark-Java-written ORC STRUCT
+    fixture field by field (round 12)."""
+    import glob
+    import math
+
+    import pyarrow.orc as _po
+
+    from modeltracking_spark.queries.extras_q import (
+        orcstruct_fixture_dir,
+    )
+
+    d = orcstruct_fixture_dir(spark, sf_dir)
+    got = {int(r["event_id"]): (
+        r["etype"],
+        None if r["value_e6"] is None else int(r["value_e6"]))
+        for r in spark_rows}
+    n = 0
+    for part in sorted(glob.glob(f"{d}/*.orc")):
+        t = _po.ORCFile(part).read()
+        for eid, props in zip(t.column("event_id").to_pylist(),
+                              t.column("props").to_pylist()):
+            v = props["value"]
+            want = (props["etype"],
+                    None if v is None else math.floor(v * 1e6 + 0.5))
+            if got.get(int(eid)) != want:
+                return False, f"event {eid}: got {got.get(int(eid))} want {want}"
+            n += 1
+    if n != len(got):
+        return False, f"row count: pyarrow.orc {n} vs engine {len(got)}"
+    return True, f"{n} ORC struct rows replayed by pyarrow.orc"
+
+
 def twin_zlib_fdict(spark, sf_dir, spark_rows) -> tuple[bool, str]:
     """Independent replay of the preset-dictionary roundtrip: stdlib
     zlib does BOTH directions (compressobj/decompressobj with the same
@@ -3200,6 +3324,14 @@ def main(sf_dirs: list[str]) -> int:
              lambda rows: twin_orc_native_docs(spark, sf_dir, rows)),
             ("orc_native_scan_events",
              lambda rows: twin_orc_native_events(spark, sf_dir, rows)),
+            ("parquet_decimal_scan_orders",
+             lambda rows: twin_parquet_decimal(spark, sf_dir, rows)),
+            ("parquet_int96_scan_events",
+             lambda rows: twin_parquet_int96(spark, sf_dir, rows)),
+            ("parquet_struct_scan_events",
+             lambda rows: twin_parquet_struct(spark, sf_dir, rows)),
+            ("orc_struct_scan_events",
+             lambda rows: twin_orc_struct(spark, sf_dir, rows)),
             ("brotli_roundtrip_docs",
              lambda rows: twin_brotli(spark, sf_dir, rows)),
             ("zstd_seekable_scan_docs",
