@@ -135,7 +135,8 @@ def _malformed_guard(fn):
         except (ValueError, NotImplementedError):
             raise
         except (struct.error, IndexError, KeyError, TypeError,
-                OverflowError, ZeroDivisionError, MemoryError) as exc:
+                AttributeError, OverflowError, ZeroDivisionError,
+                MemoryError) as exc:
             raise ValueError(
                 f"malformed ORC: {type(exc).__name__}: {exc}") from exc
     return wrapped

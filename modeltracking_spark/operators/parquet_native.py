@@ -70,7 +70,7 @@ def _malformed_guard(kind):
             except (ValueError, NotImplementedError):
                 raise
             except (struct.error, IndexError, KeyError, TypeError,
-                    OverflowError, ZeroDivisionError,
+                    AttributeError, OverflowError, ZeroDivisionError,
                     MemoryError) as exc:
                 raise ValueError(
                     f"malformed {kind}: {type(exc).__name__}: {exc}"

@@ -446,3 +446,50 @@ def test_stripe_stats_pruning_end_to_end(spark, tmp_path):
            .filter("mono > 9995 AND s < 'key-89999'").collect())
     assert sorted(map(tuple, got)) == sorted(map(tuple, ref))
     assert len(got) == 4
+
+
+def test_corruption_fuzz_r12_surfaces():
+    """The r12 ORC decode surfaces (Metadata/stripe-statistics parse,
+    STRUCT assembly) under mutation fuzz: decode or the documented
+    typed reject — never a leaked internal error."""
+    import random
+
+    import pyarrow as pa
+    from pyarrow import orc as pa_orc
+
+    t = pa.table({
+        "id": pa.array(range(300), pa.int64()),
+        "props": pa.array(
+            [{"a": i % 7, "b": "v%d" % i} if i % 4 else None
+             for i in range(300)],
+            pa.struct([("a", pa.int32()), ("b", pa.string())])),
+    })
+    buf = io.BytesIO()
+    pa_orc.write_table(t, buf, compression="zlib",
+                       stripe_size=4096)
+    base = buf.getvalue()
+    rng = random.Random(713)
+
+    def read_all(fh):
+        f = orc_footer_from_file(fh)
+        _ = f["stripe_stats"]
+        for s in range(len(f["stripes"])):
+            read_stripe(fh, f, s)
+
+    for _ in range(300):
+        b = bytearray(base)
+        op = rng.randrange(3)
+        if op == 0:
+            for _ in range(rng.randrange(1, 4)):
+                b[rng.randrange(len(b))] ^= rng.randrange(1, 256)
+        elif op == 1:
+            b = b[:rng.randrange(len(b))]
+        else:
+            i = rng.randrange(len(b))
+            b = (b[:i] + bytes(rng.randrange(256)
+                               for _ in range(rng.randrange(1, 16)))
+                 + b[i:])
+        try:
+            read_all(io.BytesIO(bytes(b)))
+        except (ValueError, NotImplementedError):
+            pass

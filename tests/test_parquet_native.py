@@ -583,3 +583,60 @@ def test_struct_columns_vs_pyarrow():
         got = read_row_group(buf, foot, 0)
         assert got["props"] == recs
         assert got["id"] == list(range(25))
+
+
+def test_corruption_fuzz_r12_surfaces():
+    """The r12 decode surfaces (DECIMAL, INT96, STRUCT assembly, page
+    index parse) under the same mutation fuzz: harmless mutation or
+    the documented typed reject — never a leaked internal error."""
+    import datetime as dt
+    from decimal import Decimal as D
+
+    from modeltracking_spark.operators.parquet_native import (
+        read_page_index,
+    )
+
+    t = pa.table({
+        "d": pa.array([D("1.23")] * 200, pa.decimal128(25, 2)),
+        "ts": pa.array([dt.datetime(2001, 2, 3)] * 200,
+                       pa.timestamp("us")),
+        "props": pa.array(
+            [{"a": i, "b": "x%d" % i} if i % 3 else None
+             for i in range(200)],
+            pa.struct([("a", pa.int64()), ("b", pa.string())])),
+    })
+    buf = io.BytesIO()
+    pq.write_table(t, buf, compression="snappy", row_group_size=80,
+                   use_deprecated_int96_timestamps=True,
+                   write_page_index=True)
+    base = buf.getvalue()
+    rng = random.Random(712)
+
+    def read_all_plus_index(fh):
+        f = parquet_footer_from_file(fh)
+        for rg in range(len(f["row_groups"])):
+            read_row_group(fh, f, rg)
+        by = {c["name"]: c for c in f["columns"]}
+        for c in f["columns"]:
+            if c.get("kind") == "struct":
+                continue
+            read_page_index(fh, f["row_groups"][0]["chunks"][c["path"]],
+                            by[c["name"]])
+
+    for _ in range(300):
+        b = bytearray(base)
+        op = rng.randrange(3)
+        if op == 0:
+            for _ in range(rng.randrange(1, 4)):
+                b[rng.randrange(len(b))] ^= rng.randrange(1, 256)
+        elif op == 1:
+            b = b[:rng.randrange(len(b))]
+        else:
+            i = rng.randrange(len(b))
+            b = (b[:i] + bytes(rng.randrange(256)
+                               for _ in range(rng.randrange(1, 16)))
+                 + b[i:])
+        try:
+            read_all_plus_index(io.BytesIO(bytes(b)))
+        except (ValueError, NotImplementedError):
+            pass
