@@ -175,6 +175,9 @@ HEADLINE = [
     "parquet_int96_scan_events",
     "parquet_struct_scan_events",
     "orc_struct_scan_events",
+    # round-12 flagship: page-level pruned scan off the written
+    # ColumnIndex/OffsetIndex
+    "parquet_page_pruned_scan_orders",
     # zstd_seekable_stream_scan_docs, parquet_stream_sink_docs, and
     # orc_stream_sink_docs are deliberately NOT benched: each
     # execution runs two REAL streaming drains (~17 s at sf0.1),

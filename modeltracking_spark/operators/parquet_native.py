@@ -496,6 +496,79 @@ def read_page_index(fh, chunk: dict, col: dict) -> dict | None:
     return out
 
 
+def page_row_spans(pi: dict, rg_rows: int) -> list[tuple[int, int]]:
+    """Per-page [start_row, end_row) within the row group, from the
+    OffsetIndex first_row_index chain."""
+    firsts = [p["first_row"] for p in pi["pages"]]
+    return list(zip(firsts, firsts[1:] + [rg_rows]))
+
+
+def intersect_ranges(a: list, b: list) -> list:
+    """Intersection of two sorted disjoint [start, end) range lists."""
+    out = []
+    i = j = 0
+    while i < len(a) and j < len(b):
+        s = max(a[i][0], b[j][0])
+        e = min(a[i][1], b[j][1])
+        if s < e:
+            out.append((s, e))
+        if a[i][1] < b[j][1]:
+            i += 1
+        else:
+            j += 1
+    return out
+
+
+def merge_spans(spans: list) -> list:
+    """Coalesce adjacent/contiguous sorted [start, end) spans."""
+    out: list = []
+    for s, e in spans:
+        if out and out[-1][1] >= s:
+            out[-1] = (out[-1][0], max(out[-1][1], e))
+        else:
+            out.append((s, e))
+    return out
+
+
+def _slice_rows(vals: list, kept_spans: list, ranges: list) -> list:
+    """Trim per-record values decoded from the kept pages (whose
+    absolute row spans are ``kept_spans``, in order) down to the rows
+    in ``ranges``."""
+    out: list = []
+    base = 0
+    for a, b in kept_spans:
+        for s, e in ranges:
+            s2, e2 = max(s, a), min(e, b)
+            if s2 < e2:
+                out.extend(vals[base + (s2 - a):base + (e2 - a)])
+        base += b - a
+    return out
+
+
+@_malformed_guard("parquet")
+def read_column_chunk_pages(fh, chunk: dict, col: dict,
+                            pi: dict, keep: list[bool]) -> list:
+    """Decode ONLY the data pages flagged in ``keep`` (plus the
+    dictionary page, if any): seek each kept page's byte range from
+    the OffsetIndex and hand a synthetic buffer to the page walker —
+    unkept pages are never read OR decoded.  Sound because pages
+    referenced by an OffsetIndex begin at record boundaries."""
+    parts = []
+    locs = pi["pages"]
+    dict_off = chunk.get("dictionary_page_offset")
+    if dict_off is not None and locs:
+        first_data = min(p["offset"] for p in locs)
+        if first_data > dict_off:
+            fh.seek(dict_off)
+            parts.append(fh.read(first_data - dict_off))
+    for k, p in zip(keep, locs):
+        if k:
+            fh.seek(p["offset"])
+            parts.append(fh.read(p["size"]))
+    return _decode_chunk_buffer(b"".join(parts), chunk["codec"], col,
+                                None)
+
+
 @_malformed_guard("parquet")
 def parquet_footer_from_file(fh) -> dict:
     """Footer via TAIL reads only: 64 KiB suffix first, widened once if
@@ -825,9 +898,20 @@ def read_column_chunk(fh, chunk: dict, col: dict,
         start = min(start, chunk["dictionary_page_offset"])
     fh.seek(start)
     data = fh.read(chunk["total_compressed_size"])
+    return _decode_chunk_buffer(data, chunk["codec"], col,
+                                chunk["num_values"], with_defs)
+
+
+@_malformed_guard("parquet")
+def _decode_chunk_buffer(data: bytes, codec: str, col: dict,
+                         want: int | None, with_defs: bool = False):
+    """Walk a buffer of parquet pages (optional dictionary page first)
+    and assemble values.  ``want=None`` decodes every page in the
+    buffer — the page-selective path hands a SYNTHETIC buffer of the
+    dictionary page + only the kept data pages (legal because pages
+    referenced by an OffsetIndex begin at record boundaries, so each
+    page decodes independently)."""
     phys = col["physical"]
-    codec = chunk["codec"]
-    want = chunk["num_values"]
     max_def = col.get("max_def", 1 if col["optional"] else 0)
     max_rep = col.get("max_rep", 0)
     def_bw = _bits_for(max_def)
@@ -838,7 +922,7 @@ def read_column_chunk(fh, chunk: dict, col: dict,
     cur: list | None = None  # list record under assembly (spans pages)
     done = 0  # value slots (triplets) consumed, vs metadata num_values
     pos = 0
-    while done < want:
+    while (done < want) if want is not None else (pos < len(data)):
         if pos >= len(data):
             raise ValueError("column chunk ended before all values")
         th = _Thrift(data, pos)
@@ -990,7 +1074,7 @@ def read_column_chunk(fh, chunk: dict, col: dict,
                         "repetition level continues a null record")
                 cur.append(next(it) if d == max_def else None)
         done += nvals
-    if done != want:
+    if want is not None and done != want:
         raise ValueError(
             f"column chunk decoded {done} value slots, metadata says "
             f"{want}")
@@ -1026,11 +1110,22 @@ def _value_conv(col: dict):
 
 @_malformed_guard("parquet")
 def read_row_group(fh, footer: dict, rg_index: int,
-                   columns: list[str] | None = None) -> dict:
+                   columns: list[str] | None = None,
+                   row_ranges: list | None = None) -> dict:
     """Decode one row group into ``{column_name: [values]}`` —
     only the projected columns' byte ranges are read.  STRUCT columns
-    come back as one dict (or None) per record."""
+    come back as one dict (or None) per record.
+
+    ``row_ranges`` (sorted disjoint [start, end) row intervals within
+    the row group) activates PAGE-LEVEL selection: for columns that
+    carry an OffsetIndex, only pages overlapping the ranges are read
+    and decoded (the page-index pruning path); columns without one
+    decode fully and are trimmed.  All returned columns are aligned
+    on exactly the rows in the ranges."""
     rg = footer["row_groups"][rg_index]
+    rg_rows = rg["num_rows"]
+    if row_ranges is not None and row_ranges == [(0, rg_rows)]:
+        row_ranges = None  # full group: take the ordinary path
     by_name = {c["name"]: c for c in footer["columns"]}
     names = columns or [c["name"] for c in footer["columns"]]
     out = {}
@@ -1055,11 +1150,27 @@ def read_row_group(fh, footer: dict, rg_index: int,
                         rec[f_["name"]] = (
                             conv(v) if conv is not None and
                             v is not None else v)
-            out[name] = recs if recs is not None else []
+            recs = recs if recs is not None else []
+            if row_ranges is not None:
+                recs = _slice_rows(recs, [(0, rg_rows)], row_ranges)
+            out[name] = recs
             continue
         if col["path"] not in rg["chunks"]:
             raise ValueError(f"column {name!r} not in this row group")
-        vals = read_column_chunk(fh, rg["chunks"][col["path"]], col)
+        chunk = rg["chunks"][col["path"]]
+        if row_ranges is None:
+            vals = read_column_chunk(fh, chunk, col)
+        elif chunk.get("offset_index") is not None:
+            pi = read_page_index(fh, chunk, col)
+            spans = page_row_spans(pi, rg_rows)
+            keep = [any(a < e and s < b for s, e in row_ranges)
+                    for a, b in spans]
+            vals = read_column_chunk_pages(fh, chunk, col, pi, keep)
+            kept_spans = [sp for sp, k in zip(spans, keep) if k]
+            vals = _slice_rows(vals, kept_spans, row_ranges)
+        else:
+            vals = _slice_rows(read_column_chunk(fh, chunk, col),
+                               [(0, rg_rows)], row_ranges)
         conv = _value_conv(col)
         if conv is not None:
             if col.get("kind") == "list":

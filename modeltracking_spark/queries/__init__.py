@@ -59,6 +59,7 @@ PRIORITY: tuple[str, ...] = (
     "parquet_struct_scan_events",      # one-level STRUCT (Dremel defs)
     "orc_struct_scan_events",          # ORC one-level STRUCT
     "orc_stream_sink_docs",            # ORC streaming sink, epoch 2PC
+    "parquet_page_pruned_scan_orders",  # ColumnIndex page-level prune
     # ---- behavior changed in r12 (REATTEST; lint-exempt) ----
     "topk_lineitems_per_order",        # zip arm now limit-first
     # ---- r7-stale cohort (34 = the whole tier, age 5) ----
@@ -106,7 +107,10 @@ PRIORITY: tuple[str, ...] = (
     "jpeg_progressive_decode_stats_docs",  # progressive JPEG
     "txlog_snapshot_orders",           # transaction-log snapshot
     "unigram_viterbi_docs",            # Viterbi segmentation
-    "rolling_active_users_events",     # 7-day rolling WAU
+    # (rolling_active_users_events slipped past the 50-boundary when
+    # parquet_page_pruned_scan_orders took a head slot; it rotates in
+    # with the rest of the r8 cohort at r13)
+    "rolling_active_users_events",
 )
 
 #: queries whose semantics/plan changed THIS round: the staleness lint

@@ -3777,3 +3777,60 @@ def orc_struct_scan_events(spark: SparkSession,
                            + F.lit(0.5)).cast("long"))
         .alias("value_e6"),
     )
+
+
+def _pqpp_df(spark, sf_dir):
+    return (T(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .sortWithinPartitions("o_orderkey"))
+
+
+def pqpp_fixture_dir(spark, sf_dir: str) -> str:
+    """Exported for tools/oracle_twins.py — exact-dir resolution."""
+    return _pq_fixture_dir(spark, sf_dir, "orders", "pqpp", _pqpp_df,
+                           n_files=2)
+
+
+@query(
+    "parquet_page_pruned_scan_orders",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus,
+           floor(o_totalprice * 100 + 0.5)::BIGINT AS cents
+    FROM orders
+    WHERE o_orderkey BETWEEN 1000 AND 3000
+    """,
+)
+def parquet_page_pruned_scan_orders(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Round-12 PAGE-LEVEL pruned scan (the step VERDICT r11 item 9
+    positioned): a range predicate over a SPARK-JAVA-written fixture
+    (parquet-mr writes ColumnIndex/OffsetIndex by default; the files
+    are sorted within partitions so the indexes are ASCENDING) scanned
+    through ``filter_pushdown=true`` — the source prunes row groups on
+    footer zone maps, then inside surviving groups reads ONLY the
+    pages whose ColumnIndex bounds can match (byte ranges from the
+    OffsetIndex; unkept pages are never read OR decoded), trims rows
+    to the surviving ranges, and Spark re-applies the predicate
+    row-level (the safe double-filter contract). A fresh relation per
+    query keeps the upstream pyspark plan-cache hazard out of play
+    (pinned in tests). The oracle replays the range from the raw
+    table, so the hash matches only if page selection lost or
+    duplicated nothing."""
+    _register_pq_native(spark)
+    # runtime-settable session conf; the plan worker asserts on ANY
+    # reader with pushFilters when it is false
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    out_dir = pqpp_fixture_dir(spark, sf_dir)
+    df = (spark.read.format("parquet_native")
+          .option("path", out_dir)
+          .option("filter_pushdown", "true")
+          .load())
+    return (df.where((F.col("o_orderkey") >= 1000)
+                     & (F.col("o_orderkey") <= 3000))
+            .select(
+                "o_orderkey",
+                "o_orderstatus",
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                .cast("long").alias("cents"),
+            ))

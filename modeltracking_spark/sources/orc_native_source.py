@@ -178,6 +178,11 @@ class _OrcNativeReader(DataSourceReader):
                     groups.append(cur)
             parts.extend(
                 InputPartition((f, g, self.columns)) for g in groups)
+        if not parts:
+            # pyspark treats an EMPTY partitions() result as "reader
+            # has no partitions()" and calls read(None) — hand it one
+            # sentinel partition with no stripes instead
+            parts = [InputPartition((self.files[0], [], self.columns))]
         return parts
 
     def read(self, partition):

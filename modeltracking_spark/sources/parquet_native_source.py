@@ -18,6 +18,22 @@ deployment needs —
   (snappy/gzip/zstd/brotli/lz4-raw) all via this repo's own decoders
   (operators/parquet_native.py and the codec modules it delegates to).
 
+Round 12 adds PAGE-LEVEL pruning under the same option: inside
+surviving row groups, the reader consumes the file's
+ColumnIndex/OffsetIndex to read ONLY the pages whose zone maps can
+match the pushed filters (byte ranges; unkept pages are never read or
+decoded), trimming rows to the surviving ranges — Spark re-applies
+every filter row-level, so selection can only skip provably-dead rows.
+
+KNOWN UPSTREAM HAZARD (pinned in
+tests/test_parquet_native.py::test_pyspark_pushdown_plan_reuse_upstream_bug):
+pyspark caches the pushdown-planned scan on the loaded DataFrame and
+REUSES it for later filterless queries on the SAME DataFrame — even
+for readers that claim zero filters as supported.  Create a fresh
+``.load()`` per query shape when ``filter_pushdown`` is on (this
+engine's registry always does); the option stays opt-in for exactly
+this reason.
+
 Type mapping: INT64→bigint (timestamps surface as their physical
 epoch-micros/millis), INT32→int (dates as epoch days), FLOAT/DOUBLE,
 BOOLEAN, UTF8 byte arrays→string, other byte arrays→binary, one-level
@@ -240,7 +256,74 @@ class _ParquetNativeReader(DataSourceReader):
                     groups.append(cur)
             parts.extend(
                 InputPartition((f, g, self.columns)) for g in groups)
+        if not parts:
+            # pyspark treats an EMPTY partitions() result as "reader
+            # has no partitions()" and calls read(None) — hand it one
+            # sentinel partition with no row groups instead (its read
+            # yields nothing)
+            parts = [InputPartition((self.files[0], [], self.columns))]
         return parts
+
+    def _row_ranges(self, fh, footer, rg: int):
+        """Surviving [start, end) row ranges of one row group under
+        the remembered filters, from the PAGE-LEVEL zone maps
+        (ColumnIndex/OffsetIndex).  ``None`` = keep the whole group
+        (no indexes / no usable filters); ``[]`` = provably empty."""
+        from modeltracking_spark.operators.parquet_native import (
+            intersect_ranges,
+            merge_spans,
+            page_row_spans,
+            read_page_index,
+        )
+
+        if not self.pruning_filters:
+            return None
+        by_name = {c["name"]: c for c in footer["columns"]}
+        no_prune = {c["name"] for c in footer["columns"]
+                    if c.get("decimal") or c.get("kind") == "struct"}
+        group = footer["row_groups"][rg]
+        rg_rows = group["num_rows"]
+        ranges = [(0, rg_rows)]
+        narrowed = False
+        for flt in self.pruning_filters:
+            name = flt.attribute[0]
+            col = by_name.get(name)
+            if (col is None or name in no_prune
+                    or col.get("kind") != "flat"):
+                continue
+            chunk = group["chunks"].get(col["path"])
+            if (not chunk or chunk.get("column_index") is None
+                    or chunk.get("offset_index") is None):
+                continue
+            pi = read_page_index(fh, chunk, col)
+            if "mins" not in pi or not pi["pages"]:
+                continue
+            spans = page_row_spans(pi, rg_rows)
+            if len(pi["mins"]) != len(spans):
+                continue  # malformed index: never prune on it
+            nulls = pi.get("null_counts") or [None] * len(spans)
+            surviving = []
+            for i, (a, b) in enumerate(spans):
+                stats = {}
+                if i < len(pi.get("null_pages", [])) and \
+                        pi["null_pages"][i]:
+                    stats["null_count"] = b - a
+                else:
+                    if pi["mins"][i] is not None:
+                        stats["min"] = pi["mins"][i]
+                    if pi["maxs"][i] is not None:
+                        stats["max"] = pi["maxs"][i]
+                    if nulls[i] is not None:
+                        stats["null_count"] = nulls[i]
+                    elif not col.get("max_def"):
+                        stats["null_count"] = 0  # REQUIRED: no nulls
+                if _rg_may_match(stats, b - a, flt):
+                    surviving.append((a, b))
+            ranges = intersect_ranges(ranges, merge_spans(surviving))
+            narrowed = True
+            if not ranges:
+                return []
+        return ranges if narrowed else None
 
     def read(self, partition):
         import pyarrow as pa
@@ -256,7 +339,11 @@ class _ParquetNativeReader(DataSourceReader):
             by_name = {c["name"]: c for c in footer["columns"]}
             names = columns or [c["name"] for c in footer["columns"]]
             for rg in rgs:
-                data = read_row_group(fh, footer, rg, columns)
+                ranges = self._row_ranges(fh, footer, rg)
+                if ranges == []:
+                    continue  # page index proves no row matches
+                data = read_row_group(fh, footer, rg, columns,
+                                      row_ranges=ranges)
                 arrays, fields = [], []
                 for n in names:
                     typ = _pa_type(by_name[n])

@@ -412,8 +412,10 @@ def test_stripe_stats_pruning_unit(tmp_path):
     assert nparts([LessThanOrEqual(("mono",), 999)]) == 1
     assert nparts([EqualTo(("s",), "key-02500")]) == 1
     assert nparts([In(("mono",), (100, 9900))]) == 2
-    assert nparts([EqualTo(("mono",), -5)]) == 0
-    assert nparts([IsNull(("mono",))]) == 0    # no nulls anywhere
+    # all stripes pruned -> ONE sentinel empty partition (pyspark
+    # treats an empty partitions() list as "no partitions()")
+    assert nparts([EqualTo(("mono",), -5)]) == 1
+    assert nparts([IsNull(("mono",))]) == 1    # no nulls anywhere
     assert nparts([IsNull(("maybe",))]) == 10  # nulls everywhere
     assert nparts([EqualTo(("mono",), float("nan"))]) == 10
 

@@ -390,8 +390,11 @@ def test_rowgroup_stats_pruning_unit(tmp_path):
     assert nparts([LessThanOrEqual(("mono",), 999)]) == 1
     assert nparts([EqualTo(("s",), "key-02500")]) == 1  # bytewise utf8
     assert nparts([In(("mono",), (100, 9900))]) == 2
-    assert nparts([EqualTo(("mono",), -5)]) == 0
-    assert nparts([IsNull(("mono",))]) == 0   # no nulls anywhere
+    # all row groups pruned -> ONE sentinel empty partition (pyspark
+    # treats an empty partitions() list as "no partitions()" and
+    # calls read(None))
+    assert nparts([EqualTo(("mono",), -5)]) == 1
+    assert nparts([IsNull(("mono",))]) == 1   # no nulls anywhere
     assert nparts([IsNull(("maybe",))]) == 10  # nulls everywhere
     # float NaN never prunes
     assert nparts([EqualTo(("mono",), float("nan"))]) == 10
@@ -640,3 +643,175 @@ def test_corruption_fuzz_r12_surfaces():
             read_all_plus_index(io.BytesIO(bytes(b)))
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_page_level_pruning_unit(tmp_path):
+    """Page-index pruning (round 12): the pruning reader's row-range
+    computation keeps exactly the pages whose ColumnIndex bounds can
+    match, composes across filters, and proves empty row groups
+    without reading payload; a byte-range recorder shows unkept pages
+    are never read."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan, IsNull
+
+    from modeltracking_spark.operators.parquet_write import (
+        parquet_write_table,
+    )
+    from modeltracking_spark.sources.parquet_native_source import (
+        _ParquetNativePruningReader,
+    )
+
+    cols = {"mono": list(range(10000)),
+            "s": ["k-%05d" % i for i in range(10000)]}
+    schema = [("mono", "int64", False), ("s", "string", True)]
+    path = str(tmp_path / "t.parquet")
+    with open(path, "wb") as fh:
+        fh.write(parquet_write_table(cols, schema, codec="ZSTD",
+                                     page_rows=1000,
+                                     row_group_rows=10000))
+
+    def ranges(filters):
+        r = _ParquetNativePruningReader({"path": path}, None)
+        r.pushFilters(filters)
+        with open(path, "rb") as fh:
+            foot = parquet_footer_from_file(fh)
+            return r._row_ranges(fh, foot, 0)
+
+    assert ranges([]) is None                      # nothing to prune
+    assert ranges([GreaterThan(("mono",), 8999)]) == [(9000, 10000)]
+    assert ranges([EqualTo(("mono",), 4500)]) == [(4000, 5000)]
+    # two filters intersect page ranges
+    assert ranges([GreaterThan(("mono",), 3999),
+                   EqualTo(("s",), "k-04500")]) == [(4000, 5000)]
+    # provably empty: no page can match
+    assert ranges([EqualTo(("mono",), -5)]) == []
+    assert ranges([IsNull(("mono",))]) == []
+    # recorder: with GreaterThan 8999 only the last page's byte range
+    # (plus footer/index tails) is read from the mono chunk
+    class Rec(io.BytesIO):
+        def __init__(self, b):
+            super().__init__(b)
+            self.spans = []
+
+        def read(self, n=-1):
+            start = self.tell()
+            out = super().read(n)
+            self.spans.append((start, start + len(out)))
+            return out
+
+    raw = open(path, "rb").read()
+    rec = Rec(raw)
+    foot = parquet_footer_from_file(rec)
+    from modeltracking_spark.operators.parquet_native import (
+        read_page_index,
+    )
+
+    by = {c["name"]: c for c in foot["columns"]}
+    ch = foot["row_groups"][0]["chunks"]["mono"]
+    pi = read_page_index(rec, ch, by["mono"])
+    rec.spans.clear()
+    got = read_row_group(rec, foot, 0, ["mono"],
+                         row_ranges=[(9000, 10000)])
+    assert got["mono"] == list(range(9000, 10000))
+    # pages 0..8 of the mono chunk must be untouched by the ranged read
+    for a, b in rec.spans:
+        for i, p in enumerate(pi["pages"][:-1]):
+            lo, hi = p["offset"], p["offset"] + p["size"]
+            assert not (a < hi and lo < b) or i == len(pi["pages"]) - 1, \
+                (i, (a, b))
+
+
+def test_page_level_pruning_end_to_end(spark, tmp_path):
+    """filter_pushdown=true now prunes at PAGE grain inside surviving
+    row groups: results stay exactly equal to Spark's own reader
+    (double-filter contract), across dictionary/plain, multi-row-group
+    files, and filters on both int and string columns."""
+    from modeltracking_spark.operators.parquet_write import (
+        parquet_write_table,
+    )
+    from modeltracking_spark.queries.common import ensure_pkg_on_workers
+    from modeltracking_spark.sources.parquet_native_source import (
+        ParquetNativeDataSource,
+    )
+
+    ensure_pkg_on_workers(spark)
+    try:
+        spark.dataSource.register(ParquetNativeDataSource)
+    except Exception:
+        pass
+    cols = {"mono": list(range(20000)),
+            "s": ["k-%05d" % i for i in range(20000)],
+            "maybe": [None if i % 3 == 0 else i * 0.5
+                      for i in range(20000)]}
+    schema = [("mono", "int64", False), ("s", "string", True),
+              ("maybe", "double", True)]
+    p = tmp_path / "pp.parquet"
+    p.write_bytes(parquet_write_table(cols, schema, codec="SNAPPY",
+                                      page_rows=800,
+                                      row_group_rows=10000))
+
+    def fresh():
+        # one .load() per query: Spark's python-data-source plan
+        # cache reuses the LAST pushdown-planned scan for filterless
+        # queries on the same DataFrame (upstream bug, pinned in
+        # test_pyspark_pushdown_plan_reuse_upstream_bug) — fresh
+        # relations per query are the sound usage this engine's own
+        # registry follows
+        return (spark.read.format("parquet_native")
+                .option("path", str(p))
+                .option("filter_pushdown", "true").load())
+
+    ref = spark.read.parquet(str(p))
+    for cond in ("mono >= 7777 AND mono < 7790",
+                 "s = 'k-15000'",
+                 "mono > 19990 OR mono < 0",
+                 "maybe IS NULL AND mono < 100",
+                 "mono = -1"):
+        got = sorted(map(tuple, fresh().filter(cond).collect()))
+        want = sorted(map(tuple, ref.filter(cond).collect()))
+        assert got == want, cond
+    # every-row-group-pruned scan must return an empty result, not
+    # crash with read(None) (the empty-partitions pyspark fallback)
+    assert fresh().filter("mono = -1").count() == 0
+
+
+def test_pyspark_pushdown_plan_reuse_upstream_bug(spark, tmp_path):
+    """Pin the UPSTREAM pyspark behavior that makes pushdown-planned
+    scans unsafe to reuse across queries: after a filtered query on a
+    python data source with pushFilters, a FILTERLESS query on the
+    SAME DataFrame reuses the cached (pruned!) scan — even when the
+    reader claimed zero filters as supported.  This engine mitigates
+    by keeping pushdown opt-in per .load() and never reusing loaded
+    relations across filter shapes in its registry.  If a Spark
+    upgrade fixes the caching, this test FAILS and the mitigation
+    comments can be retired."""
+    from modeltracking_spark.operators.parquet_write import (
+        parquet_write_table,
+    )
+    from modeltracking_spark.queries.common import ensure_pkg_on_workers
+    from modeltracking_spark.sources.parquet_native_source import (
+        ParquetNativeDataSource,
+    )
+
+    ensure_pkg_on_workers(spark)
+    try:
+        spark.dataSource.register(ParquetNativeDataSource)
+    except Exception:
+        pass
+    p = tmp_path / "reuse.parquet"
+    p.write_bytes(parquet_write_table(
+        {"mono": list(range(2000))}, [("mono", "int64", False)],
+        page_rows=100, row_group_rows=1000))
+    df = (spark.read.format("parquet_native").option("path", str(p))
+          .option("filter_pushdown", "true").load())
+    assert df.filter("mono >= 1990").count() == 10
+    stale = df.count()  # reuses the scan planned with mono >= 1990
+    if stale == 2000:
+        import pytest as _pytest
+
+        _pytest.fail(
+            "Spark no longer reuses pushdown-planned python scans "
+            "for filterless queries — retire the fresh-load "
+            "mitigation comments and this pin")
+    # the reused scan emits the page-granular survivors (the last
+    # 100-row page) without the row-level filter Spark dropped
+    assert stale == 100

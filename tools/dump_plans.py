@@ -148,6 +148,7 @@ NOTES = {
     "parquet_struct_scan_events": "BatchScan per row group; per-leaf chunk reads + def-level struct assembly inside the source; JVM-side field dereference, no exchange",
     "orc_struct_scan_events": "BatchScan per stripe; parent-presence child decode inside the source; JVM-side field dereference, no exchange",
     "orc_stream_sink_docs": "two REAL streaming drains through the per-epoch two-phase ORC sink (executor-side from-spec encode incl. stripe statistics, _epochs idempotence log) -> JVM ORC scan of the committed output",
+    "parquet_page_pruned_scan_orders": "BatchScan: footer zone maps prune row groups at planning; inside survivors the reader consumes ColumnIndex/OffsetIndex to read ONLY matching pages (byte ranges; unkept pages never read or decoded) and trims rows to the surviving ranges; Spark re-applies the predicate row-level",
 }
 
 

@@ -2869,6 +2869,38 @@ def twin_orc_struct(spark, sf_dir, spark_rows) -> tuple[bool, str]:
     return True, f"{n} ORC struct rows replayed by pyarrow.orc"
 
 
+def twin_parquet_page_pruned(spark, sf_dir,
+                             spark_rows) -> tuple[bool, str]:
+    """pyarrow replays the page-pruned range scan by reading the SAME
+    Spark-Java-written fixture WHOLE and filtering in plain Python —
+    page selection must lose or duplicate nothing (round 12)."""
+    import glob
+    import math
+
+    import pyarrow.parquet as _pq
+
+    from modeltracking_spark.queries.extras_q import pqpp_fixture_dir
+
+    d = pqpp_fixture_dir(spark, sf_dir)
+    got = {int(r["o_orderkey"]): (r["o_orderstatus"], int(r["cents"]))
+           for r in spark_rows}
+    n = 0
+    for part in sorted(glob.glob(f"{d}/*.parquet")):
+        t = _pq.read_table(part)
+        for ok, st, tp in zip(t.column("o_orderkey").to_pylist(),
+                              t.column("o_orderstatus").to_pylist(),
+                              t.column("o_totalprice").to_pylist()):
+            if not (1000 <= ok <= 3000):
+                continue
+            want = (st, math.floor(tp * 100 + 0.5))
+            if got.get(int(ok)) != want:
+                return False, f"order {ok}: got {got.get(int(ok))} want {want}"
+            n += 1
+    if n != len(got):
+        return False, f"row count: pyarrow {n} vs engine {len(got)}"
+    return True, f"{n} in-range rows replayed whole-file by pyarrow"
+
+
 def twin_zlib_fdict(spark, sf_dir, spark_rows) -> tuple[bool, str]:
     """Independent replay of the preset-dictionary roundtrip: stdlib
     zlib does BOTH directions (compressobj/decompressobj with the same
@@ -3332,6 +3364,9 @@ def main(sf_dirs: list[str]) -> int:
              lambda rows: twin_parquet_struct(spark, sf_dir, rows)),
             ("orc_struct_scan_events",
              lambda rows: twin_orc_struct(spark, sf_dir, rows)),
+            ("parquet_page_pruned_scan_orders",
+             lambda rows: twin_parquet_page_pruned(spark, sf_dir,
+                                                   rows)),
             ("brotli_roundtrip_docs",
              lambda rows: twin_brotli(spark, sf_dir, rows)),
             ("zstd_seekable_scan_docs",
