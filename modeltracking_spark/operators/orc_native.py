@@ -230,6 +230,16 @@ def _decode_col_stats(cs: dict) -> dict:
         trues = _pb_packed_uints(m.get(1) or [])
         if trues:
             out["true_count"] = trues[0]
+    elif 6 in cs:  # DecimalStatistics (bounds travel as strings)
+        from decimal import Decimal, InvalidOperation
+
+        m = pb_message(cs[6][0])
+        try:
+            put(Decimal(m[1][0].decode("ascii")) if 1 in m else None,
+                Decimal(m[2][0].decode("ascii")) if 2 in m else None)
+        except (InvalidOperation, UnicodeDecodeError) as exc:
+            raise ValueError(
+                f"malformed ORC decimal statistics: {exc}") from None
     elif 7 in cs:  # DateStatistics (sint32 epoch days)
         m = pb_message(cs[7][0])
         put(_unzig(m[1][0]) if 1 in m else None,
@@ -291,6 +301,16 @@ def orc_footer_from_file(fh) -> dict:
     for name, tid in zip(names, subtypes):
         t = types[tid]
         kind = _KINDS.get((t.get(1) or [-1])[0], "?")
+        def _dec_ps(node: dict) -> tuple[int, int]:
+            # Type.precision (field 5) / Type.scale (field 6); the
+            # spec's Hive-0.13 defaults when a writer omits them
+            p = (node.get(5) or [38])[0]
+            s = (node.get(6) or [10])[0]
+            if not (0 < p <= 38 and 0 <= s <= p):
+                raise ValueError(
+                    f"implausible ORC decimal({p},{s})")
+            return p, s
+
         if kind == "LIST":
             # ONE nested level: LIST of a leaf type (the array<float>
             # embedding shape); deeper nesting stays a loud reject
@@ -299,15 +319,18 @@ def orc_footer_from_file(fh) -> dict:
                 raise ValueError("malformed ORC LIST type node")
             ct = types[child_ids[0]]
             ck = _KINDS.get((ct.get(1) or [-1])[0], "?")
-            if ck in ("LIST", "MAP", "STRUCT", "UNION", "DECIMAL"):
+            if ck in ("LIST", "MAP", "STRUCT", "UNION"):
                 raise NotImplementedError(
                     f"nested ORC type LIST<{ck}> not supported (one "
                     "LIST level of a leaf type is)")
             if ck == "?":
                 raise ValueError("unknown ORC type kind")
-            cols.append({"name": name, "kind": "LIST", "column": tid,
-                         "child_kind": ck,
-                         "child_column": child_ids[0]})
+            col = {"name": name, "kind": "LIST", "column": tid,
+                   "child_kind": ck, "child_column": child_ids[0]}
+            if ck == "DECIMAL":
+                col["child_precision"], col["child_scale"] = \
+                    _dec_ps(ct)
+            cols.append(col)
             continue
         if kind == "STRUCT":
             # ONE nested level: STRUCT of leaf types (round 12). Per
@@ -322,25 +345,31 @@ def orc_footer_from_file(fh) -> dict:
                 if cid2 >= len(types):
                     raise ValueError("ORC STRUCT child id out of range")
                 ck = _KINDS.get((types[cid2].get(1) or [-1])[0], "?")
-                if ck in ("LIST", "MAP", "STRUCT", "UNION", "DECIMAL"):
+                if ck in ("LIST", "MAP", "STRUCT", "UNION"):
                     raise NotImplementedError(
                         f"nested ORC type STRUCT<{ck}> not supported "
                         "(one STRUCT level of leaf types is)")
                 if ck == "?":
                     raise ValueError("unknown ORC type kind")
-                fields.append({"name": cn, "kind": ck,
-                               "column": cid2})
+                fld = {"name": cn, "kind": ck, "column": cid2}
+                if ck == "DECIMAL":
+                    fld["precision"], fld["scale"] = _dec_ps(
+                        types[cid2])
+                fields.append(fld)
             cols.append({"name": name, "kind": "STRUCT",
                          "column": tid, "fields": fields})
             continue
-        if kind in ("MAP", "UNION", "DECIMAL"):
+        if kind in ("MAP", "UNION"):
             raise NotImplementedError(
                 f"ORC column type {kind} not supported — flat-column "
                 "reader plus one LIST level and one STRUCT level "
-                "(maps/unions/decimals are plug-in rejects)")
+                "(maps/unions are plug-in rejects)")
         if kind == "?":
             raise ValueError("unknown ORC type kind")
-        cols.append({"name": name, "kind": kind, "column": tid})
+        col = {"name": name, "kind": kind, "column": tid}
+        if kind == "DECIMAL":
+            col["precision"], col["scale"] = _dec_ps(t)
+        cols.append(col)
     stripes = []
     for s in footer.get(3) or []:
         m = pb_message(s)
@@ -665,6 +694,42 @@ def read_stripe(fh, footer: dict, stripe_index: int,
                 if abs_s < 0 and nanos > 999_999:
                     abs_s -= 1
                 vals.append(abs_s * 1_000_000 + nanos // 1000)
+        elif kind == "DECIMAL":
+            # spec: DATA = the unscaled value as an unbounded-length
+            # zigzag base-128 varint; SECONDARY = each value's scale
+            # (signed RLE).  Scale travels PER VALUE, so decode needs
+            # no declared (p, s) — Decimal(mantissa) * 10^-scale is
+            # exact; a 41-digit context keeps 38-digit unscaled
+            # values unrounded (default prec 28 would not)
+            from decimal import Context, Decimal
+
+            sec = get_stream(cid, "SECONDARY")
+            scales = int_rle(sec or b"", nv, True, ver)
+            ctx = Context(prec=41)
+            data = data or b""
+            vals = []
+            p = 0
+            for sc in scales:
+                if not -76 <= sc <= 76:
+                    raise ValueError(
+                        f"implausible ORC decimal scale {sc}")
+                # unbounded varint: 38 digits ~ 127 bits ~ 19 bytes,
+                # past pb_message's 70-bit cap — read it here
+                out_v = shift = 0
+                while True:
+                    if p >= len(data):
+                        raise ValueError(
+                            "truncated ORC decimal mantissa")
+                    b = data[p]
+                    p += 1
+                    out_v |= (b & 0x7F) << shift
+                    if not b & 0x80:
+                        break
+                    shift += 7
+                    if shift > 140:
+                        raise ValueError(
+                            "ORC decimal mantissa varint too long")
+                vals.append(Decimal(_unzig(out_v)).scaleb(-sc, ctx))
         elif kind in ("STRING", "VARCHAR", "CHAR", "BINARY"):
             length_s = get_stream(cid, "LENGTH")
             if enc in ("DICTIONARY", "DICTIONARY_V2"):

@@ -31,7 +31,8 @@ _COMP_NUM = {"NONE": 0, "ZLIB": 1, "SNAPPY": 2, "ZSTD": 5}
 #: orc_proto Type.Kind
 _KIND_NUM = {"BOOLEAN": 0, "BYTE": 1, "SHORT": 2, "INT": 3, "LONG": 4,
              "FLOAT": 5, "DOUBLE": 6, "STRING": 7, "BINARY": 8,
-             "TIMESTAMP": 9, "LIST": 10, "STRUCT": 12, "DATE": 15}
+             "TIMESTAMP": 9, "LIST": 10, "STRUCT": 12, "DECIMAL": 14,
+             "DATE": 15}
 _STREAM_NUM = {"PRESENT": 0, "DATA": 1, "LENGTH": 2,
                "DICTIONARY_DATA": 3, "SECONDARY": 5}
 
@@ -42,6 +43,40 @@ _LOGICAL = {"boolean": "BOOLEAN", "int32": "INT", "int64": "LONG",
             "date": "DATE"}
 
 _ORC_EPOCH = 1420070400  # 2015-01-01 UTC in unix seconds
+
+
+def _split_top(body: str) -> list[str]:
+    """Split a struct body on TOP-LEVEL commas only — commas inside
+    parentheses (``decimal(9,2)``) belong to the field type."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(body):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                raise ValueError(f"unbalanced parens in {body!r}")
+        elif ch == "," and depth == 0:
+            parts.append(body[start:i])
+            start = i + 1
+    if depth:
+        raise ValueError(f"unbalanced parens in {body!r}")
+    parts.append(body[start:])
+    return parts
+
+
+def _dec_parse(typ: str) -> tuple[int, int] | None:
+    """``decimal(p,s)`` -> (p, s); None for any other type string."""
+    if not (typ.startswith("decimal(") and typ.endswith(")")):
+        return None
+    body = typ[8:-1]
+    p_s, comma, s_s = body.partition(",")
+    if not comma:
+        raise ValueError(f"decimal type needs (p,s): {typ!r}")
+    p, s = int(p_s.strip()), int(s_s.strip())
+    if not (0 < p <= 38 and 0 <= s <= p):
+        raise ValueError(f"unsupported decimal({p},{s})")
+    return p, s
 
 
 class _PBW:
@@ -141,7 +176,10 @@ def bool_rle_encode(bools) -> bytes:
 
 def _varint_bytes(v: int, signed: bool) -> bytes:
     if signed:
-        v = (v << 1) ^ (v >> 63) if v < 0 else (v << 1)
+        # unbounded zigzag: ^-1 == two's-complement negate-minus-one,
+        # exact at ANY width (a 64-bit-only v >> 63 would corrupt
+        # decimal mantissas past 63 bits)
+        v = (v << 1) ^ -1 if v < 0 else (v << 1)
     out = bytearray()
     while True:
         b = v & 0x7F
@@ -309,7 +347,8 @@ def compress_entity(plain: bytes, codec: str,
 
 def _encode_column(kind: str, present_vals: list,
                    rle_version: int = 1,
-                   dictionary: bool = False) -> dict:
+                   dictionary: bool = False,
+                   decimal: tuple | None = None) -> dict:
     """Non-null values -> {stream_kind: plain_bytes}; a dictionary-
     encoded STRING chunk also carries ``__dict_size__`` (not a
     stream) for the ColumnEncoding."""
@@ -346,6 +385,36 @@ def _encode_column(kind: str, present_vals: list,
             "DATA": b"".join(blobs),
             "LENGTH": _int_rle([len(b) for b in blobs],
                                signed=False),
+        }
+    if kind == "DECIMAL":
+        # spec: DATA = unscaled value as an unbounded-length zigzag
+        # base-128 varint; SECONDARY = per-value scale (signed RLE —
+        # constant: the declared scale).  Inexact-scale and
+        # over-precision values reject loudly, like the parquet
+        # writer's decimal arm.
+        from decimal import Context, Decimal
+
+        p, s = decimal
+        ctx = Context(prec=41)
+        limit = 10 ** p
+        data = bytearray()
+        for v in present_vals:
+            if not isinstance(v, Decimal):
+                v = Decimal(v)
+            scaled = v.scaleb(s, ctx)
+            m = int(scaled)
+            if m != scaled:
+                raise ValueError(
+                    f"decimal value {v} does not fit scale {s} "
+                    "exactly")
+            if not -limit < m < limit:
+                raise ValueError(
+                    f"decimal overflow: {v} exceeds precision {p}")
+            data += _varint_bytes(m, signed=True)
+        return {
+            "DATA": bytes(data),
+            "SECONDARY": _int_rle([s] * len(present_vals),
+                                  signed=True),
         }
     if kind == "TIMESTAMP":
         secs, nanos = [], []
@@ -415,7 +484,7 @@ class OrcFileWriter:
                 children = []
                 cid = next_id
                 next_id += 1
-                for part in typ[7:-1].split(","):
+                for part in _split_top(typ[7:-1]):
                     part = part.strip()
                     if not part:
                         continue
@@ -424,14 +493,16 @@ class OrcFileWriter:
                     opt = ftyp.endswith("?")
                     if opt:
                         ftyp = ftyp[:-1]
-                    ck = _LOGICAL.get(ftyp)
+                    fdec = _dec_parse(ftyp)
+                    ck = "DECIMAL" if fdec else _LOGICAL.get(ftyp)
                     if ck is None:
                         raise NotImplementedError(
                             f"ORC write struct field type {ftyp!r} "
                             "not supported")
                     children.append({"name": fname.strip(),
                                      "kind": ck, "optional": opt,
-                                     "cid": next_id})
+                                     "cid": next_id,
+                                     "decimal": fdec})
                     next_id += 1
                 if not children:
                     raise ValueError(
@@ -445,7 +516,8 @@ class OrcFileWriter:
                 opt = inner.endswith("?")
                 if opt:
                     inner = inner[:-1]
-                ck = _LOGICAL.get(inner)
+                edec = _dec_parse(inner)
+                ck = "DECIMAL" if edec else _LOGICAL.get(inner)
                 if ck is None:
                     raise NotImplementedError(
                         f"ORC write list element type {inner!r} "
@@ -455,15 +527,18 @@ class OrcFileWriter:
                     "nullable": bool(nullable), "cid": next_id,
                     "child_kind": ck, "child_optional": opt,
                     "child_cid": next_id + 1,
+                    "child_decimal": edec,
                 })
                 next_id += 2
                 continue
-            k = _LOGICAL.get(typ)
+            dec = _dec_parse(typ)
+            k = "DECIMAL" if dec else _LOGICAL.get(typ)
             if k is None:
                 raise NotImplementedError(
                     f"ORC write type {typ!r} not supported")
             fields.append({"name": name, "kind": k,
-                           "nullable": bool(nullable), "cid": next_id})
+                           "nullable": bool(nullable), "cid": next_id,
+                           "decimal": dec})
             next_id += 1
         if not fields:
             raise ValueError("ORC schema needs at least one column")
@@ -552,12 +627,18 @@ class OrcFileWriter:
                     st_mm[cid] = ("string", min(vals), max(vals))
             elif kind == "BOOLEAN":
                 st_mm[cid] = ("bucket", sum(1 for v in vals if v), None)
+            elif kind == "DECIMAL":
+                from decimal import Decimal
 
-        def add_leaf(cid, kind, vals):
+                dv = [v if isinstance(v, Decimal) else Decimal(v)
+                      for v in vals]
+                st_mm[cid] = ("decimal", min(dv), max(dv))
+
+        def add_leaf(cid, kind, vals, decimal=None):
             leaf_stats(cid, kind, vals)
             enc_streams = _encode_column(
                 kind, vals, self.rle_version,
-                dictionary=use_dict(kind, vals))
+                dictionary=use_dict(kind, vals), decimal=decimal)
             dsize = enc_streams.pop("__dict_size__", None)
             if dsize is not None:
                 dict_sizes[cid] = dsize
@@ -589,7 +670,8 @@ class OrcFileWriter:
                         c["cid"], child_records, c["optional"],
                         f"struct field {f['name']}.{c['name']} "
                         "(declare the field type with '?')")
-                    add_leaf(c["cid"], c["kind"], vals)
+                    add_leaf(c["cid"], c["kind"], vals,
+                             c.get("decimal"))
                 continue
             if f["kind"] == "LIST":
                 recs = present_for(f["cid"], records, f["nullable"],
@@ -603,11 +685,12 @@ class OrcFileWriter:
                     f["child_cid"], elems, f["child_optional"],
                     f"list element of {f['name']!r} (declare the "
                     "element type with '?')")
-                add_leaf(f["child_cid"], f["child_kind"], vals)
+                add_leaf(f["child_cid"], f["child_kind"], vals,
+                         f.get("child_decimal"))
             else:
                 vals = present_for(f["cid"], records, f["nullable"],
                                    f"column {f['name']!r}")
-                add_leaf(f["cid"], f["kind"], vals)
+                add_leaf(f["cid"], f["kind"], vals, f.get("decimal"))
         data_len = 0
         for _k, _c, framed in streams:
             self._emit(framed)
@@ -624,7 +707,7 @@ class OrcFileWriter:
         # DIRECT_V2 when rle_version == 2 (boolean/float/double
         # streams are unversioned: DIRECT)
         rle_kinds = ("INT", "LONG", "DATE", "STRING", "BINARY",
-                     "TIMESTAMP")
+                     "TIMESTAMP", "DECIMAL")
         col_encs = [0] * self.n_cols
         ts_present = False
         for f in self.fields:
@@ -705,6 +788,10 @@ class OrcFileWriter:
                 inner.zigzag_field(1, lo)
                 inner.zigzag_field(2, hi)
                 st.msg_field(7, inner)
+            elif tag == "decimal":  # DecimalStatistics (strings)
+                inner.bytes_field(1, str(lo).encode("ascii"))
+                inner.bytes_field(2, str(hi).encode("ascii"))
+                st.msg_field(6, inner)
         st.varint_field(10, 1 if has_null else 0)
         return st
 
@@ -750,15 +837,22 @@ class OrcFileWriter:
         for f in self.fields:
             root.bytes_field(3, f["name"].encode("utf-8"))
         footer.msg_field(4, root)
+        def _leaf_node(kind: str, dec: tuple | None) -> _PBW:
+            leaf = _PBW()
+            leaf.varint_field(1, _KIND_NUM[kind])
+            if dec is not None:  # Type.precision / Type.scale
+                leaf.varint_field(5, dec[0])
+                leaf.varint_field(6, dec[1])
+            return leaf
+
         for f in self.fields:  # type nodes in column-id order
             if f["kind"] == "LIST":
                 lst = _PBW()
                 lst.varint_field(1, _KIND_NUM["LIST"])
                 lst.packed_field(2, [f["child_cid"]])
                 footer.msg_field(4, lst)
-                leaf = _PBW()
-                leaf.varint_field(1, _KIND_NUM[f["child_kind"]])
-                footer.msg_field(4, leaf)
+                footer.msg_field(4, _leaf_node(
+                    f["child_kind"], f.get("child_decimal")))
             elif f["kind"] == "STRUCT":
                 st_node = _PBW()
                 st_node.varint_field(1, _KIND_NUM["STRUCT"])
@@ -768,13 +862,11 @@ class OrcFileWriter:
                     st_node.bytes_field(3, c["name"].encode("utf-8"))
                 footer.msg_field(4, st_node)
                 for c in f["children"]:
-                    leaf = _PBW()
-                    leaf.varint_field(1, _KIND_NUM[c["kind"]])
-                    footer.msg_field(4, leaf)
+                    footer.msg_field(4, _leaf_node(
+                        c["kind"], c.get("decimal")))
             else:
-                leaf = _PBW()
-                leaf.varint_field(1, _KIND_NUM[f["kind"]])
-                footer.msg_field(4, leaf)
+                footer.msg_field(4, _leaf_node(
+                    f["kind"], f.get("decimal")))
         footer.varint_field(6, self.n_rows)
         # file-level ColumnStatistics (every column id): counts +
         # hasNull + the per-file min/max merge of the stripe stats

@@ -303,12 +303,73 @@ def parquet_footer(data_tail: bytes, file_size: int) -> dict:
         el = schema[i]
         name = el.get(4, b"?").decode("utf-8", "replace")
         if el.get(5):  # group node
-            # TWO nested shapes supported: the standard 3-level LIST
+            # THREE nested shapes supported: the standard 3-level LIST
             # (optional/required group (LIST) > repeated group > single
-            # leaf — the array<float> embedding-column shape) and a
-            # one-level non-repeated STRUCT of primitive leaves
+            # leaf — the array<float> embedding-column shape), the
+            # standard MAP (group (MAP) > repeated group key_value >
+            # required key + value leaves, parquet LogicalTypes.md),
+            # and a one-level non-repeated STRUCT of primitive leaves
             is_list = el.get(6) == 3 or 3 in (el.get(10) or {})
+            # ConvertedType MAP(1)/MAP_KEY_VALUE(2) or LogicalType.MAP
+            is_map = el.get(6) in (1, 2) or 2 in (el.get(10) or {})
             nch = el.get(5, 0)
+            if is_map:
+                mid = schema[i + 1] if i + 1 < len(schema) else {}
+                if (nch != 1 or mid.get(3) != 2 or mid.get(5) != 2
+                        or i + 3 >= len(schema)):
+                    raise NotImplementedError(
+                        f"non-standard MAP structure under {name!r}")
+                kleaf, vleaf = schema[i + 2], schema[i + 3]
+                if kleaf.get(5) or vleaf.get(5):
+                    raise NotImplementedError(
+                        "nested key/value types under MAP column "
+                        f"{name!r} not supported")
+                if kleaf.get(3, 0) == 1:
+                    raise ValueError(
+                        f"MAP column {name!r} declares optional keys"
+                        " (the spec requires them)")
+                outer_opt = el.get(3, 0) == 1
+                d1 = 1 if outer_opt else 0   # def >= d1: map present
+                d2 = d1 + 1                  # def >= d2: map non-empty
+                mid_name = mid.get(4, b"key_value").decode(
+                    "utf-8", "replace")
+                subs = {}
+                for k, role in ((kleaf, "key"), (vleaf, "value")):
+                    phys = PHYS.get(k.get(1))
+                    if phys is None:
+                        raise ValueError(
+                            f"unknown parquet physical type {k.get(1)}")
+                    lopt = k.get(3, 0) == 1
+                    klog = k.get(10) or {}
+                    kname = k.get(4, b"?").decode("utf-8", "replace")
+                    subs[role] = {
+                        "name": kname,
+                        "kind": "mapleaf",
+                        "physical": phys,
+                        "type_length": k.get(2, 0),
+                        "string": (k.get(6) == _UTF8_CONVERTED
+                                   or 1 in klog),
+                        "decimal": _decimal_of(k),
+                        "logical": klog,
+                        "converted": k.get(6),
+                        "optional": lopt,
+                        "leaf_optional": lopt,
+                        "max_rep": 1,
+                        "max_def": d2 + (1 if lopt else 0),
+                        "d1": d1, "d2": d2,
+                        "path": f"{name}.{mid_name}.{kname}",
+                    }
+                cols.append({
+                    "name": name,
+                    "kind": "map",
+                    "physical": "GROUP",
+                    "optional": outer_opt,
+                    "key": subs["key"],
+                    "value": subs["value"],
+                    "path": name,
+                })
+                i += 4
+                continue
             if (not is_list and el.get(3, 0) != 2
                     and i + nch < len(schema)):
                 kids = schema[i + 1:i + 1 + nch]
@@ -1151,6 +1212,51 @@ def read_row_group(fh, footer: dict, rg_index: int,
                             conv(v) if conv is not None and
                             v is not None else v)
             recs = recs if recs is not None else []
+            if row_ranges is not None:
+                recs = _slice_rows(recs, [(0, rg_rows)], row_ranges)
+            out[name] = recs
+            continue
+        if col.get("kind") == "map":
+            # both leaves share the map's repetition structure, so the
+            # one-level list assembly rebuilds aligned per-record
+            # key/value lists that zip into dicts (spark's map-key
+            # dedup policy is EXCEPTION; a file with duplicate keys in
+            # one map is malformed for our purposes and rejected)
+            parts = []
+            for sub in (col["key"], col["value"]):
+                if sub["path"] not in rg["chunks"]:
+                    raise ValueError(
+                        f"column {sub['path']!r} not in this row group")
+                vals = read_column_chunk(
+                    fh, rg["chunks"][sub["path"]], sub)
+                conv = _value_conv(sub)
+                if conv is not None:
+                    vals = [None if rec is None else
+                            [conv(v) if v is not None else None
+                             for v in rec] for rec in vals]
+                parts.append(vals)
+            recs = []
+            for ks, vs in zip(parts[0], parts[1]):
+                if ks is None or vs is None:
+                    if ks is not None or vs is not None:
+                        raise ValueError(
+                            f"map column {name!r}: key/value chunks "
+                            "disagree on record nulls")
+                    recs.append(None)
+                    continue
+                if len(ks) != len(vs):
+                    raise ValueError(
+                        f"map column {name!r}: key/value chunks "
+                        "disagree on entry counts")
+                if any(k is None for k in ks):
+                    raise ValueError(
+                        f"map column {name!r} carries a null key")
+                rec = dict(zip(ks, vs))
+                if len(rec) != len(ks):
+                    raise ValueError(
+                        f"map column {name!r} carries duplicate keys "
+                        "in one record")
+                recs.append(rec)
             if row_ranges is not None:
                 recs = _slice_rows(recs, [(0, rg_rows)], row_ranges)
             out[name] = recs

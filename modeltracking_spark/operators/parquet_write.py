@@ -418,6 +418,26 @@ def _stats_bytes(phys: str, v) -> bytes:
     return b
 
 
+def _split_top(body: str) -> list[str]:
+    """Split a struct body on TOP-LEVEL commas only — commas inside
+    parentheses (``decimal(9,2)``) belong to the field type."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(body):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                raise ValueError(f"unbalanced parens in {body!r}")
+        elif ch == "," and depth == 0:
+            parts.append(body[start:i])
+            start = i + 1
+    if depth:
+        raise ValueError(f"unbalanced parens in {body!r}")
+    parts.append(body[start:])
+    return parts
+
+
 def _decimal_spec(typ: str):
     """Parse ``decimal(p,s)`` -> (precision, scale, physical,
     type_length).  Physical per the format's recommendation: INT32 up
@@ -528,6 +548,88 @@ class _StructLeafSpec:
         return [0] * len(records), defs, vals
 
 
+class _MapLeafSpec:
+    """One side (key or value) of a MAP column: its own column chunk
+    at path ``[outer, key_value, key|value]`` sharing the map's
+    repetition structure — shredding mirrors the LIST case with the
+    entry stream drawn from dict items.  Keys are REQUIRED per the
+    spec; values may be optional."""
+
+    kind = "mapleaf"
+    max_rep = 1
+
+    def __init__(self, outer: str, outer_nullable: bool, role: str,
+                 typ: str, leaf_nullable: bool):
+        if role == "key" and leaf_nullable:
+            raise ValueError(
+                f"map column {outer!r}: keys must be required")
+        self.source = outer
+        self.role = role
+        self.name = f"{outer}.key_value.{role}"
+        self.nullable = True  # always carries def levels (entry grain)
+        self.map_nullable = bool(outer_nullable)
+        self.leaf_optional = bool(leaf_nullable)
+        self.d1 = 1 if outer_nullable else 0
+        self.d2 = self.d1 + 1
+        self.max_def = self.d2 + (1 if leaf_nullable else 0)
+        self.path = [outer, "key_value", role]
+        self.decimal = _decimal_spec(typ)
+        self.convert = None
+        self.type_length = 0
+        self.no_minmax = False
+        if self.decimal:
+            p, s, self.physical, self.type_length = self.decimal
+            self.decimal = (p, s)
+            self.string = False
+            self.convert = _decimal_convert(p, s, self.type_length)
+            self.no_minmax = self.physical == "FIXED_LEN_BYTE_ARRAY"
+        else:
+            if typ not in _LOGICAL:
+                raise NotImplementedError(
+                    f"map {role} type {typ!r} not supported")
+            self.physical, self.string = _LOGICAL[typ]
+
+    def shred(self, records):
+        reps: list[int] = []
+        defs: list[int] = []
+        vals: list = []
+        d1, d2, md = self.d1, self.d2, self.max_def
+        key_side = self.role == "key"
+        for rec in records:
+            if rec is None:
+                if not self.map_nullable:
+                    raise ValueError(
+                        f"null map in required column {self.source!r}")
+                reps.append(0)
+                defs.append(d1 - 1)
+                continue
+            if len(rec) == 0:
+                reps.append(0)
+                defs.append(d1)
+                continue
+            # dicts from python callers; list-of-(k, v) pairs from
+            # arrow's map representation (batch.to_pydict())
+            items = rec.items() if isinstance(rec, dict) else rec
+            for k, (mk, mv) in enumerate(items):
+                reps.append(0 if k == 0 else 1)
+                v = mk if key_side else mv
+                if v is None:
+                    if key_side:
+                        raise ValueError(
+                            f"null map key in column {self.source!r}")
+                    if not self.leaf_optional:
+                        raise ValueError(
+                            f"null map value in column {self.source!r}"
+                            " (declare the value type with '?')")
+                    defs.append(d2)
+                else:
+                    defs.append(md)
+                    vals.append(v)
+        if self.convert is not None:
+            vals = [self.convert(v) for v in vals]
+        return reps, defs, vals
+
+
 class _ColumnSpec:
     def __init__(self, name: str, typ: str, nullable: bool):
         self.name = name
@@ -556,7 +658,7 @@ class _ColumnSpec:
             self.max_rep = 0
             self.path = [name]
             self.children = []
-            for part in typ[7:-1].split(","):
+            for part in _split_top(typ[7:-1]):
                 part = part.strip()
                 if not part:
                     continue
@@ -570,6 +672,28 @@ class _ColumnSpec:
             if not self.children:
                 raise ValueError(
                     f"struct column {name!r} needs at least one field")
+            return
+        if typ.startswith("map<") and typ.endswith(">"):
+            kv = _split_top(typ[4:-1])
+            if len(kv) != 2:
+                raise ValueError(
+                    f"map column {name!r}: type needs 'map<k,v>'")
+            ktyp, vtyp = kv[0].strip(), kv[1].strip()
+            vopt = vtyp.endswith("?")
+            if vopt:
+                vtyp = vtyp[:-1]
+            if ktyp.endswith("?"):
+                raise ValueError(
+                    f"map column {name!r}: keys must be required")
+            self.kind = "map"
+            self.physical = "GROUP"
+            self.string = False
+            self.max_rep = 1
+            self.path = [name]
+            self.children = [
+                _MapLeafSpec(name, self.nullable, "key", ktyp, False),
+                _MapLeafSpec(name, self.nullable, "value", vtyp, vopt),
+            ]
             return
         if typ.startswith("list<") and typ.endswith(">"):
             inner = typ[5:-1].strip()
@@ -707,11 +831,11 @@ class ParquetFileWriter:
         self.specs = [_ColumnSpec(*s) for s in schema]
         if not self.specs:
             raise ValueError("parquet schema needs at least one column")
-        # column-CHUNK grain: a struct column contributes one chunk
-        # per leaf; everything else is 1:1
+        # column-CHUNK grain: struct and map columns contribute one
+        # chunk per leaf; everything else is 1:1
         self.chunk_specs = []
         for s in self.specs:
-            if s.kind == "struct":
+            if s.kind in ("struct", "map"):
                 self.chunk_specs.extend(s.children)
             else:
                 self.chunk_specs.append(s)
@@ -1121,6 +1245,7 @@ class ParquetFileWriter:
         fmd.field_i32(1, 1)  # version
         n_schema = 1 + sum(
             3 if s.kind == "list"
+            else 4 if s.kind == "map"
             else 1 + len(s.children) if s.kind == "struct"
             else 1
             for s in specs)
@@ -1139,6 +1264,25 @@ class ParquetFileWriter:
                 for c in s.children:
                     leaf = _ThriftW()
                     _leaf_common(leaf, c, c.leaf_name, c.leaf_optional)
+                    fmd.list_struct(leaf)
+                continue
+            if s.kind == "map":
+                el = _ThriftW()
+                el.field_i32(3, 1 if s.nullable else 0)
+                el.field_string(4, s.name)
+                el.field_i32(5, 1)
+                el.field_i32(6, 1)  # ConvertedType.MAP
+                _logical(el, 2)     # LogicalType.MAP
+                fmd.list_struct(el)
+                mid = _ThriftW()
+                mid.field_i32(3, 2)  # REPEATED
+                mid.field_string(4, "key_value")
+                mid.field_i32(5, 2)
+                fmd.list_struct(mid)
+                for c in s.children:
+                    leaf = _ThriftW()
+                    _leaf_common(leaf, c, c.role,
+                                 c.role == "value" and c.leaf_optional)
                     fmd.list_struct(leaf)
                 continue
             if s.kind == "list":

@@ -3712,6 +3712,77 @@ def parquet_struct_scan_events(spark: SparkSession,
     )
 
 
+def _pqmap_df(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0,
+               F.lit(None).cast("map<string,double>"))
+        .when(F.col("event_id") % 11 == 0,
+              F.expr("map()").cast("map<string,double>"))
+        .otherwise(F.create_map(
+            F.lit("value"), F.col("value").cast("double"),
+            F.lit("vlen"), F.length("event_type").cast("double")))
+        .alias("m"),
+    )
+
+
+def pqmap_fixture_dir(spark, sf_dir: str) -> str:
+    """Exported for tools/oracle_twins.py — exact-dir resolution."""
+    return _pq_fixture_dir(spark, sf_dir, "events", "pqmap", _pqmap_df)
+
+
+@query(
+    "parquet_map_scan_events",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN event_id % 7 = 0 OR event_id % 11 = 0
+                     OR value IS NULL THEN NULL
+                ELSE floor(value * 1000000 + 0.5)::BIGINT END
+             AS value_e6,
+           CASE WHEN event_id % 7 = 0 OR event_id % 11 = 0 THEN NULL
+                ELSE length(event_type)::BIGINT END AS vlen,
+           (CASE WHEN event_id % 7 = 0 THEN NULL
+                 WHEN event_id % 11 = 0 THEN 0
+                 ELSE 2 END)::BIGINT AS msize
+    FROM events
+    """,
+)
+def parquet_map_scan_events(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Round-12 MAP arm of the from-spec parquet reader/writer (the
+    third standard nested shape after LIST and STRUCT — parquet
+    LogicalTypes.md's 3-level MAP: group (MAP) > repeated key_value >
+    required key + value leaves): an events-derived
+    ``map<string,double>`` column written by SPARK'S OWN Java writer
+    with null maps, empty maps, and null values, read back by the
+    engine's decoder — both leaf chunks share the map's repetition
+    structure, so the one-level list assembly rebuilds aligned
+    key/value lists per record that zip into dicts (duplicate keys
+    reject, matching Spark's EXCEPTION dedup policy). Surfaces as a
+    real Spark MapType the query dereferences JVM-side
+    (``try_element_at`` — ANSI-safe on missing keys). The write
+    direction (MapType sink schema, per-side chunks + MAP logical
+    annotation) is pinned against pyarrow and DuckDB in
+    tests/test_parquet_write.py; the read side against pyarrow in
+    tests/test_parquet_native.py."""
+    _register_pq_native(spark)
+    out_dir = pqmap_fixture_dir(spark, sf_dir)
+    df = (spark.read.format("parquet_native")
+          .option("path", out_dir).load())
+    val = F.try_element_at("m", F.lit("value"))
+    return df.select(
+        "event_id",
+        F.when(val.isNull(), F.lit(None).cast("long"))
+        .otherwise(F.floor(val * 1000000 + F.lit(0.5)).cast("long"))
+        .alias("value_e6"),
+        F.try_element_at("m", F.lit("vlen")).cast("long")
+        .alias("vlen"),
+        F.when(F.col("m").isNull(), F.lit(None).cast("long"))
+        .otherwise(F.size("m").cast("long")).alias("msize"),
+    )
+
+
 def _orcstruct_df(spark, sf_dir):
     return T(spark, sf_dir, "events").select(
         "event_id",
@@ -3776,6 +3847,73 @@ def orc_struct_scan_events(spark: SparkSession,
         .otherwise(F.floor(F.col("props.value") * 1000000
                            + F.lit(0.5)).cast("long"))
         .alias("value_e6"),
+    )
+
+
+def _orcdec_df(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    cents_i = F.floor(
+        F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    price = (cents_i.cast("decimal(22,0)") / 100).cast("decimal(12,2)")
+    big = ((cents_i * 1000 + F.col("o_orderkey") % 1000)
+           .cast("decimal(25,0)") / 100000).cast("decimal(25,5)")
+    return o.select("o_orderkey", price.alias("price"),
+                    big.alias("big"))
+
+
+def orcdec_fixture_dir(spark, sf_dir: str) -> str:
+    """Exported for tools/oracle_twins.py — exact-dir resolution."""
+    return _orc_fixture_dir(spark, sf_dir, "orders", "orcdec",
+                            _orcdec_df, "zlib")
+
+
+@query(
+    "orc_decimal_scan_orders",
+    oracle="""
+    SELECT o_orderkey,
+           floor(o_totalprice * 100 + 0.5)::BIGINT AS cents,
+           (floor(o_totalprice * 100 + 0.5)::BIGINT * 1000
+            + o_orderkey % 1000)::BIGINT AS big_u5
+    FROM orders
+    """,
+)
+def orc_decimal_scan_orders(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Round-12 DECIMAL arm of the from-spec ORC reader/writer
+    (VERDICT r11 "missing" item 4 — the reject seam was
+    operators/orc_native.py's MAP/UNION/DECIMAL group): orders-derived
+    money columns written by SPARK'S OWN Java ORC writer as
+    DECIMAL(12,2) and DECIMAL(25,5), decoded from spec — DATA is the
+    unscaled value as an unbounded-length zigzag base-128 varint
+    (38 digits needs ~19 varint bytes, past any 64-bit fast path),
+    SECONDARY carries each value's own scale, so
+    ``Decimal(mantissa) * 10^-scale`` is exact without consulting the
+    declared type; the source surfaces real DecimalType(p,s) columns.
+    Outputs re-derive integer cents/scaled forms FROM the decimals by
+    exact decimal arithmetic; the oracle recomputes them from the raw
+    doubles in DuckDB. The write direction (decimal(p,s) sink schema,
+    varint mantissas + constant-scale SECONDARY, DecimalStatistics
+    zone maps, overflow/inexact-scale rejects) is pinned against
+    pyarrow.orc and Spark's JVM reader in tests/test_orc_write.py."""
+    from pyspark.errors import PySparkException
+
+    from modeltracking_spark.queries.common import ensure_pkg_on_workers
+    from modeltracking_spark.sources.orc_native_source import (
+        OrcNativeDataSource,
+    )
+
+    ensure_pkg_on_workers(spark)
+    try:
+        spark.dataSource.register(OrcNativeDataSource)
+    except PySparkException:
+        pass
+    out_dir = orcdec_fixture_dir(spark, sf_dir)
+    df = (spark.read.format("orc_native")
+          .option("path", out_dir).load())
+    return df.select(
+        "o_orderkey",
+        (F.col("price") * 100).cast("long").alias("cents"),
+        (F.col("big") * 100000).cast("long").alias("big_u5"),
     )
 
 

@@ -76,6 +76,27 @@ _PA_TYPES = {
 }
 
 
+def _spark_leaf(kind: str, node: dict, pfx: str = "") -> str:
+    """Spark DDL for one leaf — DECIMAL carries (p, s) on the footer
+    node (``pfx`` selects the list-child key variant)."""
+    if kind == "DECIMAL":
+        p = node[pfx + "precision"] if pfx else node["precision"]
+        sc = node[pfx + "scale"] if pfx else node["scale"]
+        return f"decimal({p},{sc})"
+    return _SPARK_TYPES[kind]
+
+
+def _pa_leaf(kind: str, node: dict, pfx: str = ""):
+    import pyarrow as pa
+
+    if kind == "DECIMAL":
+        p = node[pfx + "precision"] if pfx else node["precision"]
+        sc = node[pfx + "scale"] if pfx else node["scale"]
+        return pa.decimal128(p, sc)
+    return getattr(pa, _PA_TYPES[kind])()
+
+
+
 class _OrcNativeReader(DataSourceReader):
     def __init__(self, options, schema):
         path = options.get("path")
@@ -142,7 +163,10 @@ class _OrcNativeReader(DataSourceReader):
             # declared schema came from the first file's footer, so
             # any disagreeing file must reject at planning time
             sig = [(c["name"], c["kind"], c.get("child_kind"),
-                    tuple((x["name"], x["kind"])
+                    c.get("precision"), c.get("scale"),
+                    c.get("child_precision"), c.get("child_scale"),
+                    tuple((x["name"], x["kind"], x.get("precision"),
+                           x.get("scale"))
                           for x in c.get("fields") or ()))
                    for c in footer["columns"]]
             if ref_sig is None:
@@ -204,15 +228,15 @@ class _OrcNativeReader(DataSourceReader):
                 for n in names:
                     c = by_name[n]
                     if c["kind"] == "LIST":
-                        typ = pa.list_(getattr(
-                            pa, _PA_TYPES[c["child_kind"]])())
+                        typ = pa.list_(
+                            _pa_leaf(c["child_kind"], c, "child_"))
                     elif c["kind"] == "STRUCT":
                         typ = pa.struct([
-                            pa.field(f_["name"], getattr(
-                                pa, _PA_TYPES[f_["kind"]])())
+                            pa.field(f_["name"],
+                                     _pa_leaf(f_["kind"], f_))
                             for f_ in c["fields"]])
                     else:
-                        typ = getattr(pa, _PA_TYPES[c["kind"]])()
+                        typ = _pa_leaf(c["kind"], c)
                     arrays.append(pa.array(data[n], typ))
                     fields.append(pa.field(n, typ))
                 yield pa.RecordBatch.from_arrays(
@@ -290,13 +314,14 @@ class OrcNativeDataSource(DataSource):
 
         def _t(c):
             if c["kind"] == "LIST":
-                return f"array<{_SPARK_TYPES[c['child_kind']]}>"
+                el = _spark_leaf(c["child_kind"], c, "child_")
+                return f"array<{el}>"
             if c["kind"] == "STRUCT":
                 inner = ", ".join(
-                    f"`{f_['name']}`: {_SPARK_TYPES[f_['kind']]}"
+                    f"`{f_['name']}`: {_spark_leaf(f_['kind'], f_)}"
                     for f_ in c["fields"])
                 return f"struct<{inner}>"
-            return _SPARK_TYPES[c["kind"]]
+            return _spark_leaf(c["kind"], c)
 
         return ", ".join(f"`{n}` {_t(by_name[n])}" for n in sel)
 
@@ -336,10 +361,16 @@ def _orc_sink_schema(schema) -> list[tuple]:
             t.DoubleType: "double", t.StringType: "string",
             t.BinaryType: "binary", t.TimestampType: "timestamp",
             t.DateType: "date"}
+
+    def _scalar(dt):
+        if isinstance(dt, t.DecimalType):
+            return f"decimal({dt.precision},{dt.scale})"
+        return base.get(type(dt))
+
     out = []
     for f in schema.fields:
         if isinstance(f.dataType, t.ArrayType):
-            el = base.get(type(f.dataType.elementType))
+            el = _scalar(f.dataType.elementType)
             if el is None or el == "timestamp":
                 raise NotImplementedError(
                     f"orc_native sink: array element type "
@@ -350,7 +381,7 @@ def _orc_sink_schema(schema) -> list[tuple]:
         if isinstance(f.dataType, t.StructType):
             parts = []
             for sf in f.dataType.fields:
-                st = base.get(type(sf.dataType))
+                st = _scalar(sf.dataType)
                 # timestamp struct fields would bypass the sink's
                 # epoch-micros convert_value hook — keep them loud
                 if st is None or st in ("timestamp", "date"):
@@ -362,7 +393,7 @@ def _orc_sink_schema(schema) -> list[tuple]:
             out.append((f.name, f"struct<{','.join(parts)}>",
                         f.nullable))
             continue
-        tp = base.get(type(f.dataType))
+        tp = _scalar(f.dataType)
         if tp is None:
             raise NotImplementedError(
                 f"orc_native sink: type {f.dataType} not supported")

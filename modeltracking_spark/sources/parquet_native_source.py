@@ -73,6 +73,9 @@ def _spark_type(col: dict) -> str:
         inner = ", ".join(
             f"`{f['name']}`: {_spark_type(f)}" for f in col["fields"])
         return f"struct<{inner}>"
+    if col.get("kind") == "map":
+        return (f"map<{_spark_type(col['key'])}, "
+                f"{_spark_type(col['value'])}>")
     if col.get("decimal"):
         p, s = col["decimal"]
         return f"decimal({p},{s})"
@@ -103,6 +106,8 @@ def _pa_type(col: dict):
     if col.get("kind") == "struct":
         return pa.struct(
             [pa.field(f["name"], _pa_type(f)) for f in col["fields"]])
+    if col.get("kind") == "map":
+        return pa.map_(_pa_type(col["key"]), _pa_type(col["value"]))
     if col.get("decimal"):
         p, s = col["decimal"]
         return pa.decimal128(p, s)
@@ -220,7 +225,8 @@ class _ParquetNativeReader(DataSourceReader):
             # comparing them against Spark's Decimal filter values
             # would prune wrongly, so those columns never prune
             no_prune = {c["name"] for c in footer["columns"]
-                        if c.get("decimal") or c.get("kind") == "struct"}
+                        if c.get("decimal")
+                        or c.get("kind") in ("struct", "map")}
             for rg, group in enumerate(footer["row_groups"]):
                 keep = True
                 for flt in self.pruning_filters:
@@ -280,7 +286,8 @@ class _ParquetNativeReader(DataSourceReader):
             return None
         by_name = {c["name"]: c for c in footer["columns"]}
         no_prune = {c["name"] for c in footer["columns"]
-                    if c.get("decimal") or c.get("kind") == "struct"}
+                    if c.get("decimal")
+                    or c.get("kind") in ("struct", "map")}
         group = footer["row_groups"][rg]
         rg_rows = group["num_rows"]
         ranges = [(0, rg_rows)]
@@ -427,6 +434,16 @@ def _sink_schema(schema) -> list[tuple]:
                     f"{sf.name}:{st}{'?' if sf.nullable else ''}")
             out.append((f.name, f"struct<{','.join(parts)}>",
                         f.nullable))
+            continue
+        if isinstance(f.dataType, t.MapType):
+            kt = _scalar(f.dataType.keyType)
+            vt = _scalar(f.dataType.valueType)
+            if kt is None or vt is None:
+                raise NotImplementedError(
+                    f"parquet_native sink: map type {f.dataType} "
+                    "not supported")
+            vt += "?" if f.dataType.valueContainsNull else ""
+            out.append((f.name, f"map<{kt},{vt}>", f.nullable))
             continue
         tp = _scalar(f.dataType)
         if tp is None:

@@ -740,3 +740,112 @@ def test_orc_stream_sink_end_to_end_and_epoch_log(spark, tmp_path):
     assert back.agg(F.sum("doc_id")).collect()[0][0] == 299 * 300 // 2
     with open(os.path.join(out, "_epochs")) as fh:
         assert {int(x) for x in fh.read().split()} == {0, 1, 2}
+
+
+def test_decimal_write_roundtrip_all_readers(spark, tmp_path):
+    """Writer DECIMAL arm (round 12): flat / list-element /
+    struct-field decimal carriers across codecs and RLE versions —
+    unbounded zigzag varint mantissas (25-digit values exceed any
+    64-bit path) + constant-scale SECONDARY — read back by
+    pyarrow.orc, Spark's JVM ORC reader, and the own from-spec
+    reader; DecimalStatistics zone maps written; overflow and
+    inexact-scale values reject loudly."""
+    import io
+
+    import pyarrow.orc as pa_orc
+    from decimal import Decimal as D
+
+    from modeltracking_spark.operators.orc_native import (
+        orc_footer_from_file,
+        read_stripe,
+    )
+    from modeltracking_spark.operators.orc_write import orc_write_table
+
+    schema = [("id", "int64", False),
+              ("d", "decimal(25,5)", True),
+              ("ld", "list<decimal(9,2)?>", True),
+              ("st", "struct<a:decimal(9,2)?, b:int64>", True)]
+    cols = {
+        "id": list(range(8)),
+        "d": [D("1.23000"), None, D("-12345678901234567890.12345"),
+              D("0.00001"), D("99999999999999999999.99999"),
+              D("-0.00001"), None, D("42.00000")],
+        "ld": [[D("0.50"), None], None, [], [D("2.25")],
+               [D("-1.00")], [D("0.01"), D("0.02")], None, []],
+        "st": [{"a": D("9.99"), "b": 1}, None, {"a": None, "b": 2},
+               {"a": D("-0.01"), "b": 3}, {"a": D("0.00"), "b": 4},
+               None, {"a": D("5.55"), "b": 5}, {"a": None, "b": 6}],
+    }
+    for codec in ("NONE", "ZLIB", "ZSTD"):
+        for rv in (1, 2):
+            blob = orc_write_table(cols, schema, codec=codec,
+                                   rle_version=rv, stripe_rows=3)
+            t = pa_orc.ORCFile(io.BytesIO(blob)).read().to_pydict()
+            assert t["d"] == cols["d"], (codec, rv)
+            assert t["ld"] == cols["ld"], (codec, rv)
+            assert t["st"] == cols["st"], (codec, rv)
+            buf = io.BytesIO(blob)
+            foot = orc_footer_from_file(buf)
+            got = {"d": [], "ld": [], "st": []}
+            for i in range(len(foot["stripes"])):
+                st_out = read_stripe(buf, foot, i)
+                for k in got:
+                    got[k] += st_out[k]
+            assert got == {k: cols[k] for k in got}, (codec, rv)
+    # DecimalStatistics zone maps: per-stripe and file-level merge
+    blob = orc_write_table(cols, schema, codec="ZLIB", stripe_rows=3)
+    buf = io.BytesIO(blob)
+    foot = orc_footer_from_file(buf)
+    s0 = foot["stripe_stats"][0][2]  # column id 2 = "d"
+    assert s0["min"] == D("-12345678901234567890.12345")
+    assert s0["max"] == D("1.23")
+    # Spark's JVM ORC reader consumes the same bytes
+    p = tmp_path / "dec.orc"
+    p.write_bytes(blob)
+    rows = {r["id"]: (r["d"], r["st"]) for r in
+            spark.read.orc(str(p)).collect()}
+    assert rows[2][0] == D("-12345678901234567890.12345")
+    assert rows[0][1]["a"] == D("9.99") and rows[1][1] is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overflow"):
+        orc_write_table({"id": [1], "d": [D("1.23")]},
+                        [("id", "int64", False),
+                         ("d", "decimal(2,2)", True)])
+    with _pytest.raises(ValueError, match="scale"):
+        orc_write_table({"id": [1], "d": [D("1.234")]},
+                        [("id", "int64", False),
+                         ("d", "decimal(9,2)", True)])
+
+
+def test_sink_decimal_end_to_end(spark, tmp_path):
+    """df.write.format('orc_native') with DecimalType columns: output
+    reads back exactly via Spark's JVM ORC reader AND the own
+    source."""
+    from pyspark.sql import functions as F
+
+    from modeltracking_spark.queries.common import ensure_pkg_on_workers
+    from modeltracking_spark.sources.orc_native_source import (
+        OrcNativeDataSource,
+    )
+    from pyspark.errors import PySparkException
+
+    ensure_pkg_on_workers(spark)
+    try:
+        spark.dataSource.register(OrcNativeDataSource)
+    except PySparkException:
+        pass
+    df = (spark.range(20)
+          .select(
+              F.col("id"),
+              (F.col("id").cast("decimal(20,0)") / 100)
+              .cast("decimal(22,2)").alias("price")))
+    out = str(tmp_path / "ds")
+    (df.write.format("orc_native").option("path", out)
+     .mode("append").save())
+    exp = {r["id"]: r["price"] for r in df.collect()}
+    for back in (spark.read.orc(out),
+                 spark.read.format("orc_native")
+                 .option("path", out).load()):
+        got = {r["id"]: r["price"] for r in back.collect()}
+        assert got == exp

@@ -607,6 +607,10 @@ def test_corruption_fuzz_r12_surfaces():
             [{"a": i, "b": "x%d" % i} if i % 3 else None
              for i in range(200)],
             pa.struct([("a", pa.int64()), ("b", pa.string())])),
+        "m": pa.array(
+            [{"k%d" % i: float(i)} if i % 5 else None
+             for i in range(200)],
+            pa.map_(pa.string(), pa.float64())),
     })
     buf = io.BytesIO()
     pq.write_table(t, buf, compression="snappy", row_group_size=80,
@@ -621,7 +625,7 @@ def test_corruption_fuzz_r12_surfaces():
             read_row_group(fh, f, rg)
         by = {c["name"]: c for c in f["columns"]}
         for c in f["columns"]:
-            if c.get("kind") == "struct":
+            if c.get("kind") in ("struct", "map"):
                 continue
             read_page_index(fh, f["row_groups"][0]["chunks"][c["path"]],
                             by[c["name"]])
@@ -815,3 +819,58 @@ def test_pyspark_pushdown_plan_reuse_upstream_bug(spark, tmp_path):
     # the reused scan emits the page-granular survivors (the last
     # 100-row page) without the row-level filter Spark dropped
     assert stale == 100
+
+
+def test_map_columns_vs_pyarrow():
+    """MAP assembly (round 12): both leaf chunks share the map's
+    repetition structure and zip into dicts — null maps, empty maps,
+    null values, int and string keys, decimal values, multi-page
+    splits, dictionary on/off — exact vs pyarrow; duplicate keys and
+    key/value misalignment reject loudly."""
+    from decimal import Decimal as D
+
+    maps = [{"a": 1.5, "b": None}, None, {},
+            {"z": 9.0, "y": -2.25, "x": 0.0}] * 5
+    by_int = [{i: "v%d" % i, i + 1: None} if i % 4 else None
+              for i in range(20)]
+    prices = [{"p": D("1.23")} if i % 3 else {} for i in range(20)]
+    t = pa.table({
+        "id": pa.array(range(20), pa.int64()),
+        "m": pa.array(maps, pa.map_(pa.string(), pa.float64())),
+        "mi": pa.array(by_int, pa.map_(pa.int64(), pa.string())),
+        "prices": pa.array(prices,
+                           pa.map_(pa.string(), pa.decimal128(9, 2))),
+    })
+    for dic in (True, False):
+        buf = io.BytesIO()
+        pq.write_table(t, buf, use_dictionary=dic, data_page_size=64)
+        buf.seek(0)
+        foot = parquet_footer_from_file(buf)
+        by = {c["name"]: c for c in foot["columns"]}
+        assert by["m"]["kind"] == "map"
+        assert by["m"]["key"]["string"] and not by["m"]["key"][
+            "optional"]
+        assert by["prices"]["value"]["decimal"] == (9, 2)
+        got = read_row_group(buf, foot, 0)
+        assert got["m"] == maps
+        assert got["mi"] == by_int
+        assert got["prices"] == prices
+    # projection touches only the projected map's chunks
+    buf.seek(0)
+    got = read_row_group(buf, foot, 0, columns=["mi"])
+    assert list(got) == ["mi"] and got["mi"] == by_int
+
+
+def test_map_duplicate_keys_reject():
+    """A file carrying duplicate keys inside one map record is
+    malformed under Spark's EXCEPTION dedup policy — the typed
+    reject, not a silent last-wins dict collapse."""
+    t = pa.table({"m": pa.array(
+        [[("k", 1.0), ("k", 2.0)]],
+        pa.map_(pa.string(), pa.float64()))})
+    buf = io.BytesIO()
+    pq.write_table(t, buf)
+    buf.seek(0)
+    foot = parquet_footer_from_file(buf)
+    with pytest.raises(ValueError, match="duplicate keys"):
+        read_row_group(buf, foot, 0)

@@ -371,10 +371,12 @@ def test_sink_unsupported_type_rejects(spark, tmp_path):
     from pyspark.sql import functions as F
 
     _register_sink(spark)
-    # MAP columns (and nested struct-in-struct) stay loud rejects;
-    # one-level structs are supported since round 12
+    # nested struct-in-struct and maps with non-scalar values stay
+    # loud rejects; one-level structs (r12) and scalar maps (r12) are
+    # supported
     df = spark.range(3).select(
-        F.create_map(F.lit("k"), F.col("id")).alias("m"))
+        F.create_map(F.lit("k"),
+                     F.array(F.col("id"))).alias("m"))
     with pytest.raises(Exception, match="not supported"):
         (df.write.format("parquet_native")
          .option("path", str(tmp_path / "bad")).mode("append").save())
@@ -813,3 +815,108 @@ def test_page_index_consumed_by_spark_jvm_reader(spark, tmp_path):
     got = sorted(r["mono"] for r in df.collect())
     assert got == list(range(7777, 7790))
     assert df.count() == 13
+
+
+def test_map_write_roundtrip_all_readers(tmp_path):
+    """Writer MAP arm (round 12): null maps / empty maps / null
+    values / required maps, string and int keys, decimal values,
+    page splits inside map chunks, dictionary on/off — read back by
+    pyarrow, DuckDB, and the own from-spec reader; null keys, null
+    values without '?', and null maps in required columns reject
+    loudly."""
+    from decimal import Decimal as D
+
+    import duckdb
+
+    schema = [("id", "int64", False),
+              ("m", "map<string,double?>", True),
+              ("counts", "map<int64,int64>", False),
+              ("prices", "map<string,decimal(9,2)?>", True)]
+    maps = [{"a": 1.5, "b": None}, None, {},
+            {"z": 9.0, "y": -2.25, "x": 0.0}] * 4
+    counts = [{i: i * 10, i + 1: 0} for i in range(16)]
+    prices = [{"p": D("1.23"), "q": None}, None, {},
+              {"r": D("-99.99")}] * 4
+    cols = {"id": list(range(16)), "m": maps, "counts": counts,
+            "prices": prices}
+    pairs = [None if r is None else sorted(r.items()) for r in maps]
+    for dic in (None, True, False):
+        blob = parquet_write_table(cols, schema, dictionary=dic,
+                                   page_rows=3)
+        got = _read_pyarrow(blob)
+        assert [None if r is None else sorted(r)
+                for r in got["m"]] == pairs, dic
+        assert [sorted(r) for r in got["counts"]] == [
+            sorted(r.items()) for r in counts]
+    blob = parquet_write_table(cols, schema, codec="ZSTD")
+    p = tmp_path / "m.parquet"
+    p.write_bytes(blob)
+    rows = duckdb.sql(
+        f"SELECT m['a'][1], cardinality(counts), prices['p'][1] "
+        f"FROM read_parquet('{p}') ORDER BY id").fetchall()
+    assert rows[0] == (1.5, 2, D("1.23"))
+    assert rows[1] == (None, 2, None)
+    with open(p, "rb") as fh:
+        foot = parquet_footer_from_file(fh)
+        by = {c["name"]: c for c in foot["columns"]}
+        assert by["m"]["kind"] == "map"
+        assert by["prices"]["value"]["decimal"] == (9, 2)
+        got = read_row_group(fh, foot, 0)
+    assert got["m"] == maps
+    assert got["counts"] == counts
+    assert got["prices"] == prices
+    with pytest.raises(ValueError, match="null map key"):
+        parquet_write_table(
+            {"id": [1], "m": [{None: 1.0}]},
+            [("id", "int64", False), ("m", "map<string,double?>",
+                                      True)])
+    with pytest.raises(ValueError, match="null map value"):
+        parquet_write_table(
+            {"id": [1], "m": [{"a": None}]},
+            [("id", "int64", False), ("m", "map<string,double>",
+                                      True)])
+    with pytest.raises(ValueError, match="null map in required"):
+        parquet_write_table(
+            {"id": [1], "m": [None]},
+            [("id", "int64", False), ("m", "map<string,double>",
+                                      False)])
+    with pytest.raises(ValueError, match="keys must be required"):
+        parquet_write_table(
+            {"id": [1], "m": [{}]},
+            [("id", "int64", False), ("m", "map<string?,double>",
+                                      True)])
+
+
+def test_sink_map_end_to_end(spark, tmp_path):
+    """df.write.format('parquet_native') with a MapType column: the
+    Arrow write path hands the executor list-of-(k, v) pairs; output
+    reads back exactly via Spark's JVM reader AND the own source."""
+    _register_sink(spark)
+    df = spark.createDataFrame(
+        [(1, {"a": 1.5, "b": None}), (2, None), (3, {}),
+         (4, {"z": 9.0})],
+        "id bigint, m map<string, double>")
+    out = tmp_path / "mapsink"
+    (df.write.format("parquet_native").option("path", str(out))
+     .mode("append").save())
+    for back in (spark.read.parquet(str(out)),
+                 spark.read.format("parquet_native")
+                 .option("path", str(out)).load()):
+        rows = {r.id: r.m for r in back.collect()}
+        assert rows == {1: {"a": 1.5, "b": None}, 2: None, 3: {},
+                        4: {"z": 9.0}}
+
+
+def test_struct_decimal_field_type_string():
+    """struct<...decimal(p,s)...> type strings split on TOP-LEVEL
+    commas only — the comma inside decimal(9,2) belongs to the field
+    type (regression: a naive split produced 'decimal(9' and
+    rejected)."""
+    from decimal import Decimal as D
+
+    schema = [("props", "struct<a:decimal(9,2)?, b:int64>", True)]
+    cols = {"props": [{"a": D("1.25"), "b": 7}, None,
+                      {"a": None, "b": 9}]}
+    blob = parquet_write_table(cols, schema)
+    got = _read_pyarrow(blob)
+    assert got["props"] == cols["props"]
