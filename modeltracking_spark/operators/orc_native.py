@@ -359,11 +359,35 @@ def orc_footer_from_file(fh) -> dict:
             cols.append({"name": name, "kind": "STRUCT",
                          "column": tid, "fields": fields})
             continue
-        if kind in ("MAP", "UNION"):
+        if kind == "MAP":
+            # ONE nested level: MAP of leaf key/value types — the map
+            # column carries PRESENT + LENGTH (entry counts); the two
+            # children own their streams at the flattened entry grain
+            child_ids = _pb_packed_uints(t.get(2) or [])
+            if len(child_ids) != 2 or any(c >= len(types)
+                                          for c in child_ids):
+                raise ValueError("malformed ORC MAP type node")
+            sub = {}
+            for cid2, role in zip(child_ids, ("key", "value")):
+                ck = _KINDS.get((types[cid2].get(1) or [-1])[0], "?")
+                if ck in ("LIST", "MAP", "STRUCT", "UNION"):
+                    raise NotImplementedError(
+                        f"nested ORC type MAP<..{ck}..> not supported "
+                        "(one MAP level of leaf types is)")
+                if ck == "?":
+                    raise ValueError("unknown ORC type kind")
+                d = {"kind": ck, "column": cid2}
+                if ck == "DECIMAL":
+                    d["precision"], d["scale"] = _dec_ps(types[cid2])
+                sub[role] = d
+            cols.append({"name": name, "kind": "MAP", "column": tid,
+                         "key": sub["key"], "value": sub["value"]})
+            continue
+        if kind == "UNION":
             raise NotImplementedError(
-                f"ORC column type {kind} not supported — flat-column "
-                "reader plus one LIST level and one STRUCT level "
-                "(maps/unions are plug-in rejects)")
+                "ORC column type UNION not supported — flat-column "
+                "reader plus one LIST/STRUCT/MAP level (unions are "
+                "plug-in rejects)")
         if kind == "?":
             raise ValueError("unknown ORC type kind")
         col = {"name": name, "kind": kind, "column": tid}
@@ -794,6 +818,45 @@ def read_stripe(fh, footer: dict, stripe_index: int,
                 ln2 = next(li)
                 recs.append(elems[pos_e:pos_e + ln2])
                 pos_e += ln2
+            out[name] = recs
+        elif kind == "MAP":
+            # LENGTH counts entries per present map; both children
+            # decode at the flattened entry grain and zip into dicts
+            # (duplicate keys reject, matching Spark's EXCEPTION
+            # dedup policy; null keys are malformed)
+            enc = encodings[cid] if cid < len(encodings) else "DIRECT"
+            ver = 2 if enc == "DIRECT_V2" else 1
+            present = get_stream(cid, "PRESENT")
+            pres = (bool_rle(present, n) if present is not None
+                    else [True] * n)
+            n_present = sum(pres)
+            length_s = get_stream(cid, "LENGTH")
+            lengths = int_rle(length_s or b"", n_present, False, ver)
+            total = sum(lengths)
+            keys = decode_leaf(col["key"]["column"],
+                               col["key"]["kind"], total)
+            mvals = decode_leaf(col["value"]["column"],
+                                col["value"]["kind"], total)
+            recs = []
+            pos_e = 0
+            li = iter(lengths)
+            for p in pres:
+                if not p:
+                    recs.append(None)
+                    continue
+                ln2 = next(li)
+                ks = keys[pos_e:pos_e + ln2]
+                vs = mvals[pos_e:pos_e + ln2]
+                pos_e += ln2
+                if any(k is None for k in ks):
+                    raise ValueError(
+                        f"ORC map column {name!r} carries a null key")
+                rec = dict(zip(ks, vs))
+                if len(rec) != len(ks):
+                    raise ValueError(
+                        f"ORC map column {name!r} carries duplicate "
+                        "keys in one record")
+                recs.append(rec)
             out[name] = recs
         elif kind == "STRUCT":
             # child columns carry values only for rows where the

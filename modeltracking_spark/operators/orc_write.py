@@ -31,8 +31,8 @@ _COMP_NUM = {"NONE": 0, "ZLIB": 1, "SNAPPY": 2, "ZSTD": 5}
 #: orc_proto Type.Kind
 _KIND_NUM = {"BOOLEAN": 0, "BYTE": 1, "SHORT": 2, "INT": 3, "LONG": 4,
              "FLOAT": 5, "DOUBLE": 6, "STRING": 7, "BINARY": 8,
-             "TIMESTAMP": 9, "LIST": 10, "STRUCT": 12, "DECIMAL": 14,
-             "DATE": 15}
+             "TIMESTAMP": 9, "LIST": 10, "MAP": 11, "STRUCT": 12,
+             "DECIMAL": 14, "DATE": 15}
 _STREAM_NUM = {"PRESENT": 0, "DATA": 1, "LENGTH": 2,
                "DICTIONARY_DATA": 3, "SECONDARY": 5}
 
@@ -511,6 +511,35 @@ class OrcFileWriter:
                                "nullable": bool(nullable),
                                "cid": cid, "children": children})
                 continue
+            if typ.startswith("map<") and typ.endswith(">"):
+                kv = _split_top(typ[4:-1])
+                if len(kv) != 2:
+                    raise ValueError(
+                        f"map column {name!r}: type needs 'map<k,v>'")
+                ktyp, vtyp = kv[0].strip(), kv[1].strip()
+                if ktyp.endswith("?"):
+                    raise ValueError(
+                        f"map column {name!r}: keys must be required")
+                vopt = vtyp.endswith("?")
+                if vopt:
+                    vtyp = vtyp[:-1]
+                kdec = _dec_parse(ktyp)
+                kk = "DECIMAL" if kdec else _LOGICAL.get(ktyp)
+                vdec = _dec_parse(vtyp)
+                vk = "DECIMAL" if vdec else _LOGICAL.get(vtyp)
+                if kk is None or vk is None or "TIMESTAMP" in (kk, vk):
+                    raise NotImplementedError(
+                        f"ORC write map type {typ!r} not supported")
+                fields.append({
+                    "name": name, "kind": "MAP",
+                    "nullable": bool(nullable), "cid": next_id,
+                    "key_kind": kk, "key_cid": next_id + 1,
+                    "key_decimal": kdec,
+                    "value_kind": vk, "value_cid": next_id + 2,
+                    "value_optional": vopt, "value_decimal": vdec,
+                })
+                next_id += 3
+                continue
             if typ.startswith("list<") and typ.endswith(">"):
                 inner = typ[5:-1].strip()
                 opt = inner.endswith("?")
@@ -673,6 +702,29 @@ class OrcFileWriter:
                     add_leaf(c["cid"], c["kind"], vals,
                              c.get("decimal"))
                 continue
+            if f["kind"] == "MAP":
+                recs = present_for(f["cid"], records, f["nullable"],
+                                   f"column {f['name']!r}")
+                # dicts from python callers; list-of-(k, v) pairs from
+                # arrow's map representation (batch.to_pydict())
+                items = [list(r.items()) if isinstance(r, dict)
+                         else list(r) for r in recs]
+                add("LENGTH", f["cid"],
+                    _int_rle([len(r) for r in items], signed=False))
+                keys = [kv[0] for r in items for kv in r]
+                mvals = [kv[1] for r in items for kv in r]
+                kvals = present_for(
+                    f["key_cid"], keys, False,
+                    f"map key of {f['name']!r} (keys are required)")
+                add_leaf(f["key_cid"], f["key_kind"], kvals,
+                         f.get("key_decimal"))
+                vvals = present_for(
+                    f["value_cid"], mvals, f["value_optional"],
+                    f"map value of {f['name']!r} (declare the value "
+                    "type with '?')")
+                add_leaf(f["value_cid"], f["value_kind"], vvals,
+                         f.get("value_decimal"))
+                continue
             if f["kind"] == "LIST":
                 recs = present_for(f["cid"], records, f["nullable"],
                                    f"column {f['name']!r}")
@@ -711,7 +763,14 @@ class OrcFileWriter:
         col_encs = [0] * self.n_cols
         ts_present = False
         for f in self.fields:
-            if f["kind"] == "LIST":
+            if f["kind"] == "MAP":
+                if self.rle_version == 2:
+                    col_encs[f["cid"]] = 2
+                    if f["key_kind"] in rle_kinds:
+                        col_encs[f["key_cid"]] = 2
+                    if f["value_kind"] in rle_kinds:
+                        col_encs[f["value_cid"]] = 2
+            elif f["kind"] == "LIST":
                 if self.rle_version == 2:
                     col_encs[f["cid"]] = 2
                     if f["child_kind"] in rle_kinds:
@@ -846,7 +905,16 @@ class OrcFileWriter:
             return leaf
 
         for f in self.fields:  # type nodes in column-id order
-            if f["kind"] == "LIST":
+            if f["kind"] == "MAP":
+                mp = _PBW()
+                mp.varint_field(1, _KIND_NUM["MAP"])
+                mp.packed_field(2, [f["key_cid"], f["value_cid"]])
+                footer.msg_field(4, mp)
+                footer.msg_field(4, _leaf_node(
+                    f["key_kind"], f.get("key_decimal")))
+                footer.msg_field(4, _leaf_node(
+                    f["value_kind"], f.get("value_decimal")))
+            elif f["kind"] == "LIST":
                 lst = _PBW()
                 lst.varint_field(1, _KIND_NUM["LIST"])
                 lst.packed_field(2, [f["child_cid"]])

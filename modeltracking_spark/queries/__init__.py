@@ -62,6 +62,7 @@ PRIORITY: tuple[str, ...] = (
     "parquet_page_pruned_scan_orders",  # ColumnIndex page-level prune
     "parquet_map_scan_events",         # MAP nested shape, both dirs
     "orc_decimal_scan_orders",         # ORC DECIMAL, both dirs
+    "orc_map_scan_events",             # ORC MAP, both dirs
     # ---- behavior changed in r12 (REATTEST; lint-exempt) ----
     "topk_lineitems_per_order",        # zip arm now limit-first
     # ---- r7-stale cohort (34 = the whole tier, age 5) ----

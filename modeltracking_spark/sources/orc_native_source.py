@@ -21,8 +21,9 @@ FLOAT/DOUBLE, BOOLEAN, STRING/VARCHAR/CHAR→string, BINARY→binary,
 DATE→int (epoch days), TIMESTAMP→bigint (epoch micros — round 11:
 both the ORC_CPP signed-nanos and the Java trunc-plus-borrow pre-1970
 conventions decode to the reference readers' canonical values),
-one-level STRUCT→struct<...> (round 12).  Decimals/maps/deeper
-nesting reject loudly upstream.
+one-level STRUCT→struct<...>, DECIMAL→decimal(p,s), one-level
+MAP→map<k,v> (all round 12).  Unions and deeper nesting reject
+loudly upstream.
 
 Round 12 adds the parquet sibling's two missing arms: pushFilters
 STRIPE-STATISTICS pruning (``.option("filter_pushdown","true")``,
@@ -163,6 +164,8 @@ class _OrcNativeReader(DataSourceReader):
             # declared schema came from the first file's footer, so
             # any disagreeing file must reject at planning time
             sig = [(c["name"], c["kind"], c.get("child_kind"),
+                    tuple(sorted((c.get("key") or {}).items()))
+                    + tuple(sorted((c.get("value") or {}).items())),
                     c.get("precision"), c.get("scale"),
                     c.get("child_precision"), c.get("child_scale"),
                     tuple((x["name"], x["kind"], x.get("precision"),
@@ -227,7 +230,11 @@ class _OrcNativeReader(DataSourceReader):
                 arrays, fields = [], []
                 for n in names:
                     c = by_name[n]
-                    if c["kind"] == "LIST":
+                    if c["kind"] == "MAP":
+                        typ = pa.map_(
+                            _pa_leaf(c["key"]["kind"], c["key"]),
+                            _pa_leaf(c["value"]["kind"], c["value"]))
+                    elif c["kind"] == "LIST":
                         typ = pa.list_(
                             _pa_leaf(c["child_kind"], c, "child_"))
                     elif c["kind"] == "STRUCT":
@@ -313,6 +320,10 @@ class OrcNativeDataSource(DataSource):
         sel = names or [c["name"] for c in footer["columns"]]
 
         def _t(c):
+            if c["kind"] == "MAP":
+                k = _spark_leaf(c["key"]["kind"], c["key"])
+                v = _spark_leaf(c["value"]["kind"], c["value"])
+                return f"map<{k}, {v}>"
             if c["kind"] == "LIST":
                 el = _spark_leaf(c["child_kind"], c, "child_")
                 return f"array<{el}>"
@@ -377,6 +388,19 @@ def _orc_sink_schema(schema) -> list[tuple]:
                     f"{f.dataType.elementType} not supported")
             el += "?" if f.dataType.containsNull else ""
             out.append((f.name, f"list<{el}>", f.nullable))
+            continue
+        if isinstance(f.dataType, t.MapType):
+            kt = _scalar(f.dataType.keyType)
+            vt = _scalar(f.dataType.valueType)
+            # timestamp keys/values would bypass the epoch-micros
+            # convert_value hook — keep them loud
+            if kt is None or vt is None or "timestamp" in (kt, vt) \
+                    or "date" in (kt, vt):
+                raise NotImplementedError(
+                    f"orc_native sink: map type {f.dataType} "
+                    "not supported")
+            vt += "?" if f.dataType.valueContainsNull else ""
+            out.append((f.name, f"map<{kt},{vt}>", f.nullable))
             continue
         if isinstance(f.dataType, t.StructType):
             parts = []

@@ -223,12 +223,15 @@ def test_timestamps_both_writer_conventions(spark, tmp_path):
 
 
 def test_typed_rejects():
-    # decimals are a documented plug-in reject
-    t = pa.table({"d": pa.array([1], pa.decimal128(10, 2))})
+    # decimals decode since round 12; a MAP of non-leaf values stays
+    # a documented plug-in reject
+    t = pa.table({"m": pa.array(
+        [[("k", [1.0])]],
+        pa.map_(pa.string(), pa.list_(pa.float64())))})
     buf = io.BytesIO()
     po.write_table(t, buf)
     buf.seek(0)
-    with pytest.raises(NotImplementedError, match="DECIMAL"):
+    with pytest.raises(NotImplementedError, match="MAP<"):
         orc_footer_from_file(buf)
     # ONE list level is supported (the array<float> shape); DEEPER
     # nesting stays a loud reject
@@ -471,6 +474,10 @@ def test_corruption_fuzz_r12_surfaces():
             [D(i * 7 - 1000).scaleb(-5) if i % 5 else None
              for i in range(300)],
             pa.decimal128(25, 5)),
+        "m": pa.array(
+            [{"k%d" % i: float(i)} if i % 6 else None
+             for i in range(300)],
+            pa.map_(pa.string(), pa.float64())),
     })
     buf = io.BytesIO()
     pa_orc.write_table(t, buf, compression="zlib",
@@ -543,3 +550,51 @@ def test_decimal_columns_vs_pyarrow():
     assert got["d"] == recs
     assert got["ld"] == t.column("ld").to_pylist()
     assert got["st"] == t.column("st").to_pylist()
+
+
+def test_map_columns_vs_pyarrow():
+    """MAP decode (round 12): PRESENT + LENGTH on the map column,
+    children decoded at the flattened entry grain and zipped into
+    dicts — null maps, empty maps, null values, int and string keys,
+    decimal values, multi-stripe — exact vs pyarrow.orc; duplicate
+    keys reject."""
+    from decimal import Decimal as D
+
+    maps = [{"a": 1.5, "b": None}, None, {},
+            {"z": 9.0, "y": -2.25, "x": 0.0}] * 8
+    by_int = [{i: "v%d" % i, i + 1: None} if i % 4 else None
+              for i in range(32)]
+    prices = [{"p": D("1.23")} if i % 3 else {} for i in range(32)]
+    t = pa.table({
+        "id": pa.array(range(32), pa.int64()),
+        "m": pa.array(maps, pa.map_(pa.string(), pa.float64())),
+        "mi": pa.array(by_int, pa.map_(pa.int64(), pa.string())),
+        "prices": pa.array(prices,
+                           pa.map_(pa.string(), pa.decimal128(9, 2))),
+    })
+    buf = io.BytesIO()
+    po.write_table(t, buf, compression="zlib", stripe_size=1024)
+    buf.seek(0)
+    f = orc_footer_from_file(buf)
+    by = {c["name"]: c for c in f["columns"]}
+    assert by["m"]["kind"] == "MAP"
+    assert by["m"]["key"]["kind"] == "STRING"
+    assert (by["prices"]["value"]["precision"],
+            by["prices"]["value"]["scale"]) == (9, 2)
+    got = {"m": [], "mi": [], "prices": []}
+    for s in range(len(f["stripes"])):
+        out = read_stripe(buf, f, s)
+        for k in got:
+            got[k] += out[k]
+    assert got["m"] == maps
+    assert got["mi"] == by_int
+    assert got["prices"] == prices
+    # duplicate keys inside one record: the typed reject
+    td = pa.table({"m": pa.array([[("k", 1.0), ("k", 2.0)]],
+                                 pa.map_(pa.string(), pa.float64()))})
+    buf2 = io.BytesIO()
+    po.write_table(td, buf2)
+    buf2.seek(0)
+    f2 = orc_footer_from_file(buf2)
+    with pytest.raises(ValueError, match="duplicate keys"):
+        read_stripe(buf2, f2, 0)

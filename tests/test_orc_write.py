@@ -849,3 +849,108 @@ def test_sink_decimal_end_to_end(spark, tmp_path):
                  .option("path", out).load()):
         got = {r["id"]: r["price"] for r in back.collect()}
         assert got == exp
+
+
+def test_map_write_roundtrip_all_readers(spark, tmp_path):
+    """Writer MAP arm (round 12): null maps / empty maps / null
+    values, string and int keys, decimal values, across codecs and
+    RLE versions — pyarrow.orc + Spark's JVM reader + the own
+    from-spec reader; null keys / null values without '?' / null
+    maps in required columns reject loudly."""
+    import io
+
+    import pyarrow.orc as pa_orc
+    from decimal import Decimal as D
+
+    from modeltracking_spark.operators.orc_native import (
+        orc_footer_from_file,
+        read_stripe,
+    )
+    from modeltracking_spark.operators.orc_write import orc_write_table
+
+    schema = [("id", "int64", False),
+              ("m", "map<string,double?>", True),
+              ("counts", "map<int64,int64>", False),
+              ("prices", "map<string,decimal(9,2)?>", True)]
+    maps = [{"a": 1.5, "b": None}, None, {},
+            {"z": 9.0, "y": -2.25}] * 4
+    counts = [{i: i * 10, i + 1: 0} for i in range(16)]
+    prices = [{"p": D("1.23"), "q": None}, None, {},
+              {"r": D("-99.99")}] * 4
+    cols = {"id": list(range(16)), "m": maps, "counts": counts,
+            "prices": prices}
+    for codec in ("NONE", "ZLIB", "ZSTD"):
+        for rv in (1, 2):
+            blob = orc_write_table(cols, schema, codec=codec,
+                                   rle_version=rv, stripe_rows=5)
+            t = pa_orc.ORCFile(io.BytesIO(blob)).read()
+            assert [None if r is None else dict(r)
+                    for r in t.column("m").to_pylist()] == maps
+            assert [dict(r)
+                    for r in t.column("counts").to_pylist()] == counts
+            buf = io.BytesIO(blob)
+            foot = orc_footer_from_file(buf)
+            got = {"m": [], "counts": [], "prices": []}
+            for i in range(len(foot["stripes"])):
+                out = read_stripe(buf, foot, i)
+                for k in got:
+                    got[k] += out[k]
+            assert got == {"m": maps, "counts": counts,
+                           "prices": prices}, (codec, rv)
+    # Spark's JVM ORC reader consumes the same bytes
+    blob = orc_write_table(cols, schema, codec="ZLIB", rle_version=2)
+    p = tmp_path / "m.orc"
+    p.write_bytes(blob)
+    rows = {r["id"]: r for r in spark.read.orc(str(p)).collect()}
+    assert rows[0]["m"] == {"a": 1.5, "b": None}
+    assert rows[1]["m"] is None and rows[2]["m"] == {}
+    assert rows[0]["prices"] == {"p": D("1.23"), "q": None}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="map key"):
+        orc_write_table(
+            {"m": [{None: 1.0}]},
+            [("m", "map<string,double?>", True)])
+    with _pytest.raises(ValueError, match="map value"):
+        orc_write_table(
+            {"m": [{"a": None}]},
+            [("m", "map<string,double>", True)])
+    with _pytest.raises(ValueError, match="null in required column"):
+        orc_write_table(
+            {"m": [None]},
+            [("m", "map<string,double>", False)])
+    with _pytest.raises(ValueError, match="keys must be required"):
+        orc_write_table(
+            {"m": [{}]},
+            [("m", "map<string?,double>", True)])
+
+
+def test_sink_map_end_to_end(spark, tmp_path):
+    """df.write.format('orc_native') with a MapType column: the Arrow
+    write path hands the executor list-of-(k, v) pairs; output reads
+    back exactly via Spark's JVM ORC reader AND the own source."""
+    from pyspark.errors import PySparkException
+
+    from modeltracking_spark.queries.common import ensure_pkg_on_workers
+    from modeltracking_spark.sources.orc_native_source import (
+        OrcNativeDataSource,
+    )
+
+    ensure_pkg_on_workers(spark)
+    try:
+        spark.dataSource.register(OrcNativeDataSource)
+    except PySparkException:
+        pass
+    df = spark.createDataFrame(
+        [(1, {"a": 1.5, "b": None}), (2, None), (3, {}),
+         (4, {"z": 9.0})],
+        "id bigint, m map<string, double>")
+    out = tmp_path / "mapsink"
+    (df.write.format("orc_native").option("path", str(out))
+     .mode("append").save())
+    for back in (spark.read.orc(str(out)),
+                 spark.read.format("orc_native")
+                 .option("path", str(out)).load()):
+        rows = {r.id: r.m for r in back.collect()}
+        assert rows == {1: {"a": 1.5, "b": None}, 2: None, 3: {},
+                        4: {"z": 9.0}}

@@ -2876,6 +2876,45 @@ def twin_parquet_map(spark, sf_dir, spark_rows) -> tuple[bool, str]:
     return True, f"{n} map rows replayed by pyarrow"
 
 
+def twin_orc_map(spark, sf_dir, spark_rows) -> tuple[bool, str]:
+    """pyarrow.orc replays the Spark-Java-written ORC MAP fixture
+    entry by entry (round 12), null and empty maps distinguished."""
+    import glob
+    import math
+
+    import pyarrow.orc as _po
+
+    from modeltracking_spark.queries.extras_q import orcmap_fixture_dir
+
+    d = orcmap_fixture_dir(spark, sf_dir)
+    got = {int(r["event_id"]): (
+        None if r["value_e6"] is None else int(r["value_e6"]),
+        None if r["vlen"] is None else int(r["vlen"]),
+        None if r["msize"] is None else int(r["msize"]))
+        for r in spark_rows}
+    n = 0
+    for part in sorted(glob.glob(f"{d}/*.orc")):
+        t = _po.read_table(part)
+        for eid, m in zip(t.column("event_id").to_pylist(),
+                          t.column("m").to_pylist()):
+            if m is None:
+                want = (None, None, None)
+            else:
+                ent = dict(m)
+                v = ent.get("value")
+                vl = ent.get("vlen")
+                want = (None if v is None else math.floor(v * 1e6 + 0.5),
+                        None if vl is None else int(vl),
+                        len(ent))
+            if got.get(int(eid)) != want:
+                return False, (f"event {eid}: got {got.get(int(eid))} "
+                               f"want {want}")
+            n += 1
+    if n != len(got):
+        return False, f"row count: pyarrow {n} vs engine {len(got)}"
+    return True, f"{n} map rows replayed by pyarrow.orc"
+
+
 def twin_orc_decimal(spark, sf_dir, spark_rows) -> tuple[bool, str]:
     """pyarrow.orc (ORC_CPP) replays the Spark-Java-written ORC
     DECIMAL fixture value by value (round 12): the engine's
@@ -3441,6 +3480,8 @@ def main(sf_dirs: list[str]) -> int:
              lambda rows: twin_parquet_map(spark, sf_dir, rows)),
             ("orc_decimal_scan_orders",
              lambda rows: twin_orc_decimal(spark, sf_dir, rows)),
+            ("orc_map_scan_events",
+             lambda rows: twin_orc_map(spark, sf_dir, rows)),
             ("brotli_roundtrip_docs",
              lambda rows: twin_brotli(spark, sf_dir, rows)),
             ("zstd_seekable_scan_docs",
