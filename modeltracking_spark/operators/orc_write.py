@@ -50,17 +50,17 @@ def _split_top(body: str) -> list[str]:
     parentheses (``decimal(9,2)``) belong to the field type."""
     parts, depth, start = [], 0, 0
     for i, ch in enumerate(body):
-        if ch == "(":
+        if ch in "(<":
             depth += 1
-        elif ch == ")":
+        elif ch in ")>":
             depth -= 1
             if depth < 0:
-                raise ValueError(f"unbalanced parens in {body!r}")
+                raise ValueError(f"unbalanced brackets in {body!r}")
         elif ch == "," and depth == 0:
             parts.append(body[start:i])
             start = i + 1
     if depth:
-        raise ValueError(f"unbalanced parens in {body!r}")
+        raise ValueError(f"unbalanced brackets in {body!r}")
     parts.append(body[start:])
     return parts
 

@@ -232,6 +232,261 @@ def _decimal_of(el: dict) -> tuple[int, int] | None:
     return (precision, scale)
 
 
+class _Cut:
+    """Definition stopped at level ``d`` — the general assembly's
+    null marker; which ancestor is null resolves at merge time
+    against the type tree's absolute def thresholds."""
+
+    __slots__ = ("d",)
+
+    def __init__(self, d: int):
+        self.d = d
+
+    def __repr__(self):  # pragma: no cover - debug aid
+        return f"_Cut({self.d})"
+
+
+def _parse_nested(schema: list, i: int, rep: int, d: int, path: str):
+    """Recursively parse one schema element (group or primitive) at
+    index ``i`` into a type-tree node for the GENERAL Dremel assembly
+    (arbitrary LIST/STRUCT/MAP nesting).  ``rep``/``d`` are the
+    max_rep/max_def accumulated ABOVE this element; ``path`` the
+    dotted column-chunk path prefix.  Returns ``(node, next_i)``.
+
+    Node shapes: ``{"t": "leaf", "leaf": <chunk-decodable dict>}``;
+    ``{"t": "struct", "def": ds, "fields": [node...]}``; ``{"t":
+    "list"|"map", "P": p, "E": p+1, ...}`` where ``P`` is the def at
+    which the container exists-but-may-be-empty and ``E`` the def at
+    which an element slot exists.  Every node carries ``name`` and
+    ``n_leaves``."""
+    if i >= len(schema):
+        raise ValueError("parquet schema tree overruns element list")
+    el = schema[i]
+    name = el.get(4, b"?").decode("utf-8", "replace")
+    repetition = el.get(3, 0)
+    nch = el.get(5, 0)
+    here = f"{path}.{name}" if path else name
+    if not nch:  # primitive
+        if repetition == 2:
+            raise NotImplementedError(
+                "legacy repeated primitive fields (2-level lists) "
+                "not supported")
+        phys = PHYS.get(el.get(1))
+        if phys is None:
+            raise ValueError(
+                f"unknown parquet physical type {el.get(1)}")
+        opt = repetition == 1
+        log = el.get(10) or {}
+        leaf = {
+            "name": name,
+            "kind": "rawleaf",
+            "physical": phys,
+            "type_length": el.get(2, 0),
+            "string": el.get(6) == _UTF8_CONVERTED or 1 in log,
+            "decimal": _decimal_of(el),
+            "logical": log,
+            "converted": el.get(6),
+            "optional": opt,
+            "max_rep": rep,
+            "max_def": d + (1 if opt else 0),
+            "path": here,
+        }
+        return {"t": "leaf", "name": name, "leaf": leaf,
+                "n_leaves": 1}, i + 1
+    conv_t = el.get(6)
+    log = el.get(10) or {}
+    is_list = conv_t == 3 or 3 in log
+    is_map = conv_t in (1, 2) or 2 in log
+    if repetition == 2:
+        raise NotImplementedError(
+            "repeated group without LIST/MAP annotation (legacy "
+            "2-level nesting) not supported")
+    opt = repetition == 1
+    if is_list or is_map:
+        if nch != 1 or i + 1 >= len(schema):
+            raise NotImplementedError(
+                f"non-standard {'MAP' if is_map else 'LIST'} "
+                f"structure under {name!r}")
+        mid = schema[i + 1]
+        mid_name = mid.get(4, b"?").decode("utf-8", "replace")
+        want_kids = 2 if is_map else 1
+        if mid.get(3) != 2 or mid.get(5, 0) != want_kids:
+            raise NotImplementedError(
+                f"non-standard {'MAP' if is_map else 'LIST'} "
+                f"structure under {name!r}")
+        P = d + (1 if opt else 0)
+        E = P + 1
+        base = f"{here}.{mid_name}"
+        if is_list:
+            elem, nx = _parse_nested(schema, i + 2, rep + 1, E, base)
+            return {"t": "list", "name": name, "optional": opt,
+                    "P": P, "E": E, "element": elem,
+                    "n_leaves": elem["n_leaves"]}, nx
+        key, j = _parse_nested(schema, i + 2, rep + 1, E, base)
+        if key["t"] != "leaf":
+            raise NotImplementedError(
+                f"non-leaf MAP key type under {name!r} not supported")
+        if key["leaf"]["optional"]:
+            raise ValueError(
+                f"MAP column {name!r} declares optional keys (the "
+                "spec requires them)")
+        val, nx = _parse_nested(schema, j, rep + 1, E, base)
+        return {"t": "map", "name": name, "optional": opt,
+                "P": P, "E": E, "key": key, "value": val,
+                "n_leaves": 1 + val["n_leaves"]}, nx
+    ds = d + (1 if opt else 0)
+    fields = []
+    j = i + 1
+    n_lv = 0
+    for _ in range(nch):
+        child, j = _parse_nested(schema, j, rep, ds, here)
+        fields.append(child)
+        n_lv += child["n_leaves"]
+    if not fields:
+        raise ValueError(f"group node {name!r} has no children")
+    return {"t": "struct", "name": name, "optional": opt,
+            "def": ds, "fields": fields, "n_leaves": n_lv}, j
+
+
+def _nested_leaves(node: dict, lists: tuple = ()) -> list:
+    """DFS leaf dicts under ``node``; each leaf gains ``_lists`` —
+    the (P, E) def thresholds of its repeated ancestors, outermost
+    first — which drives the skeleton builder."""
+    t = node["t"]
+    if t == "leaf":
+        leaf = node["leaf"]
+        leaf["_lists"] = list(lists)
+        if leaf["max_rep"] != len(lists):
+            raise ValueError("repetition depth mismatch in schema")
+        return [leaf]
+    if t == "struct":
+        out = []
+        for f in node["fields"]:
+            out.extend(_nested_leaves(f, lists))
+        return out
+    nxt = lists + ((node["P"], node["E"]),)
+    if t == "list":
+        return _nested_leaves(node["element"], nxt)
+    return (_nested_leaves(node["key"], nxt)
+            + _nested_leaves(node["value"], nxt))
+
+
+def _leaf_skeleton(reps: list, defs: list, vals: list,
+                   lists: list, max_def: int) -> list:
+    """One leaf's triplets -> one skeleton value per record: python
+    lists at each repeated level, the (converted) leaf value where
+    fully defined, and ``_Cut(d)`` wherever definition stopped —
+    struct levels are TRANSPARENT here and resolve at merge time."""
+    k = len(lists)
+    records: list = []
+    vi = 0
+    open_lists: list = [None] * k
+
+    def element_under(i: int, dd: int):
+        nonlocal vi
+        if i == k - 1:
+            if dd == max_def:
+                v = vals[vi]
+                vi += 1
+                return v
+            return _Cut(dd)
+        p1, e1 = lists[i + 1]
+        if dd < p1:
+            return _Cut(dd)
+        lst: list = []
+        open_lists[i + 1] = lst
+        if dd >= e1:
+            lst.append(element_under(i + 1, dd))
+        return lst
+
+    for r, dd in zip(reps, defs):
+        if r > k:
+            raise ValueError("repetition level exceeds declared depth")
+        if r == 0:
+            for j in range(k):
+                open_lists[j] = None
+            if k == 0:
+                if dd == max_def:
+                    records.append(vals[vi])
+                    vi += 1
+                else:
+                    records.append(_Cut(dd))
+                continue
+            p0, e0 = lists[0]
+            if dd < p0:
+                records.append(_Cut(dd))
+                continue
+            lst: list = []
+            open_lists[0] = lst
+            records.append(lst)
+            if dd >= e0:
+                lst.append(element_under(0, dd))
+        else:
+            tgt = open_lists[r - 1]
+            if tgt is None:
+                raise ValueError(
+                    "repetition level continues a null/closed list")
+            for j in range(r, k):
+                open_lists[j] = None
+            tgt.append(element_under(r - 1, dd))
+    if vi != len(vals):
+        raise ValueError("leaf value count mismatch in nested assembly")
+    return records
+
+
+def _merge_nested(node: dict, parts: list):
+    """Zip the aligned per-leaf skeletons under ``node`` into one
+    python value — dicts at struct/map levels, lists at list levels,
+    None where the type tree says the cut falls on this node."""
+    t = node["t"]
+    p0 = parts[0]
+    if t == "leaf":
+        return None if isinstance(p0, _Cut) else p0
+    if t == "struct":
+        ds = node["def"]
+        null_here = isinstance(p0, _Cut) and p0.d < ds
+        for p in parts[1:]:
+            if (isinstance(p, _Cut) and p.d < ds) != null_here:
+                raise ValueError(
+                    "sibling leaves disagree on a struct null")
+        if null_here:
+            return None
+        out = {}
+        idx = 0
+        for f in node["fields"]:
+            n = f["n_leaves"]
+            out[f["name"]] = _merge_nested(f, parts[idx:idx + n])
+            idx += n
+        return out
+    # list / map
+    if isinstance(p0, _Cut):
+        if any(not isinstance(p, _Cut) for p in parts[1:]):
+            raise ValueError(
+                "sibling leaves disagree on a container null")
+        return None
+    ln = len(p0)
+    for p in parts[1:]:
+        if not isinstance(p, list) or len(p) != ln:
+            raise ValueError(
+                "misaligned repetition across sibling leaves")
+    if t == "list":
+        el = node["element"]
+        return [_merge_nested(el, [p[j] for p in parts])
+                for j in range(ln)]
+    vn = node["value"]
+    keys = [_merge_nested(node["key"], [p0[j]]) for j in range(ln)]
+    vals = [_merge_nested(vn, [p[j] for p in parts[1:]])
+            for j in range(ln)]
+    if any(ky is None for ky in keys):
+        raise ValueError(f"map column {node['name']!r} carries a "
+                         "null key")
+    rec = dict(zip(keys, vals))
+    if len(rec) != ln:
+        raise ValueError(f"map column {node['name']!r} carries "
+                         "duplicate keys in one record")
+    return rec
+
+
 def _stat_value(raw: bytes, phys: str):
     """One PLAIN-encoded statistics bound -> a comparable Python
     value.  BYTE_ARRAY bounds stay bytes (writers may TRUNCATE them —
@@ -321,9 +576,18 @@ def parquet_footer(data_tail: bytes, file_size: int) -> dict:
                         f"non-standard MAP structure under {name!r}")
                 kleaf, vleaf = schema[i + 2], schema[i + 3]
                 if kleaf.get(5) or vleaf.get(5):
-                    raise NotImplementedError(
-                        "nested key/value types under MAP column "
-                        f"{name!r} not supported")
+                    # nested map VALUES: the general Dremel path
+                    node, i = _parse_nested(schema, i, 0, 0, "")
+                    cols.append({
+                        "name": name,
+                        "kind": "nested",
+                        "physical": "GROUP",
+                        "optional": el.get(3, 0) == 1,
+                        "tree": node,
+                        "leaves": _nested_leaves(node),
+                        "path": name,
+                    })
+                    continue
                 if kleaf.get(3, 0) == 1:
                     raise ValueError(
                         f"MAP column {name!r} declares optional keys"
@@ -419,17 +683,27 @@ def parquet_footer(data_tail: bytes, file_size: int) -> dict:
                     })
                     i += 1 + nch
                     continue
-            if not (is_list and el.get(5) == 1 and i + 2 < len(schema)):
-                raise NotImplementedError(
-                    "nested parquet schemas beyond one LIST level or "
-                    f"one STRUCT of primitives not supported (group "
-                    f"node {name!r})"
-                )
-            mid, leaf = schema[i + 1], schema[i + 2]
-            if mid.get(3) != 2 or mid.get(5) != 1 or leaf.get(5):
-                raise NotImplementedError(
-                    f"non-standard LIST structure under {name!r}"
-                )
+            legacy_list = (is_list and el.get(5) == 1
+                           and i + 2 < len(schema))
+            if legacy_list:
+                mid, leaf = schema[i + 1], schema[i + 2]
+                legacy_list = (mid.get(3) == 2 and mid.get(5) == 1
+                               and not leaf.get(5))
+            if not legacy_list:
+                # GENERAL nesting (round 12): arbitrary
+                # LIST/STRUCT/MAP composition goes through the
+                # recursive type-tree parse + full Dremel assembly
+                node, i = _parse_nested(schema, i, 0, 0, "")
+                cols.append({
+                    "name": name,
+                    "kind": "nested",
+                    "physical": "GROUP",
+                    "optional": el.get(3, 0) == 1,
+                    "tree": node,
+                    "leaves": _nested_leaves(node),
+                    "path": name,
+                })
+                continue
             phys = PHYS.get(leaf.get(1))
             if phys is None:
                 raise ValueError(
@@ -942,7 +1216,7 @@ def _bits_for(n: int) -> int:
 
 @_malformed_guard("parquet")
 def read_column_chunk(fh, chunk: dict, col: dict,
-                      with_defs: bool = False):
+                      with_defs: bool = False, raw: bool = False):
     """Decode ONE column chunk (the parallel-read unit next to the row
     group): seek to its byte range, walk dictionary + data pages, and
     return the fully assembled value list — ``None`` for nulls; for a
@@ -960,12 +1234,13 @@ def read_column_chunk(fh, chunk: dict, col: dict,
     fh.seek(start)
     data = fh.read(chunk["total_compressed_size"])
     return _decode_chunk_buffer(data, chunk["codec"], col,
-                                chunk["num_values"], with_defs)
+                                chunk["num_values"], with_defs, raw)
 
 
 @_malformed_guard("parquet")
 def _decode_chunk_buffer(data: bytes, codec: str, col: dict,
-                         want: int | None, with_defs: bool = False):
+                         want: int | None, with_defs: bool = False,
+                         raw: bool = False):
     """Walk a buffer of parquet pages (optional dictionary page first)
     and assemble values.  ``want=None`` decodes every page in the
     buffer — the page-selective path hands a SYNTHETIC buffer of the
@@ -980,6 +1255,7 @@ def _decode_chunk_buffer(data: bytes, codec: str, col: dict,
     dictionary: list | None = None
     out: list = []
     all_defs: list = []  # per-record def levels (with_defs callers)
+    all_reps: list = []  # raw mode: full (rep, def, present-vals)
     cur: list | None = None  # list record under assembly (spans pages)
     done = 0  # value slots (triplets) consumed, vs metadata num_values
     pos = 0
@@ -1108,7 +1384,13 @@ def _decode_chunk_buffer(data: bytes, codec: str, col: dict,
         else:
             raise NotImplementedError(
                 f"parquet encoding #{enc} not supported")
-        if max_rep == 0:
+        if raw:
+            # triplet passthrough for the GENERAL Dremel assembly
+            # (arbitrary nesting): present values only, levels as-is
+            all_reps.extend(reps)
+            all_defs.extend(defs)
+            out.extend(vals)
+        elif max_rep == 0:
             if with_defs:
                 all_defs.extend(defs)
             if max_def == 0:
@@ -1139,6 +1421,8 @@ def _decode_chunk_buffer(data: bytes, codec: str, col: dict,
         raise ValueError(
             f"column chunk decoded {done} value slots, metadata says "
             f"{want}")
+    if raw:
+        return all_reps, all_defs, out
     return (out, all_defs) if with_defs else out
 
 
@@ -1212,6 +1496,37 @@ def read_row_group(fh, footer: dict, rg_index: int,
                             conv(v) if conv is not None and
                             v is not None else v)
             recs = recs if recs is not None else []
+            if row_ranges is not None:
+                recs = _slice_rows(recs, [(0, rg_rows)], row_ranges)
+            out[name] = recs
+            continue
+        if col.get("kind") == "nested":
+            # GENERAL Dremel assembly: each leaf decodes raw triplets,
+            # builds its skeleton against its repeated-ancestor
+            # thresholds, and the type-tree merge zips siblings into
+            # dicts/lists/maps with cross-leaf consistency checks
+            parts = []
+            for leaf in col["leaves"]:
+                if leaf["path"] not in rg["chunks"]:
+                    raise ValueError(
+                        f"column {leaf['path']!r} not in this row "
+                        "group")
+                reps, defs, vals = read_column_chunk(
+                    fh, rg["chunks"][leaf["path"]], leaf, raw=True)
+                conv = _value_conv(leaf)
+                if conv is not None:
+                    vals = [conv(v) for v in vals]
+                parts.append(_leaf_skeleton(
+                    reps, defs, vals, leaf["_lists"],
+                    leaf["max_def"]))
+            counts = {len(p) for p in parts}
+            if len(counts) != 1:
+                raise ValueError(
+                    f"nested column {name!r}: leaves disagree on "
+                    f"record count {sorted(counts)}")
+            tree = col["tree"]
+            recs = [_merge_nested(tree, [p[j] for p in parts])
+                    for j in range(counts.pop())]
             if row_ranges is not None:
                 recs = _slice_rows(recs, [(0, rg_rows)], row_ranges)
             out[name] = recs

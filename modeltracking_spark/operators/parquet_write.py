@@ -423,17 +423,17 @@ def _split_top(body: str) -> list[str]:
     parentheses (``decimal(9,2)``) belong to the field type."""
     parts, depth, start = [], 0, 0
     for i, ch in enumerate(body):
-        if ch == "(":
+        if ch in "(<":
             depth += 1
-        elif ch == ")":
+        elif ch in ")>":
             depth -= 1
             if depth < 0:
-                raise ValueError(f"unbalanced parens in {body!r}")
+                raise ValueError(f"unbalanced brackets in {body!r}")
         elif ch == "," and depth == 0:
             parts.append(body[start:i])
             start = i + 1
     if depth:
-        raise ValueError(f"unbalanced parens in {body!r}")
+        raise ValueError(f"unbalanced brackets in {body!r}")
     parts.append(body[start:])
     return parts
 
@@ -628,6 +628,362 @@ class _MapLeafSpec:
         if self.convert is not None:
             vals = [self.convert(v) for v in vals]
         return reps, defs, vals
+
+
+class _WNode:
+    """One node of the GENERAL writer type tree (arbitrary
+    LIST/STRUCT/MAP nesting) — mirrors the reader's `_parse_nested`
+    thresholds: ``P`` = def at which a container exists (maybe
+    empty), ``E`` = def at which an element slot exists, ``rep`` =
+    the container's 1-based repeated depth."""
+
+    __slots__ = ("t", "name", "optional", "fields", "element", "key",
+                 "value", "P", "E", "rep", "max_def", "physical",
+                 "string", "decimal", "convert", "type_length",
+                 "no_minmax", "idx", "path")
+
+    def __init__(self, t, name, optional):
+        self.t = t
+        self.name = name
+        self.optional = bool(optional)
+
+
+def _parse_wtype(name: str, typ: str, optional: bool, rep: int,
+                 d: int, path: list) -> _WNode:
+    typ = typ.strip()
+    if typ.startswith("struct<") and typ.endswith(">"):
+        node = _WNode("struct", name, optional)
+        node.max_def = d + (1 if optional else 0)
+        node.fields = []
+        for part in _split_top(typ[7:-1]):
+            part = part.strip()
+            if not part:
+                continue
+            fname, colon, ftyp = part.partition(":")
+            if not colon:
+                raise ValueError(
+                    f"struct field needs 'name:type': {part!r}")
+            fname, ftyp = fname.strip(), ftyp.strip()
+            fopt = ftyp.endswith("?")
+            if fopt:
+                ftyp = ftyp[:-1]
+            node.fields.append(_parse_wtype(
+                fname, ftyp, fopt, rep, node.max_def,
+                path + [fname]))
+        if not node.fields:
+            raise ValueError(
+                f"struct column {name!r} needs at least one field")
+        return node
+    if typ.startswith("list<") and typ.endswith(">"):
+        inner = typ[5:-1].strip()
+        iopt = inner.endswith("?")
+        if iopt:
+            inner = inner[:-1]
+        node = _WNode("list", name, optional)
+        node.P = d + (1 if optional else 0)
+        node.E = node.P + 1
+        node.rep = rep + 1
+        node.element = _parse_wtype(
+            "element", inner, iopt, rep + 1, node.E,
+            path + ["list", "element"])
+        return node
+    if typ.startswith("map<") and typ.endswith(">"):
+        kv = _split_top(typ[4:-1])
+        if len(kv) != 2:
+            raise ValueError(
+                f"map column {name!r}: type needs 'map<k,v>'")
+        ktyp, vtyp = kv[0].strip(), kv[1].strip()
+        if ktyp.endswith("?"):
+            raise ValueError(
+                f"map column {name!r}: keys must be required")
+        vopt = vtyp.endswith("?")
+        if vopt:
+            vtyp = vtyp[:-1]
+        node = _WNode("map", name, optional)
+        node.P = d + (1 if optional else 0)
+        node.E = node.P + 1
+        node.rep = rep + 1
+        node.key = _parse_wtype("key", ktyp, False, rep + 1, node.E,
+                                path + ["key_value", "key"])
+        if node.key.t != "leaf":
+            raise NotImplementedError(
+                f"non-leaf map key type in column {name!r}")
+        node.value = _parse_wtype(
+            "value", vtyp, vopt, rep + 1, node.E,
+            path + ["key_value", "value"])
+        return node
+    # primitive leaf
+    node = _WNode("leaf", name, optional)
+    node.max_def = d + (1 if optional else 0)
+    node.rep = rep  # = the leaf's max repetition level
+    node.path = list(path)
+    node.decimal = _decimal_spec(typ)
+    node.convert = None
+    node.type_length = 0
+    node.no_minmax = False
+    node.idx = -1
+    if node.decimal:
+        p, s, node.physical, node.type_length = node.decimal
+        node.decimal = (p, s)
+        node.string = False
+        node.convert = _decimal_convert(p, s, node.type_length)
+        node.no_minmax = node.physical == "FIXED_LEN_BYTE_ARRAY"
+    else:
+        if typ not in _LOGICAL:
+            raise NotImplementedError(
+                f"parquet write type {typ!r} not supported")
+        node.physical, node.string = _LOGICAL[typ]
+    return node
+
+
+def _wleaves(node: _WNode, out: list) -> None:
+    if node.t == "leaf":
+        node.idx = len(out)
+        out.append(node)
+    elif node.t == "struct":
+        for f in node.fields:
+            _wleaves(f, out)
+    elif node.t == "list":
+        _wleaves(node.element, out)
+    else:
+        _wleaves(node.key, out)
+        _wleaves(node.value, out)
+
+
+class _NestedLeafSpec:
+    """One leaf chunk of a GENERAL nested column: presents the same
+    surface as the legacy specs to the chunk-writing loop; shredding
+    delegates to the owning column's single recursive walk (cached
+    per row-group slice so N leaves cost one walk)."""
+
+    kind = "nestedleaf"
+
+    def __init__(self, owner, node: _WNode):
+        self.owner = owner
+        self.node = node
+        self.source = owner.name
+        self.name = ".".join(node.path)
+        self.path = node.path
+        self.physical = node.physical
+        self.string = node.string
+        self.decimal = node.decimal
+        self.type_length = node.type_length
+        self.no_minmax = node.no_minmax
+        self.max_def = node.max_def
+        self.max_rep = node.rep
+        self.nullable = node.max_def > 0
+
+    def shred(self, records):
+        return self.owner.shred_leaf(self.node.idx, records)
+
+
+class _NestedColumnSpec:
+    """GENERAL nested column (arbitrary LIST/STRUCT/MAP composition):
+    one recursive Dremel shred per row group feeds every leaf chunk;
+    the schema emits recursively with LIST/MAP annotations mirroring
+    parquet-mr's layout."""
+
+    kind = "nested"
+    physical = "GROUP"
+    max_rep = 0
+
+    def __init__(self, name: str, typ: str, nullable: bool):
+        self.name = name
+        self.nullable = bool(nullable)
+        self.tree = _parse_wtype(name, typ, self.nullable, 0, 0,
+                                 [name])
+        leaves: list = []
+        _wleaves(self.tree, leaves)
+        self.leaves = leaves
+        self.children = [_NestedLeafSpec(self, lf) for lf in leaves]
+        self._cache_key = None
+        self._cache_bufs = None
+        self._cache_left = 0
+
+    # -- shredding ----------------------------------------------------
+    def shred_leaf(self, idx: int, records):
+        if self._cache_key is not id(records) or self._cache_left <= 0:
+            self._cache_bufs = self._shred_all(records)
+            self._cache_key = id(records)
+            self._cache_left = len(self.leaves)
+        self._cache_left -= 1
+        bufs = self._cache_bufs
+        if self._cache_left == 0:
+            self._cache_key = None  # free after the last leaf
+            self._cache_bufs = None
+        return bufs[idx]
+
+    def _shred_all(self, records):
+        bufs = [([], [], []) for _ in self.leaves]
+
+        def emit_null(node, r, d):
+            """Definition stopped at ``d`` above/at ``node`` — every
+            leaf underneath records the cut."""
+            if node.t == "leaf":
+                reps, defs, _v = bufs[node.idx]
+                reps.append(r)
+                defs.append(d)
+            elif node.t == "struct":
+                for f in node.fields:
+                    emit_null(f, r, d)
+            elif node.t == "list":
+                emit_null(node.element, r, d)
+            else:
+                emit_null(node.key, r, d)
+                emit_null(node.value, r, d)
+
+        def walk(node, value, r, d):
+            t = node.t
+            if t == "leaf":
+                reps, defs, vals = bufs[node.idx]
+                reps.append(r)
+                if value is None:
+                    if not node.optional:
+                        raise ValueError(
+                            f"null in required field "
+                            f"{'.'.join(node.path)!r}")
+                    defs.append(d)
+                    return
+                defs.append(node.max_def)
+                vals.append(node.convert(value)
+                            if node.convert is not None else value)
+                return
+            if t == "struct":
+                if value is None:
+                    if not node.optional:
+                        raise ValueError(
+                            f"null struct in required column/field "
+                            f"{node.name!r}")
+                    emit_null(node, r, d)
+                    return
+                nd = node.max_def
+                for f in node.fields:
+                    walk(f, value.get(f.name), r, nd)
+                return
+            if t == "list":
+                if value is None:
+                    if not node.optional:
+                        raise ValueError(
+                            f"null list in required column/field "
+                            f"{node.name!r}")
+                    emit_null(node, r, d)
+                    return
+                if len(value) == 0:
+                    emit_null(node, r, node.P)
+                    return
+                for k, el in enumerate(value):
+                    walk(node.element, el,
+                         r if k == 0 else node.rep, node.E)
+                return
+            # map
+            if value is None:
+                if not node.optional:
+                    raise ValueError(
+                        f"null map in required column/field "
+                        f"{node.name!r}")
+                emit_null(node, r, d)
+                return
+            items = value.items() if isinstance(value, dict) else value
+            items = list(items)
+            if not items:
+                emit_null(node, r, node.P)
+                return
+            for k, (mk, mv) in enumerate(items):
+                rr = r if k == 0 else node.rep
+                if mk is None:
+                    raise ValueError(
+                        f"null map key in column/field {node.name!r}")
+                walk(node.key, mk, rr, node.E)
+                walk(node.value, mv, rr, node.E)
+
+        for rec in records:
+            walk(self.tree, rec, 0, 0)
+        return bufs
+
+    # -- schema emission ----------------------------------------------
+    def n_schema_elements(self) -> int:
+        def count(node):
+            if node.t == "leaf":
+                return 1
+            if node.t == "struct":
+                return 1 + sum(count(f) for f in node.fields)
+            if node.t == "list":
+                return 2 + count(node.element)
+            return 2 + count(node.key) + count(node.value)
+
+        return count(self.tree)
+
+    def emit_schema(self, fmd, leaf_common, logical) -> None:
+        """Append this column's schema elements (depth-first) —
+        ``leaf_common``/``logical`` are the writer's shared emitters."""
+
+        def emit(node):
+            el = _ThriftW()
+            if node.t == "leaf":
+                leaf_common(el, node, node.name, node.optional)
+                fmd.list_struct(el)
+                return
+            el.field_i32(3, 1 if node.optional else 0)
+            el.field_string(4, node.name)
+            if node.t == "struct":
+                el.field_i32(5, len(node.fields))
+                fmd.list_struct(el)
+                for f in node.fields:
+                    emit(f)
+                return
+            el.field_i32(5, 1)
+            if node.t == "list":
+                el.field_i32(6, 3)  # ConvertedType.LIST
+                logical(el, 3)
+                fmd.list_struct(el)
+                mid = _ThriftW()
+                mid.field_i32(3, 2)
+                mid.field_string(4, "list")
+                mid.field_i32(5, 1)
+                fmd.list_struct(mid)
+                emit(node.element)
+                return
+            el.field_i32(6, 1)  # ConvertedType.MAP
+            logical(el, 2)
+            fmd.list_struct(el)
+            mid = _ThriftW()
+            mid.field_i32(3, 2)
+            mid.field_string(4, "key_value")
+            mid.field_i32(5, 2)
+            fmd.list_struct(mid)
+            emit(node.key)
+            emit(node.value)
+
+        emit(self.tree)
+
+
+def _needs_nested(typ: str) -> bool:
+    """True when a writer type string composes beyond the legacy
+    one-level shapes (which keep their dedicated fast paths)."""
+
+    def scalar(t):
+        t = t.strip()
+        if t.endswith("?"):
+            t = t[:-1]
+        return t in _LOGICAL or _decimal_spec(t) is not None
+
+    typ = typ.strip()
+    if typ.startswith("struct<") and typ.endswith(">"):
+        return not all(
+            scalar(p.partition(":")[2])
+            for p in _split_top(typ[7:-1]) if p.strip())
+    if typ.startswith("list<") and typ.endswith(">"):
+        inner = typ[5:-1].strip()
+        if inner.endswith("?"):
+            inner = inner[:-1]
+        # the legacy one-level list path only handles non-boolean
+        # _LOGICAL elements; boolean/decimal elements and any nesting
+        # go through the general Dremel shred
+        return not (inner in _LOGICAL and inner != "boolean")
+    if typ.startswith("map<") and typ.endswith(">"):
+        kv = _split_top(typ[4:-1])
+        return len(kv) != 2 or not (scalar(kv[0]) and scalar(kv[1]))
+    return False
 
 
 class _ColumnSpec:
@@ -828,14 +1184,17 @@ class ParquetFileWriter:
         if codec not in _CODEC_NUM:
             raise NotImplementedError(
                 f"parquet write codec {codec} not supported")
-        self.specs = [_ColumnSpec(*s) for s in schema]
+        self.specs = [
+            _NestedColumnSpec(*s) if _needs_nested(s[1])
+            else _ColumnSpec(*s)
+            for s in schema]
         if not self.specs:
             raise ValueError("parquet schema needs at least one column")
-        # column-CHUNK grain: struct and map columns contribute one
+        # column-CHUNK grain: struct/map/nested columns contribute one
         # chunk per leaf; everything else is 1:1
         self.chunk_specs = []
         for s in self.specs:
-            if s.kind in ("struct", "map"):
+            if s.kind in ("struct", "map", "nested"):
                 self.chunk_specs.extend(s.children)
             else:
                 self.chunk_specs.append(s)
@@ -1247,6 +1606,7 @@ class ParquetFileWriter:
             3 if s.kind == "list"
             else 4 if s.kind == "map"
             else 1 + len(s.children) if s.kind == "struct"
+            else s.n_schema_elements() if s.kind == "nested"
             else 1
             for s in specs)
         fmd.begin_list(2, 12, n_schema)
@@ -1255,6 +1615,9 @@ class ParquetFileWriter:
         root.field_i32(5, len(specs))
         fmd.list_struct(root)
         for s in specs:
+            if s.kind == "nested":
+                s.emit_schema(fmd, _leaf_common, _logical)
+                continue
             if s.kind == "struct":
                 el = _ThriftW()
                 el.field_i32(3, 1 if s.nullable else 0)

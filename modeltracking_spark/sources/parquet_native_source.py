@@ -36,10 +36,12 @@ this reason.
 
 Type mapping: INT64→bigint (timestamps surface as their physical
 epoch-micros/millis), INT32→int (dates as epoch days), FLOAT/DOUBLE,
-BOOLEAN, UTF8 byte arrays→string, other byte arrays→binary, one-level
-LIST→array<elem>, one-level STRUCT→struct<...> (round 12), DECIMAL
+BOOLEAN, UTF8 byte arrays→string, other byte arrays→binary, DECIMAL
 logical→decimal(p,s) (round 12), INT96 legacy timestamps→bigint epoch
-micros (round 12).  Deeper nesting / MAP reject loudly upstream.
+micros (round 12), and ARBITRARY LIST/STRUCT/MAP nesting — one-level
+shapes keep their dedicated fast paths; anything deeper goes through
+the general recursive type-tree parse + full Dremel assembly
+(round 12).
 """
 
 from __future__ import annotations
@@ -68,7 +70,40 @@ def _files(path: str) -> list[str]:
     return [path]
 
 
+def _spark_type_node(node: dict) -> str:
+    """Spark DDL for one GENERAL type-tree node (kind='nested')."""
+    t = node["t"]
+    if t == "leaf":
+        return _spark_type(node["leaf"])
+    if t == "struct":
+        inner = ", ".join(
+            f"`{f['name']}`: {_spark_type_node(f)}"
+            for f in node["fields"])
+        return f"struct<{inner}>"
+    if t == "list":
+        return f"array<{_spark_type_node(node['element'])}>"
+    return (f"map<{_spark_type_node(node['key'])}, "
+            f"{_spark_type_node(node['value'])}>")
+
+
+def _pa_type_node(node: dict):
+    import pyarrow as pa
+
+    t = node["t"]
+    if t == "leaf":
+        return _pa_type(node["leaf"])
+    if t == "struct":
+        return pa.struct([pa.field(f["name"], _pa_type_node(f))
+                          for f in node["fields"]])
+    if t == "list":
+        return pa.list_(_pa_type_node(node["element"]))
+    return pa.map_(_pa_type_node(node["key"]),
+                   _pa_type_node(node["value"]))
+
+
 def _spark_type(col: dict) -> str:
+    if col.get("kind") == "nested":
+        return _spark_type_node(col["tree"])
     if col.get("kind") == "struct":
         inner = ", ".join(
             f"`{f['name']}`: {_spark_type(f)}" for f in col["fields"])
@@ -78,7 +113,9 @@ def _spark_type(col: dict) -> str:
                 f"{_spark_type(col['value'])}>")
     if col.get("decimal"):
         p, s = col["decimal"]
-        return f"decimal({p},{s})"
+        base = f"decimal({p},{s})"
+        return (f"array<{base}>" if col.get("kind") == "list"
+                else base)
     base = {
         "BOOLEAN": "boolean", "INT32": "int", "INT64": "bigint",
         "FLOAT": "float", "DOUBLE": "double",
@@ -103,6 +140,8 @@ def _pa_type(col: dict):
     ``_spark_type``)."""
     import pyarrow as pa
 
+    if col.get("kind") == "nested":
+        return _pa_type_node(col["tree"])
     if col.get("kind") == "struct":
         return pa.struct(
             [pa.field(f["name"], _pa_type(f)) for f in col["fields"]])
@@ -110,7 +149,8 @@ def _pa_type(col: dict):
         return pa.map_(_pa_type(col["key"]), _pa_type(col["value"]))
     if col.get("decimal"):
         p, s = col["decimal"]
-        return pa.decimal128(p, s)
+        base = pa.decimal128(p, s)
+        return pa.list_(base) if col.get("kind") == "list" else base
     base = {
         "BOOLEAN": pa.bool_(), "INT32": pa.int32(),
         "INT64": pa.int64(), "INT96": pa.int64(),
@@ -209,7 +249,9 @@ class _ParquetNativeReader(DataSourceReader):
             # columns disagree must die HERE with a clear message, not
             # as an executor-side Arrow type error mid-scan
             sig = [(c["name"], c["physical"], c.get("kind"),
-                    c.get("string")) for c in footer["columns"]]
+                    c.get("string"),
+                    _spark_type(c) if c.get("kind") == "nested"
+                    else None) for c in footer["columns"]]
             if ref_sig is None:
                 ref_sig, ref_file = sig, f
             elif sig != ref_sig:
@@ -226,7 +268,8 @@ class _ParquetNativeReader(DataSourceReader):
             # would prune wrongly, so those columns never prune
             no_prune = {c["name"] for c in footer["columns"]
                         if c.get("decimal")
-                        or c.get("kind") in ("struct", "map")}
+                        or c.get("kind") in ("struct", "map",
+                                             "nested")}
             for rg, group in enumerate(footer["row_groups"]):
                 keep = True
                 for flt in self.pruning_filters:
@@ -287,7 +330,7 @@ class _ParquetNativeReader(DataSourceReader):
         by_name = {c["name"]: c for c in footer["columns"]}
         no_prune = {c["name"] for c in footer["columns"]
                     if c.get("decimal")
-                    or c.get("kind") in ("struct", "map")}
+                    or c.get("kind") in ("struct", "map", "nested")}
         group = footer["row_groups"][rg]
         rg_rows = group["num_rows"]
         ranges = [(0, rg_rows)]
@@ -398,7 +441,10 @@ class _ParquetNativePruningReader(_ParquetNativeReader):
 
 
 def _sink_schema(schema) -> list[tuple]:
-    """Spark StructType -> the writer's (name, type, nullable) schema."""
+    """Spark StructType -> the writer's (name, type, nullable) schema.
+    Fully recursive since round 12: arrays/structs/maps compose to any
+    depth — the writer routes one-level shapes to the legacy fast
+    paths and everything deeper through the general Dremel shred."""
     from pyspark.sql import types as t
 
     base = {t.BooleanType: "boolean", t.IntegerType: "int32",
@@ -406,51 +452,32 @@ def _sink_schema(schema) -> list[tuple]:
             t.DoubleType: "double", t.StringType: "string",
             t.BinaryType: "binary"}
 
-    def _scalar(dt):
+    def _type_str(dt) -> str:
         if isinstance(dt, t.DecimalType):
             return f"decimal({dt.precision},{dt.scale})"
-        return base.get(type(dt))
-
-    out = []
-    for f in schema.fields:
-        if isinstance(f.dataType, t.ArrayType):
-            el = base.get(type(f.dataType.elementType))
-            if el is None or el in ("boolean", "binary"):
-                raise NotImplementedError(
-                    f"parquet_native sink: array element type "
-                    f"{f.dataType.elementType} not supported")
-            el += "?" if f.dataType.containsNull else ""
-            out.append((f.name, f"list<{el}>", f.nullable))
-            continue
-        if isinstance(f.dataType, t.StructType):
+        if isinstance(dt, t.ArrayType):
+            el = _type_str(dt.elementType)
+            return f"list<{el}{'?' if dt.containsNull else ''}>"
+        if isinstance(dt, t.StructType):
             parts = []
-            for sf in f.dataType.fields:
-                st = _scalar(sf.dataType)
-                if st is None:
-                    raise NotImplementedError(
-                        f"parquet_native sink: struct field type "
-                        f"{sf.dataType} not supported")
+            for sf in dt.fields:
+                st = _type_str(sf.dataType)
                 parts.append(
                     f"{sf.name}:{st}{'?' if sf.nullable else ''}")
-            out.append((f.name, f"struct<{','.join(parts)}>",
-                        f.nullable))
-            continue
-        if isinstance(f.dataType, t.MapType):
-            kt = _scalar(f.dataType.keyType)
-            vt = _scalar(f.dataType.valueType)
-            if kt is None or vt is None:
-                raise NotImplementedError(
-                    f"parquet_native sink: map type {f.dataType} "
-                    "not supported")
-            vt += "?" if f.dataType.valueContainsNull else ""
-            out.append((f.name, f"map<{kt},{vt}>", f.nullable))
-            continue
-        tp = _scalar(f.dataType)
+            return f"struct<{','.join(parts)}>"
+        if isinstance(dt, t.MapType):
+            kt = _type_str(dt.keyType)
+            vt = _type_str(dt.valueType)
+            vt += "?" if dt.valueContainsNull else ""
+            return f"map<{kt},{vt}>"
+        tp = base.get(type(dt))
         if tp is None:
             raise NotImplementedError(
-                f"parquet_native sink: type {f.dataType} not supported")
-        out.append((f.name, tp, f.nullable))
-    return out
+                f"parquet_native sink: type {dt} not supported")
+        return tp
+
+    return [(f.name, _type_str(f.dataType), f.nullable)
+            for f in schema.fields]
 
 
 class _ParquetSinkHooks:

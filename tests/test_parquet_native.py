@@ -221,34 +221,33 @@ def test_column_pruning_reads_only_projected_ranges():
 
 
 def test_typed_rejects():
-    # struct nested DEEPER than one level of primitives (list inside
-    # struct) stays a loud reject
-    t = pa.table({"s": pa.array(
-        [{"a": [1, 2]}],
-        pa.struct([("a", pa.list_(pa.int64()))]))})
-    buf = io.BytesIO()
-    pq.write_table(t, buf)
-    buf.seek(0)
-    with pytest.raises(NotImplementedError, match="nested"):
-        parquet_footer_from_file(buf)
-    # struct inside struct
-    t = pa.table({"s": pa.array(
-        [{"a": {"b": 1}}],
-        pa.struct([("a", pa.struct([("b", pa.int64())]))]))})
-    buf = io.BytesIO()
-    pq.write_table(t, buf)
-    buf.seek(0)
-    with pytest.raises(NotImplementedError, match="nested"):
-        parquet_footer_from_file(buf)
-    # MAP type
+    # shapes that were loud rejects before round 12 now route to the
+    # GENERAL nested path and decode exactly
+    for arr, want in (
+        (pa.array([{"a": [1, 2]}],
+                  pa.struct([("a", pa.list_(pa.int64()))])),
+         [{"a": [1, 2]}]),
+        (pa.array([{"a": {"b": 1}}],
+                  pa.struct([("a", pa.struct([("b", pa.int64())]))])),
+         [{"a": {"b": 1}}]),
+    ):
+        t = pa.table({"s": arr})
+        buf = io.BytesIO()
+        pq.write_table(t, buf)
+        buf.seek(0)
+        foot = parquet_footer_from_file(buf)
+        assert foot["columns"][0]["kind"] == "nested"
+        assert read_row_group(buf, foot, 0)["s"] == want
+    # MAP decodes via its dedicated one-level path
     t = pa.table({"m": pa.array([[("k", 1)]],
                                 pa.map_(pa.string(), pa.int64()))})
     buf = io.BytesIO()
     pq.write_table(t, buf)
     buf.seek(0)
-    with pytest.raises(NotImplementedError):
-        parquet_footer_from_file(buf)
-    # footer damage
+    foot = parquet_footer_from_file(buf)
+    assert foot["columns"][0]["kind"] == "map"
+    assert read_row_group(buf, foot, 0)["m"] == [{"k": 1}]
+    # footer damage stays a loud reject
     with pytest.raises(ValueError, match="magic"):
         parquet_footer_from_file(io.BytesIO(b"\x00" * 64))
 
@@ -611,6 +610,11 @@ def test_corruption_fuzz_r12_surfaces():
             [{"k%d" % i: float(i)} if i % 5 else None
              for i in range(200)],
             pa.map_(pa.string(), pa.float64())),
+        "deep": pa.array(
+            [[{"a": i, "xs": [float(i), None]}] if i % 4 else None
+             for i in range(200)],
+            pa.list_(pa.struct([("a", pa.int64()),
+                                ("xs", pa.list_(pa.float64()))]))),
     })
     buf = io.BytesIO()
     pq.write_table(t, buf, compression="snappy", row_group_size=80,
@@ -625,7 +629,7 @@ def test_corruption_fuzz_r12_surfaces():
             read_row_group(fh, f, rg)
         by = {c["name"]: c for c in f["columns"]}
         for c in f["columns"]:
-            if c.get("kind") in ("struct", "map"):
+            if c.get("kind") in ("struct", "map", "nested"):
                 continue
             read_page_index(fh, f["row_groups"][0]["chunks"][c["path"]],
                             by[c["name"]])
@@ -874,3 +878,88 @@ def test_map_duplicate_keys_reject():
     foot = parquet_footer_from_file(buf)
     with pytest.raises(ValueError, match="duplicate keys"):
         read_row_group(buf, foot, 0)
+
+
+def test_general_nested_vs_pyarrow():
+    """GENERAL Dremel assembly (round 12): LIST<STRUCT>, STRUCT<LIST>,
+    LIST<LIST>, STRUCT<STRUCT>, MAP with list/struct values, and
+    LIST<MAP> — nulls at every level, dictionary on/off, multi-page —
+    exact vs pyarrow's own reader."""
+    ls = pa.array(
+        [[{"a": 1, "b": "x"}, None, {"a": None, "b": "y"}],
+         None, [], [{"a": 5, "b": None}]],
+        pa.list_(pa.struct([("a", pa.int64()), ("b", pa.string())])))
+    sl = pa.array(
+        [{"xs": [1.5, None], "n": 7}, None,
+         {"xs": None, "n": 8}, {"xs": [], "n": None}],
+        pa.struct([("xs", pa.list_(pa.float64())), ("n", pa.int64())]))
+    ll = pa.array([[[1, 2], None, []], None, [], [[3]]],
+                  pa.list_(pa.list_(pa.int64())))
+    ss = pa.array(
+        [{"in_": {"p": 1, "q": "a"}, "z": 0.5}, None,
+         {"in_": None, "z": -1.0},
+         {"in_": {"p": None, "q": None}, "z": 2.0}],
+        pa.struct([("in_", pa.struct([("p", pa.int64()),
+                                      ("q", pa.string())])),
+                   ("z", pa.float64())]))
+    mv = pa.array([{"k": [1.0, 2.0], "e": []}, None, {"n": None}, {}],
+                  pa.map_(pa.string(), pa.list_(pa.float64())))
+    lm = pa.array([[{"a": 1}, None, {}], None, [], [{"b": 2,
+                                                     "c": None}]],
+                  pa.list_(pa.map_(pa.string(), pa.int64())))
+    t = pa.table({"id": pa.array(range(4), pa.int64()),
+                  "ls": ls, "sl": sl, "ll": ll, "ss": ss,
+                  "mv": mv, "lm": lm})
+    for dic in (True, False):
+        buf = io.BytesIO()
+        pq.write_table(t, buf, use_dictionary=dic, data_page_size=64)
+        buf.seek(0)
+        foot = parquet_footer_from_file(buf)
+        kinds = {c["name"]: c["kind"] for c in foot["columns"]}
+        assert kinds["ls"] == "nested" and kinds["mv"] == "nested"
+        got = read_row_group(buf, foot, 0)
+        for cname in ("ls", "sl", "ll", "ss"):
+            assert got[cname] == t.column(cname).to_pylist(), cname
+        assert got["mv"] == [{"k": [1.0, 2.0], "e": []}, None,
+                             {"n": None}, {}]
+        assert got["lm"] == [[{"a": 1}, None, {}], None, [],
+                             [{"b": 2, "c": None}]]
+
+
+def test_general_nested_randomized_stress():
+    """5k random rows of list<struct<a,b,inner:list<double>>> with
+    15-30% nulls at every level, tiny pages, multi-row-group, both
+    dictionary modes — exact vs pyarrow."""
+    rng = random.Random(42)
+
+    def mk(i):
+        if rng.random() < 0.15:
+            return None
+        return [None if rng.random() < 0.2 else
+                {"a": None if rng.random() < 0.3
+                 else rng.randrange(1000),
+                 "b": None if rng.random() < 0.3
+                 else "s%d" % rng.randrange(50),
+                 "inner": None if rng.random() < 0.25 else
+                 [None if rng.random() < 0.2 else rng.random()
+                  for _ in range(rng.randrange(0, 4))]}
+                for _ in range(rng.randrange(0, 5))]
+
+    typ = pa.list_(pa.struct([
+        ("a", pa.int64()), ("b", pa.string()),
+        ("inner", pa.list_(pa.float64()))]))
+    n = 5000
+    data = [mk(i) for i in range(n)]
+    t = pa.table({"id": pa.array(range(n), pa.int64()),
+                  "x": pa.array(data, typ)})
+    for dic, rgs in ((True, 1000), (False, 700)):
+        buf = io.BytesIO()
+        pq.write_table(t, buf, use_dictionary=dic,
+                       data_page_size=512, row_group_size=rgs,
+                       compression="snappy")
+        buf.seek(0)
+        foot = parquet_footer_from_file(buf)
+        got = []
+        for g in range(len(foot["row_groups"])):
+            got += read_row_group(buf, foot, g)["x"]
+        assert got == data, (dic, rgs)

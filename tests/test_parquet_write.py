@@ -371,17 +371,17 @@ def test_sink_unsupported_type_rejects(spark, tmp_path):
     from pyspark.sql import functions as F
 
     _register_sink(spark)
-    # nested struct-in-struct and maps with non-scalar values stay
-    # loud rejects; one-level structs (r12) and scalar maps (r12) are
-    # supported
+    # any LIST/STRUCT/MAP composition writes since round 12 (general
+    # Dremel shred); scalar types the writer has no physical mapping
+    # for stay loud rejects — timestamps are the canonical case (the
+    # parquet sink has no epoch-convert hook, unlike the ORC sink)
     df = spark.range(3).select(
-        F.create_map(F.lit("k"),
-                     F.array(F.col("id"))).alias("m"))
+        F.current_timestamp().alias("ts"))
     with pytest.raises(Exception, match="not supported"):
         (df.write.format("parquet_native")
          .option("path", str(tmp_path / "bad")).mode("append").save())
     df2 = spark.range(3).select(
-        F.struct(F.struct(F.col("id")).alias("inner")).alias("s"))
+        F.array(F.current_timestamp()).alias("lts"))
     with pytest.raises(Exception, match="not supported"):
         (df2.write.format("parquet_native")
          .option("path", str(tmp_path / "bad2")).mode("append").save())
@@ -920,3 +920,103 @@ def test_struct_decimal_field_type_string():
     blob = parquet_write_table(cols, schema)
     got = _read_pyarrow(blob)
     assert got["props"] == cols["props"]
+
+
+def test_nested_write_roundtrip_all_readers(tmp_path):
+    """GENERAL nested writer (round 12): list<struct>, struct<struct>
+    with a decimal leaf, list<list>, map<string,list>, and
+    list<boolean> / list<decimal> (which the legacy one-level path
+    never supported) — dictionary on/off, tiny pages/groups — read
+    back by pyarrow, DuckDB, and the own from-spec reader; null in a
+    required nested field rejects loudly."""
+    from decimal import Decimal as D
+
+    import duckdb
+
+    schema = [
+        ("id", "int64", False),
+        ("ls", "list<struct<a:int64?, b:string?, "
+               "inner:list<double?>?>?>", True),
+        ("ss", "struct<in_:struct<p:int64?, q:decimal(9,2)?>?, "
+               "z:double>", True),
+        ("ll", "list<list<int64?>?>", True),
+        ("mv", "map<string,list<double?>?>", True),
+        ("bs", "list<boolean?>", True),
+        ("ds", "list<decimal(9,2)?>", True),
+    ]
+    cols = {
+        "id": [1, 2, 3, 4],
+        "ls": [[{"a": 1, "b": "x", "inner": [1.5, None]}, None,
+                {"a": None, "b": None, "inner": []}], None, [],
+               [{"a": 5, "b": "q", "inner": None}]],
+        "ss": [{"in_": {"p": 1, "q": D("1.25")}, "z": 0.5}, None,
+               {"in_": None, "z": -1.0},
+               {"in_": {"p": None, "q": None}, "z": 2.0}],
+        "ll": [[[1, 2], None, []], None, [], [[3, None]]],
+        "mv": [{"k": [1.0, 2.0], "e": []}, None, {"n": None}, {}],
+        "bs": [[True, None, False], None, [], [True]],
+        "ds": [[D("1.25"), None], None, [], [D("-0.01")]],
+    }
+    for dic in (None, True, False):
+        blob = parquet_write_table(cols, schema, dictionary=dic,
+                                   page_rows=2, row_group_rows=3)
+        got = _read_pyarrow(blob)
+        for n in ("ls", "ss", "ll", "bs", "ds"):
+            assert got[n] == cols[n], (dic, n)
+        assert [None if r is None else dict(r)
+                for r in got["mv"]] == cols["mv"], dic
+        fh = io.BytesIO(blob)
+        foot = parquet_footer_from_file(fh)
+        own = {n: [] for n in cols}
+        for g in range(len(foot["row_groups"])):
+            rg = read_row_group(fh, foot, g)
+            for n in cols:
+                own[n] += rg[n]
+        assert own == cols, dic
+    blob = parquet_write_table(cols, schema, codec="ZSTD")
+    p = tmp_path / "nested.parquet"
+    p.write_bytes(blob)
+    rows = duckdb.sql(
+        f"SELECT ls[1].a, ss.in_.q, ll, mv['k'][1], ds "
+        f"FROM read_parquet('{p}') ORDER BY id").fetchall()
+    assert rows[0] == (1, D("1.25"), [[1, 2], None, []], [1.0, 2.0],
+                       [D("1.25"), None])
+    assert rows[1] == (None, None, None, None, None)
+    with pytest.raises(ValueError, match="required field"):
+        parquet_write_table(
+            {"ls": [[{"a": None}]]},
+            [("ls", "list<struct<a:int64>?>", True)])
+    with pytest.raises(ValueError, match="null map key"):
+        parquet_write_table(
+            {"mv": [{None: [1.0]}]},
+            [("mv", "map<string,list<double?>?>", True)])
+
+
+def test_sink_nested_end_to_end(spark, tmp_path):
+    """df.write.format('parquet_native') with deeply nested Spark
+    types (array<struct<..array..>>, map<string,array<double>>,
+    array<boolean>, array<decimal>): output reads back exactly via
+    Spark's JVM reader AND the own source."""
+    _register_sink(spark)
+    df = spark.sql("""
+      SELECT * FROM VALUES
+       (1, array(named_struct('a', 1L,
+                 'xs', array(1.5D, CAST(NULL AS DOUBLE)))),
+           map('k', array(0.25D)), array(true, false),
+           array(CAST('1.25' AS DECIMAL(9,2)))),
+       (2, CAST(NULL AS array<struct<a:bigint,xs:array<double>>>),
+           CAST(NULL AS map<string,array<double>>),
+           CAST(NULL AS array<boolean>), array()),
+       (3, array(), map(), array(),
+           CAST(NULL AS array<decimal(9,2)>))
+      AS t(id, ls, mv, bs, ds)""")
+    out = str(tmp_path / "nested")
+    (df.write.format("parquet_native").option("path", out)
+     .mode("append").save())
+    exp = {r["id"]: r.asDict(recursive=True) for r in df.collect()}
+    for back in (spark.read.parquet(out),
+                 spark.read.format("parquet_native")
+                 .option("path", out).load()):
+        got = {r["id"]: r.asDict(recursive=True)
+               for r in back.collect()}
+        assert got == exp
