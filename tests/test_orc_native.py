@@ -223,16 +223,17 @@ def test_timestamps_both_writer_conventions(spark, tmp_path):
 
 
 def test_typed_rejects():
-    # decimals decode since round 12; a MAP of non-leaf values stays
-    # a documented plug-in reject
+    # decimals and ANY nesting decode since round 12 — a MAP of list
+    # values routes through the general recursive path
     t = pa.table({"m": pa.array(
         [[("k", [1.0])]],
         pa.map_(pa.string(), pa.list_(pa.float64())))})
     buf = io.BytesIO()
     po.write_table(t, buf)
     buf.seek(0)
-    with pytest.raises(NotImplementedError, match="MAP<"):
-        orc_footer_from_file(buf)
+    f = orc_footer_from_file(buf)
+    assert f["columns"][0]["kind"] == "NESTED"
+    assert read_stripe(buf, f, 0)["m"] == [{"k": [1.0]}]
     # ONE list level is supported (the array<float> shape); DEEPER
     # nesting stays a loud reject
     t = pa.table({"l": pa.array([[1, 2]], pa.list_(pa.int64()))})
@@ -246,8 +247,9 @@ def test_typed_rejects():
     buf = io.BytesIO()
     po.write_table(t, buf)
     buf.seek(0)
-    with pytest.raises(NotImplementedError, match="LIST<LIST>"):
-        orc_footer_from_file(buf)
+    foot = orc_footer_from_file(buf)
+    assert foot["columns"][0]["kind"] == "NESTED"
+    assert read_stripe(buf, foot, 0)["ll"] == [[[1.0]]]
     with pytest.raises(ValueError, match="magic"):
         orc_footer_from_file(io.BytesIO(b"\x00" * 64))
 
@@ -598,3 +600,65 @@ def test_map_columns_vs_pyarrow():
     f2 = orc_footer_from_file(buf2)
     with pytest.raises(ValueError, match="duplicate keys"):
         read_stripe(buf2, f2, 0)
+
+
+def test_general_nested_vs_pyarrow():
+    """GENERAL ORC nesting (round 12): LIST<STRUCT>, STRUCT<LIST>,
+    LIST<LIST>, MAP<k,LIST> with nulls at every level — the
+    presence-based recursive decode vs pyarrow.orc; plus a 4k-row
+    randomized list<struct<int,list<double>>> stress."""
+    ls = pa.array(
+        [[{"a": 1, "b": "x"}, None], None, [],
+         [{"a": None, "b": None}]],
+        pa.list_(pa.struct([("a", pa.int64()), ("b", pa.string())])))
+    sl = pa.array(
+        [{"xs": [1.5, None], "n": 7}, None, {"xs": None, "n": 8},
+         {"xs": [], "n": None}],
+        pa.struct([("xs", pa.list_(pa.float64())),
+                   ("n", pa.int64())]))
+    ll = pa.array([[[1, 2], None, []], None, [], [[3]]],
+                  pa.list_(pa.list_(pa.int64())))
+    mv = pa.array([{"k": [1.0, 2.0], "e": []}, None, {"n": None},
+                   {}],
+                  pa.map_(pa.string(), pa.list_(pa.float64())))
+    t = pa.table({"id": pa.array(range(4), pa.int64()),
+                  "ls": ls, "sl": sl, "ll": ll, "mv": mv})
+    buf = io.BytesIO()
+    po.write_table(t, buf, compression="zlib")
+    buf.seek(0)
+    f = orc_footer_from_file(buf)
+    kinds = {c["name"]: c["kind"] for c in f["columns"]}
+    assert kinds["ls"] == "NESTED" and kinds["mv"] == "NESTED"
+    got = read_stripe(buf, f, 0)
+    assert got["ls"] == t.column("ls").to_pylist()
+    assert got["sl"] == t.column("sl").to_pylist()
+    assert got["ll"] == t.column("ll").to_pylist()
+    assert got["mv"] == [{"k": [1.0, 2.0], "e": []}, None,
+                         {"n": None}, {}]
+
+    rng = random.Random(7)
+
+    def mk(i):
+        if rng.random() < 0.15:
+            return None
+        return [None if rng.random() < 0.2 else
+                {"a": None if rng.random() < 0.3
+                 else rng.randrange(1000),
+                 "inner": None if rng.random() < 0.25 else
+                 [None if rng.random() < 0.2 else rng.random()
+                  for _ in range(rng.randrange(0, 4))]}
+                for _ in range(rng.randrange(0, 5))]
+
+    typ = pa.list_(pa.struct([("a", pa.int64()),
+                              ("inner", pa.list_(pa.float64()))]))
+    n = 4000
+    data = [mk(i) for i in range(n)]
+    t2 = pa.table({"x": pa.array(data, typ)})
+    buf = io.BytesIO()
+    po.write_table(t2, buf, compression="zstd", stripe_size=4096)
+    buf.seek(0)
+    f = orc_footer_from_file(buf)
+    got2: list = []
+    for s in range(len(f["stripes"])):
+        got2 += read_stripe(buf, f, s)["x"]
+    assert got2 == data

@@ -954,3 +954,133 @@ def test_sink_map_end_to_end(spark, tmp_path):
         rows = {r.id: r.m for r in back.collect()}
         assert rows == {1: {"a": 1.5, "b": None}, 2: None, 3: {},
                         4: {"z": 9.0}}
+
+
+def test_nested_write_roundtrip_all_readers(spark, tmp_path):
+    """GENERAL nested ORC writer (round 12): list<struct> with an
+    inner list, struct<struct> with a decimal leaf, list<list>,
+    map<string,list> — across codecs and RLE versions, read back by
+    pyarrow.orc, Spark's JVM ORC reader, and the own from-spec
+    reader; null in a required nested field rejects loudly."""
+    import io
+
+    import pyarrow.orc as pa_orc
+    from decimal import Decimal as D
+
+    from modeltracking_spark.operators.orc_native import (
+        orc_footer_from_file,
+        read_stripe,
+    )
+    from modeltracking_spark.operators.orc_write import orc_write_table
+
+    schema = [
+        ("id", "int64", False),
+        ("ls", "list<struct<a:int64?, b:string?, "
+               "inner:list<double?>?>?>", True),
+        ("ss", "struct<in_:struct<p:int64?, q:decimal(9,2)?>?, "
+               "z:double>", True),
+        ("ll", "list<list<int64?>?>", True),
+        ("mv", "map<string,list<double?>?>", True),
+    ]
+    cols = {
+        "id": [1, 2, 3, 4],
+        "ls": [[{"a": 1, "b": "x", "inner": [1.5, None]}, None,
+                {"a": None, "b": None, "inner": []}], None, [],
+               [{"a": 5, "b": "q", "inner": None}]],
+        "ss": [{"in_": {"p": 1, "q": D("1.25")}, "z": 0.5}, None,
+               {"in_": None, "z": -1.0},
+               {"in_": {"p": None, "q": None}, "z": 2.0}],
+        "ll": [[[1, 2], None, []], None, [], [[3, None]]],
+        "mv": [{"k": [1.0, 2.0], "e": []}, None, {"n": None}, {}],
+    }
+    for codec in ("NONE", "ZLIB", "ZSTD"):
+        for rv in (1, 2):
+            blob = orc_write_table(cols, schema, codec=codec,
+                                   rle_version=rv, stripe_rows=3)
+            buf = io.BytesIO(blob)
+            foot = orc_footer_from_file(buf)
+            got = {n: [] for n in cols}
+            for s in range(len(foot["stripes"])):
+                o = read_stripe(buf, foot, s)
+                for n in cols:
+                    got[n] += o[n]
+            assert got == cols, (codec, rv)
+            t = pa_orc.ORCFile(io.BytesIO(blob)).read()
+            assert t.column("ls").to_pylist() == cols["ls"]
+            assert t.column("ss").to_pylist() == cols["ss"]
+            assert t.column("ll").to_pylist() == cols["ll"]
+            assert [None if r is None else dict(r)
+                    for r in t.column("mv").to_pylist()] == cols["mv"]
+    # Spark's JVM ORC reader consumes the same bytes
+    blob = orc_write_table(cols, schema, codec="ZLIB", rle_version=2)
+    p = tmp_path / "nested.orc"
+    p.write_bytes(blob)
+    rows = {r["id"]: r.asDict(recursive=True)
+            for r in spark.read.orc(str(p)).collect()}
+    assert rows[1]["ls"][0] == {"a": 1, "b": "x",
+                                "inner": [1.5, None]}
+    assert rows[2]["ls"] is None and rows[3]["ls"] == []
+    assert rows[1]["ss"]["in_"]["q"] == D("1.25")
+    assert rows[1]["mv"] == {"k": [1.0, 2.0], "e": []}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="required"):
+        orc_write_table(
+            {"ls": [[{"a": None}]]},
+            [("ls", "list<struct<a:int64>?>", True)])
+    with _pytest.raises(ValueError, match="null map key"):
+        orc_write_table(
+            {"mv": [{None: [1.0]}]},
+            [("mv", "map<string,list<double?>?>", True)])
+
+
+def test_sink_nested_end_to_end(spark, tmp_path):
+    """df.write.format('orc_native') with deeply nested Spark types:
+    output reads back exactly via Spark's JVM ORC reader AND the own
+    source; nested timestamps stay a loud reject (they would bypass
+    the epoch-micros convert hook)."""
+    from pyspark.errors import PySparkException
+    from pyspark.sql import functions as F
+
+    from modeltracking_spark.queries.common import ensure_pkg_on_workers
+    from modeltracking_spark.sources.orc_native_source import (
+        OrcNativeDataSource,
+    )
+
+    ensure_pkg_on_workers(spark)
+    try:
+        spark.dataSource.register(OrcNativeDataSource)
+    except PySparkException:
+        pass
+    df = spark.sql("""
+      SELECT * FROM VALUES
+       (1, array(named_struct('a', 1L,
+                 'xs', array(1.5D, CAST(NULL AS DOUBLE)))),
+           map('k', array(0.25D)),
+           named_struct('in', named_struct(
+               'p', CAST('1.25' AS DECIMAL(9,2))))),
+       (2, CAST(NULL AS array<struct<a:bigint,xs:array<double>>>),
+           CAST(NULL AS map<string,array<double>>),
+           named_struct('in',
+               CAST(NULL AS struct<p:decimal(9,2)>))),
+       (3, array(), map(),
+           CAST(NULL AS struct<in:struct<p:decimal(9,2)>>))
+      AS t(id, ls, mv, ss)""")
+    out = str(tmp_path / "nested")
+    (df.write.format("orc_native").option("path", out)
+     .mode("append").save())
+    exp = {r["id"]: r.asDict(recursive=True) for r in df.collect()}
+    for back in (spark.read.orc(out),
+                 spark.read.format("orc_native")
+                 .option("path", out).load()):
+        got = {r["id"]: r.asDict(recursive=True)
+               for r in back.collect()}
+        assert got == exp
+    bad = spark.range(3).select(
+        F.array(F.struct(F.current_timestamp().alias("ts")))
+        .alias("lt"))
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="not supported"):
+        (bad.write.format("orc_native")
+         .option("path", str(tmp_path / "bad")).mode("append").save())

@@ -2921,6 +2921,52 @@ def twin_parquet_nested(spark, sf_dir, spark_rows) -> tuple[bool, str]:
     return True, f"{n} nested rows replayed by pyarrow"
 
 
+def twin_orc_nested(spark, sf_dir, spark_rows) -> tuple[bool, str]:
+    """pyarrow.orc replays the Spark-Java-written ORC GENERAL-NESTING
+    fixture (struct<tags:array, kv:map, inner:struct>) field by field
+    (round 12)."""
+    import glob
+    import math
+
+    import pyarrow.orc as _po
+
+    from modeltracking_spark.queries.extras_q import (
+        orcnest_fixture_dir,
+    )
+
+    d = orcnest_fixture_dir(spark, sf_dir)
+    got = {int(r["event_id"]): (
+        r["tag0"],
+        None if r["n_tags"] is None else int(r["n_tags"]),
+        None if r["value_e6"] is None else int(r["value_e6"]),
+        None if r["kv_e6"] is None else int(r["kv_e6"]))
+        for r in spark_rows}
+    n = 0
+    for part in sorted(glob.glob(f"{d}/*.orc")):
+        t = _po.read_table(part)
+        for eid, meta in zip(t.column("event_id").to_pylist(),
+                             t.column("meta").to_pylist()):
+            if meta is None:
+                want = (None, None, None, None)
+            else:
+                tags = meta["tags"]
+                v = meta["inner"]["value"]
+                kv = dict(meta["kv"]).get("v")
+                want = (tags[0] if tags else None,
+                        None if tags is None else len(tags),
+                        None if v is None
+                        else math.floor(v * 1e6 + 0.5),
+                        None if kv is None
+                        else math.floor(kv * 1e6 + 0.5))
+            if got.get(int(eid)) != want:
+                return False, (f"event {eid}: got {got.get(int(eid))} "
+                               f"want {want}")
+            n += 1
+    if n != len(got):
+        return False, f"row count: pyarrow {n} vs engine {len(got)}"
+    return True, f"{n} nested rows replayed by pyarrow.orc"
+
+
 def twin_orc_map(spark, sf_dir, spark_rows) -> tuple[bool, str]:
     """pyarrow.orc replays the Spark-Java-written ORC MAP fixture
     entry by entry (round 12), null and empty maps distinguished."""
@@ -3529,6 +3575,8 @@ def main(sf_dirs: list[str]) -> int:
              lambda rows: twin_orc_map(spark, sf_dir, rows)),
             ("parquet_nested_scan_events",
              lambda rows: twin_parquet_nested(spark, sf_dir, rows)),
+            ("orc_nested_scan_events",
+             lambda rows: twin_orc_nested(spark, sf_dir, rows)),
             ("brotli_roundtrip_docs",
              lambda rows: twin_brotli(spark, sf_dir, rows)),
             ("zstd_seekable_scan_docs",
