@@ -149,6 +149,12 @@ NOTES = {
     "orc_struct_scan_events": "BatchScan per stripe; parent-presence child decode inside the source; JVM-side field dereference, no exchange",
     "orc_stream_sink_docs": "two REAL streaming drains through the per-epoch two-phase ORC sink (executor-side from-spec encode incl. stripe statistics, _epochs idempotence log) -> JVM ORC scan of the committed output",
     "parquet_page_pruned_scan_orders": "BatchScan: footer zone maps prune row groups at planning; inside survivors the reader consumes ColumnIndex/OffsetIndex to read ONLY matching pages (byte ranges; unkept pages never read or decoded) and trims rows to the surviving ranges; Spark re-applies the predicate row-level",
+    # round 12, second wave
+    "parquet_map_scan_events": "BatchScan per row group; both key_value leaf chunks decode inside the source and zip into MapType; JVM-side try_element_at/size after, no exchange",
+    "orc_decimal_scan_orders": "BatchScan per stripe; unbounded-varint mantissa + per-value scale decode inside the source; JVM-side exact decimal-to-integer projection, no exchange",
+    "orc_map_scan_events": "BatchScan per stripe; LENGTH-driven entry split + per-side child decode inside the source; JVM-side try_element_at/size after, no exchange",
+    "parquet_nested_scan_events": "BatchScan per row group; GENERAL Dremel assembly (per-leaf skeletons + tree merge) inside the source; JVM-side nested dereference after, no exchange",
+    "orc_nested_scan_events": "BatchScan per stripe; presence-based recursive decode (PRESENT at each level, LENGTH on containers) inside the source; JVM-side nested dereference after, no exchange",
 }
 
 
