@@ -178,6 +178,13 @@ HEADLINE = [
     # round-12 flagship: page-level pruned scan off the written
     # ColumnIndex/OffsetIndex
     "parquet_page_pruned_scan_orders",
+    # round-12 second wave: MAP / decimal / general-nesting scans
+    # (Spark-Java-written fixtures, from-spec decode)
+    "parquet_map_scan_events",
+    "orc_decimal_scan_orders",
+    "orc_map_scan_events",
+    "parquet_nested_scan_events",
+    "orc_nested_scan_events",
     # zstd_seekable_stream_scan_docs, parquet_stream_sink_docs, and
     # orc_stream_sink_docs are deliberately NOT benched: each
     # execution runs two REAL streaming drains (~17 s at sf0.1),

@@ -45,6 +45,9 @@ _LOGICAL = {
     "double": ("DOUBLE", False),
     "string": ("BYTE_ARRAY", True),
     "binary": ("BYTE_ARRAY", False),
+    # epoch MICROS carried as INT64 + TIMESTAMP(MICROS, UTC)
+    # annotation (the engine's timestamp grain)
+    "timestamp": ("INT64", False),
 }
 
 
@@ -521,6 +524,7 @@ class _StructLeafSpec:
                 raise NotImplementedError(
                     f"struct field type {typ!r} not supported")
             self.physical, self.string = _LOGICAL[typ]
+            self.timestamp = typ == "timestamp"
 
     def shred(self, records):
         defs: list[int] = []
@@ -588,6 +592,7 @@ class _MapLeafSpec:
                 raise NotImplementedError(
                     f"map {role} type {typ!r} not supported")
             self.physical, self.string = _LOGICAL[typ]
+            self.timestamp = typ == "timestamp"
 
     def shred(self, records):
         reps: list[int] = []
@@ -640,7 +645,7 @@ class _WNode:
     __slots__ = ("t", "name", "optional", "fields", "element", "key",
                  "value", "P", "E", "rep", "max_def", "physical",
                  "string", "decimal", "convert", "type_length",
-                 "no_minmax", "idx", "path")
+                 "no_minmax", "idx", "path", "timestamp")
 
     def __init__(self, t, name, optional):
         self.t = t
@@ -733,6 +738,7 @@ def _parse_wtype(name: str, typ: str, optional: bool, rep: int,
             raise NotImplementedError(
                 f"parquet write type {typ!r} not supported")
         node.physical, node.string = _LOGICAL[typ]
+        node.timestamp = typ == "timestamp"
     return node
 
 
@@ -976,10 +982,11 @@ def _needs_nested(typ: str) -> bool:
         inner = typ[5:-1].strip()
         if inner.endswith("?"):
             inner = inner[:-1]
-        # the legacy one-level list path only handles non-boolean
-        # _LOGICAL elements; boolean/decimal elements and any nesting
-        # go through the general Dremel shred
-        return not (inner in _LOGICAL and inner != "boolean")
+        # the legacy one-level list path only handles non-boolean,
+        # non-timestamp _LOGICAL elements; boolean/timestamp/decimal
+        # elements and any nesting go through the general Dremel shred
+        return not (inner in _LOGICAL
+                    and inner not in ("boolean", "timestamp"))
     if typ.startswith("map<") and typ.endswith(">"):
         kv = _split_top(typ[4:-1])
         return len(kv) != 2 or not (scalar(kv[0]) and scalar(kv[1]))
@@ -1073,6 +1080,7 @@ class _ColumnSpec:
                     f"parquet write type {typ!r} not supported")
             self.kind = "flat"
             self.physical, self.string = _LOGICAL[typ]
+            self.timestamp = typ == "timestamp"
             self.leaf_optional = False
             self.max_def = 1 if self.nullable else 0
             self.max_rep = 0
@@ -1599,6 +1607,19 @@ class ParquetFileWriter:
             elif s.string:
                 el.field_i32(6, 0)  # ConvertedType.UTF8
                 _logical(el, 1)
+            elif getattr(s, "timestamp", False):
+                # ConvertedType.TIMESTAMP_MICROS + the full
+                # LogicalType.TIMESTAMP {adjustedToUTC, unit=MICROS}
+                el.field_i32(6, 10)
+                el.begin_struct(10)
+                el.begin_struct(8)
+                el.field_bool(1, True)
+                el.begin_struct(2)   # unit
+                el.begin_struct(2)   # MicroSeconds (empty)
+                el.end_struct()
+                el.end_struct()
+                el.end_struct()
+                el.end_struct()
 
         fmd = _ThriftW()
         fmd.field_i32(1, 1)  # version

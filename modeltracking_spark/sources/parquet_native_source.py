@@ -450,9 +450,9 @@ def _sink_schema(schema) -> list[tuple]:
     base = {t.BooleanType: "boolean", t.IntegerType: "int32",
             t.LongType: "int64", t.FloatType: "float",
             t.DoubleType: "double", t.StringType: "string",
-            t.BinaryType: "binary"}
+            t.BinaryType: "binary", t.TimestampType: "timestamp"}
 
-    def _type_str(dt) -> str:
+    def _type_str(dt, top: bool = False) -> str:
         if isinstance(dt, t.DecimalType):
             return f"decimal({dt.precision},{dt.scale})"
         if isinstance(dt, t.ArrayType):
@@ -471,12 +471,16 @@ def _sink_schema(schema) -> list[tuple]:
             vt += "?" if dt.valueContainsNull else ""
             return f"map<{kt},{vt}>"
         tp = base.get(type(dt))
-        if tp is None:
+        if tp is None or (not top and tp == "timestamp"):
+            # nested timestamps would bypass the sink's epoch-micros
+            # convert_value hook (it keys off the top-level type
+            # string) — keep them loud
             raise NotImplementedError(
-                f"parquet_native sink: type {dt} not supported")
+                f"parquet_native sink: type {dt} not supported"
+                + ("" if top else " inside a nested column"))
         return tp
 
-    return [(f.name, _type_str(f.dataType), f.nullable)
+    return [(f.name, _type_str(f.dataType, top=True), f.nullable)
             for f in schema.fields]
 
 
@@ -499,6 +503,21 @@ class _ParquetSinkHooks:
         d = options.get("dictionary", "auto").lower()
         self.dictionary = {"auto": None, "true": True,
                            "false": False}[d]
+
+    def convert_value(self, typ: str, v):
+        if typ == "timestamp":
+            import datetime as dt
+
+            if isinstance(v, dt.datetime):
+                if v.tzinfo is None:
+                    v = v.replace(tzinfo=dt.timezone.utc)
+                epoch = dt.datetime(1970, 1, 1,
+                                    tzinfo=dt.timezone.utc)
+                # integer arithmetic — float .timestamp() can lose a
+                # microsecond at large epochs
+                return (v - epoch) // dt.timedelta(microseconds=1)
+            return int(v)
+        return v
 
     def begin_file(self, fh):
         from modeltracking_spark.operators.parquet_write import (

@@ -371,20 +371,20 @@ def test_sink_unsupported_type_rejects(spark, tmp_path):
     from pyspark.sql import functions as F
 
     _register_sink(spark)
-    # any LIST/STRUCT/MAP composition writes since round 12 (general
-    # Dremel shred); scalar types the writer has no physical mapping
-    # for stay loud rejects — timestamps are the canonical case (the
-    # parquet sink has no epoch-convert hook, unlike the ORC sink)
-    df = spark.range(3).select(
-        F.current_timestamp().alias("ts"))
-    with pytest.raises(Exception, match="not supported"):
-        (df.write.format("parquet_native")
-         .option("path", str(tmp_path / "bad")).mode("append").save())
+    # any LIST/STRUCT/MAP composition and top-level timestamps write
+    # since round 12; NESTED timestamps stay loud rejects (they would
+    # bypass the sink's epoch-micros convert hook), as do types the
+    # writer has no physical mapping for
     df2 = spark.range(3).select(
         F.array(F.current_timestamp()).alias("lts"))
     with pytest.raises(Exception, match="not supported"):
         (df2.write.format("parquet_native")
          .option("path", str(tmp_path / "bad2")).mode("append").save())
+    df3 = spark.range(3).select(
+        (F.current_timestamp() - F.current_timestamp()).alias("iv"))
+    with pytest.raises(Exception, match="not supported"):
+        (df3.write.format("parquet_native")
+         .option("path", str(tmp_path / "bad3")).mode("append").save())
 
 
 def test_stream_sink_end_to_end_and_epoch_log(spark, tmp_path):
@@ -1020,3 +1020,61 @@ def test_sink_nested_end_to_end(spark, tmp_path):
         got = {r["id"]: r.asDict(recursive=True)
                for r in back.collect()}
         assert got == exp
+
+
+def test_timestamp_write_roundtrip_all_readers(spark, tmp_path):
+    """Writer TIMESTAMP arm (round 12): epoch-micros ints carried as
+    INT64 + the full LogicalType.TIMESTAMP(MICROS, adjustedToUTC) +
+    ConvertedType.TIMESTAMP_MICROS — pyarrow and DuckDB surface real
+    timestamps; list<timestamp> rides the general nested path; the
+    sink converts Spark TimestampType via integer arithmetic and
+    Spark's JVM reader returns the original instants."""
+    import datetime as dt
+
+    import duckdb
+    import pyarrow.parquet as pq_
+
+    cols = {"id": [1, 2, 3],
+            "ts": [0, None, 1700000000_123456],
+            "lt": [[0, None], None, [1700000000_123456]]}
+    schema = [("id", "int64", False), ("ts", "timestamp", True),
+              ("lt", "list<timestamp?>", True)]
+    blob = parquet_write_table(cols, schema, codec="SNAPPY")
+    t = pq_.read_table(io.BytesIO(blob))
+    assert str(t.schema.field("ts").type) == "timestamp[us, tz=UTC]"
+    epoch = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+    got = [None if v is None
+           else (v - epoch) // dt.timedelta(microseconds=1)
+           for v in t.column("ts").to_pylist()]
+    assert got == cols["ts"]
+    p = tmp_path / "ts.parquet"
+    p.write_bytes(blob)
+    rows = duckdb.sql(
+        f"SELECT epoch_us(ts) FROM read_parquet('{p}') ORDER BY id"
+    ).fetchall()
+    assert [r[0] for r in rows] == cols["ts"]
+    # own reader surfaces the documented bigint-micros posture
+    with open(p, "rb") as fh:
+        foot = parquet_footer_from_file(fh)
+        own = read_row_group(fh, foot, 0)
+    assert own["ts"] == cols["ts"] and own["lt"] == cols["lt"]
+    # sink end-to-end: Spark TimestampType -> INT64 micros -> JVM read
+    _register_sink(spark)
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        df = spark.sql(
+            "SELECT * FROM VALUES"
+            " (1, TIMESTAMP'2023-11-14 22:13:20.123456'),"
+            " (2, CAST(NULL AS TIMESTAMP)),"
+            " (3, TIMESTAMP'1970-01-01 00:00:00')"
+            " AS t(id, ts)")
+        out = str(tmp_path / "tsink")
+        (df.write.format("parquet_native").option("path", out)
+         .mode("append").save())
+        exp = {r["id"]: r["ts"] for r in df.collect()}
+        got2 = {r["id"]: r["ts"]
+                for r in spark.read.parquet(out).collect()}
+        assert got2 == exp
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
