@@ -787,6 +787,9 @@ def parquet_footer(data_tail: bytes, file_size: int) -> dict:
                                  if cc.get(4) is not None else None),
                 "column_index": ((cc.get(6), cc.get(7))
                                  if cc.get(6) is not None else None),
+                # ColumnMetaData 14/15: bloom filter offset + length
+                "bloom": ((md.get(14), md.get(15))
+                          if md.get(14) is not None else None),
             }
         groups.append({"num_rows": rg.get(3, 0), "chunks": chunks})
     return {
@@ -878,6 +881,102 @@ def _slice_rows(vals: list, kept_spans: list, ranges: list) -> list:
                 out.extend(vals[base + (s2 - a):base + (e2 - a)])
         base += b - a
     return out
+
+
+#: SBBF block salts (parquet BloomFilter.md, public constants)
+_BLOOM_SALT = (0x47B6137B, 0x44974D91, 0x8824AD5B, 0xA2B7289D,
+               0x705495C7, 0x2DF1424B, 0x9EFC4947, 0x5C6BFB31)
+
+
+def bloom_hash(value, physical: str, string: bool) -> int:
+    """XXH64 (seed 0) of the value's PLAIN encoding per the spec's
+    bloom-filter hashing rules: ints little-endian at their physical
+    width, floats/doubles IEEE LE, byte arrays the raw bytes with NO
+    length prefix."""
+    from modeltracking_spark.operators.zstd import xxh64
+
+    if physical == "INT32":
+        raw = (value & 0xFFFFFFFF).to_bytes(4, "little")
+    elif physical == "INT64":
+        raw = (value & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little")
+    elif physical == "FLOAT":
+        raw = struct.pack("<f", value)
+    elif physical == "DOUBLE":
+        raw = struct.pack("<d", value)
+    elif physical in ("BYTE_ARRAY", "FIXED_LEN_BYTE_ARRAY"):
+        raw = value.encode("utf-8") if isinstance(value, str) \
+            else bytes(value)
+    else:
+        raise NotImplementedError(
+            f"bloom filter hashing for {physical} not supported")
+    return xxh64(raw)
+
+
+def sbbf_check(bitset: bytes, h: int) -> bool:
+    """Split-block bloom filter membership: block = upper 32 hash
+    bits scaled to the block count; inside it, each of the 8 words
+    must carry the bit selected by (low32 * salt[i]) >> 27."""
+    nblocks = len(bitset) // 32
+    if nblocks == 0:
+        return True  # degenerate filter cannot prune
+    block = ((h >> 32) * nblocks) >> 32
+    lo = h & 0xFFFFFFFF
+    base = block * 32
+    for i in range(8):
+        bit = ((lo * _BLOOM_SALT[i]) & 0xFFFFFFFF) >> 27
+        word = int.from_bytes(bitset[base + 4 * i:base + 4 * i + 4],
+                              "little")
+        if not (word >> bit) & 1:
+            return False
+    return True
+
+
+def sbbf_insert(bitset: bytearray, h: int) -> None:
+    nblocks = len(bitset) // 32
+    block = ((h >> 32) * nblocks) >> 32
+    lo = h & 0xFFFFFFFF
+    base = block * 32
+    for i in range(8):
+        bit = ((lo * _BLOOM_SALT[i]) & 0xFFFFFFFF) >> 27
+        off = base + 4 * i
+        word = int.from_bytes(bitset[off:off + 4], "little")
+        bitset[off:off + 4] = (word | (1 << bit)).to_bytes(4, "little")
+
+
+@_malformed_guard("parquet")
+def read_bloom_filter(fh, chunk: dict) -> bytes | None:
+    """Read one column chunk's SBBF bitset (BloomFilterHeader +
+    bitset at ColumnMetaData.bloom_filter_offset).  None when the
+    chunk carries no filter; typed rejects for non-XXHASH /
+    non-UNCOMPRESSED / non-BLOCK variants."""
+    loc = chunk.get("bloom")
+    if loc is None:
+        return None
+    off, ln = loc
+    fh.seek(off)
+    # length may be absent in old writers: the header is tiny, read
+    # generously and let numBytes bound the bitset
+    blob = fh.read(ln if ln else (1 << 20) + 64)
+    th = _Thrift(blob, 0)
+    hdr = th.read_struct()
+    nbytes = hdr.get(1)
+    if nbytes is None or nbytes < 0 or nbytes > (1 << 27):
+        raise ValueError("implausible bloom filter numBytes")
+    if 1 not in (hdr.get(2) or {}):
+        raise NotImplementedError(
+            "non-BLOCK bloom filter algorithm not supported")
+    if 1 not in (hdr.get(3) or {}):
+        raise NotImplementedError(
+            "non-XXHASH bloom filter hash not supported")
+    if 1 not in (hdr.get(4) or {}):
+        raise NotImplementedError(
+            "compressed bloom filters not supported")
+    bitset = blob[th.p:th.p + nbytes]
+    if len(bitset) != nbytes:
+        raise ValueError("bloom filter bitset overruns the file")
+    if nbytes % 32:
+        raise ValueError("bloom filter bitset not block-aligned")
+    return bitset
 
 
 @_malformed_guard("parquet")

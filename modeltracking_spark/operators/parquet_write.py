@@ -1180,6 +1180,8 @@ class ParquetFileWriter:
         page_version: int = 1,
         value_encoding: str | None = None,
         page_index: bool = True,
+        bloom_columns: list[str] | None = None,
+        bloom_fpp: float = 0.01,
         created_by: str = ("modeltracking-spark parquet_write "
                            "(from-spec)"),
     ):
@@ -1213,6 +1215,15 @@ class ParquetFileWriter:
         self.page_version = page_version
         self.value_encoding = value_encoding
         self.page_index = bool(page_index)
+        known = {cs.name for cs in self.chunk_specs}
+        self.bloom_columns = set(bloom_columns or ())
+        missing = self.bloom_columns - known
+        if missing:
+            raise ValueError(
+                f"bloom_columns name unknown chunks: {sorted(missing)}")
+        if not 0 < bloom_fpp < 1:
+            raise ValueError("bloom_fpp must be in (0, 1)")
+        self.bloom_fpp = float(bloom_fpp)
         self.created_by = created_by
         self.n_rows = 0
         self._groups_meta: list[tuple] = []
@@ -1429,6 +1440,51 @@ class ParquetFileWriter:
             self._emit(bytes(pages))
             total_bytes += len(pages)
 
+            # --- bloom filter (SBBF, XXH64, uncompressed) ----------
+            # written right after the chunk's pages; the header +
+            # bitset are located by ColumnMetaData 14/15, so layout
+            # position is free per the spec
+            bloom_loc = None
+            if (spec.name in self.bloom_columns
+                    and spec.physical != "BOOLEAN" and vals):
+                from modeltracking_spark.operators.parquet_native import (
+                    bloom_hash,
+                    sbbf_insert,
+                )
+
+                hashes = {bloom_hash(v, spec.physical, spec.string)
+                          for v in vals}
+                import math as _math
+
+                # parquet-mr sizing: bits = -8n / ln(1 - fpp^(1/8)),
+                # rounded up to a power-of-two byte count, >= 32 B
+                bits = (-8.0 * len(hashes)
+                        / _math.log(1 - self.bloom_fpp ** 0.125))
+                nbytes = 32
+                while nbytes * 8 < bits and nbytes < (1 << 20):
+                    nbytes <<= 1
+                bitset = bytearray(nbytes)
+                for h in hashes:
+                    sbbf_insert(bitset, h)
+                bh = _ThriftW()
+                bh.field_i32(1, nbytes)
+                bh.begin_struct(2)  # algorithm: BLOCK
+                bh.begin_struct(1)
+                bh.end_struct()
+                bh.end_struct()
+                bh.begin_struct(3)  # hash: XXHASH
+                bh.begin_struct(1)
+                bh.end_struct()
+                bh.end_struct()
+                bh.begin_struct(4)  # compression: UNCOMPRESSED
+                bh.begin_struct(1)
+                bh.end_struct()
+                bh.end_struct()
+                hdr_b = bh.finish()
+                bloom_loc = (self._pos, len(hdr_b) + nbytes)
+                self._emit(hdr_b)
+                self._emit(bytes(bitset))
+
             # --- chunk statistics ----------------------------------
             null_count = (sum(1 for d in defs if d != spec.max_def)
                           if spec.max_def else 0)
@@ -1485,6 +1541,9 @@ class ParquetFileWriter:
                 any_stat = True
             if any_stat:
                 md.field_struct(12, st)
+            if bloom_loc is not None:
+                md.field_i64(14, bloom_loc[0])
+                md.field_i32(15, bloom_loc[1])
 
             # --- page index serialization (located + linked at
             # finish() time; ColumnIndex omitted for chunks whose
@@ -1720,6 +1779,8 @@ def parquet_write_table(
     dictionary: bool | None = None,
     page_version: int = 1,
     value_encoding: str | None = None,
+    bloom_columns: list[str] | None = None,
+    bloom_fpp: float = 0.01,
     created_by: str = "modeltracking-spark parquet_write (from-spec)",
 ) -> bytes:
     """Serialize columnar data to a complete .parquet file (bytes) —
@@ -1732,6 +1793,8 @@ def parquet_write_table(
                           page_rows=page_rows, dictionary=dictionary,
                           page_version=page_version,
                           value_encoding=value_encoding,
+                          bloom_columns=bloom_columns,
+                          bloom_fpp=bloom_fpp,
                           created_by=created_by)
     n_rows = None
     for s in w.specs:

@@ -4225,3 +4225,85 @@ def parquet_page_pruned_scan_orders(spark: SparkSession,
                 F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
                 .cast("long").alias("cents"),
             ))
+
+
+def pqbloom_fixture_dir(spark, sf_dir: str) -> str:
+    """Orders-derived fixture written by the ENGINE'S OWN sink with
+    an SBBF bloom filter on the high-cardinality ``ukey`` column
+    (``.option("bloom_columns", "ukey")``) — exported for
+    tools/oracle_twins.py."""
+    import hashlib
+    import os
+    import shutil
+
+    from modeltracking_spark.queries.multimodal_q import (
+        corpus_fingerprint,
+    )
+
+    token = hashlib.md5(
+        (corpus_fingerprint(sf_dir, "orders") + ":pqbloom:v1").encode()
+    ).hexdigest()[:10]
+    out_dir = f"/tmp/modeltracking_pqbloom_{token}"
+    if not os.path.isdir(out_dir):
+        _register_pq_native(spark)
+        tmp = f"{out_dir}.{os.getpid()}.tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        o = T(spark, sf_dir, "orders")
+        df = (o.select(
+            "o_orderkey",
+            F.md5(F.col("o_orderkey").cast("string").cast("binary"))
+            .alias("ukey"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long").alias("cents"))
+            .repartition(2))
+        (df.write.format("parquet_native").option("path", tmp)
+         .option("bloom_columns", "ukey")
+         .option("row_group_rows", "4096")
+         .mode("append").save())
+        try:
+            os.rename(tmp, out_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    return out_dir
+
+
+@query(
+    "parquet_bloom_pruned_scan_orders",
+    oracle="""
+    SELECT o_orderkey,
+           md5(o_orderkey::VARCHAR) AS ukey,
+           floor(o_totalprice * 100 + 0.5)::BIGINT AS cents
+    FROM orders
+    WHERE o_orderkey IN (1, 2, 3)
+    """,
+)
+def parquet_bloom_pruned_scan_orders(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Round-12 BLOOM-FILTER arm of the from-spec parquet tier, both
+    directions: the fixture is written by the ENGINE'S OWN sink with
+    a split-block bloom filter (SBBF, XXH64 over plain-encoded
+    values, BloomFilterHeader + bitset located by ColumnMetaData
+    14/15) on the high-cardinality md5 ``ukey`` column, and the scan
+    pushes an IN filter whose values hash-probe each row group's
+    bloom at PLANNING time — groups whose filters prove every value
+    absent never become partitions (zero false negatives by
+    construction, so every prune is sound; Spark re-applies the
+    predicate row-level). The read side is cross-validated against
+    SPARK-JAVA-WRITTEN bloom filters in tests/test_parquet_native.py
+    (0 false negatives over 30k parquet-mr-hashed values — the XXH64
+    + block layout must be bit-exact); the write side's filters are
+    consumed by parquet-mr in tests/test_parquet_write.py. The
+    oracle recomputes the three probed orders from the raw table."""
+    _register_pq_native(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    out_dir = pqbloom_fixture_dir(spark, sf_dir)
+    df = (spark.read.format("parquet_native")
+          .option("path", out_dir)
+          .option("filter_pushdown", "true")
+          .load())
+    import hashlib
+
+    probes = [hashlib.md5(str(k).encode()).hexdigest()
+              for k in (1, 2, 3)]
+    return (df.where(F.col("ukey").isin(probes))
+            .select("o_orderkey", "ukey", "cents"))

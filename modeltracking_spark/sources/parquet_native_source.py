@@ -233,6 +233,7 @@ class _ParquetNativeReader(DataSourceReader):
         self.target_bytes = int(options.get("target_partition_bytes",
                                             "0"))
         self.pruning_filters = []
+        self._bloom_cache: dict = {}
 
     def partitions(self):
         from modeltracking_spark.operators.parquet_native import (
@@ -261,6 +262,7 @@ class _ParquetNativeReader(DataSourceReader):
                     f"declares {ref_sig}; all files under one path "
                     f"must share name/physical/logical layout")
             paths = {c["name"]: c["path"] for c in footer["columns"]}
+            by_name_cols = {c["name"]: c for c in footer["columns"]}
             proj = [paths[n] for n in (self.columns or paths)]
             survivors = []  # (rg_index, projected compressed bytes)
             # DECIMAL stats are unscaled ints at the physical level —
@@ -281,6 +283,12 @@ class _ParquetNativeReader(DataSourceReader):
                         continue
                     if not _rg_may_match(chunk.get("stats") or {},
                                          chunk["num_values"], flt):
+                        keep = False
+                        break
+                    if (keep and chunk.get("bloom") is not None
+                            and not self._bloom_may_match(
+                                f, rg, name, chunk,
+                                by_name_cols[name], flt)):
                         keep = False
                         break
                 if keep:
@@ -312,6 +320,50 @@ class _ParquetNativeReader(DataSourceReader):
             # yields nothing)
             parts = [InputPartition((self.files[0], [], self.columns))]
         return parts
+
+    def _bloom_may_match(self, path, rg, name, chunk, col, flt):
+        """SBBF row-group pruning (round 12): for EqualTo/In filters
+        on flat non-decimal columns whose chunk carries a bloom
+        filter, a definite all-values-absent answer prunes the group.
+        Zero false negatives by construction, so every prune is
+        sound; anything uncertain keeps the group."""
+        from pyspark.sql.datasource import EqualTo, In
+
+        from modeltracking_spark.operators.parquet_native import (
+            bloom_hash,
+            read_bloom_filter,
+            sbbf_check,
+        )
+
+        if col.get("kind") not in (None, "flat") or col.get("decimal"):
+            return True
+        if isinstance(flt, EqualTo):
+            values = [flt.value]
+        elif isinstance(flt, In):
+            values = list(flt.value)
+        else:
+            return True
+        if not values or any(v is None for v in values):
+            return True
+        key = (path, chunk["bloom"][0])
+        bits = self._bloom_cache.get(key)
+        if bits is None:
+            try:
+                with open(path, "rb") as fh:
+                    bits = read_bloom_filter(fh, chunk)
+            except (ValueError, NotImplementedError):
+                bits = b""  # unreadable/unsupported variant: no prune
+            self._bloom_cache[key] = bits
+        if not bits:
+            return True
+        try:
+            hashes = [bloom_hash(v, col["physical"],
+                                 col.get("string", False))
+                      for v in values]
+        except (NotImplementedError, TypeError, AttributeError,
+                OverflowError):
+            return True  # un-hashable filter type: never prune
+        return any(sbbf_check(bits, h) for h in hashes)
 
     def _row_ranges(self, fh, footer, rg: int):
         """Surviving [start, end) row ranges of one row group under
@@ -503,6 +555,9 @@ class _ParquetSinkHooks:
         d = options.get("dictionary", "auto").lower()
         self.dictionary = {"auto": None, "true": True,
                            "false": False}[d]
+        bc = options.get("bloom_columns")
+        self.bloom_columns = ([c.strip() for c in bc.split(",")
+                               if c.strip()] if bc else None)
 
     def convert_value(self, typ: str, v):
         if typ == "timestamp":
@@ -526,7 +581,8 @@ class _ParquetSinkHooks:
 
         self._w = ParquetFileWriter(
             fh, self.schema, codec=self.codec,
-            page_rows=self.page_rows, dictionary=self.dictionary)
+            page_rows=self.page_rows, dictionary=self.dictionary,
+            bloom_columns=self.bloom_columns)
 
     def append_rows(self, columns: dict):
         self._w.write_row_group(columns)

@@ -963,3 +963,48 @@ def test_general_nested_randomized_stress():
         for g in range(len(foot["row_groups"])):
             got += read_row_group(buf, foot, g)["x"]
         assert got == data, (dic, rgs)
+
+
+def test_bloom_filter_vs_spark_java_writer(spark, tmp_path):
+    """SBBF read side (round 12) against parquet-mr's OWN bloom
+    filters (Spark-Java-written, XXH64 + block layout): ZERO false
+    negatives over every written value — any bit of drift in the
+    hash, block selection, or salt math would miss — and a sane
+    false-positive rate on absent values."""
+    import glob
+
+    from modeltracking_spark.operators.parquet_native import (
+        bloom_hash,
+        read_bloom_filter,
+        sbbf_check,
+    )
+
+    hc = spark.sparkContext._jsc.hadoopConfiguration()
+    hc.set("parquet.bloom.filter.enabled#u", "true")
+    try:
+        out = str(tmp_path / "bloomed")
+        (spark.range(60000)
+         .selectExpr("id", "concat('user-', uuid()) AS u")
+         .coalesce(1).write.mode("overwrite").parquet(out))
+    finally:
+        hc.unset("parquet.bloom.filter.enabled#u")
+    part = glob.glob(out + "/part-*.parquet")[0]
+    with open(part, "rb") as fh:
+        foot = parquet_footer_from_file(fh)
+        fn = fp = absent = 0
+        for rg_i, rg in enumerate(foot["row_groups"]):
+            chunk = rg["chunks"]["u"]
+            assert chunk.get("bloom") is not None
+            bits = read_bloom_filter(fh, chunk)
+            vals = read_row_group(fh, foot, rg_i, ["u"])["u"]
+            for v in vals:
+                if not sbbf_check(bits, bloom_hash(v, "BYTE_ARRAY",
+                                                   True)):
+                    fn += 1
+            for i in range(10000):
+                if sbbf_check(bits, bloom_hash("absent-%d" % i,
+                                               "BYTE_ARRAY", True)):
+                    fp += 1
+                absent += 1
+    assert fn == 0
+    assert fp / absent < 0.05

@@ -1078,3 +1078,87 @@ def test_timestamp_write_roundtrip_all_readers(spark, tmp_path):
         assert got2 == exp
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz)
+
+
+def test_bloom_filter_write_prune_and_jvm(spark, tmp_path):
+    """SBBF write side (round 12): own-written blooms answer every
+    present value True (no false negatives), keep the configured FP
+    rate, prune row groups at PLANNING time through the pushdown
+    reader (absent probe -> zero surviving partitions; present probe
+    -> the one right group), leave pyarrow/Spark-JVM reads of the
+    file untouched, and parse back through read_bloom_filter under
+    mutation fuzz with typed rejects only."""
+    import glob
+    import random as _random
+
+    from pyspark.sql.datasource import EqualTo
+
+    from modeltracking_spark.operators.parquet_native import (
+        bloom_hash,
+        read_bloom_filter,
+        sbbf_check,
+    )
+    from modeltracking_spark.sources.parquet_native_source import (
+        _ParquetNativePruningReader,
+    )
+
+    rng = _random.Random(6)
+    n = 30000
+    us = ["k-%d-%x" % (i, rng.getrandbits(40)) for i in range(n)]
+    blob = parquet_write_table(
+        {"id": list(range(n)), "u": us},
+        [("id", "int64", False), ("u", "string", True)],
+        codec="ZSTD", row_group_rows=6000,
+        bloom_columns=["u", "id"])
+    p = tmp_path / "bl.parquet"
+    p.write_bytes(blob)
+    with open(p, "rb") as fh:
+        foot = parquet_footer_from_file(fh)
+        fp = absent = 0
+        for rg_i, rg in enumerate(foot["row_groups"]):
+            bits = read_bloom_filter(fh, rg["chunks"]["u"])
+            lo = rg_i * 6000
+            for v in us[lo:lo + 6000]:
+                assert sbbf_check(bits, bloom_hash(v, "BYTE_ARRAY",
+                                                   True))
+            for i in range(3000):
+                if sbbf_check(bits, bloom_hash("zz-%d" % i,
+                                               "BYTE_ARRAY", True)):
+                    fp += 1
+                absent += 1
+            ibits = read_bloom_filter(fh, rg["chunks"]["id"])
+            assert sbbf_check(ibits, bloom_hash(lo + 5, "INT64",
+                                                False))
+    assert fp / absent < 0.05
+    # planning-time pruning through the pushdown reader
+    r = _ParquetNativePruningReader({"path": str(p)}, None)
+    r.pruning_filters = [EqualTo(("u",), "definitely-absent")]
+    assert sum(1 for pt in r.partitions() if pt.value[1]) == 0
+    r2 = _ParquetNativePruningReader({"path": str(p)}, None)
+    r2.pruning_filters = [EqualTo(("u",), us[12345])]
+    kept = [pt.value[1] for pt in r2.partitions() if pt.value[1]]
+    assert kept == [[12345 // 6000]]
+    # reference readers are untouched by the extra bloom bytes
+    assert _read_pyarrow(blob)["u"] == us
+    assert spark.read.parquet(str(p)).count() == n
+    # bloom header/bitset parse under mutation fuzz: typed rejects
+    with open(p, "rb") as fh:
+        foot = parquet_footer_from_file(fh)
+        off, ln = foot["row_groups"][0]["chunks"]["u"]["bloom"]
+    base = bytearray(blob)
+    for _ in range(150):
+        b = bytearray(base)
+        i = off + rng.randrange(min(ln, 256))
+        b[i] ^= rng.randrange(1, 256)
+        import io as _io
+
+        fh2 = _io.BytesIO(bytes(b))
+        foot2 = parquet_footer_from_file(fh2)
+        try:
+            read_bloom_filter(fh2,
+                              foot2["row_groups"][0]["chunks"]["u"])
+        except (ValueError, NotImplementedError):
+            pass
+    with pytest.raises(ValueError, match="bloom_columns"):
+        parquet_write_table({"id": [1]}, [("id", "int64", False)],
+                            bloom_columns=["nope"])
