@@ -198,6 +198,119 @@ def _unzig(v: int) -> int:
     return (v >> 1) ^ -(v & 1)
 
 
+_M64 = (1 << 64) - 1
+
+
+def murmur3_hash64(data: bytes, seed: int = 104729) -> int:
+    """The 64-bit Murmur3 variant ORC-java's bloom filters hash with
+    (single x64 lane, DEFAULT_SEED 104729) — public algorithm, ORC
+    spec 'Bloom Filters' section.  Returns a SIGNED 64-bit value
+    (java long semantics, which the position math depends on)."""
+    c1 = 0x87C37B91114253D5
+    c2 = 0x4CF5AD432745937F
+    h = seed & _M64
+    n = len(data)
+    nblocks = n // 8
+    for i in range(nblocks):
+        k = int.from_bytes(data[8 * i:8 * i + 8], "little")
+        k = (k * c1) & _M64
+        k = ((k << 31) | (k >> 33)) & _M64
+        k = (k * c2) & _M64
+        h ^= k
+        h = ((h << 27) | (h >> 37)) & _M64
+        h = (h * 5 + 0x52DCE729) & _M64
+    tail = data[8 * nblocks:]
+    if tail:
+        k = 0
+        for i in range(len(tail) - 1, -1, -1):
+            k = (k << 8) | tail[i]
+        k = (k * c1) & _M64
+        k = ((k << 31) | (k >> 33)) & _M64
+        k = (k * c2) & _M64
+        h ^= k
+    h ^= n
+    h ^= h >> 33
+    h = (h * 0xFF51AFD7ED558CCD) & _M64
+    h ^= h >> 33
+    h = (h * 0xC4CEB9FE1A85EC53) & _M64
+    h ^= h >> 33
+    return h - (1 << 64) if h >> 63 else h
+
+
+def orc_bloom_maybe(bitset_longs: list[int], n_funcs: int,
+                    h64: int) -> bool:
+    """Hive/ORC BloomFilter membership: k positions derived from the
+    64-bit hash split into two java ints, ``combined = hash1 +
+    i*hash2`` (32-bit signed, ~ on negative), modulo the bit count."""
+    nbits = len(bitset_longs) * 64
+    if nbits == 0 or n_funcs <= 0:
+        return True
+    hash1 = h64 & 0xFFFFFFFF
+    if hash1 >> 31:
+        hash1 -= 1 << 32
+    hash2 = (h64 >> 32) & 0xFFFFFFFF
+    if hash2 >> 31:
+        hash2 -= 1 << 32
+    for i in range(1, n_funcs + 1):
+        combined = (hash1 + i * hash2) & 0xFFFFFFFF
+        if combined >> 31:
+            combined = (combined - (1 << 32))
+            combined = ~combined
+        pos = combined % nbits
+        if not (bitset_longs[pos >> 6] >> (pos & 63)) & 1:
+            return False
+    return True
+
+
+def read_bloom_index(fh, footer: dict, stripe: dict,
+                     cid: int) -> list | None:
+    """Parse one stripe's BLOOM_FILTER_UTF8 (or legacy BLOOM_FILTER)
+    stream for column ``cid`` into ``[(n_funcs, bitset_longs), ...]``
+    — one entry per row group within the stripe.  None when the
+    stripe carries no bloom for that column.  Two ranged reads
+    (stripe footer + the stream's byte range)."""
+    codec, bs = footer["codec"], footer["block_size"]
+    fh.seek(stripe["offset"] + stripe["index_length"]
+            + stripe["data_length"])
+    sfoot = pb_message(decompress_entity(
+        fh.read(stripe["footer_length"]), codec, bs))
+    off = 0
+    found = None
+    for s in sfoot.get(1) or []:
+        m = pb_message(s)
+        kind = _STREAM_KINDS.get((m.get(1) or [0])[0], "?")
+        col = (m.get(2) or [0])[0]
+        ln = (m.get(3) or [0])[0]
+        if col == cid and kind in ("BLOOM_FILTER_UTF8",
+                                   "BLOOM_FILTER"):
+            found = (off, ln, kind)
+            # prefer the UTF8 variant when both exist
+            if kind == "BLOOM_FILTER_UTF8":
+                break
+        off += ln
+    if found is None:
+        return None
+    off, ln, kind = found
+    fh.seek(stripe["offset"] + off)
+    plain = decompress_entity(fh.read(ln), codec, bs)
+    idx = pb_message(plain)
+    out = []
+    for bf_raw in idx.get(1) or []:
+        bf = pb_message(bf_raw)
+        k = (bf.get(1) or [0])[0]
+        if 3 in bf:  # utf8bitset: little-endian longs as bytes
+            raw = bf[3][0]
+            if len(raw) % 8:
+                raise ValueError("ORC utf8bitset not long-aligned")
+            longs = [int.from_bytes(raw[j:j + 8], "little")
+                     for j in range(0, len(raw), 8)]
+        else:  # legacy repeated fixed64
+            longs = [int.from_bytes(x, "little")
+                     for x in bf.get(2) or []]
+        out.append((k, longs))
+    return out
+
+
 def _decode_col_stats(cs: dict) -> dict:
     """orc_proto ColumnStatistics -> {"n", "has_null", "min", "max"}.
     IntegerStatistics/DateStatistics min/max are sint (zigzag),

@@ -4012,6 +4012,92 @@ def orc_map_scan_events(spark: SparkSession,
     )
 
 
+def orcbloom_fixture_dir(spark, sf_dir: str) -> str:
+    """Orders-derived fixture written by SPARK'S OWN Java ORC writer
+    with BLOOM_FILTER_UTF8 streams on the high-cardinality md5
+    ``ukey`` column — exported for tools/oracle_twins.py."""
+    import hashlib
+    import os
+    import shutil
+
+    from modeltracking_spark.queries.multimodal_q import (
+        corpus_fingerprint,
+    )
+
+    token = hashlib.md5(
+        (corpus_fingerprint(sf_dir, "orders") + ":orcbloom:v1")
+        .encode()).hexdigest()[:10]
+    out_dir = f"/tmp/modeltracking_orcbloom_{token}"
+    if not os.path.isdir(out_dir):
+        tmp = f"{out_dir}.{os.getpid()}.tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        o = T(spark, sf_dir, "orders")
+        df = (o.select(
+            "o_orderkey",
+            F.md5(F.col("o_orderkey").cast("string").cast("binary"))
+            .alias("ukey"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long").alias("cents"))
+            .coalesce(1))
+        (df.write.mode("overwrite")
+         .option("orc.bloom.filter.columns", "ukey")
+         .option("orc.stripe.size", "262144")
+         .orc(tmp))
+        try:
+            os.rename(tmp, out_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    return out_dir
+
+
+@query(
+    "orc_bloom_pruned_scan_orders",
+    oracle="""
+    SELECT o_orderkey,
+           md5(o_orderkey::VARCHAR) AS ukey,
+           floor(o_totalprice * 100 + 0.5)::BIGINT AS cents
+    FROM orders
+    WHERE o_orderkey IN (1, 2, 3)
+    """,
+)
+def orc_bloom_pruned_scan_orders(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Round-12 BLOOM-FILTER arm of the from-spec ORC tier: the
+    fixture is written by SPARK'S OWN Java ORC writer with
+    BLOOM_FILTER_UTF8 streams (ORC-java Murmur3 hash64, java-int
+    position math) on the md5 ``ukey`` column, and the scan's pushed
+    IN filter hash-probes every row-group bloom of each stripe at
+    PLANNING time — a stripe whose blooms prove every value absent
+    never becomes a partition (zero false negatives against ORC-java
+    pinned in tests/test_orc_native.py, so every prune is sound;
+    Spark re-applies predicates row-level). The oracle recomputes
+    the three probed orders from the raw table."""
+    from pyspark.errors import PySparkException
+
+    from modeltracking_spark.queries.common import ensure_pkg_on_workers
+    from modeltracking_spark.sources.orc_native_source import (
+        OrcNativeDataSource,
+    )
+
+    ensure_pkg_on_workers(spark)
+    try:
+        spark.dataSource.register(OrcNativeDataSource)
+    except PySparkException:
+        pass
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    out_dir = orcbloom_fixture_dir(spark, sf_dir)
+    df = (spark.read.format("orc_native")
+          .option("path", out_dir)
+          .option("filter_pushdown", "true")
+          .load())
+    import hashlib
+
+    probes = [hashlib.md5(str(k).encode()).hexdigest()
+              for k in (1, 2, 3)]
+    return (df.where(F.col("ukey").isin(probes))
+            .select("o_orderkey", "ukey", "cents"))
+
+
 def _orcnest_df(spark, sf_dir):
     e = T(spark, sf_dir, "events")
     tags = (F.when(F.col("event_id") % 5 == 0,

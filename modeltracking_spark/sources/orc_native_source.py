@@ -147,6 +147,7 @@ class _OrcNativeReader(DataSourceReader):
         self.target_bytes = int(options.get("target_partition_bytes",
                                             "0"))
         self.pruning_filters = []
+        self._bloom_cache: dict = {}
 
     def _stripe_survives(self, footer: dict, s: int) -> bool:
         """Can stripe ``s`` contain a matching row, per the Metadata
@@ -186,6 +187,65 @@ class _OrcNativeReader(DataSourceReader):
                 return False
         return True
 
+    def _bloom_survives(self, path, footer, s: int) -> bool:
+        """ORC bloom-filter stripe pruning (round 12): for EqualTo/In
+        on STRING columns, hash each filter value with ORC-java's
+        Murmur3 hash64 and probe every row-group bloom in the stripe
+        (BLOOM_FILTER_UTF8 stream) — the stripe dies only when every
+        value is provably absent from every row group.  Zero false
+        negatives against ORC-java's own filters (pinned in tests),
+        so every prune is sound; non-string columns and bloom-less
+        stripes keep conservatively."""
+        from pyspark.sql.datasource import EqualTo, In
+
+        from modeltracking_spark.operators.orc_native import (
+            murmur3_hash64,
+            orc_bloom_maybe,
+            read_bloom_index,
+        )
+
+        if not self.pruning_filters:
+            return True
+        col_of = {c["name"]: c for c in footer["columns"]}
+        for flt in self.pruning_filters:
+            name = flt.attribute[0]
+            col = col_of.get(name)
+            if col is None or col["kind"] not in ("STRING", "VARCHAR",
+                                                  "CHAR"):
+                continue
+            if isinstance(flt, EqualTo):
+                values = [flt.value]
+            elif isinstance(flt, In):
+                values = list(flt.value)
+            else:
+                continue
+            if not values or any(not isinstance(v, str)
+                                 for v in values):
+                continue
+            key = (path, s, col["column"])
+            blooms = self._bloom_cache.get(key)
+            if blooms is None:
+                try:
+                    with open(path, "rb") as fh:
+                        blooms = read_bloom_index(
+                            fh, footer, footer["stripes"][s],
+                            col["column"])
+                except (ValueError, NotImplementedError):
+                    blooms = []
+                self._bloom_cache[key] = blooms or []
+            if not blooms:
+                continue
+            hit = False
+            for v in values:
+                h = murmur3_hash64(v.encode("utf-8"))
+                if any(orc_bloom_maybe(longs, k, h)
+                       for k, longs in blooms):
+                    hit = True
+                    break
+            if not hit:
+                return False
+        return True
+
     def partitions(self):
         from modeltracking_spark.operators.orc_native import (
             orc_footer_from_file,
@@ -222,6 +282,7 @@ class _OrcNativeReader(DataSourceReader):
                  + st["footer_length"])
                 for s, st in enumerate(footer["stripes"])
                 if self._stripe_survives(footer, s)
+                and self._bloom_survives(f, footer, s)
             ]
             # the same scale knob as the parquet source and the
             # compressed-scan tier: at 100 TB of small stripes, one

@@ -2953,6 +2953,38 @@ def twin_parquet_bloom(spark, sf_dir, spark_rows) -> tuple[bool, str]:
     return True, f"{len(want)} probed orders replayed by pyarrow"
 
 
+def twin_orc_bloom(spark, sf_dir, spark_rows) -> tuple[bool, str]:
+    """pyarrow.orc replays the Spark-Java-written ORC bloom fixture:
+    the three probed orders must match an oblivious full scan
+    filtered the same way (round 12) — proving bloom stripe pruning
+    lost nothing."""
+    import glob
+    import hashlib
+
+    import pyarrow.orc as _po
+
+    from modeltracking_spark.queries.extras_q import (
+        orcbloom_fixture_dir,
+    )
+
+    d = orcbloom_fixture_dir(spark, sf_dir)
+    probes = {hashlib.md5(str(k).encode()).hexdigest()
+              for k in (1, 2, 3)}
+    got = {int(r["o_orderkey"]): (r["ukey"], int(r["cents"]))
+           for r in spark_rows}
+    want = {}
+    for part in sorted(glob.glob(f"{d}/*.orc")):
+        t = _po.read_table(part)
+        for key, uk, cents in zip(t.column("o_orderkey").to_pylist(),
+                                  t.column("ukey").to_pylist(),
+                                  t.column("cents").to_pylist()):
+            if uk in probes:
+                want[int(key)] = (uk, int(cents))
+    if got != want:
+        return False, f"bloom scan {got} vs pyarrow.orc replay {want}"
+    return True, f"{len(want)} probed orders replayed by pyarrow.orc"
+
+
 def twin_orc_nested(spark, sf_dir, spark_rows) -> tuple[bool, str]:
     """pyarrow.orc replays the Spark-Java-written ORC GENERAL-NESTING
     fixture (struct<tags:array, kv:map, inner:struct>) field by field
@@ -3611,6 +3643,8 @@ def main(sf_dirs: list[str]) -> int:
              lambda rows: twin_orc_nested(spark, sf_dir, rows)),
             ("parquet_bloom_pruned_scan_orders",
              lambda rows: twin_parquet_bloom(spark, sf_dir, rows)),
+            ("orc_bloom_pruned_scan_orders",
+             lambda rows: twin_orc_bloom(spark, sf_dir, rows)),
             ("brotli_roundtrip_docs",
              lambda rows: twin_brotli(spark, sf_dir, rows)),
             ("zstd_seekable_scan_docs",
