@@ -187,6 +187,8 @@ HEADLINE = [
     "orc_nested_scan_events",
     "parquet_bloom_pruned_scan_orders",
     "orc_bloom_pruned_scan_orders",
+    "safetensors_roundtrip_embeddings",
+    "npz_roundtrip_embeddings",
     # zstd_seekable_stream_scan_docs, parquet_stream_sink_docs, and
     # orc_stream_sink_docs are deliberately NOT benched: each
     # execution runs two REAL streaming drains (~17 s at sf0.1),

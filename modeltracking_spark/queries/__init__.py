@@ -67,6 +67,8 @@ PRIORITY: tuple[str, ...] = (
     "orc_nested_scan_events",          # ORC general nesting
     "parquet_bloom_pruned_scan_orders",  # SBBF blooms, both dirs
     "orc_bloom_pruned_scan_orders",    # ORC bloom stripe pruning
+    "safetensors_roundtrip_embeddings",  # tensor container, from-spec
+    "npz_roundtrip_embeddings",        # NPY/NPZ vs numpy both ways
     # ---- behavior changed in r12 (REATTEST; lint-exempt) ----
     "topk_lineitems_per_order",        # zip arm now limit-first
     # ---- r7-stale cohort (34 = the whole tier, age 5) ----

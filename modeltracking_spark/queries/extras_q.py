@@ -4012,6 +4012,156 @@ def orc_map_scan_events(spark: SparkSession,
     )
 
 
+@query(
+    "safetensors_roundtrip_embeddings",
+    oracle="""
+    SELECT vec_id,
+           64::BIGINT AS dim,
+           list_sum(list_transform(embedding,
+               x -> floor(CAST(x AS DOUBLE) * 1000000 + 0.5)::BIGINT
+                    * floor(CAST(x AS DOUBLE) * 1000000
+                            + 0.5)::BIGINT))::BIGINT AS ssq
+    FROM embeddings
+    """,
+)
+def safetensors_roundtrip_embeddings(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Round-12 safetensors arm of the multimodal/tensor tier
+    (operators/safetensors.py — the LLM ecosystem's tensor-storage
+    format, implemented from the public format doc): each Arrow
+    batch of the embeddings table serializes into ONE safetensors
+    blob (F32 ``emb`` matrix + I64 ``vec_id`` vector + string
+    metadata, 8-byte LE header length + JSON header + raw LE data),
+    the blob parses back through the from-spec reader (offset-tiling
+    validation incl. the reference implementation's
+    no-gaps/no-overlaps invariant), and the outputs re-derive FROM
+    the parsed tensors by integer arithmetic: per-element e6
+    quantization then an order-free integer sum of squares — any
+    byte drift in the build/parse/NumPy-view path breaks the hash.
+    Narrow mapInPandas, shuffle-free; blobs never leave the
+    executor (the 100-TB posture of the whole codec tier)."""
+    e = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from modeltracking_spark.operators.safetensors import (
+            safetensors_build,
+            safetensors_parse,
+            safetensors_tensor,
+        )
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            mat = np.stack([np.asarray(v, dtype=np.float32)
+                            for v in pdf["embedding"]])
+            blob = safetensors_build(
+                [("emb", "F32", mat.shape, mat.tobytes()),
+                 ("vec_id", "I64", (len(ids),), ids.tobytes())],
+                metadata={"table": "embeddings"})
+            p = safetensors_parse(blob)
+            if p["metadata"] != {"table": "embeddings"}:
+                raise ValueError("safetensors metadata did not "
+                                 "round-trip")
+            back = safetensors_tensor(blob, p, "emb")
+            back_ids = safetensors_tensor(blob, p, "vec_id")
+            if not np.array_equal(back_ids, ids):
+                raise ValueError("vec_id tensor did not round-trip")
+            if back.dtype != np.float32 or not np.array_equal(
+                    back.view(np.uint32), mat.view(np.uint32)):
+                raise ValueError("emb tensor did not round-trip "
+                                 "bit-exactly")
+            q = np.floor(back.astype(np.float64) * 1e6
+                         + 0.5).astype(np.int64)
+            yield pd.DataFrame({
+                "vec_id": back_ids,
+                "dim": np.full(len(ids), back.shape[1],
+                               dtype=np.int64),
+                "ssq": (q * q).sum(axis=1),
+            })
+
+    return e.mapInPandas(kernel, "vec_id bigint, dim bigint, "
+                                 "ssq bigint")
+
+
+@query(
+    "npz_roundtrip_embeddings",
+    oracle="""
+    SELECT vec_id,
+           label,
+           list_sum(list_transform(embedding,
+               x -> floor(CAST(x AS DOUBLE) * 1000000
+                          + 0.5)::BIGINT))::BIGINT AS se6
+    FROM embeddings
+    """,
+)
+def npz_roundtrip_embeddings(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Round-12 NPY/NPZ arm of the tensor-container tier
+    (operators/npyio.py — NumPy's NEP-1 format from its public
+    specification: magic + version + padded dict-literal header +
+    raw bytes; .npz = ZIP of members): each Arrow batch of the
+    embeddings table serializes into ONE .npz via the FROM-SPEC
+    writer (emb F32 matrix, vec_id i64, label i32 — no np.save
+    anywhere), parses back via the from-spec parser
+    (ast.literal_eval on the header, descr allow-list, bounds
+    checks), and outputs re-derive FROM the parsed arrays by
+    order-free integer arithmetic (per-element e6 quantization,
+    integer row sums). Cross-validation in
+    tests/test_tensorio.py runs BOTH directions against numpy
+    itself: np.load reads our blobs, our parser reads
+    np.save/np.savez blobs incl. fortran_order. Narrow mapInPandas,
+    shuffle-free — the codec tier's 100-TB posture."""
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from modeltracking_spark.operators.npyio import (
+            npy_array,
+            npz_build,
+            npz_parse,
+        )
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            labels = pdf["label"].to_numpy(dtype=np.int32)
+            mat = np.stack([np.asarray(v, dtype=np.float32)
+                            for v in pdf["embedding"]])
+            z = npz_build([
+                ("emb", "<f4", mat.shape, mat.tobytes()),
+                ("vec_id", "<i8", (len(ids),), ids.tobytes()),
+                ("label", "<i4", (len(labels),), labels.tobytes()),
+            ])
+            m = npz_parse(z)
+            back = npy_array(*m["emb"])
+            back_ids = npy_array(*m["vec_id"])
+            back_lab = npy_array(*m["label"])
+            if not (np.array_equal(back_ids, ids)
+                    and np.array_equal(back_lab, labels)
+                    and np.array_equal(back.view(np.uint32),
+                                       mat.view(np.uint32))):
+                raise ValueError("npz arrays did not round-trip "
+                                 "bit-exactly")
+            q = np.floor(back.astype(np.float64) * 1e6
+                         + 0.5).astype(np.int64)
+            yield pd.DataFrame({
+                "vec_id": back_ids,
+                "label": back_lab.astype(np.int32),
+                "se6": q.sum(axis=1),
+            })
+
+    return e.mapInPandas(kernel, "vec_id bigint, label int, "
+                                 "se6 bigint")
+
+
 def orcbloom_fixture_dir(spark, sf_dir: str) -> str:
     """Orders-derived fixture written by SPARK'S OWN Java ORC writer
     with BLOOM_FILTER_UTF8 streams on the high-cardinality md5
