@@ -587,15 +587,21 @@ def _decode_sequences(block: bytes, pos: int, ctx: _FrameCtx):
         n_seq = b0
         pos += 1
     elif b0 < 255:
+        if pos + 1 >= len(block):
+            raise ValueError("truncated sequences count")
         n_seq = ((b0 - 128) << 8) + block[pos + 1]
         pos += 2
     else:
+        if pos + 2 >= len(block):
+            raise ValueError("truncated sequences count")
         n_seq = block[pos + 1] + (block[pos + 2] << 8) + 0x7F00
         pos += 3
     if n_seq == 0:
         if pos != len(block):
             raise ValueError("trailing bytes after empty sequences section")
         return [], pos
+    if pos >= len(block):
+        raise ValueError("missing sequence compression modes byte")
     modes = block[pos]
     pos += 1
     if modes & 3:
