@@ -48,6 +48,8 @@ _LOGICAL = {
     # epoch MICROS carried as INT64 + TIMESTAMP(MICROS, UTC)
     # annotation (the engine's timestamp grain)
     "timestamp": ("INT64", False),
+    # epoch DAYS carried as INT32 + DATE annotation
+    "date": ("INT32", False),
 }
 
 
@@ -525,6 +527,7 @@ class _StructLeafSpec:
                     f"struct field type {typ!r} not supported")
             self.physical, self.string = _LOGICAL[typ]
             self.timestamp = typ == "timestamp"
+            self.date = typ == "date"
 
     def shred(self, records):
         defs: list[int] = []
@@ -593,6 +596,7 @@ class _MapLeafSpec:
                     f"map {role} type {typ!r} not supported")
             self.physical, self.string = _LOGICAL[typ]
             self.timestamp = typ == "timestamp"
+            self.date = typ == "date"
 
     def shred(self, records):
         reps: list[int] = []
@@ -645,7 +649,7 @@ class _WNode:
     __slots__ = ("t", "name", "optional", "fields", "element", "key",
                  "value", "P", "E", "rep", "max_def", "physical",
                  "string", "decimal", "convert", "type_length",
-                 "no_minmax", "idx", "path", "timestamp")
+                 "no_minmax", "idx", "path", "timestamp", "date")
 
     def __init__(self, t, name, optional):
         self.t = t
@@ -739,6 +743,7 @@ def _parse_wtype(name: str, typ: str, optional: bool, rep: int,
                 f"parquet write type {typ!r} not supported")
         node.physical, node.string = _LOGICAL[typ]
         node.timestamp = typ == "timestamp"
+        node.date = typ == "date"
     return node
 
 
@@ -1081,6 +1086,7 @@ class _ColumnSpec:
             self.kind = "flat"
             self.physical, self.string = _LOGICAL[typ]
             self.timestamp = typ == "timestamp"
+            self.date = typ == "date"
             self.leaf_optional = False
             self.max_def = 1 if self.nullable else 0
             self.max_rep = 0
@@ -1679,6 +1685,9 @@ class ParquetFileWriter:
                 el.end_struct()
                 el.end_struct()
                 el.end_struct()
+            elif getattr(s, "date", False):
+                el.field_i32(6, 6)  # ConvertedType.DATE
+                _logical(el, 6)     # LogicalType.DATE
 
         fmd = _ThriftW()
         fmd.field_i32(1, 1)  # version

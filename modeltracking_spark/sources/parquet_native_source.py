@@ -502,7 +502,8 @@ def _sink_schema(schema) -> list[tuple]:
     base = {t.BooleanType: "boolean", t.IntegerType: "int32",
             t.LongType: "int64", t.FloatType: "float",
             t.DoubleType: "double", t.StringType: "string",
-            t.BinaryType: "binary", t.TimestampType: "timestamp"}
+            t.BinaryType: "binary", t.TimestampType: "timestamp",
+            t.DateType: "date"}
 
     def _type_str(dt, top: bool = False) -> str:
         if isinstance(dt, t.DecimalType):
@@ -523,7 +524,7 @@ def _sink_schema(schema) -> list[tuple]:
             vt += "?" if dt.valueContainsNull else ""
             return f"map<{kt},{vt}>"
         tp = base.get(type(dt))
-        if tp is None or (not top and tp == "timestamp"):
+        if tp is None or (not top and tp in ("timestamp", "date")):
             # nested timestamps would bypass the sink's epoch-micros
             # convert_value hook (it keys off the top-level type
             # string) — keep them loud
@@ -560,6 +561,12 @@ class _ParquetSinkHooks:
                                if c.strip()] if bc else None)
 
     def convert_value(self, typ: str, v):
+        if typ == "date":
+            import datetime as dt
+
+            if isinstance(v, dt.date):
+                return (v - dt.date(1970, 1, 1)).days
+            return int(v)
         if typ == "timestamp":
             import datetime as dt
 

@@ -1162,3 +1162,39 @@ def test_bloom_filter_write_prune_and_jvm(spark, tmp_path):
     with pytest.raises(ValueError, match="bloom_columns"):
         parquet_write_table({"id": [1]}, [("id", "int64", False)],
                             bloom_columns=["nope"])
+
+
+def test_date_write_roundtrip_all_readers(spark, tmp_path):
+    """Writer DATE arm (round 12): epoch-days ints carried as INT32 +
+    LogicalType.DATE / ConvertedType.DATE — pyarrow and DuckDB
+    surface real dates; the sink converts Spark DateType and the JVM
+    reader returns the original days, pre-1970 included."""
+    import datetime as dt
+
+    import duckdb
+    import pyarrow.parquet as pq_
+
+    blob = parquet_write_table({"d": [0, None, 19000, -1]},
+                               [("d", "date", True)])
+    t = pq_.read_table(io.BytesIO(blob))
+    assert str(t.schema.field("d").type) == "date32[day]"
+    epoch = dt.date(1970, 1, 1)
+    assert [None if v is None else (v - epoch).days
+            for v in t.column("d").to_pylist()] == [0, None, 19000, -1]
+    p = tmp_path / "d.parquet"
+    p.write_bytes(blob)
+    assert [r[0] for r in duckdb.sql(
+        f"SELECT d FROM read_parquet('{p}')").fetchall()] == [
+        epoch, None, epoch + dt.timedelta(days=19000),
+        epoch - dt.timedelta(days=1)]
+    _register_sink(spark)
+    df = spark.sql(
+        "SELECT * FROM VALUES (1, DATE'2022-01-08'),"
+        " (2, CAST(NULL AS DATE)), (3, DATE'1969-12-31')"
+        " AS t(id, d)")
+    out = str(tmp_path / "dsink")
+    (df.write.format("parquet_native").option("path", out)
+     .mode("append").save())
+    exp = {r["id"]: r["d"] for r in df.collect()}
+    got = {r["id"]: r["d"] for r in spark.read.parquet(out).collect()}
+    assert got == exp
