@@ -189,6 +189,7 @@ HEADLINE = [
     "orc_bloom_pruned_scan_orders",
     "safetensors_roundtrip_embeddings",
     "npz_roundtrip_embeddings",
+    "arrow_ipc_roundtrip_docs",
     # zstd_seekable_stream_scan_docs, parquet_stream_sink_docs, and
     # orc_stream_sink_docs are deliberately NOT benched: each
     # execution runs two REAL streaming drains (~17 s at sf0.1),

@@ -69,6 +69,7 @@ PRIORITY: tuple[str, ...] = (
     "orc_bloom_pruned_scan_orders",    # ORC bloom stripe pruning
     "safetensors_roundtrip_embeddings",  # tensor container, from-spec
     "npz_roundtrip_embeddings",        # NPY/NPZ vs numpy both ways
+    "arrow_ipc_roundtrip_docs",        # Arrow IPC from-spec reader
     # ---- behavior changed in r12 (REATTEST; lint-exempt) ----
     "topk_lineitems_per_order",        # zip arm now limit-first
     # ---- r7-stale cohort (34 = the whole tier, age 5) ----

@@ -4013,6 +4013,70 @@ def orc_map_scan_events(spark: SparkSession,
 
 
 @query(
+    "arrow_ipc_roundtrip_docs",
+    oracle="""
+    SELECT doc_id,
+           length(text)::BIGINT AS text_len,
+           lang,
+           n_chars
+    FROM documents
+    """,
+)
+def arrow_ipc_roundtrip_docs(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Round-12 Arrow IPC arm of the interchange tier
+    (operators/arrow_ipc.py — the Arrow IPC streaming format from
+    its public spec, incl. a from-spec minimal FlatBuffers walker):
+    each Arrow batch of the documents table is serialized by PYARROW
+    ITSELF (the reference writer, ZSTD body compression on — an
+    adversarial source, since every buffer then carries the
+    int64-prefixed compressed framing) and read back by the
+    from-spec walker: encapsulated-message framing, Schema flatbuffer
+    type tree, RecordBatch field nodes + depth-first buffer layout
+    (validity bitmaps, offsets, data), and the compressed buffers
+    decoded via THIS repo's own zstd. Outputs re-derive from the
+    DECODED python values (doc_id, python-side len(text) in code
+    points, lang, n_chars) so any framing/offset/bitmap drift breaks
+    the oracle hash. Narrow mapInPandas, shuffle-free. Cross-reader
+    batteries (stream + file formats, LZ4 + ZSTD bodies, all
+    primitive widths, list<float>) in tests/test_arrow_ipc.py."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars")
+
+    def kernel(batches):
+        import io
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.ipc as paipc
+
+        from modeltracking_spark.operators.arrow_ipc import ipc_read
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            t = pa.Table.from_pandas(pdf, preserve_index=False)
+            buf = io.BytesIO()
+            opts = paipc.IpcWriteOptions(compression="zstd")
+            with paipc.new_stream(buf, t.schema, options=opts) as w:
+                w.write_table(t, max_chunksize=512)
+            got = ipc_read(buf.getvalue())
+            cols = got["columns"]
+            if len(cols["doc_id"]) != len(pdf):
+                raise ValueError("arrow ipc roundtrip lost rows")
+            yield pd.DataFrame({
+                "doc_id": cols["doc_id"],
+                "text_len": [None if s is None else len(s)
+                             for s in cols["text"]],
+                "lang": cols["lang"],
+                "n_chars": cols["n_chars"],
+            })
+
+    return d.mapInPandas(kernel, "doc_id bigint, text_len bigint, "
+                                 "lang string, n_chars bigint")
+
+
+@query(
     "safetensors_roundtrip_embeddings",
     oracle="""
     SELECT vec_id,
