@@ -155,6 +155,11 @@ NOTES = {
     "orc_map_scan_events": "BatchScan per stripe; LENGTH-driven entry split + per-side child decode inside the source; JVM-side try_element_at/size after, no exchange",
     "parquet_nested_scan_events": "BatchScan per row group; GENERAL Dremel assembly (per-leaf skeletons + tree merge) inside the source; JVM-side nested dereference after, no exchange",
     "orc_nested_scan_events": "BatchScan per stripe; presence-based recursive decode (PRESENT at each level, LENGTH on containers) inside the source; JVM-side nested dereference after, no exchange",
+    "parquet_bloom_pruned_scan_orders": "planning-time SBBF probe: row groups whose blooms prove every IN value absent never become partitions (present probe keeps exactly one); Spark re-applies the predicate row-level",
+    "orc_bloom_pruned_scan_orders": "planning-time ORC bloom probe over BLOOM_FILTER_UTF8 streams: stripes proving all values absent never become partitions",
+    "safetensors_roundtrip_embeddings": "narrow mapInPandas build->from-spec-parse per Arrow batch, shuffle-free; blobs never leave the executor",
+    "npz_roundtrip_embeddings": "narrow mapInPandas from-spec npz build->parse per Arrow batch, shuffle-free",
+    "arrow_ipc_roundtrip_docs": "narrow mapInPandas reference-encode (pyarrow, zstd bodies) -> from-spec flatbuffers walk per batch, shuffle-free",
 }
 
 
