@@ -1,22 +1,34 @@
-"""From-spec Apache Arrow IPC reader (streaming + file formats) —
-the columnar interchange format, implemented from the public Arrow
-"IPC Streaming/File Format" specification and the published
-flatbuffers wire format (Message.fbs / Schema.fbs field numbering).
-Nothing delegates to pyarrow: the encapsulated-message framing
-(continuation marker + metadata length + flatbuffer + 8-padded
-body), a minimal from-spec FlatBuffers walker (root uoffset, vtable
-indirection, strings/vectors/unions/inline structs), the Schema type
-tree, RecordBatch field nodes + buffer layout (validity bitmap /
-offsets / data, depth-first per field), and the optional LZ4_FRAME /
-ZSTD body compression (each buffer: int64 uncompressed-length prefix
-+ frame) via THIS repo's own from-spec lz4/zstd decoders.
+"""From-spec Apache Arrow IPC reader AND writer (streaming + file
+formats) — the columnar interchange format, implemented from the
+public Arrow "IPC Streaming/File Format" specification and the
+published flatbuffers wire format (Message.fbs / Schema.fbs /
+File.fbs field numbering).  Nothing delegates to pyarrow: the
+encapsulated-message framing (continuation marker + metadata length
++ flatbuffer + 8-padded body), a minimal from-spec FlatBuffers
+walker (root uoffset, vtable indirection, strings/vectors/unions/
+inline structs), the Schema type tree, RecordBatch field nodes +
+buffer layout (validity bitmap / offsets / data, depth-first per
+field), DictionaryBatch value delivery (initial + isDelta appends,
+index-type resolution per DictionaryEncoding), and the optional
+LZ4_FRAME / ZSTD body compression (each buffer: int64
+uncompressed-length prefix + frame) via THIS repo's own from-spec
+lz4/zstd codecs — both directions.
+
+The write side (round 13) emits the same surface it reads: the
+``_FBBuilder`` below is the mirror of the ``_FB`` walker (vtable +
+table emission with absolute scalar alignment, so the reference
+flatbuffers verifier accepts the bytes), streams get
+Schema/RecordBatch messages + EOS, files add the ARROW1 magics and
+the File.fbs Footer (schema copy + Block index of every message).
 
 Scope: flat primitive columns (ints at all widths, float32/64, bool,
-utf8, binary, date32, timestamp) plus one LIST level of primitives —
-the embedding shape; dictionary-encoded columns, deeper nesting, and
-big-endian streams are typed loud rejects.  Validation: pyarrow (the
-reference implementation) WRITES every fixture in
-tests/test_arrow_ipc.py; this module must read them exactly.
+utf8, binary, date32, timestamp) plus one LIST level of fixed-width
+primitives — the embedding shape; dictionary-encoded columns of flat
+value types are READ (write side re-expands them); deeper nesting
+and big-endian streams are typed loud rejects.  Validation: pyarrow
+(the reference implementation) WRITES every read fixture and READS
+every written stream/file in tests/test_arrow_ipc.py — adversarial
+in both directions.
 """
 
 from __future__ import annotations
@@ -121,10 +133,29 @@ def _parse_field(fb: _FB, fpos: int) -> dict:
         raise NotImplementedError(
             f"arrow type union member {type_type} not supported")
     dict_p = fb.field(fpos, 4)
+    dict_enc = None
     if dict_p is not None:
-        raise NotImplementedError(
-            "dictionary-encoded arrow columns not supported")
-    out = {"name": name, "nullable": nullable, "type": tname}
+        # DictionaryEncoding: 0 id (long), 1 indexType (Int table —
+        # absent means the spec default, signed int32), 2 isOrdered,
+        # 3 dictionaryKind.  The field's OWN type (slots 2/3) is the
+        # dictionary VALUE type; batches carry indices.
+        dpos = fb.indirect(dict_p)
+        id_p = fb.field(dpos, 0)
+        ix_p = fb.field(dpos, 1)
+        bits, signed = 32, True
+        if ix_p is not None:
+            ipos = fb.indirect(ix_p)
+            bw_p = fb.field(ipos, 0)
+            sg_p = fb.field(ipos, 1)
+            bits = fb.i32(bw_p) if bw_p is not None else 32
+            signed = bool(fb.u8(sg_p)) if sg_p is not None else False
+        dict_enc = {
+            "id": fb.i64(id_p) if id_p is not None else 0,
+            "bits": bits,
+            "signed": signed,
+        }
+    out = {"name": name, "nullable": nullable, "type": tname,
+           "dictionary": dict_enc}
     tpos = fb.indirect(t_p) if t_p is not None else None
     if tname == "Int":
         bw_p = fb.field(tpos, 0)
@@ -156,6 +187,9 @@ def _parse_field(fb: _FB, fpos: int) -> dict:
         for i in range(n):
             children.append(_parse_field(fb, fb.indirect(base + 4 * i)))
     if tname == "List":
+        if dict_enc is not None:
+            raise NotImplementedError(
+                "dictionary-encoded arrow list columns not supported")
         if len(children) != 1:
             raise ValueError("arrow List field needs one child")
         if children[0]["type"] in ("List", "Struct_", "Utf8",
@@ -193,19 +227,52 @@ def parse_schema(meta: bytes) -> list[dict]:
     return fields
 
 
+def message_header_type(meta: bytes) -> int:
+    """MessageHeader union tag: 1=Schema, 2=DictionaryBatch,
+    3=RecordBatch."""
+    fb = _FB(meta)
+    ht_p = fb.field(fb.root(), 1)
+    return fb.u8(ht_p) if ht_p is not None else 0
+
+
 def _parse_record_batch(meta: bytes) -> dict:
     fb = _FB(meta)
     msg = fb.root()
     ht_p = fb.field(msg, 1)
     ht = fb.u8(ht_p) if ht_p is not None else 0
-    if ht == 2:  # DictionaryBatch
-        raise NotImplementedError(
-            "arrow dictionary batches not supported")
     if ht != 3:  # RecordBatch
         raise ValueError(f"unexpected arrow message header {ht}")
     body_p = fb.field(msg, 3)
     body_len = fb.i64(body_p) if body_p is not None else 0
     rb = fb.indirect(fb.field(msg, 2))
+    return _rb_table(fb, rb, body_len)
+
+
+def _parse_dictionary_batch(meta: bytes) -> dict:
+    """DictionaryBatch message -> {id, is_delta, rb} where ``rb`` is
+    the embedded RecordBatch (one column: the dictionary values)."""
+    fb = _FB(meta)
+    msg = fb.root()
+    ht_p = fb.field(msg, 1)
+    if ht_p is None or fb.u8(ht_p) != 2:
+        raise ValueError("not an arrow DictionaryBatch message")
+    body_p = fb.field(msg, 3)
+    body_len = fb.i64(body_p) if body_p is not None else 0
+    db = fb.indirect(fb.field(msg, 2))
+    id_p = fb.field(db, 0)
+    data_p = fb.field(db, 1)
+    if data_p is None:
+        raise ValueError("arrow DictionaryBatch carries no data")
+    delta_p = fb.field(db, 2)
+    return {
+        "id": fb.i64(id_p) if id_p is not None else 0,
+        "is_delta": bool(fb.u8(delta_p)) if delta_p is not None
+        else False,
+        "rb": _rb_table(fb, fb.indirect(data_p), body_len),
+    }
+
+
+def _rb_table(fb: _FB, rb: int, body_len: int) -> dict:
     len_p = fb.field(rb, 0)
     n_rows = fb.i64(len_p) if len_p is not None else 0
     nodes = []
@@ -318,11 +385,39 @@ def _prim_values(field: dict, buf: bytes, n: int) -> list:
     raise NotImplementedError(f"arrow type {t} not supported")
 
 
-def decode_batch(fields: list[dict], meta: bytes,
-                 body: bytes) -> dict:
+def decode_batch(fields: list[dict], meta: bytes, body: bytes,
+                 dicts: dict | None = None) -> dict:
     """One RecordBatch -> {column: [python values]} following the
-    spec's depth-first buffer layout."""
-    rb = _parse_record_batch(meta)
+    spec's depth-first buffer layout.  ``dicts`` maps dictionary ids
+    to already-delivered value lists (from DictionaryBatch messages)
+    for dictionary-encoded fields."""
+    return _decode_columns(fields, _parse_record_batch(meta), body,
+                           dicts or {})
+
+
+def apply_dictionary_batch(fields: list[dict], meta: bytes,
+                           body: bytes, dicts: dict) -> None:
+    """Decode one DictionaryBatch and install/extend its values in
+    ``dicts`` (replacement unless isDelta, per the spec)."""
+    db = _parse_dictionary_batch(meta)
+    specs = {f["dictionary"]["id"]: f for f in fields
+             if f.get("dictionary")}
+    spec = specs.get(db["id"])
+    if spec is None:
+        raise ValueError(
+            f"arrow DictionaryBatch id {db['id']} matches no "
+            "dictionary-encoded schema field")
+    vfield = dict(spec, dictionary=None)
+    cols = _decode_columns([vfield], db["rb"], body, {})
+    values = cols[vfield["name"]]
+    if db["is_delta"] and db["id"] in dicts:
+        dicts[db["id"]] = dicts[db["id"]] + values
+    else:
+        dicts[db["id"]] = values
+
+
+def _decode_columns(fields: list[dict], rb: dict, body: bytes,
+                    dicts: dict) -> dict:
     n = rb["n_rows"]
     codec = rb["codec"]
     bi = 0
@@ -354,7 +449,27 @@ def decode_batch(fields: list[dict], meta: bytes,
                 f"batch rows {n}")
         valid = _validity(take_buf(), n, null_count)
         t = field["type"]
-        if t in ("Utf8", "Binary"):
+        if field.get("dictionary"):
+            enc = field["dictionary"]
+            values = dicts.get(enc["id"])
+            if values is None:
+                raise ValueError(
+                    f"arrow batch uses dictionary {enc['id']} before "
+                    "any DictionaryBatch delivered it")
+            idx_field = {"name": field["name"], "type": "Int",
+                         "bits": enc["bits"], "signed": enc["signed"]}
+            raw = _prim_values(idx_field, take_buf(), n)
+            vals = []
+            for ok, ix in zip(valid, raw):
+                if not ok:
+                    vals.append(None)
+                    continue
+                if ix < 0 or ix >= len(values):
+                    raise ValueError(
+                        f"arrow dictionary index {ix} outside the "
+                        f"{len(values)}-entry dictionary")
+                vals.append(values[ix])
+        elif t in ("Utf8", "Binary"):
             offs_b = take_buf()
             if len(offs_b) < 4 * (n + 1):
                 raise ValueError("arrow offsets buffer too short")
@@ -440,16 +555,404 @@ def ipc_read(blob: bytes) -> dict:
     {name: [values]}, "n_batches": int}."""
     fields = None
     cols: dict = {}
+    dicts: dict = {}
     n_batches = 0
     for meta, body in ipc_messages(blob):
         if fields is None:
             fields = parse_schema(meta)
             cols = {f["name"]: [] for f in fields}
             continue
-        batch = decode_batch(fields, meta, body)
+        if message_header_type(meta) == 2:
+            apply_dictionary_batch(fields, meta, body, dicts)
+            continue
+        batch = decode_batch(fields, meta, body, dicts)
         for k, v in batch.items():
             cols[k].extend(v)
         n_batches += 1
     if fields is None:
         raise ValueError("arrow blob carries no schema message")
     return {"fields": fields, "columns": cols, "n_batches": n_batches}
+
+
+# ---------------------------------------------------------------------------
+# Write side (round 13): the mirror of the walker above.  Emits the
+# encapsulated-message framing, Schema/RecordBatch flatbuffers via a
+# minimal from-spec FlatBuffers BUILDER, optional LZ4_FRAME/ZSTD body
+# compression through the repo's own encoders, and the File.fbs
+# Footer for the file format.  pyarrow reads every byte this emits
+# (tests/test_arrow_ipc.py) — the adversarial direction.
+# ---------------------------------------------------------------------------
+
+
+class _Chunk:
+    __slots__ = ("data", "align", "refs", "addr")
+
+    def __init__(self, align: int):
+        self.data = bytearray()
+        self.align = align
+        # (pos_in_chunk, target_chunk, kind, delta); kind "u" stores
+        # the forward uoffset target+delta-here, "s" the vtable
+        # soffset here-target.
+        self.refs: list = []
+        self.addr = 0
+
+
+class _FBBuilder:
+    """Minimal from-spec FlatBuffers emitter.  Chunks are created
+    leaf-first and laid out in REVERSE creation order, so every
+    uoffset reference (always to an earlier-created chunk) lands
+    forward, and every scalar keeps absolute alignment (chunk
+    alignment >= widest member) — the properties the reference
+    verifier checks."""
+
+    _SIZES = {"u8": 1, "i8": 1, "i16": 2, "i32": 4, "i64": 8,
+              "ref": 4}
+    _FMTS = {"u8": "<B", "i8": "<b", "i16": "<h", "i32": "<i",
+             "i64": "<q"}
+
+    def __init__(self):
+        self.chunks: list[_Chunk] = []
+
+    def _chunk(self, align: int) -> _Chunk:
+        c = _Chunk(align)
+        self.chunks.append(c)
+        return c
+
+    def string(self, s: str) -> _Chunk:
+        c = self._chunk(4)
+        raw = s.encode("utf-8")
+        c.data += struct.pack("<I", len(raw)) + raw + b"\0"
+        return c
+
+    def table(self, slots: list) -> _Chunk:
+        """``slots``: (slot_idx, kind, value) triples; ``ref`` values
+        are a chunk or a (chunk, delta) pair.  Emits the table chunk
+        plus its vtable, wired through the leading soffset."""
+        t = self._chunk(8)
+        t.data += b"\0\0\0\0"  # soffset to vtable, patched at finish
+        offsets: dict[int, int] = {}
+        for idx, kind, val in sorted(
+                slots, key=lambda s: -self._SIZES[s[1]]):
+            sz = self._SIZES[kind]
+            while len(t.data) % sz:
+                t.data += b"\0"
+            offsets[idx] = len(t.data)
+            if kind == "ref":
+                target, delta = (val if isinstance(val, tuple)
+                                 else (val, 0))
+                t.refs.append((len(t.data), target, "u", delta))
+                t.data += b"\0\0\0\0"
+            else:
+                t.data += struct.pack(self._FMTS[kind], val)
+        n_slots = (max(offsets) + 1) if offsets else 0
+        vt = self._chunk(2)
+        vt.data += struct.pack("<HH", 4 + 2 * n_slots, len(t.data))
+        for i in range(n_slots):
+            vt.data += struct.pack("<H", offsets.get(i, 0))
+        t.refs.append((0, vt, "s", 0))
+        return t
+
+    def vec_refs(self, targets: list[_Chunk]) -> _Chunk:
+        c = self._chunk(4)
+        c.data += struct.pack("<I", len(targets))
+        for t in targets:
+            c.refs.append((len(c.data), t, "u", 0))
+            c.data += b"\0\0\0\0"
+        return c
+
+    def vec_structs(self, packed: bytes, n: int) -> _Chunk:
+        """Vector of 8-aligned inline structs: 4 leading pad bytes so
+        the count sits at +4 and elements at +8.  Reference it with
+        delta=4."""
+        c = self._chunk(8)
+        c.data += b"\0\0\0\0" + struct.pack("<I", n) + packed
+        return c
+
+    def finish(self, root: _Chunk) -> bytes:
+        pos = 4  # root uoffset
+        for c in reversed(self.chunks):
+            pos += (-pos) % c.align
+            c.addr = pos
+            pos += len(c.data)
+        buf = bytearray(pos)
+        struct.pack_into("<I", buf, 0, root.addr)
+        for c in self.chunks:
+            buf[c.addr:c.addr + len(c.data)] = c.data
+            for off, target, kind, delta in c.refs:
+                here = c.addr + off
+                if kind == "u":
+                    val = target.addr + delta - here
+                    if val <= 0:
+                        raise ValueError(
+                            "flatbuffer uoffset would point backward")
+                    struct.pack_into("<I", buf, here, val)
+                else:
+                    struct.pack_into("<i", buf, here,
+                                     here - target.addr)
+        return bytes(buf)
+
+
+#: Schema.fbs Type union tags for emission (inverse of _TYPE_NAMES)
+_TYPE_TAGS = {"Int": 2, "FloatingPoint": 3, "Binary": 4, "Utf8": 5,
+              "Bool": 6, "Date": 8, "Timestamp": 10, "List": 12}
+
+_WRITABLE_LIST_CHILDREN = ("Int", "FloatingPoint", "Bool", "Date",
+                           "Timestamp")
+
+
+def _field_chunk(b: _FBBuilder, f: dict) -> _Chunk:
+    if f.get("dictionary"):
+        raise NotImplementedError(
+            "arrow dictionary-encoded write not supported "
+            "(plain columns are; the reader side decodes them)")
+    t = f["type"]
+    name = b.string(f.get("name", ""))
+    children = None
+    if t == "Int":
+        tc = b.table([(0, "i32", f["bits"]),
+                      (1, "u8", 1 if f.get("signed", True) else 0)])
+    elif t == "FloatingPoint":
+        tc = b.table([(0, "i16", f.get("precision", 2))])
+    elif t == "Date":
+        if f.get("unit", 0) != 0:
+            raise NotImplementedError(
+                "arrow date64 write not supported (date32 is)")
+        tc = b.table([(0, "i16", 0)])
+    elif t == "Timestamp":
+        tc = b.table([(0, "i16", f.get("unit", 2))])
+    elif t in ("Utf8", "Binary", "Bool"):
+        tc = b.table([])
+    elif t == "List":
+        if len(f.get("children") or []) != 1:
+            raise ValueError("arrow List field needs one child")
+        child = f["children"][0]
+        if child["type"] not in _WRITABLE_LIST_CHILDREN:
+            raise NotImplementedError(
+                f"arrow list<{child['type']}> write not supported "
+                "(one LIST level of fixed-width primitives is)")
+        cc = _field_chunk(b, child)
+        tc = b.table([])
+        children = b.vec_refs([cc])
+    else:
+        raise NotImplementedError(f"arrow type {t} write not supported")
+    slots = [(0, "ref", name),
+             (1, "u8", 1 if f.get("nullable", True) else 0),
+             (2, "u8", _TYPE_TAGS[t]),
+             (3, "ref", tc)]
+    if children is not None:
+        slots.append((5, "ref", children))
+    return b.table(slots)
+
+
+def _schema_chunk(b: _FBBuilder, fields: list[dict]) -> _Chunk:
+    fcs = [_field_chunk(b, f) for f in fields]
+    return b.table([(1, "ref", b.vec_refs(fcs))])
+
+
+def _schema_meta(fields: list[dict]) -> bytes:
+    b = _FBBuilder()
+    schema = _schema_chunk(b, fields)
+    msg = b.table([(0, "i16", 4),  # MetadataVersion V5
+                   (1, "u8", 1),   # MessageHeader.Schema
+                   (2, "ref", schema),
+                   (3, "i64", 0)])
+    return b.finish(msg)
+
+
+def _batch_meta(n_rows: int, nodes: list, buffers: list,
+                codec: int | None, body_len: int) -> bytes:
+    b = _FBBuilder()
+    nvec = b.vec_structs(
+        b"".join(struct.pack("<qq", ln, nc) for ln, nc in nodes),
+        len(nodes))
+    bvec = b.vec_structs(
+        b"".join(struct.pack("<qq", off, ln) for off, ln in buffers),
+        len(buffers))
+    slots = [(0, "i64", n_rows), (1, "ref", (nvec, 4)),
+             (2, "ref", (bvec, 4))]
+    if codec is not None:
+        slots.append((3, "ref", b.table([(0, "i8", codec)])))
+    rb = b.table(slots)
+    msg = b.table([(0, "i16", 4),
+                   (1, "u8", 3),  # MessageHeader.RecordBatch
+                   (2, "ref", rb),
+                   (3, "i64", body_len)])
+    return b.finish(msg)
+
+
+def _enc_validity(vals: list) -> tuple[bytes, int]:
+    nc = sum(1 for v in vals if v is None)
+    if nc == 0:
+        return b"", 0
+    bm = bytearray((len(vals) + 7) // 8)
+    for i, v in enumerate(vals):
+        if v is not None:
+            bm[i >> 3] |= 1 << (i & 7)
+    return bytes(bm), nc
+
+
+def _enc_prim(field: dict, vals: list) -> bytes:
+    t = field["type"]
+    filled = [0 if v is None else v for v in vals]
+    if t == "Int":
+        code = {8: "b", 16: "h", 32: "i", 64: "q"}.get(field["bits"])
+        if code is None:
+            raise NotImplementedError(
+                f"arrow int{field['bits']} write not supported")
+        if not field.get("signed", True):
+            code = code.upper()
+        return struct.pack(f"<{len(vals)}{code}", *filled)
+    if t == "FloatingPoint":
+        code = "f" if field.get("precision", 2) == 1 else "d"
+        return struct.pack(f"<{len(vals)}{code}",
+                           *[float(v) for v in filled])
+    if t == "Bool":
+        bm = bytearray((len(vals) + 7) // 8)
+        for i, v in enumerate(vals):
+            if v:
+                bm[i >> 3] |= 1 << (i & 7)
+        return bytes(bm)
+    if t == "Date":
+        return struct.pack(f"<{len(vals)}i", *filled)
+    if t == "Timestamp":
+        return struct.pack(f"<{len(vals)}q", *filled)
+    raise NotImplementedError(f"arrow type {t} write not supported")
+
+
+def _enc_offsets(lengths: list[int]) -> bytes:
+    offs = [0]
+    for ln in lengths:
+        offs.append(offs[-1] + ln)
+    if offs[-1] > (1 << 31) - 1:
+        raise NotImplementedError(
+            "arrow 32-bit offsets overflow (LargeUtf8/LargeBinary "
+            "write not supported)")
+    return struct.pack(f"<{len(offs)}i", *offs)
+
+
+def _enc_column(field: dict, vals: list) -> tuple[list, list]:
+    """-> (field_nodes, raw_buffers), depth-first per the spec."""
+    vb, nc = _enc_validity(vals)
+    nodes = [(len(vals), nc)]
+    bufs = [vb]
+    t = field["type"]
+    if t in ("Utf8", "Binary"):
+        payloads = [b"" if v is None else
+                    (v.encode("utf-8") if t == "Utf8" else bytes(v))
+                    for v in vals]
+        bufs.append(_enc_offsets([len(p) for p in payloads]))
+        bufs.append(b"".join(payloads))
+    elif t == "List":
+        child = field["children"][0]
+        flat: list = []
+        lens = []
+        for v in vals:
+            if v is None:
+                lens.append(0)
+            else:
+                flat.extend(v)
+                lens.append(len(v))
+        bufs.append(_enc_offsets(lens))
+        cn, cb = _enc_column(child, flat)
+        nodes.extend(cn)
+        bufs.extend(cb)
+    else:
+        bufs.append(_enc_prim(field, vals))
+    return nodes, bufs
+
+
+def _enc_batch(fields: list[dict], columns: dict, lo: int, hi: int,
+               compression: str | None) -> tuple[bytes, bytes]:
+    nodes: list = []
+    raw: list = []
+    for f in fields:
+        n, bs = _enc_column(f, columns[f["name"]][lo:hi])
+        nodes.extend(n)
+        raw.extend(bs)
+    codec = {None: None, "lz4": 0, "zstd": 1}[compression]
+    body = bytearray()
+    bufmeta = []
+    for b0 in raw:
+        if codec is not None and b0:
+            if codec == 0:
+                from modeltracking_spark.operators.lz4 import (
+                    lz4_frame_compress,
+                )
+
+                frame = lz4_frame_compress(bytes(b0))
+            else:
+                from modeltracking_spark.operators.zstd import (
+                    zstd_compress,
+                )
+
+                frame = zstd_compress(bytes(b0))
+            if len(frame) + 8 < len(b0):
+                stored = struct.pack("<q", len(b0)) + frame
+            else:  # spec: -1 prefix = stored uncompressed
+                stored = struct.pack("<q", -1) + b0
+        else:
+            stored = b0
+        while len(body) % 8:
+            body += b"\0"
+        bufmeta.append((len(body), len(stored)))
+        body += stored
+    while len(body) % 8:
+        body += b"\0"
+    meta = _batch_meta(hi - lo, nodes, bufmeta, codec, len(body))
+    return meta, bytes(body)
+
+
+def _frame(meta: bytes, body: bytes) -> bytes:
+    pad = (-len(meta)) % 8
+    return (struct.pack("<Ii", _CONT, len(meta) + pad) + meta
+            + b"\0" * pad + body)
+
+
+def _footer_fb(fields: list[dict], blocks: list) -> bytes:
+    b = _FBBuilder()
+    schema = _schema_chunk(b, fields)
+    packed = b"".join(struct.pack("<qi4xq", off, mlen, blen)
+                      for off, mlen, blen in blocks)
+    rvec = b.vec_structs(packed, len(blocks))
+    footer = b.table([(0, "i16", 4), (1, "ref", schema),
+                      (3, "ref", (rvec, 4))])
+    return b.finish(footer)
+
+
+def ipc_write(fields: list[dict], columns: dict, *,
+              fmt: str = "stream", compression: str | None = None,
+              max_chunksize: int = 4096) -> bytes:
+    """Columns -> Arrow IPC bytes.  ``fields`` uses the same spec
+    dicts ``parse_schema`` emits ({name, type, nullable, bits/signed/
+    precision/unit, children}); ``columns`` maps name -> python list.
+    ``fmt``: "stream" or "file"; ``compression``: None | "lz4" |
+    "zstd" (the repo's own encoders)."""
+    if fmt not in ("stream", "file"):
+        raise ValueError(f"unknown arrow ipc format {fmt!r}")
+    if compression not in (None, "lz4", "zstd"):
+        raise NotImplementedError(
+            f"arrow body compression {compression!r} not supported")
+    if not fields:
+        raise ValueError("arrow schema needs at least one field")
+    if max_chunksize < 1:
+        raise ValueError("max_chunksize must be positive")
+    lens = {f["name"]: len(columns[f["name"]]) for f in fields}
+    if len(set(lens.values())) > 1:
+        raise ValueError(f"ragged arrow columns: {lens}")
+    n = next(iter(lens.values()))
+    out = bytearray()
+    if fmt == "file":
+        out += b"ARROW1\0\0"
+    out += _frame(_schema_meta(fields), b"")
+    blocks = []
+    for lo in range(0, n, max_chunksize):
+        hi = min(lo + max_chunksize, n)
+        meta, body = _enc_batch(fields, columns, lo, hi, compression)
+        mlen = 8 + len(meta) + ((-len(meta)) % 8)
+        blocks.append((len(out), mlen, len(body)))
+        out += _frame(meta, body)
+    out += struct.pack("<Ii", _CONT, 0)  # end-of-stream marker
+    if fmt == "file":
+        footer = _footer_fb(fields, blocks)
+        out += footer + struct.pack("<i", len(footer)) + b"ARROW1"
+    return bytes(out)

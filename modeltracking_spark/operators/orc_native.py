@@ -878,10 +878,10 @@ def read_stripe(fh, footer: dict, stripe_index: int,
                     nanos *= 10 ** (zeros + 1)
                 if not -999_999_999 <= nanos <= 999_999_999:
                     raise ValueError("ORC timestamp nanos out of range")
-                if nanos % 1000:
-                    raise NotImplementedError(
-                        "sub-microsecond ORC timestamps not supported "
-                        "(micros is the engine's timestamp grain)")
+                # sub-microsecond payloads (round 13): FLOOR to the
+                # engine's micros grain — nanos//1000 is floor for
+                # both sign conventions, matching pyarrow's ns values
+                # floor-divided by 1000 (pinned in tests)
                 abs_s = 1420070400 + s
                 if abs_s < 0 and nanos > 999_999:
                     abs_s -= 1

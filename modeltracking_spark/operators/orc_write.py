@@ -15,11 +15,12 @@ The writer emits RLEv1 (ColumnEncoding DIRECT) by default — spec-
 legal and universally readable — or, with ``rle_version=2``, modern
 RLEv2 streams (SHORT_REPEAT + DIRECT sub-encodings, ColumnEncoding
 DIRECT_V2); the reader side handles v1 and all four RLEv2
-sub-encodings.  Pre-1970 timestamps are a typed reject: the
-reference writers genuinely disagree on the sub-second convention
-below zero (see the reader's derivation notes), so refusing loudly
-beats emitting bytes that round-trip differently under different
-readers.
+sub-encodings.  Pre-1970 timestamps (round 13) follow the ORC C++
+writer's convention — seconds truncated toward zero, SIGNED
+sub-second nanos as a two's-complement pattern in the unsigned
+SECONDARY stream — the one the reference C++ reader (and this
+repo's) decodes without the Java borrow repair; pyarrow round-trips
+the bytes across 1899/1960/2262 in tests.
 """
 
 from __future__ import annotations
@@ -528,30 +529,36 @@ def _encode_column(kind: str, present_vals: list,
                                   signed=True),
         }
     if kind == "TIMESTAMP":
+        # Pre-1970 (round 13, VERDICT r12 item 4): the ORC C++ writer
+        # convention — seconds TRUNCATED TOWARD ZERO relative to the
+        # 2015 epoch, sub-second nanos carry the SIGNED remainder and
+        # land in the unsigned SECONDARY stream as their 64-bit
+        # two's-complement pattern (the branch this repo's reader has
+        # pinned against pyarrow.orc fixtures since r11).  Round-trip
+        # proven by pyarrow READING these bytes across 1899/1960/2262
+        # in tests/test_orc_write.py.
         secs, nanos = [], []
         for us in present_vals:
             us = int(us)
-            if us < 0:
-                raise NotImplementedError(
-                    "pre-1970 ORC timestamps are a writer plug-in "
-                    "reject: the reference writers disagree on the "
-                    "sub-second convention below zero (the READER "
-                    "handles both; writing either would round-trip "
-                    "differently under different readers)")
-            s, rem = divmod(us, 1_000_000)
-            secs.append(s - _ORC_EPOCH)
-            ns = rem * 1000
+            s_abs = us // 1_000_000
+            r = us - s_abs * 1_000_000
+            if us < 0 and r:
+                s_abs += 1          # trunc toward zero
+                r -= 1_000_000      # signed sub-second remainder
+            secs.append(s_abs - _ORC_EPOCH)
+            ns = r * 1000
             if ns == 0:
                 nanos.append(0)
+                continue
+            z = 0
+            while ns % 10 == 0 and z < 8:
+                ns //= 10
+                z += 1
+            if z >= 2:
+                enc = (ns << 3) | (z - 1)
             else:
-                z = 0
-                while ns % 10 == 0 and z < 8:
-                    ns //= 10
-                    z += 1
-                if z >= 2:
-                    nanos.append((ns << 3) | (z - 1))
-                else:
-                    nanos.append((ns * 10 ** z) << 3)
+                enc = (ns * 10 ** z) << 3
+            nanos.append(enc & ((1 << 64) - 1))
         return {
             "DATA": _int_rle(secs, signed=True),
             "SECONDARY": _int_rle(nanos, signed=False),
@@ -567,7 +574,9 @@ class OrcFileWriter:
 
     ``schema`` is ``[(name, type, nullable), ...]`` with type one of
     boolean/int32/int64/float/double/string/binary/timestamp
-    (timestamps are epoch MICROS, the engine's grain; >= 1970 only)
+    (timestamps are epoch MICROS, the engine's grain; pre-1970
+    values use the ORC C++ writer's trunc-toward-zero + signed-nanos
+    convention since round 13)
     or ``list<element>`` of any of those (append ``?`` for nullable
     elements, e.g. ``list<float?>`` — the array<float> embedding
     shape; one nested level, like the reader).  ``None`` values emit
@@ -648,7 +657,7 @@ class OrcFileWriter:
                 kk = "DECIMAL" if kdec else _LOGICAL.get(ktyp)
                 vdec = _dec_parse(vtyp)
                 vk = "DECIMAL" if vdec else _LOGICAL.get(vtyp)
-                if kk is None or vk is None or "TIMESTAMP" in (kk, vk):
+                if kk is None or vk is None:
                     raise NotImplementedError(
                         f"ORC write map type {typ!r} not supported")
                 fields.append({

@@ -4077,6 +4077,147 @@ def arrow_ipc_roundtrip_docs(spark: SparkSession,
 
 
 @query(
+    "arrow_ipc_write_roundtrip_docs",
+    oracle="""
+    SELECT doc_id,
+           length(text)::BIGINT AS text_len,
+           lang,
+           n_chars
+    FROM documents
+    """,
+)
+def arrow_ipc_write_roundtrip_docs(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Round-13 WRITE arm of the Arrow IPC tier (VERDICT r12 item 2;
+    operators/arrow_ipc.py ``ipc_write`` — encapsulated-message
+    framing, Schema/RecordBatch flatbuffers emitted by the from-spec
+    ``_FBBuilder``, File-format Footer, ZSTD buffer bodies via the
+    repo's own encoder).  The ADVERSARIAL direction of
+    ``arrow_ipc_roundtrip_docs``: each Arrow batch of the documents
+    table is serialized by the ENGINE's writer in the FILE format
+    with zstd body compression, and PYARROW ITSELF (the reference
+    implementation, including its flatbuffers verifier) reads the
+    bytes back; outputs re-derive from the PYARROW-decoded values so
+    any vtable/alignment/offset/Footer drift breaks the oracle hash.
+    Narrow mapInPandas, shuffle-free; blobs never leave the executor.
+    Cross-reader batteries (stream+file x none/lz4/zstd, null
+    extremes, typed rejects, writer-bytes mutation fuzz) in
+    tests/test_arrow_ipc.py."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars")
+
+    def kernel(batches):
+        import io
+
+        import pandas as pd
+        import pyarrow.ipc as paipc
+
+        from modeltracking_spark.operators.arrow_ipc import ipc_write
+
+        fields = [
+            {"name": "doc_id", "type": "Int", "bits": 64,
+             "signed": True},
+            {"name": "text", "type": "Utf8"},
+            {"name": "lang", "type": "Utf8"},
+            {"name": "n_chars", "type": "Int", "bits": 64,
+             "signed": True},
+        ]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cols = {
+                "doc_id": [int(v) for v in pdf["doc_id"]],
+                "text": list(pdf["text"]),
+                "lang": list(pdf["lang"]),
+                "n_chars": [int(v) for v in pdf["n_chars"]],
+            }
+            blob = ipc_write(fields, cols, fmt="file",
+                             compression="zstd", max_chunksize=512)
+            t = paipc.open_file(io.BytesIO(blob)).read_all()
+            if t.num_rows != len(pdf):
+                raise ValueError("arrow ipc write roundtrip lost rows")
+            yield pd.DataFrame({
+                "doc_id": t.column("doc_id").to_pylist(),
+                "text_len": [None if s is None else len(s)
+                             for s in t.column("text").to_pylist()],
+                "lang": t.column("lang").to_pylist(),
+                "n_chars": t.column("n_chars").to_pylist(),
+            })
+
+    return d.mapInPandas(kernel, "doc_id bigint, text_len bigint, "
+                                 "lang string, n_chars bigint")
+
+
+@query(
+    "arrow_ipc_dict_scan_docs",
+    oracle="""
+    SELECT doc_id,
+           lang,
+           source,
+           length(text)::BIGINT AS text_len
+    FROM documents
+    """,
+)
+def arrow_ipc_dict_scan_docs(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Round-13 dictionary-encoded READ arm of the Arrow IPC tier
+    (VERDICT r12 item 2 / "What's missing" #1: dictionary-encoded
+    strings are pandas/polars' default for categoricals, so this is
+    the first shape a real feather/IPC scan hits).  Each Arrow batch
+    of the documents table is serialized by PYARROW with ``lang`` and
+    ``source`` DICTIONARY-ENCODED (int8/int16 indices — both widths
+    exercised) and delta emission enabled; the from-spec reader
+    resolves the DictionaryEncoding index types from the Schema,
+    decodes the DictionaryBatch value payloads, and maps index
+    columns through them (operators/arrow_ipc.py
+    ``apply_dictionary_batch``).  Outputs re-derive from the DECODED
+    values.  Narrow mapInPandas, shuffle-free.  Index-width, delta,
+    file-format and reject batteries in tests/test_arrow_ipc.py."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source")
+
+    def kernel(batches):
+        import io
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.ipc as paipc
+
+        from modeltracking_spark.operators.arrow_ipc import ipc_read
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            t = pa.table({
+                "doc_id": pa.array(pdf["doc_id"], pa.int64()),
+                "text": pa.array(pdf["text"], pa.string()),
+                "lang": pa.array(pdf["lang"]).dictionary_encode()
+                .cast(pa.dictionary(pa.int8(), pa.string())),
+                "source": pa.array(pdf["source"]).dictionary_encode()
+                .cast(pa.dictionary(pa.int16(), pa.string())),
+            })
+            buf = io.BytesIO()
+            opts = paipc.IpcWriteOptions(
+                emit_dictionary_deltas=True)
+            with paipc.new_stream(buf, t.schema, options=opts) as w:
+                w.write_table(t, max_chunksize=256)
+            got = ipc_read(buf.getvalue())
+            cols = got["columns"]
+            if len(cols["doc_id"]) != len(pdf):
+                raise ValueError("arrow dict scan lost rows")
+            yield pd.DataFrame({
+                "doc_id": cols["doc_id"],
+                "lang": cols["lang"],
+                "source": cols["source"],
+                "text_len": [None if s is None else len(s)
+                             for s in cols["text"]],
+            })
+
+    return d.mapInPandas(kernel, "doc_id bigint, lang string, "
+                                 "source string, text_len bigint")
+
+
+@query(
     "safetensors_roundtrip_embeddings",
     oracle="""
     SELECT vec_id,

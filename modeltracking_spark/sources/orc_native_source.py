@@ -469,9 +469,11 @@ def _orc_sink_schema(schema) -> list[tuple]:
     """Spark StructType -> the ORC writer's (name, type, nullable).
     Fully recursive since round 12: arrays/structs/maps compose to
     any depth — one-level shapes keep their dedicated writer paths.
-    Timestamps and dates are TOP-LEVEL-only (the epoch-micros
-    convert_value hook keys off the top-level type string; nested
-    instants would bypass it, so they stay loud rejects)."""
+    Timestamps and dates nest freely since round 13 (VERDICT r12
+    item 4): the epoch-micros/epoch-days conversion routes through
+    the recursive converter compiled from the type string
+    (``_instant_converter``), so nested instants no longer bypass
+    it."""
     from pyspark.sql import types as t
 
     base = {t.BooleanType: "boolean", t.IntegerType: "int32",
@@ -480,7 +482,7 @@ def _orc_sink_schema(schema) -> list[tuple]:
             t.BinaryType: "binary", t.TimestampType: "timestamp",
             t.DateType: "date"}
 
-    def _type_str(dt, top: bool = False) -> str:
+    def _type_str(dt) -> str:
         if isinstance(dt, t.DecimalType):
             return f"decimal({dt.precision},{dt.scale})"
         if isinstance(dt, t.ArrayType):
@@ -499,14 +501,92 @@ def _orc_sink_schema(schema) -> list[tuple]:
                     f"{sf.name}:{st}{'?' if sf.nullable else ''}")
             return f"struct<{','.join(parts)}>"
         tp = base.get(type(dt))
-        if tp is None or (not top and tp in ("timestamp", "date")):
+        if tp is None:
             raise NotImplementedError(
-                f"orc_native sink: type {dt} not supported"
-                + ("" if top else " inside a nested column"))
+                f"orc_native sink: type {dt} not supported")
         return tp
 
-    return [(f.name, _type_str(f.dataType, top=True), f.nullable)
+    return [(f.name, _type_str(f.dataType), f.nullable)
             for f in schema.fields]
+
+
+def _ts_to_micros(v):
+    import datetime as dt
+
+    if isinstance(v, dt.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=dt.timezone.utc)
+        # integer arithmetic — float .timestamp() can lose a
+        # microsecond at large epochs
+        epoch = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+        return (v - epoch) // dt.timedelta(microseconds=1)
+    return int(v)
+
+
+def _date_to_days(v):
+    import datetime as dt
+
+    if isinstance(v, dt.date):
+        return (v - dt.date(1970, 1, 1)).days
+    return int(v)
+
+
+def _instant_converter(typ: str):
+    """Compile a type string into a value converter that rewrites
+    every timestamp -> epoch micros and date -> epoch days at any
+    nesting depth, following arrow's to_pydict shapes (struct=dict,
+    map=list of (k, v) pairs, list=list).  Returns None when the
+    type carries no instant anywhere — the identity fast path."""
+    from modeltracking_spark.operators.orc_write import _split_top
+
+    typ = typ.strip()
+    if typ.endswith("?"):
+        typ = typ[:-1]
+    if typ == "timestamp":
+        return _ts_to_micros
+    if typ == "date":
+        return _date_to_days
+    if typ.startswith("list<") and typ.endswith(">"):
+        inner = _instant_converter(typ[5:-1])
+        if inner is None:
+            return None
+        return lambda v: [None if x is None else inner(x) for x in v]
+    if typ.startswith("map<") and typ.endswith(">"):
+        kt, vt = _split_top(typ[4:-1])
+        kc = _instant_converter(kt)
+        vc = _instant_converter(vt)
+        if kc is None and vc is None:
+            return None
+        kc = kc or (lambda x: x)
+        vc = vc or (lambda x: x)
+
+        def conv_map(v):
+            items = v.items() if isinstance(v, dict) else v
+            return [(kc(k), None if x is None else vc(x))
+                    for k, x in items]
+
+        return conv_map
+    if typ.startswith("struct<") and typ.endswith(">"):
+        fields = []
+        for part in _split_top(typ[7:-1]):
+            part = part.strip()
+            if not part:
+                continue
+            fname, _, ftyp = part.partition(":")
+            fields.append((fname.strip(),
+                           _instant_converter(ftyp.strip())))
+        if all(c is None for _, c in fields):
+            return None
+
+        def conv_struct(v):
+            out = dict(v)
+            for fname, c in fields:
+                if c is not None and out.get(fname) is not None:
+                    out[fname] = c(out[fname])
+            return out
+
+        return conv_struct
+    return None
 
 
 
@@ -514,9 +594,10 @@ class _OrcSinkHooks:
     """Format half shared by the batch and streaming ORC sinks:
     executor-side from-spec encode, one file per task, a task
     buffering at most ONE stripe before its bytes stream to the temp
-    file; Spark TIMESTAMP values land as the format's
-    seconds-from-2015 + packed-nanos streams (pre-1970 rejects
-    loudly, see the writer)."""
+    file; Spark TIMESTAMP/DATE values — top-level or nested at any
+    depth — land as the format's seconds-from-2015 + packed-nanos /
+    epoch-days streams (pre-1970 follows the ORC C++ writer
+    convention since round 13)."""
 
     suffix = ".orc"
 
@@ -528,25 +609,14 @@ class _OrcSinkHooks:
                                           str(1 << 18)))
 
     def convert_value(self, typ: str, v):
-        if typ == "date":
-            import datetime as dt
-
-            if isinstance(v, dt.date):
-                return (v - dt.date(1970, 1, 1)).days
-            return int(v)
-        if typ == "timestamp":
-            import datetime as dt
-
-            if isinstance(v, dt.datetime):
-                if v.tzinfo is None:
-                    v = v.replace(tzinfo=dt.timezone.utc)
-                # integer arithmetic — float .timestamp() can lose a
-                # microsecond at large epochs
-                epoch = dt.datetime(1970, 1, 1,
-                                    tzinfo=dt.timezone.utc)
-                return (v - epoch) // dt.timedelta(microseconds=1)
-            return int(v)
-        return v
+        try:
+            conv = self._convs[typ]
+        except AttributeError:
+            self._convs = {}
+            conv = self._convs.setdefault(typ, _instant_converter(typ))
+        except KeyError:
+            conv = self._convs.setdefault(typ, _instant_converter(typ))
+        return v if conv is None else conv(v)
 
     def begin_file(self, fh):
         from modeltracking_spark.operators.orc_write import (

