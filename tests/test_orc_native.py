@@ -725,3 +725,144 @@ def test_bloom_filter_vs_spark_java_writer(spark, tmp_path):
     r2.pruning_filters = [EqualTo(("u",), val)]
     assert sum(len(p.value[1]) for p in r2.partitions()
                if p.value[1]) == 1
+
+
+# ---------------------------------------------------------------------------
+# Round 13: UNION — the last ORC type-tree arm.
+# ---------------------------------------------------------------------------
+
+def _union_file(tags, children, extra_cols=None):
+    arr = pa.UnionArray.from_dense(
+        pa.array(tags, pa.int8()),
+        pa.array(_dense_offsets(tags), pa.int32()),
+        children)
+    cols = {"u": arr}
+    cols.update(extra_cols or {})
+    buf = io.BytesIO()
+    po.write_table(pa.table(cols), buf)
+    return buf.getvalue()
+
+
+def _dense_offsets(tags):
+    seen: dict[int, int] = {}
+    offs = []
+    for t in tags:
+        offs.append(seen.get(t, 0))
+        seen[t] = offs[-1] + 1
+    return offs
+
+
+def _read_all(blob, cols=None):
+    fh = io.BytesIO(blob)
+    foot = orc_footer_from_file(fh)
+    out: dict = {}
+    for i in range(len(foot["stripes"])):
+        got = read_stripe(fh, foot, i, cols)
+        for k, v in got.items():
+            out.setdefault(k, []).extend(v)
+    return out
+
+
+def test_union_read_vs_pyarrow():
+    """Dense union written by the ORC C++ writer (via pyarrow):
+    tag stream + per-variant value recording decode to the
+    tagged-struct mapping, cross-checked against pyarrow's own
+    read-back of the same file."""
+    rng = random.Random(41)
+    n = 400
+    tags = [rng.randrange(3) for _ in range(n)]
+    ints, strs, floats = [], [], []
+    for t in tags:
+        if t == 0:
+            ints.append(rng.randrange(-10**12, 10**12))
+        elif t == 1:
+            strs.append("v%d" % rng.randrange(40)
+                        * rng.randrange(3))
+        else:
+            floats.append(None if rng.random() < 0.2
+                          else rng.random())
+    blob = _union_file(tags, [
+        pa.array(ints, pa.int64()), pa.array(strs, pa.string()),
+        pa.array(floats, pa.float64())])
+    got = _read_all(blob)["u"]
+    # reference read-back of the same bytes
+    ref = po.ORCFile(io.BytesIO(blob)).read().column("u").to_pylist()
+    ii = si = fi = 0
+    for i, t in enumerate(tags):
+        rec = got[i]
+        assert rec["tag"] == t
+        vals = [rec.get(f"field{k}") for k in range(3)]
+        assert [k for k, v in enumerate(vals)
+                if k == t or v is None or k != t] == [0, 1, 2]
+        if t == 0:
+            assert vals == [ints[ii], None, None]
+            ii += 1
+        elif t == 1:
+            assert vals == [None, strs[si], None]
+            si += 1
+        else:
+            assert vals == [None, None, floats[fi]]
+            fi += 1
+        assert ref[i] == (vals[t] if t != 2 else vals[2])
+
+
+def test_union_nested_positions():
+    """Unions inside struct fields and list elements route through
+    the general nested tree."""
+    u = pa.UnionArray.from_dense(
+        pa.array([0, 1, 0], pa.int8()),
+        pa.array([0, 0, 1], pa.int32()),
+        [pa.array([1.5, 2.5], pa.float64()),
+         pa.array([True], pa.bool_())])
+    st = pa.StructArray.from_arrays([u], ["inner"])
+    buf = io.BytesIO()
+    po.write_table(pa.table({"s": st}), buf)
+    got = _read_all(buf.getvalue())["s"]
+    assert got == [
+        {"inner": {"tag": 0, "field0": 1.5, "field1": None}},
+        {"inner": {"tag": 1, "field0": None, "field1": True}},
+        {"inner": {"tag": 0, "field0": 2.5, "field1": None}}]
+    lu = pa.ListArray.from_arrays(pa.array([0, 2, 3], pa.int32()), u)
+    buf2 = io.BytesIO()
+    po.write_table(pa.table({"l": lu}), buf2)
+    got2 = _read_all(buf2.getvalue())["l"]
+    assert got2 == [
+        [{"tag": 0, "field0": 1.5, "field1": None},
+         {"tag": 1, "field0": None, "field1": True}],
+        [{"tag": 0, "field0": 2.5, "field1": None}]]
+
+
+def test_union_tag_out_of_range_rejects():
+    """A tag byte >= the variant count is malformed, not an
+    IndexError."""
+    blob = _union_file([0, 1, 0], [
+        pa.array([1, 2], pa.int64()), pa.array(["x"], pa.string())])
+    # locate the tag byte-RLE: flip a 1 tag to 7 by brute mutation —
+    # every mutant must either decode or raise the typed errors
+    base = bytearray(blob)
+    rng = random.Random(17)
+    saw_tag_reject = False
+    for _ in range(300):
+        b = bytearray(base)
+        b[rng.randrange(len(b))] ^= rng.randrange(1, 256)
+        try:
+            _read_all(bytes(b))
+        except (ValueError, NotImplementedError) as exc:
+            saw_tag_reject |= "union tag" in str(exc)
+        except KeyError:
+            pass  # protobuf field censored by the mutation
+    # the targeted check: shrink the parsed variant list so the
+    # stored tag 1 lands out of range — must be the typed reject
+    fh = io.BytesIO(blob)
+    foot = orc_footer_from_file(fh)
+    (ucol,) = [c for c in foot["columns"] if c["name"] == "u"]
+    ucol["tree"]["variants"] = ucol["tree"]["variants"][:1]
+    with pytest.raises(ValueError, match="union tag"):
+        _read_all_from(fh, foot)
+
+
+def _read_all_from(fh, foot):
+    out = []
+    for i in range(len(foot["stripes"])):
+        out.append(read_stripe(fh, foot, i))
+    return out
