@@ -15,12 +15,14 @@ The writer emits RLEv1 (ColumnEncoding DIRECT) by default — spec-
 legal and universally readable — or, with ``rle_version=2``, modern
 RLEv2 streams (SHORT_REPEAT + DIRECT sub-encodings, ColumnEncoding
 DIRECT_V2); the reader side handles v1 and all four RLEv2
-sub-encodings.  Pre-1970 timestamps (round 13) follow the ORC C++
-writer's convention — seconds truncated toward zero, SIGNED
-sub-second nanos as a two's-complement pattern in the unsigned
-SECONDARY stream — the one the reference C++ reader (and this
-repo's) decodes without the Java borrow repair; pyarrow round-trips
-the bytes across 1899/1960/2262 in tests.
+sub-encodings.  Pre-1970 timestamps (round 13) follow the ORC JAVA
+writer's convention — floor seconds, positive nanos, one-second
+bump when seconds < 0 and nanos pass the millisecond boundary —
+because the JVM reader rejects the C++ signed-nanos shape while the
+C++ reader accepts the Java one; pyarrow, Spark's JVM reader and
+the repo's own reader round-trip the bytes across 1899/1960/2262 in
+tests.  The (-1 s, 0) sub-second window no convention round-trips
+stays a typed reject.
 """
 
 from __future__ import annotations
@@ -529,24 +531,39 @@ def _encode_column(kind: str, present_vals: list,
                                   signed=True),
         }
     if kind == "TIMESTAMP":
-        # Pre-1970 (round 13, VERDICT r12 item 4): the ORC C++ writer
-        # convention — seconds TRUNCATED TOWARD ZERO relative to the
-        # 2015 epoch, sub-second nanos carry the SIGNED remainder and
-        # land in the unsigned SECONDARY stream as their 64-bit
-        # two's-complement pattern (the branch this repo's reader has
-        # pinned against pyarrow.orc fixtures since r11).  Round-trip
-        # proven by pyarrow READING these bytes across 1899/1960/2262
-        # in tests/test_orc_write.py.
+        # Pre-1970 (round 13, VERDICT r12 item 4): the ORC JAVA
+        # writer convention — FLOOR seconds relative to the 2015
+        # epoch, always-POSITIVE sub-second nanos, and the stored
+        # seconds bumped by one exactly when seconds < 0 and nanos
+        # exceed the millisecond boundary (the reference readers
+        # undo the bump with the same rule).  Chosen over the C++
+        # signed-nanos convention because the Java reader (Spark's)
+        # REJECTS negative nanos outright (IllegalArgumentException),
+        # while pyarrow's C++ reader handles the Java shape — so
+        # these bytes decode identically under pyarrow, Spark's JVM
+        # reader, and this repo's own reader (all pinned in tests).
+        # The one exception is the (-1 s, 0) window with nanos above
+        # the millisecond boundary: NO convention round-trips it —
+        # the Java stack itself reads its own such writes back as
+        # +|value| (empirically pinned in tests), and signed nanos
+        # crash the JVM — so it stays a typed, documented reject.
         secs, nanos = [], []
         for us in present_vals:
             us = int(us)
-            s_abs = us // 1_000_000
-            r = us - s_abs * 1_000_000
-            if us < 0 and r:
-                s_abs += 1          # trunc toward zero
-                r -= 1_000_000      # signed sub-second remainder
-            secs.append(s_abs - _ORC_EPOCH)
+            s_abs = us // 1_000_000          # floor seconds
+            r = us - s_abs * 1_000_000       # [0, 1e6) sub-second
             ns = r * 1000
+            if s_abs < 0 and ns > 999_999:
+                if s_abs == -1:
+                    raise NotImplementedError(
+                        "ORC timestamps inside (-1 s, 0) with a "
+                        "sub-second above the millisecond boundary "
+                        "cannot be written: no reference reader "
+                        "convention round-trips them (the Java "
+                        "stack misreads its own writes there and "
+                        "rejects the C++ signed-nanos shape)")
+                s_abs += 1  # readers borrow this second back
+            secs.append(s_abs - _ORC_EPOCH)
             if ns == 0:
                 nanos.append(0)
                 continue
@@ -555,10 +572,9 @@ def _encode_column(kind: str, present_vals: list,
                 ns //= 10
                 z += 1
             if z >= 2:
-                enc = (ns << 3) | (z - 1)
+                nanos.append((ns << 3) | (z - 1))
             else:
-                enc = (ns * 10 ** z) << 3
-            nanos.append(enc & ((1 << 64) - 1))
+                nanos.append((ns * 10 ** z) << 3)
         return {
             "DATA": _int_rle(secs, signed=True),
             "SECONDARY": _int_rle(nanos, signed=False),
@@ -575,8 +591,8 @@ class OrcFileWriter:
     ``schema`` is ``[(name, type, nullable), ...]`` with type one of
     boolean/int32/int64/float/double/string/binary/timestamp
     (timestamps are epoch MICROS, the engine's grain; pre-1970
-    values use the ORC C++ writer's trunc-toward-zero + signed-nanos
-    convention since round 13)
+    values use the ORC Java writer's floor-plus-borrow convention
+    since round 13 — every reference reader decodes it)
     or ``list<element>`` of any of those (append ``?`` for nullable
     elements, e.g. ``list<float?>`` — the array<float> embedding
     shape; one nested level, like the reader).  ``None`` values emit

@@ -25,8 +25,9 @@ the Thrift Compact Protocol spec THRIFT-110):
   DELTA_BINARY_PACKED (block/miniblock zigzag-min-delta bit packing,
   omitted trailing miniblocks, width-wrapped arithmetic),
   DELTA_LENGTH_BYTE_ARRAY, DELTA_BYTE_ARRAY (incremental prefix
-  encoding), and BYTE_STREAM_SPLIT (byte-plane transpose).  Only the
-  deprecated BIT_PACKED level encoding remains a reject.
+  encoding), BYTE_STREAM_SPLIT (byte-plane transpose), and — round
+  13 — the deprecated standalone BIT_PACKED level encoding of
+  ancient parquet-mr v1 pages (MSB-first, no length prefix).
 - **Codecs**: every codec the format names that this repo already
   decodes from spec — UNCOMPRESSED, SNAPPY (`operators/snappy.py`),
   GZIP (`operators/inflate.py`), BROTLI (`operators/brotli_dec.py`),
@@ -1114,6 +1115,50 @@ def rle_bp_hybrid(data: bytes, pos: int, bit_width: int,
     return out, pos
 
 
+def bit_packed_levels(data: bytes, pos: int, bit_width: int,
+                      count: int) -> tuple[list[int], int]:
+    """The DEPRECATED standalone BIT_PACKED level encoding (format
+    spec "Encodings" §Bit-packed, deprecated) that ancient
+    parquet-mr emitted in v1 pages: values packed MSB-FIRST (the
+    opposite bit order of the hybrid's groups) with NO length
+    prefix — the byte span is ceil(count*bw/8)."""
+    nbytes = (count * bit_width + 7) // 8
+    if pos + nbytes > len(data):
+        raise ValueError("truncated BIT_PACKED levels")
+    chunk = data[pos:pos + nbytes]
+    out = []
+    bit = 0
+    for _ in range(count):
+        v = 0
+        for _k in range(bit_width):
+            v = (v << 1) | ((chunk[bit >> 3] >> (7 - (bit & 7))) & 1)
+            bit += 1
+        out.append(v)
+    return out, pos + nbytes
+
+
+def _v1_levels(plain: bytes, p: int, enc: int | None, bw: int,
+               nvals: int, what: str) -> tuple[int, list[int]]:
+    """v1-page level decode: RLE (4-byte length prefix + hybrid) or
+    the deprecated BIT_PACKED (no prefix, MSB-first) — round 13,
+    VERDICT r12 item 6."""
+    if enc == 3:  # RLE
+        if p + 4 > len(plain):
+            raise ValueError(f"truncated v1 {what}-level prefix")
+        ln = int.from_bytes(plain[p:p + 4], "little")
+        p += 4
+        if ln < 0 or p + ln > len(plain):
+            raise ValueError(f"v1 {what} levels overrun the page")
+        levels, _ = rle_bp_hybrid(plain, p, bw, nvals)
+        return p + ln, levels
+    if enc == 4:  # BIT_PACKED (deprecated)
+        levels, p = bit_packed_levels(plain, p, bw, nvals)
+        return p, levels
+    raise NotImplementedError(
+        f"v1 {what}-level encoding {enc} not supported "
+        "(RLE and legacy BIT_PACKED are)")
+
+
 def _uleb(data: bytes, pos: int) -> tuple[int, int]:
     out = shift = 0
     while True:
@@ -1388,22 +1433,11 @@ def _decode_chunk_buffer(data: bytes, codec: str, col: dict,
             p = 0
             reps = [0] * nvals
             if max_rep:
-                if dh.get(4) != 3:  # repetition_level_encoding == RLE
-                    raise NotImplementedError(
-                        "v1 repetition levels must be RLE")
-                ln = int.from_bytes(plain[p:p + 4], "little")
-                p += 4
-                reps, _ = rle_bp_hybrid(plain, p, rep_bw, nvals)
-                p += ln
+                p, reps = _v1_levels(plain, p, dh.get(4), rep_bw,
+                                     nvals, "repetition")
             if max_def:
-                if dh.get(3) != 3:  # definition_level_encoding == RLE
-                    raise NotImplementedError(
-                        "v1 definition levels must be RLE (BIT_PACKED "
-                        "legacy is a plug-in reject)")
-                ln = int.from_bytes(plain[p:p + 4], "little")
-                p += 4
-                defs, _ = rle_bp_hybrid(plain, p, def_bw, nvals)
-                p += ln
+                p, defs = _v1_levels(plain, p, dh.get(3), def_bw,
+                                     nvals, "definition")
             else:
                 defs = [max_def] * nvals
         elif ptype == 3:  # DATA_PAGE_V2

@@ -34,6 +34,7 @@ _PHYS_NUM = {"BOOLEAN": 0, "INT32": 1, "INT64": 2, "FLOAT": 4,
 _CODEC_NUM = {"UNCOMPRESSED": 0, "SNAPPY": 1, "GZIP": 2, "ZSTD": 6}
 _ENC_PLAIN = 0
 _ENC_RLE = 3
+_ENC_BIT_PACKED = 4  # deprecated level encoding (fixture tooling)
 _ENC_RLE_DICT = 8
 
 #: logical column type -> (physical type, is_string)
@@ -152,6 +153,23 @@ class _ThriftW:
     def finish(self) -> bytes:
         self.out.append(0)  # terminating STOP of the root struct
         return bytes(self.out)
+
+
+def bit_packed_encode_levels(levels, bit_width: int) -> bytes:
+    """The DEPRECATED standalone BIT_PACKED level encoding (format
+    spec "Encodings" §Bit-packed, deprecated): values packed
+    MSB-FIRST (the opposite bit order of the hybrid's bit-packed
+    groups) with NO length prefix — ancient parquet-mr v1 pages
+    carry it; emitted here only as fixture tooling for the reader's
+    legacy arm."""
+    out = bytearray((len(levels) * bit_width + 7) // 8)
+    bit = 0
+    for v in levels:
+        for k in range(bit_width - 1, -1, -1):
+            if (v >> k) & 1:
+                out[bit >> 3] |= 1 << (7 - (bit & 7))
+            bit += 1
+    return bytes(out)
 
 
 def rle_bp_encode(vals, bit_width: int) -> bytes:
@@ -1190,10 +1208,18 @@ class ParquetFileWriter:
         bloom_fpp: float = 0.01,
         created_by: str = ("modeltracking-spark parquet_write "
                            "(from-spec)"),
+        level_encoding: str = "rle",
     ):
         codec = codec.upper()
         if page_version not in (1, 2):
             raise ValueError("page_version must be 1 or 2")
+        if level_encoding not in ("rle", "bit_packed"):
+            raise NotImplementedError(
+                f"level_encoding {level_encoding!r} not supported")
+        if level_encoding == "bit_packed" and page_version != 1:
+            raise ValueError(
+                "BIT_PACKED levels are a v1-page legacy shape "
+                "(v2 levels are always RLE per the spec)")
         if value_encoding not in (None, "plain", "delta"):
             raise NotImplementedError(
                 f"value_encoding {value_encoding!r} not supported")
@@ -1220,6 +1246,7 @@ class ParquetFileWriter:
         self.dictionary = dictionary
         self.page_version = page_version
         self.value_encoding = value_encoding
+        self.level_encoding = level_encoding
         self.page_index = bool(page_index)
         known = {cs.name for cs in self.chunk_specs}
         self.bloom_columns = set(bloom_columns or ())
@@ -1411,14 +1438,26 @@ class ParquetFileWriter:
                     continue
 
                 plain = bytearray()
+                legacy = self.level_encoding == "bit_packed"
+                lvl_enc = _ENC_BIT_PACKED if legacy else _ENC_RLE
                 if spec.max_rep:
-                    lv = rle_bp_encode(p_reps, spec.max_rep.bit_length())
-                    plain += len(lv).to_bytes(4, "little")
-                    plain += lv
+                    if legacy:  # no length prefix, MSB-first packing
+                        plain += bit_packed_encode_levels(
+                            p_reps, spec.max_rep.bit_length())
+                    else:
+                        lv = rle_bp_encode(p_reps,
+                                           spec.max_rep.bit_length())
+                        plain += len(lv).to_bytes(4, "little")
+                        plain += lv
                 if spec.max_def:
-                    lv = rle_bp_encode(p_defs, spec.max_def.bit_length())
-                    plain += len(lv).to_bytes(4, "little")
-                    plain += lv
+                    if legacy:
+                        plain += bit_packed_encode_levels(
+                            p_defs, spec.max_def.bit_length())
+                    else:
+                        lv = rle_bp_encode(p_defs,
+                                           spec.max_def.bit_length())
+                        plain += len(lv).to_bytes(4, "little")
+                        plain += lv
                 plain += val_bytes
 
                 body = _compress(codec, bytes(plain))
@@ -1430,8 +1469,8 @@ class ParquetFileWriter:
                 th.begin_struct(5)  # DataPageHeader
                 th.field_i32(1, len(p_reps))
                 th.field_i32(2, enc_num)
-                th.field_i32(3, _ENC_RLE)
-                th.field_i32(4, _ENC_RLE)
+                th.field_i32(3, lvl_enc)
+                th.field_i32(4, lvl_enc)
                 th.end_struct()
                 hdr = th.finish()
                 pidx_page(chunk_start + len(pages),
@@ -1791,6 +1830,7 @@ def parquet_write_table(
     bloom_columns: list[str] | None = None,
     bloom_fpp: float = 0.01,
     created_by: str = "modeltracking-spark parquet_write (from-spec)",
+    level_encoding: str = "rle",
 ) -> bytes:
     """Serialize columnar data to a complete .parquet file (bytes) —
     the one-shot wrapper over :class:`ParquetFileWriter`, slicing
@@ -1804,7 +1844,8 @@ def parquet_write_table(
                           value_encoding=value_encoding,
                           bloom_columns=bloom_columns,
                           bloom_fpp=bloom_fpp,
-                          created_by=created_by)
+                          created_by=created_by,
+                          level_encoding=level_encoding)
     n_rows = None
     for s in w.specs:
         if s.name not in columns:

@@ -4798,6 +4798,104 @@ def parquet_page_pruned_scan_orders(spark: SparkSession,
             ))
 
 
+def pqbitpack_fixture_dir(spark, sf_dir: str) -> str:
+    """Orders-derived fixture written by the ENGINE'S OWN sink with
+    the DEPRECATED standalone BIT_PACKED level encoding
+    (``.option("level_encoding", "bit_packed")`` — MSB-first, no
+    length prefix, the shape ancient parquet-mr v1 pages carry).  A
+    nullable string column exercises definition levels and a
+    nullable array column repetition levels.  Exported for
+    tools/oracle_twins.py (the twin replays via Spark's
+    NON-VECTORIZED parquet-mr reader — the reference implementation
+    for this legacy arm; parquet-cpp/pyarrow deviates from the spec
+    here and reads the levels LSB-first)."""
+    import hashlib
+    import os
+    import shutil
+
+    from modeltracking_spark.queries.multimodal_q import (
+        corpus_fingerprint,
+    )
+
+    token = hashlib.md5(
+        (corpus_fingerprint(sf_dir, "orders") + ":pqbitpack:v1")
+        .encode()
+    ).hexdigest()[:10]
+    out_dir = f"/tmp/modeltracking_pqbitpack_{token}"
+    if not os.path.isdir(out_dir):
+        _register_pq_native(spark)
+        tmp = f"{out_dir}.{os.getpid()}.tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        o = T(spark, sf_dir, "orders")
+        cents = (F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                 .cast("long"))
+        df = (o.select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 7 == 0,
+                   F.lit(None).cast("string"))
+            .otherwise(F.col("o_orderpriority")).alias("prio"),
+            F.when(F.col("o_orderkey") % 5 == 0,
+                   F.lit(None).cast("array<bigint>"))
+            .otherwise(F.array_repeat(
+                cents, (F.col("o_orderkey") % 3).cast("int")))
+            .alias("arr"))
+            .repartition(2))
+        (df.write.format("parquet_native").option("path", tmp)
+         .option("level_encoding", "bit_packed")
+         .option("row_group_rows", "4096")
+         .option("page_rows", "512")
+         .mode("append").save())
+        try:
+            os.rename(tmp, out_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    return out_dir
+
+
+@query(
+    "parquet_bitpacked_scan_orders",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                ELSE o_orderpriority END AS prio,
+           CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                ELSE (o_orderkey % 3)::BIGINT END AS arr_len,
+           CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                ELSE (o_orderkey % 3)::BIGINT
+                     * floor(o_totalprice * 100 + 0.5)::BIGINT
+           END AS arr_sum
+    FROM orders
+    """,
+)
+def parquet_bitpacked_scan_orders(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Round-13 legacy BIT_PACKED-level arm of the from-spec parquet
+    reader (VERDICT r12 item 6 — reject seam was "v1 definition
+    levels must be RLE"): v1 data pages whose definition AND
+    repetition levels use the DEPRECATED standalone BIT_PACKED
+    encoding (format spec "Encodings" §Bit-packed: MSB-first bit
+    order — the OPPOSITE of the hybrid's groups — and no length
+    prefix).  The fixture is written by the engine's own sink;
+    decode conformance is pinned against parquet-mr ITSELF (Spark's
+    non-vectorized reader — the reference implementation that wrote
+    these files historically) in tests/test_parquet_write.py, which
+    also documents parquet-cpp's LSB-first deviation.  Null string →
+    def levels, null/empty/repeated array → rep levels; outputs
+    re-derive from the decoded values.  Corruption fuzz extended to
+    the new branch in tests/test_parquet_native.py."""
+    _register_pq_native(spark)
+    out_dir = pqbitpack_fixture_dir(spark, sf_dir)
+    df = (spark.read.format("parquet_native")
+          .option("path", out_dir).load())
+    return df.select(
+        "o_orderkey",
+        "prio",
+        F.size("arr").cast("long").alias("arr_len"),
+        F.aggregate("arr", F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("arr_sum"),
+    )
+
+
 def pqbloom_fixture_dir(spark, sf_dir: str) -> str:
     """Orders-derived fixture written by the ENGINE'S OWN sink with
     an SBBF bloom filter on the high-cardinality ``ukey`` column

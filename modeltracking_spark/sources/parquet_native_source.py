@@ -559,6 +559,10 @@ class _ParquetSinkHooks:
         bc = options.get("bloom_columns")
         self.bloom_columns = ([c.strip() for c in bc.split(",")
                                if c.strip()] if bc else None)
+        # "rle" (default) | "bit_packed" — the deprecated v1 level
+        # encoding, kept as fixture tooling for the reader's legacy
+        # arm (ancient parquet-mr files)
+        self.level_encoding = options.get("level_encoding", "rle")
 
     def convert_value(self, typ: str, v):
         if typ == "date":
@@ -589,7 +593,8 @@ class _ParquetSinkHooks:
         self._w = ParquetFileWriter(
             fh, self.schema, codec=self.codec,
             page_rows=self.page_rows, dictionary=self.dictionary,
-            bloom_columns=self.bloom_columns)
+            bloom_columns=self.bloom_columns,
+            level_encoding=self.level_encoding)
 
     def append_rows(self, columns: dict):
         self._w.write_row_group(columns)

@@ -752,7 +752,7 @@ def _dense_offsets(tags):
     return offs
 
 
-def _read_all(blob, cols=None):
+def _read_all_bytes(blob, cols=None):
     fh = io.BytesIO(blob)
     foot = orc_footer_from_file(fh)
     out: dict = {}
@@ -784,7 +784,7 @@ def test_union_read_vs_pyarrow():
     blob = _union_file(tags, [
         pa.array(ints, pa.int64()), pa.array(strs, pa.string()),
         pa.array(floats, pa.float64())])
-    got = _read_all(blob)["u"]
+    got = _read_all_bytes(blob)["u"]
     # reference read-back of the same bytes
     ref = po.ORCFile(io.BytesIO(blob)).read().column("u").to_pylist()
     ii = si = fi = 0
@@ -817,7 +817,7 @@ def test_union_nested_positions():
     st = pa.StructArray.from_arrays([u], ["inner"])
     buf = io.BytesIO()
     po.write_table(pa.table({"s": st}), buf)
-    got = _read_all(buf.getvalue())["s"]
+    got = _read_all_bytes(buf.getvalue())["s"]
     assert got == [
         {"inner": {"tag": 0, "field0": 1.5, "field1": None}},
         {"inner": {"tag": 1, "field0": None, "field1": True}},
@@ -825,7 +825,7 @@ def test_union_nested_positions():
     lu = pa.ListArray.from_arrays(pa.array([0, 2, 3], pa.int32()), u)
     buf2 = io.BytesIO()
     po.write_table(pa.table({"l": lu}), buf2)
-    got2 = _read_all(buf2.getvalue())["l"]
+    got2 = _read_all_bytes(buf2.getvalue())["l"]
     assert got2 == [
         [{"tag": 0, "field0": 1.5, "field1": None},
          {"tag": 1, "field0": None, "field1": True}],
@@ -846,7 +846,7 @@ def test_union_tag_out_of_range_rejects():
         b = bytearray(base)
         b[rng.randrange(len(b))] ^= rng.randrange(1, 256)
         try:
-            _read_all(bytes(b))
+            _read_all_bytes(bytes(b))
         except (ValueError, NotImplementedError) as exc:
             saw_tag_reject |= "union tag" in str(exc)
         except KeyError:

@@ -1078,26 +1078,35 @@ def test_sink_nested_end_to_end(spark, tmp_path):
 
 def test_pre1970_timestamp_write_all_readers(spark, tmp_path):
     """Pre-1970 timestamp WRITE (round 13, VERDICT r12 item 4): the
-    ORC C++ convention (trunc-toward-zero seconds + signed
-    two's-complement nanos in the unsigned SECONDARY stream) —
+    ORC JAVA convention (floor seconds, positive nanos, one-second
+    bump when seconds < 0 past the millisecond boundary) —
     pyarrow.orc, Spark's Java ORC reader and the repo's own reader
     all decode the bytes to the original instants across the
     1899/1960/2262 boundary pins and a random pre/post-1970 mix,
-    over the codec x RLE-version matrix."""
+    over the codec x RLE-version matrix.  The (-1 s, 0)
+    above-a-millisecond window is the documented typed reject: the
+    Java stack misreads its own writes there (pinned below) and
+    crashes on the C++ signed-nanos alternative."""
     pins = [
         -2209075199999999,   # 1899-12-31 00:00:00.000001
         -315619199876544,    # 1960-01-01 00:00:00.123456
-        -1, -500000, -1000000, -999001, -1500000,
+        -1000000, -999001, -1500000, -999000001,
         0, 1, 999999,
         9214646400000001,    # 2262-01-01 00:00:00.000001
         1420070400000000,    # the 2015 ORC stream epoch
-        1420070399999999, -62135596800000000,  # year 1
+        1420070399999999,
         None,
     ]
     rng = random.Random(131)
     vals = pins + [
         rng.randrange(-3_000_000_000_000_000, 3_000_000_000_000_000)
         for _ in range(400)]
+    # shift the unwritable (-1 s, 0) window out of the random mix
+    vals = [v - 1_000_000 if v is not None and -999_000 <= v <= -1
+            else v for v in vals]
+    # year 1 sits outside pandas' ns-Timestamp range, so pyarrow's
+    # read-back cannot carry it — pin it through the own reader only
+    year1 = -62135596800000000
     epoch = dt.datetime(1970, 1, 1)
     exp_dt = [None if v is None else
               epoch + dt.timedelta(microseconds=v) for v in vals]
@@ -1117,6 +1126,25 @@ def test_pre1970_timestamp_write_all_readers(spark, tmp_path):
             for i in range(len(foot["stripes"])):
                 own.extend(read_stripe(fh, foot, i)["ts"])
             assert own == vals, (rle_v, codec)
+    blob = orc_write_table({"ts": [year1, 0]},
+                           [("ts", "timestamp", True)])
+    fh = io.BytesIO(blob)
+    foot = orc_footer_from_file(fh)
+    assert read_stripe(fh, foot, 0)["ts"] == [year1, 0]
+    # the documented reject window: (-1 s, 0) past the millisecond
+    for bad in (-1, -500000, -999000):
+        with pytest.raises(NotImplementedError, match="-1 s"):
+            orc_write_table({"ts": [bad]},
+                            [("ts", "timestamp", True)])
+    # ...and the reason it is a reject: the JAVA stack misreads its
+    # own writes in that window (reference behavior, pinned so a
+    # future ORC release flipping this gets noticed)
+    sdf = spark.createDataFrame(
+        [(dt.datetime(1969, 12, 31, 23, 59, 59, 500000),)], "ts timestamp")
+    jdir = str(tmp_path / "java_window")
+    sdf.coalesce(1).write.mode("overwrite").orc(jdir)
+    back = spark.read.orc(jdir).collect()[0]["ts"]
+    assert back == dt.datetime(1970, 1, 1, 0, 0, 0, 500000)  # +0.5 s!
     # Spark's Java ORC reader on one representative file
     from pyspark.sql import functions as F
 
@@ -1162,7 +1190,7 @@ def test_nested_instants_write_all_readers():
     cols = {
         "st": [{"ts": -315619199876544, "d": -3653},
                {"ts": 86400_000000, "d": 19000}, None],
-        "lt": [[-1, 0, None], [], [1420070400000000]],
+        "lt": [[-1000000, 0, None], [], [1420070400000000]],
         "mt": [[("a", -2209075199999999)], [], [("b", None)]],
         "deep": [{"inner": [{"ts": -999001}]},
                  None, {"inner": []}],
@@ -1182,7 +1210,7 @@ def test_nested_instants_write_all_readers():
             "d": epd + dt.timedelta(days=-3653)}
         assert st[2] is None
         lt = t.column("lt").to_pylist()
-        assert lt[0] == [epoch + dt.timedelta(microseconds=-1),
+        assert lt[0] == [epoch + dt.timedelta(microseconds=-1000000),
                          epoch, None]
         mt = t.column("mt").to_pylist()
         assert mt[0] == [("a", epoch + dt.timedelta(
@@ -1222,7 +1250,7 @@ def test_sink_nested_instants_end_to_end(spark, tmp_path):
       SELECT * FROM VALUES
        (1, named_struct('ts', TIMESTAMP '1960-01-01 00:00:00.123456',
                         'd', DATE '1899-12-31'),
-           array(TIMESTAMP '1969-12-31 23:59:59.5',
+           array(TIMESTAMP '1969-12-31 23:59:58.5',
                  CAST(NULL AS TIMESTAMP)),
            map('a', TIMESTAMP '2262-01-01 00:00:00.000001'),
            named_struct('inner', array(named_struct(

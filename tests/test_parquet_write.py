@@ -1198,3 +1198,150 @@ def test_date_write_roundtrip_all_readers(spark, tmp_path):
     exp = {r["id"]: r["d"] for r in df.collect()}
     got = {r["id"]: r["d"] for r in spark.read.parquet(out).collect()}
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# Round 13: the DEPRECATED standalone BIT_PACKED level encoding
+# (VERDICT r12 item 6) — MSB-first, no length prefix.
+# ---------------------------------------------------------------------------
+
+def test_bit_packed_levels_spec_pins():
+    """Byte-exact pins from the spec's wording ('values are packed
+    from the most significant bit'): the encoder's bytes and the
+    reader's decode agree with hand-computed packings."""
+    from modeltracking_spark.operators.parquet_native import (
+        bit_packed_levels,
+    )
+    from modeltracking_spark.operators.parquet_write import (
+        bit_packed_encode_levels,
+    )
+
+    # bw=1: [1,0,0,0,0,0,1,1] -> 0b10000011
+    assert bit_packed_encode_levels([1, 0, 0, 0, 0, 0, 1, 1], 1) \
+        == bytes([0b10000011])
+    # bw=2, the spec's own example range 0..3
+    assert bit_packed_encode_levels([0, 1, 2, 3], 2) \
+        == bytes([0b00011011])
+    # bw=3 crossing byte boundaries: 1,2,3,4,5 -> 001 010 011 100 101
+    # = 00101001 1100101(pad 0) — 15 bits in two bytes
+    assert bit_packed_encode_levels([1, 2, 3, 4, 5], 3) \
+        == bytes([0b00101001, 0b11001010])
+    for bw in (1, 2, 3, 7):
+        vals = [i % (1 << bw) for i in range(23)]
+        enc = bit_packed_encode_levels(vals, bw)
+        dec, pos = bit_packed_levels(enc, 0, bw, len(vals))
+        assert dec == vals and pos == len(enc)
+    with pytest.raises(ValueError, match="truncated BIT_PACKED"):
+        bit_packed_levels(b"\x00", 0, 3, 23)
+
+
+def test_bit_packed_levels_parquet_mr_replays(spark, tmp_path):
+    """parquet-mr ITSELF (Spark's non-vectorized reader — the
+    implementation that historically wrote BIT_PACKED v1 pages)
+    reads the engine's legacy-level files exactly: flat nullable
+    (def levels), lists incl. null/empty (rep+def levels), and a
+    struct column; the own reader agrees.  parquet-cpp/pyarrow is
+    deliberately NOT exercised: it decodes this deprecated encoding
+    LSB-first (against the spec's MSB-first wording) and aborts on
+    teardown."""
+    rng = random.Random(1313)
+    n = 700
+    cols = {
+        "k": list(range(n)),
+        "s": [None if rng.random() < 0.3 else "v%d" % rng.randrange(9)
+              for _ in range(n)],
+        "xs": [None if rng.random() < 0.2 else
+               [rng.randrange(50) for _ in range(rng.randrange(4))]
+               for _ in range(n)],
+        "st": [None if rng.random() < 0.25 else
+               {"a": rng.randrange(100),
+                "b": None if rng.random() < 0.3 else "x"}
+               for _ in range(n)],
+    }
+    schema = [("k", "int64", False), ("s", "string", True),
+              ("xs", "list<int64?>", True),
+              ("st", "struct<a:int64,b:string?>", True)]
+    for codec in ("UNCOMPRESSED", "SNAPPY"):
+        blob = parquet_write_table(cols, schema, codec=codec,
+                                   page_rows=128,
+                                   level_encoding="bit_packed")
+        p = tmp_path / f"bp_{codec}"
+        p.mkdir(exist_ok=True)
+        (p / "f.parquet").write_bytes(blob)
+        old = spark.conf.get(
+            "spark.sql.parquet.enableVectorizedReader")
+        spark.conf.set("spark.sql.parquet.enableVectorizedReader",
+                       "false")
+        try:
+            back = {r["k"]: r for r in
+                    spark.read.parquet(str(p)).collect()}
+        finally:
+            spark.conf.set(
+                "spark.sql.parquet.enableVectorizedReader", old)
+        assert len(back) == n
+        for i in range(n):
+            r = back[i]
+            assert r["s"] == cols["s"][i], (codec, i)
+            assert r["xs"] == cols["xs"][i], (codec, i)
+            st = cols["st"][i]
+            assert (r["st"] is None) == (st is None)
+            if st is not None:
+                assert r["st"]["a"] == st["a"] and \
+                    r["st"]["b"] == st["b"]
+        # own reader closes the loop
+        fh = io.BytesIO(blob)
+        foot = parquet_footer_from_file(fh)
+        got = {}
+        for g in range(len(foot["row_groups"])):
+            rg = read_row_group(io.BytesIO(blob), foot, g)
+            for kk, vv in rg.items():
+                got.setdefault(kk, []).extend(vv)
+        assert got["s"] == cols["s"] and got["xs"] == cols["xs"]
+
+
+def test_bit_packed_corruption_fuzz():
+    """The new level branch under byte mutation: decode or the typed
+    reject, never a leaked internal error."""
+    rng = random.Random(713)
+    n = 120
+    cols = {
+        "s": [None if rng.random() < 0.3 else "w%d" % rng.randrange(9)
+              for _ in range(n)],
+        "xs": [None if rng.random() < 0.2 else
+               [rng.randrange(50) for _ in range(rng.randrange(4))]
+               for _ in range(n)],
+    }
+    schema = [("s", "string", True), ("xs", "list<int64?>", True)]
+    base = parquet_write_table(cols, schema, codec="UNCOMPRESSED",
+                               page_rows=32,
+                               level_encoding="bit_packed")
+    for _ in range(300):
+        b = bytearray(base)
+        op = rng.randrange(3)
+        if op == 0:
+            for _ in range(rng.randrange(1, 4)):
+                b[rng.randrange(len(b))] ^= rng.randrange(1, 256)
+        elif op == 1:
+            b = b[:rng.randrange(len(b))]
+        else:
+            i = rng.randrange(len(b))
+            b = (b[:i] + bytes(rng.randrange(256)
+                               for _ in range(rng.randrange(1, 8)))
+                 + b[i:])
+        try:
+            fh = io.BytesIO(bytes(b))
+            foot = parquet_footer_from_file(fh)
+            for g in range(len(foot["row_groups"])):
+                read_row_group(io.BytesIO(bytes(b)), foot, g)
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def test_bit_packed_option_rejects():
+    with pytest.raises(NotImplementedError, match="level_encoding"):
+        parquet_write_table({"a": [1]}, [("a", "int64", False)],
+                            level_encoding="hybrid")
+    with pytest.raises(ValueError, match="v1-page"):
+        parquet_write_table({"a": [1]}, [("a", "int64", False)],
+                            page_version=2,
+                            level_encoding="bit_packed")

@@ -46,8 +46,31 @@ def build(spark, src: str, dst: str, copies: int = COPIES) -> dict:
         return spark.read.parquet(f"{src}/{name}.parquet")
 
     def wr(df, name):
-        df.write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
-        return spark.read.parquet(f"{dst}/{name}.parquet").count()
+        # single FILE per table (not a part-file directory): the
+        # testdata layout several sources/oracles open directly as a
+        # file path.  Parquet files split by row group, so scan
+        # parallelism at sf1 is unharmed.
+        import glob
+        import shutil
+
+        tmp = f"{dst}/_tmp_{name}"
+        # row-group geometry: keep groups at the sf0.1 file's size so
+        # the 10x file carries ~10 groups — the shape a 10x-bigger
+        # warehouse export actually has (and what row-group-grain
+        # sources need for parallelism).  block.size is a flush
+        # threshold on the writer's in-memory estimate, so this is
+        # approximate, which is fine.
+        src_sz = os.path.getsize(f"{src}/{name}.parquet")
+        df.coalesce(1).write.mode("overwrite") \
+            .option("parquet.block.size", str(max(1 << 20, src_sz))) \
+            .parquet(tmp)
+        (part,) = glob.glob(f"{tmp}/part-*.parquet")
+        final = f"{dst}/{name}.parquet"
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        shutil.move(part, final)
+        shutil.rmtree(tmp)
+        return spark.read.parquet(final).count()
 
     counts = {}
     for dim in ("region", "nation"):

@@ -2921,6 +2921,84 @@ def twin_parquet_nested(spark, sf_dir, spark_rows) -> tuple[bool, str]:
     return True, f"{n} nested rows replayed by pyarrow"
 
 
+def twin_parquet_bitpacked(spark, sf_dir,
+                           spark_rows) -> tuple[bool, str]:
+    """parquet-mr ITSELF (Spark's non-vectorized reader — the
+    reference implementation that historically wrote BIT_PACKED v1
+    levels) replays the own-sink-written legacy fixture (round 13).
+    parquet-cpp/pyarrow is NOT usable here: it decodes the
+    deprecated encoding LSB-first, against the spec's explicit
+    MSB-first wording."""
+    from modeltracking_spark.queries.extras_q import (
+        pqbitpack_fixture_dir,
+    )
+
+    d = pqbitpack_fixture_dir(spark, sf_dir)
+    got = {int(r["o_orderkey"]): (r["prio"], r["arr_len"],
+                                  r["arr_sum"])
+           for r in spark_rows}
+    old = spark.conf.get("spark.sql.parquet.enableVectorizedReader")
+    spark.conf.set("spark.sql.parquet.enableVectorizedReader",
+                   "false")
+    try:
+        ref = spark.read.parquet(d).collect()
+    finally:
+        spark.conf.set("spark.sql.parquet.enableVectorizedReader",
+                       old)
+    if len(ref) != len(got):
+        return False, f"row count {len(ref)} vs {len(got)}"
+    for r in ref:
+        arr = r["arr"]
+        want = (r["prio"],
+                None if arr is None else len(arr),
+                None if arr is None else sum(arr))
+        if got.get(int(r["o_orderkey"])) != want:
+            return False, (f"order {r['o_orderkey']}: engine "
+                           f"{got.get(int(r['o_orderkey']))} vs "
+                           f"parquet-mr {want}")
+    return True, f"{len(ref)} BIT_PACKED rows replayed by parquet-mr"
+
+
+def twin_orc_union(spark, sf_dir, spark_rows) -> tuple[bool, str]:
+    """pyarrow.orc (the ORC C++ reader) replays the pyarrow-written
+    UNION fixture: per-row (tag, value) must match the engine's
+    tagged-struct scan (round 13)."""
+    import glob
+
+    import pyarrow.orc as _po
+
+    from modeltracking_spark.queries.extras_q import (
+        orcunion_fixture_dir,
+    )
+
+    d = orcunion_fixture_dir(spark, sf_dir)
+    got = {int(r["event_id"]): (r["tag"], r["v_e6"], r["etype"])
+           for r in spark_rows}
+    n = 0
+    for part in sorted(glob.glob(f"{d}/*.orc")):
+        t = _po.ORCFile(part).read()
+        for eid, u in zip(t.column("event_id").to_pylist(),
+                          t.column("u").to_pylist()):
+            if eid % 2 == 0:
+                # e6 via floor, matching the engine/oracle exactly
+                import math
+
+                want = (0,
+                        None if u is None
+                        else int(math.floor(u * 1000000 + 0.5)),
+                        None)
+            else:
+                want = (1, None, u)
+            if got.get(int(eid)) != want:
+                return False, (f"event {eid}: engine "
+                               f"{got.get(int(eid))} vs pyarrow "
+                               f"{want}")
+            n += 1
+    if n != len(got):
+        return False, f"row count: pyarrow {n} vs engine {len(got)}"
+    return True, f"{n} union rows replayed by pyarrow"
+
+
 def twin_parquet_bloom(spark, sf_dir, spark_rows) -> tuple[bool, str]:
     """pyarrow replays the OWN-SINK-written bloom fixture: the three
     probed orders' (ukey, cents) must match a full pyarrow scan
@@ -3645,6 +3723,11 @@ def main(sf_dirs: list[str]) -> int:
              lambda rows: twin_parquet_bloom(spark, sf_dir, rows)),
             ("orc_bloom_pruned_scan_orders",
              lambda rows: twin_orc_bloom(spark, sf_dir, rows)),
+            ("parquet_bitpacked_scan_orders",
+             lambda rows: twin_parquet_bitpacked(spark, sf_dir,
+                                                 rows)),
+            ("orc_union_scan_events",
+             lambda rows: twin_orc_union(spark, sf_dir, rows)),
             ("brotli_roundtrip_docs",
              lambda rows: twin_brotli(spark, sf_dir, rows)),
             ("zstd_seekable_scan_docs",
