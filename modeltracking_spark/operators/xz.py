@@ -531,7 +531,9 @@ def xz_bcj_roundtrip_stats(
     )
 
     def kernel(batches):
+        import os as _os
         import subprocess
+        import tempfile
 
         import pandas as pd
 
@@ -548,8 +550,38 @@ def xz_bcj_roundtrip_stats(
             "arm64",  # xz CLI: no stdlib constants for these in 3.11
             "riscv",
         ]
+
+        def cli_encode_group(chain: str, check: str,
+                             items: list) -> dict:
+            """ONE xz CLI invocation for every payload in the group
+            (round 13, SCALE probe fix: per-row subprocess spawns
+            scaled superlinearly — 10x rows meant 10x fork/exec under
+            full-core contention, 26x wall).  The .xz container has
+            no filename header, so file-mode output is byte-identical
+            to the old per-row stdin mode."""
+            out = {}
+            with tempfile.TemporaryDirectory(
+                    prefix="mt_xzbcj_") as td:
+                for i, (_did, raw) in enumerate(items):
+                    with open(_os.path.join(td, f"{i}.bin"),
+                              "wb") as fh:
+                        fh.write(raw)
+                subprocess.run(
+                    [xz_cli_path(), "--" + chain,
+                     "--lzma2=preset=1", "--check=" + check, "-k"]
+                    + [_os.path.join(td, f"{i}.bin")
+                       for i in range(len(items))],
+                    capture_output=True, check=True,
+                )
+                for i, (did, _raw) in enumerate(items):
+                    with open(_os.path.join(td, f"{i}.bin.xz"),
+                              "rb") as fh:
+                        out[did] = fh.read()
+            return out
+
         for pdf in batches:
-            ids, lens, cids, md5s, oks = [], [], [], [], []
+            rows = []
+            cli_groups: dict = {}
             for did, text in zip(pdf[id_col], pdf[payload_col]):
                 raw = (
                     text.encode("utf-8") if isinstance(text, str)
@@ -557,20 +589,23 @@ def xz_bcj_roundtrip_stats(
                 )
                 did = int(did)
                 cid = did % len(chains)
-                check = [_lzma.CHECK_CRC64, _lzma.CHECK_CRC32][did % 2]
+                rows.append((did, raw, cid))
                 if isinstance(chains[cid], str):
-                    enc = subprocess.run(
-                        [xz_cli_path(), "--" + chains[cid],
-                         "--lzma2=preset=1",
-                         "--check=" + ["crc64", "crc32"][did % 2],
-                         "-c"],
-                        input=raw, capture_output=True, check=True,
-                    ).stdout
+                    key = (chains[cid], ["crc64", "crc32"][did % 2])
+                    cli_groups.setdefault(key, []).append((did, raw))
+            cli_enc = {}
+            for (chain, check), items in cli_groups.items():
+                cli_enc.update(cli_encode_group(chain, check, items))
+            ids, lens, cids, md5s, oks = [], [], [], [], []
+            for did, raw, cid in rows:
+                if isinstance(chains[cid], str):
+                    enc = cli_enc[did]
                 else:
                     enc = _lzma.compress(
                         raw,
                         format=_lzma.FORMAT_XZ,
-                        check=check,
+                        check=[_lzma.CHECK_CRC64,
+                               _lzma.CHECK_CRC32][did % 2],
                         filters=chains[cid]
                         + [{"id": _lzma.FILTER_LZMA2, "preset": 1}],
                     )

@@ -138,6 +138,117 @@ def grid_netcdf_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DAP_GRID_SERVERS: dict = {}
+
+
+def _dap_grid_url(nc_path: str) -> str:
+    """Session-cached loopback DAP server in GRID MODE over the
+    directory holding ``nc_path`` — ONE ThreadingHTTPServer per
+    fixture path for the process lifetime (queries may execute many
+    times per session; leaking a server per call would accumulate).
+    Local-mode note: executors resolve 127.0.0.1 in-process; in
+    production the DAP endpoint is a real THREDDS host."""
+    import http.server
+    import os
+    import threading
+
+    from modeltracking_spark.sources.dap import make_dap_handler
+
+    srv = _DAP_GRID_SERVERS.get(nc_path)
+    if srv is None:
+        handler = make_dap_handler(os.path.dirname(nc_path),
+                                   grid_mode=True)
+        srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0),
+                                              handler)
+        threading.Thread(target=srv.serve_forever,
+                         daemon=True).start()
+        _DAP_GRID_SERVERS[nc_path] = srv
+    port = srv.server_address[1]
+    return (f"dap+http://127.0.0.1:{port}/"
+            f"{os.path.basename(nc_path)}")
+
+
+@query(
+    "dap_grid_mode_scan",
+    oracle=f"""
+    SELECT time_hours,
+           count(*) AS n_rows,
+           count(*) FILTER (WHERE water_temp <= -4) AS n_sentinel,
+           sum(CASE WHEN water_temp > -4
+                    THEN round(water_temp * 10)::BIGINT END)::BIGINT AS sum_temp_e1
+    FROM ({HYCOM_GRID_SQL})
+    GROUP BY 1
+    """,
+)
+def dap_grid_mode_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-13 DAP GRID arm (VERDICT r12 item 8 — the former pydap
+    plug-in point, sources/dap.py): the SAME aggregate as
+    grid_netcdf_scan, but the netCDF fixture is served by the
+    in-process DAP server in GRID MODE — every variable whose dims
+    are coordinate-backed renders as a DAP 2.0 Grid constructor
+    (array + maps), the THREDDS shape the reference's live HYCOM URL
+    actually serves (trackplot_hycom.py:176). The client parses the
+    Grid DDS, projects the array FULLY QUALIFIED (``g.g[...]``) so
+    only the hyperslab crosses the wire, and the grid DataSource
+    consumes the ``dap+http://`` URL unchanged — per-timestep
+    partitions each fetch one record slice over the live protocol.
+    Sequence/Structure arms + the bare-grid instance wire shape are
+    pinned in tests/test_netcdf.py."""
+    import os
+
+    from pyspark.errors import PySparkException
+
+    from modeltracking_spark.fixtures import (
+        GRID_N_DEPTH,
+        GRID_N_LAT,
+        GRID_N_LON,
+        GRID_N_TIME,
+        grid_fixture_fingerprint,
+    )
+    from modeltracking_spark.queries.common import ensure_pkg_on_workers
+    from modeltracking_spark.sources.grid_source import (
+        HycomGridDataSource,
+        write_grid_netcdf,
+    )
+
+    import hashlib
+    import inspect
+
+    from modeltracking_spark.sources import grid_source as _gs
+    from modeltracking_spark.sources import netcdf_classic as _nc
+
+    gen_src = (
+        inspect.getsource(_gs._partition_arrays)
+        + inspect.getsource(_gs.write_grid_netcdf)
+        + inspect.getsource(_nc.write_classic)
+    )
+    key = (
+        f"{grid_fixture_fingerprint()}"
+        f"{hashlib.md5(gen_src.encode()).hexdigest()[:8]}_"
+        f"{GRID_N_TIME}x{GRID_N_DEPTH}x{GRID_N_LAT}x{GRID_N_LON}"
+    )
+    nc_path = f"/tmp/modeltracking_grid_fixture_{key}.nc"
+    if not os.path.exists(nc_path):
+        tmp = f"{nc_path}.{os.getpid()}.tmp"
+        write_grid_netcdf(tmp)
+        os.replace(tmp, nc_path)
+    url = _dap_grid_url(nc_path)
+    ensure_pkg_on_workers(spark)
+    try:
+        spark.dataSource.register(HycomGridDataSource)
+    except PySparkException:
+        pass  # already registered in this session
+    g = spark.read.format("hycom_grid").option("path", url).load()
+    masked = F.when(
+        F.col("water_temp") > -4, F.round(F.col("water_temp") * 10).cast("long")
+    )
+    return g.groupBy("time_hours").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("water_temp") <= -4, 1).otherwise(0)).alias("n_sentinel"),
+        F.sum(masked).alias("sum_temp_e1"),
+    )
+
+
 @query(
     "grid_netcdf_packed_scan",
     oracle=f"""

@@ -26,9 +26,14 @@ array per projected variable — two big-endian u32 element counts
 followed by the values, with Int16 widened to 4 bytes (XDR's smallest
 integer) and Byte arrays zero-padded to a 4-byte boundary. Hyperslab
 STRIDES are supported end to end (``var[a:step:b]`` — the server
-subsamples, so an every-Nth-step scan ships 1/N of the data). String
-variables and DAP constructor types (Grid/Sequence/Structure maps) are
-rejected loudly — the pydap plug-in point.
+subsamples, so an every-Nth-step scan ships 1/N of the data).
+Round 13 closes the former pydap plug-in point: the DAP 2.0
+CONSTRUCTOR types decode too — Grid (array + coordinate maps, the
+THREDDS shape the reference's HYCOM URL actually serves; the array
+reads transparently under the grid's name, maps as ``g.map``),
+Structure (members as ``s.member``), and Sequence (tabular; §7.2.3
+0x5A/0xA5 instance markers via :meth:`DapDataset.read_sequence`).
+String variables stay the one typed reject.
 
 Scale posture: one ``.dods`` round-trip per (variable, record) — the
 server does the hyperslab cut, the client never downloads the
@@ -62,7 +67,8 @@ def encode_constraint(var: str, ranges: list[tuple]) -> str:
     """Hyperslab projection for ``var`` with INCLUSIVE index ranges —
     ``[(0, 4), (2, 2)]`` -> ``var[0:4][2:2]``; 3-tuples carry a stride:
     ``[(0, 2, 8)]`` -> ``var[0:2:8]`` (DAP 2.0 constraint syntax)."""
-    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", var):
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*"
+                        r"(?:\.[A-Za-z_][A-Za-z0-9_]*)*", var):
         raise ValueError(f"bad DAP variable name {var!r}")
     parts = []
     for r in ranges:
@@ -73,42 +79,135 @@ def encode_constraint(var: str, ranges: list[tuple]) -> str:
     return var + "".join(parts)
 
 
+def _parse_atomic_decl(decl: str):
+    """``Type name[dim = n]...`` -> (type, name, dims) or None."""
+    dm = re.fullmatch(r"(\w+)\s+([\w.]+)((?:\s*\[[^\]]*\])*)",
+                      decl.strip())
+    if not dm:
+        return None
+    typ, var, dimtxt = dm.groups()
+    dims = []
+    for dim in re.findall(r"\[([^\]]*)\]", dimtxt):
+        nm = re.fullmatch(r"\s*(?:(\w+)\s*=\s*)?(\d+)\s*", dim)
+        if not nm:
+            raise ValueError(f"bad DDS dimension {dim!r} in {decl!r}")
+        dims.append((nm.group(1) or "", int(nm.group(2))))
+    return typ, var, dims
+
+
+def _split_decls(body: str) -> list[str]:
+    """Split a DDS body into declarations at top-level ``;`` only
+    (constructor blocks carry nested ``;``)."""
+    out = []
+    depth = 0
+    cur = []
+    for ch in body:
+        if ch == "{":
+            depth += 1
+        elif ch == "}":
+            depth -= 1
+            if depth < 0:
+                raise ValueError("unbalanced DDS braces")
+        if ch == ";" and depth == 0:
+            decl = "".join(cur).strip()
+            if decl:
+                out.append(decl)
+            cur = []
+        else:
+            cur.append(ch)
+    if "".join(cur).strip():
+        raise ValueError("trailing DDS declaration without ';'")
+    if depth:
+        raise ValueError("unbalanced DDS braces")
+    return out
+
+
 def _parse_dds(text: str):
-    """Minimal DDS parse: atomic array declarations only. Returns
-    (dataset_name, {var: (dap_type, [(dim_name, size), ...])})."""
+    """DDS parse: atomic array declarations plus the DAP 2.0
+    constructor types (round 13 — the former pydap plug-in point):
+
+    - ``Grid { ARRAY: <decl>; MAPS: <decls> } name;`` — the array
+      registers under the grid's own name (reads stay transparent,
+      pydap-style) and each map under ``name.map``;
+    - ``Structure { <decls> } name;`` — members under
+      ``name.member``;
+    - ``Sequence { <scalar decls> } name;`` — tabular; columns are
+      returned by :meth:`DapDataset.read_sequence`, not ``read``.
+
+    Returns (dataset_name, vars, grids, sequences) where ``vars`` is
+    {flat_name: (dap_type, [(dim_name, size), ...])}, ``grids``
+    {name: {"array": flat, "maps": [flat...]}} and ``sequences``
+    {name: [(column, dap_type), ...]}."""
     m = re.fullmatch(
         r"\s*Dataset\s*\{(.*)\}\s*([^;{}]+);\s*", text, re.S
     )
     if not m:
         raise ValueError(f"unparseable DDS: {text[:120]!r}")
     body, name = m.group(1), m.group(2).strip()
-    out = {}
-    for decl in body.split(";"):
-        decl = decl.strip()
-        if not decl:
-            continue
-        dm = re.fullmatch(
-            r"(\w+)\s+(\w+)((?:\s*\[[^\]]*\])*)", decl
-        )
-        if not dm:
+    out: dict = {}
+    grids: dict = {}
+    sequences: dict = {}
+
+    def add_atomic(decl, prefix=""):
+        p = _parse_atomic_decl(decl)
+        if p is None:
             raise NotImplementedError(
-                f"DAP declaration {decl!r} not implemented (constructor "
-                "types Grid/Sequence/Structure are the pydap plug-in point)"
-            )
-        typ, var, dimtxt = dm.groups()
+                f"DAP declaration {decl.strip()[:60]!r} not implemented")
+        typ, var, dims = p
         if typ not in _DAP_TYPES:
             raise NotImplementedError(
-                f"DAP type {typ!r} not implemented (String and constructor "
-                "types are the pydap plug-in point)"
-            )
-        dims = []
-        for dim in re.findall(r"\[([^\]]*)\]", dimtxt):
-            nm = re.fullmatch(r"\s*(?:(\w+)\s*=\s*)?(\d+)\s*", dim)
-            if not nm:
-                raise ValueError(f"bad DDS dimension {dim!r} in {decl!r}")
-            dims.append((nm.group(1) or "", int(nm.group(2))))
-        out[var] = (typ, dims)
-    return name, out
+                f"DAP type {typ!r} not implemented (String stays the "
+                "pydap plug-in point)")
+        out[prefix + var] = (typ, dims)
+        return prefix + var
+
+    for decl in _split_decls(body):
+        cm = re.fullmatch(
+            r"(Grid|Structure|Sequence)\s*\{(.*)\}\s*([\w.]+)",
+            decl, re.S)
+        if cm is None:
+            add_atomic(decl)
+            continue
+        kind, cbody, cname = cm.group(1), cm.group(2), cm.group(3)
+        if kind == "Grid":
+            gm = re.fullmatch(
+                r"\s*Array\s*:(.*?)Maps\s*:(.*)", cbody, re.S | re.I)
+            if not gm:
+                raise ValueError(
+                    f"DAP Grid {cname!r} without Array:/Maps: parts")
+            (arr_decl,) = _split_decls(gm.group(1))
+            p = _parse_atomic_decl(arr_decl)
+            if p is None or p[0] not in _DAP_TYPES:
+                raise NotImplementedError(
+                    f"DAP Grid {cname!r} array type not implemented")
+            typ, _avar, dims = p
+            # the grid reads transparently under its OWN name
+            out[cname] = (typ, dims)
+            maps = []
+            for mdecl in _split_decls(gm.group(2)):
+                maps.append(add_atomic(mdecl, prefix=f"{cname}."))
+            grids[cname] = {"array": cname, "maps": maps}
+        elif kind == "Structure":
+            for mdecl in _split_decls(cbody):
+                add_atomic(mdecl, prefix=f"{cname}.")
+        else:  # Sequence
+            cols = []
+            for mdecl in _split_decls(cbody):
+                p = _parse_atomic_decl(mdecl)
+                if p is None or p[0] not in _DAP_TYPES:
+                    raise NotImplementedError(
+                        f"DAP Sequence {cname!r} column not "
+                        "implemented (atomic scalar columns are)")
+                typ, col, dims = p
+                if dims:
+                    raise NotImplementedError(
+                        "array columns inside a DAP Sequence not "
+                        "implemented")
+                cols.append((col, typ))
+            if not cols:
+                raise ValueError(f"empty DAP Sequence {cname!r}")
+            sequences[cname] = cols
+    return name, out, grids, sequences
 
 
 def _xdr_encode(a) -> bytes:
@@ -165,7 +264,7 @@ class DapDataset:
         self.n_fetches = 0
         self.n_bytes = 0
         self._das_cache: dict | None = None
-        self.name, self.vars = _parse_dds(
+        self.name, self.vars, self.grids, self.sequences = _parse_dds(
             self._get(f"{url}.dds").decode("ascii")
         )
         # dims in declaration-order first-appearance, NcFile style
@@ -187,8 +286,11 @@ class DapDataset:
 
     def _fetch_array(self, var: str, ranges: list[tuple]):
         typ, dims = self.vars[var]
+        # a Grid's array projects fully qualified (``g.g[...]``) so
+        # the server ships the bare array, not the Grid constructor
+        proj = f"{var}.{var}" if var in self.grids else var
         body = self._get(
-            f"{self.url}.dods?{encode_constraint(var, ranges)}"
+            f"{self.url}.dods?{encode_constraint(proj, ranges)}"
         )
         sep = body.find(b"\nData:\n")
         if sep < 0:
@@ -299,6 +401,51 @@ class DapDataset:
         out = self._fetch_array(var, ranges)[0]
         return self._cf_unpack(var, out) if apply_cf else out
 
+    def read_sequence(self, name: str) -> dict:
+        """Fetch a DAP 2.0 Sequence -> {column: list} (round 13).
+        Wire format per spec §7.2.3: each instance prefixed by the
+        START_OF_INSTANCE marker 0x5A000000, the stream closed by
+        END_OF_SEQUENCE 0xA5000000; within an instance each column
+        value is XDR-encoded at its wire width (Int16/Int32 -> 4
+        bytes big-endian, Float32 -> 4, Float64 -> 8, Byte -> 4 per
+        XDR scalar padding)."""
+        cols = self.sequences.get(name)
+        if cols is None:
+            raise KeyError(f"no DAP sequence {name!r}")
+        body = self._get(f"{self.url}.dods?{name}")
+        sep = body.find(b"\nData:\n")
+        if sep < 0:
+            raise ValueError("missing Data: separator in .dods response")
+        off = sep + len(b"\nData:\n")
+        out: dict = {c: [] for c, _ in cols}
+        while True:
+            if off + 4 > len(body):
+                raise ValueError("truncated DAP sequence stream")
+            (marker,) = struct.unpack_from(">I", body, off)
+            off += 4
+            if marker == 0xA5000000:  # END_OF_SEQUENCE
+                break
+            if marker != 0x5A000000:  # START_OF_INSTANCE
+                raise ValueError(
+                    f"bad DAP sequence marker 0x{marker:08x}")
+            for col, typ in cols:
+                wire_size, wire_dtype, final = _DAP_TYPES[typ]
+                # XDR scalars occupy at least 4 bytes
+                size = max(4, wire_size)
+                if off + size > len(body):
+                    raise ValueError("truncated DAP sequence row")
+                if typ in ("Byte", "Int16", "Int32"):
+                    (v,) = struct.unpack_from(">i", body, off)
+                    out[col].append(int(v))
+                elif typ == "Float32":
+                    (v,) = struct.unpack_from(">f", body, off)
+                    out[col].append(float(v))
+                else:  # Float64
+                    (v,) = struct.unpack_from(">d", body, off)
+                    out[col].append(float(v))
+                off += size
+        return out
+
     def close(self) -> None:
         pass
 
@@ -310,28 +457,76 @@ class DapDataset:
 _SLAB = re.compile(r"\[(\d+)(?::(\d+))?(?::(\d+))?\]")
 
 
-def _dds_text(nc, dataset_name: str, only: dict | None = None) -> str:
+_NCT_DAP = {1: "Byte", 3: "Int16", 4: "Int32", 5: "Float32",
+            6: "Float64"}
+
+
+def _var_decl(nc, name: str, ranges=None, indent: str = "    ",
+              decl_name: str | None = None) -> str:
+    v = nc.vars[name]
+    typ = _NCT_DAP.get(v.nc_type)
+    if typ is None:
+        raise NotImplementedError(
+            f"DAP serving for nc_type {v.nc_type} not implemented"
+        )
+    dims = []
+    for di, sz in zip(v.dim_ids, v.shape):
+        dn = nc.dims[di][0]
+        full = nc.numrecs if v.is_record and di == nc.rec_dim_id else sz
+        if ranges is not None:
+            a, st_, b = ranges[len(dims)]
+            full = len(range(a, b + 1, st_))
+        dims.append(f"[{dn} = {full}]")
+    return f"{indent}{typ} {decl_name or name}{''.join(dims)};"
+
+
+def _grid_vars(nc) -> dict:
+    """Variables that qualify as DAP Grids: >= 2 dims, every dim
+    backed by a same-named 1-D coordinate variable (the THREDDS
+    shape the reference's HYCOM reads see)."""
+    coords = {n for n, v in nc.vars.items()
+              if len(v.dim_ids) == 1 and nc.dims[v.dim_ids[0]][0] == n}
+    out = {}
+    for name, v in nc.vars.items():
+        if name in coords or len(v.dim_ids) < 2:
+            continue
+        dims = [nc.dims[di][0] for di in v.dim_ids]
+        if all(d in coords for d in dims):
+            out[name] = dims
+    return out
+
+
+def _dds_text(nc, dataset_name: str, only: dict | None = None,
+              grid_mode: bool = False,
+              sequences: dict | None = None) -> str:
     """DDS for an NcFile — optionally constrained to ``only``
-    ({var: [(a, b), ...]})."""
+    ({var: [(a, b), ...]}).  With ``grid_mode`` (round 13),
+    coordinate-backed record variables render as DAP Grid
+    constructors (array + maps); ``sequences`` render as Sequence
+    blocks."""
     lines = ["Dataset {"]
+    grids = _grid_vars(nc) if grid_mode and only is None else {}
     for name, v in nc.vars.items():
         if only is not None and name not in only:
             continue
-        typ = {1: "Byte", 3: "Int16", 4: "Int32", 5: "Float32",
-               6: "Float64"}.get(v.nc_type)
-        if typ is None:
-            raise NotImplementedError(
-                f"DAP serving for nc_type {v.nc_type} not implemented"
-            )
-        dims = []
-        for di, sz in zip(v.dim_ids, v.shape):
-            dn = nc.dims[di][0]
-            full = nc.numrecs if v.is_record and di == nc.rec_dim_id else sz
-            if only is not None:
-                a, st_, b = only[name][len(dims)]
-                full = len(range(a, b + 1, st_))
-            dims.append(f"[{dn} = {full}]")
-        lines.append(f"    {typ} {name}{''.join(dims)};")
+        if name in grids:
+            lines.append("    Grid {")
+            lines.append("     Array:")
+            lines.append(_var_decl(nc, name, None, "        "))
+            lines.append("     Maps:")
+            for d in grids[name]:
+                lines.append(_var_decl(nc, d, None, "        "))
+            lines.append(f"    }} {name};")
+            continue
+        lines.append(_var_decl(nc, name, only.get(name)
+                               if only is not None else None))
+    for sname, seq in (sequences or {}).items():
+        if only is not None and sname not in only:
+            continue
+        lines.append("    Sequence {")
+        for col, typ in seq["cols"]:
+            lines.append(f"        {typ} {col};")
+        lines.append(f"    }} {sname};")
     lines.append(f"}} {dataset_name};")
     return "\n".join(lines) + "\n"
 
@@ -401,11 +596,75 @@ def parse_constraint(nc, query: str) -> dict:
     return out
 
 
-def make_dap_handler(root_dir: str):
+def _resolve_grid_query(nc, q: str) -> str:
+    """Rewrite grid-mode projections to the underlying variables:
+    ``g.g[...]`` -> the array, ``g.map[...]`` -> that coordinate,
+    bare ``g[...]`` -> the array plus its maps sliced by the
+    corresponding axes (the Grid instance shape)."""
+    grids = _grid_vars(nc)
+    parts = []
+    for proj in filter(None, q.split("&")[0].split(",")):
+        m = re.fullmatch(r"([\w.]+)((?:\[[^\]]*\])*)", proj)
+        if not m:
+            raise ValueError(f"bad DAP projection {proj!r}")
+        name, slabs = m.groups()
+        if "." in name:
+            parent, _, member = name.partition(".")
+            if parent not in grids:
+                raise ValueError(f"no DAP grid {parent!r}")
+            if member == parent:
+                parts.append(parent + slabs)
+            elif member in grids[parent]:
+                parts.append(member + slabs)
+            else:
+                raise ValueError(
+                    f"no map {member!r} in grid {parent!r}")
+        elif name in grids and slabs:
+            slab_list = re.findall(r"\[[^\]]*\]", slabs)
+            parts.append(name + slabs)
+            for d, sl in zip(grids[name], slab_list):
+                parts.append(d + sl)
+            parts.extend(grids[name][len(slab_list):])
+        else:
+            parts.append(proj)
+    return ",".join(parts)
+
+
+def _xdr_sequence(seq: dict) -> bytes:
+    """Sequence rows -> the spec's §7.2.3 stream: 0x5A000000 before
+    every instance, columns XDR-encoded at scalar width, 0xA5000000
+    after the last."""
+    out = bytearray()
+    for row in seq["rows"]:
+        out += struct.pack(">I", 0x5A000000)
+        for (col, typ), val in zip(seq["cols"], row):
+            if typ in ("Byte", "Int16", "Int32"):
+                out += struct.pack(">i", int(val))
+            elif typ == "Float32":
+                out += struct.pack(">f", float(val))
+            elif typ == "Float64":
+                out += struct.pack(">d", float(val))
+            else:
+                raise NotImplementedError(
+                    f"DAP sequence column type {typ!r} not implemented")
+    out += struct.pack(">I", 0xA5000000)
+    return bytes(out)
+
+
+def make_dap_handler(root_dir: str, grid_mode: bool = False,
+                     sequences: dict | None = None):
     """An http.server request handler serving ``<file>.dds`` and
     ``<file>.dods?constraint`` for classic-netCDF files under
     ``root_dir`` — record-slice reads only (the server never
-    materializes a record variable it isn't shipping)."""
+    materializes a record variable it isn't shipping).
+
+    ``grid_mode`` (round 13) serves coordinate-backed variables as
+    DAP Grid constructors — the THREDDS shape — accepting qualified
+    projections (``g.g[...]``, ``g.map[...]``) and bare-grid
+    projections (array followed by the sliced maps, per spec).
+    ``sequences`` ({name: {"cols": [(col, typ)...], "rows": [...]}}),
+    keyed per served filename under ``<fname>!<seq>`` or globally
+    under the sequence name, adds Sequence blocks."""
     import http.server
     import os
     import urllib.parse
@@ -432,7 +691,9 @@ def make_dap_handler(root_dir: str):
                 if path.endswith(".dds"):
                     fn = os.path.join(root_dir, path[1:-len(".dds")])
                     nc = NcFile(fn)
-                    body = _dds_text(nc, os.path.basename(fn)).encode()
+                    body = _dds_text(nc, os.path.basename(fn),
+                                     grid_mode=grid_mode,
+                                     sequences=sequences).encode()
                     nc.close()
                     self._reply(200, body, "text/plain")
                 elif path.endswith(".das"):
@@ -445,6 +706,19 @@ def make_dap_handler(root_dir: str):
                     fn = os.path.join(root_dir, path[1:-len(".dods")])
                     nc = NcFile(fn)
                     q = urllib.parse.unquote(parsed.query)
+                    seq = (sequences or {}).get(q.split("[")[0])
+                    if seq is not None:
+                        dds = _dds_text(
+                            nc, os.path.basename(fn),
+                            sequences={q: seq}, only={q: None},
+                        ).encode()
+                        nc.close()
+                        self._reply(
+                            200, dds + b"\nData:\n" + _xdr_sequence(seq),
+                            "application/octet-stream")
+                        return
+                    if grid_mode and q:
+                        q = _resolve_grid_query(nc, q)
                     only = parse_constraint(nc, q) if q else {
                         v: [(0, 1,
                              (nc.numrecs if nc.vars[v].is_record else s) - 1)

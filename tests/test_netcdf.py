@@ -658,3 +658,199 @@ def test_dap_packed_grid_parity_with_file(tmp_path, dap_root):
     d.var_attrs("salinity")
     d.var_attrs("water_temp")
     assert d.n_fetches == fetches_before
+
+
+# ---------------------------------------------------------------------------
+# Round 13: DAP constructor types — Grid / Structure / Sequence
+# (the former pydap plug-in point).
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def coord_nc(tmp_path_factory):
+    """Coordinate-backed dataset: every dim has a same-named 1-D
+    variable, so ``sst`` qualifies as a DAP Grid in grid mode (the
+    THREDDS shape)."""
+    path = str(tmp_path_factory.mktemp("gridnc") / "coord.nc")
+    write_classic(
+        path,
+        dims=[("time", 0), ("y", 3), ("x", 4)],
+        variables=[
+            ("time", ("time",),
+             lambda r: np.array(r * 6.0, dtype=np.float64)),
+            ("y", ("y",), np.array([1.0, 2.0, 3.0])),
+            ("x", ("x",), np.array([10.0, 20.0, 30.0, 40.0])),
+            ("sst", ("time", "y", "x"),
+             lambda r: np.arange(12, dtype=np.float64).reshape(3, 4)
+             + 100 * r),
+        ],
+        record_dim="time",
+        n_records=4,
+    )
+    return path
+
+
+@pytest.fixture(scope="module")
+def grid_dap_root(tmp_path_factory, coord_nc):
+    import shutil
+
+    from modeltracking_spark.sources.dap import make_dap_handler
+
+    root = tmp_path_factory.mktemp("dapgrid")
+    shutil.copy(coord_nc, os.path.join(str(root), "coord.nc"))
+    seqs = {
+        "obs": {
+            "cols": [("id", "Int32"), ("val", "Float64"),
+                     ("flag", "Float32")],
+            "rows": [(i, i * 0.5, float(i % 3)) for i in range(40)],
+        },
+    }
+    srv = http.server.ThreadingHTTPServer(
+        ("127.0.0.1", 0),
+        make_dap_handler(str(root), grid_mode=True, sequences=seqs),
+    )
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", str(root)
+    srv.shutdown()
+
+
+def test_dap_grid_parity_with_file(coord_nc, grid_dap_root):
+    """Grid-mode DAP: the DDS carries a Grid constructor, the client
+    parses it, the array reads TRANSPARENTLY under the grid's name
+    (whole, sliced, strided) and equals the direct file read; maps
+    read under ``g.map``."""
+    from modeltracking_spark.sources.dap import DapDataset
+
+    base, _root = grid_dap_root
+    local = NcFile(coord_nc)
+    d = DapDataset(f"dap+{base}/coord.nc")
+    assert "sst" in d.grids
+    assert d.grids["sst"]["maps"] == ["sst.time", "sst.y", "sst.x"]
+    assert d.vars["sst"][0] == "Float64"
+    assert np.array_equal(d.read("sst"), local.read("sst"))
+    for r in range(4):
+        assert np.array_equal(d.read_slice("sst", r),
+                              local.read_slice("sst", r)), r
+    got = d.read_strided("sst", [(0, 2, 3), (1, 2), (0, 2, 3)])
+    want = local.read("sst")[0:4:2, 1:3, 0:4:2]
+    assert np.array_equal(got, want)
+    # maps via the qualified names
+    assert np.array_equal(d.read("sst.time"), local.read("time"))
+    assert np.array_equal(d.read("sst.y"), local.read("y"))
+    # coordinate variables are still served atomically too
+    assert np.array_equal(d.read("x"), local.read("x"))
+
+
+def test_dap_grid_bare_projection_ships_maps(coord_nc, grid_dap_root):
+    """A bare-grid projection returns the Grid instance: the array
+    then each map sliced by the corresponding axis (spec §4.3)."""
+    import struct as _s
+    import urllib.request
+
+    base, _root = grid_dap_root
+    with urllib.request.urlopen(
+            f"{base}/coord.nc.dods?sst[1:2][0:1][1:3]") as r:
+        body = r.read()
+    sep = body.find(b"\nData:\n")
+    assert sep > 0
+    off = sep + len(b"\nData:\n")
+    shapes = [(2 * 2 * 3,), (2,), (2,), (3,)]  # array, time, y, x
+    seen = []
+    for (n,) in shapes:
+        n1, n2 = _s.unpack_from(">II", body, off)
+        assert n1 == n2 == n
+        off += 8 + ((n * 8 + 3) // 4) * 4
+        seen.append(n)
+    assert off == len(body)
+    assert seen == [12, 2, 2, 3]
+
+
+def test_dap_sequence_roundtrip(grid_dap_root):
+    """Sequence decode per §7.2.3: 0x5A instance markers, scalar XDR
+    columns, 0xA5 terminator."""
+    from modeltracking_spark.sources.dap import DapDataset
+
+    base, _root = grid_dap_root
+    d = DapDataset(f"dap+{base}/coord.nc")
+    assert d.sequences["obs"] == [("id", "Int32"), ("val", "Float64"),
+                                  ("flag", "Float32")]
+    got = d.read_sequence("obs")
+    assert got["id"] == list(range(40))
+    assert got["val"] == [i * 0.5 for i in range(40)]
+    assert got["flag"] == [float(i % 3) for i in range(40)]
+    with pytest.raises(KeyError):
+        d.read_sequence("nope")
+
+
+def test_dap_constructor_dds_parse_units():
+    """Client-side DDS grammar for the constructor types, including
+    Structure members and the typed rejects."""
+    from modeltracking_spark.sources.dap import _parse_dds
+
+    name, out, grids, seqs = _parse_dds("""Dataset {
+    Grid {
+     Array:
+        Float32 wt[time = 6][lat = 8];
+     Maps:
+        Float64 time[time = 6];
+        Float64 lat[lat = 8];
+    } wt;
+    Structure {
+        Int32 a[x = 3];
+        Float64 b;
+    } meta;
+    Sequence {
+        Int32 id;
+        Float64 v;
+    } rows;
+    Int32 plain[x = 3];
+} d;""")
+    assert name == "d"
+    assert out["wt"] == ("Float32", [("time", 6), ("lat", 8)])
+    assert out["wt.time"][1] == [("time", 6)]
+    assert out["meta.a"] == ("Int32", [("x", 3)])
+    assert out["meta.b"] == ("Float64", [])
+    assert seqs["rows"] == [("id", "Int32"), ("v", "Float64")]
+    assert out["plain"][1] == [("x", 3)]
+    assert grids["wt"]["maps"] == ["wt.time", "wt.lat"]
+    with pytest.raises(NotImplementedError, match="String"):
+        _parse_dds("Dataset { String s; } d;")
+    with pytest.raises(NotImplementedError, match="Sequence"):
+        _parse_dds(
+            "Dataset { Sequence { Int32 a[x = 2]; } s; } d;")
+    with pytest.raises(ValueError, match="DDS"):
+        _parse_dds("Dataset { Grid { Int32 a; } d;")
+    with pytest.raises(ValueError, match="braces"):
+        _parse_dds("Dataset { Int32 a; } x } d;")
+
+
+def test_dap_sequence_stream_rejects():
+    """Marker discipline: a corrupted instance marker or truncated
+    stream is a typed ValueError."""
+    import struct as _s
+
+    from modeltracking_spark.sources.dap import DapDataset
+
+    class _Fake(DapDataset):
+        def __init__(self, cols, payload):
+            self.sequences = {"s": cols}
+            self._payload = payload
+            self.n_fetches = 0
+            self.n_bytes = 0
+            self.url = "http://x"
+
+        def _get(self, full_url):
+            return b"Dataset {\n} d;\n\nData:\n" + self._payload
+
+    cols = [("id", "Int32")]
+    ok = (_s.pack(">I", 0x5A000000) + _s.pack(">i", 7)
+          + _s.pack(">I", 0xA5000000))
+    assert _Fake(cols, ok).read_sequence("s") == {"id": [7]}
+    with pytest.raises(ValueError, match="marker"):
+        _Fake(cols, _s.pack(">I", 0xDEADBEEF)).read_sequence("s")
+    with pytest.raises(ValueError, match="truncated"):
+        _Fake(cols, _s.pack(">I", 0x5A000000)
+              + b"\x00\x00").read_sequence("s")
+    with pytest.raises(ValueError, match="truncated"):
+        _Fake(cols, _s.pack(">I", 0x5A000000)
+              + _s.pack(">i", 7)).read_sequence("s")
