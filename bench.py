@@ -190,6 +190,15 @@ HEADLINE = [
     "safetensors_roundtrip_embeddings",
     "npz_roundtrip_embeddings",
     "arrow_ipc_roundtrip_docs",
+    # round-13 operators: from-spec Arrow IPC WRITE (pyarrow reads
+    # the engine's bytes) + dictionary-encoded read, the ORC UNION
+    # arm, legacy BIT_PACKED parquet levels, and the DAP grid-mode
+    # live-protocol scan
+    "arrow_ipc_write_roundtrip_docs",
+    "arrow_ipc_dict_scan_docs",
+    "orc_union_scan_events",
+    "parquet_bitpacked_scan_orders",
+    "dap_grid_mode_scan",
     # zstd_seekable_stream_scan_docs, parquet_stream_sink_docs, and
     # orc_stream_sink_docs are deliberately NOT benched: each
     # execution runs two REAL streaming drains (~17 s at sf0.1),

@@ -43,84 +43,72 @@ QUERY_MODULES = (
 
 #: the scored window (driver cap observed at 50).
 #:
-#: ROUND-12 ROTATION (VERDICT r11 item 8): head = the 5 new r12
-#: registrations (parquet decimal/INT96/struct scans, ORC struct
-#: scan, ORC streaming sink) plus ``topk_lineitems_per_order`` whose
-#: positional-zip arm was REWRITTEN this round (limit-first ranking —
-#: listed in ``REATTEST`` so the lint treats it as never-attested).
-#: Then the ENTIRE r7-stale cohort (34 names, age 5 — the r11 verdict
-#: mandated they lead) and the 10 highest-leverage r8-stale names to
-#: fill the window. Everything else follows in module registration
-#: order; the union of driver windows retains full-registry coverage.
+#: ROUND-13 ROTATION (VERDICT r12 item 7): head = the 5 new r13
+#: registrations (Arrow IPC write + dictionary read, ORC UNION,
+#: parquet legacy BIT_PACKED levels, the DAP grid-mode scan) plus
+#: ``xz_bcj_roundtrip_docs`` whose kernel was REWRITTEN this round
+#: (batched CLI invocation after the scale probe flagged per-row
+#: spawns — listed in ``REATTEST``).  Then ``weighted_sample_docs``
+#: (the one r7-stale leftover — it missed the r12 50-boundary) and
+#: 43 of the 49-name r8-stale cohort; the six slipped to r14 are
+#: codec-family siblings whose families keep an in-window carrier
+#: (mulaw/jpeg_color/y4m/bmp_resize/wav_decimate/gif_decode vs the
+#: in-window adpcm/jpeg_progressive/gif_frames/png/image_features).
 PRIORITY: tuple[str, ...] = (
-    # ---- new in r12 (never-attested) ----
-    "parquet_decimal_scan_orders",     # DECIMAL logical type, 3 carriers
-    "parquet_int96_scan_events",       # legacy INT96 timestamps
-    "parquet_struct_scan_events",      # one-level STRUCT (Dremel defs)
-    "orc_struct_scan_events",          # ORC one-level STRUCT
-    "orc_stream_sink_docs",            # ORC streaming sink, epoch 2PC
-    "parquet_page_pruned_scan_orders",  # ColumnIndex page-level prune
-    "parquet_map_scan_events",         # MAP nested shape, both dirs
-    "orc_decimal_scan_orders",         # ORC DECIMAL, both dirs
-    "orc_map_scan_events",             # ORC MAP, both dirs
-    "parquet_nested_scan_events",      # general Dremel nesting
-    "orc_nested_scan_events",          # ORC general nesting
-    "parquet_bloom_pruned_scan_orders",  # SBBF blooms, both dirs
-    "orc_bloom_pruned_scan_orders",    # ORC bloom stripe pruning
-    "safetensors_roundtrip_embeddings",  # tensor container, from-spec
-    "npz_roundtrip_embeddings",        # NPY/NPZ vs numpy both ways
-    "arrow_ipc_roundtrip_docs",        # Arrow IPC from-spec reader
-    # ---- behavior changed in r12 (REATTEST; lint-exempt) ----
-    "topk_lineitems_per_order",        # zip arm now limit-first
-    # ---- r7-stale cohort (34 = the whole tier, age 5) ----
-    "bpe_first_merge_pairs",
-    "chi2_type_vs_weekday_events",
-    "cms_user_counts",
-    "curation_pipeline_docs",
-    "data_quality_events",
-    "depth_display_axis",
-    "distinct_estimate_users",
-    "dsir_select_docs",
-    "edit_distance_pairs_docs",
-    "embedding_quantize_int8",
-    "fixed_n_per_lang_docs",
-    "funnel_conversion_events",
-    "gopher_rules_docs",
-    "grouped_agg_median_prices",
-    "hist_quantiles_events",
-    "hours_from_parts",
-    "html_extract_main_text",
-    "line_dedup_rewrite_docs",
-    "mad_outliers_events",
-    "mmr_diverse_topk",
-    "pca_top_component_embeddings",
-    "personalized_pagerank_docs",
-    "pii_redact_docs",
-    "point_in_polygon_customers",
-    "pq_adc_topk_l2",
-    "pq_refine_topk_l2",
-    "profile_columns_lineitem",
-    "retention_cohorts_events",
-    "textrank_segments_docs",
-    "track_resample_arclength",
-    "triangle_counts_docs",
-    "url_canonicalize_docs",
-    "wav_decode_stats_docs",
+    # ---- new in r13 (never-attested) ----
+    "arrow_ipc_write_roundtrip_docs",  # from-spec IPC writer, pyarrow reads
+    "arrow_ipc_dict_scan_docs",        # DictionaryBatch read, int8/16 idx
+    "orc_union_scan_events",           # ORC UNION, last type-tree arm
+    "parquet_bitpacked_scan_orders",   # legacy BIT_PACKED v1 levels
+    "dap_grid_mode_scan",              # DAP Grid constructor, live protocol
+    # ---- behavior changed in r13 (REATTEST; lint-exempt) ----
+    "xz_bcj_roundtrip_docs",           # batched-CLI kernel rewrite
+    # ---- r7-stale leftover (age 6) ----
     "weighted_sample_docs",
-    # ---- r8-stale fillers (10 of 49, operator-diverse) ----
-    "asof_backward_clicks",            # second as-of direction
-    "bigram_logprob_docs",             # bigram LM scoring
-    "classifier_eval_suite",           # eval metrics suite
-    "deterministic_shuffle_docs",      # bucket-offset global shuffle
-    "grid_netcdf_packed_scan",         # CF-packed int16 grid arm
-    "hll_distinct_users",              # HLL sketch
-    "jpeg_progressive_decode_stats_docs",  # progressive JPEG
-    "txlog_snapshot_orders",           # transaction-log snapshot
-    "unigram_viterbi_docs",            # Viterbi segmentation
-    # (rolling_active_users_events slipped past the 50-boundary when
-    # parquet_page_pruned_scan_orders took a head slot; it rotates in
-    # with the rest of the r8 cohort at r13)
+    # ---- r8-stale cohort (43 of 49) ----
+    "asof_backward_clicks",
+    "bigram_logprob_docs",
+    "classifier_eval_suite",
+    "deterministic_shuffle_docs",
+    "grid_netcdf_packed_scan",
+    "hll_distinct_users",
+    "jpeg_progressive_decode_stats_docs",
+    "txlog_snapshot_orders",
+    "unigram_viterbi_docs",
     "rolling_active_users_events",
+    "pricing_summary",
+    "rollup_region_nation",
+    "events_json_props",
+    "grouping_sets_orders",
+    "lon_normalize",
+    "inv_square_weights",
+    "moving_frame_sums",
+    "event_type_stats",
+    "profile_flatten_roundtrip",
+    "profile_nearest_node",
+    "dedup_survivor_rows",
+    "minhash_shingle_pairs",
+    "text_metrics_docs",
+    "quality_scores_docs",
+    "lang_id_docs",
+    "centroid_label_means",
+    "sliding_window_counts",
+    "image_features_fake_decode",
+    "adpcm_decode_stats_docs",
+    "gif_frames_stats_docs",
+    "png_decode_stats_docs",
+    "string_functions_demo",
+    "temperature_mix_sample_docs",
+    "jsonl_gz_roundtrip_scan",
+    "event_transitions_markov",
+    "zscore_standardize_events",
+    "feature_hash_docs",
+    "target_encode_events",
+    "winsorize_events",
+    "pearson_corr_events",
+    "key_skew_profile_events",
+    "doc_chunks_overlap",
+    "classifier_calibration_bins",
 )
 
 #: queries whose semantics/plan changed THIS round: the staleness lint
@@ -128,7 +116,7 @@ PRIORITY: tuple[str, ...] = (
 #: their head-of-window placement does not trip the stalest-first
 #: invariant (their old attestation predates the change).
 REATTEST: tuple[str, ...] = (
-    "topk_lineitems_per_order",
+    "xz_bcj_roundtrip_docs",
 )
 
 #: observed driver correctness cap (CORRECTNESS_r03 scored exactly 50)
