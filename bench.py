@@ -197,6 +197,7 @@ HEADLINE = [
     "arrow_ipc_write_roundtrip_docs",
     "arrow_ipc_dict_scan_docs",
     "orc_union_scan_events",
+    "arrow_ipc_fixed_scan_embeddings",
     "parquet_bitpacked_scan_orders",
     "dap_grid_mode_scan",
     # zstd_seekable_stream_scan_docs, parquet_stream_sink_docs, and

@@ -21,14 +21,17 @@ flatbuffers verifier accepts the bytes), streams get
 Schema/RecordBatch messages + EOS, files add the ARROW1 magics and
 the File.fbs Footer (schema copy + Block index of every message).
 
-Scope: flat primitive columns (ints at all widths, float32/64, bool,
-utf8, binary, date32, timestamp) plus one LIST level of fixed-width
-primitives — the embedding shape; dictionary-encoded columns of flat
-value types are READ (write side re-expands them); deeper nesting
-and big-endian streams are typed loud rejects.  Validation: pyarrow
-(the reference implementation) WRITES every read fixture and READS
-every written stream/file in tests/test_arrow_ipc.py — adversarial
-in both directions.
+Scope: flat primitive columns (ints at all widths, float16/32/64,
+bool, utf8/binary and their Large 64-bit-offset variants, date32,
+timestamp) plus one list level of fixed-width primitives in all
+three layouts — List, LargeList and FixedSizeList (the canonical
+arrow embedding shape; no offsets buffer, child length = n*k);
+dictionary-encoded columns of flat value types are READ (write side
+re-expands them); deeper nesting and big-endian streams are typed
+loud rejects.  The writer emits the original flat + List scope.
+Validation: pyarrow (the reference implementation) WRITES every read
+fixture and READS every written stream/file in
+tests/test_arrow_ipc.py — adversarial in both directions.
 """
 
 from __future__ import annotations
@@ -166,16 +169,19 @@ def _parse_field(fb: _FB, fpos: int) -> dict:
     elif tname == "FloatingPoint":
         pr_p = fb.field(tpos, 0)
         out["precision"] = fb.i16(pr_p) if pr_p is not None else 0
-        if out["precision"] == 0:  # HALF
-            raise NotImplementedError(
-                "float16 arrow columns not supported")
     elif tname == "Timestamp":
         u_p = fb.field(tpos, 0)
         out["unit"] = fb.i16(u_p) if u_p is not None else 0
     elif tname == "Date":
         u_p = fb.field(tpos, 0)
         out["unit"] = fb.i16(u_p) if u_p is not None else 0  # 0=DAY
-    elif tname in ("Utf8", "Binary", "Bool", "List"):
+    elif tname == "FixedSizeList":
+        ls_p = fb.field(tpos, 0)
+        out["list_size"] = fb.i32(ls_p) if ls_p is not None else 0
+        if out["list_size"] <= 0:
+            raise ValueError("arrow FixedSizeList without a size")
+    elif tname in ("Utf8", "Binary", "Bool", "List", "LargeUtf8",
+                   "LargeBinary", "LargeList"):
         pass
     else:
         raise NotImplementedError(
@@ -186,14 +192,16 @@ def _parse_field(fb: _FB, fpos: int) -> dict:
         n, base = fb.vector(ch_p)
         for i in range(n):
             children.append(_parse_field(fb, fb.indirect(base + 4 * i)))
-    if tname == "List":
+    if tname in ("List", "LargeList", "FixedSizeList"):
         if dict_enc is not None:
             raise NotImplementedError(
                 "dictionary-encoded arrow list columns not supported")
         if len(children) != 1:
-            raise ValueError("arrow List field needs one child")
-        if children[0]["type"] in ("List", "Struct_", "Utf8",
-                                   "Binary"):
+            raise ValueError(f"arrow {tname} field needs one child")
+        if children[0]["type"] in ("List", "LargeList",
+                                   "FixedSizeList", "Struct_",
+                                   "Utf8", "Binary", "LargeUtf8",
+                                   "LargeBinary"):
             raise NotImplementedError(
                 "nested arrow list element types not supported "
                 "(one LIST level of fixed-width primitives is)")
@@ -362,8 +370,8 @@ def _prim_values(field: dict, buf: bytes, n: int) -> list:
             raise ValueError("arrow data buffer too short")
         return list(struct.unpack_from(f"<{n}{code}", buf, 0))
     if t == "FloatingPoint":
-        code = "f" if field["precision"] == 1 else "d"
-        size = 4 if code == "f" else 8
+        code = {0: "e", 1: "f", 2: "d"}[field["precision"]]
+        size = {0: 2, 1: 4, 2: 8}[field["precision"]]
         if len(buf) < n * size:
             raise ValueError("arrow data buffer too short")
         return list(struct.unpack_from(f"<{n}{code}", buf, 0))
@@ -469,12 +477,15 @@ def _decode_columns(fields: list[dict], rb: dict, body: bytes,
                         f"arrow dictionary index {ix} outside the "
                         f"{len(values)}-entry dictionary")
                 vals.append(values[ix])
-        elif t in ("Utf8", "Binary"):
+        elif t in ("Utf8", "Binary", "LargeUtf8", "LargeBinary"):
+            wide = t.startswith("Large")
+            osz, ocode = (8, "q") if wide else (4, "i")
             offs_b = take_buf()
-            if len(offs_b) < 4 * (n + 1):
+            if len(offs_b) < osz * (n + 1):
                 raise ValueError("arrow offsets buffer too short")
-            offs = struct.unpack_from(f"<{n + 1}i", offs_b, 0)
+            offs = struct.unpack_from(f"<{n + 1}{ocode}", offs_b, 0)
             data = take_buf()
+            text = t in ("Utf8", "LargeUtf8")
             vals = []
             for i in range(n):
                 if not valid[i]:
@@ -485,12 +496,32 @@ def _decode_columns(fields: list[dict], rb: dict, body: bytes,
                     raise ValueError("arrow string offsets out of "
                                      "bounds")
                 vals.append(data[s:e].decode("utf-8")
-                            if t == "Utf8" else bytes(data[s:e]))
-        elif t == "List":
+                            if text else bytes(data[s:e]))
+        elif t == "FixedSizeList":
+            # no offsets buffer: child length is n * list_size, each
+            # slot owns its fixed window (spec Fixed-Size List layout)
+            k = field["list_size"]
+            child = field["children"][0]
+            c_len, c_nulls = take_node()
+            if c_len != n * k:
+                raise ValueError(
+                    f"arrow FixedSizeList child length {c_len} != "
+                    f"{n}*{k}")
+            c_valid = _validity(take_buf(), c_len, c_nulls)
+            c_vals = _prim_values(child, take_buf(), c_len)
+            vals = []
+            for i in range(n):
+                if not valid[i]:
+                    vals.append(None)
+                    continue
+                vals.append([c_vals[j] if c_valid[j] else None
+                             for j in range(i * k, (i + 1) * k)])
+        elif t in ("List", "LargeList"):
+            osz, ocode = (8, "q") if t == "LargeList" else (4, "i")
             offs_b = take_buf()
-            if len(offs_b) < 4 * (n + 1):
+            if len(offs_b) < osz * (n + 1):
                 raise ValueError("arrow offsets buffer too short")
-            offs = struct.unpack_from(f"<{n + 1}i", offs_b, 0)
+            offs = struct.unpack_from(f"<{n + 1}{ocode}", offs_b, 0)
             child = field["children"][0]
             c_len, c_nulls = take_node()
             c_valid = _validity(take_buf(), c_len, c_nulls)

@@ -50,15 +50,16 @@ QUERY_MODULES = (
 #: (batched CLI invocation after the scale probe flagged per-row
 #: spawns — listed in ``REATTEST``).  Then ``weighted_sample_docs``
 #: (the one r7-stale leftover — it missed the r12 50-boundary) and
-#: 43 of the 49-name r8-stale cohort; the six slipped to r14 are
+#: 42 of the 49-name r8-stale cohort; the seven slipped to r14 are
 #: codec-family siblings whose families keep an in-window carrier
-#: (mulaw/jpeg_color/y4m/bmp_resize/wav_decimate/gif_decode vs the
-#: in-window adpcm/jpeg_progressive/gif_frames/png/image_features).
+#: (mulaw/jpeg_color/y4m/bmp_resize/wav_decimate/gif_decode/png vs
+#: the in-window adpcm/jpeg_progressive/gif_frames/image_features).
 PRIORITY: tuple[str, ...] = (
     # ---- new in r13 (never-attested) ----
     "arrow_ipc_write_roundtrip_docs",  # from-spec IPC writer, pyarrow reads
     "arrow_ipc_dict_scan_docs",        # DictionaryBatch read, int8/16 idx
     "orc_union_scan_events",           # ORC UNION, last type-tree arm
+    "arrow_ipc_fixed_scan_embeddings",  # FixedSizeList/Large/f16 arms
     "parquet_bitpacked_scan_orders",   # legacy BIT_PACKED v1 levels
     "dap_grid_mode_scan",              # DAP Grid constructor, live protocol
     # ---- behavior changed in r13 (REATTEST; lint-exempt) ----
@@ -96,7 +97,6 @@ PRIORITY: tuple[str, ...] = (
     "image_features_fake_decode",
     "adpcm_decode_stats_docs",
     "gif_frames_stats_docs",
-    "png_decode_stats_docs",
     "string_functions_demo",
     "temperature_mix_sample_docs",
     "jsonl_gz_roundtrip_scan",

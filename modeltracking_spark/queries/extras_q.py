@@ -4459,6 +4459,85 @@ def arrow_ipc_dict_scan_docs(spark: SparkSession,
 
 
 @query(
+    "arrow_ipc_fixed_scan_embeddings",
+    oracle="""
+    SELECT vec_id,
+           64::BIGINT AS dim,
+           list_sum(list_transform(embedding,
+               x -> floor(CAST(x AS DOUBLE) * 1000000 + 0.5)::BIGINT
+                    * floor(CAST(x AS DOUBLE) * 1000000
+                            + 0.5)::BIGINT))::BIGINT AS ssq,
+           (2 + length(label::VARCHAR))::BIGINT AS tag_len
+    FROM embeddings
+    """,
+)
+def arrow_ipc_fixed_scan_embeddings(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Round-13 widening of the Arrow IPC reader
+    (operators/arrow_ipc.py): FIXED-SIZE-LIST — the canonical arrow
+    embedding layout (no offsets buffer; each slot owns a fixed
+    child window, child length = n*k) — plus the Large 64-bit-offset
+    string variant, read from pyarrow-written bytes with LZ4 bodies.
+    Each Arrow batch of the embeddings table is serialized by
+    PYARROW with the vector as fixed_size_list<float32, 64> and a
+    large_utf8 tag column; the from-spec walker decodes, and the
+    outputs re-derive from the DECODED values by integer arithmetic
+    (per-element e6 quantization, order-free integer sum of squares)
+    so any window/offset drift breaks the hash.  float16 /
+    LargeBinary / LargeList arms are pinned in
+    tests/test_arrow_ipc.py.  Narrow mapInPandas, shuffle-free."""
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label")
+
+    def kernel(batches):
+        import io
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.ipc as paipc
+
+        from modeltracking_spark.operators.arrow_ipc import ipc_read
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            t = pa.table({
+                "vec_id": pa.array([int(v) for v in pdf["vec_id"]],
+                                   pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in pdf["embedding"]],
+                    pa.list_(pa.float32(), 64)),
+                "tag": pa.array([f"l={int(v)}" for v in pdf["label"]],
+                                pa.large_string()),
+            })
+            buf = io.BytesIO()
+            opts = paipc.IpcWriteOptions(compression="lz4")
+            with paipc.new_stream(buf, t.schema, options=opts) as w:
+                w.write_table(t, max_chunksize=256)
+            got = ipc_read(buf.getvalue())
+            cols = got["columns"]
+            if len(cols["vec_id"]) != len(pdf):
+                raise ValueError("arrow fixed scan lost rows")
+            import math
+
+            ssqs, dims = [], []
+            for vec in cols["embedding"]:
+                q = [int(math.floor(x * 1000000 + 0.5)) for x in vec]
+                ssqs.append(sum(v * v for v in q))
+                dims.append(len(vec))
+            yield pd.DataFrame({
+                "vec_id": cols["vec_id"],
+                "dim": dims,
+                "ssq": ssqs,
+                "tag_len": [len(s) for s in cols["tag"]],
+            })
+
+    return e.mapInPandas(
+        kernel, "vec_id bigint, dim bigint, ssq bigint, "
+                "tag_len bigint")
+
+
+@query(
     "safetensors_roundtrip_embeddings",
     oracle="""
     SELECT vec_id,

@@ -440,3 +440,73 @@ def test_write_side_mutation_fuzz():
             ipc_read(bytes(b))
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_wide_type_arms_vs_pyarrow():
+    """Round-13 reader widening: FixedSizeList (the canonical arrow
+    embedding layout — no offsets buffer, child = n*k), LargeUtf8/
+    LargeBinary/LargeList (64-bit offsets), and float16 — pyarrow
+    writes, the from-spec walker reads, compressed and not."""
+    import numpy as np
+
+    rng = random.Random(44)
+    n = 90
+
+    def mn(v, p=0.2):
+        return None if rng.random() < p else v
+
+    t = pa.table({
+        "fsl": pa.array(
+            [mn([rng.random() for _ in range(8)]) for _ in range(n)],
+            pa.list_(pa.float32(), 8)),
+        "f16": pa.array([mn(np.float16(rng.random()))
+                         for _ in range(n)], pa.float16()),
+        "lu": pa.array([mn("L-%d" % rng.randrange(30)
+                           * rng.randrange(3)) for _ in range(n)],
+                       pa.large_string()),
+        "lb": pa.array([mn(bytes([rng.randrange(256)])
+                           * rng.randrange(4)) for _ in range(n)],
+                       pa.large_binary()),
+        "ll": pa.array([mn([mn(rng.randrange(99))
+                            for _ in range(rng.randrange(4))])
+                        for _ in range(n)],
+                       pa.large_list(pa.int64())),
+    })
+    for comp in (None, "lz4", "zstd"):
+        buf = io.BytesIO()
+        opts = ipc.IpcWriteOptions(compression=comp)
+        with ipc.new_stream(buf, t.schema, options=opts) as w:
+            w.write_table(t, max_chunksize=17)
+        got = ipc_read(buf.getvalue())
+        for name in ("lu", "lb", "ll"):
+            assert got["columns"][name] == \
+                t.column(name).to_pylist(), (comp, name)
+        exp16 = t.column("f16").to_pylist()
+        g16 = got["columns"]["f16"]
+        assert all((a is None) == (b is None)
+                   and (a is None or abs(float(a) - float(b)) < 1e-3)
+                   for a, b in zip(g16, exp16)), comp
+        expf = t.column("fsl").to_pylist()
+        gf = got["columns"]["fsl"]
+        for a, b in zip(gf, expf):
+            assert (a is None) == (b is None)
+            if a is not None:
+                assert len(a) == 8 and all(
+                    abs(x - y) < 1e-6 for x, y in zip(a, b))
+    # file format too (the Footer path)
+    buf = io.BytesIO()
+    with ipc.new_file(buf, t.schema) as w:
+        w.write_table(t, max_chunksize=31)
+    assert ipc_read(buf.getvalue())["columns"]["lu"] == \
+        t.column("lu").to_pylist()
+
+
+def test_fixed_size_list_rejects():
+    # nested fixed-size-list element stays a typed reject
+    arr = pa.array([[["x"]]], pa.list_(pa.list_(pa.string(), 1), 1))
+    t = pa.table({"bad": arr})
+    buf = io.BytesIO()
+    with ipc.new_stream(buf, t.schema) as w:
+        w.write_table(t)
+    with pytest.raises(NotImplementedError, match="nested"):
+        ipc_read(buf.getvalue())
