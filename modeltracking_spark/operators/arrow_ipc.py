@@ -25,7 +25,9 @@ Scope: flat primitive columns (ints at all widths, float16/32/64,
 bool, utf8/binary and their Large 64-bit-offset variants, date32,
 timestamp) plus one list level of fixed-width primitives in all
 three layouts — List, LargeList and FixedSizeList (the canonical
-arrow embedding shape; no offsets buffer, child length = n*k);
+arrow embedding shape; no offsets buffer, child length = n*k) — and
+one STRUCT level of flat members (full-length children with their
+own validity, per the spec's Struct layout);
 dictionary-encoded columns of flat value types are READ (write side
 re-expands them); deeper nesting and big-endian streams are typed
 loud rejects.  The writer emits the original flat + List scope.
@@ -181,7 +183,7 @@ def _parse_field(fb: _FB, fpos: int) -> dict:
         if out["list_size"] <= 0:
             raise ValueError("arrow FixedSizeList without a size")
     elif tname in ("Utf8", "Binary", "Bool", "List", "LargeUtf8",
-                   "LargeBinary", "LargeList"):
+                   "LargeBinary", "LargeList", "Struct_"):
         pass
     else:
         raise NotImplementedError(
@@ -205,6 +207,19 @@ def _parse_field(fb: _FB, fpos: int) -> dict:
             raise NotImplementedError(
                 "nested arrow list element types not supported "
                 "(one LIST level of fixed-width primitives is)")
+    elif tname == "Struct_":
+        if dict_enc is not None:
+            raise NotImplementedError(
+                "dictionary-encoded arrow struct columns not "
+                "supported")
+        if not children:
+            raise ValueError("arrow Struct field needs children")
+        for ch in children:
+            if ch["type"] in ("List", "LargeList", "FixedSizeList",
+                              "Struct_") or ch.get("dictionary"):
+                raise NotImplementedError(
+                    "nested arrow struct member types not supported "
+                    "(one STRUCT level of flat members is)")
     elif children:
         raise NotImplementedError(
             "nested arrow schemas not supported")
@@ -516,6 +531,53 @@ def _decode_columns(fields: list[dict], rb: dict, body: bytes,
                     continue
                 vals.append([c_vals[j] if c_valid[j] else None
                              for j in range(i * k, (i + 1) * k)])
+        elif t == "Struct_":
+            # spec Struct layout: the struct carries only a validity
+            # bitmap; every child is a FULL-length array with its own
+            # validity (unlike ORC's parent-present filtering)
+            members = []
+            for ch in field["children"]:
+                c_len, c_nulls = take_node()
+                if c_len != n:
+                    raise ValueError(
+                        f"arrow struct member {ch['name']!r} length "
+                        f"{c_len} != batch rows {n}")
+                c_valid = _validity(take_buf(), n, c_nulls)
+                ct = ch["type"]
+                if ct in ("Utf8", "Binary", "LargeUtf8",
+                          "LargeBinary"):
+                    wide = ct.startswith("Large")
+                    osz, ocode = (8, "q") if wide else (4, "i")
+                    offs_b = take_buf()
+                    if len(offs_b) < osz * (n + 1):
+                        raise ValueError(
+                            "arrow offsets buffer too short")
+                    offs = struct.unpack_from(f"<{n + 1}{ocode}",
+                                              offs_b, 0)
+                    data = take_buf()
+                    text = ct in ("Utf8", "LargeUtf8")
+                    mv = []
+                    for i in range(n):
+                        if not c_valid[i]:
+                            mv.append(None)
+                            continue
+                        a, e = offs[i], offs[i + 1]
+                        if a < 0 or e < a or e > len(data):
+                            raise ValueError(
+                                "arrow string offsets out of bounds")
+                        mv.append(data[a:e].decode("utf-8")
+                                  if text else bytes(data[a:e]))
+                else:
+                    raw2 = _prim_values(ch, take_buf(), n)
+                    mv = [v if ok2 else None
+                          for v, ok2 in zip(raw2, c_valid)]
+                members.append((ch["name"], mv))
+            vals = []
+            for i in range(n):
+                if not valid[i]:
+                    vals.append(None)
+                    continue
+                vals.append({mn: mv[i] for mn, mv in members})
         elif t in ("List", "LargeList"):
             osz, ocode = (8, "q") if t == "LargeList" else (4, "i")
             offs_b = take_buf()

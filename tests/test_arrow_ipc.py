@@ -99,13 +99,14 @@ def test_typed_rejects():
         w.write_table(t2)
     with pytest.raises(NotImplementedError, match="nested"):
         ipc_read(buf2.getvalue())
-    # struct columns reject at the schema walk
-    t3 = pa.table({"st": pa.array([{"a": 1}],
-                                  pa.struct([("a", pa.int64())]))})
+    # struct-of-list stays a reject (one flat STRUCT level reads)
+    t3 = pa.table({"st": pa.array(
+        [{"a": [1.0]}],
+        pa.struct([("a", pa.list_(pa.float64()))]))})
     buf3 = io.BytesIO()
     with ipc.new_stream(buf3, t3.schema) as w:
         w.write_table(t3)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(NotImplementedError, match="struct member"):
         ipc_read(buf3.getvalue())
     with pytest.raises(ValueError, match="schema"):
         ipc_read(b"\xff\xff\xff\xff\x00\x00\x00\x00")
@@ -510,3 +511,31 @@ def test_fixed_size_list_rejects():
         w.write_table(t)
     with pytest.raises(NotImplementedError, match="nested"):
         ipc_read(buf.getvalue())
+
+
+def test_struct_read_vs_pyarrow():
+    """Round-13: one STRUCT level of flat members — per the spec the
+    struct carries only a validity bitmap and every child is a
+    FULL-length array with its own validity (no ORC-style parent
+    filtering)."""
+    rng = random.Random(21)
+    n = 70
+
+    def mn(v, p=0.25):
+        return None if rng.random() < p else v
+
+    st = pa.array(
+        [mn({"a": rng.randrange(100),
+             "b": mn("s%d" % rng.randrange(9)),
+             "c": rng.random()}) for _ in range(n)],
+        pa.struct([("a", pa.int64()), ("b", pa.string()),
+                   ("c", pa.float64())]))
+    t = pa.table({"st": st, "k": pa.array(range(n), pa.int64())})
+    for comp in (None, "lz4", "zstd"):
+        buf = io.BytesIO()
+        opts = ipc.IpcWriteOptions(compression=comp)
+        with ipc.new_stream(buf, t.schema, options=opts) as w:
+            w.write_table(t, max_chunksize=13)
+        got = ipc_read(buf.getvalue())
+        assert got["columns"]["st"] == t.column("st").to_pylist(), comp
+        assert got["columns"]["k"] == list(range(n))
