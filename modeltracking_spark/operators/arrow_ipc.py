@@ -30,7 +30,8 @@ one STRUCT level of flat members (full-length children with their
 own validity, per the spec's Struct layout);
 dictionary-encoded columns of flat value types are READ (write side
 re-expands them); deeper nesting and big-endian streams are typed
-loud rejects.  The writer emits the original flat + List scope.
+loud rejects.  The writer emits the flat + List + FixedSizeList
+scope.
 Validation: pyarrow (the reference implementation) WRITES every read
 fixture and READS every written stream/file in
 tests/test_arrow_ipc.py — adversarial in both directions.
@@ -787,7 +788,8 @@ class _FBBuilder:
 
 #: Schema.fbs Type union tags for emission (inverse of _TYPE_NAMES)
 _TYPE_TAGS = {"Int": 2, "FloatingPoint": 3, "Binary": 4, "Utf8": 5,
-              "Bool": 6, "Date": 8, "Timestamp": 10, "List": 12}
+              "Bool": 6, "Date": 8, "Timestamp": 10, "List": 12,
+              "FixedSizeList": 16}
 
 _WRITABLE_LIST_CHILDREN = ("Int", "FloatingPoint", "Bool", "Date",
                            "Timestamp")
@@ -815,16 +817,23 @@ def _field_chunk(b: _FBBuilder, f: dict) -> _Chunk:
         tc = b.table([(0, "i16", f.get("unit", 2))])
     elif t in ("Utf8", "Binary", "Bool"):
         tc = b.table([])
-    elif t == "List":
+    elif t in ("List", "FixedSizeList"):
         if len(f.get("children") or []) != 1:
-            raise ValueError("arrow List field needs one child")
+            raise ValueError(f"arrow {t} field needs one child")
         child = f["children"][0]
         if child["type"] not in _WRITABLE_LIST_CHILDREN:
             raise NotImplementedError(
                 f"arrow list<{child['type']}> write not supported "
                 "(one LIST level of fixed-width primitives is)")
         cc = _field_chunk(b, child)
-        tc = b.table([])
+        if t == "FixedSizeList":
+            k = int(f.get("list_size") or 0)
+            if k <= 0:
+                raise ValueError(
+                    "arrow FixedSizeList write needs list_size")
+            tc = b.table([(0, "i32", k)])
+        else:
+            tc = b.table([])
         children = b.vec_refs([cc])
     else:
         raise NotImplementedError(f"arrow type {t} write not supported")
@@ -946,6 +955,21 @@ def _enc_column(field: dict, vals: list) -> tuple[list, list]:
                 flat.extend(v)
                 lens.append(len(v))
         bufs.append(_enc_offsets(lens))
+        cn, cb = _enc_column(child, flat)
+        nodes.extend(cn)
+        bufs.extend(cb)
+    elif t == "FixedSizeList":
+        child = field["children"][0]
+        k = int(field["list_size"])
+        flat = []
+        for v in vals:
+            if v is None:
+                flat.extend([None] * k)
+            elif len(v) != k:
+                raise ValueError(
+                    f"FixedSizeList value of length {len(v)} != {k}")
+            else:
+                flat.extend(v)
         cn, cb = _enc_column(child, flat)
         nodes.extend(cn)
         bufs.extend(cb)

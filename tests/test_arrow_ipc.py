@@ -539,3 +539,45 @@ def test_struct_read_vs_pyarrow():
         got = ipc_read(buf.getvalue())
         assert got["columns"]["st"] == t.column("st").to_pylist(), comp
         assert got["columns"]["k"] == list(range(n))
+
+
+def test_write_fixed_size_list_pyarrow_reads():
+    """Round-13 writer symmetry: FixedSizeList EMIT (the embeddings
+    export shape) — pyarrow reads the engine's bytes with the exact
+    fixed_size_list<float32, k> type."""
+    from modeltracking_spark.operators.arrow_ipc import ipc_write
+
+    rng = random.Random(61)
+    n = 50
+    fields = [
+        {"name": "vec_id", "type": "Int", "bits": 64, "signed": True},
+        {"name": "emb", "type": "FixedSizeList", "list_size": 16,
+         "nullable": True,
+         "children": [{"name": "item", "type": "FloatingPoint",
+                       "precision": 1, "nullable": True}]},
+    ]
+    cols = {"vec_id": list(range(n)),
+            "emb": [None if rng.random() < 0.2 else
+                    [rng.random() for _ in range(16)]
+                    for _ in range(n)]}
+    for fmt in ("stream", "file"):
+        blob = ipc_write(fields, cols, fmt=fmt, compression="zstd",
+                         max_chunksize=13)
+        rd = (ipc.open_stream(io.BytesIO(blob)) if fmt == "stream"
+              else ipc.open_file(io.BytesIO(blob)))
+        t = rd.read_all()
+        assert t.schema.field("emb").type == \
+            pa.list_(pa.float32(), 16)
+        for a, b in zip(t.column("emb").to_pylist(), cols["emb"]):
+            assert (a is None) == (b is None)
+            if a is not None:
+                assert all(abs(x - y) < 1e-6 for x, y in zip(a, b))
+        # the engine's own reader agrees
+        assert len(ipc_read(blob)["columns"]["emb"]) == n
+    with pytest.raises(ValueError, match="length"):
+        ipc_write(fields, {"vec_id": [1], "emb": [[0.5]]})
+    with pytest.raises(ValueError, match="list_size"):
+        ipc_write([{"name": "e", "type": "FixedSizeList",
+                    "children": [{"name": "item", "type": "Int",
+                                  "bits": 32, "signed": True}]}],
+                  {"e": [[1]]})
