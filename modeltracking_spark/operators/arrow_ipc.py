@@ -23,7 +23,7 @@ the File.fbs Footer (schema copy + Block index of every message).
 
 Scope: flat primitive columns (ints at all widths, float16/32/64,
 bool, utf8/binary and their Large 64-bit-offset variants, date32,
-timestamp) plus one list level of fixed-width primitives in all
+timestamp, decimal128/256, time32/64, duration, fixed-size binary) plus one list level of fixed-width primitives in all
 three layouts — List, LargeList and FixedSizeList (the canonical
 arrow embedding shape; no offsets buffer, child length = n*k) — and
 one STRUCT level of flat members (full-length children with their
@@ -183,6 +183,30 @@ def _parse_field(fb: _FB, fpos: int) -> dict:
         out["list_size"] = fb.i32(ls_p) if ls_p is not None else 0
         if out["list_size"] <= 0:
             raise ValueError("arrow FixedSizeList without a size")
+    elif tname == "Decimal":
+        pr_p = fb.field(tpos, 0)
+        sc_p = fb.field(tpos, 1)
+        bw_p = fb.field(tpos, 2)
+        out["precision"] = fb.i32(pr_p) if pr_p is not None else 0
+        out["scale"] = fb.i32(sc_p) if sc_p is not None else 0
+        out["bits"] = fb.i32(bw_p) if bw_p is not None else 128
+        if out["bits"] not in (128, 256):
+            raise ValueError("arrow Decimal width must be 128/256")
+    elif tname == "Time":
+        u_p = fb.field(tpos, 0)
+        bw_p = fb.field(tpos, 1)
+        out["unit"] = fb.i16(u_p) if u_p is not None else 1
+        out["bits"] = fb.i32(bw_p) if bw_p is not None else 32
+        if out["bits"] not in (32, 64):
+            raise ValueError("arrow Time width must be 32/64")
+    elif tname == "Duration":
+        u_p = fb.field(tpos, 0)
+        out["unit"] = fb.i16(u_p) if u_p is not None else 1
+    elif tname == "FixedSizeBinary":
+        bw_p = fb.field(tpos, 0)
+        out["byte_width"] = fb.i32(bw_p) if bw_p is not None else 0
+        if out["byte_width"] <= 0:
+            raise ValueError("arrow FixedSizeBinary without a width")
     elif tname in ("Utf8", "Binary", "Bool", "List", "LargeUtf8",
                    "LargeBinary", "LargeList", "Struct_"):
         pass
@@ -402,10 +426,36 @@ def _prim_values(field: dict, buf: bytes, n: int) -> list:
         if len(buf) < n * 4:
             raise ValueError("arrow data buffer too short")
         return list(struct.unpack_from(f"<{n}i", buf, 0))
-    if t == "Timestamp":
+    if t in ("Timestamp", "Duration"):
         if len(buf) < n * 8:
             raise ValueError("arrow data buffer too short")
         return list(struct.unpack_from(f"<{n}q", buf, 0))
+    if t == "Time":
+        size = field["bits"] // 8
+        code = "i" if size == 4 else "q"
+        if len(buf) < n * size:
+            raise ValueError("arrow data buffer too short")
+        return list(struct.unpack_from(f"<{n}{code}", buf, 0))
+    if t == "Decimal":
+        # two's-complement little-endian words of 16/32 bytes,
+        # surfaced as decimal.Decimal at the declared scale
+        from decimal import Decimal
+
+        w = field["bits"] // 8
+        if len(buf) < n * w:
+            raise ValueError("arrow data buffer too short")
+        out = []
+        sc = field["scale"]
+        for i in range(n):
+            u = int.from_bytes(buf[i * w:(i + 1) * w], "little",
+                               signed=True)
+            out.append(Decimal(u).scaleb(-sc))
+        return out
+    if t == "FixedSizeBinary":
+        w = field["byte_width"]
+        if len(buf) < n * w:
+            raise ValueError("arrow data buffer too short")
+        return [bytes(buf[i * w:(i + 1) * w]) for i in range(n)]
     raise NotImplementedError(f"arrow type {t} not supported")
 
 

@@ -581,3 +581,55 @@ def test_write_fixed_size_list_pyarrow_reads():
                     "children": [{"name": "item", "type": "Int",
                                   "bits": 32, "signed": True}]}],
                   {"e": [[1]]})
+
+
+def test_decimal_time_duration_fsb_vs_pyarrow():
+    """Round-13 temporal/decimal widening: Decimal128 (two's-
+    complement 16-byte words at the declared scale -> decimal.Decimal),
+    Time32/Time64 and Duration (raw unit counts), FixedSizeBinary."""
+    import datetime as dt
+    from decimal import Decimal
+
+    rng = random.Random(66)
+    n = 60
+
+    def mn(v, p=0.2):
+        return None if rng.random() < p else v
+
+    t = pa.table({
+        "dec": pa.array(
+            [mn(Decimal(rng.randrange(-10**20, 10**20)).scaleb(-4))
+             for _ in range(n)], pa.decimal128(28, 4)),
+        "t32": pa.array([mn(dt.time(rng.randrange(24),
+                                    rng.randrange(60),
+                                    rng.randrange(60)))
+                         for _ in range(n)], pa.time32("s")),
+        "t64": pa.array([mn(dt.time(3, 4, 5, rng.randrange(10**6)))
+                         for _ in range(n)], pa.time64("us")),
+        "dur": pa.array([mn(rng.randrange(-10**12, 10**12))
+                         for _ in range(n)], pa.duration("us")),
+        "fsb": pa.array([mn(bytes(rng.randrange(256)
+                                  for _ in range(5)))
+                         for _ in range(n)], pa.binary(5)),
+    })
+    for comp in (None, "zstd"):
+        buf = io.BytesIO()
+        opts = ipc.IpcWriteOptions(compression=comp)
+        with ipc.new_stream(buf, t.schema, options=opts) as w:
+            w.write_table(t, max_chunksize=11)
+        got = ipc_read(buf.getvalue())
+        assert got["columns"]["dec"] == t.column("dec").to_pylist()
+        assert got["columns"]["t32"] == [
+            None if v is None
+            else v.hour * 3600 + v.minute * 60 + v.second
+            for v in t.column("t32").to_pylist()], comp
+        assert got["columns"]["t64"] == [
+            None if v is None
+            else ((v.hour * 3600 + v.minute * 60 + v.second)
+                  * 10**6 + v.microsecond)
+            for v in t.column("t64").to_pylist()], comp
+        assert got["columns"]["dur"] == [
+            None if v is None
+            else (v.days * 86400 + v.seconds) * 10**6 + v.microseconds
+            for v in t.column("dur").to_pylist()], comp
+        assert got["columns"]["fsb"] == t.column("fsb").to_pylist()

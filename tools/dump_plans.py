@@ -160,6 +160,12 @@ NOTES = {
     "safetensors_roundtrip_embeddings": "narrow mapInPandas build->from-spec-parse per Arrow batch, shuffle-free; blobs never leave the executor",
     "npz_roundtrip_embeddings": "narrow mapInPandas from-spec npz build->parse per Arrow batch, shuffle-free",
     "arrow_ipc_roundtrip_docs": "narrow mapInPandas reference-encode (pyarrow, zstd bodies) -> from-spec flatbuffers walk per batch, shuffle-free",
+    "arrow_ipc_write_roundtrip_docs": "narrow mapInPandas: from-spec flatbuffers EMIT (file format, zstd bodies via own encoder) -> pyarrow reference read per batch, shuffle-free",
+    "arrow_ipc_dict_scan_docs": "narrow mapInPandas: pyarrow dictionary-encodes lang/source (int8/int16 indices, deltas on) -> from-spec DictionaryBatch resolve per batch, shuffle-free",
+    "arrow_ipc_fixed_scan_embeddings": "narrow mapInPandas: pyarrow fixed_size_list<float32,64> + large_utf8 with lz4 bodies -> from-spec fixed-window decode, shuffle-free",
+    "orc_union_scan_events": "stripe-grain partitions over the pyarrow-written union fixture; per-variant tag-count decode; JVM-side tagged-struct dereference; no shuffle before the sink",
+    "parquet_bitpacked_scan_orders": "row-group-grain partitions; MSB-first legacy level decode executor-side; no shuffle before the sink",
+    "dap_grid_mode_scan": "one InputPartition per timestep; each fetches ONE hyperslab record over the live DAP protocol (qualified grid-array projection); single aggregate exchange",
 }
 
 
