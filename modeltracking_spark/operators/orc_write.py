@@ -35,7 +35,7 @@ _COMP_NUM = {"NONE": 0, "ZLIB": 1, "SNAPPY": 2, "ZSTD": 5}
 _KIND_NUM = {"BOOLEAN": 0, "BYTE": 1, "SHORT": 2, "INT": 3, "LONG": 4,
              "FLOAT": 5, "DOUBLE": 6, "STRING": 7, "BINARY": 8,
              "TIMESTAMP": 9, "LIST": 10, "MAP": 11, "STRUCT": 12,
-             "DECIMAL": 14, "DATE": 15}
+             "UNION": 13, "DECIMAL": 14, "DATE": 15}
 _STREAM_NUM = {"PRESENT": 0, "DATA": 1, "LENGTH": 2,
                "DICTIONARY_DATA": 3, "SECONDARY": 5}
 
@@ -73,7 +73,8 @@ class _ONode:
     LIST/STRUCT/MAP composition, round 12)."""
 
     __slots__ = ("t", "name", "optional", "kind", "decimal",
-                 "fields", "element", "key", "value", "cid")
+                 "fields", "element", "key", "value", "variants",
+                 "cid")
 
     def __init__(self, t, name, optional):
         self.t = t
@@ -112,6 +113,24 @@ def _parse_otype(name: str, typ: str, optional: bool) -> _ONode:
             inner = inner[:-1]
         node = _ONode("list", name, optional)
         node.element = _parse_otype("element", inner, iopt)
+        return node
+    if typ.startswith("union<") and typ.endswith(">"):
+        # round 13: the writer-side UNION (values are the reader's
+        # tagged-struct dicts {"tag": i, "field<i>": v} or
+        # (tag, value) pairs)
+        node = _ONode("union", name, optional)
+        node.variants = []
+        parts = [vt.strip() for vt in _split_top(typ[6:-1])
+                 if vt.strip()]
+        if not parts or len(parts) > 256:
+            raise ValueError(
+                f"union column {name!r} needs 1-256 variants")
+        for i, vt in enumerate(parts):
+            vopt = vt.endswith("?")
+            if vopt:
+                vt = vt[:-1]
+            node.variants.append(
+                _parse_otype(f"field{i}", vt, vopt))
         return node
     if typ.startswith("map<") and typ.endswith(">"):
         kv = _split_top(typ[4:-1])
@@ -153,6 +172,9 @@ def _assign_cids(node: _ONode, next_id: int) -> int:
     elif node.t == "map":
         next_id = _assign_cids(node.key, next_id)
         next_id = _assign_cids(node.value, next_id)
+    elif node.t == "union":
+        for v in node.variants:
+            next_id = _assign_cids(v, next_id)
     return next_id
 
 
@@ -176,6 +198,8 @@ def _onode_needs_nested(typ: str) -> bool:
     if typ.startswith("map<") and typ.endswith(">"):
         kv = _split_top(typ[4:-1])
         return len(kv) != 2 or not (scalar(kv[0]) and scalar(kv[1]))
+    if typ.startswith("union<") and typ.endswith(">"):
+        return True
     return False
 
 
@@ -851,6 +875,33 @@ class OrcFileWriter:
                         f"struct field {what}.{f2.name} (declare "
                         "the field type with '?')", depth + 1)
                 return
+            if node.t == "union":
+                # round 13: DATA = per-present-row variant tag (byte
+                # RLE); variant i records only its tagged values.
+                # Accepts the reader's tagged-struct dicts or
+                # (tag, value) pairs.
+                nvar = len(node.variants)
+                tags = []
+                per: list[list] = [[] for _ in range(nvar)]
+                for r in vals:
+                    if isinstance(r, dict):
+                        tg = int(r["tag"])
+                        val2 = r.get(f"field{tg}")
+                    else:
+                        tg, val2 = r
+                        tg = int(tg)
+                    if not 0 <= tg < nvar:
+                        raise ValueError(
+                            f"union tag {tg} outside the {nvar}-"
+                            f"variant column {what}")
+                    tags.append(tg)
+                    per[tg].append(val2)
+                add("DATA", node.cid, byte_rle_encode(bytes(tags)))
+                for vi, vn in enumerate(node.variants):
+                    write_node(vn, per[vi],
+                               f"union variant {vi} of {what} "
+                               "(declare it with '?')", depth + 1)
+                return
             add("LENGTH", node.cid,
                 _int_rle([len(r) for r in vals], signed=False))
             if node.t == "list":
@@ -971,6 +1022,10 @@ class OrcFileWriter:
                     ts |= enc_walk(f2)
             elif node.t == "list":
                 ts |= enc_walk(node.element)
+            elif node.t == "union":
+                # the tag stream is plain byte RLE: DIRECT always
+                for v in node.variants:
+                    ts |= enc_walk(v)
             else:
                 ts |= enc_walk(node.key)
                 ts |= enc_walk(node.value)
@@ -1137,6 +1192,13 @@ class OrcFileWriter:
                 footer.msg_field(4, el2)
                 for f2 in node.fields:
                     emit_node(f2)
+                return
+            if node.t == "union":
+                el2.varint_field(1, _KIND_NUM["UNION"])
+                el2.packed_field(2, [v.cid for v in node.variants])
+                footer.msg_field(4, el2)
+                for v in node.variants:
+                    emit_node(v)
                 return
             if node.t == "list":
                 el2.varint_field(1, _KIND_NUM["LIST"])

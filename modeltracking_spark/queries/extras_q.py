@@ -4062,8 +4062,10 @@ def orc_union_scan_events(spark: SparkSession,
     per-variant decode at the tag counts.  Surfaces as the
     tagged-struct mapping struct<tag:tinyint,field0:..,field1:..>
     (Spark has no union type), dereferenced JVM-side.  Tag-range and
-    nested-union batteries in tests/test_orc_native.py; writer-side
-    UNION stays a typed reject."""
+    nested-union batteries in tests/test_orc_native.py; the WRITE
+    direction (union<t0,t1> columns, tag byte-RLE + per-variant
+    recording) round-trips through pyarrow and the own reader in
+    tests/test_orc_write.py."""
     from pyspark.errors import PySparkException
 
     from modeltracking_spark.queries.common import ensure_pkg_on_workers

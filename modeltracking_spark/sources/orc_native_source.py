@@ -25,8 +25,10 @@ STRUCT→struct<...>, DECIMAL→decimal(p,s), MAP→map<k,v>, and
 ARBITRARY LIST/STRUCT/MAP nesting via the recursive type tree +
 presence-based recursive decode (all round 12).  UNION (round 13 —
 the last ORC type-tree arm) surfaces as the tagged struct
-``struct<tag:tinyint, field0:.., field1:..>``; writer-side UNION
-stays a typed reject (Spark has no union type to sink from).
+``struct<tag:tinyint, field0:.., field1:..>``; the low-level WRITER
+emits ``union<t0,t1>`` columns too (the type tree is complete both
+directions), though the Spark SINK cannot produce one — Spark has
+no union type.
 
 Round 12 adds the parquet sibling's two missing arms: pushFilters
 STRIPE-STATISTICS pruning (``.option("filter_pushdown","true")``,

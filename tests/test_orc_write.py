@@ -1268,3 +1268,66 @@ def test_sink_nested_instants_end_to_end(spark, tmp_path):
     got = {r["id"]: r.asDict(recursive=True)
            for r in spark.read.orc(out).collect()}
     assert got == exp
+
+
+def test_union_write_roundtrip_all_readers():
+    """Writer-side UNION (round 13 — the type tree is now complete in
+    BOTH directions): ``union<t0,t1,...>`` columns (values as the
+    reader's tagged-struct dicts or (tag, value) pairs) emit the tag
+    byte-RLE DATA stream + per-variant value recording; pyarrow (the
+    ORC C++ reader) and the own reader decode them exactly across the
+    codec x RLE matrix, including a nullable variant."""
+    rng = random.Random(77)
+    n = 300
+    rows = []
+    for i in range(n):
+        tg = rng.randrange(3)
+        if tg == 0:
+            v = (None if rng.random() < 0.2
+                 else rng.randrange(-10**9, 10**9))
+        elif tg == 1:
+            v = "u%d" % rng.randrange(40)
+        else:
+            v = rng.random()
+        rows.append({"tag": tg, f"field{tg}": v})
+    # tuple shape on a second column, nested inside a struct
+    cols = {
+        "u": rows,
+        "w": [{"inner": (i % 2, i if i % 2 == 0 else float(i))}
+              for i in range(n)],
+        "k": list(range(n)),
+    }
+    schema = [("u", "union<int64?,string,double>", False),
+              ("w", "struct<inner:union<int64,double>>", False),
+              ("k", "int64", False)]
+    import pyarrow.orc as po
+
+    for rle_v in (1, 2):
+        for codec in ("NONE", "ZLIB", "ZSTD"):
+            blob = orc_write_table(cols, schema, codec=codec,
+                                   rle_version=rle_v)
+            t = po.ORCFile(io.BytesIO(blob)).read()
+            got = t.column("u").to_pylist()
+            for i, r in enumerate(rows):
+                exp = r.get(f"field{r['tag']}")
+                ok = got[i] == exp or (
+                    isinstance(exp, float)
+                    and abs(got[i] - exp) < 1e-12)
+                assert ok, (rle_v, codec, i)
+            gw = t.column("w").to_pylist()
+            for i in range(n):
+                exp = i if i % 2 == 0 else float(i)
+                assert gw[i] == {"inner": exp}, (rle_v, codec, i)
+            fh = io.BytesIO(blob)
+            foot = orc_footer_from_file(fh)
+            own = read_stripe(fh, foot, 0)
+            for i, r in enumerate(rows):
+                full = {"tag": r["tag"], "field0": None,
+                        "field1": None, "field2": None}
+                full[f"field{r['tag']}"] = r.get(f"field{r['tag']}")
+                assert own["u"][i] == full, (rle_v, codec, i)
+    with pytest.raises(ValueError, match="union tag"):
+        orc_write_table({"u": [{"tag": 9, "field9": 1}]},
+                        [("u", "union<int64,double>", False)])
+    with pytest.raises(ValueError, match="variants"):
+        orc_write_table({"u": []}, [("u", "union<>", False)])
