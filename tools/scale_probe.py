@@ -149,6 +149,8 @@ def main() -> int:
         prev["superlinear_gt12x"] = {
             n: q["ratio"] for n, q in prev["queries"].items()
             if q.get("ratio", -1) > 12}
+        prev["n_queries"] = len(ok)
+        prev["n_failed"] = len(prev["queries"]) - len(ok)
         with open(out_path, "w") as fh:
             json.dump(prev, fh, indent=1)
         print(json.dumps({k: prev[k] for k in
