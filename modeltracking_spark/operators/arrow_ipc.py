@@ -25,9 +25,11 @@ Scope: flat primitive columns (ints at all widths, float16/32/64,
 bool, utf8/binary and their Large 64-bit-offset variants, date32,
 timestamp, decimal128/256, time32/64, duration, fixed-size binary) plus one list level of fixed-width primitives in all
 three layouts — List, LargeList and FixedSizeList (the canonical
-arrow embedding shape; no offsets buffer, child length = n*k) — and
-one STRUCT level of flat members (full-length children with their
-own validity, per the spec's Struct layout);
+arrow embedding shape; no offsets buffer, child length = n*k) — one
+STRUCT level of flat members (full-length children with their own
+validity, per the spec's Struct layout), and MAP columns
+(List<entries: Struct<key, value>> with flat key/value, surfaced as
+(key, value) pairs);
 dictionary-encoded columns of flat value types are READ (write side
 re-expands them); deeper nesting and big-endian streams are typed
 loud rejects.  The writer emits the flat + List + FixedSizeList
@@ -208,7 +210,7 @@ def _parse_field(fb: _FB, fpos: int) -> dict:
         if out["byte_width"] <= 0:
             raise ValueError("arrow FixedSizeBinary without a width")
     elif tname in ("Utf8", "Binary", "Bool", "List", "LargeUtf8",
-                   "LargeBinary", "LargeList", "Struct_"):
+                   "LargeBinary", "LargeList", "Struct_", "Map"):
         pass
     else:
         raise NotImplementedError(
@@ -245,6 +247,21 @@ def _parse_field(fb: _FB, fpos: int) -> dict:
                 raise NotImplementedError(
                     "nested arrow struct member types not supported "
                     "(one STRUCT level of flat members is)")
+    elif tname == "Map":
+        # spec: Map is List<entries: Struct<key, value>> with the
+        # entries struct as the single child
+        if dict_enc is not None:
+            raise NotImplementedError(
+                "dictionary-encoded arrow map columns not supported")
+        if len(children) != 1 or                 children[0]["type"] != "Struct_" or                 len(children[0]["children"]) != 2:
+            raise ValueError(
+                "arrow Map field needs one entries struct of two")
+        for kv in children[0]["children"]:
+            if kv["type"] in ("List", "LargeList", "FixedSizeList",
+                              "Struct_", "Map") or                     kv.get("dictionary"):
+                raise NotImplementedError(
+                    "nested arrow map key/value types not supported "
+                    "(flat key/value is)")
     elif children:
         raise NotImplementedError(
             "nested arrow schemas not supported")
@@ -515,6 +532,39 @@ def _decode_columns(fields: list[dict], rb: dict, body: bytes,
         ni += 1
         return node
 
+    def flat_member(ch, m):
+        """One flat child array of length ``m`` (struct member / map
+        key/value): its own FieldNode + validity + data buffers."""
+        c_len, c_nulls = take_node()
+        if c_len != m:
+            raise ValueError(
+                f"arrow member {ch['name']!r} length {c_len} != {m}")
+        c_valid = _validity(take_buf(), m, c_nulls)
+        ct = ch["type"]
+        if ct in ("Utf8", "Binary", "LargeUtf8", "LargeBinary"):
+            wide = ct.startswith("Large")
+            osz, ocode = (8, "q") if wide else (4, "i")
+            offs_b = take_buf()
+            if len(offs_b) < osz * (m + 1):
+                raise ValueError("arrow offsets buffer too short")
+            offs = struct.unpack_from(f"<{m + 1}{ocode}", offs_b, 0)
+            data = take_buf()
+            text = ct in ("Utf8", "LargeUtf8")
+            mv = []
+            for i in range(m):
+                if not c_valid[i]:
+                    mv.append(None)
+                    continue
+                a, e = offs[i], offs[i + 1]
+                if a < 0 or e < a or e > len(data):
+                    raise ValueError(
+                        "arrow string offsets out of bounds")
+                mv.append(data[a:e].decode("utf-8")
+                          if text else bytes(data[a:e]))
+            return mv
+        raw2 = _prim_values(ch, take_buf(), m)
+        return [v if ok2 else None for v, ok2 in zip(raw2, c_valid)]
+
     for field in fields:
         length, null_count = take_node()
         if length != n:
@@ -586,49 +636,37 @@ def _decode_columns(fields: list[dict], rb: dict, body: bytes,
             # spec Struct layout: the struct carries only a validity
             # bitmap; every child is a FULL-length array with its own
             # validity (unlike ORC's parent-present filtering)
-            members = []
-            for ch in field["children"]:
-                c_len, c_nulls = take_node()
-                if c_len != n:
-                    raise ValueError(
-                        f"arrow struct member {ch['name']!r} length "
-                        f"{c_len} != batch rows {n}")
-                c_valid = _validity(take_buf(), n, c_nulls)
-                ct = ch["type"]
-                if ct in ("Utf8", "Binary", "LargeUtf8",
-                          "LargeBinary"):
-                    wide = ct.startswith("Large")
-                    osz, ocode = (8, "q") if wide else (4, "i")
-                    offs_b = take_buf()
-                    if len(offs_b) < osz * (n + 1):
-                        raise ValueError(
-                            "arrow offsets buffer too short")
-                    offs = struct.unpack_from(f"<{n + 1}{ocode}",
-                                              offs_b, 0)
-                    data = take_buf()
-                    text = ct in ("Utf8", "LargeUtf8")
-                    mv = []
-                    for i in range(n):
-                        if not c_valid[i]:
-                            mv.append(None)
-                            continue
-                        a, e = offs[i], offs[i + 1]
-                        if a < 0 or e < a or e > len(data):
-                            raise ValueError(
-                                "arrow string offsets out of bounds")
-                        mv.append(data[a:e].decode("utf-8")
-                                  if text else bytes(data[a:e]))
-                else:
-                    raw2 = _prim_values(ch, take_buf(), n)
-                    mv = [v if ok2 else None
-                          for v, ok2 in zip(raw2, c_valid)]
-                members.append((ch["name"], mv))
+            members = [(ch["name"], flat_member(ch, n))
+                       for ch in field["children"]]
             vals = []
             for i in range(n):
                 if not valid[i]:
                     vals.append(None)
                     continue
                 vals.append({mn: mv[i] for mn, mv in members})
+        elif t == "Map":
+            # spec: List<entries: Struct<key, value>> — offsets over
+            # the flattened entries; surfaced as (key, value) pairs
+            # (pyarrow's own python shape)
+            offs_b = take_buf()
+            if len(offs_b) < 4 * (n + 1):
+                raise ValueError("arrow offsets buffer too short")
+            offs = struct.unpack_from(f"<{n + 1}i", offs_b, 0)
+            entries = field["children"][0]
+            e_len, e_nulls = take_node()
+            _validity(take_buf(), e_len, e_nulls)  # entries bitmap
+            kcol, vcol = [flat_member(ch, e_len)
+                          for ch in entries["children"]]
+            vals = []
+            for i in range(n):
+                if not valid[i]:
+                    vals.append(None)
+                    continue
+                a, e = offs[i], offs[i + 1]
+                if a < 0 or e < a or e > e_len:
+                    raise ValueError(
+                        "arrow map offsets out of bounds")
+                vals.append([(kcol[j], vcol[j]) for j in range(a, e)])
         elif t in ("List", "LargeList"):
             osz, ocode = (8, "q") if t == "LargeList" else (4, "i")
             offs_b = take_buf()

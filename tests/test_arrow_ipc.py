@@ -633,3 +633,46 @@ def test_decimal_time_duration_fsb_vs_pyarrow():
             else (v.days * 86400 + v.seconds) * 10**6 + v.microseconds
             for v in t.column("dur").to_pylist()], comp
         assert got["columns"]["fsb"] == t.column("fsb").to_pylist()
+
+
+def test_map_read_vs_pyarrow():
+    """Round-13 Map read: the spec's List<entries: Struct<key,value>>
+    layout, surfaced as (key, value) pairs — pyarrow's own python
+    shape — with flat key/value types; nested map values stay typed
+    rejects."""
+    rng = random.Random(14)
+    n = 60
+
+    def mn(v, p=0.2):
+        return None if rng.random() < p else v
+
+    mp = pa.array(
+        [mn([("k%d" % j, mn(rng.random()))
+             for j in range(rng.randrange(4))]) for _ in range(n)],
+        pa.map_(pa.string(), pa.float64()))
+    mi = pa.array(
+        [mn([(rng.randrange(50), "v%d" % j)
+             for j in range(rng.randrange(3))]) for _ in range(n)],
+        pa.map_(pa.int64(), pa.string()))
+    t = pa.table({"m": mp, "mi": mi,
+                  "k": pa.array(range(n), pa.int64())})
+    for comp in (None, "lz4", "zstd"):
+        buf = io.BytesIO()
+        opts = ipc.IpcWriteOptions(compression=comp)
+        with ipc.new_stream(buf, t.schema, options=opts) as w:
+            w.write_table(t, max_chunksize=17)
+        got = ipc_read(buf.getvalue())
+        assert got["columns"]["m"] == t.column("m").to_pylist(), comp
+        assert got["columns"]["mi"] == t.column("mi").to_pylist()
+        assert got["columns"]["k"] == list(range(n))
+    # map<string, list<...>> stays a typed reject
+    bad = pa.array([[("a", [1.0])]],
+                   pa.map_(pa.string(), pa.list_(pa.float64())))
+    t2 = pa.table({"bm": bad})
+    buf2 = io.BytesIO()
+    with ipc.new_stream(buf2, t2.schema) as w:
+        w.write_table(t2)
+    # (the reject fires at the entries-struct walk, before the Map
+    # branch's own message — either way, typed)
+    with pytest.raises(NotImplementedError, match="not supported"):
+        ipc_read(buf2.getvalue())
