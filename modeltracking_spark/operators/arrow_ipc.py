@@ -21,19 +21,24 @@ flatbuffers verifier accepts the bytes), streams get
 Schema/RecordBatch messages + EOS, files add the ARROW1 magics and
 the File.fbs Footer (schema copy + Block index of every message).
 
-Scope: flat primitive columns (ints at all widths, float16/32/64,
-bool, utf8/binary and their Large 64-bit-offset variants, date32,
-timestamp, decimal128/256, time32/64, duration, fixed-size binary) plus one list level of fixed-width primitives in all
-three layouts — List, LargeList and FixedSizeList (the canonical
-arrow embedding shape; no offsets buffer, child length = n*k) — one
-STRUCT level of flat members (full-length children with their own
-validity, per the spec's Struct layout), and MAP columns
-(List<entries: Struct<key, value>> with flat key/value, surfaced as
-(key, value) pairs);
-dictionary-encoded columns of flat value types are READ (write side
-re-expands them); deeper nesting and big-endian streams are typed
-loud rejects.  The writer emits the flat + List + FixedSizeList
-scope.
+Scope (round 14 — recursive type trees in BOTH directions): primitive
+columns (ints at all widths, float16/32/64, bool, utf8/binary and
+their Large 64-bit-offset variants, date32/date64, timestamp,
+decimal128/256, time32/64, duration, fixed-size binary) composed to
+ARBITRARY nesting depth (capped at 32 levels, a typed reject beyond)
+through List, LargeList, FixedSizeList (the canonical arrow embedding
+shape; no offsets buffer, child length = n*k), Struct (children are
+FULL-length arrays with their own validity, per the spec's Struct
+layout) and Map (List<entries: Struct<key, value>>, surfaced as
+(key, value) pairs) — list-of-struct, struct-of-struct, map values
+that are lists, and so on.  Dictionary-encoded columns of LEAF value
+types read AND write at any nesting position: the writer builds the
+dictionaries batch-incrementally and emits initial + isDelta
+DictionaryBatch messages in the stream format (the file format gets
+one consolidated dictionary per id, since the File spec forbids
+replacements/deltas).  Dictionary-encoded NESTED value types
+(dictionary-of-list/struct/map) and big-endian streams stay typed
+loud rejects.
 Validation: pyarrow (the reference implementation) WRITES every read
 fixture and READS every written stream/file in
 tests/test_arrow_ipc.py — adversarial in both directions.
@@ -127,7 +132,20 @@ _TYPE_NAMES = {
 }
 
 
-def _parse_field(fb: _FB, fpos: int) -> dict:
+#: nesting levels past which schemas are rejected (keeps the recursive
+#: walkers clear of the interpreter's own recursion limit on crafted
+#: input; no real interchange file nests anywhere near this deep)
+_MAX_DEPTH = 32
+
+#: type-tree nodes that own child arrays
+_NESTED = ("List", "LargeList", "FixedSizeList", "Struct_", "Map")
+
+
+def _parse_field(fb: _FB, fpos: int, depth: int = 0) -> dict:
+    if depth > _MAX_DEPTH:
+        raise NotImplementedError(
+            f"arrow nesting deeper than {_MAX_DEPTH} levels not "
+            "supported")
     name_p = fb.field(fpos, 0)
     name = fb.string(name_p) if name_p is not None else ""
     nullable_p = fb.field(fpos, 1)
@@ -155,8 +173,15 @@ def _parse_field(fb: _FB, fpos: int) -> dict:
             ipos = fb.indirect(ix_p)
             bw_p = fb.field(ipos, 0)
             sg_p = fb.field(ipos, 1)
-            bits = fb.i32(bw_p) if bw_p is not None else 32
+            # an absent bitWidth slot means the flatbuffers SCHEMA
+            # default (0), which is no valid index width — reject it
+            # rather than guessing int32 (ADVICE r13)
+            bits = fb.i32(bw_p) if bw_p is not None else 0
             signed = bool(fb.u8(sg_p)) if sg_p is not None else False
+        if bits not in (8, 16, 32, 64):
+            raise ValueError(
+                f"arrow dictionary index width {bits} invalid "
+                "(must be 8/16/32/64)")
         dict_enc = {
             "id": fb.i64(id_p) if id_p is not None else 0,
             "bits": bits,
@@ -180,6 +205,8 @@ def _parse_field(fb: _FB, fpos: int) -> dict:
     elif tname == "Date":
         u_p = fb.field(tpos, 0)
         out["unit"] = fb.i16(u_p) if u_p is not None else 0  # 0=DAY
+        if out["unit"] not in (0, 1):  # 1=MILLISECOND (date64)
+            raise ValueError(f"arrow Date unit {out['unit']} invalid")
     elif tname == "FixedSizeList":
         ls_p = fb.field(tpos, 0)
         out["list_size"] = fb.i32(ls_p) if ls_p is not None else 0
@@ -220,51 +247,31 @@ def _parse_field(fb: _FB, fpos: int) -> dict:
     if ch_p is not None:
         n, base = fb.vector(ch_p)
         for i in range(n):
-            children.append(_parse_field(fb, fb.indirect(base + 4 * i)))
+            children.append(_parse_field(fb, fb.indirect(base + 4 * i),
+                                         depth + 1))
+    if tname in _NESTED and dict_enc is not None:
+        # batches would carry indices into a DictionaryBatch holding
+        # the whole nested value tree; only LEAF value types are in
+        # scope (pyarrow's own writer has the same restriction)
+        raise NotImplementedError(
+            "dictionary-encoded arrow nested value types not "
+            "supported (dictionary-encoded leaves at any nesting "
+            "position are)")
     if tname in ("List", "LargeList", "FixedSizeList"):
-        if dict_enc is not None:
-            raise NotImplementedError(
-                "dictionary-encoded arrow list columns not supported")
         if len(children) != 1:
             raise ValueError(f"arrow {tname} field needs one child")
-        if children[0]["type"] in ("List", "LargeList",
-                                   "FixedSizeList", "Struct_",
-                                   "Utf8", "Binary", "LargeUtf8",
-                                   "LargeBinary"):
-            raise NotImplementedError(
-                "nested arrow list element types not supported "
-                "(one LIST level of fixed-width primitives is)")
     elif tname == "Struct_":
-        if dict_enc is not None:
-            raise NotImplementedError(
-                "dictionary-encoded arrow struct columns not "
-                "supported")
         if not children:
             raise ValueError("arrow Struct field needs children")
-        for ch in children:
-            if ch["type"] in ("List", "LargeList", "FixedSizeList",
-                              "Struct_") or ch.get("dictionary"):
-                raise NotImplementedError(
-                    "nested arrow struct member types not supported "
-                    "(one STRUCT level of flat members is)")
     elif tname == "Map":
         # spec: Map is List<entries: Struct<key, value>> with the
         # entries struct as the single child
-        if dict_enc is not None:
-            raise NotImplementedError(
-                "dictionary-encoded arrow map columns not supported")
         if len(children) != 1 or                 children[0]["type"] != "Struct_" or                 len(children[0]["children"]) != 2:
             raise ValueError(
                 "arrow Map field needs one entries struct of two")
-        for kv in children[0]["children"]:
-            if kv["type"] in ("List", "LargeList", "FixedSizeList",
-                              "Struct_", "Map") or                     kv.get("dictionary"):
-                raise NotImplementedError(
-                    "nested arrow map key/value types not supported "
-                    "(flat key/value is)")
     elif children:
         raise NotImplementedError(
-            "nested arrow schemas not supported")
+            "arrow children on a non-nested type not supported")
     out["children"] = children
     return out
 
@@ -404,9 +411,12 @@ def _buffer_bytes(body: bytes, off: int, ln: int,
     return out
 
 
-def _validity(buf: bytes, n: int, null_count: int) -> list[bool]:
+def _validity(buf: bytes, n: int, null_count: int) -> list[bool] | None:
+    """None = all-valid (never materialized: a corrupt FieldNode can
+    declare a huge length, and the buffer-length checks downstream
+    must fire before any length-proportional allocation happens)."""
     if null_count == 0 or not buf:
-        return [True] * n
+        return None
     if len(buf) * 8 < n:
         raise ValueError("arrow validity bitmap too short")
     return [bool(buf[i >> 3] >> (i & 7) & 1) for i in range(n)]
@@ -437,12 +447,12 @@ def _prim_values(field: dict, buf: bytes, n: int) -> list:
             raise ValueError("arrow bool buffer too short")
         return [bool(buf[i >> 3] >> (i & 7) & 1) for i in range(n)]
     if t == "Date":
-        if field["unit"] != 0:
-            raise NotImplementedError(
-                "arrow date64 not supported (date32 is)")
-        if len(buf) < n * 4:
+        # unit 0 = DAY (int32 days), 1 = MILLISECOND (int64 millis);
+        # both surfaced as raw ints, the shape the queries quantize
+        size, code = ((4, "i") if field["unit"] == 0 else (8, "q"))
+        if len(buf) < n * size:
             raise ValueError("arrow data buffer too short")
-        return list(struct.unpack_from(f"<{n}i", buf, 0))
+        return list(struct.unpack_from(f"<{n}{code}", buf, 0))
     if t in ("Timestamp", "Duration"):
         if len(buf) < n * 8:
             raise ValueError("arrow data buffer too short")
@@ -486,13 +496,25 @@ def decode_batch(fields: list[dict], meta: bytes, body: bytes,
                            dicts or {})
 
 
+def _collect_dict_fields(fields: list[dict], out: dict) -> dict:
+    """id -> field spec for every dictionary-encoded field anywhere in
+    the type tree (dictionary leaves nest inside lists/structs/maps)."""
+    for f in fields:
+        enc = f.get("dictionary")
+        if enc is not None:
+            # the spec allows id sharing only between fields of the
+            # same value type, so the first spec seen is canonical
+            out.setdefault(enc["id"], f)
+        _collect_dict_fields(f.get("children") or [], out)
+    return out
+
+
 def apply_dictionary_batch(fields: list[dict], meta: bytes,
                            body: bytes, dicts: dict) -> None:
     """Decode one DictionaryBatch and install/extend its values in
     ``dicts`` (replacement unless isDelta, per the spec)."""
     db = _parse_dictionary_batch(meta)
-    specs = {f["dictionary"]["id"]: f for f in fields
-             if f.get("dictionary")}
+    specs = _collect_dict_fields(fields, {})
     spec = specs.get(db["id"])
     if spec is None:
         raise ValueError(
@@ -532,48 +554,22 @@ def _decode_columns(fields: list[dict], rb: dict, body: bytes,
         ni += 1
         return node
 
-    def flat_member(ch, m):
-        """One flat child array of length ``m`` (struct member / map
-        key/value): its own FieldNode + validity + data buffers."""
-        c_len, c_nulls = take_node()
-        if c_len != m:
-            raise ValueError(
-                f"arrow member {ch['name']!r} length {c_len} != {m}")
-        c_valid = _validity(take_buf(), m, c_nulls)
-        ct = ch["type"]
-        if ct in ("Utf8", "Binary", "LargeUtf8", "LargeBinary"):
-            wide = ct.startswith("Large")
-            osz, ocode = (8, "q") if wide else (4, "i")
-            offs_b = take_buf()
-            if len(offs_b) < osz * (m + 1):
-                raise ValueError("arrow offsets buffer too short")
-            offs = struct.unpack_from(f"<{m + 1}{ocode}", offs_b, 0)
-            data = take_buf()
-            text = ct in ("Utf8", "LargeUtf8")
-            mv = []
-            for i in range(m):
-                if not c_valid[i]:
-                    mv.append(None)
-                    continue
-                a, e = offs[i], offs[i + 1]
-                if a < 0 or e < a or e > len(data):
-                    raise ValueError(
-                        "arrow string offsets out of bounds")
-                mv.append(data[a:e].decode("utf-8")
-                          if text else bytes(data[a:e]))
-            return mv
-        raw2 = _prim_values(ch, take_buf(), m)
-        return [v if ok2 else None for v, ok2 in zip(raw2, c_valid)]
-
-    for field in fields:
+    def read_array(field, expect):
+        """One array (any depth) following the spec's pre-order
+        FieldNode walk and depth-first buffer layout: FieldNode +
+        validity, then the type's own buffers, then child arrays.
+        ``expect`` pins the declared length (None for offset-sliced
+        children, whose length only the child node knows)."""
         length, null_count = take_node()
-        if length != n:
+        if expect is not None and length != expect:
             raise ValueError(
                 f"arrow field {field['name']!r} length {length} != "
-                f"batch rows {n}")
-        valid = _validity(take_buf(), n, null_count)
+                f"{expect}")
+        valid = _validity(take_buf(), length, null_count)
         t = field["type"]
         if field.get("dictionary"):
+            # the batch carries only an index array; values came from
+            # DictionaryBatch messages (initial + isDelta appends)
             enc = field["dictionary"]
             values = dicts.get(enc["id"])
             if values is None:
@@ -582,10 +578,10 @@ def _decode_columns(fields: list[dict], rb: dict, body: bytes,
                     "any DictionaryBatch delivered it")
             idx_field = {"name": field["name"], "type": "Int",
                          "bits": enc["bits"], "signed": enc["signed"]}
-            raw = _prim_values(idx_field, take_buf(), n)
+            raw = _prim_values(idx_field, take_buf(), length)
             vals = []
-            for ok, ix in zip(valid, raw):
-                if not ok:
+            for i, ix in enumerate(raw):
+                if valid is not None and not valid[i]:
                     vals.append(None)
                     continue
                 if ix < 0 or ix >= len(values):
@@ -593,18 +589,20 @@ def _decode_columns(fields: list[dict], rb: dict, body: bytes,
                         f"arrow dictionary index {ix} outside the "
                         f"{len(values)}-entry dictionary")
                 vals.append(values[ix])
-        elif t in ("Utf8", "Binary", "LargeUtf8", "LargeBinary"):
+            return vals
+        if t in ("Utf8", "Binary", "LargeUtf8", "LargeBinary"):
             wide = t.startswith("Large")
             osz, ocode = (8, "q") if wide else (4, "i")
             offs_b = take_buf()
-            if len(offs_b) < osz * (n + 1):
+            if len(offs_b) < osz * (length + 1):
                 raise ValueError("arrow offsets buffer too short")
-            offs = struct.unpack_from(f"<{n + 1}{ocode}", offs_b, 0)
+            offs = struct.unpack_from(f"<{length + 1}{ocode}",
+                                      offs_b, 0)
             data = take_buf()
             text = t in ("Utf8", "LargeUtf8")
             vals = []
-            for i in range(n):
-                if not valid[i]:
+            for i in range(length):
+                if valid is not None and not valid[i]:
                     vals.append(None)
                     continue
                 s, e = offs[i], offs[i + 1]
@@ -613,85 +611,77 @@ def _decode_columns(fields: list[dict], rb: dict, body: bytes,
                                      "bounds")
                 vals.append(data[s:e].decode("utf-8")
                             if text else bytes(data[s:e]))
-        elif t == "FixedSizeList":
+            return vals
+        if t in ("List", "LargeList"):
+            osz, ocode = (8, "q") if t == "LargeList" else (4, "i")
+            offs_b = take_buf()
+            if len(offs_b) < osz * (length + 1):
+                raise ValueError("arrow offsets buffer too short")
+            offs = struct.unpack_from(f"<{length + 1}{ocode}",
+                                      offs_b, 0)
+            c_vals = read_array(field["children"][0], None)
+            vals = []
+            for i in range(length):
+                if valid is not None and not valid[i]:
+                    vals.append(None)
+                    continue
+                s, e = offs[i], offs[i + 1]
+                if s < 0 or e < s or e > len(c_vals):
+                    raise ValueError("arrow list offsets out of "
+                                     "bounds")
+                vals.append(c_vals[s:e])
+            return vals
+        if t == "FixedSizeList":
             # no offsets buffer: child length is n * list_size, each
             # slot owns its fixed window (spec Fixed-Size List layout)
             k = field["list_size"]
-            child = field["children"][0]
-            c_len, c_nulls = take_node()
-            if c_len != n * k:
-                raise ValueError(
-                    f"arrow FixedSizeList child length {c_len} != "
-                    f"{n}*{k}")
-            c_valid = _validity(take_buf(), c_len, c_nulls)
-            c_vals = _prim_values(child, take_buf(), c_len)
-            vals = []
-            for i in range(n):
-                if not valid[i]:
-                    vals.append(None)
-                    continue
-                vals.append([c_vals[j] if c_valid[j] else None
-                             for j in range(i * k, (i + 1) * k)])
-        elif t == "Struct_":
+            c_vals = read_array(field["children"][0], length * k)
+            return [c_vals[i * k:(i + 1) * k]
+                    if valid is None or valid[i] else None
+                    for i in range(length)]
+        if t == "Struct_":
             # spec Struct layout: the struct carries only a validity
             # bitmap; every child is a FULL-length array with its own
             # validity (unlike ORC's parent-present filtering)
-            members = [(ch["name"], flat_member(ch, n))
+            members = [(ch["name"], read_array(ch, length))
                        for ch in field["children"]]
-            vals = []
-            for i in range(n):
-                if not valid[i]:
-                    vals.append(None)
-                    continue
-                vals.append({mn: mv[i] for mn, mv in members})
-        elif t == "Map":
+            return [{mn: mv[i] for mn, mv in members}
+                    if valid is None or valid[i] else None
+                    for i in range(length)]
+        if t == "Map":
             # spec: List<entries: Struct<key, value>> — offsets over
             # the flattened entries; surfaced as (key, value) pairs
             # (pyarrow's own python shape)
             offs_b = take_buf()
-            if len(offs_b) < 4 * (n + 1):
+            if len(offs_b) < 4 * (length + 1):
                 raise ValueError("arrow offsets buffer too short")
-            offs = struct.unpack_from(f"<{n + 1}i", offs_b, 0)
+            offs = struct.unpack_from(f"<{length + 1}i", offs_b, 0)
             entries = field["children"][0]
-            e_len, e_nulls = take_node()
-            _validity(take_buf(), e_len, e_nulls)  # entries bitmap
-            kcol, vcol = [flat_member(ch, e_len)
-                          for ch in entries["children"]]
+            kn, vn = (ch["name"] for ch in entries["children"])
+            e_vals = read_array(entries, None)
             vals = []
-            for i in range(n):
-                if not valid[i]:
+            for i in range(length):
+                if valid is not None and not valid[i]:
                     vals.append(None)
                     continue
                 a, e = offs[i], offs[i + 1]
-                if a < 0 or e < a or e > e_len:
+                if a < 0 or e < a or e > len(e_vals):
                     raise ValueError(
                         "arrow map offsets out of bounds")
-                vals.append([(kcol[j], vcol[j]) for j in range(a, e)])
-        elif t in ("List", "LargeList"):
-            osz, ocode = (8, "q") if t == "LargeList" else (4, "i")
-            offs_b = take_buf()
-            if len(offs_b) < osz * (n + 1):
-                raise ValueError("arrow offsets buffer too short")
-            offs = struct.unpack_from(f"<{n + 1}{ocode}", offs_b, 0)
-            child = field["children"][0]
-            c_len, c_nulls = take_node()
-            c_valid = _validity(take_buf(), c_len, c_nulls)
-            c_vals = _prim_values(child, take_buf(), c_len)
-            vals = []
-            for i in range(n):
-                if not valid[i]:
-                    vals.append(None)
-                    continue
-                s, e = offs[i], offs[i + 1]
-                if s < 0 or e < s or e > c_len:
-                    raise ValueError("arrow list offsets out of "
-                                     "bounds")
-                vals.append([c_vals[j] if c_valid[j] else None
-                             for j in range(s, e)])
-        else:
-            raw = _prim_values(field, take_buf(), n)
-            vals = [v if ok else None for v, ok in zip(raw, valid)]
-        out[field["name"]] = vals
+                row = []
+                for ent in e_vals[a:e]:
+                    if ent is None:
+                        raise ValueError("null arrow map entry")
+                    row.append((ent[kn], ent[vn]))
+                vals.append(row)
+            return vals
+        raw = _prim_values(field, take_buf(), length)
+        if valid is None:
+            return raw
+        return [v if ok else None for v, ok in zip(raw, valid)]
+
+    for field in fields:
+        out[field["name"]] = read_array(field, n)
     return out
 
 
@@ -874,20 +864,42 @@ class _FBBuilder:
         return bytes(buf)
 
 
+
 #: Schema.fbs Type union tags for emission (inverse of _TYPE_NAMES)
 _TYPE_TAGS = {"Int": 2, "FloatingPoint": 3, "Binary": 4, "Utf8": 5,
-              "Bool": 6, "Date": 8, "Timestamp": 10, "List": 12,
-              "FixedSizeList": 16}
+              "Bool": 6, "Decimal": 7, "Date": 8, "Time": 9,
+              "Timestamp": 10, "List": 12, "Struct_": 13,
+              "FixedSizeBinary": 15, "FixedSizeList": 16, "Map": 17,
+              "Duration": 18, "LargeBinary": 19, "LargeUtf8": 20,
+              "LargeList": 21}
 
-_WRITABLE_LIST_CHILDREN = ("Int", "FloatingPoint", "Bool", "Date",
-                           "Timestamp")
+_INT_CODES = {8: "b", 16: "h", 32: "i", 64: "q"}
 
 
-def _field_chunk(b: _FBBuilder, f: dict) -> _Chunk:
-    if f.get("dictionary"):
+def _dict_enc_chunk(b: _FBBuilder, f: dict) -> _Chunk:
+    """DictionaryEncoding table for a dictionary-encoded leaf field:
+    {0: id, 1: indexType (Int), 2: isOrdered}."""
+    if f["type"] in _NESTED:
         raise NotImplementedError(
-            "arrow dictionary-encoded write not supported "
-            "(plain columns are; the reader side decodes them)")
+            "dictionary-encoded arrow nested value types write not "
+            "supported (dictionary-encoded leaves are)")
+    enc = f["dictionary"]
+    bits = enc.get("bits", 32)
+    if bits not in (8, 16, 32, 64):
+        raise ValueError(
+            f"arrow dictionary index width {bits} invalid "
+            "(must be 8/16/32/64)")
+    ix = b.table([(0, "i32", bits),
+                  (1, "u8", 1 if enc.get("signed", True) else 0)])
+    return b.table([(0, "i64", int(enc.get("id") or 0)),
+                    (1, "ref", ix)])
+
+
+def _field_chunk(b: _FBBuilder, f: dict, depth: int = 0) -> _Chunk:
+    if depth > _MAX_DEPTH:
+        raise NotImplementedError(
+            f"arrow nesting deeper than {_MAX_DEPTH} levels write "
+            "not supported")
     t = f["type"]
     name = b.string(f.get("name", ""))
     children = None
@@ -895,25 +907,43 @@ def _field_chunk(b: _FBBuilder, f: dict) -> _Chunk:
         tc = b.table([(0, "i32", f["bits"]),
                       (1, "u8", 1 if f.get("signed", True) else 0)])
     elif t == "FloatingPoint":
-        tc = b.table([(0, "i16", f.get("precision", 2))])
+        pr = f.get("precision", 2)
+        if pr not in (0, 1, 2):  # HALF / SINGLE / DOUBLE
+            raise ValueError(f"arrow float precision {pr} invalid")
+        tc = b.table([(0, "i16", pr)])
     elif t == "Date":
-        if f.get("unit", 0) != 0:
-            raise NotImplementedError(
-                "arrow date64 write not supported (date32 is)")
-        tc = b.table([(0, "i16", 0)])
+        unit = f.get("unit", 0)
+        if unit not in (0, 1):  # DAY (date32) / MILLISECOND (date64)
+            raise ValueError(f"arrow Date unit {unit} invalid")
+        tc = b.table([(0, "i16", unit)])
     elif t == "Timestamp":
         tc = b.table([(0, "i16", f.get("unit", 2))])
-    elif t in ("Utf8", "Binary", "Bool"):
+    elif t == "Duration":
+        tc = b.table([(0, "i16", f.get("unit", 1))])
+    elif t == "Time":
+        bits = f.get("bits", 32)
+        if bits not in (32, 64):
+            raise ValueError("arrow Time width must be 32/64")
+        tc = b.table([(0, "i16", f.get("unit", 1)),
+                      (1, "i32", bits)])
+    elif t == "Decimal":
+        bits = f.get("bits", 128)
+        if bits not in (128, 256):
+            raise ValueError("arrow Decimal width must be 128/256")
+        tc = b.table([(0, "i32", f.get("precision", 38)),
+                      (1, "i32", f.get("scale", 0)),
+                      (2, "i32", bits)])
+    elif t == "FixedSizeBinary":
+        w = int(f.get("byte_width") or 0)
+        if w <= 0:
+            raise ValueError("arrow FixedSizeBinary write needs "
+                             "byte_width")
+        tc = b.table([(0, "i32", w)])
+    elif t in ("Utf8", "Binary", "LargeUtf8", "LargeBinary", "Bool"):
         tc = b.table([])
-    elif t in ("List", "FixedSizeList"):
+    elif t in ("List", "LargeList", "FixedSizeList"):
         if len(f.get("children") or []) != 1:
             raise ValueError(f"arrow {t} field needs one child")
-        child = f["children"][0]
-        if child["type"] not in _WRITABLE_LIST_CHILDREN:
-            raise NotImplementedError(
-                f"arrow list<{child['type']}> write not supported "
-                "(one LIST level of fixed-width primitives is)")
-        cc = _field_chunk(b, child)
         if t == "FixedSizeList":
             k = int(f.get("list_size") or 0)
             if k <= 0:
@@ -922,13 +952,30 @@ def _field_chunk(b: _FBBuilder, f: dict) -> _Chunk:
             tc = b.table([(0, "i32", k)])
         else:
             tc = b.table([])
-        children = b.vec_refs([cc])
+        children = b.vec_refs([_field_chunk(b, f["children"][0],
+                                            depth + 1)])
+    elif t == "Struct_":
+        if not f.get("children"):
+            raise ValueError("arrow Struct field needs children")
+        tc = b.table([])
+        children = b.vec_refs([_field_chunk(b, ch, depth + 1)
+                               for ch in f["children"]])
+    elif t == "Map":
+        ch = f.get("children") or []
+        if len(ch) != 1 or ch[0]["type"] != "Struct_" or \
+                len(ch[0].get("children") or []) != 2:
+            raise ValueError(
+                "arrow Map field needs one entries struct of two")
+        tc = b.table([(0, "u8", 0)])  # keysSorted = false
+        children = b.vec_refs([_field_chunk(b, ch[0], depth + 1)])
     else:
         raise NotImplementedError(f"arrow type {t} write not supported")
     slots = [(0, "ref", name),
              (1, "u8", 1 if f.get("nullable", True) else 0),
              (2, "u8", _TYPE_TAGS[t]),
              (3, "ref", tc)]
+    if f.get("dictionary"):
+        slots.append((4, "ref", _dict_enc_chunk(b, f)))
     if children is not None:
         slots.append((5, "ref", children))
     return b.table(slots)
@@ -949,9 +996,8 @@ def _schema_meta(fields: list[dict]) -> bytes:
     return b.finish(msg)
 
 
-def _batch_meta(n_rows: int, nodes: list, buffers: list,
-                codec: int | None, body_len: int) -> bytes:
-    b = _FBBuilder()
+def _rb_chunk(b: _FBBuilder, n_rows: int, nodes: list, buffers: list,
+              codec: int | None) -> _Chunk:
     nvec = b.vec_structs(
         b"".join(struct.pack("<qq", ln, nc) for ln, nc in nodes),
         len(nodes))
@@ -962,10 +1008,34 @@ def _batch_meta(n_rows: int, nodes: list, buffers: list,
              (2, "ref", (bvec, 4))]
     if codec is not None:
         slots.append((3, "ref", b.table([(0, "i8", codec)])))
-    rb = b.table(slots)
+    return b.table(slots)
+
+
+def _batch_meta(n_rows: int, nodes: list, buffers: list,
+                codec: int | None, body_len: int) -> bytes:
+    b = _FBBuilder()
+    rb = _rb_chunk(b, n_rows, nodes, buffers, codec)
     msg = b.table([(0, "i16", 4),
                    (1, "u8", 3),  # MessageHeader.RecordBatch
                    (2, "ref", rb),
+                   (3, "i64", body_len)])
+    return b.finish(msg)
+
+
+def _dict_batch_meta(dict_id: int, is_delta: bool, n_rows: int,
+                     nodes: list, buffers: list, codec: int | None,
+                     body_len: int) -> bytes:
+    """DictionaryBatch message: {0: id, 1: data (RecordBatch),
+    2: isDelta} under MessageHeader tag 2."""
+    b = _FBBuilder()
+    rb = _rb_chunk(b, n_rows, nodes, buffers, codec)
+    slots = [(0, "i64", dict_id), (1, "ref", rb)]
+    if is_delta:
+        slots.append((2, "u8", 1))
+    db = b.table(slots)
+    msg = b.table([(0, "i16", 4),
+                   (1, "u8", 2),  # MessageHeader.DictionaryBatch
+                   (2, "ref", db),
                    (3, "i64", body_len)])
     return b.finish(msg)
 
@@ -985,7 +1055,7 @@ def _enc_prim(field: dict, vals: list) -> bytes:
     t = field["type"]
     filled = [0 if v is None else v for v in vals]
     if t == "Int":
-        code = {8: "b", 16: "h", 32: "i", 64: "q"}.get(field["bits"])
+        code = _INT_CODES.get(field["bits"])
         if code is None:
             raise NotImplementedError(
                 f"arrow int{field['bits']} write not supported")
@@ -993,7 +1063,7 @@ def _enc_prim(field: dict, vals: list) -> bytes:
             code = code.upper()
         return struct.pack(f"<{len(vals)}{code}", *filled)
     if t == "FloatingPoint":
-        code = "f" if field.get("precision", 2) == 1 else "d"
+        code = {0: "e", 1: "f", 2: "d"}[field.get("precision", 2)]
         return struct.pack(f"<{len(vals)}{code}",
                            *[float(v) for v in filled])
     if t == "Bool":
@@ -1003,36 +1073,113 @@ def _enc_prim(field: dict, vals: list) -> bytes:
                 bm[i >> 3] |= 1 << (i & 7)
         return bytes(bm)
     if t == "Date":
-        return struct.pack(f"<{len(vals)}i", *filled)
-    if t == "Timestamp":
+        code = "i" if field.get("unit", 0) == 0 else "q"
+        return struct.pack(f"<{len(vals)}{code}", *filled)
+    if t in ("Timestamp", "Duration"):
         return struct.pack(f"<{len(vals)}q", *filled)
+    if t == "Time":
+        code = "i" if field.get("bits", 32) == 32 else "q"
+        return struct.pack(f"<{len(vals)}{code}", *filled)
+    if t == "Decimal":
+        from decimal import Decimal
+
+        w = field.get("bits", 128) // 8
+        sc = field.get("scale", 0)
+        out = bytearray()
+        for v in vals:
+            if v is None:
+                out += b"\0" * w
+                continue
+            m = Decimal(v).scaleb(sc)
+            if m != m.to_integral_value():
+                raise ValueError(
+                    f"decimal value {v} does not fit scale {sc}")
+            try:
+                out += int(m).to_bytes(w, "little", signed=True)
+            except OverflowError:
+                raise ValueError(
+                    f"decimal value {v} overflows {w * 8}-bit "
+                    "storage") from None
+        return bytes(out)
+    if t == "FixedSizeBinary":
+        w = field["byte_width"]
+        out = bytearray()
+        for v in vals:
+            if v is None:
+                out += b"\0" * w
+                continue
+            bv = bytes(v)
+            if len(bv) != w:
+                raise ValueError(
+                    f"FixedSizeBinary value of length {len(bv)} != "
+                    f"{w}")
+            out += bv
+        return bytes(out)
     raise NotImplementedError(f"arrow type {t} write not supported")
 
 
-def _enc_offsets(lengths: list[int]) -> bytes:
+def _enc_offsets(lengths: list[int], wide: bool = False) -> bytes:
     offs = [0]
     for ln in lengths:
         offs.append(offs[-1] + ln)
-    if offs[-1] > (1 << 31) - 1:
+    if not wide and offs[-1] > (1 << 31) - 1:
+        raise ValueError(
+            "arrow 32-bit offsets overflow (use the Large variant)")
+    return struct.pack(f"<{len(offs)}{'q' if wide else 'i'}", *offs)
+
+
+def _enc_array(field: dict, vals: list, dstate: dict,
+               depth: int = 0) -> tuple[list, list]:
+    """One array (any depth) -> (field_nodes, raw_buffers), pre-order
+    nodes and depth-first buffers, the exact mirror of ``read_array``.
+    Dictionary-encoded leaves index into ``dstate`` (shared across
+    batches so later chunks extend, never rebuild, the dictionary)."""
+    if depth > _MAX_DEPTH:
         raise NotImplementedError(
-            "arrow 32-bit offsets overflow (LargeUtf8/LargeBinary "
-            "write not supported)")
-    return struct.pack(f"<{len(offs)}i", *offs)
-
-
-def _enc_column(field: dict, vals: list) -> tuple[list, list]:
-    """-> (field_nodes, raw_buffers), depth-first per the spec."""
+            f"arrow nesting deeper than {_MAX_DEPTH} levels write "
+            "not supported")
     vb, nc = _enc_validity(vals)
     nodes = [(len(vals), nc)]
     bufs = [vb]
     t = field["type"]
-    if t in ("Utf8", "Binary"):
+    if field.get("dictionary"):
+        enc = field["dictionary"]
+        st = dstate[enc["id"]]
+        cap = (1 << (st["bits"] - 1)) - 1 if st["signed"] \
+            else (1 << st["bits"]) - 1
+        idx = []
+        for v in vals:
+            if v is None:
+                idx.append(0)
+                continue
+            i = st["index"].get(v)
+            if i is None:
+                i = len(st["values"])
+                if i > cap:
+                    raise ValueError(
+                        f"arrow dictionary {enc['id']} overflows "
+                        f"int{st['bits']} indices at "
+                        f"{len(st['values'])} distinct values")
+                st["index"][v] = i
+                st["values"].append(v)
+                st["new"].append(v)
+            idx.append(i)
+        code = _INT_CODES[st["bits"]]
+        if not st["signed"]:
+            code = code.upper()
+        bufs.append(struct.pack(f"<{len(idx)}{code}", *idx))
+        return nodes, bufs
+    if t in ("Utf8", "Binary", "LargeUtf8", "LargeBinary"):
+        text = t in ("Utf8", "LargeUtf8")
         payloads = [b"" if v is None else
-                    (v.encode("utf-8") if t == "Utf8" else bytes(v))
+                    (v.encode("utf-8") if text else bytes(v))
                     for v in vals]
-        bufs.append(_enc_offsets([len(p) for p in payloads]))
+        bufs.append(_enc_offsets([len(p) for p in payloads],
+                                 wide=t.startswith("Large")))
         bufs.append(b"".join(payloads))
-    elif t == "List":
+    elif t in ("List", "LargeList"):
+        if len(field.get("children") or []) != 1:
+            raise ValueError(f"arrow {t} field needs one child")
         child = field["children"][0]
         flat: list = []
         lens = []
@@ -1042,13 +1189,18 @@ def _enc_column(field: dict, vals: list) -> tuple[list, list]:
             else:
                 flat.extend(v)
                 lens.append(len(v))
-        bufs.append(_enc_offsets(lens))
-        cn, cb = _enc_column(child, flat)
+        bufs.append(_enc_offsets(lens, wide=(t == "LargeList")))
+        cn, cb = _enc_array(child, flat, dstate, depth + 1)
         nodes.extend(cn)
         bufs.extend(cb)
     elif t == "FixedSizeList":
+        if len(field.get("children") or []) != 1:
+            raise ValueError(f"arrow {t} field needs one child")
         child = field["children"][0]
-        k = int(field["list_size"])
+        k = int(field.get("list_size") or 0)
+        if k <= 0:
+            raise ValueError(
+                "arrow FixedSizeList write needs list_size")
         flat = []
         for v in vals:
             if v is None:
@@ -1058,7 +1210,49 @@ def _enc_column(field: dict, vals: list) -> tuple[list, list]:
                     f"FixedSizeList value of length {len(v)} != {k}")
             else:
                 flat.extend(v)
-        cn, cb = _enc_column(child, flat)
+        cn, cb = _enc_array(child, flat, dstate, depth + 1)
+        nodes.extend(cn)
+        bufs.extend(cb)
+    elif t == "Struct_":
+        # children are FULL-length arrays; a null struct slot
+        # contributes a null member in every child
+        if not field.get("children"):
+            raise ValueError("arrow Struct field needs children")
+        for ch in field["children"]:
+            member = []
+            for v in vals:
+                if v is None:
+                    member.append(None)
+                elif isinstance(v, dict):
+                    member.append(v.get(ch["name"]))
+                else:
+                    raise ValueError(
+                        "arrow struct value must be a mapping")
+            cn, cb = _enc_array(ch, member, dstate, depth + 1)
+            nodes.extend(cn)
+            bufs.extend(cb)
+    elif t == "Map":
+        ch0 = field.get("children") or []
+        if len(ch0) != 1 or ch0[0]["type"] != "Struct_" or \
+                len(ch0[0].get("children") or []) != 2:
+            raise ValueError(
+                "arrow Map field needs one entries struct of two")
+        entries = field["children"][0]
+        kn, vn = (ch["name"] for ch in entries["children"])
+        flat = []
+        lens = []
+        for v in vals:
+            if v is None:
+                lens.append(0)
+                continue
+            items = v.items() if isinstance(v, dict) else v
+            cnt = 0
+            for k, mv in items:
+                flat.append({kn: k, vn: mv})
+                cnt += 1
+            lens.append(cnt)
+        bufs.append(_enc_offsets(lens))
+        cn, cb = _enc_array(entries, flat, dstate, depth + 1)
         nodes.extend(cn)
         bufs.extend(cb)
     else:
@@ -1066,15 +1260,9 @@ def _enc_column(field: dict, vals: list) -> tuple[list, list]:
     return nodes, bufs
 
 
-def _enc_batch(fields: list[dict], columns: dict, lo: int, hi: int,
-               compression: str | None) -> tuple[bytes, bytes]:
-    nodes: list = []
-    raw: list = []
-    for f in fields:
-        n, bs = _enc_column(f, columns[f["name"]][lo:hi])
-        nodes.extend(n)
-        raw.extend(bs)
-    codec = {None: None, "lz4": 0, "zstd": 1}[compression]
+def _assemble_body(raw: list, codec: int | None) -> tuple[bytes, list]:
+    """Raw buffers -> (8-aligned body, Buffer (offset, length) list),
+    compressing each buffer per the spec's int64-prefix framing."""
     body = bytearray()
     bufmeta = []
     for b0 in raw:
@@ -1103,8 +1291,7 @@ def _enc_batch(fields: list[dict], columns: dict, lo: int, hi: int,
         body += stored
     while len(body) % 8:
         body += b"\0"
-    meta = _batch_meta(hi - lo, nodes, bufmeta, codec, len(body))
-    return meta, bytes(body)
+    return bytes(body), bufmeta
 
 
 def _frame(meta: bytes, body: bytes) -> bytes:
@@ -1113,15 +1300,101 @@ def _frame(meta: bytes, body: bytes) -> bytes:
             + b"\0" * pad + body)
 
 
-def _footer_fb(fields: list[dict], blocks: list) -> bytes:
+def _frame_meta_len(meta: bytes) -> int:
+    """Total on-wire metadata length of a frame (the Block.metaDataLength
+    convention: continuation + length word + padded flatbuffer)."""
+    return 8 + len(meta) + ((-len(meta)) % 8)
+
+
+def _footer_fb(fields: list[dict], dict_blocks: list,
+               blocks: list) -> bytes:
+    """File.fbs Footer: {0: version, 1: schema, 2: dictionaries,
+    3: recordBatches} with 24-byte inline Block structs."""
     b = _FBBuilder()
     schema = _schema_chunk(b, fields)
+    slots = [(0, "i16", 4), (1, "ref", schema)]
+    if dict_blocks:
+        packed = b"".join(struct.pack("<qi4xq", off, mlen, blen)
+                          for off, mlen, blen in dict_blocks)
+        slots.append((2, "ref", (b.vec_structs(packed,
+                                               len(dict_blocks)), 4)))
     packed = b"".join(struct.pack("<qi4xq", off, mlen, blen)
                       for off, mlen, blen in blocks)
-    rvec = b.vec_structs(packed, len(blocks))
-    footer = b.table([(0, "i16", 4), (1, "ref", schema),
-                      (3, "ref", (rvec, 4))])
+    slots.append((3, "ref", (b.vec_structs(packed, len(blocks)), 4)))
+    footer = b.table(slots)
     return b.finish(footer)
+
+
+def _init_dict_state(fields: list[dict], dstate: dict) -> None:
+    """Walk the (deep-copied) field tree: validate dictionary specs,
+    auto-assign missing ids, and open one shared index/values state per
+    id (id sharing across fields is legal for identical value types)."""
+    def walk(f):
+        enc = f.get("dictionary")
+        if enc is not None:
+            if f["type"] in _NESTED:
+                raise NotImplementedError(
+                    "dictionary-encoded arrow nested value types "
+                    "write not supported (dictionary-encoded leaves "
+                    "are)")
+            bits = enc.setdefault("bits", 32)
+            signed = enc.setdefault("signed", True)
+            if bits not in (8, 16, 32, 64):
+                raise ValueError(
+                    f"arrow dictionary index width {bits} invalid "
+                    "(must be 8/16/32/64)")
+            if enc.get("id") is None:
+                nid = 0
+                while nid in dstate:
+                    nid += 1
+                enc["id"] = nid
+            did = enc["id"]
+            st = dstate.get(did)
+            if st is None:
+                dstate[did] = {
+                    "bits": bits, "signed": signed,
+                    "index": {}, "values": [], "new": [],
+                    "emitted": False,
+                    "vfield": dict(f, dictionary=None, nullable=False),
+                }
+            elif st["bits"] != bits or st["signed"] != signed:
+                raise ValueError(
+                    f"arrow dictionary id {did} reused with a "
+                    "different index type")
+        for ch in f.get("children") or []:
+            walk(ch)
+    for f in fields:
+        walk(f)
+
+
+def _enc_dict_frames(dstate: dict, codec: int | None, *,
+                     consolidated: bool = False) -> list:
+    """Pending DictionaryBatch frames for the current write position.
+
+    Stream mode emits the INITIAL dictionary (possibly empty — readers
+    need delivery before the first referencing batch) once per id, then
+    isDelta appends of only the new values; ``consolidated`` (file
+    mode) emits one full non-delta batch per id, since the File format
+    forbids replacements/deltas."""
+    frames = []
+    for did in sorted(dstate):
+        st = dstate[did]
+        if consolidated:
+            vals, is_delta = st["values"], False
+        elif not st["emitted"]:
+            vals, is_delta = list(st["new"]), False
+        elif st["new"]:
+            vals, is_delta = list(st["new"]), True
+        else:
+            continue
+        st["new"] = []
+        st["emitted"] = True
+        nodes, raw = _enc_array(st["vfield"], vals, {})
+        body, bufmeta = _assemble_body(raw, codec)
+        meta = _dict_batch_meta(did, is_delta, len(vals), nodes,
+                                bufmeta, codec, len(body))
+        frames.append((meta, body))
+    return frames
 
 
 def ipc_write(fields: list[dict], columns: dict, *,
@@ -1129,9 +1402,18 @@ def ipc_write(fields: list[dict], columns: dict, *,
               max_chunksize: int = 4096) -> bytes:
     """Columns -> Arrow IPC bytes.  ``fields`` uses the same spec
     dicts ``parse_schema`` emits ({name, type, nullable, bits/signed/
-    precision/unit, children}); ``columns`` maps name -> python list.
-    ``fmt``: "stream" or "file"; ``compression``: None | "lz4" |
-    "zstd" (the repo's own encoders)."""
+    precision/unit/scale/byte_width/list_size, children, dictionary});
+    ``columns`` maps name -> python list in the shapes ``ipc_read``
+    yields (lists, member dicts, (key, value) pairs).  ``fmt``:
+    "stream" or "file"; ``compression``: None | "lz4" | "zstd" (the
+    repo's own encoders).  Dictionary-encoded fields carry
+    ``dictionary={"id": n, "bits": 8/16/32/64, "signed": bool}`` (id
+    auto-assigned when omitted); streams emit initial + isDelta
+    DictionaryBatches as new values appear per chunk, files emit one
+    consolidated dictionary per id before the batches (the File spec
+    forbids deltas)."""
+    import copy
+
     if fmt not in ("stream", "file"):
         raise ValueError(f"unknown arrow ipc format {fmt!r}")
     if compression not in (None, "lz4", "zstd"):
@@ -1141,23 +1423,53 @@ def ipc_write(fields: list[dict], columns: dict, *,
         raise ValueError("arrow schema needs at least one field")
     if max_chunksize < 1:
         raise ValueError("max_chunksize must be positive")
+    fields = copy.deepcopy(fields)
     lens = {f["name"]: len(columns[f["name"]]) for f in fields}
     if len(set(lens.values())) > 1:
         raise ValueError(f"ragged arrow columns: {lens}")
     n = next(iter(lens.values()))
+    codec = {None: None, "lz4": 0, "zstd": 1}[compression]
+    dstate: dict = {}
+    _init_dict_state(fields, dstate)
+
+    # encode every chunk first: dstate accumulates the dictionaries,
+    # and stream mode interleaves the per-chunk delta frames in order
+    chunks = []
+    for lo in range(0, n, max_chunksize):
+        hi = min(lo + max_chunksize, n)
+        nodes: list = []
+        raw: list = []
+        for f in fields:
+            cn, cb = _enc_array(f, columns[f["name"]][lo:hi], dstate)
+            nodes.extend(cn)
+            raw.extend(cb)
+        body, bufmeta = _assemble_body(raw, codec)
+        meta = _batch_meta(hi - lo, nodes, bufmeta, codec, len(body))
+        if fmt == "stream":
+            dframes = _enc_dict_frames(dstate, codec)
+        else:
+            dframes = []
+        chunks.append((dframes, meta, body))
+
     out = bytearray()
     if fmt == "file":
         out += b"ARROW1\0\0"
     out += _frame(_schema_meta(fields), b"")
+    dict_blocks = []
     blocks = []
-    for lo in range(0, n, max_chunksize):
-        hi = min(lo + max_chunksize, n)
-        meta, body = _enc_batch(fields, columns, lo, hi, compression)
-        mlen = 8 + len(meta) + ((-len(meta)) % 8)
-        blocks.append((len(out), mlen, len(body)))
+    if fmt == "file" and dstate:
+        for meta, body in _enc_dict_frames(dstate, codec,
+                                           consolidated=True):
+            dict_blocks.append((len(out), _frame_meta_len(meta),
+                                len(body)))
+            out += _frame(meta, body)
+    for dframes, meta, body in chunks:
+        for dmeta, dbody in dframes:
+            out += _frame(dmeta, dbody)
+        blocks.append((len(out), _frame_meta_len(meta), len(body)))
         out += _frame(meta, body)
     out += struct.pack("<Ii", _CONT, 0)  # end-of-stream marker
     if fmt == "file":
-        footer = _footer_fb(fields, blocks)
+        footer = _footer_fb(fields, dict_blocks, blocks)
         out += footer + struct.pack("<i", len(footer)) + b"ARROW1"
     return bytes(out)

@@ -612,8 +612,9 @@ class _OrcSinkHooks:
     buffering at most ONE stripe before its bytes stream to the temp
     file; Spark TIMESTAMP/DATE values — top-level or nested at any
     depth — land as the format's seconds-from-2015 + packed-nanos /
-    epoch-days streams (pre-1970 follows the ORC C++ writer
-    convention since round 13)."""
+    epoch-days streams (pre-1970 follows the ORC Java writer
+    convention — floor seconds, borrow into nanos — since round 13;
+    see orc_write.py)."""
 
     suffix = ".orc"
 

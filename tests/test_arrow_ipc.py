@@ -14,6 +14,7 @@ import pytest
 
 from modeltracking_spark.operators.arrow_ipc import (
     ipc_read,
+    ipc_write,
     parse_schema,
 )
 
@@ -91,23 +92,35 @@ def test_all_null_and_no_null_extremes():
 
 
 def test_typed_rejects():
-    # nested list-of-list is a documented reject
-    t2 = pa.table({"ll": pa.array([[[1.0]]],
+    # round 14: list-of-list and struct-of-list are SUPPORTED reads
+    # now (recursive type trees); the rejects moved one ring out — to
+    # dictionary-encoded NESTED value types, which would need whole
+    # value TREES delivered through DictionaryBatch messages.
+    t2 = pa.table({"ll": pa.array([[[1.0]], None, [[2.0], [3.5]]],
                                   pa.list_(pa.list_(pa.float64())))})
     buf2 = io.BytesIO()
     with ipc.new_stream(buf2, t2.schema) as w:
         w.write_table(t2)
-    with pytest.raises(NotImplementedError, match="nested"):
-        ipc_read(buf2.getvalue())
-    # struct-of-list stays a reject (one flat STRUCT level reads)
+    assert ipc_read(buf2.getvalue())["columns"]["ll"] == \
+        [[[1.0]], None, [[2.0], [3.5]]]
     t3 = pa.table({"st": pa.array(
-        [{"a": [1.0]}],
+        [{"a": [1.0]}, {"a": None}],
         pa.struct([("a", pa.list_(pa.float64()))]))})
     buf3 = io.BytesIO()
     with ipc.new_stream(buf3, t3.schema) as w:
         w.write_table(t3)
-    with pytest.raises(NotImplementedError, match="struct member"):
-        ipc_read(buf3.getvalue())
+    assert ipc_read(buf3.getvalue())["columns"]["st"] == \
+        [{"a": [1.0]}, {"a": None}]
+    # dictionary-of-list stays a typed reject (leaf value types only)
+    t4 = pa.table({"dl": pa.DictionaryArray.from_arrays(
+        pa.array([0, 0, 1], pa.int32()),
+        pa.array([[1, 2], [3]], pa.list_(pa.int64())))})
+    buf4 = io.BytesIO()
+    with ipc.new_stream(buf4, t4.schema) as w:
+        w.write_table(t4)
+    with pytest.raises(NotImplementedError,
+                       match="nested value types"):
+        ipc_read(buf4.getvalue())
     with pytest.raises(ValueError, match="schema"):
         ipc_read(b"\xff\xff\xff\xff\x00\x00\x00\x00")
 
@@ -312,23 +325,36 @@ def test_write_side_typed_rejects():
     with pytest.raises(ValueError, match="ragged"):
         ipc_write(f_i + [{"name": "y", "type": "Utf8"}],
                   {"x": [1, 2], "y": ["a"]})
-    with pytest.raises(NotImplementedError, match="date64"):
-        ipc_write([{"name": "d", "type": "Date", "unit": 1}],
-                  {"d": [1]})
-    with pytest.raises(NotImplementedError, match="list"):
-        ipc_write([{"name": "l", "type": "List",
-                    "children": [{"name": "item", "type": "Utf8"}]}],
-                  {"l": [["a"]]})
     with pytest.raises(NotImplementedError, match="compression"):
         ipc_write(f_i, {"x": [1]}, compression="snappy")
     with pytest.raises(ValueError, match="format"):
         ipc_write(f_i, {"x": [1]}, fmt="feather")
-    with pytest.raises(NotImplementedError, match="dictionary"):
-        ipc_write([{"name": "d", "type": "Utf8",
+    # round 14: date64 / list<utf8> / dictionary WRITE are supported;
+    # the rejects moved to dictionary-of-nested and invalid widths
+    with pytest.raises(NotImplementedError, match="nested value"):
+        ipc_write([{"name": "dl", "type": "List",
+                    "children": [{"name": "item", "type": "Int",
+                                  "bits": 64, "signed": True}],
                     "dictionary": {"id": 0, "bits": 32,
+                                   "signed": True}}], {"dl": [[1]]})
+    with pytest.raises(ValueError, match="index width"):
+        ipc_write([{"name": "d", "type": "Utf8",
+                    "dictionary": {"id": 0, "bits": 12,
                                    "signed": True}}], {"d": ["a"]})
-    with pytest.raises(NotImplementedError, match="Struct"):
+    with pytest.raises(ValueError, match="overflows int8"):
+        ipc_write([{"name": "d", "type": "Utf8",
+                    "dictionary": {"bits": 8}}],
+                  {"d": [f"v{i}" for i in range(200)]})
+    with pytest.raises(ValueError, match="Struct"):
         ipc_write([{"name": "st", "type": "Struct_"}], {"st": [None]})
+    # depth cap is a typed reject in the writer too
+    deep = {"name": "x", "type": "Int", "bits": 64, "signed": True}
+    val = [1]
+    for _ in range(40):
+        deep = {"name": "x", "type": "List", "children": [deep]}
+        val = [val]
+    with pytest.raises(NotImplementedError, match="deeper"):
+        ipc_write([deep], {"x": [val]})
 
 
 @pytest.mark.parametrize("idx_type", [pa.int8(), pa.int16(),
@@ -502,15 +528,17 @@ def test_wide_type_arms_vs_pyarrow():
         t.column("lu").to_pylist()
 
 
-def test_fixed_size_list_rejects():
-    # nested fixed-size-list element stays a typed reject
-    arr = pa.array([[["x"]]], pa.list_(pa.list_(pa.string(), 1), 1))
-    t = pa.table({"bad": arr})
+def test_fixed_size_list_nested_reads():
+    # round 14: fixed-size-list of fixed-size-list of string reads
+    # (recursive type trees) — the former typed reject, now positive
+    arr = pa.array([[["x"]], None, [["yz"]]],
+                   pa.list_(pa.list_(pa.string(), 1), 1))
+    t = pa.table({"nested": arr})
     buf = io.BytesIO()
     with ipc.new_stream(buf, t.schema) as w:
         w.write_table(t)
-    with pytest.raises(NotImplementedError, match="nested"):
-        ipc_read(buf.getvalue())
+    assert ipc_read(buf.getvalue())["columns"]["nested"] == \
+        [[["x"]], None, [["yz"]]]
 
 
 def test_struct_read_vs_pyarrow():
@@ -665,14 +693,337 @@ def test_map_read_vs_pyarrow():
         assert got["columns"]["m"] == t.column("m").to_pylist(), comp
         assert got["columns"]["mi"] == t.column("mi").to_pylist()
         assert got["columns"]["k"] == list(range(n))
-    # map<string, list<...>> stays a typed reject
-    bad = pa.array([[("a", [1.0])]],
-                   pa.map_(pa.string(), pa.list_(pa.float64())))
-    t2 = pa.table({"bm": bad})
+    # round 14: map<string, list<...>> reads (recursive type trees)
+    lm = pa.array([[("a", [1.0])], None, [("b", None), ("c", [])]],
+                  pa.map_(pa.string(), pa.list_(pa.float64())))
+    t2 = pa.table({"lm": lm})
     buf2 = io.BytesIO()
     with ipc.new_stream(buf2, t2.schema) as w:
         w.write_table(t2)
-    # (the reject fires at the entries-struct walk, before the Map
-    # branch's own message — either way, typed)
-    with pytest.raises(NotImplementedError, match="not supported"):
-        ipc_read(buf2.getvalue())
+    assert ipc_read(buf2.getvalue())["columns"]["lm"] == \
+        [[("a", [1.0])], None, [("b", None), ("c", [])]]
+
+
+# ------------------------------------------------------------------
+# round 14: recursive type trees (read AND write) + dictionary write
+# ------------------------------------------------------------------
+
+def _nested_table(n=40, nullp=0.2, seed=21):
+    rng = random.Random(seed)
+
+    def mn(v, p=None):
+        return None if rng.random() < (nullp if p is None else p) else v
+
+    los = pa.array(
+        [mn([{"a": mn(rng.randrange(100)),
+              "b": mn("s%d" % rng.randrange(9))}
+             for _ in range(rng.randrange(4))]) for _ in range(n)],
+        pa.list_(pa.struct([("a", pa.int64()), ("b", pa.string())])))
+    sos = pa.array(
+        [mn({"p": mn({"q": rng.random(),
+                      "r": mn([rng.randrange(50)
+                               for _ in range(rng.randrange(3))])}),
+             "s": mn(rng.randrange(10))}) for _ in range(n)],
+        pa.struct([("p", pa.struct([("q", pa.float64()),
+                                    ("r", pa.list_(pa.int32()))])),
+                   ("s", pa.int16())]))
+    lol = pa.array(
+        [mn([mn([rng.randrange(-99, 99)
+                 for _ in range(rng.randrange(3))])
+             for _ in range(rng.randrange(3))]) for _ in range(n)],
+        pa.list_(pa.list_(pa.int64())))
+    mol = pa.array(
+        [mn([("k%d" % j, mn([rng.random() for _ in range(2)]))
+             for j in range(rng.randrange(3))]) for _ in range(n)],
+        pa.map_(pa.string(), pa.list_(pa.float64())))
+    return pa.table({"k": pa.array(range(n), pa.int64()),
+                     "los": los, "sos": sos, "lol": lol, "mol": mol})
+
+
+@pytest.mark.parametrize("comp", [None, "lz4", "zstd"])
+def test_nested_read_vs_pyarrow(comp):
+    """Round 14 (VERDICT r13 item 1): list-of-struct, struct-of-struct
+    (with a list inside), list-of-list and map-of-list read from
+    pyarrow-written bytes through the recursive pre-order FieldNode /
+    depth-first buffer walk, at every codec, across chunk splits."""
+    t = _nested_table(60, seed=33)
+    buf = io.BytesIO()
+    opts = ipc.IpcWriteOptions(compression=comp)
+    with ipc.new_stream(buf, t.schema, options=opts) as w:
+        w.write_table(t, max_chunksize=13)
+    got = ipc_read(buf.getvalue())["columns"]
+    for col in ("k", "los", "sos", "lol", "mol"):
+        assert got[col] == t.column(col).to_pylist(), col
+
+
+#: engine-spec field dicts for the round-14 nested WRITE scope
+_NESTED_WRITE_FIELDS = [
+    {"name": "k", "type": "Int", "bits": 64, "signed": True},
+    {"name": "los", "type": "List", "children": [
+        {"name": "item", "type": "Struct_", "children": [
+            {"name": "a", "type": "Int", "bits": 64, "signed": True},
+            {"name": "b", "type": "Utf8"}]}]},
+    {"name": "sos", "type": "Struct_", "children": [
+        {"name": "p", "type": "Struct_", "children": [
+            {"name": "q", "type": "FloatingPoint", "precision": 2},
+            {"name": "r", "type": "List", "children": [
+                {"name": "item", "type": "Int", "bits": 32,
+                 "signed": True}]}]},
+        {"name": "s", "type": "Int", "bits": 16, "signed": True}]},
+    {"name": "lol", "type": "LargeList", "children": [
+        {"name": "item", "type": "List", "children": [
+            {"name": "item", "type": "Int", "bits": 64,
+             "signed": True}]}]},
+    {"name": "mol", "type": "Map", "children": [
+        {"name": "entries", "type": "Struct_", "nullable": False,
+         "children": [
+             {"name": "key", "type": "Utf8", "nullable": False},
+             {"name": "value", "type": "List", "children": [
+                 {"name": "item", "type": "FloatingPoint",
+                  "precision": 2}]}]}]},
+]
+
+
+def _nested_write_columns(n=40, seed=7):
+    t = _nested_table(n, seed=seed)
+    cols = {c: t.column(c).to_pylist() for c in
+            ("k", "los", "sos", "lol", "mol")}
+    # pyarrow surfaces LargeList like List; python shapes are shared
+    return cols
+
+
+@pytest.mark.parametrize("fmt", ["stream", "file"])
+@pytest.mark.parametrize("comp", [None, "zstd"])
+def test_nested_write_pyarrow_reads(fmt, comp):
+    """Round 14 (VERDICT r13 item 1, the adversarial direction):
+    the ENGINE writes the nested type tree and PYARROW (flatbuffers
+    verifier included) reads the bytes back value-exact; the engine's
+    own reader agrees."""
+    cols = _nested_write_columns(50, seed=8)
+    blob = ipc_write(_NESTED_WRITE_FIELDS, cols, fmt=fmt,
+                     compression=comp, max_chunksize=11)
+    rdr = (ipc.open_stream(io.BytesIO(blob)) if fmt == "stream"
+           else ipc.open_file(io.BytesIO(blob)))
+    t = rdr.read_all()
+    assert t.num_rows == 50
+    for c in cols:
+        assert t.column(c).to_pylist() == cols[c], c
+    own = ipc_read(blob)["columns"]
+    for c in cols:
+        assert own[c] == cols[c], c
+
+
+def _count_msg_types(blob):
+    from modeltracking_spark.operators.arrow_ipc import (
+        ipc_messages,
+        message_header_type,
+    )
+
+    counts = {1: 0, 2: 0, 3: 0}
+    for meta, _ in ipc_messages(blob):
+        counts[message_header_type(meta)] += 1
+    return counts
+
+
+@pytest.mark.parametrize("bits", [8, 16, 32, 64])
+def test_dictionary_write_widths(bits):
+    """Round 14 (VERDICT r13 item 2): dictionary-encoded WRITE at all
+    index widths; pyarrow reads the engine's stream back with the
+    declared dictionary type, and the engine's own reader agrees."""
+    fields = [{"name": "k", "type": "Int", "bits": 64, "signed": True},
+              {"name": "lang", "type": "Utf8",
+               "dictionary": {"bits": bits}}]
+    vals = [None if i % 7 == 0 else "l%02d" % (i % 23)
+            for i in range(90)]
+    cols = {"k": list(range(90)), "lang": vals}
+    blob = ipc_write(fields, cols, max_chunksize=90)
+    t = ipc.open_stream(io.BytesIO(blob)).read_all()
+    assert t.column("lang").to_pylist() == vals
+    assert str(t.schema.field("lang").type) == (
+        f"dictionary<values=string, indices=int{bits}, ordered=0>")
+    assert ipc_read(blob)["columns"]["lang"] == vals
+    # single chunk -> exactly one (initial) DictionaryBatch message
+    assert _count_msg_types(blob)[2] == 1
+
+
+def test_dictionary_write_delta_emission():
+    """Stream mode emits the initial dictionary at the first chunk and
+    isDelta APPENDS as later chunks introduce new values (the spec's
+    incremental delivery); pyarrow resolves the deltas."""
+    fields = [{"name": "lang", "type": "Utf8",
+               "dictionary": {"bits": 16}}]
+    vals = (["aa"] * 10) + (["aa", "bb"] * 5) + (["cc"] * 10)
+    blob = ipc_write(fields, {"lang": vals}, max_chunksize=10)
+    # chunk1 {aa} -> initial; chunk2 {bb} -> delta; chunk3 {cc} -> delta
+    assert _count_msg_types(blob) == {1: 1, 2: 3, 3: 3}
+    assert ipc.open_stream(io.BytesIO(blob)).read_all() \
+        .column("lang").to_pylist() == vals
+    assert ipc_read(blob)["columns"]["lang"] == vals
+    # all-null first chunk still gets the (empty) initial dictionary
+    vals2 = [None] * 10 + ["zz"] * 10
+    blob2 = ipc_write(fields, {"lang": vals2}, max_chunksize=10)
+    assert _count_msg_types(blob2) == {1: 1, 2: 2, 3: 2}
+    assert ipc.open_stream(io.BytesIO(blob2)).read_all() \
+        .column("lang").to_pylist() == vals2
+    assert ipc_read(blob2)["columns"]["lang"] == vals2
+
+
+def test_dictionary_write_file_consolidated():
+    """The File format forbids dictionary replacements/deltas, so the
+    writer consolidates each id into ONE DictionaryBatch placed before
+    the record batches and indexed by the Footer's dictionaries
+    Blocks; pyarrow's random-access file reader resolves it."""
+    fields = [{"name": "lang", "type": "Utf8",
+               "dictionary": {"bits": 8}},
+              {"name": "n", "type": "Int", "bits": 32,
+               "signed": True}]
+    vals = ["v%d" % (i % 11) for i in range(80)]
+    cols = {"lang": vals, "n": list(range(80))}
+    blob = ipc_write(fields, cols, fmt="file", compression="lz4",
+                     max_chunksize=9)
+    assert _count_msg_types(blob)[2] == 1  # one consolidated batch
+    t = ipc.open_file(io.BytesIO(blob)).read_all()
+    assert t.column("lang").to_pylist() == vals
+    assert t.column("n").to_pylist() == list(range(80))
+    assert ipc_read(blob)["columns"]["lang"] == vals
+
+
+def test_dictionary_write_nested_position():
+    """Dictionary-encoded LEAVES at nested positions write and read:
+    list<dictionary<utf8>> and a struct member, sharing nothing (two
+    ids auto-assigned); pyarrow reads the engine bytes back."""
+    fields = [
+        {"name": "tags", "type": "List", "children": [
+            {"name": "item", "type": "Utf8",
+             "dictionary": {"bits": 8}}]},
+        {"name": "st", "type": "Struct_", "children": [
+            {"name": "cat", "type": "Utf8",
+             "dictionary": {"bits": 16}},
+            {"name": "x", "type": "Int", "bits": 64,
+             "signed": True}]},
+    ]
+    cols = {
+        "tags": [["a", "b"], None, ["b", None, "c"], []],
+        "st": [{"cat": "u", "x": 1}, {"cat": None, "x": 2}, None,
+               {"cat": "w", "x": 4}],
+    }
+    for fmt in ("stream", "file"):
+        blob = ipc_write(fields, cols, fmt=fmt, max_chunksize=2)
+        rdr = (ipc.open_stream(io.BytesIO(blob)) if fmt == "stream"
+               else ipc.open_file(io.BytesIO(blob)))
+        t = rdr.read_all()
+        assert t.column("tags").to_pylist() == cols["tags"], fmt
+        assert t.column("st").to_pylist() == cols["st"], fmt
+        own = ipc_read(blob)["columns"]
+        assert own["tags"] == cols["tags"]
+        assert own["st"] == cols["st"]
+
+
+def test_write_leaf_parity_pyarrow_reads():
+    """Round 14 (VERDICT r13 item 9 + full read/write parity): date64,
+    LargeUtf8/LargeBinary, decimal128/256, time32/64, duration,
+    fixed-size binary and float16 WRITE; pyarrow reads every value
+    back exact."""
+    import decimal
+
+    fields = [
+        {"name": "d64", "type": "Date", "unit": 1},
+        {"name": "lt", "type": "LargeUtf8"},
+        {"name": "lb", "type": "LargeBinary"},
+        {"name": "dec", "type": "Decimal", "precision": 12,
+         "scale": 3, "bits": 128},
+        {"name": "dec2", "type": "Decimal", "precision": 40,
+         "scale": 2, "bits": 256},
+        {"name": "t32", "type": "Time", "unit": 1, "bits": 32},
+        {"name": "t64", "type": "Time", "unit": 3, "bits": 64},
+        {"name": "dur", "type": "Duration", "unit": 2},
+        {"name": "fsb", "type": "FixedSizeBinary", "byte_width": 4},
+        {"name": "hf", "type": "FloatingPoint", "precision": 0},
+    ]
+    cols = {
+        "d64": [0, None, 86400000, -86400000],
+        "lt": ["", None, "åäö", "x" * 100],
+        "lb": [b"\x00", b"", None, b"\xff" * 9],
+        "dec": [decimal.Decimal("1.234"), None,
+                decimal.Decimal("-99.999"), decimal.Decimal("0.001")],
+        "dec2": [decimal.Decimal("12345678901234567890123456.78"),
+                 None, decimal.Decimal("-0.01"),
+                 decimal.Decimal("7")],
+        "t32": [0, 1, None, 86399999],
+        "t64": [0, None, 86399999999999, 1],
+        "dur": [-5, 0, None, 10**15],
+        "fsb": [b"abcd", None, b"\x00\x00\x00\x00", b"wxyz"],
+        "hf": [0.5, None, -1.25, 65504.0],
+    }
+    blob = ipc_write(fields, cols, fmt="file", max_chunksize=3)
+    t = ipc.open_file(io.BytesIO(blob)).read_all()
+    import datetime
+
+    assert [None if v is None else
+            (v - datetime.date(1970, 1, 1)).days * 86400000
+            for v in t.column("d64").to_pylist()] == cols["d64"]
+    assert t.column("lt").to_pylist() == cols["lt"]
+    assert t.column("lb").to_pylist() == cols["lb"]
+    assert t.column("dec").to_pylist() == cols["dec"]
+    assert t.column("dec2").to_pylist() == cols["dec2"]
+    assert t.column("fsb").to_pylist() == cols["fsb"]
+    assert t.column("hf").to_pylist() == cols["hf"]
+    assert str(t.schema.field("t32").type) == "time32[ms]"
+    assert str(t.schema.field("t64").type) == "time64[ns]"
+    assert str(t.schema.field("dur").type) == "duration[us]"
+    # engine's own reader agrees on the raw representations
+    own = ipc_read(blob)["columns"]
+    assert own["d64"] == cols["d64"]
+    assert own["dec"] == cols["dec"]
+    assert own["t64"] == cols["t64"]
+    # decimal that does not fit the declared scale is a typed reject
+    with pytest.raises(ValueError, match="scale"):
+        ipc_write([fields[3]],
+                  {"dec": [decimal.Decimal("0.0001")]})
+
+
+def test_depth_cap_typed_reject():
+    """Schemas nested past 32 levels reject loudly in BOTH directions
+    (keeps the recursive walkers clear of the interpreter limit)."""
+    ty = pa.int64()
+    for _ in range(40):
+        ty = pa.list_(ty)
+    t = pa.table({"deep": pa.array([], ty)})
+    buf = io.BytesIO()
+    with ipc.new_stream(buf, t.schema) as w:
+        w.write_table(t)
+    with pytest.raises(NotImplementedError, match="deeper"):
+        ipc_read(buf.getvalue())
+
+
+def test_nested_and_dict_write_mutation_fuzz():
+    """Round-14 fuzz extension (VERDICT r13 item 1 'mutation fuzz
+    extended to nested offsets'): engine-written NESTED + dictionary
+    bytes under byte mutation decode or reject typed — never a leaked
+    IndexError/KeyError/struct.error."""
+    fields = _NESTED_WRITE_FIELDS + [
+        {"name": "lang", "type": "Utf8", "dictionary": {"bits": 8}}]
+    cols = _nested_write_columns(30, seed=5)
+    cols["lang"] = [None if i % 5 == 0 else "l%d" % (i % 7)
+                    for i in range(30)]
+    base = ipc_write(fields, cols, fmt="stream", compression="lz4",
+                     max_chunksize=7)
+    assert ipc_read(base)["columns"]["lang"] == cols["lang"]
+    rng = random.Random(1414)
+    for _ in range(300):
+        b = bytearray(base)
+        op = rng.randrange(3)
+        if op == 0:
+            for _ in range(rng.randrange(1, 4)):
+                b[rng.randrange(len(b))] ^= rng.randrange(1, 256)
+        elif op == 1:
+            b = b[:rng.randrange(len(b))]
+        else:
+            i = rng.randrange(len(b))
+            b = (b[:i] + bytes(rng.randrange(256)
+                               for _ in range(rng.randrange(1, 12)))
+                 + b[i:])
+        try:
+            ipc_read(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass
