@@ -5168,3 +5168,325 @@ def parquet_bloom_pruned_scan_orders(spark: SparkSession,
               for k in (1, 2, 3)]
     return (df.where(F.col("ukey").isin(probes))
             .select("o_orderkey", "ukey", "cents"))
+
+
+@query(
+    "arrow_ipc_nested_scan_docs",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 11 = 0 THEN NULL
+                WHEN n_chars % 4 = 0 THEN NULL
+                ELSE substr(text, 1, 2) END AS first_s,
+           CASE WHEN doc_id % 11 = 0 THEN NULL
+                ELSE (n_chars % 4)::BIGINT END AS n_items,
+           CASE WHEN doc_id % 11 = 0 THEN NULL
+                ELSE ((n_chars % 4) * ((n_chars % 4) - 1) / 2)::BIGINT
+                END AS sum_p,
+           CASE WHEN doc_id % 13 = 0 THEN NULL ELSE lang END
+               AS inner_g,
+           CASE WHEN doc_id % 7 = 3 THEN NULL
+                ELSE (n_chars + doc_id % 7 + 1)::BIGINT END AS map_sum
+    FROM documents
+    """,
+)
+def arrow_ipc_nested_scan_docs(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Round-14 NESTED-READ arm of the Arrow IPC tier (VERDICT r13
+    item 1 / "What's missing" #1: real-world IPC files — HF datasets,
+    pandas round-trips — nest routinely, so depth>1 was the
+    most-likely-hit seam left in the interchange tier).  Each Arrow
+    batch of the documents table is re-shaped into DEEP columns —
+    list<struct<s,p>>, struct<inner: struct<l,g>, ok>, and
+    map<utf8, list<int64>> — serialized by PYARROW (the reference
+    writer, zstd bodies) and read back by the from-spec RECURSIVE
+    walker (operators/arrow_ipc.py ``read_array``: pre-order
+    FieldNode walk, depth-first buffers, validity at every level).
+    Synthetic nulls land at every nesting level (whole list, whole
+    struct, whole map by doc_id residues; empty lists when
+    n_chars%4==0) and every output re-derives from the DECODED nested
+    python values, so offset/validity drift at ANY level breaks the
+    oracle hash.  Narrow mapInPandas, shuffle-free; the 100 TB shape
+    is one decode kernel per Arrow batch, no driver involvement.
+    Cross-reader batteries (list-of-list, struct-of-struct,
+    map-of-list, depth cap, nested mutation fuzz) in
+    tests/test_arrow_ipc.py."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars")
+
+    def kernel(batches):
+        import io
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.ipc as paipc
+
+        from modeltracking_spark.operators.arrow_ipc import ipc_read
+
+        los_t = pa.list_(pa.struct([("s", pa.string()),
+                                    ("p", pa.int64())]))
+        sos_t = pa.struct([
+            ("inner", pa.struct([("l", pa.int64()),
+                                 ("g", pa.string())])),
+            ("ok", pa.bool_())])
+        mol_t = pa.map_(pa.string(), pa.list_(pa.int64()))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            los, sos, mol = [], [], []
+            for did, text, lang, nc in zip(
+                    pdf["doc_id"], pdf["text"], pdf["lang"],
+                    pdf["n_chars"]):
+                did, nc = int(did), int(nc)
+                if did % 11 == 0:
+                    los.append(None)
+                else:
+                    los.append([{"s": text[2 * j:2 * j + 2],
+                                 "p": j} for j in range(nc % 4)])
+                if did % 13 == 0:
+                    sos.append(None)
+                else:
+                    sos.append({"inner": {"l": nc, "g": lang},
+                                "ok": nc % 2 == 0})
+                if did % 7 == 3:
+                    mol.append(None)
+                else:
+                    mol.append([("a", [nc]), ("b", [did % 7, 1])])
+            t = pa.table({
+                "doc_id": pa.array([int(v) for v in pdf["doc_id"]],
+                                   pa.int64()),
+                "los": pa.array(los, los_t),
+                "sos": pa.array(sos, sos_t),
+                "mol": pa.array(mol, mol_t),
+            })
+            buf = io.BytesIO()
+            opts = paipc.IpcWriteOptions(compression="zstd")
+            with paipc.new_stream(buf, t.schema, options=opts) as w:
+                w.write_table(t, max_chunksize=256)
+            got = ipc_read(buf.getvalue())
+            cols = got["columns"]
+            if len(cols["doc_id"]) != len(pdf):
+                raise ValueError("arrow nested scan lost rows")
+            first_s, n_items, sum_p, inner_g, map_sum = \
+                [], [], [], [], []
+            for ls, st, mp in zip(cols["los"], cols["sos"],
+                                  cols["mol"]):
+                first_s.append(None if not ls else ls[0]["s"])
+                n_items.append(None if ls is None else len(ls))
+                sum_p.append(None if ls is None
+                             else sum(e["p"] for e in ls))
+                inner_g.append(None if st is None
+                               else st["inner"]["g"])
+                if mp is None:
+                    map_sum.append(None)
+                else:
+                    md = dict(mp)
+                    map_sum.append(sum(md["a"]) + sum(md["b"]))
+            yield pd.DataFrame({
+                "doc_id": cols["doc_id"],
+                "first_s": first_s,
+                "n_items": n_items,
+                "sum_p": sum_p,
+                "inner_g": inner_g,
+                "map_sum": map_sum,
+            })
+
+    return d.mapInPandas(
+        kernel, "doc_id bigint, first_s string, n_items bigint, "
+                "sum_p bigint, inner_g string, map_sum bigint")
+
+
+@query(
+    "arrow_ipc_nested_write_docs",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 11 = 0 THEN NULL
+                WHEN n_chars % 4 = 0 THEN NULL
+                ELSE substr(text, 1, 2) END AS first_s,
+           CASE WHEN doc_id % 11 = 0 THEN NULL
+                ELSE (n_chars % 4)::BIGINT END AS n_items,
+           CASE WHEN doc_id % 13 = 0 THEN NULL ELSE lang END
+               AS inner_g,
+           CASE WHEN doc_id % 7 = 3 THEN NULL
+                ELSE (n_chars + doc_id % 7 + 1)::BIGINT END AS map_sum
+    FROM documents
+    """,
+)
+def arrow_ipc_nested_write_docs(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Round-14 NESTED-WRITE arm (VERDICT r13 item 1, the adversarial
+    direction): the same deep shapes as ``arrow_ipc_nested_scan_docs``
+    — list<struct>, struct-of-struct, map<utf8, list<int64>> with
+    nulls at every level — are emitted by the ENGINE's recursive
+    ``_enc_array`` (operators/arrow_ipc.py: full-length struct
+    children, map entries flattening, per-level validity) in the FILE
+    format with lz4 bodies, and PYARROW ITSELF (flatbuffers verifier
+    included) reads the bytes back; outputs re-derive from the
+    PYARROW-decoded values so any vtable/offset/child-node drift in
+    the nested emission breaks the oracle hash.  Narrow mapInPandas,
+    shuffle-free.  Stream+file x codec write batteries and nested
+    mutation fuzz in tests/test_arrow_ipc.py."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars")
+
+    def kernel(batches):
+        import io
+
+        import pandas as pd
+        import pyarrow.ipc as paipc
+
+        from modeltracking_spark.operators.arrow_ipc import ipc_write
+
+        fields = [
+            {"name": "doc_id", "type": "Int", "bits": 64,
+             "signed": True},
+            {"name": "los", "type": "List", "children": [
+                {"name": "item", "type": "Struct_", "children": [
+                    {"name": "s", "type": "Utf8"},
+                    {"name": "p", "type": "Int", "bits": 64,
+                     "signed": True}]}]},
+            {"name": "sos", "type": "Struct_", "children": [
+                {"name": "inner", "type": "Struct_", "children": [
+                    {"name": "l", "type": "Int", "bits": 64,
+                     "signed": True},
+                    {"name": "g", "type": "Utf8"}]},
+                {"name": "ok", "type": "Bool"}]},
+            {"name": "mol", "type": "Map", "children": [
+                {"name": "entries", "type": "Struct_",
+                 "nullable": False, "children": [
+                     {"name": "key", "type": "Utf8",
+                      "nullable": False},
+                     {"name": "value", "type": "List", "children": [
+                         {"name": "item", "type": "Int", "bits": 64,
+                          "signed": True}]}]}]},
+        ]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            los, sos, mol = [], [], []
+            for did, text, lang, nc in zip(
+                    pdf["doc_id"], pdf["text"], pdf["lang"],
+                    pdf["n_chars"]):
+                did, nc = int(did), int(nc)
+                if did % 11 == 0:
+                    los.append(None)
+                else:
+                    los.append([{"s": text[2 * j:2 * j + 2],
+                                 "p": j} for j in range(nc % 4)])
+                if did % 13 == 0:
+                    sos.append(None)
+                else:
+                    sos.append({"inner": {"l": nc, "g": lang},
+                                "ok": nc % 2 == 0})
+                if did % 7 == 3:
+                    mol.append(None)
+                else:
+                    mol.append([("a", [nc]), ("b", [did % 7, 1])])
+            cols = {"doc_id": [int(v) for v in pdf["doc_id"]],
+                    "los": los, "sos": sos, "mol": mol}
+            blob = ipc_write(fields, cols, fmt="file",
+                             compression="lz4", max_chunksize=256)
+            t = paipc.open_file(io.BytesIO(blob)).read_all()
+            if t.num_rows != len(pdf):
+                raise ValueError("arrow nested write lost rows")
+            first_s, n_items, inner_g, map_sum = [], [], [], []
+            for ls, st, mp in zip(t.column("los").to_pylist(),
+                                  t.column("sos").to_pylist(),
+                                  t.column("mol").to_pylist()):
+                first_s.append(None if not ls else ls[0]["s"])
+                n_items.append(None if ls is None else len(ls))
+                inner_g.append(None if st is None
+                               else st["inner"]["g"])
+                if mp is None:
+                    map_sum.append(None)
+                else:
+                    md = dict(mp)
+                    map_sum.append(sum(md["a"]) + sum(md["b"]))
+            yield pd.DataFrame({
+                "doc_id": t.column("doc_id").to_pylist(),
+                "first_s": first_s,
+                "n_items": n_items,
+                "inner_g": inner_g,
+                "map_sum": map_sum,
+            })
+
+    return d.mapInPandas(
+        kernel, "doc_id bigint, first_s string, n_items bigint, "
+                "inner_g string, map_sum bigint")
+
+
+@query(
+    "arrow_ipc_dict_write_docs",
+    oracle="""
+    SELECT doc_id,
+           lang,
+           source,
+           length(text)::BIGINT AS text_len
+    FROM documents
+    """,
+)
+def arrow_ipc_dict_write_docs(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Round-14 dictionary-encoded WRITE arm (VERDICT r13 item 2):
+    ``lang`` (int8 indices) and ``source`` (int16) are
+    dictionary-encoded by the ENGINE's writer in the STREAM format
+    with small chunks, so the emission exercises the initial
+    DictionaryBatch followed by isDelta APPENDS as later chunks
+    introduce unseen values (operators/arrow_ipc.py
+    ``_enc_dict_frames``); PYARROW (which resolves deltas per the
+    spec) reads the bytes back, and the outputs re-derive from the
+    PYARROW-decoded values, so index-width, delta-framing or
+    dictionary-ordering drift breaks the oracle hash.  The kernel
+    also asserts pyarrow sees the DECLARED dictionary types.  Narrow
+    mapInPandas, shuffle-free.  Width/delta/file-consolidation
+    batteries in tests/test_arrow_ipc.py."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source")
+
+    def kernel(batches):
+        import io
+
+        import pandas as pd
+        import pyarrow.ipc as paipc
+
+        from modeltracking_spark.operators.arrow_ipc import ipc_write
+
+        fields = [
+            {"name": "doc_id", "type": "Int", "bits": 64,
+             "signed": True},
+            {"name": "text", "type": "Utf8"},
+            {"name": "lang", "type": "Utf8",
+             "dictionary": {"bits": 8}},
+            {"name": "source", "type": "Utf8",
+             "dictionary": {"bits": 16}},
+        ]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cols = {
+                "doc_id": [int(v) for v in pdf["doc_id"]],
+                "text": list(pdf["text"]),
+                "lang": list(pdf["lang"]),
+                "source": list(pdf["source"]),
+            }
+            blob = ipc_write(fields, cols, fmt="stream",
+                             max_chunksize=64)
+            t = paipc.open_stream(io.BytesIO(blob)).read_all()
+            if t.num_rows != len(pdf):
+                raise ValueError("arrow dict write lost rows")
+            for col, bits in (("lang", 8), ("source", 16)):
+                ty = str(t.schema.field(col).type)
+                want = (f"dictionary<values=string, "
+                        f"indices=int{bits}, ordered=0>")
+                if ty != want:
+                    raise ValueError(
+                        f"dictionary type drift: {ty} != {want}")
+            yield pd.DataFrame({
+                "doc_id": t.column("doc_id").to_pylist(),
+                "lang": t.column("lang").to_pylist(),
+                "source": t.column("source").to_pylist(),
+                "text_len": [None if s is None else len(s)
+                             for s in t.column("text").to_pylist()],
+            })
+
+    return d.mapInPandas(kernel, "doc_id bigint, lang string, "
+                                 "source string, text_len bigint")
