@@ -33,7 +33,13 @@ THREDDS shape the reference's HYCOM URL actually serves; the array
 reads transparently under the grid's name, maps as ``g.map``),
 Structure (members as ``s.member``), and Sequence (tabular; §7.2.3
 0x5A/0xA5 instance markers via :meth:`DapDataset.read_sequence`).
-String variables stay the one typed reject.
+Round 14 closes the last atomic type: STRING — XDR counted byte
+strings (u32 length + bytes + pad4) decode in arrays (the (n, n)
+array header followed by per-element counted strings) and in
+Sequence columns, and the server side surfaces classic-netCDF CHAR
+variables the THREDDS way (the trailing string-length axis elides
+into a DAP String). Constraints are URL-percent-encoded on the wire
+and unquoted by the server — the full round-trip is exercised live.
 
 Scale posture: one ``.dods`` round-trip per (variable, record) — the
 server does the hyperslab cut, the client never downloads the
@@ -154,10 +160,9 @@ def _parse_dds(text: str):
             raise NotImplementedError(
                 f"DAP declaration {decl.strip()[:60]!r} not implemented")
         typ, var, dims = p
-        if typ not in _DAP_TYPES:
+        if typ not in _DAP_TYPES and typ != "String":
             raise NotImplementedError(
-                f"DAP type {typ!r} not implemented (String stays the "
-                "pydap plug-in point)")
+                f"DAP type {typ!r} not implemented")
         out[prefix + var] = (typ, dims)
         return prefix + var
 
@@ -178,6 +183,7 @@ def _parse_dds(text: str):
             (arr_decl,) = _split_decls(gm.group(1))
             p = _parse_atomic_decl(arr_decl)
             if p is None or p[0] not in _DAP_TYPES:
+                # a String-typed Grid array has no THREDDS analog
                 raise NotImplementedError(
                     f"DAP Grid {cname!r} array type not implemented")
             typ, _avar, dims = p
@@ -194,7 +200,8 @@ def _parse_dds(text: str):
             cols = []
             for mdecl in _split_decls(cbody):
                 p = _parse_atomic_decl(mdecl)
-                if p is None or p[0] not in _DAP_TYPES:
+                if p is None or (p[0] not in _DAP_TYPES
+                                 and p[0] != "String"):
                     raise NotImplementedError(
                         f"DAP Sequence {cname!r} column not "
                         "implemented (atomic scalar columns are)")
@@ -226,6 +233,46 @@ def _xdr_encode(a) -> bytes:
     raw = np.ascontiguousarray(a, dtype=wire_dtype).tobytes()
     raw += b"\x00" * (_pad4(len(raw)) - len(raw))
     return struct.pack(">II", n, n) + raw
+
+
+def _xdr_encode_strings(strings) -> bytes:
+    """list of str/bytes -> XDR counted-string array: the (n, n)
+    array header, then each element as a counted byte string (u32
+    length + bytes, zero-padded to 4) — DAP 2.0 String on the wire."""
+    from modeltracking_spark.sources.netcdf_classic import _pad4
+
+    out = bytearray(struct.pack(">II", len(strings), len(strings)))
+    for v in strings:
+        raw = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+        out += struct.pack(">I", len(raw)) + raw
+        out += b"\x00" * (_pad4(len(raw)) - len(raw))
+    return bytes(out)
+
+
+def _xdr_decode_strings(buf: bytes, off: int, n_expect: int):
+    """XDR counted-string array at ``buf[off:]`` -> (list[str], next
+    offset); every length is bounds-checked before the slice."""
+    from modeltracking_spark.sources.netcdf_classic import _pad4
+
+    if off + 8 > len(buf):
+        raise ValueError("truncated XDR string array header")
+    n1, n2 = struct.unpack_from(">II", buf, off)
+    if n1 != n2 or n1 != n_expect:
+        raise ValueError(
+            f"XDR count mismatch: header ({n1}, {n2}), DDS says "
+            f"{n_expect}")
+    off += 8
+    out = []
+    for _ in range(n1):
+        if off + 4 > len(buf):
+            raise ValueError("truncated XDR string length")
+        (ln,) = struct.unpack_from(">I", buf, off)
+        off += 4
+        if ln > len(buf) - off:
+            raise ValueError("truncated XDR string payload")
+        out.append(buf[off:off + ln].decode("utf-8"))
+        off += _pad4(ln)
+    return out, off
 
 
 def _xdr_decode(buf: bytes, off: int, typ: str, n_expect: int):
@@ -285,12 +332,18 @@ class DapDataset:
         return body
 
     def _fetch_array(self, var: str, ranges: list[tuple]):
+        import urllib.parse
+
         typ, dims = self.vars[var]
         # a Grid's array projects fully qualified (``g.g[...]``) so
         # the server ships the bare array, not the Grid constructor
         proj = f"{var}.{var}" if var in self.grids else var
+        # percent-encode the hyperslab (brackets/colons are not in
+        # the query-safe set); the server unquotes — the URL-encoded
+        # constraint round-trip is part of the protocol surface
         body = self._get(
-            f"{self.url}.dods?{encode_constraint(proj, ranges)}"
+            f"{self.url}.dods?"
+            f"{urllib.parse.quote(encode_constraint(proj, ranges))}"
         )
         sep = body.find(b"\nData:\n")
         if sep < 0:
@@ -302,7 +355,13 @@ class DapDataset:
             d = len(range(a, b + 1, step))
             shape.append(d)
             n *= d
-        a, _ = _xdr_decode(body, sep + len(b"\nData:\n"), typ, n)
+        off = sep + len(b"\nData:\n")
+        if typ == "String":
+            import numpy as np
+
+            vals, _ = _xdr_decode_strings(body, off, n)
+            return np.array(vals, dtype=object).reshape(shape)
+        a, _ = _xdr_decode(body, off, typ, n)
         return a.reshape(shape)
 
     def shape(self, var: str) -> tuple[int, ...]:
@@ -429,6 +488,21 @@ class DapDataset:
                 raise ValueError(
                     f"bad DAP sequence marker 0x{marker:08x}")
             for col, typ in cols:
+                if typ == "String":
+                    # XDR counted byte string, zero-padded to 4
+                    from modeltracking_spark.sources.netcdf_classic \
+                        import _pad4
+
+                    if off + 4 > len(body):
+                        raise ValueError("truncated DAP sequence row")
+                    (ln,) = struct.unpack_from(">I", body, off)
+                    off += 4
+                    if ln > len(body) - off:
+                        raise ValueError(
+                            "truncated DAP sequence string")
+                    out[col].append(body[off:off + ln].decode("utf-8"))
+                    off += _pad4(ln)
+                    continue
                 wire_size, wire_dtype, final = _DAP_TYPES[typ]
                 # XDR scalars occupy at least 4 bytes
                 size = max(4, wire_size)
@@ -464,13 +538,23 @@ _NCT_DAP = {1: "Byte", 3: "Int16", 4: "Int32", 5: "Float32",
 def _var_decl(nc, name: str, ranges=None, indent: str = "    ",
               decl_name: str | None = None) -> str:
     v = nc.vars[name]
-    typ = _NCT_DAP.get(v.nc_type)
-    if typ is None:
-        raise NotImplementedError(
-            f"DAP serving for nc_type {v.nc_type} not implemented"
-        )
+    if v.nc_type == 2:
+        # classic-netCDF CHAR arrays serve as DAP String with the
+        # trailing string-length axis elided — the THREDDS shape
+        if not v.dim_ids:
+            raise NotImplementedError(
+                "DAP serving for scalar CHAR not implemented")
+        typ = "String"
+        dim_pairs = list(zip(v.dim_ids, v.shape))[:-1]
+    else:
+        typ = _NCT_DAP.get(v.nc_type)
+        if typ is None:
+            raise NotImplementedError(
+                f"DAP serving for nc_type {v.nc_type} not implemented"
+            )
+        dim_pairs = list(zip(v.dim_ids, v.shape))
     dims = []
-    for di, sz in zip(v.dim_ids, v.shape):
+    for di, sz in dim_pairs:
         dn = nc.dims[di][0]
         full = nc.numrecs if v.is_record and di == nc.rec_dim_id else sz
         if ranges is not None:
@@ -488,7 +572,7 @@ def _grid_vars(nc) -> dict:
               if len(v.dim_ids) == 1 and nc.dims[v.dim_ids[0]][0] == n}
     out = {}
     for name, v in nc.vars.items():
-        if name in coords or len(v.dim_ids) < 2:
+        if name in coords or len(v.dim_ids) < 2 or v.nc_type == 2:
             continue
         dims = [nc.dims[di][0] for di in v.dim_ids]
         if all(d in coords for d in dims):
@@ -577,6 +661,13 @@ def parse_constraint(nc, query: str) -> dict:
         shape = list(v.shape)
         if v.is_record:
             shape[0] = nc.numrecs
+        if v.nc_type == 2:
+            # CHAR serves as String: the strlen axis is the payload,
+            # not a constrainable dimension
+            if not shape:
+                raise NotImplementedError(
+                    "DAP serving for scalar CHAR not implemented")
+            shape = shape[:-1]
         ranges = []
         for sm in _SLAB.finditer(m.group(2)):
             a, mid, last = sm.groups()
@@ -634,6 +725,8 @@ def _xdr_sequence(seq: dict) -> bytes:
     """Sequence rows -> the spec's §7.2.3 stream: 0x5A000000 before
     every instance, columns XDR-encoded at scalar width, 0xA5000000
     after the last."""
+    from modeltracking_spark.sources.netcdf_classic import _pad4
+
     out = bytearray()
     for row in seq["rows"]:
         out += struct.pack(">I", 0x5A000000)
@@ -644,11 +737,32 @@ def _xdr_sequence(seq: dict) -> bytes:
                 out += struct.pack(">f", float(val))
             elif typ == "Float64":
                 out += struct.pack(">d", float(val))
+            elif typ == "String":
+                raw = (val.encode("utf-8") if isinstance(val, str)
+                       else bytes(val))
+                out += struct.pack(">I", len(raw)) + raw
+                out += b"\x00" * (_pad4(len(raw)) - len(raw))
             else:
                 raise NotImplementedError(
                     f"DAP sequence column type {typ!r} not implemented")
     out += struct.pack(">I", 0xA5000000)
     return bytes(out)
+
+
+def _file_sequences(sequences: dict | None, fname: str) -> dict:
+    """Resolve the server's sequence config for one served file:
+    ``'<fname>!<seq>'`` keys bind to that file only (sharded corpora
+    — one endpoint per partition), bare keys serve under every
+    file."""
+    out: dict = {}
+    for k, v in (sequences or {}).items():
+        if "!" in k:
+            f, _, sname = k.partition("!")
+            if f == fname:
+                out[sname] = v
+        else:
+            out[k] = v
+    return out
 
 
 def make_dap_handler(root_dir: str, grid_mode: bool = False,
@@ -691,9 +805,10 @@ def make_dap_handler(root_dir: str, grid_mode: bool = False,
                 if path.endswith(".dds"):
                     fn = os.path.join(root_dir, path[1:-len(".dds")])
                     nc = NcFile(fn)
-                    body = _dds_text(nc, os.path.basename(fn),
-                                     grid_mode=grid_mode,
-                                     sequences=sequences).encode()
+                    body = _dds_text(
+                        nc, os.path.basename(fn), grid_mode=grid_mode,
+                        sequences=_file_sequences(
+                            sequences, os.path.basename(fn))).encode()
                     nc.close()
                     self._reply(200, body, "text/plain")
                 elif path.endswith(".das"):
@@ -706,11 +821,13 @@ def make_dap_handler(root_dir: str, grid_mode: bool = False,
                     fn = os.path.join(root_dir, path[1:-len(".dods")])
                     nc = NcFile(fn)
                     q = urllib.parse.unquote(parsed.query)
-                    seq = (sequences or {}).get(q.split("[")[0])
+                    base = q.split("[")[0]
+                    seq = _file_sequences(
+                        sequences, os.path.basename(fn)).get(base)
                     if seq is not None:
                         dds = _dds_text(
                             nc, os.path.basename(fn),
-                            sequences={q: seq}, only={q: None},
+                            sequences={base: seq}, only={base: None},
                         ).encode()
                         nc.close()
                         self._reply(
@@ -719,12 +836,16 @@ def make_dap_handler(root_dir: str, grid_mode: bool = False,
                         return
                     if grid_mode and q:
                         q = _resolve_grid_query(nc, q)
+                    def full_ranges(v):
+                        shape = list(nc.vars[v].shape)
+                        if nc.vars[v].is_record and shape:
+                            shape[0] = nc.numrecs
+                        if nc.vars[v].nc_type == 2:
+                            shape = shape[:-1]  # strlen axis -> String
+                        return [(0, 1, s - 1) for s in shape]
+
                     only = parse_constraint(nc, q) if q else {
-                        v: [(0, 1,
-                             (nc.numrecs if nc.vars[v].is_record else s) - 1)
-                            if i == 0 else (0, 1, s - 1)
-                            for i, s in enumerate(nc.vars[v].shape)]
-                        for v in nc.vars
+                        v: full_ranges(v) for v in nc.vars
                     }
                     dds = _dds_text(
                         nc, os.path.basename(fn), only
@@ -732,12 +853,18 @@ def make_dap_handler(root_dir: str, grid_mode: bool = False,
                     chunks = [dds, b"\nData:\n"]
                     for var, ranges in only.items():
                         v = nc.vars[var]
+                        # CHAR: ranges cover the kept dims; the
+                        # trailing strlen axis ships whole, joined
+                        # into DAP String payloads below
+                        tail = ((slice(None),)
+                                if v.nc_type == 2 else ())
                         if v.is_record and v.dim_ids:
                             t0, tstep, t1 = ranges[0]
                             recs = [
                                 nc.read_slice(var, t)[
                                     tuple(slice(a, b + 1, st_)
                                           for a, st_, b in ranges[1:])
+                                    + tail
                                 ]
                                 for t in range(t0, t1 + 1, tstep)
                             ]
@@ -746,8 +873,17 @@ def make_dap_handler(root_dir: str, grid_mode: bool = False,
                             a = nc.read(var)[
                                 tuple(slice(x, y + 1, st_)
                                       for x, st_, y in ranges)
+                                + tail
                             ]
-                        chunks.append(_xdr_encode(a))
+                        if v.nc_type == 2:
+                            flat = a.reshape(-1, a.shape[-1])
+                            strings = [
+                                row.tobytes().rstrip(b"\x00")
+                                .decode("utf-8") for row in flat
+                            ]
+                            chunks.append(_xdr_encode_strings(strings))
+                        else:
+                            chunks.append(_xdr_encode(a))
                     nc.close()
                     self._reply(200, b"".join(chunks), "application/octet-stream")
                 else:

@@ -161,8 +161,10 @@ NC_TYPES = {
     5: (">f4", 4),
     6: (">f8", 8),
 }
-#: numpy kind+itemsize -> nc_type (for the writer)
-_NP_TO_NC = {("i", 1): 1, ("i", 2): 3, ("i", 4): 4, ("f", 4): 5, ("f", 8): 6}
+#: numpy kind+itemsize -> nc_type (for the writer); S1 = CHAR, the
+#: classic format's string carrier (fixed-width char arrays)
+_NP_TO_NC = {("i", 1): 1, ("S", 1): 2, ("i", 2): 3, ("i", 4): 4,
+             ("f", 4): 5, ("f", 8): 6}
 
 
 def _pad4(n: int) -> int:

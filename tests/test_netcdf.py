@@ -813,8 +813,16 @@ def test_dap_constructor_dds_parse_units():
     assert seqs["rows"] == [("id", "Int32"), ("v", "Float64")]
     assert out["plain"][1] == [("x", 3)]
     assert grids["wt"]["maps"] == ["wt.time", "wt.lat"]
-    with pytest.raises(NotImplementedError, match="String"):
-        _parse_dds("Dataset { String s; } d;")
+    # round 14: String is a SUPPORTED atomic type now (arrays and
+    # sequence columns); the unknown-type reject moved to genuinely
+    # absent types (e.g. DAP 2.0 Url)
+    _n, sout, _g, sseqs = _parse_dds(
+        "Dataset { String s[x = 3]; "
+        "Sequence { String tag; Int32 k; } r; } d;")
+    assert sout["s"] == ("String", [("x", 3)])
+    assert sseqs["r"] == [("tag", "String"), ("k", "Int32")]
+    with pytest.raises(NotImplementedError, match="Url"):
+        _parse_dds("Dataset { Url u; } d;")
     with pytest.raises(NotImplementedError, match="Sequence"):
         _parse_dds(
             "Dataset { Sequence { Int32 a[x = 2]; } s; } d;")
@@ -854,3 +862,145 @@ def test_dap_sequence_stream_rejects():
     with pytest.raises(ValueError, match="truncated"):
         _Fake(cols, _s.pack(">I", 0x5A000000)
               + _s.pack(">i", 7)).read_sequence("s")
+
+
+# ---------------------------------------------------------------------------
+# Round 14 (VERDICT r13 item 5): DAP String — XDR counted strings in
+# arrays and Sequence columns, CHAR-as-String serving, URL-encoded
+# constraint round-trip, per-file sequence keying.
+# ---------------------------------------------------------------------------
+
+
+def _srow(s: str, w: int) -> np.ndarray:
+    return np.frombuffer(s.encode().ljust(w, b"\0")[:w], dtype="S1")
+
+
+@pytest.fixture(scope="module")
+def string_dap_root(tmp_path_factory):
+    """A loopback server over a char-variable netCDF file plus
+    per-file AND global sequences carrying String columns."""
+    from modeltracking_spark.sources.dap import make_dap_handler
+
+    root = tmp_path_factory.mktemp("dapstr")
+    codes = np.stack([_srow("en-src01", 10), _srow("fr-s2", 10),
+                      _srow("zh-source33", 10), _srow("de", 10),
+                      _srow("", 10)])
+    vals = np.array([1.5, -2.0, 3.25, 0.0, 9.0], dtype=">f8")
+    write_classic(
+        str(root / "obs.nc"),
+        dims=[("station", 5), ("strlen", 10)],
+        variables=[("code", ["station", "strlen"], codes),
+                   ("val", ["station"], vals)],
+        record_dim=None, n_records=0, global_attrs={})
+    write_classic(
+        str(root / "other.nc"),
+        dims=[("x", 2)],
+        variables=[("y", ["x"], np.array([1.0, 2.0], dtype=">f8"))],
+        record_dim=None, n_records=0, global_attrs={})
+    seqs = {
+        "obs.nc!readings": {
+            "cols": [("sid", "Int32"), ("tag", "String"),
+                     ("x", "Float64")],
+            "rows": [(0, "alpha", 1.0), (1, "bé", 2.5),
+                     (2, "", -1.0)]},
+        "shared": {"cols": [("g", "Int32"), ("nm", "String")],
+                   "rows": [(7, "everywhere")]},
+    }
+    srv = http.server.ThreadingHTTPServer(
+        ("127.0.0.1", 0),
+        make_dap_handler(str(root), grid_mode=True, sequences=seqs))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", str(root)
+    srv.shutdown()
+
+
+def test_dap_string_array_reads(string_dap_root):
+    """CHAR variables serve as DAP String (trailing strlen axis
+    elided in the DDS); full, strided and record-sliced fetches
+    decode the XDR counted-string arrays; trailing NULs strip."""
+    from modeltracking_spark.sources.dap import DapDataset
+
+    base, _root = string_dap_root
+    d = DapDataset(f"dap+{base}/obs.nc")
+    assert d.vars["code"] == ("String", [("station", 5)])
+    assert list(d.read("code")) == \
+        ["en-src01", "fr-s2", "zh-source3", "de", ""]
+    assert list(d.read_strided("code", [(0, 2, 4)])) == \
+        ["en-src01", "zh-source3", ""]
+    assert d.read_slice("code", 3) == "de"
+    # numeric neighbors still decode through the same .dods framing
+    assert list(d.read("val")) == [1.5, -2.0, 3.25, 0.0, 9.0]
+
+
+def test_dap_string_constraint_is_percent_encoded(string_dap_root):
+    """The hyperslab really crosses the wire percent-encoded: a
+    client that does NOT unquote-encode still works (server
+    unquotes), and the DapDataset path is asserted at the URL
+    level."""
+    import urllib.request
+
+    from modeltracking_spark.sources.dap import (
+        DapDataset,
+        encode_constraint,
+    )
+    from urllib.parse import quote
+
+    base, _root = string_dap_root
+    raw = encode_constraint("code", [(1, 2)])
+    assert raw == "code[1:2]"
+    enc = quote(raw)
+    assert "%5B" in enc and "%5D" in enc
+    with urllib.request.urlopen(f"{base}/obs.nc.dods?{enc}") as r:
+        body = r.read()
+    assert b"String code[station = 2];" in body
+    # and the client's own fetch uses the encoded form end to end
+    d = DapDataset(f"dap+{base}/obs.nc")
+    assert list(d.read_strided("code", [(1, 1, 2)])) == \
+        ["fr-s2", "zh-source3"]
+
+
+def test_dap_string_sequence_and_file_keying(string_dap_root):
+    """String Sequence columns decode (counted strings between the
+    0x5A/0xA5 markers); '<fname>!<seq>' keys bind to one file only
+    while bare keys serve everywhere (ADVICE r13 — the per-file form
+    now resolves)."""
+    from modeltracking_spark.sources.dap import DapDataset
+
+    base, _root = string_dap_root
+    d = DapDataset(f"dap+{base}/obs.nc")
+    assert d.sequences["readings"] == [
+        ("sid", "Int32"), ("tag", "String"), ("x", "Float64")]
+    got = d.read_sequence("readings")
+    assert got == {"sid": [0, 1, 2], "tag": ["alpha", "bé", ""],
+                   "x": [1.0, 2.5, -1.0]}
+    assert d.read_sequence("shared") == {"g": [7],
+                                         "nm": ["everywhere"]}
+    # the per-file sequence does NOT exist under the other file
+    d2 = DapDataset(f"dap+{base}/other.nc")
+    assert "readings" not in d2.sequences
+    assert d2.read_sequence("shared")["nm"] == ["everywhere"]
+    with pytest.raises(KeyError):
+        d2.read_sequence("readings")
+
+
+def test_dap_string_truncation_rejects():
+    """Corrupt counted-string payloads reject typed, never leak an
+    internal slice error."""
+    import struct as _s
+
+    from modeltracking_spark.sources.dap import (
+        _xdr_decode_strings,
+    )
+
+    ok = _s.pack(">II", 2, 2) + _s.pack(">I", 3) + b"abc\x00" \
+        + _s.pack(">I", 0)
+    vals, off = _xdr_decode_strings(ok, 0, 2)
+    assert vals == ["abc", ""] and off == len(ok)
+    with pytest.raises(ValueError, match="count mismatch"):
+        _xdr_decode_strings(ok, 0, 3)
+    with pytest.raises(ValueError, match="truncated"):
+        _xdr_decode_strings(ok[:10], 0, 2)
+    bad = _s.pack(">II", 1, 1) + _s.pack(">I", 99) + b"ab"
+    with pytest.raises(ValueError, match="truncated"):
+        _xdr_decode_strings(bad, 0, 1)
