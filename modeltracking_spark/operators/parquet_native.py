@@ -34,11 +34,17 @@ the Thrift Compact Protocol spec THRIFT-110):
   ZSTD (`operators/zstd.py`), LZ4_RAW (`operators/lz4.py`); legacy
   LZO/LZ4-hadoop reject loudly.
 
-Scope: flat columns, one-level LIST, one-level STRUCT of primitives
-(round 12), DECIMAL on all three physical carriers (round 12), and
-INT96 legacy timestamps (round 12, signed nanos-of-day + Julian day →
-epoch micros).  Deeper nesting (struct-in-struct, MAP, list-in-list)
-stays a documented loud reject.  The reader is cross-validated column-for-
+Scope: flat columns, arbitrary LIST/STRUCT/MAP nesting through the
+general Dremel assembly (round 12), DECIMAL on all three physical
+carriers (round 12), INT96 legacy timestamps (round 12, signed
+nanos-of-day + Julian day → epoch micros), and — round 14 — the
+LEGACY 2-level list shapes from the format's backward-compatibility
+rules: a bare REPEATED primitive reads as a required list of required
+elements, and a LIST-annotated group whose repeated child is NOT a
+group reads that child as the (required) element type.  Repeated
+GROUPS without a LIST/MAP annotation (the name-heuristic struct-tuple
+legacy) stay a documented loud reject.
+The reader is cross-validated column-for-
 column against pyarrow (the reference implementation) over a writer
 matrix — compressions × dictionary on/off × page versions × null
 densities × multi-row-group × multi-page — in
@@ -247,6 +253,32 @@ class _Cut:
         return f"_Cut({self.d})"
 
 
+def _prim_leaf(el: dict, name: str, max_rep: int, max_def: int,
+               optional: bool, path: str) -> dict:
+    """Chunk-decodable leaf dict for one primitive schema element at
+    the given Dremel depths (shared by the standard and the legacy
+    2-level branches)."""
+    phys = PHYS.get(el.get(1))
+    if phys is None:
+        raise ValueError(
+            f"unknown parquet physical type {el.get(1)}")
+    log = el.get(10) or {}
+    return {
+        "name": name,
+        "kind": "rawleaf",
+        "physical": phys,
+        "type_length": el.get(2, 0),
+        "string": el.get(6) == _UTF8_CONVERTED or 1 in log,
+        "decimal": _decimal_of(el),
+        "logical": log,
+        "converted": el.get(6),
+        "optional": optional,
+        "max_rep": max_rep,
+        "max_def": max_def,
+        "path": path,
+    }
+
+
 def _parse_nested(schema: list, i: int, rep: int, d: int, path: str):
     """Recursively parse one schema element (group or primitive) at
     index ``i`` into a type-tree node for the GENERAL Dremel assembly
@@ -269,29 +301,21 @@ def _parse_nested(schema: list, i: int, rep: int, d: int, path: str):
     here = f"{path}.{name}" if path else name
     if not nch:  # primitive
         if repetition == 2:
-            raise NotImplementedError(
-                "legacy repeated primitive fields (2-level lists) "
-                "not supported")
-        phys = PHYS.get(el.get(1))
-        if phys is None:
-            raise ValueError(
-                f"unknown parquet physical type {el.get(1)}")
+            # LEGACY 2-level lists, rule 1 (round 14; parquet-format
+            # LogicalTypes.md backward-compatibility rules): a bare
+            # REPEATED primitive — pre-standard Hive/Impala files —
+            # reads as a REQUIRED list of REQUIRED elements.  The
+            # repeated field adds one def level (empty list) and one
+            # rep level; the column path has NO wrapper groups.
+            leaf = _prim_leaf(el, name, rep + 1, d + 1, False, here)
+            return {"t": "list", "name": name, "optional": False,
+                    "P": d, "E": d + 1,
+                    "element": {"t": "leaf", "name": name,
+                                "leaf": leaf, "n_leaves": 1},
+                    "n_leaves": 1}, i + 1
         opt = repetition == 1
-        log = el.get(10) or {}
-        leaf = {
-            "name": name,
-            "kind": "rawleaf",
-            "physical": phys,
-            "type_length": el.get(2, 0),
-            "string": el.get(6) == _UTF8_CONVERTED or 1 in log,
-            "decimal": _decimal_of(el),
-            "logical": log,
-            "converted": el.get(6),
-            "optional": opt,
-            "max_rep": rep,
-            "max_def": d + (1 if opt else 0),
-            "path": here,
-        }
+        leaf = _prim_leaf(el, name, rep, d + (1 if opt else 0), opt,
+                          here)
         return {"t": "leaf", "name": name, "leaf": leaf,
                 "n_leaves": 1}, i + 1
     conv_t = el.get(6)
@@ -310,6 +334,19 @@ def _parse_nested(schema: list, i: int, rep: int, d: int, path: str):
                 f"structure under {name!r}")
         mid = schema[i + 1]
         mid_name = mid.get(4, b"?").decode("utf-8", "replace")
+        if is_list and mid.get(3) == 2 and not mid.get(5, 0):
+            # LEGACY 2-level lists, rule 2: the repeated field under
+            # a LIST group is NOT a group, so it IS the element type
+            # and elements are required (no 3-level wrapper)
+            P = d + (1 if opt else 0)
+            E = P + 1
+            base = f"{here}.{mid_name}"
+            leaf = _prim_leaf(mid, mid_name, rep + 1, E, False, base)
+            return {"t": "list", "name": name, "optional": opt,
+                    "P": P, "E": E,
+                    "element": {"t": "leaf", "name": mid_name,
+                                "leaf": leaf, "n_leaves": 1},
+                    "n_leaves": 1}, i + 2
         want_kids = 2 if is_map else 1
         if mid.get(3) != 2 or mid.get(5, 0) != want_kids:
             raise NotImplementedError(
@@ -735,10 +772,20 @@ def parquet_footer(data_tail: bytes, file_size: int) -> dict:
             })
             i += 3
             continue
-        if el.get(3) == 2:  # REPEATED at top level (legacy 2-level)
-            raise NotImplementedError(
-                "repeated top-level parquet fields not supported"
-            )
+        if el.get(3) == 2:  # REPEATED primitive (legacy 2-level)
+            # round 14: reads as a required list of required elements
+            # through the general Dremel path (backward-compat rule 1)
+            node, i = _parse_nested(schema, i, 0, 0, "")
+            cols.append({
+                "name": name,
+                "kind": "nested",
+                "physical": "GROUP",
+                "optional": False,
+                "tree": node,
+                "leaves": _nested_leaves(node),
+                "path": name,
+            })
+            continue
         phys = PHYS.get(el.get(1))
         if phys is None:
             raise ValueError(f"unknown parquet physical type {el.get(1)}")

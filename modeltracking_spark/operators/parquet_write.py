@@ -1864,3 +1864,165 @@ def parquet_write_table(
         })
     w.finish()
     return buf.getvalue()
+
+
+def write_legacy_two_level(path: str, ids: list, vals: list,
+                           tags: list) -> None:
+    """Fixture tooling (round 14, VERDICT r13 item 6): hand-builds a
+    parquet file carrying the LEGACY 2-level list shapes from the
+    format spec's backward-compatibility rules (LogicalTypes.md
+    "Backward-compatibility rules") — shapes NO modern writer emits
+    but pre-standard Hive/Impala files still carry::
+
+        message schema {
+          required int64 id;
+          repeated int64 vals;            // rule 1: bare repeated
+                                          // primitive = required list
+                                          // of required elements
+          optional group tags (LIST) {
+            repeated binary tag (UTF8);   // rule 2: the repeated
+                                          // field under LIST is not a
+                                          // group -> it IS the
+                                          // element, required
+          }
+        }
+
+    One row group, v1 data pages, RLE levels, PLAIN values,
+    uncompressed — every byte below is the spec's, so the reader
+    conformance claim is against the FORMAT, not a writer quirk.
+    pyarrow (which implements the same compat rules) reads the file
+    back as the twin in tests/test_parquet_native.py."""
+    n = len(ids)
+    if len(vals) != n or len(tags) != n:
+        raise ValueError("ragged legacy-fixture columns")
+    for v in vals:
+        if v is None:
+            raise ValueError(
+                "rule-1 lists are REQUIRED (bare repeated field); "
+                "got a None record")
+
+    def shred_two_level(records, max_def, none_def=None):
+        reps, defs, flat = [], [], []
+        for rec in records:
+            if rec is None:
+                reps.append(0)
+                defs.append(none_def)
+                continue
+            if not rec:
+                reps.append(0)
+                defs.append(max_def - 1)
+                continue
+            for j, e in enumerate(rec):
+                reps.append(0 if j == 0 else 1)
+                defs.append(max_def)
+                flat.append(e)
+        return reps, defs, flat
+
+    v_reps, v_defs, v_flat = shred_two_level(vals, 1)
+    t_reps, t_defs, t_flat = shred_two_level(tags, 2, none_def=0)
+
+    def v1_page(phys, reps, defs, flat, max_rep, max_def):
+        plain = bytearray()
+        if max_rep:
+            lv = rle_bp_encode(reps, max_rep.bit_length())
+            plain += len(lv).to_bytes(4, "little") + lv
+        if max_def:
+            lv = rle_bp_encode(defs, max_def.bit_length())
+            plain += len(lv).to_bytes(4, "little") + lv
+        plain += _plain_encode(phys, flat)
+        th = _ThriftW()
+        th.field_i32(1, 0)  # PageType.DATA_PAGE
+        th.field_i32(2, len(plain))
+        th.field_i32(3, len(plain))  # uncompressed
+        th.field_i32(4, _page_crc(bytes(plain)))
+        th.begin_struct(5)  # DataPageHeader
+        th.field_i32(1, len(reps) if max_rep else len(flat))
+        th.field_i32(2, _ENC_PLAIN)
+        th.field_i32(3, _ENC_RLE)
+        th.field_i32(4, _ENC_RLE)
+        th.end_struct()
+        return th.finish() + bytes(plain)
+
+    chunks = [
+        ("INT64", ["id"], [], [], ids, 0, 0),
+        ("INT64", ["vals"], v_reps, v_defs, v_flat, 1, 1),
+        ("BYTE_ARRAY", ["tags", "tag"], t_reps, t_defs, t_flat, 1, 2),
+    ]
+    out = bytearray(b"PAR1")
+    chunk_meta = []
+    for phys, cpath, reps, defs, flat, mr, md in chunks:
+        off = len(out)
+        page = v1_page(phys, reps, defs, flat, mr, md)
+        out += page
+        cm = _ThriftW()
+        cm.field_i32(1, _PHYS_NUM[phys])
+        cm.begin_list(2, 5, 2)
+        cm._zigzag(_ENC_PLAIN)
+        cm._zigzag(_ENC_RLE)
+        cm.list_binary(3, [p.encode() for p in cpath])
+        cm.field_i32(4, _CODEC_NUM["UNCOMPRESSED"])
+        cm.field_i64(5, len(reps) if mr else len(flat))
+        cm.field_i64(6, len(page))
+        cm.field_i64(7, len(page))
+        cm.field_i64(9, off)
+        chunk_meta.append((cm, len(page)))
+
+    fmd = _ThriftW()
+    fmd.field_i32(1, 1)  # version
+    fmd.begin_list(2, 12, 5)  # 5 SchemaElements incl. root
+    root = _ThriftW()
+    root.field_string(4, "schema")
+    root.field_i32(5, 3)
+    fmd.list_struct(root)
+    el = _ThriftW()  # required int64 id
+    el.field_i32(1, _PHYS_NUM["INT64"])
+    el.field_i32(3, 0)
+    el.field_string(4, "id")
+    fmd.list_struct(el)
+    el = _ThriftW()  # repeated int64 vals  (rule 1)
+    el.field_i32(1, _PHYS_NUM["INT64"])
+    el.field_i32(3, 2)  # REPEATED
+    el.field_string(4, "vals")
+    fmd.list_struct(el)
+    el = _ThriftW()  # optional group tags (LIST)
+    el.field_i32(3, 1)
+    el.field_string(4, "tags")
+    el.field_i32(5, 1)
+    el.field_i32(6, 3)  # ConvertedType.LIST
+    el.begin_struct(10)
+    el.begin_struct(3)  # LogicalType.LIST
+    el.end_struct()
+    el.end_struct()
+    fmd.list_struct(el)
+    el = _ThriftW()  # repeated binary tag (UTF8)  (rule 2)
+    el.field_i32(1, _PHYS_NUM["BYTE_ARRAY"])
+    el.field_i32(3, 2)  # REPEATED
+    el.field_string(4, "tag")
+    el.field_i32(6, 0)  # ConvertedType.UTF8
+    el.begin_struct(10)
+    el.begin_struct(1)  # LogicalType.STRING
+    el.end_struct()
+    el.end_struct()
+    fmd.list_struct(el)
+    fmd.field_i64(3, n)  # num_rows
+    fmd.begin_list(4, 12, 1)  # one row group
+    rg = _ThriftW()
+    rg.begin_list(1, 12, len(chunk_meta))
+    total = 0
+    for cm, psize in chunk_meta:
+        cc = _ThriftW()
+        cc.field_i64(2, 0)
+        cc.field_struct(3, cm)
+        rg.list_struct(cc)
+        total += psize
+    rg.field_i64(2, total)
+    rg.field_i64(3, n)
+    fmd.list_struct(rg)
+    fmd.field_string(6, "modeltracking-spark legacy-2level fixture "
+                        "(from-spec, hand-built)")
+    blob = fmd.finish()
+    out += blob
+    out += len(blob).to_bytes(4, "little")
+    out += b"PAR1"
+    with open(path, "wb") as fh:
+        fh.write(bytes(out))

