@@ -200,6 +200,15 @@ HEADLINE = [
     "arrow_ipc_fixed_scan_embeddings",
     "parquet_bitpacked_scan_orders",
     "dap_grid_mode_scan",
+    # round-14 operators: Arrow IPC recursive nesting (read AND
+    # write) + dictionary-encoded write with delta batches, DAP
+    # String over the live protocol (per-file sequence endpoints),
+    # and the hand-built legacy 2-level parquet lists
+    "arrow_ipc_nested_scan_docs",
+    "arrow_ipc_nested_write_docs",
+    "arrow_ipc_dict_write_docs",
+    "dap_string_sequence_scan",
+    "parquet_legacy_list_scan",
     # zstd_seekable_stream_scan_docs, parquet_stream_sink_docs, and
     # orc_stream_sink_docs are deliberately NOT benched: each
     # execution runs two REAL streaming drains (~17 s at sf0.1),

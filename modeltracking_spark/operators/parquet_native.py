@@ -1144,9 +1144,20 @@ def rle_bp_hybrid(data: bytes, pos: int, bit_width: int,
             nbytes = n * bit_width // 8
             if pos + nbytes > len(data):
                 raise ValueError("truncated bit-packed run")
-            big = int.from_bytes(data[pos:pos + nbytes], "little")
-            pos += nbytes
-            out.extend((big >> (i * bit_width)) & mask for i in range(n))
+            # decode in bounded windows: one int over the WHOLE run
+            # makes every shift O(run bytes) — quadratic in run
+            # length (the r14 10x probe caught 26.8x on single-page
+            # files whose runs span the full row group); per-window
+            # ints keep the shift operand small and the total linear
+            left = n
+            while left > 0:
+                take = min(4096, left)  # multiple of 8, like runs
+                tb = take * bit_width // 8
+                big = int.from_bytes(data[pos:pos + tb], "little")
+                out.extend((big >> (i * bit_width)) & mask
+                           for i in range(take))
+                pos += tb
+                left -= take
         else:  # RLE run
             run = header >> 1
             if run > (1 << 31):

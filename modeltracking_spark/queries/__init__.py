@@ -43,81 +43,90 @@ QUERY_MODULES = (
 
 #: the scored window (driver cap observed at 50).
 #:
-#: ROUND-13 ROTATION (VERDICT r12 item 7): head = the 5 new r13
-#: registrations (Arrow IPC write + dictionary read, ORC UNION,
-#: parquet legacy BIT_PACKED levels, the DAP grid-mode scan) plus
-#: ``xz_bcj_roundtrip_docs`` whose kernel was REWRITTEN this round
-#: (batched CLI invocation after the scale probe flagged per-row
-#: spawns — listed in ``REATTEST``).  Then ``weighted_sample_docs``
-#: (the one r7-stale leftover — it missed the r12 50-boundary) and
-#: 42 of the 49-name r8-stale cohort; the seven slipped to r14 are
-#: codec-family siblings whose families keep an in-window carrier
-#: (mulaw/jpeg_color/y4m/bmp_resize/wav_decimate/gif_decode/png vs
-#: the in-window adpcm/jpeg_progressive/gif_frames/image_features).
+#: ROUND-14 ROTATION (VERDICT r13 item 4): head = the 5 new r14
+#: registrations (Arrow IPC nested read/write + dictionary write,
+#: DAP String over the live protocol, parquet legacy 2-level lists —
+#: each is ALSO the in-window carrier for its changed module:
+#: operators/arrow_ipc.py, sources/dap.py, operators/
+#: parquet_native.py + parquet_write.py; no existing query's kernel
+#: or output changed, so REATTEST is empty).  Then the r13 verdict's
+#: prescribed stale cohort: all 7 r8-stale codec-family siblings
+#: slipped from r13, and 38 of the 49 r9-stale names.  The 11
+#: r9-stale slips to r15 are same-operator variants whose family
+#: keeps an in-window or r12+-attested carrier: asof_nearest_clicks
+#: (asof_backward r13), array_functions_demo (string_functions r13),
+#: hours_epoch_roundtrip (scalar_geo_suite), cube_status_priority +
+#: semi_anti_customers (rollup/grouping_sets/set-ops r13 +
+#: customer_order_set_ops in-window), orders_sort_limit +
+#: zip_positional_align (topk_lineitems_per_order arms),
+#: embedding_neardup_pairs (LSH variant r10+), cosine_topk_filtered
+#: (LSH/IVF/PQ probes r10+), image_dhash_docs
+#: (image_neardup_pairs_docs in-window), linear_fit_orders
+#: (events_stats_suite in-window).  r15 MUST lead with these 11.
 PRIORITY: tuple[str, ...] = (
-    # ---- new in r13 (never-attested) ----
-    "arrow_ipc_write_roundtrip_docs",  # from-spec IPC writer, pyarrow reads
-    "arrow_ipc_dict_scan_docs",        # DictionaryBatch read, int8/16 idx
-    "orc_union_scan_events",           # ORC UNION, last type-tree arm
-    "arrow_ipc_fixed_scan_embeddings",  # FixedSizeList/Large/f16 arms
-    "parquet_bitpacked_scan_orders",   # legacy BIT_PACKED v1 levels
-    "dap_grid_mode_scan",              # DAP Grid constructor, live protocol
-    # ---- behavior changed in r13 (REATTEST; lint-exempt) ----
-    "xz_bcj_roundtrip_docs",           # batched-CLI kernel rewrite
-    # ---- r7-stale leftover (age 6) ----
-    "weighted_sample_docs",
-    # ---- r8-stale cohort (43 of 49) ----
-    "asof_backward_clicks",
-    "bigram_logprob_docs",
-    "classifier_eval_suite",
-    "deterministic_shuffle_docs",
-    "grid_netcdf_packed_scan",
-    "hll_distinct_users",
-    "jpeg_progressive_decode_stats_docs",
-    "txlog_snapshot_orders",
-    "unigram_viterbi_docs",
-    "rolling_active_users_events",
-    "pricing_summary",
-    "rollup_region_nation",
-    "events_json_props",
-    "grouping_sets_orders",
-    "lon_normalize",
-    "inv_square_weights",
-    "moving_frame_sums",
-    "event_type_stats",
-    "profile_flatten_roundtrip",
-    "profile_nearest_node",
-    "dedup_survivor_rows",
-    "minhash_shingle_pairs",
-    "text_metrics_docs",
-    "quality_scores_docs",
-    "lang_id_docs",
-    "centroid_label_means",
-    "sliding_window_counts",
-    "image_features_fake_decode",
-    "adpcm_decode_stats_docs",
-    "gif_frames_stats_docs",
-    "string_functions_demo",
-    "temperature_mix_sample_docs",
-    "jsonl_gz_roundtrip_scan",
-    "event_transitions_markov",
-    "zscore_standardize_events",
-    "feature_hash_docs",
-    "target_encode_events",
-    "winsorize_events",
-    "pearson_corr_events",
-    "key_skew_profile_events",
-    "doc_chunks_overlap",
-    "classifier_calibration_bins",
+    # ---- new in r14 (never-attested; module carriers) ----
+    "arrow_ipc_nested_scan_docs",    # recursive type-tree read
+    "arrow_ipc_nested_write_docs",   # nested write, pyarrow reads
+    "arrow_ipc_dict_write_docs",     # dictionary write, delta batches
+    "dap_string_sequence_scan",      # DAP String, live protocol
+    "parquet_legacy_list_scan",      # legacy 2-level lists
+    # ---- r8-stale codec siblings (all 7, slipped from r13) ----
+    "bmp_resize_stats_docs",
+    "gif_decode_stats_docs",
+    "jpeg_color_decode_stats_docs",
+    "mulaw_decode_stats_docs",
+    "png_decode_stats_docs",
+    "wav_decimate_stats_docs",
+    "y4m_frame_stats_docs",
+    # ---- r9-stale cohort (38 of 49) ----
+    "argmin_order_per_customer",
+    "binary_metadata_docs",
+    "blocklist_match_docs",
+    "bloom_prune_join_orders",
+    "bpe_token_counts",
+    "clean_normalize_docs",
+    "click_error_interval_left_join",
+    "cluster_balanced_sample_embeddings",
+    "customer_order_set_ops",
+    "dup_span_scrub_docs",
+    "events_stats_suite",
+    "ewma_user_values_events",
+    "flagship_events_daily",
+    "grid_datasource_scan",
+    "grid_netcdf_scan",
+    "hash_split_docs",
+    "image_neardup_pairs_docs",
+    "interval_routing",
+    "jaccard_pairs_capped",
+    "leakage_safe_split_docs",
+    "length_quantiles_by_lang",
+    "minhash_lsh_pairs",
+    "neighborhood_3x3",
+    "positional_projection",
+    "profile_along_track_temp",
+    "profile_multivariable_pivot",
+    "regional_revenue",
+    "repetition_scores_docs",
+    "sentence_split_udtf",
+    "session_window_counts",
+    "simhash_docs",
+    "tiff_decode_stats_docs",
+    "token_frequencies_docs",
+    "track_bounding_box",
+    "track_step_haversine",
+    "try_cast_cleanup",
+    "tumbling_window_counts",
+    "vocab_top_tokens",
 )
 
 #: queries whose semantics/plan changed THIS round: the staleness lint
 #: in tools/check_queries.py --window treats them as never-attested so
 #: their head-of-window placement does not trip the stalest-first
-#: invariant (their old attestation predates the change).
-REATTEST: tuple[str, ...] = (
-    "xz_bcj_roundtrip_docs",
-)
+#: invariant (their old attestation predates the change).  Round 14:
+#: empty — the arrow/dap/parquet module rewrites kept every existing
+#: query's kernel and output identical; the new registrations carry
+#: those modules in-window.
+REATTEST: tuple[str, ...] = ()
 
 #: observed driver correctness cap (CORRECTNESS_r03 scored exactly 50)
 SCORED_WINDOW = 50

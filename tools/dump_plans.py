@@ -166,6 +166,11 @@ NOTES = {
     "orc_union_scan_events": "stripe-grain partitions over the pyarrow-written union fixture; per-variant tag-count decode; JVM-side tagged-struct dereference; no shuffle before the sink",
     "parquet_bitpacked_scan_orders": "row-group-grain partitions; MSB-first legacy level decode executor-side; no shuffle before the sink",
     "dap_grid_mode_scan": "one InputPartition per timestep; each fetches ONE hyperslab record over the live DAP protocol (qualified grid-array projection); single aggregate exchange",
+    "arrow_ipc_nested_scan_docs": "narrow mapInPandas: pyarrow writes list<struct>/struct-of-struct/map<utf8,list> (zstd bodies) -> from-spec RECURSIVE pre-order FieldNode walk per batch, shuffle-free",
+    "arrow_ipc_nested_write_docs": "narrow mapInPandas: from-spec recursive _enc_array EMITS the nested tree (file fmt, lz4 bodies) -> pyarrow reference read per batch, shuffle-free",
+    "arrow_ipc_dict_write_docs": "narrow mapInPandas: from-spec dictionary-encoded EMIT (int8/int16 indices, initial + isDelta batches across chunks) -> pyarrow resolves deltas per batch, shuffle-free",
+    "dap_string_sequence_scan": "one endpoint per partition (part{i}.nc!obs per-file sequences); each partition drives the live protocol: String sequence decode + CHAR-as-String array fetch through a percent-encoded hyperslab; no exchange",
+    "parquet_legacy_list_scan": "row-group-grain partitions over hand-built legacy 2-level bytes; both backward-compat shapes normalize to standard Dremel list nodes executor-side; no shuffle before the sink",
 }
 
 

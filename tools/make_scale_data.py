@@ -39,8 +39,15 @@ COPIES = 10
 EMB_DIM = 64
 
 
-def build(spark, src: str, dst: str, copies: int = COPIES) -> dict:
-    """Materialize the replicated dataset; returns {table: rowcount}."""
+def build(spark, src: str, dst: str, copies: int = COPIES,
+          tables: set | None = None) -> dict:
+    """Materialize the replicated dataset; returns {table: rowcount}.
+
+    ``tables`` (round 14, VERDICT r13 item 7) restricts the build to a
+    subset — the 100x spot probe only needs the tables its
+    scan-dominant queries read, and a full 100x lineitem would burn
+    disk for nothing.  Dims always copy (they are cheap and several
+    loaders probe them)."""
 
     def rd(name):
         return spark.read.parquet(f"{src}/{name}.parquet")
@@ -72,6 +79,7 @@ def build(spark, src: str, dst: str, copies: int = COPIES) -> dict:
         shutil.rmtree(tmp)
         return spark.read.parquet(final).count()
 
+    want = (lambda t: tables is None or t in tables)
     counts = {}
     for dim in ("region", "nation"):
         counts[dim] = wr(rd(dim), dim)
@@ -93,22 +101,22 @@ def build(spark, src: str, dst: str, copies: int = COPIES) -> dict:
             out = out.unionByName(p)
         return out
 
-    counts["customer"] = wr(rep(cust, lambda i: [
+    counts["customer"] = None if not want("customer") else wr(rep(cust, lambda i: [
         (F.col("c_custkey") + i * s_c).alias("c_custkey"),
         "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]), "customer")
-    counts["supplier"] = wr(rep(supp, lambda i: [
+    counts["supplier"] = None if not want("supplier") else wr(rep(supp, lambda i: [
         (F.col("s_suppkey") + i * s_s).alias("s_suppkey"),
         "s_name", "s_nationkey", "s_acctbal"]), "supplier")
-    counts["part"] = wr(rep(part, lambda i: [
+    counts["part"] = None if not want("part") else wr(rep(part, lambda i: [
         (F.col("p_partkey") + i * s_p).alias("p_partkey"),
         "p_name", "p_brand", "p_type", "p_size", "p_retailprice"]), "part")
-    counts["orders"] = wr(rep(orders, lambda i: [
+    counts["orders"] = None if not want("orders") else wr(rep(orders, lambda i: [
         (F.col("o_orderkey") + i * s_o).alias("o_orderkey"),
         (F.col("o_custkey") + i * s_c).alias("o_custkey"),
         "o_orderstatus", "o_totalprice",
         (F.col("o_orderdate") + F.expr(f"INTERVAL {i} SECOND")).alias("o_orderdate"),
         "o_orderpriority"]), "orders")
-    counts["lineitem"] = wr(rep(lineitem, lambda i: [
+    counts["lineitem"] = None if not want("lineitem") else wr(rep(lineitem, lambda i: [
         (F.col("l_orderkey") + i * s_o).alias("l_orderkey"),
         (F.col("l_partkey") + i * s_p).alias("l_partkey"),
         (F.col("l_suppkey") + i * s_s).alias("l_suppkey"),
@@ -116,7 +124,7 @@ def build(spark, src: str, dst: str, copies: int = COPIES) -> dict:
         "l_tax", "l_returnflag", "l_linestatus",
         (F.col("l_shipdate") + F.expr(f"INTERVAL {i} SECOND")).alias("l_shipdate")]),
         "lineitem")
-    counts["events"] = wr(rep(events, lambda i: [
+    counts["events"] = None if not want("events") else wr(rep(events, lambda i: [
         (F.col("event_id") + i * s_e).alias("event_id"),
         (F.col("ts") + F.expr(f"INTERVAL {i} SECOND")).alias("ts"),
         (F.col("user_id") + i * s_u).alias("user_id"),
@@ -127,7 +135,7 @@ def build(spark, src: str, dst: str, copies: int = COPIES) -> dict:
             return F.col("text")
         return F.regexp_replace("text", r"(\S+)", rf"$1~{i}")
 
-    counts["documents"] = wr(rep(docs, lambda i: [
+    counts["documents"] = None if not want("documents") else wr(rep(docs, lambda i: [
         (F.col("doc_id") + i * s_d).alias("doc_id"),
         doc_text(i).alias("text"), "lang", "source",
         F.length(doc_text(i)).cast("long").alias("n_chars")]), "documents")
@@ -139,7 +147,7 @@ def build(spark, src: str, dst: str, copies: int = COPIES) -> dict:
         return F.concat(F.slice("embedding", k + 1, EMB_DIM - k),
                         F.slice("embedding", 1, k))
 
-    counts["embeddings"] = wr(rep(emb, lambda i: [
+    counts["embeddings"] = None if not want("embeddings") else wr(rep(emb, lambda i: [
         (F.col("vec_id") + i * s_v).alias("vec_id"),
         rot(i).alias("embedding"), "label"]), "embeddings")
     return counts
@@ -148,15 +156,18 @@ def build(spark, src: str, dst: str, copies: int = COPIES) -> dict:
 def main() -> int:
     src = os.environ.get("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
     dst = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/modeltracking_sf1")
+    copies = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", str(COPIES)))
+    tables_env = os.environ.get("SPARK_GRAFT_SCALE_TABLES")
+    tables = set(tables_env.split(",")) if tables_env else None
     from modeltracking_spark.session import get_spark
 
     spark = get_spark(app_name="modeltracking-make-scale")
     spark.sparkContext.setLogLevel("ERROR")
-    counts = build(spark, src, dst)
+    counts = build(spark, src, dst, copies=copies, tables=tables)
     import json
 
     with open(os.path.join(dst, "MANIFEST.json"), "w") as fh:
-        json.dump({"src": src, "copies": COPIES, "rows": counts}, fh, indent=1)
+        json.dump({"src": src, "copies": copies, "rows": counts}, fh, indent=1)
     print(json.dumps(counts))
     return 0
 

@@ -29,7 +29,7 @@ import time
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, HERE)
 
-TIMED_RUNS = 3
+TIMED_RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
 
 
 def run_set(spark, qs, names, sf_dir, plan_only=False):
@@ -176,19 +176,22 @@ def main() -> int:
             ent["err"] = a.get("err") or b.get("err")
         queries[name] = ent
     ok = [q for q in queries.values() if q["ratio"] > 0]
+    factor_env = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
     superlinear = {n: q["ratio"] for n, q in queries.items()
-                   if q["ratio"] > 12}
+                   if q["ratio"] > 1.2 * factor_env}
+    factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
     out = {
-        "metric": "scale_probe_10x",
+        "metric": f"scale_probe_{factor}x",
         "sf_small": 0.1,
-        "sf_big": 1.0,
-        "rows_factor": 10,
+        "sf_big": round(0.1 * factor, 1),
+        "rows_factor": factor,
         "total_sf0.1": round(sum(q["t_sf0.1"] for q in ok), 1),
         "total_sf1": round(sum(q["t_sf1"] for q in ok), 1),
         "median_ratio": round(statistics.median(q["ratio"] for q in ok), 2)
         if ok else -1.0,
         "max_ratio": max((q["ratio"] for q in ok), default=-1.0),
         "superlinear_gt12x": superlinear,
+        "red_line": "ratio > 1.2 * rows_factor",
         "n_queries": len(ok),
         "n_failed": len(queries) - len(ok),
         "timed_runs": TIMED_RUNS,
