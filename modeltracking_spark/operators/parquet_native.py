@@ -39,11 +39,13 @@ general Dremel assembly (round 12), DECIMAL on all three physical
 carriers (round 12), INT96 legacy timestamps (round 12, signed
 nanos-of-day + Julian day → epoch micros), and — round 14 — the
 LEGACY 2-level list shapes from the format's backward-compatibility
-rules: a bare REPEATED primitive reads as a required list of required
-elements, and a LIST-annotated group whose repeated child is NOT a
-group reads that child as the (required) element type.  Repeated
-GROUPS without a LIST/MAP annotation (the name-heuristic struct-tuple
-legacy) stay a documented loud reject.
+rules, ALL FOUR: a bare REPEATED primitive reads as a required list
+of required elements (rule 1); a LIST-annotated group whose repeated
+child is NOT a group reads that child as the required element
+(rule 2); a repeated GROUP with multiple fields (rule 3) or named
+``array`` / ``<list>_tuple`` (rule 4) reads as the required-STRUCT
+element.  Repeated groups without any LIST/MAP annotation stay a
+documented loud reject (no rule disambiguates them).
 The reader is cross-validated column-for-
 column against pyarrow (the reference implementation) over a writer
 matrix — compressions × dictionary on/off × page versions × null
@@ -347,6 +349,31 @@ def _parse_nested(schema: list, i: int, rep: int, d: int, path: str):
                     "element": {"t": "leaf", "name": mid_name,
                                 "leaf": leaf, "n_leaves": 1},
                     "n_leaves": 1}, i + 2
+        n_mid_kids = mid.get(5, 0)
+        if is_list and mid.get(3) == 2 and n_mid_kids and (
+                n_mid_kids > 1 or mid_name == "array"
+                or mid_name == f"{name}_tuple"):
+            # LEGACY 2-level lists, rules 3/4: a repeated GROUP with
+            # multiple fields, or named "array" / "<list>_tuple", IS
+            # the element type (a required STRUCT) — no 3-level
+            # wrapper.  A single-field group with any other name
+            # falls through to the standard 3-level path below.
+            P = d + (1 if opt else 0)
+            E = P + 1
+            base = f"{here}.{mid_name}"
+            fields = []
+            j = i + 2
+            n_lv = 0
+            for _ in range(n_mid_kids):
+                child, j = _parse_nested(schema, j, rep + 1, E, base)
+                fields.append(child)
+                n_lv += child["n_leaves"]
+            elem = {"t": "struct", "name": mid_name,
+                    "optional": False, "def": E, "fields": fields,
+                    "n_leaves": n_lv}
+            return {"t": "list", "name": name, "optional": opt,
+                    "P": P, "E": E, "element": elem,
+                    "n_leaves": n_lv}, j
         want_kids = 2 if is_map else 1
         if mid.get(3) != 2 or mid.get(5, 0) != want_kids:
             raise NotImplementedError(

@@ -2026,3 +2026,168 @@ def write_legacy_two_level(path: str, ids: list, vals: list,
     out += b"PAR1"
     with open(path, "wb") as fh:
         fh.write(bytes(out))
+
+
+def write_legacy_struct_list(path: str, ids: list, pairs: list) -> None:
+    """Fixture tooling (round 14 bonus): the OTHER legacy 2-level
+    shapes — backward-compatibility rules 3/4, where the repeated
+    field under a LIST group is a GROUP that is itself the (required
+    STRUCT) element: either it has multiple fields, or it is named
+    ``array`` / ``<list>_tuple``.  Emitted here as the classic
+    Hive/Impala ``_tuple`` form::
+
+        message schema {
+          required int64 id;
+          optional group pairs (LIST) {
+            repeated group pairs_tuple {
+              required int64 a;
+              optional binary b (UTF8);
+            }
+          }
+        }
+
+    One row group, v1 pages, RLE levels, PLAIN, uncompressed.
+    ``pairs``: per record None | list of (a, b_or_None)."""
+    n = len(ids)
+    if len(pairs) != n:
+        raise ValueError("ragged legacy-fixture columns")
+
+    a_reps, a_defs, a_vals = [], [], []
+    b_reps, b_defs, b_vals = [], [], []
+    for rec in pairs:
+        if rec is None:
+            a_reps.append(0)
+            a_defs.append(0)
+            b_reps.append(0)
+            b_defs.append(0)
+            continue
+        if not rec:
+            a_reps.append(0)
+            a_defs.append(1)
+            b_reps.append(0)
+            b_defs.append(1)
+            continue
+        for j, (a, b) in enumerate(rec):
+            r = 0 if j == 0 else 1
+            a_reps.append(r)
+            a_defs.append(2)
+            a_vals.append(a)
+            b_reps.append(r)
+            if b is None:
+                b_defs.append(2)
+            else:
+                b_defs.append(3)
+                b_vals.append(b)
+
+    def v1_page(phys, reps, defs, flat, max_rep, max_def):
+        plain = bytearray()
+        if max_rep:
+            lv = rle_bp_encode(reps, max_rep.bit_length())
+            plain += len(lv).to_bytes(4, "little") + lv
+        if max_def:
+            lv = rle_bp_encode(defs, max_def.bit_length())
+            plain += len(lv).to_bytes(4, "little") + lv
+        plain += _plain_encode(phys, flat)
+        th = _ThriftW()
+        th.field_i32(1, 0)
+        th.field_i32(2, len(plain))
+        th.field_i32(3, len(plain))
+        th.field_i32(4, _page_crc(bytes(plain)))
+        th.begin_struct(5)
+        th.field_i32(1, len(reps) if max_rep else len(flat))
+        th.field_i32(2, _ENC_PLAIN)
+        th.field_i32(3, _ENC_RLE)
+        th.field_i32(4, _ENC_RLE)
+        th.end_struct()
+        return th.finish() + bytes(plain)
+
+    chunks = [
+        ("INT64", ["id"], [], [], ids, 0, 0),
+        ("INT64", ["pairs", "pairs_tuple", "a"], a_reps, a_defs,
+         a_vals, 1, 2),
+        ("BYTE_ARRAY", ["pairs", "pairs_tuple", "b"], b_reps, b_defs,
+         b_vals, 1, 3),
+    ]
+    out = bytearray(b"PAR1")
+    chunk_meta = []
+    for phys, cpath, reps, defs, flat, mr, md in chunks:
+        off = len(out)
+        page = v1_page(phys, reps, defs, flat, mr, md)
+        out += page
+        cm = _ThriftW()
+        cm.field_i32(1, _PHYS_NUM[phys])
+        cm.begin_list(2, 5, 2)
+        cm._zigzag(_ENC_PLAIN)
+        cm._zigzag(_ENC_RLE)
+        cm.list_binary(3, [p.encode() for p in cpath])
+        cm.field_i32(4, _CODEC_NUM["UNCOMPRESSED"])
+        cm.field_i64(5, len(reps) if mr else len(flat))
+        cm.field_i64(6, len(page))
+        cm.field_i64(7, len(page))
+        cm.field_i64(9, off)
+        chunk_meta.append((cm, len(page)))
+
+    fmd = _ThriftW()
+    fmd.field_i32(1, 1)
+    fmd.begin_list(2, 12, 6)  # root, id, pairs, pairs_tuple, a, b
+    root = _ThriftW()
+    root.field_string(4, "schema")
+    root.field_i32(5, 2)
+    fmd.list_struct(root)
+    el = _ThriftW()  # required int64 id
+    el.field_i32(1, _PHYS_NUM["INT64"])
+    el.field_i32(3, 0)
+    el.field_string(4, "id")
+    fmd.list_struct(el)
+    el = _ThriftW()  # optional group pairs (LIST)
+    el.field_i32(3, 1)
+    el.field_string(4, "pairs")
+    el.field_i32(5, 1)
+    el.field_i32(6, 3)  # ConvertedType.LIST
+    el.begin_struct(10)
+    el.begin_struct(3)
+    el.end_struct()
+    el.end_struct()
+    fmd.list_struct(el)
+    el = _ThriftW()  # repeated group pairs_tuple (rule 4: _tuple name)
+    el.field_i32(3, 2)
+    el.field_string(4, "pairs_tuple")
+    el.field_i32(5, 2)
+    fmd.list_struct(el)
+    el = _ThriftW()  # required int64 a
+    el.field_i32(1, _PHYS_NUM["INT64"])
+    el.field_i32(3, 0)
+    el.field_string(4, "a")
+    fmd.list_struct(el)
+    el = _ThriftW()  # optional binary b (UTF8)
+    el.field_i32(1, _PHYS_NUM["BYTE_ARRAY"])
+    el.field_i32(3, 1)
+    el.field_string(4, "b")
+    el.field_i32(6, 0)
+    el.begin_struct(10)
+    el.begin_struct(1)
+    el.end_struct()
+    el.end_struct()
+    fmd.list_struct(el)
+    fmd.field_i64(3, n)
+    fmd.begin_list(4, 12, 1)
+    rg = _ThriftW()
+    rg.begin_list(1, 12, len(chunk_meta))
+    total = 0
+    for cm, psize in chunk_meta:
+        cc = _ThriftW()
+        cc.field_i64(2, 0)
+        cc.field_struct(3, cm)
+        rg.list_struct(cc)
+        total += psize
+    rg.field_i64(2, total)
+    rg.field_i64(3, n)
+    fmd.list_struct(rg)
+    fmd.field_string(6, "modeltracking-spark legacy-struct-list "
+                        "fixture (from-spec, hand-built)")
+    blob = fmd.finish()
+    out += blob
+    out += len(blob).to_bytes(4, "little")
+    out += b"PAR1"
+    with open(path, "wb") as fh:
+        fh.write(bytes(out))

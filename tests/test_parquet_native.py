@@ -1111,3 +1111,129 @@ def test_legacy_two_level_corruption_fuzz():
             _read_all(io.BytesIO(bytes(b)))
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_legacy_struct_list_rules34_vs_pyarrow():
+    """Backward-compat rules 3/4: a repeated GROUP under LIST that has
+    multiple fields, or is named 'array' / '<list>_tuple', IS the
+    required-struct element (no 3-level wrapper).  Hand-built bytes;
+    pyarrow (same compat rules) is the twin."""
+    import random as _r
+    import tempfile
+
+    from modeltracking_spark.operators.parquet_write import (
+        write_legacy_struct_list,
+    )
+
+    rng = _r.Random(53)
+    n = 200
+    ids = list(range(n))
+    pairs = []
+    for _ in range(n):
+        roll = rng.random()
+        if roll < 0.12:
+            pairs.append(None)
+        elif roll < 0.2:
+            pairs.append([])
+        else:
+            pairs.append([
+                (rng.randrange(-10**9, 10**9),
+                 None if rng.random() < 0.3
+                 else "s%d" % rng.randrange(40))
+                for _ in range(rng.randrange(1, 4))])
+    with tempfile.NamedTemporaryFile(suffix=".parquet",
+                                     delete=False) as fh:
+        path = fh.name
+    write_legacy_struct_list(path, ids, pairs)
+    blob = open(path, "rb").read()
+    t = pq.read_table(io.BytesIO(blob))
+    want = [None if p is None else [{"a": a, "b": b} for a, b in p]
+            for p in pairs]
+    assert t.column("pairs").to_pylist() == want
+    assert not t.schema.field("pairs").type.value_field.nullable
+    _f, got = _read_all(io.BytesIO(blob))
+    assert got["id"] == ids
+    assert got["pairs"] == want
+
+
+def test_legacy_list_name_heuristics():
+    """The schema-walk heuristics at the unit level: 'array' and
+    '<name>_tuple' single-field repeated groups are struct elements;
+    multi-field repeated groups are struct elements regardless of
+    name; a single-field repeated group with any OTHER name is the
+    STANDARD 3-level wrapper; a repeated group without a LIST/MAP
+    annotation stays a typed reject."""
+    from modeltracking_spark.operators.parquet_native import (
+        _parse_nested,
+    )
+
+    def leaf(name, phys=2, repetition=0):
+        return {1: phys, 3: repetition, 4: name.encode()}
+
+    def group(name, nch, repetition=0, converted=None):
+        el = {3: repetition, 4: name.encode(), 5: nch}
+        if converted is not None:
+            el[6] = converted
+        return el
+
+    # rule 4: single-field repeated group named "array"
+    node, nxt = _parse_nested(
+        [group("xs", 1, 1, 3), group("array", 1, 2), leaf("v")],
+        0, 0, 0, "")
+    assert node["t"] == "list" and node["element"]["t"] == "struct"
+    assert node["element"]["name"] == "array" and nxt == 3
+    # rule 4: "<name>_tuple"
+    node, _ = _parse_nested(
+        [group("xs", 1, 1, 3), group("xs_tuple", 1, 2), leaf("v")],
+        0, 0, 0, "")
+    assert node["element"]["t"] == "struct"
+    # rule 3: multi-field repeated group, any name
+    node, nxt = _parse_nested(
+        [group("xs", 1, 1, 3), group("whatever", 2, 2),
+         leaf("a"), leaf("b")], 0, 0, 0, "")
+    assert node["element"]["t"] == "struct"
+    assert [f["name"] for f in node["element"]["fields"]] == \
+        ["a", "b"]
+    assert nxt == 4
+    # standard 3-level: single-field repeated group, other name
+    node, _ = _parse_nested(
+        [group("xs", 1, 1, 3), group("list", 1, 2),
+         leaf("element", repetition=1)], 0, 0, 0, "")
+    assert node["t"] == "list" and node["element"]["t"] == "leaf"
+    # unannotated repeated group: still a typed reject
+    with pytest.raises(NotImplementedError, match="LIST/MAP"):
+        _parse_nested([group("g", 1, 2), leaf("v")], 0, 0, 0, "")
+
+
+def test_legacy_struct_list_corruption_fuzz():
+    import tempfile
+
+    from modeltracking_spark.operators.parquet_write import (
+        write_legacy_struct_list,
+    )
+
+    with tempfile.NamedTemporaryFile(suffix=".parquet",
+                                     delete=False) as fh:
+        path = fh.name
+    write_legacy_struct_list(
+        path, list(range(60)),
+        [[(i, "t%d" % i)] if i % 3 else None for i in range(60)])
+    blob = open(path, "rb").read()
+    rng = random.Random(3414)
+    for _ in range(250):
+        b = bytearray(blob)
+        op = rng.randrange(3)
+        if op == 0:
+            for _ in range(rng.randrange(1, 4)):
+                b[rng.randrange(len(b))] ^= rng.randrange(1, 256)
+        elif op == 1:
+            b = b[:rng.randrange(len(b))]
+        else:
+            i = rng.randrange(len(b))
+            b = (b[:i] + bytes(rng.randrange(256)
+                               for _ in range(rng.randrange(1, 12)))
+                 + b[i:])
+        try:
+            _read_all(io.BytesIO(bytes(b)))
+        except (ValueError, NotImplementedError):
+            pass
