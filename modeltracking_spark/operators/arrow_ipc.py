@@ -36,9 +36,13 @@ types read AND write at any nesting position: the writer builds the
 dictionaries batch-incrementally and emits initial + isDelta
 DictionaryBatch messages in the stream format (the file format gets
 one consolidated dictionary per id, since the File spec forbids
-replacements/deltas).  Dictionary-encoded NESTED value types
-(dictionary-of-list/struct/map) and big-endian streams stay typed
-loud rejects.
+replacements/deltas).  UNION columns READ (sparse + dense, the V5
+no-validity layout: int8 types buffer, int32 offsets when dense,
+declared typeIds honored; surfaced as {"tag", "value"} like the ORC
+UNION arm; offsets overrunning a variant child reject loudly where
+pyarrow's lazy validation misreads).  Dictionary-encoded NESTED
+value types (dictionary-of-list/struct/map), union WRITE, and
+big-endian streams stay typed loud rejects.
 Validation: pyarrow (the reference implementation) WRITES every read
 fixture and READS every written stream/file in
 tests/test_arrow_ipc.py — adversarial in both directions.
@@ -138,7 +142,8 @@ _TYPE_NAMES = {
 _MAX_DEPTH = 32
 
 #: type-tree nodes that own child arrays
-_NESTED = ("List", "LargeList", "FixedSizeList", "Struct_", "Map")
+_NESTED = ("List", "LargeList", "FixedSizeList", "Struct_", "Map",
+           "Union")
 
 
 def _parse_field(fb: _FB, fpos: int, depth: int = 0) -> dict:
@@ -236,6 +241,21 @@ def _parse_field(fb: _FB, fpos: int, depth: int = 0) -> dict:
         out["byte_width"] = fb.i32(bw_p) if bw_p is not None else 0
         if out["byte_width"] <= 0:
             raise ValueError("arrow FixedSizeBinary without a width")
+    elif tname == "Union":
+        # Union table: {0: mode (0=Sparse, 1=Dense), 1: typeIds} —
+        # the V5 layout carries no validity bitmap (nulls live in
+        # the children); batches ship a types buffer (+ offsets
+        # when dense) then the variant child arrays
+        m_p = fb.field(tpos, 0) if tpos is not None else None
+        out["mode"] = fb.i16(m_p) if m_p is not None else 0
+        if out["mode"] not in (0, 1):
+            raise ValueError(f"arrow Union mode {out['mode']} invalid")
+        tid_p = fb.field(tpos, 1) if tpos is not None else None
+        type_ids = None
+        if tid_p is not None:
+            cnt, base = fb.vector(tid_p)
+            type_ids = [fb.i32(base + 4 * k) for k in range(cnt)]
+        out["type_ids"] = type_ids
     elif tname in ("Utf8", "Binary", "Bool", "List", "LargeUtf8",
                    "LargeBinary", "LargeList", "Struct_", "Map"):
         pass
@@ -269,6 +289,13 @@ def _parse_field(fb: _FB, fpos: int, depth: int = 0) -> dict:
         if len(children) != 1 or                 children[0]["type"] != "Struct_" or                 len(children[0]["children"]) != 2:
             raise ValueError(
                 "arrow Map field needs one entries struct of two")
+    elif tname == "Union":
+        if not children:
+            raise ValueError("arrow Union field needs children")
+        tids = out.get("type_ids")
+        if tids is not None and len(tids) != len(children):
+            raise ValueError(
+                "arrow Union typeIds count != child count")
     elif children:
         raise NotImplementedError(
             "arrow children on a non-nested type not supported")
@@ -565,8 +592,43 @@ def _decode_columns(fields: list[dict], rb: dict, body: bytes,
             raise ValueError(
                 f"arrow field {field['name']!r} length {length} != "
                 f"{expect}")
-        valid = _validity(take_buf(), length, null_count)
         t = field["type"]
+        if t == "Union":
+            # V5 layout: NO validity bitmap (nulls live in the
+            # children) — a types buffer of int8 tags, plus an int32
+            # offsets buffer when dense; then the variant children.
+            # Surfaced as {"tag": type_id, "value": v}, the tagged
+            # shape the ORC UNION arm uses.
+            dense = field["mode"] == 1
+            types_b = take_buf()
+            if len(types_b) < length:
+                raise ValueError("arrow union types buffer too short")
+            tags = struct.unpack_from(f"<{length}b", types_b, 0)
+            offs = None
+            if dense:
+                offs_b = take_buf()
+                if len(offs_b) < 4 * length:
+                    raise ValueError(
+                        "arrow union offsets buffer too short")
+                offs = struct.unpack_from(f"<{length}i", offs_b, 0)
+            kids = [read_array(ch, None if dense else length)
+                    for ch in field["children"]]
+            tids = field.get("type_ids") or list(range(len(kids)))
+            id_map = {tid: k for k, tid in enumerate(tids)}
+            vals = []
+            for i in range(length):
+                ci = id_map.get(tags[i])
+                if ci is None:
+                    raise ValueError(
+                        f"arrow union tag {tags[i]} matches no "
+                        "declared typeId")
+                j = offs[i] if dense else i
+                if j < 0 or j >= len(kids[ci]):
+                    raise ValueError(
+                        "arrow union offset out of bounds")
+                vals.append({"tag": tags[i], "value": kids[ci][j]})
+            return vals
+        valid = _validity(take_buf(), length, null_count)
         if field.get("dictionary"):
             # the batch carries only an index array; values came from
             # DictionaryBatch messages (initial + isDelta appends)

@@ -1027,3 +1027,125 @@ def test_nested_and_dict_write_mutation_fuzz():
             ipc_read(bytes(b))
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_union_read_vs_pyarrow():
+    """Round-14 bonus: UNION read — the V5 layout has NO validity
+    bitmap (nulls live in the children): an int8 types buffer, an
+    int32 offsets buffer when dense, then the variant children.
+    Surfaced as {"tag": type_id, "value": v}, the tagged shape the
+    ORC UNION arm uses."""
+    rng = random.Random(77)
+    n = 120
+    ints, strs, flts = [], [], []
+    tags, offs = [], []
+    for _ in range(n):
+        t = rng.randrange(3)
+        tags.append(t)
+        if t == 0:
+            offs.append(len(ints))
+            ints.append(rng.randrange(-10**9, 10**9))
+        elif t == 1:
+            offs.append(len(strs))
+            strs.append(None if rng.random() < 0.25
+                        else "s%d" % rng.randrange(50))
+        else:
+            offs.append(len(flts))
+            flts.append(rng.random())
+    d = pa.UnionArray.from_dense(
+        pa.array(tags, pa.int8()), pa.array(offs, pa.int32()),
+        [pa.array(ints, pa.int64()), pa.array(strs, pa.string()),
+         pa.array(flts, pa.float64())])
+    t1 = pa.table({"du": d, "k": pa.array(range(n), pa.int64())})
+    want = []
+    for tg, off in zip(tags, offs):
+        v = (ints, strs, flts)[tg][off]
+        want.append({"tag": tg, "value": v})
+    for comp in (None, "lz4", "zstd"):
+        buf = io.BytesIO()
+        opts = ipc.IpcWriteOptions(compression=comp)
+        # chunked: the writer rebases offsets and truncates the
+        # children per slice; the reader follows the rebased layout
+        with ipc.new_stream(buf, t1.schema, options=opts) as w:
+            w.write_table(t1, max_chunksize=23)
+        got = ipc_read(buf.getvalue())
+        assert got["columns"]["du"] == want, comp
+        assert got["columns"]["k"] == list(range(n))
+    # sparse unions slice cleanly — chunked + full-length children
+    sp = pa.UnionArray.from_sparse(
+        pa.array([i % 2 for i in range(n)], pa.int8()),
+        [pa.array(range(n), pa.int64()),
+         pa.array([None if i % 5 == 0 else "v%d" % i
+                   for i in range(n)], pa.string())])
+    t2 = pa.table({"su": sp})
+    buf = io.BytesIO()
+    with ipc.new_stream(buf, t2.schema) as w:
+        w.write_table(t2, max_chunksize=17)
+    got = ipc_read(buf.getvalue())["columns"]["su"]
+    for i, gv in enumerate(got):
+        if i % 2 == 0:
+            assert gv == {"tag": 0, "value": i}
+        else:
+            assert gv == {"tag": 1, "value":
+                          None if i % 5 == 0 else "v%d" % i}
+
+
+def test_union_noncontiguous_type_ids_and_nesting():
+    """typeIds need not be 0..n-1 (tags map through the declared
+    vector), and unions compose inside the recursive tree (struct
+    member)."""
+    d = pa.UnionArray.from_dense(
+        pa.array([5, 9, 5], pa.int8()),
+        pa.array([0, 0, 1], pa.int32()),
+        [pa.array([100, 200], pa.int64()),
+         pa.array(["q"], pa.string())],
+        field_names=["i", "s"], type_codes=[5, 9])
+    t = pa.table({"st": pa.StructArray.from_arrays(
+        [d, pa.array([1, 2, 3], pa.int32())], ["u", "x"])})
+    buf = io.BytesIO()
+    with ipc.new_stream(buf, t.schema) as w:
+        w.write_table(t)
+    got = ipc_read(buf.getvalue())["columns"]["st"]
+    assert got == [
+        {"u": {"tag": 5, "value": 100}, "x": 1},
+        {"u": {"tag": 9, "value": "q"}, "x": 2},
+        {"u": {"tag": 5, "value": 200}, "x": 3}], got
+    # a tag outside the declared typeIds is a typed reject
+    blob = bytearray(buf.getvalue())
+    # flip a types-buffer byte to an undeclared tag: find body bytes
+    # 05 09 05 (the only such run in the payload)
+    idx = bytes(blob).find(b"\x05\x09\x05")
+    assert idx > 0
+    blob[idx] = 77
+    with pytest.raises(ValueError, match="no declared typeId"):
+        ipc_read(bytes(blob))
+
+
+def test_union_invalid_offsets_reject_loudly():
+    """A dense union whose offsets overrun a variant child (pyarrow's
+    lazy validate() lets such arrays through, and slicing then
+    propagates garbage) is a typed ValueError here — the engine
+    refuses what the reference implementation silently misreads."""
+    d = pa.UnionArray.from_dense(
+        pa.array([0, 1, 0, 2, 1, 0], pa.int8()),
+        # offset 1 into the single-element float child is INVALID
+        pa.array([0, 0, 1, 1, 1, 2], pa.int32()),
+        [pa.array([10, 20, 30], pa.int64()),
+         pa.array(["x", None], pa.string()),
+         pa.array([1.5], pa.float64())])
+    t = pa.table({"du": d})
+    buf = io.BytesIO()
+    with ipc.new_stream(buf, t.schema) as w:
+        w.write_table(t)
+    with pytest.raises(ValueError, match="union offset"):
+        ipc_read(buf.getvalue())
+
+
+def test_union_write_stays_typed_reject():
+    with pytest.raises(NotImplementedError, match="Union"):
+        ipc_write(
+            [{"name": "u", "type": "Union", "mode": 1,
+              "type_ids": [0], "children": [
+                  {"name": "i", "type": "Int", "bits": 64,
+                   "signed": True}]}],
+            {"u": [{"tag": 0, "value": 1}]})
