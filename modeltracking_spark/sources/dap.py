@@ -33,13 +33,17 @@ THREDDS shape the reference's HYCOM URL actually serves; the array
 reads transparently under the grid's name, maps as ``g.map``),
 Structure (members as ``s.member``), and Sequence (tabular; §7.2.3
 0x5A/0xA5 instance markers via :meth:`DapDataset.read_sequence`).
-Round 14 closes the last atomic type: STRING — XDR counted byte
-strings (u32 length + bytes + pad4) decode in arrays (the (n, n)
+Round 14 closes the atomic surface COMPLETELY: STRING — XDR counted
+byte strings (u32 length + bytes + pad4) decode in arrays (the (n, n)
 array header followed by per-element counted strings) and in
 Sequence columns, and the server side surfaces classic-netCDF CHAR
 variables the THREDDS way (the trailing string-length axis elides
-into a DAP String). Constraints are URL-percent-encoded on the wire
-and unquoted by the server — the full round-trip is exercised live.
+into a DAP String); Url (the spec's string alias) rides the same
+paths; UInt16/UInt32 decode everywhere the signed types do (XDR
+widens UInt16 to 4 bytes exactly like Int16). Constraints are
+URL-percent-encoded on the wire and unquoted by the server — the
+full round-trip is exercised live. Unknown declarations (DAP 2.0
+has no Int64) stay typed rejects.
 
 Scale posture: one ``.dods`` round-trip per (variable, record) — the
 server does the hyperslab cut, the client never downloads the
@@ -60,13 +64,20 @@ _NC_TO_DAP = {
     6: ("Float64", 8, ">f8"),
 }
 #: DAP type name -> (XDR itemsize, wire dtype, final numpy dtype)
+#: (round 14 closes the unsigned pair: XDR widens UInt16 to 4 bytes
+#: exactly like Int16)
 _DAP_TYPES = {
     "Byte": (1, ">i1", "i1"),
     "Int16": (4, ">i4", "i2"),
+    "UInt16": (4, ">u4", "u2"),
     "Int32": (4, ">i4", "i4"),
+    "UInt32": (4, ">u4", "u4"),
     "Float32": (4, ">f4", "f4"),
     "Float64": (8, ">f8", "f8"),
 }
+
+#: String-shaped atomics (Url is DAP 2.0's string alias)
+_DAP_STRINGS = ("String", "Url")
 
 
 def encode_constraint(var: str, ranges: list[tuple]) -> str:
@@ -160,7 +171,7 @@ def _parse_dds(text: str):
             raise NotImplementedError(
                 f"DAP declaration {decl.strip()[:60]!r} not implemented")
         typ, var, dims = p
-        if typ not in _DAP_TYPES and typ != "String":
+        if typ not in _DAP_TYPES and typ not in _DAP_STRINGS:
             raise NotImplementedError(
                 f"DAP type {typ!r} not implemented")
         out[prefix + var] = (typ, dims)
@@ -201,7 +212,7 @@ def _parse_dds(text: str):
             for mdecl in _split_decls(cbody):
                 p = _parse_atomic_decl(mdecl)
                 if p is None or (p[0] not in _DAP_TYPES
-                                 and p[0] != "String"):
+                                 and p[0] not in _DAP_STRINGS):
                     raise NotImplementedError(
                         f"DAP Sequence {cname!r} column not "
                         "implemented (atomic scalar columns are)")
@@ -356,7 +367,7 @@ class DapDataset:
             shape.append(d)
             n *= d
         off = sep + len(b"\nData:\n")
-        if typ == "String":
+        if typ in _DAP_STRINGS:
             import numpy as np
 
             vals, _ = _xdr_decode_strings(body, off, n)
@@ -488,7 +499,7 @@ class DapDataset:
                 raise ValueError(
                     f"bad DAP sequence marker 0x{marker:08x}")
             for col, typ in cols:
-                if typ == "String":
+                if typ in _DAP_STRINGS:
                     # XDR counted byte string, zero-padded to 4
                     from modeltracking_spark.sources.netcdf_classic \
                         import _pad4
@@ -510,6 +521,9 @@ class DapDataset:
                     raise ValueError("truncated DAP sequence row")
                 if typ in ("Byte", "Int16", "Int32"):
                     (v,) = struct.unpack_from(">i", body, off)
+                    out[col].append(int(v))
+                elif typ in ("UInt16", "UInt32"):
+                    (v,) = struct.unpack_from(">I", body, off)
                     out[col].append(int(v))
                 elif typ == "Float32":
                     (v,) = struct.unpack_from(">f", body, off)
@@ -733,11 +747,13 @@ def _xdr_sequence(seq: dict) -> bytes:
         for (col, typ), val in zip(seq["cols"], row):
             if typ in ("Byte", "Int16", "Int32"):
                 out += struct.pack(">i", int(val))
+            elif typ in ("UInt16", "UInt32"):
+                out += struct.pack(">I", int(val))
             elif typ == "Float32":
                 out += struct.pack(">f", float(val))
             elif typ == "Float64":
                 out += struct.pack(">d", float(val))
-            elif typ == "String":
+            elif typ in ("String", "Url"):
                 raw = (val.encode("utf-8") if isinstance(val, str)
                        else bytes(val))
                 out += struct.pack(">I", len(raw)) + raw

@@ -813,16 +813,19 @@ def test_dap_constructor_dds_parse_units():
     assert seqs["rows"] == [("id", "Int32"), ("v", "Float64")]
     assert out["plain"][1] == [("x", 3)]
     assert grids["wt"]["maps"] == ["wt.time", "wt.lat"]
-    # round 14: String is a SUPPORTED atomic type now (arrays and
-    # sequence columns); the unknown-type reject moved to genuinely
-    # absent types (e.g. DAP 2.0 Url)
+    # round 14: String (and its Url alias) plus the unsigned pair
+    # are SUPPORTED atomic types now; the unknown-type reject moved
+    # to genuinely absent declarations (DAP 2.0 has no Int64)
     _n, sout, _g, sseqs = _parse_dds(
-        "Dataset { String s[x = 3]; "
-        "Sequence { String tag; Int32 k; } r; } d;")
+        "Dataset { String s[x = 3]; Url u; UInt16 p[x = 3]; "
+        "Sequence { String tag; UInt32 n; Int32 k; } r; } d;")
     assert sout["s"] == ("String", [("x", 3)])
-    assert sseqs["r"] == [("tag", "String"), ("k", "Int32")]
-    with pytest.raises(NotImplementedError, match="Url"):
-        _parse_dds("Dataset { Url u; } d;")
+    assert sout["u"] == ("Url", [])
+    assert sout["p"] == ("UInt16", [("x", 3)])
+    assert sseqs["r"] == [("tag", "String"), ("n", "UInt32"),
+                          ("k", "Int32")]
+    with pytest.raises(NotImplementedError, match="Int64"):
+        _parse_dds("Dataset { Int64 u; } d;")
     with pytest.raises(NotImplementedError, match="Sequence"):
         _parse_dds(
             "Dataset { Sequence { Int32 a[x = 2]; } s; } d;")
@@ -1004,3 +1007,60 @@ def test_dap_string_truncation_rejects():
     bad = _s.pack(">II", 1, 1) + _s.pack(">I", 99) + b"ab"
     with pytest.raises(ValueError, match="truncated"):
         _xdr_decode_strings(bad, 0, 1)
+
+
+def test_dap_unsigned_and_url_sequence_roundtrip(string_dap_root):
+    """Round-14: the unsigned pair (XDR widens UInt16 to 4 bytes like
+    Int16) and Url (the String alias) decode in Sequence columns over
+    the live protocol; large UInt32 values exercise the unsigned
+    unpack."""
+    import http.server
+    import threading
+
+    from modeltracking_spark.sources.dap import (
+        DapDataset,
+        make_dap_handler,
+    )
+
+    _base, root = string_dap_root
+    seqs = {"meta": {
+        "cols": [("cnt", "UInt32"), ("w", "UInt16"),
+                 ("href", "Url"), ("x", "Float64")],
+        "rows": [(2**31 + 7, 65535, "http://a/b?c=1", 0.5),
+                 (0, 0, "", -2.25),
+                 (4294967295, 40000, "dap://x", 1e9)]}}
+    srv = http.server.ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_dap_handler(root, sequences=seqs))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        d = DapDataset(
+            f"dap+http://127.0.0.1:{srv.server_address[1]}/obs.nc")
+        assert d.sequences["meta"] == seqs["meta"]["cols"]
+        got = d.read_sequence("meta")
+        assert got == {"cnt": [2**31 + 7, 0, 4294967295],
+                       "w": [65535, 0, 40000],
+                       "href": ["http://a/b?c=1", "", "dap://x"],
+                       "x": [0.5, -2.25, 1e9]}
+    finally:
+        srv.shutdown()
+
+
+def test_dap_unsigned_array_xdr_decode():
+    """UInt16/UInt32 arrays through the XDR counted-array decode:
+    values above the signed range survive (the signed unpack would
+    wrap them negative)."""
+    import numpy as np
+
+    from modeltracking_spark.sources.dap import _xdr_decode
+
+    body = struct.pack(">II", 3, 3) + struct.pack(
+        ">III", 2**31 + 1, 0, 4294967295)
+    a, off = _xdr_decode(body, 0, "UInt32", 3)
+    assert a.dtype == np.dtype("uint32")
+    assert a.tolist() == [2**31 + 1, 0, 4294967295]
+    assert off == len(body)
+    body16 = struct.pack(">II", 2, 2) + struct.pack(">II", 65535, 7)
+    a16, _ = _xdr_decode(body16, 0, "UInt16", 2)
+    assert a16.dtype == np.dtype("uint16")
+    assert a16.tolist() == [65535, 7]
