@@ -209,6 +209,14 @@ HEADLINE = [
     "arrow_ipc_dict_write_docs",
     "dap_string_sequence_scan",
     "parquet_legacy_list_scan",
+    # round-15 operators: the LSH hot-bucket cap (binding-cap twins +
+    # loud overflow accounting, VERDICT r14 item 1), Arrow IPC UNION
+    # write (item 5) and dictionary-of-nested read (item 7)
+    "minhash_lsh_capped_pairs",
+    "lsh_bucket_overflow_stats",
+    "embedding_neardup_capped_lsh",
+    "arrow_ipc_union_write_docs",
+    "arrow_ipc_dict_nested_scan_docs",
     # zstd_seekable_stream_scan_docs, parquet_stream_sink_docs, and
     # orc_stream_sink_docs are deliberately NOT benched: each
     # execution runs two REAL streaming drains (~17 s at sf0.1),

@@ -36,13 +36,18 @@ types read AND write at any nesting position: the writer builds the
 dictionaries batch-incrementally and emits initial + isDelta
 DictionaryBatch messages in the stream format (the file format gets
 one consolidated dictionary per id, since the File spec forbids
-replacements/deltas).  UNION columns READ (sparse + dense, the V5
-no-validity layout: int8 types buffer, int32 offsets when dense,
-declared typeIds honored; surfaced as {"tag", "value"} like the ORC
-UNION arm; offsets overrunning a variant child reject loudly where
-pyarrow's lazy validation misreads).  Dictionary-encoded NESTED
-value types (dictionary-of-list/struct/map), union WRITE, and
-big-endian streams stay typed loud rejects.
+replacements/deltas).  UNION columns READ AND WRITE (round 15
+completes the interchange matrix: sparse + dense, the V5 no-validity
+layout — int8 types buffer, int32 offsets when dense, declared
+typeIds preserved verbatim; surfaced as {"tag", "value"} like the
+ORC UNION arm; offsets overrunning a variant child reject loudly
+where pyarrow's lazy validation misreads).  Dictionary-encoded
+NESTED value types (dictionary-of-list/struct/map, the
+DictionaryArray.from_arrays shape real writers emit for repeated
+categorical fields) READ at any position — the DictionaryBatch
+delivers the nested value tree through the same recursive decode;
+their WRITE (unhashable values in the index map) and big-endian
+streams stay typed loud rejects.
 Validation: pyarrow (the reference implementation) WRITES every read
 fixture and READS every written stream/file in
 tests/test_arrow_ipc.py — adversarial in both directions.
@@ -269,14 +274,13 @@ def _parse_field(fb: _FB, fpos: int, depth: int = 0) -> dict:
         for i in range(n):
             children.append(_parse_field(fb, fb.indirect(base + 4 * i),
                                          depth + 1))
-    if tname in _NESTED and dict_enc is not None:
-        # batches would carry indices into a DictionaryBatch holding
-        # the whole nested value tree; only LEAF value types are in
-        # scope (pyarrow's own writer has the same restriction)
-        raise NotImplementedError(
-            "dictionary-encoded arrow nested value types not "
-            "supported (dictionary-encoded leaves at any nesting "
-            "position are)")
+    # dictionary-encoded NESTED value types (dictionary-of-list/
+    # struct/map — what pyarrow's DictionaryArray.from_arrays emits
+    # for repeated categorical fields) READ fine: the DictionaryBatch
+    # delivers the whole nested value tree through the same recursive
+    # decode, and batches carry plain index arrays (round 15).  Write
+    # stays a typed reject in _init_dict_state (nested values are
+    # unhashable in the writer's index map).
     if tname in ("List", "LargeList", "FixedSizeList"):
         if len(children) != 1:
             raise ValueError(f"arrow {tname} field needs one child")
@@ -548,7 +552,10 @@ def apply_dictionary_batch(fields: list[dict], meta: bytes,
             f"arrow DictionaryBatch id {db['id']} matches no "
             "dictionary-encoded schema field")
     vfield = dict(spec, dictionary=None)
-    cols = _decode_columns([vfield], db["rb"], body, {})
+    # pass the live dict store through: a nested dictionary VALUE tree
+    # may itself contain dictionary-encoded leaves whose batches were
+    # already delivered (writers emit dictionaries in dependency order)
+    cols = _decode_columns([vfield], db["rb"], body, dicts)
     values = cols[vfield["name"]]
     if db["is_delta"] and db["id"] in dicts:
         dicts[db["id"]] = dicts[db["id"]] + values
@@ -588,6 +595,13 @@ def _decode_columns(fields: list[dict], rb: dict, body: bytes,
         ``expect`` pins the declared length (None for offset-sliced
         children, whose length only the child node knows)."""
         length, null_count = take_node()
+        if length < 0 or null_count < 0:
+            # guard BEFORE any length-sized unpack: a corrupt negative
+            # FieldNode must reject as the documented ValueError, not
+            # surface struct.error from f"<{length}b" (ADVICE r14)
+            raise ValueError(
+                f"arrow field {field['name']!r} node has negative "
+                f"length/null_count ({length}/{null_count})")
         if expect is not None and length != expect:
             raise ValueError(
                 f"arrow field {field['name']!r} length {length} != "
@@ -894,6 +908,14 @@ class _FBBuilder:
             c.data += b"\0\0\0\0"
         return c
 
+    def vec_i32(self, ints: list) -> _Chunk:
+        """Vector of int32 scalars (count at +0, elements at +4) —
+        the Union.typeIds wire shape."""
+        c = self._chunk(4)
+        c.data += struct.pack("<I", len(ints))
+        c.data += struct.pack(f"<{len(ints)}i", *[int(x) for x in ints])
+        return c
+
     def vec_structs(self, packed: bytes, n: int) -> _Chunk:
         """Vector of 8-aligned inline structs: 4 leading pad bytes so
         the count sits at +4 and elements at +8.  Reference it with
@@ -930,7 +952,7 @@ class _FBBuilder:
 #: Schema.fbs Type union tags for emission (inverse of _TYPE_NAMES)
 _TYPE_TAGS = {"Int": 2, "FloatingPoint": 3, "Binary": 4, "Utf8": 5,
               "Bool": 6, "Decimal": 7, "Date": 8, "Time": 9,
-              "Timestamp": 10, "List": 12, "Struct_": 13,
+              "Timestamp": 10, "List": 12, "Struct_": 13, "Union": 14,
               "FixedSizeBinary": 15, "FixedSizeList": 16, "Map": 17,
               "Duration": 18, "LargeBinary": 19, "LargeUtf8": 20,
               "LargeList": 21}
@@ -944,7 +966,8 @@ def _dict_enc_chunk(b: _FBBuilder, f: dict) -> _Chunk:
     if f["type"] in _NESTED:
         raise NotImplementedError(
             "dictionary-encoded arrow nested value types write not "
-            "supported (dictionary-encoded leaves are)")
+            "supported (READ is, and dictionary-encoded leaves write "
+            "at any nesting position)")
     enc = f["dictionary"]
     bits = enc.get("bits", 32)
     if bits not in (8, 16, 32, 64):
@@ -1030,6 +1053,25 @@ def _field_chunk(b: _FBBuilder, f: dict, depth: int = 0) -> _Chunk:
                 "arrow Map field needs one entries struct of two")
         tc = b.table([(0, "u8", 0)])  # keysSorted = false
         children = b.vec_refs([_field_chunk(b, ch[0], depth + 1)])
+    elif t == "Union":
+        # Union table {0: mode (0=Sparse, 1=Dense), 1: typeIds} —
+        # the mirror of the _parse_field Union arm; declared typeIds
+        # are emitted verbatim so roundtrips preserve sparse id maps
+        ch = f.get("children") or []
+        if not ch:
+            raise ValueError("arrow Union field needs children")
+        mode = f.get("mode", 0)
+        if mode not in (0, 1):
+            raise ValueError(f"arrow Union mode {mode} invalid")
+        tids = f.get("type_ids")
+        if tids is not None and len(tids) != len(ch):
+            raise ValueError("arrow Union typeIds count != child count")
+        slots2 = [(0, "i16", mode)]
+        if tids is not None:
+            slots2.append((1, "ref", b.vec_i32(tids)))
+        tc = b.table(slots2)
+        children = b.vec_refs([_field_chunk(b, c, depth + 1)
+                               for c in ch])
     else:
         raise NotImplementedError(f"arrow type {t} write not supported")
     slots = [(0, "ref", name),
@@ -1200,10 +1242,54 @@ def _enc_array(field: dict, vals: list, dstate: dict,
         raise NotImplementedError(
             f"arrow nesting deeper than {_MAX_DEPTH} levels write "
             "not supported")
+    t = field["type"]
+    if t == "Union":
+        # V5 union layout: NO validity bitmap (node null_count 0) —
+        # an int8 types buffer (+ int32 offsets when dense), then the
+        # variant children; nulls live inside the selected child.
+        # Exact mirror of the read_array Union arm.
+        children = field.get("children") or []
+        if not children:
+            raise ValueError("arrow Union field needs children")
+        tids = field.get("type_ids") or list(range(len(children)))
+        if len(tids) != len(children):
+            raise ValueError("arrow Union typeIds count != child count")
+        id_map = {tid: k for k, tid in enumerate(tids)}
+        tags = []
+        for v in vals:
+            if not isinstance(v, dict) or "tag" not in v:
+                raise ValueError(
+                    "arrow union value must be a {'tag', 'value'} "
+                    "mapping (a null slot is tag + value None)")
+            if v["tag"] not in id_map:
+                raise ValueError(
+                    f"arrow union tag {v['tag']} matches no declared "
+                    "typeId")
+            tags.append(v["tag"])
+        nodes = [(len(vals), 0)]
+        bufs = [struct.pack(f"<{len(tags)}b", *tags)]
+        if field.get("mode", 0) == 1:  # dense: per-child compaction
+            offs = []
+            members = [[] for _ in children]
+            for v in vals:
+                ci = id_map[v["tag"]]
+                offs.append(len(members[ci]))
+                members[ci].append(v.get("value"))
+            bufs.append(struct.pack(f"<{len(offs)}i", *offs))
+        else:  # sparse: full-length children, null off-tag slots
+            members = [
+                [v.get("value") if id_map[v["tag"]] == k else None
+                 for v in vals]
+                for k in range(len(children))
+            ]
+        for ch, member in zip(children, members):
+            cn, cb = _enc_array(ch, member, dstate, depth + 1)
+            nodes.extend(cn)
+            bufs.extend(cb)
+        return nodes, bufs
     vb, nc = _enc_validity(vals)
     nodes = [(len(vals), nc)]
     bufs = [vb]
-    t = field["type"]
     if field.get("dictionary"):
         enc = field["dictionary"]
         st = dstate[enc["id"]]
@@ -1212,6 +1298,12 @@ def _enc_array(field: dict, vals: list, dstate: dict,
         idx = []
         for v in vals:
             if v is None:
+                # index 0 under a null slot even when the dictionary
+                # is still empty — byte-identical to what pyarrow
+                # itself emits for an all-null first chunk (measured:
+                # empty initial DictionaryBatch + zero indices), so
+                # any reader that accepts the reference writer
+                # accepts this (ADVICE r14 adjudication)
                 idx.append(0)
                 continue
             i = st["index"].get(v)
@@ -1397,8 +1489,8 @@ def _init_dict_state(fields: list[dict], dstate: dict) -> None:
             if f["type"] in _NESTED:
                 raise NotImplementedError(
                     "dictionary-encoded arrow nested value types "
-                    "write not supported (dictionary-encoded leaves "
-                    "are)")
+                    "write not supported (READ is; the writer's index "
+                    "map needs hashable values)")
             bits = enc.setdefault("bits", 32)
             signed = enc.setdefault("signed", True)
             if bits not in (8, 16, 32, 64):

@@ -35,6 +35,132 @@ MINHASH_PRIME = 2147483647
 MINHASH_A = [2 * i + 1 for i in range(1, 65)]  # odd multipliers
 MINHASH_B = [7919 * (i + 1) % MINHASH_PRIME for i in range(64)]
 
+#: default hot-bucket cap for the LSH band self-joins (VERDICT r14 item
+#: 1).  A band bucket of k members emits k·(k−1)/2 candidate pairs; a
+#: real web crawl carries mega-clusters of boilerplate near-identicals
+#: (one million-doc bucket → 5·10¹¹ pairs), so buckets beyond this cap
+#: degrade to sorted-neighbor adjacent chaining (k−1 pairs — linear,
+#: and still sufficient for connected-component dedup: every member of
+#: the bucket stays reachable through the chain).  4096 is non-binding
+#: at every tested SF (measured maxima: minhash-rep 1368, simhash 1226,
+#: cosine 174 at sf0.1) while bounding a 10⁶-member bucket to 10⁶−1
+#: pairs instead of 5·10¹¹.  Overflow is LOUD: audit what the cap
+#: dropped with :func:`band_bucket_overflow`.
+DEFAULT_MAX_BUCKET = 4096
+
+
+def _capped_band_pairs(
+    banded: DataFrame,
+    id_col: str,
+    payload_cols: Sequence[str] = (),
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    key_cols: Sequence[str] = ("band", "band_key"),
+) -> DataFrame:
+    """Band-bucket self-join with the hot-bucket cap — the shared
+    candidate-pair kernel of the MinHash/SimHash LSH paths.
+
+    Buckets of ≤ ``max_bucket_size`` members self-join all-pairs exactly
+    as before; oversized buckets emit only **sorted-neighbor adjacent
+    pairs** (one ``lead`` over the bucket ordered by ``id_col`` — linear
+    in bucket size, connectivity-preserving for component dedup, recall
+    degraded only *inside* the oversized bucket and only for pairs the
+    downstream exact verify would have had to scan quadratically).
+    Oversized buckets are detected with a map-side-combinable count and
+    carved out via a **broadcast** anti/semi join — the ``max_doc_freq``
+    hot-token precedent in :func:`jaccard_pairs`: the oversized key set
+    is at most rows/cap entries and in practice a handful of
+    mega-clusters, so the big banded side streams through unshuffled.
+
+    Output: distinct ``(id_a, id_b[, <c>_a, <c>_b …])`` with
+    ``id_a < id_b``; ``payload_cols`` ride along for downstream verifies
+    (e.g. the SimHash fingerprints).  ``max_bucket_size=None`` restores
+    the uncapped all-pairs join bit for bit.
+    """
+    keys = list(key_cols)
+    if max_bucket_size is not None and max_bucket_size < 2:
+        raise ValueError(
+            f"max_bucket_size must be >= 2 (got {max_bucket_size}): a cap "
+            "below 2 cannot emit any within-bucket pair"
+        )
+    if max_bucket_size is None:
+        small, big = banded, None
+    else:
+        over = (
+            banded.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__bs"))
+            .where(F.col("__bs") > max_bucket_size)
+            .select(*keys)
+        )
+        small = banded.join(F.broadcast(over), keys, "left_anti")
+        big = banded.join(F.broadcast(over), keys, "left_semi")
+    a, b = small.alias("a"), small.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for k in keys:
+        cond = (F.col(f"a.{k}") == F.col(f"b.{k}")) & cond
+    pairs = a.join(b, cond).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        *[F.col(f"a.{c}").alias(f"{c}_a") for c in payload_cols],
+        *[F.col(f"b.{c}").alias(f"{c}_b") for c in payload_cols],
+    )
+    if big is not None:
+        wo = Window.partitionBy(*keys).orderBy(F.col(id_col).asc())
+        chained = big.select(
+            F.col(id_col).alias("id_a"),
+            F.lead(id_col).over(wo).alias("id_b"),
+            *[F.col(c).alias(f"{c}_a") for c in payload_cols],
+            *[F.lead(c).over(wo).alias(f"{c}_b") for c in payload_cols],
+        ).where(F.col("id_b").isNotNull())
+        pairs = pairs.unionByName(chained)
+    return pairs.distinct()
+
+
+def band_bucket_overflow(
+    banded: DataFrame,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
+    id_col: str = "id",
+    key_cols: Sequence[str] = ("band", "band_key"),
+) -> DataFrame:
+    """Loud overflow accounting for :func:`_capped_band_pairs` — what the
+    hot-bucket cap dropped, per band, so a capped dedup run is never
+    silently lossy (the "count + sample" discipline of the
+    ``max_doc_freq`` hot-token cap).
+
+    Output (one row per band, ordered): ``band``, ``n_buckets``,
+    ``n_oversized``, ``max_bucket``, ``pairs_full`` (uncapped candidate
+    pairs Σ k·(k−1)/2), ``pairs_emitted`` (all-pairs for small buckets,
+    k−1 chained for oversized), ``pairs_dropped``, and
+    ``sample_min_id`` — the smallest member id among the oversized
+    buckets (NULL when none overflow), a concrete handle on *which*
+    cluster blew the cap.  All counters are exact integers computed from
+    the per-bucket size alone — one map-side-combinable aggregate, never
+    the pairs themselves.
+    """
+    keys = list(key_cols)
+    per = (
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("sz"), F.min(id_col).alias("min_id"))
+        .withColumn("pairs_full", F.expr("sz * (sz - 1) DIV 2"))
+        .withColumn("over", F.col("sz") > max_bucket_size)
+        .withColumn(
+            "pairs_emitted",
+            F.when(F.col("over"), F.col("sz") - 1).otherwise(F.col("pairs_full")),
+        )
+    )
+    return (
+        per.groupBy(F.col(keys[0]).alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(F.col("over").cast("long")).alias("n_oversized"),
+            F.max("sz").alias("max_bucket"),
+            F.sum("pairs_full").alias("pairs_full"),
+            F.sum("pairs_emitted").alias("pairs_emitted"),
+            (F.sum("pairs_full") - F.sum("pairs_emitted")).alias("pairs_dropped"),
+            F.min(F.when(F.col("over"), F.col("min_id"))).alias("sample_min_id"),
+        )
+        .orderBy("band")
+    )
+
 
 def exact_dedup(
     df: DataFrame,
@@ -200,12 +326,16 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 4,
     rows_per_band: int = 4,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs sharing any band.
 
     Band key = the concatenated signature slice; docs agreeing on all
     ``rows_per_band`` hashes of a band land in one bucket. A self-join on
-    (band, band_key) replaces the O(n²) comparison. Output: distinct
+    (band, band_key) replaces the O(n²) comparison — capped per bucket
+    at ``max_bucket_size`` members (oversized buckets degrade to
+    sorted-neighbor chaining, see :func:`_capped_band_pairs`; audit the
+    drops with :func:`band_bucket_overflow`). Output: distinct
     (id_a, id_b), id_a < id_b.
     """
     banded = (
@@ -231,17 +361,7 @@ def lsh_candidate_pairs(
             ).alias("band_key")
         )
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
+    return _capped_band_pairs(banded, "id", (), max_bucket_size)
 
 
 def minhash_dedup_pairs(
@@ -252,6 +372,7 @@ def minhash_dedup_pairs(
     bands: int = 4,
     rows_per_band: int = 4,
     verify_threshold: float = 0.5,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Full near-dup pipeline: tokens → MinHash → LSH buckets → candidate
     pairs → exact-Jaccard verification ≥ threshold.
@@ -265,6 +386,7 @@ def minhash_dedup_pairs(
         bands=bands,
         rows_per_band=rows_per_band,
         verify_threshold=verify_threshold,
+        max_bucket_size=max_bucket_size,
     )
 
 
@@ -326,12 +448,116 @@ def _token_sets(dt: DataFrame) -> DataFrame:
     )
 
 
+def _minhash_groups(dt: DataFrame, n_hashes: int) -> DataFrame:
+    """Distinct-token-set groups (toks, rep, members, sz, __sigs) — the
+    identical-set collapse both MinHash paths start from; cached because
+    the band build and the verify stage both re-read it."""
+    sets_df = _token_sets(dt)
+    groups = (
+        sets_df.groupBy("toks")
+        .agg(F.min("id").alias("rep"), F.collect_list("id").alias("members"))
+        .withColumn("sz", F.size("toks"))
+    )
+    return with_minhash_sigs(groups, n_hashes).cache()
+
+
+def _minhash_banded(groups: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(rep, band, band_key) band rows over the cached groups frame."""
+    return groups.select(
+        "rep",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        _minhash_band_key(b, rows_per_band).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("rep", "bk.band", "bk.band_key")
+
+
+def _check_minhash_shape(n_hashes: int, bands: int, rows_per_band: int) -> None:
+    if n_hashes != bands * rows_per_band:
+        raise ValueError(
+            f"n_hashes ({n_hashes}) must equal bands*rows_per_band "
+            f"({bands}*{rows_per_band}): band keys consume exactly "
+            "bands*rows_per_band permutations"
+        )
+
+
+def minhash_banded_reps(
+    dt: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """(rep, band, band_key) band rows at the distinct-set-representative
+    level — the frame the LSH self-join buckets on, exposed so
+    :func:`band_bucket_overflow` can audit the hot-bucket cap against
+    exactly the buckets :func:`minhash_pairs_from_token_ids` joins."""
+    _check_minhash_shape(n_hashes, bands, rows_per_band)
+    return _minhash_banded(_minhash_groups(dt, n_hashes), bands, rows_per_band)
+
+
+def minhash_rep_pairs(
+    dt: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    verify_threshold: float = 0.5,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Verified MinHash pairs at the distinct-set-representative level:
+    (rep_a, rep_b, jaccard) — :func:`minhash_pairs_from_token_ids`
+    without the member expansion, so a binding ``max_bucket_size`` is
+    directly observable (oracled by ``minhash_lsh_capped_pairs``)."""
+    _check_minhash_shape(n_hashes, bands, rows_per_band)
+    groups = _minhash_groups(dt, n_hashes)
+    banded = _minhash_banded(groups, bands, rows_per_band)
+    cands = _capped_band_pairs(banded, "rep", (), max_bucket_size).select(
+        F.col("id_a").alias("rep_a"), F.col("id_b").alias("rep_b")
+    )
+    return _minhash_rep_verified(groups, cands, verify_threshold).select(
+        "rep_a", "rep_b", "jaccard"
+    )
+
+
+def _minhash_rep_verified(
+    groups: DataFrame, cands: DataFrame, verify_threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verify of rep-level candidate pairs; keeps the
+    member arrays so :func:`minhash_pairs_from_token_ids` can expand."""
+    ga = groups.select(
+        F.col("rep").alias("rep_a"), F.col("toks").alias("toks_a"),
+        F.col("sz").alias("sz_a"), F.col("members").alias("members_a"),
+    )
+    gb = groups.select(
+        F.col("rep").alias("rep_b"), F.col("toks").alias("toks_b"),
+        F.col("sz").alias("sz_b"), F.col("members").alias("members_b"),
+    )
+    return (
+        cands.join(ga, "rep_a")
+        .join(gb, "rep_b")
+        .withColumn("inter_n", F.size(F.array_intersect("toks_a", "toks_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter_n").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter_n")).cast("double"),
+        )
+        .where(F.col("jaccard") >= verify_threshold)
+    )
+
+
 def minhash_pairs_from_token_ids(
     dt: DataFrame,
     n_hashes: int = 16,
     bands: int = 4,
     rows_per_band: int = 4,
     verify_threshold: float = 0.5,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """MinHash -> LSH -> verify over pre-built (id, token_id) rows — the
     shared tail of :func:`minhash_dedup_pairs` for any shingling scheme
@@ -355,73 +581,31 @@ def minhash_pairs_from_token_ids(
     to parquet instead of ``cache()`` (the cache below lives until the
     session ends or the executor evicts it — acceptable for job-scoped
     sessions, which is the deployment shape here).
+
+    **Hot-bucket cap (100 TB):** the band self-join is bounded by
+    ``max_bucket_size`` — rep buckets beyond it emit sorted-neighbor
+    chains instead of all pairs (:func:`_capped_band_pairs`), so a
+    mega-cluster of boilerplate near-identicals costs O(k) candidates,
+    not O(k²).  The default is non-binding at every tested SF, so the
+    DuckDB oracle (uncapped, doc-level) is unchanged; audit binding
+    runs with :func:`band_bucket_overflow` over
+    :func:`minhash_banded_reps`.
     """
-    if n_hashes != bands * rows_per_band:
-        raise ValueError(
-            f"n_hashes ({n_hashes}) must equal bands*rows_per_band "
-            f"({bands}*{rows_per_band}): band keys consume exactly "
-            "bands*rows_per_band permutations"
-        )
-    sets_df = _token_sets(dt)
+    _check_minhash_shape(n_hashes, bands, rows_per_band)
     # group by the full sorted array (exact — no hash-collision risk);
     # signatures ride the cached frame so the two self-join sides reuse
-    # them instead of re-running the permutations
-    groups = (
-        sets_df.groupBy("toks")
-        .agg(F.min("id").alias("rep"), F.collect_list("id").alias("members"))
-        .withColumn("sz", F.size("toks"))
+    # them instead of re-running the permutations.  Both self-join sides
+    # recompute the band keys from the CACHED groups, which measures
+    # faster than materializing `banded` with a localCheckpoint (tried:
+    # the checkpoint barrier cost more than the duplicated xxhash folds
+    # over cached arrays — unlike the simhash pairs join below, whose
+    # upstream was NOT cached).
+    groups = _minhash_groups(dt, n_hashes)
+    banded = _minhash_banded(groups, bands, rows_per_band)
+    cands = _capped_band_pairs(banded, "rep", (), max_bucket_size).select(
+        F.col("id_a").alias("rep_a"), F.col("id_b").alias("rep_b")
     )
-    groups = with_minhash_sigs(groups, n_hashes).cache()
-
-    def _band_key(b: int) -> F.Column:
-        return _minhash_band_key(b, rows_per_band)
-
-    # both self-join sides recompute the band keys from the CACHED
-    # `groups`, which measures faster than materializing `banded` with a
-    # localCheckpoint (tried: the checkpoint barrier cost more than the
-    # duplicated xxhash folds over cached arrays — unlike the simhash
-    # pairs join below, whose upstream was NOT cached)
-    banded = groups.select(
-        "rep",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), _band_key(b).alias("band_key"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("rep", "bk.band", "bk.band_key")
-    a, b = banded.alias("a"), banded.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.rep") < F.col("b.rep")),
-        )
-        .select(F.col("a.rep").alias("rep_a"), F.col("b.rep").alias("rep_b"))
-        .distinct()
-    )
-    ga = groups.select(
-        F.col("rep").alias("rep_a"), F.col("toks").alias("toks_a"),
-        F.col("sz").alias("sz_a"), F.col("members").alias("members_a"),
-    )
-    gb = groups.select(
-        F.col("rep").alias("rep_b"), F.col("toks").alias("toks_b"),
-        F.col("sz").alias("sz_b"), F.col("members").alias("members_b"),
-    )
-    verified = (
-        cands.join(ga, "rep_a")
-        .join(gb, "rep_b")
-        .withColumn("inter_n", F.size(F.array_intersect("toks_a", "toks_b")))
-        .withColumn(
-            "jaccard",
-            F.col("inter_n").cast("double")
-            / (F.col("sz_a") + F.col("sz_b") - F.col("inter_n")).cast("double"),
-        )
-        .where(F.col("jaccard") >= verify_threshold)
-    )
+    verified = _minhash_rep_verified(groups, cands, verify_threshold)
     # cross-set pairs: every member of set A × every member of set B
     # shares the set-level jaccard; doc ids across distinct sets never
     # coincide, so least/greatest restores the id_a < id_b convention
@@ -512,6 +696,7 @@ def simhash_neardup_pairs(
     fps: DataFrame,
     max_hamming: int = 3,
     band_bits: Sequence[int] = SIMHASH_BAND_BITS,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Hamming-distance near-dup pairs over (id, simhash) fingerprints.
 
@@ -521,6 +706,13 @@ def simhash_neardup_pairs(
     the band-key self-join finds every qualifying pair — same
     candidates-then-verify shape as MinHash LSH, with
     ``bit_count(a ^ b) <= max_hamming`` as the verify step.
+
+    The pigeonhole exactness guarantee holds while every bucket is at
+    most ``max_bucket_size`` members (non-binding at every tested SF);
+    beyond it the bucket degrades to sorted-neighbor chaining
+    (:func:`_capped_band_pairs`) — candidates stay linear in bucket
+    size, connectivity across the mega-bucket survives through the
+    chain, and :func:`band_bucket_overflow` accounts what was skipped.
 
     Output: (id_a, id_b, hamming), id_a < id_b, hamming as bigint.
     """
@@ -554,18 +746,12 @@ def simhash_neardup_pairs(
             )
         ).alias("bk"),
     ).select("id", "simhash", "bk.band", "bk.band_key")
-    a, b = banded.alias("a"), banded.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
+        _capped_band_pairs(banded, "id", ("simhash",), max_bucket_size)
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
             .cast("bigint")
             .alias("hamming"),
         )

@@ -5492,6 +5492,223 @@ def arrow_ipc_dict_write_docs(spark: SparkSession,
                                  "source string, text_len bigint")
 
 
+@query(
+    "arrow_ipc_union_write_docs",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 <> 0 THEN 5 ELSE 9 END AS du_tag,
+           CASE WHEN doc_id % 3 <> 0 AND n_chars % 10 <> 0
+                THEN n_chars::BIGINT END AS du_int,
+           CASE WHEN doc_id % 3 = 0 AND doc_id % 13 <> 0
+                THEN lang END AS du_str,
+           CASE WHEN n_chars % 2 = 0
+                THEN (doc_id % 7)::BIGINT END AS su_int,
+           CASE WHEN n_chars % 2 <> 0 AND doc_id % 11 <> 0
+                THEN substr(text, 1, 2) END AS su_str
+    FROM documents
+    """,
+)
+def arrow_ipc_union_write_docs(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Round-15 UNION-WRITE arm (VERDICT r14 item 5 — the one
+    asymmetry left in the interchange matrix after the r14 UNION
+    read; ORC has both directions via ``orc_write.py`` union
+    encoding).  Each batch builds a DENSE union (non-contiguous
+    typeIds [5, 9]: int32 payload vs utf8, per-child offset
+    compaction) and a SPARSE union (typeIds [3, 4]: full-length
+    children with off-tag nulls) from the documents table, the
+    ENGINE's ``_enc_array`` emits the V5 no-validity layout (int8
+    types buffer, int32 offsets when dense) in the FILE format with
+    lz4 bodies, and PYARROW ITSELF reads the bytes back — outputs
+    re-derive from the pyarrow-decoded values, so a tag/offset/child
+    drift breaks the oracle hash.  Narrow mapInPandas, shuffle-free.
+    Dense+sparse x stream+file roundtrips, typeId preservation,
+    reject paths and types/offsets mutation fuzz in
+    tests/test_arrow_ipc.py."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars")
+
+    def kernel(batches):
+        import io
+
+        import pandas as pd
+        import pyarrow.ipc as paipc
+
+        from modeltracking_spark.operators.arrow_ipc import ipc_write
+
+        fields = [
+            {"name": "doc_id", "type": "Int", "bits": 64,
+             "signed": True},
+            {"name": "du", "type": "Union", "mode": 1,
+             "type_ids": [5, 9], "nullable": False, "children": [
+                 {"name": "i", "type": "Int", "bits": 32,
+                  "signed": True},
+                 {"name": "s", "type": "Utf8"}]},
+            {"name": "su", "type": "Union", "mode": 0,
+             "type_ids": [3, 4], "nullable": False, "children": [
+                 {"name": "i", "type": "Int", "bits": 64,
+                  "signed": True},
+                 {"name": "s", "type": "Utf8"}]},
+        ]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            du, su = [], []
+            for did, text, lang, nc in zip(
+                    pdf["doc_id"], pdf["text"], pdf["lang"],
+                    pdf["n_chars"]):
+                did, nc = int(did), int(nc)
+                if did % 3 != 0:
+                    du.append({"tag": 5, "value":
+                               nc if nc % 10 != 0 else None})
+                else:
+                    du.append({"tag": 9, "value":
+                               lang if did % 13 != 0 else None})
+                if nc % 2 == 0:
+                    su.append({"tag": 3, "value": did % 7})
+                else:
+                    su.append({"tag": 4, "value":
+                               text[:2] if did % 11 != 0 else None})
+            cols = {"doc_id": [int(v) for v in pdf["doc_id"]],
+                    "du": du, "su": su}
+            blob = ipc_write(fields, cols, fmt="file",
+                             compression="lz4", max_chunksize=256)
+            t = paipc.open_file(io.BytesIO(blob)).read_all()
+            if t.num_rows != len(pdf):
+                raise ValueError("arrow union write lost rows")
+            if t.schema.field("du").type.type_codes != [5, 9]:
+                raise ValueError("arrow union typeIds not preserved")
+            # pyarrow surfaces unions as plain values; re-derive the
+            # tag from the source rule and split the payload per arm
+            du_tag, du_int, du_str, su_int, su_str = \
+                [], [], [], [], []
+            for did, dv, sv, nc in zip(
+                    t.column("doc_id").to_pylist(),
+                    t.column("du").to_pylist(),
+                    t.column("su").to_pylist(),
+                    pdf["n_chars"]):
+                tag5 = did % 3 != 0
+                du_tag.append(5 if tag5 else 9)
+                du_int.append(dv if tag5 else None)
+                du_str.append(None if tag5 else dv)
+                even = int(nc) % 2 == 0
+                su_int.append(sv if even else None)
+                su_str.append(None if even else sv)
+            yield pd.DataFrame({
+                "doc_id": t.column("doc_id").to_pylist(),
+                "du_tag": du_tag,
+                "du_int": du_int,
+                "du_str": du_str,
+                "su_int": su_int,
+                "su_str": su_str,
+            })
+
+    return d.mapInPandas(
+        kernel, "doc_id bigint, du_tag bigint, du_int bigint, "
+                "du_str string, su_int bigint, su_str string")
+
+
+@query(
+    "arrow_ipc_dict_nested_scan_docs",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 11 <> 0
+                THEN (n_chars % 3 + 1)::BIGINT END AS dl_len,
+           CASE WHEN doc_id % 11 <> 0
+                THEN CASE n_chars % 3 WHEN 0 THEN 'a'
+                     WHEN 1 THEN 'b' ELSE 'd' END END AS dl_first,
+           CASE WHEN doc_id % 13 <> 0
+                THEN (doc_id % 2 + 1)::BIGINT END AS ds_u,
+           CASE WHEN doc_id % 13 <> 0
+                THEN CASE doc_id % 2 WHEN 0 THEN lang
+                     ELSE source END END AS ds_v
+    FROM documents
+    """,
+)
+def arrow_ipc_dict_nested_scan_docs(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Round-15 dict-of-NESTED READ arm (VERDICT r14 item 7): real
+    writers emit ``DictionaryArray.from_arrays`` with list/struct
+    value trees for repeated categorical fields.  Each batch is
+    re-encoded by PYARROW (the reference writer, zstd bodies) as a
+    dictionary-of-list<utf8> and a dictionary-of-struct<u,v> — the
+    struct dictionary carries BATCH-DERIVED values (lang/source), so
+    the DictionaryBatch decode exercises real content, not just fixed
+    literals — and decoded by the from-spec reader
+    (operators/arrow_ipc.py: the DictionaryBatch delivers the nested
+    value tree through the recursive ``read_array`` walk, batches
+    stay plain index arrays).  Null slots land via null indices.
+    Outputs re-derive from the DECODED nested values.  Narrow
+    mapInPandas, shuffle-free; stream+file batteries and dictionary-
+    frame mutation fuzz in tests/test_arrow_ipc.py."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars")
+
+    def kernel(batches):
+        import io
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.ipc as paipc
+
+        from modeltracking_spark.operators.arrow_ipc import ipc_read
+
+        dl_dict = pa.array([["a"], ["b", "c"], ["d", "e", "f"]])
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            dl_idx, ds_idx, ds_vals = [], [], []
+            seen = {}
+            for did, lang, src, nc in zip(
+                    pdf["doc_id"], pdf["lang"], pdf["source"],
+                    pdf["n_chars"]):
+                did, nc = int(did), int(nc)
+                dl_idx.append(None if did % 11 == 0 else nc % 3)
+                if did % 13 == 0:
+                    ds_idx.append(None)
+                    continue
+                key = (did % 2 + 1, lang if did % 2 == 0 else src)
+                if key not in seen:
+                    seen[key] = len(ds_vals)
+                    ds_vals.append({"u": key[0], "v": key[1]})
+                ds_idx.append(seen[key])
+            dl = pa.DictionaryArray.from_arrays(
+                pa.array(dl_idx, pa.int32()), dl_dict)
+            ds = pa.DictionaryArray.from_arrays(
+                pa.array(ds_idx, pa.int16()),
+                pa.array(ds_vals, pa.struct([("u", pa.int64()),
+                                             ("v", pa.string())])))
+            t = pa.table({
+                "doc_id": pa.array([int(v) for v in pdf["doc_id"]],
+                                   pa.int64()),
+                "dl": dl, "ds": ds})
+            buf = io.BytesIO()
+            opts = paipc.IpcWriteOptions(compression="zstd")
+            with paipc.new_stream(buf, t.schema, options=opts) as w:
+                w.write_table(t, max_chunksize=256)
+            cols = ipc_read(buf.getvalue())["columns"]
+            if len(cols["doc_id"]) != len(pdf):
+                raise ValueError("arrow dict-nested scan lost rows")
+            dl_len = [None if v is None else len(v)
+                      for v in cols["dl"]]
+            dl_first = [None if not v else v[0] for v in cols["dl"]]
+            ds_u = [None if v is None else v["u"]
+                    for v in cols["ds"]]
+            ds_v = [None if v is None else v["v"]
+                    for v in cols["ds"]]
+            yield pd.DataFrame({
+                "doc_id": cols["doc_id"],
+                "dl_len": dl_len,
+                "dl_first": dl_first,
+                "ds_u": ds_u,
+                "ds_v": ds_v,
+            })
+
+    return d.mapInPandas(
+        kernel, "doc_id bigint, dl_len bigint, dl_first string, "
+                "ds_u bigint, ds_v string")
+
+
 _DAP_SEQ_SERVERS: dict = {}
 
 #: shard fan-out of the DAP sequence fixture (one served file — one

@@ -554,6 +554,107 @@ def embedding_neardup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NEARDUP_CAP = 40  # binds at sf0.01 (bucket max 55) AND sf0.1 (174)
+
+# the LSH-replay oracle with the hot-bucket cap: oversized (table, sig)
+# buckets leave the bucket join (probe flips included) and contribute
+# id-ordered adjacent chains instead, id_a still probe-filtered; the
+# exact fixed-point cosine verify is unchanged.
+_NEARDUP_CAPPED_ORACLE = f"""
+    WITH plane AS (
+      SELECT t, p, d,
+             CASE WHEN (('0x' || substr(md5(t::VARCHAR || ':' || p::VARCHAR
+                                        || ':' || d::VARCHAR), 1, 2))::INTEGER
+                        & 1) = 0
+                  THEN 1::BIGINT ELSE (-1)::BIGINT END AS s
+      FROM range({_NEARDUP_TABLES}) tt(t), range({_NEARDUP_PLANES}) pp(p), range(64) dd(d)
+    ),
+    proj AS (
+      SELECT e.vec_id, pl.t, pl.p,
+             sum(round(e.embedding[pl.d + 1]::DOUBLE * 1e6)::BIGINT * pl.s) AS pr
+      FROM embeddings e JOIN plane pl ON TRUE
+      GROUP BY 1, 2, 3
+    ),
+    sig AS (
+      SELECT vec_id, t,
+             sum(CASE WHEN pr >= 0 THEN (1 << p)::BIGINT ELSE 0::BIGINT END)::BIGINT AS sig
+      FROM proj GROUP BY 1, 2
+    ),
+    over AS (
+      SELECT t, sig FROM sig GROUP BY t, sig
+      HAVING count(*) > {_NEARDUP_CAP}
+    ),
+    psig AS (
+      SELECT s.vec_id AS id_a, s.t,
+             CASE WHEN pr.probe = -1 THEN s.sig
+                  ELSE xor(s.sig, (1 << pr.probe)::BIGINT) END AS sig
+      FROM sig s
+      JOIN (SELECT unnest([{", ".join(str(x) for x in [-1, *range(_NEARDUP_PLANES)])}]) AS probe) pr
+        ON TRUE
+      WHERE s.vec_id < 100
+    ),
+    cand_small AS (
+      SELECT DISTINCT p.id_a, c.vec_id AS id_b
+      FROM psig p JOIN sig c ON p.t = c.t AND p.sig = c.sig
+      WHERE p.id_a < c.vec_id
+        AND NOT EXISTS (SELECT 1 FROM over o
+                        WHERE o.t = p.t AND o.sig = p.sig)
+    ),
+    chain AS (
+      SELECT s.vec_id AS id_a,
+             lead(s.vec_id) OVER (PARTITION BY s.t, s.sig
+                                  ORDER BY s.vec_id) AS id_b
+      FROM sig s JOIN over o ON o.t = s.t AND o.sig = s.sig
+    ),
+    cand AS (
+      SELECT DISTINCT id_a, id_b FROM (
+        SELECT * FROM cand_small
+        UNION ALL
+        SELECT * FROM chain WHERE id_b IS NOT NULL AND id_a < 100
+      )
+    ),
+    n AS (SELECT vec_id, {{_NORM}} AS nrm FROM embeddings)
+    SELECT cand.id_a, cand.id_b,
+           list_sum(list_transform(list_zip(ae.embedding, be.embedding),
+             s -> round(s[1]::DOUBLE * s[2]::DOUBLE * 1e12)::BIGINT))::DOUBLE
+             / (sqrt(na.nrm::DOUBLE) * sqrt(nb.nrm::DOUBLE)) AS cosine
+    FROM cand
+    JOIN embeddings ae ON ae.vec_id = cand.id_a
+    JOIN embeddings be ON be.vec_id = cand.id_b
+    JOIN n na ON na.vec_id = cand.id_a
+    JOIN n nb ON nb.vec_id = cand.id_b
+    WHERE list_sum(list_transform(list_zip(ae.embedding, be.embedding),
+            s -> round(s[1]::DOUBLE * s[2]::DOUBLE * 1e12)::BIGINT))::DOUBLE
+            / (sqrt(na.nrm::DOUBLE) * sqrt(nb.nrm::DOUBLE)) >= 0.3
+""".format(_NORM=_NORM)
+
+
+@query("embedding_neardup_capped_lsh", oracle=_NEARDUP_CAPPED_ORACLE)
+def embedding_neardup_capped_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``embedding_neardup_lsh_pairs`` with the hot-bucket cap BINDING
+    (VERDICT r14 item 1): ``max_bucket_size=40`` vs measured (table,
+    sig) bucket maxima of 55 (sf0.01) / 174 (sf0.1).  Oversized corpus
+    buckets leave the probe bucket-join (a broadcast anti-join on the
+    oversized keys — O(k²) candidate mass gone) and contribute
+    id-ordered adjacent chains instead, with id_a still restricted to
+    the probe set; every surviving candidate passes the SAME exact
+    fixed-point cosine verify, so emitted pairs remain a subset of the
+    exact query's.  The oracle replays the carve-out, the chain, and
+    the probe filter clause for clause."""
+    from modeltracking_spark.operators.similarity import cosine_neardup_lsh
+
+    e = T(spark, sf_dir, "embeddings")
+    return cosine_neardup_lsh(
+        e,
+        threshold=0.3,
+        n_planes=4,
+        n_tables=8,
+        dim=64,
+        probe_filter=F.col("vec_id") < 100,
+        max_bucket_size=_NEARDUP_CAP,
+    )
+
+
 _PQ_CORE = """
     cb AS (
       SELECT e.vec_id AS j, m.i AS m, d.i AS d,

@@ -111,16 +111,16 @@ def test_typed_rejects():
         w.write_table(t3)
     assert ipc_read(buf3.getvalue())["columns"]["st"] == \
         [{"a": [1.0]}, {"a": None}]
-    # dictionary-of-list stays a typed reject (leaf value types only)
+    # dictionary-of-list READS as of round 15 (test_dict_of_nested_reads
+    # covers the full matrix; this pins the former reject's unblocking)
     t4 = pa.table({"dl": pa.DictionaryArray.from_arrays(
         pa.array([0, 0, 1], pa.int32()),
         pa.array([[1, 2], [3]], pa.list_(pa.int64())))})
     buf4 = io.BytesIO()
     with ipc.new_stream(buf4, t4.schema) as w:
         w.write_table(t4)
-    with pytest.raises(NotImplementedError,
-                       match="nested value types"):
-        ipc_read(buf4.getvalue())
+    assert ipc_read(buf4.getvalue())["columns"]["dl"] == \
+        [[1, 2], [1, 2], [3]]
     with pytest.raises(ValueError, match="schema"):
         ipc_read(b"\xff\xff\xff\xff\x00\x00\x00\x00")
 
@@ -429,7 +429,7 @@ def test_dictionary_read_typed_rejects():
     out += _s.pack("<Ii", 0xFFFFFFFF, 0)
     with pytest.raises(ValueError, match="dictionary"):
         ipc_read(bytes(out))
-    # dictionary-encoded LIST value type stays a typed reject
+    # dictionary-encoded LIST value type READS as of round 15
     arr = pa.DictionaryArray.from_arrays(
         pa.array([0, 1, 0], pa.int32()),
         pa.array([[1.0], [2.0]], pa.list_(pa.float64())))
@@ -437,8 +437,8 @@ def test_dictionary_read_typed_rejects():
     buf2 = io.BytesIO()
     with ipc.new_stream(buf2, t2.schema) as w:
         w.write_table(t2)
-    with pytest.raises(NotImplementedError, match="dictionary"):
-        ipc_read(buf2.getvalue())
+    assert ipc_read(buf2.getvalue())["columns"]["dl"] == \
+        [[1.0], [2.0], [1.0]]
 
 
 def test_write_side_mutation_fuzz():
@@ -1141,11 +1141,188 @@ def test_union_invalid_offsets_reject_loudly():
         ipc_read(buf.getvalue())
 
 
-def test_union_write_stays_typed_reject():
-    with pytest.raises(NotImplementedError, match="Union"):
+_UNION_FIELDS = [
+    {"name": "u", "type": "Union", "mode": 1, "type_ids": [5, 9],
+     "nullable": False, "children": [
+         {"name": "i", "type": "Int", "bits": 32, "signed": True,
+          "nullable": True, "children": []},
+         {"name": "s", "type": "Utf8", "nullable": True,
+          "children": []}]},
+    {"name": "k", "type": "Int", "bits": 64, "signed": True,
+     "nullable": False, "children": []},
+]
+
+
+def _union_vals(n=37):
+    rng = random.Random(152)
+    out = []
+    for i in range(n):
+        if rng.random() < 0.5:
+            v = None if rng.random() < 0.2 else rng.randrange(-99, 99)
+            out.append({"tag": 5, "value": v})
+        else:
+            v = None if rng.random() < 0.2 else "s%d" % i
+            out.append({"tag": 9, "value": v})
+    return out
+
+
+def test_union_write_roundtrip_and_pyarrow_reads():
+    """Round-15 UNION WRITE (VERDICT r14 item 5): dense + sparse,
+    stream + file, V5 no-validity layout, declared typeIds preserved —
+    pyarrow (the reference implementation) reads the engine's bytes
+    and the own reader roundtrips them exactly."""
+    import copy
+
+    vals = _union_vals()
+    want_py = [None if v["value"] is None else v["value"]
+               for v in vals]
+    for mode in (0, 1):
+        fields = copy.deepcopy(_UNION_FIELDS)
+        fields[0]["mode"] = mode
+        cols = {"u": vals, "k": list(range(len(vals)))}
+        for fmt in ("stream", "file"):
+            blob = ipc_write(fields, cols, fmt=fmt, max_chunksize=11)
+            got = ipc_read(blob)
+            assert got["columns"]["u"] == vals, (mode, fmt)
+            assert got["columns"]["k"] == list(range(len(vals)))
+            opener = (ipc.open_stream if fmt == "stream"
+                      else ipc.open_file)
+            rt = opener(io.BytesIO(blob)).read_all()
+            ft = rt.schema.field(0).type
+            assert ft.type_codes == [5, 9], ft
+            assert rt.column(0).to_pylist() == want_py, (mode, fmt)
+    # chained through a record-batch roundtrip: parse our own schema
+    # back and re-write it (spec dicts survive the loop)
+    fields = copy.deepcopy(_UNION_FIELDS)
+    blob = ipc_write(fields, {"u": vals, "k": list(range(len(vals)))})
+    from modeltracking_spark.operators.arrow_ipc import (
+        ipc_messages, parse_schema,
+    )
+
+    meta0 = next(iter(ipc_messages(blob)))[0]
+    fields2 = parse_schema(meta0)
+    assert fields2[0]["type"] == "Union" and \
+        fields2[0]["type_ids"] == [5, 9]
+    blob2 = ipc_write(fields2, {"u": vals, "k": list(range(len(vals)))})
+    assert ipc_read(blob2)["columns"]["u"] == vals
+
+
+def test_union_write_rejects_bad_values():
+    import copy
+
+    fields = copy.deepcopy(_UNION_FIELDS)
+    with pytest.raises(ValueError, match="no declared typeId"):
+        ipc_write(fields, {"u": [{"tag": 7, "value": 1}],
+                           "k": [0]})
+    with pytest.raises(ValueError, match="union value"):
+        ipc_write(fields, {"u": [None], "k": [0]})
+    bad = copy.deepcopy(_UNION_FIELDS)
+    bad[0]["type_ids"] = [5]
+    with pytest.raises(ValueError, match="typeIds count"):
+        ipc_write(bad, {"u": [{"tag": 5, "value": 1}], "k": [0]})
+
+
+def test_union_write_mutation_fuzz():
+    """Byte mutations over the engine's OWN union stream (types +
+    offsets buffers included): decode or a typed reject, never a
+    leaked struct.error/IndexError (VERDICT r14 item 5 fuzz ask)."""
+    import copy
+
+    fields = copy.deepcopy(_UNION_FIELDS)
+    base = ipc_write(fields, {"u": _union_vals(),
+                              "k": list(range(37))}, max_chunksize=13)
+    rng = random.Random(9152)
+    for _ in range(400):
+        b = bytearray(base)
+        op = rng.randrange(3)
+        if op == 0:
+            for _ in range(rng.randrange(1, 4)):
+                b[rng.randrange(len(b))] ^= rng.randrange(1, 256)
+        elif op == 1:
+            b = b[:rng.randrange(len(b))]
+        else:
+            i = rng.randrange(len(b))
+            b = (b[:i] + bytes(rng.randrange(256)
+                               for _ in range(rng.randrange(1, 12)))
+                 + b[i:])
+        try:
+            ipc_read(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def test_dict_of_nested_reads():
+    """Round-15 dict-of-NESTED READ (VERDICT r14 item 7): pyarrow's
+    DictionaryArray.from_arrays emits dictionary-encoded list/struct
+    value trees; the DictionaryBatch decodes through the recursive
+    walker and batches stay plain index arrays."""
+    dl = pa.DictionaryArray.from_arrays(
+        pa.array([0, 0, 1, None, 1], pa.int32()),
+        pa.array([["a", "b"], ["c"]]))
+    ds = pa.DictionaryArray.from_arrays(
+        pa.array([1, 0, None, 0], pa.int16()),
+        pa.array([{"x": 1, "y": "a"}, {"x": 2, "y": "b"}]))
+    t1 = pa.table({"dl": dl})
+    t2 = pa.table({"ds": ds})
+    for t, col, want in (
+        (t1, "dl", [["a", "b"], ["a", "b"], ["c"], None, ["c"]]),
+        (t2, "ds", [{"x": 2, "y": "b"}, {"x": 1, "y": "a"}, None,
+                    {"x": 1, "y": "a"}]),
+    ):
+        for fmt in ("stream", "file"):
+            buf = io.BytesIO()
+            opener = (ipc.new_stream if fmt == "stream"
+                      else ipc.new_file)
+            with opener(buf, t.schema) as w:
+                w.write_table(t)
+            got = ipc_read(buf.getvalue())["columns"][col]
+            assert got == want, (col, fmt)
+    # dict-of-list nested INSIDE a struct member
+    st = pa.StructArray.from_arrays(
+        [dl, pa.array([1, 2, 3, 4, 5], pa.int64())], ["d", "n"])
+    t3 = pa.table({"st": st})
+    buf = io.BytesIO()
+    with ipc.new_stream(buf, t3.schema) as w:
+        w.write_table(t3)
+    got = ipc_read(buf.getvalue())["columns"]["st"]
+    assert got[0] == {"d": ["a", "b"], "n": 1}
+    assert got[3] == {"d": None, "n": 4}
+    # write of dict-of-nested stays the typed reject
+    with pytest.raises(NotImplementedError, match="nested value"):
         ipc_write(
-            [{"name": "u", "type": "Union", "mode": 1,
-              "type_ids": [0], "children": [
-                  {"name": "i", "type": "Int", "bits": 64,
-                   "signed": True}]}],
-            {"u": [{"tag": 0, "value": 1}]})
+            [{"name": "d", "type": "List", "nullable": True,
+              "dictionary": {"id": 0, "bits": 32, "signed": True},
+              "children": [{"name": "item", "type": "Utf8",
+                            "nullable": True, "children": []}]}],
+            {"d": [["a"]]})
+
+
+def test_dict_of_nested_mutation_fuzz():
+    """Fuzz over the dictionary frames of a dict-of-list stream
+    (VERDICT r14 item 7): decode or typed reject only."""
+    dl = pa.DictionaryArray.from_arrays(
+        pa.array([0, 1, 0, None] * 8, pa.int32()),
+        pa.array([["a", "b"], ["c", "d", "e"]]))
+    t = pa.table({"dl": dl})
+    buf = io.BytesIO()
+    with ipc.new_stream(buf, t.schema) as w:
+        w.write_table(t, max_chunksize=7)
+    base = buf.getvalue()
+    rng = random.Random(7341)
+    for _ in range(400):
+        b = bytearray(base)
+        op = rng.randrange(3)
+        if op == 0:
+            for _ in range(rng.randrange(1, 4)):
+                b[rng.randrange(len(b))] ^= rng.randrange(1, 256)
+        elif op == 1:
+            b = b[:rng.randrange(len(b))]
+        else:
+            i = rng.randrange(len(b))
+            b = (b[:i] + bytes(rng.randrange(256)
+                               for _ in range(rng.randrange(1, 12)))
+                 + b[i:])
+        try:
+            ipc_read(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass

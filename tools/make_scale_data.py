@@ -39,15 +39,37 @@ COPIES = 10
 EMB_DIM = 64
 
 
+#: 20 shared boilerplate tokens for the skewed mega-cluster
+#: (SPARK_GRAFT_SCALE_SKEW, VERDICT r14 item 1): each cluster doc is
+#: these 20 tokens plus ONE unique token, so token sets are distinct
+#: (the identical-set collapse cannot absorb them), pairwise Jaccard is
+#: 20/22 ≈ 0.91, and ~(20/21)^4 ≈ 82% of the cluster lands in a single
+#: MinHash band bucket — the boilerplate near-identical shape the
+#: decorrelated default fixture structurally cannot produce.
+SKEW_BOILER = (
+    "common boilerplate nav footer header copyright terms privacy "
+    "cookie banner contact about sitemap login search share rss "
+    "newsletter subscribe legal"
+)
+
+
 def build(spark, src: str, dst: str, copies: int = COPIES,
-          tables: set | None = None) -> dict:
+          tables: set | None = None, skew_cluster: int = 0) -> dict:
     """Materialize the replicated dataset; returns {table: rowcount}.
 
     ``tables`` (round 14, VERDICT r13 item 7) restricts the build to a
     subset — the 100x spot probe only needs the tables its
     scan-dominant queries read, and a full 100x lineitem would burn
     disk for nothing.  Dims always copy (they are cheap and several
-    loaders probe them)."""
+    loaders probe them).
+
+    ``skew_cluster=K`` (round 15, VERDICT r14 item 1) rewrites the
+    first K doc_ids of EVERY copy into one mega-cluster of
+    near-identicals (:data:`SKEW_BOILER` + a per-doc unique token),
+    deliberately NOT cross-copy-decorrelated — the cluster grows as
+    K·copies, so the LSH band buckets grow linearly with the corpus and
+    an uncapped band self-join would go quadratic.  This is the fixture
+    that makes the hot-bucket cap measurable."""
 
     def rd(name):
         return spark.read.parquet(f"{src}/{name}.parquet")
@@ -131,9 +153,19 @@ def build(spark, src: str, dst: str, copies: int = COPIES,
         "event_type", "value", "props"]), "events")
 
     def doc_text(i):
-        if i == 0:
-            return F.col("text")
-        return F.regexp_replace("text", r"(\S+)", rf"$1~{i}")
+        base = (
+            F.col("text") if i == 0
+            else F.regexp_replace("text", r"(\S+)", rf"$1~{i}")
+        )
+        if skew_cluster:
+            return F.when(
+                F.col("doc_id") < skew_cluster,
+                F.concat(
+                    F.lit(SKEW_BOILER + " uniq"),
+                    (F.col("doc_id") + i * s_d).cast("string"),
+                ),
+            ).otherwise(base)
+        return base
 
     counts["documents"] = None if not want("documents") else wr(rep(docs, lambda i: [
         (F.col("doc_id") + i * s_d).alias("doc_id"),
@@ -159,15 +191,18 @@ def main() -> int:
     copies = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", str(COPIES)))
     tables_env = os.environ.get("SPARK_GRAFT_SCALE_TABLES")
     tables = set(tables_env.split(",")) if tables_env else None
+    skew = int(os.environ.get("SPARK_GRAFT_SCALE_SKEW", "0"))
     from modeltracking_spark.session import get_spark
 
     spark = get_spark(app_name="modeltracking-make-scale")
     spark.sparkContext.setLogLevel("ERROR")
-    counts = build(spark, src, dst, copies=copies, tables=tables)
+    counts = build(spark, src, dst, copies=copies, tables=tables,
+                   skew_cluster=skew)
     import json
 
     with open(os.path.join(dst, "MANIFEST.json"), "w") as fh:
-        json.dump({"src": src, "copies": copies, "rows": counts}, fh, indent=1)
+        json.dump({"src": src, "copies": copies, "rows": counts,
+                   "skew_cluster": skew}, fh, indent=1)
     print(json.dumps(counts))
     return 0
 

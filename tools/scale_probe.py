@@ -146,16 +146,18 @@ def main() -> int:
         prev["median_ratio"] = round(
             statistics.median(q["ratio"] for q in ok), 2) if ok else -1.0
         prev["max_ratio"] = max((q["ratio"] for q in ok), default=-1.0)
-        prev["superlinear_gt12x"] = {
+        factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
+        prev["red_line"] = "ratio > 1.2 * rows_factor"
+        prev["superlinear"] = {
             n: q["ratio"] for n, q in prev["queries"].items()
-            if q.get("ratio", -1) > 12}
+            if q.get("ratio", -1) > 1.2 * factor}
         prev["n_queries"] = len(ok)
         prev["n_failed"] = len(prev["queries"]) - len(ok)
         with open(out_path, "w") as fh:
             json.dump(prev, fh, indent=1)
         print(json.dumps({k: prev[k] for k in
                           ("median_ratio", "max_ratio",
-                           "superlinear_gt12x")}))
+                           "superlinear")}))
         return 0
 
     queries = {}
@@ -176,10 +178,9 @@ def main() -> int:
             ent["err"] = a.get("err") or b.get("err")
         queries[name] = ent
     ok = [q for q in queries.values() if q["ratio"] > 0]
-    factor_env = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
-    superlinear = {n: q["ratio"] for n, q in queries.items()
-                   if q["ratio"] > 1.2 * factor_env}
     factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
+    superlinear = {n: q["ratio"] for n, q in queries.items()
+                   if q["ratio"] > 1.2 * factor}
     out = {
         "metric": f"scale_probe_{factor}x",
         "sf_small": 0.1,
@@ -190,7 +191,7 @@ def main() -> int:
         "median_ratio": round(statistics.median(q["ratio"] for q in ok), 2)
         if ok else -1.0,
         "max_ratio": max((q["ratio"] for q in ok), default=-1.0),
-        "superlinear_gt12x": superlinear,
+        "superlinear": superlinear,
         "red_line": "ratio > 1.2 * rows_factor",
         "n_queries": len(ok),
         "n_failed": len(queries) - len(ok),
@@ -206,7 +207,7 @@ def main() -> int:
         json.dump(out, fh, indent=1)
     print(json.dumps({k: out[k] for k in
                       ("total_sf0.1", "total_sf1", "median_ratio",
-                       "max_ratio", "superlinear_gt12x", "n_failed")}))
+                       "max_ratio", "superlinear", "n_failed")}))
     return 0
 
 
