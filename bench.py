@@ -217,6 +217,8 @@ HEADLINE = [
     "embedding_neardup_capped_lsh",
     "arrow_ipc_union_write_docs",
     "arrow_ipc_dict_nested_scan_docs",
+    "dap_scalar_summary_scan",
+    "parquet_summary_file_scan",
     # zstd_seekable_stream_scan_docs, parquet_stream_sink_docs, and
     # orc_stream_sink_docs are deliberately NOT benched: each
     # execution runs two REAL streaming drains (~17 s at sf0.1),

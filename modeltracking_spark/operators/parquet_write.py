@@ -1209,6 +1209,7 @@ class ParquetFileWriter:
         created_by: str = ("modeltracking-spark parquet_write "
                            "(from-spec)"),
         level_encoding: str = "rle",
+        data_file_ref: str | None = None,
     ):
         codec = codec.upper()
         if page_version not in (1, 2):
@@ -1248,6 +1249,11 @@ class ParquetFileWriter:
         self.value_encoding = value_encoding
         self.level_encoding = level_encoding
         self.page_index = bool(page_index)
+        #: Hadoop-summary-file shape: when set, every ColumnChunk
+        #: carries this as its file_path (the page bytes live in the
+        #: named sibling at the recorded offsets) — pair with copying
+        #: the footer into a metadata-only twin (round 15)
+        self.data_file_ref = data_file_ref
         known = {cs.name for cs in self.chunk_specs}
         self.bloom_columns = set(bloom_columns or ())
         missing = self.bloom_columns - known
@@ -1632,6 +1638,8 @@ class ParquetFileWriter:
                 oi_blob = oi.finish()
 
             cc = _ThriftW()
+            if self.data_file_ref is not None:
+                cc.field_string(1, self.data_file_ref)
             cc.field_i64(2, chunk_start)  # file_offset (legacy)
             cc.field_struct(3, md)
             # fields 4-7 (offset/column index locations) are appended

@@ -43,89 +43,95 @@ QUERY_MODULES = (
 
 #: the scored window (driver cap observed at 50).
 #:
-#: ROUND-14 ROTATION (VERDICT r13 item 4): head = the 5 new r14
-#: registrations (Arrow IPC nested read/write + dictionary write,
-#: DAP String over the live protocol, parquet legacy 2-level lists —
-#: each is ALSO the in-window carrier for its changed module:
-#: operators/arrow_ipc.py, sources/dap.py, operators/
-#: parquet_native.py + parquet_write.py; no existing query's kernel
-#: or output changed, so REATTEST is empty).  Then the r13 verdict's
-#: prescribed stale cohort: all 7 r8-stale codec-family siblings
-#: slipped from r13, and 38 of the 49 r9-stale names.  The 11
-#: r9-stale slips to r15 are same-operator variants whose family
-#: keeps an in-window or r12+-attested carrier: asof_nearest_clicks
-#: (asof_backward r13), array_functions_demo (string_functions r13),
-#: hours_epoch_roundtrip (scalar_geo_suite), cube_status_priority +
-#: semi_anti_customers (rollup/grouping_sets/set-ops r13 +
-#: customer_order_set_ops in-window), orders_sort_limit +
-#: zip_positional_align (topk_lineitems_per_order arms),
-#: embedding_neardup_pairs (LSH variant r10+), cosine_topk_filtered
-#: (LSH/IVF/PQ probes r10+), image_dhash_docs
-#: (image_neardup_pairs_docs in-window), linear_fit_orders
-#: (events_stats_suite in-window).  r15 MUST lead with these 11.
+#: ROUND-15 ROTATION (VERDICT r14 item 3): head = the 7 new r15
+#: registrations (never-attested; each is ALSO the in-window carrier
+#: for its changed module: the three hot-bucket-cap queries carry
+#: operators/dedup.py + operators/similarity.py + queries/dedup_q.py
+#: + queries/sim_q.py, the two Arrow queries carry
+#: operators/arrow_ipc.py, dap_scalar_summary_scan carries
+#: sources/dap.py scalar framing, parquet_summary_file_scan carries
+#: operators/parquet_native.py + parquet_write.py external-file_path
+#: support).  Then the verdict's prescribed rotation: ALL 11 r9-stale
+#: slips from the r14 comment, then 32 of the 46 r10-stale names —
+#: including warc_source_scan_docs, the in-window carrier for its own
+#: sf-proportional-shard change in queries/multimodal_q.py (output at
+#: the tested SFs is unchanged — still 4 shards — so REATTEST stays
+#: empty; the orcnatev stripe-scaling change lives in
+#: queries/extras_q.py, carried by its new registrations).  The 14
+#: r10 slips to r16 are codec/ANN family variants whose siblings are
+#: in-window (snappy/lz4/lzma/zstd roundtrips carry the codec tier;
+#: cosine_topk_brute/_ivf/_lsh carry the ANN probes) —
+#: r16 MUST lead with: sobel_edge_stats_docs,
+#: stateful_user_totals_stream, stratified_hash_sample_docs,
+#: stream_enrich_join, tar_pax_bundle_scan_docs,
+#: tar_zst_bundle_scan_docs, tfrecord_example_scan_docs,
+#: tiff_tiled_palette_stats_docs, warc_gz_scan_docs,
+#: xz_roundtrip_docs, zstd_dict_roundtrip_docs, zstd_roundtrip_docs,
+#: zstd_seekable_stream_scan_docs, zstd_trained_dict_docs.
 PRIORITY: tuple[str, ...] = (
-    # ---- new in r14 (never-attested; module carriers) ----
-    "arrow_ipc_nested_scan_docs",    # recursive type-tree read
-    "arrow_ipc_nested_write_docs",   # nested write, pyarrow reads
-    "arrow_ipc_dict_write_docs",     # dictionary write, delta batches
-    "dap_string_sequence_scan",      # DAP String, live protocol
-    "parquet_legacy_list_scan",      # legacy 2-level lists
-    # ---- r8-stale codec siblings (all 7, slipped from r13) ----
-    "bmp_resize_stats_docs",
-    "gif_decode_stats_docs",
-    "jpeg_color_decode_stats_docs",
-    "mulaw_decode_stats_docs",
-    "png_decode_stats_docs",
-    "wav_decimate_stats_docs",
-    "y4m_frame_stats_docs",
-    # ---- r9-stale cohort (38 of 49) ----
-    "argmin_order_per_customer",
-    "binary_metadata_docs",
-    "blocklist_match_docs",
-    "bloom_prune_join_orders",
-    "bpe_token_counts",
-    "clean_normalize_docs",
-    "click_error_interval_left_join",
-    "cluster_balanced_sample_embeddings",
-    "customer_order_set_ops",
-    "dup_span_scrub_docs",
-    "events_stats_suite",
-    "ewma_user_values_events",
-    "flagship_events_daily",
-    "grid_datasource_scan",
-    "grid_netcdf_scan",
-    "hash_split_docs",
-    "image_neardup_pairs_docs",
-    "interval_routing",
-    "jaccard_pairs_capped",
-    "leakage_safe_split_docs",
-    "length_quantiles_by_lang",
-    "minhash_lsh_pairs",
-    "neighborhood_3x3",
-    "positional_projection",
-    "profile_along_track_temp",
-    "profile_multivariable_pivot",
-    "regional_revenue",
-    "repetition_scores_docs",
-    "sentence_split_udtf",
-    "session_window_counts",
-    "simhash_docs",
-    "tiff_decode_stats_docs",
-    "token_frequencies_docs",
-    "track_bounding_box",
-    "track_step_haversine",
-    "try_cast_cleanup",
-    "tumbling_window_counts",
-    "vocab_top_tokens",
+    # ---- new in r15 (never-attested; module carriers) ----
+    "minhash_lsh_capped_pairs",      # hot-bucket cap, binding
+    "lsh_bucket_overflow_stats",     # loud overflow accounting
+    "embedding_neardup_capped_lsh",  # capped cosine bucket join
+    "arrow_ipc_union_write_docs",    # UNION write, pyarrow reads
+    "arrow_ipc_dict_nested_scan_docs",  # dict-of-nested read
+    "dap_scalar_summary_scan",       # DAP 0-dim bare-value framing
+    "parquet_summary_file_scan",     # external file_path chunks
+    # ---- r9-stale cohort (all 11 slips from the r14 comment) ----
+    "array_functions_demo",
+    "asof_nearest_clicks",
+    "cosine_topk_filtered",
+    "cube_status_priority",
+    "embedding_neardup_pairs",
+    "hours_epoch_roundtrip",
+    "image_dhash_docs",
+    "linear_fit_orders",
+    "orders_sort_limit",
+    "semi_anti_customers",
+    "zip_positional_align",
+    # ---- r10-stale cohort (32 of 46) ----
+    "audio_activity_stats_docs",
+    "avro_nested_scan_docs",
+    "avro_ocf_scan_docs",
+    "brotli_roundtrip_docs",
+    "bucketed_join_revenue",
+    "bz2_roundtrip_docs",
+    "cbor_roundtrip_docs",
+    "cdc_chunk_dedup_docs",
+    "click_error_interval_stallproof",
+    "cosine_topk_brute",
+    "cosine_topk_ivf_probe",
+    "cosine_topk_lsh_probe",
+    "data_quality_audit_orders",
+    "dedup_clusters_docs",
+    "exact_dedup_docs",
+    "exactly_once_ingest_events",
+    "idn_host_normalize_docs",
+    "image_incremental_neardup_docs",
+    "kmv_set_ops_users",
+    "label_propagation_docs",
+    "lz4_roundtrip_docs",
+    "lzma_roundtrip_docs",
+    "nfc_normalize_docs",
+    "orc_partitioned_orders_scan",
+    "pack_sequences_chunk",
+    "resample_ffill_events",
+    "robust_outliers_events",
+    "semdedup_embeddings",
+    "simhash_neardup_pairs",
+    "skew_salted_join_events",
+    "snappy_roundtrip_docs",
+    "warc_source_scan_docs",
 )
 
 #: queries whose semantics/plan changed THIS round: the staleness lint
 #: in tools/check_queries.py --window treats them as never-attested so
 #: their head-of-window placement does not trip the stalest-first
-#: invariant (their old attestation predates the change).  Round 14:
-#: empty — the arrow/dap/parquet module rewrites kept every existing
-#: query's kernel and output identical; the new registrations carry
-#: those modules in-window.
+#: invariant (their old attestation predates the change).  Round 15:
+#: empty — the hot-bucket cap defaults are non-binding at the tested
+#: SFs, the warc shard formula still yields 4 shards there, and the
+#: arrow/dap/parquet additions are new code paths; every existing
+#: query's output is byte-identical (verified by the full sweep).
 REATTEST: tuple[str, ...] = ()
 
 #: observed driver correctness cap (CORRECTNESS_r03 scored exactly 50)

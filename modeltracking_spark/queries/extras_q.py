@@ -3264,13 +3264,21 @@ def parquet_native_sink_docs(spark: SparkSession, sf_dir: str
 
 def _orc_fixture_dir(spark, sf_dir: str, table: str, prefix: str,
                      build_df, compression: str,
-                     n_files: int = 3) -> str:
+                     n_files: int = 3,
+                     rows_per_file: int | None = None) -> str:
     """Content-addressed ORC fixture written by SPARK'S OWN native
     writer (the reference Java ORC implementation) — reference encode,
     from-spec decode, the repo's standard trust structure; atomic
-    rename, lost-race cleanup."""
+    rename, lost-race cleanup.
+
+    ``rows_per_file`` (round 15, VERDICT r14 item 6) makes the file —
+    and hence stripe — count grow with the corpus instead of staying
+    fixture-pinned: a 10x corpus carries ~10x stripes, the real
+    warehouse-export shape, so the per-stripe task work stays constant
+    under weak scaling (``n_files`` becomes the floor)."""
     import hashlib
     import inspect
+    import math
     import os
     import shutil
 
@@ -3278,8 +3286,12 @@ def _orc_fixture_dir(spark, sf_dir: str, table: str, prefix: str,
         corpus_fingerprint,
     )
 
+    if rows_per_file is not None:
+        n_rows = build_df(spark, sf_dir).count()
+        n_files = max(n_files, math.ceil(n_rows / rows_per_file))
     token = hashlib.md5(
         (corpus_fingerprint(sf_dir, table) + ":" + compression + ":"
+         + str(n_files) + ":"
          + inspect.getsource(build_df)).encode()
     ).hexdigest()[:10]
     out_dir = f"/tmp/modeltracking_{prefix}_{token}"
@@ -3322,10 +3334,15 @@ def orcnat_fixture_dir(spark, sf_dir: str) -> str:
 
 def orcnatev_fixture_dir(spark, sf_dir: str) -> str:
     """Exported for tools/oracle_twins.py — exact-dir resolution."""
-    # 12 files -> 12 stripes: the decode is the honest from-spec
-    # cost, so give the scan the format's full parallel grain
+    # 12-file floor -> 12 stripes at the tested SFs; ~8333 rows/file
+    # keeps per-stripe work CONSTANT as the corpus grows (sf0.1's
+    # 100k events = 12 files, a 10x corpus = 120 — the sf-proportional
+    # stripe shape of VERDICT r14 item 6), so the probe measures
+    # per-byte linearity at equal task grain instead of 10x-deeper
+    # stripes at pinned parallelism
     return _orc_fixture_dir(spark, sf_dir, "events", "orcnatev",
-                            _orc_events_df, "zstd", n_files=12)
+                            _orc_events_df, "zstd", n_files=12,
+                            rows_per_file=8333)
 
 
 @query(
@@ -5878,6 +5895,217 @@ def dap_string_sequence_scan(spark: SparkSession,
     return parts.mapInPandas(
         kernel, "doc_id bigint, tag string, n_chars bigint, "
                 "tag_len bigint")
+
+
+def dapscalar_fixture_dir(spark, sf_dir: str) -> str:
+    """Per-shard classic-netCDF files of SCALAR variables (0-dim
+    Int32 counts, a Float64 sum, a CHAR-scalar title) — the fixture
+    for the DAP scalar-framing arm; shard aggregates derive from the
+    documents table (doc_id % 4)."""
+    import hashlib
+    import inspect
+    import os
+    import shutil
+
+    import duckdb
+    import numpy as np
+
+    from modeltracking_spark.queries.multimodal_q import (
+        corpus_fingerprint,
+    )
+    from modeltracking_spark.sources.netcdf_classic import write_classic
+
+    token = hashlib.md5(
+        (corpus_fingerprint(sf_dir) + ":dapscalar:"
+         + inspect.getsource(dapscalar_fixture_dir)).encode()
+    ).hexdigest()[:10]
+    out_dir = f"/tmp/modeltracking_dapscalar_{token}"
+    if not os.path.isdir(out_dir):
+        tmp = f"{out_dir}.{os.getpid()}.tmp"
+        os.makedirs(tmp, exist_ok=True)
+        con = duckdb.connect()
+        rows = con.execute(
+            "SELECT doc_id % 4, count(*), max(doc_id), sum(n_chars) "
+            f"FROM read_parquet('{sf_dir}/documents.parquet') "
+            "GROUP BY 1 ORDER BY 1"
+        ).fetchall()
+        con.close()
+        for part, n_docs, max_doc, sum_chars in rows:
+            title = f"part-{int(part)}"
+            write_classic(
+                os.path.join(tmp, f"part{int(part)}.nc"),
+                dims=[("strlen", 16)],
+                variables=[
+                    ("title", ["strlen"],
+                     np.frombuffer(
+                         title.encode().ljust(16, b"\0"), dtype="S1")),
+                    ("n_docs", [], np.array(int(n_docs), dtype=">i4")),
+                    ("max_doc", [], np.array(int(max_doc),
+                                             dtype=">i4")),
+                    ("sum_chars", [], np.array(float(sum_chars),
+                                               dtype=">f8")),
+                ],
+                record_dim=None, n_records=0, global_attrs={})
+        try:
+            os.rename(tmp, out_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    return out_dir
+
+
+@query(
+    "dap_scalar_summary_scan",
+    oracle="""
+    SELECT (doc_id % 4)::BIGINT AS part,
+           'part-' || (doc_id % 4)::VARCHAR AS title,
+           count(*)::BIGINT AS n_docs,
+           max(doc_id) AS max_doc,
+           floor(sum(n_chars)::DOUBLE * 1000000 + 0.5)::BIGINT
+             AS sum_chars_e6
+    FROM documents
+    GROUP BY doc_id % 4
+    """,
+)
+def dap_scalar_summary_scan(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Round-15 DAP SCALAR-framing arm (ADVICE r14): real DAP 2.0
+    servers ship a 0-dim variable as the BARE value — a bare counted
+    string for String, a bare 4-padded value for numerics — never the
+    (n, n) header only arrays carry.  Per-shard summary files (CHAR-
+    scalar title, Int32/Float64 scalars) are served by the in-process
+    DAP server and each Spark partition drives the LIVE protocol for
+    its shard: DDS parse -> scalar .dods fetches -> bare-XDR decode
+    (sources/dap.py ``_fetch_array`` 0-dim branch / server
+    ``_xdr_encode_scalar*``).  Outputs re-derive from the decoded
+    protocol values; the wire framing itself is byte-asserted in
+    tests/test_netcdf.py::test_dap_scalar_framing."""
+    fixture_dir = dapscalar_fixture_dir(spark, sf_dir)
+    import http.server
+    import threading
+
+    from modeltracking_spark.sources.dap import make_dap_handler
+
+    srv = _DAP_SEQ_SERVERS.get(fixture_dir)
+    if srv is None:
+        srv = http.server.ThreadingHTTPServer(
+            ("127.0.0.1", 0), make_dap_handler(fixture_dir))
+        threading.Thread(target=srv.serve_forever,
+                         daemon=True).start()
+        _DAP_SEQ_SERVERS[fixture_dir] = srv
+    base = f"dap+http://127.0.0.1:{srv.server_address[1]}"
+    from modeltracking_spark.queries.common import (
+        ensure_pkg_on_workers,
+    )
+
+    ensure_pkg_on_workers(spark)
+    parts = spark.range(4).repartition(4)
+
+    def kernel(batches):
+        import pandas as pd
+
+        from modeltracking_spark.sources.dap import DapDataset
+
+        for pdf in batches:
+            out = {"part": [], "title": [], "n_docs": [],
+                   "max_doc": [], "sum_chars_e6": []}
+            for part in pdf["id"]:
+                ds = DapDataset(f"{base}/part{int(part)}.nc")
+                out["part"].append(int(part))
+                out["title"].append(
+                    str(ds.read("title").reshape(())))
+                out["n_docs"].append(
+                    int(ds.read("n_docs").reshape(())))
+                out["max_doc"].append(
+                    int(ds.read("max_doc").reshape(())))
+                import math
+
+                out["sum_chars_e6"].append(math.floor(
+                    float(ds.read("sum_chars").reshape(()))
+                    * 1e6 + 0.5))
+            yield pd.DataFrame(out)
+
+    return parts.mapInPandas(
+        kernel, "part bigint, title string, n_docs bigint, "
+                "max_doc bigint, sum_chars_e6 bigint")
+
+
+@query(
+    "parquet_summary_file_scan",
+    oracle="""
+    SELECT doc_id, md5(text) AS text_md5, length(text)::BIGINT AS n
+    FROM documents
+    """,
+)
+def parquet_summary_file_scan(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Round-15 external-``file_path`` arm (VERDICT r14 item 9): the
+    Hadoop-era summary-file layout — a metadata-only parquet twin
+    whose ColumnChunks name the sibling data file via
+    ``ColumnChunk.file_path``.  Each batch is written by the ENGINE's
+    own writer with ``data_file_ref`` (the data file names itself, so
+    it stays self-consistent), the footer is copied into a summary
+    twin, and rows are read back THROUGH THE SUMMARY — the from-spec
+    reader resolves every chunk's byte range in the named sibling
+    (operators/parquet_native.py ``_chunk_handle``).  Outputs
+    re-derive from the redirect-decoded values.  Self-reference,
+    sibling resolution and the anonymous-stream reject are pinned in
+    tests/test_parquet_native.py."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def kernel(batches):
+        import hashlib as _h
+        import os
+        import tempfile
+
+        import pandas as pd
+
+        from modeltracking_spark.operators.parquet_native import (
+            parquet_footer_from_file,
+            read_row_group,
+        )
+        from modeltracking_spark.operators.parquet_write import (
+            ParquetFileWriter,
+        )
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            with tempfile.TemporaryDirectory() as td:
+                data = os.path.join(td, "data.parquet")
+                with open(data, "wb") as fh:
+                    w = ParquetFileWriter(
+                        fh,
+                        [("doc_id", "int64", False),
+                         ("text", "string", False)],
+                        codec="SNAPPY",
+                        data_file_ref="data.parquet")
+                    w.write_row_group({
+                        "doc_id": [int(v) for v in pdf["doc_id"]],
+                        "text": list(pdf["text"])})
+                    w.finish()
+                blob = open(data, "rb").read()
+                flen = int.from_bytes(blob[-8:-4], "little")
+                summary = os.path.join(td, "summary.parquet")
+                with open(summary, "wb") as fh:
+                    fh.write(b"PAR1" + blob[-8 - flen:])
+                with open(summary, "rb") as fh:
+                    foot = parquet_footer_from_file(fh)
+                    ids, texts = [], []
+                    for rg in range(len(foot["row_groups"])):
+                        got = read_row_group(fh, foot, rg)
+                        ids.extend(got["doc_id"])
+                        texts.extend(got["text"])
+            if len(ids) != len(pdf):
+                raise ValueError("summary-file scan lost rows")
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "text_md5": [_h.md5(t.encode()).hexdigest()
+                             for t in texts],
+                "n": [len(t) for t in texts],
+            })
+
+    return d.mapInPandas(
+        kernel, "doc_id bigint, text_md5 string, n bigint")
 
 
 def pqlegacy_fixture_dir(spark, sf_dir: str) -> str:

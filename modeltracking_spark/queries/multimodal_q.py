@@ -1182,7 +1182,8 @@ def warc_gz_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
            md5(text || ' @' || doc_id::VARCHAR) AS body_md5,
            octet_length(encode(text || ' @' || doc_id::VARCHAR))::BIGINT
              AS content_length,
-           (doc_id % 4)::BIGINT AS shard
+           (doc_id % greatest(4, (SELECT count(*) FROM documents)
+                                 // 1250))::BIGINT AS shard
     FROM documents
     """,
 )
@@ -1210,6 +1211,13 @@ def warc_source_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from modeltracking_spark.sources.warc_source import WarcDataSource
 
     docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    # sf-PROPORTIONAL shard count (VERDICT r14 item 6): ~1250 docs per
+    # .warc.gz shard with a 4-shard floor — sf0.01/sf0.1 keep their 4
+    # shards (oracle output unchanged), a 10x corpus carries 40, the
+    # real Common Crawl shape, so per-shard task work stays constant
+    # under weak scaling instead of shards deepening 10x at pinned
+    # parallelism.  One count() — a bounded single-scalar action.
+    n_shards = max(4, docs.count() // 1250)
     fp = hashlib.md5(
         (sf_dir + ":" + inspect.getsource(warc_source_scan_docs)).encode()
     ).hexdigest()[:10]
@@ -1245,8 +1253,9 @@ def warc_source_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 fh.close()
 
         (
-            docs.withColumn("shard", (F.col("doc_id") % 4).cast("int"))
-            .repartition(4, "shard")
+            docs.withColumn("shard",
+                            (F.col("doc_id") % n_shards).cast("int"))
+            .repartition(n_shards, "shard")
             .sortWithinPartitions("shard", "doc_id")
             .foreachPartition(_write_shards)
         )

@@ -260,6 +260,51 @@ def _xdr_encode_strings(strings) -> bytes:
     return bytes(out)
 
 
+def _xdr_encode_scalar(a) -> bytes:
+    """0-dim numpy value -> bare XDR value (no array count header):
+    DAP 2.0 transmits SCALAR variables as the value alone, 4-padded —
+    only arrays carry the doubled count (ADVICE r14)."""
+    import numpy as np
+
+    from modeltracking_spark.sources.netcdf_classic import _pad4
+
+    nc_type = {
+        ("i", 1): 1, ("i", 2): 3, ("i", 4): 4, ("f", 4): 5, ("f", 8): 6,
+    }.get((a.dtype.kind, a.dtype.itemsize))
+    if nc_type is None:
+        raise NotImplementedError(
+            f"XDR encoding for dtype {a.dtype} not implemented")
+    _, _, wire_dtype = _NC_TO_DAP[nc_type]
+    raw = np.ascontiguousarray(a, dtype=wire_dtype).tobytes()
+    return raw + b"\x00" * (_pad4(len(raw)) - len(raw))
+
+
+def _xdr_encode_scalar_string(v) -> bytes:
+    """str -> bare XDR counted string (length + 4-padded bytes, NO
+    (n, n) array header) — the DAP 2.0 scalar String framing."""
+    from modeltracking_spark.sources.netcdf_classic import _pad4
+
+    raw = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+    return (struct.pack(">I", len(raw)) + raw
+            + b"\x00" * (_pad4(len(raw)) - len(raw)))
+
+
+def _xdr_decode_scalar_string(buf: bytes, off: int):
+    """Bare XDR counted string at ``buf[off:]`` -> (str, next offset);
+    scalar Strings ship WITHOUT the (n, n) array header (real DAP 2.0
+    servers — THREDDS/Hyrax — frame 0-dim Strings this way; ADVICE
+    r14)."""
+    from modeltracking_spark.sources.netcdf_classic import _pad4
+
+    if off + 4 > len(buf):
+        raise ValueError("truncated XDR scalar string length")
+    (ln,) = struct.unpack_from(">I", buf, off)
+    off += 4
+    if ln > len(buf) - off:
+        raise ValueError("truncated XDR scalar string payload")
+    return buf[off:off + ln].decode("utf-8"), off + _pad4(ln)
+
+
 def _xdr_decode_strings(buf: bytes, off: int, n_expect: int):
     """XDR counted-string array at ``buf[off:]`` -> (list[str], next
     offset); every length is bounds-checked before the slice."""
@@ -367,9 +412,24 @@ class DapDataset:
             shape.append(d)
             n *= d
         off = sep + len(b"\nData:\n")
-        if typ in _DAP_STRINGS:
-            import numpy as np
+        import numpy as np
 
+        if not dims:
+            # 0-dim variable: DAP 2.0 ships a SCALAR as the bare value
+            # (bare counted string / bare 4-padded value), never the
+            # (n, n) array header — match real servers (ADVICE r14)
+            if typ in _DAP_STRINGS:
+                s, _ = _xdr_decode_scalar_string(body, off)
+                return np.array(s, dtype=object)
+            from modeltracking_spark.sources.netcdf_classic import _pad4
+
+            wire_size, wire_dtype, final_dtype = _DAP_TYPES[typ]
+            if off + _pad4(wire_size) > len(body):
+                raise ValueError("truncated XDR scalar value")
+            return np.frombuffer(
+                body, dtype=wire_dtype, count=1, offset=off
+            ).astype(final_dtype).reshape(())
+        if typ in _DAP_STRINGS:
             vals, _ = _xdr_decode_strings(body, off, n)
             return np.array(vals, dtype=object).reshape(shape)
         a, _ = _xdr_decode(body, off, typ, n)
@@ -891,13 +951,25 @@ def make_dap_handler(root_dir: str, grid_mode: bool = False,
                                       for x, st_, y in ranges)
                                 + tail
                             ]
+                        # a 0-dim projection (scalar variable) ships
+                        # the bare value — no (n, n) array header
+                        # (DAP 2.0 scalar framing, ADVICE r14)
+                        scalar = not ranges and not v.is_record
                         if v.nc_type == 2:
                             flat = a.reshape(-1, a.shape[-1])
                             strings = [
                                 row.tobytes().rstrip(b"\x00")
                                 .decode("utf-8") for row in flat
                             ]
-                            chunks.append(_xdr_encode_strings(strings))
+                            if scalar:
+                                chunks.append(
+                                    _xdr_encode_scalar_string(
+                                        strings[0]))
+                            else:
+                                chunks.append(
+                                    _xdr_encode_strings(strings))
+                        elif scalar:
+                            chunks.append(_xdr_encode_scalar(a))
                         else:
                             chunks.append(_xdr_encode(a))
                     nc.close()

@@ -1064,3 +1064,50 @@ def test_dap_unsigned_array_xdr_decode():
     a16, _ = _xdr_decode(body16, 0, "UInt16", 2)
     assert a16.dtype == np.dtype("uint16")
     assert a16.tolist() == [65535, 7]
+
+
+def test_dap_scalar_framing(dap_root, tmp_path):
+    """DAP 2.0 SCALAR framing (ADVICE r14): 0-dim variables ship as
+    the BARE value — a bare counted string for String, a bare 4-padded
+    value for numerics — never the (n, n) array header only arrays
+    carry.  The in-repo server emits the spec framing and the client
+    decodes it; the raw .dods bytes are asserted header-free so both
+    sides cannot drift together."""
+    import shutil
+    import struct as _s
+    import urllib.request
+
+    from modeltracking_spark.sources.dap import DapDataset
+    from modeltracking_spark.sources.netcdf_classic import write_classic
+
+    base, root = dap_root
+    path = os.path.join(str(tmp_path), "scalars.nc")
+    write_classic(
+        path,
+        dims=[("strlen", 8), ("x", 3)],
+        variables=[
+            ("title", ["strlen"],
+             np.frombuffer(b"hello\x00\x00\x00", dtype="S1")),
+            ("pi", [], np.array(3.25, dtype=">f8")),
+            ("xs", ["x"], np.array([1, 2, 3], dtype=">i4")),
+        ],
+        record_dim=None, n_records=0, global_attrs={},
+    )
+    shutil.copy(path, os.path.join(root, "scalars.nc"))
+    remote = DapDataset(f"dap+{base}/scalars.nc")
+    assert remote.read("pi").reshape(()) == 3.25
+    assert str(remote.read("title").reshape(())) == "hello"
+    assert np.array_equal(remote.read("xs"), [1, 2, 3])
+    # wire-level: the scalar String payload is length+bytes with NO
+    # (n, n) header; the scalar Float64 is 8 bare bytes
+    body = urllib.request.urlopen(f"{base}/scalars.nc.dods?title").read()
+    xdr = body.split(b"\nData:\n", 1)[1]
+    assert _s.unpack_from(">I", xdr, 0)[0] == 5  # length word first
+    assert xdr[4:9] == b"hello"
+    body = urllib.request.urlopen(f"{base}/scalars.nc.dods?pi").read()
+    xdr = body.split(b"\nData:\n", 1)[1]
+    assert len(xdr) == 8 and _s.unpack(">d", xdr)[0] == 3.25
+    # arrays keep the doubled count header
+    body = urllib.request.urlopen(f"{base}/scalars.nc.dods?xs").read()
+    xdr = body.split(b"\nData:\n", 1)[1]
+    assert _s.unpack_from(">II", xdr, 0) == (3, 3)
