@@ -171,6 +171,13 @@ NOTES = {
     "arrow_ipc_dict_write_docs": "narrow mapInPandas: from-spec dictionary-encoded EMIT (int8/int16 indices, initial + isDelta batches across chunks) -> pyarrow resolves deltas per batch, shuffle-free",
     "dap_string_sequence_scan": "one endpoint per partition (part{i}.nc!obs per-file sequences); each partition drives the live protocol: String sequence decode + CHAR-as-String array fetch through a percent-encoded hyperslab; no exchange",
     "parquet_legacy_list_scan": "row-group-grain partitions over hand-built legacy 2-level bytes; both backward-compat shapes normalize to standard Dremel list nodes executor-side; no shuffle before the sink",
+    "minhash_lsh_capped_pairs": "banded rep-level candidates with the hot-bucket cap BINDING: oversized (band, band_key) buckets carve out via broadcast anti/semi joins and chain under a bucket-partitioned lead window (linear, never k^2); small buckets keep the exact self-join",
+    "lsh_bucket_overflow_stats": "two map-side-combinable aggregates over bucket sizes (never the pairs); 4-row output",
+    "embedding_neardup_capped_lsh": "hyperplane bucket join with oversized (tbl, sig) buckets broadcast-anti-joined out and replaced by id-ordered adjacent chains; exact fixed-point cosine verifies every surviving candidate",
+    "arrow_ipc_union_write_docs": "narrow mapInPandas: from-spec union EMIT (dense offset compaction + sparse full-length children, V5 no-validity, typeIds [5,9]/[3,4] preserved, lz4 file fmt) -> pyarrow reference read per batch, shuffle-free",
+    "arrow_ipc_dict_nested_scan_docs": "narrow mapInPandas: pyarrow DictionaryArray.from_arrays emits dict-of-list + dict-of-struct (zstd) -> DictionaryBatch delivers the nested value tree through the recursive walker; batches stay index arrays, shuffle-free",
+    "dap_scalar_summary_scan": "one endpoint per partition; each drives the live protocol's 0-dim framing (bare counted string / bare 4-padded value, no (n,n) header); 4-row output, no exchange",
+    "parquet_summary_file_scan": "narrow mapInPandas: engine writes data.parquet (self-referencing file_path) + metadata-only summary twin per batch; rows decode THROUGH the summary via the sibling byte-range redirect, shuffle-free",
 }
 
 
