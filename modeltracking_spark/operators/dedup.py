@@ -479,6 +479,22 @@ def _minhash_banded(groups: DataFrame, bands: int, rows_per_band: int) -> DataFr
     ).select("rep", "bk.band", "bk.band_key")
 
 
+def _minhash_band_frame(groups, bands: int, rows_per_band: int,
+                        max_bucket_size: int | None):
+    """The banded frame shaped for its consumer count: with the
+    hot-bucket cap active there are 3-4 readers (the oversized-key
+    aggregate, the anti/semi carve-outs, the chain window), so one
+    localCheckpoint of the small (rep, band, band_key) table beats
+    re-running the xxhash band folds per reader (measured 4.25 s ->
+    3.4 s at sf0.1); uncapped there are only the two self-join sides,
+    where recompute-from-cached-groups measured FASTER than the
+    checkpoint barrier (the r8 finding, still true)."""
+    banded = _minhash_banded(groups, bands, rows_per_band)
+    if max_bucket_size is not None:
+        banded = banded.localCheckpoint(eager=False)
+    return banded
+
+
 def _check_minhash_shape(n_hashes: int, bands: int, rows_per_band: int) -> None:
     if n_hashes != bands * rows_per_band:
         raise ValueError(
@@ -516,7 +532,8 @@ def minhash_rep_pairs(
     directly observable (oracled by ``minhash_lsh_capped_pairs``)."""
     _check_minhash_shape(n_hashes, bands, rows_per_band)
     groups = _minhash_groups(dt, n_hashes)
-    banded = _minhash_banded(groups, bands, rows_per_band)
+    banded = _minhash_band_frame(groups, bands, rows_per_band,
+                                 max_bucket_size)
     cands = _capped_band_pairs(banded, "rep", (), max_bucket_size).select(
         F.col("id_a").alias("rep_a"), F.col("id_b").alias("rep_b")
     )
@@ -593,15 +610,11 @@ def minhash_pairs_from_token_ids(
     """
     _check_minhash_shape(n_hashes, bands, rows_per_band)
     # group by the full sorted array (exact — no hash-collision risk);
-    # signatures ride the cached frame so the two self-join sides reuse
-    # them instead of re-running the permutations.  Both self-join sides
-    # recompute the band keys from the CACHED groups, which measures
-    # faster than materializing `banded` with a localCheckpoint (tried:
-    # the checkpoint barrier cost more than the duplicated xxhash folds
-    # over cached arrays — unlike the simhash pairs join below, whose
-    # upstream was NOT cached).
+    # signatures ride the cached frame so every consumer reuses them
+    # instead of re-running the permutations
     groups = _minhash_groups(dt, n_hashes)
-    banded = _minhash_banded(groups, bands, rows_per_band)
+    banded = _minhash_band_frame(groups, bands, rows_per_band,
+                                 max_bucket_size)
     cands = _capped_band_pairs(banded, "rep", (), max_bucket_size).select(
         F.col("id_a").alias("rep_a"), F.col("id_b").alias("rep_b")
     )

@@ -14,8 +14,9 @@ Implemented from the public ORC v1 specification
 - **Compression framing**: every compressed entity is a chunk
   sequence — 3-byte LE header ``(length << 1) | is_original`` — with
   the payload decoded by THIS repo's from-spec codecs: ZLIB (raw
-  deflate, `operators/inflate.py`), SNAPPY, LZ4, ZSTD; NONE passes
-  through; legacy LZO rejects loudly.
+  deflate, `operators/inflate.py`), SNAPPY, LZ4, ZSTD, and — round 15,
+  the codec family complete — legacy LZO (LZO1X state machine,
+  `operators/lzo.py`); NONE passes through.
 - **Run-length encodings**: byte RLE (tinyint + the bit-packed
   MSB-first boolean/PRESENT streams), integer RLEv1 (run/literal
   varints), and the four RLEv2 sub-encodings — SHORT_REPEAT, DIRECT,
@@ -186,10 +187,15 @@ def decompress_entity(data: bytes, codec: str,
             )
 
             plain = zstd_decompress(body, max_output=block_size)
+        elif codec == "LZO":
+            from modeltracking_spark.operators.lzo import (
+                lzo1x_decompress,
+            )
+
+            plain = lzo1x_decompress(body, max_out=block_size)
         else:
             raise NotImplementedError(
-                f"ORC compression {codec} not supported (legacy LZO is "
-                "a plug-in reject)")
+                f"ORC compression {codec} not supported")
         out += plain
     return bytes(out)
 

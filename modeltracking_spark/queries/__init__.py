@@ -51,17 +51,19 @@ QUERY_MODULES = (
 #: operators/arrow_ipc.py, dap_scalar_summary_scan carries
 #: sources/dap.py scalar framing, parquet_summary_file_scan carries
 #: operators/parquet_native.py + parquet_write.py external-file_path
-#: support).  Then the verdict's prescribed rotation: ALL 11 r9-stale
-#: slips from the r14 comment, then 32 of the 46 r10-stale names —
+#: support, orc_lzo_scan_docs carries operators/lzo.py +
+#: orc_native.py).  Then the verdict's prescribed rotation: ALL 11
+#: r9-stale slips from the r14 comment, then 31 of the 46 r10-stale
+#: names —
 #: including warc_source_scan_docs, the in-window carrier for its own
 #: sf-proportional-shard change in queries/multimodal_q.py (output at
 #: the tested SFs is unchanged — still 4 shards — so REATTEST stays
 #: empty; the orcnatev stripe-scaling change lives in
-#: queries/extras_q.py, carried by its new registrations).  The 14
+#: queries/extras_q.py, carried by its new registrations).  The 15
 #: r10 slips to r16 are codec/ANN family variants whose siblings are
-#: in-window (snappy/lz4/lzma/zstd roundtrips carry the codec tier;
-#: cosine_topk_brute/_ivf/_lsh carry the ANN probes) —
-#: r16 MUST lead with: sobel_edge_stats_docs,
+#: in-window (lz4/lzma roundtrips + the LZO registration carry the
+#: codec tier; cosine_topk_brute/_ivf/_lsh carry the ANN probes) —
+#: r16 MUST lead with: snappy_roundtrip_docs, sobel_edge_stats_docs,
 #: stateful_user_totals_stream, stratified_hash_sample_docs,
 #: stream_enrich_join, tar_pax_bundle_scan_docs,
 #: tar_zst_bundle_scan_docs, tfrecord_example_scan_docs,
@@ -77,6 +79,7 @@ PRIORITY: tuple[str, ...] = (
     "arrow_ipc_dict_nested_scan_docs",  # dict-of-nested read
     "dap_scalar_summary_scan",       # DAP 0-dim bare-value framing
     "parquet_summary_file_scan",     # external file_path chunks
+    "orc_lzo_scan_docs",             # LZO1X — ORC codec family done
     # ---- r9-stale cohort (all 11 slips from the r14 comment) ----
     "array_functions_demo",
     "asof_nearest_clicks",
@@ -89,7 +92,7 @@ PRIORITY: tuple[str, ...] = (
     "orders_sort_limit",
     "semi_anti_customers",
     "zip_positional_align",
-    # ---- r10-stale cohort (32 of 46) ----
+    # ---- r10-stale cohort (31 of 46) ----
     "audio_activity_stats_docs",
     "avro_nested_scan_docs",
     "avro_ocf_scan_docs",
@@ -120,7 +123,6 @@ PRIORITY: tuple[str, ...] = (
     "semdedup_embeddings",
     "simhash_neardup_pairs",
     "skew_salted_join_events",
-    "snappy_roundtrip_docs",
     "warc_source_scan_docs",
 )
 

@@ -178,6 +178,7 @@ NOTES = {
     "arrow_ipc_dict_nested_scan_docs": "narrow mapInPandas: pyarrow DictionaryArray.from_arrays emits dict-of-list + dict-of-struct (zstd) -> DictionaryBatch delivers the nested value tree through the recursive walker; batches stay index arrays, shuffle-free",
     "dap_scalar_summary_scan": "one endpoint per partition; each drives the live protocol's 0-dim framing (bare counted string / bare 4-padded value, no (n,n) header); 4-row output, no exchange",
     "parquet_summary_file_scan": "narrow mapInPandas: engine writes data.parquet (self-referencing file_path) + metadata-only summary twin per batch; rows decode THROUGH the summary via the sibling byte-range redirect, shuffle-free",
+    "orc_lzo_scan_docs": "stripe-grain partitions over the Spark-written LZO fixture; from-spec LZO1X chunk decode executor-side with column projection; no shuffle before the sink",
 }
 
 

@@ -2700,6 +2700,41 @@ def twin_orc_native_docs(spark, sf_dir, spark_rows) -> tuple[bool, str]:
     return True, f"{n} docs replayed by pyarrow.orc"
 
 
+def twin_orc_lzo_docs(spark, sf_dir, spark_rows) -> tuple[bool, str]:
+    """pyarrow.orc's C++ LZO decoder replays the EXACT Spark-written
+    LZO fixture the scored query scanned (round 15) — an independent
+    second implementation of both the LZO1X state machine and the ORC
+    chunk framing."""
+    import glob
+    import hashlib
+
+    import pyarrow.orc as _po
+
+    from modeltracking_spark.queries.extras_q import orclzo_fixture_dir
+
+    d = orclzo_fixture_dir(spark, sf_dir)
+    got = {
+        int(r["doc_id"]): (r["lang"], int(r["n_chars_text"]),
+                           r["text_md5"])
+        for r in spark_rows
+    }
+    n = 0
+    for part in sorted(glob.glob(f"{d}/*.orc")):
+        t = _po.ORCFile(part).read()
+        for did, text, lang in zip(t.column("doc_id").to_pylist(),
+                                   t.column("text").to_pylist(),
+                                   t.column("lang").to_pylist()):
+            want = (lang, len(text),
+                    hashlib.md5(text.encode("utf-8")).hexdigest())
+            if got.get(int(did)) != want:
+                return False, (f"doc {did}: got {got.get(int(did))} "
+                               f"want {want}")
+            n += 1
+    if n != len(got):
+        return False, f"row count: pyarrow.orc {n} vs engine {len(got)}"
+    return True, f"{n} docs replayed by pyarrow.orc (LZO)"
+
+
 def twin_orc_native_events(spark, sf_dir,
                            spark_rows) -> tuple[bool, str]:
     """pyarrow.orc replays the zstd-framed events fixture, nulls and
@@ -3737,6 +3772,8 @@ def main(sf_dirs: list[str]) -> int:
              lambda rows: twin_orc_native_docs(spark, sf_dir, rows)),
             ("orc_native_scan_events",
              lambda rows: twin_orc_native_events(spark, sf_dir, rows)),
+            ("orc_lzo_scan_docs",
+             lambda rows: twin_orc_lzo_docs(spark, sf_dir, rows)),
             ("parquet_decimal_scan_orders",
              lambda rows: twin_parquet_decimal(spark, sf_dir, rows)),
             ("parquet_int96_scan_events",
