@@ -44,10 +44,17 @@ ORC UNION arm; offsets overrunning a variant child reject loudly
 where pyarrow's lazy validation misreads).  Dictionary-encoded
 NESTED value types (dictionary-of-list/struct/map, the
 DictionaryArray.from_arrays shape real writers emit for repeated
-categorical fields) READ at any position — the DictionaryBatch
-delivers the nested value tree through the same recursive decode;
-their WRITE (unhashable values in the index map) and big-endian
-streams stay typed loud rejects.
+categorical fields) read AND write at any position — the
+DictionaryBatch carries the nested value tree through the same
+recursive walk both ways (the writer's index map keys nested values
+canonically via ``_freeze``); dictionary-of-UNION stays the one
+typed reject (no writer emits it).  BIG-endian streams read AND
+write (round 15 — the schema's Endianness flag marks the type tree;
+every width-typed buffer — ints, floats, offsets, union offsets,
+dictionary indices, decimal words — packs/unpacks in the declared
+order; bitmaps and utf8 payloads are order-free per spec), so the
+former reject list is EMPTY: every Schema.fbs surface this module
+names round-trips.
 Validation: pyarrow (the reference implementation) WRITES every read
 fixture and READS every written stream/file in
 tests/test_arrow_ipc.py — adversarial in both directions.
@@ -316,9 +323,9 @@ def parse_schema(meta: bytes) -> list[dict]:
         raise ValueError("first arrow message is not a Schema")
     sch = fb.indirect(fb.field(msg, 2))
     end_p = fb.field(sch, 0)
-    if end_p is not None and fb.i16(end_p) != 0:
-        raise NotImplementedError(
-            "big-endian arrow streams not supported")
+    endianness = fb.i16(end_p) if end_p is not None else 0
+    if endianness not in (0, 1):
+        raise ValueError(f"arrow endianness {endianness} invalid")
     f_p = fb.field(sch, 1)
     fields = []
     if f_p is not None:
@@ -327,6 +334,18 @@ def parse_schema(meta: bytes) -> list[dict]:
             fields.append(_parse_field(fb, fb.indirect(base + 4 * i)))
     if not fields:
         raise ValueError("arrow schema has no fields")
+    if endianness == 1:
+        # BIG-endian stream (round 15): the schema declares buffer
+        # byte order; mark every node so the width-typed decodes
+        # (ints/floats/offsets/decimal words/dictionary indices)
+        # unpack big-endian.  Bitmaps and utf8 payloads are
+        # order-free per spec.
+        def mark(f):
+            f["big"] = True
+            for ch in f.get("children") or []:
+                mark(ch)
+        for f in fields:
+            mark(f)
     return fields
 
 
@@ -455,6 +474,7 @@ def _validity(buf: bytes, n: int, null_count: int) -> list[bool] | None:
 
 def _prim_values(field: dict, buf: bytes, n: int) -> list:
     t = field["type"]
+    bo = ">" if field.get("big") else "<"
     if t == "Int":
         bits = field["bits"]
         code = {8: "b", 16: "h", 32: "i", 64: "q"}.get(bits)
@@ -466,13 +486,13 @@ def _prim_values(field: dict, buf: bytes, n: int) -> list:
         size = bits // 8
         if len(buf) < n * size:
             raise ValueError("arrow data buffer too short")
-        return list(struct.unpack_from(f"<{n}{code}", buf, 0))
+        return list(struct.unpack_from(f"{bo}{n}{code}", buf, 0))
     if t == "FloatingPoint":
         code = {0: "e", 1: "f", 2: "d"}[field["precision"]]
         size = {0: 2, 1: 4, 2: 8}[field["precision"]]
         if len(buf) < n * size:
             raise ValueError("arrow data buffer too short")
-        return list(struct.unpack_from(f"<{n}{code}", buf, 0))
+        return list(struct.unpack_from(f"{bo}{n}{code}", buf, 0))
     if t == "Bool":
         if len(buf) * 8 < n:
             raise ValueError("arrow bool buffer too short")
@@ -483,17 +503,17 @@ def _prim_values(field: dict, buf: bytes, n: int) -> list:
         size, code = ((4, "i") if field["unit"] == 0 else (8, "q"))
         if len(buf) < n * size:
             raise ValueError("arrow data buffer too short")
-        return list(struct.unpack_from(f"<{n}{code}", buf, 0))
+        return list(struct.unpack_from(f"{bo}{n}{code}", buf, 0))
     if t in ("Timestamp", "Duration"):
         if len(buf) < n * 8:
             raise ValueError("arrow data buffer too short")
-        return list(struct.unpack_from(f"<{n}q", buf, 0))
+        return list(struct.unpack_from(f"{bo}{n}q", buf, 0))
     if t == "Time":
         size = field["bits"] // 8
         code = "i" if size == 4 else "q"
         if len(buf) < n * size:
             raise ValueError("arrow data buffer too short")
-        return list(struct.unpack_from(f"<{n}{code}", buf, 0))
+        return list(struct.unpack_from(f"{bo}{n}{code}", buf, 0))
     if t == "Decimal":
         # two's-complement little-endian words of 16/32 bytes,
         # surfaced as decimal.Decimal at the declared scale
@@ -505,7 +525,8 @@ def _prim_values(field: dict, buf: bytes, n: int) -> list:
         out = []
         sc = field["scale"]
         for i in range(n):
-            u = int.from_bytes(buf[i * w:(i + 1) * w], "little",
+            u = int.from_bytes(buf[i * w:(i + 1) * w],
+                               "big" if field.get("big") else "little",
                                signed=True)
             out.append(Decimal(u).scaleb(-sc))
         return out
@@ -607,6 +628,7 @@ def _decode_columns(fields: list[dict], rb: dict, body: bytes,
                 f"arrow field {field['name']!r} length {length} != "
                 f"{expect}")
         t = field["type"]
+        bo = ">" if field.get("big") else "<"
         if t == "Union":
             # V5 layout: NO validity bitmap (nulls live in the
             # children) — a types buffer of int8 tags, plus an int32
@@ -624,7 +646,7 @@ def _decode_columns(fields: list[dict], rb: dict, body: bytes,
                 if len(offs_b) < 4 * length:
                     raise ValueError(
                         "arrow union offsets buffer too short")
-                offs = struct.unpack_from(f"<{length}i", offs_b, 0)
+                offs = struct.unpack_from(f"{bo}{length}i", offs_b, 0)
             kids = [read_array(ch, None if dense else length)
                     for ch in field["children"]]
             tids = field.get("type_ids") or list(range(len(kids)))
@@ -653,7 +675,8 @@ def _decode_columns(fields: list[dict], rb: dict, body: bytes,
                     f"arrow batch uses dictionary {enc['id']} before "
                     "any DictionaryBatch delivered it")
             idx_field = {"name": field["name"], "type": "Int",
-                         "bits": enc["bits"], "signed": enc["signed"]}
+                         "bits": enc["bits"], "signed": enc["signed"],
+                         "big": field.get("big")}
             raw = _prim_values(idx_field, take_buf(), length)
             vals = []
             for i, ix in enumerate(raw):
@@ -672,7 +695,7 @@ def _decode_columns(fields: list[dict], rb: dict, body: bytes,
             offs_b = take_buf()
             if len(offs_b) < osz * (length + 1):
                 raise ValueError("arrow offsets buffer too short")
-            offs = struct.unpack_from(f"<{length + 1}{ocode}",
+            offs = struct.unpack_from(f"{bo}{length + 1}{ocode}",
                                       offs_b, 0)
             data = take_buf()
             text = t in ("Utf8", "LargeUtf8")
@@ -693,7 +716,7 @@ def _decode_columns(fields: list[dict], rb: dict, body: bytes,
             offs_b = take_buf()
             if len(offs_b) < osz * (length + 1):
                 raise ValueError("arrow offsets buffer too short")
-            offs = struct.unpack_from(f"<{length + 1}{ocode}",
+            offs = struct.unpack_from(f"{bo}{length + 1}{ocode}",
                                       offs_b, 0)
             c_vals = read_array(field["children"][0], None)
             vals = []
@@ -731,7 +754,7 @@ def _decode_columns(fields: list[dict], rb: dict, body: bytes,
             offs_b = take_buf()
             if len(offs_b) < 4 * (length + 1):
                 raise ValueError("arrow offsets buffer too short")
-            offs = struct.unpack_from(f"<{length + 1}i", offs_b, 0)
+            offs = struct.unpack_from(f"{bo}{length + 1}i", offs_b, 0)
             entries = field["children"][0]
             kn, vn = (ch["name"] for ch in entries["children"])
             e_vals = read_array(entries, None)
@@ -960,14 +983,26 @@ _TYPE_TAGS = {"Int": 2, "FloatingPoint": 3, "Binary": 4, "Utf8": 5,
 _INT_CODES = {8: "b", 16: "h", 32: "i", 64: "q"}
 
 
+def _freeze(v):
+    """Hashable canonical key for a dictionary value of ANY type tree
+    (lists/structs/maps nest): the writer's index map needs equality
+    that matches the reader's python shapes.  Tagged tuples keep a
+    list distinct from a same-content map-entry list."""
+    if isinstance(v, list):
+        return ("L", tuple(_freeze(x) for x in v))
+    if isinstance(v, tuple):
+        return ("T", tuple(_freeze(x) for x in v))
+    if isinstance(v, dict):
+        return ("D", tuple(sorted((k, _freeze(x))
+                                  for k, x in v.items())))
+    if isinstance(v, bytearray):
+        return bytes(v)
+    return v
+
+
 def _dict_enc_chunk(b: _FBBuilder, f: dict) -> _Chunk:
-    """DictionaryEncoding table for a dictionary-encoded leaf field:
+    """DictionaryEncoding table for a dictionary-encoded field:
     {0: id, 1: indexType (Int), 2: isOrdered}."""
-    if f["type"] in _NESTED:
-        raise NotImplementedError(
-            "dictionary-encoded arrow nested value types write not "
-            "supported (READ is, and dictionary-encoded leaves write "
-            "at any nesting position)")
     enc = f["dictionary"]
     bits = enc.get("bits", 32)
     if bits not in (8, 16, 32, 64):
@@ -1087,7 +1122,11 @@ def _field_chunk(b: _FBBuilder, f: dict, depth: int = 0) -> _Chunk:
 
 def _schema_chunk(b: _FBBuilder, fields: list[dict]) -> _Chunk:
     fcs = [_field_chunk(b, f) for f in fields]
-    return b.table([(1, "ref", b.vec_refs(fcs))])
+    slots = []
+    if any(f.get("big") for f in fields):
+        slots.append((0, "i16", 1))  # Endianness.Big
+    slots.append((1, "ref", b.vec_refs(fcs)))
+    return b.table(slots)
 
 
 def _schema_meta(fields: list[dict]) -> bytes:
@@ -1157,6 +1196,7 @@ def _enc_validity(vals: list) -> tuple[bytes, int]:
 
 def _enc_prim(field: dict, vals: list) -> bytes:
     t = field["type"]
+    bo = ">" if field.get("big") else "<"
     filled = [0 if v is None else v for v in vals]
     if t == "Int":
         code = _INT_CODES.get(field["bits"])
@@ -1165,10 +1205,10 @@ def _enc_prim(field: dict, vals: list) -> bytes:
                 f"arrow int{field['bits']} write not supported")
         if not field.get("signed", True):
             code = code.upper()
-        return struct.pack(f"<{len(vals)}{code}", *filled)
+        return struct.pack(f"{bo}{len(vals)}{code}", *filled)
     if t == "FloatingPoint":
         code = {0: "e", 1: "f", 2: "d"}[field.get("precision", 2)]
-        return struct.pack(f"<{len(vals)}{code}",
+        return struct.pack(f"{bo}{len(vals)}{code}",
                            *[float(v) for v in filled])
     if t == "Bool":
         bm = bytearray((len(vals) + 7) // 8)
@@ -1178,12 +1218,12 @@ def _enc_prim(field: dict, vals: list) -> bytes:
         return bytes(bm)
     if t == "Date":
         code = "i" if field.get("unit", 0) == 0 else "q"
-        return struct.pack(f"<{len(vals)}{code}", *filled)
+        return struct.pack(f"{bo}{len(vals)}{code}", *filled)
     if t in ("Timestamp", "Duration"):
-        return struct.pack(f"<{len(vals)}q", *filled)
+        return struct.pack(f"{bo}{len(vals)}q", *filled)
     if t == "Time":
         code = "i" if field.get("bits", 32) == 32 else "q"
-        return struct.pack(f"<{len(vals)}{code}", *filled)
+        return struct.pack(f"{bo}{len(vals)}{code}", *filled)
     if t == "Decimal":
         from decimal import Decimal
 
@@ -1199,7 +1239,9 @@ def _enc_prim(field: dict, vals: list) -> bytes:
                 raise ValueError(
                     f"decimal value {v} does not fit scale {sc}")
             try:
-                out += int(m).to_bytes(w, "little", signed=True)
+                out += int(m).to_bytes(
+                    w, "big" if field.get("big") else "little",
+                    signed=True)
             except OverflowError:
                 raise ValueError(
                     f"decimal value {v} overflows {w * 8}-bit "
@@ -1222,14 +1264,17 @@ def _enc_prim(field: dict, vals: list) -> bytes:
     raise NotImplementedError(f"arrow type {t} write not supported")
 
 
-def _enc_offsets(lengths: list[int], wide: bool = False) -> bytes:
+def _enc_offsets(lengths: list[int], wide: bool = False,
+                 big: bool = False) -> bytes:
     offs = [0]
     for ln in lengths:
         offs.append(offs[-1] + ln)
     if not wide and offs[-1] > (1 << 31) - 1:
         raise ValueError(
             "arrow 32-bit offsets overflow (use the Large variant)")
-    return struct.pack(f"<{len(offs)}{'q' if wide else 'i'}", *offs)
+    return struct.pack(
+        f"{'>' if big else '<'}{len(offs)}{'q' if wide else 'i'}",
+        *offs)
 
 
 def _enc_array(field: dict, vals: list, dstate: dict,
@@ -1275,7 +1320,9 @@ def _enc_array(field: dict, vals: list, dstate: dict,
                 ci = id_map[v["tag"]]
                 offs.append(len(members[ci]))
                 members[ci].append(v.get("value"))
-            bufs.append(struct.pack(f"<{len(offs)}i", *offs))
+            bufs.append(struct.pack(
+                f"{'>' if field.get('big') else '<'}{len(offs)}i",
+                *offs))
         else:  # sparse: full-length children, null off-tag slots
             members = [
                 [v.get("value") if id_map[v["tag"]] == k else None
@@ -1306,7 +1353,8 @@ def _enc_array(field: dict, vals: list, dstate: dict,
                 # accepts this (ADVICE r14 adjudication)
                 idx.append(0)
                 continue
-            i = st["index"].get(v)
+            key = _freeze(v)  # nested value trees index canonically
+            i = st["index"].get(key)
             if i is None:
                 i = len(st["values"])
                 if i > cap:
@@ -1314,14 +1362,16 @@ def _enc_array(field: dict, vals: list, dstate: dict,
                         f"arrow dictionary {enc['id']} overflows "
                         f"int{st['bits']} indices at "
                         f"{len(st['values'])} distinct values")
-                st["index"][v] = i
+                st["index"][key] = i
                 st["values"].append(v)
                 st["new"].append(v)
             idx.append(i)
         code = _INT_CODES[st["bits"]]
         if not st["signed"]:
             code = code.upper()
-        bufs.append(struct.pack(f"<{len(idx)}{code}", *idx))
+        bufs.append(struct.pack(
+            f"{'>' if field.get('big') else '<'}{len(idx)}{code}",
+            *idx))
         return nodes, bufs
     if t in ("Utf8", "Binary", "LargeUtf8", "LargeBinary"):
         text = t in ("Utf8", "LargeUtf8")
@@ -1329,7 +1379,8 @@ def _enc_array(field: dict, vals: list, dstate: dict,
                     (v.encode("utf-8") if text else bytes(v))
                     for v in vals]
         bufs.append(_enc_offsets([len(p) for p in payloads],
-                                 wide=t.startswith("Large")))
+                                 wide=t.startswith("Large"),
+                                 big=bool(field.get("big"))))
         bufs.append(b"".join(payloads))
     elif t in ("List", "LargeList"):
         if len(field.get("children") or []) != 1:
@@ -1343,7 +1394,8 @@ def _enc_array(field: dict, vals: list, dstate: dict,
             else:
                 flat.extend(v)
                 lens.append(len(v))
-        bufs.append(_enc_offsets(lens, wide=(t == "LargeList")))
+        bufs.append(_enc_offsets(lens, wide=(t == "LargeList"),
+                                 big=bool(field.get("big"))))
         cn, cb = _enc_array(child, flat, dstate, depth + 1)
         nodes.extend(cn)
         bufs.extend(cb)
@@ -1405,7 +1457,7 @@ def _enc_array(field: dict, vals: list, dstate: dict,
                 flat.append({kn: k, vn: mv})
                 cnt += 1
             lens.append(cnt)
-        bufs.append(_enc_offsets(lens))
+        bufs.append(_enc_offsets(lens, big=bool(field.get("big"))))
         cn, cb = _enc_array(entries, flat, dstate, depth + 1)
         nodes.extend(cn)
         bufs.extend(cb)
@@ -1486,11 +1538,10 @@ def _init_dict_state(fields: list[dict], dstate: dict) -> None:
     def walk(f):
         enc = f.get("dictionary")
         if enc is not None:
-            if f["type"] in _NESTED:
+            if f["type"] == "Union":
                 raise NotImplementedError(
-                    "dictionary-encoded arrow nested value types "
-                    "write not supported (READ is; the writer's index "
-                    "map needs hashable values)")
+                    "dictionary-encoded arrow Union value types not "
+                    "supported (no writer emits them)")
             bits = enc.setdefault("bits", 32)
             signed = enc.setdefault("signed", True)
             if bits not in (8, 16, 32, 64):
@@ -1553,7 +1604,8 @@ def _enc_dict_frames(dstate: dict, codec: int | None, *,
 
 def ipc_write(fields: list[dict], columns: dict, *,
               fmt: str = "stream", compression: str | None = None,
-              max_chunksize: int = 4096) -> bytes:
+              max_chunksize: int = 4096,
+              endianness: str = "little") -> bytes:
     """Columns -> Arrow IPC bytes.  ``fields`` uses the same spec
     dicts ``parse_schema`` emits ({name, type, nullable, bits/signed/
     precision/unit/scale/byte_width/list_size, children, dictionary});
@@ -1570,6 +1622,8 @@ def ipc_write(fields: list[dict], columns: dict, *,
 
     if fmt not in ("stream", "file"):
         raise ValueError(f"unknown arrow ipc format {fmt!r}")
+    if endianness not in ("little", "big"):
+        raise ValueError(f"unknown arrow endianness {endianness!r}")
     if compression not in (None, "lz4", "zstd"):
         raise NotImplementedError(
             f"arrow body compression {compression!r} not supported")
@@ -1578,6 +1632,15 @@ def ipc_write(fields: list[dict], columns: dict, *,
     if max_chunksize < 1:
         raise ValueError("max_chunksize must be positive")
     fields = copy.deepcopy(fields)
+    if endianness == "big":
+        # round 15: emit a BIG-endian stream — the schema declares it
+        # (Endianness.Big) and every width-typed buffer packs ">"
+        def _mark(f):
+            f["big"] = True
+            for ch in f.get("children") or []:
+                _mark(ch)
+        for f in fields:
+            _mark(f)
     lens = {f["name"]: len(columns[f["name"]]) for f in fields}
     if len(set(lens.values())) > 1:
         raise ValueError(f"ragged arrow columns: {lens}")

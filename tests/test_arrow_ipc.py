@@ -330,13 +330,23 @@ def test_write_side_typed_rejects():
     with pytest.raises(ValueError, match="format"):
         ipc_write(f_i, {"x": [1]}, fmt="feather")
     # round 14: date64 / list<utf8> / dictionary WRITE are supported;
-    # the rejects moved to dictionary-of-nested and invalid widths
-    with pytest.raises(NotImplementedError, match="nested value"):
-        ipc_write([{"name": "dl", "type": "List",
-                    "children": [{"name": "item", "type": "Int",
+    # round 15: dictionary-of-NESTED writes too (frozen-key index) —
+    # the reject narrowed to dictionary-of-Union and invalid widths
+    assert ipc_read(ipc_write(
+        [{"name": "dl", "type": "List",
+          "children": [{"name": "item", "type": "Int",
+                        "bits": 64, "signed": True}],
+          "dictionary": {"id": 0, "bits": 32,
+                         "signed": True}}],
+        {"dl": [[1], [1], [2]]}))["columns"]["dl"] == [[1], [1], [2]]
+    with pytest.raises(NotImplementedError, match="Union value"):
+        ipc_write([{"name": "du", "type": "Union", "mode": 0,
+                    "type_ids": [0],
+                    "children": [{"name": "i", "type": "Int",
                                   "bits": 64, "signed": True}],
                     "dictionary": {"id": 0, "bits": 32,
-                                   "signed": True}}], {"dl": [[1]]})
+                                   "signed": True}}],
+                  {"du": [{"tag": 0, "value": 1}]})
     with pytest.raises(ValueError, match="index width"):
         ipc_write([{"name": "d", "type": "Utf8",
                     "dictionary": {"id": 0, "bits": 12,
@@ -1287,14 +1297,34 @@ def test_dict_of_nested_reads():
     got = ipc_read(buf.getvalue())["columns"]["st"]
     assert got[0] == {"d": ["a", "b"], "n": 1}
     assert got[3] == {"d": None, "n": 4}
-    # write of dict-of-nested stays the typed reject
-    with pytest.raises(NotImplementedError, match="nested value"):
-        ipc_write(
-            [{"name": "d", "type": "List", "nullable": True,
-              "dictionary": {"id": 0, "bits": 32, "signed": True},
-              "children": [{"name": "item", "type": "Utf8",
-                            "nullable": True, "children": []}]}],
-            {"d": [["a"]]})
+    # round 15: dict-of-nested WRITES too — roundtrip + pyarrow read
+    fields = [{"name": "d", "type": "List", "nullable": True,
+               "dictionary": {"id": 0, "bits": 16, "signed": True},
+               "children": [{"name": "item", "type": "Utf8",
+                             "nullable": True, "children": []}]}]
+    vals = [["a", "b"], ["a", "b"], None, ["c"], ["a", "b"],
+            ["d", "e", None], ["c"]]
+    for fmt in ("stream", "file"):
+        blob = ipc_write(fields, {"d": vals}, fmt=fmt, max_chunksize=2)
+        assert ipc_read(blob)["columns"]["d"] == vals, fmt
+        opener = ipc.open_stream if fmt == "stream" else ipc.open_file
+        rt = opener(io.BytesIO(blob)).read_all()
+        assert rt.column(0).to_pylist() == vals, fmt
+        assert str(rt.schema.field(0).type).startswith("dictionary")
+    # dict-of-struct with delta emission across chunks
+    sf = [{"name": "s", "type": "Struct_", "nullable": True,
+           "dictionary": {"id": 1, "bits": 8, "signed": True},
+           "children": [
+               {"name": "u", "type": "Int", "bits": 64,
+                "signed": True, "nullable": True, "children": []},
+               {"name": "v", "type": "Utf8", "nullable": True,
+                "children": []}]}]
+    sv = [{"u": 1, "v": "x"}, {"u": 2, "v": "y"},
+          {"u": 1, "v": "x"}, None, {"u": 3, "v": "z"}]
+    blob = ipc_write(sf, {"s": sv}, max_chunksize=2)
+    assert ipc_read(blob)["columns"]["s"] == sv
+    assert pa.ipc.open_stream(io.BytesIO(blob)).read_all() \
+        .column(0).to_pylist() == sv
 
 
 def test_dict_of_nested_mutation_fuzz():
@@ -1311,6 +1341,112 @@ def test_dict_of_nested_mutation_fuzz():
     rng = random.Random(7341)
     for _ in range(400):
         b = bytearray(base)
+        op = rng.randrange(3)
+        if op == 0:
+            for _ in range(rng.randrange(1, 4)):
+                b[rng.randrange(len(b))] ^= rng.randrange(1, 256)
+        elif op == 1:
+            b = b[:rng.randrange(len(b))]
+        else:
+            i = rng.randrange(len(b))
+            b = (b[:i] + bytes(rng.randrange(256)
+                               for _ in range(rng.randrange(1, 12)))
+                 + b[i:])
+        try:
+            ipc_read(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass
+
+
+# ---------------------------------------------------------------------------
+# Round 15: big-endian streams — the interchange matrix fully closed
+# ---------------------------------------------------------------------------
+
+_BE_FIELDS = [
+    {"name": "i", "type": "Int", "bits": 32, "signed": True,
+     "nullable": True, "children": []},
+    {"name": "q", "type": "Int", "bits": 64, "signed": True,
+     "nullable": False, "children": []},
+    {"name": "f", "type": "FloatingPoint", "precision": 2,
+     "nullable": True, "children": []},
+    {"name": "s", "type": "Utf8", "nullable": True, "children": []},
+    {"name": "ls", "type": "List", "nullable": True, "children": [
+        {"name": "item", "type": "Int", "bits": 16, "signed": True,
+         "nullable": True, "children": []}]},
+    {"name": "dec", "type": "Decimal", "bits": 128, "precision": 20,
+     "scale": 2, "nullable": True, "children": []},
+    {"name": "d", "type": "Utf8", "nullable": True,
+     "dictionary": {"id": 0, "bits": 16, "signed": True},
+     "children": []},
+]
+
+
+def _be_cols():
+    from decimal import Decimal
+
+    return {
+        "i": [1, -2, None, 70000],
+        "q": [2**40, -5, 7, 0],
+        "f": [1.5, None, -2.25, 1e12],
+        "s": ["héllo", None, "", "yo"],
+        "ls": [[1, -300], None, [], [32000]],
+        "dec": [Decimal("123.45"), None, Decimal("-0.01"),
+                Decimal("9" * 18 + ".99")],
+        "d": ["x", "y", "x", None],
+    }
+
+
+def test_big_endian_write_read_and_pyarrow():
+    """BIG-endian emission (Schema Endianness.Big + every width-typed
+    buffer packed '>'): the own reader decodes it, and PYARROW — whose
+    default IpcReadOptions(ensure_native_endian=True) byte-swaps
+    non-native streams — reads the engine's BE bytes value-exact,
+    dictionary indices and decimal128 words included."""
+    cols = _be_cols()
+    for fmt in ("stream", "file"):
+        blob = ipc_write(_BE_FIELDS, cols, fmt=fmt, endianness="big",
+                         max_chunksize=3)
+        own = ipc_read(blob)["columns"]
+        for k, v in cols.items():
+            assert own[k] == v, (fmt, k)
+        opener = ipc.open_stream if fmt == "stream" else ipc.open_file
+        rt = opener(io.BytesIO(blob)).read_all()
+        for k, v in cols.items():
+            assert rt.column(k).to_pylist() == v, (fmt, k)
+    # LE output of the same columns differs on the wire but not in
+    # value space; endianness typo is a typed reject
+    le = ipc_write(_BE_FIELDS, cols)
+    be = ipc_write(_BE_FIELDS, cols, endianness="big")
+    assert le != be
+    assert ipc_read(le)["columns"]["q"] == cols["q"]
+    with pytest.raises(ValueError, match="endianness"):
+        ipc_write(_BE_FIELDS, cols, endianness="network")
+
+
+def test_big_endian_union_and_compressed():
+    """Unions (dense offsets are int32 — byte-order sensitive) and
+    zstd bodies compose with BE emission."""
+    fields = [{"name": "u", "type": "Union", "mode": 1,
+               "type_ids": [5, 9], "nullable": False, "children": [
+                   {"name": "i", "type": "Int", "bits": 32,
+                    "signed": True, "nullable": True, "children": []},
+                   {"name": "s", "type": "Utf8", "nullable": True,
+                    "children": []}]}]
+    vals = [{"tag": 5, "value": 700}, {"tag": 9, "value": "be"},
+            {"tag": 5, "value": None}, {"tag": 5, "value": -9}]
+    blob = ipc_write(fields, {"u": vals}, endianness="big",
+                     compression="zstd", max_chunksize=2)
+    assert ipc_read(blob)["columns"]["u"] == vals
+    rt = ipc.open_stream(io.BytesIO(blob)).read_all()
+    assert rt.column(0).to_pylist() == [700, "be", None, -9]
+
+
+def test_big_endian_mutation_fuzz():
+    blob = ipc_write(_BE_FIELDS, _be_cols(), endianness="big",
+                     max_chunksize=2)
+    rng = random.Random(6151)
+    for _ in range(300):
+        b = bytearray(blob)
         op = rng.randrange(3)
         if op == 0:
             for _ in range(rng.randrange(1, 4)):
