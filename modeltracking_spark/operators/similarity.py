@@ -592,22 +592,23 @@ def cosine_neardup_lsh(
         cside = cside.join(F.broadcast(over), ["tbl", "sig"], "left_anti")
         pside = pside.join(F.broadcast(over), ["tbl", "sig"], "left_anti")
         wo = Window.partitionBy("tbl", "sig").orderBy(F.col("id_b").asc())
-        chained = (
-            big.select(
-                F.col("id_b").alias("id_a"),
-                F.col("vb").alias("va"),
-                F.col("__nb").alias("__na"),
-                F.lead("id_b").over(wo).alias("id_b"),
-                F.lead("vb").over(wo).alias("vb"),
-                F.lead("__nb").over(wo).alias("__nb"),
-            )
-            .where(F.col("id_b").isNotNull())
-            .join(
+        chained = big.select(
+            F.col("id_b").alias("id_a"),
+            F.col("vb").alias("va"),
+            F.col("__nb").alias("__na"),
+            F.lead("id_b").over(wo).alias("id_b"),
+            F.lead("vb").over(wo).alias("vb"),
+            F.lead("__nb").over(wo).alias("__nb"),
+        ).where(F.col("id_b").isNotNull())
+        if probe_filter is not None:
+            # id_a must stay inside the probe set; with no filter the
+            # probe IS the corpus, so the semi join would be a no-op
+            # full-table pass — skip it
+            chained = chained.join(
                 probe.select(F.col(id_col).alias("id_a")),
                 "id_a",
                 "left_semi",
             )
-        )
     else:
         chained = None
     cand = pside.join(cside, ["tbl", "sig"]).where(F.col("id_a") < F.col("id_b"))
