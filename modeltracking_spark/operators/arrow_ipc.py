@@ -54,10 +54,27 @@ every width-typed buffer — ints, floats, offsets, union offsets,
 dictionary indices, decimal words — packs/unpacks in the declared
 order; bitmaps and utf8 payloads are order-free per spec), so the
 former reject list is EMPTY: every Schema.fbs surface this module
-names round-trips.
+names round-trips.  The ARROW 1.4 LAYOUTS read AND write (round 15
+extension): Utf8View/BinaryView (16-byte view structs — inline <= 12
+bytes, else prefix + buffer_index + offset into the batch's VARIADIC
+data buffers, counted by RecordBatch.variadicBufferCounts in
+depth-first field order; the read side accepts any buffer count and
+validates the 4-byte prefix against the referenced data, the write
+side emits one data buffer per chunk or zero when every view is
+inline — pyarrow's own shape), ListView/LargeListView (separate
+offsets + sizes buffers, n entries each — out-of-order and
+overlapping windows are legal on read; the writer emits dense
+in-order windows), and RunEndEncoded (NO buffers of its own, not
+even validity — children are regular run_ends int16/32/64 +
+values arrays; read validates strict monotonicity and coverage,
+write run-length-compresses via the same ``_freeze`` canonical
+equality the dictionary index map uses).
 Validation: pyarrow (the reference implementation) WRITES every read
 fixture and READS every written stream/file in
-tests/test_arrow_ipc.py — adversarial in both directions.
+tests/test_arrow_ipc.py — adversarial in both directions (the one
+asymmetry: pyarrow cannot byte-swap BIG-endian view/REE buffers —
+its own NotImplemented — so the BE arm of those five layouts is
+pinned by this module's reader instead).
 """
 
 from __future__ import annotations
@@ -144,7 +161,8 @@ _TYPE_NAMES = {
     11: "Interval", 12: "List", 13: "Struct_", 14: "Union",
     15: "FixedSizeBinary", 16: "FixedSizeList", 17: "Map",
     18: "Duration", 19: "LargeBinary", 20: "LargeUtf8",
-    21: "LargeList",
+    21: "LargeList", 22: "RunEndEncoded", 23: "BinaryView",
+    24: "Utf8View", 25: "ListView", 26: "LargeListView",
 }
 
 
@@ -155,7 +173,7 @@ _MAX_DEPTH = 32
 
 #: type-tree nodes that own child arrays
 _NESTED = ("List", "LargeList", "FixedSizeList", "Struct_", "Map",
-           "Union")
+           "Union", "ListView", "LargeListView", "RunEndEncoded")
 
 
 def _parse_field(fb: _FB, fpos: int, depth: int = 0) -> dict:
@@ -269,7 +287,13 @@ def _parse_field(fb: _FB, fpos: int, depth: int = 0) -> dict:
             type_ids = [fb.i32(base + 4 * k) for k in range(cnt)]
         out["type_ids"] = type_ids
     elif tname in ("Utf8", "Binary", "Bool", "List", "LargeUtf8",
-                   "LargeBinary", "LargeList", "Struct_", "Map"):
+                   "LargeBinary", "LargeList", "Struct_", "Map",
+                   "Utf8View", "BinaryView", "ListView",
+                   "LargeListView", "RunEndEncoded"):
+        # the 1.4 layouts (views, list-views, run-end encoding) carry
+        # EMPTY type tables in Schema.fbs — all shape lives in the
+        # batch buffers (16-byte view structs + variadic data buffers,
+        # offsets+sizes pairs) or the children (run_ends + values)
         pass
     else:
         raise NotImplementedError(
@@ -288,9 +312,22 @@ def _parse_field(fb: _FB, fpos: int, depth: int = 0) -> dict:
     # decode, and batches carry plain index arrays (round 15).  Write
     # stays a typed reject in _init_dict_state (nested values are
     # unhashable in the writer's index map).
-    if tname in ("List", "LargeList", "FixedSizeList"):
+    if tname in ("List", "LargeList", "FixedSizeList", "ListView",
+                 "LargeListView"):
         if len(children) != 1:
             raise ValueError(f"arrow {tname} field needs one child")
+    elif tname == "RunEndEncoded":
+        # spec: exactly two children — run_ends (int16/32/64, never
+        # null) then values; the parent owns NO buffers of its own
+        if len(children) != 2:
+            raise ValueError(
+                "arrow RunEndEncoded field needs run_ends + values "
+                "children")
+        re_ch = children[0]
+        if re_ch["type"] != "Int" or re_ch.get("bits") not in (16, 32,
+                                                               64):
+            raise ValueError(
+                "arrow run_ends child must be int16/int32/int64")
     elif tname == "Struct_":
         if not children:
             raise ValueError("arrow Struct field needs children")
@@ -422,8 +459,15 @@ def _rb_table(fb: _FB, rb: int, body_len: int) -> dict:
             raise NotImplementedError(
                 "non-buffer-grain arrow body compression not "
                 "supported")
+    variadic = []
+    v_p = fb.field(rb, 4)
+    if v_p is not None:  # variadicBufferCounts: one int64 per
+        cnt, base = fb.vector(v_p)  # view-typed field, depth-first
+        for i in range(cnt):
+            variadic.append(fb.i64(base + 8 * i))
     return {"n_rows": n_rows, "nodes": nodes, "buffers": buffers,
-            "codec": codec, "body_len": body_len}
+            "codec": codec, "body_len": body_len,
+            "variadic": variadic}
 
 
 def _buffer_bytes(body: bytes, off: int, ln: int,
@@ -609,6 +653,24 @@ def _decode_columns(fields: list[dict], rb: dict, body: bytes,
         ni += 1
         return node
 
+    vq = list(rb.get("variadic") or [])
+    vqi = 0
+
+    def take_variadic():
+        # one entry per view-typed field in depth-first order — the
+        # number of data buffers that follow this field's views buffer
+        nonlocal vqi
+        if vqi >= len(vq):
+            raise ValueError(
+                "arrow view column without a variadicBufferCounts "
+                "entry")
+        cnt = vq[vqi]
+        vqi += 1
+        if cnt < 0 or cnt > len(rb["buffers"]):
+            raise ValueError(
+                f"implausible arrow variadic buffer count {cnt}")
+        return cnt
+
     def read_array(field, expect):
         """One array (any depth) following the spec's pre-order
         FieldNode walk and depth-first buffer layout: FieldNode +
@@ -664,6 +726,33 @@ def _decode_columns(fields: list[dict], rb: dict, body: bytes,
                         "arrow union offset out of bounds")
                 vals.append({"tag": tags[i], "value": kids[ci][j]})
             return vals
+        if t == "RunEndEncoded" and not field.get("dictionary"):
+            # spec: the parent owns NO buffers (not even validity —
+            # nulls live in the values child); children are regular
+            # arrays whose lengths only their own FieldNodes know
+            ends = read_array(field["children"][0], None)
+            rvals = read_array(field["children"][1], None)
+            if len(rvals) != len(ends):
+                raise ValueError(
+                    "arrow run_ends/values children length mismatch")
+            prev = 0
+            for e in ends:
+                if e is None:
+                    raise ValueError("null arrow run end")
+                if e <= prev:
+                    raise ValueError(
+                        "arrow run ends not strictly increasing")
+                prev = e
+            if length > 0 and (not ends or ends[-1] < length):
+                raise ValueError(
+                    "arrow run ends do not cover the array length")
+            vals = []
+            ri = 0
+            for i in range(length):
+                while ends[ri] <= i:
+                    ri += 1
+                vals.append(rvals[ri])
+            return vals
         valid = _validity(take_buf(), length, null_count)
         if field.get("dictionary"):
             # the batch carries only an index array; values came from
@@ -710,6 +799,73 @@ def _decode_columns(fields: list[dict], rb: dict, body: bytes,
                                      "bounds")
                 vals.append(data[s:e].decode("utf-8")
                             if text else bytes(data[s:e]))
+            return vals
+        if t in ("Utf8View", "BinaryView"):
+            # 1.4 view layout: a 16-byte view struct per slot —
+            # int32 length, then (length <= 12) 12 inline bytes or
+            # (4-byte prefix, int32 buffer_index, int32 offset) into
+            # one of the batch's VARIADIC data buffers; the count of
+            # data buffers comes from RecordBatch.variadicBufferCounts
+            views_b = take_buf()
+            if len(views_b) < 16 * length:
+                raise ValueError("arrow views buffer too short")
+            datas = [take_buf() for _ in range(take_variadic())]
+            text = t == "Utf8View"
+            vals = []
+            for i in range(length):
+                if valid is not None and not valid[i]:
+                    vals.append(None)
+                    continue
+                (ln,) = struct.unpack_from(f"{bo}i", views_b, 16 * i)
+                if ln < 0:
+                    raise ValueError("negative arrow view length")
+                if ln <= 12:
+                    raw = views_b[16 * i + 4:16 * i + 4 + ln]
+                else:
+                    prefix = views_b[16 * i + 4:16 * i + 8]
+                    bix, boff = struct.unpack_from(
+                        f"{bo}ii", views_b, 16 * i + 8)
+                    if bix < 0 or bix >= len(datas):
+                        raise ValueError(
+                            "arrow view buffer index out of range")
+                    db = datas[bix]
+                    if boff < 0 or boff + ln > len(db):
+                        raise ValueError(
+                            "arrow view offset out of bounds")
+                    raw = db[boff:boff + ln]
+                    if raw[:4] != prefix:
+                        raise ValueError(
+                            "arrow view prefix does not match its "
+                            "data")
+                vals.append(raw.decode("utf-8") if text
+                            else bytes(raw))
+            return vals
+        if t in ("ListView", "LargeListView"):
+            # 1.4 list-view layout: SEPARATE offsets and sizes buffers
+            # (n entries each, NOT n+1 — slots may overlap or sit out
+            # of order; only each slot's own [off, off+size) window
+            # need be in the child's bounds)
+            osz, ocode = (8, "q") if t == "LargeListView" else (4, "i")
+            offs_b = take_buf()
+            sizes_b = take_buf()
+            if len(offs_b) < osz * length or \
+                    len(sizes_b) < osz * length:
+                raise ValueError(
+                    "arrow list-view offsets/sizes buffer too short")
+            offs = struct.unpack_from(f"{bo}{length}{ocode}", offs_b, 0)
+            sizes = struct.unpack_from(f"{bo}{length}{ocode}",
+                                       sizes_b, 0)
+            c_vals = read_array(field["children"][0], None)
+            vals = []
+            for i in range(length):
+                if valid is not None and not valid[i]:
+                    vals.append(None)
+                    continue
+                s, sz = offs[i], sizes[i]
+                if s < 0 or sz < 0 or s + sz > len(c_vals):
+                    raise ValueError(
+                        "arrow list-view window out of bounds")
+                vals.append(c_vals[s:s + sz])
             return vals
         if t in ("List", "LargeList"):
             osz, ocode = (8, "q") if t == "LargeList" else (4, "i")
@@ -939,6 +1095,17 @@ class _FBBuilder:
         c.data += struct.pack(f"<{len(ints)}i", *[int(x) for x in ints])
         return c
 
+    def vec_i64(self, ints: list) -> _Chunk:
+        """Vector of int64 scalars: 4 leading pad bytes so the count
+        sits at +4 and the 8-byte elements at +8 stay 8-aligned —
+        the RecordBatch.variadicBufferCounts wire shape.  Reference
+        it with delta=4."""
+        c = self._chunk(8)
+        c.data += b"\0\0\0\0" + struct.pack("<I", len(ints))
+        c.data += struct.pack(f"<{len(ints)}q",
+                              *[int(x) for x in ints])
+        return c
+
     def vec_structs(self, packed: bytes, n: int) -> _Chunk:
         """Vector of 8-aligned inline structs: 4 leading pad bytes so
         the count sits at +4 and elements at +8.  Reference it with
@@ -978,7 +1145,8 @@ _TYPE_TAGS = {"Int": 2, "FloatingPoint": 3, "Binary": 4, "Utf8": 5,
               "Timestamp": 10, "List": 12, "Struct_": 13, "Union": 14,
               "FixedSizeBinary": 15, "FixedSizeList": 16, "Map": 17,
               "Duration": 18, "LargeBinary": 19, "LargeUtf8": 20,
-              "LargeList": 21}
+              "LargeList": 21, "RunEndEncoded": 22, "BinaryView": 23,
+              "Utf8View": 24, "ListView": 25, "LargeListView": 26}
 
 _INT_CODES = {8: "b", 16: "h", 32: "i", 64: "q"}
 
@@ -1059,8 +1227,28 @@ def _field_chunk(b: _FBBuilder, f: dict, depth: int = 0) -> _Chunk:
             raise ValueError("arrow FixedSizeBinary write needs "
                              "byte_width")
         tc = b.table([(0, "i32", w)])
-    elif t in ("Utf8", "Binary", "LargeUtf8", "LargeBinary", "Bool"):
+    elif t in ("Utf8", "Binary", "LargeUtf8", "LargeBinary", "Bool",
+               "Utf8View", "BinaryView"):
         tc = b.table([])
+    elif t in ("ListView", "LargeListView"):
+        if len(f.get("children") or []) != 1:
+            raise ValueError(f"arrow {t} field needs one child")
+        tc = b.table([])
+        children = b.vec_refs([_field_chunk(b, f["children"][0],
+                                            depth + 1)])
+    elif t == "RunEndEncoded":
+        ch = f.get("children") or []
+        if len(ch) != 2:
+            raise ValueError(
+                "arrow RunEndEncoded field needs run_ends + values "
+                "children")
+        if ch[0]["type"] != "Int" or \
+                ch[0].get("bits", 32) not in (16, 32, 64):
+            raise ValueError(
+                "arrow run_ends child must be int16/int32/int64")
+        tc = b.table([])
+        children = b.vec_refs([_field_chunk(b, c, depth + 1)
+                               for c in ch])
     elif t in ("List", "LargeList", "FixedSizeList"):
         if len(f.get("children") or []) != 1:
             raise ValueError(f"arrow {t} field needs one child")
@@ -1140,7 +1328,8 @@ def _schema_meta(fields: list[dict]) -> bytes:
 
 
 def _rb_chunk(b: _FBBuilder, n_rows: int, nodes: list, buffers: list,
-              codec: int | None) -> _Chunk:
+              codec: int | None,
+              variadic: list | None = None) -> _Chunk:
     nvec = b.vec_structs(
         b"".join(struct.pack("<qq", ln, nc) for ln, nc in nodes),
         len(nodes))
@@ -1151,13 +1340,18 @@ def _rb_chunk(b: _FBBuilder, n_rows: int, nodes: list, buffers: list,
              (2, "ref", (bvec, 4))]
     if codec is not None:
         slots.append((3, "ref", b.table([(0, "i8", codec)])))
+    if variadic:
+        # one int64 per view-typed field, depth-first (empty when the
+        # schema has no view columns — the slot is then omitted)
+        slots.append((4, "ref", (b.vec_i64(variadic), 4)))
     return b.table(slots)
 
 
 def _batch_meta(n_rows: int, nodes: list, buffers: list,
-                codec: int | None, body_len: int) -> bytes:
+                codec: int | None, body_len: int,
+                variadic: list | None = None) -> bytes:
     b = _FBBuilder()
-    rb = _rb_chunk(b, n_rows, nodes, buffers, codec)
+    rb = _rb_chunk(b, n_rows, nodes, buffers, codec, variadic)
     msg = b.table([(0, "i16", 4),
                    (1, "u8", 3),  # MessageHeader.RecordBatch
                    (2, "ref", rb),
@@ -1167,11 +1361,12 @@ def _batch_meta(n_rows: int, nodes: list, buffers: list,
 
 def _dict_batch_meta(dict_id: int, is_delta: bool, n_rows: int,
                      nodes: list, buffers: list, codec: int | None,
-                     body_len: int) -> bytes:
+                     body_len: int,
+                     variadic: list | None = None) -> bytes:
     """DictionaryBatch message: {0: id, 1: data (RecordBatch),
     2: isDelta} under MessageHeader tag 2."""
     b = _FBBuilder()
-    rb = _rb_chunk(b, n_rows, nodes, buffers, codec)
+    rb = _rb_chunk(b, n_rows, nodes, buffers, codec, variadic)
     slots = [(0, "i64", dict_id), (1, "ref", rb)]
     if is_delta:
         slots.append((2, "u8", 1))
@@ -1278,6 +1473,7 @@ def _enc_offsets(lengths: list[int], wide: bool = False,
 
 
 def _enc_array(field: dict, vals: list, dstate: dict,
+               variadic: list | None = None,
                depth: int = 0) -> tuple[list, list]:
     """One array (any depth) -> (field_nodes, raw_buffers), pre-order
     nodes and depth-first buffers, the exact mirror of ``read_array``.
@@ -1330,9 +1526,48 @@ def _enc_array(field: dict, vals: list, dstate: dict,
                 for k in range(len(children))
             ]
         for ch, member in zip(children, members):
-            cn, cb = _enc_array(ch, member, dstate, depth + 1)
+            cn, cb = _enc_array(ch, member, dstate, variadic,
+                                depth + 1)
             nodes.extend(cn)
             bufs.extend(cb)
+        return nodes, bufs
+    if t == "RunEndEncoded":
+        # run-length compress the logical values: the parent owns NO
+        # buffers (node null_count 0 — nulls ride the values child);
+        # children are regular run_ends + values arrays
+        ch = field.get("children") or []
+        if len(ch) != 2:
+            raise ValueError(
+                "arrow RunEndEncoded field needs run_ends + values "
+                "children")
+        re_f, val_f = ch
+        re_bits = re_f.get("bits", 32)
+        if re_f["type"] != "Int" or re_bits not in (16, 32, 64):
+            raise ValueError(
+                "arrow run_ends child must be int16/int32/int64")
+        ends: list = []
+        rvals: list = []
+        prev_key = object()
+        for i, v in enumerate(vals):
+            key = _freeze(v)
+            if rvals and key == prev_key:
+                ends[-1] = i + 1
+            else:
+                rvals.append(v)
+                ends.append(i + 1)
+                prev_key = key
+        if ends and ends[-1] > (1 << (re_bits - 1)) - 1:
+            raise ValueError(
+                f"arrow run end {ends[-1]} overflows the declared "
+                f"int{re_bits} run_ends type")
+        nodes = [(len(vals), 0)]
+        bufs = []
+        cn, cb = _enc_array(re_f, ends, dstate, variadic, depth + 1)
+        nodes.extend(cn)
+        bufs.extend(cb)
+        cn, cb = _enc_array(val_f, rvals, dstate, variadic, depth + 1)
+        nodes.extend(cn)
+        bufs.extend(cb)
         return nodes, bufs
     vb, nc = _enc_validity(vals)
     nodes = [(len(vals), nc)]
@@ -1382,6 +1617,62 @@ def _enc_array(field: dict, vals: list, dstate: dict,
                                  wide=t.startswith("Large"),
                                  big=bool(field.get("big"))))
         bufs.append(b"".join(payloads))
+    elif t in ("Utf8View", "BinaryView"):
+        # 1.4 view layout: 16-byte view structs (inline <= 12 bytes,
+        # else prefix + buffer_index + offset into ONE variadic data
+        # buffer); the per-field data-buffer count lands in
+        # RecordBatch.variadicBufferCounts via ``variadic``
+        if variadic is None:
+            raise ValueError(
+                "arrow view write outside a record batch context")
+        text = t == "Utf8View"
+        bo = ">" if field.get("big") else "<"
+        views = bytearray()
+        data = bytearray()
+        for v in vals:
+            if v is None:
+                views += b"\0" * 16
+                continue
+            p = v.encode("utf-8") if text else bytes(v)
+            if len(p) <= 12:
+                views += struct.pack(f"{bo}i", len(p)) + p
+                views += b"\0" * (12 - len(p))
+            else:
+                views += struct.pack(f"{bo}i", len(p)) + p[:4]
+                views += struct.pack(f"{bo}ii", 0, len(data))
+                data += p
+        bufs.append(bytes(views))
+        if data:
+            variadic.append(1)
+            bufs.append(bytes(data))
+        else:  # all-inline chunk: zero data buffers, like pyarrow
+            variadic.append(0)
+    elif t in ("ListView", "LargeListView"):
+        # 1.4 list-view layout: separate offsets + sizes buffers (n
+        # entries each); this writer emits dense in-order windows
+        if len(field.get("children") or []) != 1:
+            raise ValueError(f"arrow {t} field needs one child")
+        child = field["children"][0]
+        wide = t == "LargeListView"
+        flat: list = []
+        offs = []
+        sizes = []
+        for v in vals:
+            if v is None:
+                offs.append(0)
+                sizes.append(0)
+            else:
+                offs.append(len(flat))
+                sizes.append(len(v))
+                flat.extend(v)
+        bo = ">" if field.get("big") else "<"
+        code = "q" if wide else "i"
+        bufs.append(struct.pack(f"{bo}{len(offs)}{code}", *offs))
+        bufs.append(struct.pack(f"{bo}{len(sizes)}{code}", *sizes))
+        cn, cb = _enc_array(child, flat, dstate, variadic,
+                            depth + 1)
+        nodes.extend(cn)
+        bufs.extend(cb)
     elif t in ("List", "LargeList"):
         if len(field.get("children") or []) != 1:
             raise ValueError(f"arrow {t} field needs one child")
@@ -1396,7 +1687,8 @@ def _enc_array(field: dict, vals: list, dstate: dict,
                 lens.append(len(v))
         bufs.append(_enc_offsets(lens, wide=(t == "LargeList"),
                                  big=bool(field.get("big"))))
-        cn, cb = _enc_array(child, flat, dstate, depth + 1)
+        cn, cb = _enc_array(child, flat, dstate, variadic,
+                            depth + 1)
         nodes.extend(cn)
         bufs.extend(cb)
     elif t == "FixedSizeList":
@@ -1416,7 +1708,8 @@ def _enc_array(field: dict, vals: list, dstate: dict,
                     f"FixedSizeList value of length {len(v)} != {k}")
             else:
                 flat.extend(v)
-        cn, cb = _enc_array(child, flat, dstate, depth + 1)
+        cn, cb = _enc_array(child, flat, dstate, variadic,
+                            depth + 1)
         nodes.extend(cn)
         bufs.extend(cb)
     elif t == "Struct_":
@@ -1434,7 +1727,8 @@ def _enc_array(field: dict, vals: list, dstate: dict,
                 else:
                     raise ValueError(
                         "arrow struct value must be a mapping")
-            cn, cb = _enc_array(ch, member, dstate, depth + 1)
+            cn, cb = _enc_array(ch, member, dstate, variadic,
+                                depth + 1)
             nodes.extend(cn)
             bufs.extend(cb)
     elif t == "Map":
@@ -1458,7 +1752,8 @@ def _enc_array(field: dict, vals: list, dstate: dict,
                 cnt += 1
             lens.append(cnt)
         bufs.append(_enc_offsets(lens, big=bool(field.get("big"))))
-        cn, cb = _enc_array(entries, flat, dstate, depth + 1)
+        cn, cb = _enc_array(entries, flat, dstate, variadic,
+                            depth + 1)
         nodes.extend(cn)
         bufs.extend(cb)
     else:
@@ -1594,10 +1889,11 @@ def _enc_dict_frames(dstate: dict, codec: int | None, *,
             continue
         st["new"] = []
         st["emitted"] = True
-        nodes, raw = _enc_array(st["vfield"], vals, {})
+        vdic: list = []
+        nodes, raw = _enc_array(st["vfield"], vals, {}, vdic)
         body, bufmeta = _assemble_body(raw, codec)
         meta = _dict_batch_meta(did, is_delta, len(vals), nodes,
-                                bufmeta, codec, len(body))
+                                bufmeta, codec, len(body), vdic)
         frames.append((meta, body))
     return frames
 
@@ -1656,12 +1952,15 @@ def ipc_write(fields: list[dict], columns: dict, *,
         hi = min(lo + max_chunksize, n)
         nodes: list = []
         raw: list = []
+        vdic: list = []
         for f in fields:
-            cn, cb = _enc_array(f, columns[f["name"]][lo:hi], dstate)
+            cn, cb = _enc_array(f, columns[f["name"]][lo:hi], dstate,
+                                vdic)
             nodes.extend(cn)
             raw.extend(cb)
         body, bufmeta = _assemble_body(raw, codec)
-        meta = _batch_meta(hi - lo, nodes, bufmeta, codec, len(body))
+        meta = _batch_meta(hi - lo, nodes, bufmeta, codec, len(body),
+                           vdic)
         if fmt == "stream":
             dframes = _enc_dict_frames(dstate, codec)
         else:

@@ -63,7 +63,10 @@ QUERY_MODULES = (
 #: r10 slips to r16 are codec/ANN family variants whose siblings are
 #: in-window (lz4/lzma roundtrips + the LZO registration carry the
 #: codec tier; cosine_topk_brute/_ivf/_lsh carry the ANN probes) —
-#: r16 MUST lead with: snappy_roundtrip_docs, sobel_edge_stats_docs,
+#: r16 MUST lead with: skew_salted_join_events (slipped late-r15 when
+#: arrow_ipc_modern_layouts_docs took its head slot — the salted-join
+#: tier keeps bucketed_join_revenue in-window), snappy_roundtrip_docs,
+#: sobel_edge_stats_docs,
 #: stateful_user_totals_stream, stratified_hash_sample_docs,
 #: stream_enrich_join, tar_pax_bundle_scan_docs,
 #: tar_zst_bundle_scan_docs, tfrecord_example_scan_docs,
@@ -80,6 +83,7 @@ PRIORITY: tuple[str, ...] = (
     "dap_scalar_summary_scan",       # DAP 0-dim bare-value framing
     "parquet_summary_file_scan",     # external file_path chunks
     "orc_lzo_scan_docs",             # LZO1X — ORC codec family done
+    "arrow_ipc_modern_layouts_docs",  # 1.4 views/list-views/REE
     # ---- r9-stale cohort (all 11 slips from the r14 comment) ----
     "array_functions_demo",
     "asof_nearest_clicks",
@@ -122,7 +126,6 @@ PRIORITY: tuple[str, ...] = (
     "robust_outliers_events",
     "semdedup_embeddings",
     "simhash_neardup_pairs",
-    "skew_salted_join_events",
     "warc_source_scan_docs",
 )
 

@@ -5783,6 +5783,142 @@ def arrow_ipc_dict_nested_scan_docs(spark: SparkSession,
                 "ds_u bigint, ds_v string")
 
 
+@query(
+    "arrow_ipc_modern_layouts_docs",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 <> 0
+                THEN length(substr(text, 1, (doc_id % 19)::INT))
+                     ::BIGINT END AS sv_len,
+           CASE WHEN doc_id % 13 <> 0
+                THEN octet_length(encode(
+                     substr(text, 1, (n_chars % 23)::INT)))::BIGINT
+                END AS bv_len,
+           CASE WHEN doc_id % 11 <> 0
+                THEN (n_chars % 4)::BIGINT END AS lv_len,
+           CASE WHEN doc_id % 11 <> 0 AND n_chars % 4 <> 0
+                THEN list_sum(list_transform(
+                     range(0, (n_chars % 4)::INT),
+                     j -> (doc_id * 31 + j) % 1000))::BIGINT
+                END AS lv_sum,
+           lang AS r_lang
+    FROM documents
+    """,
+)
+def arrow_ipc_modern_layouts_docs(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Round-15 ARROW 1.4 LAYOUTS arm, BOTH directions in one pass
+    (operators/arrow_ipc.py): Utf8View/BinaryView (16-byte view
+    structs, inline <= 12 bytes vs spilled into VARIADIC data
+    buffers counted by RecordBatch.variadicBufferCounts),
+    ListView/LargeListView (separate offsets + sizes buffers) and
+    RunEndEncoded (bufferless parent, run_ends + values children) —
+    the layouts pyarrow >= 14 emits for view-typed and run-end
+    columns.  Per batch: (1) the ENGINE writes all five layouts
+    (zstd bodies) and PYARROW ITSELF reads them back under FULL
+    validation — outputs re-derive from the pyarrow-decoded values,
+    so a view-struct/offset/run-end drift breaks the oracle hash;
+    (2) PYARROW writes the same columns as view/REE types and the
+    from-spec reader decodes them, cross-checked value-exact
+    in-kernel against direction (1).  The sv rule mixes inline
+    (< 13 chars) and spilled views; lv exercises null/empty list
+    windows; r rides lang through the run-length encoder.  Narrow
+    mapInPandas, shuffle-free.  Read/write batteries (all formats,
+    codecs, BE, run-end widths, mutation fuzz, typed rejects) in
+    tests/test_arrow_ipc.py."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars")
+
+    def kernel(batches):
+        import io
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.ipc as paipc
+
+        from modeltracking_spark.operators.arrow_ipc import (
+            ipc_read,
+            ipc_write,
+        )
+
+        fields = [
+            {"name": "doc_id", "type": "Int", "bits": 64,
+             "signed": True},
+            {"name": "sv", "type": "Utf8View"},
+            {"name": "bv", "type": "BinaryView"},
+            {"name": "lv", "type": "ListView", "children": [
+                {"name": "item", "type": "Int", "bits": 64,
+                 "signed": True}]},
+            {"name": "r", "type": "RunEndEncoded", "nullable": False,
+             "children": [
+                 {"name": "run_ends", "type": "Int", "bits": 32,
+                  "signed": True, "nullable": False},
+                 {"name": "values", "type": "Utf8"}]},
+        ]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, sv, bv, lv, r = [], [], [], [], []
+            for did, text, lang, nc in zip(
+                    pdf["doc_id"], pdf["text"], pdf["lang"],
+                    pdf["n_chars"]):
+                did, nc = int(did), int(nc)
+                ids.append(did)
+                sv.append(None if did % 7 == 0
+                          else text[:did % 19])
+                bv.append(None if did % 13 == 0
+                          else text[:nc % 23].encode("utf-8"))
+                lv.append(None if did % 11 == 0 else
+                          [(did * 31 + j) % 1000
+                           for j in range(nc % 4)])
+                r.append(lang)
+            cols = {"doc_id": ids, "sv": sv, "bv": bv, "lv": lv,
+                    "r": r}
+            # direction 1: engine writes, pyarrow reads + validates
+            blob = ipc_write(fields, cols, compression="zstd",
+                             max_chunksize=256)
+            t = paipc.open_stream(io.BytesIO(blob)).read_all()
+            t.validate(full=True)
+            if str(t.schema.field("sv").type) != "string_view" or \
+                    not str(t.schema.field("r").type).startswith(
+                        "run_end_encoded"):
+                raise ValueError("arrow view/REE types not preserved")
+            # direction 2: pyarrow writes view/REE, engine reads
+            pt = pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "sv": pa.array(sv, pa.string_view()),
+                "bv": pa.array(bv, pa.binary_view()),
+                "lv": pa.array(lv, pa.list_view(pa.int64())),
+                "r": pc.run_end_encode(pa.array(r, pa.string())),
+            })
+            buf = io.BytesIO()
+            with paipc.new_stream(buf, pt.schema) as w:
+                w.write_table(pt, max_chunksize=256)
+            own = ipc_read(buf.getvalue())["columns"]
+            for k in cols:
+                if own[k] != t.column(k).to_pylist():
+                    raise ValueError(
+                        f"arrow modern-layout column {k} drifts "
+                        "between the two directions")
+            yield pd.DataFrame({
+                "doc_id": t.column("doc_id").to_pylist(),
+                "sv_len": [None if v is None else len(v)
+                           for v in t.column("sv").to_pylist()],
+                "bv_len": [None if v is None else len(v)
+                           for v in t.column("bv").to_pylist()],
+                "lv_len": [None if v is None else len(v)
+                           for v in t.column("lv").to_pylist()],
+                "lv_sum": [None if not v else sum(v)
+                           for v in t.column("lv").to_pylist()],
+                "r_lang": t.column("r").to_pylist(),
+            })
+
+    return d.mapInPandas(
+        kernel, "doc_id bigint, sv_len bigint, bv_len bigint, "
+                "lv_len bigint, lv_sum bigint, r_lang string")
+
+
 _DAP_SEQ_SERVERS: dict = {}
 
 #: shard fan-out of the DAP sequence fixture (one served file — one

@@ -1462,3 +1462,258 @@ def test_big_endian_mutation_fuzz():
             ipc_read(bytes(b))
         except (ValueError, NotImplementedError):
             pass
+
+
+# ---------------------------------------------------------------------------
+# Arrow 1.4 layouts (round 15 extension): Utf8View / BinaryView
+# (variadic data buffers + 16-byte view structs), ListView /
+# LargeListView (offsets + sizes buffers), RunEndEncoded (bufferless
+# parent, run_ends + values children) — read AND write, pyarrow
+# adversarial both directions.
+# ---------------------------------------------------------------------------
+
+
+def _view_table(n=60, seed=31):
+    rng = random.Random(seed)
+
+    def mn(v, p=0.2):
+        return None if rng.random() < p else v
+
+    def s(lo, hi):
+        ln = rng.randrange(lo, hi)
+        return "".join(chr(rng.randrange(97, 123)) for _ in range(ln))
+
+    return pa.table({
+        "sv": pa.array([mn(s(0, 30)) for _ in range(n)],
+                       pa.string_view()),
+        "bv": pa.array([mn(s(0, 25).encode()) for _ in range(n)],
+                       pa.binary_view()),
+        "lv": pa.array([mn([mn(rng.randrange(1000))
+                            for _ in range(rng.randrange(0, 5))])
+                        for _ in range(n)],
+                       pa.list_view(pa.int64())),
+        "llv": pa.array([mn([mn(s(0, 18))
+                             for _ in range(rng.randrange(0, 4))])
+                         for _ in range(n)],
+                        pa.large_list_view(pa.string_view())),
+    })
+
+
+@pytest.mark.parametrize("comp", [None, "zstd"])
+def test_view_read_vs_pyarrow(comp):
+    """pyarrow-written view/list-view streams and files decode: the
+    16-byte view structs (inline vs spilled, nulls, empties), the
+    variadicBufferCounts bookkeeping, and the offsets+sizes pairs —
+    a list-view of string-view nests the two new layouts."""
+    t = _view_table()
+    for fmt in ("stream", "file"):
+        buf = io.BytesIO()
+        opts = (ipc.IpcWriteOptions(compression=comp) if comp
+                else None)
+        op = ipc.new_stream if fmt == "stream" else ipc.new_file
+        with op(buf, t.schema, options=opts) as w:
+            w.write_table(t, max_chunksize=7)
+        _check(t, buf.getvalue())
+
+
+@pytest.mark.parametrize("ret", ["int16", "int32", "int64"])
+def test_ree_read_vs_pyarrow(ret):
+    """pyarrow run-end-encoded columns decode at every run_ends
+    width; multi-chunk writes exercise pyarrow's slice rebasing and
+    the reader's coverage checks."""
+    import pyarrow.compute as pc
+
+    vals = [v for v in [1, 1, 1, None, None, 2, 7, 7, 7, 7, None, 3]
+            for _ in range(3)]
+    arr = pc.run_end_encode(pa.array(vals, pa.int64()),
+                            run_end_type=getattr(pa, ret)())
+    svals = ["aa"] * 5 + [None] * 4 + ["bb"] * 6 + ["c" * 19] * 3
+    sarr = pc.run_end_encode(pa.array(svals, pa.string()),
+                             run_end_type=getattr(pa, ret)())
+    t = pa.table({"r": arr[:18], "rs": sarr[:18]})
+    buf = io.BytesIO()
+    with ipc.new_stream(buf, t.schema) as w:
+        w.write_table(t, max_chunksize=5)
+    _check(t, buf.getvalue())
+
+
+_MODERN_FIELDS = [
+    {"name": "sv", "type": "Utf8View"},
+    {"name": "bv", "type": "BinaryView"},
+    {"name": "lv", "type": "ListView", "children": [
+        {"name": "item", "type": "Int", "bits": 64, "signed": True}]},
+    {"name": "llv", "type": "LargeListView", "children": [
+        {"name": "item", "type": "Utf8View"}]},
+    {"name": "r", "type": "RunEndEncoded", "nullable": False,
+     "children": [
+         {"name": "run_ends", "type": "Int", "bits": 32,
+          "signed": True, "nullable": False},
+         {"name": "values", "type": "Utf8"}]},
+]
+
+
+def _modern_cols(n=40, seed=17):
+    rng = random.Random(seed)
+
+    def mn(v, p=0.25):
+        return None if rng.random() < p else v
+
+    def s(lo, hi):
+        ln = rng.randrange(lo, hi)
+        return "".join(chr(rng.randrange(97, 123)) for _ in range(ln))
+
+    runs = []
+    while len(runs) < n:
+        runs.extend([mn(s(1, 6))] * rng.randrange(1, 5))
+    return {
+        "sv": [mn(s(0, 28)) for _ in range(n)],
+        "bv": [mn(s(0, 22).encode()) for _ in range(n)],
+        "lv": [mn([rng.randrange(10**6)
+                   for _ in range(rng.randrange(0, 5))])
+               for _ in range(n)],
+        "llv": [mn([mn(s(0, 20)) for _ in range(rng.randrange(0, 4))])
+                for _ in range(n)],
+        "r": runs[:n],
+    }
+
+
+@pytest.mark.parametrize("fmt,comp", [("stream", None),
+                                      ("stream", "lz4"),
+                                      ("file", "zstd")])
+def test_modern_write_pyarrow_reads(fmt, comp):
+    """The engine's view/list-view/REE bytes pass pyarrow's FULL
+    validation: declared types preserved, values exact — including
+    the all-inline zero-data-buffer chunks and the spilled single
+    data buffer."""
+    cols = _modern_cols()
+    blob = ipc_write(_MODERN_FIELDS, cols, fmt=fmt, compression=comp,
+                     max_chunksize=9)
+    got = ipc_read(blob)
+    for k, v in cols.items():
+        assert got["columns"][k] == v, k
+    rd = (ipc.open_stream if fmt == "stream" else ipc.open_file)(
+        io.BytesIO(blob))
+    t = rd.read_all()
+    assert str(t.schema.field("sv").type) == "string_view"
+    assert str(t.schema.field("bv").type) == "binary_view"
+    assert str(t.schema.field("lv").type).startswith("list_view")
+    assert str(t.schema.field("llv").type).startswith(
+        "large_list_view")
+    assert str(t.schema.field("r").type).startswith(
+        "run_end_encoded")
+    t.validate(full=True)
+    for k, v in cols.items():
+        assert t.column(k).to_pylist() == v, k
+
+
+def test_modern_big_endian_roundtrip():
+    """BE views/REE round-trip through the engine's own reader
+    (pyarrow's endian swap is NotImplemented for these five layouts
+    — its gap); BE list-views also replay through pyarrow."""
+    cols = _modern_cols(24, seed=4)
+    blob = ipc_write(_MODERN_FIELDS, cols, endianness="big",
+                     max_chunksize=5)
+    got = ipc_read(blob)
+    for k, v in cols.items():
+        assert got["columns"][k] == v, k
+    lv_only = [f for f in _MODERN_FIELDS if f["name"] == "lv"]
+    blob2 = ipc_write(lv_only, {"lv": cols["lv"]}, endianness="big")
+    t = ipc.open_stream(io.BytesIO(blob2)).read_all()
+    assert t.column("lv").to_pylist() == cols["lv"]
+
+
+def test_ree_write_run_compression_exact():
+    """The writer's run-length compression is exact: the run_ends
+    child carries cumulative END indices and consecutive equal
+    values (None == None included) merge into one run."""
+    fields = [{"name": "r", "type": "RunEndEncoded",
+               "nullable": False, "children": [
+                   {"name": "run_ends", "type": "Int", "bits": 32,
+                    "signed": True, "nullable": False},
+                   {"name": "values", "type": "Int", "bits": 64,
+                    "signed": True}]}]
+    vals = [5, 5, 5, None, None, 6, 5, 5]
+    blob = ipc_write(fields, {"r": vals})
+    got = ipc_read(blob)
+    assert got["columns"]["r"] == vals
+    t = ipc.open_stream(io.BytesIO(blob)).read_all()
+    assert t.column("r").to_pylist() == vals
+    ree = t.column("r").chunk(0)
+    assert ree.run_ends.to_pylist() == [3, 5, 6, 8]
+    assert ree.values.to_pylist() == [5, None, 6, 5]
+
+
+def test_modern_typed_rejects():
+    """Malformed modern-layout schemas and values reject loudly."""
+    ree = dict(_MODERN_FIELDS[4])
+    # REE child count / run_ends type (write side)
+    bad = dict(ree, children=[ree["children"][1]])
+    with pytest.raises(ValueError, match="run_ends"):
+        ipc_write([bad], {"r": ["a"]})
+    bad = dict(ree, children=[
+        {"name": "run_ends", "type": "Utf8"}, ree["children"][1]])
+    with pytest.raises(ValueError, match="int16/int32/int64"):
+        ipc_write([bad], {"r": ["a"]})
+    # run end overflowing the declared int16 width
+    small = dict(ree, children=[
+        {"name": "run_ends", "type": "Int", "bits": 16,
+         "signed": True, "nullable": False}, ree["children"][1]])
+    with pytest.raises(ValueError, match="overflows"):
+        ipc_write([small], {"r": [str(i) for i in range(40000)]},
+                  max_chunksize=40000)
+    # a corrupt run_ends buffer (not strictly increasing) rejects on
+    # read: locate the distinctive packed ends and swap two of them
+    fields = [{"name": "r", "type": "RunEndEncoded",
+               "nullable": False, "children": [
+                   {"name": "run_ends", "type": "Int", "bits": 32,
+                    "signed": True, "nullable": False},
+                   {"name": "values", "type": "Int", "bits": 64,
+                    "signed": True}]}]
+    blob = ipc_write(fields, {"r": [9] * 1000 + [8] * 2000 + [7]})
+    import struct as _st
+
+    ends = _st.pack("<3i", 1000, 3000, 3001)
+    assert blob.count(ends) == 1
+    bad_blob = blob.replace(ends, _st.pack("<3i", 3000, 1000, 3001))
+    with pytest.raises(ValueError, match="strictly increasing"):
+        ipc_read(bad_blob)
+    # run ends short of the declared length
+    bad_blob = blob.replace(ends, _st.pack("<3i", 1000, 2000, 2500))
+    with pytest.raises(ValueError, match="cover"):
+        ipc_read(bad_blob)
+    # view prefix drift: flip a byte inside the spilled payload's
+    # first four bytes — the view struct's prefix no longer matches
+    long = "PREFIXED-" + "z" * 20
+    vblob = ipc_write([{"name": "sv", "type": "Utf8View"}],
+                      {"sv": [long]})
+    assert vblob.count(b"PREFIXED-") == 1
+    bad_blob = vblob.replace(b"PREFIXED-", b"XREFIXED-")
+    with pytest.raises(ValueError, match="prefix"):
+        ipc_read(bad_blob)
+
+
+def test_modern_write_mutation_fuzz():
+    """400 mutations over the engine's own modern-layout stream:
+    decode or the typed reject — never a leaked internal error (the
+    views/sizes/run_ends buffers all carry indices the reader must
+    bounds-check)."""
+    blob = ipc_write(_MODERN_FIELDS, _modern_cols(30, seed=8),
+                     max_chunksize=6)
+    rng = random.Random(4415)
+    for _ in range(400):
+        b = bytearray(blob)
+        op = rng.randrange(3)
+        if op == 0:
+            for _ in range(rng.randrange(1, 4)):
+                b[rng.randrange(len(b))] ^= rng.randrange(1, 256)
+        elif op == 1:
+            b = b[:rng.randrange(len(b))]
+        else:
+            i = rng.randrange(len(b))
+            b = (b[:i] + bytes(rng.randrange(256)
+                               for _ in range(rng.randrange(1, 12)))
+                 + b[i:])
+        try:
+            ipc_read(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass
