@@ -261,11 +261,19 @@ def _ifd_entry(tag: int, typ: int, count: int, value: int,
 
 def _compress_block(block, compression: int) -> bytes:
     """One strip/tile (2-D row-major uint8 view) -> stored bytes.
-    PackBits packs each row separately, per spec Section 9."""
+    PackBits packs each row separately, per spec Section 9; Deflate
+    (8, and the legacy Adobe code 32946) wraps the whole block in one
+    RFC 1950 zlib stream (TIFF TechNote 2) — encoding stays with
+    stdlib zlib per the repo's deflate policy (operators/inflate.py
+    is the from-spec DECODER and the verify direction)."""
     if compression == 5:
         return tiff_lzw_compress(block.tobytes())
     if compression == 32773:
         return b"".join(packbits_compress(bytes(r)) for r in block)
+    if compression in (8, 32946):
+        import zlib
+
+        return zlib.compress(block.tobytes(), 6)
     return block.tobytes()
 
 
@@ -323,7 +331,7 @@ def encode_tiff(pixels, compression: int = 1,
         photometric = 2  # RGB
     else:
         raise ValueError(f"expected (h, w) or (h, w, 3), got {a.shape}")
-    if compression not in (1, 5, 32773):
+    if compression not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
             f"TIFF compression {compression} not implemented (1=none, "
             "5=LZW, 32773=PackBits; others are the PIL plug-in point)"
@@ -496,7 +504,7 @@ def decode_tiff(data: bytes):
             f"implausible TIFF raster {w}x{h}x{spp} for a "
             f"{len(data)}-byte stream (decompression-bomb guard)"
         )
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
             f"TIFF compression {comp} not implemented (PIL plug-in point)"
         )
@@ -523,6 +531,16 @@ def decode_tiff(data: bytes):
             return tiff_lzw_decompress(chunk, expect)
         if comp == 32773:
             return packbits_decompress(chunk, expect)
+        if comp in (8, 32946):
+            from modeltracking_spark.operators.inflate import (
+                zlib_decompress,
+            )
+
+            out = zlib_decompress(chunk)
+            if len(out) < expect:
+                raise ValueError(
+                    f"{label} deflate stream shorter than its rows")
+            return out[:expect]
         if len(chunk) < expect:
             raise ValueError(f"{label} shorter than its rows")
         return chunk[:expect]

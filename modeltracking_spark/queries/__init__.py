@@ -43,7 +43,7 @@ QUERY_MODULES = (
 
 #: the scored window (driver cap observed at 50).
 #:
-#: ROUND-15 ROTATION (VERDICT r14 item 3): head = the 7 new r15
+#: ROUND-15 ROTATION (VERDICT r14 item 3): head = the 10 new r15
 #: registrations (never-attested; each is ALSO the in-window carrier
 #: for its changed module: the three hot-bucket-cap queries carry
 #: operators/dedup.py + operators/similarity.py + queries/dedup_q.py
@@ -63,9 +63,12 @@ QUERY_MODULES = (
 #: r10 slips to r16 are codec/ANN family variants whose siblings are
 #: in-window (lz4/lzma roundtrips + the LZO registration carry the
 #: codec tier; cosine_topk_brute/_ivf/_lsh carry the ANN probes) —
-#: r16 MUST lead with: skew_salted_join_events (slipped late-r15 when
-#: arrow_ipc_modern_layouts_docs took its head slot — the salted-join
-#: tier keeps bucketed_join_revenue in-window), snappy_roundtrip_docs,
+#: r16 MUST lead with: skew_salted_join_events and
+#: cosine_topk_ivf_probe (slipped late-r15 when
+#: arrow_ipc_modern_layouts_docs and tiff_deflate_stats_docs took
+#: their head slots — the salted-join tier keeps
+#: bucketed_join_revenue in-window and the ANN probe family keeps
+#: cosine_topk_brute + cosine_topk_lsh_probe), snappy_roundtrip_docs,
 #: sobel_edge_stats_docs,
 #: stateful_user_totals_stream, stratified_hash_sample_docs,
 #: stream_enrich_join, tar_pax_bundle_scan_docs,
@@ -84,6 +87,7 @@ PRIORITY: tuple[str, ...] = (
     "parquet_summary_file_scan",     # external file_path chunks
     "orc_lzo_scan_docs",             # LZO1X — ORC codec family done
     "arrow_ipc_modern_layouts_docs",  # 1.4 views/list-views/REE
+    "tiff_deflate_stats_docs",       # TechNote-2 deflate + 32946
     # ---- r9-stale cohort (all 11 slips from the r14 comment) ----
     "array_functions_demo",
     "asof_nearest_clicks",
@@ -107,7 +111,6 @@ PRIORITY: tuple[str, ...] = (
     "cdc_chunk_dedup_docs",
     "click_error_interval_stallproof",
     "cosine_topk_brute",
-    "cosine_topk_ivf_probe",
     "cosine_topk_lsh_probe",
     "data_quality_audit_orders",
     "dedup_clusters_docs",

