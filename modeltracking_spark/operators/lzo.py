@@ -1,5 +1,7 @@
-"""From-spec LZO1X block decompressor (round 15 — the ORC legacy LZO
-codec, the last plug-in-class reject in the ORC codec family).
+"""From-spec LZO1X block codec (round 15 — the ORC legacy LZO
+CompressionKind; the decompressor landed first, the round-15
+continuation added :func:`lzo1x_compress`, making the ORC codec
+matrix symmetric).
 
 Implemented from the PUBLIC format description — the LZO1X compressed
 data format as documented in the Linux kernel's
@@ -162,3 +164,112 @@ def lzo1x_decompress(src: bytes, max_out: int | None = None) -> bytes:
             # a 1..3-literal tail keeps state semantics for the NEXT
             # 0000xxxx instruction (it stays a match, not a run)
             state = min(state, 3)
+
+
+def lzo1x_compress(data: bytes) -> bytes:
+    """Compress one raw LZO1X block (round-15 continuation — the
+    ENCODE direction, making the ORC codec matrix symmetric).
+
+    Emitted instruction subset, all from the same public format
+    description the decoder above implements: an initial literal run
+    (first-byte forms 18..255, or the state-0 long-run extension),
+    M3 matches (``001xxxxx`` + LE16 — distance 1..16384, length >= 4
+    with 255-run extensions, the next 0..3 literals in the low 2 bits
+    of the distance word), explicit literal-run instructions for
+    >= 4-byte gaps, and the 0x11 0x00 0x00 terminator.  Every decoder
+    that implements the spec accepts this subset; matches are found
+    with a greedy 4-byte rolling hash over a 16 KiB window, so runs
+    and repeated passages genuinely shrink.  Round-trips through
+    :func:`lzo1x_decompress`, aircompressor (Spark's JVM ORC reader)
+    and pyarrow.orc in the test batteries."""
+    n = len(data)
+    if n == 0:
+        return b"\x11\x00\x00"
+
+    # --- tokenize: (literal span, match) pairs ------------------
+    tokens: list = []  # (lit_lo, lit_hi, dist, mlen); dist 0 = none
+    table: dict = {}
+    i = 0
+    lit_start = 0
+    while i + 4 <= n:
+        key = int.from_bytes(data[i:i + 4], "little")
+        j = table.get(key, -1)
+        table[key] = i
+        if 0 <= i - j <= 16384 and data[j:j + 4] == data[i:i + 4]:
+            mlen = 4
+            jm = j + 4
+            im = i + 4
+            while im < n and data[jm] == data[im]:
+                mlen += 1
+                jm += 1
+                im += 1
+            tokens.append((lit_start, i, i - j, mlen))
+            # index the covered positions so later repeats still hit
+            stop = min(i + mlen, n - 3)
+            for p in range(i + 1, stop):
+                table[int.from_bytes(data[p:p + 4], "little")] = p
+            i += mlen
+            lit_start = i
+        else:
+            i += 1
+    tokens.append((lit_start, n, 0, 0))  # tail literals (may be empty)
+
+    # --- serialize ------------------------------------------------
+    out = bytearray()
+
+    def run_len_ext(rem: int):
+        while rem > 255:
+            out.append(0)
+            rem -= 255
+        out.append(rem)
+
+    def emit_literals(lo: int, hi: int, first: bool):
+        t = hi - lo
+        if t == 0:
+            return
+        if first:
+            if t <= 238:
+                out.append(17 + t)
+            else:
+                out.append(0)
+                run_len_ext(t - 18)
+        else:
+            # only reached at state 0 (the preceding match consumed
+            # no trailing literals) with t >= 4
+            if t <= 18:
+                out.append(t - 3)
+            else:
+                out.append(0)
+                run_len_ext(t - 18)
+        out.extend(data[lo:hi])
+
+    first = True
+    k = 0
+    consumed = 0  # literals of the CURRENT token already emitted
+    while k < len(tokens):
+        lo, hi, dist, mlen = tokens[k]
+        emit_literals(lo + consumed, hi, first and lo == 0)
+        first = False
+        consumed = 0
+        if dist == 0:
+            break
+        # trailing literals that can ride this match's state bits
+        nlo, nhi = tokens[k + 1][0], tokens[k + 1][1]
+        s = nhi - nlo
+        if s > 3:
+            s = 0
+        rem = mlen - 2
+        if rem <= 31:
+            out.append(0x20 | rem)
+        else:
+            out.append(0x20)
+            run_len_ext(rem - 31)
+        d = ((dist - 1) << 2) | s
+        out.append(d & 0xFF)
+        out.append(d >> 8)
+        if s:
+            out.extend(data[nlo:nlo + s])
+            consumed = s
+        k += 1
+    out += b"\x11\x00\x00"
+    return bytes(out)

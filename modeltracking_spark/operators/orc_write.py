@@ -3,8 +3,10 @@ from-spec reader (operators/orc_native.py), built from the same public
 format documents: the ORC specification (v1) and orc_proto.proto's
 field numbering.  Protobuf messages, byte/boolean/integer RLEv1
 streams, PRESENT null streams, DIRECT string streams, the chunked
-compression framing (this repo's own snappy/zstd encoders, stdlib raw
-deflate for ZLIB), stripe footers, the file footer, and the
+compression framing (this repo's own snappy/zstd/lz4-block/LZO1X
+encoders, stdlib raw deflate for ZLIB — round 15 closes the write
+half, so every CompressionKind the spec defines encodes AND
+decodes), stripe footers, the file footer, and the
 postscript are all assembled here byte by byte.
 
 Validation reverses the reader's: pyarrow.orc and Spark's own Java
@@ -30,7 +32,8 @@ from __future__ import annotations
 import struct
 
 #: orc_proto CompressionKind
-_COMP_NUM = {"NONE": 0, "ZLIB": 1, "SNAPPY": 2, "ZSTD": 5}
+_COMP_NUM = {"NONE": 0, "ZLIB": 1, "SNAPPY": 2, "LZO": 3, "LZ4": 4,
+             "ZSTD": 5}
 #: orc_proto Type.Kind
 _KIND_NUM = {"BOOLEAN": 0, "BYTE": 1, "SHORT": 2, "INT": 3, "LONG": 4,
              "FLOAT": 5, "DOUBLE": 6, "STRING": 7, "BINARY": 8,
@@ -466,10 +469,20 @@ def compress_entity(plain: bytes, codec: str,
             from modeltracking_spark.operators.zstd import zstd_compress
 
             body = zstd_compress(chunk, checksum=False)
+        elif codec == "LZ4":
+            from modeltracking_spark.operators.lz4 import (
+                lz4_block_compress,
+            )
+
+            body = lz4_block_compress(chunk)
+        elif codec == "LZO":
+            from modeltracking_spark.operators.lzo import lzo1x_compress
+
+            body = lzo1x_compress(chunk)
         else:
             raise NotImplementedError(
                 f"ORC write codec {codec} not supported "
-                "(NONE/ZLIB/SNAPPY/ZSTD)")
+                "(NONE/ZLIB/SNAPPY/LZO/LZ4/ZSTD)")
         if len(body) >= len(chunk):
             out += ((len(chunk) << 1) | 1).to_bytes(3, "little")
             out += chunk

@@ -63,12 +63,13 @@ QUERY_MODULES = (
 #: r10 slips to r16 are codec/ANN family variants whose siblings are
 #: in-window (lz4/lzma roundtrips + the LZO registration carry the
 #: codec tier; cosine_topk_brute/_ivf/_lsh carry the ANN probes) —
-#: r16 MUST lead with: skew_salted_join_events and
-#: cosine_topk_ivf_probe (slipped late-r15 when
-#: arrow_ipc_modern_layouts_docs and tiff_deflate_stats_docs took
-#: their head slots — the salted-join tier keeps
-#: bucketed_join_revenue in-window and the ANN probe family keeps
-#: cosine_topk_brute + cosine_topk_lsh_probe), snappy_roundtrip_docs,
+#: r16 MUST lead with: skew_salted_join_events,
+#: cosine_topk_ivf_probe and bz2_roundtrip_docs (slipped late-r15
+#: when arrow_ipc_modern_layouts_docs, tiff_deflate_stats_docs and
+#: orc_lzo_lz4_write_docs took their head slots — the salted-join
+#: tier keeps bucketed_join_revenue in-window, the ANN probe family
+#: keeps cosine_topk_brute + cosine_topk_lsh_probe, and the codec
+#: tier keeps lz4/lzma/brotli roundtrips), snappy_roundtrip_docs,
 #: sobel_edge_stats_docs,
 #: stateful_user_totals_stream, stratified_hash_sample_docs,
 #: stream_enrich_join, tar_pax_bundle_scan_docs,
@@ -88,6 +89,7 @@ PRIORITY: tuple[str, ...] = (
     "orc_lzo_scan_docs",             # LZO1X — ORC codec family done
     "arrow_ipc_modern_layouts_docs",  # 1.4 views/list-views/REE
     "tiff_deflate_stats_docs",       # TechNote-2 deflate + 32946
+    "orc_lzo_lz4_write_docs",        # ORC codec matrix symmetric
     # ---- r9-stale cohort (all 11 slips from the r14 comment) ----
     "array_functions_demo",
     "asof_nearest_clicks",
@@ -106,7 +108,6 @@ PRIORITY: tuple[str, ...] = (
     "avro_ocf_scan_docs",
     "brotli_roundtrip_docs",
     "bucketed_join_revenue",
-    "bz2_roundtrip_docs",
     "cbor_roundtrip_docs",
     "cdc_chunk_dedup_docs",
     "click_error_interval_stallproof",

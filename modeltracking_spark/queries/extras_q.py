@@ -3025,6 +3025,119 @@ def parquet_native_write_docs(spark: SparkSession, sf_dir: str
 
 
 @query(
+    "orc_lzo_lz4_write_docs",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'LZO' ELSE 'LZ4' END
+             AS codec,
+           CASE WHEN doc_id % 19 <> 0
+                THEN length(substr(text, 1, 120) || '|' || lang)
+                     ::BIGINT END AS payload_len,
+           CASE WHEN doc_id % 19 <> 0
+                THEN md5(substr(text, 1, 120) || '|' || lang)
+                END AS payload_md5,
+           CASE WHEN doc_id % 23 <> 0
+                THEN floor(n_chars * 0.25 * 1000000 + 0.5)::BIGINT
+                END AS metric_e6
+    FROM documents
+    """,
+)
+def orc_lzo_lz4_write_docs(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """ORC WRITE-side LZO + LZ4 arm (round-15 continuation — the
+    codec matrix goes symmetric: every CompressionKind the ORC spec
+    defines now ENCODES as well as decodes).  Per batch the engine
+    writes one LZO file (the from-spec LZO1X greedy-M3 encoder,
+    operators/lzo.py:lzo1x_compress) and one LZ4 file
+    (lz4_block_compress) through the chunked 3-byte framing
+    (operators/orc_write.py), then PYARROW.ORC (the ORC C++
+    reference, whose LZO/LZ4 are independent implementations)
+    decodes BOTH and the outputs re-derive from the pyarrow-decoded
+    values — an encoding drift breaks the oracle hash; the own
+    from-spec reader cross-checks row counts in-kernel.  Docs route
+    to a codec by id parity so both encoders see every batch.
+    Narrow mapInPandas, shuffle-free; at 100 TB the write
+    parallelizes per partition exactly like the parquet/ORC sink
+    tier.  Spark-JVM (aircompressor) + pyarrow + own-reader
+    batteries, encoder spec-shape pins and 200-case roundtrip fuzz
+    in tests/test_orc_native.py; the write matrix in
+    tests/test_orc_write.py now parametrizes all six codecs."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars")
+
+    def kernel(batches):
+        import io
+
+        import pandas as pd
+        import pyarrow.orc as po
+
+        from modeltracking_spark.operators.orc_native import (
+            orc_footer_from_file,
+        )
+        from modeltracking_spark.operators.orc_write import (
+            orc_write_table,
+        )
+
+        schema = [("doc_id", "int64", False),
+                  ("payload", "string", True),
+                  ("metric", "double", True)]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            parts = {"LZO": [], "LZ4": []}
+            for did, text, lang, nc in zip(
+                    pdf["doc_id"], pdf["text"], pdf["lang"],
+                    pdf["n_chars"]):
+                did, nc = int(did), int(nc)
+                payload = (None if did % 19 == 0
+                           else text[:120] + "|" + lang)
+                metric = None if did % 23 == 0 else nc * 0.25
+                parts["LZO" if did % 2 == 0 else "LZ4"].append(
+                    (did, payload, metric))
+            rows = {"doc_id": [], "codec": [], "payload_len": [],
+                    "payload_md5": [], "metric_e6": []}
+            for codec, items in parts.items():
+                if not items:
+                    continue
+                cols = {
+                    "doc_id": [r[0] for r in items],
+                    "payload": [r[1] for r in items],
+                    "metric": [r[2] for r in items],
+                }
+                blob = orc_write_table(cols, schema, codec=codec,
+                                       stripe_rows=500)
+                foot = orc_footer_from_file(io.BytesIO(blob))
+                if foot["codec"] != codec:
+                    raise ValueError(
+                        f"ORC postscript codec drift: {foot['codec']}")
+                t = po.ORCFile(io.BytesIO(blob)).read()
+                if t.num_rows != len(items):
+                    raise ValueError(
+                        f"ORC {codec} write lost rows")
+                import hashlib
+
+                for did, pay, met in zip(
+                        t.column("doc_id").to_pylist(),
+                        t.column("payload").to_pylist(),
+                        t.column("metric").to_pylist()):
+                    rows["doc_id"].append(did)
+                    rows["codec"].append(codec)
+                    rows["payload_len"].append(
+                        None if pay is None else len(pay))
+                    rows["payload_md5"].append(
+                        None if pay is None else hashlib.md5(
+                            pay.encode("utf-8")).hexdigest())
+                    rows["metric_e6"].append(
+                        None if met is None
+                        else int(met * 1000000 + 0.5))
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        kernel, "doc_id bigint, codec string, payload_len bigint, "
+                "payload_md5 string, metric_e6 bigint")
+
+
+@query(
     "orc_native_write_docs",
     oracle="""
     SELECT doc_id,
