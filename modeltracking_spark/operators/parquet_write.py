@@ -7,8 +7,13 @@ library: the Thrift compact structs, the RLE/bit-packed hybrid, PLAIN
 and RLE_DICTIONARY page encodings, Dremel record shredding for the
 standard 3-level LIST, column statistics, and the footer are all
 assembled here byte by byte; page compression goes through this
-repo's own from-spec snappy/zstd encoders (gzip via stdlib zlib —
-itself a reference implementation).
+repo's own from-spec snappy/zstd/lz4-block encoders (gzip via stdlib
+zlib — itself a reference implementation); LZ4_RAW (codec 7, the
+modern plain-block lz4) landed in the round-15 continuation, so the
+write matrix covers every codec the read side decodes except BROTLI
+(the repo has no brotli encoder — brotli_dec.py is decode-only by
+design — and a stored-mode-only stream would be padding, so it stays
+the one named write reject).
 
 Validation is reversed from the reader's: the REFERENCE readers
 (pyarrow, DuckDB, Spark's JVM DataSource) consume files this module
@@ -31,7 +36,8 @@ import struct
 _PHYS_NUM = {"BOOLEAN": 0, "INT32": 1, "INT64": 2, "FLOAT": 4,
              "DOUBLE": 5, "BYTE_ARRAY": 6,
              "FIXED_LEN_BYTE_ARRAY": 7}
-_CODEC_NUM = {"UNCOMPRESSED": 0, "SNAPPY": 1, "GZIP": 2, "ZSTD": 6}
+_CODEC_NUM = {"UNCOMPRESSED": 0, "SNAPPY": 1, "GZIP": 2, "ZSTD": 6,
+              "LZ4_RAW": 7}
 _ENC_PLAIN = 0
 _ENC_RLE = 3
 _ENC_BIT_PACKED = 4  # deprecated level encoding (fixture tooling)
@@ -412,9 +418,18 @@ def _compress(codec: str, body: bytes) -> bytes:
         from modeltracking_spark.operators.zstd import zstd_compress
 
         return zstd_compress(body, checksum=False)
+    if codec == "LZ4_RAW":
+        # the MODERN lz4 parquet codec (plain lz4 blocks, no hadoop
+        # framing — codec 7); the deprecated hadoop-framed LZ4 (5)
+        # and LZO (3) stay read-side plug-in rejects
+        from modeltracking_spark.operators.lz4 import (
+            lz4_block_compress,
+        )
+
+        return lz4_block_compress(body)
     raise NotImplementedError(
         f"parquet write codec {codec} not supported "
-        "(UNCOMPRESSED/SNAPPY/GZIP/ZSTD)"
+        "(UNCOMPRESSED/SNAPPY/GZIP/ZSTD/LZ4_RAW)"
     )
 
 

@@ -50,7 +50,8 @@ def _read_pyarrow(blob: bytes) -> dict:
 
 
 @pytest.mark.parametrize("codec",
-                         ["UNCOMPRESSED", "SNAPPY", "GZIP", "ZSTD"])
+                         ["UNCOMPRESSED", "SNAPPY", "GZIP", "ZSTD",
+                          "LZ4_RAW"])
 @pytest.mark.parametrize("dic", [None, True, False])
 def test_pyarrow_reads_full_matrix(codec, dic):
     """Every codec × dictionary mode × multi-page × multi-row-group
@@ -142,7 +143,8 @@ def test_rle_bp_encode_roundtrips_through_reader():
             assert dec == vals, (bw, n)
 
 
-@pytest.mark.parametrize("codec", ["UNCOMPRESSED", "SNAPPY", "ZSTD"])
+@pytest.mark.parametrize("codec", ["UNCOMPRESSED", "SNAPPY", "ZSTD",
+                                   "LZ4_RAW"])
 @pytest.mark.parametrize("dic", [None, False])
 def test_v2_pages_read_by_pyarrow_and_own_reader(codec, dic):
     """page_version=2: levels outside the compressed section, v2
@@ -495,7 +497,7 @@ def test_random_tables_roundtrip_pyarrow():
         blob = parquet_write_table(
             cols, schema,
             codec=rng.choice(["UNCOMPRESSED", "SNAPPY", "GZIP",
-                              "ZSTD"]),
+                              "ZSTD", "LZ4_RAW"]),
             dictionary=rng.choice([None, True, False]),
             page_rows=rng.choice([1, 2, 7, 100]),
             row_group_rows=rng.choice([3, 50, 1000]))
@@ -525,7 +527,8 @@ def test_parquet_writer_hypothesis_roundtrip():
 
     @settings(max_examples=60, deadline=None)
     @given(st.lists(row, max_size=40),
-           st.sampled_from(["UNCOMPRESSED", "SNAPPY", "GZIP", "ZSTD"]),
+           st.sampled_from(["UNCOMPRESSED", "SNAPPY", "GZIP", "ZSTD",
+                            "LZ4_RAW"]),
            st.sampled_from([None, True, False]),
            st.sampled_from([1, 2]),
            st.sampled_from([None, "delta"]),
