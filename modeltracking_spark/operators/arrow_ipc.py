@@ -358,7 +358,12 @@ def parse_schema(meta: bytes) -> list[dict]:
     ht_p = fb.field(msg, 1)  # header_type
     if ht_p is None or fb.u8(ht_p) != 1:  # MessageHeader.Schema
         raise ValueError("first arrow message is not a Schema")
-    sch = fb.indirect(fb.field(msg, 2))
+    return _parse_schema_table(fb, fb.indirect(fb.field(msg, 2)))
+
+
+def _parse_schema_table(fb: _FB, sch: int) -> list[dict]:
+    """Schema TABLE (the shape shared by the Schema message and the
+    File Footer's embedded copy) -> ordered field specs."""
     end_p = fb.field(sch, 0)
     endianness = fb.i16(end_p) if end_p is not None else 0
     if endianness not in (0, 1):
@@ -583,13 +588,18 @@ def _prim_values(field: dict, buf: bytes, n: int) -> list:
 
 
 def decode_batch(fields: list[dict], meta: bytes, body: bytes,
-                 dicts: dict | None = None) -> dict:
+                 dicts: dict | None = None,
+                 project: set | None = None) -> dict:
     """One RecordBatch -> {column: [python values]} following the
     spec's depth-first buffer layout.  ``dicts`` maps dictionary ids
     to already-delivered value lists (from DictionaryBatch messages)
-    for dictionary-encoded fields."""
+    for dictionary-encoded fields.  ``project`` (round-15 source
+    tier) limits decoding to the named top-level columns: the other
+    fields' nodes/buffers are structurally SKIPPED — their compressed
+    buffers are never decompressed, the column-pruning contract of
+    the arrow_ipc DataSource."""
     return _decode_columns(fields, _parse_record_batch(meta), body,
-                           dicts or {})
+                           dicts or {}, project)
 
 
 def _collect_dict_fields(fields: list[dict], out: dict) -> dict:
@@ -629,7 +639,7 @@ def apply_dictionary_batch(fields: list[dict], meta: bytes,
 
 
 def _decode_columns(fields: list[dict], rb: dict, body: bytes,
-                    dicts: dict) -> dict:
+                    dicts: dict, project: set | None = None) -> dict:
     n = rb["n_rows"]
     codec = rb["codec"]
     bi = 0
@@ -935,8 +945,69 @@ def _decode_columns(fields: list[dict], rb: dict, body: bytes,
             return raw
         return [v if ok else None for v, ok in zip(raw, valid)]
 
+    def skip_buf():
+        # advance past one buffer WITHOUT decompressing it — the
+        # whole point of decode-side projection
+        nonlocal bi
+        if bi >= len(rb["buffers"]):
+            raise ValueError("arrow record batch is short of buffers")
+        bi += 1
+
+    def skip_array(field):
+        """Structurally consume one array's nodes/buffers/variadic
+        entries without materializing values (mirror of read_array's
+        walk order)."""
+        length, null_count = take_node()
+        if length < 0 or null_count < 0:
+            raise ValueError(
+                f"arrow field {field['name']!r} node has negative "
+                f"length/null_count ({length}/{null_count})")
+        t = field["type"]
+        if t == "Union":
+            skip_buf()  # types
+            if field["mode"] == 1:
+                skip_buf()  # offsets
+            for ch in field["children"]:
+                skip_array(ch)
+            return
+        if t == "RunEndEncoded" and not field.get("dictionary"):
+            skip_array(field["children"][0])
+            skip_array(field["children"][1])
+            return
+        skip_buf()  # validity
+        if field.get("dictionary"):
+            skip_buf()  # indices
+            return
+        if t in ("Utf8View", "BinaryView"):
+            skip_buf()  # views
+            for _ in range(take_variadic()):
+                skip_buf()
+        elif t in ("Utf8", "Binary", "LargeUtf8", "LargeBinary"):
+            skip_buf()
+            skip_buf()
+        elif t in ("List", "LargeList"):
+            skip_buf()
+            skip_array(field["children"][0])
+        elif t in ("ListView", "LargeListView"):
+            skip_buf()
+            skip_buf()
+            skip_array(field["children"][0])
+        elif t == "FixedSizeList":
+            skip_array(field["children"][0])
+        elif t == "Struct_":
+            for ch in field["children"]:
+                skip_array(ch)
+        elif t == "Map":
+            skip_buf()
+            skip_array(field["children"][0])
+        else:
+            skip_buf()  # primitive data
+
     for field in fields:
-        out[field["name"]] = read_array(field, n)
+        if project is None or field["name"] in project:
+            out[field["name"]] = read_array(field, n)
+        else:
+            skip_array(field)
     return out
 
 
@@ -975,6 +1046,80 @@ def ipc_messages(blob: bytes):
         body = blob[pos:pos + body_len]
         pos += body_len
         yield meta, body
+
+
+def arrow_file_footer(fh) -> dict:
+    """File-format FOOTER via TAIL reads (round-15 source tier — the
+    planning surface of the arrow_ipc DataSource): the file ends with
+    ``<Footer flatbuffer> <int32 len> ARROW1``; the Footer carries a
+    COPY of the schema plus Block indices (offset, metaDataLength,
+    bodyLength) of every DictionaryBatch and RecordBatch message, so
+    per-batch partitions plan without touching the stream body.
+    Returns {"fields", "dictionaries", "batches"} with 3-tuple
+    blocks."""
+    import os
+
+    fh.seek(0, os.SEEK_END)
+    size = fh.tell()
+    if size < 10 + 8:
+        raise ValueError("arrow file too short for a footer")
+    fh.seek(size - 10)
+    tail = fh.read(10)
+    if tail[4:] != b"ARROW1":
+        raise ValueError("arrow file missing trailing magic")
+    (flen,) = struct.unpack_from("<i", tail, 0)
+    if flen <= 0 or size - 10 - flen < 8:
+        raise ValueError(f"implausible arrow footer length {flen}")
+    fh.seek(size - 10 - flen)
+    foot = fh.read(flen)
+    fb = _FB(foot)
+    root = fb.root()
+    sch_p = fb.field(root, 1)
+    if sch_p is None:
+        raise ValueError("arrow footer carries no schema")
+    fields = _parse_schema_table(fb, fb.indirect(sch_p))
+
+    def blocks(slot):
+        b_p = fb.field(root, slot)
+        if b_p is None:
+            return []
+        cnt, base = fb.vector(b_p)
+        out = []
+        for i in range(cnt):  # Block: inline 24-byte struct
+            off = fb.i64(base + 24 * i)
+            mlen = fb.i32(base + 24 * i + 8)
+            blen = fb.i64(base + 24 * i + 16)
+            if off < 0 or mlen < 0 or blen < 0 or                     off + mlen + blen > size:
+                raise ValueError("arrow footer block overruns file")
+            out.append((off, mlen, blen))
+        return out
+
+    return {"fields": fields, "dictionaries": blocks(2),
+            "batches": blocks(3)}
+
+
+def read_block(fh, block: tuple) -> tuple:
+    """One footer Block -> (metadata flatbuffer, body bytes); the
+    metadata region is the encapsulated frame (continuation + length
+    + padded flatbuffer), the body follows it."""
+    off, mlen, blen = block
+    fh.seek(off)
+    head = fh.read(mlen)
+    if len(head) < 8:
+        raise ValueError("arrow block shorter than its preamble")
+    pos = 0
+    (first,) = struct.unpack_from("<I", head, pos)
+    if first == _CONT:
+        pos += 4
+    (ml,) = struct.unpack_from("<i", head, pos)
+    pos += 4
+    if ml < 0 or pos + ml > len(head):
+        raise ValueError("arrow block metadata overruns its frame")
+    meta = head[pos:pos + ml]
+    body = fh.read(blen)
+    if len(body) != blen:
+        raise ValueError("arrow block body truncated")
+    return meta, body
 
 
 def ipc_read(blob: bytes) -> dict:

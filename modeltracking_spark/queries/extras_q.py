@@ -3024,6 +3024,119 @@ def parquet_native_write_docs(spark: SparkSession, sf_dir: str
     return widen_for_kernel(docs).mapInPandas(kernel, out_schema)
 
 
+def arrowfile_fixture_dir(spark, sf_dir: str) -> str:
+    """Exported for tools/oracle_twins.py — content-addressed
+    directory of Arrow IPC FILE-format shards written by PYARROW (the
+    reference implementation): ~1250 docs per ``.arrow`` file
+    (4-file floor — the sf-proportional shard shape of the warc/ORC
+    fixtures, so a 10x corpus carries ~10x files at constant per-file
+    work), zstd bodies, the lang column DICTIONARY-encoded and text
+    as ``string_view`` (the 1.4 layout modern writers emit),
+    max_chunksize 512 so every file carries multiple record batches
+    for the batch-grain partitioner."""
+    import hashlib
+    import math
+    import os
+    import shutil
+
+    from modeltracking_spark.queries.multimodal_q import (
+        corpus_fingerprint,
+    )
+    from modeltracking_spark.schemas import load_table
+
+    token_src = "arrowfile:v1:1250:4:zstd:512:dict-lang:view-text"
+    token = hashlib.md5(
+        (corpus_fingerprint(sf_dir, "documents") + ":"
+         + token_src).encode()).hexdigest()[:10]
+    out_dir = f"/tmp/modeltracking_arrowfile_{token}"
+    if not os.path.isdir(out_dir):
+        import pyarrow as pa
+        import pyarrow.ipc as paipc
+
+        rows = (load_table(spark, sf_dir, "documents")
+                .select("doc_id", "lang", "text", "source", "n_chars")
+                .orderBy("doc_id").collect())
+        n_files = max(4, math.ceil(len(rows) / 1250))
+        per = math.ceil(len(rows) / n_files)
+        tmp = f"{out_dir}.{os.getpid()}.tmp"
+        os.makedirs(tmp, exist_ok=True)
+        opts = paipc.IpcWriteOptions(compression="zstd")
+        for k in range(n_files):
+            part = rows[k * per:(k + 1) * per]
+            if not part:
+                continue
+            t = pa.table({
+                "doc_id": pa.array([r["doc_id"] for r in part],
+                                   pa.int64()),
+                "lang": pa.array([r["lang"] for r in part]
+                                 ).dictionary_encode(),
+                "text": pa.array([r["text"] for r in part],
+                                 pa.string_view()),
+                "source": pa.array([r["source"] for r in part],
+                                   pa.string()),
+                "n_chars": pa.array([r["n_chars"] for r in part],
+                                    pa.int64()),
+            })
+            with paipc.new_file(f"{tmp}/part{k:04d}.arrow", t.schema,
+                                options=opts) as w:
+                w.write_table(t, max_chunksize=512)
+        try:
+            os.rename(tmp, out_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    return out_dir
+
+
+@query(
+    "arrow_file_source_scan_docs",
+    oracle="""
+    SELECT doc_id,
+           lang,
+           length(text)::BIGINT AS text_len,
+           n_chars
+    FROM documents
+    """,
+)
+def arrow_file_source_scan_docs(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Arrow IPC FILE DataSource scan (round-15 continuation,
+    sources/arrow_ipc_source.py — the interchange tier's distributed
+    scan surface): PYARROW writes the fixture shards (zstd bodies,
+    DICTIONARY-encoded lang, ``string_view`` text — an adversarial
+    reference source exercising the 1.4 layouts through the scan
+    path), and the engine plans from the File FOOTER alone (TAIL
+    reads; Block index -> one InputPartition per record batch, the
+    format's parallel-read grain) with COLUMN PROJECTION — the
+    ``source`` column's zstd frames are structurally skipped, never
+    decompressed.  100 TB posture: batch-grain partitions group via
+    ``target_partition_bytes`` exactly like the parquet/ORC sources;
+    the fixture shard count grows sf-proportionally.  Oracle replays
+    from the parent table in DuckDB; projection/grouping/drift/
+    sentinel batteries in tests/test_arrow_ipc_source.py; the
+    pyarrow replay twin in tools/oracle_twins.py reads the same
+    shards through pyarrow.ipc."""
+    from pyspark.errors import PySparkException
+
+    from modeltracking_spark.queries.common import ensure_pkg_on_workers
+    from modeltracking_spark.sources.arrow_ipc_source import (
+        ArrowIpcDataSource,
+    )
+
+    ensure_pkg_on_workers(spark)
+    try:
+        spark.dataSource.register(ArrowIpcDataSource)
+    except PySparkException:
+        pass
+    d = arrowfile_fixture_dir(spark, sf_dir)
+    df = (spark.read.format("arrow_ipc")
+          .option("path", d)
+          .option("columns", "doc_id,lang,text,n_chars").load())
+    return df.select(
+        "doc_id", "lang",
+        F.length("text").cast("long").alias("text_len"),
+        "n_chars")
+
+
 @query(
     "orc_lzo_lz4_write_docs",
     oracle="""

@@ -2780,6 +2780,45 @@ def twin_orc_native_events(spark, sf_dir,
     return True, f"{n} events replayed by pyarrow.orc"
 
 
+def twin_arrow_file_source(spark, sf_dir,
+                           spark_rows) -> tuple[bool, str]:
+    """pyarrow.ipc replays the Arrow FILE fixture shards (zstd,
+    dictionary-encoded lang, string_view text) — the reference
+    reader over the same bytes the engine's footer-planned
+    DataSource scanned, none of the from-spec decode in the loop
+    (round-15 continuation)."""
+    import glob
+
+    import pyarrow.ipc as _pi
+
+    from modeltracking_spark.queries.extras_q import (
+        arrowfile_fixture_dir,
+    )
+
+    d = arrowfile_fixture_dir(spark, sf_dir)
+    got = {
+        int(r["doc_id"]): (r["lang"], int(r["text_len"]),
+                           int(r["n_chars"]))
+        for r in spark_rows
+    }
+    n = 0
+    for part in sorted(glob.glob(f"{d}/*.arrow")):
+        t = _pi.open_file(part).read_all()
+        for did, lang, text, nc in zip(
+                t.column("doc_id").to_pylist(),
+                t.column("lang").to_pylist(),
+                t.column("text").to_pylist(),
+                t.column("n_chars").to_pylist()):
+            want = (lang, len(text), int(nc))
+            if got.get(int(did)) != want:
+                return False, (f"doc {did}: got {got.get(int(did))} "
+                               f"want {want}")
+            n += 1
+    if n != len(got):
+        return False, f"row count: pyarrow.ipc {n} vs engine {len(got)}"
+    return True, f"{n} docs replayed by pyarrow.ipc"
+
+
 def twin_parquet_decimal(spark, sf_dir, spark_rows) -> tuple[bool, str]:
     """pyarrow replays the Spark-Java-written DECIMAL fixture with
     exact decimal.Decimal arithmetic — none of the repo's from-spec
@@ -3774,6 +3813,9 @@ def main(sf_dirs: list[str]) -> int:
              lambda rows: twin_orc_native_events(spark, sf_dir, rows)),
             ("orc_lzo_scan_docs",
              lambda rows: twin_orc_lzo_docs(spark, sf_dir, rows)),
+            ("arrow_file_source_scan_docs",
+             lambda rows: twin_arrow_file_source(spark, sf_dir,
+                                                 rows)),
             ("parquet_decimal_scan_orders",
              lambda rows: twin_parquet_decimal(spark, sf_dir, rows)),
             ("parquet_int96_scan_events",
