@@ -3027,13 +3027,14 @@ def parquet_native_write_docs(spark: SparkSession, sf_dir: str
 def arrowfile_fixture_dir(spark, sf_dir: str) -> str:
     """Exported for tools/oracle_twins.py — content-addressed
     directory of Arrow IPC FILE-format shards written by PYARROW (the
-    reference implementation): ~1250 docs per ``.arrow`` file
-    (4-file floor — the sf-proportional shard shape of the warc/ORC
-    fixtures, so a 10x corpus carries ~10x files at constant per-file
-    work), zstd bodies, the lang column DICTIONARY-encoded and text
-    as ``string_view`` (the 1.4 layout modern writers emit),
-    max_chunksize 512 so every file carries multiple record batches
-    for the batch-grain partitioner."""
+    reference implementation) EXECUTOR-side — one applyInPandas task
+    per ``doc_id %% P`` shard (P = ceil(n/1250), 4-file floor: the
+    sf-proportional shard shape of the warc/ORC fixtures, so a 10x
+    corpus carries ~10x files at constant per-file work, and no
+    corpus-sized driver collect); zstd bodies, the lang column
+    DICTIONARY-encoded and text as ``string_view`` (the 1.4 layout
+    modern writers emit), max_chunksize 512 so every file carries
+    multiple record batches for the batch-grain partitioner."""
     import hashlib
     import math
     import os
@@ -3044,42 +3045,51 @@ def arrowfile_fixture_dir(spark, sf_dir: str) -> str:
     )
     from modeltracking_spark.schemas import load_table
 
-    token_src = "arrowfile:v1:1250:4:zstd:512:dict-lang:view-text"
+    token_src = "arrowfile:v2:1250:4:zstd:512:dict-lang:view-text"
     token = hashlib.md5(
         (corpus_fingerprint(sf_dir, "documents") + ":"
          + token_src).encode()).hexdigest()[:10]
     out_dir = f"/tmp/modeltracking_arrowfile_{token}"
     if not os.path.isdir(out_dir):
-        import pyarrow as pa
-        import pyarrow.ipc as paipc
-
-        rows = (load_table(spark, sf_dir, "documents")
-                .select("doc_id", "lang", "text", "source", "n_chars")
-                .orderBy("doc_id").collect())
-        n_files = max(4, math.ceil(len(rows) / 1250))
-        per = math.ceil(len(rows) / n_files)
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text", "source", "n_chars")
+        n_files = max(4, math.ceil(docs.count() / 1250))
         tmp = f"{out_dir}.{os.getpid()}.tmp"
         os.makedirs(tmp, exist_ok=True)
-        opts = paipc.IpcWriteOptions(compression="zstd")
-        for k in range(n_files):
-            part = rows[k * per:(k + 1) * per]
-            if not part:
-                continue
+
+        def write_shard(key, pdf):
+            # EXECUTOR-side shard write (no corpus-sized driver
+            # collect): one task builds one .arrow file; doc_id %% P
+            # sharding + in-shard sort keep the bytes deterministic
+            import pandas as pd
+            import pyarrow as pa
+            import pyarrow.ipc as paipc
+
+            k = int(key[0])
+            pdf = pdf.sort_values("doc_id")
             t = pa.table({
-                "doc_id": pa.array([r["doc_id"] for r in part],
-                                   pa.int64()),
-                "lang": pa.array([r["lang"] for r in part]
-                                 ).dictionary_encode(),
-                "text": pa.array([r["text"] for r in part],
+                "doc_id": pa.array(
+                    [int(v) for v in pdf["doc_id"]], pa.int64()),
+                "lang": pa.array(
+                    list(pdf["lang"])).dictionary_encode(),
+                "text": pa.array(list(pdf["text"]),
                                  pa.string_view()),
-                "source": pa.array([r["source"] for r in part],
-                                   pa.string()),
-                "n_chars": pa.array([r["n_chars"] for r in part],
-                                    pa.int64()),
+                "source": pa.array(list(pdf["source"]), pa.string()),
+                "n_chars": pa.array(
+                    [int(v) for v in pdf["n_chars"]], pa.int64()),
             })
+            opts = paipc.IpcWriteOptions(compression="zstd")
             with paipc.new_file(f"{tmp}/part{k:04d}.arrow", t.schema,
                                 options=opts) as w:
                 w.write_table(t, max_chunksize=512)
+            return pd.DataFrame({"shard": [k], "rows": [len(pdf)]})
+
+        # bounded collect: n_files receipt rows
+        (docs.withColumn("__shard", (F.col("doc_id")
+                                     % n_files).cast("int"))
+         .groupBy("__shard")
+         .applyInPandas(write_shard, "shard int, rows long")
+         .collect())
         try:
             os.rename(tmp, out_dir)
         except OSError:

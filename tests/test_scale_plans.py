@@ -587,6 +587,8 @@ def test_no_unbounded_driver_collect_sites():
         "queries/stream_q.py": "foreachBatch per-type state (|types| rows)",
         "queries/sim_q.py": "k centroids / 8-vector demo probe",
         "operators/dicttrain.py": "top-`candidates` segment rows (bounded)",
+        "queries/extras_q.py":
+            "arrowfile fixture shard receipts (n_files rows)",
     }
     offenders = []
     for path in sorted(pkg.rglob("*.py")):
