@@ -195,7 +195,8 @@ def lzo1x_compress(data: bytes) -> bytes:
         key = int.from_bytes(data[i:i + 4], "little")
         j = table.get(key, -1)
         table[key] = i
-        if 0 <= i - j <= 16384 and data[j:j + 4] == data[i:i + 4]:
+        if j >= 0 and i - j <= 16384 and \
+                data[j:j + 4] == data[i:i + 4]:
             mlen = 4
             jm = j + 4
             im = i + 4
