@@ -1717,3 +1717,56 @@ def test_modern_write_mutation_fuzz():
             ipc_read(bytes(b))
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_modern_layouts_property_roundtrip():
+    """Hypothesis sweep over the five 1.4 layouts: arbitrary value
+    profiles (null densities, inline/spilled view mixes, empty and
+    singleton runs) round-trip engine-write -> engine-read AND
+    engine-write -> pyarrow-read, across chunk sizes and codecs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.data())
+    def inner(data):
+        _modern_property_case(data, st)
+
+    inner()
+
+
+def _modern_property_case(data, st):
+    n = data.draw(st.integers(1, 60), label="n")
+    chunk = data.draw(st.sampled_from([3, 7, 64]), label="chunk")
+    comp = data.draw(st.sampled_from([None, "lz4", "zstd"]),
+                     label="comp")
+    nullp = data.draw(st.floats(0, 0.6), label="nullp")
+    rng = random.Random(data.draw(st.integers(0, 2**31), label="seed"))
+
+    def mn(v):
+        return None if rng.random() < nullp else v
+
+    def s(hi):
+        return "".join(chr(rng.randrange(97, 123))
+                       for _ in range(rng.randrange(0, hi)))
+
+    cols = {
+        "sv": [mn(s(30)) for _ in range(n)],
+        "bv": [mn(s(26).encode()) for _ in range(n)],
+        "lv": [mn([rng.randrange(100)
+                   for _ in range(rng.randrange(0, 4))])
+               for _ in range(n)],
+        "llv": [mn([mn(s(16)) for _ in range(rng.randrange(0, 3))])
+                for _ in range(n)],
+        "r": [v for v in
+              (rng.choice(["x", "y", None]) for _ in range(n))],
+    }
+    blob = ipc_write(_MODERN_FIELDS, cols, compression=comp,
+                     max_chunksize=chunk)
+    got = ipc_read(blob)
+    for k, v in cols.items():
+        assert got["columns"][k] == v, k
+    t = ipc.open_stream(io.BytesIO(blob)).read_all()
+    t.validate(full=True)
+    for k, v in cols.items():
+        assert t.column(k).to_pylist() == v, k

@@ -1088,3 +1088,38 @@ def test_orc_lz4_lzo_write_vs_references(spark, tmp_path):
         assert [r.id for r in rows] == cols["id"], codec
         assert [r.txt for r in rows] == cols["txt"], codec
         assert [r.val for r in rows] == cols["val"], codec
+
+
+def test_lzo1x_compress_property_roundtrip():
+    """Hypothesis sweep: arbitrary byte profiles (alphabet sizes from
+    degenerate to full, lengths crossing every run-extension
+    boundary) round-trip compress -> from-spec decompress."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from modeltracking_spark.operators.lzo import (
+        lzo1x_compress,
+        lzo1x_decompress,
+    )
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.data())
+    def inner(data):
+        mode = data.draw(st.integers(0, 2), label="mode")
+        n = data.draw(st.integers(0, 3000), label="n")
+        seed = data.draw(st.integers(0, 2**31), label="seed")
+        import random as _r
+
+        rng = _r.Random(seed)
+        if mode == 0:
+            d = bytes(rng.randrange(256) for _ in range(n))
+        elif mode == 1:
+            d = bytes(rng.choice(b"ab") for _ in range(n))
+        else:
+            unit = bytes(rng.randrange(256)
+                         for _ in range(rng.randrange(1, 30)))
+            d = (unit * (n // max(1, len(unit)) + 1))[:n]
+        assert lzo1x_decompress(lzo1x_compress(d),
+                                max_out=max(n, 1)) == d
+
+    inner()
