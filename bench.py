@@ -224,6 +224,7 @@ HEADLINE = [
     "tiff_deflate_stats_docs",
     "orc_lzo_lz4_write_docs",
     "arrow_file_source_scan_docs",
+    "sqlite_source_scan_docs",
     # zstd_seekable_stream_scan_docs, parquet_stream_sink_docs, and
     # orc_stream_sink_docs are deliberately NOT benched: each
     # execution runs two REAL streaming drains (~17 s at sf0.1),

@@ -64,15 +64,17 @@ QUERY_MODULES = (
 #: in-window (lz4/lzma roundtrips + the LZO registration carry the
 #: codec tier; cosine_topk_brute/_ivf/_lsh carry the ANN probes) —
 #: r16 MUST lead with: skew_salted_join_events,
-#: cosine_topk_ivf_probe, bz2_roundtrip_docs and
-#: cdc_chunk_dedup_docs (slipped late-r15 when
+#: cosine_topk_ivf_probe, bz2_roundtrip_docs, cdc_chunk_dedup_docs
+#: and cbor_roundtrip_docs (slipped late-r15 when
 #: arrow_ipc_modern_layouts_docs, tiff_deflate_stats_docs,
-#: orc_lzo_lz4_write_docs and arrow_file_source_scan_docs took
-#: their head slots — the salted-join tier keeps
-#: bucketed_join_revenue in-window, the ANN probe family keeps
-#: cosine_topk_brute + cosine_topk_lsh_probe, the codec tier keeps
-#: lz4/lzma/brotli roundtrips, and the dedup tier keeps the three
-#: capped-LSH carriers + exact/cluster/simhash), snappy_roundtrip_docs,
+#: orc_lzo_lz4_write_docs, arrow_file_source_scan_docs and
+#: sqlite_source_scan_docs took their head slots — the salted-join
+#: tier keeps bucketed_join_revenue in-window, the ANN probe family
+#: keeps cosine_topk_brute + cosine_topk_lsh_probe, the codec tier
+#: keeps lz4/lzma/brotli roundtrips, the dedup tier keeps the three
+#: capped-LSH carriers + exact/cluster/simhash, and the
+#: binary-record format tier keeps avro_ocf/avro_nested +
+#: tfrecord in-or-near window), snappy_roundtrip_docs,
 #: sobel_edge_stats_docs,
 #: stateful_user_totals_stream, stratified_hash_sample_docs,
 #: stream_enrich_join, tar_pax_bundle_scan_docs,
@@ -94,6 +96,7 @@ PRIORITY: tuple[str, ...] = (
     "tiff_deflate_stats_docs",       # TechNote-2 deflate + 32946
     "orc_lzo_lz4_write_docs",        # ORC codec matrix symmetric
     "arrow_file_source_scan_docs",   # footer-planned IPC DataSource
+    "sqlite_source_scan_docs",       # from-spec SQLite B-tree scan
     # ---- r9-stale cohort (all 11 slips from the r14 comment) ----
     "array_functions_demo",
     "asof_nearest_clicks",
@@ -112,7 +115,6 @@ PRIORITY: tuple[str, ...] = (
     "avro_ocf_scan_docs",
     "brotli_roundtrip_docs",
     "bucketed_join_revenue",
-    "cbor_roundtrip_docs",
     "click_error_interval_stallproof",
     "cosine_topk_brute",
     "cosine_topk_lsh_probe",

@@ -3147,6 +3147,127 @@ def arrow_file_source_scan_docs(spark: SparkSession,
         "n_chars")
 
 
+def sqlitefix_fixture_dir(spark, sf_dir: str) -> str:
+    """Exported for tools/oracle_twins.py — content-addressed
+    directory of SQLite database shards written by STDLIB sqlite3
+    (the reference implementation) EXECUTOR-side: one applyInPandas
+    task per ``doc_id %% P`` shard (P = ceil(n/1250), 4-shard floor —
+    the sf-proportional per-app/per-device corpus shape), page_size
+    512 so the tested SFs build REAL multi-level B-trees with
+    overflow chains (text payloads exceed a page), ``doc_id`` as the
+    INTEGER PRIMARY KEY rowid alias."""
+    import hashlib
+    import math
+    import os
+    import shutil
+
+    from modeltracking_spark.queries.multimodal_q import (
+        corpus_fingerprint,
+    )
+    from modeltracking_spark.schemas import load_table
+
+    token_src = "sqlitefix:v1:1250:4:page512:ipk"
+    token = hashlib.md5(
+        (corpus_fingerprint(sf_dir, "documents") + ":"
+         + token_src).encode()).hexdigest()[:10]
+    out_dir = f"/tmp/modeltracking_sqlitefix_{token}"
+    if not os.path.isdir(out_dir):
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text", "n_chars")
+        n_files = max(4, math.ceil(docs.count() / 1250))
+        tmp = f"{out_dir}.{os.getpid()}.tmp"
+        os.makedirs(tmp, exist_ok=True)
+
+        def write_shard(key, pdf):
+            import sqlite3
+
+            import pandas as pd
+
+            k = int(key[0])
+            pdf = pdf.sort_values("doc_id")
+            path = f"{tmp}/shard{k:04d}.db"
+            con = sqlite3.connect(path)
+            con.execute("PRAGMA journal_mode=DELETE")
+            con.execute("PRAGMA page_size=512")
+            con.execute(
+                "CREATE TABLE docs (doc_id INTEGER PRIMARY KEY, "
+                "lang TEXT, text TEXT, n_chars INTEGER)")
+            con.executemany(
+                "INSERT INTO docs VALUES (?,?,?,?)",
+                [(int(a), b, c, int(d)) for a, b, c, d in zip(
+                    pdf["doc_id"], pdf["lang"], pdf["text"],
+                    pdf["n_chars"])])
+            con.commit()
+            con.close()
+            return pd.DataFrame({"shard": [k], "rows": [len(pdf)]})
+
+        # bounded collect: n_files receipt rows
+        (docs.withColumn("__shard", (F.col("doc_id")
+                                     % n_files).cast("int"))
+         .groupBy("__shard")
+         .applyInPandas(write_shard, "shard int, rows long")
+         .collect())
+        try:
+            os.rename(tmp, out_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    return out_dir
+
+
+@query(
+    "sqlite_source_scan_docs",
+    oracle="""
+    SELECT doc_id,
+           lang,
+           length(text)::BIGINT AS text_len,
+           md5(text) AS text_md5,
+           n_chars
+    FROM documents
+    """,
+)
+def sqlite_source_scan_docs(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """FROM-SPEC SQLITE SCAN (round-15 continuation,
+    operators/sqlite_file.py + sources/sqlite_source.py — the
+    single-file DB format of scraped app/telemetry/browser corpora,
+    from the public fileformat2 document): STDLIB sqlite3 (the
+    reference implementation) writes sf-proportional shards with
+    512-byte pages — real multi-level B-trees, payload OVERFLOW
+    chains, the INTEGER-PRIMARY-KEY rowid alias — and the engine
+    reads them back from spec: header, page types 5/13, cell pointer
+    arrays, signed varints, the record serial-type system, the
+    U/X/M/K spill arithmetic, and the sqlite_schema catalog walk.
+    Planning touches only the catalog + root pages; one
+    InputPartition per (shard, root-child SUBTREE) — the B-tree's
+    own fan-out is the parallel grain, so a million-page table scans
+    wide.  md5 over the decoded text makes any page/overflow/record
+    drift break the oracle hash.  WAL / WITHOUT-ROWID / affinity
+    violations reject loudly.  Batteries + corruption fuzz in
+    tests/test_sqlite_file.py, source behaviors in
+    tests/test_sqlite_source.py; the sqlite3 SELECT replay twin in
+    tools/oracle_twins.py."""
+    from pyspark.errors import PySparkException
+
+    from modeltracking_spark.queries.common import ensure_pkg_on_workers
+    from modeltracking_spark.sources.sqlite_source import (
+        SqliteDataSource,
+    )
+
+    ensure_pkg_on_workers(spark)
+    try:
+        spark.dataSource.register(SqliteDataSource)
+    except PySparkException:
+        pass
+    d = sqlitefix_fixture_dir(spark, sf_dir)
+    df = (spark.read.format("sqlite_file")
+          .option("path", d).option("table", "docs").load())
+    return df.select(
+        "doc_id", "lang",
+        F.length("text").cast("long").alias("text_len"),
+        F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
+        "n_chars")
+
+
 @query(
     "orc_lzo_lz4_write_docs",
     oracle="""

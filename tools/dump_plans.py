@@ -179,6 +179,7 @@ NOTES = {
     "dap_scalar_summary_scan": "one endpoint per partition; each drives the live protocol's 0-dim framing (bare counted string / bare 4-padded value, no (n,n) header); 4-row output, no exchange",
     "parquet_summary_file_scan": "narrow mapInPandas: engine writes data.parquet (self-referencing file_path) + metadata-only summary twin per batch; rows decode THROUGH the summary via the sibling byte-range redirect, shuffle-free",
     "orc_lzo_scan_docs": "stripe-grain partitions over the Spark-written LZO fixture; from-spec LZO1X chunk decode executor-side with column projection; no shuffle before the sink",
+    "sqlite_source_scan_docs": "catalog-only planning (header + root pages); one InputPartition per (shard, B-tree root-child subtree); record decode executor-side, no shuffle before the sink",
     "arrow_file_source_scan_docs": "footer-only planning (TAIL reads); one InputPartition per record-batch Block, target_partition_bytes groups consecutive batches; decode-side projection skips the unprojected source column's zstd frames entirely; one aggregate-free narrow scan",
     "orc_lzo_lz4_write_docs": "narrow mapInPandas: per batch the engine writes one LZO + one LZ4 ORC file (chunked 3-byte framing over the from-spec encoders) and pyarrow.orc re-decodes both; shuffle-free, write parallelizes per partition",
     "tiff_deflate_stats_docs": "one Arrow mapInPandas kernel over doc_id only (column-pruned scan): formula raster -> strip/tile zlib streams -> from-spec inflate under the TIFF framing, lossless roundtrip asserted per row; shuffle-free",

@@ -2819,6 +2819,43 @@ def twin_arrow_file_source(spark, sf_dir,
     return True, f"{n} docs replayed by pyarrow.ipc"
 
 
+def twin_sqlite_source(spark, sf_dir,
+                       spark_rows) -> tuple[bool, str]:
+    """stdlib sqlite3 re-SELECTs the fixture shards — the reference
+    implementation over the same B-tree pages the from-spec reader
+    walked (round-15 continuation)."""
+    import glob
+    import hashlib
+    import sqlite3 as _sq
+
+    from modeltracking_spark.queries.extras_q import (
+        sqlitefix_fixture_dir,
+    )
+
+    d = sqlitefix_fixture_dir(spark, sf_dir)
+    got = {
+        int(r["doc_id"]): (r["lang"], int(r["text_len"]),
+                           r["text_md5"], int(r["n_chars"]))
+        for r in spark_rows
+    }
+    n = 0
+    for part in sorted(glob.glob(f"{d}/*.db")):
+        con = _sq.connect(part)
+        for did, lang, text, nc in con.execute(
+                "SELECT doc_id, lang, text, n_chars FROM docs"):
+            want = (lang, len(text),
+                    hashlib.md5(text.encode("utf-8")).hexdigest(),
+                    int(nc))
+            if got.get(int(did)) != want:
+                return False, (f"doc {did}: got {got.get(int(did))} "
+                               f"want {want}")
+            n += 1
+        con.close()
+    if n != len(got):
+        return False, f"row count: sqlite3 {n} vs engine {len(got)}"
+    return True, f"{n} docs replayed by stdlib sqlite3"
+
+
 def twin_parquet_decimal(spark, sf_dir, spark_rows) -> tuple[bool, str]:
     """pyarrow replays the Spark-Java-written DECIMAL fixture with
     exact decimal.Decimal arithmetic — none of the repo's from-spec
@@ -3816,6 +3853,8 @@ def main(sf_dirs: list[str]) -> int:
             ("arrow_file_source_scan_docs",
              lambda rows: twin_arrow_file_source(spark, sf_dir,
                                                  rows)),
+            ("sqlite_source_scan_docs",
+             lambda rows: twin_sqlite_source(spark, sf_dir, rows)),
             ("parquet_decimal_scan_orders",
              lambda rows: twin_parquet_decimal(spark, sf_dir, rows)),
             ("parquet_int96_scan_events",
