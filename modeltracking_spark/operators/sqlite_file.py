@@ -19,8 +19,13 @@ exists for a read-only module.
 
 Scope: rowid table scans (the storage shape ``CREATE TABLE`` makes
 without ``WITHOUT ROWID``), UTF-8 databases, journal_mode DELETE /
-TRUNCATE / PERSIST files.  Typed loud rejects: WAL-mode files (an
-unapplied ``-wal`` sidecar would make page reads stale), non-UTF-8
+TRUNCATE / PERSIST files, and WAL databases via the ``wal=``
+sidecar-bytes overlay (round-15 continuation: frames verify the
+spec's salt + cumulative s1/s2 checksum chain in the byte order the
+wal magic declares, torn tails and pre-reset frames are ignored
+exactly as SQLite ignores them, and only frames up to the last
+COMMIT frame apply).  Typed loud rejects: a WAL-mode file with NO
+sidecar information (pass ``b""`` after a clean close), non-UTF-8
 text encodings, WITHOUT-ROWID (index-btree) tables, index/corrupt
 page types where a table page is required.  Malformed input raises
 ``ValueError`` — never an internal IndexError/struct.error (house
@@ -63,11 +68,71 @@ def _varint(buf: bytes, pos: int) -> tuple[int, int]:
     return v, pos + 1
 
 
+def _wal_frames(wal: bytes, page_size: int) -> dict:
+    """Parse a -wal sidecar (spec §WAL Format): 32-byte header
+    (magic's low bit selects the checksum word order), then
+    24-byte-header + page-image frames.  Returns {page_number:
+    page_bytes} for every frame up to the LAST VALID COMMIT frame —
+    salts must match the header and the CUMULATIVE s1/s2 checksum
+    chain must verify, so torn tails and stale pre-reset frames are
+    ignored exactly as SQLite itself ignores them."""
+    if len(wal) < 32:
+        return {}
+    (magic, version, psz, _ckpt, salt1, salt2, c1, c2) =         struct.unpack(">8I", wal[:32])
+    if magic not in (0x377F0682, 0x377F0683):
+        raise _malformed(f"wal magic {magic:#x} invalid")
+    if version != 3007000:
+        raise NotImplementedError(
+            f"wal format version {version} not supported")
+    if psz != page_size:
+        raise _malformed(
+            f"wal page size {psz} != database page size {page_size}")
+    bo = "<" if magic == 0x377F0682 else ">"
+
+    def ck(s1, s2, data):
+        n = len(data) // 8 * 8
+        words = struct.unpack(f"{bo}{n // 4}I", data[:n])
+        for i in range(0, len(words), 2):
+            s1 = (s1 + words[i] + s2) & 0xFFFFFFFF
+            s2 = (s2 + words[i + 1] + s1) & 0xFFFFFFFF
+        return s1, s2
+
+    s1, s2 = ck(0, 0, wal[:24])
+    if (s1, s2) != (c1, c2):
+        raise _malformed("wal header checksum mismatch")
+    pending: dict = {}
+    committed: dict = {}
+    pos = 32
+    fsz = 24 + page_size
+    while pos + fsz <= len(wal):
+        (pgno, commit, fs1, fs2, fc1, fc2) = struct.unpack_from(
+            ">6I", wal, pos)
+        if (fs1, fs2) != (salt1, salt2):
+            break  # stale frame from before a wal reset
+        s1, s2 = ck(s1, s2, wal[pos:pos + 8])
+        s1, s2 = ck(s1, s2, wal[pos + 24:pos + fsz])
+        if (s1, s2) != (fc1, fc2):
+            break  # torn tail: checksum chain broken
+        if pgno < 1:
+            raise _malformed("wal frame for page 0")
+        pending[pgno] = wal[pos + 24:pos + fsz]
+        if commit:  # commit frame: everything so far is durable
+            committed.update(pending)
+            pending = {}
+        pos += fsz
+    return committed
+
+
 class SqliteFile:
     """Random-access reader over one SQLite database file (a file
-    object opened 'rb', or bytes)."""
+    object opened 'rb', or bytes).  ``wal`` (round-15 continuation —
+    the former WAL reject upgraded to support) takes the ``-wal``
+    sidecar's bytes: committed frames overlay the main file's pages,
+    so a live/mid-session WAL database reads at its last commit
+    point.  A WAL-mode file with ``wal=None`` still rejects (a
+    MISSING sidecar after a clean close is fine — pass ``b""``)."""
 
-    def __init__(self, fh):
+    def __init__(self, fh, wal: bytes | None = None):
         if isinstance(fh, (bytes, bytearray)):
             import io
 
@@ -82,10 +147,12 @@ class SqliteFile:
                 self.page_size - 1):
             raise _malformed(f"page size {self.page_size} invalid")
         write_version = head[18]
-        if write_version == 2:
+        if write_version == 2 and wal is None:
             raise NotImplementedError(
                 "WAL-mode sqlite file: page reads would be stale "
-                "without applying the -wal sidecar — checkpoint the "
+                "without applying the -wal sidecar — pass "
+                "wal=<sidecar bytes> (b'' after a clean close, where "
+                "SQLite deletes the sidecar), or checkpoint the "
                 "database (journal_mode=DELETE) and re-export")
         self.reserved = head[20]
         self.usable = self.page_size - self.reserved
@@ -97,15 +164,28 @@ class SqliteFile:
             raise NotImplementedError(
                 f"sqlite text encoding {enc} not supported "
                 "(1 = UTF-8 is)")
+        self.overlay = _wal_frames(bytes(wal), self.page_size) \
+            if wal else {}
+        if self.overlay:
+            # page 1 carries the header: re-read size fields from the
+            # overlaid copy (a wal commit can grow the database)
+            pg1 = self.overlay.get(1)
+            if pg1 is not None:
+                (self.n_pages,) = struct.unpack_from(">I", pg1, 28)
+            self.n_pages = max(self.n_pages, max(self.overlay))
 
     def _read_at(self, off: int, n: int) -> bytes:
         self.fh.seek(off)
         return self.fh.read(n)
 
     def page(self, num: int) -> bytes:
-        """1-based page fetch, size-checked."""
+        """1-based page fetch, size-checked; committed WAL frames
+        overlay the main file."""
         if num < 1 or (self.n_pages and num > self.n_pages):
             raise _malformed(f"page {num} out of range")
+        ov = self.overlay.get(num)
+        if ov is not None:
+            return ov
         p = self._read_at((num - 1) * self.page_size, self.page_size)
         if len(p) != self.page_size:
             raise _malformed(f"page {num} truncated")
@@ -389,12 +469,12 @@ def _decode_record(payload: bytes) -> list:
     return vals
 
 
-def sqlite_table_scan(fh, table: str):
+def sqlite_table_scan(fh, table: str, wal: bytes | None = None):
     """Convenience full-table scan: yields dict rows with the
     catalog's column names, the INTEGER-PRIMARY-KEY alias resolved
     to the rowid, and short records right-padded with NULLs (ALTER
     TABLE ADD COLUMN leaves old rows short — spec behavior)."""
-    db = SqliteFile(fh)
+    db = SqliteFile(fh, wal=wal)
     cols = db.table_columns(table)
     ipk = db.ipk_index(table)
     root = db.table_root(table)

@@ -23,8 +23,12 @@ grain).
   header must be walked regardless; unprojected values simply never
   cross into Spark).
 
-Typed rejects ride up from operators/sqlite_file.py: WAL-mode files,
-WITHOUT-ROWID / virtual tables, non-UTF-8 encodings; affinity-
+WAL databases read at their last commit point: the source applies a
+``-wal`` sidecar's committed frames automatically (cumulative
+checksum chain verified; a missing sidecar means SQLite closed
+cleanly and deleted it).  Typed rejects ride up from
+operators/sqlite_file.py: WITHOUT-ROWID / virtual tables, non-UTF-8
+encodings; affinity-
 violating stored values (SQLite is dynamically typed — a TEXT value
 in an INTEGER column) reject loudly naming the cell rather than
 guessing a coercion.
@@ -42,6 +46,21 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     InputPartition,
 )
+
+
+def _open_db(path: str):
+    """SqliteFile over ``path``, applying the ``-wal`` sidecar when
+    one exists (a MISSING sidecar means SQLite closed cleanly and
+    deleted it — b'' tells the reader that explicitly)."""
+    import os
+
+    from modeltracking_spark.operators.sqlite_file import SqliteFile
+
+    wal = b""
+    if os.path.exists(path + "-wal"):
+        with open(path + "-wal", "rb") as wf:
+            wal = wf.read()
+    return SqliteFile(open(path, "rb"), wal=wal)
 
 
 def _files(path: str) -> list[str]:
@@ -110,15 +129,11 @@ class _SqliteReader(DataSourceReader):
                          if c.strip()] if cols else None)
 
     def partitions(self):
-        from modeltracking_spark.operators.sqlite_file import (
-            SqliteFile,
-        )
-
         parts = []
         ref = None
         for f in self.files:
-            with open(f, "rb") as fh:
-                db = SqliteFile(fh)
+            db = _open_db(f)
+            try:
                 cols = db.table_columns(self.table)
                 if ref is None:
                     ref = (f, cols)
@@ -130,18 +145,16 @@ class _SqliteReader(DataSourceReader):
                 root = db.table_root(self.table)
                 for child in db.table_root_children(root):
                     parts.append(InputPartition((f, [child])))
+            finally:
+                db.fh.close()
         return parts
 
     def read(self, partition):
         import pyarrow as pa
 
-        from modeltracking_spark.operators.sqlite_file import (
-            SqliteFile,
-        )
-
         path, pages = partition.value
-        with open(path, "rb") as fh:
-            db = SqliteFile(fh)
+        db = _open_db(path)
+        try:
             cols = db.table_columns(self.table)
             ipk = db.ipk_index(self.table)
             sql = next(r["sql"] for r in db.schema()
@@ -171,6 +184,8 @@ class _SqliteReader(DataSourceReader):
                     count = 0
             if count or not pages:
                 yield _batch(pa, buf, names, kinds, idx)
+        finally:
+            db.fh.close()
 
 
 def _checked(v, kind: str, name: str, rowid: int):
@@ -226,10 +241,6 @@ class SqliteDataSource(DataSource):
         return "sqlite_file"
 
     def schema(self) -> str:
-        from modeltracking_spark.operators.sqlite_file import (
-            SqliteFile,
-        )
-
         files = _files(self.options.get("path", ""))
         if not files:
             raise ValueError("sqlite_file: no database files at path")
@@ -237,11 +248,13 @@ class SqliteDataSource(DataSource):
         if not table:
             raise ValueError(
                 "sqlite_file source requires .option('table', ...)")
-        with open(files[0], "rb") as fh:
-            db = SqliteFile(fh)
+        db = _open_db(files[0])
+        try:
             cols = db.table_columns(table)
             sql = next(r["sql"] for r in db.schema()
                        if r["type"] == "table" and r["name"] == table)
+        finally:
+            db.fh.close()
         kinds = dict(zip(cols, (_affinity(t)
                                 for _, t in _decl_types(sql))))
         sel = self.options.get("columns")

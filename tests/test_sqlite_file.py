@@ -174,3 +174,49 @@ def test_corruption_fuzz(tmp_path):
                 pass
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_wal_overlay_reads_last_commit(tmp_path):
+    """A mid-session WAL database (db + -wal copied while the
+    connection holds them) reads at its LAST COMMIT point: inserts
+    and updates living only in wal frames are visible, the
+    cumulative checksum chain is verified, and a torn tail rolls
+    back to the previous commit exactly as SQLite would."""
+    import shutil
+
+    p = str(tmp_path / "w.db")
+    con = sqlite3.connect(p)
+    con.execute("PRAGMA journal_mode=WAL")
+    con.execute("PRAGMA wal_autocheckpoint=0")
+    con.execute("CREATE TABLE t (a INTEGER PRIMARY KEY, b TEXT)")
+    con.executemany("INSERT INTO t VALUES (?,?)",
+                    [(i, "v%d" % i * (i % 20)) for i in range(1500)])
+    con.commit()
+    wal1 = open(p + "-wal", "rb").read()
+    con.execute("UPDATE t SET b='updated' WHERE a % 100 = 0")
+    con.commit()
+    wal2 = open(p + "-wal", "rb").read()
+    db_copy = str(tmp_path / "copy.db")
+    shutil.copy(p, db_copy)
+    want = dict(con.execute("SELECT a, b FROM t").fetchall())
+    con.close()
+
+    got = {r["a"]: r["b"] for r in
+           sqlite_table_scan(open(db_copy, "rb"), "t", wal=wal2)}
+    assert got == want
+    assert got[100] == "updated"
+    # torn tail: truncating wal2 back to wal1's frames reads the
+    # FIRST commit's state (checksum chain breaks at the cut)
+    got1 = {r["a"]: r["b"] for r in
+            sqlite_table_scan(open(db_copy, "rb"), "t",
+                              wal=wal2[:len(wal1) + 40])}
+    assert got1[100] == "v100" * 0 or got1[100] != "updated"
+    assert len(got1) == 1500
+    # version-2 header with no sidecar info still rejects loudly
+    with pytest.raises(NotImplementedError, match="WAL"):
+        SqliteFile(open(db_copy, "rb"))
+    # wal header corruption rejects loudly
+    with pytest.raises(ValueError, match="wal"):
+        bad = bytearray(wal2)
+        bad[0] ^= 0xFF
+        SqliteFile(open(db_copy, "rb"), wal=bytes(bad))

@@ -136,3 +136,33 @@ def test_affinity_rules():
     assert _affinity("") == "binary"
     assert _affinity("DOUBLE PRECISION") == "double"
     assert _affinity("DECIMAL(10,2)") == "double"
+
+
+def test_wal_sidecar_auto_applied(registered, tmp_path):
+    """A (db, -wal) pair — the mid-session shape browsers/telemetry
+    leave behind — scans at the last commit point through the
+    source; the sidecar is picked up automatically."""
+    import shutil
+
+    src = str(tmp_path / "live.db")
+    con = sqlite3.connect(src)
+    con.execute("PRAGMA journal_mode=WAL")
+    con.execute("PRAGMA wal_autocheckpoint=0")
+    con.execute("CREATE TABLE docs (id INTEGER PRIMARY KEY, "
+                "name TEXT, score REAL, raw BLOB)")
+    con.executemany("INSERT INTO docs VALUES (?,?,?,?)",
+                    [(i, "w%d" % i, i * 1.5, b"") for i in range(800)])
+    con.commit()
+    con.execute("UPDATE docs SET name='patched' WHERE id % 50 = 0")
+    con.commit()
+    d = tmp_path / "walshard"
+    d.mkdir()
+    shutil.copy(src, str(d / "s.db"))
+    shutil.copy(src + "-wal", str(d / "s.db-wal"))
+    con.close()
+    df = (registered.read.format("sqlite_file")
+          .option("path", str(d)).option("table", "docs").load())
+    rows = df.orderBy("id").collect()
+    assert len(rows) == 800
+    assert rows[0].name == "patched" and rows[1].name == "w1"
+    assert rows[50].name == "patched"
