@@ -128,6 +128,63 @@ def hyperplane_signature(
     return sig
 
 
+def hyperplane_signatures_all(
+    vec_col: str, n_planes: int, dim: int, n_tables: int
+) -> F.Column:
+    """All ``n_tables`` table signatures as ONE ``array<long>`` column,
+    computed by a single int64 matrix multiply in an Arrow kernel
+    (r16, guide §4.2).
+
+    The per-table Catalyst formulation (:func:`hyperplane_signature`)
+    folds ``n_tables × n_planes`` zip_with/aggregate lambdas per row —
+    higher-order functions run INTERPRETED, outside whole-stage codegen,
+    which measured ~1 ms/row at 8×4×64 (the dominant cost of every
+    hyperplane-LSH query).  This kernel replays the IDENTICAL integer
+    arithmetic — ``round(vec[d]·1e6)`` half-away-from-zero (the
+    :func:`_round_away` rounding, ≡ Spark ``F.round`` HALF_UP and DuckDB
+    ``round``) as int64, multiplied by the same md5-parity ±1 planes and
+    summed exactly (|terms| ≤ 64·2e6 ≪ 2^63) — so signatures are
+    bit-identical to the expression path (asserted in
+    tests/test_similarity.py) and the DuckDB oracles are unchanged.
+    One numpy ``R @ S`` per batch replaces ~2048 interpreted lambda
+    evaluations per row.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType
+
+    # (dim, n_tables*n_planes) ±1 sign matrix, plan-time constant
+    S = np.array(
+        [
+            _plane_signs(t, p, dim)
+            for t in range(n_tables)
+            for p in range(n_planes)
+        ],
+        dtype=np.int64,
+    ).T
+    weights = np.array(
+        [1 << p for p in range(n_planes)], dtype=np.int64
+    )
+
+    def _fn(s: pd.Series) -> pd.Series:
+        out = []
+        for vec in s:
+            a = np.asarray(vec, dtype=np.float64)
+            proj = _round_away(a, float(SIG_SCALE)) @ S  # (T*P,) int64, exact
+            bits = (proj >= 0).astype(np.int64).reshape(n_tables, n_planes)
+            out.append(bits @ weights)
+        return pd.Series(out)
+
+    _fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    # non-deterministic marker (guide §4.4): the bucket join's implied
+    # isnotnull(sig) filter otherwise re-evaluates the kernel below the
+    # pushed filter AND in the projection (two ArrowEvalPython nodes per
+    # side, observed).  Deterministic in fact; the marker only stops the
+    # optimizer's duplicate-below-filter rewrite.
+    udf = F.pandas_udf(_fn, ArrayType(LongType())).asNondeterministic()
+    return udf(F.col(vec_col))
+
+
 def cosine_topk_lsh(
     queries: DataFrame,
     corpus: DataFrame,
@@ -163,54 +220,46 @@ def cosine_topk_lsh(
     cosine is e12 fixed-point (like the brute baseline), so results are
     engine-exact and the DuckDB oracle hash-matches.
     """
-    from modeltracking_spark.functions.vector import dot_product_fxp, sq_norm_fxp
-
-    csigs = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                hyperplane_signature(c_vec, n_planes, dim, table=t).alias("sig"),
-            )
-            for t in range(n_tables)
-        ]
+    from modeltracking_spark.functions.vector import (
+        dot_product_fxp_arrow,
+        sq_norm_fxp,
     )
+
+    # all table signatures in ONE Arrow matmul per row (r16, guide §4.2);
+    # posexplode position IS the table index
     csig = (
         corpus.withColumn(  # fold before the T× explode
             "__cn", F.sqrt(sq_norm_fxp(c_vec).cast("double"))
         )
-        .withColumn("__s", F.explode(csigs))
-        .withColumn("tbl", F.col("__s.tbl"))
-        .withColumn("sig", F.col("__s.sig"))
-        .drop("__s")
+        .withColumn(
+            "__sigs", hyperplane_signatures_all(c_vec, n_planes, dim, n_tables)
+        )
+        .select(
+            "*", F.posexplode("__sigs").alias("tbl", "sig")
+        )
+        .drop("__sigs")
     )
-    # compute each table's base signature ONCE, then derive the n_planes
-    # Hamming-1 flips from the materialized value (not fresh signature
-    # expressions — that would evaluate the projection 5x per table)
-    qbase = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                hyperplane_signature(q_vec, n_planes, dim, table=t).alias("sig"),
-            )
-            for t in range(n_tables)
-        ]
-    )
+    # base signatures computed ONCE by the kernel, then the n_planes
+    # Hamming-1 flips derive from the materialized value (not fresh
+    # signature expressions — that would evaluate the projection 5x)
     qsig = (
-        queries.withColumn("__b", F.explode(qbase))
-        .withColumn("tbl", F.col("__b.tbl"))
+        queries.withColumn(
+            "__sigs", hyperplane_signatures_all(q_vec, n_planes, dim, n_tables)
+        )
+        .select("*", F.posexplode("__sigs").alias("tbl", "__bsig"))
         .withColumn(
             "sig",
             F.explode(
                 F.array(
-                    F.col("__b.sig"),
+                    F.col("__bsig"),
                     *[
-                        F.col("__b.sig").bitwiseXOR(F.lit(2**p))
+                        F.col("__bsig").bitwiseXOR(F.lit(2**p))
                         for p in range(n_planes)
                     ],
                 )
             ),
         )
-        .drop("__b")
+        .drop("__sigs", "__bsig")
     )
     x = csig.join(
         F.broadcast(
@@ -225,7 +274,7 @@ def cosine_topk_lsh(
     cand = cand.withColumn(
         "cosine",
         F.when(F.col("__qn") * F.col("__cn") == 0, F.lit(0.0)).otherwise(
-            dot_product_fxp(q_vec, c_vec).cast("double")
+            dot_product_fxp_arrow(q_vec, c_vec).cast("double")
             / (F.col("__qn") * F.col("__cn"))
         ),
     )
@@ -310,7 +359,11 @@ def _nearest_centroids(vec_col: str, centroids: list[list[float]], n: int) -> F.
         return pd.Series(list(order.astype("int32")))
 
     _score_fn.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
-    udf = F.pandas_udf(_score_fn, ArrayType(IntegerType()))
+    # non-deterministic marker (guide §4.4, r16): the cid join's implied
+    # isnotnull filter otherwise duplicates the scoring kernel below the
+    # pushed filter (two ArrowEvalPython on the corpus branch, observed
+    # in the r15 plan).  Deterministic in fact.
+    udf = F.pandas_udf(_score_fn, ArrayType(IntegerType())).asNondeterministic()
     return udf(F.col(vec_col))
 
 
@@ -451,7 +504,10 @@ def cosine_topk_ivf(
     only driver materialization is the (n_centroids × dim) centroid
     table itself.
     """
-    from modeltracking_spark.functions.vector import dot_product_fxp, sq_norm_fxp
+    from modeltracking_spark.functions.vector import (
+        dot_product_fxp_arrow,
+        sq_norm_fxp,
+    )
 
     if quantizer is not None:
         rows = quantizer.orderBy("cid").collect()
@@ -483,7 +539,7 @@ def cosine_topk_ivf(
     cand = x.withColumn(
         "cosine",
         F.when(F.col("__qn") * F.col("__cn") == 0, F.lit(0.0)).otherwise(
-            dot_product_fxp(q_vec, c_vec).cast("double")
+            dot_product_fxp_arrow(q_vec, c_vec).cast("double")
             / (F.col("__qn") * F.col("__cn"))
         ),
     )
@@ -539,44 +595,42 @@ def cosine_neardup_lsh(
     ``dedup.band_bucket_overflow(cside, key_cols=("tbl", "sig"),
     id_col="id_b")``.
     """
-    from modeltracking_spark.functions.vector import dot_product_fxp, sq_norm_fxp
-
-    base_sigs = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                hyperplane_signature(vec_col, n_planes, dim, table=t).alias("sig"),
-            )
-            for t in range(n_tables)
-        ]
+    from modeltracking_spark.functions.vector import (
+        dot_product_fxp_arrow,
+        sq_norm_fxp,
     )
-    norm = F.sqrt(sq_norm_fxp(vec_col).cast("double"))
+    from modeltracking_spark.operators.kernel import widen_for_kernel
+
+    # r16 restructure (guide §2.3/§8): candidate generation runs on a
+    # NARROW (id, tbl, sig) frame — the 64-dim payload no longer rides
+    # the T× explode, the bucket join, or the chain window; vectors
+    # re-attach ONCE, to the (small) verified-candidate pair list.  The
+    # corpus signature pass — one Arrow matmul per row
+    # (:func:`hyperplane_signatures_all`) — is computed ONCE and
+    # localCheckpointed: with the cap active it previously re-ran per
+    # consumer (the oversized-key aggregate, the anti/semi carve-outs),
+    # and the checkpoint also truncates the multi-consumer plan the
+    # optimizer was re-deriving per branch (measured: 6.8 s -> ~1.3 s
+    # at sf0.1, plan in plans/r16/).
+    sig_arr = hyperplane_signatures_all(vec_col, n_planes, dim, n_tables)
     cside = (
-        corpus.select(
-            F.col(id_col).alias("id_b"),
-            F.col(vec_col).alias("vb"),
-            norm.alias("__nb"),
-            F.explode(base_sigs).alias("__s"),
-        )
-        .select("id_b", "vb", "__nb", "__s.tbl", "__s.sig")
+        widen_for_kernel(corpus.select(F.col(id_col).alias("id_b"), vec_col))
+        .withColumn("__sigs", sig_arr)
+        .select("id_b", F.posexplode("__sigs").alias("tbl", "sig"))
+        .localCheckpoint(eager=False)
     )
     probe = corpus if probe_filter is None else corpus.where(probe_filter)
     pside = (
-        probe.select(
-            F.col(id_col).alias("id_a"),
-            F.col(vec_col).alias("va"),
-            norm.alias("__na"),
-            F.explode(base_sigs).alias("__b"),
-        )
+        probe.select(F.col(id_col).alias("id_a"), vec_col)
+        .withColumn("__sigs", sig_arr)
+        .select("id_a", F.posexplode("__sigs").alias("tbl", "__bsig"))
         .select(
             "id_a",
-            "va",
-            "__na",
-            "__b.tbl",
+            "tbl",
             F.explode(
                 F.array(
-                    F.col("__b.sig"),
-                    *[F.col("__b.sig").bitwiseXOR(F.lit(2**p)) for p in range(n_planes)],
+                    F.col("__bsig"),
+                    *[F.col("__bsig").bitwiseXOR(F.lit(2**p)) for p in range(n_planes)],
                 )
             ).alias("sig"),
         )
@@ -594,11 +648,7 @@ def cosine_neardup_lsh(
         wo = Window.partitionBy("tbl", "sig").orderBy(F.col("id_b").asc())
         chained = big.select(
             F.col("id_b").alias("id_a"),
-            F.col("vb").alias("va"),
-            F.col("__nb").alias("__na"),
             F.lead("id_b").over(wo).alias("id_b"),
-            F.lead("vb").over(wo).alias("vb"),
-            F.lead("__nb").over(wo).alias("__nb"),
         ).where(F.col("id_b").isNotNull())
         if probe_filter is not None:
             # id_a must stay inside the probe set; with no filter the
@@ -611,16 +661,35 @@ def cosine_neardup_lsh(
             )
     else:
         chained = None
-    cand = pside.join(cside, ["tbl", "sig"]).where(F.col("id_a") < F.col("id_b"))
+    cand = (
+        pside.join(cside, ["tbl", "sig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
     if chained is not None:
-        cand = cand.select("id_a", "va", "__na", "id_b", "vb", "__nb").unionByName(
-            chained
-        )
+        cand = cand.unionByName(chained)
     cand = cand.dropDuplicates(["id_a", "id_b"])
+    # exact fixed-point verify: vectors attach to the candidate pairs
+    # only — two id-keyed joins against the base table (the pair list is
+    # small; at scale the payload crosses the network once per side,
+    # instead of T× through the bucket join)
+    norm = F.sqrt(sq_norm_fxp(vec_col).cast("double"))
+    ea = corpus.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        norm.alias("__na"),
+    )
+    eb = corpus.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        norm.alias("__nb"),
+    )
     return (
-        cand.withColumn(
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn(
             "cosine",
-            dot_product_fxp("va", "vb").cast("double")
+            dot_product_fxp_arrow("va", "vb").cast("double")
             / (F.col("__na") * F.col("__nb")),
         )
         .where(F.col("cosine") >= threshold)

@@ -11,7 +11,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from modeltracking_spark.functions.vector import dot_product_fxp, sq_norm_fxp
+from modeltracking_spark.functions.vector import (
+    dot_product_fxp,
+    dot_product_fxp_arrow,
+    sq_norm_fxp,
+)
 from modeltracking_spark.operators.similarity import cosine_topk_lsh
 from modeltracking_spark.queries.common import T, query
 
@@ -67,7 +71,9 @@ def cosine_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("q_id") != F.col("c_id"))
         .withColumn(
             "cosine",
-            dot_product_fxp("q_vec", "c_vec").cast("double")
+            # one Arrow kernel per batch instead of 64 interpreted
+            # zip_with lambdas per pair (r16; identical fixed-point sum)
+            dot_product_fxp_arrow("q_vec", "c_vec").cast("double")
             / (F.col("__qn") * F.col("__cn")),
         )
     )
@@ -368,7 +374,9 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         b, (F.col("id_a") < F.col("id_b")) & (F.col("id_a") < 100)
     ).withColumn(
         "cosine",
-        dot_product_fxp("va", "vb").cast("double")
+        # one Arrow kernel per batch instead of 64 interpreted zip_with
+        # lambdas per pair (r16; identical fixed-point sum)
+        dot_product_fxp_arrow("va", "vb").cast("double")
         / (F.col("__na") * F.col("__nb")),
     )
     return x.where(F.col("cosine") >= 0.3).select("id_a", "id_b", "cosine")
@@ -464,7 +472,7 @@ def cosine_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("q_id") != F.col("c_id"))
         .withColumn(
             "cosine",
-            dot_product_fxp("q_vec", "c_vec").cast("double")
+            dot_product_fxp_arrow("q_vec", "c_vec").cast("double")
             / (F.col("__qn") * F.col("__cn")),
         )
     )
@@ -939,7 +947,8 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def cos_e6(va, vb, na, nb):
         cosv = F.when(F.col(na) * F.col(nb) == 0, F.lit(0.0)).otherwise(
-            dot_product_fxp(va, vb).cast("double") / (F.col(na) * F.col(nb))
+            dot_product_fxp_arrow(va, vb).cast("double")
+            / (F.col(na) * F.col(nb))
         )
         return F.floor(cosv * F.lit(1e6) + F.lit(0.5)).cast("long")
 
