@@ -156,7 +156,25 @@ def dhash_neardup_pairs(hashed: DataFrame, max_hamming: int = 3,
     )
     a = sides.alias("a")
     b = sides.alias("b")
-    cand = (
+    # r16 (guide §2.3/§4.1): Hamming verify BEFORE the distinct, as 4
+    # codegen'd xor/bit_count terms. The former shape shipped every
+    # candidate with BOTH 4-long band arrays through the distinct
+    # exchange (1.4M array-carrying rows at sf0.1) and evaluated the
+    # distance as an interpreted aggregate(zip_with(...)) lambda
+    # outside whole-stage codegen; the verify keeps ~0.1% of
+    # candidates, so filtering first shrinks the distinct to the
+    # survivor pairs. hamming is a function of the pair, so
+    # distinct-after-filter emits exactly the former rows.
+    terms = [
+        F.bit_count(
+            F.element_at(F.col("a.bands"), i).bitwiseXOR(
+                F.element_at(F.col("b.bands"), i)
+            )
+        )
+        for i in range(1, 5)
+    ]
+    hamming = terms[0] + terms[1] + terms[2] + terms[3]
+    return (
         a.join(
             b,
             (F.col("a.band_pos") == F.col("b.band_pos"))
@@ -166,24 +184,10 @@ def dhash_neardup_pairs(hashed: DataFrame, max_hamming: int = 3,
         .select(
             F.col("a.id").alias("doc_a"),
             F.col("b.id").alias("doc_b"),
-            F.col("a.bands").alias("bands_a"),
-            F.col("b.bands").alias("bands_b"),
+            hamming.cast("long").alias("hamming"),
         )
-        .distinct()  # a pair may collide in several bands
-    )
-    hamming = F.aggregate(
-        F.zip_with(
-            "bands_a",
-            "bands_b",
-            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    ).cast("long")
-    return (
-        cand.withColumn("hamming", hamming)
         .where(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .distinct()  # a pair may collide in several bands
     )
 
 
@@ -240,23 +244,26 @@ def dhash_incremental_neardup_matches(
     if broadcast_delta:
         d = F.broadcast(d)
     c = sides(corpus_hashed, "corpus_id")
-    cand = (
-        d.join(c, ["band_pos", "band_val"])
-        .select("delta_id", "corpus_id", "delta_id_bands",
-                "corpus_id_bands")
-        .distinct()  # a pair may collide in several bands
-    )
-    hamming = F.aggregate(
-        F.zip_with(
-            "delta_id_bands",
-            "corpus_id_bands",
-            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    ).cast("long")
+    # r16: verify before the distinct with codegen'd xor/bit_count
+    # terms, exactly as in :func:`dhash_neardup_pairs` — the distinct
+    # then dedups only the verified survivors instead of shipping both
+    # band arrays per candidate through the exchange.
+    terms = [
+        F.bit_count(
+            F.element_at(F.col("delta_id_bands"), i).bitwiseXOR(
+                F.element_at(F.col("corpus_id_bands"), i)
+            )
+        )
+        for i in range(1, 5)
+    ]
+    hamming = terms[0] + terms[1] + terms[2] + terms[3]
     return (
-        cand.withColumn("hamming", hamming)
+        d.join(c, ["band_pos", "band_val"])
+        .select(
+            "delta_id",
+            "corpus_id",
+            hamming.cast("long").alias("hamming"),
+        )
         .where(F.col("hamming") <= max_hamming)
-        .select("delta_id", "corpus_id", "hamming")
+        .distinct()  # a pair may collide in several bands
     )
