@@ -43,109 +43,89 @@ QUERY_MODULES = (
 
 #: the scored window (driver cap observed at 50).
 #:
-#: ROUND-15 ROTATION (VERDICT r14 item 3): head = the 10 new r15
-#: registrations (never-attested; each is ALSO the in-window carrier
-#: for its changed module: the three hot-bucket-cap queries carry
-#: operators/dedup.py + operators/similarity.py + queries/dedup_q.py
-#: + queries/sim_q.py, the two Arrow queries carry
-#: operators/arrow_ipc.py, dap_scalar_summary_scan carries
-#: sources/dap.py scalar framing, parquet_summary_file_scan carries
-#: operators/parquet_native.py + parquet_write.py external-file_path
-#: support, orc_lzo_scan_docs carries operators/lzo.py +
-#: orc_native.py).  Then the verdict's prescribed rotation: ALL 11
-#: r9-stale slips from the r14 comment, then 31 of the 46 r10-stale
-#: names —
-#: including warc_source_scan_docs, the in-window carrier for its own
-#: sf-proportional-shard change in queries/multimodal_q.py (output at
-#: the tested SFs is unchanged — still 4 shards — so REATTEST stays
-#: empty; the orcnatev stripe-scaling change lives in
-#: queries/extras_q.py, carried by its new registrations).  The 15
-#: r10 slips to r16 are codec/ANN family variants whose siblings are
-#: in-window (lz4/lzma roundtrips + the LZO registration carry the
-#: codec tier; cosine_topk_brute/_ivf/_lsh carry the ANN probes) —
-#: r16 MUST lead with: skew_salted_join_events,
-#: cosine_topk_ivf_probe, bz2_roundtrip_docs, cdc_chunk_dedup_docs
-#: and cbor_roundtrip_docs (slipped late-r15 when
-#: arrow_ipc_modern_layouts_docs, tiff_deflate_stats_docs,
-#: orc_lzo_lz4_write_docs, arrow_file_source_scan_docs and
-#: sqlite_source_scan_docs took their head slots — the salted-join
-#: tier keeps bucketed_join_revenue in-window, the ANN probe family
-#: keeps cosine_topk_brute + cosine_topk_lsh_probe, the codec tier
-#: keeps lz4/lzma/brotli roundtrips, the dedup tier keeps the three
-#: capped-LSH carriers + exact/cluster/simhash, and the
-#: binary-record format tier keeps avro_ocf/avro_nested +
-#: tfrecord in-or-near window), snappy_roundtrip_docs,
-#: sobel_edge_stats_docs,
-#: stateful_user_totals_stream, stratified_hash_sample_docs,
-#: stream_enrich_join, tar_pax_bundle_scan_docs,
-#: tar_zst_bundle_scan_docs, tfrecord_example_scan_docs,
-#: tiff_tiled_palette_stats_docs, warc_gz_scan_docs,
-#: xz_roundtrip_docs, zstd_dict_roundtrip_docs, zstd_roundtrip_docs,
-#: zstd_seekable_stream_scan_docs, zstd_trained_dict_docs.
+#: ROUND-16 ROTATION (VERDICT r15 item 1 — the hard attestation gate;
+#: this is an OPTIMIZATION round, so there are no new registrations
+#: and no behavior changes: every name below is already green in both
+#: the driver union r1-r15 AND this session's full 269-query exact
+#: sweep at sf0.01).  Head = the 20 r10-stale names, led by the
+#: verdict's enumerated cohort (skew_salted_join_events,
+#: cosine_topk_ivf_probe, bz2/cdc/cbor/snappy/sobel); then 30 of the
+#: 49 r11-stale names alphabetically.  After this window attests, no
+#: attestation is older than r11, and the 19 r11 names that slipped
+#: (parquet_native_sink/write, parquet_stream_sink,
+#: partition_prune_events, quality_logreg_docs, scalar_geo_suite,
+#: scd2_history_docs, text_quality_suite, tfidf_top_terms_docs,
+#: token_heavy_hitters, unigram_logprob_docs, vincenty_vs_haversine,
+#: winnow_fingerprints_docs, xpath_placemark_fields,
+#: xz_indexed_scan_docs, zlib_fdict_roundtrip_docs,
+#: zorder_layout_grid, zstd_seekable_coalesced_scan_docs,
+#: zstd_seekable_scan_docs — each with an in-window family sibling:
+#: the parquet writers are carried by orc_native_write_docs +
+#: the r12-attested parquet tier, the seekable-zstd family by
+#: zstd_seekable_stream_scan_docs + zstd_trained_dict_docs, the text
+#: tiers by bigram_pmi/bm25/inverted_index) lead the r17 window.
 PRIORITY: tuple[str, ...] = (
-    # ---- new in r15 (never-attested; module carriers) ----
-    "minhash_lsh_capped_pairs",      # hot-bucket cap, binding
-    "lsh_bucket_overflow_stats",     # loud overflow accounting
-    "embedding_neardup_capped_lsh",  # capped cosine bucket join
-    "arrow_ipc_union_write_docs",    # UNION write, pyarrow reads
-    "arrow_ipc_dict_nested_scan_docs",  # dict-of-nested read
-    "dap_scalar_summary_scan",       # DAP 0-dim bare-value framing
-    "parquet_summary_file_scan",     # external file_path chunks
-    "orc_lzo_scan_docs",             # LZO1X — ORC codec family done
-    "arrow_ipc_modern_layouts_docs",  # 1.4 views/list-views/REE
-    "tiff_deflate_stats_docs",       # TechNote-2 deflate + 32946
-    "orc_lzo_lz4_write_docs",        # ORC codec matrix symmetric
-    "arrow_file_source_scan_docs",   # footer-planned IPC DataSource
-    "sqlite_source_scan_docs",       # from-spec SQLite B-tree scan
-    # ---- r9-stale cohort (all 11 slips from the r14 comment) ----
-    "array_functions_demo",
-    "asof_nearest_clicks",
-    "cosine_topk_filtered",
-    "cube_status_priority",
-    "embedding_neardup_pairs",
-    "hours_epoch_roundtrip",
-    "image_dhash_docs",
-    "linear_fit_orders",
-    "orders_sort_limit",
-    "semi_anti_customers",
-    "zip_positional_align",
-    # ---- r10-stale cohort (31 of 46) ----
-    "audio_activity_stats_docs",
-    "avro_nested_scan_docs",
-    "avro_ocf_scan_docs",
-    "brotli_roundtrip_docs",
-    "bucketed_join_revenue",
-    "click_error_interval_stallproof",
-    "cosine_topk_brute",
-    "cosine_topk_lsh_probe",
-    "data_quality_audit_orders",
-    "dedup_clusters_docs",
-    "exact_dedup_docs",
-    "exactly_once_ingest_events",
-    "idn_host_normalize_docs",
-    "image_incremental_neardup_docs",
-    "kmv_set_ops_users",
-    "label_propagation_docs",
-    "lz4_roundtrip_docs",
-    "lzma_roundtrip_docs",
-    "nfc_normalize_docs",
-    "orc_partitioned_orders_scan",
-    "pack_sequences_chunk",
-    "resample_ffill_events",
-    "robust_outliers_events",
-    "semdedup_embeddings",
-    "simhash_neardup_pairs",
-    "warc_source_scan_docs",
+    # ---- r10-stale cohort (all 20; verdict-enumerated head) ----
+    "skew_salted_join_events",
+    "cosine_topk_ivf_probe",
+    "bz2_roundtrip_docs",
+    "cdc_chunk_dedup_docs",
+    "cbor_roundtrip_docs",
+    "snappy_roundtrip_docs",
+    "sobel_edge_stats_docs",
+    "stateful_user_totals_stream",
+    "stratified_hash_sample_docs",
+    "stream_enrich_join",
+    "tar_pax_bundle_scan_docs",
+    "tar_zst_bundle_scan_docs",
+    "tfrecord_example_scan_docs",
+    "tiff_tiled_palette_stats_docs",
+    "warc_gz_scan_docs",
+    "xz_roundtrip_docs",
+    "zstd_dict_roundtrip_docs",
+    "zstd_roundtrip_docs",
+    "zstd_seekable_stream_scan_docs",
+    "zstd_trained_dict_docs",
+    # ---- r11-stale cohort (30 of 49, alphabetical) ----
+    "avro_codec_matrix_docs",
+    "bigram_pmi_docs",
+    "bloom_decontaminate_docs",
+    "bm25_topk_docs",
+    "bmp_decode_stats_docs",
+    "bz2_multistream_scan_docs",
+    "chunk_dup_ratio_docs",
+    "click_error_interval_join",
+    "compaction_plan_orders",
+    "csv_roundtrip_scan",
+    "decontaminate_ngram_overlap",
+    "embedding_neardup_lsh_pairs",
+    "euclid_knn_suppliers",
+    "foreach_batch_sink_totals",
+    "frame_sample_fake_decode",
+    "grid_snap_nearest_node",
+    "incremental_dedup_docs",
+    "incremental_neardup_docs",
+    "inverted_index_docs",
+    "jpeg_decode_stats_docs",
+    "jsonl_roundtrip_scan",
+    "merge_upsert_docs",
+    "orc_native_scan_docs",
+    "orc_native_scan_events",
+    "orc_native_write_docs",
+    "orc_roundtrip_scan",
+    "pack_sequences_greedy",
+    "pagerank_link_graph_docs",
+    "parquet_native_scan_docs",
+    "parquet_native_scan_embeddings",
 )
 
 #: queries whose semantics/plan changed THIS round: the staleness lint
 #: in tools/check_queries.py --window treats them as never-attested so
 #: their head-of-window placement does not trip the stalest-first
-#: invariant (their old attestation predates the change).  Round 15:
-#: empty — the hot-bucket cap defaults are non-binding at the tested
-#: SFs, the warc shard formula still yields 4 shards there, and the
-#: arrow/dap/parquet additions are new code paths; every existing
-#: query's output is byte-identical (verified by the full sweep).
+#: invariant (their old attestation predates the change).  Round 16:
+#: empty — an optimization round: every change is plan-shape or
+#: kernel-level with the same arithmetic, and the full 269-query
+#: exact sweep at sf0.01 was re-run green on the final tree.
 REATTEST: tuple[str, ...] = ()
 
 #: observed driver correctness cap (CORRECTNESS_r03 scored exactly 50)
