@@ -1068,10 +1068,18 @@ def read_bloom_filter(fh, chunk: dict) -> bytes | None:
     if loc is None:
         return None
     off, ln = loc
-    fh.seek(off)
-    # length may be absent in old writers: the header is tiny, read
-    # generously and let numBytes bound the bitset
-    blob = fh.read(ln if ln else (1 << 20) + 64)
+    # file_path chunks (summary files) store their bytes — including
+    # the bloom bitset — in the sibling data file, same as the
+    # payload reads in read_column_chunk
+    src, closing = _chunk_handle(fh, chunk)
+    try:
+        src.seek(off)
+        # length may be absent in old writers: the header is tiny, read
+        # generously and let numBytes bound the bitset
+        blob = src.read(ln if ln else (1 << 20) + 64)
+    finally:
+        if closing:
+            src.close()
     th = _Thrift(blob, 0)
     hdr = th.read_struct()
     nbytes = hdr.get(1)
@@ -1104,16 +1112,23 @@ def read_column_chunk_pages(fh, chunk: dict, col: dict,
     referenced by an OffsetIndex begin at record boundaries."""
     parts = []
     locs = pi["pages"]
-    dict_off = chunk.get("dictionary_page_offset")
-    if dict_off is not None and locs:
-        first_data = min(p["offset"] for p in locs)
-        if first_data > dict_off:
-            fh.seek(dict_off)
-            parts.append(fh.read(first_data - dict_off))
-    for k, p in zip(keep, locs):
-        if k:
-            fh.seek(p["offset"])
-            parts.append(fh.read(p["size"]))
+    # page offsets, like all chunk offsets, point into the file the
+    # chunk names — the sibling data file for file_path chunks
+    src, closing = _chunk_handle(fh, chunk)
+    try:
+        dict_off = chunk.get("dictionary_page_offset")
+        if dict_off is not None and locs:
+            first_data = min(p["offset"] for p in locs)
+            if first_data > dict_off:
+                src.seek(dict_off)
+                parts.append(src.read(first_data - dict_off))
+        for k, p in zip(keep, locs):
+            if k:
+                src.seek(p["offset"])
+                parts.append(src.read(p["size"]))
+    finally:
+        if closing:
+            src.close()
     return _decode_chunk_buffer(b"".join(parts), chunk["codec"], col,
                                 None)
 

@@ -408,12 +408,25 @@ def _parse_columns(sql: str) -> list[str]:
 
 
 def _ipk_index(sql: str) -> int:
+    """Index of the rowid-alias column, or -1.
+
+    SQLite aliases the rowid ONLY for a column whose declared type is
+    exactly INTEGER followed by a column-level ``PRIMARY KEY [ASC]``
+    (spec §Rowids and the INTEGER PRIMARY KEY): ``INTEGER PRIMARY KEY
+    DESC`` and multi-token types like ``UNSIGNED INTEGER PRIMARY KEY``
+    are ordinary columns backed by a separate index b-tree, and their
+    stored values must NOT be replaced with the rowid.
+    """
     for k, d in enumerate(_column_defs(sql)):
-        up = " ".join(d.upper().split())
-        rest = up.split(None, 1)[1] if len(up.split(None, 1)) > 1 \
-            else ""
-        if rest.startswith("INTEGER PRIMARY KEY") or \
-                " INTEGER PRIMARY KEY" in " " + rest:
+        name = _colname(d)
+        if d[:1] in "'\"`[":  # quoted name: skip quote+name+quote
+            rest = d[len(name) + 2:]
+        else:
+            parts = d.split(None, 1)
+            rest = parts[1] if len(parts) > 1 else ""
+        toks = rest.upper().split()
+        if toks[:3] == ["INTEGER", "PRIMARY", "KEY"] and \
+                (len(toks) < 4 or toks[3] != "DESC"):
             return k
     return -1
 

@@ -86,7 +86,10 @@ def _affinity(decl: str) -> str:
         return "binary"
     if "REAL" in up or "FLOA" in up or "DOUB" in up:
         return "double"
-    return "double"  # NUMERIC affinity: ints surface losslessly
+    # NUMERIC affinity also surfaces as double; integer cells beyond
+    # 2^53 would be silently rounded by float(), so _checked() rejects
+    # any int that does not round-trip through the double exactly
+    return "double"
 
 
 def _decl_types(sql: str) -> list[str]:
@@ -135,12 +138,21 @@ class _SqliteReader(DataSourceReader):
             db = _open_db(f)
             try:
                 cols = db.table_columns(self.table)
+                # drift check covers AFFINITIES, not just names: a
+                # shard redeclaring a column with a different type
+                # affinity would otherwise pass planning and build
+                # executor-side Arrow batches conflicting with the
+                # driver schema derived from files[0]
+                sql = next(r["sql"] for r in db.schema()
+                           if r["type"] == "table"
+                           and r["name"] == self.table)
+                shape = [(n, _affinity(t)) for n, t in _decl_types(sql)]
                 if ref is None:
-                    ref = (f, cols)
-                elif cols != ref[1]:
+                    ref = (f, shape)
+                elif shape != ref[1]:
                     raise ValueError(
                         f"sqlite_file: schema drift — {f} declares "
-                        f"{cols} for table {self.table!r} but "
+                        f"{shape} for table {self.table!r} but "
                         f"{ref[0]} declares {ref[1]}")
                 root = db.table_root(self.table)
                 for child in db.table_root_children(root):
@@ -204,6 +216,15 @@ def _checked(v, kind: str, name: str, rowid: int):
             raise ValueError(
                 f"sqlite_file: non-numeric value stored in numeric "
                 f"column {name!r} at rowid {rowid}")
+        if isinstance(v, int) and int(float(v)) != v:
+            # SQLite surfaces NUMERIC-affinity ints exactly; a double
+            # column cannot (|v| > 2^53 rounds). Loud reject, never a
+            # silent precision loss.
+            raise ValueError(
+                f"sqlite_file: integer {v} in NUMERIC-affinity column "
+                f"{name!r} at rowid {rowid} does not fit a double "
+                "losslessly — re-export the column as INTEGER (bigint) "
+                "or CAST to REAL in sqlite")
         return float(v)
     if kind == "string":
         if not isinstance(v, str):

@@ -1283,3 +1283,55 @@ def test_external_file_path_summary_twin(tmp_path):
         buf = io.BytesIO(summary.read_bytes())
         f3 = parquet_footer_from_file(buf)
         read_row_group(buf, f3, 0)
+
+
+def test_summary_twin_bloom_and_page_prune(tmp_path):
+    """file_path chunks route ALL their byte reads — bloom bitsets and
+    page-pruned reads, not just whole-chunk payloads — through the
+    named sibling data file (the _chunk_handle redirect): a
+    metadata-only summary twin must return bit-identical bloom
+    filters and page-pruned values."""
+    from modeltracking_spark.operators.parquet_native import (
+        read_bloom_filter,
+        read_column_chunk_pages,
+        read_page_index,
+    )
+    from modeltracking_spark.operators.parquet_write import (
+        ParquetFileWriter,
+    )
+
+    schema = [("id", "int64", False), ("name", "string", True)]
+    n = 300
+    cols = {"id": list(range(n)),
+            "name": [f"n{i}" for i in range(n)]}
+    data = tmp_path / "data.parquet"
+    with open(data, "wb") as fh:
+        w = ParquetFileWriter(fh, schema, codec="SNAPPY",
+                              data_file_ref="data.parquet",
+                              page_rows=64, page_index=True,
+                              bloom_columns=["id"])
+        w.write_row_group(cols)
+        w.finish()
+    blob = data.read_bytes()
+    flen = int.from_bytes(blob[-8:-4], "little")
+    summary = tmp_path / "summary.parquet"
+    summary.write_bytes(b"PAR1" + blob[-8 - flen:])
+
+    def _all(path):
+        with open(path, "rb") as fh:
+            foot = parquet_footer_from_file(fh)
+            by = {c["name"]: c for c in foot["columns"]}
+            ch_id = foot["row_groups"][0]["chunks"]["id"]
+            bits = read_bloom_filter(fh, ch_id)
+            pi = read_page_index(fh, ch_id, by["id"])
+            keep = [i % 2 == 0 for i in range(len(pi["pages"]))]
+            vals = read_column_chunk_pages(fh, ch_id, by["id"], pi,
+                                           keep)
+        return bits, pi, vals
+
+    bits_d, pi_d, vals_d = _all(data)
+    bits_s, pi_s, vals_s = _all(summary)
+    assert bits_d is not None and bits_d == bits_s
+    assert pi_d == pi_s
+    assert vals_d == vals_s
+    assert len(vals_d) < n  # pruning actually skipped pages

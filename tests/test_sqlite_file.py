@@ -220,3 +220,38 @@ def test_wal_overlay_reads_last_commit(tmp_path):
         bad = bytearray(wal2)
         bad[0] ^= 0xFF
         SqliteFile(open(db_copy, "rb"), wal=bytes(bad))
+
+
+def test_ipk_alias_exact_forms(tmp_path):
+    """SQLite aliases the rowid only for type exactly INTEGER with a
+    column-level PRIMARY KEY [ASC] — the DESC form and multi-token
+    types keep their own stored values (verified against sqlite3's
+    own replay, the module's adversarial twin)."""
+    from modeltracking_spark.operators.sqlite_file import _ipk_index
+
+    assert _ipk_index("CREATE TABLE t (a INTEGER PRIMARY KEY)") == 0
+    assert _ipk_index(
+        "CREATE TABLE t (x TEXT, a INTEGER PRIMARY KEY ASC)") == 1
+    assert _ipk_index(
+        "CREATE TABLE t (a INTEGER PRIMARY KEY AUTOINCREMENT)") == 0
+    assert _ipk_index('CREATE TABLE t ("a b" INTEGER PRIMARY KEY)') == 0
+    # NOT rowid aliases in SQLite:
+    assert _ipk_index("CREATE TABLE t (a INTEGER PRIMARY KEY DESC)") == -1
+    assert _ipk_index(
+        "CREATE TABLE t (a UNSIGNED INTEGER PRIMARY KEY)") == -1
+    assert _ipk_index("CREATE TABLE t (a INT PRIMARY KEY)") == -1
+
+    # behavioral twin: a DESC PK column keeps its stored values — the
+    # reader must not replace them with rowids
+    p = str(tmp_path / "desc.db")
+    con = _mkdb(p)
+    con.execute("CREATE TABLE t (a INTEGER PRIMARY KEY DESC, b TEXT)")
+    con.executemany("INSERT INTO t (a, b) VALUES (?, ?)",
+                    [(1000 + i, f"v{i}") for i in range(50)])
+    con.commit()
+    expect = sorted(con.execute("SELECT a, b FROM t").fetchall())
+    con.close()
+    got = sorted((r["a"], r["b"])
+                 for r in sqlite_table_scan(open(p, "rb"), "t"))
+    assert got == expect
+    assert got[0][0] == 1000  # stored value, not rowid 1

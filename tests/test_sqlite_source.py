@@ -166,3 +166,50 @@ def test_wal_sidecar_auto_applied(registered, tmp_path):
     assert len(rows) == 800
     assert rows[0].name == "patched" and rows[1].name == "w1"
     assert rows[50].name == "patched"
+
+
+def test_numeric_bigint_precision_rejects(registered, tmp_path):
+    """NUMERIC-affinity columns surface as double; SQLite itself keeps
+    integer cells exact (including beyond 2^53), so a cell float()
+    would silently round is a loud typed reject, not a lossy read."""
+    p = str(tmp_path / "num.db")
+    con = sqlite3.connect(p)
+    con.execute("CREATE TABLE t (a NUMERIC)")
+    con.execute("INSERT INTO t VALUES (?)", ((1 << 53) + 1,))
+    con.commit()
+    con.close()
+    df = (registered.read.format("sqlite_file")
+          .option("path", p).option("table", "t").load())
+    with pytest.raises(Exception, match="losslessly"):
+        df.collect()
+    # safe ints (exactly representable) still surface, as doubles
+    p2 = str(tmp_path / "num_ok.db")
+    con = sqlite3.connect(p2)
+    con.execute("CREATE TABLE t (a NUMERIC)")
+    con.executemany("INSERT INTO t VALUES (?)",
+                    [(7,), (1 << 53,), (-5,)])
+    con.commit()
+    con.close()
+    df = (registered.read.format("sqlite_file")
+          .option("path", p2).option("table", "t").load())
+    vals = sorted(r.a for r in df.collect())
+    assert vals == [-5.0, 7.0, float(1 << 53)]
+
+
+def test_affinity_drift_rejects(registered, tmp_path):
+    """Shards agreeing on column NAMES but not type affinities are
+    planning-time drift: same-name columns with different kinds would
+    otherwise produce conflicting executor-side Arrow batches."""
+    d = tmp_path / "adrift"
+    d.mkdir()
+    for fname, decl in (("a.db", "TEXT"), ("b.db", "REAL")):
+        con = sqlite3.connect(str(d / fname))
+        con.execute(f"CREATE TABLE docs (id INTEGER PRIMARY KEY, "
+                    f"name {decl})")
+        con.execute("INSERT INTO docs VALUES (1, NULL)")
+        con.commit()
+        con.close()
+    df = (registered.read.format("sqlite_file")
+          .option("path", str(d)).option("table", "docs").load())
+    with pytest.raises(Exception, match="schema drift"):
+        df.collect()
