@@ -108,17 +108,28 @@ def main() -> int:
                     jobs[ev["Job ID"]]["t1"] = ev.get("Completion Time", 0)
             elif e == "SparkListenerStageCompleted":
                 si = ev["Stage Info"]
-                stages[si["Stage ID"]] = {
-                    "name": si.get("Name", ""),
+                # TaskEnd events precede StageCompleted: MERGE into the
+                # accumulator instead of replacing it (the r16-open bug
+                # that zeroed every task-time column)
+                st = stages.setdefault(si["Stage ID"], {
+                    "name": "?", "tasks": 0, "t0": 0, "t1": 0,
+                    "taskms": 0, "cpums": 0, "sh_read": 0,
+                    "sh_write": 0, "spill": 0, "scopes": ""})
+                scopes = []
+                for rdd in si.get("RDD Info", []):
+                    try:
+                        nm = json.loads(rdd.get("Scope") or "{}").get("name")
+                    except json.JSONDecodeError:
+                        nm = None
+                    if nm and nm not in scopes:
+                        scopes.append(nm)
+                st.update({
+                    "name": si.get("Stage Name", "?"),
                     "tasks": si.get("Number of Tasks", 0),
                     "t0": si.get("Submission Time", 0),
                     "t1": si.get("Completion Time", 0),
-                    "taskms": 0,
-                    "sh_read": 0,
-                    "sh_write": 0,
-                    "spill": 0,
-                    "py": False,
-                }
+                    "scopes": ",".join(reversed(scopes))[:90],
+                })
             elif e == "SparkListenerTaskEnd":
                 sid = ev.get("Stage ID")
                 tm = ev.get("Task Metrics") or {}
@@ -127,11 +138,12 @@ def main() -> int:
                 elif sid is not None:
                     st = stages.setdefault(sid, {
                         "name": "?", "tasks": 0, "t0": 0, "t1": 0,
-                        "taskms": 0, "sh_read": 0, "sh_write": 0,
-                        "spill": 0, "py": False})
+                        "taskms": 0, "cpums": 0, "sh_read": 0,
+                        "sh_write": 0, "spill": 0, "scopes": ""})
                 else:
                     continue
                 st["taskms"] += tm.get("Executor Run Time", 0)
+                st["cpums"] += tm.get("Executor CPU Time", 0) // 1_000_000
                 st["sh_read"] += (tm.get("Shuffle Read Metrics") or {}).get(
                     "Remote Bytes Read", 0) + (
                     tm.get("Shuffle Read Metrics") or {}).get(
@@ -155,13 +167,14 @@ def main() -> int:
                 if st is None or not st.get("t1"):
                     continue
                 swall = (st["t1"] - st["t0"]) / 1000.0
-                nm = st["name"].split("\n")[0][:70]
+                nm = st["scopes"] or st["name"].split("\n")[0][:70]
                 print(
                     f"    stage {sid:>4} {swall:7.3f}s wall "
                     f"{st['taskms']/1000.0:8.2f}s task "
+                    f"{st.get('cpums', 0)/1000.0:8.2f}s cpu "
                     f"{st['tasks']:>4}t "
-                    f"shR {st['sh_read']>>10:>8}K shW {st['sh_write']>>10:>8}K "
-                    f"spill {st['spill']>>20:>5}M  {nm}"
+                    f"shR {st['sh_read']>>10:>6}K shW {st['sh_write']>>10:>6}K "
+                    f"spill {st['spill']>>20:>4}M  {nm}"
                 )
     print(f"\nevent log: {logs[-1]}")
     return 0
