@@ -33,6 +33,17 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE right-size the output partitioning of cached plans
+        # (off by default): a cached intermediate keeps shuffle.partitions
+        # micro-partitions otherwise, and every downstream consumer job
+        # pays per-partition scheduling for them. Sizing is byte-driven
+        # (advisoryPartitionSizeInBytes), so a 100 TB cached relation
+        # keeps thousands of partitions while a KB-scale one collapses
+        # to a handful — scale-adaptive, not a local-mode constant.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
