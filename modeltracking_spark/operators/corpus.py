@@ -678,13 +678,29 @@ def dsir_logratio(
         tokens(text_col).alias("toks"),
     )
     from modeltracking_spark.operators.dedup import token_hash60
+    from modeltracking_spark.operators.kernel import widen_for_kernel
 
-    tok = d.select(
+    # r16 (guide §2.3): ONE tokenize+md5 pass. The token stream used to
+    # be consumed twice (bucket LM counts AND per-doc scores), re-running
+    # the expensive explode+md5 map per consumer; instead pre-aggregate
+    # to per-(doc, bucket) occurrence counts — a frame bounded by
+    # n_docs x n_buckets, far smaller than the token stream — and derive
+    # both readers from it. Integer counts re-aggregate exactly, so
+    # every downstream number is bit-identical. widen_for_kernel spreads
+    # the md5 map across cores when the scan is under-split (no-op on
+    # an already-parallel 100 TB scan); the lazy localCheckpoint stops
+    # the two consumers from recomputing the pass.
+    tok = widen_for_kernel(d).select(
         "doc_id", "is_target", F.explode("toks").alias("token")
     ).withColumn("h", token_hash60("token") % F.lit(n_buckets))
-    counts = tok.groupBy("h").agg(
-        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("c_t"),
-        F.count(F.lit(1)).alias("c_r"),
+    dh = (
+        tok.groupBy("doc_id", "is_target", "h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    counts = dh.groupBy("h").agg(
+        F.sum(F.when(F.col("is_target"), F.col("cnt")).otherwise(0)).alias("c_t"),
+        F.sum("cnt").alias("c_r"),
     )
     totals = counts.agg(
         F.sum("c_t").alias("n_t"), F.sum("c_r").alias("n_r")
@@ -703,11 +719,11 @@ def dsir_logratio(
         ).alias("r_e6"),
     )
     per_doc = (
-        tok.join(F.broadcast(lm), "h")
+        dh.join(F.broadcast(lm), "h")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tok"),
-            F.sum("r_e6").alias("dsir_e6"),
+            F.sum("cnt").alias("n_tok"),
+            F.sum(F.col("cnt") * F.col("r_e6")).alias("dsir_e6"),
         )
     )
     # spine keeps zero-token docs (score 0) so selection covers the corpus
