@@ -55,6 +55,8 @@ def _capped_band_pairs(
     payload_cols: Sequence[str] = (),
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
     key_cols: Sequence[str] = ("band", "band_key"),
+    key_fn=None,
+    n_bands: int | None = None,
 ) -> DataFrame:
     """Band-bucket self-join with the hot-bucket cap — the shared
     candidate-pair kernel of the MinHash/SimHash LSH paths.
@@ -75,6 +77,26 @@ def _capped_band_pairs(
     ``id_a < id_b``; ``payload_cols`` ride along for downstream verifies
     (e.g. the SimHash fingerprints).  ``max_bucket_size=None`` restores
     the uncapped all-pairs join bit for bit.
+
+    **First-matching-band ownership (r16, guide §2.4):** a pair sharing
+    k band keys used to be emitted k times and deduplicated with a
+    ``.distinct()`` — a full extra shuffle of the candidate-pair stream,
+    the largest byte volume in the whole pipeline.  When the caller
+    passes ``key_fn(c, side) -> Column`` (band c's key expression
+    evaluated against join side ``"a"``/``"b"``; must reproduce exactly
+    the value in ``band_key`` for that band) plus ``n_bands``, each pair
+    is instead emitted only by its FIRST matching band — a codegen-able
+    per-row predicate — and the distinct disappears.  Exactness: the
+    predicate compares the same (hashed) key values the buckets are
+    built from, so "first matching band" is well-defined even under key
+    collisions; ``payload_cols`` must be functionally dependent on the
+    id (they are: fingerprints), so the surviving single emission equals
+    the distinct row.  Ownership requires every band's bucket to be
+    below the cap (an oversized bucket emits CHAINS, not all pairs, so
+    "was emitted at the earlier band" no longer holds) — the overflow
+    key set is already computed for the carve-outs; one bounded
+    ``take(1)`` on it picks the path, and a binding cap falls back to
+    the r15 distinct dataflow unchanged.
     """
     keys = list(key_cols)
     if max_bucket_size is not None and max_bucket_size < 2:
@@ -82,6 +104,7 @@ def _capped_band_pairs(
             f"max_bucket_size must be >= 2 (got {max_bucket_size}): a cap "
             "below 2 cannot emit any within-bucket pair"
         )
+    ownership = key_fn is not None and n_bands is not None
     if max_bucket_size is None:
         small, big = banded, None
     else:
@@ -91,8 +114,33 @@ def _capped_band_pairs(
             .where(F.col("__bs") > max_bucket_size)
             .select(*keys)
         )
+        if ownership:
+            # bounded: at most rows/cap keys; the checkpoint also feeds
+            # the carve-out broadcasts on the fallback path, so the
+            # aggregate never runs twice
+            over = over.localCheckpoint(eager=True)
+            ownership = not over.take(1)
         small = banded.join(F.broadcast(over), keys, "left_anti")
         big = banded.join(F.broadcast(over), keys, "left_semi")
+    if ownership:
+        a, b = banded.alias("a"), banded.alias("b")
+        cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        for k in keys:
+            cond = (F.col(f"a.{k}") == F.col(f"b.{k}")) & cond
+        # emit at band b only when no earlier band's keys agree —
+        # unrolled over the (static) band count so it stays inside
+        # whole-stage codegen
+        for c in range(n_bands - 1):
+            cond = cond & (
+                (F.col(f"a.{keys[0]}") <= F.lit(c))
+                | (key_fn(c, "a") != key_fn(c, "b"))
+            )
+        return a.join(b, cond).select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            *[F.col(f"a.{c}").alias(f"{c}_a") for c in payload_cols],
+            *[F.col(f"b.{c}").alias(f"{c}_b") for c in payload_cols],
+        )
     a, b = small.alias("a"), small.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     for k in keys:
@@ -232,15 +280,32 @@ def jaccard_pairs(
     connect it) or pass ``max_doc_freq=None`` for exact semantics with a
     mandatory ``block_col``.
     """
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        *( [F.col(block_col).alias("blk")] if block_col else [] ),
-        F.explode(distinct_tokens(text_col)).alias("token"),
-    )
+    from modeltracking_spark.operators.kernel import widen_for_kernel
+
+    # r16 (guide §2.3/§2.4): the tokenize explode used to be recomputed
+    # by every consumer — hot-token counts, per-doc sizes, and BOTH
+    # self-join sides: four full passes over the text. One lazy
+    # localCheckpoint computes it once; widen_for_kernel spreads the
+    # explode across cores when the scan is under-split (no-op on an
+    # already-parallel scan at scale).
+    toks = widen_for_kernel(
+        df.select(
+            F.col(id_col).alias("id"),
+            *( [F.col(block_col).alias("blk")] if block_col else [] ),
+            F.col(text_col).alias("__text"),
+        )
+    ).select(
+        "id",
+        *( ["blk"] if block_col else [] ),
+        F.explode(distinct_tokens("__text")).alias("token"),
+    ).localCheckpoint(eager=False)
     if max_doc_freq is not None:
+        # (token, id) rows are UNIQUE by construction (array_distinct per
+        # doc), so the doc frequency is a plain count — count_distinct
+        # would pay a second exchange for a dedup that cannot fire
         hot = (
             toks.groupBy("token")
-            .agg(F.count_distinct("id").alias("df"))
+            .agg(F.count(F.lit(1)).alias("df"))
             .where(F.col("df") > max_doc_freq)
             .select("token")
         )
@@ -285,8 +350,15 @@ def token_hash60(token: F.Column | str) -> F.Column:
 
 def token_ids(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, token_id) rows with deterministic, engine-portable token ids
-    (:func:`token_hash60`) — one narrow projection, no shuffle."""
-    toks = token_set(df, id_col, text_col)
+    (:func:`token_hash60`) — one narrow projection; widened across cores
+    when the scan is under-split (the md5-per-token map is the CPU-heavy
+    part of every tokenize pipeline; widen_for_kernel is a no-op on an
+    already-parallel scan)."""
+    from modeltracking_spark.operators.kernel import widen_for_kernel
+
+    toks = token_set(
+        widen_for_kernel(df.select(id_col, text_col)), id_col, text_col
+    )
     return toks.select("id", token_hash60("token").alias("token_id"))
 
 
@@ -462,21 +534,18 @@ def _minhash_groups(dt: DataFrame, n_hashes: int) -> DataFrame:
 
 
 def _minhash_banded(groups: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
-    """(rep, band, band_key) band rows over the cached groups frame."""
-    return groups.select(
+    """(rep, __keys, band, band_key) band rows over the cached groups
+    frame.  ``__keys`` carries ALL bands' keys (bands x 8 bytes) so the
+    pair join can evaluate first-matching-band ownership without a
+    second lookup; ``band_key`` is ``__keys[band]`` exactly as before."""
+    keys = F.array(
+        *[_minhash_band_key(b, rows_per_band) for b in range(bands)]
+    )
+    return groups.select("rep", keys.alias("__keys")).select(
         "rep",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        _minhash_band_key(b, rows_per_band).alias("band_key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("rep", "bk.band", "bk.band_key")
+        "__keys",
+        F.posexplode("__keys").alias("band", "band_key"),
+    )
 
 
 def _minhash_band_frame(groups, bands: int, rows_per_band: int,
@@ -534,7 +603,11 @@ def minhash_rep_pairs(
     groups = _minhash_groups(dt, n_hashes)
     banded = _minhash_band_frame(groups, bands, rows_per_band,
                                  max_bucket_size)
-    cands = _capped_band_pairs(banded, "rep", (), max_bucket_size).select(
+    cands = _capped_band_pairs(
+        banded, "rep", (), max_bucket_size,
+        key_fn=lambda c, s: F.element_at(F.col(f"{s}.__keys"), c + 1),
+        n_bands=bands,
+    ).select(
         F.col("id_a").alias("rep_a"), F.col("id_b").alias("rep_b")
     )
     return _minhash_rep_verified(groups, cands, verify_threshold).select(
@@ -615,7 +688,11 @@ def minhash_pairs_from_token_ids(
     groups = _minhash_groups(dt, n_hashes)
     banded = _minhash_band_frame(groups, bands, rows_per_band,
                                  max_bucket_size)
-    cands = _capped_band_pairs(banded, "rep", (), max_bucket_size).select(
+    cands = _capped_band_pairs(
+        banded, "rep", (), max_bucket_size,
+        key_fn=lambda c, s: F.element_at(F.col(f"{s}.__keys"), c + 1),
+        n_bands=bands,
+    ).select(
         F.col("id_a").alias("rep_a"), F.col("id_b").alias("rep_b")
     )
     verified = _minhash_rep_verified(groups, cands, verify_threshold)
@@ -759,8 +836,19 @@ def simhash_neardup_pairs(
             )
         ).alias("bk"),
     ).select("id", "simhash", "bk.band", "bk.band_key")
+    # ownership keys derive straight from the fingerprint both join
+    # sides already carry — band c's key is a shift/mask of simhash
+    def _sim_key(c: int, side: str) -> F.Column:
+        return F.expr(
+            f"shiftright({side}.simhash, {offs[c]})"
+            f" & {(1 << band_bits[c]) - 1}"
+        )
+
     return (
-        _capped_band_pairs(banded, "id", ("simhash",), max_bucket_size)
+        _capped_band_pairs(
+            banded, "id", ("simhash",), max_bucket_size,
+            key_fn=_sim_key, n_bands=len(band_bits),
+        )
         .select(
             "id_a",
             "id_b",
