@@ -560,7 +560,17 @@ def _minhash_band_frame(groups, bands: int, rows_per_band: int,
     checkpoint barrier (the r8 finding, still true)."""
     banded = _minhash_banded(groups, bands, rows_per_band)
     if max_bucket_size is not None:
-        banded = banded.localCheckpoint(eager=False)
+        # widen before the checkpoint: the banded frame inherits the
+        # cached groups' partitioning, which AQE now right-sizes by
+        # BYTES — a KB-scale cache collapses to one partition, and the
+        # band self-join plus everything codegen-fused after it (the
+        # ownership predicate, the exact verify, the member explode)
+        # would run in ONE task. The guard is a no-op once the input
+        # carries at least default-parallelism partitions (any real
+        # corpus), so no extra exchange at scale.
+        from modeltracking_spark.operators.kernel import widen_for_kernel
+
+        banded = widen_for_kernel(banded).localCheckpoint(eager=False)
     return banded
 
 
@@ -743,13 +753,19 @@ def simhash64(doc_tokens: DataFrame) -> DataFrame:
     pairs with small Hamming distance (:func:`simhash_neardup_pairs`).
     Output: (id, simhash) with simhash as bigint.
 
-    **Narrow form (one shuffle).** The doc's token hashes are collected
-    once per doc (map-side-combinable collect_list — the only Exchange),
-    then all 63 bit votes are folded per row with a single
-    ``aggregate`` pass carrying a 63-wide counter array. The previous
-    formulation exploded 63 rows per token through two shuffles — a 63×
-    shuffle amplification at 100 TB token volume for the same result
-    (plan asserted ≤1 Exchange in tests/test_scale_plans.py).
+    **Narrow form (one shuffle, codegen only).** Each bit's vote count
+    is a map-side-combinable SUM of ``shiftright(h, j) & 1`` — 63 sum
+    columns plus the token count ride the only Exchange (a fixed
+    ~512 bytes/doc partial, *smaller* than shipping the token-hash list
+    for any document beyond ~64 tokens), and the fingerprint assembles
+    from the sums in one codegen projection. The r15 form collected the
+    hash list per doc and folded the votes in an interpreted
+    higher-order ``aggregate`` lambda — 63 x tokens interpreted steps
+    per document, pinned to however few partitions AQE coalesced the
+    post-shuffle read to (measured: the whole fold on ONE task at
+    sf0.1). Same integer votes, same threshold ``2c > n``, bit-identical
+    fingerprints (plan asserted ≤1 Exchange in
+    tests/test_scale_plans.py).
     """
     # affine-rehash the token id into 64 bits (two 31-bit halves);
     # reduce mod p first so the products stay within int64 for 60-bit ids
@@ -757,22 +773,20 @@ def simhash64(doc_tokens: DataFrame) -> DataFrame:
     h = (t * F.lit(0x9E3779B1) + F.lit(0x85EBCA77)) % F.lit(MINHASH_PRIME)
     h2 = (t * F.lit(0xC2B2AE35) + F.lit(0x27D4EB2F)) % F.lit(MINHASH_PRIME)
     hashed = doc_tokens.withColumn("__h64", (h.cast("bigint") * F.lit(2147483648)) + h2)
-    per_doc = hashed.groupBy("id").agg(F.collect_list("__h64").alias("hs"))
-    return per_doc.select(
-        "id",
-        F.expr(
-            """
-            aggregate(
-              zip_with(
-                aggregate(hs, array_repeat(0L, 63),
-                          (acc, x) -> zip_with(acc, sequence(0, 62),
-                                               (c, j) -> c + (shiftright(x, j) & 1))),
-                sequence(0, 62),
-                (c, j) -> IF(2 * c > size(hs), shiftleft(1L, j), 0L)),
-              0L, (a, x) -> a + x)
-            """
-        ).alias("simhash"),
+    per_doc = hashed.groupBy("id").agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(F.shiftright("__h64", j).bitwiseAND(F.lit(1))).alias(f"__c{j}")
+            for j in range(63)
+        ],
     )
+    fingerprint = None
+    for j in range(63):
+        term = F.when(
+            F.col(f"__c{j}") * 2 > F.col("__n"), F.lit(1 << j)
+        ).otherwise(F.lit(0))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return per_doc.select("id", fingerprint.cast("bigint").alias("simhash"))
 
 
 #: default band split of the 63-bit fingerprint: 4 bands of ~16 bits.

@@ -109,15 +109,19 @@ def test_hash_split_is_shuffle_free(spark):
 
 
 def test_simhash_single_shuffle(spark):
-    # the narrow per-doc bit-vote fold: ONE Exchange (the collect_list
-    # groupBy), no 63x per-bit explode amplification (VERDICT r3 item 4)
+    # the narrow per-doc bit-vote fold: ONE keyed Exchange (the bit-sum
+    # groupBy), no 63x per-bit explode amplification (VERDICT r3 item 4).
+    # r16: token_ids may additionally widen an under-split scan with one
+    # ROUND-ROBIN exchange (a no-op on already-parallel inputs) — the
+    # scale invariant is the single hash exchange, so count that.
     from modeltracking_spark.operators.dedup import simhash64, token_ids
 
     d = spark.read.parquet(f"{SF001}/documents.parquet")
     plan = executed_plan(simhash64(token_ids(d, "doc_id", "text")))
-    # exactly the one groupBy Exchange; the only Generate is token_ids'
-    # narrow token explode, not a per-bit row blowup
-    assert plan.count("Exchange") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange") - plan.count("Exchange RoundRobin") == 1
+    # the bit votes are codegen sums, not an interpreted per-token fold
+    assert "aggregate(" not in plan
 
 
 def test_chunk_and_quantize_are_shuffle_free(spark):
