@@ -377,9 +377,18 @@ def _ab(ref: str) -> int:
             ask(procs["cur"], "WARM", name)
             ask(procs["ref"], "WARM", name)
             pairs = []
-            for _ in range(rounds):
-                a = ask(procs["cur"], "RUN", name)
-                b = ask(procs["ref"], "RUN", name)
+            for i in range(rounds):
+                # alternate within-pair ORDER (r16): with cur always
+                # first, a decaying host-load burst systematically
+                # lands on cur — observed as per-pair ratios >1 while
+                # cur's own median beat ref's. Order-alternation
+                # cancels the first-runner bias.
+                if i % 2:
+                    b = ask(procs["ref"], "RUN", name)
+                    a = ask(procs["cur"], "RUN", name)
+                else:
+                    a = ask(procs["cur"], "RUN", name)
+                    b = ask(procs["ref"], "RUN", name)
                 pairs.append((a, b))
             results[name] = {
                 "cur": round(statistics.median(a for a, _ in pairs), 3),
