@@ -85,17 +85,35 @@ def _physics_slice(nc, var: str, ti: int):
     return nc.read_slice(var, ti)
 
 
-def _partition_from_netcdf(path: str, ti: int):
+def _partition_from_netcdf(path: str, ti: int, shared: dict | None = None):
     """One time step as numpy columns, read from a classic netCDF file —
     slice reads only (never the whole variable). The lat/lon/depth
     coordinate vectors are header-adjacent 1-D reads (KBs); the two
     physics hypercube vars are one record-range read each, CF-unpacked
     transparently when the file stores packed int16 (see
-    :func:`_physics_slice`)."""
+    :func:`_physics_slice`).
+
+    ``shared`` (r16, guide §2.3/§4.5): the reader pre-fetches the
+    per-dataset constants ONCE driver-side — the coordinate vectors,
+    the time axis, and (for ``dap+http://`` backends) the parsed
+    DDS/DAS client itself — and ships them in the pickled reader, so
+    each task makes exactly the two physics-slice requests instead of
+    seven round trips. With n_time concurrent tasks against one
+    in-process DAP server this was the query's wall clock: every task
+    queued on the server for metadata it already had."""
     import numpy as np
 
     from modeltracking_spark.sources.dap import open_nc_or_dap
 
+    if shared is not None:
+        nc = shared["ds"] if shared["ds"] is not None else open_nc_or_dap(path)
+        t_hours = int(shared["time"][ti])
+        depth_m = shared["depth"]
+        lat_v = shared["lat"]
+        lon_v = shared["lon"]
+        temp = _physics_slice(nc, "water_temp", ti)  # (depth, lat, lon)
+        sal = _physics_slice(nc, "salinity", ti)
+        return _grid_cols(t_hours, depth_m, lat_v, lon_v, temp, sal)
     nc = open_nc_or_dap(path)
     t_hours = int(nc.read_slice("time", ti))
     depth_m = nc.read("depth")
@@ -103,6 +121,14 @@ def _partition_from_netcdf(path: str, ti: int):
     lon_v = nc.read("lon")
     temp = _physics_slice(nc, "water_temp", ti)  # (depth, lat, lon)
     sal = _physics_slice(nc, "salinity", ti)
+    return _grid_cols(t_hours, depth_m, lat_v, lon_v, temp, sal)
+
+
+def _grid_cols(t_hours, depth_m, lat_v, lon_v, temp, sal):
+    """Expand one (depth, lat, lon) time-step slice to long-form numpy
+    columns — shared by the file/DAP and prefetched-reader paths."""
+    import numpy as np
+
     nd, nla, nlo = temp.shape
     d, la, lo = np.meshgrid(
         np.arange(nd, dtype=np.int64),
@@ -306,7 +332,10 @@ class HycomGridReader(DataSourceReader):
     def __init__(self, options):
         self.path = options.get("path")  # netCDF or dap+http backend
         if self.path:
-            from modeltracking_spark.sources.dap import open_nc_or_dap
+            from modeltracking_spark.sources.dap import (
+                DapDataset,
+                open_nc_or_dap,
+            )
 
             nc = open_nc_or_dap(self.path)
             default_n = nc.dim_size("time")
@@ -314,9 +343,25 @@ class HycomGridReader(DataSourceReader):
             # pushed filters prune against the FILE's time axis, not a
             # formula assumption
             self._time_values = [int(v) for v in nc.read("time")]
+            # prefetch the per-dataset constants once (r16): coordinate
+            # vectors ride the pickled reader into every task, and for
+            # a DAP backend the parsed client ships too with its DAS
+            # cache warmed — each task then makes exactly the two
+            # physics-slice requests (see _partition_from_netcdf)
+            self._shared = {
+                "time": self._time_values,
+                "depth": nc.read("depth"),
+                "lat": nc.read("lat"),
+                "lon": nc.read("lon"),
+                "ds": None,
+            }
+            if isinstance(nc, DapDataset):
+                nc.var_attrs("water_temp")  # warm the .das cache
+                self._shared["ds"] = nc
         else:
             default_n = GRID_N_TIME
             self._time_values = None
+            self._shared = None
         self.n_time = int(options.get("n_time", default_n))
         self._time_filters: list = []
 
@@ -343,7 +388,7 @@ class HycomGridReader(DataSourceReader):
         import pyarrow as pa
 
         cols = (
-            _partition_from_netcdf(self.path, partition.value)
+            _partition_from_netcdf(self.path, partition.value, self._shared)
             if self.path
             else _partition_arrays(partition.value)
         )
