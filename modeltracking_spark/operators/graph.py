@@ -68,7 +68,13 @@ def pagerank(
     Output: (node, outdeg, pr_e12) — ``pr_e12`` the final fixed-point
     score.
     """
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # materialize the (src, dst) edge list once (r16): the contrib join
+    # re-reads it EVERY iteration, and without a cut each iteration
+    # re-ran the caller's whole edge-extraction pipeline (tokenize/
+    # regexp link mining for the doc graphs). One write, n_iter reads.
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=False)
     if nodes is None:
         nodes = (
             e.select(F.col("src").alias("node"))
@@ -87,19 +93,22 @@ def pagerank(
     if seeds is None:
         # uniform restart: every node is a "seed"
         spine = spine.withColumn("__seed", F.lit(True))
-        n_row = nodes.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        # one bounded single-scalar action (r16): as a broadcast row the
+        # count's whole union-distinct subtree re-ran inside EVERY
+        # iteration's plan; as a literal it runs once here
+        n_val = int(nodes.count())
     else:
         sd = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
         spine = spine.join(
             sd.withColumn("__seed", F.lit(True)), "node", "left"
         ).withColumn("__seed", F.coalesce("__seed", F.lit(False)))
-        n_row = sd.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        n_val = int(sd.count())
 
-    scores = spine.crossJoin(F.broadcast(n_row)).select(
+    scores = spine.select(
         "node",
         "outdeg",
         "__seed",
-        F.expr(f"IF(__seed, {SCALE} DIV __n, 0)").alias("score"),
+        F.expr(f"IF(__seed, {SCALE} DIV {n_val}, 0)").alias("score"),
     )
     for _ in range(n_iter):
         # each iteration references `scores` three times (contrib, dangling,
@@ -120,16 +129,15 @@ def pagerank(
         scores = (
             scores.join(contrib, "node", "left")
             .crossJoin(F.broadcast(dang))
-            .crossJoin(F.broadcast(n_row))
             .select(
                 "node",
                 "outdeg",
                 "__seed",
                 F.expr(
                     f"IF(__seed, ({100 - damping_pct} * {SCALE}) "
-                    f"DIV (100 * __n), 0) + "
+                    f"DIV (100 * {n_val}), 0) + "
                     f"({damping_pct} * (coalesce(contrib, 0) + "
-                    f"IF(__seed, __dang DIV __n, 0))) DIV 100"
+                    f"IF(__seed, __dang DIV {n_val}, 0))) DIV 100"
                 ).alias("score"),
             )
         )
@@ -308,9 +316,14 @@ def label_propagation(
 
     Output: (node, community, comm_size)."""
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # materialize the symmetrized edge set once (r16): the vote join
+    # re-reads it every round, and without a cut each round re-ran the
+    # caller's edge-extraction pipeline AND the union+distinct
     sym = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).where(F.col("src") != F.col("dst")).distinct()
+    ).where(F.col("src") != F.col("dst")).distinct().localCheckpoint(
+        eager=False
+    )
     if nodes is None:
         nodes = (
             sym.select(F.col("src").alias("node"))
