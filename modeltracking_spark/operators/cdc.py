@@ -157,7 +157,12 @@ def cdc_shared_chunk_stats(
     self-join."""
     from pyspark.sql import functions as F
 
-    ch = cdc_chunks(df, text_col, id_col)
+    # one chunking pass (r16): the shared-chunk aggregate AND the
+    # per-doc fold both read the kernel output, and without a cut each
+    # re-ran the mapInPandas rolling-hash chunker over the full corpus;
+    # the checkpoint holds only the narrow chunk rows (md5/len/flags),
+    # never the payloads
+    ch = cdc_chunks(df, text_col, id_col).localCheckpoint(eager=False)
     shared = (
         ch.groupBy("chunk_md5")
         .agg(F.count_distinct(id_col).alias("n_docs"))

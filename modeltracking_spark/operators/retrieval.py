@@ -85,8 +85,19 @@ def bm25_topk(
 
     Output: (q_id, doc_id, n_terms_hit, bm25_e6, rk), rk in 1..k.
     """
+    from modeltracking_spark.operators.kernel import widen_for_kernel
+
     d = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
-    tok = d.select(
+    # r16 (guide §2.3): widen the tokenize explode on under-split scans
+    # (no-op at scale) and checkpoint the query-term-restricted tf rows
+    # — tfq feeds BOTH the df counts and the scoring join, and without
+    # a cut each consumer re-ran tokenize + the tf aggregate. tfq is
+    # the smallest frame in the pipeline (query vocabulary only).
+    tok = widen_for_kernel(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
+    ).select(
+        "doc_id", tokens("__t").alias("toks")
+    ).select(
         "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
     )
     tf = tok.groupBy("doc_id", "term").agg(
@@ -98,7 +109,7 @@ def bm25_topk(
     )
     vocab = queries.select("term").distinct()
     # corpus-side rows for query terms only; df = #docs containing term
-    tfq = tf.join(F.broadcast(vocab), "term")
+    tfq = tf.join(F.broadcast(vocab), "term").localCheckpoint(eager=False)
     dfreq = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
     k1 = F.lit(K1_NUM).cast("double") / F.lit(K1_DEN).cast("double")
