@@ -8,6 +8,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from modeltracking_spark.operators.kernel import widen_for_kernel
+
 from modeltracking_spark.fixtures import HYCOM_GRID_SQL, hycom_grid_fixture
 from modeltracking_spark.functions.timefn import hours_since_2000
 from modeltracking_spark.queries.common import T, cents, query, rank_median_sql
@@ -3376,7 +3378,7 @@ def orc_lzo_lz4_write_docs(spark: SparkSession,
                         else int(met * 1000000 + 0.5))
             yield pd.DataFrame(rows)
 
-    return d.mapInPandas(
+    return widen_for_kernel(d).mapInPandas(
         kernel, "doc_id bigint, codec string, payload_len bigint, "
                 "payload_md5 string, metric_e6 bigint")
 
@@ -4746,7 +4748,7 @@ def arrow_ipc_roundtrip_docs(spark: SparkSession,
                 "n_chars": cols["n_chars"],
             })
 
-    return d.mapInPandas(kernel, "doc_id bigint, text_len bigint, "
+    return widen_for_kernel(d).mapInPandas(kernel, "doc_id bigint, text_len bigint, "
                                  "lang string, n_chars bigint")
 
 
@@ -4818,7 +4820,7 @@ def arrow_ipc_write_roundtrip_docs(spark: SparkSession,
                 "n_chars": t.column("n_chars").to_pylist(),
             })
 
-    return d.mapInPandas(kernel, "doc_id bigint, text_len bigint, "
+    return widen_for_kernel(d).mapInPandas(kernel, "doc_id bigint, text_len bigint, "
                                  "lang string, n_chars bigint")
 
 
@@ -4887,7 +4889,7 @@ def arrow_ipc_dict_scan_docs(spark: SparkSession,
                              for s in cols["text"]],
             })
 
-    return d.mapInPandas(kernel, "doc_id bigint, lang string, "
+    return widen_for_kernel(d).mapInPandas(kernel, "doc_id bigint, lang string, "
                                  "source string, text_len bigint")
 
 
@@ -4965,7 +4967,7 @@ def arrow_ipc_fixed_scan_embeddings(spark: SparkSession,
                 "tag_len": [len(s) for s in cols["tag"]],
             })
 
-    return e.mapInPandas(
+    return widen_for_kernel(e).mapInPandas(
         kernel, "vec_id bigint, dim bigint, ssq bigint, "
                 "tag_len bigint")
 
@@ -5041,7 +5043,7 @@ def safetensors_roundtrip_embeddings(spark: SparkSession,
                 "ssq": (q * q).sum(axis=1),
             })
 
-    return e.mapInPandas(kernel, "vec_id bigint, dim bigint, "
+    return widen_for_kernel(e).mapInPandas(kernel, "vec_id bigint, dim bigint, "
                                  "ssq bigint")
 
 
@@ -5116,7 +5118,7 @@ def npz_roundtrip_embeddings(spark: SparkSession,
                 "se6": q.sum(axis=1),
             })
 
-    return e.mapInPandas(kernel, "vec_id bigint, label int, "
+    return widen_for_kernel(e).mapInPandas(kernel, "vec_id bigint, label int, "
                                  "se6 bigint")
 
 
@@ -5721,7 +5723,7 @@ def arrow_ipc_nested_scan_docs(spark: SparkSession,
                 "map_sum": map_sum,
             })
 
-    return d.mapInPandas(
+    return widen_for_kernel(d).mapInPandas(
         kernel, "doc_id bigint, first_s string, n_items bigint, "
                 "sum_p bigint, inner_g string, map_sum bigint")
 
@@ -5840,7 +5842,7 @@ def arrow_ipc_nested_write_docs(spark: SparkSession,
                 "map_sum": map_sum,
             })
 
-    return d.mapInPandas(
+    return widen_for_kernel(d).mapInPandas(
         kernel, "doc_id bigint, first_s string, n_items bigint, "
                 "inner_g string, map_sum bigint")
 
@@ -5919,7 +5921,7 @@ def arrow_ipc_dict_write_docs(spark: SparkSession,
                              for s in t.column("text").to_pylist()],
             })
 
-    return d.mapInPandas(kernel, "doc_id bigint, lang string, "
+    return widen_for_kernel(d).mapInPandas(kernel, "doc_id bigint, lang string, "
                                  "source string, text_len bigint")
 
 
@@ -6034,7 +6036,7 @@ def arrow_ipc_union_write_docs(spark: SparkSession,
                 "su_str": su_str,
             })
 
-    return d.mapInPandas(
+    return widen_for_kernel(d).mapInPandas(
         kernel, "doc_id bigint, du_tag bigint, du_int bigint, "
                 "du_str string, su_int bigint, su_str string")
 
@@ -6135,7 +6137,7 @@ def arrow_ipc_dict_nested_scan_docs(spark: SparkSession,
                 "ds_v": ds_v,
             })
 
-    return d.mapInPandas(
+    return widen_for_kernel(d).mapInPandas(
         kernel, "doc_id bigint, dl_len bigint, dl_first string, "
                 "ds_u bigint, ds_v string")
 
@@ -6271,7 +6273,7 @@ def arrow_ipc_modern_layouts_docs(spark: SparkSession,
                 "r_lang": t.column("r").to_pylist(),
             })
 
-    return d.mapInPandas(
+    return widen_for_kernel(d).mapInPandas(
         kernel, "doc_id bigint, sv_len bigint, bv_len bigint, "
                 "lv_len bigint, lv_sum bigint, r_lang string")
 
@@ -6654,7 +6656,7 @@ def parquet_summary_file_scan(spark: SparkSession,
                 "n": [len(t) for t in texts],
             })
 
-    return d.mapInPandas(
+    return widen_for_kernel(d).mapInPandas(
         kernel, "doc_id bigint, text_md5 string, n bigint")
 
 
