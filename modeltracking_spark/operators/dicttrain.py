@@ -111,11 +111,17 @@ def train_content_dictionary(
     Deterministic: every ordering ties-breaks lexicographically. The
     highest-scoring segment lands at the END of the dictionary
     (closest to the window = shortest offsets)."""
+    from modeltracking_spark.operators.kernel import widen_for_kernel
+
     d = docs
     if sample_mod > 1:
         d = d.where(
             F.crc32(F.col(id_col).cast("string")) % sample_mod == 0
         )
+    # widen the sample before the two gram/segment explodes (r16): both
+    # pipelines inherit the scan's split count, and on a single-split
+    # fixture the entire k-gram mining ran on one core (no-op at scale)
+    d = widen_for_kernel(d.select(id_col, text_col))
     stats = gram_stats(d, text_col, gram, stride, 1, id_col)
     segs = d.select(
         F.explode(
@@ -144,8 +150,15 @@ def train_content_dictionary(
             )
         ).alias("g"),
     )
+    # pin the segment-scoring exchange at the session's shuffle width:
+    # the collect_list/sum aggregate is CPU-dense on KB-scale bytes and
+    # AQE's byte-driven coalescing folded it onto one task
+    n_shuffle = int(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     scored = (
         seg_grams.join(stats, "g")
+        .repartition(n_shuffle, "seg")
         .groupBy("seg")
         .agg(
             F.sum("cnt").alias("score"),
