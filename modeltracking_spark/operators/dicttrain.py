@@ -150,15 +150,8 @@ def train_content_dictionary(
             )
         ).alias("g"),
     )
-    # pin the segment-scoring exchange at the session's shuffle width:
-    # the collect_list/sum aggregate is CPU-dense on KB-scale bytes and
-    # AQE's byte-driven coalescing folded it onto one task
-    n_shuffle = int(
-        docs.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
     scored = (
         seg_grams.join(stats, "g")
-        .repartition(n_shuffle, "seg")
         .groupBy("seg")
         .agg(
             F.sum("cnt").alias("score"),

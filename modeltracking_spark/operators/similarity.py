@@ -1091,16 +1091,13 @@ def semdedup(
             "max_cos_e6": best[keep],
         })
 
-    # pin the grouped-kernel exchange at the session's shuffle-partition
-    # count (r16): the per-cluster scoring is CPU-dense on KB-scale
-    # rows, and AQE's byte-driven coalescing folded the whole pass onto
-    # ONE task. An explicit repartition on the SAME key satisfies the
-    # grouping requirement, reproduces the pre-coalesce parallelism,
-    # and scales with the session's configured shuffle width.
-    n_shuffle = int(asg.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # (r16 note: pinning this exchange at the shuffle width to defeat
+    # AQE byte coalescing was tried and measured NEUTRAL-to-slower in
+    # same-JVM pairing — the per-cluster kernel is light enough that
+    # task fan-out costs more than the single coalesced task; left on
+    # the AQE default.)
     drops = (
         asg.select("cid", "vec_id", "v")
-        .repartition(n_shuffle, "cid")
         .groupBy("cid")
         .applyInPandas(_drops_fn, "b_id bigint, max_cos_e6 bigint")
     )
