@@ -97,6 +97,14 @@ def _capped_band_pairs(
     key set is already computed for the carve-outs; one bounded
     ``take(1)`` on it picks the path, and a binding cap falls back to
     the r15 distinct dataflow unchanged.
+
+    **Eager action caveat:** when ``key_fn``/``n_bands`` are passed
+    with a cap, that path-picking ``take(1)`` runs a Spark job (and
+    materializes any lazy localCheckpoint feeding ``banded``) DURING
+    DataFrame construction — this function is then not a pure lazy
+    plan builder.  Explain-only tooling or future streaming callers
+    should omit the ownership args to keep construction lazy (the
+    r15 chain+distinct dataflow builds without running anything).
     """
     keys = list(key_cols)
     if max_bucket_size is not None and max_bucket_size < 2:
@@ -279,6 +287,16 @@ def jaccard_pairs(
     Jaccard ≥ τ shares ≥ τ/(1+τ) of its tokens, so rare tokens still
     connect it) or pass ``max_doc_freq=None`` for exact semantics with a
     mandatory ``block_col``.
+
+    **Precondition: ``id_col`` values are unique in ``df``** (one row
+    per document — every registered caller passes a primary-keyed
+    frame).  The doc-frequency cap counts exploded (token, id) rows
+    with a plain ``count(1)``, which equals ``count_distinct(id)``
+    exactly because ``array_distinct`` de-dups tokens WITHIN a row and
+    id uniqueness rules out the same (token, id) pair arriving from
+    two rows; duplicate ids would silently inflate doc frequencies
+    (and intersection counts) — dedupe upstream if the input can
+    carry them.
     """
     from modeltracking_spark.operators.kernel import widen_for_kernel
 
@@ -502,12 +520,18 @@ def with_minhash_sigs(df: DataFrame, n_hashes: int,
         offs = np.zeros(n, dtype=np.int64)
         np.cumsum(lens[:-1], out=offs[1:])
         nonempty = lens > 0
-        # reduceat misreads zero-length segments: clamp their offsets
-        # into range, then NULL those rows out below
-        safe_offs = np.minimum(offs, total - 1)
-        mins = np.minimum.reduceat(h, safe_offs, axis=1)
+        # reduceat over the NONEMPTY rows' offsets only (strictly
+        # increasing; the last segment runs to the end), results
+        # scattered back per row with None for empty rows.  Clamping
+        # all offsets into range instead (the r16 shape) shifted the
+        # previous row's segment boundary when a batch ENDED with
+        # empty-token rows, dropping that row's final token from the
+        # min.  _token_sets never emits empty arrays, but this kernel
+        # documents (and now honors) the NULL-for-empty contract.
+        mins = np.minimum.reduceat(h, offs[nonempty], axis=1)
+        ne_pos = np.cumsum(nonempty) - 1  # row i -> its reduceat column
         out = [
-            mins[:, i] if nonempty[i] else None
+            mins[:, ne_pos[i]] if nonempty[i] else None
             for i in range(n)
         ]
         return pd.Series(out)

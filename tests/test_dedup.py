@@ -229,3 +229,35 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     # exhaustive
     assert len(set(cluster_split.values())) >= 2
     out.unpersist()
+
+
+def test_minhash_sig_kernel_trailing_empty_rows(spark):
+    """Pin the batched signature kernel's segment boundaries when a
+    batch ends with empty-token rows (the r16 clamp dropped the last
+    nonempty row's final token from its min: [[5, 9, 1], []] read 5,
+    not 1).  Empty rows must yield NULL; every nonempty row's mins
+    must equal the per-row affine arithmetic."""
+    from modeltracking_spark.operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_PRIME,
+        with_minhash_sigs,
+    )
+
+    n_hashes = 4
+    rows = [(1, [5, 9, 1]), (2, []), (3, [42]), (4, [])]
+    df = spark.createDataFrame(rows, "id long, toks array<long>")
+    got = {
+        r["id"]: r["__sigs"]
+        for r in with_minhash_sigs(df, n_hashes).collect()
+    }
+    p = MINHASH_PRIME
+    for rid, toks in rows:
+        if not toks:
+            assert got[rid] is None
+            continue
+        want = [
+            min((MINHASH_A[i] * (t % p) + MINHASH_B[i]) % p for t in toks)
+            for i in range(n_hashes)
+        ]
+        assert got[rid] == want, (rid, got[rid], want)
