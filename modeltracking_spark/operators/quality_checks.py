@@ -116,14 +116,27 @@ def run_checks(df: DataFrame, constraints: list[dict]) -> DataFrame:
         names.append(f"uniqueness({c['col']})")
         cols.append(metric.alias(f"m{len(names)}"))
         cols.append(viol.alias(f"v{len(names)}"))
+    # each referential constraint's non-null total is one more
+    # conditional sum in the SAME compiled pass (r17, guide §2.3):
+    # computing it as a separate df.agg() paid a full extra scan of
+    # the fact table plus a broadcast cross join per execution
+    for j, c in enumerate(refs):
+        cols.append(
+            F.coalesce(
+                F.sum(F.col(c["col"]).isNotNull().cast("long")),
+                F.lit(0),
+            ).alias(f"rn{j}")
+        )
     spark = df.sparkSession
     rows_df = None
-    if names:
+    agg = None
+    if names or refs:
         # execute the compiled aggregate EXACTLY ONCE (unioning per-
         # constraint projections of the lazy agg row would re-run the
         # scan per branch — plan-asserted in tests); the result is ONE
         # bounded row, the sanctioned collect shape
         agg = df.agg(n.alias("__n"), *cols).first()
+    if names:
         audit_rows = [
             (name,
              None if agg[f"m{i}"] is None else int(agg[f"m{i}"]),
@@ -136,7 +149,7 @@ def run_checks(df: DataFrame, constraints: list[dict]) -> DataFrame:
             " passed boolean",
         )
 
-    for c in refs:
+    for j, c in enumerate(refs):
         dim = c["dim_df"].select(
             F.col(c["dim_col"]).alias("__k")
         ).distinct()
@@ -146,17 +159,16 @@ def run_checks(df: DataFrame, constraints: list[dict]) -> DataFrame:
             .join(F.broadcast(dim), "__k", "left_anti")
             .agg(F.count(F.lit(1)).alias("v"))
         )
-        tot = df.agg(
-            F.sum(F.col(c["col"]).isNotNull().cast("long")).alias("nn")
-        )
-        one = orphans.crossJoin(F.broadcast(tot)).select(
+        # the non-null total came back on the compiled agg row — embed
+        # it as a literal (same value the dropped per-ref scan computed)
+        nn = F.lit(int(agg[f"rn{j}"]))
+        one = orphans.select(
             F.lit(f"ref_integrity({c['col']})").alias("constraint"),
             F.when(
-                F.col("nn") > 0,
+                nn > 0,
                 F.floor(
-                    (F.col("nn").cast("double")
-                     - F.col("v").cast("double"))
-                    / F.col("nn").cast("double") * F.lit(1e6)
+                    (nn.cast("double") - F.col("v").cast("double"))
+                    / nn.cast("double") * F.lit(1e6)
                     + F.lit(0.5)
                 ).cast("long"),
             ).alias("metric_e6"),
