@@ -510,7 +510,14 @@ def cosine_topk_ivf(
     )
 
     if quantizer is not None:
-        rows = quantizer.orderBy("cid").collect()
+        # bounded artifact (n_centroids rows): plain collect + driver
+        # sort — the previous .orderBy("cid") paid a range-partitioning
+        # sample job plus an exchange over the tiny frame (measured
+        # 2.2-3.9 s vs 0.5-0.9 s per serve call on a 32-slice
+        # parallelized quantizer; a coalesce(1) variant was measured
+        # WORSE, 7-10 s, because the single task then drains every
+        # parallelize slice through the Python runner serially) (r17)
+        rows = sorted(quantizer.collect(), key=lambda r: r["cid"])
         cents = [list(r["centroid"]) for r in rows]
     else:
         cents = kmeans_centroids(
