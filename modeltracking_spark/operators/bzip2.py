@@ -146,6 +146,39 @@ def _decode_symbol(br: _Bits, table) -> int:
     return perm[idx]
 
 
+#: direct-indexed decode width for large blocks: codes of length <= _LUT_L
+#: resolve in one list index; longer codes fall back to the canonical walk
+_LUT_L = 11
+
+
+def _lut_decoder(lengths: list[int], table) -> tuple[list[int], list[int], int]:
+    """(lut_sym, lut_len, L) over the top ``L = min(max_len, _LUT_L)``
+    bits of the canonical code space: every L-bit window whose prefix is
+    a code of length <= L maps to (symbol, length); windows needing more
+    bits (or invalid) carry length 0 and take the walk. Build cost is
+    one slice fill per short symbol — only worth paying on blocks with
+    many symbols, so the caller gates it on the selector count."""
+    limit, base, perm, min_len, max_len = table
+    L = max_len if max_len < _LUT_L else _LUT_L
+    size = 1 << L
+    lut_sym = [0] * size
+    lut_len = [0] * size
+    count = [0] * (max_len + 1)
+    for l in lengths:
+        count[l] += 1
+    for ln in range(min_len, min(max_len, L) + 1):
+        if not count[ln]:
+            continue
+        first = limit[ln] - count[ln] + 1
+        width = 1 << (L - ln)
+        for code in range(first, limit[ln] + 1):
+            sym = perm[code - base[ln]]
+            lo = code << (L - ln)
+            lut_sym[lo:lo + width] = [sym] * width
+            lut_len[lo:lo + width] = [ln] * width
+    return lut_sym, lut_len, L
+
+
 def _inverse_bwt(bwt: bytes, orig_ptr: int) -> bytes:
     if not 0 <= orig_ptr < len(bwt):
         raise ValueError("bzip2 origPtr out of range")
@@ -155,13 +188,25 @@ def _inverse_bwt(bwt: bytes, orig_ptr: int) -> bytes:
     arr = np.frombuffer(bwt, dtype=np.uint8)
     # slot k of the next-vector holds the input index with the k-th
     # (value, position) rank — exactly a stable argsort
-    nxt = np.argsort(arr, kind="stable").tolist()
-    out = bytearray(n)
-    p = nxt[orig_ptr]
-    for i in range(n):
-        out[i] = bwt[p]
-        p = nxt[p]
-    return bytes(out)
+    nxt = np.argsort(arr, kind="stable")
+    # the output is arr gathered along the nxt-orbit of orig_ptr.  The
+    # orbit is computed by pointer DOUBLING (r17, guide §4.2): with
+    # step = nxt^filled, seq[filled+j] = step[seq[j]] extends the known
+    # prefix to twice its length per pass — O(n log n) vectorized
+    # gathers instead of the former O(n) interpreted chase loop
+    # (~0.3 s per 100 KB block -> ~5 ms; identical bytes by the orbit
+    # invariant seq[i] = nxt^(i+1)(orig_ptr)).
+    seq = np.empty(n, dtype=np.int64)
+    seq[0] = nxt[orig_ptr]
+    step = nxt.astype(np.int64)
+    filled = 1
+    while filled < n:
+        take = min(filled, n - filled)
+        seq[filled:filled + take] = step[seq[:take]]
+        filled += take
+        if filled < n:
+            step = step[step]
+    return arr[seq].tobytes()
 
 
 def _un_rle1(data: bytes) -> bytes:
@@ -285,26 +330,82 @@ def bz2_decompress(data: bytes) -> bytes:
             mtf_groups.insert(0, g)
             selectors.append(g)
 
-        tables = [
-            _canonical_decoder(_read_huffman_lengths(br, alpha))
-            for _ in range(n_groups)
-        ]
+        lens_list = [_read_huffman_lengths(br, alpha)
+                     for _ in range(n_groups)]
+        tables = [_canonical_decoder(ls) for ls in lens_list]
+        # direct-indexed LUTs only when the block is long enough to
+        # amortize their build (>= 32 selector groups = >= ~1600
+        # symbols); tiny single-doc blocks keep the walk-only path
+        luts = (
+            [_lut_decoder(ls, t) for ls, t in zip(lens_list, tables)]
+            if len(selectors) >= 32 else [None] * n_groups
+        )
 
-        # Huffman decode + RLE2/MTF undo
+        # Huffman decode + RLE2/MTF undo — inline bit accumulator
+        # (r17, guide §4.2): the former per-symbol _decode_symbol +
+        # per-bit _Bits.read call pair was >50% of decode CPU.  The
+        # loop peeks a whole code-width window from a local
+        # accumulator; the canonical walk compares the window's
+        # top-ln bits against limit[ln] — arithmetic identical to the
+        # bit-by-bit accumulation — and consuming more bits than the
+        # stream holds raises the same truncation error.
         mtf = list(used)
         bwt = bytearray()
         run, run_bit = 0, 0
         group_pos, group_count = 0, 0
-        table = None
+        limit = base = perm = None
+        min_len = max_len = L = 0
+        lut_sym = lut_len = None
+        dat = br.data
+        n_dat = len(dat)
+        bpos = br.pos >> 3
+        rem = br.pos & 7
+        if rem:
+            acc = dat[bpos] & ((1 << (8 - rem)) - 1)
+            nbits = 8 - rem
+            bpos += 1
+        else:
+            acc = 0
+            nbits = 0
+        n_sel = len(selectors)
         while True:
             if group_count == 0:
-                if group_pos >= len(selectors):
+                if group_pos >= n_sel:
                     raise ValueError("bzip2 ran out of selectors")
-                table = tables[selectors[group_pos]]
+                g = selectors[group_pos]
+                limit, base, perm, min_len, max_len = tables[g]
+                lut = luts[g]
+                lut_sym, lut_len, L = lut if lut is not None else (None, None, 0)
                 group_pos += 1
                 group_count = 50
             group_count -= 1
-            sym = _decode_symbol(br, table)
+            while nbits < 24 and bpos < n_dat:
+                acc = (acc << 8) | dat[bpos]
+                bpos += 1
+                nbits += 8
+            ln = 0
+            if lut_sym is not None:
+                idx = (acc >> (nbits - L)) if nbits >= L else (acc << (L - nbits))
+                ln = lut_len[idx]
+                sym = lut_sym[idx]
+            if ln == 0:  # long/invalid code, or no LUT: canonical walk
+                window = ((acc >> (nbits - max_len)) if nbits >= max_len
+                          else (acc << (max_len - nbits)))
+                ln = min_len
+                code = window >> (max_len - ln)
+                while code > limit[ln]:
+                    if ln >= max_len:
+                        raise ValueError("invalid bzip2 Huffman code")
+                    ln += 1
+                    code = window >> (max_len - ln)
+                idx = code - base[ln]
+                if not 0 <= idx < len(perm):
+                    raise ValueError("invalid bzip2 Huffman code")
+                sym = perm[idx]
+            if ln > nbits:
+                raise ValueError("truncated bzip2 stream")
+            nbits -= ln
+            acc &= (1 << nbits) - 1
             if sym <= 1:  # RUNA / RUNB: bijective base-2 run length
                 run += (sym + 1) << run_bit
                 run_bit += 1
@@ -315,6 +416,7 @@ def bz2_decompress(data: bytes) -> bytes:
                 bwt += bytes([mtf[0]]) * run
                 run, run_bit = 0, 0
             if sym == alpha - 1:  # EOB
+                br.pos = (bpos << 3) - nbits
                 break
             v = mtf.pop(sym - 1)
             mtf.insert(0, v)
