@@ -43,80 +43,71 @@ QUERY_MODULES = (
 
 #: the scored window (driver cap observed at 50).
 #:
-#: ROUND-16 ROTATION (VERDICT r15 item 1 — the hard attestation gate;
-#: this is an OPTIMIZATION round, so there are no new registrations
-#: and no behavior changes: every name below is already green in both
-#: the driver union r1-r15 AND this session's full 269-query exact
-#: sweep at sf0.01).  Head = the 20 r10-stale names, led by the
-#: verdict's enumerated cohort (skew_salted_join_events,
-#: cosine_topk_ivf_probe, bz2/cdc/cbor/snappy/sobel); then 30 of the
-#: 49 r11-stale names alphabetically.  After this window attests, no
-#: attestation is older than r11, and the 19 r11 names that slipped
-#: (parquet_native_sink/write, parquet_stream_sink,
-#: partition_prune_events, quality_logreg_docs, scalar_geo_suite,
-#: scd2_history_docs, text_quality_suite, tfidf_top_terms_docs,
-#: token_heavy_hitters, unigram_logprob_docs, vincenty_vs_haversine,
-#: winnow_fingerprints_docs, xpath_placemark_fields,
-#: xz_indexed_scan_docs, zlib_fdict_roundtrip_docs,
-#: zorder_layout_grid, zstd_seekable_coalesced_scan_docs,
-#: zstd_seekable_scan_docs — each with an in-window family sibling:
-#: the parquet writers are carried by orc_native_write_docs +
-#: the r12-attested parquet tier, the seekable-zstd family by
-#: zstd_seekable_stream_scan_docs + zstd_trained_dict_docs, the text
-#: tiers by bigram_pmi/bm25/inverted_index) lead the r17 window.
+#: ROUND-17 ROTATION (stalest-first invariant; optimization round, so
+#: no new registrations and no behavior changes — every name below is
+#: green in the driver union r1-r16 AND the r17 session-open full
+#: 269-query exact sweep at sf0.01).  Head = the 19 remaining r11-stale
+#: names (the cohort the r16 window could not fit), then 31 of the 50
+#: r12-stale names alphabetically.  After this window attests, no
+#: attestation is older than r12, and the 19 r12 names that slip
+#: (parquet_map_scan_events, parquet_nested_scan_events, parquet_page_pruned_scan_orders, parquet_struct_scan_events, ...) lead the r18 window — each has an in-window
+#: family sibling (the parquet scan tier is carried by
+#: parquet_decimal/int96/bloom-pruned, the ORC writers by
+#: orc_stream_sink_docs, the sketch tier by cms_user_counts +
+#: distinct_estimate_users + hist_quantiles_events).
 PRIORITY: tuple[str, ...] = (
-    # ---- r10-stale cohort (all 20; verdict-enumerated head) ----
-    "skew_salted_join_events",
-    "cosine_topk_ivf_probe",
-    "bz2_roundtrip_docs",
-    "cdc_chunk_dedup_docs",
-    "cbor_roundtrip_docs",
-    "snappy_roundtrip_docs",
-    "sobel_edge_stats_docs",
-    "stateful_user_totals_stream",
-    "stratified_hash_sample_docs",
-    "stream_enrich_join",
-    "tar_pax_bundle_scan_docs",
-    "tar_zst_bundle_scan_docs",
-    "tfrecord_example_scan_docs",
-    "tiff_tiled_palette_stats_docs",
-    "warc_gz_scan_docs",
-    "xz_roundtrip_docs",
-    "zstd_dict_roundtrip_docs",
-    "zstd_roundtrip_docs",
-    "zstd_seekable_stream_scan_docs",
-    "zstd_trained_dict_docs",
-    # ---- r11-stale cohort (30 of 49, alphabetical) ----
-    "avro_codec_matrix_docs",
-    "bigram_pmi_docs",
-    "bloom_decontaminate_docs",
-    "bm25_topk_docs",
-    "bmp_decode_stats_docs",
-    "bz2_multistream_scan_docs",
-    "chunk_dup_ratio_docs",
-    "click_error_interval_join",
-    "compaction_plan_orders",
-    "csv_roundtrip_scan",
-    "decontaminate_ngram_overlap",
-    "embedding_neardup_lsh_pairs",
-    "euclid_knn_suppliers",
-    "foreach_batch_sink_totals",
-    "frame_sample_fake_decode",
-    "grid_snap_nearest_node",
-    "incremental_dedup_docs",
-    "incremental_neardup_docs",
-    "inverted_index_docs",
-    "jpeg_decode_stats_docs",
-    "jsonl_roundtrip_scan",
-    "merge_upsert_docs",
-    "orc_native_scan_docs",
-    "orc_native_scan_events",
-    "orc_native_write_docs",
-    "orc_roundtrip_scan",
-    "pack_sequences_greedy",
-    "pagerank_link_graph_docs",
-    "parquet_native_scan_docs",
-    "parquet_native_scan_embeddings",
+    # ---- r11-stale cohort (the 19 that slipped the r16 window) ----
+    "parquet_native_sink_docs",
+    "parquet_native_write_docs",
+    "parquet_stream_sink_docs",
+    "partition_prune_events",
+    "quality_logreg_docs",
+    "scalar_geo_suite",
+    "scd2_history_docs",
+    "text_quality_suite",
+    "tfidf_top_terms_docs",
+    "token_heavy_hitters",
+    "unigram_logprob_docs",
+    "vincenty_vs_haversine",
+    "winnow_fingerprints_docs",
+    "xpath_placemark_fields",
+    "xz_indexed_scan_docs",
+    "zlib_fdict_roundtrip_docs",
+    "zorder_layout_grid",
+    "zstd_seekable_coalesced_scan_docs",
+    "zstd_seekable_scan_docs",
+    # ---- r12-stale cohort (31 of 50, alphabetical) ----
+    "arrow_ipc_roundtrip_docs",
+    "bpe_first_merge_pairs",
+    "chi2_type_vs_weekday_events",
+    "cms_user_counts",
+    "curation_pipeline_docs",
+    "data_quality_events",
+    "depth_display_axis",
+    "distinct_estimate_users",
+    "dsir_select_docs",
+    "edit_distance_pairs_docs",
+    "embedding_quantize_int8",
+    "fixed_n_per_lang_docs",
+    "funnel_conversion_events",
+    "gopher_rules_docs",
+    "grouped_agg_median_prices",
+    "hist_quantiles_events",
+    "hours_from_parts",
+    "html_extract_main_text",
+    "line_dedup_rewrite_docs",
+    "mad_outliers_events",
+    "mmr_diverse_topk",
+    "npz_roundtrip_embeddings",
+    "orc_bloom_pruned_scan_orders",
+    "orc_decimal_scan_orders",
+    "orc_map_scan_events",
+    "orc_nested_scan_events",
+    "orc_stream_sink_docs",
+    "orc_struct_scan_events",
+    "parquet_bloom_pruned_scan_orders",
+    "parquet_decimal_scan_orders",
+    "parquet_int96_scan_events",
 )
 
 #: queries whose semantics/plan changed THIS round: the staleness lint
