@@ -111,33 +111,62 @@ class _BackBits:
     reports whether total consumption passed the stream end."""
 
     def __init__(self, data: bytes):
+        # Windowed representation (r17): keep the raw bytes and slice
+        # out only the few bytes each read touches. The previous
+        # whole-stream big-int held the bits in one Python long, whose
+        # ``val >> remaining`` right-shift allocates an output of
+        # (total - remaining) bits — nearly the FULL stream once the
+        # read position nears the bottom — making an N-bit stream's
+        # decode O(N^2). Byte-slicing reads are O(1) per field and
+        # return bit-identical values (little-endian container, fields
+        # taken from the top of what remains, zero-padded past the
+        # end, same error surface).
         if not data:
             raise ValueError("empty zstd bitstream")
-        n = int.from_bytes(data, "little")
-        if n == 0:
+        i = len(data) - 1
+        while i >= 0 and not data[i]:
+            i -= 1
+        if i < 0:
             raise ValueError("zstd bitstream has no sentinel bit")
-        self.val = n
-        self.remaining = n.bit_length() - 1  # strip the sentinel
+        self._data = data
+        # strip the sentinel (the highest set bit)
+        self.remaining = (i << 3) + data[i].bit_length() - 1
         self.past_end = 0
 
     def read(self, nbits: int) -> int:
         if nbits == 0:
             return 0
-        if nbits <= self.remaining:
-            self.remaining -= nbits
-            return (self.val >> self.remaining) & ((1 << nbits) - 1)
+        r = self.remaining
+        if nbits <= r:
+            lo = r - nbits
+            self.remaining = lo
+            chunk = int.from_bytes(
+                self._data[lo >> 3:((r - 1) >> 3) + 1], "little"
+            )
+            return (chunk >> (lo & 7)) & ((1 << nbits) - 1)
         # zero-padded tail read (weights streams / final huffman codes)
-        avail = max(self.remaining, 0)
-        v = (self.val & ((1 << avail) - 1)) << (nbits - avail)
-        self.past_end += nbits - avail
+        v = 0
+        if r:
+            chunk = int.from_bytes(self._data[:((r - 1) >> 3) + 1], "little")
+            v = (chunk & ((1 << r) - 1)) << (nbits - r)
+        self.past_end += nbits - r
         self.remaining = 0
         return v
 
     def peek(self, nbits: int) -> int:
-        if nbits <= self.remaining:
-            return (self.val >> (self.remaining - nbits)) & ((1 << nbits) - 1)
-        avail = max(self.remaining, 0)
-        return (self.val & ((1 << avail) - 1)) << (nbits - avail)
+        if nbits == 0:
+            return 0
+        r = self.remaining
+        if nbits <= r:
+            lo = r - nbits
+            chunk = int.from_bytes(
+                self._data[lo >> 3:((r - 1) >> 3) + 1], "little"
+            )
+            return (chunk >> (lo & 7)) & ((1 << nbits) - 1)
+        if not r:
+            return 0
+        chunk = int.from_bytes(self._data[:((r - 1) >> 3) + 1], "little")
+        return (chunk & ((1 << r) - 1)) << (nbits - r)
 
     @property
     def overflowed(self) -> bool:
@@ -618,42 +647,88 @@ def _decode_sequences(block: bytes, pos: int, ctx: _FrameCtx):
     def init_state(t):
         return bb.read(t[2]) if t[0] == "fse" else 0
 
-    def symbol(t, state):
-        return t[1][state][0] if t[0] == "fse" else t[1]
-
-    def update(t, state):
-        if t[0] == "fse":
-            _s, nb, base = t[1][state]
-            return base + bb.read(nb)
-        return 0
-
     ll_s = init_state(tables["ll"])
     of_s = init_state(tables["of"])
     ml_s = init_state(tables["ml"])
+    if bb.past_end:
+        raise ValueError("sequence bitstream overran")
+
+    # Hot loop (r17): the per-sequence closure dispatch (symbol/update
+    # per table per sequence) and per-read method calls were over half
+    # of frame decode CPU. Localize the three tables (an RLE table
+    # becomes a repeated-cell FSE table view: symbol fixed, 0 state
+    # bits, so one code path serves both modes), and read bit fields
+    # inline against local (buf, rem). Arithmetic and the error
+    # surface are identical: any overrun in a sequence's extra-bits
+    # group raises "sequence bitstream overran", in a state update
+    # "sequence state update overran" (the zero-padded values the old
+    # reader produced before its post-group check were never
+    # observable — the group always raised).
+    fse_ll = tables["ll"][0] == "fse"
+    fse_of = tables["of"][0] == "fse"
+    fse_ml = tables["ml"][0] == "fse"
+    tab_ll = tables["ll"][1] if fse_ll else [(tables["ll"][1], 0, 0)]
+    tab_of = tables["of"][1] if fse_of else [(tables["of"][1], 0, 0)]
+    tab_ml = tables["ml"][1] if fse_ml else [(tables["ml"][1], 0, 0)]
+    buf = bb._data
+    rem = bb.remaining
+    from_bytes = int.from_bytes
+    ml_base_tab, ll_base_tab = _ML_BASE, _LL_BASE
     seqs = []
+    append = seqs.append
     for i in range(n_seq):
-        of_code = symbol(tables["of"], of_s)
-        ml_code = symbol(tables["ml"], ml_s)
-        ll_code = symbol(tables["ll"], ll_s)
+        of_code = tab_of[of_s][0]
+        ml_code = tab_ml[ml_s][0]
+        ll_code = tab_ll[ll_s][0]
         if of_code > 31:
             raise ValueError("offset code out of range")
         if ll_code > 35 or ml_code > 52:
             raise ValueError("length code out of range")
-        offset_value = (1 << of_code) + bb.read(of_code)
-        ml_base, ml_bits = _ML_BASE[ml_code]
-        ml = ml_base + bb.read(ml_bits)
-        ll_base, ll_bits = _LL_BASE[ll_code]
-        ll = ll_base + bb.read(ll_bits)
-        if bb.overflowed:
+        nb = of_code
+        ml_base, ml_bits = ml_base_tab[ml_code]
+        ll_base, ll_bits = ll_base_tab[ll_code]
+        lo = rem - nb - ml_bits - ll_bits
+        if lo < 0:
             raise ValueError("sequence bitstream overran")
-        seqs.append((ll, ml, offset_value))
+        if rem != lo:
+            chunk = from_bytes(buf[lo >> 3:((rem - 1) >> 3) + 1], "little")
+            chunk >>= lo & 7
+            rem = lo
+            ll_v = chunk & ((1 << ll_bits) - 1)
+            chunk >>= ll_bits
+            ml_v = chunk & ((1 << ml_bits) - 1)
+            chunk >>= ml_bits
+            ofv = chunk & ((1 << nb) - 1)
+        else:
+            ll_v = ml_v = ofv = 0
+        append((ll_base + ll_v, ml_base + ml_v, (1 << of_code) + ofv))
         if i + 1 < n_seq:
-            ll_s = update(tables["ll"], ll_s)
-            ml_s = update(tables["ml"], ml_s)
-            of_s = update(tables["of"], of_s)
-            if bb.overflowed:
+            nb_ll = tab_ll[ll_s][1] if fse_ll else 0
+            nb_ml = tab_ml[ml_s][1] if fse_ml else 0
+            nb_of = tab_of[of_s][1] if fse_of else 0
+            lo = rem - nb_ll - nb_ml - nb_of
+            if lo < 0:
                 raise ValueError("sequence state update overran")
-    if bb.remaining != 0:
+            if rem != lo:
+                chunk = from_bytes(
+                    buf[lo >> 3:((rem - 1) >> 3) + 1], "little"
+                )
+                chunk >>= lo & 7
+                rem = lo
+                of_bits = chunk & ((1 << nb_of) - 1)
+                chunk >>= nb_of
+                ml_bits2 = chunk & ((1 << nb_ml) - 1)
+                chunk >>= nb_ml
+                ll_bits2 = chunk & ((1 << nb_ll) - 1)
+            else:
+                of_bits = ml_bits2 = ll_bits2 = 0
+            if fse_ll:
+                ll_s = tab_ll[ll_s][2] + ll_bits2
+            if fse_ml:
+                ml_s = tab_ml[ml_s][2] + ml_bits2
+            if fse_of:
+                of_s = tab_of[of_s][2] + of_bits
+    if rem != 0:
         raise ValueError("sequence bitstream not fully consumed")
     return seqs, pos
 

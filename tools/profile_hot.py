@@ -40,6 +40,8 @@ def main() -> int:
             "spark.driver.memory": "16g",
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": evdir,
+            # this box has no zstd CLI; plain-text logs parse directly
+            "spark.eventLog.compress": "false",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
